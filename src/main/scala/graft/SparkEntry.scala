@@ -1,13 +1,33 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
+import graft.queries._
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** All query packs. Each pack covers one SURVEY §2 slice. */
+  private val packs: Seq[QueryPack] = Seq(
+    RefQueries
+  )
+
+  private lazy val all: Seq[Q] = packs.flatMap(_.queries)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the recursive parent→child→grandchild join tree compiled from JSON. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    all.find(_.name == "q05_join_tree").get.run(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator from SURVEY.md §2.
+    * Corpus views are (re-)registered before each query so config specs can
+    * use `table`/`sql` sources by bare name — and so `events` gets its
+    * nanosecond-timestamp normalization (Tables.load) everywhere. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> { (s: SparkSession, dir: String) =>
+      Tables.registerViews(s, dir)
+      q.run(s, dir)
+    }).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
 }

@@ -1,0 +1,247 @@
+package graft.compile
+
+import graft.spec._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Spec ⇒ DataFrame compiler.
+  *
+  * Pure plan composition: NO actions are taken while compiling — unlike the
+  * reference, which runs `df.rdd.isEmpty()` per recursion level
+  * (`sparks/optimus.py:8`, an executor round-trip per node) and materializes
+  * each child before joining. Here the whole config tree becomes one lazy
+  * logical plan; Catalyst then pushes filters into the parquet scans, prunes
+  * columns across node boundaries, and (with AQE) picks broadcast vs
+  * shuffled joins per child — which is what makes the recursive tree viable
+  * at 100 TB: a small aggregated child side is broadcast automatically
+  * instead of shuffling the parent fact table.
+  */
+object Compiler {
+
+  /** Optional validation: resolve referenced columns up front (the reference
+    * fails lazily at execution — SURVEY §1.3). Returns error strings. */
+  def validate(df: DataFrame, node: NodeSpec): Seq[String] = {
+    val have = df.columns.toSet
+    val wanted =
+      node.keepColumns ++
+        node.aggregate.toSeq.flatMap(a => a.groupBy ++ a.keep ++ a.aggs.filterNot(_.col == "*").map(_.col)) ++
+        node.filters.collect { case ColFilter(c, _, _, _) => c }
+    wanted.filterNot(have.contains).map(c => s"node ${node.id}: unknown column '$c' (have: ${have.mkString(", ")})")
+  }
+
+  /** Compile a full pipeline. `input` overrides the root node's source
+    * (used by tests and the streaming compiler, which passes a streaming
+    * DataFrame through the same batch-authored spec). */
+  def compile(spark: SparkSession, spec: PipelineSpec, input: Option[DataFrame] = None): DataFrame =
+    spec match {
+      case TreePipeline(root)  => compileNode(spark, root, input)
+      case CascadePipeline(c)  => compileCascade(spark, c)
+    }
+
+  def compileJson(spark: SparkSession, json: String): DataFrame =
+    compile(spark, JsonCodec.parse(json))
+
+  /** Node pipeline order mirrors the reference's interpreter
+    * (`pandas/optimus.py:7-40`): filters → keep_columns → aggregate →
+    * rename → withColumns → bitemporal → children joins → orderBy/limit.
+    * Note the reference quirk kept intentionally: the parent aggregates
+    * BEFORE joining children, so joins run on aggregated-parent ×
+    * aggregated-child (SURVEY §3 EP2 step 6). */
+  def compileNode(spark: SparkSession, node: NodeSpec, input: Option[DataFrame] = None): DataFrame = {
+    var df = input.getOrElse(readSource(spark, node.source.getOrElse(
+      throw new IllegalArgumentException(s"node ${node.id}: no source and no input DataFrame"))))
+
+    node.filters.foreach(f => df = df.filter(filterColumn(f)))
+
+    if (node.keepColumns.nonEmpty)
+      df = df.select(node.keepColumns.map(col): _*)
+
+    node.aggregate.foreach(a => df = applyAggregate(df, a))
+
+    node.rename.foreach { case (o, n) => df = df.withColumnRenamed(o, n) }
+
+    node.withColumns.foreach { case (c, e) => df = df.withColumn(c, expr(e)) }
+
+    node.bitemporal.foreach { b =>
+      df = df.withColumn(b.fromCol, lit(b.validFrom)).withColumn(b.toCol, lit(b.validTo))
+    }
+
+    node.children.foreach { ch =>
+      var childDf = compileNode(spark, ch.node)
+      if (ch.prefix) {
+        val linkSet = ch.join.link.toSet
+        childDf.columns.filterNot(linkSet.contains).foreach { c =>
+          childDf = childDf.withColumnRenamed(c, s"${ch.node.id}_$c")
+        }
+      }
+      df =
+        if (ch.join.link.nonEmpty) df.join(childDf, ch.join.link, ch.join.how)
+        else df.crossJoin(childDf)
+    }
+
+    if (node.orderBy.nonEmpty) df = df.orderBy(node.orderBy.map(sortColumn): _*)
+    node.limit.foreach(l => df = df.limit(l))
+    node.save.foreach { s =>
+      val w = df.write.mode(s.mode).options(s.options)
+      s.format match {
+        case "csv" => w.option("header", "true").csv(s.path)
+        case f     => w.format(f).save(s.path)
+      }
+    }
+    df
+  }
+
+  /** Iteration×level cascade (`Optimus/optimus.py:40-51`): the source is
+    * read once and each iteration's levels chain lazily — output of level k
+    * is the input of level k+1. Returns the last iteration's result. */
+  def compileCascade(spark: SparkSession, c: CascadeSpec): DataFrame = {
+    val src = readSource(spark, c.source)
+    // One source feeding >1 iteration: each iteration restarts from `src`.
+    // Spark re-uses the scan via plan-level reuse; no .cache() needed for
+    // parquet (and caching 100 TB would be wrong).
+    val results = c.iterations.map { it =>
+      var df = src
+      it.levels.foreach(l => df = compileNode(spark, l, Some(df)))
+      it.save.foreach { s =>
+        val w = df.write.mode(s.mode).options(s.options)
+        s.format match {
+          case "csv" => w.option("header", "true").csv(s.path)
+          case f     => w.format(f).save(s.path)
+        }
+      }
+      df
+    }
+    results.last
+  }
+
+  // ---- pieces ------------------------------------------------------------
+
+  def readSource(spark: SparkSession, s: SourceSpec): DataFrame =
+    (s.sql, s.table, s.path) match {
+      case (Some(q), _, _) => spark.sql(q)
+      case (_, Some(t), _) => spark.table(t)
+      case (_, _, Some(p)) =>
+        val r = spark.read.options(s.options)
+        s.format match {
+          case "csv" =>
+            // ref default: header + inferSchema (`Optimus/optimus.py:38`)
+            r.option("header", s.options.getOrElse("header", "true"))
+              .option("inferSchema", s.options.getOrElse("inferSchema", "true"))
+              .csv(p)
+          case "json" => r.json(p)
+          case f      => r.format(f).load(p)
+        }
+      case _ => throw new IllegalArgumentException(s"source needs sql, table or path: $s")
+    }
+
+  def filterColumn(f: FilterSpec): Column = f match {
+    case ExprFilter(e) => expr(e)
+    case ColFilter(c, op, v, nullSafe) =>
+      val l = col(c)
+      op match {
+        case "==" | "=" | "eq" => if (nullSafe) l <=> litOf(v) else l === litOf(v)
+        case "!=" | "<>"       => l =!= litOf(v)
+        case ">"               => l > litOf(v)
+        case "<"               => l < litOf(v)
+        case ">="              => l >= litOf(v)
+        case "<="              => l <= litOf(v)
+        case "isin" | "in" =>
+          val vs = v match { case JArr(xs) => xs.map(anyOf); case x => Seq(anyOf(x)) }
+          l.isin(vs: _*)
+        case "not_isin" | "not_in" =>
+          val vs = v match { case JArr(xs) => xs.map(anyOf); case x => Seq(anyOf(x)) }
+          !l.isin(vs: _*)
+        case "is_null"            => l.isNull
+        case "is_not_null"        => l.isNotNull
+        case "contains"           => l.contains(anyOf(v))
+        case "starts_with"        => l.startsWith(anyOf(v).toString)
+        case "ends_with"          => l.endsWith(anyOf(v).toString)
+        case other => throw new IllegalArgumentException(s"unknown filter op '$other'")
+      }
+  }
+
+  private def litOf(v: JValue): Column = lit(anyOf(v))
+  private def anyOf(v: JValue): Any = v match {
+    case JStr(s)  => s
+    case JInt(i)  => i
+    case JNum(d)  => d
+    case JBool(b) => b
+    case JNull    => null
+    case JArr(xs) => xs.map(anyOf)
+  }
+
+  /** One aggregation expression. Filtered aggregates compile to
+    * `func(when(pred, col))` ≡ SQL `func(x) FILTER (WHERE pred)` — plain
+    * Catalyst, codegen-friendly, partial+final map-side combine intact. */
+  def aggColumn(a: AggSpec): Column = {
+    val in: Column =
+      if (a.col == "*") lit(1)
+      else a.filter match {
+        case Some(p) => when(expr(p), col(a.col))
+        case None    => col(a.col)
+      }
+    val agg = a.func match {
+      case "sum"                   => sum(in)
+      // Deterministic double sum/avg for oracle-compared outputs: decimal
+      // addition is exact + associative, so partial/final aggregation order
+      // can't change the result (see graft.Tables.dsum).
+      case "dsum" =>
+        sum(in.cast(org.apache.spark.sql.types.DecimalType(25, 6))).cast("double")
+      case "davg" =>
+        sum(in.cast(org.apache.spark.sql.types.DecimalType(25, 6))).cast("double") / count(in)
+      case "min"                   => min(in)
+      case "max"                   => max(in)
+      case "avg" | "mean"          => avg(in)
+      case "count" if a.col == "*" => a.filter.map(p => count(when(expr(p), lit(1)))).getOrElse(count(lit(1)))
+      case "count"                 => count(in)
+      case "count_distinct"        => count_distinct(in)
+      case "approx_count_distinct" => approx_count_distinct(in)
+      case "sum_distinct"          => sum_distinct(in)
+      case "first"                 => first(in, ignoreNulls = true)
+      case "last"                  => last(in, ignoreNulls = true)
+      case "any_value"             => any_value(in, lit(true))
+      case "collect_set"           => array_sort(collect_set(in))
+      case "collect_list"          => collect_list(in)
+      case "stddev"                => stddev(in)
+      case "variance"              => variance(in)
+      case "median"                => median(in)
+      case other                   => expr(s"$other(${a.col})")
+    }
+    agg.as(a.newName.getOrElse(s"${a.func}_${if (a.col == "*") "all" else a.col}"))
+  }
+
+  def applyAggregate(df: DataFrame, a: AggregateSpec): DataFrame = {
+    // keep_columns that aren't group keys: reference selects them verbatim
+    // post-agg (`Optimus/optimus.py:31`) which is invalid under ANSI —
+    // resolve to any_value(c) (SURVEY §2.1 P2).
+    val keepExprs = a.keep.filterNot(a.groupBy.contains)
+      .map(c => any_value(col(c), lit(true)).as(c))
+    val aggExprs = a.aggs.map(aggColumn) ++ keepExprs
+    if (a.groupBy.isEmpty && a.mode == "groupBy") {
+      df.agg(aggExprs.head, aggExprs.tail: _*)
+    } else {
+      val keys = a.groupBy.map(col)
+      val grouped = a.mode match {
+        case "rollup" => df.rollup(keys: _*)
+        case "cube"   => df.cube(keys: _*)
+        case _        => df.groupBy(keys: _*)
+      }
+      grouped.agg(aggExprs.head, aggExprs.tail: _*)
+    }
+  }
+
+  /** "col", "col asc", "col desc", with optional "nulls first"/"nulls
+    * last". Default: asc nulls first (Spark's default), stated explicitly
+    * so oracle SQL can mirror it. */
+  def sortColumn(s: String): Column = {
+    val parts = s.trim.split("\\s+").toSeq
+    val c = col(parts.head)
+    parts.tail.map(_.toLowerCase).mkString(" ") match {
+      case "" | "asc" | "asc nulls first" => c.asc_nulls_first
+      case "asc nulls last"               => c.asc_nulls_last
+      case "desc" | "desc nulls last"     => c.desc_nulls_last
+      case "desc nulls first"             => c.desc_nulls_first
+      case other => throw new IllegalArgumentException(s"bad sort spec '$other'")
+    }
+  }
+}

@@ -1,0 +1,266 @@
+package graft.spec
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import scala.jdk.CollectionConverters._
+
+/** JSON → PipelineSpec decoder.
+  *
+  * Accepts the engine's canonical config schema AND the reference's
+  * observed key spellings (`group_by`, `keep_columns`,
+  * `aggregations[{agg_col, agg_func, new_name}]`,
+  * `filters[{filter_col, filter_op, filter_value}]` —
+  * `Optimus/optimus.py:58-75`; `aggregation{group_by, aggregations
+  * {col:[funcs]}, rename{}}` — `sparks/optimus.py:52-76`;
+  * `aggregate{col: func | {filter, function}}` — `Optimus/hotrod.py:83-113`;
+  * `iterations[{id, level_*}]` — `Optimus/optimus.py:54-80`), so a user of
+  * the reference can feed their existing configs in unchanged.
+  *
+  * Uses the jackson-databind that ships in /opt/spark/jars (no new deps).
+  */
+object JsonCodec {
+  private val mapper = new ObjectMapper()
+
+  def parse(json: String): PipelineSpec = {
+    val root = mapper.readTree(json)
+    if (root.has("iterations")) CascadePipeline(cascade(root))
+    else TreePipeline(node(root, "root"))
+  }
+
+  def parseNode(json: String): NodeSpec = node(mapper.readTree(json), "root")
+
+  // ---- helpers -----------------------------------------------------------
+
+  private def fields(n: JsonNode): Seq[(String, JsonNode)] =
+    n.fields().asScala.map(e => (e.getKey, e.getValue)).toSeq
+
+  private def elems(n: JsonNode): Seq[JsonNode] = n.elements().asScala.toSeq
+
+  private def strSeq(n: JsonNode): Seq[String] =
+    if (n == null) Nil
+    else if (n.isTextual) Seq(n.asText)
+    else elems(n).map(_.asText)
+
+  private def opt(n: JsonNode, keys: String*): Option[JsonNode] =
+    keys.collectFirst { case k if n.has(k) && !n.get(k).isNull => n.get(k) }
+
+  def jvalue(n: JsonNode): JValue =
+    if (n == null || n.isNull) JNull
+    else if (n.isTextual) JStr(n.asText)
+    else if (n.isIntegralNumber) JInt(n.asLong)
+    else if (n.isNumber) JNum(n.asDouble)
+    else if (n.isBoolean) JBool(n.asBoolean)
+    else if (n.isArray) JArr(elems(n).map(jvalue))
+    else JStr(n.toString)
+
+  // ---- node --------------------------------------------------------------
+
+  private[spec] def node(n: JsonNode, defaultId: String): NodeSpec = {
+    val id = opt(n, "id", "unique_id").map(_.asText).getOrElse(defaultId)
+
+    val source = opt(n, "source", "data_path").map { s =>
+      if (s.isTextual) {
+        val p = s.asText
+        val fmt =
+          if (p.endsWith(".csv")) "csv"
+          else if (p.endsWith(".json") || p.endsWith(".jsonl")) "json"
+          else "parquet"
+        SourceSpec(format = fmt, path = Some(p))
+      } else
+        SourceSpec(
+          format = opt(s, "format").map(_.asText).getOrElse("parquet"),
+          path = opt(s, "path").map(_.asText),
+          table = opt(s, "table").map(_.asText),
+          sql = opt(s, "sql", "sql_query").map(_.asText),
+          options = opt(s, "options")
+            .map(o => fields(o).map { case (k, v) => k -> v.asText }.toMap)
+            .getOrElse(Map.empty)
+        )
+    }
+
+    val filters: Seq[FilterSpec] = opt(n, "filters", "filter").toSeq.flatMap {
+      f =>
+        val items = if (f.isArray) elems(f) else Seq(f)
+        items.map {
+          case t if t.isTextual => ExprFilter(t.asText)
+          case o =>
+            ColFilter(
+              col = opt(o, "col", "filter_col", "column").get.asText,
+              op = opt(o, "op", "filter_op").map(_.asText).getOrElse("=="),
+              value = jvalue(opt(o, "value", "filter_value").orNull),
+              nullSafe =
+                opt(o, "null_safe", "nullSafe").exists(_.asBoolean(false))
+            )
+        }
+    }
+
+    val keep = opt(n, "keep_columns", "keep").map(strSeq).getOrElse(Nil)
+
+    // Aggregation: canonical {"group_by":[...], "aggregations":[{col,func,
+    // new_name,filter}]} or any of the reference spellings.
+    val aggNode = opt(n, "aggregate", "aggregation")
+    val aggregate: Option[AggregateSpec] = aggNode match {
+      case Some(a) if a.isObject && (a.has("group_by") || a.has("aggregations")) =>
+        Some(
+          AggregateSpec(
+            groupBy = opt(a, "group_by", "groupBy").map(strSeq).getOrElse(Nil),
+            aggs = aggList(opt(a, "aggregations", "aggs").orNull),
+            keep = opt(a, "keep_columns", "keep").map(strSeq).getOrElse(Nil),
+            mode = opt(a, "mode").map(_.asText).getOrElse("groupBy")
+          )
+        )
+      case Some(a) if a.isObject =>
+        // hotrod spelling: "aggregate": {col: "func" | {"filter","function"}}
+        // with sibling "group_by"/"link" keys on the node.
+        val aggs = fields(a).map {
+          case (c, v) if v.isTextual => AggSpec(c, v.asText)
+          case (c, v) =>
+            AggSpec(
+              c,
+              opt(v, "function", "func").map(_.asText).getOrElse("sum"),
+              newName = opt(v, "new_name", "as").map(_.asText),
+              filter = opt(v, "filter").map(_.asText)
+            )
+        }
+        Some(
+          AggregateSpec(
+            groupBy = opt(n, "group_by").map(strSeq).getOrElse(Nil),
+            aggs = aggs
+          )
+        )
+      case None if n.has("group_by") || n.has("aggregations") =>
+        // optimus.py flat spelling: group_by/keep_columns/aggregations
+        // directly on the node
+        Some(
+          AggregateSpec(
+            groupBy = opt(n, "group_by").map(strSeq).getOrElse(Nil),
+            aggs = aggList(opt(n, "aggregations").orNull),
+            keep = keep
+          )
+        )
+      case _ => None
+    }
+
+    val rename: Seq[(String, String)] = opt(n, "rename").toSeq.flatMap(r =>
+      fields(r).map { case (o2, n2) => o2 -> n2.asText }
+    )
+
+    val withCols: Seq[(String, String)] =
+      opt(n, "with_columns", "withColumns").toSeq.flatMap(w =>
+        fields(w).map { case (c, e) => c -> e.asText }
+      )
+
+    val bt = opt(n, "bitemporal").map { b =>
+      if (b.isBoolean) BitemporalSpec()
+      else
+        BitemporalSpec(
+          validFrom =
+            opt(b, "valid_from").map(_.asText).getOrElse("2024-01-01"),
+          validTo = opt(b, "valid_to").map(_.asText).getOrElse("9999-12-31")
+        )
+    }
+
+    val children: Seq[ChildSpec] = opt(n, "children").toSeq.flatMap(elems).map {
+      c =>
+        val link = opt(c, "link")
+          .map(strSeq)
+          .orElse(opt(c, "join").flatMap(j => opt(j, "on").map(strSeq)))
+          .getOrElse(Nil)
+        val how = opt(c, "join")
+          .flatMap(j => opt(j, "how").map(_.asText))
+          .orElse(opt(c, "how").map(_.asText))
+          .getOrElse("left")
+        ChildSpec(
+          node = node(c, defaultId = id + "_child"),
+          join = JoinSpec(link, how),
+          prefix = opt(c, "prefix").exists(_.asBoolean(false))
+        )
+    }
+
+    NodeSpec(
+      id = id,
+      source = source,
+      filters = filters,
+      keepColumns = if (aggregate.isDefined) Nil else keep,
+      aggregate = aggregate,
+      rename = rename,
+      withColumns = withCols,
+      bitemporal = bt,
+      children = children,
+      orderBy = opt(n, "order_by", "orderBy").map(strSeq).getOrElse(Nil),
+      limit = opt(n, "limit").map(_.asInt),
+      save = opt(n, "save").map(sink)
+    )
+  }
+
+  private def aggList(n: JsonNode): Seq[AggSpec] =
+    if (n == null) Nil
+    else if (n.isArray)
+      elems(n).map { a =>
+        AggSpec(
+          col = opt(a, "col", "agg_col", "column").get.asText,
+          func = opt(a, "func", "agg_func", "function")
+            .map(_.asText)
+            .getOrElse("sum"),
+          newName = opt(a, "new_name", "as", "alias").map(_.asText),
+          filter = opt(a, "filter").map(_.asText)
+        )
+      }
+    else // sparks/optimus.py:62-68 spelling {col: "func" | ["sum","max"]}
+      fields(n).flatMap {
+        case (c, v) if v.isTextual => Seq(AggSpec(c, v.asText))
+        case (c, v) if v.isArray =>
+          elems(v).map(f => AggSpec(c, f.asText, Some(s"${f.asText}_$c")))
+        case (c, v) =>
+          Seq(
+            AggSpec(
+              c,
+              opt(v, "function", "func").map(_.asText).getOrElse("sum"),
+              newName = opt(v, "new_name").map(_.asText),
+              filter = opt(v, "filter").map(_.asText)
+            )
+          )
+      }
+
+  private def sink(s: JsonNode): SinkSpec =
+    if (s.isTextual) SinkSpec(path = s.asText)
+    else
+      SinkSpec(
+        path = opt(s, "path").get.asText,
+        format = opt(s, "format").map(_.asText).getOrElse("parquet"),
+        mode = opt(s, "mode").map(_.asText).getOrElse("overwrite"),
+        options = opt(s, "options")
+          .map(o => fields(o).map { case (k, v) => k -> v.asText }.toMap)
+          .getOrElse(Map.empty)
+      )
+
+  private def cascade(n: JsonNode): CascadeSpec = {
+    val src = opt(n, "source", "file_path", "data_path").map { s =>
+      if (s.isTextual) {
+        val p = s.asText
+        val fmt = if (p.endsWith(".csv")) "csv" else "parquet"
+        SourceSpec(format = fmt, path = Some(p))
+      } else
+        SourceSpec(
+          format = opt(s, "format").map(_.asText).getOrElse("parquet"),
+          path = opt(s, "path").map(_.asText),
+          table = opt(s, "table").map(_.asText),
+          sql = opt(s, "sql").map(_.asText)
+        )
+    }.getOrElse(SourceSpec())
+    val iters = opt(n, "iterations").toSeq.flatMap(elems).map { it =>
+      val id = opt(it, "id").map(_.asText).getOrElse("iteration")
+      // reference: keys named level_1..level_n, dict order
+      // (`Optimus/optimus.py:43-44`); canonical: "levels": [...]
+      val levels: Seq[NodeSpec] = opt(it, "levels") match {
+        case Some(ls) =>
+          elems(ls).zipWithIndex.map { case (l, i) => node(l, s"${id}_l$i") }
+        case None =>
+          fields(it)
+            .filter(_._1.startsWith("level"))
+            .map { case (k, l) => node(l, s"${id}_$k") }
+      }
+      IterationSpec(id, levels, opt(it, "save").map(sink))
+    }
+    CascadeSpec(src, iters)
+  }
+}

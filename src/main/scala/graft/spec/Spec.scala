@@ -1,0 +1,151 @@
+package graft.spec
+
+/** Pipeline specification ADT — the engine's "query language".
+  *
+  * This is a superset of the reference's JSON config surface
+  * (skybluecycology/meta_frame): the recursive parent→child
+  * aggregate-and-join tree (`pandas/optimus.py:43-67`,
+  * `sparks/optimus.py:52-76`), the iteration×level cascade
+  * (`Optimus/optimus.py:54-80`, `Optimus/megatron.py:95-115`) and the
+  * nested/filtered aggregate with bitemporal stamping
+  * (`Optimus/hotrod.py:83-113`). Unlike the reference (which interprets the
+  * dict eagerly, op by op, with an action per recursion level), a spec here
+  * compiles to ONE composed lazy DataFrame plan, so Catalyst sees the whole
+  * tree and can push filters / prune columns / pick join strategies across
+  * node boundaries.
+  */
+
+/** A filter predicate. */
+sealed trait FilterSpec
+/** SQL-ish expression string filter (ref: `sparks/optimus.py:14-17`,
+  * `pandas/optimus.py:15-18` df.query). Parsed by Catalyst via
+  * `functions.expr`, so the full scalar-function surface is admitted. */
+final case class ExprFilter(expr: String) extends FilterSpec
+/** Structured comparison filter (ref: `Optimus/optimus.py:7-14`
+  * `{filter_col, filter_op, filter_value}`).
+  * op ∈ {==, =, !=, >, <, >=, <=, isin, not_isin, is_null, is_not_null,
+  * contains, starts_with, ends_with}; `nullSafe` selects `<=>`
+  * (ref: `Optimus/megatron.py:11` eqNullSafe). */
+final case class ColFilter(
+    col: String,
+    op: String,
+    value: JValue,
+    nullSafe: Boolean = false
+) extends FilterSpec
+
+/** JSON scalar/list value carried in configs (filter values, literals). */
+sealed trait JValue
+final case class JStr(v: String) extends JValue
+final case class JNum(v: Double) extends JValue
+final case class JInt(v: Long) extends JValue
+final case class JBool(v: Boolean) extends JValue
+case object JNull extends JValue
+final case class JArr(vs: Seq[JValue]) extends JValue
+
+/** One aggregation: `func(col)` aliased to `newName`, optionally restricted
+  * to rows passing `filter` (ref filtered aggregate:
+  * `Optimus/soundwave.py:57-62` → SQL `agg(x) FILTER (WHERE p)`).
+  * func ∈ {sum, min, max, avg, mean, count, count_distinct,
+  * approx_count_distinct, first, last, collect_set, collect_list, stddev,
+  * variance, median, any_value, sum_distinct}. */
+final case class AggSpec(
+    col: String,
+    func: String,
+    newName: Option[String] = None,
+    filter: Option[String] = None
+)
+
+/** Group-by aggregation (ref: `Optimus/optimus.py:27-32` group_by +
+  * aggregations + keep_columns).
+  * `keep` columns outside `groupBy` are wrapped in `any_value` — the
+  * reference selects them verbatim post-agg (`Optimus/optimus.py:31`),
+  * which throws in Spark/ANSI SQL; see SURVEY.md §2.1 P2.
+  * `mode` ∈ {groupBy, rollup, cube} — rollup/cube are the natural
+  * generalization of the reference's level hierarchy (SURVEY §2.2). */
+final case class AggregateSpec(
+    groupBy: Seq[String],
+    aggs: Seq[AggSpec],
+    keep: Seq[String] = Nil,
+    mode: String = "groupBy"
+)
+
+/** How a child node joins back into its parent (ref: `join{on, how}` at
+  * `pandas/optimus.py:61-66`, `link` at `Optimus/hotrod.py:97-100`).
+  * Equi-join on `link` columns; `how` is any Spark join type. */
+final case class JoinSpec(link: Seq[String], how: String = "left")
+
+/** Data source. Exactly one of (path+format) / table / sql set.
+  * Ref: CSV `Optimus/optimus.py:38`, table `Optimus/megatron.py:63-65`,
+  * SQL `Optimus/soundwave.py:24-27`. Parquet added for the test corpus. */
+final case class SourceSpec(
+    format: String = "parquet",
+    path: Option[String] = None,
+    table: Option[String] = None,
+    sql: Option[String] = None,
+    options: Map[String, String] = Map.empty
+)
+
+/** Sink (ref: per-node save `pandas/optimus.py:10-12`, per-iteration save
+  * `Optimus/optimus.py:48-51`). */
+final case class SinkSpec(
+    path: String,
+    format: String = "parquet",
+    mode: String = "overwrite",
+    options: Map[String, String] = Map.empty
+)
+
+/** Literal column stamp, e.g. bitemporal validity interval
+  * (ref: `Optimus/soundwave.py:76-78` valid_from/valid_to). */
+final case class BitemporalSpec(
+    validFrom: String = "2024-01-01",
+    validTo: String = "9999-12-31",
+    fromCol: String = "valid_from",
+    toCol: String = "valid_to"
+)
+
+/** A child node: its own full NodeSpec plus the join back to the parent.
+  * `prefix`: namespace the child's non-link output columns as
+  * `{id}_{name}` (ref: `Optimus/hotrod.py:55,67`). */
+final case class ChildSpec(
+    node: NodeSpec,
+    join: JoinSpec,
+    prefix: Boolean = false
+)
+
+/** One pipeline node = the reference's per-config processing unit:
+  * source → filters → keep_columns → aggregate → rename → withColumns →
+  * bitemporal → join children → orderBy → save.
+  * Children recurse to arbitrary depth (ref grandchildren:
+  * `Optimus/hotrod.py:103-110`). */
+final case class NodeSpec(
+    id: String,
+    source: Option[SourceSpec] = None,
+    filters: Seq[FilterSpec] = Nil,
+    keepColumns: Seq[String] = Nil,
+    aggregate: Option[AggregateSpec] = None,
+    rename: Seq[(String, String)] = Nil,
+    withColumns: Seq[(String, String)] = Nil, // name -> Catalyst expr string
+    bitemporal: Option[BitemporalSpec] = None,
+    children: Seq[ChildSpec] = Nil,
+    orderBy: Seq[String] = Nil, // "col", "col asc", "col desc" [nulls first|last]
+    limit: Option[Int] = None,
+    save: Option[SinkSpec] = None
+)
+
+/** Iteration×level cascade (ref: `Optimus/optimus.py:40-51`): one source,
+  * each iteration applies its levels sequentially — output of level k is
+  * input of level k+1 — and optionally saves per iteration. */
+final case class IterationSpec(
+    id: String,
+    levels: Seq[NodeSpec],
+    save: Option[SinkSpec] = None
+)
+final case class CascadeSpec(
+    source: SourceSpec,
+    iterations: Seq[IterationSpec]
+)
+
+/** Root of a parsed config: either a recursive node tree or a cascade. */
+sealed trait PipelineSpec
+final case class TreePipeline(root: NodeSpec) extends PipelineSpec
+final case class CascadePipeline(cascade: CascadeSpec) extends PipelineSpec
