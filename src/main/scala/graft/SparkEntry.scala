@@ -6,7 +6,8 @@ import graft.queries._
 object SparkEntry {
   /** All query packs. Each pack covers one SURVEY §2 slice. */
   private val packs: Seq[QueryPack] = Seq(
-    RefQueries
+    RefQueries,
+    RelQueries
   )
 
   private lazy val all: Seq[Q] = packs.flatMap(_.queries)

@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational operators beyond the reference's surface (SURVEY §2.2 NS
+  * rows), built as DataFrame combinators. All are shuffle-aware: one
+  * shuffle each, no driver-side materialization, no cross joins unless the
+  * operator is inherently theta.
+  */
+object Relational {
+
+  /** Per-group top-k: row_number over (partition, order) then filter ≤ k.
+    * The standard scalable pattern — one shuffle on `partitionCols`; the
+    * window is rank-only so Spark's WindowExec streams each group without
+    * buffering beyond the frame. `orderCols` must be a total order within a
+    * group (include a unique tiebreaker) or results are nondeterministic. */
+  def topKPerGroup(
+      df: DataFrame,
+      partitionCols: Seq[String],
+      orderCols: Seq[Column],
+      k: Int,
+      rankCol: String = "rn"
+  ): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+  }
+
+  /** As-of join: for each left row, attach the payload of the most recent
+    * right row with rightTs ≤ leftTs and equal keys (inclusive; ties on the
+    * instant take the right row). Nulls when no prior right row exists
+    * (left-join semantics).
+    *
+    * Implementation is the union-and-carry-forward pattern, NOT a range
+    * cross join: union both sides tagged, one shuffle on `on` keys, window
+    * `last(payload, ignoreNulls)` over rows-unbounded-preceding carries the
+    * latest right payload forward to every left row. Cost is a single
+    * shuffle + sort of |L|+|R| — this is the only as-of formulation that
+    * survives 100 TB (a `l.ts >= r.ts` theta join is O(|L|·|R|) per key).
+    *
+    * Right rows must be unique per (on, rightTs) — pre-dedup if not —
+    * otherwise which duplicate wins is tie-broken by `rightTieBreak`.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightPayload: Seq[String],
+      rightTieBreak: Option[String] = None
+  ): DataFrame = {
+    val side = "__asof_side"
+    val ts = "__asof_ts"
+    val payloadPrefixed = rightPayload.map(c => c -> s"__p_$c")
+
+    var l = left.withColumn(side, lit(1)).withColumn(ts, col(leftTs))
+    payloadPrefixed.foreach { case (_, p) => l = l.withColumn(p, lit(null)) }
+
+    val r = right.select((on.map(col) :+ col(rightTs).as(ts)) ++
+      payloadPrefixed.map { case (c, p) => col(c).as(p) }: _*)
+      .withColumn(side, lit(0))
+    // null out the left-only columns on the right side via unionByName
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+
+    val orderCols: Seq[Column] =
+      Seq(col(ts).asc, col(side).asc) ++ rightTieBreak.map(col(_).asc).toSeq
+    val w = Window
+      .partitionBy(on.map(col): _*)
+      .orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    var out = unioned
+    payloadPrefixed.foreach { case (c, p) =>
+      out = out.withColumn(c, last(col(p), ignoreNulls = true).over(w))
+    }
+    out
+      .filter(col(side) === 1)
+      .drop(side, ts)
+      .drop(payloadPrefixed.map(_._2): _*)
+  }
+
+  /** Range (band) join: left rows matched to right rows where
+    * `left(probe)` ∈ [right(lo), right(hi)). Right side is expected to be
+    * a small bands/dimension table and is broadcast — at scale this is a
+    * broadcast nested-loop join over the fact table, no shuffle of the
+    * left side at all. For big-big range joins, bucketize both sides on
+    * floor(probe/width) first (see `bucketedRangeJoin`). */
+  def rangeJoin(
+      left: DataFrame,
+      right: DataFrame,
+      probe: String,
+      lo: String,
+      hi: String,
+      how: String = "inner"
+  ): DataFrame =
+    left.join(
+      broadcast(right),
+      left(probe) >= right(lo) && left(probe) < right(hi),
+      how)
+
+  /** Big-big range join on interval width `width`: both sides get a
+    * bucket key floor(x / width); right intervals spanning k buckets are
+    * exploded to one row per covered bucket; then an EQUI-join on the
+    * bucket key (shuffle-hash/SMJ, scalable) followed by the residual
+    * range predicate. */
+  def bucketedRangeJoin(
+      left: DataFrame,
+      right: DataFrame,
+      probe: String,
+      lo: String,
+      hi: String,
+      width: Double
+  ): DataFrame = {
+    val lb = left.withColumn("__bucket", floor(col(probe) / width))
+    val rb = right.withColumn(
+      "__bucket",
+      explode(sequence(floor(col(lo) / width), floor((col(hi) - 1e-9) / width))))
+    lb.join(rb, Seq("__bucket"))
+      .filter(col(probe) >= col(lo) && col(probe) < col(hi))
+      .drop("__bucket")
+  }
+
+  /** Windowed running sum with exact decimal accumulation — the window
+    * analogue of Tables.dsum. Both Spark and DuckDB evaluate moving sums
+    * with engine-specific association (segment trees vs running state), so
+    * double running sums are NOT reproducible across engines; decimal is. */
+  def runningDSum(c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    sum(c.cast(DecimalType(25, 6))).over(w).cast("double")
+}

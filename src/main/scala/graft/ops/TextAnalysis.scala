@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data pipelines (SURVEY §2.2 NS): token
+  * counting, language ID, quality scoring, fingerprinting. All are pure
+  * `Column` combinators over built-in functions — whole-stage-codegen'd,
+  * no UDFs, no shuffles: they run inside the scan stage at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization; empty string → empty array (a bare
+    * split("") yields [""], which would poison token counts). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: counts maximal runs of letters, digits, and
+    * non-alphanumeric symbols separately — the usual cheap proxy for
+    * subword-tokenizer counts when the real tokenizer isn't on the
+    * cluster. Pattern is RE2/Java-regex-portable. */
+  val bpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeishPattern), lit(0)))
+
+  /** Per-language marker words for the n-gram/stopword language-ID
+    * heuristic. Tiny on purpose: broadcast-free, inlined into codegen. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "es"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "est")
+  )
+
+  /** Score for one language = number of its marker words present. */
+  def langScore(toks: Column, markers: Seq[String]): Column =
+    markers
+      .map(m => when(array_contains(toks, m), 1).otherwise(0))
+      .reduce(_ + _)
+
+  /** Language-ID: argmax of marker scores, ties broken by list order,
+    * "und" (undetermined) when no marker hits at all. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = langMarkers.map { case (lang, ms) => lang -> langScore(toks, ms) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), els) =>
+      when(s === best && s > 0, lang).otherwise(els)
+    } match {
+      // fold right builds en-first precedence: en wins ties, then es, ...
+      case c => c
+    }
+  }
+
+  /** Stopword ratio against the combined marker set (deterministic exact
+    * division of integer counts). */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val stop = langMarkers.flatMap(_._2).distinct
+    val hits = size(filter(toks, t => t.isin(stop.map(lit): _*)))
+    when(size(toks) > 0, hits.cast("double") / size(toks)).otherwise(lit(0.0))
+  }
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      (length(text) - length(regexp_replace(text, "[^A-Za-z0-9\\s]", "")))
+        .cast("double") / length(text))
+      .otherwise(lit(0.0))
+
+  /** Mean token length (0.0 for empty docs). */
+  def meanTokenLength(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(toks))
+      .otherwise(lit(0.0))
+  }
+
+  /** Heuristic document quality score in [0,1]: rewards mid-length docs and
+    * word-like tokens, penalizes punctuation soup. Deterministic arithmetic
+    * (exact integer-derived doubles, fixed expression order). */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text)
+    val lengthTerm =
+      least(n.cast("double") / lit(32.0), lit(1.0)) // saturates at 32 tokens
+    val punctTerm = lit(1.0) - punctRatio(text)
+    val wordTerm = when(n > 0,
+      size(filter(tokens(text), t => t.rlike("^[A-Za-z]+$"))).cast("double") /
+        n).otherwise(lit(0.0))
+    round((lengthTerm * lit(0.3)) + (punctTerm * lit(0.3)) + (wordTerm * lit(0.4)), 9)
+  }
+
+  /** 64-bit document fingerprint: order-sensitive polynomial rolling hash
+    * over token hashes (two docs with the same tokens in a different order
+    * fingerprint differently — unlike a set-hash). xxhash64 per token, then
+    * Horner's rule with multiplier 31 in Long arithmetic (wrapping). */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(tokens(text), t => xxhash64(t)),
+      lit(0L),
+      (acc, h) => acc * lit(31L) + h)
+}

@@ -1,0 +1,302 @@
+package graft.queries
+
+import graft.Tables
+import graft.Tables.{davgSql, dsum, dsumSql}
+import graft.ops.Relational
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational fill-in beyond reference parity (SURVEY §2.2 NS rows):
+  * semi/anti joins, set ops, window functions, top-k, distinct + approx,
+  * rollup/cube, scalar + array + JSON functions, as-of and range joins.
+  */
+object RelQueries extends QueryPack {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  // q10 — semi + anti join: customers WITH an open order, suppliers WITHOUT
+  // any lineitem. Both are one-shuffle joins (no payload duplication).
+  private def q10(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val open = t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("c_custkey"))
+    cust.join(open, Seq("c_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey").asc_nulls_first)
+  }
+  private val q10Sql = """
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    ORDER BY c_custkey ASC NULLS FIRST"""
+
+  private def q11(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part")
+    val li = t(s, dir, "lineitem").select(col("l_partkey").as("p_partkey"))
+    part.join(li, Seq("p_partkey"), "left_anti")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+      .orderBy(col("p_partkey").asc_nulls_first)
+  }
+  private val q11Sql = """
+    SELECT p_partkey, p_name, p_brand FROM part
+    WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+    ORDER BY p_partkey ASC NULLS FIRST"""
+
+  // q12 — set ops: (BUILDING ∪ rich) ∖ (AUTOMOBILE) over customer keys.
+  // Spark union is ALL → .distinct() to match SQL UNION; intersect/except
+  // are distinct-semantics on both engines.
+  private def q12(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val building = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val rich = c.filter(col("c_acctbal") > 5000).select("c_custkey")
+    val auto = c.filter(col("c_mktsegment") === "AUTOMOBILE").select("c_custkey")
+    building.union(rich).distinct().except(auto)
+      .orderBy(col("c_custkey").asc_nulls_first)
+  }
+  private val q12Sql = """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    ORDER BY c_custkey ASC NULLS FIRST"""
+
+  // q13 — window functions: ranking + analytic + exact running aggregate
+  // per supplier in shipdate order. Running double sums go through decimal
+  // (Relational.runningDSum) — Spark's running state vs DuckDB's segment
+  // tree associate float adds differently.
+  private def q13(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_suppkey") <= 20)
+    val order = Seq(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(order: _*)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    li.select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"),
+        row_number().over(w).as("rn"),
+        rank().over(Window.partitionBy(col("l_suppkey")).orderBy(col("l_quantity").desc))
+          .as("qty_rank"),
+        lag(col("l_quantity"), 1).over(w).as("prev_qty"),
+        lead(col("l_quantity"), 1).over(w).as("next_qty"),
+        Relational.runningDSum(col("l_quantity"), wRun).as("running_qty"))
+      .orderBy(col("l_suppkey").asc_nulls_first, col("rn").asc_nulls_first)
+  }
+  private val q13Sql = """
+    SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+           ROW_NUMBER() OVER w AS rn,
+           RANK() OVER (PARTITION BY l_suppkey ORDER BY l_quantity DESC) AS qty_rank,
+           LAG(l_quantity, 1) OVER w AS prev_qty,
+           LEAD(l_quantity, 1) OVER w AS next_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6)))
+                OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_qty
+    FROM lineitem WHERE l_suppkey <= 20
+    WINDOW w AS (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC)
+    ORDER BY l_suppkey ASC NULLS FIRST, rn ASC NULLS FIRST"""
+
+  // q14 — per-group top-k via the Relational.topKPerGroup combinator:
+  // 3 priciest orders per customer, total order tie-broken by orderkey.
+  private def q14(s: SparkSession, dir: String): DataFrame =
+    Relational.topKPerGroup(
+        t(s, dir, "orders"),
+        Seq("o_custkey"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+        k = 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy(col("o_custkey").asc_nulls_first, col("rn").asc_nulls_first)
+  private val q14Sql = """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders) WHERE rn <= 3
+    ORDER BY o_custkey ASC NULLS FIRST, rn ASC NULLS FIRST"""
+
+  // q15 — distinct projection + exact distinct aggregates.
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.select("l_returnflag", "l_linestatus").distinct()
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+  private val q15Sql = """
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+
+  // q16 — approx_count_distinct (HLL++): rows-only check (Spark's HLL++ and
+  // DuckDB's HLL give different estimates by design), with the exact
+  // distinct alongside for eyeballing relative error.
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+      approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+      count_distinct(col("l_orderkey")).as("exact_orders"),
+      approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+
+  // q17 — rollup over the cascade's level hierarchy (returnflag →
+  // linestatus), subtotals identified by null keys; cube on orders.
+  private def q17(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  private val q17Sql = s"""
+    SELECT l_returnflag, l_linestatus,
+           ${dsumSql("l_quantity")} AS sum_qty, COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+
+  private def q18(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+  private val q18Sql = s"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           ${dsumSql("o_totalprice")} AS sum_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""
+
+  // q19 — scalar function surface: date parts/trunc, string ops, math.
+  private def q19(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") <= 2000)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        upper(col("o_orderstatus")).as("status_uc"),
+        substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+        concat_ws("_", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"),
+        length(col("o_orderpriority")).as("prio_len"),
+        floor(col("o_totalprice")).as("price_floor"),
+        abs(col("o_totalprice") * lit(-1.0)).as("price_abs"))
+      .orderBy(col("o_orderkey").asc_nulls_first)
+  private val q19Sql = """
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INT) AS o_year,
+           CAST(MONTH(o_orderdate) AS INT) AS o_month,
+           DATE_TRUNC('month', o_orderdate) AS month_start,
+           UPPER(o_orderstatus) AS status_uc,
+           SUBSTRING(o_orderpriority, 1, 1) AS prio_code,
+           CONCAT_WS('_', o_orderstatus, o_orderpriority) AS status_prio,
+           CAST(LENGTH(o_orderpriority) AS INT) AS prio_len,
+           CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
+           ABS(o_totalprice * -1.0) AS price_abs
+    FROM orders WHERE o_orderkey <= 2000
+    ORDER BY o_orderkey ASC NULLS FIRST"""
+
+  // q20 — array functions over embeddings: dimensionality + exact L2 norm²
+  // via explode + decimal sum (per-element double squares are bit-identical
+  // across engines; the decimal sum makes the reduction order-insensitive).
+  private def q20(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .filter(col("vec_id") < 100)
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("x2", col("x").cast("double") * col("x").cast("double"))
+      .groupBy("vec_id")
+      .agg(
+        any_value(col("label"), lit(true)).as("label"),
+        count(lit(1)).as("dim"),
+        // decimal(25,18) quantizes each double square with engine-specific
+        // tie-rounding → last-ulp drift; round the final norm to 12 dp so
+        // both engines agree.
+        round(sum(col("x2").cast(DecimalType(25, 18))).cast("double"), 12).as("norm_sq"))
+      .orderBy(col("vec_id").asc_nulls_first)
+  private val q20Sql = """
+    SELECT vec_id, ANY_VALUE(label) AS label, COUNT(*) AS dim,
+           ROUND(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(25,18))) AS DOUBLE), 12) AS norm_sq
+    FROM (SELECT vec_id, label, UNNEST(embedding) AS x
+          FROM embeddings WHERE vec_id < 100)
+    GROUP BY vec_id ORDER BY vec_id ASC NULLS FIRST"""
+
+  // q21 — JSON extraction from events.props ({"k": N}) with get_json_object,
+  // aggregated per event_type.
+  private def q21(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(
+        sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"),
+        count(when(col("k") > 50, lit(1))).as("n_big_k"))
+      .orderBy(col("event_type").asc_nulls_first)
+  private val q21Sql = """
+    SELECT event_type,
+           CAST(SUM(k) AS BIGINT) AS sum_k, MAX(k) AS max_k,
+           COUNT(CASE WHEN k > 50 THEN 1 END) AS n_big_k
+    FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events)
+    GROUP BY event_type ORDER BY event_type ASC NULLS FIRST"""
+
+  // q22 — as-of join (union-and-carry-forward, Relational.asofJoin): each
+  // purchase event picks up the most recent prior signup/login of the same
+  // user. DuckDB's native ASOF JOIN is the oracle.
+  private def q22(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    // dedup right per (user_id, ts): keep max event_id — keeps the oracle's
+    // tie choice well-defined
+    val logins = ev.filter(col("event_type").isin("signup", "login"))
+      .groupBy("user_id", "ts")
+      .agg(max(col("event_id")).as("login_event_id"))
+    Relational.asofJoin(
+        purchases, logins,
+        on = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        rightPayload = Seq("login_event_id"))
+      .withColumnRenamed("ts", "purchase_ts")
+      .select("event_id", "user_id", "purchase_ts", "value", "login_event_id")
+      .orderBy(col("event_id").asc_nulls_first)
+  }
+  private val q22Sql = """
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+    logins AS (
+      SELECT user_id, ts, MAX(event_id) AS login_event_id
+      FROM events WHERE event_type IN ('signup', 'login') GROUP BY 1, 2)
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts, p.value, l.login_event_id
+    FROM purchases p ASOF LEFT JOIN logins l
+      ON p.user_id = l.user_id AND p.ts >= l.ts
+    ORDER BY p.event_id ASC NULLS FIRST"""
+
+  // q23 — range (band) join: orders bucketed into price bands. Bands are a
+  // tiny in-memory dim → broadcast nested-loop, zero shuffle of orders.
+  private def q23(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      (0.0, 1000.0, "small"),
+      (1000.0, 10000.0, "medium"),
+      (10000.0, 100000.0, "large"),
+      (100000.0, 1e12, "huge")
+    ).toDF("lo", "hi", "band")
+    Relational.rangeJoin(t(s, dir, "orders"), bands, "o_totalprice", "lo", "hi")
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("band").asc_nulls_first)
+  }
+  private val q23Sql = s"""
+    WITH bands(lo, hi, band) AS (VALUES
+      (0.0, 1000.0, 'small'), (1000.0, 10000.0, 'medium'),
+      (10000.0, 100000.0, 'large'), (100000.0, 1e12, 'huge'))
+    SELECT band, COUNT(*) AS n, ${dsumSql("o_totalprice")} AS sum_price
+    FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band ORDER BY band ASC NULLS FIRST"""
+
+  override def queries: Seq[Q] = Seq(
+    Q("q10_semi_join", q10, Some(q10Sql)),
+    Q("q11_anti_join", q11, Some(q11Sql)),
+    Q("q12_set_ops", q12, Some(q12Sql)),
+    Q("q13_window_funcs", q13, Some(q13Sql)),
+    Q("q14_topk_per_group", q14, Some(q14Sql)),
+    Q("q15_distinct", q15, Some(q15Sql)),
+    Q("q16_approx_distinct", q16, None),
+    Q("q17_rollup", q17, Some(q17Sql)),
+    Q("q18_cube", q18, Some(q18Sql)),
+    Q("q19_scalar_funcs", q19, Some(q19Sql)),
+    Q("q20_array_funcs", q20, Some(q20Sql)),
+    Q("q21_json_funcs", q21, Some(q21Sql)),
+    Q("q22_asof_join", q22, Some(q22Sql)),
+    Q("q23_range_join", q23, Some(q23Sql))
+  )
+}
