@@ -7,7 +7,12 @@ object SparkEntry {
   /** All query packs. Each pack covers one SURVEY §2 slice. */
   private val packs: Seq[QueryPack] = Seq(
     RefQueries,
-    RelQueries
+    RelQueries,
+    TextQueries,
+    DedupQueries,
+    SimQueries,
+    StreamQueries,
+    MultimodalQueries
   )
 
   private lazy val all: Seq[Q] = packs.flatMap(_.queries)

@@ -1,0 +1,172 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM-data pipelines (SURVEY §2.2 NS,
+  * north-star pillar). Every variant is join/aggregate-shaped — no
+  * driver-side state, no O(n²) comparisons except inside an LSH bucket —
+  * so each scales to 100 TB:
+  *
+  *   - exact:      one hash-aggregate on the dedup key.
+  *   - MinHash-LSH: shingle → H minhashes → B band keys → equi-join on
+  *                  band key. Candidate pairs ∝ collisions, not n².
+  *   - SimHash:    64-bit signature, banded for Hamming-radius search.
+  *   - n-gram Jaccard: exact verification join on shared shingles.
+  */
+object Dedup {
+
+  /** Exact dedup on `keyCols`, keeping the row with the smallest `idCol`
+    * per key — ONE deterministic winner (dropDuplicates keeps an arbitrary
+    * row, which can't be oracle-checked and is nondeterministic across
+    * retries at scale; min_by gives a stable result for the same cost:
+    * one partial+final hash aggregate). */
+  def exactDedup(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
+    val others = df.columns.filterNot(c => keyCols.contains(c) || c == idCol)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(
+        min(col(idCol)).as(idCol),
+        others.map(c => min_by(col(c), col(idCol)).as(c)): _*)
+  }
+
+  /** Word-level shingles (n-grams) as an array column. n=1 → unigram set. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    if (n == 1) array_distinct(toks)
+    else
+      array_distinct(
+        transform(
+          sequence(lit(0), greatest(size(toks) - n, lit(0))),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions, the
+    * minimum of xxhash64(seed, shingle) over the doc's shingle set.
+    * Computed columnar with array `transform`+`array_min` — no explode, no
+    * shuffle; one pass in the scan stage. */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(shingleCol, sh => xxhash64(lit(seed), sh)))
+    }: _*)
+
+  /** LSH candidate pairs from MinHash signatures.
+    * Bands the `numHashes`-long signature into `bands` groups of
+    * rows-per-band r = numHashes/bands; docs colliding on ANY full band are
+    * candidates. Probability a pair with Jaccard j collides:
+    * 1-(1-j^r)^bands (the standard S-curve). One explode (×bands) + one
+    * shuffle on the band key + an in-bucket self-join.
+    * Returns (idA, idB) with idA < idB, distinct. */
+  def minhashCandidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sig = df
+      .select(col(idCol), minhashSignature(shingles(col(textCol), shingleSize), numHashes).as("sig"))
+    val banded = sig.select(
+      col(idCol),
+      posexplode(
+        array((0 until bands).map(b =>
+          xxhash64(lit(b) +: (0 until r).map(i => element_at(col("sig"), b * r + i + 1)): _*)): _*))
+        .as(Seq("band", "band_key")))
+    val a = banded.select(col("band"), col("band_key"), col(idCol).as("idA"))
+    val b = banded.select(col("band"), col("band_key"), col(idCol).as("idB"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("idA") < col("idB"))
+      .select("idA", "idB")
+      .distinct()
+  }
+
+  /** 64-bit SimHash of a token multiset: per bit position, sum +1/-1 over
+    * token hashes; the sign becomes the bit. Near-duplicates differ in few
+    * bits (small Hamming distance). Columnar — no explode. */
+  def simhash(text: Column): Column = {
+    val hashes = transform(TextAnalysis.tokens(text), t => xxhash64(t))
+    val bitCols = (0 until 64).map { i =>
+      // sum over tokens of (bit_i ? 1 : -1); bit set in result iff sum > 0
+      val bitSum = aggregate(
+        hashes,
+        lit(0),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+      when(bitSum > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_.bitwiseOR(_))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs within Hamming radius ≤ `maxDist`, using the
+    * pigeonhole band trick: split 64 bits into `maxDist+1` chunks — any
+    * pair within radius collides on at least one whole chunk → equi-join on
+    * (chunk index, chunk value), then verify exact Hamming distance. */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 3
+  ): DataFrame = {
+    val chunks = maxDist + 1
+    val width = 64 / chunks
+    val sigs = df.select(col(idCol), simhash(col(textCol)).as("sig"))
+    val banded = sigs.select(
+      col(idCol), col("sig"),
+      posexplode(array((0 until chunks).map { c =>
+        // chunk c = bits [c*width, (c+1)*width) (last chunk takes the rest)
+        val w = if (c == chunks - 1) 64 - c * width else width
+        shiftright(col("sig"), c * width)
+          .bitwiseAND(lit(if (w == 64) -1L else (1L << w) - 1L))
+      }: _*)).as(Seq("chunk", "chunk_val")))
+    val a = banded.select(col("chunk"), col("chunk_val"), col(idCol).as("idA"), col("sig").as("sigA"))
+    val b = banded.select(col("chunk"), col("chunk_val"), col(idCol).as("idB"), col("sig").as("sigB"))
+    a.join(b, Seq("chunk", "chunk_val"))
+      .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"), hamming(col("sigA"), col("sigB")).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle:
+    * explode shingle sets, equi-join on the shingle, count shared, compute
+    * |A∩B| / (|A|+|B|-|A∩B|). `maxShingleFreq` drops shingles appearing in
+    * more than that many docs — the standard skew guard: a stop-shingle
+    * appearing in 1M docs would otherwise generate 10¹² join rows. Pairs
+    * pruned this way can only lose similarity mass on ubiquitous shingles,
+    * which near-dup detection wants to ignore anyway. */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5,
+      maxShingleFreq: Option[Int] = None
+  ): DataFrame = {
+    val sets = df.select(col(idCol), shingles(col(textCol), shingleSize).as("sh"))
+    val sizes = sets.select(col(idCol), size(col("sh")).as("setSize"))
+    var exploded = sets.select(col(idCol), explode(col("sh")).as("shingle"))
+    maxShingleFreq.foreach { cap =>
+      val freq = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= cap).select("shingle")
+      exploded = exploded.join(freq, Seq("shingle"))
+    }
+    val a = exploded.select(col("shingle"), col(idCol).as("idA"))
+    val b = exploded.select(col("shingle"), col(idCol).as("idB"))
+    val common = a.join(b, Seq("shingle"))
+      .filter(col("idA") < col("idB"))
+      .groupBy("idA", "idB")
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed(idCol, "idA").withColumnRenamed("setSize", "sizeA"), Seq("idA"))
+      .join(sizes.withColumnRenamed(idCol, "idB").withColumnRenamed("setSize", "sizeB"), Seq("idB"))
+      .withColumn("jaccard",
+        round(col("common").cast("double") /
+          (col("sizeA") + col("sizeB") - col("common")), 9))
+      .filter(col("jaccard") >= threshold)
+      .select("idA", "idB", "common", "jaccard")
+  }
+}

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (north-star): image/audio/video payloads are
+  * opaque `BinaryType` columns plus a typed metadata struct; decode /
+  * feature-extract runs batch-wise per partition. The Spark-side shape —
+  * schema, partition-local batching, feature-vector output — is real and
+  * tested; the actual codec call is STUBBED (no image/audio libraries in
+  * this environment) behind `decodeStub`, a deterministic fake keyed on
+  * the payload bytes.
+  *
+  * Scale notes: payload bytes never shuffle (all derivations are
+  * narrow/map-side); metadata-only queries prune the binary column at the
+  * parquet scan, so "SELECT width, height" never reads pixels.
+  */
+object Multimodal {
+
+  /** Metadata schema carried next to every media payload. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_bytes", LongType)))
+
+  /** Wrap a table into the media shape: (id, meta struct, payload binary).
+    * In production the payload column comes straight from parquet/blob
+    * storage; here any string column stands in as bytes. */
+  def asMedia(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.select(
+      col(idCol).as("media_id"),
+      struct(
+        lit("bin").as("format"),
+        lit(0).as("width"),
+        lit(0).as("height"),
+        length(col(payloadCol)).cast("long").as("n_bytes")).as("meta"),
+      col(payloadCol).cast("binary").as("payload"))
+
+  /** STUB for the real decoder (???): a deterministic fake "feature
+    * extractor" — 8 floats derived from evenly-spaced payload bytes.
+    * Replace the body with the actual codec (JNI/lib) call; the partition
+    * batching, signature, and output schema are the production shape. */
+  private def decodeStub(payload: Array[Byte]): Array[Float] =
+    if (payload == null || payload.isEmpty) Array.fill(8)(0.0f)
+    else {
+      val n = payload.length
+      Array.tabulate(8)(i => (payload(math.min((i * n) / 8, n - 1)) & 0xff) / 255.0f)
+    }
+
+  /** Partition-wise featurize: iterates each partition once (the iterator
+    * is where a real implementation amortizes codec/model init per batch,
+    * exactly like a pandas-UDF batch), emitting (media_id, features).
+    * Narrow — no shuffle; parallelism = input partitions. */
+  def featurize(media: DataFrame): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    val out: Dataset[(Long, Array[Float])] = media
+      .select(col("media_id").cast("long"), col("payload"))
+      .as(enc)
+      .mapPartitions { it =>
+        // real impl: init decoder ONCE here, then stream the batch
+        it.map { case (id, payload) => (id, decodeStub(payload)) }
+      }(Encoders.tuple(Encoders.scalaLong, ExpressionEncoder[Array[Float]]()))
+    out.toDF("media_id", "features")
+  }
+
+  private def ExpressionEncoder[T: scala.reflect.runtime.universe.TypeTag]() =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[T]()
+}

@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`) — SURVEY §2.2
+  * NS pillar. Two tiers:
+  *
+  *   - brute-force cosine top-k: correctness baseline. Broadcast the query
+  *     set (queries ≪ corpus), score every corpus row in the scan stage,
+  *     per-query top-k via window. Cost O(|Q|·|C|) but |Q| is small and the
+  *     corpus is never shuffled — only (query, score) pairs are.
+  *   - LSH-bucketed (random hyperplane signatures): the scale path. Corpus
+  *     and queries hash to sign-pattern buckets; only same-bucket pairs are
+  *     scored. Equi-join on the bucket key → shuffle ∝ matches, not |Q|·|C|.
+  *
+  * All arithmetic is fixed-order (zip_with then ordered aggregate), so
+  * scores are bit-reproducible run to run.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns in element order (exact:
+    * float×float products are exact in double; the fold is sequential). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, p) => acc + p)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity, 0 when either vector is all-zero. */
+  def cosine(a: Column, b: Column): Column = {
+    val na = l2Norm(a)
+    val nb = l2Norm(b)
+    when(na > 0 && nb > 0, dot(a, b) / (na * nb)).otherwise(lit(0.0))
+  }
+
+  /** Brute-force cosine top-k: for each row of `queries`, the `k` most
+    * similar rows of `corpus`. `queries` is broadcast — the corpus-side
+    * scan computes scores map-side; the only shuffle is the per-query
+    * window over candidate scores. Scores rounded to 9 dp so downstream
+    * ordering is reproducible; ties broken by corpus id. */
+  def cosineTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryId: String,
+      queryVec: String,
+      corpusId: String,
+      corpusVec: String,
+      k: Int,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    val q = broadcast(queries.select(col(queryId), col(queryVec).as("__qv")))
+    var scored = corpus
+      .select(col(corpusId), col(corpusVec).as("__cv"))
+      .crossJoin(q)
+    if (excludeSelf) scored = scored.filter(col(queryId) =!= col(corpusId))
+    val withScore = scored.select(
+      col(queryId), col(corpusId),
+      round(cosine(col("__qv"), col("__cv")), 9).as("score"))
+    Relational.topKPerGroup(
+      withScore, Seq(queryId),
+      Seq(col("score").desc, col(corpusId).asc), k, rankCol = "rank")
+  }
+
+  /** Random-hyperplane LSH signature: bit i = sign(v · hᵢ) where hᵢ is a
+    * deterministic pseudo-random hyperplane derived from (i, dimension
+    * index) via xxhash64 → uniform in [-1,1). Cosine-similar vectors agree
+    * on most signs. `numBits` ≤ 64. */
+  def hyperplaneSignature(vec: Column, dim: Int, numBits: Int): Column = {
+    require(numBits <= 64)
+    val bitCols = (0 until numBits).map { i =>
+      val proj = (0 until dim).map { d =>
+        // hash → int64 → scale to [-1,1): deterministic hyperplane component
+        val h = xxhash64(lit(i), lit(d))
+        element_at(vec, d + 1).cast("double") * (h.cast("double") / lit(9.223372036854776e18))
+      }.reduce(_ + _)
+      when(proj > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_.bitwiseOR(_))
+  }
+
+  /** IVF-style bucketed ANN: band the hyperplane signature into `bands`
+    * chunks (pigeonhole: vectors agreeing on any whole chunk meet), score
+    * only in-bucket pairs, keep top-k per query. Recall < 1 by design;
+    * raise `bands` (more, shorter chunks) for higher recall, fewer for
+    * less shuffle. */
+  def annTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryId: String,
+      queryVec: String,
+      corpusId: String,
+      corpusVec: String,
+      dim: Int,
+      k: Int,
+      numBits: Int = 32,
+      bands: Int = 4
+  ): DataFrame = {
+    val width = numBits / bands
+    def banded(df: DataFrame, id: String, vec: String, idAs: String, vecAs: String) =
+      df.select(col(id).as(idAs), col(vec).as(vecAs),
+          hyperplaneSignature(col(vec), dim, numBits).as("__sig"))
+        .select(col(idAs), col(vecAs),
+          posexplode(array((0 until bands).map(c =>
+            shiftright(col("__sig"), c * width)
+              .bitwiseAND(lit((1L << width) - 1L))): _*)).as(Seq("band", "band_key")))
+    val qb = banded(queries, queryId, queryVec, "__qid", "__qv")
+    val cb = banded(corpus, corpusId, corpusVec, "__cid", "__cv")
+    val pairs = qb.join(cb, Seq("band", "band_key"))
+      .filter(col("__qid") =!= col("__cid"))
+      .select(col("__qid"), col("__cid"), col("__qv"), col("__cv"))
+      .distinct() // a pair can collide in several bands
+    val scored = pairs.select(
+      col("__qid").as(queryId), col("__cid").as(corpusId),
+      round(cosine(col("__qv"), col("__cv")), 9).as("score"))
+    Relational.topKPerGroup(
+      scored, Seq(queryId),
+      Seq(col("score").desc, col(corpusId).asc), k, rankCol = "rank")
+  }
+
+  /** Embedding near-duplicate pairs: all (a,b) with cosine ≥ `threshold`.
+    * Brute-force within-corpus variant for verification; the scale path is
+    * the same banding as `annTopK` applied corpus×corpus. */
+  def cosineNearDupPairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val a = corpus.select(col(idCol).as("idA"), col(vecCol).as("__va"))
+    val b = corpus.select(col(idCol).as("idB"), col(vecCol).as("__vb"))
+    a.crossJoin(broadcast(b))
+      .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        round(cosine(col("__va"), col("__vb")), 9).as("score"))
+      .filter(col("score") >= threshold)
+  }
+}

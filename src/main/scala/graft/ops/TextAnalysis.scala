@@ -94,13 +94,16 @@ object TextAnalysis {
     round((lengthTerm * lit(0.3)) + (punctTerm * lit(0.3)) + (wordTerm * lit(0.4)), 9)
   }
 
-  /** 64-bit document fingerprint: order-sensitive polynomial rolling hash
-    * over token hashes (two docs with the same tokens in a different order
+  /** Document fingerprint: order-sensitive polynomial rolling hash over
+    * token hashes (two docs with the same tokens in a different order
     * fingerprint differently — unlike a set-hash). xxhash64 per token, then
-    * Horner's rule with multiplier 31 in Long arithmetic (wrapping). */
-  def fingerprint(text: Column): Column =
+    * Horner's rule mod a 2^61-ish prime — modular instead of wrapping so it
+    * can't trip Spark's default ANSI overflow check. */
+  def fingerprint(text: Column): Column = {
+    val m = 1000000007L // prime; keeps acc*31+h well inside Long range
     aggregate(
-      transform(tokens(text), t => xxhash64(t)),
+      transform(tokens(text), t => pmod(xxhash64(t), lit(m))),
       lit(0L),
-      (acc, h) => acc * lit(31L) + h)
+      (acc, h) => pmod(acc * lit(31L) + h, lit(m)))
+  }
 }

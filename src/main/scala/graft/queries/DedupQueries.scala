@@ -1,0 +1,82 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication pack (north-star): exact, n-gram Jaccard, MinHash-LSH,
+  * SimHash over `documents`/`events`.
+  */
+object DedupQueries extends QueryPack {
+
+  // q27 — exact dedup with a deterministic winner: one event kept per
+  // (user_id, event_type), the one with the smallest event_id; other
+  // columns follow via min_by. DuckDB oracle uses arg_min.
+  private def q27(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(
+        Tables.load(s, dir, "events").select("user_id", "event_type", "event_id", "value", "ts"),
+        keyCols = Seq("user_id", "event_type"),
+        idCol = "event_id")
+      .orderBy(col("user_id").asc_nulls_first, col("event_type").asc_nulls_first)
+  private val q27Sql = """
+    SELECT user_id, event_type, MIN(event_id) AS event_id,
+           ARG_MIN(value, event_id) AS value, ARG_MIN(ts, event_id) AS ts
+    FROM events GROUP BY 1, 2
+    ORDER BY user_id ASC NULLS FIRST, event_type ASC NULLS FIRST"""
+
+  // q28 — exact 3-gram Jaccard near-dup pairs at τ=0.2 (the corpus has
+  // planted near-dups ≥ 0.5). Explode-join-count: shuffle ∝ shared
+  // shingles, verified exactly.
+  private def q28(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(
+        Tables.load(s, dir, "documents"),
+        idCol = "doc_id", textCol = "text",
+        shingleSize = 3, threshold = 0.2)
+      .orderBy(col("idA").asc_nulls_first, col("idB").asc_nulls_first)
+  private val q28Sql = """
+    WITH sets AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in generate_series(1, greatest(len(t)-2, 1))]) AS sh
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)),
+    sizes AS (SELECT doc_id, len(sh) AS sz FROM sets),
+    ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
+    common AS (
+      SELECT a.doc_id AS idA, b.doc_id AS idB, COUNT(*) AS common
+      FROM ex a JOIN ex b USING (shingle)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT idA, idB, common,
+           ROUND(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 9) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = idA
+    JOIN sizes sb ON sb.doc_id = idB
+    WHERE ROUND(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 9) >= 0.2
+    ORDER BY idA ASC NULLS FIRST, idB ASC NULLS FIRST"""
+
+  // q29 — MinHash-LSH candidate pairs (64 hashes, 16 bands → catches
+  // Jaccard ≳ 0.3 with high probability). xxhash64 signatures aren't
+  // reproducible in DuckDB → rows-only gate; recall vs the exact q28
+  // pairs is asserted in ScalaTest.
+  private def q29(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidatePairs(
+        Tables.load(s, dir, "documents"),
+        idCol = "doc_id", textCol = "text",
+        shingleSize = 3, numHashes = 64, bands = 16)
+      .orderBy(col("idA").asc_nulls_first, col("idB").asc_nulls_first)
+
+  // q30 — SimHash near-dup pairs within Hamming radius 3 (pigeonhole
+  // banding). Rows-only gate (hash-based), invariants in ScalaTest.
+  private def q30(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(
+        Tables.load(s, dir, "documents"),
+        idCol = "doc_id", textCol = "text", maxDist = 3)
+      .orderBy(col("idA").asc_nulls_first, col("idB").asc_nulls_first)
+
+  override def queries: Seq[Q] = Seq(
+    Q("q27_dedup_exact", q27, Some(q27Sql)),
+    Q("q28_ngram_jaccard", q28, Some(q28Sql)),
+    Q("q29_minhash_lsh", q29, None),
+    Q("q30_simhash", q30, None)
+  )
+}

@@ -1,0 +1,77 @@
+package graft.queries
+
+import graft.Tables
+import graft.Tables.dsumSql
+import graft.spec.AggSpec
+import graft.streaming.Streaming
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-time windowing pack: the same Streaming builders run here in
+  * batch mode against the static `events` table (oracle-checked); the
+  * streaming execution of identical plans is covered in StreamingSpec.
+  */
+object StreamQueries extends QueryPack {
+  private def ev(s: SparkSession, dir: String) = Tables.load(s, dir, "events")
+
+  private val counts = Seq(
+    AggSpec("*", "count", Some("n")),
+    AggSpec("value", "dsum", Some("sum_value")))
+
+  // q34 — tumbling 1-hour windows per event_type.
+  private def q34(s: SparkSession, dir: String): DataFrame =
+    Streaming.windowedAgg(ev(s, dir), "ts", "1 hour", None, Seq("event_type"), counts)
+      .orderBy(col("win_start").asc_nulls_first, col("event_type").asc_nulls_first)
+  private val q34Sql = s"""
+    SELECT event_type, COUNT(*) AS n, ${dsumSql("value")} AS sum_value,
+           time_bucket(INTERVAL '1 hour', ts) AS win_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS win_end
+    FROM events GROUP BY event_type, win_start
+    ORDER BY win_start ASC NULLS FIRST, event_type ASC NULLS FIRST"""
+
+  // q35 — session windows per user, 30-minute gap; session ends at
+  // last-event + gap (Spark session_window semantics, mirrored in the
+  // oracle's island detection).
+  private def q35(s: SparkSession, dir: String): DataFrame =
+    Streaming.sessionAgg(ev(s, dir), "ts", "30 minutes", Seq("user_id"), counts)
+      .orderBy(col("user_id").asc_nulls_first, col("session_start").asc_nulls_first)
+  private val q35Sql = s"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       <= INTERVAL '30 minutes'
+                  THEN 0 ELSE 1 END AS new_session
+      FROM events),
+    numbered AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged)
+    SELECT user_id, COUNT(*) AS n, ${dsumSql("value")} AS sum_value,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end
+    FROM numbered GROUP BY user_id, sid
+    ORDER BY user_id ASC NULLS FIRST, session_start ASC NULLS FIRST"""
+
+  // q36 — sliding windows: 1-hour duration, 30-minute slide (every event
+  // lands in 2 windows). Oracle materializes the two covering windows per
+  // event explicitly.
+  private def q36(s: SparkSession, dir: String): DataFrame =
+    Streaming.windowedAgg(ev(s, dir), "ts", "1 hour", Some("30 minutes"),
+        Seq("event_type"), counts)
+      .orderBy(col("win_start").asc_nulls_first, col("event_type").asc_nulls_first)
+  private val q36Sql = s"""
+    WITH expanded AS (
+      SELECT event_type, value,
+             time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS win_start
+      FROM events, (SELECT unnest([0, 1]) AS k))
+    SELECT event_type, COUNT(*) AS n, ${dsumSql("value")} AS sum_value,
+           win_start, win_start + INTERVAL '1 hour' AS win_end
+    FROM expanded GROUP BY event_type, win_start
+    ORDER BY win_start ASC NULLS FIRST, event_type ASC NULLS FIRST"""
+
+  override def queries: Seq[Q] = Seq(
+    Q("q34_tumbling_window", q34, Some(q34Sql)),
+    Q("q35_session_window", q35, Some(q35Sql)),
+    Q("q36_sliding_window", q36, Some(q36Sql))
+  )
+}

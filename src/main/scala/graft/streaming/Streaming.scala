@@ -1,0 +1,71 @@
+package graft.streaming
+
+import graft.spec.AggSpec
+import graft.compile.Compiler
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming operators (north-star; `events` is the stream fixture).
+  *
+  * Each builder takes a plain DataFrame and works identically on a static
+  * frame (batch, oracle-checkable) and on a `readStream` frame (the same
+  * logical plan compiles to a stateful streaming plan with watermark-based
+  * state eviction). That batch/stream symmetry is the test strategy
+  * (SURVEY §5.5): the DuckDB oracle validates the batch run; ScalaTest
+  * asserts stream-equals-batch on the same input.
+  *
+  * Scale: streaming aggregation state is partitioned by (group keys,
+  * window) — the same shuffle as a batch groupBy; the watermark bounds
+  * state size, which is what makes an unbounded stream feasible at all.
+  */
+object Streaming {
+
+  private def applyAggs(
+      grouped: org.apache.spark.sql.RelationalGroupedDataset,
+      aggs: Seq[AggSpec]): DataFrame = {
+    val exprs = aggs.map(Compiler.aggColumn)
+    grouped.agg(exprs.head, exprs.tail: _*)
+  }
+
+  /** Tumbling (or, with `slide` < `duration`, sliding/hopping) event-time
+    * window aggregation. `watermark` enables append-mode streaming output +
+    * state eviction; pass None for batch. Window struct is flattened to
+    * win_start/win_end so results are plain columns. */
+  def windowedAgg(
+      df: DataFrame,
+      tsCol: String,
+      duration: String,
+      slide: Option[String],
+      keys: Seq[String],
+      aggs: Seq[AggSpec],
+      watermark: Option[String] = None
+  ): DataFrame = {
+    val in = watermark.fold(df)(w => df.withWatermark(tsCol, w))
+    val win = slide match {
+      case Some(sl) => window(col(tsCol), duration, sl)
+      case None     => window(col(tsCol), duration)
+    }
+    applyAggs(in.groupBy(win +: keys.map(col): _*), aggs)
+      .withColumn("win_start", col("window.start"))
+      .withColumn("win_end", col("window.end"))
+      .drop("window")
+  }
+
+  /** Session windows: groups rows of one key whose gaps are < `gap`;
+    * window = [first event, last event + gap). Streaming state is one
+    * open session per key, merged/closed by watermark. */
+  def sessionAgg(
+      df: DataFrame,
+      tsCol: String,
+      gap: String,
+      keys: Seq[String],
+      aggs: Seq[AggSpec],
+      watermark: Option[String] = None
+  ): DataFrame = {
+    val in = watermark.fold(df)(w => df.withWatermark(tsCol, w))
+    applyAggs(in.groupBy(session_window(col(tsCol), gap) +: keys.map(col): _*), aggs)
+      .withColumn("session_start", col("session_window.start"))
+      .withColumn("session_end", col("session_window.end"))
+      .drop("session_window")
+  }
+}

@@ -1,0 +1,155 @@
+package graft
+
+import graft.compile.Compiler
+import graft.spec._
+import org.apache.spark.sql.Row
+
+/** Unit semantics of the config → DataFrame compiler on tiny in-memory
+  * frames: filter ops (incl. null behavior), agg dispatch, filtered aggs,
+  * rename, recursion, cascade, bitemporal, empty input. */
+class CompilerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    ("a", 1, 10.0, Some("x")),
+    ("a", 2, 20.0, None),
+    ("b", 3, 30.0, Some("y")),
+    ("b", 4, 40.0, Some("x")),
+    ("c", 5, 50.0, None)
+  ).toDF("k", "id", "v", "tag")
+
+  test("structured filters: ==, >, isin, null-safe ==") {
+    val eq = Compiler.filterColumn(ColFilter("k", "==", JStr("a")))
+    assert(df.filter(eq).count() == 2)
+
+    val gt = Compiler.filterColumn(ColFilter("v", ">", JNum(25.0)))
+    assert(df.filter(gt).count() == 3)
+
+    val in = Compiler.filterColumn(ColFilter("k", "isin", JArr(Seq(JStr("a"), JStr("c")))))
+    assert(df.filter(in).count() == 3)
+
+    // null-safe vs plain equality on a null-bearing column
+    val nsafe = Compiler.filterColumn(ColFilter("tag", "==", JNull, nullSafe = true))
+    assert(df.filter(nsafe).count() == 2) // <=> NULL matches the two null rows
+    val plain = Compiler.filterColumn(ColFilter("tag", "==", JNull))
+    assert(df.filter(plain).count() == 0) // = NULL matches nothing
+  }
+
+  test("expr-string filter with conjunction") {
+    val f = Compiler.filterColumn(ExprFilter("v >= 20 and k != 'c'"))
+    assert(df.filter(f).count() == 3)
+  }
+
+  test("aggregate dispatch: sum/min/max/avg/count + filtered agg") {
+    val out = Compiler.applyAggregate(df, AggregateSpec(
+      groupBy = Seq("k"),
+      aggs = Seq(
+        AggSpec("v", "sum", Some("sv")),
+        AggSpec("v", "avg", Some("av")),
+        AggSpec("*", "count", Some("n")),
+        AggSpec("v", "max", Some("mx"), filter = Some("id % 2 = 0")))))
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3))).toSeq ==
+      Seq(("a", 30.0, 15.0, 2L), ("b", 70.0, 35.0, 2L), ("c", 50.0, 50.0, 1L)))
+    // filtered max: only even ids participate; group c has none → null
+    val mx = out.map(r => Option(r.get(4)))
+    assert(mx.toSeq == Seq(Some(20.0), Some(40.0), None))
+  }
+
+  test("keep_columns outside group keys resolves to any_value") {
+    val out = Compiler.applyAggregate(
+      df.filter($"k" === "a" && $"id" === 1),
+      AggregateSpec(Seq("k"), Seq(AggSpec("v", "sum", Some("sv"))), keep = Seq("tag")))
+    assert(out.columns.toSeq == Seq("k", "sv", "tag"))
+    assert(out.collect().head.getString(2) == "x")
+  }
+
+  test("global aggregate (no group keys)") {
+    val out = Compiler.applyAggregate(df,
+      AggregateSpec(Nil, Seq(AggSpec("v", "sum", Some("total")))))
+    assert(out.collect().head.getDouble(0) == 150.0)
+  }
+
+  test("full JSON node: filter → agg → rename → bitemporal") {
+    df.createOrReplaceTempView("t")
+    val out = Compiler.compileJson(spark, """
+      {"source": {"table": "t"},
+       "filters": [{"col": "v", "op": ">=", "value": 20}],
+       "group_by": ["k"],
+       "aggregations": [{"col": "v", "func": "sum", "new_name": "sv"}],
+       "rename": {"k": "key"},
+       "bitemporal": {"valid_from": "2024-06-01", "valid_to": "9999-12-31"},
+       "order_by": ["key asc"]}""")
+    val rows = out.collect()
+    assert(out.columns.toSeq == Seq("key", "sv", "valid_from", "valid_to"))
+    assert(rows.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("a", 20.0), ("b", 70.0), ("c", 50.0)))
+    assert(rows.head.getString(2) == "2024-06-01")
+  }
+
+  test("recursive child join with prefix namespacing") {
+    df.createOrReplaceTempView("t")
+    val out = Compiler.compileJson(spark, """
+      {"source": {"table": "t"},
+       "group_by": ["k"],
+       "aggregations": [{"col": "v", "func": "sum", "new_name": "sv"}],
+       "children": [{
+          "id": "c1", "prefix": true,
+          "source": {"table": "t"},
+          "group_by": ["k"],
+          "aggregations": [{"col": "id", "func": "max", "new_name": "mid"}],
+          "join": {"on": ["k"], "how": "left"}}],
+       "order_by": ["k asc"]}""")
+    assert(out.columns.toSeq == Seq("k", "sv", "c1_mid"))
+    assert(out.collect().map(r => (r.getString(0), r.getInt(2))).toSeq ==
+      Seq(("a", 2), ("b", 4), ("c", 5)))
+  }
+
+  test("cascade: level 2 re-aggregates level 1 output") {
+    df.createOrReplaceTempView("t")
+    val out = Compiler.compileJson(spark, """
+      {"source": {"table": "t"},
+       "iterations": [{"id": "i1", "levels": [
+         {"group_by": ["k", "id"],
+          "aggregations": [{"col": "v", "func": "sum", "new_name": "sv"}]},
+         {"group_by": ["k"],
+          "aggregations": [{"col": "sv", "func": "sum", "new_name": "total"},
+                           {"col": "*", "func": "count", "new_name": "n"}],
+          "order_by": ["k asc"]}]}]}""")
+    assert(out.collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq ==
+      Seq(("a", 30.0, 2L), ("b", 70.0, 2L), ("c", 50.0, 1L)))
+  }
+
+  test("reference flat-config spelling (optimus.py) decodes") {
+    val spec = JsonCodec.parse("""
+      {"iterations": [{"id": "iteration_1",
+        "level_1": {
+          "group_by": ["column1"],
+          "keep_columns": [],
+          "aggregations": [{"agg_col": "column4", "agg_func": "sum", "new_name": "sum_column4"}],
+          "filters": [{"filter_col": "column5", "filter_op": ">", "filter_value": 100}]}}],
+       "source": {"table": "t"}}""")
+    spec match {
+      case CascadePipeline(c) =>
+        assert(c.iterations.head.levels.head.aggregate.get.aggs.head.newName.contains("sum_column4"))
+        assert(c.iterations.head.levels.head.filters.head ==
+          ColFilter("column5", ">", JInt(100)))
+      case other => fail(s"expected cascade, got $other")
+    }
+  }
+
+  test("empty input flows through (no empty-probe actions)") {
+    val out = Compiler.applyAggregate(
+      df.filter($"v" > 1e9),
+      AggregateSpec(Seq("k"), Seq(AggSpec("v", "sum", Some("sv")))))
+    assert(out.collect().isEmpty)
+  }
+
+  test("validate reports unknown columns up front") {
+    val errs = Compiler.validate(df, NodeSpec(
+      id = "n", keepColumns = Seq("nope"),
+      aggregate = Some(AggregateSpec(Seq("k"), Seq(AggSpec("missing", "sum"))))))
+    assert(errs.size == 2)
+    assert(errs.forall(_.contains("unknown column")))
+  }
+}

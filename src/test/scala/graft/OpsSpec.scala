@@ -1,0 +1,105 @@
+package graft
+
+import graft.ops.{Dedup, Relational, Similarity, TextAnalysis, Multimodal}
+import org.apache.spark.sql.functions._
+
+/** Invariants for the north-star operators that the DuckDB oracle can't
+  * check (hash-based LSH, ANN recall, fingerprints, multimodal shape). */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, sf, "documents")
+  private lazy val emb = Tables.load(spark, sf, "embeddings")
+
+  test("minhash-LSH recall: finds every exact-Jaccard pair ≥ 0.5") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Dedup.minhashCandidatePairs(docs, "doc_id", "text", 3, 64, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    val missed = exact -- cand
+    assert(missed.isEmpty, s"LSH missed high-jaccard pairs: $missed")
+  }
+
+  test("minhash-LSH precision: candidates are mostly genuinely similar") {
+    val cand = Dedup.minhashCandidatePairs(docs, "doc_id", "text", 3, 64, 16).count()
+    val all = docs.count()
+    assert(cand < all * all / 100, "candidate set must be far below n² pairs")
+  }
+
+  test("simhash: identical docs at distance 0, near-dups close") {
+    val sigs = docs.select($"doc_id", Dedup.simhash($"text").as("sig"))
+    // self-join identical text → distance 0
+    val a = docs.select($"doc_id".as("idA"), $"text")
+    val dup = a.withColumn("idB", $"idA" + 100000).withColumnRenamed("text", "t")
+    val both = a.select($"idA".as("doc_id"), $"text")
+      .union(dup.select($"idB".as("doc_id"), $"t".as("text")))
+    val pairs = Dedup.simhashPairs(both, "doc_id", "text", maxDist = 0)
+    // every doc pairs with its exact copy at distance 0
+    assert(pairs.filter($"idB" === $"idA" + 100000).count() == docs.count())
+  }
+
+  test("exact dedup keeps deterministic winner and one row per key") {
+    val events = Tables.load(spark, sf, "events")
+      .select("user_id", "event_type", "event_id", "value")
+    val out = Dedup.exactDedup(events, Seq("user_id", "event_type"), "event_id")
+    assert(out.count() == events.select("user_id", "event_type").distinct().count())
+    // winner id is the min per key
+    val chk = out.alias("o").join(
+      events.groupBy("user_id", "event_type").agg(min("event_id").as("mid")),
+      Seq("user_id", "event_type"))
+    assert(chk.filter($"event_id" =!= $"mid").count() == 0)
+  }
+
+  test("ANN top-k recall vs brute force ≥ 40% on rank-1 neighbors") {
+    val q = emb.filter($"vec_id" < 50).select($"vec_id".as("qid"), $"embedding")
+    val c = emb.select($"vec_id".as("cid"), $"embedding")
+    val exact1 = Similarity.cosineTopK(q, c, "qid", "embedding", "cid", "embedding", 1)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopK(q, c, "qid", "embedding", "cid", "embedding",
+        dim = 64, k = 5, numBits = 32, bands = 8)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact1.count(ann.contains).toDouble / exact1.size
+    assert(recall >= 0.4, s"rank-1 recall too low: $recall")
+  }
+
+  test("as-of join: every left row kept; payload is latest prior right") {
+    val left = Seq((1L, 10L), (1L, 20L), (2L, 15L)).toDF("k", "ts")
+    val right = Seq((1L, 5L, "a"), (1L, 15L, "b"), (3L, 1L, "z")).toDF("k", "ts", "p")
+    val out = Relational.asofJoin(left, right, Seq("k"), "ts", "ts", Seq("p"))
+      .orderBy("k", "ts").collect()
+    assert(out.length == 3)
+    assert(out.map(r => Option(r.getAs[String]("p"))).toSeq ==
+      Seq(Some("a"), Some("b"), None))
+  }
+
+  test("fingerprint: order-sensitive, equal for equal docs") {
+    val d = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "alpha beta gamma"))
+      .toDF("id", "text")
+      .select($"id", TextAnalysis.fingerprint($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d(1) == d(3))
+    assert(d(1) != d(2))
+  }
+
+  test("multimodal: featurize preserves ids, fixed feature width, meta prunes payload") {
+    val media = Multimodal.asMedia(docs, "doc_id", "text")
+    val feats = Multimodal.featurize(media)
+    assert(feats.count() == docs.count())
+    assert(feats.select(size($"features")).distinct().collect().map(_.getInt(0)).toSeq == Seq(8))
+    // metadata-only plan must not read the payload column
+    val metaPlan = media.select($"meta.n_bytes").queryExecution.optimizedPlan.toString
+    assert(!metaPlan.contains("payload") || metaPlan.contains("n_bytes"))
+  }
+
+  test("bucketed range join equals broadcast range join") {
+    val facts = spark.range(0, 1000).select($"id", ($"id" % 97).cast("double").as("x"))
+    val bandsDf = Seq((0.0, 10.0, "lo"), (10.0, 50.0, "mid"), (50.0, 100.0, "hi"))
+      .toDF("lo", "hi", "band")
+    val a = Relational.rangeJoin(facts, bandsDf, "x", "lo", "hi")
+      .groupBy("band").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = Relational.bucketedRangeJoin(facts, bandsDf, "x", "lo", "hi", width = 16.0)
+      .groupBy("band").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import graft.spec.AggSpec
+import graft.streaming.Streaming
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Batch/stream equivalence: the same Streaming builder applied to a
+  * readStream of the events parquet must produce the batch answer once all
+  * data is processed (SURVEY §5.5). */
+class StreamingSpec extends SparkSpec {
+
+  /** File streaming sources need a directory — stage the single events
+    * parquet into a temp dir. */
+  private lazy val eventsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  private val aggs = Seq(
+    AggSpec("*", "count", Some("n")),
+    AggSpec("value", "dsum", Some("sum_value")))
+
+  test("streaming tumbling window equals batch after processAllAvailable") {
+    val batchDf = Tables.load(spark, sf, "events")
+    val batch = Streaming.windowedAgg(batchDf, "ts", "1 hour", None, Seq("event_type"), aggs)
+      .orderBy("win_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+
+    // stream the same parquet through an identical plan. The nanos
+    // timestamp needs the same normalization as Tables.load.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val streamIn = spark.readStream
+      .schema(raw.schema)
+      .parquet(eventsDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = Streaming.windowedAgg(
+      streamIn, "ts", "1 hour", None, Seq("event_type"), aggs,
+      watermark = Some("10 minutes"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("stream_tumbling")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("stream_tumbling")
+      .orderBy("win_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+  }
+
+  test("streaming session window equals batch") {
+    val batchDf = Tables.load(spark, sf, "events")
+    val batch = Streaming.sessionAgg(batchDf, "ts", "30 minutes", Seq("user_id"), aggs)
+      .orderBy("user_id", "session_start")
+      .collect().map(_.toSeq).toSeq
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val streamIn = spark.readStream
+      .schema(raw.schema)
+      .parquet(eventsDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = Streaming.sessionAgg(
+      streamIn, "ts", "30 minutes", Seq("user_id"), aggs,
+      watermark = Some("10 minutes"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("stream_session")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("stream_session")
+      .orderBy("user_id", "session_start")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+  }
+}
