@@ -26,8 +26,15 @@ object Tables {
     * (`spark.sql`/`spark.table`) resolve by bare name — mirroring the
     * reference's Databricks-table source (`Optimus/megatron.py:63-65`)
     * and matching the DuckDB oracle's view names. */
-  def registerViews(spark: SparkSession, sfDir: String): Unit =
-    names.foreach(t => load(spark, sfDir, t).createOrReplaceTempView(t))
+  @volatile private var registeredDir: String = null
+  def registerViews(spark: SparkSession, sfDir: String): Unit = synchronized {
+    // idempotent per dir: re-reading 10 parquet footers before every query
+    // is pure overhead (the query harness calls this unconditionally)
+    if (registeredDir != sfDir) {
+      names.foreach(t => load(spark, sfDir, t).createOrReplaceTempView(t))
+      registeredDir = sfDir
+    }
+  }
 
   /** Deterministic double sum: per-row cast to DECIMAL(25,6) makes the sum
     * exact and order-insensitive (decimal addition is associative), then one

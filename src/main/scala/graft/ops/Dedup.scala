@@ -29,25 +29,35 @@ object Dedup {
         others.map(c => min_by(col(c), col(idCol)).as(c)): _*)
   }
 
-  /** Word-level shingles (n-grams) as an array column. n=1 → unigram set. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
-    if (n == 1) array_distinct(toks)
-    else
+  /** Word-level shingles (n-grams) as an array column. n=1 → unigram set.
+    * Tokens are let-bound (TextAnalysis.withTokens) so the split runs once
+    * per row — referencing the token expression inside the position lambda
+    * would re-split the text once per shingle position (O(tokens²)). */
+  def shingles(text: Column, n: Int): Column =
+    if (n == 1) array_distinct(TextAnalysis.tokens(text))
+    else TextAnalysis.withTokens(text) { toks =>
       array_distinct(
         transform(
           sequence(lit(0), greatest(size(toks) - n, lit(0))),
           i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
+    }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * minimum of xxhash64(seed, shingle) over the doc's shingle set.
-    * Computed columnar with array `transform`+`array_min` — no explode, no
-    * shuffle; one pass in the scan stage. */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+  /** MinHash signature from PRE-HASHED shingles (an array<long> column):
+    * hash function i is xxhash64(i, baseHash) — re-hashing a long is a few
+    * ns, vs re-hashing the shingle STRING numHashes times. The base-hash
+    * array must be materialized in its own projection (see
+    * `minhashCandidatePairs`): inlining it here would embed the expensive
+    * string-hashing subtree numHashes times, which blows past codegen's
+    * method-size limit and falls back to interpreted eval without CSE —
+    * measured 40× slower at sf0.1. */
+  def minhashSignature(hashedShingles: Column, numHashes: Int): Column =
     array((0 until numHashes).map { seed =>
-      array_min(transform(shingleCol, sh => xxhash64(lit(seed), sh)))
+      array_min(transform(hashedShingles, h => xxhash64(lit(seed), h)))
     }: _*)
+
+  /** xxhash64 of each shingle string, once. */
+  def hashedShingles(shingleCol: Column): Column =
+    transform(shingleCol, sh => xxhash64(sh))
 
   /** LSH candidate pairs from MinHash signatures.
     * Bands the `numHashes`-long signature into `bands` groups of
@@ -66,8 +76,14 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    // Three separate projections on purpose: shingles → base hashes → 64
+    // minhashes. CollapseProject won't merge them (each alias is expensive
+    // and referenced many times downstream), so the string work runs once
+    // per row instead of once per hash function.
     val sig = df
-      .select(col(idCol), minhashSignature(shingles(col(textCol), shingleSize), numHashes).as("sig"))
+      .select(col(idCol), shingles(col(textCol), shingleSize).as("__sh"))
+      .select(col(idCol), hashedShingles(col("__sh")).as("__hs"))
+      .select(col(idCol), minhashSignature(col("__hs"), numHashes).as("sig"))
     val banded = sig.select(
       col(idCol),
       posexplode(
@@ -82,11 +98,12 @@ object Dedup {
       .distinct()
   }
 
-  /** 64-bit SimHash of a token multiset: per bit position, sum +1/-1 over
-    * token hashes; the sign becomes the bit. Near-duplicates differ in few
-    * bits (small Hamming distance). Columnar — no explode. */
-  def simhash(text: Column): Column = {
-    val hashes = transform(TextAnalysis.tokens(text), t => xxhash64(t))
+  /** 64-bit SimHash from a PRE-MATERIALIZED array<long> of token hashes:
+    * per bit position, sum +1/-1 over token hashes; the sign becomes the
+    * bit. Near-duplicates differ in few bits (small Hamming distance).
+    * Columnar — no explode. Like minhash, the token-hash array must live in
+    * its own projection or the string hashing re-runs 64×. */
+  def simhashFromHashes(hashes: Column): Column = {
     val bitCols = (0 until 64).map { i =>
       // sum over tokens of (bit_i ? 1 : -1); bit set in result iff sum > 0
       val bitSum = aggregate(
@@ -97,6 +114,11 @@ object Dedup {
     }
     bitCols.reduce(_.bitwiseOR(_))
   }
+
+  /** Convenience single-Column simhash (small inputs / tests). For bulk
+    * paths use simhashFromHashes over a materialized hash array. */
+  def simhash(text: Column): Column =
+    simhashFromHashes(transform(TextAnalysis.tokens(text), t => xxhash64(t)))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -113,7 +135,10 @@ object Dedup {
   ): DataFrame = {
     val chunks = maxDist + 1
     val width = 64 / chunks
-    val sigs = df.select(col(idCol), simhash(col(textCol)).as("sig"))
+    val sigs = df
+      .select(col(idCol),
+        transform(TextAnalysis.tokens(col(textCol)), t => xxhash64(t)).as("__th"))
+      .select(col(idCol), simhashFromHashes(col("__th")).as("sig"))
     val banded = sigs.select(
       col(idCol), col("sig"),
       posexplode(array((0 until chunks).map { c =>
@@ -146,23 +171,26 @@ object Dedup {
       threshold: Double = 0.5,
       maxShingleFreq: Option[Int] = None
   ): DataFrame = {
-    val sets = df.select(col(idCol), shingles(col(textCol), shingleSize).as("sh"))
-    val sizes = sets.select(col(idCol), size(col("sh")).as("setSize"))
-    var exploded = sets.select(col(idCol), explode(col("sh")).as("shingle"))
+    // One pass: explode carries the set size alongside each shingle, so no
+    // second scan for sizes and no post-aggregation size joins — sizes ride
+    // through the shingle join and come out via any_value.
+    var exploded = df
+      .select(col(idCol), shingles(col(textCol), shingleSize).as("__sh"))
+      .select(col(idCol), size(col("__sh")).as("__sz"), explode(col("__sh")).as("shingle"))
     maxShingleFreq.foreach { cap =>
       val freq = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
         .filter(col("df") <= cap).select("shingle")
       exploded = exploded.join(freq, Seq("shingle"))
     }
-    val a = exploded.select(col("shingle"), col(idCol).as("idA"))
-    val b = exploded.select(col("shingle"), col(idCol).as("idB"))
-    val common = a.join(b, Seq("shingle"))
+    val a = exploded.select(col("shingle"), col(idCol).as("idA"), col("__sz").as("sizeA"))
+    val b = exploded.select(col("shingle"), col(idCol).as("idB"), col("__sz").as("sizeB"))
+    a.join(b, Seq("shingle"))
       .filter(col("idA") < col("idB"))
       .groupBy("idA", "idB")
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed(idCol, "idA").withColumnRenamed("setSize", "sizeA"), Seq("idA"))
-      .join(sizes.withColumnRenamed(idCol, "idB").withColumnRenamed("setSize", "sizeB"), Seq("idB"))
+      .agg(
+        count(lit(1)).as("common"),
+        any_value(col("sizeA")).as("sizeA"),
+        any_value(col("sizeB")).as("sizeB"))
       .withColumn("jaccard",
         round(col("common").cast("double") /
           (col("sizeA") + col("sizeB") - col("common")), 9))

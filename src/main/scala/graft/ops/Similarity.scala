@@ -51,31 +51,45 @@ object Similarity {
       k: Int,
       excludeSelf: Boolean = true
   ): DataFrame = {
-    val q = broadcast(queries.select(col(queryId), col(queryVec).as("__qv")))
+    // Norms are computed ONCE per side below the join (corpus-side in the
+    // scan projection, query-side inside the broadcast), not per pair —
+    // per-pair cost is a single dot product.
+    val q = broadcast(queries.select(
+      col(queryId), col(queryVec).as("__qv"), l2Norm(col(queryVec)).as("__qn")))
     var scored = corpus
-      .select(col(corpusId), col(corpusVec).as("__cv"))
+      .select(col(corpusId), col(corpusVec).as("__cv"), l2Norm(col(corpusVec)).as("__cn"))
       .crossJoin(q)
     if (excludeSelf) scored = scored.filter(col(queryId) =!= col(corpusId))
     val withScore = scored.select(
       col(queryId), col(corpusId),
-      round(cosine(col("__qv"), col("__cv")), 9).as("score"))
+      round(
+        when(col("__qn") > 0 && col("__cn") > 0,
+          dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+          .otherwise(lit(0.0)),
+        9).as("score"))
     Relational.topKPerGroup(
       withScore, Seq(queryId),
       Seq(col("score").desc, col(corpusId).asc), k, rankCol = "rank")
   }
 
   /** Random-hyperplane LSH signature: bit i = sign(v · hᵢ) where hᵢ is a
-    * deterministic pseudo-random hyperplane derived from (i, dimension
-    * index) via xxhash64 → uniform in [-1,1). Cosine-similar vectors agree
-    * on most signs. `numBits` ≤ 64. */
+    * deterministic pseudo-random hyperplane (components seeded from (i,d)
+    * by splitmix-style mixing, uniform in [-1,1)). Cosine-similar vectors
+    * agree on most signs. `numBits` ≤ 64. Hyperplanes are embedded as
+    * array LITERALS and each dot product is a zip_with/aggregate loop —
+    * a flat 2048-node expression tree of element_at's would overflow
+    * codegen method limits and run interpreted. */
   def hyperplaneSignature(vec: Column, dim: Int, numBits: Int): Column = {
     require(numBits <= 64)
     val bitCols = (0 until numBits).map { i =>
-      val proj = (0 until dim).map { d =>
-        // hash → int64 → scale to [-1,1): deterministic hyperplane component
-        val h = xxhash64(lit(i), lit(d))
-        element_at(vec, d + 1).cast("double") * (h.cast("double") / lit(9.223372036854776e18))
-      }.reduce(_ + _)
+      val plane: Seq[Double] = (0 until dim).map { d =>
+        // deterministic pseudo-random double in [-1,1) from (i,d)
+        var z = i.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        (z ^ (z >>> 31)).toDouble / 9.223372036854776e18
+      }
+      val proj = dot(vec, typedLit(plane))
       when(proj > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
     bitCols.reduce(_.bitwiseOR(_))
@@ -99,22 +113,31 @@ object Similarity {
       bands: Int = 4
   ): DataFrame = {
     val width = numBits / bands
-    def banded(df: DataFrame, id: String, vec: String, idAs: String, vecAs: String) =
+    def banded(df: DataFrame, id: String, vec: String, idAs: String, vecAs: String, nAs: String) =
       df.select(col(id).as(idAs), col(vec).as(vecAs),
+          l2Norm(col(vec)).as(nAs),
           hyperplaneSignature(col(vec), dim, numBits).as("__sig"))
-        .select(col(idAs), col(vecAs),
+        .select(col(idAs), col(vecAs), col(nAs),
           posexplode(array((0 until bands).map(c =>
             shiftright(col("__sig"), c * width)
               .bitwiseAND(lit((1L << width) - 1L))): _*)).as(Seq("band", "band_key")))
-    val qb = banded(queries, queryId, queryVec, "__qid", "__qv")
-    val cb = banded(corpus, corpusId, corpusVec, "__cid", "__cv")
-    val pairs = qb.join(cb, Seq("band", "band_key"))
+    val qb = banded(queries, queryId, queryVec, "__qid", "__qv", "__qn")
+    val cb = banded(corpus, corpusId, corpusVec, "__cid", "__cv", "__cn")
+    // Score at the join output and dedupe multi-band collisions by
+    // (id, id) AFTER scoring: re-computing a 64-float dot per extra
+    // collision is far cheaper than shuffling the vectors through a
+    // distinct() — only (id, id, score) triples hit the wire.
+    val scored = qb.join(cb, Seq("band", "band_key"))
       .filter(col("__qid") =!= col("__cid"))
-      .select(col("__qid"), col("__cid"), col("__qv"), col("__cv"))
-      .distinct() // a pair can collide in several bands
-    val scored = pairs.select(
-      col("__qid").as(queryId), col("__cid").as(corpusId),
-      round(cosine(col("__qv"), col("__cv")), 9).as("score"))
+      .select(
+        col("__qid").as(queryId), col("__cid").as(corpusId),
+        round(
+          when(col("__qn") > 0 && col("__cn") > 0,
+            dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+            .otherwise(lit(0.0)),
+          9).as("score"))
+      .groupBy(queryId, corpusId)
+      .agg(first(col("score")).as("score"))
     Relational.topKPerGroup(
       scored, Seq(queryId),
       Seq(col("score").desc, col(corpusId).asc), k, rankCol = "rank")
@@ -129,12 +152,19 @@ object Similarity {
       vecCol: String,
       threshold: Double
   ): DataFrame = {
-    val a = corpus.select(col(idCol).as("idA"), col(vecCol).as("__va"))
-    val b = corpus.select(col(idCol).as("idB"), col(vecCol).as("__vb"))
+    // Precompute each vector's norm once (2n norms instead of 2·n²/2).
+    val a = corpus.select(col(idCol).as("idA"), col(vecCol).as("__va"),
+      l2Norm(col(vecCol)).as("__na"))
+    val b = corpus.select(col(idCol).as("idB"), col(vecCol).as("__vb"),
+      l2Norm(col(vecCol)).as("__nb"))
     a.crossJoin(broadcast(b))
       .filter(col("idA") < col("idB"))
       .select(col("idA"), col("idB"),
-        round(cosine(col("__va"), col("__vb")), 9).as("score"))
+        round(
+          when(col("__na") > 0 && col("__nb") > 0,
+            dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+            .otherwise(lit(0.0)),
+          9).as("score"))
       .filter(col("score") >= threshold)
   }
 }

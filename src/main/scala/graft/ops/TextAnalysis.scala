@@ -15,6 +15,19 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => length(t) > 0)
 
+  /** Let-binding for an expensive sub-expression used several times inside
+    * ONE Column: `withBound(e)(x => body)` evaluates `e` once per row and
+    * passes it to `body` as a lambda variable. Without this, Catalyst
+    * inlines the sub-expression at every use site — and a use inside a
+    * higher-order-function lambda re-evaluates it PER ARRAY ELEMENT
+    * (measured: O(tokens²) re-splitting made shingling 20× slower). */
+  def withBound(e: Column)(body: Column => Column): Column =
+    element_at(transform(array(e), x => body(x)), 1)
+
+  /** Tokens bound once for multi-use bodies. */
+  def withTokens(text: Column)(body: Column => Column): Column =
+    withBound(tokens(text))(body)
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
@@ -41,24 +54,19 @@ object TextAnalysis {
       .map(m => when(array_contains(toks, m), 1).otherwise(0))
       .reduce(_ + _)
 
-  /** Language-ID: argmax of marker scores, ties broken by list order,
-    * "und" (undetermined) when no marker hits at all. */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
+  /** Language-ID: argmax of marker scores, ties broken by list order
+    * (en-first precedence), "und" (undetermined) when no marker hits. */
+  def langId(text: Column): Column = withTokens(text) { toks =>
     val scores = langMarkers.map { case (lang, ms) => lang -> langScore(toks, ms) }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit("und"): Column) { case ((lang, s), els) =>
       when(s === best && s > 0, lang).otherwise(els)
-    } match {
-      // fold right builds en-first precedence: en wins ties, then es, ...
-      case c => c
     }
   }
 
   /** Stopword ratio against the combined marker set (deterministic exact
     * division of integer counts). */
-  def stopwordRatio(text: Column): Column = {
-    val toks = tokens(text)
+  def stopwordRatio(text: Column): Column = withTokens(text) { toks =>
     val stop = langMarkers.flatMap(_._2).distinct
     val hits = size(filter(toks, t => t.isin(stop.map(lit): _*)))
     when(size(toks) > 0, hits.cast("double") / size(toks)).otherwise(lit(0.0))
@@ -72,8 +80,7 @@ object TextAnalysis {
       .otherwise(lit(0.0))
 
   /** Mean token length (0.0 for empty docs). */
-  def meanTokenLength(text: Column): Column = {
-    val toks = tokens(text)
+  def meanTokenLength(text: Column): Column = withTokens(text) { toks =>
     when(size(toks) > 0,
       aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
         size(toks))
@@ -83,13 +90,13 @@ object TextAnalysis {
   /** Heuristic document quality score in [0,1]: rewards mid-length docs and
     * word-like tokens, penalizes punctuation soup. Deterministic arithmetic
     * (exact integer-derived doubles, fixed expression order). */
-  def qualityScore(text: Column): Column = {
-    val n = tokenCount(text)
+  def qualityScore(text: Column): Column = withTokens(text) { toks =>
+    val n = size(toks)
     val lengthTerm =
       least(n.cast("double") / lit(32.0), lit(1.0)) // saturates at 32 tokens
     val punctTerm = lit(1.0) - punctRatio(text)
     val wordTerm = when(n > 0,
-      size(filter(tokens(text), t => t.rlike("^[A-Za-z]+$"))).cast("double") /
+      size(filter(toks, t => t.rlike("^[A-Za-z]+$"))).cast("double") /
         n).otherwise(lit(0.0))
     round((lengthTerm * lit(0.3)) + (punctTerm * lit(0.3)) + (wordTerm * lit(0.4)), 9)
   }

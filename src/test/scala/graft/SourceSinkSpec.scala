@@ -1,0 +1,76 @@
+package graft
+
+import graft.compile.Compiler
+import java.nio.file.Files
+
+/** Source/sink coverage the parquet-only query battery doesn't hit:
+  * CSV with/without inferSchema (S1/S2), JSON lines source, CSV + parquet
+  * sinks (S5), per-iteration cascade saves, limit. */
+class SourceSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val tmp = Files.createTempDirectory("graft_io").toString
+
+  test("csv roundtrip through config: inferSchema source → csv sink") {
+    val csvDir = s"$tmp/in_csv"
+    Seq(("a", 1, 2.5), ("b", 2, 3.5), ("a", 3, 4.0)).toDF("k", "id", "v")
+      .write.option("header", "true").mode("overwrite").csv(csvDir)
+    val out = Compiler.compileJson(spark, s"""
+      {"source": {"format": "csv", "path": "$csvDir"},
+       "group_by": ["k"],
+       "aggregations": [{"col": "v", "func": "sum", "new_name": "sv"}],
+       "order_by": ["k asc"],
+       "save": {"format": "csv", "path": "$tmp/out_csv", "mode": "overwrite"}}""")
+    // inferSchema gave numeric types
+    assert(out.schema("sv").dataType.typeName == "double")
+    val back = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(s"$tmp/out_csv").orderBy("k")
+    assert(back.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("a", 6.5), ("b", 3.5)))
+  }
+
+  test("csv without inferSchema reads all-string (reference S2 semantics)") {
+    val csvDir = s"$tmp/in_csv2"
+    Seq(("a", 1)).toDF("k", "n").write.option("header", "true").mode("overwrite").csv(csvDir)
+    val df = Compiler.readSource(spark,
+      graft.spec.SourceSpec(format = "csv", path = Some(csvDir),
+        options = Map("inferSchema" -> "false")))
+    assert(df.schema.fields.forall(_.dataType.typeName == "string"))
+  }
+
+  test("json lines source") {
+    val jsonDir = s"$tmp/in_json"
+    Seq("""{"k":"a","v":1}""", """{"k":"b","v":2}""").toDS()
+      .write.mode("overwrite").text(jsonDir)
+    val out = Compiler.compileJson(spark, s"""
+      {"source": {"format": "json", "path": "$jsonDir"},
+       "filters": ["v > 1"], "order_by": ["k asc"]}""")
+    assert(out.select("k").as[String].collect().toSeq == Seq("b"))
+  }
+
+  test("cascade with two iterations saves one parquet per iteration") {
+    Seq(("a", 1.0), ("a", 2.0), ("b", 3.0)).toDF("k", "v")
+      .createOrReplaceTempView("cascade_src")
+    val out = Compiler.compileJson(spark, s"""
+      {"source": {"table": "cascade_src"},
+       "iterations": [
+         {"id": "it1",
+          "levels": [{"group_by": ["k"],
+                      "aggregations": [{"col": "v", "func": "sum", "new_name": "sv"}]}],
+          "save": {"path": "$tmp/it1", "mode": "overwrite"}},
+         {"id": "it2",
+          "levels": [{"aggregations": [{"col": "v", "func": "max", "new_name": "mx"}],
+                      "group_by": []}],
+          "save": {"path": "$tmp/it2", "mode": "overwrite"}}]}""")
+    assert(spark.read.parquet(s"$tmp/it1").count() == 2)
+    assert(spark.read.parquet(s"$tmp/it2").collect().head.getDouble(0) == 3.0)
+    assert(out.columns.toSeq == Seq("mx")) // last iteration's result returned
+  }
+
+  test("limit in config") {
+    val out = Compiler.compileJson(spark, s"""
+      {"source": {"sql": "SELECT * FROM range(100)"},
+       "order_by": ["id desc"], "limit": 5}""")
+    assert(out.count() == 5)
+  }
+}
