@@ -12,7 +12,8 @@ object SparkEntry {
     DedupQueries,
     SimQueries,
     StreamQueries,
-    MultimodalQueries
+    MultimodalQueries,
+    ExtraQueries
   )
 
   private lazy val all: Seq[Q] = packs.flatMap(_.queries)

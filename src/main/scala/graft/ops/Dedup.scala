@@ -72,7 +72,8 @@ object Dedup {
       textCol: String,
       shingleSize: Int = 3,
       numHashes: Int = 64,
-      bands: Int = 16
+      bands: Int = 16,
+      maxBucketSize: Option[Int] = None
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
@@ -84,12 +85,21 @@ object Dedup {
       .select(col(idCol), shingles(col(textCol), shingleSize).as("__sh"))
       .select(col(idCol), hashedShingles(col("__sh")).as("__hs"))
       .select(col(idCol), minhashSignature(col("__hs"), numHashes).as("sig"))
-    val banded = sig.select(
+    var banded = sig.select(
       col(idCol),
       posexplode(
         array((0 until bands).map(b =>
           xxhash64(lit(b) +: (0 until r).map(i => element_at(col("sig"), b * r + i + 1)): _*)): _*))
         .as(Seq("band", "band_key")))
+    // Degenerate-corpus guard: a bucket of m docs yields m²/2 candidate
+    // pairs — cap bucket size so one pathological band key (e.g. the
+    // all-empty-docs signature) can't produce a quadratic blowup.
+    maxBucketSize.foreach { cap =>
+      val ok = banded.groupBy("band", "band_key")
+        .agg(count(lit(1)).as("__n")).filter(col("__n") <= cap)
+        .select("band", "band_key")
+      banded = banded.join(ok, Seq("band", "band_key"))
+    }
     val a = banded.select(col("band"), col("band_key"), col(idCol).as("idA"))
     val b = banded.select(col("band"), col("band_key"), col(idCol).as("idB"))
     a.join(b, Seq("band", "band_key"))

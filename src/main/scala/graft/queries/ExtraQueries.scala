@@ -1,0 +1,64 @@
+package graft.queries
+
+import graft.Tables
+import graft.Tables.dsumSql
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Remaining pipeline utilities: exact percentiles/median, pivot,
+  * deterministic hash sampling.
+  */
+object ExtraQueries extends QueryPack {
+
+  // q38 — exact percentiles + median per group. Exact `percentile` sorts
+  // within the aggregate (fine per-group; for global quantiles at 100 TB
+  // use approx_percentile instead — exposed but not oracle-comparable).
+  private def q38(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 9).as("p50"),
+        round(expr("percentile(l_quantity, 0.9)"), 9).as("p90"),
+        round(median(col("l_quantity")), 9).as("med"))
+      .orderBy(col("l_returnflag").asc_nulls_first)
+  private val q38Sql = """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 9) AS p50,
+           ROUND(quantile_cont(l_quantity, 0.9), 9) AS p90,
+           ROUND(MEDIAN(l_quantity), 9) AS med
+    FROM lineitem GROUP BY 1 ORDER BY l_returnflag ASC NULLS FIRST"""
+
+  // q39 — pivot: per-user event_type value sums as columns (explicit value
+  // list — at scale an implicit pivot means an extra distinct pass).
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+  private def q39(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", eventTypes)
+      .agg(sum(col("value").cast(DecimalType(25, 6))).cast("double"))
+      .orderBy(col("user_id").asc_nulls_first)
+  private val q39Sql = {
+    val cols = eventTypes.map(t =>
+      s"${dsumSql(s"CASE WHEN event_type = '$t' THEN value END")} AS $t").mkString(", ")
+    s"""SELECT user_id, $cols FROM events GROUP BY 1
+        ORDER BY user_id ASC NULLS FIRST"""
+  }
+
+  // q40 — deterministic hash sample: keep keys with xxhash64 in the lowest
+  // 10% of the modulus space. Unlike rand()-based sampling this is
+  // reproducible across runs/retries and stable under repartitioning —
+  // the only sane way to sample at 100 TB. Rows-only gate (DuckDB has no
+  // xxhash64); determinism asserted in ScalaTest.
+  private def q40(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .filter(pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(100)) < 10)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy(col("l_orderkey").asc_nulls_first, col("l_linenumber").asc_nulls_first)
+
+  override def queries: Seq[Q] = Seq(
+    Q("q38_percentiles", q38, Some(q38Sql)),
+    Q("q39_pivot", q39, Some(q39Sql)),
+    Q("q40_hash_sample", q40, None)
+  )
+}

@@ -92,6 +92,26 @@ class OpsSpec extends SparkSpec {
     assert(!metaPlan.contains("payload") || metaPlan.contains("n_bytes"))
   }
 
+  test("hash sample is deterministic and near the target rate") {
+    val li = Tables.load(spark, sf, "lineitem")
+    def sample() = li
+      .filter(pmod(xxhash64($"l_orderkey", $"l_linenumber"), lit(100)) < 10)
+      .select("l_orderkey", "l_linenumber")
+    val n1 = sample().count()
+    val n2 = sample().count()
+    assert(n1 == n2) // replay-stable, unlike rand()-based sampling
+    val rate = n1.toDouble / li.count()
+    assert(rate > 0.05 && rate < 0.15, s"rate $rate far from 10%")
+  }
+
+  test("minhash maxBucketSize guard drops oversized buckets only") {
+    val capped = Dedup.minhashCandidatePairs(docs, "doc_id", "text", 3, 64, 16,
+      maxBucketSize = Some(1000))
+    val uncapped = Dedup.minhashCandidatePairs(docs, "doc_id", "text", 3, 64, 16)
+    // generous cap → identical results on this corpus
+    assert(capped.collect().toSet == uncapped.collect().toSet)
+  }
+
   test("bucketed range join equals broadcast range join") {
     val facts = spark.range(0, 1000).select($"id", ($"id" % 97).cast("double").as("x"))
     val bandsDf = Seq((0.0, 10.0, "lo"), (10.0, 50.0, "mid"), (50.0, 100.0, "hi"))
