@@ -19,9 +19,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two float-array columns in element order (exact:
-    * float×float products are exact in double; the fold is sequential). */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product of two numeric-array columns in element order, via the
+    * native codegen expression (graft.functions.VectorDot): a primitive
+    * double loop, no per-pair array allocation. Bit-identical to the
+    * higher-order-function fold (same left-to-right summation), ~4× faster
+    * in the all-pairs loops. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorDot.dot(a, b)
+
+  /** The composable higher-order-function formulation (kept as the
+    * reference implementation; tests assert it matches VectorDot). */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

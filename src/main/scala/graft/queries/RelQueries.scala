@@ -83,8 +83,8 @@ object RelQueries extends QueryPack {
   }
   private val q13Sql = """
     SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
-           ROW_NUMBER() OVER w AS rn,
-           RANK() OVER (PARTITION BY l_suppkey ORDER BY l_quantity DESC) AS qty_rank,
+           CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+           CAST(RANK() OVER (PARTITION BY l_suppkey ORDER BY l_quantity DESC) AS INT) AS qty_rank,
            LAG(l_quantity, 1) OVER w AS prev_qty,
            LEAD(l_quantity, 1) OVER w AS next_qty,
            CAST(SUM(CAST(l_quantity AS DECIMAL(25,6)))
@@ -108,8 +108,8 @@ object RelQueries extends QueryPack {
   private val q14Sql = """
     SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
-             ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
       FROM orders) WHERE rn <= 3
     ORDER BY o_custkey ASC NULLS FIRST, rn ASC NULLS FIRST"""
 

@@ -92,6 +92,19 @@ class OpsSpec extends SparkSpec {
     assert(!metaPlan.contains("payload") || metaPlan.contains("n_bytes"))
   }
 
+  test("native VectorDot matches the fold formulation bit-for-bit") {
+    val pairs = emb.select($"vec_id".as("ia"), $"embedding".as("va"))
+      .crossJoin(emb.filter($"vec_id" < 20).select($"vec_id".as("ib"), $"embedding".as("vb")))
+    val diff = pairs.select(
+        Similarity.dot($"va", $"vb").as("native"),
+        Similarity.dotFold($"va", $"vb").as("fold"))
+      .filter($"native" =!= $"fold")
+    assert(diff.count() == 0)
+    // null semantics: length mismatch and null element → null
+    val odd = Seq((Array(1.0f, 2.0f), Array(1.0f))).toDF("a", "b")
+    assert(odd.select(Similarity.dot($"a", $"b")).collect().head.isNullAt(0))
+  }
+
   test("hash sample is deterministic and near the target rate") {
     val li = Tables.load(spark, sf, "lineitem")
     def sample() = li
