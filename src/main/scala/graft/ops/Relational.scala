@@ -123,6 +123,48 @@ object Relational {
       .drop("__bucket")
   }
 
+  /** Two-phase (salted) aggregation for skewed group keys: phase 1 groups
+    * by (keys, salt) — the hot key's rows spread over `saltBuckets`
+    * reducers — phase 2 merges the partials by key alone. Only needed when
+    * ONE key exceeds a reducer; Spark's map-side partial aggregation
+    * already handles moderate skew, and AQE handles join skew, but a
+    * single 10-TB key in a 100-TB groupBy needs explicit salting. The salt
+    * is derived from stable row content (hash of all columns), not rand(),
+    * so retried tasks resalt identically. Supports the decomposable
+    * functions (sum/count/min/max, dsum). */
+  def saltedAggregate(
+      df: DataFrame,
+      keys: Seq[String],
+      aggs: Seq[(String, String, String)], // (col, func ∈ sum|count|min|max|dsum, outName)
+      saltBuckets: Int
+  ): DataFrame = {
+    val salted = df.withColumn(
+      "__salt", pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets)))
+    def phase1(c: String, f: String, o: String): Column = f match {
+      case "sum"   => sum(col(c)).as(o)
+      case "dsum"  => sum(col(c).cast(DecimalType(25, 6))).as(o)
+      case "count" => count(col(c)).as(o)
+      case "min"   => min(col(c)).as(o)
+      case "max"   => max(col(c)).as(o)
+      case other   => throw new IllegalArgumentException(
+        s"'$other' is not decomposable — salting only supports sum/count/min/max/dsum")
+    }
+    def phase2(c: String, f: String): Column = f match {
+      case "sum"          => sum(col(c)).as(c)
+      case "dsum"         => sum(col(c)).cast("double").as(c)
+      case "count"        => sum(col(c)).as(c) // counts add up
+      case "min"          => min(col(c)).as(c)
+      case "max"          => max(col(c)).as(c)
+      case _              => throw new IllegalStateException
+    }
+    val p1 = salted.groupBy((keys :+ "__salt").map(col): _*)
+      .agg(phase1(aggs.head._1, aggs.head._2, aggs.head._3),
+        aggs.tail.map(a => phase1(a._1, a._2, a._3)): _*)
+    p1.groupBy(keys.map(col): _*)
+      .agg(phase2(aggs.head._3, aggs.head._2),
+        aggs.tail.map(a => phase2(a._3, a._2)): _*)
+  }
+
   /** Windowed running sum with exact decimal accumulation — the window
     * analogue of Tables.dsum. Both Spark and DuckDB evaluate moving sums
     * with engine-specific association (segment trees vs running state), so

@@ -125,6 +125,21 @@ class OpsSpec extends SparkSpec {
     assert(capped.collect().toSet == uncapped.collect().toSet)
   }
 
+  test("salted aggregate equals plain aggregate (count on counts, exact sums)") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val salted = Relational.saltedAggregate(
+        li, Seq("l_returnflag"),
+        Seq(("l_quantity", "dsum", "sq"), ("l_orderkey", "count", "n"),
+          ("l_quantity", "min", "mn"), ("l_quantity", "max", "mx")),
+        saltBuckets = 13)
+      .orderBy("l_returnflag").collect().map(_.toSeq).toSeq
+    val plain = li.groupBy("l_returnflag").agg(
+        graft.Tables.dsum($"l_quantity").as("sq"), count($"l_orderkey").as("n"),
+        min($"l_quantity").as("mn"), max($"l_quantity").as("mx"))
+      .orderBy("l_returnflag").collect().map(_.toSeq).toSeq
+    assert(salted == plain)
+  }
+
   test("bucketed range join equals broadcast range join") {
     val facts = spark.range(0, 1000).select($"id", ($"id" % 97).cast("double").as("x"))
     val bandsDf = Seq((0.0, 10.0, "lo"), (10.0, 50.0, "mid"), (50.0, 100.0, "hi"))

@@ -55,6 +55,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("a batch-authored config spec compiles against a readStream input") {
+    // The same NodeSpec the batch engine runs (filters + groupBy agg)
+    // compiled with a streaming DataFrame as input — SURVEY §3's
+    // "identical spec, batch and stream compile targets".
+    val spec = graft.spec.JsonCodec.parseNode("""
+      {"id": "s",
+       "filters": ["value > 10"],
+       "group_by": ["event_type"],
+       "aggregations": [
+         {"col": "*", "func": "count", "new_name": "n"},
+         {"col": "value", "func": "dsum", "new_name": "sum_value"}]}""")
+
+    val batchDf = Tables.load(spark, sf, "events")
+    val batch = graft.compile.Compiler
+      .compileNode(spark, spec, Some(batchDf))
+      .orderBy("event_type").collect().map(_.toSeq).toSeq
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val streamIn = spark.readStream.schema(raw.schema).parquet(eventsDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = graft.compile.Compiler.compileNode(spark, spec, Some(streamIn))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("stream_config")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("stream_config")
+      .orderBy("event_type").collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+  }
+
   test("streaming session window equals batch") {
     val batchDf = Tables.load(spark, sf, "events")
     val batch = Streaming.sessionAgg(batchDf, "ts", "30 minutes", Seq("user_id"), aggs)
