@@ -10,6 +10,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: absorb JVM/codegen/JIT startup and parquet footer
+    // reads so per-query numbers measure the queries, not the VM.
+    try {
+      graft.Tables.registerViews(spark, sfDir)
+      spark.table("lineitem").groupBy("l_returnflag").count().count()
+      spark.table("embeddings").select(
+        graft.ops.Similarity.dot(
+          org.apache.spark.sql.functions.col("embedding"),
+          org.apache.spark.sql.functions.col("embedding")).as("d"))
+        .agg(org.apache.spark.sql.functions.sum("d")).count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

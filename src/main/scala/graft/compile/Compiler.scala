@@ -29,13 +29,44 @@ object Compiler {
     wanted.filterNot(have.contains).map(c => s"node ${node.id}: unknown column '$c' (have: ${have.mkString(", ")})")
   }
 
+  /** Whole-pipeline validation without running a job (SURVEY §1.3: the
+    * reference surfaces schema errors lazily at execution; we resolve them
+    * up front). Two tiers: a friendly per-node unknown-column check against
+    * each concrete source's schema, then a full Catalyst analysis of the
+    * composed plan (compilation is lazy — no data is read beyond parquet
+    * footers). Returns error strings; empty = valid. */
+  def validatePipeline(spark: SparkSession, spec: PipelineSpec): Seq[String] = {
+    def walk(node: NodeSpec): Seq[String] = {
+      val own = node.source.toSeq.flatMap { s =>
+        try validate(readSource(spark, s), node)
+        catch { case e: Throwable => Seq(s"node ${node.id}: source unreadable: ${e.getMessage}") }
+      }
+      own ++ node.children.flatMap(c => walk(c.node))
+    }
+    val friendly = spec match {
+      case TreePipeline(root) => walk(root)
+      case CascadePipeline(c) =>
+        // only level 1 sees the raw source schema; later levels are
+        // checked by the analyzer below
+        c.iterations.flatMap(_.levels.headOption.toSeq.flatMap { l =>
+          try validate(readSource(spark, c.source), l)
+          catch { case e: Throwable => Seq(s"cascade source unreadable: ${e.getMessage}") }
+        })
+    }
+    if (friendly.nonEmpty) friendly
+    else
+      try { compile(spark, spec, executeSinks = false); Nil }
+      catch { case e: Throwable => Seq(e.getMessage) }
+  }
+
   /** Compile a full pipeline. `input` overrides the root node's source
     * (used by tests and the streaming compiler, which passes a streaming
     * DataFrame through the same batch-authored spec). */
-  def compile(spark: SparkSession, spec: PipelineSpec, input: Option[DataFrame] = None): DataFrame =
+  def compile(spark: SparkSession, spec: PipelineSpec, input: Option[DataFrame] = None,
+      executeSinks: Boolean = true): DataFrame =
     spec match {
-      case TreePipeline(root)  => compileNode(spark, root, input)
-      case CascadePipeline(c)  => compileCascade(spark, c)
+      case TreePipeline(root)  => compileNode(spark, root, input, executeSinks)
+      case CascadePipeline(c)  => compileCascade(spark, c, executeSinks)
     }
 
   def compileJson(spark: SparkSession, json: String): DataFrame =
@@ -47,7 +78,8 @@ object Compiler {
     * Note the reference quirk kept intentionally: the parent aggregates
     * BEFORE joining children, so joins run on aggregated-parent ×
     * aggregated-child (SURVEY §3 EP2 step 6). */
-  def compileNode(spark: SparkSession, node: NodeSpec, input: Option[DataFrame] = None): DataFrame = {
+  def compileNode(spark: SparkSession, node: NodeSpec, input: Option[DataFrame] = None,
+      executeSinks: Boolean = true): DataFrame = {
     var df = input.getOrElse(readSource(spark, node.source.getOrElse(
       throw new IllegalArgumentException(s"node ${node.id}: no source and no input DataFrame"))))
 
@@ -67,7 +99,7 @@ object Compiler {
     }
 
     node.children.foreach { ch =>
-      var childDf = compileNode(spark, ch.node)
+      var childDf = compileNode(spark, ch.node, None, executeSinks)
       if (ch.prefix) {
         val linkSet = ch.join.link.toSet
         childDf.columns.filterNot(linkSet.contains).foreach { c =>
@@ -81,7 +113,7 @@ object Compiler {
 
     if (node.orderBy.nonEmpty) df = df.orderBy(node.orderBy.map(sortColumn): _*)
     node.limit.foreach(l => df = df.limit(l))
-    node.save.foreach { s =>
+    if (executeSinks) node.save.foreach { s =>
       val w = df.write.mode(s.mode).options(s.options)
       s.format match {
         case "csv" => w.option("header", "true").csv(s.path)
@@ -94,15 +126,16 @@ object Compiler {
   /** Iteration×level cascade (`Optimus/optimus.py:40-51`): the source is
     * read once and each iteration's levels chain lazily — output of level k
     * is the input of level k+1. Returns the last iteration's result. */
-  def compileCascade(spark: SparkSession, c: CascadeSpec): DataFrame = {
+  def compileCascade(spark: SparkSession, c: CascadeSpec,
+      executeSinks: Boolean = true): DataFrame = {
     val src = readSource(spark, c.source)
     // One source feeding >1 iteration: each iteration restarts from `src`.
     // Spark re-uses the scan via plan-level reuse; no .cache() needed for
     // parquet (and caching 100 TB would be wrong).
     val results = c.iterations.map { it =>
       var df = src
-      it.levels.foreach(l => df = compileNode(spark, l, Some(df)))
-      it.save.foreach { s =>
+      it.levels.foreach(l => df = compileNode(spark, l, Some(df), executeSinks))
+      if (executeSinks) it.save.foreach { s =>
         val w = df.write.mode(s.mode).options(s.options)
         s.format match {
           case "csv" => w.option("header", "true").csv(s.path)

@@ -51,6 +51,24 @@ object Streaming {
       .drop("window")
   }
 
+  /** Streaming deduplication: drops rows whose `keys` already appeared
+    * within the watermark horizon — the streaming counterpart of exact
+    * dedup for continuous ingestion. State holds one entry per key seen in
+    * the horizon; the watermark bounds and evicts it (an unbounded
+    * dropDuplicates would grow state forever on an infinite stream). On a
+    * static frame this degrades to dropDuplicates(keys). */
+  def dedup(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      watermark: Option[String] = None
+  ): DataFrame =
+    watermark match {
+      case Some(w) =>
+        df.withWatermark(tsCol, w).dropDuplicatesWithinWatermark(keys)
+      case None => df.dropDuplicates(keys)
+    }
+
   /** Session windows: groups rows of one key whose gaps are < `gap`;
     * window = [first event, last event + gap). Streaming state is one
     * open session per key, merged/closed by watermark. */

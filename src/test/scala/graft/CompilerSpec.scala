@@ -145,6 +145,33 @@ class CompilerSpec extends SparkSpec {
     assert(out.collect().isEmpty)
   }
 
+  test("validatePipeline catches bad configs without running a job") {
+    df.createOrReplaceTempView("vp")
+    val bad = JsonCodec.parse("""
+      {"source": {"table": "vp"},
+       "group_by": ["k"],
+       "aggregations": [{"col": "no_such_col", "func": "sum"}]}""")
+    val errs = Compiler.validatePipeline(spark, bad)
+    assert(errs.nonEmpty && errs.head.contains("no_such_col"))
+
+    // a later-stage error only the analyzer can see (bad column in level 2)
+    val bad2 = JsonCodec.parse("""
+      {"source": {"table": "vp"},
+       "iterations": [{"id": "i", "levels": [
+         {"group_by": ["k"], "aggregations": [{"col": "v", "func": "sum", "new_name": "sv"}]},
+         {"group_by": ["ghost"], "aggregations": [{"col": "sv", "func": "sum"}]}]}]}""")
+    assert(Compiler.validatePipeline(spark, bad2).nonEmpty)
+
+    val good = JsonCodec.parse("""
+      {"source": {"table": "vp"},
+       "group_by": ["k"],
+       "aggregations": [{"col": "v", "func": "sum", "new_name": "sv"}],
+       "save": {"path": "/tmp/should_not_be_written_by_validate"}}""")
+    assert(Compiler.validatePipeline(spark, good).isEmpty)
+    // validation must not execute the sink
+    assert(!new java.io.File("/tmp/should_not_be_written_by_validate").exists())
+  }
+
   test("validate reports unknown columns up front") {
     val errs = Compiler.validate(df, NodeSpec(
       id = "n", keepColumns = Seq("nope"),

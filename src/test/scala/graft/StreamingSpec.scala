@@ -86,6 +86,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming dedup drops within-watermark duplicates") {
+    import spark.implicits._
+    // duplicate every event once by unioning the staged dir with itself
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val streamIn = spark.readStream.schema(raw.schema).parquet(eventsDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val doubled = streamIn.unionByName(streamIn)
+    val q = Streaming.dedup(doubled, Seq("event_id"), "ts", Some("1 hour"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_dedup")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val n = spark.table("stream_dedup").count()
+    val distinctIds = Tables.load(spark, sf, "events").select("event_id").distinct().count()
+    assert(n == distinctIds)
+    assert(spark.table("stream_dedup").groupBy("event_id").count()
+      .filter($"count" > 1).count() == 0)
+  }
+
   test("streaming session window equals batch") {
     val batchDf = Tables.load(spark, sf, "events")
     val batch = Streaming.sessionAgg(batchDf, "ts", "30 minutes", Seq("user_id"), aggs)
