@@ -210,20 +210,31 @@ object RelQueries extends QueryPack {
           FROM embeddings WHERE vec_id < 100)
     GROUP BY vec_id ORDER BY vec_id ASC NULLS FIRST"""
 
-  // q21 — JSON extraction from events.props ({"k": N}) with get_json_object,
-  // aggregated per event_type.
+  // q21 — JSON extraction from events.props ({"k": N}) both ways: path
+  // extraction (get_json_object) and full parse to MapType (from_json),
+  // aggregated per event_type. The two must agree (asserted via sum_k vs
+  // sum_k2 in the oracle).
   private def q21(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("k2",
+        element_at(
+          from_json(col("props"), org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType)),
+          "k").cast("long"))
       .groupBy("event_type")
       .agg(
         sum(col("k")).as("sum_k"),
+        sum(col("k2")).as("sum_k2"),
         max(col("k")).as("max_k"),
         count(when(col("k") > 50, lit(1))).as("n_big_k"))
       .orderBy(col("event_type").asc_nulls_first)
   private val q21Sql = """
     SELECT event_type,
-           CAST(SUM(k) AS BIGINT) AS sum_k, MAX(k) AS max_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k2,
+           MAX(k) AS max_k,
            COUNT(CASE WHEN k > 50 THEN 1 END) AS n_big_k
     FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
           FROM events)
