@@ -43,14 +43,17 @@ object Dedup {
     }
 
   /** MinHash signature from PRE-HASHED shingles (an array<long> column):
-    * hash function i is xxhash64(i, baseHash) — re-hashing a long is a few
-    * ns, vs re-hashing the shingle STRING numHashes times. The base-hash
-    * array must be materialized in its own projection (see
-    * `minhashCandidatePairs`): inlining it here would embed the expensive
-    * string-hashing subtree numHashes times, which blows past codegen's
-    * method-size limit and falls back to interpreted eval without CSE —
-    * measured 40× slower at sf0.1. */
+    * element s = min over base hashes h of XXH64(h, seed=s), computed in
+    * ONE pass by the native kernel (graft.functions.MinHashSignature) —
+    * the fold formulation traverses the array numHashes times. The
+    * base-hash array must still be materialized in its own projection
+    * (see `minhashCandidatePairs`) so string hashing runs once per row. */
   def minhashSignature(hashedShingles: Column, numHashes: Int): Column =
+    graft.functions.Sketches.minhashSignature(hashedShingles, numHashes)
+
+  /** Composable fold formulation of the signature (numHashes array
+    * traversals) — kept as the reference implementation for tests. */
+  def minhashSignatureFold(hashedShingles: Column, numHashes: Int): Column =
     array((0 until numHashes).map { seed =>
       array_min(transform(hashedShingles, h => xxhash64(lit(seed), h)))
     }: _*)
@@ -148,7 +151,7 @@ object Dedup {
     val sigs = df
       .select(col(idCol),
         transform(TextAnalysis.tokens(col(textCol)), t => xxhash64(t)).as("__th"))
-      .select(col(idCol), simhashFromHashes(col("__th")).as("sig"))
+      .select(col(idCol), graft.functions.Sketches.simhash64(col("__th")).as("sig"))
     val banded = sigs.select(
       col(idCol), col("sig"),
       posexplode(array((0 until chunks).map { c =>

@@ -92,6 +92,28 @@ class OpsSpec extends SparkSpec {
     assert(!metaPlan.contains("payload") || metaPlan.contains("n_bytes"))
   }
 
+  test("native SimHash64 kernel equals the composable formulation") {
+    val hashes = docs.select(
+      transform(graft.ops.TextAnalysis.tokens($"text"), t => xxhash64(t)).as("th"))
+    val cmp = hashes.select(
+        graft.functions.Sketches.simhash64($"th").as("native"),
+        Dedup.simhashFromHashes($"th").as("composed"))
+      .filter($"native" =!= $"composed")
+    assert(cmp.count() == 0)
+  }
+
+  test("native MinHashSignature kernel: monotone, stable, 64-wide") {
+    val sigs = docs
+      .select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
+      .select($"doc_id", Dedup.hashedShingles($"sh").as("hs"))
+      .select($"doc_id", Dedup.minhashSignature($"hs", 64).as("sig"))
+    assert(sigs.select(size($"sig")).distinct().collect().map(_.getInt(0)).toSeq == Seq(64))
+    // identical input → identical signature (kernel is deterministic)
+    val twice = sigs.withColumnRenamed("sig", "sig1")
+      .join(sigs.withColumnRenamed("sig", "sig2"), Seq("doc_id"))
+    assert(twice.filter($"sig1" =!= $"sig2").count() == 0)
+  }
+
   test("native VectorDot matches the fold formulation bit-for-bit") {
     val pairs = emb.select($"vec_id".as("ia"), $"embedding".as("va"))
       .crossJoin(emb.filter($"vec_id" < 20).select($"vec_id".as("ib"), $"embedding".as("vb")))
