@@ -186,10 +186,14 @@ object Dedup {
   ): DataFrame = {
     // One pass: explode carries the set size alongside each shingle, so no
     // second scan for sizes and no post-aggregation size joins — sizes ride
-    // through the shingle join and come out via any_value.
+    // through the shingle join and come out via any_value. The join key is
+    // the 64-bit shingle hash, not the string: smaller shuffle/broadcast
+    // and cheaper comparisons; a cross-shingle hash collision would need
+    // ~2^32 distinct shingles to become likely.
     var exploded = df
       .select(col(idCol), shingles(col(textCol), shingleSize).as("__sh"))
-      .select(col(idCol), size(col("__sh")).as("__sz"), explode(col("__sh")).as("shingle"))
+      .select(col(idCol), size(col("__sh")).as("__sz"),
+        explode(hashedShingles(col("__sh"))).as("shingle"))
     maxShingleFreq.foreach { cap =>
       val freq = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
         .filter(col("df") <= cap).select("shingle")
