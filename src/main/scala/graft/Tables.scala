@@ -32,6 +32,9 @@ object Tables {
     // is pure overhead (the query harness calls this unconditionally)
     if (registeredDir != sfDir) {
       names.foreach(t => load(spark, sfDir, t).createOrReplaceTempView(t))
+      // graft's text/vector functions ride along so config expr strings
+      // and SQL sources can call them (lang_id, vector_cosine, ...)
+      graft.functions.Registry.registerAll(spark)
       registeredDir = sfDir
     }
   }

@@ -85,6 +85,8 @@ object Compiler {
 
     node.filters.foreach(f => df = df.filter(filterColumn(f)))
 
+    node.derive.foreach { case (c, e) => df = df.withColumn(c, expr(e)) }
+
     if (node.keepColumns.nonEmpty)
       df = df.select(node.keepColumns.map(col): _*)
 

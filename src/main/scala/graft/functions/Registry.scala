@@ -1,0 +1,44 @@
+package graft.functions
+
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.{Column, GraftColumnBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Registers graft's column functions in the session FunctionRegistry so
+  * the CONFIG LANGUAGE reaches them: any expr-string site (`filters`,
+  * `with_columns`, SQL sources) can call `lang_id(text)`,
+  * `vector_dot(a, b)`, `simhash64(...)` etc. — the north-star operators
+  * become first-class in the metadata surface, not just the Scala API.
+  */
+object Registry {
+
+  private def fn(c: Column => Column): Seq[Expression] => Expression =
+    es => GraftColumnBridge.expressionEager(c(GraftColumnBridge.column(es.head)))
+
+  private def fn2(c: (Column, Column) => Column): Seq[Expression] => Expression =
+    es => GraftColumnBridge.expressionEager(
+      c(GraftColumnBridge.column(es.head), GraftColumnBridge.column(es(1))))
+
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "token_count" -> fn(TextAnalysis.tokenCount),
+    "bpeish_token_count" -> fn(TextAnalysis.bpeishTokenCount),
+    "lang_id" -> fn(TextAnalysis.langId),
+    "quality_score" -> fn(TextAnalysis.qualityScore),
+    "stopword_ratio" -> fn(TextAnalysis.stopwordRatio),
+    "punct_ratio" -> fn(TextAnalysis.punctRatio),
+    "mean_token_length" -> fn(TextAnalysis.meanTokenLength),
+    "doc_fingerprint" -> fn(TextAnalysis.fingerprint),
+    "simhash" -> fn(Dedup.simhash),
+    "vector_dot" -> fn2((a, b) => Similarity.dot(a, b)),
+    "vector_cosine" -> fn2((a, b) => Similarity.cosine(a, b)),
+    "vector_norm" -> fn(Similarity.l2Norm),
+    "hamming_dist" -> fn2((a, b) => Dedup.hamming(a, b))
+  )
+
+  /** Idempotent registration into the active session. */
+  def registerAll(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+}

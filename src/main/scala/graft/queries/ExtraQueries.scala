@@ -56,9 +56,60 @@ object ExtraQueries extends QueryPack {
       .select("l_orderkey", "l_linenumber", "l_quantity")
       .orderBy(col("l_orderkey").asc_nulls_first, col("l_linenumber").asc_nulls_first)
 
+  // q41 — the registered graft functions called FROM the config language:
+  // lang_id() in a `derive` expr string (pre-agg computed column) used as
+  // a group key. Same oracle shape as q25 (the constants are shared).
+  private def q41(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "documents"},
+       "derive": {"lang_pred": "lang_id(text)"},
+       "group_by": ["lang", "lang_pred"],
+       "aggregations": [{"col": "*", "func": "count", "new_name": "n"}],
+       "order_by": ["lang asc", "lang_pred asc"]}""")
+  private val q41Sql = {
+    val scores = graft.ops.TextAnalysis.langMarkers.map { case (lang, ms) =>
+      val terms = ms.map(m => s"CAST(list_contains(t, '$m') AS INT)").mkString(" + ")
+      lang -> s"($terms)"
+    }
+    val best = s"GREATEST(${scores.map(_._2).mkString(", ")})"
+    val cases = scores
+      .map { case (lang, sc) => s"WHEN $sc = $best AND $sc > 0 THEN '$lang'" }
+      .mkString(" ")
+    s"""
+    WITH toks AS (
+      SELECT lang, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+    pred AS (
+      SELECT lang, CASE $cases ELSE 'und' END AS lang_pred FROM toks)
+    SELECT lang, lang_pred, COUNT(*) AS n FROM pred
+    GROUP BY 1, 2 ORDER BY lang ASC NULLS FIRST, lang_pred ASC NULLS FIRST"""
+  }
+
+  // q42 — registered vector functions from a config SQL source: pairwise
+  // cosine over a key-range slice, filtered and ordered by the config node.
+  private def q42(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"sql": "SELECT a.vec_id AS idA, b.vec_id AS idB, ROUND(vector_cosine(a.embedding, b.embedding), 9) AS score FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id WHERE a.vec_id < 20 AND b.vec_id < 20"},
+       "filters": [{"col": "score", "op": ">", "value": -2}],
+       "order_by": ["idA asc", "idB asc"]}""")
+  private val q42Sql = {
+    def norm(v: String) =
+      s"sqrt(list_sum(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    s"""
+    SELECT a.vec_id AS idA, b.vec_id AS idB,
+           ROUND(${dot("a.embedding", "b.embedding")} /
+                 (${norm("a.embedding")} * ${norm("b.embedding")}), 9) AS score
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 20 AND b.vec_id < 20
+    ORDER BY idA ASC NULLS FIRST, idB ASC NULLS FIRST"""
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q38_percentiles", q38, Some(q38Sql)),
     Q("q39_pivot", q39, Some(q39Sql)),
-    Q("q40_hash_sample", q40, None)
+    Q("q40_hash_sample", q40, None),
+    Q("q41_config_langid", q41, Some(q41Sql)),
+    Q("q42_config_vector_sql", q42, Some(q42Sql))
   )
 }

@@ -149,6 +149,13 @@ object JsonCodec {
         fields(w).map { case (c, e) => c -> e.asText }
       )
 
+    // derive = computed columns applied BEFORE keep/aggregate (usable as
+    // group keys / agg inputs); with_columns applies after aggregation
+    val derive: Seq[(String, String)] =
+      opt(n, "derive").toSeq.flatMap(w =>
+        fields(w).map { case (c, e) => c -> e.asText }
+      )
+
     val bt = opt(n, "bitemporal").map { b =>
       if (b.isBoolean) BitemporalSpec()
       else
@@ -180,6 +187,7 @@ object JsonCodec {
       id = id,
       source = source,
       filters = filters,
+      derive = derive,
       keepColumns = if (aggregate.isDefined) Nil else keep,
       aggregate = aggregate,
       rename = rename,

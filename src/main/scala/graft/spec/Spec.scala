@@ -121,6 +121,7 @@ final case class NodeSpec(
     id: String,
     source: Option[SourceSpec] = None,
     filters: Seq[FilterSpec] = Nil,
+    derive: Seq[(String, String)] = Nil, // pre-agg computed columns (name -> expr)
     keepColumns: Seq[String] = Nil,
     aggregate: Option[AggregateSpec] = None,
     rename: Seq[(String, String)] = Nil,

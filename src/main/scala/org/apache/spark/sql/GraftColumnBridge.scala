@@ -9,4 +9,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Eager ColumnNode → catalyst Expression conversion. Required when an
+    * expression is handed to the FunctionRegistry: the lazy wrapper from
+    * `expression` stays a ColumnNode shim that analysis won't unwrap
+    * inside SQL function resolution ("Cannot generate code for
+    * columnnodeexpression"). */
+  def expressionEager(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
 }
