@@ -145,6 +145,10 @@ class CompilerSpec extends SparkSpec {
     assert(out.collect().isEmpty)
   }
 
+  test("driver smoke contract: entry returns rows at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("validatePipeline catches bad configs without running a job") {
     df.createOrReplaceTempView("vp")
     val bad = JsonCodec.parse("""
