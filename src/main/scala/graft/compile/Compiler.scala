@@ -21,7 +21,10 @@ object Compiler {
   /** Optional validation: resolve referenced columns up front (the reference
     * fails lazily at execution — SURVEY §1.3). Returns error strings. */
   def validate(df: DataFrame, node: NodeSpec): Seq[String] = {
-    val have = df.columns.toSet
+    // derive-created columns exist by the time keep/aggregate run; their
+    // own expression references are checked by the analyzer tier of
+    // validatePipeline
+    val have = df.columns.toSet ++ node.derive.map(_._1)
     val wanted =
       node.keepColumns ++
         node.aggregate.toSeq.flatMap(a => a.groupBy ++ a.keep ++ a.aggs.filterNot(_.col == "*").map(_.col)) ++
