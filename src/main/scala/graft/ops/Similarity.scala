@@ -150,6 +150,40 @@ object Similarity {
       Seq(col("score").desc, col(corpusId).asc), k, rankCol = "rank")
   }
 
+  /** L2-normalize a vector (unit length; zero vectors pass through as
+    * zeros). Norm is let-bound so it's computed once per row, not per
+    * element. */
+  def normalize(vec: Column): Column =
+    TextAnalysis.withBound(vec) { v =>
+      TextAnalysis.withBound(l2Norm(v)) { n =>
+        transform(v, x =>
+          when(n > 0, (x.cast("double") / n).cast("float")).otherwise(lit(0.0f)))
+      }
+    }
+
+  /** Symmetric int8 quantization: struct(scale, data) where data[i] =
+    * round(x[i] / scale) ∈ [-127, 127] and scale = max|x| / 127. Cuts
+    * embedding storage 4× (float32 → int8 + one float per vector) — at
+    * 100 TB of embeddings that's the difference between one cluster and
+    * four. Recall loss is bounded by the quantization error (see test). */
+  def quantizeInt8(vec: Column): Column =
+    TextAnalysis.withBound(vec) { v =>
+      TextAnalysis.withBound(array_max(transform(v, x => abs(x))).cast("double") / 127.0) { scale =>
+        struct(
+          scale.cast("float").as("scale"),
+          transform(v, x =>
+            when(lit(scale) > 0, round(x.cast("double") / scale).cast("byte"))
+              .otherwise(lit(0).cast("byte"))).as("data"))
+      }
+    }
+
+  /** Inverse of quantizeInt8 (up to quantization error). */
+  def dequantizeInt8(q: Column): Column =
+    TextAnalysis.withBound(q) { qq =>
+      transform(qq.getField("data"),
+        b => (b.cast("double") * qq.getField("scale").cast("double")).cast("float"))
+    }
+
   /** Embedding near-duplicate pairs: all (a,b) with cosine ≥ `threshold`.
     * Brute-force within-corpus variant for verification; the scale path is
     * the same banding as `annTopK` applied corpus×corpus. */

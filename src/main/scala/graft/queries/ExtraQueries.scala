@@ -105,11 +105,30 @@ object ExtraQueries extends QueryPack {
     ORDER BY idA ASC NULLS FIRST, idB ASC NULLS FIRST"""
   }
 
+  // q43 — embedding storage path: L2-normalize, int8-quantize (4× smaller),
+  // and measure the round-trip cosine per vector. Rows-only gate; the
+  // error bound is asserted in ScalaTest.
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Similarity
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        Similarity.quantizeInt8(Similarity.normalize(col("embedding"))).as("q"),
+        col("embedding"))
+      .select(
+        col("vec_id"),
+        col("q.scale").as("scale"),
+        round(
+          Similarity.cosine(col("embedding"), Similarity.dequantizeInt8(col("q"))),
+          6).as("roundtrip_cosine"))
+      .orderBy(col("vec_id").asc_nulls_first)
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q38_percentiles", q38, Some(q38Sql)),
     Q("q39_pivot", q39, Some(q39Sql)),
     Q("q40_hash_sample", q40, None),
     Q("q41_config_langid", q41, Some(q41Sql)),
-    Q("q42_config_vector_sql", q42, Some(q42Sql))
+    Q("q42_config_vector_sql", q42, Some(q42Sql)),
+    Q("q43_embedding_quantize", q43, None)
   )
 }

@@ -92,6 +92,24 @@ class OpsSpec extends SparkSpec {
     assert(!metaPlan.contains("payload") || metaPlan.contains("n_bytes"))
   }
 
+  test("normalize yields unit vectors; int8 quantization round-trips within error bound") {
+    val e = emb.limit(200)
+    val norms = e.select(
+      Similarity.l2Norm(Similarity.normalize($"embedding")).as("n")).collect().map(_.getDouble(0))
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-5))
+    // quantize → dequantize: cosine to the original stays ≈ 1
+    val rt = e.select(
+        Similarity.cosine(
+          $"embedding",
+          Similarity.dequantizeInt8(Similarity.quantizeInt8($"embedding"))).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(rt.forall(c => c > 0.995), s"worst cosine after int8 round-trip: ${rt.min}")
+    // storage really is bytes
+    val dt = e.select(Similarity.quantizeInt8($"embedding").as("q"))
+      .schema("q").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(dt("data").dataType.toString.contains("ByteType"))
+  }
+
   test("native SimHash64 kernel equals the composable formulation") {
     val hashes = docs.select(
       transform(graft.ops.TextAnalysis.tokens($"text"), t => xxhash64(t)).as("th"))
