@@ -69,9 +69,34 @@ object StreamQueries extends QueryPack {
     FROM expanded GROUP BY event_type, win_start
     ORDER BY win_start ASC NULLS FIRST, event_type ASC NULLS FIRST"""
 
+  // q37b — interval join (batch mode of the stream-stream joinable plan):
+  // each purchase picks up the same user's clicks from the preceding hour.
+  private def q37b(s: SparkSession, dir: String): DataFrame = {
+    val ev = ev_(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+    Streaming.intervalJoin(
+        purchases, clicks, Seq("user_id"),
+        leftTs = "p_ts", rightTs = "c_ts", lookback = "1 HOUR")
+      .select("purchase_id", "click_id", "user_id", "p_ts", "c_ts")
+      .orderBy(col("purchase_id").asc_nulls_first, col("click_id").asc_nulls_first)
+  }
+  private def ev_(s: SparkSession, dir: String) = graft.Tables.load(s, dir, "events")
+  private val q37bSql = """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+           p.ts AS p_ts, c.ts AS c_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL '1 hour' AND c.ts <= p.ts
+    ORDER BY purchase_id ASC NULLS FIRST, click_id ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
     Q("q34_tumbling_window", q34, Some(q34Sql)),
     Q("q35_session_window", q35, Some(q35Sql)),
-    Q("q36_sliding_window", q36, Some(q36Sql))
+    Q("q36_sliding_window", q36, Some(q36Sql)),
+    Q("q44_interval_join", q37b, Some(q37bSql))
   )
 }

@@ -51,6 +51,31 @@ object Streaming {
       .drop("window")
   }
 
+  /** Interval join: left rows matched to right rows with the same keys
+    * whose `rightTs` falls in [leftTs - lookback, leftTs]. On static
+    * frames this is a plain equi-join + range filter; on two streams the
+    * SAME plan becomes a stream-stream join where the watermarks plus the
+    * time bound let Spark evict join state — the range condition is what
+    * makes unbounded stream-stream joins feasible at all (without it,
+    * state grows forever). `watermarks` = (left delay, right delay). */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      lookback: String,
+      watermarks: Option[(String, String)] = None
+  ): DataFrame = {
+    val l = watermarks.fold(left) { case (wl, _) => left.withWatermark(leftTs, wl) }
+    val r = watermarks.fold(right) { case (_, wr) => right.withWatermark(rightTs, wr) }
+    val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
+      r(rightTs) >= l(leftTs) - expr(s"INTERVAL $lookback") &&
+      r(rightTs) <= l(leftTs)
+    // keep one copy of each key column (the left one)
+    keys.foldLeft(l.join(r, cond, "inner"))((df, k) => df.drop(r(k)))
+  }
+
   /** Streaming deduplication: drops rows whose `keys` already appeared
     * within the watermark horizon — the streaming counterpart of exact
     * dedup for continuous ingestion. State holds one entry per key seen in

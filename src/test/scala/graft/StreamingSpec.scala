@@ -86,6 +86,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val ev = Tables.load(spark, sf, "events")
+    def split(df: org.apache.spark.sql.DataFrame) = (
+      df.filter(expr("event_type = 'purchase'"))
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts")),
+      df.filter(expr("event_type = 'click'"))
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts")))
+    val (bp, bc) = split(ev)
+    val batch = Streaming.intervalJoin(bp, bc, Seq("user_id"), "p_ts", "c_ts", "1 HOUR")
+      .select("purchase_id", "click_id")
+      .orderBy("purchase_id", "click_id").collect().map(_.toSeq).toSeq
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    def streamIn() = spark.readStream.schema(raw.schema).parquet(eventsDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val (sp, sc) = split(streamIn())
+    val joined = Streaming.intervalJoin(
+      sp, sc, Seq("user_id"), "p_ts", "c_ts", "1 HOUR",
+      watermarks = Some(("10 minutes", "10 minutes")))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("stream_interval")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("stream_interval")
+      .select("purchase_id", "click_id")
+      .orderBy("purchase_id", "click_id").collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+  }
+
   test("streaming dedup drops within-watermark duplicates") {
     import spark.implicits._
     // duplicate every event once by unioning the staged dir with itself
