@@ -169,6 +169,66 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over a near-dup pair list (idA, idB): every doc
+    * gets the MINIMUM id reachable through the pair graph as its cluster
+    * label. Iterative min-label propagation — each round is one
+    * join+aggregate (no driver-side graph), converging in O(diameter)
+    * rounds; near-dup graphs are unions of small cliques/chains, so
+    * `maxIter` ≈ 10 covers real corpora, and convergence is checked with
+    * an aggregate (a count, not a collect of data). Returns (id, cluster).
+    */
+  def dedupClusters(
+      pairs: DataFrame,
+      idA: String = "idA",
+      idB: String = "idB",
+      maxIter: Int = 10
+  ): DataFrame = {
+    // materialize the (small) edge list once — every iteration references
+    // it, and without this the full upstream pair-generation lineage
+    // (shingling + joins) re-executes per iteration
+    val edges = pairs
+      .select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .localCheckpoint()
+    val nodes = edges.select(col("src").as("id")).distinct()
+    var labels = nodes.withColumn("cluster", col("id"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // each node adopts min(own label, neighbors' labels)
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("cluster", "nb"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nb")).as("nbMin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("cluster"), coalesce(col("nbMin"), col("cluster"))).as("cluster"))
+        .localCheckpoint() // truncate the growing iterative lineage
+      val changed = next.alias("n")
+        .join(labels.alias("p"), Seq("id"))
+        .filter(col("n.cluster") =!= col("p.cluster"))
+        .limit(1).count()
+      converged = changed == 0
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Dedup a corpus given near-dup pairs: one representative per cluster —
+    * the minimum id (deterministic) — plus every unpaired doc. */
+  def dedupByClusters(
+      df: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      idA: String = "idA",
+      idB: String = "idB"
+  ): DataFrame = {
+    val clusters = dedupClusters(pairs, idA, idB)
+    val losers = clusters.filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle:
     * explode shingle sets, equi-join on the shingle, count shared, compute
     * |A∩B| / (|A|+|B|-|A∩B|). `maxShingleFreq` drops shingles appearing in

@@ -73,10 +73,54 @@ object DedupQueries extends QueryPack {
         idCol = "doc_id", textCol = "text", maxDist = 3)
       .orderBy(col("idA").asc_nulls_first, col("idB").asc_nulls_first)
 
+  // q45 — the COMPLETE near-dedup pipeline: exact 3-gram Jaccard pairs at
+  // τ=0.5 → connected components (min-label propagation) → keep one
+  // representative per cluster. Oracle rebuilds the same pipeline in
+  // DuckDB with a recursive CTE for the transitive closure.
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+    Dedup.dedupByClusters(docs, pairs, "doc_id")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+  private val q45Sql = """
+    WITH sets AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in generate_series(1, greatest(len(t)-2, 1))]) AS sh
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)),
+    sizes AS (SELECT doc_id, len(sh) AS sz FROM sets),
+    ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
+    pairs AS (
+      SELECT idA, idB FROM (
+        SELECT a.doc_id AS idA, b.doc_id AS idB, COUNT(*) AS common
+        FROM ex a JOIN ex b USING (shingle)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2) c
+      JOIN sizes sa ON sa.doc_id = idA
+      JOIN sizes sb ON sb.doc_id = idB
+      WHERE ROUND(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 9) >= 0.5),
+    edges AS (SELECT idA AS src, idB AS dst FROM pairs
+              UNION ALL SELECT idB, idA FROM pairs),
+    reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src
+        WHERE e.dst <> r.a)
+      SELECT * FROM r),
+    clusters AS (
+      SELECT a AS id, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a),
+    losers AS (SELECT id FROM clusters WHERE id <> cluster)
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM losers)
+    ORDER BY doc_id ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
     Q("q27_dedup_exact", q27, Some(q27Sql)),
     Q("q28_ngram_jaccard", q28, Some(q28Sql)),
     Q("q29_minhash_lsh", q29, None),
-    Q("q30_simhash", q30, None)
+    Q("q30_simhash", q30, None),
+    Q("q45_dedup_pipeline", q45, Some(q45Sql))
   )
 }

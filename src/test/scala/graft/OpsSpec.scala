@@ -39,6 +39,30 @@ class OpsSpec extends SparkSpec {
     assert(pairs.filter($"idB" === $"idA" + 100000).count() == docs.count())
   }
 
+  test("dedup clustering: chains collapse to one cluster, corpus keeps one rep") {
+    // chain 1-2-3-4 plus island pair 10-11: two clusters
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("idA", "idB")
+    val clusters = Dedup.dedupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(clusters(_) == 1L))
+    assert(Seq(10L, 11L).forall(clusters(_) == 10L))
+
+    val corpus = (1L to 12L).toDF("doc_id")
+    val kept = Dedup.dedupByClusters(corpus, pairs, "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // representatives 1 and 10 survive; 5..9 and 12 were never paired
+    assert(kept == Set(1L, 5L, 6L, 7L, 8L, 9L, 10L, 12L))
+  }
+
+  test("dedup clustering on the real jaccard pairs removes the planted dups") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+    val kept = Dedup.dedupByClusters(docs, pairs, "doc_id")
+    val nPairedDocs = pairs.select($"idA".as("id")).union(pairs.select($"idB".as("id")))
+      .distinct().count()
+    val nClusters = Dedup.dedupClusters(pairs).select("cluster").distinct().count()
+    assert(kept.count() == docs.count() - (nPairedDocs - nClusters))
+  }
+
   test("exact dedup keeps deterministic winner and one row per key") {
     val events = Tables.load(spark, sf, "events")
       .select("user_id", "event_type", "event_id", "value")
