@@ -21,9 +21,14 @@ object Bench {
           org.apache.spark.sql.functions.col("embedding")).as("d"))
         .agg(org.apache.spark.sql.functions.sum("d")).count()
     } catch { case _: Throwable => () }
+    // Time a FULL materialization of every row via the noop sink —
+    // `.count()` would let Catalyst's EliminateSorts drop each query's
+    // final orderBy under the count aggregate, under-measuring exactly
+    // the sort cost the correctness path pays.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -62,6 +62,28 @@ object Dedup {
   def hashedShingles(shingleCol: Column): Column =
     transform(shingleCol, sh => xxhash64(sh))
 
+  /** Distinct 64-bit n-gram shingle hashes computed DIRECTLY from token
+    * hashes — no shingle strings are ever built (the concat_ws + string
+    * xxhash64 per position was the dominant cost of pair generation).
+    * Each token is hashed once; a shingle hash is xxhash64 over its n
+    * token hashes (fixed-width longs). Tokens contain no whitespace, so
+    * this induces exactly the same equivalence on token sequences as the
+    * `shingles` string form — identical shingle SETS, sizes and Jaccard
+    * counts, modulo 64-bit collisions. Short docs (< n tokens) hash their
+    * full token list (`try_element_at` past the end → null → skipped by
+    * xxhash64), mirroring the string form's truncated slice; empty docs
+    * yield the constant seed hash, mirroring the "" shingle. */
+  def hashedNgrams(text: Column, n: Int): Column =
+    if (n == 1)
+      array_distinct(transform(TextAnalysis.tokens(text), t => xxhash64(t)))
+    else
+      TextAnalysis.withBound(transform(TextAnalysis.tokens(text), t => xxhash64(t))) { th =>
+        array_distinct(
+          transform(
+            sequence(lit(0), greatest(size(th) - n, lit(0))),
+            i => xxhash64((0 until n).map(k => try_element_at(th, i + k + 1)): _*)))
+      }
+
   /** LSH candidate pairs from MinHash signatures.
     * Bands the `numHashes`-long signature into `bands` groups of
     * rows-per-band r = numHashes/bands; docs colliding on ANY full band are
@@ -80,13 +102,12 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // Three separate projections on purpose: shingles → base hashes → 64
-    // minhashes. CollapseProject won't merge them (each alias is expensive
-    // and referenced many times downstream), so the string work runs once
+    // Two separate projections on purpose: shingle hashes → 64 minhashes.
+    // CollapseProject won't merge them (each alias is expensive and
+    // referenced many times downstream), so the shingle work runs once
     // per row instead of once per hash function.
     val sig = df
-      .select(col(idCol), shingles(col(textCol), shingleSize).as("__sh"))
-      .select(col(idCol), hashedShingles(col("__sh")).as("__hs"))
+      .select(col(idCol), hashedNgrams(col(textCol), shingleSize).as("__hs"))
       .select(col(idCol), minhashSignature(col("__hs"), numHashes).as("sig"))
     var banded = sig.select(
       col(idCol),
@@ -171,47 +192,81 @@ object Dedup {
 
   /** Connected components over a near-dup pair list (idA, idB): every doc
     * gets the MINIMUM id reachable through the pair graph as its cluster
-    * label. Iterative min-label propagation — each round is one
-    * join+aggregate (no driver-side graph), converging in O(diameter)
-    * rounds; near-dup graphs are unions of small cliques/chains, so
-    * `maxIter` ≈ 10 covers real corpora, and convergence is checked with
-    * an aggregate (a count, not a collect of data). Returns (id, cluster).
+    * label. Iterative min-label propagation with POINTER-JUMP shortcutting
+    * (each round a node also adopts its current label's label, so chain
+    * depth halves per round → O(log diameter) rounds, not O(diameter)).
+    *
+    * Scale posture: ONE Spark job per iteration — the convergence flag is
+    * computed from the `old`-label column carried inside the same
+    * materializing action, not a separate join. Iteration state is
+    * `persist(MEMORY_AND_DISK)` + explicit unpersist of the previous round
+    * (graceful lineage replay on executor loss — a lost `localCheckpoint`
+    * partition would fail the job outright, and memory-backed state pins
+    * the working set). If the session has a reliable checkpoint dir
+    * configured (`sparkContext.setCheckpointDir`), each round is instead
+    * `checkpoint()`ed — truncating the iterative lineage for very deep
+    * graphs; that is the recommended 100 TB production setting.
+    *
+    * Throws IllegalStateException if not converged after `maxIter` rounds
+    * (with jumps, `maxIter`=20 covers component diameters up to ~2^20 —
+    * silently returning partial labels would split clusters). Returns
+    * (id, cluster).
     */
   def dedupClusters(
       pairs: DataFrame,
       idA: String = "idA",
       idB: String = "idB",
-      maxIter: Int = 10
+      maxIter: Int = 20
   ): DataFrame = {
-    // materialize the (small) edge list once — every iteration references
-    // it, and without this the full upstream pair-generation lineage
-    // (shingling + joins) re-executes per iteration
-    val edges = pairs
-      .select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .localCheckpoint()
+    import org.apache.spark.storage.StorageLevel
+    val spark = pairs.sparkSession
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def materialize(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() // eager; truncates lineage
+      else df.persist(StorageLevel.MEMORY_AND_DISK)
+    // Materialize the (small) pair list ONCE, before mirroring it into the
+    // undirected edge list — a union of two selects over un-cached `pairs`
+    // would embed the expensive pair-generation lineage (shingling + joins)
+    // twice in one plan, and every iteration would reference it.
+    val p = materialize(pairs.select(col(idA).as("src"), col(idB).as("dst")))
+    p.count()
+    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
     val nodes = edges.select(col("src").as("id")).distinct()
-    var labels = nodes.withColumn("cluster", col("id"))
+    var labels = materialize(nodes.select(col("id"), col("id").as("cluster")))
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // each node adopts min(own label, neighbors' labels)
+      // 1) propagate: candidate = min(own label, neighbors' labels)
       val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("cluster", "nb"), Seq("dst"))
+        .join(labels.select(col("id").as("dst"), col("cluster").as("nb")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nb")).as("nbMin"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), least(col("cluster"), coalesce(col("nbMin"), col("cluster"))).as("cluster"))
-        .localCheckpoint() // truncate the growing iterative lineage
-      val changed = next.alias("n")
-        .join(labels.alias("p"), Seq("id"))
-        .filter(col("n.cluster") =!= col("p.cluster"))
-        .limit(1).count()
+      val propagated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("cluster").as("old"),
+          least(col("cluster"), coalesce(col("nbMin"), col("cluster"))).as("cluster"))
+      // 2) shortcut: adopt the label's own label (labels map id→cluster with
+      //    cluster ≤ id, and every cluster value is a node id, so the lookup
+      //    is total; the result stays within the component and only shrinks)
+      val next = materialize(
+        propagated
+          .join(labels.select(col("id").as("cluster"), col("cluster").as("jump")),
+            Seq("cluster"), "left")
+          .select(col("id"), col("old"),
+            least(col("cluster"), coalesce(col("jump"), col("cluster"))).as("cluster")))
+      // single action: materializes `next` into the cache/checkpoint AND
+      // computes the convergence flag from the carried old-label column
+      val changed = next.filter(col("cluster") =!= col("old")).count()
       converged = changed == 0
+      if (!reliable) labels.unpersist(blocking = false)
       labels = next
       iter += 1
     }
-    labels
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedupClusters did not converge after $maxIter rounds — component " +
+          "diameter exceeds 2^" + maxIter + "; raise maxIter")
+    if (!reliable) p.unpersist(blocking = false)
+    labels.select("id", "cluster")
   }
 
   /** Dedup a corpus given near-dup pairs: one representative per cluster —
@@ -231,11 +286,14 @@ object Dedup {
 
   /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle:
     * explode shingle sets, equi-join on the shingle, count shared, compute
-    * |A∩B| / (|A|+|B|-|A∩B|). `maxShingleFreq` drops shingles appearing in
-    * more than that many docs — the standard skew guard: a stop-shingle
-    * appearing in 1M docs would otherwise generate 10¹² join rows. Pairs
-    * pruned this way can only lose similarity mass on ubiquitous shingles,
-    * which near-dup detection wants to ignore anyway. */
+    * |A∩B| / (|A|+|B|-|A∩B|). Shingles appearing in more than
+    * `maxShingleFreq` docs are dropped — the standard skew guard: a
+    * stop-shingle appearing in 1M docs would otherwise generate 10¹² join
+    * rows. ON BY DEFAULT (`None` = auto cap of max(1000, 0.1% of corpus),
+    * which never fires on small corpora; pass `Some(Int.MaxValue)` to
+    * disable). Pairs pruned this way can only lose similarity mass on
+    * ubiquitous shingles, which near-dup detection wants to ignore anyway
+    * (set sizes in the Jaccard denominator stay un-pruned). */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
@@ -251,14 +309,23 @@ object Dedup {
     // and cheaper comparisons; a cross-shingle hash collision would need
     // ~2^32 distinct shingles to become likely.
     var exploded = df
-      .select(col(idCol), shingles(col(textCol), shingleSize).as("__sh"))
-      .select(col(idCol), size(col("__sh")).as("__sz"),
-        explode(hashedShingles(col("__sh"))).as("shingle"))
-    maxShingleFreq.foreach { cap =>
-      val freq = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= cap).select("shingle")
-      exploded = exploded.join(freq, Seq("shingle"))
-    }
+      .select(col(idCol), hashedNgrams(col(textCol), shingleSize).as("__hs"))
+      .select(col(idCol), size(col("__hs")).as("__sz"),
+        explode(col("__hs")).as("shingle"))
+    // Skew guard: broadcast ANTI-join against the over-frequent shingles.
+    // The stop list is small by construction — at cap = 0.1% of corpus it
+    // holds at most (total shingle instances)/(0.001·N) ≈ 1000 × avg
+    // shingles/doc entries of 8 bytes — so the broadcast is always safe and
+    // the big exploded side is never shuffled for the guard.
+    val freq = exploded.groupBy("shingle").agg(count(lit(1)).as("docFreq"))
+    val stop = (maxShingleFreq match {
+      case Some(cap) => freq.filter(col("docFreq") > cap)
+      case None => // auto: max(1000, 0.1% of corpus) via a 1-row scalar join
+        freq.crossJoin(broadcast(df.select(count(lit(1)).as("__total"))))
+          .filter(col("docFreq") >
+            greatest(lit(1000L), floor(col("__total") / 1000).cast("long")))
+    }).select("shingle")
+    exploded = exploded.join(broadcast(stop), Seq("shingle"), "left_anti")
     val a = exploded.select(col("shingle"), col(idCol).as("idA"), col("__sz").as("sizeA"))
     val b = exploded.select(col("shingle"), col(idCol).as("idB"), col("__sz").as("sizeB"))
     a.join(b, Seq("shingle"))

@@ -27,7 +27,9 @@ object DedupQueries extends QueryPack {
 
   // q28 — exact 3-gram Jaccard near-dup pairs at τ=0.2 (the corpus has
   // planted near-dups ≥ 0.5). Explode-join-count: shuffle ∝ shared
-  // shingles, verified exactly.
+  // shingles, verified exactly. The default stop-shingle skew guard
+  // (df > max(1000, 0.1% of corpus)) is mirrored in the oracle; it never
+  // fires at test SF, so the hash-compare still pins exact semantics.
   private def q28(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(
         Tables.load(s, dir, "documents"),
@@ -42,9 +44,12 @@ object DedupQueries extends QueryPack {
       FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)),
     sizes AS (SELECT doc_id, len(sh) AS sz FROM sets),
     ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
+    stop AS (SELECT shingle FROM ex GROUP BY shingle
+             HAVING COUNT(*) > GREATEST(1000, (SELECT COUNT(*) FROM documents) // 1000)),
+    exf AS (SELECT * FROM ex WHERE shingle NOT IN (SELECT shingle FROM stop)),
     common AS (
       SELECT a.doc_id AS idA, b.doc_id AS idB, COUNT(*) AS common
-      FROM ex a JOIN ex b USING (shingle)
+      FROM exf a JOIN exf b USING (shingle)
       WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
     SELECT idA, idB, common,
            ROUND(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 9) AS jaccard
@@ -92,10 +97,13 @@ object DedupQueries extends QueryPack {
       FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)),
     sizes AS (SELECT doc_id, len(sh) AS sz FROM sets),
     ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
+    stop AS (SELECT shingle FROM ex GROUP BY shingle
+             HAVING COUNT(*) > GREATEST(1000, (SELECT COUNT(*) FROM documents) // 1000)),
+    exf AS (SELECT * FROM ex WHERE shingle NOT IN (SELECT shingle FROM stop)),
     pairs AS (
       SELECT idA, idB FROM (
         SELECT a.doc_id AS idA, b.doc_id AS idB, COUNT(*) AS common
-        FROM ex a JOIN ex b USING (shingle)
+        FROM exf a JOIN exf b USING (shingle)
         WHERE a.doc_id < b.doc_id GROUP BY 1, 2) c
       JOIN sizes sa ON sa.doc_id = idA
       JOIN sizes sb ON sb.doc_id = idB

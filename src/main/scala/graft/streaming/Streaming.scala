@@ -67,13 +67,20 @@ object Streaming {
       lookback: String,
       watermarks: Option[(String, String)] = None
   ): DataFrame = {
+    // Alias both sides before building the condition: when left and right
+    // descend from the same source (a self interval join), `l(k) === r(k)`
+    // is ambiguous and only works via Spark's best-effort self-join fix-up
+    // (it logs "trivially true equals predicate" and silently breaks under
+    // lineage changes). Alias-qualified references are unambiguous.
     val l = watermarks.fold(left) { case (wl, _) => left.withWatermark(leftTs, wl) }
+      .alias("__ij_l")
     val r = watermarks.fold(right) { case (_, wr) => right.withWatermark(rightTs, wr) }
-    val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
-      r(rightTs) >= l(leftTs) - expr(s"INTERVAL $lookback") &&
-      r(rightTs) <= l(leftTs)
+      .alias("__ij_r")
+    val cond = keys.map(k => col(s"__ij_l.$k") === col(s"__ij_r.$k")).reduce(_ && _) &&
+      col(s"__ij_r.$rightTs") >= col(s"__ij_l.$leftTs") - expr(s"INTERVAL $lookback") &&
+      col(s"__ij_r.$rightTs") <= col(s"__ij_l.$leftTs")
     // keep one copy of each key column (the left one)
-    keys.foldLeft(l.join(r, cond, "inner"))((df, k) => df.drop(r(k)))
+    keys.foldLeft(l.join(r, cond, "inner"))((df, k) => df.drop(col(s"__ij_r.$k")))
   }
 
   /** Streaming deduplication: drops rows whose `keys` already appeared
