@@ -102,6 +102,25 @@ object Similarity {
     bitCols.reduce(_.bitwiseOR(_))
   }
 
+  /** One row per (band, band_key) bucket membership: the hyperplane
+    * signature split into `bands` chunks of numBits/bands sign bits each
+    * (pigeonhole banding). Norms ride along so scoring at the join output
+    * needs only a dot product. */
+  private def explodeBands(
+      df: DataFrame, id: String, vec: String,
+      idAs: String, vecAs: String, nAs: String,
+      dim: Int, numBits: Int, bands: Int): DataFrame = {
+    require(numBits % bands == 0, "bands must divide numBits")
+    val width = numBits / bands
+    df.select(col(id).as(idAs), col(vec).as(vecAs),
+        l2Norm(col(vec)).as(nAs),
+        hyperplaneSignature(col(vec), dim, numBits).as("__sig"))
+      .select(col(idAs), col(vecAs), col(nAs),
+        posexplode(array((0 until bands).map(c =>
+          shiftright(col("__sig"), c * width)
+            .bitwiseAND(lit((1L << width) - 1L))): _*)).as(Seq("band", "band_key")))
+  }
+
   /** IVF-style bucketed ANN: band the hyperplane signature into `bands`
     * chunks (pigeonhole: vectors agreeing on any whole chunk meet), score
     * only in-bucket pairs, keep top-k per query. Recall < 1 by design;
@@ -119,17 +138,8 @@ object Similarity {
       numBits: Int = 32,
       bands: Int = 4
   ): DataFrame = {
-    val width = numBits / bands
-    def banded(df: DataFrame, id: String, vec: String, idAs: String, vecAs: String, nAs: String) =
-      df.select(col(id).as(idAs), col(vec).as(vecAs),
-          l2Norm(col(vec)).as(nAs),
-          hyperplaneSignature(col(vec), dim, numBits).as("__sig"))
-        .select(col(idAs), col(vecAs), col(nAs),
-          posexplode(array((0 until bands).map(c =>
-            shiftright(col("__sig"), c * width)
-              .bitwiseAND(lit((1L << width) - 1L))): _*)).as(Seq("band", "band_key")))
-    val qb = banded(queries, queryId, queryVec, "__qid", "__qv", "__qn")
-    val cb = banded(corpus, corpusId, corpusVec, "__cid", "__cv", "__cn")
+    val qb = explodeBands(queries, queryId, queryVec, "__qid", "__qv", "__qn", dim, numBits, bands)
+    val cb = explodeBands(corpus, corpusId, corpusVec, "__cid", "__cv", "__cn", dim, numBits, bands)
     // Score at the join output and dedupe multi-band collisions by
     // (id, id) AFTER scoring: re-computing a 64-float dot per extra
     // collision is far cheaper than shuffling the vectors through a
@@ -207,5 +217,49 @@ object Similarity {
             .otherwise(lit(0.0)),
           9).as("score"))
       .filter(col("score") >= threshold)
+  }
+
+  /** Scale path for corpus×corpus embedding near-dup: pigeonhole-banded
+    * hyperplane signatures — only same-bucket pairs are scored, so
+    * candidate volume ∝ bucket collisions instead of n²/2 and the corpus
+    * is shuffled by band key, never broadcast. This is the 100 TB
+    * replacement for `cosineNearDupPairs` (kept as the exact, oracle-
+    * checked baseline).
+    *
+    * Recall math (random hyperplanes): a pair at cosine s agrees per bit
+    * with p = 1 − acos(s)/π, collides in one band of width w with p^w and
+    * is found with 1 − (1 − p^w)^bands. At production thresholds (s ≥ 0.9,
+    * p ≥ 0.93) use wide bands — numBits=64, bands=8 (w=8) gives recall
+    * ≈ 0.99 with strong pruning (256-way buckets/band). The defaults here
+    * (w=2, 16 bands) are sized for LOW thresholds like the q32 fixture's
+    * 0.4, where recall ≈ 0.9997 but pruning is necessarily weak — the
+    * S-curve math, not the plan shape, is the knob. Multi-band collisions
+    * are deduped AFTER scoring on (idA, idB): re-computing a dot per extra
+    * collision is cheaper than shuffling vectors through a distinct. */
+  def cosineNearDupPairsBanded(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      dim: Int,
+      numBits: Int = 32,
+      bands: Int = 16
+  ): DataFrame = {
+    val banded = explodeBands(corpus, idCol, vecCol, "__id", "__v", "__n", dim, numBits, bands)
+    val a = banded.select(col("band"), col("band_key"),
+      col("__id").as("idA"), col("__v").as("__va"), col("__n").as("__na"))
+    val b = banded.select(col("band"), col("band_key"),
+      col("__id").as("idB"), col("__v").as("__vb"), col("__n").as("__nb"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        round(
+          when(col("__na") > 0 && col("__nb") > 0,
+            dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+            .otherwise(lit(0.0)),
+          9).as("score"))
+      .filter(col("score") >= threshold)
+      .groupBy("idA", "idB")
+      .agg(first(col("score")).as("score"))
   }
 }

@@ -79,9 +79,23 @@ object SimQueries extends QueryPack {
       .orderBy(col("query_id").asc_nulls_first, col("rank").asc_nulls_first)
   }
 
+  // q46 — the SCALE path for corpus×corpus near-dup: pigeonhole-banded
+  // hyperplane LSH (w=2 × 16 bands, sized for the fixture's low 0.4
+  // threshold → theoretical recall 0.9997). On this deterministic corpus
+  // the banded pair set equals the exact one at every SF, so it carries
+  // the SAME exact DuckDB oracle as q32 — the hash-compare proves the
+  // approximate plan loses nothing here; the ScalaTest recall bound
+  // covers the general contract.
+  private def q46(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairsBanded(
+        emb(s, dir), idCol = "vec_id", vecCol = "embedding",
+        threshold = 0.4, dim = 64, numBits = 32, bands = 16)
+      .orderBy(col("idA").asc_nulls_first, col("idB").asc_nulls_first)
+
   override def queries: Seq[Q] = Seq(
     Q("q31_cosine_topk", q31, Some(q31Sql)),
     Q("q32_embedding_neardup", q32, Some(q32Sql)),
-    Q("q33_ann_topk", q33, None)
+    Q("q33_ann_topk", q33, None),
+    Q("q46_embedding_neardup_banded", q46, Some(q32Sql))
   )
 }

@@ -87,6 +87,19 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.4, s"rank-1 recall too low: $recall")
   }
 
+  test("banded corpus×corpus near-dup: recall ≥ 0.9 vs exact, no invented pairs") {
+    val exact = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
+      .select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Similarity
+      .cosineNearDupPairsBanded(emb, "vec_id", "embedding", 0.4, dim = 64)
+      .select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus should contain near pairs at 0.4")
+    // scores are computed exactly in-bucket, so banding can only MISS pairs
+    assert(banded.subsetOf(exact), "banded invented pairs it should not have")
+    val recall = exact.count(banded.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"banded recall too low: $recall")
+  }
+
   test("as-of join: every left row kept; payload is latest prior right") {
     val left = Seq((1L, 10L), (1L, 20L), (2L, 15L)).toDF("k", "ts")
     val right = Seq((1L, 5L, "a"), (1L, 15L, "b"), (3L, 1L, "z")).toDF("k", "ts", "p")
