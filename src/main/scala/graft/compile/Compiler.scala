@@ -76,19 +76,22 @@ object Compiler {
     compile(spark, JsonCodec.parse(json))
 
   /** Node pipeline order mirrors the reference's interpreter
-    * (`pandas/optimus.py:7-40`): filters → keep_columns → aggregate →
-    * rename → withColumns → bitemporal → children joins → orderBy/limit.
-    * Note the reference quirk kept intentionally: the parent aggregates
-    * BEFORE joining children, so joins run on aggregated-parent ×
-    * aggregated-child (SURVEY §3 EP2 step 6). */
+    * (`pandas/optimus.py:7-40`): derive → filters → keep_columns →
+    * aggregate → rename → withColumns → bitemporal → children joins →
+    * orderBy/limit. `derive` runs FIRST so filters may reference derived
+    * columns (documented in USAGE.md and admitted by `validate`); a filter
+    * on a source column still reaches the scan — Catalyst pushes it below
+    * the derive projection. Note the reference quirk kept intentionally:
+    * the parent aggregates BEFORE joining children, so joins run on
+    * aggregated-parent × aggregated-child (SURVEY §3 EP2 step 6). */
   def compileNode(spark: SparkSession, node: NodeSpec, input: Option[DataFrame] = None,
       executeSinks: Boolean = true): DataFrame = {
     var df = input.getOrElse(readSource(spark, node.source.getOrElse(
       throw new IllegalArgumentException(s"node ${node.id}: no source and no input DataFrame"))))
 
-    node.filters.foreach(f => df = df.filter(filterColumn(f)))
-
     node.derive.foreach { case (c, e) => df = df.withColumn(c, expr(e)) }
+
+    node.filters.foreach(f => df = df.filter(filterColumn(f)))
 
     if (node.keepColumns.nonEmpty)
       df = df.select(node.keepColumns.map(col): _*)
@@ -243,7 +246,17 @@ object Compiler {
       case "stddev"                => stddev(in)
       case "variance"              => variance(in)
       case "median"                => median(in)
-      case other                   => expr(s"$other(${a.col})")
+      case other                   =>
+        // Pass-through for any other Spark SQL aggregate. col="*" has no
+        // SQL spelling here, and the filter must be compiled in (silently
+        // dropping it would return unfiltered results).
+        if (a.col == "*")
+          throw new IllegalArgumentException(
+            s"aggregate function '$other' requires a concrete column, not '*'")
+        val inner = a.filter
+          .map(p => s"CASE WHEN ($p) THEN ${a.col} END")
+          .getOrElse(a.col)
+        expr(s"$other($inner)")
     }
     agg.as(a.newName.getOrElse(s"${a.func}_${if (a.col == "*") "all" else a.col}"))
   }

@@ -28,6 +28,13 @@ case class VectorDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // Can produce NULL on length mismatch or a null element even when both
+  // inputs are non-nullable — without this override the inherited
+  // child-nullability would make codegen emit `false = true;` (a Janino
+  // compile error with silent interpreted fallback) and the interpreted
+  // NULL would violate the declared non-nullability downstream.
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType) = t match {
       case ArrayType(FloatType | DoubleType, _) => true

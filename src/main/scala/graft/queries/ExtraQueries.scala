@@ -77,7 +77,9 @@ object ExtraQueries extends QueryPack {
       .mkString(" ")
     s"""
     WITH toks AS (
-      SELECT lang, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+      SELECT lang,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS t
+      FROM documents),
     pred AS (
       SELECT lang, CASE $cases ELSE 'und' END AS lang_pred FROM toks)
     SELECT lang, lang_pred, COUNT(*) AS n FROM pred

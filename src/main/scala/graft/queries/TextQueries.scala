@@ -27,23 +27,37 @@ object TextQueries extends QueryPack {
         round(TextAnalysis.stopwordRatio(col("text")), 9).as("stop_ratio"),
         TextAnalysis.qualityScore(col("text")).as("quality"))
       .orderBy(col("doc_id").asc_nulls_first)
+  // The oracle mirrors Spark's empty-doc semantics exactly: tokens filter
+  // out empty strings (DuckDB string_split_regex('') yields ['']) and every
+  // division is guarded the same way the Spark side guards it (→ 0.0), so
+  // parity holds for empty/whitespace-only docs, not just the fixtures.
   private val q24Sql = {
     val stop = sqlList(TextAnalysis.langMarkers.flatMap(_._2).distinct)
     s"""
     WITH toks AS (
       SELECT doc_id, text,
-             string_split_regex(trim(text), '\\s+') AS t,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS t,
              LENGTH(text) AS len
       FROM documents)
     SELECT doc_id,
            CAST(len(t) AS INT) AS n_tokens,
            CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_bpeish,
-           ROUND(CAST(len - LENGTH(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / len, 9) AS punct_ratio,
-           ROUND(CAST(LENGTH(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(t), 9) AS mean_tok_len,
-           ROUND(CAST(len(list_filter(t, x -> list_contains($stop, x))) AS DOUBLE) / len(t), 9) AS stop_ratio,
+           CASE WHEN len > 0
+                THEN ROUND(CAST(len - LENGTH(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / len, 9)
+                ELSE 0.0 END AS punct_ratio,
+           CASE WHEN len(t) > 0
+                THEN ROUND(CAST(LENGTH(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(t), 9)
+                ELSE 0.0 END AS mean_tok_len,
+           CASE WHEN len(t) > 0
+                THEN ROUND(CAST(len(list_filter(t, x -> list_contains($stop, x))) AS DOUBLE) / len(t), 9)
+                ELSE 0.0 END AS stop_ratio,
            ROUND((LEAST(CAST(len(t) AS DOUBLE) / 32.0, 1.0) * 0.3)
-               + ((1.0 - CAST(len - LENGTH(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / len) * 0.3)
-               + ((CAST(len(list_filter(t, x -> regexp_full_match(x, '[A-Za-z]+'))) AS DOUBLE) / len(t)) * 0.4), 9) AS quality
+               + ((1.0 - CASE WHEN len > 0
+                              THEN CAST(len - LENGTH(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / len
+                              ELSE 0.0 END) * 0.3)
+               + (CASE WHEN len(t) > 0
+                       THEN CAST(len(list_filter(t, x -> regexp_full_match(x, '[A-Za-z]+'))) AS DOUBLE) / len(t)
+                       ELSE 0.0 END * 0.4), 9) AS quality
     FROM toks ORDER BY doc_id ASC NULLS FIRST"""
   }
 
@@ -66,7 +80,9 @@ object TextQueries extends QueryPack {
       .mkString(" ")
     s"""
     WITH toks AS (
-      SELECT lang, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+      SELECT lang,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS t
+      FROM documents),
     pred AS (
       SELECT lang, CASE $cases ELSE 'und' END AS lang_pred FROM toks)
     SELECT lang, lang_pred, COUNT(*) AS n FROM pred

@@ -56,6 +56,36 @@ class CompilerSpec extends SparkSpec {
     assert(mx.toSeq == Seq(Some(20.0), Some(40.0), None))
   }
 
+  test("filters may reference derive'd columns (documented order: derive first)") {
+    df.createOrReplaceTempView("cspec_t")
+    val out = Compiler.compileJson(spark, """
+      {"source": {"table": "cspec_t"},
+       "derive": {"v2": "v * 2"},
+       "filters": ["v2 > 50"],
+       "keep_columns": ["k", "v2"]}""")
+    assert(out.collect().map(_.getDouble(1)).sorted.toSeq == Seq(60.0, 80.0, 100.0))
+  }
+
+  test("unlisted agg funcs: filter is compiled in, col='*' rejected") {
+    // kurtosis isn't in the dispatch table → expr passthrough; the filter
+    // must still apply (silently unfiltered results was the failure mode)
+    val out = Compiler.applyAggregate(df, AggregateSpec(
+      groupBy = Seq.empty,
+      aggs = Seq(
+        AggSpec("v", "skewness", Some("sk"), filter = Some("id != 2")),
+        AggSpec("v", "sum", Some("sv"), filter = Some("id != 2")))))
+      .collect().head
+    assert(out.getDouble(1) == 130.0) // filtered sum proves the when-path
+    assert(!out.isNullAt(0)) // skewness over the 4 filtered rows
+    val full = Compiler.applyAggregate(df, AggregateSpec(
+      groupBy = Seq.empty, aggs = Seq(AggSpec("v", "skewness", Some("sk")))))
+      .collect().head.getDouble(0)
+    assert(out.getDouble(0) != full, "filter was dropped for unlisted func")
+    intercept[IllegalArgumentException] {
+      Compiler.aggColumn(AggSpec("*", "skewness", None))
+    }
+  }
+
   test("keep_columns outside group keys resolves to any_value") {
     val out = Compiler.applyAggregate(
       df.filter($"k" === "a" && $"id" === 1),
