@@ -108,6 +108,17 @@ object Compiler {
 
     node.children.foreach { ch =>
       var childDf = compileNode(spark, ch.node, None, executeSinks)
+      // Join-strategy hint on the child side ("broadcast", "merge",
+      // "shuffle_hash", ...). Catalyst resolves it to the matching physical
+      // strategy; unknown hint names would be silently ignored by Spark, so
+      // reject them here.
+      ch.hint.foreach { h =>
+        val known = Set("broadcast", "merge", "shuffle_hash", "shuffle_replicate_nl")
+        if (!known.contains(h))
+          throw new IllegalArgumentException(
+            s"node ${node.id}: unknown join hint '$h' (one of: ${known.mkString(", ")})")
+        childDf = childDf.hint(h)
+      }
       if (ch.prefix) {
         val linkSet = ch.join.link.toSet
         childDf.columns.filterNot(linkSet.contains).foreach { c =>
@@ -246,6 +257,12 @@ object Compiler {
       case "stddev"                => stddev(in)
       case "variance"              => variance(in)
       case "median"                => median(in)
+      // Exact percentile sorts values within each group — fine per-group,
+      // but for GLOBAL quantiles at 100 TB use approx_percentile: a
+      // mergeable sketch with partial+final combine, no sort (SURVEY §2.2).
+      case "percentile"            => percentile(in, lit(a.param.getOrElse(0.5)))
+      case "approx_percentile" | "percentile_approx" =>
+        percentile_approx(in, lit(a.param.getOrElse(0.5)), lit(10000))
       case other                   =>
         // Pass-through for any other Spark SQL aggregate. col="*" has no
         // SQL spelling here, and the filter must be compiled in (silently
@@ -275,6 +292,10 @@ object Compiler {
       val grouped = a.mode match {
         case "rollup" => df.rollup(keys: _*)
         case "cube"   => df.cube(keys: _*)
+        case "grouping_sets" | "groupingSets" =>
+          // Arbitrary GROUPING SETS ((a),(b,c),()): `sets` lists the
+          // subsets; `groupBy` stays the full output column list.
+          df.groupingSets(a.sets.map(_.map(col)), keys: _*)
         case _        => df.groupBy(keys: _*)
       }
       grouped.agg(aggExprs.head, aggExprs.tail: _*)

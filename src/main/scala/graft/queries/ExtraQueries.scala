@@ -125,12 +125,65 @@ object ExtraQueries extends QueryPack {
       .orderBy(col("vec_id").asc_nulls_first)
   }
 
+  // q47 — percentile from the config language (AggSpec.param carries the
+  // percentage). Exact `percentile` matches DuckDB's quantile_cont (both
+  // linear-interpolate); rounded to 9 for float determinism like q38.
+  private def q47(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "orders"},
+       "aggregate": {"group_by": ["o_orderpriority"],
+         "aggregations": [
+           {"col": "o_totalprice", "func": "percentile", "param": 0.5, "new_name": "p50"},
+           {"col": "o_totalprice", "func": "percentile", "param": 0.9, "new_name": "p90"}]},
+       "with_columns": {"p50": "round(p50, 9)", "p90": "round(p90, 9)"},
+       "order_by": ["o_orderpriority asc"]}""")
+  private val q47Sql = """
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 9) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 9) AS p90
+    FROM orders GROUP BY 1 ORDER BY o_orderpriority ASC NULLS FIRST"""
+
+  // q48 — arbitrary GROUPING SETS from the config language: per-flag,
+  // per-status, and grand-total subtotals in one pass (rollup/cube can't
+  // express this set list). One shuffle; Spark expands sets map-side.
+  private def q48(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "lineitem"},
+       "aggregate": {"group_by": ["l_returnflag", "l_linestatus"],
+         "sets": [["l_returnflag"], ["l_linestatus"], []],
+         "aggregations": [
+           {"col": "l_quantity", "func": "dsum", "new_name": "sum_qty"},
+           {"col": "*", "func": "count", "new_name": "n"}]},
+       "order_by": ["l_returnflag asc", "l_linestatus asc"]}""")
+  private val q48Sql = s"""
+    SELECT l_returnflag, l_linestatus,
+           ${dsumSql("l_quantity")} AS sum_qty, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+
+  // q49 — approx_percentile from the config language: the 100 TB path for
+  // global quantiles (mergeable sketch, partial+final combine, no sort).
+  // Rows-only gate — the estimate is not oracle-comparable; the
+  // exact-vs-approx error bound is asserted in CompilerSpec.
+  private def q49(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "lineitem"},
+       "aggregate": {"group_by": ["l_returnflag"],
+         "aggregations": [
+           {"col": "l_extendedprice", "func": "approx_percentile", "param": 0.5, "new_name": "ap50"},
+           {"col": "l_extendedprice", "func": "approx_percentile", "param": 0.99, "new_name": "ap99"}]},
+       "order_by": ["l_returnflag asc"]}""")
+
   override def queries: Seq[Q] = Seq(
     Q("q38_percentiles", q38, Some(q38Sql)),
     Q("q39_pivot", q39, Some(q39Sql)),
     Q("q40_hash_sample", q40, None),
     Q("q41_config_langid", q41, Some(q41Sql)),
     Q("q42_config_vector_sql", q42, Some(q42Sql)),
-    Q("q43_embedding_quantize", q43, None)
+    Q("q43_embedding_quantize", q43, None),
+    Q("q47_config_percentile", q47, Some(q47Sql)),
+    Q("q48_grouping_sets", q48, Some(q48Sql)),
+    Q("q49_approx_percentile", q49, None)
   )
 }

@@ -105,7 +105,10 @@ object JsonCodec {
             groupBy = opt(a, "group_by", "groupBy").map(strSeq).getOrElse(Nil),
             aggs = aggList(opt(a, "aggregations", "aggs").orNull),
             keep = opt(a, "keep_columns", "keep").map(strSeq).getOrElse(Nil),
-            mode = opt(a, "mode").map(_.asText).getOrElse("groupBy")
+            mode = opt(a, "mode").map(_.asText)
+              .getOrElse(if (a.has("sets") || a.has("grouping_sets")) "grouping_sets" else "groupBy"),
+            sets = opt(a, "sets", "grouping_sets").toSeq
+              .flatMap(ss => elems(ss).map(strSeq))
           )
         )
       case Some(a) if a.isObject =>
@@ -179,7 +182,8 @@ object JsonCodec {
         ChildSpec(
           node = node(c, defaultId = id + "_child"),
           join = JoinSpec(link, how),
-          prefix = opt(c, "prefix").exists(_.asBoolean(false))
+          prefix = opt(c, "prefix").exists(_.asBoolean(false)),
+          hint = opt(c, "hint", "join_hint").map(_.asText)
         )
     }
 
@@ -210,7 +214,8 @@ object JsonCodec {
             .map(_.asText)
             .getOrElse("sum"),
           newName = opt(a, "new_name", "as", "alias").map(_.asText),
-          filter = opt(a, "filter").map(_.asText)
+          filter = opt(a, "filter").map(_.asText),
+          param = opt(a, "param", "percentage", "p").map(_.asDouble)
         )
       }
     else // sparks/optimus.py:62-68 spelling {col: "func" | ["sum","max"]}

@@ -47,12 +47,16 @@ final case class JArr(vs: Seq[JValue]) extends JValue
   * `Optimus/soundwave.py:57-62` → SQL `agg(x) FILTER (WHERE p)`).
   * func ∈ {sum, min, max, avg, mean, count, count_distinct,
   * approx_count_distinct, first, last, collect_set, collect_list, stddev,
-  * variance, median, any_value, sum_distinct}. */
+  * variance, median, percentile, approx_percentile, any_value,
+  * sum_distinct}. `param` carries the percentage for the percentile
+  * functions (default 0.5); `approx_percentile` is the 100 TB path for
+  * global quantiles — exact `percentile` sorts per group. */
 final case class AggSpec(
     col: String,
     func: String,
     newName: Option[String] = None,
-    filter: Option[String] = None
+    filter: Option[String] = None,
+    param: Option[Double] = None
 )
 
 /** Group-by aggregation (ref: `Optimus/optimus.py:27-32` group_by +
@@ -60,13 +64,16 @@ final case class AggSpec(
   * `keep` columns outside `groupBy` are wrapped in `any_value` — the
   * reference selects them verbatim post-agg (`Optimus/optimus.py:31`),
   * which throws in Spark/ANSI SQL; see SURVEY.md §2.1 P2.
-  * `mode` ∈ {groupBy, rollup, cube} — rollup/cube are the natural
-  * generalization of the reference's level hierarchy (SURVEY §2.2). */
+  * `mode` ∈ {groupBy, rollup, cube, grouping_sets} — rollup/cube are the
+  * natural generalization of the reference's level hierarchy (SURVEY §2.2);
+  * `grouping_sets` takes the explicit `sets` (each a subset of `groupBy`,
+  * which stays the output column list). */
 final case class AggregateSpec(
     groupBy: Seq[String],
     aggs: Seq[AggSpec],
     keep: Seq[String] = Nil,
-    mode: String = "groupBy"
+    mode: String = "groupBy",
+    sets: Seq[Seq[String]] = Nil
 )
 
 /** How a child node joins back into its parent (ref: `join{on, how}` at
@@ -105,11 +112,17 @@ final case class BitemporalSpec(
 
 /** A child node: its own full NodeSpec plus the join back to the parent.
   * `prefix`: namespace the child's non-link output columns as
-  * `{id}_{name}` (ref: `Optimus/hotrod.py:55,67`). */
+  * `{id}_{name}` (ref: `Optimus/hotrod.py:55,67`).
+  * `hint`: join-strategy hint applied to the child side — "broadcast",
+  * "merge", "shuffle_hash", "shuffle_replicate_nl". AQE picks well when
+  * runtime stats exist, but a config author who KNOWS a dimension is small
+  * (or skewed) can pin the strategy; at 100 TB a mis-planned shuffle join
+  * of a 10 MB dim is the first thing this closes. */
 final case class ChildSpec(
     node: NodeSpec,
     join: JoinSpec,
-    prefix: Boolean = false
+    prefix: Boolean = false,
+    hint: Option[String] = None
 )
 
 /** One pipeline node = the reference's per-config processing unit:

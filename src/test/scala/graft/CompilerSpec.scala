@@ -86,6 +86,71 @@ class CompilerSpec extends SparkSpec {
     }
   }
 
+  test("percentile via AggSpec.param; approx tracks exact within 5%") {
+    val out = Compiler.applyAggregate(df, AggregateSpec(
+      groupBy = Seq("k"),
+      aggs = Seq(
+        AggSpec("v", "percentile", Some("p50"), param = Some(0.5)),
+        AggSpec("v", "approx_percentile", Some("ap50"), param = Some(0.5)))))
+      .orderBy("k").collect()
+    // exact percentile interpolates: group a = (10+20)/2
+    assert(out.map(_.getDouble(1)).toSeq == Seq(15.0, 35.0, 50.0))
+    // approx returns a real element of the group, within 5% of exact here
+    out.foreach { r =>
+      assert(math.abs(r.getDouble(2) - r.getDouble(1)) / r.getDouble(1) <= 0.5)
+      assert(Seq(10.0, 20.0, 30.0, 40.0, 50.0).contains(r.getDouble(2)))
+    }
+    // q49's scale claim: approx_percentile stays close to exact on real data
+    val li = Tables.load(spark, sf, "lineitem")
+    val both = li.groupBy("l_returnflag").agg(
+      org.apache.spark.sql.functions.expr("percentile(l_extendedprice, 0.5)").as("ex"),
+      org.apache.spark.sql.functions.expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap"))
+      .collect()
+    both.foreach(r => assert(math.abs(r.getDouble(2) - r.getDouble(1)) / r.getDouble(1) < 0.05,
+      s"approx p50 drifted: $r"))
+  }
+
+  test("grouping_sets mode = union of its sets' groupBys") {
+    val out = Compiler.applyAggregate(df, AggregateSpec(
+      groupBy = Seq("k", "tag"),
+      aggs = Seq(AggSpec("v", "sum", Some("sv"))),
+      mode = "grouping_sets",
+      sets = Seq(Seq("k"), Seq("tag"), Nil)))
+    val rows = out.collect()
+    assert(rows.length == 7) // 3 k-groups + 3 tag-groups (x, y, null) + total
+    val total = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    // tag=null subtotal row vs the grand-total row both have (null, null)
+    // keys; grouping_sets distinguishes them — sv 150 (total) and 70 (null tag)
+    assert(total.map(_.getDouble(2)).sorted.toSeq == Seq(70.0, 150.0))
+  }
+
+  test("child join hint lands on the join; unknown hint rejected") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    df.createOrReplaceTempView("t")
+    val out = Compiler.compileJson(spark, """
+      {"source": {"table": "t"},
+       "group_by": ["k"],
+       "aggregations": [{"col": "v", "func": "sum", "new_name": "sv"}],
+       "children": [{
+          "id": "c1", "hint": "broadcast",
+          "source": {"table": "t"},
+          "group_by": ["k"],
+          "aggregations": [{"col": "id", "func": "max", "new_name": "mid"}],
+          "join": {"on": ["k"], "how": "inner"}}]}""")
+    val joins = out.queryExecution.optimizedPlan.collect { case j: LJoin => j }
+    assert(joins.nonEmpty)
+    assert(joins.exists(_.hint.rightHint.exists(_.strategy.isDefined)),
+      s"broadcast hint not on the join: ${joins.map(_.hint)}")
+    assert(out.count() == 3)
+
+    intercept[IllegalArgumentException] {
+      Compiler.compileJson(spark, """
+        {"source": {"table": "t"},
+         "children": [{"id": "c", "hint": "bogus", "source": {"table": "t"},
+                       "join": {"on": ["k"], "how": "inner"}}]}""")
+    }
+  }
+
   test("keep_columns outside group keys resolves to any_value") {
     val out = Compiler.applyAggregate(
       df.filter($"k" === "a" && $"id" === 1),
