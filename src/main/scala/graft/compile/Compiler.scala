@@ -91,6 +91,10 @@ object Compiler {
 
     node.derive.foreach { case (c, e) => df = df.withColumn(c, expr(e)) }
 
+    // After derive (the watermark column may be derived), before any
+    // stateful op. No-op on batch frames.
+    node.watermark.foreach(w => df = df.withWatermark(w.col, w.delay))
+
     node.filters.foreach(f => df = df.filter(filterColumn(f)))
 
     if (node.keepColumns.nonEmpty)
@@ -164,6 +168,77 @@ object Compiler {
       df
     }
     results.last
+  }
+
+  // ---- streaming ---------------------------------------------------------
+
+  /** Compile a spec as a Structured Streaming pipeline: the root source
+    * becomes a `readStream`, the same node transforms apply (child nodes
+    * still read batch — a stream-static join, i.e. free dimension
+    * enrichment of the stream), and the root `save` starts a `writeStream`.
+    * Returns the running query. Cascades are batch-only (level k+1 would
+    * need level k's completed output). */
+  def compileStream(spark: SparkSession,
+      spec: PipelineSpec): org.apache.spark.sql.streaming.StreamingQuery =
+    spec match {
+      case TreePipeline(root) =>
+        val src = root.source.getOrElse(
+          throw new IllegalArgumentException("streaming pipeline needs a root source"))
+        val out = compileNode(spark, root, Some(readStreamSource(spark, src)),
+          executeSinks = false)
+        val sink = root.save.getOrElse(
+          throw new IllegalArgumentException("streaming pipeline needs a root save sink"))
+        startStreamSink(out, sink)
+      case _: CascadePipeline =>
+        throw new IllegalArgumentException("cascade pipelines are batch-only")
+    }
+
+  def compileStreamJson(spark: SparkSession,
+      json: String): org.apache.spark.sql.streaming.StreamingQuery =
+    compileStream(spark, JsonCodec.parse(json))
+
+  /** Streaming read of a source spec. File sources need a schema before
+    * the stream starts: inferred once from a batch read of the same path
+    * (parquet: footers only; csv with inferSchema: one extra pass —
+    * declare `options.schema` DDL to skip it). */
+  def readStreamSource(spark: SparkSession, s: SourceSpec): DataFrame =
+    (s.sql, s.table, s.path) match {
+      case (Some(_), _, _) =>
+        throw new IllegalArgumentException(
+          "sql sources are batch-only; streams need table or path")
+      case (_, Some(t), _) => spark.readStream.table(t)
+      case (_, _, Some(p)) =>
+        val r = spark.readStream.options(s.options)
+        val schema = s.options.get("schema") match {
+          case Some(ddl) => org.apache.spark.sql.types.StructType.fromDDL(ddl)
+          case None      => readSource(spark, s).schema
+        }
+        r.schema(schema).format(s.format).load(p)
+      case _ => throw new IllegalArgumentException(s"source needs table or path: $s")
+    }
+
+  /** Start a `writeStream` for a sink spec. Defaults are deliberately
+    * conservative: no trigger key = continuous micro-batches;
+    * "available_now"/"once" = drain what exists then stop (backfill /
+    * catch-up runs); an interval = Trigger.ProcessingTime. */
+  def startStreamSink(df: DataFrame,
+      s: SinkSpec): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    var w = df.writeStream.options(s.options)
+    s.outputMode.foreach(m => w = w.outputMode(m))
+    s.checkpoint.foreach(c => w = w.option("checkpointLocation", c))
+    s.trigger.foreach {
+      case "available_now" | "availableNow" | "once" =>
+        w = w.trigger(Trigger.AvailableNow())
+      case interval => w = w.trigger(Trigger.ProcessingTime(interval))
+    }
+    s.format match {
+      case "memory" =>
+        w.format("memory").queryName(s.queryName.getOrElse("graft_stream")).start()
+      case "console" => w.format("console").start()
+      case "csv"     => w.format("csv").option("header", "true").start(s.path)
+      case f         => w.format(f).start(s.path)
+    }
   }
 
   // ---- pieces ------------------------------------------------------------

@@ -159,6 +159,12 @@ object JsonCodec {
         fields(w).map { case (c, e) => c -> e.asText }
       )
 
+    val wm = opt(n, "watermark").map { w =>
+      WatermarkSpec(
+        col = opt(w, "col", "column").get.asText,
+        delay = opt(w, "delay", "threshold").get.asText)
+    }
+
     val bt = opt(n, "bitemporal").map { b =>
       if (b.isBoolean) BitemporalSpec()
       else
@@ -192,6 +198,7 @@ object JsonCodec {
       source = source,
       filters = filters,
       derive = derive,
+      watermark = wm,
       keepColumns = if (aggregate.isDefined) Nil else keep,
       aggregate = aggregate,
       rename = rename,
@@ -238,12 +245,17 @@ object JsonCodec {
     if (s.isTextual) SinkSpec(path = s.asText)
     else
       SinkSpec(
-        path = opt(s, "path").get.asText,
+        // memory/console sinks are pathless
+        path = opt(s, "path").map(_.asText).getOrElse(""),
         format = opt(s, "format").map(_.asText).getOrElse("parquet"),
         mode = opt(s, "mode").map(_.asText).getOrElse("overwrite"),
         options = opt(s, "options")
           .map(o => fields(o).map { case (k, v) => k -> v.asText }.toMap)
-          .getOrElse(Map.empty)
+          .getOrElse(Map.empty),
+        trigger = opt(s, "trigger").map(_.asText),
+        checkpoint = opt(s, "checkpoint", "checkpoint_location").map(_.asText),
+        outputMode = opt(s, "output_mode", "outputMode").map(_.asText),
+        queryName = opt(s, "query_name", "queryName").map(_.asText)
       )
 
   private def cascade(n: JsonNode): CascadeSpec = {

@@ -93,13 +93,31 @@ final case class SourceSpec(
 )
 
 /** Sink (ref: per-node save `pandas/optimus.py:10-12`, per-iteration save
-  * `Optimus/optimus.py:48-51`). */
+  * `Optimus/optimus.py:48-51`).
+  *
+  * The streaming fields make the same spec a `writeStream` target under
+  * `Compiler.compileStream` (batch/stream symmetry — SURVEY §3):
+  * `trigger` ∈ {"available_now", "once", "<interval>" e.g. "10 seconds"},
+  * `outputMode` ∈ {append, update, complete}, `checkpoint` is the fault-
+  * tolerance dir (REQUIRED for production streams — exactly-once resumes
+  * hang off it), `queryName` names memory-sink tables. All four are
+  * ignored by the batch writer. */
 final case class SinkSpec(
     path: String,
     format: String = "parquet",
     mode: String = "overwrite",
-    options: Map[String, String] = Map.empty
+    options: Map[String, String] = Map.empty,
+    trigger: Option[String] = None,
+    checkpoint: Option[String] = None,
+    outputMode: Option[String] = None,
+    queryName: Option[String] = None
 )
+
+/** Event-time watermark (streaming state eviction bound). Applied after
+  * `derive`, so the watermark column may itself be derived (e.g. a
+  * timestamp decoded from raw nanos). A no-op in batch compiles — which is
+  * exactly what lets one spec serve both engines. */
+final case class WatermarkSpec(col: String, delay: String)
 
 /** Literal column stamp, e.g. bitemporal validity interval
   * (ref: `Optimus/soundwave.py:76-78` valid_from/valid_to). */
@@ -135,6 +153,7 @@ final case class NodeSpec(
     source: Option[SourceSpec] = None,
     filters: Seq[FilterSpec] = Nil,
     derive: Seq[(String, String)] = Nil, // pre-agg computed columns (name -> expr)
+    watermark: Option[WatermarkSpec] = None,
     keepColumns: Seq[String] = Nil,
     aggregate: Option[AggregateSpec] = None,
     rename: Seq[(String, String)] = Nil,

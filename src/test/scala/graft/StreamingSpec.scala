@@ -86,6 +86,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("config-declared streaming pipeline (watermark + window + sink) equals batch") {
+    // The full streaming surface from ONE config: readStream source,
+    // derived event-time column, watermark, windowed agg, writeStream
+    // memory sink with trigger — and the IDENTICAL spec compiled batch.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val json = s"""
+      {"id": "cfg",
+       "source": {"format": "parquet", "path": "$eventsDir"},
+       "derive": {"ts2": "timestamp_micros(ts div 1000)",
+                  "win": "window(ts2, '1 hour')"},
+       "watermark": {"col": "ts2", "delay": "10 minutes"},
+       "aggregate": {"group_by": ["win", "event_type"],
+         "aggregations": [
+           {"col": "*", "func": "count", "new_name": "n"},
+           {"col": "value", "func": "dsum", "new_name": "sum_value"}]},
+       "with_columns": {"win_start": "win.start"},
+       "save": {"format": "memory", "query_name": "cfg_stream",
+                "trigger": "available_now", "output_mode": "complete"}}"""
+
+    val spec = graft.spec.JsonCodec.parse(json)
+    val batch = graft.compile.Compiler.compile(spark, spec, executeSinks = false)
+      .orderBy("win_start", "event_type").collect().map(_.toSeq).toSeq
+
+    val q = graft.compile.Compiler.compileStream(spark, spec)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("cfg_stream")
+      .orderBy("win_start", "event_type").collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val ev = Tables.load(spark, sf, "events")
     def split(df: org.apache.spark.sql.DataFrame) = (
