@@ -40,9 +40,10 @@ object Multimodal {
 
   /** STUB for the real decoder (???): a deterministic fake "feature
     * extractor" — 8 floats derived from evenly-spaced payload bytes.
-    * Replace the body with the actual codec (JNI/lib) call; the partition
-    * batching, signature, and output schema are the production shape. */
-  private def decodeStub(payload: Array[Byte]): Array[Float] =
+    * The default `decoder` for [[featurize]]; swap in the actual codec
+    * (JNI/lib) call via the injection seam — the partition batching,
+    * signature, and output schema are the production shape. */
+  def decodeStub(payload: Array[Byte]): Array[Float] =
     if (payload == null || payload.isEmpty) Array.fill(8)(0.0f)
     else {
       val n = payload.length
@@ -52,15 +53,24 @@ object Multimodal {
   /** Partition-wise featurize: iterates each partition once (the iterator
     * is where a real implementation amortizes codec/model init per batch,
     * exactly like a pandas-UDF batch), emitting (media_id, features).
-    * Narrow — no shuffle; parallelism = input partitions. */
-  def featurize(media: DataFrame): DataFrame = {
+    * Narrow — no shuffle; parallelism = input partitions.
+    *
+    * `decoder` is the injection seam: any serializable
+    * `Array[Byte] => Array[Float]` (the real codec in production, the
+    * deterministic [[decodeStub]] by default). `init` runs ONCE per
+    * partition before the first row — codec/model warm-up whose cost is
+    * amortized over the whole batch, the reason this is mapPartitions and
+    * not a per-row expression. */
+  def featurize(media: DataFrame,
+      decoder: Array[Byte] => Array[Float] = decodeStub,
+      init: () => Unit = () => ()): DataFrame = {
     val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
     val out: Dataset[(Long, Array[Float])] = media
       .select(col("media_id").cast("long"), col("payload"))
       .as(enc)
       .mapPartitions { it =>
-        // real impl: init decoder ONCE here, then stream the batch
-        it.map { case (id, payload) => (id, decodeStub(payload)) }
+        init() // once per partition, before any payload is touched
+        it.map { case (id, payload) => (id, decoder(payload)) }
       }(Encoders.tuple(Encoders.scalaLong, ExpressionEncoder[Array[Float]]()))
     out.toDF("media_id", "features")
   }

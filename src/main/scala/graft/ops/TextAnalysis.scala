@@ -113,4 +113,24 @@ object TextAnalysis {
       lit(0L),
       (acc, h) => pmod(acc * lit(31L) + h, lit(m)))
   }
+
+  /** Engine-portable variant of [[fingerprint]]: per-token hash is a
+    * character polynomial (Horner over Unicode code points, 131 base) —
+    * defined entirely by arithmetic any SQL engine reproduces exactly, so
+    * the whole column is oracle-comparable bit-for-bit. ~10× more per-row
+    * work than the xxhash64 path (a HOF per character, not a native hash
+    * kernel per token): use [[fingerprint]] at scale, this one where
+    * cross-engine verifiability matters more than throughput. */
+  def fingerprintPortable(text: Column): Column = {
+    val m = 1000000007L
+    def tokHash(t: Column): Column =
+      aggregate(
+        transform(sequence(lit(1), length(t)), i => ascii(t.substr(i, lit(1))).cast("long")),
+        lit(7L),
+        (acc, c) => pmod(acc * lit(131L) + c, lit(m)))
+    aggregate(
+      transform(tokens(text), tokHash(_)),
+      lit(0L),
+      (acc, h) => pmod(acc * lit(31L) + h, lit(m)))
+  }
 }

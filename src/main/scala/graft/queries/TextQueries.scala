@@ -89,19 +89,37 @@ object TextQueries extends QueryPack {
     GROUP BY 1, 2 ORDER BY lang ASC NULLS FIRST, lang_pred ASC NULLS FIRST"""
   }
 
-  // q26 — order-sensitive rolling-hash fingerprint (xxhash64 — not
-  // reproducible in DuckDB → rows-only gate; cross-checked by a ScalaTest
-  // invariant: permuted docs fingerprint differently, duplicated docs
-  // fingerprint identically).
+  // q26 — order-sensitive rolling-hash fingerprint, the PORTABLE variant:
+  // per-token Horner over code points, then Horner over token hashes —
+  // pure modular arithmetic DuckDB reproduces bit-for-bit, so this gets a
+  // full hash-match oracle. The xxhash64 fast path (TextAnalysis
+  // .fingerprint, the one to use at 100 TB) stays covered by the OpsSpec
+  // order-sensitivity invariant — xxhash64 itself has no DuckDB spelling.
   private def q26(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
         col("doc_id"),
-        TextAnalysis.fingerprint(col("text")).as("fp"))
+        TextAnalysis.fingerprintPortable(col("text")).as("fp"))
       .orderBy(col("doc_id").asc_nulls_first)
+  private val q26Sql = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS t
+      FROM documents)
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(t, tok ->
+                 list_reduce(
+                   list_prepend(CAST(7 AS BIGINT),
+                     list_transform(range(1, len(tok) + 1),
+                       i -> CAST(ascii(tok[i]) AS BIGINT))),
+                   (a, c) -> (a * 131 + c) % 1000000007))),
+             (a, h) -> (a * 31 + h) % 1000000007) AS fp
+    FROM toks ORDER BY doc_id ASC NULLS FIRST"""
 
   override def queries: Seq[Q] = Seq(
     Q("q24_text_stats", q24, Some(q24Sql)),
     Q("q25_lang_id", q25, Some(q25Sql)),
-    Q("q26_fingerprint", q26, None)
+    Q("q26_fingerprint", q26, Some(q26Sql))
   )
 }

@@ -110,13 +110,15 @@ class OpsSpec extends SparkSpec {
       Seq(Some("a"), Some("b"), None))
   }
 
-  test("fingerprint: order-sensitive, equal for equal docs") {
-    val d = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "alpha beta gamma"))
-      .toDF("id", "text")
-      .select($"id", TextAnalysis.fingerprint($"text").as("fp"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(d(1) == d(3))
-    assert(d(1) != d(2))
+  test("fingerprint: order-sensitive, equal for equal docs (both variants)") {
+    for (fp <- Seq(TextAnalysis.fingerprint(_), TextAnalysis.fingerprintPortable(_))) {
+      val d = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "alpha beta gamma"))
+        .toDF("id", "text")
+        .select($"id", fp($"text").as("fp"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(d(1) == d(3))
+      assert(d(1) != d(2))
+    }
   }
 
   test("multimodal: featurize preserves ids, fixed feature width, meta prunes payload") {
@@ -127,6 +129,31 @@ class OpsSpec extends SparkSpec {
     // metadata-only plan must not read the payload column
     val metaPlan = media.select($"meta.n_bytes").queryExecution.optimizedPlan.toString
     assert(!metaPlan.contains("payload") || metaPlan.contains("n_bytes"))
+  }
+
+  test("multimodal: decoder injection — two decoders through one pipeline") {
+    val media = Multimodal.asMedia(docs.limit(100), "doc_id", "text")
+    // decoder 1: the default stub; decoder 2: a different (serializable)
+    // codec — 4-dim byte-sum features. Same plumbing, different outputs,
+    // proving the production seam (swap in a JNI codec) really is exercised.
+    val alt: Array[Byte] => Array[Float] = p =>
+      if (p == null || p.isEmpty) Array.fill(4)(0.0f)
+      else {
+        val sums = Array.fill(4)(0L)
+        var i = 0
+        while (i < p.length) { sums(i % 4) += (p(i) & 0xff); i += 1 }
+        sums.map(s => (s % 256).toFloat)
+      }
+    val d1 = Multimodal.featurize(media).orderBy("media_id").collect()
+    val d2 = Multimodal.featurize(media, alt).orderBy("media_id").collect()
+    assert(d1.length == 100 && d2.length == 100)
+    assert(d1.map(_.getLong(0)).toSeq == d2.map(_.getLong(0)).toSeq)
+    assert(d1.head.getSeq[Float](1).size == 8)
+    assert(d2.head.getSeq[Float](1).size == 4)
+    // per-partition init fires and is visible executor-side via accumulator
+    val inits = spark.sparkContext.longAccumulator("decoder_inits")
+    val n = Multimodal.featurize(media, alt, init = () => inits.add(1)).count()
+    assert(n == 100 && inits.value >= 1)
   }
 
   test("normalize yields unit vectors; int8 quantization round-trips within error bound") {
