@@ -104,21 +104,41 @@ object Similarity {
 
   /** One row per (band, band_key) bucket membership: the hyperplane
     * signature split into `bands` chunks of numBits/bands sign bits each
-    * (pigeonhole banding). Norms ride along so scoring at the join output
-    * needs only a dot product. */
+    * (pigeonhole banding). Norms and the full signature ride along so the
+    * join output can score (one dot) and detect first-collision (bitwise)
+    * without touching the source again. */
   private def explodeBands(
       df: DataFrame, id: String, vec: String,
-      idAs: String, vecAs: String, nAs: String,
+      idAs: String, vecAs: String, nAs: String, sigAs: String,
       dim: Int, numBits: Int, bands: Int): DataFrame = {
     require(numBits % bands == 0, "bands must divide numBits")
     val width = numBits / bands
     df.select(col(id).as(idAs), col(vec).as(vecAs),
         l2Norm(col(vec)).as(nAs),
-        hyperplaneSignature(col(vec), dim, numBits).as("__sig"))
-      .select(col(idAs), col(vecAs), col(nAs),
+        hyperplaneSignature(col(vec), dim, numBits).as(sigAs))
+      .select(col(idAs), col(vecAs), col(nAs), col(sigAs),
         posexplode(array((0 until bands).map(c =>
-          shiftright(col("__sig"), c * width)
+          shiftright(col(sigAs), c * width)
             .bitwiseAND(lit((1L << width) - 1L))): _*)).as(Seq("band", "band_key")))
+  }
+
+  /** True iff `band` is the FIRST band in which the two signatures agree —
+    * i.e. every earlier chunk of sigA XOR sigB is nonzero. A pair colliding
+    * in m bands would otherwise be scored m times and need a dedup shuffle;
+    * this predicate is a few bitwise ops evaluated BEFORE the dot product,
+    * so each candidate pair costs exactly one dot and the join output needs
+    * no distinct/groupBy afterwards. */
+  private def firstCollision(sigA: Column, sigB: Column, width: Int, bands: Int): Column = {
+    // Flat boolean over LITERAL shifts — no sequence()/forall(): a HOF here
+    // allocates an array per join row and runs interpreted, which costs
+    // more than the dot products it saves (measured). This form is plain
+    // bitwise arithmetic inside whole-stage codegen.
+    val x = sigA.bitwiseXOR(sigB)
+    val earlierZero = (0 until bands - 1).map { j =>
+      val chunkMask = lit(((1L << width) - 1L) << (j * width))
+      (col("band") > j) && (x.bitwiseAND(chunkMask) === 0)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    !earlierZero
   }
 
   /** IVF-style bucketed ANN: band the hyperplane signature into `bands`
@@ -138,14 +158,14 @@ object Similarity {
       numBits: Int = 32,
       bands: Int = 4
   ): DataFrame = {
-    val qb = explodeBands(queries, queryId, queryVec, "__qid", "__qv", "__qn", dim, numBits, bands)
-    val cb = explodeBands(corpus, corpusId, corpusVec, "__cid", "__cv", "__cn", dim, numBits, bands)
-    // Score at the join output and dedupe multi-band collisions by
-    // (id, id) AFTER scoring: re-computing a 64-float dot per extra
-    // collision is far cheaper than shuffling the vectors through a
-    // distinct() — only (id, id, score) triples hit the wire.
+    val qb = explodeBands(queries, queryId, queryVec, "__qid", "__qv", "__qn", "__qsig", dim, numBits, bands)
+    val cb = explodeBands(corpus, corpusId, corpusVec, "__cid", "__cv", "__cn", "__csig", dim, numBits, bands)
+    // Each colliding pair is scored exactly once — in its first shared
+    // band (cheap bitwise predicate, checked before the dot product) — so
+    // no dedup shuffle is needed afterwards.
     val scored = qb.join(cb, Seq("band", "band_key"))
-      .filter(col("__qid") =!= col("__cid"))
+      .filter(col("__qid") =!= col("__cid") &&
+        firstCollision(col("__qsig"), col("__csig"), numBits / bands, bands))
       .select(
         col("__qid").as(queryId), col("__cid").as(corpusId),
         round(
@@ -153,8 +173,6 @@ object Similarity {
             dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
             .otherwise(lit(0.0)),
           9).as("score"))
-      .groupBy(queryId, corpusId)
-      .agg(first(col("score")).as("score"))
     Relational.topKPerGroup(
       scored, Seq(queryId),
       Seq(col("score").desc, col(corpusId).asc), k, rankCol = "rank")
@@ -233,9 +251,10 @@ object Similarity {
     * ≈ 0.99 with strong pruning (256-way buckets/band). The defaults here
     * (w=2, 16 bands) are sized for LOW thresholds like the q32 fixture's
     * 0.4, where recall ≈ 0.9997 but pruning is necessarily weak — the
-    * S-curve math, not the plan shape, is the knob. Multi-band collisions
-    * are deduped AFTER scoring on (idA, idB): re-computing a dot per extra
-    * collision is cheaper than shuffling vectors through a distinct. */
+    * S-curve math, not the plan shape, is the knob. A pair colliding in
+    * several bands is scored once, in its FIRST shared band (bitwise
+    * predicate on the XOR'd signatures, checked before the dot product), so
+    * no dedup shuffle exists in the plan at all. */
   def cosineNearDupPairsBanded(
       corpus: DataFrame,
       idCol: String,
@@ -245,13 +264,16 @@ object Similarity {
       numBits: Int = 32,
       bands: Int = 16
   ): DataFrame = {
-    val banded = explodeBands(corpus, idCol, vecCol, "__id", "__v", "__n", dim, numBits, bands)
+    val banded = explodeBands(corpus, idCol, vecCol, "__id", "__v", "__n", "__sig", dim, numBits, bands)
     val a = banded.select(col("band"), col("band_key"),
-      col("__id").as("idA"), col("__v").as("__va"), col("__n").as("__na"))
+      col("__id").as("idA"), col("__v").as("__va"), col("__n").as("__na"),
+      col("__sig").as("__siga"))
     val b = banded.select(col("band"), col("band_key"),
-      col("__id").as("idB"), col("__v").as("__vb"), col("__n").as("__nb"))
+      col("__id").as("idB"), col("__v").as("__vb"), col("__n").as("__nb"),
+      col("__sig").as("__sigb"))
     a.join(b, Seq("band", "band_key"))
-      .filter(col("idA") < col("idB"))
+      .filter(col("idA") < col("idB") &&
+        firstCollision(col("__siga"), col("__sigb"), numBits / bands, bands))
       .select(col("idA"), col("idB"),
         round(
           when(col("__na") > 0 && col("__nb") > 0,
@@ -259,7 +281,5 @@ object Similarity {
             .otherwise(lit(0.0)),
           9).as("score"))
       .filter(col("score") >= threshold)
-      .groupBy("idA", "idB")
-      .agg(first(col("score")).as("score"))
   }
 }

@@ -126,11 +126,22 @@ object RelQueries extends QueryPack {
   // q16 — approx_count_distinct (HLL++): rows-only check (Spark's HLL++ and
   // DuckDB's HLL give different estimates by design), with the exact
   // distinct alongside for eyeballing relative error.
-  private def q16(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem").agg(
+  //
+  // Deliberately TWO aggregations cross-joined (both 1-row), not one: mixing
+  // an exact count_distinct with approx sketches in a single agg makes
+  // Spark's distinct-rewrite group by the distinct column and carry a
+  // partial HLL PER GROUP — with rsd=0.01 that's a 2^14-register sketch per
+  // l_orderkey (measured 10 s at sf0.1; GBs of registers at 100 TB).
+  // Separated, the sketches stay global (one HLL per partition, merged) and
+  // the exact distinct gets its own plain two-phase plan.
+  private def q16(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val approx = li.agg(
       approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-      count_distinct(col("l_orderkey")).as("exact_orders"),
       approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+    val exact = li.agg(count_distinct(col("l_orderkey")).as("exact_orders"))
+    approx.crossJoin(exact).select("approx_orders", "exact_orders", "approx_parts")
+  }
 
   // q17 — rollup over the cascade's level hierarchy (returnflag →
   // linestatus), subtotals identified by null keys; cube on orders.
