@@ -175,6 +175,33 @@ object ExtraQueries extends QueryPack {
            {"col": "l_extendedprice", "func": "approx_percentile", "param": 0.99, "new_name": "ap99"}]},
        "order_by": ["l_returnflag asc"]}""")
 
+  // q50 — window functions from the config language: `with_columns` expr
+  // strings parse full `... OVER (...)` syntax, so ranking/lag/running
+  // aggregates need no dedicated spec key. The three windows share one
+  // partition+order → Catalyst's CollapseWindow folds them into a single
+  // Window operator (one shuffle+sort). Running sum goes through decimal
+  // for cross-engine determinism (same rationale as q13).
+  private def q50(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "lineitem"},
+       "filters": ["l_suppkey <= 10"],
+       "keep_columns": ["l_suppkey", "l_orderkey", "l_linenumber", "l_quantity"],
+       "with_columns": {
+         "rn": "row_number() over (partition by l_suppkey order by l_orderkey asc, l_linenumber asc)",
+         "prev_qty": "lag(l_quantity, 1) over (partition by l_suppkey order by l_orderkey asc, l_linenumber asc)",
+         "running_qty": "cast(sum(cast(l_quantity as decimal(25,6))) over (partition by l_suppkey order by l_orderkey asc, l_linenumber asc rows between unbounded preceding and current row) as double)"},
+       "order_by": ["l_suppkey asc", "rn asc"]}""")
+  private val q50Sql = """
+    SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+           CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+           LAG(l_quantity, 1) OVER w AS prev_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6)))
+                OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_qty
+    FROM lineitem WHERE l_suppkey <= 10
+    WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_orderkey ASC, l_linenumber ASC)
+    ORDER BY l_suppkey ASC NULLS FIRST, rn ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
     Q("q38_percentiles", q38, Some(q38Sql)),
     Q("q39_pivot", q39, Some(q39Sql)),
@@ -184,6 +211,7 @@ object ExtraQueries extends QueryPack {
     Q("q43_embedding_quantize", q43, None),
     Q("q47_config_percentile", q47, Some(q47Sql)),
     Q("q48_grouping_sets", q48, Some(q48Sql)),
-    Q("q49_approx_percentile", q49, None)
+    Q("q49_approx_percentile", q49, None),
+    Q("q50_config_window", q50, Some(q50Sql))
   )
 }

@@ -151,6 +151,25 @@ class CompilerSpec extends SparkSpec {
     }
   }
 
+  test("window exprs in with_columns collapse to one Window operator") {
+    Tables.registerViews(spark, sf)
+    val out = SparkEntry.queries("q50_config_window")(spark, sf)
+    val windows = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    // the three windowed with_columns share one partition+order, so however
+    // Catalyst groups them into Window nodes, they must all agree on spec …
+    assert(windows.nonEmpty &&
+      windows.map(w => (w.partitionSpec.map(_.toString), w.orderSpec.map(_.toString))).distinct.size == 1,
+      s"window specs diverged: $windows")
+    // … and the physical plan must pay exactly ONE hash shuffle (the window
+    // partitioning; the final orderBy is a separate range exchange) — not a
+    // shuffle/sort per expression
+    val physical = out.queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(physical).size
+    assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges:\n$physical")
+  }
+
   test("keep_columns outside group keys resolves to any_value") {
     val out = Compiler.applyAggregate(
       df.filter($"k" === "a" && $"id" === 1),
