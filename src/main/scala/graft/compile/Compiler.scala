@@ -97,6 +97,21 @@ object Compiler {
 
     node.filters.foreach(f => df = df.filter(filterColumn(f)))
 
+    // Dedup after filters (dropping rows first shrinks the dedup shuffle),
+    // before projection/aggregation so min_by can carry all columns.
+    node.dedup.foreach { d =>
+      df =
+        if (d.withinWatermark) {
+          if (node.watermark.isEmpty)
+            throw new IllegalArgumentException(
+              s"node ${node.id}: dedup.within_watermark requires a node watermark")
+          df.dropDuplicatesWithinWatermark(d.keys)
+        } else d.idCol match {
+          case Some(id) => graft.ops.Dedup.exactDedup(df, d.keys, id)
+          case None     => df.dropDuplicates(d.keys)
+        }
+    }
+
     if (node.keepColumns.nonEmpty)
       df = df.select(node.keepColumns.map(col): _*)
 

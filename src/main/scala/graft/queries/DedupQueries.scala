@@ -124,11 +124,30 @@ object DedupQueries extends QueryPack {
     WHERE doc_id NOT IN (SELECT id FROM losers)
     ORDER BY doc_id ASC NULLS FIRST"""
 
+  // q51 — exact dedup from the config language: the `dedup` node key with
+  // a deterministic min-id winner, then a keep/order — same semantics the
+  // Scala API exposes in q27, now reachable by a config author (and, with
+  // within_watermark, by streaming compiles — see StreamingSpec).
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "events"},
+       "keep_columns": ["user_id", "event_type", "event_id", "value", "ts"],
+       "dedup": {"keys": ["user_id", "event_type"], "id_col": "event_id"},
+       "order_by": ["user_id asc", "event_type asc"]}""")
+  }
+  private val q51Sql = """
+    SELECT user_id, event_type, MIN(event_id) AS event_id,
+           ARG_MIN(value, event_id) AS value, ARG_MIN(ts, event_id) AS ts
+    FROM events GROUP BY 1, 2
+    ORDER BY user_id ASC NULLS FIRST, event_type ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
     Q("q27_dedup_exact", q27, Some(q27Sql)),
     Q("q28_ngram_jaccard", q28, Some(q28Sql)),
     Q("q29_minhash_lsh", q29, None),
     Q("q30_simhash", q30, None),
-    Q("q45_dedup_pipeline", q45, Some(q45Sql))
+    Q("q45_dedup_pipeline", q45, Some(q45Sql)),
+    Q("q51_config_dedup", q51, Some(q51Sql))
   )
 }

@@ -159,6 +159,16 @@ object JsonCodec {
         fields(w).map { case (c, e) => c -> e.asText }
       )
 
+    val dd = opt(n, "dedup", "drop_duplicates").map { d =>
+      if (d.isArray || d.isTextual) DedupSpec(keys = strSeq(d))
+      else
+        DedupSpec(
+          keys = opt(d, "keys", "on").map(strSeq).getOrElse(Nil),
+          idCol = opt(d, "id_col", "idCol").map(_.asText),
+          withinWatermark =
+            opt(d, "within_watermark", "withinWatermark").exists(_.asBoolean(false)))
+    }
+
     val wm = opt(n, "watermark").map { w =>
       WatermarkSpec(
         col = opt(w, "col", "column").get.asText,
@@ -199,6 +209,7 @@ object JsonCodec {
       filters = filters,
       derive = derive,
       watermark = wm,
+      dedup = dd,
       keepColumns = if (aggregate.isDefined) Nil else keep,
       aggregate = aggregate,
       rename = rename,

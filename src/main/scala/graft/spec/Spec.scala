@@ -119,6 +119,20 @@ final case class SinkSpec(
   * exactly what lets one spec serve both engines. */
 final case class WatermarkSpec(col: String, delay: String)
 
+/** Exact deduplication on `keys` (NS; not in the reference).
+  * `idCol` set → deterministic winner: the row with the minimum id per key
+  * group (one partial+final hash aggregate via min_by — replay-stable
+  * under retries, unlike dropDuplicates whose survivor is
+  * partition-order-dependent). `idCol` unset → plain dropDuplicates.
+  * `withinWatermark` (streaming compiles; requires the node `watermark`) →
+  * dropDuplicatesWithinWatermark: state holds one entry per key inside
+  * the horizon and is evicted by the watermark. */
+final case class DedupSpec(
+    keys: Seq[String],
+    idCol: Option[String] = None,
+    withinWatermark: Boolean = false
+)
+
 /** Literal column stamp, e.g. bitemporal validity interval
   * (ref: `Optimus/soundwave.py:76-78` valid_from/valid_to). */
 final case class BitemporalSpec(
@@ -154,6 +168,7 @@ final case class NodeSpec(
     filters: Seq[FilterSpec] = Nil,
     derive: Seq[(String, String)] = Nil, // pre-agg computed columns (name -> expr)
     watermark: Option[WatermarkSpec] = None,
+    dedup: Option[DedupSpec] = None,
     keepColumns: Seq[String] = Nil,
     aggregate: Option[AggregateSpec] = None,
     rename: Seq[(String, String)] = Nil,

@@ -166,6 +166,34 @@ class StreamingSpec extends SparkSpec {
       .filter($"count" > 1).count() == 0)
   }
 
+  test("config-declared streaming dedup drops within-watermark duplicates") {
+    // doubled input: the same events parquet staged twice in one dir
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_dbl")
+    for (n <- Seq("a", "b"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve(s"$n.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val q = graft.compile.Compiler.compileStreamJson(spark, s"""
+      {"id": "cfg_dd",
+       "source": {"format": "parquet", "path": "$dir"},
+       "derive": {"ts2": "timestamp_micros(ts div 1000)"},
+       "watermark": {"col": "ts2", "delay": "1 hour"},
+       "dedup": {"keys": ["event_id"], "within_watermark": true},
+       "save": {"format": "memory", "query_name": "cfg_stream_dedup",
+                "trigger": "available_now", "output_mode": "append"}}""")
+    q.processAllAvailable(); q.stop()
+    val distinctIds = Tables.load(spark, sf, "events").select("event_id").distinct().count()
+    assert(spark.table("cfg_stream_dedup").count() == distinctIds)
+
+    // within_watermark without a watermark is a config error, caught eagerly
+    intercept[IllegalArgumentException] {
+      graft.compile.Compiler.compileStreamJson(spark, s"""
+        {"source": {"format": "parquet", "path": "$dir"},
+         "dedup": {"keys": ["event_id"], "within_watermark": true},
+         "save": {"format": "memory", "query_name": "x", "trigger": "available_now"}}""")
+    }
+  }
+
   test("streaming session window equals batch") {
     val batchDf = Tables.load(spark, sf, "events")
     val batch = Streaming.sessionAgg(batchDf, "ts", "30 minutes", Seq("user_id"), aggs)
