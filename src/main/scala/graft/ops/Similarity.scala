@@ -178,6 +178,75 @@ object Similarity {
       Seq(col("score").desc, col(corpusId).asc), k, rankCol = "rank")
   }
 
+  /** Indices of the `nprobe` centroids nearest to `vec` by dot product
+    * against pre-normalized centroid literals (the row vector's own norm is
+    * a common factor, so it can't change the ranking). array_sort over
+    * (−dot, idx) structs gives a deterministic order with idx tie-break. */
+  private def nearestLists(vec: Column, cNorm: Seq[Seq[Double]], nprobe: Int): Column = {
+    val scored = array(cNorm.zipWithIndex.map { case (c, i) =>
+      struct((-dot(vec, typedLit(c))).as("negdot"), lit(i).as("list"))
+    }: _*)
+    transform(slice(array_sort(scored), 1, nprobe), p => p.getField("list"))
+  }
+
+  /** IVF-style ANN top-k — the second standard ANN shape next to the
+    * hyperplane-LSH [[annTopK]]: corpus vectors are bucketed by nearest
+    * centroid (the "inverted lists"); each query probes its `nprobe`
+    * nearest lists and scores only those vectors. Candidates per query
+    * ≈ |corpus|·nprobe/nlist; raise `nprobe` for recall, `nlist` for
+    * pruning.
+    *
+    * Centroids are a deterministic lowest-hash sample of `nlist` corpus
+    * vectors (no k-means iterations: on a 100 TB corpus Lloyd rounds cost a
+    * full pass each, and sampled centroids with a higher nprobe are the
+    * standard cheap alternative). The `.collect()` here is bounded by
+    * nlist·dim doubles — centroid METADATA, independent of corpus size,
+    * embedded as literals so both assignment passes run scan-side with no
+    * shuffle (same posture as a broadcast, minus the join). */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryId: String,
+      queryVec: String,
+      corpusId: String,
+      corpusVec: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4
+  ): DataFrame = {
+    val cents: Seq[Seq[Double]] = corpus
+      .select(col(corpusId).cast("string").as("__cid"), col(corpusVec).as("__v"))
+      .orderBy(xxhash64(col("__cid")), col("__cid"))
+      .limit(nlist)
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Number](1).map(_.doubleValue())
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n > 0) v.map(_ / n) else v
+      }.toSeq
+    require(cents.nonEmpty, "ivfTopK: empty corpus")
+    val cb = corpus.select(
+      col(corpusId).as("__cid2"), col(corpusVec).as("__cv"),
+      l2Norm(col(corpusVec)).as("__cn"),
+      element_at(nearestLists(col(corpusVec), cents, 1), 1).as("__list"))
+    val qb = queries.select(
+      col(queryId).as("__qid2"), col(queryVec).as("__qv"),
+      l2Norm(col(queryVec)).as("__qn"),
+      explode(nearestLists(col(queryVec), cents, math.min(nprobe, cents.size))).as("__list"))
+    val scored = qb.join(cb, Seq("__list"))
+      .filter(col("__qid2") =!= col("__cid2"))
+      .select(
+        col("__qid2").as(queryId), col("__cid2").as(corpusId),
+        round(
+          when(col("__qn") > 0 && col("__cn") > 0,
+            dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+            .otherwise(lit(0.0)),
+          9).as("score"))
+    Relational.topKPerGroup(
+      scored, Seq(queryId),
+      Seq(col("score").desc, col(corpusId).asc), k, rankCol = "rank")
+  }
+
   /** L2-normalize a vector (unit length; zero vectors pass through as
     * zeros). Norm is let-bound so it's computed once per row, not per
     * element. */

@@ -92,10 +92,28 @@ object SimQueries extends QueryPack {
         threshold = 0.4, dim = 64, numBits = 32, bands = 16)
       .orderBy(col("idA").asc_nulls_first, col("idB").asc_nulls_first)
 
+  // q52 — IVF-bucketed ANN top-3: the inverted-file shape next to q33's
+  // hyperplane LSH. Deterministic sampled centroids, nprobe=8 of nlist=16
+  // (the fixture corpus is near-random — the hard regime for IVF — so
+  // probe half the lists; structured production embeddings prune far
+  // harder). Approximate → rows-only gate; recall asserted in ScalaTest.
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.ivfTopK(
+        e.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding")),
+        e.select(col("vec_id").as("match_id"), col("embedding")),
+        queryId = "query_id", queryVec = "embedding",
+        corpusId = "match_id", corpusVec = "embedding",
+        k = 3, nlist = 16, nprobe = 8)
+      .select("query_id", "match_id", "score", "rank")
+      .orderBy(col("query_id").asc_nulls_first, col("rank").asc_nulls_first)
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q31_cosine_topk", q31, Some(q31Sql)),
     Q("q32_embedding_neardup", q32, Some(q32Sql)),
     Q("q33_ann_topk", q33, None),
-    Q("q46_embedding_neardup_banded", q46, Some(q32Sql))
+    Q("q46_embedding_neardup_banded", q46, Some(q32Sql)),
+    Q("q52_ivf_topk", q52, None)
   )
 }
