@@ -132,6 +132,39 @@ object Dedup {
       .distinct()
   }
 
+  /** Exact n-gram Jaccard verification restricted to CANDIDATE pairs: join
+    * each candidate to both sides' distinct shingle-hash sets and intersect
+    * in-row. Shuffle ∝ |candidates| (near-dup density), never the
+    * corpus-wide shingle explode-join — at 100 TB this is the verify tier
+    * that runs on `minhashCandidatePairs` output, replacing
+    * [[ngramJaccardPairs]] whose cost is corpus-shaped. No stop-shingle
+    * guard is needed here: fan-out is bounded by the candidate list, and
+    * the in-row intersection makes ubiquitous shingles a per-row cost, not
+    * a join blowup. Returns the [[ngramJaccardPairs]] schema; on any
+    * candidate pair the jaccard values are identical (same hashed shingle
+    * sets, un-pruned). */
+  def verifyJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      candidates: DataFrame,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val sets = df.select(col(idCol), hashedNgrams(col(textCol), shingleSize).as("__sh"))
+    candidates
+      .join(sets.select(col(idCol).as("idA"), col("__sh").as("__shA")), Seq("idA"))
+      .join(sets.select(col(idCol).as("idB"), col("__sh").as("__shB")), Seq("idB"))
+      .select(col("idA"), col("idB"),
+        size(array_intersect(col("__shA"), col("__shB"))).cast("long").as("common"),
+        col("__shA"), col("__shB"))
+      .withColumn("jaccard",
+        round(col("common").cast("double") /
+          (size(col("__shA")) + size(col("__shB")) - col("common")), 9))
+      .filter(col("jaccard") >= threshold)
+      .select("idA", "idB", "common", "jaccard")
+  }
+
   /** 64-bit SimHash from a PRE-MATERIALIZED array<long> of token hashes:
     * per bit position, sum +1/-1 over token hashes; the sign becomes the
     * bit. Near-duplicates differ in few bits (small Hamming distance).

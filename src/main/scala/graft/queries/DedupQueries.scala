@@ -124,6 +124,22 @@ object DedupQueries extends QueryPack {
     WHERE doc_id NOT IN (SELECT id FROM losers)
     ORDER BY doc_id ASC NULLS FIRST"""
 
+  // q53 — the PRODUCTION near-dedup pipeline shape: MinHash-LSH candidates
+  // → exact Jaccard verify on candidates only → connected components →
+  // representatives. Carries q45's exact recursive-CTE oracle: on this
+  // corpus LSH at 64 hashes × 16 bands misses no pair ≥ 0.5 (the OpsSpec
+  // recall invariant), so the hash-compare proves the approximate pipeline
+  // loses nothing here, while its shuffles are candidate-shaped, not
+  // corpus-shaped — q45 stays as the exact explode-join baseline.
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val cands = Dedup.minhashCandidatePairs(docs, "doc_id", "text", 3, 64, 16)
+    val pairs = Dedup.verifyJaccardPairs(docs, "doc_id", "text", cands, 3, 0.5)
+    Dedup.dedupByClusters(docs, pairs, "doc_id")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
   // q51 — exact dedup from the config language: the `dedup` node key with
   // a deterministic min-id winner, then a keep/order — same semantics the
   // Scala API exposes in q27, now reachable by a config author (and, with
@@ -148,6 +164,7 @@ object DedupQueries extends QueryPack {
     Q("q29_minhash_lsh", q29, None),
     Q("q30_simhash", q30, None),
     Q("q45_dedup_pipeline", q45, Some(q45Sql)),
-    Q("q51_config_dedup", q51, Some(q51Sql))
+    Q("q51_config_dedup", q51, Some(q51Sql)),
+    Q("q53_dedup_pipeline_lsh", q53, Some(q45Sql))
   )
 }

@@ -21,6 +21,19 @@ class OpsSpec extends SparkSpec {
     assert(missed.isEmpty, s"LSH missed high-jaccard pairs: $missed")
   }
 
+  test("verify-on-candidates equals the corpus-wide exact Jaccard join") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("idA", "idB", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val cands = Dedup.minhashCandidatePairs(docs, "doc_id", "text", 3, 64, 16)
+    val verified = Dedup.verifyJaccardPairs(docs, "doc_id", "text", cands, 3, 0.5)
+      .select("idA", "idB", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // LSH recall is 1.0 on this corpus (asserted above), so the candidate-
+    // restricted verify must reproduce the exact pair set AND scores
+    assert(verified == exact, s"diff: ${(exact -- verified) ++ (verified -- exact)}")
+  }
+
   test("minhash-LSH precision: candidates are mostly genuinely similar") {
     val cand = Dedup.minhashCandidatePairs(docs, "doc_id", "text", 3, 64, 16).count()
     val all = docs.count()
