@@ -7,11 +7,12 @@ import java.nio.file.{Files, Paths}
 
 /** CLI entry point — run a pipeline config end-to-end:
   *
-  *   sbt "runMain graft.Run <config.json> [--validate] [--show N] [--explain]"
+  *   sbt "runMain graft.Run <config.json> [--validate] [--show N] [--explain] [--stream]"
   *
   * The config's own `save` sinks do the writing; `--show N` prints the
   * first N result rows, `--validate` only checks the config and exits
-  * non-zero on errors, `--explain` prints the physical plan.
+  * non-zero on errors, `--explain` prints the physical plan, `--stream`
+  * runs the config as a Structured Streaming job (see USAGE.md).
   * `--tables DIR` registers the test-corpus parquet tables (and graft's
   * SQL functions) so configs can use bare `table`/`sql` sources.
   */
@@ -51,6 +52,16 @@ object Run {
     }
     if (flag("--validate")) {
       println(s"[graft] $configPath: OK")
+      spark.stop()
+      return
+    }
+
+    if (flag("--stream")) {
+      // run the SAME config as a Structured Streaming job (root source →
+      // readStream, root save → writeStream); blocks until the trigger
+      // completes (available_now/once) or the process is stopped
+      val q = Compiler.compileStream(spark, spec)
+      q.awaitTermination()
       spark.stop()
       return
     }

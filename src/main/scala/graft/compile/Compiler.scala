@@ -223,6 +223,14 @@ object Compiler {
           "sql sources are batch-only; streams need table or path")
       case (_, Some(t), _) => spark.readStream.table(t)
       case (_, _, Some(p)) =>
+        // Spark file streams watch a DIRECTORY; a single-file path fails
+        // later with a cryptic 'basePath must be a directory' — catch it
+        // here with an actionable message.
+        val f = new java.io.File(p)
+        if (f.isFile)
+          throw new IllegalArgumentException(
+            s"streaming file source must be a directory, got file: $p " +
+              "(stage the file into a directory and point the source there)")
         val r = spark.readStream.options(s.options)
         val schema = s.options.get("schema") match {
           case Some(ddl) => org.apache.spark.sql.types.StructType.fromDDL(ddl)
@@ -369,6 +377,20 @@ object Compiler {
   }
 
   def applyAggregate(df: DataFrame, a: AggregateSpec): DataFrame = {
+    a.salt.filter(_ > 1).foreach { buckets =>
+      // Salted two-phase aggregation: strictly for decomposable functions
+      // on a plain groupBy (phase-2 merge semantics exist only for those).
+      if (a.mode != "groupBy" || a.keep.nonEmpty || a.groupBy.isEmpty)
+        throw new IllegalArgumentException(
+          "salt requires plain groupBy with group keys and no keep columns")
+      val aggs3 = a.aggs.map { g =>
+        if (g.filter.nonEmpty)
+          throw new IllegalArgumentException("salt does not support per-agg filters")
+        (g.col, g.func,
+          g.newName.getOrElse(s"${g.func}_${if (g.col == "*") "all" else g.col}"))
+      }
+      return graft.ops.Relational.saltedAggregate(df, a.groupBy, aggs3, buckets)
+    }
     // keep_columns that aren't group keys: reference selects them verbatim
     // post-agg (`Optimus/optimus.py:31`) which is invalid under ANSI —
     // resolve to any_value(c) (SURVEY §2.1 P2).

@@ -143,6 +143,7 @@ object Relational {
     def phase1(c: String, f: String, o: String): Column = f match {
       case "sum"   => sum(col(c)).as(o)
       case "dsum"  => sum(col(c).cast(DecimalType(25, 6))).as(o)
+      case "count" if c == "*" => count(lit(1)).as(o)
       case "count" => count(col(c)).as(o)
       case "min"   => min(col(c)).as(o)
       case "max"   => max(col(c)).as(o)

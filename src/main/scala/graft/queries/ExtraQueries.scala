@@ -202,6 +202,26 @@ object ExtraQueries extends QueryPack {
     WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_orderkey ASC, l_linenumber ASC)
     ORDER BY l_suppkey ASC NULLS FIRST, rn ASC NULLS FIRST"""
 
+  // q54 — salted aggregation from the config language: "salt": 8 spreads
+  // each group over 8 reducers (phase 1) and merges partials (phase 2) —
+  // the explicit-skew escape hatch for a single hot key that exceeds one
+  // reducer. Results are identical to the plain groupBy (dsum keeps the
+  // double sum exact under the extra merge), so the oracle is the plain
+  // SQL — the hash-compare proves salting is semantics-preserving.
+  private def q54(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "lineitem"},
+       "aggregate": {"group_by": ["l_returnflag"], "salt": 8,
+         "aggregations": [
+           {"col": "l_quantity", "func": "dsum", "new_name": "sum_qty"},
+           {"col": "*", "func": "count", "new_name": "n"},
+           {"col": "l_extendedprice", "func": "max", "new_name": "max_price"}]},
+       "order_by": ["l_returnflag asc"]}""")
+  private val q54Sql = s"""
+    SELECT l_returnflag, ${dsumSql("l_quantity")} AS sum_qty,
+           COUNT(*) AS n, MAX(l_extendedprice) AS max_price
+    FROM lineitem GROUP BY 1 ORDER BY l_returnflag ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
     Q("q38_percentiles", q38, Some(q38Sql)),
     Q("q39_pivot", q39, Some(q39Sql)),
@@ -212,6 +232,7 @@ object ExtraQueries extends QueryPack {
     Q("q47_config_percentile", q47, Some(q47Sql)),
     Q("q48_grouping_sets", q48, Some(q48Sql)),
     Q("q49_approx_percentile", q49, None),
-    Q("q50_config_window", q50, Some(q50Sql))
+    Q("q50_config_window", q50, Some(q50Sql)),
+    Q("q54_salted_agg", q54, Some(q54Sql))
   )
 }

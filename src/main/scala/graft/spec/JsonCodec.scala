@@ -108,7 +108,8 @@ object JsonCodec {
             mode = opt(a, "mode").map(_.asText)
               .getOrElse(if (a.has("sets") || a.has("grouping_sets")) "grouping_sets" else "groupBy"),
             sets = opt(a, "sets", "grouping_sets").toSeq
-              .flatMap(ss => elems(ss).map(strSeq))
+              .flatMap(ss => elems(ss).map(strSeq)),
+            salt = opt(a, "salt").map(_.asInt)
           )
         )
       case Some(a) if a.isObject =>

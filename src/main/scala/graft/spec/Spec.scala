@@ -67,13 +67,17 @@ final case class AggSpec(
   * `mode` ∈ {groupBy, rollup, cube, grouping_sets} — rollup/cube are the
   * natural generalization of the reference's level hierarchy (SURVEY §2.2);
   * `grouping_sets` takes the explicit `sets` (each a subset of `groupBy`,
-  * which stays the output column list). */
+  * which stays the output column list).
+  * `salt` (> 1) routes through two-phase salted aggregation for a single
+  * hot key that would exceed one reducer (sum/count/min/max/dsum only —
+  * the decomposable functions; content-derived salt, replay-stable). */
 final case class AggregateSpec(
     groupBy: Seq[String],
     aggs: Seq[AggSpec],
     keep: Seq[String] = Nil,
     mode: String = "groupBy",
-    sets: Seq[Seq[String]] = Nil
+    sets: Seq[Seq[String]] = Nil,
+    salt: Option[Int] = None
 )
 
 /** How a child node joins back into its parent (ref: `join{on, how}` at

@@ -170,6 +170,26 @@ class CompilerSpec extends SparkSpec {
     assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges:\n$physical")
   }
 
+  test("salted aggregate from config equals plain groupBy; guards enforced") {
+    val plain = Compiler.applyAggregate(df, AggregateSpec(
+      Seq("k"), Seq(AggSpec("v", "sum", Some("sv")), AggSpec("*", "count", Some("n")))))
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    val salted = Compiler.applyAggregate(df, AggregateSpec(
+      Seq("k"), Seq(AggSpec("v", "sum", Some("sv")), AggSpec("*", "count", Some("n"))),
+      salt = Some(4)))
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    assert(salted == plain)
+    intercept[IllegalArgumentException] { // avg is not decomposable
+      Compiler.applyAggregate(df, AggregateSpec(
+        Seq("k"), Seq(AggSpec("v", "avg", Some("a"))), salt = Some(4))).collect()
+    }
+    intercept[IllegalArgumentException] { // filters can't ride phase 2
+      Compiler.applyAggregate(df, AggregateSpec(
+        Seq("k"), Seq(AggSpec("v", "sum", Some("s"), filter = Some("id > 1"))),
+        salt = Some(4))).collect()
+    }
+  }
+
   test("keep_columns outside group keys resolves to any_value") {
     val out = Compiler.applyAggregate(
       df.filter($"k" === "a" && $"id" === 1),
