@@ -144,9 +144,11 @@ object Compiler {
           childDf = childDf.withColumnRenamed(c, s"${ch.node.id}_$c")
         }
       }
-      df =
-        if (ch.join.link.nonEmpty) df.join(childDf, ch.join.link, ch.join.how)
-        else df.crossJoin(childDf)
+      df = ch.join.onExpr match {
+        case Some(cond)                  => df.join(childDf, expr(cond), ch.join.how)
+        case None if ch.join.link.nonEmpty => df.join(childDf, ch.join.link, ch.join.how)
+        case None                        => df.crossJoin(childDf)
+      }
     }
 
     if (node.orderBy.nonEmpty) df = df.orderBy(node.orderBy.map(sortColumn): _*)

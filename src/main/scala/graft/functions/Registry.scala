@@ -20,6 +20,8 @@ object Registry {
       c(GraftColumnBridge.column(es.head), GraftColumnBridge.column(es(1))))
 
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "tokens" -> fn(TextAnalysis.tokens),
+    "doc_fingerprint_portable" -> fn(TextAnalysis.fingerprintPortable),
     "token_count" -> fn(TextAnalysis.tokenCount),
     "bpeish_token_count" -> fn(TextAnalysis.bpeishTokenCount),
     "lang_id" -> fn(TextAnalysis.langId),

@@ -222,6 +222,52 @@ object ExtraQueries extends QueryPack {
            COUNT(*) AS n, MAX(l_extendedprice) AS max_price
     FROM lineitem GROUP BY 1 ORDER BY l_returnflag ASC NULLS FIRST"""
 
+  // q55 — theta join from the config language: `join.on_expr` carries an
+  // arbitrary boolean condition (here an inequality band on price). The
+  // child side is broadcast-hinted — a pure-inequality join plans as a
+  // nested loop, and broadcasting the small side is the only shape that
+  // survives scale (the alternative for big-big bands is
+  // Relational.bucketedRangeJoin).
+  private def q55(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "orders"},
+       "filters": ["o_orderkey <= 200"],
+       "keep_columns": ["o_orderkey", "o_totalprice"],
+       "children": [{
+          "id": "c1", "prefix": true, "hint": "broadcast",
+          "source": {"table": "orders"},
+          "filters": ["o_orderkey <= 200"],
+          "keep_columns": ["o_orderkey", "o_totalprice"],
+          "join": {"how": "inner",
+                   "on_expr": "o_orderkey < c1_o_orderkey AND abs(o_totalprice - c1_o_totalprice) < 100"}}],
+       "order_by": ["o_orderkey asc", "c1_o_orderkey asc"]}""")
+  private val q55Sql = """
+    SELECT a.o_orderkey, a.o_totalprice,
+           b.o_orderkey AS c1_o_orderkey, b.o_totalprice AS c1_o_totalprice
+    FROM orders a JOIN orders b
+      ON a.o_orderkey < b.o_orderkey AND ABS(a.o_totalprice - b.o_totalprice) < 100
+    WHERE a.o_orderkey <= 200 AND b.o_orderkey <= 200
+    ORDER BY a.o_orderkey ASC NULLS FIRST, c1_o_orderkey ASC NULLS FIRST"""
+
+  // q56 — generator columns from the config language: `derive` admits one
+  // generator per column (explode of the registered `tokens` function),
+  // turning a doc table into a token table — the config spelling of
+  // explode+groupBy token counting.
+  private def q56(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "documents"},
+       "filters": ["doc_id < 20"],
+       "derive": {"tok": "explode(tokens(text))"},
+       "group_by": ["tok"],
+       "aggregations": [{"col": "*", "func": "count", "new_name": "n"}],
+       "order_by": ["tok asc"]}""")
+  private val q56Sql = """
+    SELECT tok, COUNT(*) AS n FROM (
+      SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                x -> len(x) > 0)) AS tok
+      FROM documents WHERE doc_id < 20)
+    GROUP BY 1 ORDER BY tok ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
     Q("q38_percentiles", q38, Some(q38Sql)),
     Q("q39_pivot", q39, Some(q39Sql)),
@@ -233,6 +279,8 @@ object ExtraQueries extends QueryPack {
     Q("q48_grouping_sets", q48, Some(q48Sql)),
     Q("q49_approx_percentile", q49, None),
     Q("q50_config_window", q50, Some(q50Sql)),
-    Q("q54_salted_agg", q54, Some(q54Sql))
+    Q("q54_salted_agg", q54, Some(q54Sql)),
+    Q("q55_config_theta_join", q55, Some(q55Sql)),
+    Q("q56_config_explode", q56, Some(q56Sql))
   )
 }

@@ -196,9 +196,12 @@ object JsonCodec {
           .flatMap(j => opt(j, "how").map(_.asText))
           .orElse(opt(c, "how").map(_.asText))
           .getOrElse("left")
+        val onExpr = opt(c, "join")
+          .flatMap(j => opt(j, "on_expr", "onExpr").map(_.asText))
+          .orElse(opt(c, "on_expr").map(_.asText))
         ChildSpec(
           node = node(c, defaultId = id + "_child"),
-          join = JoinSpec(link, how),
+          join = JoinSpec(link, how, onExpr),
           prefix = opt(c, "prefix").exists(_.asBoolean(false)),
           hint = opt(c, "hint", "join_hint").map(_.asText)
         )

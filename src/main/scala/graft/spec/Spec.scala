@@ -82,8 +82,17 @@ final case class AggregateSpec(
 
 /** How a child node joins back into its parent (ref: `join{on, how}` at
   * `pandas/optimus.py:61-66`, `link` at `Optimus/hotrod.py:97-100`).
-  * Equi-join on `link` columns; `how` is any Spark join type. */
-final case class JoinSpec(link: Seq[String], how: String = "left")
+  * Equi-join on `link` columns; `how` is any Spark join type.
+  * `onExpr` (NS) is an arbitrary boolean condition instead — a theta join.
+  * Catalyst extracts any equi-conjuncts for a hash/merge join; a pure
+  * inequality becomes a nested-loop (broadcast the small side via
+  * `ChildSpec.hint`). Use `prefix: true` so both sides' columns are
+  * addressable in the condition. */
+final case class JoinSpec(
+    link: Seq[String],
+    how: String = "left",
+    onExpr: Option[String] = None
+)
 
 /** Data source. Exactly one of (path+format) / table / sql set.
   * Ref: CSV `Optimus/optimus.py:38`, table `Optimus/megatron.py:63-65`,
