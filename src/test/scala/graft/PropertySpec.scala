@@ -83,6 +83,63 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  private val textGen: Gen[String] =
+    Gen.listOf(Gen.oneOf("alpha", "beta", "gamma", "delta", "x", "yz", "the", "of"))
+      .map(_.mkString(" "))
+
+  test("fingerprints: equal token sequences ⇔ equal fp; both variants agree on equality") {
+    forAll2(textGen, textGen, n = 8) { (t1, t2) =>
+      val toks1 = t1.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      val toks2 = t2.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      val row = Seq((t1, t2)).toDF("a", "b").select(
+        graft.ops.TextAnalysis.fingerprint($"a").as("fa"),
+        graft.ops.TextAnalysis.fingerprint($"b").as("fb"),
+        graft.ops.TextAnalysis.fingerprintPortable($"a").as("pa"),
+        graft.ops.TextAnalysis.fingerprintPortable($"b").as("pb")).collect().head
+      if (toks1 == toks2) { // same sequence must fingerprint identically
+        assert(row.getLong(0) == row.getLong(1) && row.getLong(2) == row.getLong(3))
+      } else { // both variants must agree on the (in)equality verdict
+        assert((row.getLong(0) == row.getLong(1)) == (row.getLong(2) == row.getLong(3)))
+      }
+    }
+  }
+
+  test("hashedNgrams size equals string-shingle set size on random texts") {
+    forAll(textGen, n = 8) { t =>
+      for (ng <- Seq(1, 2, 3)) {
+        val row = Seq(Tuple1(t)).toDF("text").select(
+          size(graft.ops.Dedup.hashedNgrams($"text", ng)).as("h"),
+          size(array_distinct(graft.ops.Dedup.shingles($"text", ng))).as("s"))
+          .collect().head
+        assert(row.getInt(0) == row.getInt(1),
+          s"hashed vs string shingle set sizes diverged for n=$ng on '$t'")
+      }
+    }
+  }
+
+  test("exactDedup is idempotent and keeps one row per key") {
+    forAll(rowsGen) { rows =>
+      val df = rows.toDF("k", "id", "v")
+      val once = graft.ops.Dedup.exactDedup(df, Seq("k"), "id")
+      val twice = graft.ops.Dedup.exactDedup(once, Seq("k"), "id")
+      assert(once.count() == df.select("k").distinct().count())
+      assert(once.orderBy("k").collect().toSeq == twice.orderBy("k").collect().toSeq)
+    }
+  }
+
+  test("int8 quantization round-trip cosine ≥ 0.995 on random vectors") {
+    val vecGen: Gen[List[Float]] =
+      Gen.listOfN(16, Gen.chooseNum(-100, 100).map(_ / 10.0f)).suchThat(_.exists(_ != 0f))
+    forAll(vecGen, n = 8) { v =>
+      val c = Seq(Tuple1(v)).toDF("e").select(
+        graft.ops.Similarity.cosine(
+          $"e", graft.ops.Similarity.dequantizeInt8(
+            graft.ops.Similarity.quantizeInt8($"e"))).as("c"))
+        .collect().head.getDouble(0)
+      assert(c > 0.995, s"round-trip cosine $c for $v")
+    }
+  }
+
   test("filtered aggregate equals filter-then-aggregate") {
     forAll2(rowsGen, Gen.chooseNum(-50, 50)) { (rows, cut) =>
       val df = rows.toDF("k", "id", "v")

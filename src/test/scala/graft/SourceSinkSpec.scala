@@ -48,6 +48,19 @@ class SourceSinkSpec extends SparkSpec {
     assert(out.select("k").as[String].collect().toSeq == Seq("b"))
   }
 
+  test("orc roundtrip via format passthrough") {
+    val orcDir = s"$tmp/in_orc"
+    Seq(("a", 1.5), ("b", 2.5)).toDF("k", "v").write.mode("overwrite").orc(orcDir)
+    val out = Compiler.compileJson(spark, s"""
+      {"source": {"format": "orc", "path": "$orcDir"},
+       "order_by": ["k asc"],
+       "save": {"format": "orc", "path": "$tmp/out_orc", "mode": "overwrite"}}""")
+    assert(out.count() == 2)
+    val back = spark.read.orc(s"$tmp/out_orc").orderBy("k")
+    assert(back.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("a", 1.5), ("b", 2.5)))
+  }
+
   test("cascade with two iterations saves one parquet per iteration") {
     Seq(("a", 1.0), ("a", 2.0), ("b", 3.0)).toDF("k", "v")
       .createOrReplaceTempView("cascade_src")
