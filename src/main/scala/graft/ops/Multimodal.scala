@@ -75,6 +75,42 @@ object Multimodal {
     out.toDF("media_id", "features")
   }
 
+  /** Payload→payload transform (resize, transcode, frame-sample…): same
+    * partition-batching shape as [[featurize]] but emits a new media row
+    * with updated metadata. `op` is the injectable codec step — stubbed
+    * here (no media libs in this environment); the identity default keeps
+    * the plumbing testable. Narrow: payloads never shuffle. */
+  def transformPayload(
+      media: DataFrame,
+      format: String,
+      op: Array[Byte] => Array[Byte] = identity,
+      init: () => Unit = () => ()
+  ): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    val out: Dataset[(Long, Array[Byte])] = media
+      .select(col("media_id").cast("long"), col("payload"))
+      .as(enc)
+      .mapPartitions { it =>
+        init()
+        it.map { case (id, p) => (id, op(if (p == null) Array.emptyByteArray else p)) }
+      }(enc)
+    out.toDF("media_id", "payload")
+      .select(
+        col("media_id"),
+        struct(
+          lit(format).as("format"),
+          lit(0).as("width"),
+          lit(0).as("height"),
+          length(col("payload")).cast("long").as("n_bytes")).as("meta"),
+        col("payload"))
+  }
+
+  /** STUB frame-sampler (???): every `stride`-th byte stands in for every
+    * N-th video frame — the real implementation plugs a demuxer into the
+    * same `transformPayload` seam. */
+  def frameSampleStub(stride: Int)(payload: Array[Byte]): Array[Byte] =
+    payload.grouped(stride).map(_.head).toArray
+
   private def ExpressionEncoder[T: scala.reflect.runtime.universe.TypeTag]() =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[T]()
 }

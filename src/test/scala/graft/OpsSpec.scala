@@ -188,6 +188,21 @@ class OpsSpec extends SparkSpec {
     assert(n == 100 && inits.value >= 1)
   }
 
+  test("multimodal: transformPayload re-stamps metadata; frame-sample shrinks payload") {
+    val media = Multimodal.asMedia(docs.limit(50), "doc_id", "text")
+    val sampled = Multimodal.transformPayload(
+      media, "sampled", Multimodal.frameSampleStub(4))
+    val joined = media.select($"media_id", $"meta.n_bytes".as("orig"))
+      .join(sampled.select($"media_id", $"meta.n_bytes".as("small"),
+        $"meta.format".as("fmt")), Seq("media_id"))
+      .collect()
+    assert(joined.length == 50)
+    joined.foreach { r =>
+      assert(r.getString(3) == "sampled")
+      assert(r.getLong(2) == (r.getLong(1) + 3) / 4, s"stride-4 size wrong: $r")
+    }
+  }
+
   test("normalize yields unit vectors; int8 quantization round-trips within error bound") {
     val e = emb.limit(200)
     val norms = e.select(
