@@ -26,6 +26,12 @@ object Bench {
     // final orderBy under the count aggregate, under-measuring exactly
     // the sort cost the correctness path pays.
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // Untimed GC breather between queries: a heavy predecessor's garbage
+      // (broadcast blocks, codegen classes) otherwise lands as collection
+      // pauses inside an unrelated query's wall time — measured swings of
+      // 1.5 s ↔ 8 s for the same sub-second query depending on battery
+      // position. The gc() is outside the timed region on purpose.
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable => () }
