@@ -44,7 +44,8 @@ object Compiler {
         try validate(readSource(spark, s), node)
         catch { case e: Throwable => Seq(s"node ${node.id}: source unreadable: ${e.getMessage}") }
       }
-      own ++ node.children.flatMap(c => walk(c.node))
+      own ++ node.combine.toSeq.flatMap(_.nodes.flatMap(walk)) ++
+        node.children.flatMap(c => walk(c.node))
     }
     val friendly = spec match {
       case TreePipeline(root) => walk(root)
@@ -86,8 +87,23 @@ object Compiler {
     * aggregated-parent × aggregated-child (SURVEY §3 EP2 step 6). */
   def compileNode(spark: SparkSession, node: NodeSpec, input: Option[DataFrame] = None,
       executeSinks: Boolean = true): DataFrame = {
-    var df = input.getOrElse(readSource(spark, node.source.getOrElse(
-      throw new IllegalArgumentException(s"node ${node.id}: no source and no input DataFrame"))))
+    var df = input.getOrElse(node.combine match {
+      case Some(c) =>
+        val parts = c.nodes.map(n => compileNode(spark, n, None, executeSinks))
+        if (parts.isEmpty)
+          throw new IllegalArgumentException(s"node ${node.id}: combine needs nodes")
+        c.op match {
+          case "union" | "union_all" => parts.reduce(_.unionByName(_))
+          case "union_distinct"      => parts.reduce(_.unionByName(_)).distinct()
+          case "intersect"           => parts.reduce(_.intersect(_))
+          case "except"              => parts.reduce(_.except(_))
+          case other => throw new IllegalArgumentException(
+            s"node ${node.id}: unknown combine op '$other' " +
+              "(one of: union, union_distinct, intersect, except)")
+        }
+      case None => readSource(spark, node.source.getOrElse(
+        throw new IllegalArgumentException(s"node ${node.id}: no source and no input DataFrame")))
+    })
 
     node.derive.foreach { case (c, e) => df = df.withColumn(c, expr(e)) }
 
@@ -144,10 +160,21 @@ object Compiler {
           childDf = childDf.withColumnRenamed(c, s"${ch.node.id}_$c")
         }
       }
-      df = ch.join.onExpr match {
-        case Some(cond)                  => df.join(childDf, expr(cond), ch.join.how)
-        case None if ch.join.link.nonEmpty => df.join(childDf, ch.join.link, ch.join.how)
-        case None                        => df.crossJoin(childDf)
+      df = ch.join match {
+        case j if j.how == "asof" =>
+          val (lts, rts) = (j.leftTs, j.rightTs) match {
+            case (Some(l), Some(r)) => (l, r)
+            case _ => throw new IllegalArgumentException(
+              s"node ${node.id}: asof join requires left_ts and right_ts")
+          }
+          val payload = childDf.columns.filterNot(c => j.link.contains(c) || c == rts)
+          graft.ops.Relational.asofJoin(df, childDf, j.link, lts, rts, payload.toSeq)
+        case j =>
+          j.onExpr match {
+            case Some(cond)              => df.join(childDf, expr(cond), j.how)
+            case None if j.link.nonEmpty => df.join(childDf, j.link, j.how)
+            case None                    => df.crossJoin(childDf)
+          }
       }
     }
 

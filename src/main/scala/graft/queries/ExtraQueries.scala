@@ -268,6 +268,60 @@ object ExtraQueries extends QueryPack {
       FROM documents WHERE doc_id < 20)
     GROUP BY 1 ORDER BY tok ASC NULLS FIRST"""
 
+  // q57 — set operations as a config node: `combine` feeds the node the
+  // union/intersect/except of full child pipelines instead of one source.
+  // Two overlapping orders slices, deduped, re-aggregated.
+  private def q57(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"id": "u",
+       "combine": {"op": "union_distinct", "nodes": [
+         {"source": {"table": "orders"},
+          "filters": ["o_orderkey <= 600"],
+          "keep_columns": ["o_orderkey", "o_orderstatus", "o_totalprice"]},
+         {"source": {"table": "orders"},
+          "filters": ["o_orderkey >= 400 AND o_orderkey <= 1000"],
+          "keep_columns": ["o_orderkey", "o_orderstatus", "o_totalprice"]}]},
+       "group_by": ["o_orderstatus"],
+       "aggregations": [{"col": "*", "func": "count", "new_name": "n"},
+                        {"col": "o_totalprice", "func": "dsum", "new_name": "sum_price"}],
+       "order_by": ["o_orderstatus asc"]}""")
+  private val q57Sql = s"""
+    WITH u AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey <= 600
+      UNION
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey >= 400 AND o_orderkey <= 1000)
+    SELECT o_orderstatus, COUNT(*) AS n, ${dsumSql("o_totalprice")} AS sum_price
+    FROM u GROUP BY 1 ORDER BY o_orderstatus ASC NULLS FIRST"""
+
+  // q58 — as-of join from the config language (join.how = "asof"): each
+  // purchase picks up the latest prior signup/login of the same user.
+  // Same union-and-carry-forward plan as q22's Scala API; DuckDB's native
+  // ASOF JOIN is the oracle.
+  private def q58(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "events"},
+       "filters": [{"col": "event_type", "op": "==", "value": "purchase"}],
+       "keep_columns": ["event_id", "user_id", "ts", "value"],
+       "children": [{
+          "id": "logins",
+          "source": {"table": "events"},
+          "filters": [{"col": "event_type", "op": "isin", "value": ["signup", "login"]}],
+          "aggregate": {"group_by": ["user_id", "ts"],
+            "aggregations": [{"col": "event_id", "func": "max", "new_name": "login_event_id"}]},
+          "join": {"how": "asof", "on": ["user_id"], "left_ts": "ts", "right_ts": "ts"}}],
+       "order_by": ["event_id asc"]}""")
+  private val q58Sql = """
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+    logins AS (
+      SELECT user_id, ts, MAX(event_id) AS login_event_id
+      FROM events WHERE event_type IN ('signup', 'login') GROUP BY 1, 2)
+    SELECT p.event_id, p.user_id, p.ts, p.value, l.login_event_id
+    FROM purchases p ASOF LEFT JOIN logins l
+      ON p.user_id = l.user_id AND p.ts >= l.ts
+    ORDER BY p.event_id ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
     Q("q38_percentiles", q38, Some(q38Sql)),
     Q("q39_pivot", q39, Some(q39Sql)),
@@ -281,6 +335,8 @@ object ExtraQueries extends QueryPack {
     Q("q50_config_window", q50, Some(q50Sql)),
     Q("q54_salted_agg", q54, Some(q54Sql)),
     Q("q55_config_theta_join", q55, Some(q55Sql)),
-    Q("q56_config_explode", q56, Some(q56Sql))
+    Q("q56_config_explode", q56, Some(q56Sql)),
+    Q("q57_config_setops", q57, Some(q57Sql)),
+    Q("q58_config_asof", q58, Some(q58Sql))
   )
 }

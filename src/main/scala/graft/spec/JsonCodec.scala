@@ -199,17 +199,27 @@ object JsonCodec {
         val onExpr = opt(c, "join")
           .flatMap(j => opt(j, "on_expr", "onExpr").map(_.asText))
           .orElse(opt(c, "on_expr").map(_.asText))
+        val leftTs = opt(c, "join").flatMap(j => opt(j, "left_ts", "leftTs").map(_.asText))
+        val rightTs = opt(c, "join").flatMap(j => opt(j, "right_ts", "rightTs").map(_.asText))
         ChildSpec(
           node = node(c, defaultId = id + "_child"),
-          join = JoinSpec(link, how, onExpr),
+          join = JoinSpec(link, how, onExpr, leftTs, rightTs),
           prefix = opt(c, "prefix").exists(_.asBoolean(false)),
           hint = opt(c, "hint", "join_hint").map(_.asText)
         )
     }
 
+    val combine = opt(n, "combine").map { c =>
+      CombineSpec(
+        op = opt(c, "op").map(_.asText).getOrElse("union"),
+        nodes = opt(c, "nodes").toSeq.flatMap(elems).zipWithIndex
+          .map { case (cn, i) => node(cn, s"${id}_part$i") })
+    }
+
     NodeSpec(
       id = id,
       source = source,
+      combine = combine,
       filters = filters,
       derive = derive,
       watermark = wm,

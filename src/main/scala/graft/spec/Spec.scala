@@ -87,12 +87,26 @@ final case class AggregateSpec(
   * Catalyst extracts any equi-conjuncts for a hash/merge join; a pure
   * inequality becomes a nested-loop (broadcast the small side via
   * `ChildSpec.hint`). Use `prefix: true` so both sides' columns are
-  * addressable in the condition. */
+  * addressable in the condition.
+  * `how = "asof"` (NS) joins each parent row to the latest child row with
+  * `childTs` ≤ `parentTs` per link key — compiled to the union-and-carry-
+  * forward plan (ONE shuffle+sort of |L|+|R|; a `l.ts >= r.ts` theta join
+  * is O(|L|·|R|) per key and dies at scale). Requires `leftTs`/`rightTs`;
+  * all non-link, non-ts child columns become the carried payload. */
 final case class JoinSpec(
     link: Seq[String],
     how: String = "left",
-    onExpr: Option[String] = None
+    onExpr: Option[String] = None,
+    leftTs: Option[String] = None,
+    rightTs: Option[String] = None
 )
+
+/** Set-operation input (NS): the node's input is `op` applied across the
+  * child `nodes` (each a full pipeline) instead of a single source.
+  * op ∈ {union (by name, keeps duplicates), union_distinct, intersect,
+  * except}. union is shuffle-free; the other three shuffle on all
+  * columns — prefer keying + joins for big inputs. */
+final case class CombineSpec(op: String, nodes: Seq[NodeSpec])
 
 /** Data source. Exactly one of (path+format) / table / sql set.
   * Ref: CSV `Optimus/optimus.py:38`, table `Optimus/megatron.py:63-65`,
@@ -178,6 +192,7 @@ final case class ChildSpec(
 final case class NodeSpec(
     id: String,
     source: Option[SourceSpec] = None,
+    combine: Option[CombineSpec] = None,
     filters: Seq[FilterSpec] = Nil,
     derive: Seq[(String, String)] = Nil, // pre-agg computed columns (name -> expr)
     watermark: Option[WatermarkSpec] = None,
