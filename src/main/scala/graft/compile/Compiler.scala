@@ -439,7 +439,16 @@ object Compiler {
           df.groupingSets(a.sets.map(_.map(col)), keys: _*)
         case _        => df.groupBy(keys: _*)
       }
-      grouped.agg(aggExprs.head, aggExprs.tail: _*)
+      a.pivot match {
+        case Some(p) =>
+          if (a.mode != "groupBy")
+            throw new IllegalArgumentException("pivot requires plain groupBy mode")
+          if (p.values.isEmpty)
+            throw new IllegalArgumentException(
+              "pivot needs explicit values (an implicit pivot costs a distinct pass)")
+          grouped.pivot(p.col, p.values.map(anyOf)).agg(aggExprs.head, aggExprs.tail: _*)
+        case None => grouped.agg(aggExprs.head, aggExprs.tail: _*)
+      }
     }
   }
 

@@ -322,6 +322,25 @@ object ExtraQueries extends QueryPack {
       ON p.user_id = l.user_id AND p.ts >= l.ts
     ORDER BY p.event_id ASC NULLS FIRST"""
 
+  // q59 — pivot from the config language: explicit value list (an implicit
+  // pivot would pay a distinct pass to discover columns), dsum cells for
+  // determinism. Same shape as q39's Scala API; with a single aggregation
+  // the pivoted columns are named by the bare pivot values.
+  private def q59(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "events"},
+       "aggregate": {"group_by": ["user_id"],
+         "pivot": {"col": "event_type",
+                   "values": ["click", "error", "purchase", "signup", "view"]},
+         "aggregations": [{"col": "value", "func": "dsum", "new_name": "s"}]},
+       "order_by": ["user_id asc"]}""")
+  private val q59Sql = {
+    val cols = eventTypes.map(t =>
+      s"${dsumSql(s"CASE WHEN event_type = '$t' THEN value END")} AS $t").mkString(", ")
+    s"""SELECT user_id, $cols FROM events GROUP BY 1
+        ORDER BY user_id ASC NULLS FIRST"""
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q38_percentiles", q38, Some(q38Sql)),
     Q("q39_pivot", q39, Some(q39Sql)),
@@ -337,6 +356,7 @@ object ExtraQueries extends QueryPack {
     Q("q55_config_theta_join", q55, Some(q55Sql)),
     Q("q56_config_explode", q56, Some(q56Sql)),
     Q("q57_config_setops", q57, Some(q57Sql)),
-    Q("q58_config_asof", q58, Some(q58Sql))
+    Q("q58_config_asof", q58, Some(q58Sql)),
+    Q("q59_config_pivot", q59, Some(q59Sql))
   )
 }

@@ -109,7 +109,11 @@ object JsonCodec {
               .getOrElse(if (a.has("sets") || a.has("grouping_sets")) "grouping_sets" else "groupBy"),
             sets = opt(a, "sets", "grouping_sets").toSeq
               .flatMap(ss => elems(ss).map(strSeq)),
-            salt = opt(a, "salt").map(_.asInt)
+            salt = opt(a, "salt").map(_.asInt),
+            pivot = opt(a, "pivot").map(p =>
+              PivotSpec(
+                col = opt(p, "col", "column").get.asText,
+                values = opt(p, "values").toSeq.flatMap(elems).map(jvalue)))
           )
         )
       case Some(a) if a.isObject =>

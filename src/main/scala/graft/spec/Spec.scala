@@ -71,13 +71,19 @@ final case class AggSpec(
   * `salt` (> 1) routes through two-phase salted aggregation for a single
   * hot key that would exceed one reducer (sum/count/min/max/dsum only —
   * the decomposable functions; content-derived salt, replay-stable). */
+/** Pivot: spread the aggregations across columns, one per pivot value.
+  * Values are EXPLICIT by design: an implicit pivot costs an extra
+  * distinct pass over the fact table to discover them. */
+final case class PivotSpec(col: String, values: Seq[JValue])
+
 final case class AggregateSpec(
     groupBy: Seq[String],
     aggs: Seq[AggSpec],
     keep: Seq[String] = Nil,
     mode: String = "groupBy",
     sets: Seq[Seq[String]] = Nil,
-    salt: Option[Int] = None
+    salt: Option[Int] = None,
+    pivot: Option[PivotSpec] = None
 )
 
 /** How a child node joins back into its parent (ref: `join{on, how}` at
