@@ -19,9 +19,15 @@ object SparkEntry {
   private lazy val all: Seq[Q] = packs.flatMap(_.queries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
-    * the recursive parent→child→grandchild join tree compiled from JSON. */
-  def entry(spark: SparkSession): DataFrame =
-    all.find(_.name == "q05_join_tree").get.run(spark, "/root/testdata/sf0.001")
+    * the end-to-end training-data curation pipeline declared as ONE config
+    * (scan-stage scoring via registered functions → quality/language
+    * filters → content dedup → deterministic sample → per-language corpus
+    * stats), q60 — the engine's two halves, the config compiler and the
+    * LLM-pipeline operator library, in a single plan. */
+  def entry(spark: SparkSession): DataFrame = {
+    Tables.registerViews(spark, "/root/testdata/sf0.001")
+    all.find(_.name == "q60_curation_pipeline").get.run(spark, "/root/testdata/sf0.001")
+  }
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Corpus views are (re-)registered before each query so config specs can

@@ -31,6 +31,17 @@ object TextQueries extends QueryPack {
   // out empty strings (DuckDB string_split_regex('') yields ['']) and every
   // division is guarded the same way the Spark side guards it (→ 0.0), so
   // parity holds for empty/whitespace-only docs, not just the fixtures.
+  /** DuckDB expression for TextAnalysis.qualityScore over (text, token
+    * list, char length) aliases — shared by q24/q60. */
+  private def qualitySql(text: String, t: String, len: String): String = s"""
+           ROUND((LEAST(CAST(len($t) AS DOUBLE) / 32.0, 1.0) * 0.3)
+               + ((1.0 - CASE WHEN $len > 0
+                              THEN CAST($len - LENGTH(regexp_replace($text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / $len
+                              ELSE 0.0 END) * 0.3)
+               + (CASE WHEN len($t) > 0
+                       THEN CAST(len(list_filter($t, x -> regexp_full_match(x, '[A-Za-z]+'))) AS DOUBLE) / len($t)
+                       ELSE 0.0 END * 0.4), 9)"""
+
   private val q24Sql = {
     val stop = sqlList(TextAnalysis.langMarkers.flatMap(_._2).distinct)
     s"""
@@ -51,14 +62,23 @@ object TextQueries extends QueryPack {
            CASE WHEN len(t) > 0
                 THEN ROUND(CAST(len(list_filter(t, x -> list_contains($stop, x))) AS DOUBLE) / len(t), 9)
                 ELSE 0.0 END AS stop_ratio,
-           ROUND((LEAST(CAST(len(t) AS DOUBLE) / 32.0, 1.0) * 0.3)
-               + ((1.0 - CASE WHEN len > 0
-                              THEN CAST(len - LENGTH(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / len
-                              ELSE 0.0 END) * 0.3)
-               + (CASE WHEN len(t) > 0
-                       THEN CAST(len(list_filter(t, x -> regexp_full_match(x, '[A-Za-z]+'))) AS DOUBLE) / len(t)
-                       ELSE 0.0 END * 0.4), 9) AS quality
+           ${qualitySql("text", "t", "len")} AS quality
     FROM toks ORDER BY doc_id ASC NULLS FIRST"""
+  }
+
+  /** DuckDB expression for TextAnalysis.langId's argmax over marker scores,
+    * parametrized on the token-list alias — shared by q25/q60 so the two
+    * oracles can't drift. */
+  private def langPredSql(t: String): String = {
+    val scores = TextAnalysis.langMarkers.map { case (lang, ms) =>
+      val terms = ms.map(m => s"CAST(list_contains($t, '$m') AS INT)").mkString(" + ")
+      lang -> s"($terms)"
+    }
+    val best = s"GREATEST(${scores.map(_._2).mkString(", ")})"
+    val cases = scores
+      .map { case (lang, sc) => s"WHEN $sc = $best AND $sc > 0 THEN '$lang'" }
+      .mkString(" ")
+    s"CASE $cases ELSE 'und' END"
   }
 
   // q25 — language-ID confusion matrix: heuristic marker-score argmax vs
@@ -69,25 +89,15 @@ object TextQueries extends QueryPack {
       .groupBy("lang", "lang_pred")
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang").asc_nulls_first, col("lang_pred").asc_nulls_first)
-  private val q25Sql = {
-    val scores = TextAnalysis.langMarkers.map { case (lang, ms) =>
-      val terms = ms.map(m => s"CAST(list_contains(t, '$m') AS INT)").mkString(" + ")
-      lang -> s"($terms)"
-    }
-    val best = s"GREATEST(${scores.map(_._2).mkString(", ")})"
-    val cases = scores
-      .map { case (lang, sc) => s"WHEN $sc = $best AND $sc > 0 THEN '$lang'" }
-      .mkString(" ")
-    s"""
+  private val q25Sql = s"""
     WITH toks AS (
       SELECT lang,
              list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS t
       FROM documents),
     pred AS (
-      SELECT lang, CASE $cases ELSE 'und' END AS lang_pred FROM toks)
+      SELECT lang, ${langPredSql("t")} AS lang_pred FROM toks)
     SELECT lang, lang_pred, COUNT(*) AS n FROM pred
     GROUP BY 1, 2 ORDER BY lang ASC NULLS FIRST, lang_pred ASC NULLS FIRST"""
-  }
 
   // q26 — order-sensitive rolling-hash fingerprint, the PORTABLE variant:
   // per-token Horner over code points, then Horner over token hashes —
@@ -95,31 +105,89 @@ object TextQueries extends QueryPack {
   // full hash-match oracle. The xxhash64 fast path (TextAnalysis
   // .fingerprint, the one to use at 100 TB) stays covered by the OpsSpec
   // order-sensitivity invariant — xxhash64 itself has no DuckDB spelling.
-  private def q26(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(
-        col("doc_id"),
-        TextAnalysis.fingerprintPortable(col("text")).as("fp"))
-      .orderBy(col("doc_id").asc_nulls_first)
-  private val q26Sql = """
-    WITH toks AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS t
-      FROM documents)
-    SELECT doc_id,
+  /** DuckDB expression for TextAnalysis.fingerprintPortable over a
+    * token-list alias — shared by q26/q60. */
+  private def fpSql(t: String): String = s"""
            list_reduce(
              list_prepend(CAST(0 AS BIGINT),
-               list_transform(t, tok ->
+               list_transform($t, tok ->
                  list_reduce(
                    list_prepend(CAST(7 AS BIGINT),
                      list_transform(range(1, len(tok) + 1),
                        i -> CAST(ascii(tok[i]) AS BIGINT))),
                    (a, c) -> (a * 131 + c) % 1000000007))),
-             (a, h) -> (a * 31 + h) % 1000000007) AS fp
+             (a, h) -> (a * 31 + h) % 1000000007)"""
+
+  private def q26(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.fingerprintPortable(col("text")).as("fp"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  private val q26Sql = s"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS t
+      FROM documents)
+    SELECT doc_id, ${fpSql("t")} AS fp
     FROM toks ORDER BY doc_id ASC NULLS FIRST"""
+
+  // q60 — the FLAGSHIP training-data curation pipeline, declared as ONE
+  // config: score (quality, lang-ID, token count, content fingerprint in
+  // the scan stage via registered functions) → filter (quality, language,
+  // length) → exact content dedup (min-doc_id winner per fingerprint) →
+  // deterministic content-derived sample (fp % 10 < 8 — replay-stable,
+  // DuckDB-reproducible, unlike rand()) → per-language corpus stats.
+  // The sample filter commutes with the dedup (both are functions of fp),
+  // so it rides in `filters` ahead of the dedup shuffle. Every stage is
+  // the scale-safe shape: scan-stage scoring, one dedup aggregate, one
+  // stats aggregate. Oracle rebuilds the pipeline from the SAME shared
+  // SQL generators as q24/q25/q26 — hash-checked end to end.
+  private def q60(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "documents"},
+       "derive": {"n_tok": "token_count(text)",
+                  "quality": "quality_score(text)",
+                  "lang_pred": "lang_id(text)",
+                  "fp": "doc_fingerprint_portable(text)"},
+       "filters": ["quality > 0.5", "lang_pred != 'und'", "n_tok >= 5",
+                   "pmod(fp, 10) < 8"],
+       "dedup": {"keys": ["fp"], "id_col": "doc_id"},
+       "aggregate": {"group_by": ["lang"],
+         "aggregations": [
+           {"col": "*", "func": "count", "new_name": "n_docs"},
+           {"col": "n_tok", "func": "sum", "new_name": "total_tokens"},
+           {"col": "quality", "func": "davg", "new_name": "avg_quality"}]},
+       "with_columns": {"avg_quality": "round(avg_quality, 9)"},
+       "order_by": ["lang asc"]}""")
+  private val q60Sql = s"""
+    WITH toks AS (
+      SELECT doc_id, lang, text,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS t,
+             LENGTH(text) AS len
+      FROM documents),
+    feat AS (
+      SELECT doc_id, lang,
+             CAST(len(t) AS INT) AS n_tok,
+             ${qualitySql("text", "t", "len")} AS quality,
+             ${langPredSql("t")} AS lang_pred,
+             ${fpSql("t")} AS fp
+      FROM toks),
+    kept AS (
+      SELECT * FROM feat
+      WHERE quality > 0.5 AND lang_pred <> 'und' AND n_tok >= 5
+        AND fp % 10 < 8),
+    deduped AS (
+      SELECT * FROM kept
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1)
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           ROUND(${graft.Tables.davgSql("quality")}, 9) AS avg_quality
+    FROM deduped GROUP BY 1 ORDER BY lang ASC NULLS FIRST"""
 
   override def queries: Seq[Q] = Seq(
     Q("q24_text_stats", q24, Some(q24Sql)),
     Q("q25_lang_id", q25, Some(q25Sql)),
-    Q("q26_fingerprint", q26, Some(q26Sql))
+    Q("q26_fingerprint", q26, Some(q26Sql)),
+    Q("q60_curation_pipeline", q60, Some(q60Sql))
   )
 }
