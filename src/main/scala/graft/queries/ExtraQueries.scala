@@ -56,6 +56,22 @@ object ExtraQueries extends QueryPack {
       .select("l_orderkey", "l_linenumber", "l_quantity")
       .orderBy(col("l_orderkey").asc_nulls_first, col("l_linenumber").asc_nulls_first)
 
+  // q61 — PORTABLE deterministic sample: multiplicative (Knuth) hash over
+  // the key pair — plain BIGINT arithmetic both engines compute
+  // identically, so unlike q40's xxhash64 sampler this one is oracle
+  // hash-checked. Same contract: reproducible across runs/retries and
+  // stable under repartitioning; use q40's xxhash64 at scale for better
+  // mixing, this one where cross-engine verifiability matters.
+  private def q61(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .filter(pmod(col("l_orderkey") * lit(2654435761L) + col("l_linenumber"), lit(100)) < 10)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy(col("l_orderkey").asc_nulls_first, col("l_linenumber").asc_nulls_first)
+  private val q61Sql = """
+    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+    WHERE (l_orderkey * 2654435761 + l_linenumber) % 100 < 10
+    ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST"""
+
   // q41 — the registered graft functions called FROM the config language:
   // lang_id() in a `derive` expr string (pre-agg computed column) used as
   // a group key. Same oracle shape as q25 (the constants are shared).
@@ -357,6 +373,7 @@ object ExtraQueries extends QueryPack {
     Q("q56_config_explode", q56, Some(q56Sql)),
     Q("q57_config_setops", q57, Some(q57Sql)),
     Q("q58_config_asof", q58, Some(q58Sql)),
-    Q("q59_config_pivot", q59, Some(q59Sql))
+    Q("q59_config_pivot", q59, Some(q59Sql)),
+    Q("q61_portable_sample", q61, Some(q61Sql))
   )
 }
