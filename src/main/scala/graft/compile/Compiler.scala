@@ -178,6 +178,11 @@ object Compiler {
       }
     }
 
+    node.topK.foreach { t =>
+      df = graft.ops.Relational.topKPerGroup(
+        df, t.partitionBy, t.orderBy.map(sortColumn), t.k, t.rankCol)
+    }
+
     if (node.orderBy.nonEmpty) df = df.orderBy(node.orderBy.map(sortColumn): _*)
     node.limit.foreach(l => df = df.limit(l))
     if (executeSinks) node.save.foreach { s =>

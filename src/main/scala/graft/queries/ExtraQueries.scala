@@ -72,6 +72,25 @@ object ExtraQueries extends QueryPack {
     WHERE (l_orderkey * 2654435761 + l_linenumber) % 100 < 10
     ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST"""
 
+  // q62 — per-group top-k from the config language (`top_k` node key):
+  // the 3 priciest orders per customer, same semantics as q14's Scala
+  // combinator; plans WindowGroupLimit (k rows kept per group map-side).
+  private def q62(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "orders"},
+       "keep_columns": ["o_custkey", "o_orderkey", "o_totalprice"],
+       "top_k": {"partition_by": ["o_custkey"],
+                 "order_by": ["o_totalprice desc", "o_orderkey asc"],
+                 "k": 3},
+       "order_by": ["o_custkey asc", "rn asc"]}""")
+  private val q62Sql = """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
+      FROM orders) WHERE rn <= 3
+    ORDER BY o_custkey ASC NULLS FIRST, rn ASC NULLS FIRST"""
+
   // q41 — the registered graft functions called FROM the config language:
   // lang_id() in a `derive` expr string (pre-agg computed column) used as
   // a group key. Same oracle shape as q25 (the constants are shared).
@@ -374,6 +393,7 @@ object ExtraQueries extends QueryPack {
     Q("q57_config_setops", q57, Some(q57Sql)),
     Q("q58_config_asof", q58, Some(q58Sql)),
     Q("q59_config_pivot", q59, Some(q59Sql)),
-    Q("q61_portable_sample", q61, Some(q61Sql))
+    Q("q61_portable_sample", q61, Some(q61Sql)),
+    Q("q62_config_topk", q62, Some(q62Sql))
   )
 }

@@ -234,6 +234,13 @@ object JsonCodec {
       withColumns = withCols,
       bitemporal = bt,
       children = children,
+      topK = opt(n, "top_k", "topK").map { t =>
+        TopKSpec(
+          partitionBy = opt(t, "partition_by", "partitionBy").map(strSeq).getOrElse(Nil),
+          orderBy = opt(t, "order_by", "orderBy").map(strSeq).getOrElse(Nil),
+          k = opt(t, "k").get.asInt,
+          rankCol = opt(t, "rank_col", "rankCol").map(_.asText).getOrElse("rn"))
+      },
       orderBy = opt(n, "order_by", "orderBy").map(strSeq).getOrElse(Nil),
       limit = opt(n, "limit").map(_.asInt),
       save = opt(n, "save").map(sink)

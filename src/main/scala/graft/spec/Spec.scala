@@ -107,6 +107,19 @@ final case class JoinSpec(
     rightTs: Option[String] = None
 )
 
+/** Per-group top-k (NS): keep the first `k` rows of each `partitionBy`
+  * group under `orderBy` ("col asc|desc [nulls first|last]" strings; must
+  * be a total order — include a unique tiebreaker). Compiles to
+  * row_number over a window → filter ≤ k; Spark 4 plans WindowGroupLimit,
+  * so each map task keeps only k rows per group BEFORE the shuffle. The
+  * rank lands in `rankCol`. */
+final case class TopKSpec(
+    partitionBy: Seq[String],
+    orderBy: Seq[String],
+    k: Int,
+    rankCol: String = "rn"
+)
+
 /** Set-operation input (NS): the node's input is `op` applied across the
   * child `nodes` (each a full pipeline) instead of a single source.
   * op ∈ {union (by name, keeps duplicates), union_distinct, intersect,
@@ -209,6 +222,7 @@ final case class NodeSpec(
     withColumns: Seq[(String, String)] = Nil, // name -> Catalyst expr string
     bitemporal: Option[BitemporalSpec] = None,
     children: Seq[ChildSpec] = Nil,
+    topK: Option[TopKSpec] = None, // after children, before orderBy
     orderBy: Seq[String] = Nil, // "col", "col asc", "col desc" [nulls first|last]
     limit: Option[Int] = None,
     save: Option[SinkSpec] = None

@@ -170,6 +170,13 @@ class CompilerSpec extends SparkSpec {
     assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges:\n$physical")
   }
 
+  test("config top_k plans WindowGroupLimit (map-side k-per-group pruning)") {
+    Tables.registerViews(spark, sf)
+    val out = SparkEntry.queries("q62_config_topk")(spark, sf)
+    assert(out.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "top_k should plan WindowGroupLimit so map tasks keep only k rows per group")
+  }
+
   test("salted aggregate from config equals plain groupBy; guards enforced") {
     val plain = Compiler.applyAggregate(df, AggregateSpec(
       Seq("k"), Seq(AggSpec("v", "sum", Some("sv")), AggSpec("*", "count", Some("n")))))
