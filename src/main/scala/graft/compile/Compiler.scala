@@ -87,6 +87,9 @@ object Compiler {
     * aggregated-parent × aggregated-child (SURVEY §3 EP2 step 6). */
   def compileNode(spark: SparkSession, node: NodeSpec, input: Option[DataFrame] = None,
       executeSinks: Boolean = true): DataFrame = {
+    if (node.combine.isDefined && node.source.isDefined)
+      throw new IllegalArgumentException(
+        s"node ${node.id}: source and combine are mutually exclusive")
     var df = input.getOrElse(node.combine match {
       case Some(c) =>
         val parts = c.nodes.map(n => compileNode(spark, n, None, executeSinks))
@@ -121,7 +124,12 @@ object Compiler {
           if (node.watermark.isEmpty)
             throw new IllegalArgumentException(
               s"node ${node.id}: dedup.within_watermark requires a node watermark")
-          df.dropDuplicatesWithinWatermark(d.keys)
+          // Batch compile of the same spec: the input is finite, so the
+          // watermark horizon covers all of it — plain dropDuplicates is
+          // the exact batch semantics (and Spark rejects
+          // dropDuplicatesWithinWatermark on batch frames outright).
+          if (df.isStreaming) df.dropDuplicatesWithinWatermark(d.keys)
+          else df.dropDuplicates(d.keys)
         } else d.idCol match {
           case Some(id) => graft.ops.Dedup.exactDedup(df, d.keys, id)
           case None     => df.dropDuplicates(d.keys)
@@ -414,9 +422,9 @@ object Compiler {
     a.salt.filter(_ > 1).foreach { buckets =>
       // Salted two-phase aggregation: strictly for decomposable functions
       // on a plain groupBy (phase-2 merge semantics exist only for those).
-      if (a.mode != "groupBy" || a.keep.nonEmpty || a.groupBy.isEmpty)
+      if (a.mode != "groupBy" || a.keep.nonEmpty || a.groupBy.isEmpty || a.pivot.nonEmpty)
         throw new IllegalArgumentException(
-          "salt requires plain groupBy with group keys and no keep columns")
+          "salt requires a plain groupBy with group keys, no keep columns, no pivot")
       val aggs3 = a.aggs.map { g =>
         if (g.filter.nonEmpty)
           throw new IllegalArgumentException("salt does not support per-agg filters")

@@ -197,6 +197,20 @@ class CompilerSpec extends SparkSpec {
     }
   }
 
+  test("within_watermark dedup degrades to plain dedup under batch compile") {
+    // one spec, both engines: on a finite batch input the watermark horizon
+    // covers everything, so within-watermark dedup = plain dropDuplicates
+    import org.apache.spark.sql.functions.{col => c, to_timestamp}
+    Seq((1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:05:00"), (2L, "2024-01-01 01:00:00"))
+      .toDF("id", "s").withColumn("ts", to_timestamp(c("s")))
+      .createOrReplaceTempView("wm_dd")
+    val out = Compiler.compileJson(spark, """
+      {"source": {"table": "wm_dd"},
+       "watermark": {"col": "ts", "delay": "1 hour"},
+       "dedup": {"keys": ["id"], "within_watermark": true}}""")
+    assert(out.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("keep_columns outside group keys resolves to any_value") {
     val out = Compiler.applyAggregate(
       df.filter($"k" === "a" && $"id" === 1),
