@@ -124,12 +124,22 @@ object Compiler {
           if (node.watermark.isEmpty)
             throw new IllegalArgumentException(
               s"node ${node.id}: dedup.within_watermark requires a node watermark")
+          if (d.idCol.nonEmpty && df.isStreaming)
+            // streaming state dedup keeps the FIRST arrival per key — a
+            // min-id winner isn't expressible there; refusing beats
+            // silently returning arrival-order winners
+            throw new IllegalArgumentException(
+              s"node ${node.id}: dedup.id_col is not supported with " +
+                "within_watermark on streams (state keeps the first arrival)")
           // Batch compile of the same spec: the input is finite, so the
-          // watermark horizon covers all of it — plain dropDuplicates is
+          // watermark horizon covers all of it — plain (or min-id) dedup is
           // the exact batch semantics (and Spark rejects
           // dropDuplicatesWithinWatermark on batch frames outright).
           if (df.isStreaming) df.dropDuplicatesWithinWatermark(d.keys)
-          else df.dropDuplicates(d.keys)
+          else d.idCol match {
+            case Some(id) => graft.ops.Dedup.exactDedup(df, d.keys, id)
+            case None     => df.dropDuplicates(d.keys)
+          }
         } else d.idCol match {
           case Some(id) => graft.ops.Dedup.exactDedup(df, d.keys, id)
           case None     => df.dropDuplicates(d.keys)
@@ -170,11 +180,14 @@ object Compiler {
       }
       df = ch.join match {
         case j if j.how == "asof" =>
-          val (lts, rts) = (j.leftTs, j.rightTs) match {
+          val (lts, rts0) = (j.leftTs, j.rightTs) match {
             case (Some(l), Some(r)) => (l, r)
             case _ => throw new IllegalArgumentException(
               s"node ${node.id}: asof join requires left_ts and right_ts")
           }
+          // prefix namespacing above renamed every non-link child column,
+          // including the as-of timestamp — follow it
+          val rts = if (ch.prefix && !j.link.contains(rts0)) s"${ch.node.id}_$rts0" else rts0
           val payload = childDf.columns.filterNot(c => j.link.contains(c) || c == rts)
           graft.ops.Relational.asofJoin(df, childDf, j.link, lts, rts, payload.toSeq)
         case j =>

@@ -345,20 +345,27 @@ object Dedup {
       .select(col(idCol), hashedNgrams(col(textCol), shingleSize).as("__hs"))
       .select(col(idCol), size(col("__hs")).as("__sz"),
         explode(col("__hs")).as("shingle"))
-    // Skew guard: broadcast ANTI-join against the over-frequent shingles.
-    // The stop list is small by construction — at cap = 0.1% of corpus it
-    // holds at most (total shingle instances)/(0.001·N) ≈ 1000 × avg
-    // shingles/doc entries of 8 bytes — so the broadcast is always safe and
-    // the big exploded side is never shuffled for the guard.
-    val freq = exploded.groupBy("shingle").agg(count(lit(1)).as("docFreq"))
-    val stop = (maxShingleFreq match {
-      case Some(cap) => freq.filter(col("docFreq") > cap)
-      case None => // auto: max(1000, 0.1% of corpus) via a 1-row scalar join
-        freq.crossJoin(broadcast(df.select(count(lit(1)).as("__total"))))
-          .filter(col("docFreq") >
-            greatest(lit(1000L), floor(col("__total") / 1000).cast("long")))
-    }).select("shingle")
-    exploded = exploded.join(broadcast(stop), Seq("shingle"), "left_anti")
+    // Skew guard: anti-join against the over-frequent shingles.
+    // `Some(Int.MaxValue)` disables the guard entirely (no frequency pass).
+    // The AUTO stop list is small by construction — at cap = 0.1% of corpus
+    // it holds at most (total shingle instances)/(0.001·N) ≈ 1000 × avg
+    // shingles/doc entries of 8 bytes — so broadcasting it is always safe.
+    // A USER cap has no such bound (cap=10 on a web corpus stops most
+    // shared shingles), so that path anti-joins shuffled, not broadcast.
+    if (!maxShingleFreq.contains(Int.MaxValue)) {
+      val freq = exploded.groupBy("shingle").agg(count(lit(1)).as("docFreq"))
+      exploded = maxShingleFreq match {
+        case Some(cap) =>
+          exploded.join(freq.filter(col("docFreq") > cap).select("shingle"),
+            Seq("shingle"), "left_anti")
+        case None => // auto: max(1000, 0.1% of corpus) via a 1-row scalar join
+          val stop = freq.crossJoin(broadcast(df.select(count(lit(1)).as("__total"))))
+            .filter(col("docFreq") >
+              greatest(lit(1000L), floor(col("__total") / 1000).cast("long")))
+            .select("shingle")
+          exploded.join(broadcast(stop), Seq("shingle"), "left_anti")
+      }
+    }
     val a = exploded.select(col("shingle"), col(idCol).as("idA"), col("__sz").as("sizeA"))
     val b = exploded.select(col("shingle"), col(idCol).as("idB"), col("__sz").as("sizeB"))
     a.join(b, Seq("shingle"))

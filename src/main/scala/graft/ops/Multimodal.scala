@@ -70,7 +70,11 @@ object Multimodal {
       .as(enc)
       .mapPartitions { it =>
         init() // once per partition, before any payload is touched
-        it.map { case (id, payload) => (id, decoder(payload)) }
+        // same null contract as transformPayload: injected codecs see a
+        // (possibly empty) byte array, never null
+        it.map { case (id, payload) =>
+          (id, decoder(if (payload == null) Array.emptyByteArray else payload))
+        }
       }(Encoders.tuple(Encoders.scalaLong, ExpressionEncoder[Array[Float]]()))
     out.toDF("media_id", "features")
   }

@@ -126,11 +126,47 @@ object DedupQueries extends QueryPack {
 
   // q53 — the PRODUCTION near-dedup pipeline shape: MinHash-LSH candidates
   // → exact Jaccard verify on candidates only → connected components →
-  // representatives. Carries q45's exact recursive-CTE oracle: on this
-  // corpus LSH at 64 hashes × 16 bands misses no pair ≥ 0.5 (the OpsSpec
-  // recall invariant), so the hash-compare proves the approximate pipeline
-  // loses nothing here, while its shuffles are candidate-shaped, not
-  // corpus-shaped — q45 stays as the exact explode-join baseline.
+  // representatives. Its oracle is q45's recursive-CTE pipeline WITHOUT
+  // the stop-shingle CTE: verify-on-candidates intersects the FULL shingle
+  // sets (no guard is needed — fan-out is bounded by the candidate list),
+  // so on a corpus where q45's guard fires the two pipelines legitimately
+  // differ and each carries its own matching oracle. On this corpus LSH at
+  // 64 hashes × 16 bands misses no pair ≥ 0.5 (the OpsSpec recall
+  // invariant), so the hash-compare proves the approximate pipeline loses
+  // nothing, while its shuffles are candidate-shaped, not corpus-shaped —
+  // q45 stays as the exact explode-join baseline.
+  private val q53Sql = """
+    WITH sets AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in generate_series(1, greatest(len(t)-2, 1))]) AS sh
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)),
+    sizes AS (SELECT doc_id, len(sh) AS sz FROM sets),
+    ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
+    pairs AS (
+      SELECT idA, idB FROM (
+        SELECT a.doc_id AS idA, b.doc_id AS idB, COUNT(*) AS common
+        FROM ex a JOIN ex b USING (shingle)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2) c
+      JOIN sizes sa ON sa.doc_id = idA
+      JOIN sizes sb ON sb.doc_id = idB
+      WHERE ROUND(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 9) >= 0.5),
+    edges AS (SELECT idA AS src, idB AS dst FROM pairs
+              UNION ALL SELECT idB, idA FROM pairs),
+    reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src
+        WHERE e.dst <> r.a)
+      SELECT * FROM r),
+    clusters AS (
+      SELECT a AS id, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a),
+    losers AS (SELECT id FROM clusters WHERE id <> cluster)
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM losers)
+    ORDER BY doc_id ASC NULLS FIRST"""
+
   private def q53(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
     val cands = Dedup.minhashCandidatePairs(docs, "doc_id", "text", 3, 64, 16)
@@ -165,6 +201,6 @@ object DedupQueries extends QueryPack {
     Q("q30_simhash", q30, None),
     Q("q45_dedup_pipeline", q45, Some(q45Sql)),
     Q("q51_config_dedup", q51, Some(q51Sql)),
-    Q("q53_dedup_pipeline_lsh", q53, Some(q45Sql))
+    Q("q53_dedup_pipeline_lsh", q53, Some(q53Sql))
   )
 }

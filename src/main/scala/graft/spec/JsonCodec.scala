@@ -279,11 +279,18 @@ object JsonCodec {
 
   private def sink(s: JsonNode): SinkSpec =
     if (s.isTextual) SinkSpec(path = s.asText)
-    else
+    else {
+      val format = opt(s, "format").map(_.asText).getOrElse("parquet")
+      val pathless = Set("memory", "console", "noop")
       SinkSpec(
-        // memory/console sinks are pathless
-        path = opt(s, "path").map(_.asText).getOrElse(""),
-        format = opt(s, "format").map(_.asText).getOrElse("parquet"),
+        path = opt(s, "path").map(_.asText).getOrElse {
+          // fail at parse time, not at the end of the job with Hadoop's
+          // cryptic empty-path error
+          if (pathless(format)) ""
+          else throw new IllegalArgumentException(
+            s"sink format '$format' requires a path")
+        },
+        format = format,
         mode = opt(s, "mode").map(_.asText).getOrElse("overwrite"),
         options = opt(s, "options")
           .map(o => fields(o).map { case (k, v) => k -> v.asText }.toMap)
@@ -293,6 +300,7 @@ object JsonCodec {
         outputMode = opt(s, "output_mode", "outputMode").map(_.asText),
         queryName = opt(s, "query_name", "queryName").map(_.asText)
       )
+    }
 
   private def cascade(n: JsonNode): CascadeSpec = {
     val src = opt(n, "source", "file_path", "data_path").map { s =>

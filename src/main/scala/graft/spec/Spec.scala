@@ -59,6 +59,11 @@ final case class AggSpec(
     param: Option[Double] = None
 )
 
+/** Pivot: spread the aggregations across columns, one per pivot value.
+  * Values are EXPLICIT by design: an implicit pivot costs an extra
+  * distinct pass over the fact table to discover them. */
+final case class PivotSpec(col: String, values: Seq[JValue])
+
 /** Group-by aggregation (ref: `Optimus/optimus.py:27-32` group_by +
   * aggregations + keep_columns).
   * `keep` columns outside `groupBy` are wrapped in `any_value` — the
@@ -71,11 +76,6 @@ final case class AggSpec(
   * `salt` (> 1) routes through two-phase salted aggregation for a single
   * hot key that would exceed one reducer (sum/count/min/max/dsum only —
   * the decomposable functions; content-derived salt, replay-stable). */
-/** Pivot: spread the aggregations across columns, one per pivot value.
-  * Values are EXPLICIT by design: an implicit pivot costs an extra
-  * distinct pass over the fact table to discover them. */
-final case class PivotSpec(col: String, values: Seq[JValue])
-
 final case class AggregateSpec(
     groupBy: Seq[String],
     aggs: Seq[AggSpec],

@@ -197,6 +197,26 @@ class CompilerSpec extends SparkSpec {
     }
   }
 
+  test("asof join composes with prefix namespacing") {
+    import org.apache.spark.sql.functions.{col => c}
+    Seq((1L, 10L, 1.0), (1L, 20L, 2.0), (2L, 15L, 3.0)).toDF("k", "ts", "v")
+      .createOrReplaceTempView("asof_l")
+    Seq((1L, 5L, "a"), (1L, 15L, "b"), (3L, 1L, "z")).toDF("k", "ts", "p")
+      .createOrReplaceTempView("asof_r")
+    val out = Compiler.compileJson(spark, """
+      {"source": {"table": "asof_l"},
+       "children": [{
+          "id": "r", "prefix": true,
+          "source": {"table": "asof_r"},
+          "join": {"how": "asof", "on": ["k"], "left_ts": "ts", "right_ts": "ts"}}],
+       "order_by": ["k asc", "ts asc"]}""")
+    // child's ts and p were prefixed to r_ts/r_p; payload carried is r_p
+    assert(out.columns.contains("r_p"))
+    val got = out.select("k", "ts", "r_p").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)).getOrElse("-"))).toSeq
+    assert(got == Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 15L, "-")))
+  }
+
   test("within_watermark dedup degrades to plain dedup under batch compile") {
     // one spec, both engines: on a finite batch input the watermark horizon
     // covers everything, so within-watermark dedup = plain dropDuplicates
