@@ -155,6 +155,8 @@ object Compiler {
 
     node.withColumns.foreach { case (c, e) => df = df.withColumn(c, expr(e)) }
 
+    if (node.drop.nonEmpty) df = df.drop(node.drop: _*)
+
     node.bitemporal.foreach { b =>
       df = df.withColumn(b.fromCol, lit(b.validFrom)).withColumn(b.toCol, lit(b.validTo))
     }

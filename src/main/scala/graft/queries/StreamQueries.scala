@@ -93,10 +93,28 @@ object StreamQueries extends QueryPack {
      AND c.ts >= p.ts - INTERVAL '1 hour' AND c.ts <= p.ts
     ORDER BY purchase_id ASC NULLS FIRST, click_id ASC NULLS FIRST"""
 
+  // q63 — session windows from the config language: `session_window` as a
+  // derived group key (exactly how `window` powers config tumbling aggs),
+  // struct flattened via with_columns and dropped. Same oracle as q35's
+  // Scala path; under compileStream the identical spec runs streaming
+  // (one open session per key, merged/closed by watermark).
+  private def q63(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "events"},
+       "derive": {"sw": "session_window(ts, '30 minutes')"},
+       "aggregate": {"group_by": ["user_id", "sw"],
+         "aggregations": [
+           {"col": "*", "func": "count", "new_name": "n"},
+           {"col": "value", "func": "dsum", "new_name": "sum_value"}]},
+       "with_columns": {"session_start": "sw.start", "session_end": "sw.end"},
+       "drop": ["sw"],
+       "order_by": ["user_id asc", "session_start asc"]}""")
+
   override def queries: Seq[Q] = Seq(
     Q("q34_tumbling_window", q34, Some(q34Sql)),
     Q("q35_session_window", q35, Some(q35Sql)),
     Q("q36_sliding_window", q36, Some(q36Sql)),
-    Q("q44_interval_join", q37b, Some(q37bSql))
+    Q("q44_interval_join", q37b, Some(q37bSql)),
+    Q("q63_config_session", q63, Some(q35Sql))
   )
 }

@@ -232,6 +232,7 @@ object JsonCodec {
       aggregate = aggregate,
       rename = rename,
       withColumns = withCols,
+      drop = opt(n, "drop").map(strSeq).getOrElse(Nil),
       bitemporal = bt,
       children = children,
       topK = opt(n, "top_k", "topK").map { t =>

@@ -220,6 +220,7 @@ final case class NodeSpec(
     aggregate: Option[AggregateSpec] = None,
     rename: Seq[(String, String)] = Nil,
     withColumns: Seq[(String, String)] = Nil, // name -> Catalyst expr string
+    drop: Seq[String] = Nil, // post-agg column drop (e.g. a struct group key already flattened)
     bitemporal: Option[BitemporalSpec] = None,
     children: Seq[ChildSpec] = Nil,
     topK: Option[TopKSpec] = None, // after children, before orderBy
