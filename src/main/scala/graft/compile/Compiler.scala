@@ -155,7 +155,15 @@ object Compiler {
 
     node.withColumns.foreach { case (c, e) => df = df.withColumn(c, expr(e)) }
 
-    if (node.drop.nonEmpty) df = df.drop(node.drop: _*)
+    if (node.drop.nonEmpty) {
+      // DataFrame.drop silently ignores unknown names — a typo'd drop would
+      // leave the column in the sink with no diagnostic; fail loud instead
+      val missing = node.drop.filterNot(df.columns.contains)
+      if (missing.nonEmpty)
+        throw new IllegalArgumentException(
+          s"node ${node.id}: drop references unknown columns: ${missing.mkString(", ")}")
+      df = df.drop(node.drop: _*)
+    }
 
     node.bitemporal.foreach { b =>
       df = df.withColumn(b.fromCol, lit(b.validFrom)).withColumn(b.toCol, lit(b.validTo))

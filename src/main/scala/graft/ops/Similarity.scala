@@ -112,8 +112,8 @@ object Similarity {
       idAs: String, vecAs: String, nAs: String, sigAs: String,
       dim: Int, numBits: Int, bands: Int): DataFrame = {
     require(numBits % bands == 0, "bands must divide numBits")
-    require(numBits / bands < 64 || bands > 1,
-      "width 64 (numBits=64, bands=1) would overflow the chunk mask (1L<<64 == 1); use bands >= 2")
+    require(numBits / bands < 64,
+      s"band width ${numBits / bands} would overflow the chunk mask (1L<<64 wraps); use more bands")
     val width = numBits / bands
     df.select(col(id).as(idAs), col(vec).as(vecAs),
         l2Norm(col(vec)).as(nAs),

@@ -89,21 +89,31 @@ object DedupQueries extends QueryPack {
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy(col("doc_id").asc_nulls_first)
   }
-  private val q45Sql = """
+  /** One template for both dedup-pipeline oracles: q45 mirrors the
+    * explode-join path WITH the stop-shingle guard; q53 mirrors the
+    * verify-on-candidates path, which intersects full sets (no guard).
+    * Shared so an edit to the shingle construction, Jaccard rounding, or
+    * recursive closure can't desynchronize the two. */
+  private def dedupPipelineSql(stopGuard: Boolean): String = {
+    val guardCtes =
+      if (stopGuard) """
+    stop AS (SELECT shingle FROM ex GROUP BY shingle
+             HAVING COUNT(*) > GREATEST(1000, (SELECT COUNT(*) FROM documents) // 1000)),
+    exf AS (SELECT * FROM ex WHERE shingle NOT IN (SELECT shingle FROM stop)),"""
+      else ""
+    val pairSrc = if (stopGuard) "exf" else "ex"
+    s"""
     WITH sets AS (
       SELECT doc_id,
              list_distinct([array_to_string(t[i:i+2], ' ')
                             for i in generate_series(1, greatest(len(t)-2, 1))]) AS sh
-      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)),
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)),
     sizes AS (SELECT doc_id, len(sh) AS sz FROM sets),
-    ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
-    stop AS (SELECT shingle FROM ex GROUP BY shingle
-             HAVING COUNT(*) > GREATEST(1000, (SELECT COUNT(*) FROM documents) // 1000)),
-    exf AS (SELECT * FROM ex WHERE shingle NOT IN (SELECT shingle FROM stop)),
+    ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),$guardCtes
     pairs AS (
       SELECT idA, idB FROM (
         SELECT a.doc_id AS idA, b.doc_id AS idB, COUNT(*) AS common
-        FROM exf a JOIN exf b USING (shingle)
+        FROM $pairSrc a JOIN $pairSrc b USING (shingle)
         WHERE a.doc_id < b.doc_id GROUP BY 1, 2) c
       JOIN sizes sa ON sa.doc_id = idA
       JOIN sizes sb ON sb.doc_id = idB
@@ -123,6 +133,8 @@ object DedupQueries extends QueryPack {
     SELECT doc_id, lang, source, n_chars FROM documents
     WHERE doc_id NOT IN (SELECT id FROM losers)
     ORDER BY doc_id ASC NULLS FIRST"""
+  }
+  private val q45Sql = dedupPipelineSql(stopGuard = true)
 
   // q53 — the PRODUCTION near-dedup pipeline shape: MinHash-LSH candidates
   // → exact Jaccard verify on candidates only → connected components →
@@ -135,37 +147,7 @@ object DedupQueries extends QueryPack {
   // invariant), so the hash-compare proves the approximate pipeline loses
   // nothing, while its shuffles are candidate-shaped, not corpus-shaped —
   // q45 stays as the exact explode-join baseline.
-  private val q53Sql = """
-    WITH sets AS (
-      SELECT doc_id,
-             list_distinct([array_to_string(t[i:i+2], ' ')
-                            for i in generate_series(1, greatest(len(t)-2, 1))]) AS sh
-      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)),
-    sizes AS (SELECT doc_id, len(sh) AS sz FROM sets),
-    ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
-    pairs AS (
-      SELECT idA, idB FROM (
-        SELECT a.doc_id AS idA, b.doc_id AS idB, COUNT(*) AS common
-        FROM ex a JOIN ex b USING (shingle)
-        WHERE a.doc_id < b.doc_id GROUP BY 1, 2) c
-      JOIN sizes sa ON sa.doc_id = idA
-      JOIN sizes sb ON sb.doc_id = idB
-      WHERE ROUND(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 9) >= 0.5),
-    edges AS (SELECT idA AS src, idB AS dst FROM pairs
-              UNION ALL SELECT idB, idA FROM pairs),
-    reach AS (
-      WITH RECURSIVE r(a, b) AS (
-        SELECT src, dst FROM edges
-        UNION
-        SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src
-        WHERE e.dst <> r.a)
-      SELECT * FROM r),
-    clusters AS (
-      SELECT a AS id, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a),
-    losers AS (SELECT id FROM clusters WHERE id <> cluster)
-    SELECT doc_id, lang, source, n_chars FROM documents
-    WHERE doc_id NOT IN (SELECT id FROM losers)
-    ORDER BY doc_id ASC NULLS FIRST"""
+  private val q53Sql = dedupPipelineSql(stopGuard = false)
 
   private def q53(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")

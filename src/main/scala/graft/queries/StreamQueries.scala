@@ -96,8 +96,10 @@ object StreamQueries extends QueryPack {
   // q63 — session windows from the config language: `session_window` as a
   // derived group key (exactly how `window` powers config tumbling aggs),
   // struct flattened via with_columns and dropped. Same oracle as q35's
-  // Scala path; under compileStream the identical spec runs streaming
-  // (one open session per key, merged/closed by watermark).
+  // Scala path. The streaming variant of this spec additionally needs a
+  // `watermark` (append-mode session state) and a streaming `save` sink,
+  // and no root order_by — the pattern StreamingSpec's config-declared
+  // windowed pipeline demonstrates.
   private def q63(s: SparkSession, dir: String): DataFrame =
     graft.compile.Compiler.compileJson(s, """
       {"source": {"table": "events"},

@@ -282,14 +282,17 @@ object JsonCodec {
     if (s.isTextual) SinkSpec(path = s.asText)
     else {
       val format = opt(s, "format").map(_.asText).getOrElse("parquet")
-      val pathless = Set("memory", "console", "noop")
+      // only the KNOWN file formats hard-require a path — option-driven
+      // sinks (kafka, jdbc, memory, console, ...) are legitimately pathless
+      val pathRequired = Set("parquet", "csv", "json", "orc", "text", "avro")
       SinkSpec(
         path = opt(s, "path").map(_.asText).getOrElse {
           // fail at parse time, not at the end of the job with Hadoop's
           // cryptic empty-path error
-          if (pathless(format)) ""
-          else throw new IllegalArgumentException(
-            s"sink format '$format' requires a path")
+          if (pathRequired(format))
+            throw new IllegalArgumentException(
+              s"sink format '$format' requires a path")
+          else ""
         },
         format = format,
         mode = opt(s, "mode").map(_.asText).getOrElse("overwrite"),

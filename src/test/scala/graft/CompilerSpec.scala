@@ -198,7 +198,6 @@ class CompilerSpec extends SparkSpec {
   }
 
   test("asof join composes with prefix namespacing") {
-    import org.apache.spark.sql.functions.{col => c}
     Seq((1L, 10L, 1.0), (1L, 20L, 2.0), (2L, 15L, 3.0)).toDF("k", "ts", "v")
       .createOrReplaceTempView("asof_l")
     Seq((1L, 5L, "a"), (1L, 15L, "b"), (3L, 1L, "z")).toDF("k", "ts", "p")
