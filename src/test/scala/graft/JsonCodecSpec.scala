@@ -1,0 +1,91 @@
+package graft
+
+import graft.spec._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Decode coverage for the round-2 config keys and their alternate
+  * spellings — pins the JSON surface independently of the compiler
+  * behavior tests (a decode regression would otherwise surface only as a
+  * confusing downstream AnalysisException). No Spark session needed. */
+class JsonCodecSpec extends AnyFunSuite {
+
+  private def root(json: String): NodeSpec =
+    JsonCodec.parse(json) match {
+      case TreePipeline(r) => r
+      case other           => fail(s"expected tree, got $other")
+    }
+
+  test("aggregate: param, sets, salt, pivot decode (both spellings)") {
+    val n = root("""
+      {"source": {"table": "t"},
+       "aggregate": {"group_by": ["a", "b"],
+         "grouping_sets": [["a"], []],
+         "salt": 8,
+         "pivot": {"col": "p", "values": ["x", 1]},
+         "aggregations": [
+           {"col": "v", "func": "percentile", "percentage": 0.9, "new_name": "p90"}]}}""")
+    val a = n.aggregate.get
+    assert(a.mode == "grouping_sets") // implied by sets
+    assert(a.sets == Seq(Seq("a"), Seq()))
+    assert(a.salt.contains(8))
+    assert(a.pivot.contains(PivotSpec("p", Seq(JStr("x"), JInt(1)))))
+    assert(a.aggs.head == AggSpec("v", "percentile", Some("p90"), None, Some(0.9)))
+  }
+
+  test("watermark, dedup, top_k, drop decode") {
+    val n = root("""
+      {"source": {"table": "t"},
+       "watermark": {"col": "ts", "delay": "10 minutes"},
+       "dedup": {"keys": ["k"], "id_col": "id", "within_watermark": true},
+       "top_k": {"partition_by": ["k"], "order_by": ["v desc"], "k": 3, "rank_col": "r"},
+       "drop": ["helper"]}""")
+    assert(n.watermark.contains(WatermarkSpec("ts", "10 minutes")))
+    assert(n.dedup.contains(DedupSpec(Seq("k"), Some("id"), withinWatermark = true)))
+    assert(n.topK.contains(TopKSpec(Seq("k"), Seq("v desc"), 3, "r")))
+    assert(n.drop == Seq("helper"))
+    // shorthand: bare key list
+    assert(root("""{"source": {"table": "t"}, "dedup": ["a", "b"]}""")
+      .dedup.contains(DedupSpec(Seq("a", "b"))))
+  }
+
+  test("child join: hint, on_expr, asof timestamps decode") {
+    val n = root("""
+      {"source": {"table": "t"},
+       "children": [{
+          "id": "c", "prefix": true, "hint": "broadcast",
+          "source": {"table": "u"},
+          "join": {"how": "asof", "on": ["k"],
+                   "left_ts": "lt", "right_ts": "rt", "on_expr": "a < b"}}]}""")
+    val ch = n.children.head
+    assert(ch.hint.contains("broadcast") && ch.prefix)
+    assert(ch.join == JoinSpec(Seq("k"), "asof", Some("a < b"), Some("lt"), Some("rt")))
+  }
+
+  test("combine decodes full child pipelines with generated ids") {
+    val n = root("""
+      {"id": "u",
+       "combine": {"op": "union_distinct", "nodes": [
+         {"source": {"table": "a"}}, {"source": {"table": "b"}}]}}""")
+    val c = n.combine.get
+    assert(c.op == "union_distinct")
+    assert(c.nodes.map(_.id) == Seq("u_part0", "u_part1"))
+    assert(n.source.isEmpty)
+  }
+
+  test("streaming sink keys decode; file sink without path rejected at parse") {
+    val n = root("""
+      {"source": {"table": "t"},
+       "save": {"format": "memory", "query_name": "q", "trigger": "available_now",
+                "output_mode": "complete", "checkpoint_location": "/chk"}}""")
+    val s = n.save.get
+    assert(s.format == "memory" && s.path == "")
+    assert(s.queryName.contains("q") && s.trigger.contains("available_now"))
+    assert(s.outputMode.contains("complete") && s.checkpoint.contains("/chk"))
+    intercept[IllegalArgumentException] {
+      root("""{"source": {"table": "t"}, "save": {"format": "parquet"}}""")
+    }
+    // option-driven sinks stay pathless-parseable
+    assert(root("""{"source": {"table": "t"}, "save": {"format": "kafka"}}""")
+      .save.get.path == "")
+  }
+}
