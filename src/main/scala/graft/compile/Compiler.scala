@@ -27,8 +27,12 @@ object Compiler {
     val have = df.columns.toSet ++ node.derive.map(_._1)
     val wanted =
       node.keepColumns ++
-        node.aggregate.toSeq.flatMap(a => a.groupBy ++ a.keep ++ a.aggs.filterNot(_.col == "*").map(_.col)) ++
-        node.filters.collect { case ColFilter(c, _, _, _) => c }
+        node.aggregate.toSeq.flatMap(a =>
+          a.groupBy ++ a.keep ++ a.sets.flatten ++ a.pivot.map(_.col) ++
+            a.aggs.filterNot(_.col == "*").map(_.col)) ++
+        node.filters.collect { case ColFilter(c, _, _, _) => c } ++
+        node.watermark.map(_.col) ++
+        node.dedup.toSeq.flatMap(d => d.keys ++ d.idCol)
     wanted.filterNot(have.contains).map(c => s"node ${node.id}: unknown column '$c' (have: ${have.mkString(", ")})")
   }
 

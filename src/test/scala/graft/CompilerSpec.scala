@@ -356,5 +356,15 @@ class CompilerSpec extends SparkSpec {
       aggregate = Some(AggregateSpec(Seq("k"), Seq(AggSpec("missing", "sum"))))))
     assert(errs.size == 2)
     assert(errs.forall(_.contains("unknown column")))
+
+    // the round-2 keys are covered by the friendly tier too
+    val errs2 = Compiler.validate(df, NodeSpec(
+      id = "n2",
+      watermark = Some(WatermarkSpec("no_ts", "1 hour")),
+      dedup = Some(DedupSpec(Seq("no_key"), Some("no_id"))),
+      aggregate = Some(AggregateSpec(Seq("k"), Seq(AggSpec("v", "sum")),
+        sets = Seq(Seq("ghost")), pivot = Some(PivotSpec("no_piv", Seq(JStr("x"))))))))
+    assert(Seq("no_ts", "no_key", "no_id", "ghost", "no_piv")
+      .forall(c => errs2.exists(_.contains(c))), errs2.mkString("; "))
   }
 }
