@@ -249,7 +249,8 @@ object Dedup {
       pairs: DataFrame,
       idA: String = "idA",
       idB: String = "idB",
-      maxIter: Int = 20
+      maxIter: Int = 20,
+      smallGraphEdges: Long = 1L << 20
   ): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val spark = pairs.sparkSession
@@ -262,7 +263,38 @@ object Dedup {
     // would embed the expensive pair-generation lineage (shingling + joins)
     // twice in one plan, and every iteration would reference it.
     val p = materialize(pairs.select(col(idA).as("src"), col(idB).as("dst")))
-    p.count()
+    val edgeCount = p.count()
+    // Size-adaptive cutover: near-dup edge lists are USUALLY tiny relative
+    // to the corpus (duplicate density, not data size). Below the threshold
+    // (default 2^20 edges ≈ 16 MB — same bounded-metadata trust model as a
+    // broadcast), solve on the driver with union-find in milliseconds
+    // instead of paying ~2 shuffles + a materializing action PER ITERATION
+    // of the distributed loop. Long ids only — anything else takes the
+    // distributed path, which is type-generic.
+    if (edgeCount <= smallGraphEdges &&
+        p.schema.fields.forall(_.dataType ==
+          org.apache.spark.sql.types.LongType)) {
+      val es = p.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        // union by MIN root, so every component's root is its minimum id —
+        // the same label the distributed min-propagation converges to
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val labels = es.flatMap(e => Seq(e._1, e._2)).distinct
+        .sorted.map(n => (n, find(n))).toSeq
+      if (!reliable) p.unpersist(blocking = false)
+      import spark.implicits._
+      return labels.toDF("id", "cluster")
+    }
     val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
     val nodes = edges.select(col("src").as("id")).distinct()
     var labels = materialize(nodes.select(col("id"), col("id").as("cluster")))

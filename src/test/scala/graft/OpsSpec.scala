@@ -67,6 +67,20 @@ class OpsSpec extends SparkSpec {
     assert(kept == Set(1L, 5L, 6L, 7L, 8L, 9L, 10L, 12L))
   }
 
+  test("dedup clustering: distributed loop equals the driver union-find path") {
+    // force the distributed min-propagation loop (smallGraphEdges = 0) and
+    // require identical labels to the small-graph union-find cutover
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (4L, 11L), (20L, 21L))
+      .toDF("idA", "idB")
+    val driver = Dedup.dedupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val looped = Dedup.dedupClusters(pairs, smallGraphEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(driver == looped)
+    assert(Seq(1L, 2L, 3L, 4L, 10L, 11L).forall(driver(_) == 1L)) // merged chain
+    assert(Seq(20L, 21L).forall(driver(_) == 20L))
+  }
+
   test("dedup clustering on the real jaccard pairs removes the planted dups") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
     val kept = Dedup.dedupByClusters(docs, pairs, "doc_id")
