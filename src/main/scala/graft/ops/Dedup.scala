@@ -261,8 +261,15 @@ object Dedup {
     // Materialize the (small) pair list ONCE, before mirroring it into the
     // undirected edge list — a union of two selects over un-cached `pairs`
     // would embed the expensive pair-generation lineage (shingling + joins)
-    // twice in one plan, and every iteration would reference it.
-    val p = materialize(pairs.select(col(idA).as("src"), col(idB).as("dst")))
+    // twice in one plan, and every iteration would reference it. Always a
+    // persist, never a reliable checkpoint: the size cutover below hasn't
+    // run yet, and a tiny graph would turn the checkpoint write into pure
+    // wasted distributed-storage I/O. Null endpoints identify nothing —
+    // drop those edges up front (the driver path would NPE on them; the
+    // distributed joins would silently never match them).
+    val p = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .na.drop()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val edgeCount = p.count()
     // Size-adaptive cutover: near-dup edge lists are USUALLY tiny relative
     // to the corpus (duplicate density, not data size). Below the threshold
@@ -291,7 +298,7 @@ object Dedup {
       }
       val labels = es.flatMap(e => Seq(e._1, e._2)).distinct
         .sorted.map(n => (n, find(n))).toSeq
-      if (!reliable) p.unpersist(blocking = false)
+      p.unpersist(blocking = false)
       import spark.implicits._
       return labels.toDF("id", "cluster")
     }
@@ -330,7 +337,7 @@ object Dedup {
       throw new IllegalStateException(
         s"dedupClusters did not converge after $maxIter rounds — component " +
           "diameter exceeds 2^" + maxIter + "; raise maxIter")
-    if (!reliable) p.unpersist(blocking = false)
+    p.unpersist(blocking = false)
     labels.select("id", "cluster")
   }
 
