@@ -121,7 +121,14 @@ object TextAnalysis {
     * work than the xxhash64 path (a HOF per character, not a native hash
     * kernel per token): use [[fingerprint]] at scale, this one where
     * cross-engine verifiability matters more than throughput. */
-  def fingerprintPortable(text: Column): Column = {
+  def fingerprintPortable(text: Column): Column =
+    graft.functions.TextKernels.portableFingerprint(text)
+
+  /** Composable fold formulation of [[fingerprintPortable]] — a HOF per
+    * CHARACTER (substr + ascii inside transform inside aggregate), ~10×
+    * slower than the native kernel; kept as the reference implementation
+    * for the bit-equality test. */
+  def fingerprintPortableFold(text: Column): Column = {
     val m = 1000000007L
     def tokHash(t: Column): Column =
       aggregate(

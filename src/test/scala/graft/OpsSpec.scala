@@ -235,6 +235,24 @@ class OpsSpec extends SparkSpec {
     assert(dt("data").dataType.toString.contains("ByteType"))
   }
 
+  test("native PortableFingerprint kernel equals the fold formulation bit-for-bit") {
+    // the whole corpus plus adversarial strings (unicode, tabs, surrogate
+    // pairs, empty, whitespace-only)
+    val corpusDiff = docs.select(
+        TextAnalysis.fingerprintPortable($"text").as("k"),
+        TextAnalysis.fingerprintPortableFold($"text").as("f"))
+      .filter($"k" =!= $"f").count()
+    assert(corpusDiff == 0)
+    val tricky = Seq("", "   ", "\ta bc\r", "héllo wörld", "中文 分词",
+      "a\nb", "emoji 😀 pair", "x")
+      .toDF("text")
+      .select(
+        TextAnalysis.fingerprintPortable($"text").as("k"),
+        TextAnalysis.fingerprintPortableFold($"text").as("f"))
+      .collect()
+    tricky.foreach(r => assert(r.getLong(0) == r.getLong(1), s"kernel != fold: $r"))
+  }
+
   test("native SimHash64 kernel equals the composable formulation") {
     val hashes = docs.select(
       transform(graft.ops.TextAnalysis.tokens($"text"), t => xxhash64(t)).as("th"))
