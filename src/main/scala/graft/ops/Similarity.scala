@@ -85,7 +85,16 @@ object Similarity {
     * agree on most signs. `numBits` ≤ 64. Hyperplanes are embedded as
     * array LITERALS and each dot product is a zip_with/aggregate loop —
     * a flat 2048-node expression tree of element_at's would overflow
-    * codegen method limits and run interpreted. */
+    * codegen method limits and run interpreted.
+    *
+    * Literal footprint: the plan embeds numBits × dim doubles — 32 KB at
+    * the production regime (64 × 64), 512 KB at numBits=64/dim=1024. That
+    * is plan METADATA (shipped once per stage with the task closure, not
+    * per row), so it stays cheap up to a few MB; past that (dim ≥ 4096)
+    * move plane generation into a codegen kernel that re-derives
+    * components from (i,d) on the fly — same splitmix math, zero
+    * literals. Not done here because the fixture dims (64) sit three
+    * orders of magnitude below the threshold where it matters. */
   def hyperplaneSignature(vec: Column, dim: Int, numBits: Int): Column = {
     require(numBits <= 64)
     val bitCols = (0 until numBits).map { i =>
@@ -334,6 +343,43 @@ object Similarity {
       dim: Int,
       numBits: Int = 32,
       bands: Int = 16
+  ): DataFrame =
+    bandedCandidateRows(corpus, idCol, vecCol, dim, numBits, bands)
+      .select(col("idA"), col("idB"),
+        round(
+          when(col("__na") > 0 && col("__nb") > 0,
+            dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+            .otherwise(lit(0.0)),
+          9).as("score"))
+      .filter(col("score") >= threshold)
+
+  /** Candidate pairs of the banded near-dup plan — (idA, idB), each pair
+    * exactly once (first-collision) — exposed as the measurable PRUNING
+    * surface: in the production regime (τ ≥ 0.8, numBits=64, bands=8 →
+    * 256-way buckets) `count()` of this frame must be a small fraction of
+    * n²/2, which is what the plan-invariant test asserts (a recall bound
+    * alone can't distinguish real pruning from scoring every pair). */
+  def bandedCandidatePairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      numBits: Int,
+      bands: Int
+  ): DataFrame =
+    bandedCandidateRows(corpus, idCol, vecCol, dim, numBits, bands)
+      .select("idA", "idB")
+
+  /** The shared candidate stage: band-key equi-join, idA < idB, scored-once
+    * guarantee via [[firstCollision]]; vectors and norms ride along so the
+    * scoring tier costs one dot per pair. */
+  private def bandedCandidateRows(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      numBits: Int,
+      bands: Int
   ): DataFrame = {
     val banded = explodeBands(corpus, idCol, vecCol, "__id", "__v", "__n", "__sig", dim, numBits, bands)
     val a = banded.select(col("band"), col("band_key"),
@@ -345,12 +391,5 @@ object Similarity {
     a.join(b, Seq("band", "band_key"))
       .filter(col("idA") < col("idB") &&
         firstCollision(col("__siga"), col("__sigb"), numBits / bands, bands))
-      .select(col("idA"), col("idB"),
-        round(
-          when(col("__na") > 0 && col("__nb") > 0,
-            dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
-            .otherwise(lit(0.0)),
-          9).as("score"))
-      .filter(col("score") >= threshold)
   }
 }

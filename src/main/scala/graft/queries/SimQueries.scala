@@ -92,6 +92,59 @@ object SimQueries extends QueryPack {
         threshold = 0.4, dim = 64, numBits = 32, bands = 16)
       .orderBy(col("idA").asc_nulls_first, col("idB").asc_nulls_first)
 
+  // --- q64: the PRODUCTION near-dup regime ------------------------------
+  // The fixture corpus is near-random (max cosine ≈ 0.51), so a τ ≥ 0.8
+  // query needs a planted high-similarity slice: every 10th vector gets a
+  // copy (vec_id + 10⁷) perturbed by adding 0.1 × the circularly-next
+  // element — cosine(original, copy) = (1+0.1r)/√(1+0.2r+0.01) ≈ 0.995
+  // (r = normalized cross-correlation, ≈ 0 for random vectors), far above
+  // τ, while all background pairs stay below 0.6. The perturbation is
+  // exact float arithmetic mirrored verbatim in the oracle SQL (double
+  // add/multiply, cast to float — IEEE-identical in both engines).
+  private[graft] def plantedCorpus(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select("vec_id", "embedding")
+    val planted = e.filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select(
+        (col("vec_id") + lit(10000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") + lit(0.1) *
+            element_at(col("embedding"), pmod(i + 1, lit(64)) + 1).cast("double"))
+            .cast("float")).as("embedding"))
+    e.unionByName(planted)
+  }
+  private val plantedSql = """
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 10000000 AS vec_id,
+           list_transform(embedding, (x, i) -> CAST(CAST(x AS DOUBLE)
+             + CAST(0.1 AS DOUBLE) * CAST(embedding[((i % 64) + 1)] AS DOUBLE)
+             AS FLOAT)) AS embedding
+    FROM embeddings WHERE vec_id % 10 = 0"""
+
+  // q64 — corpus×corpus near-dup in the production regime: τ = 0.8,
+  // numBits = 64, bands = 8 → band width 8 → 256-way buckets per band.
+  // Unlike q46 (w=2, sized for the fixture's low τ = 0.4, where pruning is
+  // impossible by the S-curve), this is the shape AND the parameters a
+  // 100 TB user runs: per-pair collision for background pairs ≈
+  // 8/256 ≈ 3% of n²/2 (the plan-invariant test asserts < 10%), while
+  // planted pairs at cosine ≈ 0.995 collide with prob 1−(1−p⁸)⁸ ≈
+  // 1−7e-6 (p = 1−acos(0.995)/π ≈ 0.968). On this deterministic corpus
+  // the banded result equals the exact brute-force result, so it carries
+  // an exact q32-style oracle — hash-compare proves zero loss.
+  private def q64(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairsBanded(
+        plantedCorpus(s, dir), idCol = "vec_id", vecCol = "embedding",
+        threshold = 0.8, dim = 64, numBits = 64, bands = 8)
+      .orderBy(col("idA").asc_nulls_first, col("idB").asc_nulls_first)
+  private val q64Sql = s"""
+    WITH corpus AS ($plantedSql)
+    SELECT a.vec_id AS idA, b.vec_id AS idB,
+           ${duckCosine("a.embedding", "b.embedding")} AS score
+    FROM corpus a, corpus b
+    WHERE a.vec_id < b.vec_id
+      AND ${duckCosine("a.embedding", "b.embedding")} >= 0.8
+    ORDER BY idA ASC NULLS FIRST, idB ASC NULLS FIRST"""
+
   // q52 — IVF-bucketed ANN top-3: the inverted-file shape next to q33's
   // hyperplane LSH. Deterministic sampled centroids, nprobe=8 of nlist=16
   // (the fixture corpus is near-random — the hard regime for IVF — so
@@ -114,6 +167,7 @@ object SimQueries extends QueryPack {
     Q("q32_embedding_neardup", q32, Some(q32Sql)),
     Q("q33_ann_topk", q33, None),
     Q("q46_embedding_neardup_banded", q46, Some(q32Sql)),
-    Q("q52_ivf_topk", q52, None)
+    Q("q52_ivf_topk", q52, None),
+    Q("q64_embedding_neardup_prod", q64, Some(q64Sql))
   )
 }

@@ -146,6 +146,34 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"banded recall too low: $recall")
   }
 
+  test("q64 production regime: banded equals exact, candidates < 10% of n²/2, equi-join plan") {
+    // The q64 fixture: corpus ∪ perturbed copies at cosine ≈ 0.995, τ = 0.8,
+    // numBits = 64, bands = 8 (256-way buckets). Three contracts at once:
+    // zero recall loss on the planted pairs, REAL pruning (the round-2 q46
+    // finding: low-τ parameters did more work than brute force), and a
+    // bucketed equi-join plan — never a nested-loop/cartesian product.
+    val corpus = graft.queries.SimQueries.plantedCorpus(spark, sf)
+    val n = corpus.count()
+    val exact = Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding", 0.8)
+      .select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Similarity
+      .cosineNearDupPairsBanded(corpus, "vec_id", "embedding", 0.8,
+        dim = 64, numBits = 64, bands = 8)
+      .select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "planted corpus must contain ≥ τ pairs")
+    assert(banded == exact, s"banded ≠ exact: ${(exact -- banded) ++ (banded -- exact)}")
+    val cand = Similarity.bandedCandidatePairs(corpus, "vec_id", "embedding",
+      dim = 64, numBits = 64, bands = 8)
+    val candN = cand.count()
+    val allPairs = n.toDouble * (n - 1) / 2.0
+    assert(candN < 0.10 * allPairs,
+      s"no pruning: $candN candidates vs ${allPairs.toLong} total pairs " +
+        f"(${candN / allPairs * 100}%.1f%%)")
+    val plan = cand.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "candidate stage must plan a band-key equi-join, not a nested loop")
+  }
+
   test("as-of join: every left row kept; payload is latest prior right") {
     val left = Seq((1L, 10L), (1L, 20L), (2L, 15L)).toDF("k", "ts")
     val right = Seq((1L, 5L, "a"), (1L, 15L, "b"), (3L, 1L, "z")).toDF("k", "ts", "p")
