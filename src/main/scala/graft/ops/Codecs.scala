@@ -1,0 +1,261 @@
+package graft.ops
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Dependency-free pure-JVM media codecs (north-star: multimodal columns).
+  *
+  * The environment ships no image/audio libraries, but the two formats
+  * below are plain byte arithmetic, so the multimodal pipeline gets an
+  * honest end-to-end decode path instead of a stub behind a seam
+  * (reference scope: media handling in skybluecycology/meta_frame is
+  * absent entirely — this is north-star depth):
+  *
+  *   - BMP, 24-bit uncompressed BI_RGB (bottom-up or top-down rows,
+  *     4-byte row padding) — the standard interchange baseline every
+  *     real codec stack can emit.
+  *   - WAV, PCM 16-bit little-endian (RIFF chunk walk) — ditto for audio.
+  *
+  * Encoders exist so tests and fixtures can synthesize payloads
+  * deterministically; decoders are the production seam fillers for
+  * [[Multimodal.featurize]]. All feature math runs in double and is
+  * truncated to float once, so outputs are bit-reproducible.
+  */
+object Codecs {
+
+  /** Decoded image: RGB interleaved, row-major, top-down. */
+  final case class Image(width: Int, height: Int, rgb: Array[Byte])
+
+  /** Decoded audio: interleaved PCM16 frames. */
+  final case class Audio(sampleRate: Int, channels: Int, samples: Array[Short])
+
+  // ---- BMP ---------------------------------------------------------------
+
+  /** 24-bit BI_RGB BMP bytes from top-down RGB pixels (the canonical
+    * [[Image]] layout). Rows are written bottom-up with 4-byte padding —
+    * the classic on-disk form, so output opens in any viewer. */
+  def encodeBmp(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    require(rgb.length == width * height * 3,
+      s"need ${width * height * 3} RGB bytes, got ${rgb.length}")
+    val rowBytes = width * 3
+    val pad = (4 - rowBytes % 4) % 4
+    val dataSize = (rowBytes + pad) * height
+    val buf = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)         // signature
+    buf.putInt(54 + dataSize).putInt(0).putInt(54) // file size, reserved, pixel offset
+    buf.putInt(40).putInt(width).putInt(height) // BITMAPINFOHEADER, positive = bottom-up
+    buf.putShort(1).putShort(24)                // planes, bits per pixel
+    buf.putInt(0).putInt(dataSize)              // BI_RGB (uncompressed), image size
+    buf.putInt(2835).putInt(2835).putInt(0).putInt(0) // 72 dpi, palette unused
+    var y = height - 1
+    while (y >= 0) {                            // bottom-up rows, BGR order
+      var x = 0
+      while (x < width) {
+        val i = (y * width + x) * 3
+        buf.put(rgb(i + 2)).put(rgb(i + 1)).put(rgb(i))
+        x += 1
+      }
+      var p = 0
+      while (p < pad) { buf.put(0.toByte); p += 1 }
+      y -= 1
+    }
+    buf.array()
+  }
+
+  def isBmp(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M'
+
+  /** Parse 24-bit uncompressed BMP into top-down RGB. Handles both row
+    * orders (positive height = bottom-up, negative = top-down) and row
+    * padding. Anything fancier (palettes, RLE, BITMAPV5) throws — a
+    * production stack swaps a real codec into the same seam. */
+  def decodeBmp(bytes: Array[Byte]): Image = {
+    require(isBmp(bytes), "not a BMP payload")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val dataOffset = buf.getInt(10)
+    val width = buf.getInt(18)
+    val rawHeight = buf.getInt(22)
+    val bpp = buf.getShort(28)
+    val compression = buf.getInt(30)
+    require(bpp == 24 && compression == 0,
+      s"only 24-bit uncompressed BI_RGB supported (bpp=$bpp, compression=$compression)")
+    val bottomUp = rawHeight > 0
+    val height = math.abs(rawHeight)
+    require(width > 0 && height > 0, s"bad dims ${width}x$rawHeight")
+    val stride = (width * 3 + 3) / 4 * 4
+    require(bytes.length >= dataOffset + stride.toLong * height, "truncated pixel data")
+    val rgb = new Array[Byte](width * height * 3)
+    var y = 0
+    while (y < height) {
+      val srcRow = dataOffset + (if (bottomUp) height - 1 - y else y) * stride
+      var x = 0
+      while (x < width) {
+        val s = srcRow + x * 3
+        val d = (y * width + x) * 3
+        rgb(d) = bytes(s + 2); rgb(d + 1) = bytes(s + 1); rgb(d + 2) = bytes(s)
+        x += 1
+      }
+      y += 1
+    }
+    Image(width, height, rgb)
+  }
+
+  // ---- WAV ---------------------------------------------------------------
+
+  /** RIFF/WAVE PCM16 bytes from interleaved samples. */
+  def encodeWav(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0, s"bad wav params $sampleRate/$channels")
+    require(samples.length % channels == 0, "samples must be whole frames")
+    val dataSize = samples.length * 2
+    val buf = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1)                              // PCM
+    buf.putShort(channels.toShort)
+    buf.putInt(sampleRate)
+    buf.putInt(sampleRate * channels * 2)        // byte rate
+    buf.putShort((channels * 2).toShort)         // block align
+    buf.putShort(16)                             // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach(s => buf.putShort(s))
+    buf.array()
+  }
+
+  def isWav(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 44 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
+
+  /** Parse RIFF/WAVE by walking chunks (fmt may precede extensions; data
+    * need not be the first chunk after fmt). PCM 16-bit only. */
+  def decodeWav(bytes: Array[Byte]): Audio = {
+    require(isWav(bytes), "not a WAV payload")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    var sampleRate = 0
+    var channels = 0
+    var bits = 0
+    var samples: Array[Short] = null
+    while (pos + 8 <= bytes.length && (samples == null || sampleRate == 0)) {
+      val tag = new String(bytes, pos, 4, "US-ASCII")
+      val sz = buf.getInt(pos + 4)
+      require(sz >= 0 && pos + 8 + sz <= bytes.length, s"truncated chunk $tag")
+      tag match {
+        case "fmt " =>
+          require(buf.getShort(pos + 8) == 1, "only PCM (format 1) supported")
+          channels = buf.getShort(pos + 10)
+          sampleRate = buf.getInt(pos + 12)
+          bits = buf.getShort(pos + 22)
+          require(bits == 16, s"only 16-bit PCM supported, got $bits")
+        case "data" =>
+          samples = new Array[Short](sz / 2)
+          var i = 0
+          while (i < samples.length) { samples(i) = buf.getShort(pos + 8 + i * 2); i += 1 }
+        case _ => () // skip LIST/fact/other chunks
+      }
+      pos += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+    }
+    require(sampleRate > 0, "missing fmt chunk")
+    require(samples != null, "missing data chunk")
+    Audio(sampleRate, channels, samples)
+  }
+
+  // ---- feature extraction (the real `decoder` seam fillers) --------------
+
+  /** 8-dim image features: [width, height, meanR, meanG, meanB, meanLuma,
+    * minLuma, maxLuma] — channel stats normalized to [0,1], Rec.601 luma.
+    * Double accumulation from integer sums, one float truncation:
+    * bit-reproducible. */
+  def bmpFeatures(payload: Array[Byte]): Array[Float] = {
+    val img = decodeBmp(payload)
+    val n = img.width.toLong * img.height
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var minL = Long.MaxValue; var maxL = Long.MinValue
+    var sl = 0L
+    var i = 0
+    while (i < img.rgb.length) {
+      val r = img.rgb(i) & 0xff; val g = img.rgb(i + 1) & 0xff; val b = img.rgb(i + 2) & 0xff
+      sr += r; sg += g; sb += b
+      val luma = 299L * r + 587L * g + 114L * b // Rec.601 ×1000, exact ints
+      sl += luma
+      if (luma < minL) minL = luma
+      if (luma > maxL) maxL = luma
+      i += 3
+    }
+    val d = 255.0 * n
+    Array(
+      img.width.toFloat, img.height.toFloat,
+      (sr / d).toFloat, (sg / d).toFloat, (sb / d).toFloat,
+      (sl / (d * 1000.0)).toFloat,
+      (minL / 255000.0).toFloat, (maxL / 255000.0).toFloat)
+  }
+
+  /** 8-dim audio features: [sampleRate, channels, frames, meanAbs, rms,
+    * zeroCrossingRate, min, max] — amplitudes normalized by 2¹⁵. */
+  def wavFeatures(payload: Array[Byte]): Array[Float] = {
+    val a = decodeWav(payload)
+    val n = a.samples.length
+    if (n == 0)
+      return Array(a.sampleRate.toFloat, a.channels.toFloat, 0f, 0f, 0f, 0f, 0f, 0f)
+    var sumAbs = 0L; var sumSq = 0.0; var crossings = 0L
+    var mn = Int.MaxValue; var mx = Int.MinValue
+    var i = 0
+    while (i < n) {
+      val s = a.samples(i).toInt
+      sumAbs += math.abs(s)
+      sumSq += s.toDouble * s
+      if (s < mn) mn = s
+      if (s > mx) mx = s
+      if (i >= a.channels && (s < 0) != (a.samples(i - a.channels) < 0)) crossings += 1
+      i += 1
+    }
+    val scale = 32768.0
+    Array(
+      a.sampleRate.toFloat, a.channels.toFloat, (n / a.channels).toFloat,
+      (sumAbs / (n * scale)).toFloat,
+      (math.sqrt(sumSq / n) / scale).toFloat,
+      (crossings.toDouble / n).toFloat,
+      (mn / scale).toFloat, (mx / scale).toFloat)
+  }
+
+  /** Format-sniffing feature decoder for mixed media columns — the
+    * production default for [[Multimodal.featurize]]: BMP and WAV decode
+    * for real; unknown formats fall back to the deterministic
+    * [[Multimodal.decodeStub]] (the seam where a JNI/codec-library stack
+    * plugs in for JPEG/PNG/MP4). */
+  def mediaFeatures(payload: Array[Byte]): Array[Float] =
+    if (isBmp(payload)) bmpFeatures(payload)
+    else if (isWav(payload)) wavFeatures(payload)
+    else Multimodal.decodeStub(payload)
+
+  /** Header-only metadata parse: (format, width, height). BMP: pixel
+    * dimensions; WAV: (frames, channels) — both without touching the
+    * payload body, so meta extraction stays O(header) per row. Unknown
+    * bytes → ("bin", 0, 0). */
+  def parseMeta(bytes: Array[Byte]): (String, Int, Int) =
+    if (isBmp(bytes)) {
+      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      ("bmp", buf.getInt(18), math.abs(buf.getInt(22)))
+    } else if (isWav(bytes)) {
+      val a = quickWavDims(bytes)
+      ("wav", a._1, a._2)
+    } else ("bin", 0, 0)
+
+  /** (frames, channels) from the chunk walk without copying samples. */
+  private def quickWavDims(bytes: Array[Byte]): (Int, Int) = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    var channels = 0
+    var dataBytes = 0
+    while (pos + 8 <= bytes.length) {
+      val tag = new String(bytes, pos, 4, "US-ASCII")
+      val sz = buf.getInt(pos + 4)
+      if (sz < 0 || pos + 8 + sz > bytes.length) return (0, channels)
+      if (tag == "fmt ") channels = buf.getShort(pos + 10)
+      if (tag == "data") dataBytes = sz
+      pos += 8 + sz + (sz & 1)
+    }
+    if (channels > 0) (dataBytes / 2 / channels, channels) else (0, 0)
+  }
+}

@@ -6,11 +6,14 @@ import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing (north-star): image/audio/video payloads are
   * opaque `BinaryType` columns plus a typed metadata struct; decode /
-  * feature-extract runs batch-wise per partition. The Spark-side shape —
-  * schema, partition-local batching, feature-vector output — is real and
-  * tested; the actual codec call is STUBBED (no image/audio libraries in
-  * this environment) behind `decodeStub`, a deterministic fake keyed on
-  * the payload bytes.
+  * feature-extract runs batch-wise per partition.
+  *
+  * Decode is REAL for BMP (24-bit) and WAV (PCM16) via the pure-JVM
+  * [[Codecs]] — header-parsed metadata, pixel/sample feature extraction,
+  * bit-reproducible outputs. Formats needing native libraries (JPEG, PNG,
+  * MP4 — not present in this environment) plug into the same `decoder`
+  * seam; until then they fall back to `decodeStub`, a deterministic fake
+  * keyed on the payload bytes.
   *
   * Scale notes: payload bytes never shuffle (all derivations are
   * narrow/map-side); metadata-only queries prune the binary column at the
@@ -37,6 +40,24 @@ object Multimodal {
         lit(0).as("height"),
         length(col(payloadCol)).cast("long").as("n_bytes")).as("meta"),
       col(payloadCol).cast("binary").as("payload"))
+
+  /** Media wrap with REAL header-parsed metadata: format sniffed from the
+    * payload signature and width/height decoded from the header (BMP:
+    * pixel dims; WAV: frames × channels) via [[Codecs.parseMeta]]. The
+    * parse is a scalar UDF — justified here because it reads a fixed
+    * ~54-byte prefix per row (no per-row codec init to amortize, unlike
+    * [[featurize]]'s partition batching) and runs once in the same scan
+    * projection that already holds the payload bytes. */
+  def asMediaParsed(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val metaUdf = udf { (p: Array[Byte]) =>
+      val (fmt, w, h) = Codecs.parseMeta(if (p == null) Array.emptyByteArray else p)
+      MediaMeta(fmt, w, h, if (p == null) 0L else p.length.toLong)
+    }
+    df.select(
+      col(idCol).as("media_id"),
+      metaUdf(col(payloadCol).cast("binary")).as("meta"),
+      col(payloadCol).cast("binary").as("payload"))
+  }
 
   /** STUB for the real decoder (???): a deterministic fake "feature
     * extractor" — 8 floats derived from evenly-spaced payload bytes.
@@ -118,3 +139,6 @@ object Multimodal {
   private def ExpressionEncoder[T: scala.reflect.runtime.universe.TypeTag]() =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[T]()
 }
+
+/** Parsed header metadata row (mirrors [[Multimodal.mediaMetaSchema]]). */
+final case class MediaMeta(format: String, width: Int, height: Int, n_bytes: Long)

@@ -1,31 +1,50 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.Multimodal
+import graft.ops.{Codecs, Multimodal}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal pack: binary payload + metadata struct + partition-batched
-  * featurize (decode stubbed — see Multimodal.decodeStub). Rows-only gate;
-  * schema/batching invariants live in ScalaTest.
+  * featurize. Decode is REAL (pure-JVM BMP codec — graft.ops.Codecs): the
+  * fixture synthesizes a deterministic BMP per document, metadata is
+  * header-parsed (true pixel dimensions, not placeholders), and the
+  * features are channel statistics of the decoded pixels. Rows-only gate
+  * (DuckDB can't decode BMP); decode bit-exactness and round-trip
+  * invariants live in ScalaTest (OpsSpec).
   */
 object MultimodalQueries extends QueryPack {
 
-  // q37 — full media pipeline: wrap documents as (id, meta, payload),
-  // featurize per partition, join features back to metadata, project
-  // metadata + first feature dims. The meta-only projection prunes the
-  // payload column at the scan.
+  /** Deterministic text→BMP fixture synthesis: image dims derive from the
+    * text length (so widths/heights vary across the corpus) and pixels
+    * cycle through the UTF-8 bytes. A UDF is fine HERE — this is fixture
+    * construction, not the scored path; featurize stays partition-batched. */
+  private[graft] val textToBmp = udf { (t: String) =>
+    val b = Option(t).getOrElse("").getBytes("UTF-8")
+    val w = 4 + (b.length % 9)
+    val h = 3 + (b.length % 7)
+    val px = Array.tabulate(w * h * 3)(i => if (b.isEmpty) 0.toByte else b(i % b.length))
+    Codecs.encodeBmp(w, h, px)
+  }
+
+  // q37 — full media pipeline, real decode end-to-end: synthesize BMP
+  // payloads, header-parse metadata (real width/height), featurize per
+  // partition with the sniffing BMP/WAV decoder, join features back to
+  // metadata. The meta-only projection prunes the payload at the scan.
   private def q37(s: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.asMedia(
-      Tables.load(s, dir, "documents"), idCol = "doc_id", payloadCol = "text")
-    val feats = Multimodal.featurize(media)
+    val media = Multimodal.asMediaParsed(
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), textToBmp(col("text")).as("payload")),
+      idCol = "doc_id", payloadCol = "payload")
+    val feats = Multimodal.featurize(media, Codecs.mediaFeatures)
     media.select(col("media_id"), col("meta.format").as("format"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
         col("meta.n_bytes").as("n_bytes"))
       .join(feats, Seq("media_id"))
       .select(
-        col("media_id"), col("format"), col("n_bytes"),
-        round(element_at(col("features"), 1).cast("double"), 9).as("f0"),
-        round(element_at(col("features"), 8).cast("double"), 9).as("f7"),
+        col("media_id"), col("format"), col("width"), col("height"), col("n_bytes"),
+        round(element_at(col("features"), 3).cast("double"), 9).as("mean_r"),
+        round(element_at(col("features"), 6).cast("double"), 9).as("mean_luma"),
         size(col("features")).as("n_features"))
       .orderBy(col("media_id").asc_nulls_first)
   }

@@ -195,6 +195,79 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("BMP codec: hand-built golden bytes decode bit-exactly") {
+    // 2×2 bottom-up 24-bit BMP, built byte-by-byte (NOT via encodeBmp, so
+    // the parser is checked against the spec, not against its own inverse):
+    // top row = red, green; bottom row = blue, white.
+    def b(i: Int): Byte = i.toByte
+    val golden: Array[Byte] = Array[Byte](
+      'B', 'M', b(70), 0, 0, 0, 0, 0, 0, 0, b(54), 0, 0, 0, // file header
+      b(40), 0, 0, 0, b(2), 0, 0, 0, b(2), 0, 0, 0,         // info: 40, w=2, h=2
+      b(1), 0, b(24), 0, 0, 0, 0, 0, b(16), 0, 0, 0,        // planes, bpp, BI_RGB, size
+      b(19), b(11), 0, 0, b(19), b(11), 0, 0,               // 2835 ppm ≈ 72 dpi
+      0, 0, 0, 0, 0, 0, 0, 0,                               // palette unused
+      // pixel rows, bottom-up, BGR, each padded to 8 bytes:
+      b(255), 0, 0, b(255), b(255), b(255), 0, 0,           // blue, white
+      0, 0, b(255), 0, b(255), 0, 0, 0)                     // red, green
+    val img = ops.Codecs.decodeBmp(golden)
+    assert(img.width == 2 && img.height == 2)
+    assert(img.rgb.toSeq == Seq[Byte](
+      b(255), 0, 0, 0, b(255), 0,    // top row RGB: red, green
+      0, 0, b(255), b(255), b(255), b(255))) // bottom row: blue, white
+    // and the encoder reproduces the golden bytes exactly
+    assert(ops.Codecs.encodeBmp(2, 2, img.rgb).toSeq == golden.toSeq)
+  }
+
+  test("BMP codec: encode→decode round-trips arbitrary sizes incl. row padding") {
+    for (w <- Seq(1, 2, 3, 4, 7); h <- Seq(1, 3, 5)) {
+      val rgb = Array.tabulate(w * h * 3)(i => ((i * 37 + w * 11 + h) % 256).toByte)
+      val img = ops.Codecs.decodeBmp(ops.Codecs.encodeBmp(w, h, rgb))
+      assert(img.width == w && img.height == h && img.rgb.toSeq == rgb.toSeq,
+        s"round-trip failed at ${w}x$h")
+    }
+  }
+
+  test("WAV codec: PCM16 round-trip and feature extraction") {
+    val samples = Array[Short](1000, -1000, 2000, -2000, 0, 3000)
+    val bytes = ops.Codecs.encodeWav(16000, 2, samples)
+    val a = ops.Codecs.decodeWav(bytes)
+    assert(a.sampleRate == 16000 && a.channels == 2)
+    assert(a.samples.toSeq == samples.toSeq)
+    val f = ops.Codecs.wavFeatures(bytes)
+    assert(f(0) == 16000f && f(1) == 2f && f(2) == 3f) // rate, channels, frames
+    assert(f(7) == 3000f / 32768f)                     // max amplitude
+    assert(math.abs(f(4) - math.sqrt(samples.map(s => s.toDouble * s).sum / 6) / 32768.0) < 1e-6)
+  }
+
+  test("media meta parse: BMP dims and WAV frames from headers only") {
+    val bmp = ops.Codecs.encodeBmp(5, 7, Array.fill(5 * 7 * 3)(9.toByte))
+    assert(ops.Codecs.parseMeta(bmp) == ("bmp", 5, 7))
+    val wav = ops.Codecs.encodeWav(8000, 1, Array[Short](1, 2, 3, 4))
+    assert(ops.Codecs.parseMeta(wav) == ("wav", 4, 1))
+    assert(ops.Codecs.parseMeta("not media".getBytes) == ("bin", 0, 0))
+  }
+
+  test("multimodal end-to-end: parsed meta matches decoded pixel truth") {
+    // the q37 pipeline shape: text→BMP fixture, header-parsed meta,
+    // partition-batched real decode — meta width/height must equal the
+    // dimensions the pixel decoder sees, row for row
+    val media = Multimodal.asMediaParsed(
+      docs.limit(100).select($"doc_id", graft.queries.MultimodalQueries.textToBmp($"text").as("payload")),
+      "doc_id", "payload")
+    val feats = Multimodal.featurize(media, ops.Codecs.mediaFeatures)
+    val joined = media.select($"media_id", $"meta.format".as("fmt"),
+        $"meta.width".as("w"), $"meta.height".as("h"))
+      .join(feats, Seq("media_id")).collect()
+    assert(joined.length == 100)
+    joined.foreach { r =>
+      val fs = r.getSeq[Float](4)
+      assert(r.getString(1) == "bmp")
+      assert(fs(0) == r.getInt(2).toFloat && fs(1) == r.getInt(3).toFloat,
+        s"meta dims ≠ decoded dims: $r")
+      assert(fs.drop(2).forall(v => v >= 0f && v <= 1f), s"channel stats out of range: $r")
+    }
+  }
+
   test("multimodal: featurize preserves ids, fixed feature width, meta prunes payload") {
     val media = Multimodal.asMedia(docs, "doc_id", "text")
     val feats = Multimodal.featurize(media)
