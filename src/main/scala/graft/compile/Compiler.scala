@@ -18,6 +18,8 @@ import org.apache.spark.sql.functions._
   */
 object Compiler {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Optional validation: resolve referenced columns up front (the reference
     * fails lazily at execution — SURVEY §1.3). Returns error strings. */
   def validate(df: DataFrame, node: NodeSpec): Seq[String] = {
@@ -90,13 +92,13 @@ object Compiler {
     * the parent aggregates BEFORE joining children, so joins run on
     * aggregated-parent × aggregated-child (SURVEY §3 EP2 step 6). */
   def compileNode(spark: SparkSession, node: NodeSpec, input: Option[DataFrame] = None,
-      executeSinks: Boolean = true): DataFrame = {
+      executeSinks: Boolean = true, streaming: Boolean = false): DataFrame = {
     if (node.combine.isDefined && node.source.isDefined)
       throw new IllegalArgumentException(
         s"node ${node.id}: source and combine are mutually exclusive")
     var df = input.getOrElse(node.combine match {
       case Some(c) =>
-        val parts = c.nodes.map(n => compileNode(spark, n, None, executeSinks))
+        val parts = c.nodes.map(n => compileNode(spark, n, None, executeSinks, streaming))
         if (parts.isEmpty)
           throw new IllegalArgumentException(s"node ${node.id}: combine needs nodes")
         c.op match {
@@ -108,8 +110,13 @@ object Compiler {
             s"node ${node.id}: unknown combine op '$other' " +
               "(one of: union, union_distinct, intersect, except)")
         }
-      case None => readSource(spark, node.source.getOrElse(
-        throw new IllegalArgumentException(s"node ${node.id}: no source and no input DataFrame")))
+      case None =>
+        val src = node.source.getOrElse(
+          throw new IllegalArgumentException(s"node ${node.id}: no source and no input DataFrame"))
+        // `stream: true` sources become readStreams ONLY under a streaming
+        // compile — the identical spec stays batch-runnable for the oracle.
+        if (streaming && src.stream) readStreamSource(spark, src)
+        else readSource(spark, src)
     })
 
     node.derive.foreach { case (c, e) => df = df.withColumn(c, expr(e)) }
@@ -174,7 +181,7 @@ object Compiler {
     }
 
     node.children.foreach { ch =>
-      var childDf = compileNode(spark, ch.node, None, executeSinks)
+      var childDf = compileNode(spark, ch.node, None, executeSinks, streaming)
       // Join-strategy hint on the child side ("broadcast", "merge",
       // "shuffle_hash", ...). Catalyst resolves it to the matching physical
       // strategy; unknown hint names would be silently ignored by Spark, so
@@ -204,6 +211,27 @@ object Compiler {
           val rts = if (ch.prefix && !j.link.contains(rts0)) s"${ch.node.id}_$rts0" else rts0
           val payload = childDf.columns.filterNot(c => j.link.contains(c) || c == rts)
           graft.ops.Relational.asofJoin(df, childDf, j.link, lts, rts, payload.toSeq)
+        case j if j.how == "interval" =>
+          // Lookback/interval join (config surface of Streaming.intervalJoin):
+          // right rows within [left_ts − lookback, left_ts] per link key. On
+          // a streaming compile with a `stream: true` child this is a
+          // stream-stream join; the delays become the two state-eviction
+          // watermarks. Batch compiles run the identical equi-join + range
+          // filter (the oracle path).
+          val (lts, rts0, lb) = (j.leftTs, j.rightTs, j.lookback) match {
+            case (Some(l), Some(r), Some(b)) => (l, r, b)
+            case _ => throw new IllegalArgumentException(
+              s"node ${node.id}: interval join requires left_ts, right_ts and lookback")
+          }
+          val rts = if (ch.prefix && !j.link.contains(rts0)) s"${ch.node.id}_$rts0" else rts0
+          val wm = (j.leftDelay, j.rightDelay) match {
+            case (Some(l), Some(r)) => Some((l, r))
+            case (None, None)       => None
+            case _ => throw new IllegalArgumentException(
+              s"node ${node.id}: interval join needs both left_delay and " +
+                "right_delay, or neither")
+          }
+          graft.streaming.Streaming.intervalJoin(df, childDf, j.link, lts, rts, lb, wm)
         case j =>
           j.onExpr match {
             case Some(cond)              => df.join(childDf, expr(cond), j.how)
@@ -268,8 +296,21 @@ object Compiler {
       case TreePipeline(root) =>
         val src = root.source.getOrElse(
           throw new IllegalArgumentException("streaming pipeline needs a root source"))
+        // A non-root `save` is a batch-only feature (executeSinks=false in
+        // the tree walk below): the identical spec writes it under a batch
+        // compile but a stream has exactly ONE sink — warn loudly instead
+        // of silently diverging from batch behavior.
+        def warnIgnored(n: NodeSpec, isRoot: Boolean): Unit = {
+          if (!isRoot && n.save.isDefined)
+            log.warn(s"node ${n.id}: 'save' is IGNORED under a streaming " +
+              "compile (only the root sink becomes the writeStream); drop " +
+              "it or run this node as its own stream")
+          (n.children.map(_.node) ++ n.combine.toSeq.flatMap(_.nodes))
+            .foreach(warnIgnored(_, isRoot = false))
+        }
+        warnIgnored(root, isRoot = true)
         val out = compileNode(spark, root, Some(readStreamSource(spark, src)),
-          executeSinks = false)
+          executeSinks = false, streaming = true)
         val sink = root.save.getOrElse(
           throw new IllegalArgumentException("streaming pipeline needs a root save sink"))
         startStreamSink(out, sink)

@@ -112,11 +112,35 @@ object StreamQueries extends QueryPack {
        "drop": ["sw"],
        "order_by": ["user_id asc", "session_start asc"]}""")
 
+  // q65 — the SAME interval join declared from JSON (`join.how =
+  // "interval"` + lookback): purchases pick up the preceding hour's
+  // clicks per user. Carries q44's oracle — the config path must be
+  // value-identical to the Scala API path. The identical spec with
+  // `"stream": true` on the child source and left/right delays runs as a
+  // stream-stream join under compileStream (StreamingSpec).
+  private def q65(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"id": "purchases",
+       "source": {"table": "events"},
+       "filters": [{"col": "event_type", "op": "==", "value": "purchase"}],
+       "keep_columns": ["event_id", "user_id", "ts"],
+       "rename": {"event_id": "purchase_id", "ts": "p_ts"},
+       "children": [
+         {"id": "clicks",
+          "source": {"table": "events"},
+          "filters": [{"col": "event_type", "op": "==", "value": "click"}],
+          "keep_columns": ["event_id", "user_id", "ts"],
+          "rename": {"event_id": "click_id", "ts": "c_ts"},
+          "join": {"on": ["user_id"], "how": "interval",
+                   "left_ts": "p_ts", "right_ts": "c_ts", "lookback": "1 HOUR"}}],
+       "order_by": ["purchase_id asc", "click_id asc"]}""")
+
   override def queries: Seq[Q] = Seq(
     Q("q34_tumbling_window", q34, Some(q34Sql)),
     Q("q35_session_window", q35, Some(q35Sql)),
     Q("q36_sliding_window", q36, Some(q36Sql)),
     Q("q44_interval_join", q37b, Some(q37bSql)),
-    Q("q63_config_session", q63, Some(q35Sql))
+    Q("q63_config_session", q63, Some(q35Sql)),
+    Q("q65_config_interval", q65, Some(q37bSql))
   )
 }

@@ -73,7 +73,8 @@ object JsonCodec {
           sql = opt(s, "sql", "sql_query").map(_.asText),
           options = opt(s, "options")
             .map(o => fields(o).map { case (k, v) => k -> v.asText }.toMap)
-            .getOrElse(Map.empty)
+            .getOrElse(Map.empty),
+          stream = opt(s, "stream").exists(_.asBoolean(false))
         )
     }
 
@@ -205,9 +206,12 @@ object JsonCodec {
           .orElse(opt(c, "on_expr").map(_.asText))
         val leftTs = opt(c, "join").flatMap(j => opt(j, "left_ts", "leftTs").map(_.asText))
         val rightTs = opt(c, "join").flatMap(j => opt(j, "right_ts", "rightTs").map(_.asText))
+        val lookback = opt(c, "join").flatMap(j => opt(j, "lookback").map(_.asText))
+        val leftDelay = opt(c, "join").flatMap(j => opt(j, "left_delay", "leftDelay").map(_.asText))
+        val rightDelay = opt(c, "join").flatMap(j => opt(j, "right_delay", "rightDelay").map(_.asText))
         ChildSpec(
           node = node(c, defaultId = id + "_child"),
-          join = JoinSpec(link, how, onExpr, leftTs, rightTs),
+          join = JoinSpec(link, how, onExpr, leftTs, rightTs, lookback, leftDelay, rightDelay),
           prefix = opt(c, "prefix").exists(_.asBoolean(false)),
           hint = opt(c, "hint", "join_hint").map(_.asText)
         )

@@ -98,13 +98,24 @@ final case class AggregateSpec(
   * `childTs` ≤ `parentTs` per link key — compiled to the union-and-carry-
   * forward plan (ONE shuffle+sort of |L|+|R|; a `l.ts >= r.ts` theta join
   * is O(|L|·|R|) per key and dies at scale). Requires `leftTs`/`rightTs`;
-  * all non-link, non-ts child columns become the carried payload. */
+  * all non-link, non-ts child columns become the carried payload.
+  * `how = "interval"` (NS) joins each parent row to every child row with
+  * the same link keys whose `rightTs` ∈ [`leftTs` − `lookback`, `leftTs`]
+  * — requires `leftTs`/`rightTs`/`lookback`. Under `compileStream` with a
+  * streaming child source this is a stream-stream join; `leftDelay`/
+  * `rightDelay` set the two watermarks that (with the time bound) let
+  * Spark evict join state — without them an unbounded stream-stream join
+  * accumulates state forever. All four keys are ignored-silently-never:
+  * unknown combinations throw at compile. */
 final case class JoinSpec(
     link: Seq[String],
     how: String = "left",
     onExpr: Option[String] = None,
     leftTs: Option[String] = None,
-    rightTs: Option[String] = None
+    rightTs: Option[String] = None,
+    lookback: Option[String] = None,
+    leftDelay: Option[String] = None,
+    rightDelay: Option[String] = None
 )
 
 /** Per-group top-k (NS): keep the first `k` rows of each `partitionBy`
@@ -129,13 +140,18 @@ final case class CombineSpec(op: String, nodes: Seq[NodeSpec])
 
 /** Data source. Exactly one of (path+format) / table / sql set.
   * Ref: CSV `Optimus/optimus.py:38`, table `Optimus/megatron.py:63-65`,
-  * SQL `Optimus/soundwave.py:24-27`. Parquet added for the test corpus. */
+  * SQL `Optimus/soundwave.py:24-27`. Parquet added for the test corpus.
+  * `stream: true` marks a NON-ROOT source as a readStream under
+  * `Compiler.compileStream` (the root is always streamed there) — this is
+  * how a config declares a stream-stream join. Ignored by batch compiles,
+  * so the identical spec stays batch-runnable (and oracle-checkable). */
 final case class SourceSpec(
     format: String = "parquet",
     path: Option[String] = None,
     table: Option[String] = None,
     sql: Option[String] = None,
-    options: Map[String, String] = Map.empty
+    options: Map[String, String] = Map.empty,
+    stream: Boolean = false
 )
 
 /** Sink (ref: per-node save `pandas/optimus.py:10-12`, per-iteration save

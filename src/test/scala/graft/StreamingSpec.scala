@@ -146,6 +146,68 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("config-declared stream-stream interval join equals batch compile of the same spec") {
+    // ONE spec, two engines: `join.how = "interval"` with a `stream: true`
+    // child source — batch compile gives the oracle-checkable equi-join +
+    // range filter (q65's shape), compileStream runs it as a genuine
+    // stream-stream join with both watermark delays bounding join state.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val json = s"""
+      {"id": "p",
+       "source": {"format": "parquet", "path": "$eventsDir"},
+       "filters": [{"col": "event_type", "op": "==", "value": "purchase"}],
+       "derive": {"p_ts": "timestamp_micros(ts div 1000)"},
+       "keep_columns": ["event_id", "user_id", "p_ts"],
+       "rename": {"event_id": "purchase_id"},
+       "children": [
+         {"id": "c",
+          "source": {"format": "parquet", "path": "$eventsDir", "stream": true},
+          "filters": [{"col": "event_type", "op": "==", "value": "click"}],
+          "derive": {"c_ts": "timestamp_micros(ts div 1000)"},
+          "keep_columns": ["event_id", "user_id", "c_ts"],
+          "rename": {"event_id": "click_id"},
+          "join": {"on": ["user_id"], "how": "interval",
+                   "left_ts": "p_ts", "right_ts": "c_ts", "lookback": "1 HOUR",
+                   "left_delay": "10 minutes", "right_delay": "10 minutes"}}],
+       "save": {"format": "memory", "query_name": "cfg_interval",
+                "trigger": "available_now", "output_mode": "append"}}"""
+    val spec = graft.spec.JsonCodec.parse(json)
+    val batch = graft.compile.Compiler.compile(spark, spec, executeSinks = false)
+      .orderBy("purchase_id", "click_id").collect().map(_.toSeq).toSeq
+    val q = graft.compile.Compiler.compileStream(spark, spec)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("cfg_interval")
+      .orderBy("purchase_id", "click_id").collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("config-declared streaming CONTENT dedup: fingerprint key within watermark") {
+    // The streaming counterpart of q60's content-dedup stage: the dedup key
+    // is a DERIVED content fingerprint (registered SQL function), not a
+    // natural key — continuous-ingest near-dup control from one config.
+    // Doubled input (same parquet staged twice) → every text arrives ≥ 2×.
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_docs")
+    for (n <- Seq("a", "b"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/documents.parquet"), dir.resolve(s"$n.parquet"))
+    graft.functions.Registry.registerAll(spark)
+    val q = graft.compile.Compiler.compileStreamJson(spark, s"""
+      {"id": "cfg_content_dd",
+       "source": {"format": "parquet", "path": "$dir"},
+       "derive": {"fp": "doc_fingerprint(text)",
+                  "ts2": "timestamp_micros((doc_id + 100000) * 1000000)"},
+       "watermark": {"col": "ts2", "delay": "1 hour"},
+       "dedup": {"keys": ["fp"], "within_watermark": true},
+       "save": {"format": "memory", "query_name": "cfg_content_dedup",
+                "trigger": "available_now", "output_mode": "append"}}""")
+    q.processAllAvailable(); q.stop()
+    val distinctFp = Tables.load(spark, sf, "documents")
+      .select(graft.ops.TextAnalysis.fingerprint(col("text"))).distinct().count()
+    assert(spark.table("cfg_content_dedup").count() == distinctFp)
+    assert(spark.table("cfg_content_dedup").groupBy("fp").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
   test("streaming dedup drops within-watermark duplicates") {
     import spark.implicits._
     // duplicate every event once by unioning the staged dir with itself
