@@ -229,16 +229,23 @@ object Dedup {
     * (each round a node also adopts its current label's label, so chain
     * depth halves per round → O(log diameter) rounds, not O(diameter)).
     *
-    * Scale posture: ONE Spark job per iteration — the convergence flag is
-    * computed from the `old`-label column carried inside the same
-    * materializing action, not a separate join. Iteration state is
-    * `persist(MEMORY_AND_DISK)` + explicit unpersist of the previous round
-    * (graceful lineage replay on executor loss — a lost `localCheckpoint`
-    * partition would fail the job outright, and memory-backed state pins
-    * the working set). If the session has a reliable checkpoint dir
-    * configured (`sparkContext.setCheckpointDir`), each round is instead
-    * `checkpoint()`ed — truncating the iterative lineage for very deep
-    * graphs; that is the recommended 100 TB production setting.
+    * Scale posture: ONE Spark job per iteration on the default path — the
+    * convergence flag is computed from the `old`-label column carried
+    * inside the same materializing action, not a separate join. Iteration
+    * state is `persist(MEMORY_AND_DISK)` + explicit unpersist of the
+    * previous round (graceful lineage replay on executor loss — a lost
+    * `localCheckpoint` partition would fail the job outright, and
+    * memory-backed state pins the working set). With a reliable
+    * checkpoint location (`checkpointDir` param, falling back to the
+    * session's `sparkContext.setCheckpointDir`), each round is instead
+    * written to `<dir>/graft-cc-<uuid>/r<i>` as parquet and read back —
+    * truncating the iterative lineage for very deep graphs (the
+    * recommended 100 TB production setting; one extra read-back job per
+    * round). Round i−1's files are DELETED as soon as round i is on disk,
+    * so a deep run holds at most two rounds of labels in the store; only
+    * the final round's directory outlives the call (the returned
+    * DataFrame's lineage reads it — drop the graft-cc dir when done with
+    * the result).
     *
     * Throws IllegalStateException if not converged after `maxIter` rounds
     * (with jumps, `maxIter`=20 covers component diameters up to ~2^20 —
@@ -250,14 +257,61 @@ object Dedup {
       idA: String = "idA",
       idB: String = "idB",
       maxIter: Int = 20,
-      smallGraphEdges: Long = 1L << 20
-  ): DataFrame = {
+      smallGraphEdges: Long = 1L << 20,
+      checkpointDir: Option[String] = None
+  ): DataFrame =
+    dedupClustersDetailed(pairs, idA, idB, maxIter, smallGraphEdges, checkpointDir).labels
+
+  /** [[dedupClusters]] plus convergence diagnostics: how many propagation
+    * rounds ran (0 on the driver union-find cutover) and which path was
+    * taken. Production monitoring wants the round count (a growing number
+    * flags a pathological component); the plan-invariant test uses it to
+    * assert exactly one materializing action per round. */
+  def dedupClustersDetailed(
+      pairs: DataFrame,
+      idA: String = "idA",
+      idB: String = "idB",
+      maxIter: Int = 20,
+      smallGraphEdges: Long = 1L << 20,
+      checkpointDir: Option[String] = None
+  ): CCResult = {
     import org.apache.spark.storage.StorageLevel
+    // The driver cutover collects `smallGraphEdges` edges — cap it so a
+    // misconfigured caller can't turn the bounded-metadata trust model
+    // into an unbounded driver collect (2^24 edges ≈ 256 MB is already
+    // generous; the distributed loop handles anything larger).
+    require(smallGraphEdges <= (1L << 24),
+      s"smallGraphEdges=$smallGraphEdges exceeds the driver-collect safety " +
+        s"cap ${1L << 24}; larger graphs must take the distributed path")
     val spark = pairs.sparkSession
-    val reliable = spark.sparkContext.getCheckpointDir.isDefined
-    def materialize(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() // eager; truncates lineage
-      else df.persist(StorageLevel.MEMORY_AND_DISK)
+    val ckptBase = checkpointDir.orElse(spark.sparkContext.getCheckpointDir)
+      .map(d => s"$d/graft-cc-${java.util.UUID.randomUUID()}")
+    def delete(p: String): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    }
+    var ckptRound = -1
+    // Returns (usable frame, unpersist handle). BOTH paths truncate the
+    // LOGICAL plan to a leaf each round — the round plan references the
+    // previous round's three times (neighbor join + jump join), so without
+    // truncation the analyzed tree grows ~3^rounds and the DRIVER becomes
+    // the bottleneck around round 10 (analysis plus the per-action plan-
+    // description event each walk the whole tree; measured OOM at 8 GB on
+    // a 7-round chain). The persist path wraps the cached result as a
+    // LogicalRDD leaf: plan size stays constant per round while the RDD
+    // chain (linear, compact) still replays gracefully on executor loss —
+    // unlike localCheckpoint, which trades replay away.
+    def materialize(df: DataFrame): (DataFrame, Option[DataFrame]) = ckptBase match {
+      case Some(base) =>
+        ckptRound += 1
+        val path = s"$base/r$ckptRound"
+        df.write.parquet(path) // eager; the read-back truncates lineage
+        if (ckptRound > 0) delete(s"$base/r${ckptRound - 1}")
+        (spark.read.parquet(path), None)
+      case None =>
+        val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+        (org.apache.spark.sql.GraftColumnBridge.truncateLineage(cached), Some(cached))
+    }
     // Materialize the (small) pair list ONCE, before mirroring it into the
     // undirected edge list — a union of two selects over un-cached `pairs`
     // would embed the expensive pair-generation lineage (shingling + joins)
@@ -300,11 +354,20 @@ object Dedup {
         .sorted.map(n => (n, find(n))).toSeq
       p.unpersist(blocking = false)
       import spark.implicits._
-      return labels.toDF("id", "cluster")
+      return CCResult(labels.toDF("id", "cluster"), rounds = 0, driverPath = true)
     }
     val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
     val nodes = edges.select(col("src").as("id")).distinct()
-    var labels = materialize(nodes.select(col("id"), col("id").as("cluster")))
+    // AQE is OFF for the loop's queries (restored after): its runtime
+    // re-planning buys nothing on a fixed iterative shape whose state only
+    // shrinks, and its eager stage materialization inside `Dataset.rdd`
+    // would split each round into two executions — the loop's contract is
+    // ONE materializing action per round.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = spark.conf.get(aqeKey, "true")
+    spark.conf.set(aqeKey, "false")
+    try {
+    var (labels, labelsCache) = materialize(nodes.select(col("id"), col("id").as("cluster")))
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -319,7 +382,7 @@ object Dedup {
       // 2) shortcut: adopt the label's own label (labels map id→cluster with
       //    cluster ≤ id, and every cluster value is a node id, so the lookup
       //    is total; the result stays within the component and only shrinks)
-      val next = materialize(
+      val (next, nextCache) = materialize(
         propagated
           .join(labels.select(col("id").as("cluster"), col("cluster").as("jump")),
             Seq("cluster"), "left")
@@ -329,8 +392,9 @@ object Dedup {
       // computes the convergence flag from the carried old-label column
       val changed = next.filter(col("cluster") =!= col("old")).count()
       converged = changed == 0
-      if (!reliable) labels.unpersist(blocking = false)
+      labelsCache.foreach(_.unpersist(blocking = false))
       labels = next
+      labelsCache = nextCache
       iter += 1
     }
     if (!converged)
@@ -338,7 +402,8 @@ object Dedup {
         s"dedupClusters did not converge after $maxIter rounds — component " +
           "diameter exceeds 2^" + maxIter + "; raise maxIter")
     p.unpersist(blocking = false)
-    labels.select("id", "cluster")
+    CCResult(labels.select("id", "cluster"), rounds = iter, driverPath = false)
+    } finally spark.conf.set(aqeKey, aqePrev)
   }
 
   /** Dedup a corpus given near-dup pairs: one representative per cluster —
@@ -421,3 +486,7 @@ object Dedup {
       .select("idA", "idB", "common", "jaccard")
   }
 }
+
+/** Connected-components result: labels (id, cluster) + convergence
+  * diagnostics (see [[Dedup.dedupClustersDetailed]]). */
+final case class CCResult(labels: DataFrame, rounds: Int, driverPath: Boolean)

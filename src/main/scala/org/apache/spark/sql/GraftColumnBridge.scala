@@ -17,4 +17,21 @@ object GraftColumnBridge {
     * columnnodeexpression"). */
   def expressionEager(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Truncate a DataFrame's LOGICAL lineage to a leaf while keeping the
+    * (replayable) physical RDD chain: re-wrap its InternalRow RDD as a
+    * LogicalRDD via the `private[sql]` internalCreateDataFrame. Used by
+    * iterative operators (connected components) whose round plan would
+    * otherwise grow exponentially in the analyzer. `Dataset.rdd` +
+    * `createDataFrame(rowRDD, schema)` would do the same thing publicly,
+    * but pays a per-row InternalRow⇄Row double conversion AND runs the
+    * deserialization under its own SQL execution. No action is taken here
+    * — `toRdd` just builds the RDD graph (keep AQE off in the calling
+    * loop: adaptive plans execute their query stages eagerly inside
+    * toRdd). */
+  def truncateLineage(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

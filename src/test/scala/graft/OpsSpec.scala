@@ -81,6 +81,75 @@ class OpsSpec extends SparkSpec {
     assert(Seq(20L, 21L).forall(driver(_) == 20L))
   }
 
+  test("dedupClusters distributed loop: one materializing action per round (+ edge count)") {
+    // The round-1 regression was 3 jobs per CC iteration (separate
+    // convergence join). Count SQL executions (actions — stable under AQE,
+    // which splits one action into several stage-materialization jobs):
+    // must be exactly 1 edge-count + 1 per propagation round.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val execIds = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        Option(j.properties).flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
+          .foreach(execIds.add)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val chain = (0L until 48L).map(i => (i, i + 1)).toDF("idA", "idB")
+      val res = Dedup.dedupClustersDetailed(chain, smallGraphEdges = 0L)
+      assert(!res.driverPath && res.rounds > 2)
+      // drain the async listener bus: poll until the count stops moving
+      var last = -1; var stable = 0
+      while (stable < 3) {
+        val c = execIds.size
+        if (c == last) stable += 1 else { stable = 0; last = c }
+        Thread.sleep(200)
+      }
+      assert(execIds.size == res.rounds + 1,
+        s"expected ${res.rounds + 1} executions (1 edge count + ${res.rounds} " +
+          s"rounds), saw ${execIds.size} — a per-iteration action crept in")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("dedupClusters: driver-collect cap enforced; checkpoint rounds cleaned up") {
+    intercept[IllegalArgumentException] {
+      Dedup.dedupClusters(Seq((1L, 2L)).toDF("idA", "idB"), smallGraphEdges = 1L << 32)
+    }
+    // reliable-checkpoint path: only the FINAL round's parquet may remain
+    // (earlier rounds are deleted as soon as their successor is on disk)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    val chain = (0L until 24L).map(i => (i, i + 1)).toDF("idA", "idB")
+    val res = Dedup.dedupClustersDetailed(chain, smallGraphEdges = 0L,
+      checkpointDir = Some(ckpt))
+    val labels = res.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 24L).forall(labels(_) == 0L))
+    val base = new java.io.File(ckpt).listFiles().filter(_.getName.startsWith("graft-cc-"))
+    assert(base.length == 1)
+    val rounds = base.head.listFiles().filter(_.getName.startsWith("r")).map(_.getName).toSeq
+    assert(rounds == Seq(s"r${res.rounds}"),
+      s"expected only final round r${res.rounds} to remain, saw $rounds")
+  }
+
+  test("verify tier adds no shingle explode: Generate count stays at the candidate stage") {
+    // q53's production dedup shape: after the banded candidate stage, the
+    // verify tier must intersect shingle SETS in-row — a corpus-shaped
+    // explode-join regression would add Generate nodes and re-key the join
+    // on shingles. Also: all joins stay equi (no nested-loop fallback).
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    def gens(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect { case g: Generate => g }.size
+    val cands = Dedup.minhashCandidatePairs(docs, "doc_id", "text", 3, 64, 16)
+    val verified = Dedup.verifyJaccardPairs(docs, "doc_id", "text", cands, 3, 0.5)
+    assert(gens(cands) > 0, "banding explode should be present in the candidate stage")
+    assert(gens(verified) == gens(cands),
+      "verify tier exploded shingles into the join — candidate-shaped shuffle lost")
+    // traverse node names rather than stringifying the plan (the verify
+    // plan embeds the candidate subtree twice; explainString OOMs)
+    val nodeNames = verified.queryExecution.sparkPlan.collect { case n => n.nodeName }
+    assert(!nodeNames.exists(n => n.contains("NestedLoop") || n.contains("CartesianProduct")),
+      s"non-equi join in verify plan: $nodeNames")
+  }
+
   test("dedup clustering on the real jaccard pairs removes the planted dups") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
     val kept = Dedup.dedupByClusters(docs, pairs, "doc_id")
