@@ -25,22 +25,36 @@ object Bench {
     // `.count()` would let Catalyst's EliminateSorts drop each query's
     // final orderBy under the count aggregate, under-measuring exactly
     // the sort cost the correctness path pays.
+    //
+    // MEDIAN OF 3 runs per query: single-shot numbers swung ±1 s between
+    // rounds on sub-second queries (JIT tiers, stray compaction), making
+    // per-query regression deltas unreadable. A failing query records -1,
+    // never a plausible elapsed time (round-2 advice: a crash looked like
+    // a fast run).
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
-      // Untimed GC breather between queries: a heavy predecessor's garbage
-      // (broadcast blocks, codegen classes) otherwise lands as collection
-      // pauses inside an unrelated query's wall time — measured swings of
-      // 1.5 s ↔ 8 s for the same sub-second query depending on battery
-      // position. The gc() is outside the timed region on purpose.
-      System.gc()
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to runs).map { _ =>
+        // Untimed GC breather between runs: a heavy predecessor's garbage
+        // (broadcast blocks, codegen classes) otherwise lands as collection
+        // pauses inside an unrelated query's wall time — measured swings of
+        // 1.5 s ↔ 8 s for the same sub-second query depending on battery
+        // position. The gc() is outside the timed region on purpose.
+        System.gc()
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      name -> (if (times.exists(_ < 0)) -1.0 else times.sorted.apply(times.size / 2))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -423,21 +423,24 @@ object Dedup {
 
   /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle:
     * explode shingle sets, equi-join on the shingle, count shared, compute
-    * |A∩B| / (|A|+|B|-|A∩B|). Shingles appearing in more than
-    * `maxShingleFreq` docs are dropped — the standard skew guard: a
+    * |A∩B| / (|A|+|B|-|A∩B|). Over-frequent shingles are dropped from the
+    * JOIN per the explicit `guard` policy — the standard skew guard: a
     * stop-shingle appearing in 1M docs would otherwise generate 10¹² join
-    * rows. ON BY DEFAULT (`None` = auto cap of max(1000, 0.1% of corpus),
-    * which never fires on small corpora; pass `Some(Int.MaxValue)` to
-    * disable). Pairs pruned this way can only lose similarity mass on
-    * ubiquitous shingles, which near-dup detection wants to ignore anyway
-    * (set sizes in the Jaccard denominator stay un-pruned). */
+    * rows. [[ShingleGuard.Auto]] (the default; cap = max(1000, 0.1% of
+    * corpus), which never fires on small corpora) prunes only the Jaccard
+    * NUMERATOR: similarity mass on ubiquitous shingles is lost by design
+    * (near-dup detection wants to ignore them; set sizes in the
+    * denominator stay un-pruned, and the oracle SQL mirrors the same
+    * cap). [[ShingleGuard.Off]] gives the textbook-exact values with no
+    * frequency pass — and no skew protection. The policy is an ADT, not
+    * an Option sentinel, so call sites read as the contract they chose. */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       shingleSize: Int = 3,
       threshold: Double = 0.5,
-      maxShingleFreq: Option[Int] = None
+      guard: ShingleGuard = ShingleGuard.Auto
   ): DataFrame = {
     // One pass: explode carries the set size alongside each shingle, so no
     // second scan for sizes and no post-aggregation size joins — sizes ride
@@ -450,19 +453,18 @@ object Dedup {
       .select(col(idCol), size(col("__hs")).as("__sz"),
         explode(col("__hs")).as("shingle"))
     // Skew guard: anti-join against the over-frequent shingles.
-    // `Some(Int.MaxValue)` disables the guard entirely (no frequency pass).
     // The AUTO stop list is small by construction — at cap = 0.1% of corpus
     // it holds at most (total shingle instances)/(0.001·N) ≈ 1000 × avg
     // shingles/doc entries of 8 bytes — so broadcasting it is always safe.
     // A USER cap has no such bound (cap=10 on a web corpus stops most
     // shared shingles), so that path anti-joins shuffled, not broadcast.
-    if (!maxShingleFreq.contains(Int.MaxValue)) {
+    if (guard != ShingleGuard.Off) {
       val freq = exploded.groupBy("shingle").agg(count(lit(1)).as("docFreq"))
-      exploded = maxShingleFreq match {
-        case Some(cap) =>
+      exploded = guard match {
+        case ShingleGuard.MaxFreq(cap) =>
           exploded.join(freq.filter(col("docFreq") > cap).select("shingle"),
             Seq("shingle"), "left_anti")
-        case None => // auto: max(1000, 0.1% of corpus) via a 1-row scalar join
+        case _ => // auto: max(1000, 0.1% of corpus) via a 1-row scalar join
           val stop = freq.crossJoin(broadcast(df.select(count(lit(1)).as("__total"))))
             .filter(col("docFreq") >
               greatest(lit(1000L), floor(col("__total") / 1000).cast("long")))
@@ -490,3 +492,18 @@ object Dedup {
 /** Connected-components result: labels (id, cluster) + convergence
   * diagnostics (see [[Dedup.dedupClustersDetailed]]). */
 final case class CCResult(labels: DataFrame, rounds: Int, driverPath: Boolean)
+
+/** Stop-shingle guard policy for [[Dedup.ngramJaccardPairs]] — an explicit
+  * ADT (round-2 advice: the old `Option[Int]` overloaded `None` to mean
+  * "auto guard", silently changing exact-by-default semantics). */
+sealed trait ShingleGuard
+object ShingleGuard {
+  /** Drop shingles in more than max(1000, 0.1% of corpus) docs — the
+    * skew-safe default, mirrored in the oracle SQL. */
+  case object Auto extends ShingleGuard
+  /** No frequency pass: textbook-exact Jaccard, quadratic blowup risk on
+    * corpora with ubiquitous shingles. */
+  case object Off extends ShingleGuard
+  /** Drop shingles in more than `maxDocFreq` docs (caller-tuned). */
+  final case class MaxFreq(maxDocFreq: Int) extends ShingleGuard
+}

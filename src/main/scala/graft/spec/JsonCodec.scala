@@ -43,6 +43,13 @@ object JsonCodec {
   private def opt(n: JsonNode, keys: String*): Option[JsonNode] =
     keys.collectFirst { case k if n.has(k) && !n.get(k).isNull => n.get(k) }
 
+  /** Required sub-key with a parse-time diagnostic naming the site — a
+    * bare `.get` would surface a malformed config as a
+    * NoSuchElementException with no hint of where (round-2 advice). */
+  private def req(n: JsonNode, ctx: String, keys: String*): JsonNode =
+    opt(n, keys: _*).getOrElse(throw new IllegalArgumentException(
+      s"$ctx requires '${keys.head}' (got: ${n.toString.take(200)})"))
+
   def jvalue(n: JsonNode): JValue =
     if (n == null || n.isNull) JNull
     else if (n.isTextual) JStr(n.asText)
@@ -85,7 +92,7 @@ object JsonCodec {
           case t if t.isTextual => ExprFilter(t.asText)
           case o =>
             ColFilter(
-              col = opt(o, "col", "filter_col", "column").get.asText,
+              col = req(o, s"node $id: filter", "col", "filter_col", "column").asText,
               op = opt(o, "op", "filter_op").map(_.asText).getOrElse("=="),
               value = jvalue(opt(o, "value", "filter_value").orNull),
               nullSafe =
@@ -113,7 +120,7 @@ object JsonCodec {
             salt = opt(a, "salt").map(_.asInt),
             pivot = opt(a, "pivot").map(p =>
               PivotSpec(
-                col = opt(p, "col", "column").get.asText,
+                col = req(p, s"node $id: aggregate.pivot", "col", "column").asText,
                 values = opt(p, "values").toSeq.flatMap(elems).map(jvalue)))
           )
         )
@@ -177,8 +184,8 @@ object JsonCodec {
 
     val wm = opt(n, "watermark").map { w =>
       WatermarkSpec(
-        col = opt(w, "col", "column").get.asText,
-        delay = opt(w, "delay", "threshold").get.asText)
+        col = req(w, s"node $id: watermark", "col", "column").asText,
+        delay = req(w, s"node $id: watermark", "delay", "threshold").asText)
     }
 
     val bt = opt(n, "bitemporal").map { b =>
@@ -243,7 +250,7 @@ object JsonCodec {
         TopKSpec(
           partitionBy = opt(t, "partition_by", "partitionBy").map(strSeq).getOrElse(Nil),
           orderBy = opt(t, "order_by", "orderBy").map(strSeq).getOrElse(Nil),
-          k = opt(t, "k").get.asInt,
+          k = req(t, s"node $id: top_k", "k").asInt,
           rankCol = opt(t, "rank_col", "rankCol").map(_.asText).getOrElse("rn"))
       },
       orderBy = opt(n, "order_by", "orderBy").map(strSeq).getOrElse(Nil),
@@ -257,7 +264,7 @@ object JsonCodec {
     else if (n.isArray)
       elems(n).map { a =>
         AggSpec(
-          col = opt(a, "col", "agg_col", "column").get.asText,
+          col = req(a, "aggregation entry", "col", "agg_col", "column").asText,
           func = opt(a, "func", "agg_func", "function")
             .map(_.asText)
             .getOrElse("sum"),

@@ -88,4 +88,32 @@ class JsonCodecSpec extends AnyFunSuite {
     assert(root("""{"source": {"table": "t"}, "save": {"format": "kafka"}}""")
       .save.get.path == "")
   }
+
+  test("malformed configs fail with named diagnostics, not bare NoSuchElement") {
+    // round-2 advice: required sub-keys used bare .get — a typo'd config
+    // died as NoSuchElementException with no pointer to the broken node
+    for (bad <- Seq(
+      """{"id": "n1", "watermark": {"delay": "1 hour"}}""",
+      """{"id": "n1", "watermark": {"col": "ts"}}""",
+      """{"id": "n1", "top_k": {"order_by": ["x desc"]}}""",
+      """{"id": "n1", "filters": [{"op": "==", "value": 1}]}""",
+      """{"aggregate": {"group_by": ["a"], "aggregations": [{"func": "sum"}]}}""")) {
+      val e = intercept[IllegalArgumentException](JsonCodec.parse(bad))
+      assert(e.getMessage.contains("requires"), s"unhelpful error for $bad: $e")
+    }
+  }
+
+  test("interval-join keys decode: lookback, delays, stream source flag") {
+    val n = root("""
+      {"source": {"table": "a"},
+       "children": [
+         {"source": {"table": "b", "stream": true},
+          "join": {"on": ["k"], "how": "interval", "left_ts": "lt",
+                   "right_ts": "rt", "lookback": "1 HOUR",
+                   "left_delay": "5 minutes", "right_delay": "7 minutes"}}]}""")
+    val ch = n.children.head
+    assert(ch.join.how == "interval" && ch.join.lookback.contains("1 HOUR"))
+    assert(ch.join.leftDelay.contains("5 minutes") && ch.join.rightDelay.contains("7 minutes"))
+    assert(ch.node.source.exists(_.stream))
+  }
 }
