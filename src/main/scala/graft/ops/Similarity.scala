@@ -82,29 +82,26 @@ object Similarity {
   /** Random-hyperplane LSH signature: bit i = sign(v · hᵢ) where hᵢ is a
     * deterministic pseudo-random hyperplane (components seeded from (i,d)
     * by splitmix-style mixing, uniform in [-1,1)). Cosine-similar vectors
-    * agree on most signs. `numBits` ≤ 64. Hyperplanes are embedded as
-    * array LITERALS and each dot product is a zip_with/aggregate loop —
-    * a flat 2048-node expression tree of element_at's would overflow
-    * codegen method limits and run interpreted.
+    * agree on most signs. `numBits` ≤ 64.
     *
-    * Literal footprint: the plan embeds numBits × dim doubles — 32 KB at
-    * the production regime (64 × 64), 512 KB at numBits=64/dim=1024. That
-    * is plan METADATA (shipped once per stage with the task closure, not
-    * per row), so it stays cheap up to a few MB; past that (dim ≥ 4096)
-    * move plane generation into a codegen kernel that re-derives
-    * components from (i,d) on the fly — same splitmix math, zero
-    * literals. Not done here because the fixture dims (64) sit three
-    * orders of magnitude below the threshold where it matters. */
-  def hyperplaneSignature(vec: Column, dim: Int, numBits: Int): Column = {
+    * Computed by the native one-pass kernel
+    * (graft.functions.HyperplaneSig): the vector is read once, all
+    * numBits projections accumulate against a plane matrix held as a
+    * single reference object — no plan literals at any dim, no per-bit
+    * array re-traversal. Bit-identical to [[hyperplaneSignatureComposed]]
+    * (same plane constants, same summation order; asserted in OpsSpec). */
+  def hyperplaneSignature(vec: Column, dim: Int, numBits: Int): Column =
+    graft.functions.Hyperplane.signature(vec, dim, numBits)
+
+  /** The composable formulation — numBits VectorDot calls against plane
+    * LITERALS + a CASE/OR tree — kept as the reference implementation for
+    * the bit-equality test. numBits × dim doubles of literals (32 KB at
+    * 64 × 64) and numBits traversals per row make it the slower twin. */
+  def hyperplaneSignatureComposed(vec: Column, dim: Int, numBits: Int): Column = {
     require(numBits <= 64)
     val bitCols = (0 until numBits).map { i =>
-      val plane: Seq[Double] = (0 until dim).map { d =>
-        // deterministic pseudo-random double in [-1,1) from (i,d)
-        var z = i.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L
-        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-        (z ^ (z >>> 31)).toDouble / 9.223372036854776e18
-      }
+      val plane: Seq[Double] =
+        (0 until dim).map(d => graft.functions.Hyperplane.component(i, d))
       val proj = dot(vec, typedLit(plane))
       when(proj > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }

@@ -445,6 +445,24 @@ class OpsSpec extends SparkSpec {
     assert(twice.filter($"sig1" =!= $"sig2").count() == 0)
   }
 
+  test("native HyperplaneSig kernel equals the composed formulation bit-for-bit") {
+    for ((bits, dim) <- Seq((32, 64), (64, 64), (7, 64))) {
+      val cmp = emb.select(
+          Similarity.hyperplaneSignature($"embedding", dim, bits).as("native"),
+          Similarity.hyperplaneSignatureComposed($"embedding", dim, bits).as("composed"))
+        .filter($"native" =!= $"composed")
+      assert(cmp.count() == 0, s"kernel != composed at numBits=$bits")
+    }
+    // null / length-mismatch semantics mirror the composed form: sig 0, never null
+    val odd = Seq(
+      (1L, Array(1.0f, 2.0f)),                  // wrong dim
+      (2L, null.asInstanceOf[Array[Float]]))    // null vector
+      .toDF("id", "v")
+      .select(Similarity.hyperplaneSignature($"v", 64, 32).as("sig"))
+      .collect()
+    assert(odd.forall(r => !r.isNullAt(0) && r.getLong(0) == 0L))
+  }
+
   test("native VectorDot matches the fold formulation bit-for-bit") {
     val pairs = emb.select($"vec_id".as("ia"), $"embedding".as("va"))
       .crossJoin(emb.filter($"vec_id" < 20).select($"vec_id".as("ib"), $"embedding".as("vb")))
