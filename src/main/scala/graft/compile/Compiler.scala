@@ -34,7 +34,8 @@ object Compiler {
             a.aggs.filterNot(_.col == "*").map(_.col)) ++
         node.filters.collect { case ColFilter(c, _, _, _) => c } ++
         node.watermark.map(_.col) ++
-        node.dedup.toSeq.flatMap(d => d.keys ++ d.idCol)
+        node.dedup.toSeq.flatMap(d => d.keys ++ d.idCol) ++
+        node.nearDup.toSeq.flatMap(d => Seq(d.idCol, d.vecCol))
     wanted.filterNot(have.contains).map(c => s"node ${node.id}: unknown column '$c' (have: ${have.mkString(", ")})")
   }
 
@@ -159,6 +160,14 @@ object Compiler {
 
     if (node.keepColumns.nonEmpty)
       df = df.select(node.keepColumns.map(col): _*)
+
+    // Near-dup pair detection: the frame becomes (idA, idB, score). Pure
+    // plan composition (banded signatures + equi-join — no actions), so it
+    // is config-admissible; downstream keys run over the pair frame.
+    node.nearDup.foreach { d =>
+      df = graft.ops.Similarity.cosineNearDupPairsBanded(
+        df, d.idCol, d.vecCol, d.threshold, d.dim, d.numBits, d.bands)
+    }
 
     node.aggregate.foreach(a => df = applyAggregate(df, a))
 

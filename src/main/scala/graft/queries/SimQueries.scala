@@ -162,12 +162,27 @@ object SimQueries extends QueryPack {
       .orderBy(col("query_id").asc_nulls_first, col("rank").asc_nulls_first)
   }
 
+  // q66 — the banded near-dup declared from JSON (`near_dup` node key):
+  // the config path must be value-identical to the Scala API path, so it
+  // carries q32's exact oracle (same fixture parameters as q46, where the
+  // banded pair set equals the exact one). Downstream keys run over the
+  // (idA, idB, score) pair frame — here just the total order.
+  private def q66(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"id": "nd",
+       "source": {"table": "embeddings"},
+       "keep_columns": ["vec_id", "embedding"],
+       "near_dup": {"id_col": "vec_id", "vec_col": "embedding",
+                    "threshold": 0.4, "dim": 64, "num_bits": 32, "bands": 16},
+       "order_by": ["idA asc", "idB asc"]}""")
+
   override def queries: Seq[Q] = Seq(
     Q("q31_cosine_topk", q31, Some(q31Sql)),
     Q("q32_embedding_neardup", q32, Some(q32Sql)),
     Q("q33_ann_topk", q33, None),
     Q("q46_embedding_neardup_banded", q46, Some(q32Sql)),
     Q("q52_ivf_topk", q52, None),
-    Q("q64_embedding_neardup_prod", q64, Some(q64Sql))
+    Q("q64_embedding_neardup_prod", q64, Some(q64Sql)),
+    Q("q66_config_neardup", q66, Some(q32Sql))
   )
 }

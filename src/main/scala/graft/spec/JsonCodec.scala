@@ -182,6 +182,16 @@ object JsonCodec {
             opt(d, "within_watermark", "withinWatermark").exists(_.asBoolean(false)))
     }
 
+    val nd = opt(n, "near_dup", "nearDup").map { d =>
+      NearDupSpec(
+        idCol = req(d, s"node $id: near_dup", "id_col", "idCol").asText,
+        vecCol = req(d, s"node $id: near_dup", "vec_col", "vecCol").asText,
+        threshold = req(d, s"node $id: near_dup", "threshold").asDouble,
+        dim = req(d, s"node $id: near_dup", "dim").asInt,
+        numBits = opt(d, "num_bits", "numBits").map(_.asInt).getOrElse(64),
+        bands = opt(d, "bands").map(_.asInt).getOrElse(8))
+    }
+
     val wm = opt(n, "watermark").map { w =>
       WatermarkSpec(
         col = req(w, s"node $id: watermark", "col", "column").asText,
@@ -240,6 +250,7 @@ object JsonCodec {
       watermark = wm,
       dedup = dd,
       keepColumns = if (aggregate.isDefined) Nil else keep,
+      nearDup = nd,
       aggregate = aggregate,
       rename = rename,
       withColumns = withCols,

@@ -181,6 +181,25 @@ final case class SinkSpec(
   * exactly what lets one spec serve both engines. */
 final case class WatermarkSpec(col: String, delay: String)
 
+/** Embedding near-duplicate pair detection (NS; not in the reference):
+  * the node's frame becomes (idA, idB, score) — all pairs with cosine ≥
+  * `threshold` via pigeonhole-banded hyperplane LSH
+  * (`Similarity.cosineNearDupPairsBanded`; native signature kernel, band
+  * equi-join, first-collision scored-once guarantee). Pure plan
+  * composition — no actions — which is what makes it config-admissible
+  * (the LSH→verify→cluster dedup PIPELINE is iterative and stays in the
+  * Scala API). Defaults are the production regime: numBits 64, bands 8.
+  * Downstream node keys (aggregate, top_k, order_by…) then run over the
+  * pair frame. */
+final case class NearDupSpec(
+    idCol: String,
+    vecCol: String,
+    threshold: Double,
+    dim: Int,
+    numBits: Int = 64,
+    bands: Int = 8
+)
+
 /** Exact deduplication on `keys` (NS; not in the reference).
   * `idCol` set → deterministic winner: the row with the minimum id per key
   * group (one partial+final hash aggregate via min_by — replay-stable
@@ -233,6 +252,7 @@ final case class NodeSpec(
     watermark: Option[WatermarkSpec] = None,
     dedup: Option[DedupSpec] = None,
     keepColumns: Seq[String] = Nil,
+    nearDup: Option[NearDupSpec] = None, // after keep, before aggregate
     aggregate: Option[AggregateSpec] = None,
     rename: Seq[(String, String)] = Nil,
     withColumns: Seq[(String, String)] = Nil, // name -> Catalyst expr string

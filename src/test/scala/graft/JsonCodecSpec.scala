@@ -103,6 +103,19 @@ class JsonCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("near_dup node key decodes with production-regime defaults") {
+    val n = root("""
+      {"source": {"table": "embeddings"},
+       "near_dup": {"id_col": "vec_id", "vec_col": "embedding",
+                    "threshold": 0.8, "dim": 64}}""")
+    val d = n.nearDup.get
+    assert(d.idCol == "vec_id" && d.threshold == 0.8 && d.dim == 64)
+    assert(d.numBits == 64 && d.bands == 8) // production defaults
+    val e = intercept[IllegalArgumentException](root(
+      """{"near_dup": {"id_col": "a", "vec_col": "v", "dim": 64}}"""))
+    assert(e.getMessage.contains("threshold"))
+  }
+
   test("interval-join keys decode: lookback, delays, stream source flag") {
     val n = root("""
       {"source": {"table": "a"},
