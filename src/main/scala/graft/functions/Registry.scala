@@ -19,6 +19,15 @@ object Registry {
     es => GraftColumnBridge.expressionEager(
       c(GraftColumnBridge.column(es.head), GraftColumnBridge.column(es(1))))
 
+  /** Integer literal argument (kernel shape parameters like dim/numBits
+    * must be plan-time constants — they size generated code and reference
+    * objects, not per-row data). */
+  private def litInt(e: Expression, fn: String, arg: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _) => v.intValue()
+    case other => throw new IllegalArgumentException(
+      s"$fn: '$arg' must be an integer literal, got $other")
+  }
+
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "tokens" -> fn(TextAnalysis.tokens),
     "doc_fingerprint_portable" -> fn(TextAnalysis.fingerprintPortable),
@@ -34,7 +43,15 @@ object Registry {
     "vector_dot" -> fn2((a, b) => Similarity.dot(a, b)),
     "vector_cosine" -> fn2((a, b) => Similarity.cosine(a, b)),
     "vector_norm" -> fn(Similarity.l2Norm),
-    "hamming_dist" -> fn2((a, b) => Dedup.hamming(a, b))
+    "hamming_dist" -> fn2((a, b) => Dedup.hamming(a, b)),
+    // LSH kernels for SQL/derive sites: hyperplane_sig(vec, dim, numBits),
+    // minhash_sig(hashedShingles, numHashes)
+    "hyperplane_sig" -> (es => HyperplaneSig(es.head,
+      litInt(es(1), "hyperplane_sig", "dim"),
+      litInt(es(2), "hyperplane_sig", "numBits"))),
+    "minhash_sig" -> (es => MinHashSignature(es.head,
+      litInt(es(1), "minhash_sig", "numHashes"))),
+    "simhash64" -> (es => SimHash64(es.head))
   )
 
   /** Idempotent registration into the active session. */

@@ -162,18 +162,27 @@ object SimQueries extends QueryPack {
       .orderBy(col("query_id").asc_nulls_first, col("rank").asc_nulls_first)
   }
 
-  // q66 — the banded near-dup declared from JSON (`near_dup` node key):
-  // the config path must be value-identical to the Scala API path, so it
-  // carries q32's exact oracle (same fixture parameters as q46, where the
-  // banded pair set equals the exact one). Downstream keys run over the
-  // (idA, idB, score) pair frame — here just the total order.
+  // q66 — q64 declared ENTIRELY from JSON: the planted corpus is a
+  // `combine` union (base ∪ perturbed copies via a SQL lambda `derive` —
+  // the same float arithmetic as plantedCorpus, bit-for-bit) and the
+  // production-regime banded near-dup is the `near_dup` node key. Carries
+  // q64's exact oracle — the config path must be value-identical to the
+  // Scala API path. Production parameters (τ=0.8, 64 bits, 8 bands), so
+  // this ALSO benches as the pruning regime, not the q46 stress shape.
   private def q66(s: SparkSession, dir: String): DataFrame =
     graft.compile.Compiler.compileJson(s, """
       {"id": "nd",
-       "source": {"table": "embeddings"},
-       "keep_columns": ["vec_id", "embedding"],
+       "combine": {"op": "union", "nodes": [
+         {"id": "base", "source": {"table": "embeddings"},
+          "keep_columns": ["vec_id", "embedding"]},
+         {"id": "planted", "source": {"table": "embeddings"},
+          "filters": ["vec_id % 10 = 0"],
+          "derive": {"vec_id2": "vec_id + 10000000",
+                     "embedding2": "transform(embedding, (x, i) -> cast(cast(x as double) + cast(0.1 as double) * cast(element_at(embedding, cast(pmod(i + 1, 64) + 1 as int)) as double) as float))"},
+          "keep_columns": ["vec_id2", "embedding2"],
+          "rename": {"vec_id2": "vec_id", "embedding2": "embedding"}}]},
        "near_dup": {"id_col": "vec_id", "vec_col": "embedding",
-                    "threshold": 0.4, "dim": 64, "num_bits": 32, "bands": 16},
+                    "threshold": 0.8, "dim": 64},
        "order_by": ["idA asc", "idB asc"]}""")
 
   override def queries: Seq[Q] = Seq(
@@ -183,6 +192,6 @@ object SimQueries extends QueryPack {
     Q("q46_embedding_neardup_banded", q46, Some(q32Sql)),
     Q("q52_ivf_topk", q52, None),
     Q("q64_embedding_neardup_prod", q64, Some(q64Sql)),
-    Q("q66_config_neardup", q66, Some(q32Sql))
+    Q("q66_config_neardup", q66, Some(q64Sql))
   )
 }

@@ -463,6 +463,31 @@ class OpsSpec extends SparkSpec {
     assert(odd.forall(r => !r.isNullAt(0) && r.getLong(0) == 0L))
   }
 
+  test("LSH kernels are reachable from the config SQL surface") {
+    graft.functions.Registry.registerAll(spark)
+    Tables.registerViews(spark, sf)
+    val cfg = graft.compile.Compiler.compileJson(spark, """
+      {"source": {"table": "embeddings"},
+       "filters": ["vec_id < 5"],
+       "derive": {"sig": "hyperplane_sig(embedding, 64, 32)"},
+       "keep_columns": ["vec_id", "sig"]}""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val api = emb.filter($"vec_id" < 5)
+      .select($"vec_id", Similarity.hyperplaneSignature($"embedding", 64, 32))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cfg == api && cfg.size == 5)
+    // shape parameters must be literals (they size generated code) — a
+    // column reference fails loudly, not as a confusing codegen error
+    val e = intercept[Exception] {
+      graft.compile.Compiler.compileJson(spark, """
+        {"source": {"table": "embeddings"},
+         "derive": {"sig": "hyperplane_sig(embedding, vec_id, 32)"},
+         "keep_columns": ["sig"]}""").collect()
+    }
+    assert(e.getMessage.contains("integer literal") ||
+      Option(e.getCause).exists(_.getMessage.contains("integer literal")))
+  }
+
   test("native VectorDot matches the fold formulation bit-for-bit") {
     val pairs = emb.select($"vec_id".as("ia"), $"embedding".as("va"))
       .crossJoin(emb.filter($"vec_id" < 20).select($"vec_id".as("ib"), $"embedding".as("vb")))
