@@ -153,4 +153,37 @@ class PropertySpec extends SparkSpec {
       assert(filteredAgg == preFiltered)
     }
   }
+
+  test("BMP codec round-trips arbitrary dimensions and pixel bytes") {
+    val dimsGen = for {
+      w <- org.scalacheck.Gen.chooseNum(1, 17)
+      h <- org.scalacheck.Gen.chooseNum(1, 13)
+    } yield (w, h)
+    forAll(dimsGen, n = 20) { case (w, h) =>
+      // pixels derived deterministically from (w, h) — covers every row
+      // padding residue (w mod 4) and both odd/even heights
+      val rgb = Array.tabulate(w * h * 3)(i => ((i * 131 + w * 7 + h * 3) % 256).toByte)
+      val img = ops.Codecs.decodeBmp(ops.Codecs.encodeBmp(w, h, rgb))
+      assert(img.width == w && img.height == h)
+      assert(java.util.Arrays.equals(img.rgb, rgb), s"pixel mismatch at ${w}x$h")
+      assert(ops.Codecs.parseMeta(ops.Codecs.encodeBmp(w, h, rgb)) == (("bmp", w, h)))
+    }
+  }
+
+  test("WAV codec round-trips arbitrary PCM16 frames") {
+    val gen = for {
+      channels <- org.scalacheck.Gen.chooseNum(1, 4)
+      frames <- org.scalacheck.Gen.chooseNum(0, 50)
+      rate <- org.scalacheck.Gen.oneOf(8000, 16000, 44100)
+    } yield (channels, frames, rate)
+    forAll(gen, n = 20) { case (channels, frames, rate) =>
+      val samples = Array.tabulate(channels * frames)(i =>
+        ((i * 2357 + channels * 11) % 65536 - 32768).toShort)
+      val a = ops.Codecs.decodeWav(ops.Codecs.encodeWav(rate, channels, samples))
+      assert(a.sampleRate == rate && a.channels == channels)
+      assert(a.samples.toSeq == samples.toSeq)
+      assert(ops.Codecs.parseMeta(ops.Codecs.encodeWav(rate, channels, samples)) ==
+        (("wav", frames, channels)))
+    }
+  }
 }
