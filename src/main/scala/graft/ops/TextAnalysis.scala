@@ -101,6 +101,20 @@ object TextAnalysis {
     round((lengthTerm * lit(0.3)) + (punctTerm * lit(0.3)) + (wordTerm * lit(0.4)), 9)
   }
 
+  /** Corpus term statistics — the vocabulary-build shape behind TF-IDF
+    * weighting, stop-list mining, and rare-token quality signals:
+    * one row per token with `tf` (total occurrences) and `df` (documents
+    * containing it). Explode is corpus-shaped but map-side partial
+    * aggregation collapses each partition to its distinct tokens before
+    * the single shuffle; the distinct doc count is Spark's standard
+    * two-phase distinct aggregate. At 100 TB this is THE way to build a
+    * vocabulary — no driver-side counting, no collect. */
+  def termStats(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String)
+      : org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), count_distinct(col(idCol)).as("df"))
+
   /** Document fingerprint: order-sensitive polynomial rolling hash over
     * token hashes (two docs with the same tokens in a different order
     * fingerprint differently — unlike a set-hash). xxhash64 per token, then

@@ -184,10 +184,31 @@ object TextQueries extends QueryPack {
            ROUND(${graft.Tables.davgSql("quality")}, 9) AS avg_quality
     FROM deduped GROUP BY 1 ORDER BY lang ASC NULLS FIRST"""
 
+  // q67 — corpus term statistics (the vocabulary-build shape): top-20
+  // tokens by document frequency with total occurrences. Exact oracle —
+  // tokenization parity with DuckDB is already pinned by q24/q25/q26's
+  // shared split spelling.
+  private def q67(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.termStats(docs(s, dir), "doc_id", "text")
+      .orderBy(col("df").desc_nulls_last, col("tf").desc_nulls_last,
+        col("token").asc_nulls_first)
+      .limit(20)
+  private val q67Sql = """
+    WITH ex AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS token
+      FROM documents)
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS tf,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+    FROM ex GROUP BY 1
+    ORDER BY df DESC NULLS LAST, tf DESC NULLS LAST, token ASC NULLS FIRST
+    LIMIT 20"""
+
   override def queries: Seq[Q] = Seq(
     Q("q24_text_stats", q24, Some(q24Sql)),
     Q("q25_lang_id", q25, Some(q25Sql)),
     Q("q26_fingerprint", q26, Some(q26Sql)),
-    Q("q60_curation_pipeline", q60, Some(q60Sql))
+    Q("q60_curation_pipeline", q60, Some(q60Sql)),
+    Q("q67_token_df", q67, Some(q67Sql))
   )
 }
