@@ -151,6 +151,29 @@ class CompilerSpec extends SparkSpec {
     }
   }
 
+  test("config interval join plans a key equi-join, never a nested loop") {
+    Tables.registerViews(spark, sf)
+    val out = SparkEntry.queries("q65_config_interval")(spark, sf)
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val joins = out.queryExecution.optimizedPlan.collect { case j: LJoin => j }
+    assert(joins.size == 1)
+    // the link keys must survive as equi-conjuncts (hash/merge-joinable);
+    // the time bound rides as a range condition on the same join
+    val cond = joins.head.condition.map(_.toString).getOrElse("")
+    assert(cond.contains("user_id") && cond.contains("="), s"no equi-conjunct in: $cond")
+    val nodeNames = out.queryExecution.sparkPlan.collect { case n => n.nodeName }
+    assert(!nodeNames.exists(n => n.contains("NestedLoop") || n.contains("Cartesian")),
+      s"interval join fell back to a nested loop: $nodeNames")
+    // missing pieces fail loudly at compile, not as a wrong silent equi-join
+    intercept[IllegalArgumentException] {
+      Compiler.compileJson(spark, """
+        {"source": {"table": "events"},
+         "children": [{"id": "c", "source": {"table": "events"},
+                       "join": {"on": ["user_id"], "how": "interval",
+                                "left_ts": "ts", "right_ts": "ts"}}]}""")
+    }
+  }
+
   test("window exprs in with_columns collapse to one Window operator") {
     Tables.registerViews(spark, sf)
     val out = SparkEntry.queries("q50_config_window")(spark, sf)
