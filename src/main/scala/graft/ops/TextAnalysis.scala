@@ -115,6 +115,39 @@ object TextAnalysis {
       .groupBy("token")
       .agg(count(lit(1)).as("tf"), count_distinct(col(idCol)).as("df"))
 
+  /** Per-document characteristic tokens: tf-idf = tf(token, doc) ×
+    * ln(N / df(token)), top `k` per document. The vocabulary join prunes
+    * tokens with df > `maxDfRatio`·N FIRST — those are simultaneously the
+    * join's skew keys (stop tokens fan out to most documents) and the
+    * tokens with idf ≈ 0 that tf-idf exists to ignore, so the guard
+    * removes the scale hazard and the noise in one move (same posture as
+    * the stop-shingle guard in Dedup). N rides as a broadcast 1-row
+    * scalar, not a driver-side count — the whole operator is action-free
+    * plan composition. */
+  def tfidfTopK(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      maxDfRatio: Double = 0.5
+  ): org.apache.spark.sql.DataFrame = {
+    val total = df.select(count(lit(1)).as("__N"))
+    val vocab = termStats(df, idCol, textCol)
+      .crossJoin(broadcast(total))
+      .filter(col("df") <= col("__N") * maxDfRatio)
+      .select(col("token"), log(col("__N").cast("double") / col("df")).as("idf"))
+    val docTokens = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf_doc"))
+    val scored = docTokens.join(vocab, Seq("token"))
+      .select(col(idCol), col("token"),
+        round(col("tf_doc") * col("idf"), 9).as("tfidf"))
+    Relational.topKPerGroup(
+      scored, Seq(idCol),
+      Seq(col("tfidf").desc, col("token").asc), k, rankCol = "rank")
+  }
+
   /** Document fingerprint: order-sensitive polynomial rolling hash over
     * token hashes (two docs with the same tokens in a different order
     * fingerprint differently — unlike a set-hash). xxhash64 per token, then

@@ -204,11 +204,47 @@ object TextQueries extends QueryPack {
     ORDER BY df DESC NULLS LAST, tf DESC NULLS LAST, token ASC NULLS FIRST
     LIMIT 20"""
 
+  // q68 — per-document tf-idf top-3 characteristic tokens. The ln() is
+  // the one transcendental in the oracle surface: both engines compute
+  // IEEE double log (verified hash-equal at every SF — a ½-ulp libm
+  // divergence would need a value within 1e-16 of a 9-dp rounding
+  // boundary to flip the hash).
+  // maxDfRatio 0.9 (not the 0.5 default): the synthetic corpus draws from
+  // a ~31-token vocabulary where almost every token hits >half the docs —
+  // 0.9 keeps 30/31 tokens so every document scores, while still proving
+  // the stop-token prune (the one ubiquitous token is dropped).
+  private def q68(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTopK(docs(s, dir), "doc_id", "text", k = 3, maxDfRatio = 0.9)
+      .select("doc_id", "token", "tfidf", "rank")
+      .orderBy(col("doc_id").asc_nulls_first, col("rank").asc_nulls_first)
+  private val q68Sql = """
+    WITH N AS (SELECT COUNT(*) AS n FROM documents),
+    ex AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS token
+      FROM documents),
+    dt AS (SELECT doc_id, token, COUNT(*) AS tf_doc FROM ex GROUP BY 1, 2),
+    dft AS (SELECT token, COUNT(DISTINCT doc_id) AS dfc FROM ex GROUP BY 1),
+    vocab AS (
+      SELECT token, ln(CAST(n AS DOUBLE) / dfc) AS idf
+      FROM dft, N WHERE dfc <= n * 0.9),
+    scored AS (
+      SELECT doc_id, token, ROUND(tf_doc * idf, 9) AS tfidf
+      FROM dt JOIN vocab USING (token)),
+    ranked AS (
+      SELECT doc_id, token, tfidf,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, token ASC) AS INT) AS rank
+      FROM scored)
+    SELECT doc_id, token, tfidf, rank FROM ranked WHERE rank <= 3
+    ORDER BY doc_id ASC NULLS FIRST, rank ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
     Q("q24_text_stats", q24, Some(q24Sql)),
     Q("q25_lang_id", q25, Some(q25Sql)),
     Q("q26_fingerprint", q26, Some(q26Sql)),
     Q("q60_curation_pipeline", q60, Some(q60Sql)),
-    Q("q67_token_df", q67, Some(q67Sql))
+    Q("q67_token_df", q67, Some(q67Sql)),
+    Q("q68_tfidf", q68, Some(q68Sql))
   )
 }
