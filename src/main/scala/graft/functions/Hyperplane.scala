@@ -39,13 +39,13 @@ case class HyperplaneSig(child: Expression, dim: Int, numBits: Int)
   override def nullable: Boolean = false
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType | DoubleType | ByteType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"hyperplane_sig expects array<float|double>, got ${t.simpleString}")
+      s"hyperplane_sig expects array<float|double|tinyint>, got ${t.simpleString}")
   }
 
-  private def isFloat: Boolean =
-    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
 
   @transient private lazy val planes: Array[Double] =
     Hyperplane.planeMatrix(dim, numBits)
@@ -61,7 +61,14 @@ case class HyperplaneSig(child: Expression, dim: Int, numBits: Int)
         var d = 0
         while (ok && d < dim) {
           if (a.isNullAt(d)) ok = false
-          else { x(d) = if (isFloat) a.getFloat(d).toDouble else a.getDouble(d); d += 1 }
+          else {
+            x(d) = elemType match {
+              case FloatType => a.getFloat(d).toDouble
+              case ByteType  => a.getByte(d).toDouble
+              case _         => a.getDouble(d)
+            }
+            d += 1
+          }
         }
         if (ok) {
           var i = 0
@@ -90,8 +97,11 @@ case class HyperplaneSig(child: Expression, dim: Int, numBits: Int)
     val i = ctx.freshName("i")
     val off = ctx.freshName("off")
     val acc = ctx.freshName("acc")
-    val getter =
-      if (isFloat) s"(double) $a.getFloat($d)" else s"$a.getDouble($d)"
+    val getter = elemType match {
+      case FloatType => s"(double) $a.getFloat($d)"
+      case ByteType  => s"(double) $a.getByte($d)"
+      case _         => s"$a.getDouble($d)"
+    }
     val resultCode =
       code"""
         ${childGen.code}

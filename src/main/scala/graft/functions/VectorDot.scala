@@ -20,8 +20,9 @@ import org.apache.spark.sql.types._
   * formulation, so scores are bit-for-bit unchanged.
   *
   * Semantics: null if either input is null, if lengths differ, or if any
-  * element is null. Accepts float and double element types in any
-  * combination (each element is widened to double).
+  * element is null. Accepts float, double and tinyint element types in any
+  * combination (each element is widened to double — exact for all three,
+  * so int8-quantized dot products are bit-reproducible integer math).
   */
 case class VectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -37,12 +38,12 @@ case class VectorDot(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType) = t match {
-      case ArrayType(FloatType | DoubleType, _) => true
-      case _                                    => false
+      case ArrayType(FloatType | DoubleType | ByteType, _) => true
+      case _                                               => false
     }
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"vector_dot expects array<float|double> inputs, got " +
+      s"vector_dot expects array<float|double|tinyint> inputs, got " +
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
@@ -54,15 +55,17 @@ case class VectorDot(left: Expression, right: Expression)
     val b = r.asInstanceOf[ArrayData]
     val n = a.numElements()
     if (n != b.numElements()) return null
-    val aFloat = elemType(left) == FloatType
-    val bFloat = elemType(right) == FloatType
+    def get(arr: ArrayData, t: DataType, i: Int): Double = t match {
+      case FloatType => arr.getFloat(i).toDouble
+      case ByteType  => arr.getByte(i).toDouble
+      case _         => arr.getDouble(i)
+    }
+    val (ta, tb) = (elemType(left), elemType(right))
     var sum = 0.0
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
-      sum += x * y
+      sum += get(a, ta, i) * get(b, tb, i)
       i += 1
     }
     sum
@@ -75,6 +78,7 @@ case class VectorDot(left: Expression, right: Expression)
       val sum = ctx.freshName("sum")
       def getter(arr: String, e: Expression) = elemType(e) match {
         case FloatType => s"(double) $arr.getFloat($i)"
+        case ByteType  => s"(double) $arr.getByte($i)"
         case _         => s"$arr.getDouble($i)"
       }
       s"""

@@ -185,6 +185,45 @@ object SimQueries extends QueryPack {
                     "threshold": 0.8, "dim": 64},
        "order_by": ["idA asc", "idB asc"]}""")
 
+  // q70 — the QUANTIZED production near-dup: int8 data vectors (4× less
+  // scan+shuffle IO at 100 TB — q43 demonstrates the storage, this closes
+  // the loop by SEARCHING on the quantized bytes directly). Cosine is
+  // scale-invariant, so the per-vector scale never ships: signatures and
+  // scores run on the raw int8 arrays (kernels accept tinyint), and every
+  // score is exact integer-derived arithmetic — which is why this carries
+  // a full DuckDB hash oracle (quantize + integer cosine mirrored
+  // verbatim). Planted pairs keep cosine ≈ 0.99 after quantization;
+  // τ = 0.8 unchanged.
+  private def q70(s: SparkSession, dir: String): DataFrame = {
+    val q = plantedCorpus(s, dir).select(col("vec_id"),
+      Similarity.quantizeInt8(col("embedding")).getField("data").as("qdata"))
+    Similarity.cosineNearDupPairsBanded(
+        q, idCol = "vec_id", vecCol = "qdata",
+        threshold = 0.8, dim = 64, numBits = 64, bands = 8)
+      .orderBy(col("idA").asc_nulls_first, col("idB").asc_nulls_first)
+  }
+  private val q70Sql = s"""
+    WITH corpus AS ($plantedSql),
+    quant AS (
+      SELECT vec_id,
+             CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+               / CAST(127.0 AS DOUBLE) AS scale,
+             embedding
+      FROM corpus),
+    qdata AS (
+      SELECT vec_id,
+             CASE WHEN scale > 0
+                  THEN list_transform(embedding,
+                         x -> CAST(round(CAST(x AS DOUBLE) / scale) AS TINYINT))
+                  ELSE list_transform(embedding, x -> CAST(0 AS TINYINT)) END AS data
+      FROM quant)
+    SELECT a.vec_id AS idA, b.vec_id AS idB,
+           ${duckCosine("a.data", "b.data")} AS score
+    FROM qdata a, qdata b
+    WHERE a.vec_id < b.vec_id
+      AND ${duckCosine("a.data", "b.data")} >= 0.8
+    ORDER BY idA ASC NULLS FIRST, idB ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
     Q("q31_cosine_topk", q31, Some(q31Sql)),
     Q("q32_embedding_neardup", q32, Some(q32Sql)),
@@ -192,6 +231,7 @@ object SimQueries extends QueryPack {
     Q("q46_embedding_neardup_banded", q46, Some(q32Sql)),
     Q("q52_ivf_topk", q52, None),
     Q("q64_embedding_neardup_prod", q64, Some(q64Sql)),
-    Q("q66_config_neardup", q66, Some(q64Sql))
+    Q("q66_config_neardup", q66, Some(q64Sql)),
+    Q("q70_quantized_neardup", q70, Some(q70Sql))
   )
 }

@@ -508,6 +508,14 @@ class OpsSpec extends SparkSpec {
     // null semantics: length mismatch and null element → null
     val odd = Seq((Array(1.0f, 2.0f), Array(1.0f))).toDF("a", "b")
     assert(odd.select(Similarity.dot($"a", $"b")).collect().head.isNullAt(0))
+    // tinyint arrays (the quantized path): kernel == fold, exact ints
+    val bytes = emb.select(
+      Similarity.quantizeInt8($"embedding").getField("data").as("q"))
+    val bdiff = bytes.select(
+        Similarity.dot($"q", $"q").as("native"),
+        Similarity.dotFold($"q", $"q").as("fold"))
+      .filter($"native" =!= $"fold")
+    assert(bdiff.count() == 0)
   }
 
   test("hash sample is deterministic and near the target rate") {
