@@ -82,22 +82,7 @@ object Codecs {
     val bottomUp = rawHeight > 0
     val height = math.abs(rawHeight)
     require(width > 0 && height > 0, s"bad dims ${width}x$rawHeight")
-    val stride = (width * 3 + 3) / 4 * 4
-    require(bytes.length >= dataOffset + stride.toLong * height, "truncated pixel data")
-    val rgb = new Array[Byte](width * height * 3)
-    var y = 0
-    while (y < height) {
-      val srcRow = dataOffset + (if (bottomUp) height - 1 - y else y) * stride
-      var x = 0
-      while (x < width) {
-        val s = srcRow + x * 3
-        val d = (y * width + x) * 3
-        rgb(d) = bytes(s + 2); rgb(d + 1) = bytes(s + 1); rgb(d + 2) = bytes(s)
-        x += 1
-      }
-      y += 1
-    }
-    Image(width, height, rgb)
+    Image(width, height, readDib(bytes, dataOffset, width, height, bottomUp))
   }
 
   // ---- WAV ---------------------------------------------------------------
@@ -159,6 +144,177 @@ object Codecs {
     require(sampleRate > 0, "missing fmt chunk")
     require(samples != null, "missing data chunk")
     Audio(sampleRate, channels, samples)
+  }
+
+  // ---- AVI (video: RIFF container, uncompressed 24-bit DIB frames) -------
+
+  /** Decoded video: fixed-size RGB frames (each in [[Image]] layout) at a
+    * nominal frame rate. */
+  final case class Video(width: Int, height: Int, fps: Int, frames: Seq[Array[Byte]])
+
+  /** Minimal canonical AVI writer: RIFF('AVI ') → LIST hdrl (avih + one
+    * 'vids'/'DIB ' stream with a BITMAPINFOHEADER strf) → LIST movi with
+    * one '00db' chunk per uncompressed frame (bottom-up padded BGR — the
+    * same DIB layout as BMP pixel data). Enough structure that standard
+    * players open it; no index chunk (players rebuild it). */
+  def encodeAvi(width: Int, height: Int, fps: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(width > 0 && height > 0 && fps > 0, s"bad video params ${width}x$height@$fps")
+    require(frames.nonEmpty, "need at least one frame")
+    require(frames.forall(_.length == width * height * 3),
+      s"every frame needs ${width * height * 3} RGB bytes")
+    val stride = (width * 3 + 3) / 4 * 4
+    val dibSize = stride * height
+    val moviSize = 4 + frames.size * (8 + dibSize)
+    val hdrlSize = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    val buf = ByteBuffer.allocate(8 + riffSize).order(ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = buf.put(s.getBytes("US-ASCII"))
+    fourcc("RIFF"); buf.putInt(riffSize); fourcc("AVI ")
+    fourcc("LIST"); buf.putInt(hdrlSize); fourcc("hdrl")
+    fourcc("avih"); buf.putInt(56)
+    buf.putInt(1000000 / fps)                       // µs per frame
+    buf.putInt(dibSize * fps).putInt(0).putInt(0)   // max bytes/sec, padding, flags
+    buf.putInt(frames.size).putInt(0).putInt(1)     // total frames, initial, streams
+    buf.putInt(dibSize).putInt(width).putInt(height)
+    (0 until 4).foreach(_ => buf.putInt(0))         // reserved
+    fourcc("LIST"); buf.putInt(4 + (8 + 56) + (8 + 40)); fourcc("strl")
+    fourcc("strh"); buf.putInt(56)
+    fourcc("vids"); fourcc("DIB ")
+    buf.putInt(0).putInt(0).putInt(0)               // flags, prio+lang, initial
+    buf.putInt(1).putInt(fps)                       // scale, rate → fps
+    buf.putInt(0).putInt(frames.size)               // start, length
+    buf.putInt(dibSize).putInt(-1).putInt(0)        // bufsize, quality, sample size
+    buf.putShort(0).putShort(0)
+    buf.putShort(width.toShort).putShort(height.toShort) // rcFrame
+    fourcc("strf"); buf.putInt(40)
+    buf.putInt(40).putInt(width).putInt(height)     // BITMAPINFOHEADER
+    buf.putShort(1).putShort(24)
+    buf.putInt(0).putInt(dibSize)
+    buf.putInt(2835).putInt(2835).putInt(0).putInt(0)
+    fourcc("LIST"); buf.putInt(moviSize); fourcc("movi")
+    frames.foreach { rgb =>
+      fourcc("00db"); buf.putInt(dibSize)
+      writeDib(buf, rgb, width, height)
+    }
+    buf.array()
+  }
+
+  def isAvi(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'A' && bytes(9) == 'V' && bytes(10) == 'I' && bytes(11) == ' '
+
+  /** Parse the canonical AVI layout: find the stream format
+    * (BITMAPINFOHEADER inside hdrl, 24-bit uncompressed only) and the
+    * frame rate, then collect every '00db'/'00dc' chunk under LIST movi
+    * as a top-down RGB frame. Chunk-walks recursively, so padding/extra
+    * chunks (idx1, JUNK) are skipped. */
+  def decodeAvi(bytes: Array[Byte]): Video = {
+    require(isAvi(bytes), "not an AVI payload")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    var width = 0; var height = 0; var fps = 0
+    val frames = Seq.newBuilder[Array[Byte]]
+    def walk(from: Int, to: Int): Unit = {
+      var pos = from
+      while (pos + 8 <= to) {
+        val tag = new String(bytes, pos, 4, "US-ASCII")
+        val sz = buf.getInt(pos + 4)
+        require(sz >= 0 && pos + 8 + sz <= to, s"truncated chunk $tag")
+        tag match {
+          case "LIST" => walk(pos + 12, pos + 8 + sz) // skip the list type fourcc
+          case "strh" =>
+            val scale = buf.getInt(pos + 8 + 20)
+            val rate = buf.getInt(pos + 8 + 24)
+            if (scale > 0) fps = rate / scale
+          case "strf" =>
+            require(buf.getShort(pos + 8 + 14) == 24 && buf.getInt(pos + 8 + 16) == 0,
+              "only 24-bit uncompressed DIB video supported")
+            width = buf.getInt(pos + 8 + 4)
+            height = math.abs(buf.getInt(pos + 8 + 8))
+          case "00db" | "00dc" =>
+            require(width > 0 && height > 0, "frame chunk before stream format")
+            frames += readDib(bytes, pos + 8, width, height, bottomUp = true)
+          case _ => () // avih consumed via width/height in strf; idx1/JUNK skipped
+        }
+        pos += 8 + sz + (sz & 1)
+      }
+    }
+    walk(12, bytes.length)
+    val fs = frames.result()
+    require(fs.nonEmpty, "no frame chunks found")
+    Video(width, height, math.max(fps, 1), fs)
+  }
+
+  /** Keep every `stride`-th frame of an AVI (real decode → re-encode);
+    * fps divides so playback duration is preserved. */
+  def frameSampleAvi(stride: Int)(payload: Array[Byte]): Array[Byte] = {
+    require(stride >= 1, s"bad stride $stride")
+    val v = decodeAvi(payload)
+    val kept = v.frames.zipWithIndex.collect { case (f, i) if i % stride == 0 => f }
+    encodeAvi(v.width, v.height, math.max(v.fps / stride, 1), kept)
+  }
+
+  /** Bottom-up padded BGR rows from top-down RGB (shared by BMP + AVI). */
+  private def writeDib(buf: ByteBuffer, rgb: Array[Byte], width: Int, height: Int): Unit = {
+    val pad = (4 - (width * 3) % 4) % 4
+    var y = height - 1
+    while (y >= 0) {
+      var x = 0
+      while (x < width) {
+        val i = (y * width + x) * 3
+        buf.put(rgb(i + 2)).put(rgb(i + 1)).put(rgb(i))
+        x += 1
+      }
+      var p = 0
+      while (p < pad) { buf.put(0.toByte); p += 1 }
+      y -= 1
+    }
+  }
+
+  /** Top-down RGB from padded DIB rows (shared by BMP + AVI). */
+  private def readDib(bytes: Array[Byte], offset: Int, width: Int, height: Int,
+      bottomUp: Boolean): Array[Byte] = {
+    val stride = (width * 3 + 3) / 4 * 4
+    require(bytes.length >= offset + stride.toLong * height, "truncated pixel data")
+    val rgb = new Array[Byte](width * height * 3)
+    var y = 0
+    while (y < height) {
+      val srcRow = offset + (if (bottomUp) height - 1 - y else y) * stride
+      var x = 0
+      while (x < width) {
+        val s = srcRow + x * 3
+        val d = (y * width + x) * 3
+        rgb(d) = bytes(s + 2); rgb(d + 1) = bytes(s + 1); rgb(d + 2) = bytes(s)
+        x += 1
+      }
+      y += 1
+    }
+    rgb
+  }
+
+  /** 8-dim video features: [width, height, nFrames, fps, meanLuma,
+    * minFrameLuma, maxFrameLuma, temporalDelta] — luma stats per frame
+    * (Rec.601, exact integer sums) and the mean absolute luma change
+    * between consecutive frames (the cheap motion/staticness signal). */
+  def aviFeatures(payload: Array[Byte]): Array[Float] = {
+    val v = decodeAvi(payload)
+    val n = v.width.toLong * v.height
+    val lumas = v.frames.map { rgb =>
+      var sl = 0L
+      var i = 0
+      while (i < rgb.length) {
+        sl += 299L * (rgb(i) & 0xff) + 587L * (rgb(i + 1) & 0xff) + 114L * (rgb(i + 2) & 0xff)
+        i += 3
+      }
+      sl / (n * 255000.0)
+    }
+    val delta =
+      if (lumas.size < 2) 0.0
+      else lumas.sliding(2).map { case Seq(a, b) => math.abs(b - a) }.sum / (lumas.size - 1)
+    Array(
+      v.width.toFloat, v.height.toFloat, v.frames.size.toFloat, v.fps.toFloat,
+      (lumas.sum / lumas.size).toFloat, lumas.min.toFloat, lumas.max.toFloat,
+      delta.toFloat)
   }
 
   // ---- feature extraction (the real `decoder` seam fillers) --------------
@@ -250,6 +406,7 @@ object Codecs {
   def mediaFeatures(payload: Array[Byte]): Array[Float] =
     if (isBmp(payload)) bmpFeatures(payload)
     else if (isWav(payload)) wavFeatures(payload)
+    else if (isAvi(payload)) aviFeatures(payload)
     else Multimodal.decodeStub(payload)
 
   /** Header-only metadata parse: (format, width, height). BMP: pixel
@@ -263,6 +420,10 @@ object Codecs {
     } else if (isWav(bytes)) {
       val a = quickWavDims(bytes)
       ("wav", a._1, a._2)
+    } else if (isAvi(bytes)) {
+      // avih carries width/height at fixed offsets in the canonical layout
+      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      ("avi", buf.getInt(64), buf.getInt(68))
     } else ("bin", 0, 0)
 
   /** (frames, channels) from the chunk walk without copying samples. */

@@ -87,8 +87,47 @@ object MultimodalQueries extends QueryPack {
       .orderBy(col("media_id").asc_nulls_first)
   }
 
+  /** Deterministic text→AVI fixture: 4-8 frames of 8×6 whose pixels cycle
+    * the UTF-8 bytes with a per-frame shift (so consecutive frames differ
+    * — the temporal-delta feature has signal). */
+  private[graft] val textToAvi = udf { (t: String) =>
+    val b = Option(t).getOrElse("").getBytes("UTF-8")
+    val (w, h) = (8, 6)
+    val nf = 4 + (b.length % 5)
+    val frames = (0 until nf).map { f =>
+      Array.tabulate(w * h * 3)(i => if (b.isEmpty) 0.toByte else b((i + f * 7) % b.length))
+    }
+    Codecs.encodeAvi(w, h, 10, frames)
+  }
+
+  // q71 — the VIDEO path end-to-end: synthesize AVI payloads, frame-sample
+  // through the real container codec (decode DIB frames, keep every 2nd,
+  // re-encode at half fps), re-parse metadata from the transformed bytes,
+  // featurize (per-frame luma stats + temporal delta). Rows-only gate
+  // (DuckDB can't parse RIFF/AVI); codec exactness lives in OpsSpec.
+  private def q71(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMediaParsed(
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), textToAvi(col("text")).as("payload")),
+      idCol = "doc_id", payloadCol = "payload")
+    val sampled = Multimodal.transformPayload(media, "avi", Codecs.frameSampleAvi(2))
+    val parsed = Multimodal.asMediaParsed(sampled, "media_id", "payload")
+    val feats = Multimodal.featurize(parsed, Codecs.mediaFeatures)
+    parsed.select(col("media_id"), col("meta.format").as("format"),
+        col("meta.width").as("width"), col("meta.height").as("height"))
+      .join(feats, Seq("media_id"))
+      .select(
+        col("media_id"), col("format"), col("width"), col("height"),
+        element_at(col("features"), 3).cast("int").as("n_frames"),
+        element_at(col("features"), 4).cast("int").as("fps"),
+        round(element_at(col("features"), 5).cast("double"), 9).as("mean_luma"),
+        round(element_at(col("features"), 8).cast("double"), 9).as("temporal_delta"))
+      .orderBy(col("media_id").asc_nulls_first)
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q37_multimodal_featurize", q37, None),
-    Q("q69_audio_featurize", q69, None)
+    Q("q69_audio_featurize", q69, None),
+    Q("q71_video_featurize", q71, None)
   )
 }

@@ -317,6 +317,27 @@ class OpsSpec extends SparkSpec {
     assert(down.samples.toSeq == Seq(0, 100, 800, 900, 1600, 1700).map(_.toShort))
   }
 
+  test("AVI codec: round-trip, frame-sampling, temporal features") {
+    val (w, h) = (5, 4)
+    val frames = (0 until 5).map(f =>
+      Array.tabulate(w * h * 3)(i => ((i * 13 + f * 40) % 256).toByte))
+    val avi = ops.Codecs.encodeAvi(w, h, 10, frames)
+    val v = ops.Codecs.decodeAvi(avi)
+    assert(v.width == w && v.height == h && v.fps == 10 && v.frames.size == 5)
+    v.frames.zip(frames).foreach { case (got, want) =>
+      assert(java.util.Arrays.equals(got, want), "frame pixels changed in round-trip")
+    }
+    assert(ops.Codecs.parseMeta(avi) == (("avi", w, h)))
+    // frame-sample: frames 0, 2, 4 survive; fps divides
+    val sampled = ops.Codecs.decodeAvi(ops.Codecs.frameSampleAvi(2)(avi))
+    assert(sampled.frames.size == 3 && sampled.fps == 5)
+    assert(java.util.Arrays.equals(sampled.frames(1), frames(2)))
+    // temporal delta: static video → 0, changing video > 0
+    val static = ops.Codecs.encodeAvi(w, h, 10, Seq.fill(3)(frames.head))
+    assert(ops.Codecs.aviFeatures(static)(7) == 0f)
+    assert(ops.Codecs.aviFeatures(avi)(7) > 0f)
+  }
+
   test("media meta parse: BMP dims and WAV frames from headers only") {
     val bmp = ops.Codecs.encodeBmp(5, 7, Array.fill(5 * 7 * 3)(9.toByte))
     assert(ops.Codecs.parseMeta(bmp) == ("bmp", 5, 7))
