@@ -193,6 +193,16 @@ class CompilerSpec extends SparkSpec {
     assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges:\n$physical")
   }
 
+  test("global orderBy+limit plans TakeOrderedAndProject, not a full sort") {
+    Tables.registerViews(spark, sf)
+    // q67's top-20-by-df: map tasks keep 20 rows each, the driver merges —
+    // a regression to a full global sort would show as Exchange rangepartitioning
+    val plan = SparkEntry.queries("q67_token_df")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in:\n${plan.take(2000)}")
+  }
+
   test("config top_k plans WindowGroupLimit (map-side k-per-group pruning)") {
     Tables.registerViews(spark, sf)
     val out = SparkEntry.queries("q62_config_topk")(spark, sf)
