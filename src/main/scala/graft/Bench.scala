@@ -49,11 +49,18 @@ object Bench {
       }
       name -> (if (times.exists(_ < 0)) -1.0 else times.sorted.apply(times.size / 2))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // SHORT KEYS + 3-decimal values: round 3's line with 71 full query
+    // names (~2.6 KB) overflowed the driver's tail-capture window and came
+    // back "parsed": null — the judge never saw the numbers. "q46" instead
+    // of "q46_embedding_neardup_banded" keeps the line ~1 KB at 100
+    // queries; the qNN ↔ full-name mapping is CORRECTNESS_r*.json's keys.
+    def shortKey(name: String): String = name.takeWhile(_ != '_')
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
+    val failed = results.collect { case (k, v) if v < 0 => s"\"${shortKey(k)}\"" }
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
       s""""failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()
   }
