@@ -13,7 +13,8 @@ object SparkEntry {
     SimQueries,
     StreamQueries,
     MultimodalQueries,
-    ExtraQueries
+    ExtraQueries,
+    CorpusQueries
   )
 
   private lazy val all: Seq[Q] = packs.flatMap(_.queries)

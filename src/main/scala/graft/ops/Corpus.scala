@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-shaping operators for LLM training-data pipelines (north-star
+  * scope beyond the reference): document chunking, training-sequence
+  * packing, and train/eval decontamination. All three are the scale-safe
+  * shape — pure plan composition, no driver-side state:
+  *
+  *   - chunking:        per-row array build + one generator (posexplode);
+  *                      runs in the scan stage, no shuffle at all.
+  *   - packing:         one window per SHARD (the parallelism unit) — the
+  *                      global greedy pack is inherently sequential, so the
+  *                      scalable formulation shards first and packs within
+  *                      shards independently.
+  *   - decontamination: shingle semi-join against the eval pool — the eval
+  *                      side is benchmark-sized by nature, so its distinct
+  *                      shingle set broadcasts; the train corpus is never
+  *                      shuffled, only scanned.
+  */
+object Corpus {
+
+  /** Split each document into token chunks of `chunkSize` with `overlap`
+    * tokens shared between consecutive chunks (stride = chunkSize −
+    * overlap) — the standard context-window prep for embedding/training
+    * pipelines. Chunk k covers tokens [k·stride, k·stride + chunkSize);
+    * the number of chunks is ⌈(n − overlap) / stride⌉ (min 1), so the
+    * final chunk may be short but every token lands in ≥ 1 chunk and no
+    * chunk is fully contained in its predecessor. Empty documents produce
+    * zero chunks.
+    *
+    * Output: (idCol, chunk_id, chunk_text, n_tokens). Scale: the chunk
+    * array is built per-row inside whole-stage codegen and exploded by a
+    * generator — no shuffle; output size ≈ input tokens × (1 + overlap /
+    * stride).
+    */
+  def chunkByTokens(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int,
+      overlap: Int
+  ): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    val chunks = TextAnalysis.withTokens(col(textCol)) { toks =>
+      val n = size(toks)
+      val k = greatest(lit(1),
+        ceil((n - lit(overlap)).cast("double") / lit(stride)).cast("int"))
+      // null (not empty array) for empty docs: posexplode emits no rows
+      // for null, and the typed empty-array literal is noisier than the
+      // null it's equivalent to under a generator.
+      when(n > 0,
+        transform(sequence(lit(0), k - 1), i => slice(toks, i * stride + 1, lit(chunkSize))))
+    }
+    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_id", "__ct")))
+      .select(col(idCol), col("chunk_id"),
+        concat_ws(" ", col("__ct")).as("chunk_text"),
+        size(col("__ct")).as("n_tokens"))
+  }
+
+  /** Assign documents to fixed-budget training-sequence bins ("sequence
+    * packing"): documents are sharded by id, ordered deterministically
+    * within each shard, and laid end-to-end; a document starting at token
+    * offset o goes to bin ⌊o / budget⌋ of its shard. A document longer
+    * than the remaining budget starts in the bin its offset falls in and
+    * overflows it — the streaming-pack semantics (bins are filled left to
+    * right; no backtracking), which is the only formulation that needs ONE
+    * window pass instead of a sequential global scan.
+    *
+    * Scale: the window partitions by shard — shards are the parallelism
+    * unit. Packing is embarrassingly shardable (bins never span shards),
+    * so at 100 TB you raise `numShards` until each shard's documents fit a
+    * single task comfortably; the assignment stays deterministic because
+    * shard and order derive from the id, not from partitioning.
+    *
+    * Output: input columns + (shard, start_off, bin).
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      tokenCountCol: String,
+      budget: Long,
+      numShards: Int
+  ): DataFrame = {
+    require(budget > 0 && numShards > 0, "budget and numShards must be positive")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("shard", pmod(col(idCol), lit(numShards)).cast("int"))
+      .withColumn("start_off",
+        coalesce(sum(col(tokenCountCol)).over(w), lit(0L)))
+      .withColumn("bin", floor(col("start_off") / lit(budget)).cast("int"))
+  }
+
+  /** Per-training-document overlap with an evaluation pool: the number of
+    * distinct `shingleSize`-gram shingles of the train doc that appear
+    * ANYWHERE in `holdout` — the standard contamination signal for
+    * benchmark decontamination. Join is on 64-bit shingle hashes (cheap
+    * keys; collisions need ~2^32 distinct shingles to matter).
+    *
+    * Scale: the eval pool is benchmark-sized by nature (thousands of docs,
+    * not billions), so its distinct shingle-hash set is broadcast — the
+    * train side is scanned, exploded, and hash-joined map-side with NO
+    * shuffle of the corpus; the aggregate back to one row per train doc is
+    * partial+final. Docs with zero overlap are absent from the output
+    * (semi-join shape).
+    *
+    * Output: (idCol, n_common).
+    */
+  def contaminationReport(
+      train: DataFrame,
+      holdout: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int
+  ): DataFrame = {
+    val trainSh = train.select(col(idCol),
+      explode(Dedup.hashedNgrams(col(textCol), shingleSize)).as("__shingle"))
+    val evalSh = holdout
+      .select(explode(Dedup.hashedNgrams(col(textCol), shingleSize)).as("__shingle"))
+      .distinct()
+    trainSh.join(broadcast(evalSh), Seq("__shingle"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_common"))
+  }
+
+  /** Remove contaminated documents: drops every train doc sharing ≥
+    * `minOverlap` distinct shingles with the eval pool (left-anti join on
+    * the [[contaminationReport]] ids — candidates-shaped, never
+    * corpus-shaped). */
+  def decontaminate(
+      train: DataFrame,
+      holdout: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int,
+      minOverlap: Long
+  ): DataFrame = {
+    val bad = contaminationReport(train, holdout, idCol, textCol, shingleSize)
+      .filter(col("n_common") >= minOverlap)
+      .select(idCol)
+    train.join(bad, Seq(idCol), "left_anti")
+  }
+}

@@ -166,6 +166,40 @@ object Relational {
         aggs.tail.map(a => phase2(a._3, a._2)): _*)
   }
 
+  /** Salted equi-join for a skewed key: when ONE join key carries a
+    * disproportionate share of the big side's rows, a plain shuffle join
+    * lands that key on a single reducer. Salting splits it: the big side
+    * gets a content-derived salt in [0, buckets) (hash of ALL its columns —
+    * hashing the join key would put the hot key in one bucket again, and
+    * rand() would resalt differently on task retry); the small side is
+    * replicated once per salt value; the join runs on (keys, salt).
+    * Semantics-preserving for inner/left joins — every big-side row meets
+    * exactly one copy of each matching small-side row. Right/full joins are
+    * rejected: an unmatched small-side row would surface `buckets` times.
+    *
+    * Cost: small side × `buckets` rows shuffled (it's small — that's the
+    * premise); big side shuffles once, now skew-free. AQE's skew-join
+    * handles sort-merge skew automatically when it can split partitions —
+    * this operator is for when you KNOW the key and want the plan fixed at
+    * compile time (or the skew is inside one key, which AQE can't split).
+    */
+  def saltedJoin(
+      large: DataFrame,
+      small: DataFrame,
+      keys: Seq[String],
+      buckets: Int,
+      how: String = "inner"
+  ): DataFrame = {
+    require(buckets > 1, s"salting needs buckets > 1, got $buckets")
+    require(how == "inner" || how == "left",
+      s"salted join preserves semantics only for inner/left, got '$how'")
+    val l = large.withColumn("__salt",
+      pmod(xxhash64(large.columns.map(col): _*), lit(buckets)).cast("int"))
+    val s = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1)))) // int elements; matches the cast above
+    l.join(s, keys :+ "__salt", how).drop("__salt")
+  }
+
   /** Windowed running sum with exact decimal accumulation — the window
     * analogue of Tables.dsum. Both Spark and DuckDB evaluate moving sums
     * with engine-specific association (segment trees vs running state), so

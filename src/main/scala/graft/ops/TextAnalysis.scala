@@ -148,6 +148,52 @@ object TextAnalysis {
       Seq(col("tfidf").desc, col("token").asc), k, rankCol = "rank")
   }
 
+  /** All word n-grams of a document, NON-distinct and in order (unlike
+    * `Dedup.shingles`, which dedups for set semantics) — the repetition
+    * metrics below need multiplicities. Documents shorter than `n` tokens
+    * yield their single truncated gram; empty documents yield [""]
+    * (guarded by the callers). */
+  def ngramsAll(text: Column, n: Int): Column =
+    if (n == 1) tokens(text)
+    else withTokens(text) { toks =>
+      transform(
+        sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    }
+
+  /** Repetition / boilerplate metrics (the Gopher-style quality rules for
+    * machine-generated or templated text): over the document's n-grams,
+    *   - `n_grams`:  gram instance count,
+    *   - `top_frac`: instances of the single most frequent gram ÷ total —
+    *                 high for "buy now buy now buy now",
+    *   - `dup_frac`: instances whose gram occurs ≥ 2 times ÷ total.
+    * Returned as one struct column. Counting is in-row O(m²) over the gram
+    * array (m ≈ doc tokens) — deliberate: it keeps the metric in the scan
+    * stage with zero shuffles, and m² on a 1k-token doc is ~10⁶ cheap
+    * comparisons; the explode+groupBy alternative shuffles the whole
+    * corpus to count per-document locals. Both arrays are let-bound
+    * (gram build once per row, counts once per gram). Empty docs → zeros.
+    */
+  def repetitionStats(text: Column, n: Int): Column =
+    withTokens(text) { toks =>
+      withBound(
+        transform(
+          sequence(lit(0), greatest(size(toks) - n, lit(0))),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))) { grams =>
+        withBound(transform(grams, g => size(filter(grams, x => x === g)))) { counts =>
+          val m = size(grams)
+          struct(
+            when(size(toks) > 0, m).otherwise(lit(0)).as("n_grams"),
+            when(size(toks) > 0,
+              round(array_max(counts).cast("double") / m, 9))
+              .otherwise(lit(0.0)).as("top_frac"),
+            when(size(toks) > 0,
+              round(size(filter(counts, c => c > 1)).cast("double") / m, 9))
+              .otherwise(lit(0.0)).as("dup_frac"))
+        }
+      }
+    }
+
   /** Document fingerprint: order-sensitive polynomial rolling hash over
     * token hashes (two docs with the same tokens in a different order
     * fingerprint differently — unlike a set-hash). xxhash64 per token, then

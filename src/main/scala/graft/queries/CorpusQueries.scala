@@ -1,0 +1,185 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Corpus, Relational, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-shaping pack (north-star): document chunking, training-sequence
+  * packing, benchmark decontamination, repetition quality metrics, the
+  * salted skew join, and per-key running totals. Every query carries an
+  * exact DuckDB oracle.
+  */
+object CorpusQueries extends QueryPack {
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  // q72 — overlapping token chunks (chunkSize 16, overlap 4): the context-
+  // window prep step of an embedding pipeline. Scan-stage generator — no
+  // shuffle; the orderBy exists only for the oracle compare.
+  private def q72(s: SparkSession, dir: String): DataFrame =
+    Corpus.chunkByTokens(docs(s, dir), "doc_id", "text", chunkSize = 16, overlap = 4)
+      .orderBy(col("doc_id").asc_nulls_first, col("chunk_id").asc_nulls_first)
+  // DuckDB: multi-unnest in one SELECT zips element-wise; list slicing is
+  // 1-based, end-inclusive, end-clamped — same as Spark's slice().
+  private val q72Sql = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS t
+      FROM documents),
+    k AS (
+      SELECT doc_id, t,
+             GREATEST(1, CAST(CEIL(CAST(len(t) - 4 AS DOUBLE) / 12.0) AS INT)) AS nk
+      FROM toks WHERE len(t) > 0)
+    SELECT doc_id,
+           CAST(unnest(range(nk)) AS INT) AS chunk_id,
+           unnest(list_transform(range(nk),
+             i -> array_to_string(t[CAST(i*12+1 AS INT):CAST(i*12+16 AS INT)], ' '))) AS chunk_text,
+           CAST(unnest(list_transform(range(nk),
+             i -> len(t[CAST(i*12+1 AS INT):CAST(i*12+16 AS INT)]))) AS INT) AS n_tokens
+    FROM k ORDER BY doc_id ASC NULLS FIRST, chunk_id ASC NULLS FIRST"""
+
+  // q73 — sequence packing: shard by id (8 shards), lay documents
+  // end-to-end per shard, bin = token offset ÷ 256. Output is the per-bin
+  // summary; the per-doc assignment is the operator's frame. One window
+  // shuffle (by shard) + one aggregate.
+  private def q73(s: SparkSession, dir: String): DataFrame =
+    Corpus.packSequences(
+        docs(s, dir).select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tok")),
+        "doc_id", "n_tok", budget = 256L, numShards = 8)
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tokens"))
+      .orderBy(col("shard").asc_nulls_first, col("bin").asc_nulls_first)
+  private val q73Sql = """
+    WITH toks AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS n_tok,
+             CAST(doc_id % 8 AS INT) AS shard
+      FROM documents),
+    packed AS (
+      SELECT shard, n_tok,
+             CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+      FROM toks)
+    SELECT shard, CAST(FLOOR(start_off / 256.0) AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+    FROM packed GROUP BY 1, 2
+    ORDER BY shard ASC NULLS FIRST, bin ASC NULLS FIRST"""
+
+  // q74 — benchmark decontamination report: docs sharing ≥ 5 distinct
+  // 4-gram shingles with the eval pool (doc_id % 10 = 0 plays the held-out
+  // benchmark). The planted near-dups of eval docs surface with n_common
+  // ≈ 90 — two orders above the incidental-overlap noise floor — at every
+  // SF. Spark joins on 64-bit shingle hashes with the eval set broadcast;
+  // the oracle joins on shingle strings (same equivalence, q28 precedent).
+  private def q74(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Corpus.contaminationReport(
+        d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", shingleSize = 4)
+      .filter(col("n_common") >= 5)
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+  private val q74Sql = """
+    WITH sets AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+3], ' ')
+                            for i in generate_series(1, greatest(len(t)-3, 1))]) AS sh
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)),
+    ev AS (SELECT DISTINCT unnest(sh) AS shingle FROM sets WHERE doc_id % 10 = 0),
+    tr AS (SELECT doc_id, unnest(sh) AS shingle FROM sets WHERE doc_id % 10 <> 0)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM tr JOIN ev USING (shingle)
+    GROUP BY 1 HAVING COUNT(*) >= 5
+    ORDER BY doc_id ASC NULLS FIRST"""
+
+  // q75 — repetition/boilerplate quality metrics over bigrams (top-gram
+  // fraction + duplicated-gram fraction): the Gopher-style repetition
+  // filters. In-row O(m²) counting keeps it in the scan stage — zero
+  // shuffles (see TextAnalysis.repetitionStats).
+  private def q75(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), TextAnalysis.repetitionStats(col("text"), 2).as("r"))
+      .select(col("doc_id"), col("r.n_grams").as("n_grams"),
+        col("r.top_frac").as("top_frac"), col("r.dup_frac").as("dup_frac"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  private val q75Sql = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS t
+      FROM documents),
+    g AS (
+      SELECT doc_id, t,
+             [array_to_string(t[i:i+1], ' ')
+              for i in generate_series(1, greatest(len(t)-1, 1))] AS g2
+      FROM toks),
+    c AS (
+      SELECT doc_id, t, g2,
+             list_transform(g2, x -> len(list_filter(g2, y -> y = x))) AS c2
+      FROM g)
+    SELECT doc_id,
+           CASE WHEN len(t) > 0 THEN CAST(len(g2) AS INT) ELSE 0 END AS n_grams,
+           CASE WHEN len(t) > 0
+                THEN ROUND(CAST(list_max(c2) AS DOUBLE) / len(g2), 9)
+                ELSE 0.0 END AS top_frac,
+           CASE WHEN len(t) > 0
+                THEN ROUND(CAST(len(list_filter(c2, x -> x > 1)) AS DOUBLE) / len(g2), 9)
+                ELSE 0.0 END AS dup_frac
+    FROM c ORDER BY doc_id ASC NULLS FIRST"""
+
+  // q76 — salted skew join: lineitem ⋈ orders on the order key with an
+  // 8-way content-derived salt, then an aggregate per priority. The oracle
+  // is the PLAIN join — the hash-match proves salting is invisible to
+  // semantics, exactly like q54 does for salted aggregation.
+  private def q76(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+    val ord = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    Relational.saltedJoin(li, ord, Seq("l_orderkey"), buckets = 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), Tables.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("o_orderpriority").asc_nulls_first)
+  }
+  private val q76Sql = s"""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           ${Tables.dsumSql("l_quantity")} AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1 ORDER BY o_orderpriority ASC NULLS FIRST"""
+
+  // q77 — per-user running totals over the event stream (batch twin of the
+  // stateful-streaming runningTotals op — StreamingSpec asserts
+  // stream = batch on the same input): cumulative event count and exact
+  // decimal running value sum, ordered by event time. One window shuffle
+  // on user_id.
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        count(lit(1)).over(w).as("running_n"),
+        Relational.runningDSum(col("value"), w).as("running_value"))
+      .orderBy(col("user_id").asc_nulls_first, col("ts").asc_nulls_first,
+        col("event_id").asc_nulls_first)
+  }
+  private val q77Sql = """
+    SELECT user_id, event_id, ts, value,
+           CAST(COUNT(*) OVER w AS BIGINT) AS running_n,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE) AS running_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY user_id ASC NULLS FIRST, ts ASC NULLS FIRST, event_id ASC NULLS FIRST"""
+
+  override def queries: Seq[Q] = Seq(
+    Q("q72_doc_chunking", q72, Some(q72Sql)),
+    Q("q73_sequence_packing", q73, Some(q73Sql)),
+    Q("q74_decontamination", q74, Some(q74Sql)),
+    Q("q75_repetition_stats", q75, Some(q75Sql)),
+    Q("q76_salted_join", q76, Some(q76Sql)),
+    Q("q77_running_totals", q77, Some(q77Sql))
+  )
+}

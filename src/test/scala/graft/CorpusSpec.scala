@@ -1,0 +1,174 @@
+package graft
+
+import graft.ops.{Corpus, Relational, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Invariants for the corpus-shaping operators (chunking, packing,
+  * decontamination, repetition metrics, salted join) beyond what the
+  * DuckDB oracles pin down. */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, sf, "documents")
+
+  // ---- chunking -----------------------------------------------------------
+
+  test("chunking: chunks reconstruct the document exactly (stride tokens each)") {
+    val chunked = Corpus.chunkByTokens(docs, "doc_id", "text", 16, 4)
+    // taking the first `stride` tokens of every chunk plus the tail of the
+    // last chunk reproduces the original token sequence
+    val rebuilt = chunked
+      .withColumn("toks", split(col("chunk_text"), " "))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("chunk_id"), col("toks")))).as("cs"))
+      .select(col("doc_id"),
+        flatten(transform(col("cs"), (c, i) =>
+          when(i < size(col("cs")) - 1, slice(c.getField("toks"), 1, 12))
+            .otherwise(c.getField("toks")))).as("rebuilt"))
+    val orig = docs.select(col("doc_id"),
+      TextAnalysis.tokens(col("text")).as("orig"))
+    val bad = rebuilt.join(orig, "doc_id")
+      .filter(col("rebuilt") =!= col("orig")).count()
+    assert(bad == 0, "chunk reconstruction must be lossless")
+  }
+
+  test("chunking: consecutive full chunks share exactly `overlap` tokens") {
+    val chunked = Corpus.chunkByTokens(docs, "doc_id", "text", 16, 4)
+      .withColumn("toks", split(col("chunk_text"), " "))
+    val pairs = chunked.alias("a").join(chunked.alias("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("a.chunk_id") + 1 === col("b.chunk_id"))
+      .filter(size(col("a.toks")) === 16) // predecessor is a full chunk
+      .select(
+        slice(col("a.toks"), 13, 4).as("tailA"),
+        slice(col("b.toks"), 1, 4).as("headB"))
+    assert(pairs.filter(col("tailA") =!= col("headB")).count() == 0)
+  }
+
+  test("chunking: edge cases — empty doc, short doc, exact multiples") {
+    val tiny = Seq(
+      (1L, ""),                       // empty → no chunks
+      (2L, "   "),                    // whitespace-only → no chunks
+      (3L, "a b c"),                  // shorter than chunk → 1 chunk
+      (4L, (1 to 16).map("t" + _).mkString(" ")), // exactly chunkSize → 1 chunk
+      (5L, (1 to 17).map("t" + _).mkString(" "))  // one over → 2 chunks
+    ).toDF("doc_id", "text")
+    val got = Corpus.chunkByTokens(tiny, "doc_id", "text", 16, 4)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(3L -> 1L, 4L -> 1L, 5L -> 2L))
+    val c5 = Corpus.chunkByTokens(tiny, "doc_id", "text", 16, 4)
+      .filter(col("doc_id") === 5 && col("chunk_id") === 1)
+      .select("chunk_text").as[String].head()
+    assert(c5 == (13 to 17).map("t" + _).mkString(" "),
+      "second chunk starts at stride offset 12")
+    intercept[IllegalArgumentException] {
+      Corpus.chunkByTokens(tiny, "doc_id", "text", 8, 8)
+    }
+  }
+
+  // ---- packing ------------------------------------------------------------
+
+  test("packing: total conservation, bin monotonicity, overflow bound") {
+    val withTok = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tok"))
+    val packed = Corpus.packSequences(withTok, "doc_id", "n_tok", 256L, 8)
+    // every doc assigned exactly once
+    assert(packed.count() == withTok.count())
+    // per-shard token totals conserved
+    val tot = packed.groupBy("shard").agg(sum("n_tok").as("s")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val want = withTok.withColumn("shard", pmod(col("doc_id"), lit(8)).cast("int"))
+      .groupBy("shard").agg(sum("n_tok").as("s")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(tot == want)
+    // a doc's start offset lies inside its bin → bin totals can exceed the
+    // budget only by the overflow of their LAST doc
+    assert(packed.filter(
+      col("start_off") < col("bin") * 256L ||
+        col("start_off") >= (col("bin") + 1) * 256L).count() == 0)
+    // bins within a shard fill in doc_id order (non-decreasing)
+    val disorder = packed
+      .withColumn("prev_bin", lag("bin", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shard").orderBy("doc_id")))
+      .filter(col("prev_bin") > col("bin")).count()
+    assert(disorder == 0)
+  }
+
+  // ---- decontamination ----------------------------------------------------
+
+  test("decontamination: a planted eval copy is caught; clean docs survive") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "completely unrelated text about spark shuffles and partitions here"),
+      (3L, "the quick brown fox jumps over the lazy dog near the river bend") // near-copy
+    ).toDF("doc_id", "text")
+    val holdout = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank")
+    ).toDF("doc_id", "text")
+    val report = Corpus.contaminationReport(train, holdout, "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(report(1L) >= 9, "verbatim copy shares all its shingles")
+    assert(report(3L) >= 5, "near-copy shares most shingles")
+    assert(!report.contains(2L), "unrelated doc has zero 4-gram overlap")
+    val clean = Corpus.decontaminate(train, holdout, "doc_id", "text", 4, 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(2L))
+  }
+
+  test("decontamination report matches anti-join arithmetic on the corpus") {
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val ev = docs.filter(col("doc_id") % 10 === 0)
+    val contaminated = Corpus.contaminationReport(train, ev, "doc_id", "text", 4)
+      .filter(col("n_common") >= 5).count()
+    val clean = Corpus.decontaminate(train, ev, "doc_id", "text", 4, 5).count()
+    assert(clean == train.count() - contaminated)
+  }
+
+  // ---- repetition metrics -------------------------------------------------
+
+  test("repetition metrics: hand-computed bigram fractions") {
+    val tiny = Seq(
+      (1L, "buy now buy now buy now"), // bigrams: bn,nb,bn,nb,bn → top 3/5, dup 5/5
+      (2L, "a b c d e f"),             // all distinct → top 1/5, dup 0
+      (3L, "")                         // empty → zeros
+    ).toDF("doc_id", "text")
+    val got = tiny.select(col("doc_id"),
+        TextAnalysis.repetitionStats(col("text"), 2).as("r"))
+      .select(col("doc_id"), col("r.n_grams"), col("r.top_frac"), col("r.dup_frac"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) == ((5, 0.6, 1.0)))
+    assert(got(2L) == ((5, 0.2, 0.0)))
+    assert(got(3L) == ((0, 0.0, 0.0)))
+  }
+
+  // ---- salted join --------------------------------------------------------
+
+  test("salted join: row-identical to the plain join, and small side replicates") {
+    val li = Tables.load(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    val ord = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val plain = li.join(ord, Seq("l_orderkey")).groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Relational.saltedJoin(li, ord, Seq("l_orderkey"), 8)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+    intercept[IllegalArgumentException] {
+      Relational.saltedJoin(li, ord, Seq("l_orderkey"), 8, how = "right")
+    }
+    intercept[IllegalArgumentException] {
+      Relational.saltedJoin(li, ord, Seq("l_orderkey"), 1)
+    }
+  }
+
+  test("salted left join keeps unmatched large-side rows exactly once") {
+    val large = Seq((1L, "x"), (2L, "y"), (99L, "no-match")).toDF("k", "payload")
+    val small = Seq((1L, "a"), (2L, "b")).toDF("k", "dim")
+    val out = Relational.saltedJoin(large, small, Seq("k"), 4, how = "left")
+    assert(out.count() == 3)
+    assert(out.filter(col("k") === 99 && col("dim").isNull).count() == 1)
+  }
+}
