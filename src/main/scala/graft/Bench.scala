@@ -55,7 +55,10 @@ object Bench {
     // of "q46_embedding_neardup_banded" keeps the line ~1 KB at 100
     // queries; the qNN ↔ full-name mapping is CORRECTNESS_r*.json's keys.
     def shortKey(name: String): String = name.takeWhile(_ != '_')
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale-pinned: f"%.3f" uses the default locale, which under a
+    // comma-decimal locale would emit "0,123" and break the JSON line.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => s"\"${shortKey(k)}\"" }

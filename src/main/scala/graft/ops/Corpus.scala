@@ -87,12 +87,43 @@ object Corpus {
       numShards: Int
   ): DataFrame = {
     require(budget > 0 && numShards > 0, "budget and numShards must be positive")
+    val clash = df.columns.toSet.intersect(Set("shard", "start_off", "bin"))
+    require(clash.isEmpty,
+      s"packSequences outputs columns ${clash.mkString(", ")} which already " +
+        "exist in the input — rename them first")
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     df.withColumn("shard", pmod(col(idCol), lit(numShards)).cast("int"))
       .withColumn("start_off",
         coalesce(sum(col(tokenCountCol)).over(w), lit(0L)))
       .withColumn("bin", floor(col("start_off") / lit(budget)).cast("int"))
+  }
+
+  /** Stratified deterministic sample: keep (up to) `k` rows per stratum,
+    * chosen by rank over a caller-supplied deterministic hash expression —
+    * the corpus-curation primitive for balancing a training mix across
+    * languages/sources without a global shuffle-and-count pass. Unlike
+    * fraction-based sampling, the quota is exact per stratum; unlike
+    * rand(), the hash rank is reproducible across runs, retries, and
+    * repartitioning (pass e.g. a Knuth multiplicative hash of the id for
+    * cross-engine verifiability, or xxhash64 for better mixing).
+    *
+    * `tiebreak` must make the order total within a stratum (a unique id).
+    * Cost: ONE shuffle on `strata`; rank + `rn <= k` plans
+    * WindowGroupLimit, so map tasks forward at most k candidate rows per
+    * stratum each — the shuffle is quota-shaped at the margin, never
+    * corpus-shaped. */
+  def stratifiedSample(
+      df: DataFrame,
+      strata: Seq[String],
+      k: Int,
+      hashRank: Column,
+      tiebreak: Seq[Column]
+  ): DataFrame = {
+    require(k > 0, s"sample quota must be positive, got $k")
+    Relational.topKPerGroup(
+      df, strata, hashRank.asc +: tiebreak, k, rankCol = "__ss_rn")
+      .drop("__ss_rn")
   }
 
   /** Per-training-document overlap with an evaluation pool: the number of

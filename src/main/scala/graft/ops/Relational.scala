@@ -28,6 +28,29 @@ object Relational {
     df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
   }
 
+  /** Changelog / CDC compaction: reduce an append-only change stream to
+    * the current snapshot — the latest version per key wins; keys whose
+    * latest record is a delete marker disappear. This is the ingest-side
+    * compaction every 100 TB training-data store needs before consuming a
+    * mutable upstream (upserts + tombstones → point-in-time state).
+    *
+    * `versionOrder` must be a total order within a key (include a unique
+    * tiebreaker such as a sequence number) — recency FIRST, i.e. pass
+    * DESC columns. One shuffle on `keys`; row_number + `rn = 1` plans
+    * Spark's WindowGroupLimit, so each map task forwards only its
+    * per-key latest candidate — the shuffle is keys-shaped, not
+    * changelog-shaped. The delete filter runs AFTER the rank (a deleted
+    * key's older live versions must NOT resurface). */
+  def compactChangelog(
+      df: DataFrame,
+      keys: Seq[String],
+      versionOrder: Seq[Column],
+      isDelete: Column
+  ): DataFrame =
+    topKPerGroup(df, keys, versionOrder, 1, rankCol = "__cc_rn")
+      .filter(!isDelete)
+      .drop("__cc_rn")
+
   /** As-of join: for each left row, attach the payload of the most recent
     * right row with rightTs ≤ leftTs and equal keys (inclusive; ties on the
     * instant take the right row). Nulls when no prior right row exists
@@ -138,6 +161,14 @@ object Relational {
       aggs: Seq[(String, String, String)], // (col, func ∈ sum|count|min|max|dsum, outName)
       saltBuckets: Int
   ): DataFrame = {
+    // Content-derived salt caveat: rows of the hot key that are FULLY
+    // duplicate (identical in every column — common after narrow
+    // projections) hash identically and land in one bucket, so the
+    // effective fan-out is capped at the hot key's distinct-row count.
+    // That is the price of retry-stability: any per-partition or random
+    // component would resalt differently on task replay and double-count.
+    require(!df.columns.contains("__salt"),
+      "input already has a __salt column — rename it before salting")
     val salted = df.withColumn(
       "__salt", pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets)))
     def phase1(c: String, f: String, o: String): Column = f match {
@@ -193,6 +224,11 @@ object Relational {
     require(buckets > 1, s"salting needs buckets > 1, got $buckets")
     require(how == "inner" || how == "left",
       s"salted join preserves semantics only for inner/left, got '$how'")
+    require(!large.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "input already has a __salt column — rename it before salting")
+    // Same fully-duplicate-row caveat as saltedAggregate: identical
+    // large-side rows share a salt, capping fan-out at the hot key's
+    // distinct-row count (the retry-stability tradeoff).
     val l = large.withColumn("__salt",
       pmod(xxhash64(large.columns.map(col): _*), lit(buckets)).cast("int"))
     val s = small.withColumn("__salt",

@@ -148,18 +148,23 @@ object TextAnalysis {
       Seq(col("tfidf").desc, col("token").asc), k, rankCol = "rank")
   }
 
+  /** Gram build over an already-bound token array — shared by [[ngramsAll]]
+    * and [[repetitionStats]] (which binds tokens itself and must not
+    * re-tokenize). */
+  private def gramsOf(toks: Column, n: Int): Column =
+    if (n == 1) toks
+    else transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+
   /** All word n-grams of a document, NON-distinct and in order (unlike
     * `Dedup.shingles`, which dedups for set semantics) — the repetition
     * metrics below need multiplicities. Documents shorter than `n` tokens
-    * yield their single truncated gram; empty documents yield [""]
-    * (guarded by the callers). */
+    * yield their single truncated gram; empty documents yield [""] — a
+    * caller that cares must filter empties first (repetitionStats maps
+    * them to zeros). */
   def ngramsAll(text: Column, n: Int): Column =
-    if (n == 1) tokens(text)
-    else withTokens(text) { toks =>
-      transform(
-        sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n))))
-    }
+    withTokens(text)(toks => gramsOf(toks, n))
 
   /** Repetition / boilerplate metrics (the Gopher-style quality rules for
     * machine-generated or templated text): over the document's n-grams,
@@ -176,10 +181,7 @@ object TextAnalysis {
     */
   def repetitionStats(text: Column, n: Int): Column =
     withTokens(text) { toks =>
-      withBound(
-        transform(
-          sequence(lit(0), greatest(size(toks) - n, lit(0))),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n))))) { grams =>
+      withBound(gramsOf(toks, n)) { grams =>
         withBound(transform(grams, g => size(filter(grams, x => x === g)))) { counts =>
           val m = size(grams)
           struct(
@@ -232,5 +234,41 @@ object TextAnalysis {
       transform(tokens(text), tokHash(_)),
       lit(0L),
       (acc, h) => pmod(acc * lit(31L) + h, lit(m)))
+  }
+
+  /** PII scrub patterns, applied in THIS order (emails before phones
+    * before bare digit runs, so an address's digits are consumed by the
+    * email redaction and never double-counted). Every pattern is written
+    * in the common Java-regex ∩ RE2 dialect — no backreferences, no
+    * lookaround — so an external SQL engine (DuckDB et al.) applying the
+    * same strings with a global-replace flag produces byte-identical
+    * output; that's what makes the scrub oracle-checkable. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email"  -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone"  -> "\\+?[0-9][0-9()\\- ]{6,}[0-9]",
+    "digits" -> "[0-9]{2,}")
+
+  /** Redact PII-shaped substrings: each [[piiPatterns]] entry is replaced
+    * globally by `[PII]` (the token contains no digits or '@', so later
+    * patterns cannot re-match inside an earlier redaction). Pure
+    * codegen'd `regexp_replace` chain — scan-stage, zero shuffles; the
+    * training-data privacy pass that must run over every byte of a 100 TB
+    * corpus and therefore cannot afford to be anything else. */
+  def scrubPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (acc, (_, p)) =>
+      regexp_replace(acc, p, "[PII]")
+    }
+
+  /** Number of PII-shaped substrings [[scrubPii]] would redact: matches
+    * are counted pattern by pattern on the text as the scrub would see it
+    * (i.e. after the previous patterns' redactions), so the total equals
+    * the number of `[PII]` tokens the scrub inserts. */
+  def piiCount(text: Column): Column = {
+    val (total, _) = piiPatterns.foldLeft((lit(0), text)) {
+      case ((cnt, cur), (_, p)) =>
+        (cnt + size(regexp_extract_all(cur, lit(p), lit(0))),
+          regexp_replace(cur, p, "[PII]"))
+    }
+    total
   }
 }

@@ -174,12 +174,69 @@ object CorpusQueries extends QueryPack {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     ORDER BY user_id ASC NULLS FIRST, ts ASC NULLS FIRST, event_id ASC NULLS FIRST"""
 
+  // q80 — stratified deterministic sample: 25 documents per language by
+  // Knuth multiplicative hash rank (q61's portable hash, so the quota
+  // selection itself is oracle hash-checked end-to-end, not just the row
+  // count). Unlike fraction sampling the per-stratum quota is exact —
+  // the training-mix balancing primitive. One quota-shaped window shuffle
+  // (WindowGroupLimit; see Corpus.stratifiedSample).
+  private def q80(s: SparkSession, dir: String): DataFrame =
+    Corpus.stratifiedSample(
+        docs(s, dir).select("doc_id", "lang", "source"),
+        strata = Seq("lang"), k = 25,
+        hashRank = pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)),
+        tiebreak = Seq(col("doc_id").asc))
+      .orderBy(col("lang").asc_nulls_first, col("doc_id").asc_nulls_first)
+  private val q80Sql = """
+    WITH ranked AS (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY (doc_id * 2654435761) % 1000000007 ASC, doc_id ASC) AS rn
+      FROM documents)
+    SELECT doc_id, lang, source FROM ranked WHERE rn <= 25
+    ORDER BY lang ASC NULLS FIRST, doc_id ASC NULLS FIRST"""
+
+  // q81 — PII scrub over the event props payload: global redaction of
+  // email / phone / digit-run patterns plus the redaction count. The
+  // patterns live in ONE place (TextAnalysis.piiPatterns, written in the
+  // Java-regex ∩ RE2 dialect) and the oracle SQL below is GENERATED from
+  // them, so Spark and the oracle cannot drift. Digit runs are the
+  // PII-shaped content this synthetic corpus carries; email/phone shapes
+  // are exercised on planted strings in OpsSpec. regexp chain is
+  // scan-stage — zero shuffles: the privacy pass that must touch every
+  // byte of a 100 TB corpus.
+  private def q81(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .select(col("event_id"),
+        TextAnalysis.scrubPii(col("props")).as("scrubbed"),
+        TextAnalysis.piiCount(col("props")).as("n_pii"))
+      .orderBy(col("event_id").asc_nulls_first)
+  private val q81Sql = {
+    // Single-quoted SQL literals keep backslashes verbatim (no escape
+    // processing), so the Scala pattern strings embed unchanged; 'g' =
+    // global replace, matching Spark's replace-all default.
+    val scrub = TextAnalysis.piiPatterns.foldLeft("props") {
+      case (acc, (_, p)) => s"regexp_replace($acc, '$p', '[PII]', 'g')"
+    }
+    val (countTerms, _) =
+      TextAnalysis.piiPatterns.foldLeft((Seq.empty[String], "props")) {
+        case ((terms, cur), (_, p)) =>
+          (terms :+ s"len(regexp_extract_all($cur, '$p'))",
+            s"regexp_replace($cur, '$p', '[PII]', 'g')")
+      }
+    s"""SELECT event_id, $scrub AS scrubbed,
+               CAST(${countTerms.mkString(" + ")} AS INT) AS n_pii
+        FROM events ORDER BY event_id ASC NULLS FIRST"""
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q72_doc_chunking", q72, Some(q72Sql)),
     Q("q73_sequence_packing", q73, Some(q73Sql)),
     Q("q74_decontamination", q74, Some(q74Sql)),
     Q("q75_repetition_stats", q75, Some(q75Sql)),
     Q("q76_salted_join", q76, Some(q76Sql)),
-    Q("q77_running_totals", q77, Some(q77Sql))
+    Q("q77_running_totals", q77, Some(q77Sql)),
+    Q("q80_stratified_sample", q80, Some(q80Sql)),
+    Q("q81_pii_scrub", q81, Some(q81Sql))
   )
 }

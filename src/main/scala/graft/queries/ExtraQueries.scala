@@ -394,6 +394,107 @@ object ExtraQueries extends QueryPack {
     Q("q58_config_asof", q58, Some(q58Sql)),
     Q("q59_config_pivot", q59, Some(q59Sql)),
     Q("q61_portable_sample", q61, Some(q61Sql)),
-    Q("q62_config_topk", q62, Some(q62Sql))
+    Q("q62_config_topk", q62, Some(q62Sql)),
+    Q("q78_bucketed_range_join", q78, Some(q78Sql)),
+    Q("q79_changelog_compact", q79, Some(q79Sql)),
+    Q("q82_hll_sketch_merge", q82, None),
+    Q("q83_zorder_key", q83, Some(q83Sql))
   )
+
+  // q78 — BIG-BIG range join via interval bucketing: lineitem prices
+  // probed against per-part price bands [0.9·retail, 1.1·retail). The
+  // naive formulation is a nested-loop theta join — O(|L|·|R|) pair
+  // evaluations, and broadcast-only (q55's shape, fine for a small band
+  // table, fatal for two big sides). Bucketing gives the scale shape:
+  // each band explodes into the width-100 buckets it covers, both sides
+  // EQUI-join on the bucket key (SMJ/shuffle-hash — candidates-shaped
+  // shuffle), and the exact predicate re-filters. The oracle is the plain
+  // theta join — the hash-match proves bucketing is invisible to
+  // semantics, the same proof pattern as q54/q76 for salting.
+  private def q78(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem").select("l_extendedprice", "l_quantity")
+    val bands = Tables.load(s, dir, "part").select(col("p_partkey"),
+      (col("p_retailprice") * 0.9).as("lo"), (col("p_retailprice") * 1.1).as("hi"))
+    graft.ops.Relational
+      .bucketedRangeJoin(li, bands, "l_extendedprice", "lo", "hi", width = 100.0)
+      .groupBy("p_partkey")
+      .agg(count(lit(1)).as("n_li"), Tables.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("p_partkey").asc_nulls_first)
+  }
+  private val q78Sql = s"""
+    SELECT p_partkey, CAST(COUNT(*) AS BIGINT) AS n_li,
+           ${dsumSql("l_quantity")} AS sum_qty
+    FROM lineitem JOIN part
+      ON l_extendedprice >= p_retailprice * 0.9
+     AND l_extendedprice <  p_retailprice * 1.1
+    GROUP BY 1 ORDER BY p_partkey ASC NULLS FIRST"""
+
+  // q79 — changelog/CDC compaction to a point-in-time snapshot: events
+  // replayed as an upsert stream keyed by user ((ts, event_id) = version;
+  // 'error' plays the tombstone). Latest version per key wins; a key whose
+  // latest record is a tombstone disappears — and its OLDER live versions
+  // must not resurface, which is why the delete filter runs after the
+  // rank (see Relational.compactChangelog). WindowGroupLimit keeps the
+  // shuffle keys-shaped.
+  private def q79(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Relational.compactChangelog(
+        Tables.load(s, dir, "events")
+          .select("user_id", "event_id", "ts", "event_type", "value"),
+        keys = Seq("user_id"),
+        versionOrder = Seq(col("ts").desc, col("event_id").desc),
+        isDelete = col("event_type") === "error")
+      .orderBy(col("user_id").asc_nulls_first)
+  private val q79Sql = """
+    WITH ranked AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) AS rn
+      FROM events)
+    SELECT user_id, event_id, ts, event_type, value
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    ORDER BY user_id ASC NULLS FIRST"""
+
+  // q82 — mergeable-sketch distinct counting (Datasketches HLL): per-type
+  // user sketches built in ONE partial+final aggregate, then merged AGAIN
+  // into a corpus-wide estimate without touching the data — the sketch
+  // algebra that lets a 1000-executor fleet answer "distinct users per
+  // slice AND overall" with metadata-sized shuffles, where exact
+  // count_distinct would re-shuffle raw keys per rollup. Estimates are
+  // library-specific → rows-only gate; OpsSpec asserts ≤ 2% error vs
+  // exact and that the union-of-sketches estimate equals the
+  // sketch-of-union estimate on the same lgK.
+  private def q82(s: SparkSession, dir: String): DataFrame = {
+    val perType = Tables.load(s, dir, "events")
+      .groupBy("event_type")
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    val per = perType.select(col("event_type"),
+      hll_sketch_estimate(col("sk")).as("approx_users"))
+    val all = perType
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+      .select(lit("ALL").as("event_type"), col("approx_users"))
+    per.unionByName(all).orderBy(col("event_type").asc_nulls_first)
+  }
+
+  // q83 — z-order key (the layout sort key behind Layout.writeZOrdered),
+  // oracle-checked BIT-FOR-BIT: the Scala expression and the SQL mirror
+  // are generated from the same bit-placement spec (Layout.zorderValue /
+  // Layout.zorderSql), so the interleave cannot drift between engines.
+  // Pure shift/mask arithmetic — whole-stage codegen, scan-stage.
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    val z = graft.ops.Layout.zorderValue(
+      Seq(pmod(col("l_partkey"), lit(256L)), pmod(col("l_suppkey"), lit(256L))),
+      bits = 8)
+    Tables.load(s, dir, "lineitem")
+      .filter(pmod(col("l_orderkey"), lit(50L)) === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), z.as("z"))
+      .orderBy(col("z").asc_nulls_first, col("l_orderkey").asc_nulls_first,
+        col("l_linenumber").asc_nulls_first)
+  }
+  private val q83Sql = {
+    val z = graft.ops.Layout.zorderSql(Seq("(l_partkey % 256)", "(l_suppkey % 256)"), 8)
+    s"""SELECT l_orderkey, l_linenumber, $z AS z
+        FROM lineitem WHERE l_orderkey % 50 = 0
+        ORDER BY z ASC NULLS FIRST, l_orderkey ASC NULLS FIRST,
+                 l_linenumber ASC NULLS FIRST"""
+  }
 }

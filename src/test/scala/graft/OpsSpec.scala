@@ -584,4 +584,95 @@ class OpsSpec extends SparkSpec {
       .groupBy("band").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(a == b)
   }
+
+  test("changelog compaction: latest version wins, tombstoned keys vanish") {
+    val log = Seq(
+      // key 1: two upserts — latest (v2) wins
+      (1L, 1L, "U", "a"), (1L, 2L, "U", "b"),
+      // key 2: upsert then tombstone — key disappears (old version must
+      // NOT resurface)
+      (2L, 1L, "U", "c"), (2L, 2L, "D", ""),
+      // key 3: tombstone then a LATER re-insert — key lives again
+      (3L, 1L, "D", ""), (3L, 2L, "U", "d"),
+      // key 4: single live row
+      (4L, 1L, "U", "e")
+    ).toDF("k", "ver", "op", "payload")
+    val snap = Relational.compactChangelog(
+        log, Seq("k"), Seq($"ver".desc), $"op" === "D")
+      .select("k", "payload").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(snap == Map(1L -> "b", 3L -> "d", 4L -> "e"))
+  }
+
+  test("stratified sample: exact quota, deterministic, subset of input") {
+    val hash = pmod($"doc_id" * lit(2654435761L), lit(1000000007L))
+    def sample() = graft.ops.Corpus.stratifiedSample(
+      docs, Seq("lang"), 10, hash, Seq($"doc_id".asc))
+    val s1 = sample().select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val s2 = sample().select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(s1 == s2, "hash-ranked sample must be run-to-run deterministic")
+    val quota = s1.groupBy(_._1).map { case (l, rs) => l -> rs.size }
+    val strata = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    strata.foreach { case (l, n) =>
+      assert(quota.getOrElse(l, 0) == math.min(10L, n),
+        s"stratum $l: expected min(10, $n) rows, got ${quota.getOrElse(l, 0)}")
+    }
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1.map(_._2).subsetOf(ids))
+  }
+
+  test("PII scrub: emails, phones, digit runs redacted; count matches") {
+    val rows = Seq(
+      ("reach me at jane.doe+spam@example.co.uk or +1 (555) 123-4567", 2),
+      ("order 12345 shipped to 98 Main St", 2),
+      ("no pii here at all", 0),
+      ("x@y.io", 1),
+      ("", 0)
+    ).toDF("t", "expected")
+    val got = rows.select($"t", $"expected",
+      TextAnalysis.scrubPii($"t").as("s"), TextAnalysis.piiCount($"t").as("n"))
+      .collect()
+    got.foreach { r =>
+      val (t, s, n) = (r.getString(0), r.getString(2), r.getInt(3))
+      assert(n == r.getInt(1), s"count for '$t': got $n")
+      assert(!s.matches(".*[0-9]{2,}.*"), s"digits survived scrub: '$s'")
+      assert(!s.contains("@") || !s.matches(".*\\w@\\w.*"), s"email survived: '$s'")
+    }
+    val planted = rows.select(TextAnalysis.scrubPii($"t").as("s"))
+      .collect().map(_.getString(0))
+    assert(planted.head == "reach me at [PII] or [PII]")
+  }
+
+  test("HLL sketch estimates: ≤2% error, sketch algebra merges consistently") {
+    val ev = Tables.load(spark, sf, "events")
+    val exact = ev.select(countDistinct($"user_id")).first().getLong(0)
+    val direct = ev.select(hll_sketch_estimate(
+      hll_sketch_agg($"user_id", lit(12)))).first().getLong(0)
+    assert(math.abs(direct - exact).toDouble / exact <= 0.02,
+      s"direct estimate $direct vs exact $exact")
+    // Union of per-group sketches estimates the same corpus the direct
+    // sketch saw — merge must not lose or duplicate registers.
+    val merged = ev.groupBy("event_type")
+      .agg(hll_sketch_agg($"user_id", lit(12)).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg($"sk"))).first().getLong(0)
+    assert(math.abs(merged - exact).toDouble / exact <= 0.02,
+      s"merged estimate $merged vs exact $exact")
+  }
+
+  test("salting and packing reject column-name collisions") {
+    val withSalt = spark.range(3).select($"id", lit(1).as("__salt"))
+    intercept[IllegalArgumentException] {
+      Relational.saltedJoin(withSalt, withSalt, Seq("id"), 4)
+    }
+    intercept[IllegalArgumentException] {
+      Relational.saltedAggregate(withSalt, Seq("id"),
+        Seq(("id", "count", "n")), 4)
+    }
+    val withBin = spark.range(3).select($"id", lit(1L).as("n_tok"), lit(0).as("bin"))
+    intercept[IllegalArgumentException] {
+      graft.ops.Corpus.packSequences(withBin, "id", "n_tok", 16L, 2)
+    }
+  }
 }
