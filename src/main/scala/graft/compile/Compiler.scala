@@ -250,6 +250,15 @@ object Compiler {
       }
     }
 
+    node.compact.foreach { c =>
+      if (c.versionOrder.isEmpty) throw new IllegalArgumentException(
+        s"node ${node.id}: compact needs version_order (recency first, " +
+          "e.g. [\"ts desc\", \"seq desc\"])")
+      df = graft.ops.Relational.compactChangelog(
+        df, c.keys, c.versionOrder.map(sortColumn),
+        c.deleteWhen.map(expr).getOrElse(lit(false)))
+    }
+
     node.topK.foreach { t =>
       df = graft.ops.Relational.topKPerGroup(
         df, t.partitionBy, t.orderBy.map(sortColumn), t.k, t.rankCol)

@@ -51,7 +51,16 @@ object Registry {
       litInt(es(2), "hyperplane_sig", "numBits"))),
     "minhash_sig" -> (es => MinHashSignature(es.head,
       litInt(es(1), "minhash_sig", "numHashes"))),
-    "simhash64" -> (es => SimHash64(es.head))
+    "simhash64" -> (es => SimHash64(es.head)),
+    // privacy + layout primitives: scrub_pii(text), pii_count(text),
+    // zorder(c1, c2, ..., bits) — bits must be a literal (it sizes the
+    // bit-interleave expression tree at plan time)
+    "scrub_pii" -> fn(TextAnalysis.scrubPii),
+    "pii_count" -> fn(TextAnalysis.piiCount),
+    "zorder" -> (es => GraftColumnBridge.expressionEager(
+      graft.ops.Layout.zorderValue(
+        es.init.map(GraftColumnBridge.column),
+        litInt(es.last, "zorder", "bits"))))
   )
 
   /** Idempotent registration into the active session. */

@@ -40,7 +40,10 @@ object Relational {
     * Spark's WindowGroupLimit, so each map task forwards only its
     * per-key latest candidate — the shuffle is keys-shaped, not
     * changelog-shaped. The delete filter runs AFTER the rank (a deleted
-    * key's older live versions must NOT resurface). */
+    * key's older live versions must NOT resurface). A NULL `isDelete`
+    * (e.g. a tombstone predicate over a nullable column) means "not a
+    * delete" — a plain `filter(!isDelete)` would silently drop live rows
+    * with null markers. */
   def compactChangelog(
       df: DataFrame,
       keys: Seq[String],
@@ -48,7 +51,7 @@ object Relational {
       isDelete: Column
   ): DataFrame =
     topKPerGroup(df, keys, versionOrder, 1, rankCol = "__cc_rn")
-      .filter(!isDelete)
+      .filter(!coalesce(isDelete, lit(false)))
       .drop("__cc_rn")
 
   /** As-of join: for each left row, attach the payload of the most recent

@@ -211,7 +211,7 @@ object CorpusQueries extends QueryPack {
         TextAnalysis.scrubPii(col("props")).as("scrubbed"),
         TextAnalysis.piiCount(col("props")).as("n_pii"))
       .orderBy(col("event_id").asc_nulls_first)
-  private val q81Sql = {
+  private[queries] val q81Sql = {
     // Single-quoted SQL literals keep backslashes verbatim (no escape
     // processing), so the Scala pattern strings embed unchanged; 'g' =
     // global replace, matching Spark's replace-all default.

@@ -398,8 +398,67 @@ object ExtraQueries extends QueryPack {
     Q("q78_bucketed_range_join", q78, Some(q78Sql)),
     Q("q79_changelog_compact", q79, Some(q79Sql)),
     Q("q82_hll_sketch_merge", q82, None),
-    Q("q83_zorder_key", q83, Some(q83Sql))
+    Q("q83_zorder_key", q83, Some(q83Sql)),
+    Q("q84_config_compact", q84, Some(q79Sql)),
+    Q("q85_config_scrub", q85, Some(CorpusQueries.q81Sql)),
+    Q("q86_config_sample", q86, Some(q86Sql)),
+    Q("q87_config_zorder", q87, Some(q83Sql))
   )
+
+  // q84 — q79's changelog compaction declared as pure JSON (`compact` node
+  // key). Same oracle as q79: the config path must hash-match the Scala
+  // API path exactly.
+  private def q84(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "events"},
+       "keep_columns": ["user_id", "event_id", "ts", "event_type", "value"],
+       "compact": {"keys": ["user_id"],
+                   "version_order": ["ts desc", "event_id desc"],
+                   "delete_when": "event_type = 'error'"},
+       "order_by": ["user_id asc"]}""")
+
+  // q85 — q81's PII scrub from the config language: the registered
+  // scrub_pii/pii_count functions make the privacy pass one `derive`
+  // entry. Same generated oracle as q81.
+  private def q85(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "events"},
+       "derive": {"scrubbed": "scrub_pii(props)", "n_pii": "pii_count(props)"},
+       "keep_columns": ["event_id", "scrubbed", "n_pii"],
+       "order_by": ["event_id asc"]}""")
+
+  // q86 — stratified sample from the config language: derive the portable
+  // hash rank, then `top_k` partitioned by stratum — config spelling of
+  // q80/Corpus.stratifiedSample (rank column kept; it's part of the
+  // declared output here, unlike the operator which drops it).
+  private def q86(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "documents"},
+       "derive": {"h": "(doc_id * 2654435761) % 1000000007"},
+       "keep_columns": ["doc_id", "lang", "source", "h"],
+       "top_k": {"partition_by": ["lang"],
+                 "order_by": ["h asc", "doc_id asc"], "k": 25},
+       "order_by": ["lang asc", "doc_id asc"]}""")
+  private val q86Sql = """
+    WITH ranked AS (
+      SELECT doc_id, lang, source,
+             (doc_id * 2654435761) % 1000000007 AS h,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY (doc_id * 2654435761) % 1000000007 ASC, doc_id ASC) AS rn
+      FROM documents)
+    SELECT doc_id, lang, source, h, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 25
+    ORDER BY lang ASC NULLS FIRST, doc_id ASC NULLS FIRST"""
+
+  // q87 — q83's z-order key from the config language: the registered
+  // `zorder` function in a `derive` entry. Same oracle as q83.
+  private def q87(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "lineitem"},
+       "filters": ["l_orderkey % 50 = 0"],
+       "derive": {"z": "zorder(l_partkey % 256, l_suppkey % 256, 8)"},
+       "keep_columns": ["l_orderkey", "l_linenumber", "z"],
+       "order_by": ["z asc", "l_orderkey asc", "l_linenumber asc"]}""")
 
   // q78 — BIG-BIG range join via interval bucketing: lineitem prices
   // probed against per-part price bands [0.9·retail, 1.1·retail). The

@@ -257,6 +257,13 @@ object JsonCodec {
       drop = opt(n, "drop").map(strSeq).getOrElse(Nil),
       bitemporal = bt,
       children = children,
+      compact = opt(n, "compact").map { c =>
+        CompactSpec(
+          keys = strSeq(req(c, s"node $id: compact", "keys")),
+          versionOrder =
+            opt(c, "version_order", "versionOrder").map(strSeq).getOrElse(Nil),
+          deleteWhen = opt(c, "delete_when", "deleteWhen").map(_.asText))
+      },
       topK = opt(n, "top_k", "topK").map { t =>
         TopKSpec(
           partitionBy = opt(t, "partition_by", "partitionBy").map(strSeq).getOrElse(Nil),

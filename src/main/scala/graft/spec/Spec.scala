@@ -214,6 +214,18 @@ final case class DedupSpec(
     withinWatermark: Boolean = false
 )
 
+/** Changelog/CDC compaction to a point-in-time snapshot (NS; not in the
+  * reference): latest `versionOrder` row per `keys` wins; a key whose
+  * latest record matches `deleteWhen` (a boolean expr — the tombstone
+  * marker) disappears. Delegates to Relational.compactChangelog —
+  * the delete filter runs AFTER the rank so a deleted key's older live
+  * versions never resurface. */
+final case class CompactSpec(
+    keys: Seq[String],
+    versionOrder: Seq[String], // sort specs, recency first (e.g. "ts desc")
+    deleteWhen: Option[String] = None
+)
+
 /** Literal column stamp, e.g. bitemporal validity interval
   * (ref: `Optimus/soundwave.py:76-78` valid_from/valid_to). */
 final case class BitemporalSpec(
@@ -259,6 +271,7 @@ final case class NodeSpec(
     drop: Seq[String] = Nil, // post-agg column drop (e.g. a struct group key already flattened)
     bitemporal: Option[BitemporalSpec] = None,
     children: Seq[ChildSpec] = Nil,
+    compact: Option[CompactSpec] = None, // after children, before topK
     topK: Option[TopKSpec] = None, // after children, before orderBy
     orderBy: Seq[String] = Nil, // "col", "col asc", "col desc" [nulls first|last]
     limit: Option[Int] = None,

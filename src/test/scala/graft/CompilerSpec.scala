@@ -400,4 +400,55 @@ class CompilerSpec extends SparkSpec {
     assert(Seq("no_ts", "no_key", "no_id", "ghost", "no_piv")
       .forall(c => errs2.exists(_.contains(c))), errs2.mkString("; "))
   }
+
+  test("config compact: snapshot semantics, WindowGroupLimit plan, named error") {
+    df.createOrReplaceTempView("cc_log")
+    val out = Compiler.compileJson(spark, """
+      {"source": {"table": "cc_log"},
+       "compact": {"keys": ["k"],
+                   "version_order": ["id desc"],
+                   "delete_when": "tag = 'x'"},
+       "order_by": ["k asc"]}""")
+    // latest per k: a→id2(tag null, live), b→id4(tag x, tombstone), c→id5
+    assert(out.select("k", "id").collect().map(r => r.getString(0) -> r.getInt(1))
+      .toSeq == Seq("a" -> 2, "c" -> 5))
+    assert(out.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "compact's rank-1 filter should plan WindowGroupLimit")
+    val err = intercept[IllegalArgumentException] {
+      Compiler.compileJson(spark, """
+        {"source": {"table": "cc_log"}, "compact": {"keys": ["k"]}}""")
+    }
+    assert(err.getMessage.contains("version_order"))
+  }
+
+  test("bucketed range join q78 plans an equi-join, never a nested loop") {
+    Tables.registerViews(spark, sf)
+    val plan = SparkEntry.queries("q78_bucketed_range_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"range join regressed to a nested loop:\n${plan.take(2000)}")
+  }
+
+  test("zorder SQL function: literal bits enforced, matches the Scala column") {
+    Tables.registerViews(spark, sf)
+    val viaSql = spark.sql(
+      """SELECT zorder(l_partkey % 256, l_suppkey % 256, 8) AS z
+         FROM lineitem WHERE l_orderkey < 10
+         ORDER BY l_orderkey, l_linenumber""")
+      .collect().map(_.getLong(0)).toSeq
+    val viaCol = Tables.load(spark, sf, "lineitem")
+      .filter($"l_orderkey" < 10)
+      .orderBy($"l_orderkey", $"l_linenumber")
+      .select(graft.ops.Layout.zorderValue(
+        Seq(org.apache.spark.sql.functions.pmod($"l_partkey",
+            org.apache.spark.sql.functions.lit(256L)),
+          org.apache.spark.sql.functions.pmod($"l_suppkey",
+            org.apache.spark.sql.functions.lit(256L))), 8).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaSql == viaCol && viaSql.nonEmpty)
+    intercept[Exception] { // bits must be a plan-time literal
+      spark.sql("SELECT zorder(l_partkey, l_suppkey, l_linenumber) FROM lineitem")
+        .collect()
+    }
+  }
 }
