@@ -149,11 +149,12 @@ object CorpusQueries extends QueryPack {
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY 1 ORDER BY o_orderpriority ASC NULLS FIRST"""
 
-  // q77 — per-user running totals over the event stream (batch twin of the
-  // stateful-streaming runningTotals op — StreamingSpec asserts
-  // stream = batch on the same input): cumulative event count and exact
-  // decimal running value sum, ordered by event time. One window shuffle
-  // on user_id.
+  // q77 — per-user running totals over the event stream: cumulative event
+  // count and exact decimal running value sum, ordered by event time. One
+  // window shuffle on user_id. Batch twin of the custom-state streaming
+  // op Streaming.runningTotals (flatMapGroupsWithState) — StreamingSpec
+  // asserts stream == stateful-batch == this window formulation on the
+  // same input.
   private def q77(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("event_id").asc)

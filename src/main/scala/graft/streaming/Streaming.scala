@@ -101,6 +101,105 @@ object Streaming {
       case None => df.dropDuplicates(keys)
     }
 
+  /** Latest row per key — the streaming twin of
+    * `Relational.compactChangelog`: a continuously-maintained CDC
+    * snapshot. Spelled as a streaming-legal aggregation (`max_by` of the
+    * payload struct by the version struct), NOT a window rank (rank
+    * functions don't compile to a streaming plan), so the same expression
+    * runs batch (oracle-checkable) and under `readStream` in
+    * update/complete output mode with one state row per key.
+    *
+    * `version` must be a total order per key. Tombstone handling stays a
+    * downstream `filter` on the emitted row, with update-mode semantics:
+    * the sink sees the tombstone's predecessor rows too — a true
+    * retracting snapshot needs a sink that upserts by key (the normal
+    * CDC-mirror arrangement). */
+  def latestPerKey(
+      df: DataFrame,
+      keys: Seq[String],
+      version: Seq[String],
+      payload: Seq[String]
+  ): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(
+        struct(payload.map(col): _*),
+        struct(version.map(col): _*)).as("__latest"))
+      .select(keys.map(col) ++ payload.map(p => col(s"__latest.$p").as(p)): _*)
+
+  /** Input/output/state rows for [[runningTotals]] (the canonical shapes
+    * the generic column names are mapped onto). `sumMicros` carries the
+    * running sum as exact micro-units (the long unscaled value of a
+    * DECIMAL(_, 6)) so streaming state accumulation reproduces the batch
+    * path's decimal-exact running sum bit-for-bit. */
+  final case class TotalsEvent(k: Long, seq: Long, ts: java.sql.Timestamp, v: Double)
+  final case class TotalsRow(
+      k: Long, seq: Long, ts: java.sql.Timestamp, v: Double,
+      running_n: Long, running_value: Double)
+  final case class TotalsState(n: Long, sumMicros: Long)
+
+  /** Per-key running totals with CUSTOM STREAMING STATE
+    * (`flatMapGroupsWithState`) — the one streaming shape neither window
+    * aggregation nor `max_by` can express: every event is emitted,
+    * enriched with the cumulative count and exact decimal running sum of
+    * its key so far. State per key is two longs — constant-size, the only
+    * kind of per-key state an unbounded 100 TB/day stream tolerates.
+    *
+    * Events are ordered by (`tsCol`, `seqCol`) WITHIN each micro-batch
+    * (the group iterator carries no order guarantee); exactness across
+    * batches therefore requires the source to deliver a key's events in
+    * event-time order batch-over-batch — true for replayed logs and
+    * per-key-ordered queues (e.g. keyed Kafka partitions). Out-of-order
+    * arrivals would need watermark-delayed buffering in the state — a
+    * deliberate non-goal here; totals are arrival-order totals in that
+    * case. On a BATCH frame the whole key arrives as one group, so the
+    * result equals the q77 window formulation exactly (StreamingSpec
+    * asserts both equalities).
+    *
+    * Columns `keyCol`/`seqCol` must be integral, `valueCol` numeric;
+    * output schema = (keyCol, seqCol, tsCol, valueCol, running_n,
+    * running_value). */
+  def runningTotals(
+      df: DataFrame,
+      keyCol: String,
+      seqCol: String,
+      tsCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val typed = df.select(
+      col(keyCol).cast("long").as("k"),
+      col(seqCol).cast("long").as("seq"),
+      col(tsCol).cast("timestamp").as("ts"),
+      col(valueCol).cast("double").as("v")).as[TotalsEvent]
+    val out = typed
+      .groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (k: Long, events: Iterator[TotalsEvent],
+         state: org.apache.spark.sql.streaming.GroupState[TotalsState]) => {
+          // micro-batch-local sort: micros-precision timestamp, then seq
+          val ordered = events.toIndexedSeq.sortBy(e =>
+            (e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000, e.seq))
+          val st = state.getOption.getOrElse(TotalsState(0L, 0L))
+          var n = st.n
+          var sum = st.sumMicros
+          val rows = ordered.map { e =>
+            n += 1
+            // exact mirror of cast(v AS DECIMAL(25,6)): canonical decimal
+            // of the double, HALF_UP to 6 digits, accumulated as the
+            // unscaled long
+            sum += java.math.BigDecimal.valueOf(e.v)
+              .setScale(6, java.math.RoundingMode.HALF_UP)
+              .unscaledValue().longValueExact()
+            TotalsRow(e.k, e.seq, e.ts, e.v, n, sum / 1e6)
+          }
+          state.update(TotalsState(n, sum))
+          rows.iterator
+        })
+    out.toDF(keyCol, seqCol, tsCol, valueCol, "running_n", "running_value")
+  }
+
   /** Session windows: groups rows of one key whose gaps are < `gap`;
     * window = [first event, last event + gap). Streaming state is one
     * open session per key, merged/closed by watermark. */

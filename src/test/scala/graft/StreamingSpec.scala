@@ -284,4 +284,96 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(streamed == batch)
   }
+
+  test("latestPerKey: streaming snapshot equals batch changelog compaction") {
+    val batchDf = Tables.load(spark, sf, "events")
+    // batch oracle path: the compaction operator (no tombstones here —
+    // latestPerKey leaves tombstone filtering to the sink contract)
+    val batch = graft.ops.Relational.compactChangelog(
+        batchDf.select("user_id", "event_id", "ts", "value"),
+        Seq("user_id"),
+        Seq(col("ts").desc, col("event_id").desc),
+        isDelete = lit(false))
+      .orderBy("user_id")
+      .collect().map(_.toSeq).toSeq
+
+    // same snapshot as a streaming-legal aggregation, batch first
+    val viaAgg = Streaming.latestPerKey(
+        batchDf.select("user_id", "event_id", "ts", "value"),
+        Seq("user_id"), Seq("ts", "event_id"), Seq("event_id", "ts", "value"))
+      .select("user_id", "event_id", "ts", "value")
+      .orderBy("user_id")
+      .collect().map(_.toSeq).toSeq
+    assert(viaAgg == batch)
+
+    // and under readStream (complete mode = the maintained snapshot)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val streamIn = spark.readStream
+      .schema(raw.schema)
+      .parquet(eventsDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val snap = Streaming.latestPerKey(
+      streamIn.select("user_id", "event_id", "ts", "value"),
+      Seq("user_id"), Seq("ts", "event_id"), Seq("event_id", "ts", "value"))
+    val q = snap.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("stream_latest")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("stream_latest")
+      .select("user_id", "event_id", "ts", "value")
+      .orderBy("user_id")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+  }
+
+  test("runningTotals (flatMapGroupsWithState): stream equals batch equals q77 window") {
+    val batchDf = Tables.load(spark, sf, "events")
+    // the q77 window formulation is the ground truth
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val windowed = batchDf
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        count(lit(1)).over(w).as("running_n"),
+        graft.ops.Relational.runningDSum(col("value"), w).as("running_value"))
+      .orderBy("user_id", "event_id")
+      .collect().map(_.toSeq).toSeq
+
+    // batch execution of the stateful op: one group call per key
+    val viaState = Streaming.runningTotals(
+        batchDf, "user_id", "event_id", "ts", "value")
+      .orderBy("user_id", "event_id")
+      .collect().map(_.toSeq).toSeq
+    assert(viaState == windowed,
+      "stateful batch totals must equal the window formulation")
+
+    // streaming execution: state carries (n, sum) across micro-batches
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val streamIn = spark.readStream
+      .schema(raw.schema)
+      .parquet(eventsDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val totals = Streaming.runningTotals(
+      streamIn, "user_id", "event_id", "ts", "value")
+    val q = totals.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_totals")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("stream_totals")
+      .orderBy("user_id", "event_id")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == windowed)
+  }
 }
