@@ -461,21 +461,28 @@ object ExtraQueries extends QueryPack {
        "order_by": ["z asc", "l_orderkey asc", "l_linenumber asc"]}""")
 
   // q78 — BIG-BIG range join via interval bucketing: lineitem prices
-  // probed against per-part price bands [0.9·retail, 1.1·retail). The
+  // probed against per-part price bands [0.995·retail, 1.005·retail). The
   // naive formulation is a nested-loop theta join — O(|L|·|R|) pair
   // evaluations, and broadcast-only (q55's shape, fine for a small band
   // table, fatal for two big sides). Bucketing gives the scale shape:
-  // each band explodes into the width-100 buckets it covers, both sides
+  // each band explodes into the width-20 buckets it covers, both sides
   // EQUI-join on the bucket key (SMJ/shuffle-hash — candidates-shaped
   // shuffle), and the exact predicate re-filters. The oracle is the plain
   // theta join — the hash-match proves bucketing is invisible to
   // semantics, the same proof pattern as q54/q76 for salting.
+  //
+  // Width vs band width: the bucket width (20) is chosen ≈ the band
+  // width (~15 at retail≈1500), so a probe meets only the 1-2 bucket's
+  // worth of bands adjacent to its price — candidate volume ≈ true
+  // matches × ~2. A coarse width re-creates the n²: at width 100 with
+  // ±10% bands this query's intermediate was ~25× larger (measured 7.5 s
+  // vs 0.8 s at sf0.1) — the knob matters as much as the shape.
   private def q78(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(s, dir, "lineitem").select("l_extendedprice", "l_quantity")
     val bands = Tables.load(s, dir, "part").select(col("p_partkey"),
-      (col("p_retailprice") * 0.9).as("lo"), (col("p_retailprice") * 1.1).as("hi"))
+      (col("p_retailprice") * 0.995).as("lo"), (col("p_retailprice") * 1.005).as("hi"))
     graft.ops.Relational
-      .bucketedRangeJoin(li, bands, "l_extendedprice", "lo", "hi", width = 100.0)
+      .bucketedRangeJoin(li, bands, "l_extendedprice", "lo", "hi", width = 20.0)
       .groupBy("p_partkey")
       .agg(count(lit(1)).as("n_li"), Tables.dsum(col("l_quantity")).as("sum_qty"))
       .orderBy(col("p_partkey").asc_nulls_first)
@@ -484,8 +491,8 @@ object ExtraQueries extends QueryPack {
     SELECT p_partkey, CAST(COUNT(*) AS BIGINT) AS n_li,
            ${dsumSql("l_quantity")} AS sum_qty
     FROM lineitem JOIN part
-      ON l_extendedprice >= p_retailprice * 0.9
-     AND l_extendedprice <  p_retailprice * 1.1
+      ON l_extendedprice >= p_retailprice * 0.995
+     AND l_extendedprice <  p_retailprice * 1.005
     GROUP BY 1 ORDER BY p_partkey ASC NULLS FIRST"""
 
   // q79 — changelog/CDC compaction to a point-in-time snapshot: events
