@@ -29,6 +29,26 @@ object Dedup {
         others.map(c => min_by(col(c), col(idCol)).as(c)): _*)
   }
 
+  /** Incremental ingestion dedup — the production shape for a corpus that
+    * grows daily: dedup the INCOMING batch within itself (deterministic
+    * min-id winner per key) and against the EXISTING corpus via a
+    * left-anti join on the dedup key. The existing side is its key
+    * columns only (at 100 TB: the maintained fingerprint index, not the
+    * corpus — a re-scan of history per ingest is exactly what this op
+    * avoids). Two shuffles, both incoming-batch-shaped: the corpus index
+    * is only probed, never re-aggregated.
+    *
+    * Use a content fingerprint as the key at scale (64-bit probe keys,
+    * 100× smaller than text); any column set works. */
+  def dedupAgainstCorpus(
+      incoming: DataFrame,
+      seenKeys: DataFrame,
+      keyCols: Seq[String],
+      idCol: String
+  ): DataFrame =
+    exactDedup(incoming, keyCols, idCol)
+      .join(seenKeys.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+
   /** Word-level shingles (n-grams) as an array column. n=1 → unigram set.
     * Tokens are let-bound (TextAnalysis.withTokens) so the split runs once
     * per row — referencing the token expression inside the position lambda

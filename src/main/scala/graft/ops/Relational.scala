@@ -149,6 +149,31 @@ object Relational {
       .drop("__bucket")
   }
 
+  /** [[bucketedRangeJoin]] with the bucket width derived from the data:
+    * width = the right side's median interval width, from one
+    * `approxQuantile` driver round-trip (bounded metadata — same trust
+    * model as IVF centroids). This pins the knob whose mis-setting
+    * silently re-creates the O(n²): a width much larger than the typical
+    * interval makes every probe meet every interval sharing its bucket
+    * (measured on q78's history: 25× the intermediate volume at width
+    * 100 vs width ≈ interval width). Width much SMALLER than intervals
+    * only costs explode duplication — linear, visible, benign — so the
+    * median is a safe default; pass an explicit width when interval
+    * sizes are wildly skewed. */
+  def bucketedRangeJoinAuto(
+      left: DataFrame,
+      right: DataFrame,
+      probe: String,
+      lo: String,
+      hi: String
+  ): DataFrame = {
+    val width = right.select((col(hi) - col(lo)).cast("double").as("__w"))
+      .stat.approxQuantile("__w", Array(0.5), 0.01).head
+    require(width > 0,
+      s"cannot derive a bucket width: median of ($hi - $lo) is $width")
+    bucketedRangeJoin(left, right, probe, lo, hi, width)
+  }
+
   /** Two-phase (salted) aggregation for skewed group keys: phase 1 groups
     * by (keys, salt) — the hot key's rows spread over `saltBuckets`
     * reducers — phase 2 merges the partials by key alone. Only needed when

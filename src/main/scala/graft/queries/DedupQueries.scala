@@ -176,6 +176,36 @@ object DedupQueries extends QueryPack {
     FROM events GROUP BY 1, 2
     ORDER BY user_id ASC NULLS FIRST, event_type ASC NULLS FIRST"""
 
+  // q88 — INCREMENTAL ingestion dedup: the daily-delta production shape.
+  // docs with doc_id % 3 = 0 play the existing corpus (reduced to its
+  // fingerprint index — at 100 TB you maintain this index, never re-scan
+  // history); the rest play the incoming batch, deduped within itself
+  // (min-id winner per content fingerprint) and against the index by
+  // left-anti join. Both shuffles are incoming-batch-shaped. The portable
+  // fingerprint makes the whole thing oracle hash-checkable (fpSql — the
+  // q26/q60 shared generator).
+  private def q88(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val fp = graft.ops.TextAnalysis.fingerprintPortable(col("text"))
+    val incoming = d.filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"), col("lang"), fp.as("fp"))
+    val seen = d.filter(col("doc_id") % 3 === 0).select(fp.as("fp"))
+    Dedup.dedupAgainstCorpus(incoming, seen, Seq("fp"), "doc_id")
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+  private val q88Sql = s"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS t
+      FROM documents),
+    fps AS (SELECT doc_id, lang, ${TextQueries.fpSql("t")} AS fp FROM toks),
+    inc AS (SELECT fp, MIN(doc_id) AS doc_id, ARG_MIN(lang, doc_id) AS lang
+            FROM fps WHERE doc_id % 3 <> 0 GROUP BY fp),
+    seen AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 3 = 0)
+    SELECT fp, doc_id, lang FROM inc
+    WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.fp = inc.fp)
+    ORDER BY doc_id ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
     Q("q27_dedup_exact", q27, Some(q27Sql)),
     Q("q28_ngram_jaccard", q28, Some(q28Sql)),
@@ -183,6 +213,7 @@ object DedupQueries extends QueryPack {
     Q("q30_simhash", q30, None),
     Q("q45_dedup_pipeline", q45, Some(q45Sql)),
     Q("q51_config_dedup", q51, Some(q51Sql)),
-    Q("q53_dedup_pipeline_lsh", q53, Some(q53Sql))
+    Q("q53_dedup_pipeline_lsh", q53, Some(q53Sql)),
+    Q("q88_incremental_dedup", q88, Some(q88Sql))
   )
 }

@@ -107,7 +107,7 @@ object TextQueries extends QueryPack {
   // order-sensitivity invariant — xxhash64 itself has no DuckDB spelling.
   /** DuckDB expression for TextAnalysis.fingerprintPortable over a
     * token-list alias — shared by q26/q60. */
-  private def fpSql(t: String): String = s"""
+  private[queries] def fpSql(t: String): String = s"""
            list_reduce(
              list_prepend(CAST(0 AS BIGINT),
                list_transform($t, tok ->

@@ -661,6 +661,30 @@ class OpsSpec extends SparkSpec {
       s"merged estimate $merged vs exact $exact")
   }
 
+  test("incremental dedup: in-batch winner kept, corpus-known keys dropped") {
+    val incoming = Seq(
+      (10L, "k1", "a"), (11L, "k1", "b"), // in-batch dup — min id wins
+      (12L, "k2", "c"),                   // already in corpus — dropped
+      (13L, "k3", "d")                    // genuinely new
+    ).toDF("id", "fp", "payload")
+    val seen = Seq("k2", "k9").toDF("fp")
+    val out = Dedup.dedupAgainstCorpus(incoming, seen, Seq("fp"), "id")
+      .select("id", "fp", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(out == Set((10L, "k1", "a"), (13L, "k3", "d")))
+  }
+
+  test("auto-width bucketed range join equals the explicit-width result") {
+    val facts = spark.range(0, 500).select($"id", ($"id" % 97).cast("double").as("x"))
+    val bandsDf = Seq((0.0, 10.0, "lo"), (10.0, 50.0, "mid"), (50.0, 100.0, "hi"))
+      .toDF("lo", "hi", "band")
+    val explicit = Relational.bucketedRangeJoin(facts, bandsDf, "x", "lo", "hi", 16.0)
+      .groupBy("band").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val auto = Relational.bucketedRangeJoinAuto(facts, bandsDf, "x", "lo", "hi")
+      .groupBy("band").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(auto == explicit)
+  }
+
   test("salting and packing reject column-name collisions") {
     val withSalt = spark.range(3).select($"id", lit(1).as("__salt"))
     intercept[IllegalArgumentException] {
