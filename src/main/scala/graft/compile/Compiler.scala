@@ -254,9 +254,32 @@ object Compiler {
       if (c.versionOrder.isEmpty) throw new IllegalArgumentException(
         s"node ${node.id}: compact needs version_order (recency first, " +
           "e.g. [\"ts desc\", \"seq desc\"])")
-      df = graft.ops.Relational.compactChangelog(
-        df, c.keys, c.versionOrder.map(sortColumn),
-        c.deleteWhen.map(expr).getOrElse(lit(false)))
+      if (df.isStreaming) {
+        // rank windows don't compile to a streaming plan — the streaming
+        // spelling of the same snapshot is a max_by aggregation
+        // (Streaming.latestPerKey, one state row per key). max_by's
+        // struct comparison is lexicographic-ascending, so it expresses
+        // exactly the all-DESC version orders ("latest wins"); reject
+        // mixed directions instead of silently mis-ordering.
+        val versionCols = c.versionOrder.map { s =>
+          val parts = s.trim.split("\\s+").toSeq
+          if (parts.tail.exists(_.equalsIgnoreCase("asc")))
+            throw new IllegalArgumentException(
+              s"node ${node.id}: streaming compact needs all-DESC " +
+                s"version_order (latest wins), got '$s'")
+          parts.head
+        }
+        val payload = df.columns.toSeq.filterNot(c.keys.contains)
+        df = graft.streaming.Streaming.latestPerKey(
+          df, c.keys, versionCols, payload)
+        // tombstone filter on the emitted latest row (update-mode
+        // semantics: the sink must upsert by key — see latestPerKey doc)
+        c.deleteWhen.foreach(d => df = df.filter(!coalesce(expr(d), lit(false))))
+      } else {
+        df = graft.ops.Relational.compactChangelog(
+          df, c.keys, c.versionOrder.map(sortColumn),
+          c.deleteWhen.map(expr).getOrElse(lit(false)))
+      }
     }
 
     node.topK.foreach { t =>

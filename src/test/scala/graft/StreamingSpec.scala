@@ -331,6 +331,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("config compact: the same JSON snapshots batch AND as a stream") {
+    // batch compile uses the rank formulation (compactChangelog);
+    // streaming compile rewrites to the max_by aggregation
+    // (latestPerKey) — same spec, same snapshot.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val json = s"""
+      {"id": "cc",
+       "source": {"format": "parquet", "path": "$eventsDir"},
+       "derive": {"ts2": "timestamp_micros(ts div 1000)"},
+       "keep_columns": ["user_id", "event_id", "ts2", "event_type", "value"],
+       "compact": {"keys": ["user_id"],
+                   "version_order": ["ts2 desc", "event_id desc"],
+                   "delete_when": "event_type = 'error'"},
+       "save": {"format": "memory", "query_name": "cc_stream",
+                "trigger": "available_now", "output_mode": "complete"}}"""
+    val spec = graft.spec.JsonCodec.parse(json)
+    val cols = Seq("user_id", "event_id", "ts2", "event_type", "value")
+    val batch = graft.compile.Compiler.compile(spark, spec, executeSinks = false)
+      .select(cols.map(col): _*)
+      .orderBy("user_id").collect().map(_.toSeq).toSeq
+
+    val q = graft.compile.Compiler.compileStream(spark, spec)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("cc_stream")
+      .select(cols.map(col): _*)
+      .orderBy("user_id").collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+
+    // mixed-direction version order is rejected under streaming, with a
+    // named error (max_by can't express it)
+    val mixed = graft.spec.JsonCodec.parse(json.replace(
+      "\"ts2 desc\", \"event_id desc\"", "\"ts2 desc\", \"event_id asc\""))
+    val err = intercept[IllegalArgumentException] {
+      graft.compile.Compiler.compileStream(spark, mixed)
+    }
+    assert(err.getMessage.contains("all-DESC"))
+  }
+
   test("runningTotals (flatMapGroupsWithState): stream equals batch equals q77 window") {
     val batchDf = Tables.load(spark, sf, "events")
     // the q77 window formulation is the ground truth
