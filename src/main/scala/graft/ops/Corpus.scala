@@ -158,6 +158,43 @@ object Corpus {
       .agg(count(lit(1)).as("n_common"))
   }
 
+  /** Bloom-filter variant of [[decontaminate]] for when the eval pool's
+    * distinct shingle set outgrows an exact broadcast (10⁹ shingles ≈
+    * 8 GB of longs exactly vs ~1.2 GB as a 1%-fpp Bloom filter): the
+    * filter is built in one aggregation (`DataFrameStatFunctions
+    * .bloomFilter` — driver holds only the bit array, same bounded-
+    * metadata trust model as IVF centroids), broadcast once, and each
+    * train doc counts its shingle hits in the scan stage — the train
+    * corpus is never shuffled at all, not even the explode of
+    * [[contaminationReport]]'s semi-join.
+    *
+    * Semantics are CONSERVATIVE versus the exact operator: false
+    * positives can only ADD to a doc's overlap count, so every doc the
+    * exact `decontaminate` drops is dropped here too (no contamination
+    * ever slips through — asserted in OpsSpec); the price is an
+    * `fpp`-bounded sliver of clean docs dropped with it, the right
+    * direction to err for benchmark hygiene. */
+  def decontaminateBloom(
+      train: DataFrame,
+      holdout: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int,
+      minOverlap: Long,
+      expectedShingles: Long = 1L << 22,
+      fpp: Double = 0.01
+  ): DataFrame = {
+    val bloom = holdout
+      .select(explode(Dedup.hashedNgrams(col(textCol), shingleSize)).as("__s"))
+      .stat.bloomFilter("__s", expectedShingles, fpp)
+    val bc = train.sparkSession.sparkContext.broadcast(bloom)
+    val hits = udf((shingles: Seq[Long]) =>
+      if (shingles == null) 0L
+      else shingles.count(bc.value.mightContainLong).toLong)
+    train.filter(
+      hits(Dedup.hashedNgrams(col(textCol), shingleSize)) < minOverlap)
+  }
+
   /** Remove contaminated documents: drops every train doc sharing ≥
     * `minOverlap` distinct shingles with the eval pool (left-anti join on
     * the [[contaminationReport]] ids — candidates-shaped, never

@@ -125,6 +125,21 @@ class CorpusSpec extends SparkSpec {
     assert(clean == train.count() - contaminated)
   }
 
+  test("bloom decontamination: conservative — never passes what exact drops") {
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val ev = docs.filter(col("doc_id") % 10 === 0)
+    val exactClean = Corpus.decontaminate(train, ev, "doc_id", "text", 4, 5)
+      .select("doc_id").as[Long].collect().toSet
+    val bloomClean = Corpus.decontaminateBloom(train, ev, "doc_id", "text", 4, 5)
+      .select("doc_id").as[Long].collect().toSet
+    // no false negatives: bloom survivors ⊆ exact survivors
+    assert(bloomClean.subsetOf(exactClean),
+      s"bloom passed contaminated docs: ${bloomClean -- exactClean}")
+    // and false positives are bounded: ≥ 95% of clean docs survive
+    assert(bloomClean.size >= (exactClean.size * 95) / 100,
+      s"bloom dropped too many clean docs: ${bloomClean.size}/${exactClean.size}")
+  }
+
   // ---- repetition metrics -------------------------------------------------
 
   test("repetition metrics: hand-computed bigram fractions") {
