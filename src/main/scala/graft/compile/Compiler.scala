@@ -36,6 +36,9 @@ object Compiler {
         node.watermark.map(_.col) ++
         node.dedup.toSeq.flatMap(d => d.keys ++ d.idCol) ++
         node.nearDup.toSeq.flatMap(d => Seq(d.idCol, d.vecCol))
+    // compact/top_k run AFTER children (joins may add or prefix columns),
+    // so their references are checked by the analyzer tier, not here —
+    // a source-schema check would false-positive on joined columns.
     wanted.filterNot(have.contains).map(c => s"node ${node.id}: unknown column '$c' (have: ${have.mkString(", ")})")
   }
 
