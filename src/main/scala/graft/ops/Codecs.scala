@@ -85,6 +85,30 @@ object Codecs {
     Image(width, height, readDib(bytes, dataOffset, width, height, bottomUp))
   }
 
+  /** Nearest-neighbor BMP resize: decode → sample the source pixel at the
+    * center of each destination cell → re-encode. The standard cheap
+    * resize for thumbnailing/normalizing image payloads before feature
+    * extraction; pass through `Multimodal.transformPayload` so the
+    * metadata struct is re-stamped from the resized bytes. Pure byte
+    * arithmetic — no codec libraries. */
+  def resizeBmp(outW: Int, outH: Int)(payload: Array[Byte]): Array[Byte] = {
+    require(outW > 0 && outH > 0, s"resize target must be positive, got ${outW}x$outH")
+    val img = decodeBmp(payload)
+    val out = new Array[Byte](outW * outH * 3)
+    var y = 0
+    while (y < outH) {
+      val sy = ((y + 0.5) * img.height / outH).toInt.min(img.height - 1)
+      var x = 0
+      while (x < outW) {
+        val sx = ((x + 0.5) * img.width / outW).toInt.min(img.width - 1)
+        System.arraycopy(img.rgb, (sy * img.width + sx) * 3, out, (y * outW + x) * 3, 3)
+        x += 1
+      }
+      y += 1
+    }
+    encodeBmp(outW, outH, out)
+  }
+
   // ---- WAV ---------------------------------------------------------------
 
   /** RIFF/WAVE PCM16 bytes from interleaved samples. */

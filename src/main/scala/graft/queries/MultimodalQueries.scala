@@ -125,9 +125,37 @@ object MultimodalQueries extends QueryPack {
       .orderBy(col("media_id").asc_nulls_first)
   }
 
+  // q89 — the IMAGE transform path end-to-end: synthesize variable-sized
+  // BMPs, normalize every payload to a fixed 16×12 thumbnail through the
+  // real nearest-neighbor resizer (decode → sample → re-encode —
+  // transformPayload's production shape, the standard pre-embedding
+  // normalization step), re-parse metadata from the resized bytes (must
+  // show the UNIFORM target dims, not the input's), featurize the resized
+  // pixels. Rows-only gate (DuckDB can't decode BMP); resize exactness
+  // lives in OpsSpec (block-replication + center-sample identities).
+  private def q89(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMediaParsed(
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), textToBmp(col("text")).as("payload")),
+      idCol = "doc_id", payloadCol = "payload")
+    val resized = Multimodal.transformPayload(media, "bmp", Codecs.resizeBmp(16, 12))
+    val parsed = Multimodal.asMediaParsed(resized, "media_id", "payload")
+    val feats = Multimodal.featurize(parsed, Codecs.mediaFeatures)
+    parsed.select(col("media_id"), col("meta.format").as("format"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.n_bytes").as("n_bytes"))
+      .join(feats, Seq("media_id"))
+      .select(
+        col("media_id"), col("format"), col("width"), col("height"), col("n_bytes"),
+        round(element_at(col("features"), 3).cast("double"), 9).as("mean_r"),
+        round(element_at(col("features"), 6).cast("double"), 9).as("mean_luma"))
+      .orderBy(col("media_id").asc_nulls_first)
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q37_multimodal_featurize", q37, None),
     Q("q69_audio_featurize", q69, None),
-    Q("q71_video_featurize", q71, None)
+    Q("q71_video_featurize", q71, None),
+    Q("q89_image_resize", q89, None)
   )
 }
