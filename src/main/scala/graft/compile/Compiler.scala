@@ -266,15 +266,31 @@ object Compiler {
         // mixed directions instead of silently mis-ordering.
         val versionCols = c.versionOrder.map { s =>
           val parts = s.trim.split("\\s+").toSeq
-          if (parts.tail.exists(_.equalsIgnoreCase("asc")))
+          // a bare column defaults to ASC in the batch path (sortColumn),
+          // which would pick the OLDEST row while max_by picks the
+          // LATEST — same JSON, divergent snapshots. Demand an explicit
+          // 'desc'. Likewise 'nulls first': batch would rank null
+          // versions first, but max_by's struct comparison ranks nulls
+          // last — reject rather than silently diverge.
+          if (!parts.tail.exists(_.equalsIgnoreCase("desc")))
             throw new IllegalArgumentException(
               s"node ${node.id}: streaming compact needs all-DESC " +
-                s"version_order (latest wins), got '$s'")
+                s"version_order with explicit desc on every entry " +
+                s"(latest wins; bare columns default asc in batch), got '$s'")
+          if (parts.tail.exists(_.equalsIgnoreCase("first")))
+            throw new IllegalArgumentException(
+              s"node ${node.id}: streaming compact cannot honor 'nulls " +
+                s"first' (max_by ranks nulls last), got '$s'")
           parts.head
         }
-        val payload = df.columns.toSeq.filterNot(c.keys.contains)
+        val originalOrder = df.columns.toSeq
+        val payload = originalOrder.filterNot(c.keys.contains)
         df = graft.streaming.Streaming.latestPerKey(
           df, c.keys, versionCols, payload)
+        // latestPerKey emits keys ++ payload; restore the node's input
+        // column order so batch and stream compiles of one spec agree
+        // on schema, not just values
+        df = df.select(originalOrder.map(col): _*)
         // tombstone filter on the emitted latest row (update-mode
         // semantics: the sink must upsert by key — see latestPerKey doc)
         c.deleteWhen.foreach(d => df = df.filter(!coalesce(expr(d), lit(false))))

@@ -151,9 +151,11 @@ object Layout {
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
     val zc = "__z"
     require(!df.columns.contains(zc), s"input already has a $zc column")
-    val bucketed = cols.map { c =>
-      val cuts = df.stat.approxQuantile(c, probs, 0.01).toSeq
-      quantileBucket(col(c), cuts)
+    // multi-column overload: ALL cutpoint sets in one pass over the
+    // input, not one full scan per z-order column
+    val allCuts = df.stat.approxQuantile(cols.toArray, probs, 0.01)
+    val bucketed = cols.zip(allCuts).map { case (c, cuts) =>
+      quantileBucket(col(c), cuts.toSeq)
     }
     val w = df.withColumn(zc, zorderValue(bucketed, bits))
       .repartitionByRange(numRanges, col(zc))

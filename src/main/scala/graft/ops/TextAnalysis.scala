@@ -266,9 +266,13 @@ object TextAnalysis {
   def piiCount(text: Column): Column = {
     val (total, _) = piiPatterns.foldLeft((lit(0), text)) {
       case ((cnt, cur), (_, p)) =>
-        (cnt + size(regexp_extract_all(cur, lit(p), lit(0))),
+        // coalesce: legacy sizeOfNull makes size(NULL) = -1 per pattern,
+        // while DuckDB's len(regexp_extract_all(NULL)) is NULL — pin
+        // both engines to 0 matches on null text
+        (cnt + coalesce(size(regexp_extract_all(cur, lit(p), lit(0))), lit(0)),
           regexp_replace(cur, p, "[PII]"))
     }
-    total
+    // a null document has no redactable substrings in either engine
+    when(text.isNull, lit(null)).otherwise(total)
   }
 }

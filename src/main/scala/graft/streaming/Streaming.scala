@@ -179,8 +179,12 @@ object Streaming {
         (k: Long, events: Iterator[TotalsEvent],
          state: org.apache.spark.sql.streaming.GroupState[TotalsState]) => {
           // micro-batch-local sort: micros-precision timestamp, then seq
+          // floorDiv: plain / truncates toward zero, so a pre-epoch ts
+          // with fractional seconds (e.g. -0.5s) would key ~1s too large
+          // and sort after later events
           val ordered = events.toIndexedSeq.sortBy(e =>
-            (e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000, e.seq))
+            (Math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
+              e.ts.getNanos / 1000, e.seq))
           val st = state.getOption.getOrElse(TotalsState(0L, 0L))
           var n = st.n
           var sum = st.sumMicros

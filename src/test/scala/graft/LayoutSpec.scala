@@ -112,8 +112,12 @@ class LayoutSpec extends SparkSpec {
     val li = Tables.load(spark, sf, "lineitem")
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
     val dir = tmp("graft-zorder")
+    // 8 range files (not 4): repartitionByRange's sample seed varies
+    // with rdd.id, and at 4 files the per-file span is one unlucky
+    // boundary away from the threshold — 8 files make the locality
+    // signal robust to the sampling seed
     Layout.writeZOrdered(li, dir, Seq("l_partkey", "l_suppkey"),
-      bits = 4, numRanges = 4)
+      bits = 4, numRanges = 8)
     val back = spark.read.parquet(dir)
     assert(back.count() == li.count())
     assert(back.columns.sorted.toSeq == li.columns.sorted.toSeq)

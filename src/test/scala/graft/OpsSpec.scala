@@ -643,6 +643,12 @@ class OpsSpec extends SparkSpec {
     val planted = rows.select(TextAnalysis.scrubPii($"t").as("s"))
       .collect().map(_.getString(0))
     assert(planted.head == "reach me at [PII] or [PII]")
+
+    // null text → null count (matching DuckDB's len(regexp_extract_all
+    // (NULL)) = NULL), never legacy size()'s -1 per pattern
+    val nullRow = Seq(Tuple1(null: String)).toDF("t")
+      .select(TextAnalysis.piiCount($"t").as("n")).collect()
+    assert(nullRow.head.isNullAt(0))
   }
 
   test("HLL sketch estimates: ≤2% error, sketch algebra merges consistently") {

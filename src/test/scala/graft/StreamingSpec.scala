@@ -348,13 +348,18 @@ class StreamingSpec extends SparkSpec {
                 "trigger": "available_now", "output_mode": "complete"}}"""
     val spec = graft.spec.JsonCodec.parse(json)
     val cols = Seq("user_id", "event_id", "ts2", "event_type", "value")
-    val batch = graft.compile.Compiler.compile(spark, spec, executeSinks = false)
+    val batchDf = graft.compile.Compiler.compile(spark, spec, executeSinks = false)
+    val batch = batchDf
       .select(cols.map(col): _*)
       .orderBy("user_id").collect().map(_.toSeq).toSeq
 
     val q = graft.compile.Compiler.compileStream(spark, spec)
     q.processAllAvailable(); q.stop()
-    val streamed = spark.table("cc_stream")
+    val streamedDf = spark.table("cc_stream")
+    // same spec → same SCHEMA, not just same values: the streaming
+    // rewrite restores the node's input column order after latestPerKey
+    assert(streamedDf.columns.toSeq == batchDf.columns.toSeq)
+    val streamed = streamedDf
       .select(cols.map(col): _*)
       .orderBy("user_id").collect().map(_.toSeq).toSeq
     assert(streamed.nonEmpty && streamed == batch)
@@ -367,6 +372,25 @@ class StreamingSpec extends SparkSpec {
       graft.compile.Compiler.compileStream(spark, mixed)
     }
     assert(err.getMessage.contains("all-DESC"))
+
+    // a BARE column would default asc in the batch path (oldest wins)
+    // while max_by takes latest — divergent snapshots, so it is rejected
+    val bare = graft.spec.JsonCodec.parse(json.replace(
+      "\"ts2 desc\", \"event_id desc\"", "\"ts2\", \"event_id desc\""))
+    val bareErr = intercept[IllegalArgumentException] {
+      graft.compile.Compiler.compileStream(spark, bare)
+    }
+    assert(bareErr.getMessage.contains("all-DESC"))
+
+    // 'desc nulls first' ranks null versions first in batch but max_by
+    // ranks nulls last — rejected rather than silently divergent
+    val nf = graft.spec.JsonCodec.parse(json.replace(
+      "\"ts2 desc\", \"event_id desc\"",
+      "\"ts2 desc nulls first\", \"event_id desc\""))
+    val nfErr = intercept[IllegalArgumentException] {
+      graft.compile.Compiler.compileStream(spark, nf)
+    }
+    assert(nfErr.getMessage.contains("nulls"))
   }
 
   test("runningTotals (flatMapGroupsWithState): stream equals batch equals q77 window") {
