@@ -35,7 +35,8 @@ object Compiler {
         node.filters.collect { case ColFilter(c, _, _, _) => c } ++
         node.watermark.map(_.col) ++
         node.dedup.toSeq.flatMap(d => d.keys ++ d.idCol) ++
-        node.nearDup.toSeq.flatMap(d => Seq(d.idCol, d.vecCol))
+        node.nearDup.toSeq.flatMap(d => Seq(d.idCol, d.vecCol)) ++
+        node.boilerplate.toSeq.flatMap(b => Seq(b.idCol, b.textCol))
     // compact/top_k run AFTER children (joins may add or prefix columns),
     // so their references are checked by the analyzer tier, not here —
     // a source-schema check would false-positive on joined columns.
@@ -170,6 +171,14 @@ object Compiler {
     node.nearDup.foreach { d =>
       df = graft.ops.Similarity.cosineNearDupPairsBanded(
         df, d.idCol, d.vecCol, d.threshold, d.dim, d.numBits, d.bands)
+    }
+
+    // Boilerplate line removal: the frame becomes (id, clean_text,
+    // kept_lines, dropped_lines). Plan-only composition (two bounded
+    // aggregates + a broadcast hot-set join), so config-admissible.
+    node.boilerplate.foreach { b =>
+      df = graft.ops.Corpus.removeBoilerplateLines(
+        df, b.idCol, b.textCol, b.maxDocs, b.sep, b.byHash)
     }
 
     node.aggregate.foreach(a => df = applyAggregate(df, a))

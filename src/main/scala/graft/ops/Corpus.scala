@@ -212,4 +212,68 @@ object Corpus {
       .select(idCol)
     train.join(bad, Seq(idCol), "left_anti")
   }
+
+  /** Boilerplate line removal (the CCNet / RefinedWeb curation step):
+    * split each document into lines, drop every line that occurs in more
+    * than `maxDocs` DISTINCT documents (navigation chrome, cookie
+    * banners, per-site footers), and reassemble the surviving lines in
+    * their original order.
+    *
+    * Scale shape: two shuffles, both bounded. (1) The line-frequency
+    * aggregate is a partial+final count-distinct whose group key is the
+    * 64-bit line hash when `byHash` (8 bytes shuffled per distinct line
+    * per partition, never the line text); (2) the reassembly groups by
+    * document id. The hot set itself is broadcast: a line must occur in
+    * > `maxDocs` documents to enter it, so it holds at most
+    * total_lines / maxDocs entries by construction — the knob that makes
+    * it broadcastable is the same knob that defines boilerplate. The
+    * drop itself is a broadcast left join, i.e. scan-stage on the corpus.
+    *
+    * `byHash = true` keys the frequency count and the hot-set join on
+    * `xxhash64(line)` instead of the line text (the production setting —
+    * a 64-bit collision mislabeling a rare line as boilerplate is
+    * vanishingly unlikely and the penalty is one dropped line);
+    * `byHash = false` is the exact twin for oracle comparison.
+    *
+    * Documents with null text produce no lines and drop out (a null list
+    * explodes to nothing in both Spark and DuckDB); a document whose
+    * every line is boilerplate survives with `clean_text = ""`.
+    *
+    * Output: (idCol, clean_text, kept_lines, dropped_lines).
+    */
+  def removeBoilerplateLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDocs: Long,
+      sep: String = "\n",
+      byHash: Boolean = true
+  ): DataFrame = {
+    require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
+    val reserved = Seq("__ln", "__line", "__k", "__hot")
+    reserved.foreach(c => require(!df.columns.contains(c),
+      s"input already has a $c column"))
+    val lines = df.select(
+      col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__ln", "__line")))
+      .withColumn("__k", if (byHash) xxhash64(col("__line")) else col("__line"))
+    val hot = lines
+      .groupBy("__k")
+      .agg(count_distinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") > maxDocs)
+      .select(col("__k"), lit(true).as("__hot"))
+    lines
+      .join(broadcast(hot), Seq("__k"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__hot").isNull, struct(col("__ln"), col("__line"))))),
+            x => x.getField("__line")),
+          sep).as("clean_text"),
+        count(when(col("__hot").isNull, lit(1))).as("kept_lines"),
+        count(when(col("__hot").isNotNull, lit(1))).as("dropped_lines"))
+  }
 }

@@ -230,6 +230,52 @@ object CorpusQueries extends QueryPack {
         FROM events ORDER BY event_id ASC NULLS FIRST"""
   }
 
+  // q90 — boilerplate line removal (the CCNet/RefinedWeb curation step).
+  // The corpus is single-line, so the query PLANTS the boilerplate
+  // deterministically in both engines (the q64/q66 planted-fixture
+  // pattern): a global header on every doc, the body split into lines on
+  // the literal token ' the ' (replace() is literal left-to-right in
+  // Spark and DuckDB alike), and a per-source footer shared by all docs
+  // of that source (25 docs/source at sf0.01, 250 at sf0.1). maxDocs=20
+  // drops the header (500+ docs) and every footer (>20 docs) while no
+  // body line reaches 6 docs — and the threshold keeps separating at
+  // larger SFs because occurrence counts only grow. Spark side runs
+  // byHash=true (the 64-bit-hash production path); the oracle counts
+  // exact line strings — the hash-match proves hashing is invisible.
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"),
+      concat_ws("\n",
+        lit("subscribe to our newsletter"),
+        expr("replace(text, ' the ', '\n')"),
+        concat(lit("(c) footer "), col("source"))).as("mtext"))
+    Corpus.removeBoilerplateLines(base, "doc_id", "mtext", maxDocs = 20)
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+  private[queries] val q90Sql = """
+    WITH base AS (
+      SELECT doc_id,
+             'subscribe to our newsletter' || chr(10) ||
+             replace(text, ' the ', chr(10)) || chr(10) ||
+             '(c) footer ' || source AS mtext
+      FROM documents),
+    l AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(mtext, chr(10)), 1) AS ln,
+             unnest(string_split(mtext, chr(10))) AS line
+      FROM base),
+    hot AS (
+      SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) > 20)
+    SELECT l.doc_id,
+           coalesce(string_agg(CASE WHEN hot.line IS NULL THEN l.line END,
+                               chr(10) ORDER BY l.ln), '') AS clean_text,
+           CAST(count(CASE WHEN hot.line IS NULL THEN 1 END) AS BIGINT)
+             AS kept_lines,
+           CAST(count(CASE WHEN hot.line IS NOT NULL THEN 1 END) AS BIGINT)
+             AS dropped_lines
+    FROM l LEFT JOIN hot ON l.line = hot.line
+    GROUP BY l.doc_id
+    ORDER BY l.doc_id ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
     Q("q72_doc_chunking", q72, Some(q72Sql)),
     Q("q73_sequence_packing", q73, Some(q73Sql)),
@@ -238,6 +284,7 @@ object CorpusQueries extends QueryPack {
     Q("q76_salted_join", q76, Some(q76Sql)),
     Q("q77_running_totals", q77, Some(q77Sql)),
     Q("q80_stratified_sample", q80, Some(q80Sql)),
-    Q("q81_pii_scrub", q81, Some(q81Sql))
+    Q("q81_pii_scrub", q81, Some(q81Sql)),
+    Q("q90_boilerplate_lines", q90, Some(q90Sql))
   )
 }

@@ -402,7 +402,8 @@ object ExtraQueries extends QueryPack {
     Q("q84_config_compact", q84, Some(q79Sql)),
     Q("q85_config_scrub", q85, Some(CorpusQueries.q81Sql)),
     Q("q86_config_sample", q86, Some(q86Sql)),
-    Q("q87_config_zorder", q87, Some(q83Sql))
+    Q("q87_config_zorder", q87, Some(q83Sql)),
+    Q("q91_config_boilerplate", q91, Some(CorpusQueries.q90Sql))
   )
 
   // q84 — q79's changelog compaction declared as pure JSON (`compact` node
@@ -459,6 +460,18 @@ object ExtraQueries extends QueryPack {
        "derive": {"z": "zorder(l_partkey % 256, l_suppkey % 256, 8)"},
        "keep_columns": ["l_orderkey", "l_linenumber", "z"],
        "order_by": ["z asc", "l_orderkey asc", "l_linenumber asc"]}""")
+
+  // q91 — q90's boilerplate line removal as pure JSON: the planted
+  // header/body/footer construction is one `derive` expr, the removal is
+  // the `boilerplate` node key. Same oracle as q90 — config path must
+  // hash-match the Scala API path.
+  private def q91(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "documents"},
+       "derive": {"mtext": "concat_ws('\n', 'subscribe to our newsletter', replace(text, ' the ', '\n'), concat('(c) footer ', source))"},
+       "boilerplate": {"id_col": "doc_id", "text_col": "mtext",
+                       "max_docs": 20},
+       "order_by": ["doc_id asc"]}""")
 
   // q78 — BIG-BIG range join via interval bucketing: lineitem prices
   // probed against per-part price bands [0.995·retail, 1.005·retail). The

@@ -192,6 +192,15 @@ object JsonCodec {
         bands = opt(d, "bands").map(_.asInt).getOrElse(8))
     }
 
+    val bp = opt(n, "boilerplate").map { d =>
+      BoilerplateSpec(
+        idCol = req(d, s"node $id: boilerplate", "id_col", "idCol").asText,
+        textCol = req(d, s"node $id: boilerplate", "text_col", "textCol").asText,
+        maxDocs = req(d, s"node $id: boilerplate", "max_docs", "maxDocs").asLong,
+        sep = opt(d, "sep").map(_.asText).getOrElse("\n"),
+        byHash = opt(d, "by_hash", "byHash").forall(_.asBoolean(true)))
+    }
+
     val wm = opt(n, "watermark").map { w =>
       WatermarkSpec(
         col = req(w, s"node $id: watermark", "col", "column").asText,
@@ -251,6 +260,7 @@ object JsonCodec {
       dedup = dd,
       keepColumns = if (aggregate.isDefined) Nil else keep,
       nearDup = nd,
+      boilerplate = bp,
       aggregate = aggregate,
       rename = rename,
       withColumns = withCols,

@@ -200,6 +200,18 @@ final case class NearDupSpec(
     bands: Int = 8
 )
 
+/** Boilerplate line removal (NS; Corpus.removeBoilerplateLines): drop
+  * every line occurring in more than `maxDocs` distinct documents and
+  * reassemble the rest. The frame becomes
+  * (idCol, clean_text, kept_lines, dropped_lines). */
+final case class BoilerplateSpec(
+    idCol: String,
+    textCol: String,
+    maxDocs: Long,
+    sep: String = "\n",
+    byHash: Boolean = true
+)
+
 /** Exact deduplication on `keys` (NS; not in the reference).
   * `idCol` set → deterministic winner: the row with the minimum id per key
   * group (one partial+final hash aggregate via min_by — replay-stable
@@ -265,6 +277,7 @@ final case class NodeSpec(
     dedup: Option[DedupSpec] = None,
     keepColumns: Seq[String] = Nil,
     nearDup: Option[NearDupSpec] = None, // after keep, before aggregate
+    boilerplate: Option[BoilerplateSpec] = None, // after keep, before aggregate
     aggregate: Option[AggregateSpec] = None,
     rename: Seq[(String, String)] = Nil,
     withColumns: Seq[(String, String)] = Nil, // name -> Catalyst expr string

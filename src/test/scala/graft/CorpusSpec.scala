@@ -186,4 +186,45 @@ class CorpusSpec extends SparkSpec {
     assert(out.count() == 3)
     assert(out.filter(col("k") === 99 && col("dim").isNull).count() == 1)
   }
+
+  // ---- boilerplate line removal ------------------------------------------
+
+  test("boilerplate lines: hot lines dropped, unique lines kept in order") {
+    val planted = Seq(
+      (1L, "HEADER\nalpha beta\ngamma delta\nFOOTER"),
+      (2L, "HEADER\nepsilon zeta\nFOOTER"),
+      (3L, "HEADER\neta theta\nFOOTER"),
+      (4L, "HEADER\nFOOTER") // all-boilerplate doc survives, empty
+    ).toDF("doc_id", "text")
+    val out = Corpus.removeBoilerplateLines(
+      planted, "doc_id", "text", maxDocs = 2)
+      .orderBy("doc_id").collect()
+    assert(out.length == 4)
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(byId(1L) == (("alpha beta\ngamma delta", 2L, 2L)))
+    assert(byId(2L) == (("epsilon zeta", 1L, 2L)))
+    assert(byId(4L) == (("", 0L, 2L)))
+  }
+
+  test("boilerplate lines: hash path identical to exact-string path") {
+    val base = docs.select(col("doc_id"),
+      concat_ws("\n", lit("SUB"),
+        expr("replace(text, ' the ', '\n')"),
+        concat(lit("F "), col("source"))).as("t"))
+    val exact = Corpus.removeBoilerplateLines(
+      base, "doc_id", "t", maxDocs = 20, byHash = false)
+    val hashed = Corpus.removeBoilerplateLines(
+      base, "doc_id", "t", maxDocs = 20, byHash = true)
+    assert(exact.exceptAll(hashed).isEmpty && hashed.exceptAll(exact).isEmpty)
+  }
+
+  test("boilerplate lines: hot set drop scales — hot side plans a broadcast join") {
+    val base = docs.select(col("doc_id"),
+      concat_ws("\n", lit("SUB"), col("text")).as("t"))
+    val plan = Corpus.removeBoilerplateLines(base, "doc_id", "t", maxDocs = 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"hot-set join should broadcast:\n$plan")
+  }
 }
