@@ -257,7 +257,17 @@ object Compiler {
           j.onExpr match {
             case Some(cond)              => df.join(childDf, expr(cond), j.how)
             case None if j.link.nonEmpty => df.join(childDf, j.link, j.how)
-            case None                    => df.crossJoin(childDf)
+            case None if j.how == "cross" => df.crossJoin(childDf)
+            case None =>
+              // A link-less, expr-less child used to fall through to a
+              // silent crossJoin — so a typo'd join key ("onn" instead of
+              // "on") became an n×m cartesian, the worst possible plan at
+              // scale. Cartesians must now be asked for by name.
+              throw new IllegalArgumentException(
+                s"node ${node.id}: child '${ch.node.id}' has no join 'on' " +
+                  "keys and no 'on_expr'; a cartesian product must be " +
+                  "explicit — set join.how to \"cross\" (check the join " +
+                  "spec for a misspelled 'on' key)")
           }
       }
     }

@@ -151,6 +151,26 @@ class CompilerSpec extends SparkSpec {
     }
   }
 
+  test("link-less child join throws; cartesian only via explicit how=cross") {
+    df.createOrReplaceTempView("t")
+    // a typo'd join key ("onn") used to plan a silent n×m cartesian
+    val err = intercept[IllegalArgumentException] {
+      Compiler.compileJson(spark, """
+        {"source": {"table": "t"},
+         "children": [{"id": "c", "source": {"table": "t"},
+                       "join": {"onn": ["k"], "how": "inner"}}]}""")
+    }
+    assert(err.getMessage.contains("cross"), err.getMessage)
+    // asking for the cartesian by name still works
+    val out = Compiler.compileJson(spark, """
+      {"source": {"table": "t"},
+       "keep_columns": ["k"],
+       "children": [{"id": "c", "source": {"table": "t"},
+                     "keep_columns": ["v"], "prefix": true,
+                     "join": {"how": "cross"}}]}""")
+    assert(out.count() == 25)
+  }
+
   test("config interval join plans a key equi-join, never a nested loop") {
     Tables.registerViews(spark, sf)
     val out = SparkEntry.queries("q65_config_interval")(spark, sf)
