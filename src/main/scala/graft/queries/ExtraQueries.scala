@@ -143,8 +143,12 @@ object ExtraQueries extends QueryPack {
   }
 
   // q43 — embedding storage path: L2-normalize, int8-quantize (4× smaller),
-  // and measure the round-trip cosine per vector. Rows-only gate; the
-  // error bound is asserted in ScalaTest.
+  // and measure the round-trip cosine per vector. Carries a FULL DuckDB
+  // hash oracle (r7; the q70 pattern): every step — normalize's
+  // float-cast division, the max|x|/127 double scale, HALF-UP round to
+  // tinyint, float-cast dequantize multiply, and the zero-norm-guarded
+  // cosine — is exact float/integer arithmetic mirrored verbatim in SQL,
+  // IEEE-identical in both engines. The error BOUND stays in ScalaTest.
   private def q43(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Similarity
     Tables.load(s, dir, "embeddings")
@@ -158,6 +162,48 @@ object ExtraQueries extends QueryPack {
           Similarity.cosine(col("embedding"), Similarity.dequantizeInt8(col("q"))),
           6).as("roundtrip_cosine"))
       .orderBy(col("vec_id").asc_nulls_first)
+  }
+  private val q43Sql = {
+    // dot/norm mirrors of Similarity.dot (sequential double fold) — same
+    // forms as SimQueries.duckCosine, inlined here with the zero-norm
+    // guard that Similarity.cosine carries.
+    def norm(v: String) =
+      s"sqrt(list_sum(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    s"""
+    WITH norms AS (
+      SELECT vec_id, embedding, ${norm("embedding")} AS n
+      FROM embeddings),
+    nv AS ( -- Similarity.normalize: per-element float-cast divide, 0.0f on zero norm
+      SELECT vec_id, embedding,
+             list_transform(embedding, x -> CASE WHEN n > 0
+               THEN CAST(CAST(x AS DOUBLE) / n AS FLOAT)
+               ELSE CAST(0.0 AS FLOAT) END) AS nvec
+      FROM norms),
+    quant AS ( -- Similarity.quantizeInt8: scale = max|x| (double) / 127
+      SELECT vec_id, embedding, nvec,
+             CAST(list_max(list_transform(nvec, x -> abs(x))) AS DOUBLE)
+               / CAST(127.0 AS DOUBLE) AS scale_d
+      FROM nv),
+    q AS (
+      SELECT vec_id, embedding, CAST(scale_d AS FLOAT) AS scale,
+             CASE WHEN scale_d > 0
+                  THEN list_transform(nvec,
+                         x -> CAST(round(CAST(x AS DOUBLE) / scale_d) AS TINYINT))
+                  ELSE list_transform(nvec, x -> CAST(0 AS TINYINT)) END AS data
+      FROM quant),
+    deq AS ( -- Similarity.dequantizeInt8: byte × float-cast scale, float cast
+      SELECT vec_id, embedding, scale,
+             list_transform(data,
+               b -> CAST(CAST(b AS DOUBLE) * CAST(scale AS DOUBLE) AS FLOAT)) AS dv
+      FROM q)
+    SELECT vec_id, scale,
+           ROUND(CASE WHEN ${norm("embedding")} > 0 AND ${norm("dv")} > 0
+                 THEN ${dot("embedding", "dv")} / (${norm("embedding")} * ${norm("dv")})
+                 ELSE 0.0 END, 6) AS roundtrip_cosine
+    FROM deq
+    ORDER BY vec_id ASC NULLS FIRST"""
   }
 
   // q47 — percentile from the config language (AggSpec.param carries the
@@ -382,7 +428,7 @@ object ExtraQueries extends QueryPack {
     Q("q40_hash_sample", q40, None),
     Q("q41_config_langid", q41, Some(q41Sql)),
     Q("q42_config_vector_sql", q42, Some(q42Sql)),
-    Q("q43_embedding_quantize", q43, None),
+    Q("q43_embedding_quantize", q43, Some(q43Sql)),
     Q("q47_config_percentile", q47, Some(q47Sql)),
     Q("q48_grouping_sets", q48, Some(q48Sql)),
     Q("q49_approx_percentile", q49, None),

@@ -161,6 +161,25 @@ object RefQueries extends QueryPack {
            '2024-01-01' AS valid_from, '9999-12-31' AS valid_to
     FROM events GROUP BY 1 ORDER BY event_type ASC NULLS FIRST"""
 
+  // q98 — q06's bitemporal stamp PARAMETERIZED end-to-end (SURVEY §1.5:
+  // "make the stamp configurable (as-of timestamp parameter) rather than
+  // hardcoded"): a NON-default as-of window and custom stamp column
+  // names, all four flowing from the JSON config through BitemporalSpec
+  // to the output schema — proving nothing in the path is hardcoded.
+  private def q98(spark: SparkSession, dir: String): DataFrame = cfg(spark, s"""
+    {"source": {"table": "events"},
+     "group_by": ["event_type"],
+     "aggregations": [
+       {"col": "value", "func": "dsum", "new_name": "sum_value"},
+       {"col": "*", "func": "count", "new_name": "n"}],
+     "bitemporal": {"valid_from": "2026-08-12", "valid_to": "2027-01-01",
+                    "from_col": "as_of", "to_col": "valid_until"},
+     "order_by": ["event_type asc"]}""")
+  private val q98Sql = s"""
+    SELECT event_type, ${dsumSql("value")} AS sum_value, COUNT(*) AS n,
+           '2026-08-12' AS as_of, '2027-01-01' AS valid_until
+    FROM events GROUP BY 1 ORDER BY event_type ASC NULLS FIRST"""
+
   // q07 — filter → projection → rename, no aggregation (P1/P3 alone).
   private def q07(spark: SparkSession, dir: String): DataFrame = cfg(spark, s"""
     {"source": {"format": "parquet", "path": "$dir/part.parquet"},
@@ -216,6 +235,7 @@ object RefQueries extends QueryPack {
     Q("q06_bitemporal", q06, Some(q06Sql)),
     Q("q07_project_rename", q07, Some(q07Sql)),
     Q("q08_nullsafe_filter", q08, Some(q08Sql)),
-    Q("q09_sql_source", q09, Some(q09Sql))
+    Q("q09_sql_source", q09, Some(q09Sql)),
+    Q("q98_bitemporal_asof", q98, Some(q98Sql))
   )
 }

@@ -35,7 +35,10 @@ object SimQueries extends QueryPack {
       .select("query_id", "match_id", "score", "rank")
       .orderBy(col("query_id").asc_nulls_first, col("rank").asc_nulls_first)
   }
-  private val q31Sql = s"""
+  /** Exact brute-force top-k oracle over the vec_id<10 query set — shared
+    * by q31 (k=5) and the full-coverage ANN twins q92/q93 (k=3), whose
+    * parameterizations provably reduce to exact top-k. */
+  private def bruteTopKSql(k: Int) = s"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
     scored AS (
       SELECT query_id, c.vec_id AS match_id,
@@ -46,8 +49,9 @@ object SimQueries extends QueryPack {
              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                                      ORDER BY score DESC, match_id ASC) AS INT) AS rank
       FROM scored)
-    SELECT query_id, match_id, score, rank FROM ranked WHERE rank <= 5
+    SELECT query_id, match_id, score, rank FROM ranked WHERE rank <= $k
     ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST"""
+  private val q31Sql = bruteTopKSql(5)
 
   // q32 — embedding near-duplicate pairs at cosine ≥ 0.4 (corpus max is
   // ~0.51, so this returns the genuinely-closest pairs).
@@ -83,14 +87,27 @@ object SimQueries extends QueryPack {
   // hyperplane LSH (w=2 × 16 bands, sized for the fixture's low 0.4
   // threshold → theoretical recall 0.9997). On this deterministic corpus
   // the banded pair set equals the exact one at every SF, so it carries
-  // the SAME exact DuckDB oracle as q32 — the hash-compare proves the
+  // an exact q32-style DuckDB oracle — the hash-compare proves the
   // approximate plan loses nothing here; the ScalaTest recall bound
-  // covers the general contract.
+  // covers the general contract. The fixture is a THIRD of the corpus
+  // (vec_id % 3 = 0): at τ=0.4 the S-curve gives near-zero pruning by
+  // design (q64/q66 carry the production regime), so benching it on the
+  // full corpus measured the worst-case knob, not the operator — the
+  // low-τ plan shape is still fully exercised at n/3 (~1/9 the pairs).
   private def q46(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairsBanded(
-        emb(s, dir), idCol = "vec_id", vecCol = "embedding",
+        emb(s, dir).filter(pmod(col("vec_id"), lit(3)) === 0),
+        idCol = "vec_id", vecCol = "embedding",
         threshold = 0.4, dim = 64, numBits = 32, bands = 16)
       .orderBy(col("idA").asc_nulls_first, col("idB").asc_nulls_first)
+  private val q46Sql = s"""
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0)
+    SELECT a.vec_id AS idA, b.vec_id AS idB,
+           ${duckCosine("a.embedding", "b.embedding")} AS score
+    FROM sub a, sub b
+    WHERE a.vec_id < b.vec_id
+      AND ${duckCosine("a.embedding", "b.embedding")} >= 0.4
+    ORDER BY idA ASC NULLS FIRST, idB ASC NULLS FIRST"""
 
   // --- q64: the PRODUCTION near-dup regime ------------------------------
   // The fixture corpus is near-random (max cosine ≈ 0.51), so a τ ≥ 0.8
@@ -224,14 +241,58 @@ object SimQueries extends QueryPack {
       AND ${duckCosine("a.data", "b.data")} >= 0.8
     ORDER BY idA ASC NULLS FIRST, idB ASC NULLS FIRST"""
 
+  // q92 — q33's hyperplane-LSH ANN at FULL COVERAGE: bands span all bits
+  // (numBits=32, bands=32 → band width 1), so any query/corpus pair
+  // agreeing on at least ONE sign bit collides. A pair missing entirely
+  // would have to disagree on all 32 hyperplane signs — on this
+  // deterministic corpus none does (the probability shape is
+  // (acos(s)/π)^32 ≈ 2⁻³² per near-orthogonal pair) — so the banded plan
+  // provably returns exact top-3 and carries the full brute-force hash
+  // oracle. The plan is IDENTICAL in shape to q33's production
+  // parameterization; only the knobs change — which is what makes this a
+  // hard correctness gate on the approximate operator's machinery
+  // (banding, first-collision dedup, scoring, ranking), not on its recall.
+  private def q92(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.annTopK(
+        e.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding")),
+        e.select(col("vec_id").as("match_id"), col("embedding")),
+        queryId = "query_id", queryVec = "embedding",
+        corpusId = "match_id", corpusVec = "embedding",
+        dim = 64, k = 3, numBits = 32, bands = 32)
+      .select("query_id", "match_id", "score", "rank")
+      .orderBy(col("query_id").asc_nulls_first, col("rank").asc_nulls_first)
+  }
+
+  // q93 — q52's IVF ANN at FULL COVERAGE: nprobe = nlist (16), so every
+  // query probes every inverted list and scores the entire corpus — by
+  // construction byte-identical to exact brute-force top-3 (same dot,
+  // same rounding, same tie-break), so it carries the full hash oracle.
+  // Exercises the complete IVF machinery (centroid sample, list
+  // assignment, probe join, rank) under a parameterization whose result
+  // is provably exact.
+  private def q93(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.ivfTopK(
+        e.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding")),
+        e.select(col("vec_id").as("match_id"), col("embedding")),
+        queryId = "query_id", queryVec = "embedding",
+        corpusId = "match_id", corpusVec = "embedding",
+        k = 3, nlist = 16, nprobe = 16)
+      .select("query_id", "match_id", "score", "rank")
+      .orderBy(col("query_id").asc_nulls_first, col("rank").asc_nulls_first)
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q31_cosine_topk", q31, Some(q31Sql)),
     Q("q32_embedding_neardup", q32, Some(q32Sql)),
     Q("q33_ann_topk", q33, None),
-    Q("q46_embedding_neardup_banded", q46, Some(q32Sql)),
+    Q("q46_embedding_neardup_banded", q46, Some(q46Sql)),
     Q("q52_ivf_topk", q52, None),
     Q("q64_embedding_neardup_prod", q64, Some(q64Sql)),
     Q("q66_config_neardup", q66, Some(q64Sql)),
-    Q("q70_quantized_neardup", q70, Some(q70Sql))
+    Q("q70_quantized_neardup", q70, Some(q70Sql)),
+    Q("q92_ann_topk_full", q92, Some(bruteTopKSql(3))),
+    Q("q93_ivf_topk_full", q93, Some(bruteTopKSql(3)))
   )
 }

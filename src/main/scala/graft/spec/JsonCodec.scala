@@ -213,7 +213,9 @@ object JsonCodec {
         BitemporalSpec(
           validFrom =
             opt(b, "valid_from").map(_.asText).getOrElse("2024-01-01"),
-          validTo = opt(b, "valid_to").map(_.asText).getOrElse("9999-12-31")
+          validTo = opt(b, "valid_to").map(_.asText).getOrElse("9999-12-31"),
+          fromCol = opt(b, "from_col", "fromCol").map(_.asText).getOrElse("valid_from"),
+          toCol = opt(b, "to_col", "toCol").map(_.asText).getOrElse("valid_to")
         )
     }
 
