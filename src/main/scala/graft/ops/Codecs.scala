@@ -4,16 +4,21 @@ import java.nio.{ByteBuffer, ByteOrder}
 
 /** Dependency-free pure-JVM media codecs (north-star: multimodal columns).
   *
-  * The environment ships no image/audio libraries, but the two formats
-  * below are plain byte arithmetic, so the multimodal pipeline gets an
-  * honest end-to-end decode path instead of a stub behind a seam
-  * (reference scope: media handling in skybluecycology/meta_frame is
-  * absent entirely — this is north-star depth):
+  * The environment ships no image/audio libraries, but the formats below
+  * are byte arithmetic plus JDK-resident DEFLATE, so the multimodal
+  * pipeline gets an honest end-to-end decode path instead of a stub
+  * behind a seam (reference scope: media handling in
+  * skybluecycology/meta_frame is absent entirely — this is north-star
+  * depth):
   *
   *   - BMP, 24-bit uncompressed BI_RGB (bottom-up or top-down rows,
   *     4-byte row padding) — the standard interchange baseline every
   *     real codec stack can emit.
+  *   - PNG, 8-bit gray/RGB/RGBA, non-interlaced — the first COMPRESSED
+  *     real-world format through the seam (java.util.zip Inflater/
+  *     Deflater + full row-filter reconstruction, CRC-checked chunks).
   *   - WAV, PCM 16-bit little-endian (RIFF chunk walk) — ditto for audio.
+  *   - AVI, RIFF container of uncompressed 24-bit DIB frames — video.
   *
   * Encoders exist so tests and fixtures can synthesize payloads
   * deterministically; decoders are the production seam fillers for
@@ -85,15 +90,10 @@ object Codecs {
     Image(width, height, readDib(bytes, dataOffset, width, height, bottomUp))
   }
 
-  /** Nearest-neighbor BMP resize: decode → sample the source pixel at the
-    * center of each destination cell → re-encode. The standard cheap
-    * resize for thumbnailing/normalizing image payloads before feature
-    * extraction; pass through `Multimodal.transformPayload` so the
-    * metadata struct is re-stamped from the resized bytes. Pure byte
-    * arithmetic — no codec libraries. */
-  def resizeBmp(outW: Int, outH: Int)(payload: Array[Byte]): Array[Byte] = {
+  /** Nearest-neighbor resize core (center-of-cell sampling) shared by the
+    * BMP and PNG payload resizers. */
+  private def resizeImage(img: Image, outW: Int, outH: Int): Image = {
     require(outW > 0 && outH > 0, s"resize target must be positive, got ${outW}x$outH")
-    val img = decodeBmp(payload)
     val out = new Array[Byte](outW * outH * 3)
     var y = 0
     while (y < outH) {
@@ -106,7 +106,225 @@ object Codecs {
       }
       y += 1
     }
-    encodeBmp(outW, outH, out)
+    Image(outW, outH, out)
+  }
+
+  /** Nearest-neighbor BMP resize: decode → sample the source pixel at the
+    * center of each destination cell → re-encode. The standard cheap
+    * resize for thumbnailing/normalizing image payloads before feature
+    * extraction; pass through `Multimodal.transformPayload` so the
+    * metadata struct is re-stamped from the resized bytes. Pure byte
+    * arithmetic — no codec libraries. */
+  def resizeBmp(outW: Int, outH: Int)(payload: Array[Byte]): Array[Byte] = {
+    val r = resizeImage(decodeBmp(payload), outW, outH)
+    encodeBmp(r.width, r.height, r.rgb)
+  }
+
+  // ---- PNG (the first COMPRESSED real-world format through the seam) -----
+  //
+  // Pure JVM: DEFLATE via java.util.zip.{Deflater, Inflater} (ships with
+  // the JDK — no new dependencies), PNG row filters (None/Sub/Up/Average/
+  // Paeth) reconstructed per the spec, chunk CRCs verified with
+  // java.util.zip.CRC32. 8-bit depth; color types 0 (grayscale),
+  // 2 (truecolor RGB) and 6 (RGBA, alpha dropped on decode) — the shapes
+  // real corpora carry; palette/16-bit/interlaced throw with a clear
+  // message (same posture as the BMP decoder's unsupported variants).
+
+  private val pngSig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
+  def isPng(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 33 &&
+      (0 until 8).forall(i => bytes(i) == pngSig(i))
+
+  /** Bytes per pixel for the supported color types. */
+  private def pngBpp(colorType: Int): Int = colorType match {
+    case 0 => 1 // grayscale
+    case 2 => 3 // truecolor
+    case 6 => 4 // truecolor + alpha
+    case t => throw new IllegalArgumentException(
+      s"unsupported PNG color type $t (supported: 0 gray, 2 RGB, 6 RGBA)")
+  }
+
+  /** Paeth predictor (PNG spec §4.5.4): nearest of a/b/c to a+b-c. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** PNG bytes from top-down pixels. The color type is inferred from the
+    * array length: w·h → grayscale, w·h·3 → RGB, w·h·4 → RGBA.
+    * `filterMode` selects the per-row filter: 0–4 fixed, −1 cycles
+    * row % 5 (the default — fixtures then exercise every reconstruction
+    * path in the decoder, and a spec-conformant reader must handle any
+    * per-row mix). Chunk CRCs are real; output opens in any viewer. */
+  def encodePng(width: Int, height: Int, pixels: Array[Byte], filterMode: Int = -1): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    require(filterMode >= -1 && filterMode <= 4, s"bad filter mode $filterMode")
+    val colorType = pixels.length match {
+      case l if l == width * height     => 0
+      case l if l == width * height * 3 => 2
+      case l if l == width * height * 4 => 6
+      case l => throw new IllegalArgumentException(
+        s"pixel array length $l matches no supported layout for ${width}x$height")
+    }
+    val bpp = pngBpp(colorType)
+    val stride = width * bpp
+    // filter each scanline against the UNFILTERED previous row, then deflate
+    val raw = new Array[Byte]((stride + 1) * height)
+    var y = 0
+    while (y < height) {
+      val f = if (filterMode == -1) y % 5 else filterMode
+      raw((stride + 1) * y) = f.toByte
+      var i = 0
+      while (i < stride) {
+        val x = pixels(y * stride + i) & 0xff
+        val a = if (i >= bpp) pixels(y * stride + i - bpp) & 0xff else 0
+        val b = if (y > 0) pixels((y - 1) * stride + i) & 0xff else 0
+        val c = if (y > 0 && i >= bpp) pixels((y - 1) * stride + i - bpp) & 0xff else 0
+        val filtered = f match {
+          case 0 => x
+          case 1 => x - a
+          case 2 => x - b
+          case 3 => x - (a + b) / 2
+          case 4 => x - paeth(a, b, c)
+        }
+        raw((stride + 1) * y + 1 + i) = filtered.toByte
+        i += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zbuf = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) zbuf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val idat = zbuf.toByteArray
+    val ihdr = ByteBuffer.allocate(13).order(ByteOrder.BIG_ENDIAN)
+      .putInt(width).putInt(height)
+      .put(8.toByte).put(colorType.toByte) // bit depth, color type
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive filters, no interlace
+      .array()
+    val out = new java.io.ByteArrayOutputStream(33 + idat.length + 24)
+    out.write(pngSig)
+    def chunk(tag: String, data: Array[Byte]): Unit = {
+      val t = tag.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      out.write(ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN).putInt(data.length).array())
+      out.write(t); out.write(data)
+      out.write(ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN).putInt(crc.getValue.toInt).array())
+    }
+    chunk("IHDR", ihdr)
+    chunk("IDAT", idat)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Decode an 8-bit non-interlaced PNG (color types 0/2/6) into top-down
+    * RGB: chunk-walk with CRC verification, concatenate IDATs, inflate,
+    * reconstruct every row filter, expand gray → RGB / drop alpha. */
+  def decodePng(bytes: Array[Byte]): Image = {
+    require(isPng(bytes), "not a PNG payload")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    var pos = 8
+    var width = 0; var height = 0; var colorType = -1
+    val zdata = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done && pos + 12 <= bytes.length) {
+      val len = buf.getInt(pos)
+      val tag = new String(bytes, pos + 4, 4, "US-ASCII")
+      require(len >= 0 && pos + 12 + len <= bytes.length, s"truncated chunk $tag")
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, pos + 4, 4 + len)
+      require(crc.getValue.toInt == buf.getInt(pos + 8 + len), s"bad CRC on chunk $tag")
+      tag match {
+        case "IHDR" =>
+          width = buf.getInt(pos + 8)
+          height = buf.getInt(pos + 12)
+          val depth = bytes(pos + 16) & 0xff
+          colorType = bytes(pos + 17) & 0xff
+          val interlace = bytes(pos + 20) & 0xff
+          require(depth == 8, s"only 8-bit PNG supported, got depth $depth")
+          require(interlace == 0, "interlaced (Adam7) PNG not supported")
+          pngBpp(colorType) // rejects palette/other types
+          require(width > 0 && height > 0, s"bad dims ${width}x$height")
+        case "IDAT" => zdata.write(bytes, pos + 8, len)
+        case "IEND" => done = true
+        case _      => () // ancillary chunks (tEXt, pHYs, ...) skipped
+      }
+      pos += 12 + len
+    }
+    require(colorType >= 0, "missing IHDR chunk")
+    require(zdata.size > 0, "missing IDAT data")
+    val bpp = pngBpp(colorType)
+    val stride = width * bpp
+    val raw = new Array[Byte]((stride + 1) * height)
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(zdata.toByteArray)
+    var off = 0
+    while (off < raw.length && !inflater.finished()) {
+      val n = inflater.inflate(raw, off, raw.length - off)
+      require(n > 0 || inflater.finished() || !inflater.needsInput,
+        "truncated or corrupt IDAT stream")
+      off += n
+    }
+    inflater.end()
+    require(off == raw.length, s"IDAT inflated to $off bytes, expected ${raw.length}")
+    // reconstruct filters in place: recon(x) = filt(x) + predictor
+    val px = new Array[Byte](stride * height)
+    var y = 0
+    while (y < height) {
+      val f = raw((stride + 1) * y) & 0xff
+      require(f <= 4, s"bad filter type $f on row $y")
+      var i = 0
+      while (i < stride) {
+        val v = raw((stride + 1) * y + 1 + i) & 0xff
+        val a = if (i >= bpp) px(y * stride + i - bpp) & 0xff else 0
+        val b = if (y > 0) px((y - 1) * stride + i) & 0xff else 0
+        val c = if (y > 0 && i >= bpp) px((y - 1) * stride + i - bpp) & 0xff else 0
+        val recon = f match {
+          case 0 => v
+          case 1 => v + a
+          case 2 => v + b
+          case 3 => v + (a + b) / 2
+          case 4 => v + paeth(a, b, c)
+        }
+        px(y * stride + i) = recon.toByte
+        i += 1
+      }
+      y += 1
+    }
+    // normalize to the canonical 3-byte RGB layout
+    val rgb = colorType match {
+      case 2 => px
+      case 0 =>
+        val out = new Array[Byte](width * height * 3)
+        var i = 0
+        while (i < width * height) {
+          out(3 * i) = px(i); out(3 * i + 1) = px(i); out(3 * i + 2) = px(i)
+          i += 1
+        }
+        out
+      case 6 =>
+        val out = new Array[Byte](width * height * 3)
+        var i = 0
+        while (i < width * height) {
+          out(3 * i) = px(4 * i); out(3 * i + 1) = px(4 * i + 1); out(3 * i + 2) = px(4 * i + 2)
+          i += 1
+        }
+        out
+    }
+    Image(width, height, rgb)
+  }
+
+  /** Nearest-neighbor PNG resize (decode → sample → re-encode) — the PNG
+    * twin of [[resizeBmp]] for `Multimodal.transformPayload`. Output is
+    * RGB with cycling row filters. */
+  def resizePng(outW: Int, outH: Int)(payload: Array[Byte]): Array[Byte] = {
+    val r = resizeImage(decodePng(payload), outW, outH)
+    encodePng(r.width, r.height, r.rgb)
   }
 
   // ---- WAV ---------------------------------------------------------------
@@ -347,8 +565,15 @@ object Codecs {
     * minLuma, maxLuma] — channel stats normalized to [0,1], Rec.601 luma.
     * Double accumulation from integer sums, one float truncation:
     * bit-reproducible. */
-  def bmpFeatures(payload: Array[Byte]): Array[Float] = {
-    val img = decodeBmp(payload)
+  def bmpFeatures(payload: Array[Byte]): Array[Float] =
+    imageFeatures(decodeBmp(payload))
+
+  /** [[bmpFeatures]] for PNG payloads — identical stats over the decoded
+    * pixels, so a mixed BMP/PNG corpus yields comparable features. */
+  def pngFeatures(payload: Array[Byte]): Array[Float] =
+    imageFeatures(decodePng(payload))
+
+  private def imageFeatures(img: Image): Array[Float] = {
     val n = img.width.toLong * img.height
     var sr = 0L; var sg = 0L; var sb = 0L
     var minL = Long.MaxValue; var maxL = Long.MinValue
@@ -429,6 +654,7 @@ object Codecs {
     * plugs in for JPEG/PNG/MP4). */
   def mediaFeatures(payload: Array[Byte]): Array[Float] =
     if (isBmp(payload)) bmpFeatures(payload)
+    else if (isPng(payload)) pngFeatures(payload)
     else if (isWav(payload)) wavFeatures(payload)
     else if (isAvi(payload)) aviFeatures(payload)
     else Multimodal.decodeStub(payload)
@@ -441,6 +667,10 @@ object Codecs {
     if (isBmp(bytes)) {
       val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
       ("bmp", buf.getInt(18), math.abs(buf.getInt(22)))
+    } else if (isPng(bytes)) {
+      // IHDR is mandatory-first: width/height are big-endian at 16/20
+      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+      ("png", buf.getInt(16), buf.getInt(20))
     } else if (isWav(bytes)) {
       val a = quickWavDims(bytes)
       ("wav", a._1, a._2)

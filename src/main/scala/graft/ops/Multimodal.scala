@@ -8,12 +8,13 @@ import org.apache.spark.sql.types._
   * opaque `BinaryType` columns plus a typed metadata struct; decode /
   * feature-extract runs batch-wise per partition.
   *
-  * Decode is REAL for BMP (24-bit) and WAV (PCM16) via the pure-JVM
-  * [[Codecs]] — header-parsed metadata, pixel/sample feature extraction,
-  * bit-reproducible outputs. Formats needing native libraries (JPEG, PNG,
-  * MP4 — not present in this environment) plug into the same `decoder`
-  * seam; until then they fall back to `decodeStub`, a deterministic fake
-  * keyed on the payload bytes.
+  * Decode is REAL for BMP (24-bit), PNG (8-bit, DEFLATE + row filters),
+  * WAV (PCM16) and AVI (DIB frames) via the pure-JVM [[Codecs]] —
+  * header-parsed metadata, pixel/sample feature extraction,
+  * bit-reproducible outputs. Formats needing native libraries (JPEG,
+  * MP3, MP4 — not present in this environment) plug into the same
+  * `decoder` seam; until then they fall back to `decodeStub`, a
+  * deterministic fake keyed on the payload bytes.
   *
   * Scale notes: payload bytes never shuffle (all derivations are
   * narrow/map-side); metadata-only queries prune the binary column at the

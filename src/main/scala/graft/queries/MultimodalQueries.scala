@@ -152,10 +152,49 @@ object MultimodalQueries extends QueryPack {
       .orderBy(col("media_id").asc_nulls_first)
   }
 
+  /** Deterministic text→PNG fixture: same dim/pixel derivation as
+    * [[textToBmp]] but encoded as a real compressed PNG with CYCLING row
+    * filters (row % 5), so every decode reconstruction path (None/Sub/Up/
+    * Average/Paeth) runs on corpus data, not just unit fixtures. */
+  private[graft] val textToPng = udf { (t: String) =>
+    val b = Option(t).getOrElse("").getBytes("UTF-8")
+    val w = 4 + (b.length % 9)
+    val h = 3 + (b.length % 7)
+    val px = Array.tabulate(w * h * 3)(i => if (b.isEmpty) 0.toByte else b(i % b.length))
+    Codecs.encodePng(w, h, px)
+  }
+
+  // q94 — the COMPRESSED image path end-to-end: synthesize real PNGs
+  // (DEFLATE + per-row filter mix), thumbnail through the PNG
+  // decode→resize→re-encode transform, re-parse metadata from the resized
+  // bytes (header-only, big-endian IHDR), featurize the decoded pixels.
+  // The pixel content matches q89's BMP fixture by construction; OpsSpec
+  // asserts the cross-codec invariant (equal pixels → equal resize output
+  // and features in both codecs). Rows-only gate (DuckDB can't inflate
+  // PNG); decode bit-exactness lives in the OpsSpec golden test.
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMediaParsed(
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), textToPng(col("text")).as("payload")),
+      idCol = "doc_id", payloadCol = "payload")
+    val resized = Multimodal.transformPayload(media, "png", Codecs.resizePng(16, 12))
+    val parsed = Multimodal.asMediaParsed(resized, "media_id", "payload")
+    val feats = Multimodal.featurize(parsed, Codecs.mediaFeatures)
+    parsed.select(col("media_id"), col("meta.format").as("format"),
+        col("meta.width").as("width"), col("meta.height").as("height"))
+      .join(feats, Seq("media_id"))
+      .select(
+        col("media_id"), col("format"), col("width"), col("height"),
+        round(element_at(col("features"), 3).cast("double"), 9).as("mean_r"),
+        round(element_at(col("features"), 6).cast("double"), 9).as("mean_luma"))
+      .orderBy(col("media_id").asc_nulls_first)
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q37_multimodal_featurize", q37, None),
     Q("q69_audio_featurize", q69, None),
     Q("q71_video_featurize", q71, None),
-    Q("q89_image_resize", q89, None)
+    Q("q89_image_resize", q89, None),
+    Q("q94_png_resize", q94, None)
   )
 }

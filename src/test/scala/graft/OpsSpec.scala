@@ -296,6 +296,59 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("PNG codec: independently-built golden bytes decode bit-exactly") {
+    // 4×3 8-bit RGB PNG with row filters Sub/Average/Paeth, generated by
+    // an INDEPENDENT implementation (python zlib/struct — not encodePng,
+    // so the decoder is checked against the spec, not its own inverse).
+    // Pixels: p[i] = (i*37 + 11) mod 256.
+    val golden = Array[Byte](-119, 80, 78, 71, 13, 10, 26, 10, 0, 0, 0, 13,
+      73, 72, 68, 82, 0, 0, 0, 4, 0, 0, 0, 3, 8, 2, 0, 0, 0, 59, -106, 57,
+      -111, 0, 0, 0, 35, 73, 68, 65, 84, 120, -100, 99, -28, 54, 8, -51,
+      -121, 1, -26, 67, 87, -98, 79, -101, 38, 38, 54, 13, 4, 88, -10,
+      -128, 64, 126, -66, -74, 54, -112, 2, 0, 69, -93, 18, 87, 36, -44,
+      -54, 62, 0, 0, 0, 0, 73, 69, 78, 68, -82, 66, 96, -126)
+    val expected = Array.tabulate(4 * 3 * 3)(i => ((i * 37 + 11) % 256).toByte)
+    val img = ops.Codecs.decodePng(golden)
+    assert(img.width == 4 && img.height == 3)
+    assert(img.rgb.toSeq == expected.toSeq)
+    assert(ops.Codecs.parseMeta(golden) == (("png", 4, 3)))
+    // corrupting one IDAT byte must fail the CRC check, not mis-decode
+    val corrupt = golden.clone(); corrupt(45) = (corrupt(45) ^ 1).toByte
+    intercept[IllegalArgumentException](ops.Codecs.decodePng(corrupt))
+  }
+
+  test("PNG codec: encode→decode round-trips every filter type and color type") {
+    for (w <- Seq(1, 3, 5, 16); h <- Seq(1, 4, 7); f <- -1 to 4) {
+      val rgb = Array.tabulate(w * h * 3)(i => ((i * 31 + w * 7 + h + f) % 256).toByte)
+      val img = ops.Codecs.decodePng(ops.Codecs.encodePng(w, h, rgb, f))
+      assert(img.width == w && img.height == h && img.rgb.toSeq == rgb.toSeq,
+        s"RGB round-trip failed at ${w}x$h filter $f")
+    }
+    // grayscale expands to RGB; RGBA drops alpha
+    val gray = Array.tabulate(6 * 4)(i => (i * 11 % 256).toByte)
+    val g = ops.Codecs.decodePng(ops.Codecs.encodePng(6, 4, gray))
+    assert(g.rgb.toSeq == gray.toIndexedSeq.flatMap(v => Seq(v, v, v)))
+    val rgba = Array.tabulate(3 * 2 * 4)(i => (i * 17 % 256).toByte)
+    val q = ops.Codecs.decodePng(ops.Codecs.encodePng(3, 2, rgba))
+    assert(q.rgb.toSeq ==
+      rgba.grouped(4).flatMap(_.take(3)).toSeq)
+  }
+
+  test("PNG codec: resize + features agree with the BMP path on equal pixels") {
+    val (w, h) = (9, 5)
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 53 + 7) % 256).toByte)
+    val png = ops.Codecs.encodePng(w, h, rgb)
+    val bmp = ops.Codecs.encodeBmp(w, h, rgb)
+    // identical pixels → identical features across codecs
+    assert(ops.Codecs.pngFeatures(png).toSeq == ops.Codecs.bmpFeatures(bmp).toSeq)
+    assert(ops.Codecs.mediaFeatures(png).toSeq == ops.Codecs.pngFeatures(png).toSeq)
+    // resize through both payload paths lands on the same pixels
+    val rp = ops.Codecs.decodePng(ops.Codecs.resizePng(4, 3)(png))
+    val rb = ops.Codecs.decodeBmp(ops.Codecs.resizeBmp(4, 3)(bmp))
+    assert(rp.width == 4 && rp.height == 3)
+    assert(rp.rgb.toSeq == rb.rgb.toSeq)
+  }
+
   test("WAV codec: PCM16 round-trip and feature extraction") {
     val samples = Array[Short](1000, -1000, 2000, -2000, 0, 3000)
     val bytes = ops.Codecs.encodeWav(16000, 2, samples)
