@@ -327,15 +327,65 @@ object Compiler {
 
     if (node.orderBy.nonEmpty) df = df.orderBy(node.orderBy.map(sortColumn): _*)
     node.limit.foreach(l => df = df.limit(l))
-    if (executeSinks) node.save.foreach { s =>
-      val w = df.write.mode(s.mode).options(s.options)
-      s.format match {
-        case "csv" => w.option("header", "true").csv(s.path)
-        case f     => w.format(f).save(s.path)
-      }
-    }
+    if (executeSinks) node.save.foreach(s => writeSink(df, s, s"node ${node.id}"))
     df
   }
+
+  /** Batch sink execution, shared by node and cascade saves. A sink with
+    * `layout` directives delegates to the [[graft.ops.Layout]] writers —
+    * the config surface of physical data layout; misuse (two modes, a
+    * non-parquet format, append mode, a pathless range write, a table-less
+    * bucket write) throws with the offending site named rather than
+    * silently writing a different layout. */
+  private[graft] def writeSink(df: DataFrame, s: SinkSpec, ctx: String): Unit =
+    s.layout match {
+      case Some(l) =>
+        val modes = Seq(
+          "partition_by" -> l.partitionBy, "bucket_by" -> l.bucketBy,
+          "range_by" -> l.rangeBy, "zorder_by" -> l.zorderBy
+        ).filter(_._2.nonEmpty)
+        if (modes.size != 1)
+          throw new IllegalArgumentException(
+            s"$ctx: a layout sink needs exactly ONE of partition_by / " +
+              s"bucket_by / range_by / zorder_by, got ${modes.map(_._1).mkString(", ")}")
+        if (s.mode != "overwrite")
+          throw new IllegalArgumentException(
+            s"$ctx: layout sinks are overwrite-only (got mode '${s.mode}')")
+        if (s.format != "parquet")
+          throw new IllegalArgumentException(
+            s"$ctx: layout sinks write parquet (got format '${s.format}')")
+        if (l.sortBy.nonEmpty && l.bucketBy.isEmpty)
+          throw new IllegalArgumentException(
+            s"$ctx: sort_by applies only to bucket_by sinks " +
+              "(range_by/zorder_by sort on their own keys)")
+        def path: String =
+          if (s.path.nonEmpty) s.path
+          else throw new IllegalArgumentException(s"$ctx: layout sink needs a path")
+        def ranges: Int =
+          if (l.ranges > 0) l.ranges
+          else throw new IllegalArgumentException(
+            s"$ctx: range_by/zorder_by sinks need 'ranges' > 0 (file count " +
+              "is a deliberate knob at scale, not a default)")
+        if (l.partitionBy.nonEmpty)
+          graft.ops.Layout.writePartitioned(df, path, l.partitionBy, l.maxRecordsPerFile)
+        else if (l.bucketBy.nonEmpty) {
+          val table = s.table.getOrElse(throw new IllegalArgumentException(
+            s"$ctx: bucketed sinks are catalog-backed — set 'table', not 'path' " +
+              "(bucket metadata lives in the table definition)"))
+          if (l.buckets <= 0)
+            throw new IllegalArgumentException(s"$ctx: bucket_by needs 'buckets' > 0")
+          graft.ops.Layout.writeBucketed(df, table, l.bucketBy, l.buckets, l.sortBy)
+        } else if (l.rangeBy.nonEmpty)
+          graft.ops.Layout.writeRangeSorted(df, path, l.rangeBy, ranges, l.maxRecordsPerFile)
+        else
+          graft.ops.Layout.writeZOrdered(df, path, l.zorderBy, l.zorderBits, ranges, l.maxRecordsPerFile)
+      case None =>
+        val w = df.write.mode(s.mode).options(s.options)
+        s.format match {
+          case "csv" => w.option("header", "true").csv(s.path)
+          case f     => w.format(f).save(s.path)
+        }
+    }
 
   /** Iteration×level cascade (`Optimus/optimus.py:40-51`): the source is
     * read once and each iteration's levels chain lazily — output of level k
@@ -349,13 +399,7 @@ object Compiler {
     val results = c.iterations.map { it =>
       var df = src
       it.levels.foreach(l => df = compileNode(spark, l, Some(df), executeSinks))
-      if (executeSinks) it.save.foreach { s =>
-        val w = df.write.mode(s.mode).options(s.options)
-        s.format match {
-          case "csv" => w.option("header", "true").csv(s.path)
-          case f     => w.format(f).save(s.path)
-        }
-      }
+      if (executeSinks) it.save.foreach(s => writeSink(df, s, s"iteration ${it.id}"))
       df
     }
     results.last
@@ -436,7 +480,19 @@ object Compiler {
   def startStreamSink(df: DataFrame,
       s: SinkSpec): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.streaming.Trigger
+    s.layout.foreach { l =>
+      // hive partitioning streams fine (each micro-batch lands in its
+      // partition directories); the other three need a global pass —
+      // range sampling, catalog bucketing, quantile cutpoints — that a
+      // micro-batch writer can't do. Re-layout landed data in batch.
+      if (l.bucketBy.nonEmpty || l.rangeBy.nonEmpty || l.zorderBy.nonEmpty)
+        throw new IllegalArgumentException(
+          "bucket_by/range_by/zorder_by sinks are batch-only (they need a " +
+            "global pass over the data); streams support partition_by only")
+    }
     var w = df.writeStream.options(s.options)
+    s.layout.map(_.partitionBy).filter(_.nonEmpty)
+      .foreach(p => w = w.partitionBy(p: _*))
     s.outputMode.foreach(m => w = w.outputMode(m))
     s.checkpoint.foreach(c => w = w.option("checkpointLocation", c))
     s.trigger.foreach {

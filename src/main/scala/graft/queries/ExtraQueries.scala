@@ -449,6 +449,7 @@ object ExtraQueries extends QueryPack {
     Q("q85_config_scrub", q85, Some(CorpusQueries.q81Sql)),
     Q("q86_config_sample", q86, Some(q86Sql)),
     Q("q87_config_zorder", q87, Some(q83Sql)),
+    Q("q95_config_layout", q95, Some(q95Sql)),
     Q("q91_config_boilerplate", q91, Some(CorpusQueries.q90Sql))
   )
 
@@ -506,6 +507,34 @@ object ExtraQueries extends QueryPack {
        "derive": {"z": "zorder(l_partkey % 256, l_suppkey % 256, 8)"},
        "keep_columns": ["l_orderkey", "l_linenumber", "z"],
        "order_by": ["z asc", "l_orderkey asc", "l_linenumber asc"]}""")
+
+  // q95 — config-surface LAYOUT sink end-to-end: the JSON pipeline writes
+  // documents hive-partitioned by lang (save.partition_by →
+  // Layout.writePartitioned) and the query reads the PARTITIONED output
+  // back and aggregates per lang. The oracle runs on the ORIGINAL table,
+  // so the hash-match proves the layout round-trip is lossless — values,
+  // types and the partition column itself (which parquet re-derives from
+  // directory names). Partition pruning on this layout is asserted in
+  // LayoutSpec; this query gates the config plumbing.
+  private def q95(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_q95_layout"
+    graft.compile.Compiler.compileJson(s, s"""
+      {"source": {"table": "documents"},
+       "keep_columns": ["doc_id", "lang", "source", "n_chars"],
+       "save": {"path": "$out", "partition_by": ["lang"]}}""")
+    s.read.parquet(out)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("n_chars")).as("chars"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy(col("lang").asc_nulls_first)
+  }
+  private val q95Sql = """
+    SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents GROUP BY 1 ORDER BY lang ASC NULLS FIRST"""
 
   // q91 — q90's boilerplate line removal as pure JSON: the planted
   // header/body/footer construction is one `derive` expr, the removal is

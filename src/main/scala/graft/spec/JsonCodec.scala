@@ -323,14 +323,33 @@ object JsonCodec {
     if (s.isTextual) SinkSpec(path = s.asText)
     else {
       val format = opt(s, "format").map(_.asText).getOrElse("parquet")
+      val table = opt(s, "table").map(_.asText)
+      // layout keys, flat on the sink: partition_by / bucket_by / range_by
+      // / zorder_by (+ their knobs) — see SinkLayoutSpec
+      val layoutKeys = Seq("partition_by", "bucket_by", "range_by", "zorder_by")
+      val layout =
+        if (layoutKeys.exists(k => opt(s, k).isDefined))
+          Some(SinkLayoutSpec(
+            partitionBy = opt(s, "partition_by", "partitionBy").map(strSeq).getOrElse(Nil),
+            bucketBy = opt(s, "bucket_by", "bucketBy").map(strSeq).getOrElse(Nil),
+            buckets = opt(s, "buckets").map(_.asInt).getOrElse(0),
+            sortBy = opt(s, "sort_by", "sortBy").map(strSeq).getOrElse(Nil),
+            rangeBy = opt(s, "range_by", "rangeBy").map(strSeq).getOrElse(Nil),
+            ranges = opt(s, "ranges").map(_.asInt).getOrElse(0),
+            zorderBy = opt(s, "zorder_by", "zorderBy").map(strSeq).getOrElse(Nil),
+            zorderBits = opt(s, "zorder_bits", "zorderBits").map(_.asInt).getOrElse(4),
+            maxRecordsPerFile =
+              opt(s, "max_records_per_file", "maxRecordsPerFile").map(_.asLong).getOrElse(0L)))
+        else None
       // only the KNOWN file formats hard-require a path — option-driven
-      // sinks (kafka, jdbc, memory, console, ...) are legitimately pathless
+      // sinks (kafka, jdbc, memory, console, ...) are legitimately
+      // pathless, and catalog-backed (table) sinks carry a name instead
       val pathRequired = Set("parquet", "csv", "json", "orc", "text", "avro")
       SinkSpec(
         path = opt(s, "path").map(_.asText).getOrElse {
           // fail at parse time, not at the end of the job with Hadoop's
           // cryptic empty-path error
-          if (pathRequired(format))
+          if (pathRequired(format) && table.isEmpty)
             throw new IllegalArgumentException(
               s"sink format '$format' requires a path")
           else ""
@@ -343,7 +362,9 @@ object JsonCodec {
         trigger = opt(s, "trigger").map(_.asText),
         checkpoint = opt(s, "checkpoint", "checkpoint_location").map(_.asText),
         outputMode = opt(s, "output_mode", "outputMode").map(_.asText),
-        queryName = opt(s, "query_name", "queryName").map(_.asText)
+        queryName = opt(s, "query_name", "queryName").map(_.asText),
+        table = table,
+        layout = layout
       )
     }
 

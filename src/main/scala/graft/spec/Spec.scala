@@ -172,7 +172,38 @@ final case class SinkSpec(
     trigger: Option[String] = None,
     checkpoint: Option[String] = None,
     outputMode: Option[String] = None,
-    queryName: Option[String] = None
+    queryName: Option[String] = None,
+    table: Option[String] = None, // bucketed sinks are catalog-backed
+    layout: Option[SinkLayoutSpec] = None
+)
+
+/** Physical-layout directives on a batch sink (NS) — the config surface
+  * of [[graft.ops.Layout]], because layout is precisely what a 100 TB
+  * curation job tunes: the write pays one shuffle so the next thousand
+  * queries scan less. Exactly ONE of the four modes may be set:
+  *
+  *   - `partitionBy`: hive directories, coarse pruning (low-cardinality);
+  *   - `bucketBy` (+`buckets`, optional `sortBy`): pre-shuffled storage —
+  *     co-bucketed equi-joins/aggs run with NO exchange. Catalog-backed:
+  *     the sink needs `table`, not `path`;
+  *   - `rangeBy` (+`ranges`): range-partitioned sorted files — parquet
+  *     min/max footers become file-skipping indexes;
+  *   - `zorderBy` (+`zorderBits`, `ranges`): multi-column locality — file
+  *     skipping on EVERY participating column.
+  *
+  * Layout sinks are parquet + overwrite by construction (delegating to
+  * the Layout writers); anything else throws at compile, never silently
+  * writes a different layout. */
+final case class SinkLayoutSpec(
+    partitionBy: Seq[String] = Nil,
+    bucketBy: Seq[String] = Nil,
+    buckets: Int = 0,
+    sortBy: Seq[String] = Nil,
+    rangeBy: Seq[String] = Nil,
+    ranges: Int = 0,
+    zorderBy: Seq[String] = Nil,
+    zorderBits: Int = 4,
+    maxRecordsPerFile: Long = 0L
 )
 
 /** Event-time watermark (streaming state eviction bound). Applied after

@@ -108,6 +108,91 @@ class LayoutSpec extends SparkSpec {
     assert(got == Seq(0, 1, 1, 2, 3))
   }
 
+  test("config layout sinks: partition_by prunes, range_by files disjoint, bucket_by joins exchange-free") {
+    Tables.registerViews(spark, sf)
+    // partition_by from JSON → hive dirs → file-index pruning
+    val pdir = tmp("graft-cfg-part")
+    graft.compile.Compiler.compileJson(spark, s"""
+      {"source": {"table": "documents"},
+       "keep_columns": ["doc_id", "lang", "n_chars"],
+       "save": {"path": "$pdir", "partition_by": ["lang"]}}""")
+    val one = spark.read.parquet(pdir).filter($"lang" === "en")
+    val scanned = one.queryExecution.sparkPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(scanned.contains(1), s"expected 1 pruned partition, got $scanned")
+    // range_by from JSON → disjoint per-file key ranges
+    val rdir = tmp("graft-cfg-range")
+    graft.compile.Compiler.compileJson(spark, s"""
+      {"source": {"table": "lineitem"},
+       "keep_columns": ["l_orderkey", "l_quantity"],
+       "save": {"path": "$rdir", "range_by": ["l_orderkey"], "ranges": 4}}""")
+    val files = new java.io.File(rdir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length > 1)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min("l_orderkey"), max("l_orderkey")).first()
+      (r.getLong(0), r.getLong(1))
+    }
+    ranges.sortBy(_._1).sliding(2).foreach {
+      case Array((_, hiA), (loB, _)) => assert(hiA <= loB, "file ranges overlap")
+      case _ =>
+    }
+    // bucket_by from JSON → catalog table → exchange-free self-join
+    graft.compile.Compiler.compileJson(spark, s"""
+      {"source": {"table": "orders"},
+       "keep_columns": ["o_orderkey", "o_totalprice"],
+       "save": {"table": "cfg_bkt", "bucket_by": ["o_orderkey"],
+                "buckets": 4, "sort_by": ["o_orderkey"]}}""")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("cfg_bkt").join(
+        spark.table("cfg_bkt").select($"o_orderkey", $"o_totalprice".as("p2")), "o_orderkey")
+      j.count()
+      val resolved = j.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      assert(resolved.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"config-bucketed self-join should plan no exchange:\n$resolved")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS cfg_bkt")
+    }
+  }
+
+  test("config layout sinks: misuse throws with the site named") {
+    Tables.registerViews(spark, sf)
+    def bad(saveJson: String): String =
+      intercept[IllegalArgumentException](
+        graft.compile.Compiler.compileJson(spark, s"""
+          {"source": {"table": "documents"}, "keep_columns": ["doc_id", "lang"],
+           "save": $saveJson}""")).getMessage
+    // two layout modes at once
+    assert(bad(s"""{"path": "/tmp/x", "partition_by": ["lang"], "range_by": ["doc_id"], "ranges": 2}""")
+      .contains("exactly ONE"))
+    // sort_by without bucket_by
+    assert(bad(s"""{"path": "/tmp/x", "range_by": ["doc_id"], "ranges": 2, "sort_by": ["doc_id"]}""")
+      .contains("sort_by"))
+    // bucket_by without a catalog table
+    assert(bad(s"""{"path": "/tmp/x", "bucket_by": ["doc_id"], "buckets": 4}""")
+      .contains("table"))
+    // range_by without ranges
+    assert(bad(s"""{"path": "/tmp/x", "range_by": ["doc_id"]}""").contains("ranges"))
+    // layout sinks are overwrite-only
+    assert(bad(s"""{"path": "/tmp/x", "partition_by": ["lang"], "mode": "append"}""")
+      .contains("overwrite"))
+    // and the global-pass modes are batch-only on a stream sink
+    val sdf = spark.readStream.format("rate").load()
+    val err = intercept[IllegalArgumentException](
+      graft.compile.Compiler.startStreamSink(sdf, graft.spec.SinkSpec(
+        path = "/tmp/x",
+        layout = Some(graft.spec.SinkLayoutSpec(zorderBy = Seq("a", "b"), ranges = 2)))))
+    assert(err.getMessage.contains("batch-only"))
+  }
+
   test("z-ordered write preserves rows and improves per-file column locality") {
     val li = Tables.load(spark, sf, "lineitem")
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
