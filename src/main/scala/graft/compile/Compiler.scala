@@ -37,9 +37,10 @@ object Compiler {
         node.dedup.toSeq.flatMap(d => d.keys ++ d.idCol) ++
         node.nearDup.toSeq.flatMap(d => Seq(d.idCol, d.vecCol)) ++
         node.boilerplate.toSeq.flatMap(b => Seq(b.idCol, b.textCol))
-    // compact/top_k run AFTER children (joins may add or prefix columns),
-    // so their references are checked by the analyzer tier, not here —
-    // a source-schema check would false-positive on joined columns.
+    // compact/running_totals/top_k run AFTER children (joins may add or
+    // prefix columns), so their references are checked by the analyzer
+    // tier, not here — a source-schema check would false-positive on
+    // joined columns.
     wanted.filterNot(have.contains).map(c => s"node ${node.id}: unknown column '$c' (have: ${have.mkString(", ")})")
   }
 
@@ -318,6 +319,16 @@ object Compiler {
           df, c.keys, c.versionOrder.map(sortColumn),
           c.deleteWhen.map(expr).getOrElse(lit(false)))
       }
+    }
+
+    // Running totals after compact (totals over the compacted snapshot,
+    // if both are set), before topK/orderBy. The same node key streams:
+    // flatMapGroupsWithState compiles under readStream inputs with two
+    // longs of state per key, and the batch compile of one spec equals
+    // the window formulation exactly (StreamingSpec).
+    node.runningTotals.foreach { r =>
+      df = graft.streaming.Streaming.runningTotals(
+        df, r.keyCol, r.seqCol, r.tsCol, r.valueCol)
     }
 
     node.topK.foreach { t =>

@@ -175,6 +175,22 @@ object CorpusQueries extends QueryPack {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     ORDER BY user_id ASC NULLS FIRST, ts ASC NULLS FIRST, event_id ASC NULLS FIRST"""
 
+  // q96 — q77's running totals declared ENTIRELY from JSON: the
+  // `running_totals` node key compiles to the custom-state op
+  // (Streaming.runningTotals — the same spec streams under compileStream
+  // with two longs of state per key; StreamingSpec asserts config-stream
+  // == batch). Carries q77's oracle: the config path must hash-match the
+  // window formulation.
+  private def q96(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "events"},
+       "keep_columns": ["user_id", "event_id", "ts", "value"],
+       "running_totals": {"key_col": "user_id", "seq_col": "event_id",
+                          "ts_col": "ts", "value_col": "value"},
+       "order_by": ["user_id asc", "ts asc", "event_id asc"]}""")
+  }
+
   // q80 — stratified deterministic sample: 25 documents per language by
   // Knuth multiplicative hash rank (q61's portable hash, so the quota
   // selection itself is oracle hash-checked end-to-end, not just the row
@@ -283,6 +299,7 @@ object CorpusQueries extends QueryPack {
     Q("q75_repetition_stats", q75, Some(q75Sql)),
     Q("q76_salted_join", q76, Some(q76Sql)),
     Q("q77_running_totals", q77, Some(q77Sql)),
+    Q("q96_config_running_totals", q96, Some(q77Sql)),
     Q("q80_stratified_sample", q80, Some(q80Sql)),
     Q("q81_pii_scrub", q81, Some(q81Sql)),
     Q("q90_boilerplate_lines", q90, Some(q90Sql))

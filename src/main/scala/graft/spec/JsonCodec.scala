@@ -276,6 +276,13 @@ object JsonCodec {
             opt(c, "version_order", "versionOrder").map(strSeq).getOrElse(Nil),
           deleteWhen = opt(c, "delete_when", "deleteWhen").map(_.asText))
       },
+      runningTotals = opt(n, "running_totals", "runningTotals").map { r =>
+        RunningTotalsSpec(
+          keyCol = req(r, s"node $id: running_totals", "key_col", "keyCol").asText,
+          seqCol = req(r, s"node $id: running_totals", "seq_col", "seqCol").asText,
+          tsCol = req(r, s"node $id: running_totals", "ts_col", "tsCol").asText,
+          valueCol = req(r, s"node $id: running_totals", "value_col", "valueCol").asText)
+      },
       topK = opt(n, "top_k", "topK").map { t =>
         TopKSpec(
           partitionBy = opt(t, "partition_by", "partitionBy").map(strSeq).getOrElse(Nil),

@@ -269,6 +269,21 @@ final case class CompactSpec(
     deleteWhen: Option[String] = None
 )
 
+/** Per-key running totals with custom streaming state (NS; config surface
+  * of `Streaming.runningTotals` — flatMapGroupsWithState, two longs of
+  * state per key): every row is emitted enriched with `running_n` and the
+  * decimal-exact `running_value` of its key so far, ordered by
+  * (`tsCol`, `seqCol`). Batch compiles of the same spec equal the window
+  * formulation exactly (StreamingSpec asserts stream == batch == window).
+  * Output schema: (keyCol, seqCol, tsCol, valueCol, running_n,
+  * running_value). */
+final case class RunningTotalsSpec(
+    keyCol: String,
+    seqCol: String,
+    tsCol: String,
+    valueCol: String
+)
+
 /** Literal column stamp, e.g. bitemporal validity interval
   * (ref: `Optimus/soundwave.py:76-78` valid_from/valid_to). */
 final case class BitemporalSpec(
@@ -316,6 +331,7 @@ final case class NodeSpec(
     bitemporal: Option[BitemporalSpec] = None,
     children: Seq[ChildSpec] = Nil,
     compact: Option[CompactSpec] = None, // after children, before topK
+    runningTotals: Option[RunningTotalsSpec] = None, // after compact, before topK
     topK: Option[TopKSpec] = None, // after children, before orderBy
     orderBy: Seq[String] = Nil, // "col", "col asc", "col desc" [nulls first|last]
     limit: Option[Int] = None,

@@ -438,4 +438,51 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(streamed == windowed)
   }
+
+  test("running_totals config key: config-stream equals config-batch equals q77 window") {
+    // ONE spec, declared in JSON; the `running_totals` node key compiles
+    // batch (oracle-checkable, = q77's window formulation) and streaming
+    // (flatMapGroupsWithState) — the full config surface of the custom-
+    // state op, per-key cumulative totals of the event stream.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val json = s"""
+      {"source": {"format": "parquet", "path": "$eventsDir"},
+       "derive": {"ts2": "timestamp_micros(ts div 1000)"},
+       "keep_columns": ["user_id", "event_id", "ts2", "value"],
+       "running_totals": {"key_col": "user_id", "seq_col": "event_id",
+                          "ts_col": "ts2", "value_col": "value"},
+       "save": {"format": "memory", "query_name": "cfg_totals",
+                "output_mode": "append", "trigger": "available_now"}}"""
+    val spec = graft.spec.JsonCodec.parse(json)
+
+    // ground truth: the q77 window formulation on the same rows
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val windowed = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("running_n"),
+        graft.ops.Relational.runningDSum(col("value"), w).as("running_value"))
+      .orderBy("user_id", "event_id")
+      .collect().map(_.toSeq).toSeq
+
+    // batch compile of the spec (sinks off — memory sinks are stream-only)
+    val batch = graft.compile.Compiler.compile(spark, spec, executeSinks = false)
+      .select("user_id", "event_id", "running_n", "running_value")
+      .orderBy("user_id", "event_id")
+      .collect().map(_.toSeq).toSeq
+    assert(batch == windowed, "config-batch totals must equal the window formulation")
+
+    // streaming compile of the SAME spec
+    val q = graft.compile.Compiler.compileStream(spark, spec)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cfg_totals")
+      .select("user_id", "event_id", "running_n", "running_value")
+      .orderBy("user_id", "event_id")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == windowed, "config-stream totals must equal the window formulation")
+  }
 }
