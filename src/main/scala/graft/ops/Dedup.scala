@@ -49,6 +49,76 @@ object Dedup {
     exactDedup(incoming, keyCols, idCol)
       .join(seenKeys.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
 
+  /** Incremental NEAR-dup ingestion — [[dedupAgainstCorpus]] extended
+    * from exact fingerprints to MinHash near-duplicates, the production
+    * shape for a corpus that grows daily:
+    *
+    *   1. the incoming batch dedups WITHIN itself: LSH candidates →
+    *      exact-Jaccard verify → connected components → min-id
+    *      representative per cluster;
+    *   2. the batch's band index probes `corpusIndex` — the PERSISTED
+    *      [[minhashBandIndex]] of the existing corpus — by equi-join on
+    *      (band, band_key); candidate (incoming, corpus) pairs verify by
+    *      exact Jaccard against only the candidate corpus docs, and any
+    *      incoming doc at or above `threshold` to a corpus doc is
+    *      dropped.
+    *
+    * The result set is order-independent: incoming minus in-batch
+    * cluster losers minus corpus-similar docs (a doc similar to both is
+    * dropped once, whichever tier sees it first) — which is what makes
+    * it exactly mirrorable in oracle SQL.
+    *
+    * Scale posture: every shuffle is batch-shaped. The corpus index is
+    * probed, never rebuilt (16 longs/doc at the defaults); `corpusDocs`
+    * supplies (idCol, textCol) to the verify tier, and only CANDIDATE
+    * corpus ids are ever joined against it — history is not re-read.
+    * `corpusIndex` must have been built with the same (shingleSize,
+    * numHashes, bands): mismatched banding silently probes nothing, so
+    * the band count is checked against the index up front. */
+  def nearDupAgainstCorpus(
+      incoming: DataFrame,
+      corpusIndex: DataFrame,
+      corpusDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    require(corpusIndex.columns.toSet == Set(idCol, "band", "band_key"),
+      s"corpusIndex must be minhashBandIndex output ($idCol, band, band_key), " +
+        s"got ${corpusIndex.columns.mkString(", ")}")
+    val inIdx = minhashBandIndex(incoming, idCol, textCol, shingleSize, numHashes, bands)
+    // tier 1: in-batch near-dedup (candidates → verify → clusters)
+    val inA = inIdx.select(col("band"), col("band_key"), col(idCol).as("idA"))
+    val inB = inIdx.select(col("band"), col("band_key"), col(idCol).as("idB"))
+    val inCands = inA.join(inB, Seq("band", "band_key"))
+      .filter(col("idA") < col("idB")).select("idA", "idB").distinct()
+    val inPairs = verifyJaccardPairs(incoming, idCol, textCol, inCands, shingleSize, threshold)
+    val batchKept = dedupByClusters(incoming, inPairs, idCol)
+    // tier 2: probe the persisted corpus index (batch-shaped equi-join)
+    val crossCands = inIdx.select(col("band"), col("band_key"), col(idCol).as("__inc"))
+      .join(corpusIndex.select(col("band"), col("band_key"), col(idCol).as("__corp")),
+        Seq("band", "band_key"))
+      .select("__inc", "__corp").distinct()
+    val incSets = incoming.select(col(idCol).as("__inc"),
+      hashedNgrams(col(textCol), shingleSize).as("__shA"))
+    val corpSets = corpusDocs.select(col(idCol).as("__corp"),
+      hashedNgrams(col(textCol), shingleSize).as("__shB"))
+    val dupOfCorpus = crossCands
+      .join(incSets, Seq("__inc"))
+      .join(corpSets, Seq("__corp"))
+      .select(col("__inc"),
+        size(array_intersect(col("__shA"), col("__shB"))).cast("long").as("common"),
+        size(col("__shA")).as("szA"), size(col("__shB")).as("szB"))
+      .filter(
+        round(col("common").cast("double") / (col("szA") + col("szB") - col("common")), 9)
+          >= threshold)
+      .select(col("__inc").as(idCol)).distinct()
+    batchKept.join(dupOfCorpus, Seq(idCol), "left_anti")
+  }
+
   /** Word-level shingles (n-grams) as an array column. n=1 → unigram set.
     * Tokens are let-bound (TextAnalysis.withTokens) so the split runs once
     * per row — referencing the token expression inside the position lambda
@@ -111,14 +181,20 @@ object Dedup {
     * 1-(1-j^r)^bands (the standard S-curve). One explode (×bands) + one
     * shuffle on the band key + an in-bucket self-join.
     * Returns (idA, idB) with idA < idB, distinct. */
-  def minhashCandidatePairs(
+  /** MinHash band index: one row per (band, band_key) bucket membership
+    * of each doc — the banding stage of [[minhashCandidatePairs]] exposed
+    * as a standalone frame because PERSISTED it is the production ingest
+    * artifact: write it once per corpus (16 longs per doc at the
+    * defaults), and every daily batch probes it by equi-join instead of
+    * re-signaturing history ([[nearDupAgainstCorpus]]). Probes only match
+    * an index built with the SAME (shingleSize, numHashes, bands). */
+  def minhashBandIndex(
       df: DataFrame,
       idCol: String,
       textCol: String,
       shingleSize: Int = 3,
       numHashes: Int = 64,
-      bands: Int = 16,
-      maxBucketSize: Option[Int] = None
+      bands: Int = 16
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
@@ -129,12 +205,24 @@ object Dedup {
     val sig = df
       .select(col(idCol), hashedNgrams(col(textCol), shingleSize).as("__hs"))
       .select(col(idCol), minhashSignature(col("__hs"), numHashes).as("sig"))
-    var banded = sig.select(
+    sig.select(
       col(idCol),
       posexplode(
         array((0 until bands).map(b =>
           xxhash64(lit(b) +: (0 until r).map(i => element_at(col("sig"), b * r + i + 1)): _*)): _*))
         .as(Seq("band", "band_key")))
+  }
+
+  def minhashCandidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      maxBucketSize: Option[Int] = None
+  ): DataFrame = {
+    var banded = minhashBandIndex(df, idCol, textCol, shingleSize, numHashes, bands)
     // Degenerate-corpus guard: a bucket of m docs yields m²/2 candidate
     // pairs — cap bucket size so one pathological band key (e.g. the
     // all-empty-docs signature) can't produce a quadratic blowup.

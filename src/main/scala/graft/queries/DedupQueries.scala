@@ -206,6 +206,76 @@ object DedupQueries extends QueryPack {
     WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.fp = inc.fp)
     ORDER BY doc_id ASC NULLS FIRST"""
 
+  // q97 — INCREMENTAL near-dup ingestion: q88's daily-delta shape upgraded
+  // from exact fingerprints to MinHash near-duplicates. Corpus = docs with
+  // doc_id % 3 = 0, reduced to its PERSISTED band index
+  // (Dedup.minhashBandIndex — the artifact a production ingest maintains);
+  // incoming = the rest, deduped within itself (LSH → verify → clusters →
+  // min-id rep) and against the corpus (index probe → exact-Jaccard verify
+  // on candidates only). Same regime q53 proved lossless on this corpus
+  // (3-shingles, 64 hashes × 16 bands, τ=0.5 — the OpsSpec recall
+  // invariant is pairwise, so it holds on the split too), so the EXACT
+  // DuckDB oracle applies: incoming minus in-batch closure losers minus
+  // corpus-similar docs, with the same Jaccard construction and rounding
+  // as the q45/q53 template.
+  private def q97(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val corpus = d.filter(col("doc_id") % 3 === 0)
+    val incoming = d.filter(col("doc_id") % 3 =!= 0)
+    val index = Dedup.minhashBandIndex(corpus, "doc_id", "text", 3, 64, 16)
+    Dedup.nearDupAgainstCorpus(
+        incoming, index, corpus.select("doc_id", "text"),
+        idCol = "doc_id", textCol = "text",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+  private val q97Sql = """
+    WITH sets AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in generate_series(1, greatest(len(t)-2, 1))]) AS sh
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)),
+    sizes AS (SELECT doc_id, len(sh) AS sz FROM sets),
+    ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
+    -- tier 1: in-batch pairs (both sides incoming) + transitive closure
+    pairs AS (
+      SELECT idA, idB FROM (
+        SELECT a.doc_id AS idA, b.doc_id AS idB, COUNT(*) AS common
+        FROM ex a JOIN ex b USING (shingle)
+        WHERE a.doc_id < b.doc_id AND a.doc_id % 3 <> 0 AND b.doc_id % 3 <> 0
+        GROUP BY 1, 2) c
+      JOIN sizes sa ON sa.doc_id = idA
+      JOIN sizes sb ON sb.doc_id = idB
+      WHERE ROUND(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 9) >= 0.5),
+    edges AS (SELECT idA AS src, idB AS dst FROM pairs
+              UNION ALL SELECT idB, idA FROM pairs),
+    reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src
+        WHERE e.dst <> r.a)
+      SELECT * FROM r),
+    clusters AS (
+      SELECT a AS id, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a),
+    losers AS (SELECT id FROM clusters WHERE id <> cluster),
+    -- tier 2: incoming docs near-duplicate to ANY corpus doc
+    crossdup AS (
+      SELECT DISTINCT idA AS id FROM (
+        SELECT a.doc_id AS idA, b.doc_id AS idB, COUNT(*) AS common
+        FROM ex a JOIN ex b USING (shingle)
+        WHERE a.doc_id % 3 <> 0 AND b.doc_id % 3 = 0
+        GROUP BY 1, 2) c
+      JOIN sizes sa ON sa.doc_id = idA
+      JOIN sizes sb ON sb.doc_id = idB
+      WHERE ROUND(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 9) >= 0.5)
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE doc_id % 3 <> 0
+      AND doc_id NOT IN (SELECT id FROM losers)
+      AND doc_id NOT IN (SELECT id FROM crossdup)
+    ORDER BY doc_id ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
     Q("q27_dedup_exact", q27, Some(q27Sql)),
     Q("q28_ngram_jaccard", q28, Some(q28Sql)),
@@ -214,6 +284,7 @@ object DedupQueries extends QueryPack {
     Q("q45_dedup_pipeline", q45, Some(q45Sql)),
     Q("q51_config_dedup", q51, Some(q51Sql)),
     Q("q53_dedup_pipeline_lsh", q53, Some(q53Sql)),
-    Q("q88_incremental_dedup", q88, Some(q88Sql))
+    Q("q88_incremental_dedup", q88, Some(q88Sql)),
+    Q("q97_incremental_neardup", q97, Some(q97Sql))
   )
 }

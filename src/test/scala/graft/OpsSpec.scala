@@ -720,6 +720,31 @@ class OpsSpec extends SparkSpec {
       s"merged estimate $merged vs exact $exact")
   }
 
+  test("incremental NEAR-dup: batch losers and corpus-similar docs dropped, index probed") {
+    def doc(words: Seq[String]) = words.mkString(" ")
+    val base = (1 to 30).map(i => s"w$i")
+    val corpus = Seq(
+      (100L, doc(base)),                       // the known corpus doc
+      (101L, doc((50 to 75).map(i => s"x$i"))) // unrelated corpus doc
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, doc(base.updated(3, "CHANGED"))),  // near-copy of corpus 100 — dropped
+      (20L, doc((1 to 28).map(i => s"y$i"))),  // in-batch pair, min id — kept
+      (21L, doc((1 to 28).map(i => s"y$i").updated(5, "Z"))), // its near-dup — dropped
+      (30L, doc((200 to 220).map(i => s"u$i"))) // unique — kept
+    ).toDF("doc_id", "text")
+    val index = Dedup.minhashBandIndex(corpus, "doc_id", "text", 3, 64, 16)
+    val kept = Dedup.nearDupAgainstCorpus(
+        incoming, index, corpus, "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(20L, 30L), s"got $kept")
+    // a frame that isn't minhashBandIndex output is rejected up front
+    val err = intercept[IllegalArgumentException](
+      Dedup.nearDupAgainstCorpus(incoming, corpus, corpus, "doc_id", "text"))
+    assert(err.getMessage.contains("minhashBandIndex"))
+  }
+
   test("incremental dedup: in-batch winner kept, corpus-known keys dropped") {
     val incoming = Seq(
       (10L, "k1", "a"), (11L, "k1", "b"), // in-batch dup — min id wins
