@@ -17,6 +17,9 @@ import java.nio.{ByteBuffer, ByteOrder}
   *   - PNG, 8-bit gray/RGB/RGBA, non-interlaced — the first COMPRESSED
   *     real-world format through the seam (java.util.zip Inflater/
   *     Deflater + full row-filter reconstruction, CRC-checked chunks).
+  *   - JPEG, baseline DCT (see [[Jpeg]]) — the dominant real-corpus
+  *     image format, decode pinned bit-exact against an independent
+  *     reference implementation.
   *   - WAV, PCM 16-bit little-endian (RIFF chunk walk) — ditto for audio.
   *   - AVI, RIFF container of uncompressed 24-bit DIB frames — video.
   *
@@ -573,6 +576,17 @@ object Codecs {
   def pngFeatures(payload: Array[Byte]): Array[Float] =
     imageFeatures(decodePng(payload))
 
+  /** [[bmpFeatures]] for baseline JPEG payloads (see [[Jpeg]]). */
+  def jpegFeatures(payload: Array[Byte]): Array[Float] =
+    imageFeatures(Jpeg.decode(payload))
+
+  /** Nearest-neighbor JPEG resize (decode → sample → re-encode at
+    * `quality`) — the JPEG twin of [[resizeBmp]]/[[resizePng]]. */
+  def resizeJpeg(outW: Int, outH: Int, quality: Int = 90)(payload: Array[Byte]): Array[Byte] = {
+    val r = resizeImage(Jpeg.decode(payload), outW, outH)
+    Jpeg.encode(r.width, r.height, r.rgb, quality)
+  }
+
   private def imageFeatures(img: Image): Array[Float] = {
     val n = img.width.toLong * img.height
     var sr = 0L; var sg = 0L; var sb = 0L
@@ -655,6 +669,7 @@ object Codecs {
   def mediaFeatures(payload: Array[Byte]): Array[Float] =
     if (isBmp(payload)) bmpFeatures(payload)
     else if (isPng(payload)) pngFeatures(payload)
+    else if (Jpeg.isJpeg(payload)) jpegFeatures(payload)
     else if (isWav(payload)) wavFeatures(payload)
     else if (isAvi(payload)) aviFeatures(payload)
     else Multimodal.decodeStub(payload)
@@ -671,6 +686,9 @@ object Codecs {
       // IHDR is mandatory-first: width/height are big-endian at 16/20
       val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
       ("png", buf.getInt(16), buf.getInt(20))
+    } else if (Jpeg.isJpeg(bytes)) {
+      val (w, h) = Jpeg.quickDims(bytes)
+      ("jpeg", w, h)
     } else if (isWav(bytes)) {
       val a = quickWavDims(bytes)
       ("wav", a._1, a._2)

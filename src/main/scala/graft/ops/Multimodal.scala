@@ -9,11 +9,11 @@ import org.apache.spark.sql.types._
   * feature-extract runs batch-wise per partition.
   *
   * Decode is REAL for BMP (24-bit), PNG (8-bit, DEFLATE + row filters),
-  * WAV (PCM16) and AVI (DIB frames) via the pure-JVM [[Codecs]] —
-  * header-parsed metadata, pixel/sample feature extraction,
-  * bit-reproducible outputs. Formats needing native libraries (JPEG,
-  * MP3, MP4 — not present in this environment) plug into the same
-  * `decoder` seam; until then they fall back to `decodeStub`, a
+  * JPEG (baseline DCT — [[Jpeg]]), WAV (PCM16) and AVI (DIB frames) via
+  * the pure-JVM [[Codecs]] — header-parsed metadata, pixel/sample
+  * feature extraction, bit-reproducible outputs. Formats needing native
+  * libraries (MP3, MP4 — not present in this environment) plug into the
+  * same `decoder` seam; until then they fall back to `decodeStub`, a
   * deterministic fake keyed on the payload bytes.
   *
   * Scale notes: payload bytes never shuffle (all derivations are

@@ -190,11 +190,48 @@ object MultimodalQueries extends QueryPack {
       .orderBy(col("media_id").asc_nulls_first)
   }
 
+  /** Deterministic text→JPEG fixture: same dim/pixel derivation as
+    * [[textToBmp]], baseline-encoded at quality 90 (real DCT + Huffman +
+    * quantization — the dominant real-corpus image format). */
+  private[graft] val textToJpeg = udf { (t: String) =>
+    val b = Option(t).getOrElse("").getBytes("UTF-8")
+    val w = 4 + (b.length % 9)
+    val h = 3 + (b.length % 7)
+    val px = Array.tabulate(w * h * 3)(i => if (b.isEmpty) 0.toByte else b(i % b.length))
+    graft.ops.Jpeg.encode(w, h, px, quality = 90)
+  }
+
+  // q99 — the LOSSY-compressed image path end-to-end: synthesize baseline
+  // JPEGs (real DCT/quant/Huffman), thumbnail through the JPEG
+  // decode→resize→re-encode transform, re-parse metadata from the resized
+  // bytes (SOF header), featurize the decoded pixels. Rows-only gate
+  // (DuckDB has no JPEG); decode EXACTNESS is pinned by the OpsSpec
+  // golden test against the independent python reference (shared-basis
+  // IDCT contract — byte equality, not tolerance).
+  private def q99(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMediaParsed(
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), textToJpeg(col("text")).as("payload")),
+      idCol = "doc_id", payloadCol = "payload")
+    val resized = Multimodal.transformPayload(media, "jpeg", Codecs.resizeJpeg(16, 12))
+    val parsed = Multimodal.asMediaParsed(resized, "media_id", "payload")
+    val feats = Multimodal.featurize(parsed, Codecs.mediaFeatures)
+    parsed.select(col("media_id"), col("meta.format").as("format"),
+        col("meta.width").as("width"), col("meta.height").as("height"))
+      .join(feats, Seq("media_id"))
+      .select(
+        col("media_id"), col("format"), col("width"), col("height"),
+        round(element_at(col("features"), 3).cast("double"), 9).as("mean_r"),
+        round(element_at(col("features"), 6).cast("double"), 9).as("mean_luma"))
+      .orderBy(col("media_id").asc_nulls_first)
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q37_multimodal_featurize", q37, None),
     Q("q69_audio_featurize", q69, None),
     Q("q71_video_featurize", q71, None),
     Q("q89_image_resize", q89, None),
-    Q("q94_png_resize", q94, None)
+    Q("q94_png_resize", q94, None),
+    Q("q99_jpeg_resize", q99, None)
   )
 }

@@ -334,6 +334,118 @@ class OpsSpec extends SparkSpec {
       rgba.grouped(4).flatMap(_.take(3)).toSeq)
   }
 
+  test("JPEG codec: independently-encoded goldens decode bit-exactly (RGB, gray, 4:2:0)") {
+    // Compressed bytes AND expected pixels come from tools/jpeg_ref.py —
+    // an independent python implementation sharing only the hex-exact
+    // IDCT basis + rounding contract, so decoded pixels must match as an
+    // EQUALITY (the JPEG spec's ±1 IDCT slack is pinned away by the
+    // shared-arithmetic contract, documented in graft.ops.Jpeg).
+    val goldenJpeg = java.util.Base64.getDecoder.decode(
+      "/9j/2wBDAAMCAgMCAgMDAwMEAwMEBQgFBQQEBQoHBwYIDAoMDAsKCwsNDhIQDQ4RDgsLEBYQ" +
+      "ERMUFRUVDA8XGBYUGBIUFRT/2wBDAQMEBAUEBQkFBQkUDQsNFBQUFBQUFBQUFBQUFBQUFBQU" +
+      "FBQUFBQUFBQUFBQUFBQUFBQUFBQUFBQUFBQUFBQUFBT/wAARCAAGAAsDAREAAhEBAxEB/8QA" +
+      "HwAAAQUBAQEBAQEAAAAAAAAAAAECAwQFBgcICQoL/8QAtRAAAgEDAwIEAwUFBAQAAAF9AQID" +
+      "AAQRBRIhMUEGE1FhByJxFDKBkaEII0KxwRVS0fAkM2JyggkKFhcYGRolJicoKSo0NTY3ODk6" +
+      "Q0RFRkdISUpTVFVWV1hZWmNkZWZnaGlqc3R1dnd4eXqDhIWGh4iJipKTlJWWl5iZmqKjpKWm" +
+      "p6ipqrKztLW2t7i5usLDxMXGx8jJytLT1NXW19jZ2uHi4+Tl5ufo6erx8vP09fb3+Pn6/8QA" +
+      "HwEAAwEBAQEBAQEBAQAAAAAAAAECAwQFBgcICQoL/8QAtREAAgECBAQDBAcFBAQAAQJ3AAEC" +
+      "AxEEBSExBhJBUQdhcRMiMoEIFEKRobHBCSMzUvAVYnLRChYkNOEl8RcYGRomJygpKjU2Nzg5" +
+      "OkNERUZHSElKU1RVVldYWVpjZGVmZ2hpanN0dXZ3eHl6goOEhYaHiImKkpOUlZaXmJmaoqOk" +
+      "paanqKmqsrO0tba3uLm6wsPExcbHyMnK0tPU1dbX2Nna4uPk5ebn6Onq8vP09fb3+Pn6/9oA" +
+      "DAMBAAIRAxEAPwA1Az2iXsMtra2UVnZanbT2GnnEIWwmX7dDEzoSEST/AEm0bAEcjOvlxrhh" +
+      "y1q+Hy+rLCVKtWTh7BX5m3arWlCkr8yu4TT55NN1Kdo1fas4KFfCxppyw6lLe7k7Xi25K0Uv" +
+      "clBpOKfOppThUgrwfM+NvF+ieFvEt1p3iOXxHNrSLFJcXHh+9jsrS48yNZFmEJRtkkiuryDc" +
+      "37xpPmb7x9fKoUKuG/2GcqdOMqkFH3bLkqSg1G6laN4vkV7RjaKUUlFbUcyw2Hpxp18DSqy6" +
+      "yk6yk7668lWEdE7aRW2t3dv/2Q==")
+    val goldenRgb = java.util.Base64.getDecoder.decode(
+      "DC1QZoijy9n/ETVBYo+iyOH/FztdeIeuy+sEHzlUc5as1esEID9UfprCze4ALkxkd6S75ugA" +
+      "MFNxlZm+2/kfOlF9j6u33P0YOl9vlajg9AAYPmR5k7Pc2w8bPGeKg77G/hYwUmCNlbnR+g4y" +
+      "TGSSp8jX+RcvVGuNq8rmBRswYXGIpMbpACI2XoGhrtPmAS4raHSaq9T/Cy9FZoChudz8Ezk8" +
+      "eoS1v+T3FjpQeoS1xeoPJj9TcpOy0OoDMjZceJm4zuQAKUVs")
+    val img = ops.Jpeg.decode(goldenJpeg)
+    assert(img.width == 11 && img.height == 6)
+    assert(img.rgb.toSeq == goldenRgb.toSeq, "RGB 4:4:4 decode differs from reference")
+    assert(ops.Codecs.parseMeta(goldenJpeg) == (("jpeg", 11, 6)))
+
+    val goldenGrayJpeg = java.util.Base64.getDecoder.decode(
+      "/9j/2wBDAAUDBAQEAwUEBAQFBQUGBwwIBwcHBw8LCwkMEQ8SEhEPERETFhwXExQaFRERGCEY" +
+      "Gh0dHx8fExciJCIeJBweHx7/wAALCAAHAAkBAREA/8QAHwAAAQUBAQEBAQEAAAAAAAAAAAEC" +
+      "AwQFBgcICQoL/8QAtRAAAgEDAwIEAwUFBAQAAAF9AQIDAAQRBRIhMUEGE1FhByJxFDKBkaEI" +
+      "I0KxwRVS0fAkM2JyggkKFhcYGRolJicoKSo0NTY3ODk6Q0RFRkdISUpTVFVWV1hZWmNkZWZn" +
+      "aGlqc3R1dnd4eXqDhIWGh4iJipKTlJWWl5iZmqKjpKWmp6ipqrKztLW2t7i5usLDxMXGx8jJ" +
+      "ytLT1NXW19jZ2uHi4+Tl5ufo6erx8vP09fb3+Pn6/9oACAEBAAA/AKnjjQo/Ac1t4kfRNO0b" +
+      "w9dyxWyLJbWsax3BRz5aIsN3IVKxl9zSdSwwAFy3/hYnhn/n80j/AMBo/wD5V1//2Q==")
+    val goldenGrayRgb = java.util.Base64.getDecoder.decode(
+      "AgICFxcXIyMjKCgoODg4RkZGV1dXYGBgbW1tenp6g4ODkpKSnJycurq6tra2w8PD0dHR4uLi" +
+      "+/v79vb2CgoKHR0dGxsbKSkpRUVFUVFRVlZWWlpadnZ2d3d3iIiInp6en5+fsbGxvr6+zs7O" +
+      "3t7e5OTk////AAAAEhISERERJycnMDAwPz8/TExMV1dXXl5efX19gYGBkJCQmZmZrKyst7e3" +
+      "x8fHz8/P4uLi4eHh8fHxDw8PDQ0NHh4eKSkp")
+    val gimg = ops.Jpeg.decode(goldenGrayJpeg)
+    assert(gimg.width == 9 && gimg.height == 7)
+    assert(gimg.rgb.toSeq == goldenGrayRgb.toSeq, "grayscale decode differs from reference")
+
+    val golden420Jpeg = java.util.Base64.getDecoder.decode(
+      "/9j/2wBDAAMCAgICAgMCAgIDAwMDBAYEBAQEBAgGBgUGCQgKCgkICQkKDA8MCgsOCwkJDREN" +
+      "Dg8QEBEQCgwSExIQEw8QEBD/2wBDAQMDAwQDBAgEBAgQCwkLEBAQEBAQEBAQEBAQEBAQEBAQ" +
+      "EBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBD/wAARCAALAA0DASIAAhEBAxEB/8QA" +
+      "HwAAAQUBAQEBAQEAAAAAAAAAAAECAwQFBgcICQoL/8QAtRAAAgEDAwIEAwUFBAQAAAF9AQID" +
+      "AAQRBRIhMUEGE1FhByJxFDKBkaEII0KxwRVS0fAkM2JyggkKFhcYGRolJicoKSo0NTY3ODk6" +
+      "Q0RFRkdISUpTVFVWV1hZWmNkZWZnaGlqc3R1dnd4eXqDhIWGh4iJipKTlJWWl5iZmqKjpKWm" +
+      "p6ipqrKztLW2t7i5usLDxMXGx8jJytLT1NXW19jZ2uHi4+Tl5ufo6erx8vP09fb3+Pn6/8QA" +
+      "HwEAAwEBAQEBAQEBAQAAAAAAAAECAwQFBgcICQoL/8QAtREAAgECBAQDBAcFBAQAAQJ3AAEC" +
+      "AxEEBSExBhJBUQdhcRMiMoEIFEKRobHBCSMzUvAVYnLRChYkNOEl8RcYGRomJygpKjU2Nzg5" +
+      "OkNERUZHSElKU1RVVldYWVpjZGVmZ2hpanN0dXZ3eHl6goOEhYaHiImKkpOUlZaXmJmaoqOk" +
+      "paanqKmqsrO0tba3uLm6wsPExcbHyMnK0tPU1dbX2Nna4uPk5ebn6Onq8vP09fb3+Pn6/9oA" +
+      "DAMBAAIRAxEAPwBh+w2XhV7C48mzkj09bG3tpEWFopZLaxYwpH5MXktIiO3liGxMqhswajyH" +
+      "3vBnhv8AtPWNTX/hH/t/2O2gtcf2P9r+zbbi7Pk4/sm88nG7PlYtNu7P2SLdvl5zQ1XUvhd4" +
+      "C1W4Gya/8MeJL+Vbf9xCsttZ2qxrHFHtjiiIJ8yGNVjmODKrkA1ka14p1LQdQ8PvY2mjSnVP" +
+      "Bum6hP8AbdFs7wJK97qIKwieJxBFhBiGLbGpLFVBZifqD5w//9k=")
+    val golden420Rgb = java.util.Base64.getDecoder.decode(
+      "CB41VGqBkKa9u9HoITdOYXeOprzTO1FoNEphdYuivtTrABQrSV92i6G4zuT7GC5FXHKJn7XM" +
+      "yd/2Jz1UbIKZssjfR110PVNqhZuyxNrxDiQ7TWN6mrDHvdPqGjBHaoCXrMLZOlBnNUtieI6l" +
+      "u9HoABUsTWN6jqS70+n/FCpBXXOKp73Uw9nwK0FYcYeetMrhSV92PVNqhpyzy+H4DiQ7VGqB" +
+      "nrTLuc/mITdOaX+WrMLZPlRrOE5leY+mwdfuBBoxSV92j6W8scfeIDZNYXeOo7nQzOL5LEJZ" +
+      "cIadt83kSmB3Qlhvi6G4x930ECY9V22ElavCvdPqJTtSaX+WrsTbQVduOlBnepCnwNbtBRsy" +
+      "UGZ9k6nAuM7lGzFIY3mQpbvSNEphMEZdc4mguM7lTWN6QFZtjKK5y+H4ESc+WW+Gma/GxNrx" +
+      "JjxTa4GYs8ngQFZtO1FofJKpxtzzCB41T2V8kqi/vtTrHDJJX3WMqsDXNkxjL0Vcd42kutDn" +
+      "T2V8QFZtjaO6yuD3FCpBVWuCn7XMy+H4Jz1UbIKZr8XcRlxzP1VsgJatxNrxCiA3VGqB")
+    val simg = ops.Jpeg.decode(golden420Jpeg)
+    assert(simg.width == 13 && simg.height == 11)
+    assert(simg.rgb.toSeq == golden420Rgb.toSeq,
+      "4:2:0 decode (MCU interleave + chroma upsampling) differs from reference")
+  }
+
+  test("JPEG codec: encode→decode round-trip within lossy tolerance; unsupported variants rejected") {
+    // smooth gradients compress near-losslessly at quality 95
+    for ((w, h) <- Seq((16, 16), (11, 9), (24, 17))) {
+      val rgb = Array.tabulate(w * h * 3) { i =>
+        val p = i / 3
+        (((p % w) * 5 + (p / w) * 3 + i % 3) & 0xff).toByte
+      }
+      val img = ops.Jpeg.decode(ops.Jpeg.encode(w, h, rgb, quality = 95))
+      assert(img.width == w && img.height == h)
+      val maxErr = img.rgb.zip(rgb).map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }.max
+      assert(maxErr <= 12, s"${w}x$h round-trip max error $maxErr")
+    }
+    // grayscale input replicates to RGB
+    val g = Array.tabulate(8 * 8)(i => (i * 4).toByte)
+    val gi = ops.Jpeg.decode(ops.Jpeg.encode(8, 8, g, quality = 95))
+    assert((0 until 64).forall(i => gi.rgb(3 * i) == gi.rgb(3 * i + 1) && gi.rgb(3 * i) == gi.rgb(3 * i + 2)))
+    // features dispatch through the sniffing decoder; resize path works
+    val jp = ops.Jpeg.encode(9, 6, Array.tabulate(9 * 6 * 3)(i => (i * 2).toByte))
+    assert(ops.Codecs.mediaFeatures(jp).toSeq == ops.Codecs.jpegFeatures(jp).toSeq)
+    val rz = ops.Jpeg.decode(ops.Codecs.resizeJpeg(4, 3)(jp))
+    assert(rz.width == 4 && rz.height == 3)
+    // progressive (SOF2) is rejected by name, not mis-decoded
+    val prog = ops.Jpeg.encode(8, 8, g, quality = 95).clone()
+    // rewrite the SOF0 marker (0xff 0xc0) to SOF2 (0xff 0xc2)
+    val sofAt = prog.indices.find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    val err = intercept[IllegalArgumentException](ops.Jpeg.decode(prog))
+    assert(err.getMessage.contains("progressive"))
+  }
+
   test("PNG codec: resize + features agree with the BMP path on equal pixels") {
     val (w, h) = (9, 5)
     val rgb = Array.tabulate(w * h * 3)(i => ((i * 53 + 7) % 256).toByte)
