@@ -36,7 +36,8 @@ object Compiler {
         node.watermark.map(_.col) ++
         node.dedup.toSeq.flatMap(d => d.keys ++ d.idCol) ++
         node.nearDup.toSeq.flatMap(d => Seq(d.idCol, d.vecCol)) ++
-        node.boilerplate.toSeq.flatMap(b => Seq(b.idCol, b.textCol))
+        node.boilerplate.toSeq.flatMap(b => Seq(b.idCol, b.textCol)) ++
+        node.featurize.toSeq.flatMap(f => Seq(f.idCol, f.payloadCol))
     // compact/running_totals/top_k run AFTER children (joins may add or
     // prefix columns), so their references are checked by the analyzer
     // tier, not here — a source-schema check would false-positive on
@@ -180,6 +181,25 @@ object Compiler {
     node.boilerplate.foreach { b =>
       df = graft.ops.Corpus.removeBoilerplateLines(
         df, b.idCol, b.textCol, b.maxDocs, b.sep, b.byHash)
+    }
+
+    // Multimodal featurize: the frame becomes (media_id, format, width,
+    // height, n_bytes, features). Decoders are NAMED (a JSON config can't
+    // carry a closure); the registry below is the config-side injection
+    // seam — the Scala API takes arbitrary functions.
+    node.featurize.foreach { f =>
+      val decoder: Array[Byte] => Array[Float] = f.decoder match {
+        case "media" => graft.ops.Codecs.mediaFeatures
+        case "stub"  => graft.ops.Multimodal.decodeStub
+        case other => throw new IllegalArgumentException(
+          s"node ${node.id}: unknown featurize decoder '$other' " +
+            "(one of: media, stub)")
+      }
+      val media = graft.ops.Multimodal.asMediaParsed(df, f.idCol, f.payloadCol)
+      df = media.select(col("media_id"), col("meta.format").as("format"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.n_bytes").as("n_bytes"))
+        .join(graft.ops.Multimodal.featurize(media, decoder), Seq("media_id"))
     }
 
     node.aggregate.foreach(a => df = applyAggregate(df, a))

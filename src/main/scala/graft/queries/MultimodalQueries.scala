@@ -226,12 +226,34 @@ object MultimodalQueries extends QueryPack {
       .orderBy(col("media_id").asc_nulls_first)
   }
 
+  // q100 — q37's media pipeline declared from JSON: the `featurize` node
+  // key (header-parsed meta + partition-batched real decode through the
+  // NAMED "media" decoder registry — a config can't carry a closure), fed
+  // by a registered fixture UDF in a `derive`. Downstream keys run over
+  // the feature frame. Rows-only gate (media); CompilerSpec asserts the
+  // config path equals the Scala API path value-for-value.
+  private def q100(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    s.udf.register("text_to_bmp", textToBmp)
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "documents"},
+       "derive": {"payload": "text_to_bmp(text)"},
+       "keep_columns": ["doc_id", "payload"],
+       "featurize": {"id_col": "doc_id", "payload_col": "payload",
+                     "decoder": "media"},
+       "with_columns": {"mean_r": "round(cast(element_at(features, 3) as double), 9)",
+                        "mean_luma": "round(cast(element_at(features, 6) as double), 9)"},
+       "drop": ["features"],
+       "order_by": ["media_id asc"]}""")
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q37_multimodal_featurize", q37, None),
     Q("q69_audio_featurize", q69, None),
     Q("q71_video_featurize", q71, None),
     Q("q89_image_resize", q89, None),
     Q("q94_png_resize", q94, None),
-    Q("q99_jpeg_resize", q99, None)
+    Q("q99_jpeg_resize", q99, None),
+    Q("q100_config_featurize", q100, None)
   )
 }

@@ -201,6 +201,13 @@ object JsonCodec {
         byHash = opt(d, "by_hash", "byHash").forall(_.asBoolean(true)))
     }
 
+    val fz = opt(n, "featurize").map { f =>
+      FeaturizeSpec(
+        idCol = req(f, s"node $id: featurize", "id_col", "idCol").asText,
+        payloadCol = req(f, s"node $id: featurize", "payload_col", "payloadCol").asText,
+        decoder = opt(f, "decoder").map(_.asText).getOrElse("media"))
+    }
+
     val wm = opt(n, "watermark").map { w =>
       WatermarkSpec(
         col = req(w, s"node $id: watermark", "col", "column").asText,
@@ -263,6 +270,7 @@ object JsonCodec {
       keepColumns = if (aggregate.isDefined) Nil else keep,
       nearDup = nd,
       boilerplate = bp,
+      featurize = fz,
       aggregate = aggregate,
       rename = rename,
       withColumns = withCols,

@@ -269,6 +269,21 @@ final case class CompactSpec(
     deleteWhen: Option[String] = None
 )
 
+/** Multimodal featurize (NS; config surface of `Multimodal.featurize` +
+  * `asMediaParsed`): the frame becomes (media_id, format, width, height,
+  * n_bytes, features) — metadata header-parsed from the payload bytes,
+  * features extracted per partition by the NAMED decoder (`"media"` =
+  * the sniffing real BMP/PNG/JPEG/WAV/AVI decoder; `"stub"` = the
+  * deterministic fake for opaque formats). Decoders are named, not
+  * inline, because a JSON config cannot carry a closure — the registry
+  * is the injection seam. Plan-only (mapPartitions composes lazily), so
+  * config-admissible. */
+final case class FeaturizeSpec(
+    idCol: String,
+    payloadCol: String,
+    decoder: String = "media"
+)
+
 /** Per-key running totals with custom streaming state (NS; config surface
   * of `Streaming.runningTotals` — flatMapGroupsWithState, two longs of
   * state per key): every row is emitted enriched with `running_n` and the
@@ -324,6 +339,7 @@ final case class NodeSpec(
     keepColumns: Seq[String] = Nil,
     nearDup: Option[NearDupSpec] = None, // after keep, before aggregate
     boilerplate: Option[BoilerplateSpec] = None, // after keep, before aggregate
+    featurize: Option[FeaturizeSpec] = None, // after keep, before aggregate
     aggregate: Option[AggregateSpec] = None,
     rename: Seq[(String, String)] = Nil,
     withColumns: Seq[(String, String)] = Nil, // name -> Catalyst expr string

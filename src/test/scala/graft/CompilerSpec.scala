@@ -441,6 +441,38 @@ class CompilerSpec extends SparkSpec {
     assert(err.getMessage.contains("version_order"))
   }
 
+  test("config featurize equals the Scala API path; unknown decoder rejected") {
+    Tables.registerViews(spark, sf)
+    spark.udf.register("text_to_bmp", graft.queries.MultimodalQueries.textToBmp)
+    val viaConfig = Compiler.compileJson(spark, """
+      {"source": {"table": "documents"},
+       "filters": ["doc_id < 40"],
+       "derive": {"payload": "text_to_bmp(text)"},
+       "keep_columns": ["doc_id", "payload"],
+       "featurize": {"id_col": "doc_id", "payload_col": "payload"},
+       "order_by": ["media_id asc"]}""")
+      .collect().map(_.toSeq).toSeq
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, sf, "documents").filter(col("doc_id") < 40)
+      .select(col("doc_id"),
+        graft.queries.MultimodalQueries.textToBmp(col("text")).as("payload"))
+    val media = graft.ops.Multimodal.asMediaParsed(docs, "doc_id", "payload")
+    val viaApi = media.select(col("media_id"), col("meta.format").as("format"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.n_bytes").as("n_bytes"))
+      .join(graft.ops.Multimodal.featurize(media, graft.ops.Codecs.mediaFeatures),
+        Seq("media_id"))
+      .orderBy("media_id")
+      .collect().map(_.toSeq).toSeq
+    assert(viaConfig.size == 40 && viaConfig == viaApi)
+    val err = intercept[IllegalArgumentException](Compiler.compileJson(spark, """
+      {"source": {"table": "documents"},
+       "derive": {"payload": "cast(text as binary)"},
+       "featurize": {"id_col": "doc_id", "payload_col": "payload",
+                     "decoder": "nope"}}"""))
+    assert(err.getMessage.contains("unknown featurize decoder"))
+  }
+
   test("bucketed range join q78 plans an equi-join, never a nested loop") {
     Tables.registerViews(spark, sf)
     val plan = SparkEntry.queries("q78_bucketed_range_join")(spark, sf)
