@@ -273,6 +273,76 @@ object Dedup {
       .select("idA", "idB", "common", "jaccard")
   }
 
+  /** Blocking-key candidate pairs — classic record-linkage blocking: docs
+    * sharing `blockKey` (a cheap deterministic expression: a text prefix,
+    * a normalized title, a phonetic code, a length bucket) become
+    * candidates for an exact verify tier. One shuffle on the block key +
+    * an in-bucket self-join — candidate count ∝ bucket sizes, never n².
+    * `maxBucketSize` caps the quadratic in-bucket blowup exactly like
+    * [[minhashCandidatePairs]] (one hot key — e.g. the empty-prefix
+    * bucket — must not produce m²/2 pairs). Returns (idA, idB), idA < idB,
+    * distinct. */
+  def blockedCandidatePairs(
+      df: DataFrame,
+      idCol: String,
+      blockKey: Column,
+      maxBucketSize: Option[Int] = None
+  ): DataFrame = {
+    var keyed = df.select(blockKey.as("__bk"), col(idCol))
+    maxBucketSize.foreach { cap =>
+      val ok = keyed.groupBy("__bk")
+        .agg(count(lit(1)).as("__n")).filter(col("__n") <= cap)
+        .select("__bk")
+      keyed = keyed.join(ok, Seq("__bk"))
+    }
+    keyed.select(col("__bk"), col(idCol).as("idA"))
+      .join(keyed.select(col("__bk"), col(idCol).as("idB")), Seq("__bk"))
+      .filter(col("idA") < col("idB"))
+      .select("idA", "idB")
+      .distinct()
+  }
+
+  /** Edit-distance verify tier restricted to CANDIDATE pairs: join each
+    * candidate to both texts and keep pairs whose normalized similarity
+    * 1 - lev/(max length) ≥ `threshold`. The complement to
+    * [[verifyJaccardPairs]] for SHORT fields (titles, URLs, names) where
+    * character-level edits matter and shingle sets are too coarse.
+    * Shuffle ∝ |candidates|; the per-pair cost is the O(|a|·|b|) DP, so
+    * the scale contract is: candidates come from a blocking/LSH tier
+    * ([[blockedCandidatePairs]], [[minhashCandidatePairs]]) and the field
+    * is short — never run it corpus×corpus or on book-length text.
+    * `maxDistance` switches to Spark's early-exit kernel (the DP row
+    * aborts once the running minimum exceeds the cap — O(maxDistance·|a|)
+    * on rejected pairs) and additionally drops pairs beyond the cap;
+    * leave it None when the normalized `threshold` alone defines the
+    * tier. Whole-stage codegen throughout (levenshtein is a codegen'd
+    * built-in). Returns (idA, idB, dist, sim), sim rounded to 9 dp for
+    * cross-engine comparability. */
+  def verifyEditDistancePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      candidates: DataFrame,
+      threshold: Double = 0.8,
+      maxDistance: Option[Int] = None
+  ): DataFrame = {
+    val texts = df.select(col(idCol), col(textCol))
+    val dist = maxDistance match {
+      case Some(m) => levenshtein(col("__tA"), col("__tB"), m)
+      case None    => levenshtein(col("__tA"), col("__tB"))
+    }
+    candidates
+      .join(texts.select(col(idCol).as("idA"), col(textCol).as("__tA")), Seq("idA"))
+      .join(texts.select(col(idCol).as("idB"), col(textCol).as("__tB")), Seq("idB"))
+      .select(col("idA"), col("idB"), dist.cast("long").as("dist"),
+        length(col("__tA")).as("__la"), length(col("__tB")).as("__lb"))
+      .filter(col("dist") >= 0) // early-exit kernel returns -1 past the cap
+      .withColumn("sim",
+        round(lit(1.0) - col("dist").cast("double") / greatest(col("__la"), col("__lb")), 9))
+      .filter(col("sim") >= threshold)
+      .select("idA", "idB", "dist", "sim")
+  }
+
   /** 64-bit SimHash from a PRE-MATERIALIZED array<long> of token hashes:
     * per bit position, sum +1/-1 over token hashes; the sign becomes the
     * bit. Near-duplicates differ in few bits (small Hamming distance).

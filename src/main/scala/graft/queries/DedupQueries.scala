@@ -276,6 +276,33 @@ object DedupQueries extends QueryPack {
       AND doc_id NOT IN (SELECT id FROM crossdup)
     ORDER BY doc_id ASC NULLS FIRST"""
 
+  // q101 — edit-distance verify on prefix-blocked candidates: docs sharing
+  // a 24-char text prefix become candidates (classic record-linkage
+  // blocking, one shuffle), then the Levenshtein verify tier keeps pairs
+  // with normalized similarity ≥ 0.8. Both engines implement classic
+  // unit-cost Levenshtein → exact oracle. The short-field near-dup path
+  // that shingle Jaccard (q28/q53) is too coarse for.
+  private def q101(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val cands = Dedup.blockedCandidatePairs(
+      docs, idCol = "doc_id", blockKey = substring(col("text"), 1, 24))
+    Dedup.verifyEditDistancePairs(
+        docs, idCol = "doc_id", textCol = "text", candidates = cands, threshold = 0.8)
+      .orderBy(col("idA").asc_nulls_first, col("idB").asc_nulls_first)
+  }
+  private val q101Sql = """
+    WITH c AS (
+      SELECT a.doc_id AS idA, b.doc_id AS idB, a.text AS ta, b.text AS tb
+      FROM documents a JOIN documents b
+        ON substr(a.text, 1, 24) = substr(b.text, 1, 24) AND a.doc_id < b.doc_id)
+    SELECT idA, idB, CAST(levenshtein(ta, tb) AS BIGINT) AS dist,
+           ROUND(1.0 - CAST(levenshtein(ta, tb) AS DOUBLE)
+                       / GREATEST(LENGTH(ta), LENGTH(tb)), 9) AS sim
+    FROM c
+    WHERE ROUND(1.0 - CAST(levenshtein(ta, tb) AS DOUBLE)
+                      / GREATEST(LENGTH(ta), LENGTH(tb)), 9) >= 0.8
+    ORDER BY idA ASC NULLS FIRST, idB ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
     Q("q27_dedup_exact", q27, Some(q27Sql)),
     Q("q28_ngram_jaccard", q28, Some(q28Sql)),
@@ -285,6 +312,7 @@ object DedupQueries extends QueryPack {
     Q("q51_config_dedup", q51, Some(q51Sql)),
     Q("q53_dedup_pipeline_lsh", q53, Some(q53Sql)),
     Q("q88_incremental_dedup", q88, Some(q88Sql)),
-    Q("q97_incremental_neardup", q97, Some(q97Sql))
+    Q("q97_incremental_neardup", q97, Some(q97Sql)),
+    Q("q101_edit_distance_verify", q101, Some(q101Sql))
   )
 }

@@ -40,6 +40,42 @@ class OpsSpec extends SparkSpec {
     assert(cand < all * all / 100, "candidate set must be far below n² pairs")
   }
 
+  test("edit-distance verify: known distances, early-exit kernel agrees") {
+    val rows = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumped"), // dist 2 (s→ed), sim 1-2/26
+      (3L, "the quick brown cat jumps"),  // dist 3 vs id 1 (fox→cat)
+      (4L, "a completely different doc")
+    ).toDF("doc_id", "text")
+    val cands = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("idA", "idB")
+    val got = Dedup.verifyEditDistancePairs(rows, "doc_id", "text", cands, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 2L), (1L, 3L, 3L)),
+      s"plain kernel: expected dists 2 and 3, got $got")
+    // early-exit cap: maxDistance=2 keeps only the dist-2 pair, and on the
+    // kept pair both kernels report the same distance
+    val capped = Dedup.verifyEditDistancePairs(rows, "doc_id", "text", cands,
+        threshold = 0.8, maxDistance = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(capped == Set((1L, 2L, 2L)), s"early-exit kernel: got $capped")
+  }
+
+  test("blocked candidates: bucket pairs only, hot-bucket cap prunes") {
+    val rows = Seq(
+      (1L, "aaa x"), (2L, "aaa y"), (3L, "aaa z"), // block 'aaa' → 3 pairs
+      (4L, "bbb x"), (5L, "bbb y"),                // block 'bbb' → 1 pair
+      (6L, "ccc x")                                // singleton → none
+    ).toDF("doc_id", "text")
+    val key = substring($"text", 1, 3)
+    val all = Dedup.blockedCandidatePairs(rows, "doc_id", key)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all == Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)))
+    // cap 2 drops the 3-doc 'aaa' bucket entirely, keeps 'bbb'
+    val capped = Dedup.blockedCandidatePairs(rows, "doc_id", key, maxBucketSize = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((4L, 5L)))
+  }
+
   test("simhash: identical docs at distance 0, near-dups close") {
     val sigs = docs.select($"doc_id", Dedup.simhash($"text").as("sig"))
     // self-join identical text → distance 0
