@@ -195,11 +195,13 @@ object Compiler {
           s"node ${node.id}: unknown featurize decoder '$other' " +
             "(one of: media, stub)")
       }
-      val media = graft.ops.Multimodal.asMediaParsed(df, f.idCol, f.payloadCol)
-      df = media.select(col("media_id"), col("meta.format").as("format"),
+      // one sweep: header parse + decode from the same bytes — no
+      // self-join (which would execute the payload subtree twice and
+      // shuffle both sides for row-aligned outputs)
+      df = graft.ops.Multimodal.parseAndFeaturize(df, f.idCol, f.payloadCol, decoder)
+        .select(col("media_id"), col("meta.format").as("format"),
           col("meta.width").as("width"), col("meta.height").as("height"),
-          col("meta.n_bytes").as("n_bytes"))
-        .join(graft.ops.Multimodal.featurize(media, decoder), Seq("media_id"))
+          col("meta.n_bytes").as("n_bytes"), col("features"))
     }
 
     node.aggregate.foreach(a => df = applyAggregate(df, a))

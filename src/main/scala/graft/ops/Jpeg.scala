@@ -162,23 +162,35 @@ object Jpeg {
     }
   }
 
-  /** Canonical huffman decode table: (length, code) → value. */
-  private def buildDecode(bits: Array[Int], values: Array[Int]): Map[(Int, Int), Int] = {
-    val m = Map.newBuilder[(Int, Int), Int]
-    var code = 0
-    var k = 0
-    var ln = 1
-    while (ln <= 16) {
-      var i = 0
-      while (i < bits(ln - 1)) {
-        m += ((ln, code) -> values(k))
-        code += 1; k += 1; i += 1
+  /** Canonical huffman decode table in the standard flat-array form
+    * (JPEG spec F.2.2.3): for code length l, codes occupy
+    * [mincode(l), maxcode(l)] and map to
+    * `values(valptr(l) + code - mincode(l))`. Allocation-free lookups —
+    * the tuple-keyed Map this replaced boxed a (length, code) pair per
+    * probe, which dominated decode time on small images. */
+  private final class HuffDec(bits: Array[Int], val values: Array[Int]) {
+    val mincode = new Array[Int](17)
+    val maxcode = Array.fill(17)(-1) // -1 → no codes of this length
+    val valptr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var ln = 1
+      while (ln <= 16) {
+        if (bits(ln - 1) > 0) {
+          valptr(ln) = k
+          mincode(ln) = code
+          code += bits(ln - 1); k += bits(ln - 1)
+          maxcode(ln) = code - 1
+        }
+        code <<= 1
+        ln += 1
       }
-      code <<= 1
-      ln += 1
     }
-    m.result()
   }
+
+  private def buildDecode(bits: Array[Int], values: Array[Int]): HuffDec =
+    new HuffDec(bits, values)
 
   private final case class Comp(id: Int, h: Int, v: Int, tq: Int,
       var td: Int = 0, var ta: Int = 0, var w: Int = 0, var hh: Int = 0)
@@ -188,7 +200,7 @@ object Jpeg {
     require(isJpeg(bytes), "not a JPEG payload")
     var pos = 2
     val qtabs = new Array[Array[Int]](4)
-    var htabs = Map.empty[(Int, Int), Map[(Int, Int), Int]]
+    val htabs = new Array[HuffDec](8) // index = class·4 + table id
     var comps: Array[Comp] = null
     var width = 0
     var height = 0
@@ -226,10 +238,11 @@ object Jpeg {
               while (p < pos + ln) {
                 val tc = (bytes(p) & 0xff) >> 4
                 val th = bytes(p) & 0x0f
+                require(tc <= 1 && th <= 3, s"bad DHT class/id $tc/$th")
                 val bits = Array.tabulate(16)(i => bytes(p + 1 + i) & 0xff)
                 val nv = bits.sum
                 val values = Array.tabulate(nv)(i => bytes(p + 17 + i) & 0xff)
-                htabs += ((tc, th) -> buildDecode(bits, values))
+                htabs(tc * 4 + th) = buildDecode(bits, values)
                 p += 17 + nv
               }
             case 0xc0 => // SOF0 baseline
@@ -279,16 +292,15 @@ object Jpeg {
     }
     val br = new BitReader(bytes, scanStart)
 
-    def huff(table: Map[(Int, Int), Int]): Int = {
+    def huff(t: HuffDec): Int = {
       var ln = 0
       var code = 0
       while (ln < 16) {
         code = (code << 1) | br.bit()
         ln += 1
-        table.get((ln, code)) match {
-          case Some(v) => return v
-          case None    => ()
-        }
+        // canonical ranges are disjoint per length; maxcode = -1 ⇒ skip
+        if (code <= t.maxcode(ln) && code >= t.mincode(ln))
+          return t.values(t.valptr(ln) + code - t.mincode(ln))
       }
       throw new IllegalArgumentException("bad huffman code in entropy data")
     }
@@ -298,6 +310,15 @@ object Jpeg {
     val preds = new Array[Int](comps.length)
     val coef = new Array[Double](64)
     val zz = new Array[Int](64)
+    // per-component table resolution, once per scan (not per block)
+    val dcTabs = comps.map { c =>
+      val t = htabs(c.td)
+      require(t != null, s"missing DC table ${c.td}"); t
+    }
+    val acTabs = comps.map { c =>
+      val t = htabs(4 + c.ta)
+      require(t != null, s"missing AC table ${c.ta}"); t
+    }
     var mcu = 0
     var my = 0
     while (my < mcuy) {
@@ -314,10 +335,8 @@ object Jpeg {
           while (bv < c.v) {
             var bh = 0
             while (bh < c.h) {
-              val dcTab = htabs.getOrElse((0, c.td),
-                throw new IllegalArgumentException(s"missing DC table ${c.td}"))
-              val acTab = htabs.getOrElse((1, c.ta),
-                throw new IllegalArgumentException(s"missing AC table ${c.ta}"))
+              val dcTab = dcTabs(ci)
+              val acTab = acTabs(ci)
               val cat = huff(dcTab)
               val diff = if (cat == 0) 0 else extend(br.bits(cat), cat)
               preds(ci) += diff
@@ -437,6 +456,12 @@ object Jpeg {
     m
   }
 
+  // The encoder always writes the four standard tables — build them once.
+  private lazy val encDcLumaT = buildEncode(dcLuma._1, dcLuma._2)
+  private lazy val encAcLumaT = buildEncode(acLuma._1, acLuma._2)
+  private lazy val encDcChromaT = buildEncode(dcChroma._1, dcChroma._2)
+  private lazy val encAcChromaT = buildEncode(acChroma._1, acChroma._2)
+
   private final class BitWriter(out: java.io.ByteArrayOutputStream) {
     private var acc = 0
     private var n = 0
@@ -516,10 +541,10 @@ object Jpeg {
       Seq(c + 1, if (c == 0) 0x00 else 0x11)) ++ Seq(0, 63, 0))
 
     val bw = new BitWriter(out)
-    val encDcL = buildEncode(dcLuma._1, dcLuma._2)
-    val encAcL = buildEncode(acLuma._1, acLuma._2)
-    val encDcC = if (gray) null else buildEncode(dcChroma._1, dcChroma._2)
-    val encAcC = if (gray) null else buildEncode(acChroma._1, acChroma._2)
+    val encDcL = encDcLumaT
+    val encAcL = encAcLumaT
+    val encDcC = if (gray) null else encDcChromaT
+    val encAcC = if (gray) null else encAcChromaT
     val preds = new Array[Int](nc)
     val block = new Array[Double](64)
     val fdctOut = new Array[Double](64)

@@ -101,6 +101,46 @@ object Multimodal {
     out.toDF("media_id", "features")
   }
 
+  /** One-pass header parse + featurize: (media_id, meta, features) from a
+    * SINGLE sweep over the payload column. The parse→featurize→equi-join
+    * composition this replaces executes the payload-producing subtree
+    * TWICE (the join's two inputs are separate plans — Spark has no
+    * common-subexpression reuse across join sides) and then shuffles both
+    * — for outputs that are row-aligned by construction. Zero shuffles,
+    * one decode, meta and features from the same bytes. Same injection
+    * seam and per-partition `init` amortization as [[featurize]]. */
+  def parseAndFeaturize(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      decoder: Array[Byte] => Array[Float] = decodeStub,
+      init: () => Unit = () => ()
+  ): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as(enc)
+      .mapPartitions { it =>
+        init()
+        it.map { case (id, p0) =>
+          val p = if (p0 == null) Array.emptyByteArray else p0
+          val (fmt, w, h) = Codecs.parseMeta(p)
+          (id, MediaMeta(fmt, w, h, p.length.toLong), decoder(p))
+        }
+      }(Encoders.tuple(Encoders.scalaLong,
+        ExpressionEncoder[MediaMeta](), ExpressionEncoder[Array[Float]]()))
+      .toDF("media_id", "meta", "features")
+  }
+
+  /** Round-robin rebalance ahead of a CPU-bound codec stage. Partition
+    * count follows `spark.sql.shuffle.partitions` — the cluster's chosen
+    * width — NOT the input's file layout: a handful of large parquet
+    * files otherwise serializes decode onto a handful of tasks while the
+    * rest of the cluster idles. Call it on the SMALL frame (ids + source
+    * column, pre-synthesis/pre-decode) so the shuffle moves references,
+    * not pixels; skip it when the scan already has ≥ width partitions. */
+  def rebalanceForCodec(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+
   /** Payload→payload transform (resize, transcode, frame-sample…): same
     * partition-batching shape as [[featurize]] but emits a new media row
     * with updated metadata. `op` is the injectable codec step — stubbed

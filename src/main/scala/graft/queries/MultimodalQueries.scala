@@ -27,22 +27,21 @@ object MultimodalQueries extends QueryPack {
     Codecs.encodeBmp(w, h, px)
   }
 
-  // q37 — full media pipeline, real decode end-to-end: synthesize BMP
-  // payloads, header-parse metadata (real width/height), featurize per
-  // partition with the sniffing BMP/WAV decoder, join features back to
-  // metadata. The meta-only projection prunes the payload at the scan.
+  // q37 — full media pipeline, real decode end-to-end: rebalance the
+  // (id, text) frame to the cluster width, synthesize BMP payloads,
+  // header-parse metadata (real width/height) and featurize in ONE
+  // partition sweep (parseAndFeaturize — no self-join, payloads decoded
+  // once and never shuffled).
   private def q37(s: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.asMediaParsed(
-      Tables.load(s, dir, "documents")
+    val pf = Multimodal.parseAndFeaturize(
+      Multimodal.rebalanceForCodec(
+          Tables.load(s, dir, "documents").select("doc_id", "text"))
         .select(col("doc_id"), textToBmp(col("text")).as("payload")),
-      idCol = "doc_id", payloadCol = "payload")
-    val feats = Multimodal.featurize(media, Codecs.mediaFeatures)
-    media.select(col("media_id"), col("meta.format").as("format"),
+      idCol = "doc_id", payloadCol = "payload", decoder = Codecs.mediaFeatures)
+    pf.select(
+        col("media_id"), col("meta.format").as("format"),
         col("meta.width").as("width"), col("meta.height").as("height"),
-        col("meta.n_bytes").as("n_bytes"))
-      .join(feats, Seq("media_id"))
-      .select(
-        col("media_id"), col("format"), col("width"), col("height"), col("n_bytes"),
+        col("meta.n_bytes").as("n_bytes"),
         round(element_at(col("features"), 3).cast("double"), 9).as("mean_r"),
         round(element_at(col("features"), 6).cast("double"), 9).as("mean_luma"),
         size(col("features")).as("n_features"))
@@ -68,19 +67,18 @@ object MultimodalQueries extends QueryPack {
   // round-trip exactness lives in OpsSpec/PropertySpec.
   private def q69(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.asMediaParsed(
-      Tables.load(s, dir, "documents")
+      Multimodal.rebalanceForCodec(
+          Tables.load(s, dir, "documents").select("doc_id", "text"))
         .select(col("doc_id"), textToWav(col("text")).as("payload")),
       idCol = "doc_id", payloadCol = "payload")
     val sampled = Multimodal.transformPayload(media, "wav", Codecs.downsampleWav(4))
-    // re-parse the transformed payload's header: meta must reflect the
-    // DOWNSAMPLED audio, not the input
-    val parsed = Multimodal.asMediaParsed(sampled, "media_id", "payload")
-    val feats = Multimodal.featurize(parsed, Codecs.mediaFeatures)
-    parsed.select(col("media_id"), col("meta.format").as("format"),
-        col("meta.width").as("frames"), col("meta.n_bytes").as("n_bytes"))
-      .join(feats, Seq("media_id"))
-      .select(
-        col("media_id"), col("format"), col("frames"), col("n_bytes"),
+    // one sweep over the transformed payload: header re-parse (meta must
+    // reflect the DOWNSAMPLED audio, not the input) + featurize
+    val pf = Multimodal.parseAndFeaturize(
+      sampled, "media_id", "payload", Codecs.mediaFeatures)
+    pf.select(
+        col("media_id"), col("meta.format").as("format"),
+        col("meta.width").as("frames"), col("meta.n_bytes").as("n_bytes"),
         round(element_at(col("features"), 4).cast("double"), 9).as("mean_abs"),
         round(element_at(col("features"), 5).cast("double"), 9).as("rms"),
         size(col("features")).as("n_features"))
@@ -107,17 +105,16 @@ object MultimodalQueries extends QueryPack {
   // (DuckDB can't parse RIFF/AVI); codec exactness lives in OpsSpec.
   private def q71(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.asMediaParsed(
-      Tables.load(s, dir, "documents")
+      Multimodal.rebalanceForCodec(
+          Tables.load(s, dir, "documents").select("doc_id", "text"))
         .select(col("doc_id"), textToAvi(col("text")).as("payload")),
       idCol = "doc_id", payloadCol = "payload")
     val sampled = Multimodal.transformPayload(media, "avi", Codecs.frameSampleAvi(2))
-    val parsed = Multimodal.asMediaParsed(sampled, "media_id", "payload")
-    val feats = Multimodal.featurize(parsed, Codecs.mediaFeatures)
-    parsed.select(col("media_id"), col("meta.format").as("format"),
-        col("meta.width").as("width"), col("meta.height").as("height"))
-      .join(feats, Seq("media_id"))
-      .select(
-        col("media_id"), col("format"), col("width"), col("height"),
+    val pf = Multimodal.parseAndFeaturize(
+      sampled, "media_id", "payload", Codecs.mediaFeatures)
+    pf.select(
+        col("media_id"), col("meta.format").as("format"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
         element_at(col("features"), 3).cast("int").as("n_frames"),
         element_at(col("features"), 4).cast("int").as("fps"),
         round(element_at(col("features"), 5).cast("double"), 9).as("mean_luma"),
@@ -135,18 +132,17 @@ object MultimodalQueries extends QueryPack {
   // lives in OpsSpec (block-replication + center-sample identities).
   private def q89(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.asMediaParsed(
-      Tables.load(s, dir, "documents")
+      Multimodal.rebalanceForCodec(
+          Tables.load(s, dir, "documents").select("doc_id", "text"))
         .select(col("doc_id"), textToBmp(col("text")).as("payload")),
       idCol = "doc_id", payloadCol = "payload")
     val resized = Multimodal.transformPayload(media, "bmp", Codecs.resizeBmp(16, 12))
-    val parsed = Multimodal.asMediaParsed(resized, "media_id", "payload")
-    val feats = Multimodal.featurize(parsed, Codecs.mediaFeatures)
-    parsed.select(col("media_id"), col("meta.format").as("format"),
+    val pf = Multimodal.parseAndFeaturize(
+      resized, "media_id", "payload", Codecs.mediaFeatures)
+    pf.select(
+        col("media_id"), col("meta.format").as("format"),
         col("meta.width").as("width"), col("meta.height").as("height"),
-        col("meta.n_bytes").as("n_bytes"))
-      .join(feats, Seq("media_id"))
-      .select(
-        col("media_id"), col("format"), col("width"), col("height"), col("n_bytes"),
+        col("meta.n_bytes").as("n_bytes"),
         round(element_at(col("features"), 3).cast("double"), 9).as("mean_r"),
         round(element_at(col("features"), 6).cast("double"), 9).as("mean_luma"))
       .orderBy(col("media_id").asc_nulls_first)
@@ -174,17 +170,16 @@ object MultimodalQueries extends QueryPack {
   // PNG); decode bit-exactness lives in the OpsSpec golden test.
   private def q94(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.asMediaParsed(
-      Tables.load(s, dir, "documents")
+      Multimodal.rebalanceForCodec(
+          Tables.load(s, dir, "documents").select("doc_id", "text"))
         .select(col("doc_id"), textToPng(col("text")).as("payload")),
       idCol = "doc_id", payloadCol = "payload")
     val resized = Multimodal.transformPayload(media, "png", Codecs.resizePng(16, 12))
-    val parsed = Multimodal.asMediaParsed(resized, "media_id", "payload")
-    val feats = Multimodal.featurize(parsed, Codecs.mediaFeatures)
-    parsed.select(col("media_id"), col("meta.format").as("format"),
-        col("meta.width").as("width"), col("meta.height").as("height"))
-      .join(feats, Seq("media_id"))
-      .select(
-        col("media_id"), col("format"), col("width"), col("height"),
+    val pf = Multimodal.parseAndFeaturize(
+      resized, "media_id", "payload", Codecs.mediaFeatures)
+    pf.select(
+        col("media_id"), col("meta.format").as("format"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
         round(element_at(col("features"), 3).cast("double"), 9).as("mean_r"),
         round(element_at(col("features"), 6).cast("double"), 9).as("mean_luma"))
       .orderBy(col("media_id").asc_nulls_first)
@@ -210,17 +205,16 @@ object MultimodalQueries extends QueryPack {
   // IDCT contract — byte equality, not tolerance).
   private def q99(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.asMediaParsed(
-      Tables.load(s, dir, "documents")
+      Multimodal.rebalanceForCodec(
+          Tables.load(s, dir, "documents").select("doc_id", "text"))
         .select(col("doc_id"), textToJpeg(col("text")).as("payload")),
       idCol = "doc_id", payloadCol = "payload")
     val resized = Multimodal.transformPayload(media, "jpeg", Codecs.resizeJpeg(16, 12))
-    val parsed = Multimodal.asMediaParsed(resized, "media_id", "payload")
-    val feats = Multimodal.featurize(parsed, Codecs.mediaFeatures)
-    parsed.select(col("media_id"), col("meta.format").as("format"),
-        col("meta.width").as("width"), col("meta.height").as("height"))
-      .join(feats, Seq("media_id"))
-      .select(
-        col("media_id"), col("format"), col("width"), col("height"),
+    val pf = Multimodal.parseAndFeaturize(
+      resized, "media_id", "payload", Codecs.mediaFeatures)
+    pf.select(
+        col("media_id"), col("meta.format").as("format"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
         round(element_at(col("features"), 3).cast("double"), 9).as("mean_r"),
         round(element_at(col("features"), 6).cast("double"), 9).as("mean_luma"))
       .orderBy(col("media_id").asc_nulls_first)
