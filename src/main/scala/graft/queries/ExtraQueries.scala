@@ -445,6 +445,9 @@ object ExtraQueries extends QueryPack {
     Q("q79_changelog_compact", q79, Some(q79Sql)),
     Q("q82_hll_sketch_merge", q82, None),
     Q("q83_zorder_key", q83, Some(q83Sql)),
+    Q("q102_approx_distinct_bound", q102, Some(q102Sql)),
+    Q("q103_approx_percentile_bound", q103, Some(q103Sql)),
+    Q("q104_hll_union_bound", q104, Some(q104Sql)),
     Q("q84_config_compact", q84, Some(q79Sql)),
     Q("q85_config_scrub", q85, Some(CorpusQueries.q81Sql)),
     Q("q86_config_sample", q86, Some(q86Sql)),
@@ -651,4 +654,88 @@ object ExtraQueries extends QueryPack {
         ORDER BY z ASC NULLS FIRST, l_orderkey ASC NULLS FIRST,
                  l_linenumber ASC NULLS FIRST"""
   }
+
+  // ---- bounded-estimate gates -------------------------------------------
+  // q16/q49/q82 emit RAW sketch estimates (rows-only gates — two engines'
+  // sketches differ by design). These twins make the ESTIMATE QUALITY a
+  // driver-verified fact: Spark computes estimate AND exact, emits the
+  // exact value plus an in-tolerance boolean; the DuckDB oracle computes
+  // the same exact value with TRUE. A drifting sketch flips the boolean
+  // and fails the hash gate — the tolerance invariant is cross-checked
+  // per run, not just in ScalaTest. Deterministic: both sketches are
+  // deterministic functions of the data; tolerances sit ≥3 sigma out.
+
+  // q102 — HLL++ per-group distinct within 5% of exact (rsd 0.01 → 5% is
+  // 5σ). Approx and exact stay in SEPARATE aggregates joined on the tiny
+  // group key — see q16's note on the distinct-rewrite register blowup.
+  private def q102(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val approx = ev.groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("au"))
+    val exact = ev.groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("exact_users"))
+    exact.join(approx, Seq("event_type"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("au") - col("exact_users")) <=
+          col("exact_users").cast("double") * 0.05).as("est_ok"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+  private val q102Sql = """
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, TRUE AS est_ok
+    FROM events GROUP BY 1 ORDER BY event_type ASC NULLS FIRST"""
+
+  // q103 — approx_percentile (GK sketch, default accuracy 10000: rank
+  // error ≤ n/10000) lands inside the exact p45–p55 band — a rank window
+  // thousands of positions wide at any SF. Exact band via `percentile`,
+  // the same cross-engine-pinned form as q38.
+  private def q103(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 9).as("p50_exact"),
+        expr("approx_percentile(l_extendedprice, 0.5)").as("ap50"),
+        expr("percentile(l_extendedprice, 0.45)").as("lo"),
+        expr("percentile(l_extendedprice, 0.55)").as("hi"))
+      .select(col("l_returnflag"), col("n"), col("p50_exact"),
+        (col("ap50") >= col("lo") && col("ap50") <= col("hi")).as("ap50_ok"))
+      .orderBy(col("l_returnflag").asc_nulls_first)
+  private val q103Sql = """
+    SELECT l_returnflag, COUNT(*) AS n,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 9) AS p50_exact,
+           TRUE AS ap50_ok
+    FROM lineitem GROUP BY 1 ORDER BY l_returnflag ASC NULLS FIRST"""
+
+  // q104 — Datasketches HLL merge algebra within 5% of exact, per slice
+  // AND for the re-merged corpus-wide union (q82's shape; lgK=12 → rsd
+  // ≈1.6%, 5% ≈ 3σ). The union row proves sketch-of-slices == usable
+  // corpus estimate without re-touching data.
+  private def q104(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val perType = ev.groupBy("event_type")
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    val approx = perType.select(col("event_type"),
+        hll_sketch_estimate(col("sk")).as("au"))
+      .unionByName(perType
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("au"))
+        .select(lit("ALL").as("event_type"), col("au")))
+    val exact = ev.groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("exact_users"))
+      .unionByName(ev
+        .agg(count_distinct(col("user_id")).as("exact_users"))
+        .select(lit("ALL").as("event_type"), col("exact_users")))
+    exact.join(approx, Seq("event_type"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("au") - col("exact_users")) <=
+          col("exact_users").cast("double") * 0.05).as("est_ok"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+  private val q104Sql = """
+    WITH per AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+      FROM events GROUP BY 1
+      UNION ALL
+      SELECT 'ALL', COUNT(DISTINCT user_id) FROM events)
+    SELECT event_type, exact_users, TRUE AS est_ok
+    FROM per ORDER BY event_type ASC NULLS FIRST"""
 }
