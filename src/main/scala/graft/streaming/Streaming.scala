@@ -204,6 +204,70 @@ object Streaming {
     out.toDF(keyCol, seqCol, tsCol, valueCol, "running_n", "running_value")
   }
 
+  /** Continuous near-dup ingestion — the streaming spelling of
+    * [[graft.ops.Dedup.nearDupAgainstCorpus]]. Each micro-batch:
+    *
+    *   1. probes the PERSISTED corpus band index (parquet at `indexDir`)
+    *      and dedups the batch within itself and against the corpus;
+    *   2. appends accepted docs to `corpusDir` and their band rows to
+    *      `indexDir` — so batch N+1 sees everything batch N admitted.
+    *
+    * Dedup history lives in the persisted index, NOT in streaming state,
+    * deliberately: near-dup history is unbounded (no watermark can ever
+    * evict it — a duplicate of a year-old doc is still a duplicate), must
+    * survive restarts, and is shared with the daily batch jobs that probe
+    * the same index. foreachBatch is at-least-once, so both writes go to
+    * per-batch subdirectories in overwrite mode — a replayed micro-batch
+    * rewrites its own output instead of double-appending (the standard
+    * idempotent-sink arrangement).
+    *
+    * Scale posture: identical to the batch operator — every shuffle is
+    * micro-batch-shaped; the index is probed by equi-join, never rebuilt
+    * (16 longs/doc at the defaults); corpus text is joined only for
+    * CANDIDATE ids. The per-batch index read is metadata-sized relative
+    * to the corpus. */
+  def nearDupIngest(
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      corpusDir: String,
+      indexDir: String,
+      checkpointDir: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(corpusDir), s.sparkContext.hadoopConfiguration)
+        val seeded = fs.exists(new org.apache.hadoop.fs.Path(corpusDir)) &&
+          fs.listStatus(new org.apache.hadoop.fs.Path(corpusDir)).nonEmpty
+        // first batch: empty index/corpus with the right schemas, derived
+        // from the batch itself (limit(0) keeps this type-generic)
+        val (index, corpus) =
+          if (seeded)
+            (s.read.parquet(indexDir).select(col(idCol), col("band"), col("band_key")),
+              s.read.parquet(corpusDir).select(batch.columns.map(col): _*))
+          else
+            (graft.ops.Dedup.minhashBandIndex(
+                batch.limit(0), idCol, textCol, shingleSize, numHashes, bands),
+              batch.limit(0))
+        val kept = graft.ops.Dedup.nearDupAgainstCorpus(
+          batch, index, corpus, idCol, textCol,
+          shingleSize, numHashes, bands, threshold).persist()
+        try {
+          kept.write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
+          graft.ops.Dedup.minhashBandIndex(
+              kept, idCol, textCol, shingleSize, numHashes, bands)
+            .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+        } finally kept.unpersist()
+      }
+      .start()
+
   /** Session windows: groups rows of one key whose gaps are < `gap`;
     * window = [first event, last event + gap). Streaming state is one
     * open session per key, merged/closed by watermark. */

@@ -485,4 +485,40 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(streamed == windowed, "config-stream totals must equal the window formulation")
   }
+
+  test("nearDupIngest: later micro-batches dedup against earlier ones via the persisted index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val base = java.nio.file.Files.createTempDirectory("graft_ndi").toString
+    val q = Streaming.nearDupIngest(
+      mem.toDF.toDF("doc_id", "text"), "doc_id", "text",
+      s"$base/corpus", s"$base/index", s"$base/ckpt",
+      shingleSize = 2, threshold = 0.5)
+    try {
+      val tA = "alpha beta gamma delta epsilon zeta eta theta"
+      val tB = "one two three four five six seven eight nine ten"
+      mem.addData((1L, tA), (2L, tB))
+      q.processAllAvailable()
+      val afterFirst = spark.read.parquet(s"$base/corpus")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(afterFirst == Set(1L, 2L), "first batch has no history to collide with")
+
+      mem.addData(
+        (3L, tA + " iota"), // jaccard 7/8 vs corpus doc 1 → dropped (tier 2)
+        (4L, "completely fresh unrelated content words here indeed"),
+        (5L, "completely fresh unrelated content words here indeed extra")) // in-batch dup of 4
+      q.processAllAvailable()
+      val ids = spark.read.parquet(s"$base/corpus")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L, 4L),
+        s"3 dropped against batch-1 corpus, 5 dropped in-batch (min-id winner 4): got $ids")
+
+      // the growing index stays probe-shaped: one row per (doc, band)
+      val idx = spark.read.parquet(s"$base/index")
+      assert(idx.select("doc_id").distinct().collect().map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
+      assert(idx.count() == 3 * 16, "16 band rows per admitted doc")
+    } finally q.stop()
+  }
 }
