@@ -36,6 +36,7 @@ object Compiler {
         node.watermark.map(_.col) ++
         node.dedup.toSeq.flatMap(d => d.keys ++ d.idCol) ++
         node.nearDup.toSeq.flatMap(d => Seq(d.idCol, d.vecCol)) ++
+        node.editDedup.toSeq.flatMap(e => Seq(e.idCol, e.textCol)) ++
         node.boilerplate.toSeq.flatMap(b => Seq(b.idCol, b.textCol)) ++
         node.featurize.toSeq.flatMap(f => Seq(f.idCol, f.payloadCol))
     // compact/running_totals/top_k run AFTER children (joins may add or
@@ -173,6 +174,17 @@ object Compiler {
     node.nearDup.foreach { d =>
       df = graft.ops.Similarity.cosineNearDupPairsBanded(
         df, d.idCol, d.vecCol, d.threshold, d.dim, d.numBits, d.bands)
+    }
+
+    // Edit-distance near-dup: the frame becomes (idA, idB, dist, sim) —
+    // blocking-key candidates verified by normalized Levenshtein. Pure
+    // plan composition (one block-key shuffle + candidate-shaped verify),
+    // so config-admissible; downstream keys run over the pair frame.
+    node.editDedup.foreach { e =>
+      val cands = graft.ops.Dedup.blockedCandidatePairs(
+        df, e.idCol, expr(e.blockExpr), e.maxBucketSize)
+      df = graft.ops.Dedup.verifyEditDistancePairs(
+        df, e.idCol, e.textCol, cands, e.threshold, e.maxDistance)
     }
 
     // Boilerplate line removal: the frame becomes (id, clean_text,

@@ -303,6 +303,17 @@ object DedupQueries extends QueryPack {
                       / GREATEST(LENGTH(ta), LENGTH(tb)), 9) >= 0.8
     ORDER BY idA ASC NULLS FIRST, idB ASC NULLS FIRST"""
 
+  // q105 — q101 as PURE JSON: the `edit_dedup` node key (blocking
+  // expression + normalized-Levenshtein verify) with the same exact
+  // oracle. Proves the short-field near-dup tier is config-reachable.
+  private def q105(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "documents"},
+       "edit_dedup": {"id_col": "doc_id", "text_col": "text",
+                      "block_expr": "substring(text, 1, 24)",
+                      "threshold": 0.8},
+       "order_by": ["idA asc", "idB asc"]}""")
+
   override def queries: Seq[Q] = Seq(
     Q("q27_dedup_exact", q27, Some(q27Sql)),
     Q("q28_ngram_jaccard", q28, Some(q28Sql)),
@@ -313,6 +324,7 @@ object DedupQueries extends QueryPack {
     Q("q53_dedup_pipeline_lsh", q53, Some(q53Sql)),
     Q("q88_incremental_dedup", q88, Some(q88Sql)),
     Q("q97_incremental_neardup", q97, Some(q97Sql)),
-    Q("q101_edit_distance_verify", q101, Some(q101Sql))
+    Q("q101_edit_distance_verify", q101, Some(q101Sql)),
+    Q("q105_config_edit_dedup", q105, Some(q101Sql))
   )
 }

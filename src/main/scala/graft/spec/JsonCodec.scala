@@ -192,6 +192,16 @@ object JsonCodec {
         bands = opt(d, "bands").map(_.asInt).getOrElse(8))
     }
 
+    val ed = opt(n, "edit_dedup", "editDedup").map { d =>
+      EditDedupSpec(
+        idCol = req(d, s"node $id: edit_dedup", "id_col", "idCol").asText,
+        textCol = req(d, s"node $id: edit_dedup", "text_col", "textCol").asText,
+        blockExpr = req(d, s"node $id: edit_dedup", "block_expr", "blockExpr").asText,
+        threshold = opt(d, "threshold").map(_.asDouble).getOrElse(0.8),
+        maxDistance = opt(d, "max_distance", "maxDistance").map(_.asInt),
+        maxBucketSize = opt(d, "max_bucket_size", "maxBucketSize").map(_.asInt))
+    }
+
     val bp = opt(n, "boilerplate").map { d =>
       BoilerplateSpec(
         idCol = req(d, s"node $id: boilerplate", "id_col", "idCol").asText,
@@ -269,6 +279,7 @@ object JsonCodec {
       dedup = dd,
       keepColumns = if (aggregate.isDefined) Nil else keep,
       nearDup = nd,
+      editDedup = ed,
       boilerplate = bp,
       featurize = fz,
       aggregate = aggregate,

@@ -231,6 +231,23 @@ final case class NearDupSpec(
     bands: Int = 8
 )
 
+/** Edit-distance near-dup pairs (NS; Dedup.blockedCandidatePairs →
+  * verifyEditDistancePairs): record-linkage blocking on `blockExpr` (any
+  * Catalyst expression string — a text prefix, a normalized title…),
+  * then normalized-Levenshtein verification of the candidates. The frame
+  * becomes (idA, idB, dist, sim). Pure plan composition — one shuffle on
+  * the block key, verify ∝ candidates — so config-admissible. The
+  * short-field tier where shingle Jaccard is too coarse; `maxDistance`
+  * engages the early-exit kernel at scale. */
+final case class EditDedupSpec(
+    idCol: String,
+    textCol: String,
+    blockExpr: String,
+    threshold: Double = 0.8,
+    maxDistance: Option[Int] = None,
+    maxBucketSize: Option[Int] = None
+)
+
 /** Boilerplate line removal (NS; Corpus.removeBoilerplateLines): drop
   * every line occurring in more than `maxDocs` distinct documents and
   * reassemble the rest. The frame becomes
@@ -338,6 +355,7 @@ final case class NodeSpec(
     dedup: Option[DedupSpec] = None,
     keepColumns: Seq[String] = Nil,
     nearDup: Option[NearDupSpec] = None, // after keep, before aggregate
+    editDedup: Option[EditDedupSpec] = None, // after keep, before aggregate
     boilerplate: Option[BoilerplateSpec] = None, // after keep, before aggregate
     featurize: Option[FeaturizeSpec] = None, // after keep, before aggregate
     aggregate: Option[AggregateSpec] = None,

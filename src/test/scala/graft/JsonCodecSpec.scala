@@ -116,6 +116,25 @@ class JsonCodecSpec extends AnyFunSuite {
     assert(e.getMessage.contains("threshold"))
   }
 
+  test("edit_dedup node key decodes with defaults and named errors") {
+    val n = root("""
+      {"source": {"table": "documents"},
+       "edit_dedup": {"id_col": "doc_id", "text_col": "text",
+                      "block_expr": "substring(text, 1, 24)"}}""")
+    val d = n.editDedup.get
+    assert(d.idCol == "doc_id" && d.blockExpr == "substring(text, 1, 24)")
+    assert(d.threshold == 0.8 && d.maxDistance.isEmpty && d.maxBucketSize.isEmpty)
+    val full = root("""
+      {"source": {"table": "documents"},
+       "edit_dedup": {"id_col": "doc_id", "text_col": "text",
+                      "block_expr": "lower(text)", "threshold": 0.9,
+                      "max_distance": 8, "max_bucket_size": 100}}""").editDedup.get
+    assert(full.maxDistance.contains(8) && full.maxBucketSize.contains(100))
+    val e = intercept[IllegalArgumentException](root(
+      """{"edit_dedup": {"id_col": "a", "text_col": "t"}}"""))
+    assert(e.getMessage.contains("block_expr"))
+  }
+
   test("interval-join keys decode: lookback, delays, stream source flag") {
     val n = root("""
       {"source": {"table": "a"},
