@@ -276,4 +276,62 @@ object Corpus {
         count(when(col("__hot").isNull, lit(1))).as("kept_lines"),
         count(when(col("__hot").isNotNull, lit(1))).as("dropped_lines"))
   }
+
+  /** Corpus-LM perplexity scoring — the CCNet-style quality signal: train
+    * a word-bigram language model on the corpus ITSELF (add-k smoothed)
+    * and score every document by its mean negative log-probability under
+    * that model. Repetitive/templated text scores low (predictable),
+    * gibberish scores high; the middle band is the human-looking text a
+    * curation pipeline keeps. Self-training means no external model
+    * artifact — the operator is closed over its input, which is what
+    * makes it exactly mirrorable in oracle SQL.
+    *
+    *   P(w2|w1) = (c(w1 w2) + k) / (c(w1·) + k·V)
+    *
+    * with c(w1·) the count of w1 as a bigram left-context and V the
+    * corpus' distinct-unigram count. Per-occurrence log-probs round to
+    * 6 dp BEFORE the decimal-exact sum (order-independent under shuffle
+    * retries; ln is the only libm call and a 1-ulp divergence survives
+    * the rounding only within ~1e-16 of a boundary). Documents with
+    * fewer than two tokens have no bigrams and are absent — left-join
+    * the result back when every doc needs a row.
+    *
+    * Output: (idCol, n_bigrams, nll); nll = −mean log P, rounded 6 dp.
+    * Scale: two vocabulary-shaped aggregates (c12, c1), a scalar V, and
+    * two equi-joins of the exploded bigram stream against the count
+    * tables — shuffles ∝ corpus tokens, the op's inherent cost. At 100 TB
+    * pre-bucket the vocab tables by their join key; the scalar V rides a
+    * 1-row cross join. */
+  def lmPerplexity(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Double = 0.5
+  ): DataFrame = {
+    val toks = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__t"))
+    val bigrams = toks.select(col(idCol),
+      explode(when(size(col("__t")) >= 2,
+          transform(sequence(lit(1), size(col("__t")) - 1),
+            i => concat_ws(" ", slice(col("__t"), i, lit(2)))))
+        .otherwise(array().cast("array<string>"))).as("__bg"))
+    val c12 = bigrams.groupBy(col("__bg")).agg(count(lit(1)).as("__c12"))
+    // left-context counts derive from the bigram stream itself (tokens
+    // contain no whitespace, so the first segment IS w1)
+    val c1 = bigrams.groupBy(substring_index(col("__bg"), " ", 1).as("__w1"))
+      .agg(count(lit(1)).as("__c1"))
+    val v = toks.select(explode(col("__t")).as("__w"))
+      .agg(count_distinct(col("__w")).as("__v"))
+    bigrams
+      .join(c12, Seq("__bg"))
+      .join(c1, substring_index(col("__bg"), " ", 1) === col("__w1"))
+      .crossJoin(v)
+      .select(col(idCol),
+        round(log((col("__c12") + lit(k)) / (col("__c1") + lit(k) * col("__v"))), 6)
+          .as("__lp"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(-(sum(col("__lp").cast(org.apache.spark.sql.types.DecimalType(25, 6)))
+          .cast("double") / count(lit(1))), 6).as("nll"))
+  }
 }

@@ -239,12 +239,46 @@ object TextQueries extends QueryPack {
     SELECT doc_id, token, tfidf, rank FROM ranked WHERE rank <= 3
     ORDER BY doc_id ASC NULLS FIRST, rank ASC NULLS FIRST"""
 
+  // q106 — corpus-LM perplexity (CCNet-style quality signal): bigram LM
+  // trained on the corpus itself (add-0.5 smoothing), each doc scored by
+  // mean negative log-prob. Pure count arithmetic + ln (the q68
+  // precedent) with per-occurrence 6-dp rounding before the decimal-exact
+  // sum → exact oracle.
+  private def q106(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Corpus.lmPerplexity(docs(s, dir), "doc_id", "text", k = 0.5)
+      .orderBy(col("doc_id").asc_nulls_first)
+  private val q106Sql = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS t
+      FROM documents),
+    bg AS (
+      SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ')
+                             for i in generate_series(1, len(t)-1)]) AS bg
+      FROM toks WHERE len(t) >= 2),
+    c12 AS (SELECT bg, COUNT(*) AS c12 FROM bg GROUP BY 1),
+    c1 AS (SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT w) AS v
+          FROM (SELECT unnest(t) AS w FROM toks)),
+    lp AS (
+      SELECT doc_id,
+             ROUND(LN((c12.c12 + 0.5) / (c1.c1 + 0.5 * v.v)), 6) AS lp
+      FROM bg
+      JOIN c12 USING (bg)
+      JOIN c1 ON split_part(bg.bg, ' ', 1) = c1.w1
+      CROSS JOIN v)
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(-(CAST(SUM(CAST(lp AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)), 6) AS nll
+    FROM lp GROUP BY 1
+    ORDER BY doc_id ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
     Q("q24_text_stats", q24, Some(q24Sql)),
     Q("q25_lang_id", q25, Some(q25Sql)),
     Q("q26_fingerprint", q26, Some(q26Sql)),
     Q("q60_curation_pipeline", q60, Some(q60Sql)),
     Q("q67_token_df", q67, Some(q67Sql)),
-    Q("q68_tfidf", q68, Some(q68Sql))
+    Q("q68_tfidf", q68, Some(q68Sql)),
+    Q("q106_lm_perplexity", q106, Some(q106Sql))
   )
 }

@@ -227,4 +227,22 @@ class CorpusSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"hot-set join should broadcast:\n$plan")
   }
+
+  // ---- LM perplexity ------------------------------------------------------
+
+  test("lmPerplexity: predictable text scores lower than unique text; short docs absent") {
+    // 10 identical docs (every bigram seen 10×) vs one doc of one-off words
+    val rows = (1L to 10L).map(i => (i, "the cat sat on the mat again today")) ++
+      Seq((11L, "zebra quartz violin nebula harpoon tundra obelisk fjord")) ++
+      Seq((12L, "single"), (13L, ""))
+    val scored = Corpus.lmPerplexity(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(!scored.contains(12L) && !scored.contains(13L),
+      "docs with < 2 tokens have no bigrams and are absent")
+    assert(scored(1L)._1 == 7, "n_bigrams = tokens - 1")
+    assert(scored(1L)._2 < scored(11L)._2,
+      s"repeated text must be more predictable: ${scored(1L)} vs ${scored(11L)}")
+    // identical docs score identically (the model is corpus-global)
+    assert(scored(1L) == scored(10L))
+  }
 }
