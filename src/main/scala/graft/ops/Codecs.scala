@@ -541,8 +541,16 @@ object Codecs {
     * minFrameLuma, maxFrameLuma, temporalDelta] — luma stats per frame
     * (Rec.601, exact integer sums) and the mean absolute luma change
     * between consecutive frames (the cheap motion/staticness signal). */
-  def aviFeatures(payload: Array[Byte]): Array[Float] = {
-    val v = decodeAvi(payload)
+  def aviFeatures(payload: Array[Byte]): Array[Float] =
+    videoFeatures(decodeAvi(payload))
+
+  /** [[aviFeatures]] for GIF payloads (animated or single-frame) — same
+    * stats over the composited frames, so mixed AVI/GIF corpora yield
+    * comparable features. */
+  def gifFeatures(payload: Array[Byte]): Array[Float] =
+    videoFeatures(Gif.decode(payload))
+
+  private def videoFeatures(v: Video): Array[Float] = {
     val n = v.width.toLong * v.height
     val lumas = v.frames.map { rgb =>
       var sl = 0L
@@ -672,6 +680,7 @@ object Codecs {
     else if (Jpeg.isJpeg(payload)) jpegFeatures(payload)
     else if (isWav(payload)) wavFeatures(payload)
     else if (isAvi(payload)) aviFeatures(payload)
+    else if (Gif.isGif(payload)) gifFeatures(payload)
     else Multimodal.decodeStub(payload)
 
   /** Header-only metadata parse: (format, width, height). BMP: pixel
@@ -696,6 +705,9 @@ object Codecs {
       // avih carries width/height at fixed offsets in the canonical layout
       val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
       ("avi", buf.getInt(64), buf.getInt(68))
+    } else if (Gif.isGif(bytes)) {
+      val (w, h) = Gif.quickDims(bytes)
+      ("gif", w, h)
     } else ("bin", 0, 0)
 
   /** (frames, channels) from the chunk walk without copying samples. */

@@ -241,6 +241,53 @@ object MultimodalQueries extends QueryPack {
        "order_by": ["media_id asc"]}""")
   }
 
+  /** Deterministic text→GIF fixture: 2-5 frames of 8×6 over a fixed
+    * 16-color palette (GIF is indexed color — the fixture honors the
+    * format's contract), pixels cycling the text bytes with a per-frame
+    * shift so temporal deltas have signal. */
+  private[graft] val textToGif = udf { (t: String) =>
+    val b = Option(t).getOrElse("").getBytes("UTF-8")
+    val (w, h) = (8, 6)
+    val nf = 2 + (b.length % 4)
+    val frames = (0 until nf).map { f =>
+      Array.tabulate(w * h * 3) { i =>
+        val p = i / 3
+        val c = if (b.isEmpty) 0 else b((p + f * 7) % b.length) & 0x0f
+        (i % 3 match {
+          case 0 => c * 16
+          case 1 => 255 - c * 16
+          case _ => (c * c) % 256
+        }).toByte
+      }
+    }
+    graft.ops.Gif.encode(w, h, frames, delayCs = 10)
+  }
+
+  // q107 — the INDEXED-COLOR animation path end-to-end: synthesize real
+  // GIF89a payloads (palette + LZW), frame-sample through the container
+  // codec (decode → keep every 2nd frame → re-encode), then one-sweep
+  // meta parse + featurize. Rows-only gate (DuckDB has no LZW); decode
+  // exactness is pinned by the OpsSpec goldens from the independent
+  // python reference (tools/gif_ref.py).
+  private def q107(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMediaParsed(
+      Multimodal.rebalanceForCodec(
+          Tables.load(s, dir, "documents").select("doc_id", "text"))
+        .select(col("doc_id"), textToGif(col("text")).as("payload")),
+      idCol = "doc_id", payloadCol = "payload")
+    val sampled = Multimodal.transformPayload(media, "gif", graft.ops.Gif.frameSample(2))
+    val pf = Multimodal.parseAndFeaturize(
+      sampled, "media_id", "payload", Codecs.mediaFeatures)
+    pf.select(
+        col("media_id"), col("meta.format").as("format"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        element_at(col("features"), 3).cast("int").as("n_frames"),
+        element_at(col("features"), 4).cast("int").as("fps"),
+        round(element_at(col("features"), 5).cast("double"), 9).as("mean_luma"),
+        round(element_at(col("features"), 8).cast("double"), 9).as("temporal_delta"))
+      .orderBy(col("media_id").asc_nulls_first)
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q37_multimodal_featurize", q37, None),
     Q("q69_audio_featurize", q69, None),
@@ -248,6 +295,7 @@ object MultimodalQueries extends QueryPack {
     Q("q89_image_resize", q89, None),
     Q("q94_png_resize", q94, None),
     Q("q99_jpeg_resize", q99, None),
-    Q("q100_config_featurize", q100, None)
+    Q("q100_config_featurize", q100, None),
+    Q("q107_gif_featurize", q107, None)
   )
 }

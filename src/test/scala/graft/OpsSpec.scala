@@ -482,6 +482,74 @@ class OpsSpec extends SparkSpec {
     assert(err.getMessage.contains("progressive"))
   }
 
+  test("GIF codec: golden decode matches the independent python reference") {
+    // All three payloads + expected pixels come from tools/gif_ref.py — a
+    // separate palette/LZW implementation, so the Scala decoder is pinned
+    // against code it shares nothing with.
+    val goldenGif = java.util.Base64.getDecoder.decode(
+      "R0lGODlhBQAEAJEAAP8AAAD/AAAA//qACiH5BAAKAAAALAAAAAAFAAQAAAIGxBSGmtdYADs=")
+    val goldenGifPx0 = Array[Int](255, 0, 0, 250, 128, 10, 0, 0, 255, 0, 255, 0, 255, 0, 0, 250, 128, 10, 0, 0, 255, 0, 255, 0, 255, 0, 0, 250, 128, 10, 0, 0, 255, 0, 255, 0, 255, 0, 0, 250, 128, 10, 0, 0, 255, 0, 255, 0, 255, 0, 0, 250, 128, 10, 0, 0, 255, 0, 255, 0).map(_.toByte)
+    val v = ops.Gif.decode(goldenGif)
+    assert(v.width == 5 && v.height == 4 && v.frames.size == 1)
+    assert(v.frames.head.toSeq == goldenGifPx0.toSeq, "plain decode differs from reference")
+    assert(ops.Codecs.parseMeta(goldenGif) == (("gif", 5, 4)))
+
+    val goldenGifInterlaced = java.util.Base64.getDecoder.decode(
+      "R0lGODlhBgAJAJEAAP8AAAD/AAAA//qACiH5BAAKAAAALAAAAAAGAAkAQAINRDRmqJexXpyO" +
+      "1YcsKgA7")
+    val goldenGifInterlacedPx0 = Array[Int](255, 0, 0, 0, 255, 0, 0, 0, 255, 250, 128, 10, 255, 0, 0, 0, 255, 0, 0, 0, 255, 250, 128, 10, 255, 0, 0, 0, 255, 0, 0, 0, 255, 250, 128, 10, 255, 0, 0, 0, 255, 0, 0, 0, 255, 250, 128, 10, 255, 0, 0, 0, 255, 0, 0, 0, 255, 250, 128, 10, 255, 0, 0, 0, 255, 0, 0, 0, 255, 250, 128, 10, 255, 0, 0, 0, 255, 0, 0, 0, 255, 250, 128, 10, 255, 0, 0, 0, 255, 0, 0, 0, 255, 250, 128, 10, 255, 0, 0, 0, 255, 0, 0, 0, 255, 250, 128, 10, 255, 0, 0, 0, 255, 0, 0, 0, 255, 250, 128, 10, 255, 0, 0, 0, 255, 0, 0, 0, 255, 250, 128, 10, 255, 0, 0, 0, 255, 0, 0, 0, 255, 250, 128, 10, 255, 0, 0, 0, 255, 0, 0, 0, 255, 250, 128, 10, 255, 0, 0, 0, 255, 0).map(_.toByte)
+    val vi = ops.Gif.decode(goldenGifInterlaced)
+    assert(vi.width == 6 && vi.height == 9 && vi.frames.size == 1)
+    assert(vi.frames.head.toSeq == goldenGifInterlacedPx0.toSeq,
+      "interlaced decode (four-pass row order) differs from reference")
+
+    val goldenGifAnim = java.util.Base64.getDecoder.decode(
+      "R0lGODlhBAADAJEAAP8AAAD/AAAA//qACiH5BAAFAAAALAAAAAAEAAMAAAIFRDQ3gFYAIfkE" +
+      "AQUAAwAsAAAAAAQAAwAAAgScHXcFADs=")
+    val goldenGifAnimPx0 = Array[Int](255, 0, 0, 0, 255, 0, 0, 0, 255, 250, 128, 10, 0, 255, 0, 0, 0, 255, 250, 128, 10, 255, 0, 0, 0, 0, 255, 250, 128, 10, 255, 0, 0, 0, 255, 0).map(_.toByte)
+    val goldenGifAnimPx1 = Array[Int](255, 0, 0, 0, 255, 0, 0, 0, 255, 250, 128, 10, 0, 255, 0, 0, 255, 0, 250, 128, 10, 255, 0, 0, 0, 0, 255, 250, 128, 10, 255, 0, 0, 0, 255, 0).map(_.toByte)
+    val va = ops.Gif.decode(goldenGifAnim)
+    assert(va.width == 4 && va.height == 3 && va.frames.size == 2)
+    assert(va.frames(0).toSeq == goldenGifAnimPx0.toSeq, "frame 1 differs from reference")
+    assert(va.frames(1).toSeq == goldenGifAnimPx1.toSeq,
+      "frame 2 (transparency composited over frame 1) differs from reference")
+    assert(va.fps == 20, "fps derives from the 5cs GCE delay")
+  }
+
+  test("GIF codec: round-trips, frame sampling, feature dispatch") {
+    // single frame, enough distinct colors to cross LZW width boundaries
+    val (w, h) = (23, 17)
+    val rgb = Array.tabulate(w * h * 3) { i =>
+      val p = i / 3
+      (((p * 31) % 199) * (i % 3 + 1) % 256).toByte
+    }
+    val one = ops.Gif.decode(ops.Gif.encode(w, h, Seq(rgb)))
+    assert(one.width == w && one.height == h && one.frames.size == 1)
+    assert(one.frames.head.toSeq == rgb.toSeq, "lossless round-trip must be exact")
+    // animation round-trip with per-frame content
+    val frames = (0 until 5).map(f =>
+      Array.tabulate(w * h * 3)(i => (((i / 3 + f * 7) % 97) * 2).toByte))
+    val anim = ops.Gif.decode(ops.Gif.encode(w, h, frames, delayCs = 10))
+    assert(anim.frames.size == 5 && anim.fps == 10)
+    anim.frames.zip(frames).zipWithIndex.foreach { case ((got, want), i) =>
+      assert(got.toSeq == want.toSeq, s"frame $i differs after round-trip")
+    }
+    // frame sampling keeps frames 0, 2, 4
+    val sampled = ops.Gif.decode(ops.Gif.frameSample(2)(ops.Gif.encode(w, h, frames)))
+    assert(sampled.frames.size == 3)
+    assert(sampled.frames(1).toSeq == frames(2).toSeq)
+    // feature dispatch sniffs GIF; >256 colors rejected by name
+    val g = ops.Gif.encode(w, h, Seq(rgb))
+    assert(ops.Codecs.mediaFeatures(g).toSeq == ops.Codecs.gifFeatures(g).toSeq)
+    // (p%256, (p/2)%256, 0) over 400 pixels → 400 distinct colors
+    val many = Array.tabulate(20 * 20 * 3) { i =>
+      val p = i / 3
+      (i % 3 match { case 0 => p % 256; case 1 => (p / 2) % 256; case _ => 0 }).toByte
+    }
+    val err = intercept[IllegalArgumentException](ops.Gif.encode(20, 20, Seq(many)))
+    assert(err.getMessage.contains("quantize"))
+  }
+
   test("PNG codec: resize + features agree with the BMP path on equal pixels") {
     val (w, h) = (9, 5)
     val rgb = Array.tabulate(w * h * 3)(i => ((i * 53 + 7) % 256).toByte)
