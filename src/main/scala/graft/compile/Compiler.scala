@@ -37,6 +37,7 @@ object Compiler {
         node.dedup.toSeq.flatMap(d => d.keys ++ d.idCol) ++
         node.nearDup.toSeq.flatMap(d => Seq(d.idCol, d.vecCol)) ++
         node.editDedup.toSeq.flatMap(e => Seq(e.idCol, e.textCol)) ++
+        node.lmPerplexity.toSeq.flatMap(l => Seq(l.idCol, l.textCol)) ++
         node.boilerplate.toSeq.flatMap(b => Seq(b.idCol, b.textCol)) ++
         node.featurize.toSeq.flatMap(f => Seq(f.idCol, f.payloadCol))
     // compact/running_totals/top_k run AFTER children (joins may add or
@@ -185,6 +186,13 @@ object Compiler {
         df, e.idCol, expr(e.blockExpr), e.maxBucketSize)
       df = graft.ops.Dedup.verifyEditDistancePairs(
         df, e.idCol, e.textCol, cands, e.threshold, e.maxDistance)
+    }
+
+    // LM-perplexity quality scoring: the frame becomes (id, n_bigrams,
+    // nll). Plan-only (vocabulary aggregates + equi-joins), so
+    // config-admissible; downstream keys filter/sort on the score.
+    node.lmPerplexity.foreach { l =>
+      df = graft.ops.Corpus.lmPerplexity(df, l.idCol, l.textCol, l.k)
     }
 
     // Boilerplate line removal: the frame becomes (id, clean_text,

@@ -272,6 +272,20 @@ object TextQueries extends QueryPack {
     FROM lp GROUP BY 1
     ORDER BY doc_id ASC NULLS FIRST"""
 
+  // q108 — the LM score from PURE JSON, feeding downstream node keys: the
+  // `lm_perplexity` key scores the corpus, then order_by + limit keep the
+  // 50 least predictable documents (the "probably gibberish" review
+  // queue). Same count-arithmetic oracle as q106 with the ranking applied.
+  private def q108(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "documents"},
+       "lm_perplexity": {"id_col": "doc_id", "text_col": "text"},
+       "order_by": ["nll desc", "doc_id asc"],
+       "limit": 50}""")
+  private val q108Sql = q106Sql.replace(
+    "ORDER BY doc_id ASC NULLS FIRST",
+    "ORDER BY nll DESC, doc_id ASC NULLS FIRST LIMIT 50")
+
   override def queries: Seq[Q] = Seq(
     Q("q24_text_stats", q24, Some(q24Sql)),
     Q("q25_lang_id", q25, Some(q25Sql)),
@@ -279,6 +293,7 @@ object TextQueries extends QueryPack {
     Q("q60_curation_pipeline", q60, Some(q60Sql)),
     Q("q67_token_df", q67, Some(q67Sql)),
     Q("q68_tfidf", q68, Some(q68Sql)),
-    Q("q106_lm_perplexity", q106, Some(q106Sql))
+    Q("q106_lm_perplexity", q106, Some(q106Sql)),
+    Q("q108_config_lm_score", q108, Some(q108Sql))
   )
 }

@@ -202,6 +202,13 @@ object JsonCodec {
         maxBucketSize = opt(d, "max_bucket_size", "maxBucketSize").map(_.asInt))
     }
 
+    val lm = opt(n, "lm_perplexity", "lmPerplexity").map { d =>
+      LmPerplexitySpec(
+        idCol = req(d, s"node $id: lm_perplexity", "id_col", "idCol").asText,
+        textCol = req(d, s"node $id: lm_perplexity", "text_col", "textCol").asText,
+        k = opt(d, "k").map(_.asDouble).getOrElse(0.5))
+    }
+
     val bp = opt(n, "boilerplate").map { d =>
       BoilerplateSpec(
         idCol = req(d, s"node $id: boilerplate", "id_col", "idCol").asText,
@@ -280,6 +287,7 @@ object JsonCodec {
       keepColumns = if (aggregate.isDefined) Nil else keep,
       nearDup = nd,
       editDedup = ed,
+      lmPerplexity = lm,
       boilerplate = bp,
       featurize = fz,
       aggregate = aggregate,

@@ -248,6 +248,17 @@ final case class EditDedupSpec(
     maxBucketSize: Option[Int] = None
 )
 
+/** Corpus-LM perplexity scoring (NS; Corpus.lmPerplexity): self-trained
+  * add-k bigram LM, each doc scored by mean negative log-probability.
+  * The frame becomes (idCol, n_bigrams, nll); docs with < 2 tokens are
+  * absent. Plan-only (vocabulary aggregates + equi-joins — no actions),
+  * so config-admissible. */
+final case class LmPerplexitySpec(
+    idCol: String,
+    textCol: String,
+    k: Double = 0.5
+)
+
 /** Boilerplate line removal (NS; Corpus.removeBoilerplateLines): drop
   * every line occurring in more than `maxDocs` distinct documents and
   * reassemble the rest. The frame becomes
@@ -356,6 +367,7 @@ final case class NodeSpec(
     keepColumns: Seq[String] = Nil,
     nearDup: Option[NearDupSpec] = None, // after keep, before aggregate
     editDedup: Option[EditDedupSpec] = None, // after keep, before aggregate
+    lmPerplexity: Option[LmPerplexitySpec] = None, // after keep, before aggregate
     boilerplate: Option[BoilerplateSpec] = None, // after keep, before aggregate
     featurize: Option[FeaturizeSpec] = None, // after keep, before aggregate
     aggregate: Option[AggregateSpec] = None,

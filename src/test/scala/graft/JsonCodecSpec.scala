@@ -135,6 +135,21 @@ class JsonCodecSpec extends AnyFunSuite {
     assert(e.getMessage.contains("block_expr"))
   }
 
+  test("lm_perplexity node key decodes with defaults and named errors") {
+    val n = root("""
+      {"source": {"table": "documents"},
+       "lm_perplexity": {"id_col": "doc_id", "text_col": "text"}}""")
+    val d = n.lmPerplexity.get
+    assert(d.idCol == "doc_id" && d.textCol == "text" && d.k == 0.5)
+    assert(root("""
+      {"source": {"table": "documents"},
+       "lm_perplexity": {"id_col": "a", "text_col": "t", "k": 1.0}}""")
+      .lmPerplexity.get.k == 1.0)
+    val e = intercept[IllegalArgumentException](root(
+      """{"lm_perplexity": {"id_col": "a"}}"""))
+    assert(e.getMessage.contains("text_col"))
+  }
+
   test("interval-join keys decode: lookback, delays, stream source flag") {
     val n = root("""
       {"source": {"table": "a"},

@@ -482,6 +482,19 @@ class OpsSpec extends SparkSpec {
     assert(err.getMessage.contains("progressive"))
   }
 
+  test("parseAndFeaturize: meta + features in one sweep — no join in the plan") {
+    val media = Multimodal.asMediaParsed(
+      docs.select($"doc_id", ops.Codecs.encodeBmp(4, 3, Array.fill(36)(7.toByte)) match {
+        case b => lit(b).as("payload")
+      }), "doc_id", "payload")
+    val pf = Multimodal.parseAndFeaturize(media, "media_id", "payload", ops.Codecs.mediaFeatures)
+    val plan = pf.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"one-pass featurize must not self-join (the shape it replaced):\n$plan")
+    val row = pf.limit(1).collect().head
+    assert(row.getStruct(1).getString(0) == "bmp" && row.getSeq[Float](2).nonEmpty)
+  }
+
   test("GIF codec: golden decode matches the independent python reference") {
     // All three payloads + expected pixels come from tools/gif_ref.py — a
     // separate palette/LZW implementation, so the Scala decoder is pinned

@@ -186,4 +186,32 @@ class PropertySpec extends SparkSpec {
         (("wav", frames, channels)))
     }
   }
+
+  test("GIF codec round-trips arbitrary dims, palette sizes and frame counts") {
+    val gen = for {
+      w <- Gen.chooseNum(1, 40)
+      h <- Gen.chooseNum(1, 30)
+      nf <- Gen.chooseNum(1, 4)
+      ncolors <- Gen.chooseNum(1, 256) // spans mcs 2..8
+      seed <- Gen.chooseNum(0, 10000)
+    } yield (w, h, nf, ncolors, seed)
+    forAll(gen, n = 20) { case (w, h, nf, ncolors, seed) =>
+      // a fixed palette of `ncolors` distinct colors, pixels drawn from it
+      val pal = Array.tabulate(ncolors)(c =>
+        (((c * 37 + 11) % 256) << 16) | (((c * 73 + seed) % 256) << 8) | ((c * 151) % 256))
+      val frames = (0 until nf).map { f =>
+        Array.tabulate(w * h * 3) { i =>
+          val c = pal(((i / 3) * 13 + f * 7 + seed) % ncolors)
+          (i % 3 match { case 0 => c >> 16; case 1 => (c >> 8) & 0xff; case _ => c & 0xff }).toByte
+        }
+      }
+      val enc = ops.Gif.encode(w, h, frames)
+      val v = ops.Gif.decode(enc)
+      assert(v.width == w && v.height == h && v.frames.size == nf)
+      v.frames.zip(frames).foreach { case (got, want) =>
+        assert(got.toSeq == want.toSeq, s"lossless round-trip ${w}x$h nf=$nf ncolors=$ncolors")
+      }
+      assert(ops.Codecs.parseMeta(enc) == (("gif", w, h)))
+    }
+  }
 }
