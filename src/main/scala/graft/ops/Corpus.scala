@@ -277,6 +277,38 @@ object Corpus {
         count(when(col("__hot").isNotNull, lit(1))).as("dropped_lines"))
   }
 
+  /** Deterministic train/val/test split: each row lands in exactly one
+    * named bucket by a portable multiplicative hash of its id (q61's
+    * spelling — plain BIGINT arithmetic both engines compute identically,
+    * so the assignment is oracle-checkable), with bucket widths
+    * proportional to `weights`. Reproducible across runs/retries/
+    * repartitioning and STABLE UNDER CORPUS GROWTH — a doc's bucket never
+    * changes when other docs are added or removed, which is the property
+    * that keeps eval sets fixed while the training corpus evolves
+    * (a rand()-based randomSplit loses both). Scan-stage, zero shuffles.
+    *
+    * Weights are normalized; bucket boundaries are cumulative fractions
+    * of the 1e6-wide hash space, assigned in the given order. */
+  def hashSplit(
+      df: DataFrame,
+      idCol: String,
+      weights: Seq[(String, Double)],
+      splitCol: String = "split"
+  ): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      s"weights must be positive: $weights")
+    val total = weights.map(_._2).sum
+    val space = 1000000L
+    val bounds = weights.scanLeft(0L) { case (acc, (_, w)) =>
+      acc + math.round(w / total * space)
+    }.tail.dropRight(1) :+ space // last bucket absorbs rounding differences
+    val h = pmod(col(idCol).cast("long") * lit(2654435761L), lit(space))
+    val assign = weights.map(_._1).zip(bounds).foldRight(lit(weights.last._1)) {
+      case ((name, bound), rest) => when(h < bound, lit(name)).otherwise(rest)
+    }
+    df.withColumn(splitCol, assign)
+  }
+
   /** Corpus-LM perplexity scoring — the CCNet-style quality signal: train
     * a word-bigram language model on the corpus ITSELF (add-k smoothed)
     * and score every document by its mean negative log-probability under

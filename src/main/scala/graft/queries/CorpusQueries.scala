@@ -292,6 +292,25 @@ object CorpusQueries extends QueryPack {
     GROUP BY l.doc_id
     ORDER BY l.doc_id ASC NULLS FIRST"""
 
+  // q109 — deterministic train/val/test split: 90/5/5 by portable
+  // multiplicative hash of doc_id (the q61 spelling — identical BIGINT
+  // arithmetic in both engines → exact oracle). Per-split counts prove
+  // the proportions; the per-doc assignment is pinned by the same hash
+  // expression in the oracle.
+  private def q109(s: SparkSession, dir: String): DataFrame =
+    Corpus.hashSplit(
+        Tables.load(s, dir, "documents"),
+        idCol = "doc_id",
+        weights = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .select("doc_id", "split")
+      .orderBy(col("doc_id").asc_nulls_first)
+  private val q109Sql = """
+    SELECT doc_id,
+           CASE WHEN (doc_id * 2654435761) % 1000000 < 900000 THEN 'train'
+                WHEN (doc_id * 2654435761) % 1000000 < 950000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents ORDER BY doc_id ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
     Q("q72_doc_chunking", q72, Some(q72Sql)),
     Q("q73_sequence_packing", q73, Some(q73Sql)),
@@ -302,6 +321,7 @@ object CorpusQueries extends QueryPack {
     Q("q96_config_running_totals", q96, Some(q77Sql)),
     Q("q80_stratified_sample", q80, Some(q80Sql)),
     Q("q81_pii_scrub", q81, Some(q81Sql)),
-    Q("q90_boilerplate_lines", q90, Some(q90Sql))
+    Q("q90_boilerplate_lines", q90, Some(q90Sql)),
+    Q("q109_hash_split", q109, Some(q109Sql))
   )
 }

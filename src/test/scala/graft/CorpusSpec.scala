@@ -228,6 +228,30 @@ class CorpusSpec extends SparkSpec {
       s"hot-set join should broadcast:\n$plan")
   }
 
+  // ---- hash split ---------------------------------------------------------
+
+  test("hashSplit: stable under corpus growth, proportions roughly honored") {
+    val small = (1L to 2000L).toDF("id")
+    val big = (1L to 4000L).toDF("id")
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Corpus.hashSplit(small, "id", w).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Corpus.hashSplit(big, "id", w).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // growth stability: every id keeps its bucket when the corpus doubles
+    assert(a.forall { case (id, s) => b(id) == s },
+      "adding docs must never move an existing doc's split")
+    // proportions within a few percent on 4000 ids
+    val counts = b.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") / 4000.0 - 0.8) < 0.03, s"train: $counts")
+    assert(math.abs(counts("val") / 4000.0 - 0.1) < 0.03, s"val: $counts")
+    // every row lands in exactly one bucket
+    assert(counts.values.sum == 4000)
+    val err = intercept[IllegalArgumentException](
+      Corpus.hashSplit(small, "id", Seq("a" -> 0.5, "b" -> -0.1)))
+    assert(err.getMessage.contains("positive"))
+  }
+
   // ---- LM perplexity ------------------------------------------------------
 
   test("lmPerplexity: predictable text scores lower than unique text; short docs absent") {

@@ -519,6 +519,25 @@ class StreamingSpec extends SparkSpec {
       val idx = spark.read.parquet(s"$base/index")
       assert(idx.select("doc_id").distinct().collect().map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
       assert(idx.count() == 3 * 16, "16 band rows per admitted doc")
+
+      // RESTART: stop the query, start a fresh one on the same
+      // checkpoint/dirs — dedup history must carry over (it lives in the
+      // persisted index, not in streaming state)
+      q.stop()
+      val q2 = Streaming.nearDupIngest(
+        mem.toDF.toDF("doc_id", "text"), "doc_id", "text",
+        s"$base/corpus", s"$base/index", s"$base/ckpt",
+        shingleSize = 2, threshold = 0.5)
+      try {
+        mem.addData(
+          (6L, tB + " eleven"), // near-dup of PRE-restart corpus doc 2
+          (7L, "entirely new words that match nothing else at all"))
+        q2.processAllAvailable()
+        val after = spark.read.parquet(s"$base/corpus")
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        assert(after == Set(1L, 2L, 4L, 7L),
+          s"6 must dedup against history admitted before the restart: got $after")
+      } finally q2.stop()
     } finally q.stop()
   }
 }
