@@ -38,6 +38,7 @@ object Compiler {
         node.nearDup.toSeq.flatMap(d => Seq(d.idCol, d.vecCol)) ++
         node.editDedup.toSeq.flatMap(e => Seq(e.idCol, e.textCol)) ++
         node.lmPerplexity.toSeq.flatMap(l => Seq(l.idCol, l.textCol)) ++
+        node.split.toSeq.map(_.idCol) ++
         node.boilerplate.toSeq.flatMap(b => Seq(b.idCol, b.textCol)) ++
         node.featurize.toSeq.flatMap(f => Seq(f.idCol, f.payloadCol))
     // compact/running_totals/top_k run AFTER children (joins may add or
@@ -193,6 +194,12 @@ object Compiler {
     // config-admissible; downstream keys filter/sort on the score.
     node.lmPerplexity.foreach { l =>
       df = graft.ops.Corpus.lmPerplexity(df, l.idCol, l.textCol, l.k)
+    }
+
+    // Deterministic split: adds the bucket-name column (scan-stage
+    // arithmetic, no shuffle); downstream keys filter/aggregate on it.
+    node.split.foreach { sp =>
+      df = graft.ops.Corpus.hashSplit(df, sp.idCol, sp.buckets, sp.splitCol)
     }
 
     // Boilerplate line removal: the frame becomes (id, clean_text,

@@ -311,6 +311,31 @@ object CorpusQueries extends QueryPack {
                 ELSE 'test' END AS split
     FROM documents ORDER BY doc_id ASC NULLS FIRST"""
 
+  // q110 — the split from PURE JSON feeding a downstream aggregate:
+  // per-bucket doc counts and char totals (the "is my training mix
+  // balanced" report). Buckets are an ordered array — boundary
+  // assignment is cumulative.
+  private def q110(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "documents"},
+       "split": {"id_col": "doc_id",
+                 "buckets": [{"name": "train", "weight": 0.9},
+                             {"name": "val", "weight": 0.05},
+                             {"name": "test", "weight": 0.05}]},
+       "aggregate": {"group_by": ["split"],
+         "aggregations": [{"col": "*", "func": "count", "new_name": "n_docs"},
+                          {"col": "n_chars", "func": "sum", "new_name": "sum_chars"}]},
+       "order_by": ["split asc"]}""")
+  private val q110Sql = """
+    WITH assigned AS (
+      SELECT n_chars,
+             CASE WHEN (doc_id * 2654435761) % 1000000 < 900000 THEN 'train'
+                  WHEN (doc_id * 2654435761) % 1000000 < 950000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM assigned GROUP BY 1 ORDER BY split ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
     Q("q72_doc_chunking", q72, Some(q72Sql)),
     Q("q73_sequence_packing", q73, Some(q73Sql)),
@@ -322,6 +347,7 @@ object CorpusQueries extends QueryPack {
     Q("q80_stratified_sample", q80, Some(q80Sql)),
     Q("q81_pii_scrub", q81, Some(q81Sql)),
     Q("q90_boilerplate_lines", q90, Some(q90Sql)),
-    Q("q109_hash_split", q109, Some(q109Sql))
+    Q("q109_hash_split", q109, Some(q109Sql)),
+    Q("q110_config_split", q110, Some(q110Sql))
   )
 }

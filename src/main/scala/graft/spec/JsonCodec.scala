@@ -209,6 +209,22 @@ object JsonCodec {
         k = opt(d, "k").map(_.asDouble).getOrElse(0.5))
     }
 
+    val sp = opt(n, "split").map { d =>
+      val bucketsNode = req(d, s"node $id: split", "buckets")
+      require(bucketsNode.isArray && bucketsNode.size() > 0,
+        s"node $id: split.buckets must be a non-empty ARRAY of " +
+          """{"name": ..., "weight": ...} (order defines the boundaries)""")
+      val buckets = (0 until bucketsNode.size()).map { i =>
+        val b = bucketsNode.get(i)
+        (req(b, s"node $id: split.buckets[$i]", "name").asText,
+          req(b, s"node $id: split.buckets[$i]", "weight").asDouble)
+      }
+      SplitSpec(
+        idCol = req(d, s"node $id: split", "id_col", "idCol").asText,
+        buckets = buckets,
+        splitCol = opt(d, "split_col", "splitCol").map(_.asText).getOrElse("split"))
+    }
+
     val bp = opt(n, "boilerplate").map { d =>
       BoilerplateSpec(
         idCol = req(d, s"node $id: boilerplate", "id_col", "idCol").asText,
@@ -288,6 +304,7 @@ object JsonCodec {
       nearDup = nd,
       editDedup = ed,
       lmPerplexity = lm,
+      split = sp,
       boilerplate = bp,
       featurize = fz,
       aggregate = aggregate,

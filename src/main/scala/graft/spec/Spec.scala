@@ -259,6 +259,17 @@ final case class LmPerplexitySpec(
     k: Double = 0.5
 )
 
+/** Deterministic train/val/test split (NS; Corpus.hashSplit): adds
+  * `splitCol` naming each row's bucket by portable multiplicative hash of
+  * `idCol` — reproducible and stable under corpus growth. Buckets are an
+  * ORDERED list because boundary assignment is cumulative. Scan-stage,
+  * config-admissible. */
+final case class SplitSpec(
+    idCol: String,
+    buckets: Seq[(String, Double)],
+    splitCol: String = "split"
+)
+
 /** Boilerplate line removal (NS; Corpus.removeBoilerplateLines): drop
   * every line occurring in more than `maxDocs` distinct documents and
   * reassemble the rest. The frame becomes
@@ -368,6 +379,7 @@ final case class NodeSpec(
     nearDup: Option[NearDupSpec] = None, // after keep, before aggregate
     editDedup: Option[EditDedupSpec] = None, // after keep, before aggregate
     lmPerplexity: Option[LmPerplexitySpec] = None, // after keep, before aggregate
+    split: Option[SplitSpec] = None, // after keep, before aggregate
     boilerplate: Option[BoilerplateSpec] = None, // after keep, before aggregate
     featurize: Option[FeaturizeSpec] = None, // after keep, before aggregate
     aggregate: Option[AggregateSpec] = None,

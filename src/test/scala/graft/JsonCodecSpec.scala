@@ -150,6 +150,20 @@ class JsonCodecSpec extends AnyFunSuite {
     assert(e.getMessage.contains("text_col"))
   }
 
+  test("split node key decodes ordered buckets and rejects non-array forms") {
+    val n = root("""
+      {"source": {"table": "documents"},
+       "split": {"id_col": "doc_id",
+                 "buckets": [{"name": "train", "weight": 0.9},
+                             {"name": "test", "weight": 0.1}]}}""")
+    val d = n.split.get
+    assert(d.idCol == "doc_id" && d.splitCol == "split")
+    assert(d.buckets == Seq("train" -> 0.9, "test" -> 0.1), "order must be preserved")
+    val e = intercept[IllegalArgumentException](root("""
+      {"split": {"id_col": "a", "buckets": {"train": 0.9}}}"""))
+    assert(e.getMessage.contains("ARRAY"), s"got: ${e.getMessage}")
+  }
+
   test("interval-join keys decode: lookback, delays, stream source flag") {
     val n = root("""
       {"source": {"table": "a"},
