@@ -56,6 +56,7 @@ object Registry {
     // zorder(c1, c2, ..., bits) — bits must be a literal (it sizes the
     // bit-interleave expression tree at plan time)
     "scrub_pii" -> fn(TextAnalysis.scrubPii),
+    "normalize_text" -> (es => NormalizeText(es.head)),
     "pii_count" -> fn(TextAnalysis.piiCount),
     "zorder" -> (es => GraftColumnBridge.expressionEager(
       graft.ops.Layout.zorderValue(

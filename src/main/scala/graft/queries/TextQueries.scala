@@ -286,6 +286,51 @@ object TextQueries extends QueryPack {
     "ORDER BY doc_id ASC NULLS FIRST",
     "ORDER BY nll DESC, doc_id ASC NULLS FIRST LIMIT 50")
 
+  // q111 — canonical text normalization (native NormalizeText kernel):
+  // NFC composition, ROOT lowercase, control→space, space-run collapse,
+  // trim — the pre-fingerprint step of every dedup pipeline. The derive
+  // plants DECOMPOSED accents (E+U+0301, I/U+U+0308 — NFC must compose
+  // them), uppercase, a tab and ragged padding around each document so
+  // the unicode paths run on corpus data; the oracle rebuilds the
+  // identical bytes (shared constants below) and normalizes with
+  // DuckDB's nfc_normalize — both engines implement UAX #15. The
+  // fingerprint of the normalized text proves normalize→hash composes
+  // cross-engine.
+  private val messyPrefix = "  CAFE\u0301\tNAI\u0308VE  " // decomposed accents + tab
+  private val messySuffix = "   U\u0308BER"
+  private def q111(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Registry.registerAll(s)
+    // a raw TAB is illegal inside a JSON string \u2014 escape it for the config
+    // side; the SQL oracle embeds the constant directly (legal in SQL)
+    val jsonPrefix = messyPrefix.replace("\t", "\\t")
+    graft.compile.Compiler.compileJson(s, s"""
+      {"source": {"table": "documents"},
+       "derive": {
+         "messy": "concat('$jsonPrefix', text, '$messySuffix')",
+         "norm": "normalize_text(messy)",
+         "fp": "doc_fingerprint_portable(norm)",
+         "n_norm": "length(norm)"},
+       "keep_columns": ["doc_id", "norm", "fp", "n_norm"],
+       "order_by": ["doc_id asc"]}""")
+      .select("doc_id", "norm", "fp", "n_norm")
+  }
+  private val q111Sql = s"""
+    WITH m AS (
+      SELECT doc_id, '$messyPrefix' || text || '$messySuffix' AS messy
+      FROM documents),
+    n AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(nfc_normalize(messy)),
+                    '[\\x00-\\x1f\\x7f]', ' ', 'g'), ' +', ' ', 'g'), ' ') AS norm
+      FROM m),
+    toks AS (
+      SELECT doc_id, norm,
+             list_filter(string_split_regex(trim(norm), '\\s+'), x -> len(x) > 0) AS t
+      FROM n)
+    SELECT doc_id, norm, ${fpSql("t")} AS fp,
+           CAST(LENGTH(norm) AS INT) AS n_norm
+    FROM toks ORDER BY doc_id ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
     Q("q24_text_stats", q24, Some(q24Sql)),
     Q("q25_lang_id", q25, Some(q25Sql)),
@@ -294,6 +339,7 @@ object TextQueries extends QueryPack {
     Q("q67_token_df", q67, Some(q67Sql)),
     Q("q68_tfidf", q68, Some(q68Sql)),
     Q("q106_lm_perplexity", q106, Some(q106Sql)),
-    Q("q108_config_lm_score", q108, Some(q108Sql))
+    Q("q108_config_lm_score", q108, Some(q108Sql)),
+    Q("q111_normalize_text", q111, Some(q111Sql))
   )
 }

@@ -482,6 +482,30 @@ class OpsSpec extends SparkSpec {
     assert(err.getMessage.contains("progressive"))
   }
 
+  test("normalize_text kernel: NFC composition, case, controls, idempotence") {
+    import graft.functions.TextKernels.normalizeText
+    val rows = Seq(
+      "  CAFE\u0301 TIME  ", // decomposed E + U+0301 composes under NFC
+      "A\u0001B\u007fC",     // C0 control + DEL become spaces
+      "tabs\tand\nnewlines\r\nhere",
+      "",
+      "   ",
+      "already normal text"
+    ).toDF("t")
+    val got = rows.select(normalizeText($"t").as("n")).collect().map(_.getString(0))
+    assert(got(0) == "caf\u00e9 time", s"got '${got(0)}'") // composed, lowered, trimmed
+    assert(got(1) == "a b c")
+    assert(got(2) == "tabs and newlines here")
+    assert(got(3) == "" && got(4) == "")
+    assert(got(5) == "already normal text")
+    // idempotent: normalizing twice is a no-op
+    val twice = rows.select(normalizeText(normalizeText($"t")).as("n"))
+      .collect().map(_.getString(0))
+    assert(twice.toSeq == got.toSeq)
+    // null flows through (UnaryExpression null semantics)
+    assert(Seq[String](null).toDF("t").select(normalizeText($"t")).collect().head.isNullAt(0))
+  }
+
   test("parseAndFeaturize: meta + features in one sweep — no join in the plan") {
     val media = Multimodal.asMediaParsed(
       docs.select($"doc_id", ops.Codecs.encodeBmp(4, 3, Array.fill(36)(7.toByte)) match {
