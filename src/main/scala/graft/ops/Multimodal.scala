@@ -101,6 +101,19 @@ object Multimodal {
     out.toDF("media_id", "features")
   }
 
+  /** Corrupt-payload policy for the decode stages. At 100 TB a real
+    * corpus always contains truncated/mislabeled payloads; one of them
+    * must not kill a thousand-executor job, and silently mis-decoding is
+    * worse. `Fail` rethrows (the default — right for curated fixtures),
+    * `Null` emits the row with format "err" and null features so the
+    * damage is countable downstream, `Skip` drops the row. */
+  sealed trait OnError
+  object OnError {
+    case object Fail extends OnError
+    case object Null extends OnError
+    case object Skip extends OnError
+  }
+
   /** One-pass header parse + featurize: (media_id, meta, features) from a
     * SINGLE sweep over the payload column. The parse→featurize→equi-join
     * composition this replaces executes the payload-producing subtree
@@ -108,24 +121,39 @@ object Multimodal {
     * common-subexpression reuse across join sides) and then shuffles both
     * — for outputs that are row-aligned by construction. Zero shuffles,
     * one decode, meta and features from the same bytes. Same injection
-    * seam and per-partition `init` amortization as [[featurize]]. */
+    * seam and per-partition `init` amortization as [[featurize]];
+    * `onError` picks the corrupt-payload policy (decoder exceptions are
+    * data errors, not bugs — a truncated JPEG throws). */
   def parseAndFeaturize(
       df: DataFrame,
       idCol: String,
       payloadCol: String,
       decoder: Array[Byte] => Array[Float] = decodeStub,
-      init: () => Unit = () => ()
+      init: () => Unit = () => (),
+      onError: OnError = OnError.Fail
   ): DataFrame = {
     val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
     df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
       .as(enc)
       .mapPartitions { it =>
         init()
-        it.map { case (id, p0) =>
+        val rows = it.map { case (id, p0) =>
           val p = if (p0 == null) Array.emptyByteArray else p0
-          val (fmt, w, h) = Codecs.parseMeta(p)
-          (id, MediaMeta(fmt, w, h, p.length.toLong), decoder(p))
+          try {
+            val (fmt, w, h) = Codecs.parseMeta(p)
+            (id, MediaMeta(fmt, w, h, p.length.toLong), decoder(p))
+          } catch {
+            case scala.util.control.NonFatal(e) => onError match {
+              case OnError.Fail =>
+                throw new IllegalArgumentException(
+                  s"media_id $id: undecodable payload (${e.getMessage})", e)
+              case OnError.Null =>
+                (id, MediaMeta("err", 0, 0, p.length.toLong), null)
+              case OnError.Skip => null
+            }
+          }
         }
+        if (onError == OnError.Skip) rows.filter(_ != null) else rows
       }(Encoders.tuple(Encoders.scalaLong,
         ExpressionEncoder[MediaMeta](), ExpressionEncoder[Array[Float]]()))
       .toDF("media_id", "meta", "features")

@@ -288,6 +288,34 @@ object MultimodalQueries extends QueryPack {
       .orderBy(col("media_id").asc_nulls_first)
   }
 
+  // q112 — corrupt-payload policy end-to-end: every 7th document's BMP is
+  // truncated to 60 bytes (magic + header intact, pixel data gone — the
+  // realistic "truncated upload" shape), and the one-sweep featurize runs
+  // with OnError.Skip. Survivors and their header-parsed dims are exactly
+  // predictable → oracle-checked: a corrupt payload must neither kill the
+  // job nor leak into the output.
+  private def q112(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.rebalanceForCodec(
+        Tables.load(s, dir, "documents").select("doc_id", "text"))
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+            substring(textToBmp(col("text")), 1, 60))
+          .otherwise(textToBmp(col("text"))).as("payload"))
+    Multimodal.parseAndFeaturize(
+        media, "doc_id", "payload", Codecs.mediaFeatures,
+        onError = Multimodal.OnError.Skip)
+      .select(col("media_id"), col("meta.format").as("format"),
+        col("meta.width").as("width"), col("meta.height").as("height"))
+      .orderBy(col("media_id").asc_nulls_first)
+  }
+  // strlen = BYTES (mirrors getBytes("UTF-8").length in textToBmp)
+  private val q112Sql = """
+    SELECT doc_id AS media_id, 'bmp' AS format,
+           CAST(4 + strlen(text) % 9 AS INT) AS width,
+           CAST(3 + strlen(text) % 7 AS INT) AS height
+    FROM documents WHERE doc_id % 7 <> 0
+    ORDER BY media_id ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
     Q("q37_multimodal_featurize", q37, None),
     Q("q69_audio_featurize", q69, None),
@@ -296,6 +324,7 @@ object MultimodalQueries extends QueryPack {
     Q("q94_png_resize", q94, None),
     Q("q99_jpeg_resize", q99, None),
     Q("q100_config_featurize", q100, None),
-    Q("q107_gif_featurize", q107, None)
+    Q("q107_gif_featurize", q107, None),
+    Q("q112_corrupt_policy", q112, Some(q112Sql))
   )
 }

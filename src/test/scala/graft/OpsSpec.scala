@@ -506,6 +506,28 @@ class OpsSpec extends SparkSpec {
     assert(Seq[String](null).toDF("t").select(normalizeText($"t")).collect().head.isNullAt(0))
   }
 
+  test("parseAndFeaturize onError policies: fail loudly, null countably, skip cleanly") {
+    import graft.ops.Multimodal.OnError
+    val good = ops.Codecs.encodeBmp(4, 3, Array.fill(36)(9.toByte))
+    val bad = java.util.Arrays.copyOfRange(good, 0, 60) // magic ok, pixels gone
+    val rows = Seq((1L, good), (2L, bad), (3L, good)).toDF("id", "p")
+    // Fail (default): the corrupt row kills the job with the id named
+    val err = intercept[org.apache.spark.SparkException](
+      Multimodal.parseAndFeaturize(rows, "id", "p", ops.Codecs.mediaFeatures).collect())
+    assert(err.getMessage.contains("media_id 2") || err.getCause != null)
+    // Null: row survives with format "err" and null features
+    val nulled = Multimodal.parseAndFeaturize(rows, "id", "p",
+        ops.Codecs.mediaFeatures, onError = OnError.Null)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getStruct(1).getString(0), r.isNullAt(2)))).toMap
+    assert(nulled(2L) == (("err", true)) && nulled(1L) == (("bmp", false)))
+    // Skip: corrupt row vanishes, good rows decode
+    val kept = Multimodal.parseAndFeaturize(rows, "id", "p",
+        ops.Codecs.mediaFeatures, onError = OnError.Skip)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+  }
+
   test("parseAndFeaturize: meta + features in one sweep — no join in the plan") {
     val media = Multimodal.asMediaParsed(
       docs.select($"doc_id", ops.Codecs.encodeBmp(4, 3, Array.fill(36)(7.toByte)) match {
