@@ -178,7 +178,8 @@ object Multimodal {
       media: DataFrame,
       format: String,
       op: Array[Byte] => Array[Byte] = identity,
-      init: () => Unit = () => ()
+      init: () => Unit = () => (),
+      onError: OnError = OnError.Fail
   ): DataFrame = {
     val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
     val out: Dataset[(Long, Array[Byte])] = media
@@ -186,7 +187,20 @@ object Multimodal {
       .as(enc)
       .mapPartitions { it =>
         init()
-        it.map { case (id, p) => (id, op(if (p == null) Array.emptyByteArray else p)) }
+        val rows = it.map { case (id, p0) =>
+          val p = if (p0 == null) Array.emptyByteArray else p0
+          try (id, op(p))
+          catch {
+            case scala.util.control.NonFatal(e) => onError match {
+              case OnError.Fail =>
+                throw new IllegalArgumentException(
+                  s"media_id $id: payload transform failed (${e.getMessage})", e)
+              case OnError.Null => (id, Array.emptyByteArray) // countable: n_bytes 0
+              case OnError.Skip => null
+            }
+          }
+        }
+        if (onError == OnError.Skip) rows.filter(_ != null) else rows
       }(enc)
     out.toDF("media_id", "payload")
       .select(

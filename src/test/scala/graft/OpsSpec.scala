@@ -528,6 +528,21 @@ class OpsSpec extends SparkSpec {
     assert(kept == Set(1L, 3L))
   }
 
+  test("transformPayload onError: corrupt inputs skip or become empty payloads") {
+    import graft.ops.Multimodal.OnError
+    val good = ops.Codecs.encodeBmp(4, 3, Array.fill(36)(9.toByte))
+    val bad = java.util.Arrays.copyOfRange(good, 0, 60)
+    val media = Multimodal.asMediaParsed(
+      Seq((1L, good), (2L, bad), (3L, good)).toDF("id", "p"), "id", "p")
+    val resize: Array[Byte] => Array[Byte] = ops.Codecs.resizeBmp(2, 2)(_)
+    val skipped = Multimodal.transformPayload(media, "bmp", resize, onError = OnError.Skip)
+      .collect().map(_.getLong(0)).toSet
+    assert(skipped == Set(1L, 3L))
+    val nulled = Multimodal.transformPayload(media, "bmp", resize, onError = OnError.Null)
+      .collect().map(r => r.getLong(0) -> r.getStruct(1).getLong(3)).toMap
+    assert(nulled(2L) == 0L && nulled(1L) > 0L, s"empty payload is countable: $nulled")
+  }
+
   test("parseAndFeaturize: meta + features in one sweep — no join in the plan") {
     val media = Multimodal.asMediaParsed(
       docs.select($"doc_id", ops.Codecs.encodeBmp(4, 3, Array.fill(36)(7.toByte)) match {
