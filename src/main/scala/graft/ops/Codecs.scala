@@ -269,8 +269,14 @@ object Codecs {
     var off = 0
     while (off < raw.length && !inflater.finished()) {
       val n = inflater.inflate(raw, off, raw.length - off)
-      require(n > 0 || inflater.finished() || !inflater.needsInput,
-        "truncated or corrupt IDAT stream")
+      // any zero-progress state is corrupt input: needsInput = truncated
+      // stream (all input consumed), needsDictionary = FDICT-flagged zlib
+      // header (PNG forbids preset dictionaries) — both would otherwise
+      // spin this loop forever, hanging the executor where the OnError
+      // policies can only catch exceptions
+      require(n > 0 || inflater.finished(),
+        if (inflater.needsDictionary) "IDAT demands a preset dictionary (forbidden in PNG)"
+        else "truncated or corrupt IDAT stream")
       off += n
     }
     inflater.end()

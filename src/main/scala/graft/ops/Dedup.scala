@@ -73,8 +73,12 @@ object Dedup {
     * supplies (idCol, textCol) to the verify tier, and only CANDIDATE
     * corpus ids are ever joined against it — history is not re-read.
     * `corpusIndex` must have been built with the same (shingleSize,
-    * numHashes, bands): mismatched banding silently probes nothing, so
-    * the band count is checked against the index up front. */
+    * numHashes, bands): the index rows carry no parameter metadata, so a
+    * mismatch is NOT detectable here — mismatched banding silently probes
+    * nothing and admits every cross-corpus duplicate. Persist the
+    * parameters alongside the index (a one-row JSON next to the parquet)
+    * and validate them at load time in the ingest job; only the index
+    * SCHEMA is checked below. */
   def nearDupAgainstCorpus(
       incoming: DataFrame,
       corpusIndex: DataFrame,
@@ -174,13 +178,6 @@ object Dedup {
             i => xxhash64((0 until n).map(k => try_element_at(th, i + k + 1)): _*)))
       }
 
-  /** LSH candidate pairs from MinHash signatures.
-    * Bands the `numHashes`-long signature into `bands` groups of
-    * rows-per-band r = numHashes/bands; docs colliding on ANY full band are
-    * candidates. Probability a pair with Jaccard j collides:
-    * 1-(1-j^r)^bands (the standard S-curve). One explode (×bands) + one
-    * shuffle on the band key + an in-bucket self-join.
-    * Returns (idA, idB) with idA < idB, distinct. */
   /** MinHash band index: one row per (band, band_key) bucket membership
     * of each doc — the banding stage of [[minhashCandidatePairs]] exposed
     * as a standalone frame because PERSISTED it is the production ingest
@@ -213,6 +210,13 @@ object Dedup {
         .as(Seq("band", "band_key")))
   }
 
+  /** LSH candidate pairs from MinHash signatures.
+    * Bands the `numHashes`-long signature into `bands` groups of
+    * rows-per-band r = numHashes/bands; docs colliding on ANY full band are
+    * candidates. Probability a pair with Jaccard j collides:
+    * 1-(1-j^r)^bands (the standard S-curve). One explode (×bands) + one
+    * shuffle on the band key + an in-bucket self-join.
+    * Returns (idA, idB) with idA < idB, distinct. */
   def minhashCandidatePairs(
       df: DataFrame,
       idCol: String,
@@ -295,11 +299,14 @@ object Dedup {
         .select("__bk")
       keyed = keyed.join(ok, Seq("__bk"))
     }
+    // no .distinct(): unlike the banded LSH tiers (where several bands
+    // re-emit the same pair), each doc carries exactly ONE block key, so
+    // the self-join already yields each pair once — a dedup here would
+    // add a candidate-shaped shuffle for nothing
     keyed.select(col("__bk"), col(idCol).as("idA"))
       .join(keyed.select(col("__bk"), col(idCol).as("idB")), Seq("__bk"))
       .filter(col("idA") < col("idB"))
       .select("idA", "idB")
-      .distinct()
   }
 
   /** Edit-distance verify tier restricted to CANDIDATE pairs: join each

@@ -231,7 +231,12 @@ object Gif {
           }
           frames += canvas.clone()
           nFrames += 1
+          // a GCE applies only to the single rendering block that follows
+          // it (GIF89a §23) — both fields reset, not just transparency,
+          // or one disposal=2 frame would background-clear every later
+          // GCE-less frame
           transparent = -1
+          disposal = 0
         case other =>
           throw new IllegalArgumentException(f"unknown GIF block 0x$other%02x at $pos")
       }

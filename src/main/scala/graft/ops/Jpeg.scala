@@ -259,6 +259,13 @@ object Jpeg {
                   s"unsupported sampling ${comp.h}x${comp.v} (1-2 only)")
                 comp
               }
+              if (nc == 1) {
+                // a single-component scan is NON-interleaved (JPEG spec
+                // B.2.3): one data unit per MCU in raster order, whatever
+                // the declared sampling factors — treating samp 2x2 as a
+                // 4-block MCU would scramble the block order
+                comps(0) = comps(0).copy(h = 1, v = 1)
+              }
             case 0xdd => // DRI
               restartInterval = ((bytes(seg) & 0xff) << 8) | (bytes(seg + 1) & 0xff)
             case 0xda => // SOS

@@ -377,7 +377,9 @@ object JsonCodec {
       val table = opt(s, "table").map(_.asText)
       // layout keys, flat on the sink: partition_by / bucket_by / range_by
       // / zorder_by (+ their knobs) — see SinkLayoutSpec
-      val layoutKeys = Seq("partition_by", "bucket_by", "range_by", "zorder_by")
+      val layoutKeys = Seq(
+        "partition_by", "partitionBy", "bucket_by", "bucketBy",
+        "range_by", "rangeBy", "zorder_by", "zorderBy")
       val layout =
         if (layoutKeys.exists(k => opt(s, k).isDefined))
           Some(SinkLayoutSpec(
@@ -399,10 +401,15 @@ object JsonCodec {
       SinkSpec(
         path = opt(s, "path").map(_.asText).getOrElse {
           // fail at parse time, not at the end of the job with Hadoop's
-          // cryptic empty-path error
-          if (pathRequired(format) && table.isEmpty)
+          // cryptic empty-path error. A table NAME substitutes for a path
+          // only on the catalog-backed bucketed write (saveAsTable) — a
+          // plain file sink with just {"table": ...} would still
+          // save("") at the end of the job
+          val bucketed = table.isDefined && layout.exists(_.bucketBy.nonEmpty)
+          if (pathRequired(format) && !bucketed)
             throw new IllegalArgumentException(
-              s"sink format '$format' requires a path")
+              s"sink format '$format' requires a path " +
+                "(or a bucketed layout with a catalog table name)")
           else ""
         },
         format = format,

@@ -242,20 +242,33 @@ object Streaming {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          new java.net.URI(corpusDir), s.sparkContext.hadoopConfiguration)
-        val seeded = fs.exists(new org.apache.hadoop.fs.Path(corpusDir)) &&
-          fs.listStatus(new org.apache.hadoop.fs.Path(corpusDir)).nonEmpty
+        // each directory checked INDEPENDENTLY: the two writes below are
+        // not atomic, so a crash between them must not wedge the restart
+        // (replayed batch sees corpus-but-no-index and would otherwise
+        // throw on the missing path forever)
+        def seeded(dir: String): Boolean = {
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+          fs.exists(new org.apache.hadoop.fs.Path(dir)) &&
+            fs.listStatus(new org.apache.hadoop.fs.Path(dir)).nonEmpty
+        }
         // first batch: empty index/corpus with the right schemas, derived
-        // from the batch itself (limit(0) keeps this type-generic)
-        val (index, corpus) =
-          if (seeded)
-            (s.read.parquet(indexDir).select(col(idCol), col("band"), col("band_key")),
-              s.read.parquet(corpusDir).select(batch.columns.map(col): _*))
-          else
-            (graft.ops.Dedup.minhashBandIndex(
-                batch.limit(0), idCol, textCol, shingleSize, numHashes, bands),
-              batch.limit(0))
+        // from the batch itself (limit(0) keeps this type-generic).
+        // `batch != batchId` excludes a replayed batch's OWN crashed
+        // write (the batch= partition column comes from the directory
+        // layout) — otherwise the replay would dedup the batch against
+        // its own previous output and emit nothing
+        val index =
+          if (seeded(indexDir))
+            s.read.parquet(indexDir).filter(col("batch") =!= batchId)
+              .select(col(idCol), col("band"), col("band_key"))
+          else graft.ops.Dedup.minhashBandIndex(
+            batch.limit(0), idCol, textCol, shingleSize, numHashes, bands)
+        val corpus =
+          if (seeded(corpusDir))
+            s.read.parquet(corpusDir).filter(col("batch") =!= batchId)
+              .select(batch.columns.map(col): _*)
+          else batch.limit(0)
         val kept = graft.ops.Dedup.nearDupAgainstCorpus(
           batch, index, corpus, idCol, textCol,
           shingleSize, numHashes, bands, threshold).persist()

@@ -472,6 +472,17 @@ class OpsSpec extends SparkSpec {
     assert(ops.Codecs.mediaFeatures(jp).toSeq == ops.Codecs.jpegFeatures(jp).toSeq)
     val rz = ops.Jpeg.decode(ops.Codecs.resizeJpeg(4, 3)(jp))
     assert(rz.width == 4 && rz.height == 3)
+    // single-component scans are non-interleaved whatever SOF sampling
+    // declares (spec B.2.3): patching a gray JPEG's sampling byte from
+    // 1x1 to 2x2 must not change the decode
+    val gj = ops.Jpeg.encode(9, 7, Array.tabulate(9 * 7)(i => (i * 3).toByte), quality = 95)
+    val patched = gj.clone()
+    val sof = patched.indices.find(i =>
+      (patched(i) & 0xff) == 0xff && (patched(i + 1) & 0xff) == 0xc0).get
+    assert((patched(sof + 11) & 0xff) == 0x11, "gray SOF sampling byte location")
+    patched(sof + 11) = 0x22.toByte
+    assert(ops.Jpeg.decode(patched).rgb.toSeq == ops.Jpeg.decode(gj).rgb.toSeq,
+      "declared 2x2 sampling on a 1-component image must decode identically")
     // progressive (SOF2) is rejected by name, not mis-decoded
     val prog = ops.Jpeg.encode(8, 8, g, quality = 95).clone()
     // rewrite the SOF0 marker (0xff 0xc0) to SOF2 (0xff 0xc2)
