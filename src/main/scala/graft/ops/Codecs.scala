@@ -197,7 +197,11 @@ object Codecs {
       }
       y += 1
     }
-    val deflater = new java.util.zip.Deflater()
+    // BEST_SPEED: any level emits a spec-valid stream every decoder
+    // accepts (round-trips are the pinned contract, not encoded bytes);
+    // the default level-6 dictionary search dominated the encode path
+    // for thumbnail-sized images
+    val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
     deflater.setInput(raw); deflater.finish()
     val zbuf = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
     val tmp = new Array[Byte](8192)
