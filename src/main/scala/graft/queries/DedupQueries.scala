@@ -36,12 +36,15 @@ object DedupQueries extends QueryPack {
         idCol = "doc_id", textCol = "text",
         shingleSize = 3, threshold = 0.2)
       .orderBy(col("idA").asc_nulls_first, col("idB").asc_nulls_first)
-  private val q28Sql = """
+  /** Exact 3-gram Jaccard pair query, parameterized on the threshold —
+    * shared by q28's oracle (τ=0.2) and q113's recall-gate oracle
+    * (τ=0.5). */
+  private def jaccardPairsSql(threshold: Double) = s"""
     WITH sets AS (
       SELECT doc_id,
              list_distinct([array_to_string(t[i:i+2], ' ')
                             for i in generate_series(1, greatest(len(t)-2, 1))]) AS sh
-      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)),
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)),
     sizes AS (SELECT doc_id, len(sh) AS sz FROM sets),
     ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
     stop AS (SELECT shingle FROM ex GROUP BY shingle
@@ -56,7 +59,9 @@ object DedupQueries extends QueryPack {
     FROM common
     JOIN sizes sa ON sa.doc_id = idA
     JOIN sizes sb ON sb.doc_id = idB
-    WHERE ROUND(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 9) >= 0.2
+    WHERE ROUND(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 9) >= $threshold"""
+
+  private val q28Sql = jaccardPairsSql(0.2) + """
     ORDER BY idA ASC NULLS FIRST, idB ASC NULLS FIRST"""
 
   // q29 — MinHash-LSH candidate pairs (64 hashes, 16 bands → catches
@@ -314,6 +319,33 @@ object DedupQueries extends QueryPack {
                       "threshold": 0.8},
        "order_by": ["idA asc", "idB asc"]}""")
 
+  // q113 — LSH recall as a DRIVER-VERIFIED gate (the bounded-estimate
+  // pattern applied to the hash-based tier): Spark computes the exact
+  // ≥0.5 Jaccard pair set AND how many of them the MinHash-LSH candidate
+  // stage misses, and emits (n_exact, recall_ok = missed ≤ 10%). The
+  // oracle pins n_exact exactly (the q28 machinery at τ=0.5) and TRUE.
+  // Deterministic: fixed-seed signatures make recall a pure function of
+  // the corpus; the 10% slack absorbs borderline pairs if the driver
+  // regenerates data. A recall regression now FAILS the hash gate, not
+  // just a ScalaTest.
+  private def q113(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val exact = Dedup.ngramJaccardPairs(
+      docs, "doc_id", "text", shingleSize = 3, threshold = 0.5).select("idA", "idB")
+    val cand = Dedup.minhashCandidatePairs(
+      docs, "doc_id", "text", shingleSize = 3, numHashes = 64, bands = 16)
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val nMissed = exact.join(cand, Seq("idA", "idB"), "left_anti")
+      .agg(count(lit(1)).as("__missed"))
+    nExact.crossJoin(nMissed)
+      .select(col("n_exact"),
+        (col("__missed").cast("double") <= col("n_exact").cast("double") * 0.1)
+          .as("recall_ok"))
+  }
+  private val q113Sql = s"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
+    FROM (${jaccardPairsSql(0.5)})"""
+
   override def queries: Seq[Q] = Seq(
     Q("q27_dedup_exact", q27, Some(q27Sql)),
     Q("q28_ngram_jaccard", q28, Some(q28Sql)),
@@ -325,6 +357,7 @@ object DedupQueries extends QueryPack {
     Q("q88_incremental_dedup", q88, Some(q88Sql)),
     Q("q97_incremental_neardup", q97, Some(q97Sql)),
     Q("q101_edit_distance_verify", q101, Some(q101Sql)),
-    Q("q105_config_edit_dedup", q105, Some(q101Sql))
+    Q("q105_config_edit_dedup", q105, Some(q101Sql)),
+    Q("q113_lsh_recall_gate", q113, Some(q113Sql))
   )
 }
