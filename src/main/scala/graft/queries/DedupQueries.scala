@@ -36,19 +36,21 @@ object DedupQueries extends QueryPack {
         idCol = "doc_id", textCol = "text",
         shingleSize = 3, threshold = 0.2)
       .orderBy(col("idA").asc_nulls_first, col("idB").asc_nulls_first)
-  /** Exact 3-gram Jaccard pair query, parameterized on the threshold —
-    * shared by q28's oracle (τ=0.2) and q113's recall-gate oracle
-    * (τ=0.5). */
-  private def jaccardPairsSql(threshold: Double) = s"""
+  /** Exact 3-gram Jaccard pair query, parameterized on the threshold and
+    * the corpus expression — shared by q28's oracle (τ=0.2, full corpus)
+    * and q113's recall-gate oracle (τ=0.5, half slice). The stop-shingle
+    * guard counts over the SAME corpus expression, mirroring how the
+    * Spark side derives the guard from its input frame. */
+  private def jaccardPairsSql(threshold: Double, corpus: String = "documents") = s"""
     WITH sets AS (
       SELECT doc_id,
              list_distinct([array_to_string(t[i:i+2], ' ')
                             for i in generate_series(1, greatest(len(t)-2, 1))]) AS sh
-      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)),
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM $corpus)),
     sizes AS (SELECT doc_id, len(sh) AS sz FROM sets),
     ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
     stop AS (SELECT shingle FROM ex GROUP BY shingle
-             HAVING COUNT(*) > GREATEST(1000, (SELECT COUNT(*) FROM documents) // 1000)),
+             HAVING COUNT(*) > GREATEST(1000, (SELECT COUNT(*) FROM $corpus) // 1000)),
     exf AS (SELECT * FROM ex WHERE shingle NOT IN (SELECT shingle FROM stop)),
     common AS (
       SELECT a.doc_id AS idA, b.doc_id AS idB, COUNT(*) AS common
@@ -327,9 +329,12 @@ object DedupQueries extends QueryPack {
   // Deterministic: fixed-seed signatures make recall a pure function of
   // the corpus; the 10% slack absorbs borderline pairs if the driver
   // regenerates data. A recall regression now FAILS the hash gate, not
-  // just a ScalaTest.
+  // just a ScalaTest. Runs on the doc_id-even HALF of the corpus: the
+  // exact tier's shingle-join cost is superlinear in corpus size and q28
+  // already pays it in full — the gate's verification value survives the
+  // slice, the bench does not re-measure the baseline.
   private def q113(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
+    val docs = Tables.load(s, dir, "documents").filter(pmod(col("doc_id"), lit(2)) === 0)
     val exact = Dedup.ngramJaccardPairs(
       docs, "doc_id", "text", shingleSize = 3, threshold = 0.5).select("idA", "idB")
     val cand = Dedup.minhashCandidatePairs(
@@ -344,7 +349,7 @@ object DedupQueries extends QueryPack {
   }
   private val q113Sql = s"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
-    FROM (${jaccardPairsSql(0.5)})"""
+    FROM (${jaccardPairsSql(0.5, "(SELECT * FROM documents WHERE doc_id % 2 = 0)")})"""
 
   override def queries: Seq[Q] = Seq(
     Q("q27_dedup_exact", q27, Some(q27Sql)),
