@@ -287,6 +287,22 @@ object Corpus {
     * that keeps eval sets fixed while the training corpus evolves
     * (a rand()-based randomSplit loses both). Scan-stage, zero shuffles.
     *
+    * Id handling — assignment correctness is this operator's whole
+    * purpose, so no silent path exists:
+    *  - integral ids hash as `pmod(pmod(id, 1e6) * 2654435761, 1e6)`.
+    *    Reducing BEFORE the multiply keeps every intermediate below
+    *    2.65e15 — the result equals the mathematical (id*K) mod 1e6 for
+    *    ALL longs (an unreduced wrapping i64 multiply does not, and the
+    *    unreduced form overflows engines with checked arithmetic, e.g.
+    *    DuckDB BIGINT, for |id| ≳ 3.5e9), and negative ids land
+    *    identically under pmod in both engines.
+    *  - string ids (UUIDs, URLs — the common doc-id shape) route through
+    *    the portable fingerprint kernel first: still engine-portable
+    *    arithmetic, so string-keyed splits stay exactly oracle-checkable
+    *    (q114). A plain cast would yield NULL and mis-bucket every row.
+    *  - any other id type is rejected at plan time, and a NULL id fails
+    *    the job loudly rather than defaulting to a bucket.
+    *
     * Weights are normalized; bucket boundaries are cumulative fractions
     * of the 1e6-wide hash space, assigned in the given order. */
   def hashSplit(
@@ -302,9 +318,24 @@ object Corpus {
     val bounds = weights.scanLeft(0L) { case (acc, (_, w)) =>
       acc + math.round(w / total * space)
     }.tail.dropRight(1) :+ space // last bucket absorbs rounding differences
-    val h = pmod(col(idCol).cast("long") * lit(2654435761L), lit(space))
+    import org.apache.spark.sql.types._
+    val base: Column = df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        col(idCol).cast("long")
+      case StringType =>
+        graft.functions.TextKernels.portableFingerprint(col(idCol))
+      case t => throw new IllegalArgumentException(
+        s"hashSplit: id column '$idCol' has type ${t.simpleString}; " +
+          "only integral and string ids hash deterministically — cast or " +
+          "derive a stable id first")
+    }
+    val h = pmod(pmod(base, lit(space)) * lit(2654435761L), lit(space))
+    // A null id must never silently take the `otherwise` bucket.
+    val checked = when(col(idCol).isNotNull, h).otherwise(raise_error(
+      lit(s"hashSplit: NULL id in column '$idCol' — every row needs a " +
+        "stable id for deterministic bucket assignment")))
     val assign = weights.map(_._1).zip(bounds).foldRight(lit(weights.last._1)) {
-      case ((name, bound), rest) => when(h < bound, lit(name)).otherwise(rest)
+      case ((name, bound), rest) => when(checked < bound, lit(name)).otherwise(rest)
     }
     df.withColumn(splitCol, assign)
   }

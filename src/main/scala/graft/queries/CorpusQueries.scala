@@ -293,10 +293,12 @@ object CorpusQueries extends QueryPack {
     ORDER BY l.doc_id ASC NULLS FIRST"""
 
   // q109 — deterministic train/val/test split: 90/5/5 by portable
-  // multiplicative hash of doc_id (the q61 spelling — identical BIGINT
-  // arithmetic in both engines → exact oracle). Per-split counts prove
-  // the proportions; the per-doc assignment is pinned by the same hash
-  // expression in the oracle.
+  // multiplicative hash of doc_id. The operator reduces mod 1e6 BEFORE
+  // the multiply, so every intermediate stays below 2.65e15 — no silent
+  // i64 wrap on the Spark side, no checked-overflow error on the DuckDB
+  // side, and negative ids assign identically (pmod here, the
+  // sign-normalized `% + m) % m` spelling there). Exact oracle for the
+  // FULL long range, not just small positive fixture ids.
   private def q109(s: SparkSession, dir: String): DataFrame =
     Corpus.hashSplit(
         Tables.load(s, dir, "documents"),
@@ -304,10 +306,13 @@ object CorpusQueries extends QueryPack {
         weights = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
       .select("doc_id", "split")
       .orderBy(col("doc_id").asc_nulls_first)
-  private val q109Sql = """
+  /** DuckDB mirror of hashSplit's bucket hash over a BIGINT id alias. */
+  private[queries] def splitHashSql(id: String): String =
+    s"((($id % 1000000 + 1000000) % 1000000) * 2654435761) % 1000000"
+  private val q109Sql = s"""
     SELECT doc_id,
-           CASE WHEN (doc_id * 2654435761) % 1000000 < 900000 THEN 'train'
-                WHEN (doc_id * 2654435761) % 1000000 < 950000 THEN 'val'
+           CASE WHEN ${splitHashSql("doc_id")} < 900000 THEN 'train'
+                WHEN ${splitHashSql("doc_id")} < 950000 THEN 'val'
                 ELSE 'test' END AS split
     FROM documents ORDER BY doc_id ASC NULLS FIRST"""
 
@@ -326,15 +331,42 @@ object CorpusQueries extends QueryPack {
          "aggregations": [{"col": "*", "func": "count", "new_name": "n_docs"},
                           {"col": "n_chars", "func": "sum", "new_name": "sum_chars"}]},
        "order_by": ["split asc"]}""")
-  private val q110Sql = """
+  private val q110Sql = s"""
     WITH assigned AS (
       SELECT n_chars,
-             CASE WHEN (doc_id * 2654435761) % 1000000 < 900000 THEN 'train'
-                  WHEN (doc_id * 2654435761) % 1000000 < 950000 THEN 'val'
+             CASE WHEN ${splitHashSql("doc_id")} < 900000 THEN 'train'
+                  WHEN ${splitHashSql("doc_id")} < 950000 THEN 'val'
                   ELSE 'test' END AS split
       FROM documents)
     SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM assigned GROUP BY 1 ORDER BY split ASC NULLS FIRST"""
+
+  // q114 — the split on a STRING id (UUID/URL-shaped — the common
+  // web-corpus key). The round-7 audit found `cast("long")` on such ids
+  // yields NULL and silently dumped the whole corpus in the last bucket;
+  // the fix routes strings through the portable fingerprint kernel, and
+  // this query pins that path with a full hash-match oracle (the kernel's
+  // arithmetic is engine-portable — same Horner mirror as q26).
+  private def q114(s: SparkSession, dir: String): DataFrame =
+    Corpus.hashSplit(
+        Tables.load(s, dir, "documents")
+          .withColumn("sid", concat(lit("doc-"), col("doc_id"))),
+        idCol = "sid",
+        weights = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .select("sid", "split")
+      .orderBy(col("sid").asc_nulls_first)
+  private val q114Sql = s"""
+    WITH s AS (
+      SELECT 'doc-' || doc_id AS sid,
+             list_filter(string_split_regex(trim('doc-' || doc_id), '\\s+'),
+                         x -> len(x) > 0) AS t
+      FROM documents),
+    h AS (SELECT sid, ${TextQueries.fpSql("t")} AS fp FROM s)
+    SELECT sid,
+           CASE WHEN ${splitHashSql("fp")} < 900000 THEN 'train'
+                WHEN ${splitHashSql("fp")} < 950000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM h ORDER BY sid ASC NULLS FIRST"""
 
   override def queries: Seq[Q] = Seq(
     Q("q72_doc_chunking", q72, Some(q72Sql)),
@@ -348,6 +380,7 @@ object CorpusQueries extends QueryPack {
     Q("q81_pii_scrub", q81, Some(q81Sql)),
     Q("q90_boilerplate_lines", q90, Some(q90Sql)),
     Q("q109_hash_split", q109, Some(q109Sql)),
-    Q("q110_config_split", q110, Some(q110Sql))
+    Q("q110_config_split", q110, Some(q110Sql)),
+    Q("q114_string_id_split", q114, Some(q114Sql))
   )
 }

@@ -252,6 +252,37 @@ class CorpusSpec extends SparkSpec {
     assert(err.getMessage.contains("positive"))
   }
 
+  test("hashSplit: string ids hash portably — proportions honored, growth-stable") {
+    // the round-7 audit trap: cast("long") on a string id yields NULL and
+    // silently dumped 100% of the corpus in the LAST bucket
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val big = (1 to 4000).map(i => s"doc-$i").toDF("id")
+    val b = Corpus.hashSplit(big, "id", w).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val counts = b.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") / 4000.0 - 0.8) < 0.03, s"train: $counts")
+    assert(counts.getOrElse("test", 0) < 4000 * 0.2, s"last-bucket dump: $counts")
+    assert(counts.values.sum == 4000)
+    val small = (1 to 2000).map(i => s"doc-$i").toDF("id")
+    val a = Corpus.hashSplit(small, "id", w).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(a.forall { case (id, s) => b(id) == s },
+      "string-id buckets must be stable under corpus growth")
+  }
+
+  test("hashSplit: NULL id fails loudly; non-hashable id type rejected at plan time") {
+    val withNull = Seq(Option(1L), None).toDF("id")
+    val e = intercept[Throwable](
+      Corpus.hashSplit(withNull, "id", Seq("a" -> 1.0, "b" -> 1.0)).collect())
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.toString + messages(t.getCause)
+    assert(messages(e).contains("hashSplit"), s"expected a named error, got: $e")
+    val dbl = Seq(1.5, 2.5).toDF("id")
+    val e2 = intercept[IllegalArgumentException](
+      Corpus.hashSplit(dbl, "id", Seq("a" -> 1.0, "b" -> 1.0)))
+    assert(e2.getMessage.contains("hashSplit"))
+  }
+
   // ---- LM perplexity ------------------------------------------------------
 
   test("lmPerplexity: predictable text scores lower than unique text; short docs absent") {
