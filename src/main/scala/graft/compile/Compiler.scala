@@ -184,7 +184,7 @@ object Compiler {
     // so config-admissible; downstream keys run over the pair frame.
     node.editDedup.foreach { e =>
       val cands = graft.ops.Dedup.blockedCandidatePairs(
-        df, e.idCol, expr(e.blockExpr), e.maxBucketSize)
+        df, e.idCol, expr(e.blockExpr), e.bucketCap)
       df = graft.ops.Dedup.verifyEditDistancePairs(
         df, e.idCol, e.textCol, cands, e.threshold, e.maxDistance)
     }

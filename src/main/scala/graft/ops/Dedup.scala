@@ -282,22 +282,44 @@ object Dedup {
     * a normalized title, a phonetic code, a length bucket) become
     * candidates for an exact verify tier. One shuffle on the block key +
     * an in-bucket self-join — candidate count ∝ bucket sizes, never n².
-    * `maxBucketSize` caps the quadratic in-bucket blowup exactly like
-    * [[minhashCandidatePairs]] (one hot key — e.g. the empty-prefix
-    * bucket — must not produce m²/2 pairs). Returns (idA, idB), idA < idB,
-    * distinct. */
+    *
+    * The hot-bucket cap is DEFAULT-ON ([[BucketCap.Auto]]): blocking keys
+    * are precisely where real corpora skew — one boilerplate prefix
+    * ("Terms of Service…") puts millions of docs in a single bucket and
+    * hands the verify tier m²/2 pairs. Auto drops buckets larger than
+    * max(1000, 0.1% of corpus), the same skew-guard formula as
+    * [[ngramJaccardPairs]]'s default-on stop-shingle pass; a bucket that
+    * hot is boilerplate by construction, not linkage signal. Opt out
+    * explicitly with [[BucketCap.Off]] when the key is known-unique-ish,
+    * or pin a user cap with [[BucketCap.Max]]. Returns (idA, idB),
+    * idA < idB, distinct. */
   def blockedCandidatePairs(
       df: DataFrame,
       idCol: String,
       blockKey: Column,
-      maxBucketSize: Option[Int] = None
+      cap: BucketCap = BucketCap.Auto
   ): DataFrame = {
     var keyed = df.select(blockKey.as("__bk"), col(idCol))
-    maxBucketSize.foreach { cap =>
-      val ok = keyed.groupBy("__bk")
-        .agg(count(lit(1)).as("__n")).filter(col("__n") <= cap)
-        .select("__bk")
-      keyed = keyed.join(ok, Seq("__bk"))
+    if (cap != BucketCap.Off) {
+      val sizes = keyed.groupBy("__bk").agg(count(lit(1)).as("__n"))
+      keyed = cap match {
+        case BucketCap.Max(m) =>
+          // a user cap has no hot-set size bound (cap=2 on a skewed corpus
+          // flags most buckets), so the anti-join stays shuffled
+          keyed.join(sizes.filter(col("__n") > m).select("__bk"),
+            Seq("__bk"), "left_anti")
+        case _ =>
+          // auto: the hot set holds at most min(N/1000, 1000) keys by
+          // construction (each exceeds max(1000, N/1000) members), so
+          // broadcasting it is always safe — same reasoning as the
+          // auto stop-shingle set
+          val hot = sizes
+            .crossJoin(broadcast(df.select(count(lit(1)).as("__total"))))
+            .filter(col("__n") >
+              greatest(lit(1000L), floor(col("__total") / 1000).cast("long")))
+            .select("__bk")
+          keyed.join(broadcast(hot), Seq("__bk"), "left_anti")
+      }
     }
     // no .distinct(): unlike the banded LSH tiers (where several bands
     // re-emit the same pair), each doc carries exactly ONE block key, so
@@ -344,8 +366,11 @@ object Dedup {
       .select(col("idA"), col("idB"), dist.cast("long").as("dist"),
         length(col("__tA")).as("__la"), length(col("__tB")).as("__lb"))
       .filter(col("dist") >= 0) // early-exit kernel returns -1 past the cap
+      // the lit(1) floor keeps an empty-vs-empty pair (dist 0 — an exact
+      // duplicate) at sim 1.0 instead of a silently-dropped NULL from 0/0
       .withColumn("sim",
-        round(lit(1.0) - col("dist").cast("double") / greatest(col("__la"), col("__lb")), 9))
+        round(lit(1.0) - col("dist").cast("double") /
+          greatest(col("__la"), col("__lb"), lit(1)), 9))
       .filter(col("sim") >= threshold)
       .select("idA", "idB", "dist", "sim")
   }
@@ -677,6 +702,23 @@ object Dedup {
 /** Connected-components result: labels (id, cluster) + convergence
   * diagnostics (see [[Dedup.dedupClustersDetailed]]). */
 final case class CCResult(labels: DataFrame, rounds: Int, driverPath: Boolean)
+
+/** Hot-bucket cap policy for [[Dedup.blockedCandidatePairs]] — the
+  * blocking-tier twin of [[ShingleGuard]] (round-7 advice: the cap was
+  * `Option[Int] = None`, i.e. uncapped in-bucket n² BY DEFAULT, exactly
+  * where real corpora skew hardest). */
+sealed trait BucketCap
+object BucketCap {
+  /** Drop buckets larger than max(1000, 0.1% of corpus) — the skew-safe
+    * default; the hot set is ≤ min(N/1000, 1000) keys by construction,
+    * so it broadcasts. */
+  case object Auto extends BucketCap
+  /** No size pass: every bucket self-joins in full. Explicit opt-out for
+    * keys that are unique-ish by construction. */
+  case object Off extends BucketCap
+  /** Drop buckets larger than `cap` (caller-tuned). */
+  final case class Max(cap: Int) extends BucketCap
+}
 
 /** Stop-shingle guard policy for [[Dedup.ngramJaccardPairs]] — an explicit
   * ADT (round-2 advice: the old `Option[Int]` overloaded `None` to mean

@@ -288,7 +288,10 @@ object DedupQueries extends QueryPack {
   // blocking, one shuffle), then the Levenshtein verify tier keeps pairs
   // with normalized similarity ≥ 0.8. Both engines implement classic
   // unit-cost Levenshtein → exact oracle. The short-field near-dup path
-  // that shingle Jaccard (q28/q53) is too coarse for.
+  // that shingle Jaccard (q28/q53) is too coarse for. The default-on
+  // hot-bucket auto cap (max(1000, 0.1%·N)) is inert at oracle scale —
+  // no 24-char prefix bucket approaches 1000 docs in the fixtures — so
+  // the uncapped oracle self-join is an exact mirror.
   private def q101(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
     val cands = Dedup.blockedCandidatePairs(
@@ -304,10 +307,10 @@ object DedupQueries extends QueryPack {
         ON substr(a.text, 1, 24) = substr(b.text, 1, 24) AND a.doc_id < b.doc_id)
     SELECT idA, idB, CAST(levenshtein(ta, tb) AS BIGINT) AS dist,
            ROUND(1.0 - CAST(levenshtein(ta, tb) AS DOUBLE)
-                       / GREATEST(LENGTH(ta), LENGTH(tb)), 9) AS sim
+                       / GREATEST(LENGTH(ta), LENGTH(tb), 1), 9) AS sim
     FROM c
     WHERE ROUND(1.0 - CAST(levenshtein(ta, tb) AS DOUBLE)
-                      / GREATEST(LENGTH(ta), LENGTH(tb)), 9) >= 0.8
+                      / GREATEST(LENGTH(ta), LENGTH(tb), 1), 9) >= 0.8
     ORDER BY idA ASC NULLS FIRST, idB ASC NULLS FIRST"""
 
   // q105 — q101 as PURE JSON: the `edit_dedup` node key (blocking

@@ -199,7 +199,17 @@ object JsonCodec {
         blockExpr = req(d, s"node $id: edit_dedup", "block_expr", "blockExpr").asText,
         threshold = opt(d, "threshold").map(_.asDouble).getOrElse(0.8),
         maxDistance = opt(d, "max_distance", "maxDistance").map(_.asInt),
-        maxBucketSize = opt(d, "max_bucket_size", "maxBucketSize").map(_.asInt))
+        // default-on skew guard; an int pins a user cap, "off" opts out
+        bucketCap = opt(d, "max_bucket_size", "maxBucketSize").map { v =>
+          if (v.isNumber) graft.ops.BucketCap.Max(v.asInt)
+          else v.asText match {
+            case "auto" => graft.ops.BucketCap.Auto
+            case "off"  => graft.ops.BucketCap.Off
+            case other => throw new IllegalArgumentException(
+              s"node $id: edit_dedup.max_bucket_size must be an int, " +
+                s""""auto" or "off" — got "$other"""")
+          }
+        }.getOrElse(graft.ops.BucketCap.Auto))
     }
 
     val lm = opt(n, "lm_perplexity", "lmPerplexity").map { d =>

@@ -238,14 +238,16 @@ final case class NearDupSpec(
   * becomes (idA, idB, dist, sim). Pure plan composition — one shuffle on
   * the block key, verify ∝ candidates — so config-admissible. The
   * short-field tier where shingle Jaccard is too coarse; `maxDistance`
-  * engages the early-exit kernel at scale. */
+  * engages the early-exit kernel at scale. The hot-bucket cap is
+  * default-on (`"max_bucket_size"`: an int pins a user cap, `"off"` opts
+  * out, absent/`"auto"` = skew-safe auto cap). */
 final case class EditDedupSpec(
     idCol: String,
     textCol: String,
     blockExpr: String,
     threshold: Double = 0.8,
     maxDistance: Option[Int] = None,
-    maxBucketSize: Option[Int] = None
+    bucketCap: graft.ops.BucketCap = graft.ops.BucketCap.Auto
 )
 
 /** Corpus-LM perplexity scoring (NS; Corpus.lmPerplexity): self-trained

@@ -123,13 +123,28 @@ class JsonCodecSpec extends AnyFunSuite {
                       "block_expr": "substring(text, 1, 24)"}}""")
     val d = n.editDedup.get
     assert(d.idCol == "doc_id" && d.blockExpr == "substring(text, 1, 24)")
-    assert(d.threshold == 0.8 && d.maxDistance.isEmpty && d.maxBucketSize.isEmpty)
+    // hot-bucket cap is default-ON (round-7 advice: uncapped-by-default
+    // in-bucket n² is a scale-killer exactly where corpora skew)
+    assert(d.threshold == 0.8 && d.maxDistance.isEmpty &&
+      d.bucketCap == graft.ops.BucketCap.Auto)
     val full = root("""
       {"source": {"table": "documents"},
        "edit_dedup": {"id_col": "doc_id", "text_col": "text",
                       "block_expr": "lower(text)", "threshold": 0.9,
                       "max_distance": 8, "max_bucket_size": 100}}""").editDedup.get
-    assert(full.maxDistance.contains(8) && full.maxBucketSize.contains(100))
+    assert(full.maxDistance.contains(8) &&
+      full.bucketCap == graft.ops.BucketCap.Max(100))
+    val off = root("""
+      {"source": {"table": "documents"},
+       "edit_dedup": {"id_col": "doc_id", "text_col": "text",
+                      "block_expr": "lower(text)",
+                      "max_bucket_size": "off"}}""").editDedup.get
+    assert(off.bucketCap == graft.ops.BucketCap.Off)
+    val bad = intercept[IllegalArgumentException](root("""
+      {"source": {"table": "documents"},
+       "edit_dedup": {"id_col": "a", "text_col": "t", "block_expr": "t",
+                      "max_bucket_size": "sometimes"}}"""))
+    assert(bad.getMessage.contains("max_bucket_size"))
     val e = intercept[IllegalArgumentException](root(
       """{"edit_dedup": {"id_col": "a", "text_col": "t"}}"""))
     assert(e.getMessage.contains("block_expr"))

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Relational, Similarity, TextAnalysis, Multimodal}
+import graft.ops.{BucketCap, Dedup, Relational, Similarity, TextAnalysis, Multimodal}
 import org.apache.spark.sql.functions._
 
 /** Invariants for the north-star operators that the DuckDB oracle can't
@@ -58,6 +58,13 @@ class OpsSpec extends SparkSpec {
         threshold = 0.8, maxDistance = Some(2))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(capped == Set((1L, 2L, 2L)), s"early-exit kernel: got $capped")
+    // two EMPTY texts are an exact duplicate (dist 0): the sim denominator
+    // floors at 1 so the pair scores 1.0 instead of vanishing on NULL 0/0
+    val empties = Seq((1L, ""), (2L, "")).toDF("doc_id", "text")
+    val ePair = Dedup.verifyEditDistancePairs(empties, "doc_id", "text",
+        Seq((1L, 2L)).toDF("idA", "idB"), threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(ePair.toSeq == Seq((1L, 2L, 0L, 1.0)), s"empty pair: ${ePair.toSeq}")
   }
 
   test("blocked candidates: bucket pairs only, hot-bucket cap prunes") {
@@ -67,13 +74,30 @@ class OpsSpec extends SparkSpec {
       (6L, "ccc x")                                // singleton → none
     ).toDF("doc_id", "text")
     val key = substring($"text", 1, 3)
+    // default Auto cap = max(1000, 0.1%·N): inert on a 6-doc corpus
     val all = Dedup.blockedCandidatePairs(rows, "doc_id", key)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(all == Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)))
-    // cap 2 drops the 3-doc 'aaa' bucket entirely, keeps 'bbb'
-    val capped = Dedup.blockedCandidatePairs(rows, "doc_id", key, maxBucketSize = Some(2))
+    // user cap 2 drops the 3-doc 'aaa' bucket entirely, keeps 'bbb'
+    val capped = Dedup.blockedCandidatePairs(rows, "doc_id", key, BucketCap.Max(2))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(capped == Set((4L, 5L)))
+  }
+
+  test("blocked candidates: DEFAULT-ON auto cap bounds a hot boilerplate bucket") {
+    // 2000 docs share one boilerplate prefix (the real-corpus skew shape:
+    // "Terms of Service…"), 40 docs spread over 20 cold buckets. Auto cap
+    // = max(1000, 0.1%·2040) = 1000 < 2000 → the hot bucket contributes
+    // ZERO candidates by default instead of 2000·1999/2 ≈ 2M.
+    val hot = (1L to 2000L).map(i => (i, s"TERMS a$i"))
+    val cold = (1L to 40L).map(i => (9000L + i, f"c${i % 20}%02d__ b$i"))
+    val rows = (hot ++ cold).toDF("doc_id", "text")
+    val key = substring($"text", 1, 5)
+    val n = Dedup.blockedCandidatePairs(rows, "doc_id", key).count()
+    assert(n == 20, s"auto cap should keep only the 20 cold-bucket pairs, got $n")
+    // explicit opt-out restores the full in-bucket self-join
+    val off = Dedup.blockedCandidatePairs(rows, "doc_id", key, BucketCap.Off).count()
+    assert(off == 2000L * 1999 / 2 + 20, s"Off must be uncapped, got $off")
   }
 
   test("simhash: identical docs at distance 0, near-dups close") {
