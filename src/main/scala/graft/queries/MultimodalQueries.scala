@@ -316,6 +316,134 @@ object MultimodalQueries extends QueryPack {
     FROM documents WHERE doc_id % 7 <> 0
     ORDER BY media_id ASC NULLS FIRST"""
 
+  // ---- media DRIVER-HASH gates (q115-q117) --------------------------------
+  //
+  // Round-7 verdict: the media pipeline was the last pillar outside the
+  // driver's hash gate — byte-exact ScalaTest goldens, but a decode
+  // regression could not fail CORRECTNESS. These three queries close that:
+  // each runs the PRODUCTION path (encode → transform → one-sweep parse +
+  // featurize) over a fixture corpus generated IN the query — 60 ASCII
+  // texts of 5 cycling lengths, so dims/frame-counts sweep the full
+  // derivation range and the pinned literals are SCALE-FACTOR-INVARIANT
+  // (no dependence on testdata contents). The oracle literals are computed
+  // by tools/media_gate_ref.py — an INDEPENDENT python mirror (pixel
+  // derivation from text bytes; jpeg_ref.py's exact codec for the lossy
+  // path), not a dump of Spark's own output — so the gate pins decode
+  // correctness, not current behavior.
+  //
+  // Checksum arithmetic is the repo's standard retry-deterministic shape:
+  // per-row feature → round 9 dp → DECIMAL(25,9) exact sum → round 6 dp →
+  // double. Spark's round() on doubles goes through Double.toString
+  // (shortest repr) + HALF_UP, which the python mirror reproduces via
+  // Decimal(repr(x)).
+  private def gateFixture(s: SparkSession): DataFrame = {
+    import s.implicits._
+    // the "!" tail de-correlates byte length from the base-string multiple,
+    // so len%4 (GIF frame count), len%9 (width) and len%7 (height) all sweep
+    (1 to 60).map { i =>
+      (i.toLong, "graft media gate %02d ".format(i) * (1 + i % 5) + "!" * (i % 7))
+    }.toDF("media_id", "text")
+  }
+
+  private def chk9(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(c.cast("double"), 9).cast(org.apache.spark.sql.types.DecimalType(25, 9))
+
+  // q115 — PNG decode+resize gate: lossless codec, so the expected pixel
+  // stats derive straight from the fixture text bytes (no codec needed on
+  // the reference side — the strongest possible independence).
+  private def q115(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.rebalanceForCodec(gateFixture(s))
+      .select(col("media_id"), textToPng(col("text")).as("payload"))
+    val orig = Multimodal.parseAndFeaturize(
+      media, "media_id", "payload", Codecs.mediaFeatures)
+    val rz = Multimodal.parseAndFeaturize(
+      Multimodal.transformPayload(
+        Multimodal.asMediaParsed(media, "media_id", "payload"),
+        "png", Codecs.resizePng(16, 12)),
+      "media_id", "payload", Codecs.mediaFeatures)
+    orig.agg(
+        count(lit(1)).as("n_media"),
+        sum(col("meta.width").cast("long")).as("sum_w"),
+        sum(col("meta.height").cast("long")).as("sum_h"),
+        round(sum(chk9(element_at(col("features"), 3))), 6).cast("double").as("mean_r_chk"),
+        round(sum(chk9(element_at(col("features"), 6))), 6).cast("double").as("mean_luma_chk"))
+      .crossJoin(rz.agg(
+        round(sum(chk9(element_at(col("features"), 6))), 6).cast("double").as("rz_luma_chk")))
+  }
+
+  // q116 — JPEG gate: the lossy path. Expected stats come from
+  // tools/jpeg_ref.py's exact-arithmetic codec (the same independent
+  // reference the byte-equality goldens use), run through encode(q90) →
+  // decode → nearest-resize → encode(q90) → decode — double compression,
+  // exactly what the pipeline does.
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.rebalanceForCodec(gateFixture(s))
+      .select(col("media_id"), textToJpeg(col("text")).as("payload"))
+    val orig = Multimodal.parseAndFeaturize(
+      media, "media_id", "payload", Codecs.mediaFeatures)
+    val rz = Multimodal.parseAndFeaturize(
+      Multimodal.transformPayload(
+        Multimodal.asMediaParsed(media, "media_id", "payload"),
+        "jpeg", Codecs.resizeJpeg(16, 12)),
+      "media_id", "payload", Codecs.mediaFeatures)
+    orig.agg(
+        count(lit(1)).as("n_media"),
+        sum(col("meta.width").cast("long")).as("sum_w"),
+        sum(col("meta.height").cast("long")).as("sum_h"),
+        round(sum(chk9(element_at(col("features"), 3))), 6).cast("double").as("mean_r_chk"),
+        round(sum(chk9(element_at(col("features"), 6))), 6).cast("double").as("mean_luma_chk"))
+      .crossJoin(rz.agg(
+        round(sum(chk9(element_at(col("features"), 6))), 6).cast("double").as("rz_luma_chk")))
+  }
+
+  // q117 — GIF animation gate: indexed color is lossless on the 16-color
+  // fixture, so original AND frame-sampled stats (mean luma, temporal
+  // delta, frame counts) derive from the text bytes on the reference side.
+  private def q117(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.rebalanceForCodec(gateFixture(s))
+      .select(col("media_id"), textToGif(col("text")).as("payload"))
+    val orig = Multimodal.parseAndFeaturize(
+      media, "media_id", "payload", Codecs.mediaFeatures)
+    val sampled = Multimodal.parseAndFeaturize(
+      Multimodal.transformPayload(
+        Multimodal.asMediaParsed(media, "media_id", "payload"),
+        "gif", graft.ops.Gif.frameSample(2)),
+      "media_id", "payload", Codecs.mediaFeatures)
+    orig.agg(
+        count(lit(1)).as("n_media"),
+        sum(element_at(col("features"), 3).cast("long")).as("sum_frames"),
+        round(sum(chk9(element_at(col("features"), 5))), 6).cast("double").as("luma_chk"),
+        round(sum(chk9(element_at(col("features"), 8))), 6).cast("double").as("delta_chk"))
+      .crossJoin(sampled.agg(
+        sum(element_at(col("features"), 3).cast("long")).as("s_sum_frames"),
+        round(sum(chk9(element_at(col("features"), 5))), 6).cast("double").as("s_luma_chk")))
+  }
+
+  // Pinned literals from `python3 tools/media_gate_ref.py` (independent
+  // mirror — see the gate block comment above). Regenerate there if the
+  // fixture or feature definitions ever change.
+  private val q115Sql = """
+    SELECT CAST(60 AS BIGINT) AS n_media,
+           CAST(490 AS BIGINT) AS sum_w,
+           CAST(367 AS BIGINT) AS sum_h,
+           CAST(20.08923 AS DOUBLE) AS mean_r_chk,
+           CAST(19.53111 AS DOUBLE) AS mean_luma_chk,
+           CAST(19.448168 AS DOUBLE) AS rz_luma_chk"""
+  private val q116Sql = """
+    SELECT CAST(60 AS BIGINT) AS n_media,
+           CAST(490 AS BIGINT) AS sum_w,
+           CAST(367 AS BIGINT) AS sum_h,
+           CAST(20.079825 AS DOUBLE) AS mean_r_chk,
+           CAST(19.543751 AS DOUBLE) AS mean_luma_chk,
+           CAST(19.454346 AS DOUBLE) AS rz_luma_chk"""
+  private val q117Sql = """
+    SELECT CAST(60 AS BIGINT) AS n_media,
+           CAST(198 AS BIGINT) AS sum_frames,
+           CAST(31.870294 AS DOUBLE) AS luma_chk,
+           CAST(0.101556 AS DOUBLE) AS delta_chk,
+           CAST(112 AS BIGINT) AS s_sum_frames,
+           CAST(31.86052 AS DOUBLE) AS s_luma_chk"""
+
   override def queries: Seq[Q] = Seq(
     Q("q37_multimodal_featurize", q37, None),
     Q("q69_audio_featurize", q69, None),
@@ -325,6 +453,9 @@ object MultimodalQueries extends QueryPack {
     Q("q99_jpeg_resize", q99, None),
     Q("q100_config_featurize", q100, None),
     Q("q107_gif_featurize", q107, None),
-    Q("q112_corrupt_policy", q112, Some(q112Sql))
+    Q("q112_corrupt_policy", q112, Some(q112Sql)),
+    Q("q115_png_feature_gate", q115, Some(q115Sql)),
+    Q("q116_jpeg_feature_gate", q116, Some(q116Sql)),
+    Q("q117_gif_feature_gate", q117, Some(q117Sql))
   )
 }
