@@ -243,18 +243,10 @@ object ExtraQueries extends QueryPack {
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
 
-  // q49 — approx_percentile from the config language: the 100 TB path for
-  // global quantiles (mergeable sketch, partial+final combine, no sort).
-  // Rows-only gate — the estimate is not oracle-comparable; the
-  // exact-vs-approx error bound is asserted in CompilerSpec.
-  private def q49(s: SparkSession, dir: String): DataFrame =
-    graft.compile.Compiler.compileJson(s, """
-      {"source": {"table": "lineitem"},
-       "aggregate": {"group_by": ["l_returnflag"],
-         "aggregations": [
-           {"col": "l_extendedprice", "func": "approx_percentile", "param": 0.5, "new_name": "ap50"},
-           {"col": "l_extendedprice", "func": "approx_percentile", "param": 0.99, "new_name": "ap99"}]},
-       "order_by": ["l_returnflag asc"]}""")
+  // (q49, the rows-only config approx_percentile entry, is retired: its
+  // hash-green bounded-estimate twin q103 gates the same GK sketch per
+  // driver run, and the config-surface `approx_percentile` func spelling
+  // stays covered by CompilerSpec's exact-vs-approx bound test.)
 
   // q50 — window functions from the config language: `with_columns` expr
   // strings parse full `... OVER (...)` syntax, so ranking/lag/running
@@ -431,7 +423,6 @@ object ExtraQueries extends QueryPack {
     Q("q43_embedding_quantize", q43, Some(q43Sql)),
     Q("q47_config_percentile", q47, Some(q47Sql)),
     Q("q48_grouping_sets", q48, Some(q48Sql)),
-    Q("q49_approx_percentile", q49, None),
     Q("q50_config_window", q50, Some(q50Sql)),
     Q("q54_salted_agg", q54, Some(q54Sql)),
     Q("q55_config_theta_join", q55, Some(q55Sql)),
@@ -443,7 +434,6 @@ object ExtraQueries extends QueryPack {
     Q("q62_config_topk", q62, Some(q62Sql)),
     Q("q78_bucketed_range_join", q78, Some(q78Sql)),
     Q("q79_changelog_compact", q79, Some(q79Sql)),
-    Q("q82_hll_sketch_merge", q82, None),
     Q("q83_zorder_key", q83, Some(q83Sql)),
     Q("q102_approx_distinct_bound", q102, Some(q102Sql)),
     Q("q103_approx_percentile_bound", q103, Some(q103Sql)),
@@ -611,26 +601,11 @@ object ExtraQueries extends QueryPack {
     FROM ranked WHERE rn = 1 AND event_type <> 'error'
     ORDER BY user_id ASC NULLS FIRST"""
 
-  // q82 — mergeable-sketch distinct counting (Datasketches HLL): per-type
-  // user sketches built in ONE partial+final aggregate, then merged AGAIN
-  // into a corpus-wide estimate without touching the data — the sketch
-  // algebra that lets a 1000-executor fleet answer "distinct users per
-  // slice AND overall" with metadata-sized shuffles, where exact
-  // count_distinct would re-shuffle raw keys per rollup. Estimates are
-  // library-specific → rows-only gate; OpsSpec asserts ≤ 2% error vs
-  // exact and that the union-of-sketches estimate equals the
-  // sketch-of-union estimate on the same lgK.
-  private def q82(s: SparkSession, dir: String): DataFrame = {
-    val perType = Tables.load(s, dir, "events")
-      .groupBy("event_type")
-      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
-    val per = perType.select(col("event_type"),
-      hll_sketch_estimate(col("sk")).as("approx_users"))
-    val all = perType
-      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
-      .select(lit("ALL").as("event_type"), col("approx_users"))
-    per.unionByName(all).orderBy(col("event_type").asc_nulls_first)
-  }
+  // (q82, the rows-only Datasketches-HLL merge entry, is retired: its
+  // hash-green bounded twin q104 gates the same hll_sketch_agg /
+  // hll_union_agg algebra — per-slice AND merged corpus-wide estimates —
+  // per driver run; OpsSpec keeps the ≤2% error and union==sketch-of-union
+  // invariants.)
 
   // q83 — z-order key (the layout sort key behind Layout.writeZOrdered),
   // oracle-checked BIT-FOR-BIT: the Scala expression and the SQL mirror
@@ -667,7 +642,12 @@ object ExtraQueries extends QueryPack {
 
   // q102 — HLL++ per-group distinct within 5% of exact (rsd 0.01 → 5% is
   // 5σ). Approx and exact stay in SEPARATE aggregates joined on the tiny
-  // group key — see q16's note on the distinct-rewrite register blowup.
+  // group key, never mixed in one agg: mixing an exact count_distinct
+  // with approx sketches makes Spark's distinct-rewrite group by the
+  // distinct column and carry a partial HLL PER GROUP — with rsd=0.01
+  // that's a 2^14-register sketch per key (measured 10 s at sf0.1; GBs of
+  // registers at 100 TB). Separated, the sketches stay global/per-group
+  // as declared and the exact distinct gets its own two-phase plan.
   private def q102(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(s, dir, "events")
     val approx = ev.groupBy("event_type")

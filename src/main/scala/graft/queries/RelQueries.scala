@@ -123,25 +123,10 @@ object RelQueries extends QueryPack {
     SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
     ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
 
-  // q16 — approx_count_distinct (HLL++): rows-only check (Spark's HLL++ and
-  // DuckDB's HLL give different estimates by design), with the exact
-  // distinct alongside for eyeballing relative error.
-  //
-  // Deliberately TWO aggregations cross-joined (both 1-row), not one: mixing
-  // an exact count_distinct with approx sketches in a single agg makes
-  // Spark's distinct-rewrite group by the distinct column and carry a
-  // partial HLL PER GROUP — with rsd=0.01 that's a 2^14-register sketch per
-  // l_orderkey (measured 10 s at sf0.1; GBs of registers at 100 TB).
-  // Separated, the sketches stay global (one HLL per partition, merged) and
-  // the exact distinct gets its own plain two-phase plan.
-  private def q16(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-    val approx = li.agg(
-      approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-      approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
-    val exact = li.agg(count_distinct(col("l_orderkey")).as("exact_orders"))
-    approx.crossJoin(exact).select("approx_orders", "exact_orders", "approx_parts")
-  }
+  // (q16, the rows-only approx_count_distinct entry, is retired: its
+  // hash-green bounded-estimate twin q102 gates the same HLL++ operator
+  // per driver run. The distinct-rewrite register-blowup note that lived
+  // here moved to q102.)
 
   // q17 — rollup over the cascade's level hierarchy (returnflag →
   // linestatus), subtotals identified by null keys; cube on orders.
@@ -312,7 +297,6 @@ object RelQueries extends QueryPack {
     Q("q13_window_funcs", q13, Some(q13Sql)),
     Q("q14_topk_per_group", q14, Some(q14Sql)),
     Q("q15_distinct", q15, Some(q15Sql)),
-    Q("q16_approx_distinct", q16, None),
     Q("q17_rollup", q17, Some(q17Sql)),
     Q("q18_cube", q18, Some(q18Sql)),
     Q("q19_scalar_funcs", q19, Some(q19Sql)),

@@ -67,21 +67,10 @@ object SimQueries extends QueryPack {
       AND ${duckCosine("a.embedding", "b.embedding")} >= 0.4
     ORDER BY idA ASC NULLS FIRST, idB ASC NULLS FIRST"""
 
-  // q33 — LSH-bucketed ANN top-3 (random-hyperplane signatures, banded):
-  // the 100-TB path — shuffle ∝ bucket collisions, not |Q|·|C|.
-  // Approximate by design → rows-only gate; recall vs q31 asserted in
-  // ScalaTest.
-  private def q33(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
-    Similarity.annTopK(
-        e.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding")),
-        e.select(col("vec_id").as("match_id"), col("embedding")),
-        queryId = "query_id", queryVec = "embedding",
-        corpusId = "match_id", corpusVec = "embedding",
-        dim = 64, k = 3, numBits = 32, bands = 8)
-      .select("query_id", "match_id", "score", "rank")
-      .orderBy(col("query_id").asc_nulls_first, col("rank").asc_nulls_first)
-  }
+  // (q33, the rows-only partial-coverage LSH ANN entry, is retired: its
+  // hash-green full-coverage twin q92 gates the same annTopK operator and
+  // plan shape, and the partial regime's recall contract is asserted in
+  // SimilaritySpec — a rows-only declared entry added no signal.)
 
   // q46 — the SCALE path for corpus×corpus near-dup: pigeonhole-banded
   // hyperplane LSH (w=2 × 16 bands, sized for the fixture's low 0.4
@@ -162,22 +151,9 @@ object SimQueries extends QueryPack {
       AND ${duckCosine("a.embedding", "b.embedding")} >= 0.8
     ORDER BY idA ASC NULLS FIRST, idB ASC NULLS FIRST"""
 
-  // q52 — IVF-bucketed ANN top-3: the inverted-file shape next to q33's
-  // hyperplane LSH. Deterministic sampled centroids, nprobe=8 of nlist=16
-  // (the fixture corpus is near-random — the hard regime for IVF — so
-  // probe half the lists; structured production embeddings prune far
-  // harder). Approximate → rows-only gate; recall asserted in ScalaTest.
-  private def q52(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
-    Similarity.ivfTopK(
-        e.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding")),
-        e.select(col("vec_id").as("match_id"), col("embedding")),
-        queryId = "query_id", queryVec = "embedding",
-        corpusId = "match_id", corpusVec = "embedding",
-        k = 3, nlist = 16, nprobe = 8)
-      .select("query_id", "match_id", "score", "rank")
-      .orderBy(col("query_id").asc_nulls_first, col("rank").asc_nulls_first)
-  }
+  // (q52, the rows-only nprobe=8 IVF ANN entry, is retired: the hash-green
+  // full-coverage twin q93 gates the same ivfTopK operator, and the
+  // partial-probe recall contract is asserted in SimilaritySpec.)
 
   // q66 — q64 declared ENTIRELY from JSON: the planted corpus is a
   // `combine` union (base ∪ perturbed copies via a SQL lambda `derive` —
@@ -286,9 +262,7 @@ object SimQueries extends QueryPack {
   override def queries: Seq[Q] = Seq(
     Q("q31_cosine_topk", q31, Some(q31Sql)),
     Q("q32_embedding_neardup", q32, Some(q32Sql)),
-    Q("q33_ann_topk", q33, None),
     Q("q46_embedding_neardup_banded", q46, Some(q46Sql)),
-    Q("q52_ivf_topk", q52, None),
     Q("q64_embedding_neardup_prod", q64, Some(q64Sql)),
     Q("q66_config_neardup", q66, Some(q64Sql)),
     Q("q70_quantized_neardup", q70, Some(q70Sql)),
