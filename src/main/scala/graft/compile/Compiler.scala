@@ -106,6 +106,14 @@ object Compiler {
     if (node.combine.isDefined && node.source.isDefined)
       throw new IllegalArgumentException(
         s"node ${node.id}: source and combine are mutually exclusive")
+    // compileStream handles the ingest sink at the root and strips it
+    // before the node walk — any spec reaching here with it set is a batch
+    // compile or a non-root stream node, both invalid by construction
+    if (node.nearDupIngest.isDefined)
+      throw new IllegalArgumentException(
+        s"node ${node.id}: near_dup_ingest is a STREAMING ROOT sink — " +
+          "compile with compileStreamJson and declare it on the root node " +
+          "(for the batch shape, use the dedup/near-dup pipeline operators)")
     var df = input.getOrElse(node.combine match {
       case Some(c) =>
         val parts = c.nodes.map(n => compileNode(spark, n, None, executeSinks, streaming))
@@ -492,11 +500,25 @@ object Compiler {
             .foreach(warnIgnored(_, isRoot = false))
         }
         warnIgnored(root, isRoot = true)
-        val out = compileNode(spark, root, Some(readStreamSource(spark, src)),
+        val out = compileNode(spark, root.copy(nearDupIngest = None),
+          Some(readStreamSource(spark, src)),
           executeSinks = false, streaming = true)
-        val sink = root.save.getOrElse(
-          throw new IllegalArgumentException("streaming pipeline needs a root save sink"))
-        startStreamSink(out, sink)
+        root.nearDupIngest match {
+          case Some(ing) =>
+            // the ingest's foreachBatch IS the sink — a root `save` beside
+            // it would silently lose one of the two; reject loudly
+            if (root.save.isDefined)
+              throw new IllegalArgumentException(
+                "near_dup_ingest replaces the root save sink — declare one or the other")
+            graft.streaming.Streaming.nearDupIngest(
+              out, ing.idCol, ing.textCol, ing.corpusDir, ing.indexDir,
+              ing.checkpointDir, ing.shingleSize, ing.numHashes, ing.bands,
+              ing.threshold)
+          case None =>
+            val sink = root.save.getOrElse(
+              throw new IllegalArgumentException("streaming pipeline needs a root save sink"))
+            startStreamSink(out, sink)
+        }
       case _: CascadePipeline =>
         throw new IllegalArgumentException("cascade pipelines are batch-only")
     }

@@ -346,7 +346,20 @@ object JsonCodec {
       },
       orderBy = opt(n, "order_by", "orderBy").map(strSeq).getOrElse(Nil),
       limit = opt(n, "limit").map(_.asInt),
-      save = opt(n, "save").map(sink)
+      save = opt(n, "save").map(sink),
+      nearDupIngest = opt(n, "near_dup_ingest", "nearDupIngest").map { d =>
+        val ctx = s"node $id: near_dup_ingest"
+        NearDupIngestSpec(
+          idCol = req(d, ctx, "id_col", "idCol").asText,
+          textCol = req(d, ctx, "text_col", "textCol").asText,
+          corpusDir = req(d, ctx, "corpus_dir", "corpusDir").asText,
+          indexDir = req(d, ctx, "index_dir", "indexDir").asText,
+          checkpointDir = req(d, ctx, "checkpoint_dir", "checkpointDir").asText,
+          shingleSize = opt(d, "shingle_size", "shingleSize").map(_.asInt).getOrElse(3),
+          numHashes = opt(d, "num_hashes", "numHashes").map(_.asInt).getOrElse(64),
+          bands = opt(d, "bands").map(_.asInt).getOrElse(16),
+          threshold = opt(d, "threshold").map(_.asDouble).getOrElse(0.5))
+      }
     )
   }
 

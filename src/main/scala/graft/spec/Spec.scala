@@ -364,6 +364,25 @@ final case class ChildSpec(
     hint: Option[String] = None
 )
 
+/** Continuous near-dup ingestion (NS; Streaming.nearDupIngest): the
+  * STREAMING-ONLY root sink — each micro-batch probes the persisted band
+  * index at `indexDir`, dedups in-batch and against the corpus, appends
+  * survivors to `corpusDir` and their band rows to the index. Replaces
+  * the root `save` (the foreachBatch IS the sink); batch compiles reject
+  * it by name — run the batch shape via the `near_dup`/dedup pipeline
+  * operators instead. */
+final case class NearDupIngestSpec(
+    idCol: String,
+    textCol: String,
+    corpusDir: String,
+    indexDir: String,
+    checkpointDir: String,
+    shingleSize: Int = 3,
+    numHashes: Int = 64,
+    bands: Int = 16,
+    threshold: Double = 0.5
+)
+
 /** One pipeline node = the reference's per-config processing unit:
   * source → filters → keep_columns → aggregate → rename → withColumns →
   * bitemporal → join children → orderBy → save.
@@ -395,7 +414,8 @@ final case class NodeSpec(
     topK: Option[TopKSpec] = None, // after children, before orderBy
     orderBy: Seq[String] = Nil, // "col", "col asc", "col desc" [nulls first|last]
     limit: Option[Int] = None,
-    save: Option[SinkSpec] = None
+    save: Option[SinkSpec] = None,
+    nearDupIngest: Option[NearDupIngestSpec] = None // streaming-only root sink
 )
 
 /** Iteration×level cascade (ref: `Optimus/optimus.py:40-51`): one source,

@@ -150,6 +150,30 @@ class JsonCodecSpec extends AnyFunSuite {
     assert(e.getMessage.contains("block_expr"))
   }
 
+  test("near_dup_ingest node key decodes with defaults and named errors") {
+    val n = root("""
+      {"source": {"path": "/tmp/in"},
+       "near_dup_ingest": {"id_col": "doc_id", "text_col": "text",
+                           "corpus_dir": "/tmp/c", "index_dir": "/tmp/i",
+                           "checkpoint_dir": "/tmp/k"}}""")
+    val d = n.nearDupIngest.get
+    assert(d.idCol == "doc_id" && d.corpusDir == "/tmp/c" && d.indexDir == "/tmp/i")
+    assert(d.shingleSize == 3 && d.numHashes == 64 && d.bands == 16 && d.threshold == 0.5)
+    val full = root("""
+      {"source": {"path": "/tmp/in"},
+       "near_dup_ingest": {"id_col": "doc_id", "text_col": "text",
+                           "corpus_dir": "/tmp/c", "index_dir": "/tmp/i",
+                           "checkpoint_dir": "/tmp/k", "shingle_size": 2,
+                           "num_hashes": 32, "bands": 8, "threshold": 0.7}}""")
+      .nearDupIngest.get
+    assert(full.shingleSize == 2 && full.numHashes == 32 &&
+      full.bands == 8 && full.threshold == 0.7)
+    val e = intercept[IllegalArgumentException](root("""
+      {"source": {"path": "/tmp/in"},
+       "near_dup_ingest": {"id_col": "doc_id", "text_col": "text"}}"""))
+    assert(e.getMessage.contains("corpus_dir"))
+  }
+
   test("lm_perplexity node key decodes with defaults and named errors") {
     val n = root("""
       {"source": {"table": "documents"},

@@ -540,4 +540,63 @@ class StreamingSpec extends SparkSpec {
       } finally q2.stop()
     } finally q.stop()
   }
+
+  test("near_dup_ingest config: same admit/reject decisions as the API path, restart included") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_ndi_cfg").toString
+    val inDir = s"$base/in"
+    def push(rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(inDir)
+    val json = s"""
+      {"source": {"path": "$inDir"},
+       "near_dup_ingest": {"id_col": "doc_id", "text_col": "text",
+                           "corpus_dir": "$base/corpus",
+                           "index_dir": "$base/index",
+                           "checkpoint_dir": "$base/ckpt",
+                           "shingle_size": 2, "threshold": 0.5}}"""
+    val tA = "alpha beta gamma delta epsilon zeta eta theta"
+    val tB = "one two three four five six seven eight nine ten"
+    push((1L, tA), (2L, tB)) // file source infers schema from a batch read
+    val q = graft.compile.Compiler.compileStreamJson(spark, json)
+    try {
+      q.processAllAvailable()
+      // mirror the API test's fixture: 3 near-dups corpus doc 1, 5 is an
+      // in-batch dup of 4 → the config path must make the same decisions
+      push((3L, tA + " iota"),
+        (4L, "completely fresh unrelated content words here indeed"),
+        (5L, "completely fresh unrelated content words here indeed extra"))
+      q.processAllAvailable()
+      val ids = spark.read.parquet(s"$base/corpus")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L, 4L), s"config path decisions diverged: got $ids")
+    } finally q.stop()
+    // restart from the SAME json: history must carry over the stop
+    val q2 = graft.compile.Compiler.compileStreamJson(spark, json)
+    try {
+      push((6L, tB + " eleven"), // near-dup of pre-restart corpus doc 2
+        (7L, "entirely new words that match nothing else at all"))
+      q2.processAllAvailable()
+      val after = spark.read.parquet(s"$base/corpus")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(after == Set(1L, 2L, 4L, 7L),
+        s"restarted config stream must dedup against pre-restart history: got $after")
+    } finally q2.stop()
+    // guard rails: batch compiles and a save+ingest root reject by name
+    val eBatch = intercept[IllegalArgumentException](
+      graft.compile.Compiler.compileJson(spark, s"""
+        {"source": {"path": "$inDir"},
+         "near_dup_ingest": {"id_col": "doc_id", "text_col": "text",
+                             "corpus_dir": "$base/c2", "index_dir": "$base/i2",
+                             "checkpoint_dir": "$base/k2"}}"""))
+    assert(eBatch.getMessage.contains("STREAMING"), eBatch.getMessage)
+    val eBoth = intercept[IllegalArgumentException](
+      graft.compile.Compiler.compileStreamJson(spark, s"""
+        {"source": {"path": "$inDir"},
+         "near_dup_ingest": {"id_col": "doc_id", "text_col": "text",
+                             "corpus_dir": "$base/c3", "index_dir": "$base/i3",
+                             "checkpoint_dir": "$base/k3"},
+         "save": {"path": "$base/out", "format": "parquet"}}"""))
+    assert(eBoth.getMessage.contains("one or the other"), eBoth.getMessage)
+  }
 }
