@@ -201,7 +201,7 @@ object Compiler {
     // nll). Plan-only (vocabulary aggregates + equi-joins), so
     // config-admissible; downstream keys filter/sort on the score.
     node.lmPerplexity.foreach { l =>
-      df = graft.ops.Corpus.lmPerplexity(df, l.idCol, l.textCol, l.k)
+      df = graft.ops.Corpus.lmPerplexity(df, l.idCol, l.textCol, l.k, l.keepUnscored)
     }
 
     // Deterministic split: adds the bucket-name column (scan-stage

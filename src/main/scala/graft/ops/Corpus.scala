@@ -360,16 +360,27 @@ object Corpus {
     * the result back when every doc needs a row.
     *
     * Output: (idCol, n_bigrams, nll); nll = −mean log P, rounded 6 dp.
+    *
+    * Docs with fewer than two tokens have no bigrams and cannot be
+    * scored. Whether they should survive a downstream `nll` filter is a
+    * POLICY choice, not an implementation detail, so it's explicit:
+    * `keepUnscored = true` left-joins the scores back onto the input ids
+    * — unscored docs come out with n_bigrams = 0 and nll = NULL (a
+    * curation cascade can then route them deliberately); the default
+    * `false` keeps the original drop-absent shape.
+    *
     * Scale: two vocabulary-shaped aggregates (c12, c1), a scalar V, and
     * two equi-joins of the exploded bigram stream against the count
     * tables — shuffles ∝ corpus tokens, the op's inherent cost. At 100 TB
     * pre-bucket the vocab tables by their join key; the scalar V rides a
-    * 1-row cross join. */
+    * 1-row cross join. The keepUnscored join is id-keyed — batch-shaped,
+    * no new skew surface. */
   def lmPerplexity(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      k: Double = 0.5
+      k: Double = 0.5,
+      keepUnscored: Boolean = false
   ): DataFrame = {
     val toks = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__t"))
     val bigrams = toks.select(col(idCol),
@@ -384,7 +395,7 @@ object Corpus {
       .agg(count(lit(1)).as("__c1"))
     val v = toks.select(explode(col("__t")).as("__w"))
       .agg(count_distinct(col("__w")).as("__v"))
-    bigrams
+    val scored = bigrams
       .join(c12, Seq("__bg"))
       .join(c1, substring_index(col("__bg"), " ", 1) === col("__w1"))
       .crossJoin(v)
@@ -396,5 +407,9 @@ object Corpus {
         count(lit(1)).as("n_bigrams"),
         round(-(sum(col("__lp").cast(org.apache.spark.sql.types.DecimalType(25, 6)))
           .cast("double") / count(lit(1))), 6).as("nll"))
+    if (!keepUnscored) scored
+    else df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("nll"))
   }
 }

@@ -286,6 +286,53 @@ object TextQueries extends QueryPack {
     "ORDER BY doc_id ASC NULLS FIRST",
     "ORDER BY nll DESC, doc_id ASC NULLS FIRST LIMIT 50")
 
+  // q118 — keep_unscored=true over a corpus with PLANTED unscorable docs
+  // (one single-token, one empty): they must come out with n_bigrams = 0
+  // and NULL nll instead of silently vanishing — the round-7 advice item
+  // (a curation cascade filtering on nll was dropping them implicitly).
+  // The oracle mirrors the union source and LEFT JOINs the same
+  // count-arithmetic scores; note the planted "solo" token ALSO grows the
+  // corpus vocabulary V, so every nll shifts vs q106 — both engines
+  // recompute identically.
+  private def q118(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = Seq((9000001L, "solo"), (9000002L, "")).toDF("doc_id", "text")
+    graft.ops.Corpus.lmPerplexity(
+        docs(s, dir).select("doc_id", "text").unionByName(planted),
+        "doc_id", "text", k = 0.5, keepUnscored = true)
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+  private val q118Sql = """
+    WITH src AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT * FROM (VALUES (9000001, 'solo'), (9000002, ''))),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS t
+      FROM src),
+    bg AS (
+      SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ')
+                             for i in generate_series(1, len(t)-1)]) AS bg
+      FROM toks WHERE len(t) >= 2),
+    c12 AS (SELECT bg, COUNT(*) AS c12 FROM bg GROUP BY 1),
+    c1 AS (SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT w) AS v
+          FROM (SELECT unnest(t) AS w FROM toks)),
+    lp AS (
+      SELECT doc_id,
+             ROUND(LN((c12.c12 + 0.5) / (c1.c1 + 0.5 * v.v)), 6) AS lp
+      FROM bg
+      JOIN c12 USING (bg)
+      JOIN c1 ON split_part(bg.bg, ' ', 1) = c1.w1
+      CROSS JOIN v),
+    scored AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             ROUND(-(CAST(SUM(CAST(lp AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)), 6) AS nll
+      FROM lp GROUP BY 1)
+    SELECT src.doc_id, COALESCE(scored.n_bigrams, 0) AS n_bigrams, scored.nll
+    FROM src LEFT JOIN scored ON src.doc_id = scored.doc_id
+    ORDER BY src.doc_id ASC NULLS FIRST"""
+
   // q111 — canonical text normalization (native NormalizeText kernel):
   // NFC composition, ROOT lowercase, control→space, space-run collapse,
   // trim — the pre-fingerprint step of every dedup pipeline. The derive
@@ -340,6 +387,7 @@ object TextQueries extends QueryPack {
     Q("q68_tfidf", q68, Some(q68Sql)),
     Q("q106_lm_perplexity", q106, Some(q106Sql)),
     Q("q108_config_lm_score", q108, Some(q108Sql)),
+    Q("q118_lm_keep_unscored", q118, Some(q118Sql)),
     Q("q111_normalize_text", q111, Some(q111Sql))
   )
 }

@@ -216,7 +216,9 @@ object JsonCodec {
       LmPerplexitySpec(
         idCol = req(d, s"node $id: lm_perplexity", "id_col", "idCol").asText,
         textCol = req(d, s"node $id: lm_perplexity", "text_col", "textCol").asText,
-        k = opt(d, "k").map(_.asDouble).getOrElse(0.5))
+        k = opt(d, "k").map(_.asDouble).getOrElse(0.5),
+        keepUnscored = opt(d, "keep_unscored", "keepUnscored")
+          .exists(_.asBoolean(false)))
     }
 
     val sp = opt(n, "split").map { d =>

@@ -252,13 +252,16 @@ final case class EditDedupSpec(
 
 /** Corpus-LM perplexity scoring (NS; Corpus.lmPerplexity): self-trained
   * add-k bigram LM, each doc scored by mean negative log-probability.
-  * The frame becomes (idCol, n_bigrams, nll); docs with < 2 tokens are
-  * absent. Plan-only (vocabulary aggregates + equi-joins — no actions),
+  * The frame becomes (idCol, n_bigrams, nll). Docs with < 2 tokens are
+  * absent by default; `keep_unscored: true` keeps them with n_bigrams=0
+  * and NULL nll — a policy the config states, not an implementation
+  * detail. Plan-only (vocabulary aggregates + equi-joins — no actions),
   * so config-admissible. */
 final case class LmPerplexitySpec(
     idCol: String,
     textCol: String,
-    k: Double = 0.5
+    k: Double = 0.5,
+    keepUnscored: Boolean = false
 )
 
 /** Deterministic train/val/test split (NS; Corpus.hashSplit): adds

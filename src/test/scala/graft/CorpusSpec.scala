@@ -299,5 +299,16 @@ class CorpusSpec extends SparkSpec {
       s"repeated text must be more predictable: ${scored(1L)} vs ${scored(11L)}")
     // identical docs score identically (the model is corpus-global)
     assert(scored(1L) == scored(10L))
+
+    // keepUnscored=true: the short docs come back with 0 bigrams and NULL
+    // nll instead of vanishing, and every scored doc keeps its exact score
+    val kept = Corpus.lmPerplexity(rows.toDF("doc_id", "text"), "doc_id", "text",
+        keepUnscored = true)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(kept.keySet == (1L to 13L).toSet, s"all ids present: ${kept.keySet}")
+    assert(kept(12L) == (0L, None) && kept(13L) == (0L, None))
+    assert(kept(1L) == (scored(1L)._1, Some(scored(1L)._2)),
+      "scored docs must be unchanged by the keep policy")
   }
 }

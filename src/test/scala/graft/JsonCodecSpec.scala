@@ -180,10 +180,12 @@ class JsonCodecSpec extends AnyFunSuite {
        "lm_perplexity": {"id_col": "doc_id", "text_col": "text"}}""")
     val d = n.lmPerplexity.get
     assert(d.idCol == "doc_id" && d.textCol == "text" && d.k == 0.5)
-    assert(root("""
+    assert(!d.keepUnscored, "drop-absent is the default policy")
+    val full = root("""
       {"source": {"table": "documents"},
-       "lm_perplexity": {"id_col": "a", "text_col": "t", "k": 1.0}}""")
-      .lmPerplexity.get.k == 1.0)
+       "lm_perplexity": {"id_col": "a", "text_col": "t", "k": 1.0,
+                         "keep_unscored": true}}""").lmPerplexity.get
+    assert(full.k == 1.0 && full.keepUnscored)
     val e = intercept[IllegalArgumentException](root(
       """{"lm_perplexity": {"id_col": "a"}}"""))
     assert(e.getMessage.contains("text_col"))
