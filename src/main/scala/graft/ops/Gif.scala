@@ -6,13 +6,15 @@ package graft.ops
   * compression family runs for real in this engine, no native libs).
   *
   * Decoder: global/local color tables, LSB-first variable-width LZW with
-  * deferred clear codes, interlaced images (the four-pass row order),
-  * multi-frame animations composited left/top onto the canvas, and GCE
-  * transparency (transparent pixels show the previous canvas content —
-  * disposal methods 0/1; "restore to background" (2) clears the frame
-  * rect; "restore to previous" (3) is treated as keep, documented
-  * simplification). Unknown extensions (comment/app/plain-text) are
-  * skipped by sub-block walking, as the spec intends.
+  * deferred clear codes (truncated entropy data is a named data error —
+  * zero padding never decodes as pixels), interlaced images (the
+  * four-pass row order), multi-frame animations composited left/top onto
+  * the canvas, GCE transparency (transparent pixels show the previous
+  * canvas content), and the full GIF89a disposal semantics applied AFTER
+  * a frame's display: 0/1 keep, 2 clears the frame's rect to background
+  * before the next frame, 3 restores the canvas to its pre-frame state.
+  * Unknown extensions (comment/app/plain-text) are skipped by sub-block
+  * walking, as the spec intends.
   *
   * Encoder (fixture + transform path): builds one global palette from the
   * distinct colors across all frames (≤ 256 required — synthesized
@@ -43,9 +45,16 @@ object Gif {
     private var pos = 0
     private var acc = 0
     private var n = 0
+    /** true once any delivered bit came from past the end of the input —
+      * zero padding must never decode as pixel data (a truncated payload
+      * inside an intact container is a DATA error for the OnError policy,
+      * same posture as the PNG/JPEG paths), so [[lzwDecode]] checks this
+      * after every code read. */
+    var exhausted = false
     def bits(k: Int): Int = {
       while (n < k) {
-        acc |= (if (pos < d.length) d(pos) & 0xff else 0) << n
+        if (pos < d.length) acc |= (d(pos) & 0xff) << n
+        else exhausted = true
         pos += 1
         n += 8
       }
@@ -73,6 +82,8 @@ object Gif {
     var outPos = 0
     while (outPos < expected) {
       val code = br.bits(codeSize)
+      require(!br.exhausted,
+        s"truncated LZW data: input exhausted at $outPos/$expected pixels")
       if (code == clear) {
         codeSize = mcs + 1
         next = eoi + 1
@@ -144,6 +155,16 @@ object Gif {
     var fps = 10
     var transparent = -1
     var disposal = 0
+    // GIF89a §23: a frame's disposal takes effect AFTER it is displayed —
+    // i.e. before the NEXT frame composites. Carried across iterations:
+    var prevDisposal = 0
+    var prevRect = (0, 0, 0, 0) // (left, top, w, h) of the previous frame
+    var snapshot: Array[Byte] = null // pre-draw canvas, kept iff disposal=3
+    // background triple: the GCT bg entry, or black without a GCT
+    val (bgR, bgG, bgB) =
+      if (gct != null && 3 * bg + 2 < gct.length)
+        (gct(3 * bg), gct(3 * bg + 1), gct(3 * bg + 2))
+      else (0.toByte, 0.toByte, 0.toByte)
     var done = false
     while (!done) {
       (bytes(pos) & 0xff) match {
@@ -198,22 +219,26 @@ object Gif {
             var y = 0
             while (y < fh) { rowOf(y) = y; y += 1 }
           }
-          if (disposal == 2 && gct != null) {
-            // restore-to-background applies BEFORE drawing the next frame;
-            // canonical players clear the PREVIOUS frame's rect — with one
-            // rect per frame (our encoder and fixtures) clearing this
-            // frame's rect first is equivalent and simpler
+          // dispose of the PREVIOUS frame first (its disposal acts after
+          // its display): 2 = clear its rect to background, 3 = restore
+          // the canvas to the state before it was drawn
+          if (prevDisposal == 2) {
+            val (pl, pt, pw, ph) = prevRect
             var y = 0
-            while (y < fh) {
+            while (y < ph) {
               var x = 0
-              while (x < fw) {
-                val o = 3 * ((top + y) * width + left + x)
-                canvas(o) = gct(3 * bg); canvas(o + 1) = gct(3 * bg + 1); canvas(o + 2) = gct(3 * bg + 2)
+              while (x < pw) {
+                val o = 3 * ((pt + y) * width + pl + x)
+                canvas(o) = bgR; canvas(o + 1) = bgG; canvas(o + 2) = bgB
                 x += 1
               }
               y += 1
             }
+          } else if (prevDisposal == 3 && snapshot != null) {
+            System.arraycopy(snapshot, 0, canvas, 0, canvas.length)
           }
+          // only a restore-to-previous frame needs the pre-draw canvas kept
+          snapshot = if (disposal == 3) canvas.clone() else null
           var r = 0
           while (r < fh) {
             val y = rowOf(r)
@@ -231,6 +256,8 @@ object Gif {
           }
           frames += canvas.clone()
           nFrames += 1
+          prevDisposal = disposal
+          prevRect = (left, top, fw, fh)
           // a GCE applies only to the single rendering block that follows
           // it (GIF89a §23) — both fields reset, not just transparency,
           // or one disposal=2 frame would background-clear every later

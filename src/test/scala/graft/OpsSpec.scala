@@ -625,6 +625,57 @@ class OpsSpec extends SparkSpec {
     assert(va.fps == 20, "fps derives from the 5cs GCE delay")
   }
 
+  test("GIF codec: disposal methods 2 and 3 match the reference, byte-exact") {
+    // tools/gif_ref.py fixture 4 — partial rects, disposal 2 (clear AFTER
+    // display, affecting the NEXT frame), disposal 3 (restore to the
+    // pre-frame canvas), and a transparent pixel inside the disposal-2
+    // frame (must show the PREVIOUS canvas, not background).
+    val goldenGifDisposal = java.util.Base64.getDecoder.decode(
+      "R0lGODlhBgAFAJEAAP8AAAD/AAAA//qACiH5BAAKAAAALAAAAAAGAAUAAAIJRDR2eWjI3GMF" +
+      "ACH5BAkKAAAALAEAAQADAAIAAAIDjCBWACH5BAwKAAAALAIAAgACAAIAAAICnFcAIfkEAAoA" +
+      "AAAsAAAAAAIAAQAAAgKUCgA7")
+    val px = Seq(
+      Array[Int](255, 0, 0, 0, 255, 0, 0, 0, 255, 250, 128, 10, 255, 0, 0, 0, 255, 0, 0, 255, 0, 0, 0, 255, 250, 128, 10, 255, 0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 255, 250, 128, 10, 255, 0, 0, 0, 255, 0, 0, 0, 255, 250, 128, 10, 250, 128, 10, 255, 0, 0, 0, 255, 0, 0, 0, 255, 250, 128, 10, 255, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255, 250, 128, 10, 255, 0, 0, 0, 255, 0).map(_.toByte),
+      Array[Int](255, 0, 0, 0, 255, 0, 0, 0, 255, 250, 128, 10, 255, 0, 0, 0, 255, 0, 0, 255, 0, 0, 255, 0, 0, 0, 255, 255, 0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 255, 0, 0, 255, 0, 255, 0, 0, 0, 255, 0, 0, 255, 250, 128, 10, 250, 128, 10, 255, 0, 0, 0, 255, 0, 0, 0, 255, 250, 128, 10, 255, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255, 250, 128, 10, 255, 0, 0, 0, 255, 0).map(_.toByte),
+      Array[Int](255, 0, 0, 0, 255, 0, 0, 0, 255, 250, 128, 10, 255, 0, 0, 0, 255, 0, 0, 255, 0, 255, 0, 0, 255, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 255, 255, 0, 0, 250, 128, 10, 250, 128, 10, 0, 0, 255, 250, 128, 10, 250, 128, 10, 255, 0, 0, 250, 128, 10, 250, 128, 10, 250, 128, 10, 255, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255, 250, 128, 10, 255, 0, 0, 0, 255, 0).map(_.toByte),
+      Array[Int](0, 0, 255, 0, 0, 255, 0, 0, 255, 250, 128, 10, 255, 0, 0, 0, 255, 0, 0, 255, 0, 255, 0, 0, 255, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 255, 255, 0, 0, 255, 0, 0, 255, 0, 0, 0, 0, 255, 250, 128, 10, 250, 128, 10, 255, 0, 0, 0, 255, 0, 0, 0, 255, 250, 128, 10, 255, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255, 250, 128, 10, 255, 0, 0, 0, 255, 0).map(_.toByte))
+    val v = ops.Gif.decode(goldenGifDisposal)
+    assert(v.width == 6 && v.height == 5 && v.frames.size == 4)
+    v.frames.zip(px).zipWithIndex.foreach { case ((got, want), i) =>
+      assert(got.toSeq == want.toSeq, s"disposal frame $i differs from reference")
+    }
+  }
+
+  test("GIF codec: truncated LZW payload is a named data error, not zero-fill") {
+    // structurally intact container whose entropy data is cut short: the
+    // old BitReader padded with zero bits, silently decoding the missing
+    // pixels as palette index 0 — plausible-but-wrong features that
+    // bypassed the OnError policy
+    val (w, h) = (8, 6)
+    val rgb = Array.tabulate(w * h * 3)(i => (((i / 3) * 37 % 11) * 20).toByte)
+    val g = ops.Gif.encode(w, h, Seq(rgb))
+    // walk to the image data: header+LSD (13), GCT (from the packed byte),
+    // extensions, image descriptor (10, no local table from our encoder)
+    var p = 13 + 3 * (2 << ((g(10) & 0xff) & 7))
+    while ((g(p) & 0xff) == 0x21) {
+      p += 2
+      while (g(p) != 0) p += 1 + (g(p) & 0xff)
+      p += 1
+    }
+    assert((g(p) & 0xff) == 0x2c, "expected the image descriptor")
+    p += 10 // descriptor + flags; mcs byte is at p
+    val lzwLen = g(p + 1) & 0xff // our encoder emits one sub-block here
+    assert(lzwLen > 4 && p + 2 + lzwLen < g.length)
+    val keep = lzwLen / 2
+    val corrupt = g.slice(0, p + 1) ++ Array(keep.toByte) ++
+      g.slice(p + 2, p + 2 + keep) ++ Array(0.toByte, 0x3b.toByte)
+    val err = intercept[IllegalArgumentException](ops.Gif.decode(corrupt))
+    assert(err.getMessage.contains("truncated"), err.getMessage)
+    // still sniffs as GIF, so the OnError policy catches it like any
+    // other data error instead of the old silent zero-fill
+    assert(ops.Gif.isGif(corrupt))
+  }
+
   test("GIF codec: round-trips, frame sampling, feature dispatch") {
     // single frame, enough distinct colors to cross LZW width boundaries
     val (w, h) = (23, 17)
