@@ -680,10 +680,13 @@ object Codecs {
   }
 
   /** Format-sniffing feature decoder for mixed media columns — the
-    * production default for [[Multimodal.featurize]]: BMP and WAV decode
-    * for real; unknown formats fall back to the deterministic
+    * production default for [[Multimodal.featurize]]: BMP/PNG/JPEG/GIF/
+    * WAV/AVI decode for real; MP4 and MP3 get real CONTAINER/STREAM-layer
+    * features (box walk / frame-header chain — dims, duration, sample and
+    * keyframe structure) while their compressed SAMPLE payloads stay
+    * behind the codec seam; anything else falls back to the deterministic
     * [[Multimodal.decodeStub]] (the seam where a JNI/codec-library stack
-    * plugs in for JPEG/PNG/MP4). */
+    * plugs in). */
   def mediaFeatures(payload: Array[Byte]): Array[Float] =
     if (isBmp(payload)) bmpFeatures(payload)
     else if (isPng(payload)) pngFeatures(payload)
@@ -691,6 +694,8 @@ object Codecs {
     else if (isWav(payload)) wavFeatures(payload)
     else if (isAvi(payload)) aviFeatures(payload)
     else if (Gif.isGif(payload)) gifFeatures(payload)
+    else if (Mp4.isMp4(payload)) Mp4.features(payload)
+    else if (Mp3.isMp3(payload)) Mp3.features(payload)
     else Multimodal.decodeStub(payload)
 
   /** Header-only metadata parse: (format, width, height). BMP: pixel
@@ -718,6 +723,16 @@ object Codecs {
     } else if (Gif.isGif(bytes)) {
       val (w, h) = Gif.quickDims(bytes)
       ("gif", w, h)
+    } else if (Mp4.isMp4(bytes)) {
+      // box walk touches headers only (mdat skipped by its declared size)
+      val m = Mp4.parse(bytes)
+      val v = m.videoTrack.orElse(m.tracks.headOption)
+      ("mp4", v.fold(0)(_.width), v.fold(0)(_.height))
+    } else if (Mp3.isMp3(bytes)) {
+      // (PCM frames, channels) — the WAV convention; the walk reads 4
+      // header bytes per frame, payload entropy data is never touched
+      val m = Mp3.parse(bytes)
+      ("mp3", m.totalSamples.toInt, m.channels)
     } else ("bin", 0, 0)
 
   /** (frames, channels) from the chunk walk without copying samples. */

@@ -64,7 +64,11 @@ object Multimodal {
     * extractor" — 8 floats derived from evenly-spaced payload bytes.
     * The default `decoder` for [[featurize]]; swap in the actual codec
     * (JNI/lib) call via the injection seam — the partition batching,
-    * signature, and output schema are the production shape. */
+    * signature, and output schema are the production shape. As of round
+    * 8 this is the fallback for OPAQUE formats only: BMP/PNG/JPEG/GIF/
+    * WAV/AVI decode for real, and MP4/MP3 get real container/stream-layer
+    * parsing ([[Mp4]]/[[Mp3]]) — the remaining seam is compressed SAMPLE
+    * decode (H.264/AAC/Layer-III audio), which needs a codec library. */
   def decodeStub(payload: Array[Byte]): Array[Float] =
     if (payload == null || payload.isEmpty) Array.fill(8)(0.0f)
     else {

@@ -419,6 +419,110 @@ object MultimodalQueries extends QueryPack {
         round(sum(chk9(element_at(col("features"), 5))), 6).cast("double").as("s_luma_chk")))
   }
 
+  /** Deterministic text→MP3 fixture: 4-10 Layer-III frames at 44100,
+    * channel count and bitrate schedule from the byte length — docs with
+    * len%3==0 are CBR, the rest cycle four bitrates (VBR). An ID3v2 tag
+    * of varying size exercises the skip path on every row. */
+  private[graft] val textToMp3 = udf { (t: String) =>
+    val b = Option(t).getOrElse("").getBytes("UTF-8")
+    val n = 4 + b.length % 7
+    val table = Array(96, 128, 160, 192)
+    val frames =
+      if (b.length % 3 == 0) Seq.fill(n)(table(b.length % 4))
+      else (0 until n).map(f => table((b.length + f) % 4))
+    graft.ops.Mp3.encode(44100, 1 + b.length % 2, frames, id3v2Bytes = b.length % 19)
+  }
+
+  // q119 — MP3 STREAM-layer stats end-to-end: synthesize real Layer-III
+  // frame chains (VBR and CBR mixed, ID3v2 tags skipped), one-sweep parse
+  // + featurize. Every emitted column is integer-derived from the
+  // frame-header walk (sample counts, floor-mean kbps, frame-size sums),
+  // so the oracle recomputes them EXACTLY from strlen arithmetic — the
+  // container tier gets a full hash gate even though sample decode stays
+  // behind the codec seam.
+  private def q119(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.rebalanceForCodec(
+        Tables.load(s, dir, "documents").select("doc_id", "text"))
+      .select(col("doc_id"), textToMp3(col("text")).as("payload"))
+    Multimodal.parseAndFeaturize(media, "doc_id", "payload", Codecs.mediaFeatures)
+      .select(
+        col("media_id"), col("meta.format").as("format"),
+        col("meta.width").cast("long").as("total_samples"),
+        col("meta.height").as("channels"),
+        element_at(col("features"), 3).cast("long").as("n_frames"),
+        element_at(col("features"), 6).cast("long").as("mean_kbps"),
+        element_at(col("features"), 7).cast("int").as("vbr"),
+        element_at(col("features"), 8).cast("long").as("stream_bytes"))
+      .orderBy(col("media_id").asc_nulls_first)
+  }
+  // strlen = BYTES (mirrors getBytes("UTF-8")); [96,128,160,192] 1-indexed
+  private val q119Sql = """
+    WITH base AS (
+      SELECT doc_id, strlen(text) AS len, 4 + strlen(text) % 7 AS n
+      FROM documents),
+    k AS (
+      SELECT doc_id, len, n,
+             CASE WHEN len % 3 = 0
+                  THEN [([96,128,160,192])[len % 4 + 1] for f in generate_series(0, n-1)]
+                  ELSE [([96,128,160,192])[(len + f) % 4 + 1] for f in generate_series(0, n-1)]
+             END AS kbps
+      FROM base)
+    SELECT doc_id AS media_id, 'mp3' AS format,
+           CAST(n * 1152 AS BIGINT) AS total_samples,
+           CAST(1 + len % 2 AS INT) AS channels,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST(list_sum(kbps) // n AS BIGINT) AS mean_kbps,
+           CAST(CASE WHEN list_min(kbps) <> list_max(kbps) THEN 1 ELSE 0 END AS INT) AS vbr,
+           CAST(list_sum([144 * kk * 1000 // 44100 for kk in kbps]) AS BIGINT) AS stream_bytes
+    FROM k ORDER BY media_id ASC NULLS FIRST"""
+
+  /** Deterministic text→MP4 fixture: single video track, dims/sample
+    * count/sizes from the byte length, keyframe every 3rd sample. */
+  private[graft] val textToMp4 = udf { (t: String) =>
+    val b = Option(t).getOrElse("").getBytes("UTF-8")
+    val n = 5 + b.length % 9
+    val sizes = (0 until n).map(i => 50 + (b.length * 7 + i * 13) % 100)
+    graft.ops.Mp4.encode(
+      16 * (4 + b.length % 5), 16 * (3 + b.length % 4),
+      timescale = 1000, sampleDurations = 40, sampleSizes = sizes)
+  }
+
+  // q120 — MP4 CONTAINER-layer stats end-to-end: synthesize real BMFF box
+  // trees (ftyp/moov/trak/stbl sample tables + mdat), one-sweep parse +
+  // featurize. Integer-only emitted columns (dims, sample counts,
+  // floor-mean sample bytes, mdat size) → exact strlen-arithmetic oracle.
+  private def q120(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.rebalanceForCodec(
+        Tables.load(s, dir, "documents").select("doc_id", "text"))
+      .select(col("doc_id"), textToMp4(col("text")).as("payload"))
+    Multimodal.parseAndFeaturize(media, "doc_id", "payload", Codecs.mediaFeatures)
+      .select(
+        col("media_id"), col("meta.format").as("format"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        element_at(col("features"), 4).cast("long").as("n_samples"),
+        element_at(col("features"), 5).cast("long").as("mean_sample_bytes"),
+        element_at(col("features"), 7).cast("int").as("n_tracks"),
+        element_at(col("features"), 8).cast("long").as("mdat_bytes"))
+      .orderBy(col("media_id").asc_nulls_first)
+  }
+  private val q120Sql = """
+    WITH base AS (
+      SELECT doc_id, strlen(text) AS len, 5 + strlen(text) % 9 AS n
+      FROM documents),
+    sz AS (
+      SELECT doc_id, len, n,
+             list_sum([50 + (len * 7 + i * 13) % 100
+                       for i in generate_series(0, n-1)]) AS total
+      FROM base)
+    SELECT doc_id AS media_id, 'mp4' AS format,
+           CAST(16 * (4 + len % 5) AS INT) AS width,
+           CAST(16 * (3 + len % 4) AS INT) AS height,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(total // n AS BIGINT) AS mean_sample_bytes,
+           CAST(1 AS INT) AS n_tracks,
+           CAST(total AS BIGINT) AS mdat_bytes
+    FROM sz ORDER BY media_id ASC NULLS FIRST"""
+
   // Pinned literals from `python3 tools/media_gate_ref.py` (independent
   // mirror — see the gate block comment above). Regenerate there if the
   // fixture or feature definitions ever change.
@@ -456,6 +560,8 @@ object MultimodalQueries extends QueryPack {
     Q("q112_corrupt_policy", q112, Some(q112Sql)),
     Q("q115_png_feature_gate", q115, Some(q115Sql)),
     Q("q116_jpeg_feature_gate", q116, Some(q116Sql)),
-    Q("q117_gif_feature_gate", q117, Some(q117Sql))
+    Q("q117_gif_feature_gate", q117, Some(q117Sql)),
+    Q("q119_mp3_stream_stats", q119, Some(q119Sql)),
+    Q("q120_mp4_container_stats", q120, Some(q120Sql))
   )
 }
