@@ -216,6 +216,15 @@ object Dedup {
     * candidates. Probability a pair with Jaccard j collides:
     * 1-(1-j^r)^bands (the standard S-curve). One explode (×bands) + one
     * shuffle on the band key + an in-bucket self-join.
+    *
+    * `maxBucketSize` stays OPT-IN here, deliberately asymmetric with
+    * [[blockedCandidatePairs]]'s default-on auto cap: a hot BLOCKING
+    * bucket is boilerplate (a shared prefix carries no linkage signal),
+    * but a hot LSH band bucket is usually a real duplicate CLUSTER — the
+    * thing the operator exists to find — and capping it silently costs
+    * recall (the q113 driver gate would catch exactly that). Cap only to
+    * survive degenerate corpora (e.g. millions of empty docs sharing the
+    * all-empty signature), and prefer filtering those upstream.
     * Returns (idA, idB) with idA < idB, distinct. */
   def minhashCandidatePairs(
       df: DataFrame,
