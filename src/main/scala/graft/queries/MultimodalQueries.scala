@@ -523,6 +523,51 @@ object MultimodalQueries extends QueryPack {
            CAST(total AS BIGINT) AS mdat_bytes
     FROM sz ORDER BY media_id ASC NULLS FIRST"""
 
+  // q121 — the MIXED media lake, the shape a real corpus column actually
+  // has: one binary column carrying SEVEN formats (BMP/PNG/JPEG/GIF/WAV/
+  // MP3/MP4 by doc_id mod 7), one sniffing parse sweep, per-row format +
+  // header dims out. Every value is exactly derivable from (doc_id,
+  // strlen) arithmetic, so the dispatch itself — the right parser chosen
+  // per row, no format bleeding into another — is driver-hash-gated.
+  private def q121(s: SparkSession, dir: String): DataFrame = {
+    val m = pmod(col("doc_id"), lit(7))
+    val media = Multimodal.rebalanceForCodec(
+        Tables.load(s, dir, "documents").select("doc_id", "text"))
+      .select(col("doc_id"),
+        when(m === 0, textToBmp(col("text")))
+          .when(m === 1, textToPng(col("text")))
+          .when(m === 2, textToJpeg(col("text")))
+          .when(m === 3, textToGif(col("text")))
+          .when(m === 4, textToWav(col("text")))
+          .when(m === 5, textToMp3(col("text")))
+          .otherwise(textToMp4(col("text"))).as("payload"))
+    Multimodal.parseAndFeaturize(media, "doc_id", "payload", Codecs.mediaFeatures)
+      .select(col("media_id"), col("meta.format").as("format"),
+        col("meta.width").as("width"), col("meta.height").as("height"))
+      .orderBy(col("media_id").asc_nulls_first)
+  }
+  // strlen = BYTES; width/height mirror each fixture's dim derivation
+  // (WAV: PCM frames × channels; MP3: PCM samples × channels)
+  private val q121Sql = """
+    WITH base AS (SELECT doc_id, strlen(text) AS len FROM documents)
+    SELECT doc_id AS media_id,
+           CASE doc_id % 7 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+                WHEN 2 THEN 'jpeg' WHEN 3 THEN 'gif' WHEN 4 THEN 'wav'
+                WHEN 5 THEN 'mp3' ELSE 'mp4' END AS format,
+           CAST(CASE doc_id % 7
+                WHEN 0 THEN 4 + len % 9 WHEN 1 THEN 4 + len % 9
+                WHEN 2 THEN 4 + len % 9 WHEN 3 THEN 8
+                WHEN 4 THEN greatest(len // 2, 1)
+                WHEN 5 THEN (4 + len % 7) * 1152
+                ELSE 16 * (4 + len % 5) END AS INT) AS width,
+           CAST(CASE doc_id % 7
+                WHEN 0 THEN 3 + len % 7 WHEN 1 THEN 3 + len % 7
+                WHEN 2 THEN 3 + len % 7 WHEN 3 THEN 6
+                WHEN 4 THEN 1
+                WHEN 5 THEN 1 + len % 2
+                ELSE 16 * (3 + len % 4) END AS INT) AS height
+    FROM base ORDER BY media_id ASC NULLS FIRST"""
+
   // Pinned literals from `python3 tools/media_gate_ref.py` (independent
   // mirror — see the gate block comment above). Regenerate there if the
   // fixture or feature definitions ever change.
@@ -562,6 +607,7 @@ object MultimodalQueries extends QueryPack {
     Q("q116_jpeg_feature_gate", q116, Some(q116Sql)),
     Q("q117_gif_feature_gate", q117, Some(q117Sql)),
     Q("q119_mp3_stream_stats", q119, Some(q119Sql)),
-    Q("q120_mp4_container_stats", q120, Some(q120Sql))
+    Q("q120_mp4_container_stats", q120, Some(q120Sql)),
+    Q("q121_mixed_media_lake", q121, Some(q121Sql))
   )
 }
