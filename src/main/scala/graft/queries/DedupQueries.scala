@@ -85,6 +85,44 @@ object DedupQueries extends QueryPack {
         idCol = "doc_id", textCol = "text", maxDist = 3)
       .orderBy(col("idA").asc_nulls_first, col("idB").asc_nulls_first)
 
+  // q122 — SimHash pigeonhole THEOREM as a driver gate (the q113 pattern
+  // for the Hamming tier): within radius d, a pair MUST collide on at
+  // least one of d+1 signature chunks — so the banded+verified pair set
+  // equals the brute-force Hamming pair set exactly, not probabilistically.
+  // Spark computes both sets and emits their symmetric-difference count;
+  // the oracle pins (0, TRUE). Signatures are xxhash64-derived (no DuckDB
+  // spelling — that's why q30 is rows-only), but the SET EQUALITY is
+  // engine-independent, which is what makes this gateable. Runs on the
+  // doc_id % 4 quarter slice (q113's rationale, one notch further: the
+  // brute-force tier is quadratic and exists here only to verify, not to
+  // bench — the theorem is checked over every pair of ~n/4 real docs).
+  private def q122(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(4)) === 0)
+    // token hashes materialized ONCE, then the 64 bit-folds — the bulk
+    // spelling; the convenience simhash(text) re-tokenizes per bit
+    val sigs = docs
+      .select(col("doc_id"),
+        transform(graft.ops.TextAnalysis.tokens(col("text")),
+          t => xxhash64(t)).as("__th"))
+      .select(col("doc_id"), Dedup.simhashFromHashes(col("__th")).as("sig"))
+    val exact = sigs.select(col("doc_id").as("idA"), col("sig").as("sigA"))
+      .crossJoin(broadcast(sigs.select(col("doc_id").as("idB"), col("sig").as("sigB"))))
+      .filter(col("idA") < col("idB") &&
+        Dedup.hamming(col("sigA"), col("sigB")) <= 3)
+      .select("idA", "idB")
+    val banded = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+      .select("idA", "idB")
+    exact.join(banded, Seq("idA", "idB"), "left_anti")
+      .agg(count(lit(1)).as("__m"))
+      .crossJoin(banded.join(exact, Seq("idA", "idB"), "left_anti")
+        .agg(count(lit(1)).as("__i")))
+      .select((col("__m") + col("__i")).as("set_diff"),
+        (col("__m") + col("__i") === 0).as("theorem_holds"))
+  }
+  private val q122Sql =
+    "SELECT CAST(0 AS BIGINT) AS set_diff, TRUE AS theorem_holds"
+
   // q45 — the COMPLETE near-dedup pipeline: exact 3-gram Jaccard pairs at
   // τ=0.5 → connected components (min-label propagation) → keep one
   // representative per cluster. Oracle rebuilds the same pipeline in
@@ -359,6 +397,7 @@ object DedupQueries extends QueryPack {
     Q("q28_ngram_jaccard", q28, Some(q28Sql)),
     Q("q29_minhash_lsh", q29, None),
     Q("q30_simhash", q30, None),
+    Q("q122_simhash_pigeonhole_gate", q122, Some(q122Sql)),
     Q("q45_dedup_pipeline", q45, Some(q45Sql)),
     Q("q51_config_dedup", q51, Some(q51Sql)),
     Q("q53_dedup_pipeline_lsh", q53, Some(q53Sql)),

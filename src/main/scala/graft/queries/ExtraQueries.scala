@@ -56,6 +56,24 @@ object ExtraQueries extends QueryPack {
       .select("l_orderkey", "l_linenumber", "l_quantity")
       .orderBy(col("l_orderkey").asc_nulls_first, col("l_linenumber").asc_nulls_first)
 
+  // q123 — the xxhash64 sampler's RATE as a driver gate: n_total is
+  // exactly pinnable (plain COUNT), and the sampled fraction must sit
+  // within 1pp of the declared 10% (≈8σ of binomial noise at sf0.01 —
+  // a hash-mixing regression that skews the sample fails the gate; the
+  // per-row membership stays rows-only because DuckDB has no xxhash64,
+  // and exact-membership coverage lives in q61's portable twin).
+  private def q123(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val sampled = li.filter(
+      pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(100)) < 10)
+    li.agg(count(lit(1)).as("n_total"))
+      .crossJoin(sampled.agg(count(lit(1)).as("__n")))
+      .select(col("n_total"),
+        (abs(col("__n").cast("double") / col("n_total") - 0.10) < 0.01).as("rate_ok"))
+  }
+  private val q123Sql =
+    "SELECT COUNT(*) AS n_total, TRUE AS rate_ok FROM lineitem"
+
   // q61 — PORTABLE deterministic sample: multiplicative (Knuth) hash over
   // the key pair — plain BIGINT arithmetic both engines compute
   // identically, so unlike q40's xxhash64 sampler this one is oracle
@@ -436,6 +454,7 @@ object ExtraQueries extends QueryPack {
     Q("q79_changelog_compact", q79, Some(q79Sql)),
     Q("q83_zorder_key", q83, Some(q83Sql)),
     Q("q102_approx_distinct_bound", q102, Some(q102Sql)),
+    Q("q123_hash_sample_rate_gate", q123, Some(q123Sql)),
     Q("q103_approx_percentile_bound", q103, Some(q103Sql)),
     Q("q104_hll_union_bound", q104, Some(q104Sql)),
     Q("q84_config_compact", q84, Some(q79Sql)),
