@@ -568,6 +568,53 @@ object MultimodalQueries extends QueryPack {
                 ELSE 16 * (3 + len % 4) END AS INT) AS height
     FROM base ORDER BY media_id ASC NULLS FIRST"""
 
+  // q124 — WAV gate: PCM16 is lossless, so original AND downsampled
+  // (every 4th frame, rate floored to rate/4) amplitude stats derive
+  // from the text bytes on the reference side. Closes the audio family
+  // into the same q115-q117 hash-gate tier.
+  private def q124(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.rebalanceForCodec(gateFixture(s))
+      .select(col("media_id"), textToWav(col("text")).as("payload"))
+    val orig = Multimodal.parseAndFeaturize(
+      media, "media_id", "payload", Codecs.mediaFeatures)
+    val ds = Multimodal.parseAndFeaturize(
+      Multimodal.transformPayload(
+        Multimodal.asMediaParsed(media, "media_id", "payload"),
+        "wav", Codecs.downsampleWav(4)),
+      "media_id", "payload", Codecs.mediaFeatures)
+    orig.agg(
+        count(lit(1)).as("n_media"),
+        sum(element_at(col("features"), 3).cast("long")).as("sum_frames"),
+        round(sum(chk9(element_at(col("features"), 4))), 6).cast("double").as("mean_abs_chk"),
+        round(sum(chk9(element_at(col("features"), 5))), 6).cast("double").as("rms_chk"))
+      .crossJoin(ds.agg(
+        sum(element_at(col("features"), 3).cast("long")).as("ds_sum_frames"),
+        round(sum(chk9(element_at(col("features"), 4))), 6).cast("double").as("ds_mean_abs_chk")))
+  }
+
+  // q125 — AVI gate: uncompressed DIB frames are lossless; original and
+  // frame-sampled (every 2nd, fps 10 → 5) luma/motion stats derive from
+  // the text bytes. Closes the video-container family into the gate tier.
+  private def q125(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.rebalanceForCodec(gateFixture(s))
+      .select(col("media_id"), textToAvi(col("text")).as("payload"))
+    val orig = Multimodal.parseAndFeaturize(
+      media, "media_id", "payload", Codecs.mediaFeatures)
+    val sampled = Multimodal.parseAndFeaturize(
+      Multimodal.transformPayload(
+        Multimodal.asMediaParsed(media, "media_id", "payload"),
+        "avi", Codecs.frameSampleAvi(2)),
+      "media_id", "payload", Codecs.mediaFeatures)
+    orig.agg(
+        count(lit(1)).as("n_media"),
+        sum(element_at(col("features"), 3).cast("long")).as("sum_frames"),
+        round(sum(chk9(element_at(col("features"), 5))), 6).cast("double").as("luma_chk"),
+        round(sum(chk9(element_at(col("features"), 8))), 6).cast("double").as("delta_chk"))
+      .crossJoin(sampled.agg(
+        sum(element_at(col("features"), 3).cast("long")).as("s_sum_frames"),
+        round(sum(chk9(element_at(col("features"), 5))), 6).cast("double").as("s_luma_chk")))
+  }
+
   // Pinned literals from `python3 tools/media_gate_ref.py` (independent
   // mirror — see the gate block comment above). Regenerate there if the
   // fixture or feature definitions ever change.
@@ -592,6 +639,20 @@ object MultimodalQueries extends QueryPack {
            CAST(0.101556 AS DOUBLE) AS delta_chk,
            CAST(112 AS BIGINT) AS s_sum_frames,
            CAST(31.86052 AS DOUBLE) AS s_luma_chk"""
+  private val q124Sql = """
+    SELECT CAST(60 AS BIGINT) AS n_media,
+           CAST(1876 AS BIGINT) AS sum_frames,
+           CAST(42.053996 AS DOUBLE) AS mean_abs_chk,
+           CAST(44.17707 AS DOUBLE) AS rms_chk,
+           CAST(489 AS BIGINT) AS ds_sum_frames,
+           CAST(39.608103 AS DOUBLE) AS ds_mean_abs_chk"""
+  private val q125Sql = """
+    SELECT CAST(60 AS BIGINT) AS n_media,
+           CAST(338 AS BIGINT) AS sum_frames,
+           CAST(19.25402 AS DOUBLE) AS luma_chk,
+           CAST(0.420754 AS DOUBLE) AS delta_chk,
+           CAST(182 AS BIGINT) AS s_sum_frames,
+           CAST(19.324924 AS DOUBLE) AS s_luma_chk"""
 
   override def queries: Seq[Q] = Seq(
     Q("q37_multimodal_featurize", q37, None),
@@ -608,6 +669,8 @@ object MultimodalQueries extends QueryPack {
     Q("q117_gif_feature_gate", q117, Some(q117Sql)),
     Q("q119_mp3_stream_stats", q119, Some(q119Sql)),
     Q("q120_mp4_container_stats", q120, Some(q120Sql)),
-    Q("q121_mixed_media_lake", q121, Some(q121Sql))
+    Q("q121_mixed_media_lake", q121, Some(q121Sql)),
+    Q("q124_wav_feature_gate", q124, Some(q124Sql)),
+    Q("q125_avi_feature_gate", q125, Some(q125Sql))
   )
 }

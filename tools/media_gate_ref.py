@@ -19,6 +19,7 @@ Mirrored arithmetic, kept in lock-step with graft.ops.Codecs:
 
 Usage: python3 tools/media_gate_ref.py  → prints the oracle SQL literals.
 """
+import math
 import struct
 import sys
 from decimal import Decimal, ROUND_HALF_UP
@@ -123,6 +124,49 @@ def gif_frames(text):
     return w, h, frames
 
 
+def wav_fixture(text):
+    """textToWav derivation: PCM16 from consecutive byte pairs, mono."""
+    b = text.encode("utf-8")
+    n = max(len(b) // 2, 1)
+    samples = []
+    for i in range(n):
+        if not b:
+            samples.append(0)
+        else:
+            v = ((b[(2 * i) % len(b)] & 0xFF) << 8) | (b[(2 * i + 1) % len(b)] & 0xFF)
+            samples.append(v - 65536 if v >= 32768 else v)  # toShort
+    rate = 8000 + (len(b) % 5) * 1000
+    return rate, samples
+
+
+def wav_features(rate, channels, samples):
+    """graft.ops.Codecs.wavFeatures mirror (8-dim audio stats)."""
+    n = len(samples)
+    if n == 0:
+        return [f32(rate), f32(channels), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    sum_abs = sum(abs(s) for s in samples)
+    sum_sq = 0.0
+    for s in samples:
+        sum_sq += float(s) * s
+    crossings = sum(1 for i in range(channels, n)
+                    if (samples[i] < 0) != (samples[i - channels] < 0))
+    scale = 32768.0
+    return [f32(rate), f32(channels), f32(n // channels),
+            f32(sum_abs / (n * scale)), f32(math.sqrt(sum_sq / n) / scale),
+            f32(crossings / n), f32(min(samples) / scale), f32(max(samples) / scale)]
+
+
+def avi_frames(text):
+    """textToAvi derivation: 4-8 frames of 8x6, bytes cycled with a
+    per-frame shift."""
+    b = text.encode("utf-8")
+    w, h = 8, 6
+    nf = 4 + len(b) % 5
+    frames = [bytes(b[(i + f * 7) % len(b)] for i in range(w * h * 3))
+              for f in range(nf)]
+    return w, h, frames
+
+
 def sql(name, cols):
     parts = []
     for col, val in cols:
@@ -179,6 +223,38 @@ def main():
         origs.append(video_features(w, h, frames, 10))
         samples.append(video_features(w, h, frames[::2], 5))
     sql("q117_gif_feature_gate", [
+        ("n_media", len(texts)),
+        ("sum_frames", sum(int(f[2]) for f in origs)),
+        ("luma_chk", chk([f[4] for f in origs])),
+        ("delta_chk", chk([f[7] for f in origs])),
+        ("s_sum_frames", sum(int(f[2]) for f in samples)),
+        ("s_luma_chk", chk([f[4] for f in samples])),
+    ])
+
+    # -- q124 WAV: PCM16 is lossless; downsample keeps every 4th frame,
+    #    sample rate floors to rate//4 --
+    origs, ds = [], []
+    for t in texts:
+        rate, samples = wav_fixture(t)
+        origs.append(wav_features(rate, 1, samples))
+        ds.append(wav_features(max(rate // 4, 1), 1, samples[::4]))
+    sql("q124_wav_feature_gate", [
+        ("n_media", len(texts)),
+        ("sum_frames", sum(int(f[2]) for f in origs)),
+        ("mean_abs_chk", chk([f[3] for f in origs])),
+        ("rms_chk", chk([f[4] for f in origs])),
+        ("ds_sum_frames", sum(int(f[2]) for f in ds)),
+        ("ds_mean_abs_chk", chk([f[3] for f in ds])),
+    ])
+
+    # -- q125 AVI: uncompressed DIB frames are lossless; sample keeps
+    #    every 2nd frame at fps 10 -> 5 --
+    origs, samples = [], []
+    for t in texts:
+        w, h, frames = avi_frames(t)
+        origs.append(video_features(w, h, frames, 10))
+        samples.append(video_features(w, h, frames[::2], 5))
+    sql("q125_avi_feature_gate", [
         ("n_media", len(texts)),
         ("sum_frames", sum(int(f[2]) for f in origs)),
         ("luma_chk", chk([f[4] for f in origs])),
