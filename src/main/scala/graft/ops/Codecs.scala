@@ -95,7 +95,7 @@ object Codecs {
 
   /** Nearest-neighbor resize core (center-of-cell sampling) shared by the
     * BMP and PNG payload resizers. */
-  private def resizeImage(img: Image, outW: Int, outH: Int): Image = {
+  private[ops] def resizeImage(img: Image, outW: Int, outH: Int): Image = {
     require(outW > 0 && outH > 0, s"resize target must be positive, got ${outW}x$outH")
     val out = new Array[Byte](outW * outH * 3)
     var y = 0
@@ -677,6 +677,53 @@ object Codecs {
       f += 1
     }
     encodeWav(math.max(a.sampleRate / stride, 1), a.channels, out)
+  }
+
+  /** Sniffing still-image decode to RGB pixels: BMP/PNG/JPEG, or an
+    * animated GIF's FIRST composited frame (the thumbnail convention).
+    * Non-image payloads are a named data error — the perceptual-hash
+    * tier must never hash container bytes as pixels. */
+  def decodeImage(payload: Array[Byte]): Image =
+    if (isBmp(payload)) decodeBmp(payload)
+    else if (isPng(payload)) decodePng(payload)
+    else if (Jpeg.isJpeg(payload)) Jpeg.decode(payload)
+    else if (Gif.isGif(payload)) {
+      val v = Gif.decode(payload)
+      Image(v.width, v.height, v.frames.head)
+    } else throw new IllegalArgumentException(
+      "not a decodable image payload (BMP/PNG/JPEG/GIF)")
+
+  /** 64-bit difference hash (dHash) — the standard cheap perceptual
+    * image fingerprint: resize to 9×8 (nearest, the codec-agnostic
+    * normalization), integer Rec.601 luma per cell, bit y·8+x set iff
+    * luma(y,x) < luma(y,x+1). Horizontal-gradient signs survive exactly
+    * the transforms that matter for dedup — uniform brightness shift
+    * (luma is monotone, so every comparison is unchanged), re-encoding
+    * across lossless codecs (same pixels → same hash), and approximately
+    * survive rescaling (the 9×8 grid re-samples; OpsSpec bounds the
+    * drift). Two unrelated images land ~32 bits apart, so a small
+    * Hamming radius separates near-dups from noise. Pure integer
+    * arithmetic — deterministic across engines and retries. */
+  def dHash64(img: Image): Long = {
+    val r = resizeImage(img, 9, 8)
+    val gray = new Array[Int](9 * 8)
+    var i = 0
+    while (i < 72) {
+      gray(i) = (299 * (r.rgb(3 * i) & 0xff) + 587 * (r.rgb(3 * i + 1) & 0xff) +
+        114 * (r.rgb(3 * i + 2) & 0xff)) / 1000
+      i += 1
+    }
+    var h = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (gray(y * 9 + x) < gray(y * 9 + x + 1)) h |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    h
   }
 
   /** Format-sniffing feature decoder for mixed media columns — the

@@ -419,22 +419,40 @@ object Dedup {
       textCol: String,
       maxDist: Int = 3
   ): DataFrame = {
-    val chunks = maxDist + 1
-    val width = 64 / chunks
     val sigs = df
       .select(col(idCol),
         transform(TextAnalysis.tokens(col(textCol)), t => xxhash64(t)).as("__th"))
       .select(col(idCol), graft.functions.Sketches.simhash64(col("__th")).as("sig"))
+    hammingPairs(sigs, idCol, "sig", maxDist)
+  }
+
+  /** Hamming near-dup pairs over ANY 64-bit signature column via the
+    * pigeonhole band trick (the [[simhashPairs]] machinery, factored so
+    * perceptual image hashes — [[Multimodal.imageDHash]] — and any future
+    * 64-bit sketch reuse it): split into `maxDist+1` chunks, equi-join on
+    * (chunk index, chunk value), verify exact Hamming distance. Within
+    * radius maxDist a pair MUST collide on at least one whole chunk —
+    * a theorem, not a probability (q122 driver-gates it). Returns
+    * (idA, idB, dist), idA < idB, distinct. */
+  def hammingPairs(
+      sigs: DataFrame,
+      idCol: String,
+      sigCol: String,
+      maxDist: Int
+  ): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64, s"maxDist must be in [0, 64), got $maxDist")
+    val chunks = maxDist + 1
+    val width = 64 / chunks
     val banded = sigs.select(
-      col(idCol), col("sig"),
+      col(idCol), col(sigCol).as("__sig"),
       posexplode(array((0 until chunks).map { c =>
         // chunk c = bits [c*width, (c+1)*width) (last chunk takes the rest)
         val w = if (c == chunks - 1) 64 - c * width else width
-        shiftright(col("sig"), c * width)
+        shiftright(col(sigCol), c * width)
           .bitwiseAND(lit(if (w == 64) -1L else (1L << w) - 1L))
       }: _*)).as(Seq("chunk", "chunk_val")))
-    val a = banded.select(col("chunk"), col("chunk_val"), col(idCol).as("idA"), col("sig").as("sigA"))
-    val b = banded.select(col("chunk"), col("chunk_val"), col(idCol).as("idB"), col("sig").as("sigB"))
+    val a = banded.select(col("chunk"), col("chunk_val"), col(idCol).as("idA"), col("__sig").as("sigA"))
+    val b = banded.select(col("chunk"), col("chunk_val"), col(idCol).as("idB"), col("__sig").as("sigB"))
     a.join(b, Seq("chunk", "chunk_val"))
       .filter(col("idA") < col("idB"))
       .select(col("idA"), col("idB"), hamming(col("sigA"), col("sigB")).as("dist"))

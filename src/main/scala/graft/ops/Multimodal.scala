@@ -163,6 +163,57 @@ object Multimodal {
       .toDF("media_id", "meta", "features")
   }
 
+  /** Perceptual image fingerprints: (media_id, dhash) — a 64-bit
+    * difference hash ([[Codecs.dHash64]]) from the decoded pixels of each
+    * payload (BMP/PNG/JPEG/GIF sniffed; non-images are data errors under
+    * `onError`). Partition-batched like [[featurize]] — decode is the
+    * cost, the hash is 72 integer lumas. Run it after a parse/policy pass
+    * when the corpus may carry corrupt payloads, or pick `OnError.Skip`
+    * here. */
+  def imageDHash(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      onError: OnError = OnError.Fail
+  ): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as(enc)
+      .mapPartitions { it =>
+        val rows = it.map { case (id, p0) =>
+          val p = if (p0 == null) Array.emptyByteArray else p0
+          try (id, java.lang.Long.valueOf(Codecs.dHash64(Codecs.decodeImage(p))))
+          catch {
+            case scala.util.control.NonFatal(e) => onError match {
+              case OnError.Fail =>
+                throw new IllegalArgumentException(
+                  s"media_id $id: undecodable image payload (${e.getMessage})", e)
+              case OnError.Null => (id, null: java.lang.Long)
+              case OnError.Skip => null
+            }
+          }
+        }
+        if (onError == OnError.Skip) rows.filter(_ != null) else rows
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.LONG))
+      .toDF("media_id", "dhash")
+  }
+
+  /** Perceptual near-duplicate image pairs: dHash each payload, then
+    * pigeonhole-banded Hamming pairs within `maxDist`
+    * ([[Dedup.hammingPairs]] — candidates ∝ chunk collisions, never n²).
+    * The pixel-level sibling of embedding near-dup: catches re-encodes,
+    * brightness shifts and thumbnails of the same image without a model
+    * in the loop. Returns (idA, idB, dist). */
+  def imageNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      maxDist: Int = 6,
+      onError: OnError = OnError.Fail
+  ): DataFrame =
+    Dedup.hammingPairs(
+      imageDHash(df, idCol, payloadCol, onError), "media_id", "dhash", maxDist)
+
   /** Round-robin rebalance ahead of a CPU-bound codec stage. Partition
     * count follows `spark.sql.shuffle.partitions` — the cluster's chosen
     * width — NOT the input's file layout: a handful of large parquet

@@ -568,6 +568,51 @@ object MultimodalQueries extends QueryPack {
                 ELSE 16 * (3 + len % 4) END AS INT) AS height
     FROM base ORDER BY media_id ASC NULLS FIRST"""
 
+  // q126 — perceptual IMAGE dedup gate: BMP corpus with cross-codec
+  // planted duplicates (every 5th doc gets a PNG re-encode of the same
+  // pixels at id+10⁷ — the real-corpus shape: the same image uploaded
+  // twice through different pipelines). Three driver-checked columns:
+  // the pigeonhole theorem (banded dHash pairs == brute-force Hamming
+  // pairs, symmetric-diff 0), and planted recall (every cross-codec copy
+  // found at distance 0 — count pinned exactly by the oracle). Background
+  // near-dup-text pairs may legitimately appear in the pair set (similar
+  // text → similar pixels → close dHash); neither column depends on
+  // them, which is what keeps the oracle exact. doc_id % 4 slice —
+  // q122's brute-force-tier rationale.
+  private def q126(s: SparkSession, dir: String): DataFrame = {
+    val slice = Multimodal.rebalanceForCodec(
+      Tables.load(s, dir, "documents").select("doc_id", "text")
+        .filter(pmod(col("doc_id"), lit(4)) === 0))
+    val corpus = slice
+      .select(col("doc_id").as("media_id"), textToBmp(col("text")).as("payload"))
+      .unionByName(slice.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + lit(10000000L)).as("media_id"),
+          textToPng(col("text")).as("payload")))
+    val sigs = Multimodal.imageDHash(corpus, "media_id", "payload")
+    val banded = graft.ops.Dedup.hammingPairs(sigs, "media_id", "dhash", maxDist = 6)
+      .select("idA", "idB")
+    val exact = sigs.select(col("media_id").as("idA"), col("dhash").as("hA"))
+      .crossJoin(broadcast(sigs.select(col("media_id").as("idB"), col("dhash").as("hB"))))
+      .filter(col("idA") < col("idB") &&
+        graft.ops.Dedup.hamming(col("hA"), col("hB")) <= 6)
+      .select("idA", "idB")
+    // ONE full-outer comparison: each decode subtree is referenced once
+    // (Spark has no cross-reference reuse — three anti-join legs would
+    // re-decode the corpus five times)
+    exact.withColumn("__e", lit(1))
+      .join(banded.withColumn("__b", lit(1)), Seq("idA", "idB"), "full_outer")
+      .agg(
+        count(when(col("__e").isNull || col("__b").isNull, 1)).as("set_diff"),
+        count(when(col("__b") === 1 && col("idB") - col("idA") === 10000000L, 1))
+          .as("planted_found"))
+      .select(col("set_diff"), (col("set_diff") === 0).as("theorem_holds"),
+        col("planted_found"))
+  }
+  private val q126Sql = """
+    SELECT CAST(0 AS BIGINT) AS set_diff, TRUE AS theorem_holds,
+           CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 20 = 0)
+                AS BIGINT) AS planted_found"""
+
   // q124 — WAV gate: PCM16 is lossless, so original AND downsampled
   // (every 4th frame, rate floored to rate/4) amplitude stats derive
   // from the text bytes on the reference side. Closes the audio family
@@ -671,6 +716,7 @@ object MultimodalQueries extends QueryPack {
     Q("q120_mp4_container_stats", q120, Some(q120Sql)),
     Q("q121_mixed_media_lake", q121, Some(q121Sql)),
     Q("q124_wav_feature_gate", q124, Some(q124Sql)),
-    Q("q125_avi_feature_gate", q125, Some(q125Sql))
+    Q("q125_avi_feature_gate", q125, Some(q125Sql)),
+    Q("q126_image_dedup_gate", q126, Some(q126Sql))
   )
 }

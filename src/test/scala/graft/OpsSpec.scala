@@ -676,6 +676,63 @@ class OpsSpec extends SparkSpec {
     assert(ops.Gif.isGif(corrupt))
   }
 
+  test("image dHash: perceptual invariants — brightness, cross-codec, scale drift") {
+    val (w, h) = (20, 15)
+    val rgb = Array.tabulate(w * h * 3)(i => (((i / 3) * 13 + (i % 3) * 31) % 200).toByte)
+    val base = ops.Codecs.dHash64(ops.Codecs.Image(w, h, rgb))
+    // uniform +20 brightness (no channel clamps at ≤ 199): every cell's
+    // integer luma moves by exactly 20, every gradient sign is unchanged
+    val brighter = ops.Codecs.Image(w, h, rgb.map(b => ((b & 0xff) + 20).toByte))
+    assert(ops.Codecs.dHash64(brighter) == base, "brightness shift must not move dHash")
+    // same pixels through BMP and PNG bytes → identical hash (codec-agnostic)
+    val viaBmp = ops.Codecs.dHash64(ops.Codecs.decodeImage(ops.Codecs.encodeBmp(w, h, rgb)))
+    val viaPng = ops.Codecs.dHash64(ops.Codecs.decodeImage(ops.Codecs.encodePng(w, h, rgb)))
+    assert(viaBmp == base && viaPng == base)
+    // 2× upscale re-samples the 9×8 grid → bounded drift, far below the
+    // ~32-bit distance of unrelated images
+    val up = ops.Codecs.decodeImage(
+      ops.Codecs.resizeBmp(40, 30)(ops.Codecs.encodeBmp(w, h, rgb)))
+    val drift = java.lang.Long.bitCount(base ^ ops.Codecs.dHash64(up))
+    assert(drift <= 10, s"2x upscale drifted $drift bits")
+    val other = Array.tabulate(w * h * 3)(i => (((i / 3) * 97 + 41) % 251).toByte)
+    val far = java.lang.Long.bitCount(base ^ ops.Codecs.dHash64(ops.Codecs.Image(w, h, other)))
+    assert(far > 10, s"unrelated image unexpectedly close: $far bits")
+    // non-image payloads are named errors, never hashed as pixels
+    val err = intercept[IllegalArgumentException](
+      ops.Codecs.decodeImage("plain text".getBytes("UTF-8")))
+    assert(err.getMessage.contains("image"))
+  }
+
+  test("imageNearDupPairs: cross-codec copies at distance 0, banded equals brute force") {
+    val texts = (1 to 40).map(i => (i.toLong, s"image fixture text number $i " * (1 + i % 3)))
+    val base = texts.toDF("media_id", "text")
+      .select($"media_id", graft.queries.MultimodalQueries.textToBmp($"text").as("payload"))
+    val planted = texts.filter(_._1 % 5 == 0).toDF("media_id", "text")
+      .select(($"media_id" + 1000L).as("media_id"),
+        graft.queries.MultimodalQueries.textToPng($"text").as("payload"))
+    val corpus = base.unionByName(planted)
+    val pairs = Multimodal.imageNearDupPairs(corpus, "media_id", "payload", maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // every planted PNG copy pairs with its BMP original at distance 0
+    val plantedPairs = pairs.filter { case (a, b, _) => b - a == 1000L }
+    assert(plantedPairs.length == 8, s"expected 8 planted pairs: ${plantedPairs.toSeq}")
+    assert(plantedPairs.forall(_._3 == 0), "cross-codec copies must hash identically")
+    // pigeonhole: banded pair set equals the brute-force Hamming pair set
+    val sigs = Multimodal.imageDHash(corpus, "media_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, ha) <- sigs; (ib, hb) <- sigs
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 6
+    } yield (ia, ib)).toSet
+    assert(pairs.map(p => (p._1, p._2)).toSet == brute, "banded must equal brute force")
+    // OnError.Skip drops a non-image payload instead of failing the job
+    val dirty = corpus.unionByName(
+      Seq((9999L, "not an image".getBytes("UTF-8"))).toDF("media_id", "payload"))
+    val kept = Multimodal.imageDHash(dirty, "media_id", "payload",
+      onError = Multimodal.OnError.Skip).count()
+    assert(kept == 48, s"Skip should drop exactly the dirty row: $kept")
+  }
+
   test("MP3 stream layer: golden parse matches the independent reference") {
     // tools/container_ref.py — separate struct-built frame chain (VBR
     // schedule 128/160/128/192/128, stereo 44100, 33-byte ID3v2 to skip)
