@@ -37,6 +37,7 @@ object Compiler {
         node.dedup.toSeq.flatMap(d => d.keys ++ d.idCol) ++
         node.nearDup.toSeq.flatMap(d => Seq(d.idCol, d.vecCol)) ++
         node.editDedup.toSeq.flatMap(e => Seq(e.idCol, e.textCol)) ++
+        node.imageDedup.toSeq.flatMap(i => Seq(i.idCol, i.payloadCol)) ++
         node.lmPerplexity.toSeq.flatMap(l => Seq(l.idCol, l.textCol)) ++
         node.split.toSeq.map(_.idCol) ++
         node.boilerplate.toSeq.flatMap(b => Seq(b.idCol, b.textCol)) ++
@@ -195,6 +196,13 @@ object Compiler {
         df, e.idCol, expr(e.blockExpr), e.bucketCap)
       df = graft.ops.Dedup.verifyEditDistancePairs(
         df, e.idCol, e.textCol, cands, e.threshold, e.maxDistance)
+    }
+
+    // Perceptual image dedup: the frame becomes (idA, idB, dist) —
+    // partition-batched dHash + banded Hamming pairs, plan-only.
+    node.imageDedup.foreach { im =>
+      df = graft.ops.Multimodal.imageNearDupPairs(
+        df, im.idCol, im.payloadCol, im.maxDist)
     }
 
     // LM-perplexity quality scoring: the frame becomes (id, n_bigrams,

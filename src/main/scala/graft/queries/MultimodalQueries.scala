@@ -613,6 +613,45 @@ object MultimodalQueries extends QueryPack {
            CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 20 = 0)
                 AS BIGINT) AS planted_found"""
 
+  // q127 — perceptual image dedup from PURE JSON: the `image_dedup` node
+  // key over a combine-union corpus (BMP base + cross-codec PNG copies
+  // built with registered fixture UDFs — the q66 pattern for media), the
+  // pair frame aggregated down to exactly-pinnable planted-recall counts
+  // (filtered aggregates keep the oracle independent of legitimate
+  // background near-dup-text pairs). Proves the image tier is
+  // config-reachable end to end.
+  private def q127(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    s.udf.register("text_to_bmp", textToBmp)
+    s.udf.register("text_to_png", textToPng)
+    graft.compile.Compiler.compileJson(s, """
+      {"id": "imgdd",
+       "combine": {"op": "union", "nodes": [
+         {"id": "base", "source": {"table": "documents"},
+          "filters": ["doc_id % 4 = 0"],
+          "derive": {"payload": "text_to_bmp(text)"},
+          "keep_columns": ["doc_id", "payload"]},
+         {"id": "planted", "source": {"table": "documents"},
+          "filters": ["doc_id % 20 = 0"],
+          "derive": {"doc_id2": "doc_id + 10000000",
+                     "payload": "text_to_png(text)"},
+          "keep_columns": ["doc_id2", "payload"],
+          "rename": {"doc_id2": "doc_id"}}]},
+       "image_dedup": {"id_col": "doc_id", "payload_col": "payload",
+                       "max_dist": 6},
+       "aggregate": {"aggregations": [
+         {"col": "*", "func": "count",
+          "filter": "idB - idA = 10000000", "new_name": "planted_found"},
+         {"col": "*", "func": "count",
+          "filter": "dist = 0 and idB - idA = 10000000",
+          "new_name": "planted_exact"}]}}""")
+  }
+  private val q127Sql = """
+    SELECT CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 20 = 0)
+                AS BIGINT) AS planted_found,
+           CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 20 = 0)
+                AS BIGINT) AS planted_exact"""
+
   // q124 — WAV gate: PCM16 is lossless, so original AND downsampled
   // (every 4th frame, rate floored to rate/4) amplitude stats derive
   // from the text bytes on the reference side. Closes the audio family
@@ -717,6 +756,7 @@ object MultimodalQueries extends QueryPack {
     Q("q121_mixed_media_lake", q121, Some(q121Sql)),
     Q("q124_wav_feature_gate", q124, Some(q124Sql)),
     Q("q125_avi_feature_gate", q125, Some(q125Sql)),
-    Q("q126_image_dedup_gate", q126, Some(q126Sql))
+    Q("q126_image_dedup_gate", q126, Some(q126Sql)),
+    Q("q127_config_image_dedup", q127, Some(q127Sql))
   )
 }

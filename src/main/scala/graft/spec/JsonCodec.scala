@@ -212,6 +212,13 @@ object JsonCodec {
         }.getOrElse(graft.ops.BucketCap.Auto))
     }
 
+    val imd = opt(n, "image_dedup", "imageDedup").map { d =>
+      ImageDedupSpec(
+        idCol = req(d, s"node $id: image_dedup", "id_col", "idCol").asText,
+        payloadCol = req(d, s"node $id: image_dedup", "payload_col", "payloadCol").asText,
+        maxDist = opt(d, "max_dist", "maxDist").map(_.asInt).getOrElse(6))
+    }
+
     val lm = opt(n, "lm_perplexity", "lmPerplexity").map { d =>
       LmPerplexitySpec(
         idCol = req(d, s"node $id: lm_perplexity", "id_col", "idCol").asText,
@@ -315,6 +322,7 @@ object JsonCodec {
       keepColumns = if (aggregate.isDefined) Nil else keep,
       nearDup = nd,
       editDedup = ed,
+      imageDedup = imd,
       lmPerplexity = lm,
       split = sp,
       boilerplate = bp,

@@ -367,6 +367,18 @@ final case class ChildSpec(
     hint: Option[String] = None
 )
 
+/** Perceptual image dedup (NS; Multimodal.imageNearDupPairs): the frame
+  * becomes all image pairs (idA, idB, dist) whose 64-bit dHash
+  * fingerprints are within `maxDist` Hamming bits — re-encodes,
+  * brightness shifts and thumbnails of the same image, no model in the
+  * loop. Plan composition (partition-batched decode + pigeonhole-banded
+  * equi-join), so config-admissible. */
+final case class ImageDedupSpec(
+    idCol: String,
+    payloadCol: String,
+    maxDist: Int = 6
+)
+
 /** Continuous near-dup ingestion (NS; Streaming.nearDupIngest): the
   * STREAMING-ONLY root sink — each micro-batch probes the persisted band
   * index at `indexDir`, dedups in-batch and against the corpus, appends
@@ -402,6 +414,7 @@ final case class NodeSpec(
     keepColumns: Seq[String] = Nil,
     nearDup: Option[NearDupSpec] = None, // after keep, before aggregate
     editDedup: Option[EditDedupSpec] = None, // after keep, before aggregate
+    imageDedup: Option[ImageDedupSpec] = None, // after keep, before aggregate
     lmPerplexity: Option[LmPerplexitySpec] = None, // after keep, before aggregate
     split: Option[SplitSpec] = None, // after keep, before aggregate
     boilerplate: Option[BoilerplateSpec] = None, // after keep, before aggregate

@@ -150,6 +150,21 @@ class JsonCodecSpec extends AnyFunSuite {
     assert(e.getMessage.contains("block_expr"))
   }
 
+  test("image_dedup node key decodes with defaults and named errors") {
+    val n = root("""
+      {"source": {"table": "documents"},
+       "image_dedup": {"id_col": "doc_id", "payload_col": "payload"}}""")
+    val d = n.imageDedup.get
+    assert(d.idCol == "doc_id" && d.payloadCol == "payload" && d.maxDist == 6)
+    assert(root("""
+      {"source": {"table": "documents"},
+       "image_dedup": {"id_col": "a", "payload_col": "p", "max_dist": 10}}""")
+      .imageDedup.get.maxDist == 10)
+    val e = intercept[IllegalArgumentException](root(
+      """{"image_dedup": {"id_col": "a"}}"""))
+    assert(e.getMessage.contains("payload_col"))
+  }
+
   test("near_dup_ingest node key decodes with defaults and named errors") {
     val n = root("""
       {"source": {"path": "/tmp/in"},
