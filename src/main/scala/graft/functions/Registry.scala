@@ -57,6 +57,7 @@ object Registry {
     // bit-interleave expression tree at plan time)
     "scrub_pii" -> fn(TextAnalysis.scrubPii),
     "normalize_text" -> (es => NormalizeText(es.head)),
+    "canonical_url" -> (es => CanonicalizeUrl(es.head)),
     "pii_count" -> fn(TextAnalysis.piiCount),
     "zorder" -> (es => GraftColumnBridge.expressionEager(
       graft.ops.Layout.zorderValue(

@@ -126,6 +126,85 @@ case class NormalizeText(child: Expression) extends UnaryExpression {
   override def prettyName: String = "normalize_text"
 }
 
+/** URL canonicalization — the pre-dedup step for WEB corpora (the same
+  * page is crawled as http://Example.com/a/?utm_source=feed&b=1 and
+  * https://example.com/a?b=1; dedup-by-URL must see one key). The rules
+  * are OPERATIONAL so both engines reproduce them byte-for-byte:
+  *
+  *   1. no "://" → returned unchanged (not a URL);
+  *   2. scheme and host:port lowercase (path/query case is significant);
+  *   3. fragment dropped;
+  *   4. default port stripped (:80 for http, :443 for https);
+  *   5. trailing slashes stripped from the path ("/a/b/" == "/a/b";
+  *      bare "/" collapses away);
+  *   6. tracking params dropped — name ∈ utm_* | fbclid | gclid |
+  *      msclkid | ref (lowercased name match);
+  *   7. remaining params sorted by their full "k=v" text (binary order —
+  *      ASCII-identical in Java and DuckDB), "?" dropped if none remain.
+  *
+  * Percent-encoding is preserved as-is (decoding can change identity).
+  * Idempotent by construction. One pass of plain JVM string ops inside
+  * whole-stage codegen; DuckDB mirror in the q128 oracle. */
+object CanonicalizeUrlOps {
+  private val tracking =
+    java.util.regex.Pattern.compile("^(utm_.*|fbclid|gclid|msclkid|ref)$")
+
+  def compute(u: UTF8String): UTF8String = {
+    val s = u.toString
+    val sep = s.indexOf("://")
+    if (sep < 0) return u
+    val scheme = s.substring(0, sep).toLowerCase(java.util.Locale.ROOT)
+    val rest = s.substring(sep + 3)
+    var aEnd = 0
+    while (aEnd < rest.length && "/?#".indexOf(rest.charAt(aEnd)) < 0) aEnd += 1
+    var hostPort = rest.substring(0, aEnd).toLowerCase(java.util.Locale.ROOT)
+    if (scheme == "http" && hostPort.endsWith(":80"))
+      hostPort = hostPort.substring(0, hostPort.length - 3)
+    else if (scheme == "https" && hostPort.endsWith(":443"))
+      hostPort = hostPort.substring(0, hostPort.length - 4)
+    var tail = rest.substring(aEnd)
+    val hash = tail.indexOf('#')
+    if (hash >= 0) tail = tail.substring(0, hash)
+    val q = tail.indexOf('?')
+    var path = if (q >= 0) tail.substring(0, q) else tail
+    val query = if (q >= 0) tail.substring(q + 1) else ""
+    while (path.endsWith("/")) path = path.substring(0, path.length - 1)
+    val kept = query.split("&", -1).toSeq
+      .filter(_.nonEmpty)
+      .filterNot { p =>
+        val eq = p.indexOf('=')
+        val name = (if (eq >= 0) p.substring(0, eq) else p)
+          .toLowerCase(java.util.Locale.ROOT)
+        tracking.matcher(name).matches()
+      }
+      .sorted
+    val qs = if (kept.isEmpty) "" else "?" + kept.mkString("&")
+    UTF8String.fromString(scheme + "://" + hostPort + path + qs)
+  }
+}
+
+case class CanonicalizeUrl(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"canonical_url expects string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    CanonicalizeUrlOps.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CanonicalizeUrlOps.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CanonicalizeUrl =
+    copy(child = newChild)
+
+  override def prettyName: String = "canonical_url"
+}
+
 object TextKernels {
   def portableFingerprint(text: Column): Column =
     GraftColumnBridge.column(
@@ -134,4 +213,8 @@ object TextKernels {
   def normalizeText(text: Column): Column =
     GraftColumnBridge.column(
       NormalizeText(GraftColumnBridge.expression(text)))
+
+  def canonicalizeUrl(url: Column): Column =
+    GraftColumnBridge.column(
+      CanonicalizeUrl(GraftColumnBridge.expression(url)))
 }

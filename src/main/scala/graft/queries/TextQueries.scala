@@ -333,6 +333,37 @@ object TextQueries extends QueryPack {
     FROM src LEFT JOIN scored ON src.doc_id = scored.doc_id
     ORDER BY src.doc_id ASC NULLS FIRST"""
 
+  // q128 — URL canonicalization + dedup-by-URL from PURE JSON: every doc
+  // gets a messy crawl URL (uppercase scheme/host, default port, trailing
+  // slash, unsorted params, tracking params, fragment) derived from its
+  // fields; `canonical_url` (the registered native kernel) normalizes it
+  // and the exact-dedup key keeps one doc per canonical URL — the
+  // standard first pass of web-corpus dedup. The oracle derives the
+  // canonical form INDEPENDENTLY: the rules applied by hand to the same
+  // template (host lowercased, :80 stripped, slash/fragment dropped,
+  // tracking params removed, a= sorted before z=), then the same
+  // min-doc_id dedup.
+  private def q128(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "documents"},
+       "derive": {
+         "url": "concat('HTTP://News.Example.COM:80/', source, '/item/', cast(doc_id % 40 as string), '/?utm_source=feed&z=9&a=', cast(doc_id % 3 as string), '&fbclid=track#sec')",
+         "curl": "canonical_url(url)"},
+       "dedup": {"keys": ["curl"], "id_col": "doc_id"},
+       "keep_columns": ["doc_id", "curl"],
+       "order_by": ["doc_id asc"]}""")
+  }
+  private val q128Sql = """
+    WITH c AS (
+      SELECT doc_id,
+             'http://news.example.com/' || source || '/item/' ||
+             CAST(doc_id % 40 AS VARCHAR) || '?a=' ||
+             CAST(doc_id % 3 AS VARCHAR) || '&z=9' AS curl
+      FROM documents),
+    d AS (SELECT curl, MIN(doc_id) AS doc_id FROM c GROUP BY 1)
+    SELECT doc_id, curl FROM d ORDER BY doc_id ASC NULLS FIRST"""
+
   // q111 — canonical text normalization (native NormalizeText kernel):
   // NFC composition, ROOT lowercase, control→space, space-run collapse,
   // trim — the pre-fingerprint step of every dedup pipeline. The derive
@@ -388,6 +419,7 @@ object TextQueries extends QueryPack {
     Q("q106_lm_perplexity", q106, Some(q106Sql)),
     Q("q108_config_lm_score", q108, Some(q108Sql)),
     Q("q118_lm_keep_unscored", q118, Some(q118Sql)),
+    Q("q128_url_dedup", q128, Some(q128Sql)),
     Q("q111_normalize_text", q111, Some(q111Sql))
   )
 }

@@ -517,6 +517,34 @@ class OpsSpec extends SparkSpec {
     assert(err.getMessage.contains("progressive"))
   }
 
+  test("canonical_url kernel: case, ports, fragments, tracking params, sort, idempotence") {
+    import graft.functions.TextKernels.canonicalizeUrl
+    val rows = Seq(
+      "HTTP://Example.COM:80/Docs/?utm_source=feed&b=2&a=1&fbclid=x#frag",
+      "https://Host.Net:443/a/b//",
+      "https://host.net:8443/a",             // non-default port kept
+      "http://h/p?REF=keep&ref=drop&z=1",    // name match is lowercased; value case kept
+      "http://h/?utm_campaign=x&gclid=y",    // all params tracked → '?' dropped
+      "http://h/",                           // bare '/' collapses
+      "not a url at all",                    // passthrough
+      "ftp://MiXeD.Case/Path"                // unknown scheme: no port rule, rest applies
+    ).toDF("u")
+    val got = rows.select(canonicalizeUrl($"u").as("c")).collect().map(_.getString(0))
+    assert(got(0) == "http://example.com/Docs?a=1&b=2", got(0))
+    assert(got(1) == "https://host.net/a/b", got(1))
+    assert(got(2) == "https://host.net:8443/a", got(2))
+    assert(got(3) == "http://h/p?z=1", got(3))
+    assert(got(4) == "http://h", got(4))
+    assert(got(5) == "http://h", got(5))
+    assert(got(6) == "not a url at all", got(6))
+    assert(got(7) == "ftp://mixed.case/Path", got(7))
+    // idempotent: canonicalizing twice is a no-op
+    val twice = rows.select(canonicalizeUrl(canonicalizeUrl($"u")).as("c"))
+      .collect().map(_.getString(0))
+    assert(twice.toSeq == got.toSeq)
+    assert(Seq[String](null).toDF("u").select(canonicalizeUrl($"u")).collect().head.isNullAt(0))
+  }
+
   test("normalize_text kernel: NFC composition, case, controls, idempotence") {
     import graft.functions.TextKernels.normalizeText
     val rows = Seq(
