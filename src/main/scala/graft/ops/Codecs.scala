@@ -680,7 +680,8 @@ object Codecs {
   }
 
   /** Sniffing still-image decode to RGB pixels: BMP/PNG/JPEG, or an
-    * animated GIF's FIRST composited frame (the thumbnail convention).
+    * animated GIF/AVI's FIRST (composited) frame — the thumbnail
+    * convention, which also gives video payloads a perceptual-dedup key.
     * Non-image payloads are a named data error — the perceptual-hash
     * tier must never hash container bytes as pixels. */
   def decodeImage(payload: Array[Byte]): Image =
@@ -690,8 +691,11 @@ object Codecs {
     else if (Gif.isGif(payload)) {
       val v = Gif.decode(payload)
       Image(v.width, v.height, v.frames.head)
+    } else if (isAvi(payload)) {
+      val v = decodeAvi(payload)
+      Image(v.width, v.height, v.frames.head)
     } else throw new IllegalArgumentException(
-      "not a decodable image payload (BMP/PNG/JPEG/GIF)")
+      "not a decodable image payload (BMP/PNG/JPEG/GIF/AVI first frame)")
 
   /** 64-bit difference hash (dHash) — the standard cheap perceptual
     * image fingerprint: resize to 9×8 (nearest, the codec-agnostic
@@ -722,6 +726,43 @@ object Codecs {
         x += 1
       }
       y += 1
+    }
+    h
+  }
+
+  /** 64-bit perceptual AUDIO hash — the dHash idea on the amplitude
+    * envelope: the |PCM| stream is split into 65 equal-length buckets and
+    * bit k is set iff bucket k's mean |amplitude| is below bucket k+1's.
+    * The comparison is cross-multiplied integer sums (sumₖ·lenₖ₊₁ <
+    * sumₖ₊₁·lenₖ) — no division, exact, retry-deterministic. Envelope
+    * GRADIENT SIGNS survive exactly the transforms that matter for audio
+    * dedup: uniform gain (every |s| scales by the same factor — both
+    * sides of every comparison scale together) and lossless re-encoding;
+    * unrelated clips land ~32 bits apart. Multi-channel audio hashes the
+    * interleaved stream (channel balance is part of identity). Needs ≥ 65
+    * samples — shorter clips are a named data error (a 64-gradient
+    * envelope of 3 samples means nothing). */
+  def audioHash64(a: Audio): Long = {
+    val n = a.samples.length
+    require(n >= 65, s"audioHash64 needs >= 65 samples, got $n")
+    val sums = new Array[Long](65)
+    val lens = new Array[Long](65)
+    var k = 0
+    while (k < 65) {
+      val from = (k.toLong * n / 65).toInt
+      val until = ((k + 1).toLong * n / 65).toInt
+      var i = from
+      var s = 0L
+      while (i < until) { s += math.abs(a.samples(i).toInt); i += 1 }
+      sums(k) = s
+      lens(k) = until - from
+      k += 1
+    }
+    var h = 0L
+    var b = 0
+    while (b < 64) {
+      if (sums(b) * lens(b + 1) < sums(b + 1) * lens(b)) h |= 1L << b
+      b += 1
     }
     h
   }

@@ -214,6 +214,51 @@ object Multimodal {
     Dedup.hammingPairs(
       imageDHash(df, idCol, payloadCol, onError), "media_id", "dhash", maxDist)
 
+  /** Perceptual audio fingerprints: (media_id, ahash) — the 64-bit
+    * envelope hash ([[Codecs.audioHash64]]) of each WAV payload's decoded
+    * PCM. Same batching/policy contract as [[imageDHash]]. */
+  def audioDHash(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      onError: OnError = OnError.Fail
+  ): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as(enc)
+      .mapPartitions { it =>
+        val rows = it.map { case (id, p0) =>
+          val p = if (p0 == null) Array.emptyByteArray else p0
+          try (id, java.lang.Long.valueOf(Codecs.audioHash64(Codecs.decodeWav(p))))
+          catch {
+            case scala.util.control.NonFatal(e) => onError match {
+              case OnError.Fail =>
+                throw new IllegalArgumentException(
+                  s"media_id $id: undecodable audio payload (${e.getMessage})", e)
+              case OnError.Null => (id, null: java.lang.Long)
+              case OnError.Skip => null
+            }
+          }
+        }
+        if (onError == OnError.Skip) rows.filter(_ != null) else rows
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.LONG))
+      .toDF("media_id", "ahash")
+  }
+
+  /** Perceptual near-duplicate audio pairs: envelope-hash each payload,
+    * then pigeonhole-banded Hamming pairs within `maxDist` — catches
+    * re-encodes and gain-adjusted copies of the same clip. Returns
+    * (idA, idB, dist). */
+  def audioNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      maxDist: Int = 6,
+      onError: OnError = OnError.Fail
+  ): DataFrame =
+    Dedup.hammingPairs(
+      audioDHash(df, idCol, payloadCol, onError), "media_id", "ahash", maxDist)
+
   /** Round-robin rebalance ahead of a CPU-bound codec stage. Partition
     * count follows `spark.sql.shuffle.partitions` — the cluster's chosen
     * width — NOT the input's file layout: a handful of large parquet

@@ -652,6 +652,56 @@ object MultimodalQueries extends QueryPack {
            CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 20 = 0)
                 AS BIGINT) AS planted_exact"""
 
+  /** Audio-dedup fixture: ≥80 PCM16 samples whose magnitudes stay ≤ 8160,
+    * so the planted 2×-gain twin never clips — gain invariance holds
+    * EXACTLY ([[graft.ops.Codecs.audioHash64]]). `gain` scales every
+    * sample; 1 = the original clip. */
+  private[graft] def textToClip(gain: Int) = udf { (t: String) =>
+    val b = Option(t).getOrElse(" ").getBytes("UTF-8")
+    val n = 80 + b.length % 64
+    val samples = Array.tabulate(n)(i =>
+      (((b(i % b.length) & 0xff) * 64 - 8160) * gain).toShort)
+    Codecs.encodeWav(16000, 1, samples)
+  }
+
+  // q129 — perceptual AUDIO dedup gate (the q126 pattern on the envelope
+  // hash): WAV corpus with planted 2×-GAIN copies at id+10⁷ — the
+  // real-corpus shape: the same clip uploaded at different volumes. The
+  // pigeonhole theorem (banded == brute-force Hamming pairs) and planted
+  // recall (every gain twin found at distance 0 — gain scales both sides
+  // of every envelope comparison) are driver-checked; counts pinned
+  // exactly by the oracle. doc_id % 4 slice, q122's rationale.
+  private def q129(s: SparkSession, dir: String): DataFrame = {
+    val slice = Multimodal.rebalanceForCodec(
+      Tables.load(s, dir, "documents").select("doc_id", "text")
+        .filter(pmod(col("doc_id"), lit(4)) === 0))
+    val corpus = slice
+      .select(col("doc_id").as("media_id"), textToClip(1)(col("text")).as("payload"))
+      .unionByName(slice.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + lit(10000000L)).as("media_id"),
+          textToClip(2)(col("text")).as("payload")))
+    val sigs = Multimodal.audioDHash(corpus, "media_id", "payload")
+    val banded = graft.ops.Dedup.hammingPairs(sigs, "media_id", "ahash", maxDist = 6)
+      .select("idA", "idB")
+    val exact = sigs.select(col("media_id").as("idA"), col("ahash").as("hA"))
+      .crossJoin(broadcast(sigs.select(col("media_id").as("idB"), col("ahash").as("hB"))))
+      .filter(col("idA") < col("idB") &&
+        graft.ops.Dedup.hamming(col("hA"), col("hB")) <= 6)
+      .select("idA", "idB")
+    exact.withColumn("__e", lit(1))
+      .join(banded.withColumn("__b", lit(1)), Seq("idA", "idB"), "full_outer")
+      .agg(
+        count(when(col("__e").isNull || col("__b").isNull, 1)).as("set_diff"),
+        count(when(col("__b") === 1 && col("idB") - col("idA") === 10000000L, 1))
+          .as("planted_found"))
+      .select(col("set_diff"), (col("set_diff") === 0).as("theorem_holds"),
+        col("planted_found"))
+  }
+  private val q129Sql = """
+    SELECT CAST(0 AS BIGINT) AS set_diff, TRUE AS theorem_holds,
+           CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 20 = 0)
+                AS BIGINT) AS planted_found"""
+
   // q124 — WAV gate: PCM16 is lossless, so original AND downsampled
   // (every 4th frame, rate floored to rate/4) amplitude stats derive
   // from the text bytes on the reference side. Closes the audio family
@@ -757,6 +807,7 @@ object MultimodalQueries extends QueryPack {
     Q("q124_wav_feature_gate", q124, Some(q124Sql)),
     Q("q125_avi_feature_gate", q125, Some(q125Sql)),
     Q("q126_image_dedup_gate", q126, Some(q126Sql)),
-    Q("q127_config_image_dedup", q127, Some(q127Sql))
+    Q("q127_config_image_dedup", q127, Some(q127Sql)),
+    Q("q129_audio_dedup_gate", q129, Some(q129Sql))
   )
 }

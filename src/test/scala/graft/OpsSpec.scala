@@ -761,6 +761,27 @@ class OpsSpec extends SparkSpec {
     assert(kept == 48, s"Skip should drop exactly the dirty row: $kept")
   }
 
+  test("audio envelope hash: gain invariance, re-encode, short-clip error") {
+    val samples = Array.tabulate(400)(i => (((i * 37) % 255) * 64 - 8160).toShort)
+    val a = ops.Codecs.Audio(16000, 1, samples)
+    val base = ops.Codecs.audioHash64(a)
+    // exact 2x gain (|s| <= 8160, no clipping): every envelope comparison
+    // scales on both sides -> identical hash
+    val louder = ops.Codecs.Audio(16000, 1, samples.map(s => (s * 2).toShort))
+    assert(ops.Codecs.audioHash64(louder) == base, "gain must not move the hash")
+    // lossless WAV round-trip -> identical hash
+    val rt = ops.Codecs.decodeWav(ops.Codecs.encodeWav(16000, 1, samples))
+    assert(ops.Codecs.audioHash64(rt) == base)
+    // unrelated clip lands far away
+    val other = Array.tabulate(400)(i => (((i * 101 + 13) % 251) * 64 - 8000).toShort)
+    val far = java.lang.Long.bitCount(base ^ ops.Codecs.audioHash64(ops.Codecs.Audio(16000, 1, other)))
+    assert(far > 10, s"unrelated clip unexpectedly close: $far")
+    // too short for a 64-gradient envelope -> named error
+    val err = intercept[IllegalArgumentException](
+      ops.Codecs.audioHash64(ops.Codecs.Audio(16000, 1, Array.fill(64)(1.toShort))))
+    assert(err.getMessage.contains("65"))
+  }
+
   test("MP3 stream layer: golden parse matches the independent reference") {
     // tools/container_ref.py — separate struct-built frame chain (VBR
     // schedule 128/160/128/192/128, stereo 44100, 33-byte ID3v2 to skip)
