@@ -38,6 +38,7 @@ object Compiler {
         node.nearDup.toSeq.flatMap(d => Seq(d.idCol, d.vecCol)) ++
         node.editDedup.toSeq.flatMap(e => Seq(e.idCol, e.textCol)) ++
         node.imageDedup.toSeq.flatMap(i => Seq(i.idCol, i.payloadCol)) ++
+        node.audioDedup.toSeq.flatMap(a => Seq(a.idCol, a.payloadCol)) ++
         node.lmPerplexity.toSeq.flatMap(l => Seq(l.idCol, l.textCol)) ++
         node.split.toSeq.map(_.idCol) ++
         node.boilerplate.toSeq.flatMap(b => Seq(b.idCol, b.textCol)) ++
@@ -203,6 +204,12 @@ object Compiler {
     node.imageDedup.foreach { im =>
       df = graft.ops.Multimodal.imageNearDupPairs(
         df, im.idCol, im.payloadCol, im.maxDist)
+    }
+
+    // Perceptual audio dedup: same shape over the envelope hash.
+    node.audioDedup.foreach { au =>
+      df = graft.ops.Multimodal.audioNearDupPairs(
+        df, au.idCol, au.payloadCol, au.maxDist)
     }
 
     // LM-perplexity quality scoring: the frame becomes (id, n_bigrams,

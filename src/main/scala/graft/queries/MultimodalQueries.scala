@@ -702,6 +702,42 @@ object MultimodalQueries extends QueryPack {
            CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 20 = 0)
                 AS BIGINT) AS planted_found"""
 
+  // q130 — q129's audio dedup from PURE JSON (the q127 pattern): the
+  // `audio_dedup` node key over a combine-union corpus of original +
+  // gain-doubled clips, aggregated to the exactly-pinnable planted
+  // recall. Proves the audio tier is config-reachable end to end.
+  private def q130(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    s.udf.register("text_to_clip1", textToClip(1))
+    s.udf.register("text_to_clip2", textToClip(2))
+    graft.compile.Compiler.compileJson(s, """
+      {"id": "auddd",
+       "combine": {"op": "union", "nodes": [
+         {"id": "base", "source": {"table": "documents"},
+          "filters": ["doc_id % 4 = 0"],
+          "derive": {"payload": "text_to_clip1(text)"},
+          "keep_columns": ["doc_id", "payload"]},
+         {"id": "planted", "source": {"table": "documents"},
+          "filters": ["doc_id % 20 = 0"],
+          "derive": {"doc_id2": "doc_id + 10000000",
+                     "payload": "text_to_clip2(text)"},
+          "keep_columns": ["doc_id2", "payload"],
+          "rename": {"doc_id2": "doc_id"}}]},
+       "audio_dedup": {"id_col": "doc_id", "payload_col": "payload",
+                       "max_dist": 6},
+       "aggregate": {"aggregations": [
+         {"col": "*", "func": "count",
+          "filter": "idB - idA = 10000000", "new_name": "planted_found"},
+         {"col": "*", "func": "count",
+          "filter": "dist = 0 and idB - idA = 10000000",
+          "new_name": "planted_exact"}]}}""")
+  }
+  private val q130Sql = """
+    SELECT CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 20 = 0)
+                AS BIGINT) AS planted_found,
+           CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 20 = 0)
+                AS BIGINT) AS planted_exact"""
+
   // q124 — WAV gate: PCM16 is lossless, so original AND downsampled
   // (every 4th frame, rate floored to rate/4) amplitude stats derive
   // from the text bytes on the reference side. Closes the audio family
@@ -808,6 +844,7 @@ object MultimodalQueries extends QueryPack {
     Q("q125_avi_feature_gate", q125, Some(q125Sql)),
     Q("q126_image_dedup_gate", q126, Some(q126Sql)),
     Q("q127_config_image_dedup", q127, Some(q127Sql)),
-    Q("q129_audio_dedup_gate", q129, Some(q129Sql))
+    Q("q129_audio_dedup_gate", q129, Some(q129Sql)),
+    Q("q130_config_audio_dedup", q130, Some(q130Sql))
   )
 }

@@ -219,6 +219,13 @@ object JsonCodec {
         maxDist = opt(d, "max_dist", "maxDist").map(_.asInt).getOrElse(6))
     }
 
+    val aud = opt(n, "audio_dedup", "audioDedup").map { d =>
+      AudioDedupSpec(
+        idCol = req(d, s"node $id: audio_dedup", "id_col", "idCol").asText,
+        payloadCol = req(d, s"node $id: audio_dedup", "payload_col", "payloadCol").asText,
+        maxDist = opt(d, "max_dist", "maxDist").map(_.asInt).getOrElse(6))
+    }
+
     val lm = opt(n, "lm_perplexity", "lmPerplexity").map { d =>
       LmPerplexitySpec(
         idCol = req(d, s"node $id: lm_perplexity", "id_col", "idCol").asText,
@@ -323,6 +330,7 @@ object JsonCodec {
       nearDup = nd,
       editDedup = ed,
       imageDedup = imd,
+      audioDedup = aud,
       lmPerplexity = lm,
       split = sp,
       boilerplate = bp,

@@ -379,6 +379,17 @@ final case class ImageDedupSpec(
     maxDist: Int = 6
 )
 
+/** Perceptual audio dedup (NS; Multimodal.audioNearDupPairs): the frame
+  * becomes all clip pairs (idA, idB, dist) whose 64-bit amplitude-
+  * envelope hashes are within `maxDist` Hamming bits — gain-adjusted
+  * copies and lossless re-encodes of the same clip. Plan composition,
+  * config-admissible. */
+final case class AudioDedupSpec(
+    idCol: String,
+    payloadCol: String,
+    maxDist: Int = 6
+)
+
 /** Continuous near-dup ingestion (NS; Streaming.nearDupIngest): the
   * STREAMING-ONLY root sink — each micro-batch probes the persisted band
   * index at `indexDir`, dedups in-batch and against the corpus, appends
@@ -415,6 +426,7 @@ final case class NodeSpec(
     nearDup: Option[NearDupSpec] = None, // after keep, before aggregate
     editDedup: Option[EditDedupSpec] = None, // after keep, before aggregate
     imageDedup: Option[ImageDedupSpec] = None, // after keep, before aggregate
+    audioDedup: Option[AudioDedupSpec] = None, // after keep, before aggregate
     lmPerplexity: Option[LmPerplexitySpec] = None, // after keep, before aggregate
     split: Option[SplitSpec] = None, // after keep, before aggregate
     boilerplate: Option[BoilerplateSpec] = None, // after keep, before aggregate

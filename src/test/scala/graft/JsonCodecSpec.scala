@@ -165,6 +165,17 @@ class JsonCodecSpec extends AnyFunSuite {
     assert(e.getMessage.contains("payload_col"))
   }
 
+  test("audio_dedup node key decodes with defaults and named errors") {
+    val n = root("""
+      {"source": {"table": "documents"},
+       "audio_dedup": {"id_col": "doc_id", "payload_col": "payload"}}""")
+    val d = n.audioDedup.get
+    assert(d.idCol == "doc_id" && d.payloadCol == "payload" && d.maxDist == 6)
+    val e = intercept[IllegalArgumentException](root(
+      """{"audio_dedup": {"payload_col": "p"}}"""))
+    assert(e.getMessage.contains("id_col"))
+  }
+
   test("near_dup_ingest node key decodes with defaults and named errors") {
     val n = root("""
       {"source": {"path": "/tmp/in"},
