@@ -199,17 +199,28 @@ object Compiler {
         df, e.idCol, e.textCol, cands, e.threshold, e.maxDistance)
     }
 
-    // Perceptual image dedup: the frame becomes (idA, idB, dist) —
-    // partition-batched dHash + banded Hamming pairs, plan-only.
+    // Perceptual image dedup: the frame becomes (idA, idB, dist) pairs,
+    // or (id, cluster) labels when output="clusters" — both plan-only
+    // (partition-batched dHash + identical-signature-collapsed banding).
     node.imageDedup.foreach { im =>
-      df = graft.ops.Multimodal.imageNearDupPairs(
-        df, im.idCol, im.payloadCol, im.maxDist)
+      df =
+        if (im.output == "clusters")
+          graft.ops.Multimodal.imageNearDupClusters(
+            df, im.idCol, im.payloadCol, im.maxDist)
+        else
+          graft.ops.Multimodal.imageNearDupPairs(
+            df, im.idCol, im.payloadCol, im.maxDist)
     }
 
-    // Perceptual audio dedup: same shape over the envelope hash.
+    // Perceptual audio dedup: same shapes over the envelope hash.
     node.audioDedup.foreach { au =>
-      df = graft.ops.Multimodal.audioNearDupPairs(
-        df, au.idCol, au.payloadCol, au.maxDist)
+      df =
+        if (au.output == "clusters")
+          graft.ops.Multimodal.audioNearDupClusters(
+            df, au.idCol, au.payloadCol, au.maxDist)
+        else
+          graft.ops.Multimodal.audioNearDupPairs(
+            df, au.idCol, au.payloadCol, au.maxDist)
     }
 
     // LM-perplexity quality scoring: the frame becomes (id, n_bigrams,

@@ -433,31 +433,132 @@ object Dedup {
     * (chunk index, chunk value), verify exact Hamming distance. Within
     * radius maxDist a pair MUST collide on at least one whole chunk —
     * a theorem, not a probability (q122 driver-gates it). Returns
-    * (idA, idB, dist), idA < idB, distinct. */
+    * (idA, idB, dist), idA < idB.
+    *
+    * IDENTICAL signatures are collapsed BEFORE banding: at web scale the
+    * common skew case is a massive duplicate class (a spacer GIF or blank
+    * thumbnail re-encoded millions of times decodes to one dHash), and an
+    * m-member class banded naively collides with itself on ALL maxDist+1
+    * chunks — one hot (chunk, chunk_val) bucket hands the join
+    * (maxDist+1)·m²/2 candidate rows that a `distinct` then has to
+    * re-shuffle. Here the band join runs over DISTINCT signatures only
+    * (a duplicate class contributes ONE row per chunk, hot buckets are
+    * impossible by construction), and member pairs are re-expanded
+    * afterwards by output-proportional equi-joins: in-class pairs
+    * (dist 0) from one self-join on the signature, cross-class pairs
+    * from joining the verified signature-pair list back to membership.
+    * The pair LIST is still ∝ true duplicates — that is the contract;
+    * callers that only need representatives should use
+    * [[hammingClusters]], which never materializes in-class pairs. */
   def hammingPairs(
       sigs: DataFrame,
       idCol: String,
       sigCol: String,
       maxDist: Int
   ): DataFrame = {
+    val members = sigs.select(col(idCol).as("__id"), col(sigCol).as("__sig"))
+    val classes = members.groupBy("__sig").agg(min("__id").as("__rep"))
+    val sigPairs = bandedSigPairs(classes, maxDist)
+    // In-class pairs: identical signatures, Hamming distance 0. ONE
+    // equi-join on the signature — output-sized, no band amplification,
+    // no distinct (unique ids → unique pairs).
+    val within = members.join(
+        members.select(col("__sig"), col("__id").as("__idB")), "__sig")
+      .filter(col("__id") < col("__idB"))
+      .select(col("__id").as("idA"), col("__idB").as("idB"),
+        lit(0).cast("int").as("dist"))
+    // Cross-class pairs: expand each verified signature pair to its
+    // members. Rep order does not fix member order → least/greatest.
+    val cross = sigPairs
+      .join(members.select(col("__sig").as("__sigA"), col("__id").as("__ia")), "__sigA")
+      .join(members.select(col("__sig").as("__sigB"), col("__id").as("__ib")), "__sigB")
+      .select(least(col("__ia"), col("__ib")).as("idA"),
+        greatest(col("__ia"), col("__ib")).as("idB"), col("dist"))
+    within.unionByName(cross)
+  }
+
+  /** The pigeonhole band join over a DISTINCT-signature frame
+    * `(__sig, __rep)`: returns verified signature pairs
+    * (__sigA, __sigB, __repA, __repB, dist) with 1 ≤ dist ≤ `maxDist`,
+    * each unordered pair once (repA < repB — reps are unique because
+    * classes partition the id space). The collapse invariant callers rely
+    * on: every row here is between two DIFFERENT signatures, so bucket
+    * sizes track distinct-signature collisions, never duplicate-class
+    * sizes. */
+  private[graft] def bandedSigPairs(classes: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist < 64, s"maxDist must be in [0, 64), got $maxDist")
     val chunks = maxDist + 1
     val width = 64 / chunks
-    val banded = sigs.select(
-      col(idCol), col(sigCol).as("__sig"),
+    val banded = classes.select(
+      col("__rep"), col("__sig"),
       posexplode(array((0 until chunks).map { c =>
         // chunk c = bits [c*width, (c+1)*width) (last chunk takes the rest)
         val w = if (c == chunks - 1) 64 - c * width else width
-        shiftright(col(sigCol), c * width)
+        shiftright(col("__sig"), c * width)
           .bitwiseAND(lit(if (w == 64) -1L else (1L << w) - 1L))
       }: _*)).as(Seq("chunk", "chunk_val")))
-    val a = banded.select(col("chunk"), col("chunk_val"), col(idCol).as("idA"), col("__sig").as("sigA"))
-    val b = banded.select(col("chunk"), col("chunk_val"), col(idCol).as("idB"), col("__sig").as("sigB"))
+    val a = banded.select(col("chunk"), col("chunk_val"),
+      col("__rep").as("__repA"), col("__sig").as("__sigA"))
+    val b = banded.select(col("chunk"), col("chunk_val"),
+      col("__rep").as("__repB"), col("__sig").as("__sigB"))
     a.join(b, Seq("chunk", "chunk_val"))
-      .filter(col("idA") < col("idB"))
-      .select(col("idA"), col("idB"), hamming(col("sigA"), col("sigB")).as("dist"))
+      .filter(col("__repA") < col("__repB"))
+      .select(col("__sigA"), col("__sigB"), col("__repA"), col("__repB"),
+        hamming(col("__sigA"), col("__sigB")).as("dist"))
       .filter(col("dist") <= maxDist)
       .distinct()
+  }
+
+  /** Cluster labels for Hamming near-duplicates WITHOUT materializing the
+    * pair list: collapse identical signatures (min-id representative per
+    * class), band only distinct signatures, run connected components over
+    * the REPRESENTATIVE graph, then label every member through its class.
+    * Returns (id, cluster) where cluster is the minimum id reachable
+    * through the Hamming-≤`maxDist` graph — provably identical to
+    * `dedupClusters(hammingPairs(...))` (every member id ≥ its class rep,
+    * and reps carry min-label CC), at cost ∝ distinct signatures + one
+    * membership join instead of ∝ pairs. The scale-native tier for
+    * duplicate-heavy corpora: a 10M-copy spacer GIF costs one CC node and
+    * 10M membership rows, not 5·10¹³ pairs. Unlike the pair tier it also
+    * labels SINGLETONS (cluster = own id), so the output is a total
+    * keep/drop verdict; NULL signatures (an upstream OnError.Null decode)
+    * are excluded rather than falsely merged into one "null class" —
+    * mirroring the pair tier, where null equi-join keys match nothing. */
+  def hammingClusters(
+      sigs: DataFrame,
+      idCol: String,
+      sigCol: String,
+      maxDist: Int,
+      checkpointDir: Option[String] = None
+  ): DataFrame = {
+    val members = sigs.select(col(idCol).as("__id"), col(sigCol).as("__sig"))
+      .filter(col("__sig").isNotNull)
+    val classes = members.groupBy("__sig").agg(min("__id").as("__rep"))
+    val repPairs = bandedSigPairs(classes, maxDist)
+      .select(col("__repA").as("idA"), col("__repB").as("idB"))
+    val repLabels = dedupClusters(repPairs, checkpointDir = checkpointDir)
+      .select(col("id").as("__rep"), col("cluster").as("__cc"))
+    members.join(classes, "__sig")
+      .join(repLabels, Seq("__rep"), "left")
+      // A rep absent from every cross-class pair heads its own cluster.
+      .select(col("__id").as("id"),
+        coalesce(col("__cc"), col("__rep")).as("cluster"))
+  }
+
+  /** [[simhashPairs]]' cluster-output sibling: SimHash signatures →
+    * [[hammingClusters]]. Returns (id, cluster). */
+  def simhashClusters(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 3,
+      checkpointDir: Option[String] = None
+  ): DataFrame = {
+    val sigs = df
+      .select(col(idCol),
+        transform(TextAnalysis.tokens(col(textCol)), t => xxhash64(t)).as("__th"))
+      .select(col(idCol), graft.functions.Sketches.simhash64(col("__th")).as("sig"))
+    hammingClusters(sigs, idCol, "sig", maxDist, checkpointDir)
   }
 
   /** Connected components over a near-dup pair list (idA, idB): every doc

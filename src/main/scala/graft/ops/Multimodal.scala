@@ -214,6 +214,26 @@ object Multimodal {
     Dedup.hammingPairs(
       imageDHash(df, idCol, payloadCol, onError), "media_id", "dhash", maxDist)
 
+  /** Cluster-output tier of [[imageNearDupPairs]]: dHash each payload,
+    * collapse identical fingerprints, connected components over the
+    * distinct-signature Hamming graph ([[Dedup.hammingClusters]]).
+    * Returns (id, cluster), cluster = min media_id in the near-dup class —
+    * the scale-native shape for duplicate-heavy image corpora (a spacer
+    * GIF re-encoded 10M times is one CC node, never 5·10¹³ pairs). Keep =
+    * rows where id == cluster, mirroring the text pipeline's q45/q53
+    * min-id representative convention. */
+  def imageNearDupClusters(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      maxDist: Int = 6,
+      onError: OnError = OnError.Fail,
+      checkpointDir: Option[String] = None
+  ): DataFrame =
+    Dedup.hammingClusters(
+      imageDHash(df, idCol, payloadCol, onError), "media_id", "dhash",
+      maxDist, checkpointDir)
+
   /** Perceptual audio fingerprints: (media_id, ahash) — the 64-bit
     * envelope hash ([[Codecs.audioHash64]]) of each WAV payload's decoded
     * PCM. Same batching/policy contract as [[imageDHash]]. */
@@ -258,6 +278,20 @@ object Multimodal {
   ): DataFrame =
     Dedup.hammingPairs(
       audioDHash(df, idCol, payloadCol, onError), "media_id", "ahash", maxDist)
+
+  /** Cluster-output tier of [[audioNearDupPairs]] — see
+    * [[imageNearDupClusters]]. Returns (id, cluster). */
+  def audioNearDupClusters(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      maxDist: Int = 6,
+      onError: OnError = OnError.Fail,
+      checkpointDir: Option[String] = None
+  ): DataFrame =
+    Dedup.hammingClusters(
+      audioDHash(df, idCol, payloadCol, onError), "media_id", "ahash",
+      maxDist, checkpointDir)
 
   /** Round-robin rebalance ahead of a CPU-bound codec stage. Partition
     * count follows `spark.sql.shuffle.partitions` — the cluster's chosen

@@ -212,18 +212,29 @@ object JsonCodec {
         }.getOrElse(graft.ops.BucketCap.Auto))
     }
 
+    // Perceptual dedup output shape — validated HERE at decode time so a
+    // typo'd shape is a spec error, not a runtime surprise mid-pipeline.
+    def dedupOutput(d: JsonNode, key: String): String =
+      opt(d, "output").map(_.asText).map {
+        case s @ ("pairs" | "clusters") => s
+        case other => throw new IllegalArgumentException(
+          s"""node $id: $key output must be "pairs" or "clusters" — got "$other"""")
+      }.getOrElse("pairs")
+
     val imd = opt(n, "image_dedup", "imageDedup").map { d =>
       ImageDedupSpec(
         idCol = req(d, s"node $id: image_dedup", "id_col", "idCol").asText,
         payloadCol = req(d, s"node $id: image_dedup", "payload_col", "payloadCol").asText,
-        maxDist = opt(d, "max_dist", "maxDist").map(_.asInt).getOrElse(6))
+        maxDist = opt(d, "max_dist", "maxDist").map(_.asInt).getOrElse(6),
+        output = dedupOutput(d, "image_dedup"))
     }
 
     val aud = opt(n, "audio_dedup", "audioDedup").map { d =>
       AudioDedupSpec(
         idCol = req(d, s"node $id: audio_dedup", "id_col", "idCol").asText,
         payloadCol = req(d, s"node $id: audio_dedup", "payload_col", "payloadCol").asText,
-        maxDist = opt(d, "max_dist", "maxDist").map(_.asInt).getOrElse(6))
+        maxDist = opt(d, "max_dist", "maxDist").map(_.asInt).getOrElse(6),
+        output = dedupOutput(d, "audio_dedup"))
     }
 
     val lm = opt(n, "lm_perplexity", "lmPerplexity").map { d =>

@@ -372,22 +372,28 @@ final case class ChildSpec(
   * fingerprints are within `maxDist` Hamming bits — re-encodes,
   * brightness shifts and thumbnails of the same image, no model in the
   * loop. Plan composition (partition-batched decode + pigeonhole-banded
-  * equi-join), so config-admissible. */
+  * equi-join), so config-admissible. `output` picks the shape:
+  * "pairs" (default, all near-dup pairs) or "clusters" —
+  * (id, cluster) labels from connected components over the
+  * identical-signature-collapsed Hamming graph, the scale-native tier
+  * for duplicate-heavy corpora (keep = rows where id == cluster). */
 final case class ImageDedupSpec(
     idCol: String,
     payloadCol: String,
-    maxDist: Int = 6
+    maxDist: Int = 6,
+    output: String = "pairs"
 )
 
 /** Perceptual audio dedup (NS; Multimodal.audioNearDupPairs): the frame
   * becomes all clip pairs (idA, idB, dist) whose 64-bit amplitude-
   * envelope hashes are within `maxDist` Hamming bits — gain-adjusted
   * copies and lossless re-encodes of the same clip. Plan composition,
-  * config-admissible. */
+  * config-admissible. `output` as in [[ImageDedupSpec]]. */
 final case class AudioDedupSpec(
     idCol: String,
     payloadCol: String,
-    maxDist: Int = 6
+    maxDist: Int = 6,
+    output: String = "pairs"
 )
 
 /** Continuous near-dup ingestion (NS; Streaming.nearDupIngest): the

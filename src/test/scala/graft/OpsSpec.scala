@@ -112,6 +112,74 @@ class OpsSpec extends SparkSpec {
     assert(pairs.filter($"idB" === $"idA" + 100000).count() == docs.count())
   }
 
+  test("hammingPairs: identical-signature collapse keeps band candidates linear") {
+    // the web-scale skew case: a 1000-copy duplicate class (one spacer-GIF
+    // dHash re-encoded 1000 times) plus two near sigs and one far sig
+    val classSig = 0x0123456789abcdefL
+    val near1 = classSig ^ 1L               // dist 1
+    val near2 = classSig ^ (1L << 63)       // dist 1, opposite chunk
+    val rows = (1L to 1000L).map(i => (i, classSig)) ++
+      Seq((2001L, near1), (2002L, near2), (3001L, 0x7edcba9876543210L))
+    val sigs = rows.toDF("id", "sig")
+    // the band join runs over DISTINCT signatures only: with 4 distinct
+    // sigs the candidate list is bounded by distinct-sig collisions —
+    // the 1000-member class contributes ONE banded row per chunk, so no
+    // (chunk, chunk_val) bucket can go quadratic in class size
+    val classes = sigs.groupBy($"sig".as("__sig")).agg(min($"id").as("__rep"))
+    val cands = Dedup.bandedSigPairs(classes, maxDist = 2).collect()
+    assert(cands.length == 3, s"expected 3 distinct-sig pairs, got ${cands.length}")
+    // the full pair contract is preserved: 1000·999/2 in-class pairs at
+    // dist 0, 2·1000 cross pairs at dist 1, near1–near2 at dist 2
+    val pairs = Dedup.hammingPairs(sigs, "id", "sig", maxDist = 2)
+    assert(pairs.filter($"dist" === 0).count() == 1000L * 999 / 2)
+    assert(pairs.filter($"dist" === 1).count() == 2000L)
+    assert(pairs.filter($"dist" === 2).count() == 1L)
+    assert(pairs.filter($"idA" >= $"idB").count() == 0L)
+    // the far sig pairs with nothing
+    assert(pairs.filter($"idA" === 3001L || $"idB" === 3001L).count() == 0L)
+  }
+
+  test("hammingPairs: collapsed banding equals brute force on mixed signatures") {
+    // random-ish sigs with planted duplicate classes and near misses
+    val rows = (1L to 60L).map { i =>
+      val base = i % 7 match {
+        case 0 => 0x00ffL                   // 9-member identical class
+        case 1 => 0x00feL                   // near the class
+        case _ => i * 0x9e3779b97f4a7c15L   // scattered
+      }
+      (i, base)
+    }
+    val sigs = rows.toDF("id", "sig")
+    for (maxDist <- Seq(0, 3, 6)) {
+      val banded = Dedup.hammingPairs(sigs, "id", "sig", maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val brute = (for {
+        (ia, ha) <- rows; (ib, hb) <- rows
+        if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= maxDist
+      } yield (ia, ib, java.lang.Long.bitCount(ha ^ hb))).toSet
+      assert(banded == brute, s"maxDist=$maxDist: banded must equal brute force")
+    }
+  }
+
+  test("hammingClusters: labels equal CC over the full pair list, plus singletons") {
+    val sigs = Seq(
+      (1L, Some(10L)), (2L, Some(10L)), (3L, Some(10L)), // identical class, rep 1
+      (4L, Some(11L)),                  // dist 1 from the class → merges
+      (5L, Some(0xf0L)), (6L, Some(0xf1L)), // separate chain, rep 5
+      (7L, Some(0x7fffffffffff0000L)),  // singleton
+      (8L, None: Option[Long])          // undecodable: excluded, not merged
+    ).toDF("id", "sig")
+    val direct = Dedup.hammingClusters(sigs, "id", "sig", maxDist = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaPairs = Dedup.dedupClusters(Dedup.hammingPairs(sigs, "id", "sig", maxDist = 2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // on every id the pair tier labels, the collapsed tier agrees exactly
+    viaPairs.foreach { case (id, c) =>
+      assert(direct(id) == c, s"id $id: direct ${direct(id)} != viaPairs $c") }
+    assert(direct == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L), s"got $direct")
+  }
+
   test("dedup clustering: chains collapse to one cluster, corpus keeps one rep") {
     // chain 1-2-3-4 plus island pair 10-11: two clusters
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("idA", "idB")
