@@ -177,7 +177,11 @@ object CanonicalizeUrlOps {
           .toLowerCase(java.util.Locale.ROOT)
         tracking.matcher(name).matches()
       }
-      .sorted
+      // BINARY (UTF-8 byte) order, as the contract and the DuckDB oracle
+      // state — java.lang.String.compareTo is UTF-16 code-unit order,
+      // which disagrees above the BMP (surrogates sort below U+E000).
+      .sorted(Ordering.comparatorToOrdering(
+        java.util.Comparator.comparing((s: String) => UTF8String.fromString(s))))
     val qs = if (kept.isEmpty) "" else "?" + kept.mkString("&")
     UTF8String.fromString(scheme + "://" + hostPort + path + qs)
   }

@@ -818,8 +818,12 @@ object Codecs {
       ("mp4", v.fold(0)(_.width), v.fold(0)(_.height))
     } else if (Mp3.isMp3(bytes)) {
       // (PCM frames, channels) — the WAV convention; the walk reads 4
-      // header bytes per frame, payload entropy data is never touched
+      // header bytes per frame, payload entropy data is never touched.
+      // The metadata slot is 32-bit: fail by name past 2^31 samples
+      // (~13.5 h at 44.1 kHz) instead of silently wrapping negative.
       val m = Mp3.parse(bytes)
+      require(m.totalSamples <= Int.MaxValue,
+        s"mp3 stream has ${m.totalSamples} samples — overflows the 32-bit metadata width")
       ("mp3", m.totalSamples.toInt, m.channels)
     } else ("bin", 0, 0)
 

@@ -141,11 +141,20 @@ object Mp4 {
               case "minf" =>
                 walk(b, s2, e2) { (t3, s3, e3) =>
                   if (t3 == "stbl") walk(b, s3, e3) { (t4, s4, e4) =>
+                    // Entry counts come from the FILE — bound every table
+                    // walk against the box end so a corrupt/lying count is
+                    // a NAMED data error, never a silent read of sibling-
+                    // box bytes as sample entries (or an index overrun).
                     t4 match {
                       case "stsd" =>
-                        if (u32(b, s4 + 4) > 0) codec = fourcc(b, s4 + 12)
+                        if (u32(b, s4 + 4) > 0) {
+                          require(s4 + 16 <= e4, "stsd entry overruns its box")
+                          codec = fourcc(b, s4 + 12)
+                        }
                       case "stts" =>
-                        val entries = u32(b, s4 + 4).toInt
+                        val entries = u32(b, s4 + 4)
+                        require(s4 + 8 + 8L * entries <= e4,
+                          s"stts claims $entries entries but the box holds ${e4 - s4 - 8} bytes")
                         var i = 0
                         while (i < entries) {
                           nSamples += u32(b, s4 + 8 + 8 * i)
@@ -156,6 +165,8 @@ object Mp4 {
                         val count = u32(b, s4 + 8)
                         if (uniform != 0) sampleBytes = uniform * count
                         else {
+                          require(s4 + 12 + 4L * count <= e4,
+                            s"stsz claims $count sizes but the box holds ${e4 - s4 - 12} bytes")
                           var i = 0
                           while (i < count) {
                             sampleBytes += u32(b, s4 + 12 + 4 * i)
@@ -165,7 +176,6 @@ object Mp4 {
                       case "stss" => nSync = u32(b, s4 + 4)
                       case _ => // stsc/stco/co64 — layout tables the stats don't need
                     }
-                    val _ = e4
                   }
                 }
               case _ =>

@@ -611,6 +611,12 @@ class OpsSpec extends SparkSpec {
       .collect().map(_.getString(0))
     assert(twice.toSeq == got.toSeq)
     assert(Seq[String](null).toDF("u").select(canonicalizeUrl($"u")).collect().head.isNullAt(0))
+    // param sort is BINARY (UTF-8 byte) order even above the BMP:
+    // U+FF01 < U+1D4B0 by code point / UTF-8 bytes, but a UTF-16
+    // code-unit sort would put the surrogate pair (D835 DCB0) first
+    val supp = Seq("http://h/p?𝒰=2&！=1").toDF("u")
+      .select(canonicalizeUrl($"u").as("c")).collect().head.getString(0)
+    assert(supp == "http://h/p?！=1&𝒰=2", supp)
   }
 
   test("normalize_text kernel: NFC composition, case, controls, idempotence") {
@@ -1046,6 +1052,14 @@ class OpsSpec extends SparkSpec {
     bad(24) = 0x7f.toByte // moov starts at 24; blow up its size field
     val err = intercept[IllegalArgumentException](ops.Mp4.parse(bad))
     assert(err.getMessage.contains("overruns"), err.getMessage)
+    // a LYING stts entry count (table would overrun its box) is a named
+    // data error too — never a silent read of sibling-box bytes
+    val lie = enc.clone()
+    val stts = (0 until lie.length - 4)
+      .find(i => new String(lie, i, 4, "US-ASCII") == "stts").get
+    lie(stts + 8) = 0x00; lie(stts + 9) = 0x0f.toByte // count → ~1M entries
+    val err2 = intercept[IllegalArgumentException](ops.Mp4.parse(lie))
+    assert(err2.getMessage.contains("stts claims"), err2.getMessage)
   }
 
   test("GIF codec: round-trips, frame sampling, feature dispatch") {
