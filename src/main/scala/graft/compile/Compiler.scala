@@ -39,6 +39,7 @@ object Compiler {
         node.editDedup.toSeq.flatMap(e => Seq(e.idCol, e.textCol)) ++
         node.imageDedup.toSeq.flatMap(i => Seq(i.idCol, i.payloadCol)) ++
         node.audioDedup.toSeq.flatMap(a => Seq(a.idCol, a.payloadCol)) ++
+        node.passageDedup.toSeq.flatMap(p => Seq(p.idCol, p.textCol)) ++
         node.lmPerplexity.toSeq.flatMap(l => Seq(l.idCol, l.textCol)) ++
         node.split.toSeq.map(_.idCol) ++
         node.boilerplate.toSeq.flatMap(b => Seq(b.idCol, b.textCol)) ++
@@ -221,6 +222,19 @@ object Compiler {
         else
           graft.ops.Multimodal.audioNearDupPairs(
             df, au.idCol, au.payloadCol, au.maxDist)
+    }
+
+    // Exact substring-level dedup: "spans" rewrites the frame to
+    // duplicate-passage token spans; "strip" keeps it and adds
+    // clean_text + dropped_tokens. Plan-only composition.
+    node.passageDedup.foreach { pd =>
+      df =
+        if (pd.output == "strip")
+          graft.ops.Dedup.stripDuplicatePassages(
+            df, pd.idCol, pd.textCol, pd.windowTokens)
+        else
+          graft.ops.Dedup.duplicatePassageSpans(
+            df, pd.idCol, pd.textCol, pd.windowTokens)
     }
 
     // LM-perplexity quality scoring: the frame becomes (id, n_bigrams,

@@ -58,6 +58,10 @@ object Registry {
     "scrub_pii" -> fn(TextAnalysis.scrubPii),
     "normalize_text" -> (es => NormalizeText(es.head)),
     "canonical_url" -> (es => CanonicalizeUrl(es.head)),
+    // window_fingerprints(text, n) — n must be a literal (it sizes the
+    // rolling-hash window at plan time)
+    "window_fingerprints" -> (es => WindowFingerprints(es.head,
+      litInt(es(1), "window_fingerprints", "n"))),
     "pii_count" -> fn(TextAnalysis.piiCount),
     "zorder" -> (es => GraftColumnBridge.expressionEager(
       graft.ops.Layout.zorderValue(

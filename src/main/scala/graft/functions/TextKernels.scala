@@ -23,7 +23,7 @@ object TextKernelOps {
   private final val M = 1000000007L
 
   // Java regex \s — the exact separator class of tokens()'s split("\\s+")
-  @inline private def isWs(c: Char): Boolean =
+  @inline private[functions] def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
   /** Static entry point shared by interpreted eval and codegen. */
@@ -46,6 +46,85 @@ object TextKernelOps {
     }
     fp
   }
+}
+
+/** Sliding-window passage fingerprints — the kernel behind exact
+  * substring-level dedup ("drop repeated 50-token passages", the pass
+  * every serious LLM corpus pipeline runs; cf. the dedup literature in
+  * PAPERS.md). One pass over the string: tokenize with [[TextKernelOps]]'
+  * separator class, Horner-hash each token (base 131, seed 7, mod 1e9+7 —
+  * bit-identical to [[PortableFingerprint]]'s per-token stage), then a
+  * ROLLING Horner (base 31, seed 0, same modulus) over each n-token
+  * window: O(1) per window via modular removal of the outgoing token,
+  * not O(n) — at 50-token windows the naive slice-fold formulation pays
+  * 50× per token. Window p covers tokens [p, p+n); a doc with fewer than
+  * n tokens yields an empty array. The window hash of a whole nTok-token
+  * doc equals portable_fingerprint(text) — asserted in OpsSpec, and the
+  * identity the DuckDB oracle mirror builds on. */
+object WindowFingerprintOps {
+  private final val M = 1000000007L
+
+  def compute(u: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = u.toString
+    val th = new scala.collection.mutable.ArrayBuffer[Long](64)
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      if (TextKernelOps.isWs(s.charAt(i))) i += 1
+      else {
+        var h = 7L
+        while (i < len && !TextKernelOps.isWs(s.charAt(i))) {
+          val cp = s.codePointAt(i)
+          h = (h * 131L + cp) % M
+          i += Character.charCount(cp)
+        }
+        th += h
+      }
+    }
+    val m = th.length - n + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.emptyLongArray)
+    // pow = 31^(n-1) mod M — the outgoing token's weight
+    var pow = 1L
+    var k = 1
+    while (k < n) { pow = pow * 31L % M; k += 1 }
+    val out = new Array[Long](m)
+    var hw = 0L
+    k = 0
+    while (k < n) { hw = (hw * 31L + th(k)) % M; k += 1 }
+    out(0) = hw
+    var p = 1
+    while (p < m) {
+      hw = ((hw - th(p - 1) * pow % M + M) % M * 31L + th(p + n - 1)) % M
+      out(p) = hw
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+case class WindowFingerprints(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"window_fingerprints window size must be >= 1, got $n")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"window_fingerprints expects string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WindowFingerprintOps.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WindowFingerprintOps.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WindowFingerprints =
+    copy(child = newChild)
+
+  override def prettyName: String = "window_fingerprints"
 }
 
 case class PortableFingerprint(child: Expression) extends UnaryExpression {
@@ -221,4 +300,8 @@ object TextKernels {
   def canonicalizeUrl(url: Column): Column =
     GraftColumnBridge.column(
       CanonicalizeUrl(GraftColumnBridge.expression(url)))
+
+  def windowFingerprints(text: Column, n: Int): Column =
+    GraftColumnBridge.column(
+      WindowFingerprints(GraftColumnBridge.expression(text), n))
 }

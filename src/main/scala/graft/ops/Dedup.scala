@@ -545,6 +545,78 @@ object Dedup {
         coalesce(col("__cc"), col("__rep")).as("cluster"))
   }
 
+  /** Exact SUBSTRING-level dedup: duplicated `windowTokens`-token
+    * passages across the corpus, as per-doc token spans to drop — the
+    * "dedup training data by 50-token windows" pass (cf. the dedup
+    * literature in PAPERS.md), at document-interior granularity where the
+    * fingerprint/MinHash tiers only see whole docs.
+    *
+    * Shape: one scan-stage pass per doc computes ALL window fingerprints
+    * (rolling Horner, O(1) per window — [[graft.functions.WindowFingerprints]]),
+    * posexplode to (id, pos, fp), ONE shuffle on fp ranks occurrences
+    * (row_number over (id, pos) — the globally-first occurrence of each
+    * passage survives), one shuffle on id merges surviving duplicate
+    * windows into maximal spans (gaps-and-islands: windows at pos p and
+    * p' ≤ p+windowTokens overlap or touch, so they fuse). Shuffles ∝
+    * token count, no suffix array, no all-pairs stage — the 100 TB shape.
+    *
+    * Returns (idCol, span_start, span_end, dup_windows): token index
+    * span [span_start, span_end) duplicates a passage seen earlier in
+    * (id, pos) order, covered by `dup_windows` duplicate windows. Docs
+    * with fewer than `windowTokens` tokens contribute nothing; a doc
+    * repeating a passage of ITSELF reports the later occurrence. */
+  def duplicatePassageSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 50
+  ): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
+    import org.apache.spark.sql.expressions.Window
+    val wins = df.select(col(idCol).as("__id"),
+      posexplode(graft.functions.TextKernels.windowFingerprints(col(textCol), windowTokens))
+        .as(Seq("pos", "fp")))
+    val byFp = Window.partitionBy("fp").orderBy(col("__id"), col("pos"))
+    val dups = wins.withColumn("__rn", row_number().over(byFp))
+      .filter(col("__rn") > 1)
+    val byDoc = Window.partitionBy("__id").orderBy("pos")
+    dups
+      .withColumn("__brk",
+        when(col("pos") - lag("pos", 1).over(byDoc) <= windowTokens, 0).otherwise(1))
+      .withColumn("__island", sum("__brk").over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("__id"), col("__island"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") + windowTokens).as("span_end"),
+        count(lit(1)).as("dup_windows"))
+      .select(col("__id").as(idCol), col("span_start"), col("span_end"),
+        col("dup_windows"))
+  }
+
+  /** [[duplicatePassageSpans]] applied: returns the input plus
+    * `clean_text` (tokens inside duplicate spans removed, survivors
+    * re-joined with single spaces) and `dropped_tokens`. The span join is
+    * per-doc metadata (a doc's own span list), never a pair list. */
+  def stripDuplicatePassages(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 50
+  ): DataFrame = {
+    val spans = duplicatePassageSpans(df, idCol, textCol, windowTokens)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__drops"))
+    df.join(spans, Seq(idCol), "left")
+      .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
+      .withColumn("__kept", filter(col("__toks"), (t, i) =>
+        !exists(coalesce(col("__drops"),
+            array().cast("array<struct<span_start:int,span_end:int>>")),
+          d => i >= d("span_start") && i < d("span_end"))))
+      .withColumn("clean_text", concat_ws(" ", col("__kept")))
+      .withColumn("dropped_tokens", (size(col("__toks")) - size(col("__kept"))).cast("long"))
+      .drop("__drops", "__toks", "__kept")
+  }
+
   /** [[simhashPairs]]' cluster-output sibling: SimHash signatures →
     * [[hammingClusters]]. Returns (id, cluster). */
   def simhashClusters(

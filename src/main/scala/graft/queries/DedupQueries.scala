@@ -392,6 +392,101 @@ object DedupQueries extends QueryPack {
     SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
     FROM (${jaccardPairsSql(0.5, "(SELECT * FROM documents WHERE doc_id % 2 = 0)")})"""
 
+  // q131 — exact SUBSTRING-level dedup (the "dedup by 50-token windows"
+  // corpus pass, here at window=8 so the test corpus' planted duplicate
+  // docs surface interior spans): rolling-Horner window fingerprints →
+  // one shuffle on fp ranks occurrences (global first survives) → spans
+  // via gaps-and-islands. The oracle replays the identical modular
+  // arithmetic in DuckDB (the q26 fingerprint mirror, windowed), so this
+  // is a full hash-match gate on the kernel AND the span algebra.
+  private val winTok = 8
+  private def q131(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatePassageSpans(
+        Tables.load(s, dir, "documents"), "doc_id", "text", winTok)
+      .orderBy(col("doc_id").asc_nulls_first, col("span_start").asc_nulls_first)
+  /** Shared CTE chain: window fingerprints → duplicate windows → merged
+    * spans, DuckDB-side. Used by q131 (spans) and q132 (strip). */
+  private def passageSpansSql(n: Int) = s"""
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS t
+      FROM documents),
+    th AS (
+      SELECT doc_id, list_transform(t, tok ->
+        list_reduce(list_prepend(CAST(7 AS BIGINT),
+          list_transform(range(1, len(tok) + 1), i -> CAST(ascii(tok[i]) AS BIGINT))),
+          (a, c) -> (a * 131 + c) % 1000000007)) AS h
+      FROM toks),
+    wins AS (
+      SELECT doc_id, unnest([{'pos': p, 'fp':
+          list_reduce(list_prepend(CAST(0 AS BIGINT), h[p + 1 : p + $n]),
+            (a, x) -> (a * 31 + x) % 1000000007)}
+        for p in range(0, greatest(len(h) - ${n - 1}, 0))], recursive := true)
+      FROM th),
+    ranked AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn
+      FROM wins),
+    dup AS (SELECT doc_id, pos FROM ranked WHERE rn > 1),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $n
+                  THEN 0 ELSE 1 END AS brk
+      FROM dup),
+    isl2 AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl),
+    spans AS (
+      SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start,
+             CAST(MAX(pos) + $n AS INT) AS span_end,
+             COUNT(*) AS dup_windows
+      FROM isl2 GROUP BY doc_id, island)"""
+  private val q131Sql = s"""
+    WITH ${passageSpansSql(winTok)}
+    SELECT doc_id, span_start, span_end, dup_windows
+    FROM spans
+    ORDER BY doc_id ASC NULLS FIRST, span_start ASC NULLS FIRST"""
+
+  // q132 — the spans APPLIED: clean_text with duplicate-passage tokens
+  // removed (survivors re-joined with single spaces) + dropped_tokens.
+  // Gates the Spark-side span application (filter-with-index + exists
+  // over the doc's span list), not just span discovery.
+  private def q132(s: SparkSession, dir: String): DataFrame =
+    Dedup.stripDuplicatePassages(
+        Tables.load(s, dir, "documents"), "doc_id", "text", winTok)
+      .select("doc_id", "clean_text", "dropped_tokens")
+      .orderBy(col("doc_id").asc_nulls_first)
+  private val q132Sql = s"""
+    WITH ${passageSpansSql(winTok)},
+    sp AS (
+      SELECT doc_id, list({'s': span_start, 'e': span_end}) AS drops
+      FROM spans GROUP BY doc_id),
+    applied AS (
+      SELECT t.doc_id, t.t,
+             CASE WHEN d.drops IS NULL THEN t.t
+                  ELSE [t.t[i] for i in generate_series(1, len(t.t))
+                        if len(list_filter(d.drops,
+                             x -> i - 1 >= x.s AND i - 1 < x.e)) = 0]
+             END AS kept
+      FROM toks t LEFT JOIN sp d USING (doc_id))
+    SELECT doc_id, coalesce(array_to_string(kept, ' '), '') AS clean_text,
+           CAST(len(t) - len(kept) AS BIGINT) AS dropped_tokens
+    FROM applied ORDER BY doc_id ASC NULLS FIRST"""
+
+  // q133 — q131 from PURE JSON: the `passage_dedup` node key end to end,
+  // same oracle (config path == API path is the hash-checked claim).
+  private def q133(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    graft.compile.Compiler.compileJson(s, s"""
+      {"id": "passdd",
+       "source": {"table": "documents"},
+       "passage_dedup": {"id_col": "doc_id", "text_col": "text",
+                         "window_tokens": $winTok}}""")
+      .orderBy(col("doc_id").asc_nulls_first, col("span_start").asc_nulls_first)
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q27_dedup_exact", q27, Some(q27Sql)),
     Q("q28_ngram_jaccard", q28, Some(q28Sql)),
@@ -405,6 +500,9 @@ object DedupQueries extends QueryPack {
     Q("q97_incremental_neardup", q97, Some(q97Sql)),
     Q("q101_edit_distance_verify", q101, Some(q101Sql)),
     Q("q105_config_edit_dedup", q105, Some(q101Sql)),
-    Q("q113_lsh_recall_gate", q113, Some(q113Sql))
+    Q("q113_lsh_recall_gate", q113, Some(q113Sql)),
+    Q("q131_passage_dedup", q131, Some(q131Sql)),
+    Q("q132_passage_strip", q132, Some(q132Sql)),
+    Q("q133_config_passage_dedup", q133, Some(q131Sql))
   )
 }

@@ -237,6 +237,18 @@ object JsonCodec {
         output = dedupOutput(d, "audio_dedup"))
     }
 
+    val pd = opt(n, "passage_dedup", "passageDedup").map { d =>
+      PassageDedupSpec(
+        idCol = req(d, s"node $id: passage_dedup", "id_col", "idCol").asText,
+        textCol = req(d, s"node $id: passage_dedup", "text_col", "textCol").asText,
+        windowTokens = opt(d, "window_tokens", "windowTokens").map(_.asInt).getOrElse(50),
+        output = opt(d, "output").map(_.asText).map {
+          case s @ ("spans" | "strip") => s
+          case other => throw new IllegalArgumentException(
+            s"""node $id: passage_dedup output must be "spans" or "strip" — got "$other"""")
+        }.getOrElse("spans"))
+    }
+
     val lm = opt(n, "lm_perplexity", "lmPerplexity").map { d =>
       LmPerplexitySpec(
         idCol = req(d, s"node $id: lm_perplexity", "id_col", "idCol").asText,
@@ -342,6 +354,7 @@ object JsonCodec {
       editDedup = ed,
       imageDedup = imd,
       audioDedup = aud,
+      passageDedup = pd,
       lmPerplexity = lm,
       split = sp,
       boilerplate = bp,

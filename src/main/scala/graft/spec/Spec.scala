@@ -384,6 +384,19 @@ final case class ImageDedupSpec(
     output: String = "pairs"
 )
 
+/** Exact substring-level dedup (NS; Dedup.duplicatePassageSpans /
+  * stripDuplicatePassages): duplicated `window_tokens`-token passages
+  * across the corpus. `output` = "spans" rewrites the frame to
+  * (id, span_start, span_end, dup_windows); "strip" keeps the input and
+  * adds clean_text + dropped_tokens. Plan composition (rolling-hash scan
+  * stage + two token-proportional shuffles), config-admissible. */
+final case class PassageDedupSpec(
+    idCol: String,
+    textCol: String,
+    windowTokens: Int = 50,
+    output: String = "spans" // or "strip": input + clean_text/dropped_tokens
+)
+
 /** Perceptual audio dedup (NS; Multimodal.audioNearDupPairs): the frame
   * becomes all clip pairs (idA, idB, dist) whose 64-bit amplitude-
   * envelope hashes are within `maxDist` Hamming bits — gain-adjusted
@@ -433,6 +446,7 @@ final case class NodeSpec(
     editDedup: Option[EditDedupSpec] = None, // after keep, before aggregate
     imageDedup: Option[ImageDedupSpec] = None, // after keep, before aggregate
     audioDedup: Option[AudioDedupSpec] = None, // after keep, before aggregate
+    passageDedup: Option[PassageDedupSpec] = None, // after keep, before aggregate
     lmPerplexity: Option[LmPerplexitySpec] = None, // after keep, before aggregate
     split: Option[SplitSpec] = None, // after keep, before aggregate
     boilerplate: Option[BoilerplateSpec] = None, // after keep, before aggregate

@@ -112,6 +112,51 @@ class OpsSpec extends SparkSpec {
     assert(pairs.filter($"idB" === $"idA" + 100000).count() == docs.count())
   }
 
+  test("window fingerprints: rolling hash equals fold, whole-doc equals portable fingerprint") {
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = Seq((1L, text)).toDF("id", "text")
+    // whole-doc window (n = token count) must equal portable_fingerprint
+    val whole = df.select(
+      graft.functions.TextKernels.windowFingerprints($"text", 10).as("w"),
+      graft.functions.TextKernels.portableFingerprint($"text").as("fp")).head
+    assert(whole.getSeq[Long](0) == Seq(whole.getLong(1)))
+    // rolling removal must equal an independent per-window fold
+    val M = 1000000007L
+    def tokHash(t: String): Long = t.foldLeft(7L)((a, c) => (a * 131 + c) % M)
+    def winHash(ts: Seq[String]): Long = ts.map(tokHash).foldLeft(0L)((a, h) => (a * 31 + h) % M)
+    val toks = text.split(" ").toSeq
+    val n = 3
+    val expect = toks.sliding(n).map(winHash).toSeq
+    val got = df.select(graft.functions.TextKernels.windowFingerprints($"text", n))
+      .head.getSeq[Long](0)
+    assert(got == expect, s"rolling $got != fold $expect")
+    // shorter than the window → empty, never an error
+    assert(df.select(graft.functions.TextKernels.windowFingerprints($"text", 11))
+      .head.getSeq[Long](0).isEmpty)
+  }
+
+  test("duplicate passage spans: planted repeats found, first occurrence survives") {
+    val passage = (1 to 6).map(i => s"tok$i").mkString(" ") // 6 shared tokens
+    val rows = Seq(
+      (1L, s"$passage unique one two three"),          // first occurrence → kept
+      (2L, s"lead in words here $passage trailing"),   // interior copy → span
+      (3L, "completely different content with no repeats at all"),
+      (4L, s"$passage and then again $passage")        // self-repeat → later span
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatePassageSpans(rows, "doc_id", "text", windowTokens = 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    // doc 2: passage at tokens [4, 10); doc 4: second copy at [9, 15)
+    // (doc 4's FIRST copy at [0,6) loses to doc 1's — doc 1 sorts first)
+    assert(spans.toSet == Set((2L, 4, 10, 1L), (4L, 0, 6, 1L), (4L, 9, 15, 1L)),
+      s"got ${spans.toSeq}")
+    val cleaned = Dedup.stripDuplicatePassages(rows, "doc_id", "text", windowTokens = 6)
+      .select($"doc_id", $"clean_text", $"dropped_tokens")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(cleaned(2L) == ("lead in words here trailing", 6L))
+    assert(cleaned(3L)._2 == 0L)
+    assert(cleaned(4L) == ("and then again", 12L))
+  }
+
   test("hammingPairs: identical-signature collapse keeps band candidates linear") {
     // the web-scale skew case: a 1000-copy duplicate class (one spacer-GIF
     // dHash re-encoded 1000 times) plus two near sigs and one far sig
