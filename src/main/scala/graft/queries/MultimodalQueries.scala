@@ -738,6 +738,81 @@ object MultimodalQueries extends QueryPack {
            CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 20 = 0)
                 AS BIGINT) AS planted_exact"""
 
+  // q134 — the image CLUSTER tier from PURE JSON ("output": "clusters"):
+  // q127's cross-codec corpus, labels instead of pairs. Three invariants
+  // hold EXACTLY no matter what background near-dups exist: every row is
+  // labeled (totality), every planted copy lands in a base-corpus
+  // cluster (its dHash is identical to its base's, so they share a
+  // component whose min id is < 10⁷), and no cluster is led by a copy
+  // (every copy's component contains its smaller base id). Gates the
+  // identical-signature-collapse path end to end from config.
+  private def q134(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    s.udf.register("text_to_bmp", textToBmp)
+    s.udf.register("text_to_png", textToPng)
+    graft.compile.Compiler.compileJson(s, """
+      {"id": "imgcl",
+       "combine": {"op": "union", "nodes": [
+         {"id": "base", "source": {"table": "documents"},
+          "filters": ["doc_id % 4 = 0"],
+          "derive": {"payload": "text_to_bmp(text)"},
+          "keep_columns": ["doc_id", "payload"]},
+         {"id": "planted", "source": {"table": "documents"},
+          "filters": ["doc_id % 20 = 0"],
+          "derive": {"doc_id2": "doc_id + 10000000",
+                     "payload": "text_to_png(text)"},
+          "keep_columns": ["doc_id2", "payload"],
+          "rename": {"doc_id2": "doc_id"}}]},
+       "image_dedup": {"id_col": "doc_id", "payload_col": "payload",
+                       "max_dist": 6, "output": "clusters"},
+       "aggregate": {"aggregations": [
+         {"col": "*", "func": "count", "new_name": "total_rows"},
+         {"col": "*", "func": "count",
+          "filter": "id >= 10000000 and cluster < 10000000",
+          "new_name": "copies_merged"},
+         {"col": "*", "func": "count", "filter": "cluster >= 10000000",
+          "new_name": "copy_led_clusters"}]}}""")
+  }
+  private val clusterGateSql = """
+    SELECT CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 4 = 0) +
+                (SELECT COUNT(*) FROM documents WHERE doc_id % 20 = 0)
+                AS BIGINT) AS total_rows,
+           CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 20 = 0)
+                AS BIGINT) AS copies_merged,
+           CAST(0 AS BIGINT) AS copy_led_clusters"""
+
+  // q135 — the audio cluster tier from PURE JSON: q130's gain-twin
+  // corpus with "output": "clusters", same three exact invariants
+  // (gain-doubling never moves the envelope hash, so every twin shares
+  // its base's component).
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    s.udf.register("text_to_clip1", textToClip(1))
+    s.udf.register("text_to_clip2", textToClip(2))
+    graft.compile.Compiler.compileJson(s, """
+      {"id": "audcl",
+       "combine": {"op": "union", "nodes": [
+         {"id": "base", "source": {"table": "documents"},
+          "filters": ["doc_id % 4 = 0"],
+          "derive": {"payload": "text_to_clip1(text)"},
+          "keep_columns": ["doc_id", "payload"]},
+         {"id": "planted", "source": {"table": "documents"},
+          "filters": ["doc_id % 20 = 0"],
+          "derive": {"doc_id2": "doc_id + 10000000",
+                     "payload": "text_to_clip2(text)"},
+          "keep_columns": ["doc_id2", "payload"],
+          "rename": {"doc_id2": "doc_id"}}]},
+       "audio_dedup": {"id_col": "doc_id", "payload_col": "payload",
+                       "max_dist": 6, "output": "clusters"},
+       "aggregate": {"aggregations": [
+         {"col": "*", "func": "count", "new_name": "total_rows"},
+         {"col": "*", "func": "count",
+          "filter": "id >= 10000000 and cluster < 10000000",
+          "new_name": "copies_merged"},
+         {"col": "*", "func": "count", "filter": "cluster >= 10000000",
+          "new_name": "copy_led_clusters"}]}}""")
+  }
+
   // q124 — WAV gate: PCM16 is lossless, so original AND downsampled
   // (every 4th frame, rate floored to rate/4) amplitude stats derive
   // from the text bytes on the reference side. Closes the audio family
@@ -845,6 +920,8 @@ object MultimodalQueries extends QueryPack {
     Q("q126_image_dedup_gate", q126, Some(q126Sql)),
     Q("q127_config_image_dedup", q127, Some(q127Sql)),
     Q("q129_audio_dedup_gate", q129, Some(q129Sql)),
-    Q("q130_config_audio_dedup", q130, Some(q130Sql))
+    Q("q130_config_audio_dedup", q130, Some(q130Sql)),
+    Q("q134_config_image_clusters", q134, Some(clusterGateSql)),
+    Q("q135_config_audio_clusters", q135, Some(clusterGateSql))
   )
 }
