@@ -368,6 +368,60 @@ object CorpusQueries extends QueryPack {
                 ELSE 'test' END AS split
     FROM h ORDER BY sid ASC NULLS FIRST"""
 
+  // q136 — hashSplit BALANCE gate over the full documents table, both id
+  // kinds: per-bucket counts (exact, oracle recomputes the multiplicative
+  // hash and the string-id fingerprint mirror) plus a realized-proportion
+  // check (|p − weight| ≤ 2pp — the multiplicative hash spreads ids, so a
+  // kernel regression that clumps buckets fails t2 on REAL data, not just
+  // the q109/q114 per-row fixtures; measured slack at test SF ≥ 1.2pp).
+  private def q136(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(s, dir, "documents")
+    val w = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val byLong = Corpus.hashSplit(docs, "doc_id", w)
+      .groupBy("split").agg(count(lit(1)).as("n_long"))
+    val byStr = Corpus.hashSplit(
+        docs.withColumn("sid", concat(lit("doc-"), col("doc_id"))), "sid", w)
+      .groupBy("split").agg(count(lit(1)).as("n_str"))
+    val frac = when(col("split") === "train", 0.9).otherwise(0.05)
+    byLong.join(byStr, Seq("split"))
+      .withColumn("__tot", sum("n_long").over(Window.partitionBy()))
+      .select(col("split"), col("n_long"), col("n_str"),
+        (abs(col("n_long").cast("double") / col("__tot") - frac) <= 0.02)
+          .as("long_balanced"),
+        (abs(col("n_str").cast("double") / col("__tot") - frac) <= 0.02)
+          .as("str_balanced"))
+      .orderBy(col("split").asc_nulls_first)
+  }
+  private val q136Sql = s"""
+    WITH l AS (
+      SELECT CASE WHEN ${splitHashSql("doc_id")} < 900000 THEN 'train'
+                  WHEN ${splitHashSql("doc_id")} < 950000 THEN 'val'
+                  ELSE 'test' END AS split, COUNT(*) AS n_long
+      FROM documents GROUP BY 1),
+    sf AS (
+      SELECT sid, ${TextQueries.fpSql("t")} AS fp
+      FROM (SELECT 'doc-' || doc_id AS sid,
+                   list_filter(string_split_regex(trim('doc-' || doc_id), '\\s+'),
+                               x -> len(x) > 0) AS t
+            FROM documents)),
+    st AS (
+      SELECT CASE WHEN ${splitHashSql("fp")} < 900000 THEN 'train'
+                  WHEN ${splitHashSql("fp")} < 950000 THEN 'val'
+                  ELSE 'test' END AS split, COUNT(*) AS n_str
+      FROM sf GROUP BY 1),
+    t AS (SELECT COUNT(*) AS tot FROM documents)
+    SELECT l.split, CAST(l.n_long AS BIGINT) AS n_long,
+           CAST(st.n_str AS BIGINT) AS n_str,
+           abs(CAST(l.n_long AS DOUBLE) / tot -
+               CASE WHEN l.split = 'train' THEN 0.9 ELSE 0.05 END) <= 0.02
+             AS long_balanced,
+           abs(CAST(st.n_str AS DOUBLE) / tot -
+               CASE WHEN l.split = 'train' THEN 0.9 ELSE 0.05 END) <= 0.02
+             AS str_balanced
+    FROM l JOIN st USING (split), t
+    ORDER BY split ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
     Q("q72_doc_chunking", q72, Some(q72Sql)),
     Q("q73_sequence_packing", q73, Some(q73Sql)),
@@ -381,6 +435,7 @@ object CorpusQueries extends QueryPack {
     Q("q90_boilerplate_lines", q90, Some(q90Sql)),
     Q("q109_hash_split", q109, Some(q109Sql)),
     Q("q110_config_split", q110, Some(q110Sql)),
-    Q("q114_string_id_split", q114, Some(q114Sql))
+    Q("q114_string_id_split", q114, Some(q114Sql)),
+    Q("q136_split_balance_gate", q136, Some(q136Sql))
   )
 }
