@@ -27,6 +27,35 @@ object MultimodalQueries extends QueryPack {
     Codecs.encodeBmp(w, h, px)
   }
 
+  /** Fixture images whose dHash EQUALS a chosen 64-bit key by
+    * construction: 9×8 grayscale (r=g=b=v → integer luma exactly v), each
+    * row walked left→right stepping ±14 so gray(y,x) < gray(y,x+1) iff
+    * bit (y·8+x) of the key — `dHash64(decode(keyToBmp(k))) == k` is a
+    * THEOREM (OpsSpec), not a corpus property. Values stay in
+    * [128−8·14, 128+8·14] = [16, 240]. Lets an oracle reason about
+    * perceptual-dedup outcomes in pure SQL: the q137 flagship plants
+    * cross-codec copies by giving two payloads the same key. */
+  private[graft] def keyPixels(k: Long): Array[Byte] = {
+    val px = new Array[Byte](9 * 8 * 3)
+    var y = 0
+    while (y < 8) {
+      var v = 128
+      var i = (y * 9) * 3
+      px(i) = v.toByte; px(i + 1) = v.toByte; px(i + 2) = v.toByte
+      var x = 0
+      while (x < 8) {
+        v = if (((k >>> (y * 8 + x)) & 1L) == 1L) v + 14 else v - 14
+        i = (y * 9 + x + 1) * 3
+        px(i) = v.toByte; px(i + 1) = v.toByte; px(i + 2) = v.toByte
+        x += 1
+      }
+      y += 1
+    }
+    px
+  }
+  private[graft] val keyToBmp = udf { (k: Long) => Codecs.encodeBmp(9, 8, keyPixels(k)) }
+  private[graft] val keyToPng = udf { (k: Long) => Codecs.encodePng(9, 8, keyPixels(k)) }
+
   // q37 — full media pipeline, real decode end-to-end: rebalance the
   // (id, text) frame to the cluster width, synthesize BMP payloads,
   // header-parse metadata (real width/height) and featurize in ONE
@@ -813,6 +842,122 @@ object MultimodalQueries extends QueryPack {
           "new_name": "copy_led_clusters"}]}}""")
   }
 
+  // q137 — the FLAGSHIP MULTIMODAL curation pipeline, ONE pure-JSON
+  // config chaining every new pillar end to end: messy-crawl corpus
+  // (re-crawled URLs + a media mirror hosting cross-codec image copies +
+  // exact-content re-crawls under fresh URLs) → canonical_url dedup →
+  // normalize_text + portable-fingerprint content dedup → corpus-LM
+  // perplexity filter (child-join score) → perceptual image dedup on the
+  // media column (clusters, keep = representative) → stratified top-k
+  // sample per language. EVERY stage is mirrored exactly in the oracle:
+  // URL canonicalization by hand-derivation (q128), fingerprints by the
+  // q26 Horner mirror, the bigram LM by the q106 count-arithmetic mirror,
+  // and the image stage via key-encoded fixtures ([[keyPixels]]:
+  // dHash == mkey by THEOREM, so cluster membership is pure arithmetic —
+  // no reliance on corpus-specific hash behavior). Stage wiring uses
+  // single-node union chaining (shuffle-free pass-through) and child
+  // joins where a stage rewrites the frame. Each stage demonstrably
+  // bites at sf0.01: 545 → 165 (url) → 160 (fp) → 145 (lm) → 139
+  // (image) → 10/lang sampled.
+  private val flagNll = "3.42"
+  private def q137(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    s.udf.register("key_to_bmp", keyToBmp)
+    s.udf.register("key_to_png", keyToPng)
+    val union = """{"id": "u", "combine": {"op": "union", "nodes": [
+      {"id": "b", "source": {"table": "documents"},
+       "derive": {"mkey": "doc_id",
+                  "url": "concat('HTTP://News.Example.COM:80/', source, '/item/', cast(doc_id % 40 as string), '/?utm_source=feed&z=9&a=', cast(doc_id % 3 as string), '&fbclid=track#sec')",
+                  "curl": "canonical_url(url)", "fmt": "'bmp'"},
+       "keep_columns": ["doc_id", "lang", "text", "mkey", "fmt", "curl"]},
+      {"id": "p", "source": {"table": "documents"}, "filters": ["doc_id % 20 = 0"],
+       "derive": {"doc_id2": "doc_id + 10000000", "mkey": "doc_id",
+                  "url": "concat('https://Media.Mirror.NET/media/', cast(doc_id as string), '/?utm_campaign=x')",
+                  "curl": "canonical_url(url)",
+                  "text2": "concat(text, ' the')", "fmt": "'png'"},
+       "keep_columns": ["doc_id2", "lang", "text2", "mkey", "fmt", "curl"],
+       "rename": {"doc_id2": "doc_id", "text2": "text"}},
+      {"id": "r", "source": {"table": "documents"}, "filters": ["doc_id % 25 = 0"],
+       "derive": {"doc_id3": "doc_id + 20000000", "mkey": "doc_id + 20000000",
+                  "url": "concat('http://Cache.Example.ORG:80/copy/', cast(doc_id as string), '#cached')",
+                  "curl": "canonical_url(url)", "fmt": "'bmp'"},
+       "keep_columns": ["doc_id3", "lang", "text", "mkey", "fmt", "curl"],
+       "rename": {"doc_id3": "doc_id"}}]},
+     "dedup": {"keys": ["curl"], "id_col": "doc_id"}}"""
+    val cd = s"""{"id": "cd", "combine": {"op": "union", "nodes": [$union]},
+     "derive": {"norm": "normalize_text(text)", "fp": "doc_fingerprint_portable(norm)"},
+     "dedup": {"keys": ["fp"], "id_col": "doc_id"}}"""
+    val scored = s"""{"id": "sc", "combine": {"op": "union", "nodes": [$cd]},
+     "children": [{"id": "lmn", "combine": {"op": "union", "nodes": [$cd]},
+                   "lm_perplexity": {"id_col": "doc_id", "text_col": "norm"},
+                   "join": {"on": ["doc_id"], "how": "inner"}}]}"""
+    val filtered = s"""{"id": "fl", "combine": {"op": "union", "nodes": [$scored]},
+     "filters": ["nll <= $flagNll"]}"""
+    val img = s"""{"id": "im", "combine": {"op": "union", "nodes": [$filtered]},
+     "children": [{"id": "imc", "combine": {"op": "union", "nodes": [$filtered]},
+                   "derive": {"payload": "if(fmt = 'bmp', key_to_bmp(mkey), key_to_png(mkey))"},
+                   "image_dedup": {"id_col": "doc_id", "payload_col": "payload",
+                                   "max_dist": 0, "output": "clusters"},
+                   "rename": {"id": "doc_id"},
+                   "join": {"on": ["doc_id"], "how": "inner"}}]}"""
+    graft.compile.Compiler.compileJson(s, s"""
+      {"id": "flagship", "combine": {"op": "union", "nodes": [$img]},
+       "filters": ["doc_id = cluster"],
+       "derive": {"h": "(doc_id * 2654435761) % 1000000007"},
+       "keep_columns": ["doc_id", "lang", "curl", "nll", "h"],
+       "top_k": {"partition_by": ["lang"], "order_by": ["h asc", "doc_id asc"], "k": 10},
+       "order_by": ["lang asc", "doc_id asc"]}""")
+  }
+  private val q137Sql = s"""
+    WITH raw AS (
+      SELECT doc_id, lang, text, doc_id AS mkey,
+             'http://news.example.com/' || source || '/item/' || CAST(doc_id % 40 AS VARCHAR)
+               || '?a=' || CAST(doc_id % 3 AS VARCHAR) || '&z=9' AS curl
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000, lang, text || ' the', doc_id,
+             'https://media.mirror.net/media/' || CAST(doc_id AS VARCHAR)
+      FROM documents WHERE doc_id % 20 = 0
+      UNION ALL
+      SELECT doc_id + 20000000, lang, text, doc_id + 20000000,
+             'http://cache.example.org/copy/' || CAST(doc_id AS VARCHAR)
+      FROM documents WHERE doc_id % 25 = 0),
+    ud AS (SELECT * FROM raw
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY curl ORDER BY doc_id) = 1),
+    nrm AS (SELECT *, trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
+                       '[\\x00-\\x1f\\x7f]', ' ', 'g'), ' +', ' ', 'g'), ' ') AS norm
+            FROM ud),
+    tk AS (SELECT *, list_filter(string_split_regex(trim(norm), '\\s+'),
+                                 x -> len(x) > 0) AS t
+           FROM nrm),
+    fps AS (SELECT *, ${TextQueries.fpSql("t")} AS fp FROM tk),
+    cd AS (SELECT * FROM fps
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+    bg AS (SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ')
+                                  for i in generate_series(1, len(t)-1)]) AS bg
+           FROM cd WHERE len(t) >= 2),
+    c12 AS (SELECT bg, COUNT(*) AS c12 FROM bg GROUP BY 1),
+    c1 AS (SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM cd)),
+    lp AS (SELECT doc_id, ROUND(LN((c12.c12 + 0.5) / (c1.c1 + 0.5 * v.v)), 6) AS lp
+           FROM bg JOIN c12 USING (bg)
+           JOIN c1 ON split_part(bg.bg, ' ', 1) = c1.w1 CROSS JOIN v),
+    lm AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+                  ROUND(-(CAST(SUM(CAST(lp AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)), 6) AS nll
+           FROM lp GROUP BY 1),
+    fl AS (SELECT cd.*, lm.nll FROM cd JOIN lm USING (doc_id)
+           WHERE lm.nll <= $flagNll),
+    keep AS (SELECT * FROM fl
+             QUALIFY ROW_NUMBER() OVER (PARTITION BY mkey ORDER BY doc_id) = 1),
+    smp AS (SELECT doc_id, lang, curl, nll,
+                   (doc_id * 2654435761) % 1000000007 AS h,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                     ORDER BY (doc_id * 2654435761) % 1000000007 ASC, doc_id ASC) AS rn
+            FROM keep)
+    SELECT doc_id, lang, curl, nll, h, CAST(rn AS INT) AS rn
+    FROM smp WHERE rn <= 10
+    ORDER BY lang ASC NULLS FIRST, doc_id ASC NULLS FIRST"""
+
   // q124 — WAV gate: PCM16 is lossless, so original AND downsampled
   // (every 4th frame, rate floored to rate/4) amplitude stats derive
   // from the text bytes on the reference side. Closes the audio family
@@ -922,6 +1067,7 @@ object MultimodalQueries extends QueryPack {
     Q("q129_audio_dedup_gate", q129, Some(q129Sql)),
     Q("q130_config_audio_dedup", q130, Some(q130Sql)),
     Q("q134_config_image_clusters", q134, Some(clusterGateSql)),
-    Q("q135_config_audio_clusters", q135, Some(clusterGateSql))
+    Q("q135_config_audio_clusters", q135, Some(clusterGateSql)),
+    Q("q137_multimodal_flagship", q137, Some(q137Sql))
   )
 }

@@ -880,6 +880,21 @@ class OpsSpec extends SparkSpec {
     assert(kept == 48, s"Skip should drop exactly the dirty row: $kept")
   }
 
+  test("key-encoded fixture images: dHash equals the key across codecs") {
+    // the q137 oracle's load-bearing theorem: keyPixels encodes any
+    // 64-bit key into the 9x8 gradient signs, losslessly through BMP
+    // AND PNG — so SQL can reason about perceptual-dedup outcomes
+    val keys = Seq(0L, -1L, 42L, Long.MinValue, Long.MaxValue,
+      0x0123456789abcdefL, 0xdeadbeefcafebabeL)
+    keys.foreach { k =>
+      val px = graft.queries.MultimodalQueries.keyPixels(k)
+      val viaBmp = ops.Codecs.dHash64(ops.Codecs.decodeImage(ops.Codecs.encodeBmp(9, 8, px)))
+      val viaPng = ops.Codecs.dHash64(ops.Codecs.decodeImage(ops.Codecs.encodePng(9, 8, px)))
+      assert(viaBmp == k, s"BMP round-trip: ${viaBmp.toHexString} != ${k.toHexString}")
+      assert(viaPng == k, s"PNG round-trip: ${viaPng.toHexString} != ${k.toHexString}")
+    }
+  }
+
   test("audio envelope hash: gain invariance, re-encode, short-clip error") {
     val samples = Array.tabulate(400)(i => (((i * 37) % 255) * 64 - 8160).toShort)
     val a = ops.Codecs.Audio(16000, 1, samples)
