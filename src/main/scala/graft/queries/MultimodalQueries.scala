@@ -56,11 +56,60 @@ object MultimodalQueries extends QueryPack {
   private[graft] val keyToBmp = udf { (k: Long) => Codecs.encodeBmp(9, 8, keyPixels(k)) }
   private[graft] val keyToPng = udf { (k: Long) => Codecs.encodePng(9, 8, keyPixels(k)) }
 
+  /** Shared strlen-arithmetic mirrors for the BMP/PNG fixture family:
+    * the fixtures derive dims from the byte length (w = 4+len%9,
+    * h = 3+len%7) and cycle text bytes into pixels, and the corpus is
+    * pure ASCII at every SF (asserted by the len == strlen equality the
+    * oracles implicitly rely on — ascii(text[i]) IS byte i-1). Feature
+    * means mirror [[Codecs]]' exact arithmetic: integer channel/luma
+    * sums, one double division, ONE float32 truncation (CAST AS FLOAT),
+    * back to double, round 9dp — the q115 float-checksum technique at
+    * per-row granularity. */
+  private def bmpBaseSql = """
+    base AS (
+      SELECT doc_id, text, strlen(text) AS len,
+             4 + strlen(text) % 9 AS w, 3 + strlen(text) % 7 AS h
+      FROM documents)"""
+  /** Channel/luma sums over the ORIGINAL w×h pixel grid. */
+  private def bmpOrigSumsSql = s"""
+    $bmpBaseSql,
+    f AS (
+      SELECT doc_id, w, h,
+        list_sum([ascii(text[1 + (3 * p) % len])
+                  for p in generate_series(0, w * h - 1)]) AS sr,
+        list_sum([299 * ascii(text[1 + (3 * p) % len])
+                  + 587 * ascii(text[1 + (3 * p + 1) % len])
+                  + 114 * ascii(text[1 + (3 * p + 2) % len])
+                  for p in generate_series(0, w * h - 1)]) AS sl
+      FROM base)"""
+  /** Channel/luma sums over the 16×12 nearest-neighbor resize: source
+    * pixel = floor((out+0.5)·in/out) center sample, exactly
+    * [[Codecs.resizeImage]]'s truncation (FLOOR == toInt on positives;
+    * the double division cannot round across an integer boundary at
+    * these magnitudes). */
+  private def bmpResizedSumsSql = s"""
+    $bmpBaseSql,
+    rz AS (
+      SELECT doc_id, len, w, h,
+        [ (LEAST(CAST(FLOOR(((q // 16) + 0.5) * h / 12.0) AS INT), h - 1) * w +
+           LEAST(CAST(FLOOR(((q % 16) + 0.5) * w / 16.0) AS INT), w - 1))
+          for q in generate_series(0, 191)] AS src
+      FROM base),
+    f AS (
+      SELECT doc_id, w, h,
+        list_sum([ascii(text[1 + (3 * s) % len]) for s in src]) AS sr,
+        list_sum([299 * ascii(text[1 + (3 * s) % len])
+                  + 587 * ascii(text[1 + (3 * s + 1) % len])
+                  + 114 * ascii(text[1 + (3 * s + 2) % len])
+                  for s in src]) AS sl
+      FROM rz JOIN base USING (doc_id, len, w, h))"""
+
   // q37 — full media pipeline, real decode end-to-end: rebalance the
   // (id, text) frame to the cluster width, synthesize BMP payloads,
   // header-parse metadata (real width/height) and featurize in ONE
   // partition sweep (parseAndFeaturize — no self-join, payloads decoded
-  // once and never shuffled).
+  // once and never shuffled). Exact oracle (round 9): every emitted
+  // value is strlen arithmetic + one float32 truncation.
   private def q37(s: SparkSession, dir: String): DataFrame = {
     val pf = Multimodal.parseAndFeaturize(
       Multimodal.rebalanceForCodec(
@@ -76,6 +125,23 @@ object MultimodalQueries extends QueryPack {
         size(col("features")).as("n_features"))
       .orderBy(col("media_id").asc_nulls_first)
   }
+  private val q37Sql = s"""
+    WITH ${bmpOrigSumsSql}
+    SELECT doc_id AS media_id, 'bmp' AS format,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(54 + (3 * w + (4 - (3 * w) % 4) % 4) * h AS BIGINT) AS n_bytes,
+           ROUND(CAST(CAST(sr / (255.0 * w * h) AS FLOAT) AS DOUBLE), 9) AS mean_r,
+           ROUND(CAST(CAST(sl / (255.0 * w * h * 1000.0) AS FLOAT) AS DOUBLE), 9) AS mean_luma,
+           CAST(8 AS INT) AS n_features
+    FROM f ORDER BY media_id ASC NULLS FIRST"""
+  private val q100Sql = s"""
+    WITH ${bmpOrigSumsSql}
+    SELECT doc_id AS media_id, 'bmp' AS format,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(54 + (3 * w + (4 - (3 * w) % 4) % 4) * h AS BIGINT) AS n_bytes,
+           ROUND(CAST(CAST(sr / (255.0 * w * h) AS FLOAT) AS DOUBLE), 9) AS mean_r,
+           ROUND(CAST(CAST(sl / (255.0 * w * h * 1000.0) AS FLOAT) AS DOUBLE), 9) AS mean_luma
+    FROM f ORDER BY media_id ASC NULLS FIRST"""
 
   /** Deterministic text→WAV fixture: PCM16 samples from consecutive UTF-8
     * byte pairs, mono, rate varying with length. */
@@ -88,31 +154,12 @@ object MultimodalQueries extends QueryPack {
     Codecs.encodeWav(8000 + (b.length % 5) * 1000, 1, samples)
   }
 
-  // q69 — the audio path end-to-end, decode→transform→decode: synthesize
-  // WAV payloads, frame-sample through the REAL resampler (decode, keep
-  // every 4th frame, re-encode — transformPayload's production shape),
-  // then featurize the downsampled audio and emit parsed frame counts +
-  // amplitude stats. Rows-only gate (DuckDB can't parse RIFF); codec
-  // round-trip exactness lives in OpsSpec/PropertySpec.
-  private def q69(s: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.asMediaParsed(
-      Multimodal.rebalanceForCodec(
-          Tables.load(s, dir, "documents").select("doc_id", "text"))
-        .select(col("doc_id"), textToWav(col("text")).as("payload")),
-      idCol = "doc_id", payloadCol = "payload")
-    val sampled = Multimodal.transformPayload(media, "wav", Codecs.downsampleWav(4))
-    // one sweep over the transformed payload: header re-parse (meta must
-    // reflect the DOWNSAMPLED audio, not the input) + featurize
-    val pf = Multimodal.parseAndFeaturize(
-      sampled, "media_id", "payload", Codecs.mediaFeatures)
-    pf.select(
-        col("media_id"), col("meta.format").as("format"),
-        col("meta.width").as("frames"), col("meta.n_bytes").as("n_bytes"),
-        round(element_at(col("features"), 4).cast("double"), 9).as("mean_abs"),
-        round(element_at(col("features"), 5).cast("double"), 9).as("rms"),
-        size(col("features")).as("n_features"))
-      .orderBy(col("media_id").asc_nulls_first)
-  }
+  // q69 (WAV downsample+featurize) retired round 9: q124 drives the
+  // IDENTICAL path — textToWav → transformPayload(downsampleWav(4)) →
+  // parseAndFeaturize — under pinned independent-reference checksums
+  // (original AND downsampled), so the rows-only entry added no coverage
+  // the hash gate doesn't already fail on. docs/COVERAGE.md ledger row
+  // updated; one-row-per-operator invariant kept by q124.
 
   /** Deterministic text→AVI fixture: 4-8 frames of 8×6 whose pixels cycle
     * the UTF-8 bytes with a per-frame shift (so consecutive frames differ
@@ -127,29 +174,10 @@ object MultimodalQueries extends QueryPack {
     Codecs.encodeAvi(w, h, 10, frames)
   }
 
-  // q71 — the VIDEO path end-to-end: synthesize AVI payloads, frame-sample
-  // through the real container codec (decode DIB frames, keep every 2nd,
-  // re-encode at half fps), re-parse metadata from the transformed bytes,
-  // featurize (per-frame luma stats + temporal delta). Rows-only gate
-  // (DuckDB can't parse RIFF/AVI); codec exactness lives in OpsSpec.
-  private def q71(s: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.asMediaParsed(
-      Multimodal.rebalanceForCodec(
-          Tables.load(s, dir, "documents").select("doc_id", "text"))
-        .select(col("doc_id"), textToAvi(col("text")).as("payload")),
-      idCol = "doc_id", payloadCol = "payload")
-    val sampled = Multimodal.transformPayload(media, "avi", Codecs.frameSampleAvi(2))
-    val pf = Multimodal.parseAndFeaturize(
-      sampled, "media_id", "payload", Codecs.mediaFeatures)
-    pf.select(
-        col("media_id"), col("meta.format").as("format"),
-        col("meta.width").as("width"), col("meta.height").as("height"),
-        element_at(col("features"), 3).cast("int").as("n_frames"),
-        element_at(col("features"), 4).cast("int").as("fps"),
-        round(element_at(col("features"), 5).cast("double"), 9).as("mean_luma"),
-        round(element_at(col("features"), 8).cast("double"), 9).as("temporal_delta"))
-      .orderBy(col("media_id").asc_nulls_first)
-  }
+  // q71 (AVI frame-sample+featurize) retired round 9: q125 drives the
+  // identical textToAvi → frameSampleAvi(2) → parseAndFeaturize path
+  // under pinned checksums (original and sampled luma/motion stats) —
+  // q124's retirement rationale.
 
   // q89 — the IMAGE transform path end-to-end: synthesize variable-sized
   // BMPs, normalize every payload to a fixed 16×12 thumbnail through the
@@ -157,8 +185,9 @@ object MultimodalQueries extends QueryPack {
   // transformPayload's production shape, the standard pre-embedding
   // normalization step), re-parse metadata from the resized bytes (must
   // show the UNIFORM target dims, not the input's), featurize the resized
-  // pixels. Rows-only gate (DuckDB can't decode BMP); resize exactness
-  // lives in OpsSpec (block-replication + center-sample identities).
+  // pixels. Exact oracle (round 9): BMP is lossless and the
+  // nearest-neighbor source indices are integer arithmetic, so the
+  // resized pixel grid — and its feature sums — replay in SQL.
   private def q89(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.asMediaParsed(
       Multimodal.rebalanceForCodec(
@@ -176,6 +205,14 @@ object MultimodalQueries extends QueryPack {
         round(element_at(col("features"), 6).cast("double"), 9).as("mean_luma"))
       .orderBy(col("media_id").asc_nulls_first)
   }
+  private val q89Sql = s"""
+    WITH ${bmpResizedSumsSql}
+    SELECT doc_id AS media_id, 'bmp' AS format,
+           CAST(16 AS INT) AS width, CAST(12 AS INT) AS height,
+           CAST(630 AS BIGINT) AS n_bytes,
+           ROUND(CAST(CAST(sr / (255.0 * 192) AS FLOAT) AS DOUBLE), 9) AS mean_r,
+           ROUND(CAST(CAST(sl / (255.0 * 192 * 1000.0) AS FLOAT) AS DOUBLE), 9) AS mean_luma
+    FROM f ORDER BY media_id ASC NULLS FIRST"""
 
   /** Deterministic text→PNG fixture: same dim/pixel derivation as
     * [[textToBmp]] but encoded as a real compressed PNG with CYCLING row
@@ -195,8 +232,10 @@ object MultimodalQueries extends QueryPack {
   // bytes (header-only, big-endian IHDR), featurize the decoded pixels.
   // The pixel content matches q89's BMP fixture by construction; OpsSpec
   // asserts the cross-codec invariant (equal pixels → equal resize output
-  // and features in both codecs). Rows-only gate (DuckDB can't inflate
-  // PNG); decode bit-exactness lives in the OpsSpec golden test.
+  // and features in both codecs). Exact oracle (round 9): PNG is
+  // lossless, so the q89 resized-grid mirror applies unchanged — the
+  // DEFLATE layer only has to reproduce the pixels, which the OpsSpec
+  // golden pins byte-exactly.
   private def q94(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.asMediaParsed(
       Multimodal.rebalanceForCodec(
@@ -213,6 +252,13 @@ object MultimodalQueries extends QueryPack {
         round(element_at(col("features"), 6).cast("double"), 9).as("mean_luma"))
       .orderBy(col("media_id").asc_nulls_first)
   }
+  private val q94Sql = s"""
+    WITH ${bmpResizedSumsSql}
+    SELECT doc_id AS media_id, 'png' AS format,
+           CAST(16 AS INT) AS width, CAST(12 AS INT) AS height,
+           ROUND(CAST(CAST(sr / (255.0 * 192) AS FLOAT) AS DOUBLE), 9) AS mean_r,
+           ROUND(CAST(CAST(sl / (255.0 * 192 * 1000.0) AS FLOAT) AS DOUBLE), 9) AS mean_luma
+    FROM f ORDER BY media_id ASC NULLS FIRST"""
 
   /** Deterministic text→JPEG fixture: same dim/pixel derivation as
     * [[textToBmp]], baseline-encoded at quality 90 (real DCT + Huffman +
@@ -225,29 +271,11 @@ object MultimodalQueries extends QueryPack {
     graft.ops.Jpeg.encode(w, h, px, quality = 90)
   }
 
-  // q99 — the LOSSY-compressed image path end-to-end: synthesize baseline
-  // JPEGs (real DCT/quant/Huffman), thumbnail through the JPEG
-  // decode→resize→re-encode transform, re-parse metadata from the resized
-  // bytes (SOF header), featurize the decoded pixels. Rows-only gate
-  // (DuckDB has no JPEG); decode EXACTNESS is pinned by the OpsSpec
-  // golden test against the independent python reference (shared-basis
-  // IDCT contract — byte equality, not tolerance).
-  private def q99(s: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.asMediaParsed(
-      Multimodal.rebalanceForCodec(
-          Tables.load(s, dir, "documents").select("doc_id", "text"))
-        .select(col("doc_id"), textToJpeg(col("text")).as("payload")),
-      idCol = "doc_id", payloadCol = "payload")
-    val resized = Multimodal.transformPayload(media, "jpeg", Codecs.resizeJpeg(16, 12))
-    val pf = Multimodal.parseAndFeaturize(
-      resized, "media_id", "payload", Codecs.mediaFeatures)
-    pf.select(
-        col("media_id"), col("meta.format").as("format"),
-        col("meta.width").as("width"), col("meta.height").as("height"),
-        round(element_at(col("features"), 3).cast("double"), 9).as("mean_r"),
-        round(element_at(col("features"), 6).cast("double"), 9).as("mean_luma"))
-      .orderBy(col("media_id").asc_nulls_first)
-  }
+  // q99 (JPEG resize+featurize) retired round 9: lossy DCT output has no
+  // SQL spelling, and q116 drives the identical textToJpeg →
+  // resizeJpeg(16,12) path — with DOUBLE compression — under checksums
+  // pinned from the independent tools/jpeg_ref.py mirror. q124's
+  // retirement rationale.
 
   // q100 — q37's media pipeline declared from JSON: the `featurize` node
   // key (header-parsed meta + partition-batched real decode through the
@@ -292,30 +320,10 @@ object MultimodalQueries extends QueryPack {
     graft.ops.Gif.encode(w, h, frames, delayCs = 10)
   }
 
-  // q107 — the INDEXED-COLOR animation path end-to-end: synthesize real
-  // GIF89a payloads (palette + LZW), frame-sample through the container
-  // codec (decode → keep every 2nd frame → re-encode), then one-sweep
-  // meta parse + featurize. Rows-only gate (DuckDB has no LZW); decode
-  // exactness is pinned by the OpsSpec goldens from the independent
-  // python reference (tools/gif_ref.py).
-  private def q107(s: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.asMediaParsed(
-      Multimodal.rebalanceForCodec(
-          Tables.load(s, dir, "documents").select("doc_id", "text"))
-        .select(col("doc_id"), textToGif(col("text")).as("payload")),
-      idCol = "doc_id", payloadCol = "payload")
-    val sampled = Multimodal.transformPayload(media, "gif", graft.ops.Gif.frameSample(2))
-    val pf = Multimodal.parseAndFeaturize(
-      sampled, "media_id", "payload", Codecs.mediaFeatures)
-    pf.select(
-        col("media_id"), col("meta.format").as("format"),
-        col("meta.width").as("width"), col("meta.height").as("height"),
-        element_at(col("features"), 3).cast("int").as("n_frames"),
-        element_at(col("features"), 4).cast("int").as("fps"),
-        round(element_at(col("features"), 5).cast("double"), 9).as("mean_luma"),
-        round(element_at(col("features"), 8).cast("double"), 9).as("temporal_delta"))
-      .orderBy(col("media_id").asc_nulls_first)
-  }
+  // q107 (GIF frame-sample+featurize) retired round 9: q117 drives the
+  // identical textToGif → Gif.frameSample(2) → parseAndFeaturize path
+  // (incl. the animation/disposal semantics) under pinned checksums from
+  // the independent tools/gif_ref.py mirror. q124's retirement rationale.
 
   // q112 — corrupt-payload policy end-to-end: every 7th document's BMP is
   // truncated to 60 bytes (magic + header intact, pixel data gone — the
@@ -1045,14 +1053,10 @@ object MultimodalQueries extends QueryPack {
            CAST(19.324924 AS DOUBLE) AS s_luma_chk"""
 
   override def queries: Seq[Q] = Seq(
-    Q("q37_multimodal_featurize", q37, None),
-    Q("q69_audio_featurize", q69, None),
-    Q("q71_video_featurize", q71, None),
-    Q("q89_image_resize", q89, None),
-    Q("q94_png_resize", q94, None),
-    Q("q99_jpeg_resize", q99, None),
-    Q("q100_config_featurize", q100, None),
-    Q("q107_gif_featurize", q107, None),
+    Q("q37_multimodal_featurize", q37, Some(q37Sql)),
+    Q("q89_image_resize", q89, Some(q89Sql)),
+    Q("q94_png_resize", q94, Some(q94Sql)),
+    Q("q100_config_featurize", q100, Some(q100Sql)),
     Q("q112_corrupt_policy", q112, Some(q112Sql)),
     Q("q115_png_feature_gate", q115, Some(q115Sql)),
     Q("q116_jpeg_feature_gate", q116, Some(q116Sql)),
