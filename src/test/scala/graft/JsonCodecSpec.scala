@@ -156,13 +156,42 @@ class JsonCodecSpec extends AnyFunSuite {
        "image_dedup": {"id_col": "doc_id", "payload_col": "payload"}}""")
     val d = n.imageDedup.get
     assert(d.idCol == "doc_id" && d.payloadCol == "payload" && d.maxDist == 6)
+    assert(d.output == "pairs") // default shape unchanged by the clusters tier
     assert(root("""
       {"source": {"table": "documents"},
        "image_dedup": {"id_col": "a", "payload_col": "p", "max_dist": 10}}""")
       .imageDedup.get.maxDist == 10)
+    assert(root("""
+      {"source": {"table": "documents"},
+       "image_dedup": {"id_col": "a", "payload_col": "p", "output": "clusters"}}""")
+      .imageDedup.get.output == "clusters")
     val e = intercept[IllegalArgumentException](root(
       """{"image_dedup": {"id_col": "a"}}"""))
     assert(e.getMessage.contains("payload_col"))
+    // a typo'd output shape is a decode-time spec error, not a runtime one
+    val e2 = intercept[IllegalArgumentException](root(
+      """{"image_dedup": {"id_col": "a", "payload_col": "p", "output": "graph"}}"""))
+    assert(e2.getMessage.contains("pairs") && e2.getMessage.contains("clusters"))
+  }
+
+  test("passage_dedup node key decodes with defaults and named errors") {
+    val n = root("""
+      {"source": {"table": "documents"},
+       "passage_dedup": {"id_col": "doc_id", "text_col": "text"}}""")
+    val d = n.passageDedup.get
+    assert(d.idCol == "doc_id" && d.textCol == "text")
+    assert(d.windowTokens == 50 && d.output == "spans")
+    assert(root("""
+      {"source": {"table": "documents"},
+       "passage_dedup": {"id_col": "a", "text_col": "t",
+                         "window_tokens": 12, "output": "strip"}}""")
+      .passageDedup.get.output == "strip")
+    val e = intercept[IllegalArgumentException](root(
+      """{"passage_dedup": {"id_col": "a"}}"""))
+    assert(e.getMessage.contains("text_col"))
+    val e2 = intercept[IllegalArgumentException](root(
+      """{"passage_dedup": {"id_col": "a", "text_col": "t", "output": "drop"}}"""))
+    assert(e2.getMessage.contains("spans") && e2.getMessage.contains("strip"))
   }
 
   test("audio_dedup node key decodes with defaults and named errors") {

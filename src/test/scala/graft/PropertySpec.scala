@@ -214,4 +214,40 @@ class PropertySpec extends SparkSpec {
       assert(ops.Codecs.parseMeta(enc) == (("gif", w, h)))
     }
   }
+
+  // Random signature corpora with planted duplicate classes and near
+  // misses: the collapsed cluster tier must label EXACTLY like connected
+  // components over the full pair list (on ids any pair touches), and
+  // label every remaining id as its own singleton cluster.
+  private val sigCorpusGen: Gen[List[(Long, Long)]] =
+    Gen.chooseNum(10, 60).flatMap { n =>
+      Gen.listOfN(n, for {
+        base <- Gen.oneOf(0x00ffL, 0x0f0fL, 0x123456789abcdefL, 0x7edcba9876543210L)
+        flip <- Gen.chooseNum(0, 66) // 67 outcomes: some exact, some 1-2 bits off, some far
+        salt <- Gen.chooseNum(0L, 1L << 40)
+      } yield if (flip >= 64) base // duplicate class member
+        else if (flip >= 60) base ^ (1L << (flip % 64)) ^ (1L << ((flip * 7) % 64)) // 2 bits
+        else if (flip >= 48) base ^ (1L << flip) // 1 bit
+        else base ^ salt // scattered
+      ).map(_.zipWithIndex.map { case (s, i) => (i.toLong + 1, s) })
+    }
+
+  test("hammingClusters equals CC over hammingPairs on random sig corpora") {
+    forAll(sigCorpusGen, n = 6) { rows =>
+      val sigs = rows.toDF("id", "sig")
+      for (maxDist <- Seq(0, 3)) {
+        val direct = ops.Dedup.hammingClusters(sigs, "id", "sig", maxDist)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val pairs = ops.Dedup.hammingPairs(sigs, "id", "sig", maxDist)
+        val viaPairs = ops.Dedup.dedupClusters(pairs)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        viaPairs.foreach { case (id, c) =>
+          assert(direct(id) == c, s"maxDist=$maxDist id=$id: ${direct(id)} != $c") }
+        // totality: every id labeled; non-paired ids are their own cluster
+        assert(direct.keySet == rows.map(_._1).toSet)
+        (direct.keySet -- viaPairs.keySet).foreach { id =>
+          assert(direct(id) == id, s"singleton $id got ${direct(id)}") }
+      }
+    }
+  }
 }
