@@ -184,9 +184,26 @@ object Compiler {
     // Near-dup pair detection: the frame becomes (idA, idB, score). Pure
     // plan composition (banded signatures + equi-join — no actions), so it
     // is config-admissible; downstream keys run over the pair frame.
+    // Cluster-output dedup tiers run ITERATIVE connected components
+    // (bounded per-round actions) — batch-only semantics. Refusing by
+    // name beats the confusing analysis error a streaming frame would
+    // throw mid-CC.
+    def requireBatch(key: String): Unit =
+      if (streaming) throw new IllegalArgumentException(
+        s"node ${node.id}: $key output=clusters runs iterative connected " +
+          "components — batch-only; streaming ingestion dedups via " +
+          "near_dup_ingest (the persisted-index path) instead")
+
     node.nearDup.foreach { d =>
       df = graft.ops.Similarity.cosineNearDupPairsBanded(
         df, d.idCol, d.vecCol, d.threshold, d.dim, d.numBits, d.bands)
+      // "clusters": connected components over the verified pairs — the
+      // frame becomes (id, cluster) labels, matching the perceptual
+      // tiers' cluster output shape.
+      if (d.output == "clusters") {
+        requireBatch("near_dup")
+        df = graft.ops.Dedup.dedupClusters(df)
+      }
     }
 
     // Edit-distance near-dup: the frame becomes (idA, idB, dist, sim) —
@@ -205,10 +222,11 @@ object Compiler {
     // (partition-batched dHash + identical-signature-collapsed banding).
     node.imageDedup.foreach { im =>
       df =
-        if (im.output == "clusters")
+        if (im.output == "clusters") {
+          requireBatch("image_dedup")
           graft.ops.Multimodal.imageNearDupClusters(
             df, im.idCol, im.payloadCol, im.maxDist)
-        else
+        } else
           graft.ops.Multimodal.imageNearDupPairs(
             df, im.idCol, im.payloadCol, im.maxDist)
     }
@@ -216,10 +234,11 @@ object Compiler {
     // Perceptual audio dedup: same shapes over the envelope hash.
     node.audioDedup.foreach { au =>
       df =
-        if (au.output == "clusters")
+        if (au.output == "clusters") {
+          requireBatch("audio_dedup")
           graft.ops.Multimodal.audioNearDupClusters(
             df, au.idCol, au.payloadCol, au.maxDist)
-        else
+        } else
           graft.ops.Multimodal.audioNearDupPairs(
             df, au.idCol, au.payloadCol, au.maxDist)
     }
@@ -228,6 +247,12 @@ object Compiler {
     // duplicate-passage token spans; "strip" keeps it and adds
     // clean_text + dropped_tokens. Plan-only composition.
     node.passageDedup.foreach { pd =>
+      // Non-time window functions (occurrence ranking) are illegal on
+      // streams — name the refusal instead of leaking Spark's analysis
+      // error. Streaming corpora dedup via near_dup_ingest.
+      if (streaming) throw new IllegalArgumentException(
+        s"node ${node.id}: passage_dedup ranks occurrences with " +
+          "corpus-wide window functions — batch-only")
       df =
         if (pd.output == "strip")
           graft.ops.Dedup.stripDuplicatePassages(

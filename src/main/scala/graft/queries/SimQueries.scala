@@ -98,6 +98,41 @@ object SimQueries extends QueryPack {
       AND ${duckCosine("a.embedding", "b.embedding")} >= 0.4
     ORDER BY idA ASC NULLS FIRST, idB ASC NULLS FIRST"""
 
+  // q138 — the embedding CLUSTER tier from PURE JSON ("output":
+  // "clusters" on the `near_dup` node key — the shape consistency that
+  // lets one config switch any dedup tier from pair lists to labels):
+  // q46's regime (banded == exact at every SF on this corpus), then
+  // connected components over the verified pairs. Oracle = the exact
+  // cosine pair set + q45's recursive-CTE closure → min-id labels.
+  private def q138(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "embeddings"},
+       "filters": ["vec_id % 3 = 0"],
+       "near_dup": {"id_col": "vec_id", "vec_col": "embedding",
+                    "threshold": 0.4, "dim": 64, "num_bits": 32,
+                    "bands": 16, "output": "clusters"},
+       "order_by": ["id asc"]}""")
+  }
+  private val q138Sql = s"""
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0),
+    pairs AS (
+      SELECT a.vec_id AS idA, b.vec_id AS idB
+      FROM sub a, sub b
+      WHERE a.vec_id < b.vec_id
+        AND ${duckCosine("a.embedding", "b.embedding")} >= 0.4),
+    edges AS (SELECT idA AS src, idB AS dst FROM pairs
+              UNION ALL SELECT idB, idA FROM pairs),
+    reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src
+        WHERE e.dst <> r.a)
+      SELECT * FROM r)
+    SELECT a AS id, LEAST(a, MIN(b)) AS cluster
+    FROM reach GROUP BY a ORDER BY id ASC NULLS FIRST"""
+
   // --- q64: the PRODUCTION near-dup regime ------------------------------
   // The fixture corpus is near-random (max cosine ≈ 0.51), so a τ ≥ 0.8
   // query needs a planted high-similarity slice: every 10th vector gets a
@@ -267,6 +302,7 @@ object SimQueries extends QueryPack {
     Q("q66_config_neardup", q66, Some(q64Sql)),
     Q("q70_quantized_neardup", q70, Some(q70Sql)),
     Q("q92_ann_topk_full", q92, Some(bruteTopKSql(3))),
-    Q("q93_ivf_topk_full", q93, Some(bruteTopKSql(3)))
+    Q("q93_ivf_topk_full", q93, Some(bruteTopKSql(3))),
+    Q("q138_config_embedding_clusters", q138, Some(q138Sql))
   )
 }

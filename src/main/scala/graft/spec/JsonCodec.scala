@@ -189,7 +189,12 @@ object JsonCodec {
         threshold = req(d, s"node $id: near_dup", "threshold").asDouble,
         dim = req(d, s"node $id: near_dup", "dim").asInt,
         numBits = opt(d, "num_bits", "numBits").map(_.asInt).getOrElse(64),
-        bands = opt(d, "bands").map(_.asInt).getOrElse(8))
+        bands = opt(d, "bands").map(_.asInt).getOrElse(8),
+        output = opt(d, "output").map(_.asText).map {
+          case s @ ("pairs" | "clusters") => s
+          case other => throw new IllegalArgumentException(
+            s"""node $id: near_dup output must be "pairs" or "clusters" — got "$other"""")
+        }.getOrElse("pairs"))
     }
 
     val ed = opt(n, "edit_dedup", "editDedup").map { d =>

@@ -221,14 +221,19 @@ final case class WatermarkSpec(col: String, delay: String)
   * (the LSH→verify→cluster dedup PIPELINE is iterative and stays in the
   * Scala API). Defaults are the production regime: numBits 64, bands 8.
   * Downstream node keys (aggregate, top_k, order_by…) then run over the
-  * pair frame. */
+  * pair frame. `output` = "clusters" instead runs connected components
+  * over the verified pairs and rewrites the frame to (id, cluster)
+  * labels (min-id representative — the q45/q53 convention), matching the
+  * perceptual tiers' cluster output; ids in no pair are absent (they
+  * were never candidates). */
 final case class NearDupSpec(
     idCol: String,
     vecCol: String,
     threshold: Double,
     dim: Int,
     numBits: Int = 64,
-    bands: Int = 8
+    bands: Int = 8,
+    output: String = "pairs"
 )
 
 /** Edit-distance near-dup pairs (NS; Dedup.blockedCandidatePairs →

@@ -111,9 +111,19 @@ class JsonCodecSpec extends AnyFunSuite {
     val d = n.nearDup.get
     assert(d.idCol == "vec_id" && d.threshold == 0.8 && d.dim == 64)
     assert(d.numBits == 64 && d.bands == 8) // production defaults
+    assert(d.output == "pairs")
+    assert(root("""
+      {"source": {"table": "embeddings"},
+       "near_dup": {"id_col": "a", "vec_col": "v", "threshold": 0.8,
+                    "dim": 64, "output": "clusters"}}""")
+      .nearDup.get.output == "clusters")
     val e = intercept[IllegalArgumentException](root(
       """{"near_dup": {"id_col": "a", "vec_col": "v", "dim": 64}}"""))
     assert(e.getMessage.contains("threshold"))
+    val e2 = intercept[IllegalArgumentException](root(
+      """{"near_dup": {"id_col": "a", "vec_col": "v", "threshold": 0.8,
+                       "dim": 64, "output": "graph"}}"""))
+    assert(e2.getMessage.contains("pairs") && e2.getMessage.contains("clusters"))
   }
 
   test("edit_dedup node key decodes with defaults and named errors") {

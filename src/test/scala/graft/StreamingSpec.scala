@@ -599,4 +599,35 @@ class StreamingSpec extends SparkSpec {
          "save": {"path": "$base/out", "format": "parquet"}}"""))
     assert(eBoth.getMessage.contains("one or the other"), eBoth.getMessage)
   }
+
+  test("cluster-output and passage dedup keys reject streaming compiles by name") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-batchonly").toString
+    val inDir = s"$base/in"
+    Seq((1L, "alpha beta", Array(0.1f, 0.2f)))
+      .toDF("doc_id", "text", "embedding").write.parquet(inDir)
+    def rejects(nodeJson: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException](
+        graft.compile.Compiler.compileStreamJson(spark, s"""
+          {"source": {"path": "$inDir"}, $nodeJson,
+           "save": {"path": "$base/out", "format": "parquet",
+                    "checkpoint": "$base/ck"}}"""))
+      assert(e.getMessage.contains(needle), e.getMessage)
+    }
+    rejects(""""near_dup": {"id_col": "doc_id", "vec_col": "embedding",
+               "threshold": 0.4, "dim": 2, "output": "clusters"}""",
+      "batch-only")
+    rejects(""""image_dedup": {"id_col": "doc_id", "payload_col": "text",
+               "output": "clusters"}""", "batch-only")
+    rejects(""""passage_dedup": {"id_col": "doc_id", "text_col": "text"}""",
+      "batch-only")
+    // the pair shapes stay streaming-admissible in principle — only the
+    // iterative cluster tier is named off; batch compiles are untouched
+    val ok = graft.compile.Compiler.compileJson(spark, s"""
+      {"source": {"path": "$inDir"},
+       "passage_dedup": {"id_col": "doc_id", "text_col": "text",
+                         "window_tokens": 2}}""")
+    assert(ok.columns.toSeq ==
+      Seq("doc_id", "span_start", "span_end", "dup_windows"))
+  }
 }
