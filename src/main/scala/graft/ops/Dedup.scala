@@ -573,12 +573,25 @@ object Dedup {
   ): DataFrame = {
     require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
     import org.apache.spark.sql.expressions.Window
-    val wins = df.select(col(idCol).as("__id"),
-      posexplode(graft.functions.TextKernels.windowFingerprints(col(textCol), windowTokens))
-        .as(Seq("pos", "fp")))
+    val wins = windowOccurrences(df, idCol, textCol, windowTokens)
     val byFp = Window.partitionBy("fp").orderBy(col("__id"), col("pos"))
     val dups = wins.withColumn("__rn", row_number().over(byFp))
       .filter(col("__rn") > 1)
+    mergeDupWindowSpans(dups, idCol, windowTokens)
+  }
+
+  /** (__id, pos, fp) for every `windowTokens`-token window of every doc. */
+  private def windowOccurrences(
+      df: DataFrame, idCol: String, textCol: String, windowTokens: Int): DataFrame =
+    df.select(col(idCol).as("__id"),
+      posexplode(graft.functions.TextKernels.windowFingerprints(col(textCol), windowTokens))
+        .as(Seq("pos", "fp")))
+
+  /** Gaps-and-islands merge of duplicate window positions (__id, pos)
+    * into maximal spans — shared by the batch and incremental tiers. */
+  private def mergeDupWindowSpans(
+      dups: DataFrame, idCol: String, windowTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy("__id").orderBy("pos")
     dups
       .withColumn("__brk",
@@ -591,6 +604,58 @@ object Dedup {
         count(lit(1)).as("dup_windows"))
       .select(col("__id").as(idCol), col("span_start"), col("span_end"),
         col("dup_windows"))
+  }
+
+  /** The persistable corpus index for INCREMENTAL substring dedup: the
+    * DISTINCT window fingerprints of a corpus — 8 bytes per distinct
+    * passage, the substring-granularity sibling of [[minhashBandIndex]].
+    * Append each admitted batch's index rows and keep probing; duplicate
+    * fp rows across appends are harmless (the probe is a semi-join) —
+    * compact with `DISTINCT` when the file count grows. Must be built
+    * with the SAME `windowTokens` as the probe (fps carry no parameter
+    * metadata — persist the window size alongside, the
+    * [[nearDupAgainstCorpus]] convention). */
+  def passageWindowIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 50
+  ): DataFrame =
+    windowOccurrences(df, idCol, textCol, windowTokens)
+      .select("fp").distinct()
+
+  /** Incremental SUBSTRING-level dedup — [[duplicatePassageSpans]] for a
+    * corpus that grows batch by batch: a window occurrence in the
+    * INCOMING batch is duplicate if the same passage occurred earlier in
+    * the batch ((id, pos) order) OR exists in `corpusWindows` (the
+    * persisted [[passageWindowIndex]] — in which case EVERY batch
+    * occurrence is duplicate, including the batch-first). Returns the
+    * merged spans, (idCol, span_start, span_end, dup_windows).
+    *
+    * Order-independent given the index (history membership is a set
+    * test), hence exactly oracle-mirrorable. Scale posture: both tiers
+    * are batch-shaped — one window shuffle on fp ranks in-batch
+    * occurrences, one semi-join probes the index; history text is never
+    * re-read (the index IS 8-byte fps). */
+  def passageDedupAgainstCorpus(
+      incoming: DataFrame,
+      corpusWindows: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 50
+  ): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
+    require(corpusWindows.columns.toSet == Set("fp"),
+      s"corpusWindows must be passageWindowIndex output (fp), " +
+        s"got ${corpusWindows.columns.mkString(", ")}")
+    import org.apache.spark.sql.expressions.Window
+    val wins = windowOccurrences(incoming, idCol, textCol, windowTokens)
+    val byFp = Window.partitionBy("fp").orderBy(col("__id"), col("pos"))
+    val inBatch = wins.withColumn("__rn", row_number().over(byFp))
+      .filter(col("__rn") > 1).select("__id", "pos")
+    val seen = wins.join(corpusWindows, Seq("fp"), "left_semi")
+      .select("__id", "pos")
+    mergeDupWindowSpans(inBatch.union(seen).distinct(), idCol, windowTokens)
   }
 
   /** [[duplicatePassageSpans]] applied: returns the input plus

@@ -475,6 +475,64 @@ object DedupQueries extends QueryPack {
            CAST(len(t) - len(kept) AS BIGINT) AS dropped_tokens
     FROM applied ORDER BY doc_id ASC NULLS FIRST"""
 
+  // q139 — INCREMENTAL substring dedup: the corpus/incoming split of q97
+  // at passage granularity. Corpus = doc_id % 3 != 0 (its persisted
+  // window index is built in-query); incoming = doc_id % 3 = 0. A window
+  // in the incoming batch is duplicate if seen earlier in the batch or
+  // present in the index (then EVERY batch occurrence is, including the
+  // first). Exact windowed-fingerprint oracle — order-independence is
+  // what makes the incremental tier hash-checkable.
+  private def q139(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val incoming = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val index = Dedup.passageWindowIndex(corpus, "doc_id", "text", winTok)
+    Dedup.passageDedupAgainstCorpus(incoming, index, "doc_id", "text", winTok)
+      .orderBy(col("doc_id").asc_nulls_first, col("span_start").asc_nulls_first)
+  }
+  private val q139Sql = s"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS t
+      FROM documents),
+    th AS (
+      SELECT doc_id, list_transform(t, tok ->
+        list_reduce(list_prepend(CAST(7 AS BIGINT),
+          list_transform(range(1, len(tok) + 1), i -> CAST(ascii(tok[i]) AS BIGINT))),
+          (a, c) -> (a * 131 + c) % 1000000007)) AS h
+      FROM toks),
+    wins AS (
+      SELECT doc_id, unnest([{'pos': p, 'fp':
+          list_reduce(list_prepend(CAST(0 AS BIGINT), h[p + 1 : p + $winTok]),
+            (a, x) -> (a * 31 + x) % 1000000007)}
+        for p in range(0, greatest(len(h) - ${winTok - 1}, 0))], recursive := true)
+      FROM th),
+    corp AS (SELECT DISTINCT fp FROM wins WHERE doc_id % 3 <> 0),
+    inc AS (SELECT doc_id, pos, fp FROM wins WHERE doc_id % 3 = 0),
+    ranked AS (
+      SELECT doc_id, pos, fp,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn
+      FROM inc),
+    dup AS (
+      SELECT doc_id, pos FROM ranked WHERE rn > 1
+      UNION
+      SELECT doc_id, pos FROM inc WHERE fp IN (SELECT fp FROM corp)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $winTok
+                  THEN 0 ELSE 1 END AS brk
+      FROM dup),
+    isl2 AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl)
+    SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start,
+           CAST(MAX(pos) + $winTok AS INT) AS span_end,
+           COUNT(*) AS dup_windows
+    FROM isl2 GROUP BY doc_id, island
+    ORDER BY doc_id ASC NULLS FIRST, span_start ASC NULLS FIRST"""
+
   // q133 — q131 from PURE JSON: the `passage_dedup` node key end to end,
   // same oracle (config path == API path is the hash-checked claim).
   private def q133(s: SparkSession, dir: String): DataFrame = {
@@ -503,6 +561,7 @@ object DedupQueries extends QueryPack {
     Q("q113_lsh_recall_gate", q113, Some(q113Sql)),
     Q("q131_passage_dedup", q131, Some(q131Sql)),
     Q("q132_passage_strip", q132, Some(q132Sql)),
-    Q("q133_config_passage_dedup", q133, Some(q131Sql))
+    Q("q133_config_passage_dedup", q133, Some(q131Sql)),
+    Q("q139_incremental_passage_dedup", q139, Some(q139Sql))
   )
 }

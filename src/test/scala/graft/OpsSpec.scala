@@ -157,6 +157,32 @@ class OpsSpec extends SparkSpec {
     assert(cleaned(4L) == ("and then again", 12L))
   }
 
+  test("incremental passage dedup: corpus hits mark every occurrence, batch hits later ones") {
+    val passage = (1 to 6).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq((100L, s"archive doc holding $passage safely stored")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, s"$passage fresh tail words"),       // corpus hit → span incl. FIRST occurrence
+      (2L, "totally novel content nothing repeated here at all"),
+      (3L, s"aa bb cc dd ee ff and then aa bb cc dd ee ff")  // in-batch self-repeat
+    ).toDF("doc_id", "text")
+    val index = Dedup.passageWindowIndex(corpus, "doc_id", "text", windowTokens = 6)
+    assert(index.columns.toSeq == Seq("fp"))
+    val spans = Dedup.passageDedupAgainstCorpus(incoming, index, "doc_id", "text", 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    // doc 1: corpus passage at tokens [0, 6) — the batch-FIRST occurrence
+    // is still a duplicate (history owns it); doc 3: second copy at [8, 14)
+    assert(spans.toSet == Set((1L, 0, 6, 1L), (3L, 8, 14, 1L)), s"got ${spans.toSeq}")
+    // an empty index degrades to plain in-batch passage dedup
+    val solo = Dedup.passageDedupAgainstCorpus(
+        incoming, index.limit(0), "doc_id", "text", 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(solo.toSet == Set((3L, 8, 14, 1L)), s"got ${solo.toSeq}")
+    // wrong index schema is a named error
+    val err = intercept[IllegalArgumentException](
+      Dedup.passageDedupAgainstCorpus(incoming, corpus, "doc_id", "text", 6))
+    assert(err.getMessage.contains("passageWindowIndex"))
+  }
+
   test("hammingPairs: identical-signature collapse keeps band candidates linear") {
     // the web-scale skew case: a 1000-copy duplicate class (one spacer-GIF
     // dHash re-encoded 1000 times) plus two near sigs and one far sig
