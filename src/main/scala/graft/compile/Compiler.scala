@@ -117,6 +117,11 @@ object Compiler {
         s"node ${node.id}: near_dup_ingest is a STREAMING ROOT sink — " +
           "compile with compileStreamJson and declare it on the root node " +
           "(for the batch shape, use the dedup/near-dup pipeline operators)")
+    if (node.passageIngest.isDefined)
+      throw new IllegalArgumentException(
+        s"node ${node.id}: passage_ingest is a STREAMING ROOT sink — " +
+          "compile with compileStreamJson and declare it on the root node " +
+          "(for the batch shape, use passage_dedup / stripPassagesAgainstCorpus)")
     var df = input.getOrElse(node.combine match {
       case Some(c) =>
         val parts = c.nodes.map(n => compileNode(spark, n, None, executeSinks, streaming))
@@ -565,11 +570,17 @@ object Compiler {
             .foreach(warnIgnored(_, isRoot = false))
         }
         warnIgnored(root, isRoot = true)
-        val out = compileNode(spark, root.copy(nearDupIngest = None),
+        val out = compileNode(spark,
+          root.copy(nearDupIngest = None, passageIngest = None),
           Some(readStreamSource(spark, src)),
           executeSinks = false, streaming = true)
-        root.nearDupIngest match {
-          case Some(ing) =>
+        (root.nearDupIngest, root.passageIngest) match {
+          case (Some(_), Some(_)) =>
+            throw new IllegalArgumentException(
+              "near_dup_ingest and passage_ingest are both root sinks — " +
+                "declare one per stream (chain them as two streams over " +
+                "the first sink's corpus directory)")
+          case (Some(ing), None) =>
             // the ingest's foreachBatch IS the sink — a root `save` beside
             // it would silently lose one of the two; reject loudly
             if (root.save.isDefined)
@@ -579,7 +590,14 @@ object Compiler {
               out, ing.idCol, ing.textCol, ing.corpusDir, ing.indexDir,
               ing.checkpointDir, ing.shingleSize, ing.numHashes, ing.bands,
               ing.threshold)
-          case None =>
+          case (None, Some(ing)) =>
+            if (root.save.isDefined)
+              throw new IllegalArgumentException(
+                "passage_ingest replaces the root save sink — declare one or the other")
+            graft.streaming.Streaming.passageIngest(
+              out, ing.idCol, ing.textCol, ing.corpusDir, ing.indexDir,
+              ing.checkpointDir, ing.windowTokens)
+          case (None, None) =>
             val sink = root.save.getOrElse(
               throw new IllegalArgumentException("streaming pipeline needs a root save sink"))
             startStreamSink(out, sink)

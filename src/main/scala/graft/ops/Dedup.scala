@@ -667,8 +667,37 @@ object Dedup {
       idCol: String,
       textCol: String,
       windowTokens: Int = 50
+  ): DataFrame =
+    applyPassageSpans(df, idCol, textCol,
+      duplicatePassageSpans(df, idCol, textCol, windowTokens))
+
+  /** [[stripDuplicatePassages]] against a persisted
+    * [[passageWindowIndex]]: spans come from [[passageDedupAgainstCorpus]]
+    * (in-batch AND history duplicates), applied the same way. A doc whose
+    * every token is duplicated comes out with empty `clean_text` —
+    * filter on `dropped_tokens < token count` (or non-empty clean_text)
+    * to drop full duplicates. */
+  def stripPassagesAgainstCorpus(
+      incoming: DataFrame,
+      corpusWindows: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 50
+  ): DataFrame =
+    applyPassageSpans(incoming, idCol, textCol,
+      passageDedupAgainstCorpus(incoming, corpusWindows, idCol, textCol, windowTokens))
+
+  /** Apply a duplicate-span frame (idCol, span_start, span_end, …) to the
+    * docs: tokens inside any span removed, survivors re-joined with
+    * single spaces. The span join is per-doc metadata, never a pair
+    * list. */
+  private def applyPassageSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanFrame: DataFrame
   ): DataFrame = {
-    val spans = duplicatePassageSpans(df, idCol, textCol, windowTokens)
+    val spans = spanFrame
       .groupBy(col(idCol))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__drops"))
     df.join(spans, Seq(idCol), "left")

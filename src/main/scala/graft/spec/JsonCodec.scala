@@ -406,6 +406,16 @@ object JsonCodec {
           numHashes = opt(d, "num_hashes", "numHashes").map(_.asInt).getOrElse(64),
           bands = opt(d, "bands").map(_.asInt).getOrElse(16),
           threshold = opt(d, "threshold").map(_.asDouble).getOrElse(0.5))
+      },
+      passageIngest = opt(n, "passage_ingest", "passageIngest").map { d =>
+        val ctx = s"node $id: passage_ingest"
+        PassageIngestSpec(
+          idCol = req(d, ctx, "id_col", "idCol").asText,
+          textCol = req(d, ctx, "text_col", "textCol").asText,
+          corpusDir = req(d, ctx, "corpus_dir", "corpusDir").asText,
+          indexDir = req(d, ctx, "index_dir", "indexDir").asText,
+          checkpointDir = req(d, ctx, "checkpoint_dir", "checkpointDir").asText,
+          windowTokens = opt(d, "window_tokens", "windowTokens").map(_.asInt).getOrElse(50))
       }
     )
   }

@@ -433,6 +433,22 @@ final case class NearDupIngestSpec(
     threshold: Double = 0.5
 )
 
+/** Continuous substring-level dedup ingestion (NS;
+  * Streaming.passageIngest): the [[NearDupIngestSpec]] contract at
+  * passage granularity — each micro-batch strips spans duplicated
+  * in-batch or against the persisted window-fingerprint index, appends
+  * the CLEANED docs to `corpusDir` and their window fps to `indexDir`.
+  * Streaming-only root sink; batch compiles and a root `save` beside it
+  * reject by name. */
+final case class PassageIngestSpec(
+    idCol: String,
+    textCol: String,
+    corpusDir: String,
+    indexDir: String,
+    checkpointDir: String,
+    windowTokens: Int = 50
+)
+
 /** One pipeline node = the reference's per-config processing unit:
   * source → filters → keep_columns → aggregate → rename → withColumns →
   * bitemporal → join children → orderBy → save.
@@ -468,7 +484,8 @@ final case class NodeSpec(
     orderBy: Seq[String] = Nil, // "col", "col asc", "col desc" [nulls first|last]
     limit: Option[Int] = None,
     save: Option[SinkSpec] = None,
-    nearDupIngest: Option[NearDupIngestSpec] = None // streaming-only root sink
+    nearDupIngest: Option[NearDupIngestSpec] = None, // streaming-only root sink
+    passageIngest: Option[PassageIngestSpec] = None // streaming-only root sink
 )
 
 /** Iteration×level cascade (ref: `Optimus/optimus.py:40-51`): one source,

@@ -281,6 +281,58 @@ object Streaming {
       }
       .start()
 
+  /** Continuous SUBSTRING-level dedup ingestion — [[nearDupIngest]]'s
+    * pattern at passage granularity: each micro-batch strips token spans
+    * duplicated within the batch or against the persisted
+    * [[graft.ops.Dedup.passageWindowIndex]] at `indexDir`
+    * ([[graft.ops.Dedup.stripPassagesAgainstCorpus]]), appends the
+    * CLEANED docs (textCol := clean_text; fully-duplicated docs — empty
+    * clean_text — are dropped) to `corpusDir` and the cleaned docs'
+    * distinct window fingerprints to the index. History lives in the
+    * 8-byte-fp index, never in watermark state (passage history is
+    * unbounded and restart-shared); per-batch `batch=` partition
+    * overwrites make replays idempotent, and a replayed batch's own
+    * crashed write is excluded from its probe (the [[nearDupIngest]]
+    * crash-consistency contract). The indexed corpus is the CLEANED
+    * text — junction windows created by a strip enter history with it. */
+  def passageIngest(
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      corpusDir: String,
+      indexDir: String,
+      checkpointDir: String,
+      windowTokens: Int = 50
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        def seeded(dir: String): Boolean = {
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+          fs.exists(new org.apache.hadoop.fs.Path(dir)) &&
+            fs.listStatus(new org.apache.hadoop.fs.Path(dir)).nonEmpty
+        }
+        val index =
+          if (seeded(indexDir))
+            s.read.parquet(indexDir).filter(col("batch") =!= batchId).select("fp")
+          else graft.ops.Dedup.passageWindowIndex(
+            batch.limit(0), idCol, textCol, windowTokens)
+        val cleaned = graft.ops.Dedup.stripPassagesAgainstCorpus(
+            batch, index, idCol, textCol, windowTokens)
+          .filter(length(col("clean_text")) > 0) // full duplicates drop
+          .select(batch.columns.map(c =>
+            (if (c == textCol) col("clean_text") else col(c)).as(c)): _*)
+          .persist()
+        try {
+          cleaned.write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
+          graft.ops.Dedup.passageWindowIndex(cleaned, idCol, textCol, windowTokens)
+            .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+        } finally cleaned.unpersist()
+      }
+      .start()
+
   /** Session windows: groups rows of one key whose gaps are < `gap`;
     * window = [first event, last event + gap). Streaming state is one
     * open session per key, merged/closed by watermark. */

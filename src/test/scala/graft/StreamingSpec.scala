@@ -600,6 +600,127 @@ class StreamingSpec extends SparkSpec {
     assert(eBoth.getMessage.contains("one or the other"), eBoth.getMessage)
   }
 
+  test("passageIngest: later batches strip passages seen in earlier ones; cleaned text is what enters history") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val base = java.nio.file.Files.createTempDirectory("graft_pi").toString
+    def corpusText(): Map[Long, String] =
+      spark.read.parquet(s"$base/corpus").select("doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val q = Streaming.passageIngest(
+      mem.toDF.toDF("doc_id", "text"), "doc_id", "text",
+      s"$base/corpus", s"$base/index", s"$base/ckpt", windowTokens = 3)
+    try {
+      mem.addData(
+        (1L, "alpha beta gamma delta"),
+        (2L, "one two three four five"))
+      q.processAllAvailable()
+      assert(corpusText() == Map(
+        1L -> "alpha beta gamma delta", 2L -> "one two three four five"),
+        "first batch has no history — everything admitted untouched")
+
+      mem.addData(
+        (3L, "alpha beta gamma zeta eta theta"), // window [alpha beta gamma] is history → span [0,3) stripped
+        (4L, "alpha beta gamma delta"),          // every window in history → empty clean_text → dropped
+        (5L, "fresh words nobody else uses"),    // batch-first of an in-batch pair → kept whole
+        (6L, "fresh words nobody else uses"))    // in-batch dup of 5 → empty → dropped
+      q.processAllAvailable()
+      val after2 = corpusText()
+      assert(after2.keySet == Set(1L, 2L, 3L, 5L),
+        s"4 and 6 are full duplicates and must drop: got ${after2.keySet}")
+      assert(after2(3L) == "zeta eta theta",
+        s"doc 3's duplicated leading passage must be stripped: got '${after2(3L)}'")
+      assert(after2(5L) == "fresh words nobody else uses")
+
+      // RESTART: fresh query on the same dirs — history must carry over,
+      // and the history for doc 3 must be its CLEANED text (the window
+      // [zeta eta theta] of the stripped doc, not the raw input's)
+      q.stop()
+      val q2 = Streaming.passageIngest(
+        mem.toDF.toDF("doc_id", "text"), "doc_id", "text",
+        s"$base/corpus", s"$base/index", s"$base/ckpt", windowTokens = 3)
+      try {
+        mem.addData(
+          (7L, "zeta eta theta more stuff here"), // probes doc 3's cleaned windows
+          (8L, "utterly distinct tokens appear once only"))
+        q2.processAllAvailable()
+        val after3 = corpusText()
+        assert(after3.keySet == Set(1L, 2L, 3L, 5L, 7L, 8L), after3.keySet.toString)
+        assert(after3(7L) == "more stuff here",
+          s"doc 7 must strip against pre-restart CLEANED history: got '${after3(7L)}'")
+        assert(after3(8L) == "utterly distinct tokens appear once only")
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
+  test("passage_ingest config: same strip decisions as the API path; guard rails by name") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_pi_cfg").toString
+    val inDir = s"$base/in"
+    def push(rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(inDir)
+    val json = s"""
+      {"source": {"path": "$inDir"},
+       "passage_ingest": {"id_col": "doc_id", "text_col": "text",
+                          "corpus_dir": "$base/corpus",
+                          "index_dir": "$base/index",
+                          "checkpoint_dir": "$base/ckpt",
+                          "window_tokens": 3}}"""
+    def corpusText(): Map[Long, String] =
+      spark.read.parquet(s"$base/corpus").select("doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    push((1L, "alpha beta gamma delta"), (2L, "one two three four five"))
+    val q = graft.compile.Compiler.compileStreamJson(spark, json)
+    try {
+      q.processAllAvailable()
+      push((3L, "alpha beta gamma zeta eta theta"),
+        (4L, "alpha beta gamma delta"))
+      q.processAllAvailable()
+      val after = corpusText()
+      assert(after.keySet == Set(1L, 2L, 3L), after.keySet.toString)
+      assert(after(3L) == "zeta eta theta",
+        s"config path strip decisions diverged: got '${after(3L)}'")
+    } finally q.stop()
+    // restart from the SAME json: cleaned-text history carries over
+    val q2 = graft.compile.Compiler.compileStreamJson(spark, json)
+    try {
+      push((5L, "zeta eta theta more stuff here"))
+      q2.processAllAvailable()
+      assert(corpusText()(5L) == "more stuff here",
+        "restarted config stream must strip against pre-restart cleaned history")
+    } finally q2.stop()
+    // guard rails: batch compile, save beside the sink, and two root
+    // ingest sinks on one stream all reject by name
+    val eBatch = intercept[IllegalArgumentException](
+      graft.compile.Compiler.compileJson(spark, s"""
+        {"source": {"path": "$inDir"},
+         "passage_ingest": {"id_col": "doc_id", "text_col": "text",
+                            "corpus_dir": "$base/c2", "index_dir": "$base/i2",
+                            "checkpoint_dir": "$base/k2"}}"""))
+    assert(eBatch.getMessage.contains("STREAMING"), eBatch.getMessage)
+    val eBoth = intercept[IllegalArgumentException](
+      graft.compile.Compiler.compileStreamJson(spark, s"""
+        {"source": {"path": "$inDir"},
+         "passage_ingest": {"id_col": "doc_id", "text_col": "text",
+                            "corpus_dir": "$base/c3", "index_dir": "$base/i3",
+                            "checkpoint_dir": "$base/k3"},
+         "save": {"path": "$base/out", "format": "parquet"}}"""))
+    assert(eBoth.getMessage.contains("one or the other"), eBoth.getMessage)
+    val eTwo = intercept[IllegalArgumentException](
+      graft.compile.Compiler.compileStreamJson(spark, s"""
+        {"source": {"path": "$inDir"},
+         "near_dup_ingest": {"id_col": "doc_id", "text_col": "text",
+                             "corpus_dir": "$base/c4", "index_dir": "$base/i4",
+                             "checkpoint_dir": "$base/k4"},
+         "passage_ingest": {"id_col": "doc_id", "text_col": "text",
+                            "corpus_dir": "$base/c5", "index_dir": "$base/i5",
+                            "checkpoint_dir": "$base/k5"}}"""))
+    assert(eTwo.getMessage.contains("one per stream"), eTwo.getMessage)
+  }
+
   test("cluster-output and passage dedup keys reject streaming compiles by name") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-batchonly").toString
