@@ -252,12 +252,13 @@ object Compiler {
     // duplicate-passage token spans; "strip" keeps it and adds
     // clean_text + dropped_tokens. Plan-only composition.
     node.passageDedup.foreach { pd =>
-      // Non-time window functions (occurrence ranking) are illegal on
-      // streams — name the refusal instead of leaking Spark's analysis
-      // error. Streaming corpora dedup via near_dup_ingest.
+      // Occurrence ranking needs a global order over the whole corpus —
+      // illegal on streams; name the refusal instead of leaking Spark's
+      // analysis error.
       if (streaming) throw new IllegalArgumentException(
-        s"node ${node.id}: passage_dedup ranks occurrences with " +
-          "corpus-wide window functions — batch-only")
+        s"node ${node.id}: passage_dedup ranks occurrences against the " +
+          "whole corpus — batch-only (streaming corpora use the " +
+          "passage_ingest root sink)")
       df =
         if (pd.output == "strip")
           graft.ops.Dedup.stripDuplicatePassages(

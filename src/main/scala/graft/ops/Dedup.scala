@@ -553,10 +553,12 @@ object Dedup {
     *
     * Shape: one scan-stage pass per doc computes ALL window fingerprints
     * (rolling Horner, O(1) per window — [[graft.functions.WindowFingerprints]]),
-    * posexplode to (id, pos, fp), ONE shuffle on fp ranks occurrences
-    * (row_number over (id, pos) — the globally-first occurrence of each
-    * passage survives), one shuffle on id merges surviving duplicate
-    * windows into maximal spans (gaps-and-islands: windows at pos p and
+    * posexplode to (id, pos, fp), a min-struct aggregate + fp join marks
+    * every occurrence that is not the (id, pos)-first of its fingerprint
+    * (the globally-first occurrence of each passage survives — see
+    * [[laterOccurrences]] for why this is an aggregate, not a window
+    * rank), one shuffle on id merges surviving duplicate windows into
+    * maximal spans (gaps-and-islands: windows at pos p and
     * p' ≤ p+windowTokens overlap or touch, so they fuse). Shuffles ∝
     * token count, no suffix array, no all-pairs stage — the 100 TB shape.
     *
@@ -572,12 +574,8 @@ object Dedup {
       windowTokens: Int = 50
   ): DataFrame = {
     require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
-    import org.apache.spark.sql.expressions.Window
     val wins = windowOccurrences(df, idCol, textCol, windowTokens)
-    val byFp = Window.partitionBy("fp").orderBy(col("__id"), col("pos"))
-    val dups = wins.withColumn("__rn", row_number().over(byFp))
-      .filter(col("__rn") > 1)
-    mergeDupWindowSpans(dups, idCol, windowTokens)
+    mergeDupWindowSpans(laterOccurrences(wins), idCol, windowTokens)
   }
 
   /** (__id, pos, fp) for every `windowTokens`-token window of every doc. */
@@ -586,6 +584,22 @@ object Dedup {
     df.select(col(idCol).as("__id"),
       posexplode(graft.functions.TextKernels.windowFingerprints(col(textCol), windowTokens))
         .as(Seq("pos", "fp")))
+
+  /** Occurrences that are NOT the (id, pos)-first of their fingerprint —
+    * the "duplicate" mark of the batch tier. Deliberately an aggregate +
+    * join, not `row_number over (partition by fp)`: a passage duplicated
+    * 10M times (a boilerplate header) would make one window partition
+    * hold all 10M occurrence rows — a hot sort AQE cannot split. The
+    * min-struct aggregate collapses map-side (one row per fp per task)
+    * and the join back on fp is AQE-skew-splittable, so the hottest
+    * passage class costs a split join, never a single-task sort. */
+  private def laterOccurrences(wins: DataFrame): DataFrame = {
+    val firstPerFp = wins.groupBy("fp")
+      .agg(min(struct(col("__id"), col("pos"))).as("__first"))
+    wins.join(firstPerFp, "fp")
+      .filter(struct(col("__id"), col("pos")) =!= col("__first"))
+      .select("__id", "pos")
+  }
 
   /** Gaps-and-islands merge of duplicate window positions (__id, pos)
     * into maximal spans — shared by the batch and incremental tiers. */
@@ -648,11 +662,8 @@ object Dedup {
     require(corpusWindows.columns.toSet == Set("fp"),
       s"corpusWindows must be passageWindowIndex output (fp), " +
         s"got ${corpusWindows.columns.mkString(", ")}")
-    import org.apache.spark.sql.expressions.Window
     val wins = windowOccurrences(incoming, idCol, textCol, windowTokens)
-    val byFp = Window.partitionBy("fp").orderBy(col("__id"), col("pos"))
-    val inBatch = wins.withColumn("__rn", row_number().over(byFp))
-      .filter(col("__rn") > 1).select("__id", "pos")
+    val inBatch = laterOccurrences(wins)
     val seen = wins.join(corpusWindows, Seq("fp"), "left_semi")
       .select("__id", "pos")
     mergeDupWindowSpans(inBatch.union(seen).distinct(), idCol, windowTokens)

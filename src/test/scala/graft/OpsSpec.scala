@@ -157,6 +157,26 @@ class OpsSpec extends SparkSpec {
     assert(cleaned(4L) == ("and then again", 12L))
   }
 
+  test("passage occurrence ranking plans no fp-partitioned window (hot-passage skew posture)") {
+    // a passage duplicated 10M times must never become one window
+    // partition's sort: the ranking is a min-struct aggregate (map-side
+    // combinable) + an fp join (AQE-skew-splittable). Every Window in the
+    // plan partitions by the doc id (the bounded span merge), never fp.
+    val df = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    for (plan <- Seq(
+        Dedup.duplicatePassageSpans(df, "doc_id", "text", 3),
+        Dedup.passageDedupAgainstCorpus(
+          df, Dedup.passageWindowIndex(df.limit(0), "doc_id", "text", 3),
+          "doc_id", "text", 3)).map(_.queryExecution.optimizedPlan)) {
+      val fpWindows = plan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.exists(_.references.exists(_.name == "fp")) => w
+      }
+      assert(fpWindows.isEmpty,
+        s"occurrence ranking regressed to an fp-partitioned window:\n$plan")
+    }
+  }
+
   test("incremental passage dedup: corpus hits mark every occurrence, batch hits later ones") {
     val passage = (1 to 6).map(i => s"tok$i").mkString(" ")
     val corpus = Seq((100L, s"archive doc holding $passage safely stored")).toDF("doc_id", "text")
