@@ -59,7 +59,9 @@ object Compiler {
     * footers). Returns error strings; empty = valid. */
   def validatePipeline(spark: SparkSession, spec: PipelineSpec): Seq[String] = {
     def walk(node: NodeSpec): Seq[String] = {
-      val own = node.source.toSeq.flatMap { s =>
+      // ref sources resolve only inside compile — the analyzer pass below
+      // still covers their column references
+      val own = node.source.toSeq.filter(_.ref.isEmpty).flatMap { s =>
         try validate(readSource(spark, s), node)
         catch { case e: Throwable => Seq(s"node ${node.id}: source unreadable: ${e.getMessage}") }
       }
@@ -67,7 +69,7 @@ object Compiler {
         node.children.flatMap(c => walk(c.node))
     }
     val friendly = spec match {
-      case TreePipeline(root) => walk(root)
+      case TreePipeline(root, defs) => defs.flatMap(walk) ++ walk(root)
       case CascadePipeline(c) =>
         // only level 1 sees the raw source schema; later levels are
         // checked by the analyzer below
@@ -88,8 +90,32 @@ object Compiler {
   def compile(spark: SparkSession, spec: PipelineSpec, input: Option[DataFrame] = None,
       executeSinks: Boolean = true): DataFrame =
     spec match {
-      case TreePipeline(root)  => compileNode(spark, root, input, executeSinks)
-      case CascadePipeline(c)  => compileCascade(spark, c, executeSinks)
+      case TreePipeline(root, defs) =>
+        // Defs compile ONCE, in order (later defs may reference earlier
+        // ones); every ref then shares the same DataFrame — one plan
+        // subtree, reused exchanges, and with cache: true one
+        // materialization. They are definitions, not pipelines: sinks
+        // stay on the root tree.
+        def anyCached(n: NodeSpec): Boolean =
+          n.cache || n.combine.exists(_.nodes.exists(anyCached)) ||
+            n.children.exists(c => anyCached(c.node))
+        defs.foreach { d =>
+          if (d.save.isDefined) throw new IllegalArgumentException(
+            s"def ${d.id}: defs are definitions — sinks live on the root tree")
+          if (d.combine.exists(_.nodes.exists(anyCached)) ||
+              d.children.exists(c => anyCached(c.node)))
+            throw new IllegalArgumentException(
+              s"def ${d.id}: cache applies to the def itself — " +
+                "hoist the nested stage into its own def")
+        }
+        if (anyCached(root)) throw new IllegalArgumentException(
+          "cache is a defs-only key — name the stage in defs and ref it")
+        val refs = defs.foldLeft(Map.empty[String, DataFrame]) { (acc, d) =>
+          val df = compileNode(spark, d, None, executeSinks = false, refs = acc)
+          acc + (d.id -> (if (d.cache) df.persist() else df))
+        }
+        compileNode(spark, root, input, executeSinks, refs = refs)
+      case CascadePipeline(c) => compileCascade(spark, c, executeSinks)
     }
 
   def compileJson(spark: SparkSession, json: String): DataFrame =
@@ -105,7 +131,8 @@ object Compiler {
     * the parent aggregates BEFORE joining children, so joins run on
     * aggregated-parent × aggregated-child (SURVEY §3 EP2 step 6). */
   def compileNode(spark: SparkSession, node: NodeSpec, input: Option[DataFrame] = None,
-      executeSinks: Boolean = true, streaming: Boolean = false): DataFrame = {
+      executeSinks: Boolean = true, streaming: Boolean = false,
+      refs: Map[String, DataFrame] = Map.empty): DataFrame = {
     if (node.combine.isDefined && node.source.isDefined)
       throw new IllegalArgumentException(
         s"node ${node.id}: source and combine are mutually exclusive")
@@ -124,7 +151,7 @@ object Compiler {
           "(for the batch shape, use passage_dedup / stripPassagesAgainstCorpus)")
     var df = input.getOrElse(node.combine match {
       case Some(c) =>
-        val parts = c.nodes.map(n => compileNode(spark, n, None, executeSinks, streaming))
+        val parts = c.nodes.map(n => compileNode(spark, n, None, executeSinks, streaming, refs))
         if (parts.isEmpty)
           throw new IllegalArgumentException(s"node ${node.id}: combine needs nodes")
         c.op match {
@@ -139,10 +166,19 @@ object Compiler {
       case None =>
         val src = node.source.getOrElse(
           throw new IllegalArgumentException(s"node ${node.id}: no source and no input DataFrame"))
-        // `stream: true` sources become readStreams ONLY under a streaming
-        // compile — the identical spec stays batch-runnable for the oracle.
-        if (streaming && src.stream) readStreamSource(spark, src)
-        else readSource(spark, src)
+        src.ref match {
+          // A ref IS a compiled def's frame — shared, not re-inlined.
+          case Some(r) => refs.getOrElse(r, throw new IllegalArgumentException(
+            s"node ${node.id}: unknown ref '$r'" +
+              (if (refs.isEmpty) " — declare it under top-level defs"
+               else s" (defined: ${refs.keys.mkString(", ")})")))
+          case None =>
+            // `stream: true` sources become readStreams ONLY under a
+            // streaming compile — the identical spec stays batch-runnable
+            // for the oracle.
+            if (streaming && src.stream) readStreamSource(spark, src)
+            else readSource(spark, src)
+        }
     })
 
     node.derive.foreach { case (c, e) => df = df.withColumn(c, expr(e)) }
@@ -331,7 +367,7 @@ object Compiler {
     }
 
     node.children.foreach { ch =>
-      var childDf = compileNode(spark, ch.node, None, executeSinks, streaming)
+      var childDf = compileNode(spark, ch.node, None, executeSinks, streaming, refs)
       // Join-strategy hint on the child side ("broadcast", "merge",
       // "shuffle_hash", ...). Catalyst resolves it to the matching physical
       // strategy; unknown hint names would be silently ignored by Spark, so
@@ -555,7 +591,10 @@ object Compiler {
   def compileStream(spark: SparkSession,
       spec: PipelineSpec): org.apache.spark.sql.streaming.StreamingQuery =
     spec match {
-      case TreePipeline(root) =>
+      case TreePipeline(root, defs) =>
+        if (defs.nonEmpty) throw new IllegalArgumentException(
+          "defs are batch-only — a def compiles to a batch frame, which " +
+            "cannot feed a stream (read the stage's sink directory instead)")
         val src = root.source.getOrElse(
           throw new IllegalArgumentException("streaming pipeline needs a root source"))
         // A non-root `save` is a batch-only feature (executeSinks=false in
@@ -692,6 +731,9 @@ object Compiler {
           case "json" => r.json(p)
           case f      => r.format(f).load(p)
         }
+      case _ if s.ref.isDefined => throw new IllegalArgumentException(
+        s"source ref '${s.ref.get}' resolves only inside Compiler.compile " +
+          "(refs address pipeline-level defs)")
       case _ => throw new IllegalArgumentException(s"source needs sql, table or path: $s")
     }
 

@@ -863,10 +863,11 @@ object MultimodalQueries extends QueryPack {
   // and the image stage via key-encoded fixtures ([[keyPixels]]:
   // dHash == mkey by THEOREM, so cluster membership is pure arithmetic —
   // no reliance on corpus-specific hash behavior). Stage wiring uses
-  // single-node union chaining (shuffle-free pass-through) and child
-  // joins where a stage rewrites the frame. Each stage demonstrably
-  // bites at sf0.01: 545 → 165 (url) → 160 (fp) → 145 (lm) → 139
-  // (image) → 10/lang sampled.
+  // top-level defs + ref sources — each stage compiles once and is
+  // SHARED by its two consumers (next stage + self-join scorer child),
+  // with the twice-read stages cached. Each stage demonstrably bites at
+  // sf0.01: 545 → 165 (url) → 160 (fp) → 145 (lm) → 139 (image) →
+  // 10/lang sampled.
   private val flagNll = "3.42"
   private def q137(s: SparkSession, dir: String): DataFrame = {
     graft.Tables.registerViews(s, dir)
@@ -892,24 +893,31 @@ object MultimodalQueries extends QueryPack {
        "keep_columns": ["doc_id3", "lang", "text", "mkey", "fmt", "curl"],
        "rename": {"doc_id3": "doc_id"}}]},
      "dedup": {"keys": ["curl"], "id_col": "doc_id"}}"""
-    val cd = s"""{"id": "cd", "combine": {"op": "union", "nodes": [$union]},
-     "derive": {"norm": "normalize_text(text)", "fp": "doc_fingerprint_portable(norm)"},
-     "dedup": {"keys": ["fp"], "id_col": "doc_id"}}"""
-    val scored = s"""{"id": "sc", "combine": {"op": "union", "nodes": [$cd]},
-     "children": [{"id": "lmn", "combine": {"op": "union", "nodes": [$cd]},
-                   "lm_perplexity": {"id_col": "doc_id", "text_col": "norm"},
-                   "join": {"on": ["doc_id"], "how": "inner"}}]}"""
-    val filtered = s"""{"id": "fl", "combine": {"op": "union", "nodes": [$scored]},
-     "filters": ["nll <= $flagNll"]}"""
-    val img = s"""{"id": "im", "combine": {"op": "union", "nodes": [$filtered]},
-     "children": [{"id": "imc", "combine": {"op": "union", "nodes": [$filtered]},
-                   "derive": {"payload": "if(fmt = 'bmp', key_to_bmp(mkey), key_to_png(mkey))"},
-                   "image_dedup": {"id_col": "doc_id", "payload_col": "payload",
-                                   "max_dist": 0, "output": "clusters"},
-                   "rename": {"id": "doc_id"},
-                   "join": {"on": ["doc_id"], "how": "inner"}}]}"""
+    // Each stage is a top-level def compiled ONCE and ref'd — the cd and
+    // fl stages are each consumed twice (as the next stage's source AND
+    // by that stage's self-join scorer child); inlining them would
+    // recompute the whole upstream per mention. cache: true materializes
+    // the twice-read stages, so the corpus scans + LM train run once.
     graft.compile.Compiler.compileJson(s, s"""
-      {"id": "flagship", "combine": {"op": "union", "nodes": [$img]},
+      {"id": "flagship",
+       "defs": [
+         {"id": "cd", "cache": true, "combine": {"op": "union", "nodes": [$union]},
+          "derive": {"norm": "normalize_text(text)", "fp": "doc_fingerprint_portable(norm)"},
+          "dedup": {"keys": ["fp"], "id_col": "doc_id"}},
+         {"id": "sc", "source": {"ref": "cd"},
+          "children": [{"id": "lmn", "source": {"ref": "cd"},
+                        "lm_perplexity": {"id_col": "doc_id", "text_col": "norm"},
+                        "join": {"on": ["doc_id"], "how": "inner"}}]},
+         {"id": "fl", "cache": true, "source": {"ref": "sc"},
+          "filters": ["nll <= $flagNll"]},
+         {"id": "im", "source": {"ref": "fl"},
+          "children": [{"id": "imc", "source": {"ref": "fl"},
+                        "derive": {"payload": "if(fmt = 'bmp', key_to_bmp(mkey), key_to_png(mkey))"},
+                        "image_dedup": {"id_col": "doc_id", "payload_col": "payload",
+                                        "max_dist": 0, "output": "clusters"},
+                        "rename": {"id": "doc_id"},
+                        "join": {"on": ["doc_id"], "how": "inner"}}]}],
+       "source": {"ref": "im"},
        "filters": ["doc_id = cluster"],
        "derive": {"h": "(doc_id * 2654435761) % 1000000007"},
        "keep_columns": ["doc_id", "lang", "curl", "nll", "h"],

@@ -23,7 +23,24 @@ object JsonCodec {
   def parse(json: String): PipelineSpec = {
     val root = mapper.readTree(json)
     if (root.has("iterations")) CascadePipeline(cascade(root))
-    else TreePipeline(node(root, "root"))
+    else {
+      val defs = opt(root, "defs").map { d =>
+        if (!d.isArray)
+          throw new IllegalArgumentException("defs must be an array of nodes")
+        elems(d).zipWithIndex.map { case (dn, i) =>
+          val nd = node(dn, s"def$i")
+          if (!dn.has("id") && !dn.has("unique_id"))
+            throw new IllegalArgumentException(
+              s"defs[$i]: every def needs an explicit id — refs address it")
+          nd
+        }
+      }.getOrElse(Nil)
+      val dupIds = defs.groupBy(_.id).collect { case (k, vs) if vs.size > 1 => k }
+      if (dupIds.nonEmpty)
+        throw new IllegalArgumentException(
+          s"duplicate def ids: ${dupIds.mkString(", ")}")
+      TreePipeline(node(root, "root"), defs)
+    }
   }
 
   def parseNode(json: String): NodeSpec = node(mapper.readTree(json), "root")
@@ -72,8 +89,8 @@ object JsonCodec {
           else if (p.endsWith(".json") || p.endsWith(".jsonl")) "json"
           else "parquet"
         SourceSpec(format = fmt, path = Some(p))
-      } else
-        SourceSpec(
+      } else {
+        val src = SourceSpec(
           format = opt(s, "format").map(_.asText).getOrElse("parquet"),
           path = opt(s, "path").map(_.asText),
           table = opt(s, "table").map(_.asText),
@@ -81,8 +98,16 @@ object JsonCodec {
           options = opt(s, "options")
             .map(o => fields(o).map { case (k, v) => k -> v.asText }.toMap)
             .getOrElse(Map.empty),
-          stream = opt(s, "stream").exists(_.asBoolean(false))
+          stream = opt(s, "stream").exists(_.asBoolean(false)),
+          ref = opt(s, "ref").map(_.asText)
         )
+        if (src.ref.isDefined &&
+            (src.path.isDefined || src.table.isDefined || src.sql.isDefined))
+          throw new IllegalArgumentException(
+            s"node $id: source ref is exclusive with path/table/sql — " +
+              "a ref IS the frame")
+        src
+      }
     }
 
     val filters: Seq[FilterSpec] = opt(n, "filters", "filter").toSeq.flatMap {
@@ -416,7 +441,8 @@ object JsonCodec {
           indexDir = req(d, ctx, "index_dir", "indexDir").asText,
           checkpointDir = req(d, ctx, "checkpoint_dir", "checkpointDir").asText,
           windowTokens = opt(d, "window_tokens", "windowTokens").map(_.asInt).getOrElse(50))
-      }
+      },
+      cache = opt(n, "cache").exists(_.asBoolean(false))
     )
   }
 

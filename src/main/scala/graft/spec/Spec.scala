@@ -138,20 +138,24 @@ final case class TopKSpec(
   * columns — prefer keying + joins for big inputs. */
 final case class CombineSpec(op: String, nodes: Seq[NodeSpec])
 
-/** Data source. Exactly one of (path+format) / table / sql set.
+/** Data source. Exactly one of (path+format) / table / sql / ref set.
   * Ref: CSV `Optimus/optimus.py:38`, table `Optimus/megatron.py:63-65`,
   * SQL `Optimus/soundwave.py:24-27`. Parquet added for the test corpus.
   * `stream: true` marks a NON-ROOT source as a readStream under
   * `Compiler.compileStream` (the root is always streamed there) — this is
   * how a config declares a stream-stream join. Ignored by batch compiles,
-  * so the identical spec stays batch-runnable (and oracle-checkable). */
+  * so the identical spec stays batch-runnable (and oracle-checkable).
+  * `ref` names a pipeline-level def (NS; [[TreePipeline.defs]]): the
+  * source IS that stage's compiled frame — every reference shares ONE
+  * plan instead of re-inlining (and recomputing) the stage's subtree. */
 final case class SourceSpec(
     format: String = "parquet",
     path: Option[String] = None,
     table: Option[String] = None,
     sql: Option[String] = None,
     options: Map[String, String] = Map.empty,
-    stream: Boolean = false
+    stream: Boolean = false,
+    ref: Option[String] = None
 )
 
 /** Sink (ref: per-node save `pandas/optimus.py:10-12`, per-iteration save
@@ -485,7 +489,8 @@ final case class NodeSpec(
     limit: Option[Int] = None,
     save: Option[SinkSpec] = None,
     nearDupIngest: Option[NearDupIngestSpec] = None, // streaming-only root sink
-    passageIngest: Option[PassageIngestSpec] = None // streaming-only root sink
+    passageIngest: Option[PassageIngestSpec] = None, // streaming-only root sink
+    cache: Boolean = false // defs-only: persist() the compiled stage
 )
 
 /** Iteration×level cascade (ref: `Optimus/optimus.py:40-51`): one source,
@@ -501,7 +506,21 @@ final case class CascadeSpec(
     iterations: Seq[IterationSpec]
 )
 
-/** Root of a parsed config: either a recursive node tree or a cascade. */
+/** Root of a parsed config: either a recursive node tree or a cascade.
+  *
+  * `defs` (NS) are named pipeline stages compiled ONCE, in order (later
+  * defs may reference earlier ones), then shared by every
+  * `{"source": {"ref": id}}` in the root tree. The multi-stage curation
+  * idiom — dedup → score → filter → dedup again, where a stage both
+  * feeds the next and is self-joined by a `children` scorer — otherwise
+  * re-inlines (and recomputes) the whole upstream subtree at every
+  * mention. A def with `cache: true` is `persist()`ed (materialized on
+  * first action, reused after — session-lifetime; `spark.catalog
+  * .clearCache()` releases it); without it, reuse still collapses to one
+  * plan subtree so identical shuffles are reused within a query. Defs
+  * are definitions: sinks stay on the root tree, and streaming compiles
+  * reject defs by name (a batch-compiled frame can't feed a stream). */
 sealed trait PipelineSpec
-final case class TreePipeline(root: NodeSpec) extends PipelineSpec
+final case class TreePipeline(
+    root: NodeSpec, defs: Seq[NodeSpec] = Nil) extends PipelineSpec
 final case class CascadePipeline(cascade: CascadeSpec) extends PipelineSpec

@@ -481,6 +481,65 @@ class CompilerSpec extends SparkSpec {
       s"range join regressed to a nested loop:\n${plan.take(2000)}")
   }
 
+  test("defs/ref: stages compile once and are shared; results equal the inlined spec") {
+    val base = java.nio.file.Files.createTempDirectory("graft_defs").toString
+    Seq(("a", 1L, 5.0), ("a", 2L, 7.0), ("b", 3L, 9.0), ("b", 4L, 1.0))
+      .toDF("k", "id", "v").write.parquet(s"$base/t")
+    // stage: per-k totals; consumed twice (source + self-join child
+    // computing the grand share) — the q137 idiom in miniature
+    val stage = s"""{"id": "tot", "source": {"path": "$base/t"},
+      "aggregate": {"group_by": ["k"],
+                    "aggregations": [{"col": "v", "func": "sum", "new_name": "sv"}]}}"""
+    def joined(src: String) = s""""id": "j", $src,
+      "children": [{"id": "g", $src,
+                    "aggregate": {"aggregations": [{"col": "sv", "func": "sum", "new_name": "gv"}]},
+                    "join": {"on": [], "how": "cross", "hint": "broadcast"}}]"""
+    val finish = """"derive": {"share": "sv / gv"},
+      "keep_columns": ["k", "sv", "share"], "order_by": ["k asc"]"""
+    val inlined = Compiler.compileJson(spark,
+      s"""{"id": "r", "combine": {"op": "union", "nodes": [{${joined(
+        s""""combine": {"op": "union", "nodes": [$stage]}""")}}]}, $finish}""")
+    // def "j" refs def "tot" — later defs may build on earlier ones
+    def viaDefs(stageJson: String) = Compiler.compileJson(spark,
+      s"""{"id": "r", "defs": [$stageJson, {${joined(""""source": {"ref": "tot"}""")}}],
+           "source": {"ref": "j"}, $finish}""")
+    assert(viaDefs(stage).collect().toSeq == inlined.collect().toSeq)
+    // cache: true plans an InMemoryRelation for BOTH consumers — the
+    // stage is materialized once, not recomputed per mention
+    val cached = viaDefs(stage.replace(""""id": "tot",""",
+      """"id": "tot", "cache": true,"""))
+    assert(cached.collect().toSeq == inlined.collect().toSeq)
+    val mem = cached.queryExecution.optimizedPlan.collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+    }
+    assert(mem.size == 2 && mem.map(_.cacheBuilder).distinct.size == 1,
+      s"both refs must share ONE cached stage, got ${mem.size}")
+    spark.catalog.clearCache()
+    // guard rails, each by name
+    def err(json: String): String =
+      intercept[IllegalArgumentException](Compiler.compileJson(spark, json)).getMessage
+    assert(err(s"""{"id": "r", "source": {"ref": "nope"}}""").contains("unknown ref"))
+    assert(err(s"""{"id": "r", "defs": [$stage, $stage],
+                    "source": {"ref": "tot"}}""").contains("duplicate def ids"))
+    assert(err(s"""{"id": "r", "cache": true, "source": {"path": "$base/t"}}""")
+      .contains("defs-only"))
+    assert(err(s"""{"id": "r", "defs": [${stage.replace(""""id": "tot",""",
+        """"id": "tot", "save": {"path": "/tmp/x", "format": "parquet"},""")}],
+                    "source": {"ref": "tot"}}""").contains("definitions"))
+    assert(err(s"""{"id": "r", "defs": [{"id": "d0", "source": {"path": "$base/t"}}],
+                    "source": {"ref": "d0", "path": "$base/t"}}""")
+      .contains("exclusive"))
+    assert(intercept[IllegalArgumentException](
+      Compiler.compileJson(spark, s"""{"id": "r",
+        "defs": [{"source": {"path": "$base/t"}}], "source": {"ref": "def0"}}"""))
+      .getMessage.contains("explicit id"))
+    assert(intercept[IllegalArgumentException](
+      Compiler.compileStreamJson(spark, s"""{"id": "r", "defs": [$stage],
+        "source": {"path": "$base/t"},
+        "save": {"path": "$base/out", "format": "parquet", "checkpoint": "$base/ck"}}"""))
+      .getMessage.contains("batch-only"))
+  }
+
   test("zorder SQL function: literal bits enforced, matches the Scala column") {
     Tables.registerViews(spark, sf)
     val viaSql = spark.sql(
