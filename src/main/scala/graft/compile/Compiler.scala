@@ -38,6 +38,7 @@ object Compiler {
         node.nearDup.toSeq.flatMap(d => Seq(d.idCol, d.vecCol)) ++
         node.editDedup.toSeq.flatMap(e => Seq(e.idCol, e.textCol)) ++
         node.imageDedup.toSeq.flatMap(i => Seq(i.idCol, i.payloadCol)) ++
+        node.simhashDedup.toSeq.flatMap(sh => Seq(sh.idCol, sh.textCol)) ++
         node.audioDedup.toSeq.flatMap(a => Seq(a.idCol, a.payloadCol)) ++
         node.passageDedup.toSeq.flatMap(p => Seq(p.idCol, p.textCol)) ++
         node.lmPerplexity.toSeq.flatMap(l => Seq(l.idCol, l.textCol)) ++
@@ -270,6 +271,16 @@ object Compiler {
         } else
           graft.ops.Multimodal.imageNearDupPairs(
             df, im.idCol, im.payloadCol, im.maxDist)
+    }
+
+    // Text SimHash near-dup: same shapes over the token-hash SimHash.
+    node.simhashDedup.foreach { sh =>
+      df =
+        if (sh.output == "clusters") {
+          requireBatch("simhash_dedup")
+          graft.ops.Dedup.simhashClusters(df, sh.idCol, sh.textCol, sh.maxDist)
+        } else
+          graft.ops.Dedup.simhashPairs(df, sh.idCol, sh.textCol, sh.maxDist)
     }
 
     // Perceptual audio dedup: same shapes over the envelope hash.

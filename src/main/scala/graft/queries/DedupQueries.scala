@@ -545,6 +545,63 @@ object DedupQueries extends QueryPack {
       .orderBy(col("doc_id").asc_nulls_first, col("span_start").asc_nulls_first)
   }
 
+  // q140/q141 — the simhash_dedup CONFIG key, gated like q130/q134:
+  // plant exact-text copies (doc_id + 10⁷) of every doc_id % 20 = 0 doc
+  // into a doc_id % 4 = 0 base corpus. Identical text ⇒ identical
+  // SimHash, so the invariants hold EXACTLY no matter what background
+  // near-dups exist between distinct docs:
+  //  pairs (q140): every planted copy pairs with ITS base at dist 0, and
+  //    (idB - idA = 10⁷) can only be such a pair (base ids < 10⁷) —
+  //    count == planted count;
+  //  clusters (q141): totality, every copy lands in a base-led cluster
+  //    (its component contains the smaller base id), no copy-led
+  //    clusters.
+  private def simhashCorpus = """
+    {"op": "union", "nodes": [
+      {"id": "base", "source": {"table": "documents"},
+       "filters": ["doc_id % 4 = 0"],
+       "keep_columns": ["doc_id", "text"]},
+      {"id": "planted", "source": {"table": "documents"},
+       "filters": ["doc_id % 20 = 0"],
+       "derive": {"doc_id2": "doc_id + 10000000"},
+       "keep_columns": ["doc_id2", "text"],
+       "rename": {"doc_id2": "doc_id"}}]}"""
+  private def q140(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    graft.compile.Compiler.compileJson(s, s"""
+      {"id": "shpairs", "combine": $simhashCorpus,
+       "simhash_dedup": {"id_col": "doc_id", "text_col": "text",
+                         "max_dist": 3},
+       "aggregate": {"aggregations": [
+         {"col": "*", "func": "count",
+          "filter": "idB - idA = 10000000 and dist = 0",
+          "new_name": "planted_found"}]}}""")
+  }
+  private val q140Sql = """
+    SELECT CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 20 = 0)
+                AS BIGINT) AS planted_found"""
+  private def q141(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    graft.compile.Compiler.compileJson(s, s"""
+      {"id": "shclusters", "combine": $simhashCorpus,
+       "simhash_dedup": {"id_col": "doc_id", "text_col": "text",
+                         "max_dist": 3, "output": "clusters"},
+       "aggregate": {"aggregations": [
+         {"col": "*", "func": "count", "new_name": "total_rows"},
+         {"col": "*", "func": "count",
+          "filter": "id >= 10000000 and cluster < 10000000",
+          "new_name": "copies_merged"},
+         {"col": "*", "func": "count", "filter": "cluster >= 10000000",
+          "new_name": "copy_led_clusters"}]}}""")
+  }
+  private val q141Sql = """
+    SELECT CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 4 = 0) +
+                (SELECT COUNT(*) FROM documents WHERE doc_id % 20 = 0)
+                AS BIGINT) AS total_rows,
+           CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 20 = 0)
+                AS BIGINT) AS copies_merged,
+           CAST(0 AS BIGINT) AS copy_led_clusters"""
+
   override def queries: Seq[Q] = Seq(
     Q("q27_dedup_exact", q27, Some(q27Sql)),
     Q("q28_ngram_jaccard", q28, Some(q28Sql)),
@@ -562,6 +619,8 @@ object DedupQueries extends QueryPack {
     Q("q131_passage_dedup", q131, Some(q131Sql)),
     Q("q132_passage_strip", q132, Some(q132Sql)),
     Q("q133_config_passage_dedup", q133, Some(q131Sql)),
-    Q("q139_incremental_passage_dedup", q139, Some(q139Sql))
+    Q("q139_incremental_passage_dedup", q139, Some(q139Sql)),
+    Q("q140_config_simhash_pairs", q140, Some(q140Sql)),
+    Q("q141_config_simhash_clusters", q141, Some(q141Sql))
   )
 }

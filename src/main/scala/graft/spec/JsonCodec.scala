@@ -259,6 +259,14 @@ object JsonCodec {
         output = dedupOutput(d, "image_dedup"))
     }
 
+    val shd = opt(n, "simhash_dedup", "simhashDedup").map { d =>
+      SimhashDedupSpec(
+        idCol = req(d, s"node $id: simhash_dedup", "id_col", "idCol").asText,
+        textCol = req(d, s"node $id: simhash_dedup", "text_col", "textCol").asText,
+        maxDist = opt(d, "max_dist", "maxDist").map(_.asInt).getOrElse(3),
+        output = dedupOutput(d, "simhash_dedup"))
+    }
+
     val aud = opt(n, "audio_dedup", "audioDedup").map { d =>
       AudioDedupSpec(
         idCol = req(d, s"node $id: audio_dedup", "id_col", "idCol").asText,
@@ -383,6 +391,7 @@ object JsonCodec {
       nearDup = nd,
       editDedup = ed,
       imageDedup = imd,
+      simhashDedup = shd,
       audioDedup = aud,
       passageDedup = pd,
       lmPerplexity = lm,

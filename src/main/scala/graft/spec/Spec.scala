@@ -393,6 +393,21 @@ final case class ImageDedupSpec(
     output: String = "pairs"
 )
 
+/** Text SimHash near-dup (NS; Dedup.simhashPairs / simhashClusters):
+  * 64-bit SimHash over token hashes, pigeonhole-banded Hamming pairs
+  * within `maxDist` bits — the bag-of-words near-dup tier (word swaps /
+  * small edits move few signature bits, where the fingerprint tier sees
+  * a different doc). `output` as in [[ImageDedupSpec]]: "pairs"
+  * (idA, idB, dist) or "clusters" (id, cluster) over the
+  * identical-signature-collapsed Hamming graph. Plan composition for
+  * pairs; the cluster tier iterates (batch-only). */
+final case class SimhashDedupSpec(
+    idCol: String,
+    textCol: String,
+    maxDist: Int = 3,
+    output: String = "pairs"
+)
+
 /** Exact substring-level dedup (NS; Dedup.duplicatePassageSpans /
   * stripDuplicatePassages): duplicated `window_tokens`-token passages
   * across the corpus. `output` = "spans" rewrites the frame to
@@ -470,6 +485,7 @@ final case class NodeSpec(
     nearDup: Option[NearDupSpec] = None, // after keep, before aggregate
     editDedup: Option[EditDedupSpec] = None, // after keep, before aggregate
     imageDedup: Option[ImageDedupSpec] = None, // after keep, before aggregate
+    simhashDedup: Option[SimhashDedupSpec] = None, // same slot, text tier
     audioDedup: Option[AudioDedupSpec] = None, // after keep, before aggregate
     passageDedup: Option[PassageDedupSpec] = None, // after keep, before aggregate
     lmPerplexity: Option[LmPerplexitySpec] = None, // after keep, before aggregate

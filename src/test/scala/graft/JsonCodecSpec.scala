@@ -184,6 +184,26 @@ class JsonCodecSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("pairs") && e2.getMessage.contains("clusters"))
   }
 
+  test("simhash_dedup node key decodes with defaults and named errors") {
+    val n = root("""
+      {"source": {"table": "documents"},
+       "simhash_dedup": {"id_col": "doc_id", "text_col": "text"}}""")
+    val d = n.simhashDedup.get
+    assert(d.idCol == "doc_id" && d.textCol == "text" && d.maxDist == 3)
+    assert(d.output == "pairs")
+    assert(root("""
+      {"source": {"table": "documents"},
+       "simhash_dedup": {"id_col": "a", "text_col": "t", "max_dist": 6,
+                         "output": "clusters"}}""")
+      .simhashDedup.get.output == "clusters")
+    val e = intercept[IllegalArgumentException](root(
+      """{"simhash_dedup": {"id_col": "a"}}"""))
+    assert(e.getMessage.contains("text_col"))
+    val e2 = intercept[IllegalArgumentException](root(
+      """{"simhash_dedup": {"id_col": "a", "text_col": "t", "output": "graph"}}"""))
+    assert(e2.getMessage.contains("pairs") && e2.getMessage.contains("clusters"))
+  }
+
   test("passage_dedup node key decodes with defaults and named errors") {
     val n = root("""
       {"source": {"table": "documents"},

@@ -740,6 +740,8 @@ class StreamingSpec extends SparkSpec {
       "batch-only")
     rejects(""""image_dedup": {"id_col": "doc_id", "payload_col": "text",
                "output": "clusters"}""", "batch-only")
+    rejects(""""simhash_dedup": {"id_col": "doc_id", "text_col": "text",
+               "output": "clusters"}""", "batch-only")
     rejects(""""passage_dedup": {"id_col": "doc_id", "text_col": "text"}""",
       "batch-only")
     // the pair shapes stay streaming-admissible in principle — only the
