@@ -43,6 +43,7 @@ object Compiler {
         node.passageDedup.toSeq.flatMap(p => Seq(p.idCol, p.textCol)) ++
         node.lmPerplexity.toSeq.flatMap(l => Seq(l.idCol, l.textCol)) ++
         node.split.toSeq.map(_.idCol) ++
+        node.temperatureSample.toSeq.flatMap(t => Seq(t.groupCol, t.idCol)) ++
         node.boilerplate.toSeq.flatMap(b => Seq(b.idCol, b.textCol)) ++
         node.featurize.toSeq.flatMap(f => Seq(f.idCol, f.payloadCol))
     // compact/running_totals/top_k run AFTER children (joins may add or
@@ -326,6 +327,15 @@ object Compiler {
     // arithmetic, no shuffle); downstream keys filter/aggregate on it.
     node.split.foreach { sp =>
       df = graft.ops.Corpus.hashSplit(df, sp.idCol, sp.buckets, sp.splitCol)
+    }
+
+    // Temperature resampling: the frame becomes the sampled subset
+    // (schema unchanged). The per-group rates need a count action, so
+    // batch-only by name.
+    node.temperatureSample.foreach { ts =>
+      requireBatch("temperature_sample")
+      df = graft.ops.Corpus.temperatureSample(
+        df, ts.groupCol, ts.idCol, ts.targetFraction, ts.alpha)
     }
 
     // Boilerplate line removal: the frame becomes (id, clean_text,

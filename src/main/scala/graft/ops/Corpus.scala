@@ -314,10 +314,34 @@ object Corpus {
     require(weights.nonEmpty && weights.forall(_._2 > 0),
       s"weights must be positive: $weights")
     val total = weights.map(_._2).sum
-    val space = 1000000L
     val bounds = weights.scanLeft(0L) { case (acc, (_, w)) =>
-      acc + math.round(w / total * space)
-    }.tail.dropRight(1) :+ space // last bucket absorbs rounding differences
+      acc + math.round(w / total * HashSpace)
+    }.tail.dropRight(1) :+ HashSpace // last bucket absorbs rounding differences
+    val checked = stableIdHash(df, idCol, "hashSplit", SplitMultiplier)
+    val assign = weights.map(_._1).zip(bounds).foldRight(lit(weights.last._1)) {
+      case ((name, bound), rest) => when(checked < bound, lit(name)).otherwise(rest)
+    }
+    df.withColumn(splitCol, assign)
+  }
+
+  private val HashSpace = 1000000L
+  // Knuth's multiplicative constant (2^32/φ) for splits, the Java LCG
+  // multiplier for sampling: two public constants, two independent hash
+  // families. Sharing one would correlate the operators — a temperature
+  // sample keeps h < k, and under the SAME hash those rows all fall in
+  // the lowest split buckets, so sample∘split would send every sampled
+  // row to "train" and starve val/test.
+  private val SplitMultiplier = 2654435761L
+  private val SampleMultiplier = 25214903917L
+
+  /** Engine-portable per-row hash of a stable id column in
+    * [0, HashSpace): integral ids reduce-BEFORE-multiply (the overflow-
+    * proof q109 spelling — equal to the mathematical (id·K) mod 1e6 over
+    * the full long range), string ids route through the portable
+    * fingerprint kernel, any other type is rejected at plan time, and a
+    * NULL id fails the job loudly rather than taking a silent default. */
+  private def stableIdHash(
+      df: DataFrame, idCol: String, opName: String, multiplier: Long): Column = {
     import org.apache.spark.sql.types._
     val base: Column = df.schema(idCol).dataType match {
       case ByteType | ShortType | IntegerType | LongType =>
@@ -325,19 +349,119 @@ object Corpus {
       case StringType =>
         graft.functions.TextKernels.portableFingerprint(col(idCol))
       case t => throw new IllegalArgumentException(
-        s"hashSplit: id column '$idCol' has type ${t.simpleString}; " +
+        s"$opName: id column '$idCol' has type ${t.simpleString}; " +
           "only integral and string ids hash deterministically — cast or " +
           "derive a stable id first")
     }
-    val h = pmod(pmod(base, lit(space)) * lit(2654435761L), lit(space))
-    // A null id must never silently take the `otherwise` bucket.
-    val checked = when(col(idCol).isNotNull, h).otherwise(raise_error(
-      lit(s"hashSplit: NULL id in column '$idCol' — every row needs a " +
+    val h = pmod(pmod(base, lit(HashSpace)) * lit(multiplier), lit(HashSpace))
+    when(col(idCol).isNotNull, h).otherwise(raise_error(
+      lit(s"$opName: NULL id in column '$idCol' — every row needs a " +
         "stable id for deterministic bucket assignment")))
-    val assign = weights.map(_._1).zip(bounds).foldRight(lit(weights.last._1)) {
-      case ((name, bound), rest) => when(checked < bound, lit(name)).otherwise(rest)
+  }
+
+  /** Temperature-based mixture resampling — the multilingual-corpus
+    * data-mixing pass (the p_l^α schedule of the mT5/XLM-R line of work):
+    * resample so group l's share of the output follows its natural share
+    * p_l raised to `alpha` and renormalized, with the output sized to
+    * `targetFraction` of the input. alpha = 1 is a plain proportional
+    * sample; alpha < 1 flattens the mixture, raising tail groups
+    * (low-resource languages, rare sources) that a proportional sample
+    * would starve; the per-group rate caps at 1.0 — no replacement, a
+    * group is never oversampled past its population.
+    *
+    * Selection is deterministic: row kept iff
+    * `hash(id) < floor(rate_g · 1e6)` under the portable multiplicative
+    * hash — reproducible across runs/retries/repartitioning, and
+    * MONOTONE in `targetFraction` (a 20% sample is an exact subset of a
+    * 40% sample with the same alpha: the reproducible scaling-law-subset
+    * property). The sampling hash uses a different public multiplicative
+    * constant than [[hashSplit]], so sample∘split compositions stay
+    * unbiased (see [[SampleMultiplier]]).
+    *
+    * Rates are computed driver-side from one count aggregate: the
+    * collected list is mixture-dimension metadata (languages, sources —
+    * the bounded-metadata precedent of the IVF centroid collect), and the
+    * driver folds the p^α normalizer SEQUENTIALLY over groups in
+    * deterministic key order (strings by UTF-8 bytes, integrals
+    * numerically), which makes the double accumulation retry-stable and
+    * exactly mirrorable by an oracle engine's ORDER BY — a distributed
+    * double sum would make the rates run-dependent in the last ulp.
+    * alpha = 0.5 and 1.0 use `sqrt`/identity (correctly rounded per
+    * IEEE-754, hence bit-identical across engines — the oracle-gated
+    * endpoints); other alphas go through `pow`, which libm does not
+    * guarantee to the last ulp.
+    *
+    * Scale: one partial+final count aggregate (bytes ∝ #groups), a
+    * broadcast join of #groups micro-rates, then a scan-stage integer
+    * threshold — the corpus itself never shuffles. Needs an action for
+    * the counts, so batch-only. NULL group keys are rejected loudly (the
+    * inner join would otherwise drop those rows silently); group-key
+    * types beyond string/integral are rejected at plan time because
+    * their sort order is not engine-portable.
+    */
+  def temperatureSample(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      targetFraction: Double,
+      alpha: Double = 0.5
+  ): DataFrame = {
+    require(targetFraction > 0.0 && targetFraction <= 1.0,
+      s"temperatureSample: target_fraction must be in (0, 1], got $targetFraction")
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"temperatureSample: alpha must be in (0, 1] (1 = proportional, " +
+        s"smaller = flatter mixture), got $alpha")
+    import org.apache.spark.sql.types._
+    val groupType = df.schema(groupCol).dataType
+    val rows = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__ts_n")).collect()
+    if (rows.exists(_.isNullAt(0))) throw new IllegalArgumentException(
+      s"temperatureSample: NULL group in column '$groupCol' — rows without " +
+        "a mixture group would be dropped silently; filter or impute first")
+    def utf8Less(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        if ((x(i) & 0xff) != (y(i) & 0xff)) return (x(i) & 0xff) < (y(i) & 0xff)
+        i += 1
+      }
+      x.length < y.length
     }
-    df.withColumn(splitCol, assign)
+    val counts: Seq[(Any, Long)] = groupType match {
+      case StringType =>
+        rows.map(r => (r.getString(0), r.getLong(1))).toSeq
+          .sortWith((a, b) => utf8Less(a._1, b._1))
+      case ByteType | ShortType | IntegerType | LongType =>
+        rows.map(r => (r.get(0), r.getLong(1))).toSeq
+          .sortBy { case (k, _) => k.asInstanceOf[Number].longValue() }
+      case t => throw new IllegalArgumentException(
+        s"temperatureSample: group column '$groupCol' has type " +
+          s"${t.simpleString}; only string and integral group keys order " +
+          "deterministically across engines")
+    }
+    def powA(n: Long): Double =
+      if (alpha == 0.5) math.sqrt(n.toDouble)
+      else if (alpha == 1.0) n.toDouble
+      else math.pow(n.toDouble, alpha)
+    val nTotal = counts.map(_._2).sum
+    var s = 0.0
+    counts.foreach { case (_, n) => s += powA(n) } // sequential, sorted order
+    val budget = math.floor(targetFraction * nTotal).toLong
+    val micro = counts.map { case (k, n) =>
+      val r = math.min(1.0, budget.toDouble * (powA(n) / s) / n.toDouble)
+      org.apache.spark.sql.Row(k, math.floor(r * HashSpace).toLong)
+    }
+    val spark = df.sparkSession
+    val rates = spark.createDataFrame(
+      spark.sparkContext.parallelize(micro, 1),
+      StructType(Seq(
+        df.schema(groupCol).copy(nullable = false),
+        StructField("__ts_k", LongType, nullable = false))))
+    val h = stableIdHash(df, idCol, "temperatureSample", SampleMultiplier)
+    df.join(broadcast(rates), Seq(groupCol), "inner")
+      .filter(h < col("__ts_k"))
+      .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
   /** Corpus-LM perplexity scoring — the CCNet-style quality signal: train

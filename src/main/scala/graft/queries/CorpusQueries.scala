@@ -422,6 +422,53 @@ object CorpusQueries extends QueryPack {
     FROM l JOIN st USING (split), t
     ORDER BY split ASC NULLS FIRST"""
 
+  // q142/q143 — temperature-based mixture resampling (alpha 0.5, the mT5
+  // default regime): the en-heavy corpus flattens toward the tail
+  // languages (at sf0.01: en keeps ~25% of its docs, de ~41%). Membership
+  // is a deterministic function of (lang counts, doc_id), so the oracle
+  // recomputes the exact keep set: the rate arithmetic mirrors the
+  // driver-side fold op-for-op (sqrt is correctly rounded per IEEE-754,
+  // the normalizer sum runs in lang-ASC order on both sides, FLOOR both
+  // sides), and the per-row threshold is integer hash arithmetic in the
+  // sampling hash family (Java-LCG multiplier — decorrelated from
+  // hashSplit's so sample∘split stays unbiased). q143 is the PURE-JSON
+  // twin exercising the alpha default.
+  private def q142(s: SparkSession, dir: String): DataFrame =
+    Corpus.temperatureSample(
+        Tables.load(s, dir, "documents"),
+        groupCol = "lang", idCol = "doc_id",
+        targetFraction = 0.3, alpha = 0.5)
+      .select("doc_id", "lang")
+      .orderBy(col("doc_id").asc_nulls_first)
+  /** DuckDB mirror of the sampling-family hash over a BIGINT id alias. */
+  private def sampleHashSql(id: String): String =
+    s"((($id % 1000000 + 1000000) % 1000000) * 25214903917) % 1000000"
+  private val q142Sql = s"""
+    WITH g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+               FROM documents GROUP BY lang),
+         t AS (SELECT CAST(SUM(n) AS BIGINT) AS N,
+                      list_sum(list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang)) AS S
+               FROM g),
+         r AS (SELECT g.lang,
+                      CAST(FLOOR(LEAST(1.0,
+                            CAST(CAST(FLOOR(0.3 * t.N) AS BIGINT) AS DOUBLE)
+                              * (sqrt(CAST(g.n AS DOUBLE)) / t.S)
+                              / CAST(g.n AS DOUBLE)) * 1000000.0) AS BIGINT) AS k
+               FROM g, t)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN r ON d.lang = r.lang
+    WHERE ${sampleHashSql("d.doc_id")} < r.k
+    ORDER BY d.doc_id ASC NULLS FIRST"""
+  private def q143(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "documents"},
+       "keep_columns": ["doc_id", "lang"],
+       "temperature_sample": {"group_col": "lang", "id_col": "doc_id",
+                              "target_fraction": 0.3},
+       "order_by": ["doc_id asc"]}""")
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q72_doc_chunking", q72, Some(q72Sql)),
     Q("q73_sequence_packing", q73, Some(q73Sql)),
@@ -436,6 +483,8 @@ object CorpusQueries extends QueryPack {
     Q("q109_hash_split", q109, Some(q109Sql)),
     Q("q110_config_split", q110, Some(q110Sql)),
     Q("q114_string_id_split", q114, Some(q114Sql)),
-    Q("q136_split_balance_gate", q136, Some(q136Sql))
+    Q("q136_split_balance_gate", q136, Some(q136Sql)),
+    Q("q142_temperature_sample", q142, Some(q142Sql)),
+    Q("q143_config_temperature_sample", q143, Some(q142Sql))
   )
 }

@@ -312,6 +312,15 @@ object JsonCodec {
         splitCol = opt(d, "split_col", "splitCol").map(_.asText).getOrElse("split"))
     }
 
+    val ts = opt(n, "temperature_sample", "temperatureSample").map { d =>
+      TemperatureSampleSpec(
+        groupCol = req(d, s"node $id: temperature_sample", "group_col", "groupCol").asText,
+        idCol = req(d, s"node $id: temperature_sample", "id_col", "idCol").asText,
+        targetFraction =
+          req(d, s"node $id: temperature_sample", "target_fraction", "targetFraction").asDouble,
+        alpha = opt(d, "alpha").map(_.asDouble).getOrElse(0.5))
+    }
+
     val bp = opt(n, "boilerplate").map { d =>
       BoilerplateSpec(
         idCol = req(d, s"node $id: boilerplate", "id_col", "idCol").asText,
@@ -396,6 +405,7 @@ object JsonCodec {
       passageDedup = pd,
       lmPerplexity = lm,
       split = sp,
+      temperatureSample = ts,
       boilerplate = bp,
       featurize = fz,
       aggregate = aggregate,

@@ -284,6 +284,20 @@ final case class SplitSpec(
     splitCol: String = "split"
 )
 
+/** Temperature-based mixture resampling (NS; Corpus.temperatureSample):
+  * resample so group `groupCol`'s share follows p^alpha renormalized,
+  * sized to `targetFraction` of the input — the multilingual data-mixing
+  * pass (alpha 1 = proportional, smaller = flatter, tail groups raised;
+  * per-group rate caps at 1). Deterministic hash selection on `idCol`
+  * (monotone in target_fraction: smaller samples nest inside larger).
+  * Needs a count action for the rates, so batch-only. */
+final case class TemperatureSampleSpec(
+    groupCol: String,
+    idCol: String,
+    targetFraction: Double,
+    alpha: Double = 0.5
+)
+
 /** Boilerplate line removal (NS; Corpus.removeBoilerplateLines): drop
   * every line occurring in more than `maxDocs` distinct documents and
   * reassemble the rest. The frame becomes
@@ -490,6 +504,7 @@ final case class NodeSpec(
     passageDedup: Option[PassageDedupSpec] = None, // after keep, before aggregate
     lmPerplexity: Option[LmPerplexitySpec] = None, // after keep, before aggregate
     split: Option[SplitSpec] = None, // after keep, before aggregate
+    temperatureSample: Option[TemperatureSampleSpec] = None, // after split
     boilerplate: Option[BoilerplateSpec] = None, // after keep, before aggregate
     featurize: Option[FeaturizeSpec] = None, // after keep, before aggregate
     aggregate: Option[AggregateSpec] = None,

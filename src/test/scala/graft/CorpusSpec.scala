@@ -283,6 +283,90 @@ class CorpusSpec extends SparkSpec {
     assert(e2.getMessage.contains("hashSplit"))
   }
 
+  // ---- temperature resampling ---------------------------------------------
+
+  test("temperatureSample: alpha=1 proportional; alpha<1 raises tail rates") {
+    val df = ((1L to 3000L).map(i => (i, "en")) ++
+      (3001L to 3600L).map(i => (i, "de")) ++
+      (3601L to 3750L).map(i => (i, "rw"))).toDF("id", "g")
+    def byGroup(alpha: Double): Map[String, Long] =
+      Corpus.temperatureSample(df, "g", "id", 0.4, alpha)
+        .groupBy("g").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val prop = byGroup(1.0)
+    // alpha=1: every group sampled at ~the target fraction
+    assert(math.abs(prop("en") / 3000.0 - 0.4) < 0.05, s"en: $prop")
+    assert(math.abs(prop("de") / 600.0 - 0.4) < 0.07, s"de: $prop")
+    val flat = byGroup(0.5)
+    // alpha<1: realized rate strictly decreasing in group size, and the
+    // tail group gains over its proportional share
+    assert(flat("rw").toDouble / 150 > flat("en").toDouble / 3000, s"$flat")
+    assert(flat("rw") > prop("rw"), s"flat=$flat prop=$prop")
+  }
+
+  test("temperatureSample: smaller fractions nest inside larger (same alpha)") {
+    val df = ((1L to 2000L).map(i => (i, "a")) ++
+      (2001L to 2400L).map(i => (i, "b"))).toDF("id", "g")
+    def keep(frac: Double): Set[Long] =
+      Corpus.temperatureSample(df, "g", "id", frac)
+        .select("id").collect().map(_.getLong(0)).toSet
+    val s20 = keep(0.2)
+    val s40 = keep(0.4)
+    assert(s20.nonEmpty && s40.size > s20.size)
+    assert(s20.subsetOf(s40),
+      "the scaling-law-subset property: 20% must nest inside 40%")
+  }
+
+  test("temperatureSample: a group whose quota exceeds its size is kept whole") {
+    val df = ((1L to 5000L).map(i => (i, "big")) ++
+      (5001L to 5005L).map(i => (i, "tiny"))).toDF("id", "g")
+    val kept = Corpus.temperatureSample(df, "g", "id", 0.5, alpha = 0.2)
+      .filter(col("g") === "tiny").count()
+    assert(kept == 5, "rate caps at 1.0 — no oversampling past the population")
+  }
+
+  test("temperatureSample: integral groups and string ids; sampling hash " +
+    "decorrelated from the split hash") {
+    val intG = (1L to 2000L).map(i => (i, i % 4)).toDF("id", "g")
+    val n = Corpus.temperatureSample(intG, "g", "id", 0.5, alpha = 1.0).count()
+    assert(math.abs(n / 2000.0 - 0.5) < 0.05, s"integral groups: kept $n")
+    val strIds = (1 to 2000).map(i => (s"doc-$i", "x")).toDF("id", "g")
+    val m = Corpus.temperatureSample(strIds, "g", "id", 0.5, alpha = 1.0).count()
+    assert(math.abs(m / 2000.0 - 0.5) < 0.05, s"string ids: kept $m")
+    // composition: a 50% sample then a 50/50 split must not send every
+    // sampled row to one bucket (the shared-hash correlation failure)
+    val sampled = Corpus.temperatureSample(intG, "g", "id", 0.5, alpha = 1.0)
+    val split = Corpus.hashSplit(sampled, "id", Seq("a" -> 0.5, "b" -> 0.5))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(split.getOrElse("a", 0L) > 0 && split.getOrElse("b", 0L) > 0,
+      s"sample∘split collapsed to one bucket: $split")
+    assert(math.abs(split("a").toDouble / (split("a") + split("b")) - 0.5) < 0.1,
+      s"sample∘split skewed: $split")
+  }
+
+  test("temperatureSample: named errors — NULL group, bad params, bad types") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "g")
+    val withNull = Seq((1L, "a"), (2L, null.asInstanceOf[String])).toDF("id", "g")
+    val e = intercept[IllegalArgumentException](
+      Corpus.temperatureSample(withNull, "g", "id", 0.5))
+    assert(e.getMessage.contains("NULL group"))
+    val e2 = intercept[IllegalArgumentException](
+      Corpus.temperatureSample(df, "g", "id", 0.0))
+    assert(e2.getMessage.contains("target_fraction"))
+    val e3 = intercept[IllegalArgumentException](
+      Corpus.temperatureSample(df, "g", "id", 0.5, alpha = 1.5))
+    assert(e3.getMessage.contains("alpha"))
+    val dblGroup = Seq((1L, 0.5)).toDF("id", "g")
+    val e4 = intercept[IllegalArgumentException](
+      Corpus.temperatureSample(dblGroup, "g", "id", 0.5))
+    assert(e4.getMessage.contains("group column"))
+    val dblId = Seq((0.5, "a")).toDF("id", "g")
+    val e5 = intercept[IllegalArgumentException](
+      Corpus.temperatureSample(dblId, "g", "id", 0.5))
+    assert(e5.getMessage.contains("temperatureSample"))
+  }
+
   // ---- LM perplexity ------------------------------------------------------
 
   test("lmPerplexity: predictable text scores lower than unique text; short docs absent") {

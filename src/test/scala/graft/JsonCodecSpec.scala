@@ -204,6 +204,24 @@ class JsonCodecSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("pairs") && e2.getMessage.contains("clusters"))
   }
 
+  test("temperature_sample node key decodes with defaults and named errors") {
+    val n = root("""
+      {"source": {"table": "documents"},
+       "temperature_sample": {"group_col": "lang", "id_col": "doc_id",
+                              "target_fraction": 0.3}}""")
+    val t = n.temperatureSample.get
+    assert(t.groupCol == "lang" && t.idCol == "doc_id")
+    assert(t.targetFraction == 0.3 && t.alpha == 0.5)
+    assert(root("""
+      {"source": {"table": "documents"},
+       "temperature_sample": {"group_col": "g", "id_col": "id",
+                              "target_fraction": 0.1, "alpha": 1.0}}""")
+      .temperatureSample.get.alpha == 1.0)
+    val e = intercept[IllegalArgumentException](root(
+      """{"temperature_sample": {"group_col": "g", "id_col": "id"}}"""))
+    assert(e.getMessage.contains("target_fraction"))
+  }
+
   test("passage_dedup node key decodes with defaults and named errors") {
     val n = root("""
       {"source": {"table": "documents"},

@@ -744,6 +744,8 @@ class StreamingSpec extends SparkSpec {
                "output": "clusters"}""", "batch-only")
     rejects(""""passage_dedup": {"id_col": "doc_id", "text_col": "text"}""",
       "batch-only")
+    rejects(""""temperature_sample": {"group_col": "lang", "id_col": "doc_id",
+               "target_fraction": 0.3}""", "batch-only")
     // the pair shapes stay streaming-admissible in principle — only the
     // iterative cluster tier is named off; batch compiles are untouched
     val ok = graft.compile.Compiler.compileJson(spark, s"""
