@@ -44,6 +44,7 @@ object Compiler {
         node.lmPerplexity.toSeq.flatMap(l => Seq(l.idCol, l.textCol)) ++
         node.split.toSeq.map(_.idCol) ++
         node.temperatureSample.toSeq.flatMap(t => Seq(t.groupCol, t.idCol)) ++
+        node.htmlExtract.toSeq.flatMap(h => Seq(h.idCol, h.htmlCol)) ++
         node.boilerplate.toSeq.flatMap(b => Seq(b.idCol, b.textCol)) ++
         node.featurize.toSeq.flatMap(f => Seq(f.idCol, f.payloadCol))
     // compact/running_totals/top_k run AFTER children (joins may add or
@@ -327,6 +328,12 @@ object Compiler {
     // arithmetic, no shuffle); downstream keys filter/aggregate on it.
     node.split.foreach { sp =>
       df = graft.ops.Corpus.hashSplit(df, sp.idCol, sp.buckets, sp.splitCol)
+    }
+
+    // HTML extraction: the frame becomes (id, title, body_text, links).
+    // Pure per-row kernel — scan-stage, streaming-admissible.
+    node.htmlExtract.foreach { he =>
+      df = graft.ops.TextAnalysis.htmlExtract(df, he.idCol, he.htmlCol)
     }
 
     // Temperature resampling: the frame becomes the sampled subset

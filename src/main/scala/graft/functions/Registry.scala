@@ -63,6 +63,9 @@ object Registry {
     "window_fingerprints" -> (es => WindowFingerprints(es.head,
       litInt(es(1), "window_fingerprints", "n"))),
     "pii_count" -> fn(TextAnalysis.piiCount),
+    // html_extract(html) → struct(title, body_text, links): the web-crawl
+    // text-extraction kernel (lenient, browser-like; see HtmlExtractOps)
+    "html_extract" -> (es => HtmlExtract(es.head)),
     "zorder" -> (es => GraftColumnBridge.expressionEager(
       graft.ops.Layout.zorderValue(
         es.init.map(GraftColumnBridge.column),

@@ -409,6 +409,51 @@ object TextQueries extends QueryPack {
            CAST(LENGTH(norm) AS INT) AS n_norm
     FROM toks ORDER BY doc_id ASC NULLS FIRST"""
 
+  // q144/q145 — HTML text extraction: each document is wrapped in a
+  // deterministic page template (title with an entity, style block,
+  // comment HIDING a link, single-quoted/entity-bearing attributes, a
+  // script whose content contains `<`, `&&` and a fake `</p>` close),
+  // so extraction output is exact arithmetic on the original text: the
+  // template is known, the corpus is markup-free (asserted at build
+  // time: no '<'/'&'/'>' at any SF), and the kernel's whitespace
+  // normalization mirrors as the q72-style tokenize-and-rejoin. The
+  // SAME expr string builds the html column on both the API path (q144)
+  // and the PURE-JSON derive (q145) — the paths cannot drift.
+  private val htmlExpr: String =
+    "concat('<html><head><title>Doc ', doc_id, ' &amp; friends</title>" +
+      "<style>p { color: red; }</style></head><body>" +
+      "<!-- nav <a href=''http://skip.me''>x</a> -->" +
+      "<h1 class=''hd''>Doc ', doc_id, '</h1><p>', text, " +
+      "'</p><script>if (a<b && c>d) { x</p>y = 1; }</script>" +
+      "<a href=''https://ex.com/doc/', doc_id, '?a=1&amp;b=2''>link text</a>" +
+      " &#72;i&#x21;</body></html>')"
+  private def q144(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.htmlExtract(
+        docs(s, dir).withColumn("html", expr(htmlExpr)), "doc_id", "html")
+      .select(col("doc_id"), col("title"), col("body_text"),
+        element_at(col("links"), 1).as("href"), size(col("links")).as("n_links"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  private val q144Sql = """
+    SELECT doc_id,
+           'Doc ' || doc_id || ' & friends' AS title,
+           coalesce(array_to_string(list_filter(string_split_regex(
+             'Doc ' || doc_id || ' ' || text || ' link text Hi!', '\s+'),
+             x -> len(x) > 0), ' '), '') AS body_text,
+           'https://ex.com/doc/' || doc_id || '?a=1&b=2' AS href,
+           CAST(1 AS INT) AS n_links
+    FROM documents ORDER BY doc_id ASC NULLS FIRST"""
+  private def q145(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    graft.compile.Compiler.compileJson(s, s"""
+      {"source": {"table": "documents"},
+       "derive": {"html": "$htmlExpr"},
+       "html_extract": {"id_col": "doc_id", "html_col": "html"},
+       "with_columns": {"href": "element_at(links, 1)",
+                        "n_links": "size(links)"},
+       "drop": ["links"],
+       "order_by": ["doc_id asc"]}""")
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q24_text_stats", q24, Some(q24Sql)),
     Q("q25_lang_id", q25, Some(q25Sql)),
@@ -420,6 +465,8 @@ object TextQueries extends QueryPack {
     Q("q108_config_lm_score", q108, Some(q108Sql)),
     Q("q118_lm_keep_unscored", q118, Some(q118Sql)),
     Q("q128_url_dedup", q128, Some(q128Sql)),
-    Q("q111_normalize_text", q111, Some(q111Sql))
+    Q("q111_normalize_text", q111, Some(q111Sql)),
+    Q("q144_html_extract", q144, Some(q144Sql)),
+    Q("q145_config_html_extract", q145, Some(q144Sql))
   )
 }

@@ -321,6 +321,12 @@ object JsonCodec {
         alpha = opt(d, "alpha").map(_.asDouble).getOrElse(0.5))
     }
 
+    val he = opt(n, "html_extract", "htmlExtract").map { d =>
+      HtmlExtractSpec(
+        idCol = req(d, s"node $id: html_extract", "id_col", "idCol").asText,
+        htmlCol = req(d, s"node $id: html_extract", "html_col", "htmlCol").asText)
+    }
+
     val bp = opt(n, "boilerplate").map { d =>
       BoilerplateSpec(
         idCol = req(d, s"node $id: boilerplate", "id_col", "idCol").asText,
@@ -406,6 +412,7 @@ object JsonCodec {
       lmPerplexity = lm,
       split = sp,
       temperatureSample = ts,
+      htmlExtract = he,
       boilerplate = bp,
       featurize = fz,
       aggregate = aggregate,

@@ -298,6 +298,16 @@ final case class TemperatureSampleSpec(
     alpha: Double = 0.5
 )
 
+/** HTML text extraction (NS; TextAnalysis.htmlExtract): the frame
+  * becomes (idCol, title, body_text, links) — visible text with
+  * script/style/comments/tags removed and entities decoded, the first
+  * title, and the `<a href>` values in order. Lenient (browser-like) on
+  * malformed markup; scan-stage kernel, streaming-admissible. */
+final case class HtmlExtractSpec(
+    idCol: String,
+    htmlCol: String
+)
+
 /** Boilerplate line removal (NS; Corpus.removeBoilerplateLines): drop
   * every line occurring in more than `maxDocs` distinct documents and
   * reassemble the rest. The frame becomes
@@ -505,6 +515,7 @@ final case class NodeSpec(
     lmPerplexity: Option[LmPerplexitySpec] = None, // after keep, before aggregate
     split: Option[SplitSpec] = None, // after keep, before aggregate
     temperatureSample: Option[TemperatureSampleSpec] = None, // after split
+    htmlExtract: Option[HtmlExtractSpec] = None, // after keep, before aggregate
     boilerplate: Option[BoilerplateSpec] = None, // after keep, before aggregate
     featurize: Option[FeaturizeSpec] = None, // after keep, before aggregate
     aggregate: Option[AggregateSpec] = None,

@@ -204,6 +204,17 @@ class JsonCodecSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("pairs") && e2.getMessage.contains("clusters"))
   }
 
+  test("html_extract node key decodes and names missing fields") {
+    val n = root("""
+      {"source": {"table": "documents"},
+       "html_extract": {"id_col": "doc_id", "html_col": "html"}}""")
+    val h = n.htmlExtract.get
+    assert(h.idCol == "doc_id" && h.htmlCol == "html")
+    val e = intercept[IllegalArgumentException](root(
+      """{"html_extract": {"id_col": "doc_id"}}"""))
+    assert(e.getMessage.contains("html_col"))
+  }
+
   test("temperature_sample node key decodes with defaults and named errors") {
     val n = root("""
       {"source": {"table": "documents"},

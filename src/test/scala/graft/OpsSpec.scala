@@ -676,6 +676,51 @@ class OpsSpec extends SparkSpec {
     assert(err.getMessage.contains("progressive"))
   }
 
+  test("html_extract kernel: tags, raw-text elements, comments, entities, " +
+    "attributes, malformed-input leniency") {
+    import graft.functions.HtmlKernels.htmlExtract
+    val rows = Seq(
+      // the full pipeline: entity title, style stripped, script with '<',
+      // entity-bearing href, named + dec + hex entities, &nbsp;
+      "<html><head><title>Hi &amp; bye</title><style>p{c:red}</style></head>" +
+        "<body><h1>A</h1><p>one  two</p><script>if(a<b){}</script>" +
+        "<a href=\"http://x/1?a=1&amp;b=2\">go</a> &#72;i &#x21; &nbsp;end</body></html>",
+      "no markup at all",
+      // bare '<' is literal; unknown/overlong entities stay literal
+      "bare < stays, 1 < 2 ok &unknown; &toolongentityname; <b>bold</b>",
+      // quote styles + case-insensitive names; data-href must NOT match
+      "<a href = 'single'>s</a><a href=unquoted next>u</a>" +
+        "<a data-href=\"no\">n</a><A HREF=\"CAPS\">c</A>",
+      "<p title=\"a > b\">quoted gt</p>tail", // '>' inside a quoted attr
+      "unterminated <tag never closes",
+      "<!-- comment <script> fake -->visible<!-- unterminated",
+      // raw-text close is case-insensitive; a fake close inside a JS
+      // string still ends the element at the FIRST </script
+      "<SCRIPT>var s = '</div>';</SCRIPT>after<STYLE>x</style>done",
+      "<title>first</title><title>second</title>body", // first title wins
+      "a<br/>b<script/>notscript",                     // self-closing forms
+      "<title>unterminated title rest is swallowed"
+    ).toDF("h")
+    val got = rows
+      .select(htmlExtract($"h").as("x"))
+      .select($"x.title", $"x.body_text", $"x.links")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getSeq[String](2).toList))
+    assert(got(0) == (("Hi & bye", "A one two go Hi ! end", List("http://x/1?a=1&b=2"))))
+    assert(got(1) == ((null, "no markup at all", Nil)))
+    assert(got(2) == ((null, "bare < stays, 1 < 2 ok &unknown; &toolongentityname; bold", Nil)))
+    assert(got(3) == ((null, "s u n c", List("single", "unquoted", "CAPS"))))
+    assert(got(4) == ((null, "quoted gt tail", Nil)))
+    assert(got(5) == ((null, "unterminated", Nil)))
+    assert(got(6) == ((null, "visible", Nil)))
+    assert(got(7) == ((null, "after done", Nil)))
+    assert(got(8) == (("first", "body", Nil)))
+    assert(got(9) == ((null, "a b notscript", Nil)))
+    assert(got(10) == (("unterminated title rest is swallowed", "", Nil)))
+    // NULL html propagates a NULL struct
+    assert(Seq[String](null).toDF("h").select(htmlExtract($"h")).collect().head.isNullAt(0))
+  }
+
   test("canonical_url kernel: case, ports, fragments, tracking params, sort, idempotence") {
     import graft.functions.TextKernels.canonicalizeUrl
     val rows = Seq(
