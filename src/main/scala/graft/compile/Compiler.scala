@@ -698,11 +698,18 @@ object Compiler {
             s"streaming file source must be a directory, got file: $p " +
               "(stage the file into a directory and point the source there)")
         val r = spark.readStream.options(s.options)
-        val schema = s.options.get("schema") match {
-          case Some(ddl) => org.apache.spark.sql.types.StructType.fromDDL(ddl)
-          case None      => readSource(spark, s).schema
+        if (s.format == "warc") {
+          // stream the crawl directory file-by-file; the record explode
+          // is the same plan as the batch path
+          val binSchema = spark.read.format("binaryFile").load(p).schema
+          warcRows(r.schema(binSchema).format("binaryFile").load(p))
+        } else {
+          val schema = s.options.get("schema") match {
+            case Some(ddl) => org.apache.spark.sql.types.StructType.fromDDL(ddl)
+            case None      => readSource(spark, s).schema
+          }
+          r.schema(schema).format(s.format).load(p)
         }
-        r.schema(schema).format(s.format).load(p)
       case _ => throw new IllegalArgumentException(s"source needs table or path: $s")
     }
 
@@ -757,6 +764,7 @@ object Compiler {
               .option("inferSchema", s.options.getOrElse("inferSchema", "true"))
               .csv(p)
           case "json" => r.json(p)
+          case "warc" => warcRows(r.format("binaryFile").load(p))
           case f      => r.format(f).load(p)
         }
       case _ if s.ref.isDefined => throw new IllegalArgumentException(
@@ -764,6 +772,19 @@ object Compiler {
           "(refs address pipeline-level defs)")
       case _ => throw new IllegalArgumentException(s"source needs sql, table or path: $s")
     }
+
+  /** binaryFile rows (path, ..., content) → one row per WARC record:
+    * (warc_file, url, warc_type, warc_date, content_length, payload).
+    * Parallelism is the file dimension — the standard many-file crawl
+    * layout; payload stays binary for the media kernels downstream. */
+  private def warcRows(files: DataFrame): DataFrame =
+    files.select(col("path").as("warc_file"),
+        explode(graft.functions.WarcKernels.warcRecords(col("content"))).as("__r"))
+      .select(col("warc_file"), col("__r.url").as("url"),
+        col("__r.warc_type").as("warc_type"),
+        col("__r.warc_date").as("warc_date"),
+        col("__r.content_length").as("content_length"),
+        col("__r.payload").as("payload"))
 
   def filterColumn(f: FilterSpec): Column = f match {
     case ExprFilter(e) => expr(e)

@@ -66,6 +66,9 @@ object Registry {
     // html_extract(html) → struct(title, body_text, links): the web-crawl
     // text-extraction kernel (lenient, browser-like; see HtmlExtractOps)
     "html_extract" -> (es => HtmlExtract(es.head)),
+    // warc_records(bytes) → array of record structs (ISO 28500 container
+    // walk; structural damage is a named data error — see WarcOps)
+    "warc_records" -> (es => WarcRecords(es.head)),
     "zorder" -> (es => GraftColumnBridge.expressionEager(
       graft.ops.Layout.zorderValue(
         es.init.map(GraftColumnBridge.column),

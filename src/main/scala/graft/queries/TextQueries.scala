@@ -454,6 +454,49 @@ object TextQueries extends QueryPack {
        "order_by": ["doc_id asc"]}""")
   }
 
+  // q146 — the crawl-to-clean-text path, end to end: each doc becomes a
+  // two-record WARC file (a response wrapping a page template + a
+  // request record the pipeline must skip), parsed by the container
+  // kernel, filtered by record type, and the response payload extracted
+  // by the HTML kernel. Every output is exact arithmetic: the oracle
+  // rebuilds the same payload string, so content_length is just strlen
+  // of the same concat, and title/body follow the q144 template logic.
+  private def q146(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{HtmlKernels, WarcKernels}
+    val payload = concat(lit("<html><head><title>D"), col("doc_id"),
+      lit("</title></head><body><p>"), col("text"),
+      lit("</p><a href='next'>n</a></body></html>"))
+    val resp = concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://ex.com/doc/"),
+      col("doc_id"), lit("\r\nWARC-Date: 2026-02-03T04:05:06Z\r\nContent-Length: "),
+      length(payload), lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
+    val req = lit("WARC/1.0\r\nWARC-Type: request\r\nContent-Length: 3\r\n\r\nGET\r\n\r\n")
+    val warc = concat(resp, req).cast("binary")
+    docs(s, dir)
+      .select(col("doc_id"),
+        size(WarcKernels.warcRecords(warc)).as("n_records"),
+        explode(WarcKernels.warcRecords(warc)).as("r"))
+      .filter(col("r.warc_type") === "response")
+      .select(col("doc_id"), col("n_records"), col("r.url").as("url"),
+        col("r.content_length").as("content_length"),
+        HtmlKernels.htmlExtract(col("r.payload").cast("string")).as("h"))
+      .select(col("doc_id"), col("n_records"), col("url"), col("content_length"),
+        col("h.title").as("title"), col("h.body_text").as("body_text"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+  private val q146Sql = """
+    SELECT doc_id,
+           CAST(2 AS INT) AS n_records,
+           'https://ex.com/doc/' || doc_id AS url,
+           CAST(strlen('<html><head><title>D' || doc_id ||
+             '</title></head><body><p>' || text ||
+             '</p><a href=''next''>n</a></body></html>') AS BIGINT)
+             AS content_length,
+           'D' || doc_id AS title,
+           coalesce(array_to_string(list_filter(string_split_regex(
+             text || ' n', '\s+'), x -> len(x) > 0), ' '), '') AS body_text
+    FROM documents ORDER BY doc_id ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
     Q("q24_text_stats", q24, Some(q24Sql)),
     Q("q25_lang_id", q25, Some(q25Sql)),
@@ -467,6 +510,7 @@ object TextQueries extends QueryPack {
     Q("q128_url_dedup", q128, Some(q128Sql)),
     Q("q111_normalize_text", q111, Some(q111Sql)),
     Q("q144_html_extract", q144, Some(q144Sql)),
-    Q("q145_config_html_extract", q145, Some(q144Sql))
+    Q("q145_config_html_extract", q145, Some(q144Sql)),
+    Q("q146_warc_pipeline", q146, Some(q146Sql))
   )
 }

@@ -676,6 +676,52 @@ class OpsSpec extends SparkSpec {
     assert(err.getMessage.contains("progressive"))
   }
 
+  test("warc_records kernel: spec conformance and named structural errors") {
+    import graft.functions.WarcKernels.warcRecords
+    def parse(b: Array[Byte]) =
+      Seq(b).toDF("c").select(explode(warcRecords($"c")).as("r"))
+        .select($"r.url", $"r.warc_type", $"r.content_length", $"r.payload")
+        .collect()
+    def recS(s: String) = s.getBytes("ISO-8859-1")
+    // version 1.1, case-insensitive header names, RFC-822 continuation
+    // folded, unknown headers skipped
+    val ok = recS("WARC/1.1\r\nwarc-type: RESPONSE\r\nX-Custom: z\r\n" +
+      " folded-continuation\r\nWARC-TARGET-URI: u\r\ncontent-length: 2\r\n\r\n" +
+      "ab\r\n\r\n")
+    val r = parse(ok)
+    assert(r.length == 1)
+    assert(r.head.getString(0) == "u" && r.head.getString(1) == "RESPONSE")
+    assert(r.head.getLong(2) == 2L)
+    assert(new String(r.head.getAs[Array[Byte]](3)) == "ab")
+    // multi-record with a binary payload containing CRLFs and high bytes:
+    // record framing is Content-Length-driven, never delimiter-scanned
+    val bin = Array[Byte](0, 1, -1, 13, 10, 13, 10, -128, 127)
+    val two = recS("WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\n" +
+      "soft\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: b\r\n" +
+      s"Content-Length: ${bin.length}\r\n\r\n") ++ bin ++ recS("\r\n\r\n")
+    val rr = parse(two)
+    assert(rr.length == 2)
+    assert(rr(0).isNullAt(0) && rr(0).getString(1) == "warcinfo")
+    assert(rr(1).getAs[Array[Byte]](3).toSeq == bin.toSeq,
+      "binary payload must survive byte-exact")
+    // empty input = empty crawl file = zero records, not an error
+    assert(parse(Array.emptyByteArray).isEmpty)
+    def fails(b: Array[Byte], msg: String): Unit = {
+      val e = intercept[Throwable](parse(b))
+      def messages(t: Throwable): String =
+        if (t == null) "" else t.toString + messages(t.getCause)
+      assert(messages(e).contains(msg), s"wanted '$msg' in: ${messages(e)}")
+    }
+    fails(recS("HTTP/1.0 200 OK\r\n\r\n\r\n\r\n"), "WARC/1.x version line")
+    fails(recS("WARC/1.0\r\nWARC-Type: x\r\n\r\n\r\n\r\n"), "Content-Length")
+    fails(recS("WARC/1.0\r\nContent-Length: ten\r\n\r\n\r\n\r\n"), "non-numeric")
+    fails(recS("WARC/1.0\r\nContent-Length: 10\r\n\r\nabc"), "truncated")
+    fails(recS("WARC/1.0\r\nContent-Length: 3\r\n\r\nabcXXXX"), "separator")
+    fails(recS("WARC/1.0\r\nbad header line\r\nContent-Length: 0\r\n\r\n\r\n\r\n"),
+      "':'")
+    fails(ok ++ recS("trailing garbage"), "version line")
+  }
+
   test("html_extract kernel: tags, raw-text elements, comments, entities, " +
     "attributes, malformed-input leniency") {
     import graft.functions.HtmlKernels.htmlExtract

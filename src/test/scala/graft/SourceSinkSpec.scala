@@ -38,6 +38,49 @@ class SourceSinkSpec extends SparkSpec {
     assert(df.schema.fields.forall(_.dataType.typeName == "string"))
   }
 
+  test("warc source: records explode binary-safe; batch and stream agree") {
+    val dir = s"$tmp/in_warc"
+    Files.createDirectories(java.nio.file.Paths.get(dir))
+    def rec(headers: String, payload: Array[Byte]): Array[Byte] =
+      (s"WARC/1.0\r\n${headers}Content-Length: ${payload.length}\r\n\r\n")
+        .getBytes("ISO-8859-1") ++ payload ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    val bin = Array[Byte](0, 1, -1, 13, 10, -128, 127)
+    val bytes =
+      rec("WARC-Type: warcinfo\r\n", "software: test".getBytes) ++
+        rec("WARC-Type: response\r\nWARC-Target-URI: http://a/1\r\n" +
+          "WARC-Date: 2026-01-01T00:00:00Z\r\n", "hello world".getBytes) ++
+        rec("WARC-Type: response\r\nWARC-Target-URI: http://a/2\r\n", bin)
+    Files.write(java.nio.file.Paths.get(s"$dir/f1.warc"), bytes)
+    val out = Compiler.compileJson(spark, s"""
+      {"source": {"format": "warc", "path": "$dir"},
+       "filters": [{"col": "warc_type", "op": "==", "value": "response"}],
+       "order_by": ["url asc"]}""")
+    val rows = out.collect()
+    assert(rows.map(_.getAs[String]("url")).toSeq == Seq("http://a/1", "http://a/2"))
+    assert(new String(rows(0).getAs[Array[Byte]]("payload")) == "hello world")
+    assert(rows(0).getAs[Long]("content_length") == 11L)
+    assert(rows(0).getAs[String]("warc_date") == "2026-01-01T00:00:00Z")
+    assert(rows(1).getAs[Array[Byte]]("payload").toSeq == bin.toSeq,
+      "binary payload must survive the source byte-exact")
+    // the warcinfo record is present pre-filter with a NULL url
+    val all = Compiler.readSource(spark,
+      graft.spec.SourceSpec(format = "warc", path = Some(dir)))
+    assert(all.count() == 3)
+    assert(all.filter("warc_type = 'warcinfo'").collect().head.isNullAt(1))
+    // stream twin: same rows through readStreamSource
+    val sdf = Compiler.readStreamSource(spark,
+      graft.spec.SourceSpec(format = "warc", path = Some(dir), stream = true))
+    val q = sdf.writeStream.format("memory").queryName("warc_stream_t")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("warc_stream_t")
+    assert(streamed.count() == 3)
+    assert(streamed.filter("warc_type = 'response'")
+      .select("url").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("http://a/1", "http://a/2"))
+  }
+
   test("json lines source") {
     val jsonDir = s"$tmp/in_json"
     Seq("""{"k":"a","v":1}""", """{"k":"b","v":2}""").toDS()
