@@ -779,7 +779,10 @@ object Compiler {
     * layout; payload stays binary for the media kernels downstream. */
   private def warcRows(files: DataFrame): DataFrame =
     files.select(col("path").as("warc_file"),
-        explode(graft.functions.WarcKernels.warcRecords(col("content"))).as("__r"))
+        explode(graft.functions.WarcKernels.warcRecords(
+          // 1f 8b sniff: .warc and .warc.gz (member-per-record) files
+          // read from one directory with one plan
+          graft.functions.GzipKernels.gunzipAuto(col("content")))).as("__r"))
       .select(col("warc_file"), col("__r.url").as("url"),
         col("__r.warc_type").as("warc_type"),
         col("__r.warc_date").as("warc_date"),

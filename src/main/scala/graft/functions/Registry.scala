@@ -69,6 +69,11 @@ object Registry {
     // warc_records(bytes) → array of record structs (ISO 28500 container
     // walk; structural damage is a named data error — see WarcOps)
     "warc_records" -> (es => WarcRecords(es.head)),
+    // RFC 1952 member walk: gunzip (strict multi-member, named errors),
+    // gunzip_auto (1f 8b sniff, non-gzip passthrough), gzip_compress
+    "gunzip" -> (es => Gunzip(es.head)),
+    "gunzip_auto" -> (es => GunzipAuto(es.head)),
+    "gzip_compress" -> (es => GzipCompress(es.head)),
     "zorder" -> (es => GraftColumnBridge.expressionEager(
       graft.ops.Layout.zorderValue(
         es.init.map(GraftColumnBridge.column),

@@ -497,6 +497,42 @@ object TextQueries extends QueryPack {
              text || ' n', '\s+'), x -> len(x) > 0), ' '), '') AS body_text
     FROM documents ORDER BY doc_id ASC NULLS FIRST"""
 
+  // q147 — the .warc.gz layout, in-query: each record compressed as its
+  // OWN gzip member, members concatenated, then the auto-sniffing
+  // decompression + container walk recover the records. gzip∘gunzip
+  // cancels, so the oracle is plain string arithmetic — what the gate
+  // actually pins is the multi-member framing (a reader that stops after
+  // member one loses the request record and n_records flips to 1) and
+  // CRC/ISIZE-verified inflation on 500 real payloads.
+  private def q147(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{GzipKernels, WarcKernels}
+    val payload = concat(lit("page "), col("doc_id"), lit(": "), col("text"))
+    val resp = concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://ex.com/doc/"),
+      col("doc_id"), lit("\r\nContent-Length: "), length(payload),
+      lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
+    val req = lit("WARC/1.0\r\nWARC-Type: request\r\nContent-Length: 3\r\n\r\nGET\r\n\r\n")
+    val gz = concat(GzipKernels.gzipCompress(resp.cast("binary")),
+      GzipKernels.gzipCompress(req.cast("binary")))
+    docs(s, dir)
+      .select(col("doc_id"),
+        size(WarcKernels.warcRecords(GzipKernels.gunzipAuto(gz))).as("n_records"),
+        explode(WarcKernels.warcRecords(GzipKernels.gunzipAuto(gz))).as("r"))
+      .filter(col("r.warc_type") === "response")
+      .select(col("doc_id"), col("n_records"), col("r.url").as("url"),
+        col("r.content_length").as("content_length"),
+        col("r.payload").cast("string").as("payload_text"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+  private val q147Sql = """
+    SELECT doc_id,
+           CAST(2 AS INT) AS n_records,
+           'https://ex.com/doc/' || doc_id AS url,
+           CAST(strlen('page ' || doc_id || ': ' || text) AS BIGINT)
+             AS content_length,
+           'page ' || doc_id || ': ' || text AS payload_text
+    FROM documents ORDER BY doc_id ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
     Q("q24_text_stats", q24, Some(q24Sql)),
     Q("q25_lang_id", q25, Some(q25Sql)),
@@ -511,6 +547,7 @@ object TextQueries extends QueryPack {
     Q("q111_normalize_text", q111, Some(q111Sql)),
     Q("q144_html_extract", q144, Some(q144Sql)),
     Q("q145_config_html_extract", q145, Some(q144Sql)),
-    Q("q146_warc_pipeline", q146, Some(q146Sql))
+    Q("q146_warc_pipeline", q146, Some(q146Sql)),
+    Q("q147_warc_gz_members", q147, Some(q147Sql))
   )
 }

@@ -676,6 +676,41 @@ class OpsSpec extends SparkSpec {
     assert(err.getMessage.contains("progressive"))
   }
 
+  test("gzip kernels: multi-member walk, passthrough sniff, named damage errors") {
+    import graft.functions.GzipOps
+    val a = "hello gzip world".getBytes("UTF-8")
+    val b = Array[Byte](0, 1, -1, 13, 10, -128, 127, 42)
+    // single and concatenated members round-trip byte-exact
+    assert(GzipOps.gunzip(GzipOps.gzip(a)).toSeq == a.toSeq)
+    assert(GzipOps.gunzip(GzipOps.gzip(a) ++ GzipOps.gzip(b)).toSeq ==
+      (a ++ b).toSeq, "member-per-record concatenation must walk ALL members")
+    // auto: non-gzip bytes pass through untouched
+    assert(GzipOps.gunzipAuto(a).eq(a))
+    assert(GzipOps.gunzipAuto(GzipOps.gzip(b)).toSeq == b.toSeq)
+    // FNAME header field (GZIPOutputStream never writes one — handcraft:
+    // flip FLG to FNAME and splice a name before the deflate stream)
+    val plain = GzipOps.gzip(a)
+    val withName = plain.take(3) ++ Array(0x08.toByte) ++
+      plain.slice(4, 10) ++ "f.warc ".getBytes("ISO-8859-1") ++ plain.drop(10)
+    assert(GzipOps.gunzip(withName).toSeq == a.toSeq)
+    def fails(bytes: Array[Byte], msg: String): Unit = {
+      val e = intercept[IllegalArgumentException](GzipOps.gunzip(bytes))
+      assert(e.getMessage.contains(msg), s"wanted '$msg' in: ${e.getMessage}")
+    }
+    // the posture cases GZIPInputStream gets wrong silently
+    fails(GzipOps.gzip(a) ++ "trailing garbage".getBytes, "gzip member header")
+    fails(GzipOps.gzip(a).dropRight(3), "truncated member trailer")
+    val corrupt = GzipOps.gzip(a).clone
+    corrupt(corrupt.length - 6) = (corrupt(corrupt.length - 6) ^ 0x55).toByte // CRC byte
+    fails(corrupt, "CRC-32 mismatch")
+    val badPayload = GzipOps.gzip(a).clone
+    badPayload(12) = (badPayload(12) ^ 0x7f).toByte
+    val e = intercept[IllegalArgumentException](GzipOps.gunzip(badPayload))
+    assert(e.getMessage.contains("gzip stream damaged"))
+    fails(Array(0x1f.toByte, 0x8b.toByte, 7, 0), "truncated member header")
+    fails("not gzip at all".getBytes, "gzip member header")
+  }
+
   test("warc_records kernel: spec conformance and named structural errors") {
     import graft.functions.WarcKernels.warcRecords
     def parse(b: Array[Byte]) =

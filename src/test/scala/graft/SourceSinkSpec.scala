@@ -67,6 +67,21 @@ class SourceSinkSpec extends SparkSpec {
       graft.spec.SourceSpec(format = "warc", path = Some(dir)))
     assert(all.count() == 3)
     assert(all.filter("warc_type = 'warcinfo'").collect().head.isNullAt(1))
+    // a SECOND file in the same directory, compressed member-per-record
+    // (.warc.gz layout): the sniffing source reads both with one plan
+    val gzBytes =
+      graft.functions.GzipOps.gzip(
+        rec("WARC-Type: response\r\nWARC-Target-URI: http://gz/1\r\n",
+          "compressed page".getBytes)) ++
+      graft.functions.GzipOps.gzip(
+        rec("WARC-Type: request\r\n", "GET".getBytes))
+    Files.write(java.nio.file.Paths.get(s"$dir/f2.warc.gz"), gzBytes)
+    val mixed = Compiler.readSource(spark,
+      graft.spec.SourceSpec(format = "warc", path = Some(dir)))
+    assert(mixed.count() == 5, "3 plain + 2 gz records")
+    val gzRow = mixed.filter("url = 'http://gz/1'").collect().head
+    assert(new String(gzRow.getAs[Array[Byte]]("payload")) == "compressed page")
+
     // stream twin: same rows through readStreamSource
     val sdf = Compiler.readStreamSource(spark,
       graft.spec.SourceSpec(format = "warc", path = Some(dir), stream = true))
@@ -75,10 +90,10 @@ class SourceSinkSpec extends SparkSpec {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination(60000)
     val streamed = spark.table("warc_stream_t")
-    assert(streamed.count() == 3)
+    assert(streamed.count() == 5, "3 plain + 2 gz records through the stream")
     assert(streamed.filter("warc_type = 'response'")
       .select("url").collect().map(_.getString(0)).sorted.toSeq ==
-      Seq("http://a/1", "http://a/2"))
+      Seq("http://a/1", "http://a/2", "http://gz/1"))
   }
 
   test("json lines source") {
