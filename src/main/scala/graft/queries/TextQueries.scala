@@ -533,6 +533,64 @@ object TextQueries extends QueryPack {
            'page ' || doc_id || ': ' || text AS payload_text
     FROM documents ORDER BY doc_id ASC NULLS FIRST"""
 
+  // q148 — the WEB-curation flagship, PURE JSON, on named defs: crawl
+  // pages (the q144 template) → html_extract → token-count quality
+  // filter (n_tok ≤ 45 — drops 329/500 at sf0.01) → language rejoin
+  // (child) → temperature resample (α=0.5, frac 0.5 — flattens en 38%
+  // vs de 59% keep rates) → per-language doc/token report. Every stage
+  // bites and every stage mirrors exactly: body token count is 5 + the
+  // text's (template arithmetic), and the sampling stage recomputes the
+  // q142 rate fold over the SURVIVING mixture.
+  private def q148(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    graft.compile.Compiler.compileJson(s, s"""
+      {"defs": [
+        {"id": "extracted",
+         "source": {"table": "documents"},
+         "derive": {"html": "$htmlExpr"},
+         "html_extract": {"id_col": "doc_id", "html_col": "html"}},
+        {"id": "scored",
+         "source": {"ref": "extracted"},
+         "derive": {"n_tok": "size(split(body_text, ' '))"},
+         "filters": ["n_tok <= 45"],
+         "keep_columns": ["doc_id", "n_tok"],
+         "children": [{"id": "langs", "source": {"table": "documents"},
+                       "keep_columns": ["doc_id", "lang"],
+                       "join": {"on": ["doc_id"], "how": "inner"}}]}],
+       "id": "webflag",
+       "source": {"ref": "scored"},
+       "temperature_sample": {"group_col": "lang", "id_col": "doc_id",
+                              "target_fraction": 0.5},
+       "aggregate": {"group_by": ["lang"],
+         "aggregations": [
+           {"col": "*", "func": "count", "new_name": "n_docs"},
+           {"col": "n_tok", "func": "sum", "new_name": "sum_tok"}]},
+       "order_by": ["lang asc"]}""")
+  }
+  private val q148Sql = """
+    WITH surv AS (
+      SELECT doc_id, lang,
+             5 + len(list_filter(string_split_regex(trim(text), '\s+'),
+               x -> len(x) > 0)) AS n_tok
+      FROM documents
+      WHERE 5 + len(list_filter(string_split_regex(trim(text), '\s+'),
+        x -> len(x) > 0)) <= 45),
+    g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM surv GROUP BY lang),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS N,
+                 list_sum(list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang)) AS S
+          FROM g),
+    r AS (SELECT g.lang,
+                 CAST(FLOOR(LEAST(1.0,
+                       CAST(CAST(FLOOR(0.5 * t.N) AS BIGINT) AS DOUBLE)
+                         * (sqrt(CAST(g.n AS DOUBLE)) / t.S)
+                         / CAST(g.n AS DOUBLE)) * 1000000.0) AS BIGINT) AS k
+          FROM g, t)
+    SELECT s.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(s.n_tok) AS BIGINT) AS sum_tok
+    FROM surv s JOIN r ON s.lang = r.lang
+    WHERE ((s.doc_id % 1000000) * 25214903917) % 1000000 < r.k
+    GROUP BY s.lang ORDER BY s.lang ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
     Q("q24_text_stats", q24, Some(q24Sql)),
     Q("q25_lang_id", q25, Some(q25Sql)),
@@ -548,6 +606,7 @@ object TextQueries extends QueryPack {
     Q("q144_html_extract", q144, Some(q144Sql)),
     Q("q145_config_html_extract", q145, Some(q144Sql)),
     Q("q146_warc_pipeline", q146, Some(q146Sql)),
-    Q("q147_warc_gz_members", q147, Some(q147Sql))
+    Q("q147_warc_gz_members", q147, Some(q147Sql)),
+    Q("q148_web_curation_flagship", q148, Some(q148Sql))
   )
 }
