@@ -250,4 +250,57 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  // random web garbage: markup fragments, stray brackets, half entities,
+  // quotes — the input class the leniency contract exists for
+  private val garbageGen: Gen[String] =
+    Gen.listOf(Gen.oneOf(
+      "<", ">", "&", "\"", "'", "<!--", "-->", "</", "/>", "=",
+      "<script>", "</script>", "<style>", "<title>", "</title>",
+      "<a href=", "&amp;", "&#", "&#x", ";", "word", " ", "\t", "\n",
+      "é", "日本", " "))
+      .map(_.mkString)
+
+  test("html_extract never throws on arbitrary markup garbage; body is ws-normalized") {
+    import graft.functions.HtmlKernels.htmlExtract
+    forAll(garbageGen, n = 60) { g =>
+      val r = Seq(g).toDF("h")
+        .select(htmlExtract($"h").as("x"))
+        .select($"x.body_text", $"x.links").collect().head
+      val body = r.getString(0)
+      // leniency: SOME body always comes back (possibly empty), and it is
+      // normalized — no leading/trailing ws, no ws runs
+      assert(body != null)
+      val renorm = body.split("\\s+").filter(_.nonEmpty).mkString(" ")
+      assert(body == renorm, s"body not normalized: [$body] from [$g]")
+      assert(r.getSeq[String](1) != null)
+    }
+  }
+
+  private val bytesGen: Gen[Array[Byte]] =
+    Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
+
+  test("gzip: gunzip∘gzip is identity on arbitrary bytes; members concatenate") {
+    forAll2(bytesGen, bytesGen, n = 30) { (a, b) =>
+      assert(graft.functions.GzipOps.gunzip(graft.functions.GzipOps.gzip(a)).toSeq
+        == a.toSeq)
+      assert(graft.functions.GzipOps.gunzip(
+        graft.functions.GzipOps.gzip(a) ++ graft.functions.GzipOps.gzip(b)).toSeq
+        == (a ++ b).toSeq)
+    }
+  }
+
+  test("warc: arbitrary binary payloads round-trip through record framing") {
+    forAll2(bytesGen, bytesGen, n = 20) { (a, b) =>
+      def rec(t: String, payload: Array[Byte]): Array[Byte] =
+        (s"WARC/1.0\r\nWARC-Type: $t\r\nContent-Length: ${payload.length}\r\n\r\n")
+          .getBytes("ISO-8859-1") ++ payload ++ "\r\n\r\n".getBytes("ISO-8859-1")
+      val rows = Seq(rec("response", a) ++ rec("request", b)).toDF("c")
+        .select(explode(graft.functions.WarcKernels.warcRecords($"c")).as("r"))
+        .select($"r.warc_type", $"r.payload").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[Array[Byte]](1).toSeq == a.toSeq)
+      assert(rows(1).getAs[Array[Byte]](1).toSeq == b.toSeq)
+    }
+  }
 }

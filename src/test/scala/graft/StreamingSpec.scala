@@ -655,6 +655,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("crawl ingestion composes: streaming .warc.gz source → html_extract → passage_ingest") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_crawl").toString
+    val inDir = s"$base/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    def rec(url: String, body: String): Array[Byte] = {
+      val page =
+        s"<html><head><title>T</title></head><body><p>$body</p></body></html>"
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $url\r\n" +
+        s"Content-Length: ${page.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+        page.getBytes("ISO-8859-1") ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    }
+    var fileN = 0
+    def push(pages: (String, String)*): Unit = {
+      fileN += 1
+      // member-per-record gzip: the real crawl file layout, streamed
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$inDir/f$fileN.warc.gz"),
+        pages.flatMap { case (u, b) =>
+          graft.functions.GzipOps.gzip(rec(u, b)).toSeq }.toArray)
+    }
+    val json = s"""
+      {"source": {"format": "warc", "path": "$inDir"},
+       "filters": [{"col": "warc_type", "op": "==", "value": "response"}],
+       "derive": {"html": "cast(payload as string)"},
+       "html_extract": {"id_col": "url", "html_col": "html"},
+       "passage_ingest": {"id_col": "url", "text_col": "body_text",
+                          "corpus_dir": "$base/corpus",
+                          "index_dir": "$base/index",
+                          "checkpoint_dir": "$base/ckpt",
+                          "window_tokens": 3}}"""
+    push(("http://a/1", "alpha beta gamma delta"))
+    val q = graft.compile.Compiler.compileStreamJson(spark, json)
+    try {
+      q.processAllAvailable()
+      push(("http://a/2", "alpha beta gamma zeta eta theta"))
+      q.processAllAvailable()
+      val corpus = spark.read.parquet(s"$base/corpus")
+        .select("url", "body_text").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(corpus.keySet == Set("http://a/1", "http://a/2"), corpus.toString)
+      assert(corpus("http://a/1") == "alpha beta gamma delta")
+      assert(corpus("http://a/2") == "zeta eta theta",
+        "the crawl pipeline must strip the passage already ingested from page 1")
+    } finally q.stop()
+  }
+
   test("passage_ingest config: same strip decisions as the API path; guard rails by name") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_pi_cfg").toString
