@@ -45,6 +45,7 @@ object Compiler {
         node.split.toSeq.map(_.idCol) ++
         node.temperatureSample.toSeq.flatMap(t => Seq(t.groupCol, t.idCol)) ++
         node.htmlExtract.toSeq.flatMap(h => Seq(h.idCol, h.htmlCol)) ++
+        node.profile.toSeq.flatMap(_.columns) ++
         node.boilerplate.toSeq.flatMap(b => Seq(b.idCol, b.textCol)) ++
         node.featurize.toSeq.flatMap(f => Seq(f.idCol, f.payloadCol))
     // compact/running_totals/top_k run AFTER children (joins may add or
@@ -334,6 +335,13 @@ object Compiler {
     // Pure per-row kernel — scan-stage, streaming-admissible.
     node.htmlExtract.foreach { he =>
       df = graft.ops.TextAnalysis.htmlExtract(df, he.idCol, he.htmlCol)
+    }
+
+    // Per-column profile: the frame becomes the stats rows. A global
+    // aggregate (and count_distinct), so batch-only by name.
+    node.profile.foreach { pr =>
+      requireBatch("profile")
+      df = graft.ops.Relational.profile(df, pr.columns, pr.approx)
     }
 
     // Temperature resampling: the frame becomes the sampled subset

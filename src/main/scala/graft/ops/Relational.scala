@@ -12,6 +12,49 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Relational {
 
+  /** Per-column data-quality profile — the monitoring pass a production
+    * pipeline runs on every ingested batch: one row per profiled column
+    * with (col_name, n_rows, n_nulls, n_distinct, min_value, max_value),
+    * min/max cast to string so heterogeneous column types share one
+    * output schema.
+    *
+    * ONE aggregate pass over the input (partial+final, no matter how
+    * many columns are profiled — the per-column stats are sibling
+    * aggregate expressions, not separate jobs), then a constant-size
+    * `stack` unpivot of the single result row. The expensive term at
+    * scale is exact `count_distinct` (one hash set per column in the
+    * aggregate); `approx = true` swaps in HLL `approx_count_distinct`,
+    * the right default at corpus scale where "how many distinct URLs"
+    * tolerates ±2%. Exact mode is the oracle-gated one.
+    */
+  def profile(
+      df: DataFrame,
+      columns: Seq[String],
+      approx: Boolean = false
+  ): DataFrame = {
+    require(columns.nonEmpty, "profile: need at least one column")
+    val missing = columns.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"profile: columns not in the frame: ${missing.mkString(", ")} " +
+        s"(have: ${df.columns.mkString(", ")})")
+    val aggs = count(lit(1)).as("__pr_n") +: columns.flatMap { c =>
+      Seq(
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+          .as(s"__pr_nulls_$c"),
+        (if (approx) approx_count_distinct(col(c))
+         else count_distinct(col(c))).as(s"__pr_dist_$c"),
+        min(col(c)).cast("string").as(s"__pr_min_$c"),
+        max(col(c)).cast("string").as(s"__pr_max_$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = columns.map { c =>
+      s"'$c', __pr_n, `__pr_nulls_$c`, `__pr_dist_$c`, `__pr_min_$c`, `__pr_max_$c`"
+    }.mkString(", ")
+    row.select(expr(
+      s"stack(${columns.size}, $stackArgs) AS " +
+        "(col_name, n_rows, n_nulls, n_distinct, min_value, max_value)"))
+  }
+
   /** Per-group top-k: row_number over (partition, order) then filter ≤ k.
     * The standard scalable pattern — one shuffle on `partitionCols`; the
     * window is rank-only so Spark's WindowExec streams each group without

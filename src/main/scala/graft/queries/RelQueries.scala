@@ -290,6 +290,49 @@ object RelQueries extends QueryPack {
     FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
     GROUP BY band ORDER BY band ASC NULLS FIRST"""
 
+  // q149/q150 — per-column profile (the per-batch data-quality monitor):
+  // lineitem with a derived nullable flag column so the null-count path
+  // is exercised (lineitem itself is null-free). One aggregate pass for
+  // all columns; min/max stringified for the uniform schema. q150 is
+  // the PURE-JSON twin over the same derive.
+  private def q149(s: SparkSession, dir: String): DataFrame =
+    Relational.profile(
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            nullif(col("l_returnflag"), lit("R")).as("flag")),
+        Seq("l_orderkey", "l_linenumber", "flag"))
+      .orderBy(col("col_name").asc_nulls_first)
+  private val q149Sql = """
+    WITH d AS (SELECT l_orderkey, l_linenumber,
+                      nullif(l_returnflag, 'R') AS flag FROM lineitem)
+    SELECT * FROM (
+      SELECT 'flag' AS col_name, COUNT(*) AS n_rows,
+             COUNT(*) FILTER (WHERE flag IS NULL) AS n_nulls,
+             COUNT(DISTINCT flag) AS n_distinct,
+             CAST(MIN(flag) AS VARCHAR) AS min_value,
+             CAST(MAX(flag) AS VARCHAR) AS max_value FROM d
+      UNION ALL
+      SELECT 'l_linenumber', COUNT(*),
+             COUNT(*) FILTER (WHERE l_linenumber IS NULL),
+             COUNT(DISTINCT l_linenumber),
+             CAST(MIN(l_linenumber) AS VARCHAR),
+             CAST(MAX(l_linenumber) AS VARCHAR) FROM d
+      UNION ALL
+      SELECT 'l_orderkey', COUNT(*),
+             COUNT(*) FILTER (WHERE l_orderkey IS NULL),
+             COUNT(DISTINCT l_orderkey),
+             CAST(MIN(l_orderkey) AS VARCHAR),
+             CAST(MAX(l_orderkey) AS VARCHAR) FROM d)
+    ORDER BY col_name ASC NULLS FIRST"""
+  private def q150(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir)
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "lineitem"},
+       "derive": {"flag": "nullif(l_returnflag, 'R')"},
+       "profile": {"columns": ["l_orderkey", "l_linenumber", "flag"]},
+       "order_by": ["col_name asc"]}""")
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q10_semi_join", q10, Some(q10Sql)),
     Q("q11_anti_join", q11, Some(q11Sql)),
@@ -303,6 +346,8 @@ object RelQueries extends QueryPack {
     Q("q20_array_funcs", q20, Some(q20Sql)),
     Q("q21_json_funcs", q21, Some(q21Sql)),
     Q("q22_asof_join", q22, Some(q22Sql)),
-    Q("q23_range_join", q23, Some(q23Sql))
+    Q("q23_range_join", q23, Some(q23Sql)),
+    Q("q149_profile", q149, Some(q149Sql)),
+    Q("q150_config_profile", q150, Some(q149Sql))
   )
 }

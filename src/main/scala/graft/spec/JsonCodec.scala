@@ -327,6 +327,15 @@ object JsonCodec {
         htmlCol = req(d, s"node $id: html_extract", "html_col", "htmlCol").asText)
     }
 
+    val pr = opt(n, "profile").map { d =>
+      val colsNode = req(d, s"node $id: profile", "columns")
+      require(colsNode.isArray && colsNode.size() > 0,
+        s"node $id: profile.columns must be a non-empty ARRAY of column names")
+      ProfileSpec(
+        columns = (0 until colsNode.size()).map(i => colsNode.get(i).asText),
+        approx = opt(d, "approx").exists(_.asBoolean(false)))
+    }
+
     val bp = opt(n, "boilerplate").map { d =>
       BoilerplateSpec(
         idCol = req(d, s"node $id: boilerplate", "id_col", "idCol").asText,
@@ -413,6 +422,7 @@ object JsonCodec {
       split = sp,
       temperatureSample = ts,
       htmlExtract = he,
+      profile = pr,
       boilerplate = bp,
       featurize = fz,
       aggregate = aggregate,

@@ -298,6 +298,16 @@ final case class TemperatureSampleSpec(
     alpha: Double = 0.5
 )
 
+/** Per-column data-quality profile (NS; Relational.profile): the frame
+  * becomes one row per profiled column — (col_name, n_rows, n_nulls,
+  * n_distinct, min_value, max_value), min/max as strings. One aggregate
+  * pass regardless of column count; `approx` swaps exact distinct for
+  * HLL (the corpus-scale default). Batch-only (global aggregate). */
+final case class ProfileSpec(
+    columns: Seq[String],
+    approx: Boolean = false
+)
+
 /** HTML text extraction (NS; TextAnalysis.htmlExtract): the frame
   * becomes (idCol, title, body_text, links) — visible text with
   * script/style/comments/tags removed and entities decoded, the first
@@ -516,6 +526,7 @@ final case class NodeSpec(
     split: Option[SplitSpec] = None, // after keep, before aggregate
     temperatureSample: Option[TemperatureSampleSpec] = None, // after split
     htmlExtract: Option[HtmlExtractSpec] = None, // after keep, before aggregate
+    profile: Option[ProfileSpec] = None, // after keep, before aggregate
     boilerplate: Option[BoilerplateSpec] = None, // after keep, before aggregate
     featurize: Option[FeaturizeSpec] = None, // after keep, before aggregate
     aggregate: Option[AggregateSpec] = None,

@@ -204,6 +204,19 @@ class JsonCodecSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("pairs") && e2.getMessage.contains("clusters"))
   }
 
+  test("profile node key decodes columns and approx; rejects empty arrays") {
+    val n = root("""
+      {"source": {"table": "lineitem"},
+       "profile": {"columns": ["a", "b"]}}""")
+    assert(n.profile.get.columns == Seq("a", "b") && !n.profile.get.approx)
+    assert(root("""
+      {"source": {"table": "lineitem"},
+       "profile": {"columns": ["a"], "approx": true}}""").profile.get.approx)
+    val e = intercept[IllegalArgumentException](root(
+      """{"profile": {"columns": []}}"""))
+    assert(e.getMessage.contains("non-empty"))
+  }
+
   test("html_extract node key decodes and names missing fields") {
     val n = root("""
       {"source": {"table": "documents"},

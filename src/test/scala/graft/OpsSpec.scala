@@ -676,6 +676,32 @@ class OpsSpec extends SparkSpec {
     assert(err.getMessage.contains("progressive"))
   }
 
+  test("profile: one row per column, empty-frame zeros, approx bound, named errors") {
+    import graft.ops.Relational
+    val df = Seq((1L, Some("a")), (2L, None), (3L, Some("b")), (3L, Some("a")))
+      .toDF("id", "s")
+    val p = Relational.profile(df, Seq("id", "s")).orderBy("col_name")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5)))
+    assert(p(0) == (("id", 4L, 0L, 3L, "1", "3")))
+    assert(p(1) == (("s", 4L, 1L, 2L, "a", "b")))
+    // empty input: zero rows/nulls/distinct, null min/max — not a crash
+    val e = Relational.profile(df.filter(lit(false)), Seq("id")).collect().head
+    assert(e.getLong(1) == 0L && e.getLong(2) == 0L && e.getLong(3) == 0L)
+    assert(e.isNullAt(4) && e.isNullAt(5))
+    // approx mode: HLL estimate within 5% on 2000 distinct ids
+    val big = (1L to 2000L).toDF("id")
+    val est = Relational.profile(big, Seq("id"), approx = true)
+      .collect().head.getLong(3)
+    assert(math.abs(est - 2000L) <= 100, s"approx distinct: $est")
+    val err = intercept[IllegalArgumentException](
+      Relational.profile(df, Seq("id", "nope")))
+    assert(err.getMessage.contains("nope"))
+    val err2 = intercept[IllegalArgumentException](
+      Relational.profile(df, Nil))
+    assert(err2.getMessage.contains("at least one"))
+  }
+
   test("gzip kernels: multi-member walk, passthrough sniff, named damage errors") {
     import graft.functions.GzipOps
     val a = "hello gzip world".getBytes("UTF-8")

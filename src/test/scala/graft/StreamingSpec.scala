@@ -793,6 +793,7 @@ class StreamingSpec extends SparkSpec {
       "batch-only")
     rejects(""""temperature_sample": {"group_col": "lang", "id_col": "doc_id",
                "target_fraction": 0.3}""", "batch-only")
+    rejects(""""profile": {"columns": ["doc_id"]}""", "batch-only")
     // the pair shapes stay streaming-admissible in principle — only the
     // iterative cluster tier is named off; batch compiles are untouched
     val ok = graft.compile.Compiler.compileJson(spark, s"""
