@@ -71,6 +71,9 @@ object Registry {
     "warc_records" -> (es => WarcRecords(es.head)),
     // RFC 1952 member walk: gunzip (strict multi-member, named errors),
     // gunzip_auto (1f 8b sniff, non-gzip passthrough), gzip_compress
+    // sniff_mime(bytes) → MIME label from magic bytes (never throws —
+    // the router in front of the format-specific parsers; see SniffOps)
+    "sniff_mime" -> (es => SniffMime(es.head)),
     "gunzip" -> (es => Gunzip(es.head)),
     "gunzip_auto" -> (es => GunzipAuto(es.head)),
     "gzip_compress" -> (es => GzipCompress(es.head)),

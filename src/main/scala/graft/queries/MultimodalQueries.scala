@@ -1060,6 +1060,42 @@ object MultimodalQueries extends QueryPack {
            CAST(182 AS BIGINT) AS s_sum_frames,
            CAST(19.324924 AS DOUBLE) AS s_luma_chk"""
 
+  // q151 — content-type ROUTING over a crawl-shaped payload column: ten
+  // formats by doc_id mod 10 (seven real media fixtures + gzip + an HTML
+  // page + plain text), one sniff sweep, exact dispatch oracle. The
+  // label set is what a post-WARC router branches on; media labels come
+  // from the codecs' own readiness predicates, so "image/png" implies
+  // the PNG decoder accepts the header.
+  private def q151(s: SparkSession, dir: String): DataFrame = {
+    val m = pmod(col("doc_id"), lit(10))
+    graft.Tables.load(s, dir, "documents").select("doc_id", "text")
+      .select(col("doc_id"),
+        when(m === 0, textToBmp(col("text")))
+          .when(m === 1, textToPng(col("text")))
+          .when(m === 2, textToJpeg(col("text")))
+          .when(m === 3, textToGif(col("text")))
+          .when(m === 4, textToWav(col("text")))
+          .when(m === 5, textToMp3(col("text")))
+          .when(m === 6, textToMp4(col("text")))
+          .when(m === 7, graft.functions.GzipKernels.gzipCompress(
+            col("text").cast("binary")))
+          .when(m === 8, concat(lit("<html><body><p>"), col("text"),
+            lit("</p></body></html>")).cast("binary"))
+          .otherwise(col("text").cast("binary")).as("payload"))
+      .select(col("doc_id"),
+        graft.functions.SniffKernels.sniffMime(col("payload")).as("mime"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+  private val q151Sql = """
+    SELECT doc_id,
+           CASE doc_id % 10
+             WHEN 0 THEN 'image/bmp'    WHEN 1 THEN 'image/png'
+             WHEN 2 THEN 'image/jpeg'   WHEN 3 THEN 'image/gif'
+             WHEN 4 THEN 'audio/wav'    WHEN 5 THEN 'audio/mpeg'
+             WHEN 6 THEN 'video/mp4'    WHEN 7 THEN 'application/gzip'
+             WHEN 8 THEN 'text/html'    ELSE 'text/plain' END AS mime
+    FROM documents ORDER BY doc_id ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
     Q("q37_multimodal_featurize", q37, Some(q37Sql)),
     Q("q89_image_resize", q89, Some(q89Sql)),
@@ -1080,6 +1116,7 @@ object MultimodalQueries extends QueryPack {
     Q("q130_config_audio_dedup", q130, Some(q130Sql)),
     Q("q134_config_image_clusters", q134, Some(clusterGateSql)),
     Q("q135_config_audio_clusters", q135, Some(clusterGateSql)),
-    Q("q137_multimodal_flagship", q137, Some(q137Sql))
+    Q("q137_multimodal_flagship", q137, Some(q137Sql)),
+    Q("q151_sniff_mime_routing", q151, Some(q151Sql))
   )
 }

@@ -676,6 +676,25 @@ class OpsSpec extends SparkSpec {
     assert(err.getMessage.contains("progressive"))
   }
 
+  test("sniff_mime: magic dispatch, html/xml after whitespace, text heuristic, never throws") {
+    import graft.functions.SniffOps.sniff
+    assert(sniff("%PDF-1.7 rest".getBytes) == "application/pdf")
+    assert(sniff("  \r\n\t<!DOCTYPE html><html>".getBytes) == "text/html")
+    assert(sniff("<HtMl lang='en'>".getBytes) == "text/html")
+    assert(sniff("<?xml version='1.0'?><root/>".getBytes) == "application/xml")
+    assert(sniff("just words, punctuation; and\ttabs\r\n".getBytes) == "text/plain")
+    assert(sniff(graft.functions.GzipOps.gzip("x".getBytes)) == "application/gzip")
+    assert(sniff(Array[Byte](0, 1, 2, -120, 50)) == "application/octet-stream")
+    assert(sniff(Array.emptyByteArray) == "application/octet-stream")
+    assert(sniff(null) == "application/octet-stream")
+    // a PNG signature too short for the decoder's readiness check must
+    // NOT be labeled png — the label promises the decoder accepts it
+    val pngPrefix = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a, 1, 2)
+    assert(sniff(pngPrefix) == "application/octet-stream")
+    // <div> is a tag but not an html DOCUMENT marker → text by heuristic
+    assert(sniff("<div>frag</div>".getBytes) == "text/plain")
+  }
+
   test("profile: one row per column, empty-frame zeros, approx bound, named errors") {
     import graft.ops.Relational
     val df = Seq((1L, Some("a")), (2L, None), (3L, Some("b")), (3L, Some("a")))
