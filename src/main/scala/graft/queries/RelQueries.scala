@@ -297,39 +297,39 @@ object RelQueries extends QueryPack {
   // the PURE-JSON twin over the same derive.
   private def q149(s: SparkSession, dir: String): DataFrame =
     Relational.profile(
-        Tables.load(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_linenumber"),
-            nullif(col("l_returnflag"), lit("R")).as("flag")),
-        Seq("l_orderkey", "l_linenumber", "flag"))
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            nullif(col("lang"), lit("en")).as("flag")),
+        Seq("doc_id", "source", "flag"))
       .orderBy(col("col_name").asc_nulls_first)
   private val q149Sql = """
-    WITH d AS (SELECT l_orderkey, l_linenumber,
-                      nullif(l_returnflag, 'R') AS flag FROM lineitem)
+    WITH d AS (SELECT doc_id, source,
+                      nullif(lang, 'en') AS flag FROM documents)
     SELECT * FROM (
-      SELECT 'flag' AS col_name, COUNT(*) AS n_rows,
-             COUNT(*) FILTER (WHERE flag IS NULL) AS n_nulls,
-             COUNT(DISTINCT flag) AS n_distinct,
-             CAST(MIN(flag) AS VARCHAR) AS min_value,
-             CAST(MAX(flag) AS VARCHAR) AS max_value FROM d
+      SELECT 'doc_id' AS col_name, COUNT(*) AS n_rows,
+             COUNT(*) FILTER (WHERE doc_id IS NULL) AS n_nulls,
+             COUNT(DISTINCT doc_id) AS n_distinct,
+             CAST(MIN(doc_id) AS VARCHAR) AS min_value,
+             CAST(MAX(doc_id) AS VARCHAR) AS max_value FROM d
       UNION ALL
-      SELECT 'l_linenumber', COUNT(*),
-             COUNT(*) FILTER (WHERE l_linenumber IS NULL),
-             COUNT(DISTINCT l_linenumber),
-             CAST(MIN(l_linenumber) AS VARCHAR),
-             CAST(MAX(l_linenumber) AS VARCHAR) FROM d
+      SELECT 'flag', COUNT(*),
+             COUNT(*) FILTER (WHERE flag IS NULL),
+             COUNT(DISTINCT flag),
+             CAST(MIN(flag) AS VARCHAR),
+             CAST(MAX(flag) AS VARCHAR) FROM d
       UNION ALL
-      SELECT 'l_orderkey', COUNT(*),
-             COUNT(*) FILTER (WHERE l_orderkey IS NULL),
-             COUNT(DISTINCT l_orderkey),
-             CAST(MIN(l_orderkey) AS VARCHAR),
-             CAST(MAX(l_orderkey) AS VARCHAR) FROM d)
+      SELECT 'source', COUNT(*),
+             COUNT(*) FILTER (WHERE source IS NULL),
+             COUNT(DISTINCT source),
+             CAST(MIN(source) AS VARCHAR),
+             CAST(MAX(source) AS VARCHAR) FROM d)
     ORDER BY col_name ASC NULLS FIRST"""
   private def q150(s: SparkSession, dir: String): DataFrame = {
     Tables.registerViews(s, dir)
     graft.compile.Compiler.compileJson(s, """
-      {"source": {"table": "lineitem"},
-       "derive": {"flag": "nullif(l_returnflag, 'R')"},
-       "profile": {"columns": ["l_orderkey", "l_linenumber", "flag"]},
+      {"source": {"table": "documents"},
+       "derive": {"flag": "nullif(lang, 'en')"},
+       "profile": {"columns": ["doc_id", "source", "flag"]},
        "order_by": ["col_name asc"]}""")
   }
 
