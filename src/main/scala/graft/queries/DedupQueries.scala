@@ -66,24 +66,15 @@ object DedupQueries extends QueryPack {
   private val q28Sql = jaccardPairsSql(0.2) + """
     ORDER BY idA ASC NULLS FIRST, idB ASC NULLS FIRST"""
 
-  // q29 — MinHash-LSH candidate pairs (64 hashes, 16 bands → catches
-  // Jaccard ≳ 0.3 with high probability). xxhash64 signatures aren't
-  // reproducible in DuckDB → rows-only gate; recall vs the exact q28
-  // pairs is asserted in ScalaTest.
-  private def q29(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashCandidatePairs(
-        Tables.load(s, dir, "documents"),
-        idCol = "doc_id", textCol = "text",
-        shingleSize = 3, numHashes = 64, bands = 16)
-      .orderBy(col("idA").asc_nulls_first, col("idB").asc_nulls_first)
-
-  // q30 — SimHash near-dup pairs within Hamming radius 3 (pigeonhole
-  // banding). Rows-only gate (hash-based), invariants in ScalaTest.
-  private def q30(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(
-        Tables.load(s, dir, "documents"),
-        idCol = "doc_id", textCol = "text", maxDist = 3)
-      .orderBy(col("idA").asc_nulls_first, col("idB").asc_nulls_first)
+  // minhashCandidatePairs (64 hashes, 16 bands → catches Jaccard ≳ 0.3
+  // with high probability) had a rows-only declared entry (q29) until
+  // round 9: xxhash64 signatures have no DuckDB spelling, so the entry
+  // added no verification signal beyond what q113 hash-pins per driver
+  // run (recall vs the exact q28 pairs on the same code path) — retired;
+  // ScalaTest keeps the recall bound. Likewise SimHash pairs (q30):
+  // the identical path is now hash-gated three ways — q122 (set-equality
+  // theorem), q140/q141 (planted-copy config gates) — so the rows-only
+  // entry is folded into those.
 
   // q122 — SimHash pigeonhole THEOREM as a driver gate (the q113 pattern
   // for the Hamming tier): within radius d, a pair MUST collide on at
@@ -91,7 +82,7 @@ object DedupQueries extends QueryPack {
   // equals the brute-force Hamming pair set exactly, not probabilistically.
   // Spark computes both sets and emits their symmetric-difference count;
   // the oracle pins (0, TRUE). Signatures are xxhash64-derived (no DuckDB
-  // spelling — that's why q30 is rows-only), but the SET EQUALITY is
+  // spelling — why no per-pair oracle exists), but the SET EQUALITY is
   // engine-independent, which is what makes this gateable. Runs on the
   // doc_id % 4 quarter slice (q113's rationale, one notch further: the
   // brute-force tier is quadratic and exists here only to verify, not to
@@ -605,8 +596,6 @@ object DedupQueries extends QueryPack {
   override def queries: Seq[Q] = Seq(
     Q("q27_dedup_exact", q27, Some(q27Sql)),
     Q("q28_ngram_jaccard", q28, Some(q28Sql)),
-    Q("q29_minhash_lsh", q29, None),
-    Q("q30_simhash", q30, None),
     Q("q122_simhash_pigeonhole_gate", q122, Some(q122Sql)),
     Q("q45_dedup_pipeline", q45, Some(q45Sql)),
     Q("q51_config_dedup", q51, Some(q51Sql)),

@@ -45,16 +45,12 @@ object ExtraQueries extends QueryPack {
         ORDER BY user_id ASC NULLS FIRST"""
   }
 
-  // q40 — deterministic hash sample: keep keys with xxhash64 in the lowest
-  // 10% of the modulus space. Unlike rand()-based sampling this is
-  // reproducible across runs/retries and stable under repartitioning —
-  // the only sane way to sample at 100 TB. Rows-only gate (DuckDB has no
-  // xxhash64); determinism asserted in ScalaTest.
-  private def q40(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "lineitem")
-      .filter(pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(100)) < 10)
-      .select("l_orderkey", "l_linenumber", "l_quantity")
-      .orderBy(col("l_orderkey").asc_nulls_first, col("l_linenumber").asc_nulls_first)
+  // The xxhash64 deterministic sampler (keep keys with the hash in the
+  // lowest 10% of the modulus space — reproducible across runs/retries,
+  // stable under repartitioning, the only sane way to sample at 100 TB)
+  // had a rows-only declared entry (q40) until round 9: DuckDB has no
+  // xxhash64, so it added no signal beyond q123's per-run rate gate on
+  // the same filter expression — retired; ScalaTest keeps determinism.
 
   // q123 — the xxhash64 sampler's RATE as a driver gate: n_total is
   // exactly pinnable (plain COUNT), and the sampled fraction must sit
@@ -76,10 +72,10 @@ object ExtraQueries extends QueryPack {
 
   // q61 — PORTABLE deterministic sample: multiplicative (Knuth) hash over
   // the key pair — plain BIGINT arithmetic both engines compute
-  // identically, so unlike q40's xxhash64 sampler this one is oracle
+  // identically, so unlike the xxhash64 sampler this one is oracle
   // hash-checked. Same contract: reproducible across runs/retries and
-  // stable under repartitioning; use q40's xxhash64 at scale for better
-  // mixing, this one where cross-engine verifiability matters.
+  // stable under repartitioning; use the xxhash64 spelling at scale for
+  // better mixing, this one where cross-engine verifiability matters.
   private def q61(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem")
       .filter(pmod(col("l_orderkey") * lit(2654435761L) + col("l_linenumber"), lit(100)) < 10)
@@ -435,7 +431,6 @@ object ExtraQueries extends QueryPack {
   override def queries: Seq[Q] = Seq(
     Q("q38_percentiles", q38, Some(q38Sql)),
     Q("q39_pivot", q39, Some(q39Sql)),
-    Q("q40_hash_sample", q40, None),
     Q("q41_config_langid", q41, Some(q41Sql)),
     Q("q42_config_vector_sql", q42, Some(q42Sql)),
     Q("q43_embedding_quantize", q43, Some(q43Sql)),
