@@ -12,15 +12,29 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame =
     if (table == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects ([PARQUET_TYPE_ILLEGAL]). Read the raw int64 nanos
-      // and floor-divide to microseconds — exactly the truncation DuckDB
-      // (µs-precision timestamps) applies, so oracle values line up.
+      // events.ts has shipped as parquet TIMESTAMP(NANOS) (which Spark's
+      // vectorized reader rejects — [PARQUET_TYPE_ILLEGAL]) in some corpus
+      // generations and as TIMESTAMP(MICROS) in others. Adapt by schema:
+      //  - int64-nanos generation: read raw nanos (legacy conf) and
+      //    floor-divide to µs — the truncation DuckDB (µs timestamps)
+      //    applies, so oracle values line up.
+      //  - µs generation: already what DuckDB sees; just normalize NTZ →
+      //    session-TZ TimestampType (UTC here, value-preserving) so every
+      //    downstream query and sink sees one ts type across generations.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read
-        .parquet(s"$sfDir/$table.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(s"$sfDir/$table.parquet")
+      raw.withColumn("ts", expr(eventsTsSql(raw)))
     } else spark.read.parquet(s"$sfDir/$table.parquet")
+
+  /** SQL expression normalizing the raw events `ts` column to session-TZ
+    * TimestampType, whichever corpus generation is on disk (see [[load]]).
+    * Exposed so config `derive` strings and streaming readers staging the
+    * raw parquet can apply the identical normalization. */
+  def eventsTsSql(raw: DataFrame): String =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => "timestamp_micros(ts div 1000)"
+      case _                                   => "cast(ts as timestamp)"
+    }
 
   /** Register all corpus tables as temp views so SQL-source specs
     * (`spark.sql`/`spark.table`) resolve by bare name — mirroring the

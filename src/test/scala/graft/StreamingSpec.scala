@@ -20,6 +20,14 @@ class StreamingSpec extends SparkSpec {
     dir.toString
   }
 
+  /** Normalization of the raw events `ts` for streaming readers — the same
+    * schema-adaptive expression Tables.load applies (int64-nanos vs
+    * µs-timestamp corpus generations). */
+  private lazy val tsSql: String = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.eventsTsSql(spark.read.parquet(s"$sf/events.parquet"))
+  }
+
   private val aggs = Seq(
     AggSpec("*", "count", Some("n")),
     AggSpec("value", "dsum", Some("sum_value")))
@@ -37,7 +45,7 @@ class StreamingSpec extends SparkSpec {
     val streamIn = spark.readStream
       .schema(raw.schema)
       .parquet(eventsDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", expr(tsSql))
     val agg = Streaming.windowedAgg(
       streamIn, "ts", "1 hour", None, Seq("event_type"), aggs,
       watermark = Some("10 minutes"))
@@ -75,7 +83,7 @@ class StreamingSpec extends SparkSpec {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sf/events.parquet")
     val streamIn = spark.readStream.schema(raw.schema).parquet(eventsDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", expr(tsSql))
     val agg = graft.compile.Compiler.compileNode(spark, spec, Some(streamIn))
     val q = agg.writeStream.outputMode("complete")
       .format("memory").queryName("stream_config")
@@ -94,7 +102,7 @@ class StreamingSpec extends SparkSpec {
     val json = s"""
       {"id": "cfg",
        "source": {"format": "parquet", "path": "$eventsDir"},
-       "derive": {"ts2": "timestamp_micros(ts div 1000)",
+       "derive": {"ts2": "$tsSql",
                   "win": "window(ts2, '1 hour')"},
        "watermark": {"col": "ts2", "delay": "10 minutes"},
        "aggregate": {"group_by": ["win", "event_type"],
@@ -131,7 +139,7 @@ class StreamingSpec extends SparkSpec {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sf/events.parquet")
     def streamIn() = spark.readStream.schema(raw.schema).parquet(eventsDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", expr(tsSql))
     val (sp, sc) = split(streamIn())
     val joined = Streaming.intervalJoin(
       sp, sc, Seq("user_id"), "p_ts", "c_ts", "1 HOUR",
@@ -156,14 +164,14 @@ class StreamingSpec extends SparkSpec {
       {"id": "p",
        "source": {"format": "parquet", "path": "$eventsDir"},
        "filters": [{"col": "event_type", "op": "==", "value": "purchase"}],
-       "derive": {"p_ts": "timestamp_micros(ts div 1000)"},
+       "derive": {"p_ts": "$tsSql"},
        "keep_columns": ["event_id", "user_id", "p_ts"],
        "rename": {"event_id": "purchase_id"},
        "children": [
          {"id": "c",
           "source": {"format": "parquet", "path": "$eventsDir", "stream": true},
           "filters": [{"col": "event_type", "op": "==", "value": "click"}],
-          "derive": {"c_ts": "timestamp_micros(ts div 1000)"},
+          "derive": {"c_ts": "$tsSql"},
           "keep_columns": ["event_id", "user_id", "c_ts"],
           "rename": {"event_id": "click_id"},
           "join": {"on": ["user_id"], "how": "interval",
@@ -214,7 +222,7 @@ class StreamingSpec extends SparkSpec {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sf/events.parquet")
     val streamIn = spark.readStream.schema(raw.schema).parquet(eventsDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", expr(tsSql))
     val doubled = streamIn.unionByName(streamIn)
     val q = Streaming.dedup(doubled, Seq("event_id"), "ts", Some("1 hour"))
       .writeStream.outputMode("append")
@@ -238,7 +246,7 @@ class StreamingSpec extends SparkSpec {
     val q = graft.compile.Compiler.compileStreamJson(spark, s"""
       {"id": "cfg_dd",
        "source": {"format": "parquet", "path": "$dir"},
-       "derive": {"ts2": "timestamp_micros(ts div 1000)"},
+       "derive": {"ts2": "$tsSql"},
        "watermark": {"col": "ts2", "delay": "1 hour"},
        "dedup": {"keys": ["event_id"], "within_watermark": true},
        "save": {"format": "memory", "query_name": "cfg_stream_dedup",
@@ -267,7 +275,7 @@ class StreamingSpec extends SparkSpec {
     val streamIn = spark.readStream
       .schema(raw.schema)
       .parquet(eventsDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", expr(tsSql))
     val agg = Streaming.sessionAgg(
       streamIn, "ts", "30 minutes", Seq("user_id"), aggs,
       watermark = Some("10 minutes"))
@@ -312,7 +320,7 @@ class StreamingSpec extends SparkSpec {
     val streamIn = spark.readStream
       .schema(raw.schema)
       .parquet(eventsDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", expr(tsSql))
     val snap = Streaming.latestPerKey(
       streamIn.select("user_id", "event_id", "ts", "value"),
       Seq("user_id"), Seq("ts", "event_id"), Seq("event_id", "ts", "value"))
@@ -339,7 +347,7 @@ class StreamingSpec extends SparkSpec {
     val json = s"""
       {"id": "cc",
        "source": {"format": "parquet", "path": "$eventsDir"},
-       "derive": {"ts2": "timestamp_micros(ts div 1000)"},
+       "derive": {"ts2": "$tsSql"},
        "keep_columns": ["user_id", "event_id", "ts2", "event_type", "value"],
        "compact": {"keys": ["user_id"],
                    "version_order": ["ts2 desc", "event_id desc"],
@@ -422,7 +430,7 @@ class StreamingSpec extends SparkSpec {
     val streamIn = spark.readStream
       .schema(raw.schema)
       .parquet(eventsDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", expr(tsSql))
     val totals = Streaming.runningTotals(
       streamIn, "user_id", "event_id", "ts", "value")
     val q = totals.writeStream
@@ -447,7 +455,7 @@ class StreamingSpec extends SparkSpec {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val json = s"""
       {"source": {"format": "parquet", "path": "$eventsDir"},
-       "derive": {"ts2": "timestamp_micros(ts div 1000)"},
+       "derive": {"ts2": "$tsSql"},
        "keep_columns": ["user_id", "event_id", "ts2", "value"],
        "running_totals": {"key_col": "user_id", "seq_col": "event_id",
                           "ts_col": "ts2", "value_col": "value"},
