@@ -59,12 +59,41 @@ object Bench {
     // comma-decimal locale would emit "0,123" and break the JSON line.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v) }
+    // Per-query values are centisecond precision with trailing zeros
+    // stripped ("1.20"→"1.2", "3.00"→"3"): round 9's 139-query line hit
+    // ~1980 chars against the driver's 2000-char tail-capture window, and
+    // round 10's inflated `failed` array pushed it over — the driver got
+    // "parsed": null and zero machine-readable timings. ~11 chars/query
+    // keeps ~170 queries inside the window; 10 ms granularity is below
+    // run-to-run noise anyway.
+    def fmtQ(v: Double): String = {
+      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
+    }
+    val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmtQ(v) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => s"\"${shortKey(k)}\"" }
+    // `failed` stays a JSON array but is CAPPED: every failure is already
+    // a -1 entry in `queries`, and an uncapped list is exactly what
+    // overflowed the round-10 tail capture.
+    val failedAll = results.collect { case (k, v) if v < 0 => shortKey(k) }.toSeq
+    val failed = failedAll.take(8).map("\"" + _ + "\"") ++
+      (if (failedAll.size > 8) Seq(s""""+${failedAll.size - 8}more"""") else Nil)
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-      s""""failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+      s""""failed":[${failed.mkString(",")}],"sf":"$sfDir"}"""
+    println(line)
+    // Durable copy: the stdout tail window is lossy by construction, so
+    // also drop the full line (with the uncapped failure list) in-repo.
+    try {
+      val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+        s""""failed":[${failedAll.map("\"" + _ + "\"").mkString(",")}],"sf":"$sfDir"}"""
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("/root/repo/bench_last.json"),
+        (full + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
+    // A crashed query must not read as a clean run (round-10 advice:
+    // rc:0 masked a 140/140 wipeout).
+    if (failedAll.nonEmpty) sys.exit(1)
   }
 }

@@ -45,6 +45,7 @@ object Compiler {
         node.split.toSeq.map(_.idCol) ++
         node.temperatureSample.toSeq.flatMap(t => Seq(t.groupCol, t.idCol)) ++
         node.htmlExtract.toSeq.flatMap(h => Seq(h.idCol, h.htmlCol)) ++
+        node.pdfExtract.toSeq.flatMap(p => Seq(p.idCol, p.pdfCol)) ++
         node.profile.toSeq.flatMap(_.columns) ++
         node.boilerplate.toSeq.flatMap(b => Seq(b.idCol, b.textCol)) ++
         node.featurize.toSeq.flatMap(f => Seq(f.idCol, f.payloadCol))
@@ -335,6 +336,12 @@ object Compiler {
     // Pure per-row kernel — scan-stage, streaming-admissible.
     node.htmlExtract.foreach { he =>
       df = graft.ops.TextAnalysis.htmlExtract(df, he.idCol, he.htmlCol)
+    }
+
+    // PDF extraction: the frame becomes (id, version, n_pages, text).
+    // Pure per-row kernel — scan-stage, streaming-admissible.
+    node.pdfExtract.foreach { pe =>
+      df = graft.ops.TextAnalysis.pdfExtract(df, pe.idCol, pe.pdfCol)
     }
 
     // Per-column profile: the frame becomes the stats rows. A global

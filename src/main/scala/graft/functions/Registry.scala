@@ -66,6 +66,10 @@ object Registry {
     // html_extract(html) → struct(title, body_text, links): the web-crawl
     // text-extraction kernel (lenient, browser-like; see HtmlExtractOps)
     "html_extract" -> (es => HtmlExtract(es.head)),
+    // pdf_extract(bytes) → struct(version, n_pages, text): the
+    // application/pdf sibling (lenient object scan + page-tree walk +
+    // BT/ET text ops; see PdfOps)
+    "pdf_extract" -> (es => PdfExtract(es.head)),
     // warc_records(bytes) → array of record structs (ISO 28500 container
     // walk; structural damage is a named data error — see WarcOps)
     "warc_records" -> (es => WarcRecords(es.head)),
@@ -86,7 +90,12 @@ object Registry {
   /** Idempotent registration into the active session. */
   def registerAll(spark: SparkSession): Unit =
     functions.foreach { case (name, builder) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, builder, "scala_udf")
+      val reg = spark.sessionState.functionRegistry
+      // skip-if-present: the query harness calls this before every query;
+      // re-registering 40 functions 139× floods the bench/verify logs with
+      // "replaced a previously registered function" warnings (round-9
+      // advice) and buys nothing — the builders are stateless singletons.
+      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "scala_udf")
     }
 }

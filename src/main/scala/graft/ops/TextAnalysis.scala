@@ -268,6 +268,18 @@ object TextAnalysis {
       .select(col(idCol), col("__h.title").as("title"),
         col("__h.body_text").as("body_text"), col("__h.links").as("links"))
 
+  /** PDF → text frame: `(id, version, n_pages, text)` per document —
+    * the `application/pdf` branch behind `sniff_mime` routing, same
+    * scan-stage/zero-shuffle posture as [[htmlExtract]]. Lenient like a
+    * crawler must be: damaged structure degrades to empty text, never an
+    * error (see graft.functions.PdfOps for the precise contract). */
+  def pdfExtract(df: org.apache.spark.sql.DataFrame, idCol: String,
+      pdfCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol),
+        graft.functions.PdfKernels.pdfExtract(col(pdfCol)).as("__p"))
+      .select(col(idCol), col("__p.version").as("version"),
+        col("__p.n_pages").as("n_pages"), col("__p.text").as("text"))
+
   /** Redact PII-shaped substrings: each [[piiPatterns]] entry is replaced
     * globally by `[PII]` (the token contains no digits or '@', so later
     * patterns cannot re-match inside an earlier redaction). Pure

@@ -533,6 +533,95 @@ object TextQueries extends QueryPack {
            'page ' || doc_id || ': ' || text AS payload_text
     FROM documents ORDER BY doc_id ASC NULLS FIRST"""
 
+  // q152/q153 — PDF text extraction: each document becomes a REAL
+  // two-page PDF (catalog → page tree → per-page content streams, a
+  // correct xref table, deterministic bytes) whose text ops exercise the
+  // kernel surface — page 1 is a RAW content stream using a TJ array
+  // (kern number invisible) plus a hex-string Tj; page 2 is
+  // FlateDecode'd (JDK Deflater, zlib) with two Tj's split by T* and
+  // escaped parens in the trailing line. Extraction output is exact
+  // arithmetic on the original text: "Doc <id>!\n<text>\np. 2 (end)",
+  // n_pages = 2 from the page-tree walk, version from the header. The
+  // builder writes structure the extractor must genuinely parse back
+  // (object scan, /Length framing, inflate, tree resolution, operator
+  // walk) — same fixture posture as the WARC/gzip gates (q146/q147).
+  private def pdfEsc(t: String): String =
+    t.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+
+  private[graft] val textToPdf: (String, String) => Array[Byte] = (id, body) => {
+    val latin = java.nio.charset.StandardCharsets.ISO_8859_1
+    val c1 = s"BT /F1 12 Tf 72 720 Td [(Doc ) -120 (${pdfEsc(id)})] TJ <21> Tj ET"
+      .getBytes(latin)
+    val c2raw = s"BT 72 720 Td (${pdfEsc(body)}) Tj T* (p. 2 \\(end\\)) Tj ET"
+      .getBytes(latin)
+    val c2 = {
+      val d = new java.util.zip.Deflater(6)
+      d.setInput(c2raw); d.finish()
+      val buf = new Array[Byte](c2raw.length + 64)
+      val out = new java.io.ByteArrayOutputStream()
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      out.toByteArray
+    }
+    def dictObj(body: String): Array[Byte] = (body + "\nendobj\n").getBytes(latin)
+    def streamObj(dict: String, data: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(s"$dict\nstream\n".getBytes(latin))
+      o.write(data)
+      o.write("\nendstream\nendobj\n".getBytes(latin))
+      o.toByteArray
+    }
+    val page =
+      "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Resources << /Font << /F1 7 0 R >> >> /Contents %d 0 R >>"
+    val bodies: Seq[Array[Byte]] = Seq(
+      dictObj("<< /Type /Catalog /Pages 2 0 R >>"),
+      dictObj("<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>"),
+      dictObj(page.format(4)),
+      streamObj(s"<< /Length ${c1.length} >>", c1),
+      dictObj(page.format(6)),
+      streamObj(s"<< /Length ${c2.length} /Filter /FlateDecode >>", c2),
+      dictObj("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("%PDF-1.4\n%âãÏÓ\n".getBytes(latin))
+    val offsets = bodies.zipWithIndex.map { case (b, i) =>
+      val off = out.size()
+      out.write(s"${i + 1} 0 obj\n".getBytes(latin))
+      out.write(b)
+      off
+    }
+    val xref = out.size()
+    out.write(("xref\n0 8\n0000000000 65535 f \n" +
+      offsets.map(o => f"$o%010d 00000 n \n").mkString +
+      s"trailer\n<< /Size 8 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+      .getBytes(latin))
+    out.toByteArray
+  }
+
+  private val pdfTextSql =
+    "'Doc ' || doc_id || '!' || chr(10) || text || chr(10) || 'p. 2 (end)'"
+  private val q152Sql = s"""
+    SELECT doc_id, '1.4' AS version, CAST(2 AS INT) AS n_pages,
+           $pdfTextSql AS text
+    FROM documents ORDER BY doc_id ASC NULLS FIRST"""
+  private def q152(s: SparkSession, dir: String): DataFrame = {
+    val toPdf = udf(textToPdf)
+    TextAnalysis.pdfExtract(
+        docs(s, dir).withColumn("pdf",
+          toPdf(col("doc_id").cast("string"), col("text"))),
+        "doc_id", "pdf")
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+  private def q153(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    s.udf.register("text_to_pdf", textToPdf)
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "documents"},
+       "derive": {"pdf": "text_to_pdf(cast(doc_id as string), text)"},
+       "pdf_extract": {"id_col": "doc_id", "pdf_col": "pdf"},
+       "order_by": ["doc_id asc"]}""")
+  }
+
   // q148 — the WEB-curation flagship, PURE JSON, on named defs: crawl
   // pages (the q144 template) → html_extract → token-count quality
   // filter (n_tok ≤ 45 — drops 329/500 at sf0.01) → language rejoin
@@ -607,6 +696,8 @@ object TextQueries extends QueryPack {
     Q("q145_config_html_extract", q145, Some(q144Sql)),
     Q("q146_warc_pipeline", q146, Some(q146Sql)),
     Q("q147_warc_gz_members", q147, Some(q147Sql)),
-    Q("q148_web_curation_flagship", q148, Some(q148Sql))
+    Q("q148_web_curation_flagship", q148, Some(q148Sql)),
+    Q("q152_pdf_extract", q152, Some(q152Sql)),
+    Q("q153_config_pdf_extract", q153, Some(q152Sql))
   )
 }

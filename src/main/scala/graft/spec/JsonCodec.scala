@@ -327,6 +327,12 @@ object JsonCodec {
         htmlCol = req(d, s"node $id: html_extract", "html_col", "htmlCol").asText)
     }
 
+    val pe = opt(n, "pdf_extract", "pdfExtract").map { d =>
+      PdfExtractSpec(
+        idCol = req(d, s"node $id: pdf_extract", "id_col", "idCol").asText,
+        pdfCol = req(d, s"node $id: pdf_extract", "pdf_col", "pdfCol").asText)
+    }
+
     val pr = opt(n, "profile").map { d =>
       val colsNode = req(d, s"node $id: profile", "columns")
       require(colsNode.isArray && colsNode.size() > 0,
@@ -422,6 +428,7 @@ object JsonCodec {
       split = sp,
       temperatureSample = ts,
       htmlExtract = he,
+      pdfExtract = pe,
       profile = pr,
       boilerplate = bp,
       featurize = fz,

@@ -318,6 +318,16 @@ final case class HtmlExtractSpec(
     htmlCol: String
 )
 
+/** PDF text extraction (NS; TextAnalysis.pdfExtract): the frame becomes
+  * (idCol, version, n_pages, text) — the `application/pdf` sibling of
+  * html_extract behind sniff_mime routing. Lenient (damaged structure
+  * degrades to empty text, never an error); scan-stage kernel,
+  * streaming-admissible. */
+final case class PdfExtractSpec(
+    idCol: String,
+    pdfCol: String
+)
+
 /** Boilerplate line removal (NS; Corpus.removeBoilerplateLines): drop
   * every line occurring in more than `maxDocs` distinct documents and
   * reassemble the rest. The frame becomes
@@ -526,6 +536,7 @@ final case class NodeSpec(
     split: Option[SplitSpec] = None, // after keep, before aggregate
     temperatureSample: Option[TemperatureSampleSpec] = None, // after split
     htmlExtract: Option[HtmlExtractSpec] = None, // after keep, before aggregate
+    pdfExtract: Option[PdfExtractSpec] = None, // after keep, before aggregate
     profile: Option[ProfileSpec] = None, // after keep, before aggregate
     boilerplate: Option[BoilerplateSpec] = None, // after keep, before aggregate
     featurize: Option[FeaturizeSpec] = None, // after keep, before aggregate

@@ -1,0 +1,235 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** PDF extraction kernel gauntlet — the hand-crafted-bytes tier backing
+  * q152/q153's corpus gate, mirroring the html_extract gauntlet: every
+  * contract line in graft.functions.PdfOps gets a case that would catch
+  * its regression (escapes, hex strings, TJ kerning, line-break ops,
+  * page-tree order, /Length lies, corrupt deflate, non-PDF degradation).
+  */
+class PdfSpec extends SparkSpec {
+
+  private val latin = java.nio.charset.StandardCharsets.ISO_8859_1
+
+  private def pdfx(bytes: Array[Byte]): (String, Int, String) = {
+    val r = graft.functions.PdfOps.compute(bytes)
+    (if (r.isNullAt(0)) null else r.getUTF8String(0).toString,
+      r.getInt(1), r.getUTF8String(2).toString)
+  }
+
+  /** Minimal hand-written PDF: header + numbered objects, no xref (the
+    * scanner never reads one — that IS the lenient contract). */
+  private def miniPdf(objs: (Int, String)*): Array[Byte] = {
+    val sb = new StringBuilder("%PDF-1.7\n")
+    objs.foreach { case (n, body) => sb.append(s"$n 0 obj\n$body\nendobj\n") }
+    sb.append("%%EOF\n")
+    sb.toString.getBytes(latin)
+  }
+
+  private def stream(dict: String, content: String): String =
+    s"$dict\nstream\n$content\nendstream"
+
+  private def contentLen(content: String): Int = content.getBytes(latin).length
+
+  /** Two-page skeleton with explicit Kids order and given content
+    * streams (page objs 3,5; content objs 4,6). */
+  private def twoPage(kids: String, c1: String, c2: String): Array[Byte] =
+    miniPdf(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> s"<< /Type /Pages /Kids [$kids] /Count 2 >>",
+      3 -> "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+      4 -> stream(s"<< /Length ${contentLen(c1)} >>", c1),
+      5 -> "<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>",
+      6 -> stream(s"<< /Length ${contentLen(c2)} >>", c2))
+
+  test("pdf round-trip: builder fixture → version, page count, exact text") {
+    val bytes = graft.queries.TextQueries.textToPdf("7", "hello world")
+    assert(pdfx(bytes) == ("1.4", 2, "Doc 7!\nhello world\np. 2 (end)"))
+  }
+
+  test("pdf literal-string escapes: named, octal, continuation, nested parens") {
+    val c = "BT 0 0 Td (a\\(b\\)c \\\\ \\101\\102 (nested (deep)) end\\\n cont) Tj ET"
+    val (_, _, t) = pdfx(twoPage("3 0 R 5 0 R", c, "BT ET"))
+    assert(t == "a(b)c \\ AB (nested (deep)) end cont")
+  }
+
+  test("pdf escape sequences \\n \\r \\t and unknown escapes") {
+    val c = "BT 0 0 Td (x\\ny\\tz\\q) Tj ET"
+    val (_, _, t) = pdfx(twoPage("3 0 R 5 0 R", c, "BT ET"))
+    assert(t == "x\ny\tz" + "q")
+  }
+
+  test("pdf hex strings: whitespace ignored, odd length zero-padded") {
+    val c = "BT 0 0 Td <48 65 6C6C 6F> Tj ET"
+    val (_, _, t) = pdfx(twoPage("3 0 R 5 0 R", c, "BT ET"))
+    assert(t == "Hello")
+    val odd = "BT 0 0 Td <5> Tj ET" // 0x50 = P
+    assert(pdfx(twoPage("3 0 R 5 0 R", odd, "BT ET"))._3 == "P")
+  }
+
+  test("pdf TJ array: strings shown in order, kerning numbers invisible") {
+    val c = "BT 0 0 Td [(He) -120 (llo) 50 ( wo) (rld)] TJ ET"
+    assert(pdfx(twoPage("3 0 R 5 0 R", c, "BT ET"))._3 == "Hello world")
+  }
+
+  test("pdf line breaks: Td/TD/T*/' start lines; leading Td adds none") {
+    val c = "BT /F1 9 Tf 10 10 Td (l1) Tj 0 -14 TD (l2) Tj T* (l3) Tj (l4) ' ET"
+    assert(pdfx(twoPage("3 0 R 5 0 R", c, "BT ET"))._3 == "l1\nl2\nl3\nl4")
+  }
+
+  test("pdf quote operator \" shows its string on a new line") {
+    val c = "BT 0 0 Td (a) Tj 2 1 (b) \" ET"
+    assert(pdfx(twoPage("3 0 R 5 0 R", c, "BT ET"))._3 == "a\nb")
+  }
+
+  test("pdf text outside BT/ET is invisible; inline dicts and comments skipped") {
+    val c = "(ghost) Tj BT % comment (not text)\n" +
+      "/P << /MCID 0 >> BDC 0 0 Td (real) Tj EMC ET (ghost2) Tj"
+    assert(pdfx(twoPage("3 0 R 5 0 R", c, "BT ET"))._3 == "real")
+  }
+
+  test("pdf page-tree order wins over object order") {
+    val c1 = "BT 0 0 Td (first-obj) Tj ET"
+    val c2 = "BT 0 0 Td (second-obj) Tj ET"
+    // Kids reversed: page 5 (content c2) renders before page 3
+    val (_, n, t) = pdfx(twoPage("5 0 R 3 0 R", c1, c2))
+    assert(n == 2 && t == "second-obj\nfirst-obj")
+  }
+
+  test("pdf /Length lies → lenient endstream scan still delimits") {
+    val c = "BT 0 0 Td (len-lies) Tj ET"
+    val bytes = miniPdf(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> "<< /Type /Page /Contents 4 0 R >>",
+      4 -> stream("<< /Length 999999 >>", c))
+    assert(pdfx(bytes) == ("1.7", 1, "len-lies"))
+  }
+
+  test("pdf FlateDecode roundtrip and corrupt deflate degrades to invisible") {
+    val raw = "BT 0 0 Td (flated) Tj ET".getBytes(latin)
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](256)
+    val bos = new java.io.ByteArrayOutputStream()
+    while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+    val fl = new String(bos.toByteArray, latin)
+    val good = miniPdf(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> "<< /Type /Page /Contents 4 0 R >>",
+      4 -> stream(s"<< /Length ${bos.size} /Filter /FlateDecode >>", fl))
+    assert(pdfx(good) == ("1.7", 1, "flated"))
+    val bad = miniPdf(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>",
+      3 -> "<< /Type /Page /Contents 4 0 R >>",
+      4 -> stream("<< /Length 9 /Filter /FlateDecode >>", "garbage!!"),
+      5 -> "<< /Type /Page /Contents 6 0 R >>",
+      6 -> stream("<< /Length 24 >>", "BT 0 0 Td (alive) Tj ET "))
+    // corrupt page contributes nothing; the file still extracts
+    assert(pdfx(bad) == ("1.7", 2, "alive"))
+  }
+
+  test("pdf unsupported filter is invisible, not an error") {
+    val bytes = miniPdf(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> "<< /Type /Page /Contents 4 0 R >>",
+      4 -> stream("<< /Length 4 /Filter /DCTDecode >>", "ÿØaa"))
+    assert(pdfx(bytes) == ("1.7", 1, ""))
+  }
+
+  test("pdf broken page tree falls back to BT streams in document order") {
+    val c1 = "BT 0 0 Td (s1) Tj ET"
+    val c2 = "BT 0 0 Td (s2) Tj ET"
+    val bytes = miniPdf( // no catalog at all
+      4 -> stream(s"<< /Length ${contentLen(c1)} >>", c1),
+      6 -> stream(s"<< /Length ${contentLen(c2)} >>", c2))
+    assert(pdfx(bytes) == ("1.7", 2, "s1\ns2"))
+  }
+
+  test("pdf /Type /Pages does not count as a /Type /Page (delimiter bound)") {
+    val c = "BT 0 0 Td (one) Tj ET"
+    val bytes = miniPdf(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> "<< /Type /Page /Contents 4 0 R >>",
+      4 -> stream(s"<< /Length ${contentLen(c)} >>", c))
+    assert(pdfx(bytes)._2 == 1)
+  }
+
+  test("pdf page-tree cycle is guarded, not an infinite loop") {
+    val bytes = miniPdf(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [2 0 R 3 0 R] /Count 1 >>",
+      3 -> "<< /Type /Page /Contents 4 0 R >>",
+      4 -> stream("<< /Length 22 >>", "BT 0 0 Td (ok) Tj ET  "))
+    assert(pdfx(bytes) == ("1.7", 1, "ok"))
+  }
+
+  test("pdf non-PDF and empty inputs degrade; NULL propagates via the expression") {
+    assert(pdfx("not a pdf at all".getBytes(latin)) == (null, 0, ""))
+    assert(pdfx(Array.emptyByteArray) == (null, 0, ""))
+    val df = spark.range(1).select(
+      graft.functions.PdfKernels.pdfExtract(lit(null).cast("binary")).as("p"))
+    assert(df.select(col("p")).head.isNullAt(0))
+  }
+
+  test("pdf multiple /Contents streams concatenate with a token break") {
+    val c1 = "BT 0 0 Td (part1) Tj"
+    val c2 = "(part2) Tj ET"
+    val bytes = miniPdf(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> "<< /Type /Page /Contents [4 0 R 5 0 R] >>",
+      4 -> stream(s"<< /Length ${contentLen(c1)} >>", c1),
+      5 -> stream(s"<< /Length ${contentLen(c2)} >>", c2))
+    assert(pdfx(bytes) == ("1.7", 1, "part1part2"))
+  }
+
+  test("pdf_extract config key decodes and names missing fields") {
+    val spec = graft.spec.JsonCodec.parseNode("""
+      {"id": "p",
+       "pdf_extract": {"id_col": "doc_id", "pdf_col": "pdf"}}""")
+    assert(spec.pdfExtract.contains(graft.spec.PdfExtractSpec("doc_id", "pdf")))
+    val err = intercept[IllegalArgumentException] {
+      graft.spec.JsonCodec.parseNode("""{"pdf_extract": {"id_col": "doc_id"}}""")
+    }
+    assert(err.getMessage.contains("pdf_col"))
+  }
+
+  test("pdf_extract routes from sniff_mime and runs under whole-stage codegen") {
+    import graft.functions.{PdfKernels, SniffKernels}
+    // parquet-backed (a local relation would fold at plan time): even ids
+    // carry PDFs, odd ids HTML — the mixed-lake shape sniff_mime routes
+    val toPdf = udf(graft.queries.TextQueries.textToPdf)
+    val src = Tables.load(spark, sf, "documents").limit(20)
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          toPdf(col("doc_id").cast("string"), col("text")))
+          .otherwise(concat(lit("<html><body>"), col("text"), lit("</body></html>"))
+            .cast("binary")).as("payload"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_pdf_route").toString
+    src.write.mode("overwrite").parquet(dir)
+    val routed = spark.read.parquet(dir)
+      .withColumn("mime", SniffKernels.sniffMime(col("payload")))
+      .filter(col("mime") === "application/pdf")
+      .select(col("doc_id"), PdfKernels.pdfExtract(col("payload")).as("p"))
+      .select(col("doc_id"), col("p.text").as("text"))
+    val rows = routed.collect()
+    assert(rows.length == 10 && rows.forall(_.getLong(0) % 2 == 0))
+    val expected = Tables.load(spark, sf, "documents").limit(20)
+      .filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"),
+        concat(lit("Doc "), col("doc_id"), lit("!\n"), col("text"),
+          lit("\np. 2 (end)")).as("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.forall(r => expected(r.getLong(0)) == r.getString(1)))
+    // the kernel call sits inside a WholeStageCodegen span (scan-stage
+    // posture — q152's 100 TB shape)
+    assert(routed.queryExecution.executedPlan
+      .exists(_.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]))
+  }
+}
