@@ -30,14 +30,20 @@ object DedupQueries extends QueryPack {
   // shingles, verified exactly. The default stop-shingle skew guard
   // (df > max(1000, 0.1% of corpus)) is mirrored in the oracle; it never
   // fires at test SF, so the hash-compare still pins exact semantics.
+  // EXACT-BASELINE tier: the low τ=0.2 makes this the all-shared-shingle
+  // worst case (the production regime is q113/q53's banded path), so the
+  // input is fixture-bounded to a third of the corpus (doc_id % 3 = 0) —
+  // oracle cost stays constant as SF grows (round-9 verdict).
+  private val sliceSql = "(SELECT * FROM documents WHERE doc_id % 3 = 0)"
   private def q28(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(
-        Tables.load(s, dir, "documents"),
+        Tables.load(s, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(3)) === 0),
         idCol = "doc_id", textCol = "text",
         shingleSize = 3, threshold = 0.2)
       .orderBy(col("idA").asc_nulls_first, col("idB").asc_nulls_first)
   /** Exact 3-gram Jaccard pair query, parameterized on the threshold and
-    * the corpus expression — shared by q28's oracle (τ=0.2, full corpus)
+    * the corpus expression — shared by q28's oracle (τ=0.2, third slice)
     * and q113's recall-gate oracle (τ=0.5, half slice). The stop-shingle
     * guard counts over the SAME corpus expression, mirroring how the
     * Spark side derives the guard from its input frame. */
@@ -63,7 +69,7 @@ object DedupQueries extends QueryPack {
     JOIN sizes sb ON sb.doc_id = idB
     WHERE ROUND(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 9) >= $threshold"""
 
-  private val q28Sql = jaccardPairsSql(0.2) + """
+  private val q28Sql = jaccardPairsSql(0.2, sliceSql) + """
     ORDER BY idA ASC NULLS FIRST, idB ASC NULLS FIRST"""
 
   // minhashCandidatePairs (64 hashes, 16 bands → catches Jaccard ≳ 0.3
@@ -84,12 +90,13 @@ object DedupQueries extends QueryPack {
   // the oracle pins (0, TRUE). Signatures are xxhash64-derived (no DuckDB
   // spelling — why no per-pair oracle exists), but the SET EQUALITY is
   // engine-independent, which is what makes this gateable. Runs on the
-  // doc_id % 4 quarter slice (q113's rationale, one notch further: the
+  // doc_id % 8 slice (q113's rationale, one notch further: the
   // brute-force tier is quadratic and exists here only to verify, not to
-  // bench — the theorem is checked over every pair of ~n/4 real docs).
+  // bench — the theorem is checked over every pair of ~n/8 real docs,
+  // still hundreds of documents and >10⁵ pairs at bench SF).
   private def q122(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
-      .filter(pmod(col("doc_id"), lit(4)) === 0)
+      .filter(pmod(col("doc_id"), lit(8)) === 0)
     // token hashes materialized ONCE, then the 64 bit-folds — the bulk
     // spelling; the convenience simhash(text) re-tokenizes per bit
     val sigs = docs
@@ -117,9 +124,13 @@ object DedupQueries extends QueryPack {
   // q45 — the COMPLETE near-dedup pipeline: exact 3-gram Jaccard pairs at
   // τ=0.5 → connected components (min-label propagation) → keep one
   // representative per cluster. Oracle rebuilds the same pipeline in
-  // DuckDB with a recursive CTE for the transitive closure.
+  // DuckDB with a recursive CTE for the transitive closure. EXACT-
+  // BASELINE tier like q28 (q53 is the production LSH twin of this
+  // pipeline): runs on the doc_id % 3 = 0 slice so the explode-join
+  // baseline stays fixture-bounded as SF grows (round-9 verdict).
   private def q45(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
     Dedup.dedupByClusters(docs, pairs, "doc_id")
       .select("doc_id", "lang", "source", "n_chars")
@@ -130,11 +141,12 @@ object DedupQueries extends QueryPack {
     * verify-on-candidates path, which intersects full sets (no guard).
     * Shared so an edit to the shingle construction, Jaccard rounding, or
     * recursive closure can't desynchronize the two. */
-  private def dedupPipelineSql(stopGuard: Boolean): String = {
+  private def dedupPipelineSql(stopGuard: Boolean,
+      corpus: String = "documents"): String = {
     val guardCtes =
-      if (stopGuard) """
+      if (stopGuard) s"""
     stop AS (SELECT shingle FROM ex GROUP BY shingle
-             HAVING COUNT(*) > GREATEST(1000, (SELECT COUNT(*) FROM documents) // 1000)),
+             HAVING COUNT(*) > GREATEST(1000, (SELECT COUNT(*) FROM $corpus) // 1000)),
     exf AS (SELECT * FROM ex WHERE shingle NOT IN (SELECT shingle FROM stop)),"""
       else ""
     val pairSrc = if (stopGuard) "exf" else "ex"
@@ -143,7 +155,7 @@ object DedupQueries extends QueryPack {
       SELECT doc_id,
              list_distinct([array_to_string(t[i:i+2], ' ')
                             for i in generate_series(1, greatest(len(t)-2, 1))]) AS sh
-      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)),
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM $corpus)),
     sizes AS (SELECT doc_id, len(sh) AS sz FROM sets),
     ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),$guardCtes
     pairs AS (
@@ -166,11 +178,11 @@ object DedupQueries extends QueryPack {
     clusters AS (
       SELECT a AS id, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a),
     losers AS (SELECT id FROM clusters WHERE id <> cluster)
-    SELECT doc_id, lang, source, n_chars FROM documents
+    SELECT doc_id, lang, source, n_chars FROM $corpus
     WHERE doc_id NOT IN (SELECT id FROM losers)
     ORDER BY doc_id ASC NULLS FIRST"""
   }
-  private val q45Sql = dedupPipelineSql(stopGuard = true)
+  private val q45Sql = dedupPipelineSql(stopGuard = true, sliceSql)
 
   // q53 — the PRODUCTION near-dedup pipeline shape: MinHash-LSH candidates
   // → exact Jaccard verify on candidates only → connected components →
