@@ -42,6 +42,7 @@ object Compiler {
         node.audioDedup.toSeq.flatMap(a => Seq(a.idCol, a.payloadCol)) ++
         node.passageDedup.toSeq.flatMap(p => Seq(p.idCol, p.textCol)) ++
         node.lmPerplexity.toSeq.flatMap(l => Seq(l.idCol, l.textCol)) ++
+        node.qualityClassifier.toSeq.flatMap(q => Seq(q.idCol, q.textCol, q.labelCol)) ++
         node.split.toSeq.map(_.idCol) ++
         node.temperatureSample.toSeq.flatMap(t => Seq(t.groupCol, t.idCol)) ++
         node.htmlExtract.toSeq.flatMap(h => Seq(h.idCol, h.htmlCol)) ++
@@ -324,6 +325,14 @@ object Compiler {
     // config-admissible; downstream keys filter/sort on the score.
     node.lmPerplexity.foreach { l =>
       df = graft.ops.Corpus.lmPerplexity(df, l.idCol, l.textCol, l.k, l.keepUnscored)
+    }
+
+    // Trainable quality classifier: fit on labeled rows (global
+    // aggregates — batch-only by name), score every row scan-stage.
+    node.qualityClassifier.foreach { q =>
+      requireBatch("quality_classifier")
+      df = graft.ops.Corpus.qualityClassifier(
+        df, q.idCol, q.textCol, q.labelCol, q.dim, q.epochs, q.lr, q.threshold)
     }
 
     // Deterministic split: adds the bucket-name column (scan-stage

@@ -536,4 +536,179 @@ object Corpus {
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("nll"))
   }
+
+  /** A trained hashed-n-gram logistic model (see [[trainTextClassifier]]).
+    * `weights(b)` is the coefficient of token bucket `b`; `losses` is the
+    * per-epoch mean log-loss trace (strictly decreasing on separable
+    * planted fixtures — the CorpusSpec training invariant). */
+  final case class TextClassifierModel(
+      dim: Int,
+      intercept: Double,
+      weights: Array[Double],
+      losses: Seq[Double])
+
+  /** Trainable quality classifier — the supervised curation tier between
+    * the heuristic scorers (qualityScore/langId) and lmPerplexity:
+    * logistic regression over hashed token buckets
+    * (`hashed_buckets(text, dim)` — the portable Horner token hash mod
+    * dim, term-frequency features), trained fastText-style but as
+    * DETERMINISTIC full-batch aggregate passes:
+    *
+    *  1. Naive-Bayes log-odds initialization (the NBSVM trick, Wang &
+    *     Manning 2012): w_b = ln((c⁺_b+α)/(T⁺+αD)) − ln((c⁻_b+α)/(T⁻+αD))
+    *     with α = 0.5, b₀ = ln((N⁺+α)/(N⁻+α)) — ONE aggregate pass that
+    *     already separates any class-discriminative token.
+    *  2. `epochs` of gradient refinement with the CURVATURE-BOUNDED step
+    *     η = lr / (¼·(maxᵢ‖xᵢ‖² + 1)): the logistic Hessian satisfies
+    *     λmax ≤ ¼·maxᵢ‖xᵢ‖², so for lr ≤ 1 every step provably
+    *     decreases the loss (no line search, no oscillation — the
+    *     descent-lemma step for an L-smooth convex objective).
+    *
+    * Plain GD from zero needs hundreds of epochs before a one-token
+    * planted signal's weight is visible, and second-order diagonal steps
+    * overshoot on co-occurring features; NB-init + bounded refinement
+    * gets both: immediate separation, then monotone convergence.
+    *
+    * Determinism (the property that makes the trained model gateable):
+    * feature counts are integers (maxᵢ‖xᵢ‖² included); every floating
+    * aggregate rounds its per-item term to 9 dp and sums in DECIMAL
+    * (order-insensitive under shuffle retries — the dsum posture); ln is
+    * the only libm call. Same input → bit-identical weights, every run.
+    *
+    * Semi-supervised shape: rows with NULL label are excluded from the
+    * gradient (they still score at inference). Labels are 0/1 doubles.
+    *
+    * Scale: one feature-extraction pass builds (id, bucket, cnt) —
+    * shuffle ∝ corpus tokens, cached across epochs; each epoch is a
+    * margin aggregate (groupBy id), an id-keyed join of the errors back
+    * onto the cached features, and a VOCABULARY-shaped gradient
+    * aggregate (groupBy bucket, ≤ dim rows). The weight vector itself is
+    * bounded driver metadata (dim doubles, ≤ 2²⁰ by the IVF-centroid
+    * argument) and ships to executors as a plan constant. Inference
+    * never shuffles: [[graft.functions.ClassifierKernels.textScore]] is
+    * one codegen kernel call per row.
+    */
+  def trainTextClassifier(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      dim: Int = 1024,
+      epochs: Int = 8,
+      lr: Double = 0.8
+  ): TextClassifierModel = {
+    require(dim >= 1 && dim <= (1 << 20),
+      s"classifier dim must be in [1, 2^20] (driver-bounded weights), got $dim")
+    require(epochs >= 1, s"classifier epochs must be >= 1, got $epochs")
+    val dec = org.apache.spark.sql.types.DecimalType(25, 9)
+    def dsum9(c: Column): Column = sum(round(c, 9).cast(dec)).cast("double")
+
+    // (id, y, n, bucket, cnt): integer token-bucket counts per labeled doc.
+    // explode_outer keeps token-free docs — the intercept still trains on
+    // them (their margin is the intercept alone).
+    val feats = df
+      .filter(col(labelCol).isNotNull)
+      .select(col(idCol).as("__id"), col(labelCol).cast("double").as("__y"),
+        graft.functions.ClassifierKernels
+          .hashedTokenBuckets(col(textCol), dim).as("__bs"))
+      .select(col("__id"), col("__y"), size(col("__bs")).as("__n"),
+        explode_outer(col("__bs")).as("__bk"))
+      .groupBy("__id", "__y", "__n", "__bk")
+      .agg(count(lit(1)).cast("double").as("__cnt"))
+      .persist()
+    // ---- per-doc stats, ONE job: N, N⁺, and max‖x‖² for the step bound
+    val docStats = feats.groupBy(col("__id"), col("__y"))
+      .agg(sum(col("__cnt") * col("__cnt")).as("__sq"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("__y") === 1.0, 1)).as("np"),
+        max(col("__sq")).as("msq")).head
+    val nDocs = docStats.getLong(0)
+    require(nDocs > 0, "classifier training needs at least one labeled row")
+    val nPos = docStats.getLong(1)
+    val maxSq = if (docStats.isNullAt(2)) 0.0 else docStats.getDouble(2)
+
+    // ---- NB log-odds initialization (one aggregate over the features)
+    val alpha = 0.5
+    val nbAgg = feats.filter(col("__bk").isNotNull).groupBy(col("__bk"))
+      .agg(sum(when(col("__y") === 1.0, col("__cnt")).otherwise(0.0)).as("cp"),
+        sum(when(col("__y") === 0.0, col("__cnt")).otherwise(0.0)).as("cn"))
+      .collect()
+    val totPos = nbAgg.map(_.getDouble(1)).sum
+    val totNeg = nbAgg.map(_.getDouble(2)).sum
+    val w = new Array[Double](dim)
+    nbAgg.foreach { r =>
+      w(r.getInt(0)) =
+        math.log((r.getDouble(1) + alpha) / (totPos + alpha * dim)) -
+          math.log((r.getDouble(2) + alpha) / (totNeg + alpha * dim))
+    }
+    var b0 = math.log((nPos + alpha) / (nDocs - nPos + alpha))
+
+    // ---- curvature-bounded refinement: η = lr / (¼·(max‖x‖² + 1))
+    val step = lr / (0.25 * (maxSq + 1.0))
+    val losses = Seq.newBuilder[Double]
+    var ep = 1
+    while (ep <= epochs) {
+      val wLit = typedLit(w.toIndexedSeq) // immutable snapshot of this epoch's weights
+      // term-frequency margin: intercept + Σ_b w[b]·cnt_b
+      val contrib = when(col("__bk").isNull, lit(0.0))
+        .otherwise(element_at(wLit, col("__bk") + 1) * col("__cnt"))
+      val scored = feats
+        .groupBy("__id", "__y")
+        .agg(dsum9(contrib).as("__mf"))
+        .select(col("__id"), col("__y"),
+          (lit(1.0) / (lit(1.0) + exp(-(lit(b0) + col("__mf"))))).as("__p"))
+        .select(col("__id"), col("__y"), col("__p"),
+          (col("__p") - col("__y")).as("__err"))
+        .persist()
+      // log-loss trace (clamped away from 0/1 so planted-separable
+      // fixtures cannot emit -inf once they saturate) + intercept
+      // gradient, ONE aggregate job
+      val eps = 1e-12
+      val lossRow = scored.agg(
+        (dsum9(-(col("__y") * log(greatest(col("__p"), lit(eps))) +
+          (lit(1.0) - col("__y")) *
+            log(greatest(lit(1.0) - col("__p"), lit(eps))))) / nDocs).as("l"),
+        dsum9(col("__err")).as("g")).head
+      losses += lossRow.getDouble(0)
+      val gb = lossRow.getDouble(1)
+      // vocabulary-shaped gradient: g_b = Σ err·cnt / N
+      val grads = feats.filter(col("__bk").isNotNull)
+        .join(scored.select(col("__id"), col("__err")), Seq("__id"))
+        .groupBy(col("__bk"))
+        .agg(dsum9(col("__err") * col("__cnt")).as("__g"))
+        .collect()
+      scored.unpersist()
+      grads.foreach { r =>
+        w(r.getInt(0)) -= step * r.getDouble(1) / nDocs
+      }
+      b0 -= step * gb / nDocs
+      ep += 1
+    }
+    feats.unpersist()
+    TextClassifierModel(dim, b0, w.clone(), losses.result())
+  }
+
+  /** Train-and-score in one call — the operator behind the
+    * `quality_classifier` config key: fit on the labeled rows, then
+    * score EVERY row (labeled or not) with the scan-stage kernel.
+    * Output: (idCol, score [6 dp], pred). Batch-only (training is a
+    * global aggregate); inference alone is streaming-admissible via
+    * [[graft.functions.ClassifierKernels.textScore]]. */
+  def qualityClassifier(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      dim: Int = 1024,
+      epochs: Int = 8,
+      lr: Double = 0.8,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val m = trainTextClassifier(df, idCol, textCol, labelCol, dim, epochs, lr)
+    df.select(col(idCol),
+        round(graft.functions.ClassifierKernels
+          .textScore(col(textCol), m.weights, m.intercept), 6).as("score"))
+      .select(col(idCol), col("score"),
+        (col("score") >= threshold).as("pred"))
+  }
 }

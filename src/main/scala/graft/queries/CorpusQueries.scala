@@ -469,6 +469,82 @@ object CorpusQueries extends QueryPack {
        "order_by": ["doc_id asc"]}""")
   }
 
+  // q154 — classifier INFERENCE, exactly mirrored: score every document
+  // with FIXED formula weights (w_b from plan-time arithmetic — the
+  // trained-weights path is gated by q155 + the CorpusSpec training
+  // invariants; an oracle can't restate gradient descent, but it CAN
+  // restate the scan-stage kernel bit-for-bit). The margin folds w[b_j]
+  // over the hashed buckets IN DOCUMENT ORDER starting at the intercept,
+  // so the DuckDB in-order list_reduce reproduces the double exactly;
+  // sigmoid rounds to 6 dp (the lmPerplexity libm posture).
+  private val clsDim = 64
+  private def clsW(b: Long): Double =
+    ((b * 2654435761L) % 1000003L).toDouble / 1000003.0 - 0.5
+  private def q154(s: SparkSession, dir: String): DataFrame = {
+    val w = Array.tabulate(clsDim)(b => clsW(b.toLong))
+    docs(s, dir).select(
+        col("doc_id"),
+        size(graft.functions.ClassifierKernels
+          .hashedTokenBuckets(col("text"), clsDim)).as("n_tokens"),
+        round(graft.functions.ClassifierKernels
+          .textScore(col("text"), w, intercept = 0.25), 6).as("score"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+  private val q154Sql = s"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS t
+      FROM documents),
+    b AS (
+      SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+             list_transform(t, tok ->
+               list_reduce(
+                 list_prepend(CAST(7 AS BIGINT),
+                   list_transform(range(1, len(tok) + 1),
+                     i -> CAST(ascii(tok[i]) AS BIGINT))),
+                 (a, c) -> (a * 131 + c) % 1000000007) % $clsDim) AS bs
+      FROM toks)
+    SELECT doc_id, n_tokens,
+           ROUND(1.0 / (1.0 + exp(-(list_reduce(
+             list_prepend(CAST(0.25 AS DOUBLE),
+               list_transform(bs, bb ->
+                 ((bb * 2654435761) % 1000003) / 1000003.0 - 0.5)),
+             (a, x) -> a + x)))), 6) AS score
+    FROM b ORDER BY doc_id ASC NULLS FIRST"""
+
+  // q155 — classifier TRAINING as a driver gate (the q122 pattern: the
+  // learned weights have no closed-form SQL spelling, but the separation
+  // they must achieve on a planted fixture is engine-independent exact
+  // arithmetic): labels planted by doc parity, the positive class marked
+  // by an appended token; after NB-init + bounded refinement every
+  // marked doc MUST outscore every clean doc, and the class counts are
+  // parity arithmetic. Deterministic training (decimal-exact aggregates,
+  // integer counts) makes the gate replay-stable.
+  private def q155(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "documents"},
+       "filters": ["doc_id % 4 < 2"],
+       "derive": {"label": "if(doc_id % 2 = 0, 1.0, 0.0)",
+                  "txt": "if(doc_id % 2 = 0, concat(text, ' zqxmarker'), text)"},
+       "quality_classifier": {"id_col": "doc_id", "text_col": "txt",
+                              "label_col": "label", "dim": 512, "epochs": 2},
+       "aggregate": {"group_by": [],
+         "aggregations": [
+           {"col": "*", "func": "count", "new_name": "n_total",
+            "filter": "doc_id % 2 = 0"},
+           {"col": "score", "func": "min", "new_name": "min_pos",
+            "filter": "doc_id % 2 = 0"},
+           {"col": "score", "func": "max", "new_name": "max_neg",
+            "filter": "doc_id % 2 = 1"}]},
+       "with_columns": {"separated": "min_pos > max_neg"},
+       "drop": ["min_pos", "max_neg"]}""")
+  }
+  private val q155Sql = """
+    SELECT CAST(COUNT(*) FILTER (doc_id % 2 = 0) AS BIGINT) AS n_total,
+           TRUE AS separated
+    FROM documents WHERE doc_id % 4 < 2"""
+
   override def queries: Seq[Q] = Seq(
     Q("q72_doc_chunking", q72, Some(q72Sql)),
     Q("q73_sequence_packing", q73, Some(q73Sql)),
@@ -485,6 +561,8 @@ object CorpusQueries extends QueryPack {
     Q("q114_string_id_split", q114, Some(q114Sql)),
     Q("q136_split_balance_gate", q136, Some(q136Sql)),
     Q("q142_temperature_sample", q142, Some(q142Sql)),
-    Q("q143_config_temperature_sample", q143, Some(q142Sql))
+    Q("q143_config_temperature_sample", q143, Some(q142Sql)),
+    Q("q154_classifier_inference", q154, Some(q154Sql)),
+    Q("q155_classifier_training_gate", q155, Some(q155Sql))
   )
 }

@@ -296,6 +296,17 @@ object JsonCodec {
           .exists(_.asBoolean(false)))
     }
 
+    val qc = opt(n, "quality_classifier", "qualityClassifier").map { d =>
+      QualityClassifierSpec(
+        idCol = req(d, s"node $id: quality_classifier", "id_col", "idCol").asText,
+        textCol = req(d, s"node $id: quality_classifier", "text_col", "textCol").asText,
+        labelCol = req(d, s"node $id: quality_classifier", "label_col", "labelCol").asText,
+        dim = opt(d, "dim").map(_.asInt).getOrElse(1024),
+        epochs = opt(d, "epochs").map(_.asInt).getOrElse(8),
+        lr = opt(d, "lr").map(_.asDouble).getOrElse(4.0),
+        threshold = opt(d, "threshold").map(_.asDouble).getOrElse(0.5))
+    }
+
     val sp = opt(n, "split").map { d =>
       val bucketsNode = req(d, s"node $id: split", "buckets")
       require(bucketsNode.isArray && bucketsNode.size() > 0,
@@ -425,6 +436,7 @@ object JsonCodec {
       audioDedup = aud,
       passageDedup = pd,
       lmPerplexity = lm,
+      qualityClassifier = qc,
       split = sp,
       temperatureSample = ts,
       htmlExtract = he,

@@ -273,6 +273,21 @@ final case class LmPerplexitySpec(
     keepUnscored: Boolean = false
 )
 
+/** Trainable quality classifier (NS; Corpus.qualityClassifier):
+  * fastText-style logistic model over hashed token buckets, trained on
+  * the rows where `labelCol` is non-null by deterministic full-batch
+  * aggregate passes, scoring EVERY row at scan-stage cost. The frame
+  * becomes (idCol, score, pred). Batch-only (training aggregates). */
+final case class QualityClassifierSpec(
+    idCol: String,
+    textCol: String,
+    labelCol: String,
+    dim: Int = 1024,
+    epochs: Int = 8,
+    lr: Double = 4.0,
+    threshold: Double = 0.5
+)
+
 /** Deterministic train/val/test split (NS; Corpus.hashSplit): adds
   * `splitCol` naming each row's bucket by portable multiplicative hash of
   * `idCol` — reproducible and stable under corpus growth. Buckets are an
@@ -533,6 +548,7 @@ final case class NodeSpec(
     audioDedup: Option[AudioDedupSpec] = None, // after keep, before aggregate
     passageDedup: Option[PassageDedupSpec] = None, // after keep, before aggregate
     lmPerplexity: Option[LmPerplexitySpec] = None, // after keep, before aggregate
+    qualityClassifier: Option[QualityClassifierSpec] = None, // after keep, before aggregate
     split: Option[SplitSpec] = None, // after keep, before aggregate
     temperatureSample: Option[TemperatureSampleSpec] = None, // after split
     htmlExtract: Option[HtmlExtractSpec] = None, // after keep, before aggregate

@@ -395,4 +395,83 @@ class CorpusSpec extends SparkSpec {
     assert(kept(1L) == (scored(1L)._1, Some(scored(1L)._2)),
       "scored docs must be unchanged by the keep policy")
   }
+
+  // ---- trainable quality classifier --------------------------------------
+
+  test("classifier: planted marker separates, loss decreases, training is deterministic") {
+    import spark.implicits._
+    // real corpus text, labels planted by a marker token in even-id docs —
+    // the q155 fixture shape
+    val base = Tables.load(spark, sf, "documents").limit(200)
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, concat(col("text"), lit(" zqxmarker")))
+          .otherwise(col("text")).as("txt"),
+        when(col("doc_id") % 2 === 0, 1.0).otherwise(0.0).as("label"))
+      .cache()
+    val m1 = Corpus.trainTextClassifier(base, "doc_id", "txt", "label",
+      dim = 512, epochs = 6)
+    // per-epoch mean log-loss strictly decreases on a separable fixture
+    assert(m1.losses.sliding(2).forall { case Seq(a, b) => b < a },
+      s"loss trace must decrease: ${m1.losses}")
+    // every planted doc scores above every clean doc
+    val scored = base.select(col("doc_id"), col("label"),
+        graft.functions.ClassifierKernels
+          .textScore(col("txt"), m1.weights, m1.intercept).as("s"))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    val minPos = scored.filter(_._1 == 1.0).map(_._2).min
+    val maxNeg = scored.filter(_._1 == 0.0).map(_._2).max
+    assert(minPos > maxNeg, s"separation: minPos=$minPos maxNeg=$maxNeg")
+    // bit-identical retrain: decimal-exact aggregates + fixed schedule
+    val m2 = Corpus.trainTextClassifier(base, "doc_id", "txt", "label",
+      dim = 512, epochs = 6)
+    assert(m1.intercept == m2.intercept &&
+      m1.weights.toSeq == m2.weights.toSeq && m1.losses == m2.losses,
+      "training must be run-to-run deterministic")
+    base.unpersist()
+  }
+
+  test("classifier: NULL labels are excluded from training but still scored") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "good text alpha", Some(1.0)), (2L, "bad text beta", Some(0.0)),
+      (3L, "good text alpha", Some(1.0)), (4L, "bad text beta", Some(0.0)),
+      (5L, "good text alpha", None)).toDF("id", "txt", "label")
+    val out = Corpus.qualityClassifier(rows, "id", "txt", "label",
+      dim = 64, epochs = 8).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L), "unlabeled rows still score")
+    assert(out(5L) == out(1L), "identical text scores identically")
+    assert(out(1L) > out(2L), "positive-labeled text outranks negative")
+  }
+
+  test("classifier: hashed buckets are portable-hash mod dim, in document order") {
+    import spark.implicits._
+    val bs = Seq(("a bb a", 0)).toDF("t", "x")
+      .select(graft.functions.ClassifierKernels
+        .hashedTokenBuckets(col("t"), 97).as("b"))
+      .head.getSeq[Int](0)
+    val M = 1000000007L
+    def h(tok: String): Int =
+      (tok.foldLeft(7L)((a, c) => (a * 131 + c) % M) % 97).toInt
+    assert(bs == Seq(h("a"), h("bb"), h("a")), "order + repeats preserved")
+    // empty and null propagate the kernel contract
+    val empty = Seq(("   ", 0)).toDF("t", "x")
+      .select(graft.functions.ClassifierKernels
+        .hashedTokenBuckets(col("t"), 97).as("b")).head.getSeq[Int](0)
+    assert(empty.isEmpty)
+  }
+
+  test("classifier: misuse is rejected by name") {
+    import spark.implicits._
+    val df = Seq((1L, "x", 1.0)).toDF("id", "txt", "label")
+    intercept[IllegalArgumentException] {
+      Corpus.trainTextClassifier(df, "id", "txt", "label", dim = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.trainTextClassifier(df, "id", "txt", "label", epochs = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.trainTextClassifier(
+        df.filter(col("id") < 0), "id", "txt", "label")
+    }
+  }
 }
