@@ -622,6 +622,89 @@ object TextQueries extends QueryPack {
        "order_by": ["doc_id asc"]}""")
   }
 
+  // q156/q157 — BPE vocabulary training + real-tokenizer packing. The
+  // trainer is M vocabulary-shaped aggregate rounds (deterministic
+  // tie-break: count DESC, pair lexicographic ASC); the oracle restates
+  // round N as N UNROLLED scalar-subquery CTE pairs over the word-
+  // frequency table: symbols live in a space-delimited string, one
+  // greedy left-to-right merge pass IS one non-overlapping string
+  // replace of ' l r ' with ' lr ' — DuckDB's replace() semantics, which
+  // is exactly why the kernel contract (BpeOps) fixes application as
+  // one pass per rank. q156 hash-pins the merge table itself; q157 runs
+  // the trained tokenizer over every document and packs by REAL subword
+  // counts (the q73 shape upgraded from whitespace counts to BPE).
+  private val bpeMerges = 6
+  private def bpeSqlCtes(m: Int): String = {
+    val sb = new StringBuilder
+    sb.append("""
+    WITH w0 AS MATERIALIZED (
+      SELECT w, ' ' || array_to_string(str_split_regex(w, ''), ' ') || ' ' AS sym,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                   x -> len(x) > 0)) AS w FROM documents)
+      GROUP BY 1)""")
+    for (i <- 1 to m) {
+      val p = i - 1
+      sb.append(s""",
+    r$i AS MATERIALIZED (
+      SELECT l, r, pc FROM (
+        SELECT s[i] AS l, s[i+1] AS r, CAST(SUM(cnt) AS BIGINT) AS pc
+        FROM (SELECT s, cnt, unnest(generate_series(1, len(s)-1)) AS i
+              FROM (SELECT list_filter(string_split(sym, ' '),
+                             x -> len(x) > 0) AS s, cnt
+                    FROM w$p))
+        GROUP BY 1, 2)
+      ORDER BY pc DESC, l ASC, r ASC LIMIT 1),
+    w$i AS MATERIALIZED (
+      SELECT w, replace(sym,
+               ' ' || (SELECT l FROM r$i) || ' ' || (SELECT r FROM r$i) || ' ',
+               ' ' || (SELECT l FROM r$i) || (SELECT r FROM r$i) || ' ') AS sym,
+             cnt
+      FROM w$p)""")
+    }
+    sb.toString
+  }
+  private def q156(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Bpe.trainDF(s, docs(s, dir), "text", bpeMerges)
+      .select(col("rank"), col("left").as("left_sym"),
+        col("right").as("right_sym"), col("pair_count"))
+      .orderBy(col("rank").asc_nulls_first)
+  private val q156Sql = bpeSqlCtes(bpeMerges) + "\n    " +
+    (1 to bpeMerges).map(i =>
+      s"SELECT $i AS rank, l AS left_sym, r AS right_sym, pc AS pair_count FROM r$i")
+      .mkString("\n    UNION ALL ") +
+    "\n    ORDER BY rank ASC NULLS FIRST"
+
+  private def q157(s: SparkSession, dir: String): DataFrame = {
+    val merges = graft.ops.Bpe.train(docs(s, dir), "text", bpeMerges)
+      .map(t => (t._1, t._2))
+    val counted = docs(s, dir).select(col("doc_id"),
+      size(graft.functions.BpeKernels.bpeTokenize(col("text"), merges))
+        .as("n_bpe"))
+    graft.ops.Corpus.packSequences(counted, "doc_id", "n_bpe",
+        budget = 512L, numShards = 8)
+      .select("doc_id", "n_bpe", "shard", "bin")
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+  private val q157Sql = bpeSqlCtes(bpeMerges) + s""",
+    wlen AS (SELECT w, len(list_filter(string_split(sym, ' '),
+                           x -> len(x) > 0)) AS l
+             FROM w$bpeMerges),
+    docw AS (SELECT doc_id,
+                    unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                      x -> len(x) > 0)) AS w
+             FROM documents),
+    per AS (SELECT dw.doc_id, CAST(SUM(wl.l) AS INT) AS n_bpe
+            FROM docw dw JOIN wlen wl USING (w) GROUP BY 1),
+    full0 AS (SELECT d.doc_id, COALESCE(per.n_bpe, 0) AS n_bpe
+              FROM documents d LEFT JOIN per USING (doc_id))
+    SELECT doc_id, n_bpe, CAST(doc_id % 8 AS INT) AS shard,
+           CAST(FLOOR(CAST(COALESCE(SUM(n_bpe) OVER (
+                 PARTITION BY doc_id % 8 ORDER BY doc_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) / 512.0) AS INT) AS bin
+    FROM full0 ORDER BY doc_id ASC NULLS FIRST"""
+
   // q148 — the WEB-curation flagship, PURE JSON, on named defs: crawl
   // pages (the q144 template) → html_extract → token-count quality
   // filter (n_tok ≤ 45 — drops 329/500 at sf0.01) → language rejoin
@@ -698,6 +781,8 @@ object TextQueries extends QueryPack {
     Q("q147_warc_gz_members", q147, Some(q147Sql)),
     Q("q148_web_curation_flagship", q148, Some(q148Sql)),
     Q("q152_pdf_extract", q152, Some(q152Sql)),
-    Q("q153_config_pdf_extract", q153, Some(q152Sql))
+    Q("q153_config_pdf_extract", q153, Some(q152Sql)),
+    Q("q156_bpe_train", q156, Some(q156Sql)),
+    Q("q157_bpe_pack", q157, Some(q157Sql))
   )
 }

@@ -1,0 +1,92 @@
+package graft
+
+import graft.functions.BpeKernels
+import graft.ops.Bpe
+import org.apache.spark.sql.functions._
+
+/** BPE trainer + tokenizer gauntlet: the hand-computed merge sequence a
+  * Sennrich-style trainer must produce (ties broken (count DESC, left
+  * ASC, right ASC)), the greedy-pass application contract, and
+  * determinism — the ScalaTest tier behind q156/q157's corpus oracles.
+  */
+class BpeSpec extends SparkSpec {
+  import org.apache.spark.sql.DataFrame
+
+  private def corpus(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("id", "text")
+  }
+
+  test("bpe train: hand-computed merge sequence with lexicographic ties") {
+    // low×3, lower×2, newest×1:
+    //   round 1: (l,o)=5 ties (o,w)=5 → 'l' < 'o' wins
+    //   round 2: (lo,w)=5
+    //   round 3: (low,e)=2 ties (e,r)=2 → 'e' < 'low' wins
+    //   round 4: (low,er)=2
+    val df = corpus((1L, "low low low"), (2L, "lower lower"), (3L, "newest"))
+    val merges = Bpe.train(df, "text", 4)
+    assert(merges == Seq(("l", "o", 5L), ("lo", "w", 5L),
+      ("e", "r", 2L), ("low", "er", 2L)), s"got $merges")
+  }
+
+  test("bpe tokenize: merges apply in rank order, one greedy pass each") {
+    val merges = Seq(("l", "o"), ("lo", "w"), ("e", "r"), ("low", "er"))
+    val out = corpus((1L, "lowest lower low"))
+      .select(BpeKernels.bpeTokenize(col("text"), merges).as("t"))
+      .head.getSeq[String](0)
+    // lowest: l·o·w·e·s·t → lo → low → (no er: e,s) → [low,e,s,t]
+    // lower:  l·o·w·e·r → lo → low → er → lower (all four merges fire)
+    assert(out == Seq("low", "e", "s", "t", "lower", "low"))
+  }
+
+  test("bpe merge_pair: greedy left-to-right, overlap-exclusive") {
+    import spark.implicits._
+    val out = Seq(Seq("a", "a", "a")).toDF("s")
+      .select(BpeKernels.mergePair(col("s"), "a", "a").as("m"))
+      .head.getSeq[String](0)
+    assert(out == Seq("aa", "a"), "'a a a' under (a,a) → [aa, a]")
+    val out2 = Seq(Seq("x", "a", "b", "a", "b")).toDF("s")
+      .select(BpeKernels.mergePair(col("s"), "a", "b").as("m"))
+      .head.getSeq[String](0)
+    assert(out2 == Seq("x", "ab", "ab"))
+  }
+
+  test("bpe train: pair counts are adjacent-index (overlap-inclusive)") {
+    // "aaa" ×2 → (a,a) counted twice per word = 4; one merge → [aa, a]
+    val df = corpus((1L, "aaa aaa"))
+    val merges = Bpe.train(df, "text", 2)
+    assert(merges.head == ("a", "a", 4L), s"got ${merges.head}")
+    // round 2 on [aa, a]: (aa, a) = 2
+    assert(merges(1) == ("aa", "a", 2L), s"got ${merges(1)}")
+  }
+
+  test("bpe train: deterministic retrain; exhausts gracefully on tiny corpora") {
+    val df = corpus((1L, "ab ab cd"))
+    val m1 = Bpe.train(df, "text", 10)
+    val m2 = Bpe.train(df, "text", 10)
+    assert(m1 == m2, "training must be run-to-run deterministic")
+    // ab→1 merge, cd→1 merge, then single-symbol words: no pairs left
+    assert(m1.length < 10, s"must stop when no pairs remain, got $m1")
+    assert(m1.map(m => (m._1, m._2)).toSet == Set(("a", "b"), ("c", "d")))
+  }
+
+  test("bpe tokenize: empty text, whitespace runs, zero merges, nulls") {
+    import spark.implicits._
+    val toks = corpus((1L, "  ab  cd  "), (2L, ""), (3L, "x"))
+      .select(col("id"), BpeKernels.bpeTokenize(col("text"), Nil).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(toks(1L) == Seq("a", "b", "c", "d"))
+    assert(toks(2L) == Seq.empty)
+    assert(toks(3L) == Seq("x"))
+    val nul = Seq((1L, null: String)).toDF("id", "text")
+      .select(BpeKernels.bpeTokenize(col("text"), Nil).as("t"))
+      .head
+    assert(nul.isNullAt(0), "NULL text → NULL tokens")
+  }
+
+  test("bpe train: misuse rejected by name") {
+    intercept[IllegalArgumentException] {
+      Bpe.train(corpus((1L, "x")), "text", 0)
+    }
+  }
+}
