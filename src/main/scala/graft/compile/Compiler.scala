@@ -354,9 +354,16 @@ object Compiler {
     }
 
     // Per-column profile: the frame becomes the stats rows. A global
-    // aggregate (and count_distinct), so batch-only by name.
+    // aggregate (and count_distinct) in batch; under compileStream the
+    // ROOT node's profile becomes the per-batch drift monitor instead
+    // (stripped before this walk — see compileStream), so any profile
+    // REACHING here on a streaming compile is mid-pipeline → named error.
     node.profile.foreach { pr =>
-      requireBatch("profile")
+      if (streaming) throw new IllegalArgumentException(
+        s"node ${node.id}: profile under a streaming compile must sit on " +
+          "the ROOT node, where foreachBatch appends one stats row set " +
+          "per micro-batch (the ingest drift monitor); a mid-pipeline " +
+          "streaming profile would need a global aggregate")
       df = graft.ops.Relational.profile(df, pr.columns, pr.approx)
     }
 
@@ -663,10 +670,28 @@ object Compiler {
         }
         warnIgnored(root, isRoot = true)
         val out = compileNode(spark,
-          root.copy(nearDupIngest = None, passageIngest = None),
+          root.copy(nearDupIngest = None, passageIngest = None,
+            profile = None),
           Some(readStreamSource(spark, src)),
           executeSinks = false, streaming = true)
-        (root.nearDupIngest, root.passageIngest) match {
+        // Root profile: the per-batch drift monitor — each micro-batch's
+        // q149 aggregate appends (batch_id-stamped) to the save sink.
+        if (root.profile.isDefined) {
+          val pr = root.profile.get
+          if (root.nearDupIngest.isDefined || root.passageIngest.isDefined)
+            throw new IllegalArgumentException(
+              "profile beside an ingest sink: a stream has ONE sink — " +
+                "monitor the ingest's corpus directory with a second stream")
+          val sink = root.save.getOrElse(throw new IllegalArgumentException(
+            "streaming profile needs a root save sink (a parquet/csv " +
+              "path the per-batch stats rows append to)"))
+          if (sink.format == "memory" || sink.format == "console")
+            throw new IllegalArgumentException(
+              "streaming profile appends files per batch — use a " +
+                "parquet/csv path sink, not memory/console")
+          graft.streaming.Streaming.profileStream(
+            out, pr.columns, pr.approx, sink)
+        } else (root.nearDupIngest, root.passageIngest) match {
           case (Some(_), Some(_)) =>
             throw new IllegalArgumentException(
               "near_dup_ingest and passage_ingest are both root sinks — " +

@@ -205,12 +205,94 @@ object Similarity {
     * pruning.
     *
     * Centroids are a deterministic lowest-hash sample of `nlist` corpus
-    * vectors (no k-means iterations: on a 100 TB corpus Lloyd rounds cost a
-    * full pass each, and sampled centroids with a higher nprobe are the
-    * standard cheap alternative). The `.collect()` here is bounded by
-    * nlist·dim doubles — centroid METADATA, independent of corpus size,
-    * embedded as literals so both assignment passes run scan-side with no
-    * shuffle (same posture as a broadcast, minus the join). */
+    * vectors (FULL k-means would cost a 100 TB pass per round);
+    * `refineRounds` > 0 adds mini-batch Lloyd rounds over a
+    * metadata-sized sample — see [[ivfCentroids]] — which improves list
+    * balance without a corpus pass. The `.collect()`s are bounded by
+    * nlist·dim doubles and the nlist·64 mini-batch — centroid METADATA,
+    * independent of corpus size, embedded as literals so both assignment
+    * passes run scan-side with no shuffle (same posture as a broadcast,
+    * minus the join). */
+  /** IVF centroids: deterministic lowest-hash sample of `nlist` corpus
+    * vectors, optionally refined by `refineRounds` MINI-BATCH Lloyd
+    * rounds — each round reassigns a deterministic hash-bounded sample
+    * (nlist·64 vectors, metadata-sized like the centroids themselves)
+    * and recenters, materially improving list balance at a bounded cost
+    * (a FULL Lloyd pass would rescan 100 TB per round; the mini-batch is
+    * the standard compromise). Deterministic bit-for-bit: the sample is
+    * hash-ordered with an id tiebreak, and per-(list, dim) means use the
+    * dsum posture (9-dp-rounded terms, decimal sum) so shuffle order
+    * cannot leak in. Lists that capture no sample vectors keep their
+    * previous centroid. Centroids stay L2-normalized (cosine space). */
+  private def ivfCentroids(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      nlist: Int,
+      refineRounds: Int
+  ): Seq[Seq[Double]] = {
+    def normalize(v: Seq[Double], fallback: Seq[Double]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n > 0) v.map(_ / n) else fallback
+    }
+    var cents: Seq[Seq[Double]] = corpus
+      .select(col(corpusId).cast("string").as("__cid"), col(corpusVec).as("__v"))
+      .orderBy(xxhash64(col("__cid")), col("__cid"))
+      .limit(nlist)
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Number](1).map(_.doubleValue())
+        normalize(v, v)
+      }.toSeq
+    require(cents.nonEmpty, "ivfTopK: empty corpus")
+    if (refineRounds > 0) {
+      val dec = org.apache.spark.sql.types.DecimalType(25, 9)
+      val mb = corpus
+        .select(col(corpusId).cast("string").as("__cid"), col(corpusVec).as("__v"))
+        .orderBy(xxhash64(col("__cid")), col("__cid"))
+        .limit(math.max(nlist * 64, 256))
+        .persist()
+      var rd = 0
+      while (rd < refineRounds) {
+        val means = mb
+          .select(element_at(nearestLists(col("__v"), cents, 1), 1).as("__l"),
+            posexplode(col("__v")).as(Seq("__d", "__x")))
+          .groupBy(col("__l"), col("__d"))
+          .agg((sum(round(col("__x").cast("double"), 9).cast(dec)).cast("double") /
+            count(lit(1))).as("__m"))
+          .collect()
+        val byList = means.groupBy(_.getInt(0))
+        cents = cents.zipWithIndex.map { case (old, li) =>
+          byList.get(li) match {
+            case Some(rows) =>
+              normalize(rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq, old)
+            case None => old
+          }
+        }
+        rd += 1
+      }
+      mb.unpersist()
+    }
+    cents
+  }
+
+  /** Per-list corpus assignment counts under the (optionally refined)
+    * IVF centroids — the tuning view for nlist/refineRounds: a skewed
+    * histogram means one list absorbs the scan cost pruning was meant to
+    * save. */
+  def ivfListSizes(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      nlist: Int = 16,
+      refineRounds: Int = 0
+  ): DataFrame = {
+    val cents = ivfCentroids(corpus, corpusId, corpusVec, nlist, refineRounds)
+    corpus
+      .select(element_at(nearestLists(col(corpusVec), cents, 1), 1).as("list"))
+      .groupBy("list").agg(count(lit(1)).as("n"))
+  }
+
   def ivfTopK(
       queries: DataFrame,
       corpus: DataFrame,
@@ -220,19 +302,10 @@ object Similarity {
       corpusVec: String,
       k: Int,
       nlist: Int = 16,
-      nprobe: Int = 4
+      nprobe: Int = 4,
+      refineRounds: Int = 0
   ): DataFrame = {
-    val cents: Seq[Seq[Double]] = corpus
-      .select(col(corpusId).cast("string").as("__cid"), col(corpusVec).as("__v"))
-      .orderBy(xxhash64(col("__cid")), col("__cid"))
-      .limit(nlist)
-      .collect()
-      .map { r =>
-        val v = r.getSeq[Number](1).map(_.doubleValue())
-        val n = math.sqrt(v.map(x => x * x).sum)
-        if (n > 0) v.map(_ / n) else v
-      }.toSeq
-    require(cents.nonEmpty, "ivfTopK: empty corpus")
+    val cents = ivfCentroids(corpus, corpusId, corpusVec, nlist, refineRounds)
     val cb = corpus.select(
       col(corpusId).as("__cid2"), col(corpusVec).as("__cv"),
       l2Norm(col(corpusVec)).as("__cn"),

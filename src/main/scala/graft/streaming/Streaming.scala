@@ -333,6 +333,42 @@ object Streaming {
       }
       .start()
 
+  /** Per-batch data profile — the ingest-side drift monitor: every
+    * micro-batch runs the SAME single-pass stats aggregate the batch
+    * `profile` key runs (graft.ops.Relational.profile — one row per
+    * profiled column: n_rows, n_nulls, n_distinct, min, max), stamps it
+    * with the batch id, and appends to a path sink. Monitoring a 100 TB
+    * ingest this way costs one aggregate per micro-batch over THAT
+    * batch's rows only — no global state, no watermark, restarts safe
+    * (foreachBatch replays append the same batch_id rows; dedup
+    * downstream on batch_id if exactly-once reads matter).
+    *
+    * The stats frame is columns.length rows — coalesce(1) so a batch
+    * lands as one file, not `shuffle.partitions` shards of 5 rows. */
+  def profileStream(
+      incoming: DataFrame,
+      columns: Seq[String],
+      approx: Boolean,
+      sink: graft.spec.SinkSpec
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    var w = incoming.writeStream
+    sink.checkpoint.foreach(c => w = w.option("checkpointLocation", c))
+    sink.trigger.foreach {
+      case "available_now" | "availableNow" | "once" =>
+        w = w.trigger(Trigger.AvailableNow())
+      case interval => w = w.trigger(Trigger.ProcessingTime(interval))
+    }
+    w.foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Relational.profile(batch, columns, approx)
+          .withColumn("batch_id", lit(batchId))
+          .coalesce(1)
+          .write.mode("append").options(sink.options)
+          .format(sink.format).save(sink.path)
+      }
+      .start()
+  }
+
   /** Session windows: groups rows of one key whose gaps are < `gap`;
     * window = [first event, last event + gap). Streaming state is one
     * open session per key, merged/closed by watermark. */

@@ -421,6 +421,38 @@ class OpsSpec extends SparkSpec {
     assert(r8 >= 0.4, s"IVF rank-1 recall at nprobe=8 too low: $r8")
   }
 
+  test("IVF refineRounds: mini-batch Lloyd improves list balance, stays exact at full probe") {
+    val c = emb.select($"vec_id".as("cid"), $"embedding")
+    def imbalance(rounds: Int): Double = {
+      val sizes = Similarity.ivfListSizes(c, "cid", "embedding",
+        nlist = 16, refineRounds = rounds).collect().map(_.getLong(1).toDouble)
+      // coefficient of variation of list sizes (0 = perfectly balanced);
+      // lists that capture nothing count as size 0
+      val all = sizes ++ Seq.fill(16 - sizes.length)(0.0)
+      val mean = all.sum / all.length
+      math.sqrt(all.map(s => (s - mean) * (s - mean)).sum / all.length) / mean
+    }
+    val before = imbalance(0)
+    val after = imbalance(2)
+    assert(after <= before,
+      s"refinement must not worsen balance: cv $before -> $after")
+    // refined centroids are deterministic: same rounds → same histogram
+    val h1 = Similarity.ivfListSizes(c, "cid", "embedding", 16, 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val h2 = Similarity.ivfListSizes(c, "cid", "embedding", 16, 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(h1 == h2, "refined assignment must be run-to-run deterministic")
+    // full probe is exact regardless of centroid quality
+    val q = emb.filter($"vec_id" < 30).select($"vec_id".as("qid"), $"embedding")
+    val exact1 = Similarity.cosineTopK(q, c, "qid", "embedding", "cid", "embedding", 1)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refined = Similarity.ivfTopK(q, c, "qid", "embedding", "cid", "embedding",
+        k = 5, nlist = 16, nprobe = 16, refineRounds = 2)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact1.forall(refined.contains),
+      "full probe with refined centroids must stay exact at rank 1")
+  }
+
   test("banded corpus×corpus near-dup: recall ≥ 0.9 vs exact, no invented pairs") {
     val exact = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
       .select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -776,6 +776,67 @@ class StreamingSpec extends SparkSpec {
     assert(eTwo.getMessage.contains("one per stream"), eTwo.getMessage)
   }
 
+  test("streaming profile: per-batch stats equal the batch aggregate; config twin; guard rails") {
+    val base = java.nio.file.Files.createTempDirectory("graft-sprofile").toString
+    // two staged copies → maxFilesPerTrigger=1 → two micro-batches of
+    // identical content: each batch's stats must equal the batch profile
+    val srcDir = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$base/in")).toString
+    for (n <- Seq("a", "b"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/events.parquet"),
+        java.nio.file.Paths.get(s"$srcDir/$n.parquet"))
+    val cols = Seq("user_id", "value", "event_type")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val want = graft.ops.Relational.profile(raw, cols)
+      .collect().map(_.toSeq).toSet
+
+    // API path
+    val q = Streaming.profileStream(
+      spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir),
+      cols, approx = false,
+      graft.spec.SinkSpec(path = s"$base/outA",
+        checkpoint = Some(s"$base/ckA"), trigger = Some("available_now")))
+    q.processAllAvailable(); q.stop()
+    val got = spark.read.parquet(s"$base/outA")
+    val ids = got.select("batch_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(0L, 1L), s"two micro-batches, got $ids")
+    ids.foreach { id =>
+      val rows = got.filter(col("batch_id") === id).drop("batch_id")
+        .collect().map(_.toSeq).toSet
+      assert(rows == want, s"batch $id stats must equal the batch profile")
+    }
+
+    // config twin: the SAME profile key, under compileStream
+    val q2 = graft.compile.Compiler.compileStreamJson(spark, s"""
+      {"source": {"format": "parquet", "path": "$srcDir",
+                  "options": {"maxFilesPerTrigger": "1"}},
+       "profile": {"columns": ["user_id", "value", "event_type"]},
+       "save": {"format": "parquet", "path": "$base/outB",
+                "trigger": "available_now", "checkpoint": "$base/ckB"}}""")
+    q2.processAllAvailable(); q2.stop()
+    val gotB = spark.read.parquet(s"$base/outB")
+      .collect().map(_.toSeq).toSet
+    assert(gotB == got.collect().map(_.toSeq).toSet,
+      "config path must equal the API path rows")
+
+    // guard rails by name
+    val eNoSink = intercept[IllegalArgumentException](
+      graft.compile.Compiler.compileStreamJson(spark, s"""
+        {"source": {"format": "parquet", "path": "$srcDir"},
+         "profile": {"columns": ["user_id"]}}"""))
+    assert(eNoSink.getMessage.contains("root save sink"), eNoSink.getMessage)
+    val eMem = intercept[IllegalArgumentException](
+      graft.compile.Compiler.compileStreamJson(spark, s"""
+        {"source": {"format": "parquet", "path": "$srcDir"},
+         "profile": {"columns": ["user_id"]},
+         "save": {"format": "memory", "query_name": "x",
+                  "trigger": "available_now"}}"""))
+    assert(eMem.getMessage.contains("memory/console"), eMem.getMessage)
+  }
+
   test("cluster-output and passage dedup keys reject streaming compiles by name") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-batchonly").toString
@@ -801,7 +862,17 @@ class StreamingSpec extends SparkSpec {
       "batch-only")
     rejects(""""temperature_sample": {"group_col": "lang", "id_col": "doc_id",
                "target_fraction": 0.3}""", "batch-only")
-    rejects(""""profile": {"columns": ["doc_id"]}""", "batch-only")
+    // root-level profile is now the streaming drift monitor (see the
+    // dedicated test); only the MID-PIPELINE placement rejects by name
+    val eMid = intercept[IllegalArgumentException](
+      graft.compile.Compiler.compileStreamJson(spark, s"""
+        {"source": {"path": "$inDir"},
+         "children": [{"id": "c", "source": {"path": "$inDir"},
+                       "profile": {"columns": ["doc_id"]},
+                       "join": {"on": ["doc_id"], "how": "inner"}}],
+         "save": {"path": "$base/outp", "format": "parquet",
+                  "checkpoint": "$base/ckp"}}"""))
+    assert(eMid.getMessage.contains("ROOT node"), eMid.getMessage)
     // the pair shapes stay streaming-admissible in principle — only the
     // iterative cluster tier is named off; batch compiles are untouched
     val ok = graft.compile.Compiler.compileJson(spark, s"""
