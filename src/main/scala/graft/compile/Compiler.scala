@@ -43,6 +43,7 @@ object Compiler {
         node.passageDedup.toSeq.flatMap(p => Seq(p.idCol, p.textCol)) ++
         node.lmPerplexity.toSeq.flatMap(l => Seq(l.idCol, l.textCol)) ++
         node.qualityClassifier.toSeq.flatMap(q => Seq(q.idCol, q.textCol, q.labelCol)) ++
+        node.bpe.toSeq.map(_.textCol) ++
         node.split.toSeq.map(_.idCol) ++
         node.temperatureSample.toSeq.flatMap(t => Seq(t.groupCol, t.idCol)) ++
         node.htmlExtract.toSeq.flatMap(h => Seq(h.idCol, h.htmlCol)) ++
@@ -325,6 +326,26 @@ object Compiler {
     // config-admissible; downstream keys filter/sort on the score.
     node.lmPerplexity.foreach { l =>
       df = graft.ops.Corpus.lmPerplexity(df, l.idCol, l.textCol, l.k, l.keepUnscored)
+    }
+
+    // BPE: train merges on the frame (iterative global aggregates —
+    // batch-only by name); output=merges replaces the frame with the
+    // merge table, output=tokens adds the trained tokenizer's columns.
+    node.bpe.foreach { b =>
+      if (streaming) throw new IllegalArgumentException(
+        s"node ${node.id}: bpe training is an iterative global aggregate " +
+          "— batch-only; train in batch and tokenize the stream with the " +
+          "trained merges (BpeKernels.bpeTokenize)")
+      if (b.output == "merges")
+        df = graft.ops.Bpe.trainDF(spark, df, b.textCol, b.numMerges)
+      else {
+        val merges = graft.ops.Bpe.train(df, b.textCol, b.numMerges)
+          .map(t => (t._1, t._2))
+        df = df
+          .withColumn("bpe_tokens",
+            graft.functions.BpeKernels.bpeTokenize(col(b.textCol), merges))
+          .withColumn("n_bpe", size(col("bpe_tokens")))
+      }
     }
 
     // Trainable quality classifier: fit on labeled rows (global

@@ -675,6 +675,18 @@ object TextQueries extends QueryPack {
       .mkString("\n    UNION ALL ") +
     "\n    ORDER BY rank ASC NULLS FIRST"
 
+  // q158 — q156's PURE-JSON twin via the `bpe` node key (output=merges):
+  // the config path must reproduce the API path's merge table exactly,
+  // so it shares q156's unrolled oracle.
+  private def q158(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    graft.compile.Compiler.compileJson(s, s"""
+      {"source": {"table": "documents"},
+       "bpe": {"text_col": "text", "num_merges": $bpeMerges},
+       "rename": {"left": "left_sym", "right": "right_sym"},
+       "order_by": ["rank asc"]}""")
+  }
+
   private def q157(s: SparkSession, dir: String): DataFrame = {
     val merges = graft.ops.Bpe.train(docs(s, dir), "text", bpeMerges)
       .map(t => (t._1, t._2))
@@ -783,6 +795,7 @@ object TextQueries extends QueryPack {
     Q("q152_pdf_extract", q152, Some(q152Sql)),
     Q("q153_config_pdf_extract", q153, Some(q152Sql)),
     Q("q156_bpe_train", q156, Some(q156Sql)),
-    Q("q157_bpe_pack", q157, Some(q157Sql))
+    Q("q157_bpe_pack", q157, Some(q157Sql)),
+    Q("q158_config_bpe", q158, Some(q156Sql))
   )
 }

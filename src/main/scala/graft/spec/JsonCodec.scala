@@ -307,6 +307,17 @@ object JsonCodec {
         threshold = opt(d, "threshold").map(_.asDouble).getOrElse(0.5))
     }
 
+    val bpeSpec = opt(n, "bpe").map { d =>
+      BpeSpec(
+        textCol = req(d, s"node $id: bpe", "text_col", "textCol").asText,
+        numMerges = opt(d, "num_merges", "numMerges").map(_.asInt).getOrElse(16),
+        output = opt(d, "output").map(_.asText).map {
+          case o @ ("merges" | "tokens") => o
+          case other => throw new IllegalArgumentException(
+            s"""node $id: bpe output must be "merges" or "tokens" — got "$other"""")
+        }.getOrElse("merges"))
+    }
+
     val sp = opt(n, "split").map { d =>
       val bucketsNode = req(d, s"node $id: split", "buckets")
       require(bucketsNode.isArray && bucketsNode.size() > 0,
@@ -437,6 +448,7 @@ object JsonCodec {
       passageDedup = pd,
       lmPerplexity = lm,
       qualityClassifier = qc,
+      bpe = bpeSpec,
       split = sp,
       temperatureSample = ts,
       htmlExtract = he,

@@ -273,6 +273,18 @@ final case class LmPerplexitySpec(
     keepUnscored: Boolean = false
 )
 
+/** BPE vocabulary training (NS; graft.ops.Bpe): train `numMerges` byte-
+  * pair merges on `textCol` over the node's frame. `output = "merges"`
+  * replaces the frame with the merge table (rank, left, right,
+  * pair_count); `output = "tokens"` keeps the frame and adds
+  * `bpe_tokens` (the trained tokenizer applied scan-stage) and `n_bpe`.
+  * Batch-only by name (training is an iterative global aggregate). */
+final case class BpeSpec(
+    textCol: String,
+    numMerges: Int = 16,
+    output: String = "merges"
+)
+
 /** Trainable quality classifier (NS; Corpus.qualityClassifier):
   * fastText-style logistic model over hashed token buckets, trained on
   * the rows where `labelCol` is non-null by deterministic full-batch
@@ -549,6 +561,7 @@ final case class NodeSpec(
     passageDedup: Option[PassageDedupSpec] = None, // after keep, before aggregate
     lmPerplexity: Option[LmPerplexitySpec] = None, // after keep, before aggregate
     qualityClassifier: Option[QualityClassifierSpec] = None, // after keep, before aggregate
+    bpe: Option[BpeSpec] = None, // after keep, before aggregate
     split: Option[SplitSpec] = None, // after keep, before aggregate
     temperatureSample: Option[TemperatureSampleSpec] = None, // after split
     htmlExtract: Option[HtmlExtractSpec] = None, // after keep, before aggregate

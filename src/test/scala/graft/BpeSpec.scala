@@ -89,4 +89,41 @@ class BpeSpec extends SparkSpec {
       Bpe.train(corpus((1L, "x")), "text", 0)
     }
   }
+
+  test("bpe config key: merges output equals the API, tokens output adds columns") {
+    val base = java.nio.file.Files.createTempDirectory("graft-bpe-cfg").toString
+    corpus((1L, "low low low"), (2L, "lower lower"), (3L, "newest"))
+      .write.parquet(s"$base/in")
+    val viaCfg = graft.compile.Compiler.compileJson(spark, s"""
+        {"source": {"path": "$base/in"},
+         "bpe": {"text_col": "text", "num_merges": 4},
+         "order_by": ["rank asc"]}""")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(viaCfg.toSeq == Seq((1, "l", "o", 5L), (2, "lo", "w", 5L),
+      (3, "e", "r", 2L), (4, "low", "er", 2L)))
+
+    val toks = graft.compile.Compiler.compileJson(spark, s"""
+        {"source": {"path": "$base/in"},
+         "bpe": {"text_col": "text", "num_merges": 4, "output": "tokens"},
+         "order_by": ["id asc"]}""")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](2), r.getInt(3)))
+    assert(toks.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(toks(1)._2 == Seq("lower", "lower") && toks(1)._3 == 2,
+      s"trained tokenizer fully merges 'lower': ${toks(1)}")
+
+    // named errors: bad output value; streaming compile
+    val eOut = intercept[IllegalArgumentException] {
+      graft.spec.JsonCodec.parseNode(
+        """{"bpe": {"text_col": "text", "output": "nope"}}""")
+    }
+    assert(eOut.getMessage.contains("merges"), eOut.getMessage)
+    val eStream = intercept[IllegalArgumentException] {
+      graft.compile.Compiler.compileStreamJson(spark, s"""
+        {"source": {"path": "$base/in"},
+         "bpe": {"text_col": "text"},
+         "save": {"path": "$base/out", "format": "parquet",
+                  "checkpoint": "$base/ck"}}""")
+    }
+    assert(eStream.getMessage.contains("batch-only"), eStream.getMessage)
+  }
 }
