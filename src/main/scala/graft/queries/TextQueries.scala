@@ -775,6 +775,63 @@ object TextQueries extends QueryPack {
     WHERE ((s.doc_id % 1000000) * 25214903917) % 1000000 < r.k
     GROUP BY s.lang ORDER BY s.lang ASC NULLS FIRST"""
 
+  // q159 — the MIXED-DOCUMENT-LAKE flagship, PURE JSON on named defs:
+  // one binary payload column carries real PDFs (even ids, the q152
+  // builder) next to HTML pages (odd ids); `sniff_mime` routes each row
+  // to its extractor branch (`pdf_extract` / `html_extract`), the
+  // branches unify by name, and the report aggregates per document
+  // kind. This is the round-11 composition proof — the sniff→extract
+  // gap named by the round-9 verdict, closed end to end in config. The
+  // oracle is parity arithmetic: extracted PDF text is the q152
+  // template (n_tok = text's + 5, 2 pages), extracted HTML body is the
+  // bare text (n_tok = text's, 0 pages).
+  private def q159(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    s.udf.register("text_to_pdf", textToPdf)
+    graft.compile.Compiler.compileJson(s, s"""
+      {"defs": [
+        {"id": "lake",
+         "source": {"table": "documents"},
+         "derive": {"payload": "if(doc_id % 2 = 0, text_to_pdf(cast(doc_id as string), text), cast(concat('<html><head><title>H', doc_id, '</title></head><body><p>', text, '</p></body></html>') as binary))",
+                    "mime": "sniff_mime(payload)"}},
+        {"id": "pdfdocs",
+         "source": {"ref": "lake"},
+         "filters": ["mime = 'application/pdf'"],
+         "pdf_extract": {"id_col": "doc_id", "pdf_col": "payload"},
+         "with_columns": {"kind": "'pdf'", "n_tok": "token_count(text)"},
+         "drop": ["version", "text"]},
+        {"id": "htmldocs",
+         "source": {"ref": "lake"},
+         "derive": {"html": "cast(payload as string)"},
+         "filters": ["mime = 'text/html'"],
+         "html_extract": {"id_col": "doc_id", "html_col": "html"},
+         "with_columns": {"kind": "'html'", "n_tok": "token_count(body_text)",
+                          "n_pages": "0"},
+         "drop": ["title", "body_text", "links"]}],
+       "id": "mixflag",
+       "combine": {"op": "union", "nodes": [
+         {"id": "pb", "source": {"ref": "pdfdocs"}},
+         {"id": "hb", "source": {"ref": "htmldocs"}}]},
+       "aggregate": {"group_by": ["kind"],
+         "aggregations": [
+           {"col": "*", "func": "count", "new_name": "n_docs"},
+           {"col": "n_tok", "func": "sum", "new_name": "sum_tok"},
+           {"col": "n_pages", "func": "sum", "new_name": "sum_pages"}]},
+       "order_by": ["kind asc"]}""")
+  }
+  private val q159Sql = """
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+               x -> len(x) > 0)) AS n
+      FROM documents)
+    SELECT CASE WHEN k = 0 THEN 'html' ELSE 'pdf' END AS kind,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN k = 1 THEN n + 5 ELSE n END) AS BIGINT) AS sum_tok,
+           CAST(SUM(CASE WHEN k = 1 THEN 2 ELSE 0 END) AS BIGINT) AS sum_pages
+    FROM (SELECT doc_id, n, CAST(1 - doc_id % 2 AS INT) AS k FROM t)
+    GROUP BY 1 ORDER BY kind ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
     Q("q24_text_stats", q24, Some(q24Sql)),
     Q("q25_lang_id", q25, Some(q25Sql)),
@@ -796,6 +853,7 @@ object TextQueries extends QueryPack {
     Q("q153_config_pdf_extract", q153, Some(q152Sql)),
     Q("q156_bpe_train", q156, Some(q156Sql)),
     Q("q157_bpe_pack", q157, Some(q157Sql)),
-    Q("q158_config_bpe", q158, Some(q156Sql))
+    Q("q158_config_bpe", q158, Some(q156Sql)),
+    Q("q159_mixed_lake_flagship", q159, Some(q159Sql))
   )
 }
