@@ -790,7 +790,7 @@ object TextQueries extends QueryPack {
     s.udf.register("text_to_pdf", textToPdf)
     graft.compile.Compiler.compileJson(s, s"""
       {"defs": [
-        {"id": "lake",
+        {"id": "lake", "cache": true,
          "source": {"table": "documents"},
          "derive": {"payload": "if(doc_id % 2 = 0, text_to_pdf(cast(doc_id as string), text), cast(concat('<html><head><title>H', doc_id, '</title></head><body><p>', text, '</p></body></html>') as binary))",
                     "mime": "sniff_mime(payload)"}},
