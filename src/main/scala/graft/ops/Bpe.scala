@@ -102,4 +102,17 @@ object Bpe {
       .map { case ((l, r, c), i) => (i + 1, l, r, c) }
       .toDF("rank", "left", "right", "pair_count")
   }
+
+  /** Load a persisted merge table (a [[trainDF]] frame written anywhere
+    * — e.g. via the `bpe` node key's `save` sink) back into the ordered
+    * list [[graft.functions.BpeKernels.bpeTokenize]] takes: the artifact
+    * contract that lets a BATCH-trained vocabulary tokenize a STREAM
+    * (the tokenizer kernel is stateless scan-stage). */
+  def loadMerges(spark: SparkSession, path: String): Seq[(String, String)] =
+    spark.read.parquet(path)
+      .select(col("rank"), col("left"), col("right"))
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2)))
+      .toSeq
 }

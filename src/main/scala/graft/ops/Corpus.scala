@@ -688,6 +688,39 @@ object Corpus {
     TextClassifierModel(dim, b0, w.clone(), losses.result())
   }
 
+  /** Persist a trained classifier as a parquet weight table —
+    * (bucket, weight) rows with bucket −1 carrying the intercept and
+    * bucket −2 the dim. The artifact is what lets a BATCH-trained model
+    * score a STREAM: load it in the streaming job and apply
+    * [[graft.functions.ClassifierKernels.textScore]] (stateless
+    * scan-stage kernel — no training aggregate ever touches the
+    * stream). Zero weights are skipped (sparse store: a dim-2²⁰ model
+    * over a small vocabulary is KBs, not MBs). */
+  def saveTextClassifier(spark: org.apache.spark.sql.SparkSession,
+      model: TextClassifierModel, path: String): Unit = {
+    import spark.implicits._
+    val rows = Seq((-1, model.intercept), (-2, model.dim.toDouble)) ++
+      model.weights.zipWithIndex.collect {
+        case (w, b) if w != 0.0 => (b, w)
+      }
+    rows.toDF("bucket", "weight").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveTextClassifier]] artifact (losses are not persisted —
+    * they are a training trace, not part of the model). */
+  def loadTextClassifier(spark: org.apache.spark.sql.SparkSession,
+      path: String): TextClassifierModel = {
+    val rows = spark.read.parquet(path)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val dim = rows.getOrElse(-2,
+      throw new IllegalArgumentException(
+        s"$path is not a classifier artifact (no dim row)")).toInt
+    val w = new Array[Double](dim)
+    rows.foreach { case (b, v) => if (b >= 0 && b < dim) w(b) = v }
+    TextClassifierModel(dim, rows.getOrElse(-1, 0.0), w, Nil)
+  }
+
   /** Train-and-score in one call — the operator behind the
     * `quality_classifier` config key: fit on the labeled rows, then
     * score EVERY row (labeled or not) with the scan-stage kernel.

@@ -90,6 +90,32 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("bpe model artifact: saved merges reload in rank order and tokenize a stream") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft-bpe-art").toString
+    val df = corpus((1L, "low low low"), (2L, "lower lower"), (3L, "newest"))
+    df.write.parquet(s"$base/in")
+    // persist the merge table (any sink works — here a direct write)
+    Bpe.trainDF(spark, df, "text", 4).write.parquet(s"$base/model")
+    val merges = Bpe.loadMerges(spark, s"$base/model")
+    assert(merges == Seq(("l", "o"), ("lo", "w"), ("e", "r"), ("low", "er")))
+    // batch-trained vocabulary tokenizes a STREAM: the kernel is a
+    // stateless scan — no aggregate, no state store
+    val raw = spark.read.parquet(s"$base/in")
+    val q = spark.readStream.schema(raw.schema).parquet(s"$base/in")
+      .select(col("id"),
+        BpeKernels.bpeTokenize(col("text"), merges).as("toks"))
+      .writeStream.format("memory").queryName("bpe_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("bpe_stream")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val batch = raw
+      .select(col("id"), BpeKernels.bpeTokenize(col("text"), merges).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(streamed == batch, "stream tokenization must equal batch")
+  }
+
   test("bpe config key: merges output equals the API, tokens output adds columns") {
     val base = java.nio.file.Files.createTempDirectory("graft-bpe-cfg").toString
     corpus((1L, "low low low"), (2L, "lower lower"), (3L, "newest"))

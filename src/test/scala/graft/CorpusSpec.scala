@@ -460,6 +460,55 @@ class CorpusSpec extends SparkSpec {
     assert(empty.isEmpty)
   }
 
+  test("classifier model artifact: save/load round-trips; stream scoring equals batch; scan-stage plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft-cls-art").toString
+    val train = Seq(
+      (1L, "good alpha words", 1.0), (2L, "bad beta words", 0.0),
+      (3L, "good alpha again", 1.0), (4L, "bad beta again", 0.0))
+      .toDF("id", "txt", "label")
+    val m = Corpus.trainTextClassifier(train, "id", "txt", "label",
+      dim = 128, epochs = 3)
+    Corpus.saveTextClassifier(spark, m, s"$base/model")
+    val m2 = Corpus.loadTextClassifier(spark, s"$base/model")
+    assert(m2.dim == m.dim && m2.intercept == m.intercept &&
+      m2.weights.toSeq == m.weights.toSeq, "round trip must be exact")
+    // batch-trained model scores a STREAM: stateless scan-stage kernel
+    train.write.parquet(s"$base/in")
+    val raw = spark.read.parquet(s"$base/in")
+    val scoredStream = spark.readStream.schema(raw.schema).parquet(s"$base/in")
+      .select(col("id"),
+        graft.functions.ClassifierKernels
+          .textScore(col("txt"), m2.weights, m2.intercept).as("s"))
+    val q = scoredStream.writeStream.format("memory").queryName("cls_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("cls_stream")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val batch = raw.select(col("id"),
+        graft.functions.ClassifierKernels
+          .textScore(col("txt"), m.weights, m.intercept).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(streamed == batch, "stream scoring must equal batch scoring")
+    // inference is one codegen span over the scan: no exchange anywhere
+    val plan = raw.select(graft.functions.ClassifierKernels
+        .textScore(col("txt"), m.weights, m.intercept))
+      .queryExecution.executedPlan
+    assert(!plan.toString.contains("Exchange"),
+      s"inference must not shuffle:\n$plan")
+    assert(plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]),
+      "inference must run inside whole-stage codegen")
+    // a non-artifact path fails by name
+    spark.range(1).select(col("id").cast("int").as("bucket"),
+      lit(1.0).as("weight")).write.parquet(s"$base/notmodel")
+    val e = intercept[IllegalArgumentException] {
+      Corpus.loadTextClassifier(spark, s"$base/notmodel")
+    }
+    assert(e.getMessage.contains("dim"), e.getMessage)
+  }
+
   test("classifier: misuse is rejected by name") {
     import spark.implicits._
     val df = Seq((1L, "x", 1.0)).toDF("id", "txt", "label")
