@@ -12,6 +12,44 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Relational {
 
+  /** Watchlist frequency estimation in ONE shuffle-free pass — the
+    * second mergeable-sketch family next to HLL (q102/q104): a
+    * Count–Min sketch of `keyCol` is built as a partial+final aggregate
+    * (every partition sketches locally; sketches MERGE, so no row ever
+    * shuffles), collected to the driver (depth×width counters — bounded
+    * metadata, corpus-independent), and probed for the given keys.
+    *
+    * Output: (keyCol, est). The CMS guarantee is one-sided:
+    * est ≥ true count always, and est ≤ true + ε·N with probability
+    * ≥ `confidence` — which is what makes this gateable (q160 pins the
+    * bracket, the q102 HLL pattern). Fixed `seed` → deterministic
+    * estimates, replay-stable.
+    *
+    * The 100 TB use: counting a wordlist/blocklist/URL-watchlist over
+    * the full corpus costs one scan and ships only sketches — where a
+    * groupBy-then-filter pays a corpus-shaped shuffle for counts of
+    * keys you never asked about. */
+  def cmsProbeCounts(
+      df: DataFrame,
+      keyCol: String,
+      probes: Seq[String],
+      eps: Double = 1e-4,
+      confidence: Double = 0.99,
+      seed: Int = 42
+  ): DataFrame = {
+    require(probes.nonEmpty, "cmsProbeCounts: need at least one probe key")
+    val bytes = df
+      .agg(count_min_sketch(col(keyCol), lit(eps), lit(confidence), lit(seed))
+        .as("s"))
+      .head.getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    val spark = df.sparkSession
+    import spark.implicits._
+    probes.map(p => (p, cms.estimateCount(p)))
+      .toDF(keyCol, "est")
+  }
+
   /** Per-column data-quality profile — the monitoring pass a production
     * pipeline runs on every ingested batch: one row per profiled column
     * with (col_name, n_rows, n_nulls, n_distinct, min_value, max_value),

@@ -452,6 +452,7 @@ object ExtraQueries extends QueryPack {
     Q("q123_hash_sample_rate_gate", q123, Some(q123Sql)),
     Q("q103_approx_percentile_bound", q103, Some(q103Sql)),
     Q("q104_hll_union_bound", q104, Some(q104Sql)),
+    Q("q160_cms_watchlist_bound", q160, Some(q160Sql)),
     Q("q84_config_compact", q84, Some(q79Sql)),
     Q("q85_config_scrub", q85, Some(CorpusQueries.q81Sql)),
     Q("q86_config_sample", q86, Some(q86Sql)),
@@ -662,6 +663,47 @@ object ExtraQueries extends QueryPack {
   // that's a 2^14-register sketch per key (measured 10 s at sf0.1; GBs of
   // registers at 100 TB). Separated, the sketches stay global/per-group
   // as declared and the exact distinct gets its own two-phase plan.
+  // q160 — Count–Min watchlist gate (the q102 pattern for the second
+  // mergeable-sketch family): token frequencies for a fixed probe list
+  // are estimated by ONE shuffle-free CMS aggregate and must bracket
+  // the exact counts — est ≥ exact always (CMS is one-sided), and
+  // est ≤ exact + ⌈ε·N⌉ (the width bound; at ε=1e-4 over this vocab the
+  // estimate is exact, so the deterministic fixed-seed gate is stable).
+  // The oracle pins the exact counts and TRUE.
+  private val cmsProbes =
+    Seq("the", "spark", "join", "merge", "data", "window", "zz_absent")
+  private def q160(s: SparkSession, dir: String): DataFrame = {
+    val eps = 1e-4
+    val toks = Tables.load(s, dir, "documents")
+      .select(explode(graft.ops.TextAnalysis.tokens(col("text"))).as("token"))
+    val est = graft.ops.Relational.cmsProbeCounts(
+      toks, "token", cmsProbes, eps = eps, confidence = 0.99, seed = 42)
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("n_exact"))
+    val total = toks.agg(count(lit(1)).as("__N"))
+    est.join(exact, Seq("token"), "left")
+      .select(col("token"), coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        col("est"))
+      .crossJoin(broadcast(total))
+      .select(col("token"), col("n_exact"),
+        (col("est") >= col("n_exact") &&
+          col("est") <= col("n_exact") +
+            ceil(lit(eps) * col("__N")).cast("long")).as("est_ok"))
+      .orderBy(col("token").asc_nulls_first)
+  }
+  private val q160Sql = {
+    val vals = cmsProbes.map(p => s"('$p')").mkString(", ")
+    s"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+        x -> len(x) > 0)) AS token
+      FROM documents),
+    ex AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1)
+    SELECT p.token, CAST(COALESCE(ex.n, 0) AS BIGINT) AS n_exact,
+           TRUE AS est_ok
+    FROM (VALUES $vals) p(token) LEFT JOIN ex USING (token)
+    ORDER BY token ASC NULLS FIRST"""
+  }
+
   private def q102(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(s, dir, "events")
     val approx = ev.groupBy("event_type")

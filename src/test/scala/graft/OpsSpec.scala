@@ -421,6 +421,50 @@ class OpsSpec extends SparkSpec {
     assert(r8 >= 0.4, s"IVF rank-1 recall at nprobe=8 too low: $r8")
   }
 
+  test("CMS probe counts: one-sided bound, mergeable, deterministic, empty probe rejected") {
+    import spark.implicits._
+    val toks = Tables.load(spark, sf, "documents")
+      .select(explode(graft.ops.TextAnalysis.tokens($"text")).as("token"))
+      .cache()
+    val exact = toks.groupBy("token").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val probes = exact.keys.toSeq.sorted.take(20) :+ "zz_not_there"
+    val est = graft.ops.Relational
+      .cmsProbeCounts(toks, "token", probes, eps = 1e-3, seed = 7)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = toks.count()
+    probes.foreach { p =>
+      val truth = exact.getOrElse(p, 0L)
+      assert(est(p) >= truth, s"CMS must never undercount: $p ${est(p)} < $truth")
+      assert(est(p) <= truth + math.ceil(1e-3 * n).toLong,
+        s"CMS width bound violated for $p: ${est(p)} vs $truth (N=$n)")
+    }
+    // deterministic with a fixed seed
+    val est2 = graft.ops.Relational
+      .cmsProbeCounts(toks, "token", probes, eps = 1e-3, seed = 7)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == est2, "fixed seed → identical estimates")
+    // MERGEABILITY (the property that makes the one-pass plan valid):
+    // sketching two disjoint halves and merging equals sketching the whole
+    def sketchOf(df: org.apache.spark.sql.DataFrame) = {
+      val b = df.agg(count_min_sketch($"token", lit(1e-3), lit(0.99), lit(7)))
+        .head.getAs[Array[Byte]](0)
+      org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(b))
+    }
+    val whole = sketchOf(toks)
+    val merged = sketchOf(toks.filter(xxhash64($"token") % 2 === 0))
+      .mergeInPlace(sketchOf(toks.filter(xxhash64($"token") % 2 =!= 0)))
+    probes.foreach { p =>
+      assert(whole.estimateCount(p) == merged.estimateCount(p),
+        s"merge of half-sketches must equal the whole-corpus sketch at $p")
+    }
+    toks.unpersist()
+    intercept[IllegalArgumentException] {
+      graft.ops.Relational.cmsProbeCounts(toks, "token", Nil)
+    }
+  }
+
   test("IVF refineRounds: mini-batch Lloyd improves list balance, stays exact at full probe") {
     val c = emb.select($"vec_id".as("cid"), $"embedding")
     def imbalance(rounds: Int): Double = {
