@@ -32,6 +32,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    that stream invisible rather than an error. Output per stream is
   *    capped (decompression-bomb guard) — a trillion-to-one blowup
   *    truncates instead of taking the executor down.
+  *  - `/Type /ObjStm` object streams (PDF 1.5+) are expanded first:
+  *    modern writers pack the catalog and page-tree dicts into
+  *    compressed streams, invisible to a plain sequential scan.
   *  - Pages come from a genuine Catalog → /Pages → /Kids tree walk
   *    (cycle-guarded, /Contents as single ref or array). When the tree
   *    does not resolve — damaged file, exotic structure — the fallback
@@ -388,6 +391,47 @@ object PdfOps {
     n
   }
 
+  // ------------------------------------------------------- object streams
+
+  /** Expand `/Type /ObjStm` object streams (PDF 1.5+): modern writers
+    * pack the catalog/page-tree DICTS into compressed streams, which a
+    * sequential scan alone never sees — without this, a 1.5+ file falls
+    * back to BT-stream order and loses its declared page structure. The
+    * stream's header is `/N` pairs of `objnum offset` ints; offsets are
+    * relative to `/First`. Lenient like everything else here: a header
+    * that doesn't parse, offsets out of range, or a corrupt stream just
+    * contribute nothing. (Streams cannot nest inside an ObjStm per
+    * spec, so content streams are always top-level — only dicts ride
+    * along.) */
+  private[functions] def expandObjectStreams(objs: Vector[PObj]): Vector[PObj] =
+    objs.flatMap { o =>
+      if (o.data == null || !hasName(o.dict, "Type", "ObjStm")) Vector(o)
+      else {
+        val dec = decodeStream(o)
+        val first = dictInt(o.dict, "First").getOrElse(-1)
+        val n = dictInt(o.dict, "N").getOrElse(0)
+        if (dec == null || first <= 0 || first > dec.length || n <= 0) Vector(o)
+        else {
+          val header = dec.substring(0, first)
+          val toks = header.trim.split("\\s+").filter(_.nonEmpty)
+          val pairs = toks.grouped(2).collect {
+            case Array(num, off) if num.forall(_.isDigit) && off.forall(_.isDigit) =>
+              (num.toInt, off.toInt)
+          }.take(n).toVector
+          val inner = pairs.zipWithIndex.flatMap { case ((num, off), i) =>
+            val start = first + off
+            val end =
+              if (i + 1 < pairs.length) math.min(first + pairs(i + 1)._2, dec.length)
+              else dec.length
+            if (start >= 0 && start <= end && end <= dec.length)
+              Some(PObj(num, dec.substring(start, end), null))
+            else None
+          }
+          o +: inner
+        }
+      }
+    }
+
   // ------------------------------------------------------------ assembly
 
   def compute(bytes: Array[Byte]): InternalRow = {
@@ -399,7 +443,7 @@ object PdfOps {
         s8.substring(5, e)
       } else null
 
-    val objs = parseObjects(bytes)
+    val objs = expandObjectStreams(parseObjects(bytes))
     val byNum = objs.groupBy(_.num).map { case (k, v) => k -> v.last }
 
     def collectPages(num: Int, seen: Set[Int]): Seq[PObj] =

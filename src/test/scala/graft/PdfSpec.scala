@@ -169,6 +169,44 @@ class PdfSpec extends SparkSpec {
     assert(pdfx(bytes) == ("1.7", 1, "ok"))
   }
 
+  test("pdf 1.5 object streams: packed catalog/page dicts resolve through ObjStm") {
+    // the modern-writer layout: catalog, pages node and page dict live
+    // INSIDE a FlateDecode'd /Type /ObjStm; only the content stream is a
+    // top-level object. A scanner without ObjStm expansion sees no page
+    // tree at all.
+    val inner = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    val bodies = inner.map(_._2)
+    val offsets = bodies.scanLeft(0)((acc, b) => acc + b.length + 1).init
+    val header = inner.map(_._1).zip(offsets)
+      .map { case (n, o) => s"$n $o" }.mkString(" ") + "\n"
+    val payload = (header + bodies.mkString("\n") + "\n").getBytes(latin)
+    val first = header.length
+    val d = new java.util.zip.Deflater()
+    d.setInput(payload); d.finish()
+    val buf = new Array[Byte](1024)
+    val bos = new java.io.ByteArrayOutputStream()
+    while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+    val objStm = new String(bos.toByteArray, latin)
+    val content = "BT 0 0 Td (from objstm) Tj ET"
+    val bytes = ("%PDF-1.5\n" +
+      s"9 0 obj\n<< /Type /ObjStm /N 3 /First $first " +
+      s"/Length ${bos.size} /Filter /FlateDecode >>\nstream\n" + objStm +
+      "\nendstream\nendobj\n" +
+      s"4 0 obj\n<< /Length ${contentLen(content)} >>\nstream\n" + content +
+      "\nendstream\nendobj\n%%EOF\n").getBytes(latin)
+    assert(pdfx(bytes) == ("1.5", 1, "from objstm"))
+    // corrupt ObjStm degrades to the BT fallback, never throws
+    val bad = ("%PDF-1.5\n" +
+      "9 0 obj\n<< /Type /ObjStm /N 3 /First 20 /Length 7 " +
+      "/Filter /FlateDecode >>\nstream\nnotzlib\nendstream\nendobj\n" +
+      s"4 0 obj\n<< /Length ${contentLen(content)} >>\nstream\n" + content +
+      "\nendstream\nendobj\n%%EOF\n").getBytes(latin)
+    assert(pdfx(bad) == ("1.5", 1, "from objstm"))
+  }
+
   test("pdf non-PDF and empty inputs degrade; NULL propagates via the expression") {
     assert(pdfx("not a pdf at all".getBytes(latin)) == (null, 0, ""))
     assert(pdfx(Array.emptyByteArray) == (null, 0, ""))
