@@ -44,6 +44,7 @@ object Compiler {
         node.lmPerplexity.toSeq.flatMap(l => Seq(l.idCol, l.textCol)) ++
         node.qualityClassifier.toSeq.flatMap(q => Seq(q.idCol, q.textCol, q.labelCol)) ++
         node.bpe.toSeq.map(_.textCol) ++
+        node.cmsProbe.toSeq.map(_.keyCol) ++
         node.split.toSeq.map(_.idCol) ++
         node.temperatureSample.toSeq.flatMap(t => Seq(t.groupCol, t.idCol)) ++
         node.htmlExtract.toSeq.flatMap(h => Seq(h.idCol, h.htmlCol)) ++
@@ -346,6 +347,17 @@ object Compiler {
             graft.functions.BpeKernels.bpeTokenize(col(b.textCol), merges))
           .withColumn("n_bpe", size(col("bpe_tokens")))
       }
+    }
+
+    // Count–Min watchlist probe: the frame becomes (key, est). The
+    // sketch aggregate collects to the driver — batch-only by name.
+    node.cmsProbe.foreach { c =>
+      if (streaming) throw new IllegalArgumentException(
+        s"node ${node.id}: cms_probe collects a sketch (an action) — " +
+          "batch-only; monitor a stream by probing per batch in " +
+          "foreachBatch instead")
+      df = graft.ops.Relational.cmsProbeCounts(
+        df, c.keyCol, c.probes, c.eps, c.confidence, c.seed)
     }
 
     // Trainable quality classifier: fit on labeled rows (global

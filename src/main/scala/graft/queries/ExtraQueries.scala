@@ -453,6 +453,7 @@ object ExtraQueries extends QueryPack {
     Q("q103_approx_percentile_bound", q103, Some(q103Sql)),
     Q("q104_hll_union_bound", q104, Some(q104Sql)),
     Q("q160_cms_watchlist_bound", q160, Some(q160Sql)),
+    Q("q161_config_cms_gate", q161, Some(q160Sql)),
     Q("q84_config_compact", q84, Some(q79Sql)),
     Q("q85_config_scrub", q85, Some(CorpusQueries.q81Sql)),
     Q("q86_config_sample", q86, Some(q86Sql)),
@@ -702,6 +703,43 @@ object ExtraQueries extends QueryPack {
            TRUE AS est_ok
     FROM (VALUES $vals) p(token) LEFT JOIN ex USING (token)
     ORDER BY token ASC NULLS FIRST"""
+  }
+
+  // q161 — the q160 gate rebuilt as PURE JSON on named defs: one shared
+  // token def feeds the `cms_probe` key, an exact-count child, and a
+  // constant-key total child; the gate arithmetic rides a ref stage's
+  // derive. Same oracle as q160 — the config path must reproduce the
+  // API gate row-for-row.
+  private def q161(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    val probes = cmsProbes.map(p => s""""$p"""").mkString(", ")
+    graft.compile.Compiler.compileJson(s, s"""
+      {"defs": [
+        {"id": "base",
+         "source": {"table": "documents"},
+         "derive": {"token": "explode(tokens(text))"},
+         "keep_columns": ["token"]},
+        {"id": "probed",
+         "source": {"ref": "base"},
+         "cms_probe": {"key_col": "token", "probes": [$probes],
+                       "eps": 0.0001, "seed": 42},
+         "with_columns": {"k": "1"},
+         "children": [
+           {"id": "ex", "source": {"ref": "base"},
+            "group_by": ["token"],
+            "aggregations": [{"col": "*", "func": "count", "new_name": "nx"}],
+            "join": {"on": ["token"], "how": "left"}},
+           {"id": "tot", "source": {"ref": "base"},
+            "derive": {"k": "1"},
+            "group_by": ["k"],
+            "aggregations": [{"col": "*", "func": "count", "new_name": "N"}],
+            "join": {"on": ["k"], "how": "inner"}}]}],
+       "id": "gate",
+       "source": {"ref": "probed"},
+       "derive": {"n_exact": "coalesce(nx, cast(0 as bigint))",
+                  "est_ok": "est >= coalesce(nx, cast(0 as bigint)) and est <= coalesce(nx, cast(0 as bigint)) + cast(ceil(0.0001 * N) as bigint)"},
+       "keep_columns": ["token", "n_exact", "est_ok"],
+       "order_by": ["token asc"]}""")
   }
 
   private def q102(s: SparkSession, dir: String): DataFrame = {

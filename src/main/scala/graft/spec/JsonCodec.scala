@@ -318,6 +318,18 @@ object JsonCodec {
         }.getOrElse("merges"))
     }
 
+    val cms = opt(n, "cms_probe", "cmsProbe").map { d =>
+      val probesNode = req(d, s"node $id: cms_probe", "probes")
+      require(probesNode.isArray && probesNode.size() > 0,
+        s"node $id: cms_probe.probes must be a non-empty ARRAY of keys")
+      CmsProbeSpec(
+        keyCol = req(d, s"node $id: cms_probe", "key_col", "keyCol").asText,
+        probes = (0 until probesNode.size()).map(i => probesNode.get(i).asText),
+        eps = opt(d, "eps").map(_.asDouble).getOrElse(1e-4),
+        confidence = opt(d, "confidence").map(_.asDouble).getOrElse(0.99),
+        seed = opt(d, "seed").map(_.asInt).getOrElse(42))
+    }
+
     val sp = opt(n, "split").map { d =>
       val bucketsNode = req(d, s"node $id: split", "buckets")
       require(bucketsNode.isArray && bucketsNode.size() > 0,
@@ -449,6 +461,7 @@ object JsonCodec {
       lmPerplexity = lm,
       qualityClassifier = qc,
       bpe = bpeSpec,
+      cmsProbe = cms,
       split = sp,
       temperatureSample = ts,
       htmlExtract = he,

@@ -285,6 +285,20 @@ final case class BpeSpec(
     output: String = "merges"
 )
 
+/** Count–Min watchlist probe (NS; Relational.cmsProbeCounts): the frame
+  * becomes (keyCol, est) — estimated frequencies of the fixed `probes`
+  * list from ONE shuffle-free mergeable-sketch aggregate (est ≥ truth
+  * always; ≤ truth + ε·N with prob ≥ confidence; fixed seed →
+  * deterministic). Batch-only by name (the sketch collect is an
+  * action). */
+final case class CmsProbeSpec(
+    keyCol: String,
+    probes: Seq[String],
+    eps: Double = 1e-4,
+    confidence: Double = 0.99,
+    seed: Int = 42
+)
+
 /** Trainable quality classifier (NS; Corpus.qualityClassifier):
   * fastText-style logistic model over hashed token buckets, trained on
   * the rows where `labelCol` is non-null by deterministic full-batch
@@ -562,6 +576,7 @@ final case class NodeSpec(
     lmPerplexity: Option[LmPerplexitySpec] = None, // after keep, before aggregate
     qualityClassifier: Option[QualityClassifierSpec] = None, // after keep, before aggregate
     bpe: Option[BpeSpec] = None, // after keep, before aggregate
+    cmsProbe: Option[CmsProbeSpec] = None, // after keep, before aggregate
     split: Option[SplitSpec] = None, // after keep, before aggregate
     temperatureSample: Option[TemperatureSampleSpec] = None, // after split
     htmlExtract: Option[HtmlExtractSpec] = None, // after keep, before aggregate
