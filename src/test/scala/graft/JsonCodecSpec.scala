@@ -228,6 +228,36 @@ class JsonCodecSpec extends AnyFunSuite {
     assert(e.getMessage.contains("html_col"))
   }
 
+  test("round-11 node keys decode with defaults and name missing fields") {
+    val qc = root("""
+      {"quality_classifier": {"id_col": "id", "text_col": "t",
+                              "label_col": "y"}}""").qualityClassifier.get
+    assert(qc.dim == 1024 && qc.epochs == 8 && qc.threshold == 0.5)
+    assert(intercept[IllegalArgumentException](root(
+      """{"quality_classifier": {"id_col": "id", "text_col": "t"}}"""))
+      .getMessage.contains("label_col"))
+
+    val cms = root("""
+      {"cms_probe": {"key_col": "token", "probes": ["a", "b"]}}""").cmsProbe.get
+    assert(cms.eps == 1e-4 && cms.confidence == 0.99 && cms.seed == 42 &&
+      cms.probes == Seq("a", "b"))
+    assert(intercept[IllegalArgumentException](root(
+      """{"cms_probe": {"key_col": "token", "probes": []}}"""))
+      .getMessage.contains("non-empty"))
+    assert(intercept[IllegalArgumentException](root(
+      """{"cms_probe": {"probes": ["a"]}}"""))
+      .getMessage.contains("key_col"))
+
+    val bp = root("""{"bpe": {"text_col": "t"}}""").bpe.get
+    assert(bp.numMerges == 16 && bp.output == "merges")
+    assert(intercept[IllegalArgumentException](root(
+      """{"bpe": {}}""")).getMessage.contains("text_col"))
+
+    val pe = root("""
+      {"pdf_extract": {"id_col": "id", "pdf_col": "p"}}""").pdfExtract.get
+    assert(pe.idCol == "id" && pe.pdfCol == "p")
+  }
+
   test("temperature_sample node key decodes with defaults and named errors") {
     val n = root("""
       {"source": {"table": "documents"},
