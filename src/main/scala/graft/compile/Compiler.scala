@@ -20,6 +20,43 @@ object Compiler {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Persisted `cache: true` def stages, keyed by the compiled root
+    * DataFrame they back (identity — DataFrame has reference equality).
+    * A compile that persists defs REGISTERS them here; nothing in Spark
+    * would otherwise ever release them, so a long-lived driver compiling
+    * many configs (or a bench loop) accumulates dead cache entries in
+    * the block manager until memory pressure evicts useful blocks. Weak
+    * keys let an abandoned-before-release result be re-released by
+    * [[releaseAllCaches]]; the companion strong set makes that sweep
+    * complete even after key collection. */
+  private val persistedByResult =
+    new java.util.WeakHashMap[DataFrame, Seq[DataFrame]]()
+  private val allPersisted =
+    java.util.Collections.newSetFromMap(new java.util.WeakHashMap[DataFrame, java.lang.Boolean]())
+
+  private def trackPersisted(result: DataFrame, cached: Seq[DataFrame]): Unit =
+    if (cached.nonEmpty) persistedByResult.synchronized {
+      persistedByResult.put(result, cached)
+      cached.foreach(allPersisted.add)
+    }
+
+  /** Release the `cache: true` def stages behind a [[compile]] result —
+    * call after the root sink action completes. Idempotent; a result
+    * with no cached defs is a no-op. */
+  def releaseCache(result: DataFrame): Unit = persistedByResult.synchronized {
+    Option(persistedByResult.remove(result)).getOrElse(Nil).foreach { df =>
+      df.unpersist(blocking = false); allPersisted.remove(df)
+    }
+  }
+
+  /** Release EVERY def stage any compile has persisted and not yet
+    * released — the bench-loop / test-teardown hammer. */
+  def releaseAllCaches(): Unit = persistedByResult.synchronized {
+    val it = allPersisted.iterator()
+    while (it.hasNext) { it.next().unpersist(blocking = false); it.remove() }
+    persistedByResult.clear()
+  }
+
   /** Optional validation: resolve referenced columns up front (the reference
     * fails lazily at execution — SURVEY §1.3). Returns error strings. */
   def validate(df: DataFrame, node: NodeSpec): Seq[String] = {
@@ -118,11 +155,14 @@ object Compiler {
         }
         if (anyCached(root)) throw new IllegalArgumentException(
           "cache is a defs-only key — name the stage in defs and ref it")
+        val cachedDefs = Vector.newBuilder[DataFrame]
         val refs = defs.foldLeft(Map.empty[String, DataFrame]) { (acc, d) =>
           val df = compileNode(spark, d, None, executeSinks = false, refs = acc)
-          acc + (d.id -> (if (d.cache) df.persist() else df))
+          acc + (d.id -> (if (d.cache) { val p = df.persist(); cachedDefs += p; p } else df))
         }
-        compileNode(spark, root, input, executeSinks, refs = refs)
+        val result = compileNode(spark, root, input, executeSinks, refs = refs)
+        trackPersisted(result, cachedDefs.result())
+        result
       case CascadePipeline(c) => compileCascade(spark, c, executeSinks)
     }
 

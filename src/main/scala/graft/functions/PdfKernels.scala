@@ -248,19 +248,23 @@ object PdfOps {
     if (o.data == null) return null
     if (keyPos(o.dict, "Filter") < 0) return new String(o.data, Latin)
     if (!hasName(o.dict, "Filter", "FlateDecode")) return null
+    val inf = new java.util.zip.Inflater()
     try {
-      val inf = new java.util.zip.Inflater()
       inf.setInput(o.data)
       val buf = new Array[Byte](8192)
       val out = new java.io.ByteArrayOutputStream(math.min(o.data.length * 4, 1 << 16))
       while (!inf.finished() && out.size < MaxInflate) {
         val k = inf.inflate(buf)
-        if (k == 0 && inf.needsInput()) return new String(out.toByteArray, Latin)
+        // no-progress exits: truncated input (needsInput) or an FDICT
+        // preset-dictionary stream (needsDictionary) — inflate() would
+        // return 0 forever, so both degrade to whatever inflated so far
+        if (k == 0 && (inf.needsInput() || inf.needsDictionary()))
+          return new String(out.toByteArray, Latin)
         out.write(buf, 0, math.min(k, MaxInflate - out.size))
       }
-      inf.end()
       new String(out.toByteArray, Latin)
     } catch { case _: java.util.zip.DataFormatException => null }
+    finally inf.end()
   }
 
   // ----------------------------------------------------- content stream
@@ -446,19 +450,23 @@ object PdfOps {
     val objs = expandObjectStreams(parseObjects(bytes))
     val byNum = objs.groupBy(_.num).map { case (k, v) => k -> v.last }
 
-    def collectPages(num: Int, seen: Set[Int]): Seq[PObj] =
-      if (seen.contains(num) || seen.size > 4096) Nil
+    // shared (not path-scoped) visited set: a /Kids array repeating a
+    // ref or a crafted page-tree DAG must neither duplicate pages nor
+    // re-traverse subtrees exponentially; the cap bounds total visits
+    val visited = scala.collection.mutable.HashSet.empty[Int]
+    def collectPages(num: Int): Seq[PObj] =
+      if (!visited.add(num) || visited.size > 4096) Nil
       else byNum.get(num) match {
         case Some(o) if hasName(o.dict, "Type", "Page") => Seq(o)
         case Some(o) if hasName(o.dict, "Type", "Pages") =>
-          dictRefs(o.dict, "Kids").flatMap(collectPages(_, seen + num))
+          dictRefs(o.dict, "Kids").flatMap(collectPages)
         case _ => Nil
       }
 
     val pageObjs: Seq[PObj] = objs
       .find(o => o.data == null && hasName(o.dict, "Type", "Catalog"))
       .flatMap(cat => dictRef(cat.dict, "Pages"))
-      .map(collectPages(_, Set.empty))
+      .map(collectPages)
       .getOrElse(Nil)
 
     val (nPages, pageTexts) =

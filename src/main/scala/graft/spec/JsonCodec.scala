@@ -303,7 +303,7 @@ object JsonCodec {
         labelCol = req(d, s"node $id: quality_classifier", "label_col", "labelCol").asText,
         dim = opt(d, "dim").map(_.asInt).getOrElse(1024),
         epochs = opt(d, "epochs").map(_.asInt).getOrElse(8),
-        lr = opt(d, "lr").map(_.asDouble).getOrElse(4.0),
+        lr = opt(d, "lr").map(_.asDouble).getOrElse(0.8),
         threshold = opt(d, "threshold").map(_.asDouble).getOrElse(0.5))
     }
 

@@ -310,7 +310,7 @@ final case class QualityClassifierSpec(
     labelCol: String,
     dim: Int = 1024,
     epochs: Int = 8,
-    lr: Double = 4.0,
+    lr: Double = 0.8,
     threshold: Double = 0.5
 )
 

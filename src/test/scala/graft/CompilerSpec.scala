@@ -514,6 +514,22 @@ class CompilerSpec extends SparkSpec {
     }
     assert(mem.size == 2 && mem.map(_.cacheBuilder).distinct.size == 1,
       s"both refs must share ONE cached stage, got ${mem.size}")
+    // the compile PERSISTED the def; releaseCache(result) must leave the
+    // cache manager empty — a long-lived driver compiling many configs
+    // must not leak a block-manager entry per compile (round-11 verdict)
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "cache: true def should be registered in the cache manager")
+    Compiler.releaseCache(cached)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "releaseCache must unpersist every cache: true def of the compile")
+    // idempotent, and releaseAllCaches sweeps anything left behind
+    Compiler.releaseCache(cached)
+    val cached2 = viaDefs(stage.replace(""""id": "tot",""",
+      """"id": "tot", "cache": true,"""))
+    cached2.count()
+    Compiler.releaseAllCaches()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "releaseAllCaches must sweep unreleased compiles")
     spark.catalog.clearCache()
     // guard rails, each by name
     def err(json: String): String =
