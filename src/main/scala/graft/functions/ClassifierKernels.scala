@@ -133,10 +133,52 @@ case class LinearBucketScore(
   override def prettyName: String = "linear_bucket_score"
 }
 
+/** Per-bucket weight lookup with plan-time weights — the TRAINING-side
+  * sibling of [[LinearBucketScore]]: each epoch's margin aggregate needs
+  * w[bucket] per exploded feature row. A `typedLit(w)` array literal
+  * spelled the same thing but as dim doubles of codegen CONSTANT-POOL
+  * text per epoch (megabytes of plan constants at production dim); here
+  * the snapshot rides as a codegen reference object — zero plan literals
+  * at any dim. Out-of-range buckets contribute 0.0 (dim-mismatch
+  * degrades, never throws); NULL bucket → NULL (callers fold it to 0). */
+case class BucketWeight(child: Expression, weights: Seq[Double])
+    extends UnaryExpression {
+
+  @transient private lazy val wArr: Array[Double] = weights.toArray
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case IntegerType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bucket_weight expects int (a hashed bucket), got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Int]
+    if (b >= 0 && b < wArr.length) wArr(b) else 0.0
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("weights", wArr, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"(($c >= 0 && $c < $wRef.length) ? $wRef[$c] : 0.0D)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BucketWeight =
+    copy(child = newChild)
+
+  override def prettyName: String = "bucket_weight"
+}
+
 object ClassifierKernels {
   def hashedTokenBuckets(text: Column, dim: Int): Column =
     GraftColumnBridge.column(
       HashedTokenBuckets(GraftColumnBridge.expression(text), dim))
+
+  def bucketWeight(bucket: Column, weights: Array[Double]): Column =
+    GraftColumnBridge.column(
+      BucketWeight(GraftColumnBridge.expression(bucket), weights.toSeq))
 
   def linearBucketScore(buckets: Column, weights: Array[Double],
       intercept: Double): Column =

@@ -648,10 +648,15 @@ object Corpus {
     val losses = Seq.newBuilder[Double]
     var ep = 1
     while (ep <= epochs) {
-      val wLit = typedLit(w.toIndexedSeq) // immutable snapshot of this epoch's weights
-      // term-frequency margin: intercept + Σ_b w[b]·cnt_b
+      // term-frequency margin: intercept + Σ_b w[b]·cnt_b. The epoch's
+      // weight snapshot rides as a codegen REFERENCE OBJECT
+      // (BucketWeight, the LinearBucketScore pattern), not a typedLit
+      // array — at production dim a literal would be megabytes of plan
+      // constants per epoch (constant-pool + plan-serialization
+      // pressure); the reference object is zero plan text at any dim.
       val contrib = when(col("__bk").isNull, lit(0.0))
-        .otherwise(element_at(wLit, col("__bk") + 1) * col("__cnt"))
+        .otherwise(graft.functions.ClassifierKernels
+          .bucketWeight(col("__bk"), w.clone()) * col("__cnt"))
       val scored = feats
         .groupBy("__id", "__y")
         .agg(dsum9(contrib).as("__mf"))

@@ -187,15 +187,16 @@ object Similarity {
   }
 
   /** Indices of the `nprobe` centroids nearest to `vec` by dot product
-    * against pre-normalized centroid literals (the row vector's own norm is
-    * a common factor, so it can't change the ranking). array_sort over
-    * (−dot, idx) structs gives a deterministic order with idx tie-break. */
-  private def nearestLists(vec: Column, cNorm: Seq[Seq[Double]], nprobe: Int): Column = {
-    val scored = array(cNorm.zipWithIndex.map { case (c, i) =>
-      struct((-dot(vec, typedLit(c))).as("negdot"), lit(i).as("list"))
-    }: _*)
-    transform(slice(array_sort(scored), 1, nprobe), p => p.getField("list"))
-  }
+    * against pre-normalized centroids (the row vector's own norm is a
+    * common factor, so it can't change the ranking). One codegen kernel
+    * call holding the centroid matrix as a REFERENCE OBJECT
+    * ([[graft.functions.CentroidKernels]]) — the composed
+    * array_sort-over-(−dot, idx)-structs form embedded one typedLit per
+    * centroid, megabytes of plan constants at production nlist·dim;
+    * ordering (dot desc, idx asc, null-dot first) is bit-identical
+    * (OpsSpec asserts against the composed form). */
+  private def nearestLists(vec: Column, cNorm: Seq[Seq[Double]], nprobe: Int): Column =
+    graft.functions.CentroidKernels.nearestCentroids(vec, cNorm, nprobe)
 
   /** IVF-style ANN top-k — the second standard ANN shape next to the
     * hyperplane-LSH [[annTopK]]: corpus vectors are bucketed by nearest

@@ -497,6 +497,77 @@ class OpsSpec extends SparkSpec {
       "full probe with refined centroids must stay exact at rank 1")
   }
 
+  test("NearestCentroids kernel equals the composed formulation; no plan-scale literals") {
+    import spark.implicits._
+    val cents: Seq[Seq[Double]] = Seq(
+      Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0), Seq(0.0, 0.0, 1.0),
+      Seq(0.5, 0.5, 0.0), Seq(0.0, 0.5, 0.5))
+    // fixture rows incl. every degrade path: good vectors, an exact tie
+    // (zero vector: every dot 0 → index order), a null vector, a vector
+    // with a null element, a length mismatch, and a NaN element
+    val rows: Seq[(Long, Seq[java.lang.Double])] = Seq(
+      1L -> Seq[java.lang.Double](3.0, 1.0, 2.0),
+      2L -> Seq[java.lang.Double](-1.0, 5.0, 0.25),
+      3L -> Seq[java.lang.Double](0.0, 0.0, 0.0),
+      4L -> null,
+      5L -> Seq[java.lang.Double](1.0, null, 2.0),
+      6L -> Seq[java.lang.Double](1.0, 2.0),
+      7L -> Seq[java.lang.Double](Double.NaN, 1.0, 1.0))
+    val df = rows.toDF("id", "vec")
+      .select($"id", $"vec".cast("array<double>").as("vec"))
+    def composed(vec: org.apache.spark.sql.Column, nprobe: Int) = {
+      val scored = array(cents.zipWithIndex.map { case (c, i) =>
+        struct((-Similarity.dot(vec, typedLit(c))).as("negdot"),
+          lit(i).as("list"))
+      }: _*)
+      transform(slice(array_sort(scored), 1, nprobe), p => p.getField("list"))
+    }
+    Seq(1, 2, 5).foreach { nprobe =>
+      val cmp = df.select($"id",
+          graft.functions.CentroidKernels.nearestCentroids($"vec", cents, nprobe).as("k"),
+          composed($"vec", nprobe).as("c"))
+        .filter($"k" =!= $"c")
+      assert(cmp.count() == 0,
+        s"kernel != composed at nprobe=$nprobe: ${cmp.collect().mkString(", ")}")
+    }
+    // float corpus vectors go through the same kernel path as production
+    val embK = emb.select($"vec_id",
+      graft.functions.CentroidKernels.nearestCentroids($"embedding",
+        cents.map(_.padTo(64, 0.0)), 2).as("k"))
+    val embC = emb.select($"vec_id", composedPad($"embedding", cents, 2).as("c"))
+    assert(embK.join(embC, "vec_id").filter($"k" =!= $"c").count() == 0)
+    // THE SCALE POINT (round-11 verdict): the assignment plan must carry
+    // no array literal proportional to nlist·dim — the centroid matrix
+    // rides as a codegen reference object, not plan text
+    val q = emb.filter($"vec_id" < 10).select($"vec_id".as("qid"), $"embedding")
+    val c = emb.select($"vec_id".as("cid"), $"embedding")
+    val ivf = Similarity.ivfTopK(q, c, "qid", "embedding", "cid", "embedding",
+      k = 3, nlist = 16, nprobe = 4)
+    val bigLits = planArrayLiteralSizes(ivf).filter(_ >= 8)
+    assert(bigLits.isEmpty,
+      s"IVF plan embeds array literals of sizes $bigLits — centroids leaked into plan text")
+    ivf.count() // the plan also executes
+  }
+
+  private def composedPad(vec: org.apache.spark.sql.Column,
+      cents: Seq[Seq[Double]], nprobe: Int): org.apache.spark.sql.Column = {
+    val padded = cents.map(_.padTo(64, 0.0))
+    val scored = array(padded.zipWithIndex.map { case (cc, i) =>
+      struct((-Similarity.dot(vec, typedLit(cc))).as("negdot"), lit(i).as("list"))
+    }: _*)
+    transform(slice(array_sort(scored), 1, nprobe), p => p.getField("list"))
+  }
+
+  /** Sizes of every non-null array literal anywhere in the analyzed plan. */
+  private def planArrayLiteralSizes(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+    df.queryExecution.analyzed.collect { case p => p.expressions }.flatten
+      .flatMap(_.collect {
+        case l: org.apache.spark.sql.catalyst.expressions.Literal
+            if l.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+              l.value != null =>
+          l.value.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].numElements()
+      })
+
   test("banded corpus×corpus near-dup: recall ≥ 0.9 vs exact, no invented pairs") {
     val exact = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
       .select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
