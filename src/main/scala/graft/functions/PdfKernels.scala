@@ -47,9 +47,19 @@ import org.apache.spark.unsafe.types.UTF8String
   *    strings decode the standard escapes (`\n \r \t \b \f \( \) \\`,
   *    octal, line continuation) and balanced nested parens; `<hex>`
   *    strings decode ignoring whitespace with odd-length zero-pad.
-  *    String bytes map to text as Latin-1 — fonts and /ToUnicode CMaps
-  *    are out of scope (the corpus fixtures are ASCII; a wrong-encoding
-  *    byte degrades to a wrong char, never an error).
+  *  - String bytes map to text through the font SELECTED BY `Tf`:
+  *    a font's embedded `/ToUnicode` CMap (bfchar + bfrange, the
+  *    mechanism subset-font PDFs — most modern writers — need for any
+  *    real text recovery) wins; unmapped single-byte codes fall back to
+  *    the declared base encoding (`/WinAnsiEncoding`, `/MacRomanEncoding`,
+  *    else Latin-1); unmapped TWO-byte codes (Type0/CID fonts without a
+  *    usable CMap entry) are glyph ids with no recoverable meaning and
+  *    stay invisible. Code width comes from the CMap's codespace range
+  *    (clamped to 1–2 bytes), else 2 for `/Subtype /Type0`, else 1.
+  *    `/Resources` resolve on the page or inherit from the nearest
+  *    `/Pages` ancestor; a missing font, dict, or CMap degrades to the
+  *    Latin-1 byte map, never an error. (`/Differences` glyph-name
+  *    encodings are out of scope — they need the Adobe glyph list.)
   *  - Page texts join with `\n`; pages with no text contribute nothing.
   *
   * NULL bytes → NULL struct; anything else — truncated, not a PDF,
@@ -267,21 +277,308 @@ object PdfOps {
     finally inf.end()
   }
 
+  // ------------------------------------------------------- fonts / CMaps
+
+  /** Per-font decode recipe: `toUnicode` (code → text, null when the
+    * font has no usable CMap), code width in bytes (1 or 2), and the
+    * base single-byte encoding (0 = Latin-1, 1 = WinAnsi, 2 = MacRoman)
+    * for codes the CMap does not cover. */
+  private[functions] final case class FontInfo(
+      toUnicode: java.util.HashMap[Integer, String],
+      codeBytes: Int,
+      baseEnc: Int)
+
+  private[functions] val LatinFont = FontInfo(null, 1, 0)
+
+  /** Windows-1252 0x80–0x9F (everywhere else it IS Latin-1; code
+    * points with no Windows-1252 assignment keep their C1 value). */
+  private val WinAnsiHigh: Array[Char] =
+    ("\u20AC\u0081\u201A\u0192\u201E\u2026\u2020\u2021" +
+      "\u02C6\u2030\u0160\u2039\u0152\u008D\u017D\u008F" +
+      "\u0090\u2018\u2019\u201C\u201D\u2022\u2013\u2014" +
+      "\u02DC\u2122\u0161\u203A\u0153\u009D\u017E\u0178").toCharArray
+
+  /** MacRoman 0x80–0xFF (the Unicode.org MACINTOSH mapping; 0xF0 is
+    * the Apple private-use logo U+F8FF). */
+  private val MacRomanHigh: Array[Char] =
+    ("\u00C4\u00C5\u00C7\u00C9\u00D1\u00D6\u00DC\u00E1" +
+      "\u00E0\u00E2\u00E4\u00E3\u00E5\u00E7\u00E9\u00E8" +
+      "\u00EA\u00EB\u00ED\u00EC\u00EE\u00EF\u00F1\u00F3" +
+      "\u00F2\u00F4\u00F6\u00F5\u00FA\u00F9\u00FB\u00FC" +
+      "\u2020\u00B0\u00A2\u00A3\u00A7\u2022\u00B6\u00DF" +
+      "\u00AE\u00A9\u2122\u00B4\u00A8\u2260\u00C6\u00D8" +
+      "\u221E\u00B1\u2264\u2265\u00A5\u00B5\u2202\u2211" +
+      "\u220F\u03C0\u222B\u00AA\u00BA\u03A9\u00E6\u00F8" +
+      "\u00BF\u00A1\u00AC\u221A\u0192\u2248\u2206\u00AB" +
+      "\u00BB\u2026\u00A0\u00C0\u00C3\u00D5\u0152\u0153" +
+      "\u2013\u2014\u201C\u201D\u2018\u2019\u00F7\u25CA" +
+      "\u00FF\u0178\u2044\u20AC\u2039\u203A\uFB01\uFB02" +
+      "\u2021\u00B7\u201A\u201E\u2030\u00C2\u00CA\u00C1" +
+      "\u00CB\u00C8\u00CD\u00CE\u00CF\u00CC\u00D3\u00D4" +
+      "\uF8FF\u00D2\u00DA\u00DB\u00D9\u0131\u02C6\u02DC" +
+      "\u00AF\u02D8\u02D9\u02DA\u00B8\u02DD\u02DB\u02C7").toCharArray
+
+  private def baseChar(code: Int, enc: Int): Char = enc match {
+    case 1 if code >= 0x80 && code <= 0x9F => WinAnsiHigh(code - 0x80)
+    case 2 if code >= 0x80 && code <= 0xFF => MacRomanHigh(code - 0x80)
+    case _ => code.toChar
+  }
+
+  /** CMap-entry bomb guard: max (code → text) mappings per font. */
+  private val MaxCMapEntries = 1 << 16
+
+  /** Parse a /ToUnicode CMap stream: bfchar + bfrange sections → the
+    * (code → UTF-16 text) map, plus the code width in bytes from the
+    * first codespace lo bound (0 when the stream declares none). CMap
+    * streams are PostScript-flavored but the mapping subset is fully
+    * covered by hex strings, `[`/`]`, and the begin/end keywords —
+    * everything else (names, numbers, literal strings, the
+    * /CIDSystemInfo dict) is skipped. Lenient throughout: a malformed
+    * section contributes nothing. */
+  private[functions] def parseCMap(cm: String): (java.util.HashMap[Integer, String], Int) = {
+    val map = new java.util.HashMap[Integer, String]()
+    var codeBytes = 0
+    var srcLen = 0 // inferred from the first bfchar/bfrange lo when no codespace
+    var section = 0 // 0 none, 1 codespace, 2 bfchar, 3 bfrange
+    // pending hex operands of the current section entry
+    val pend = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var inArray = false
+    val arr = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+
+    def codeOf(b: Array[Byte]): Int = {
+      var v = 0
+      var i = math.max(0, b.length - 4)
+      while (i < b.length) { v = (v << 8) | (b(i) & 0xff); i += 1 }
+      v
+    }
+    def utf16(b: Array[Byte]): String = {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i + 1 < b.length) {
+        sb.append((((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)).toChar); i += 2
+      }
+      if (i < b.length) sb.append((b(i) & 0xff).toChar) // odd tail: lenient
+      sb.toString
+    }
+    def incLast(s: String, k: Int): String =
+      if (s.isEmpty) s
+      else s.substring(0, s.length - 1) + ((s.charAt(s.length - 1) + k).toChar)
+    def put(code: Int, txt: String): Unit =
+      if (map.size < MaxCMapEntries) map.put(code, txt)
+
+    def emitRange(): Unit = {
+      // lo hi dst — dst either one hex (sequential, last UTF-16 unit
+      // increments per spec) or an array of per-code hex strings
+      if (pend.size == 2 && arr.nonEmpty) {
+        val lo = codeOf(pend(0))
+        arr.zipWithIndex.foreach { case (d, k) => put(lo + k, utf16(d)) }
+      } else if (pend.size == 3) {
+        val lo = codeOf(pend(0)); val hi = codeOf(pend(1))
+        val base = utf16(pend(2))
+        var k = 0
+        val n = math.min(hi - lo, MaxCMapEntries)
+        while (k <= n) { put(lo + k, incLast(base, k)); k += 1 }
+      }
+      pend.clear(); arr.clear()
+    }
+
+    var i = 0
+    val n = cm.length
+    while (i < n) {
+      val c = cm.charAt(i)
+      if (isWs(c)) i += 1
+      else if (c == '%') { while (i < n && cm.charAt(i) != '\r' && cm.charAt(i) != '\n') i += 1 }
+      else if (c == '<' && i + 1 < n && cm.charAt(i + 1) == '<') i = skipDict(cm, i)
+      else if (c == '<') {
+        val st = i + 1
+        var j = st
+        val bb = new java.io.ByteArrayOutputStream()
+        var hi = -1
+        while (j < n && cm.charAt(j) != '>') {
+          val v = Character.digit(cm.charAt(j), 16)
+          if (v >= 0) { if (hi < 0) hi = v else { bb.write((hi << 4) | v); hi = -1 } }
+          j += 1
+        }
+        if (hi >= 0) bb.write(hi << 4)
+        i = if (j < n) j + 1 else n
+        val bytes = bb.toByteArray
+        section match {
+          case 1 => // codespace: first lo bound fixes the width
+            if (codeBytes == 0 && bytes.nonEmpty) codeBytes = bytes.length
+          case 2 =>
+            if (srcLen == 0 && bytes.nonEmpty) srcLen = bytes.length
+            pend += bytes
+            if (pend.size == 2) { put(codeOf(pend(0)), utf16(pend(1))); pend.clear() }
+          case 3 =>
+            if (inArray) arr += bytes
+            else {
+              if (srcLen == 0 && bytes.nonEmpty) srcLen = bytes.length
+              pend += bytes
+              if (pend.size == 3) emitRange()
+            }
+          case _ => ()
+        }
+      } else if (c == '(') { i = parseLiteralString(cm, i)._2 }
+      else if (c == '[') { inArray = true; arr.clear(); i += 1 }
+      else if (c == ']') { inArray = false; if (pend.size == 2) emitRange(); i += 1 }
+      else if (c == '/') {
+        i += 1
+        while (i < n && !isWs(cm.charAt(i)) && !isDelim(cm.charAt(i))) i += 1
+      } else {
+        val st = i
+        while (i < n && !isWs(cm.charAt(i)) && !isDelim(cm.charAt(i))) i += 1
+        cm.substring(st, i) match {
+          case "begincodespacerange" => section = 1
+          case "beginbfchar" => section = 2; pend.clear()
+          case "beginbfrange" => section = 3; pend.clear(); arr.clear(); inArray = false
+          case "endcodespacerange" | "endbfchar" | "endbfrange" =>
+            section = 0; pend.clear(); arr.clear(); inArray = false
+          case _ => () // numbers, cmap name ops, usecmap — not mapping data
+        }
+      }
+    }
+    (if (map.isEmpty) null else map,
+      if (codeBytes > 0) codeBytes else srcLen)
+  }
+
+  /** Balanced `<<...>>` substring starting at `start` (pointing at the
+    * first `<`), or null when unbalanced. */
+  private def balancedDictAt(s: String, start: Int): String = {
+    val e = skipDict(s, start)
+    if (e > start) s.substring(start, e) else null
+  }
+
+  /** `/Key <<inline>>` or `/Key N G R` → the dict string. */
+  private def inlineOrRefDict(dict: String, key: String,
+      byNum: Map[Int, PObj]): Option[String] = {
+    var j = keyPos(dict, key)
+    if (j < 0) return None
+    while (j < dict.length && isWs(dict.charAt(j))) j += 1
+    if (dict.startsWith("<<", j)) Option(balancedDictAt(dict, j))
+    else dictRef(dict, key).flatMap(byNum.get).map(_.dict)
+  }
+
+  /** Entries of a font-map dict body (`<< /F1 7 0 R /F2 <<...>> >>`):
+    * name → font dict string. */
+  private def fontDictEntries(body: String,
+      byNum: Map[Int, PObj]): Map[String, String] = {
+    val out = Map.newBuilder[String, String]
+    var i = 0
+    val n = body.length
+    while (i < n) {
+      if (body.charAt(i) == '/') {
+        val st = i + 1
+        var j = st
+        while (j < n && !isWs(body.charAt(j)) && !isDelim(body.charAt(j))) j += 1
+        val name = body.substring(st, j)
+        while (j < n && isWs(body.charAt(j))) j += 1
+        if (body.startsWith("<<", j)) {
+          val d = balancedDictAt(body, j)
+          if (d != null) { out += name -> d; i = j + d.length }
+          else i = j
+        } else if (j < n && body.charAt(j).isDigit) {
+          var k = j
+          while (k < n && body.charAt(k).isDigit) k += 1
+          val num = body.substring(j, k).toInt
+          var r = k
+          while (r < n && isWs(body.charAt(r))) r += 1
+          while (r < n && body.charAt(r).isDigit) r += 1
+          while (r < n && isWs(body.charAt(r))) r += 1
+          if (r < n && body.charAt(r) == 'R') {
+            byNum.get(num).foreach(o => out += name -> o.dict)
+            i = r + 1
+          } else i = j
+        } else i = j
+      } else i += 1
+    }
+    out.result()
+  }
+
+  /** Font dict → decode recipe; `cache` de-dups CMap parses across pages
+    * sharing a font. */
+  private def fontInfoOf(fontDict: String, byNum: Map[Int, PObj],
+      cache: scala.collection.mutable.HashMap[String, FontInfo]): FontInfo =
+    cache.getOrElseUpdate(fontDict, {
+      val (tu, cmapWidth) = dictRef(fontDict, "ToUnicode")
+        .flatMap(byNum.get)
+        .flatMap(o => Option(decodeStream(o)))
+        .map(parseCMap)
+        .getOrElse((null, 0))
+      val width0 =
+        if (cmapWidth > 0) cmapWidth
+        else if (hasName(fontDict, "Subtype", "Type0")) 2
+        else 1
+      val enc =
+        if (hasName(fontDict, "Encoding", "WinAnsiEncoding")) 1
+        else if (hasName(fontDict, "Encoding", "MacRomanEncoding")) 2
+        else 0
+      FontInfo(tu, math.max(1, math.min(2, width0)), enc)
+    })
+
+  /** The `/Font` map visible to a page: its own `/Resources` or the
+    * inherited one. */
+  private[functions] def pageFonts(pageDict: String, inherited: Option[String],
+      byNum: Map[Int, PObj],
+      cache: scala.collection.mutable.HashMap[String, FontInfo]): Map[String, FontInfo] =
+    inlineOrRefDict(pageDict, "Resources", byNum).orElse(inherited)
+      .flatMap(res => inlineOrRefDict(res, "Font", byNum))
+      .map(fontDictEntries(_, byNum).map { case (k, d) =>
+        k -> fontInfoOf(d, byNum, cache) })
+      .getOrElse(Map.empty)
+
+  /** Shown-string bytes → text under the `Tf`-selected font (see class
+    * doc; `f == null` — no font selected or unknown name — is the
+    * Latin-1 identity, the pre-font behavior). */
+  private def decodeShown(s: String, f: FontInfo): String = {
+    if (f == null || (f.toUnicode == null && f.codeBytes == 1 && f.baseEnc == 0))
+      return s
+    val sb = new java.lang.StringBuilder
+    if (f.codeBytes == 2) {
+      var i = 0
+      while (i < s.length) {
+        val code =
+          if (i + 1 < s.length) ((s.charAt(i) << 8) | s.charAt(i + 1))
+          else s.charAt(i).toInt // truncated final code: lenient
+        val m = if (f.toUnicode == null) null else f.toUnicode.get(code)
+        if (m != null) sb.append(m)
+        // unmapped 2-byte codes are glyph ids — invisible, like an
+        // unsupported stream filter
+        i += 2
+      }
+    } else {
+      var i = 0
+      while (i < s.length) {
+        val code = s.charAt(i).toInt
+        val m = if (f.toUnicode == null) null else f.toUnicode.get(code)
+        if (m != null) sb.append(m) else sb.append(baseChar(code, f.baseEnc))
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
   // ----------------------------------------------------- content stream
 
-  /** BT/ET text-operator walk (see class doc for the visibility and
-    * line-break contract). */
-  private[functions] def extractText(cs: String): String = {
+  /** BT/ET text-operator walk (see class doc for the visibility,
+    * line-break, and font-decode contract). */
+  private[functions] def extractText(cs: String,
+      fonts: Map[String, FontInfo] = Map.empty): String = {
     val out = new java.lang.StringBuilder
     var needBreak = false
     var inBT = false
+    // font state: set by `/Name size Tf`, persists across BT blocks and
+    // concatenated /Contents streams (PDF graphics state); null = the
+    // Latin-1 identity (no font selected, or a name the page's
+    // resources don't declare)
+    var curFont: FontInfo = null
+    var lastName: String = null
     // string operands seen since the last operator (TJ shows them all)
     val strs = scala.collection.mutable.ArrayBuffer.empty[String]
 
     def show(ss: Seq[String]): Unit = {
       if (needBreak && out.length() > 0) out.append('\n')
       needBreak = false
-      ss.foreach(out.append)
+      ss.foreach(s => out.append(decodeShown(s, curFont)))
     }
 
     var i = 0
@@ -303,7 +600,9 @@ object PdfOps {
         i += 1 // array brackets transparent: TJ shows the strings inside
       } else if (c == '/') {
         i += 1
+        val st = i
         while (i < n && !isWs(cs.charAt(i)) && !isDelim(cs.charAt(i))) i += 1
+        lastName = cs.substring(st, i)
       } else if (c.isDigit || c == '+' || c == '-' || c == '.') {
         i += 1
         while (i < n && (cs.charAt(i).isDigit || cs.charAt(i) == '.')) i += 1
@@ -311,6 +610,9 @@ object PdfOps {
         val st = i
         while (i < n && !isWs(cs.charAt(i)) && !isDelim(cs.charAt(i))) i += 1
         cs.substring(st, i) match {
+          case "Tf" =>
+            if (lastName != null) curFont = fonts.getOrElse(lastName, null)
+            strs.clear()
           case "BT" => inBT = true; strs.clear()
           case "ET" => inBT = false
             if (out.length() > 0) needBreak = true // next BT starts a new line
@@ -454,29 +756,35 @@ object PdfOps {
     // ref or a crafted page-tree DAG must neither duplicate pages nor
     // re-traverse subtrees exponentially; the cap bounds total visits
     val visited = scala.collection.mutable.HashSet.empty[Int]
-    def collectPages(num: Int): Seq[PObj] =
+    // each page also carries the /Resources visible to it — its own or
+    // the nearest /Pages ancestor's (PDF inheritable attribute)
+    def collectPages(num: Int, inhRes: Option[String]): Seq[(PObj, Option[String])] =
       if (!visited.add(num) || visited.size > 4096) Nil
       else byNum.get(num) match {
-        case Some(o) if hasName(o.dict, "Type", "Page") => Seq(o)
+        case Some(o) if hasName(o.dict, "Type", "Page") => Seq((o, inhRes))
         case Some(o) if hasName(o.dict, "Type", "Pages") =>
-          dictRefs(o.dict, "Kids").flatMap(collectPages)
+          val res = inlineOrRefDict(o.dict, "Resources", byNum).orElse(inhRes)
+          dictRefs(o.dict, "Kids").flatMap(collectPages(_, res))
         case _ => Nil
       }
 
-    val pageObjs: Seq[PObj] = objs
+    val pageObjs: Seq[(PObj, Option[String])] = objs
       .find(o => o.data == null && hasName(o.dict, "Type", "Catalog"))
       .flatMap(cat => dictRef(cat.dict, "Pages"))
-      .map(collectPages)
+      .map(collectPages(_, None))
       .getOrElse(Nil)
 
     val (nPages, pageTexts) =
       if (pageObjs.nonEmpty) {
-        val texts = pageObjs.map { p =>
+        val fontCache = scala.collection.mutable.HashMap.empty[String, FontInfo]
+        val texts = pageObjs.map { case (p, inhRes) =>
           val contents = dictRefs(p.dict, "Contents")
             .flatMap(byNum.get).flatMap(o => Option(decodeStream(o)))
           // multiple /Contents streams concatenate into one (PDF 32000
           // §7.8.2 requires a token break between them)
-          if (contents.isEmpty) "" else extractText(contents.mkString("\n"))
+          if (contents.isEmpty) ""
+          else extractText(contents.mkString("\n"),
+            pageFonts(p.dict, inhRes, byNum, fontCache))
         }
         (pageObjs.size, texts)
       } else {
@@ -486,7 +794,7 @@ object PdfOps {
           .filter(_.contains("BT"))
         val declared = objs.count(o => o.data == null && hasName(o.dict, "Type", "Page"))
         (if (declared > 0) declared else streams.size,
-          streams.map(extractText))
+          streams.map(s => extractText(s)))
       }
 
     val text = pageTexts.filter(_.nonEmpty).mkString("\n")

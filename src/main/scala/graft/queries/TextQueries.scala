@@ -598,6 +598,86 @@ object TextQueries extends QueryPack {
     out.toByteArray
   }
 
+  // q162 — PDF extraction through a NON-IDENTITY /ToUnicode CMap plus a
+  // /WinAnsiEncoding base font (the subset-font mechanism real crawl
+  // PDFs need): page 1's string bytes are the text SHIFTED +1 and only
+  // the font's bfrange (<01><7F> → U+0000…, i.e. code k → k−1) recovers
+  // it, with a bfchar mapping code 0xFF → '€'; page 2 selects a WinAnsi
+  // font and shows byte 0x97 → '—'. /Resources live on the /Pages node
+  // (inherited, not per-page). A regression to the Latin-1 byte map
+  // garbles every page-1 char, so the oracle is a true decode gate.
+  private[graft] val textToPdfCMap: (String, String) => Array[Byte] = (id, body) => {
+    val latin = java.nio.charset.StandardCharsets.ISO_8859_1
+    def hexShift(t: String): String =
+      t.map(c => f"${(c + 1) & 0xff}%02X").mkString
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |12 dict begin
+        |begincmap
+        |1 begincodespacerange
+        |<00> <FF>
+        |endcodespacerange
+        |1 beginbfchar
+        |<FF> <20AC>
+        |endbfchar
+        |1 beginbfrange
+        |<01> <7F> <0000>
+        |endbfrange
+        |endcmap
+        |end
+        |end""".stripMargin
+    val c1 = s"BT /F1 12 Tf 72 720 Td <${hexShift(s"Doc $id!")}> Tj <FF> Tj ET"
+      .getBytes(latin)
+    val c2 = (s"BT /F2 12 Tf 72 720 Td (${pdfEsc(body)}) Tj T* " +
+      "(p. 2 \\(end\\) ) Tj <97> Tj ET").getBytes(latin)
+    def dictObj(body: String): String = body
+    val cmapBytes = cmap.getBytes(latin)
+    val objs = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> ("<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 " +
+        "/Resources << /Font << /F1 7 0 R /F2 8 0 R >> >> >>"),
+      3 -> "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>",
+      5 -> "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 6 0 R >>",
+      7 -> ("<< /Type /Font /Subtype /Type1 /BaseFont /AAAAAA+Custom " +
+        "/ToUnicode 9 0 R >>"),
+      8 -> ("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+        "/Encoding /WinAnsiEncoding >>"))
+    val streams = Map(
+      4 -> c1,
+      6 -> c2,
+      9 -> cmapBytes)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("%PDF-1.4\n%âãÏÓ\n".getBytes(latin))
+    (1 to 9).foreach { n =>
+      objs.toMap.get(n) match {
+        case Some(d) =>
+          out.write(s"$n 0 obj\n${dictObj(d)}\nendobj\n".getBytes(latin))
+        case None => streams.get(n).foreach { data =>
+          out.write(s"$n 0 obj\n<< /Length ${data.length} >>\nstream\n".getBytes(latin))
+          out.write(data)
+          out.write("\nendstream\nendobj\n".getBytes(latin))
+        }
+      }
+    }
+    out.write("%%EOF\n".getBytes(latin))
+    out.toByteArray
+  }
+
+  private val cmapTextSql =
+    "'Doc ' || doc_id || '!' || '€' || chr(10) || text || chr(10) || 'p. 2 (end) ' || '—'"
+  private val q162Sql = s"""
+    SELECT doc_id, '1.4' AS version, CAST(2 AS INT) AS n_pages,
+           $cmapTextSql AS text
+    FROM documents ORDER BY doc_id ASC NULLS FIRST"""
+  private def q162(s: SparkSession, dir: String): DataFrame = {
+    val toPdf = udf(textToPdfCMap)
+    TextAnalysis.pdfExtract(
+        docs(s, dir).withColumn("pdf",
+          toPdf(col("doc_id").cast("string"), col("text"))),
+        "doc_id", "pdf")
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
   private val pdfTextSql =
     "'Doc ' || doc_id || '!' || chr(10) || text || chr(10) || 'p. 2 (end)'"
   private val q152Sql = s"""
@@ -851,6 +931,7 @@ object TextQueries extends QueryPack {
     Q("q148_web_curation_flagship", q148, Some(q148Sql)),
     Q("q152_pdf_extract", q152, Some(q152Sql)),
     Q("q153_config_pdf_extract", q153, Some(q152Sql)),
+    Q("q162_pdf_tounicode", q162, Some(q162Sql)),
     Q("q156_bpe_train", q156, Some(q156Sql)),
     Q("q157_bpe_pack", q157, Some(q157Sql)),
     Q("q158_config_bpe", q158, Some(q156Sql)),

@@ -270,4 +270,129 @@ class PdfSpec extends SparkSpec {
     assert(routed.queryExecution.executedPlan
       .exists(_.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]))
   }
+
+  // ------------------------------------------------------- fonts / CMaps
+
+  private def cmapStream(body: String): String =
+    stream(s"<< /Length ${contentLen(body)} >>", body)
+
+  test("pdf /ToUnicode bfchar + bfrange: shifted bytes decode; non-ASCII lands exact") {
+    val bytes = graft.queries.TextQueries.textToPdfCMap("7", "hello world")
+    assert(pdfx(bytes) == ("1.4", 2,
+      "Doc 7!\u20ac\nhello world\np. 2 (end) \u2014"))
+  }
+
+  test("pdf bfrange ARRAY form maps each code to its own target") {
+    val cm = "1 begincodespacerange <00> <FF> endcodespacerange\n" +
+      "1 beginbfrange <01> <03> [<0041> <004B> <03A9>] endbfrange"
+    val c = "BT /F1 9 Tf 0 0 Td <010203> Tj ET"
+    val bytes = miniPdf(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> ("<< /Type /Page /Resources << /Font << /F1 5 0 R >> >> " +
+        "/Contents 4 0 R >>"),
+      4 -> stream(s"<< /Length ${contentLen(c)} >>", c),
+      5 -> "<< /Type /Font /Subtype /Type1 /ToUnicode 6 0 R >>",
+      6 -> cmapStream(cm))
+    assert(pdfx(bytes) == ("1.7", 1, "AK\u03a9"))
+  }
+
+  test("pdf Type0 two-byte codes: mapped pairs decode, unmapped glyph ids stay invisible") {
+    val cm = "1 begincodespacerange <0000> <FFFF> endcodespacerange\n" +
+      "2 beginbfchar <0041> <2264> <0105> <0106> endbfchar"
+    val c = "BT /F1 9 Tf 0 0 Td <004101050099> Tj ET"
+    val bytes = miniPdf(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> ("<< /Type /Page /Resources << /Font << /F1 5 0 R >> >> " +
+        "/Contents 4 0 R >>"),
+      4 -> stream(s"<< /Length ${contentLen(c)} >>", c),
+      5 -> "<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>",
+      6 -> cmapStream(cm))
+    // 0x0041 -> U+2264, 0x0105 -> U+0106, 0x0099 unmapped -> invisible
+    assert(pdfx(bytes) == ("1.7", 1, "\u2264\u0106"))
+  }
+
+  test("pdf Type0 WITHOUT a ToUnicode CMap: glyph ids are invisible, not mojibake") {
+    val c = "BT /F1 9 Tf 0 0 Td <00410042> Tj ET"
+    val bytes = miniPdf(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> ("<< /Type /Page /Resources << /Font << /F1 5 0 R >> >> " +
+        "/Contents 4 0 R >>"),
+      4 -> stream(s"<< /Length ${contentLen(c)} >>", c),
+      5 -> "<< /Type /Font /Subtype /Type0 /BaseFont /X >>")
+    assert(pdfx(bytes) == ("1.7", 1, ""))
+  }
+
+  test("pdf WinAnsi and MacRoman base encodings; unknown Tf name keeps Latin-1") {
+    val c = "BT /F1 9 Tf 0 0 Td <93418094> Tj " +
+      "/F2 9 Tf <A5416de9> Tj /Nope 9 Tf <416defe9> Tj ET"
+    val bytes = miniPdf(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> ("<< /Type /Page /Resources << /Font << /F1 5 0 R /F2 6 0 R >> >> " +
+        "/Contents 4 0 R >>"),
+      4 -> stream(s"<< /Length ${contentLen(c)} >>", c),
+      5 -> "<< /Type /Font /Subtype /Type1 /Encoding /WinAnsiEncoding >>",
+      6 -> "<< /Type /Font /Subtype /Type1 /Encoding /MacRomanEncoding >>")
+    // WinAnsi: 93 -> left curly quote, 80 -> euro, 94 -> right curly quote;
+    // MacRoman: A5 -> bullet, e9 -> e-acute's MacRoman slot is 0x8E, so
+    // e9 here is MacRoman \u00e8? no: MacRoman 0xE9 -> \u00c8. Latin-1
+    // fallback for /Nope shows raw bytes.
+    assert(pdfx(bytes) == ("1.7", 1,
+      "\u201cA\u20ac\u201d" + "\u2022Am\u00c8" + "Am\u00ef\u00e9"))
+  }
+
+  test("pdf resources inherit from the /Pages ancestor when the page has none") {
+    val cm = "1 beginbfchar <58> <2713> endbfchar"
+    val c = "BT /F1 9 Tf 0 0 Td <58> Tj ET"
+    val bytes = miniPdf(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> ("<< /Type /Pages /Kids [3 0 R] /Count 1 " +
+        "/Resources << /Font << /F1 5 0 R >> >> >>"),
+      3 -> "<< /Type /Page /Contents 4 0 R >>",
+      4 -> stream(s"<< /Length ${contentLen(c)} >>", c),
+      5 -> "<< /Type /Font /Subtype /Type1 /ToUnicode 6 0 R >>",
+      6 -> cmapStream(cm))
+    assert(pdfx(bytes) == ("1.7", 1, "\u2713"))
+  }
+
+  test("pdf font state persists across BT blocks until the next Tf") {
+    val cm = "1 beginbfchar <41> <0042> endbfchar"
+    val c = "BT /F1 9 Tf 0 0 Td <41> Tj ET BT 0 0 Td <41> Tj ET"
+    val bytes = miniPdf(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> ("<< /Type /Page /Resources << /Font << /F1 5 0 R >> >> " +
+        "/Contents 4 0 R >>"),
+      4 -> stream(s"<< /Length ${contentLen(c)} >>", c),
+      5 -> "<< /Type /Font /Subtype /Type1 /ToUnicode 6 0 R >>",
+      6 -> cmapStream(cm))
+    assert(pdfx(bytes) == ("1.7", 1, "B\nB"))
+  }
+
+  test("pdf duplicated /Kids ref yields one page, not two (shared cycle guard)") {
+    val c = "BT 0 0 Td (once) Tj ET"
+    val bytes = miniPdf(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R 3 0 R] /Count 2 >>",
+      3 -> "<< /Type /Page /Contents 4 0 R >>",
+      4 -> stream(s"<< /Length ${contentLen(c)} >>", c))
+    assert(pdfx(bytes) == ("1.7", 1, "once"))
+  }
+
+  test("pdf FDICT (preset-dictionary) zlib stream degrades without hanging") {
+    // zlib header 78 BB sets FDICT; Inflater reports needsDictionary()
+    // with zero progress forever — the kernel must break out, not spin
+    val fdict = "\u0078\u00bb\u0001\u0002\u0003\u0004"
+    val bytes = miniPdf(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>",
+      3 -> "<< /Type /Page /Contents 4 0 R >>",
+      4 -> stream(s"<< /Length 6 /Filter /FlateDecode >>", fdict),
+      5 -> "<< /Type /Page /Contents 6 0 R >>",
+      6 -> stream("<< /Length 23 >>", "BT 0 0 Td (ok) Tj ET   "))
+    assert(pdfx(bytes) == ("1.7", 2, "ok"))
+  }
 }
