@@ -27,11 +27,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *    Stream payloads are delimited by a valid direct `/Length` when it
   *    checks out against a following `endstream`, else leniently by the
   *    next `endstream` keyword.
-  *  - `/Filter /FlateDecode` streams inflate via the JDK zlib; any
-  *    other filter (DCT, LZW, ...) or a corrupt deflate stream makes
-  *    that stream invisible rather than an error. Output per stream is
-  *    capped (decompression-bomb guard) — a trillion-to-one blowup
-  *    truncates instead of taking the executor down.
+  *  - Stream filters: `/FlateDecode` (JDK zlib), `/LZWDecode`
+  *    (MSB-first early-change variant — the GIF codec's sibling),
+  *    `/ASCII85Decode`, `/ASCIIHexDecode`, and `/Filter [...]` chains
+  *    applied in order. Any other filter (DCT, JBIG2, Crypt, ...) or
+  *    corrupt data makes that stream invisible rather than an error;
+  *    truncated Flate/LZW input degrades to the decoded prefix. Output
+  *    per stream is capped (decompression-bomb guard) — a
+  *    trillion-to-one blowup truncates instead of taking the executor
+  *    down.
   *  - `/Type /ObjStm` object streams (PDF 1.5+) are expanded first:
   *    modern writers pack the catalog and page-tree dicts into
   *    compressed streams, invisible to a plain sequential scan.
@@ -252,29 +256,185 @@ object PdfOps {
 
   // ------------------------------------------------------------- decode
 
-  /** Stream payload → content-stream text, or null when invisible
-    * (no stream, unsupported filter, corrupt deflate). */
-  private[functions] def decodeStream(o: PObj): String = {
-    if (o.data == null) return null
-    if (keyPos(o.dict, "Filter") < 0) return new String(o.data, Latin)
-    if (!hasName(o.dict, "Filter", "FlateDecode")) return null
+  /** The `/Filter` chain of a stream dict: a single name or an array of
+    * names (applied in order), with the standard abbreviations. */
+  private def filterNames(dict: String): Seq[String] = {
+    var j = keyPos(dict, "Filter")
+    if (j < 0) return Nil
+    while (j < dict.length && isWs(dict.charAt(j))) j += 1
+    def nameAt(k0: Int): (String, Int) = {
+      var k = k0 + 1
+      val st = k
+      while (k < dict.length && !isWs(dict.charAt(k)) && !isDelim(dict.charAt(k))) k += 1
+      (dict.substring(st, k), k)
+    }
+    if (j < dict.length && dict.charAt(j) == '/') Seq(nameAt(j)._1)
+    else if (j < dict.length && dict.charAt(j) == '[') {
+      val out = Seq.newBuilder[String]
+      var k = j + 1
+      while (k < dict.length && dict.charAt(k) != ']') {
+        if (dict.charAt(k) == '/') { val (n, nk) = nameAt(k); out += n; k = nk }
+        else k += 1
+      }
+      out.result()
+    } else Seq("?") // a ref or junk where a name belongs: unsupported
+  }
+
+  /** zlib inflate: partial output on truncation or an FDICT
+    * preset-dictionary stream (inflate() makes no progress on either),
+    * null on corrupt data. */
+  private def inflateBytes(data: Array[Byte]): Array[Byte] = {
     val inf = new java.util.zip.Inflater()
     try {
-      inf.setInput(o.data)
+      inf.setInput(data)
       val buf = new Array[Byte](8192)
-      val out = new java.io.ByteArrayOutputStream(math.min(o.data.length * 4, 1 << 16))
+      val out = new java.io.ByteArrayOutputStream(math.min(data.length * 4, 1 << 16))
       while (!inf.finished() && out.size < MaxInflate) {
         val k = inf.inflate(buf)
-        // no-progress exits: truncated input (needsInput) or an FDICT
-        // preset-dictionary stream (needsDictionary) — inflate() would
-        // return 0 forever, so both degrade to whatever inflated so far
         if (k == 0 && (inf.needsInput() || inf.needsDictionary()))
-          return new String(out.toByteArray, Latin)
+          return out.toByteArray
         out.write(buf, 0, math.min(k, MaxInflate - out.size))
       }
-      new String(out.toByteArray, Latin)
+      out.toByteArray
     } catch { case _: java.util.zip.DataFormatException => null }
     finally inf.end()
+  }
+
+  /** PDF LZWDecode — MSB-first 9→12-bit codes, Clear=256, EOD=257,
+    * `/EarlyChange` (default 1: the width grows one code early — the
+    * xpdf/pdf.js rule: after assigning entry `next−1`, grow when
+    * `next + earlyChange ≥ 2^width`). The GIF codec in ops/Gif.scala is
+    * the LSB-first sibling; PDF's variant differs in bit order, fixed
+    * 8-bit roots, and the early-change schedule. Truncated input →
+    * partial output (the inflate posture); a corrupt code → null. */
+  private[graft] def lzwDecodeBytes(data: Array[Byte], earlyChange: Int): Array[Byte] = {
+    val Clear = 256
+    val Eod = 257
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4096)
+    val out = new java.io.ByteArrayOutputStream(math.min(data.length * 4, 1 << 16))
+    var codeSize = 9
+    var next = 258
+    var prev = -1
+    var oldFirst: Byte = 0
+    var bitBuf = 0L
+    var bitCnt = 0
+    var pos = 0
+    while (out.size < MaxInflate) {
+      while (bitCnt < codeSize && pos < data.length) {
+        bitBuf = (bitBuf << 8) | (data(pos) & 0xff); bitCnt += 8; pos += 1
+      }
+      if (bitCnt < codeSize) return out.toByteArray // truncated: lenient
+      val code = ((bitBuf >>> (bitCnt - codeSize)) & ((1L << codeSize) - 1)).toInt
+      bitCnt -= codeSize
+      if (code == Clear) { codeSize = 9; next = 258; prev = -1 }
+      else if (code == Eod) return out.toByteArray
+      else {
+        if (code > next || code == Eod || (code == next && prev < 0)) return null
+        var sp = 0
+        var c = code
+        if (code == next) { stack(sp) = oldFirst; sp += 1; c = prev } // KwKwK
+        while (c >= 258) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+        if (c >= 256) return null // a chain can only root in a literal byte
+        val first = c.toByte
+        oldFirst = first
+        out.write(first)
+        while (sp > 0) { sp -= 1; out.write(stack(sp)) }
+        if (prev >= 0 && next < 4096) {
+          prefix(next) = prev
+          suffix(next) = first
+          next += 1
+          if (next + earlyChange >= (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code
+      }
+    }
+    out.toByteArray
+  }
+
+  /** ASCII85Decode (Adobe base-85): whitespace ignored, `z` = four zero
+    * bytes, optional `<~` leader, `~` ends data, a final group of n
+    * chars yields n−1 bytes. Invalid chars → null. */
+  private[functions] def ascii85DecodeBytes(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 4 / 5 + 8)
+    def flush(tuple: Long, cnt: Int): Boolean = {
+      if (cnt == 0) return true
+      if (cnt == 1) return false // 1-char final group is invalid
+      var t = tuple
+      var k = cnt
+      while (k < 5) { t = t * 85 + 84; k += 1 } // pad with 'u'
+      var shift = 24
+      var w = 0
+      while (w < cnt - 1) { out.write(((t >>> shift) & 0xff).toInt); shift -= 8; w += 1 }
+      true
+    }
+    var tuple = 0L
+    var cnt = 0
+    var i = if (data.length >= 2 && data(0) == '<' && data(1) == '~') 2 else 0
+    while (i < data.length) {
+      val c = (data(i) & 0xff).toChar
+      if (c == '~') return if (flush(tuple, cnt)) out.toByteArray else null
+      else if (isWs(c)) ()
+      else if (c == 'z' && cnt == 0) { out.write(0); out.write(0); out.write(0); out.write(0) }
+      else if (c >= '!' && c <= 'u') {
+        tuple = tuple * 85 + (c - '!')
+        cnt += 1
+        if (cnt == 5) {
+          out.write(((tuple >>> 24) & 0xff).toInt); out.write(((tuple >>> 16) & 0xff).toInt)
+          out.write(((tuple >>> 8) & 0xff).toInt); out.write((tuple & 0xff).toInt)
+          tuple = 0; cnt = 0
+        }
+      } else return null
+      if (out.size > MaxInflate) return out.toByteArray
+      i += 1
+    }
+    if (flush(tuple, cnt)) out.toByteArray else null // missing ~>: lenient
+  }
+
+  /** ASCIIHexDecode: hex pairs, whitespace ignored, `>` ends, odd length
+    * zero-padded. Invalid chars → null. */
+  private[functions] def asciiHexDecodeBytes(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 4)
+    var hi = -1
+    var i = 0
+    while (i < data.length) {
+      val c = (data(i) & 0xff).toChar
+      if (c == '>') {
+        if (hi >= 0) out.write(hi << 4)
+        return out.toByteArray
+      } else if (!isWs(c)) {
+        val v = Character.digit(c, 16)
+        if (v < 0) return null
+        if (hi < 0) hi = v else { out.write((hi << 4) | v); hi = -1 }
+      }
+      i += 1
+    }
+    if (hi >= 0) out.write(hi << 4)
+    out.toByteArray
+  }
+
+  /** Stream payload → content-stream text, or null when invisible (no
+    * stream, an unsupported filter in the chain, corrupt data). Filters
+    * apply in declared order (`/Filter [/ASCII85Decode /FlateDecode]`
+    * un-85s, then inflates). */
+  private[functions] def decodeStream(o: PObj): String = {
+    if (o.data == null) return null
+    val filters = filterNames(o.dict)
+    var data = o.data
+    filters.foreach { f =>
+      val next = f match {
+        case "FlateDecode" | "Fl" => inflateBytes(data)
+        case "LZWDecode" | "LZW" =>
+          lzwDecodeBytes(data, dictInt(o.dict, "EarlyChange").getOrElse(1))
+        case "ASCII85Decode" | "A85" => ascii85DecodeBytes(data)
+        case "ASCIIHexDecode" | "AHx" => asciiHexDecodeBytes(data)
+        case _ => null // DCT, JBIG2, Crypt, ... — invisible, not an error
+      }
+      if (next == null) return null
+      data = next
+    }
+    new String(data, Latin)
   }
 
   // ------------------------------------------------------- fonts / CMaps

@@ -505,7 +505,11 @@ class CompilerSpec extends SparkSpec {
            "source": {"ref": "j"}, $finish}""")
     assert(viaDefs(stage).collect().toSeq == inlined.collect().toSeq)
     // cache: true plans an InMemoryRelation for BOTH consumers — the
-    // stage is materialized once, not recomputed per mention
+    // stage is materialized once, not recomputed per mention. Clear any
+    // cache residue earlier suites left so the emptiness assertions
+    // below see only THIS compile's entries.
+    spark.catalog.clearCache()
+    Compiler.releaseAllCaches()
     val cached = viaDefs(stage.replace(""""id": "tot",""",
       """"id": "tot", "cache": true,"""))
     assert(cached.collect().toSeq == inlined.collect().toSeq)

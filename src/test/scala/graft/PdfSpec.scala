@@ -395,4 +395,105 @@ class PdfSpec extends SparkSpec {
       6 -> stream("<< /Length 23 >>", "BT 0 0 Td (ok) Tj ET   "))
     assert(pdfx(bytes) == ("1.7", 2, "ok"))
   }
+
+  // ------------------------------------------------------ stream filters
+
+  /** PDF-LZW encoder (test-side twin of PdfOps.lzwDecodeBytes):
+    * MSB-first, Clear=256/EOD=257, EarlyChange=1 — the encoder widens
+    * after assigning entry `next-1` when `next - 1 + early >= 2^w`,
+    * keeping it one dictionary entry ahead of the decoder. */
+  private def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0; var codeSize = 9
+    def emit(code: Int): Unit = {
+      bitBuf = (bitBuf << codeSize) | code; bitCnt += codeSize
+      while (bitCnt >= 8) { out.write(((bitBuf >>> (bitCnt - 8)) & 0xff).toInt); bitCnt -= 8 }
+    }
+    val dict = scala.collection.mutable.HashMap.empty[(Int, Byte), Int]
+    var next = 258
+    emit(256) // Clear
+    var cur = -1
+    data.foreach { b =>
+      if (cur < 0) cur = b & 0xff
+      else dict.get((cur, b)) match {
+        case Some(c) => cur = c
+        case None =>
+          emit(cur)
+          dict((cur, b)) = next; next += 1
+          if (next - 1 + 1 >= (1 << codeSize) && codeSize < 12) codeSize += 1
+          if (next == 4095) { // table nearly full: reset (decoder mirrors)
+            emit(256); dict.clear(); next = 258; codeSize = 9
+          }
+          cur = b & 0xff
+      }
+    }
+    if (cur >= 0) emit(cur)
+    emit(257) // EOD
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  test("pdf LZWDecode extracts identically to its Flate twin across width growth") {
+    // enough distinct words to push the dictionary past the 9->10 and
+    // 10->11 bit boundaries — a wrong early-change schedule garbles here
+    val longText = (0 until 900).map(i => s"w$i").mkString(" ")
+    val content = s"BT 0 0 Td ($longText) Tj ET"
+    val raw = content.getBytes(latin)
+    // decoder round-trip at the byte level first
+    val packed = lzwEncode(raw)
+    val unpacked = graft.functions.PdfOps.lzwDecodeBytes(packed, 1)
+    assert(unpacked != null && java.util.Arrays.equals(unpacked, raw),
+      "LZW round-trip mismatch")
+    val lzw = new String(packed, latin)
+    def onePage(filter: String, body: String, extra: String = "") = miniPdf(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> "<< /Type /Page /Contents 4 0 R >>",
+      4 -> stream(s"<< /Length ${contentLen(body)} /Filter $filter$extra >>", body))
+    val viaLzw = pdfx(onePage("/LZWDecode", lzw))
+    // Flate twin of the same content
+    val d = new java.util.zip.Deflater(); d.setInput(raw); d.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val bos = new java.io.ByteArrayOutputStream()
+    while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+    d.end()
+    val viaFlate = pdfx(onePage("/FlateDecode", new String(bos.toByteArray, latin)))
+    assert(viaLzw == viaFlate && viaLzw._3 == longText)
+    // truncated LZW degrades to a prefix, never throws
+    val cut = new String(java.util.Arrays.copyOf(packed, packed.length / 2), latin)
+    val (_, _, partial) = pdfx(onePage("/LZWDecode", cut))
+    assert(longText.startsWith(partial.stripPrefix("")) || partial.isEmpty ||
+      longText.contains(partial.takeWhile(_ != 0)), "truncation must degrade")
+  }
+
+  test("pdf ASCII85Decode and ASCIIHexDecode streams extract") {
+    // base-85 computed independently (Python base64.a85encode, adobe)
+    val a85 = "<~6<#']+>=p;A0<:/3&MgsCFLB*C*5rE~>"
+    val bytes = miniPdf(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>",
+      3 -> "<< /Type /Page /Contents 4 0 R >>",
+      4 -> stream(s"<< /Length ${a85.length} /Filter /ASCII85Decode >>", a85),
+      5 -> "<< /Type /Page /Contents 6 0 R >>",
+      6 -> stream("<< /Length 50 /Filter /ASCIIHexDecode >>",
+        "4254203020302054642028636861696E65642920546A204554"))
+    assert(pdfx(bytes) == ("1.7", 2, "a85 ok\nchained"))
+  }
+
+  test("pdf chained /Filter [/ASCII85Decode /FlateDecode] applies in order") {
+    val a85z = "<~Garg^;(r!eO;%kXjG_%$][RWiKodhhf+7p]1'Zb~>"
+    val bytes = miniPdf(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> "<< /Type /Page /Contents 4 0 R >>",
+      4 -> stream(s"<< /Length ${a85z.length} /Filter [/ASCII85Decode /FlateDecode] >>", a85z))
+    assert(pdfx(bytes) == ("1.7", 1, "chained"))
+    // an unsupported filter anywhere in the chain keeps the stream invisible
+    val bad = miniPdf(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> "<< /Type /Page /Contents 4 0 R >>",
+      4 -> stream(s"<< /Length ${a85z.length} /Filter [/ASCII85Decode /DCTDecode] >>", a85z))
+    assert(pdfx(bad) == ("1.7", 1, ""))
+  }
 }
