@@ -4,10 +4,12 @@ package graft.ops
   * columns) — the dominant real-corpus image format through the same
   * decode seam as BMP/PNG, with zero native libraries:
   *
-  *   - decoder: baseline DCT (SOF0), 8-bit, Huffman, grayscale and YCbCr
-  *     with any sampling factors up to 2×2 (4:4:4, 4:2:2, 4:2:0),
-  *     restart markers honored. Progressive (SOF2) / arithmetic coding /
-  *     12-bit throw with a clear message.
+  *   - decoder: baseline DCT (SOF0) AND progressive DCT (SOF2 — spectral
+  *     selection + successive approximation, DC/AC first + refinement
+  *     scans, EOB-run coding, per-scan DHT redefinition), 8-bit, Huffman,
+  *     grayscale and YCbCr with any sampling factors up to 2×2 (4:4:4,
+  *     4:2:2, 4:2:0), restart markers honored. Arithmetic coding /
+  *     hierarchical / 12-bit throw with a clear message.
   *   - encoder: 4:4:4 / grayscale, standard Annex-K quantization +
   *     Huffman tables scaled by `quality` — used by fixtures and the
   *     resize path; output opens in any viewer.
@@ -195,6 +197,88 @@ object Jpeg {
   private final case class Comp(id: Int, h: Int, v: Int, tq: Int,
       var td: Int = 0, var ta: Int = 0, var w: Int = 0, var hh: Int = 0)
 
+  /** Canonical huffman lookup F.2.2.3 (shared by the baseline and
+    * progressive entropy decoders). */
+  private def huffDecode(br: BitReader, t: HuffDec): Int = {
+    var ln = 0
+    var code = 0
+    while (ln < 16) {
+      code = (code << 1) | br.bit()
+      ln += 1
+      // canonical ranges are disjoint per length; maxcode = -1 ⇒ skip
+      if (code <= t.maxcode(ln) && code >= t.mincode(ln))
+        return t.values(t.valptr(ln) + code - t.mincode(ln))
+    }
+    throw new IllegalArgumentException("bad huffman code in entropy data")
+  }
+
+  private def extendV(v: Int, cat: Int): Int =
+    if (v >= (1 << (cat - 1))) v else v - (1 << cat) + 1
+
+  /** IDCT one dequantized block (natural order) into a plane at (ox,oy) —
+    * identical loop structure + rounding as tools/jpeg_ref.py idct. */
+  private def idctToPlane(coef: Array[Double], plane: Array[Byte], pw: Int,
+      ox: Int, oy: Int): Unit = {
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) {
+          var r = 0.0
+          var u = 0
+          while (u < 8) { r += coef(v * 8 + u) * basis(u * 8 + x); u += 1 }
+          s += r * basis(v * 8 + y)
+          v += 1
+        }
+        plane((oy + y) * pw + ox + x) =
+          clamp255(Math.floor(s + 128.5).toInt).toByte
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Upsample + color-convert decoded component planes to top-down RGB
+    * (grayscale replicated) — shared by baseline and progressive paths. */
+  private def assembleRgb(comps: Array[Comp], planes: Array[Array[Byte]],
+      width: Int, height: Int, hmax: Int, vmax: Int): Codecs.Image = {
+    val rgb = new Array[Byte](width * height * 3)
+    if (comps.length == 1) {
+      val c = comps(0)
+      var i = 0
+      while (i < height) {
+        var j = 0
+        while (j < width) {
+          val v = planes(0)(i * c.w + j)
+          val o = 3 * (i * width + j)
+          rgb(o) = v; rgb(o + 1) = v; rgb(o + 2) = v
+          j += 1
+        }
+        i += 1
+      }
+    } else {
+      val (c0, c1, c2) = (comps(0), comps(1), comps(2))
+      var i = 0
+      while (i < height) {
+        var j = 0
+        while (j < width) {
+          val yv = planes(0)((i * c0.v / vmax) * c0.w + (j * c0.h / hmax)) & 0xff
+          val cb = planes(1)((i * c1.v / vmax) * c1.w + (j * c1.h / hmax)) & 0xff
+          val cr = planes(2)((i * c2.v / vmax) * c2.w + (j * c2.h / hmax)) & 0xff
+          val o = 3 * (i * width + j)
+          rgb(o) = clamp255(r05(yv + 1.402 * (cr - 128))).toByte
+          rgb(o + 1) = clamp255(r05(yv - 0.344136286 * (cb - 128) - 0.714136286 * (cr - 128))).toByte
+          rgb(o + 2) = clamp255(r05(yv + 1.772 * (cb - 128))).toByte
+          j += 1
+        }
+        i += 1
+      }
+    }
+    Codecs.Image(width, height, rgb)
+  }
+
   /** Decode a baseline JPEG into top-down RGB (grayscale replicated). */
   def decode(bytes: Array[Byte]): Codecs.Image = {
     require(isJpeg(bytes), "not a JPEG payload")
@@ -212,8 +296,7 @@ object Jpeg {
       pos += 2
       marker match {
         case 0xd9 => throw new IllegalArgumentException("EOI before scan data")
-        case 0xc2 => throw new IllegalArgumentException(
-          "progressive JPEG (SOF2) not supported — baseline (SOF0) only")
+        case 0xc2 => return decodeProgressive(bytes)
         case m if m == 0xc1 || m == 0xc3 || (m >= 0xc5 && m <= 0xc7) ||
             (m >= 0xc9 && m <= 0xcb) || (m >= 0xcd && m <= 0xcf) =>
           throw new IllegalArgumentException(
@@ -299,20 +382,8 @@ object Jpeg {
     }
     val br = new BitReader(bytes, scanStart)
 
-    def huff(t: HuffDec): Int = {
-      var ln = 0
-      var code = 0
-      while (ln < 16) {
-        code = (code << 1) | br.bit()
-        ln += 1
-        // canonical ranges are disjoint per length; maxcode = -1 ⇒ skip
-        if (code <= t.maxcode(ln) && code >= t.mincode(ln))
-          return t.values(t.valptr(ln) + code - t.mincode(ln))
-      }
-      throw new IllegalArgumentException("bad huffman code in entropy data")
-    }
-    def extend(v: Int, cat: Int): Int =
-      if (v >= (1 << (cat - 1))) v else v - (1 << cat) + 1
+    def huff(t: HuffDec): Int = huffDecode(br, t)
+    def extend(v: Int, cat: Int): Int = extendV(v, cat)
 
     val preds = new Array[Int](comps.length)
     val coef = new Array[Double](64)
@@ -367,29 +438,7 @@ object Jpeg {
               require(q != null, s"missing quant table ${c.tq}")
               var k = 0
               while (k < 64) { coef(zigzag(k)) = (zz(k) * q(zigzag(k))).toDouble; k += 1 }
-              // IDCT — identical loop structure + rounding as jpeg_ref.idct
-              val plane = planes(ci)
-              val ox = (mx * c.h + bh) * 8
-              val oy = (my * c.v + bv) * 8
-              var y = 0
-              while (y < 8) {
-                var x = 0
-                while (x < 8) {
-                  var s = 0.0
-                  var v = 0
-                  while (v < 8) {
-                    var r = 0.0
-                    var u = 0
-                    while (u < 8) { r += coef(v * 8 + u) * basis(u * 8 + x); u += 1 }
-                    s += r * basis(v * 8 + y)
-                    v += 1
-                  }
-                  plane((oy + y) * c.w + ox + x) =
-                    clamp255(Math.floor(s + 128.5).toInt).toByte
-                  x += 1
-                }
-                y += 1
-              }
+              idctToPlane(coef, planes(ci), c.w, (mx * c.h + bh) * 8, (my * c.v + bv) * 8)
               bh += 1
             }
             bv += 1
@@ -402,39 +451,327 @@ object Jpeg {
       my += 1
     }
 
-    val rgb = new Array[Byte](width * height * 3)
-    if (comps.length == 1) {
-      val c = comps(0)
-      var i = 0
-      while (i < height) {
-        var j = 0
-        while (j < width) {
-          val v = planes(0)(i * c.w + j)
-          val o = 3 * (i * width + j)
-          rgb(o) = v; rgb(o + 1) = v; rgb(o + 2) = v
-          j += 1
+    assembleRgb(comps, planes, width, height, hmax, vmax)
+  }
+
+  /** Decode a progressive JPEG (SOF2, spec Annex G): coefficients
+    * accumulate across spectral-selection / successive-approximation
+    * scans — DC first + bit-refinement, AC first + refinement with
+    * EOB-run coding — then one shared dequantize + IDCT + upsample pass
+    * produces pixels. DHT/DQT segments between scans are honored (table
+    * redefinition is routine in progressive streams); restart markers
+    * reset DC predictors and the pending EOB run. */
+  private def decodeProgressive(bytes: Array[Byte]): Codecs.Image = {
+    var pos = 2
+    val qtabs = new Array[Array[Int]](4)
+    val htabs = new Array[HuffDec](8)
+    var comps: Array[Comp] = null
+    var width = 0
+    var height = 0
+    var restartInterval = 0
+    var hmax = 1
+    var vmax = 1
+    var mcux = 0
+    var mcuy = 0
+    // per component: (mcux·h)·(mcuy·v) blocks × 64 coefficients, natural order
+    var coefs: Array[Array[Int]] = null
+    var sawScan = false
+    var done = false
+    while (!done) {
+      require((bytes(pos) & 0xff) == 0xff, f"expected marker at $pos")
+      val marker = bytes(pos + 1) & 0xff
+      pos += 2
+      if (marker == 0xd9) done = true
+      else if (marker >= 0xd0 && marker <= 0xd7) () // stray RST between scans
+      else {
+        val ln = ((bytes(pos) & 0xff) << 8) | (bytes(pos + 1) & 0xff)
+        val seg = pos + 2
+        marker match {
+          case 0xdb =>
+            var p = seg
+            while (p < pos + ln) {
+              require((bytes(p) >> 4) == 0, "only 8-bit quant tables supported")
+              val tid = bytes(p) & 0x0f
+              val tab = new Array[Int](64)
+              var i = 0
+              while (i < 64) { tab(zigzag(i)) = bytes(p + 1 + i) & 0xff; i += 1 }
+              qtabs(tid) = tab
+              p += 65
+            }
+          case 0xc4 =>
+            var p = seg
+            while (p < pos + ln) {
+              val tc = (bytes(p) & 0xff) >> 4
+              val th = bytes(p) & 0x0f
+              require(tc <= 1 && th <= 3, s"bad DHT class/id $tc/$th")
+              val bits = Array.tabulate(16)(i => bytes(p + 1 + i) & 0xff)
+              val nv = bits.sum
+              val values = Array.tabulate(nv)(i => bytes(p + 17 + i) & 0xff)
+              htabs(tc * 4 + th) = buildDecode(bits, values)
+              p += 17 + nv
+            }
+          case 0xc2 =>
+            require(comps == null, "multiple SOF segments")
+            require((bytes(seg) & 0xff) == 8, "only 8-bit precision supported")
+            height = ((bytes(seg + 1) & 0xff) << 8) | (bytes(seg + 2) & 0xff)
+            width = ((bytes(seg + 3) & 0xff) << 8) | (bytes(seg + 4) & 0xff)
+            val nc = bytes(seg + 5) & 0xff
+            require(nc == 1 || nc == 3, s"unsupported component count $nc")
+            comps = Array.tabulate(nc) { c =>
+              val samp = bytes(seg + 7 + 3 * c) & 0xff
+              val comp = Comp(bytes(seg + 6 + 3 * c) & 0xff,
+                samp >> 4, samp & 0x0f, bytes(seg + 8 + 3 * c) & 0xff)
+              require(comp.h >= 1 && comp.h <= 2 && comp.v >= 1 && comp.v <= 2,
+                s"unsupported sampling ${comp.h}x${comp.v} (1-2 only)")
+              comp
+            }
+            hmax = comps.map(_.h).max
+            vmax = comps.map(_.v).max
+            mcux = (width + 8 * hmax - 1) / (8 * hmax)
+            mcuy = (height + 8 * vmax - 1) / (8 * vmax)
+            coefs = comps.map(c => new Array[Int](mcux * c.h * mcuy * c.v * 64))
+          case 0xdd =>
+            restartInterval = ((bytes(seg) & 0xff) << 8) | (bytes(seg + 1) & 0xff)
+          case 0xda =>
+            require(comps != null, "SOS before SOF2")
+            val ns = bytes(seg) & 0xff
+            val scanComps = Array.tabulate(ns) { c =>
+              val cid = bytes(seg + 1 + 2 * c) & 0xff
+              val tabs = bytes(seg + 2 + 2 * c) & 0xff
+              val idx = comps.indexWhere(_.id == cid)
+              require(idx >= 0, s"scan references unknown component $cid")
+              comps(idx).td = tabs >> 4
+              comps(idx).ta = tabs & 0x0f
+              idx
+            }
+            val ss = bytes(seg + 1 + 2 * ns) & 0xff
+            val se = bytes(seg + 2 + 2 * ns) & 0xff
+            val ahal = bytes(seg + 3 + 2 * ns) & 0xff
+            pos = decodeProgScan(bytes, pos + ln, comps, scanComps, coefs,
+              htabs, mcux, mcuy, hmax, vmax, width, height, restartInterval,
+              ss, se, ahal >> 4, ahal & 0x0f)
+            sawScan = true
+          case m if m == 0xc0 || m == 0xc1 || m == 0xc3 ||
+              (m >= 0xc5 && m <= 0xc7) || (m >= 0xc9 && m <= 0xcb) ||
+              (m >= 0xcd && m <= 0xcf) =>
+            throw new IllegalArgumentException(
+              f"unexpected second frame marker 0xff$m%02x in progressive stream")
+          case _ => () // APPn / COM skipped
         }
-        i += 1
-      }
-    } else {
-      val (c0, c1, c2) = (comps(0), comps(1), comps(2))
-      var i = 0
-      while (i < height) {
-        var j = 0
-        while (j < width) {
-          val yv = planes(0)((i * c0.v / vmax) * c0.w + (j * c0.h / hmax)) & 0xff
-          val cb = planes(1)((i * c1.v / vmax) * c1.w + (j * c1.h / hmax)) & 0xff
-          val cr = planes(2)((i * c2.v / vmax) * c2.w + (j * c2.h / hmax)) & 0xff
-          val o = 3 * (i * width + j)
-          rgb(o) = clamp255(r05(yv + 1.402 * (cr - 128))).toByte
-          rgb(o + 1) = clamp255(r05(yv - 0.344136286 * (cb - 128) - 0.714136286 * (cr - 128))).toByte
-          rgb(o + 2) = clamp255(r05(yv + 1.772 * (cb - 128))).toByte
-          j += 1
-        }
-        i += 1
+        if (marker != 0xda) pos += ln
       }
     }
-    Codecs.Image(width, height, rgb)
+    require(comps != null && sawScan, "missing SOF2/scan data")
+
+    val planes = comps.map { c =>
+      c.w = mcux * 8 * c.h
+      c.hh = mcuy * 8 * c.v
+      new Array[Byte](c.w * c.hh)
+    }
+    val coefD = new Array[Double](64)
+    var ci = 0
+    while (ci < comps.length) {
+      val c = comps(ci)
+      val q = qtabs(c.tq)
+      require(q != null, s"missing quant table ${c.tq}")
+      val bw = mcux * c.h
+      val bh = mcuy * c.v
+      val cc = coefs(ci)
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bw) {
+          val off = (by * bw + bx) * 64
+          var k = 0
+          while (k < 64) { coefD(k) = (cc(off + k) * q(k)).toDouble; k += 1 }
+          idctToPlane(coefD, planes(ci), c.w, bx * 8, by * 8)
+          bx += 1
+        }
+        by += 1
+      }
+      ci += 1
+    }
+    assembleRgb(comps, planes, width, height, hmax, vmax)
+  }
+
+  /** Decode one progressive scan's entropy data; returns the position of
+    * the marker following the scan. Algorithms per spec G.1.2: DC uses
+    * two's-complement accumulate + bit-OR refinement; AC uses
+    * sign-magnitude point transform with EOB-run coding. */
+  private def decodeProgScan(bytes: Array[Byte], start: Int,
+      comps: Array[Comp], scanComps: Array[Int], coefs: Array[Array[Int]],
+      htabs: Array[HuffDec], mcux: Int, mcuy: Int, hmax: Int, vmax: Int,
+      width: Int, height: Int, restartInterval: Int,
+      ss: Int, se: Int, ah: Int, al: Int): Int = {
+    require(ss <= 63 && se <= 63 && ss <= se, s"bad spectral band $ss..$se")
+    if (ss == 0) require(se == 0, "progressive DC scan must have Se=0 (G.1.1.1.1)")
+    else require(scanComps.length == 1, "progressive AC scans are single-component")
+    val br = new BitReader(bytes, start)
+    var eobrun = 0
+    val preds = new Array[Int](comps.length)
+
+    def refine(coef: Array[Int], idx: Int, p1: Int, m1: Int): Unit =
+      if (br.bit() == 1 && (coef(idx) & p1) == 0)
+        coef(idx) += (if (coef(idx) >= 0) p1 else m1)
+
+    def acFirst(coef: Array[Int], off: Int, t: HuffDec): Unit = {
+      if (eobrun > 0) { eobrun -= 1; return }
+      var k = ss
+      while (k <= se) {
+        val rs = huffDecode(br, t)
+        val r = rs >> 4
+        val s = rs & 0x0f
+        if (s == 0) {
+          if (r == 15) k += 16 // ZRL
+          else {
+            // EOBn: count EXCLUDES the current block (it ends here)
+            eobrun = (1 << r) - 1 + (if (r > 0) br.bits(r) else 0)
+            k = 64
+          }
+        } else {
+          k += r
+          require(k <= se, "AC coefficient run past band end")
+          coef(off + zigzag(k)) = extendV(br.bits(s), s) << al
+          k += 1
+        }
+      }
+    }
+
+    def acRefine(coef: Array[Int], off: Int, t: HuffDec): Unit = {
+      val p1 = 1 << al
+      val m1 = -(1 << al)
+      var k = ss
+      if (eobrun == 0) {
+        var atEob = false
+        while (k <= se && !atEob) {
+          val rs = huffDecode(br, t)
+          var r = rs >> 4
+          val s = rs & 0x0f
+          var newval = 0
+          if (s == 0) {
+            if (r != 15) {
+              // EOBn in refinement: count INCLUDES the current block —
+              // its tail correction bits are read in the eobrun block below
+              eobrun = (1 << r) + (if (r > 0) br.bits(r) else 0)
+              atEob = true
+            }
+            // r == 15 → ZRL: skip 16 zero-history positions below
+          } else {
+            require(s == 1, "AC refinement magnitude must be 1 (G.1.2.3)")
+            newval = if (br.bit() == 1) p1 else m1
+          }
+          if (!atEob) {
+            // walk forward: nonzero-history coefficients read a correction
+            // bit (and don't count against r); the (r+1)th zero-history
+            // position receives the newly-nonzero value (ZRL: 16 skips)
+            var placed = false
+            while (k <= se && !placed) {
+              val idx = off + zigzag(k)
+              if (coef(idx) != 0) refine(coef, idx, p1, m1)
+              else if (r == 0) {
+                if (s != 0) coef(idx) = newval
+                placed = true
+              } else r -= 1
+              k += 1
+            }
+          }
+        }
+      }
+      if (eobrun > 0) {
+        // rest of the band: correction bits for nonzero-history coefficients
+        while (k <= se) {
+          val idx = off + zigzag(k)
+          if (coef(idx) != 0) refine(coef, idx, p1, m1)
+          k += 1
+        }
+        eobrun -= 1
+      }
+    }
+
+    // decode one 8x8 data unit of component ci at block coords (bx, by)
+    def unit(ci: Int, bx: Int, by: Int): Unit = {
+      val c = comps(ci)
+      val off = (by * (mcux * c.h) + bx) * 64
+      val coef = coefs(ci)
+      if (ss == 0) {
+        if (ah == 0) {
+          val t = htabs(c.td)
+          require(t != null, s"missing DC table ${c.td}")
+          val cat = huffDecode(br, t)
+          val diff = if (cat == 0) 0 else extendV(br.bits(cat), cat)
+          preds(ci) += diff
+          coef(off) = preds(ci) << al
+        } else if (br.bit() == 1) coef(off) = coef(off) | (1 << al)
+      } else {
+        val t = htabs(4 + c.ta)
+        require(t != null, s"missing AC table ${c.ta}")
+        if (ah == 0) acFirst(coef, off, t) else acRefine(coef, off, t)
+      }
+    }
+
+    var unitsDone = 0
+    def maybeRestart(): Unit =
+      if (restartInterval > 0 && unitsDone > 0 && unitsDone % restartInterval == 0) {
+        br.restart()
+        java.util.Arrays.fill(preds, 0)
+        eobrun = 0
+      }
+
+    if (scanComps.length > 1) {
+      // interleaved (DC scans only): h×v data units per component per MCU
+      var my = 0
+      while (my < mcuy) {
+        var mx = 0
+        while (mx < mcux) {
+          maybeRestart()
+          var sc = 0
+          while (sc < scanComps.length) {
+            val ci = scanComps(sc)
+            val c = comps(ci)
+            var bv = 0
+            while (bv < c.v) {
+              var bh = 0
+              while (bh < c.h) {
+                unit(ci, mx * c.h + bh, my * c.v + bv)
+                bh += 1
+              }
+              bv += 1
+            }
+            sc += 1
+          }
+          unitsDone += 1
+          mx += 1
+        }
+        my += 1
+      }
+    } else {
+      // non-interleaved: blocks of this component's OWN scaled dims in
+      // raster order (spec A.2.2) — can be fewer than the MCU-grid blocks
+      val ci = scanComps(0)
+      val c = comps(ci)
+      val cw = (width * c.h + hmax - 1) / hmax
+      val ch = (height * c.v + vmax - 1) / vmax
+      val nbw = (cw + 7) / 8
+      val nbh = (ch + 7) / 8
+      var by = 0
+      while (by < nbh) {
+        var bx = 0
+        while (bx < nbw) {
+          maybeRestart()
+          unit(ci, bx, by)
+          unitsDone += 1
+          bx += 1
+        }
+        by += 1
+      }
+    }
+
+    // skip pad bits / stuffing to the next true marker
+    var p = br.pos
+    while (p + 1 < bytes.length &&
+        !((bytes(p) & 0xff) == 0xff && (bytes(p + 1) & 0xff) != 0x00))
+      p += 1
+    p
   }
 
   // ---- encoder (4:4:4 / grayscale, fixture + resize path) ----------------

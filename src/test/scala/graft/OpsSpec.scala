@@ -813,14 +813,97 @@ class OpsSpec extends SparkSpec {
     patched(sof + 11) = 0x22.toByte
     assert(ops.Jpeg.decode(patched).rgb.toSeq == ops.Jpeg.decode(gj).rgb.toSeq,
       "declared 2x2 sampling on a 1-component image must decode identically")
-    // progressive (SOF2) is rejected by name, not mis-decoded
+    // a baseline stream whose SOF marker is merely re-labeled SOF2 is
+    // malformed progressive (its single scan declares Ss=0..Se=63) and
+    // must be rejected, not mis-decoded
     val prog = ops.Jpeg.encode(8, 8, g, quality = 95).clone()
-    // rewrite the SOF0 marker (0xff 0xc0) to SOF2 (0xff 0xc2)
     val sofAt = prog.indices.find(i =>
       (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
     prog(sofAt + 1) = 0xc2.toByte
     val err = intercept[IllegalArgumentException](ops.Jpeg.decode(prog))
-    assert(err.getMessage.contains("progressive"))
+    assert(err.getMessage.contains("Se=0"))
+  }
+
+  test("JPEG codec: progressive (SOF2) goldens decode byte-equal to their baseline twins") {
+    // Fixtures come from tools/jpeg_ref.py encode_progressive — the same
+    // fdct/quantization as its baseline encoder, re-laid-out as Annex-G
+    // scans (DC first Al=1 → banded AC first → DC refine → AC refine,
+    // per-scan generated DHTs). Identical quantized coefficients mean a
+    // correct progressive decode is BYTE-EQUAL to the baseline twin's
+    // python-decoded golden — any entropy-layer slip shows up as a
+    // coefficient diff, not a tolerance miss.
+    val b64 = java.util.Base64.getDecoder
+    // 11x6 color twin of the first baseline golden, with DRI=1 so every
+    // scan (DC first/refine, AC first/refine) crosses a restart marker
+    // (predictor + EOB-run reset paths).
+    val progColor = b64.decode(
+      "/9j/2wBDAAMCAgMCAgMDAwMEAwMEBQgFBQQEBQoHBwYIDAoMDAsKCwsNDhIQDQ4RDgsLEBYQ" +
+      "ERMUFRUVDA8XGBYUGBIUFRT/2wBDAQMEBAUEBQkFBQkUDQsNFBQUFBQUFBQUFBQUFBQUFBQU" +
+      "FBQUFBQUFBQUFBQUFBQUFBQUFBQUFBQUFBQUFBQUFBT/wgARCAAGAAsDAREAAhEBAxEB/90A" +
+      "BAAB/8QAHwAAAQUBAQEBAQEAAAAAAAAAAAECAwQFBgcICQoL/8QAHwEAAwEBAQEBAQEBAQAA" +
+      "AAAAAAECAwQFBgcICQoL/9oADAMBAAIQAxAAAAEy5//QzNsv/8QAGBAAAAUAAAAAAAAAAAAA" +
+      "AAAAAQMEBRL/2gAIAQEAAQUBUTKD/9B7d0TW5f/EACEQAAAADgAAAAAAAAAAAAAAAAABAgME" +
+      "ERIhIzFBQlFS/9oACAECAAE/ASyzaOUM0UUUNTFdixiJrQcx3EuKaD//0EURBRuAMZJIhlCU" +
+      "6hQxOm5zsCc6Qf/EACAQAAAADQAAAAAAAAAAAAAAAAABAgMEERIhMUFRcaH/2gAIAQMAAT8B" +
+      "ILNCJebWO9IwkMUoreIoUA//0CEk2bJESWYJKHUba8FCFgP/xAAiEAAAAA8AAAAAAAAAAAAA" +
+      "AAAAAQIDBAUREhMhIiMxMkL/2gAIAQEABj8BPEFGjRkkyZSTZZhH0YYLFHIJGMWBFXDQ+Shj" +
+      "E6SKYf/QOo6xKWJaaIRJRw4rzxJk0ceJEUItxg2FFCGIZUx1DKmPIf/aAAwDAQACEAMQAAAQ" +
+      "P//Qf//EABUQAAIAAAAAAAAAAAAAAAAAAAAB/9oACAEBAAEFEGP/AP/QH//EABgQAAAFAAAA" +
+      "AAAAAAAAAAAAAAERITGB/9oACAEBAAY/EBpviAaFiDbACCAP/9AnlCwAioqQD//EABgQAAAF" +
+      "AAAAAAAAAAAAAAAAAAABESEx/9oACAECAAE/EDSsmqjNCmqFMs1iM0FY/9BvoGAlklEhRkqi" +
+      "BCIRE//EABgQAAAFAAAAAAAAAAAAAAAAAAERITFB/9oACAEDAAE/EAwIDhiIjEIgIALQAQCU" +
+      "IBpj/9CSFhACNVbgEkAymJiP/9k=")
+    // same expected pixels as the baseline 11x6 golden in the test above
+    val goldenRgb = b64.decode(
+      "DC1QZoijy9n/ETVBYo+iyOH/FztdeIeuy+sEHzlUc5as1esEID9UfprCze4ALkxkd6S75ugA" +
+      "MFNxlZm+2/kfOlF9j6u33P0YOl9vlajg9AAYPmR5k7Pc2w8bPGeKg77G/hYwUmCNlbnR+g4y" +
+      "TGSSp8jX+RcvVGuNq8rmBRswYXGIpMbpACI2XoGhrtPmAS4raHSaq9T/Cy9FZoChudz8Ezk8" +
+      "eoS1v+T3FjpQeoS1xeoPJj9TcpOy0OoDMjZceJm4zuQAKUVs")
+    val pimg = ops.Jpeg.decode(progColor)
+    assert(pimg.width == 11 && pimg.height == 6)
+    assert(pimg.rgb.toSeq == goldenRgb.toSeq,
+      "progressive color decode differs from its baseline twin")
+    assert(ops.Codecs.parseMeta(progColor) == (("jpeg", 11, 6)))
+    // the stream really is multi-scan progressive with restarts
+    def countMarkers(d: Array[Byte], lo: Int, hi: Int): Int =
+      d.indices.dropRight(1).count(i => (d(i) & 0xff) == 0xff &&
+        (d(i + 1) & 0xff) >= lo && (d(i + 1) & 0xff) <= hi)
+    assert(countMarkers(progColor, 0xda, 0xda) == 10, "expected 10 SOS scans")
+    assert(countMarkers(progColor, 0xd0, 0xd7) > 0, "expected restart markers")
+
+    // 19x13 grayscale, restart-free so EOB runs span blocks; expected
+    // pixels are the python decode of its baseline twin
+    val progGray = b64.decode(
+      "/9j/2wBDAAUDBAQEAwUEBAQFBQUGBwwIBwcHBw8LCwkMEQ8SEhEPERETFhwXExQaFRERGCEY" +
+      "Gh0dHx8fExciJCIeJBweHx7/wgALCAANABMBAREA/8QAHwAAAQUBAQEBAQEAAAAAAAAAAAEC" +
+      "AwQFBgcICQoL/9oACAEBAAAAAcjT7+r4t3//xAAeEAAAAAsAAAAAAAAAAAAAAAAAAgMEBQYT" +
+      "FiIjMv/aAAgBAQABCAFf1fdpMCJIyVhKUgbpSQKBM0IJ5Cl0QkFYPCsIG54VYCh//8QAIxAA" +
+      "AAAAEAAAAAAAAAAAAAAAAAECAwQFEBESEyExQVFSYf/aAAgBAQAJPwEM8rSeOCgxIkIQcERx" +
+      "a6WoEcc5eCDCYPDFAFMACFhkckCQghSAUcKCODPCDCfCDCCDMaB//9oACAEBAAAAEDf/xAAU" +
+      "EAEAAAAAAAAAAAAAAAAAAAAg/9oACAEBAAEIEFF+/G5//8QAGxAAAAAIAAAAAAAAAAAAAAAA" +
+      "AAERITFBUZH/2gAIAQEACT8QT/8AkswFHEMYxBEGZAjCweAOdjR0QPmEFEMQxiIMQxFEMbFg" +
+      "N4P/2Q==")
+    val goldenGrayRgb = b64.decode(
+      "AwMDGhoaHBwcLi4uNTU1R0dHT09PYGBgbW1te3t7h4eHk5OToqKirq6uurq6yMjI1dXV4uLi" +
+      "7u7u/v7+BAQEGRkZHx8fLy8vRkZGSEhIWVlZY2NjcXFxfn5+ioqKmZmZpaWlsbGxv7+/zMzM" +
+      "2dnZ5eXl7OzsBAQEEhISEBAQLS0tMTExNzc3VlZWW1tbaWlpdXV1gYGBkJCQnJycqKiot7e3" +
+      "w8PD0NDQ3Nzc8/Pz7+/vDg4OFhYWHR0dKSkpQkJCPz8/UlJSYGBgbW1teXl5iIiIk5OToKCg" +
+      "rq6uurq6yMjI09PT4eHh5+fn+fn5DAwMDw8PISEhLCwsPT09SEhIVlZWY2Njbm5ufX19iYmJ" +
+      "lpaWpKSksLCwvr6+ycnJ3d3d5+fn+vr6/f39AwMDHh4eJSUlMzMzPz8/Tk5OWlpaZmZmdXV1" +
+      "gYGBjY2Nm5ubqKiotbW1wcHBzMzM2dnZ5eXl8vLyFRUVCgoKJycnIiIiNzc3RUVFUVFRXV1d" +
+      "bGxseHh4hYWFk5OTn5+frKysuLi4y8vL1NTU39/f8PDw9fX1AwMDFRUVJiYmLi4uPDw8SEhI" +
+      "VFRUY2Njb29ve3t7iYmJlpaWo6Ojr6+vwsLCxsbG29vb3Nzc+Pj4/v7+BQUFHBwcJSUlMzMz" +
+      "QEBATExMW1tbZ2dnc3NzgYGBjY2Nm5ubpqamra2txMTE1NTU1dXV39/f+Pj4BgYGDAwMHBwc" +
+      "KioqNzc3Q0NDUlJSXV1dampqeHh4hISEkpKSnZ2dqqqqvb29xcXF1NTU6enp6urq+fn5CwsL" +
+      "ExMTISEhLS0tOTk5SEhIVFRUYWFhb29ve3t7iIiIlJSUp6ensLCws7Oz0dHR0NDQ3t7e7+/v" +
+      "9PT0CgoKGBgYJCQkMDAwPz8/S0tLV1dXZWVlcnJyf39/i4uLlJSUoaGhvb29tLS02tra2dnZ" +
+      "5+fn+/v7AQEBDw8PHBwcKCgoNzc3Q0NDT09PXV1dampqd3d3g4OD")
+    val gimg2 = ops.Jpeg.decode(progGray)
+    assert(gimg2.width == 19 && gimg2.height == 13)
+    assert(gimg2.rgb.toSeq == goldenGrayRgb.toSeq,
+      "progressive grayscale decode differs from its baseline twin")
+    assert(countMarkers(progGray, 0xda, 0xda) == 6, "expected 6 SOS scans")
+    assert(countMarkers(progGray, 0xd0, 0xd7) == 0, "gray fixture is restart-free")
   }
 
   test("sniff_mime: magic dispatch, html/xml after whitespace, text heuristic, never throws") {

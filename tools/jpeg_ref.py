@@ -518,6 +518,307 @@ def decode(data):
     return width, height, bytes(rgb)
 
 
+# ---- progressive (SOF2) encoder — golden generation for the Scala -------
+# ---- decoder's Annex-G path. Entropy layout per spec G.1.2 (and the ------
+# ---- standard libjpeg-compatible bit ordering): DC first/refine, AC ------
+# ---- first/refine with EOB-run coding, optional restart intervals. -------
+# The quantized coefficients are computed by the SAME fdct/round path as
+# encode(), so a complete progressive decode must reproduce exactly the
+# pixels of the baseline encoding of the same image — that equality is the
+# Scala test's oracle.
+
+def quantize_blocks(width, height, planes, qtabs_per_comp):
+    """Per-component list of quantized 64-coef blocks (natural order),
+    8x8 raster order with edge replication — identical to encode()."""
+    nc = len(planes)
+    bw_, bh_ = (width + 7) // 8, (height + 7) // 8
+    out = [[] for _ in range(nc)]
+    for by in range(bh_):
+        for bx in range(bw_):
+            for c in range(nc):
+                block = [0.0] * 64
+                for yy in range(8):
+                    sy = min(by * 8 + yy, height - 1)
+                    for xx in range(8):
+                        sx = min(bx * 8 + xx, width - 1)
+                        block[yy * 8 + xx] = planes[c][sy * width + sx] - 128.0
+                coef = fdct(block)
+                q = [0] * 64
+                for i in range(64):
+                    x = coef[i] / qtabs_per_comp[c][i]
+                    q[i] = int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
+                out[c].append(q)
+    return out
+
+
+class ProgEmitter:
+    """Two-pass scan emitter: dry run (bw=None) collects the AC symbol
+    alphabet; real run writes bits with the supplied canonical codes."""
+
+    def __init__(self, bw=None, codes=None):
+        self.bw = bw
+        self.codes = codes
+        self.syms = set()
+        self.rst = 0
+
+    def symbol(self, s):
+        if self.bw is None:
+            self.syms.add(s)
+        else:
+            ln, code = self.codes[s]
+            self.bw.put(code, ln)
+
+    def rawbits(self, v, n):
+        if self.bw is not None and n > 0:
+            self.bw.put(v, n)
+
+    def restart(self):
+        if self.bw is not None:
+            self.bw.flush()
+            self.bw.out.append(0xFF)
+            self.bw.out.append(0xD0 + self.rst)
+        self.rst = (self.rst + 1) & 7
+
+
+def custom_table(syms):
+    """Canonical huffman table with every symbol at one code length L,
+    2^L >= n+1 so the all-ones code stays unused (spec C.2)."""
+    vals = sorted(syms)
+    n = len(vals)
+    L = 1
+    while (1 << L) < n + 1:
+        L += 1
+    bits = [0] * 16
+    bits[L - 1] = n
+    return bits, vals
+
+
+def ac_first_scan(em, blocks, ss, se, al, dri):
+    eob = [0]
+
+    def flush_eob():
+        if eob[0] > 0:
+            r = eob[0].bit_length() - 1
+            em.symbol(r << 4)
+            em.rawbits(eob[0] - (1 << r), r)
+            eob[0] = 0
+
+    for i, q in enumerate(blocks):
+        if dri and i > 0 and i % dri == 0:
+            flush_eob()
+            em.restart()
+        vals = [abs(q[ZIGZAG[k]]) >> al for k in range(ss, se + 1)]
+        kend = -1
+        for j, v in enumerate(vals):
+            if v:
+                kend = j
+        if kend < 0:
+            eob[0] += 1
+            if eob[0] == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        run = 0
+        for j in range(kend + 1):
+            v = vals[j]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                em.symbol(0xF0)
+                run -= 16
+            cat = category(v)
+            em.symbol((run << 4) | cat)
+            sv = v if q[ZIGZAG[ss + j]] >= 0 else -v
+            em.rawbits(sv if sv >= 0 else sv + (1 << cat) - 1, cat)
+            run = 0
+        if kend < se - ss:
+            eob[0] += 1
+            if eob[0] == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def ac_refine_scan(em, blocks, ss, se, al, dri):
+    # Ah is al+1 by construction; history = absv >> 1, so absv==1 means
+    # newly nonzero at this precision and absv>1 means correction bit.
+    eob = [0]
+    be_bits = []
+
+    def flush_eob():
+        if eob[0] > 0:
+            r = eob[0].bit_length() - 1
+            em.symbol(r << 4)
+            em.rawbits(eob[0] - (1 << r), r)
+            for b in be_bits:
+                em.rawbits(b, 1)
+            eob[0] = 0
+            be_bits.clear()
+
+    for i, q in enumerate(blocks):
+        if dri and i > 0 and i % dri == 0:
+            flush_eob()
+            em.restart()
+        absv = [abs(q[ZIGZAG[k]]) >> al for k in range(ss, se + 1)]
+        eobidx = -1
+        for j, v in enumerate(absv):
+            if v == 1:
+                eobidx = j
+        run = 0
+        br_bits = []
+        for j, v in enumerate(absv):
+            if v == 0:
+                run += 1
+                continue
+            # fold trailing ZRLs into the EOB run (libjpeg-compatible)
+            while run > 15 and j <= eobidx:
+                flush_eob()
+                em.symbol(0xF0)
+                for b in br_bits:
+                    em.rawbits(b, 1)
+                br_bits = []
+                run -= 16
+            if v > 1:
+                br_bits.append(v & 1)
+                continue
+            flush_eob()
+            em.symbol((run << 4) | 1)
+            em.rawbits(1 if q[ZIGZAG[ss + j]] >= 0 else 0, 1)
+            for b in br_bits:
+                em.rawbits(b, 1)
+            br_bits = []
+            run = 0
+        if run > 0 or br_bits:
+            eob[0] += 1
+            be_bits.extend(br_bits)
+            if eob[0] == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def encode_progressive(width, height, pixels, quality=90, dri=0):
+    """Progressive 4:4:4 (w*h*3 RGB) or grayscale (w*h) encoder. Scan
+    script: DC first (Al=1, interleaved) → per-component banded AC first
+    (Al=1) → DC refine → per-component AC refine, each AC scan with its
+    own generated canonical DHT in slot (1,0)."""
+    gray = len(pixels) == width * height
+    ql = scale_q(QL, quality)
+    qc = scale_q(QC, quality)
+    nc = 1 if gray else 3
+    if gray:
+        planes = [[float(pixels[i]) for i in range(width * height)]]
+    else:
+        y_, cb, cr = [], [], []
+        for i in range(width * height):
+            r, g, b = pixels[3 * i], pixels[3 * i + 1], pixels[3 * i + 2]
+            def cl(v):
+                p = int(math.floor(v + 0.5))
+                return 0 if p < 0 else (255 if p > 255 else p)
+            y_.append(float(cl(0.299 * r + 0.587 * g + 0.114 * b)))
+            cb.append(float(cl(128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b)))
+            cr.append(float(cl(128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b)))
+        planes = [y_, cb, cr]
+    qtabs = [ql] + [qc] * (nc - 1)
+    blocks = quantize_blocks(width, height, planes, qtabs)
+    bw_ = (width + 7) // 8
+
+    out = bytearray(b"\xff\xd8")
+
+    def dqt(tid, tab):
+        zz = bytes(tab[ZIGZAG[i]] for i in range(64))
+        out.extend(b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([tid]) + zz)
+
+    dqt(0, ql)
+    if not gray:
+        dqt(1, qc)
+    sof = bytearray((8 + 3 * nc).to_bytes(2, "big") + b"\x08")
+    sof += height.to_bytes(2, "big") + width.to_bytes(2, "big") + bytes([nc])
+    for c in range(nc):
+        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+    out.extend(b"\xff\xc2" + sof)  # SOF2
+
+    def dht(cls, tid, bits, values):
+        data = bytes([cls << 4 | tid]) + bytes(bits) + bytes(values)
+        out.extend(b"\xff\xc4" + (2 + len(data)).to_bytes(2, "big") + data)
+
+    if dri:
+        out.extend(b"\xff\xdd" + (4).to_bytes(2, "big") + dri.to_bytes(2, "big"))
+
+    def sos_header(comp_tabs, ss, se, ah, al):
+        ns = len(comp_tabs)
+        hdr = bytearray((6 + 2 * ns).to_bytes(2, "big") + bytes([ns]))
+        for cid, tabs in comp_tabs:
+            hdr += bytes([cid, tabs])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        out.extend(b"\xff\xda" + hdr)
+
+    def dc_scan(ah, al):
+        # interleaved over all components (4:4:4 → 1 block each per MCU)
+        if ah == 0:
+            dht(0, 0, *DC_L)
+            if not gray:
+                dht(0, 1, *DC_C)
+        sos_header([(c + 1, (0 if c == 0 else 1) << 4) for c in range(nc)],
+                   0, 0, ah, al)
+        bw = BitWriter()
+        em = ProgEmitter(bw, None)
+        dc_codes = [canonical_codes(*DC_L)] + [canonical_codes(*DC_C)] * (nc - 1)
+        preds = [0] * nc
+        nblocks = len(blocks[0])
+        for i in range(nblocks):
+            if dri and i > 0 and i % dri == 0:
+                em.restart()
+                preds = [0] * nc
+            for c in range(nc):
+                q0 = blocks[c][i][0]
+                if ah == 0:
+                    dcval = q0 >> al  # arithmetic shift (python / scala agree)
+                    diff = dcval - preds[c]
+                    preds[c] = dcval
+                    cat = category(diff)
+                    ln, code = dc_codes[c][cat]
+                    bw.put(code, ln)
+                    if cat:
+                        bw.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+                else:
+                    bw.put((q0 >> al) & 1, 1)
+        bw.flush()
+        out.extend(bw.out)
+
+    def ac_scan(comp, ss, se, ah, al):
+        scan_fn = ac_first_scan if ah == 0 else ac_refine_scan
+        dry = ProgEmitter()
+        scan_fn(dry, blocks[comp], ss, se, al, dri)
+        bits, vals = custom_table(dry.syms if dry.syms else {0x00})
+        dht(1, 0, bits, vals)
+        sos_header([(comp + 1, 0x00)], ss, se, ah, al)
+        bw = BitWriter()
+        em = ProgEmitter(bw, canonical_codes(bits, vals))
+        scan_fn(em, blocks[comp], ss, se, al, dri)
+        bw.flush()
+        out.extend(bw.out)
+
+    dc_scan(0, 1)
+    if gray:
+        ac_scan(0, 1, 8, 0, 1)
+        ac_scan(0, 9, 63, 0, 1)
+        dc_scan(1, 0)
+        ac_scan(0, 1, 8, 1, 0)
+        ac_scan(0, 9, 63, 1, 0)
+    else:
+        ac_scan(0, 1, 5, 0, 1)
+        ac_scan(1, 1, 63, 0, 1)
+        ac_scan(2, 1, 63, 0, 1)
+        ac_scan(0, 6, 63, 0, 1)
+        dc_scan(1, 0)
+        ac_scan(0, 1, 5, 1, 0)
+        ac_scan(0, 6, 63, 1, 0)
+        ac_scan(1, 1, 63, 1, 0)
+        ac_scan(2, 1, 63, 1, 0)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
 def scala_bytes(bs):
     return ", ".join(str(b if b < 128 else b - 256) for b in bs)
 
@@ -544,3 +845,22 @@ if __name__ == "__main__":
     print("Array[Byte](" + scala_bytes(jp2) + ")")
     print(f"// expected decode ({len(rgb2)} bytes)")
     print("Array[Byte](" + scala_bytes(rgb2) + ")")
+
+    # progressive twins: same pixels/quality → identical quantized
+    # coefficients → decode must be byte-equal to the BASELINE golden.
+    # Color twin carries DRI=1 (restart marker in every scan); the larger
+    # gray fixture runs restart-free so EOB runs can span blocks.
+    import base64
+    pj = encode_progressive(w, h, px, quality=90, dri=1)
+    print(f"// progressive color twin of the 11x6 fixture ({len(pj)} bytes), DRI=1")
+    print(base64.b64encode(pj).decode())
+    w3, h3 = 19, 13
+    px3 = bytes(((i * 13 + 5) % 256) for i in range(w3 * h3))
+    jp3 = encode(w3, h3, px3, quality=85)
+    dw3, dh3, rgb3 = decode(jp3)
+    assert (dw3, dh3) == (w3, h3)
+    pj3 = encode_progressive(w3, h3, px3, quality=85)
+    print(f"// progressive gray fixture ({len(pj3)} bytes), {w3}x{h3}, quality 85")
+    print(base64.b64encode(pj3).decode())
+    print(f"// expected decode of the gray fixture = its baseline twin's decode ({len(rgb3)} bytes)")
+    print(base64.b64encode(rgb3).decode())
