@@ -369,6 +369,27 @@ object Compiler {
       df = graft.ops.Corpus.lmPerplexity(df, l.idCol, l.textCol, l.k, l.keepUnscored)
     }
 
+    // Artifact-inference keys — the STREAMING-admissible halves of the
+    // batch-only trainers: each loads a persisted artifact ONCE at
+    // compile time (bounded driver metadata — weights / merge list /
+    // Bloom bit array) and applies a scan-stage kernel. A config can
+    // batch-train + save in one pipeline, then score/tokenize/probe a
+    // stream with another — identical decisions by construction.
+    node.nearDupProbe.foreach { p =>
+      val index = spark.read.parquet(p.indexDir)
+      df = graft.ops.Dedup.nearDupProbeBloom(df, p.textCol, index,
+        p.shingleSize, p.numHashes, p.bands, p.flagCol, p.expectedKeys, p.fpp)
+    }
+    node.scoreModel.foreach { m =>
+      val model = graft.ops.Corpus.loadTextClassifier(spark, m.modelDir)
+      df = graft.ops.Corpus.scoreWithModel(df, m.textCol, model,
+        m.scoreCol, m.predCol, m.threshold)
+    }
+    node.bpeApply.foreach { b =>
+      val merges = graft.ops.Bpe.loadMerges(spark, b.mergesDir)
+      df = graft.ops.Bpe.addTokens(df, b.textCol, merges)
+    }
+
     // BPE: train merges on the frame (iterative global aggregates —
     // batch-only by name); output=merges replaces the frame with the
     // merge table, output=tokens adds the trained tokenizer's columns.
@@ -483,6 +504,12 @@ object Compiler {
     node.rename.foreach { case (o, n) => df = df.withColumnRenamed(o, n) }
 
     node.withColumns.foreach { case (c, e) => df = df.withColumn(c, expr(e)) }
+
+    // post_filters: the curation slot — unlike `filters` (pre-operator),
+    // these see every operator/with_columns output (score, near_dup,
+    // n_bpe, …), so one config can score-then-drop. Plain row filters:
+    // batch AND streaming admissible.
+    node.postFilters.foreach(f => df = df.filter(filterColumn(f)))
 
     if (node.drop.nonEmpty) {
       // DataFrame.drop silently ignores unknown names — a typo'd drop would

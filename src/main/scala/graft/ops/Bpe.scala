@@ -115,4 +115,15 @@ object Bpe {
       .sortBy(_.getInt(0))
       .map(r => (r.getString(1), r.getString(2)))
       .toSeq
+
+  /** Apply a trained merge list to a frame: adds `bpe_tokens` (the
+    * tokenizer output) and `n_bpe` (its length) — the same columns the
+    * `bpe` output=tokens config path adds, but from an ARTIFACT instead
+    * of an in-plan training pass. Scan-stage, streaming-admissible (the
+    * `bpe_apply` config key). */
+  def addTokens(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    df.withColumn("bpe_tokens",
+        graft.functions.BpeKernels.bpeTokenize(col(textCol), merges))
+      .withColumn("n_bpe", size(col("bpe_tokens")))
 }

@@ -726,6 +726,27 @@ object Corpus {
     TextClassifierModel(dim, rows.getOrElse(-1, 0.0), w, Nil)
   }
 
+  /** Score with an already-trained (typically [[loadTextClassifier]]-
+    * loaded) model — the streaming-admissible inference half of
+    * [[qualityClassifier]] and the operator behind the `score_model`
+    * config key. Adds (`scoreCol` [6 dp], `predCol`) to the frame via
+    * ONE scan-stage codegen kernel call per row (weights ride as a
+    * codegen reference object — no training aggregate, no shuffle, no
+    * plan-literal array): batch-train, save, then score batches and
+    * streams with identical decisions. */
+  def scoreWithModel(
+      df: DataFrame,
+      textCol: String,
+      model: TextClassifierModel,
+      scoreCol: String = "score",
+      predCol: String = "pred",
+      threshold: Double = 0.5
+  ): DataFrame =
+    df.withColumn(scoreCol,
+        round(graft.functions.ClassifierKernels
+          .textScore(col(textCol), model.weights, model.intercept), 6))
+      .withColumn(predCol, col(scoreCol) >= threshold)
+
   /** Train-and-score in one call — the operator behind the
     * `quality_classifier` config key: fit on the labeled rows, then
     * score EVERY row (labeled or not) with the scan-stage kernel.

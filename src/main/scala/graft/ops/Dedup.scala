@@ -210,6 +210,57 @@ object Dedup {
         .as(Seq("band", "band_key")))
   }
 
+  /** Scan-stage near-duplicate PROBE against a persisted
+    * [[minhashBandIndex]]: adds boolean `flagCol` — true when the row's
+    * LSH band signature collides with the indexed corpus.
+    *
+    * Shape: a Bloom filter over the index's `band_key` longs is built
+    * ONCE (one aggregation over the index, driver holds only the bit
+    * array — the [[graft.ops.Corpus.decontaminateBloom]] trust model),
+    * broadcast, and each probed row computes its `bands` keys and tests
+    * them in the scan stage. The probed frame is never shuffled, joined,
+    * or aggregated — which is what makes the probe STREAMING-admissible
+    * (the `near_dup_probe` config key works under compileStream, where a
+    * per-doc collapse of an index equi-join would be an illegal
+    * streaming aggregation).
+    *
+    * Semantics are CONSERVATIVE: a band key present in the index always
+    * tests true (no false negatives — every indexed collision flags),
+    * while Bloom false positives over-flag an `fpp`-bounded sliver.
+    * Route flagged rows to the exact tier ([[nearDupAgainstCorpus]] or a
+    * `near_dup_ingest` sink) when over-dropping matters. The probe must
+    * use the SAME (shingleSize, numHashes, bands) as the index build —
+    * band keys fold the band number, so mismatched geometry silently
+    * never collides (same contract as [[nearDupAgainstCorpus]]). */
+  def nearDupProbeBloom(
+      df: DataFrame,
+      textCol: String,
+      index: DataFrame,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      flagCol: String = "near_dup",
+      expectedKeys: Long = 1L << 22,
+      fpp: Double = 0.01
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    require(index.columns.contains("band_key"),
+      s"index must be minhashBandIndex output (id, band, band_key), got ${index.columns.mkString(", ")}")
+    val r = numHashes / bands
+    val bloom = index.stat.bloomFilter("band_key", expectedKeys, fpp)
+    val bc = df.sparkSession.sparkContext.broadcast(bloom)
+    val hit = udf((keys: Seq[Long]) =>
+      keys != null && keys.exists(k => bc.value.mightContainLong(k)))
+    // same two-projection split as minhashBandIndex: shingle work must
+    // run once per row, not once per hash function
+    df.withColumn("__hs", hashedNgrams(col(textCol), shingleSize))
+      .withColumn("__sig", minhashSignature(col("__hs"), numHashes))
+      .withColumn(flagCol, hit(array((0 until bands).map(b =>
+        xxhash64(lit(b) +: (0 until r).map(i =>
+          element_at(col("__sig"), b * r + i + 1)): _*)): _*)))
+      .drop("__hs", "__sig")
+  }
+
   /** LSH candidate pairs from MinHash signatures.
     * Bands the `numHashes`-long signature into `bands` groups of
     * rows-per-band r = numHashes/bands; docs colliding on ANY full band are

@@ -545,6 +545,53 @@ object CorpusQueries extends QueryPack {
            TRUE AS separated
     FROM documents WHERE doc_id % 4 < 2"""
 
+  // q163 — the `score_model` ARTIFACT-inference key, exactly mirrored:
+  // q154's fixed formula weights are persisted through the real
+  // saveTextClassifier artifact (sparse weight table, intercept/dim
+  // sentinel rows), reloaded by the pure-JSON `score_model` key, and
+  // every document is scored scan-stage. Same closed-form oracle as
+  // q154 — what the gate adds is the artifact ROUND-TRIP (save → load →
+  // identical kernel scores through config), the contract that lets a
+  // batch-trained model score a stream.
+  private def q163(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    val w = Array.tabulate(clsDim)(b => clsW(b.toLong))
+    val mdir = s"${System.getProperty("java.io.tmpdir")}/graft_q163_model"
+    graft.ops.Corpus.saveTextClassifier(s,
+      graft.ops.Corpus.TextClassifierModel(clsDim, 0.25, w, Nil), mdir)
+    graft.compile.Compiler.compileJson(s, s"""
+      {"source": {"table": "documents"},
+       "keep_columns": ["doc_id", "text"],
+       "score_model": {"text_col": "text", "model_dir": "$mdir",
+                       "threshold": 0.5},
+       "drop": ["text"],
+       "order_by": ["doc_id asc"]}""")
+  }
+  private val q163Sql = s"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS t
+      FROM documents),
+    b AS (
+      SELECT doc_id,
+             list_transform(t, tok ->
+               list_reduce(
+                 list_prepend(CAST(7 AS BIGINT),
+                   list_transform(range(1, len(tok) + 1),
+                     i -> CAST(ascii(tok[i]) AS BIGINT))),
+                 (a, c) -> (a * 131 + c) % 1000000007) % $clsDim) AS bs
+      FROM toks),
+    s AS (
+      SELECT doc_id,
+             ROUND(1.0 / (1.0 + exp(-(list_reduce(
+               list_prepend(CAST(0.25 AS DOUBLE),
+                 list_transform(bs, bb ->
+                   ((bb * 2654435761) % 1000003) / 1000003.0 - 0.5)),
+               (a, x) -> a + x)))), 6) AS score
+      FROM b)
+    SELECT doc_id, score, score >= 0.5 AS pred
+    FROM s ORDER BY doc_id ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
     Q("q72_doc_chunking", q72, Some(q72Sql)),
     Q("q73_sequence_packing", q73, Some(q73Sql)),
@@ -563,6 +610,7 @@ object CorpusQueries extends QueryPack {
     Q("q142_temperature_sample", q142, Some(q142Sql)),
     Q("q143_config_temperature_sample", q143, Some(q142Sql)),
     Q("q154_classifier_inference", q154, Some(q154Sql)),
-    Q("q155_classifier_training_gate", q155, Some(q155Sql))
+    Q("q155_classifier_training_gate", q155, Some(q155Sql)),
+    Q("q163_score_model_artifact", q163, Some(q163Sql))
   )
 }

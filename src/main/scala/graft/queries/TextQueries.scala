@@ -797,6 +797,54 @@ object TextQueries extends QueryPack {
                AS BIGINT) / 512.0) AS INT) AS bin
     FROM full0 ORDER BY doc_id ASC NULLS FIRST"""
 
+  // q164 — the `bpe_apply` ARTIFACT-tokenization key, exactly mirrored:
+  // a FIXED six-merge table (rank order matters — later merges build on
+  // earlier outputs: th+e only fires after t+h) is persisted in the
+  // trainDF artifact shape, reloaded by pure JSON, and every document is
+  // tokenized scan-stage. The oracle restates the tokenizer as six
+  // nested rank-ordered string replaces over the per-word symbol string
+  // (the q156/q157 kernel contract: one greedy non-overlapping pass per
+  // rank IS one replace of ' l r ' with ' lr ').
+  private val q164Merges = Seq(
+    ("e", "r"), ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("o", "n"))
+  private def q164(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    import s.implicits._
+    val mdir = s"${System.getProperty("java.io.tmpdir")}/graft_q164_merges"
+    q164Merges.zipWithIndex
+      .map { case ((l, r), i) => (i + 1, l, r, 0L) }
+      .toDF("rank", "left", "right", "pair_count")
+      .coalesce(1).write.mode("overwrite").parquet(mdir)
+    graft.compile.Compiler.compileJson(s, s"""
+      {"source": {"table": "documents"},
+       "keep_columns": ["doc_id", "text"],
+       "bpe_apply": {"text_col": "text", "merges_dir": "$mdir"},
+       "drop": ["text", "bpe_tokens"],
+       "order_by": ["doc_id asc"]}""")
+  }
+  private val q164Sql = {
+    val replaced = q164Merges.foldLeft("sym") { case (acc, (l, r)) =>
+      s"replace($acc, ' $l $r ', ' $l$r ')"
+    }
+    s"""
+    WITH w0 AS MATERIALIZED (
+      SELECT w, ' ' || array_to_string(str_split_regex(w, ''), ' ') || ' ' AS sym
+      FROM (SELECT DISTINCT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                   x -> len(x) > 0)) AS w FROM documents)),
+    wlen AS (SELECT w, len(list_filter(string_split($replaced, ' '),
+                           x -> len(x) > 0)) AS l
+             FROM w0),
+    docw AS (SELECT doc_id,
+                    unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                      x -> len(x) > 0)) AS w
+             FROM documents),
+    per AS (SELECT dw.doc_id, CAST(SUM(wl.l) AS INT) AS n_bpe
+            FROM docw dw JOIN wlen wl USING (w) GROUP BY 1)
+    SELECT d.doc_id, COALESCE(per.n_bpe, 0) AS n_bpe
+    FROM documents d LEFT JOIN per USING (doc_id)
+    ORDER BY doc_id ASC NULLS FIRST"""
+  }
+
   // q148 — the WEB-curation flagship, PURE JSON, on named defs: crawl
   // pages (the q144 template) → html_extract → token-count quality
   // filter (n_tok ≤ 45 — drops 329/500 at sf0.01) → language rejoin
@@ -935,6 +983,7 @@ object TextQueries extends QueryPack {
     Q("q156_bpe_train", q156, Some(q156Sql)),
     Q("q157_bpe_pack", q157, Some(q157Sql)),
     Q("q158_config_bpe", q158, Some(q156Sql)),
+    Q("q164_bpe_apply_artifact", q164, Some(q164Sql)),
     Q("q159_mixed_lake_flagship", q159, Some(q159Sql))
   )
 }

@@ -110,8 +110,7 @@ object JsonCodec {
       }
     }
 
-    val filters: Seq[FilterSpec] = opt(n, "filters", "filter").toSeq.flatMap {
-      f =>
+    def filterItems(f: JsonNode): Seq[FilterSpec] = {
         val items = if (f.isArray) elems(f) else Seq(f)
         items.map {
           case t if t.isTextual => ExprFilter(t.asText)
@@ -125,6 +124,13 @@ object JsonCodec {
             )
         }
     }
+
+    val filters: Seq[FilterSpec] =
+      opt(n, "filters", "filter").toSeq.flatMap(filterItems)
+    // post_filters run AFTER the operator keys + with_columns, so they can
+    // reference computed outputs (score, near_dup, n_bpe, …)
+    val postFilters: Seq[FilterSpec] =
+      opt(n, "post_filters", "postFilters").toSeq.flatMap(filterItems)
 
     val keep = opt(n, "keep_columns", "keep").map(strSeq).getOrElse(Nil)
 
@@ -307,6 +313,33 @@ object JsonCodec {
         threshold = opt(d, "threshold").map(_.asDouble).getOrElse(0.5))
     }
 
+    val sm = opt(n, "score_model", "scoreModel").map { d =>
+      ScoreModelSpec(
+        textCol = req(d, s"node $id: score_model", "text_col", "textCol").asText,
+        modelDir = req(d, s"node $id: score_model", "model_dir", "modelDir").asText,
+        scoreCol = opt(d, "score_col", "scoreCol").map(_.asText).getOrElse("score"),
+        predCol = opt(d, "pred_col", "predCol").map(_.asText).getOrElse("pred"),
+        threshold = opt(d, "threshold").map(_.asDouble).getOrElse(0.5))
+    }
+
+    val ba = opt(n, "bpe_apply", "bpeApply").map { d =>
+      BpeApplySpec(
+        textCol = req(d, s"node $id: bpe_apply", "text_col", "textCol").asText,
+        mergesDir = req(d, s"node $id: bpe_apply", "merges_dir", "mergesDir").asText)
+    }
+
+    val ndp = opt(n, "near_dup_probe", "nearDupProbe").map { d =>
+      NearDupProbeSpec(
+        textCol = req(d, s"node $id: near_dup_probe", "text_col", "textCol").asText,
+        indexDir = req(d, s"node $id: near_dup_probe", "index_dir", "indexDir").asText,
+        shingleSize = opt(d, "shingle_size", "shingleSize").map(_.asInt).getOrElse(3),
+        numHashes = opt(d, "num_hashes", "numHashes").map(_.asInt).getOrElse(64),
+        bands = opt(d, "bands").map(_.asInt).getOrElse(16),
+        flagCol = opt(d, "flag_col", "flagCol").map(_.asText).getOrElse("near_dup"),
+        expectedKeys = opt(d, "expected_keys", "expectedKeys").map(_.asLong).getOrElse(1L << 22),
+        fpp = opt(d, "fpp").map(_.asDouble).getOrElse(0.01))
+    }
+
     val bpeSpec = opt(n, "bpe").map { d =>
       BpeSpec(
         textCol = req(d, s"node $id: bpe", "text_col", "textCol").asText,
@@ -460,7 +493,10 @@ object JsonCodec {
       passageDedup = pd,
       lmPerplexity = lm,
       qualityClassifier = qc,
+      scoreModel = sm,
       bpe = bpeSpec,
+      bpeApply = ba,
+      nearDupProbe = ndp,
       cmsProbe = cms,
       split = sp,
       temperatureSample = ts,
@@ -472,6 +508,7 @@ object JsonCodec {
       aggregate = aggregate,
       rename = rename,
       withColumns = withCols,
+      postFilters = postFilters,
       drop = opt(n, "drop").map(strSeq).getOrElse(Nil),
       bitemporal = bt,
       children = children,

@@ -314,6 +314,46 @@ final case class QualityClassifierSpec(
     threshold: Double = 0.5
 )
 
+/** Score with a SAVED classifier artifact (NS; Corpus.scoreWithModel):
+  * loads a [[graft.ops.Corpus.saveTextClassifier]] weight table at
+  * compile time and applies the scan-stage inference kernel — the
+  * streaming-admissible half of `quality_classifier` (batch-train →
+  * stream-score). Adds (`scoreCol`, `predCol`). */
+final case class ScoreModelSpec(
+    textCol: String,
+    modelDir: String,
+    scoreCol: String = "score",
+    predCol: String = "pred",
+    threshold: Double = 0.5
+)
+
+/** Tokenize with a SAVED BPE merge table (NS; Bpe.loadMerges +
+  * BpeKernels.bpeTokenize): loads a `bpe` output=merges artifact at
+  * compile time and adds `bpe_tokens`/`n_bpe` scan-stage — the
+  * streaming-admissible half of `bpe` (batch-train → stream-tokenize). */
+final case class BpeApplySpec(
+    textCol: String,
+    mergesDir: String
+)
+
+/** Scan-stage near-duplicate PROBE against a persisted MinHash band
+  * index (NS; Dedup.nearDupProbeBloom): a Bloom filter over the index's
+  * band keys is built once at compile time and broadcast; each row's
+  * flag is computed without joining or shuffling the probed frame —
+  * streaming-admissible. Conservative: Bloom false positives can only
+  * over-flag (`fpp`-bounded), never miss an indexed collision. Must use
+  * the SAME (shingleSize, numHashes, bands) the index was built with. */
+final case class NearDupProbeSpec(
+    textCol: String,
+    indexDir: String,
+    shingleSize: Int = 3,
+    numHashes: Int = 64,
+    bands: Int = 16,
+    flagCol: String = "near_dup",
+    expectedKeys: Long = 1L << 22,
+    fpp: Double = 0.01
+)
+
 /** Deterministic train/val/test split (NS; Corpus.hashSplit): adds
   * `splitCol` naming each row's bucket by portable multiplicative hash of
   * `idCol` — reproducible and stable under corpus growth. Buckets are an
@@ -575,7 +615,10 @@ final case class NodeSpec(
     passageDedup: Option[PassageDedupSpec] = None, // after keep, before aggregate
     lmPerplexity: Option[LmPerplexitySpec] = None, // after keep, before aggregate
     qualityClassifier: Option[QualityClassifierSpec] = None, // after keep, before aggregate
+    scoreModel: Option[ScoreModelSpec] = None, // after keep, before aggregate
     bpe: Option[BpeSpec] = None, // after keep, before aggregate
+    bpeApply: Option[BpeApplySpec] = None, // after keep, before aggregate
+    nearDupProbe: Option[NearDupProbeSpec] = None, // after keep, before aggregate
     cmsProbe: Option[CmsProbeSpec] = None, // after keep, before aggregate
     split: Option[SplitSpec] = None, // after keep, before aggregate
     temperatureSample: Option[TemperatureSampleSpec] = None, // after split
@@ -587,6 +630,7 @@ final case class NodeSpec(
     aggregate: Option[AggregateSpec] = None,
     rename: Seq[(String, String)] = Nil,
     withColumns: Seq[(String, String)] = Nil, // name -> Catalyst expr string
+    postFilters: Seq[FilterSpec] = Nil, // after with_columns: filter on operator/derived outputs (score, near_dup, n_bpe, …)
     drop: Seq[String] = Nil, // post-agg column drop (e.g. a struct group key already flattened)
     bitemporal: Option[BitemporalSpec] = None,
     children: Seq[ChildSpec] = Nil,

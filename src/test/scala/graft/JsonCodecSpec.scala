@@ -258,6 +258,36 @@ class JsonCodecSpec extends AnyFunSuite {
     assert(pe.idCol == "id" && pe.pdfCol == "p")
   }
 
+  test("artifact-inference node keys decode with defaults and name missing fields") {
+    val sm = root("""
+      {"score_model": {"text_col": "t", "model_dir": "/tmp/m"}}""").scoreModel.get
+    assert(sm.scoreCol == "score" && sm.predCol == "pred" && sm.threshold == 0.5)
+    assert(intercept[IllegalArgumentException](root(
+      """{"score_model": {"text_col": "t"}}"""))
+      .getMessage.contains("model_dir"))
+
+    val ba = root("""
+      {"bpe_apply": {"text_col": "t", "merges_dir": "/tmp/b"}}""").bpeApply.get
+    assert(ba.textCol == "t" && ba.mergesDir == "/tmp/b")
+    assert(intercept[IllegalArgumentException](root(
+      """{"bpe_apply": {"merges_dir": "/tmp/b"}}"""))
+      .getMessage.contains("text_col"))
+
+    val np = root("""
+      {"near_dup_probe": {"text_col": "t", "index_dir": "/tmp/i"}}""").nearDupProbe.get
+    assert(np.shingleSize == 3 && np.numHashes == 64 && np.bands == 16 &&
+      np.flagCol == "near_dup" && np.expectedKeys == (1L << 22) && np.fpp == 0.01)
+    assert(intercept[IllegalArgumentException](root(
+      """{"near_dup_probe": {"text_col": "t"}}"""))
+      .getMessage.contains("index_dir"))
+
+    // post_filters share the filter item grammar (expr string or col/op)
+    val pf = root("""
+      {"post_filters": ["pred and not near_dup",
+                        {"col": "score", "op": ">", "value": 0.5}]}""").postFilters
+    assert(pf.length == 2)
+  }
+
   test("temperature_sample node key decodes with defaults and named errors") {
     val n = root("""
       {"source": {"table": "documents"},

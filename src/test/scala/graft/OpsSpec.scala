@@ -34,6 +34,40 @@ class OpsSpec extends SparkSpec {
     assert(verified == exact, s"diff: ${(exact -- verified) ++ (verified -- exact)}")
   }
 
+  test("nearDupProbeBloom: indexed collisions always flag; conservative vs the banded exact tier") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")).toDF("id", "text")
+    val index = Dedup.minhashBandIndex(corpus, "id", "text", 2, 64, 16)
+    val probe = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // exact dup → must flag
+      (11L, "totally unrelated fresh wording written here"), // disjoint
+      (12L, "one two three four five six")) // exact dup → must flag
+      .toDF("id", "text")
+    val m = Dedup.nearDupProbeBloom(probe, "text", index, 2, 64, 16)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("near_dup")).toMap
+    // Bloom has no false negatives: identical text → identical band keys →
+    // every key present in the filter → guaranteed flag
+    assert(m(10L) && m(12L), s"exact duplicates must flag: $m")
+    // deterministic (fixed hash seeds + deterministic Bloom bit array):
+    // the disjoint-vocabulary doc does not flag on this fixture
+    assert(!m(11L), s"disjoint doc flagged: $m")
+    // conservative vs the exact banded tier: every probe doc whose band
+    // keys genuinely collide with the index must be flagged
+    val collide = Dedup.minhashBandIndex(probe, "id", "text", 2, 64, 16)
+      .join(index.select("band", "band_key"), Seq("band", "band_key"), "left_semi")
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(collide.forall(m(_)), s"probe missed an indexed collision: $collide vs $m")
+    // original columns ride through untouched; scratch columns are dropped
+    val cols = Dedup.nearDupProbeBloom(probe, "text", index, 2, 64, 16).columns.toSeq
+    assert(cols == Seq("id", "text", "near_dup"))
+    // schema guard names the expected index shape
+    val e = intercept[IllegalArgumentException](
+      Dedup.nearDupProbeBloom(probe, "text", probe))
+    assert(e.getMessage.contains("minhashBandIndex"))
+  }
+
   test("minhash-LSH precision: candidates are mostly genuinely similar") {
     val cand = Dedup.minhashCandidatePairs(docs, "doc_id", "text", 3, 64, 16).count()
     val all = docs.count()

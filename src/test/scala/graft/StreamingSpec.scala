@@ -837,6 +837,95 @@ class StreamingSpec extends SparkSpec {
     assert(eMem.getMessage.contains("memory/console"), eMem.getMessage)
   }
 
+  test("model-artifact streaming flagship: batch-train → save → ONE config probes/scores/tokenizes/curates a stream; stream==batch; restart-safe") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_artifact_flagship").toString
+    val inDir = s"$base/in"
+
+    // ---- batch phase: train and persist all three artifacts
+    val train = Seq(
+      (1L, "solid informative prose about science", 1.0),
+      (2L, "careful structured writing on history", 1.0),
+      (3L, "zzclickbait zzclickbait buy now win", 0.0),
+      (4L, "zzclickbait free prize click here", 0.0)
+    ).toDF("doc_id", "text", "label")
+    val model = graft.ops.Corpus.trainTextClassifier(
+      train, "doc_id", "text", "label", dim = 256, epochs = 3)
+    graft.ops.Corpus.saveTextClassifier(spark, model, s"$base/model")
+    graft.ops.Bpe.trainDF(spark, train, "text", 4)
+      .write.mode("overwrite").parquet(s"$base/merges")
+    val seedText = "alpha beta gamma delta epsilon zeta eta theta"
+    graft.ops.Dedup.minhashBandIndex(
+        Seq((100L, seedText)).toDF("doc_id", "text"), "doc_id", "text",
+        shingleSize = 2, numHashes = 64, bands = 16)
+      .write.mode("overwrite").parquet(s"$base/index")
+
+    // ---- ONE config: probe → score → tokenize → curate. The identical
+    // node body compiles batch (the oracle) and streaming (the system
+    // under test); only source/sink framing differs.
+    val body = s"""
+       "near_dup_probe": {"text_col": "text", "index_dir": "$base/index",
+                          "shingle_size": 2},
+       "score_model": {"text_col": "text", "model_dir": "$base/model"},
+       "bpe_apply": {"text_col": "text", "merges_dir": "$base/merges"},
+       "post_filters": ["pred and not near_dup"],
+       "drop": ["bpe_tokens"]"""
+    val streamJson = s"""
+      {"source": {"path": "$inDir"},
+       $body,
+       "save": {"path": "$base/out", "format": "parquet",
+                "checkpoint": "$base/ckpt"}}"""
+
+    def push(rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(inDir)
+    push((10L, "solid informative prose about geography"), // quality → kept
+      (11L, "zzclickbait zzclickbait buy cheap now"), // spam → pred=false
+      (12L, seedText)) // exact near-dup of the indexed corpus → flagged
+    val q = graft.compile.Compiler.compileStreamJson(spark, streamJson)
+    try q.processAllAvailable() finally q.stop()
+    val out1 = spark.read.parquet(s"$base/out")
+    assert(out1.select("doc_id").collect().map(_.getLong(0)).toSet == Set(10L),
+      "curation must keep only the quality non-duplicate doc")
+
+    // stream decisions == batch compile of the SAME node body over the
+    // same input (artifact inference is deterministic scan-stage work)
+    val batchRows = graft.compile.Compiler.compileJson(spark,
+        s"""{"source": {"path": "$inDir"}, $body}""")
+      .select("doc_id", "near_dup", "score", "pred", "n_bpe")
+      .collect().map(_.toSeq).toSet
+    val streamRows = out1
+      .select("doc_id", "near_dup", "score", "pred", "n_bpe")
+      .collect().map(_.toSeq).toSet
+    assert(streamRows == batchRows,
+      s"stream and batch decisions diverged:\n stream=$streamRows\n batch=$batchRows")
+
+    // restart from the same checkpoint: only NEW files process (no
+    // re-emission of doc 10), same artifacts → same decisions
+    push((13L, "careful structured writing on geology"), // quality → kept
+      (14L, seedText + " extra"), // still collides on shared bands? exact dup below is the guaranteed case
+      (15L, seedText)) // exact dup again → flagged
+    val q2 = graft.compile.Compiler.compileStreamJson(spark, streamJson)
+    try q2.processAllAvailable() finally q2.stop()
+    val after = spark.read.parquet(s"$base/out")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(after.count(_ == 10L) == 1,
+      "restart must not re-emit pre-restart batches (checkpoint replay)")
+    assert(after.toSet - 14L == Set(10L, 13L),
+      s"post-restart curation decisions diverged: got ${after.toSet}")
+    // doc 14 (7/9-Jaccard superset of the seed) may or may not share a
+    // band — both outcomes are legal LSH; what must hold is stream==batch
+    val batch2 = graft.compile.Compiler.compileJson(spark,
+        s"""{"source": {"path": "$inDir"}, $body}""")
+      .select("doc_id", "near_dup", "score", "pred", "n_bpe")
+      .collect().map(_.toSeq).toSet
+    val stream2 = spark.read.parquet(s"$base/out")
+      .select("doc_id", "near_dup", "score", "pred", "n_bpe")
+      .collect().map(_.toSeq).toSet
+    assert(stream2 == batch2,
+      "post-restart stream decisions must equal the batch compile")
+  }
+
   test("cluster-output and passage dedup keys reject streaming compiles by name") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-batchonly").toString
