@@ -63,6 +63,16 @@ object Registry {
     "window_fingerprints" -> (es => WindowFingerprints(es.head,
       litInt(es(1), "window_fingerprints", "n"))),
     "pii_count" -> fn(TextAnalysis.piiCount),
+    // line-tier curation heuristics (Gopher line-repetition metrics;
+    // C4 line rules). line_stats(text) → struct(n_lines, dup_line_frac,
+    // dup_line_char_frac, bullet_start_frac, ellipsis_end_frac);
+    // c4_line_filter(text, minWords) → struct(clean_text, kept_lines,
+    // dropped_lines, keep_doc) — minWords must be a literal (it shapes
+    // the per-line predicate at plan time)
+    "line_stats" -> fn(t => TextAnalysis.lineStats(t)),
+    "c4_line_filter" -> (es => GraftColumnBridge.expressionEager(
+      TextAnalysis.c4LineFilter(GraftColumnBridge.column(es.head),
+        litInt(es(1), "c4_line_filter", "minWords")))),
     // html_extract(html) → struct(title, body_text, links): the web-crawl
     // text-extraction kernel (lenient, browser-like; see HtmlExtractOps)
     "html_extract" -> (es => HtmlExtract(es.head)),

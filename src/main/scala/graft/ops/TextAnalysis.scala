@@ -291,6 +291,95 @@ object TextAnalysis {
       regexp_replace(acc, p, "[PII]")
     }
 
+  /** Line-level repetition / boilerplate metrics — the LINE tier of the
+    * Gopher repetition rules (cf. the word-n-gram tier in
+    * [[repetitionStats]]; the rules are from the public Gopher paper's
+    * repetition filters, see PAPERS.md). Lines are the `sep`-separated
+    * segments of the document, trimmed, with whitespace-only segments
+    * dropped (they carry no signal and would all count as mutual
+    * duplicates). Over those lines:
+    *   - `n_lines`:            line count,
+    *   - `dup_line_frac`:      lines whose exact content occurs ≥ 2
+    *                           times in the doc ÷ total — high for
+    *                           templated/boilerplate pages,
+    *   - `dup_line_char_frac`: characters inside those duplicated lines
+    *                           ÷ total line characters (a doc whose one
+    *                           long paragraph repeats scores high even
+    *                           when short navigation lines dominate the
+    *                           line COUNT),
+    *   - `bullet_start_frac`:  lines starting with a bullet marker
+    *                           (`-`, `*`, `•`, `·`),
+    *   - `ellipsis_end_frac`:  lines ending in `...` or `…`.
+    * Fractions are 9-dp-rounded (cross-engine float hygiene); empty docs
+    * → zeros. In-row O(m²) duplicate counting over the line array, same
+    * deliberate trade as [[repetitionStats]]: docs have tens of lines,
+    * and keeping the metric in the scan stage costs zero shuffles where
+    * the explode+groupBy formulation shuffles the corpus. */
+  def lineStats(text: Column, sep: String = "\n"): Column =
+    withBound(filter(
+      transform(split(text, java.util.regex.Pattern.quote(sep)), l => trim(l)),
+      l => length(l) > 0)) { lines =>
+      withBound(transform(lines, l => size(filter(lines, x => x === l)))) { counts =>
+        withBound(transform(lines, l => length(l))) { chars =>
+          val n = size(lines)
+          val totChars = aggregate(chars, lit(0), (a, b) => a + b)
+          val dupChars = aggregate(
+            zip_with(chars, counts, (ch, c) => when(c > 1, ch).otherwise(lit(0))),
+            lit(0), (a, b) => a + b)
+          def frac(cnt: Column): Column =
+            when(n > 0, round(cnt.cast("double") / n, 9)).otherwise(lit(0.0))
+          struct(
+            n.as("n_lines"),
+            frac(size(filter(counts, c => c > 1))).as("dup_line_frac"),
+            when(totChars > 0, round(dupChars.cast("double") / totChars, 9))
+              .otherwise(lit(0.0)).as("dup_line_char_frac"),
+            frac(size(filter(lines, l =>
+              substring(l, 1, 1).isin("-", "*", "•", "·"))))
+              .as("bullet_start_frac"),
+            frac(size(filter(lines, l =>
+              endswith(l, lit("...")) || endswith(l, lit("…")))))
+              .as("ellipsis_end_frac"))
+        }
+      }
+    }
+
+  /** C4-style line filtering (the public C4 curation heuristics, Raffel
+    * et al. — see PAPERS.md): keep a line iff, after trimming, it
+    *   - has at least `minWords` whitespace tokens,
+    *   - ends in terminal punctuation (`.` `!` `?` `"` `'`), and
+    *   - does not mention "javascript" (case-insensitive) — the classic
+    *     cookie/JS-warning boilerplate tell.
+    * Returns one struct column:
+    *   - `clean_text`:  the kept lines re-joined with `sep`, VERBATIM
+    *                    (original spacing — trimming is for judging, not
+    *                    rewriting),
+    *   - `kept_lines` / `dropped_lines`: line counts (dropped includes
+    *                    whitespace-only segments),
+    *   - `keep_doc`:    the C4 PAGE-level verdict — false when the
+    *                    document contains "lorem ipsum"
+    *                    (case-insensitive) or a `{` (code/templating
+    *                    tell); line cleaning cannot rescue such a page,
+    *                    so route `keep_doc` into a filter.
+    * Pure scan-stage HOFs — zero shuffles at any corpus size (unlike
+    * [[Corpus.removeBoilerplateLines]], which needs corpus-wide line
+    * counts; the two compose: C4 rules first, corpus-hot lines after). */
+  def c4LineFilter(text: Column, minWords: Int = 3, sep: String = "\n"): Column =
+    withBound(split(text, java.util.regex.Pattern.quote(sep))) { raw =>
+      def keepLine(l: Column): Column = withBound(trim(l)) { t =>
+        (size(filter(split(t, "\\s+"), w => length(w) > 0)) >= minWords) &&
+          substring(t, -1, 1).isin(".", "!", "?", "\"", "'") &&
+          !contains(lower(t), lit("javascript"))
+      }
+      withBound(filter(raw, keepLine(_))) { kept =>
+        struct(
+          array_join(kept, sep).as("clean_text"),
+          size(kept).as("kept_lines"),
+          (size(raw) - size(kept)).as("dropped_lines"),
+          (!contains(lower(text), lit("lorem ipsum")) &&
+            !contains(text, lit("{"))).as("keep_doc"))
+      }
+    }
+
   /** Number of PII-shaped substrings [[scrubPii]] would redact: matches
     * are counted pattern by pattern on the text as the scrub would see it
     * (i.e. after the previous patterns' redactions), so the total equals

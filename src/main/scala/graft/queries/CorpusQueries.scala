@@ -592,6 +592,125 @@ object CorpusQueries extends QueryPack {
     SELECT doc_id, score, score >= 0.5 AS pred
     FROM s ORDER BY doc_id ASC NULLS FIRST"""
 
+  // q165 — line-level Gopher repetition metrics (the LINE tier next to
+  // q75's word-n-gram tier): duplicated-line fraction by count AND by
+  // characters, bullet-start and ellipsis-end fractions. The fixture
+  // plants one bullet line, a doubled footer, and an ellipsis line around
+  // the corpus text (documents are single-line, so line structure is
+  // synthesized the q90 way — ' the ' → newline — and mirrored verbatim
+  // in the oracle). Scan-stage HOFs, zero shuffles.
+  private def q165(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"),
+      concat_ws("\n",
+        lit("- intro bullet"),
+        expr("replace(text, ' the ', '\n')"),
+        lit("shared footer"),
+        lit("shared footer"),
+        lit("read more...")).as("mtext"))
+    base.select(col("doc_id"), TextAnalysis.lineStats(col("mtext")).as("r"))
+      .select(col("doc_id"), col("r.n_lines").as("n_lines"),
+        col("r.dup_line_frac").as("dup_line_frac"),
+        col("r.dup_line_char_frac").as("dup_line_char_frac"),
+        col("r.bullet_start_frac").as("bullet_start_frac"),
+        col("r.ellipsis_end_frac").as("ellipsis_end_frac"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+  private val q165Sql = """
+    WITH base AS (
+      SELECT doc_id,
+             '- intro bullet' || chr(10) ||
+             replace(text, ' the ', chr(10)) || chr(10) ||
+             'shared footer' || chr(10) || 'shared footer' || chr(10) ||
+             'read more...' AS mtext
+      FROM documents),
+    l AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(mtext, chr(10)),
+                                        x -> trim(x)),
+                         x -> len(x) > 0) AS lines
+      FROM base),
+    c AS (
+      SELECT doc_id, lines,
+             list_transform(lines,
+               x -> len(list_filter(lines, y -> y = x))) AS cnts
+      FROM l)
+    SELECT doc_id,
+           CAST(len(lines) AS INT) AS n_lines,
+           CASE WHEN len(lines) > 0
+                THEN ROUND(CAST(len(list_filter(cnts, x -> x > 1)) AS DOUBLE)
+                           / len(lines), 9) ELSE 0.0 END AS dup_line_frac,
+           CASE WHEN list_sum(list_transform(lines, x -> len(x))) > 0
+                THEN ROUND(CAST(list_sum(list_transform(lines,
+                             x -> CASE WHEN len(list_filter(lines, y -> y = x)) > 1
+                                       THEN len(x) ELSE 0 END)) AS DOUBLE)
+                           / list_sum(list_transform(lines, x -> len(x))), 9)
+                ELSE 0.0 END AS dup_line_char_frac,
+           CASE WHEN len(lines) > 0
+                THEN ROUND(CAST(len(list_filter(lines,
+                             x -> starts_with(x, '-') OR starts_with(x, '*')
+                               OR starts_with(x, '•') OR starts_with(x, '·'))) AS DOUBLE)
+                           / len(lines), 9) ELSE 0.0 END AS bullet_start_frac,
+           CASE WHEN len(lines) > 0
+                THEN ROUND(CAST(len(list_filter(lines,
+                             x -> ends_with(x, '...') OR ends_with(x, '…'))) AS DOUBLE)
+                           / len(lines), 9) ELSE 0.0 END AS ellipsis_end_frac
+    FROM c ORDER BY doc_id ASC NULLS FIRST"""
+
+  // q166 — C4 line filtering (keep lines with ≥3 words ending in terminal
+  // punctuation, drop javascript-boilerplate lines; page-level lorem-
+  // ipsum/brace verdict). Fixture plants one line per rule: a too-short
+  // line, a clean keeper, a javascript warning, the corpus word-soup
+  // (mostly no terminal punct → dropped), a data-derived keeper, and
+  // per-doc-id brace / Lorem-Ipsum page poisons for the keep_doc verdict.
+  private def q166(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"),
+      concat_ws("\n",
+        lit("Too short"),
+        lit("This is a good sentence."),
+        lit("Please enable JavaScript to continue."),
+        expr("replace(text, ' the ', '\n')"),
+        concat(lit("Data line "), col("source"), lit(" ends here.")),
+        when(col("doc_id") % 7 === 0, lit("brace { line here."))
+          .otherwise(lit("plain closing line.")),
+        when(col("doc_id") % 11 === 0, lit("Lorem IPSUM dolor sit amet."))
+          .otherwise(lit("normal final line."))).as("mtext"))
+    base.select(col("doc_id"), TextAnalysis.c4LineFilter(col("mtext"), 3).as("c"))
+      .select(col("doc_id"), col("c.clean_text").as("clean_text"),
+        col("c.kept_lines").as("kept_lines"),
+        col("c.dropped_lines").as("dropped_lines"),
+        col("c.keep_doc").as("keep_doc"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+  private val q166Sql = """
+    WITH base AS (
+      SELECT doc_id,
+             'Too short' || chr(10) ||
+             'This is a good sentence.' || chr(10) ||
+             'Please enable JavaScript to continue.' || chr(10) ||
+             replace(text, ' the ', chr(10)) || chr(10) ||
+             'Data line ' || source || ' ends here.' || chr(10) ||
+             (CASE WHEN doc_id % 7 = 0 THEN 'brace { line here.'
+                   ELSE 'plain closing line.' END) || chr(10) ||
+             (CASE WHEN doc_id % 11 = 0 THEN 'Lorem IPSUM dolor sit amet.'
+                   ELSE 'normal final line.' END) AS mtext
+      FROM documents),
+    k AS (
+      SELECT doc_id, mtext,
+             list_filter(string_split(mtext, chr(10)),
+               x -> len(list_filter(string_split_regex(trim(x), '\s+'),
+                                    w -> len(w) > 0)) >= 3
+                AND right(trim(x), 1) IN ('.', '!', '?', '"', '''')
+                AND NOT contains(lower(trim(x)), 'javascript')) AS kept,
+             len(string_split(mtext, chr(10))) AS n_raw
+      FROM base)
+    SELECT doc_id,
+           array_to_string(kept, chr(10)) AS clean_text,
+           CAST(len(kept) AS INT) AS kept_lines,
+           CAST(n_raw - len(kept) AS INT) AS dropped_lines,
+           (NOT contains(lower(mtext), 'lorem ipsum')
+            AND NOT contains(mtext, '{')) AS keep_doc
+    FROM k ORDER BY doc_id ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
     Q("q72_doc_chunking", q72, Some(q72Sql)),
     Q("q73_sequence_packing", q73, Some(q73Sql)),
@@ -611,6 +730,8 @@ object CorpusQueries extends QueryPack {
     Q("q143_config_temperature_sample", q143, Some(q142Sql)),
     Q("q154_classifier_inference", q154, Some(q154Sql)),
     Q("q155_classifier_training_gate", q155, Some(q155Sql)),
-    Q("q163_score_model_artifact", q163, Some(q163Sql))
+    Q("q163_score_model_artifact", q163, Some(q163Sql)),
+    Q("q165_line_stats", q165, Some(q165Sql)),
+    Q("q166_c4_line_filter", q166, Some(q166Sql))
   )
 }

@@ -158,6 +158,56 @@ class CorpusSpec extends SparkSpec {
     assert(got(3L) == ((0, 0.0, 0.0)))
   }
 
+  test("line stats: hand-computed dup/bullet/ellipsis fractions") {
+    val tiny = Seq(
+      // lines (trimmed, non-empty): "- a b", "x", "x", "wait...", "• pt"
+      // dup: 2/5; dup chars: 2 of (5+1+1+7+4)=18; bullets: 2/5; ell: 1/5
+      (1L, "- a b\n x \nx\nwait...\n• pt"),
+      (2L, "only line"), // single line, no dups/markers
+      (3L, ""),          // empty → zeros
+      (4L, " \n  \n ")   // whitespace-only segments → zeros
+    ).toDF("doc_id", "text")
+    val got = tiny.select(col("doc_id"), TextAnalysis.lineStats(col("text")).as("r"))
+      .select(col("doc_id"), col("r.n_lines"), col("r.dup_line_frac"),
+        col("r.dup_line_char_frac"), col("r.bullet_start_frac"),
+        col("r.ellipsis_end_frac"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(got(1L) == ((5, 0.4, math.rint(2.0 / 18 * 1e9) / 1e9, 0.4, 0.2)))
+    assert(got(2L) == ((1, 0.0, 0.0, 0.0, 0.0)))
+    assert(got(3L) == ((0, 0.0, 0.0, 0.0, 0.0)))
+    assert(got(4L) == ((0, 0.0, 0.0, 0.0, 0.0)))
+  }
+
+  test("c4 line filter: per-rule line verdicts and the page-level verdict") {
+    val tiny = Seq(
+      (1L, "Keep this sentence here.\nno punct line at all\nOk two.\nTiny.\n" +
+        "Please enable JavaScript now!\nA quoted keeper \"\n \nLast good line?"),
+      (2L, "Lorem ipsum dolor sit amet."), // page poisoned (case-insensitive)
+      (3L, "Code { inside. This page dies."),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val got = tiny.select(col("doc_id"),
+        TextAnalysis.c4LineFilter(col("text"), 3).as("c"))
+      .select(col("doc_id"), col("c.clean_text"), col("c.kept_lines"),
+        col("c.dropped_lines"), col("c.keep_doc"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3), r.getBoolean(4))))
+      .toMap
+    // doc 1: keepers = the 4-word opener, the quoted keeper (trailing "),
+    // "Last good line?"; dropped = no-punct, "Ok two." (2 words), "Tiny."
+    // (1 word), the javascript line, the whitespace segment.
+    assert(got(1L)._1 ==
+      "Keep this sentence here.\nA quoted keeper \"\nLast good line?")
+    assert(got(1L)._2 == 3 && got(1L)._3 == 5 && got(1L)._4)
+    assert(got(2L) == (("Lorem ipsum dolor sit amet.", 1, 0, false)))
+    assert(got(3L)._4 == false)
+    assert(got(4L) == (("", 0, 1, true))) // split("") → one empty segment
+  }
+
   // ---- salted join --------------------------------------------------------
 
   test("salted join: row-identical to the plain join, and small side replicates") {
