@@ -73,6 +73,7 @@ object Compiler {
         node.watermark.map(_.col) ++
         node.dedup.toSeq.flatMap(d => d.keys ++ d.idCol) ++
         node.nearDup.toSeq.flatMap(d => Seq(d.idCol, d.vecCol)) ++
+        node.semanticDedup.toSeq.flatMap(d => Seq(d.idCol, d.vecCol)) ++
         node.editDedup.toSeq.flatMap(e => Seq(e.idCol, e.textCol)) ++
         node.imageDedup.toSeq.flatMap(i => Seq(i.idCol, i.payloadCol)) ++
         node.simhashDedup.toSeq.flatMap(sh => Seq(sh.idCol, sh.textCol)) ++
@@ -293,6 +294,19 @@ object Compiler {
         requireBatch("near_dup")
         df = graft.ops.Dedup.dedupClusters(df)
       }
+    }
+
+    // Semantic dedup: centroid training collects bounded metadata at
+    // compile and the within-cluster join needs the whole corpus —
+    // batch-only by name.
+    node.semanticDedup.foreach { d =>
+      if (streaming) throw new IllegalArgumentException(
+        s"node ${node.id}: semantic_dedup trains centroids over the whole " +
+          "corpus — batch-only; dedup a stream against a batch-built " +
+          "index via near_dup_ingest/near_dup_probe instead")
+      df = graft.ops.Similarity.semanticDedup(
+        df, d.idCol, d.vecCol, d.threshold, d.dim, d.nlist, d.refineRounds,
+        d.exact, d.numBits, d.bands, d.output)
     }
 
     // Edit-distance near-dup: the frame becomes (idA, idB, dist, sim) —

@@ -463,4 +463,113 @@ object Similarity {
       .filter(col("idA") < col("idB") &&
         firstCollision(col("__siga"), col("__sigb"), numBits / bands, bands))
   }
+
+  /** SemDeDup-style semantic deduplication (the public SemDeDup recipe —
+    * k-means cluster the embeddings, then near-dup only WITHIN each
+    * cluster; see PAPERS.md): documents whose embeddings are
+    * semantically redundant are pruned so the surviving corpus carries
+    * more information per token.
+    *
+    * Clustering reuses the IVF centroid machinery ([[ivfCentroids]]:
+    * deterministic lowest-hash seed + optional mini-batch Lloyd rounds;
+    * assignment is the [[graft.functions.CentroidKernels]] reference-
+    * object kernel — scan-stage, zero plan literals at any nlist·dim).
+    * The DROP RULE is deterministic: a document is dropped iff SOME
+    * smaller-id document in ITS OWN cluster has cosine ≥ `threshold`
+    * against it — i.e. each within-cluster near-dup neighborhood keeps
+    * exactly its min-id members (no iterative clustering pass; one
+    * semi-join decides every row, and the verdict never depends on
+    * whether the smaller neighbor itself survived).
+    *
+    * Within-cluster pair generation has the same two tiers as corpus
+    * near-dup:
+    *  - `exact = true`: per-cluster all-pairs (broadcast cross join) —
+    *    the verification tier; fixture-bound use only.
+    *  - `exact = false` (default): pigeonhole-banded hyperplane
+    *    signatures SCOPED BY CLUSTER — candidates collide on
+    *    (cluster, band, band_key), so candidate volume tracks in-cluster
+    *    signature collisions, never cluster size². Identical embeddings
+    *    always share cluster, signature, and every band, so true
+    *    duplicate classes are found with recall 1; near-identical pairs
+    *    follow the banded recall S-curve (see
+    *    [[cosineNearDupPairsBanded]]).
+    *
+    * `output`: "keep" (default) = the surviving rows of `df`, original
+    * schema; "labels" = (id, cluster, keep) for every row; "pairs" =
+    * the within-cluster near-dup pair list (idA, idB, cluster, score).
+    *
+    * 100 TB posture: centroids are bounded metadata (nlist·dim doubles);
+    * assignment is scan-stage; the only shuffles are the band-key join
+    * and the final semi-join on id. Raise nlist with corpus size so
+    * clusters stay bounded — the SemDeDup contract. */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      dim: Int,
+      nlist: Int = 16,
+      refineRounds: Int = 0,
+      exact: Boolean = false,
+      numBits: Int = 32,
+      bands: Int = 16,
+      output: String = "keep"
+  ): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"semanticDedup: threshold must be in (0, 1], got $threshold")
+    require(Seq("keep", "labels", "pairs").contains(output),
+      s"semanticDedup: output must be keep|labels|pairs, got '$output'")
+    val cents = ivfCentroids(df, idCol, vecCol, nlist, refineRounds)
+    val assigned = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      element_at(graft.functions.CentroidKernels.nearestCentroids(
+        col(vecCol), cents, 1), 1).as("__cl"))
+    def score(va: Column, na: Column, vb: Column, nb: Column): Column =
+      round(when(na > 0 && nb > 0, dot(va, vb) / (na * nb)).otherwise(lit(0.0)), 9)
+    val pairs =
+      if (exact) {
+        val a = assigned.select(col("__cl"), col("__id").as("idA"),
+          col("__v").as("__va"), l2Norm(col("__v")).as("__na"))
+        val b = assigned.select(col("__cl"), col("__id").as("idB"),
+          col("__v").as("__vb"), l2Norm(col("__v")).as("__nb"))
+        a.join(b, Seq("__cl")).filter(col("idA") < col("idB"))
+          .select(col("idA"), col("idB"), col("__cl").as("cluster"),
+            score(col("__va"), col("__na"), col("__vb"), col("__nb")).as("score"))
+          .filter(col("score") >= threshold)
+      } else {
+        require(numBits % bands == 0, "bands must divide numBits")
+        val width = numBits / bands
+        val banded = assigned
+          .select(col("__cl"), col("__id"), col("__v"),
+            l2Norm(col("__v")).as("__n"),
+            hyperplaneSignature(col("__v"), dim, numBits).as("__sig"))
+          .select(col("__cl"), col("__id"), col("__v"), col("__n"), col("__sig"),
+            posexplode(array((0 until bands).map(c =>
+              shiftright(col("__sig"), c * width)
+                .bitwiseAND(lit((1L << width) - 1L))): _*)).as(Seq("band", "band_key")))
+        val a = banded.select(col("__cl"), col("band"), col("band_key"),
+          col("__id").as("idA"), col("__v").as("__va"), col("__n").as("__na"),
+          col("__sig").as("__siga"))
+        val b = banded.select(col("__cl"), col("band"), col("band_key"),
+          col("__id").as("idB"), col("__v").as("__vb"), col("__n").as("__nb"),
+          col("__sig").as("__sigb"))
+        a.join(b, Seq("__cl", "band", "band_key"))
+          .filter(col("idA") < col("idB") &&
+            firstCollision(col("__siga"), col("__sigb"), width, bands))
+          .select(col("idA"), col("idB"), col("__cl").as("cluster"),
+            score(col("__va"), col("__na"), col("__vb"), col("__nb")).as("score"))
+          .filter(col("score") >= threshold)
+      }
+    output match {
+      case "pairs" => pairs
+      case "labels" =>
+        assigned
+          .join(pairs.select(col("idB").as("__id"), lit(false).as("__drop")).distinct(),
+            Seq("__id"), "left")
+          .select(col("__id").as(idCol), col("__cl").as("cluster"),
+            coalesce(col("__drop"), lit(true)).as("keep"))
+      case _ =>
+        df.join(pairs.select(col("idB").as(idCol)).distinct(),
+          Seq(idCol), "left_anti")
+    }
+  }
 }

@@ -302,6 +302,73 @@ object SimQueries extends QueryPack {
       .orderBy(col("query_id").asc_nulls_first, col("rank").asc_nulls_first)
   }
 
+  // q167 — SemDeDup semantic dedup, EXACT verification tier: nlist=1
+  // (one cluster — cluster-scoping degenerates away) and per-cluster
+  // all-pairs, so the drop rule is pure arithmetic the oracle mirrors
+  // directly: a vector is dropped iff some smaller-id vector has cosine
+  // ≥ 0.4. Input fixture-bounded to the q32 third (vec_id % 3 = 0) —
+  // the exact tier's all-pairs join stays constant-cost in SF.
+  private def q167(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(
+        emb(s, dir).filter(col("vec_id") % 3 === 0)
+          .select("vec_id", "embedding"),
+        idCol = "vec_id", vecCol = "embedding",
+        threshold = 0.4, dim = 64, nlist = 1, exact = true, output = "labels")
+      .orderBy(col("vec_id").asc_nulls_first)
+  private val q167Sql = s"""
+    WITH c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0),
+    drops AS (
+      SELECT DISTINCT b.vec_id AS ib
+      FROM c a, c b
+      WHERE a.vec_id < b.vec_id
+        AND ${duckCosine("a.embedding", "b.embedding")} >= 0.4)
+    SELECT c.vec_id, CAST(0 AS INT) AS cluster, (drops.ib IS NULL) AS keep
+    FROM c LEFT JOIN drops ON c.vec_id = drops.ib
+    ORDER BY c.vec_id ASC NULLS FIRST"""
+
+  // q168 — semantic dedup from PURE JSON, the SCALE tier (nlist=4 k-means
+  // with one mini-batch refine round + cluster-scoped banded LSH), made
+  // exactly oracle-checkable by a pattern-vector fixture: embedding =
+  // e_a + e_b with (a, b) = (pat % 32, 32 + pat div 32), pat = id % 1024.
+  // Cosine between DISTINCT patterns is ≤ 0.5 (< τ = 0.9); identical
+  // patterns are identical VECTORS — same centroid (deterministic
+  // assignment), same signature (collide in every band) — so the kept
+  // set is provably id = min(id) per pattern group, independent of where
+  // k-means draws cluster boundaries. Planted copies (+1e6, id % 10 = 0)
+  // give every SF a guaranteed duplicate class on top of the natural
+  // id ≡ id' (mod 1024) collisions.
+  private def q168(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    graft.compile.Compiler.compileJson(s, """
+      {"id": "semdedup",
+       "combine": {"op": "union", "nodes": [
+         {"id": "b", "source": {"table": "embeddings"},
+          "derive": {"pat": "vec_id % 1024"},
+          "keep_columns": ["vec_id", "pat"]},
+         {"id": "p", "source": {"table": "embeddings"},
+          "filters": ["vec_id % 10 = 0"],
+          "derive": {"vid2": "vec_id + 1000000", "pat": "vec_id % 1024"},
+          "keep_columns": ["vid2", "pat"],
+          "rename": {"vid2": "vec_id"}}]},
+       "derive": {"emb": "transform(sequence(0, 63), d -> CAST(CASE WHEN d = CAST(pat % 32 AS INT) OR d = 32 + CAST(pat DIV 32 AS INT) THEN 1.0 ELSE 0.0 END AS DOUBLE))"},
+       "keep_columns": ["vec_id", "emb"],
+       "semantic_dedup": {"id_col": "vec_id", "vec_col": "emb",
+                          "threshold": 0.9, "dim": 64, "nlist": 4,
+                          "refine_rounds": 1},
+       "drop": ["emb"],
+       "order_by": ["vec_id asc"]}""")
+  }
+  private val q168Sql = """
+    WITH a AS (
+      SELECT vec_id, vec_id % 1024 AS pat FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, vec_id % 1024 AS pat
+      FROM embeddings WHERE vec_id % 10 = 0)
+    SELECT vec_id FROM (
+      SELECT vec_id, MIN(vec_id) OVER (PARTITION BY pat) AS m FROM a)
+    WHERE vec_id = m
+    ORDER BY vec_id ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
     Q("q31_cosine_topk", q31, Some(q31Sql)),
     Q("q32_embedding_neardup", q32, Some(q32Sql)),
@@ -311,6 +378,8 @@ object SimQueries extends QueryPack {
     Q("q70_quantized_neardup", q70, Some(q70Sql)),
     Q("q92_ann_topk_full", q92, Some(bruteTopKSql(3))),
     Q("q93_ivf_topk_full", q93, Some(bruteTopKSql(3))),
-    Q("q138_config_embedding_clusters", q138, Some(q138Sql))
+    Q("q138_config_embedding_clusters", q138, Some(q138Sql)),
+    Q("q167_semantic_dedup_exact", q167, Some(q167Sql)),
+    Q("q168_config_semantic_dedup", q168, Some(q168Sql))
   )
 }

@@ -228,6 +228,24 @@ object JsonCodec {
         }.getOrElse("pairs"))
     }
 
+    val smd = opt(n, "semantic_dedup", "semanticDedup").map { d =>
+      SemanticDedupSpec(
+        idCol = req(d, s"node $id: semantic_dedup", "id_col", "idCol").asText,
+        vecCol = req(d, s"node $id: semantic_dedup", "vec_col", "vecCol").asText,
+        threshold = req(d, s"node $id: semantic_dedup", "threshold").asDouble,
+        dim = req(d, s"node $id: semantic_dedup", "dim").asInt,
+        nlist = opt(d, "nlist").map(_.asInt).getOrElse(16),
+        refineRounds = opt(d, "refine_rounds", "refineRounds").map(_.asInt).getOrElse(0),
+        exact = opt(d, "exact").exists(_.asBoolean),
+        numBits = opt(d, "num_bits", "numBits").map(_.asInt).getOrElse(32),
+        bands = opt(d, "bands").map(_.asInt).getOrElse(16),
+        output = opt(d, "output").map(_.asText).map {
+          case s @ ("keep" | "labels" | "pairs") => s
+          case other => throw new IllegalArgumentException(
+            s"""node $id: semantic_dedup output must be "keep", "labels" or "pairs" — got "$other"""")
+        }.getOrElse("keep"))
+    }
+
     val ed = opt(n, "edit_dedup", "editDedup").map { d =>
       EditDedupSpec(
         idCol = req(d, s"node $id: edit_dedup", "id_col", "idCol").asText,
@@ -486,6 +504,7 @@ object JsonCodec {
       dedup = dd,
       keepColumns = if (aggregate.isDefined) Nil else keep,
       nearDup = nd,
+      semanticDedup = smd,
       editDedup = ed,
       imageDedup = imd,
       simhashDedup = shd,

@@ -240,6 +240,31 @@ final case class NearDupSpec(
     output: String = "pairs"
 )
 
+/** SemDeDup-style semantic dedup (NS; the public SemDeDup recipe):
+  * k-means-cluster the embedding column via the IVF centroid machinery,
+  * then near-dup WITHIN each cluster only; a row is dropped iff some
+  * smaller-id row of its own cluster is within cosine `threshold`
+  * ([[graft.ops.Similarity.semanticDedup]]). `output`: "keep" (default)
+  * leaves the node's frame as the surviving rows (original schema);
+  * "labels" rewrites it to (id, cluster, keep); "pairs" to the
+  * within-cluster near-dup list (idA, idB, cluster, score). `exact`
+  * switches the within-cluster candidate tier from cluster-scoped
+  * banded LSH (the scale path) to per-cluster all-pairs (verification
+  * fixtures only). Centroid training collects nlist·dim doubles at
+  * compile — bounded metadata, batch-only by name. */
+final case class SemanticDedupSpec(
+    idCol: String,
+    vecCol: String,
+    threshold: Double,
+    dim: Int,
+    nlist: Int = 16,
+    refineRounds: Int = 0,
+    exact: Boolean = false,
+    numBits: Int = 32,
+    bands: Int = 16,
+    output: String = "keep"
+)
+
 /** Edit-distance near-dup pairs (NS; Dedup.blockedCandidatePairs →
   * verifyEditDistancePairs): record-linkage blocking on `blockExpr` (any
   * Catalyst expression string — a text prefix, a normalized title…),
@@ -608,6 +633,7 @@ final case class NodeSpec(
     dedup: Option[DedupSpec] = None,
     keepColumns: Seq[String] = Nil,
     nearDup: Option[NearDupSpec] = None, // after keep, before aggregate
+    semanticDedup: Option[SemanticDedupSpec] = None, // after keep, before aggregate
     editDedup: Option[EditDedupSpec] = None, // after keep, before aggregate
     imageDedup: Option[ImageDedupSpec] = None, // after keep, before aggregate
     simhashDedup: Option[SimhashDedupSpec] = None, // same slot, text tier

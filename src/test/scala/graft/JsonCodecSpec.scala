@@ -126,6 +126,31 @@ class JsonCodecSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("pairs") && e2.getMessage.contains("clusters"))
   }
 
+  test("semantic_dedup node key decodes with defaults and named errors") {
+    val d = root("""
+      {"source": {"table": "embeddings"},
+       "semantic_dedup": {"id_col": "vec_id", "vec_col": "embedding",
+                          "threshold": 0.9, "dim": 64}}""").semanticDedup.get
+    assert(d.idCol == "vec_id" && d.vecCol == "embedding")
+    assert(d.threshold == 0.9 && d.dim == 64)
+    assert(d.nlist == 16 && d.refineRounds == 0 && !d.exact)
+    assert(d.numBits == 32 && d.bands == 16 && d.output == "keep")
+    val full = root("""
+      {"source": {"table": "embeddings"},
+       "semantic_dedup": {"id_col": "a", "vec_col": "v", "threshold": 0.8,
+                          "dim": 8, "nlist": 4, "refine_rounds": 2,
+                          "exact": true, "output": "labels"}}""").semanticDedup.get
+    assert(full.nlist == 4 && full.refineRounds == 2 && full.exact)
+    assert(full.output == "labels")
+    val e = intercept[IllegalArgumentException](root(
+      """{"semantic_dedup": {"id_col": "a", "vec_col": "v", "dim": 8}}"""))
+    assert(e.getMessage.contains("threshold"))
+    val e2 = intercept[IllegalArgumentException](root(
+      """{"semantic_dedup": {"id_col": "a", "vec_col": "v",
+                             "threshold": 0.8, "dim": 8, "output": "graph"}}"""))
+    assert(e2.getMessage.contains("keep") && e2.getMessage.contains("labels"))
+  }
+
   test("edit_dedup node key decodes with defaults and named errors") {
     val n = root("""
       {"source": {"table": "documents"},

@@ -583,6 +583,56 @@ class OpsSpec extends SparkSpec {
     ivf.count() // the plan also executes
   }
 
+  test("semantic dedup: copies dropped with recall 1, exact == banded, deterministic, modes agree") {
+    import spark.implicits._
+    // corpus + exact copies: identical vectors share cluster AND signature,
+    // so the banded tier must find every copy pair (recall 1 by identity)
+    val base = emb.select($"vec_id", $"embedding")
+    val copies = base.filter($"vec_id" % 5 === 0)
+      .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+    val corpus = base.unionByName(copies)
+    def keptIds(exact: Boolean): Set[Long] =
+      Similarity.semanticDedup(corpus, "vec_id", "embedding",
+          threshold = 0.999, dim = 64, nlist = 4, refineRounds = 1,
+          exact = exact)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    val kept = keptIds(exact = false)
+    // every copy has a smaller-id twin in its (shared) cluster → dropped
+    assert(kept.forall(_ < 100000L), "a planted copy survived")
+    // 0.999 keeps natural pairs apart in this corpus (max cos ≈ 0.51),
+    // so the kept set is exactly the originals
+    assert(kept == base.select("vec_id").collect().map(_.getLong(0)).toSet)
+    // the exact tier agrees, and reruns are bit-deterministic
+    assert(keptIds(exact = true) == kept)
+    assert(keptIds(exact = false) == kept)
+    // labels mode: keep=false exactly off the kept set; cluster count ≤ nlist
+    val labels = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+        threshold = 0.999, dim = 64, nlist = 4, refineRounds = 1,
+        output = "labels")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    assert(labels.map(_._1).toSet == corpus.select("vec_id").collect().map(_.getLong(0)).toSet)
+    assert(labels.filter(_._3).map(_._1).toSet == kept)
+    assert(labels.map(_._2).distinct.length <= 4)
+    // identical vectors co-cluster — the SemDeDup co-location invariant
+    val clOf = labels.toSeq.groupBy(_._1).view.mapValues(_.head._2)
+    assert(copies.select("vec_id").collect().map(_.getLong(0))
+      .forall(id => clOf(id) == clOf(id - 100000L)))
+    // pairs mode: every pair within one cluster, scored ≥ threshold
+    val pairs = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+        threshold = 0.999, dim = 64, nlist = 4, refineRounds = 1,
+        output = "pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b, cl, s) =>
+      a < b && s >= 0.999 && clOf(a) == cl && clOf(b) == cl })
+    intercept[IllegalArgumentException](
+      Similarity.semanticDedup(corpus, "vec_id", "embedding",
+        threshold = 1.5, dim = 64))
+    intercept[IllegalArgumentException](
+      Similarity.semanticDedup(corpus, "vec_id", "embedding",
+        threshold = 0.9, dim = 64, output = "graph"))
+  }
+
   private def composedPad(vec: org.apache.spark.sql.Column,
       cents: Seq[Seq[Double]], nprobe: Int): org.apache.spark.sql.Column = {
     val padded = cents.map(_.padTo(64, 0.0))

@@ -949,6 +949,8 @@ class StreamingSpec extends SparkSpec {
                "output": "clusters"}""", "batch-only")
     rejects(""""passage_dedup": {"id_col": "doc_id", "text_col": "text"}""",
       "batch-only")
+    rejects(""""semantic_dedup": {"id_col": "doc_id", "vec_col": "embedding",
+               "threshold": 0.9, "dim": 2}""", "batch-only")
     rejects(""""temperature_sample": {"group_col": "lang", "id_col": "doc_id",
                "target_fraction": 0.3}""", "batch-only")
     // root-level profile is now the streaming drift monitor (see the
