@@ -29,7 +29,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *    next `endstream` keyword.
   *  - Stream filters: `/FlateDecode` (JDK zlib), `/LZWDecode`
   *    (MSB-first early-change variant — the GIF codec's sibling),
-  *    `/ASCII85Decode`, `/ASCIIHexDecode`, and `/Filter [...]` chains
+  *    `/ASCII85Decode`, `/ASCIIHexDecode`, `/RunLengthDecode`, and
+  *    `/Filter [...]` chains
   *    applied in order. Any other filter (DCT, JBIG2, Crypt, ...) or
   *    corrupt data makes that stream invisible rather than an error;
   *    truncated Flate/LZW input degrades to the decoded prefix. Output
@@ -65,6 +66,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    Latin-1 byte map, never an error. (`/Differences` glyph-name
   *    encodings are out of scope — they need the Adobe glyph list.)
   *  - Page texts join with `\n`; pages with no text contribute nothing.
+  *  - `n_images` / `image_bytes` inventory the `/Subtype /Image`
+  *    XObject streams (count + raw payload bytes) — the multimodal
+  *    signal without decoding samples; dims/encodings stay in the dict
+  *    and DCTDecode payloads stay opaque.
   *
   * NULL bytes → NULL struct; anything else — truncated, not a PDF,
   * garbage — degrades to `(version=NULL, n_pages=0, text="")`, never a
@@ -414,6 +419,32 @@ object PdfOps {
     out.toByteArray
   }
 
+  /** RunLengthDecode (PDF 32000 §7.4.5): length byte n < 128 copies the
+    * next n+1 bytes literally; n > 128 repeats the next byte 257−n
+    * times; n == 128 is EOD. A run truncated mid-stream decodes what it
+    * has (damage degrades); output capped like the inflater. */
+  private[graft] def runLengthDecodeBytes(data: Array[Byte]): Array[Byte] = {
+    val cap = 1 << 24
+    val out = new java.io.ByteArrayOutputStream(data.length * 2 + 16)
+    var i = 0
+    while (i < data.length && out.size < cap) {
+      val n = data(i) & 0xff
+      i += 1
+      if (n == 128) return out.toByteArray // EOD
+      else if (n < 128) {
+        val len = math.min(n + 1, data.length - i)
+        if (len > 0) out.write(data, i, len)
+        i += n + 1
+      } else if (i < data.length) {
+        val b = data(i)
+        var k = 257 - n
+        while (k > 0 && out.size < cap) { out.write(b); k -= 1 }
+        i += 1
+      }
+    }
+    out.toByteArray
+  }
+
   /** Stream payload → content-stream text, or null when invisible (no
     * stream, an unsupported filter in the chain, corrupt data). Filters
     * apply in declared order (`/Filter [/ASCII85Decode /FlateDecode]`
@@ -429,6 +460,7 @@ object PdfOps {
           lzwDecodeBytes(data, dictInt(o.dict, "EarlyChange").getOrElse(1))
         case "ASCII85Decode" | "A85" => ascii85DecodeBytes(data)
         case "ASCIIHexDecode" | "AHx" => asciiHexDecodeBytes(data)
+        case "RunLengthDecode" | "RL" => runLengthDecodeBytes(data)
         case _ => null // DCT, JBIG2, Crypt, ... — invisible, not an error
       }
       if (next == null) return null
@@ -958,10 +990,25 @@ object PdfOps {
       }
 
     val text = pageTexts.filter(_.nonEmpty).mkString("\n")
+    // image inventory: /Subtype /Image XObject streams — the multimodal
+    // signal a curation pipeline wants from a PDF without decoding
+    // samples (dims/encodings live in the dict; DCTDecode payloads stay
+    // opaque here). Counted over the parsed objects, so damaged pages
+    // still report their images.
+    var nImages = 0
+    var imageBytes = 0L
+    objs.foreach { o =>
+      if (o.data != null && hasName(o.dict, "Subtype", "Image")) {
+        nImages += 1
+        imageBytes += o.data.length
+      }
+    }
     new GenericInternalRow(Array[Any](
       if (version == null) null else UTF8String.fromString(version),
       nPages,
-      UTF8String.fromString(text)))
+      UTF8String.fromString(text),
+      nImages,
+      imageBytes))
   }
 }
 
@@ -991,7 +1038,9 @@ object PdfExtract {
   val schema: StructType = StructType(Seq(
     StructField("version", StringType, nullable = true),
     StructField("n_pages", IntegerType, nullable = false),
-    StructField("text", StringType, nullable = false)))
+    StructField("text", StringType, nullable = false),
+    StructField("n_images", IntegerType, nullable = false),
+    StructField("image_bytes", LongType, nullable = false)))
 }
 
 object PdfKernels {

@@ -272,7 +272,12 @@ object TextAnalysis {
     * the `application/pdf` branch behind `sniff_mime` routing, same
     * scan-stage/zero-shuffle posture as [[htmlExtract]]. Lenient like a
     * crawler must be: damaged structure degrades to empty text, never an
-    * error (see graft.functions.PdfOps for the precise contract). */
+    * error (see graft.functions.PdfOps for the precise contract). The
+    * frame contract is STABLE at these four columns; the kernel's image
+    * inventory (`n_images`, `image_bytes`) is reachable through the
+    * `pdf_extract(bytes)` function surface (derive a struct column and
+    * project its fields) without widening every pipeline built on this
+    * frame. */
   def pdfExtract(df: org.apache.spark.sql.DataFrame, idCol: String,
       pdfCol: String): org.apache.spark.sql.DataFrame =
     df.select(col(idCol),

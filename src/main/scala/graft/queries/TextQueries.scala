@@ -678,6 +678,59 @@ object TextQueries extends QueryPack {
       .orderBy(col("doc_id").asc_nulls_first)
   }
 
+  /** q152's builder plus `id % 3` planted image XObjects (payload length
+    * 10 + id % 7 + k for image k — opaque bytes behind /DCTDecode, the
+    * realistic shape): the q169 image-inventory fixture. Appending
+    * objects after q152's seven leaves the text path byte-identical. */
+  private[graft] val textToPdfImg: (String, String) => Array[Byte] = (id, body) => {
+    val latin = java.nio.charset.StandardCharsets.ISO_8859_1
+    val base = textToPdf(id, body)
+    val n = (id.toLong % 3).toInt
+    if (n == 0) base
+    else {
+      val out = new java.io.ByteArrayOutputStream()
+      // strip the trailing xref/trailer/%%EOF (the scanner never reads
+      // it); append image objects and a fresh EOF marker
+      val cut = new String(base, latin).lastIndexOf("xref\n")
+      out.write(base, 0, if (cut > 0) cut else base.length)
+      (0 until n).foreach { k =>
+        val len = 10 + (id.toLong % 7).toInt + k
+        val payload = new Array[Byte](len)
+        java.util.Arrays.fill(payload, 'J'.toByte)
+        out.write((s"${8 + k} 0 obj\n<< /Type /XObject /Subtype /Image " +
+          s"/Width 4 /Height 4 /Filter /DCTDecode /Length $len >>\nstream\n")
+          .getBytes(latin))
+        out.write(payload)
+        out.write("\nendstream\nendobj\n".getBytes(latin))
+      }
+      out.write("%%EOF\n".getBytes(latin))
+      out.toByteArray
+    }
+  }
+
+  // q169 — the PDF image inventory through the pdf_extract FUNCTION
+  // surface (struct projection in pure column code): documents carry
+  // id % 3 planted /Subtype /Image XObjects whose byte totals are id
+  // arithmetic, so count and size are exact oracle terms. Text/pages
+  // stay the q152 template — one kernel pass yields all five fields.
+  private def q169(s: SparkSession, dir: String): DataFrame = {
+    val toPdf = udf(textToPdfImg)
+    docs(s, dir)
+      .withColumn("pdf", toPdf(col("doc_id").cast("string"), col("text")))
+      .select(col("doc_id"),
+        graft.functions.PdfKernels.pdfExtract(col("pdf")).as("p"))
+      .select(col("doc_id"), col("p.n_pages").as("n_pages"),
+        col("p.n_images").as("n_images"),
+        col("p.image_bytes").as("image_bytes"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+  private val q169Sql = """
+    SELECT doc_id, CAST(2 AS INT) AS n_pages,
+           CAST(doc_id % 3 AS INT) AS n_images,
+           CAST((doc_id % 3) * (10 + doc_id % 7)
+                + (doc_id % 3) * (doc_id % 3 - 1) / 2 AS BIGINT) AS image_bytes
+    FROM documents ORDER BY doc_id ASC NULLS FIRST"""
+
   private val pdfTextSql =
     "'Doc ' || doc_id || '!' || chr(10) || text || chr(10) || 'p. 2 (end)'"
   private val q152Sql = s"""
@@ -984,6 +1037,7 @@ object TextQueries extends QueryPack {
     Q("q157_bpe_pack", q157, Some(q157Sql)),
     Q("q158_config_bpe", q158, Some(q156Sql)),
     Q("q164_bpe_apply_artifact", q164, Some(q164Sql)),
-    Q("q159_mixed_lake_flagship", q159, Some(q159Sql))
+    Q("q159_mixed_lake_flagship", q159, Some(q159Sql)),
+    Q("q169_pdf_image_inventory", q169, Some(q169Sql))
   )
 }

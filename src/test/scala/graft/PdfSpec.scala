@@ -496,4 +496,64 @@ class PdfSpec extends SparkSpec {
       4 -> stream(s"<< /Length ${a85z.length} /Filter [/ASCII85Decode /DCTDecode] >>", a85z))
     assert(pdfx(bad) == ("1.7", 1, ""))
   }
+
+  test("pdf RunLengthDecode: literal+repeat runs, EOD stops, truncation degrades") {
+    // byte-level kernel first: runs hand-assembled per PDF 32000 §7.4.5
+    def rl(bs: Int*): Array[Byte] = bs.map(_.toByte).toArray
+    val enc = rl(2, 'a', 'b', 'c') ++ rl(254, 'x') ++ rl(0, '!') // abc xxx !
+    assert(new String(graft.functions.PdfOps.runLengthDecodeBytes(enc), latin)
+      == "abcxxx!")
+    // EOD (128) ends decoding even with trailing garbage
+    val withEod = rl(1, 'h', 'i', 128, 0, 'Z')
+    assert(new String(graft.functions.PdfOps.runLengthDecodeBytes(withEod), latin)
+      == "hi")
+    // truncated literal run copies what's there
+    assert(new String(graft.functions.PdfOps.runLengthDecodeBytes(rl(5, 'q')), latin)
+      == "q")
+    // whole-document path: content stream through /RunLengthDecode
+    val content = "BT 0 0 Td (run length ok) Tj ET"
+    val raw = content.getBytes(latin)
+    val encoded = new java.io.ByteArrayOutputStream()
+    raw.grouped(127).foreach { chunk =>
+      encoded.write(chunk.length - 1); encoded.write(chunk)
+    }
+    encoded.write(128)
+    val body = new String(encoded.toByteArray, latin)
+    val bytes = miniPdf(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> "<< /Type /Page /Contents 4 0 R >>",
+      4 -> stream(s"<< /Length ${contentLen(body)} /Filter /RunLengthDecode >>", body))
+    assert(pdfx(bytes) == ("1.7", 1, "run length ok"))
+  }
+
+  test("pdf image inventory: /Subtype /Image streams counted with byte totals") {
+    val content = "BT 0 0 Td (with images) Tj ET"
+    val img1 = "A" * 37 // raw payload bytes; encoding stays opaque
+    val img2 = "B" * 11
+    val bytes = miniPdf(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> "<< /Type /Page /Contents 4 0 R /Resources << /XObject << /Im1 5 0 R /Im2 6 0 R >> >> >>",
+      4 -> stream(s"<< /Length ${contentLen(content)} >>", content),
+      5 -> stream(s"<< /Type /XObject /Subtype /Image /Width 2 /Height 2 " +
+        s"/Filter /DCTDecode /Length ${img1.length} >>", img1),
+      6 -> stream(s"<< /Type /XObject /Subtype /Image /Width 1 /Height 1 " +
+        s"/Length ${img2.length} >>", img2))
+    val r = graft.functions.PdfOps.compute(bytes)
+    assert(r.getUTF8String(2).toString == "with images")
+    assert(r.getInt(3) == 2, "n_images")
+    assert(r.getLong(4) == (img1.length + img2.length).toLong, "image_bytes")
+    // a form XObject is NOT an image; a dict-only (streamless) image
+    // reference contributes nothing
+    val none = miniPdf(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> "<< /Type /Page /Contents 4 0 R >>",
+      4 -> stream(s"<< /Length ${contentLen(content)} >>", content),
+      5 -> stream("<< /Type /XObject /Subtype /Form /Length 3 >>", "xyz"),
+      6 -> "<< /Type /XObject /Subtype /Image /Width 9 /Height 9 >>")
+    val r2 = graft.functions.PdfOps.compute(none)
+    assert(r2.getInt(3) == 0 && r2.getLong(4) == 0L)
+  }
 }
