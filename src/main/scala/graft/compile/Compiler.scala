@@ -85,6 +85,7 @@ object Compiler {
         node.cmsProbe.toSeq.map(_.keyCol) ++
         node.split.toSeq.map(_.idCol) ++
         node.temperatureSample.toSeq.flatMap(t => Seq(t.groupCol, t.idCol)) ++
+        node.globalShuffle.toSeq.map(_.idCol) ++
         node.htmlExtract.toSeq.flatMap(h => Seq(h.idCol, h.htmlCol)) ++
         node.pdfExtract.toSeq.flatMap(p => Seq(p.idCol, p.pdfCol)) ++
         node.profile.toSeq.flatMap(_.columns) ++
@@ -482,6 +483,16 @@ object Compiler {
       requireBatch("temperature_sample")
       df = graft.ops.Corpus.temperatureSample(
         df, ts.groupCol, ts.idCol, ts.targetFraction, ts.alpha)
+    }
+
+    // Global shuffle: the frame gains (shard, shuffle_pos). The
+    // per-shard rank window has no streaming semantics — batch-only by
+    // name (a stream's training order is its arrival order).
+    node.globalShuffle.foreach { g =>
+      if (streaming) throw new IllegalArgumentException(
+        s"node ${node.id}: global_shuffle ranks the whole corpus per " +
+          "shard — batch-only; a stream has no global permutation")
+      df = graft.ops.Corpus.globalShuffle(df, g.idCol, g.shards, g.seed)
     }
 
     // Boilerplate line removal: the frame becomes (id, clean_text,

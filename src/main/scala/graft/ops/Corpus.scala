@@ -333,6 +333,10 @@ object Corpus {
   // row to "train" and starve val/test.
   private val SplitMultiplier = 2654435761L
   private val SampleMultiplier = 25214903917L
+  // globalShuffle's hash space: fine-grained (1e9+7 vs the split ops'
+  // 1e6 buckets) so position ties are rare, and small enough that
+  // (P-1)·SplitMultiplier stays inside checked BIGINT in both engines
+  private val ShufflePrime = 1000000007L
 
   /** Engine-portable per-row hash of a stable id column in
     * [0, HashSpace): integral ids reduce-BEFORE-multiply (the overflow-
@@ -357,6 +361,67 @@ object Corpus {
     when(col(idCol).isNotNull, h).otherwise(raise_error(
       lit(s"$opName: NULL id in column '$idCol' — every row needs a " +
         "stable id for deterministic bucket assignment")))
+  }
+
+  /** Deterministic global shuffle + sharding — the training-output pass:
+    * a corpus fed to an LLM trainer must be read in an order decorrelated
+    * from its storage layout (crawl order, source grouping), reproducibly
+    * (re-runs, spot retries, and resumptions must see THE SAME order),
+    * and in shards a loader can stream independently. `rand()`-based
+    * shuffles lose all three.
+    *
+    * Each row gets `h = ((id mod P) · A + seed) mod P` over the portable
+    * space P = 1e9+7 (A = 2654435761, the Knuth multiplier the split/
+    * sample ops use; string ids route through the portable fingerprint
+    * kernel first, NULL ids fail loudly, other types are rejected at
+    * plan time — [[hashSplit]]'s contract). Then `shard = h mod shards`
+    * and `shuffle_pos` = the row's rank within its shard (h asc, id
+    * tiebreak). Every term is plain BIGINT arithmetic both engines
+    * compute identically, so the full (shard, position) assignment is
+    * exactly oracle-checkable — and STABLE UNDER RETRY: nothing depends
+    * on partitioning, task order, or time. Different `seed`s give
+    * independent permutations (epoch reshuffling).
+    *
+    * Scale: ONE shuffle — the per-shard window; h-collisions are broken
+    * by id, so ordering is total. Size `shards` so a shard's rows fit an
+    * executor's sort spill budget (at 100 TB: thousands of shards, which
+    * is also what the downstream loader wants); the deployment shape is
+    * `.write.partitionBy(shardCol)` with files sorted by `shuffle_pos`. */
+  def globalShuffle(
+      df: DataFrame,
+      idCol: String,
+      shards: Int,
+      seed: Long = 0L,
+      shardCol: String = "shard",
+      posCol: String = "shuffle_pos"
+  ): DataFrame = {
+    require(shards >= 1, s"globalShuffle: shards must be >= 1, got $shards")
+    require(seed >= 0 && seed < ShufflePrime,
+      s"globalShuffle: seed must be in [0, $ShufflePrime), got $seed")
+    Seq(shardCol, posCol, "__gsh").foreach(c =>
+      require(!df.columns.contains(c), s"input already has a $c column"))
+    import org.apache.spark.sql.types._
+    val base: Column = df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        col(idCol).cast("long")
+      case StringType =>
+        graft.functions.TextKernels.portableFingerprint(col(idCol))
+      case t => throw new IllegalArgumentException(
+        s"globalShuffle: id column '$idCol' has type ${t.simpleString}; " +
+          "only integral and string ids hash deterministically")
+    }
+    val p = lit(ShufflePrime)
+    val h = pmod(pmod(base, p) * lit(SplitMultiplier) + lit(seed), p)
+    val hh = when(col(idCol).isNotNull, h).otherwise(raise_error(
+      lit(s"globalShuffle: NULL id in column '$idCol' — every row needs " +
+        "a stable id for a deterministic position")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol))
+      .orderBy(col("__gsh").asc, col(idCol).asc)
+    df.withColumn("__gsh", hh)
+      .withColumn(shardCol, pmod(col("__gsh"), lit(shards.toLong)).cast("int"))
+      .withColumn(posCol, row_number().over(w).cast("long"))
+      .drop("__gsh")
   }
 
   /** Temperature-based mixture resampling — the multilingual-corpus

@@ -711,6 +711,37 @@ object CorpusQueries extends QueryPack {
             AND NOT contains(mtext, '{')) AS keep_doc
     FROM k ORDER BY doc_id ASC NULLS FIRST"""
 
+  // q170 — deterministic global shuffle: the training-output permutation
+  // (seed 42, 8 shards). Every (shard, position) is plain BIGINT
+  // arithmetic + a rank both engines compute identically — the oracle
+  // recomputes the whole assignment, not just membership.
+  private def q170(s: SparkSession, dir: String): DataFrame =
+    Corpus.globalShuffle(
+        docs(s, dir).select("doc_id"), "doc_id", shards = 8, seed = 42L)
+      .select("doc_id", "shard", "shuffle_pos")
+      .orderBy(col("shard").asc_nulls_first, col("shuffle_pos").asc_nulls_first)
+  private val q170Sql = """
+    WITH h AS (
+      SELECT doc_id,
+             ((doc_id % 1000000007 + 1000000007) % 1000000007
+              * 2654435761 + 42) % 1000000007 AS hv
+      FROM documents)
+    SELECT doc_id, CAST(hv % 8 AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY hv % 8
+                                   ORDER BY hv, doc_id) AS BIGINT) AS shuffle_pos
+    FROM h
+    ORDER BY shard ASC NULLS FIRST, shuffle_pos ASC NULLS FIRST"""
+
+  // q171 — the shuffle from PURE JSON (config twin of q170).
+  private def q171(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "documents"},
+       "keep_columns": ["doc_id"],
+       "global_shuffle": {"id_col": "doc_id", "shards": 8, "seed": 42},
+       "order_by": ["shard asc", "shuffle_pos asc"]}""")
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q72_doc_chunking", q72, Some(q72Sql)),
     Q("q73_sequence_packing", q73, Some(q73Sql)),
@@ -732,6 +763,8 @@ object CorpusQueries extends QueryPack {
     Q("q155_classifier_training_gate", q155, Some(q155Sql)),
     Q("q163_score_model_artifact", q163, Some(q163Sql)),
     Q("q165_line_stats", q165, Some(q165Sql)),
-    Q("q166_c4_line_filter", q166, Some(q166Sql))
+    Q("q166_c4_line_filter", q166, Some(q166Sql)),
+    Q("q170_global_shuffle", q170, Some(q170Sql)),
+    Q("q171_config_global_shuffle", q171, Some(q170Sql))
   )
 }

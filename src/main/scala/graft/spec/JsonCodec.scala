@@ -406,6 +406,13 @@ object JsonCodec {
         alpha = opt(d, "alpha").map(_.asDouble).getOrElse(0.5))
     }
 
+    val gs = opt(n, "global_shuffle", "globalShuffle").map { d =>
+      GlobalShuffleSpec(
+        idCol = req(d, s"node $id: global_shuffle", "id_col", "idCol").asText,
+        shards = req(d, s"node $id: global_shuffle", "shards").asInt,
+        seed = opt(d, "seed").map(_.asLong).getOrElse(0L))
+    }
+
     val he = opt(n, "html_extract", "htmlExtract").map { d =>
       HtmlExtractSpec(
         idCol = req(d, s"node $id: html_extract", "id_col", "idCol").asText,
@@ -519,6 +526,7 @@ object JsonCodec {
       cmsProbe = cms,
       split = sp,
       temperatureSample = ts,
+      globalShuffle = gs,
       htmlExtract = he,
       pdfExtract = pe,
       profile = pr,

@@ -404,6 +404,18 @@ final case class TemperatureSampleSpec(
     alpha: Double = 0.5
 )
 
+/** Deterministic global shuffle + sharding (NS; Corpus.globalShuffle):
+  * adds (`shard`, `shuffle_pos`) — an id-keyed, seed-parameterized,
+  * retry-stable permutation in loader-streamable shards, the
+  * training-output ordering pass. Different seeds = independent epoch
+  * orders. One per-shard window shuffle; exactly oracle-checkable
+  * BIGINT arithmetic. */
+final case class GlobalShuffleSpec(
+    idCol: String,
+    shards: Int,
+    seed: Long = 0L
+)
+
 /** Per-column data-quality profile (NS; Relational.profile): the frame
   * becomes one row per profiled column — (col_name, n_rows, n_nulls,
   * n_distinct, min_value, max_value), min/max as strings. One aggregate
@@ -648,6 +660,7 @@ final case class NodeSpec(
     cmsProbe: Option[CmsProbeSpec] = None, // after keep, before aggregate
     split: Option[SplitSpec] = None, // after keep, before aggregate
     temperatureSample: Option[TemperatureSampleSpec] = None, // after split
+    globalShuffle: Option[GlobalShuffleSpec] = None, // after temperature_sample
     htmlExtract: Option[HtmlExtractSpec] = None, // after keep, before aggregate
     pdfExtract: Option[PdfExtractSpec] = None, // after keep, before aggregate
     profile: Option[ProfileSpec] = None, // after keep, before aggregate

@@ -208,6 +208,40 @@ class CorpusSpec extends SparkSpec {
     assert(got(4L) == (("", 0, 1, true))) // split("") → one empty segment
   }
 
+  test("global shuffle: deterministic, seed-sensitive, membership/positions exact, ids guarded") {
+    val d = Tables.load(spark, sf, "documents").select("doc_id")
+    def run(seed: Long) = Corpus.globalShuffle(d, "doc_id", shards = 4, seed = seed)
+      .select("doc_id", "shard", "shuffle_pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val a = run(7)
+    // bit-deterministic across runs
+    assert(run(7).sortBy(_._1).toSeq == a.sortBy(_._1).toSeq)
+    // membership preserved; shards in range; positions are 1..n per shard
+    assert(a.map(_._1).sorted.toSeq ==
+      d.collect().map(_.getLong(0)).sorted.toSeq)
+    assert(a.forall(t => t._2 >= 0 && t._2 < 4))
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // a different seed is a different permutation (same membership)
+    val b = run(8)
+    assert(a.sortBy(_._1).map(t => (t._2, t._3)).toSeq !=
+      b.sortBy(_._1).map(t => (t._2, t._3)).toSeq)
+    // string ids route through the portable fingerprint and still rank
+    val s2 = Corpus.globalShuffle(
+      d.select(concat(lit("u-"), col("doc_id")).as("sid")), "sid", 4)
+    assert(s2.count() == d.count())
+    // guard rails
+    intercept[IllegalArgumentException](Corpus.globalShuffle(d, "doc_id", 0))
+    intercept[IllegalArgumentException](Corpus.globalShuffle(d, "doc_id", 4, seed = -1))
+    intercept[IllegalArgumentException](
+      Corpus.globalShuffle(d.select(col("doc_id").cast("double").as("x")), "x", 4))
+    intercept[Exception](
+      Corpus.globalShuffle(
+        spark.range(3).select(when(col("id") === 1, null).otherwise(col("id")).as("nid")),
+        "nid", 4).collect())
+  }
+
   // ---- salted join --------------------------------------------------------
 
   test("salted join: row-identical to the plain join, and small side replicates") {

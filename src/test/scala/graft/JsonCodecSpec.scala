@@ -151,6 +151,20 @@ class JsonCodecSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("keep") && e2.getMessage.contains("labels"))
   }
 
+  test("global_shuffle node key decodes with defaults and names missing fields") {
+    val g = root("""
+      {"source": {"table": "documents"},
+       "global_shuffle": {"id_col": "doc_id", "shards": 8}}""").globalShuffle.get
+    assert(g.idCol == "doc_id" && g.shards == 8 && g.seed == 0L)
+    assert(root("""
+      {"source": {"table": "documents"},
+       "global_shuffle": {"id_col": "doc_id", "shards": 4, "seed": 99}}""")
+      .globalShuffle.get.seed == 99L)
+    val e = intercept[IllegalArgumentException](root(
+      """{"global_shuffle": {"id_col": "doc_id"}}"""))
+    assert(e.getMessage.contains("shards"))
+  }
+
   test("edit_dedup node key decodes with defaults and named errors") {
     val n = root("""
       {"source": {"table": "documents"},

@@ -951,6 +951,8 @@ class StreamingSpec extends SparkSpec {
       "batch-only")
     rejects(""""semantic_dedup": {"id_col": "doc_id", "vec_col": "embedding",
                "threshold": 0.9, "dim": 2}""", "batch-only")
+    rejects(""""global_shuffle": {"id_col": "doc_id", "shards": 4}""",
+      "batch-only")
     rejects(""""temperature_sample": {"group_col": "lang", "id_col": "doc_id",
                "target_fraction": 0.3}""", "batch-only")
     // root-level profile is now the streaming drift monitor (see the
