@@ -242,6 +242,22 @@ class CorpusSpec extends SparkSpec {
         "nid", 4).collect())
   }
 
+  test("plan shapes: line heuristics shuffle-free; global shuffle exactly one Exchange") {
+    val d = Tables.load(spark, sf, "documents")
+    // line_stats / c4_line_filter / repetition metrics are scan-stage
+    for (c <- Seq(TextAnalysis.lineStats(col("text")),
+        TextAnalysis.c4LineFilter(col("text")),
+        TextAnalysis.repetitionStats(col("text"), 2))) {
+      val plan = d.select(c.as("r")).queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"must not shuffle:\n$plan")
+    }
+    // globalShuffle costs exactly the per-shard rank window's shuffle
+    val gplan = Corpus.globalShuffle(d.select("doc_id"), "doc_id", 4)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(gplan).size == 1,
+      s"global shuffle must plan exactly one Exchange:\n$gplan")
+  }
+
   // ---- salted join --------------------------------------------------------
 
   test("salted join: row-identical to the plain join, and small side replicates") {
