@@ -70,6 +70,10 @@ object Registry {
     // dropped_lines, keep_doc) — minWords must be a literal (it shapes
     // the per-line predicate at plan time)
     "line_stats" -> fn(t => TextAnalysis.lineStats(t)),
+    // gopher_quality(text) → struct(n_words, mean_word_len,
+    // symbol_word_ratio, alpha_word_frac, stop_hits, keep) — the Gopher
+    // word-tier document filters at their published default bounds
+    "gopher_quality" -> fn(t => TextAnalysis.gopherQuality(t)),
     "c4_line_filter" -> (es => GraftColumnBridge.expressionEager(
       TextAnalysis.c4LineFilter(GraftColumnBridge.column(es.head),
         litInt(es(1), "c4_line_filter", "minWords")))),

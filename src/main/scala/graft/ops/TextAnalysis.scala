@@ -362,6 +362,52 @@ object TextAnalysis {
       }
     }
 
+  /** Gopher word-tier quality rules (the public Gopher paper's document
+    * filters; the LINE tier lives in [[lineStats]]) as one struct:
+    *   - `n_words`:           whitespace token count,
+    *   - `mean_word_len`:     mean characters per token (9 dp),
+    *   - `symbol_word_ratio`: (`#` + `...` + `…` occurrences) ÷ words —
+    *                          high for markup/ellipsis spam,
+    *   - `alpha_word_frac`:   words containing ≥ 1 ASCII letter ÷ words,
+    *   - `stop_hits`:         how many of the eight required stop words
+    *                          (the be to of and that have with) appear,
+    *   - `keep`:              the composite verdict — word count within
+    *                          [minWords, maxWords], mean length in
+    *                          [3, 10], symbol ratio ≤ 0.1, alpha fraction
+    *                          ≥ 0.8, and ≥ 2 stop-word hits.
+    * Empty docs → zeros + keep=false. Scan-stage arithmetic, zero
+    * shuffles; every term is exactly mirrorable in SQL. */
+  def gopherQuality(text: Column, minWords: Int = 50, maxWords: Int = 100000): Column =
+    withTokens(text) { toks =>
+      withBound(size(toks)) { n =>
+        val meanLen = round(
+          aggregate(transform(toks, t => length(t)), lit(0), (a, b) => a + b)
+            .cast("double") / n, 9)
+        val symbols =
+          (length(text) - length(regexp_replace(text, "#", ""))) +
+          (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3 +
+          (length(text) - length(regexp_replace(text, "…", "")))
+        val symbolRatio = round(symbols.cast("double") / n, 9)
+        val alphaFrac = round(
+          size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / n, 9)
+        val stopHits = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+          .map(w => when(array_contains(transform(toks, t => lower(t)), w), 1)
+            .otherwise(0))
+          .reduce(_ + _)
+        def z(c: Column): Column = when(n > 0, c).otherwise(lit(0.0))
+        struct(
+          n.as("n_words"),
+          z(meanLen).as("mean_word_len"),
+          z(symbolRatio).as("symbol_word_ratio"),
+          z(alphaFrac).as("alpha_word_frac"),
+          when(n > 0, stopHits).otherwise(lit(0)).as("stop_hits"),
+          (n >= minWords && n <= maxWords &&
+            meanLen >= 3.0 && meanLen <= 10.0 &&
+            symbolRatio <= 0.1 && alphaFrac >= 0.8 &&
+            stopHits >= 2).as("keep"))
+      }
+    }
+
   /** C4-style line filtering (the public C4 curation heuristics, Raffel
     * et al. — see PAPERS.md): keep a line iff, after trimming, it
     *   - has at least `minWords` whitespace tokens,

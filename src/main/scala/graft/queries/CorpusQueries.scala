@@ -742,6 +742,64 @@ object CorpusQueries extends QueryPack {
        "order_by": ["shard asc", "shuffle_pos asc"]}""")
   }
 
+  // q172 — Gopher word-tier quality rules (composite verdict): every
+  // metric and the keep verdict recomputed exactly by the oracle. Docs
+  // with id % 5 = 0 get 30 planted '#' tokens — symbol ratio and alpha
+  // fraction rules demonstrably bite; the rest exercise word-count and
+  // stop-word bounds on the natural corpus.
+  private def q172(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 5 === 0, concat(col("text"), expr("repeat(' #', 30)")))
+        .otherwise(col("text")).as("mtext"))
+    base.select(col("doc_id"), TextAnalysis.gopherQuality(col("mtext")).as("g"))
+      .select(col("doc_id"), col("g.n_words").as("n_words"),
+        col("g.mean_word_len").as("mean_word_len"),
+        col("g.symbol_word_ratio").as("symbol_word_ratio"),
+        col("g.alpha_word_frac").as("alpha_word_frac"),
+        col("g.stop_hits").as("stop_hits"), col("g.keep").as("keep"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+  private val q172Sql = """
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || repeat(' #', 30)
+                  ELSE text END AS mtext
+      FROM documents),
+    t AS (
+      SELECT doc_id, mtext,
+             list_filter(string_split_regex(trim(mtext), '\s+'),
+                         x -> len(x) > 0) AS tk
+      FROM base),
+    m AS (
+      SELECT doc_id,
+             CAST(len(tk) AS INT) AS n_words,
+             ROUND(CAST(list_sum(list_transform(tk, x -> len(x))) AS DOUBLE)
+                   / len(tk), 9) AS mean_word_len,
+             ROUND(((len(mtext) - len(replace(mtext, '#', '')))
+                    + (len(mtext) - len(replace(mtext, '...', ''))) / 3
+                    + (len(mtext) - len(replace(mtext, '…', ''))))
+                   / len(tk), 9) AS symbol_word_ratio,
+             ROUND(CAST(len(list_filter(tk,
+                     x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                   / len(tk), 9) AS alpha_word_frac,
+             (CAST(list_contains(list_transform(tk, x -> lower(x)), 'the') AS INT)
+              + CAST(list_contains(list_transform(tk, x -> lower(x)), 'be') AS INT)
+              + CAST(list_contains(list_transform(tk, x -> lower(x)), 'to') AS INT)
+              + CAST(list_contains(list_transform(tk, x -> lower(x)), 'of') AS INT)
+              + CAST(list_contains(list_transform(tk, x -> lower(x)), 'and') AS INT)
+              + CAST(list_contains(list_transform(tk, x -> lower(x)), 'that') AS INT)
+              + CAST(list_contains(list_transform(tk, x -> lower(x)), 'have') AS INT)
+              + CAST(list_contains(list_transform(tk, x -> lower(x)), 'with') AS INT))
+               AS stop_hits
+      FROM t)
+    SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+           alpha_word_frac, stop_hits,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_word_ratio <= 0.1 AND alpha_word_frac >= 0.8
+            AND stop_hits >= 2) AS keep
+    FROM m ORDER BY doc_id ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
     Q("q72_doc_chunking", q72, Some(q72Sql)),
     Q("q73_sequence_packing", q73, Some(q73Sql)),
@@ -765,6 +823,7 @@ object CorpusQueries extends QueryPack {
     Q("q165_line_stats", q165, Some(q165Sql)),
     Q("q166_c4_line_filter", q166, Some(q166Sql)),
     Q("q170_global_shuffle", q170, Some(q170Sql)),
-    Q("q171_config_global_shuffle", q171, Some(q170Sql))
+    Q("q171_config_global_shuffle", q171, Some(q170Sql)),
+    Q("q172_gopher_quality", q172, Some(q172Sql))
   )
 }

@@ -181,6 +181,33 @@ class CorpusSpec extends SparkSpec {
     assert(got(4L) == ((0, 0.0, 0.0, 0.0, 0.0)))
   }
 
+  test("gopher quality: hand-computed metrics; each rule flips the verdict") {
+    // 60 words, stop words present, all alphabetic → keeps
+    val good = (Seq("the", "be", "of", "and") ++
+      (0 until 56).map(i => s"word$i")).mkString(" ")
+    val tiny = Seq(
+      (1L, good),
+      (2L, good + " " + Seq.fill(10)("#").mkString(" ")), // symbol+alpha rules
+      (3L, (0 until 60).map(i => s"w$i").mkString(" ")),  // no stop words
+      (4L, "the be short doc"),                           // under min words
+      (5L, "")                                            // empty → zeros
+    ).toDF("doc_id", "text")
+    val got = tiny.select(col("doc_id"), TextAnalysis.gopherQuality(col("text")).as("g"))
+      .select(col("doc_id"), col("g.n_words"), col("g.mean_word_len"),
+        col("g.symbol_word_ratio"), col("g.alpha_word_frac"),
+        col("g.stop_hits"), col("g.keep"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getInt(5), r.getBoolean(6))))
+      .toMap
+    assert(got(1L)._1 == 60 && got(1L)._5 == 4 && got(1L)._6)
+    assert(got(2L)._3 > 0.1 && got(2L)._4 < 0.9 && !got(2L)._6)
+    assert(got(3L)._5 == 0 && !got(3L)._6)
+    assert(got(4L)._1 == 4 && !got(4L)._6)
+    assert(got(5L) == ((0, 0.0, 0.0, 0.0, 0, false)))
+  }
+
   test("c4 line filter: per-rule line verdicts and the page-level verdict") {
     val tiny = Seq(
       (1L, "Keep this sentence here.\nno punct line at all\nOk two.\nTiny.\n" +
