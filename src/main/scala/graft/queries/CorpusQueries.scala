@@ -800,6 +800,97 @@ object CorpusQueries extends QueryPack {
             AND stop_hits >= 2) AS keep
     FROM m ORDER BY doc_id ASC NULLS FIRST"""
 
+  // q173 — the ROUND-12 CURATION FLAGSHIP: ONE pure-JSON node runs the
+  // whole new stack in pipeline order — C4 line filtering (derive) →
+  // Gopher quality gating (filters on the struct fields) → semantic
+  // dedup on pattern vectors (doc_id % 128 — collisions exist at every
+  // SF ≥ 0.01, so the stage demonstrably bites) → deterministic global
+  // shuffle → per-shard report. The oracle recomposes the q166 c4
+  // mirror, the q172 gopher mirror, min-id-per-pattern, and the q170
+  // hash arithmetic; max_pos is mirrored as COUNT(*), which holds iff
+  // the shuffle's per-shard rank is total — the rank-totality gate.
+  // The page poisons (% 7 brace, % 11 lorem) are what the filter drops;
+  // the stop-hit / word-count / alpha gates are satisfied by
+  // construction (a planted closing stop-word line) so survivorship is
+  // deterministic and non-empty at every SF — each individual rule's
+  // bite is q166/q172's job.
+  private def q173(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "documents"},
+       "derive": {
+         "mtext": "concat('Start line here.', char(10), replace(text, ' a ', concat('.', char(10))), char(10), if(doc_id % 7 = 0, 'brace { here.', 'plain mid line.'), char(10), if(doc_id % 11 = 0, 'Lorem ipsum bad.', 'fine line here.'), char(10), 'the of and end line.')",
+         "c": "c4_line_filter(mtext, 3)",
+         "g": "gopher_quality(c.clean_text)",
+         "pat": "doc_id % 128",
+         "emb": "transform(sequence(0, 31), d -> CAST(CASE WHEN d = CAST(pat % 16 AS INT) OR d = 16 + CAST(pat DIV 16 AS INT) THEN 1.0 ELSE 0.0 END AS DOUBLE))"},
+       "filters": ["c.keep_doc", "g.stop_hits >= 3", "g.n_words >= 5",
+                   "g.alpha_word_frac >= 0.9"],
+       "keep_columns": ["doc_id", "emb"],
+       "semantic_dedup": {"id_col": "doc_id", "vec_col": "emb",
+                          "threshold": 0.9, "dim": 32, "nlist": 4},
+       "global_shuffle": {"id_col": "doc_id", "shards": 4, "seed": 7},
+       "aggregate": {"group_by": ["shard"], "aggregations": [
+         {"col": "*", "func": "count", "new_name": "n_docs"},
+         {"col": "shuffle_pos", "func": "max", "new_name": "max_pos"}]},
+       "order_by": ["shard asc"]}""")
+  }
+  private val q173Sql = """
+    WITH base AS (
+      SELECT doc_id,
+             'Start line here.' || chr(10) ||
+             replace(text, ' a ', '.' || chr(10)) || chr(10) ||
+             (CASE WHEN doc_id % 7 = 0 THEN 'brace { here.'
+                   ELSE 'plain mid line.' END) || chr(10) ||
+             (CASE WHEN doc_id % 11 = 0 THEN 'Lorem ipsum bad.'
+                   ELSE 'fine line here.' END) || chr(10) ||
+             'the of and end line.' AS mtext
+      FROM documents),
+    c4 AS (
+      SELECT doc_id, mtext,
+             array_to_string(list_filter(string_split(mtext, chr(10)),
+               x -> len(list_filter(string_split_regex(trim(x), '\s+'),
+                                    w -> len(w) > 0)) >= 3
+                AND right(trim(x), 1) IN ('.', '!', '?', '"', '''')
+                AND NOT contains(lower(trim(x)), 'javascript')),
+               chr(10)) AS clean_text,
+             (NOT contains(lower(mtext), 'lorem ipsum')
+              AND NOT contains(mtext, '{')) AS keep_doc
+      FROM base),
+    g AS (
+      SELECT doc_id, keep_doc,
+             list_filter(string_split_regex(trim(clean_text), '\s+'),
+                         x -> len(x) > 0) AS tk
+      FROM c4),
+    surv AS (
+      SELECT doc_id FROM g
+      WHERE keep_doc
+        AND (CAST(list_contains(list_transform(tk, x -> lower(x)), 'the') AS INT)
+             + CAST(list_contains(list_transform(tk, x -> lower(x)), 'be') AS INT)
+             + CAST(list_contains(list_transform(tk, x -> lower(x)), 'to') AS INT)
+             + CAST(list_contains(list_transform(tk, x -> lower(x)), 'of') AS INT)
+             + CAST(list_contains(list_transform(tk, x -> lower(x)), 'and') AS INT)
+             + CAST(list_contains(list_transform(tk, x -> lower(x)), 'that') AS INT)
+             + CAST(list_contains(list_transform(tk, x -> lower(x)), 'have') AS INT)
+             + CAST(list_contains(list_transform(tk, x -> lower(x)), 'with') AS INT)) >= 3
+        AND len(tk) >= 5
+        AND ROUND(CAST(len(list_filter(tk,
+                x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(tk), 9) >= 0.9),
+    kept AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY doc_id % 128) AS m
+        FROM surv)
+      WHERE doc_id = m),
+    sh AS (
+      SELECT doc_id,
+             ((doc_id % 1000000007 + 1000000007) % 1000000007
+              * 2654435761 + 7) % 1000000007 % 4 AS shard
+      FROM kept)
+    SELECT CAST(shard AS INT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS max_pos
+    FROM sh GROUP BY 1 ORDER BY shard ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
     Q("q72_doc_chunking", q72, Some(q72Sql)),
     Q("q73_sequence_packing", q73, Some(q73Sql)),
@@ -824,6 +915,7 @@ object CorpusQueries extends QueryPack {
     Q("q166_c4_line_filter", q166, Some(q166Sql)),
     Q("q170_global_shuffle", q170, Some(q170Sql)),
     Q("q171_config_global_shuffle", q171, Some(q170Sql)),
-    Q("q172_gopher_quality", q172, Some(q172Sql))
+    Q("q172_gopher_quality", q172, Some(q172Sql)),
+    Q("q173_curation_flagship", q173, Some(q173Sql))
   )
 }
