@@ -63,8 +63,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    (clamped to 1–2 bytes), else 2 for `/Subtype /Type0`, else 1.
   *    `/Resources` resolve on the page or inherit from the nearest
   *    `/Pages` ancestor; a missing font, dict, or CMap degrades to the
-  *    Latin-1 byte map, never an error. (`/Differences` glyph-name
-  *    encodings are out of scope — they need the Adobe glyph list.)
+  *    Latin-1 byte map, never an error. `/Encoding` dicts contribute
+  *    their `/BaseEncoding` and `/Differences` (code → glyph name)
+  *    reassignments, resolved through a compact Adobe-glyph-list subset
+  *    (letters, digits, ASCII punctuation names, common typographic
+  *    extras, and the systematic uniXXXX/uXXXX forms) at precedence
+  *    CMap > Differences > base map; unsupported names fall through to
+  *    the base map rather than guessing.
   *  - Page texts join with `\n`; pages with no text contribute nothing.
   *  - `n_images` / `image_bytes` inventory the `/Subtype /Image`
   *    XObject streams (count + raw payload bytes) — the multimodal
@@ -478,7 +483,8 @@ object PdfOps {
   private[functions] final case class FontInfo(
       toUnicode: java.util.HashMap[Integer, String],
       codeBytes: Int,
-      baseEnc: Int)
+      baseEnc: Int,
+      diffs: java.util.HashMap[Integer, String] = null)
 
   private[functions] val LatinFont = FontInfo(null, 1, 0)
 
@@ -700,12 +706,114 @@ object PdfOps {
         if (cmapWidth > 0) cmapWidth
         else if (hasName(fontDict, "Subtype", "Type0")) 2
         else 1
+      // /Encoding: a bare name, or a dict (inline or ref) carrying
+      // /BaseEncoding and a /Differences array of code-to-glyph-name
+      // reassignments (the pre-ToUnicode subset-font mechanism)
+      val encDict = inlineOrRefDict(fontDict, "Encoding", byNum)
       val enc =
-        if (hasName(fontDict, "Encoding", "WinAnsiEncoding")) 1
-        else if (hasName(fontDict, "Encoding", "MacRomanEncoding")) 2
+        if (hasName(fontDict, "Encoding", "WinAnsiEncoding") ||
+          encDict.exists(hasName(_, "BaseEncoding", "WinAnsiEncoding"))) 1
+        else if (hasName(fontDict, "Encoding", "MacRomanEncoding") ||
+          encDict.exists(hasName(_, "BaseEncoding", "MacRomanEncoding"))) 2
         else 0
-      FontInfo(tu, math.max(1, math.min(2, width0)), enc)
+      val diffs = encDict.map(parseDifferences).filter(!_.isEmpty).orNull
+      FontInfo(tu, math.max(1, math.min(2, width0)), enc, diffs)
     })
+
+  /** Parse an /Encoding dict's `/Differences [ code /name ... ]` array:
+    * an integer sets the current code, each following glyph name assigns
+    * it (and increments). Names resolve through [[glyphText]] — a name
+    * outside the supported set leaves that code on the base encoding
+    * (lenient: wrong text is worse than the base map's guess). */
+  private[graft] def parseDifferences(encDict: String): java.util.HashMap[Integer, String] = {
+    val out = new java.util.HashMap[Integer, String]
+    var i = keyPos(encDict, "Differences")
+    if (i < 0) return out
+    while (i < encDict.length && encDict.charAt(i) != '[') i += 1
+    if (i >= encDict.length) return out
+    i += 1
+    var code = -1
+    while (i < encDict.length && encDict.charAt(i) != ']' && out.size < 512) {
+      val c = encDict.charAt(i)
+      if (c >= '0' && c <= '9') {
+        var j = i
+        while (j < encDict.length && encDict.charAt(j).isDigit) j += 1
+        code = encDict.substring(i, j).toInt
+        i = j
+      } else if (c == '/') {
+        val st = i + 1
+        var j = st
+        while (j < encDict.length && !isWs(encDict.charAt(j)) &&
+          !isDelim(encDict.charAt(j))) j += 1
+        if (code >= 0 && code <= 255) {
+          val t = glyphText(encDict.substring(st, j))
+          if (t != null) out.put(code, t)
+          code += 1
+        }
+        i = j
+      } else i += 1
+    }
+    out
+  }
+
+  /** Compact Adobe-glyph-list subset: single letters/digits, ASCII
+    * punctuation names, the common typographic extras, and the uniXXXX /
+    * uXXXX[XX] systematic forms. Unknown names → null (fall through to
+    * the base encoding). */
+  private[graft] def glyphText(name: String): String = {
+    if (name.length == 1 && name.charAt(0).isLetter) return name
+    if (name.startsWith("uni") && name.length >= 7) {
+      try return new String(Character.toChars(
+        Integer.parseInt(name.substring(3, 7), 16)))
+      catch { case _: NumberFormatException => return null }
+    }
+    if (name.length >= 5 && name.length <= 7 && name.charAt(0) == 'u' &&
+      name.drop(1).forall(ch => Character.digit(ch, 16) >= 0)) {
+      try return new String(Character.toChars(
+        Integer.parseInt(name.substring(1), 16)))
+      catch { case _: Exception => return null }
+    }
+    GlyphNames.get(name)
+  }
+
+  private val GlyphNames: java.util.HashMap[String, String] = {
+    val m = new java.util.HashMap[String, String]
+    val pairs = Seq(
+      "zero" -> "0", "one" -> "1", "two" -> "2", "three" -> "3",
+      "four" -> "4", "five" -> "5", "six" -> "6", "seven" -> "7",
+      "eight" -> "8", "nine" -> "9",
+      "space" -> " ", "exclam" -> "!", "quotedbl" -> "\"",
+      "numbersign" -> "#", "dollar" -> "$", "percent" -> "%",
+      "ampersand" -> "&", "quotesingle" -> "'", "parenleft" -> "(",
+      "parenright" -> ")", "asterisk" -> "*", "plus" -> "+",
+      "comma" -> ",", "hyphen" -> "-", "period" -> ".", "slash" -> "/",
+      "colon" -> ":", "semicolon" -> ";", "less" -> "<", "equal" -> "=",
+      "greater" -> ">", "question" -> "?", "at" -> "@",
+      "bracketleft" -> "[", "backslash" -> "\\", "bracketright" -> "]",
+      "asciicircum" -> "^", "underscore" -> "_", "grave" -> "`",
+      "braceleft" -> "{", "bar" -> "|", "braceright" -> "}",
+      "asciitilde" -> "~",
+      "quoteleft" -> "‘", "quoteright" -> "’",
+      "quotedblleft" -> "“", "quotedblright" -> "”",
+      "endash" -> "–", "emdash" -> "—", "bullet" -> "•",
+      "ellipsis" -> "…", "dagger" -> "†", "daggerdbl" -> "‡",
+      "Euro" -> "€", "trademark" -> "™", "copyright" -> "©",
+      "registered" -> "®", "degree" -> "°",
+      "plusminus" -> "±", "section" -> "§",
+      "paragraph" -> "¶", "sterling" -> "£", "yen" -> "¥",
+      "cent" -> "¢", "florin" -> "ƒ",
+      "fi" -> "ﬁ", "fl" -> "ﬂ",
+      "AE" -> "Æ", "ae" -> "æ", "OE" -> "Œ",
+      "oe" -> "œ", "germandbls" -> "ß",
+      "adieresis" -> "ä", "odieresis" -> "ö",
+      "udieresis" -> "ü", "Adieresis" -> "Ä",
+      "Odieresis" -> "Ö", "Udieresis" -> "Ü",
+      "aring" -> "å", "Aring" -> "Å",
+      "eacute" -> "é", "egrave" -> "è", "agrave" -> "à",
+      "ccedilla" -> "ç", "ntilde" -> "ñ")
+    pairs.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
 
   /** The `/Font` map visible to a page: its own `/Resources` or the
     * inherited one. */
@@ -722,7 +830,8 @@ object PdfOps {
     * doc; `f == null` — no font selected or unknown name — is the
     * Latin-1 identity, the pre-font behavior). */
   private def decodeShown(s: String, f: FontInfo): String = {
-    if (f == null || (f.toUnicode == null && f.codeBytes == 1 && f.baseEnc == 0))
+    if (f == null || (f.toUnicode == null && f.codeBytes == 1 &&
+      f.baseEnc == 0 && f.diffs == null))
       return s
     val sb = new java.lang.StringBuilder
     if (f.codeBytes == 2) {
@@ -741,8 +850,12 @@ object PdfOps {
       var i = 0
       while (i < s.length) {
         val code = s.charAt(i).toInt
+        // precedence: ToUnicode CMap > /Differences glyph name > base map
         val m = if (f.toUnicode == null) null else f.toUnicode.get(code)
-        if (m != null) sb.append(m) else sb.append(baseChar(code, f.baseEnc))
+        val d = if (m != null || f.diffs == null) null else f.diffs.get(code)
+        if (m != null) sb.append(m)
+        else if (d != null) sb.append(d)
+        else sb.append(baseChar(code, f.baseEnc))
         i += 1
       }
     }

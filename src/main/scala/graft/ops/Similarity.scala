@@ -492,7 +492,17 @@ object Similarity {
     *    always share cluster, signature, and every band, so true
     *    duplicate classes are found with recall 1; near-identical pairs
     *    follow the banded recall S-curve (see
-    *    [[cosineNearDupPairsBanded]]).
+    *    [[cosineNearDupPairsBanded]]). Defaults are the HIGH-threshold
+    *    production regime (numBits 64, bands 8 → 256-way band keys):
+    *    semantic dedup runs at τ ≥ 0.9, where per-bit agreement is high
+    *    and wide bands keep recall ≈ 0.99 with real pruning — 2-bit
+    *    band keys (the low-τ near-dup default) would put a quarter of
+    *    each cluster in every bucket and go quadratic.
+    *
+    * The centroid collect and the two band-join sides each re-read the
+    * input plan — persist (or `cache: true` in a config def) an
+    * EXPENSIVE upstream before deduping it, or those stages recompute
+    * it (the q173 flagship does exactly this).
     *
     * `output`: "keep" (default) = the surviving rows of `df`, original
     * schema; "labels" = (id, cluster, keep) for every row; "pairs" =
@@ -511,8 +521,8 @@ object Similarity {
       nlist: Int = 16,
       refineRounds: Int = 0,
       exact: Boolean = false,
-      numBits: Int = 32,
-      bands: Int = 16,
+      numBits: Int = 64,
+      bands: Int = 8,
       output: String = "keep"
   ): DataFrame = {
     require(threshold > 0 && threshold <= 1,

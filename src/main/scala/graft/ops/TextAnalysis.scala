@@ -378,15 +378,21 @@ object TextAnalysis {
     * Empty docs → zeros + keep=false. Scan-stage arithmetic, zero
     * shuffles; every term is exactly mirrorable in SQL. */
   def gopherQuality(text: Column, minWords: Int = 50, maxWords: Int = 100000): Column =
-    withTokens(text) { toks =>
+    // bind the INPUT once: this column is routinely fed another
+    // operator's computed output (e.g. c4_line_filter(...).clean_text),
+    // and the body references it ~7× — without the binding,
+    // CollapseProject inlines the upstream expression tree at every
+    // reference (measured 2× on the q173 flagship's clean stage)
+    withBound(text) { txt =>
+    withTokens(txt) { toks =>
       withBound(size(toks)) { n =>
         val meanLen = round(
           aggregate(transform(toks, t => length(t)), lit(0), (a, b) => a + b)
             .cast("double") / n, 9)
         val symbols =
-          (length(text) - length(regexp_replace(text, "#", ""))) +
-          (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3 +
-          (length(text) - length(regexp_replace(text, "…", "")))
+          (length(txt) - length(regexp_replace(txt, "#", ""))) +
+          (length(txt) - length(regexp_replace(txt, "\\.\\.\\.", ""))) / 3 +
+          (length(txt) - length(regexp_replace(txt, "…", "")))
         val symbolRatio = round(symbols.cast("double") / n, 9)
         val alphaFrac = round(
           size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / n, 9)
@@ -406,6 +412,7 @@ object TextAnalysis {
             symbolRatio <= 0.1 && alphaFrac >= 0.8 &&
             stopHits >= 2).as("keep"))
       }
+    }
     }
 
   /** C4-style line filtering (the public C4 curation heuristics, Raffel
@@ -429,7 +436,11 @@ object TextAnalysis {
     * [[Corpus.removeBoilerplateLines]], which needs corpus-wide line
     * counts; the two compose: C4 rules first, corpus-hot lines after). */
   def c4LineFilter(text: Column, minWords: Int = 3, sep: String = "\n"): Column =
-    withBound(split(text, java.util.regex.Pattern.quote(sep))) { raw =>
+    // input bound once — same CollapseProject-inlining guard as
+    // [[gopherQuality]] (the body reads it for the split and twice for
+    // the page verdict)
+    withBound(text) { txt =>
+    withBound(split(txt, java.util.regex.Pattern.quote(sep))) { raw =>
       def keepLine(l: Column): Column = withBound(trim(l)) { t =>
         (size(filter(split(t, "\\s+"), w => length(w) > 0)) >= minWords) &&
           substring(t, -1, 1).isin(".", "!", "?", "\"", "'") &&
@@ -440,9 +451,10 @@ object TextAnalysis {
           array_join(kept, sep).as("clean_text"),
           size(kept).as("kept_lines"),
           (size(raw) - size(kept)).as("dropped_lines"),
-          (!contains(lower(text), lit("lorem ipsum")) &&
-            !contains(text, lit("{"))).as("keep_doc"))
+          (!contains(lower(txt), lit("lorem ipsum")) &&
+            !contains(txt, lit("{"))).as("keep_doc"))
       }
+    }
     }
 
   /** Number of PII-shaped substrings [[scrubPii]] would redact: matches

@@ -816,17 +816,29 @@ object CorpusQueries extends QueryPack {
   // bite is q166/q172's job.
   private def q173(s: SparkSession, dir: String): DataFrame = {
     graft.Tables.registerViews(s, dir)
+    // two cached defs: `scored` materializes the heavy line/quality HOF
+    // structs ONCE (field references on a cached relation are free —
+    // filtering before the cache would re-inline the c4/gopher trees per
+    // referenced field), and `clean` holds the filtered survivors that
+    // semantic_dedup's centroid collect + both band-join sides re-read
     graft.compile.Compiler.compileJson(s, """
-      {"source": {"table": "documents"},
-       "derive": {
-         "mtext": "concat('Start line here.', char(10), replace(text, ' a ', concat('.', char(10))), char(10), if(doc_id % 7 = 0, 'brace { here.', 'plain mid line.'), char(10), if(doc_id % 11 = 0, 'Lorem ipsum bad.', 'fine line here.'), char(10), 'the of and end line.')",
-         "c": "c4_line_filter(mtext, 3)",
-         "g": "gopher_quality(c.clean_text)",
-         "pat": "doc_id % 128",
-         "emb": "transform(sequence(0, 31), d -> CAST(CASE WHEN d = CAST(pat % 16 AS INT) OR d = 16 + CAST(pat DIV 16 AS INT) THEN 1.0 ELSE 0.0 END AS DOUBLE))"},
-       "filters": ["c.keep_doc", "g.stop_hits >= 3", "g.n_words >= 5",
-                   "g.alpha_word_frac >= 0.9"],
-       "keep_columns": ["doc_id", "emb"],
+      {"id": "flag12",
+       "defs": [
+         {"id": "scored", "cache": true,
+          "source": {"table": "documents"},
+          "derive": {
+            "mtext": "concat('Start line here.', char(10), replace(text, ' a ', concat('.', char(10))), char(10), if(doc_id % 7 = 0, 'brace { here.', 'plain mid line.'), char(10), if(doc_id % 11 = 0, 'Lorem ipsum bad.', 'fine line here.'), char(10), 'the of and end line.')",
+            "c": "c4_line_filter(mtext, 3)",
+            "g": "gopher_quality(c.clean_text)",
+            "pat": "doc_id % 128",
+            "emb": "transform(sequence(0, 31), d -> CAST(CASE WHEN d = CAST(pat % 16 AS INT) OR d = 16 + CAST(pat DIV 16 AS INT) THEN 1.0 ELSE 0.0 END AS DOUBLE))"},
+          "keep_columns": ["doc_id", "c", "g", "emb"]},
+         {"id": "clean", "cache": true,
+          "source": {"ref": "scored"},
+          "filters": ["c.keep_doc", "g.stop_hits >= 3", "g.n_words >= 5",
+                      "g.alpha_word_frac >= 0.9"],
+          "keep_columns": ["doc_id", "emb"]}],
+       "source": {"ref": "clean"},
        "semantic_dedup": {"id_col": "doc_id", "vec_col": "emb",
                           "threshold": 0.9, "dim": 32, "nlist": 4},
        "global_shuffle": {"id_col": "doc_id", "shards": 4, "seed": 7},

@@ -663,6 +663,59 @@ object TextQueries extends QueryPack {
     out.toByteArray
   }
 
+  /** q174's builder: a one-page PDF whose content bytes are Caesar-shifted
+    * (+1 on [a-z], [0-9] and space) and whose font carries NO ToUnicode —
+    * only an /Encoding /Differences array mapping each shifted code back
+    * to the original glyph NAME (/a../z, /zero../nine, /space). A reader
+    * without glyph-name resolution extracts shifted garbage; the exact
+    * oracle is the plain template, so q174 hash-fails on any /Differences
+    * regression. Corpus text is strictly [a-z ] (checked), so the shift
+    * is collision-free by construction. */
+  private[graft] val textToPdfDiff: (String, String) => Array[Byte] = (id, body) => {
+    val latin = java.nio.charset.StandardCharsets.ISO_8859_1
+    def shift(s: String): String = s.map {
+      case c if (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') => (c + 1).toChar
+      case ' ' => '!'
+      case c => c
+    }
+    val diffs = "33 /space 49 /zero /one /two /three /four /five /six " +
+      "/seven /eight /nine 98 /a /b /c /d /e /f /g /h /i /j /k /l /m " +
+      "/n /o /p /q /r /s /t /u /v /w /x /y /z"
+    val content = (s"BT /F1 12 Tf 72 720 Td (${shift(s"doc $id says")}) Tj T* " +
+      s"(${shift(pdfEsc(body))}) Tj ET").getBytes(latin)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("%PDF-1.4\n%âãÏÓ\n".getBytes(latin))
+    def obj(n: Int, b: String): Unit =
+      out.write(s"$n 0 obj\n$b\nendobj\n".getBytes(latin))
+    obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    obj(3, "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>")
+    out.write((s"4 0 obj\n<< /Length ${content.length} >>\nstream\n").getBytes(latin))
+    out.write(content)
+    out.write("\nendstream\nendobj\n".getBytes(latin))
+    obj(5, "<< /Type /Font /Subtype /Type1 /BaseFont /GAAAAA+Shifted " +
+      s"/Encoding << /Differences [ $diffs ] >> >>")
+    out.write("%%EOF\n".getBytes(latin))
+    out.toByteArray
+  }
+
+  // q174 — /Differences glyph-name decoding through the driver gate: the
+  // fixture's bytes are shifted, so ONLY correct Differences resolution
+  // reproduces the plain template the oracle states.
+  private def q174(s: SparkSession, dir: String): DataFrame = {
+    val toPdf = udf(textToPdfDiff)
+    TextAnalysis.pdfExtract(
+        docs(s, dir).withColumn("pdf",
+          toPdf(col("doc_id").cast("string"), col("text"))),
+        "doc_id", "pdf")
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+  private val q174Sql = """
+    SELECT doc_id, '1.4' AS version, CAST(1 AS INT) AS n_pages,
+           'doc ' || doc_id || ' says' || chr(10) || text AS text
+    FROM documents ORDER BY doc_id ASC NULLS FIRST"""
+
   private val cmapTextSql =
     "'Doc ' || doc_id || '!' || '€' || chr(10) || text || chr(10) || 'p. 2 (end) ' || '—'"
   private val q162Sql = s"""
@@ -1038,6 +1091,7 @@ object TextQueries extends QueryPack {
     Q("q158_config_bpe", q158, Some(q156Sql)),
     Q("q164_bpe_apply_artifact", q164, Some(q164Sql)),
     Q("q159_mixed_lake_flagship", q159, Some(q159Sql)),
-    Q("q169_pdf_image_inventory", q169, Some(q169Sql))
+    Q("q169_pdf_image_inventory", q169, Some(q169Sql)),
+    Q("q174_pdf_differences", q174, Some(q174Sql))
   )
 }

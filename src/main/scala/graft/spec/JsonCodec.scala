@@ -237,8 +237,10 @@ object JsonCodec {
         nlist = opt(d, "nlist").map(_.asInt).getOrElse(16),
         refineRounds = opt(d, "refine_rounds", "refineRounds").map(_.asInt).getOrElse(0),
         exact = opt(d, "exact").exists(_.asBoolean),
-        numBits = opt(d, "num_bits", "numBits").map(_.asInt).getOrElse(32),
-        bands = opt(d, "bands").map(_.asInt).getOrElse(16),
+        // HIGH-threshold production regime (τ ≥ 0.9): wide bands prune;
+        // the low-τ near_dup default (2-bit keys) would go quadratic here
+        numBits = opt(d, "num_bits", "numBits").map(_.asInt).getOrElse(64),
+        bands = opt(d, "bands").map(_.asInt).getOrElse(8),
         output = opt(d, "output").map(_.asText).map {
           case s @ ("keep" | "labels" | "pairs") => s
           case other => throw new IllegalArgumentException(

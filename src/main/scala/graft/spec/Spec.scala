@@ -260,8 +260,8 @@ final case class SemanticDedupSpec(
     nlist: Int = 16,
     refineRounds: Int = 0,
     exact: Boolean = false,
-    numBits: Int = 32,
-    bands: Int = 16,
+    numBits: Int = 64,
+    bands: Int = 8,
     output: String = "keep"
 )
 

@@ -134,7 +134,7 @@ class JsonCodecSpec extends AnyFunSuite {
     assert(d.idCol == "vec_id" && d.vecCol == "embedding")
     assert(d.threshold == 0.9 && d.dim == 64)
     assert(d.nlist == 16 && d.refineRounds == 0 && !d.exact)
-    assert(d.numBits == 32 && d.bands == 16 && d.output == "keep")
+    assert(d.numBits == 64 && d.bands == 8 && d.output == "keep") // high-τ regime
     val full = root("""
       {"source": {"table": "embeddings"},
        "semantic_dedup": {"id_col": "a", "vec_col": "v", "threshold": 0.8,

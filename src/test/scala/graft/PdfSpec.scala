@@ -497,6 +497,41 @@ class PdfSpec extends SparkSpec {
     assert(pdfx(bad) == ("1.7", 1, ""))
   }
 
+  test("pdf /Differences glyph-name encoding: remapped codes decode, unknown names fall through") {
+    // glyph-name resolution unit cases first
+    import graft.functions.PdfOps.glyphText
+    assert(glyphText("A") == "A" && glyphText("z") == "z")
+    assert(glyphText("seven") == "7" && glyphText("comma") == ",")
+    assert(glyphText("Euro") == "€" && glyphText("emdash") == "—")
+    assert(glyphText("uni20AC") == "€" && glyphText("u1F600") == "😀")
+    assert(glyphText("gXYZ") == null && glyphText("uniZZZZ") == null)
+    // a subset font remapping codes 65('A')→/e, 66('B')→/uni20AC (then
+    // sequential: 67→/m), 97('a')→/seven, atop WinAnsi base (0x93 = “)
+    val content = "BT /F1 9 Tf 0 0 Td (ABC a q) Tj ET"
+    val bytes = miniPdf(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> ("<< /Type /Page /Contents 4 0 R " +
+        "/Resources << /Font << /F1 5 0 R >> >> >>"),
+      4 -> stream(s"<< /Length ${contentLen(content)} >>", content),
+      5 -> ("<< /Type /Font /Subtype /Type1 /BaseFont /FAAAAA+Foo " +
+        "/Encoding << /BaseEncoding /WinAnsiEncoding " +
+        "/Differences [ 65 /e /uni20AC /m 97 /seven /unknownglyph ] >> >>"))
+    // 'A'→e, 'B'→€, 'C'→m, 'a'→7; 'b' (98, /unknownglyph) falls through
+    // to WinAnsi identity 'b'... not present; 0x93/0x94 take WinAnsi “ ”
+    assert(pdfx(bytes) == ("1.7", 1, "e€m 7 “q”"))
+    // an /Encoding REF to a dict object resolves the same way
+    val viaRef = miniPdf(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> ("<< /Type /Page /Contents 4 0 R " +
+        "/Resources << /Font << /F1 5 0 R >> >> >>"),
+      4 -> stream(s"<< /Length ${contentLen(content)} >>", content),
+      5 -> "<< /Type /Font /Subtype /Type1 /Encoding 6 0 R >>",
+      6 -> "<< /Differences [ 65 /e /uni20AC /m 97 /seven ] >>")
+    assert(pdfx(viaRef)._3 == "e€m 7 q") // no base enc: Latin-1 high bytes
+  }
+
   test("pdf RunLengthDecode: literal+repeat runs, EOD stops, truncation degrades") {
     // byte-level kernel first: runs hand-assembled per PDF 32000 §7.4.5
     def rl(bs: Int*): Array[Byte] = bs.map(_.toByte).toArray

@@ -926,6 +926,45 @@ class StreamingSpec extends SparkSpec {
       "post-restart stream decisions must equal the batch compile")
   }
 
+  test("round-12 curation heuristics run on a stream: line/c4/gopher derive+filters, stream == batch") {
+    graft.functions.Registry.registerAll(spark)
+    // documents staged as a file-stream source
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_docs")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    // scan-stage heuristics are streaming-admissible by construction:
+    // derive the structs, filter on their fields, project metrics
+    val spec = graft.spec.JsonCodec.parseNode("""
+      {"id": "cur",
+       "derive": {
+         "mtext": "concat('Good opening line here.', char(10), replace(text, ' a ', char(10)), char(10), 'the of and closing line.')",
+         "c": "c4_line_filter(mtext, 3)",
+         "g": "gopher_quality(c.clean_text)",
+         "ls": "line_stats(mtext)"},
+       "filters": ["c.keep_doc", "g.stop_hits >= 3"],
+       "with_columns": {"kept_lines": "c.kept_lines",
+                        "n_words": "g.n_words",
+                        "dup_line_frac": "ls.dup_line_frac"},
+       "keep_columns": ["doc_id", "c", "g", "ls"]}""")
+    val batch = graft.compile.Compiler
+      .compileNode(spark, spec, Some(Tables.load(spark, sf, "documents")))
+      .select("doc_id", "kept_lines", "n_words", "dup_line_frac")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(batch.nonEmpty)
+    val raw = spark.read.parquet(s"$sf/documents.parquet")
+    val streamIn = spark.readStream.schema(raw.schema).parquet(dir.toString)
+    val out = graft.compile.Compiler.compileNode(spark, spec, Some(streamIn))
+      .select("doc_id", "kept_lines", "n_words", "dup_line_frac")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("stream_curation")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("stream_curation")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+  }
+
   test("cluster-output and passage dedup keys reject streaming compiles by name") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-batchonly").toString
