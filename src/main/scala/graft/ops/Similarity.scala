@@ -535,51 +535,106 @@ object Similarity {
         col(vecCol), cents, 1), 1).as("__cl"))
     def score(va: Column, na: Column, vb: Column, nb: Column): Column =
       round(when(na > 0 && nb > 0, dot(va, vb) / (na * nb)).otherwise(lit(0.0)), 9)
-    val pairs =
+    // (pairsFrame, droppedIds): the banded path computes drops from the
+    // CLASS-collapsed representation and only reconstructs member pairs
+    // when the caller asked for them.
+    val (pairs, dropped) =
       if (exact) {
         val a = assigned.select(col("__cl"), col("__id").as("idA"),
           col("__v").as("__va"), l2Norm(col("__v")).as("__na"))
         val b = assigned.select(col("__cl"), col("__id").as("idB"),
           col("__v").as("__vb"), l2Norm(col("__v")).as("__nb"))
-        a.join(b, Seq("__cl")).filter(col("idA") < col("idB"))
+        val p = a.join(b, Seq("__cl")).filter(col("idA") < col("idB"))
           .select(col("idA"), col("idB"), col("__cl").as("cluster"),
             score(col("__va"), col("__na"), col("__vb"), col("__nb")).as("score"))
           .filter(col("score") >= threshold)
+        (p, p.select(col("idB").as("__id")).distinct())
       } else {
         require(numBits % bands == 0, "bands must divide numBits")
         val width = numBits / bands
-        val banded = assigned
-          .select(col("__cl"), col("__id"), col("__v"),
+        // IDENTICAL embeddings are collapsed to classes BEFORE banding
+        // (the hammingPairs theorem, applied to vectors): at web scale
+        // the dominant duplicate shape is a massive identical-embedding
+        // class (the same boilerplate doc embedded millions of times),
+        // which banded naively collides with itself in EVERY band —
+        // bands·m²/2 candidate rows from one bucket. Classes band once;
+        // the drop rule factors exactly through class minima:
+        //   x dropped ⟺ (x ≠ min of its class ∧ self-sim ≥ τ)
+        //             ∨ (∃ neighbor class C' in x's cluster with
+        //                sim ≥ τ ∧ min(C') < x).
+        // Self-sim guards the null/zero-vector classes (their pair
+        // score is 0 by definition, so they never drop each other).
+        val classes = assigned
+          .groupBy(col("__cl"), col("__v")).agg(min(col("__id")).as("__rep"))
+          .select(col("__cl"), col("__v"), col("__rep"),
             l2Norm(col("__v")).as("__n"),
             hyperplaneSignature(col("__v"), dim, numBits).as("__sig"))
-          .select(col("__cl"), col("__id"), col("__v"), col("__n"), col("__sig"),
+        val selfScore = score(col("__v"), col("__n"), col("__v"), col("__n"))
+        val members = assigned
+          .join(classes.select(col("__cl"), col("__v"), col("__rep"),
+            selfScore.as("__self")), Seq("__cl", "__v"))
+          .select(col("__id"), col("__cl"), col("__rep"), col("__self"))
+        val banded = classes
+          .select(col("__cl"), col("__rep"), col("__v"), col("__n"), col("__sig"),
             posexplode(array((0 until bands).map(c =>
               shiftright(col("__sig"), c * width)
                 .bitwiseAND(lit((1L << width) - 1L))): _*)).as(Seq("band", "band_key")))
         val a = banded.select(col("__cl"), col("band"), col("band_key"),
-          col("__id").as("idA"), col("__v").as("__va"), col("__n").as("__na"),
+          col("__rep").as("__repA"), col("__v").as("__va"), col("__n").as("__na"),
           col("__sig").as("__siga"))
         val b = banded.select(col("__cl"), col("band"), col("band_key"),
-          col("__id").as("idB"), col("__v").as("__vb"), col("__n").as("__nb"),
+          col("__rep").as("__repB"), col("__v").as("__vb"), col("__n").as("__nb"),
           col("__sig").as("__sigb"))
-        a.join(b, Seq("__cl", "band", "band_key"))
-          .filter(col("idA") < col("idB") &&
+        val classPairs = a.join(b, Seq("__cl", "band", "band_key"))
+          .filter(col("__repA") < col("__repB") &&
             firstCollision(col("__siga"), col("__sigb"), width, bands))
-          .select(col("idA"), col("idB"), col("__cl").as("cluster"),
+          .select(col("__cl"), col("__repA"), col("__repB"),
             score(col("__va"), col("__na"), col("__vb"), col("__nb")).as("score"))
           .filter(col("score") >= threshold)
+        // drops: in-class non-minima; every member of the larger-rep
+        // class of a verified pair; members of the smaller-rep class
+        // beyond the other class's minimum
+        val inClass = members
+          .filter(col("__id") =!= col("__rep") && col("__self") >= threshold)
+          .select(col("__id"))
+        val crossB = classPairs
+          .join(members.select(col("__rep").as("__repB"), col("__id")), Seq("__repB"))
+          .select(col("__id"))
+        val crossA = classPairs
+          .join(members.select(col("__rep").as("__repA"), col("__id")), Seq("__repA"))
+          .filter(col("__id") > col("__repB"))
+          .select(col("__id"))
+        val droppedIds = inClass.unionByName(crossB).unionByName(crossA).distinct()
+        // member pairs, reconstructed output-proportionally (pairs mode
+        // only — keep/labels never materialize in-class pair lists)
+        lazy val memberPairs = {
+          val inPairs = members.filter(col("__self") >= threshold).alias("x")
+            .join(members.alias("y"),
+              col("x.__rep") === col("y.__rep") && col("x.__id") < col("y.__id"))
+            .select(col("x.__id").as("idA"), col("y.__id").as("idB"),
+              col("x.__cl").as("cluster"), col("x.__self").as("score"))
+          val crossPairs = classPairs
+            .join(members.select(col("__rep").as("__repA"), col("__id").as("__ia")),
+              Seq("__repA"))
+            .join(members.select(col("__rep").as("__repB"), col("__id").as("__ib")),
+              Seq("__repB"))
+            .select(least(col("__ia"), col("__ib")).as("idA"),
+              greatest(col("__ia"), col("__ib")).as("idB"),
+              col("__cl").as("cluster"), col("score"))
+          inPairs.unionByName(crossPairs)
+        }
+        (if (output == "pairs") memberPairs else null, droppedIds)
       }
     output match {
       case "pairs" => pairs
       case "labels" =>
         assigned
-          .join(pairs.select(col("idB").as("__id"), lit(false).as("__drop")).distinct(),
+          .join(dropped.select(col("__id"), lit(false).as("__drop")),
             Seq("__id"), "left")
           .select(col("__id").as(idCol), col("__cl").as("cluster"),
             coalesce(col("__drop"), lit(true)).as("keep"))
       case _ =>
-        df.join(pairs.select(col("idB").as(idCol)).distinct(),
-          Seq(idCol), "left_anti")
+        df.join(dropped.select(col("__id").as(idCol)), Seq(idCol), "left_anti")
     }
   }
 }

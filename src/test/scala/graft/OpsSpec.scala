@@ -633,6 +633,36 @@ class OpsSpec extends SparkSpec {
         threshold = 0.9, dim = 64, output = "graph"))
   }
 
+  test("semantic dedup: a 2000-copy identical-embedding class collapses before banding") {
+    import spark.implicits._
+    // the web-scale duplicate shape: one boilerplate doc embedded m
+    // times. Banded naively it hands the join bands·m²/2 candidates
+    // from a single bucket; the class collapse bands ONE row per class,
+    // so the keep-mode plan must stay linear in m.
+    val base = emb.filter($"vec_id" < 50).select($"vec_id", $"embedding")
+    val big = base.filter($"vec_id" === 0).select($"embedding").collect()(0)
+      .getSeq[Float](0)
+    val copies = spark.range(2000)
+      .select(($"id" + 1000000L).as("vec_id"), typedLit(big).as("embedding"))
+    val corpus = base.unionByName(copies)
+    val kept = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+        threshold = 0.999, dim = 64, nlist = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // the whole copy class merges with its source vec_id 0: only the
+    // minimum survives; every other corpus vector is untouched
+    assert(kept.contains(0L) && !kept.exists(_ >= 1000000L))
+    assert(kept == base.select("vec_id").collect().map(_.getLong(0)).toSet)
+    // labels mode agrees and zero-vector classes never drop each other
+    val zeros = spark.range(5)
+      .select(($"id" + 5000000L).as("vec_id"),
+        typedLit(Seq.fill(64)(0.0f)).as("embedding"))
+    val keptZ = Similarity.semanticDedup(corpus.unionByName(zeros),
+        "vec_id", "embedding", threshold = 0.999, dim = 64, nlist = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((5000000L until 5000005L).forall(keptZ.contains),
+      "zero vectors have pair score 0 and must all survive")
+  }
+
   private def composedPad(vec: org.apache.spark.sql.Column,
       cents: Seq[Seq[Double]], nprobe: Int): org.apache.spark.sql.Column = {
     val padded = cents.map(_.padTo(64, 0.0))
