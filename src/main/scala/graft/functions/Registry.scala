@@ -74,6 +74,9 @@ object Registry {
     // symbol_word_ratio, alpha_word_frac, stop_hits, keep) — the Gopher
     // word-tier document filters at their published default bounds
     "gopher_quality" -> fn(t => TextAnalysis.gopherQuality(t)),
+    // url_host(url) → lowercased authority minus userinfo/port — the
+    // domain-blocklist key; '' for scheme-less/malformed input
+    "url_host" -> fn(TextAnalysis.urlHost),
     "c4_line_filter" -> (es => GraftColumnBridge.expressionEager(
       TextAnalysis.c4LineFilter(GraftColumnBridge.column(es.head),
         litInt(es(1), "c4_line_filter", "minWords")))),

@@ -362,6 +362,18 @@ object TextAnalysis {
       }
     }
 
+  /** URL host extraction — the key of every domain blocklist/allowlist
+    * pass (the standard first filter of a web corpus): the authority
+    * component lowercased, with userinfo and port stripped. Scheme-less
+    * or malformed URLs yield '' (filterable, never an error). Pure
+    * built-in regexps (codegen'd, scan-stage) and exactly mirrorable in
+    * SQL — compose with `isin`/`filters` for the blocklist itself; no
+    * dedicated node key needed. */
+  def urlHost(url: Column): Column =
+    lower(regexp_replace(regexp_replace(
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1),
+      "^[^@]*@", ""), ":[0-9]*$", ""))
+
   /** Gopher word-tier quality rules (the public Gopher paper's document
     * filters; the LINE tier lives in [[lineStats]]) as one struct:
     *   - `n_words`:           whitespace token count,

@@ -716,6 +716,45 @@ object TextQueries extends QueryPack {
            'doc ' || doc_id || ' says' || chr(10) || text AS text
     FROM documents ORDER BY doc_id ASC NULLS FIRST"""
 
+  // q175 — domain blocklist filtering from PURE JSON: `url_host`
+  // extracts the blocklist key (authority lowercased, userinfo/port
+  // stripped; '' for non-URLs) and a plain not_isin filter IS the
+  // blocklist — no dedicated node key, the function surface composes.
+  // Four authority shapes exercise every strip rule.
+  private def q175(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "documents"},
+       "derive": {
+         "url": "case when doc_id % 4 = 0 then concat('https://u:p@News.Example.COM:443/a/', cast(doc_id as string)) when doc_id % 4 = 1 then concat('HTTP://Blog.Example.ORG/x?id=', cast(doc_id as string)) when doc_id % 4 = 2 then 'http://SPAM.Tracker.Net:80/z' else concat('not a url ', cast(doc_id as string)) end",
+         "host": "url_host(url)"},
+       "filters": [{"col": "host", "op": "not_isin",
+                    "value": ["spam.tracker.net", ""]}],
+       "aggregate": {"group_by": ["host"], "aggregations": [
+         {"col": "*", "func": "count", "new_name": "n_docs"},
+         {"col": "doc_id", "func": "min", "new_name": "min_id"}]},
+       "order_by": ["host asc"]}""")
+  }
+  private val q175Sql = """
+    WITH u AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0
+                    THEN 'https://u:p@News.Example.COM:443/a/' || CAST(doc_id AS VARCHAR)
+                  WHEN doc_id % 4 = 1
+                    THEN 'HTTP://Blog.Example.ORG/x?id=' || CAST(doc_id AS VARCHAR)
+                  WHEN doc_id % 4 = 2 THEN 'http://SPAM.Tracker.Net:80/z'
+                  ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END AS url
+      FROM documents),
+    e AS (
+      SELECT doc_id,
+             lower(regexp_replace(regexp_replace(
+               regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
+               '^[^@]*@', ''), ':[0-9]*$', '')) AS host
+      FROM u)
+    SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS min_id
+    FROM e WHERE host NOT IN ('spam.tracker.net', '')
+    GROUP BY 1 ORDER BY host ASC NULLS FIRST"""
+
   private val cmapTextSql =
     "'Doc ' || doc_id || '!' || '€' || chr(10) || text || chr(10) || 'p. 2 (end) ' || '—'"
   private val q162Sql = s"""
@@ -1092,6 +1131,7 @@ object TextQueries extends QueryPack {
     Q("q164_bpe_apply_artifact", q164, Some(q164Sql)),
     Q("q159_mixed_lake_flagship", q159, Some(q159Sql)),
     Q("q169_pdf_image_inventory", q169, Some(q169Sql)),
-    Q("q174_pdf_differences", q174, Some(q174Sql))
+    Q("q174_pdf_differences", q174, Some(q174Sql)),
+    Q("q175_domain_blocklist", q175, Some(q175Sql))
   )
 }

@@ -181,6 +181,24 @@ class CorpusSpec extends SparkSpec {
     assert(got(4L) == ((0, 0.0, 0.0, 0.0, 0.0)))
   }
 
+  test("url host: userinfo/port stripped, lowercased, non-URLs empty") {
+    val got = Seq(
+      "https://u:p@News.Example.COM:443/a?b#c",
+      "HTTP://Blog.Example.ORG/x",
+      "ftp://Files.Example.net:2121",
+      "http://[::1]:8080/v6",
+      "no scheme here",
+      "mailto:someone@example.com" // no ://, not an authority URL
+    ).zipWithIndex.map(_.swap).toDF("i", "u")
+      .select(col("i"), TextAnalysis.urlHost(col("u")).as("h"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got(0) == "news.example.com")
+    assert(got(1) == "blog.example.org")
+    assert(got(2) == "files.example.net")
+    assert(got(3) == "[::1]")
+    assert(got(4) == "" && got(5) == "")
+  }
+
   test("gopher quality: hand-computed metrics; each rule flips the verdict") {
     // 60 words, stop words present, all alphabetic → keeps
     val good = (Seq("the", "be", "of", "and") ++
