@@ -329,6 +329,68 @@ object Similarity {
       Seq(col("score").desc, col(corpusId).asc), k, rankCol = "rank")
   }
 
+  /** The full FAISS IVF-PQ composition: corpus rows carry only their
+    * LIST assignment and PQ CODES (the m-bytes-at-rest shape), queries
+    * probe `nprobe` nearest lists, and only in-list candidates pay a
+    * reconstruct+dot — list pruning bounds candidates, PQ bounds memory.
+    * Centroids and codebooks are both bounded driver metadata riding as
+    * codegen reference objects. With nprobe = nlist and codebook-aligned
+    * vectors this provably equals [[pqTopK]] (OpsSpec asserts it); at
+    * production parameters recall follows the usual IVF×PQ S-curves. */
+  def ivfPqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryId: String,
+      queryVec: String,
+      corpusId: String,
+      corpusCodes: String,
+      corpusList: String,
+      cents: Seq[Seq[Double]],
+      codebooks: Seq[Seq[Seq[Double]]],
+      k: Int,
+      nprobe: Int = 4
+  ): DataFrame = {
+    val cb = corpus.select(
+      col(corpusId).as("__cid2"),
+      pqReconstruct(col(corpusCodes), codebooks).as("__cv"),
+      col(corpusList).as("__list"))
+      .select(col("__cid2"), col("__cv"), l2Norm(col("__cv")).as("__cn"), col("__list"))
+    val qb = queries.select(
+      col(queryId).as("__qid2"), col(queryVec).as("__qv"),
+      l2Norm(col(queryVec)).as("__qn"),
+      explode(nearestLists(col(queryVec), cents, math.min(nprobe, cents.size))).as("__list"))
+    val scored = qb.join(cb, Seq("__list"))
+      .filter(col("__qid2") =!= col("__cid2"))
+      .select(
+        col("__qid2").as(queryId), col("__cid2").as(corpusId),
+        round(
+          when(col("__qn") > 0 && col("__cn") > 0,
+            dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+            .otherwise(lit(0.0)),
+          9).as("score"))
+    Relational.topKPerGroup(
+      scored, Seq(queryId),
+      Seq(col("score").desc, col(corpusId).asc), k, rankCol = "rank")
+  }
+
+  /** Deterministic IVF list assignment + centroids for external use —
+    * the build side of [[ivfPqTopK]]: returns the centroid metadata and
+    * a frame of (id, list, codes) ready to persist as the at-rest index. */
+  def ivfPqIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: Seq[Seq[Seq[Double]]],
+      nlist: Int = 16,
+      refineRounds: Int = 0
+  ): (Seq[Seq[Double]], DataFrame) = {
+    val cents = ivfCentroids(corpus, idCol, vecCol, nlist, refineRounds)
+    val indexed = corpus.select(col(idCol),
+      element_at(nearestLists(col(vecCol), cents, 1), 1).as("list"),
+      pqEncode(col(vecCol), codebooks).as("codes"))
+    (cents, indexed)
+  }
+
   /** L2-normalize a vector (unit length; zero vectors pass through as
     * zeros). Norm is let-bound so it's computed once per row, not per
     * element. */
@@ -462,6 +524,125 @@ object Similarity {
     a.join(b, Seq("band", "band_key"))
       .filter(col("idA") < col("idB") &&
         firstCollision(col("__siga"), col("__sigb"), numBits / bands, bands))
+  }
+
+  /** Product-quantization codebooks (the public FAISS PQ design — the
+    * memory-compression tier of billion-vector ANN): the vector space is
+    * split into `m` subspaces of dim/m dimensions; each subspace gets
+    * `k` sub-centroids (k ≤ 256 → one byte per code at rest); a vector
+    * stores as its m nearest-sub-centroid indices — dim·4 bytes → m
+    * bytes, the 32–64× shrink that fits a 100 TB corpus's vectors in
+    * cluster memory.
+    *
+    * Training is DETERMINISTIC and sample-bounded: a lowest-hash sample
+    * of max(k·16, 256) corpus vectors (id-keyed — retry/partition
+    * stable) collects to the driver (bounded metadata, the IVF-centroid
+    * trust model), then per-subspace Lloyd iterations run locally on
+    * that sample — lowest-hash init, L2 assignment with lowest-index
+    * tie-break, empty clusters keep their centroid. Bit-identical on
+    * every rerun. Returns m × k × (dim/m) codebooks for the kernels
+    * ([[graft.functions.PqKernels]]) — which hold them as ONE codegen
+    * reference object, zero plan literals at any m·k·dim. */
+  def pqTrain(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int = 8,
+      k: Int = 256,
+      iters: Int = 5
+  ): Seq[Seq[Seq[Double]]] = {
+    require(m >= 1 && dim % m == 0, s"pqTrain: m=$m must divide dim=$dim")
+    require(k >= 1 && k <= 256, s"pqTrain: k must be in [1, 256], got $k")
+    val sub = dim / m
+    val sample: Array[Array[Double]] = corpus
+      .select(col(idCol).cast("string").as("__cid"), col(vecCol).as("__v"))
+      .filter(size(col("__v")) === dim)
+      .orderBy(xxhash64(col("__cid")), col("__cid"))
+      .limit(math.max(k * 16, 256))
+      .collect()
+      .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
+    require(sample.nonEmpty, s"pqTrain: no vectors of length $dim in corpus")
+    (0 until m).map { j =>
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
+      // lowest-hash-order init: first k distinct sample points (pad by
+      // cycling when the sample has fewer distinct points than k)
+      var cents: Array[Array[Double]] =
+        (0 until k).map(i => pts(i % pts.length).clone()).toArray
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(k)(new Array[Double](sub))
+        val counts = new Array[Long](k)
+        pts.foreach { p =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < k) {
+            var acc = 0.0; var e = 0
+            while (e < sub) { val d0 = p(e) - cents(c)(e); acc += d0 * d0; e += 1 }
+            if (acc < bestD) { bestD = acc; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var e = 0
+          while (e < sub) { sums(best)(e) += p(e); e += 1 }
+        }
+        cents = cents.zipWithIndex.map { case (old, c) =>
+          if (counts(c) == 0) old
+          else sums(c).map(_ / counts(c))
+        }
+        it += 1
+      }
+      cents.map(_.toSeq).toSeq
+    }
+  }
+
+  /** Vector → m sub-centroid codes (see [[pqTrain]]); scan-stage codegen
+    * kernel, codebooks as a reference object. */
+  def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    graft.functions.PqKernels.pqEncode(vec, codebooks)
+
+  /** Codes → reconstructed vector (sub-centroids concatenated). Scoring
+    * composes with [[dot]]/[[cosine]] — `cosine(q, pqReconstruct(codes))`
+    * IS asymmetric-distance scoring, stated composably. */
+  def pqReconstruct(codes: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    graft.functions.PqKernels.pqDecode(codes, codebooks)
+
+  /** PQ-compressed brute-force top-k: corpus rows are scored from their
+    * CODES (the at-rest representation — the corpus vectors themselves
+    * need not exist anymore), queries stay exact — the standard
+    * asymmetric recipe. Same plan shape as [[cosineTopK]]: broadcast
+    * queries, one reconstruct+dot per pair in the scan stage, per-query
+    * top-k window. Compose with IVF list pruning for the full FAISS
+    * IVF-PQ shape (assign codes per list with [[ivfTopK]]'s centroids). */
+  def pqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryId: String,
+      queryVec: String,
+      corpusId: String,
+      corpusCodes: String,
+      codebooks: Seq[Seq[Seq[Double]]],
+      k: Int,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    val q = broadcast(queries.select(
+      col(queryId), col(queryVec).as("__qv"), l2Norm(col(queryVec)).as("__qn")))
+    var scored = corpus
+      .select(col(corpusId),
+        pqReconstruct(col(corpusCodes), codebooks).as("__cv"))
+      .select(col(corpusId), col("__cv"), l2Norm(col("__cv")).as("__cn"))
+      .crossJoin(q)
+    if (excludeSelf) scored = scored.filter(col(queryId) =!= col(corpusId))
+    val withScore = scored.select(
+      col(queryId), col(corpusId),
+      round(
+        when(col("__qn") > 0 && col("__cn") > 0,
+          dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+          .otherwise(lit(0.0)),
+        9).as("score"))
+    Relational.topKPerGroup(
+      withScore, Seq(queryId),
+      Seq(col("score").desc, col(corpusId).asc), k, rankCol = "rank")
   }
 
   /** SemDeDup-style semantic deduplication (the public SemDeDup recipe —

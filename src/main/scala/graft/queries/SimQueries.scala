@@ -369,6 +369,50 @@ object SimQueries extends QueryPack {
     WHERE vec_id = m
     ORDER BY vec_id ASC NULLS FIRST"""
 
+  // q176 — PRODUCT-QUANTIZED top-k, exactly oracle-checked: pattern
+  // vectors e_a + e_b (a = pat % 32, b = 32 + pat div 32, pat = id %
+  // 1024) are codebook points of the identity one-hot codebooks, so
+  // encoding is PROVABLY lossless and PQ-ADC scoring ≡ exact cosine —
+  // the oracle is plain brute-force top-5 over the same constructed
+  // vectors. Corpus scored entirely from CODES (2 bytes of signal per
+  // vector); queries stay exact (the asymmetric recipe).
+  private def q176(s: SparkSession, dir: String): DataFrame = {
+    val oneHot: Seq[Seq[Seq[Double]]] = (0 until 2).map(_ =>
+      (0 until 32).map(c => (0 until 32).map(d => if (d == c) 1.0 else 0.0).toSeq).toSeq)
+    val patVec = expr(
+      "transform(sequence(0, 63), d -> CAST(CASE WHEN d = CAST(vec_id % 1024 % 32 AS INT) " +
+        "OR d = 32 + CAST((vec_id % 1024) DIV 32 AS INT) THEN 1.0 ELSE 0.0 END AS DOUBLE))")
+    val base = emb(s, dir).select(col("vec_id"), patVec.as("pv"))
+    val q = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("pv"))
+    val codes = base.select(col("vec_id").as("match_id"),
+      Similarity.pqEncode(col("pv"), oneHot).as("codes"))
+    Similarity.pqTopK(q, codes, "query_id", "pv", "match_id", "codes",
+        oneHot, k = 5)
+      .select("query_id", "match_id", "score", "rank")
+      .orderBy(col("query_id").asc_nulls_first, col("rank").asc_nulls_first)
+  }
+  private val q176Sql = s"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(range(64), d ->
+               CASE WHEN d = vec_id % 1024 % 32
+                      OR d = 32 + (vec_id % 1024) // 32
+                    THEN 1.0 ELSE 0.0 END) AS pv
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id, pv AS qe FROM v WHERE vec_id < 10),
+    scored AS (
+      SELECT query_id, c.vec_id AS match_id,
+             ${duckCosine("qe", "c.pv")} AS score
+      FROM q, v c WHERE c.vec_id <> query_id),
+    ranked AS (
+      SELECT query_id, match_id, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, match_id ASC) AS INT) AS rank
+      FROM scored)
+    SELECT query_id, match_id, score, rank FROM ranked WHERE rank <= 5
+    ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
     Q("q31_cosine_topk", q31, Some(q31Sql)),
     Q("q32_embedding_neardup", q32, Some(q32Sql)),
@@ -380,6 +424,7 @@ object SimQueries extends QueryPack {
     Q("q93_ivf_topk_full", q93, Some(bruteTopKSql(3))),
     Q("q138_config_embedding_clusters", q138, Some(q138Sql)),
     Q("q167_semantic_dedup_exact", q167, Some(q167Sql)),
-    Q("q168_config_semantic_dedup", q168, Some(q168Sql))
+    Q("q168_config_semantic_dedup", q168, Some(q168Sql)),
+    Q("q176_pq_topk", q176, Some(q176Sql))
   )
 }

@@ -633,6 +633,85 @@ class OpsSpec extends SparkSpec {
         threshold = 0.9, dim = 64, output = "graph"))
   }
 
+  test("product quantization: lossless on codebook-aligned vectors, deterministic train, bounded loss, guards") {
+    import spark.implicits._
+    // hand-built identity codebooks: 2 subspaces × 32 one-hot sub-centroids
+    val oneHot: Seq[Seq[Seq[Double]]] = (0 until 2).map(_ =>
+      (0 until 32).map(c => (0 until 32).map(d => if (d == c) 1.0 else 0.0).toSeq).toSeq)
+    val pat = emb.select($"vec_id",
+      transform(sequence(lit(0), lit(63)), d =>
+        when(d === ($"vec_id" % 32).cast("int") ||
+          d === lit(32) + (($"vec_id" % 1024) / 32).cast("int"), 1.0)
+          .otherwise(0.0)).as("pv"))
+    val coded = pat.select($"vec_id", $"pv",
+      Similarity.pqEncode($"pv", oneHot).as("codes"),
+      Similarity.pqReconstruct(
+        Similarity.pqEncode($"pv", oneHot), oneHot).as("rec"))
+    // e_a + e_b vectors ARE codebook points → encode/decode is identity
+    assert(coded.filter(expr("pv <> rec")).count() == 0)
+    assert(coded.filter(expr(
+      "codes[0] <> cast(vec_id % 32 as int) or codes[1] <> cast((vec_id % 1024) div 32 as int)"))
+      .count() == 0)
+    // the encode plan holds the codebooks as a reference object
+    val bigLits = planArrayLiteralSizes(
+      pat.select(Similarity.pqEncode($"pv", oneHot))).filter(_ >= 8)
+    assert(bigLits.isEmpty, s"PQ plan embeds array literals: $bigLits")
+    // trained codebooks: bit-identical retrain; reconstruction error
+    // shrinks as k grows (k=1 collapses every subspace to one point)
+    val b1 = Similarity.pqTrain(emb, "vec_id", "embedding", dim = 64, m = 8, k = 1)
+    val b16 = Similarity.pqTrain(emb, "vec_id", "embedding", dim = 64, m = 8, k = 16)
+    assert(Similarity.pqTrain(emb, "vec_id", "embedding", dim = 64, m = 8, k = 16) == b16)
+    def mse(books: Seq[Seq[Seq[Double]]]): Double =
+      emb.select($"embedding",
+        Similarity.pqReconstruct(
+          Similarity.pqEncode($"embedding", books), books).as("rec"))
+        .select(aggregate(zip_with($"embedding", $"rec",
+          (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+          lit(0.0), (acc, x) => acc + x).as("se"))
+        .agg(avg("se")).collect()(0).getDouble(0)
+    assert(mse(b16) < mse(b1), s"k=16 must beat k=1: ${mse(b16)} vs ${mse(b1)}")
+    // PQ top-k recall against the exact ranking stays usable
+    val q = emb.filter($"vec_id" < 30).select($"vec_id".as("qid"), $"embedding")
+    val exact1 = Similarity.cosineTopK(q,
+        emb.select($"vec_id".as("cid"), $"embedding"),
+        "qid", "embedding", "cid", "embedding", 1)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val codes = emb.select($"vec_id".as("cid"),
+      Similarity.pqEncode($"embedding", b16).as("codes"))
+    val pq5 = Similarity.pqTopK(q, codes, "qid", "embedding", "cid", "codes",
+        b16, k = 5)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact1.count(pq5.contains).toDouble / exact1.size
+    assert(recall >= 0.3, s"PQ rank-1-in-top-5 recall too low: $recall")
+    // IVF-PQ composition: at full probe the list pruning is a no-op, so
+    // the result must EQUAL plain PQ top-k (same codes, same scoring)
+    val (cents, indexed) = Similarity.ivfPqIndex(
+      emb.select($"vec_id", $"embedding"), "vec_id", "embedding", b16, nlist = 8)
+    val ivfpq = Similarity.ivfPqTopK(q,
+        indexed.select($"vec_id".as("cid"), $"list", $"codes"),
+        "qid", "embedding", "cid", "codes", "list", cents, b16,
+        k = 5, nprobe = 8)
+      .select("qid", "cid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val pq5ranked = Similarity.pqTopK(q, codes, "qid", "embedding", "cid", "codes",
+        b16, k = 5)
+      .select("qid", "cid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ivfpq == pq5ranked, "full-probe IVF-PQ must equal plain PQ top-k")
+    // guards: m must divide dim; ragged codebooks rejected; bad codes null
+    intercept[IllegalArgumentException](
+      Similarity.pqTrain(emb, "vec_id", "embedding", dim = 64, m = 7))
+    intercept[IllegalArgumentException](
+      Similarity.pqTrain(emb, "vec_id", "embedding", dim = 64, m = 8, k = 500))
+    intercept[IllegalArgumentException] {
+      Similarity.pqEncode($"pv", Seq(Seq(Seq(1.0)), Seq(Seq(1.0, 2.0))))
+      ()
+    }
+    val badCodes = Seq((1L, Seq(99, 0))).toDF("id", "codes")
+    assert(badCodes.select(Similarity.pqReconstruct($"codes", oneHot).as("r"))
+      .filter($"r".isNull).count() == 1)
+  }
+
   test("semantic dedup: a 2000-copy identical-embedding class collapses before banding") {
     import spark.implicits._
     // the web-scale duplicate shape: one boilerplate doc embedded m
