@@ -413,6 +413,30 @@ object SimQueries extends QueryPack {
     SELECT query_id, match_id, score, rank FROM ranked WHERE rank <= 5
     ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST"""
 
+  // q177 — the COMPOSED IVF-PQ path (q93's full-coverage convention):
+  // same lossless pattern fixture as q176, corpus reduced to its
+  // at-rest (list, codes) index via ivfPqIndex, every list probed — so
+  // pruning is a no-op and the result must hash-match the same
+  // brute-force oracle. A regression anywhere in the composition
+  // (assignment, code round-trip, probe join, scoring) breaks the hash.
+  private def q177(s: SparkSession, dir: String): DataFrame = {
+    val oneHot: Seq[Seq[Seq[Double]]] = (0 until 2).map(_ =>
+      (0 until 32).map(c => (0 until 32).map(d => if (d == c) 1.0 else 0.0).toSeq).toSeq)
+    val patVec = expr(
+      "transform(sequence(0, 63), d -> CAST(CASE WHEN d = CAST(vec_id % 1024 % 32 AS INT) " +
+        "OR d = 32 + CAST((vec_id % 1024) DIV 32 AS INT) THEN 1.0 ELSE 0.0 END AS DOUBLE))")
+    val base = emb(s, dir).select(col("vec_id"), patVec.as("pv"))
+    val q = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("pv"))
+    val (cents, indexed) = Similarity.ivfPqIndex(base, "vec_id", "pv", oneHot, nlist = 8)
+    Similarity.ivfPqTopK(q,
+        indexed.select(col("vec_id").as("match_id"), col("list"), col("codes")),
+        "query_id", "pv", "match_id", "codes", "list", cents, oneHot,
+        k = 5, nprobe = 8)
+      .select("query_id", "match_id", "score", "rank")
+      .orderBy(col("query_id").asc_nulls_first, col("rank").asc_nulls_first)
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q31_cosine_topk", q31, Some(q31Sql)),
     Q("q32_embedding_neardup", q32, Some(q32Sql)),
@@ -425,6 +449,7 @@ object SimQueries extends QueryPack {
     Q("q138_config_embedding_clusters", q138, Some(q138Sql)),
     Q("q167_semantic_dedup_exact", q167, Some(q167Sql)),
     Q("q168_config_semantic_dedup", q168, Some(q168Sql)),
-    Q("q176_pq_topk", q176, Some(q176Sql))
+    Q("q176_pq_topk", q176, Some(q176Sql)),
+    Q("q177_ivfpq_topk_full", q177, Some(q176Sql))
   )
 }
