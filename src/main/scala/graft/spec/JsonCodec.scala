@@ -39,7 +39,7 @@ object JsonCodec {
       if (dupIds.nonEmpty)
         throw new IllegalArgumentException(
           s"duplicate def ids: ${dupIds.mkString(", ")}")
-      TreePipeline(node(root, "root"), defs)
+      TreePipeline(node(root, "root", extraAllowed = Set("defs")), defs)
     }
   }
 
@@ -78,10 +78,17 @@ object JsonCodec {
 
   // ---- node --------------------------------------------------------------
 
-  private[spec] def node(n: JsonNode, defaultId: String): NodeSpec = {
-    val id = opt(n, "id", "unique_id").map(_.asText).getOrElse(defaultId)
+  private[spec] def node(n: JsonNode, defaultId: String,
+      extraAllowed: Set[String] = Set.empty): NodeSpec = {
+    // Every node-level key access routes through optN/reqN so the set of
+    // KNOWN keys is recorded mechanically; unknown keys fail loudly at
+    // parse time — a typo'd operator key ("semantic_dedpu") silently
+    // no-opping is the worst possible config-language failure mode.
+    val accessed = scala.collection.mutable.HashSet.empty[String]
+    def optN(keys: String*): Option[JsonNode] = { accessed ++= keys; opt(n, keys: _*) }
+    val id = optN("id", "unique_id").map(_.asText).getOrElse(defaultId)
 
-    val source = opt(n, "source", "data_path").map { s =>
+    val source = optN("source", "data_path").map { s =>
       if (s.isTextual) {
         val p = s.asText
         val fmt =
@@ -126,17 +133,17 @@ object JsonCodec {
     }
 
     val filters: Seq[FilterSpec] =
-      opt(n, "filters", "filter").toSeq.flatMap(filterItems)
+      optN("filters", "filter").toSeq.flatMap(filterItems)
     // post_filters run AFTER the operator keys + with_columns, so they can
     // reference computed outputs (score, near_dup, n_bpe, …)
     val postFilters: Seq[FilterSpec] =
-      opt(n, "post_filters", "postFilters").toSeq.flatMap(filterItems)
+      optN("post_filters", "postFilters").toSeq.flatMap(filterItems)
 
-    val keep = opt(n, "keep_columns", "keep").map(strSeq).getOrElse(Nil)
+    val keep = optN("keep_columns", "keep").map(strSeq).getOrElse(Nil)
 
     // Aggregation: canonical {"group_by":[...], "aggregations":[{col,func,
     // new_name,filter}]} or any of the reference spellings.
-    val aggNode = opt(n, "aggregate", "aggregation")
+    val aggNode = optN("aggregate", "aggregation")
     val aggregate: Option[AggregateSpec] = aggNode match {
       case Some(a) if a.isObject && (a.has("group_by") || a.has("aggregations")) =>
         Some(
@@ -170,7 +177,7 @@ object JsonCodec {
         }
         Some(
           AggregateSpec(
-            groupBy = opt(n, "group_by").map(strSeq).getOrElse(Nil),
+            groupBy = optN("group_by").map(strSeq).getOrElse(Nil),
             aggs = aggs
           )
         )
@@ -179,31 +186,31 @@ object JsonCodec {
         // directly on the node
         Some(
           AggregateSpec(
-            groupBy = opt(n, "group_by").map(strSeq).getOrElse(Nil),
-            aggs = aggList(opt(n, "aggregations").orNull),
+            groupBy = optN("group_by").map(strSeq).getOrElse(Nil),
+            aggs = aggList(optN("aggregations").orNull),
             keep = keep
           )
         )
       case _ => None
     }
 
-    val rename: Seq[(String, String)] = opt(n, "rename").toSeq.flatMap(r =>
+    val rename: Seq[(String, String)] = optN("rename").toSeq.flatMap(r =>
       fields(r).map { case (o2, n2) => o2 -> n2.asText }
     )
 
     val withCols: Seq[(String, String)] =
-      opt(n, "with_columns", "withColumns").toSeq.flatMap(w =>
+      optN("with_columns", "withColumns").toSeq.flatMap(w =>
         fields(w).map { case (c, e) => c -> e.asText }
       )
 
     // derive = computed columns applied BEFORE keep/aggregate (usable as
     // group keys / agg inputs); with_columns applies after aggregation
     val derive: Seq[(String, String)] =
-      opt(n, "derive").toSeq.flatMap(w =>
+      optN("derive").toSeq.flatMap(w =>
         fields(w).map { case (c, e) => c -> e.asText }
       )
 
-    val dd = opt(n, "dedup", "drop_duplicates").map { d =>
+    val dd = optN("dedup", "drop_duplicates").map { d =>
       if (d.isArray || d.isTextual) DedupSpec(keys = strSeq(d))
       else
         DedupSpec(
@@ -213,7 +220,7 @@ object JsonCodec {
             opt(d, "within_watermark", "withinWatermark").exists(_.asBoolean(false)))
     }
 
-    val nd = opt(n, "near_dup", "nearDup").map { d =>
+    val nd = optN("near_dup", "nearDup").map { d =>
       NearDupSpec(
         idCol = req(d, s"node $id: near_dup", "id_col", "idCol").asText,
         vecCol = req(d, s"node $id: near_dup", "vec_col", "vecCol").asText,
@@ -228,7 +235,7 @@ object JsonCodec {
         }.getOrElse("pairs"))
     }
 
-    val smd = opt(n, "semantic_dedup", "semanticDedup").map { d =>
+    val smd = optN("semantic_dedup", "semanticDedup").map { d =>
       SemanticDedupSpec(
         idCol = req(d, s"node $id: semantic_dedup", "id_col", "idCol").asText,
         vecCol = req(d, s"node $id: semantic_dedup", "vec_col", "vecCol").asText,
@@ -248,7 +255,7 @@ object JsonCodec {
         }.getOrElse("keep"))
     }
 
-    val ed = opt(n, "edit_dedup", "editDedup").map { d =>
+    val ed = optN("edit_dedup", "editDedup").map { d =>
       EditDedupSpec(
         idCol = req(d, s"node $id: edit_dedup", "id_col", "idCol").asText,
         textCol = req(d, s"node $id: edit_dedup", "text_col", "textCol").asText,
@@ -277,7 +284,7 @@ object JsonCodec {
           s"""node $id: $key output must be "pairs" or "clusters" — got "$other"""")
       }.getOrElse("pairs")
 
-    val imd = opt(n, "image_dedup", "imageDedup").map { d =>
+    val imd = optN("image_dedup", "imageDedup").map { d =>
       ImageDedupSpec(
         idCol = req(d, s"node $id: image_dedup", "id_col", "idCol").asText,
         payloadCol = req(d, s"node $id: image_dedup", "payload_col", "payloadCol").asText,
@@ -285,7 +292,7 @@ object JsonCodec {
         output = dedupOutput(d, "image_dedup"))
     }
 
-    val shd = opt(n, "simhash_dedup", "simhashDedup").map { d =>
+    val shd = optN("simhash_dedup", "simhashDedup").map { d =>
       SimhashDedupSpec(
         idCol = req(d, s"node $id: simhash_dedup", "id_col", "idCol").asText,
         textCol = req(d, s"node $id: simhash_dedup", "text_col", "textCol").asText,
@@ -293,7 +300,7 @@ object JsonCodec {
         output = dedupOutput(d, "simhash_dedup"))
     }
 
-    val aud = opt(n, "audio_dedup", "audioDedup").map { d =>
+    val aud = optN("audio_dedup", "audioDedup").map { d =>
       AudioDedupSpec(
         idCol = req(d, s"node $id: audio_dedup", "id_col", "idCol").asText,
         payloadCol = req(d, s"node $id: audio_dedup", "payload_col", "payloadCol").asText,
@@ -301,7 +308,7 @@ object JsonCodec {
         output = dedupOutput(d, "audio_dedup"))
     }
 
-    val pd = opt(n, "passage_dedup", "passageDedup").map { d =>
+    val pd = optN("passage_dedup", "passageDedup").map { d =>
       PassageDedupSpec(
         idCol = req(d, s"node $id: passage_dedup", "id_col", "idCol").asText,
         textCol = req(d, s"node $id: passage_dedup", "text_col", "textCol").asText,
@@ -313,7 +320,7 @@ object JsonCodec {
         }.getOrElse("spans"))
     }
 
-    val lm = opt(n, "lm_perplexity", "lmPerplexity").map { d =>
+    val lm = optN("lm_perplexity", "lmPerplexity").map { d =>
       LmPerplexitySpec(
         idCol = req(d, s"node $id: lm_perplexity", "id_col", "idCol").asText,
         textCol = req(d, s"node $id: lm_perplexity", "text_col", "textCol").asText,
@@ -322,7 +329,7 @@ object JsonCodec {
           .exists(_.asBoolean(false)))
     }
 
-    val qc = opt(n, "quality_classifier", "qualityClassifier").map { d =>
+    val qc = optN("quality_classifier", "qualityClassifier").map { d =>
       QualityClassifierSpec(
         idCol = req(d, s"node $id: quality_classifier", "id_col", "idCol").asText,
         textCol = req(d, s"node $id: quality_classifier", "text_col", "textCol").asText,
@@ -333,7 +340,7 @@ object JsonCodec {
         threshold = opt(d, "threshold").map(_.asDouble).getOrElse(0.5))
     }
 
-    val sm = opt(n, "score_model", "scoreModel").map { d =>
+    val sm = optN("score_model", "scoreModel").map { d =>
       ScoreModelSpec(
         textCol = req(d, s"node $id: score_model", "text_col", "textCol").asText,
         modelDir = req(d, s"node $id: score_model", "model_dir", "modelDir").asText,
@@ -342,13 +349,13 @@ object JsonCodec {
         threshold = opt(d, "threshold").map(_.asDouble).getOrElse(0.5))
     }
 
-    val ba = opt(n, "bpe_apply", "bpeApply").map { d =>
+    val ba = optN("bpe_apply", "bpeApply").map { d =>
       BpeApplySpec(
         textCol = req(d, s"node $id: bpe_apply", "text_col", "textCol").asText,
         mergesDir = req(d, s"node $id: bpe_apply", "merges_dir", "mergesDir").asText)
     }
 
-    val ndp = opt(n, "near_dup_probe", "nearDupProbe").map { d =>
+    val ndp = optN("near_dup_probe", "nearDupProbe").map { d =>
       NearDupProbeSpec(
         textCol = req(d, s"node $id: near_dup_probe", "text_col", "textCol").asText,
         indexDir = req(d, s"node $id: near_dup_probe", "index_dir", "indexDir").asText,
@@ -360,7 +367,7 @@ object JsonCodec {
         fpp = opt(d, "fpp").map(_.asDouble).getOrElse(0.01))
     }
 
-    val bpeSpec = opt(n, "bpe").map { d =>
+    val bpeSpec = optN("bpe").map { d =>
       BpeSpec(
         textCol = req(d, s"node $id: bpe", "text_col", "textCol").asText,
         numMerges = opt(d, "num_merges", "numMerges").map(_.asInt).getOrElse(16),
@@ -371,7 +378,7 @@ object JsonCodec {
         }.getOrElse("merges"))
     }
 
-    val cms = opt(n, "cms_probe", "cmsProbe").map { d =>
+    val cms = optN("cms_probe", "cmsProbe").map { d =>
       val probesNode = req(d, s"node $id: cms_probe", "probes")
       require(probesNode.isArray && probesNode.size() > 0,
         s"node $id: cms_probe.probes must be a non-empty ARRAY of keys")
@@ -383,7 +390,7 @@ object JsonCodec {
         seed = opt(d, "seed").map(_.asInt).getOrElse(42))
     }
 
-    val sp = opt(n, "split").map { d =>
+    val sp = optN("split").map { d =>
       val bucketsNode = req(d, s"node $id: split", "buckets")
       require(bucketsNode.isArray && bucketsNode.size() > 0,
         s"node $id: split.buckets must be a non-empty ARRAY of " +
@@ -399,7 +406,7 @@ object JsonCodec {
         splitCol = opt(d, "split_col", "splitCol").map(_.asText).getOrElse("split"))
     }
 
-    val ts = opt(n, "temperature_sample", "temperatureSample").map { d =>
+    val ts = optN("temperature_sample", "temperatureSample").map { d =>
       TemperatureSampleSpec(
         groupCol = req(d, s"node $id: temperature_sample", "group_col", "groupCol").asText,
         idCol = req(d, s"node $id: temperature_sample", "id_col", "idCol").asText,
@@ -408,26 +415,26 @@ object JsonCodec {
         alpha = opt(d, "alpha").map(_.asDouble).getOrElse(0.5))
     }
 
-    val gs = opt(n, "global_shuffle", "globalShuffle").map { d =>
+    val gs = optN("global_shuffle", "globalShuffle").map { d =>
       GlobalShuffleSpec(
         idCol = req(d, s"node $id: global_shuffle", "id_col", "idCol").asText,
         shards = req(d, s"node $id: global_shuffle", "shards").asInt,
         seed = opt(d, "seed").map(_.asLong).getOrElse(0L))
     }
 
-    val he = opt(n, "html_extract", "htmlExtract").map { d =>
+    val he = optN("html_extract", "htmlExtract").map { d =>
       HtmlExtractSpec(
         idCol = req(d, s"node $id: html_extract", "id_col", "idCol").asText,
         htmlCol = req(d, s"node $id: html_extract", "html_col", "htmlCol").asText)
     }
 
-    val pe = opt(n, "pdf_extract", "pdfExtract").map { d =>
+    val pe = optN("pdf_extract", "pdfExtract").map { d =>
       PdfExtractSpec(
         idCol = req(d, s"node $id: pdf_extract", "id_col", "idCol").asText,
         pdfCol = req(d, s"node $id: pdf_extract", "pdf_col", "pdfCol").asText)
     }
 
-    val pr = opt(n, "profile").map { d =>
+    val pr = optN("profile").map { d =>
       val colsNode = req(d, s"node $id: profile", "columns")
       require(colsNode.isArray && colsNode.size() > 0,
         s"node $id: profile.columns must be a non-empty ARRAY of column names")
@@ -436,7 +443,7 @@ object JsonCodec {
         approx = opt(d, "approx").exists(_.asBoolean(false)))
     }
 
-    val bp = opt(n, "boilerplate").map { d =>
+    val bp = optN("boilerplate").map { d =>
       BoilerplateSpec(
         idCol = req(d, s"node $id: boilerplate", "id_col", "idCol").asText,
         textCol = req(d, s"node $id: boilerplate", "text_col", "textCol").asText,
@@ -445,20 +452,20 @@ object JsonCodec {
         byHash = opt(d, "by_hash", "byHash").forall(_.asBoolean(true)))
     }
 
-    val fz = opt(n, "featurize").map { f =>
+    val fz = optN("featurize").map { f =>
       FeaturizeSpec(
         idCol = req(f, s"node $id: featurize", "id_col", "idCol").asText,
         payloadCol = req(f, s"node $id: featurize", "payload_col", "payloadCol").asText,
         decoder = opt(f, "decoder").map(_.asText).getOrElse("media"))
     }
 
-    val wm = opt(n, "watermark").map { w =>
+    val wm = optN("watermark").map { w =>
       WatermarkSpec(
         col = req(w, s"node $id: watermark", "col", "column").asText,
         delay = req(w, s"node $id: watermark", "delay", "threshold").asText)
     }
 
-    val bt = opt(n, "bitemporal").map { b =>
+    val bt = optN("bitemporal").map { b =>
       if (b.isBoolean) BitemporalSpec()
       else
         BitemporalSpec(
@@ -470,7 +477,7 @@ object JsonCodec {
         )
     }
 
-    val children: Seq[ChildSpec] = opt(n, "children").toSeq.flatMap(elems).map {
+    val children: Seq[ChildSpec] = optN("children").toSeq.flatMap(elems).map {
       c =>
         val link = opt(c, "link")
           .map(strSeq)
@@ -489,21 +496,24 @@ object JsonCodec {
         val leftDelay = opt(c, "join").flatMap(j => opt(j, "left_delay", "leftDelay").map(_.asText))
         val rightDelay = opt(c, "join").flatMap(j => opt(j, "right_delay", "rightDelay").map(_.asText))
         ChildSpec(
-          node = node(c, defaultId = id + "_child"),
+          node = node(c, defaultId = id + "_child",
+            // the child object carries its join wiring next to node keys
+            extraAllowed = Set("join", "link", "how", "on_expr", "onExpr",
+              "prefix", "hint", "join_hint")),
           join = JoinSpec(link, how, onExpr, leftTs, rightTs, lookback, leftDelay, rightDelay),
           prefix = opt(c, "prefix").exists(_.asBoolean(false)),
           hint = opt(c, "hint", "join_hint").map(_.asText)
         )
     }
 
-    val combine = opt(n, "combine").map { c =>
+    val combine = optN("combine").map { c =>
       CombineSpec(
         op = opt(c, "op").map(_.asText).getOrElse("union"),
         nodes = opt(c, "nodes").toSeq.flatMap(elems).zipWithIndex
           .map { case (cn, i) => node(cn, s"${id}_part$i") })
     }
 
-    NodeSpec(
+    val spec = NodeSpec(
       id = id,
       source = source,
       combine = combine,
@@ -538,34 +548,34 @@ object JsonCodec {
       rename = rename,
       withColumns = withCols,
       postFilters = postFilters,
-      drop = opt(n, "drop").map(strSeq).getOrElse(Nil),
+      drop = optN("drop").map(strSeq).getOrElse(Nil),
       bitemporal = bt,
       children = children,
-      compact = opt(n, "compact").map { c =>
+      compact = optN("compact").map { c =>
         CompactSpec(
           keys = strSeq(req(c, s"node $id: compact", "keys")),
           versionOrder =
             opt(c, "version_order", "versionOrder").map(strSeq).getOrElse(Nil),
           deleteWhen = opt(c, "delete_when", "deleteWhen").map(_.asText))
       },
-      runningTotals = opt(n, "running_totals", "runningTotals").map { r =>
+      runningTotals = optN("running_totals", "runningTotals").map { r =>
         RunningTotalsSpec(
           keyCol = req(r, s"node $id: running_totals", "key_col", "keyCol").asText,
           seqCol = req(r, s"node $id: running_totals", "seq_col", "seqCol").asText,
           tsCol = req(r, s"node $id: running_totals", "ts_col", "tsCol").asText,
           valueCol = req(r, s"node $id: running_totals", "value_col", "valueCol").asText)
       },
-      topK = opt(n, "top_k", "topK").map { t =>
+      topK = optN("top_k", "topK").map { t =>
         TopKSpec(
           partitionBy = opt(t, "partition_by", "partitionBy").map(strSeq).getOrElse(Nil),
           orderBy = opt(t, "order_by", "orderBy").map(strSeq).getOrElse(Nil),
           k = req(t, s"node $id: top_k", "k").asInt,
           rankCol = opt(t, "rank_col", "rankCol").map(_.asText).getOrElse("rn"))
       },
-      orderBy = opt(n, "order_by", "orderBy").map(strSeq).getOrElse(Nil),
-      limit = opt(n, "limit").map(_.asInt),
-      save = opt(n, "save").map(sink),
-      nearDupIngest = opt(n, "near_dup_ingest", "nearDupIngest").map { d =>
+      orderBy = optN("order_by", "orderBy").map(strSeq).getOrElse(Nil),
+      limit = optN("limit").map(_.asInt),
+      save = optN("save").map(sink),
+      nearDupIngest = optN("near_dup_ingest", "nearDupIngest").map { d =>
         val ctx = s"node $id: near_dup_ingest"
         NearDupIngestSpec(
           idCol = req(d, ctx, "id_col", "idCol").asText,
@@ -578,7 +588,7 @@ object JsonCodec {
           bands = opt(d, "bands").map(_.asInt).getOrElse(16),
           threshold = opt(d, "threshold").map(_.asDouble).getOrElse(0.5))
       },
-      passageIngest = opt(n, "passage_ingest", "passageIngest").map { d =>
+      passageIngest = optN("passage_ingest", "passageIngest").map { d =>
         val ctx = s"node $id: passage_ingest"
         PassageIngestSpec(
           idCol = req(d, ctx, "id_col", "idCol").asText,
@@ -588,8 +598,17 @@ object JsonCodec {
           checkpointDir = req(d, ctx, "checkpoint_dir", "checkpointDir").asText,
           windowTokens = opt(d, "window_tokens", "windowTokens").map(_.asInt).getOrElse(50))
       },
-      cache = opt(n, "cache").exists(_.asBoolean(false))
+      cache = optN("cache").exists(_.asBoolean(false))
     )
+    // unknown-key rejection: whatever this parse did not read is a typo
+    // or an unsupported key — failing here beats a silent no-op operator
+    val unknown = fields(n).map(_._1)
+      .filterNot(k => accessed.contains(k) || extraAllowed.contains(k))
+    if (unknown.nonEmpty)
+      throw new IllegalArgumentException(
+        s"node $id: unknown key(s): ${unknown.mkString(", ")} — " +
+          "the node-key table in docs/USAGE.md lists the config surface")
+    spec
   }
 
   private def aggList(n: JsonNode): Seq[AggSpec] =

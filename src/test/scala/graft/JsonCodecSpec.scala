@@ -126,6 +126,29 @@ class JsonCodecSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("pairs") && e2.getMessage.contains("clusters"))
   }
 
+  test("unknown node keys are rejected by name, not silently ignored") {
+    // a typo'd operator key must never no-op — it would silently skip a
+    // curation stage
+    val e = intercept[IllegalArgumentException](JsonCodec.parse("""
+      {"source": {"table": "documents"},
+       "semantic_dedpu": {"id_col": "doc_id", "vec_col": "emb",
+                          "threshold": 0.9, "dim": 8}}"""))
+    assert(e.getMessage.contains("semantic_dedpu") &&
+      e.getMessage.contains("unknown"), e.getMessage)
+    // child join wiring keys stay legal next to node keys
+    JsonCodec.parse("""
+      {"source": {"table": "orders"},
+       "children": [{"id": "c", "source": {"table": "lineitem"},
+                     "join": {"on": ["o_orderkey"], "how": "left"},
+                     "prefix": true, "hint": "broadcast"}]}""")
+    // defs at the root stay legal; a typo inside a def still fails
+    val e2 = intercept[IllegalArgumentException](JsonCodec.parse("""
+      {"defs": [{"id": "d", "source": {"table": "documents"},
+                 "keep_colums": ["doc_id"]}],
+       "source": {"ref": "d"}}"""))
+    assert(e2.getMessage.contains("keep_colums"), e2.getMessage)
+  }
+
   test("semantic_dedup node key decodes with defaults and named errors") {
     val d = root("""
       {"source": {"table": "embeddings"},
