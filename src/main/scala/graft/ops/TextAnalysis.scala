@@ -28,6 +28,21 @@ object TextAnalysis {
   def withTokens(text: Column)(body: Column => Column): Column =
     withBound(tokens(text))(body)
 
+  /** [[withBound]] an operator's INPUT column — but only when it is a
+    * computed expression: a plain column reference is already a
+    * per-row value, and wrapping it in the binding array costs ~50%
+    * on direct-column callers (measured on q172) for zero benefit.
+    * Computed inputs (another operator's struct field, a concat, …)
+    * must bind, or CollapseProject inlines the upstream tree at every
+    * reference inside the body. */
+  private[ops] def bindInput(e: Column)(body: Column => Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.expression(e) match {
+      case _: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute |
+           _: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        body(e)
+      case _ => withBound(e)(body)
+    }
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
@@ -390,12 +405,10 @@ object TextAnalysis {
     * Empty docs → zeros + keep=false. Scan-stage arithmetic, zero
     * shuffles; every term is exactly mirrorable in SQL. */
   def gopherQuality(text: Column, minWords: Int = 50, maxWords: Int = 100000): Column =
-    // bind the INPUT once: this column is routinely fed another
-    // operator's computed output (e.g. c4_line_filter(...).clean_text),
-    // and the body references it ~7× — without the binding,
-    // CollapseProject inlines the upstream expression tree at every
-    // reference (measured 2× on the q173 flagship's clean stage)
-    withBound(text) { txt =>
+    // input bound iff computed (see [[bindInput]]): the body references
+    // it ~7×, and a fed-in struct field would otherwise re-inline its
+    // upstream tree per reference (measured 2× on the q173 flagship)
+    bindInput(text) { txt =>
     withTokens(txt) { toks =>
       withBound(size(toks)) { n =>
         val meanLen = round(
@@ -448,10 +461,9 @@ object TextAnalysis {
     * [[Corpus.removeBoilerplateLines]], which needs corpus-wide line
     * counts; the two compose: C4 rules first, corpus-hot lines after). */
   def c4LineFilter(text: Column, minWords: Int = 3, sep: String = "\n"): Column =
-    // input bound once — same CollapseProject-inlining guard as
-    // [[gopherQuality]] (the body reads it for the split and twice for
-    // the page verdict)
-    withBound(text) { txt =>
+    // input bound iff computed — same inlining guard as [[gopherQuality]]
+    // (the body reads it for the split and twice for the page verdict)
+    bindInput(text) { txt =>
     withBound(split(txt, java.util.regex.Pattern.quote(sep))) { raw =>
       def keepLine(l: Column): Column = withBound(trim(l)) { t =>
         (size(filter(split(t, "\\s+"), w => length(w) > 0)) >= minWords) &&

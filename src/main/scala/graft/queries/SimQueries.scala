@@ -339,19 +339,25 @@ object SimQueries extends QueryPack {
   // id ≡ id' (mod 1024) collisions.
   private def q168(s: SparkSession, dir: String): DataFrame = {
     graft.Tables.registerViews(s, dir)
+    // the union+derive input is a cache: true def — semantic_dedup's
+    // centroid collect and candidate joins re-read their input (the
+    // documented operator contract; q173 does the same)
     graft.compile.Compiler.compileJson(s, """
       {"id": "semdedup",
-       "combine": {"op": "union", "nodes": [
-         {"id": "b", "source": {"table": "embeddings"},
-          "derive": {"pat": "vec_id % 1024"},
-          "keep_columns": ["vec_id", "pat"]},
-         {"id": "p", "source": {"table": "embeddings"},
-          "filters": ["vec_id % 10 = 0"],
-          "derive": {"vid2": "vec_id + 1000000", "pat": "vec_id % 1024"},
-          "keep_columns": ["vid2", "pat"],
-          "rename": {"vid2": "vec_id"}}]},
-       "derive": {"emb": "transform(sequence(0, 63), d -> CAST(CASE WHEN d = CAST(pat % 32 AS INT) OR d = 32 + CAST(pat DIV 32 AS INT) THEN 1.0 ELSE 0.0 END AS DOUBLE))"},
-       "keep_columns": ["vec_id", "emb"],
+       "defs": [
+         {"id": "pats", "cache": true,
+          "combine": {"op": "union", "nodes": [
+            {"id": "b", "source": {"table": "embeddings"},
+             "derive": {"pat": "vec_id % 1024"},
+             "keep_columns": ["vec_id", "pat"]},
+            {"id": "p", "source": {"table": "embeddings"},
+             "filters": ["vec_id % 10 = 0"],
+             "derive": {"vid2": "vec_id + 1000000", "pat": "vec_id % 1024"},
+             "keep_columns": ["vid2", "pat"],
+             "rename": {"vid2": "vec_id"}}]},
+          "derive": {"emb": "transform(sequence(0, 63), d -> CAST(CASE WHEN d = CAST(pat % 32 AS INT) OR d = 32 + CAST(pat DIV 32 AS INT) THEN 1.0 ELSE 0.0 END AS DOUBLE))"},
+          "keep_columns": ["vec_id", "emb"]}],
+       "source": {"ref": "pats"},
        "semantic_dedup": {"id_col": "vec_id", "vec_col": "emb",
                           "threshold": 0.9, "dim": 64, "nlist": 4,
                           "refine_rounds": 1},
