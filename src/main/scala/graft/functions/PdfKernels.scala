@@ -37,6 +37,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *    per stream is capped (decompression-bomb guard) — a
   *    trillion-to-one blowup truncates instead of taking the executor
   *    down.
+  *  - Encrypted documents (standard security handler, V1/V2 RC4
+  *    40–128 bit) decrypt when the EMPTY user password authenticates —
+  *    the owner-locked crawl shape pdftotext-class tools open by
+  *    default: Algorithm 2 key from /O, /P and the trailer /ID,
+  *    Algorithm 5/4 /U verification, per-object RC4 (gen 0 — the only
+  *    generation the lenient scan emits). AESV2/V3, crypt filters, a
+  *    real user password, or a missing /ID degrade to invisible
+  *    streams, never an error.
   *  - `/Type /ObjStm` object streams (PDF 1.5+) are expanded first:
   *    modern writers pack the catalog and page-tree dicts into
   *    compressed streams, invisible to a plain sequential scan.
@@ -1043,6 +1051,172 @@ object PdfOps {
       }
     }
 
+  // -------------------------------------------------- encryption (RC4)
+  //
+  // Standard security handler, V1/V2 (RC4 40–128 bit), EMPTY user
+  // password — the crawler posture: most "encrypted" PDFs in a crawl are
+  // owner-locked (print/copy restrictions) but open with the empty user
+  // password, which is exactly what pdftotext-class tools decrypt by
+  // default. PDF 32000-1 §7.6.3 algorithms 1/2/5/6. AESV2/V3 (V ≥ 4) and
+  // non-empty user passwords degrade to invisible streams, never an
+  // error. All arithmetic is JDK MessageDigest MD5 plus a hand-rolled
+  // RC4 (15 lines, symmetric) — no new dependencies.
+
+  private[graft] def md5(parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  private[graft] def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val s = Array.tabulate(256)(_.toByte)
+    var j = 0
+    var i = 0
+    while (i < 256) {
+      j = (j + s(i) + key(i % key.length)) & 0xff
+      val t = s(i); s(i) = s(j); s(j) = t
+      i += 1
+    }
+    val out = new Array[Byte](data.length)
+    var a = 0; var b = 0; var n = 0
+    while (n < data.length) {
+      a = (a + 1) & 0xff
+      b = (b + s(a)) & 0xff
+      val t = s(a); s(a) = s(b); s(b) = t
+      out(n) = (data(n) ^ s((s(a) + s(b)) & 0xff)).toByte
+      n += 1
+    }
+    out
+  }
+
+  /** The standard 32-byte password pad (§7.6.3.3); the padded EMPTY user
+    * password is the pad itself. */
+  private[graft] val PasswordPad: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+  /** Signed integer dict entry (P is negative in virtually every
+    * real /Encrypt dict). */
+  private def dictSignedInt(dict: String, key: String): Option[Long] = {
+    var j = keyPos(dict, key)
+    if (j < 0) return None
+    while (j < dict.length && isWs(dict.charAt(j))) j += 1
+    val neg = j < dict.length && dict.charAt(j) == '-'
+    if (neg) j += 1
+    val st = j
+    while (j < dict.length && dict.charAt(j).isDigit) j += 1
+    if (j == st) None
+    else Some(dict.substring(st, j).toLong * (if (neg) -1 else 1))
+  }
+
+  /** A PDF string value (literal or hex form) after /Key, as raw bytes. */
+  private def dictStringBytes(dict: String, key: String): Option[Array[Byte]] = {
+    var j = keyPos(dict, key)
+    if (j < 0) return None
+    while (j < dict.length && isWs(dict.charAt(j))) j += 1
+    if (j >= dict.length) return None
+    dict.charAt(j) match {
+      case '(' => Some(parseLiteralString(dict, j)._1.toCharArray.map(_.toByte))
+      case '<' => Some(parseHexString(dict, j)._1.toCharArray.map(_.toByte))
+      case _   => None
+    }
+  }
+
+  /** First element of the trailer /ID array (a hex string), scanned
+    * leniently over the whole file — the lenient object scan never reads
+    * the trailer otherwise. */
+  private def firstFileId(s: String): Option[Array[Byte]] = {
+    var i = 0
+    while (true) {
+      i = s.indexOf("/ID", i)
+      if (i < 0) return None
+      var j = i + 3
+      while (j < s.length && (isWs(s.charAt(j)) || s.charAt(j) == '[')) j += 1
+      if (j < s.length && s.charAt(j) == '<')
+        return Some(parseHexString(s, j)._1.toCharArray.map(_.toByte))
+      i = i + 3
+    }
+    None
+  }
+
+  /** Algorithm 2 key from the EMPTY user password. */
+  private[graft] def deriveKey(o: Array[Byte], p: Long, id0: Array[Byte],
+      r: Int, lengthBits: Int, encryptMetadata: Boolean): Array[Byte] = {
+    val n = if (r == 2) 5 else math.max(5, math.min(16, lengthBits / 8))
+    val pLe = Array[Byte](
+      (p & 0xff).toByte, ((p >> 8) & 0xff).toByte,
+      ((p >> 16) & 0xff).toByte, ((p >> 24) & 0xff).toByte)
+    val extra =
+      if (r >= 4 && !encryptMetadata)
+        Array[Byte](0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte)
+      else Array.emptyByteArray
+    var key = md5(PasswordPad, o, pLe, id0, extra)
+    if (r >= 3) {
+      var i = 0
+      while (i < 50) { key = md5(key.take(n)); i += 1 }
+    }
+    key.take(n)
+  }
+
+  /** Algorithm 4/5 expected /U value (first 16 bytes significant for
+    * R ≥ 3). */
+  private[graft] def expectedU(key: Array[Byte], id0: Array[Byte], r: Int): Array[Byte] =
+    if (r == 2) rc4(key, PasswordPad)
+    else {
+      var u = rc4(key, md5(PasswordPad, id0))
+      var i = 1
+      while (i <= 19) {
+        u = rc4(key.map(b => (b ^ i).toByte), u)
+        i += 1
+      }
+      u
+    }
+
+  /** Algorithm 1 per-object key. */
+  private[graft] def objectKey(key: Array[Byte], num: Int, gen: Int): Array[Byte] = {
+    val ext = Array[Byte](
+      (num & 0xff).toByte, ((num >> 8) & 0xff).toByte, ((num >> 16) & 0xff).toByte,
+      (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte)
+    md5(key, ext).take(math.min(key.length + 5, 16))
+  }
+
+  /** Detect a V1/V2 standard-handler /Encrypt dict and, when the empty
+    * user password authenticates, return every stream payload decrypted
+    * (per-object RC4; the /Encrypt holder, /Type /XRef streams and
+    * /Type /Metadata stay untouched per spec). Anything unsupported —
+    * AES, missing /ID, a real user password — returns the objects
+    * unchanged: their streams stay invisible, the documented degrade. */
+  private[functions] def decryptIfNeeded(bytes: Array[Byte], objs: Vector[PObj]): Vector[PObj] = {
+    val enc = objs.find(o => o.data == null && hasName(o.dict, "Filter", "Standard") &&
+      keyPos(o.dict, "O") >= 0 && keyPos(o.dict, "U") >= 0)
+    if (enc.isEmpty) return objs
+    val d = enc.get.dict
+    val v = dictInt(d, "V").getOrElse(0)
+    val r = dictInt(d, "R").getOrElse(if (v == 1) 2 else 3)
+    if (v < 1 || v > 2) return objs // AESV2/V3, crypt filters: unsupported
+    val lengthBits = dictInt(d, "Length").getOrElse(40)
+    val result = for {
+      o <- dictStringBytes(d, "O")
+      u <- dictStringBytes(d, "U")
+      p <- dictSignedInt(d, "P")
+      id0 <- firstFileId(new String(bytes, Latin))
+    } yield {
+      val key = deriveKey(o, p, id0, r, lengthBits, encryptMetadata = true)
+      val expU = expectedU(key, id0, r)
+      val ok =
+        if (r == 2) java.util.Arrays.equals(expU, u)
+        else u.length >= 16 && java.util.Arrays.equals(expU.take(16), u.take(16))
+      if (!ok) objs // non-empty user password: locked, degrade
+      else objs.map { ob =>
+        if (ob.data == null || (ob eq enc.get) ||
+          hasName(ob.dict, "Type", "XRef") || hasName(ob.dict, "Type", "Metadata")) ob
+        else ob.copy(data = rc4(objectKey(key, ob.num, 0), ob.data))
+      }
+    }
+    result.getOrElse(objs)
+  }
+
   // ------------------------------------------------------------ assembly
 
   def compute(bytes: Array[Byte]): InternalRow = {
@@ -1054,7 +1228,7 @@ object PdfOps {
         s8.substring(5, e)
       } else null
 
-    val objs = expandObjectStreams(parseObjects(bytes))
+    val objs = expandObjectStreams(decryptIfNeeded(bytes, parseObjects(bytes)))
     val byNum = objs.groupBy(_.num).map { case (k, v) => k -> v.last }
 
     // shared (not path-scoped) visited set: a /Kids array repeating a

@@ -755,6 +755,59 @@ object TextQueries extends QueryPack {
     FROM e WHERE host NOT IN ('spam.tracker.net', '')
     GROUP BY 1 ORDER BY host ASC NULLS FIRST"""
 
+  /** q178's builder: a REAL RC4-encrypted PDF (standard security
+    * handler, R=3/V=2/128-bit, empty user password — the owner-locked
+    * crawl shape): content streams encrypted with per-object keys, /U
+    * computed per Algorithm 5 so authentication genuinely runs. Only
+    * correct key derivation + RC4 + per-object keys recover the
+    * template text the oracle states. */
+  private[graft] val textToPdfEnc: (String, String) => Array[Byte] = (id, body) => {
+    import graft.functions.PdfOps
+    val latin = java.nio.charset.StandardCharsets.ISO_8859_1
+    val id0 = (0 until 16).map(i => ((i * 17 + 3) & 0xff).toByte).toArray
+    val oEntry = (0 until 32).map(i => ((i * 7 + 91) & 0xff).toByte).toArray
+    val pPerm = -44L
+    val key = PdfOps.deriveKey(oEntry, pPerm, id0, r = 3, lengthBits = 128,
+      encryptMetadata = true)
+    val uEntry = PdfOps.expectedU(key, id0, 3) ++ Array.fill(16)(0x7a.toByte)
+    def hexStr(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02x").mkString
+    val content = s"BT /F1 12 Tf 72 720 Td (locked ${pdfEsc(id)}) Tj T* " +
+      s"(${pdfEsc(body)}) Tj ET"
+    val enc = PdfOps.rc4(PdfOps.objectKey(key, 4, 0), content.getBytes(latin))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("%PDF-1.4\n%âãÏÓ\n".getBytes(latin))
+    def obj(n: Int, b: String): Unit =
+      out.write(s"$n 0 obj\n$b\nendobj\n".getBytes(latin))
+    obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    obj(3, "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>")
+    out.write(s"4 0 obj\n<< /Length ${enc.length} >>\nstream\n".getBytes(latin))
+    out.write(enc)
+    out.write("\nendstream\nendobj\n".getBytes(latin))
+    obj(5, "<< /Filter /Standard /V 2 /R 3 /Length 128 " +
+      s"/P $pPerm /O <${hexStr(oEntry)}> /U <${hexStr(uEntry)}> >>")
+    out.write((s"trailer\n<< /Root 1 0 R /Encrypt 5 0 R " +
+      s"/ID [<${hexStr(id0)}> <${hexStr(id0)}>] >>\n%%EOF\n").getBytes(latin))
+    out.toByteArray
+  }
+
+  // q178 — RC4-encrypted PDFs through the driver gate: the fixture's
+  // content streams are genuinely encrypted, so the template only comes
+  // back through correct key derivation + authentication + per-object
+  // RC4 — a regression anywhere in the handler hash-fails.
+  private def q178(s: SparkSession, dir: String): DataFrame = {
+    val toPdf = udf(textToPdfEnc)
+    TextAnalysis.pdfExtract(
+        docs(s, dir).withColumn("pdf",
+          toPdf(col("doc_id").cast("string"), col("text"))),
+        "doc_id", "pdf")
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+  private val q178Sql = """
+    SELECT doc_id, '1.4' AS version, CAST(1 AS INT) AS n_pages,
+           'locked ' || doc_id || chr(10) || text AS text
+    FROM documents ORDER BY doc_id ASC NULLS FIRST"""
+
   private val cmapTextSql =
     "'Doc ' || doc_id || '!' || '€' || chr(10) || text || chr(10) || 'p. 2 (end) ' || '—'"
   private val q162Sql = s"""
@@ -1132,6 +1185,7 @@ object TextQueries extends QueryPack {
     Q("q159_mixed_lake_flagship", q159, Some(q159Sql)),
     Q("q169_pdf_image_inventory", q169, Some(q169Sql)),
     Q("q174_pdf_differences", q174, Some(q174Sql)),
-    Q("q175_domain_blocklist", q175, Some(q175Sql))
+    Q("q175_domain_blocklist", q175, Some(q175Sql)),
+    Q("q178_pdf_encrypted", q178, Some(q178Sql))
   )
 }

@@ -532,6 +532,75 @@ class PdfSpec extends SparkSpec {
     assert(pdfx(viaRef)._3 == "e€m 7 q") // no base enc: Latin-1 high bytes
   }
 
+  test("pdf RC4 encryption: known-answer vectors; empty-user-password document decrypts; locked degrades") {
+    import graft.functions.PdfOps
+    // public known-answer vectors first — the round-trip fixtures below
+    // reuse the same primitives, so these anchor them externally
+    def hex(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    assert(java.util.Arrays.equals(
+      PdfOps.rc4("Key".getBytes, "Plaintext".getBytes),
+      hex("BBF316E8D940AF0AD3")))
+    assert(java.util.Arrays.equals(
+      PdfOps.md5("abc".getBytes),
+      hex("900150983cd24fb0d6963f7d28e17f72")))
+    // build a two-page document, then encrypt it per the standard
+    // security handler (R=3, V=2, 128-bit, empty user password)
+    val content1 = "BT 0 0 Td (secret page one.) Tj ET"
+    val content2 = "BT 0 0 Td (and page two.) Tj ET"
+    val id0 = hex("0123456789abcdef0123456789abcdef")
+    val oEntry = hex("ff" * 16 + "ee" * 16) // arbitrary owner hash — key input only
+    val pPerm = -44L
+    val key = PdfOps.deriveKey(oEntry, pPerm, id0, r = 3, lengthBits = 128,
+      encryptMetadata = true)
+    val uEntry = PdfOps.expectedU(key, id0, 3) ++ Array.fill(16)(0x61.toByte)
+    def hexStr(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02x").mkString
+    def encStream(num: Int, content: String): String = {
+      val enc = PdfOps.rc4(PdfOps.objectKey(key, num, 0), content.getBytes(latin))
+      new String(enc, latin)
+    }
+    val e1 = encStream(4, content1)
+    val e2 = encStream(6, content2)
+    val sb = new StringBuilder("%PDF-1.4\n")
+    sb.append("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    sb.append("2 0 obj\n<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>\nendobj\n")
+    sb.append("3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n")
+    sb.append(s"4 0 obj\n<< /Length ${e1.length} >>\nstream\n$e1\nendstream\nendobj\n")
+    sb.append("5 0 obj\n<< /Type /Page /Contents 6 0 R >>\nendobj\n")
+    sb.append(s"6 0 obj\n<< /Length ${e2.length} >>\nstream\n$e2\nendstream\nendobj\n")
+    sb.append(s"7 0 obj\n<< /Filter /Standard /V 2 /R 3 /Length 128 " +
+      s"/P $pPerm /O <${hexStr(oEntry)}> /U <${hexStr(uEntry)}> >>\nendobj\n")
+    sb.append(s"trailer\n<< /Root 1 0 R /Encrypt 7 0 R " +
+      s"/ID [<${hexStr(id0)}> <${hexStr(id0)}>] >>\n%%EOF\n")
+    val bytes = sb.toString.getBytes(latin)
+    assert(pdfx(bytes) == ("1.4", 2, "secret page one.\nand page two."))
+    // a WRONG /U (a real, non-empty user password) degrades to invisible
+    val locked = sb.toString.replace(hexStr(uEntry),
+      hexStr(uEntry.map(b => (b ^ 0x5a).toByte)))
+    assert(pdfx(locked.getBytes(latin)) == ("1.4", 2, ""))
+    // R=2 / 40-bit variant round-trips too
+    val key2 = PdfOps.deriveKey(oEntry, pPerm, id0, r = 2, lengthBits = 40,
+      encryptMetadata = true)
+    val u2 = PdfOps.expectedU(key2, id0, 2)
+    def enc2(num: Int, content: String): String =
+      new String(PdfOps.rc4(PdfOps.objectKey(key2, num, 0),
+        content.getBytes(latin)), latin)
+    val f1 = enc2(4, content1)
+    val sb2 = new StringBuilder("%PDF-1.3\n")
+    sb2.append("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    sb2.append("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    sb2.append("3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n")
+    sb2.append(s"4 0 obj\n<< /Length ${f1.length} >>\nstream\n$f1\nendstream\nendobj\n")
+    sb2.append(s"5 0 obj\n<< /Filter /Standard /V 1 /R 2 " +
+      s"/P $pPerm /O <${hexStr(oEntry)}> /U <${hexStr(u2)}> >>\nendobj\n")
+    sb2.append(s"trailer\n<< /Root 1 0 R /Encrypt 5 0 R " +
+      s"/ID [<${hexStr(id0)}>] >>\n%%EOF\n")
+    assert(pdfx(sb2.toString.getBytes(latin)) == ("1.3", 1, "secret page one."))
+    // unsupported V (AES) degrades, never throws
+    val aes = sb.toString.replace("/V 2 /R 3", "/V 4 /R 4")
+    assert(pdfx(aes.getBytes(latin))._3 == "")
+  }
+
   test("pdf RunLengthDecode: literal+repeat runs, EOD stops, truncation degrades") {
     // byte-level kernel first: runs hand-assembled per PDF 32000 §7.4.5
     def rl(bs: Int*): Array[Byte] = bs.map(_.toByte).toArray
