@@ -37,14 +37,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *    per stream is capped (decompression-bomb guard) — a
   *    trillion-to-one blowup truncates instead of taking the executor
   *    down.
-  *  - Encrypted documents (standard security handler, V1/V2 RC4
-  *    40–128 bit) decrypt when the EMPTY user password authenticates —
-  *    the owner-locked crawl shape pdftotext-class tools open by
-  *    default: Algorithm 2 key from /O, /P and the trailer /ID,
-  *    Algorithm 5/4 /U verification, per-object RC4 (gen 0 — the only
-  *    generation the lenient scan emits). AESV2/V3, crypt filters, a
-  *    real user password, or a missing /ID degrade to invisible
-  *    streams, never an error.
+  *  - Encrypted documents (standard security handler) decrypt when the
+  *    EMPTY user password authenticates — the owner-locked crawl shape
+  *    pdftotext-class tools open by default. V1/V2: Algorithm-2 RC4 key
+  *    from /O, /P and the trailer /ID, Algorithm 5/4 /U verification,
+  *    per-object RC4 (gen 0 — the only generation the lenient scan
+  *    emits). V4 /AESV2: same key, sAlT'ed per-object AES-128-CBC.
+  *    V5 R5/R6 /AESV3: SHA-256 (R5) or ISO 32000-2 Algorithm-2.B
+  *    iterated-hash (R6) validation, one AES-256 file key from /UE.
+  *    Unknown V/CFM, a real user password, or a missing /ID (where
+  *    required) degrade to invisible streams, never an error.
   *  - `/Type /ObjStm` object streams (PDF 1.5+) are expanded first:
   *    modern writers pack the catalog and page-tree dicts into
   *    compressed streams, invisible to a plain sequential scan.
@@ -1181,11 +1183,64 @@ object PdfOps {
     md5(key, ext).take(math.min(key.length + 5, 16))
   }
 
-  /** Detect a V1/V2 standard-handler /Encrypt dict and, when the empty
-    * user password authenticates, return every stream payload decrypted
-    * (per-object RC4; the /Encrypt holder, /Type /XRef streams and
-    * /Type /Metadata stay untouched per spec). Anything unsupported —
-    * AES, missing /ID, a real user password — returns the objects
+  /** AES-CBC decrypt with the PDF layout: first 16 ciphertext bytes are
+    * the IV, PKCS#5 padding stripped. Bad padding / short input → null
+    * (treated as undecryptable → degrade). */
+  private[graft] def aesCbcDecrypt(key: Array[Byte], data: Array[Byte]): Array[Byte] =
+    if (data.length < 32 || (data.length % 16) != 0) null
+    else
+      try {
+        val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+        c.init(javax.crypto.Cipher.DECRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(key, "AES"),
+          new javax.crypto.spec.IvParameterSpec(data.take(16)))
+        c.doFinal(data, 16, data.length - 16)
+      } catch { case _: java.security.GeneralSecurityException => null }
+
+  private def sha256(parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  /** ISO 32000-2 Algorithm 2.B (R=6): the iterated SHA-256/384/512 hash
+    * over password + salt. `udata` is empty for the user-password case. */
+  private[graft] def hash2B(pw: Array[Byte], salt: Array[Byte]): Array[Byte] = {
+    var k = sha256(pw, salt)
+    var round = 0
+    var last = 0
+    var done = false
+    while (!done) {
+      val k1 = new java.io.ByteArrayOutputStream()
+      var i = 0
+      while (i < 64) { k1.write(pw); k1.write(k); i += 1 }
+      val k1b = k1.toByteArray
+      val e =
+        try {
+          val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+          c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+            new javax.crypto.spec.SecretKeySpec(k.take(16), "AES"),
+            new javax.crypto.spec.IvParameterSpec(k.slice(16, 32)))
+          c.doFinal(k1b)
+        } catch { case _: java.security.GeneralSecurityException => return null }
+      val mod = e.take(16).map(_ & 0xff).sum % 3
+      val alg = mod match { case 0 => "SHA-256"; case 1 => "SHA-384"; case _ => "SHA-512" }
+      val d = java.security.MessageDigest.getInstance(alg)
+      k = d.digest(e)
+      round += 1
+      last = e(e.length - 1) & 0xff
+      done = round >= 64 && last <= round - 32
+    }
+    k.take(32)
+  }
+
+  /** Detect a standard-handler /Encrypt dict and, when the EMPTY user
+    * password authenticates, return every stream payload decrypted —
+    * V1/V2 per-object RC4, V4 /AESV2 (AES-128-CBC, sAlT'ed object
+    * keys), V5 R5/R6 /AESV3 (AES-256-CBC, one file key from /UE). The
+    * /Encrypt holder, /Type /XRef and /Type /Metadata streams stay
+    * untouched per spec. Anything unsupported — unknown V/CFM, missing
+    * /ID where required, a real user password — returns the objects
     * unchanged: their streams stay invisible, the documented degrade. */
   private[functions] def decryptIfNeeded(bytes: Array[Byte], objs: Vector[PObj]): Vector[PObj] = {
     val enc = objs.find(o => o.data == null && hasName(o.dict, "Filter", "Standard") &&
@@ -1194,27 +1249,83 @@ object PdfOps {
     val d = enc.get.dict
     val v = dictInt(d, "V").getOrElse(0)
     val r = dictInt(d, "R").getOrElse(if (v == 1) 2 else 3)
-    if (v < 1 || v > 2) return objs // AESV2/V3, crypt filters: unsupported
-    val lengthBits = dictInt(d, "Length").getOrElse(40)
-    val result = for {
-      o <- dictStringBytes(d, "O")
-      u <- dictStringBytes(d, "U")
-      p <- dictSignedInt(d, "P")
-      id0 <- firstFileId(new String(bytes, Latin))
-    } yield {
-      val key = deriveKey(o, p, id0, r, lengthBits, encryptMetadata = true)
-      val expU = expectedU(key, id0, r)
-      val ok =
-        if (r == 2) java.util.Arrays.equals(expU, u)
-        else u.length >= 16 && java.util.Arrays.equals(expU.take(16), u.take(16))
-      if (!ok) objs // non-empty user password: locked, degrade
-      else objs.map { ob =>
+
+    def decryptAll(decrypt: PObj => Array[Byte]): Vector[PObj] =
+      objs.map { ob =>
         if (ob.data == null || (ob eq enc.get) ||
           hasName(ob.dict, "Type", "XRef") || hasName(ob.dict, "Type", "Metadata")) ob
-        else ob.copy(data = rc4(objectKey(key, ob.num, 0), ob.data))
+        else {
+          val dec = decrypt(ob)
+          if (dec == null) ob else ob.copy(data = dec)
+        }
       }
-    }
-    result.getOrElse(objs)
+
+    if (v >= 1 && v <= 2) {
+      val lengthBits = dictInt(d, "Length").getOrElse(40)
+      (for {
+        o <- dictStringBytes(d, "O")
+        u <- dictStringBytes(d, "U")
+        p <- dictSignedInt(d, "P")
+        id0 <- firstFileId(new String(bytes, Latin))
+      } yield {
+        val key = deriveKey(o, p, id0, r, lengthBits, encryptMetadata = true)
+        val expU = expectedU(key, id0, r)
+        val ok =
+          if (r == 2) java.util.Arrays.equals(expU, u)
+          else u.length >= 16 && java.util.Arrays.equals(expU.take(16), u.take(16))
+        if (!ok) objs // non-empty user password: locked, degrade
+        else decryptAll(ob => rc4(objectKey(key, ob.num, 0), ob.data))
+      }).getOrElse(objs)
+    } else if (v == 4 && d.contains("/AESV2")) {
+      val lengthBits = dictInt(d, "Length").getOrElse(128)
+      (for {
+        o <- dictStringBytes(d, "O")
+        u <- dictStringBytes(d, "U")
+        p <- dictSignedInt(d, "P")
+        id0 <- firstFileId(new String(bytes, Latin))
+      } yield {
+        val meta = !d.contains("/EncryptMetadata false")
+        val key = deriveKey(o, p, id0, r, lengthBits, encryptMetadata = meta)
+        val expU = expectedU(key, id0, r)
+        if (!(u.length >= 16 && java.util.Arrays.equals(expU.take(16), u.take(16)))) objs
+        else {
+          val salt = Array[Byte](0x73, 0x41, 0x6c, 0x54) // "sAlT"
+          def objAesKey(num: Int): Array[Byte] = {
+            val ext = Array[Byte](
+              (num & 0xff).toByte, ((num >> 8) & 0xff).toByte,
+              ((num >> 16) & 0xff).toByte, 0, 0)
+            md5(key, ext, salt).take(math.min(key.length + 5, 16))
+          }
+          decryptAll(ob => aesCbcDecrypt(objAesKey(ob.num), ob.data))
+        }
+      }).getOrElse(objs)
+    } else if (v == 5 && (r == 5 || r == 6) && d.contains("/AESV3")) {
+      (for {
+        u <- dictStringBytes(d, "U").filter(_.length >= 48)
+        ue <- dictStringBytes(d, "UE").filter(_.length >= 32)
+      } yield {
+        val hash = u.take(32)
+        val vSalt = u.slice(32, 40)
+        val kSalt = u.slice(40, 48)
+        val pw = Array.emptyByteArray
+        val expHash = if (r == 5) sha256(pw, vSalt) else hash2B(pw, vSalt)
+        if (expHash == null || !java.util.Arrays.equals(expHash, hash)) objs
+        else {
+          val ik = if (r == 5) sha256(pw, kSalt) else hash2B(pw, kSalt)
+          // file key = AES-256-CBC-decrypt(/UE, intermediate, IV 0, no pad)
+          val fileKey =
+            try {
+              val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+              c.init(javax.crypto.Cipher.DECRYPT_MODE,
+                new javax.crypto.spec.SecretKeySpec(ik, "AES"),
+                new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
+              c.doFinal(ue.take(32))
+            } catch { case _: java.security.GeneralSecurityException => null }
+          if (fileKey == null) objs
+          else decryptAll(ob => aesCbcDecrypt(fileKey, ob.data)) // one key, no per-object mix (V5)
+        }
+      }).getOrElse(objs)
+    } else objs // unknown V / CFM: unsupported, degrade
   }
 
   // ------------------------------------------------------------ assembly

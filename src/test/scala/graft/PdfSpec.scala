@@ -601,6 +601,72 @@ class PdfSpec extends SparkSpec {
     assert(pdfx(aes.getBytes(latin))._3 == "")
   }
 
+  test("pdf AESV2 and AESV3 encryption: empty-user-password documents decrypt; salted keys and R6 hashing") {
+    import graft.functions.PdfOps
+    def hex(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def hexStr(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02x").mkString
+    def aesEnc(key: Array[Byte], iv: Array[Byte], data: Array[Byte],
+        pad: Boolean): Array[Byte] = {
+      val c = javax.crypto.Cipher.getInstance(
+        if (pad) "AES/CBC/PKCS5Padding" else "AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(key, "AES"),
+        new javax.crypto.spec.IvParameterSpec(iv))
+      c.doFinal(data)
+    }
+    val content = "BT 0 0 Td (aes secret text.) Tj ET"
+    val iv = (0 until 16).map(i => (i * 11 + 5).toByte).toArray
+
+    // ---- AESV2 (V=4, R=4): Algorithm-2 key + sAlT'ed per-object keys
+    val id0 = hex("00112233445566778899aabbccddeeff")
+    val oEntry = hex("ab" * 32)
+    val p = -3904L
+    val k4 = PdfOps.deriveKey(oEntry, p, id0, r = 4, lengthBits = 128,
+      encryptMetadata = true)
+    val u4 = PdfOps.expectedU(k4, id0, 4) ++ Array.fill(16)(0x00.toByte)
+    val objKey4 = PdfOps.md5(k4,
+      Array[Byte](4, 0, 0, 0, 0), Array[Byte](0x73, 0x41, 0x6c, 0x54)).take(16)
+    val e4 = iv ++ aesEnc(objKey4, iv, content.getBytes(latin), pad = true)
+    val sbA = new StringBuilder("%PDF-1.6\n")
+    sbA.append("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    sbA.append("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    sbA.append("3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n")
+    sbA.append(s"4 0 obj\n<< /Length ${e4.length} >>\nstream\n${new String(e4, latin)}\nendstream\nendobj\n")
+    sbA.append("5 0 obj\n<< /Filter /Standard /V 4 /R 4 /Length 128 " +
+      "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StmF /StdCF /StrF /StdCF " +
+      s"/P $p /O <${hexStr(oEntry)}> /U <${hexStr(u4)}> >>\nendobj\n")
+    sbA.append(s"trailer\n<< /Root 1 0 R /Encrypt 5 0 R /ID [<${hexStr(id0)}>] >>\n%%EOF\n")
+    assert(pdfx(sbA.toString.getBytes(latin)) == ("1.6", 1, "aes secret text."))
+
+    // ---- AESV3 (V=5, R=6): one AES-256 file key from /UE, 2.B hashing
+    val vSalt = hex("0102030405060708")
+    val kSalt = hex("1112131415161718")
+    val fileKey = (0 until 32).map(i => (i * 13 + 7).toByte).toArray
+    val empty = Array.emptyByteArray
+    val uHash = PdfOps.hash2B(empty, vSalt)
+    val ik = PdfOps.hash2B(empty, kSalt)
+    val ue = aesEnc(ik, new Array[Byte](16), fileKey, pad = false)
+    val u6 = uHash ++ vSalt ++ kSalt
+    val e6 = iv ++ aesEnc(fileKey, iv, content.getBytes(latin), pad = true)
+    val sbB = new StringBuilder("%PDF-2.0\n")
+    sbB.append("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    sbB.append("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    sbB.append("3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n")
+    sbB.append(s"4 0 obj\n<< /Length ${e6.length} >>\nstream\n${new String(e6, latin)}\nendstream\nendobj\n")
+    sbB.append("5 0 obj\n<< /Filter /Standard /V 5 /R 6 /Length 256 " +
+      "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF /StrF /StdCF " +
+      s"/P -4 /O <${hexStr(Array.fill(48)(0x31.toByte))}> " +
+      s"/OE <${hexStr(Array.fill(32)(0x32.toByte))}> " +
+      s"/U <${hexStr(u6)}> /UE <${hexStr(ue)}> >>\nendobj\n")
+    sbB.append("trailer\n<< /Root 1 0 R /Encrypt 5 0 R >>\n%%EOF\n")
+    assert(pdfx(sbB.toString.getBytes(latin)) == ("2.0", 1, "aes secret text."))
+    // wrong validation hash (a real user password) degrades
+    val lockedB = sbB.toString.replace(hexStr(uHash),
+      hexStr(uHash.map(b => (b ^ 0x11).toByte)))
+    assert(pdfx(lockedB.getBytes(latin))._3 == "")
+  }
+
   test("pdf RunLengthDecode: literal+repeat runs, EOD stops, truncation degrades") {
     // byte-level kernel first: runs hand-assembled per PDF 32000 §7.4.5
     def rl(bs: Int*): Array[Byte] = bs.map(_.toByte).toArray
