@@ -95,6 +95,11 @@ object Registry {
     // sniff_mime(bytes) → MIME label from magic bytes (never throws —
     // the router in front of the format-specific parsers; see SniffOps)
     "sniff_mime" -> (es => SniffMime(es.head)),
+    // http_response(bytes) → struct(status, content_type, charset,
+    // content_encoding, body) — the raw-HTTP layer between a WARC
+    // response record and the content operators (chunked bodies decode;
+    // non-HTTP payloads flow through with null status; see HttpOps)
+    "http_response" -> (es => HttpResponse(es.head)),
     "gunzip" -> (es => Gunzip(es.head)),
     "gunzip_auto" -> (es => GunzipAuto(es.head)),
     "gzip_compress" -> (es => GzipCompress(es.head)),

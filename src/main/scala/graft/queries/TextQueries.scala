@@ -808,6 +808,56 @@ object TextQueries extends QueryPack {
            'locked ' || doc_id || chr(10) || text AS text
     FROM documents ORDER BY doc_id ASC NULLS FIRST"""
 
+  // q179 — the REAL crawl path end to end: WARC response records whose
+  // payloads are RAW HTTP (status line + headers + body, CHUNKED for
+  // odd ids — the Common Crawl layout), routed `warc_records` →
+  // `http_response` (status/content-type gate + dechunk) →
+  // `html_extract`. Chunking exists only on the build side: the
+  // dechunked body must equal the plain template, so one oracle covers
+  // both parities — a dechunk/header regression hash-fails half the
+  // rows.
+  private def q179(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{HtmlKernels, HttpKernels, WarcKernels}
+    val page = concat(lit("<html><head><title>H"), col("doc_id"),
+      lit("</title></head><body><p>"), col("text"), lit("</p></body></html>"))
+    // plain body for even ids; two-chunk transfer coding for odd ids
+    // (first chunk fixed 0x10 bytes, second the hex-sized remainder)
+    val chunked = concat(
+      lit("10\r\n"), substring(page, 1, 16), lit("\r\n"),
+      lower(conv((length(page) - 16).cast("string"), 10, 16)), lit("\r\n"),
+      expr("substring(page_c, 17)"), lit("\r\n0\r\n\r\n"))
+    val http = when(col("doc_id") % 2 === 0,
+      concat(lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+        "Content-Length: "), length(page), lit("\r\n\r\n"), page))
+      .otherwise(concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+          "Transfer-Encoding: chunked\r\n\r\n"), chunked))
+    val resp = concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://ex.com/p/"),
+      col("doc_id"), lit("\r\nContent-Length: "), length(http),
+      lit("\r\n\r\n"), http, lit("\r\n\r\n"))
+    docs(s, dir)
+      .withColumn("page_c", page)
+      .select(col("doc_id"),
+        explode(WarcKernels.warcRecords(resp.cast("binary"))).as("r"))
+      .filter(col("r.warc_type") === "response")
+      .select(col("doc_id"),
+        HttpKernels.httpResponse(col("r.payload")).as("h"))
+      .filter(col("h.status") === 200 && col("h.content_type") === "text/html")
+      .select(col("doc_id"), col("h.status").as("status"),
+        col("h.content_type").as("content_type"),
+        HtmlKernels.htmlExtract(col("h.body").cast("string")).as("x"))
+      .select(col("doc_id"), col("status"), col("content_type"),
+        col("x.title").as("title"), col("x.body_text").as("body_text"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+  private val q179Sql = """
+    SELECT doc_id, CAST(200 AS INT) AS status, 'text/html' AS content_type,
+           'H' || doc_id AS title,
+           coalesce(array_to_string(list_filter(string_split_regex(
+             text, '\s+'), x -> len(x) > 0), ' '), '') AS body_text
+    FROM documents ORDER BY doc_id ASC NULLS FIRST"""
+
   private val cmapTextSql =
     "'Doc ' || doc_id || '!' || '€' || chr(10) || text || chr(10) || 'p. 2 (end) ' || '—'"
   private val q162Sql = s"""
@@ -1186,6 +1236,7 @@ object TextQueries extends QueryPack {
     Q("q169_pdf_image_inventory", q169, Some(q169Sql)),
     Q("q174_pdf_differences", q174, Some(q174Sql)),
     Q("q175_domain_blocklist", q175, Some(q175Sql)),
-    Q("q178_pdf_encrypted", q178, Some(q178Sql))
+    Q("q178_pdf_encrypted", q178, Some(q178Sql)),
+    Q("q179_http_crawl_path", q179, Some(q179Sql))
   )
 }

@@ -633,6 +633,52 @@ class OpsSpec extends SparkSpec {
         threshold = 0.9, dim = 64, output = "graph"))
   }
 
+  test("http response: status/headers/chunked bodies parse leniently; non-HTTP flows through") {
+    import spark.implicits._
+    import graft.functions.{HttpKernels, HttpOps}
+    def parse(s: String) = {
+      val r = Seq(Tuple1(s.getBytes("ISO-8859-1"))).toDF("b")
+        .select(HttpKernels.httpResponse($"b").as("h"))
+        .select($"h.status", $"h.content_type", $"h.charset",
+          $"h.content_encoding", $"h.body".cast("string"))
+        .collect()(0)
+      (if (r.isNullAt(0)) null else Integer.valueOf(r.getInt(0)),
+        r.getString(1), r.getString(2), r.getString(3), r.getString(4))
+    }
+    // plain response
+    assert(parse("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n" +
+      "Server: x\r\n\r\n<html>hi</html>") ==
+      ((200, "text/html", "utf-8", null, "<html>hi</html>")))
+    // LF-only lines, obs-fold, content-encoding
+    assert(parse("HTTP/1.0 301 Moved\nLocation: a\n b\nContent-Encoding: GZIP\n\nX") ==
+      ((301, null, null, "gzip", "X")))
+    // chunked: sizes in hex, extension and trailer ignored
+    assert(parse("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+      "4;ext=1\r\nWiki\r\n6\r\npedia!\r\n0\r\nTrailer: t\r\n\r\n") ==
+      ((200, null, null, null, "Wikipedia!")))
+    // malformed chunk size degrades to the raw remainder
+    assert(parse("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nzz\r\nbody")
+      ._5 == "zz\r\nbody")
+    // not HTTP: everything null, body = whole input
+    assert(parse("<html>bare</html>") == ((null, null, null, null, "<html>bare</html>")))
+    // dechunk kernel directly: chunk larger than remainder clamps
+    assert(new String(HttpOps.dechunk("5\r\nab".getBytes("ISO-8859-1"))) == "ab")
+    // gzip body composes with the existing gunzip_auto function
+    val gz = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write("zipped body".getBytes("ISO-8859-1")); g.close()
+      bos.toByteArray
+    }
+    val resp = "HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n".getBytes("ISO-8859-1") ++ gz
+    graft.functions.Registry.registerAll(spark)
+    val out = Seq(Tuple1(resp)).toDF("b")
+      .selectExpr("http_response(b) as h")
+      .selectExpr("cast(gunzip_auto(h.body) as string) as t")
+      .collect()(0).getString(0)
+    assert(out == "zipped body")
+  }
+
   test("product quantization: lossless on codebook-aligned vectors, deterministic train, bounded loss, guards") {
     import spark.implicits._
     // hand-built identity codebooks: 2 subspaces × 32 one-hot sub-centroids
