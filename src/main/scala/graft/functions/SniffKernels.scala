@@ -19,7 +19,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * gzip (1f 8b) → the media formats via THEIR OWN codec readiness
   * predicates (png/jpeg/gif/bmp/wav/avi/mp4 — the same checks the
   * parsers use, so a label guarantees the corresponding decoder accepts
-  * the header) → `%PDF-` → HTML (`<!doctype`/`<html` after optional
+  * the header) → `%PDF-` → raw HTTP responses (`HTTP/` →
+  * `message/http`, the WARC payload shape — route to `http_response`)
+  * → HTML (`<!doctype`/`<html` after optional
   * ASCII whitespace, case-insensitive) → `<?xml` → MP3 (frame-sync
   * heuristic, deliberately AFTER the exact-magic formats) → text/plain
   * (first min(512, n) bytes all in {TAB, LF, CR, 0x20..0x7E}) →
@@ -50,6 +52,9 @@ object SniffOps {
     if (graft.ops.Codecs.isAvi(b)) return "video/x-msvideo"
     if (graft.ops.Mp4.isMp4(b)) return "video/mp4"
     if (startsWithAscii(b, "%PDF-")) return "application/pdf"
+    // a raw captured HTTP response (the Common-Crawl WARC payload
+    // shape) — route to http_response before any content sniffing
+    if (startsWithAscii(b, "HTTP/")) return "message/http"
     var i = 0
     while (i < b.length && (b(i) == ' ' || b(i) == '\t' || b(i) == '\r' ||
       b(i) == '\n')) i += 1

@@ -1148,6 +1148,8 @@ class OpsSpec extends SparkSpec {
   test("sniff_mime: magic dispatch, html/xml after whitespace, text heuristic, never throws") {
     import graft.functions.SniffOps.sniff
     assert(sniff("%PDF-1.7 rest".getBytes) == "application/pdf")
+    assert(sniff("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html>".getBytes)
+      == "message/http")
     assert(sniff("  \r\n\t<!DOCTYPE html><html>".getBytes) == "text/html")
     assert(sniff("<HtMl lang='en'>".getBytes) == "text/html")
     assert(sniff("<?xml version='1.0'?><root/>".getBytes) == "application/xml")
