@@ -812,6 +812,77 @@ object Corpus {
           .textScore(col(textCol), model.weights, model.intercept), 6))
       .withColumn(predCol, col(scoreCol) >= threshold)
 
+  /** One-vs-rest MULTICLASS text classification over the same
+    * deterministic machinery as [[trainTextClassifier]] — the trainable
+    * language-ID / domain-ID / source-ID tier (the fastText supervised
+    * shape): one binary hashed-bucket logistic model per distinct label,
+    * each trained by the NB-init + curvature-bounded-GD aggregate passes
+    * (bit-identical retrain). Labels collect to the driver once
+    * (class-dimension metadata, sorted for determinism); training cost
+    * is k binary fits — each a handful of vocabulary-shaped aggregates,
+    * the corpus never shuffles per class. */
+  def trainMulticlassClassifier(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      dim: Int = 1024,
+      epochs: Int = 8,
+      lr: Double = 0.8
+  ): Seq[(String, TextClassifierModel)] = {
+    val labels = df.filter(col(labelCol).isNotNull)
+      .select(col(labelCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    require(labels.size >= 2,
+      s"trainMulticlassClassifier: need >= 2 distinct labels, got ${labels.size}")
+    require(labels.size <= 1024,
+      s"trainMulticlassClassifier: ${labels.size} labels — the class " +
+        "dimension is driver metadata, bounded at 1024")
+    labels.map { l =>
+      l -> trainTextClassifier(
+        df.withColumn("__ovr",
+          when(col(labelCol).isNull, lit(null))
+            .otherwise((col(labelCol).cast("string") === l).cast("int"))),
+        idCol, textCol, "__ovr", dim, epochs, lr)
+    }
+  }
+
+  /** Scan-stage multiclass prediction: one [[ClassifierKernels]] kernel
+    * call per class (weights as reference objects — zero plan literals),
+    * scores rounded to 6 dp (the [[scoreWithModel]] convention, which
+    * also makes the argmax engine-portable), argmax with ties broken by
+    * label order. Adds `predCol`; `keepScores` also adds
+    * `score_<label>` per class. Streaming-admissible — the batch-train →
+    * stream-predict contract of the binary tier, multiclass. */
+  def predictMulticlass(
+      df: DataFrame,
+      textCol: String,
+      models: Seq[(String, TextClassifierModel)],
+      predCol: String = "pred_label",
+      keepScores: Boolean = false
+  ): DataFrame = {
+    require(models.nonEmpty, "predictMulticlass: empty model list")
+    val scores = models.map { case (l, m) =>
+      l -> round(graft.functions.ClassifierKernels
+        .textScore(col(textCol), m.weights, m.intercept), 6)
+    }
+    // the argmax is ONE column with the k scores let-bound — each kernel
+    // call runs once per row, not once per comparison
+    val pred = TextAnalysis.withBound(
+      struct(scores.map { case (l, s) => s.as(s"s_$l") }: _*)) { sc =>
+      val vals = models.map { case (l, _) => sc.getField(s"s_$l") }
+      val best = vals.reduce((a, b) => greatest(a, b))
+      models.map(_._1).zip(vals).foldRight(lit(null).cast("string")) {
+        case ((l, s), els) => when(s === best, lit(l)).otherwise(els)
+      }
+    }
+    val withPred = df.withColumn(predCol, pred)
+    if (!keepScores) withPred
+    else scores.foldLeft(withPred) {
+      case (d, (l, s)) => d.withColumn(s"score_$l", s)
+    }
+  }
+
   /** Train-and-score in one call — the operator behind the
     * `quality_classifier` config key: fit on the labeled rows, then
     * score EVERY row (labeled or not) with the scan-stage kernel.

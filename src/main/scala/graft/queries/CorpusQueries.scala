@@ -903,6 +903,34 @@ object CorpusQueries extends QueryPack {
            CAST(COUNT(*) AS BIGINT) AS max_pos
     FROM sh GROUP BY 1 ORDER BY shard ASC NULLS FIRST"""
 
+  // q180 — trainable multiclass language-ID, exact-recovery gate: each
+  // doc carries a per-language marker token, so one-vs-rest training
+  // (NB-init + bounded GD per class — deterministic) must recover the
+  // label for EVERY row; the oracle simply states pred_label = lang.
+  // Any regression in the binary trainer, the OVR wrapper, the scoring
+  // kernel, or the argmax tie rule hash-fails.
+  private def q180(s: SparkSession, dir: String): DataFrame = {
+    // marker planted 3× — its term frequency triples the margin term,
+    // which is what lets ONE GD epoch dominate the word-soup noise
+    // weights on held-out rows
+    val marker = concat(lit(" zzmarker"), col("lang"))
+    val base = docs(s, dir)
+      .withColumn("mtext", concat(col("text"), marker, marker, marker))
+    // train on the id % 5 = 0 slice (5 classes × per-class aggregate
+    // passes is the cost driver — the slice keeps it bounded while the
+    // marker keeps every class represented), predict EVERY row: the
+    // train→generalize shape, and held-out rows still gate exactly
+    val models = Corpus.trainMulticlassClassifier(
+      base.filter(col("doc_id") % 5 === 0).persist(),
+      "doc_id", "mtext", "lang", dim = 512, epochs = 1)
+    Corpus.predictMulticlass(base, "mtext", models)
+      .select("doc_id", "pred_label")
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+  private val q180Sql = """
+    SELECT doc_id, lang AS pred_label
+    FROM documents ORDER BY doc_id ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
     Q("q72_doc_chunking", q72, Some(q72Sql)),
     Q("q73_sequence_packing", q73, Some(q73Sql)),
@@ -928,6 +956,7 @@ object CorpusQueries extends QueryPack {
     Q("q170_global_shuffle", q170, Some(q170Sql)),
     Q("q171_config_global_shuffle", q171, Some(q170Sql)),
     Q("q172_gopher_quality", q172, Some(q172Sql)),
-    Q("q173_curation_flagship", q173, Some(q173Sql))
+    Q("q173_curation_flagship", q173, Some(q173Sql)),
+    Q("q180_multiclass_langid", q180, Some(q180Sql))
   )
 }

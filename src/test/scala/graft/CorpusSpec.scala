@@ -303,6 +303,51 @@ class CorpusSpec extends SparkSpec {
       s"global shuffle must plan exactly one Exchange:\n$gplan")
   }
 
+  test("multiclass classifier: planted languages learned exactly, deterministic, tie rule") {
+    import graft.ops.Corpus
+    // planted per-language marker token on real corpus text: each class
+    // is linearly separable by its marker bucket, so OVR training must
+    // recover the label for EVERY row
+    val base = Tables.load(spark, sf, "documents")
+      .withColumn("mtext", concat_ws(" ", col("text"),
+        concat(lit("zzmarker"), col("lang"))))
+    val models = Corpus.trainMulticlassClassifier(
+      base, "doc_id", "mtext", "lang", dim = 1024, epochs = 4)
+    assert(models.map(_._1) == models.map(_._1).sorted, "label order sorted")
+    val pred = Corpus.predictMulticlass(base, "mtext", models, keepScores = true)
+    assert(pred.filter(col("pred_label") =!= col("lang")).count() == 0,
+      "every planted language must be recovered")
+    // per-class scores present and the winner's score is the max
+    val langs = models.map(_._1)
+    val maxExpr = langs.map(l => col(s"score_$l")).reduce(greatest(_, _))
+    assert(pred.filter(col(s"score_${langs.head}").isNull).count() == 0)
+    langs.foreach { l =>
+      assert(pred.filter(col("pred_label") === l &&
+        col(s"score_$l") =!= maxExpr).count() == 0)
+    }
+    // bit-deterministic retrain
+    val models2 = Corpus.trainMulticlassClassifier(
+      base, "doc_id", "mtext", "lang", dim = 1024, epochs = 4)
+    models.zip(models2).foreach { case ((l1, m1), (l2, m2)) =>
+      assert(l1 == l2 && m1.intercept == m2.intercept &&
+        java.util.Arrays.equals(m1.weights, m2.weights))
+    }
+    // argmax ties break by label order (two identical models)
+    import spark.implicits._
+    val m0 = models.head._2
+    val tied = Corpus.predictMulticlass(
+      Seq(Tuple1("some text")).toDF("t"), "t",
+      Seq("bbb" -> m0, "aaa" -> m0))
+    assert(tied.collect()(0).getString(1) == "bbb",
+      "first listed label wins a tied argmax")
+    // guard rails
+    intercept[IllegalArgumentException](
+      Corpus.trainMulticlassClassifier(
+        base.filter(col("lang") === "en"), "doc_id", "mtext", "lang"))
+    intercept[IllegalArgumentException](
+      Corpus.predictMulticlass(base, "mtext", Nil))
+  }
+
   // ---- salted join --------------------------------------------------------
 
   test("salted join: row-identical to the plain join, and small side replicates") {
