@@ -81,6 +81,7 @@ object Compiler {
         node.passageDedup.toSeq.flatMap(p => Seq(p.idCol, p.textCol)) ++
         node.lmPerplexity.toSeq.flatMap(l => Seq(l.idCol, l.textCol)) ++
         node.qualityClassifier.toSeq.flatMap(q => Seq(q.idCol, q.textCol, q.labelCol)) ++
+        node.multiclassClassifier.toSeq.flatMap(m => Seq(m.idCol, m.textCol, m.labelCol)) ++
         node.bpe.toSeq.map(_.textCol) ++
         node.cmsProbe.toSeq.map(_.keyCol) ++
         node.split.toSeq.map(_.idCol) ++
@@ -442,6 +443,21 @@ object Compiler {
       requireBatch("quality_classifier")
       df = graft.ops.Corpus.qualityClassifier(
         df, q.idCol, q.textCol, q.labelCol, q.dim, q.epochs, q.lr, q.threshold)
+    }
+
+    // Multiclass classifier: one-vs-rest training (batch-only by name —
+    // k sets of global aggregates) + scan-stage argmax prediction; the
+    // frame gains pred_col (and per-class scores with keep_scores).
+    node.multiclassClassifier.foreach { m =>
+      if (streaming) throw new IllegalArgumentException(
+        s"node ${node.id}: multiclass_classifier trains one-vs-rest " +
+          "models over the whole corpus — batch-only; train in batch, " +
+          "persist per-class artifacts, and score the stream with " +
+          "score_model columns instead")
+      val models = graft.ops.Corpus.trainMulticlassClassifier(
+        df, m.idCol, m.textCol, m.labelCol, m.dim, m.epochs, m.lr)
+      df = graft.ops.Corpus.predictMulticlass(
+        df, m.textCol, models, m.predCol, m.keepScores)
     }
 
     // Deterministic split: adds the bucket-name column (scan-stage

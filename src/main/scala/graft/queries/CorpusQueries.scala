@@ -931,6 +931,29 @@ object CorpusQueries extends QueryPack {
     SELECT doc_id, lang AS pred_label
     FROM documents ORDER BY doc_id ASC NULLS FIRST"""
 
+  // q181 — the multiclass classifier from PURE JSON (config twin of
+  // q180's trainer): train AND predict on the id % 5 slice — in-sample
+  // exactness gates the codec/compiler wiring; held-out generalization
+  // is q180's job.
+  private def q181(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "documents"},
+       "filters": ["doc_id % 5 = 0"],
+       "derive": {"mk": "concat(' zzmarker', lang)",
+                  "mtext": "concat(text, mk, mk, mk)"},
+       "keep_columns": ["doc_id", "mtext", "lang"],
+       "multiclass_classifier": {"id_col": "doc_id", "text_col": "mtext",
+                                 "label_col": "lang", "dim": 512,
+                                 "epochs": 1},
+       "drop": ["mtext", "lang"],
+       "order_by": ["doc_id asc"]}""")
+  }
+  private val q181Sql = """
+    SELECT doc_id, lang AS pred_label
+    FROM documents WHERE doc_id % 5 = 0
+    ORDER BY doc_id ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
     Q("q72_doc_chunking", q72, Some(q72Sql)),
     Q("q73_sequence_packing", q73, Some(q73Sql)),
@@ -957,6 +980,7 @@ object CorpusQueries extends QueryPack {
     Q("q171_config_global_shuffle", q171, Some(q170Sql)),
     Q("q172_gopher_quality", q172, Some(q172Sql)),
     Q("q173_curation_flagship", q173, Some(q173Sql)),
-    Q("q180_multiclass_langid", q180, Some(q180Sql))
+    Q("q180_multiclass_langid", q180, Some(q180Sql)),
+    Q("q181_config_multiclass", q181, Some(q181Sql))
   )
 }

@@ -340,6 +340,18 @@ object JsonCodec {
         threshold = opt(d, "threshold").map(_.asDouble).getOrElse(0.5))
     }
 
+    val mcc = optN("multiclass_classifier", "multiclassClassifier").map { d =>
+      MulticlassClassifierSpec(
+        idCol = req(d, s"node $id: multiclass_classifier", "id_col", "idCol").asText,
+        textCol = req(d, s"node $id: multiclass_classifier", "text_col", "textCol").asText,
+        labelCol = req(d, s"node $id: multiclass_classifier", "label_col", "labelCol").asText,
+        dim = opt(d, "dim").map(_.asInt).getOrElse(1024),
+        epochs = opt(d, "epochs").map(_.asInt).getOrElse(8),
+        lr = opt(d, "lr").map(_.asDouble).getOrElse(0.8),
+        predCol = opt(d, "pred_col", "predCol").map(_.asText).getOrElse("pred_label"),
+        keepScores = opt(d, "keep_scores", "keepScores").exists(_.asBoolean(false)))
+    }
+
     val sm = optN("score_model", "scoreModel").map { d =>
       ScoreModelSpec(
         textCol = req(d, s"node $id: score_model", "text_col", "textCol").asText,
@@ -531,6 +543,7 @@ object JsonCodec {
       passageDedup = pd,
       lmPerplexity = lm,
       qualityClassifier = qc,
+      multiclassClassifier = mcc,
       scoreModel = sm,
       bpe = bpeSpec,
       bpeApply = ba,

@@ -339,6 +339,23 @@ final case class QualityClassifierSpec(
     threshold: Double = 0.5
 )
 
+/** Trainable MULTICLASS classifier (NS;
+  * Corpus.trainMulticlassClassifier + predictMulticlass): one-vs-rest
+  * over the deterministic binary trainer, argmax prediction added as
+  * `pred_col` (and per-class `score_<label>` columns with
+  * `keep_scores`). The language/domain/source-ID tier. Batch-only by
+  * name (training aggregates); inference alone is scan-stage. */
+final case class MulticlassClassifierSpec(
+    idCol: String,
+    textCol: String,
+    labelCol: String,
+    dim: Int = 1024,
+    epochs: Int = 8,
+    lr: Double = 0.8,
+    predCol: String = "pred_label",
+    keepScores: Boolean = false
+)
+
 /** Score with a SAVED classifier artifact (NS; Corpus.scoreWithModel):
   * loads a [[graft.ops.Corpus.saveTextClassifier]] weight table at
   * compile time and applies the scan-stage inference kernel — the
@@ -653,6 +670,7 @@ final case class NodeSpec(
     passageDedup: Option[PassageDedupSpec] = None, // after keep, before aggregate
     lmPerplexity: Option[LmPerplexitySpec] = None, // after keep, before aggregate
     qualityClassifier: Option[QualityClassifierSpec] = None, // after keep, before aggregate
+    multiclassClassifier: Option[MulticlassClassifierSpec] = None, // after keep, before aggregate
     scoreModel: Option[ScoreModelSpec] = None, // after keep, before aggregate
     bpe: Option[BpeSpec] = None, // after keep, before aggregate
     bpeApply: Option[BpeApplySpec] = None, // after keep, before aggregate

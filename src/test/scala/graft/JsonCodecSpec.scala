@@ -149,6 +149,25 @@ class JsonCodecSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("keep_colums"), e2.getMessage)
   }
 
+  test("multiclass_classifier node key decodes with defaults and names missing fields") {
+    val m = root("""
+      {"source": {"table": "documents"},
+       "multiclass_classifier": {"id_col": "doc_id", "text_col": "text",
+                                 "label_col": "lang"}}""").multiclassClassifier.get
+    assert(m.idCol == "doc_id" && m.textCol == "text" && m.labelCol == "lang")
+    assert(m.dim == 1024 && m.epochs == 8 && m.lr == 0.8)
+    assert(m.predCol == "pred_label" && !m.keepScores)
+    assert(root("""
+      {"source": {"table": "documents"},
+       "multiclass_classifier": {"id_col": "a", "text_col": "t",
+                                 "label_col": "l", "pred_col": "p",
+                                 "keep_scores": true}}""")
+      .multiclassClassifier.get.keepScores)
+    val e = intercept[IllegalArgumentException](root(
+      """{"multiclass_classifier": {"id_col": "a", "text_col": "t"}}"""))
+    assert(e.getMessage.contains("label_col"))
+  }
+
   test("semantic_dedup node key decodes with defaults and named errors") {
     val d = root("""
       {"source": {"table": "embeddings"},

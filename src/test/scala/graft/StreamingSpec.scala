@@ -992,6 +992,8 @@ class StreamingSpec extends SparkSpec {
                "threshold": 0.9, "dim": 2}""", "batch-only")
     rejects(""""global_shuffle": {"id_col": "doc_id", "shards": 4}""",
       "batch-only")
+    rejects(""""multiclass_classifier": {"id_col": "doc_id",
+               "text_col": "text", "label_col": "text"}""", "batch-only")
     rejects(""""temperature_sample": {"group_col": "lang", "id_col": "doc_id",
                "target_fraction": 0.3}""", "batch-only")
     // root-level profile is now the streaming drift monitor (see the
