@@ -791,6 +791,46 @@ object Corpus {
     TextClassifierModel(dim, rows.getOrElse(-1, 0.0), w, Nil)
   }
 
+  /** Persist a [[trainMulticlassClassifier]] model set as ONE parquet
+    * table `(label, bucket, weight)` — the per-label rows use the
+    * [[saveTextClassifier]] sparse convention (bucket −1 intercept,
+    * −2 dim). The batch-train → stream-predict contract, multiclass. */
+  def saveMulticlassClassifier(spark: org.apache.spark.sql.SparkSession,
+      models: Seq[(String, TextClassifierModel)], path: String): Unit = {
+    import spark.implicits._
+    require(models.nonEmpty, "saveMulticlassClassifier: empty model list")
+    models.flatMap { case (l, m) =>
+      Seq((l, -1, m.intercept), (l, -2, m.dim.toDouble)) ++
+        m.weights.zipWithIndex.collect { case (w, b) if w != 0.0 => (l, b, w) }
+    }.toDF("label", "bucket", "weight").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveMulticlassClassifier]] artifact; labels come back
+    * sorted (the training order), so [[predictMulticlass]] ties break
+    * identically before and after the round trip. */
+  def loadMulticlassClassifier(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, TextClassifierModel)] = {
+    val raw = spark.read.parquet(path)
+    require(Seq("label", "bucket", "weight").forall(raw.columns.contains),
+      s"$path is not a multiclass classifier artifact (needs label/bucket/weight)")
+    val rows = raw
+      .select(col("label").cast("string"), col("bucket").cast("int"),
+        col("weight").cast("double"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    require(rows.nonEmpty && rows.exists(_._2 == -2),
+      s"$path is not a multiclass classifier artifact (no dim rows)")
+    rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (l, rs) =>
+      val m = rs.map(r => r._2 -> r._3).toMap
+      val dim = m.getOrElse(-2,
+        throw new IllegalArgumentException(
+          s"$path: label '$l' has no dim row")).toInt
+      val w = new Array[Double](dim)
+      m.foreach { case (b, v) => if (b >= 0 && b < dim) w(b) = v }
+      l -> TextClassifierModel(dim, m.getOrElse(-1, 0.0), w, Nil)
+    }
+  }
+
   /** Score with an already-trained (typically [[loadTextClassifier]]-
     * loaded) model — the streaming-admissible inference half of
     * [[qualityClassifier]] and the operator behind the `score_model`

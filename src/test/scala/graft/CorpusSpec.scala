@@ -348,6 +348,44 @@ class CorpusSpec extends SparkSpec {
       Corpus.predictMulticlass(base, "mtext", Nil))
   }
 
+  test("multiclass artifacts: save/load round trip; stream prediction equals batch") {
+    import graft.ops.Corpus
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Tables.load(spark, sf, "documents")
+      .withColumn("mtext", concat_ws(" ", col("text"),
+        concat(lit("zzmarker"), col("lang"))))
+    val models = Corpus.trainMulticlassClassifier(
+      base, "doc_id", "mtext", "lang", dim = 512, epochs = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-mcc").toString
+    Corpus.saveMulticlassClassifier(spark, models, s"$dir/model")
+    val loaded = Corpus.loadMulticlassClassifier(spark, s"$dir/model")
+    assert(loaded.map(_._1) == models.map(_._1))
+    models.zip(loaded).foreach { case ((_, a), (_, b)) =>
+      assert(a.intercept == b.intercept && a.dim == b.dim &&
+        java.util.Arrays.equals(a.weights, b.weights))
+    }
+    // stream prediction with the LOADED models equals batch prediction
+    val batch = Corpus.predictMulticlass(base, "mtext", loaded)
+      .select("doc_id", "pred_label").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    base.write.mode("overwrite").parquet(s"$dir/in")
+    val streamIn = spark.readStream
+      .schema(spark.read.parquet(s"$dir/in").schema).parquet(s"$dir/in")
+    val q = Corpus.predictMulticlass(streamIn, "mtext", loaded)
+      .select("doc_id", "pred_label")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("mcc_stream").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("mcc_stream").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed == batch, "stream prediction must equal batch")
+    // a non-artifact path fails by name
+    spark.range(2).selectExpr("'x' as label", "cast(id as int) as bucket",
+      "1.0 as weight").write.parquet(s"$dir/notmodel")
+    intercept[IllegalArgumentException](
+      Corpus.loadMulticlassClassifier(spark, s"$dir/notmodel"))
+  }
+
   // ---- salted join --------------------------------------------------------
 
   test("salted join: row-identical to the plain join, and small side replicates") {
