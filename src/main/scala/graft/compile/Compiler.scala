@@ -82,6 +82,7 @@ object Compiler {
         node.lmPerplexity.toSeq.flatMap(l => Seq(l.idCol, l.textCol)) ++
         node.qualityClassifier.toSeq.flatMap(q => Seq(q.idCol, q.textCol, q.labelCol)) ++
         node.multiclassClassifier.toSeq.flatMap(m => Seq(m.idCol, m.textCol, m.labelCol)) ++
+        node.predictModel.toSeq.map(_.textCol) ++
         node.bpe.toSeq.map(_.textCol) ++
         node.cmsProbe.toSeq.map(_.keyCol) ++
         node.split.toSeq.map(_.idCol) ++
@@ -458,6 +459,15 @@ object Compiler {
         df, m.idCol, m.textCol, m.labelCol, m.dim, m.epochs, m.lr)
       df = graft.ops.Corpus.predictMulticlass(
         df, m.textCol, models, m.predCol, m.keepScores)
+    }
+
+    // Predict with a persisted multiclass artifact: models load ONCE at
+    // compile (bounded metadata), prediction is scan-stage — the
+    // streaming-admissible inference half of multiclass_classifier.
+    node.predictModel.foreach { pmSpec =>
+      val models = graft.ops.Corpus.loadMulticlassClassifier(spark, pmSpec.modelDir)
+      df = graft.ops.Corpus.predictMulticlass(
+        df, pmSpec.textCol, models, pmSpec.predCol, pmSpec.keepScores)
     }
 
     // Deterministic split: adds the bucket-name column (scan-stage

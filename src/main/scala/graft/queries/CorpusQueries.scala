@@ -954,6 +954,31 @@ object CorpusQueries extends QueryPack {
     FROM documents WHERE doc_id % 5 = 0
     ORDER BY doc_id ASC NULLS FIRST"""
 
+  // q182 — predict with a PERSISTED multiclass artifact from pure JSON
+  // (the streaming-admissible inference half): train on the id % 5
+  // slice via the API, save through the real artifact round trip, then
+  // ONE config predicts every row. Oracle: pred_label = lang — gates
+  // save/load fidelity, the codec, and the scan-stage argmax together.
+  private def q182(s: SparkSession, dir: String): DataFrame = {
+    val marker = concat(lit(" zzmarker"), col("lang"))
+    val base = docs(s, dir)
+      .withColumn("mtext", concat(col("text"), marker, marker, marker))
+    val models = Corpus.trainMulticlassClassifier(
+      base.filter(col("doc_id") % 5 === 0).persist(),
+      "doc_id", "mtext", "lang", dim = 512, epochs = 1)
+    val mdir = java.nio.file.Files.createTempDirectory("graft-q182").toString
+    Corpus.saveMulticlassClassifier(s, models, s"$mdir/model")
+    graft.Tables.registerViews(s, dir)
+    graft.compile.Compiler.compileJson(s, s"""
+      {"source": {"table": "documents"},
+       "derive": {"mk": "concat(' zzmarker', lang)",
+                  "mtext": "concat(text, mk, mk, mk)"},
+       "keep_columns": ["doc_id", "mtext"],
+       "predict_model": {"text_col": "mtext", "model_dir": "$mdir/model"},
+       "drop": ["mtext"],
+       "order_by": ["doc_id asc"]}""")
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q72_doc_chunking", q72, Some(q72Sql)),
     Q("q73_sequence_packing", q73, Some(q73Sql)),
@@ -981,6 +1006,7 @@ object CorpusQueries extends QueryPack {
     Q("q172_gopher_quality", q172, Some(q172Sql)),
     Q("q173_curation_flagship", q173, Some(q173Sql)),
     Q("q180_multiclass_langid", q180, Some(q180Sql)),
-    Q("q181_config_multiclass", q181, Some(q181Sql))
+    Q("q181_config_multiclass", q181, Some(q181Sql)),
+    Q("q182_predict_model_artifact", q182, Some(q180Sql))
   )
 }

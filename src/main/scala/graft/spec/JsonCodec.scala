@@ -352,6 +352,14 @@ object JsonCodec {
         keepScores = opt(d, "keep_scores", "keepScores").exists(_.asBoolean(false)))
     }
 
+    val pm = optN("predict_model", "predictModel").map { d =>
+      PredictModelSpec(
+        textCol = req(d, s"node $id: predict_model", "text_col", "textCol").asText,
+        modelDir = req(d, s"node $id: predict_model", "model_dir", "modelDir").asText,
+        predCol = opt(d, "pred_col", "predCol").map(_.asText).getOrElse("pred_label"),
+        keepScores = opt(d, "keep_scores", "keepScores").exists(_.asBoolean(false)))
+    }
+
     val sm = optN("score_model", "scoreModel").map { d =>
       ScoreModelSpec(
         textCol = req(d, s"node $id: score_model", "text_col", "textCol").asText,
@@ -544,6 +552,7 @@ object JsonCodec {
       lmPerplexity = lm,
       qualityClassifier = qc,
       multiclassClassifier = mcc,
+      predictModel = pm,
       scoreModel = sm,
       bpe = bpeSpec,
       bpeApply = ba,

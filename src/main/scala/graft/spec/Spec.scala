@@ -356,6 +356,19 @@ final case class MulticlassClassifierSpec(
     keepScores: Boolean = false
 )
 
+/** Predict with a SAVED multiclass artifact (NS;
+  * Corpus.loadMulticlassClassifier + predictMulticlass): models load
+  * once at compile (bounded driver metadata), every row gains the
+  * argmax `pred_col` from one scan-stage kernel call per class — the
+  * streaming-admissible inference half of `multiclass_classifier`,
+  * exactly as `score_model` is for `quality_classifier`. */
+final case class PredictModelSpec(
+    textCol: String,
+    modelDir: String,
+    predCol: String = "pred_label",
+    keepScores: Boolean = false
+)
+
 /** Score with a SAVED classifier artifact (NS; Corpus.scoreWithModel):
   * loads a [[graft.ops.Corpus.saveTextClassifier]] weight table at
   * compile time and applies the scan-stage inference kernel — the
@@ -671,6 +684,7 @@ final case class NodeSpec(
     lmPerplexity: Option[LmPerplexitySpec] = None, // after keep, before aggregate
     qualityClassifier: Option[QualityClassifierSpec] = None, // after keep, before aggregate
     multiclassClassifier: Option[MulticlassClassifierSpec] = None, // after keep, before aggregate
+    predictModel: Option[PredictModelSpec] = None, // after keep, before aggregate
     scoreModel: Option[ScoreModelSpec] = None, // after keep, before aggregate
     bpe: Option[BpeSpec] = None, // after keep, before aggregate
     bpeApply: Option[BpeApplySpec] = None, // after keep, before aggregate

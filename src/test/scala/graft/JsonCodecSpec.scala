@@ -168,6 +168,17 @@ class JsonCodecSpec extends AnyFunSuite {
     assert(e.getMessage.contains("label_col"))
   }
 
+  test("predict_model node key decodes with defaults and names missing fields") {
+    val p = root("""
+      {"source": {"table": "documents"},
+       "predict_model": {"text_col": "text", "model_dir": "/m"}}""").predictModel.get
+    assert(p.textCol == "text" && p.modelDir == "/m")
+    assert(p.predCol == "pred_label" && !p.keepScores)
+    val e = intercept[IllegalArgumentException](root(
+      """{"predict_model": {"text_col": "text"}}"""))
+    assert(e.getMessage.contains("model_dir"))
+  }
+
   test("semantic_dedup node key decodes with defaults and named errors") {
     val d = root("""
       {"source": {"table": "embeddings"},

@@ -965,6 +965,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("predict_model config key runs on a stream: artifact-loaded argmax, stream == batch") {
+    import graft.ops.Corpus
+    graft.functions.Registry.registerAll(spark)
+    val base = Tables.load(spark, sf, "documents")
+      .withColumn("mtext", concat_ws(" ", col("text"),
+        concat(lit("zzmarker"), col("lang"))))
+    val models = Corpus.trainMulticlassClassifier(
+      base, "doc_id", "mtext", "lang", dim = 512, epochs = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pm").toString
+    Corpus.saveMulticlassClassifier(spark, models, s"$dir/model")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/in/documents.parquet"))
+    // marker tripled — the q180 margin posture
+    val nodeBody = s""""derive": {"mk": "concat(' zzmarker', lang)",
+                       "mtext": "concat(text, mk, mk, mk)"},
+       "keep_columns": ["doc_id", "mtext"],
+       "predict_model": {"text_col": "mtext", "model_dir": "$dir/model"},
+       "drop": ["mtext"]"""
+    val batch = graft.compile.Compiler.compileJson(spark, s"""
+      {"source": {"path": "$dir/in/documents.parquet"}, $nodeBody}""")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val q = graft.compile.Compiler.compileStreamJson(spark, s"""
+      {"source": {"path": "$dir/in"}, $nodeBody,
+       "save": {"format": "memory", "query_name": "pm_stream",
+                "trigger": "available_now", "output_mode": "append"}}""")
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("pm_stream")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed == batch, "stream prediction must equal batch")
+    assert(batch.nonEmpty)
+  }
+
   test("cluster-output and passage dedup keys reject streaming compiles by name") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-batchonly").toString
