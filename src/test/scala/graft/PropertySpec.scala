@@ -303,4 +303,89 @@ class PropertySpec extends SparkSpec {
       assert(rows(1).getAs[Array[Byte]](1).toSeq == b.toSeq)
     }
   }
+
+  private val rawBytesGen: Gen[Array[Byte]] =
+    Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray)
+
+  test("rc4 is an involution and key-sensitive on random payloads") {
+    val keyGen = Gen.nonEmptyListOf(Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray)
+    forAll2(keyGen, rawBytesGen, n = 12) { (k, data) =>
+      val enc = graft.functions.PdfOps.rc4(k, data)
+      assert(graft.functions.PdfOps.rc4(k, enc).toSeq == data.toSeq,
+        "rc4(rc4(x)) must be x")
+      if (data.nonEmpty) {
+        val k2 = k.clone(); k2(0) = (k2(0) ^ 1).toByte
+        assert(graft.functions.PdfOps.rc4(k2, enc).toSeq != data.toSeq ||
+          data.forall(_ == 0) || data.length < 4,
+          "a flipped key bit must not decrypt (beyond tiny/degenerate payloads)")
+      }
+    }
+  }
+
+  test("http dechunk inverts random chunkings of random bodies") {
+    // chunk a body at random cut points, with extensions on some sizes —
+    // dechunk must reassemble the exact bytes for EVERY chunking
+    forAll2(rawBytesGen, Gen.chooseNum(1, 7), n = 12) { (body, step) =>
+      val out = new java.io.ByteArrayOutputStream()
+      var i = 0
+      var chunkIdx = 0
+      while (i < body.length) {
+        val len = math.min(1 + (step + chunkIdx) % 9, body.length - i)
+        val ext = if (chunkIdx % 3 == 0) ";x=1" else ""
+        out.write(s"${len.toHexString}$ext\r\n".getBytes("ISO-8859-1"))
+        out.write(body, i, len)
+        out.write("\r\n".getBytes("ISO-8859-1"))
+        i += len
+        chunkIdx += 1
+      }
+      out.write("0\r\nSome-Trailer: v\r\n\r\n".getBytes("ISO-8859-1"))
+      assert(graft.functions.HttpOps.dechunk(out.toByteArray).toSeq == body.toSeq)
+    }
+  }
+
+  test("pdf RunLengthDecode inverts a run-length encoder on random bytes") {
+    def rlEncode(b: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var i = 0
+      while (i < b.length) {
+        // find run of equal bytes
+        var j = i + 1
+        while (j < b.length && b(j) == b(i) && j - i < 127) j += 1
+        if (j - i >= 2) { out.write(257 - (j - i)); out.write(b(i)); i = j }
+        else {
+          // literal run up to 128 bytes, stopping before a ≥3-run
+          var k = i + 1
+          while (k < b.length && k - i < 128 &&
+            !(k + 2 < b.length && b(k) == b(k + 1) && b(k + 1) == b(k + 2))) k += 1
+          out.write(k - i - 1)
+          out.write(b, i, k - i)
+          i = k
+        }
+      }
+      out.write(128) // EOD
+      out.toByteArray
+    }
+    forAll(rawBytesGen, n = 15) { b =>
+      assert(graft.functions.PdfOps.runLengthDecodeBytes(rlEncode(b)).toSeq == b.toSeq)
+    }
+  }
+
+  test("url_host is idempotent-stable: host of a rebuilt URL is the host itself") {
+    import graft.ops.TextAnalysis
+    val hostGen = for {
+      a <- Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.take(8).mkString)
+      b <- Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.take(6).mkString)
+      port <- Gen.chooseNum(1, 65535)
+      user <- Gen.oneOf("", "u:p@")
+      scheme <- Gen.oneOf("http", "https", "ftp")
+    } yield (s"$a.$b.com", s"$scheme://$user${a.toUpperCase}.$b.COM:$port/x?y#z")
+    forAll(hostGen, n = 15) { case (expect, url) =>
+      val got = Seq(Tuple1(url)).toDF("u")
+        .select(TextAnalysis.urlHost(col("u"))).collect()(0).getString(0)
+      assert(got == expect, s"$url -> $got != $expect")
+      val again = Seq(Tuple1(s"http://$got/")).toDF("u")
+        .select(TextAnalysis.urlHost(col("u"))).collect()(0).getString(0)
+      assert(again == got, "host extraction must be stable under rebuild")
+    }
+  }
 }
