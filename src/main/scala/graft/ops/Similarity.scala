@@ -645,6 +645,136 @@ object Similarity {
       Seq(col("score").desc, col(corpusId).asc), k, rankCol = "rank")
   }
 
+  /** Persistable semantic-dedup corpus state — the incremental tier's
+    * index (the minhashBandIndex convention for embeddings): the IVF
+    * centroids plus the DISTINCT identical-embedding classes
+    * (cluster, sig, rep, vec). History is probed by cluster-scoped band
+    * equi-join against these classes — one row per distinct embedding,
+    * never the full corpus. */
+  def saveSemanticIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      path: String,
+      nlist: Int = 16,
+      refineRounds: Int = 0,
+      numBits: Int = 64
+  ): Unit = {
+    import spark.implicits._
+    val cents = ivfCentroids(corpus, idCol, vecCol, nlist, refineRounds)
+    cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("list_id", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    val assigned = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      element_at(graft.functions.CentroidKernels.nearestCentroids(
+        col(vecCol), cents, 1), 1).as("__cl"))
+    assigned.groupBy(col("__cl"), col("__v")).agg(min(col("__id")).as("__rep"))
+      .select(col("__cl").as("cluster"), col("__v").as("vec"),
+        col("__rep").as("rep"),
+        hyperplaneSignature(col("__v"), dim, numBits).as("sig"))
+      .write.mode("overwrite").parquet(s"$path/classes")
+  }
+
+  /** Dedup a new batch against a [[saveSemanticIndex]] corpus index PLUS
+    * itself — the embedding sibling of `nearDupAgainstCorpus` /
+    * `passageDedupAgainstCorpus`: history wins (a batch row semantically
+    * near ANY indexed class drops, regardless of id), and within the
+    * batch the [[semanticDedup]] min-id rule applies. The index is
+    * probed by (cluster, band, band_key) equi-join over DISTINCT
+    * classes — ingest cost tracks the batch, the corpus is never
+    * re-scanned. Returns the surviving batch rows (original schema).
+    * Batch rows whose cluster assignment (under the SAVED centroids)
+    * differs from a near-duplicate's indexed cluster are missed — the
+    * cluster-scoping approximation semanticDedup already documents. */
+  def semanticDedupAgainstCorpus(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      dim: Int,
+      indexPath: String,
+      numBits: Int = 64,
+      bands: Int = 8
+  ): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"semanticDedupAgainstCorpus: threshold must be in (0, 1], got $threshold")
+    require(numBits % bands == 0, "bands must divide numBits")
+    val spark = batch.sparkSession
+    val centsDf = spark.read.parquet(s"$indexPath/centroids")
+    require(centsDf.columns.toSeq.sorted == Seq("centroid", "list_id"),
+      s"$indexPath is not a semantic index (no centroids table)")
+    val cents: Seq[Seq[Double]] = centsDf.orderBy("list_id")
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val idxClasses = spark.read.parquet(s"$indexPath/classes")
+    val width = numBits / bands
+    def bandKeys(sig: Column): Column =
+      posexplode(array((0 until bands).map(c =>
+        shiftright(sig, c * width)
+          .bitwiseAND(lit((1L << width) - 1L))): _*))
+    val assigned = batch.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      element_at(graft.functions.CentroidKernels.nearestCentroids(
+        col(vecCol), cents, 1), 1).as("__cl"))
+    def score(va: Column, na: Column, vb: Column, nb: Column): Column =
+      round(when(na > 0 && nb > 0, dot(va, vb) / (na * nb)).otherwise(lit(0.0)), 9)
+    val classes = assigned
+      .groupBy(col("__cl"), col("__v")).agg(min(col("__id")).as("__rep"))
+      .select(col("__cl"), col("__v"), col("__rep"),
+        l2Norm(col("__v")).as("__n"),
+        hyperplaneSignature(col("__v"), dim, numBits).as("__sig"))
+    val selfScore = score(col("__v"), col("__n"), col("__v"), col("__n"))
+    val members = assigned
+      .join(classes.select(col("__cl"), col("__v"), col("__rep"),
+        selfScore.as("__self")), Seq("__cl", "__v"))
+      .select(col("__id"), col("__cl"), col("__rep"), col("__self"))
+    // ---- in-batch drops: the semanticDedup rule
+    val bandedB = classes
+      .select(col("__cl"), col("__rep"), col("__v"), col("__n"), col("__sig"),
+        bandKeys(col("__sig")).as(Seq("band", "band_key")))
+    val a = bandedB.select(col("__cl"), col("band"), col("band_key"),
+      col("__rep").as("__repA"), col("__v").as("__va"), col("__n").as("__na"),
+      col("__sig").as("__siga"))
+    val b = bandedB.select(col("__cl"), col("band"), col("band_key"),
+      col("__rep").as("__repB"), col("__v").as("__vb"), col("__n").as("__nb"),
+      col("__sig").as("__sigb"))
+    val classPairs = a.join(b, Seq("__cl", "band", "band_key"))
+      .filter(col("__repA") < col("__repB") &&
+        firstCollision(col("__siga"), col("__sigb"), width, bands))
+      .select(col("__repA"), col("__repB"),
+        score(col("__va"), col("__na"), col("__vb"), col("__nb")).as("score"))
+      .filter(col("score") >= threshold)
+    val inClass = members
+      .filter(col("__id") =!= col("__rep") && col("__self") >= threshold)
+      .select(col("__id"))
+    val crossB = classPairs
+      .join(members.select(col("__rep").as("__repB"), col("__id")), Seq("__repB"))
+      .select(col("__id"))
+    val crossA = classPairs
+      .join(members.select(col("__rep").as("__repA"), col("__id")), Seq("__repA"))
+      .filter(col("__id") > col("__repB"))
+      .select(col("__id"))
+    // ---- corpus probe: batch classes vs indexed classes — HISTORY WINS
+    // (any verified hit drops the WHOLE batch class, its min included)
+    val bandedIdx = idxClasses
+      .select(col("cluster").as("__cl"), col("vec").as("__iv"),
+        l2Norm(col("vec")).as("__in"), col("sig").as("__isig"),
+        bandKeys(col("sig")).as(Seq("band", "band_key")))
+    val corpusHits = bandedB
+      .join(bandedIdx, Seq("__cl", "band", "band_key"))
+      .filter(firstCollision(col("__sig"), col("__isig"), width, bands))
+      .select(col("__rep"),
+        score(col("__v"), col("__n"), col("__iv"), col("__in")).as("score"))
+      .filter(col("score") >= threshold)
+      .select(col("__rep")).distinct()
+    val corpusDrops = corpusHits
+      .join(members.select(col("__rep"), col("__id")), Seq("__rep"))
+      .select(col("__id"))
+    val dropped = inClass.unionByName(crossB).unionByName(crossA)
+      .unionByName(corpusDrops).distinct()
+    batch.join(dropped.select(col("__id").as(idCol)), Seq(idCol), "left_anti")
+  }
+
   /** SemDeDup-style semantic deduplication (the public SemDeDup recipe —
     * k-means cluster the embeddings, then near-dup only WITHIN each
     * cluster; see PAPERS.md): documents whose embeddings are

@@ -443,6 +443,38 @@ object SimQueries extends QueryPack {
       .orderBy(col("query_id").asc_nulls_first, col("rank").asc_nulls_first)
   }
 
+  // q183 — INCREMENTAL semantic dedup, exactly oracle-checked via the
+  // pattern-vector construction (q168's trick): the corpus index holds
+  // the id % 3 = 0 slice's distinct patterns; the batch is everyone
+  // else. A batch row survives iff its pattern is NOT indexed (history
+  // wins, the q88/q97 convention) AND it is the batch's min id for its
+  // pattern — both pure arithmetic at any SF.
+  private def q183(s: SparkSession, dir: String): DataFrame = {
+    val patVec = expr(
+      "transform(sequence(0, 31), d -> CAST(CASE WHEN d = CAST(vec_id % 256 % 16 AS INT) " +
+        "OR d = 16 + CAST((vec_id % 256) DIV 16 AS INT) THEN 1.0 ELSE 0.0 END AS DOUBLE))")
+    val all = emb(s, dir).select(col("vec_id"), patVec.as("pv"))
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-q183").toString
+    Similarity.saveSemanticIndex(s, all.filter(col("vec_id") % 3 === 0),
+      "vec_id", "pv", dim = 32, path = s"$idxDir/idx", nlist = 4)
+    Similarity.semanticDedupAgainstCorpus(
+        all.filter(col("vec_id") % 3 =!= 0), "vec_id", "pv",
+        threshold = 0.9, dim = 32, s"$idxDir/idx")
+      .select("vec_id")
+      .orderBy(col("vec_id").asc_nulls_first)
+  }
+  private val q183Sql = """
+    WITH b AS (
+      SELECT vec_id, vec_id % 256 AS pat FROM embeddings WHERE vec_id % 3 <> 0),
+    survivors AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, pat, MIN(vec_id) OVER (PARTITION BY pat) AS m FROM b)
+      WHERE vec_id = m
+        AND NOT EXISTS (SELECT 1 FROM embeddings e2
+                        WHERE e2.vec_id % 3 = 0
+                          AND e2.vec_id % 256 = pat))
+    SELECT vec_id FROM survivors ORDER BY vec_id ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
     Q("q31_cosine_topk", q31, Some(q31Sql)),
     Q("q32_embedding_neardup", q32, Some(q32Sql)),
@@ -456,6 +488,7 @@ object SimQueries extends QueryPack {
     Q("q167_semantic_dedup_exact", q167, Some(q167Sql)),
     Q("q168_config_semantic_dedup", q168, Some(q168Sql)),
     Q("q176_pq_topk", q176, Some(q176Sql)),
-    Q("q177_ivfpq_topk_full", q177, Some(q176Sql))
+    Q("q177_ivfpq_topk_full", q177, Some(q176Sql)),
+    Q("q183_incremental_semantic", q183, Some(q183Sql))
   )
 }

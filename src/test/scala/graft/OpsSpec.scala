@@ -758,6 +758,43 @@ class OpsSpec extends SparkSpec {
       .filter($"r".isNull).count() == 1)
   }
 
+  test("incremental semantic dedup: corpus hits drop (history wins), in-batch min-id survives") {
+    import spark.implicits._
+    val corpus = emb.filter($"vec_id" < 100).select($"vec_id", $"embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-semidx").toString
+    Similarity.saveSemanticIndex(spark, corpus, "vec_id", "embedding",
+      dim = 64, path = s"$dir/idx", nlist = 4)
+    val fresh = emb.filter($"vec_id" >= 100 && $"vec_id" < 150)
+      .select($"vec_id", $"embedding")
+    // copies of INDEXED vectors (new ids) and an in-batch duplicate pair
+    val corpusCopies = corpus.filter($"vec_id" % 7 === 0)
+      .select(($"vec_id" + 500000L).as("vec_id"), $"embedding")
+    val freshDup = fresh.filter($"vec_id" === 120)
+      .select(($"vec_id" + 600000L).as("vec_id"), $"embedding")
+    val batch = fresh.unionByName(corpusCopies).unionByName(freshDup)
+    val kept = Similarity.semanticDedupAgainstCorpus(batch, "vec_id", "embedding",
+        threshold = 0.999, dim = 64, s"$dir/idx")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // history wins: every copy of an indexed vector drops
+    assert(kept.intersect(corpusCopies.select("vec_id").collect()
+      .map(_.getLong(0)).toSet).isEmpty, "indexed copies must drop")
+    // in-batch duplicate: the min id (120) survives, the copy drops
+    assert(kept.contains(120L) && !kept.contains(600120L))
+    // naturally-distinct fresh rows survive (corpus max cosine ≈ 0.51)
+    assert(fresh.select("vec_id").collect().map(_.getLong(0))
+      .forall(kept.contains))
+    // deterministic
+    val kept2 = Similarity.semanticDedupAgainstCorpus(batch, "vec_id", "embedding",
+        threshold = 0.999, dim = 64, s"$dir/idx")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == kept)
+    // a non-index path fails by name
+    spark.range(2).selectExpr("id as x").write.parquet(s"$dir/bad/centroids")
+    intercept[IllegalArgumentException](
+      Similarity.semanticDedupAgainstCorpus(batch, "vec_id", "embedding",
+        0.999, 64, s"$dir/bad").count())
+  }
+
   test("semantic dedup: a 2000-copy identical-embedding class collapses before banding") {
     import spark.implicits._
     // the web-scale duplicate shape: one boilerplate doc embedded m
