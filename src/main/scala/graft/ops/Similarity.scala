@@ -674,7 +674,32 @@ object Similarity {
       .select(col("__cl").as("cluster"), col("__v").as("vec"),
         col("__rep").as("rep"),
         hyperplaneSignature(col("__v"), dim, numBits).as("sig"))
-      .write.mode("overwrite").parquet(s"$path/classes")
+      .write.mode("overwrite").parquet(s"$path/classes/batch=seed")
+    // (classes live under a batch= partition so streaming ingestion can
+    // append per-micro-batch class directories next to the seed)
+  }
+
+  /** The distinct-class frame of `df` under FIXED centroids — what
+    * streaming ingestion appends to a semantic index per admitted
+    * batch. */
+  private[graft] def semanticClassesOf(df: DataFrame, idCol: String,
+      vecCol: String, dim: Int, cents: Seq[Seq[Double]],
+      numBits: Int): DataFrame =
+    df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        element_at(graft.functions.CentroidKernels.nearestCentroids(
+          col(vecCol), cents, 1), 1).as("__cl"))
+      .groupBy(col("__cl"), col("__v")).agg(min(col("__id")).as("__rep"))
+      .select(col("__cl").as("cluster"), col("__v").as("vec"),
+        col("__rep").as("rep"),
+        hyperplaneSignature(col("__v"), dim, numBits).as("sig"))
+
+  /** Load a [[saveSemanticIndex]] centroid table. */
+  private[graft] def loadSemanticCentroids(
+      spark: org.apache.spark.sql.SparkSession, path: String): Seq[Seq[Double]] = {
+    val centsDf = spark.read.parquet(s"$path/centroids")
+    require(centsDf.columns.toSeq.sorted == Seq("centroid", "list_id"),
+      s"$path is not a semantic index (no centroids table)")
+    centsDf.orderBy("list_id").collect().map(_.getSeq[Double](1).toSeq).toSeq
   }
 
   /** Dedup a new batch against a [[saveSemanticIndex]] corpus index PLUS
@@ -698,16 +723,30 @@ object Similarity {
       numBits: Int = 64,
       bands: Int = 8
   ): DataFrame = {
+    val spark = batch.sparkSession
+    val cents = loadSemanticCentroids(spark, indexPath)
+    val idxClasses = spark.read.parquet(s"$indexPath/classes")
+    semanticDedupAgainstClasses(batch, idCol, vecCol, threshold, dim,
+      cents, idxClasses, numBits, bands)
+  }
+
+  /** [[semanticDedupAgainstCorpus]] with the index state already in hand
+    * — the streaming-ingest entry point (each micro-batch must exclude
+    * its own replayed classes before probing). */
+  private[graft] def semanticDedupAgainstClasses(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      dim: Int,
+      cents: Seq[Seq[Double]],
+      idxClasses: DataFrame,
+      numBits: Int,
+      bands: Int
+  ): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"semanticDedupAgainstCorpus: threshold must be in (0, 1], got $threshold")
     require(numBits % bands == 0, "bands must divide numBits")
-    val spark = batch.sparkSession
-    val centsDf = spark.read.parquet(s"$indexPath/centroids")
-    require(centsDf.columns.toSeq.sorted == Seq("centroid", "list_id"),
-      s"$indexPath is not a semantic index (no centroids table)")
-    val cents: Seq[Seq[Double]] = centsDf.orderBy("list_id")
-      .collect().map(_.getSeq[Double](1).toSeq).toSeq
-    val idxClasses = spark.read.parquet(s"$indexPath/classes")
     val width = numBits / bands
     def bandKeys(sig: Column): Column =
       posexplode(array((0 until bands).map(c =>

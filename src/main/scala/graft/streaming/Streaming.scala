@@ -333,6 +333,59 @@ object Streaming {
       }
       .start()
 
+  /** Continuous SEMANTIC dedup ingestion — the embedding sibling of
+    * [[nearDupIngest]]/[[passageIngest]], completing the incremental
+    * trio across modalities: each micro-batch is deduped against the
+    * persisted semantic index (in-batch min-id rule + cluster-scoped
+    * band probe of the distinct-embedding classes; HISTORY WINS), the
+    * survivors append to `corpusDir` and THEIR classes to the index, so
+    * batch N+1 — and every restart, and the daily batch jobs sharing
+    * the index — sees everything batch N admitted.
+    *
+    * The index MUST be seeded by
+    * [[graft.ops.Similarity.saveSemanticIndex]] first: the centroids
+    * are the fixed cluster geometry (retraining them per batch would
+    * silently re-scope every historical class), trained in batch on the
+    * initial corpus — the batch-train → stream-ingest contract the
+    * model artifacts follow. History lives in the one-row-per-distinct-
+    * embedding class table, not in watermark state; per-batch overwrite
+    * sinks make replays idempotent (a replayed batch excludes its own
+    * crashed write by partition value before probing). */
+  def semanticIngest(
+      incoming: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      dim: Int,
+      corpusDir: String,
+      indexDir: String,
+      checkpointDir: String,
+      numBits: Int = 64,
+      bands: Int = 8
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val cents = graft.ops.Similarity.loadSemanticCentroids(s, indexDir)
+        // stream batches write under batch=b<N> next to batch=seed; the
+        // partition column is therefore string-typed and a replayed
+        // batch excludes its own crashed write by value
+        val classes = s.read.parquet(s"$indexDir/classes")
+          .filter(col("batch") =!= s"b$batchId")
+          .select("cluster", "vec", "rep", "sig")
+        val kept = graft.ops.Similarity.semanticDedupAgainstClasses(
+          batch, idCol, vecCol, threshold, dim, cents, classes,
+          numBits, bands).persist()
+        try {
+          kept.write.mode("overwrite").parquet(s"$corpusDir/batch=b$batchId")
+          graft.ops.Similarity.semanticClassesOf(kept, idCol, vecCol, dim,
+              cents, numBits)
+            .write.mode("overwrite").parquet(s"$indexDir/classes/batch=b$batchId")
+        } finally kept.unpersist()
+      }
+      .start()
+
   /** Per-batch data profile — the ingest-side drift monitor: every
     * micro-batch runs the SAME single-pass stats aggregate the batch
     * `profile` key runs (graft.ops.Relational.profile — one row per

@@ -965,6 +965,55 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("semanticIngest: batches dedup against the seeded index and each other; restart keeps history") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // one-hot pattern vectors: identical pattern = identical vector
+    // (cos 1), distinct patterns orthogonal (cos 0 < τ)
+    def v(p: Int): Seq[Double] = (0 until 8).map(d => if (d == p) 1.0 else 0.0)
+    val base = java.nio.file.Files.createTempDirectory("graft_semin").toString
+    // seed: batch-trained index over patterns 0 and 1
+    graft.ops.Similarity.saveSemanticIndex(spark,
+      Seq((0L, v(0)), (1L, v(1))).toDF("vec_id", "emb"),
+      "vec_id", "emb", dim = 8, path = s"$base/idx", nlist = 2)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    def start() = Streaming.semanticIngest(
+      mem.toDF.toDF("vec_id", "emb"), "vec_id", "emb",
+      threshold = 0.9, dim = 8, s"$base/corpus", s"$base/idx", s"$base/ckpt")
+    val q = start()
+    try {
+      mem.addData((10L, v(2)), (11L, v(0))) // 11 duplicates the SEED corpus
+      q.processAllAvailable()
+      val first = spark.read.parquet(s"$base/corpus")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(first == Set(10L), s"11 must drop against the seed: $first")
+      mem.addData(
+        (20L, v(2)), // duplicates batch-1-ADMITTED 10 → dropped
+        (21L, v(3)), // fresh
+        (22L, v(3))) // in-batch dup of 21 → min-id wins
+      q.processAllAvailable()
+      val ids = spark.read.parquet(s"$base/corpus")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(10L, 21L),
+        s"20 drops vs history, 22 drops in-batch: got $ids")
+      q.stop()
+      // restart on the same dirs: history carries (it lives in the index)
+      val q2 = start()
+      try {
+        mem.addData((30L, v(3)), (31L, v(4)))
+        q2.processAllAvailable()
+        val after = spark.read.parquet(s"$base/corpus")
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        assert(after == Set(10L, 21L, 31L),
+          s"30 must dedup against pre-restart history: got $after")
+      } finally q2.stop()
+      // the index stays one row per DISTINCT admitted embedding + seed
+      val classes = spark.read.parquet(s"$base/idx/classes")
+      assert(classes.count() == 2 + 3, "seed 2 + one class per admitted vector")
+    } finally q.stop()
+  }
+
   test("predict_model config key runs on a stream: artifact-loaded argmax, stream == batch") {
     import graft.ops.Corpus
     graft.functions.Registry.registerAll(spark)
