@@ -85,6 +85,9 @@ object Compiler {
         node.predictModel.toSeq.map(_.textCol) ++
         node.bpe.toSeq.map(_.textCol) ++
         node.cmsProbe.toSeq.map(_.keyCol) ++
+        node.dsir.toSeq.flatMap(d =>
+          Seq(d.textCol) ++ (if (d.idCol.nonEmpty) Seq(d.idCol) else Nil)) ++
+        node.dsirScore.toSeq.map(_.textCol) ++
         node.split.toSeq.map(_.idCol) ++
         node.temperatureSample.toSeq.flatMap(t => Seq(t.groupCol, t.idCol)) ++
         node.globalShuffle.toSeq.map(_.idCol) ++
@@ -468,6 +471,34 @@ object Compiler {
       val models = graft.ops.Corpus.loadMulticlassClassifier(spark, pmSpec.modelDir)
       df = graft.ops.Corpus.predictMulticlass(
         df, pmSpec.textCol, models, pmSpec.predCol, pmSpec.keepScores)
+    }
+
+    // DSIR importance weighting/resampling: the fit joins this frame
+    // against the exemplar corpus named by target_ref (two count
+    // aggregates — batch-only by name); scoring is scan-stage kernel
+    // arithmetic over the fitted log-ratio table.
+    node.dsir.foreach { d =>
+      requireBatch("dsir")
+      val target = refs.getOrElse(d.targetRef, throw new IllegalArgumentException(
+        s"node ${node.id}: dsir.target_ref '${d.targetRef}' is not a def — " +
+          "declare the exemplar corpus under top-level defs" +
+          (if (refs.isEmpty) "" else s" (defined: ${refs.keys.mkString(", ")})")))
+      val model = graft.ops.Corpus.dsirFit(df, target, d.textCol, d.buckets)
+      if (d.saveModel.nonEmpty)
+        graft.ops.Corpus.saveDsirModel(spark, model, d.saveModel)
+      val scored = graft.ops.Corpus.dsirScore(df, d.textCol, model)
+      df = d.mode match {
+        case "select" =>
+          graft.ops.Corpus.dsirResample(scored, d.idCol, d.n, d.seed, d.gumbel)
+        case _ => scored
+      }
+    }
+
+    // Artifact-loaded DSIR scoring: the log-ratio table loads ONCE at
+    // compile (bounded metadata) — scan-stage, streaming-admissible.
+    node.dsirScore.foreach { m =>
+      val model = graft.ops.Corpus.loadDsirModel(spark, m.modelDir)
+      df = graft.ops.Corpus.dsirScore(df, m.textCol, model)
     }
 
     // Deterministic split: adds the bucket-name column (scan-stage

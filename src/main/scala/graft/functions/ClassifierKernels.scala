@@ -171,7 +171,131 @@ case class BucketWeight(child: Expression, weights: Seq[Double])
   override def prettyName: String = "bucket_weight"
 }
 
+/** Unigram + bigram hashed buckets — the DSIR feature space (Xie et al.
+  * 2023, "Data Selection for Language Models via Importance Resampling"):
+  * every whitespace token hashes by the portable Horner (the
+  * hashed_buckets arithmetic), every ADJACENT PAIR by one more Horner
+  * step over the two token hashes ((h₁·31 + h₂) mod 1e9+7 — the
+  * fingerprint_portable combiner), both taken mod `dim`. Output order is
+  * all unigram buckets in token order, then all bigram buckets in token
+  * order — a DEFINED order, so a margin folded over it reproduces
+  * bit-for-bit in an oracle's in-order list_reduce. Pure integer
+  * arithmetic end to end: DuckDB respells it exactly. */
+object NgramBucketOps {
+  private final val M = 1000000007L
+
+  def compute(u: UTF8String, dim: Int): ArrayData = {
+    val s = u.toString
+    val hs = new scala.collection.mutable.ArrayBuffer[Long](32)
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      if (TextKernelOps.isWs(s.charAt(i))) i += 1
+      else {
+        var h = 7L
+        while (i < len && !TextKernelOps.isWs(s.charAt(i))) {
+          val cp = s.codePointAt(i)
+          h = (h * 131L + cp) % M
+          i += Character.charCount(cp)
+        }
+        hs += h
+      }
+    }
+    val k = hs.length
+    val out = new Array[Int](if (k >= 2) 2 * k - 1 else k)
+    var j = 0
+    while (j < k) { out(j) = (hs(j) % dim).toInt; j += 1 }
+    j = 0
+    while (j < k - 1) {
+      out(k + j) = (((hs(j) * 31L + hs(j + 1)) % M) % dim).toInt
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class HashedNgramBuckets(child: Expression, dim: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if dim >= 1 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"ngram_buckets dim must be >= 1, got $dim")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ngram_buckets expects string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NgramBucketOps.compute(input.asInstanceOf[UTF8String], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NgramBucketOps.compute($c, $dim)")
+
+  override protected def withNewChildInternal(newChild: Expression): HashedNgramBuckets =
+    copy(child = newChild)
+
+  override def prettyName: String = "ngram_buckets"
+}
+
+object BucketMarginOps {
+  /** margin = Σ_j w[b_j], summed in ARRAY ORDER (oracle in-order fold
+    * reproduces the double exactly); empty array → 0.0; out-of-range
+    * buckets contribute 0 (dim mismatch degrades, never throws). */
+  def compute(buckets: ArrayData, w: Array[Double]): Double = {
+    val n = buckets.numElements()
+    var acc = 0.0
+    var j = 0
+    while (j < n) {
+      val b = buckets.getInt(j)
+      if (b >= 0 && b < w.length) acc += w(b)
+      j += 1
+    }
+    acc
+  }
+}
+
+/** Raw linear margin (no link function) over a bucket array with
+  * plan-time weights as a codegen reference object — the DSIR
+  * log-importance-weight scorer: logw(doc) = Σ_features lr[bucket].
+  * Sibling of [[LinearBucketScore]] minus the sigmoid. */
+case class BucketWeightSum(child: Expression, weights: Seq[Double])
+    extends UnaryExpression {
+
+  @transient private lazy val wArr: Array[Double] = weights.toArray
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bucket_weight_sum expects array<int> (ngram_buckets output), got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    BucketMarginOps.compute(input.asInstanceOf[ArrayData], wArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("weights", wArr, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.BucketMarginOps.compute($c, $wRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BucketWeightSum =
+    copy(child = newChild)
+
+  override def prettyName: String = "bucket_weight_sum"
+}
+
 object ClassifierKernels {
+  def hashedNgramBuckets(text: Column, dim: Int): Column =
+    GraftColumnBridge.column(
+      HashedNgramBuckets(GraftColumnBridge.expression(text), dim))
+
+  def bucketWeightSum(buckets: Column, weights: Array[Double]): Column =
+    GraftColumnBridge.column(BucketWeightSum(
+      GraftColumnBridge.expression(buckets), weights.toSeq))
+
   def hashedTokenBuckets(text: Column, dim: Int): Column =
     GraftColumnBridge.column(
       HashedTokenBuckets(GraftColumnBridge.expression(text), dim))

@@ -946,4 +946,196 @@ object Corpus {
       .select(col(idCol), col("score"),
         (col("score") >= threshold).as("pred"))
   }
+
+  // --------------------------------------------------------------------
+  // DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+  // pick raw-corpus documents whose hashed-n-gram distribution looks
+  // like a TARGET corpus. The missing tier between the heuristic
+  // filters (gopher/C4/quality) and full model-based scoring: no labels
+  // needed, just an exemplar corpus of "data like this, please".
+  // --------------------------------------------------------------------
+
+  /** A fitted DSIR importance model: per-bucket log-likelihood ratios
+    * ln p_target(b) − ln p_raw(b) over the hashed unigram+bigram feature
+    * space (see [[graft.functions.NgramBucketOps]]), Laplace-smoothed
+    * (+1 per bucket) so unseen buckets stay finite. `logRatios` is
+    * bounded metadata (≤ 2²⁰ doubles — the classifier-weights budget),
+    * each entry rounded to 9 dp so both the fit and every downstream
+    * score are engine-reproducible (the lmPerplexity libm posture). */
+  final case class DsirModel(
+      buckets: Int,
+      logRatios: Array[Double],
+      targetFeats: Long,
+      rawFeats: Long)
+
+  private def round9(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Fit the DSIR bag-of-hashed-ngrams importance model: one
+    * explode+count aggregate per corpus (map-side combine collapses each
+    * partition to ≤ `buckets` rows, so shuffle bytes are
+    * vocabulary-shaped regardless of corpus size), counts collected as
+    * bounded metadata, log-ratios computed driver-side from exact
+    * integer counts. Two corpus scans total; nothing else moves. */
+  def dsirFit(
+      raw: DataFrame,
+      target: DataFrame,
+      textCol: String,
+      buckets: Int = 8192
+  ): DsirModel = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"dsirFit: buckets must be in [2, 2^20], got $buckets")
+    def bucketCounts(df: DataFrame): Array[Long] = {
+      val rows = df
+        .select(explode(graft.functions.ClassifierKernels
+          .hashedNgramBuckets(col(textCol), buckets)).as("__b"))
+        .groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+        .collect()
+      val a = new Array[Long](buckets)
+      rows.foreach(r => a(r.getInt(0)) = r.getLong(1))
+      a
+    }
+    val ct = bucketCounts(target)
+    val cr = bucketCounts(raw)
+    val tt = ct.sum
+    val tr = cr.sum
+    val lr = Array.tabulate(buckets) { b =>
+      round9(math.log((ct(b) + 1.0) / (tt + buckets.toDouble)) -
+        math.log((cr(b) + 1.0) / (tr + buckets.toDouble)))
+    }
+    DsirModel(buckets, lr, tt, tr)
+  }
+
+  /** Score a frame with a fitted model: per-doc log importance weight
+    * logw = Σ_features lr[bucket], folded IN FEATURE ORDER by one
+    * codegen kernel call per row (weights ride as a codegen reference
+    * object — zero plan literals at any dim, zero shuffles, streaming-
+    * admissible). Adds (nFeatsCol, logwCol [6 dp]); a doc with no
+    * tokens scores 0. */
+  def dsirScore(
+      df: DataFrame,
+      textCol: String,
+      model: DsirModel,
+      logwCol: String = "dsir_logw",
+      nFeatsCol: String = "n_feats"
+  ): DataFrame = {
+    val feats = graft.functions.ClassifierKernels
+      .hashedNgramBuckets(col(textCol), model.buckets)
+    df.withColumn(nFeatsCol, size(feats))
+      .withColumn(logwCol, round(graft.functions.ClassifierKernels
+        .bucketWeightSum(feats, model.logRatios), 6))
+  }
+
+  /** Fit-and-score: importance weights for every `raw` row against the
+    * `target` exemplar corpus. Batch-only (the fit needs two count
+    * actions); the returned frame adds (n_feats, dsir_logw). */
+  def dsirWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      textCol: String,
+      buckets: Int = 8192
+  ): DataFrame =
+    dsirScore(raw, textCol, dsirFit(raw, target, textCol, buckets))
+
+  /** Gumbel-top-k importance RESAMPLING — the selection half of DSIR:
+    * keep the `n` rows with the largest `logw + Gumbel(0,1)` key, which
+    * samples WITHOUT replacement with probability ∝ exp(logw) (the
+    * Gumbel-max trick), so selection is diverse rather than a hard
+    * argmax of near-duplicate top-weight docs. `gumbel = false` degrades
+    * to deterministic top-n by weight.
+    *
+    * The noise is a deterministic function of (id, seed): u = (h+1)/(P+1)
+    * with h the portable multiplicative hash over the 1e9+7 space
+    * (globalShuffle's arithmetic — string ids via the fingerprint
+    * kernel), g = −ln(−ln u). Replay-stable, retry-stable, and exactly
+    * oracle-checkable; different seeds give independent draws.
+    *
+    * Scale: the key is scan-stage arithmetic; selection is
+    * `orderBy(key).limit(n)` → TakeOrdered (per-partition top-n, driver
+    * merge of n·partitions keys — right up to n ~ 10⁶; for larger n,
+    * take the [[dsirScore]] frame and threshold on a quantile of the
+    * key instead of ranking). */
+  def dsirSelect(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      buckets: Int = 8192,
+      seed: Long = 0L,
+      gumbel: Boolean = true
+  ): DataFrame = {
+    dsirResample(dsirWeights(raw, target, textCol, buckets),
+      idCol, n, seed, gumbel)
+  }
+
+  /** The selection half of [[dsirSelect]] over an ALREADY-scored frame
+    * (a `dsir_logw` column from [[dsirScore]]) — what the `dsir` config
+    * key's select mode composes after its fit. */
+  def dsirResample(
+      scored: DataFrame,
+      idCol: String,
+      n: Int,
+      seed: Long = 0L,
+      gumbel: Boolean = true
+  ): DataFrame = {
+    require(n >= 1, s"dsirResample: n must be >= 1, got $n")
+    require(seed >= 0 && seed < ShufflePrime,
+      s"dsirResample: seed must be in [0, $ShufflePrime), got $seed")
+    val keyed =
+      if (!gumbel) scored.withColumn("__dsk", col("dsir_logw"))
+      else {
+        import org.apache.spark.sql.types._
+        val base: Column = scored.schema(idCol).dataType match {
+          case ByteType | ShortType | IntegerType | LongType =>
+            col(idCol).cast("long")
+          case StringType =>
+            graft.functions.TextKernels.portableFingerprint(col(idCol))
+          case t => throw new IllegalArgumentException(
+            s"dsirResample: id column '$idCol' has type ${t.simpleString}; " +
+              "only integral and string ids hash deterministically")
+        }
+        val p = lit(ShufflePrime)
+        // seed ADDS BEFORE the multiplicative scramble: (id·A + seed)
+        // would only translate every hash by a constant, leaving the
+        // Gumbel-key ORDER (what top-k reads) essentially unchanged
+        // across seeds; ((id + seed)·A) mod P re-scrambles it
+        val h = pmod(pmod(base + lit(seed), p) * lit(SplitMultiplier), p)
+        val u = (h.cast("double") + lit(1.0)) / lit(ShufflePrime + 1.0)
+        scored.withColumn("__dsk",
+          round(col("dsir_logw") + -log(-log(u)), 6))
+      }
+    keyed.orderBy(col("__dsk").desc, col(idCol).asc).limit(n).drop("__dsk")
+  }
+
+  /** Persist a fitted DSIR model as a sparse parquet weight table —
+    * (bucket, weight) rows plus bucket −2 carrying the dim (the
+    * saveTextClassifier artifact convention). Batch-fit → stream-score:
+    * load in the streaming job and apply [[dsirScore]] (stateless
+    * kernel, no aggregate ever touches the stream). */
+  def saveDsirModel(spark: org.apache.spark.sql.SparkSession,
+      model: DsirModel, path: String): Unit = {
+    import spark.implicits._
+    val rows = Seq((-2, model.buckets.toDouble)) ++
+      model.logRatios.zipWithIndex.collect {
+        case (w, b) if w != 0.0 => (b, w)
+      }
+    rows.toDF("bucket", "weight").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveDsirModel]] artifact (feature totals are a fit trace,
+    * not part of the scoring model — restored as 0). */
+  def loadDsirModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): DsirModel = {
+    val rows = spark.read.parquet(path)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val dim = rows.getOrElse(-2,
+      throw new IllegalArgumentException(
+        s"$path is not a DSIR artifact (no dim row)")).toInt
+    val w = new Array[Double](dim)
+    rows.foreach { case (b, v) => if (b >= 0 && b < dim) w(b) = v }
+    DsirModel(dim, w, 0L, 0L)
+  }
 }

@@ -1007,6 +1007,106 @@ object CorpusQueries extends QueryPack {
     Q("q173_curation_flagship", q173, Some(q173Sql)),
     Q("q180_multiclass_langid", q180, Some(q180Sql)),
     Q("q181_config_multiclass", q181, Some(q181Sql)),
-    Q("q182_predict_model_artifact", q182, Some(q180Sql))
+    Q("q182_predict_model_artifact", q182, Some(q180Sql)),
+    Q("q184_dsir_weights", q184, Some(q184Sql)),
+    Q("q185_config_dsir_select", q185, Some(q185Sql))
   )
+
+  // q184 — DSIR importance weights (Xie et al. 2023), exactly mirrored:
+  // target = the even-id English slice, raw = the whole corpus, hashed
+  // unigram+bigram features over 64 buckets. The oracle recomputes the
+  // ENTIRE model — both bucket-count tables, the smoothed log-ratio
+  // vector (9 dp), and every document's in-order margin fold (6 dp) —
+  // so a regression anywhere in fit OR scoring fails the hash gate.
+  private val dsirB = 64
+  /** Shared CTE prefix: toks → per-token Horner hashes → unigram+bigram
+    * buckets (the NgramBucketOps order: unigrams then bigrams), then
+    * target/raw counts, totals, and the 9-dp log-ratio list `lrl.l`. */
+  private val dsirCte = s"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS t
+      FROM documents),
+    hs AS (
+      SELECT doc_id, lang,
+             list_transform(t, tok ->
+               list_reduce(
+                 list_prepend(CAST(7 AS BIGINT),
+                   list_transform(range(1, len(tok) + 1),
+                     i -> CAST(ascii(tok[i]) AS BIGINT))),
+                 (a, c) -> (a * 131 + c) % 1000000007)) AS th
+      FROM toks),
+    feats AS (
+      SELECT doc_id, lang,
+             list_transform(th, h -> CAST(h % $dsirB AS INT))
+             || list_transform(range(1, len(th)),
+                  i -> CAST(((th[i] * 31 + th[i + 1]) % 1000000007) % $dsirB AS INT)) AS bs
+      FROM hs),
+    tc AS (
+      SELECT b, COUNT(*) AS c FROM (
+        SELECT unnest(bs) AS b FROM feats
+        WHERE lang = 'en' AND doc_id % 2 = 0) GROUP BY b),
+    rc AS (
+      SELECT b, COUNT(*) AS c FROM (
+        SELECT unnest(bs) AS b FROM feats) GROUP BY b),
+    tot AS (
+      SELECT (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM tc) AS tt,
+             (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM rc) AS tr),
+    lrl AS (
+      SELECT list(ROUND(ln((COALESCE(tc.c, 0) + 1.0) / (tot.tt + $dsirB.0))
+                  - ln((COALESCE(rc.c, 0) + 1.0) / (tot.tr + $dsirB.0)), 9)
+                  ORDER BY g.b) AS l
+      FROM range($dsirB) AS g(b)
+      CROSS JOIN tot
+      LEFT JOIN tc ON tc.b = g.b
+      LEFT JOIN rc ON rc.b = g.b),
+    w AS (
+      SELECT f.doc_id, CAST(len(f.bs) AS INT) AS n_feats,
+             ROUND(list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(f.bs, bb -> lrl.l[bb + 1])),
+               (a, x) -> a + x), 6) AS dsir_logw
+      FROM feats f CROSS JOIN lrl)"""
+  private def q184(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Corpus.dsirWeights(
+        d.select("doc_id", "text"),
+        d.filter(col("lang") === "en" && col("doc_id") % 2 === 0).select("text"),
+        "text", buckets = dsirB)
+      .select("doc_id", "n_feats", "dsir_logw")
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+  private val q184Sql = s"""$dsirCte
+    SELECT doc_id, n_feats, dsir_logw
+    FROM w ORDER BY doc_id ASC NULLS FIRST"""
+
+  // q185 — DSIR Gumbel-top-k RESAMPLING from PURE JSON (defs name the
+  // exemplar corpus; the dsir key fits against it and keeps the top-40
+  // by logw + Gumbel(0,1) with deterministic portable-hash noise). The
+  // oracle replays the q184 model AND the noise arithmetic, so both the
+  // selection set and every carried weight are hash-gated.
+  private def q185(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    graft.compile.Compiler.compileJson(s, s"""
+      {"defs": [{"id": "tgt", "source": {"table": "documents"},
+                 "filters": ["lang = 'en'", "doc_id % 2 = 0"],
+                 "keep_columns": ["doc_id", "text"]}],
+       "source": {"table": "documents"},
+       "keep_columns": ["doc_id", "text"],
+       "dsir": {"target_ref": "tgt", "text_col": "text", "id_col": "doc_id",
+                "buckets": $dsirB, "mode": "select", "n": 40, "seed": 7},
+       "drop": ["text"],
+       "order_by": ["doc_id asc"]}""")
+  }
+  private val q185Sql = s"""$dsirCte,
+    sel AS (
+      SELECT doc_id, n_feats, dsir_logw,
+             ROUND(dsir_logw + -ln(-ln(
+               (CAST((((doc_id + 7) % 1000000007 + 1000000007) % 1000000007
+                      * 2654435761) % 1000000007 AS DOUBLE) + 1.0)
+               / 1000000008.0)), 6) AS k
+      FROM w)
+    SELECT doc_id, n_feats, dsir_logw
+    FROM (SELECT * FROM sel ORDER BY k DESC, doc_id ASC LIMIT 40)
+    ORDER BY doc_id ASC NULLS FIRST"""
 }

@@ -410,6 +410,36 @@ object JsonCodec {
         seed = opt(d, "seed").map(_.asInt).getOrElse(42))
     }
 
+    val dsirSpec = optN("dsir").map { d =>
+      val ctx = s"node $id: dsir"
+      val mode = opt(d, "mode").map(_.asText).map {
+        case m @ ("weights" | "select") => m
+        case other => throw new IllegalArgumentException(
+          s"""$ctx: mode must be "weights" or "select" — got "$other"""")
+      }.getOrElse("weights")
+      val spec = DsirSpec(
+        targetRef = req(d, ctx, "target_ref", "targetRef").asText,
+        textCol = req(d, ctx, "text_col", "textCol").asText,
+        idCol = opt(d, "id_col", "idCol").map(_.asText).getOrElse(""),
+        buckets = opt(d, "buckets").map(_.asInt).getOrElse(8192),
+        mode = mode,
+        n = opt(d, "n").map(_.asInt).getOrElse(0),
+        seed = opt(d, "seed").map(_.asLong).getOrElse(0L),
+        gumbel = opt(d, "gumbel").forall(_.asBoolean(true)),
+        saveModel = opt(d, "save_model", "saveModel").map(_.asText).getOrElse(""))
+      if (spec.mode == "select") {
+        require(spec.n >= 1, s"$ctx: select mode needs n >= 1")
+        require(spec.idCol.nonEmpty, s"$ctx: select mode needs id_col")
+      }
+      spec
+    }
+
+    val dsirScoreSpec = optN("dsir_score", "dsirScore").map { d =>
+      DsirScoreSpec(
+        modelDir = req(d, s"node $id: dsir_score", "model_dir", "modelDir").asText,
+        textCol = req(d, s"node $id: dsir_score", "text_col", "textCol").asText)
+    }
+
     val sp = optN("split").map { d =>
       val bucketsNode = req(d, s"node $id: split", "buckets")
       require(bucketsNode.isArray && bucketsNode.size() > 0,
@@ -558,6 +588,8 @@ object JsonCodec {
       bpeApply = ba,
       nearDupProbe = ndp,
       cmsProbe = cms,
+      dsir = dsirSpec,
+      dsirScore = dsirScoreSpec,
       split = sp,
       temperatureSample = ts,
       globalShuffle = gs,

@@ -446,6 +446,36 @@ final case class GlobalShuffleSpec(
     seed: Long = 0L
 )
 
+/** DSIR importance weighting / resampling (NS; Corpus.dsirWeights /
+  * dsirSelect — Xie et al. 2023): score every row of this node's frame
+  * by how target-like its hashed unigram+bigram distribution is,
+  * against the exemplar corpus named by `targetRef` (a top-level def).
+  * mode = "weights" adds (n_feats, dsir_logw); mode = "select" keeps
+  * the Gumbel-top-`n` resample (`gumbel: false` = hard top-n by
+  * weight). `saveModel` optionally persists the fitted log-ratio table
+  * (the batch-fit → stream-score artifact). Batch-only (the fit is two
+  * count aggregates); the scoring itself is scan-stage. */
+final case class DsirSpec(
+    targetRef: String,
+    textCol: String,
+    idCol: String = "",
+    buckets: Int = 8192,
+    mode: String = "weights", // weights | select
+    n: Int = 0,
+    seed: Long = 0L,
+    gumbel: Boolean = true,
+    saveModel: String = ""
+)
+
+/** Artifact-loaded DSIR scoring (NS; Corpus.loadDsirModel + dsirScore):
+  * the streaming-admissible inference half — the log-ratio table loads
+  * ONCE at compile (bounded metadata), scoring is one codegen kernel
+  * call per row. */
+final case class DsirScoreSpec(
+    modelDir: String,
+    textCol: String
+)
+
 /** Per-column data-quality profile (NS; Relational.profile): the frame
   * becomes one row per profiled column — (col_name, n_rows, n_nulls,
   * n_distinct, min_value, max_value), min/max as strings. One aggregate
@@ -690,6 +720,8 @@ final case class NodeSpec(
     bpeApply: Option[BpeApplySpec] = None, // after keep, before aggregate
     nearDupProbe: Option[NearDupProbeSpec] = None, // after keep, before aggregate
     cmsProbe: Option[CmsProbeSpec] = None, // after keep, before aggregate
+    dsir: Option[DsirSpec] = None, // after keep, before aggregate
+    dsirScore: Option[DsirScoreSpec] = None, // after keep, before aggregate
     split: Option[SplitSpec] = None, // after keep, before aggregate
     temperatureSample: Option[TemperatureSampleSpec] = None, // after split
     globalShuffle: Option[GlobalShuffleSpec] = None, // after temperature_sample

@@ -751,4 +751,90 @@ class CorpusSpec extends SparkSpec {
         df.filter(col("id") < 0), "id", "txt", "label")
     }
   }
+
+  // ---- DSIR importance resampling ----------------------------------------
+
+  private def dsirFixture = {
+    // raw = a mixture of "science" docs (target-like) and "spam" docs;
+    // target = pure science exemplars with disjoint ids
+    val sci = (1L to 30L).map(i =>
+      (i, s"quantum field theory lecture $i covers gauge symmetry"))
+    val spam = (31L to 60L).map(i =>
+      (i, s"buy cheap pills now discount offer $i click here"))
+    val raw = (sci ++ spam).toDF("id", "txt")
+    val target = (101L to 120L).map(i =>
+      (i, s"gauge symmetry in quantum field theory seminar $i")).toDF("id", "txt")
+    (raw, target)
+  }
+
+  test("dsir: target-like docs outweigh off-target docs, fit is deterministic") {
+    val (raw, target) = dsirFixture
+    val m1 = Corpus.dsirFit(raw, target, "txt", buckets = 256)
+    val m2 = Corpus.dsirFit(raw, target, "txt", buckets = 256)
+    assert(m1.logRatios.sameElements(m2.logRatios), "fit must be bit-identical")
+    val w = Corpus.dsirScore(raw, "txt", m1)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("dsir_logw")).toMap
+    val sciMin = (1L to 30L).map(w).min
+    val spamMax = (31L to 60L).map(w).max
+    assert(sciMin > spamMax,
+      s"every science doc must outweigh every spam doc (sci min $sciMin, spam max $spamMax)")
+  }
+
+  test("dsir: empty/token-free docs score 0 with 0 features; n_feats = 2n-1") {
+    val (raw, target) = dsirFixture
+    val m = Corpus.dsirFit(raw, target, "txt", buckets = 64)
+    val edge = Seq((1L, ""), (2L, "   "), (3L, "one"), (4L, "one two")).toDF("id", "txt")
+    val got = Corpus.dsirScore(edge, "txt", m)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("n_feats"))).toMap
+    assert(got == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 3),
+      "unigrams + bigrams: n tokens give 2n-1 features (0 for token-free)")
+  }
+
+  test("dsir model artifact: save/load round-trips scores exactly") {
+    val (raw, target) = dsirFixture
+    val m = Corpus.dsirFit(raw, target, "txt", buckets = 128)
+    val dir = java.nio.file.Files.createTempDirectory("dsir").toString
+    Corpus.saveDsirModel(spark, m, s"$dir/model")
+    val loaded = Corpus.loadDsirModel(spark, s"$dir/model")
+    assert(loaded.buckets == 128)
+    val a = Corpus.dsirScore(raw, "txt", m).select("id", "dsir_logw").collect().toSeq
+    val b = Corpus.dsirScore(raw, "txt", loaded).select("id", "dsir_logw").collect().toSeq
+    assert(a.toSet == b.toSet, "artifact round-trip must preserve every score")
+  }
+
+  test("dsir resample: n rows; gumbel=false is hard top-n; seeds vary the draw") {
+    val (raw, target) = dsirFixture
+    val scored = Corpus.dsirWeights(raw, target, "txt", buckets = 256)
+    val hard = Corpus.dsirResample(scored, "id", n = 10, gumbel = false)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(hard.size == 10 && hard.subsetOf((1L to 30L).toSet),
+      "hard top-10 must be science docs")
+    // seed-dependence needs comparable weights (on the separable fixture
+    // the logw gap dwarfs the noise, as it should): tie every weight and
+    // the draw is pure Gumbel rank
+    val tied = (1L to 100L).map(i => (i, 0.0)).toDF("id", "dsir_logw")
+    val g1 = Corpus.dsirResample(tied, "id", n = 20, seed = 1L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val g2 = Corpus.dsirResample(tied, "id", n = 20, seed = 2L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val g1b = Corpus.dsirResample(tied, "id", n = 20, seed = 1L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(g1.size == 20 && g1 == g1b, "same seed must replay the same draw")
+    assert(g1 != g2, "different seeds should draw differently")
+  }
+
+  test("dsir: misuse is rejected by name") {
+    val (raw, target) = dsirFixture
+    intercept[IllegalArgumentException] {
+      Corpus.dsirFit(raw, target, "txt", buckets = 1)
+    }
+    val scored = Corpus.dsirWeights(raw, target, "txt", buckets = 64)
+    intercept[IllegalArgumentException] {
+      Corpus.dsirResample(scored, "id", n = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.dsirResample(scored.withColumn("fid", col("id").cast("double")),
+        "fid", n = 5)
+    }
+  }
 }
