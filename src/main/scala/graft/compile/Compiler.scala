@@ -88,6 +88,7 @@ object Compiler {
         node.dsir.toSeq.flatMap(d =>
           Seq(d.textCol) ++ (if (d.idCol.nonEmpty) Seq(d.idCol) else Nil)) ++
         node.dsirScore.toSeq.map(_.textCol) ++
+        node.pageRank.toSeq.flatMap(p => Seq(p.srcCol, p.dstCol)) ++
         node.split.toSeq.map(_.idCol) ++
         node.temperatureSample.toSeq.flatMap(t => Seq(t.groupCol, t.idCol)) ++
         node.globalShuffle.toSeq.map(_.idCol) ++
@@ -492,6 +493,13 @@ object Compiler {
           graft.ops.Corpus.dsirResample(scored, d.idCol, d.n, d.seed, d.gumbel)
         case _ => scored
       }
+    }
+
+    // PageRank over the frame as an edge list: the frame becomes
+    // (node, rank) — iterative actions, batch-only by name.
+    node.pageRank.foreach { pr =>
+      requireBatch("page_rank")
+      df = graft.ops.Graph.pageRank(df, pr.srcCol, pr.dstCol, pr.iters, pr.damping)
     }
 
     // Artifact-loaded DSIR scoring: the log-ratio table loads ONCE at

@@ -1237,6 +1237,69 @@ object TextQueries extends QueryPack {
     Q("q174_pdf_differences", q174, Some(q174Sql)),
     Q("q175_domain_blocklist", q175, Some(q175Sql)),
     Q("q178_pdf_encrypted", q178, Some(q178Sql)),
-    Q("q179_http_crawl_path", q179, Some(q179Sql))
+    Q("q179_http_crawl_path", q179, Some(q179Sql)),
+    Q("q186_host_pagerank", q186, Some(q186Sql)),
+    Q("q187_config_pagerank", q187, Some(q186Sql))
   )
+
+  // q186 — host-graph PageRank (3 damped iterations with dangling-mass
+  // redistribution), the host-authority quality prior of web curation.
+  // The host graph derives from the corpus by plain modular arithmetic
+  // (doc_id mod 12 links to (doc_id div 5) mod 12), so the oracle
+  // rebuilds the SAME edge set and then restates every iteration —
+  // per-edge 9-dp contributions summed in DECIMAL(38,12), dangling mass
+  // as a scalar, ranks re-rounded per round — an exact unrolled-CTE
+  // mirror of the whole fixed-point computation (the q156 BPE posture).
+  private def q186(s: SparkSession, dir: String): DataFrame = {
+    val e = docs(s, dir).select(
+      concat(lit("h"), col("doc_id") % 12).as("src"),
+      concat(lit("h"), expr("doc_id div 5") % 12).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    graft.ops.Graph.pageRank(e, "src", "dst", iters = 3)
+      .orderBy(col("node").asc_nulls_first)
+  }
+  private val prN = "(SELECT CAST(COUNT(*) AS DOUBLE) FROM nodes)"
+  private def prIterSql(i: Int): String = {
+    val prev = if (i == 1) "r0" else s"r${i - 1}"
+    s""",
+    c$i AS (
+      SELECT e.dst,
+             CAST(SUM(CAST(ROUND(r.r / od.od, 9) AS DECIMAL(38,12))) AS DOUBLE) AS c
+      FROM e JOIN od ON od.src = e.src JOIN $prev r ON r.node = e.src
+      GROUP BY e.dst),
+    d$i AS (
+      SELECT COALESCE(CAST(SUM(CAST(ROUND(r.r, 9) AS DECIMAL(38,12))) AS DOUBLE), 0e0) AS dm
+      FROM $prev r LEFT JOIN od ON od.src = r.node WHERE od.src IS NULL),
+    r$i AS (
+      SELECT n.node,
+             ROUND((1e0 - 0.85e0) / $prN
+               + 0.85e0 * (COALESCE(c$i.c, 0e0) + (SELECT dm FROM d$i) / $prN),
+               9) AS r
+      FROM nodes n LEFT JOIN c$i ON c$i.dst = n.node)"""
+  }
+  private val q186Sql = s"""
+    WITH e AS (
+      SELECT DISTINCT 'h' || CAST(doc_id % 12 AS VARCHAR) AS src,
+                      'h' || CAST((doc_id // 5) % 12 AS VARCHAR) AS dst
+      FROM documents
+      WHERE doc_id % 12 <> (doc_id // 5) % 12),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS od FROM e GROUP BY src),
+    r0 AS (SELECT node, ROUND(1e0 / $prN, 9) AS r FROM nodes)
+    ${prIterSql(1)}${prIterSql(2)}${prIterSql(3)}
+    SELECT node, r AS rank FROM r3 ORDER BY node ASC NULLS FIRST"""
+
+  // q187 — the same ranking from PURE JSON (page_rank node key over a
+  // derived edge list).
+  private def q187(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "documents"},
+       "derive": {"src": "concat('h', doc_id % 12)",
+                  "dst": "concat('h', (doc_id div 5) % 12)"},
+       "filters": ["src != dst"],
+       "keep_columns": ["src", "dst"],
+       "page_rank": {"src_col": "src", "dst_col": "dst", "iters": 3},
+       "order_by": ["node asc"]}""")
+  }
 }

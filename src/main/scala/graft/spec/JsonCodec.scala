@@ -434,6 +434,15 @@ object JsonCodec {
       spec
     }
 
+    val prSpec = optN("page_rank", "pageRank").map { d =>
+      val ctx = s"node $id: page_rank"
+      PageRankSpec(
+        srcCol = req(d, ctx, "src_col", "srcCol").asText,
+        dstCol = req(d, ctx, "dst_col", "dstCol").asText,
+        iters = opt(d, "iters").map(_.asInt).getOrElse(3),
+        damping = opt(d, "damping").map(_.asDouble).getOrElse(0.85))
+    }
+
     val dsirScoreSpec = optN("dsir_score", "dsirScore").map { d =>
       DsirScoreSpec(
         modelDir = req(d, s"node $id: dsir_score", "model_dir", "modelDir").asText,
@@ -589,6 +598,7 @@ object JsonCodec {
       nearDupProbe = ndp,
       cmsProbe = cms,
       dsir = dsirSpec,
+      pageRank = prSpec,
       dsirScore = dsirScoreSpec,
       split = sp,
       temperatureSample = ts,

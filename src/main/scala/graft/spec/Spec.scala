@@ -467,6 +467,18 @@ final case class DsirSpec(
     saveModel: String = ""
 )
 
+/** Damped PageRank over this node's frame read as an edge list (NS;
+  * Graph.pageRank): the frame becomes (node, rank) — the host-authority
+  * quality prior of web curation, computed with dangling-mass
+  * redistribution and 9-dp deterministic rounding. Batch-only
+  * (iterative actions). */
+final case class PageRankSpec(
+    srcCol: String,
+    dstCol: String,
+    iters: Int = 3,
+    damping: Double = 0.85
+)
+
 /** Artifact-loaded DSIR scoring (NS; Corpus.loadDsirModel + dsirScore):
   * the streaming-admissible inference half — the log-ratio table loads
   * ONCE at compile (bounded metadata), scoring is one codegen kernel
@@ -721,6 +733,7 @@ final case class NodeSpec(
     nearDupProbe: Option[NearDupProbeSpec] = None, // after keep, before aggregate
     cmsProbe: Option[CmsProbeSpec] = None, // after keep, before aggregate
     dsir: Option[DsirSpec] = None, // after keep, before aggregate
+    pageRank: Option[PageRankSpec] = None, // after keep, before aggregate
     dsirScore: Option[DsirScoreSpec] = None, // after keep, before aggregate
     split: Option[SplitSpec] = None, // after keep, before aggregate
     temperatureSample: Option[TemperatureSampleSpec] = None, // after split

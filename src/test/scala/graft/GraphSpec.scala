@@ -1,0 +1,73 @@
+package graft
+
+import graft.ops.Graph
+import org.apache.spark.sql.functions._
+
+/** Invariants for the link-graph operators beyond the q186/q187 oracles:
+  * hand-computed ranks on tiny graphs, mass conservation, dangling
+  * redistribution, determinism. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: 2-cycle is the fixed point — both nodes hold 1/2 forever") {
+    val e = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val r = Graph.pageRank(e, "src", "dst", iters = 5)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r == Map("a" -> 0.5, "b" -> 0.5))
+  }
+
+  test("pageRank: dangling mass redistributes (hand-computed a→b, one iteration)") {
+    // N=2, r0=(0.5, 0.5); b is dangling with mass 0.5:
+    //   r'(a) = 0.15/2 + 0.85·(0 + 0.25)   = 0.2875
+    //   r'(b) = 0.15/2 + 0.85·(0.5 + 0.25) = 0.7125
+    val e = Seq(("a", "b")).toDF("src", "dst")
+    val r = Graph.pageRank(e, "src", "dst", iters = 1)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r == Map("a" -> 0.2875, "b" -> 0.7125))
+  }
+
+  test("pageRank: rank mass is conserved to rounding on a mixed graph") {
+    val e = Seq(
+      ("hub", "s1"), ("s1", "hub"), ("s2", "hub"), ("s3", "hub"),
+      ("s3", "s2"), ("s4", "s1") // s4 has out, nothing in; s1 links back
+    ).toDF("src", "dst")
+    val r = Graph.pageRank(e, "src", "dst", iters = 8)
+    val total = r.agg(sum("rank")).head.getDouble(0)
+    // 5 nodes × 9-dp rounding per iteration × 8 iterations bounds the drift
+    assert(math.abs(total - 1.0) < 5 * 8 * 1e-9, s"mass drifted: $total")
+    val m = r.collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(m("hub") > m("s1") && m("s1") > m("s4"),
+      "in-degree-rich hub must outrank spokes, linked spoke must outrank unlinked")
+  }
+
+  test("pageRank: multi-edges don't double-vote; NULL endpoints drop") {
+    val e = Seq(
+      (Some("a"), Some("b")), (Some("a"), Some("b")), // duplicate edge
+      (Some("b"), Some("a")),
+      (None, Some("a")), (Some("b"), None) // null endpoints
+    ).toDF("src", "dst")
+    val r = Graph.pageRank(e, "src", "dst", iters = 4)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r == Map("a" -> 0.5, "b" -> 0.5),
+      "after dedup + null-drop this is the 2-cycle fixed point")
+  }
+
+  test("pageRank: deterministic across runs") {
+    val e = Tables.load(spark, sf, "documents").select(
+      concat(lit("h"), col("doc_id") % 7).as("src"),
+      concat(lit("h"), expr("doc_id div 3") % 7).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val a = Graph.pageRank(e, "src", "dst", iters = 3).collect().toSet
+    val b = Graph.pageRank(e, "src", "dst", iters = 3).collect().toSet
+    assert(a == b)
+  }
+
+  test("pageRank: misuse is rejected by name") {
+    val e = Seq(("a", "b")).toDF("src", "dst")
+    intercept[IllegalArgumentException] { Graph.pageRank(e, "src", "dst", iters = 0) }
+    intercept[IllegalArgumentException] { Graph.pageRank(e, "src", "dst", damping = 1.0) }
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(e.filter(lit(false)), "src", "dst")
+    }
+  }
+}
