@@ -89,6 +89,7 @@ object Compiler {
           Seq(d.textCol) ++ (if (d.idCol.nonEmpty) Seq(d.idCol) else Nil)) ++
         node.dsirScore.toSeq.map(_.textCol) ++
         node.pageRank.toSeq.flatMap(p => Seq(p.srcCol, p.dstCol)) ++
+        node.tarPack.toSeq.flatMap(t => Seq(t.nameCol, t.payloadCol)) ++
         node.split.toSeq.map(_.idCol) ++
         node.temperatureSample.toSeq.flatMap(t => Seq(t.groupCol, t.idCol)) ++
         node.globalShuffle.toSeq.map(_.idCol) ++
@@ -500,6 +501,13 @@ object Compiler {
     node.pageRank.foreach { pr =>
       requireBatch("page_rank")
       df = graft.ops.Graph.pageRank(df, pr.srcCol, pr.dstCol, pr.iters, pr.damping)
+    }
+
+    // Tar sharding: the frame becomes (shard, tar, n_members,
+    // tar_bytes). One grouped aggregate — batch or stream (a streaming
+    // compile needs an aggregate-admitting output mode downstream).
+    node.tarPack.foreach { tp =>
+      df = graft.ops.Tar.tarShards(df, tp.nameCol, tp.payloadCol, tp.shards)
     }
 
     // Artifact-loaded DSIR scoring: the log-ratio table loads ONCE at
@@ -937,11 +945,12 @@ object Compiler {
             s"streaming file source must be a directory, got file: $p " +
               "(stage the file into a directory and point the source there)")
         val r = spark.readStream.options(s.options)
-        if (s.format == "warc") {
-          // stream the crawl directory file-by-file; the record explode
-          // is the same plan as the batch path
+        if (s.format == "warc" || s.format == "tar") {
+          // stream the crawl/shard directory file-by-file; the record
+          // explode is the same plan as the batch path
           val binSchema = spark.read.format("binaryFile").load(p).schema
-          warcRows(r.schema(binSchema).format("binaryFile").load(p))
+          val files = r.schema(binSchema).format("binaryFile").load(p)
+          if (s.format == "warc") warcRows(files) else tarRows(files)
         } else {
           val schema = s.options.get("schema") match {
             case Some(ddl) => org.apache.spark.sql.types.StructType.fromDDL(ddl)
@@ -1004,6 +1013,7 @@ object Compiler {
               .csv(p)
           case "json" => r.json(p)
           case "warc" => warcRows(r.format("binaryFile").load(p))
+          case "tar"  => tarRows(r.format("binaryFile").load(p))
           case f      => r.format(f).load(p)
         }
       case _ if s.ref.isDefined => throw new IllegalArgumentException(
@@ -1027,6 +1037,16 @@ object Compiler {
         col("__r.warc_date").as("warc_date"),
         col("__r.content_length").as("content_length"),
         col("__r.payload").as("payload"))
+
+  /** binaryFile rows → one row per tar member: (tar_file, name, size,
+    * data) — the WebDataset shard reader (gzip-wrapped .tar.gz shards
+    * inflate first via the 1f 8b sniff, like the WARC path). */
+  private def tarRows(files: DataFrame): DataFrame =
+    files.select(col("path").as("tar_file"),
+        explode(graft.functions.TarKernels.tarMembers(
+          graft.functions.GzipKernels.gunzipAuto(col("content")))).as("__m"))
+      .select(col("tar_file"), col("__m.name").as("name"),
+        col("__m.size").as("size"), col("__m.data").as("data"))
 
   def filterColumn(f: FilterSpec): Column = f match {
     case ExprFilter(e) => expr(e)

@@ -1117,6 +1117,93 @@ object MultimodalQueries extends QueryPack {
     Q("q134_config_image_clusters", q134, Some(clusterGateSql)),
     Q("q135_config_audio_clusters", q135, Some(clusterGateSql)),
     Q("q137_multimodal_flagship", q137, Some(q137Sql)),
-    Q("q151_sniff_mime_routing", q151, Some(q151Sql))
+    Q("q151_sniff_mime_routing", q151, Some(q151Sql)),
+    Q("q188_tar_shard_roundtrip", q188, Some(q188Sql)),
+    Q("q189_config_wds_samples", q189, Some(q189Sql))
   )
+
+  // q188 — WebDataset tar sharding, gated end to end THROUGH THE BYTES:
+  // pack every document into 4 deterministic tar shards, REPARSE the
+  // archives, and report per shard the member count, payload bytes, and
+  // fingerprint sums of the reparsed names AND text — so the builder,
+  // the parser, the shard assignment, and the content round-trip are
+  // all under one exact oracle (which recomputes everything from
+  // arithmetic: shard = portable fp of the sample key mod 4, tar size =
+  // Σ(512 + ⌈size/512⌉·512) + 1024 rounded up to the 10240 record).
+  /** Single-token Horner fingerprint of a no-whitespace string expr. */
+  private def hornerSql(x: String): String = s"""
+    list_reduce(
+      list_prepend(CAST(7 AS BIGINT),
+        list_transform(range(1, len($x) + 1),
+          i -> CAST(ascii($x[i]) AS BIGINT))),
+      (a, c) -> (a * 131 + c) % 1000000007)"""
+  private def q188(s: SparkSession, dir: String): DataFrame = {
+    val named = Tables.load(s, dir, "documents").select(
+      concat(lit("doc-"), col("doc_id"), lit(".txt")).as("name"),
+      col("text").cast("binary").as("payload"))
+    graft.ops.Tar.tarShards(named, "name", "payload", shards = 4)
+      .select(col("shard"), col("n_members"), col("tar_bytes"),
+        explode(graft.functions.TarKernels.tarMembers(col("tar"))).as("__m"))
+      .groupBy("shard", "n_members", "tar_bytes")
+      .agg(
+        count(lit(1)).cast("int").as("n_reparsed"),
+        sum(octet_length(col("__m.data"))).as("payload_bytes"),
+        sum(graft.functions.TextKernels
+          .portableFingerprint(col("__m.name"))).as("name_fp_sum"),
+        sum(graft.functions.TextKernels
+          .portableFingerprint(col("__m.data").cast("string"))).as("text_fp_sum"))
+      .orderBy(col("shard").asc_nulls_first)
+  }
+  private val q188Sql = s"""
+    WITH m AS (
+      SELECT doc_id, text,
+             'doc-' || CAST(doc_id AS VARCHAR) || '.txt' AS name,
+             'doc-' || CAST(doc_id AS VARCHAR) AS skey,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS t
+      FROM documents),
+    f AS (
+      SELECT CAST(${hornerSql("skey")} % 4 AS INT) AS shard,
+             name, strlen(text) AS sz,
+             ${hornerSql("name")} AS name_fp,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(t, tok -> ${hornerSql("tok")})),
+               (a, h) -> (a * 31 + h) % 1000000007) AS text_fp
+      FROM m)
+    SELECT shard,
+           CAST(COUNT(*) AS INT) AS n_members,
+           CAST(((1024 + SUM(512 + CAST(CEIL(sz / 512.0) * 512 AS BIGINT))
+                  + 10239) // 10240) * 10240 AS BIGINT) AS tar_bytes,
+           CAST(COUNT(*) AS INT) AS n_reparsed,
+           CAST(SUM(sz) AS BIGINT) AS payload_bytes,
+           CAST(SUM(name_fp) AS BIGINT) AS name_fp_sum,
+           CAST(SUM(text_fp) AS BIGINT) AS text_fp_sum
+    FROM f GROUP BY shard ORDER BY shard ASC NULLS FIRST"""
+
+  // q189 — WebDataset SAMPLE grouping from PURE JSON: every doc
+  // contributes a .txt and a .cls member (two source branches unioned by
+  // the combine key), wds grouping must reunite them per sample with
+  // both extensions and the summed payload bytes. Exact arithmetic
+  // oracle.
+  private def q189(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir)
+    val members = graft.compile.Compiler.compileJson(s, """
+      {"combine": {"op": "union", "nodes": [
+         {"id": "txt", "source": {"table": "documents"},
+          "derive": {"name": "concat('s', doc_id, '.txt')",
+                     "data": "cast(text as binary)"},
+          "keep_columns": ["name", "data"]},
+         {"id": "cls", "source": {"table": "documents"},
+          "derive": {"name": "concat('s', doc_id, '.cls')",
+                     "data": "cast(lang as binary)"},
+          "keep_columns": ["name", "data"]}]}}""")
+    graft.ops.Tar.wdsSamples(members, "name", "data")
+      .orderBy(col("sample_key").asc_nulls_first)
+  }
+  private val q189Sql = """
+    SELECT 's' || CAST(doc_id AS VARCHAR) AS sample_key,
+           CAST(2 AS INT) AS n_files,
+           'cls,txt' AS exts,
+           CAST(strlen(text) + strlen(lang) AS BIGINT) AS payload_bytes
+    FROM documents ORDER BY sample_key ASC NULLS FIRST"""
 }

@@ -443,6 +443,14 @@ object JsonCodec {
         damping = opt(d, "damping").map(_.asDouble).getOrElse(0.85))
     }
 
+    val tpSpec = optN("tar_pack", "tarPack").map { d =>
+      val ctx = s"node $id: tar_pack"
+      TarPackSpec(
+        nameCol = req(d, ctx, "name_col", "nameCol").asText,
+        payloadCol = req(d, ctx, "payload_col", "payloadCol").asText,
+        shards = req(d, ctx, "shards").asInt)
+    }
+
     val dsirScoreSpec = optN("dsir_score", "dsirScore").map { d =>
       DsirScoreSpec(
         modelDir = req(d, s"node $id: dsir_score", "model_dir", "modelDir").asText,
@@ -599,6 +607,7 @@ object JsonCodec {
       cmsProbe = cms,
       dsir = dsirSpec,
       pageRank = prSpec,
+      tarPack = tpSpec,
       dsirScore = dsirScoreSpec,
       split = sp,
       temperatureSample = ts,

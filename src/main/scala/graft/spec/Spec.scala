@@ -467,6 +467,18 @@ final case class DsirSpec(
     saveModel: String = ""
 )
 
+/** WebDataset tar sharding (NS; Tar.tarShards): the frame's (name,
+  * payload) rows become per-shard deterministic tar blobs —
+  * (shard, tar, n_members, tar_bytes). Shard = portable fingerprint of
+  * the sample key (name minus extension), so a sample's members stay
+  * together. Write with a partition_by("shard") sink for the loader
+  * layout. */
+final case class TarPackSpec(
+    nameCol: String,
+    payloadCol: String,
+    shards: Int
+)
+
 /** Damped PageRank over this node's frame read as an edge list (NS;
   * Graph.pageRank): the frame becomes (node, rank) — the host-authority
   * quality prior of web curation, computed with dangling-mass
@@ -734,6 +746,7 @@ final case class NodeSpec(
     cmsProbe: Option[CmsProbeSpec] = None, // after keep, before aggregate
     dsir: Option[DsirSpec] = None, // after keep, before aggregate
     pageRank: Option[PageRankSpec] = None, // after keep, before aggregate
+    tarPack: Option[TarPackSpec] = None, // after keep, before aggregate
     dsirScore: Option[DsirScoreSpec] = None, // after keep, before aggregate
     split: Option[SplitSpec] = None, // after keep, before aggregate
     temperatureSample: Option[TemperatureSampleSpec] = None, // after split
