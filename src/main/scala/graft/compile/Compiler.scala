@@ -90,6 +90,7 @@ object Compiler {
         node.dsirScore.toSeq.map(_.textCol) ++
         node.pageRank.toSeq.flatMap(p => Seq(p.srcCol, p.dstCol)) ++
         node.tarPack.toSeq.flatMap(t => Seq(t.nameCol, t.payloadCol)) ++
+        node.bm25.toSeq.flatMap(bq => Seq(bq.idCol, bq.textCol)) ++
         node.split.toSeq.map(_.idCol) ++
         node.temperatureSample.toSeq.flatMap(t => Seq(t.groupCol, t.idCol)) ++
         node.globalShuffle.toSeq.map(_.idCol) ++
@@ -501,6 +502,19 @@ object Compiler {
     node.pageRank.foreach { pr =>
       requireBatch("page_rank")
       df = graft.ops.Graph.pageRank(df, pr.srcCol, pr.dstCol, pr.iters, pr.damping)
+    }
+
+    // BM25 retrieval: rank the frame (the corpus) against the query
+    // def; the frame becomes (qid, id, score, rn). Batch-only (corpus
+    // stats action).
+    node.bm25.foreach { bq =>
+      requireBatch("bm25")
+      val queries = refs.getOrElse(bq.queriesRef, throw new IllegalArgumentException(
+        s"node ${node.id}: bm25.queries_ref '${bq.queriesRef}' is not a def — " +
+          "declare the query table under top-level defs" +
+          (if (refs.isEmpty) "" else s" (defined: ${refs.keys.mkString(", ")})")))
+      df = graft.ops.Retrieval.bm25TopK(df, bq.idCol, bq.textCol,
+        queries, bq.qidCol, bq.qtextCol, bq.k1, bq.b, bq.topK)
     }
 
     // Tar sharding: the frame becomes (shard, tar, n_members,

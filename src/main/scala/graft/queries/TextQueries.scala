@@ -1239,8 +1239,85 @@ object TextQueries extends QueryPack {
     Q("q178_pdf_encrypted", q178, Some(q178Sql)),
     Q("q179_http_crawl_path", q179, Some(q179Sql)),
     Q("q186_host_pagerank", q186, Some(q186Sql)),
-    Q("q187_config_pagerank", q187, Some(q186Sql))
+    Q("q187_config_pagerank", q187, Some(q186Sql)),
+    Q("q190_bm25_topk", q190, Some(q190Sql)),
+    Q("q191_config_bm25", q191, Some(q190Sql))
   )
+
+  // q190 — BM25 top-5 retrieval (Lucene variant, k1=1.2 b=0.75): three
+  // audit queries against the whole corpus. The oracle restates the
+  // ENTIRE ranking — postings, document frequencies, avgdl, per-term
+  // 9-dp contributions summed in DECIMAL, 6-dp scores, doc-id
+  // tie-broken row_number — so idf/tf/normalization regressions all
+  // fail the hash gate.
+  private val bm25Queries = Seq(
+    (1L, "spark hash join"), (2L, "window agg batch"), (3L, "vector stream sort"))
+  private def q190(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qs = bm25Queries.toDF("qid", "qtext")
+    graft.ops.Retrieval.bm25TopK(
+        docs(s, dir), "doc_id", "text", qs, "qid", "qtext", topK = 5)
+      .orderBy(col("qid").asc_nulls_first, col("rn").asc_nulls_first)
+  }
+  private val q190Sql = s"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS t
+      FROM documents),
+    dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(CAST(SUM(dl) AS DOUBLE) / COUNT(*), 9) AS avgdl
+      FROM dl),
+    post AS (
+      SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+      GROUP BY doc_id, tok),
+    dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY term),
+    q AS (SELECT * FROM (VALUES ${bm25Queries
+        .map { case (i, t) => s"($i, '$t')" }.mkString(", ")}) AS v(qid, qtext)),
+    qt AS (
+      SELECT DISTINCT qid, unnest(
+        list_filter(string_split_regex(trim(qtext), '\\s+'), x -> len(x) > 0)) AS term
+      FROM q),
+    sc AS (
+      SELECT qt.qid, post.doc_id,
+             ROUND(ROUND(ln(1e0 + (stats.n - dft.df + 0.5e0) / (dft.df + 0.5e0)), 9)
+               * (post.tf * (1.2e0 + 1e0))
+               / (post.tf + 1.2e0 * ((1e0 - 0.75e0)
+                  + 0.75e0 * dl.dl / stats.avgdl)), 9) AS s
+      FROM qt
+      JOIN post ON post.term = qt.term
+      JOIN dft ON dft.term = qt.term
+      JOIN dl ON dl.doc_id = post.doc_id
+      CROSS JOIN stats),
+    agg AS (
+      SELECT qid, doc_id,
+             ROUND(CAST(SUM(CAST(s AS DECIMAL(38,12))) AS DOUBLE), 6) AS score
+      FROM sc GROUP BY qid, doc_id),
+    ranked AS (
+      SELECT qid, doc_id, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY score DESC, doc_id ASC) AS INT) AS rn
+      FROM agg)
+    SELECT qid, doc_id, score, rn FROM ranked WHERE rn <= 5
+    ORDER BY qid ASC NULLS FIRST, rn ASC NULLS FIRST"""
+
+  // q191 — the same retrieval from PURE JSON: the query table is a def
+  // (an inline VALUES source), the corpus node ranks against it via the
+  // bm25 key.
+  private def q191(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    graft.compile.Compiler.compileJson(s, s"""
+      {"defs": [{"id": "auditq",
+                 "source": {"sql": "SELECT * FROM VALUES ${bm25Queries
+        .map { case (i, t) => s"($i, '$t')" }.mkString(", ")} AS v(qid, qtext)"}}],
+       "source": {"table": "documents"},
+       "keep_columns": ["doc_id", "text"],
+       "bm25": {"queries_ref": "auditq", "id_col": "doc_id",
+                "text_col": "text", "top_k": 5},
+       "order_by": ["qid asc", "rn asc"]}""")
+  }
 
   // q186 — host-graph PageRank (3 damped iterations with dangling-mass
   // redistribution), the host-authority quality prior of web curation.

@@ -443,6 +443,19 @@ object JsonCodec {
         damping = opt(d, "damping").map(_.asDouble).getOrElse(0.85))
     }
 
+    val bm25Spec = optN("bm25").map { d =>
+      val ctx = s"node $id: bm25"
+      Bm25Spec(
+        queriesRef = req(d, ctx, "queries_ref", "queriesRef").asText,
+        idCol = req(d, ctx, "id_col", "idCol").asText,
+        textCol = req(d, ctx, "text_col", "textCol").asText,
+        qidCol = opt(d, "qid_col", "qidCol").map(_.asText).getOrElse("qid"),
+        qtextCol = opt(d, "qtext_col", "qtextCol").map(_.asText).getOrElse("qtext"),
+        k1 = opt(d, "k1").map(_.asDouble).getOrElse(1.2),
+        b = opt(d, "b").map(_.asDouble).getOrElse(0.75),
+        topK = opt(d, "top_k", "topK").map(_.asInt).getOrElse(10))
+    }
+
     val tpSpec = optN("tar_pack", "tarPack").map { d =>
       val ctx = s"node $id: tar_pack"
       TarPackSpec(
@@ -608,6 +621,7 @@ object JsonCodec {
       dsir = dsirSpec,
       pageRank = prSpec,
       tarPack = tpSpec,
+      bm25 = bm25Spec,
       dsirScore = dsirScoreSpec,
       split = sp,
       temperatureSample = ts,

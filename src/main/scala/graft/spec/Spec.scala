@@ -467,6 +467,23 @@ final case class DsirSpec(
     saveModel: String = ""
 )
 
+/** BM25 top-k retrieval (NS; Retrieval.bm25TopK): rank this node's
+  * frame (the corpus) against the query table named by `queriesRef` (a
+  * top-level def with qid/qtext columns); the frame becomes
+  * (qid, id, score, rn) — each query's topK best-matching documents.
+  * The retrieval step of retrieval-based decontamination and corpus
+  * audits. Batch-only (corpus stats need an action). */
+final case class Bm25Spec(
+    queriesRef: String,
+    idCol: String,
+    textCol: String,
+    qidCol: String = "qid",
+    qtextCol: String = "qtext",
+    k1: Double = 1.2,
+    b: Double = 0.75,
+    topK: Int = 10
+)
+
 /** WebDataset tar sharding (NS; Tar.tarShards): the frame's (name,
   * payload) rows become per-shard deterministic tar blobs —
   * (shard, tar, n_members, tar_bytes). Shard = portable fingerprint of
@@ -747,6 +764,7 @@ final case class NodeSpec(
     dsir: Option[DsirSpec] = None, // after keep, before aggregate
     pageRank: Option[PageRankSpec] = None, // after keep, before aggregate
     tarPack: Option[TarPackSpec] = None, // after keep, before aggregate
+    bm25: Option[Bm25Spec] = None, // after keep, before aggregate
     dsirScore: Option[DsirScoreSpec] = None, // after keep, before aggregate
     split: Option[SplitSpec] = None, // after keep, before aggregate
     temperatureSample: Option[TemperatureSampleSpec] = None, // after split

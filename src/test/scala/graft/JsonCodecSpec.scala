@@ -484,6 +484,46 @@ class JsonCodecSpec extends AnyFunSuite {
     assert(e.getMessage.contains("ARRAY"), s"got: ${e.getMessage}")
   }
 
+  test("round-13 node keys decode with defaults and named errors") {
+    // dsir: defaults + select-mode requirements
+    val d = root("""
+      {"source": {"table": "documents"},
+       "dsir": {"target_ref": "tgt", "text_col": "text"}}""").dsir.get
+    assert(d.buckets == 8192 && d.mode == "weights" && d.gumbel && d.seed == 0L)
+    val e1 = intercept[IllegalArgumentException](root("""
+      {"dsir": {"target_ref": "t", "text_col": "x", "mode": "select"}}"""))
+    assert(e1.getMessage.contains("n >= 1"))
+    val e2 = intercept[IllegalArgumentException](root("""
+      {"dsir": {"target_ref": "t", "text_col": "x", "mode": "argmax"}}"""))
+    assert(e2.getMessage.contains("weights"))
+    // page_rank defaults
+    val p = root("""
+      {"source": {"table": "e"},
+       "page_rank": {"src_col": "s", "dst_col": "d"}}""").pageRank.get
+    assert(p.iters == 3 && p.damping == 0.85)
+    // tar_pack requires shards
+    val t = root("""
+      {"source": {"table": "m"},
+       "tar_pack": {"name_col": "n", "payload_col": "p", "shards": 8}}""").tarPack.get
+    assert(t.shards == 8)
+    intercept[IllegalArgumentException](root("""
+      {"tar_pack": {"name_col": "n", "payload_col": "p"}}"""))
+    // bm25 defaults
+    val b = root("""
+      {"source": {"table": "documents"},
+       "bm25": {"queries_ref": "q", "id_col": "doc_id", "text_col": "text"}}""").bm25.get
+    assert(b.k1 == 1.2 && b.b == 0.75 && b.topK == 10 &&
+      b.qidCol == "qid" && b.qtextCol == "qtext")
+    // dsir_score requires model_dir
+    intercept[IllegalArgumentException](root("""
+      {"dsir_score": {"text_col": "text"}}"""))
+    // unknown-key rejection still covers the new blocks
+    val e3 = intercept[IllegalArgumentException](root("""
+      {"source": {"table": "documents"},
+       "dsirr": {"target_ref": "t"}}"""))
+    assert(e3.getMessage.contains("unknown key"))
+  }
+
   test("interval-join keys decode: lookback, delays, stream source flag") {
     val n = root("""
       {"source": {"table": "a"},

@@ -1,0 +1,64 @@
+package graft
+
+import graft.ops.Retrieval
+import org.apache.spark.sql.functions._
+
+/** BM25 ranking invariants beyond the q190/q191 oracles. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "apple banana cherry"),
+    (2L, "apple apple apple apple"),
+    (3L, "banana banana pear pear pear"),
+    (4L, "quantum flux capacitor"), // the only doc with these terms
+    (5L, "apple pear")).toDF("id", "txt")
+
+  test("bm25: a query's unique-term doc ranks first; scores positive; topK bounds") {
+    val qs = Seq((1L, "quantum capacitor"), (2L, "apple")).toDF("qid", "qtext")
+    val r = Retrieval.bm25TopK(corpus, "id", "txt", qs, "qid", "qtext", topK = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getInt(3)))
+    val q1 = r.filter(_._1 == 1L)
+    assert(q1.length == 1 && q1.head._2 == 4L, "only doc 4 matches the rare query")
+    val q2 = r.filter(_._1 == 2L).sortBy(_._4)
+    assert(q2.length == 3, "topK bounds each query's results")
+    assert(q2.map(_._2).toSet.subsetOf(Set(1L, 2L, 5L)), "only apple docs match")
+    assert(r.forall(_._3 > 0), "Lucene idf keeps scores positive")
+  }
+
+  test("bm25: higher tf wins within equal length; rarer terms outweigh common") {
+    // tf: doc 2 has apple×4; doc 1 has apple×1 — same-ish lengths
+    val qs = Seq((1L, "apple")).toDF("qid", "qtext")
+    val r = Retrieval.bm25TopK(corpus, "id", "txt", qs, "qid", "qtext", topK = 5)
+      .collect().map(x => x.getLong(1) -> x.getInt(3)).toMap
+    assert(r(2L) == 1, "the tf-4 doc must rank first for 'apple'")
+    // rarity: 'pear' (2 docs) must contribute more than 'apple' (3 docs)
+    // for a doc containing both once
+    val qs2 = Seq((1L, "pear"), (2L, "apple")).toDF("qid", "qtext")
+    val s = Retrieval.bm25TopK(corpus, "id", "txt", qs2, "qid", "qtext", topK = 5)
+      .filter(col("id") === 5L)
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(s(1L) > s(2L), "rarer term must score higher on the same doc")
+  }
+
+  test("bm25: deterministic across runs and repartitioning") {
+    val qs = Seq((1L, "apple pear banana")).toDF("qid", "qtext")
+    val a = Retrieval.bm25TopK(corpus, "id", "txt", qs, "qid", "qtext").collect().toSeq
+    val b = Retrieval.bm25TopK(corpus.repartition(5), "id", "txt",
+      qs, "qid", "qtext").collect().toSeq
+    assert(a.toSet == b.toSet)
+  }
+
+  test("bm25: misuse is rejected by name") {
+    val qs = Seq((1L, "x")).toDF("qid", "qtext")
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopK(corpus, "id", "txt", qs, "qid", "qtext", topK = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopK(corpus, "id", "txt", qs, "qid", "qtext", b = 2.0)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopK(corpus.filter(lit(false)), "id", "txt", qs, "qid", "qtext")
+    }
+  }
+}
