@@ -1009,8 +1009,86 @@ object CorpusQueries extends QueryPack {
     Q("q181_config_multiclass", q181, Some(q181Sql)),
     Q("q182_predict_model_artifact", q182, Some(q180Sql)),
     Q("q184_dsir_weights", q184, Some(q184Sql)),
-    Q("q185_config_dsir_select", q185, Some(q185Sql))
+    Q("q185_config_dsir_select", q185, Some(q185Sql)),
+    Q("q192_rank_dsir_flagship", q192, Some(q192Sql))
   )
+
+  // q192 — the round-13 FLAGSHIP: ONE pure-JSON config chains the
+  // link-graph authority prior into target-distribution selection and
+  // the training-output layout — host graph → PageRank (def) → rank
+  // joined onto every doc (def child join) → authority filter (only
+  // hub hosts survive) → DSIR Gumbel-top-60 against the English
+  // exemplar slice (def) → deterministic 4-shard global shuffle →
+  // per-shard report. EXACT end-to-end oracle: the PageRank CTEs
+  // (q186), the full DSIR model over the RANK-FILTERED raw set, the
+  // Gumbel noise, the shuffle assignment, and the final aggregate are
+  // all restated; every stage bites at sf0.01 (500 docs → 4 hub hosts
+  // keep ~167 → select 60 → 4 shards).
+  private def q192(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    graft.compile.Compiler.compileJson(s, s"""
+      {"defs": [
+         {"id": "edges", "source": {"table": "documents"},
+          "derive": {"src": "concat('h', doc_id % 12)",
+                     "dst": "concat('h', (doc_id div 5) % 12)"},
+          "filters": ["src != dst"],
+          "keep_columns": ["src", "dst"]},
+         {"id": "hostrank", "source": {"ref": "edges"},
+          "page_rank": {"src_col": "src", "dst_col": "dst", "iters": 3},
+          "rename": {"node": "host"}},
+         {"id": "ranked", "source": {"table": "documents"},
+          "derive": {"host": "concat('h', doc_id % 12)"},
+          "children": [{"id": "hr", "source": {"ref": "hostrank"},
+                        "join": {"on": ["host"], "how": "inner"}}]},
+         {"id": "tgt", "source": {"table": "documents"},
+          "filters": ["lang = 'en'", "doc_id % 2 = 0"],
+          "keep_columns": ["doc_id", "text"]}],
+       "source": {"ref": "ranked"},
+       "filters": ["rank > 0.09"],
+       "keep_columns": ["doc_id", "text"],
+       "dsir": {"target_ref": "tgt", "text_col": "text", "id_col": "doc_id",
+                "buckets": $dsirB, "mode": "select", "n": 60, "seed": 11},
+       "global_shuffle": {"id_col": "doc_id", "shards": 4, "seed": 5},
+       "aggregate": {"group_by": ["shard"],
+         "aggregations": [
+           {"col": "*", "func": "count", "new_name": "n_docs"},
+           {"col": "n_feats", "func": "sum", "new_name": "total_feats"},
+           {"col": "shuffle_pos", "func": "max", "new_name": "max_pos"}]},
+       "order_by": ["shard asc"]}""")
+  }
+  private val q192Sql = s"""
+    WITH ${TextQueries.prCtes},
+    rawdocs AS (
+      SELECT d.doc_id, d.text
+      FROM documents d
+      JOIN r3 ON r3.node = 'h' || CAST(d.doc_id % 12 AS VARCHAR)
+      WHERE r3.r > 0.09),
+    tgtdocs AS (SELECT text FROM documents WHERE lang = 'en' AND doc_id % 2 = 0),
+    ${dsirCtes(dsirB)},
+    sel AS (
+      SELECT doc_id, n_feats,
+             ROUND(dsir_logw + -ln(-ln(
+               (CAST((((doc_id + 11) % 1000000007 + 1000000007) % 1000000007
+                      * 2654435761) % 1000000007 AS DOUBLE) + 1.0)
+               / 1000000008.0)), 6) AS k
+      FROM w),
+    picked AS (
+      SELECT doc_id, n_feats FROM sel ORDER BY k DESC, doc_id ASC LIMIT 60),
+    sh AS (
+      SELECT doc_id, n_feats,
+             ((doc_id % 1000000007 + 1000000007) % 1000000007
+              * 2654435761 + 5) % 1000000007 AS hv
+      FROM picked),
+    pos AS (
+      SELECT CAST(hv % 4 AS INT) AS shard, n_feats,
+             ROW_NUMBER() OVER (PARTITION BY hv % 4
+                                ORDER BY hv, doc_id) AS pos
+      FROM sh)
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_feats) AS BIGINT) AS total_feats,
+           CAST(MAX(pos) AS BIGINT) AS max_pos
+    FROM pos GROUP BY shard ORDER BY shard ASC NULLS FIRST"""
 
   // q184 — DSIR importance weights (Xie et al. 2023), exactly mirrored:
   // target = the even-id English slice, raw = the whole corpus, hashed
@@ -1018,34 +1096,36 @@ object CorpusQueries extends QueryPack {
   // ENTIRE model — both bucket-count tables, the smoothed log-ratio
   // vector (9 dp), and every document's in-order margin fold (6 dp) —
   // so a regression anywhere in fit OR scoring fails the hash gate.
-  private val dsirB = 64
-  /** Shared CTE prefix: toks → per-token Horner hashes → unigram+bigram
-    * buckets (the NgramBucketOps order: unigrams then bigrams), then
-    * target/raw counts, totals, and the 9-dp log-ratio list `lrl.l`. */
-  private val dsirCte = s"""
-    WITH toks AS (
-      SELECT doc_id, lang,
-             list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS t
-      FROM documents),
-    hs AS (
-      SELECT doc_id, lang,
-             list_transform(t, tok ->
+  private final val dsirB = 64
+  /** DSIR CTE chain parameterized over caller-supplied `rawdocs(doc_id,
+    * text)` and `tgtdocs(text)` CTEs (shared by q184/q185 and the
+    * flagship q192): token Horner hashes → unigram+bigram buckets (the
+    * NgramBucketOps order), both corpora's bucket counts, totals, the
+    * 9-dp log-ratio list, and the scored frame `w(doc_id, n_feats,
+    * dsir_logw)`. */
+  private[queries] def dsirCtes(b: Int): String = {
+    def bucketsOf(tcol: String) = s"""
+             list_transform($tcol, h -> CAST(h % $b AS INT))
+             || list_transform(range(1, len($tcol)),
+                  i -> CAST((($tcol[i] * 31 + $tcol[i + 1]) % 1000000007) % $b AS INT))"""
+    def hashesOf(src: String, cols: String) = s"""
+      SELECT $cols
+             list_transform(
+               list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0),
+               tok ->
                list_reduce(
                  list_prepend(CAST(7 AS BIGINT),
                    list_transform(range(1, len(tok) + 1),
                      i -> CAST(ascii(tok[i]) AS BIGINT))),
                  (a, c) -> (a * 131 + c) % 1000000007)) AS th
-      FROM toks),
-    feats AS (
-      SELECT doc_id, lang,
-             list_transform(th, h -> CAST(h % $dsirB AS INT))
-             || list_transform(range(1, len(th)),
-                  i -> CAST(((th[i] * 31 + th[i + 1]) % 1000000007) % $dsirB AS INT)) AS bs
-      FROM hs),
+      FROM $src"""
+    s"""rhs AS (${hashesOf("rawdocs", "doc_id,")}),
+    ths AS (${hashesOf("tgtdocs", "")}),
+    feats AS (SELECT doc_id, ${bucketsOf("th")} AS bs FROM rhs),
+    tfeats AS (SELECT ${bucketsOf("th")} AS bs FROM ths),
     tc AS (
       SELECT b, COUNT(*) AS c FROM (
-        SELECT unnest(bs) AS b FROM feats
-        WHERE lang = 'en' AND doc_id % 2 = 0) GROUP BY b),
+        SELECT unnest(bs) AS b FROM tfeats) GROUP BY b),
     rc AS (
       SELECT b, COUNT(*) AS c FROM (
         SELECT unnest(bs) AS b FROM feats) GROUP BY b),
@@ -1053,10 +1133,10 @@ object CorpusQueries extends QueryPack {
       SELECT (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM tc) AS tt,
              (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM rc) AS tr),
     lrl AS (
-      SELECT list(ROUND(ln((COALESCE(tc.c, 0) + 1.0) / (tot.tt + $dsirB.0))
-                  - ln((COALESCE(rc.c, 0) + 1.0) / (tot.tr + $dsirB.0)), 9)
+      SELECT list(ROUND(ln((COALESCE(tc.c, 0) + 1.0) / (tot.tt + $b.0))
+                  - ln((COALESCE(rc.c, 0) + 1.0) / (tot.tr + $b.0)), 9)
                   ORDER BY g.b) AS l
-      FROM range($dsirB) AS g(b)
+      FROM range($b) AS g(b)
       CROSS JOIN tot
       LEFT JOIN tc ON tc.b = g.b
       LEFT JOIN rc ON rc.b = g.b),
@@ -1067,6 +1147,13 @@ object CorpusQueries extends QueryPack {
                  list_transform(f.bs, bb -> lrl.l[bb + 1])),
                (a, x) -> a + x), 6) AS dsir_logw
       FROM feats f CROSS JOIN lrl)"""
+  }
+  /** q184/q185's corpora: raw = the whole documents table, target = the
+    * even-id English slice. */
+  private val dsirCte = s"""
+    WITH rawdocs AS (SELECT doc_id, text FROM documents),
+    tgtdocs AS (SELECT text FROM documents WHERE lang = 'en' AND doc_id % 2 = 0),
+    ${dsirCtes(dsirB)}"""
   private def q184(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     Corpus.dsirWeights(

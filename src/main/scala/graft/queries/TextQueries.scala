@@ -1335,8 +1335,8 @@ object TextQueries extends QueryPack {
     graft.ops.Graph.pageRank(e, "src", "dst", iters = 3)
       .orderBy(col("node").asc_nulls_first)
   }
-  private val prN = "(SELECT CAST(COUNT(*) AS DOUBLE) FROM nodes)"
-  private def prIterSql(i: Int): String = {
+  private[queries] val prN = "(SELECT CAST(COUNT(*) AS DOUBLE) FROM nodes)"
+  private[queries] def prIterSql(i: Int): String = {
     val prev = if (i == 1) "r0" else s"r${i - 1}"
     s""",
     c$i AS (
@@ -1354,8 +1354,10 @@ object TextQueries extends QueryPack {
                9) AS r
       FROM nodes n LEFT JOIN c$i ON c$i.dst = n.node)"""
   }
-  private val q186Sql = s"""
-    WITH e AS (
+  /** The full PageRank CTE chain over the modular-arithmetic host graph
+    * (e → nodes → od → r0 → c/d/r per iteration) — shared with the
+    * flagship q192. Ends with `r3(node, r)`. */
+  private[queries] val prCtes = s"""e AS (
       SELECT DISTINCT 'h' || CAST(doc_id % 12 AS VARCHAR) AS src,
                       'h' || CAST((doc_id // 5) % 12 AS VARCHAR) AS dst
       FROM documents
@@ -1363,7 +1365,9 @@ object TextQueries extends QueryPack {
     nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
     od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS od FROM e GROUP BY src),
     r0 AS (SELECT node, ROUND(1e0 / $prN, 9) AS r FROM nodes)
-    ${prIterSql(1)}${prIterSql(2)}${prIterSql(3)}
+    ${prIterSql(1)}${prIterSql(2)}${prIterSql(3)}"""
+  private val q186Sql = s"""
+    WITH $prCtes
     SELECT node, r AS rank FROM r3 ORDER BY node ASC NULLS FIRST"""
 
   // q187 — the same ranking from PURE JSON (page_rank node key over a

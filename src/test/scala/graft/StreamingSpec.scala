@@ -1048,6 +1048,39 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("dsir_score config key runs on a stream: artifact-loaded weights, stream == batch") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsirstream").toString
+    // batch-fit on a planted science-vs-spam mixture, persist the ratios
+    val raw = ((1L to 20L).map(i => (i, s"quantum gauge theory lecture $i")) ++
+      (21L to 40L).map(i => (i, s"buy cheap pills now offer $i"))).toDF("doc_id", "text")
+    val target = (101L to 110L)
+      .map(i => (i, s"gauge symmetry in quantum theory $i")).toDF("doc_id", "text")
+    val model = graft.ops.Corpus.dsirFit(raw, target, "text", buckets = 128)
+    graft.ops.Corpus.saveDsirModel(spark, model, s"$dir/model")
+
+    raw.coalesce(1).write.parquet(s"$dir/in")
+    val nodeBody = s""""dsir_score": {"model_dir": "$dir/model", "text_col": "text"}"""
+    val batch = graft.compile.Compiler.compileJson(spark,
+        s"""{"source": {"path": "$dir/in"}, $nodeBody}""")
+      .select("doc_id", "n_feats", "dsir_logw")
+      .collect().map(_.toSeq).toSet
+    val q = graft.compile.Compiler.compileStreamJson(spark, s"""
+      {"source": {"path": "$dir/in"}, $nodeBody,
+       "save": {"format": "memory", "query_name": "dsir_stream",
+                "trigger": "available_now", "output_mode": "append"}}""")
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("dsir_stream")
+      .select("doc_id", "n_feats", "dsir_logw")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, "stream scoring must equal batch")
+    assert(batch.nonEmpty)
+    // and the scores separate the planted classes through the artifact
+    val m = spark.table("dsir_stream")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dsir_logw")).toMap
+    assert((1L to 20L).map(m).min > (21L to 40L).map(m).max)
+  }
+
   test("cluster-output and passage dedup keys reject streaming compiles by name") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-batchonly").toString
@@ -1077,6 +1110,12 @@ class StreamingSpec extends SparkSpec {
       "batch-only")
     rejects(""""multiclass_classifier": {"id_col": "doc_id",
                "text_col": "text", "label_col": "text"}""", "batch-only")
+    rejects(""""dsir": {"target_ref": "tgt", "text_col": "text"}""",
+      "batch-only")
+    rejects(""""page_rank": {"src_col": "text", "dst_col": "text"}""",
+      "batch-only")
+    rejects(""""bm25": {"queries_ref": "q", "id_col": "doc_id",
+               "text_col": "text"}""", "batch-only")
     rejects(""""temperature_sample": {"group_col": "lang", "id_col": "doc_id",
                "target_fraction": 0.3}""", "batch-only")
     // root-level profile is now the streaming drift monitor (see the
