@@ -389,7 +389,8 @@ object Compiler {
     // nll). Plan-only (vocabulary aggregates + equi-joins), so
     // config-admissible; downstream keys filter/sort on the score.
     node.lmPerplexity.foreach { l =>
-      df = graft.ops.Corpus.lmPerplexity(df, l.idCol, l.textCol, l.k, l.keepUnscored)
+      df = graft.ops.Corpus.lmPerplexity(df, l.idCol, l.textCol, l.k,
+        l.keepUnscored, l.smoothing, l.discount)
     }
 
     // Artifact-inference keys — the STREAMING-admissible halves of the

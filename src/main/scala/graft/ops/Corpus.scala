@@ -563,14 +563,35 @@ object Corpus {
     * tables — shuffles ∝ corpus tokens, the op's inherent cost. At 100 TB
     * pre-bucket the vocab tables by their join key; the scalar V rides a
     * 1-row cross join. The keepUnscored join is id-keyed — batch-shaped,
-    * no new skew surface. */
+    * no new skew surface.
+    *
+    * `smoothing = "kn"` swaps add-k for INTERPOLATED KNESER-NEY with
+    * absolute discount `discount` (the KenLM/CCNet-production family —
+    * what "LM quality filter" means in the published pipelines):
+    *
+    *   P(w2|w1) = (max(c12 − D, 0) + D·N1+(w1·)·Pcont(w2)) / c(w1·)
+    *   Pcont(w2) = N1+(·w2) / |distinct bigram types|
+    *
+    * where N1+(w1·) counts w1's distinct continuations and N1+(·w2) the
+    * distinct left-contexts of w2. KN's continuation probability fixes
+    * add-k's best-known bias: a word that appears often but only in ONE
+    * context ("Francisco") no longer looks as probable everywhere as a
+    * word with many contexts. Self-scored bigrams are always seen, so
+    * the interpolation term needs no unseen-mass special case. Same
+    * aggregate shapes (two extra vocabulary-shaped distinct counts). */
   def lmPerplexity(
       df: DataFrame,
       idCol: String,
       textCol: String,
       k: Double = 0.5,
-      keepUnscored: Boolean = false
+      keepUnscored: Boolean = false,
+      smoothing: String = "addk",
+      discount: Double = 0.75
   ): DataFrame = {
+    require(smoothing == "addk" || smoothing == "kn",
+      s"""lmPerplexity: smoothing must be "addk" or "kn", got "$smoothing"""")
+    require(discount > 0.0 && discount < 1.0,
+      s"lmPerplexity: discount must be in (0, 1), got $discount")
     val toks = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__t"))
     val bigrams = toks.select(col(idCol),
       explode(when(size(col("__t")) >= 2,
@@ -582,15 +603,38 @@ object Corpus {
     // contain no whitespace, so the first segment IS w1)
     val c1 = bigrams.groupBy(substring_index(col("__bg"), " ", 1).as("__w1"))
       .agg(count(lit(1)).as("__c1"))
-    val v = toks.select(explode(col("__t")).as("__w"))
-      .agg(count_distinct(col("__w")).as("__v"))
-    val scored = bigrams
-      .join(c12, Seq("__bg"))
-      .join(c1, substring_index(col("__bg"), " ", 1) === col("__w1"))
-      .crossJoin(v)
-      .select(col(idCol),
-        round(log((col("__c12") + lit(k)) / (col("__c1") + lit(k) * col("__v"))), 6)
-          .as("__lp"))
+    val perOcc: DataFrame = smoothing match {
+      case "addk" =>
+        val v = toks.select(explode(col("__t")).as("__w"))
+          .agg(count_distinct(col("__w")).as("__v"))
+        bigrams
+          .join(c12, Seq("__bg"))
+          .join(c1, substring_index(col("__bg"), " ", 1) === col("__w1"))
+          .crossJoin(v)
+          .select(col(idCol),
+            round(log((col("__c12") + lit(k)) /
+              (col("__c1") + lit(k) * col("__v"))), 6).as("__lp"))
+      case "kn" =>
+        // continuation structure from the TYPE table (one row per
+        // distinct bigram): distinct continuations per w1, distinct
+        // left-contexts per w2, total bigram types — vocabulary-shaped
+        val n1l = c12.groupBy(substring_index(col("__bg"), " ", 1).as("__kw1"))
+          .agg(count(lit(1)).as("__n1l"))
+        val n1r = c12.groupBy(substring_index(col("__bg"), " ", -1).as("__kw2"))
+          .agg(count(lit(1)).as("__n1r"))
+        val tt = c12.agg(count(lit(1)).as("__tt"))
+        bigrams
+          .join(c12, Seq("__bg"))
+          .join(c1, substring_index(col("__bg"), " ", 1) === col("__w1"))
+          .join(n1l, substring_index(col("__bg"), " ", 1) === col("__kw1"))
+          .join(n1r, substring_index(col("__bg"), " ", -1) === col("__kw2"))
+          .crossJoin(tt)
+          .select(col(idCol),
+            round(log((greatest(col("__c12") - lit(discount), lit(0.0)) +
+              lit(discount) * col("__n1l") * (col("__n1r") / col("__tt"))) /
+              col("__c1")), 6).as("__lp"))
+    }
+    val scored = perOcc
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_bigrams"),

@@ -1241,8 +1241,52 @@ object TextQueries extends QueryPack {
     Q("q186_host_pagerank", q186, Some(q186Sql)),
     Q("q187_config_pagerank", q187, Some(q186Sql)),
     Q("q190_bm25_topk", q190, Some(q190Sql)),
-    Q("q191_config_bm25", q191, Some(q190Sql))
+    Q("q191_config_bm25", q191, Some(q190Sql)),
+    Q("q193_lm_kneser_ney", q193, Some(q193Sql))
   )
+
+  // q193 — Kneser–Ney LM perplexity (the KenLM/CCNet-production
+  // smoothing family) from PURE JSON: interpolated absolute-discount
+  // bigram scores with continuation probabilities. The oracle restates
+  // the whole model — c12/c1, distinct continuations per left word,
+  // distinct left-contexts per right word, total bigram types, the
+  // discounted-interpolated probability, and the per-doc decimal mean.
+  private def q193(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "documents"},
+       "lm_perplexity": {"id_col": "doc_id", "text_col": "text",
+                         "smoothing": "kn", "discount": 0.75},
+       "order_by": ["doc_id asc"]}""")
+  private val q193Sql = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS t
+      FROM documents),
+    bg AS (
+      SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ')
+                             for i in generate_series(1, len(t)-1)]) AS bg
+      FROM toks WHERE len(t) >= 2),
+    c12 AS (SELECT bg, COUNT(*) AS c12 FROM bg GROUP BY 1),
+    c1 AS (SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+    n1l AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(COUNT(*) AS BIGINT) AS n1l
+            FROM c12 GROUP BY 1),
+    n1r AS (SELECT split_part(bg, ' ', -1) AS w2, CAST(COUNT(*) AS BIGINT) AS n1r
+            FROM c12 GROUP BY 1),
+    tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM c12),
+    lp AS (
+      SELECT doc_id,
+             ROUND(LN((GREATEST(c12.c12 - 0.75e0, 0e0)
+                + 0.75e0 * n1l.n1l * (n1r.n1r / tt.tt)) / c1.c1), 6) AS lp
+      FROM bg
+      JOIN c12 USING (bg)
+      JOIN c1 ON split_part(bg.bg, ' ', 1) = c1.w1
+      JOIN n1l ON split_part(bg.bg, ' ', 1) = n1l.w1
+      JOIN n1r ON split_part(bg.bg, ' ', -1) = n1r.w2
+      CROSS JOIN tt)
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(-(CAST(SUM(CAST(lp AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)), 6) AS nll
+    FROM lp GROUP BY 1
+    ORDER BY doc_id ASC NULLS FIRST"""
 
   // q190 — BM25 top-5 retrieval (Lucene variant, k1=1.2 b=0.75): three
   // audit queries against the whole corpus. The oracle restates the

@@ -326,7 +326,13 @@ object JsonCodec {
         textCol = req(d, s"node $id: lm_perplexity", "text_col", "textCol").asText,
         k = opt(d, "k").map(_.asDouble).getOrElse(0.5),
         keepUnscored = opt(d, "keep_unscored", "keepUnscored")
-          .exists(_.asBoolean(false)))
+          .exists(_.asBoolean(false)),
+        smoothing = opt(d, "smoothing").map(_.asText).map {
+          case s @ ("addk" | "kn") => s
+          case other => throw new IllegalArgumentException(
+            s"""node $id: lm_perplexity smoothing must be "addk" or "kn" — got "$other"""")
+        }.getOrElse("addk"),
+        discount = opt(d, "discount").map(_.asDouble).getOrElse(0.75))
     }
 
     val qc = optN("quality_classifier", "qualityClassifier").map { d =>

@@ -295,7 +295,9 @@ final case class LmPerplexitySpec(
     idCol: String,
     textCol: String,
     k: Double = 0.5,
-    keepUnscored: Boolean = false
+    keepUnscored: Boolean = false,
+    smoothing: String = "addk", // addk | kn (interpolated Kneser-Ney)
+    discount: Double = 0.75 // KN absolute discount
 )
 
 /** BPE vocabulary training (NS; graft.ops.Bpe): train `numMerges` byte-

@@ -752,6 +752,38 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("lmPerplexity KN: hand-computed interpolated Kneser-Ney on a tiny corpus") {
+    // corpus = one doc "a b a c a b": bigrams ab ba ac ca ab
+    // c12: ab=2 ba=1 ac=1 ca=1; c1: a=3 b=1 c=1; types T=4
+    // N1+(a·)=2 N1+(b·)=1 N1+(c·)=1; N1+(·b)=1 N1+(·a)=2 N1+(·c)=1
+    val d = Seq((1L, "a b a c a b")).toDF("id", "txt")
+    val got = Corpus.lmPerplexity(d, "id", "txt", smoothing = "kn")
+      .head()
+    def lp(c12: Long, c1: Long, n1l: Long, n1r: Long): Double =
+      BigDecimal(math.log((math.max(c12 - 0.75, 0.0) + 0.75 * n1l * (n1r / 4.0)) / c1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lps = Seq(
+      lp(2, 3, 2, 1), // ab
+      lp(1, 1, 1, 2), // ba
+      lp(1, 3, 2, 1), // ac
+      lp(1, 1, 1, 2), // ca
+      lp(2, 3, 2, 1)) // ab
+    val want = BigDecimal(-(lps.map(BigDecimal(_)).sum / 5).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getAs[Long]("n_bigrams") == 5L)
+    assert(got.getAs[Double]("nll") == want,
+      s"KN nll must match the hand computation (${got.getAs[Double]("nll")} vs $want)")
+    // and KN differs from add-k on the same corpus (different model family)
+    val addk = Corpus.lmPerplexity(d, "id", "txt").head().getAs[Double]("nll")
+    assert(addk != got.getAs[Double]("nll"))
+    intercept[IllegalArgumentException] {
+      Corpus.lmPerplexity(d, "id", "txt", smoothing = "laplace")
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.lmPerplexity(d, "id", "txt", smoothing = "kn", discount = 1.5)
+    }
+  }
+
   // ---- DSIR importance resampling ----------------------------------------
 
   private def dsirFixture = {
@@ -821,6 +853,19 @@ class CorpusSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(g1.size == 20 && g1 == g1b, "same seed must replay the same draw")
     assert(g1 != g2, "different seeds should draw differently")
+  }
+
+  test("dsir: scoring plan is scan-stage — no Exchange, no dim-shaped literals") {
+    val (raw, target) = dsirFixture
+    val m = Corpus.dsirFit(raw, target, "txt", buckets = 4096)
+    val plan = Corpus.dsirScore(raw, "txt", m)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"dsir scoring must not shuffle (the 100 TB claim):\n$plan")
+    // the ratio table rides as a codegen reference object, not a plan
+    // literal — a 4096-double array literal would show as a giant array
+    assert(plan.length < 6000,
+      s"plan text should not embed the ratio table (len ${plan.length})")
   }
 
   test("dsir: misuse is rejected by name") {

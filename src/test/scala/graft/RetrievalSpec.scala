@@ -49,6 +49,16 @@ class RetrievalSpec extends SparkSpec {
     assert(a.toSet == b.toSet)
   }
 
+  test("bm25: plan broadcasts the query terms and plans WindowGroupLimit top-k") {
+    val qs = Seq((1L, "apple pear")).toDF("qid", "qtext")
+    val plan = Retrieval.bm25TopK(corpus, "id", "txt", qs, "qid", "qtext", topK = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"query terms must broadcast (postings never re-shuffle for the probe):\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k per query must plan WindowGroupLimit, not a full sort:\n$plan")
+  }
+
   test("bm25: misuse is rejected by name") {
     val qs = Seq((1L, "x")).toDF("qid", "qtext")
     intercept[IllegalArgumentException] {
