@@ -91,6 +91,8 @@ object Compiler {
         node.pageRank.toSeq.flatMap(p => Seq(p.srcCol, p.dstCol)) ++
         node.tarPack.toSeq.flatMap(t => Seq(t.nameCol, t.payloadCol)) ++
         node.bm25.toSeq.flatMap(bq => Seq(bq.idCol, bq.textCol)) ++
+        node.wdsSamples.toSeq.flatMap(ws => Seq(ws.nameCol, ws.dataCol)) ++
+        node.winnow.toSeq.flatMap(wn => Seq(wn.idCol, wn.textCol)) ++
         node.split.toSeq.map(_.idCol) ++
         node.temperatureSample.toSeq.flatMap(t => Seq(t.groupCol, t.idCol)) ++
         node.globalShuffle.toSeq.map(_.idCol) ++
@@ -523,6 +525,23 @@ object Compiler {
     // compile needs an aggregate-admitting output mode downstream).
     node.tarPack.foreach { tp =>
       df = graft.ops.Tar.tarShards(df, tp.nameCol, tp.payloadCol, tp.shards)
+    }
+
+    // Winnowed fingerprinting: the frame becomes the compacted index
+    // (scan-stage selection) or the shared-fingerprint pair list.
+    node.winnow.foreach { wn =>
+      df = wn.output match {
+        case "pairs" => graft.ops.Dedup.winnowCandidatePairs(
+          df, wn.idCol, wn.textCol, wn.windowTokens, wn.winnowWindow, wn.minShared)
+        case _ => graft.ops.Dedup.winnowIndex(
+          df, wn.idCol, wn.textCol, wn.windowTokens, wn.winnowWindow)
+      }
+    }
+
+    // WebDataset sample grouping: the frame becomes (sample_key,
+    // n_files, exts, payload_bytes). One grouped aggregate.
+    node.wdsSamples.foreach { ws =>
+      df = graft.ops.Tar.wdsSamples(df, ws.nameCol, ws.dataCol)
     }
 
     // Artifact-loaded DSIR scoring: the log-ratio table loads ONCE at

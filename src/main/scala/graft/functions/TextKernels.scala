@@ -127,6 +127,79 @@ case class WindowFingerprints(child: Expression, n: Int) extends UnaryExpression
   override def prettyName: String = "window_fingerprints"
 }
 
+/** Winnowing fingerprint SELECTION (Schleimer, Wilkerson & Aiken 2003 —
+  * the MOSS algorithm): over the [[WindowFingerprintOps]] rolling-hash
+  * stream, keep only the RIGHTMOST minimum of each window of `w`
+  * consecutive hashes. The selected set is ~2/(w+1) of the full stream
+  * yet GUARANTEES that any substring match of ≥ w+k−1 tokens still
+  * shares a selected fingerprint — the index-compaction tier of
+  * substring dedup: a 100 TB corpus' passage index shrinks ~w/2× with a
+  * provable detection floor instead of an accidental one.
+  *
+  * A doc with fewer than `w` window hashes forms one short window (its
+  * rightmost minimum is still selected — every doc with ≥ k tokens
+  * contributes ≥ 1 fingerprint). Consecutive windows that select the
+  * same position emit it once. Output: array<struct<pos, fp>> in
+  * position order; pure integer arithmetic, exactly mirrorable. */
+object WinnowOps {
+  def compute(u: UTF8String, k: Int, w: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val fpsArr = WindowFingerprintOps.compute(u, k)
+    val m = fpsArr.numElements()
+    if (m == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[AnyRef])
+    val fps = new Array[Long](m)
+    var i = 0
+    while (i < m) { fps(i) = fpsArr.getLong(i); i += 1 }
+    val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+    var lastPos = -1
+    val nWin = math.max(m - w, 0) + 1
+    i = 0
+    while (i < nWin) {
+      val end = math.min(i + w, m)
+      var best = i
+      var j = i + 1
+      while (j < end) { if (fps(j) <= fps(best)) best = j; j += 1 }
+      if (best != lastPos) {
+        out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](best, fps(best)))
+        lastPos = best
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("fp", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if k >= 1 && w >= 1 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fingerprints needs k >= 1 and w >= 1, got k=$k w=$w")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fingerprints expects string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowOps.compute(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WinnowOps.compute($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+
+  override def prettyName: String = "winnow_fingerprints"
+}
+
 case class PortableFingerprint(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
@@ -304,4 +377,8 @@ object TextKernels {
   def windowFingerprints(text: Column, n: Int): Column =
     GraftColumnBridge.column(
       WindowFingerprints(GraftColumnBridge.expression(text), n))
+
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    GraftColumnBridge.column(
+      WinnowFingerprints(GraftColumnBridge.expression(text), k, w))
 }

@@ -720,6 +720,58 @@ object Dedup {
     mergeDupWindowSpans(inBatch.union(seen).distinct(), idCol, windowTokens)
   }
 
+  /** Winnowed fingerprint index — the MOSS-style COMPACTION of
+    * [[passageWindowIndex]] (Schleimer, Wilkerson & Aiken 2003): per doc,
+    * only the rightmost minimum of every `w` consecutive window hashes
+    * is kept, shrinking the index ~(w+1)/2× while GUARANTEEING that any
+    * shared substring of ≥ w+k−1 tokens still collides on a selected
+    * fingerprint. The selection is a scan-stage kernel
+    * ([[graft.functions.WinnowOps]]); the output (idCol, pos, fp) is
+    * what a 100 TB substring-dedup index should actually store.
+    * k = `windowTokens` (the match granularity), `w` = the winnow
+    * window (detection floor w+k−1 tokens). */
+  def winnowIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 50,
+      winnowWindow: Int = 8
+  ): DataFrame = {
+    require(windowTokens >= 1 && winnowWindow >= 1,
+      s"winnowIndex: need windowTokens >= 1 and winnowWindow >= 1, " +
+        s"got $windowTokens/$winnowWindow")
+    df.select(col(idCol),
+        explode(graft.functions.TextKernels.winnowFingerprints(
+          col(textCol), windowTokens, winnowWindow)).as("__s"))
+      .select(col(idCol), col("__s.pos").as("pos"), col("__s.fp").as("fp"))
+  }
+
+  /** Candidate document pairs from the winnowed index: docs sharing ≥
+    * `minShared` selected fingerprints, with the shared count — the
+    * MOSS similarity-report shape, feeding the exact verification tiers.
+    * One fp-keyed equi-join over the COMPACTED index (≈ 2/(w+1) of the
+    * full window stream), identical-fp fan-out bounded by the usual
+    * min-id pairing. */
+  def winnowCandidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 50,
+      winnowWindow: Int = 8,
+      minShared: Int = 1
+  ): DataFrame = {
+    require(minShared >= 1, s"winnowCandidatePairs: minShared >= 1, got $minShared")
+    val idx = winnowIndex(df, idCol, textCol, windowTokens, winnowWindow)
+      .select(col(idCol).as("__wid"), col("fp")).distinct()
+    val a = idx.select(col("__wid").as("idA"), col("fp"))
+    val b = idx.select(col("__wid").as("idB"), col("fp"))
+    a.join(b, Seq("fp"))
+      .filter(col("idA") < col("idB"))
+      .groupBy("idA", "idB")
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   /** [[duplicatePassageSpans]] applied: returns the input plus
     * `clean_text` (tokens inside duplicate spans removed, survivors
     * re-joined with single spaces) and `dropped_tokens`. The span join is

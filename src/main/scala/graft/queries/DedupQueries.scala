@@ -622,6 +622,113 @@ object DedupQueries extends QueryPack {
     Q("q133_config_passage_dedup", q133, Some(q131Sql)),
     Q("q139_incremental_passage_dedup", q139, Some(q139Sql)),
     Q("q140_config_simhash_pairs", q140, Some(q140Sql)),
-    Q("q141_config_simhash_clusters", q141, Some(q141Sql))
+    Q("q141_config_simhash_clusters", q141, Some(q141Sql)),
+    Q("q194_winnow_index", q194, Some(q194Sql)),
+    Q("q195_winnow_pairs", q195, Some(q195Sql))
   )
+
+  // q194 — WINNOWED fingerprint selection (the MOSS algorithm): per doc,
+  // only the rightmost minimum of every 4 consecutive 8-token window
+  // hashes survives — the provable-floor index compaction of the passage
+  // tier. The oracle restates the SELECTION itself (list-slice min +
+  // rightmost argmin over the same rolling-hash stream), so both the
+  // rolling hashes and the winnow rule are under the hash gate.
+  private val wnK = 8 // fingerprint granularity (tokens)
+  private val wnW = 4 // winnow window (detection floor wnW+wnK-1 tokens)
+  private def q194(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowIndex(Tables.load(s, dir, "documents"),
+        "doc_id", "text", windowTokens = wnK, winnowWindow = wnW)
+      .orderBy(col("doc_id").asc_nulls_first, col("pos").asc_nulls_first)
+  /** Shared CTE chain ending in `sel(doc_id, pos, fp)` — the winnowed
+    * selection, mirrored from WinnowOps. */
+  private val winnowCte = s"""
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS t
+      FROM documents),
+    th AS (
+      SELECT doc_id, list_transform(t, tok ->
+        list_reduce(list_prepend(CAST(7 AS BIGINT),
+          list_transform(range(1, len(tok) + 1), i -> CAST(ascii(tok[i]) AS BIGINT))),
+          (a, c) -> (a * 131 + c) % 1000000007)) AS h
+      FROM toks),
+    fl AS (
+      SELECT doc_id,
+             [list_reduce(list_prepend(CAST(0 AS BIGINT), h[p + 1 : p + $wnK]),
+                (a, x) -> (a * 31 + x) % 1000000007)
+              for p in range(0, greatest(len(h) - ${wnK - 1}, 0))] AS fs
+      FROM th),
+    win AS (
+      SELECT doc_id, unnest([
+          {'pos': CAST(i + len(fs[i + 1 : least(i + $wnW, len(fs))])
+                   - list_position(list_reverse(fs[i + 1 : least(i + $wnW, len(fs))]),
+                       list_min(fs[i + 1 : least(i + $wnW, len(fs))])) AS INT),
+           'fp': list_min(fs[i + 1 : least(i + $wnW, len(fs))])}
+          for i in range(0, greatest(len(fs) - $wnW, 0) + 1)],
+        recursive := true)
+      FROM fl WHERE len(fs) > 0),
+    sel AS (SELECT DISTINCT doc_id, pos, fp FROM win)"""
+  private val q194Sql = s"""
+    WITH $winnowCte
+    SELECT doc_id, pos, fp FROM sel
+    ORDER BY doc_id ASC NULLS FIRST, pos ASC NULLS FIRST"""
+
+  // q195 — MOSS candidate pairs over the winnowed index, from PURE JSON:
+  // docs sharing >= 2 selected fingerprints with the shared count. The
+  // corpus gets PLANTED shared passages (docs with id % 10 = 1 append
+  // the same 24-token block — 24 >= wnW+wnK-1 = 11, so the winnowing
+  // GUARANTEE forces every such pair to collide); the oracle re-derives
+  // the pairs from the same selection arithmetic over the modified text.
+  // FIXTURE-BOUND to doc_id < 400 (the q28/q32 convention): natural
+  // 8-token collisions on the synthetic corpus grow the pair list
+  // quadratically in SF, and this is the verification tier — production
+  // pair generation runs over the winnowed INDEX with real k (50),
+  // where collisions are matches, not noise.
+  private def q195(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    graft.compile.Compiler.compileJson(s, s"""
+      {"source": {"table": "documents"},
+       "filters": ["doc_id < 400", "doc_id % 5 < 2"],
+       "derive": {"mtext": "if(doc_id % 10 = 1, concat(text, ' ', ${
+        (1 to 24).map(i => "'pp" + i + "'").mkString("concat_ws(' ', ", ", ", ")")}), text)"},
+       "winnow": {"id_col": "doc_id", "text_col": "mtext",
+                  "window_tokens": $wnK, "winnow_window": $wnW,
+                  "output": "pairs", "min_shared": 2},
+       "order_by": ["idA asc", "idB asc"]}""")
+  }
+  private val q195Sql = s"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 1
+                  THEN text || ' ' || ${(1 to 24).map(i => s"'pp$i'").mkString(" || ' ' || ")}
+                  ELSE text END AS text
+      FROM documents WHERE doc_id < 400 AND doc_id % 5 < 2),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS t
+      FROM base),
+    th AS (
+      SELECT doc_id, list_transform(t, tok ->
+        list_reduce(list_prepend(CAST(7 AS BIGINT),
+          list_transform(range(1, len(tok) + 1), i -> CAST(ascii(tok[i]) AS BIGINT))),
+          (a, c) -> (a * 131 + c) % 1000000007)) AS h
+      FROM toks),
+    fl AS (
+      SELECT doc_id,
+             [list_reduce(list_prepend(CAST(0 AS BIGINT), h[p + 1 : p + $wnK]),
+                (a, x) -> (a * 31 + x) % 1000000007)
+              for p in range(0, greatest(len(h) - ${wnK - 1}, 0))] AS fs
+      FROM th),
+    win AS (
+      SELECT doc_id, unnest([
+          {'fp': list_min(fs[i + 1 : least(i + $wnW, len(fs))])}
+          for i in range(0, greatest(len(fs) - $wnW, 0) + 1)],
+        recursive := true)
+      FROM fl WHERE len(fs) > 0),
+    idx AS (SELECT DISTINCT doc_id, fp FROM win)
+    SELECT a.doc_id AS idA, b.doc_id AS idB,
+           COUNT(*) AS shared_fps
+    FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ORDER BY idA ASC NULLS FIRST, idB ASC NULLS FIRST"""
 }

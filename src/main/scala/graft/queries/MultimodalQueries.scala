@@ -1187,7 +1187,7 @@ object MultimodalQueries extends QueryPack {
   // oracle.
   private def q189(s: SparkSession, dir: String): DataFrame = {
     Tables.registerViews(s, dir)
-    val members = graft.compile.Compiler.compileJson(s, """
+    graft.compile.Compiler.compileJson(s, """
       {"combine": {"op": "union", "nodes": [
          {"id": "txt", "source": {"table": "documents"},
           "derive": {"name": "concat('s', doc_id, '.txt')",
@@ -1196,9 +1196,9 @@ object MultimodalQueries extends QueryPack {
          {"id": "cls", "source": {"table": "documents"},
           "derive": {"name": "concat('s', doc_id, '.cls')",
                      "data": "cast(lang as binary)"},
-          "keep_columns": ["name", "data"]}]}}""")
-    graft.ops.Tar.wdsSamples(members, "name", "data")
-      .orderBy(col("sample_key").asc_nulls_first)
+          "keep_columns": ["name", "data"]}]},
+       "wds_samples": {"name_col": "name", "data_col": "data"},
+       "order_by": ["sample_key asc"]}""")
   }
   private val q189Sql = """
     SELECT 's' || CAST(doc_id AS VARCHAR) AS sample_key,

@@ -449,6 +449,27 @@ object JsonCodec {
         damping = opt(d, "damping").map(_.asDouble).getOrElse(0.85))
     }
 
+    val winnowSpec = optN("winnow").map { d =>
+      val ctx = s"node $id: winnow"
+      WinnowSpec(
+        idCol = req(d, ctx, "id_col", "idCol").asText,
+        textCol = req(d, ctx, "text_col", "textCol").asText,
+        windowTokens = opt(d, "window_tokens", "windowTokens").map(_.asInt).getOrElse(50),
+        winnowWindow = opt(d, "winnow_window", "winnowWindow").map(_.asInt).getOrElse(8),
+        output = opt(d, "output").map(_.asText).map {
+          case o @ ("index" | "pairs") => o
+          case other => throw new IllegalArgumentException(
+            s"""$ctx: output must be "index" or "pairs" — got "$other"""")
+        }.getOrElse("index"),
+        minShared = opt(d, "min_shared", "minShared").map(_.asInt).getOrElse(1))
+    }
+
+    val wdsSpec = optN("wds_samples", "wdsSamples").map { d =>
+      WdsSamplesSpec(
+        nameCol = req(d, s"node $id: wds_samples", "name_col", "nameCol").asText,
+        dataCol = req(d, s"node $id: wds_samples", "data_col", "dataCol").asText)
+    }
+
     val bm25Spec = optN("bm25").map { d =>
       val ctx = s"node $id: bm25"
       Bm25Spec(
@@ -627,6 +648,8 @@ object JsonCodec {
       dsir = dsirSpec,
       pageRank = prSpec,
       tarPack = tpSpec,
+      wdsSamples = wdsSpec,
+      winnow = winnowSpec,
       bm25 = bm25Spec,
       dsirScore = dsirScoreSpec,
       split = sp,

@@ -469,6 +469,32 @@ final case class DsirSpec(
     saveModel: String = ""
 )
 
+/** Winnowed fingerprinting (NS; Dedup.winnowIndex /
+  * winnowCandidatePairs — the MOSS algorithm): `output: "index"`
+  * replaces the frame with the compacted (id, pos, fp) selection
+  * (~2/(w+1) of the full window stream, guaranteed detection of
+  * matches ≥ w+k−1 tokens); `output: "pairs"` with the doc pairs
+  * sharing ≥ minShared selected fingerprints. Scan-stage selection;
+  * pairs add one fp-keyed join. */
+final case class WinnowSpec(
+    idCol: String,
+    textCol: String,
+    windowTokens: Int = 50,
+    winnowWindow: Int = 8,
+    output: String = "index", // index | pairs
+    minShared: Int = 1
+)
+
+/** WebDataset sample grouping (NS; Tar.wdsSamples): the frame's
+  * (name, data) member rows become one row per SAMPLE — (sample_key,
+  * n_files, exts, payload_bytes), key = name minus its last extension.
+  * The loader-side view of a shard and the completeness check a packing
+  * pipeline runs. One sample-keyed shuffle. */
+final case class WdsSamplesSpec(
+    nameCol: String,
+    dataCol: String
+)
+
 /** BM25 top-k retrieval (NS; Retrieval.bm25TopK): rank this node's
   * frame (the corpus) against the query table named by `queriesRef` (a
   * top-level def with qid/qtext columns); the frame becomes
@@ -766,6 +792,8 @@ final case class NodeSpec(
     dsir: Option[DsirSpec] = None, // after keep, before aggregate
     pageRank: Option[PageRankSpec] = None, // after keep, before aggregate
     tarPack: Option[TarPackSpec] = None, // after keep, before aggregate
+    wdsSamples: Option[WdsSamplesSpec] = None, // after keep, before aggregate
+    winnow: Option[WinnowSpec] = None, // after keep, before aggregate
     bm25: Option[Bm25Spec] = None, // after keep, before aggregate
     dsirScore: Option[DsirScoreSpec] = None, // after keep, before aggregate
     split: Option[SplitSpec] = None, // after keep, before aggregate

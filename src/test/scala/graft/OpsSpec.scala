@@ -2316,6 +2316,55 @@ class OpsSpec extends SparkSpec {
     assert(auto == explicit)
   }
 
+  test("winnowing: matches a brute-force reference; guarantee + compression hold") {
+    import graft.ops.Dedup
+    // brute-force reference implementation, independent of the kernel
+    def refWinnow(text: String, k: Int, w: Int): Set[(Int, Long)] = {
+      val M = 1000000007L
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      val th = toks.map(t => t.codePoints().toArray
+        .foldLeft(7L)((a, c) => (a * 131 + c) % M))
+      val m = th.length - k + 1
+      if (m <= 0) return Set.empty
+      val fps = (0 until m).map(p =>
+        (p until p + k).foldLeft(0L)((a, i) => (a * 31 + th(i)) % M))
+      (0 to math.max(m - w, 0)).flatMap { i =>
+        val sl = fps.slice(i, math.min(i + w, m))
+        val mn = sl.min
+        val best = i + sl.lastIndexOf(mn)
+        Some((best, fps(best)))
+      }.toSet
+    }
+    val docs = Tables.load(spark, sf, "documents").limit(30)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val got = Dedup.winnowIndex(
+        Tables.load(spark, sf, "documents").limit(30), "doc_id", "text",
+        windowTokens = 8, winnowWindow = 4)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(r => (r.getInt(1), r.getLong(2))).toSet }
+    docs.foreach { case (id, text) =>
+      assert(got.getOrElse(id, Set.empty) == refWinnow(text, 8, 4),
+        s"kernel must equal brute-force winnowing for doc $id")
+    }
+    // GUARANTEE: two docs sharing a (w+k-1)-token block share a selection
+    import spark.implicits._
+    val block = (1 to 11).map("s" + _).mkString(" ") // w+k-1 = 11
+    val pair = Seq(
+      (1L, s"alpha beta gamma $block delta epsilon zeta eta theta"),
+      (2L, s"one two three four five six $block seven eight nine ten"))
+      .toDF("id", "txt")
+    val shared = Dedup.winnowCandidatePairs(pair, "id", "txt",
+      windowTokens = 8, winnowWindow = 4).count()
+    assert(shared == 1L, "the winnowing guarantee must fire on an 11-token share")
+    // COMPRESSION: selected ≈ 2/(w+1) of the window stream
+    val full = Tables.load(spark, sf, "documents").limit(30)
+      .select(explode(graft.functions.TextKernels
+        .windowFingerprints(col("text"), 8))).count()
+    val sel = got.values.map(_.size.toLong).sum
+    assert(sel < full / 2, s"winnowed $sel of $full must compress > 2x at w=4")
+  }
+
   test("salting and packing reject column-name collisions") {
     val withSalt = spark.range(3).select($"id", lit(1).as("__salt"))
     intercept[IllegalArgumentException] {
