@@ -62,6 +62,20 @@ object Registry {
     // rolling-hash window at plan time)
     "window_fingerprints" -> (es => WindowFingerprints(es.head,
       litInt(es(1), "window_fingerprints", "n"))),
+    // winnow_fingerprints(text, k, w) — the MOSS selection over the
+    // rolling stream (see WinnowOps); k/w are plan-time literals
+    "winnow_fingerprints" -> (es => WinnowFingerprints(es.head,
+      litInt(es(1), "winnow_fingerprints", "k"),
+      litInt(es(2), "winnow_fingerprints", "w"))),
+    // ngram_buckets(text, dim) — the DSIR hashed unigram+bigram feature
+    // space (see NgramBucketOps); dim is a plan-time literal
+    "ngram_buckets" -> (es => HashedNgramBuckets(es.head,
+      litInt(es(1), "ngram_buckets", "dim"))),
+    // tar_members(bytes) → array<struct<name, size, data>> (ustar walk,
+    // named damage errors); tar_pack(array<struct<name, data>>) →
+    // deterministic ustar bytes (see TarOps)
+    "tar_members" -> (es => TarMembers(es.head)),
+    "tar_pack" -> (es => TarPack(es.head)),
     "pii_count" -> fn(TextAnalysis.piiCount),
     // line-tier curation heuristics (Gopher line-repetition metrics;
     // C4 line rules). line_stats(text) → struct(n_lines, dup_line_frac,

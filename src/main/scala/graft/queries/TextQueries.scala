@@ -1242,8 +1242,61 @@ object TextQueries extends QueryPack {
     Q("q187_config_pagerank", q187, Some(q186Sql)),
     Q("q190_bm25_topk", q190, Some(q190Sql)),
     Q("q191_config_bm25", q191, Some(q190Sql)),
-    Q("q193_lm_kneser_ney", q193, Some(q193Sql))
+    Q("q193_lm_kneser_ney", q193, Some(q193Sql)),
+    Q("q196_crawl_to_shards", q196, Some(q196Sql))
   )
+
+  // q196 — crawl → TRAINING SHARDS, one pure-JSON config: each doc
+  // becomes a WARC response (in-query fixture), the container kernel
+  // parses it, html_extract recovers the text, a token-count gate
+  // curates, and tar_pack writes deterministic WebDataset shards — the
+  // complete ingest-to-package story through registered functions
+  // (warc_records / html_extract / tar_members all reachable from expr
+  // strings). The gate reaches THROUGH THE ARCHIVE BYTES: members_fp
+  // re-parses each shard and sums the portable fingerprint of every
+  // member's text, which the oracle recomputes from the source table
+  // (html_extract normalizes whitespace, and the fingerprint is
+  // token-based, so fp(body_text) = fp(text) — the q146 identity).
+  private def q196(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "documents"},
+       "derive": {
+         "payload": "concat('<html><head><title>D', doc_id, '</title></head><body><p>', text, '</p></body></html>')",
+         "warc": "cast(concat('WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://ex.com/doc/', doc_id, '\r\nContent-Length: ', length(payload), '\r\n\r\n', payload, '\r\n\r\n') as binary)",
+         "rec": "element_at(filter(warc_records(warc), r -> r.warc_type = 'response'), 1)",
+         "body": "html_extract(cast(rec.payload as string)).body_text",
+         "name": "concat('d', doc_id, '.txt')",
+         "data": "cast(body as binary)"},
+       "filters": ["token_count(body) >= 5"],
+       "keep_columns": ["name", "data"],
+       "tar_pack": {"name_col": "name", "payload_col": "data", "shards": 3},
+       "with_columns": {
+         "members_fp": "aggregate(tar_members(tar), cast(0 as bigint), (a, m) -> a + doc_fingerprint_portable(cast(m.data as string)))"},
+       "drop": ["tar"],
+       "order_by": ["shard asc"]}""")
+  }
+  private val q196Sql = s"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS t
+      FROM documents),
+    f AS (SELECT doc_id, t FROM toks WHERE len(t) >= 5),
+    m AS (
+      SELECT CAST(list_reduce(
+               list_prepend(CAST(7 AS BIGINT),
+                 list_transform(range(1, len('d' || doc_id) + 1),
+                   i -> CAST(ascii(('d' || doc_id)[i]) AS BIGINT))),
+               (a, c) -> (a * 131 + c) % 1000000007) % 3 AS INT) AS shard,
+             strlen(array_to_string(t, ' ')) AS sz,
+             ${fpSql("t")} AS bfp
+      FROM f)
+    SELECT shard,
+           CAST(COUNT(*) AS INT) AS n_members,
+           CAST(((1024 + SUM(512 + CAST(CEIL(sz / 512.0) * 512 AS BIGINT))
+                  + 10239) // 10240) * 10240 AS BIGINT) AS tar_bytes,
+           CAST(SUM(bfp) AS BIGINT) AS members_fp
+    FROM m GROUP BY shard ORDER BY shard ASC NULLS FIRST"""
 
   // q193 — Kneser–Ney LM perplexity (the KenLM/CCNet-production
   // smoothing family) from PURE JSON: interpolated absolute-discount
