@@ -370,6 +370,81 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("tar: build→parse round-trips arbitrary members (names, binary payloads)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val memberGen: Gen[List[(String, Array[Byte])]] =
+      Gen.nonEmptyListOf(for {
+        stem <- Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.take(20).mkString)
+        long <- Gen.oneOf(false, false, true) // occasionally force GNU 'L'
+        ext <- Gen.oneOf("txt", "json", "bin")
+        sz <- Gen.chooseNum(0, 1500)
+        seed <- Gen.chooseNum(0, 255)
+      } yield (
+        (if (long) "p/" * 60 else "") + stem + "." + ext,
+        Array.tabulate[Byte](sz)(i => ((i * 31 + seed) & 0xFF).toByte)))
+    forAll(memberGen, n = 12) { members0 =>
+      // unique names (the WebDataset contract tarShards sorts by)
+      val members = members0.zipWithIndex.map { case ((n0, d), i) => (s"$i-$n0", d) }
+      val tar = graft.functions.TarOps.build(new GenericArrayData(
+        members.map { case (n0, d) =>
+          new GenericInternalRow(Array[Any](UTF8String.fromString(n0), d))
+        }.toArray[AnyRef]))
+      assert(tar.length % 10240 == 0, "record-size padding")
+      val parsed = graft.functions.TarOps.compute(tar)
+      assert(parsed.numElements() == members.size)
+      members.zipWithIndex.foreach { case ((n0, d), i) =>
+        val r = parsed.getStruct(i, 3)
+        assert(r.getUTF8String(0).toString == n0)
+        assert(r.getLong(1) == d.length.toLong)
+        assert(java.util.Arrays.equals(r.getBinary(2), d))
+      }
+    }
+  }
+
+  test("winnowing: selected fps are a subset of the window stream; floor guarantee holds") {
+    val textGen: Gen[(String, String, String)] = for {
+      a <- Gen.listOfN(30, Gen.oneOf("aa", "bb", "cc", "dd", "ee")).map(_.mkString(" "))
+      b <- Gen.listOfN(30, Gen.oneOf("ff", "gg", "hh", "ii", "jj")).map(_.mkString(" "))
+      shared <- Gen.listOfN(11, Gen.oneOf("kk", "ll", "mm", "nn")).map(_.mkString(" "))
+    } yield (s"$a $shared", s"$shared $b", shared)
+    forAll(textGen, n = 10) { case (t1, t2, _) =>
+      val df = Seq((1L, t1), (2L, t2)).toDF("id", "txt")
+      val idx = graft.ops.Dedup.winnowIndex(df, "id", "txt", 8, 4)
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+      // subset of the full window stream
+      val full = df.select(col("id"), explode(graft.functions.TextKernels
+          .windowFingerprints(col("txt"), 8)).as("fp"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(idx.toSet.subsetOf(full))
+      // the 11-token (= w+k-1) shared block must collide
+      val shared = idx.filter(_._1 == 1L).map(_._2).toSet
+        .intersect(idx.filter(_._1 == 2L).map(_._2).toSet)
+      assert(shared.nonEmpty, "winnowing floor guarantee must fire")
+    }
+  }
+
+  test("ngram buckets: count is 2n-1, values in range, prefix-stable under append") {
+    val textGen = Gen.nonEmptyListOf(
+      Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.take(6).mkString))
+      .map(_.take(20))
+    forAll(textGen, n = 12) { toks =>
+      val t = toks.mkString(" ")
+      val buckets = Seq(Tuple1(t)).toDF("t")
+        .select(graft.functions.ClassifierKernels.hashedNgramBuckets(col("t"), 64))
+        .collect()(0).getSeq[Int](0)
+      assert(buckets.size == (if (toks.size >= 2) 2 * toks.size - 1 else toks.size))
+      assert(buckets.forall(b => b >= 0 && b < 64))
+      // appending a token preserves the existing unigram prefix
+      val more = Seq(Tuple1(t + " zz9")).toDF("t")
+        .select(graft.functions.ClassifierKernels.hashedNgramBuckets(col("t"), 64))
+        .collect()(0).getSeq[Int](0)
+      assert(more.take(toks.size) == buckets.take(toks.size),
+        "unigram buckets are prefix-stable under append")
+    }
+  }
+
   test("url_host is idempotent-stable: host of a rebuilt URL is the host itself") {
     import graft.ops.TextAnalysis
     val hostGen = for {
