@@ -76,6 +76,9 @@ object Registry {
     // deterministic ustar bytes (see TarOps)
     "tar_members" -> (es => TarMembers(es.head)),
     "tar_pack" -> (es => TarPack(es.head)),
+    // robots_allowed(robots_txt, agent, path) → RFC 9309 verdict (the
+    // crawl-compliance / takedown-audit gate; see RobotsOps)
+    "robots_allowed" -> (es => RobotsAllowed(es.head, es(1), es(2))),
     "pii_count" -> fn(TextAnalysis.piiCount),
     // line-tier curation heuristics (Gopher line-repetition metrics;
     // C4 line rules). line_stats(text) → struct(n_lines, dup_line_frac,

@@ -1243,8 +1243,38 @@ object TextQueries extends QueryPack {
     Q("q190_bm25_topk", q190, Some(q190Sql)),
     Q("q191_config_bm25", q191, Some(q190Sql)),
     Q("q193_lm_kneser_ney", q193, Some(q193Sql)),
-    Q("q196_crawl_to_shards", q196, Some(q196Sql))
+    Q("q196_crawl_to_shards", q196, Some(q196Sql)),
+    Q("q197_robots_audit", q197, Some(q197Sql))
   )
+
+  // q197 — robots.txt compliance audit from PURE JSON (RFC 9309): every
+  // doc gets a deterministic URL path and one site policy (a specific
+  // graftbot group with prefix, longest-match-override, and $-anchored
+  // wildcard rules, plus a deny-all * group the specific group must
+  // shield from); robots_allowed decides each path and the oracle
+  // restates the verdicts as modular arithmetic — precedence, anchoring,
+  // and group selection are all under the hash gate.
+  private def q197(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "documents"},
+       "derive": {
+         "path": "case when doc_id % 6 = 2 then concat('/pub/f', doc_id, '.php') when doc_id % 3 = 0 then concat('/private/doc', doc_id) when doc_id % 3 = 1 then concat('/private/ok/doc', doc_id) else concat('/pub/doc', doc_id) end",
+         "robots": "'User-agent: graftbot\\nDisallow: /private\\nAllow: /private/ok\\nDisallow: /*.php$\\n\\nUser-agent: *\\nDisallow: /'",
+         "ok": "robots_allowed(robots, 'graftbot', path)"},
+       "keep_columns": ["doc_id", "path", "ok"],
+       "order_by": ["doc_id asc"]}""")
+  }
+  private val q197Sql = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 6 = 2 THEN '/pub/f' || doc_id || '.php'
+                WHEN doc_id % 3 = 0 THEN '/private/doc' || doc_id
+                WHEN doc_id % 3 = 1 THEN '/private/ok/doc' || doc_id
+                ELSE '/pub/doc' || doc_id END AS path,
+           CASE WHEN doc_id % 6 = 2 THEN false
+                WHEN doc_id % 3 = 0 THEN false
+                ELSE true END AS ok
+    FROM documents ORDER BY doc_id ASC NULLS FIRST"""
 
   // q196 — crawl → TRAINING SHARDS, one pure-JSON config: each doc
   // becomes a WARC response (in-query fixture), the container kernel
