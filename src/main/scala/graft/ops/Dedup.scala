@@ -746,6 +746,51 @@ object Dedup {
       .select(col(idCol), col("__s.pos").as("pos"), col("__s.fp").as("fp"))
   }
 
+  /** The PERSISTABLE side of the winnowed tier: the distinct selected
+    * fingerprints of a corpus — what a growing corpus stores instead of
+    * the full window index ([[passageWindowIndex]]'s compacted sibling;
+    * ~2/(w+1) the rows at the same detection floor). */
+  def winnowIndexFps(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 50,
+      winnowWindow: Int = 8
+  ): DataFrame =
+    winnowIndex(df, idCol, textCol, windowTokens, winnowWindow)
+      .select("fp").distinct()
+
+  /** Incremental MOSS probe: flag incoming docs that share ≥ `minShared`
+    * winnowed fingerprints with a persisted [[winnowIndexFps]] corpus
+    * index — the candidate gate in front of the exact verification tier
+    * (`passageDedupAgainstCorpus` / edit-distance), at the compacted
+    * index's storage cost. Selection is scan-stage; the probe is one
+    * fp-keyed semi-join + an id-keyed count — batch-shaped, the corpus
+    * never re-scans. Adds (matchedCol, flagCol) to the input. */
+  def winnowProbeAgainstCorpus(
+      incoming: DataFrame,
+      corpusFps: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 50,
+      winnowWindow: Int = 8,
+      minShared: Int = 2,
+      matchedCol: String = "matched_fps",
+      flagCol: String = "near_dup"
+  ): DataFrame = {
+    require(minShared >= 1, s"winnowProbeAgainstCorpus: minShared >= 1, got $minShared")
+    require(corpusFps.columns.toSet == Set("fp"),
+      s"corpusFps must be winnowIndexFps output (fp), " +
+        s"got ${corpusFps.columns.mkString(", ")}")
+    val sel = winnowIndex(incoming, idCol, textCol, windowTokens, winnowWindow)
+      .select(col(idCol), col("fp")).distinct()
+    val matched = sel.join(corpusFps, Seq("fp"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as(matchedCol))
+    incoming.join(matched, Seq(idCol), "left")
+      .withColumn(matchedCol, coalesce(col(matchedCol), lit(0L)))
+      .withColumn(flagCol, col(matchedCol) >= minShared)
+  }
+
   /** Candidate document pairs from the winnowed index: docs sharing ≥
     * `minShared` selected fingerprints, with the shared count — the
     * MOSS similarity-report shape, feeding the exact verification tiers.

@@ -624,8 +624,49 @@ object DedupQueries extends QueryPack {
     Q("q140_config_simhash_pairs", q140, Some(q140Sql)),
     Q("q141_config_simhash_clusters", q141, Some(q141Sql)),
     Q("q194_winnow_index", q194, Some(q194Sql)),
-    Q("q195_winnow_pairs", q195, Some(q195Sql))
+    Q("q195_winnow_pairs", q195, Some(q195Sql)),
+    Q("q198_winnow_probe", q198, Some(q198Sql))
   )
+
+  // q198 — INCREMENTAL MOSS probe: the corpus/incoming split (q88/q97/
+  // q139 convention) at the COMPACTED index's cost — corpus docs build a
+  // winnowIndexFps, incoming docs are flagged by shared-selection count.
+  // Planted 24-token blocks (corpus id%9=1, incoming id%9=0 share one
+  // literal block ≥ 2·(w+k−1), so interior selections must collide on
+  // both sides) make the flag provably fire; the oracle recomputes the
+  // whole selection + probe arithmetic either way.
+  private def q198(s: SparkSession, dir: String): DataFrame = {
+    val block = (1 to 24).map("wq" + _).mkString(" ")
+    val base = Tables.load(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 9 === 0 || col("doc_id") % 9 === 1,
+        concat(col("text"), lit(" " + block))).otherwise(col("text")).as("mtext"))
+    val corpus = base.filter(col("doc_id") % 3 =!= 0)
+    val incoming = base.filter(col("doc_id") % 3 === 0)
+    val idx = Dedup.winnowIndexFps(corpus, "doc_id", "mtext", wnK, wnW)
+    Dedup.winnowProbeAgainstCorpus(incoming, idx, "doc_id", "mtext",
+        wnK, wnW, minShared = 2)
+      .select("doc_id", "matched_fps", "near_dup")
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+  private val q198Sql = s"""
+    WITH wdocs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 9 IN (0, 1)
+                  THEN text || ' ' || ${(1 to 24).map(i => s"'wq$i'").mkString(" || ' ' || ")}
+                  ELSE text END AS text
+      FROM documents),
+    ${winnowSelCtes("wdocs")},
+    corp AS (SELECT DISTINCT fp FROM sel WHERE doc_id % 3 <> 0),
+    inc AS (SELECT DISTINCT doc_id, fp FROM sel WHERE doc_id % 3 = 0),
+    m AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS matched_fps
+      FROM inc WHERE fp IN (SELECT fp FROM corp) GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(m.matched_fps, 0) AS matched_fps,
+           COALESCE(m.matched_fps, 0) >= 2 AS near_dup
+    FROM (SELECT doc_id FROM wdocs WHERE doc_id % 3 = 0) d
+    LEFT JOIN m USING (doc_id)
+    ORDER BY doc_id ASC NULLS FIRST"""
 
   // q194 — WINNOWED fingerprint selection (the MOSS algorithm): per doc,
   // only the rightmost minimum of every 4 consecutive 8-token window
@@ -633,19 +674,20 @@ object DedupQueries extends QueryPack {
   // tier. The oracle restates the SELECTION itself (list-slice min +
   // rightmost argmin over the same rolling-hash stream), so both the
   // rolling hashes and the winnow rule are under the hash gate.
-  private val wnK = 8 // fingerprint granularity (tokens)
-  private val wnW = 4 // winnow window (detection floor wnW+wnK-1 tokens)
+  private final val wnK = 8 // fingerprint granularity (tokens)
+  private final val wnW = 4 // winnow window (detection floor wnW+wnK-1 tokens)
   private def q194(s: SparkSession, dir: String): DataFrame =
     Dedup.winnowIndex(Tables.load(s, dir, "documents"),
         "doc_id", "text", windowTokens = wnK, winnowWindow = wnW)
       .orderBy(col("doc_id").asc_nulls_first, col("pos").asc_nulls_first)
   /** Shared CTE chain ending in `sel(doc_id, pos, fp)` — the winnowed
-    * selection, mirrored from WinnowOps. */
-  private val winnowCte = s"""
+    * selection mirrored from WinnowOps — over a caller-supplied
+    * `wdocs(doc_id, text)` CTE (q194/q198 share it). */
+  private def winnowSelCtes(src: String): String = s"""
     toks AS (
       SELECT doc_id,
              list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS t
-      FROM documents),
+      FROM $src),
     th AS (
       SELECT doc_id, list_transform(t, tok ->
         list_reduce(list_prepend(CAST(7 AS BIGINT),
@@ -669,7 +711,7 @@ object DedupQueries extends QueryPack {
       FROM fl WHERE len(fs) > 0),
     sel AS (SELECT DISTINCT doc_id, pos, fp FROM win)"""
   private val q194Sql = s"""
-    WITH $winnowCte
+    WITH ${winnowSelCtes("documents")}
     SELECT doc_id, pos, fp FROM sel
     ORDER BY doc_id ASC NULLS FIRST, pos ASC NULLS FIRST"""
 

@@ -517,6 +517,27 @@ class JsonCodecSpec extends AnyFunSuite {
     // dsir_score requires model_dir
     intercept[IllegalArgumentException](root("""
       {"dsir_score": {"text_col": "text"}}"""))
+    // winnow defaults + named output error
+    val wn = root("""
+      {"source": {"table": "documents"},
+       "winnow": {"id_col": "doc_id", "text_col": "text"}}""").winnow.get
+    assert(wn.windowTokens == 50 && wn.winnowWindow == 8 &&
+      wn.output == "index" && wn.minShared == 1)
+    val e4 = intercept[IllegalArgumentException](root("""
+      {"winnow": {"id_col": "a", "text_col": "t", "output": "spans"}}"""))
+    assert(e4.getMessage.contains("index"))
+    // wds_samples requires both columns
+    intercept[IllegalArgumentException](root("""
+      {"wds_samples": {"name_col": "n"}}"""))
+    // lm_perplexity smoothing: named error on unknown family
+    val e5 = intercept[IllegalArgumentException](root("""
+      {"lm_perplexity": {"id_col": "a", "text_col": "t",
+                         "smoothing": "laplace"}}"""))
+    assert(e5.getMessage.contains("addk"))
+    assert(root("""
+      {"source": {"table": "documents"},
+       "lm_perplexity": {"id_col": "a", "text_col": "t"}}""")
+      .lmPerplexity.get.smoothing == "addk")
     // unknown-key rejection still covers the new blocks
     val e3 = intercept[IllegalArgumentException](root("""
       {"source": {"table": "documents"},
