@@ -93,6 +93,7 @@ object Compiler {
         node.bm25.toSeq.flatMap(bq => Seq(bq.idCol, bq.textCol)) ++
         node.wdsSamples.toSeq.flatMap(ws => Seq(ws.nameCol, ws.dataCol)) ++
         node.winnow.toSeq.flatMap(wn => Seq(wn.idCol, wn.textCol)) ++
+        node.winnowProbe.toSeq.map(_.textCol) ++
         node.split.toSeq.map(_.idCol) ++
         node.temperatureSample.toSeq.flatMap(t => Seq(t.groupCol, t.idCol)) ++
         node.globalShuffle.toSeq.map(_.idCol) ++
@@ -536,6 +537,16 @@ object Compiler {
         case _ => graft.ops.Dedup.winnowIndex(
           df, wn.idCol, wn.textCol, wn.windowTokens, wn.winnowWindow)
       }
+    }
+
+    // Scan-stage winnow probe: the Bloom over the persisted compacted
+    // index builds ONCE at compile (batch read) — the probed frame
+    // never shuffles, so the key is streaming-admissible.
+    node.winnowProbe.foreach { wp =>
+      val idx = spark.read.parquet(wp.indexDir)
+      df = graft.ops.Dedup.winnowProbeBloom(df, wp.textCol, idx,
+        wp.windowTokens, wp.winnowWindow, wp.minShared,
+        wp.matchedCol, wp.flagCol, wp.expectedKeys, wp.fpp)
     }
 
     // WebDataset sample grouping: the frame becomes (sample_key,

@@ -791,6 +791,44 @@ object Dedup {
       .withColumn(flagCol, col(matchedCol) >= minShared)
   }
 
+  /** Scan-stage Bloom tier of [[winnowProbeAgainstCorpus]] — the
+    * STREAMING-admissible shape (the [[nearDupProbeBloom]] contract at
+    * passage granularity): a Bloom filter over the persisted
+    * [[winnowIndexFps]] builds ONCE at compile and broadcasts; each row
+    * counts its distinct winnowed selections that might be indexed and
+    * flags at `minShared` — the probed frame never shuffles, joins, or
+    * aggregates. CONSERVATIVE: Bloom has no false negatives, so the
+    * count only over-estimates — everything the exact probe flags is
+    * flagged here, plus an fpp-bounded sliver to route to the exact
+    * tier. Must use the index's (windowTokens, winnowWindow). */
+  def winnowProbeBloom(
+      df: DataFrame,
+      textCol: String,
+      corpusFps: DataFrame,
+      windowTokens: Int = 50,
+      winnowWindow: Int = 8,
+      minShared: Int = 2,
+      matchedCol: String = "matched_fps",
+      flagCol: String = "near_dup",
+      expectedKeys: Long = 1L << 22,
+      fpp: Double = 0.01
+  ): DataFrame = {
+    require(minShared >= 1, s"winnowProbeBloom: minShared >= 1, got $minShared")
+    require(corpusFps.columns.toSet == Set("fp"),
+      s"corpusFps must be winnowIndexFps output (fp), " +
+        s"got ${corpusFps.columns.mkString(", ")}")
+    val bloom = corpusFps.stat.bloomFilter("fp", expectedKeys, fpp)
+    val bc = df.sparkSession.sparkContext.broadcast(bloom)
+    val cnt = udf((fps: Seq[Long]) =>
+      if (fps == null) 0L
+      else fps.distinct.count(k => bc.value.mightContainLong(k)).toLong)
+    df.withColumn(matchedCol, cnt(transform(
+        graft.functions.TextKernels.winnowFingerprints(
+          col(textCol), windowTokens, winnowWindow),
+        s => s.getField("fp"))))
+      .withColumn(flagCol, col(matchedCol) >= minShared)
+  }
+
   /** Candidate document pairs from the winnowed index: docs sharing ≥
     * `minShared` selected fingerprints, with the shared count — the
     * MOSS similarity-report shape, feeding the exact verification tiers.

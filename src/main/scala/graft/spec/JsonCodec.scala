@@ -464,6 +464,20 @@ object JsonCodec {
         minShared = opt(d, "min_shared", "minShared").map(_.asInt).getOrElse(1))
     }
 
+    val winnowProbeSpec = optN("winnow_probe", "winnowProbe").map { d =>
+      val ctx = s"node $id: winnow_probe"
+      WinnowProbeSpec(
+        textCol = req(d, ctx, "text_col", "textCol").asText,
+        indexDir = req(d, ctx, "index_dir", "indexDir").asText,
+        windowTokens = opt(d, "window_tokens", "windowTokens").map(_.asInt).getOrElse(50),
+        winnowWindow = opt(d, "winnow_window", "winnowWindow").map(_.asInt).getOrElse(8),
+        minShared = opt(d, "min_shared", "minShared").map(_.asInt).getOrElse(2),
+        matchedCol = opt(d, "matched_col", "matchedCol").map(_.asText).getOrElse("matched_fps"),
+        flagCol = opt(d, "flag_col", "flagCol").map(_.asText).getOrElse("near_dup"),
+        expectedKeys = opt(d, "expected_keys", "expectedKeys").map(_.asLong).getOrElse(1L << 22),
+        fpp = opt(d, "fpp").map(_.asDouble).getOrElse(0.01))
+    }
+
     val wdsSpec = optN("wds_samples", "wdsSamples").map { d =>
       WdsSamplesSpec(
         nameCol = req(d, s"node $id: wds_samples", "name_col", "nameCol").asText,
@@ -650,6 +664,7 @@ object JsonCodec {
       tarPack = tpSpec,
       wdsSamples = wdsSpec,
       winnow = winnowSpec,
+      winnowProbe = winnowProbeSpec,
       bm25 = bm25Spec,
       dsirScore = dsirScoreSpec,
       split = sp,

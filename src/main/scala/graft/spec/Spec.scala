@@ -485,6 +485,26 @@ final case class WinnowSpec(
     minShared: Int = 1
 )
 
+/** Scan-stage winnow PROBE (NS; Dedup.winnowProbeBloom): a Bloom over
+  * a persisted winnowIndexFps table (parquet at `indexDir`) builds at
+  * compile and broadcasts; each row gains `matchedCol` (count of its
+  * winnowed selections that might be indexed) and `flagCol`
+  * (≥ minShared) with zero shuffles — streaming-admissible, the MOSS
+  * candidate gate on a stream. Conservative: indexed collisions always
+  * flag; fpp-bounded over-flagging routes to the exact tier. Must use
+  * the index's (windowTokens, winnowWindow). */
+final case class WinnowProbeSpec(
+    textCol: String,
+    indexDir: String,
+    windowTokens: Int = 50,
+    winnowWindow: Int = 8,
+    minShared: Int = 2,
+    matchedCol: String = "matched_fps",
+    flagCol: String = "near_dup",
+    expectedKeys: Long = 1L << 22,
+    fpp: Double = 0.01
+)
+
 /** WebDataset sample grouping (NS; Tar.wdsSamples): the frame's
   * (name, data) member rows become one row per SAMPLE — (sample_key,
   * n_files, exts, payload_bytes), key = name minus its last extension.
@@ -794,6 +814,7 @@ final case class NodeSpec(
     tarPack: Option[TarPackSpec] = None, // after keep, before aggregate
     wdsSamples: Option[WdsSamplesSpec] = None, // after keep, before aggregate
     winnow: Option[WinnowSpec] = None, // after keep, before aggregate
+    winnowProbe: Option[WinnowProbeSpec] = None, // after keep, before aggregate
     bm25: Option[Bm25Spec] = None, // after keep, before aggregate
     dsirScore: Option[DsirScoreSpec] = None, // after keep, before aggregate
     split: Option[SplitSpec] = None, // after keep, before aggregate

@@ -2365,6 +2365,42 @@ class OpsSpec extends SparkSpec {
     assert(sel < full / 2, s"winnowed $sel of $full must compress > 2x at w=4")
   }
 
+  test("winnow Bloom probe: contains the exact probe; guarantees on planted shares; guards") {
+    import graft.ops.Dedup
+    import spark.implicits._
+    val block = (1 to 15).map("zz" + _).mkString(" ")
+    val corpus = (1L to 20L).map(i =>
+      (i, s"corpus doc $i " + (1 to 20).map(j => s"c$i$j").mkString(" ") +
+        (if (i % 4 == 0) s" $block" else ""))).toDF("id", "txt")
+    val incoming = (101L to 120L).map(i =>
+      (i, s"incoming doc $i " + (1 to 20).map(j => s"n$i$j").mkString(" ") +
+        (if (i % 4 == 0) s" $block" else ""))).toDF("id", "txt")
+    val idx = Dedup.winnowIndexFps(corpus, "id", "txt", 8, 4)
+    val exact = Dedup.winnowProbeAgainstCorpus(incoming, idx, "id", "txt", 8, 4, 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("matched_fps"), r.getAs[Boolean]("near_dup"))).toMap
+    val bloomed = Dedup.winnowProbeBloom(incoming, "txt", idx, 8, 4, 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("matched_fps"), r.getAs[Boolean]("near_dup"))).toMap
+    incoming.collect().map(_.getLong(0)).foreach { id =>
+      assert(bloomed(id)._1 >= exact(id)._1,
+        "Bloom count must never under-estimate (no false negatives)")
+      assert(!exact(id)._2 || bloomed(id)._2,
+        "everything the exact probe flags must flag through the Bloom")
+    }
+    // planted cross-side shares (15 >= w+k-1) must flag in BOTH tiers
+    (104L to 120L by 4).foreach { id =>
+      assert(exact(id)._2 && bloomed(id)._2, s"planted doc $id must flag")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.winnowProbeBloom(incoming, "txt",
+        idx.withColumnRenamed("fp", "x"), 8, 4)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.winnowProbeAgainstCorpus(incoming, idx, "id", "txt", 8, 4, 0)
+    }
+  }
+
   test("salting and packing reject column-name collisions") {
     val withSalt = spark.range(3).select($"id", lit(1).as("__salt"))
     intercept[IllegalArgumentException] {

@@ -1081,6 +1081,40 @@ class StreamingSpec extends SparkSpec {
     assert((1L to 20L).map(m).min > (21L to 40L).map(m).max)
   }
 
+  test("winnow_probe config key runs on a stream: Bloom candidate gate, stream == batch") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-wnprobe").toString
+    val block = (1 to 15).map("qq" + _).mkString(" ")
+    val corpus = (1L to 12L).map(i =>
+      (i, s"history doc $i " + (1 to 15).map(j => s"h$i$j").mkString(" ") +
+        (if (i % 3 == 0) s" $block" else ""))).toDF("doc_id", "text")
+    graft.ops.Dedup.winnowIndexFps(corpus, "doc_id", "text", 8, 4)
+      .write.parquet(s"$dir/idx")
+    val incoming = (101L to 112L).map(i =>
+      (i, s"fresh doc $i " + (1 to 15).map(j => s"f$i$j").mkString(" ") +
+        (if (i % 3 == 0) s" $block" else ""))).toDF("doc_id", "text")
+    incoming.coalesce(1).write.parquet(s"$dir/in")
+    val nodeBody = s""""winnow_probe": {"text_col": "text", "index_dir": "$dir/idx",
+      "window_tokens": 8, "winnow_window": 4, "min_shared": 2}"""
+    val batch = graft.compile.Compiler.compileJson(spark,
+        s"""{"source": {"path": "$dir/in"}, $nodeBody}""")
+      .select("doc_id", "matched_fps", "near_dup")
+      .collect().map(_.toSeq).toSet
+    val q = graft.compile.Compiler.compileStreamJson(spark, s"""
+      {"source": {"path": "$dir/in"}, $nodeBody,
+       "save": {"format": "memory", "query_name": "wn_stream",
+                "trigger": "available_now", "output_mode": "append"}}""")
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("wn_stream")
+      .select("doc_id", "matched_fps", "near_dup")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, "stream probe must equal batch")
+    val flags = spark.table("wn_stream")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("near_dup")).toMap
+    assert((102L to 112L by 3).forall(flags(_)), "planted shares must flag on the stream")
+    assert(flags.values.exists(!_), "unplanted docs must pass")
+  }
+
   test("cluster-output and passage dedup keys reject streaming compiles by name") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-batchonly").toString
