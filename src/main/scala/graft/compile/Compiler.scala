@@ -415,6 +415,7 @@ object Compiler {
     node.bpeApply.foreach { b =>
       val merges = graft.ops.Bpe.loadMerges(spark, b.mergesDir)
       df = graft.ops.Bpe.addTokens(df, b.textCol, merges)
+      if (b.withIds) df = graft.ops.Bpe.addIds(df, b.textCol, merges)
     }
 
     // BPE: train merges on the frame (iterative global aggregates —

@@ -172,6 +172,77 @@ case class BpeTokenize(child: Expression, merges: Seq[(String, String)])
   override def prettyName: String = "bpe_tokenize"
 }
 
+object BpeEncodeOps {
+  /** Map each subword symbol to a STABLE integer id — what training
+    * shards actually ship. Scheme (deterministic, artifact-derivable,
+    * no corpus pass): a single-code-point symbol's id IS its code point
+    * (0..0x10FFFF — the fixed base vocabulary every codepoint-level
+    * tokenizer shares); merge k's output symbol gets 0x110000 + (k−1)
+    * (rank order = id order, so growing the merge list only APPENDS
+    * ids — old shards stay valid). If two merges produce the same
+    * string, the earliest rank wins (matching CASE-order oracles). */
+  def encode(u: UTF8String, merges: Array[(String, String)],
+      ids: java.util.HashMap[String, Integer]): ArrayData = {
+    val toks = BpeOps.tokenize(u, merges)
+    val n = toks.numElements()
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i).toString
+      out(i) =
+        if (t.codePointCount(0, t.length) == 1) t.codePointAt(0)
+        else {
+          val m = ids.get(t)
+          if (m != null) m.intValue() else -1 // unreachable by construction
+        }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `bpe_encode(text)` — tokenize under the plan-time merge list, then
+  * map symbols to stable integer ids (see [[BpeEncodeOps]]). Scan-stage
+  * reference-object kernel, streaming-admissible — the id sequences a
+  * WebDataset training shard carries. */
+case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  @transient private lazy val mArr: Array[(String, String)] = merges.toArray
+  @transient private lazy val idMap: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    var k = 0
+    while (k < mArr.length) {
+      val sym = mArr(k)._1 + mArr(k)._2
+      if (!m.containsKey(sym)) m.put(sym, Integer.valueOf(0x110000 + k))
+      k += 1
+    }
+    m
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bpe_encode expects string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    BpeEncodeOps.encode(input.asInstanceOf[UTF8String], mArr, idMap)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("merges", mArr, "scala.Tuple2[]")
+    val iRef = ctx.addReferenceObj("ids", idMap, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeEncodeOps.encode($c, $mRef, $iRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+
+  override def prettyName: String = "bpe_encode"
+}
+
 object BpeKernels {
   def mergePair(symbols: Column, l: String, r: String): Column =
     GraftColumnBridge.column(
@@ -180,4 +251,8 @@ object BpeKernels {
   def bpeTokenize(text: Column, merges: Seq[(String, String)]): Column =
     GraftColumnBridge.column(
       BpeTokenize(GraftColumnBridge.expression(text), merges))
+
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+    GraftColumnBridge.column(
+      BpeEncode(GraftColumnBridge.expression(text), merges))
 }

@@ -126,4 +126,15 @@ object Bpe {
     df.withColumn("bpe_tokens",
         graft.functions.BpeKernels.bpeTokenize(col(textCol), merges))
       .withColumn("n_bpe", size(col("bpe_tokens")))
+
+  /** [[addTokens]]' ID sibling: adds `bpe_ids` — the STABLE integer id
+    * sequence a training shard actually carries (single code points id
+    * as themselves, merge k's symbol as 0x110000+k−1 — growing the
+    * merge list only appends ids, so re-training never invalidates old
+    * shards; see [[graft.functions.BpeEncodeOps]]). Scan-stage,
+    * streaming-admissible (the `bpe_apply` key's `with_ids`). */
+  def addIds(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)], idsCol: String = "bpe_ids"): DataFrame =
+    df.withColumn(idsCol,
+      graft.functions.BpeKernels.bpeEncode(col(textCol), merges))
 }

@@ -1244,8 +1244,60 @@ object TextQueries extends QueryPack {
     Q("q191_config_bm25", q191, Some(q190Sql)),
     Q("q193_lm_kneser_ney", q193, Some(q193Sql)),
     Q("q196_crawl_to_shards", q196, Some(q196Sql)),
-    Q("q197_robots_audit", q197, Some(q197Sql))
+    Q("q197_robots_audit", q197, Some(q197Sql)),
+    Q("q199_bpe_token_ids", q199, Some(q199Sql))
   )
+
+  // q199 — BPE ID ENCODING from a persisted artifact: the integer
+  // sequences a training shard actually ships (single code points id as
+  // themselves; merge k's symbol as 0x110000+k−1, so a grown merge list
+  // only appends ids). The gate folds every document's id sequence IN
+  // ORDER (Horner mod 1e9+7), so the tokenizer, the id mapping, AND the
+  // sequence order are all under one exact oracle (restated as the q164
+  // nested-replace mirror + a CASE id map + an in-order list fold).
+  private def q199(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    import s.implicits._
+    val mdir = s"${System.getProperty("java.io.tmpdir")}/graft_q199_merges"
+    q164Merges.zipWithIndex
+      .map { case ((l, r), i) => (i + 1, l, r, 0L) }
+      .toDF("rank", "left", "right", "pair_count")
+      .coalesce(1).write.mode("overwrite").parquet(mdir)
+    graft.compile.Compiler.compileJson(s, s"""
+      {"source": {"table": "documents"},
+       "keep_columns": ["doc_id", "text"],
+       "bpe_apply": {"text_col": "text", "merges_dir": "$mdir", "with_ids": true},
+       "with_columns": {
+         "n_ids": "size(bpe_ids)",
+         "ids_fold": "aggregate(bpe_ids, cast(0 as bigint), (a, x) -> (a * 31 + x) % 1000000007)"},
+       "drop": ["text", "bpe_tokens", "n_bpe", "bpe_ids"],
+       "order_by": ["doc_id asc"]}""")
+  }
+  private val q199Sql = {
+    val sym = "' ' || array_to_string(str_split_regex(w, ''), ' ') || ' '"
+    val replaced = q164Merges.foldLeft(s"($sym)") {
+      case (acc, (l, r)) => s"replace($acc, ' $l $r ', ' $l$r ')"
+    }
+    val idCase = q164Merges.zipWithIndex.map { case ((l, r), i) =>
+      s"WHEN tok = '$l$r' THEN ${0x110000 + i}"
+    }.mkString(" ")
+    s"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS t
+      FROM documents),
+    ids AS (
+      SELECT doc_id,
+             flatten(list_transform(t, w ->
+               list_transform(
+                 list_filter(string_split($replaced, ' '), x -> len(x) > 0),
+                 tok -> CASE $idCase ELSE unicode(tok) END))) AS idl
+      FROM toks)
+    SELECT doc_id, CAST(len(idl) AS INT) AS n_ids,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), idl),
+             (a, x) -> (a * 31 + x) % 1000000007) AS ids_fold
+    FROM ids ORDER BY doc_id ASC NULLS FIRST"""
+  }
 
   // q197 — robots.txt compliance audit from PURE JSON (RFC 9309): every
   // doc gets a deterministic URL path and one site policy (a specific

@@ -378,7 +378,8 @@ object JsonCodec {
     val ba = optN("bpe_apply", "bpeApply").map { d =>
       BpeApplySpec(
         textCol = req(d, s"node $id: bpe_apply", "text_col", "textCol").asText,
-        mergesDir = req(d, s"node $id: bpe_apply", "merges_dir", "mergesDir").asText)
+        mergesDir = req(d, s"node $id: bpe_apply", "merges_dir", "mergesDir").asText,
+        withIds = opt(d, "with_ids", "withIds").exists(_.asBoolean(false)))
     }
 
     val ndp = optN("near_dup_probe", "nearDupProbe").map { d =>

@@ -390,7 +390,8 @@ final case class ScoreModelSpec(
   * streaming-admissible half of `bpe` (batch-train → stream-tokenize). */
 final case class BpeApplySpec(
     textCol: String,
-    mergesDir: String
+    mergesDir: String,
+    withIds: Boolean = false // also add bpe_ids (stable integer ids)
 )
 
 /** Scan-stage near-duplicate PROBE against a persisted MinHash band

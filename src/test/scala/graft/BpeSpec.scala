@@ -152,4 +152,40 @@ class BpeSpec extends SparkSpec {
     }
     assert(eStream.getMessage.contains("batch-only"), eStream.getMessage)
   }
+
+  test("bpe_encode: ids align with tokens; single cps id as themselves; " +
+    "merge ids are rank-stable under vocabulary growth") {
+    import spark.implicits._
+    val merges = Seq(("e", "r"), ("t", "h"), ("th", "e"))
+    val df = Seq((1L, "the er x ü")).toDF("id", "txt")
+    val row = df.select(
+        BpeKernels.bpeTokenize(col("txt"), merges).as("toks"),
+        BpeKernels.bpeEncode(col("txt"), merges).as("ids"))
+      .head()
+    val toks = row.getSeq[String](0)
+    val ids = row.getSeq[Int](1)
+    assert(toks.size == ids.size, "one id per subword")
+    // "the" → merge 3 (0x110000+2); "er" → merge 1 (0x110000);
+    // "x"/"ü" → their code points
+    assert(toks == Seq("the", "er", "x", "ü"))
+    assert(ids == Seq(0x110002, 0x110000, 'x'.toInt, 'ü'.toInt))
+    // growing the merge list must not move existing symbols' ids
+    val grown = merges ++ Seq(("i", "n"), ("a", "n"))
+    val ids2 = df.select(BpeKernels.bpeEncode(col("txt"), grown))
+      .head().getSeq[Int](0)
+    assert(ids2 == ids, "old symbols keep their ids when the vocab grows")
+    // a NEW merge's symbol gets the appended id
+    val inIds = Seq(Tuple1("in")).toDF("txt")
+      .select(BpeKernels.bpeEncode(col("txt"), grown)).head().getSeq[Int](0)
+    assert(inIds == Seq(0x110003))
+    // duplicate-producing merges: earliest rank wins
+    val dup = Seq(("a", "bc"), ("ab", "c"))
+    // "abc" under dup: pass 1 needs symbols (a)(bc) — not present from
+    // raw cps, so test the map directly via a crafted two-stage list
+    val staged = Seq(("b", "c"), ("a", "bc"), ("ab", "c"))
+    val abcIds = Seq(Tuple1("abc")).toDF("txt")
+      .select(BpeKernels.bpeEncode(col("txt"), staged)).head().getSeq[Int](0)
+    assert(abcIds == Seq(0x110001), "the rank-2 merge produced 'abc'; rank-3's " +
+      "identical output string must not steal the id")
+  }
 }
