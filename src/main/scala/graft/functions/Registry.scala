@@ -79,6 +79,10 @@ object Registry {
     // robots_allowed(robots_txt, agent, path) → RFC 9309 verdict (the
     // crawl-compliance / takedown-audit gate; see RobotsOps)
     "robots_allowed" -> (es => RobotsAllowed(es.head, es(1), es(2))),
+    // shard-payload serialization: ints_binary(array<int>) → big-endian
+    // bytes; binary_ints inverts (named error on truncation)
+    "ints_binary" -> (es => IntsToBinary(es.head)),
+    "binary_ints" -> (es => BinaryToInts(es.head)),
     "pii_count" -> fn(TextAnalysis.piiCount),
     // line-tier curation heuristics (Gopher line-repetition metrics;
     // C4 line rules). line_stats(text) → struct(n_lines, dup_line_frac,

@@ -255,10 +255,87 @@ case class TarPack(child: Expression) extends UnaryExpression {
   override def prettyName: String = "tar_pack"
 }
 
+/** Shard-payload serialization: int sequences ↔ bytes. A tokenized
+  * training shard carries PACKED ids, not text — `ints_binary` writes
+  * each int32 big-endian (4·n bytes, endian-pinned so shards read
+  * identically everywhere); `binary_ints` inverts it (length not a
+  * multiple of 4 is a named data error — a truncated payload must not
+  * silently drop trailing tokens). */
+object IntBytesOps {
+  def toBytes(arr: ArrayData): Array[Byte] = {
+    val n = arr.numElements()
+    val out = new Array[Byte](n * 4)
+    var i = 0
+    while (i < n) {
+      val v = arr.getInt(i)
+      out(i * 4) = (v >>> 24).toByte
+      out(i * 4 + 1) = (v >>> 16).toByte
+      out(i * 4 + 2) = (v >>> 8).toByte
+      out(i * 4 + 3) = v.toByte
+      i += 1
+    }
+    out
+  }
+
+  def fromBytes(b: Array[Byte]): ArrayData = {
+    if (b.length % 4 != 0)
+      throw new IllegalArgumentException(
+        s"binary_ints: payload length ${b.length} is not a multiple of 4 — " +
+          "truncated id payload")
+    val n = b.length / 4
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      out(i) = ((b(i * 4) & 0xFF) << 24) | ((b(i * 4 + 1) & 0xFF) << 16) |
+        ((b(i * 4 + 2) & 0xFF) << 8) | (b(i * 4 + 3) & 0xFF)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class IntsToBinary(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ints_binary expects array<int>, got ${t.simpleString}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    IntBytesOps.toBytes(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.IntBytesOps.toBytes($c)")
+  override protected def withNewChildInternal(newChild: Expression): IntsToBinary =
+    copy(child = newChild)
+  override def prettyName: String = "ints_binary"
+}
+
+case class BinaryToInts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"binary_ints expects binary, got ${t.simpleString}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    IntBytesOps.fromBytes(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.IntBytesOps.fromBytes($c)")
+  override protected def withNewChildInternal(newChild: Expression): BinaryToInts =
+    copy(child = newChild)
+  override def prettyName: String = "binary_ints"
+}
+
 object TarKernels {
   def tarMembers(content: Column): Column =
     GraftColumnBridge.column(TarMembers(GraftColumnBridge.expression(content)))
 
   def tarPack(members: Column): Column =
     GraftColumnBridge.column(TarPack(GraftColumnBridge.expression(members)))
+
+  def intsBinary(ids: Column): Column =
+    GraftColumnBridge.column(IntsToBinary(GraftColumnBridge.expression(ids)))
+
+  def binaryInts(bytes: Column): Column =
+    GraftColumnBridge.column(BinaryToInts(GraftColumnBridge.expression(bytes)))
 }

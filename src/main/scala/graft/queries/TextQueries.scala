@@ -1053,7 +1053,7 @@ object TextQueries extends QueryPack {
   // nested rank-ordered string replaces over the per-word symbol string
   // (the q156/q157 kernel contract: one greedy non-overlapping pass per
   // rank IS one replace of ' l r ' with ' lr ').
-  private val q164Merges = Seq(
+  private lazy val q164Merges = Seq(
     ("e", "r"), ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("o", "n"))
   private def q164(s: SparkSession, dir: String): DataFrame = {
     graft.Tables.registerViews(s, dir)
@@ -1245,8 +1245,58 @@ object TextQueries extends QueryPack {
     Q("q193_lm_kneser_ney", q193, Some(q193Sql)),
     Q("q196_crawl_to_shards", q196, Some(q196Sql)),
     Q("q197_robots_audit", q197, Some(q197Sql)),
-    Q("q199_bpe_token_ids", q199, Some(q199Sql))
+    Q("q199_bpe_token_ids", q199, Some(q199Sql)),
+    Q("q200_tokenized_shards", q200, Some(q200Sql))
   )
+
+  // q200 — the COMPLETE training-data product, one config: artifact
+  // tokenizer → stable ids → big-endian packed payloads → deterministic
+  // WebDataset tar shards — then the gate REPARSES each shard, decodes
+  // every member's bytes back to ids, and sums the per-member in-order
+  // Horner folds, so the tokenizer, the id map, the serialization, the
+  // archive bytes, and the parse are all under one exact oracle.
+  private def q200(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    import s.implicits._
+    val mdir = s"${System.getProperty("java.io.tmpdir")}/graft_q200_merges"
+    q164Merges.zipWithIndex
+      .map { case ((l, r), i) => (i + 1, l, r, 0L) }
+      .toDF("rank", "left", "right", "pair_count")
+      .coalesce(1).write.mode("overwrite").parquet(mdir)
+    graft.compile.Compiler.compileJson(s, s"""
+      {"defs": [
+        {"id": "enc", "source": {"table": "documents"},
+         "keep_columns": ["doc_id", "text"],
+         "bpe_apply": {"text_col": "text", "merges_dir": "$mdir",
+                       "with_ids": true},
+         "with_columns": {"name": "concat('s', doc_id, '.ids')",
+                          "data": "ints_binary(bpe_ids)"},
+         "drop": ["doc_id", "text", "bpe_tokens", "n_bpe", "bpe_ids"]}],
+       "source": {"ref": "enc"},
+       "tar_pack": {"name_col": "name", "payload_col": "data", "shards": 3},
+       "with_columns": {
+         "fold_sum": "aggregate(tar_members(tar), cast(0 as bigint), (a, m) -> a + aggregate(binary_ints(m.data), cast(0 as bigint), (aa, x) -> (aa * 31 + x) % 1000000007))"},
+       "drop": ["tar"],
+       "order_by": ["shard asc"]}""")
+  }
+  private lazy val q200Sql = s"""
+    WITH $bpeIdsCte,
+    m AS (
+      SELECT CAST(list_reduce(
+               list_prepend(CAST(7 AS BIGINT),
+                 list_transform(range(1, len('s' || doc_id) + 1),
+                   i -> CAST(ascii(('s' || doc_id)[i]) AS BIGINT))),
+               (a, c) -> (a * 131 + c) % 1000000007) % 3 AS INT) AS shard,
+             CAST(4 * len(idl) AS BIGINT) AS sz,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), idl),
+               (a, x) -> (a * 31 + x) % 1000000007) AS fold
+      FROM ids)
+    SELECT shard,
+           CAST(COUNT(*) AS INT) AS n_members,
+           CAST(((1024 + SUM(512 + CAST(CEIL(sz / 512.0) * 512 AS BIGINT))
+                  + 10239) // 10240) * 10240 AS BIGINT) AS tar_bytes,
+           CAST(SUM(fold) AS BIGINT) AS fold_sum
+    FROM m GROUP BY shard ORDER BY shard ASC NULLS FIRST"""
 
   // q199 — BPE ID ENCODING from a persisted artifact: the integer
   // sequences a training shard actually ships (single code points id as
@@ -1273,7 +1323,10 @@ object TextQueries extends QueryPack {
        "drop": ["text", "bpe_tokens", "n_bpe", "bpe_ids"],
        "order_by": ["doc_id asc"]}""")
   }
-  private val q199Sql = {
+  /** Shared CTE chain: toks → `ids(doc_id, idl)` — each doc's BPE id
+    * sequence under the q164 artifact (nested-replace tokenizer mirror +
+    * CASE id map). Shared by q199/q200. */
+  private lazy val bpeIdsCte = {
     val sym = "' ' || array_to_string(str_split_regex(w, ''), ' ') || ' '"
     val replaced = q164Merges.foldLeft(s"($sym)") {
       case (acc, (l, r)) => s"replace($acc, ' $l $r ', ' $l$r ')"
@@ -1281,8 +1334,7 @@ object TextQueries extends QueryPack {
     val idCase = q164Merges.zipWithIndex.map { case ((l, r), i) =>
       s"WHEN tok = '$l$r' THEN ${0x110000 + i}"
     }.mkString(" ")
-    s"""
-    WITH toks AS (
+    s"""toks AS (
       SELECT doc_id,
              list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS t
       FROM documents),
@@ -1292,12 +1344,14 @@ object TextQueries extends QueryPack {
                list_transform(
                  list_filter(string_split($replaced, ' '), x -> len(x) > 0),
                  tok -> CASE $idCase ELSE unicode(tok) END))) AS idl
-      FROM toks)
+      FROM toks)"""
+  }
+  private lazy val q199Sql = s"""
+    WITH $bpeIdsCte
     SELECT doc_id, CAST(len(idl) AS INT) AS n_ids,
            list_reduce(list_prepend(CAST(0 AS BIGINT), idl),
              (a, x) -> (a * 31 + x) % 1000000007) AS ids_fold
     FROM ids ORDER BY doc_id ASC NULLS FIRST"""
-  }
 
   // q197 — robots.txt compliance audit from PURE JSON (RFC 9309): every
   // doc gets a deterministic URL path and one site policy (a specific
