@@ -533,8 +533,12 @@ object Compiler {
     // (scan-stage selection) or the shared-fingerprint pair list.
     node.winnow.foreach { wn =>
       df = wn.output match {
-        case "pairs" => graft.ops.Dedup.winnowCandidatePairs(
-          df, wn.idCol, wn.textCol, wn.windowTokens, wn.winnowWindow, wn.minShared)
+        case "pairs" =>
+          // self-join + aggregate: not streaming-admissible — reject by
+          // name rather than letting Spark fail the plan later
+          requireBatch("winnow (pairs)")
+          graft.ops.Dedup.winnowCandidatePairs(
+            df, wn.idCol, wn.textCol, wn.windowTokens, wn.winnowWindow, wn.minShared)
         case _ => graft.ops.Dedup.winnowIndex(
           df, wn.idCol, wn.textCol, wn.windowTokens, wn.winnowWindow)
       }

@@ -104,7 +104,11 @@ object RobotsOps {
     val hasSpecificGroup = specific.nonEmpty || {
       // a specific group with no rules still overrides * (allows all)
       robots.split('\n').exists { raw =>
-        val l = raw.stripSuffix("\r").trim.toLowerCase(java.util.Locale.ROOT)
+        val noComment = {
+          val h = raw.indexOf('#')
+          if (h >= 0) raw.substring(0, h) else raw
+        }
+        val l = noComment.stripSuffix("\r").trim.toLowerCase(java.util.Locale.ROOT)
         l.startsWith("user-agent:") && l.substring(11).trim == agentLc
       }
     }

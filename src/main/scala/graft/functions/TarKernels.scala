@@ -122,7 +122,12 @@ object TarOps {
             out += new GenericInternalRow(Array[Any](
               UTF8String.fromString(name), size,
               java.util.Arrays.copyOfRange(bytes, dataStart, dataStart + sz)))
-          case _ => () // pax metadata, directories, links: structural
+          case _ =>
+            // pax metadata, directories, links: structural. A pending
+            // GNU 'L' long name binds to THIS member (tar emits 'L'
+            // before long-named directories too) — consume it so it
+            // can't leak onto the next regular file.
+            longName = null
         }
         i = dataStart + ((sz + 511) / 512) * 512
       }
@@ -175,7 +180,13 @@ object TarOps {
     val nm = members.numElements()
     var j = 0
     while (j < nm) {
+      if (members.isNullAt(j))
+        throw new IllegalArgumentException(
+          s"tar_pack: member $j is null — members must be (name, data) structs")
       val m = members.getStruct(j, 2)
+      if (m.isNullAt(0))
+        throw new IllegalArgumentException(
+          s"tar_pack: member $j has a null name")
       val name = m.getUTF8String(0).toString
       val data = if (m.isNullAt(1)) Array.emptyByteArray else m.getBinary(1)
       val nb = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)

@@ -1122,13 +1122,17 @@ object Corpus {
       idCol: String,
       n: Int,
       seed: Long = 0L,
-      gumbel: Boolean = true
+      gumbel: Boolean = true,
+      logwCol: String = "dsir_logw"
   ): DataFrame = {
     require(n >= 1, s"dsirResample: n must be >= 1, got $n")
     require(seed >= 0 && seed < ShufflePrime,
       s"dsirResample: seed must be in [0, $ShufflePrime), got $seed")
+    require(scored.columns.contains(logwCol),
+      s"dsirResample: log-weight column '$logwCol' not found — score with " +
+        s"dsirScore first (columns: ${scored.columns.mkString(", ")})")
     val keyed =
-      if (!gumbel) scored.withColumn("__dsk", col("dsir_logw"))
+      if (!gumbel) scored.withColumn("__dsk", col(logwCol))
       else {
         import org.apache.spark.sql.types._
         val base: Column = scored.schema(idCol).dataType match {
@@ -1148,7 +1152,7 @@ object Corpus {
         val h = pmod(pmod(base + lit(seed), p) * lit(SplitMultiplier), p)
         val u = (h.cast("double") + lit(1.0)) / lit(ShufflePrime + 1.0)
         scored.withColumn("__dsk",
-          round(col("dsir_logw") + -log(-log(u)), 6))
+          round(col(logwCol) + -log(-log(u)), 6))
       }
     keyed.orderBy(col("__dsk").desc, col(idCol).asc).limit(n).drop("__dsk")
   }
