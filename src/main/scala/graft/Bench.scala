@@ -33,6 +33,27 @@ object Bench {
         graft.ops.Multimodal.imageNearDupClusters(docs, "doc_id", "payload",
           maxDist = 2, onError = graft.ops.Multimodal.OnError.Null).count()
       }
+      // Classifier-training + defs-cached compile first-run costs: the
+      // r13/r14 driver runs swung q137 8.4 s ↔ 22.0 s and q180-q182 by
+      // ±40% with ZERO code change on their paths — whichever of the
+      // training / cached-pipeline queries ran first absorbed the
+      // one-time codegen of the reference-object kernels (BucketWeight,
+      // LinearBucketScore), the Decimal aggregate paths, and the cache
+      // manager. Run the real query functions once, untimed, at
+      // sf0.001 (tiny, same code paths end to end), then clear caches.
+      locally {
+        val tiny = "/root/testdata/sf0.001"
+        Seq("q180_multiclass_langid", "q137_multimodal_flagship")
+          .foreach { name =>
+            try {
+              SparkEntry.queries(name)(spark, tiny)
+                .write.format("noop").mode("overwrite").save()
+            } catch { case _: Throwable => () }
+            graft.compile.Compiler.releaseAllCaches()
+            spark.catalog.clearCache()
+          }
+        Tables.registerViews(spark, sfDir)
+      }
     } catch { case _: Throwable => () }
     // Time a FULL materialization of every row via the noop sink —
     // `.count()` would let Catalyst's EliminateSorts drop each query's

@@ -691,7 +691,8 @@ object Corpus {
     * shuffle ∝ corpus tokens, cached across epochs; each epoch is a
     * margin aggregate (groupBy id), an id-keyed join of the errors back
     * onto the cached features, and a VOCABULARY-shaped gradient
-    * aggregate (groupBy bucket, ≤ dim rows). The weight vector itself is
+    * aggregate (groupBy bucket, ≤ dim rows) — gradient, loss, and
+    * intercept gradient unioned into ONE action per epoch. The weight vector itself is
     * bounded driver metadata (dim doubles, ≤ 2²⁰ by the IVF-centroid
     * argument) and ships to executors as a plan constant. Inference
     * never shuffles: [[graft.functions.ClassifierKernels.textScore]] is
@@ -774,26 +775,39 @@ object Corpus {
         .select(col("__id"), col("__y"), col("__p"),
           (col("__p") - col("__y")).as("__err"))
         .persist()
-      // log-loss trace (clamped away from 0/1 so planted-separable
-      // fixtures cannot emit -inf once they saturate) + intercept
-      // gradient, ONE aggregate job
+      // ONE action per epoch: the vocabulary-shaped gradient rows and the
+      // (loss, intercept-gradient) aggregate ride the SAME job as a
+      // union — the loss lands on sentinel bucket −1 and the intercept
+      // gradient on −2 (both outside the [0, dim) feature space). Two
+      // separate actions here doubled the per-epoch job count (2 × epochs
+      // × k classes for one-vs-rest) and with it the bench harness-state
+      // surface; `scored` is persisted so both union branches read one
+      // materialization inside the single collect.
       val eps = 1e-12
-      val lossRow = scored.agg(
-        (dsum9(-(col("__y") * log(greatest(col("__p"), lit(eps))) +
-          (lit(1.0) - col("__y")) *
-            log(greatest(lit(1.0) - col("__p"), lit(eps))))) / nDocs).as("l"),
-        dsum9(col("__err")).as("g")).head
-      losses += lossRow.getDouble(0)
-      val gb = lossRow.getDouble(1)
+      val lossRows = scored.agg(
+          (dsum9(-(col("__y") * log(greatest(col("__p"), lit(eps))) +
+            (lit(1.0) - col("__y")) *
+              log(greatest(lit(1.0) - col("__p"), lit(eps))))) / nDocs).as("__l"),
+          dsum9(col("__err")).as("__gb"))
+        .select(explode(array(
+          struct(lit(-1).as("__bk"), col("__l").as("__g")),
+          struct(lit(-2).as("__bk"), col("__gb").as("__g")))).as("__s"))
+        .select(col("__s.__bk").as("__bk"), col("__s.__g").as("__g"))
       // vocabulary-shaped gradient: g_b = Σ err·cnt / N
-      val grads = feats.filter(col("__bk").isNotNull)
+      val gradRows = feats.filter(col("__bk").isNotNull)
         .join(scored.select(col("__id"), col("__err")), Seq("__id"))
         .groupBy(col("__bk"))
         .agg(dsum9(col("__err") * col("__cnt")).as("__g"))
-        .collect()
+        .select(col("__bk"), col("__g"))
+      val merged = gradRows.unionAll(lossRows).collect()
       scored.unpersist()
-      grads.foreach { r =>
-        w(r.getInt(0)) -= step * r.getDouble(1) / nDocs
+      var gb = 0.0
+      merged.foreach { r =>
+        r.getInt(0) match {
+          case -1 => losses += r.getDouble(1)
+          case -2 => gb = r.getDouble(1)
+          case b => w(b) -= step * r.getDouble(1) / nDocs
+        }
       }
       b0 -= step * gb / nDocs
       ep += 1
