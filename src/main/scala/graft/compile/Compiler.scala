@@ -290,11 +290,12 @@ object Compiler {
     // (bounded per-round actions) — batch-only semantics. Refusing by
     // name beats the confusing analysis error a streaming frame would
     // throw mid-CC.
-    def requireBatch(key: String): Unit =
+    def requireBatch(key: String,
+        reason: String = "iterative connected components",
+        hint: String = "streaming ingestion dedups via near_dup_ingest " +
+          "(the persisted-index path) instead"): Unit =
       if (streaming) throw new IllegalArgumentException(
-        s"node ${node.id}: $key output=clusters runs iterative connected " +
-          "components — batch-only; streaming ingestion dedups via " +
-          "near_dup_ingest (the persisted-index path) instead")
+        s"node ${node.id}: $key runs $reason — batch-only; $hint")
 
     node.nearDup.foreach { d =>
       df = graft.ops.Similarity.cosineNearDupPairsBanded(
@@ -303,7 +304,7 @@ object Compiler {
       // frame becomes (id, cluster) labels, matching the perceptual
       // tiers' cluster output shape.
       if (d.output == "clusters") {
-        requireBatch("near_dup")
+        requireBatch("near_dup (clusters)")
         df = graft.ops.Dedup.dedupClusters(df)
       }
     }
@@ -338,7 +339,7 @@ object Compiler {
     node.imageDedup.foreach { im =>
       df =
         if (im.output == "clusters") {
-          requireBatch("image_dedup")
+          requireBatch("image_dedup (clusters)")
           graft.ops.Multimodal.imageNearDupClusters(
             df, im.idCol, im.payloadCol, im.maxDist)
         } else
@@ -350,7 +351,7 @@ object Compiler {
     node.simhashDedup.foreach { sh =>
       df =
         if (sh.output == "clusters") {
-          requireBatch("simhash_dedup")
+          requireBatch("simhash_dedup (clusters)")
           graft.ops.Dedup.simhashClusters(df, sh.idCol, sh.textCol, sh.maxDist)
         } else
           graft.ops.Dedup.simhashPairs(df, sh.idCol, sh.textCol, sh.maxDist)
@@ -360,7 +361,7 @@ object Compiler {
     node.audioDedup.foreach { au =>
       df =
         if (au.output == "clusters") {
-          requireBatch("audio_dedup")
+          requireBatch("audio_dedup (clusters)")
           graft.ops.Multimodal.audioNearDupClusters(
             df, au.idCol, au.payloadCol, au.maxDist)
         } else
@@ -452,7 +453,9 @@ object Compiler {
     // Trainable quality classifier: fit on labeled rows (global
     // aggregates — batch-only by name), score every row scan-stage.
     node.qualityClassifier.foreach { q =>
-      requireBatch("quality_classifier")
+      requireBatch("quality_classifier", "training-pass global aggregates",
+        "train in batch, persist the artifact, and score the stream with " +
+          "score_model instead")
       df = graft.ops.Corpus.qualityClassifier(
         df, q.idCol, q.textCol, q.labelCol, q.dim, q.epochs, q.lr, q.threshold)
     }
@@ -486,7 +489,9 @@ object Compiler {
     // aggregates — batch-only by name); scoring is scan-stage kernel
     // arithmetic over the fitted log-ratio table.
     node.dsir.foreach { d =>
-      requireBatch("dsir")
+      requireBatch("dsir", "exemplar-corpus count aggregates (the fit)",
+        "fit in batch, persist via save_model, and score the stream with " +
+          "dsir_score instead")
       val target = refs.getOrElse(d.targetRef, throw new IllegalArgumentException(
         s"node ${node.id}: dsir.target_ref '${d.targetRef}' is not a def — " +
           "declare the exemplar corpus under top-level defs" +
@@ -505,15 +510,18 @@ object Compiler {
     // PageRank over the frame as an edge list: the frame becomes
     // (node, rank) — iterative actions, batch-only by name.
     node.pageRank.foreach { pr =>
-      requireBatch("page_rank")
-      df = graft.ops.Graph.pageRank(df, pr.srcCol, pr.dstCol, pr.iters, pr.damping)
+      requireBatch("page_rank", "iterative rank-update actions",
+        "compute host ranks in batch and join them onto the stream instead")
+      df = graft.ops.Graph.pageRank(df, pr.srcCol, pr.dstCol, pr.iters,
+        pr.damping, pr.tol)
     }
 
     // BM25 retrieval: rank the frame (the corpus) against the query
     // def; the frame becomes (qid, id, score, rn). Batch-only (corpus
     // stats action).
     node.bm25.foreach { bq =>
-      requireBatch("bm25")
+      requireBatch("bm25", "corpus-statistics actions (N, avgdl)",
+        "run retrieval in batch over the materialized corpus instead")
       val queries = refs.getOrElse(bq.queriesRef, throw new IllegalArgumentException(
         s"node ${node.id}: bm25.queries_ref '${bq.queriesRef}' is not a def — " +
           "declare the query table under top-level defs" +
@@ -536,7 +544,9 @@ object Compiler {
         case "pairs" =>
           // self-join + aggregate: not streaming-admissible — reject by
           // name rather than letting Spark fail the plan later
-          requireBatch("winnow (pairs)")
+          requireBatch("winnow (pairs)", "a self-join + aggregate",
+            "use output=index in batch and probe the stream with " +
+              "winnow_probe instead")
           graft.ops.Dedup.winnowCandidatePairs(
             df, wn.idCol, wn.textCol, wn.windowTokens, wn.winnowWindow, wn.minShared)
         case _ => graft.ops.Dedup.winnowIndex(

@@ -153,19 +153,33 @@ object WinnowOps {
     while (i < m) { fps(i) = fpsArr.getLong(i); i += 1 }
     val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
     var lastPos = -1
-    val nWin = math.max(m - w, 0) + 1
-    i = 0
-    while (i < nWin) {
-      val end = math.min(i + w, m)
-      var best = i
-      var j = i + 1
-      while (j < end) { if (fps(j) <= fps(best)) best = j; j += 1 }
-      if (best != lastPos) {
-        out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](best, fps(best)))
-        lastPos = best
+    // Monotonic-deque sliding minimum — O(m) total instead of O(m·w):
+    // the deque holds positions with strictly increasing hash values;
+    // pushing position j pops every back entry with fps >= fps(j), so
+    // the FRONT is always the window minimum AND the rightmost position
+    // attaining it (an equal value further right evicts its elders —
+    // exactly the `<=` rightmost-min tie rule of the linear rescan this
+    // replaces, kept verbatim so selected fingerprints are unchanged).
+    val wEff = math.min(w, m) // short docs form one window of all m hashes
+    val dq = new Array[Int](m)
+    var head = 0
+    var tail = 0 // live entries: dq[head, tail)
+    var j = 0
+    while (j < m) {
+      while (tail > head && fps(dq(tail - 1)) >= fps(j)) tail -= 1
+      dq(tail) = j
+      tail += 1
+      if (j >= wEff - 1) {
+        val start = j - wEff + 1
+        while (dq(head) < start) head += 1
+        val best = dq(head)
+        if (best != lastPos) {
+          out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](best, fps(best)))
+          lastPos = best
+        }
       }
-      i += 1
+      j += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }

@@ -49,6 +49,12 @@ object Graph {
     * the host graph is orders of magnitude smaller than the corpus that
     * produced it. Batch-only (iterative actions).
     *
+    * `tol` > 0 adds a convergence stop: iteration ends early once
+    * max |Δrank| < tol (checked with one extra node-shaped aggregate per
+    * round over the already-persisted rank frames); `iters` remains the
+    * hard cap either way, and tol = 0 (default) keeps the fixed-iteration
+    * behavior bit-for-bit.
+    *
     * Returns (nodeCol, rankCol) with one row per distinct endpoint.
     */
   def pageRank(
@@ -57,6 +63,7 @@ object Graph {
       dstCol: String,
       iters: Int = 3,
       damping: Double = 0.85,
+      tol: Double = 0.0,
       nodeCol: String = "node",
       rankCol: String = "rank"
   ): DataFrame = {
@@ -64,6 +71,7 @@ object Graph {
       s"pageRank: iters must be in [1, 50], got $iters")
     require(damping > 0.0 && damping < 1.0,
       s"pageRank: damping must be in (0, 1), got $damping")
+    require(tol >= 0.0, s"pageRank: tol must be >= 0, got $tol")
     import org.apache.spark.storage.StorageLevel
 
     val dec = DecimalType(38, 12)
@@ -91,7 +99,8 @@ object Graph {
     var prevCache: Option[DataFrame] = None
 
     var it = 1
-    while (it <= iters) {
+    var converged = false
+    while (it <= iters && !converged) {
       val contrib = eo.join(ranks, eo("__src") === ranks("__n"))
         .groupBy(col("__dst"))
         .agg(dsum9(col("__r") / col("__od")).as("__c"))
@@ -105,6 +114,17 @@ object Graph {
             9).as("__r"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       next.count() // one materializing action per round
+      // Convergence stop (tol > 0): max |Δrank| over the two PERSISTED
+      // rank frames — one node-shaped aggregate per round, no rescans of
+      // the edge list. `iters` stays the hard cap, so a cyclic rank
+      // oscillation can never spin unbounded.
+      if (tol > 0.0) {
+        val delta = next
+          .join(ranks.select(col("__n"), col("__r").as("__rp")), Seq("__n"))
+          .agg(max(abs(col("__r") - col("__rp"))).as("__d"))
+          .head.getDouble(0)
+        if (delta < tol) converged = true
+      }
       prevCache.foreach(_.unpersist(blocking = false))
       prevCache = Some(next)
       ranks = org.apache.spark.sql.GraftColumnBridge.truncateLineage(next)

@@ -447,7 +447,8 @@ object JsonCodec {
         srcCol = req(d, ctx, "src_col", "srcCol").asText,
         dstCol = req(d, ctx, "dst_col", "dstCol").asText,
         iters = opt(d, "iters").map(_.asInt).getOrElse(3),
-        damping = opt(d, "damping").map(_.asDouble).getOrElse(0.85))
+        damping = opt(d, "damping").map(_.asDouble).getOrElse(0.85),
+        tol = opt(d, "tol").map(_.asDouble).getOrElse(0.0))
     }
 
     val winnowSpec = optN("winnow").map { d =>

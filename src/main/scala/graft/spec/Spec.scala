@@ -554,7 +554,8 @@ final case class PageRankSpec(
     srcCol: String,
     dstCol: String,
     iters: Int = 3,
-    damping: Double = 0.85
+    damping: Double = 0.85,
+    tol: Double = 0.0 // > 0: stop once max |Δrank| < tol (iters = hard cap)
 )
 
 /** Artifact-loaded DSIR scoring (NS; Corpus.loadDsirModel + dsirScore):

@@ -62,10 +62,33 @@ class GraphSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("pageRank: tol stops at the fixed point with ranks unchanged") {
+    // The 2-cycle reaches its fixed point after one iteration, so with
+    // tol set, iteration 2's max |Δ| = 0 stops the loop early — ranks
+    // must equal the fixed-iteration result bit for bit.
+    val e = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val conv = Graph.pageRank(e, "src", "dst", iters = 50, tol = 1e-9)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(conv == Map("a" -> 0.5, "b" -> 0.5))
+    // On a graph that hasn't converged, a loose tol and the full run
+    // bracket the same fixed ranks: tol-stopped result equals the
+    // fixed-iteration result of however many rounds it ran — here just
+    // assert a tight tol reproduces the exact 8-iteration mixed-graph
+    // ranks (8 rounds, |Δ| stays above 1e-12 until the cap).
+    val g = Seq(
+      ("hub", "s1"), ("s1", "hub"), ("s2", "hub"), ("s3", "hub"),
+      ("s3", "s2"), ("s4", "s1")).toDF("src", "dst")
+    val fixed = Graph.pageRank(g, "src", "dst", iters = 8).collect().toSet
+    val toled = Graph.pageRank(g, "src", "dst", iters = 8, tol = 1e-12)
+      .collect().toSet
+    assert(toled == fixed, "a tol below the per-round delta must not change ranks")
+  }
+
   test("pageRank: misuse is rejected by name") {
     val e = Seq(("a", "b")).toDF("src", "dst")
     intercept[IllegalArgumentException] { Graph.pageRank(e, "src", "dst", iters = 0) }
     intercept[IllegalArgumentException] { Graph.pageRank(e, "src", "dst", damping = 1.0) }
+    intercept[IllegalArgumentException] { Graph.pageRank(e, "src", "dst", tol = -1.0) }
     intercept[IllegalArgumentException] {
       Graph.pageRank(e.filter(lit(false)), "src", "dst")
     }

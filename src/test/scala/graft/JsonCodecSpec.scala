@@ -500,7 +500,11 @@ class JsonCodecSpec extends AnyFunSuite {
     val p = root("""
       {"source": {"table": "e"},
        "page_rank": {"src_col": "s", "dst_col": "d"}}""").pageRank.get
-    assert(p.iters == 3 && p.damping == 0.85)
+    assert(p.iters == 3 && p.damping == 0.85 && p.tol == 0.0)
+    val pt = root("""
+      {"source": {"table": "e"},
+       "page_rank": {"src_col": "s", "dst_col": "d", "tol": 1e-6}}""").pageRank.get
+    assert(pt.tol == 1e-6)
     // tar_pack requires shards
     val t = root("""
       {"source": {"table": "m"},

@@ -2365,6 +2365,43 @@ class OpsSpec extends SparkSpec {
     assert(sel < full / 2, s"winnowed $sel of $full must compress > 2x at w=4")
   }
 
+  test("winnowing: deque kernel equals brute-force on random tie-heavy text") {
+    // A 3-token alphabet makes repeated k-gram hashes common, so equal
+    // minima land in the same window constantly — the exact case where
+    // the monotonic deque's pop-`>=` rule must reproduce the linear
+    // rescan's rightmost-min tie break.
+    def refWinnow(text: String, k: Int, w: Int): Set[(Int, Long)] = {
+      val M = 1000000007L
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      val th = toks.map(t => t.codePoints().toArray
+        .foldLeft(7L)((a, c) => (a * 131 + c) % M))
+      val m = th.length - k + 1
+      if (m <= 0) return Set.empty
+      val fps = (0 until m).map(p =>
+        (p until p + k).foldLeft(0L)((a, i) => (a * 31 + th(i)) % M))
+      (0 to math.max(m - w, 0)).flatMap { i =>
+        val sl = fps.slice(i, math.min(i + w, m))
+        val mn = sl.min
+        Some((i + sl.lastIndexOf(mn), fps(i + sl.lastIndexOf(mn))))
+      }.toSet
+    }
+    val rnd = new scala.util.Random(42)
+    val alphabet = Array("aa", "bb", "cc")
+    (1 to 40).foreach { _ =>
+      val n = 1 + rnd.nextInt(60)
+      val text = Array.fill(n)(alphabet(rnd.nextInt(3))).mkString(" ")
+      Seq((3, 4), (2, 8), (4, 1), (2, 100)).foreach { case (k, w) =>
+        val arr = graft.functions.WinnowOps.compute(
+          org.apache.spark.unsafe.types.UTF8String.fromString(text), k, w)
+        val got = (0 until arr.numElements()).map { i =>
+          val r = arr.getStruct(i, 2); (r.getInt(0), r.getLong(1))
+        }.toSet
+        assert(got == refWinnow(text, k, w),
+          s"deque != brute force for k=$k w=$w text='$text'")
+      }
+    }
+  }
+
   test("winnow Bloom probe: contains the exact probe; guarantees on planted shares; guards") {
     import graft.ops.Dedup
     import spark.implicits._
