@@ -503,6 +503,14 @@ object Compiler {
       df = d.mode match {
         case "select" =>
           graft.ops.Corpus.dsirResample(scored, d.idCol, d.n, d.seed, d.gumbel)
+        case "select_threshold" =>
+          // the scan-stage selection path: explicit key cut, or derived
+          // once from the quantile sketch when only n is given
+          val t = d.threshold.getOrElse(
+            graft.ops.Corpus.dsirThresholdForN(scored, d.idCol, d.n.toLong,
+              d.seed, d.gumbel, relativeError = d.relativeError))
+          graft.ops.Corpus.dsirResampleThreshold(
+            scored, d.idCol, t, d.seed, d.gumbel)
         case _ => scored
       }
     }
@@ -527,7 +535,7 @@ object Compiler {
           "declare the query table under top-level defs" +
           (if (refs.isEmpty) "" else s" (defined: ${refs.keys.mkString(", ")})")))
       df = graft.ops.Retrieval.bm25TopK(df, bq.idCol, bq.textCol,
-        queries, bq.qidCol, bq.qtextCol, bq.k1, bq.b, bq.topK)
+        queries, bq.qidCol, bq.qtextCol, bq.k1, bq.b, bq.topK, bq.proxWeight)
     }
 
     // Tar sharding: the frame becomes (shard, tar, n_members,

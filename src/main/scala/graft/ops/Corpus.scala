@@ -1111,9 +1111,9 @@ object Corpus {
     *
     * Scale: the key is scan-stage arithmetic; selection is
     * `orderBy(key).limit(n)` → TakeOrdered (per-partition top-n, driver
-    * merge of n·partitions keys — right up to n ~ 10⁶; for larger n,
-    * take the [[dsirScore]] frame and threshold on a quantile of the
-    * key instead of ranking). */
+    * merge of n·partitions keys — right up to n ~ 10⁶; for larger n use
+    * [[dsirResampleThreshold]] with [[dsirThresholdForN]]: a scan-stage
+    * threshold filter on the same key, no ranking anywhere). */
   def dsirSelect(
       raw: DataFrame,
       target: DataFrame,
@@ -1131,6 +1131,47 @@ object Corpus {
   /** The selection half of [[dsirSelect]] over an ALREADY-scored frame
     * (a `dsir_logw` column from [[dsirScore]]) — what the `dsir` config
     * key's select mode composes after its fit. */
+  /** The shared selection key of [[dsirResample]] /
+    * [[dsirResampleThreshold]]: `logw + Gumbel(0,1)` with deterministic
+    * (id, seed)-hash noise (6 dp), or the raw weight when `gumbel` is
+    * off. Adds `__dsk`. */
+  private def dsirKeyed(
+      scored: DataFrame,
+      idCol: String,
+      seed: Long,
+      gumbel: Boolean,
+      logwCol: String,
+      caller: String
+  ): DataFrame = {
+    require(seed >= 0 && seed < ShufflePrime,
+      s"$caller: seed must be in [0, $ShufflePrime), got $seed")
+    require(scored.columns.contains(logwCol),
+      s"$caller: log-weight column '$logwCol' not found — score with " +
+        s"dsirScore first (columns: ${scored.columns.mkString(", ")})")
+    if (!gumbel) scored.withColumn("__dsk", col(logwCol))
+    else {
+      import org.apache.spark.sql.types._
+      val base: Column = scored.schema(idCol).dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          col(idCol).cast("long")
+        case StringType =>
+          graft.functions.TextKernels.portableFingerprint(col(idCol))
+        case t => throw new IllegalArgumentException(
+          s"$caller: id column '$idCol' has type ${t.simpleString}; " +
+            "only integral and string ids hash deterministically")
+      }
+      val p = lit(ShufflePrime)
+      // seed ADDS BEFORE the multiplicative scramble: (id·A + seed)
+      // would only translate every hash by a constant, leaving the
+      // Gumbel-key ORDER (what top-k reads) essentially unchanged
+      // across seeds; ((id + seed)·A) mod P re-scrambles it
+      val h = pmod(pmod(base + lit(seed), p) * lit(SplitMultiplier), p)
+      val u = (h.cast("double") + lit(1.0)) / lit(ShufflePrime + 1.0)
+      scored.withColumn("__dsk",
+        round(col(logwCol) + -log(-log(u)), 6))
+    }
+  }
+
   def dsirResample(
       scored: DataFrame,
       idCol: String,
@@ -1140,35 +1181,69 @@ object Corpus {
       logwCol: String = "dsir_logw"
   ): DataFrame = {
     require(n >= 1, s"dsirResample: n must be >= 1, got $n")
-    require(seed >= 0 && seed < ShufflePrime,
-      s"dsirResample: seed must be in [0, $ShufflePrime), got $seed")
-    require(scored.columns.contains(logwCol),
-      s"dsirResample: log-weight column '$logwCol' not found — score with " +
-        s"dsirScore first (columns: ${scored.columns.mkString(", ")})")
-    val keyed =
-      if (!gumbel) scored.withColumn("__dsk", col(logwCol))
+    dsirKeyed(scored, idCol, seed, gumbel, logwCol, "dsirResample")
+      .orderBy(col("__dsk").desc, col(idCol).asc).limit(n).drop("__dsk")
+  }
+
+  /** THRESHOLD selection — the scale path of DSIR resampling for n
+    * beyond the TakeOrdered budget (n ≳ 10⁶, where rank-select's driver
+    * merge of n·partitions keys stops being free): keep every row whose
+    * selection key (`logw + Gumbel(0,1)`, the [[dsirResample]] key
+    * verbatim) is >= `threshold`. A pure SCAN-STAGE filter — no sort, no
+    * shuffle, no driver state — so it composes into any plan at any n;
+    * a 100 TB resample of billions of rows is one pushed-down predicate.
+    *
+    * Pick the threshold either from the statistics you already know
+    * (importance weights are log-ratios — a fixed cut is often the
+    * policy anyway) or with [[dsirThresholdForN]], which derives the cut
+    * for a target sample size from a one-pass quantile sketch. Rows AT
+    * the threshold all pass (>=), so the selected count is
+    * approximately n — by the tie mass and the sketch's relative error
+    * — rather than exactly n; that is the documented trade against
+    * rank-select's exactness. */
+  def dsirResampleThreshold(
+      scored: DataFrame,
+      idCol: String,
+      threshold: Double,
+      seed: Long = 0L,
+      gumbel: Boolean = true,
+      logwCol: String = "dsir_logw"
+  ): DataFrame = {
+    require(!threshold.isNaN, "dsirResampleThreshold: threshold is NaN")
+    dsirKeyed(scored, idCol, seed, gumbel, logwCol, "dsirResampleThreshold")
+      .filter(col("__dsk") >= lit(threshold)).drop("__dsk")
+  }
+
+  /** Derive the [[dsirResampleThreshold]] cut that keeps ~`n` rows: the
+    * (1 − n/N) quantile of the selection key via Spark's
+    * Greenwald-Khanna sketch — ONE pass, executor memory bounded by
+    * 1/relativeError, driver traffic one summary per partition
+    * (approxQuantile), vs rank-select's n·partitions keys. With
+    * `relativeError = 0` the quantile is exact (the sketch degrades to
+    * keeping all samples — only for tests/small frames). Returns
+    * −Infinity when n >= N (keep everything). */
+  def dsirThresholdForN(
+      scored: DataFrame,
+      idCol: String,
+      n: Long,
+      seed: Long = 0L,
+      gumbel: Boolean = true,
+      logwCol: String = "dsir_logw",
+      relativeError: Double = 1e-4
+  ): Double = {
+    require(n >= 1, s"dsirThresholdForN: n must be >= 1, got $n")
+    require(relativeError >= 0 && relativeError < 1,
+      s"dsirThresholdForN: relative_error must be in [0, 1), got $relativeError")
+    val keyed = dsirKeyed(scored, idCol, seed, gumbel, logwCol,
+      "dsirThresholdForN").select(col("__dsk")).persist()
+    try {
+      val total = keyed.count()
+      if (n >= total) Double.NegativeInfinity
       else {
-        import org.apache.spark.sql.types._
-        val base: Column = scored.schema(idCol).dataType match {
-          case ByteType | ShortType | IntegerType | LongType =>
-            col(idCol).cast("long")
-          case StringType =>
-            graft.functions.TextKernels.portableFingerprint(col(idCol))
-          case t => throw new IllegalArgumentException(
-            s"dsirResample: id column '$idCol' has type ${t.simpleString}; " +
-              "only integral and string ids hash deterministically")
-        }
-        val p = lit(ShufflePrime)
-        // seed ADDS BEFORE the multiplicative scramble: (id·A + seed)
-        // would only translate every hash by a constant, leaving the
-        // Gumbel-key ORDER (what top-k reads) essentially unchanged
-        // across seeds; ((id + seed)·A) mod P re-scrambles it
-        val h = pmod(pmod(base + lit(seed), p) * lit(SplitMultiplier), p)
-        val u = (h.cast("double") + lit(1.0)) / lit(ShufflePrime + 1.0)
-        scored.withColumn("__dsk",
-          round(col(logwCol) + -log(-log(u)), 6))
+        val p = 1.0 - n.toDouble / total
+        keyed.stat.approxQuantile("__dsk", Array(p), relativeError)(0)
       }
-    keyed.orderBy(col("__dsk").desc, col(idCol).asc).limit(n).drop("__dsk")
+    } finally { keyed.unpersist(blocking = false); () }
   }
 
   /** Persist a fitted DSIR model as a sparse parquet weight table —

@@ -28,6 +28,16 @@ object Retrieval {
     * doc id, so the exact (query, doc, score, rank) table has a full
     * SQL oracle.
     *
+    * `proxWeight` > 0 adds a POSITIONAL term: the same BM25 formula
+    * over adjacent-token BIGRAM postings, weighted by `proxWeight` —
+    * a doc containing the query's words in order (a verbatim benchmark
+    * string) now outranks one containing them scattered, which is
+    * exactly what bag-of-words decontamination misses. Bigrams are the
+    * positions' adjacency structure, so the postings stay
+    * (doc, term, tf)-shaped: shuffle ∝ tokens again, no per-position
+    * rows, no positional join. `proxWeight = 0` (default) skips the
+    * bigram plan entirely — byte-identical to plain BM25.
+    *
     * Scale: the corpus tokenizes once into postings (shuffle ∝ tokens,
     * map-side combined); the QUERY term set broadcasts (a benchmark /
     * audit query set is small by nature), so only postings matching a
@@ -47,11 +57,13 @@ object Retrieval {
       qtextCol: String,
       k1: Double = 1.2,
       b: Double = 0.75,
-      topK: Int = 10
+      topK: Int = 10,
+      proxWeight: Double = 0.0
   ): DataFrame = {
     require(topK >= 1, s"bm25TopK: topK must be >= 1, got $topK")
     require(k1 >= 0 && b >= 0 && b <= 1,
       s"bm25TopK: need k1 >= 0 and b in [0, 1], got k1=$k1 b=$b")
+    require(proxWeight >= 0, s"bm25TopK: prox_weight must be >= 0, got $proxWeight")
     val dec = DecimalType(38, 12)
 
     val toks = docs.select(col(idCol).as("__doc"),
@@ -62,25 +74,49 @@ object Retrieval {
     require(n > 0, "bm25TopK: empty corpus")
     val avgdl = round9(stats.getLong(1).toDouble / n)
 
-    val post = toks.select(col("__doc"), explode(col("__t")).as("__term"))
-      .groupBy("__doc", "__term").agg(count(lit(1)).as("__tf"))
-    val dfT = post.groupBy("__term").agg(count(lit(1)).as("__df"))
-    val qt = queries.select(col(qidCol).as("__qid"),
-        explode(TextAnalysis.tokens(col(qtextCol))).as("__term"))
-      .distinct()
-
     val idf = round(log(lit(1.0) +
       (lit(n) - col("__df") + lit(0.5)) / (col("__df") + lit(0.5))), 9)
     val termScore = round(idf * (col("__tf") * lit(k1 + 1.0)) /
       (col("__tf") + lit(k1) *
         (lit(1.0 - b) + lit(b) * col("__dl") / lit(avgdl))), 9)
 
-    val scored = broadcast(qt)
-      .join(post, Seq("__term"))
-      .join(dfT, Seq("__term"))
-      .join(dl, Seq("__doc"))
+    // adjacent-token bigrams of a token array (empty below 2 tokens)
+    def bigrams(t: Column): Column = when(size(t) >= 2,
+      zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, bb) => concat(a, lit(" "), bb)))
+      .otherwise(array().cast("array<string>"))
+
+    // (qid, doc, 9-dp decimal contribution) over one term granularity:
+    // docTerms is applied to the tokenized corpus's `__t`, queryTerms to
+    // the raw query text — unigrams and bigrams share every downstream
+    // shape (postings, df, broadcast join, dl normalization)
+    def contribsOver(docTerms: Column, queryTerms: Column,
+        weight: Double): DataFrame = {
+      val p = toks.select(col("__doc"), explode(docTerms).as("__term"))
+        .groupBy("__doc", "__term").agg(count(lit(1)).as("__tf"))
+      val dfT = p.groupBy("__term").agg(count(lit(1)).as("__df"))
+      val qt = queries.select(col(qidCol).as("__qid"),
+          explode(queryTerms).as("__term"))
+        .distinct()
+      val s =
+        if (weight == 1.0) termScore
+        else round(lit(weight) * termScore, 9)
+      broadcast(qt)
+        .join(p, Seq("__term"))
+        .join(dfT, Seq("__term"))
+        .join(dl, Seq("__doc"))
+        .select(col("__qid"), col("__doc"), s.cast(dec).as("__s"))
+    }
+    val qToks = TextAnalysis.tokens(col(qtextCol))
+    val uni = contribsOver(col("__t"), qToks, 1.0)
+    val contribs =
+      if (proxWeight == 0.0) uni
+      else uni.unionAll(
+        contribsOver(bigrams(col("__t")), bigrams(qToks), proxWeight))
+
+    val scored = contribs
       .groupBy(col("__qid"), col("__doc"))
-      .agg(round(sum(termScore.cast(dec)).cast("double"), 6).as("score"))
+      .agg(round(sum(col("__s")).cast("double"), 6).as("score"))
 
     val w = Window.partitionBy(col("__qid"))
       .orderBy(col("score").desc, col("__doc").asc)

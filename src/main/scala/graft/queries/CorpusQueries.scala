@@ -1010,7 +1010,8 @@ object CorpusQueries extends QueryPack {
     Q("q182_predict_model_artifact", q182, Some(q180Sql)),
     Q("q184_dsir_weights", q184, Some(q184Sql)),
     Q("q185_config_dsir_select", q185, Some(q185Sql)),
-    Q("q192_rank_dsir_flagship", q192, Some(q192Sql))
+    Q("q192_rank_dsir_flagship", q192, Some(q192Sql)),
+    Q("q201_dsir_select_threshold", q201, Some(q201Sql))
   )
 
   // q192 — the round-13 FLAGSHIP: ONE pure-JSON config chains the
@@ -1195,5 +1196,39 @@ object CorpusQueries extends QueryPack {
       FROM w)
     SELECT doc_id, n_feats, dsir_logw
     FROM (SELECT * FROM sel ORDER BY k DESC, doc_id ASC LIMIT 40)
+    ORDER BY doc_id ASC NULLS FIRST"""
+
+  // q201 — DSIR THRESHOLD selection from PURE JSON: the scan-stage
+  // scale path of q185 (no ranking anywhere — one pushed-down predicate
+  // on the same logw + Gumbel key, rounded 6 dp on both engines). The
+  // oracle replays q185's model + noise arithmetic and applies the same
+  // `k >= t` cut, so the kept set AND every carried weight are exact;
+  // the explicit threshold keeps a proper nonzero subset at sf0.01
+  // (CorpusSpec gates the quantile-derived n ↔ threshold equivalence).
+  private val dsirThr = "1.25"
+  private def q201(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    graft.compile.Compiler.compileJson(s, s"""
+      {"defs": [{"id": "tgt", "source": {"table": "documents"},
+                 "filters": ["lang = 'en'", "doc_id % 2 = 0"],
+                 "keep_columns": ["doc_id", "text"]}],
+       "source": {"table": "documents"},
+       "keep_columns": ["doc_id", "text"],
+       "dsir": {"target_ref": "tgt", "text_col": "text", "id_col": "doc_id",
+                "buckets": $dsirB, "mode": "select_threshold",
+                "threshold": $dsirThr, "seed": 7},
+       "drop": ["text"],
+       "order_by": ["doc_id asc"]}""")
+  }
+  private val q201Sql = s"""$dsirCte,
+    sel AS (
+      SELECT doc_id, n_feats, dsir_logw,
+             ROUND(dsir_logw + -ln(-ln(
+               (CAST((((doc_id + 7) % 1000000007 + 1000000007) % 1000000007
+                      * 2654435761) % 1000000007 AS DOUBLE) + 1.0)
+               / 1000000008.0)), 6) AS k
+      FROM w)
+    SELECT doc_id, n_feats, dsir_logw
+    FROM sel WHERE k >= $dsirThr
     ORDER BY doc_id ASC NULLS FIRST"""
 }

@@ -1242,6 +1242,7 @@ object TextQueries extends QueryPack {
     Q("q187_config_pagerank", q187, Some(q186Sql)),
     Q("q190_bm25_topk", q190, Some(q190Sql)),
     Q("q191_config_bm25", q191, Some(q190Sql)),
+    Q("q202_bm25_phrase", q202, Some(q202Sql)),
     Q("q193_lm_kneser_ney", q193, Some(q193Sql)),
     Q("q196_crawl_to_shards", q196, Some(q196Sql)),
     Q("q197_robots_audit", q197, Some(q197Sql)),
@@ -1551,6 +1552,99 @@ object TextQueries extends QueryPack {
                 "text_col": "text", "top_k": 5},
        "order_by": ["qid asc", "rn asc"]}""")
   }
+
+  // q202 — PHRASE-aware BM25 (prox_weight = 2): the corpus plus two
+  // planted docs — one carrying the query as a verbatim phrase, one
+  // carrying the same words scattered (zero query bigrams). The bigram
+  // tier scores adjacency with the same BM25 formula over bigram
+  // postings, so the verbatim doc takes rank 1 while bag-of-words
+  // scoring alone cannot separate the plants — the decontamination gap
+  // this option closes. The oracle restates BOTH tiers (unigram and
+  // weighted bigram contributions union into one decimal sum), so the
+  // phrase ranking is exact end to end.
+  private def q202(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = Seq(
+      (9000001L, "spark hash join spark hash join"),
+      (9000002L, "spark also hash then join maybe hash again spark join lots"))
+      .toDF("doc_id", "text")
+    val corpus = docs(s, dir).select("doc_id", "text").unionAll(planted)
+    val qs = Seq((1L, "spark hash join")).toDF("qid", "qtext")
+    graft.ops.Retrieval.bm25TopK(corpus, "doc_id", "text", qs, "qid", "qtext",
+        topK = 5, proxWeight = 2.0)
+      .orderBy(col("qid").asc_nulls_first, col("rn").asc_nulls_first)
+  }
+  private val q202Sql = s"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT * FROM (VALUES
+        (9000001, 'spark hash join spark hash join'),
+        (9000002, 'spark also hash then join maybe hash again spark join lots'))
+        AS v(doc_id, text)),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS t
+      FROM corpus),
+    dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(CAST(SUM(dl) AS DOUBLE) / COUNT(*), 9) AS avgdl
+      FROM dl),
+    post AS (
+      SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+      GROUP BY doc_id, tok),
+    dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY term),
+    post2 AS (
+      SELECT doc_id, bg AS term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ')
+                                   for i in generate_series(1, len(t)-1)]) AS bg
+            FROM toks WHERE len(t) >= 2)
+      GROUP BY doc_id, bg),
+    dft2 AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM post2 GROUP BY term),
+    qtk AS (SELECT 1 AS qid,
+                   list_filter(string_split_regex(trim('spark hash join'), '\\s+'),
+                               x -> len(x) > 0) AS t),
+    qt AS (SELECT DISTINCT qid, unnest(t) AS term FROM qtk),
+    qt2 AS (SELECT DISTINCT qid,
+                   unnest([array_to_string(t[i:i+1], ' ')
+                           for i in generate_series(1, len(t)-1)]) AS term
+            FROM qtk WHERE len(t) >= 2),
+    sc AS (
+      SELECT qt.qid, post.doc_id,
+             ROUND(ROUND(ln(1e0 + (stats.n - dft.df + 0.5e0) / (dft.df + 0.5e0)), 9)
+               * (post.tf * (1.2e0 + 1e0))
+               / (post.tf + 1.2e0 * ((1e0 - 0.75e0)
+                  + 0.75e0 * dl.dl / stats.avgdl)), 9) AS s
+      FROM qt
+      JOIN post ON post.term = qt.term
+      JOIN dft ON dft.term = qt.term
+      JOIN dl ON dl.doc_id = post.doc_id
+      CROSS JOIN stats
+      UNION ALL
+      SELECT qt2.qid, post2.doc_id,
+             ROUND(2e0 *
+               ROUND(ROUND(ln(1e0 + (stats.n - dft2.df + 0.5e0) / (dft2.df + 0.5e0)), 9)
+                 * (post2.tf * (1.2e0 + 1e0))
+                 / (post2.tf + 1.2e0 * ((1e0 - 0.75e0)
+                    + 0.75e0 * dl.dl / stats.avgdl)), 9), 9) AS s
+      FROM qt2
+      JOIN post2 ON post2.term = qt2.term
+      JOIN dft2 ON dft2.term = qt2.term
+      JOIN dl ON dl.doc_id = post2.doc_id
+      CROSS JOIN stats),
+    agg AS (
+      SELECT qid, doc_id,
+             ROUND(CAST(SUM(CAST(s AS DECIMAL(38,12))) AS DOUBLE), 6) AS score
+      FROM sc GROUP BY qid, doc_id),
+    ranked AS (
+      SELECT qid, doc_id, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY score DESC, doc_id ASC) AS INT) AS rn
+      FROM agg)
+    SELECT qid, doc_id, score, rn FROM ranked WHERE rn <= 5
+    ORDER BY qid ASC NULLS FIRST, rn ASC NULLS FIRST"""
 
   // q186 — host-graph PageRank (3 damped iterations with dangling-mass
   // redistribution), the host-authority quality prior of web curation.

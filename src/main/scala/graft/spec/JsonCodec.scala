@@ -420,9 +420,10 @@ object JsonCodec {
     val dsirSpec = optN("dsir").map { d =>
       val ctx = s"node $id: dsir"
       val mode = opt(d, "mode").map(_.asText).map {
-        case m @ ("weights" | "select") => m
+        case m @ ("weights" | "select" | "select_threshold") => m
         case other => throw new IllegalArgumentException(
-          s"""$ctx: mode must be "weights" or "select" — got "$other"""")
+          s"""$ctx: mode must be "weights", "select", or """ +
+            s""""select_threshold" — got "$other"""")
       }.getOrElse("weights")
       val spec = DsirSpec(
         targetRef = req(d, ctx, "target_ref", "targetRef").asText,
@@ -433,10 +434,19 @@ object JsonCodec {
         n = opt(d, "n").map(_.asInt).getOrElse(0),
         seed = opt(d, "seed").map(_.asLong).getOrElse(0L),
         gumbel = opt(d, "gumbel").forall(_.asBoolean(true)),
-        saveModel = opt(d, "save_model", "saveModel").map(_.asText).getOrElse(""))
+        saveModel = opt(d, "save_model", "saveModel").map(_.asText).getOrElse(""),
+        threshold = opt(d, "threshold").map(_.asDouble),
+        relativeError = opt(d, "relative_error", "relativeError")
+          .map(_.asDouble).getOrElse(1e-4))
       if (spec.mode == "select") {
         require(spec.n >= 1, s"$ctx: select mode needs n >= 1")
         require(spec.idCol.nonEmpty, s"$ctx: select mode needs id_col")
+      }
+      if (spec.mode == "select_threshold") {
+        require(spec.threshold.nonEmpty || spec.n >= 1,
+          s"$ctx: select_threshold mode needs an explicit threshold or n >= 1")
+        require(!spec.gumbel || spec.idCol.nonEmpty,
+          s"$ctx: select_threshold with gumbel noise needs id_col")
       }
       spec
     }
@@ -496,7 +506,9 @@ object JsonCodec {
         qtextCol = opt(d, "qtext_col", "qtextCol").map(_.asText).getOrElse("qtext"),
         k1 = opt(d, "k1").map(_.asDouble).getOrElse(1.2),
         b = opt(d, "b").map(_.asDouble).getOrElse(0.75),
-        topK = opt(d, "top_k", "topK").map(_.asInt).getOrElse(10))
+        topK = opt(d, "top_k", "topK").map(_.asInt).getOrElse(10),
+        proxWeight = opt(d, "prox_weight", "proxWeight")
+          .map(_.asDouble).getOrElse(0.0))
     }
 
     val tpSpec = optN("tar_pack", "tarPack").map { d =>

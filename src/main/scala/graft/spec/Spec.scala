@@ -463,11 +463,16 @@ final case class DsirSpec(
     textCol: String,
     idCol: String = "",
     buckets: Int = 8192,
-    mode: String = "weights", // weights | select
+    mode: String = "weights", // weights | select | select_threshold
     n: Int = 0,
     seed: Long = 0L,
     gumbel: Boolean = true,
-    saveModel: String = ""
+    saveModel: String = "",
+    // select_threshold: explicit key cut, or (with n instead) the
+    // ~(1 - n/N) quantile of the key at relativeError sketch precision —
+    // the scan-stage selection path for n beyond the TakeOrdered budget
+    threshold: Option[Double] = None,
+    relativeError: Double = 1e-4
 )
 
 /** Winnowed fingerprinting (NS; Dedup.winnowIndex /
@@ -530,7 +535,8 @@ final case class Bm25Spec(
     qtextCol: String = "qtext",
     k1: Double = 1.2,
     b: Double = 0.75,
-    topK: Int = 10
+    topK: Int = 10,
+    proxWeight: Double = 0.0 // > 0: add bigram-adjacency (phrase) scoring
 )
 
 /** WebDataset tar sharding (NS; Tar.tarShards): the frame's (name,

@@ -855,6 +855,39 @@ class CorpusSpec extends SparkSpec {
     assert(g1 != g2, "different seeds should draw differently")
   }
 
+  test("dsir threshold-select matches rank-select at matched n; filter is scan-stage") {
+    val (raw, target) = dsirFixture
+    val scored = Corpus.dsirWeights(raw, target, "txt", buckets = 256)
+    val n = 15L
+    // exact sketch (relativeError = 0) on distinct Gumbel keys: the
+    // derived cut keeps the rank-select set, give or take the one row
+    // sitting exactly AT the quantile (both conventions are honest —
+    // threshold mode documents ">= t", rank mode exactly n)
+    val t = Corpus.dsirThresholdForN(scored, "id", n, seed = 3L,
+      relativeError = 0.0)
+    val thr = Corpus.dsirResampleThreshold(scored, "id", t, seed = 3L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val ranked = Corpus.dsirResample(scored, "id", n.toInt, seed = 3L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(thr.size >= n && thr.size <= n + 1,
+      s"threshold cut should keep ~n rows, kept ${thr.size} of n=$n")
+    assert(ranked.subsetOf(thr),
+      "every rank-selected row must clear the matched-n threshold")
+    // explicit-threshold path: -inf keeps everything, +inf keeps nothing
+    assert(Corpus.dsirResampleThreshold(scored, "id",
+      Double.NegativeInfinity, seed = 3L).count() == 60)
+    assert(Corpus.dsirResampleThreshold(scored, "id",
+      Double.PositiveInfinity, seed = 3L).count() == 0)
+    // n >= N derives a keep-all threshold
+    assert(Corpus.dsirThresholdForN(scored, "id", 500L, seed = 3L)
+      == Double.NegativeInfinity)
+    // the selection itself is one scan-stage predicate — no Exchange
+    val plan = Corpus.dsirResampleThreshold(scored, "id", t, seed = 3L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"threshold select must not shuffle (the 100 TB claim):\n$plan")
+  }
+
   test("dsir: scoring plan is scan-stage — no Exchange, no dim-shaped literals") {
     val (raw, target) = dsirFixture
     val m = Corpus.dsirFit(raw, target, "txt", buckets = 4096)

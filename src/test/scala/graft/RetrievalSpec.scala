@@ -59,6 +59,33 @@ class RetrievalSpec extends SparkSpec {
       s"top-k per query must plan WindowGroupLimit, not a full sort:\n$plan")
   }
 
+  test("bm25 prox: verbatim phrase outranks scattered words; 0-weight is unchanged") {
+    // same bag of words, opposite adjacency: bag-of-words BM25 cannot
+    // reliably split these two; the bigram tier must
+    val qs = Seq((1L, "red green blue")).toDF("qid", "qtext")
+    val phraseDoc = Seq((10L, "red green blue red green blue"),
+      (11L, "red also green then blue maybe green again red blue lots"))
+      .toDF("id", "txt")
+    val r = Retrieval.bm25TopK(corpus.unionAll(phraseDoc), "id", "txt",
+        qs, "qid", "qtext", topK = 3, proxWeight = 2.0)
+      .collect().map(x => (x.getLong(1), x.getInt(3)))
+    assert(r.find(_._2 == 1).map(_._1).contains(10L),
+      s"the verbatim-phrase doc must take rank 1 with prox on, got ${r.toSeq}")
+    // prox_weight = 0 must be byte-identical to the plain two-arg path
+    val a = Retrieval.bm25TopK(corpus, "id", "txt", qs, "qid", "qtext")
+      .collect().toSeq
+    val b = Retrieval.bm25TopK(corpus, "id", "txt", qs, "qid", "qtext",
+      proxWeight = 0.0).collect().toSeq
+    assert(a == b)
+    // a one-token query has no bigrams: prox must not change the ranking
+    val one = Seq((1L, "apple")).toDF("qid", "qtext")
+    val c = Retrieval.bm25TopK(corpus, "id", "txt", one, "qid", "qtext")
+      .collect().toSeq
+    val d = Retrieval.bm25TopK(corpus, "id", "txt", one, "qid", "qtext",
+      proxWeight = 3.0).collect().toSeq
+    assert(c == d, "no query bigrams -> no bigram contributions")
+  }
+
   test("bm25: misuse is rejected by name") {
     val qs = Seq((1L, "x")).toDF("qid", "qtext")
     intercept[IllegalArgumentException] {
