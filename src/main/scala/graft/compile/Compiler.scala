@@ -210,6 +210,11 @@ object Compiler {
         s"node ${node.id}: passage_ingest is a STREAMING ROOT sink — " +
           "compile with compileStreamJson and declare it on the root node " +
           "(for the batch shape, use passage_dedup / stripPassagesAgainstCorpus)")
+    if (node.tarPackIngest.isDefined)
+      throw new IllegalArgumentException(
+        s"node ${node.id}: tar_pack_ingest is a STREAMING ROOT sink — " +
+          "compile with compileStreamJson and declare it on the root node " +
+          "(for the batch shape, use tar_pack)")
     var df = input.getOrElse(node.combine match {
       case Some(c) =>
         val parts = c.nodes.map(n => compileNode(spark, n, None, executeSinks, streaming, refs))
@@ -935,16 +940,23 @@ object Compiler {
             .foreach(warnIgnored(_, isRoot = false))
         }
         warnIgnored(root, isRoot = true)
+        val ingestCount = Seq(root.nearDupIngest.isDefined,
+          root.passageIngest.isDefined, root.tarPackIngest.isDefined)
+          .count(identity)
+        if (ingestCount > 1) throw new IllegalArgumentException(
+          "near_dup_ingest, passage_ingest, and tar_pack_ingest are each " +
+            "a root sink — a stream has ONE; declare one per stream")
         val out = compileNode(spark,
           root.copy(nearDupIngest = None, passageIngest = None,
-            profile = None),
+            tarPackIngest = None, profile = None),
           Some(readStreamSource(spark, src)),
           executeSinks = false, streaming = true)
         // Root profile: the per-batch drift monitor — each micro-batch's
         // q149 aggregate appends (batch_id-stamped) to the save sink.
         if (root.profile.isDefined) {
           val pr = root.profile.get
-          if (root.nearDupIngest.isDefined || root.passageIngest.isDefined)
+          if (root.nearDupIngest.isDefined || root.passageIngest.isDefined ||
+              root.tarPackIngest.isDefined)
             throw new IllegalArgumentException(
               "profile beside an ingest sink: a stream has ONE sink — " +
                 "monitor the ingest's corpus directory with a second stream")
@@ -980,10 +992,19 @@ object Compiler {
             graft.streaming.Streaming.passageIngest(
               out, ing.idCol, ing.textCol, ing.corpusDir, ing.indexDir,
               ing.checkpointDir, ing.windowTokens)
-          case (None, None) =>
-            val sink = root.save.getOrElse(
-              throw new IllegalArgumentException("streaming pipeline needs a root save sink"))
-            startStreamSink(out, sink)
+          case (None, None) => root.tarPackIngest match {
+            case Some(tp) =>
+              if (root.save.isDefined)
+                throw new IllegalArgumentException(
+                  "tar_pack_ingest replaces the root save sink — declare one or the other")
+              graft.streaming.Streaming.shardPackStream(
+                out, tp.nameCol, tp.payloadCol, tp.shards, tp.outDir,
+                tp.checkpointDir, tp.trigger)
+            case None =>
+              val sink = root.save.getOrElse(
+                throw new IllegalArgumentException("streaming pipeline needs a root save sink"))
+              startStreamSink(out, sink)
+          }
         }
       case _: CascadePipeline =>
         throw new IllegalArgumentException("cascade pipelines are batch-only")

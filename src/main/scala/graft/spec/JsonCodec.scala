@@ -743,6 +743,16 @@ object JsonCodec {
           checkpointDir = req(d, ctx, "checkpoint_dir", "checkpointDir").asText,
           windowTokens = opt(d, "window_tokens", "windowTokens").map(_.asInt).getOrElse(50))
       },
+      tarPackIngest = optN("tar_pack_ingest", "tarPackIngest").map { d =>
+        val ctx = s"node $id: tar_pack_ingest"
+        TarPackIngestSpec(
+          nameCol = req(d, ctx, "name_col", "nameCol").asText,
+          payloadCol = req(d, ctx, "payload_col", "payloadCol").asText,
+          shards = req(d, ctx, "shards").asInt,
+          outDir = req(d, ctx, "out_dir", "outDir").asText,
+          checkpointDir = req(d, ctx, "checkpoint_dir", "checkpointDir").asText,
+          trigger = opt(d, "trigger").map(_.asText))
+      },
       cache = optN("cache").exists(_.asBoolean(false))
     )
     // unknown-key rejection: whatever this parse did not read is a typo

@@ -787,6 +787,22 @@ final case class PassageIngestSpec(
     windowTokens: Int = 50
 )
 
+/** Continuous WebDataset shard packing (NS; Streaming.shardPackStream):
+  * the STREAMING-ONLY root sink of the tokenized-shards product — each
+  * micro-batch's (name, payload) rows pack through the batch
+  * `tar_pack` shard assignment (batching-invariant membership) and the
+  * shard archives land under `out_dir/batch=b<id>/`, overwritten on
+  * replay (idempotent restarts). Replaces the root `save`; batch
+  * compiles reject it by name — use `tar_pack` in batch. */
+final case class TarPackIngestSpec(
+    nameCol: String,
+    payloadCol: String,
+    shards: Int,
+    outDir: String,
+    checkpointDir: String,
+    trigger: Option[String] = None
+)
+
 /** One pipeline node = the reference's per-config processing unit:
   * source → filters → keep_columns → aggregate → rename → withColumns →
   * bitemporal → join children → orderBy → save.
@@ -848,6 +864,7 @@ final case class NodeSpec(
     save: Option[SinkSpec] = None,
     nearDupIngest: Option[NearDupIngestSpec] = None, // streaming-only root sink
     passageIngest: Option[PassageIngestSpec] = None, // streaming-only root sink
+    tarPackIngest: Option[TarPackIngestSpec] = None, // streaming-only root sink
     cache: Boolean = false // defs-only: persist() the compiled stage
 )
 

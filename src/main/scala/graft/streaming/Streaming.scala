@@ -422,6 +422,49 @@ object Streaming {
       .start()
   }
 
+  /** Per-micro-batch WebDataset shard packing — the streaming half of
+    * the tokenized-shards product (the q200 batch shape): every
+    * micro-batch's (name, payload) rows pack through the SAME
+    * deterministic assignment as batch `tar_pack` (portable fingerprint
+    * of the sample key mod `shards` — [[graft.ops.Tar.tarShards]]), and
+    * the batch's shard archives land under `outDir/batch=b<id>/` as
+    * (shard, tar, n_members, tar_bytes, batch_id) rows. Shard MEMBERSHIP
+    * is therefore batching-invariant — a member reaches the same shard
+    * number whether the corpus arrives as one batch or a thousand — and
+    * a training loader reads `outDir` as one growing shard set,
+    * filtering by shard the usual way. foreachBatch replays OVERWRITE
+    * their own batch=b<id> directory (the semanticIngest posture), so
+    * restarts are idempotent, never double-packed.
+    *
+    * Scale: the per-batch aggregate shuffles batch-shaped rows once on
+    * the shard number; history is never re-read or re-packed. Archives
+    * append forever — compact small per-batch shards offline with the
+    * batch tar_pack over `tar_members` when the loader wants fewer,
+    * bigger files. */
+  def shardPackStream(
+      incoming: DataFrame,
+      nameCol: String,
+      payloadCol: String,
+      shards: Int,
+      outDir: String,
+      checkpointDir: String,
+      trigger: Option[String] = None
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    var w = incoming.writeStream.option("checkpointLocation", checkpointDir)
+    trigger.foreach {
+      case "available_now" | "availableNow" | "once" =>
+        w = w.trigger(Trigger.AvailableNow())
+      case interval => w = w.trigger(Trigger.ProcessingTime(interval))
+    }
+    w.foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Tar.tarShards(batch, nameCol, payloadCol, shards)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").parquet(s"$outDir/batch=b$batchId")
+      }
+      .start()
+  }
+
   /** Session windows: groups rows of one key whose gaps are < `gap`;
     * window = [first event, last event + gap). Streaming state is one
     * open session per key, merged/closed by watermark. */

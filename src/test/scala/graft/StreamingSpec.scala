@@ -1115,6 +1115,121 @@ class StreamingSpec extends SparkSpec {
     assert(flags.values.exists(!_), "unplanted docs must pass")
   }
 
+  test("tokenized-shards streaming flagship: ONE config scores/filters/tokenizes a stream into WebDataset shards; membership == batch tar_pack; restart-safe") {
+    import spark.implicits._
+    graft.functions.Registry.registerAll(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft_shard_flagship").toString
+    val inDir = s"$base/in"
+
+    // ---- batch phase: quality model, DSIR ratios, decontamination
+    // index, tokenizer merges — the four artifacts a production shard
+    // packer loads
+    val train = Seq(
+      (1L, "solid informative prose about science", 1.0),
+      (2L, "careful structured writing on history", 1.0),
+      (3L, "zzclickbait zzclickbait buy now win", 0.0),
+      (4L, "zzclickbait free prize click here", 0.0)).toDF("doc_id", "text", "label")
+    val model = graft.ops.Corpus.trainTextClassifier(
+      train, "doc_id", "text", "label", dim = 256, epochs = 3)
+    graft.ops.Corpus.saveTextClassifier(spark, model, s"$base/model")
+    val dsir = graft.ops.Corpus.dsirFit(
+      train.select("doc_id", "text"),
+      train.filter($"label" === 1.0).select("doc_id", "text"),
+      "text", buckets = 128)
+    graft.ops.Corpus.saveDsirModel(spark, dsir, s"$base/dsir")
+    val bench = (1 to 15).map("qq" + _).mkString(" ") // the leaked benchmark
+    graft.ops.Dedup.winnowIndexFps(
+        Seq((900L, s"benchmark answer $bench")).toDF("doc_id", "text"),
+        "doc_id", "text", 8, 4)
+      .write.parquet(s"$base/widx")
+    graft.ops.Bpe.trainDF(spark, train, "text", 4)
+      .write.mode("overwrite").parquet(s"$base/merges")
+
+    // ---- ONE node body: importance-score → quality-score →
+    // decontaminate → filter → tokenize → serialize. Identical body
+    // compiles batch (the membership oracle) and streaming (the system
+    // under test); only the sink framing differs.
+    val body = s"""
+       "dsir_score": {"model_dir": "$base/dsir", "text_col": "text"},
+       "score_model": {"text_col": "text", "model_dir": "$base/model"},
+       "winnow_probe": {"text_col": "text", "index_dir": "$base/widx",
+                        "window_tokens": 8, "winnow_window": 4},
+       "bpe_apply": {"text_col": "text", "merges_dir": "$base/merges",
+                     "with_ids": true},
+       "with_columns": {"name": "concat('s', doc_id, '.ids')",
+                        "data": "ints_binary(bpe_ids)"},
+       "post_filters": ["pred", "not near_dup", "dsir_logw > -1000"]"""
+    val streamJson = s"""
+      {"source": {"path": "$inDir"},
+       $body,
+       "tar_pack_ingest": {"name_col": "name", "payload_col": "data",
+                           "shards": 2, "out_dir": "$base/shards",
+                           "checkpoint_dir": "$base/ckpt"}}"""
+    def push(rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(inDir)
+    push((10L, "solid informative prose about geography"), // quality → kept
+      (11L, "zzclickbait zzclickbait buy cheap now"), // classifier drop
+      (12L, s"fresh answer copy $bench")) // contamination drop
+    val q = graft.compile.Compiler.compileStreamJson(spark, streamJson)
+    try q.processAllAvailable() finally q.stop()
+
+    def shardMembers(df: org.apache.spark.sql.DataFrame): Set[(Int, String)] =
+      df.select(col("shard"), explode(expr("tar_members(tar)")).as("m"))
+        .select(col("shard"), col("m.name"))
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    val streamed1 = spark.read.parquet(s"$base/shards")
+    assert(shardMembers(streamed1).map(_._2) == Set("s10.ids"),
+      "curation must pack only the quality, uncontaminated doc")
+
+    // restart from the checkpoint: only NEW files pack, landing beside
+    // the first batch's shard archives
+    push((13L, "careful structured writing on geology"), // quality → kept
+      (14L, s"another leaked answer $bench")) // contamination drop
+    val q2 = graft.compile.Compiler.compileStreamJson(spark, streamJson)
+    try q2.processAllAvailable() finally q2.stop()
+    val streamed = spark.read.parquet(s"$base/shards")
+    val got = shardMembers(streamed)
+    assert(got.map(_._2) == Set("s10.ids", "s13.ids"),
+      s"post-restart membership diverged: $got")
+
+    // shard MEMBERSHIP is batching-invariant: the batch tar_pack of the
+    // SAME body over the full input assigns every member the same shard
+    // (body in a def, pack at the root — the q200 layout, because batch
+    // tar_pack runs before a node's own with_columns)
+    val batchTar = graft.compile.Compiler.compileJson(spark,
+      s"""{"defs": [{"id": "enc", "source": {"path": "$inDir"}, $body}],
+          "source": {"ref": "enc"},
+          "tar_pack": {"name_col": "name", "payload_col": "data", "shards": 2}}""")
+    assert(shardMembers(batchTar) == got,
+      "stream shard membership must equal the batch tar_pack assignment")
+    // and the packed BYTES agree member-for-member (same tokenizer, same
+    // serialization, same archive round-trip on both paths)
+    def memberBytes(df: org.apache.spark.sql.DataFrame): Map[String, Seq[Byte]] =
+      df.select(explode(expr("tar_members(tar)")).as("m"))
+        .select(col("m.name"), col("m.data"))
+        .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(memberBytes(streamed) == memberBytes(batchTar))
+
+    // guard rails: a save beside the ingest, two ingests, and a batch
+    // compile of the ingest key all reject by name
+    val e1 = intercept[IllegalArgumentException] {
+      graft.compile.Compiler.compileStreamJson(spark, s"""
+        {"source": {"path": "$inDir"},
+         "tar_pack_ingest": {"name_col": "n", "payload_col": "d", "shards": 2,
+                             "out_dir": "$base/x", "checkpoint_dir": "$base/xc"},
+         "save": {"path": "$base/y", "format": "parquet"}}""")
+    }
+    assert(e1.getMessage.contains("replaces the root save sink"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.compile.Compiler.compileJson(spark, s"""
+        {"source": {"path": "$inDir"},
+         "tar_pack_ingest": {"name_col": "n", "payload_col": "d", "shards": 2,
+                             "out_dir": "$base/x", "checkpoint_dir": "$base/xc"}}""")
+    }
+    assert(e2.getMessage.contains("STREAMING ROOT sink"))
+  }
+
   test("cluster-output and passage dedup keys reject streaming compiles by name") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-batchonly").toString
