@@ -710,9 +710,6 @@ object Corpus {
     require(dim >= 1 && dim <= (1 << 20),
       s"classifier dim must be in [1, 2^20] (driver-bounded weights), got $dim")
     require(epochs >= 1, s"classifier epochs must be >= 1, got $epochs")
-    val dec = org.apache.spark.sql.types.DecimalType(25, 9)
-    def dsum9(c: Column): Column = sum(round(c, 9).cast(dec)).cast("double")
-
     // (id, y, n, bucket, cnt): integer token-bucket counts per labeled doc.
     // explode_outer keeps token-free docs — the intercept still trains on
     // them (their margin is the intercept alone).
@@ -726,6 +723,27 @@ object Corpus {
       .groupBy("__id", "__y", "__n", "__bk")
       .agg(count(lit(1)).cast("double").as("__cnt"))
       .persist()
+    try trainOnFeats(feats, dim, epochs, lr)
+    finally { feats.unpersist(); () }
+  }
+
+  /** The training core over an already-built (and cached) feature frame
+    * `(__id, __y, __n, __bk, __cnt)` — shared by [[trainTextClassifier]]
+    * and the one-vs-rest loop of [[trainMulticlassClassifier]], which
+    * derives each class's `__y` from ONE cached label-tagged feature
+    * frame instead of re-tokenizing the corpus per class. */
+  private def trainOnFeats(
+      feats: DataFrame,
+      dim: Int,
+      epochs: Int,
+      lr: Double
+  ): TextClassifierModel = {
+    require(dim >= 1 && dim <= (1 << 20),
+      s"classifier dim must be in [1, 2^20] (driver-bounded weights), got $dim")
+    require(epochs >= 1, s"classifier epochs must be >= 1, got $epochs")
+    val dec = org.apache.spark.sql.types.DecimalType(25, 9)
+    def dsum9(c: Column): Column = sum(round(c, 9).cast(dec)).cast("double")
+
     // ---- per-doc stats, ONE job: N, N⁺, and max‖x‖² for the step bound
     val docStats = feats.groupBy(col("__id"), col("__y"))
       .agg(sum(col("__cnt") * col("__cnt")).as("__sq"))
@@ -812,7 +830,6 @@ object Corpus {
       b0 -= step * gb / nDocs
       ep += 1
     }
-    feats.unpersist()
     TextClassifierModel(dim, b0, w.clone(), losses.result())
   }
 
@@ -916,9 +933,12 @@ object Corpus {
     * shape): one binary hashed-bucket logistic model per distinct label,
     * each trained by the NB-init + curvature-bounded-GD aggregate passes
     * (bit-identical retrain). Labels collect to the driver once
-    * (class-dimension metadata, sorted for determinism); training cost
-    * is k binary fits — each a handful of vocabulary-shaped aggregates,
-    * the corpus never shuffles per class. */
+    * (class-dimension metadata, sorted for determinism). The corpus
+    * tokenizes and shuffles exactly ONCE: the label-tagged feature frame
+    * `(id, label, n, bucket, cnt)` is cached and each class's 0/1 target
+    * derives from it by a scan-stage comparison — per-class cost is the
+    * handful of vocabulary-shaped aggregates of the binary fit, never a
+    * re-extraction. */
   def trainMulticlassClassifier(
       df: DataFrame,
       idCol: String,
@@ -928,21 +948,34 @@ object Corpus {
       epochs: Int = 8,
       lr: Double = 0.8
   ): Seq[(String, TextClassifierModel)] = {
-    val labels = df.filter(col(labelCol).isNotNull)
-      .select(col(labelCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
-    require(labels.size >= 2,
-      s"trainMulticlassClassifier: need >= 2 distinct labels, got ${labels.size}")
-    require(labels.size <= 1024,
-      s"trainMulticlassClassifier: ${labels.size} labels — the class " +
-        "dimension is driver metadata, bounded at 1024")
-    labels.map { l =>
-      l -> trainTextClassifier(
-        df.withColumn("__ovr",
-          when(col(labelCol).isNull, lit(null))
-            .otherwise((col(labelCol).cast("string") === l).cast("int"))),
-        idCol, textCol, "__ovr", dim, epochs, lr)
-    }
+    require(dim >= 1 && dim <= (1 << 20),
+      s"classifier dim must be in [1, 2^20] (driver-bounded weights), got $dim")
+    require(epochs >= 1, s"classifier epochs must be >= 1, got $epochs")
+    val feats = df
+      .filter(col(labelCol).isNotNull)
+      .select(col(idCol).as("__id"), col(labelCol).cast("string").as("__lbl"),
+        graft.functions.ClassifierKernels
+          .hashedTokenBuckets(col(textCol), dim).as("__bs"))
+      .select(col("__id"), col("__lbl"), size(col("__bs")).as("__n"),
+        explode_outer(col("__bs")).as("__bk"))
+      .groupBy("__id", "__lbl", "__n", "__bk")
+      .agg(count(lit(1)).cast("double").as("__cnt"))
+      .persist()
+    try {
+      val labels = feats.select(col("__lbl")).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      require(labels.size >= 2,
+        s"trainMulticlassClassifier: need >= 2 distinct labels, got ${labels.size}")
+      require(labels.size <= 1024,
+        s"trainMulticlassClassifier: ${labels.size} labels — the class " +
+          "dimension is driver metadata, bounded at 1024")
+      labels.map { l =>
+        l -> trainOnFeats(
+          feats.withColumn("__y", (col("__lbl") === l).cast("int").cast("double"))
+            .drop("__lbl"),
+          dim, epochs, lr)
+      }
+    } finally { feats.unpersist(); () }
   }
 
   /** Scan-stage multiclass prediction: one [[ClassifierKernels]] kernel
