@@ -933,12 +933,21 @@ object Corpus {
     * shape): one binary hashed-bucket logistic model per distinct label,
     * each trained by the NB-init + curvature-bounded-GD aggregate passes
     * (bit-identical retrain). Labels collect to the driver once
-    * (class-dimension metadata, sorted for determinism). The corpus
-    * tokenizes and shuffles exactly ONCE: the label-tagged feature frame
-    * `(id, label, n, bucket, cnt)` is cached and each class's 0/1 target
-    * derives from it by a scan-stage comparison — per-class cost is the
-    * handful of vocabulary-shaped aggregates of the binary fit, never a
-    * re-extraction. */
+    * (class-dimension metadata, sorted for determinism).
+    *
+    * The k classes train TOGETHER, column-wise: the corpus tokenizes and
+    * shuffles exactly ONCE into a cached label-tagged feature frame
+    * `(id, label, n, bucket, cnt)`, and every training aggregate carries
+    * one column PER CLASS — per-doc stats and per-bucket NB counts are
+    * one job each, and each refinement epoch is ONE job computing all k
+    * margin/loss/gradient sets (the per-class arithmetic is identical to
+    * the binary trainer's, just side by side). Job count is
+    * 3 + epochs regardless of k — not k·(2 + 2·epochs) — which is what
+    * keeps a 1000-language ID model from issuing forty thousand
+    * cluster jobs. Expression width is 2k aggregate columns, bounded by
+    * the k ≤ 1024 class-dimension budget; the k epoch-weight snapshots
+    * ride as codegen reference objects (k·dim doubles — the same driver
+    * budget as the returned model list itself). */
   def trainMulticlassClassifier(
       df: DataFrame,
       idCol: String,
@@ -969,12 +978,109 @@ object Corpus {
       require(labels.size <= 1024,
         s"trainMulticlassClassifier: ${labels.size} labels — the class " +
           "dimension is driver metadata, bounded at 1024")
-      labels.map { l =>
-        l -> trainOnFeats(
-          feats.withColumn("__y", (col("__lbl") === l).cast("int").cast("double"))
-            .drop("__lbl"),
-          dim, epochs, lr)
+      val k = labels.size
+      val ks = labels.indices
+      val dec = org.apache.spark.sql.types.DecimalType(25, 9)
+      def dsum9(c: Column): Column = sum(round(c, 9).cast(dec)).cast("double")
+      def y(i: Int): Column = (col("__lbl") === labels(i)).cast("double")
+
+      // ---- per-doc stats, ONE job for all classes: N, max‖x‖², k × N⁺
+      val stCols = Seq(max(col("__sq")).as("__msq")) ++
+        ks.map(i => count(when(col("__lbl") === labels(i), 1)).as(s"__np_$i"))
+      val st = feats.groupBy(col("__id"), col("__lbl"))
+        .agg(sum(col("__cnt") * col("__cnt")).as("__sq"))
+        .agg(count(lit(1)).as("__nn"), stCols: _*)
+        .head
+      val nDocs = st.getLong(0)
+      require(nDocs > 0, "classifier training needs at least one labeled row")
+      val maxSq = if (st.isNullAt(1)) 0.0 else st.getDouble(1)
+      val nPos = ks.map(i => st.getLong(2 + i))
+
+      // ---- NB log-odds initialization, ONE job: per-bucket (c⁺, c⁻)
+      // column pairs for every class (class i's negatives are simply the
+      // other labels — the one-vs-rest complement)
+      val alpha = 0.5
+      val nbCols = ks.flatMap(i => Seq(
+        sum(when(col("__lbl") === labels(i), col("__cnt")).otherwise(0.0))
+          .as(s"__cp_$i"),
+        sum(when(col("__lbl") =!= labels(i), col("__cnt")).otherwise(0.0))
+          .as(s"__cn_$i")))
+      val nbAgg = feats.filter(col("__bk").isNotNull).groupBy(col("__bk"))
+        .agg(nbCols.head, nbCols.tail: _*).collect()
+      val ws = Array.fill(k)(new Array[Double](dim))
+      val b0s = new Array[Double](k)
+      ks.foreach { i =>
+        val totPos = nbAgg.map(_.getDouble(1 + 2 * i)).sum
+        val totNeg = nbAgg.map(_.getDouble(2 + 2 * i)).sum
+        nbAgg.foreach { r =>
+          ws(i)(r.getInt(0)) =
+            math.log((r.getDouble(1 + 2 * i) + alpha) / (totPos + alpha * dim)) -
+              math.log((r.getDouble(2 + 2 * i) + alpha) / (totNeg + alpha * dim))
+        }
+        b0s(i) = math.log((nPos(i) + alpha) / (nDocs - nPos(i) + alpha))
       }
+
+      // ---- refinement: ONE job per epoch carrying all k classes —
+      // k margin folds in one groupBy(id) aggregate, k error columns,
+      // then the (k+… ) gradient/loss union exactly as the binary core,
+      // with k value columns instead of one
+      val step = lr / (0.25 * (maxSq + 1.0))
+      val losses = Array.fill(k)(Seq.newBuilder[Double])
+      val eps = 1e-12
+      var ep = 1
+      while (ep <= epochs) {
+        val contribs = ks.map { i =>
+          dsum9(when(col("__bk").isNull, lit(0.0))
+            .otherwise(graft.functions.ClassifierKernels
+              .bucketWeight(col("__bk"), ws(i).clone()) * col("__cnt")))
+            .as(s"__mf_$i")
+        }
+        val scored = feats
+          .groupBy(col("__id"), col("__lbl"))
+          .agg(contribs.head, contribs.tail: _*)
+          .select(col("__id") +: col("__lbl") +: ks.map(i =>
+            (lit(1.0) / (lit(1.0) + exp(-(lit(b0s(i)) + col(s"__mf_$i")))))
+              .as(s"__p_$i")): _*)
+          .select(col("__id") +: col("__lbl") +:
+            (ks.map(i => col(s"__p_$i")) ++
+              ks.map(i => (col(s"__p_$i") - y(i)).as(s"__e_$i"))): _*)
+          .persist()
+        val lossCols = ks.map(i =>
+          (dsum9(-(y(i) * log(greatest(col(s"__p_$i"), lit(eps))) +
+            (lit(1.0) - y(i)) *
+              log(greatest(lit(1.0) - col(s"__p_$i"), lit(eps))))) / nDocs)
+            .as(s"__l_$i")) ++
+          ks.map(i => dsum9(col(s"__e_$i")).as(s"__gb_$i"))
+        val lossRows = scored.agg(lossCols.head, lossCols.tail: _*)
+          .select(explode(array(
+            struct(lit(-1).as("__bk") +: ks.map(i =>
+              col(s"__l_$i").as(s"__g_$i")): _*),
+            struct(lit(-2).as("__bk") +: ks.map(i =>
+              col(s"__gb_$i").as(s"__g_$i")): _*))).as("__s"))
+          .select(col("__s.__bk").as("__bk") +:
+            ks.map(i => col(s"__s.__g_$i").as(s"__g_$i")): _*)
+        val gradRows = feats.filter(col("__bk").isNotNull)
+          .join(scored.select(col("__id") +:
+            ks.map(i => col(s"__e_$i")): _*), Seq("__id"))
+          .groupBy(col("__bk"))
+          .agg(dsum9(col("__e_0") * col("__cnt")).as("__g_0"),
+            ks.tail.map(i => dsum9(col(s"__e_$i") * col("__cnt"))
+              .as(s"__g_$i")): _*)
+        val merged = gradRows.unionAll(lossRows).collect()
+        scored.unpersist()
+        merged.foreach { r =>
+          r.getInt(0) match {
+            case -1 => ks.foreach(i => losses(i) += r.getDouble(1 + i))
+            case -2 => ks.foreach(i => b0s(i) -= step * r.getDouble(1 + i) / nDocs)
+            case b => ks.foreach { i =>
+              ws(i)(b) -= step * r.getDouble(1 + i) / nDocs
+            }
+          }
+        }
+        ep += 1
+      }
+      ks.map(i => labels(i) ->
+        TextClassifierModel(dim, b0s(i), ws(i).clone(), losses(i).result())).toSeq
     } finally { feats.unpersist(); () }
   }
 
