@@ -550,6 +550,16 @@ object Compiler {
       df = graft.ops.Tar.tarShards(df, tp.nameCol, tp.payloadCol, tp.shards)
     }
 
+    // Training-sequence packing: the frame becomes (shard, seq, ids,
+    // n_tokens) — per-shard EOS-separated concatenation sliced every
+    // seq_len tokens. Batch-only (per-shard running-offset window).
+    node.sequencePack.foreach { sp =>
+      requireBatch("sequence_pack", "a per-shard running-offset window",
+        "pack in batch over landed micro-batch output instead")
+      df = graft.ops.Pack.sequencePack(df, sp.idCol, sp.idsCol,
+        sp.seqLen, sp.eosId, sp.shards, sp.dropLast)
+    }
+
     // Winnowed fingerprinting: the frame becomes the compacted index
     // (scan-stage selection) or the shared-fingerprint pair list.
     node.winnow.foreach { wn =>

@@ -1247,8 +1247,58 @@ object TextQueries extends QueryPack {
     Q("q196_crawl_to_shards", q196, Some(q196Sql)),
     Q("q197_robots_audit", q197, Some(q197Sql)),
     Q("q199_bpe_token_ids", q199, Some(q199Sql)),
-    Q("q200_tokenized_shards", q200, Some(q200Sql))
+    Q("q200_tokenized_shards", q200, Some(q200Sql)),
+    Q("q203_sequence_pack", q203, Some(q203Sql))
   )
+
+  // q203 — fixed-length TRAINING SEQUENCES from PURE JSON: artifact
+  // tokenizer → stable ids → per-shard EOS-separated concatenation in
+  // doc order, sliced every 32 tokens (`sequence_pack`) — the rows an LM
+  // trainer actually consumes, where q200 ships per-doc files. The gate
+  // Horner-folds every packed window IN ORDER, so the tokenizer, the id
+  // map, the shard assignment, the concatenation order, the EOS
+  // separators, and the window boundaries all sit under one exact
+  // oracle (the q199 id mirror + per-shard flatten + slice arithmetic).
+  private def q203(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    import s.implicits._
+    val mdir = s"${System.getProperty("java.io.tmpdir")}/graft_q203_merges"
+    q164Merges.zipWithIndex
+      .map { case ((l, r), i) => (i + 1, l, r, 0L) }
+      .toDF("rank", "left", "right", "pair_count")
+      .coalesce(1).write.mode("overwrite").parquet(mdir)
+    graft.compile.Compiler.compileJson(s, s"""
+      {"source": {"table": "documents"},
+       "keep_columns": ["doc_id", "text"],
+       "bpe_apply": {"text_col": "text", "merges_dir": "$mdir",
+                     "with_ids": true},
+       "sequence_pack": {"id_col": "doc_id", "ids_col": "bpe_ids",
+                         "seq_len": 32, "eos_id": 0, "shards": 4},
+       "with_columns": {"fold": "aggregate(ids, cast(0 as bigint), (a, x) -> (a * 31 + x) % 1000000007)"},
+       "drop": ["ids"],
+       "order_by": ["shard asc", "seq asc"]}""")
+  }
+  private lazy val q203Sql = s"""
+    WITH $bpeIdsCte,
+    sh AS (
+      SELECT CAST(doc_id % 4 AS INT) AS shard, doc_id, list_append(idl, 0) AS idl
+      FROM ids),
+    cc AS (
+      SELECT shard, flatten(list(idl ORDER BY doc_id)) AS L
+      FROM sh GROUP BY shard),
+    seqs AS (
+      SELECT shard,
+             unnest([CAST(i - 1 AS BIGINT)
+                     for i in generate_series(1, len(L) // 32)]) AS seq,
+             unnest([list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                         L[(i - 1) * 32 + 1 : (i - 1) * 32 + 32]),
+                       (a, x) -> (a * 31 + x) % 1000000007)
+                     for i in generate_series(1, len(L) // 32)]) AS fold
+      FROM cc)
+    SELECT shard, seq, CAST(32 AS INT) AS n_tokens, fold
+    FROM seqs
+    ORDER BY shard ASC NULLS FIRST, seq ASC NULLS FIRST"""
 
   // q200 — the COMPLETE training-data product, one config: artifact
   // tokenizer → stable ids → big-endian packed payloads → deterministic

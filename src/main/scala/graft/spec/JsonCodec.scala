@@ -743,6 +743,18 @@ object JsonCodec {
           checkpointDir = req(d, ctx, "checkpoint_dir", "checkpointDir").asText,
           windowTokens = opt(d, "window_tokens", "windowTokens").map(_.asInt).getOrElse(50))
       },
+      sequencePack = optN("sequence_pack", "sequencePack").map { d =>
+        val ctx = s"node $id: sequence_pack"
+        val sp = SequencePackSpec(
+          idCol = req(d, ctx, "id_col", "idCol").asText,
+          idsCol = req(d, ctx, "ids_col", "idsCol").asText,
+          seqLen = req(d, ctx, "seq_len", "seqLen").asInt,
+          eosId = opt(d, "eos_id", "eosId").map(_.asInt).getOrElse(0),
+          shards = opt(d, "shards").map(_.asInt).getOrElse(1),
+          dropLast = opt(d, "drop_last", "dropLast").forall(_.asBoolean(true)))
+        require(sp.seqLen >= 2, s"$ctx: seq_len must be >= 2")
+        sp
+      },
       tarPackIngest = optN("tar_pack_ingest", "tarPackIngest").map { d =>
         val ctx = s"node $id: tar_pack_ingest"
         TarPackIngestSpec(

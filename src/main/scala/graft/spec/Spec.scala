@@ -787,6 +787,20 @@ final case class PassageIngestSpec(
     windowTokens: Int = 50
 )
 
+/** Fixed-length training-sequence packing (NS; Pack.sequencePack): the
+  * frame becomes `(shard, seq, ids, n_tokens)` — per-shard concatenation
+  * of the docs' id arrays (ascending id, EOS-separated) sliced every
+  * `seq_len` tokens, the rows an LM trainer consumes. Batch-only by
+  * name (per-shard running-offset window). */
+final case class SequencePackSpec(
+    idCol: String,
+    idsCol: String,
+    seqLen: Int,
+    eosId: Int = 0,
+    shards: Int = 1,
+    dropLast: Boolean = true
+)
+
 /** Continuous WebDataset shard packing (NS; Streaming.shardPackStream):
   * the STREAMING-ONLY root sink of the tokenized-shards product — each
   * micro-batch's (name, payload) rows pack through the batch
@@ -865,6 +879,7 @@ final case class NodeSpec(
     nearDupIngest: Option[NearDupIngestSpec] = None, // streaming-only root sink
     passageIngest: Option[PassageIngestSpec] = None, // streaming-only root sink
     tarPackIngest: Option[TarPackIngestSpec] = None, // streaming-only root sink
+    sequencePack: Option[SequencePackSpec] = None, // after bpe_apply, before with_columns
     cache: Boolean = false // defs-only: persist() the compiled stage
 )
 

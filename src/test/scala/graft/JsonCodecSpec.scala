@@ -501,6 +501,17 @@ class JsonCodecSpec extends AnyFunSuite {
       {"source": {"table": "e"},
        "page_rank": {"src_col": "s", "dst_col": "d"}}""").pageRank.get
     assert(p.iters == 3 && p.damping == 0.85 && p.tol == 0.0)
+    // sequence_pack defaults + named errors
+    val sq = root("""
+      {"source": {"table": "d"},
+       "sequence_pack": {"id_col": "i", "ids_col": "x", "seq_len": 2048}}""")
+      .sequencePack.get
+    assert(sq.eosId == 0 && sq.shards == 1 && sq.dropLast && sq.seqLen == 2048)
+    val eSq = intercept[IllegalArgumentException](root("""
+      {"sequence_pack": {"id_col": "i", "ids_col": "x", "seq_len": 1}}"""))
+    assert(eSq.getMessage.contains("seq_len"))
+    intercept[IllegalArgumentException](root("""
+      {"sequence_pack": {"id_col": "i", "ids_col": "x"}}"""))
     val pt = root("""
       {"source": {"table": "e"},
        "page_rank": {"src_col": "s", "dst_col": "d", "tol": 1e-6}}""").pageRank.get

@@ -1,0 +1,93 @@
+package graft
+
+import graft.ops.Pack
+import org.apache.spark.sql.functions._
+
+/** Invariants for training-sequence packing beyond the q203 oracle:
+  * hand-computed windows, EOS placement, partial-window policy, token
+  * conservation, shard independence, determinism under repartitioning. */
+class PackSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(Int, Long, Seq[Int])] =
+    df.orderBy("shard", "seq").collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getSeq[Int](2))).toSeq
+
+  test("sequencePack: hand-computed windows — order, EOS separators, boundaries") {
+    // stream (id order): 1 2 3 E | 4 E 5 6 | 7 8 9 E  (E = 0, seqLen 4)
+    val docs = Seq(
+      (1L, Seq(1, 2, 3)), (2L, Seq(4)), (3L, Seq(5, 6, 7, 8, 9)))
+      .toDF("id", "ids")
+    val got = rows(Pack.sequencePack(docs, "id", "ids", seqLen = 4))
+    assert(got == Seq(
+      (0, 0L, Seq(1, 2, 3, 0)),
+      (0, 1L, Seq(4, 0, 5, 6)),
+      (0, 2L, Seq(7, 8, 9, 0))))
+  }
+
+  test("sequencePack: dropLast policy — partial window kept only on request") {
+    val docs = Seq((1L, Seq(1, 2, 3)), (2L, Seq(4, 5))).toDF("id", "ids")
+    // stream: 1 2 3 E 4 5 E — 7 tokens → full [1,2,3,E] + partial [4,5,E]
+    val full = rows(Pack.sequencePack(docs, "id", "ids", seqLen = 4))
+    assert(full == Seq((0, 0L, Seq(1, 2, 3, 0))))
+    val all = rows(Pack.sequencePack(docs, "id", "ids", seqLen = 4,
+      dropLast = false))
+    assert(all == Seq((0, 0L, Seq(1, 2, 3, 0)), (0, 1L, Seq(4, 5, 0))))
+  }
+
+  test("sequencePack: token conservation + repartition invariance on random docs") {
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 200L).map(i =>
+      (i, Seq.fill(rnd.nextInt(50))(rnd.nextInt(1000) + 1))).toDF("id", "ids")
+    val totalTokens = docs.select(sum(size(col("ids")) + 1)).head.getLong(0)
+    val packed = Pack.sequencePack(docs, "id", "ids", seqLen = 16,
+      shards = 4, dropLast = false)
+    val kept = packed.select(sum("n_tokens")).head.getLong(0)
+    assert(kept == totalTokens, "every token (incl. EOS) lands in exactly one window")
+    val a = rows(packed)
+    val b = rows(Pack.sequencePack(docs.repartition(7), "id", "ids",
+      seqLen = 16, shards = 4, dropLast = false))
+    assert(a == b, "packing must be deterministic under repartitioning")
+    // dropLast drops at most one window per shard, each shorter than seqLen
+    val fullOnly = Pack.sequencePack(docs, "id", "ids", seqLen = 16, shards = 4)
+    assert(fullOnly.filter(col("n_tokens") =!= 16).count() == 0)
+    assert(a.size - rows(fullOnly).size <= 4)
+  }
+
+  test("sequencePack: shards pack independently by id mod shards") {
+    val docs = (0L to 9L).map(i => (i, Seq(i.toInt + 100))).toDF("id", "ids")
+    val got = rows(Pack.sequencePack(docs, "id", "ids", seqLen = 2, shards = 2))
+    // shard 0: docs 0,2,4,6,8 → 100 E 102 E ... five 2-token windows
+    assert(got.filter(_._1 == 0).map(_._3) ==
+      Seq(Seq(100, 0), Seq(102, 0), Seq(104, 0), Seq(106, 0), Seq(108, 0)))
+    assert(got.filter(_._1 == 1).map(_._3) ==
+      Seq(Seq(101, 0), Seq(103, 0), Seq(105, 0), Seq(107, 0), Seq(109, 0)))
+  }
+
+  test("sequencePack: string ids shard deterministically; empty docs still emit EOS") {
+    val docs = Seq(("a", Seq(1)), ("b", Seq.empty[Int]), ("c", Seq(2)))
+      .toDF("id", "ids")
+    val a = rows(Pack.sequencePack(docs, "id", "ids", seqLen = 2, shards = 3,
+      dropLast = false))
+    val b = rows(Pack.sequencePack(docs, "id", "ids", seqLen = 2, shards = 3,
+      dropLast = false))
+    assert(a == b, "string-id sharding must replay")
+    val tokens = a.flatMap(_._3)
+    assert(tokens.count(_ == 0) == 3, "an empty doc is exactly one EOS token")
+    assert(tokens.sorted.filter(_ > 0) == Seq(1, 2))
+  }
+
+  test("sequencePack: misuse is rejected by name") {
+    val docs = Seq((1L, Seq(1))).toDF("id", "ids")
+    intercept[IllegalArgumentException] {
+      Pack.sequencePack(docs, "id", "ids", seqLen = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Pack.sequencePack(docs, "id", "ids", seqLen = 4, shards = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Pack.sequencePack(docs.select(array(col("ids")).as("id"), col("ids")),
+        "id", "ids", seqLen = 4)
+    }
+  }
+}

@@ -1267,6 +1267,8 @@ class StreamingSpec extends SparkSpec {
                "text_col": "text"}""", "batch-only")
     rejects(""""temperature_sample": {"group_col": "lang", "id_col": "doc_id",
                "target_fraction": 0.3}""", "batch-only")
+    rejects(""""sequence_pack": {"id_col": "doc_id", "ids_col": "text",
+               "seq_len": 8}""", "batch-only")
     // root-level profile is now the streaming drift monitor (see the
     // dedicated test); only the MID-PIPELINE placement rejects by name
     val eMid = intercept[IllegalArgumentException](
