@@ -96,6 +96,8 @@ object Compiler {
         node.winnowProbe.toSeq.map(_.textCol) ++
         node.split.toSeq.map(_.idCol) ++
         node.temperatureSample.toSeq.flatMap(t => Seq(t.groupCol, t.idCol)) ++
+        node.tokenBudgetSample.toSeq.flatMap(t =>
+          Seq(t.groupCol, t.idCol, t.tokensCol)) ++
         node.globalShuffle.toSeq.map(_.idCol) ++
         node.htmlExtract.toSeq.flatMap(h => Seq(h.idCol, h.htmlCol)) ++
         node.pdfExtract.toSeq.flatMap(p => Seq(p.idCol, p.pdfCol)) ++
@@ -639,6 +641,19 @@ object Compiler {
       requireBatch("temperature_sample")
       df = graft.ops.Corpus.temperatureSample(
         df, ts.groupCol, ts.idCol, ts.targetFraction, ts.alpha)
+    }
+
+    // Token-budget mixture sampling: the frame becomes the budget-prefix
+    // subset (schema unchanged). The per-(group, bucket) sums need an
+    // action, so batch-only by name.
+    node.tokenBudgetSample.foreach { tb =>
+      requireBatch("token_budget_sample", "a bucket-sum action per group",
+        "land the stream and budget-sample in batch instead")
+      val budgets =
+        if (tb.budgets.nonEmpty) tb.budgets
+        else graft.ops.Corpus.budgetsFromWeights(tb.weights, tb.totalBudget)
+      df = graft.ops.Corpus.tokenBudgetSample(
+        df, tb.groupCol, tb.idCol, tb.tokensCol, budgets, tb.overshoot)
     }
 
     // Global shuffle: the frame gains (shard, shuffle_pos). The

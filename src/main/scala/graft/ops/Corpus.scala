@@ -333,6 +333,13 @@ object Corpus {
   // row to "train" and starve val/test.
   private val SplitMultiplier = 2654435761L
   private val SampleMultiplier = 25214903917L
+  // token_budget_sample's ORDER hash: a third public LCG constant (the
+  // POSIX/glibc rand multiplier) so budget-prefix order is independent of
+  // both the split buckets and the temperature-sample threshold — a
+  // budget sample takes a PREFIX in its hash order, and under a shared
+  // hash that prefix would be exactly the survivors of an upstream
+  // h < k sample, collapsing the two operators' randomness into one.
+  private val BudgetMultiplier = 1103515245L
   // globalShuffle's hash space: fine-grained (1e9+7 vs the split ops'
   // 1e6 buckets) so position ties are rare, and small enough that
   // (P-1)·SplitMultiplier stays inside checked BIGINT in both engines
@@ -527,6 +534,151 @@ object Corpus {
     df.join(broadcast(rates), Seq(groupCol), "inner")
       .filter(h < col("__ts_k"))
       .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** Token-budget mixture sampling — the data-mixing last mile (the
+    * DoReMi/mT5 recipe's deployment step, cf. PAPERS.md): given a per-
+    * domain TOKEN budget, keep documents per group in deterministic
+    * pseudo-random order until the group's budget fills. Where
+    * [[temperatureSample]] targets a document FRACTION, training mixtures
+    * are specified in tokens — "50 B tokens of web, 5 B of code" — and a
+    * doc-fraction sample hits a token target only if doc lengths are
+    * equal across groups, which they never are.
+    *
+    * Contract (the oracle semantics): within each group, order docs by
+    * `(h, id)` ascending — `h` the engine-portable budget-family hash of
+    * the id (its own public LCG constant, see [[BudgetMultiplier]]) — and
+    * keep each doc whose EXCLUSIVE running token sum `C` satisfies the
+    * policy: `overshoot = true` (default) keeps while `C < budget` (the
+    * boundary-crossing doc is kept, so a non-empty group reaches ≥ its
+    * budget — a trainer wants the budget FILLED); `overshoot = false`
+    * keeps while `C + tokens <= budget` (never exceed; `C` still counts
+    * the blocked boundary doc, so the kept set is a prefix either way —
+    * monotone, no knapsack re-entry). Groups absent from `budgets` are
+    * dropped (a mixture spec is exhaustive by definition); budget 0 is an
+    * explicit drop. The kept set is a pure function of (ids, token
+    * counts, budgets) — retry- and engine-stable.
+    *
+    * `budgets` keys match `groupCol` CAST TO STRING (JSON object keys are
+    * strings; integral groups match their decimal spelling).
+    * Alternatively derive budgets from mixture `weights` via
+    * [[budgetsFromWeights]].
+    *
+    * Scale (the [[dsirResampleThreshold]] posture — never a whole-group
+    * window): one (group × 1024-bucket) token-sum aggregate — bounded
+    * metadata, the [[temperatureSample]] collect precedent — locates each
+    * group's BOUNDARY bucket driver-side with exact integer prefix sums;
+    * buckets below it keep by a scan-stage broadcast-join filter, buckets
+    * above drop, and only the boundary bucket (~1/1024 of the group)
+    * pays a window cumsum. The corpus never shuffles; a 30 TB group
+    * costs one aggregate plus a window over ~30 GB. Needs an action for
+    * the bucket sums, so batch-only. NULL groups, NULL/non-positive
+    * token counts, and non-integral token columns are rejected loudly.
+    */
+  def tokenBudgetSample(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      tokensCol: String,
+      budgets: Seq[(String, Long)],
+      overshoot: Boolean = true
+  ): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(budgets.nonEmpty, "tokenBudgetSample: budgets must be non-empty")
+    require(budgets.map(_._1).distinct.size == budgets.size,
+      "tokenBudgetSample: duplicate group key in budgets")
+    budgets.foreach { case (g, b) => require(b >= 0,
+      s"tokenBudgetSample: budget for group '$g' must be >= 0, got $b") }
+    df.schema(tokensCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case t => throw new IllegalArgumentException(
+        s"tokenBudgetSample: token column '$tokensCol' has type " +
+          s"${t.simpleString}; budgets are exact integer arithmetic — " +
+          "count tokens upstream (token_count / with_columns) first")
+    }
+    val nBuckets = 1024
+    val bucketWidth = (HashSpace + nBuckets - 1) / nBuckets
+    val h = stableIdHash(df, idCol, "tokenBudgetSample", BudgetMultiplier)
+    val toks = when(col(tokensCol).isNotNull && col(tokensCol) >= 1,
+      col(tokensCol).cast("long")).otherwise(raise_error(
+      lit(s"tokenBudgetSample: NULL or non-positive token count in " +
+        s"'$tokensCol' — a doc without tokens has no budget cost; filter " +
+        "or impute first")))
+    val keyed = df
+      .withColumn("__tb_g", col(groupCol).cast("string"))
+      .withColumn("__tb_h", h)
+      .withColumn("__tb_b", ((col("__tb_h") -
+        pmod(col("__tb_h"), lit(bucketWidth))) / lit(bucketWidth)).cast("int"))
+      .withColumn("__tb_t", toks)
+    // bounded metadata: #groups × ≤1024 rows (the temperatureSample
+    // collect precedent — mixture groups are languages/sources)
+    val stats = keyed.groupBy("__tb_g", "__tb_b")
+      .agg(sum("__tb_t").as("__tb_s")).collect()
+    if (stats.exists(_.isNullAt(0))) throw new IllegalArgumentException(
+      s"tokenBudgetSample: NULL group in column '$groupCol' — rows " +
+        "without a mixture group would be dropped silently; filter or " +
+        "impute first")
+    val byGroup = stats.map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1)
+    // per budgeted group: the boundary bucket (first whose inclusive
+    // prefix reaches the budget) and the exact token prefix before it
+    val cuts = budgets.flatMap { case (g, budget) =>
+      byGroup.get(g).map { rows =>
+        val sums = rows.map(r => (r._2, r._3)).sortBy(_._1)
+        var pre = 0L
+        var bstar = nBuckets // sentinel: budget never reached → keep all
+        var i = 0
+        while (i < sums.length && bstar == nBuckets) {
+          if (pre + sums(i)._2 >= budget) bstar = sums(i)._1
+          else { pre += sums(i)._2; i += 1 }
+        }
+        org.apache.spark.sql.Row(g, bstar, pre, budget)
+      }
+    }
+    val spark = df.sparkSession
+    val cutsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(cuts, 1),
+      StructType(Seq(
+        StructField("__tb_g", StringType, nullable = false),
+        StructField("__tb_bstar", IntegerType, nullable = false),
+        StructField("__tb_pre", LongType, nullable = false),
+        StructField("__tb_budget", LongType, nullable = false))))
+    val joined = keyed.join(broadcast(cutsDf), Seq("__tb_g"), "inner")
+    val out = df.columns.map(col).toIndexedSeq
+    // below the boundary bucket: scan-stage keep, no shuffle
+    val below = joined.filter(col("__tb_b") < col("__tb_bstar")).select(out: _*)
+    // the boundary bucket (~1/1024 of each group): exact window resolve
+    val w = Window.partitionBy(col("__tb_g"))
+      .orderBy(col("__tb_h").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val c = col("__tb_pre") + coalesce(sum(col("__tb_t")).over(w), lit(0L))
+    val rule = if (overshoot) c < col("__tb_budget")
+               else c + col("__tb_t") <= col("__tb_budget")
+    val boundary = joined.filter(col("__tb_b") === col("__tb_bstar"))
+      .withColumn("__tb_keep", rule).filter(col("__tb_keep")).select(out: _*)
+    below.unionByName(boundary)
+  }
+
+  /** Derive [[tokenBudgetSample]] budgets from mixture WEIGHTS — the
+    * DoReMi artifact is a weight vector, not token counts: budget_g =
+    * ⌊totalBudget · w_g / Σw⌋, the normalizer folded sequentially in the
+    * given key order (deterministic, retry-stable — the
+    * [[temperatureSample]] rate posture). */
+  def budgetsFromWeights(
+      weights: Seq[(String, Double)],
+      totalBudget: Long
+  ): Seq[(String, Long)] = {
+    require(weights.nonEmpty, "budgetsFromWeights: weights must be non-empty")
+    require(totalBudget >= 1,
+      s"budgetsFromWeights: total_budget must be >= 1, got $totalBudget")
+    weights.foreach { case (g, x) => require(x >= 0 && !x.isNaN,
+      s"budgetsFromWeights: weight for group '$g' must be >= 0, got $x") }
+    var s = 0.0
+    weights.foreach { case (_, x) => s += x } // sequential, given order
+    require(s > 0, "budgetsFromWeights: weights sum to 0")
+    weights.map { case (g, x) =>
+      (g, math.floor(totalBudget.toDouble * (x / s)).toLong)
+    }
   }
 
   /** Corpus-LM perplexity scoring — the CCNet-style quality signal: train

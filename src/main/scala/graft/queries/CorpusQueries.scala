@@ -469,6 +469,60 @@ object CorpusQueries extends QueryPack {
        "order_by": ["doc_id asc"]}""")
   }
 
+  // q204/q205 — token-budget mixture sampling (the DoReMi deployment
+  // step): per-language TOKEN budgets filled in deterministic
+  // budget-hash order. The kept set is a pure function of (ids, token
+  // counts, budgets), so the oracle recomputes it exactly with one
+  // window: order by (budget-family hash, id), keep while the EXCLUSIVE
+  // running sum is under the budget (overshoot policy — the boundary doc
+  // fills the budget). q204 exercises all four group paths in one query:
+  // boundary cut (en, de), keep-all (fr budget above the group total),
+  // budget-0 drop (es), unlisted-group drop (zh). q205 is the PURE-JSON
+  // twin deriving the same shape from mixture weights (dyadic weights ×
+  // dyadic total, so ⌊total·w/Σw⌋ is exact in both engines).
+  private def q204(s: SparkSession, dir: String): DataFrame =
+    Corpus.tokenBudgetSample(
+        Tables.load(s, dir, "documents"),
+        groupCol = "lang", idCol = "doc_id", tokensCol = "n_chars",
+        budgets = Seq("en" -> 20000L, "de" -> 8000L,
+          "fr" -> 99999999L, "es" -> 0L))
+      .select("doc_id", "lang", "n_chars")
+      .orderBy(col("doc_id").asc_nulls_first)
+  /** DuckDB mirror of the budget-family hash over a BIGINT id alias. */
+  private def budgetHashSql(id: String): String =
+    s"((($id % 1000000 + 1000000) % 1000000) * 1103515245) % 1000000"
+  private def budgetPrefixSql(budgetValues: String): String = s"""
+    WITH b(grp, budget) AS (VALUES $budgetValues),
+    h AS (SELECT doc_id, lang, n_chars,
+            ${budgetHashSql("doc_id")} AS hh
+          FROM documents),
+    c AS (SELECT doc_id, lang, n_chars,
+            COALESCE(SUM(n_chars) OVER (
+              PARTITION BY lang ORDER BY hh, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+          FROM h)
+    SELECT c.doc_id, c.lang, CAST(c.n_chars AS BIGINT) AS n_chars
+    FROM c JOIN b ON c.lang = b.grp
+    WHERE cum < b.budget
+    ORDER BY doc_id ASC NULLS FIRST"""
+  private val q204Sql = budgetPrefixSql(
+    "('en', 20000), ('de', 8000), ('fr', 99999999), ('es', 0)")
+  private def q205(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "documents"},
+       "keep_columns": ["doc_id", "lang", "n_chars"],
+       "token_budget_sample": {"group_col": "lang", "id_col": "doc_id",
+         "tokens_col": "n_chars",
+         "weights": {"en": 0.5, "de": 0.25, "es": 0.125,
+                     "fr": 0.0625, "zh": 0.0625},
+         "total_budget": 65536},
+       "order_by": ["doc_id asc"]}""")
+  }
+  // 65536 × dyadic weights: budgets 32768/16384/8192/4096/4096 exactly
+  private val q205Sql = budgetPrefixSql(
+    "('en', 32768), ('de', 16384), ('es', 8192), ('fr', 4096), ('zh', 4096)")
+
   // q154 — classifier INFERENCE, exactly mirrored: score every document
   // with FIXED formula weights (w_b from plan-time arithmetic — the
   // trained-weights path is gated by q155 + the CorpusSpec training
@@ -1011,7 +1065,9 @@ object CorpusQueries extends QueryPack {
     Q("q184_dsir_weights", q184, Some(q184Sql)),
     Q("q185_config_dsir_select", q185, Some(q185Sql)),
     Q("q192_rank_dsir_flagship", q192, Some(q192Sql)),
-    Q("q201_dsir_select_threshold", q201, Some(q201Sql))
+    Q("q201_dsir_select_threshold", q201, Some(q201Sql)),
+    Q("q204_token_budget_sample", q204, Some(q204Sql)),
+    Q("q205_config_token_budget", q205, Some(q205Sql))
   )
 
   // q192 — the round-13 FLAGSHIP: ONE pure-JSON config chains the

@@ -550,6 +550,34 @@ object JsonCodec {
         alpha = opt(d, "alpha").map(_.asDouble).getOrElse(0.5))
     }
 
+    val tbs = optN("token_budget_sample", "tokenBudgetSample").map { d =>
+      val ctx = s"node $id: token_budget_sample"
+      val budgetsNode = opt(d, "budgets")
+      val weightsNode = opt(d, "weights")
+      require(budgetsNode.isDefined != weightsNode.isDefined,
+        s"$ctx: exactly one of budgets (group -> tokens) or weights " +
+          "(+ total_budget) must be given")
+      budgetsNode.foreach(b => require(b.isObject && b.size() > 0,
+        s"$ctx: budgets must be a non-empty OBJECT of group -> token count"))
+      weightsNode.foreach(w => require(w.isObject && w.size() > 0,
+        s"$ctx: weights must be a non-empty OBJECT of group -> weight"))
+      val spec = TokenBudgetSampleSpec(
+        groupCol = req(d, ctx, "group_col", "groupCol").asText,
+        idCol = req(d, ctx, "id_col", "idCol").asText,
+        tokensCol = req(d, ctx, "tokens_col", "tokensCol").asText,
+        budgets = budgetsNode.map(b =>
+          fields(b).map { case (k, v) => (k, v.asLong) }).getOrElse(Seq.empty),
+        weights = weightsNode.map(w =>
+          fields(w).map { case (k, v) => (k, v.asDouble) }).getOrElse(Seq.empty),
+        totalBudget = opt(d, "total_budget", "totalBudget")
+          .map(_.asLong).getOrElse(0L),
+        overshoot = opt(d, "overshoot").forall(_.asBoolean(true)))
+      if (spec.weights.nonEmpty) require(spec.totalBudget >= 1,
+        s"$ctx: weights need a total_budget >= 1 (tokens to split across " +
+          "the mixture)")
+      spec
+    }
+
     val gs = optN("global_shuffle", "globalShuffle").map { d =>
       GlobalShuffleSpec(
         idCol = req(d, s"node $id: global_shuffle", "id_col", "idCol").asText,
@@ -683,6 +711,7 @@ object JsonCodec {
       dsirScore = dsirScoreSpec,
       split = sp,
       temperatureSample = ts,
+      tokenBudgetSample = tbs,
       globalShuffle = gs,
       htmlExtract = he,
       pdfExtract = pe,

@@ -437,6 +437,24 @@ final case class TemperatureSampleSpec(
     alpha: Double = 0.5
 )
 
+/** Token-budget mixture sampling (NS; Corpus.tokenBudgetSample): keep
+  * docs per group in deterministic hash order until each group's TOKEN
+  * budget fills — mixtures are specified in tokens, not doc fractions.
+  * Exactly one of `budgets` (group → tokens, JSON-object order) or
+  * `weights` + `totalBudget` (budget_g = ⌊total · w_g / Σw⌋). Groups
+  * absent from the mixture drop. `overshoot` keeps the boundary-crossing
+  * doc (default — the budget is FILLED); false never exceeds. Needs an
+  * action for the bucket sums, so batch-only. */
+final case class TokenBudgetSampleSpec(
+    groupCol: String,
+    idCol: String,
+    tokensCol: String,
+    budgets: Seq[(String, Long)] = Seq.empty,
+    weights: Seq[(String, Double)] = Seq.empty,
+    totalBudget: Long = 0L,
+    overshoot: Boolean = true
+)
+
 /** Deterministic global shuffle + sharding (NS; Corpus.globalShuffle):
   * adds (`shard`, `shuffle_pos`) — an id-keyed, seed-parameterized,
   * retry-stable permutation in loader-streamable shards, the
@@ -857,6 +875,7 @@ final case class NodeSpec(
     dsirScore: Option[DsirScoreSpec] = None, // after keep, before aggregate
     split: Option[SplitSpec] = None, // after keep, before aggregate
     temperatureSample: Option[TemperatureSampleSpec] = None, // after split
+    tokenBudgetSample: Option[TokenBudgetSampleSpec] = None, // after temperature_sample
     globalShuffle: Option[GlobalShuffleSpec] = None, // after temperature_sample
     htmlExtract: Option[HtmlExtractSpec] = None, // after keep, before aggregate
     pdfExtract: Option[PdfExtractSpec] = None, // after keep, before aggregate

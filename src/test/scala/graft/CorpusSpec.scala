@@ -595,6 +595,103 @@ class CorpusSpec extends SparkSpec {
     assert(e5.getMessage.contains("temperatureSample"))
   }
 
+  // ---- token-budget mixture sampling --------------------------------------
+
+  /** Brute-force mirror of the budget-prefix contract: per group, order
+    * by (budget hash, id), keep while the exclusive cumsum passes the
+    * policy — what the bucketed Spark plan must equal exactly. */
+  private def budgetBrute(
+      rows: Seq[(Long, String, Long)], // (id, group, tokens)
+      budgets: Map[String, Long],
+      overshoot: Boolean): Set[Long] = {
+    def h(id: Long) = ((id % 1000000L) * 1103515245L) % 1000000L
+    rows.groupBy(_._2).flatMap { case (g, docs) =>
+      budgets.get(g).toSeq.flatMap { budget =>
+        var c = 0L
+        docs.sortBy(d => (h(d._1), d._1)).flatMap { case (id, _, t) =>
+          val keep = if (overshoot) c < budget else c + t <= budget
+          c += t
+          if (keep) Some(id) else None
+        }
+      }
+    }.toSet
+  }
+
+  test("tokenBudgetSample: equals the brute-force budget prefix on random data") {
+    val rnd = new scala.util.Random(11)
+    val groups = Seq("web", "code", "math")
+    val rows = (1L to 600L).map(i =>
+      (i, groups(rnd.nextInt(3)), rnd.nextInt(200) + 1L))
+    val df = rows.toDF("id", "g", "t").repartition(7)
+    val budgets = Seq("web" -> 9000L, "code" -> 4000L, "math" -> 999999L)
+    for (overshoot <- Seq(true, false)) {
+      val got = Corpus.tokenBudgetSample(df, "g", "id", "t", budgets, overshoot)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got == budgetBrute(rows, budgets.toMap, overshoot),
+        s"overshoot=$overshoot must match the window contract exactly")
+    }
+  }
+
+  test("tokenBudgetSample: overshoot fills the budget; strict never exceeds") {
+    val rows = (1L to 80L).map(i => (i, "g", 100L))
+    val df = rows.toDF("id", "g", "t")
+    // budget 1050 — not a multiple of the doc size, so the policies differ
+    val filled = Corpus.tokenBudgetSample(df, "g", "id", "t", Seq("g" -> 1050L))
+      .agg(sum("t")).head.getLong(0)
+    assert(filled == 1100L, "overshoot keeps the boundary-crossing doc")
+    val strict = Corpus.tokenBudgetSample(df, "g", "id", "t",
+      Seq("g" -> 1050L), overshoot = false).agg(sum("t")).head.getLong(0)
+    assert(strict == 1000L, "strict stays at the longest prefix <= budget")
+    // a budget above the group total keeps the whole group either way
+    val all = Corpus.tokenBudgetSample(df, "g", "id", "t", Seq("g" -> 99999L))
+    assert(all.count() == 80L)
+  }
+
+  test("tokenBudgetSample: unlisted groups drop; budget 0 drops; weights derive") {
+    val df = Seq((1L, "a", 10L), (2L, "b", 10L), (3L, "c", 10L))
+      .toDF("id", "g", "t")
+    val kept = Corpus.tokenBudgetSample(df, "g", "id", "t",
+      Seq("a" -> 100L, "b" -> 0L)).select("g").collect().map(_.getString(0))
+    assert(kept.toSeq == Seq("a"), "unlisted 'c' and zero-budget 'b' drop")
+    val w = Corpus.budgetsFromWeights(
+      Seq("a" -> 0.5, "b" -> 0.25, "c" -> 0.25), 4096L)
+    assert(w == Seq("a" -> 2048L, "b" -> 1024L, "c" -> 1024L))
+    intercept[IllegalArgumentException](
+      Corpus.budgetsFromWeights(Seq("a" -> 0.0), 100L))
+    intercept[IllegalArgumentException](
+      Corpus.budgetsFromWeights(Seq("a" -> 1.0), 0L))
+  }
+
+  test("tokenBudgetSample: integral group keys match their decimal spelling") {
+    val df = Seq((1L, 7, 10L), (2L, 7, 10L), (3L, 8, 10L)).toDF("id", "g", "t")
+    val kept = Corpus.tokenBudgetSample(df, "g", "id", "t", Seq("7" -> 15L))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept.size == 2 && !kept.contains(3L),
+      "group 7 fills to >= 15 tokens (2 docs); group 8 is unlisted")
+  }
+
+  test("tokenBudgetSample: named errors — NULL group, bad tokens, bad types") {
+    val df = Seq((1L, "a", 10L)).toDF("id", "g", "t")
+    val withNull = Seq((1L, null.asInstanceOf[String], 10L)).toDF("id", "g", "t")
+    val e = intercept[IllegalArgumentException](
+      Corpus.tokenBudgetSample(withNull, "g", "id", "t", Seq("a" -> 1L)))
+    assert(e.getMessage.contains("NULL group"))
+    val zeroTok = Seq((1L, "a", 0L)).toDF("id", "g", "t")
+    val e2 = intercept[Exception](
+      Corpus.tokenBudgetSample(zeroTok, "g", "id", "t", Seq("a" -> 1L)).count())
+    assert(e2.getMessage.contains("non-positive token count"))
+    val dblTok = Seq((1L, "a", 0.5)).toDF("id", "g", "t")
+    val e3 = intercept[IllegalArgumentException](
+      Corpus.tokenBudgetSample(dblTok, "g", "id", "t", Seq("a" -> 1L)))
+    assert(e3.getMessage.contains("token column"))
+    intercept[IllegalArgumentException](
+      Corpus.tokenBudgetSample(df, "g", "id", "t", Seq.empty))
+    intercept[IllegalArgumentException](
+      Corpus.tokenBudgetSample(df, "g", "id", "t", Seq("a" -> -1L)))
+    intercept[IllegalArgumentException](
+      Corpus.tokenBudgetSample(df, "g", "id", "t", Seq("a" -> 1L, "a" -> 2L)))
+  }
+
   // ---- LM perplexity ------------------------------------------------------
 
   test("lmPerplexity: predictable text scores lower than unique text; short docs absent") {

@@ -501,6 +501,32 @@ class JsonCodecSpec extends AnyFunSuite {
       {"source": {"table": "e"},
        "page_rank": {"src_col": "s", "dst_col": "d"}}""").pageRank.get
     assert(p.iters == 3 && p.damping == 0.85 && p.tol == 0.0)
+    // token_budget_sample: exactly-one-of budgets|weights, defaults, errors
+    val tb = root("""
+      {"source": {"table": "d"},
+       "token_budget_sample": {"group_col": "g", "id_col": "i",
+         "tokens_col": "t", "budgets": {"en": 100, "de": 50}}}""")
+      .tokenBudgetSample.get
+    assert(tb.budgets == Seq("en" -> 100L, "de" -> 50L) && tb.overshoot
+      && tb.weights.isEmpty)
+    val tw = root("""
+      {"source": {"table": "d"},
+       "token_budget_sample": {"group_col": "g", "id_col": "i",
+         "tokens_col": "t", "weights": {"en": 0.5, "de": 0.5},
+         "total_budget": 1000, "overshoot": false}}""").tokenBudgetSample.get
+    assert(tw.weights == Seq("en" -> 0.5, "de" -> 0.5)
+      && tw.totalBudget == 1000L && !tw.overshoot)
+    val eTb = intercept[IllegalArgumentException](root("""
+      {"token_budget_sample": {"group_col": "g", "id_col": "i",
+        "tokens_col": "t"}}"""))
+    assert(eTb.getMessage.contains("exactly one of budgets"))
+    val eTb2 = intercept[IllegalArgumentException](root("""
+      {"token_budget_sample": {"group_col": "g", "id_col": "i",
+        "tokens_col": "t", "weights": {"en": 1.0}}}"""))
+    assert(eTb2.getMessage.contains("total_budget"))
+    intercept[IllegalArgumentException](root("""
+      {"token_budget_sample": {"group_col": "g", "id_col": "i",
+        "tokens_col": "t", "budgets": {}}}"""))
     // sequence_pack defaults + named errors
     val sq = root("""
       {"source": {"table": "d"},

@@ -1269,6 +1269,8 @@ class StreamingSpec extends SparkSpec {
                "target_fraction": 0.3}""", "batch-only")
     rejects(""""sequence_pack": {"id_col": "doc_id", "ids_col": "text",
                "seq_len": 8}""", "batch-only")
+    rejects(""""token_budget_sample": {"group_col": "lang", "id_col": "doc_id",
+               "tokens_col": "doc_id", "budgets": {"en": 100}}""", "batch-only")
     // root-level profile is now the streaming drift monitor (see the
     // dedicated test); only the MID-PIPELINE placement rejects by name
     val eMid = intercept[IllegalArgumentException](
