@@ -559,7 +559,8 @@ object Compiler {
       requireBatch("sequence_pack", "a per-shard running-offset window",
         "pack in batch over landed micro-batch output instead")
       df = graft.ops.Pack.sequencePack(df, sp.idCol, sp.idsCol,
-        sp.seqLen, sp.eosId, sp.shards, sp.dropLast)
+        sp.seqLen, sp.eosId, sp.shards, sp.dropLast, sp.mode,
+        sp.withBounds, sp.padId)
     }
 
     // Winnowed fingerprinting: the frame becomes the compacted index

@@ -1248,8 +1248,128 @@ object TextQueries extends QueryPack {
     Q("q197_robots_audit", q197, Some(q197Sql)),
     Q("q199_bpe_token_ids", q199, Some(q199Sql)),
     Q("q200_tokenized_shards", q200, Some(q200Sql)),
-    Q("q203_sequence_pack", q203, Some(q203Sql))
+    Q("q203_sequence_pack", q203, Some(q203Sql)),
+    Q("q206_pack_bounds", q206, Some(q206Sql)),
+    Q("q207_pack_whole_doc", q207, Some(q207Sql))
   )
+
+  // q206/q207 — the two round-15 packing extensions under exact oracles,
+  // over a synthetic engine-portable id array (sequence + modular
+  // arithmetic — the pack semantics are about POSITIONS, so the gate
+  // salts values by doc to catch misalignment). q206: split mode with
+  // `with_bounds` — every window's doc-start slots (position-id reset
+  // points) fold under init 7 next to the q203-style id fold (init 0), so
+  // boundary arithmetic is gated exactly, including the empty-starts
+  // continuation window (fold == init). q207: whole-doc next-fit mode
+  // (docs never split, truncate-to-fit, pad_id) — the oracle restates the
+  // sequential fold as a recursive CTE whose per-doc state (seq, fill)
+  // IS the next-fit recurrence, and each doc's start slot falls out as
+  // fill − len.
+  private val packIdsExpr =
+    "transform(sequence(1, pmod(n_chars, 50) + 1), " +
+      "i -> cast((doc_id * 31 + i) % 1000 as int))"
+  private val packIdsSql =
+    "list_transform(generate_series(1, n_chars % 50 + 1), " +
+      "i -> CAST((doc_id * 31 + i) % 1000 AS INT))"
+  private val idFold =
+    "aggregate(ids, cast(0 as bigint), (a, x) -> (a * 31 + x) % 1000000007)"
+  private val boundFold =
+    "aggregate(doc_starts, cast(7 as bigint), (a, x) -> (a * 31 + x) % 1000000007)"
+  private def q206(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    graft.compile.Compiler.compileJson(s, s"""
+      {"source": {"table": "documents"},
+       "derive": {"ids": "$packIdsExpr"},
+       "sequence_pack": {"id_col": "doc_id", "ids_col": "ids",
+                         "seq_len": 16, "eos_id": 0, "shards": 2,
+                         "with_bounds": true},
+       "with_columns": {"fold": "$idFold", "bfold": "$boundFold"},
+       "drop": ["ids", "doc_starts"],
+       "order_by": ["shard asc", "seq asc"]}""")
+  }
+  private lazy val q206Sql = s"""
+    WITH d AS (
+      SELECT doc_id, CAST(doc_id % 2 AS INT) AS shard,
+             list_append($packIdsSql, 0) AS idl
+      FROM documents),
+    cc AS (
+      SELECT shard, flatten(list(idl ORDER BY doc_id)) AS L,
+             list(len(idl) ORDER BY doc_id) AS lens
+      FROM d GROUP BY shard),
+    so AS (
+      SELECT shard, L,
+             [COALESCE(list_sum(lens[1 : j - 1]), 0)
+              for j in generate_series(1, len(lens))] AS offs
+      FROM cc),
+    seqs AS (
+      SELECT shard,
+             unnest([CAST(w - 1 AS BIGINT)
+                     for w in generate_series(1, len(L) // 16)]) AS seq,
+             unnest([list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                         L[(w - 1) * 16 + 1 : (w - 1) * 16 + 16]),
+                       (a, x) -> (a * 31 + x) % 1000000007)
+                     for w in generate_series(1, len(L) // 16)]) AS fold
+      FROM so),
+    st AS (
+      SELECT shard, s // 16 AS seq, CAST(s % 16 AS BIGINT) AS slot
+      FROM (SELECT shard, unnest(offs) AS s FROM so)),
+    bf AS (
+      SELECT shard, seq,
+             list_reduce(list_prepend(CAST(7 AS BIGINT),
+                                      list(slot ORDER BY slot)),
+                         (a, x) -> (a * 31 + x) % 1000000007) AS bfold
+      FROM st GROUP BY shard, seq)
+    SELECT q.shard, q.seq, CAST(16 AS INT) AS n_tokens, q.fold,
+           COALESCE(bf.bfold, 7) AS bfold
+    FROM seqs q LEFT JOIN bf ON q.shard = bf.shard AND q.seq = bf.seq
+    ORDER BY q.shard ASC NULLS FIRST, q.seq ASC NULLS FIRST"""
+  private def q207(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    graft.compile.Compiler.compileJson(s, s"""
+      {"source": {"table": "documents"},
+       "derive": {"ids": "$packIdsExpr"},
+       "sequence_pack": {"id_col": "doc_id", "ids_col": "ids",
+                         "seq_len": 24, "eos_id": 0, "shards": 2,
+                         "mode": "whole", "drop_last": false,
+                         "with_bounds": true, "pad_id": 999},
+       "with_columns": {"fold": "$idFold", "bfold": "$boundFold"},
+       "drop": ["ids", "doc_starts"],
+       "order_by": ["shard asc", "seq asc"]}""")
+  }
+  private lazy val q207Sql = s"""
+    WITH RECURSIVE d AS (
+      SELECT CAST(doc_id % 2 AS INT) AS shard,
+             row_number() OVER (PARTITION BY doc_id % 2
+                                ORDER BY doc_id) AS i,
+             list_append(($packIdsSql)[1 : 23], 0) AS idl
+      FROM documents),
+    dl AS (SELECT shard, i, idl, len(idl) AS l FROM d),
+    nf AS (
+      SELECT shard, i, idl, l, CAST(0 AS BIGINT) AS seq,
+             CAST(l AS BIGINT) AS fill
+      FROM dl WHERE i = 1
+      UNION ALL
+      SELECT dl.shard, dl.i, dl.idl, dl.l,
+             CASE WHEN nf.fill + dl.l <= 24 THEN nf.seq ELSE nf.seq + 1 END,
+             CASE WHEN nf.fill + dl.l <= 24 THEN nf.fill + dl.l
+                  ELSE CAST(dl.l AS BIGINT) END
+      FROM nf JOIN dl ON dl.shard = nf.shard AND dl.i = nf.i + 1),
+    w AS (
+      SELECT shard, seq, flatten(list(idl ORDER BY i)) AS ids,
+             list_reduce(list_prepend(CAST(7 AS BIGINT),
+                                      list(fill - l ORDER BY i)),
+                         (a, x) -> (a * 31 + x) % 1000000007) AS bfold
+      FROM nf GROUP BY shard, seq)
+    SELECT shard, seq, CAST(len(ids) AS INT) AS n_tokens,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_concat(ids,
+                 list_transform(range(24 - len(ids)), x -> 999))),
+             (a, x) -> (a * 31 + x) % 1000000007) AS fold,
+           bfold
+    FROM w
+    ORDER BY shard ASC NULLS FIRST, seq ASC NULLS FIRST"""
 
   // q203 — fixed-length TRAINING SEQUENCES from PURE JSON: artifact
   // tokenizer → stable ids → per-shard EOS-separated concatenation in

@@ -780,8 +780,14 @@ object JsonCodec {
           seqLen = req(d, ctx, "seq_len", "seqLen").asInt,
           eosId = opt(d, "eos_id", "eosId").map(_.asInt).getOrElse(0),
           shards = opt(d, "shards").map(_.asInt).getOrElse(1),
-          dropLast = opt(d, "drop_last", "dropLast").forall(_.asBoolean(true)))
+          dropLast = opt(d, "drop_last", "dropLast").forall(_.asBoolean(true)),
+          mode = opt(d, "mode").map(_.asText).getOrElse("split"),
+          withBounds = opt(d, "with_bounds", "withBounds")
+            .exists(_.asBoolean(false)),
+          padId = opt(d, "pad_id", "padId").map(_.asInt).getOrElse(-1))
         require(sp.seqLen >= 2, s"$ctx: seq_len must be >= 2")
+        require(sp.mode == "split" || sp.mode == "whole",
+          s"""$ctx: mode must be "split" or "whole", got "${sp.mode}"""")
         sp
       },
       tarPackIngest = optN("tar_pack_ingest", "tarPackIngest").map { d =>

@@ -816,7 +816,10 @@ final case class SequencePackSpec(
     seqLen: Int,
     eosId: Int = 0,
     shards: Int = 1,
-    dropLast: Boolean = true
+    dropLast: Boolean = true,
+    mode: String = "split", // "split" (slice the stream) | "whole" (next-fit, docs never split)
+    withBounds: Boolean = false, // add doc_starts (position-id reset slots)
+    padId: Int = -1 // >= 0: pad short kept windows to seq_len
 )
 
 /** Continuous WebDataset shard packing (NS; Streaming.shardPackStream):

@@ -533,6 +533,17 @@ class JsonCodecSpec extends AnyFunSuite {
        "sequence_pack": {"id_col": "i", "ids_col": "x", "seq_len": 2048}}""")
       .sequencePack.get
     assert(sq.eosId == 0 && sq.shards == 1 && sq.dropLast && sq.seqLen == 2048)
+    assert(sq.mode == "split" && !sq.withBounds && sq.padId == -1)
+    val sqW = root("""
+      {"source": {"table": "d"},
+       "sequence_pack": {"id_col": "i", "ids_col": "x", "seq_len": 2048,
+         "mode": "whole", "with_bounds": true, "pad_id": 0}}""")
+      .sequencePack.get
+    assert(sqW.mode == "whole" && sqW.withBounds && sqW.padId == 0)
+    val eMode = intercept[IllegalArgumentException](root("""
+      {"sequence_pack": {"id_col": "i", "ids_col": "x", "seq_len": 8,
+        "mode": "bestfit"}}"""))
+    assert(eMode.getMessage.contains("mode"))
     val eSq = intercept[IllegalArgumentException](root("""
       {"sequence_pack": {"id_col": "i", "ids_col": "x", "seq_len": 1}}"""))
     assert(eSq.getMessage.contains("seq_len"))

@@ -77,6 +77,82 @@ class PackSpec extends SparkSpec {
     assert(tokens.sorted.filter(_ > 0) == Seq(1, 2))
   }
 
+  test("sequencePack: with_bounds emits doc-start slots per window (split mode)") {
+    // stream (id order): 1 2 3 E | 4 E 5 6 | 7 8 9 E  (E = 0, seqLen 4)
+    val docs = Seq(
+      (1L, Seq(1, 2, 3)), (2L, Seq(4)), (3L, Seq(5, 6, 7, 8, 9)))
+      .toDF("id", "ids")
+    val got = Pack.sequencePack(docs, "id", "ids", seqLen = 4,
+        withBounds = true)
+      .orderBy("shard", "seq").collect()
+      .map(r => (r.getLong(1), r.getSeq[Int](2), r.getSeq[Int](4))).toSeq
+    assert(got == Seq(
+      (0L, Seq(1, 2, 3, 0), Seq(0)),      // doc 1 starts at slot 0
+      (1L, Seq(4, 0, 5, 6), Seq(0, 2)),   // doc 2 at 0, doc 3 at 2
+      (2L, Seq(7, 8, 9, 0), Seq())))      // pure continuation window
+  }
+
+  test("sequencePack whole mode: next-fit — docs never split, short windows keep") {
+    // seqLen 6; with EOS: doc1=4, doc2=3, doc3=2, doc4=6(truncated from 9)
+    val docs = Seq(
+      (1L, Seq(1, 2, 3)), (2L, Seq(4, 5)), (3L, Seq(6)),
+      (4L, Seq(7, 8, 9, 10, 11, 12, 13, 14, 15)))
+      .toDF("id", "ids")
+    val got = Pack.sequencePack(docs, "id", "ids", seqLen = 6,
+        mode = "whole", dropLast = false, withBounds = true)
+      .orderBy("shard", "seq").collect()
+      .map(r => (r.getLong(1), r.getSeq[Int](2), r.getInt(3), r.getSeq[Int](4)))
+      .toSeq
+    assert(got == Seq(
+      (0L, Seq(1, 2, 3, 0), 4, Seq(0)),       // doc2 (3) would overflow 4+3>6
+      (1L, Seq(4, 5, 0, 6, 0), 5, Seq(0, 3)), // docs 2+3 share a window
+      (2L, Seq(7, 8, 9, 10, 11, 0), 6, Seq(0)))) // doc4 truncated to 5+EOS
+  }
+
+  test("sequencePack whole mode: dropLast drops only a SHORT final window") {
+    val docs = Seq((1L, Seq(1, 2, 3)), (2L, Seq(4, 5, 6))).toDF("id", "ids")
+    // seqLen 4: windows [1,2,3,E] (full) then [4,5,6,E] (full, final)
+    val full = Pack.sequencePack(docs, "id", "ids", seqLen = 4, mode = "whole")
+    assert(full.count() == 2, "a final FULL window always keeps")
+    // seqLen 5: [1,2,3,E] closes short at doc 2 (4+4>5), [4,5,6,E] is the
+    // open final window — dropped; the closed-short intermediate keeps
+    val cut = Pack.sequencePack(docs, "id", "ids", seqLen = 5, mode = "whole")
+      .collect().map(r => r.getSeq[Int](2)).toSeq
+    assert(cut == Seq(Seq(1, 2, 3, 0)))
+  }
+
+  test("sequencePack whole mode: repartition invariance + token conservation") {
+    val rnd = new scala.util.Random(13)
+    val docs = (1L to 300L).map(i =>
+      (i, Seq.fill(rnd.nextInt(20))(rnd.nextInt(1000) + 1))).toDF("id", "ids")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Pack.sequencePack(df, "id", "ids", seqLen = 32, shards = 4,
+          mode = "whole", dropLast = false, withBounds = true)
+        .orderBy("shard", "seq").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Int](2),
+          r.getSeq[Int](4))).toSeq
+    val a = run(docs)
+    assert(a == run(docs.repartition(7)), "whole-mode pack must replay")
+    // no doc here exceeds seqLen − 1, so every token (incl. EOS) survives
+    val totalTokens = docs.select(sum(size(col("ids")) + 1)).head.getLong(0)
+    assert(a.map(_._3.size.toLong).sum == totalTokens)
+    // every window starts with a doc (never a continuation) and each
+    // doc_start slot is a real boundary: previous slot holds an EOS
+    a.foreach { case (_, _, ids, starts) =>
+      assert(starts.headOption.contains(0))
+      starts.filter(_ > 0).foreach(s => assert(ids(s - 1) == 0))
+    }
+  }
+
+  test("sequencePack: pad_id pads short kept windows; n_tokens stays pre-pad") {
+    val docs = Seq((1L, Seq(1, 2, 3)), (2L, Seq(4, 5))).toDF("id", "ids")
+    val got = Pack.sequencePack(docs, "id", "ids", seqLen = 4,
+        dropLast = false, padId = 9)
+      .orderBy("seq").collect()
+      .map(r => (r.getSeq[Int](2), r.getInt(3))).toSeq
+    assert(got == Seq((Seq(1, 2, 3, 0), 4), (Seq(4, 5, 0, 9), 3)))
+  }
+
   test("sequencePack: misuse is rejected by name") {
     val docs = Seq((1L, Seq(1))).toDF("id", "ids")
     intercept[IllegalArgumentException] {
@@ -88,6 +164,13 @@ class PackSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Pack.sequencePack(docs.select(array(col("ids")).as("id"), col("ids")),
         "id", "ids", seqLen = 4)
+    }
+    val eMode = intercept[IllegalArgumentException] {
+      Pack.sequencePack(docs, "id", "ids", seqLen = 4, mode = "bestfit")
+    }
+    assert(eMode.getMessage.contains("mode"))
+    intercept[IllegalArgumentException] {
+      Pack.sequencePack(docs, "id", "ids", seqLen = 4, padId = -2)
     }
   }
 }
