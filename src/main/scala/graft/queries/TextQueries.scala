@@ -1250,8 +1250,104 @@ object TextQueries extends QueryPack {
     Q("q200_tokenized_shards", q200, Some(q200Sql)),
     Q("q203_sequence_pack", q203, Some(q203Sql)),
     Q("q206_pack_bounds", q206, Some(q206Sql)),
-    Q("q207_pack_whole_doc", q207, Some(q207Sql))
+    Q("q207_pack_whole_doc", q207, Some(q207Sql)),
+    Q("q208_training_batches_flagship", q208, Some(q208Sql))
   )
+
+  // q208 — the round-15 FLAGSHIP: the complete LM TRAINING-BATCH product
+  // from one pure-JSON config — per-language TOKEN budgets
+  // (token_budget_sample) pick the mixture, the artifact tokenizer maps
+  // the survivors to stable ids (bpe_apply with_ids), sequence_pack
+  // slices the id stream into fixed 32-token windows, and each window
+  // ships as a big-endian member of deterministic WebDataset tar shards
+  // (ints_binary + tar_pack). The gate is the q200 discipline composed
+  // end-to-end: REPARSE every shard, decode every member back to ids,
+  // and sum in-order Horner folds — so the budget boundary, the
+  // tokenizer, the id map, the window slicing, the serialization, and
+  // the archive bytes all sit under ONE exact oracle.
+  private def q208(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    import s.implicits._
+    val mdir = s"${System.getProperty("java.io.tmpdir")}/graft_q208_merges"
+    q164Merges.zipWithIndex
+      .map { case ((l, r), i) => (i + 1, l, r, 0L) }
+      .toDF("rank", "left", "right", "pair_count")
+      .coalesce(1).write.mode("overwrite").parquet(mdir)
+    graft.compile.Compiler.compileJson(s, s"""
+      {"defs": [
+        {"id": "mix", "source": {"table": "documents"},
+         "keep_columns": ["doc_id", "text", "lang", "n_chars"],
+         "token_budget_sample": {"group_col": "lang", "id_col": "doc_id",
+           "tokens_col": "n_chars",
+           "budgets": {"en": 16384, "de": 8192, "es": 8192,
+                       "fr": 8192, "zh": 8192}}},
+        {"id": "packed", "source": {"ref": "mix"},
+         "bpe_apply": {"text_col": "text", "merges_dir": "$mdir",
+                       "with_ids": true},
+         "sequence_pack": {"id_col": "doc_id", "ids_col": "bpe_ids",
+                           "seq_len": 32, "eos_id": 0, "shards": 4},
+         "with_columns": {"name": "concat('w', shard, '_', seq, '.ids')",
+                          "data": "ints_binary(ids)"},
+         "drop": ["shard", "seq", "ids", "n_tokens"]}],
+       "source": {"ref": "packed"},
+       "tar_pack": {"name_col": "name", "payload_col": "data", "shards": 2},
+       "with_columns": {
+         "fold_sum": "aggregate(tar_members(tar), cast(0 as bigint), (a, m) -> a + aggregate(binary_ints(m.data), cast(0 as bigint), (aa, x) -> (aa * 31 + x) % 1000000007))"},
+       "drop": ["tar"],
+       "order_by": ["shard asc"]}""")
+  }
+  private lazy val q208Sql = s"""
+    WITH b(grp, budget) AS (VALUES ('en', 16384), ('de', 8192),
+                                   ('es', 8192), ('fr', 8192), ('zh', 8192)),
+    hh AS (
+      SELECT doc_id, lang, n_chars, text,
+             (((doc_id % 1000000 + 1000000) % 1000000) * 1103515245)
+               % 1000000 AS h
+      FROM documents),
+    cum AS (
+      SELECT doc_id, lang, text,
+             COALESCE(SUM(n_chars) OVER (
+               PARTITION BY lang ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+      FROM hh),
+    sel AS (
+      SELECT cum.doc_id, cum.text
+      FROM cum JOIN b ON cum.lang = b.grp WHERE cum.c < b.budget),
+    ${bpeIdsCteFrom("sel")},
+    sh AS (
+      SELECT CAST(doc_id % 4 AS INT) AS pshard, doc_id,
+             list_append(idl, 0) AS idl
+      FROM ids),
+    cc AS (
+      SELECT pshard, flatten(list(idl ORDER BY doc_id)) AS L
+      FROM sh GROUP BY pshard),
+    seqs AS (
+      SELECT pshard,
+             unnest([CAST(w - 1 AS BIGINT)
+                     for w in generate_series(1, len(L) // 32)]) AS seq,
+             unnest([list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                         L[(w - 1) * 32 + 1 : (w - 1) * 32 + 32]),
+                       (a, x) -> (a * 31 + x) % 1000000007)
+                     for w in generate_series(1, len(L) // 32)]) AS fold
+      FROM cc),
+    m AS (
+      -- tar_pack shards by the WebDataset SAMPLE KEY: the member name up
+      -- to its last '.', so 'w3_17.ids' hashes as 'w3_17'
+      SELECT CAST(list_reduce(
+               list_prepend(CAST(7 AS BIGINT),
+                 list_transform(
+                   range(1, len('w' || pshard || '_' || seq) + 1),
+                   i -> CAST(ascii(('w' || pshard || '_' || seq)[i])
+                             AS BIGINT))),
+               (a, c) -> (a * 131 + c) % 1000000007) % 2 AS INT) AS shard,
+             fold
+      FROM seqs)
+    SELECT shard, CAST(COUNT(*) AS INT) AS n_members,
+           CAST(((1024 + SUM(512 + 512) + 10239) // 10240) * 10240
+                AS BIGINT) AS tar_bytes,
+           CAST(SUM(fold) AS BIGINT) AS fold_sum
+    FROM m GROUP BY shard ORDER BY shard ASC NULLS FIRST"""
 
   // q206/q207 — the two round-15 packing extensions under exact oracles,
   // over a synthetic engine-portable id array (sequence + modular
@@ -1497,7 +1593,10 @@ object TextQueries extends QueryPack {
   /** Shared CTE chain: toks → `ids(doc_id, idl)` — each doc's BPE id
     * sequence under the q164 artifact (nested-replace tokenizer mirror +
     * CASE id map). Shared by q199/q200. */
-  private lazy val bpeIdsCte = {
+  private lazy val bpeIdsCte = bpeIdsCteFrom("documents")
+  /** The same chain over any (doc_id, text) relation — q208 scopes it to
+    * the budget-sampled subset. */
+  private def bpeIdsCteFrom(src: String): String = {
     val sym = "' ' || array_to_string(str_split_regex(w, ''), ' ') || ' '"
     val replaced = q164Merges.foldLeft(s"($sym)") {
       case (acc, (l, r)) => s"replace($acc, ' $l $r ', ' $l$r ')"
@@ -1508,7 +1607,7 @@ object TextQueries extends QueryPack {
     s"""toks AS (
       SELECT doc_id,
              list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS t
-      FROM documents),
+      FROM $src),
     ids AS (
       SELECT doc_id,
              flatten(list_transform(t, w ->
