@@ -45,7 +45,16 @@ object Pack {
     *     closes (short — that is the waste this mode trades for intact
     *     docs) and a new one starts. Documents longer than `seqLen − 1`
     *     tokens truncate to fit one window (compose `chunk` upstream to
-    *     split instead of truncate).
+    *     split instead of truncate). Preserves doc order within shards.
+    *   - `mode = "best_fit"`: best-fit-decreasing whole-document packing
+    *     (the published fewer-truncations recipe proper) — docs place in
+    *     DESCENDING length order (ties by ascending id), each into the
+    *     open window with the LEAST remaining capacity that still fits
+    *     (ties by lowest window index), a new window opening only when
+    *     none fits. Near-minimal pad waste at the cost of doc order;
+    *     same truncation rule. `drop_last` does not apply (windows are
+    *     not a stream — there is no "last"; every window keeps, pad with
+    *     `padId`).
     *
     * `dropLast` (default) discards each shard's final window unless it is
     * exactly full — a trainer wants only full rows; `dropLast = false`
@@ -97,10 +106,11 @@ object Pack {
     require(eosId >= 0, s"sequencePack: eos_id must be >= 0, got $eosId")
     require(padId >= -1,
       s"sequencePack: pad_id must be >= 0 (or -1 = no padding), got $padId")
-    require(mode == "split" || mode == "whole",
+    require(mode == "split" || mode == "whole" || mode == "best_fit",
       s"""sequencePack: mode must be "split" (slice the token stream — """ +
-        """zero pad waste, docs may straddle windows) or "whole" """ +
-        s"""(next-fit — docs never split), got "$mode"""")
+        """zero pad waste, docs may straddle windows), "whole" """ +
+        """(next-fit — docs never split, doc order kept) or "best_fit" """ +
+        s"""(best-fit-decreasing — minimal pad waste), got "$mode"""")
     import org.apache.spark.sql.types._
     val shard: Column = df.schema(idCol).dataType match {
       case ByteType | ShortType | IntegerType | LongType =>
@@ -112,9 +122,11 @@ object Pack {
         s"sequencePack: id column '$idCol' has type ${t.simpleString}; " +
           "only integral and string ids shard deterministically")
     }
-    val packed =
-      if (mode == "whole") packWhole(df, shard, idCol, idsCol, seqLen, eosId, dropLast)
-      else packSplit(df, shard, idCol, idsCol, seqLen, eosId, dropLast)
+    val packed = mode match {
+      case "whole" => packWhole(df, shard, idCol, idsCol, seqLen, eosId, dropLast)
+      case "best_fit" => packBestFit(df, shard, idCol, idsCol, seqLen, eosId)
+      case _ => packSplit(df, shard, idCol, idsCol, seqLen, eosId, dropLast)
+    }
     val padded =
       if (padId < 0) packed
       else packed.withColumn("ids", concat(col("ids"),
@@ -162,9 +174,78 @@ object Pack {
     if (dropLast) packed.filter(col("n_tokens") === seqLen) else packed
   }
 
-  /** Whole-doc mode: next-fit packing — a sequential per-shard fold
-    * (O(seqLen) task memory, spill-safe in-task sort; see
-    * [[sequencePack]]). */
+  /** Best-fit-decreasing mode: docs in descending length order, each
+    * into the tightest open window that fits (see [[sequencePack]]).
+    *
+    * Two phases so the sequential fold only ever touches LENGTHS: (1) a
+    * doc-shaped (shard, id, len) frame sorts per shard by (len desc, id)
+    * and streams through a TreeMap of remaining-capacity → window
+    * indexes (O(log windows) per doc, O(windows) task memory — a few MB
+    * for a WebDataset-sized shard); (2) the emitted (id → window,
+    * offset) assignment joins back to the token arrays and one
+    * window-keyed aggregate assembles the rows. Token bytes cross the
+    * wire twice (the split-mode budget); the fold itself never holds
+    * token data. */
+  private def packBestFit(
+      df: DataFrame, shard: Column, idCol: String, idsCol: String,
+      seqLen: Int, eosId: Int): DataFrame = {
+    val prepped = df.select(shard.as("__sh"), col(idCol).as("__id"),
+      concat(slice(col(idsCol).cast("array<int>"), 1, seqLen - 1),
+        array(lit(eosId))).as("__ids"))
+    // phase 1: assignment over lengths only — ids travel as strings so
+    // one encoder covers integral and string keys; the SORT still runs
+    // on the original column (numeric "10" < "9" as text)
+    val lens = prepped
+      .select(col("__sh"), col("__id"),
+        col("__id").cast("string").as("__key"),
+        size(col("__ids")).as("__l"))
+      .repartition(col("__sh"))
+      .sortWithinPartitions(col("__sh").asc, col("__l").desc, col("__id").asc)
+      .select(col("__sh"), col("__key"), col("__l"))
+      .as(Encoders.tuple(Encoders.scalaInt, Encoders.STRING,
+        Encoders.scalaInt))
+    val assigned = lens.mapPartitions { it =>
+      var curSh = Int.MinValue
+      var nBins = 0L
+      // remaining capacity → open-window indexes; best fit = the
+      // smallest remaining that still admits the doc (ceilingEntry),
+      // ties to the lowest window index (TreeSet.first)
+      val open = new java.util.TreeMap[Int, java.util.TreeSet[java.lang.Long]]()
+      it.map { case (sh, key, l) =>
+        if (sh != curSh) { curSh = sh; nBins = 0L; open.clear() }
+        val e = open.ceilingEntry(l)
+        if (e == null) {
+          val idx = nBins; nBins += 1
+          open.computeIfAbsent(seqLen - l,
+            _ => new java.util.TreeSet[java.lang.Long]()).add(idx)
+          (sh, key, idx, 0)
+        } else {
+          val rem = e.getKey
+          val idx: Long = e.getValue.first()
+          e.getValue.remove(idx)
+          if (e.getValue.isEmpty) open.remove(rem)
+          open.computeIfAbsent(rem - l,
+            _ => new java.util.TreeSet[java.lang.Long]()).add(idx)
+          (sh, key, idx, seqLen - rem)
+        }
+      }
+    }(Encoders.tuple(Encoders.scalaInt, Encoders.STRING,
+      Encoders.scalaLong, Encoders.scalaInt))
+      .toDF("__sh", "__key", "__seq", "__off")
+    // phase 2: join the assignment back and assemble windows
+    prepped.withColumn("__key", col("__id").cast("string"))
+      .join(assigned, Seq("__sh", "__key"))
+      .groupBy(col("__sh"), col("__seq"))
+      .agg(sort_array(collect_list(struct(col("__off"), col("__ids"))))
+        .as("__ws"))
+      .select(col("__sh").as("shard"), col("__seq").as("seq"),
+        flatten(transform(col("__ws"), w => w.getField("__ids"))).as("ids"),
+        transform(col("__ws"), w => w.getField("__off")).as("doc_starts"))
+      .withColumn("n_tokens", size(col("ids")))
+      .select(col("shard"), col("seq"), col("ids"), col("n_tokens"),
+        col("doc_starts"))
+  }
+
   private def packWhole(
       df: DataFrame, shard: Column, idCol: String, idsCol: String,
       seqLen: Int, eosId: Int, dropLast: Boolean): DataFrame = {

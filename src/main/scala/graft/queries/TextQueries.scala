@@ -1251,8 +1251,73 @@ object TextQueries extends QueryPack {
     Q("q203_sequence_pack", q203, Some(q203Sql)),
     Q("q206_pack_bounds", q206, Some(q206Sql)),
     Q("q207_pack_whole_doc", q207, Some(q207Sql)),
-    Q("q208_training_batches_flagship", q208, Some(q208Sql))
+    Q("q208_training_batches_flagship", q208, Some(q208Sql)),
+    Q("q209_pack_best_fit", q209, Some(q209Sql))
   )
+
+  // q209 — best-fit-decreasing packing under an exact oracle: the
+  // recursive CTE carries the OPEN-WINDOW FILL LIST as its state — each
+  // doc (length-desc, id-tiebreak order) either lands in the fullest
+  // window that still fits (list_max of the fitting fills; first
+  // occurrence = lowest window index, the engine's TreeSet tie rule) or
+  // appends a new window — so the placement order, the tie rules, the
+  // per-window doc offsets (the fill at placement), and the padding are
+  // all restated independently of the TreeMap implementation.
+  private def q209(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    graft.compile.Compiler.compileJson(s, s"""
+      {"source": {"table": "documents"},
+       "derive": {"ids": "$packIdsExpr"},
+       "sequence_pack": {"id_col": "doc_id", "ids_col": "ids",
+                         "seq_len": 24, "eos_id": 0, "shards": 2,
+                         "mode": "best_fit", "with_bounds": true,
+                         "pad_id": 999},
+       "with_columns": {"fold": "$idFold", "bfold": "$boundFold"},
+       "drop": ["ids", "doc_starts"],
+       "order_by": ["shard asc", "seq asc"]}""")
+  }
+  private lazy val q209Sql = {
+    val fit = "list_max(list_filter(bf.fills, f -> f + d.l <= 24))"
+    val idx = s"list_position(bf.fills, $fit)"
+    s"""
+    WITH RECURSIVE d0 AS (
+      SELECT CAST(doc_id % 2 AS INT) AS shard, doc_id,
+             list_append(($packIdsSql)[1 : 23], 0) AS idl
+      FROM documents),
+    d AS (
+      SELECT shard, doc_id, idl, len(idl) AS l,
+             row_number() OVER (PARTITION BY shard
+                                ORDER BY len(idl) DESC, doc_id) AS i
+      FROM d0),
+    bf AS (
+      SELECT shard, i, idl, l, CAST(0 AS BIGINT) AS seq, 0 AS off,
+             [l] AS fills
+      FROM d WHERE i = 1
+      UNION ALL
+      SELECT d.shard, d.i, d.idl, d.l,
+             CASE WHEN $fit IS NULL THEN CAST(len(bf.fills) AS BIGINT)
+                  ELSE CAST($idx - 1 AS BIGINT) END,
+             CASE WHEN $fit IS NULL THEN 0 ELSE $fit END,
+             CASE WHEN $fit IS NULL THEN list_append(bf.fills, d.l)
+                  ELSE bf.fills[1 : $idx - 1] || [$fit + d.l]
+                       || bf.fills[$idx + 1 : len(bf.fills)] END
+      FROM bf JOIN d ON d.shard = bf.shard AND d.i = bf.i + 1),
+    w AS (
+      SELECT shard, seq, flatten(list(idl ORDER BY i)) AS ids,
+             list_reduce(list_prepend(CAST(7 AS BIGINT),
+                                      list(CAST(off AS BIGINT) ORDER BY i)),
+                         (a, x) -> (a * 31 + x) % 1000000007) AS bfold
+      FROM bf GROUP BY shard, seq)
+    SELECT shard, seq, CAST(len(ids) AS INT) AS n_tokens,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_concat(ids,
+                 list_transform(range(24 - len(ids)), x -> 999))),
+             (a, x) -> (a * 31 + x) % 1000000007) AS fold,
+           bfold
+    FROM w
+    ORDER BY shard ASC NULLS FIRST, seq ASC NULLS FIRST"""
+  }
 
   // q208 — the round-15 FLAGSHIP: the complete LM TRAINING-BATCH product
   // from one pure-JSON config — per-language TOKEN budgets

@@ -786,8 +786,10 @@ object JsonCodec {
             .exists(_.asBoolean(false)),
           padId = opt(d, "pad_id", "padId").map(_.asInt).getOrElse(-1))
         require(sp.seqLen >= 2, s"$ctx: seq_len must be >= 2")
-        require(sp.mode == "split" || sp.mode == "whole",
-          s"""$ctx: mode must be "split" or "whole", got "${sp.mode}"""")
+        require(sp.mode == "split" || sp.mode == "whole"
+            || sp.mode == "best_fit",
+          s"""$ctx: mode must be "split", "whole" or "best_fit", """ +
+            s"""got "${sp.mode}"""")
         sp
       },
       tarPackIngest = optN("tar_pack_ingest", "tarPackIngest").map { d =>

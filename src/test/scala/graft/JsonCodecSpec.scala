@@ -540,6 +540,10 @@ class JsonCodecSpec extends AnyFunSuite {
          "mode": "whole", "with_bounds": true, "pad_id": 0}}""")
       .sequencePack.get
     assert(sqW.mode == "whole" && sqW.withBounds && sqW.padId == 0)
+    assert(root("""
+      {"source": {"table": "d"},
+       "sequence_pack": {"id_col": "i", "ids_col": "x", "seq_len": 8,
+         "mode": "best_fit"}}""").sequencePack.get.mode == "best_fit")
     val eMode = intercept[IllegalArgumentException](root("""
       {"sequence_pack": {"id_col": "i", "ids_col": "x", "seq_len": 8,
         "mode": "bestfit"}}"""))

@@ -144,6 +144,60 @@ class PackSpec extends SparkSpec {
     }
   }
 
+  test("sequencePack best_fit: hand-computed BFD — length-desc order, tightest bin") {
+    // lens with EOS: a=5, b=4, c=3, d=2, e=2 (seqLen 7)
+    // BFD order a,b,c,d,e: a→w0 (rem 2), b→w1 (rem 3), c→w1 (rem 0),
+    // d→w0 (rem 0), e→w2 (rem 5)
+    val docs = Seq(
+      (1L, Seq(11, 12, 13, 14)), (2L, Seq(21, 22, 23)), (3L, Seq(31, 32)),
+      (4L, Seq(41)), (5L, Seq(51)))
+      .toDF("id", "ids")
+    val got = Pack.sequencePack(docs, "id", "ids", seqLen = 7,
+        mode = "best_fit", withBounds = true)
+      .orderBy("shard", "seq").collect()
+      .map(r => (r.getLong(1), r.getSeq[Int](2), r.getSeq[Int](4))).toSeq
+    assert(got == Seq(
+      (0L, Seq(11, 12, 13, 14, 0, 41, 0), Seq(0, 5)),
+      (1L, Seq(21, 22, 23, 0, 31, 32, 0), Seq(0, 4)),
+      (2L, Seq(51, 0), Seq(0))))
+  }
+
+  test("sequencePack best_fit: tie rules — equal lengths by id, equal remaining by window") {
+    // four docs of len 3 (incl EOS), seqLen 6: BFD ties on length break
+    // by id; two windows fill (1,2) then (3,4) — NOT (1,3)/(2,4)
+    val docs = Seq((1L, Seq(1, 2)), (2L, Seq(3, 4)), (3L, Seq(5, 6)),
+      (4L, Seq(7, 8))).toDF("id", "ids")
+    val got = Pack.sequencePack(docs, "id", "ids", seqLen = 6,
+        mode = "best_fit")
+      .orderBy("seq").collect().map(_.getSeq[Int](2)).toSeq
+    assert(got == Seq(Seq(1, 2, 0, 3, 4, 0), Seq(5, 6, 0, 7, 8, 0)))
+  }
+
+  test("sequencePack best_fit: conservation, replay, waste <= whole mode") {
+    val rnd = new scala.util.Random(17)
+    val docs = (1L to 400L).map(i =>
+      (i, Seq.fill(rnd.nextInt(24))(rnd.nextInt(1000) + 1))).toDF("id", "ids")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Pack.sequencePack(df, "id", "ids", seqLen = 32, shards = 4,
+          mode = "best_fit", withBounds = true)
+        .orderBy("shard", "seq").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Int](2),
+          r.getSeq[Int](4))).toSeq
+    val a = run(docs)
+    assert(a == run(docs.repartition(9)), "BFD pack must replay")
+    val totalTokens = docs.select(sum(size(col("ids")) + 1)).head.getLong(0)
+    assert(a.map(_._3.size.toLong).sum == totalTokens,
+      "no doc here exceeds seqLen - 1: every token survives intact")
+    a.foreach { case (_, _, ids, starts) =>
+      assert(ids.size <= 32 && starts.headOption.contains(0))
+      starts.filter(_ > 0).foreach(s => assert(ids(s - 1) == 0))
+    }
+    val nfWindows = Pack.sequencePack(docs, "id", "ids", seqLen = 32,
+      shards = 4, mode = "whole", dropLast = false).count()
+    assert(a.size <= nfWindows,
+      "best-fit-decreasing never needs more windows than next-fit here")
+  }
+
   test("sequencePack: pad_id pads short kept windows; n_tokens stays pre-pad") {
     val docs = Seq((1L, Seq(1, 2, 3)), (2L, Seq(4, 5))).toDF("id", "ids")
     val got = Pack.sequencePack(docs, "id", "ids", seqLen = 4,
