@@ -97,7 +97,7 @@ object Compiler {
         node.split.toSeq.map(_.idCol) ++
         node.temperatureSample.toSeq.flatMap(t => Seq(t.groupCol, t.idCol)) ++
         node.tokenBudgetSample.toSeq.flatMap(t =>
-          Seq(t.groupCol, t.idCol, t.tokensCol)) ++
+          Seq(t.groupCol, t.idCol, t.tokensCol) ++ t.orderCol) ++
         node.globalShuffle.toSeq.map(_.idCol) ++
         node.htmlExtract.toSeq.flatMap(h => Seq(h.idCol, h.htmlCol)) ++
         node.pdfExtract.toSeq.flatMap(p => Seq(p.idCol, p.pdfCol)) ++
@@ -654,7 +654,8 @@ object Compiler {
         if (tb.budgets.nonEmpty) tb.budgets
         else graft.ops.Corpus.budgetsFromWeights(tb.weights, tb.totalBudget)
       df = graft.ops.Corpus.tokenBudgetSample(
-        df, tb.groupCol, tb.idCol, tb.tokensCol, budgets, tb.overshoot)
+        df, tb.groupCol, tb.idCol, tb.tokensCol, budgets, tb.overshoot,
+        tb.orderCol, tb.descending)
     }
 
     // Global shuffle: the frame gains (shard, shuffle_pos). The

@@ -564,6 +564,18 @@ object Corpus {
     * Alternatively derive budgets from mixture `weights` via
     * [[budgetsFromWeights]].
     *
+    * `orderCol` switches the selection order from the sampling hash to a
+    * SCORE column — "the top-scoring docs per domain until the budget
+    * fills", the quality-first mixture recipe: within each group docs
+    * order by (`orderCol` desc — or asc with `descending = false` — then
+    * id), same prefix rule. The score must be numeric; NULL and NaN
+    * scores fail loudly (NaN orders inconsistently across engines). The
+    * scale path quantizes the score into 64 quantile-sketch-derived
+    * range buckets — the bucketing is an internal split and CANNOT
+    * change the kept set (the boundary bucket is always resolved by the
+    * exact window); a degenerate all-one-score group degrades to a
+    * whole-group window, correct but serial.
+    *
     * Scale (the [[dsirResampleThreshold]] posture — never a whole-group
     * window): one (group × 1024-bucket) token-sum aggregate — bounded
     * metadata, the [[temperatureSample]] collect precedent — locates each
@@ -581,7 +593,9 @@ object Corpus {
       idCol: String,
       tokensCol: String,
       budgets: Seq[(String, Long)],
-      overshoot: Boolean = true
+      overshoot: Boolean = true,
+      orderCol: Option[String] = None,
+      descending: Boolean = true
   ): DataFrame = {
     import org.apache.spark.sql.types._
     require(budgets.nonEmpty, "tokenBudgetSample: budgets must be non-empty")
@@ -596,9 +610,56 @@ object Corpus {
           s"${t.simpleString}; budgets are exact integer arithmetic — " +
           "count tokens upstream (token_count / with_columns) first")
     }
-    val nBuckets = 1024
-    val bucketWidth = (HashSpace + nBuckets - 1) / nBuckets
-    val h = stableIdHash(df, idCol, "tokenBudgetSample", BudgetMultiplier)
+    // the selection ORDER: score (desc by default) with id tiebreak, or
+    // the budget-family hash — plus an order-monotone integer bucket for
+    // the scan-stage/boundary split. ANY monotone bucketing yields the
+    // same kept set (the boundary bucket is resolved by the exact
+    // window); the bucketing only sizes that window.
+    val (orderKeys, bucket): (Seq[Column], Column) = orderCol match {
+      case None =>
+        val nBuckets = 1024
+        val bucketWidth = (HashSpace + nBuckets - 1) / nBuckets
+        val h = stableIdHash(df, idCol, "tokenBudgetSample", BudgetMultiplier)
+        (Seq(col("__tb_k").asc, col(idCol).asc),
+          ((h - pmod(h, lit(bucketWidth))) / lit(bucketWidth)).cast("int"))
+      case Some(oc) =>
+        df.schema(oc).dataType match {
+          case ByteType | ShortType | IntegerType | LongType |
+               FloatType | DoubleType => ()
+          case t => throw new IllegalArgumentException(
+            s"tokenBudgetSample: order column '$oc' has type " +
+              s"${t.simpleString}; the selection order needs a numeric " +
+              "score")
+        }
+        // 63 sketch quantiles → 64 order-monotone range buckets; equal
+        // scores land in one bucket (the bucket is a function of the
+        // value), so the id tiebreak always resolves inside the window
+        val probs = (1 to 63).map(_ / 64.0).toArray
+        val bounds = df.select(col(oc).cast("double").as("__o"))
+          .stat.approxQuantile("__o", probs, 1e-3).distinct.sorted
+        val b =
+          if (bounds.isEmpty) lit(0)
+          else {
+            val arr = array(bounds.toIndexedSeq.map(x => lit(x)): _*)
+            if (descending) size(filter(arr, x => x > col("__tb_k")))
+            else size(filter(arr, x => x < col("__tb_k")))
+          }
+        val ord = if (descending) col("__tb_k").desc else col("__tb_k").asc
+        (Seq(ord, col(idCol).asc), b)
+    }
+    // the per-row selection key feeding both the bucket and the window:
+    // hash order → the budget-family hash; score order → the validated
+    // score (NULL/NaN fail loudly — they order inconsistently across
+    // engines)
+    val key: Column = orderCol match {
+      case None => stableIdHash(df, idCol, "tokenBudgetSample",
+        BudgetMultiplier).cast("double")
+      case Some(oc) =>
+        when(col(oc).isNotNull && !isnan(col(oc).cast("double")),
+          col(oc).cast("double")).otherwise(raise_error(
+          lit(s"tokenBudgetSample: NULL or NaN score in '$oc' — filter " +
+            "or impute first")))
+    }
     val toks = when(col(tokensCol).isNotNull && col(tokensCol) >= 1,
       col(tokensCol).cast("long")).otherwise(raise_error(
       lit(s"tokenBudgetSample: NULL or non-positive token count in " +
@@ -606,9 +667,8 @@ object Corpus {
         "or impute first")))
     val keyed = df
       .withColumn("__tb_g", col(groupCol).cast("string"))
-      .withColumn("__tb_h", h)
-      .withColumn("__tb_b", ((col("__tb_h") -
-        pmod(col("__tb_h"), lit(bucketWidth))) / lit(bucketWidth)).cast("int"))
+      .withColumn("__tb_k", key)
+      .withColumn("__tb_b", bucket)
       .withColumn("__tb_t", toks)
     // bounded metadata: #groups × ≤1024 rows (the temperatureSample
     // collect precedent — mixture groups are languages/sources)
@@ -626,9 +686,9 @@ object Corpus {
       byGroup.get(g).map { rows =>
         val sums = rows.map(r => (r._2, r._3)).sortBy(_._1)
         var pre = 0L
-        var bstar = nBuckets // sentinel: budget never reached → keep all
+        var bstar = Int.MaxValue // sentinel: budget never reached → keep all
         var i = 0
-        while (i < sums.length && bstar == nBuckets) {
+        while (i < sums.length && bstar == Int.MaxValue) {
           if (pre + sums(i)._2 >= budget) bstar = sums(i)._1
           else { pre += sums(i)._2; i += 1 }
         }
@@ -647,9 +707,10 @@ object Corpus {
     val out = df.columns.map(col).toIndexedSeq
     // below the boundary bucket: scan-stage keep, no shuffle
     val below = joined.filter(col("__tb_b") < col("__tb_bstar")).select(out: _*)
-    // the boundary bucket (~1/1024 of each group): exact window resolve
+    // the boundary bucket (a 1/64..1/1024 slice of its group): exact
+    // window resolve in the selection order
     val w = Window.partitionBy(col("__tb_g"))
-      .orderBy(col("__tb_h").asc, col(idCol).asc)
+      .orderBy(orderKeys: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val c = col("__tb_pre") + coalesce(sum(col("__tb_t")).over(w), lit(0L))
     val rule = if (overshoot) c < col("__tb_budget")

@@ -523,6 +523,35 @@ object CorpusQueries extends QueryPack {
   private val q205Sql = budgetPrefixSql(
     "('en', 32768), ('de', 16384), ('es', 8192), ('fr', 4096), ('zh', 4096)")
 
+  // q210 — QUALITY-FIRST budget selection (`order_col`): the top-scoring
+  // docs per group until the token budget fills — here "longest first"
+  // (score = n_chars), which also exercises the score-tie id tiebreak
+  // (duplicate lengths exist at every SF). The oracle is the same
+  // exclusive-cumsum prefix with the window ordered by (score DESC, id);
+  // the engine's 64-quantile bucketing is an internal split the gate
+  // proves invisible.
+  private def q210(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "documents"},
+       "keep_columns": ["doc_id", "lang", "n_chars"],
+       "token_budget_sample": {"group_col": "lang", "id_col": "doc_id",
+         "tokens_col": "n_chars", "order_col": "n_chars",
+         "budgets": {"en": 20000, "zh": 9000}},
+       "order_by": ["doc_id asc"]}""")
+  }
+  private val q210Sql = """
+    WITH b(grp, budget) AS (VALUES ('en', 20000), ('zh', 9000)),
+    c AS (SELECT doc_id, lang, n_chars,
+            COALESCE(SUM(n_chars) OVER (
+              PARTITION BY lang ORDER BY n_chars DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+          FROM documents)
+    SELECT c.doc_id, c.lang, CAST(c.n_chars AS BIGINT) AS n_chars
+    FROM c JOIN b ON c.lang = b.grp
+    WHERE cum < b.budget
+    ORDER BY doc_id ASC NULLS FIRST"""
+
   // q154 — classifier INFERENCE, exactly mirrored: score every document
   // with FIXED formula weights (w_b from plan-time arithmetic — the
   // trained-weights path is gated by q155 + the CorpusSpec training
@@ -1067,7 +1096,8 @@ object CorpusQueries extends QueryPack {
     Q("q192_rank_dsir_flagship", q192, Some(q192Sql)),
     Q("q201_dsir_select_threshold", q201, Some(q201Sql)),
     Q("q204_token_budget_sample", q204, Some(q204Sql)),
-    Q("q205_config_token_budget", q205, Some(q205Sql))
+    Q("q205_config_token_budget", q205, Some(q205Sql)),
+    Q("q210_quality_budget_sample", q210, Some(q210Sql))
   )
 
   // q192 — the round-13 FLAGSHIP: ONE pure-JSON config chains the

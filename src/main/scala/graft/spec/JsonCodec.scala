@@ -571,7 +571,9 @@ object JsonCodec {
           fields(w).map { case (k, v) => (k, v.asDouble) }).getOrElse(Seq.empty),
         totalBudget = opt(d, "total_budget", "totalBudget")
           .map(_.asLong).getOrElse(0L),
-        overshoot = opt(d, "overshoot").forall(_.asBoolean(true)))
+        overshoot = opt(d, "overshoot").forall(_.asBoolean(true)),
+        orderCol = opt(d, "order_col", "orderCol").map(_.asText),
+        descending = opt(d, "descending").forall(_.asBoolean(true)))
       if (spec.weights.nonEmpty) require(spec.totalBudget >= 1,
         s"$ctx: weights need a total_budget >= 1 (tokens to split across " +
           "the mixture)")

@@ -452,7 +452,9 @@ final case class TokenBudgetSampleSpec(
     budgets: Seq[(String, Long)] = Seq.empty,
     weights: Seq[(String, Double)] = Seq.empty,
     totalBudget: Long = 0L,
-    overshoot: Boolean = true
+    overshoot: Boolean = true,
+    orderCol: Option[String] = None, // score-ordered selection (quality-first)
+    descending: Boolean = true // order_col direction; ignored without it
 )
 
 /** Deterministic global shuffle + sharding (NS; Corpus.globalShuffle):

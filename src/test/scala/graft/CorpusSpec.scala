@@ -662,6 +662,48 @@ class CorpusSpec extends SparkSpec {
       Corpus.budgetsFromWeights(Seq("a" -> 1.0), 0L))
   }
 
+  test("tokenBudgetSample: order_col selects the TOP-scoring prefix per group") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1L to 500L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", rnd.nextInt(100) + 1L,
+        rnd.nextInt(1000) / 10.0))
+    val df = rows.toDF("id", "g", "t", "score").repartition(5)
+    val budgets = Seq("a" -> 4000L, "b" -> 2500L)
+    for (desc <- Seq(true, false)) {
+      val got = Corpus.tokenBudgetSample(df, "g", "id", "t", budgets,
+          orderCol = Some("score"), descending = desc)
+        .select("id").collect().map(_.getLong(0)).toSet
+      // brute-force: per group, sort by (score desc|asc, id), exclusive
+      // cumsum < budget
+      val want = rows.groupBy(_._2).flatMap { case (g, docs) =>
+        val budget = budgets.toMap.apply(g)
+        var c = 0L
+        val sorted = if (desc) docs.sortBy(d => (-d._4, d._1))
+                     else docs.sortBy(d => (d._4, d._1))
+        sorted.flatMap { case (id, _, t, _) =>
+          val keep = c < budget; c += t; if (keep) Some(id) else None
+        }
+      }.toSet
+      assert(got == want, s"descending=$desc must be the exact score prefix")
+    }
+    // ties on score resolve by id: all-equal scores degrade to one
+    // bucket and still select the id-ascending prefix exactly
+    val tied = (1L to 50L).map(i => (i, "g", 10L, 1.0)).toDF("id", "g", "t", "score")
+    val keptTied = Corpus.tokenBudgetSample(tied, "g", "id", "t",
+        Seq("g" -> 95L), orderCol = Some("score"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(keptTied == (1L to 10L).toSet)
+    // NULL / NaN scores fail loudly; non-numeric order column rejected
+    val withNaN = Seq((1L, "g", 10L, Double.NaN)).toDF("id", "g", "t", "score")
+    val e = intercept[Exception](Corpus.tokenBudgetSample(withNaN, "g",
+      "id", "t", Seq("g" -> 5L), orderCol = Some("score")).count())
+    assert(e.getMessage.contains("NaN"))
+    val strScore = Seq((1L, "g", 10L, "hi")).toDF("id", "g", "t", "score")
+    val e2 = intercept[IllegalArgumentException](Corpus.tokenBudgetSample(
+      strScore, "g", "id", "t", Seq("g" -> 5L), orderCol = Some("score")))
+    assert(e2.getMessage.contains("order column"))
+  }
+
   test("tokenBudgetSample: integral group keys match their decimal spelling") {
     val df = Seq((1L, 7, 10L), (2L, 7, 10L), (3L, 8, 10L)).toDF("id", "g", "t")
     val kept = Corpus.tokenBudgetSample(df, "g", "id", "t", Seq("7" -> 15L))

@@ -508,7 +508,13 @@ class JsonCodecSpec extends AnyFunSuite {
          "tokens_col": "t", "budgets": {"en": 100, "de": 50}}}""")
       .tokenBudgetSample.get
     assert(tb.budgets == Seq("en" -> 100L, "de" -> 50L) && tb.overshoot
-      && tb.weights.isEmpty)
+      && tb.weights.isEmpty && tb.orderCol.isEmpty && tb.descending)
+    assert(root("""
+      {"source": {"table": "d"},
+       "token_budget_sample": {"group_col": "g", "id_col": "i",
+         "tokens_col": "t", "budgets": {"en": 1},
+         "order_col": "score", "descending": false}}""")
+      .tokenBudgetSample.get.orderCol.contains("score"))
     val tw = root("""
       {"source": {"table": "d"},
        "token_budget_sample": {"group_col": "g", "id_col": "i",
