@@ -463,4 +463,49 @@ class PropertySpec extends SparkSpec {
       assert(again == got, "host extraction must be stable under rebuild")
     }
   }
+
+  private val docsGen: Gen[List[(Long, String, Int)]] =
+    Gen.nonEmptyListOf(for {
+      id <- Gen.chooseNum(1L, 100000L)
+      g <- Gen.oneOf("web", "code")
+      t <- Gen.chooseNum(1, 500)
+    } yield (id, g, t)).map(_.distinctBy(_._1))
+
+  test("tokenBudgetSample: samples NEST — a larger budget contains the smaller") {
+    import graft.ops.Corpus
+    forAll2(docsGen, Gen.chooseNum(100L, 20000L), n = 8) { (rows, b1) =>
+      val df = rows.toDF("id", "g", "t")
+      def kept(b: Long): Set[Long] =
+        Corpus.tokenBudgetSample(df, "g", "id", "t",
+            Seq("web" -> b, "code" -> b / 2))
+          .select("id").collect().map(_.getLong(0)).toSet
+      val small = kept(b1)
+      val large = kept(b1 * 3)
+      assert(small.subsetOf(large),
+        "the prefix order is budget-independent, so samples must nest")
+    }
+  }
+
+  test("sequencePack: all three modes conserve the token MULTISET") {
+    import graft.ops.Pack
+    val arrGen: Gen[List[(Long, List[Int])]] =
+      Gen.nonEmptyListOf(for {
+        id <- Gen.chooseNum(1L, 100000L)
+        ids <- Gen.listOf(Gen.chooseNum(1, 999)).map(_.take(14))
+      } yield (id, ids)).map(_.distinctBy(_._1))
+    forAll(arrGen, n = 8) { rows =>
+      val df = rows.toDF("id", "ids")
+      // seqLen 16 > max doc len 14 + EOS: no truncation anywhere, so
+      // every mode must ship exactly the input tokens + one EOS per doc
+      val want = (rows.flatMap(_._2) ++ List.fill(rows.size)(0)).sorted
+      def toks(mode: String, dropLast: Boolean) =
+        Pack.sequencePack(df, "id", "ids", seqLen = 16, shards = 3,
+            mode = mode, dropLast = dropLast)
+          .select(explode(col("ids"))).collect().map(_.getInt(0)).toList.sorted
+      assert(toks("split", dropLast = false) == want)
+      assert(toks("whole", dropLast = false) == want)
+      assert(toks("best_fit", dropLast = true) == want,
+        "best_fit has no stream tail: dropLast must not drop anything")
+    }
+  }
 }
