@@ -71,7 +71,10 @@ object Compiler {
             a.aggs.filterNot(_.col == "*").map(_.col)) ++
         node.filters.collect { case ColFilter(c, _, _, _) => c } ++
         node.watermark.map(_.col) ++
-        node.dedup.toSeq.flatMap(d => d.keys ++ d.idCol) ++
+        node.dedup.toSeq.flatMap(d => d.keys ++ d.idCol ++ d.orderCol) ++
+        // chunk is NOT here: its ids_col is usually bpe_apply-created in
+        // the same node (bpe_ids) — the analyzer tier checks it
+        node.chunk.toSeq.map(_.idCol) ++
         node.nearDup.toSeq.flatMap(d => Seq(d.idCol, d.vecCol)) ++
         node.semanticDedup.toSeq.flatMap(d => Seq(d.idCol, d.vecCol)) ++
         node.editDedup.toSeq.flatMap(e => Seq(e.idCol, e.textCol)) ++
@@ -260,6 +263,16 @@ object Compiler {
     // Dedup after filters (dropping rows first shrinks the dedup shuffle),
     // before projection/aggregation so min_by can carry all columns.
     node.dedup.foreach { d =>
+      // one deterministic winner per key: best score (order_col set),
+      // else min id (id_col set), else plain dropDuplicates
+      def winner(): DataFrame = (d.idCol, d.orderCol) match {
+        case (Some(id), Some(oc)) =>
+          requireBatch("dedup (order_col)", "a score-ranked aggregate",
+            "drop order_col (streams keep the first arrival per key)")
+          graft.ops.Dedup.exactDedupBest(df, d.keys, id, oc, d.descending)
+        case (Some(id), None) => graft.ops.Dedup.exactDedup(df, d.keys, id)
+        case _                => df.dropDuplicates(d.keys)
+      }
       df =
         if (d.withinWatermark) {
           if (node.watermark.isEmpty)
@@ -273,18 +286,12 @@ object Compiler {
               s"node ${node.id}: dedup.id_col is not supported with " +
                 "within_watermark on streams (state keeps the first arrival)")
           // Batch compile of the same spec: the input is finite, so the
-          // watermark horizon covers all of it — plain (or min-id) dedup is
-          // the exact batch semantics (and Spark rejects
+          // watermark horizon covers all of it — plain (or min-id/best-
+          // score) dedup is the exact batch semantics (and Spark rejects
           // dropDuplicatesWithinWatermark on batch frames outright).
           if (df.isStreaming) df.dropDuplicatesWithinWatermark(d.keys)
-          else d.idCol match {
-            case Some(id) => graft.ops.Dedup.exactDedup(df, d.keys, id)
-            case None     => df.dropDuplicates(d.keys)
-          }
-        } else d.idCol match {
-          case Some(id) => graft.ops.Dedup.exactDedup(df, d.keys, id)
-          case None     => df.dropDuplicates(d.keys)
-        }
+          else winner()
+        } else winner()
     }
 
     if (node.keepColumns.nonEmpty)
@@ -424,6 +431,20 @@ object Compiler {
       val merges = graft.ops.Bpe.loadMerges(spark, b.mergesDir)
       df = graft.ops.Bpe.addTokens(df, b.textCol, merges)
       if (b.withIds) df = graft.ops.Bpe.addIds(df, b.textCol, merges)
+    }
+
+    // Sliding-window chunking: the frame becomes one row per chunk —
+    // (id, chunk_id, chunk_text | chunk_ids, n_tokens). Scan-stage
+    // generator (no shuffle, no state) — streaming-admissible. Sits
+    // after bpe_apply so the ids tier composes bpe → chunk →
+    // sequence_pack (whole-doc packing without truncation).
+    node.chunk.foreach { c =>
+      df = c.textCol match {
+        case Some(t) =>
+          graft.ops.Corpus.chunkByTokens(df, c.idCol, t, c.size, c.overlap)
+        case None =>
+          graft.ops.Corpus.chunkIds(df, c.idCol, c.idsCol.get, c.size, c.overlap)
+      }
     }
 
     // BPE: train merges on the frame (iterative global aggregates —

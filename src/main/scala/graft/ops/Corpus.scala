@@ -43,23 +43,58 @@ object Corpus {
       chunkSize: Int,
       overlap: Int
   ): DataFrame = {
-    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
-      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
-    val stride = chunkSize - overlap
     val chunks = TextAnalysis.withTokens(col(textCol)) { toks =>
-      val n = size(toks)
-      val k = greatest(lit(1),
-        ceil((n - lit(overlap)).cast("double") / lit(stride)).cast("int"))
-      // null (not empty array) for empty docs: posexplode emits no rows
-      // for null, and the typed empty-array literal is noisier than the
-      // null it's equivalent to under a generator.
-      when(n > 0,
-        transform(sequence(lit(0), k - 1), i => slice(toks, i * stride + 1, lit(chunkSize))))
+      slidingChunks(toks, chunkSize, overlap)
     }
     df.select(col(idCol), posexplode(chunks).as(Seq("chunk_id", "__ct")))
       .select(col(idCol), col("chunk_id"),
         concat_ws(" ", col("__ct")).as("chunk_text"),
         size(col("__ct")).as("n_tokens"))
+  }
+
+  /** [[chunkByTokens]] over an ALREADY-TOKENIZED id array (the
+    * `bpe_apply with_ids` output) — same window rule, but the chunks stay
+    * token-id arrays instead of re-joined text: the context-window prep
+    * for pipelines whose unit is model tokens, and the no-truncation
+    * companion to whole-document sequence packing (chunk first, then
+    * `sequence_pack mode:"whole"` — a doc longer than one window arrives
+    * pre-split instead of truncated).
+    *
+    * Output: (idCol, chunk_id, chunk_ids, n_tokens). Same scale shape as
+    * [[chunkByTokens]]: per-row array build + one generator, no shuffle.
+    * Compose a derived chunk key downstream when a later op needs one id
+    * per row (e.g. `derive: {"cid": "id * 1000000 + chunk_id"}`). */
+  def chunkIds(
+      df: DataFrame,
+      idCol: String,
+      idsCol: String,
+      chunkSize: Int,
+      overlap: Int
+  ): DataFrame = {
+    val chunks = slidingChunks(col(idsCol), chunkSize, overlap)
+    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_id", "__ct")))
+      .select(col(idCol), col("chunk_id"),
+        col("__ct").as("chunk_ids"),
+        size(col("__ct")).as("n_tokens"))
+  }
+
+  /** The shared window rule of [[chunkByTokens]] / [[chunkIds]]: chunk k
+    * covers elements [k·stride, k·stride + chunkSize), stride = chunkSize
+    * − overlap, ⌈(n − overlap) / stride⌉ chunks (min 1) — the final chunk
+    * may be short but every element lands in ≥ 1 chunk and no chunk is
+    * fully contained in its predecessor. NULL (not empty array) for empty
+    * inputs: posexplode emits no rows for null, and the typed empty-array
+    * literal is noisier than the null it's equivalent to under a
+    * generator. */
+  private def slidingChunks(arr: Column, chunkSize: Int, overlap: Int): Column = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    val n = size(arr)
+    val k = greatest(lit(1),
+      ceil((n - lit(overlap)).cast("double") / lit(stride)).cast("int"))
+    when(n > 0,
+      transform(sequence(lit(0), k - 1), i => slice(arr, i * stride + 1, lit(chunkSize))))
   }
 
   /** Assign documents to fixed-budget training-sequence bins ("sequence

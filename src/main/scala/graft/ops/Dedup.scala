@@ -29,6 +29,56 @@ object Dedup {
         others.map(c => min_by(col(c), col(idCol)).as(c)): _*)
   }
 
+  /** [[exactDedup]] with QUALITY-AWARE retention: per key, keep the row
+    * with the BEST `orderCol` score — the highest with `descending`
+    * (default; e.g. a quality-classifier score) or the lowest without
+    * (e.g. perplexity) — ties broken by the minimum `idCol`, so the
+    * winner is still ONE deterministic row. The pipeline shape this
+    * serves: exact/URL dedup where the duplicate class should keep its
+    * best copy (longest extraction, highest quality score), not its
+    * numerically-smallest id.
+    *
+    * Same cost and scale shape as [[exactDedup]]: ONE partial+final hash
+    * aggregate (min_by over a (score, id) sort-key struct — map-side
+    * combine intact, no window over the corpus, hot duplicate keys
+    * partial-aggregate before the shuffle). `orderCol` must be numeric;
+    * NULL/NaN scores fail loudly (they order inconsistently across
+    * engines — same policy as tokenBudgetSample). The score compares as
+    * DOUBLE (descending negates), exact for every float/int score up to
+    * 2^53 — an integral score beyond that should dedup on min-id and
+    * re-rank downstream instead. */
+  def exactDedupBest(
+      df: DataFrame,
+      keyCols: Seq[String],
+      idCol: String,
+      orderCol: String,
+      descending: Boolean = true
+  ): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema(orderCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType => ()
+      case t => throw new IllegalArgumentException(
+        s"exactDedupBest: order column '$orderCol' has type " +
+          s"${t.simpleString}; the retention order needs a numeric score")
+    }
+    val score = when(col(orderCol).isNotNull && !isnan(col(orderCol).cast("double")),
+      col(orderCol).cast("double")).otherwise(raise_error(
+      lit(s"exactDedupBest: NULL or NaN score in '$orderCol' — filter " +
+        "or impute first")))
+    val sortKey = struct(
+      (if (descending) -score else score).as("s"),
+      col(idCol).as("i"))
+    val others = df.columns.filterNot(keyCols.contains)
+    require(others.nonEmpty,
+      s"exactDedupBest: id column '$idCol' and order column '$orderCol' " +
+        "cannot both be dedup keys")
+    df.groupBy(keyCols.map(col): _*)
+      .agg(
+        min_by(col(others.head), sortKey).as(others.head),
+        others.tail.map(c => min_by(col(c), sortKey).as(c)): _*)
+  }
+
   /** Incremental ingestion dedup — the production shape for a corpus that
     * grows daily: dedup the INCOMING batch within itself (deterministic
     * min-id winner per key) and against the EXISTING corpus via a

@@ -224,6 +224,29 @@ object DedupQueries extends QueryPack {
     FROM events GROUP BY 1, 2
     ORDER BY user_id ASC NULLS FIRST, event_type ASC NULLS FIRST"""
 
+  // q212 — QUALITY-AWARE dedup retention from the config language:
+  // dedup.order_col keeps the BEST-scoring row per key (here the
+  // highest-value event; ties by min event_id) instead of the min-id
+  // row — the "keep the duplicate class's best copy" recipe. Same single
+  // min_by aggregate as q27/q51 (map-side combine intact; no window over
+  // the corpus). The oracle restates the winner as a row_number window.
+  private def q212(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "events"},
+       "keep_columns": ["user_id", "event_type", "event_id", "value", "ts"],
+       "dedup": {"keys": ["user_id", "event_type"], "id_col": "event_id",
+                 "order_col": "value"},
+       "order_by": ["user_id asc", "event_type asc"]}""")
+  }
+  private val q212Sql = """
+    SELECT user_id, event_type, event_id, value, ts FROM (
+      SELECT user_id, event_type, event_id, value, ts,
+             row_number() OVER (PARTITION BY user_id, event_type
+               ORDER BY value DESC, event_id ASC) AS rn
+      FROM events) WHERE rn = 1
+    ORDER BY user_id ASC NULLS FIRST, event_type ASC NULLS FIRST"""
+
   // q88 — INCREMENTAL ingestion dedup: the daily-delta production shape.
   // docs with doc_id % 3 = 0 play the existing corpus (reduced to its
   // fingerprint index — at 100 TB you maintain this index, never re-scan
@@ -625,7 +648,8 @@ object DedupQueries extends QueryPack {
     Q("q141_config_simhash_clusters", q141, Some(q141Sql)),
     Q("q194_winnow_index", q194, Some(q194Sql)),
     Q("q195_winnow_pairs", q195, Some(q195Sql)),
-    Q("q198_winnow_probe", q198, Some(q198Sql))
+    Q("q198_winnow_probe", q198, Some(q198Sql)),
+    Q("q212_dedup_best_copy", q212, Some(q212Sql))
   )
 
   // q198 — INCREMENTAL MOSS probe: the corpus/incoming split (q88/q97/

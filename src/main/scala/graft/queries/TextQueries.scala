@@ -1252,7 +1252,8 @@ object TextQueries extends QueryPack {
     Q("q206_pack_bounds", q206, Some(q206Sql)),
     Q("q207_pack_whole_doc", q207, Some(q207Sql)),
     Q("q208_training_batches_flagship", q208, Some(q208Sql)),
-    Q("q209_pack_best_fit", q209, Some(q209Sql))
+    Q("q209_pack_best_fit", q209, Some(q209Sql)),
+    Q("q211_config_chunk_ids", q211, Some(q211Sql))
   )
 
   // q209 — best-fit-decreasing packing under an exact oracle: the
@@ -1580,6 +1581,47 @@ object TextQueries extends QueryPack {
     SELECT shard, seq, CAST(32 AS INT) AS n_tokens, fold
     FROM seqs
     ORDER BY shard ASC NULLS FIRST, seq ASC NULLS FIRST"""
+
+  // q211 — sliding-window chunking from the config language, TOKEN-ID
+  // tier: bpe_apply with_ids → chunk over the id arrays (size 12,
+  // overlap 4) in ONE node — the context-window prep for embedding /
+  // no-truncation packing pipelines. Scan-stage generator: no shuffle;
+  // the oracle restates the window rule (⌈(n − overlap) / stride⌉ chunks,
+  // chunk k = idl[k·stride+1 : k·stride+size]) over the independent
+  // DuckDB BPE chain and Horner-folds each chunk.
+  private def q211(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    import s.implicits._
+    val mdir = s"${System.getProperty("java.io.tmpdir")}/graft_q211_merges"
+    q164Merges.zipWithIndex
+      .map { case ((l, r), i) => (i + 1, l, r, 0L) }
+      .toDF("rank", "left", "right", "pair_count")
+      .coalesce(1).write.mode("overwrite").parquet(mdir)
+    graft.compile.Compiler.compileJson(s, s"""
+      {"source": {"table": "documents"},
+       "keep_columns": ["doc_id", "text"],
+       "bpe_apply": {"text_col": "text", "merges_dir": "$mdir",
+                     "with_ids": true},
+       "chunk": {"id_col": "doc_id", "ids_col": "bpe_ids",
+                 "size": 12, "overlap": 4},
+       "with_columns": {"fold": "aggregate(chunk_ids, cast(0 as bigint), (a, x) -> (a * 31 + x) % 1000000007)"},
+       "drop": ["chunk_ids"],
+       "order_by": ["doc_id asc", "chunk_id asc"]}""")
+  }
+  private lazy val q211Sql = s"""
+    WITH $bpeIdsCte,
+    d AS (SELECT doc_id, idl, len(idl) AS n FROM ids WHERE len(idl) > 0),
+    k AS (SELECT doc_id, idl,
+                 unnest(range(0, greatest(1,
+                   CAST(ceil((n - 4) / 8.0) AS BIGINT)))) AS c
+          FROM d),
+    ch AS (SELECT doc_id, c, idl[c * 8 + 1 : c * 8 + 12] AS cids FROM k)
+    SELECT doc_id, CAST(c AS INT) AS chunk_id,
+           CAST(len(cids) AS INT) AS n_tokens,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), cids),
+             (a, x) -> (a * 31 + x) % 1000000007) AS fold
+    FROM ch
+    ORDER BY doc_id ASC NULLS FIRST, chunk_id ASC NULLS FIRST"""
 
   // q200 — the COMPLETE training-data product, one config: artifact
   // tokenizer → stable ids → big-endian packed payloads → deterministic

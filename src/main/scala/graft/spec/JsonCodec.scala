@@ -212,12 +212,19 @@ object JsonCodec {
 
     val dd = optN("dedup", "drop_duplicates").map { d =>
       if (d.isArray || d.isTextual) DedupSpec(keys = strSeq(d))
-      else
-        DedupSpec(
+      else {
+        val ds = DedupSpec(
           keys = opt(d, "keys", "on").map(strSeq).getOrElse(Nil),
           idCol = opt(d, "id_col", "idCol").map(_.asText),
           withinWatermark =
-            opt(d, "within_watermark", "withinWatermark").exists(_.asBoolean(false)))
+            opt(d, "within_watermark", "withinWatermark").exists(_.asBoolean(false)),
+          orderCol = opt(d, "order_col", "orderCol").map(_.asText),
+          descending = opt(d, "descending").forall(_.asBoolean(true)))
+        require(ds.orderCol.isEmpty || ds.idCol.nonEmpty,
+          s"node $id: dedup.order_col needs id_col for the tie-break — " +
+            "a score-only winner is nondeterministic on tied scores")
+        ds
+      }
     }
 
     val nd = optN("near_dup", "nearDup").map { d =>
@@ -380,6 +387,23 @@ object JsonCodec {
         textCol = req(d, s"node $id: bpe_apply", "text_col", "textCol").asText,
         mergesDir = req(d, s"node $id: bpe_apply", "merges_dir", "mergesDir").asText,
         withIds = opt(d, "with_ids", "withIds").exists(_.asBoolean(false)))
+    }
+
+    val chk = optN("chunk").map { d =>
+      val ctx = s"node $id: chunk"
+      val cs = ChunkSpec(
+        idCol = req(d, ctx, "id_col", "idCol").asText,
+        size = req(d, ctx, "size").asInt,
+        overlap = opt(d, "overlap").map(_.asInt).getOrElse(0),
+        textCol = opt(d, "text_col", "textCol").map(_.asText),
+        idsCol = opt(d, "ids_col", "idsCol").map(_.asText))
+      require(cs.size >= 1, s"$ctx: size must be >= 1, got ${cs.size}")
+      require(cs.overlap >= 0 && cs.overlap < cs.size,
+        s"$ctx: need 0 <= overlap < size, got overlap=${cs.overlap} size=${cs.size}")
+      require(cs.textCol.isDefined != cs.idsCol.isDefined,
+        s"$ctx: exactly one of text_col (whitespace-token tier) or " +
+          "ids_col (token-id tier) must be set")
+      cs
     }
 
     val ndp = optN("near_dup_probe", "nearDupProbe").map { d =>
@@ -701,6 +725,7 @@ object JsonCodec {
       scoreModel = sm,
       bpe = bpeSpec,
       bpeApply = ba,
+      chunk = chk,
       nearDupProbe = ndp,
       cmsProbe = cms,
       dsir = dsirSpec,

@@ -394,6 +394,23 @@ final case class BpeApplySpec(
     withIds: Boolean = false // also add bpe_ids (stable integer ids)
 )
 
+/** Sliding-window document chunking (NS; Corpus.chunkByTokens /
+  * Corpus.chunkIds): the context-window prep step — each document becomes
+  * ⌈(n − overlap) / stride⌉ overlapping chunks of `size` tokens (stride =
+  * size − overlap). Exactly one of `textCol` (whitespace-token text tier,
+  * frame becomes (id, chunk_id, chunk_text, n_tokens)) or `idsCol`
+  * (token-id tier over a `bpe_apply with_ids` array, frame becomes
+  * (id, chunk_id, chunk_ids, n_tokens)). Scan-stage generator, no
+  * shuffle — streaming-admissible; the no-truncation companion to
+  * `sequence_pack mode:"whole"`. */
+final case class ChunkSpec(
+    idCol: String,
+    size: Int,
+    overlap: Int = 0,
+    textCol: Option[String] = None,
+    idsCol: Option[String] = None
+)
+
 /** Scan-stage near-duplicate PROBE against a persisted MinHash band
   * index (NS; Dedup.nearDupProbeBloom): a Bloom filter over the index's
   * band keys is built once at compile time and broadcast; each row's
@@ -640,13 +657,19 @@ final case class BoilerplateSpec(
   * group (one partial+final hash aggregate via min_by — replay-stable
   * under retries, unlike dropDuplicates whose survivor is
   * partition-order-dependent). `idCol` unset → plain dropDuplicates.
-  * `withinWatermark` (streaming compiles; requires the node `watermark`) →
-  * dropDuplicatesWithinWatermark: state holds one entry per key inside
-  * the horizon and is evicted by the watermark. */
+  * `orderCol` (requires `idCol`) → QUALITY-AWARE retention: the winner is
+  * the row with the best numeric score per key — highest with
+  * `descending` (default), lowest otherwise (e.g. min perplexity) — ties
+  * by minimum id; same single aggregate, batch-only. NULL/NaN scores fail
+  * loudly. `withinWatermark` (streaming compiles; requires the node
+  * `watermark`) → dropDuplicatesWithinWatermark: state holds one entry
+  * per key inside the horizon and is evicted by the watermark. */
 final case class DedupSpec(
     keys: Seq[String],
     idCol: Option[String] = None,
-    withinWatermark: Boolean = false
+    withinWatermark: Boolean = false,
+    orderCol: Option[String] = None,
+    descending: Boolean = true
 )
 
 /** Changelog/CDC compaction to a point-in-time snapshot (NS; not in the
@@ -868,6 +891,7 @@ final case class NodeSpec(
     scoreModel: Option[ScoreModelSpec] = None, // after keep, before aggregate
     bpe: Option[BpeSpec] = None, // after keep, before aggregate
     bpeApply: Option[BpeApplySpec] = None, // after keep, before aggregate
+    chunk: Option[ChunkSpec] = None, // after bpe_apply (ids tier composes bpe→chunk→pack)
     nearDupProbe: Option[NearDupProbeSpec] = None, // after keep, before aggregate
     cmsProbe: Option[CmsProbeSpec] = None, // after keep, before aggregate
     dsir: Option[DsirSpec] = None, // after keep, before aggregate

@@ -67,6 +67,44 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("chunkIds: same window rule as the text tier, chunks stay id arrays") {
+    // surrogate ids = per-token lengths: the two tiers must agree on chunk
+    // boundaries, and each id chunk must be the element-wise length of the
+    // matching text chunk
+    val withIds = docs.select(col("doc_id"), col("text"),
+      transform(TextAnalysis.tokens(col("text")), t => length(t)).as("tids"))
+    val byText = Corpus.chunkByTokens(withIds, "doc_id", "text", 16, 4)
+      .select(col("doc_id"), col("chunk_id"),
+        transform(split(col("chunk_text"), " "), t => length(t)).as("want"),
+        col("n_tokens").as("want_n"))
+    val byIds = Corpus.chunkIds(withIds, "doc_id", "tids", 16, 4)
+    assert(byIds.count() == byText.count())
+    val joined = byIds.join(byText, Seq("doc_id", "chunk_id"))
+    assert(joined.count() == byIds.count(), "chunk boundaries must match")
+    assert(joined.filter(col("chunk_ids") =!= col("want") ||
+      col("n_tokens") =!= col("want_n")).count() == 0)
+  }
+
+  test("chunkIds: edge cases — empty array, short, exact multiple, overlap bound") {
+    val tiny = Seq(
+      (1L, Seq.empty[Int]),        // empty → no chunks
+      (2L, (1 to 3).toSeq),        // shorter than chunk → 1 chunk
+      (3L, (1 to 16).toSeq),       // exactly chunkSize → 1 chunk
+      (4L, (1 to 17).toSeq)        // one over → 2 chunks
+    ).toDF("doc_id", "tids")
+    val got = Corpus.chunkIds(tiny, "doc_id", "tids", 16, 4)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(2L -> 1L, 3L -> 1L, 4L -> 2L))
+    val c4 = Corpus.chunkIds(tiny, "doc_id", "tids", 16, 4)
+      .filter(col("doc_id") === 4 && col("chunk_id") === 1)
+      .select("chunk_ids").as[Seq[Int]].head()
+    assert(c4 == (13 to 17).toSeq, "second chunk starts at stride offset 12")
+    intercept[IllegalArgumentException] {
+      Corpus.chunkIds(tiny, "doc_id", "tids", 8, 8)
+    }
+  }
+
   // ---- packing ------------------------------------------------------------
 
   test("packing: total conservation, bin monotonicity, overflow bound") {

@@ -563,6 +563,39 @@ class JsonCodecSpec extends AnyFunSuite {
       {"source": {"table": "e"},
        "page_rank": {"src_col": "s", "dst_col": "d", "tol": 1e-6}}""").pageRank.get
     assert(pt.tol == 1e-6)
+    // chunk: defaults + exactly-one-tier + bounds errors
+    val ck = root("""
+      {"source": {"table": "d"},
+       "chunk": {"id_col": "doc_id", "ids_col": "bpe_ids", "size": 512}}""")
+      .chunk.get
+    assert(ck.overlap == 0 && ck.idsCol.contains("bpe_ids") && ck.textCol.isEmpty)
+    val ckT = root("""
+      {"source": {"table": "d"},
+       "chunk": {"id_col": "doc_id", "text_col": "text", "size": 256,
+         "overlap": 64}}""").chunk.get
+    assert(ckT.textCol.contains("text") && ckT.overlap == 64)
+    val eCk = intercept[IllegalArgumentException](root("""
+      {"chunk": {"id_col": "i", "text_col": "t", "ids_col": "x", "size": 8}}"""))
+    assert(eCk.getMessage.contains("exactly one"))
+    val eCk2 = intercept[IllegalArgumentException](root("""
+      {"chunk": {"id_col": "i", "size": 8}}"""))
+    assert(eCk2.getMessage.contains("exactly one"))
+    val eCk3 = intercept[IllegalArgumentException](root("""
+      {"chunk": {"id_col": "i", "text_col": "t", "size": 8, "overlap": 8}}"""))
+    assert(eCk3.getMessage.contains("overlap"))
+    // dedup order_col: decode + id_col requirement
+    val db = root("""
+      {"source": {"table": "t"},
+       "dedup": {"keys": ["k"], "id_col": "id", "order_col": "score",
+         "descending": false}}""").dedup.get
+    assert(db.orderCol.contains("score") && !db.descending)
+    assert(root("""
+      {"source": {"table": "t"},
+       "dedup": {"keys": ["k"], "id_col": "id", "order_col": "score"}}""")
+      .dedup.get.descending)
+    val eDb = intercept[IllegalArgumentException](root("""
+      {"dedup": {"keys": ["k"], "order_col": "score"}}"""))
+    assert(eDb.getMessage.contains("order_col needs id_col"))
     // tar_pack requires shards
     val t = root("""
       {"source": {"table": "m"},

@@ -424,6 +424,59 @@ class OpsSpec extends SparkSpec {
     assert(chk.filter($"event_id" =!= $"mid").count() == 0)
   }
 
+  test("exactDedupBest: keeps the best-scoring row per key (ties by min id)") {
+    val events = Tables.load(spark, sf, "events")
+      .select("user_id", "event_type", "event_id", "value")
+    val out = Dedup.exactDedupBest(
+      events, Seq("user_id", "event_type"), "event_id", "value")
+    assert(out.count() == events.select("user_id", "event_type").distinct().count())
+    // brute-force winner: row_number over (value desc, event_id asc)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("value").desc, col("event_id").asc)
+    val want = events.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).drop("rn")
+    assert(out.except(want).isEmpty && want.except(out).isEmpty)
+    // ascending flavor (min-score winner, e.g. perplexity)
+    val outAsc = Dedup.exactDedupBest(
+      events, Seq("user_id", "event_type"), "event_id", "value", descending = false)
+    val wAsc = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("value").asc, col("event_id").asc)
+    val wantAsc = events.withColumn("rn", row_number().over(wAsc))
+      .filter($"rn" === 1).drop("rn")
+    assert(outAsc.except(wantAsc).isEmpty && wantAsc.except(outAsc).isEmpty)
+  }
+
+  test("exactDedupBest: tied scores fall back to the min-id winner") {
+    val df = Seq(
+      ("k", 3L, 1.0, "a"), ("k", 1L, 1.0, "b"), ("k", 2L, 1.0, "c"),
+      ("m", 9L, 0.5, "d"), ("m", 8L, 2.5, "e")
+    ).toDF("key", "id", "score", "payload")
+    val got = Dedup.exactDedupBest(df, Seq("key"), "id", "score")
+      .orderBy("key").collect().map(r => (r.getString(0), r.getLong(1), r.getString(3)))
+    assert(got.toSeq == Seq(("k", 1L, "b"), ("m", 8L, "e")))
+  }
+
+  test("exactDedupBest: NULL/NaN scores and non-numeric order columns fail by name") {
+    val withNull = Seq(("k", 1L, Some(1.0)), ("k", 2L, None))
+      .toDF("key", "id", "score")
+    val e1 = intercept[Exception] {
+      Dedup.exactDedupBest(withNull, Seq("key"), "id", "score").collect()
+    }
+    assert(e1.getMessage.contains("NULL or NaN score"))
+    val withNan = Seq(("k", 1L, 1.0), ("k", 2L, Double.NaN))
+      .toDF("key", "id", "score")
+    val e2 = intercept[Exception] {
+      Dedup.exactDedupBest(withNan, Seq("key"), "id", "score").collect()
+    }
+    assert(e2.getMessage.contains("NULL or NaN score"))
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.exactDedupBest(
+        Seq(("k", 1L, "hi")).toDF("key", "id", "score"), Seq("key"), "id", "score")
+    }
+    assert(e3.getMessage.contains("numeric score"))
+  }
+
   test("ANN top-k recall vs brute force ≥ 40% on rank-1 neighbors") {
     val q = emb.filter($"vec_id" < 50).select($"vec_id".as("qid"), $"embedding")
     val c = emb.select($"vec_id".as("cid"), $"embedding")

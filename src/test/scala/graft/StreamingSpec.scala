@@ -1048,6 +1048,30 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("chunk config key runs on a stream: scan-stage generator, stream == batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunk").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/in/documents.parquet"))
+    val nodeBody = s""""keep_columns": ["doc_id", "text"],
+       "chunk": {"id_col": "doc_id", "text_col": "text",
+                 "size": 16, "overlap": 4}"""
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getInt(3))
+    val batch = graft.compile.Compiler.compileJson(spark, s"""
+      {"source": {"path": "$dir/in/documents.parquet"}, $nodeBody}""")
+      .collect().map(key).toMap
+    val q = graft.compile.Compiler.compileStreamJson(spark, s"""
+      {"source": {"path": "$dir/in"}, $nodeBody,
+       "save": {"format": "memory", "query_name": "chunk_stream",
+                "trigger": "available_now", "output_mode": "append"}}""")
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("chunk_stream").collect().map(key).toMap
+    assert(streamed == batch, "stream chunking must equal batch")
+    assert(batch.nonEmpty)
+  }
+
   test("dsir_score config key runs on a stream: artifact-loaded weights, stream == batch") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-dsirstream").toString
@@ -1271,6 +1295,8 @@ class StreamingSpec extends SparkSpec {
                "seq_len": 8}""", "batch-only")
     rejects(""""token_budget_sample": {"group_col": "lang", "id_col": "doc_id",
                "tokens_col": "doc_id", "budgets": {"en": 100}}""", "batch-only")
+    rejects(""""dedup": {"keys": ["text"], "id_col": "doc_id",
+               "order_col": "doc_id"}""", "batch-only")
     // root-level profile is now the streaming drift monitor (see the
     // dedicated test); only the MID-PIPELINE placement rejects by name
     val eMid = intercept[IllegalArgumentException](
