@@ -1253,7 +1253,8 @@ object TextQueries extends QueryPack {
     Q("q207_pack_whole_doc", q207, Some(q207Sql)),
     Q("q208_training_batches_flagship", q208, Some(q208Sql)),
     Q("q209_pack_best_fit", q209, Some(q209Sql)),
-    Q("q211_config_chunk_ids", q211, Some(q211Sql))
+    Q("q211_config_chunk_ids", q211, Some(q211Sql)),
+    Q("q213_chunk_pack_no_truncation", q213, Some(q213Sql))
   )
 
   // q209 — best-fit-decreasing packing under an exact oracle: the
@@ -1622,6 +1623,88 @@ object TextQueries extends QueryPack {
              (a, x) -> (a * 31 + x) % 1000000007) AS fold
     FROM ch
     ORDER BY doc_id ASC NULLS FIRST, chunk_id ASC NULLS FIRST"""
+
+  // q213 — the NO-TRUNCATION packing pipeline, one config: bpe_apply →
+  // chunk (token-id tier, overlap 0) → whole-doc sequence_pack. Long
+  // documents arrive at the packer PRE-SPLIT into ≤ 12-token chunks, so
+  // mode:"whole" never hits its truncate-to-fit rule — the lossless
+  // composition the chunk ids tier exists for. Fixture-bounded to a
+  // third of the corpus (doc_id % 3 = 0 — the q28 convention): the
+  // oracle's next-fit recursive CTE steps once per CHUNK per shard.
+  // Gates: the q207-style window/bound folds over chunks keyed by
+  // cid = doc_id·1024 + chunk_id (the derived per-chunk pack id).
+  private def q213(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    import s.implicits._
+    val mdir = s"${System.getProperty("java.io.tmpdir")}/graft_q213_merges"
+    q164Merges.zipWithIndex
+      .map { case ((l, r), i) => (i + 1, l, r, 0L) }
+      .toDF("rank", "left", "right", "pair_count")
+      .coalesce(1).write.mode("overwrite").parquet(mdir)
+    graft.compile.Compiler.compileJson(s, s"""
+      {"defs": [
+        {"id": "chunks",
+         "source": {"table": "documents"},
+         "filters": ["doc_id % 3 = 0"],
+         "keep_columns": ["doc_id", "text"],
+         "bpe_apply": {"text_col": "text", "merges_dir": "$mdir",
+                       "with_ids": true},
+         "chunk": {"id_col": "doc_id", "ids_col": "bpe_ids",
+                   "size": 12, "overlap": 0}}],
+       "id": "packed",
+       "source": {"ref": "chunks"},
+       "derive": {"cid": "doc_id * 1024 + chunk_id"},
+       "sequence_pack": {"id_col": "cid", "ids_col": "chunk_ids",
+                         "seq_len": 32, "eos_id": 0, "shards": 2,
+                         "mode": "whole", "drop_last": false,
+                         "with_bounds": true, "pad_id": 999},
+       "with_columns": {"fold": "$idFold", "bfold": "$boundFold"},
+       "drop": ["ids", "doc_starts"],
+       "order_by": ["shard asc", "seq asc"]}""")
+  }
+  private lazy val q213Sql = s"""
+    WITH RECURSIVE sel AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+    ${bpeIdsCteFrom("sel")},
+    c0 AS (SELECT doc_id, idl, len(idl) AS n FROM ids WHERE len(idl) > 0),
+    ck AS (SELECT doc_id, idl,
+                  unnest(range(0, greatest(1,
+                    CAST(ceil(n / 12.0) AS BIGINT)))) AS c
+           FROM c0),
+    ch AS (SELECT doc_id * 1024 + c AS cid,
+                  idl[c * 12 + 1 : c * 12 + 12] AS cids
+           FROM ck),
+    d AS (
+      SELECT CAST(cid % 2 AS INT) AS shard,
+             row_number() OVER (PARTITION BY cid % 2 ORDER BY cid) AS i,
+             list_append(cids[1 : 31], 0) AS idl2
+      FROM ch),
+    dl AS (SELECT shard, i, idl2, len(idl2) AS l FROM d),
+    nf AS (
+      SELECT shard, i, idl2, l, CAST(0 AS BIGINT) AS seq,
+             CAST(l AS BIGINT) AS fill
+      FROM dl WHERE i = 1
+      UNION ALL
+      SELECT dl.shard, dl.i, dl.idl2, dl.l,
+             CASE WHEN nf.fill + dl.l <= 32 THEN nf.seq ELSE nf.seq + 1 END,
+             CASE WHEN nf.fill + dl.l <= 32 THEN nf.fill + dl.l
+                  ELSE CAST(dl.l AS BIGINT) END
+      FROM nf JOIN dl ON dl.shard = nf.shard AND dl.i = nf.i + 1),
+    w AS (
+      SELECT shard, seq, flatten(list(idl2 ORDER BY i)) AS pids,
+             list_reduce(list_prepend(CAST(7 AS BIGINT),
+                                      list(fill - l ORDER BY i)),
+                         (a, x) -> (a * 31 + x) % 1000000007) AS bfold
+      FROM nf GROUP BY shard, seq)
+    SELECT shard, seq, CAST(len(pids) AS INT) AS n_tokens,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_concat(pids,
+                 list_transform(range(32 - len(pids)), x -> 999))),
+             (a, x) -> (a * 31 + x) % 1000000007) AS fold,
+           bfold
+    FROM w
+    ORDER BY shard ASC NULLS FIRST, seq ASC NULLS FIRST"""
 
   // q200 — the COMPLETE training-data product, one config: artifact
   // tokenizer → stable ids → big-endian packed payloads → deterministic
