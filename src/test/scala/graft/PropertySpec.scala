@@ -508,4 +508,42 @@ class PropertySpec extends SparkSpec {
         "best_fit has no stream tail: dropLast must not drop anything")
     }
   }
+
+  test("chunkIds: random arrays reconstruct from stride prefixes; count formula holds") {
+    import graft.ops.Corpus
+    val caseGen: Gen[(List[(Long, List[Int])], Int, Int)] = for {
+      rows <- Gen.nonEmptyListOf(for {
+        id <- Gen.chooseNum(1L, 100000L)
+        ids <- Gen.listOf(Gen.chooseNum(0, 999)).map(_.take(40))
+      } yield (id, ids)).map(_.distinctBy(_._1))
+      size <- Gen.chooseNum(2, 12)
+      overlap <- Gen.chooseNum(0, size - 1)
+    } yield (rows, size, overlap)
+    forAll(caseGen, n = 8) { case (rows, size, overlap) =>
+      val stride = size - overlap
+      val chunked = Corpus.chunkIds(rows.toDF("id", "ids"), "id", "ids",
+          size, overlap)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toList))
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(_._2).map(_._3).toList).toMap
+      rows.foreach { case (id, ids) =>
+        val got = chunked.getOrElse(id, Nil)
+        if (ids.isEmpty) assert(got.isEmpty, "empty doc emits no chunks")
+        else {
+          // count formula: ceil((n - overlap) / stride), min 1
+          val wantN = math.max(1,
+            math.ceil((ids.size - overlap).toDouble / stride).toInt)
+          assert(got.size == wantN, s"chunk count for n=${ids.size}")
+          // chunk k is exactly the slice at k*stride
+          got.zipWithIndex.foreach { case (c, k) =>
+            assert(c == ids.slice(k * stride, k * stride + size))
+          }
+          // stride prefixes + last chunk reconstruct the document
+          val rebuilt = got.init.flatMap(_.take(stride)) ++ got.last
+          assert(rebuilt == ids, "chunks must reconstruct the document")
+        }
+      }
+    }
+  }
 }
