@@ -60,10 +60,11 @@ object Compiler {
   /** Optional validation: resolve referenced columns up front (the reference
     * fails lazily at execution — SURVEY §1.3). Returns error strings. */
   def validate(df: DataFrame, node: NodeSpec): Seq[String] = {
-    // derive-created columns exist by the time keep/aggregate run; their
-    // own expression references are checked by the analyzer tier of
-    // validatePipeline
-    val have = df.columns.toSet ++ node.derive.map(_._1)
+    // derive-created columns (and the dedup count_col) exist by the time
+    // keep/aggregate run; their own expression references are checked by
+    // the analyzer tier of validatePipeline
+    val have = df.columns.toSet ++ node.derive.map(_._1) ++
+      node.dedup.flatMap(_.countCol)
     val wanted =
       node.keepColumns ++
         node.aggregate.toSeq.flatMap(a =>
@@ -264,14 +265,20 @@ object Compiler {
     // before projection/aggregation so min_by can carry all columns.
     node.dedup.foreach { d =>
       // one deterministic winner per key: best score (order_col set),
-      // else min id (id_col set), else plain dropDuplicates
+      // else min id (id_col set), else plain dropDuplicates; count_col
+      // rides the winner aggregate with the duplicate-class size
+      if (d.countCol.nonEmpty)
+        requireBatch("dedup (count_col)", "a class-size aggregate",
+          "drop count_col (streaming state dedup cannot count a class)")
       def winner(): DataFrame = (d.idCol, d.orderCol) match {
         case (Some(id), Some(oc)) =>
           requireBatch("dedup (order_col)", "a score-ranked aggregate",
             "drop order_col (streams keep the first arrival per key)")
-          graft.ops.Dedup.exactDedupBest(df, d.keys, id, oc, d.descending)
-        case (Some(id), None) => graft.ops.Dedup.exactDedup(df, d.keys, id)
-        case _                => df.dropDuplicates(d.keys)
+          graft.ops.Dedup.exactDedupBest(df, d.keys, id, oc, d.descending,
+            d.countCol)
+        case (Some(id), None) =>
+          graft.ops.Dedup.exactDedup(df, d.keys, id, d.countCol)
+        case _ => df.dropDuplicates(d.keys)
       }
       df =
         if (d.withinWatermark) {

@@ -21,12 +21,26 @@ object Dedup {
     * row, which can't be oracle-checked and is nondeterministic across
     * retries at scale; min_by gives a stable result for the same cost:
     * one partial+final hash aggregate). */
-  def exactDedup(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
+  def exactDedup(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame =
+    exactDedup(df, keyCols, idCol, None)
+
+  /** [[exactDedup]] with an optional `countCol`: the kept row also carries
+    * its duplicate-class SIZE — the soft-dedup signal (down-weight or
+    * temperature-sample by duplication instead of just dropping copies;
+    * a dup_count of 1 marks unique docs). Same single aggregate: the
+    * count rides the existing partial+final combine for free. */
+  def exactDedup(
+      df: DataFrame, keyCols: Seq[String], idCol: String,
+      countCol: Option[String]
+  ): DataFrame = {
+    countCol.foreach(c => require(!df.columns.contains(c),
+      s"exactDedup: count column '$c' already exists in the input"))
     val others = df.columns.filterNot(c => keyCols.contains(c) || c == idCol)
     df.groupBy(keyCols.map(col): _*)
       .agg(
         min(col(idCol)).as(idCol),
-        others.map(c => min_by(col(c), col(idCol)).as(c)): _*)
+        others.map(c => min_by(col(c), col(idCol)).as(c)) ++
+          countCol.map(c => count(lit(1)).as(c)): _*)
   }
 
   /** [[exactDedup]] with QUALITY-AWARE retention: per key, keep the row
@@ -52,8 +66,11 @@ object Dedup {
       keyCols: Seq[String],
       idCol: String,
       orderCol: String,
-      descending: Boolean = true
+      descending: Boolean = true,
+      countCol: Option[String] = None
   ): DataFrame = {
+    countCol.foreach(c => require(!df.columns.contains(c),
+      s"exactDedupBest: count column '$c' already exists in the input"))
     import org.apache.spark.sql.types._
     df.schema(orderCol).dataType match {
       case ByteType | ShortType | IntegerType | LongType |
@@ -76,7 +93,8 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(
         min_by(col(others.head), sortKey).as(others.head),
-        others.tail.map(c => min_by(col(c), sortKey).as(c)): _*)
+        others.tail.map(c => min_by(col(c), sortKey).as(c)) ++
+          countCol.map(c => count(lit(1)).as(c)): _*)
   }
 
   /** Incremental ingestion dedup — the production shape for a corpus that

@@ -247,6 +247,31 @@ object DedupQueries extends QueryPack {
       FROM events) WHERE rn = 1
     ORDER BY user_id ASC NULLS FIRST, event_type ASC NULLS FIRST"""
 
+  // q214 — SOFT dedup from the config language: count_col carries each
+  // duplicate class's size on the kept row (here composed with the
+  // best-copy order_col winner) — the down-weight-by-duplication signal
+  // a trainer consumes instead of a hard drop. Still ONE aggregate; the
+  // oracle restates winner and class size as two windows.
+  private def q214(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "events"},
+       "keep_columns": ["user_id", "event_type", "event_id", "value",
+                        "dup_count"],
+       "dedup": {"keys": ["user_id", "event_type"], "id_col": "event_id",
+                 "order_col": "value", "count_col": "dup_count"},
+       "order_by": ["user_id asc", "event_type asc"]}""")
+  }
+  private val q214Sql = """
+    SELECT user_id, event_type, event_id, value, dup_count FROM (
+      SELECT user_id, event_type, event_id, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+               ORDER BY value DESC, event_id ASC) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY user_id, event_type)
+               AS BIGINT) AS dup_count
+      FROM events) WHERE rn = 1
+    ORDER BY user_id ASC NULLS FIRST, event_type ASC NULLS FIRST"""
+
   // q88 — INCREMENTAL ingestion dedup: the daily-delta production shape.
   // docs with doc_id % 3 = 0 play the existing corpus (reduced to its
   // fingerprint index — at 100 TB you maintain this index, never re-scan
@@ -649,7 +674,8 @@ object DedupQueries extends QueryPack {
     Q("q194_winnow_index", q194, Some(q194Sql)),
     Q("q195_winnow_pairs", q195, Some(q195Sql)),
     Q("q198_winnow_probe", q198, Some(q198Sql)),
-    Q("q212_dedup_best_copy", q212, Some(q212Sql))
+    Q("q212_dedup_best_copy", q212, Some(q212Sql)),
+    Q("q214_dedup_soft_count", q214, Some(q214Sql))
   )
 
   // q198 — INCREMENTAL MOSS probe: the corpus/incoming split (q88/q97/

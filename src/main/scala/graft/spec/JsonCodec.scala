@@ -219,10 +219,14 @@ object JsonCodec {
           withinWatermark =
             opt(d, "within_watermark", "withinWatermark").exists(_.asBoolean(false)),
           orderCol = opt(d, "order_col", "orderCol").map(_.asText),
-          descending = opt(d, "descending").forall(_.asBoolean(true)))
+          descending = opt(d, "descending").forall(_.asBoolean(true)),
+          countCol = opt(d, "count_col", "countCol").map(_.asText))
         require(ds.orderCol.isEmpty || ds.idCol.nonEmpty,
           s"node $id: dedup.order_col needs id_col for the tie-break — " +
             "a score-only winner is nondeterministic on tied scores")
+        require(ds.countCol.isEmpty || ds.idCol.nonEmpty,
+          s"node $id: dedup.count_col needs id_col — class size is " +
+            "aggregated alongside the deterministic winner")
         ds
       }
     }

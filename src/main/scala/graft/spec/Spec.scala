@@ -661,15 +661,20 @@ final case class BoilerplateSpec(
   * the row with the best numeric score per key — highest with
   * `descending` (default), lowest otherwise (e.g. min perplexity) — ties
   * by minimum id; same single aggregate, batch-only. NULL/NaN scores fail
-  * loudly. `withinWatermark` (streaming compiles; requires the node
-  * `watermark`) → dropDuplicatesWithinWatermark: state holds one entry
-  * per key inside the horizon and is evicted by the watermark. */
+  * loudly. `countCol` (requires `idCol`; batch-only) → the kept row also
+  * carries its duplicate-class SIZE — the soft-dedup signal (down-weight
+  * or resample by duplication instead of just dropping copies); rides the
+  * same aggregate for free. `withinWatermark` (streaming compiles;
+  * requires the node `watermark`) → dropDuplicatesWithinWatermark: state
+  * holds one entry per key inside the horizon and is evicted by the
+  * watermark. */
 final case class DedupSpec(
     keys: Seq[String],
     idCol: Option[String] = None,
     withinWatermark: Boolean = false,
     orderCol: Option[String] = None,
-    descending: Boolean = true
+    descending: Boolean = true,
+    countCol: Option[String] = None
 )
 
 /** Changelog/CDC compaction to a point-in-time snapshot (NS; not in the

@@ -85,6 +85,23 @@ class CorpusSpec extends SparkSpec {
       col("n_tokens") =!= col("want_n")).count() == 0)
   }
 
+  test("chunking plans are scan-stage: one Generate, zero Exchange") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val withIds = docs.select(col("doc_id"),
+      transform(TextAnalysis.tokens(col("text")), t => length(t)).as("tids"))
+    Seq(
+      Corpus.chunkByTokens(docs, "doc_id", "text", 16, 4),
+      Corpus.chunkIds(withIds, "doc_id", "tids", 16, 4)
+    ).foreach { chunked =>
+      val plan = chunked.queryExecution.executedPlan
+      assert(plan.collect { case e: Exchange => e }.isEmpty,
+        "chunking must not shuffle")
+      val gens = chunked.queryExecution.optimizedPlan.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g }
+      assert(gens.size == 1, "exactly one generator expected")
+    }
+  }
+
   test("chunkIds: edge cases — empty array, short, exact multiple, overlap bound") {
     val tiny = Seq(
       (1L, Seq.empty[Int]),        // empty → no chunks

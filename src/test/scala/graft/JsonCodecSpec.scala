@@ -596,6 +596,13 @@ class JsonCodecSpec extends AnyFunSuite {
     val eDb = intercept[IllegalArgumentException](root("""
       {"dedup": {"keys": ["k"], "order_col": "score"}}"""))
     assert(eDb.getMessage.contains("order_col needs id_col"))
+    assert(root("""
+      {"source": {"table": "t"},
+       "dedup": {"keys": ["k"], "id_col": "id", "count_col": "dup_count"}}""")
+      .dedup.get.countCol.contains("dup_count"))
+    val eDc = intercept[IllegalArgumentException](root("""
+      {"dedup": {"keys": ["k"], "count_col": "n"}}"""))
+    assert(eDc.getMessage.contains("count_col needs id_col"))
     // tar_pack requires shards
     val t = root("""
       {"source": {"table": "m"},

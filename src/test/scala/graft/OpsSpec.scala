@@ -457,6 +457,26 @@ class OpsSpec extends SparkSpec {
     assert(got.toSeq == Seq(("k", 1L, "b"), ("m", 8L, "e")))
   }
 
+  test("count_col: kept rows carry exact duplicate-class sizes on both dedup paths") {
+    val events = Tables.load(spark, sf, "events")
+      .select("user_id", "event_type", "event_id", "value")
+    val want = events.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("want_n"))
+    def check(out: org.apache.spark.sql.DataFrame): Unit = {
+      assert(out.count() == want.count())
+      assert(out.join(want, Seq("user_id", "event_type"))
+        .filter($"dup_count" =!= $"want_n").count() == 0)
+    }
+    check(Dedup.exactDedup(events, Seq("user_id", "event_type"), "event_id",
+      Some("dup_count")))
+    check(Dedup.exactDedupBest(events, Seq("user_id", "event_type"), "event_id",
+      "value", descending = true, countCol = Some("dup_count")))
+    // name collision fails by name
+    val e = intercept[IllegalArgumentException](
+      Dedup.exactDedup(events, Seq("user_id"), "event_id", Some("value")))
+    assert(e.getMessage.contains("already exists"))
+  }
+
   test("exactDedupBest: NULL/NaN scores and non-numeric order columns fail by name") {
     val withNull = Seq(("k", 1L, Some(1.0)), ("k", 2L, None))
       .toDF("key", "id", "score")

@@ -1297,6 +1297,8 @@ class StreamingSpec extends SparkSpec {
                "tokens_col": "doc_id", "budgets": {"en": 100}}""", "batch-only")
     rejects(""""dedup": {"keys": ["text"], "id_col": "doc_id",
                "order_col": "doc_id"}""", "batch-only")
+    rejects(""""dedup": {"keys": ["text"], "id_col": "doc_id",
+               "count_col": "dup_count"}""", "batch-only")
     // root-level profile is now the streaming drift monitor (see the
     // dedicated test); only the MID-PIPELINE placement rejects by name
     val eMid = intercept[IllegalArgumentException](
