@@ -446,10 +446,12 @@ object Compiler {
     // after bpe_apply so the ids tier composes bpe → chunk →
     // sequence_pack (whole-doc packing without truncation).
     node.chunk.foreach { c =>
-      df = c.textCol match {
-        case Some(t) =>
+      df = (c.textCol, c.sep) match {
+        case (Some(t), Some(sp)) =>
+          graft.ops.Corpus.chunkBySegments(df, c.idCol, t, c.size, sp)
+        case (Some(t), None) =>
           graft.ops.Corpus.chunkByTokens(df, c.idCol, t, c.size, c.overlap)
-        case None =>
+        case _ =>
           graft.ops.Corpus.chunkIds(df, c.idCol, c.idsCol.get, c.size, c.overlap)
       }
     }

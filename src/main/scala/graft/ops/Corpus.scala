@@ -78,6 +78,87 @@ object Corpus {
         size(col("__ct")).as("n_tokens"))
   }
 
+  /** STRUCTURE-AWARE chunking — the RAG/embedding-prep recipe proper:
+    * documents split into `sep`-separated SEGMENTS (paragraphs with the
+    * "\n\n" default), and consecutive segments pack greedily into chunks
+    * of at most `size` tokens. A segment never splits across chunks; a
+    * single segment longer than `size` becomes its own (oversized) chunk
+    * — compose [[chunkByTokens]] downstream to hard-split those.
+    * Whitespace-only segments drop (they carry no tokens; the joined
+    * chunk text re-separates surviving segments with `sep`).
+    *
+    * Greedy rule (next-fit, the splitter standard): a segment joins the
+    * open chunk unless that would push its token total past `size`, in
+    * which case the chunk closes and the segment opens the next one.
+    *
+    * Output: (idCol, chunk_id, chunk_text, n_tokens, n_segments) —
+    * `n_tokens` is the exact token sum of the chunk's segments (NOT
+    * recomputed from the joined text: a non-whitespace `sep` could merge
+    * boundary tokens). Scale: the fold, the zip, and the explode all run
+    * per-row inside the scan stage — no shuffle, streaming-admissible,
+    * same posture as [[chunkByTokens]]. */
+  def chunkBySegments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      size: Int,
+      sep: String = "\n\n"
+  ): DataFrame = {
+    require(size >= 1, s"need size >= 1, got $size")
+    require(sep.nonEmpty, "sep must be non-empty")
+    import TextAnalysis.{tokens, withBound}
+    val sepQ = java.util.regex.Pattern.quote(sep)
+    val chunks =
+      withBound(filter(split(col(textCol), sepQ),
+        s => org.apache.spark.sql.functions.size(tokens(s)) > 0)) { segs =>
+      withBound(transform(segs,
+        s => org.apache.spark.sql.functions.size(tokens(s)))) { counts =>
+        // greedy next-fit fold over segment token counts: acc carries the
+        // open chunk index, its fill, and one chunk index per seen segment
+        val zero = struct(lit(-1).as("last"), lit(0).as("fill"),
+          array().cast("array<int>").as("idxs"))
+        val folded = aggregate(counts, zero, (acc, c) => {
+          val last = acc.getField("last")
+          val fill = acc.getField("fill")
+          val idxs = acc.getField("idxs")
+          when(last < 0,
+            struct(lit(0).as("last"), c.as("fill"),
+              array(lit(0)).as("idxs")))
+          .when(fill + c > size,
+            struct((last + 1).as("last"), c.as("fill"),
+              concat(idxs, array(last + 1)).as("idxs")))
+          .otherwise(
+            struct(last.as("last"), (fill + c).as("fill"),
+              concat(idxs, array(last)).as("idxs")))
+        })
+        withBound(folded.getField("idxs")) { idxs =>
+          val n = org.apache.spark.sql.functions.size(idxs)
+          val nChunks = when(n > 0, element_at(idxs, -1) + 1).otherwise(lit(0))
+          when(nChunks > 0,
+            transform(sequence(lit(0), nChunks - 1), k => struct(
+              array_join(
+                transform(
+                  filter(zip_with(segs, idxs,
+                    (s, i) => struct(s.as("s"), i.as("i"))),
+                    p => p.getField("i") === k),
+                  p => p.getField("s")),
+                sep).as("txt"),
+              aggregate(zip_with(counts, idxs,
+                  (c, i) => when(i === k, c).otherwise(lit(0))),
+                lit(0), (a, x) => a + x).as("nt"),
+              aggregate(transform(idxs,
+                  i => when(i === k, 1).otherwise(lit(0))),
+                lit(0), (a, x) => a + x).as("ns"))))
+        }
+      }
+    }
+    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_id", "__cs")))
+      .select(col(idCol), col("chunk_id"),
+        col("__cs").getField("txt").as("chunk_text"),
+        col("__cs").getField("nt").as("n_tokens"),
+        col("__cs").getField("ns").as("n_segments"))
+  }
+
   /** The shared window rule of [[chunkByTokens]] / [[chunkIds]]: chunk k
     * covers elements [k·stride, k·stride + chunkSize), stride = chunkSize
     * − overlap, ⌈(n − overlap) / stride⌉ chunks (min 1) — the final chunk

@@ -39,6 +39,61 @@ object CorpusQueries extends QueryPack {
              i -> len(t[CAST(i*12+1 AS INT):CAST(i*12+16 AS INT)]))) AS INT) AS n_tokens
     FROM k ORDER BY doc_id ASC NULLS FIRST, chunk_id ASC NULLS FIRST"""
 
+  // q215 — STRUCTURE-AWARE chunking from the config language: documents
+  // are re-shaped into paragraphs (doc-parameterized width g = doc_id%4+2
+  // words, joined by blank lines — portable arithmetic both engines
+  // restate), then `chunk` with `sep` packs consecutive paragraphs
+  // greedily into ≤ 12-token chunks — a paragraph never splits (the RAG
+  // splitter recipe). The oracle rebuilds the paragraphs, replays the
+  // greedy next-fit as a per-doc recursive CTE, and re-joins each
+  // chunk's paragraphs — text, token sums, and segment counts all hash-
+  // compared.
+  private def q215(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    graft.compile.Compiler.compileJson(s, s"""
+      {"source": {"table": "documents"},
+       "derive": {"tk": "tokens(text)",
+                  "g": "cast(doc_id % 4 + 2 as int)",
+                  "para": "if(size(tk) = 0, '', array_join(transform(sequence(0, cast(ceil(size(tk) / cast(g as double)) as int) - 1), i -> array_join(slice(tk, i * g + 1, g), ' ')), '\\n\\n'))"},
+       "chunk": {"id_col": "doc_id", "text_col": "para", "size": 12,
+                 "sep": "\\n\\n"},
+       "order_by": ["doc_id asc", "chunk_id asc"]}""")
+  }
+  private val q215Sql = """
+    WITH RECURSIVE tk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS t,
+             CAST(doc_id % 4 + 2 AS INT) AS g
+      FROM documents),
+    seg AS (
+      SELECT doc_id, g, t,
+             unnest(range(0, CAST(ceil(len(t) / CAST(g AS DOUBLE)) AS BIGINT))) AS i
+      FROM tk WHERE len(t) > 0),
+    cnt AS (
+      SELECT doc_id, i, t[CAST(i*g+1 AS INT) : CAST(i*g+g AS INT)] AS ptoks,
+             len(t[CAST(i*g+1 AS INT) : CAST(i*g+g AS INT)]) AS c,
+             row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+      FROM seg),
+    nf AS (
+      SELECT doc_id, rn, ptoks, c, 0 AS ci, c AS fill
+      FROM cnt WHERE rn = 1
+      UNION ALL
+      SELECT cnt.doc_id, cnt.rn, cnt.ptoks, cnt.c,
+             CASE WHEN nf.fill + cnt.c > 12 THEN nf.ci + 1 ELSE nf.ci END,
+             CASE WHEN nf.fill + cnt.c > 12 THEN cnt.c
+                  ELSE nf.fill + cnt.c END
+      FROM nf JOIN cnt ON cnt.doc_id = nf.doc_id AND cnt.rn = nf.rn + 1),
+    ch AS (
+      SELECT doc_id, ci,
+             string_agg(array_to_string(ptoks, ' '), e'\n\n' ORDER BY rn) AS chunk_text,
+             CAST(SUM(c) AS INT) AS n_tokens,
+             CAST(COUNT(*) AS INT) AS n_segments
+      FROM nf GROUP BY doc_id, ci)
+    SELECT doc_id, CAST(ci AS INT) AS chunk_id, chunk_text, n_tokens,
+           n_segments
+    FROM ch
+    ORDER BY doc_id ASC NULLS FIRST, chunk_id ASC NULLS FIRST"""
+
   // q73 — sequence packing: shard by id (8 shards), lay documents
   // end-to-end per shard, bin = token offset ÷ 256. Output is the per-bin
   // summary; the per-doc assignment is the operator's frame. One window
@@ -1064,6 +1119,7 @@ object CorpusQueries extends QueryPack {
 
   override def queries: Seq[Q] = Seq(
     Q("q72_doc_chunking", q72, Some(q72Sql)),
+    Q("q215_config_segment_chunk", q215, Some(q215Sql)),
     Q("q73_sequence_packing", q73, Some(q73Sql)),
     Q("q74_decontamination", q74, Some(q74Sql)),
     Q("q75_repetition_stats", q75, Some(q75Sql)),

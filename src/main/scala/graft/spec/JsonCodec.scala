@@ -400,13 +400,23 @@ object JsonCodec {
         size = req(d, ctx, "size").asInt,
         overlap = opt(d, "overlap").map(_.asInt).getOrElse(0),
         textCol = opt(d, "text_col", "textCol").map(_.asText),
-        idsCol = opt(d, "ids_col", "idsCol").map(_.asText))
+        idsCol = opt(d, "ids_col", "idsCol").map(_.asText),
+        sep = opt(d, "sep").map(_.asText))
       require(cs.size >= 1, s"$ctx: size must be >= 1, got ${cs.size}")
       require(cs.overlap >= 0 && cs.overlap < cs.size,
         s"$ctx: need 0 <= overlap < size, got overlap=${cs.overlap} size=${cs.size}")
       require(cs.textCol.isDefined != cs.idsCol.isDefined,
         s"$ctx: exactly one of text_col (whitespace-token tier) or " +
           "ids_col (token-id tier) must be set")
+      cs.sep.foreach { s =>
+        require(s.nonEmpty, s"$ctx: sep must be non-empty")
+        require(cs.textCol.isDefined,
+          s"$ctx: sep (structure-aware segment chunking) needs text_col " +
+            "— token-id arrays carry no separators")
+        require(cs.overlap == 0,
+          s"$ctx: sep excludes overlap — segments pack whole, " +
+            "they never overlap")
+      }
       cs
     }
 

@@ -402,13 +402,17 @@ final case class BpeApplySpec(
   * (token-id tier over a `bpe_apply with_ids` array, frame becomes
   * (id, chunk_id, chunk_ids, n_tokens)). Scan-stage generator, no
   * shuffle — streaming-admissible; the no-truncation companion to
-  * `sequence_pack mode:"whole"`. */
+  * `sequence_pack mode:"whole"`. `sep` (text tier only; excludes
+  * `overlap`) switches to STRUCTURE-AWARE chunking: sep-separated
+  * segments (paragraphs) pack greedily into chunks of at most `size`
+  * tokens, a segment never splits (frame gains `n_segments`). */
 final case class ChunkSpec(
     idCol: String,
     size: Int,
     overlap: Int = 0,
     textCol: Option[String] = None,
-    idsCol: Option[String] = None
+    idsCol: Option[String] = None,
+    sep: Option[String] = None
 )
 
 /** Scan-stage near-duplicate PROBE against a persisted MinHash band

@@ -122,6 +122,45 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("chunkBySegments: greedy paragraph packing — merge, close, oversized, empties") {
+    val tiny = Seq(
+      // 3+3+3 token paragraphs at size 7: [p1 p2] then [p3]
+      (1L, "a b c\n\nd e f\n\ng h i"),
+      // oversized middle paragraph gets its own chunk; neighbors pack
+      (2L, "a b\n\n" + (1 to 9).map("t" + _).mkString(" ") + "\n\nc d"),
+      // whitespace-only segment drops; survivors re-join with sep
+      (3L, "a b\n\n   \n\nc d"),
+      // empty doc → no chunks
+      (4L, ""),
+      // single paragraph under size → one chunk
+      (5L, "x y z")
+    ).toDF("doc_id", "text")
+    val got = Corpus.chunkBySegments(tiny, "doc_id", "text", size = 7)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getString(2), r.getInt(3), r.getInt(4))).toMap
+    assert(got((1L, 0)) == ("a b c\n\nd e f", 6, 2))
+    assert(got((1L, 1)) == ("g h i", 3, 1))
+    assert(got((2L, 0)) == ("a b", 2, 1))
+    assert(got((2L, 1)) == ((1 to 9).map("t" + _).mkString(" "), 9, 1),
+      "an oversized segment forms its own chunk, never splits")
+    assert(got((2L, 2)) == ("c d", 2, 1))
+    assert(got((3L, 0)) == ("a b\n\nc d", 4, 2),
+      "whitespace-only segments drop; survivors re-separate with sep")
+    assert(!got.keys.exists(_._1 == 4L), "empty doc emits nothing")
+    assert(got((5L, 0)) == ("x y z", 3, 1))
+    assert(got.size == 7)
+    // custom separator
+    val alt = Corpus.chunkBySegments(
+      Seq((9L, "a b|c d|e f")).toDF("doc_id", "text"),
+      "doc_id", "text", size = 4, sep = "|")
+      .collect().map(r => r.getInt(1) -> r.getString(2)).toMap
+    assert(alt == Map(0 -> "a b|c d", 1 -> "e f"))
+    intercept[IllegalArgumentException] {
+      Corpus.chunkBySegments(tiny, "doc_id", "text", size = 0)
+    }
+  }
+
   // ---- packing ------------------------------------------------------------
 
   test("packing: total conservation, bin monotonicity, overflow bound") {

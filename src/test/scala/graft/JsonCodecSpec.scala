@@ -583,6 +583,18 @@ class JsonCodecSpec extends AnyFunSuite {
     val eCk3 = intercept[IllegalArgumentException](root("""
       {"chunk": {"id_col": "i", "text_col": "t", "size": 8, "overlap": 8}}"""))
     assert(eCk3.getMessage.contains("overlap"))
+    // sep (structure-aware segment mode): text-tier only, excludes overlap
+    assert(root("""
+      {"source": {"table": "d"},
+       "chunk": {"id_col": "i", "text_col": "t", "size": 256,
+         "sep": "\n\n"}}""").chunk.get.sep.contains("\n\n"))
+    val eCk4 = intercept[IllegalArgumentException](root("""
+      {"chunk": {"id_col": "i", "ids_col": "x", "size": 8, "sep": "|"}}"""))
+    assert(eCk4.getMessage.contains("needs text_col"))
+    val eCk5 = intercept[IllegalArgumentException](root("""
+      {"chunk": {"id_col": "i", "text_col": "t", "size": 8, "sep": "|",
+        "overlap": 2}}"""))
+    assert(eCk5.getMessage.contains("excludes overlap"))
     // dedup order_col: decode + id_col requirement
     val db = root("""
       {"source": {"table": "t"},
