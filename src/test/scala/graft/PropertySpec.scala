@@ -509,6 +509,52 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("chunkBySegments: random paragraphs — order-preserving, whole segments, greedy bound") {
+    import graft.ops.Corpus
+    val caseGen: Gen[(List[(Long, List[Int])], Int)] = for {
+      rows <- Gen.nonEmptyListOf(for {
+        id <- Gen.chooseNum(1L, 100000L)
+        // paragraph lengths in words; some exceed any small size budget
+        lens <- Gen.listOf(Gen.chooseNum(1, 9)).map(_.take(12))
+      } yield (id, lens)).map(_.distinctBy(_._1))
+      size <- Gen.chooseNum(3, 14)
+    } yield (rows, size)
+    forAll(caseGen, n = 8) { case (rows, size) =>
+      val df = rows.map { case (id, lens) =>
+        (id, lens.zipWithIndex.map { case (l, p) =>
+          (1 to l).map(w => s"d${id}p${p}w$w").mkString(" ")
+        }.mkString("\n\n"))
+      }.toDF("doc_id", "text")
+      val got = Corpus.chunkBySegments(df, "doc_id", "text", size)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+      rows.foreach { case (id, lens) =>
+        val paras = lens.zipWithIndex.map { case (l, p) =>
+          (1 to l).map(w => s"d${id}p${p}w$w").mkString(" ") }
+        val chunks = got.getOrElse(id, Array.empty)
+        // segments survive WHOLE and IN ORDER: re-splitting the chunks on
+        // the sep reproduces the paragraph list exactly
+        val rebuilt = chunks.flatMap(_._3.split("\n\n", -1)).toList
+        assert(rebuilt == paras, "paragraphs must survive whole, in order")
+        // greedy bound: a chunk exceeds `size` only as a single oversized
+        // segment; and merging a chunk's first segment into its
+        // predecessor would have burst the budget (greedy tightness)
+        chunks.foreach { c =>
+          val segs = c._3.split("\n\n", -1)
+          assert(c._4 <= size || segs.length == 1)
+        }
+        chunks.sliding(2).foreach {
+          case Array(a, b) =>
+            val bFirst = b._3.split("\n\n", -1).head.split(" ").length
+            assert(a._4 + bFirst > size,
+              "greedy: next chunk's head segment cannot fit the previous chunk")
+          case _ => ()
+        }
+      }
+    }
+  }
+
   test("chunkIds: random arrays reconstruct from stride prefixes; count formula holds") {
     import graft.ops.Corpus
     val caseGen: Gen[(List[(Long, List[Int])], Int, Int)] = for {

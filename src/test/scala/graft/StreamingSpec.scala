@@ -1054,22 +1054,31 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf/documents.parquet"),
       java.nio.file.Paths.get(s"$dir/in/documents.parquet"))
-    val nodeBody = s""""keep_columns": ["doc_id", "text"],
-       "chunk": {"id_col": "doc_id", "text_col": "text",
-                 "size": 16, "overlap": 4}"""
     def key(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getInt(3))
-    val batch = graft.compile.Compiler.compileJson(spark, s"""
-      {"source": {"path": "$dir/in/documents.parquet"}, $nodeBody}""")
-      .collect().map(key).toMap
-    val q = graft.compile.Compiler.compileStreamJson(spark, s"""
-      {"source": {"path": "$dir/in"}, $nodeBody,
-       "save": {"format": "memory", "query_name": "chunk_stream",
-                "trigger": "available_now", "output_mode": "append"}}""")
-    q.processAllAvailable(); q.stop()
-    val streamed = spark.table("chunk_stream").collect().map(key).toMap
-    assert(streamed == batch, "stream chunking must equal batch")
-    assert(batch.nonEmpty)
+    Seq(
+      // windowed text tier and structure-aware sep tier: both are pure
+      // scan-stage generators, so both must be batching-invariant
+      ("chunk_stream_w", s""""keep_columns": ["doc_id", "text"],
+        "chunk": {"id_col": "doc_id", "text_col": "text",
+                  "size": 16, "overlap": 4}"""),
+      ("chunk_stream_s", s""""derive": {"para": "replace(text, ' merge ', '|')"},
+        "keep_columns": ["doc_id", "para"],
+        "chunk": {"id_col": "doc_id", "text_col": "para",
+                  "size": 16, "sep": "|"}""")
+    ).foreach { case (qname, nodeBody) =>
+      val batch = graft.compile.Compiler.compileJson(spark, s"""
+        {"source": {"path": "$dir/in/documents.parquet"}, $nodeBody}""")
+        .collect().map(key).toMap
+      val q = graft.compile.Compiler.compileStreamJson(spark, s"""
+        {"source": {"path": "$dir/in"}, $nodeBody,
+         "save": {"format": "memory", "query_name": "$qname",
+                  "trigger": "available_now", "output_mode": "append"}}""")
+      q.processAllAvailable(); q.stop()
+      val streamed = spark.table(qname).collect().map(key).toMap
+      assert(streamed == batch, s"$qname: stream chunking must equal batch")
+      assert(batch.nonEmpty)
+    }
   }
 
   test("dsir_score config key runs on a stream: artifact-loaded weights, stream == batch") {
