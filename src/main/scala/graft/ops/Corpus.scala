@@ -108,11 +108,16 @@ object Corpus {
     require(sep.nonEmpty, "sep must be non-empty")
     import TextAnalysis.{tokens, withBound}
     val sepQ = java.util.regex.Pattern.quote(sep)
+    // tokenize each raw segment ONCE: pair (segment, token count), then
+    // drop empties — the count drives both the empty filter and the fold
     val chunks =
-      withBound(filter(split(col(textCol), sepQ),
-        s => org.apache.spark.sql.functions.size(tokens(s)) > 0)) { segs =>
-      withBound(transform(segs,
-        s => org.apache.spark.sql.functions.size(tokens(s)))) { counts =>
+      withBound(filter(
+        transform(split(col(textCol), sepQ), s =>
+          struct(s.as("s"),
+            org.apache.spark.sql.functions.size(tokens(s)).as("c"))),
+        p => p.getField("c") > 0)) { pairs =>
+      withBound(transform(pairs, p => p.getField("s"))) { segs =>
+      withBound(transform(pairs, p => p.getField("c"))) { counts =>
         // greedy next-fit fold over segment token counts: acc carries the
         // open chunk index, its fill, and one chunk index per seen segment
         val zero = struct(lit(-1).as("last"), lit(0).as("fill"),
@@ -150,6 +155,7 @@ object Corpus {
                   i => when(i === k, 1).otherwise(lit(0))),
                 lit(0), (a, x) => a + x).as("ns"))))
         }
+      }
       }
     }
     df.select(col(idCol), posexplode(chunks).as(Seq("chunk_id", "__cs")))
