@@ -11,10 +11,17 @@ object QBench {
     spark.sparkContext.setLogLevel("WARN")
     graft.Tables.registerViews(spark, sfDir)
     spark.table("lineitem").groupBy("l_returnflag").count().count()
+    // runs > 1 separates first-run codegen cost (run 1) from the warm
+    // steady state (runs 2+) — the number the battery's median reports.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_QBENCH_RUNS", "1").toInt
     SparkEntry.queries.filter(q => names.isEmpty || names(q._1)).foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      println(f"[qbench] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      (1 to runs).foreach { i =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        println(f"[qbench] $name run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        graft.compile.Compiler.releaseAllCaches()
+        spark.catalog.clearCache()
+      }
     }
     spark.stop()
   }

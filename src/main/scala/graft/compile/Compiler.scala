@@ -76,12 +76,12 @@ object Compiler {
         // chunk is NOT here: its ids_col is usually bpe_apply-created in
         // the same node (bpe_ids) — the analyzer tier checks it
         node.chunk.toSeq.map(_.idCol) ++
-        node.nearDup.toSeq.flatMap(d => Seq(d.idCol, d.vecCol)) ++
+        node.nearDup.toSeq.flatMap(d => Seq(d.idCol, d.vecCol) ++ d.retention.map(_.orderCol)) ++
         node.semanticDedup.toSeq.flatMap(d => Seq(d.idCol, d.vecCol)) ++
         node.editDedup.toSeq.flatMap(e => Seq(e.idCol, e.textCol)) ++
-        node.imageDedup.toSeq.flatMap(i => Seq(i.idCol, i.payloadCol)) ++
-        node.simhashDedup.toSeq.flatMap(sh => Seq(sh.idCol, sh.textCol)) ++
-        node.audioDedup.toSeq.flatMap(a => Seq(a.idCol, a.payloadCol)) ++
+        node.imageDedup.toSeq.flatMap(i => Seq(i.idCol, i.payloadCol) ++ i.retention.map(_.orderCol)) ++
+        node.simhashDedup.toSeq.flatMap(sh => Seq(sh.idCol, sh.textCol) ++ sh.retention.map(_.orderCol)) ++
+        node.audioDedup.toSeq.flatMap(a => Seq(a.idCol, a.payloadCol) ++ a.retention.map(_.orderCol)) ++
         node.passageDedup.toSeq.flatMap(p => Seq(p.idCol, p.textCol)) ++
         node.lmPerplexity.toSeq.flatMap(l => Seq(l.idCol, l.textCol)) ++
         node.qualityClassifier.toSeq.flatMap(q => Seq(q.idCol, q.textCol, q.labelCol)) ++
@@ -94,6 +94,7 @@ object Compiler {
         node.dsirScore.toSeq.map(_.textCol) ++
         node.pageRank.toSeq.flatMap(p => Seq(p.srcCol, p.dstCol)) ++
         node.tarPack.toSeq.flatMap(t => Seq(t.nameCol, t.payloadCol)) ++
+        node.tarCompact.toSeq.flatMap(t => t.tarCol +: t.batchCol.toSeq) ++
         node.bm25.toSeq.flatMap(bq => Seq(bq.idCol, bq.textCol)) ++
         node.wdsSamples.toSeq.flatMap(ws => Seq(ws.nameCol, ws.dataCol)) ++
         node.winnow.toSeq.flatMap(wn => Seq(wn.idCol, wn.textCol)) ++
@@ -318,7 +319,27 @@ object Compiler {
       if (streaming) throw new IllegalArgumentException(
         s"node ${node.id}: $key runs $reason — batch-only; $hint")
 
+    // Best-copy retention over a cluster tier's (id, cluster) labels:
+    // join the labels back onto the FULL input frame (left — a row no
+    // near-dup touched heads its own singleton class) and keep each
+    // class's best row via the exactDedupBest aggregate. One label join
+    // + one partial+final aggregate over the cluster op's own cost; the
+    // corpus row data never widens beyond (row + cluster).
+    def retainBest(input: DataFrame, labels: DataFrame, idCol: String,
+        r: graft.spec.RetentionSpec): DataFrame = {
+      require(!input.columns.contains("cluster"),
+        s"node ${node.id}: retention adds a 'cluster' column but the " +
+          "input already has one — rename it first")
+      val lab = labels.select(col("id").as("__rcid"), col("cluster"))
+      val joined = input.join(lab, input(idCol) === col("__rcid"), "left")
+        .drop("__rcid")
+        .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
+      graft.ops.Dedup.exactDedupBest(
+        joined, Seq("cluster"), idCol, r.orderCol, r.descending)
+    }
+
     node.nearDup.foreach { d =>
+      val input = df
       df = graft.ops.Similarity.cosineNearDupPairsBanded(
         df, d.idCol, d.vecCol, d.threshold, d.dim, d.numBits, d.bands)
       // "clusters": connected components over the verified pairs — the
@@ -327,6 +348,7 @@ object Compiler {
       if (d.output == "clusters") {
         requireBatch("near_dup (clusters)")
         df = graft.ops.Dedup.dedupClusters(df)
+        d.retention.foreach { r => df = retainBest(input, df, d.idCol, r) }
       }
     }
 
@@ -358,11 +380,13 @@ object Compiler {
     // or (id, cluster) labels when output="clusters" — both plan-only
     // (partition-batched dHash + identical-signature-collapsed banding).
     node.imageDedup.foreach { im =>
+      val input = df
       df =
         if (im.output == "clusters") {
           requireBatch("image_dedup (clusters)")
-          graft.ops.Multimodal.imageNearDupClusters(
+          val labels = graft.ops.Multimodal.imageNearDupClusters(
             df, im.idCol, im.payloadCol, im.maxDist)
+          im.retention.fold(labels)(r => retainBest(input, labels, im.idCol, r))
         } else
           graft.ops.Multimodal.imageNearDupPairs(
             df, im.idCol, im.payloadCol, im.maxDist)
@@ -370,21 +394,26 @@ object Compiler {
 
     // Text SimHash near-dup: same shapes over the token-hash SimHash.
     node.simhashDedup.foreach { sh =>
+      val input = df
       df =
         if (sh.output == "clusters") {
           requireBatch("simhash_dedup (clusters)")
-          graft.ops.Dedup.simhashClusters(df, sh.idCol, sh.textCol, sh.maxDist)
+          val labels =
+            graft.ops.Dedup.simhashClusters(df, sh.idCol, sh.textCol, sh.maxDist)
+          sh.retention.fold(labels)(r => retainBest(input, labels, sh.idCol, r))
         } else
           graft.ops.Dedup.simhashPairs(df, sh.idCol, sh.textCol, sh.maxDist)
     }
 
     // Perceptual audio dedup: same shapes over the envelope hash.
     node.audioDedup.foreach { au =>
+      val input = df
       df =
         if (au.output == "clusters") {
           requireBatch("audio_dedup (clusters)")
-          graft.ops.Multimodal.audioNearDupClusters(
+          val labels = graft.ops.Multimodal.audioNearDupClusters(
             df, au.idCol, au.payloadCol, au.maxDist)
+          au.retention.fold(labels)(r => retainBest(input, labels, au.idCol, r))
         } else
           graft.ops.Multimodal.audioNearDupPairs(
             df, au.idCol, au.payloadCol, au.maxDist)
@@ -580,6 +609,16 @@ object Compiler {
     // compile needs an aggregate-admitting output mode downstream).
     node.tarPack.foreach { tp =>
       df = graft.ops.Tar.tarShards(df, tp.nameCol, tp.payloadCol, tp.shards)
+    }
+
+    // Shard-set compaction: the frame (one row per landed archive, e.g.
+    // a tar_pack_ingest output dir) becomes the re-packed (shard, tar,
+    // n_members, tar_bytes). Batch-only: a maintenance pass over landed
+    // data, not a per-batch stream transform.
+    node.tarCompact.foreach { tc =>
+      requireBatch("tar_compact", "a whole-history member re-pack",
+        "run it as a batch maintenance pass over the landed ingest dir")
+      df = graft.ops.Tar.tarCompact(df, tc.tarCol, tc.shards, tc.batchCol)
     }
 
     // Training-sequence packing: the frame becomes (shard, seq, ids,

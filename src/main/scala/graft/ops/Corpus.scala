@@ -792,9 +792,17 @@ object Corpus {
       .withColumn("__tb_k", key)
       .withColumn("__tb_b", bucket)
       .withColumn("__tb_t", toks)
-    // bounded metadata: #groups × ≤1024 rows (the temperatureSample
-    // collect precedent — mixture groups are languages/sources)
-    val stats = keyed.groupBy("__tb_g", "__tb_b")
+    // bounded metadata BY CONSTRUCTION: only the budgeted groups (plus
+    // any NULL group, kept so it still fails loudly below) feed the
+    // bucket-sum collect — ≤ (budgets.size + 1) × 1024 rows no matter
+    // what cardinality `groupCol` turns out to have. Unbudgeted groups
+    // were always discarded by the cuts join anyway; without this filter
+    // an accidental doc-level group_col turned the collect into an
+    // unbounded driver transfer instead of a no-op (r15 advice).
+    val budgetedOrNull =
+      col("__tb_g").isNull ||
+        col("__tb_g").isin(budgets.map(_._1): _*)
+    val stats = keyed.filter(budgetedOrNull).groupBy("__tb_g", "__tb_b")
       .agg(sum("__tb_t").as("__tb_s")).collect()
     if (stats.exists(_.isNullAt(0))) throw new IllegalArgumentException(
       s"tokenBudgetSample: NULL group in column '$groupCol' — rows " +
@@ -1690,12 +1698,15 @@ object Corpus {
 
   /** Derive the [[dsirResampleThreshold]] cut that keeps ~`n` rows: the
     * (1 − n/N) quantile of the selection key via Spark's
-    * Greenwald-Khanna sketch — ONE pass, executor memory bounded by
-    * 1/relativeError, driver traffic one summary per partition
-    * (approxQuantile), vs rank-select's n·partitions keys. With
-    * `relativeError = 0` the quantile is exact (the sketch degrades to
-    * keeping all samples — only for tests/small frames). Returns
-    * −Infinity when n >= N (keep everything). */
+    * Greenwald-Khanna sketch ([[org.apache.spark.sql.catalyst.util.QuantileSummaries]],
+    * the approxQuantile kernel) — driven directly so the row COUNT rides
+    * the same sketch (a GK summary carries its insert count), making
+    * this ONE pass over the keys instead of persist + count + quantile.
+    * Executor memory bounded by 1/relativeError, driver traffic one
+    * merged summary (treeAggregate). With `relativeError = 0` the
+    * quantile is exact (the sketch degrades to keeping all samples —
+    * only for tests/small frames). Returns −Infinity when n >= N (keep
+    * everything). */
   def dsirThresholdForN(
       scored: DataFrame,
       idCol: String,
@@ -1708,16 +1719,21 @@ object Corpus {
     require(n >= 1, s"dsirThresholdForN: n must be >= 1, got $n")
     require(relativeError >= 0 && relativeError < 1,
       s"dsirThresholdForN: relative_error must be in [0, 1), got $relativeError")
+    import org.apache.spark.sql.catalyst.util.QuantileSummaries
     val keyed = dsirKeyed(scored, idCol, seed, gumbel, logwCol,
-      "dsirThresholdForN").select(col("__dsk")).persist()
-    try {
-      val total = keyed.count()
-      if (n >= total) Double.NegativeInfinity
-      else {
-        val p = 1.0 - n.toDouble / total
-        keyed.stat.approxQuantile("__dsk", Array(p), relativeError)(0)
-      }
-    } finally { keyed.unpersist(blocking = false); () }
+      "dsirThresholdForN").select(col("__dsk").cast("double"))
+    // The same seqOp/combOp shape as StatFunctions.multipleApproxQuantiles
+    // (approxQuantile's engine): per-partition inserts, compress-then-merge
+    // up a tree — the merged summary answers BOTH count() and query(p).
+    val zero = new QuantileSummaries(
+      QuantileSummaries.defaultCompressThreshold, relativeError)
+    val merged = keyed.rdd.treeAggregate(zero)(
+      (qs, row) => if (row.isNullAt(0)) qs else qs.insert(row.getDouble(0)),
+      (a, b) => a.compress().merge(b.compress()))
+    val total = merged.count
+    if (n >= total) Double.NegativeInfinity
+    else merged.compress().query(1.0 - n.toDouble / total).getOrElse(
+      Double.NegativeInfinity)
   }
 
   /** Persist a fitted DSIR model as a sparse parquet weight table —

@@ -50,6 +50,58 @@ object Tar {
       .withColumn("tar_bytes", octet_length(col("tar")).cast("long"))
   }
 
+  /** COMPACT a landed shard set: explode every archive in `packed`
+    * (e.g. a `tar_pack_ingest` output dir — one small shard set per
+    * micro-batch forever) back into members and re-pack to `shards`
+    * archives with the same sample-key cohesion as [[tarShards]]. The
+    * offline maintenance pass a long-running ingest needs so the
+    * training loader reads N big archives instead of thousands of
+    * per-batch slivers.
+    *
+    * `batchCol` (e.g. the ingest's `batch_id`) turns duplicate member
+    * NAMES across batches into last-writer-wins: the copy from the
+    * highest batch survives — a corrected re-emit supersedes the
+    * original, and re-compaction over an already-compacted set is
+    * idempotent. Without it, duplicate names are kept verbatim (the
+    * WebDataset unique-name contract is the caller's).
+    *
+    * Scale: the explode is archive-shaped (each tar inflates in one
+    * task — the same fits-an-executor contract the packer had); the
+    * optional dedup is ONE member-shaped max-aggregate (map-side
+    * combine); re-packing is [[tarShards]]'s one shuffle. History is
+    * read once, never per batch. */
+  def tarCompact(
+      packed: DataFrame,
+      tarCol: String,
+      shards: Int,
+      batchCol: Option[String] = None
+  ): DataFrame = {
+    require(shards >= 1, s"tarCompact: shards must be >= 1, got $shards")
+    batchCol.foreach { b =>
+      require(packed.columns.contains(b),
+        s"tarCompact: batch column '$b' not found " +
+          s"(columns: ${packed.columns.mkString(", ")})")
+    }
+    val members = packed
+      .select(
+        batchCol.map(col(_).cast("long")).getOrElse(lit(0L)).as("__b"),
+        explode(graft.functions.TarKernels.tarMembers(
+          col(tarCol).cast("binary"))).as("__m"))
+      .select(col("__b"), col("__m.name").as("name"),
+        col("__m.data").as("data"))
+    val latest = batchCol match {
+      case Some(_) =>
+        // max over (batch, data) structs: highest batch wins; a same-batch
+        // name collision resolves by payload bytes — deterministic either
+        // way, so the compacted archive bytes are replay-stable.
+        members.groupBy(col("name"))
+          .agg(max(struct(col("__b"), col("data"))).as("__w"))
+          .select(col("name"), col("__w.data").as("data"))
+      case None => members.select(col("name"), col("data"))
+    }
+    tarShards(latest, "name", "data", shards)
+  }
+
   /** `name` up to its last '.' (the WebDataset sample key); names
     * without an extension are their own key. */
   def sampleKey(name: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

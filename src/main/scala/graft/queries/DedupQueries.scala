@@ -653,6 +653,51 @@ object DedupQueries extends QueryPack {
                 AS BIGINT) AS copies_merged,
            CAST(0 AS BIGINT) AS copy_led_clusters"""
 
+  // q217 — NEAR-dup best-copy retention as ONE config key (the r15
+  // cookbook promoted to `retention` on the cluster tiers): three
+  // versions of every doc_id % 5 = 0 doc — base (score 1), a re-crawl at
+  // +10⁷ (score 3), and for % 10 = 0 a third at +2·10⁷ (score 2) — carry
+  // IDENTICAL synthetic text per class ('cls<id> …'), so with max_dist 0
+  // each class is exactly one cluster and the survivor set is fully
+  // determined: the score-3 re-crawl wins every class (NOT the min id —
+  // the exact-dedup rule would keep the base), labelled by the class's
+  // min id. Row-level exact oracle: (cluster, winner id, text, score).
+  private def q217(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    graft.compile.Compiler.compileJson(s, """
+      {"id": "retain", "combine": {"op": "union", "nodes": [
+        {"id": "v0", "source": {"table": "documents"},
+         "filters": ["doc_id % 5 = 0"],
+         "derive": {"mtext": "concat('cls', doc_id, ' alpha beta gamma delta epsilon')",
+                    "score": "cast(1.0 as double)"},
+         "keep_columns": ["doc_id", "mtext", "score"]},
+        {"id": "v1", "source": {"table": "documents"},
+         "filters": ["doc_id % 5 = 0"],
+         "derive": {"mtext": "concat('cls', doc_id, ' alpha beta gamma delta epsilon')",
+                    "doc_id2": "doc_id + 10000000",
+                    "score": "cast(3.0 as double)"},
+         "keep_columns": ["doc_id2", "mtext", "score"],
+         "rename": {"doc_id2": "doc_id"}},
+        {"id": "v2", "source": {"table": "documents"},
+         "filters": ["doc_id % 10 = 0"],
+         "derive": {"mtext": "concat('cls', doc_id, ' alpha beta gamma delta epsilon')",
+                    "doc_id3": "doc_id + 20000000",
+                    "score": "cast(2.0 as double)"},
+         "keep_columns": ["doc_id3", "mtext", "score"],
+         "rename": {"doc_id3": "doc_id"}}]},
+       "simhash_dedup": {"id_col": "doc_id", "text_col": "mtext",
+                         "max_dist": 0, "output": "clusters",
+                         "retention": {"order_col": "score"}},
+       "order_by": ["cluster asc"]}""")
+  }
+  private val q217Sql = """
+    SELECT doc_id AS cluster,
+           doc_id + 10000000 AS doc_id,
+           'cls' || CAST(doc_id AS VARCHAR) || ' alpha beta gamma delta epsilon' AS mtext,
+           CAST(3.0 AS DOUBLE) AS score
+    FROM documents WHERE doc_id % 5 = 0
+    ORDER BY cluster ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
     Q("q27_dedup_exact", q27, Some(q27Sql)),
     Q("q28_ngram_jaccard", q28, Some(q28Sql)),
@@ -675,7 +720,8 @@ object DedupQueries extends QueryPack {
     Q("q195_winnow_pairs", q195, Some(q195Sql)),
     Q("q198_winnow_probe", q198, Some(q198Sql)),
     Q("q212_dedup_best_copy", q212, Some(q212Sql)),
-    Q("q214_dedup_soft_count", q214, Some(q214Sql))
+    Q("q214_dedup_soft_count", q214, Some(q214Sql)),
+    Q("q217_neardup_retention", q217, Some(q217Sql))
   )
 
   // q198 — INCREMENTAL MOSS probe: the corpus/incoming split (q88/q97/

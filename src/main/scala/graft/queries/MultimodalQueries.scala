@@ -1119,7 +1119,8 @@ object MultimodalQueries extends QueryPack {
     Q("q137_multimodal_flagship", q137, Some(q137Sql)),
     Q("q151_sniff_mime_routing", q151, Some(q151Sql)),
     Q("q188_tar_shard_roundtrip", q188, Some(q188Sql)),
-    Q("q189_config_wds_samples", q189, Some(q189Sql))
+    Q("q189_config_wds_samples", q189, Some(q189Sql)),
+    Q("q216_tar_compact", q216, Some(q216Sql))
   )
 
   // q188 — WebDataset tar sharding, gated end to end THROUGH THE BYTES:
@@ -1206,4 +1207,78 @@ object MultimodalQueries extends QueryPack {
            'cls,txt' AS exts,
            CAST(strlen(text) + strlen(lang) AS BIGINT) AS payload_bytes
     FROM documents ORDER BY sample_key ASC NULLS FIRST"""
+
+  // q216 — SHARD-SET COMPACTION from PURE JSON, gated through the bytes:
+  // a simulated two-batch tar_pack_ingest history (batch 0 packs the
+  // even docs; batch 1 packs the odds PLUS a corrected re-emit of every
+  // doc_id % 10 = 0 with ' v2' appended) is unioned and re-packed by the
+  // root `tar_compact` key into 4 archives with batch_id last-writer-
+  // wins. The reparse aggregate then proves, per compacted shard, that
+  // (a) every doc appears exactly once, (b) the % 10 = 0 docs carry the
+  // BATCH-1 payload, and (c) archive sizes match the tar arithmetic —
+  // builder, member dedup, and re-pack all under one exact oracle.
+  private def q216(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir)
+    graft.compile.Compiler.compileJson(s, """
+      {"defs": [
+         {"id": "b0", "source": {"table": "documents"},
+          "filters": ["doc_id % 2 = 0"],
+          "derive": {"name": "concat('doc-', doc_id, '.txt')",
+                     "payload": "cast(text as binary)"},
+          "keep_columns": ["name", "payload"],
+          "tar_pack": {"name_col": "name", "payload_col": "payload", "shards": 3},
+          "with_columns": {"batch_id": "0"}},
+         {"id": "b1", "source": {"table": "documents"},
+          "filters": ["doc_id % 2 = 1 or doc_id % 10 = 0"],
+          "derive": {"name": "concat('doc-', doc_id, '.txt')",
+                     "payload": "cast(case when doc_id % 10 = 0 then concat(text, ' v2') else text end as binary)"},
+          "keep_columns": ["name", "payload"],
+          "tar_pack": {"name_col": "name", "payload_col": "payload", "shards": 3},
+          "with_columns": {"batch_id": "1"}}],
+       "combine": {"op": "union", "nodes": [
+         {"id": "h0", "source": {"ref": "b0"}},
+         {"id": "h1", "source": {"ref": "b1"}}]},
+       "tar_compact": {"tar_col": "tar", "shards": 4, "batch_col": "batch_id"}}""")
+      .select(col("shard"), col("n_members"), col("tar_bytes"),
+        explode(graft.functions.TarKernels.tarMembers(col("tar"))).as("__m"))
+      .groupBy("shard", "n_members", "tar_bytes")
+      .agg(
+        count(lit(1)).cast("int").as("n_reparsed"),
+        sum(octet_length(col("__m.data"))).as("payload_bytes"),
+        sum(graft.functions.TextKernels
+          .portableFingerprint(col("__m.name"))).as("name_fp_sum"),
+        sum(graft.functions.TextKernels
+          .portableFingerprint(col("__m.data").cast("string"))).as("text_fp_sum"))
+      .orderBy(col("shard").asc_nulls_first)
+  }
+  private val q216Sql = s"""
+    WITH m AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END AS payload,
+             'doc-' || CAST(doc_id AS VARCHAR) || '.txt' AS name,
+             'doc-' || CAST(doc_id AS VARCHAR) AS skey
+      FROM documents),
+    tok AS (
+      SELECT doc_id, name, skey, payload,
+             list_filter(string_split_regex(trim(payload), '\\s+'),
+                         x -> len(x) > 0) AS t
+      FROM m),
+    f AS (
+      SELECT CAST(${hornerSql("skey")} % 4 AS INT) AS shard,
+             strlen(payload) AS sz,
+             ${hornerSql("name")} AS name_fp,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(t, tok -> ${hornerSql("tok")})),
+               (a, h) -> (a * 31 + h) % 1000000007) AS text_fp
+      FROM tok)
+    SELECT shard,
+           CAST(COUNT(*) AS INT) AS n_members,
+           CAST(((1024 + SUM(512 + CAST(CEIL(sz / 512.0) * 512 AS BIGINT))
+                  + 10239) // 10240) * 10240 AS BIGINT) AS tar_bytes,
+           CAST(COUNT(*) AS INT) AS n_reparsed,
+           CAST(SUM(sz) AS BIGINT) AS payload_bytes,
+           CAST(SUM(name_fp) AS BIGINT) AS name_fp_sum,
+           CAST(SUM(text_fp) AS BIGINT) AS text_fp_sum
+    FROM f GROUP BY shard ORDER BY shard ASC NULLS FIRST"""
 }

@@ -231,7 +231,26 @@ object JsonCodec {
       }
     }
 
+    // Best-copy retention for cluster-output tiers — validated at decode
+    // time: the key only makes sense over clusters, and a silent no-op
+    // on pairs output is the config-language failure mode this codec
+    // exists to prevent.
+    def retentionOf(d: JsonNode, key: String, output: String): Option[RetentionSpec] =
+      opt(d, "retention").map { r =>
+        require(output == "clusters",
+          s"""node $id: $key.retention needs output: "clusters" — """ +
+            s"""best-copy retention has no meaning over "$output" output""")
+        RetentionSpec(
+          orderCol = req(r, s"node $id: $key.retention", "order_col", "orderCol").asText,
+          descending = opt(r, "descending").forall(_.asBoolean(true)))
+      }
+
     val nd = optN("near_dup", "nearDup").map { d =>
+      val out = opt(d, "output").map(_.asText).map {
+        case s @ ("pairs" | "clusters") => s
+        case other => throw new IllegalArgumentException(
+          s"""node $id: near_dup output must be "pairs" or "clusters" — got "$other"""")
+      }.getOrElse("pairs")
       NearDupSpec(
         idCol = req(d, s"node $id: near_dup", "id_col", "idCol").asText,
         vecCol = req(d, s"node $id: near_dup", "vec_col", "vecCol").asText,
@@ -239,11 +258,8 @@ object JsonCodec {
         dim = req(d, s"node $id: near_dup", "dim").asInt,
         numBits = opt(d, "num_bits", "numBits").map(_.asInt).getOrElse(64),
         bands = opt(d, "bands").map(_.asInt).getOrElse(8),
-        output = opt(d, "output").map(_.asText).map {
-          case s @ ("pairs" | "clusters") => s
-          case other => throw new IllegalArgumentException(
-            s"""node $id: near_dup output must be "pairs" or "clusters" — got "$other"""")
-        }.getOrElse("pairs"))
+        output = out,
+        retention = retentionOf(d, "near_dup", out))
     }
 
     val smd = optN("semantic_dedup", "semanticDedup").map { d =>
@@ -300,7 +316,8 @@ object JsonCodec {
         idCol = req(d, s"node $id: image_dedup", "id_col", "idCol").asText,
         payloadCol = req(d, s"node $id: image_dedup", "payload_col", "payloadCol").asText,
         maxDist = opt(d, "max_dist", "maxDist").map(_.asInt).getOrElse(6),
-        output = dedupOutput(d, "image_dedup"))
+        output = dedupOutput(d, "image_dedup"),
+        retention = retentionOf(d, "image_dedup", dedupOutput(d, "image_dedup")))
     }
 
     val shd = optN("simhash_dedup", "simhashDedup").map { d =>
@@ -308,7 +325,8 @@ object JsonCodec {
         idCol = req(d, s"node $id: simhash_dedup", "id_col", "idCol").asText,
         textCol = req(d, s"node $id: simhash_dedup", "text_col", "textCol").asText,
         maxDist = opt(d, "max_dist", "maxDist").map(_.asInt).getOrElse(3),
-        output = dedupOutput(d, "simhash_dedup"))
+        output = dedupOutput(d, "simhash_dedup"),
+        retention = retentionOf(d, "simhash_dedup", dedupOutput(d, "simhash_dedup")))
     }
 
     val aud = optN("audio_dedup", "audioDedup").map { d =>
@@ -316,7 +334,8 @@ object JsonCodec {
         idCol = req(d, s"node $id: audio_dedup", "id_col", "idCol").asText,
         payloadCol = req(d, s"node $id: audio_dedup", "payload_col", "payloadCol").asText,
         maxDist = opt(d, "max_dist", "maxDist").map(_.asInt).getOrElse(6),
-        output = dedupOutput(d, "audio_dedup"))
+        output = dedupOutput(d, "audio_dedup"),
+        retention = retentionOf(d, "audio_dedup", dedupOutput(d, "audio_dedup")))
     }
 
     val pd = optN("passage_dedup", "passageDedup").map { d =>
@@ -557,6 +576,14 @@ object JsonCodec {
         shards = req(d, ctx, "shards").asInt)
     }
 
+    val tcSpec = optN("tar_compact", "tarCompact").map { d =>
+      val ctx = s"node $id: tar_compact"
+      TarCompactSpec(
+        tarCol = opt(d, "tar_col", "tarCol").map(_.asText).getOrElse("tar"),
+        shards = req(d, ctx, "shards").asInt,
+        batchCol = opt(d, "batch_col", "batchCol").map(_.asText))
+    }
+
     val dsirScoreSpec = optN("dsir_score", "dsirScore").map { d =>
       DsirScoreSpec(
         modelDir = req(d, s"node $id: dsir_score", "model_dir", "modelDir").asText,
@@ -745,6 +772,7 @@ object JsonCodec {
       dsir = dsirSpec,
       pageRank = prSpec,
       tarPack = tpSpec,
+      tarCompact = tcSpec,
       wdsSamples = wdsSpec,
       winnow = winnowSpec,
       winnowProbe = winnowProbeSpec,
@@ -831,6 +859,15 @@ object JsonCodec {
             || sp.mode == "best_fit",
           s"""$ctx: mode must be "split", "whole" or "best_fit", """ +
             s"""got "${sp.mode}"""")
+        // best_fit always keeps every (short) window — an explicit
+        // drop_last: false is the only detectable reliance on the key,
+        // and silently honoring the DEFAULT true would be worse: reject
+        // the stated contradiction by name instead of no-opping it.
+        require(!(sp.mode == "best_fit" &&
+            opt(d, "drop_last", "dropLast").exists(!_.asBoolean(true))),
+          s"""$ctx: drop_last has no effect under mode "best_fit" """ +
+            "(best-fit-decreasing keeps every window and pads instead) — " +
+            "remove the key, or use mode \"split\"/\"whole\" to drop tails")
         sp
       },
       tarPackIngest = optN("tar_pack_ingest", "tarPackIngest").map { d =>

@@ -237,7 +237,20 @@ final case class NearDupSpec(
     dim: Int,
     numBits: Int = 64,
     bands: Int = 8,
-    output: String = "pairs"
+    output: String = "pairs",
+    retention: Option[RetentionSpec] = None // clusters output only
+)
+
+/** Best-copy retention for a cluster-output dedup tier: instead of the
+  * raw (id, cluster) labels, the node keeps each duplicate class's best
+  * FULL row — the highest `order_col` score with `descending` (default),
+  * the lowest without — ties broken by minimum id (the exactDedupBest
+  * rule lifted to fuzzy clusters). Unlabelled rows (no near-dup) are
+  * their own class and always survive. ONE extra aggregate + one
+  * label join over the cluster op's cost. */
+final case class RetentionSpec(
+    orderCol: String,
+    descending: Boolean = true
 )
 
 /** SemDeDup-style semantic dedup (NS; the public SemDeDup recipe):
@@ -592,6 +605,18 @@ final case class TarPackSpec(
     shards: Int
 )
 
+/** Compact a landed shard set (NS; Tar.tarCompact): explode every
+  * archive in this node's frame back into members and re-pack to
+  * `shards` archives with tar_pack's sample-key cohesion — the offline
+  * maintenance pass over a `tar_pack_ingest` output dir. `batch_col`
+  * (the ingest's batch_id) makes duplicate member names across batches
+  * last-writer-wins. Batch-only (a maintenance pass over landed data). */
+final case class TarCompactSpec(
+    tarCol: String,
+    shards: Int,
+    batchCol: Option[String] = None
+)
+
 /** Damped PageRank over this node's frame read as an edge list (NS;
   * Graph.pageRank): the frame becomes (node, rank) — the host-authority
   * quality prior of web curation, computed with dangling-mass
@@ -761,7 +786,8 @@ final case class ImageDedupSpec(
     idCol: String,
     payloadCol: String,
     maxDist: Int = 6,
-    output: String = "pairs"
+    output: String = "pairs",
+    retention: Option[RetentionSpec] = None // clusters output only
 )
 
 /** Text SimHash near-dup (NS; Dedup.simhashPairs / simhashClusters):
@@ -776,7 +802,8 @@ final case class SimhashDedupSpec(
     idCol: String,
     textCol: String,
     maxDist: Int = 3,
-    output: String = "pairs"
+    output: String = "pairs",
+    retention: Option[RetentionSpec] = None // clusters output only
 )
 
 /** Exact substring-level dedup (NS; Dedup.duplicatePassageSpans /
@@ -801,7 +828,8 @@ final case class AudioDedupSpec(
     idCol: String,
     payloadCol: String,
     maxDist: Int = 6,
-    output: String = "pairs"
+    output: String = "pairs",
+    retention: Option[RetentionSpec] = None // clusters output only
 )
 
 /** Continuous near-dup ingestion (NS; Streaming.nearDupIngest): the
@@ -906,6 +934,7 @@ final case class NodeSpec(
     dsir: Option[DsirSpec] = None, // after keep, before aggregate
     pageRank: Option[PageRankSpec] = None, // after keep, before aggregate
     tarPack: Option[TarPackSpec] = None, // after keep, before aggregate
+    tarCompact: Option[TarCompactSpec] = None, // after keep, before aggregate
     wdsSamples: Option[WdsSamplesSpec] = None, // after keep, before aggregate
     winnow: Option[WinnowSpec] = None, // after keep, before aggregate
     winnowProbe: Option[WinnowProbeSpec] = None, // after keep, before aggregate

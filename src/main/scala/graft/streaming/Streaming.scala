@@ -455,7 +455,18 @@ object Streaming {
     trigger.foreach {
       case "available_now" | "availableNow" | "once" =>
         w = w.trigger(Trigger.AvailableNow())
-      case interval => w = w.trigger(Trigger.ProcessingTime(interval))
+      case interval =>
+        // Validate the interval HERE so a typo'd trigger ("availablenow",
+        // "10 secods") is a named spec error at declaration, not a raw
+        // Spark interval-parse failure at stream start.
+        val t = try Trigger.ProcessingTime(interval)
+        catch { case e: IllegalArgumentException =>
+          throw new IllegalArgumentException(
+            s"shardPackStream: trigger '$interval' is neither " +
+              """"available_now"/"once" nor a valid interval """ +
+              s"""(e.g. "10 seconds"): ${e.getMessage}""")
+        }
+        w = w.trigger(t)
     }
     w.foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.ops.Tar.tarShards(batch, nameCol, payloadCol, shards)

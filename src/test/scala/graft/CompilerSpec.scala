@@ -560,6 +560,38 @@ class CompilerSpec extends SparkSpec {
       .getMessage.contains("batch-only"))
   }
 
+  test("cluster-tier retention keeps each class's best copy; singletons survive") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", 0.2),
+      (2L, "the quick brown fox jumps over the lazy dog", 0.9),
+      (3L, "the quick brown fox jumps over the lazy dog", 0.5),
+      (4L, "completely different content about spark catalyst plans", 0.1))
+      .toDF("doc_id", "text", "score")
+    docs.createOrReplaceTempView("ret_docs")
+    def run(retention: String) = Compiler.compileJson(spark, s"""
+      {"source": {"table": "ret_docs"},
+       "simhash_dedup": {"id_col": "doc_id", "text_col": "text",
+                         "max_dist": 0, "output": "clusters",
+                         "retention": $retention}}""")
+    val best = run("""{"order_col": "score"}""")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster"),
+        r.getAs[Double]("score"))).toSet
+    // identical text → one class labelled by its min id; highest score
+    // wins; the unrelated doc survives as its own singleton class
+    assert(best == Set((2L, 1L, 0.9), (4L, 4L, 0.1)))
+    assert(run("""{"order_col": "score", "descending": false}""")
+      .collect().map(_.getAs[Long]("doc_id")).toSet == Set(1L, 4L))
+    // a pre-existing `cluster` column is a named collision, not a clobber
+    docs.withColumnRenamed("score", "cluster")
+      .createOrReplaceTempView("ret_docs_clash")
+    val e = intercept[IllegalArgumentException](Compiler.compileJson(spark, """
+      {"source": {"table": "ret_docs_clash"},
+       "simhash_dedup": {"id_col": "doc_id", "text_col": "text",
+                         "max_dist": 0, "output": "clusters",
+                         "retention": {"order_col": "doc_id"}}}"""))
+    assert(e.getMessage.contains("cluster"))
+  }
+
   test("zorder SQL function: literal bits enforced, matches the Scala column") {
     Tables.registerViews(spark, sf)
     val viaSql = spark.sql(

@@ -92,5 +92,34 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Graph.pageRank(e.filter(lit(false)), "src", "dst")
     }
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(e, "src", "dst", smallGraphEdges = (1L << 24) + 1)
+    }
+  }
+
+  test("pageRank: driver cutover is bit-identical to the distributed loop") {
+    // A deliberately messy graph: hub, chain, dangling sinks, a cycle,
+    // multi-edges, plus integer-keyed variant. smallGraphEdges = 0
+    // forces the distributed loop on the same input.
+    val edges = Seq(
+      "h" -> "a", "h" -> "b", "h" -> "c", "a" -> "b", "b" -> "c",
+      "c" -> "h", "c" -> "d", "d" -> "e", "x" -> "y", "h" -> "a",
+      "y" -> "x", "e" -> "h", "q" -> "z")
+    val e = edges.toDF("src", "dst")
+    for (it <- Seq(1, 3, 7); tol <- Seq(0.0, 1e-7)) {
+      val local = Graph.pageRank(e, "src", "dst", iters = it, tol = tol)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val dist = Graph.pageRank(e, "src", "dst", iters = it, tol = tol,
+          smallGraphEdges = 0L)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(local == dist, s"iters=$it tol=$tol")
+    }
+    val ei = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L, 5L -> 4L)
+      .toDF("src", "dst")
+    val li = Graph.pageRank(ei, "src", "dst", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val di = Graph.pageRank(ei, "src", "dst", iters = 4, smallGraphEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(li == di)
   }
 }

@@ -672,4 +672,72 @@ class JsonCodecSpec extends AnyFunSuite {
     assert(ch.join.leftDelay.contains("5 minutes") && ch.join.rightDelay.contains("7 minutes"))
     assert(ch.node.source.exists(_.stream))
   }
+
+  test("retention key decodes on cluster tiers; rejected on pairs output") {
+    val r = root("""
+      {"source": {"table": "documents"},
+       "simhash_dedup": {"id_col": "a", "text_col": "t", "output": "clusters",
+                         "retention": {"order_col": "score"}}}""")
+      .simhashDedup.get.retention.get
+    assert(r.orderCol == "score" && r.descending) // descending defaults true
+    assert(root("""
+      {"source": {"table": "e"},
+       "near_dup": {"id_col": "a", "vec_col": "v", "threshold": 0.9, "dim": 8,
+                    "output": "clusters",
+                    "retention": {"order_col": "q", "descending": false}}}""")
+      .nearDup.get.retention.exists(x => x.orderCol == "q" && !x.descending))
+    assert(root("""
+      {"source": {"table": "d"},
+       "image_dedup": {"id_col": "a", "payload_col": "p", "output": "clusters",
+                       "retention": {"order_col": "sharp"}}}""")
+      .imageDedup.get.retention.exists(_.orderCol == "sharp"))
+    assert(root("""
+      {"source": {"table": "d"},
+       "audio_dedup": {"id_col": "a", "payload_col": "p", "output": "clusters",
+                       "retention": {"order_col": "snr"}}}""")
+      .audioDedup.get.retention.exists(_.orderCol == "snr"))
+    // pairs output (explicit or by default) has no best row to retain
+    val e = intercept[IllegalArgumentException](root("""
+      {"simhash_dedup": {"id_col": "a", "text_col": "t",
+                         "retention": {"order_col": "score"}}}"""))
+    assert(e.getMessage.contains("clusters") && e.getMessage.contains("retention"))
+    val e2 = intercept[IllegalArgumentException](root("""
+      {"near_dup": {"id_col": "a", "vec_col": "v", "threshold": 0.9, "dim": 8,
+                    "output": "pairs", "retention": {"order_col": "q"}}}"""))
+    assert(e2.getMessage.contains("pairs"))
+    val e3 = intercept[IllegalArgumentException](root("""
+      {"image_dedup": {"id_col": "a", "payload_col": "p", "output": "clusters",
+                       "retention": {}}}"""))
+    assert(e3.getMessage.contains("order_col"))
+  }
+
+  test("tar_compact node key decodes with defaults and named errors") {
+    val t = root("""
+      {"source": {"path": "/x"},
+       "tar_compact": {"shards": 4}}""").tarCompact.get
+    assert(t.tarCol == "tar" && t.shards == 4 && t.batchCol.isEmpty)
+    val t2 = root("""
+      {"source": {"path": "/x"},
+       "tar_compact": {"tar_col": "blob", "shards": 2, "batch_col": "batch_id"}}""")
+      .tarCompact.get
+    assert(t2.tarCol == "blob" && t2.batchCol.contains("batch_id"))
+    val e = intercept[IllegalArgumentException](root(
+      """{"tar_compact": {"tar_col": "tar"}}"""))
+    assert(e.getMessage.contains("shards"))
+  }
+
+  test("sequence_pack rejects the stated drop_last: false under best_fit") {
+    // best_fit keeps every window by construction; an explicit
+    // drop_last: false is the one detectable reliance on the key
+    val e = intercept[IllegalArgumentException](root("""
+      {"sequence_pack": {"id_col": "i", "ids_col": "x", "seq_len": 8,
+        "mode": "best_fit", "drop_last": false}}"""))
+    assert(e.getMessage.contains("drop_last") && e.getMessage.contains("best_fit"))
+    // the DEFAULT (absent key) and the redundant explicit true both pass
+    assert(root("""
+      {"source": {"table": "d"},
+       "sequence_pack": {"id_col": "i", "ids_col": "x", "seq_len": 8,
+         "mode": "best_fit", "drop_last": true}}""")
+      .sequencePack.get.mode == "best_fit")
+  }
 }

@@ -1081,6 +1081,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("bpe_apply → chunk (ids tier) composes on a stream: stream == batch") {
+    import spark.implicits._
+    // the no-truncation feeder (tokenize → pre-split into ≤size-id
+    // chunks) running CONTINUOUSLY: both stages are scan-stage
+    // reference-object kernels, so the composition must be
+    // batching-invariant end to end — ids included
+    val base = java.nio.file.Files.createTempDirectory("graft-bpechunk").toString
+    val inDir = s"$base/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    val docs = (1L to 30L)
+      .map(i => (i, s"banana band bandana ana nab $i " * (1 + (i % 4)).toInt))
+      .toDF("doc_id", "text")
+    graft.ops.Bpe.trainDF(spark, docs, "text", 6)
+      .write.mode("overwrite").parquet(s"$base/merges")
+    docs.coalesce(1).write.mode("append").parquet(inDir)
+    val body = s"""
+       "keep_columns": ["doc_id", "text"],
+       "bpe_apply": {"text_col": "text", "merges_dir": "$base/merges",
+                     "with_ids": true},
+       "chunk": {"id_col": "doc_id", "ids_col": "bpe_ids",
+                 "size": 8, "overlap": 2}"""
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_id")) ->
+        (r.getAs[scala.collection.Seq[Int]]("chunk_ids").toList,
+          r.getAs[Int]("n_tokens"))
+    val batch = graft.compile.Compiler.compileJson(spark,
+        s"""{"source": {"path": "$inDir"}, $body}""")
+      .collect().map(key).toMap
+    val q = graft.compile.Compiler.compileStreamJson(spark, s"""
+      {"source": {"path": "$inDir"}, $body,
+       "save": {"format": "memory", "query_name": "bpe_chunk_stream",
+                "trigger": "available_now", "output_mode": "append"}}""")
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("bpe_chunk_stream").collect().map(key).toMap
+    assert(streamed == batch, "streamed bpe→chunk ids must equal batch")
+    assert(batch.nonEmpty && batch.exists(_._2._1.size == 8))
+  }
+
   test("dsir_score config key runs on a stream: artifact-loaded weights, stream == batch") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-dsirstream").toString
