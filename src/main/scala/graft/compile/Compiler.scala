@@ -95,6 +95,8 @@ object Compiler {
         node.pageRank.toSeq.flatMap(p => Seq(p.srcCol, p.dstCol)) ++
         node.tarPack.toSeq.flatMap(t => Seq(t.nameCol, t.payloadCol)) ++
         node.tarCompact.toSeq.flatMap(t => t.tarCol +: t.batchCol.toSeq) ++
+        node.annIndex.toSeq.flatMap(a => Seq(a.idCol, a.vecCol)) ++
+        node.annSearch.toSeq.flatMap(a => Seq(a.idCol, a.vecCol)) ++
         node.bm25.toSeq.flatMap(bq => Seq(bq.idCol, bq.textCol)) ++
         node.wdsSamples.toSeq.flatMap(ws => Seq(ws.nameCol, ws.dataCol)) ++
         node.winnow.toSeq.flatMap(wn => Seq(wn.idCol, wn.textCol)) ++
@@ -602,6 +604,28 @@ object Compiler {
           (if (refs.isEmpty) "" else s" (defined: ${refs.keys.mkString(", ")})")))
       df = graft.ops.Retrieval.bm25TopK(df, bq.idCol, bq.textCol,
         queries, bq.qidCol, bq.qtextCol, bq.k1, bq.b, bq.topK, bq.proxWeight)
+    }
+
+    // At-rest ANN index build: writes dir/centroids + dir/index
+    // (partitioned by list) and the frame becomes the (list, n_vectors)
+    // balance histogram — the tuning view for nlist/refine_rounds.
+    node.annIndex.foreach { ai =>
+      requireBatch("ann_index", "centroid-fit actions and an index write",
+        "build the index in batch; search streams of queries instead")
+      graft.ops.Similarity.saveAnnIndex(
+        df.sparkSession, df, ai.idCol, ai.vecCol, ai.dir, ai.nlist, ai.refineRounds)
+      df = df.sparkSession.read.parquet(s"${ai.dir}/index")
+        .groupBy(col("list")).agg(count(lit(1)).as("n_vectors"))
+    }
+
+    // ANN search against a saved index: the frame (the query set)
+    // becomes (id_col, match_id, score, rank). Batch-only by name —
+    // per-query top-k is a rank window.
+    node.annSearch.foreach { as =>
+      requireBatch("ann_search", "a per-query top-k rank window",
+        "search in batch; the index itself is the at-rest artifact")
+      df = graft.ops.Similarity.annSearchIndex(
+        df, as.idCol, as.vecCol, as.indexDir, as.k, as.nprobe)
     }
 
     // Tar sharding: the frame becomes (shard, tar, n_members,

@@ -329,6 +329,91 @@ object Similarity {
       Seq(col("score").desc, col(corpusId).asc), k, rankCol = "rank")
   }
 
+  /** Persist an AT-REST IVF index for [[annSearchIndex]] — the artifact
+    * pattern (train once, search many) applied to vector retrieval:
+    * `dir/centroids` holds the (list, centroid) metadata (nlist rows —
+    * bounded, loads at compile time like a score_model weight table) and
+    * `dir/index` the corpus assignment (id, vec, norm, list), PARTITIONED
+    * BY LIST so a search touching nprobe of nlist lists prunes the scan
+    * to nprobe/nlist of the files (dynamic partition pruning through the
+    * probe join). Norms are precomputed once here instead of per search.
+    * Centroids are [[ivfCentroids]]' deterministic sample (+ optional
+    * mini-batch Lloyd refinement), so rebuilding over the same corpus is
+    * bit-identical. One corpus pass; the centroid fit collects only
+    * nlist·dim + nlist·64 metadata. */
+  def saveAnnIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      nlist: Int = 16,
+      refineRounds: Int = 0
+  ): Unit = {
+    require(nlist >= 1 && nlist <= 65536,
+      s"saveAnnIndex: nlist must be in [1, 65536], got $nlist")
+    val cents = ivfCentroids(corpus, idCol, vecCol, nlist, refineRounds)
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("list", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    corpus.select(
+        col(idCol).as("id"),
+        col(vecCol).as("vec"),
+        l2Norm(col(vecCol)).as("norm"),
+        element_at(nearestLists(col(vecCol), cents, 1), 1).as("list"))
+      .write.mode("overwrite").partitionBy("list").parquet(s"$dir/index")
+  }
+
+  /** ANN top-k against a [[saveAnnIndex]] artifact: each query row probes
+    * its `nprobe` nearest lists (centroids load once — bounded metadata,
+    * embedded as a kernel reference object) and scores only those lists'
+    * vectors; output (queryId, match_id, score, rank), bit-identical to
+    * [[ivfTopK]] at the same (nlist, nprobe, refineRounds) over the same
+    * corpus. Scale: the probe join equi-joins on the index's PARTITION
+    * column, so with the (usually small) query side broadcast, dynamic
+    * partition pruning reads only the probed lists' files — the search
+    * cost is nprobe/nlist of the corpus, and the index is never rebuilt
+    * per query batch. Batch-shaped (per-query top-k is a rank window). */
+  def annSearchIndex(
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      indexDir: String,
+      k: Int,
+      nprobe: Int = 4
+  ): DataFrame = {
+    require(k >= 1, s"annSearchIndex: k must be >= 1, got $k")
+    require(nprobe >= 1, s"annSearchIndex: nprobe must be >= 1, got $nprobe")
+    require(queryId != "match_id",
+      "annSearchIndex: rename the query id column — 'match_id' names the index side")
+    val spark = queries.sparkSession
+    val cRows = spark.read.parquet(s"$indexDir/centroids").collect()
+    require(cRows.nonEmpty, s"annSearchIndex: no centroids under $indexDir/centroids")
+    require(cRows.length <= 65536,
+      s"annSearchIndex: ${cRows.length} centroids exceed the 65536 metadata bound")
+    val cents: Seq[Seq[Double]] = cRows
+      .sortBy(_.getAs[Int]("list"))
+      .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toSeq).toSeq
+    val idx = spark.read.parquet(s"$indexDir/index")
+    val qb = queries.select(
+      col(queryId).as("__qid2"), col(queryVec).as("__qv"),
+      l2Norm(col(queryVec)).as("__qn"),
+      explode(nearestLists(col(queryVec), cents, math.min(nprobe, cents.size))).as("list"))
+    val scored = qb.join(idx, Seq("list"))
+      .filter(col("__qid2") =!= col("id"))
+      .select(
+        col("__qid2").as(queryId), col("id").as("match_id"),
+        round(
+          when(col("__qn") > 0 && col("norm") > 0,
+            dot(col("__qv"), col("vec")) / (col("__qn") * col("norm")))
+            .otherwise(lit(0.0)),
+          9).as("score"))
+    Relational.topKPerGroup(
+      scored, Seq(queryId),
+      Seq(col("score").desc, col("match_id").asc), k, rankCol = "rank")
+  }
+
   /** The full FAISS IVF-PQ composition: corpus rows carry only their
     * LIST assignment and PQ CODES (the m-bytes-at-rest shape), queries
     * probe `nprobe` nearest lists, and only in-list candidates pay a

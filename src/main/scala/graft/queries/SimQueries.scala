@@ -475,7 +475,54 @@ object SimQueries extends QueryPack {
                           AND e2.vec_id % 256 = pat))
     SELECT vec_id FROM survivors ORDER BY vec_id ASC NULLS FIRST"""
 
+  // q218 — ANN search against a SAVED index (the artifact pattern applied
+  // to vector retrieval), gated exactly: the index builds once in Scala
+  // (Similarity.saveAnnIndex — centroids + list-partitioned assignment),
+  // then PURE JSON searches it at FULL COVERAGE (nprobe = nlist = 16), so
+  // every query probes every inverted list and the result is provably
+  // byte-identical to exact brute-force top-3 (same dot, same rounding,
+  // same tie-break) — the q92/q93 discipline extended through the at-rest
+  // parquet round-trip and the compile-time centroid load.
+  private def q218(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir)
+    val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_q218_index"
+    Similarity.saveAnnIndex(
+      s, emb(s, dir).select(col("vec_id").as("match_id"), col("embedding")),
+      "match_id", "embedding", idxDir, nlist = 16)
+    graft.compile.Compiler.compileJson(s, s"""
+      {"source": {"sql": "SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10"},
+       "ann_search": {"id_col": "query_id", "vec_col": "embedding",
+                      "index_dir": "$idxDir", "k": 3, "nprobe": 16},
+       "order_by": ["query_id asc", "rank asc"]}""")
+  }
+
+  // q219 — ANN index BUILD from pure JSON: the node writes the at-rest
+  // index and becomes the (list, n_vectors) balance histogram. The gate
+  // pins the invariants the histogram must satisfy regardless of where
+  // the deterministic centroid sample lands: every corpus vector is
+  // assigned to exactly one of the nlist lists (total conservation) and
+  // list ids stay in [0, nlist).
+  private def q219(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir)
+    val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_q219_index"
+    graft.compile.Compiler.compileJson(s, s"""
+      {"source": {"table": "embeddings"},
+       "keep_columns": ["vec_id", "embedding"],
+       "ann_index": {"id_col": "vec_id", "vec_col": "embedding",
+                     "dir": "$idxDir", "nlist": 8, "refine_rounds": 1}}""")
+      .agg(
+        (countDistinct(col("list")) <= 8 &&
+          min(col("list")) >= 0 && max(col("list")) <= 7).as("lists_ok"),
+        sum(col("n_vectors")).cast("long").as("total_vectors"))
+  }
+  private val q219Sql = """
+    SELECT TRUE AS lists_ok,
+           CAST(COUNT(*) AS BIGINT) AS total_vectors
+    FROM embeddings"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q218_ann_index_search", q218, Some(bruteTopKSql(3))),
+    Q("q219_config_ann_index", q219, Some(q219Sql)),
     Q("q31_cosine_topk", q31, Some(q31Sql)),
     Q("q32_embedding_neardup", q32, Some(q32Sql)),
     Q("q46_embedding_neardup_banded", q46, Some(q46Sql)),

@@ -568,6 +568,36 @@ object JsonCodec {
           .map(_.asDouble).getOrElse(0.0))
     }
 
+    val aiSpec = optN("ann_index", "annIndex").map { d =>
+      val ctx = s"node $id: ann_index"
+      val s = AnnIndexSpec(
+        idCol = req(d, ctx, "id_col", "idCol").asText,
+        vecCol = req(d, ctx, "vec_col", "vecCol").asText,
+        dir = req(d, ctx, "dir").asText,
+        nlist = opt(d, "nlist").map(_.asInt).getOrElse(16),
+        refineRounds = opt(d, "refine_rounds", "refineRounds").map(_.asInt).getOrElse(0))
+      require(s.nlist >= 1 && s.nlist <= 65536,
+        s"$ctx: nlist must be in [1, 65536], got ${s.nlist}")
+      require(s.refineRounds >= 0 && s.refineRounds <= 64,
+        s"$ctx: refine_rounds must be in [0, 64], got ${s.refineRounds}")
+      s
+    }
+
+    val asSpec = optN("ann_search", "annSearch").map { d =>
+      val ctx = s"node $id: ann_search"
+      val s = AnnSearchSpec(
+        idCol = req(d, ctx, "id_col", "idCol").asText,
+        vecCol = req(d, ctx, "vec_col", "vecCol").asText,
+        indexDir = req(d, ctx, "index_dir", "indexDir").asText,
+        k = opt(d, "k").map(_.asInt).getOrElse(10),
+        nprobe = opt(d, "nprobe").map(_.asInt).getOrElse(4))
+      require(s.k >= 1, s"$ctx: k must be >= 1, got ${s.k}")
+      require(s.nprobe >= 1, s"$ctx: nprobe must be >= 1, got ${s.nprobe}")
+      require(s.idCol != "match_id",
+        s"$ctx: rename the query id column — 'match_id' names the index side")
+      s
+    }
+
     val tpSpec = optN("tar_pack", "tarPack").map { d =>
       val ctx = s"node $id: tar_pack"
       TarPackSpec(
@@ -773,6 +803,8 @@ object JsonCodec {
       pageRank = prSpec,
       tarPack = tpSpec,
       tarCompact = tcSpec,
+      annIndex = aiSpec,
+      annSearch = asSpec,
       wdsSamples = wdsSpec,
       winnow = winnowSpec,
       winnowProbe = winnowProbeSpec,

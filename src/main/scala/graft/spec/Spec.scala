@@ -593,6 +593,34 @@ final case class Bm25Spec(
     proxWeight: Double = 0.0 // > 0: add bigram-adjacency (phrase) scoring
 )
 
+/** Build + persist an at-rest IVF ANN index (NS; Similarity.saveAnnIndex):
+  * the frame (the embedding corpus) writes `dir/centroids` (bounded
+  * metadata) and `dir/index` (id, vec, norm, list — PARTITIONED BY LIST
+  * for probe-time pruning), then becomes the (list, n_vectors) balance
+  * histogram — the nlist/refine_rounds tuning view. Deterministic
+  * rebuilds. Batch-only (centroid-fit actions + an index write). */
+final case class AnnIndexSpec(
+    idCol: String,
+    vecCol: String,
+    dir: String,
+    nlist: Int = 16,
+    refineRounds: Int = 0
+)
+
+/** ANN search against a saved index (NS; Similarity.annSearchIndex): the
+  * frame (the QUERY set) becomes (id_col, match_id, score, rank) — each
+  * query's top-k cosine matches from its nprobe nearest inverted lists.
+  * Centroids load once at compile (bounded metadata); the probe join hits
+  * the index's list partitions only. nprobe = nlist is provably exact
+  * brute-force. Batch-only by name (per-query top-k is a rank window). */
+final case class AnnSearchSpec(
+    idCol: String,
+    vecCol: String,
+    indexDir: String,
+    k: Int = 10,
+    nprobe: Int = 4
+)
+
 /** WebDataset tar sharding (NS; Tar.tarShards): the frame's (name,
   * payload) rows become per-shard deterministic tar blobs —
   * (shard, tar, n_members, tar_bytes). Shard = portable fingerprint of
@@ -935,6 +963,8 @@ final case class NodeSpec(
     pageRank: Option[PageRankSpec] = None, // after keep, before aggregate
     tarPack: Option[TarPackSpec] = None, // after keep, before aggregate
     tarCompact: Option[TarCompactSpec] = None, // after keep, before aggregate
+    annIndex: Option[AnnIndexSpec] = None, // after keep, before aggregate
+    annSearch: Option[AnnSearchSpec] = None, // after keep, before aggregate
     wdsSamples: Option[WdsSamplesSpec] = None, // after keep, before aggregate
     winnow: Option[WinnowSpec] = None, // after keep, before aggregate
     winnowProbe: Option[WinnowProbeSpec] = None, // after keep, before aggregate

@@ -1,0 +1,106 @@
+package graft
+
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+
+/** At-rest ANN index (saveAnnIndex / annSearchIndex + the ann_index /
+  * ann_search config keys): bit-identity with the in-memory ivfTopK,
+  * the list-partitioned physical layout, conservation, and guards. */
+class AnnIndexSuite extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic pseudo-random corpus: 60 vectors of dim 8 from a
+  // seeded LCG — clusterable enough that nlist=4 lists are non-trivial
+  private def corpus = {
+    var s = 12345L
+    def next(): Double = { s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 33).toInt % 1000) / 500.0 - 1.0 }
+    (1L to 60L).map(i => (i, Array.fill(8)(next().toFloat))).toDF("vid", "emb")
+  }
+
+  test("annSearchIndex == ivfTopK bit-for-bit (partial and full probe)") {
+    val c = corpus
+    val q = c.filter($"vid" <= 6).select($"vid".as("qid"), $"emb")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann").toString
+    for ((nlist, nprobe, refine) <- Seq((4, 2, 0), (4, 4, 0), (8, 3, 1))) {
+      Similarity.saveAnnIndex(spark, c, "vid", "emb", s"$dir/i$nlist$nprobe$refine",
+        nlist = nlist, refineRounds = refine)
+      val viaIndex = Similarity.annSearchIndex(
+          q, "qid", "emb", s"$dir/i$nlist$nprobe$refine", k = 3, nprobe = nprobe)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      val inMemory = Similarity.ivfTopK(
+          q, c.select($"vid".as("mid"), $"emb"),
+          "qid", "emb", "mid", "emb",
+          k = 3, nlist = nlist, nprobe = nprobe, refineRounds = refine)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(viaIndex == inMemory, s"nlist=$nlist nprobe=$nprobe refine=$refine")
+      assert(viaIndex.nonEmpty)
+    }
+  }
+
+  test("index layout: list-partitioned parquet, every vector assigned once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-layout").toString
+    Similarity.saveAnnIndex(spark, corpus, "vid", "emb", s"$dir/idx", nlist = 4)
+    // partitioned write → list=<n> subdirectories (the pruning unit)
+    val subdirs = new java.io.File(s"$dir/idx/index").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("list=")).toSeq
+    assert(subdirs.nonEmpty && subdirs.forall(_.matches("list=\\d+")))
+    val idx = spark.read.parquet(s"$dir/idx/index")
+    assert(idx.count() == 60L)
+    assert(idx.select("id").distinct().count() == 60L)
+    assert(idx.agg(min("list"), max("list")).collect().head match {
+      case r => r.getInt(0) >= 0 && r.getInt(1) <= 3
+    })
+    // centroids are the bounded metadata side
+    assert(spark.read.parquet(s"$dir/idx/centroids").count() <= 4L)
+  }
+
+  test("config keys: ann_index histogram + ann_search output; batch-only; guards") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-cfg").toString
+    corpus.write.parquet(s"$dir/c")
+    corpus.createOrReplaceTempView("ann_corpus")
+    val hist = graft.compile.Compiler.compileJson(spark, s"""
+      {"source": {"table": "ann_corpus"},
+       "ann_index": {"id_col": "vid", "vec_col": "emb",
+                     "dir": "$dir/idx", "nlist": 4}}""")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(hist.values.sum == 60L && hist.keySet.forall(l => l >= 0 && l < 4))
+    val got = graft.compile.Compiler.compileJson(spark, s"""
+      {"source": {"sql": "SELECT vid AS qid, emb FROM ann_corpus WHERE vid <= 3"},
+       "ann_search": {"id_col": "qid", "vec_col": "emb",
+                      "index_dir": "$dir/idx", "k": 2, "nprobe": 4},
+       "order_by": ["qid asc", "rank asc"]}""")
+    assert(got.columns.toSeq == Seq("qid", "match_id", "score", "rank"))
+    val rows = got.collect()
+    assert(rows.length == 6 && rows.forall(_.getInt(3) <= 2))
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)), "self-matches filtered")
+    // streaming compiles reject both keys by name
+    Seq(
+      s""""ann_index": {"id_col": "vid", "vec_col": "emb", "dir": "$dir/x", "nlist": 2}""",
+      s""""ann_search": {"id_col": "vid", "vec_col": "emb", "index_dir": "$dir/idx"}"""
+    ).foreach { key =>
+      val e = intercept[IllegalArgumentException] {
+        graft.compile.Compiler.compileStreamJson(spark, s"""
+          {"source": {"path": "$dir/c"}, $key,
+           "save": {"format": "memory", "query_name": "ann_x",
+                    "output_mode": "append"}}""")
+      }
+      assert(e.getMessage.contains("batch-only"), e.getMessage)
+    }
+    // named guards: bad k/nprobe at decode, reserved query id, no index
+    assert(intercept[IllegalArgumentException](graft.compile.Compiler.compileJson(spark,
+      s"""{"source": {"table": "ann_corpus"},
+           "ann_search": {"id_col": "vid", "vec_col": "emb",
+                          "index_dir": "$dir/idx", "k": 0}}"""))
+      .getMessage.contains("k"))
+    assert(intercept[IllegalArgumentException](graft.compile.Compiler.compileJson(spark,
+      s"""{"source": {"table": "ann_corpus"},
+           "ann_search": {"id_col": "match_id", "vec_col": "emb",
+                          "index_dir": "$dir/idx"}}"""))
+      .getMessage.contains("match_id"))
+    intercept[Exception] { // absent index dir fails loudly, not empty
+      Similarity.annSearchIndex(corpus.select($"vid".as("qid"), $"emb"),
+        "qid", "emb", s"$dir/nope", k = 2).collect()
+    }
+  }
+}

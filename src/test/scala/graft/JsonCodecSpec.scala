@@ -726,6 +726,36 @@ class JsonCodecSpec extends AnyFunSuite {
     assert(e.getMessage.contains("shards"))
   }
 
+  test("ann_index / ann_search node keys decode with defaults and named errors") {
+    val ai = root("""
+      {"source": {"table": "e"},
+       "ann_index": {"id_col": "vid", "vec_col": "emb", "dir": "/idx"}}""")
+      .annIndex.get
+    assert(ai.nlist == 16 && ai.refineRounds == 0 && ai.dir == "/idx")
+    val as = root("""
+      {"source": {"table": "q"},
+       "ann_search": {"id_col": "qid", "vec_col": "emb",
+                      "index_dir": "/idx", "k": 3, "nprobe": 16}}""")
+      .annSearch.get
+    assert(as.k == 3 && as.nprobe == 16 && as.indexDir == "/idx")
+    assert(root("""
+      {"source": {"table": "q"},
+       "ann_search": {"id_col": "qid", "vec_col": "emb", "index_dir": "/i"}}""")
+      .annSearch.exists(x => x.k == 10 && x.nprobe == 4))
+    val e = intercept[IllegalArgumentException](root(
+      """{"ann_index": {"id_col": "a", "vec_col": "v"}}"""))
+    assert(e.getMessage.contains("dir"))
+    val e2 = intercept[IllegalArgumentException](root(
+      """{"ann_index": {"id_col": "a", "vec_col": "v", "dir": "/x", "nlist": 0}}"""))
+    assert(e2.getMessage.contains("nlist"))
+    val e3 = intercept[IllegalArgumentException](root(
+      """{"ann_search": {"id_col": "a", "vec_col": "v", "index_dir": "/x", "nprobe": 0}}"""))
+    assert(e3.getMessage.contains("nprobe"))
+    val e4 = intercept[IllegalArgumentException](root(
+      """{"ann_search": {"id_col": "match_id", "vec_col": "v", "index_dir": "/x"}}"""))
+    assert(e4.getMessage.contains("match_id"))
+  }
+
   test("sequence_pack rejects the stated drop_last: false under best_fit") {
     // best_fit keeps every window by construction; an explicit
     // drop_last: false is the one detectable reliance on the key
