@@ -612,8 +612,12 @@ object Compiler {
     node.annIndex.foreach { ai =>
       requireBatch("ann_index", "centroid-fit actions and an index write",
         "build the index in batch; search streams of queries instead")
-      graft.ops.Similarity.saveAnnIndex(
-        df.sparkSession, df, ai.idCol, ai.vecCol, ai.dir, ai.nlist, ai.refineRounds)
+      if (ai.mode == "append")
+        graft.ops.Similarity.appendAnnIndex(
+          df.sparkSession, df, ai.idCol, ai.vecCol, ai.dir)
+      else
+        graft.ops.Similarity.saveAnnIndex(
+          df.sparkSession, df, ai.idCol, ai.vecCol, ai.dir, ai.nlist, ai.refineRounds)
       df = df.sparkSession.read.parquet(s"${ai.dir}/index")
         .groupBy(col("list")).agg(count(lit(1)).as("n_vectors"))
     }

@@ -91,6 +91,11 @@ object Registry {
     // dropped_lines, keep_doc) — minWords must be a literal (it shapes
     // the per-line predicate at plan time)
     "line_stats" -> fn(t => TextAnalysis.lineStats(t)),
+    // line_dedup(text) → struct(clean_text, kept_lines, dropped_lines):
+    // WITHIN-document duplicate-line removal (first occurrence of each
+    // trimmed form survives, verbatim) — the intra-page dedup step; the
+    // cross-corpus twin is the boilerplate node key
+    "line_dedup" -> fn(t => TextAnalysis.lineDedup(t)),
     // gopher_quality(text) → struct(n_words, mean_word_len,
     // symbol_word_ratio, alpha_word_frac, stop_hits, keep) — the Gopher
     // word-tier document filters at their published default bounds

@@ -365,6 +365,48 @@ object Similarity {
       .write.mode("overwrite").partitionBy("list").parquet(s"$dir/index")
   }
 
+  /** The saved centroid table as kernel-ready metadata (list-ordered). */
+  private def loadCentroids(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String): Seq[Seq[Double]] = {
+    val cRows =
+      try spark.read.parquet(s"$indexDir/centroids").collect()
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"ann index: cannot read centroids under $indexDir/centroids — " +
+          s"build the index first (ann_index / saveAnnIndex): ${e.getMessage}") }
+    require(cRows.nonEmpty, s"ann index: no centroids under $indexDir/centroids")
+    require(cRows.length <= 65536,
+      s"ann index: ${cRows.length} centroids exceed the 65536 metadata bound")
+    cRows.sortBy(_.getAs[Int]("list"))
+      .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toSeq).toSeq
+  }
+
+  /** APPEND new vectors to a [[saveAnnIndex]] artifact: assign each row to
+    * its nearest SAVED centroid (the centroids do not refit — shipped
+    * search results for old vectors never change, the append is one
+    * scan-stage pass over the new rows only) and append the (id, vec,
+    * norm, list) rows into the existing list partitions. The incremental
+    * maintenance path a growing corpus needs — history is never re-read,
+    * never re-assigned. Caller contracts: ids should be fresh (duplicate
+    * ids are kept verbatim, like tar members without a batch column), and
+    * one append per landed batch (the write is a plain parquet append).
+    * Centroid drift under heavy growth is the documented trade — rebuild
+    * with [[saveAnnIndex]] when the balance histogram degrades. */
+  def appendAnnIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String
+  ): Unit = {
+    val cents = loadCentroids(spark, dir)
+    corpus.select(
+        col(idCol).as("id"),
+        col(vecCol).as("vec"),
+        l2Norm(col(vecCol)).as("norm"),
+        element_at(nearestLists(col(vecCol), cents, 1), 1).as("list"))
+      .write.mode("append").partitionBy("list").parquet(s"$dir/index")
+  }
+
   /** ANN top-k against a [[saveAnnIndex]] artifact: each query row probes
     * its `nprobe` nearest lists (centroids load once — bounded metadata,
     * embedded as a kernel reference object) and scores only those lists'
@@ -388,13 +430,7 @@ object Similarity {
     require(queryId != "match_id",
       "annSearchIndex: rename the query id column — 'match_id' names the index side")
     val spark = queries.sparkSession
-    val cRows = spark.read.parquet(s"$indexDir/centroids").collect()
-    require(cRows.nonEmpty, s"annSearchIndex: no centroids under $indexDir/centroids")
-    require(cRows.length <= 65536,
-      s"annSearchIndex: ${cRows.length} centroids exceed the 65536 metadata bound")
-    val cents: Seq[Seq[Double]] = cRows
-      .sortBy(_.getAs[Int]("list"))
-      .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toSeq).toSeq
+    val cents = loadCentroids(spark, indexDir)
     val idx = spark.read.parquet(s"$indexDir/index")
     val qb = queries.select(
       col(queryId).as("__qid2"), col(queryVec).as("__qv"),

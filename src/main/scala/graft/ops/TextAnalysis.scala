@@ -481,6 +481,37 @@ object TextAnalysis {
     }
     }
 
+  /** WITHIN-document duplicate-line removal — the intra-page dedup step
+    * of web curation (nav menus, repeated footers, duplicated paragraphs
+    * inside ONE page; the cross-corpus twin is
+    * [[Corpus.removeBoilerplateLines]], and the two compose): a line
+    * survives iff it is the FIRST occurrence of its TRIMMED form in the
+    * document — comparison trims (SQL `trim`: leading/trailing SPACES,
+    * the same rule DuckDB applies, so the oracles mirror exactly), output
+    * stays verbatim (the c4LineFilter judging-vs-rewriting rule). Returns
+    * one struct column:
+    *   - `clean_text`: surviving lines re-joined with `sep`, verbatim
+    *   - `kept_lines` / `dropped_lines`: line counts
+    * Pure scan-stage HOFs — zero shuffles at any corpus size, no state,
+    * streaming-admissible. Per-row cost O(lines²) worst case (each line
+    * probes its prefix), bounded by lines-per-document, never corpus
+    * size. */
+  def lineDedup(text: Column, sep: String = "\n"): Column =
+    withBound(split(text, java.util.regex.Pattern.quote(sep))) { raw =>
+      withBound(transform(raw, l => trim(l))) { keys =>
+        // first occurrence: no earlier line shares this line's trimmed
+        // form (array_position is 1-based, 0 = absent — same convention
+        // as DuckDB's list_position, which the oracles lean on)
+        withBound(filter(raw, (_, i) =>
+          array_position(slice(keys, lit(1), i), element_at(keys, i + 1)) === 0)) { kept =>
+          struct(
+            array_join(kept, sep).as("clean_text"),
+            size(kept).as("kept_lines"),
+            (size(raw) - size(kept)).as("dropped_lines"))
+        }
+      }
+    }
+
   /** Number of PII-shaped substrings [[scrubPii]] would redact: matches
     * are counted pattern by pattern on the text as the scrub would see it
     * (i.e. after the previous patterns' redactions), so the total equals

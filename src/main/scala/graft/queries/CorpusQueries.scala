@@ -819,6 +819,48 @@ object CorpusQueries extends QueryPack {
         col("c.keep_doc").as("keep_doc"))
       .orderBy(col("doc_id").asc_nulls_first)
   }
+  // q221 — WITHIN-document duplicate-line removal (the intra-page dedup
+  // step: nav menus, repeated footers, duplicated paragraphs inside ONE
+  // page; the cross-corpus twin is q90's boilerplate node). Fixture
+  // plants a verbatim duplicate ('Footer'), an indented duplicate
+  // ('  Nav menu' — trimmed-form match, so the SECOND copy drops while
+  // the first stays verbatim), and the corpus word-soup split on ' the '
+  // whose natural repeats both engines must agree on. Config-reachable
+  // through the registered line_dedup function.
+  private def q221(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"sql": "SELECT doc_id, concat_ws(chr(10), 'Nav menu', replace(text, ' the ', chr(10)), '  Nav menu', 'Footer', 'Footer') AS mtext FROM documents"},
+       "derive": {"ld": "line_dedup(mtext)"},
+       "with_columns": {"clean_text": "ld.clean_text",
+                        "kept_lines": "ld.kept_lines",
+                        "dropped_lines": "ld.dropped_lines"},
+       "drop": ["mtext", "ld"],
+       "order_by": ["doc_id asc"]}""")
+  }
+  private val q221Sql = """
+    WITH base AS (
+      SELECT doc_id,
+             'Nav menu' || chr(10) || replace(text, ' the ', chr(10)) ||
+             chr(10) || '  Nav menu' || chr(10) || 'Footer' || chr(10) ||
+             'Footer' AS mtext
+      FROM documents),
+    l AS (
+      SELECT doc_id,
+             string_split(mtext, chr(10)) AS raw,
+             list_transform(string_split(mtext, chr(10)), x -> trim(x)) AS keys
+      FROM base),
+    k AS (
+      SELECT doc_id,
+             list_filter(raw, (x, i) -> list_position(keys[1:i-1], keys[i]) = 0) AS kept,
+             len(raw) AS n_raw
+      FROM l)
+    SELECT doc_id,
+           array_to_string(kept, chr(10)) AS clean_text,
+           CAST(len(kept) AS INT) AS kept_lines,
+           CAST(n_raw - len(kept) AS INT) AS dropped_lines
+    FROM k ORDER BY doc_id ASC NULLS FIRST"""
+
   private val q166Sql = """
     WITH base AS (
       SELECT doc_id,
@@ -1140,6 +1182,7 @@ object CorpusQueries extends QueryPack {
     Q("q163_score_model_artifact", q163, Some(q163Sql)),
     Q("q165_line_stats", q165, Some(q165Sql)),
     Q("q166_c4_line_filter", q166, Some(q166Sql)),
+    Q("q221_line_dedup", q221, Some(q221Sql)),
     Q("q170_global_shuffle", q170, Some(q170Sql)),
     Q("q171_config_global_shuffle", q171, Some(q170Sql)),
     Q("q172_gopher_quality", q172, Some(q172Sql)),

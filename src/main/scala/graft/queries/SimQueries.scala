@@ -520,8 +520,41 @@ object SimQueries extends QueryPack {
            CAST(COUNT(*) AS BIGINT) AS total_vectors
     FROM embeddings"""
 
+  // q220 — INCREMENTAL index maintenance, gated exactly: the index builds
+  // over the EVEN half of the corpus (Scala), the odd half lands later
+  // through a PURE-JSON `ann_index mode:"append"` (assign to the saved
+  // centroids — no refit, history never re-read), and a full-coverage
+  // search over the appended index must equal brute-force top-3 over the
+  // WHOLE corpus — exactness at nprobe = nlist holds regardless of which
+  // half fit the centroids, so the gate pins the append path end to end.
+  private def q220(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir)
+    val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_q220_index"
+    // a plain parquet append is not idempotent — reset the fixture dir so
+    // repeated runs (bench batteries, verify reruns) stay deterministic
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).toSeq.flatten.foreach(rmrf)
+      p.delete(); ()
+    }
+    rmrf(new java.io.File(idxDir))
+    Similarity.saveAnnIndex(
+      s, emb(s, dir).filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("match_id"), col("embedding")),
+      "match_id", "embedding", idxDir, nlist = 16)
+    graft.compile.Compiler.compileJson(s, s"""
+      {"source": {"sql": "SELECT vec_id AS match_id, embedding FROM embeddings WHERE vec_id % 2 = 1"},
+       "ann_index": {"id_col": "match_id", "vec_col": "embedding",
+                     "dir": "$idxDir", "mode": "append"}}""")
+    graft.compile.Compiler.compileJson(s, s"""
+      {"source": {"sql": "SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10"},
+       "ann_search": {"id_col": "query_id", "vec_col": "embedding",
+                      "index_dir": "$idxDir", "k": 3, "nprobe": 16},
+       "order_by": ["query_id asc", "rank asc"]}""")
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q218_ann_index_search", q218, Some(bruteTopKSql(3))),
+    Q("q220_ann_index_append", q220, Some(bruteTopKSql(3))),
     Q("q219_config_ann_index", q219, Some(q219Sql)),
     Q("q31_cosine_topk", q31, Some(q31Sql)),
     Q("q32_embedding_neardup", q32, Some(q32Sql)),

@@ -575,7 +575,17 @@ object JsonCodec {
         vecCol = req(d, ctx, "vec_col", "vecCol").asText,
         dir = req(d, ctx, "dir").asText,
         nlist = opt(d, "nlist").map(_.asInt).getOrElse(16),
-        refineRounds = opt(d, "refine_rounds", "refineRounds").map(_.asInt).getOrElse(0))
+        refineRounds = opt(d, "refine_rounds", "refineRounds").map(_.asInt).getOrElse(0),
+        mode = opt(d, "mode").map(_.asText).getOrElse("build"))
+      require(s.mode == "build" || s.mode == "append",
+        s"""$ctx: mode must be "build" or "append", got "${s.mode}"""")
+      // append assigns to the SAVED centroids — a stated fit parameter
+      // would silently not refit; reject the contradiction by name
+      require(s.mode == "build" ||
+          (opt(d, "nlist").isEmpty && opt(d, "refine_rounds", "refineRounds").isEmpty),
+        s"""$ctx: nlist/refine_rounds have no effect under mode "append" """ +
+          "(the saved centroids are not refit) — remove them, or rebuild " +
+          """with mode "build"""")
       require(s.nlist >= 1 && s.nlist <= 65536,
         s"$ctx: nlist must be in [1, 65536], got ${s.nlist}")
       require(s.refineRounds >= 0 && s.refineRounds <= 64,

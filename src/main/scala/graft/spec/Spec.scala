@@ -604,7 +604,8 @@ final case class AnnIndexSpec(
     vecCol: String,
     dir: String,
     nlist: Int = 16,
-    refineRounds: Int = 0
+    refineRounds: Int = 0,
+    mode: String = "build" // "append": assign to SAVED centroids, append rows
 )
 
 /** ANN search against a saved index (NS; Similarity.annSearchIndex): the

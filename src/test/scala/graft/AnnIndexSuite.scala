@@ -55,6 +55,43 @@ class AnnIndexSuite extends SparkSpec {
     assert(spark.read.parquet(s"$dir/idx/centroids").count() <= 4L)
   }
 
+  test("appendAnnIndex: saved centroids, full-coverage exact over the union") {
+    val c = corpus
+    val first = c.filter($"vid" <= 40)
+    val later = c.filter($"vid" > 40)
+    val q = c.filter($"vid" <= 4).select($"vid".as("qid"), $"emb")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-app").toString
+    Similarity.saveAnnIndex(spark, first, "vid", "emb", s"$dir/idx", nlist = 4)
+    Similarity.appendAnnIndex(spark, later, "vid", "emb", s"$dir/idx")
+    // conservation: all 60 vectors, each exactly once, lists in range
+    val idx = spark.read.parquet(s"$dir/idx/index")
+    assert(idx.count() == 60L && idx.select("id").distinct().count() == 60L)
+    // appended rows carry the ORIGINAL centroids' assignment: appending
+    // the same batch again yields identical (id, list) rows (no refit)
+    val before = idx.filter($"id" > 40)
+      .select("id", "list").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    Similarity.appendAnnIndex(spark, later, "vid", "emb", s"$dir/idx")
+    val after = spark.read.parquet(s"$dir/idx/index").filter($"id" > 40)
+      .select("id", "list").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(after.length == 2 * before.size && after.toSet == before)
+    // full-coverage search over a build+append index == brute force over
+    // the union, regardless of which half fit the centroids
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-ann-app2").toString
+    Similarity.saveAnnIndex(spark, first, "vid", "emb", s"$dir2/idx", nlist = 4)
+    Similarity.appendAnnIndex(spark, later, "vid", "emb", s"$dir2/idx")
+    val viaIndex = Similarity.annSearchIndex(q, "qid", "emb", s"$dir2/idx",
+        k = 3, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val brute = Similarity.cosineTopK(q, c.select($"vid".as("mid"), $"emb"),
+        "qid", "emb", "mid", "emb", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(viaIndex == brute)
+    // appending into an absent index is a named error, not a bad write
+    val e = intercept[IllegalArgumentException](
+      Similarity.appendAnnIndex(spark, later, "vid", "emb", s"$dir/nope"))
+    assert(e.getMessage.contains("centroids"))
+  }
+
   test("config keys: ann_index histogram + ann_search output; batch-only; guards") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ann-cfg").toString
     corpus.write.parquet(s"$dir/c")

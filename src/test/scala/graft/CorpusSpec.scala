@@ -347,6 +347,41 @@ class CorpusSpec extends SparkSpec {
     assert(got(4L) == (("", 0, 1, true))) // split("") → one empty segment
   }
 
+  test("line dedup: first trimmed occurrence survives verbatim; later copies drop") {
+    val tiny = Seq(
+      // verbatim dup, indented dup (trimmed match — first copy's spacing
+      // survives), a unique line between, a space-only dup pair, and a
+      // tab line (SQL trim strips SPACES only — both engines — so the
+      // tab form is distinct from the empty form and survives)
+      (1L, "Nav menu\nBody text one.\n  Nav menu\nFooter\nFooter\n \n\t\n "),
+      (2L, "only line"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val got = tiny.select(col("doc_id"),
+        graft.ops.TextAnalysis.lineDedup(col("text")).as("d"))
+      .select(col("doc_id"), col("d.clean_text"), col("d.kept_lines"),
+        col("d.dropped_lines"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3))))
+      .toMap
+    // the two space-only lines share the empty trimmed form (first
+    // survives verbatim); the tab line is its own form and stays
+    assert(got(1L) == (("Nav menu\nBody text one.\nFooter\n \n\t", 5, 3)))
+    assert(got(2L) == (("only line", 1, 0)))
+    assert(got(3L) == (("", 1, 0))) // split("") → one empty segment, kept
+    // scan-stage: no Exchange in the plan
+    val plan = tiny.select(graft.ops.TextAnalysis.lineDedup(col("text")).as("d"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"must not shuffle:\n$plan")
+    // registered SQL twin agrees
+    Tables.registerViews(spark, sf) // registers the SQL function surface
+    tiny.createOrReplaceTempView("ld_tiny")
+    val viaSql = spark.sql(
+        "SELECT doc_id, line_dedup(text).clean_text AS c FROM ld_tiny")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaSql(1L) == got(1L)._1)
+  }
+
   test("global shuffle: deterministic, seed-sensitive, membership/positions exact, ids guarded") {
     val d = Tables.load(spark, sf, "documents").select("doc_id")
     def run(seed: Long) = Corpus.globalShuffle(d, "doc_id", shards = 4, seed = seed)

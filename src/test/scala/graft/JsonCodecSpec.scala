@@ -754,6 +754,19 @@ class JsonCodecSpec extends AnyFunSuite {
     val e4 = intercept[IllegalArgumentException](root(
       """{"ann_search": {"id_col": "match_id", "vec_col": "v", "index_dir": "/x"}}"""))
     assert(e4.getMessage.contains("match_id"))
+    // append mode decodes; fit params under append are a named contradiction
+    assert(root("""
+      {"source": {"table": "e"},
+       "ann_index": {"id_col": "a", "vec_col": "v", "dir": "/i",
+                     "mode": "append"}}""").annIndex.get.mode == "append")
+    val e5 = intercept[IllegalArgumentException](root(
+      """{"ann_index": {"id_col": "a", "vec_col": "v", "dir": "/i",
+          "mode": "append", "nlist": 8}}"""))
+    assert(e5.getMessage.contains("append") && e5.getMessage.contains("nlist"))
+    val e6 = intercept[IllegalArgumentException](root(
+      """{"ann_index": {"id_col": "a", "vec_col": "v", "dir": "/i",
+          "mode": "rebuild"}}"""))
+    assert(e6.getMessage.contains("mode"))
   }
 
   test("sequence_pack rejects the stated drop_last: false under best_fit") {
