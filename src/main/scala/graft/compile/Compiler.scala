@@ -97,6 +97,7 @@ object Compiler {
         node.tarCompact.toSeq.flatMap(t => t.tarCol +: t.batchCol.toSeq) ++
         node.annIndex.toSeq.flatMap(a => Seq(a.idCol, a.vecCol)) ++
         node.annSearch.toSeq.flatMap(a => Seq(a.idCol, a.vecCol)) ++
+        node.annProbe.toSeq.map(_.vecCol) ++
         node.bm25.toSeq.flatMap(bq => Seq(bq.idCol, bq.textCol)) ++
         node.wdsSamples.toSeq.flatMap(ws => Seq(ws.nameCol, ws.dataCol)) ++
         node.winnow.toSeq.flatMap(wn => Seq(wn.idCol, wn.textCol)) ++
@@ -620,6 +621,15 @@ object Compiler {
           df.sparkSession, df, ai.idCol, ai.vecCol, ai.dir, ai.nlist, ai.refineRounds)
       df = df.sparkSession.read.parquet(s"${ai.dir}/index")
         .groupBy(col("list")).agg(count(lit(1)).as("n_vectors"))
+    }
+
+    // Scan-stage semantic probe against a saved index: each row gains
+    // (score_col, flag_col) from one codegen kernel call — zero joins,
+    // zero shuffles, so it compiles under streams too (the
+    // semantic-decontamination gate on a live ingest).
+    node.annProbe.foreach { ap =>
+      df = graft.ops.Similarity.annProbeIndex(
+        df, ap.vecCol, ap.indexDir, ap.threshold, ap.scoreCol, ap.flagCol)
     }
 
     // ANN search against a saved index: the frame (the query set)

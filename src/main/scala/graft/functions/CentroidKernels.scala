@@ -158,8 +158,121 @@ case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]],
   override def prettyName: String = "nearest_centroids"
 }
 
+/** Max cosine of the input vector against a REFERENCE vector set — the
+  * scan-stage semantic-probe kernel ([[graft.ops.Similarity.annProbeIndex]]):
+  * the watchlist/benchmark vectors ride as ONE codegen reference object
+  * (the NearestCentroids pattern), each row pays refs·dim multiplies and
+  * never joins or shuffles. Per-pair semantics mirror
+  * [[graft.ops.Similarity.cosine]] exactly: round(dot/(|a|·|b|), 9),
+  * 0.0 when either norm is zero or the lengths mismatch; a null vector
+  * or null element yields NULL (coalesce downstream). */
+object MaxCosineOps {
+  def compute(v: ArrayData, flat: Array[Double], norms: Array[Double],
+      dim: Int, tag: Int): Any = {
+    if (v == null) return null
+    val n = v.numElements()
+    val x = new Array[Double](n)
+    var d = 0
+    while (d < n) {
+      if (v.isNullAt(d)) return null
+      x(d) = tag match {
+        case 1 => v.getFloat(d).toDouble
+        case 2 => v.getByte(d).toDouble
+        case _ => v.getDouble(d)
+      }
+      d += 1
+    }
+    var na = 0.0
+    d = 0
+    while (d < n) { na += x(d) * x(d); d += 1 }
+    na = math.sqrt(na)
+    val nRefs = norms.length
+    var best = Double.NegativeInfinity
+    var i = 0
+    while (i < nRefs) {
+      val c =
+        if (n != dim || na <= 0.0 || norms(i) <= 0.0) 0.0
+        else {
+          var acc = 0.0
+          val off = i * dim
+          var e = 0
+          while (e < dim) { acc += x(e) * flat(off + e); e += 1 }
+          java.math.BigDecimal.valueOf(acc / (na * norms(i)))
+            .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+        }
+      if (c > best) best = c
+      i += 1
+    }
+    if (nRefs == 0) null else java.lang.Double.valueOf(best)
+  }
+}
+
+case class MaxCosine(child: Expression, refs: Seq[Seq[Double]])
+    extends UnaryExpression {
+  require(refs.nonEmpty, "max_cosine: empty reference vector set")
+  require(refs.map(_.length).distinct.size == 1,
+    "max_cosine: reference vectors must share one dimension")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType | ByteType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"max_cosine expects array<float|double|tinyint>, got ${t.simpleString}")
+  }
+
+  @transient private lazy val dim: Int = refs.head.length
+  @transient private lazy val flat: Array[Double] = {
+    val m = new Array[Double](refs.size * dim)
+    var i = 0
+    refs.foreach(_.foreach { v => m(i) = v; i += 1 })
+    m
+  }
+  @transient private lazy val norms: Array[Double] =
+    refs.map(c => math.sqrt(c.map(x => x * x).sum)).toArray
+
+  private def tag: Int = child.dataType.asInstanceOf[ArrayType].elementType match {
+    case FloatType => 1
+    case ByteType  => 2
+    case _         => 0
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    MaxCosineOps.compute(
+      if (v == null) null else v.asInstanceOf[ArrayData], flat, norms, dim, tag)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val flatRef = ctx.addReferenceObj("refVecs", flat, "double[]")
+    val normsRef = ctx.addReferenceObj("refNorms", norms, "double[]")
+    val tmp = ctx.freshName("maxCos")
+    val resultCode =
+      code"""
+        ${childGen.code}
+        Object $tmp = graft.functions.MaxCosineOps.compute(
+          ${childGen.isNull} ? null : ${childGen.value},
+          $flatRef, $normsRef, $dim, $tag);
+        boolean ${ev.isNull} = $tmp == null;
+        double ${ev.value} = ${ev.isNull} ? 0.0 : ((Double) $tmp).doubleValue();
+      """
+    ev.copy(code = resultCode)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MaxCosine =
+    copy(child = newChild)
+
+  override def prettyName: String = "max_cosine"
+}
+
 object CentroidKernels {
   def nearestCentroids(vec: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column =
     GraftColumnBridge.column(
       NearestCentroids(GraftColumnBridge.expression(vec), centroids, nprobe))
+
+  def maxCosine(vec: Column, refs: Seq[Seq[Double]]): Column =
+    GraftColumnBridge.column(
+      MaxCosine(GraftColumnBridge.expression(vec), refs))
 }

@@ -407,6 +407,51 @@ object Similarity {
       .write.mode("append").partitionBy("list").parquet(s"$dir/index")
   }
 
+  /** SCAN-STAGE semantic probe against a [[saveAnnIndex]] artifact — the
+    * embedding sibling of `near_dup_probe`/`winnow_probe` and the
+    * semantic-decontamination gate: every row gains `scoreCol` = its MAX
+    * cosine against the indexed vectors (exact — the brute-force verify
+    * tier, no recall loss) and boolean `flagCol` = score ≥ threshold.
+    * The index side is a WATCHLIST/BENCHMARK (bounded: ≤ 65536 vectors,
+    * ≤ 2²² doubles — the reference-object budget, enforced by name): its
+    * vectors load once at compile and ride as ONE codegen reference
+    * object, so the probed frame never joins, shuffles, or aggregates —
+    * which is what makes it streaming-admissible. Per-row cost is
+    * refs·dim multiplies inside whole-stage codegen. For corpus-scale
+    * indexes use the batch [[annSearchIndex]] instead. Null/invalid
+    * vectors flag false with a null score. */
+  def annProbeIndex(
+      df: DataFrame,
+      vecCol: String,
+      indexDir: String,
+      threshold: Double,
+      scoreCol: String = "ann_score",
+      flagCol: String = "ann_match"
+  ): DataFrame = {
+    require(threshold >= -1.0 && threshold <= 1.0,
+      s"annProbeIndex: threshold must be in [-1, 1], got $threshold")
+    Seq(scoreCol, flagCol).foreach(c => require(!df.columns.contains(c),
+      s"annProbeIndex: output column '$c' already exists — rename it first"))
+    val spark = df.sparkSession
+    val idx = spark.read.parquet(s"$indexDir/index").select(col("vec"))
+    val n = idx.count()
+    require(n >= 1, s"annProbeIndex: empty index under $indexDir/index")
+    require(n <= 65536,
+      s"annProbeIndex: the index holds $n vectors — the probe side must " +
+        "be a watchlist/benchmark (<= 65536 vectors; the kernel " +
+        "broadcasts them as a reference object). For corpus-scale " +
+        "indexes use ann_search in batch")
+    val refs = idx.collect()
+      .map(r => r.getSeq[Number](0).map(_.doubleValue()).toSeq).toSeq
+    require(refs.map(_.length.toLong).sum <= (1L << 22),
+      s"annProbeIndex: ${refs.map(_.length.toLong).sum} reference doubles " +
+        s"exceed the ${1L << 22} kernel budget — shrink the watchlist or " +
+        "its dimension")
+    df.withColumn(scoreCol,
+        graft.functions.CentroidKernels.maxCosine(col(vecCol), refs))
+      .withColumn(flagCol, coalesce(col(scoreCol) >= threshold, lit(false)))
+  }
+
   /** ANN top-k against a [[saveAnnIndex]] artifact: each query row probes
     * its `nprobe` nearest lists (centroids load once — bounded metadata,
     * embedded as a kernel reference object) and scores only those lists'

@@ -552,9 +552,41 @@ object SimQueries extends QueryPack {
        "order_by": ["query_id asc", "rank asc"]}""")
   }
 
+  // q222 — SCAN-STAGE semantic probe (the decontamination gate): index
+  // the "benchmark" (vec_id < 20) in Scala, then PURE JSON flags every
+  // corpus row whose max cosine against the benchmark reaches 0.35. The
+  // probe is EXACT (the kernel scores every watchlist vector — no
+  // banding, no recall loss), so the oracle is the plain cross-join max;
+  // benchmark rows themselves score 1.0 via their self-match, pinning
+  // the round-trip of the stored vectors through the parquet index.
+  private def q222(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir)
+    val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_q222_index"
+    Similarity.saveAnnIndex(
+      s, emb(s, dir).filter(col("vec_id") < 20)
+        .select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", idxDir, nlist = 4)
+    graft.compile.Compiler.compileJson(s, s"""
+      {"source": {"table": "embeddings"},
+       "keep_columns": ["vec_id", "embedding"],
+       "ann_probe": {"vec_col": "embedding", "index_dir": "$idxDir",
+                     "threshold": 0.35},
+       "drop": ["embedding"],
+       "order_by": ["vec_id asc"]}""")
+  }
+  private val q222Sql = s"""
+    WITH b AS (SELECT embedding FROM embeddings WHERE vec_id < 20),
+    s AS (
+      SELECT e.vec_id,
+             MAX(${duckCosine("e.embedding", "b.embedding")}) AS ann_score
+      FROM embeddings e CROSS JOIN b GROUP BY e.vec_id)
+    SELECT vec_id, ann_score, ann_score >= 0.35 AS ann_match
+    FROM s ORDER BY vec_id ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
     Q("q218_ann_index_search", q218, Some(bruteTopKSql(3))),
     Q("q220_ann_index_append", q220, Some(bruteTopKSql(3))),
+    Q("q222_ann_probe", q222, Some(q222Sql)),
     Q("q219_config_ann_index", q219, Some(q219Sql)),
     Q("q31_cosine_topk", q31, Some(q31Sql)),
     Q("q32_embedding_neardup", q32, Some(q32Sql)),

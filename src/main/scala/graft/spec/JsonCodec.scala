@@ -608,6 +608,21 @@ object JsonCodec {
       s
     }
 
+    val apSpec = optN("ann_probe", "annProbe").map { d =>
+      val ctx = s"node $id: ann_probe"
+      val s = AnnProbeSpec(
+        vecCol = req(d, ctx, "vec_col", "vecCol").asText,
+        indexDir = req(d, ctx, "index_dir", "indexDir").asText,
+        threshold = req(d, ctx, "threshold").asDouble,
+        scoreCol = opt(d, "score_col", "scoreCol").map(_.asText).getOrElse("ann_score"),
+        flagCol = opt(d, "flag_col", "flagCol").map(_.asText).getOrElse("ann_match"))
+      require(s.threshold >= -1.0 && s.threshold <= 1.0,
+        s"$ctx: threshold must be in [-1, 1], got ${s.threshold}")
+      require(s.scoreCol != s.flagCol,
+        s"$ctx: score_col and flag_col must differ, both are '${s.scoreCol}'")
+      s
+    }
+
     val tpSpec = optN("tar_pack", "tarPack").map { d =>
       val ctx = s"node $id: tar_pack"
       TarPackSpec(
@@ -815,6 +830,7 @@ object JsonCodec {
       tarCompact = tcSpec,
       annIndex = aiSpec,
       annSearch = asSpec,
+      annProbe = apSpec,
       wdsSamples = wdsSpec,
       winnow = winnowSpec,
       winnowProbe = winnowProbeSpec,

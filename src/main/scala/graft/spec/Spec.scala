@@ -622,6 +622,22 @@ final case class AnnSearchSpec(
     nprobe: Int = 4
 )
 
+/** Scan-stage semantic probe against a saved ANN index (NS;
+  * Similarity.annProbeIndex) — the embedding sibling of near_dup_probe /
+  * winnow_probe and the semantic-decontamination gate: every row gains
+  * `score_col` (MAX cosine against the indexed watchlist/benchmark
+  * vectors — exact, no recall loss) and boolean `flag_col` (≥ threshold).
+  * The index loads once at compile as a codegen reference object
+  * (bounded by name: ≤ 65536 vectors, ≤ 2²² doubles) — zero joins, zero
+  * shuffles, streaming-admissible. */
+final case class AnnProbeSpec(
+    vecCol: String,
+    indexDir: String,
+    threshold: Double,
+    scoreCol: String = "ann_score",
+    flagCol: String = "ann_match"
+)
+
 /** WebDataset tar sharding (NS; Tar.tarShards): the frame's (name,
   * payload) rows become per-shard deterministic tar blobs —
   * (shard, tar, n_members, tar_bytes). Shard = portable fingerprint of
@@ -966,6 +982,7 @@ final case class NodeSpec(
     tarCompact: Option[TarCompactSpec] = None, // after keep, before aggregate
     annIndex: Option[AnnIndexSpec] = None, // after keep, before aggregate
     annSearch: Option[AnnSearchSpec] = None, // after keep, before aggregate
+    annProbe: Option[AnnProbeSpec] = None, // after keep, before aggregate
     wdsSamples: Option[WdsSamplesSpec] = None, // after keep, before aggregate
     winnow: Option[WinnowSpec] = None, // after keep, before aggregate
     winnowProbe: Option[WinnowProbeSpec] = None, // after keep, before aggregate

@@ -92,6 +92,56 @@ class AnnIndexSuite extends SparkSpec {
     assert(e.getMessage.contains("centroids"))
   }
 
+  test("annProbeIndex: exact max-cosine flag, stream == batch, guards") {
+    val c = corpus
+    val bench = c.filter($"vid" <= 10)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-probe").toString
+    Similarity.saveAnnIndex(spark, bench, "vid", "emb", s"$dir/idx", nlist = 2)
+    val got = Similarity.annProbeIndex(c, "emb", s"$dir/idx", threshold = 0.5)
+      .select("vid", "ann_score", "ann_match")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    // expected: plain cross-join max of the same rounded cosine
+    val expected = c.crossJoin(
+        bench.select($"vid".as("bid"), $"emb".as("bemb")))
+      .select($"vid", round(Similarity.cosine($"emb", $"bemb"), 9).as("cos"))
+      .groupBy("vid").agg(max("cos").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, (score, flag)) =>
+      assert(score == expected(id), s"vid=$id")
+      assert(flag == (score >= 0.5), s"vid=$id")
+    }
+    // benchmark members self-match at exactly 1.0
+    (1L to 10L).foreach(id => assert(got(id)._1 == 1.0, s"vid=$id"))
+    // the probe is plan-only: no Exchange, no join in the executed plan
+    val plan = Similarity.annProbeIndex(c, "emb", s"$dir/idx", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.toLowerCase.contains("join"),
+      s"probe must stay scan-stage:\n$plan")
+    // streaming twin: identical flags/scores through compileStreamJson
+    val sdir = java.nio.file.Files.createTempDirectory("graft-ann-probe-s").toString
+    c.coalesce(1).write.parquet(s"$sdir/in")
+    val body = s""""ann_probe": {"vec_col": "emb", "index_dir": "$dir/idx",
+                    "threshold": 0.5}"""
+    val q = graft.compile.Compiler.compileStreamJson(spark, s"""
+      {"source": {"path": "$sdir/in"}, $body,
+       "save": {"format": "memory", "query_name": "ann_probe_stream",
+                "trigger": "available_now", "output_mode": "append"}}""")
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ann_probe_stream")
+      .select("vid", "ann_score", "ann_match")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(streamed == got, "streamed probe must equal batch")
+    // guards: threshold range, output-column collision, absent index
+    intercept[IllegalArgumentException](
+      Similarity.annProbeIndex(c, "emb", s"$dir/idx", 1.5))
+    intercept[IllegalArgumentException](
+      Similarity.annProbeIndex(
+        c.withColumn("ann_match", lit(true)), "emb", s"$dir/idx", 0.5))
+    intercept[Exception](
+      Similarity.annProbeIndex(c, "emb", s"$dir/nope", 0.5))
+  }
+
   test("config keys: ann_index histogram + ann_search output; batch-only; guards") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ann-cfg").toString
     corpus.write.parquet(s"$dir/c")

@@ -767,6 +767,21 @@ class JsonCodecSpec extends AnyFunSuite {
       """{"ann_index": {"id_col": "a", "vec_col": "v", "dir": "/i",
           "mode": "rebuild"}}"""))
     assert(e6.getMessage.contains("mode"))
+    // ann_probe: defaults, threshold bounds, column-collision guard
+    val ap = root("""
+      {"source": {"table": "d"},
+       "ann_probe": {"vec_col": "emb", "index_dir": "/i", "threshold": 0.8}}""")
+      .annProbe.get
+    assert(ap.scoreCol == "ann_score" && ap.flagCol == "ann_match")
+    val e7 = intercept[IllegalArgumentException](root(
+      """{"ann_probe": {"vec_col": "v", "index_dir": "/i", "threshold": 2.0}}"""))
+    assert(e7.getMessage.contains("threshold"))
+    val e8 = intercept[IllegalArgumentException](root(
+      """{"ann_probe": {"vec_col": "v", "index_dir": "/i", "threshold": 0.5,
+          "score_col": "x", "flag_col": "x"}}"""))
+    assert(e8.getMessage.contains("differ"))
+    intercept[IllegalArgumentException](root(
+      """{"ann_probe": {"vec_col": "v", "index_dir": "/i"}}"""))
   }
 
   test("sequence_pack rejects the stated drop_last: false under best_fit") {
