@@ -98,6 +98,7 @@ object Compiler {
         node.annIndex.toSeq.flatMap(a => Seq(a.idCol, a.vecCol)) ++
         node.annSearch.toSeq.flatMap(a => Seq(a.idCol, a.vecCol)) ++
         node.annProbe.toSeq.map(_.vecCol) ++
+        node.quantileFilter.toSeq.map(_.col) ++
         node.bm25.toSeq.flatMap(bq => Seq(bq.idCol, bq.textCol)) ++
         node.wdsSamples.toSeq.flatMap(ws => Seq(ws.nameCol, ws.dataCol)) ++
         node.winnow.toSeq.flatMap(wn => Seq(wn.idCol, wn.textCol)) ++
@@ -621,6 +622,17 @@ object Compiler {
           df.sparkSession, df, ai.idCol, ai.vecCol, ai.dir, ai.nlist, ai.refineRounds)
       df = df.sparkSession.read.parquet(s"${ai.dir}/index")
         .groupBy(col("list")).agg(count(lit(1)).as("n_vectors"))
+    }
+
+    // Generic quantile-threshold selection: keep the ~keep_n best rows
+    // by any numeric column — one sketch pass derives the cut, the keep
+    // is a pushed-down predicate. Batch-only by name (the sketch pass is
+    // an action over the frame).
+    node.quantileFilter.foreach { qf =>
+      requireBatch("quantile_filter", "a quantile-sketch pass over the frame",
+        "derive the cut in batch and apply it as a plain filter on the stream")
+      df = graft.ops.Corpus.quantileFilter(
+        df, qf.col, qf.keepN, qf.descending, qf.relativeError)
     }
 
     // Scan-stage semantic probe against a saved index: each row gains

@@ -1736,6 +1736,63 @@ object Corpus {
       Double.NegativeInfinity)
   }
 
+  /** GENERIC scan-stage top-n selection by any numeric score — the
+    * [[dsirThresholdForN]] machinery applied to an arbitrary column
+    * (quality scores, PageRank, perplexity): derive the cut that keeps
+    * ~`n` rows from ONE Greenwald-Khanna pass over the scores (the count
+    * rides the sketch), then keep via a pushed-down `>= cut` predicate
+    * (`descending = false`: the LOWEST scores, `<= cut` — the
+    * perplexity direction). No global sort, no rank window, no driver
+    * merge of n keys — selecting the best billion of a 100 TB corpus is
+    * one sketch pass plus one scan-stage filter.
+    *
+    * Rows AT the cut all keep, so the kept count is ~n: exactly n when
+    * scores are distinct and `relativeError = 0` (the exact sketch —
+    * tests/small frames), approximately n by the tie mass and the
+    * sketch error otherwise — the documented trade against rank-select's
+    * exactness (use a TakeOrdered-budget orderBy/limit when n is small
+    * and exactness matters). NULL/NaN scores raise by name. n >= N
+    * keeps everything. */
+  def quantileFilter(
+      df: DataFrame,
+      valueCol: String,
+      n: Long,
+      descending: Boolean = true,
+      relativeError: Double = 1e-4
+  ): DataFrame = {
+    require(n >= 1, s"quantileFilter: n must be >= 1, got $n")
+    require(relativeError >= 0 && relativeError < 1,
+      s"quantileFilter: relative_error must be in [0, 1), got $relativeError")
+    df.schema(valueCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType => ()
+      case t => throw new IllegalArgumentException(
+        s"quantileFilter: column '$valueCol' has type ${t.simpleString}; " +
+          "quantile selection needs a numeric score")
+    }
+    val score = when(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")),
+      col(valueCol).cast("double")).otherwise(raise_error(
+      lit(s"quantileFilter: NULL or NaN score in '$valueCol' — filter " +
+        "or impute first")))
+    import org.apache.spark.sql.catalyst.util.QuantileSummaries
+    val keyed = df.select(score.as("__qf"))
+    val zero = new QuantileSummaries(
+      QuantileSummaries.defaultCompressThreshold, relativeError)
+    val merged = keyed.rdd.treeAggregate(zero)(
+      (qs, row) => qs.insert(row.getDouble(0)),
+      (a, b) => a.compress().merge(b.compress()))
+    val total = merged.count
+    if (n >= total) df.filter(score.isNotNull) // still raises on NULL/NaN
+    else {
+      val p = if (descending) 1.0 - n.toDouble / total else n.toDouble / total
+      val cut = merged.compress().query(p).getOrElse(
+        if (descending) Double.NegativeInfinity else Double.PositiveInfinity)
+      if (descending) df.filter(score >= lit(cut))
+      else df.filter(score <= lit(cut))
+    }
+  }
+
   /** Persist a fitted DSIR model as a sparse parquet weight table —
     * (bucket, weight) rows plus bucket −2 carrying the dim (the
     * saveTextClassifier artifact convention). Batch-fit → stream-score:

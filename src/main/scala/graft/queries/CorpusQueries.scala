@@ -861,6 +861,31 @@ object CorpusQueries extends QueryPack {
            CAST(n_raw - len(kept) AS INT) AS dropped_lines
     FROM k ORDER BY doc_id ASC NULLS FIRST"""
 
+  // q223 — generic quantile-threshold selection (the dsirThresholdForN
+  // machinery on an arbitrary score): keep ~120 best of 500 by a
+  // deliberately TIED score (doc_id % 10 — runs of 50), so the target
+  // rank (120) falls 20 deep inside the value-7 run and the GK cut is
+  // provably that value regardless of the sketch's ±1-rank convention;
+  // the kept set is then every row >= the rank-120 value — 150 rows,
+  // the documented ties-all-keep behavior, restated independently by
+  // the oracle's ORDER BY/OFFSET rank probe.
+  private def q223(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "documents"},
+       "derive": {"score": "cast(doc_id % 10 as double)"},
+       "keep_columns": ["doc_id", "score"],
+       "quantile_filter": {"col": "score", "keep_n": 120,
+                           "relative_error": 0},
+       "order_by": ["doc_id asc"]}""")
+  }
+  private val q223Sql = """
+    WITH s AS (
+      SELECT doc_id, CAST(doc_id % 10 AS DOUBLE) AS score FROM documents),
+    c AS (SELECT score AS cut FROM s ORDER BY score DESC LIMIT 1 OFFSET 119)
+    SELECT doc_id, score FROM s, c WHERE score >= cut
+    ORDER BY doc_id ASC NULLS FIRST"""
+
   private val q166Sql = """
     WITH base AS (
       SELECT doc_id,
@@ -1183,6 +1208,7 @@ object CorpusQueries extends QueryPack {
     Q("q165_line_stats", q165, Some(q165Sql)),
     Q("q166_c4_line_filter", q166, Some(q166Sql)),
     Q("q221_line_dedup", q221, Some(q221Sql)),
+    Q("q223_quantile_filter", q223, Some(q223Sql)),
     Q("q170_global_shuffle", q170, Some(q170Sql)),
     Q("q171_config_global_shuffle", q171, Some(q170Sql)),
     Q("q172_gopher_quality", q172, Some(q172Sql)),

@@ -623,6 +623,20 @@ object JsonCodec {
       s
     }
 
+    val qfSpec = optN("quantile_filter", "quantileFilter").map { d =>
+      val ctx = s"node $id: quantile_filter"
+      val s = QuantileFilterSpec(
+        col = req(d, ctx, "col").asText,
+        keepN = req(d, ctx, "keep_n", "keepN").asLong,
+        descending = opt(d, "descending").forall(_.asBoolean(true)),
+        relativeError = opt(d, "relative_error", "relativeError")
+          .map(_.asDouble).getOrElse(1e-4))
+      require(s.keepN >= 1, s"$ctx: keep_n must be >= 1, got ${s.keepN}")
+      require(s.relativeError >= 0 && s.relativeError < 1,
+        s"$ctx: relative_error must be in [0, 1), got ${s.relativeError}")
+      s
+    }
+
     val tpSpec = optN("tar_pack", "tarPack").map { d =>
       val ctx = s"node $id: tar_pack"
       TarPackSpec(
@@ -831,6 +845,7 @@ object JsonCodec {
       annIndex = aiSpec,
       annSearch = asSpec,
       annProbe = apSpec,
+      quantileFilter = qfSpec,
       wdsSamples = wdsSpec,
       winnow = winnowSpec,
       winnowProbe = winnowProbeSpec,

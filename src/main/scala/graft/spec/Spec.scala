@@ -622,6 +622,20 @@ final case class AnnSearchSpec(
     nprobe: Int = 4
 )
 
+/** Generic quantile-threshold selection (NS; Corpus.quantileFilter):
+  * keep the ~`keep_n` best rows by any numeric column — the cut derives
+  * from ONE Greenwald-Khanna pass (count rides the sketch) and the keep
+  * is a pushed-down scan-stage predicate; `descending: false` keeps the
+  * LOWEST scores (the perplexity direction). Ties at the cut all keep;
+  * `relative_error: 0` = exact sketch. NULL/NaN raise by name.
+  * Batch-only by name (the sketch pass is an action). */
+final case class QuantileFilterSpec(
+    col: String,
+    keepN: Long,
+    descending: Boolean = true,
+    relativeError: Double = 1e-4
+)
+
 /** Scan-stage semantic probe against a saved ANN index (NS;
   * Similarity.annProbeIndex) — the embedding sibling of near_dup_probe /
   * winnow_probe and the semantic-decontamination gate: every row gains
@@ -983,6 +997,7 @@ final case class NodeSpec(
     annIndex: Option[AnnIndexSpec] = None, // after keep, before aggregate
     annSearch: Option[AnnSearchSpec] = None, // after keep, before aggregate
     annProbe: Option[AnnProbeSpec] = None, // after keep, before aggregate
+    quantileFilter: Option[QuantileFilterSpec] = None, // after keep, before aggregate
     wdsSamples: Option[WdsSamplesSpec] = None, // after keep, before aggregate
     winnow: Option[WinnowSpec] = None, // after keep, before aggregate
     winnowProbe: Option[WinnowProbeSpec] = None, // after keep, before aggregate

@@ -347,6 +347,49 @@ class CorpusSpec extends SparkSpec {
     assert(got(4L) == (("", 0, 1, true))) // split("") → one empty segment
   }
 
+  test("quantileFilter: ~n kept, ties all keep, both directions, guards") {
+    import org.apache.spark.sql.functions._
+    // distinct scores, exact sketch: kept is n or n+1 (the GK rank
+    // convention), and every rank-selected row clears the cut
+    val distinctScores = (1L to 60L).map(i => (i, i * 0.37 % 7.0)).toDF("id", "s")
+    for (n <- Seq(1L, 10L, 37L)) {
+      val kept = Corpus.quantileFilter(distinctScores, "s", n, relativeError = 0.0)
+        .collect().map(_.getLong(0)).toSet
+      val topN = distinctScores.orderBy(col("s").desc, col("id").asc)
+        .limit(n.toInt).collect().map(_.getLong(0)).toSet
+      assert(kept.size >= n && kept.size <= n + 1, s"n=$n kept ${kept.size}")
+      assert(topN.subsetOf(kept), s"n=$n: rank top-n must clear the cut")
+    }
+    // tied scores with the target rank mid-run: the whole run keeps
+    val tied = (1L to 100L).map(i => (i, (i % 5).toDouble)).toDF("id", "s")
+    val keptTied = Corpus.quantileFilter(tied, "s", 30, relativeError = 0.0)
+      .collect().map(_.getLong(0)).toSet
+    // 20 each of 0..4; keep ~30 best -> values 4 and 3 (rank 30 is 10
+    // deep inside the 3-run) = 40 rows
+    assert(keptTied == (1L to 100L).filter(i => i % 5 >= 3).toSet)
+    // ascending keeps the LOWEST scores (the perplexity direction)
+    val keptAsc = Corpus.quantileFilter(tied, "s", 30, descending = false,
+        relativeError = 0.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptAsc == (1L to 100L).filter(i => i % 5 <= 1).toSet)
+    // n >= N keeps everything
+    assert(Corpus.quantileFilter(tied, "s", 1000).count() == 100)
+    // guards: non-numeric column, NULL score, bad params
+    intercept[IllegalArgumentException](
+      Corpus.quantileFilter(tied.withColumn("t", lit("x")), "t", 5))
+    intercept[IllegalArgumentException](Corpus.quantileFilter(tied, "s", 0))
+    intercept[IllegalArgumentException](
+      Corpus.quantileFilter(tied, "s", 5, relativeError = 1.0))
+    intercept[Exception](Corpus.quantileFilter(
+      (1L to 5L).map(i => (i, if (i == 3) null else java.lang.Double.valueOf(i.toDouble)))
+        .toDF("id", "s"), "s", 2).collect())
+    // the keep itself is one scan-stage predicate — no Exchange
+    val plan = Corpus.quantileFilter(tied, "s", 30, relativeError = 0.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"quantile keep must not shuffle (the 100 TB claim):\n$plan")
+  }
+
   test("line dedup: first trimmed occurrence survives verbatim; later copies drop") {
     val tiny = Seq(
       // verbatim dup, indented dup (trimmed match — first copy's spacing

@@ -784,6 +784,29 @@ class JsonCodecSpec extends AnyFunSuite {
       """{"ann_probe": {"vec_col": "v", "index_dir": "/i"}}"""))
   }
 
+  test("quantile_filter node key decodes with defaults and named errors") {
+    val qf = root("""
+      {"source": {"table": "d"},
+       "quantile_filter": {"col": "score", "keep_n": 1000000}}""")
+      .quantileFilter.get
+    assert(qf.col == "score" && qf.keepN == 1000000L)
+    assert(qf.descending && qf.relativeError == 1e-4)
+    val asc = root("""
+      {"source": {"table": "d"},
+       "quantile_filter": {"col": "nll", "keep_n": 5, "descending": false,
+                           "relative_error": 0}}""").quantileFilter.get
+    assert(!asc.descending && asc.relativeError == 0.0)
+    val e = intercept[IllegalArgumentException](root(
+      """{"quantile_filter": {"col": "s"}}"""))
+    assert(e.getMessage.contains("keep_n"))
+    val e2 = intercept[IllegalArgumentException](root(
+      """{"quantile_filter": {"col": "s", "keep_n": 0}}"""))
+    assert(e2.getMessage.contains("keep_n"))
+    val e3 = intercept[IllegalArgumentException](root(
+      """{"quantile_filter": {"col": "s", "keep_n": 5, "relative_error": 1.0}}"""))
+    assert(e3.getMessage.contains("relative_error"))
+  }
+
   test("sequence_pack rejects the stated drop_last: false under best_fit") {
     // best_fit keeps every window by construction; an explicit
     // drop_last: false is the one detectable reliance on the key
