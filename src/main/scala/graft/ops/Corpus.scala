@@ -1760,9 +1760,46 @@ object Corpus {
       descending: Boolean = true,
       relativeError: Double = 1e-4
   ): DataFrame = {
+    val cut = quantileCut(df, valueCol, n, descending, relativeError)
+    val score = qfScore(df, valueCol)
+    if (descending) df.filter(score >= lit(cut))
+    else df.filter(score <= lit(cut))
+  }
+
+  /** The [[quantileFilter]] CUT alone — derive it from a batch frame and
+    * apply it as a plain `score >= cut` filter anywhere, including on a
+    * STREAM (the sketch pass is an action, so the node key is batch-only;
+    * the cut itself is just a number). Returns ∓Infinity (keep
+    * everything) when n >= N. */
+  def quantileCut(
+      df: DataFrame,
+      valueCol: String,
+      n: Long,
+      descending: Boolean = true,
+      relativeError: Double = 1e-4
+  ): Double = {
     require(n >= 1, s"quantileFilter: n must be >= 1, got $n")
     require(relativeError >= 0 && relativeError < 1,
       s"quantileFilter: relative_error must be in [0, 1), got $relativeError")
+    import org.apache.spark.sql.catalyst.util.QuantileSummaries
+    val keyed = df.select(qfScore(df, valueCol).as("__qf"))
+    val zero = new QuantileSummaries(
+      QuantileSummaries.defaultCompressThreshold, relativeError)
+    val merged = keyed.rdd.treeAggregate(zero)(
+      (qs, row) => qs.insert(row.getDouble(0)),
+      (a, b) => a.compress().merge(b.compress()))
+    val total = merged.count
+    val keepAll = if (descending) Double.NegativeInfinity else Double.PositiveInfinity
+    if (n >= total) keepAll
+    else {
+      val p = if (descending) 1.0 - n.toDouble / total else n.toDouble / total
+      merged.compress().query(p).getOrElse(keepAll)
+    }
+  }
+
+  /** Numeric-typed, NULL/NaN-raising view of a score column — the shared
+    * [[quantileFilter]]/[[quantileCut]] input contract. */
+  private def qfScore(df: DataFrame, valueCol: String): Column = {
     df.schema(valueCol).dataType match {
       case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
@@ -1771,26 +1808,10 @@ object Corpus {
         s"quantileFilter: column '$valueCol' has type ${t.simpleString}; " +
           "quantile selection needs a numeric score")
     }
-    val score = when(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")),
+    when(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")),
       col(valueCol).cast("double")).otherwise(raise_error(
       lit(s"quantileFilter: NULL or NaN score in '$valueCol' — filter " +
         "or impute first")))
-    import org.apache.spark.sql.catalyst.util.QuantileSummaries
-    val keyed = df.select(score.as("__qf"))
-    val zero = new QuantileSummaries(
-      QuantileSummaries.defaultCompressThreshold, relativeError)
-    val merged = keyed.rdd.treeAggregate(zero)(
-      (qs, row) => qs.insert(row.getDouble(0)),
-      (a, b) => a.compress().merge(b.compress()))
-    val total = merged.count
-    if (n >= total) df.filter(score.isNotNull) // still raises on NULL/NaN
-    else {
-      val p = if (descending) 1.0 - n.toDouble / total else n.toDouble / total
-      val cut = merged.compress().query(p).getOrElse(
-        if (descending) Double.NegativeInfinity else Double.PositiveInfinity)
-      if (descending) df.filter(score >= lit(cut))
-      else df.filter(score <= lit(cut))
-    }
   }
 
   /** Persist a fitted DSIR model as a sparse parquet weight table —

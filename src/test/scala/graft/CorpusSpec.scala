@@ -374,6 +374,14 @@ class CorpusSpec extends SparkSpec {
     assert(keptAsc == (1L to 100L).filter(i => i % 5 <= 1).toSet)
     // n >= N keeps everything
     assert(Corpus.quantileFilter(tied, "s", 1000).count() == 100)
+    // the CUT alone is exposed for batch-derive -> stream-apply: on the
+    // tied fixture it is provably the rank-30 value, and a plain filter
+    // with it reproduces quantileFilter exactly
+    val cut = Corpus.quantileCut(tied, "s", 30, relativeError = 0.0)
+    assert(cut == 3.0)
+    assert(tied.filter(col("s") >= cut).collect().map(_.getLong(0)).toSet
+      == keptTied)
+    assert(Corpus.quantileCut(tied, "s", 1000) == Double.NegativeInfinity)
     // guards: non-numeric column, NULL score, bad params
     intercept[IllegalArgumentException](
       Corpus.quantileFilter(tied.withColumn("t", lit("x")), "t", 5))
