@@ -433,6 +433,36 @@ class CorpusSpec extends SparkSpec {
     assert(viaSql(1L) == got(1L)._1)
   }
 
+  test("line dedup: brute-force equality, conservation, idempotence on random soups") {
+    // space-only trim — the SQL trim rule (Java's String.trim also strips
+    // tabs/controls, which would diverge from both engines)
+    def sp(s: String) = s.replaceAll("\\A +| +\\z", "")
+    def brute(text: String): Seq[String] = {
+      val raw = text.split("\n", -1).toSeq
+      raw.zipWithIndex.collect { case (l, i)
+        if !raw.take(i).map(sp).contains(sp(l)) => l }
+    }
+    val rng = new scala.util.Random(42)
+    val pool = Seq("alpha", "beta", "alpha ", " beta", "c  c", "", " ", "\tgamma", "gamma")
+    val docs = (1L to 40L).map { i =>
+      (i, Seq.fill(3 + rng.nextInt(10))(pool(rng.nextInt(pool.size))).mkString("\n"))
+    }.toDF("id", "t")
+    val out = docs.select(col("id"),
+        graft.ops.TextAnalysis.lineDedup(col("t")).as("d"), col("t"))
+      .select(col("id"), col("d.clean_text"), col("d.kept_lines"),
+        col("d.dropped_lines"), col("t"))
+      .collect()
+    out.foreach { r =>
+      val raw = r.getString(4).split("\n", -1)
+      val expect = brute(r.getString(4))
+      assert(r.getString(1) == expect.mkString("\n"), s"id=${r.getLong(0)}")
+      assert(r.getInt(2) == expect.length && r.getInt(2) + r.getInt(3) == raw.length,
+        s"id=${r.getLong(0)}: kept+dropped must conserve lines")
+      // idempotence: a deduped document re-dedups to itself
+      assert(brute(r.getString(1)) == expect, s"id=${r.getLong(0)}")
+    }
+  }
+
   test("global shuffle: deterministic, seed-sensitive, membership/positions exact, ids guarded") {
     val d = Tables.load(spark, sf, "documents").select("doc_id")
     def run(seed: Long) = Corpus.globalShuffle(d, "doc_id", shards = 4, seed = seed)
