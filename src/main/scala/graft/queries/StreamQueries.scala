@@ -135,12 +135,51 @@ object StreamQueries extends QueryPack {
                    "left_ts": "p_ts", "right_ts": "c_ts", "lookback": "1 HOUR"}}],
        "order_by": ["purchase_id asc", "click_id asc"]}""")
 
+  // q224 — PER-ROW sessionization from pure config: `derive` compiles
+  // each entry through the full SQL expression parser, which admits
+  // WINDOW expressions — so the row-preserving tier under q35/q63's
+  // session AGGREGATES (every event keeps its columns and gains its
+  // gap-based session ordinal, the shape session-level joins and
+  // per-session sequence features consume) needs no dedicated operator:
+  // entry 1 flags a session break with lag() (first event per user, or a
+  // gap > 30 min since the previous event — the q35 oracle's island
+  // rule), entry 2 numbers the sessions with a running sum over the same
+  // (user, ts, event_id) order. Later derive entries may reference
+  // earlier ones, so the two windows chain inside one projection pipeline
+  // — one keys-shaped Exchange + in-task sort, the running_totals batch
+  // cost class, spill-safe at any per-user history length. Window
+  // expressions are batch-only by nature (Spark rejects them under
+  // streams; the streaming spelling of sessions is q63's session_window
+  // aggregate with a watermark).
+  private def q224(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "events"},
+       "derive": {
+         "brk": "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) + INTERVAL '30' MINUTE THEN 1 ELSE 0 END",
+         "session_id": "sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"},
+       "keep_columns": ["event_id", "user_id", "ts", "session_id"],
+       "order_by": ["event_id asc"]}""")
+  private val q224Sql = """
+    WITH flagged AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR ts > LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                              + INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS brk
+      FROM events)
+    SELECT event_id, user_id, ts,
+           CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+    FROM flagged
+    ORDER BY event_id ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
     Q("q34_tumbling_window", q34, Some(q34Sql)),
     Q("q35_session_window", q35, Some(q35Sql)),
     Q("q36_sliding_window", q36, Some(q36Sql)),
     Q("q44_interval_join", q37b, Some(q37bSql)),
     Q("q63_config_session", q63, Some(q35Sql)),
-    Q("q65_config_interval", q65, Some(q37bSql))
+    Q("q65_config_interval", q65, Some(q37bSql)),
+    Q("q224_sessionize_rows", q224, Some(q224Sql))
   )
 }
