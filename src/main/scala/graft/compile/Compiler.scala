@@ -89,6 +89,8 @@ object Compiler {
         node.predictModel.toSeq.map(_.textCol) ++
         node.bpe.toSeq.map(_.textCol) ++
         node.cmsProbe.toSeq.map(_.keyCol) ++
+        node.seenProbe.toSeq.map(_.keyCol) ++
+        node.seenFilter.toSeq.map(_.keyCol) ++
         node.dsir.toSeq.flatMap(d =>
           Seq(d.textCol) ++ (if (d.idCol.nonEmpty) Seq(d.idCol) else Nil)) ++
         node.dsirScore.toSeq.map(_.textCol) ++
@@ -100,6 +102,7 @@ object Compiler {
         node.annProbe.toSeq.map(_.vecCol) ++
         node.quantileFilter.toSeq.map(_.col) ++
         node.bm25.toSeq.flatMap(bq => Seq(bq.idCol, bq.textCol)) ++
+        node.rrfFuse.toSeq.flatMap(rf => Seq(rf.queryCol, rf.docCol, rf.rankCol)) ++
         node.wdsSamples.toSeq.flatMap(ws => Seq(ws.nameCol, ws.dataCol)) ++
         node.winnow.toSeq.flatMap(wn => Seq(wn.idCol, wn.textCol)) ++
         node.winnowProbe.toSeq.map(_.textCol) ++
@@ -226,6 +229,12 @@ object Compiler {
         s"node ${node.id}: tar_pack_ingest is a STREAMING ROOT sink — " +
           "compile with compileStreamJson and declare it on the root node " +
           "(for the batch shape, use tar_pack)")
+    if (node.exactIngest.isDefined)
+      throw new IllegalArgumentException(
+        s"node ${node.id}: exact_ingest is a STREAMING ROOT sink — " +
+          "compile with compileStreamJson and declare it on the root node " +
+          "(for the batch shape, use derive + dedup, or seen_filter " +
+          "against the persisted index)")
     var df = input.getOrElse(node.combine match {
       case Some(c) =>
         val parts = c.nodes.map(n => compileNode(spark, n, None, executeSinks, streaming, refs))
@@ -462,6 +471,24 @@ object Compiler {
       df = graft.ops.Dedup.nearDupProbeBloom(df, p.textCol, index,
         p.shingleSize, p.numHashes, p.bands, p.flagCol, p.expectedKeys, p.fpp)
     }
+    // Scan-stage seen probe: the Bloom over the persisted key index
+    // (an exact_ingest index dir, or any parquet with the key column)
+    // builds ONCE at compile — zero joins/shuffles on the probed frame,
+    // streaming-admissible (the crawl-frontier gate).
+    node.seenProbe.foreach { sp =>
+      val index = spark.read.parquet(sp.indexDir)
+      df = graft.ops.Dedup.seenProbeBloom(df, sp.keyCol, index,
+        sp.flagCol, sp.expectedKeys, sp.fpp)
+    }
+    // Exact seen filter: drop (left-anti) or flag (left join + marker)
+    // against the persisted key index's distinct keys. Stream-static
+    // join under compileStream — NOTE the index is read at stream
+    // START; a growing index needs the exact_ingest sink (re-reads per
+    // batch) or a stream restart.
+    node.seenFilter.foreach { sf =>
+      val index = spark.read.parquet(sf.indexDir)
+      df = graft.ops.Dedup.seenFilter(df, sf.keyCol, index, sf.mode, sf.flagCol)
+    }
     node.scoreModel.foreach { m =>
       val model = graft.ops.Corpus.loadTextClassifier(spark, m.modelDir)
       df = graft.ops.Corpus.scoreWithModel(df, m.textCol, model,
@@ -606,6 +633,16 @@ object Compiler {
           (if (refs.isEmpty) "" else s" (defined: ${refs.keys.mkString(", ")})")))
       df = graft.ops.Retrieval.bm25TopK(df, bq.idCol, bq.textCol,
         queries, bq.qidCol, bq.qtextCol, bq.k1, bq.b, bq.topK, bq.proxWeight)
+    }
+
+    // Reciprocal-rank fusion: the frame (a combine union of ranked
+    // lists) becomes each query's fused top-k. One (query, doc)
+    // aggregate + one rank window over top-k-shaped input.
+    node.rrfFuse.foreach { rf =>
+      requireBatch("rrf_fuse", "a per-query top-k rank window",
+        "fuse in batch over the materialized ranked lists")
+      df = graft.ops.Retrieval.rrfFuse(df, rf.queryCol, rf.docCol,
+        rf.rankCol, rf.topK, rf.rrfK)
     }
 
     // At-rest ANN index build: writes dir/centroids + dir/index
@@ -1087,14 +1124,16 @@ object Compiler {
         }
         warnIgnored(root, isRoot = true)
         val ingestCount = Seq(root.nearDupIngest.isDefined,
-          root.passageIngest.isDefined, root.tarPackIngest.isDefined)
+          root.passageIngest.isDefined, root.tarPackIngest.isDefined,
+          root.exactIngest.isDefined)
           .count(identity)
         if (ingestCount > 1) throw new IllegalArgumentException(
-          "near_dup_ingest, passage_ingest, and tar_pack_ingest are each " +
-            "a root sink — a stream has ONE; declare one per stream")
+          "near_dup_ingest, passage_ingest, tar_pack_ingest, and " +
+            "exact_ingest are each a root sink — a stream has ONE; " +
+            "declare one per stream")
         val out = compileNode(spark,
           root.copy(nearDupIngest = None, passageIngest = None,
-            tarPackIngest = None, profile = None),
+            tarPackIngest = None, exactIngest = None, profile = None),
           Some(readStreamSource(spark, src)),
           executeSinks = false, streaming = true)
         // Root profile: the per-batch drift monitor — each micro-batch's
@@ -1102,7 +1141,7 @@ object Compiler {
         if (root.profile.isDefined) {
           val pr = root.profile.get
           if (root.nearDupIngest.isDefined || root.passageIngest.isDefined ||
-              root.tarPackIngest.isDefined)
+              root.tarPackIngest.isDefined || root.exactIngest.isDefined)
             throw new IllegalArgumentException(
               "profile beside an ingest sink: a stream has ONE sink — " +
                 "monitor the ingest's corpus directory with a second stream")
@@ -1146,10 +1185,19 @@ object Compiler {
               graft.streaming.Streaming.shardPackStream(
                 out, tp.nameCol, tp.payloadCol, tp.shards, tp.outDir,
                 tp.checkpointDir, tp.trigger)
-            case None =>
-              val sink = root.save.getOrElse(
-                throw new IllegalArgumentException("streaming pipeline needs a root save sink"))
-              startStreamSink(out, sink)
+            case None => root.exactIngest match {
+              case Some(ei) =>
+                if (root.save.isDefined)
+                  throw new IllegalArgumentException(
+                    "exact_ingest replaces the root save sink — declare one or the other")
+                graft.streaming.Streaming.exactIngest(
+                  out, ei.idCol, ei.keyCols, ei.corpusDir, ei.indexDir,
+                  ei.checkpointDir)
+              case None =>
+                val sink = root.save.getOrElse(
+                  throw new IllegalArgumentException("streaming pipeline needs a root save sink"))
+                startStreamSink(out, sink)
+            }
           }
         }
       case _: CascadePipeline =>

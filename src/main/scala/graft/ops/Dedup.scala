@@ -117,6 +117,90 @@ object Dedup {
     exactDedup(incoming, keyCols, idCol)
       .join(seenKeys.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
 
+  /** EXACT seen filter against a persisted key set — the join tier of
+    * the "have we got this already?" gate (cf. [[seenProbeBloom]], the
+    * scan-stage tier): `mode = "drop"` removes rows whose `keyCol`
+    * appears in `seenKeys` (left-anti — schema unchanged), `mode =
+    * "flag"` keeps every row and adds boolean `flagCol` instead (left
+    * join on the distinct keys + a marker). The seen side reduces to
+    * DISTINCT keys before the join, so the shuffle is key-shaped on the
+    * index side and incoming-shaped on the probe side (AQE broadcasts a
+    * small index). NULL keys are never-seen under both modes (equi-join
+    * null semantics; the flag is explicitly false, not null). Unlike
+    * [[dedupAgainstCorpus]] the incoming side is NOT deduped within
+    * itself — compose with `dedup`/[[exactDedup]] when in-batch dups
+    * matter. */
+  def seenFilter(
+      df: DataFrame,
+      keyCol: String,
+      seenKeys: DataFrame,
+      mode: String = "drop",
+      flagCol: String = "seen"
+  ): DataFrame = {
+    require(seenKeys.columns.contains(keyCol),
+      s"seenFilter: seen-key frame has no column '$keyCol' " +
+        s"(has: ${seenKeys.columns.mkString(", ")})")
+    val keys = seenKeys.select(col(keyCol)).distinct()
+    // a using-column join moves the key to position 0 — restore the
+    // input's column order so the op keeps its schema contract
+    val inOrder = df.columns.map(col).toSeq
+    mode match {
+      case "drop" =>
+        df.join(keys, Seq(keyCol), "left_anti").select(inOrder: _*)
+      case "flag" =>
+        require(!df.columns.contains(flagCol),
+          s"seenFilter: flag column '$flagCol' already exists in the input")
+        val marked = keys.withColumn("__seen_mark", lit(true))
+        df.join(marked, Seq(keyCol), "left")
+          .select(inOrder :+
+            coalesce(col("__seen_mark"), lit(false)).as(flagCol): _*)
+      case other => throw new IllegalArgumentException(
+        s"""seenFilter: mode must be "drop" or "flag", got "$other"""")
+    }
+  }
+
+  /** Scan-stage SEEN probe — the Bloom tier of [[seenFilter]], the
+    * crawl-frontier gate ("have we fetched this URL / seen this content
+    * fingerprint?") that runs with ZERO joins or shuffles: a Bloom
+    * filter over xxhash64 of the seen keys is built ONCE (one
+    * aggregation over the key frame; the driver holds only the bit
+    * array — the [[nearDupProbeBloom]] trust model), broadcast, and
+    * every probed row tests its own xxhash64 in the scan stage — which
+    * is what makes the probe STREAMING-admissible.
+    *
+    * Semantics are CONSERVATIVE: every indexed key flags (no false
+    * negatives), Bloom false positives over-flag an `fpp`-bounded
+    * sliver (plus the 2⁻⁶⁴ xxhash64 collision mass — the hashing is
+    * what makes the probe type-generic: any orderable key type works,
+    * string urls and long fingerprints alike). Route flagged rows to
+    * the exact tier ([[seenFilter]] or the `exact_ingest` sink) when
+    * over-dropping matters. NULL keys never flag and are never indexed
+    * (a NULL is not a key). */
+  def seenProbeBloom(
+      df: DataFrame,
+      keyCol: String,
+      seenKeys: DataFrame,
+      flagCol: String = "seen",
+      expectedKeys: Long = 1L << 22,
+      fpp: Double = 0.01
+  ): DataFrame = {
+    require(seenKeys.columns.contains(keyCol),
+      s"seenProbeBloom: seen-key frame has no column '$keyCol' " +
+        s"(has: ${seenKeys.columns.mkString(", ")})")
+    require(!df.columns.contains(flagCol),
+      s"seenProbeBloom: flag column '$flagCol' already exists in the input")
+    require(expectedKeys > 0, "seenProbeBloom: expected_keys must be > 0")
+    require(fpp > 0 && fpp < 1, s"seenProbeBloom: fpp must be in (0, 1), got $fpp")
+    val hashed = seenKeys.filter(col(keyCol).isNotNull)
+      .select(xxhash64(col(keyCol)).as("__k"))
+    val bloom = hashed.stat.bloomFilter("__k", expectedKeys, fpp)
+    val bc = df.sparkSession.sparkContext.broadcast(bloom)
+    val hit = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+    df.withColumn(flagCol,
+      when(col(keyCol).isNull, lit(false))
+        .otherwise(hit(xxhash64(col(keyCol)))))
+  }
+
   /** Incremental NEAR-dup ingestion — [[dedupAgainstCorpus]] extended
     * from exact fingerprints to MinHash near-duplicates, the production
     * shape for a corpus that grows daily:

@@ -125,4 +125,60 @@ object Retrieval {
       .select(col("__qid").as(qidCol), col("__doc").as(idCol),
         col("score"), col("rn"))
   }
+
+  /** Reciprocal-rank fusion — the standard hybrid-retrieval combiner
+    * (Cormack/Clarke/Büttcher, SIGIR'09): fuse ranked lists that have NO
+    * comparable scores (lexical BM25 vs dense ANN cosine — the hybrid
+    * search every modern retrieval stack runs) purely by rank:
+    *
+    *   rrf(q, d) = Σ_lists 1 / (rrfK + rank_list(q, d))
+    *
+    * summed over the lists the doc appears in. Input is the UNION of the
+    * ranked lists as (queryCol, docCol, rankCol) rows — e.g.
+    * [[bm25TopK]]'s (qid, doc, rn) unioned with
+    * [[Similarity.cosineTopK]]/annSearchIndex's (query, match, rank),
+    * columns renamed to a shared shape (the config spelling: `combine`
+    * two children, then `rrf_fuse`). A doc may appear once per list;
+    * duplicate (query, doc) rows from the SAME list simply add their
+    * reciprocal weights (garbage in, garbage out — dedup lists first).
+    *
+    * Determinism: each reciprocal weight rounds to 9 dp and sums in
+    * DECIMAL (order-free), the fused score rounds to 9 dp, ranking ties
+    * break by doc id — the exact output table has a full SQL oracle.
+    * NULL or < 1 ranks raise by name (a NULL rank would silently drop
+    * the list's contribution).
+    *
+    * Scale: ONE (query, doc)-keyed aggregate + one per-query rank window
+    * (WindowGroupLimit under the topK filter). The input is top-k-shaped
+    * (Σ list sizes), never corpus-shaped — fusing a million queries × a
+    * handful of lists is a small job regardless of corpus size.
+    * Batch-only by name (the rank window). Returns
+    * (queryCol, docCol, rrf_score, rn). */
+  def rrfFuse(
+      rankings: DataFrame,
+      queryCol: String,
+      docCol: String,
+      rankCol: String,
+      topK: Int = 10,
+      rrfK: Int = 60
+  ): DataFrame = {
+    require(topK >= 1, s"rrfFuse: topK must be >= 1, got $topK")
+    require(rrfK >= 0, s"rrfFuse: rrfK must be >= 0, got $rrfK")
+    val dec = DecimalType(38, 12)
+    val rank = when(col(rankCol).isNotNull && col(rankCol) >= 1,
+      col(rankCol).cast("double")).otherwise(raise_error(
+      lit(s"rrfFuse: NULL or < 1 rank in '$rankCol' — every ranked-list " +
+        "row needs a 1-based rank")))
+    val wgt = round(lit(1.0) / (lit(rrfK.toDouble) + rank), 9)
+    val scored = rankings
+      .select(col(queryCol).as("__q"), col(docCol).as("__d"), wgt.cast(dec).as("__w"))
+      .groupBy("__q", "__d")
+      .agg(round(sum(col("__w")).cast("double"), 9).as("rrf_score"))
+    val w = Window.partitionBy(col("__q"))
+      .orderBy(col("rrf_score").desc, col("__d").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col("__q").as(queryCol), col("__d").as(docCol),
+        col("rrf_score"), col("rn"))
+  }
 }

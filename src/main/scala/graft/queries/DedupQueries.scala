@@ -302,6 +302,45 @@ object DedupQueries extends QueryPack {
     WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.fp = inc.fp)
     ORDER BY doc_id ASC NULLS FIRST"""
 
+  // q225 — EXACT seen filter against a PERSISTED key index (the at-rest
+  // artifact q88's in-memory seen-frame becomes in production): the fp
+  // index of the existing corpus (doc_id % 3 = 0) is written to parquet
+  // — the layout an `exact_ingest` sink maintains — and a PURE-JSON
+  // pipeline derives each document's portable fingerprint and flags it
+  // against the index (`seen_filter` mode "flag"; mode "drop" is the
+  // same join as left-anti). Flag mode keeps every row, so the oracle
+  // gates the full decision vector: a doc flags iff its fp is among the
+  // indexed fps — including cross-partition duplicate TEXT (an incoming
+  // doc whose content matches an indexed doc flags even though its id
+  // was never indexed; that is the point of content keys). The index
+  // side reduces to distinct keys — the join is key-shaped, and AQE
+  // broadcasts it when small.
+  private def q225(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_q225_seen"
+    val d = Tables.load(s, dir, "documents")
+    val fp = graft.ops.TextAnalysis.fingerprintPortable(col("text"))
+    d.filter(col("doc_id") % 3 === 0).select(fp.as("fp"))
+      .write.mode("overwrite").parquet(idxDir)
+    graft.compile.Compiler.compileJson(s, s"""
+      {"source": {"table": "documents"},
+       "derive": {"fp": "doc_fingerprint_portable(text)"},
+       "keep_columns": ["doc_id", "fp"],
+       "seen_filter": {"key_col": "fp", "index_dir": "$idxDir", "mode": "flag"},
+       "order_by": ["doc_id asc"]}""")
+  }
+  private val q225Sql = s"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS t
+      FROM documents),
+    fps AS (SELECT doc_id, ${TextQueries.fpSql("t")} AS fp FROM toks),
+    seenk AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 3 = 0)
+    SELECT f.doc_id, f.fp,
+           EXISTS (SELECT 1 FROM seenk WHERE seenk.fp = f.fp) AS seen
+    FROM fps f
+    ORDER BY f.doc_id ASC NULLS FIRST"""
+
   // q97 — INCREMENTAL near-dup ingestion: q88's daily-delta shape upgraded
   // from exact fingerprints to MinHash near-duplicates. Corpus = docs with
   // doc_id % 3 = 0, reduced to its PERSISTED band index
@@ -706,6 +745,7 @@ object DedupQueries extends QueryPack {
     Q("q51_config_dedup", q51, Some(q51Sql)),
     Q("q53_dedup_pipeline_lsh", q53, Some(q53Sql)),
     Q("q88_incremental_dedup", q88, Some(q88Sql)),
+    Q("q225_seen_filter", q225, Some(q225Sql)),
     Q("q97_incremental_neardup", q97, Some(q97Sql)),
     Q("q101_edit_distance_verify", q101, Some(q101Sql)),
     Q("q105_config_edit_dedup", q105, Some(q101Sql)),

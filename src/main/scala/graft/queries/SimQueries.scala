@@ -13,7 +13,7 @@ object SimQueries extends QueryPack {
 
   /** DuckDB cosine between two list columns, element order preserved —
     * mirrors Similarity.dot's sequential fold. */
-  private def duckCosine(a: String, b: String): String = {
+  private[queries] def duckCosine(a: String, b: String): String = {
     def norm(v: String) =
       s"sqrt(list_sum(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
     val dot =

@@ -1243,6 +1243,7 @@ object TextQueries extends QueryPack {
     Q("q190_bm25_topk", q190, Some(q190Sql)),
     Q("q191_config_bm25", q191, Some(q190Sql)),
     Q("q202_bm25_phrase", q202, Some(q202Sql)),
+    Q("q226_rrf_fusion", q226, Some(q226Sql)),
     Q("q193_lm_kneser_ney", q193, Some(q193Sql)),
     Q("q196_crawl_to_shards", q196, Some(q196Sql)),
     Q("q197_robots_audit", q197, Some(q197Sql)),
@@ -1952,7 +1953,10 @@ object TextQueries extends QueryPack {
         docs(s, dir), "doc_id", "text", qs, "qid", "qtext", topK = 5)
       .orderBy(col("qid").asc_nulls_first, col("rn").asc_nulls_first)
   }
-  private val q190Sql = s"""
+  /** The q190 BM25 CTE chain through `ranked` — shared verbatim by the
+    * q226 fusion oracle (its lexical list must be byte-identical to
+    * q190's ranking). */
+  private val bm25CtesSql = s"""
     WITH toks AS (
       SELECT doc_id,
              list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS t
@@ -1992,8 +1996,69 @@ object TextQueries extends QueryPack {
       SELECT qid, doc_id, score,
              CAST(ROW_NUMBER() OVER (PARTITION BY qid
                                      ORDER BY score DESC, doc_id ASC) AS INT) AS rn
-      FROM agg)
+      FROM agg)"""
+  private val q190Sql = s"""$bm25CtesSql
     SELECT qid, doc_id, score, rn FROM ranked WHERE rn <= 5
+    ORDER BY qid ASC NULLS FIRST, rn ASC NULLS FIRST"""
+
+  // q226 — HYBRID retrieval via reciprocal-rank fusion: the lexical BM25
+  // top-5 (q190's exact ranking) and a dense cosine top-5 (each query id
+  // paired with the embeddings-table vector of the same id; brute-force
+  // verify tier, self-match excluded — the q31 discipline) fuse by
+  // rrf = Σ 1/(60 + rank) — the score-calibration-free combiner every
+  // hybrid search stack runs (RRF, SIGIR'09). The oracle replays BOTH
+  // rankings independently (the q190 CTE chain verbatim + the q31 cosine
+  // mirror) and the fusion arithmetic: 9-dp reciprocal weights summed in
+  // DECIMAL, fused score 9-dp, ties by doc id. Scale: both inputs are
+  // top-k-shaped; the fuse is one (query, doc) aggregate + one
+  // WindowGroupLimit window — corpus size never enters the fusion.
+  private def q226(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qs = bm25Queries.toDF("qid", "qtext")
+    val lex = graft.ops.Retrieval.bm25TopK(
+        docs(s, dir), "doc_id", "text", qs, "qid", "qtext", topK = 5)
+      .select(col("qid"), col("doc_id"), col("rn").as("rank"))
+    val e = graft.Tables.load(s, dir, "embeddings")
+    val dense = graft.ops.Similarity.cosineTopK(
+        e.filter(col("vec_id").isin(1L, 2L, 3L))
+          .select(col("vec_id").as("qid"), col("embedding")),
+        e.select(col("vec_id").as("doc_id"), col("embedding")),
+        queryId = "qid", queryVec = "embedding",
+        corpusId = "doc_id", corpusVec = "embedding", k = 5)
+      .select(col("qid"), col("doc_id"), col("rank"))
+    graft.ops.Retrieval.rrfFuse(
+        lex.unionByName(dense), "qid", "doc_id", "rank", topK = 5)
+      .orderBy(col("qid").asc_nulls_first, col("rn").asc_nulls_first)
+  }
+  private val q226Sql = s"""$bm25CtesSql,
+    lex AS (SELECT qid, doc_id, rn AS rank FROM ranked WHERE rn <= 5),
+    denseq AS (
+      SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      WHERE vec_id IN (1, 2, 3)),
+    dscored AS (
+      SELECT qid, c.vec_id AS doc_id,
+             ${SimQueries.duckCosine("qe", "c.embedding")} AS dscore
+      FROM denseq, embeddings c WHERE c.vec_id <> qid),
+    dense AS (
+      SELECT qid, doc_id, rank FROM (
+        SELECT qid, doc_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY dscore DESC, doc_id ASC) AS INT) AS rank
+        FROM dscored) WHERE rank <= 5),
+    unioned AS (
+      SELECT qid, doc_id, rank FROM lex
+      UNION ALL SELECT qid, doc_id, rank FROM dense),
+    fused AS (
+      SELECT qid, doc_id,
+             ROUND(CAST(SUM(CAST(ROUND(1e0 / (60 + rank), 9)
+               AS DECIMAL(38,12))) AS DOUBLE), 9) AS rrf_score
+      FROM unioned GROUP BY qid, doc_id),
+    franked AS (
+      SELECT qid, doc_id, rrf_score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                  ORDER BY rrf_score DESC, doc_id ASC) AS INT) AS rn
+      FROM fused)
+    SELECT qid, doc_id, rrf_score, rn FROM franked WHERE rn <= 5
     ORDER BY qid ASC NULLS FIRST, rn ASC NULLS FIRST"""
 
   // q191 — the same retrieval from PURE JSON: the query table is a def

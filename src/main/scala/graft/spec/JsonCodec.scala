@@ -451,6 +451,31 @@ object JsonCodec {
         fpp = opt(d, "fpp").map(_.asDouble).getOrElse(0.01))
     }
 
+    val seenProbeSpec = optN("seen_probe", "seenProbe").map { d =>
+      val ctx = s"node $id: seen_probe"
+      val s = SeenProbeSpec(
+        keyCol = req(d, ctx, "key_col", "keyCol").asText,
+        indexDir = req(d, ctx, "index_dir", "indexDir").asText,
+        flagCol = opt(d, "flag_col", "flagCol").map(_.asText).getOrElse("seen"),
+        expectedKeys = opt(d, "expected_keys", "expectedKeys").map(_.asLong).getOrElse(1L << 22),
+        fpp = opt(d, "fpp").map(_.asDouble).getOrElse(0.01))
+      require(s.expectedKeys > 0, s"$ctx: expected_keys must be > 0")
+      require(s.fpp > 0 && s.fpp < 1, s"$ctx: fpp must be in (0, 1), got ${s.fpp}")
+      s
+    }
+
+    val seenFilterSpec = optN("seen_filter", "seenFilter").map { d =>
+      val ctx = s"node $id: seen_filter"
+      val s = SeenFilterSpec(
+        keyCol = req(d, ctx, "key_col", "keyCol").asText,
+        indexDir = req(d, ctx, "index_dir", "indexDir").asText,
+        mode = opt(d, "mode").map(_.asText).getOrElse("drop"),
+        flagCol = opt(d, "flag_col", "flagCol").map(_.asText).getOrElse("seen"))
+      require(s.mode == "drop" || s.mode == "flag",
+        s"""$ctx: mode must be "drop" or "flag", got "${s.mode}"""")
+      s
+    }
+
     val bpeSpec = optN("bpe").map { d =>
       BpeSpec(
         textCol = req(d, s"node $id: bpe", "text_col", "textCol").asText,
@@ -566,6 +591,19 @@ object JsonCodec {
         topK = opt(d, "top_k", "topK").map(_.asInt).getOrElse(10),
         proxWeight = opt(d, "prox_weight", "proxWeight")
           .map(_.asDouble).getOrElse(0.0))
+    }
+
+    val rrfSpec = optN("rrf_fuse", "rrfFuse").map { d =>
+      val ctx = s"node $id: rrf_fuse"
+      val s = RrfFuseSpec(
+        queryCol = req(d, ctx, "query_col", "queryCol").asText,
+        docCol = req(d, ctx, "doc_col", "docCol").asText,
+        rankCol = req(d, ctx, "rank_col", "rankCol").asText,
+        topK = opt(d, "top_k", "topK").map(_.asInt).getOrElse(10),
+        rrfK = opt(d, "rrf_k", "rrfK").map(_.asInt).getOrElse(60))
+      require(s.topK >= 1, s"$ctx: top_k must be >= 1, got ${s.topK}")
+      require(s.rrfK >= 0, s"$ctx: rrf_k must be >= 0, got ${s.rrfK}")
+      s
     }
 
     val aiSpec = optN("ann_index", "annIndex").map { d =>
@@ -837,6 +875,8 @@ object JsonCodec {
       bpeApply = ba,
       chunk = chk,
       nearDupProbe = ndp,
+      seenProbe = seenProbeSpec,
+      seenFilter = seenFilterSpec,
       cmsProbe = cms,
       dsir = dsirSpec,
       pageRank = prSpec,
@@ -850,6 +890,7 @@ object JsonCodec {
       winnow = winnowSpec,
       winnowProbe = winnowProbeSpec,
       bm25 = bm25Spec,
+      rrfFuse = rrfSpec,
       dsirScore = dsirScoreSpec,
       split = sp,
       temperatureSample = ts,
@@ -913,6 +954,17 @@ object JsonCodec {
           indexDir = req(d, ctx, "index_dir", "indexDir").asText,
           checkpointDir = req(d, ctx, "checkpoint_dir", "checkpointDir").asText,
           windowTokens = opt(d, "window_tokens", "windowTokens").map(_.asInt).getOrElse(50))
+      },
+      exactIngest = optN("exact_ingest", "exactIngest").map { d =>
+        val ctx = s"node $id: exact_ingest"
+        val s = ExactIngestSpec(
+          idCol = req(d, ctx, "id_col", "idCol").asText,
+          keyCols = strSeq(req(d, ctx, "key_cols", "keyCols")),
+          corpusDir = req(d, ctx, "corpus_dir", "corpusDir").asText,
+          indexDir = req(d, ctx, "index_dir", "indexDir").asText,
+          checkpointDir = req(d, ctx, "checkpoint_dir", "checkpointDir").asText)
+        require(s.keyCols.nonEmpty, s"$ctx: key_cols must be non-empty")
+        s
       },
       sequencePack = optN("sequence_pack", "sequencePack").map { d =>
         val ctx = s"node $id: sequence_pack"

@@ -593,6 +593,22 @@ final case class Bm25Spec(
     proxWeight: Double = 0.0 // > 0: add bigram-adjacency (phrase) scoring
 )
 
+/** Reciprocal-rank fusion (NS; Retrieval.rrfFuse): the frame — a UNION
+  * of ranked lists as (queryCol, docCol, rankCol) rows, typically
+  * `combine` of a bm25 child and an ann_search child with ranks renamed
+  * to a shared column — becomes each query's top-k by
+  * rrf = Σ 1/(rrf_k + rank), the score-calibration-free hybrid-search
+  * combiner. 9-dp decimal-summed, ties by doc id; NULL/<1 ranks raise
+  * by name. Batch-only by name (rank window). Returns
+  * (queryCol, docCol, rrf_score, rn). */
+final case class RrfFuseSpec(
+    queryCol: String,
+    docCol: String,
+    rankCol: String,
+    topK: Int = 10,
+    rrfK: Int = 60
+)
+
 /** Build + persist an at-rest IVF ANN index (NS; Similarity.saveAnnIndex):
   * the frame (the embedding corpus) writes `dir/centroids` (bounded
   * metadata) and `dir/index` (id, vec, norm, list — PARTITIONED BY LIST
@@ -926,6 +942,60 @@ final case class PassageIngestSpec(
     windowTokens: Int = 50
 )
 
+/** Continuous EXACT-dedup ingestion (NS; Streaming.exactIngest): the
+  * [[NearDupIngestSpec]] contract at the exact tier — each micro-batch
+  * dedups WITHIN itself (deterministic min-id winner per `keyCols`) and
+  * against the persisted key index at `indexDir` (left-anti join — the
+  * Dedup.dedupAgainstCorpus shape), appends survivors to `corpusDir` and
+  * their distinct keys to the index. History lives in the key index
+  * (key columns only — at 100 TB the index is fingerprint-shaped, ~100×
+  * smaller than the corpus), never in watermark state: exact-dup history
+  * is unbounded and restart-shared. Streaming-only root sink; batch
+  * compiles reject by name (batch shape: `derive` a fingerprint +
+  * `dedup`, or Dedup.dedupAgainstCorpus). */
+final case class ExactIngestSpec(
+    idCol: String,
+    keyCols: Seq[String],
+    corpusDir: String,
+    indexDir: String,
+    checkpointDir: String
+)
+
+/** Scan-stage SEEN probe against a persisted key index (NS;
+  * Dedup.seenProbeBloom): adds boolean `flagCol` — true when the row's
+  * `keyCol` is (possibly) already in the index at `indexDir`. A Bloom
+  * over xxhash64 of the index keys is built ONCE at compile and rides
+  * broadcast; the probed frame is never shuffled or joined — the probe
+  * is STREAMING-admissible (the crawl-frontier "have we fetched this
+  * already?" gate on a live ingest). Conservative: every indexed key
+  * flags (no false negatives); Bloom false positives over-flag an
+  * fpp-bounded sliver — route flagged rows to the exact tier
+  * (`seen_filter`, or the `exact_ingest` sink itself) when over-dropping
+  * matters. NULL keys never flag. */
+final case class SeenProbeSpec(
+    keyCol: String,
+    indexDir: String,
+    flagCol: String = "seen",
+    expectedKeys: Long = 1L << 22,
+    fpp: Double = 0.01
+)
+
+/** EXACT seen filter against a persisted key index (NS;
+  * Dedup.seenFilter): `mode: "drop"` removes rows whose `keyCol` is in
+  * the index (left-anti join — schema unchanged), `mode: "flag"` keeps
+  * every row and adds boolean `flagCol` instead. The index side reduces
+  * to its distinct keys before the join (key-shaped, never
+  * corpus-shaped). Works under compileStream as a stream-static join —
+  * NOTE the index is read once at stream start; a growing index needs
+  * the `exact_ingest` sink (which re-reads per batch) or a stream
+  * restart. NULL keys count as never-seen (join semantics). */
+final case class SeenFilterSpec(
+    keyCol: String,
+    indexDir: String,
+    mode: String = "drop", // "drop" (left-anti) | "flag" (adds flagCol)
+    flagCol: String = "seen"
+)
+
 /** Fixed-length training-sequence packing (NS; Pack.sequencePack): the
   * frame becomes `(shard, seq, ids, n_tokens)` — per-shard concatenation
   * of the docs' id arrays (ascending id, EOS-separated) sliced every
@@ -989,6 +1059,8 @@ final case class NodeSpec(
     bpeApply: Option[BpeApplySpec] = None, // after keep, before aggregate
     chunk: Option[ChunkSpec] = None, // after bpe_apply (ids tier composes bpe→chunk→pack)
     nearDupProbe: Option[NearDupProbeSpec] = None, // after keep, before aggregate
+    seenProbe: Option[SeenProbeSpec] = None, // after keep, before aggregate
+    seenFilter: Option[SeenFilterSpec] = None, // after keep, before aggregate
     cmsProbe: Option[CmsProbeSpec] = None, // after keep, before aggregate
     dsir: Option[DsirSpec] = None, // after keep, before aggregate
     pageRank: Option[PageRankSpec] = None, // after keep, before aggregate
@@ -1002,6 +1074,7 @@ final case class NodeSpec(
     winnow: Option[WinnowSpec] = None, // after keep, before aggregate
     winnowProbe: Option[WinnowProbeSpec] = None, // after keep, before aggregate
     bm25: Option[Bm25Spec] = None, // after keep, before aggregate
+    rrfFuse: Option[RrfFuseSpec] = None, // after keep, before aggregate (input: a combine union of ranked lists)
     dsirScore: Option[DsirScoreSpec] = None, // after keep, before aggregate
     split: Option[SplitSpec] = None, // after keep, before aggregate
     temperatureSample: Option[TemperatureSampleSpec] = None, // after split
@@ -1027,6 +1100,7 @@ final case class NodeSpec(
     save: Option[SinkSpec] = None,
     nearDupIngest: Option[NearDupIngestSpec] = None, // streaming-only root sink
     passageIngest: Option[PassageIngestSpec] = None, // streaming-only root sink
+    exactIngest: Option[ExactIngestSpec] = None, // streaming-only root sink
     tarPackIngest: Option[TarPackIngestSpec] = None, // streaming-only root sink
     sequencePack: Option[SequencePackSpec] = None, // after bpe_apply, before with_columns
     cache: Boolean = false // defs-only: persist() the compiled stage

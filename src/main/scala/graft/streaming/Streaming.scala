@@ -333,6 +333,67 @@ object Streaming {
       }
       .start()
 
+  /** Continuous EXACT-dedup ingestion — [[nearDupIngest]]'s pattern at
+    * the exact tier, the cheapest and most common member of the
+    * incremental family (a crawler's "new content only" sink): each
+    * micro-batch dedups WITHIN itself (deterministic min-id winner per
+    * `keyCols` — [[graft.ops.Dedup.dedupAgainstCorpus]]) and against the
+    * PERSISTED key index at `indexDir` by left-anti join, appends
+    * survivors to `corpusDir` and their distinct keys to the index — so
+    * batch N+1 sees everything batch N admitted.
+    *
+    * History lives in the persisted key index, NOT in streaming state
+    * (same rationale as the near-dup/passage siblings: exact-dup history
+    * is unbounded — a copy of a year-old page is still a copy — must
+    * survive restarts, and is shared with batch jobs probing the same
+    * index). The index holds KEY COLUMNS ONLY: with a 64-bit content
+    * fingerprint key the index is ~8 bytes/doc — at 100 TB of text the
+    * probe side is fingerprint-shaped, never corpus-shaped, and each
+    * batch's anti-join shuffles the batch + the key index, not history's
+    * text. Per-batch `batch=` partition overwrites make replays
+    * idempotent, and a replayed batch's own crashed write is excluded
+    * from its probe (the [[nearDupIngest]] crash-consistency contract).
+    *
+    * Derive the key UPSTREAM in the stream's pipeline (e.g. `derive:
+    * {"fp": "doc_fingerprint_portable(text)"}` or `canonical_url(url)`)
+    * — the ingest is key-generic. */
+  def exactIngest(
+      incoming: DataFrame,
+      idCol: String,
+      keyCols: Seq[String],
+      corpusDir: String,
+      indexDir: String,
+      checkpointDir: String
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(keyCols.nonEmpty, "exactIngest: key_cols must be non-empty")
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        def seeded(dir: String): Boolean = {
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+          fs.exists(new org.apache.hadoop.fs.Path(dir)) &&
+            fs.listStatus(new org.apache.hadoop.fs.Path(dir)).nonEmpty
+        }
+        val index =
+          if (seeded(indexDir))
+            s.read.parquet(indexDir).filter(col("batch") =!= batchId)
+              .select(keyCols.map(col): _*)
+          else batch.limit(0).select(keyCols.map(col): _*)
+        val kept = graft.ops.Dedup.dedupAgainstCorpus(
+            batch, index, keyCols, idCol)
+          .select(batch.columns.map(col): _*) // restore input column order
+          .persist()
+        try {
+          kept.write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
+          kept.select(keyCols.map(col): _*).distinct()
+            .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+        } finally kept.unpersist()
+      }
+      .start()
+  }
+
   /** Continuous SEMANTIC dedup ingestion — the embedding sibling of
     * [[nearDupIngest]]/[[passageIngest]], completing the incremental
     * trio across modalities: each micro-batch is deduped against the

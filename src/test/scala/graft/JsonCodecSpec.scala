@@ -807,6 +807,71 @@ class JsonCodecSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("relative_error"))
   }
 
+  test("rrf_fuse node key decodes with defaults and named errors") {
+    val rf = root("""
+      {"rrf_fuse": {"query_col": "q", "doc_col": "d", "rank_col": "r"}}""")
+      .rrfFuse.get
+    assert(rf.queryCol == "q" && rf.docCol == "d" && rf.rankCol == "r")
+    assert(rf.topK == 10 && rf.rrfK == 60)
+    val rf2 = root("""
+      {"rrf_fuse": {"query_col": "q", "doc_col": "d", "rank_col": "r",
+                    "top_k": 5, "rrf_k": 0}}""").rrfFuse.get
+    assert(rf2.topK == 5 && rf2.rrfK == 0)
+    assert(intercept[IllegalArgumentException](root(
+      """{"rrf_fuse": {"query_col": "q", "doc_col": "d"}}"""))
+      .getMessage.contains("rank_col"))
+    assert(intercept[IllegalArgumentException](root(
+      """{"rrf_fuse": {"query_col": "q", "doc_col": "d", "rank_col": "r",
+          "top_k": 0}}""")).getMessage.contains("top_k"))
+    assert(intercept[IllegalArgumentException](root(
+      """{"rrf_fuse": {"query_col": "q", "doc_col": "d", "rank_col": "r",
+          "rrf_k": -1}}""")).getMessage.contains("rrf_k"))
+  }
+
+  test("seen_probe / seen_filter / exact_ingest node keys decode with defaults and named errors") {
+    val sp = root("""
+      {"source": {"table": "d"},
+       "seen_probe": {"key_col": "fp", "index_dir": "/idx"}}""").seenProbe.get
+    assert(sp.keyCol == "fp" && sp.indexDir == "/idx")
+    assert(sp.flagCol == "seen" && sp.expectedKeys == (1L << 22) && sp.fpp == 0.01)
+    val sp2 = root("""
+      {"seen_probe": {"key_col": "url", "index_dir": "/i",
+                      "flag_col": "fetched", "expected_keys": 1024,
+                      "fpp": 0.001}}""").seenProbe.get
+    assert(sp2.flagCol == "fetched" && sp2.expectedKeys == 1024L && sp2.fpp == 0.001)
+    assert(intercept[IllegalArgumentException](root(
+      """{"seen_probe": {"key_col": "k"}}""")).getMessage.contains("index_dir"))
+    assert(intercept[IllegalArgumentException](root(
+      """{"seen_probe": {"key_col": "k", "index_dir": "/i", "fpp": 2}}"""))
+      .getMessage.contains("fpp"))
+
+    val sf = root("""
+      {"seen_filter": {"key_col": "fp", "index_dir": "/idx"}}""").seenFilter.get
+    assert(sf.mode == "drop" && sf.flagCol == "seen")
+    val sf2 = root("""
+      {"seen_filter": {"key_col": "fp", "index_dir": "/idx",
+                       "mode": "flag", "flag_col": "dup"}}""").seenFilter.get
+    assert(sf2.mode == "flag" && sf2.flagCol == "dup")
+    assert(intercept[IllegalArgumentException](root(
+      """{"seen_filter": {"key_col": "k", "index_dir": "/i", "mode": "purge"}}"""))
+      .getMessage.contains("drop"))
+
+    val ei = root("""
+      {"exact_ingest": {"id_col": "doc_id", "key_cols": ["fp"],
+                        "corpus_dir": "/c", "index_dir": "/i",
+                        "checkpoint_dir": "/k"}}""").exactIngest.get
+    assert(ei.idCol == "doc_id" && ei.keyCols == Seq("fp"))
+    assert(ei.corpusDir == "/c" && ei.indexDir == "/i" && ei.checkpointDir == "/k")
+    assert(intercept[IllegalArgumentException](root(
+      """{"exact_ingest": {"id_col": "d", "key_cols": [],
+          "corpus_dir": "/c", "index_dir": "/i", "checkpoint_dir": "/k"}}"""))
+      .getMessage.contains("key_cols"))
+    assert(intercept[IllegalArgumentException](root(
+      """{"exact_ingest": {"id_col": "d", "key_cols": ["fp"],
+          "corpus_dir": "/c", "index_dir": "/i"}}"""))
+      .getMessage.contains("checkpoint_dir"))
+  }
+
   test("sequence_pack rejects the stated drop_last: false under best_fit") {
     // best_fit keeps every window by construction; an explicit
     // drop_last: false is the one detectable reliance on the key

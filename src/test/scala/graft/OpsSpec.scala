@@ -68,6 +68,85 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("minhashBandIndex"))
   }
 
+  test("seenFilter: drop and flag modes against a key frame; null keys never seen; named errors") {
+    import spark.implicits._
+    val incoming = Seq(
+      (1L, Some("aaa")), (2L, Some("bbb")), (3L, None), (4L, Some("ccc")))
+      .toDF("id", "k")
+    val seen = Seq("aaa", "ccc", "ccc").toDF("k") // dup key: distinct-ed inside
+    val dropped = Dedup.seenFilter(incoming, "k", seen, "drop")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(dropped == Set(2L, 3L),
+      s"aaa/ccc are seen, null is never-seen: kept $dropped")
+    // drop preserves schema exactly
+    assert(Dedup.seenFilter(incoming, "k", seen, "drop").columns.toSeq ==
+      incoming.columns.toSeq)
+    val flags = Dedup.seenFilter(incoming, "k", seen, "flag")
+      .collect().map(r => r.getLong(r.fieldIndex("id")) ->
+        r.getBoolean(r.fieldIndex("seen"))).toMap
+    assert(flags == Map(1L -> true, 2L -> false, 3L -> false, 4L -> true),
+      s"flag vector wrong: $flags")
+    // flag mode must not produce NULL flags for the left-join misses
+    val flagRows = Dedup.seenFilter(incoming, "k", seen, "flag")
+    assert(flagRows.filter(col("seen").isNull).count() == 0)
+    // integral keys work identically (the join is type-generic)
+    val incL = Seq((1L, 10L), (2L, 20L)).toDF("id", "k")
+    val seenL = Seq(10L).toDF("k")
+    assert(Dedup.seenFilter(incL, "k", seenL, "drop")
+      .select("id").collect().map(_.getLong(0)).toSet == Set(2L))
+    // named errors: bad mode, absent key column, flag collision
+    val eMode = intercept[IllegalArgumentException](
+      Dedup.seenFilter(incoming, "k", seen, "purge"))
+    assert(eMode.getMessage.contains("drop"))
+    val eKey = intercept[IllegalArgumentException](
+      Dedup.seenFilter(incoming, "k", seen.toDF("other"), "drop"))
+    assert(eKey.getMessage.contains("no column"))
+    val eFlag = intercept[IllegalArgumentException](
+      Dedup.seenFilter(incoming.withColumn("seen", lit(1)), "k", seen, "flag"))
+    assert(eFlag.getMessage.contains("already exists"))
+  }
+
+  test("seenProbeBloom: contains the exact seen set, nulls never flag, type-generic, guards") {
+    import spark.implicits._
+    // string tier on real corpus fingerprints: index = fps of the
+    // doc_id%3==0 partition; every truly-seen doc MUST flag (Bloom has
+    // no false negatives), and the flagged set can only exceed the
+    // exact tier by the fpp sliver
+    val fps = docs.select(col("doc_id"),
+      TextAnalysis.fingerprintPortable(col("text")).as("fp"))
+    val index = fps.filter(col("doc_id") % 3 === 0).select("fp")
+    val exact = Dedup.seenFilter(fps, "fp", index, "flag")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("seen"))).toMap
+    val bloom = Dedup.seenProbeBloom(fps, "fp", index, fpp = 0.001)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("seen"))).toMap
+    assert(exact.collect { case (id, true) => id }.toSet
+      .forall(bloom(_)), "Bloom missed a truly-seen key (false negative)")
+    val falsePos = bloom.count { case (id, f) => f && !exact(id) }
+    assert(falsePos <= math.max(10, exact.size / 100),
+      s"$falsePos Bloom false positives at fpp=0.001 over ${exact.size} keys")
+    // null keys: never flag, never indexed
+    val withNull = Seq((1L, Some("x")), (2L, None)).toDF("id", "k")
+    val seenNull = Seq(Some("x"), None).toDF("k")
+    val m = Dedup.seenProbeBloom(withNull, "k", seenNull)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("seen"))).toMap
+    assert(m == Map(1L -> true, 2L -> false), s"null handling wrong: $m")
+    // integral keys: same op, no casts needed (xxhash64 is type-generic)
+    val longs = Seq((1L, 10L), (2L, 99L)).toDF("id", "k")
+    val mL = Dedup.seenProbeBloom(longs, "k", Seq(10L).toDF("k"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("seen"))).toMap
+    assert(mL == Map(1L -> true, 2L -> false))
+    // guards by name
+    assert(intercept[IllegalArgumentException](
+      Dedup.seenProbeBloom(longs, "nope", Seq(1L).toDF("nope2")))
+      .getMessage.contains("no column"))
+    assert(intercept[IllegalArgumentException](
+      Dedup.seenProbeBloom(longs.withColumn("seen", lit(1)), "k", Seq(1L).toDF("k")))
+      .getMessage.contains("already exists"))
+    assert(intercept[IllegalArgumentException](
+      Dedup.seenProbeBloom(longs, "k", Seq(1L).toDF("k"), fpp = 1.5))
+      .getMessage.contains("fpp"))
+  }
+
   test("minhash-LSH precision: candidates are mostly genuinely similar") {
     val cand = Dedup.minhashCandidatePairs(docs, "doc_id", "text", 3, 64, 16).count()
     val all = docs.count()

@@ -86,6 +86,77 @@ class RetrievalSpec extends SparkSpec {
     assert(c == d, "no query bigrams -> no bigram contributions")
   }
 
+  test("rrfFuse: hand-computed fusion, overlap boost, tie rule, topK, guards") {
+    // query 1: listA ranks docs (10, 20, 30); listB ranks (20, 40).
+    // doc 20 appears in both -> 1/61 + 1/62 beats everything.
+    val lists = Seq(
+      (1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3), // list A
+      (1L, 20L, 1), (1L, 40L, 2)                // list B
+    ).toDF("q", "d", "r")
+    def w(rank: Int): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(1.0 / (60 + rank))
+        .setScale(9, java.math.RoundingMode.HALF_UP)
+    def score(ranks: Int*): Double =
+      ranks.map(w).reduce(_.add(_)).setScale(9, java.math.RoundingMode.HALF_UP)
+        .doubleValue()
+    val out = graft.ops.Retrieval.rrfFuse(lists, "q", "d", "r")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(_._4)
+    assert(out.map(t => (t._2, t._4)).toSeq ==
+      Seq((20L, 1), (10L, 2), (40L, 3), (30L, 4)),
+      s"fusion order wrong: ${out.toSeq}")
+    assert(out.find(_._2 == 20L).get._3 == score(2, 1), "overlap sums both lists")
+    assert(out.find(_._2 == 10L).get._3 == score(1))
+    // tie rule: equal fused score (same single rank) breaks by doc id —
+    // 30 (rank 3 in A only) vs a same-rank doc in B
+    val tied = Seq((1L, 5L, 1), (1L, 3L, 1)).toDF("q", "d", "r")
+    val t = graft.ops.Retrieval.rrfFuse(tied, "q", "d", "r")
+      .collect().map(r => (r.getLong(1), r.getInt(3))).sortBy(_._2)
+    assert(t.toSeq == Seq((3L, 1), (5L, 2)), s"tie must break by doc id: ${t.toSeq}")
+    // topK truncates per query
+    assert(graft.ops.Retrieval.rrfFuse(lists, "q", "d", "r", topK = 2)
+      .count() == 2)
+    // rrfK shifts every weight: k=0 makes rank-1 weight exactly 1.0
+    val k0 = graft.ops.Retrieval.rrfFuse(tied, "q", "d", "r", rrfK = 0)
+      .collect().map(_.getDouble(2))
+    assert(k0.forall(_ == 1.0), s"rrfK=0 rank-1 weight must be 1.0: ${k0.toSeq}")
+    // guards: bad topK/rrfK by name; NULL rank raises at execution
+    intercept[IllegalArgumentException](
+      graft.ops.Retrieval.rrfFuse(lists, "q", "d", "r", topK = 0))
+    intercept[IllegalArgumentException](
+      graft.ops.Retrieval.rrfFuse(lists, "q", "d", "r", rrfK = -1))
+    val withNull = Seq((1L, Some(10L), Some(1)), (1L, Some(20L), None))
+      .toDF("q", "d", "r")
+    val e = intercept[Exception](
+      graft.ops.Retrieval.rrfFuse(withNull, "q", "d", "r").collect())
+    assert(e.getMessage.contains("rank"), e.getMessage)
+  }
+
+  test("rrf_fuse config key: combine union of ranked lists fuses identically to the API") {
+    val listA = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3)).toDF("q", "d", "r")
+    val listB = Seq((1L, 20L, 1), (1L, 40L, 2)).toDF("q", "d", "r")
+    listA.createOrReplaceTempView("rrf_list_a")
+    listB.createOrReplaceTempView("rrf_list_b")
+    val api = graft.ops.Retrieval.rrfFuse(listA.unionByName(listB), "q", "d", "r")
+      .orderBy("rn").collect().map(_.toSeq).toSeq
+    val cfg = graft.compile.Compiler.compileJson(spark, """
+      {"combine": {"op": "union",
+         "nodes": [{"id": "a", "source": {"table": "rrf_list_a"}},
+                   {"id": "b", "source": {"table": "rrf_list_b"}}]},
+       "rrf_fuse": {"query_col": "q", "doc_col": "d", "rank_col": "r"},
+       "order_by": ["rn asc"]}""").collect().map(_.toSeq).toSeq
+    assert(cfg == api, s"config fusion diverged:\n$cfg\nvs\n$api")
+    // batch-only by name on streams
+    val inDir = java.nio.file.Files.createTempDirectory("graft_rrf_in").toString
+    listA.write.mode("overwrite").parquet(inDir)
+    val eS = intercept[IllegalArgumentException](
+      graft.compile.Compiler.compileStreamJson(spark, s"""
+        {"source": {"path": "$inDir"},
+         "rrf_fuse": {"query_col": "q", "doc_col": "d", "rank_col": "r"},
+         "save": {"format": "memory", "query_name": "rrf_x"}}"""))
+    assert(eS.getMessage.contains("rrf_fuse"), eS.getMessage)
+  }
+
   test("bm25: misuse is rejected by name") {
     val qs = Seq((1L, "x")).toDF("qid", "qtext")
     intercept[IllegalArgumentException] {

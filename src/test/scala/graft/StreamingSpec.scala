@@ -608,6 +608,130 @@ class StreamingSpec extends SparkSpec {
     assert(eBoth.getMessage.contains("one or the other"), eBoth.getMessage)
   }
 
+  test("exactIngest: later micro-batches dedup exactly against the persisted key index; restart carries history") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val base = java.nio.file.Files.createTempDirectory("graft_ei").toString
+    // key = raw text here (the op is key-generic; production derives a
+    // fingerprint upstream — the config twin below does)
+    val q = Streaming.exactIngest(
+      mem.toDF.toDF("doc_id", "text"), "doc_id", Seq("text"),
+      s"$base/corpus", s"$base/index", s"$base/ckpt")
+    try {
+      mem.addData((1L, "aaa"), (2L, "bbb"), (3L, "aaa")) // 3 = in-batch dup of 1
+      q.processAllAvailable()
+      val first = spark.read.parquet(s"$base/corpus")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(first == Set(1L, 2L), s"in-batch dup keeps the min-id winner: $first")
+      // corpus preserves the input column order (not groupBy output order)
+      assert(spark.read.parquet(s"$base/corpus").columns.toSeq
+        .filterNot(_ == "batch") == Seq("doc_id", "text"))
+
+      mem.addData((4L, "bbb"), (5L, "ccc")) // 4 = dup of history doc 2
+      q.processAllAvailable()
+      val ids = spark.read.parquet(s"$base/corpus")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L, 5L),
+        s"4 must drop against the batch-1 index: $ids")
+      // the index is key-shaped: one row per distinct admitted key
+      val keys = spark.read.parquet(s"$base/index")
+        .select("text").collect().map(_.getString(0)).toSet
+      assert(keys == Set("aaa", "bbb", "ccc"), s"index keys: $keys")
+
+      // RESTART: history lives in the persisted index, not stream state
+      q.stop()
+      val q2 = Streaming.exactIngest(
+        mem.toDF.toDF("doc_id", "text"), "doc_id", Seq("text"),
+        s"$base/corpus", s"$base/index", s"$base/ckpt")
+      try {
+        mem.addData((6L, "aaa"), (7L, "ddd")) // 6 = dup of pre-restart doc 1
+        q2.processAllAvailable()
+        val after = spark.read.parquet(s"$base/corpus")
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        assert(after == Set(1L, 2L, 5L, 7L),
+          s"6 must dedup against pre-restart history: $after")
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
+  test("exact_ingest config: fingerprint-keyed crawl sink; seen_filter/seen_probe close the loop; guards") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_ei_cfg").toString
+    val inDir = s"$base/in"
+    def push(rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(inDir)
+    val json = s"""
+      {"source": {"path": "$inDir"},
+       "derive": {"fp": "doc_fingerprint_portable(text)"},
+       "exact_ingest": {"id_col": "doc_id", "key_cols": ["fp"],
+                        "corpus_dir": "$base/corpus",
+                        "index_dir": "$base/index",
+                        "checkpoint_dir": "$base/ckpt"}}"""
+    push((1L, "alpha beta"), (2L, "gamma delta"))
+    val q = graft.compile.Compiler.compileStreamJson(spark, json)
+    try {
+      q.processAllAvailable()
+      // 3 = same CONTENT as doc 1 (different id — content key catches it),
+      // 4 = fresh
+      push((3L, "alpha beta"), (4L, "epsilon zeta"))
+      q.processAllAvailable()
+      val ids = spark.read.parquet(s"$base/corpus")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L, 4L), s"content dup 3 must drop: $ids")
+    } finally q.stop()
+
+    // the ingest's index dir IS the seen_filter / seen_probe artifact:
+    // a batch pipeline over new candidates drops exactly the seen content
+    val probeJson = s"""
+      {"source": {"path": "$inDir"},
+       "derive": {"fp": "doc_fingerprint_portable(text)"},
+       "seen_filter": {"key_col": "fp", "index_dir": "$base/index"},
+       "order_by": ["doc_id asc"]}"""
+    val unseen = graft.compile.Compiler.compileJson(spark, probeJson)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(unseen == Set.empty[Long],
+      s"every pushed doc's content is in the ingested index: $unseen")
+    // seen_probe (Bloom tier) flags every truly-seen key — and it is
+    // streaming-admissible: the SAME spec compiles as a stream
+    val flagged = graft.compile.Compiler.compileJson(spark, s"""
+      {"source": {"path": "$inDir"},
+       "derive": {"fp": "doc_fingerprint_portable(text)"},
+       "seen_probe": {"key_col": "fp", "index_dir": "$base/index"},
+       "order_by": ["doc_id asc"]}""")
+      .select("seen").collect().map(_.getBoolean(0))
+    assert(flagged.forall(identity), "Bloom must flag every indexed key")
+    val memSink = "ei_probe_stream"
+    val qs = graft.compile.Compiler.compileStreamJson(spark, s"""
+      {"source": {"path": "$inDir"},
+       "derive": {"fp": "doc_fingerprint_portable(text)"},
+       "seen_probe": {"key_col": "fp", "index_dir": "$base/index"},
+       "save": {"format": "memory", "query_name": "$memSink"}}""")
+    try {
+      qs.processAllAvailable()
+      val streamedFlags = spark.table(memSink)
+        .select("seen").collect().map(_.getBoolean(0))
+      assert(streamedFlags.nonEmpty && streamedFlags.forall(identity),
+        "streaming seen_probe must flag the same keys")
+    } finally qs.stop()
+
+    // guard rails: batch compile and save-beside-ingest reject by name
+    val eBatch = intercept[IllegalArgumentException](
+      graft.compile.Compiler.compileJson(spark, json))
+    assert(eBatch.getMessage.contains("STREAMING"), eBatch.getMessage)
+    val eBoth = intercept[IllegalArgumentException](
+      graft.compile.Compiler.compileStreamJson(spark, s"""
+        {"source": {"path": "$inDir"},
+         "derive": {"fp": "doc_fingerprint_portable(text)"},
+         "exact_ingest": {"id_col": "doc_id", "key_cols": ["fp"],
+                          "corpus_dir": "$base/c2", "index_dir": "$base/i2",
+                          "checkpoint_dir": "$base/k2"},
+         "save": {"path": "$base/out", "format": "parquet"}}"""))
+    assert(eBoth.getMessage.contains("one or the other"), eBoth.getMessage)
+  }
+
   test("passageIngest: later batches strip passages seen in earlier ones; cleaned text is what enters history") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
