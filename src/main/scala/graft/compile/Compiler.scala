@@ -103,6 +103,9 @@ object Compiler {
         node.quantileFilter.toSeq.map(_.col) ++
         node.bm25.toSeq.flatMap(bq => Seq(bq.idCol, bq.textCol)) ++
         node.rrfFuse.toSeq.flatMap(rf => Seq(rf.queryCol, rf.docCol, rf.rankCol)) ++
+        node.rankingEval.toSeq.flatMap(re => Seq(re.queryCol, re.docCol, re.rankCol)) ++
+        node.upsample.toSeq.map(_.factorCol) ++
+        node.funnel.toSeq.flatMap(fu => Seq(fu.keyCol, fu.tsCol, fu.eventCol)) ++
         node.wdsSamples.toSeq.flatMap(ws => Seq(ws.nameCol, ws.dataCol)) ++
         node.winnow.toSeq.flatMap(wn => Seq(wn.idCol, wn.textCol)) ++
         node.winnowProbe.toSeq.map(_.textCol) ++
@@ -633,6 +636,34 @@ object Compiler {
           (if (refs.isEmpty) "" else s" (defined: ${refs.keys.mkString(", ")})")))
       df = graft.ops.Retrieval.bm25TopK(df, bq.idCol, bq.textCol,
         queries, bq.qidCol, bq.qtextCol, bq.k1, bq.b, bq.topK, bq.proxWeight)
+    }
+
+    // Funnel analysis: the frame (an event log) becomes one row per
+    // step — chained key-shaped min aggregates, batch-only by name.
+    node.funnel.foreach { fu =>
+      requireBatch("funnel", "chained per-step global counts",
+        "run the funnel as a periodic batch job over the landed events")
+      df = graft.ops.Relational.funnel(df, fu.keyCol, fu.tsCol,
+        fu.eventCol, fu.steps, fu.window)
+    }
+
+    // Per-row upsampling: scan-stage sequence explode — zero shuffles,
+    // streaming-admissible (the repeat-k-epochs mixing half).
+    node.upsample.foreach { up =>
+      df = graft.ops.Corpus.upsample(df, up.factorCol, up.copyCol)
+    }
+
+    // Ranking evaluation: the frame (a ranked result table) joins the
+    // qrels def and becomes per-query quality metrics at cutoff k.
+    node.rankingEval.foreach { re =>
+      requireBatch("ranking_eval", "metric joins + aggregates",
+        "evaluate in batch over the materialized result table")
+      val qrels = refs.getOrElse(re.qrelsRef, throw new IllegalArgumentException(
+        s"node ${node.id}: ranking_eval.qrels_ref '${re.qrelsRef}' is not " +
+          "a def — declare the judgment table under top-level defs" +
+          (if (refs.isEmpty) "" else s" (defined: ${refs.keys.mkString(", ")})")))
+      df = graft.ops.Retrieval.rankingEval(df, re.queryCol, re.docCol,
+        re.rankCol, qrels, re.k)
     }
 
     // Reciprocal-rank fusion: the frame (a combine union of ranked

@@ -221,6 +221,50 @@ object Corpus {
       .withColumn("bin", floor(col("start_off") / lit(budget)).cast("int"))
   }
 
+  /** Per-row UPSAMPLING — the other half of mixture rebalancing
+    * (downsampling is [[temperatureSample]]/[[tokenBudgetSample]]): emit
+    * `factorCol` copies of each row, tagged 0..factor−1 in `copyCol` —
+    * the "repeat high-quality sources k epochs" recipe (e.g. wiki ×4,
+    * books ×2, web ×1 in one mixed corpus). Factor 0 DROPS the row
+    * (a mix can zero a source), factor 1 passes it through with copy 0.
+    * Derive the factor upstream (a CASE over the source/lang column, or
+    * a join of a weights table); the copy index is the deterministic
+    * per-copy seed downstream shuffling/augmentation keys on (id, copy).
+    *
+    * Scan-stage generator (explode of a sequence literal) — ZERO
+    * shuffles, streaming-admissible, and the output is factor-weighted
+    * row counts exactly (no probabilistic rounding). Guards by name:
+    * `factorCol` must be integral (a fractional repeat is ambiguous —
+    * temperature-sample instead); NULL, negative, or > 2²⁰ factors
+    * raise (a 10⁶+ repeat would quietly explode one row into a
+    * partition-sized array — state the intent with a join, not a
+    * factor). `copyCol` must not already exist. */
+  def upsample(
+      df: DataFrame,
+      factorCol: String,
+      copyCol: String = "copy"
+  ): DataFrame = {
+    require(!df.columns.contains(copyCol),
+      s"upsample: copy column '$copyCol' already exists in the input")
+    import org.apache.spark.sql.types._
+    df.schema(factorCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case t => throw new IllegalArgumentException(
+        s"upsample: factor column '$factorCol' has type ${t.simpleString}; " +
+          "repeat factors must be integral (for fractional rates use " +
+          "temperature_sample / token_budget_sample)")
+    }
+    val maxFactor = 1L << 20
+    val f = when(col(factorCol).isNotNull && col(factorCol) >= 0 &&
+        col(factorCol) <= maxFactor, col(factorCol).cast("long"))
+      .otherwise(raise_error(lit(
+        s"upsample: factor in '$factorCol' is NULL, negative, or > 2^20 — " +
+          "filter or impute first")))
+    df.withColumn(copyCol, explode(
+      when(f > 0, sequence(lit(0L), f - 1))
+        .otherwise(array().cast("array<bigint>"))))
+  }
+
   /** Stratified deterministic sample: keep (up to) `k` rows per stratum,
     * chosen by rank over a caller-supplied deterministic hash expression —
     * the corpus-curation primitive for balancing a training mix across

@@ -181,4 +181,65 @@ object Retrieval {
       .select(col("__q").as(queryCol), col("__d").as(docCol),
         col("rrf_score"), col("rn"))
   }
+
+  /** Ranking-quality evaluation — the tuning loop for every retrieval
+    * knob in this engine (bm25 k1/b/prox_weight, ann nprobe/nlist,
+    * rrf_k): join a ranked result table against relevance judgments and
+    * emit the standard per-query metrics at cutoff `k`:
+    *
+    *   - `n_rel`           relevant docs judged for the query
+    *   - `hits_at_k`       relevant docs retrieved in the top k
+    *   - `rr_at_k`         1/rank of the first relevant doc (0 if none
+    *                       in the top k) — mean over queries = MRR@k
+    *   - `recall_at_k`     hits / n_rel
+    *   - `precision_at_k`  hits / k
+    *
+    * The evaluation universe is the QRELS queries (one output row per
+    * distinct qrels query — a query with results but no judgments has
+    * undefined relevance and is excluded; a judged query with no hits
+    * scores 0). Ratios round to 9 dp (exact for these small rationals);
+    * macro-average downstream with `davg` for the corpus-level number.
+    *
+    * Scale: qrels dedupe on (query, doc), results filter to rank ≤ k
+    * BEFORE the join — both sides are judgment/top-k-shaped, the joins
+    * are equi-joins, the aggregate is query-keyed with map-side combine.
+    * Corpus size never enters. Batch-only by name (metric aggregates).
+    * Returns (queryCol, n_rel, hits_at_k, rr_at_k, recall_at_k,
+    * precision_at_k). */
+  def rankingEval(
+      results: DataFrame,
+      queryCol: String,
+      docCol: String,
+      rankCol: String,
+      qrels: DataFrame,
+      k: Int = 10
+  ): DataFrame = {
+    require(k >= 1, s"rankingEval: k must be >= 1, got $k")
+    require(qrels.columns.contains(queryCol) && qrels.columns.contains(docCol),
+      s"rankingEval: qrels must carry '$queryCol' and '$docCol' " +
+        s"(has: ${qrels.columns.mkString(", ")})")
+    val rank = when(col(rankCol).isNotNull && col(rankCol) >= 1,
+      col(rankCol).cast("long")).otherwise(raise_error(
+      lit(s"rankingEval: NULL or < 1 rank in '$rankCol'")))
+    val topk = results.select(col(queryCol).as("__q"), col(docCol).as("__d"),
+        rank.as("__r"))
+      .filter(col("__r") <= k)
+    val judged = qrels.select(col(queryCol).as("__q"), col(docCol).as("__d"))
+      .distinct()
+    val perQ = judged.groupBy("__q").agg(count(lit(1)).as("n_rel"))
+    val hitAgg = judged.join(topk, Seq("__q", "__d"))
+      .groupBy("__q")
+      .agg(count(lit(1)).as("__hits"), min(col("__r")).as("__first"))
+    perQ.join(hitAgg, Seq("__q"), "left")
+      .select(
+        col("__q").as(queryCol),
+        col("n_rel"),
+        coalesce(col("__hits"), lit(0L)).as("hits_at_k"),
+        round(when(col("__first").isNotNull,
+          lit(1.0) / col("__first")).otherwise(lit(0.0)), 9).as("rr_at_k"),
+        round(coalesce(col("__hits"), lit(0L)).cast("double") /
+          col("n_rel"), 9).as("recall_at_k"),
+        round(coalesce(col("__hits"), lit(0L)).cast("double") /
+          lit(k.toDouble), 9).as("precision_at_k"))
+  }
 }

@@ -524,6 +524,34 @@ object CorpusQueries extends QueryPack {
        "order_by": ["doc_id asc"]}""")
   }
 
+  // q227 — per-row UPSAMPLING, the repeat-k-epochs half of mixture
+  // rebalancing (q142's temperature sampling shrinks heavy groups; this
+  // multiplies light/high-quality ones): a CASE over lang derives the
+  // epoch factor (de ×3, fr/es ×2, en ×1 pass-through, zh ×0 drop) and
+  // `upsample` emits factor-many copies tagged 0..factor−1 — exact
+  // factor-weighted counts, not probabilistic rates. Scan-stage
+  // generator: zero shuffles, streaming-admissible. The oracle unnests
+  // range(0, factor) — identical copies, identical drops.
+  private def q227(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "documents"},
+       "derive": {"factor": "CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 3 WHEN 'zh' THEN 0 ELSE 2 END"},
+       "keep_columns": ["doc_id", "lang", "factor"],
+       "upsample": {"factor_col": "factor"},
+       "order_by": ["doc_id asc", "copy asc"]}""")
+  }
+  private val q227Sql = """
+    WITH f AS (
+      SELECT doc_id, lang,
+             CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 3
+                       WHEN 'zh' THEN 0 ELSE 2 END AS factor
+      FROM documents)
+    SELECT doc_id, lang, factor,
+           CAST(unnest(range(0, factor)) AS BIGINT) AS copy
+    FROM f
+    ORDER BY doc_id ASC NULLS FIRST, copy ASC NULLS FIRST"""
+
   // q204/q205 — token-budget mixture sampling (the DoReMi deployment
   // step): per-language TOKEN budgets filled in deterministic
   // budget-hash order. The kept set is a pure function of (ids, token
@@ -1194,6 +1222,7 @@ object CorpusQueries extends QueryPack {
     Q("q77_running_totals", q77, Some(q77Sql)),
     Q("q96_config_running_totals", q96, Some(q77Sql)),
     Q("q80_stratified_sample", q80, Some(q80Sql)),
+    Q("q227_upsample", q227, Some(q227Sql)),
     Q("q81_pii_scrub", q81, Some(q81Sql)),
     Q("q90_boilerplate_lines", q90, Some(q90Sql)),
     Q("q109_hash_split", q109, Some(q109Sql)),

@@ -1244,6 +1244,8 @@ object TextQueries extends QueryPack {
     Q("q191_config_bm25", q191, Some(q190Sql)),
     Q("q202_bm25_phrase", q202, Some(q202Sql)),
     Q("q226_rrf_fusion", q226, Some(q226Sql)),
+    Q("q228_ranking_eval", q228, Some(q228Sql)),
+    Q("q229_config_hybrid_search", q229, Some(q226Sql)),
     Q("q193_lm_kneser_ney", q193, Some(q193Sql)),
     Q("q196_crawl_to_shards", q196, Some(q196Sql)),
     Q("q197_robots_audit", q197, Some(q197Sql)),
@@ -2060,6 +2062,96 @@ object TextQueries extends QueryPack {
       FROM fused)
     SELECT qid, doc_id, rrf_score, rn FROM franked WHERE rn <= 5
     ORDER BY qid ASC NULLS FIRST, rn ASC NULLS FIRST"""
+
+  // q228 — RANKING-QUALITY EVALUATION of the q190 retrieval: relevance
+  // judgments are derived independently of the ranking (a doc is
+  // relevant to a query iff it shares ≥ 2 DISTINCT query terms — the
+  // boolean-conjunction-relaxed standard), and `rankingEval` emits the
+  // per-query tuning metrics at k=5: n_rel, hits@5, RR@5 (mean = MRR),
+  // recall@5, precision@5. The oracle recomputes the ranking (the q190
+  // CTE chain verbatim), the judgment set, and every metric ratio
+  // independently. Scale: judgments and top-k rows only — corpus size
+  // never enters the evaluation joins.
+  private def q228(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qs = bm25Queries.toDF("qid", "qtext")
+    val d = docs(s, dir)
+    val results = graft.ops.Retrieval.bm25TopK(
+        d, "doc_id", "text", qs, "qid", "qtext", topK = 5)
+      .select(col("qid"), col("doc_id"), col("rn").as("rank"))
+    val qt = qs.select(col("qid"),
+      explode(graft.ops.TextAnalysis.tokens(col("qtext"))).as("term")).distinct()
+    val dt = d.select(col("doc_id"),
+      explode(graft.ops.TextAnalysis.tokens(col("text"))).as("term")).distinct()
+    val qrels = qt.join(dt, "term")
+      .groupBy("qid", "doc_id")
+      .agg(countDistinct(col("term")).as("__c"))
+      .filter(col("__c") >= 2)
+      .select("qid", "doc_id")
+    graft.ops.Retrieval.rankingEval(results, "qid", "doc_id", "rank", qrels, k = 5)
+      .orderBy(col("qid").asc_nulls_first)
+  }
+  private val q228Sql = s"""$bm25CtesSql,
+    res AS (SELECT qid, doc_id, rn AS rank FROM ranked WHERE rn <= 5),
+    qrels AS (
+      SELECT qt.qid, post.doc_id
+      FROM qt JOIN post ON post.term = qt.term
+      GROUP BY qt.qid, post.doc_id
+      HAVING COUNT(DISTINCT qt.term) >= 2),
+    nrel AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_rel
+             FROM qrels GROUP BY qid),
+    hits AS (
+      SELECT qr.qid, CAST(COUNT(*) AS BIGINT) AS h, MIN(res.rank) AS fr
+      FROM qrels qr JOIN res ON res.qid = qr.qid AND res.doc_id = qr.doc_id
+      GROUP BY qr.qid)
+    SELECT nrel.qid, nrel.n_rel,
+           CAST(COALESCE(hits.h, 0) AS BIGINT) AS hits_at_k,
+           ROUND(CASE WHEN hits.fr IS NOT NULL
+                      THEN 1e0 / hits.fr ELSE 0e0 END, 9) AS rr_at_k,
+           ROUND(CAST(COALESCE(hits.h, 0) AS DOUBLE) / nrel.n_rel, 9) AS recall_at_k,
+           ROUND(CAST(COALESCE(hits.h, 0) AS DOUBLE) / 5e0, 9) AS precision_at_k
+    FROM nrel LEFT JOIN hits ON hits.qid = nrel.qid
+    ORDER BY nrel.qid ASC NULLS FIRST"""
+
+  // q229 — the WHOLE hybrid-search stack from PURE JSON (q226's config
+  // twin — carries the identical oracle): child A ranks the corpus
+  // lexically (`bm25` against the query def), child B probes the
+  // at-rest ANN index at FULL coverage (`ann_search` nprobe = nlist —
+  // provably exact brute force, with annSearchIndex's cosineTopK
+  // rounding/tie/self-exclusion semantics), `combine` unions the two
+  // (qid, doc_id, rank) lists, and `rrf_fuse` re-ranks. The index is
+  // built once in Scala (the q218 artifact pattern); every ranking and
+  // the fusion after that is config. Proves the retrieval keys COMPOSE:
+  // defs + bm25 + ann_search + combine + rrf_fuse in one spec.
+  private def q229(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_q229_index"
+    val e = graft.Tables.load(s, dir, "embeddings")
+    graft.ops.Similarity.saveAnnIndex(s,
+      e.select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", idxDir, nlist = 16)
+    graft.compile.Compiler.compileJson(s, s"""
+      {"defs": [{"id": "hq",
+                 "source": {"sql": "SELECT * FROM VALUES ${bm25Queries
+        .map { case (i, t) => s"($i, '$t')" }.mkString(", ")} AS v(qid, qtext)"}}],
+       "combine": {"op": "union", "nodes": [
+         {"id": "lex",
+          "source": {"table": "documents"},
+          "keep_columns": ["doc_id", "text"],
+          "bm25": {"queries_ref": "hq", "id_col": "doc_id",
+                   "text_col": "text", "top_k": 5},
+          "rename": {"rn": "rank"},
+          "drop": ["score"]},
+         {"id": "dense",
+          "source": {"sql": "SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id IN (1, 2, 3)"},
+          "ann_search": {"id_col": "qid", "vec_col": "embedding",
+                         "index_dir": "$idxDir", "k": 5, "nprobe": 16},
+          "rename": {"match_id": "doc_id"},
+          "drop": ["score"]}]},
+       "rrf_fuse": {"query_col": "qid", "doc_col": "doc_id", "rank_col": "rank",
+                    "top_k": 5},
+       "order_by": ["qid asc", "rn asc"]}""")
+  }
 
   // q191 — the same retrieval from PURE JSON: the query table is a def
   // (an inline VALUES source), the corpus node ranks against it via the

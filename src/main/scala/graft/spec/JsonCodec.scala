@@ -606,6 +606,41 @@ object JsonCodec {
       s
     }
 
+    val funnelSpec = optN("funnel").map { d =>
+      val ctx = s"node $id: funnel"
+      val stepsNode = req(d, ctx, "steps")
+      require(stepsNode.isArray && stepsNode.size() > 0,
+        s"$ctx: steps must be a non-empty ARRAY of event names")
+      val s = FunnelSpec(
+        keyCol = req(d, ctx, "key_col", "keyCol").asText,
+        tsCol = req(d, ctx, "ts_col", "tsCol").asText,
+        eventCol = req(d, ctx, "event_col", "eventCol").asText,
+        steps = strSeq(stepsNode),
+        window = opt(d, "window").map(_.asText))
+      require(s.steps.distinct.size == s.steps.size,
+        s"$ctx: steps must be distinct, got ${s.steps.mkString(", ")}")
+      s
+    }
+
+    val upsampleSpec = optN("upsample").map { d =>
+      val ctx = s"node $id: upsample"
+      UpsampleSpec(
+        factorCol = req(d, ctx, "factor_col", "factorCol").asText,
+        copyCol = opt(d, "copy_col", "copyCol").map(_.asText).getOrElse("copy"))
+    }
+
+    val rankingEvalSpec = optN("ranking_eval", "rankingEval").map { d =>
+      val ctx = s"node $id: ranking_eval"
+      val s = RankingEvalSpec(
+        queryCol = req(d, ctx, "query_col", "queryCol").asText,
+        docCol = req(d, ctx, "doc_col", "docCol").asText,
+        rankCol = req(d, ctx, "rank_col", "rankCol").asText,
+        qrelsRef = req(d, ctx, "qrels_ref", "qrelsRef").asText,
+        k = opt(d, "k").map(_.asInt).getOrElse(10))
+      require(s.k >= 1, s"$ctx: k must be >= 1, got ${s.k}")
+      s
+    }
+
     val aiSpec = optN("ann_index", "annIndex").map { d =>
       val ctx = s"node $id: ann_index"
       val s = AnnIndexSpec(
@@ -891,6 +926,9 @@ object JsonCodec {
       winnowProbe = winnowProbeSpec,
       bm25 = bm25Spec,
       rrfFuse = rrfSpec,
+      rankingEval = rankingEvalSpec,
+      upsample = upsampleSpec,
+      funnel = funnelSpec,
       dsirScore = dsirScoreSpec,
       split = sp,
       temperatureSample = ts,

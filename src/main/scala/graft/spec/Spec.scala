@@ -609,6 +609,46 @@ final case class RrfFuseSpec(
     rrfK: Int = 60
 )
 
+/** Ordered funnel analysis (NS; Relational.funnel): per key, step 1
+  * anchors at the first `steps(0)` event and step i completes at the
+  * earliest `steps(i)` event strictly after step i−1 (optionally within
+  * `window` of the anchor). The frame becomes one row per step:
+  * (step, event, n_keys). Chained key-shaped MIN aggregates — no
+  * per-key event arrays. Batch-only by name. */
+final case class FunnelSpec(
+    keyCol: String,
+    tsCol: String,
+    eventCol: String,
+    steps: Seq[String],
+    window: Option[String] = None
+)
+
+/** Per-row upsampling (NS; Corpus.upsample): emit `factorCol` copies of
+  * each row tagged 0..factor−1 in `copyCol` — the repeat-k-epochs half
+  * of mixture rebalancing (derive the factor upstream: a CASE over
+  * source/lang, or a weights-table join). Factor 0 drops, 1 passes
+  * through. Scan-stage generator — zero shuffles, streaming-admissible.
+  * Integral factors only; NULL/negative/>2²⁰ raise by name. */
+final case class UpsampleSpec(
+    factorCol: String,
+    copyCol: String = "copy"
+)
+
+/** Ranking-quality evaluation (NS; Retrieval.rankingEval): the frame (a
+  * ranked result table — bm25 / ann_search / rrf_fuse output) joins the
+  * qrels def named by `qrelsRef` (queryCol, docCol judgment rows) and
+  * becomes per-query (n_rel, hits_at_k, rr_at_k, recall_at_k,
+  * precision_at_k) at cutoff `k` — the tuning view for every retrieval
+  * knob. Judgment-shaped joins, query-keyed aggregate; batch-only by
+  * name. */
+final case class RankingEvalSpec(
+    queryCol: String,
+    docCol: String,
+    rankCol: String,
+    qrelsRef: String,
+    k: Int = 10
+)
+
 /** Build + persist an at-rest IVF ANN index (NS; Similarity.saveAnnIndex):
   * the frame (the embedding corpus) writes `dir/centroids` (bounded
   * metadata) and `dir/index` (id, vec, norm, list — PARTITIONED BY LIST
@@ -1075,6 +1115,9 @@ final case class NodeSpec(
     winnowProbe: Option[WinnowProbeSpec] = None, // after keep, before aggregate
     bm25: Option[Bm25Spec] = None, // after keep, before aggregate
     rrfFuse: Option[RrfFuseSpec] = None, // after keep, before aggregate (input: a combine union of ranked lists)
+    rankingEval: Option[RankingEvalSpec] = None, // after keep, before aggregate
+    upsample: Option[UpsampleSpec] = None, // after keep, before aggregate
+    funnel: Option[FunnelSpec] = None, // after keep, before aggregate
     dsirScore: Option[DsirScoreSpec] = None, // after keep, before aggregate
     split: Option[SplitSpec] = None, // after keep, before aggregate
     temperatureSample: Option[TemperatureSampleSpec] = None, // after split

@@ -347,6 +347,42 @@ class CorpusSpec extends SparkSpec {
     assert(got(4L) == (("", 0, 1, true))) // split("") → one empty segment
   }
 
+  test("upsample: factor-exact copies, zero drops, token conservation, guards") {
+    import graft.ops.Corpus
+    val df = Seq((1L, 2), (2L, 0), (3L, 1), (4L, 3)).toDF("id", "f")
+    val out = Corpus.upsample(df, "f").collect()
+      .map(r => (r.getLong(0), r.getLong(r.fieldIndex("copy"))))
+    assert(out.sorted.toSeq == Seq(
+      (1L, 0L), (1L, 1L), (3L, 0L), (4L, 0L), (4L, 1L), (4L, 2L)),
+      s"copies wrong: ${out.sorted.toSeq}")
+    // output row count == sum of factors, copies are exactly 0..f-1
+    assert(Corpus.upsample(df, "f").count() == 6L)
+    // schema: input columns + copy, in order
+    assert(Corpus.upsample(df, "f").columns.toSeq == Seq("id", "f", "copy"))
+    // custom copy col
+    assert(Corpus.upsample(df, "f", "epoch").columns.contains("epoch"))
+    // plan-time guards: non-integral factor, copy collision
+    val frac = Seq((1L, 1.5)).toDF("id", "f")
+    assert(intercept[IllegalArgumentException](
+      Corpus.upsample(frac, "f")).getMessage.contains("integral"))
+    assert(intercept[IllegalArgumentException](
+      Corpus.upsample(df.withColumn("copy", lit(1)), "f"))
+      .getMessage.contains("already exists"))
+    // exec-time guards by name: negative, NULL, absurd factor
+    val neg = Seq((1L, -1)).toDF("id", "f")
+    assert(intercept[Exception](Corpus.upsample(neg, "f").collect())
+      .getMessage.contains("upsample"))
+    val nul = Seq((1L, None: Option[Int])).toDF("id", "f")
+    assert(intercept[Exception](Corpus.upsample(nul, "f").collect())
+      .getMessage.contains("upsample"))
+    val huge = Seq((1L, (1 << 20) + 1)).toDF("id", "f")
+    assert(intercept[Exception](Corpus.upsample(huge, "f").collect())
+      .getMessage.contains("upsample"))
+    // scan-stage: no Exchange anywhere in the plan
+    val plan = Corpus.upsample(df, "f").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"upsample must not shuffle:\n$plan")
+  }
+
   test("quantileFilter: ~n kept, ties all keep, both directions, guards") {
     import org.apache.spark.sql.functions._
     // distinct scores, exact sketch: kept is n or n+1 (the GK rank

@@ -807,6 +807,53 @@ class JsonCodecSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("relative_error"))
   }
 
+  test("funnel node key decodes with defaults and named errors") {
+    val fu = root("""
+      {"funnel": {"key_col": "user_id", "ts_col": "ts", "event_col": "event_type",
+                  "steps": ["view", "click", "purchase"]}}""").funnel.get
+    assert(fu.keyCol == "user_id" && fu.steps == Seq("view", "click", "purchase"))
+    assert(fu.window.isEmpty)
+    val fw = root("""
+      {"funnel": {"key_col": "u", "ts_col": "t", "event_col": "e",
+                  "steps": ["a", "b"], "window": "2 hours"}}""").funnel.get
+    assert(fw.window.contains("2 hours"))
+    assert(intercept[IllegalArgumentException](root("""
+      {"funnel": {"key_col": "u", "ts_col": "t", "event_col": "e",
+                  "steps": []}}""")).getMessage.contains("steps"))
+    assert(intercept[IllegalArgumentException](root("""
+      {"funnel": {"key_col": "u", "ts_col": "t", "event_col": "e",
+                  "steps": ["a", "a"]}}""")).getMessage.contains("distinct"))
+    assert(intercept[IllegalArgumentException](root("""
+      {"funnel": {"key_col": "u", "ts_col": "t", "steps": ["a"]}}"""))
+      .getMessage.contains("event_col"))
+  }
+
+  test("upsample / ranking_eval node keys decode with defaults and named errors") {
+    val up = root("""{"upsample": {"factor_col": "f"}}""").upsample.get
+    assert(up.factorCol == "f" && up.copyCol == "copy")
+    val up2 = root(
+      """{"upsample": {"factor_col": "f", "copy_col": "epoch"}}""").upsample.get
+    assert(up2.copyCol == "epoch")
+    assert(intercept[IllegalArgumentException](root("""{"upsample": {}}"""))
+      .getMessage.contains("factor_col"))
+
+    val re = root("""
+      {"ranking_eval": {"query_col": "q", "doc_col": "d", "rank_col": "r",
+                        "qrels_ref": "judgments"}}""").rankingEval.get
+    assert(re.queryCol == "q" && re.qrelsRef == "judgments" && re.k == 10)
+    val re2 = root("""
+      {"ranking_eval": {"query_col": "q", "doc_col": "d", "rank_col": "r",
+                        "qrels_ref": "j", "k": 5}}""").rankingEval.get
+    assert(re2.k == 5)
+    assert(intercept[IllegalArgumentException](root("""
+      {"ranking_eval": {"query_col": "q", "doc_col": "d", "rank_col": "r"}}"""))
+      .getMessage.contains("qrels_ref"))
+    assert(intercept[IllegalArgumentException](root("""
+      {"ranking_eval": {"query_col": "q", "doc_col": "d", "rank_col": "r",
+                        "qrels_ref": "j", "k": 0}}"""))
+      .getMessage.contains("k must be"))
+  }
+
   test("rrf_fuse node key decodes with defaults and named errors") {
     val rf = root("""
       {"rrf_fuse": {"query_col": "q", "doc_col": "d", "rank_col": "r"}}""")

@@ -157,6 +157,62 @@ class RetrievalSpec extends SparkSpec {
     assert(eS.getMessage.contains("rrf_fuse"), eS.getMessage)
   }
 
+  test("rankingEval: hand-computed metrics incl. zero-hit and beyond-k results; guards") {
+    // q1: judged {10,20,30,40}; retrieved 99@1, 20@2, 30@5, 10@7.
+    //   At k=5: hits = {20, 30} → 2, first relevant rank 2 → rr 0.5,
+    //   recall 2/4, precision 2/5. The rank-7 hit is beyond the cutoff.
+    // q2: judged {50}; nothing relevant retrieved → all zeros.
+    // q3: retrieved but never judged → NOT evaluated (no row).
+    val results = Seq(
+      (1L, 99L, 1), (1L, 20L, 2), (1L, 30L, 5), (1L, 10L, 7),
+      (2L, 60L, 1), (2L, 61L, 2),
+      (3L, 70L, 1)).toDF("q", "d", "r")
+    val qrels = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L), (1L, 40L),
+      (2L, 50L),
+      (1L, 20L) // duplicate judgment — must dedup, not double-count
+    ).toDF("q", "d")
+    val out = Retrieval.rankingEval(results, "q", "d", "r", qrels, k = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(out.keySet == Set(1L, 2L), s"evaluate exactly the judged queries: ${out.keySet}")
+    assert(out(1L) == ((4L, 2L, 0.5, 0.5, 0.4)), s"q1 metrics: ${out(1L)}")
+    assert(out(2L) == ((1L, 0L, 0.0, 0.0, 0.0)), s"q2 metrics: ${out(2L)}")
+    // guards
+    intercept[IllegalArgumentException](
+      Retrieval.rankingEval(results, "q", "d", "r", qrels, k = 0))
+    intercept[IllegalArgumentException](
+      Retrieval.rankingEval(results, "q", "d", "r", qrels.toDF("q", "other")))
+    val nullRank = Seq((1L, Some(10L), None: Option[Int])).toDF("q", "d", "r")
+    val e = intercept[Exception](
+      Retrieval.rankingEval(nullRank, "q", "d", "r", qrels).collect())
+    assert(e.getMessage.contains("rank"), e.getMessage)
+  }
+
+  test("ranking_eval config key: qrels def, same metrics as the API; stream rejection") {
+    val results = Seq((1L, 10L, 1), (1L, 20L, 2)).toDF("q", "d", "r")
+    val qrels = Seq((1L, 20L), (1L, 30L)).toDF("q", "d")
+    results.createOrReplaceTempView("re_results")
+    qrels.createOrReplaceTempView("re_qrels")
+    val api = Retrieval.rankingEval(results, "q", "d", "r", qrels, k = 2)
+      .collect().map(_.toSeq).toSeq
+    val cfg = graft.compile.Compiler.compileJson(spark, """
+      {"defs": [{"id": "judgments", "source": {"table": "re_qrels"}}],
+       "source": {"table": "re_results"},
+       "ranking_eval": {"query_col": "q", "doc_col": "d", "rank_col": "r",
+                        "qrels_ref": "judgments", "k": 2}}""")
+      .collect().map(_.toSeq).toSeq
+    assert(cfg == api, s"config eval diverged:\n$cfg\nvs\n$api")
+    // unknown def rejects by name
+    val eRef = intercept[IllegalArgumentException](
+      graft.compile.Compiler.compileJson(spark, """
+        {"source": {"table": "re_results"},
+         "ranking_eval": {"query_col": "q", "doc_col": "d", "rank_col": "r",
+                          "qrels_ref": "nope"}}"""))
+    assert(eRef.getMessage.contains("qrels_ref"), eRef.getMessage)
+  }
+
   test("bm25: misuse is rejected by name") {
     val qs = Seq((1L, "x")).toDF("qid", "qtext")
     intercept[IllegalArgumentException] {

@@ -1050,6 +1050,34 @@ class StreamingSpec extends SparkSpec {
       "post-restart stream decisions must equal the batch compile")
   }
 
+  test("upsample runs on a stream: scan-stage generator, stream == batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_up")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val spec = graft.spec.JsonCodec.parseNode("""
+      {"id": "up",
+       "derive": {"factor": "CASE lang WHEN 'en' THEN 2 WHEN 'zh' THEN 0 ELSE 1 END"},
+       "keep_columns": ["doc_id", "lang", "factor"],
+       "upsample": {"factor_col": "factor", "copy_col": "epoch"}}""")
+    val batch = graft.compile.Compiler
+      .compileNode(spark, spec, Some(Tables.load(spark, sf, "documents")))
+      .select("doc_id", "epoch").orderBy("doc_id", "epoch")
+      .collect().map(_.toSeq).toSeq
+    assert(batch.nonEmpty)
+    val raw = spark.read.parquet(s"$sf/documents.parquet")
+    val streamIn = spark.readStream.schema(raw.schema).parquet(dir.toString)
+    val out = graft.compile.Compiler.compileNode(spark, spec, Some(streamIn))
+      .select("doc_id", "epoch")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("stream_upsample")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("stream_upsample")
+      .orderBy("doc_id", "epoch").collect().map(_.toSeq).toSeq
+    assert(streamed == batch, "stream upsampling must equal batch")
+  }
+
   test("round-12 curation heuristics run on a stream: line/c4/gopher derive+filters, stream == batch") {
     graft.functions.Registry.registerAll(spark)
     // documents staged as a file-stream source
