@@ -189,6 +189,74 @@ object Relational {
       .drop(payloadPrefixed.map(_._2): _*)
   }
 
+  /** Ordered FUNNEL analysis — the classic event-analytics conversion
+    * count ("of the users who viewed, how many then clicked, then
+    * purchased?"): per key, step 1 anchors at the FIRST occurrence of
+    * `steps(0)`, and step i completes at the earliest `steps(i)` event
+    * STRICTLY after step i−1 (same-timestamp events do not chain).
+    * `window` (an interval string, e.g. "2 hours") additionally requires
+    * every step to land within window of the step-1 anchor — the
+    * "converted within N hours" business rule; the first-anchor
+    * convention is the standard simplification (a later step-1 event
+    * that would convert better does not re-anchor) and is what the
+    * chained-min formulation computes.
+    *
+    * Returns one row per step: (step 1-based, event, n_keys) — n_keys
+    * monotonically non-increasing down the funnel.
+    *
+    * Scale: implemented as chained per-key MIN aggregates (no per-key
+    * event arrays, no windows over history): step i's frame is the
+    * events filtered to ONE event type, joined key-shaped to the step
+    * i−1 anchors, and min-aggregated — each pass shuffles only that
+    * step's events plus key-shaped anchors, with map-side combine. The
+    * final output is a union of k single-row counts. Batch-only by name
+    * (per-step global counts). */
+  def funnel(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      eventCol: String,
+      steps: Seq[String],
+      window: Option[String] = None
+  ): DataFrame = {
+    require(steps.nonEmpty, "funnel: steps must be non-empty")
+    require(steps.distinct.size == steps.size,
+      s"funnel: steps must be distinct, got ${steps.mkString(", ")}")
+    // validate the interval eagerly so a typo fails at plan time by name
+    val winInterval = window.map { w =>
+      try org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(w))
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"funnel: window '$w' is not a valid interval: ${e.getMessage}") }
+    }
+    winInterval.foreach { iv =>
+      require(iv.months == 0,
+        "funnel: month-granularity windows are ambiguous (variable " +
+          "length) — use days/hours/minutes")
+    }
+    val winCol = window.map(w => expr(s"INTERVAL '$w'"))
+    // anchor: first occurrence of step 1 per key — (key, t0, t)
+    var cur = events.filter(col(eventCol) === steps.head)
+      .groupBy(col(keyCol))
+      .agg(min(col(tsCol)).as("__t"))
+      .withColumn("__t0", col("__t"))
+    val frames = scala.collection.mutable.ArrayBuffer[DataFrame](cur)
+    steps.tail.foreach { s =>
+      val prev = cur.select(col(keyCol), col("__t").as("__prev"), col("__t0"))
+      var stepEv = events.filter(col(eventCol) === s)
+        .join(prev, Seq(keyCol))
+        .filter(col(tsCol) > col("__prev"))
+      winCol.foreach(wc => stepEv = stepEv.filter(col(tsCol) <= col("__t0") + wc))
+      cur = stepEv.groupBy(col(keyCol))
+        .agg(min(col(tsCol)).as("__t"), first(col("__t0")).as("__t0"))
+      frames += cur
+    }
+    frames.zip(steps).zipWithIndex.map { case ((f, s), i) =>
+      f.agg(count(lit(1)).as("n_keys"))
+        .select(lit(i + 1).as("step"), lit(s).as("event"), col("n_keys"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Range (band) join: left rows matched to right rows where
     * `left(probe)` ∈ [right(lo), right(hi)). Right side is expected to be
     * a small bands/dimension table and is broadcast — at scale this is a

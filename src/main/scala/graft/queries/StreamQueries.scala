@@ -173,6 +173,45 @@ object StreamQueries extends QueryPack {
     FROM flagged
     ORDER BY event_id ASC NULLS FIRST"""
 
+  // q230 — ordered FUNNEL conversion (view → click → purchase within 2
+  // hours of the first view): the classic event-analytics question as
+  // ONE config key. Semantics are the chained-min formulation — step 1
+  // anchors at the FIRST view per user; each later step is the earliest
+  // qualifying event STRICTLY after the previous step and within the
+  // window of the anchor — which the oracle restates as literal chained
+  // MIN CTEs. Scale: per-step frames are (one event type + key-shaped
+  // anchors); no per-user event arrays, no windows over history.
+  private def q230(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "events"},
+       "funnel": {"key_col": "user_id", "ts_col": "ts",
+                  "event_col": "event_type",
+                  "steps": ["view", "click", "purchase"],
+                  "window": "2 hours"},
+       "order_by": ["step asc"]}""")
+  private val q230Sql = """
+    WITH t1 AS (
+      SELECT user_id, MIN(ts) AS ts1
+      FROM events WHERE event_type = 'view' GROUP BY user_id),
+    t2 AS (
+      SELECT e.user_id, MIN(e.ts) AS ts2, MIN(t1.ts1) AS ts1
+      FROM events e JOIN t1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > t1.ts1
+        AND e.ts <= t1.ts1 + INTERVAL '2 hours'
+      GROUP BY e.user_id),
+    t3 AS (
+      SELECT e.user_id
+      FROM events e JOIN t2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+        AND e.ts <= t2.ts1 + INTERVAL '2 hours'
+      GROUP BY e.user_id)
+    SELECT 1 AS step, 'view' AS event, CAST(COUNT(*) AS BIGINT) AS n_keys FROM t1
+    UNION ALL
+    SELECT 2 AS step, 'click' AS event, CAST(COUNT(*) AS BIGINT) AS n_keys FROM t2
+    UNION ALL
+    SELECT 3 AS step, 'purchase' AS event, CAST(COUNT(*) AS BIGINT) AS n_keys FROM t3
+    ORDER BY step ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
     Q("q34_tumbling_window", q34, Some(q34Sql)),
     Q("q35_session_window", q35, Some(q35Sql)),
@@ -180,6 +219,7 @@ object StreamQueries extends QueryPack {
     Q("q44_interval_join", q37b, Some(q37bSql)),
     Q("q63_config_session", q63, Some(q35Sql)),
     Q("q65_config_interval", q65, Some(q37bSql)),
-    Q("q224_sessionize_rows", q224, Some(q224Sql))
+    Q("q224_sessionize_rows", q224, Some(q224Sql)),
+    Q("q230_funnel", q230, Some(q230Sql))
   )
 }

@@ -68,6 +68,48 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("minhashBandIndex"))
   }
 
+  test("funnel: strict ordering, same-ts non-chaining, window cutoff, first-anchor rule; guards") {
+    import spark.implicits._
+    def ev(rows: (Long, Int, String)*) =
+      rows.toSeq.toDF("u", "secs", "e")
+        .withColumn("ts", timestamp_seconds(col("secs")))
+    val events = ev(
+      (1L, 0, "view"), (1L, 10, "click"), (1L, 20, "purchase"), // full path
+      (2L, 0, "click"), (2L, 10, "view"), (2L, 20, "purchase"), // click BEFORE anchor → stops at view
+      (3L, 0, "view"), (3L, 0, "click"), (3L, 5, "purchase"),   // same-ts view/click do not chain
+      (4L, 0, "view"), (4L, 3, "purchase"), (4L, 5, "click"),   // purchase before click → stops at click
+      (5L, 0, "click"))                                          // never enters the funnel
+    val out = graft.ops.Relational.funnel(
+        events, "u", "ts", "e", Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((1, "view", 4L), (2, "click", 2L), (3, "purchase", 1L)),
+      s"funnel counts wrong: ${out.toSeq}")
+    // window: the cutoff anchors at the FIRST step-1 event — a later
+    // view that would convert in-window does NOT re-anchor
+    val anchored = ev(
+      (7L, 0, "view"), (7L, 100, "view"), (7L, 150, "click"), // 150 > 0+60 → out
+      (8L, 0, "view"), (8L, 30, "click"))                     // in-window
+    val w = graft.ops.Relational.funnel(
+        anchored, "u", "ts", "e", Seq("view", "click"), Some("60 seconds"))
+      .collect().map(r => (r.getInt(0), r.getLong(2))).sortBy(_._1)
+    assert(w.toSeq == Seq((1, 2L), (2, 1L)),
+      s"window must anchor at the first view: ${w.toSeq}")
+    // guards by name
+    assert(intercept[IllegalArgumentException](
+      graft.ops.Relational.funnel(events, "u", "ts", "e", Nil))
+      .getMessage.contains("steps"))
+    assert(intercept[IllegalArgumentException](
+      graft.ops.Relational.funnel(events, "u", "ts", "e", Seq("view", "view")))
+      .getMessage.contains("distinct"))
+    assert(intercept[IllegalArgumentException](
+      graft.ops.Relational.funnel(events, "u", "ts", "e", Seq("view"),
+        Some("banana"))).getMessage.contains("interval"))
+    assert(intercept[IllegalArgumentException](
+      graft.ops.Relational.funnel(events, "u", "ts", "e", Seq("view"),
+        Some("1 month"))).getMessage.contains("month"))
+  }
+
   test("seenFilter: drop and flag modes against a key frame; null keys never seen; named errors") {
     import spark.implicits._
     val incoming = Seq(
