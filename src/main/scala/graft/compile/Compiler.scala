@@ -896,6 +896,21 @@ object Compiler {
     // batch AND streaming admissible.
     node.postFilters.foreach(f => df = df.filter(filterColumn(f)))
 
+    // expect: row-level data contracts (the CHECK-constraint shape every
+    // lakehouse engine uses): each rule compiles to a filter that is
+    // TRUE for passing rows and raise_error for violations — the check
+    // rides the scan/projection stages (zero extra passes over 100 TB;
+    // batch AND streaming admissible), unlike an action-based validator
+    // which would double-scan. A violation fails the job loudly with
+    // the rule name. Plan-dependence caveat (documented in USAGE):
+    // Catalyst may evaluate a pushed-down contract on rows a later join
+    // would have dropped — express join-dependent contracts on the
+    // parent node after its children.
+    node.expect.foreach { case (name, e) =>
+      df = df.filter(when(expr(e), lit(true)).otherwise(raise_error(
+        lit(s"expectation '$name' violated: $e"))))
+    }
+
     if (node.drop.nonEmpty) {
       // DataFrame.drop silently ignores unknown names — a typo'd drop would
       // leave the column in the sink with no diagnostic; fail loud instead

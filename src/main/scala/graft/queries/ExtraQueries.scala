@@ -428,7 +428,33 @@ object ExtraQueries extends QueryPack {
         ORDER BY user_id ASC NULLS FIRST"""
   }
 
+  // q232 — row-level DATA CONTRACTS (`expect`): the CHECK-constraint
+  // shape — each rule rides the scan as a filter that is TRUE for
+  // passing rows and raise_error for violations, so a contract costs
+  // zero extra passes and a violating pipeline fails loudly by rule
+  // name (CompilerSpec proves the raise; this query proves the pass
+  // path is a pure no-op: the oracle is the same query WITHOUT the
+  // contracts, and satisfied expectations must leave every byte of the
+  // result untouched).
+  private def q232(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "lineitem"},
+       "filters": [{"col": "l_quantity", "op": ">", "value": 45}],
+       "keep_columns": ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+       "expect": {
+         "qty_in_band": "l_quantity > 45 AND l_quantity <= 50",
+         "price_positive": "l_extendedprice > 0",
+         "keys_present": "l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL"},
+       "order_by": ["l_orderkey asc", "l_linenumber asc"]}""")
+  }
+  private val q232Sql = """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem WHERE l_quantity > 45
+    ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q232_expect_contracts", q232, Some(q232Sql)),
     Q("q38_percentiles", q38, Some(q38Sql)),
     Q("q39_pivot", q39, Some(q39Sql)),
     Q("q41_config_langid", q41, Some(q41Sql)),

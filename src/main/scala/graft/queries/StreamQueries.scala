@@ -212,6 +212,38 @@ object StreamQueries extends QueryPack {
     SELECT 3 AS step, 'purchase' AS event, CAST(COUNT(*) AS BIGINT) AS n_keys FROM t3
     ORDER BY step ASC NULLS FIRST"""
 
+  // q231 — COHORT RETENTION from pure config (no dedicated operator —
+  // q224's window-derive capability closes this whole analytics family):
+  // each user's cohort is their first active day (a whole-partition MIN
+  // window), each event's day_offset counts days since the cohort day,
+  // and the aggregate is the classic retention matrix — distinct active
+  // users per (cohort, day_offset). One keys-shaped window Exchange +
+  // one aggregate shuffle; the matrix output is (days × days)/2-shaped,
+  // never event-shaped.
+  private def q231(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "events"},
+       "derive": {
+         "day": "CAST(date_trunc('DAY', ts) AS DATE)",
+         "cohort": "min(day) OVER (PARTITION BY user_id)",
+         "day_offset": "datediff(day, cohort)"},
+       "aggregate": {"group_by": ["cohort", "day_offset"],
+         "aggregations": [
+           {"col": "user_id", "func": "count_distinct", "new_name": "n_users"}]},
+       "order_by": ["cohort asc", "day_offset asc"]}""")
+  private val q231Sql = """
+    WITH d AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+    c AS (
+      SELECT user_id, day,
+             MIN(day) OVER (PARTITION BY user_id) AS cohort
+      FROM d)
+    SELECT cohort, CAST(date_diff('day', cohort, day) AS INT) AS day_offset,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM c
+    GROUP BY cohort, day_offset
+    ORDER BY cohort ASC NULLS FIRST, day_offset ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
     Q("q34_tumbling_window", q34, Some(q34Sql)),
     Q("q35_session_window", q35, Some(q35Sql)),
@@ -220,6 +252,7 @@ object StreamQueries extends QueryPack {
     Q("q63_config_session", q63, Some(q35Sql)),
     Q("q65_config_interval", q65, Some(q37bSql)),
     Q("q224_sessionize_rows", q224, Some(q224Sql)),
-    Q("q230_funnel", q230, Some(q230Sql))
+    Q("q230_funnel", q230, Some(q230Sql)),
+    Q("q231_cohort_retention", q231, Some(q231Sql))
   )
 }

@@ -943,6 +943,13 @@ object JsonCodec {
       rename = rename,
       withColumns = withCols,
       postFilters = postFilters,
+      expect = optN("expect").toSeq.flatMap(w =>
+        fields(w).map { case (name, e) =>
+          require(e.isTextual && e.asText.nonEmpty,
+            s"node $id: expect rule '$name' must map to a non-empty " +
+              "expression string")
+          name -> e.asText
+        }),
       drop = optN("drop").map(strSeq).getOrElse(Nil),
       bitemporal = bt,
       children = children,

@@ -1132,6 +1132,7 @@ final case class NodeSpec(
     rename: Seq[(String, String)] = Nil,
     withColumns: Seq[(String, String)] = Nil, // name -> Catalyst expr string
     postFilters: Seq[FilterSpec] = Nil, // after with_columns: filter on operator/derived outputs (score, near_dup, n_bpe, …)
+    expect: Seq[(String, String)] = Nil, // after post_filters: row-level data contracts — a violating row fails the job by rule name (scan-stage, streaming-admissible)
     drop: Seq[String] = Nil, // post-agg column drop (e.g. a struct group key already flattened)
     bitemporal: Option[BitemporalSpec] = None,
     children: Seq[ChildSpec] = Nil,

@@ -592,6 +592,41 @@ class CompilerSpec extends SparkSpec {
     assert(e.getMessage.contains("cluster"))
   }
 
+  test("expect contracts: satisfied rules are a no-op, a violation fails by rule name, streams admit them") {
+    import spark.implicits._
+    Seq((1L, 10.0), (2L, 20.0), (3L, -5.0)).toDF("id", "v")
+      .createOrReplaceTempView("expect_rows")
+    // satisfied contract: result identical to the same spec without it
+    val base = graft.compile.Compiler.compileJson(spark, """
+      {"source": {"table": "expect_rows"},
+       "filters": [{"col": "v", "op": ">", "value": 0}],
+       "order_by": ["id asc"]}""").collect().map(_.toSeq).toSeq
+    val checked = graft.compile.Compiler.compileJson(spark, """
+      {"source": {"table": "expect_rows"},
+       "filters": [{"col": "v", "op": ">", "value": 0}],
+       "expect": {"v_positive": "v > 0", "id_present": "id IS NOT NULL"},
+       "order_by": ["id asc"]}""").collect().map(_.toSeq).toSeq
+    assert(checked == base, "satisfied expectations must not change the result")
+    // a violating row fails the job with the rule name in the message
+    val e = intercept[Exception](graft.compile.Compiler.compileJson(spark, """
+      {"source": {"table": "expect_rows"},
+       "expect": {"v_positive": "v > 0"}}""").collect())
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("v_positive"), s"rule name must surface: $msg")
+    // streaming-admissible: the same contract compiles and runs on a stream
+    val dir = java.nio.file.Files.createTempDirectory("graft_expect").toString
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v").write.mode("overwrite").parquet(dir)
+    val q = graft.compile.Compiler.compileStreamJson(spark, s"""
+      {"source": {"path": "$dir"},
+       "expect": {"v_positive": "v > 0"},
+       "save": {"format": "memory", "query_name": "expect_stream"}}""")
+    try {
+      q.processAllAvailable()
+      assert(spark.table("expect_stream").count() == 2)
+    } finally q.stop()
+  }
+
   test("zorder SQL function: literal bits enforced, matches the Scala column") {
     Tables.registerViews(spark, sf)
     val viaSql = spark.sql(

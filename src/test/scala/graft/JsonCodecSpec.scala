@@ -807,6 +807,15 @@ class JsonCodecSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("relative_error"))
   }
 
+  test("expect node key decodes as ordered (name, expr) rules; empty expr rejected") {
+    val ex = root("""
+      {"expect": {"a_rule": "x > 0", "b_rule": "y IS NOT NULL"}}""").expect
+    assert(ex == Seq("a_rule" -> "x > 0", "b_rule" -> "y IS NOT NULL"))
+    assert(root("""{"source": {"table": "t"}}""").expect.isEmpty)
+    assert(intercept[IllegalArgumentException](root(
+      """{"expect": {"bad": ""}}""")).getMessage.contains("bad"))
+  }
+
   test("funnel node key decodes with defaults and named errors") {
     val fu = root("""
       {"funnel": {"key_col": "user_id", "ts_col": "ts", "event_col": "event_type",

@@ -658,6 +658,7 @@ class StreamingSpec extends SparkSpec {
 
   test("exact_ingest config: fingerprint-keyed crawl sink; seen_filter/seen_probe close the loop; guards") {
     import spark.implicits._
+    graft.functions.Registry.registerAll(spark)
     val base = java.nio.file.Files.createTempDirectory("graft_ei_cfg").toString
     val inDir = s"$base/in"
     def push(rows: (Long, String)*): Unit =
@@ -716,6 +717,20 @@ class StreamingSpec extends SparkSpec {
       assert(streamedFlags.nonEmpty && streamedFlags.forall(identity),
         "streaming seen_probe must flag the same keys")
     } finally qs.stop()
+
+    // seen_filter mode "drop" is stream-static admissible too: the same
+    // anti-join spec runs as a stream and drains to EMPTY over the
+    // ingested index (every pushed doc's content is indexed)
+    val qsf = graft.compile.Compiler.compileStreamJson(spark, s"""
+      {"source": {"path": "$inDir"},
+       "derive": {"fp": "doc_fingerprint_portable(text)"},
+       "seen_filter": {"key_col": "fp", "index_dir": "$base/index"},
+       "save": {"format": "memory", "query_name": "ei_filter_stream"}}""")
+    try {
+      qsf.processAllAvailable()
+      assert(spark.table("ei_filter_stream").count() == 0,
+        "stream-static anti join must drop every indexed key")
+    } finally qsf.stop()
 
     // guard rails: batch compile and save-beside-ingest reject by name
     val eBatch = intercept[IllegalArgumentException](
