@@ -499,8 +499,15 @@ object Compiler {
     }
     node.bpeApply.foreach { b =>
       val merges = graft.ops.Bpe.loadMerges(spark, b.mergesDir)
-      df = graft.ops.Bpe.addTokens(df, b.textCol, merges)
-      if (b.withIds) df = graft.ops.Bpe.addIds(df, b.textCol, merges)
+      b.textCol.foreach { tc =>
+        df = graft.ops.Bpe.addTokens(df, tc, merges)
+        if (b.withIds) df = graft.ops.Bpe.addIds(df, tc, merges)
+      }
+      // decode side: ids → subword strings under the SAME artifact (the
+      // shard-inspection path: tar source → binary_ints → decode)
+      b.decodeCol.foreach { dc =>
+        df = graft.ops.Bpe.addDecoded(df, dc, merges)
+      }
     }
 
     // Sliding-window chunking: the frame becomes one row per chunk —

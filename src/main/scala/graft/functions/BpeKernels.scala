@@ -243,6 +243,74 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
   override def prettyName: String = "bpe_encode"
 }
 
+object BpeDecodeOps {
+  /** Inverse of [[BpeEncodeOps]] at the SYMBOL level: each stable id maps
+    * back to its subword string — a code point id (≤ 0x10FFFF) to that
+    * code point, merge id 0x110000+k to merge k's concatenated symbol.
+    * Returns the TOKEN ARRAY, not text: the tokenizer drops whitespace,
+    * so word boundaries are not in the ids (concat the tokens to get the
+    * whitespace-stripped character stream — the round-trip invariant
+    * q233 gates). Total over every id [[BpeEncodeOps]] can emit,
+    * including the never-emitted duplicate-symbol ranks; ids outside the
+    * scheme (negative, surrogate, beyond the merge list) raise by name —
+    * a corrupted shard should fail loudly, not decode to garbage. */
+  def decode(arr: ArrayData, merges: Array[(String, String)]): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) throw new IllegalArgumentException(
+        "bpe_decode: NULL id in the sequence — filter or impute first")
+      val id = arr.getInt(i)
+      out(i) =
+        if (id >= 0x110000) {
+          val k = id - 0x110000
+          if (k >= merges.length) throw new IllegalArgumentException(
+            s"bpe_decode: id $id is beyond the merge list " +
+              s"(${merges.length} merges) — decode with the vocabulary " +
+              "the shard was encoded under (merge lists only grow)")
+          UTF8String.fromString(merges(k)._1 + merges(k)._2)
+        } else if (id >= 0 && !(id >= 0xD800 && id <= 0xDFFF)) {
+          UTF8String.fromString(new String(Character.toChars(id)))
+        } else throw new IllegalArgumentException(
+          s"bpe_decode: $id is not a valid code point or merge id")
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `bpe_decode(ids)` — map stable integer ids back to their subword
+  * strings under the plan-time merge list (see [[BpeDecodeOps]]).
+  * Scan-stage reference-object kernel, streaming-admissible — the
+  * shard-inspection path (tar → binary_ints → bpe_decode). */
+case class BpeDecode(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  @transient private lazy val mArr: Array[(String, String)] = merges.toArray
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bpe_decode expects array<int>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    BpeDecodeOps.decode(input.asInstanceOf[ArrayData], mArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("merges", mArr, "scala.Tuple2[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeDecodeOps.decode($c, $mRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeDecode =
+    copy(child = newChild)
+
+  override def prettyName: String = "bpe_decode"
+}
+
 object BpeKernels {
   def mergePair(symbols: Column, l: String, r: String): Column =
     GraftColumnBridge.column(
@@ -255,4 +323,8 @@ object BpeKernels {
   def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
     GraftColumnBridge.column(
       BpeEncode(GraftColumnBridge.expression(text), merges))
+
+  def bpeDecode(ids: Column, merges: Seq[(String, String)]): Column =
+    GraftColumnBridge.column(
+      BpeDecode(GraftColumnBridge.expression(ids), merges))
 }

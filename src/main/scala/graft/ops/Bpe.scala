@@ -137,4 +137,18 @@ object Bpe {
       merges: Seq[(String, String)], idsCol: String = "bpe_ids"): DataFrame =
     df.withColumn(idsCol,
       graft.functions.BpeKernels.bpeEncode(col(textCol), merges))
+
+  /** [[addIds]]' INVERSE: adds `bpe_decoded` — each stable id mapped
+    * back to its subword string under the same artifact (see
+    * [[graft.functions.BpeDecodeOps]]) — the shard-inspection path
+    * (tar source → `binary_ints` → decode). Token array, not text:
+    * whitespace is not in the ids; `concat_ws('', bpe_decoded)` is the
+    * whitespace-stripped character stream of the original (the q233
+    * round-trip invariant). Scan-stage, streaming-admissible (the
+    * `bpe_apply` key's `decode_col`). */
+  def addDecoded(df: DataFrame, idsCol: String,
+      merges: Seq[(String, String)],
+      decodedCol: String = "bpe_decoded"): DataFrame =
+    df.withColumn(decodedCol,
+      graft.functions.BpeKernels.bpeDecode(col(idsCol), merges))
 }

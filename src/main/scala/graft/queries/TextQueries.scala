@@ -1246,6 +1246,7 @@ object TextQueries extends QueryPack {
     Q("q226_rrf_fusion", q226, Some(q226Sql)),
     Q("q228_ranking_eval", q228, Some(q228Sql)),
     Q("q229_config_hybrid_search", q229, Some(q226Sql)),
+    Q("q233_bpe_decode_roundtrip", q233, Some(q233Sql)),
     Q("q193_lm_kneser_ney", q193, Some(q193Sql)),
     Q("q196_crawl_to_shards", q196, Some(q196Sql)),
     Q("q197_robots_audit", q197, Some(q197Sql)),
@@ -2062,6 +2063,42 @@ object TextQueries extends QueryPack {
       FROM fused)
     SELECT qid, doc_id, rrf_score, rn FROM franked WHERE rn <= 5
     ORDER BY qid ASC NULLS FIRST, rn ASC NULLS FIRST"""
+
+  // q233 — BPE DECODE round trip (`bpe_apply decode_col` — the
+  // shard-inspection path: what a landed training shard's id sequences
+  // say, decoded under the same artifact): encode text to stable ids,
+  // decode the ids back to subword strings, and gate TWO invariants at
+  // once — (1) the decoded tokens are EXACTLY the tokenizer's tokens
+  // (ids_roundtrip rides the hash as a boolean that must be true on
+  // every row), and (2) concatenating the decoded tokens reproduces the
+  // whitespace-stripped character stream of the ORIGINAL text — an
+  // invariant that holds for ANY merge list (token boundaries vanish
+  // under concat), which the oracle restates with zero BPE machinery.
+  private def q233(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    import s.implicits._
+    val mdir = s"${System.getProperty("java.io.tmpdir")}/graft_q233_merges"
+    q164Merges.zipWithIndex
+      .map { case ((l, r), i) => (i + 1, l, r, 0L) }
+      .toDF("rank", "left", "right", "pair_count")
+      .coalesce(1).write.mode("overwrite").parquet(mdir)
+    graft.compile.Compiler.compileJson(s, s"""
+      {"source": {"table": "documents"},
+       "keep_columns": ["doc_id", "text"],
+       "bpe_apply": {"text_col": "text", "merges_dir": "$mdir",
+                     "with_ids": true, "decode_col": "bpe_ids"},
+       "with_columns": {"detok": "concat_ws('', bpe_decoded)",
+                        "ids_roundtrip": "bpe_decoded = bpe_tokens"},
+       "drop": ["text", "bpe_tokens", "n_bpe", "bpe_ids", "bpe_decoded"],
+       "order_by": ["doc_id asc"]}""")
+  }
+  private val q233Sql = """
+    SELECT doc_id,
+           array_to_string(list_filter(string_split_regex(trim(text), '\s+'),
+             x -> len(x) > 0), '') AS detok,
+           TRUE AS ids_roundtrip
+    FROM documents
+    ORDER BY doc_id ASC NULLS FIRST"""
 
   // q228 — RANKING-QUALITY EVALUATION of the q190 retrieval: relevance
   // judgments are derived independently of the ranking (a doc is

@@ -406,10 +406,18 @@ object JsonCodec {
     }
 
     val ba = optN("bpe_apply", "bpeApply").map { d =>
-      BpeApplySpec(
-        textCol = req(d, s"node $id: bpe_apply", "text_col", "textCol").asText,
-        mergesDir = req(d, s"node $id: bpe_apply", "merges_dir", "mergesDir").asText,
-        withIds = opt(d, "with_ids", "withIds").exists(_.asBoolean(false)))
+      val ctx = s"node $id: bpe_apply"
+      val s = BpeApplySpec(
+        textCol = opt(d, "text_col", "textCol").map(_.asText),
+        mergesDir = req(d, ctx, "merges_dir", "mergesDir").asText,
+        withIds = opt(d, "with_ids", "withIds").exists(_.asBoolean(false)),
+        decodeCol = opt(d, "decode_col", "decodeCol").map(_.asText))
+      require(s.textCol.nonEmpty || s.decodeCol.nonEmpty,
+        s"$ctx: need text_col (encode: bpe_tokens/bpe_ids) and/or " +
+          "decode_col (an ids column to decode into bpe_decoded)")
+      require(!(s.withIds && s.textCol.isEmpty),
+        s"$ctx: with_ids encodes text_col — declare text_col, or drop with_ids")
+      s
     }
 
     val chk = optN("chunk").map { d =>

@@ -402,9 +402,10 @@ final case class ScoreModelSpec(
   * compile time and adds `bpe_tokens`/`n_bpe` scan-stage — the
   * streaming-admissible half of `bpe` (batch-train → stream-tokenize). */
 final case class BpeApplySpec(
-    textCol: String,
+    textCol: Option[String], // encode side: adds bpe_tokens (+ bpe_ids)
     mergesDir: String,
-    withIds: Boolean = false // also add bpe_ids (stable integer ids)
+    withIds: Boolean = false, // also add bpe_ids (stable integer ids)
+    decodeCol: Option[String] = None // decode side: ids column → bpe_decoded tokens
 )
 
 /** Sliding-window document chunking (NS; Corpus.chunkByTokens /

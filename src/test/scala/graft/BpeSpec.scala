@@ -188,4 +188,68 @@ class BpeSpec extends SparkSpec {
     assert(abcIds == Seq(0x110001), "the rank-2 merge produced 'abc'; rank-3's " +
       "identical output string must not steal the id")
   }
+
+  test("bpe_decode: exact inverse of encode at the symbol level; invalid ids raise by name") {
+    import spark.implicits._
+    val merges = Seq(("e", "r"), ("t", "h"), ("th", "e"))
+    val df = Seq((1L, "the er x ü mixed words")).toDF("id", "txt")
+    val row = df.select(
+        BpeKernels.bpeTokenize(col("txt"), merges).as("toks"),
+        BpeKernels.bpeDecode(
+          BpeKernels.bpeEncode(col("txt"), merges), merges).as("dec"))
+      .head()
+    assert(row.getSeq[String](1) == row.getSeq[String](0),
+      "decode(encode(text)) must equal tokenize(text) symbol for symbol")
+    // a never-emitted duplicate-rank id still decodes (total function)
+    val staged = Seq(("b", "c"), ("a", "bc"), ("ab", "c"))
+    val dup = Seq(Tuple1(Seq(0x110002))).toDF("ids")
+      .select(BpeKernels.bpeDecode(col("ids"), staged)).head().getSeq[String](0)
+    assert(dup == Seq("abc"), s"rank-3 duplicate symbol must decode: $dup")
+    // supplementary-plane code point round-trips (surrogate pair in UTF-16)
+    val supp = Seq(Tuple1(Seq(0x1F600))).toDF("ids")
+      .select(BpeKernels.bpeDecode(col("ids"), merges)).head().getSeq[String](0)
+    assert(supp == Seq(new String(Character.toChars(0x1F600))))
+    // invalid ids fail loudly by name: beyond merge list, surrogate, negative
+    def decodeFails(id: Int, needle: String): Unit = {
+      val e = intercept[Exception](Seq(Tuple1(Seq(id))).toDF("ids")
+        .select(BpeKernels.bpeDecode(col("ids"), merges)).collect())
+      assert(e.getMessage.contains(needle) ||
+        Option(e.getCause).exists(_.getMessage.contains(needle)),
+        s"id $id: ${e.getMessage}")
+    }
+    decodeFails(0x110000 + 3, "merge list")
+    decodeFails(0xD800, "valid code point")
+    decodeFails(-1, "valid code point")
+  }
+
+  test("bpe_apply decode_col: shard-inspection config — decode-only spec works, with_ids alone rejects") {
+    import spark.implicits._
+    val merges = Seq(("e", "r"), ("t", "h"), ("th", "e"))
+    val mdir = java.nio.file.Files.createTempDirectory("graft_bpedec").toString
+    merges.zipWithIndex.map { case ((l, r), i) => (i + 1, l, r, 0L) }
+      .toDF("rank", "left", "right", "pair_count")
+      .coalesce(1).write.mode("overwrite").parquet(s"$mdir/m")
+    // encode through the API, decode through a DECODE-ONLY config (no
+    // text column in sight — the landed-shard shape)
+    val ids = Seq((1L, "the er")).toDF("id", "txt")
+      .select(col("id"), BpeKernels.bpeEncode(col("txt"), merges).as("seq_ids"))
+    ids.createOrReplaceTempView("bpedec_shard")
+    val out = graft.compile.Compiler.compileJson(spark, s"""
+      {"source": {"table": "bpedec_shard"},
+       "bpe_apply": {"merges_dir": "$mdir/m", "decode_col": "seq_ids"}}""")
+      .select("bpe_decoded").head().getSeq[String](0)
+    assert(out == Seq("the", "er"), s"decode-only config: $out")
+    // guards at decode: neither side; with_ids without text_col
+    assert(intercept[IllegalArgumentException](
+      graft.spec.JsonCodec.parse(s"""
+        {"source": {"table": "t"},
+         "bpe_apply": {"merges_dir": "$mdir/m"}}"""))
+      .getMessage.contains("text_col"))
+    assert(intercept[IllegalArgumentException](
+      graft.spec.JsonCodec.parse(s"""
+        {"source": {"table": "t"},
+         "bpe_apply": {"merges_dir": "$mdir/m", "with_ids": true,
+                       "decode_col": "x"}}"""))
+      .getMessage.contains("with_ids"))
+  }
 }

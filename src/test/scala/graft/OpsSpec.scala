@@ -110,6 +110,46 @@ class OpsSpec extends SparkSpec {
         Some("1 month"))).getMessage.contains("month"))
   }
 
+  test("funnel: equals a brute-force per-key simulation on random event streams") {
+    import spark.implicits._
+    val steps = Seq("a", "b", "c")
+    val evs = Seq("a", "b", "c", "x")
+    // deterministic pseudo-random fixture: 60 keys × up to 12 events,
+    // seconds drawn so same-ts collisions and out-of-order steps occur
+    val rnd = new scala.util.Random(4242)
+    val rows = (1 to 60).flatMap { u =>
+      (0 until (3 + rnd.nextInt(10))).map { _ =>
+        (u.toLong, rnd.nextInt(40), evs(rnd.nextInt(evs.size)))
+      }
+    }
+    // brute force: sort per key, greedy first-anchor chained scan
+    def brute(window: Option[Int]): Map[Int, Long] = {
+      val byKey = rows.groupBy(_._1)
+      val reached = byKey.values.toSeq.map { es =>
+        val sorted = es.sortBy(e => (e._2, e._3))
+        val t = Array.fill[Option[Int]](steps.size)(None)
+        sorted.foreach { case (_, sec, e) =>
+          val i = steps.indexOf(e)
+          if (i >= 0 && t(i).isEmpty &&
+              (i == 0 || t(i - 1).exists(sec > _)) &&
+              (i == 0 || window.forall(w => sec <= t(0).get + w)))
+            t(i) = Some(sec)
+        }
+        t
+      }
+      steps.indices.map(i =>
+        (i + 1) -> reached.count(_(i).isDefined).toLong).toMap
+    }
+    val df = rows.toDF("u", "secs", "e")
+      .withColumn("ts", timestamp_seconds(col("secs")))
+    def engine(window: Option[String]): Map[Int, Long] =
+      graft.ops.Relational.funnel(df, "u", "ts", "e", steps, window)
+        .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(engine(None) == brute(None), "unwindowed funnel diverged from brute force")
+    assert(engine(Some("15 seconds")) == brute(Some(15)),
+      "windowed funnel diverged from brute force")
+  }
+
   test("seenFilter: drop and flag modes against a key frame; null keys never seen; named errors") {
     import spark.implicits._
     val incoming = Seq(
