@@ -106,6 +106,7 @@ object Compiler {
         node.rankingEval.toSeq.flatMap(re => Seq(re.queryCol, re.docCol, re.rankCol)) ++
         node.upsample.toSeq.map(_.factorCol) ++
         node.funnel.toSeq.flatMap(fu => Seq(fu.keyCol, fu.tsCol, fu.eventCol)) ++
+        node.rangeJoin.toSeq.flatMap(rj => rj.pointCol +: rj.on) ++
         node.wdsSamples.toSeq.flatMap(ws => Seq(ws.nameCol, ws.dataCol)) ++
         node.winnow.toSeq.flatMap(wn => Seq(wn.idCol, wn.textCol)) ++
         node.winnowProbe.toSeq.map(_.textCol) ++
@@ -652,6 +653,19 @@ object Compiler {
         "run the funnel as a periodic batch job over the landed events")
       df = graft.ops.Relational.funnel(df, fu.keyCol, fu.tsCol,
         fu.eventCol, fu.steps, fu.window)
+    }
+
+    // Range (point-in-interval) join against an intervals def: bucketed
+    // equi-join, never a nested loop. Streaming-admissible on the point
+    // side (stream-static join; the def is a batch frame by contract).
+    node.rangeJoin.foreach { rj =>
+      val iv = refs.getOrElse(rj.intervalsRef, throw new IllegalArgumentException(
+        s"node ${node.id}: range_join.intervals_ref '${rj.intervalsRef}' is " +
+          "not a def — declare the interval table under top-level defs" +
+          (if (refs.isEmpty) "" else s" (defined: ${refs.keys.mkString(", ")})")))
+      df = graft.ops.Relational.rangeJoinKeyed(df, iv, rj.pointCol, rj.loCol,
+        rj.hiCol, rj.bucket, rj.on, rj.payload, rj.how, rj.inclusiveHi,
+        rj.broadcast, rj.maxBucketsPerInterval)
     }
 
     // Per-row upsampling: scan-stage sequence explode — zero shuffles,

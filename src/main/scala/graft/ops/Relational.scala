@@ -189,6 +189,107 @@ object Relational {
       .drop(payloadPrefixed.map(_._2): _*)
   }
 
+  /** RANGE (point-in-interval) join, the config-reachable GENERAL form
+    * of the [[rangeJoin]]/[[bucketedRangeJoin]] family: attach interval
+    * payload to every point row with `lo <= point < hi` (`inclusiveHi`
+    * makes the upper bound closed) and equal `on` keys — IP→geo blocks,
+    * per-machine calibration windows, irregular price bands.
+    * Overlapping intervals produce one output row per match; `how` =
+    * "inner" drops unmatched points, "left" keeps them with null
+    * payload (which [[bucketedRangeJoin]] cannot express).
+    *
+    * A naive `p >= lo AND p < hi` condition has no equi-key, so Spark
+    * plans BroadcastNestedLoopJoin — O(|P|·|I|) and a driver OOM the
+    * moment the interval side is not tiny. This implementation buckets
+    * the domain by `bucket` width: each point maps to floor(point /
+    * bucket) (ONE bucket — unmatched left rows cannot duplicate), each
+    * interval explodes to its covering bucket range, and the join is a
+    * plain EQUI-join on (bucket, on…) with the exact range predicate
+    * riding the join condition. Cost: one bucket-keyed shuffle of
+    * points + exploded intervals (or ZERO point-side shuffle with
+    * `broadcastIntervals` — the common dimension-table case), never a
+    * nested loop. Float division is monotone, so bucket coverage is
+    * exact — the range predicate, not the bucketing, decides matches.
+    *
+    * Pick `bucket` ~ the typical interval span: explode factor is
+    * span/bucket + 1 per interval (a per-row cap of
+    * `maxBucketsPerInterval` fails by name on degenerate spans — an
+    * unbounded explode of one 0..MAX_LONG interval is a data bug, not a
+    * plan). Numeric columns only (cast timestamps to epoch seconds
+    * upstream; exact within 2^53). NULL point / NULL bounds never match
+    * (SQL semantics); empty intervals (lo > hi, or lo == hi exclusive)
+    * match nothing. Streaming-admissible on the point side
+    * (stream-static equi-join).
+    *
+    * Output: all point columns + `on`-deduped interval `payload`
+    * columns (default: every interval column except bounds/keys);
+    * payload names colliding with point columns fail by name. */
+  def rangeJoinKeyed(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointCol: String,
+      loCol: String,
+      hiCol: String,
+      bucket: Double,
+      on: Seq[String] = Nil,
+      payload: Seq[String] = Nil,
+      how: String = "inner",
+      inclusiveHi: Boolean = false,
+      broadcastIntervals: Boolean = false,
+      maxBucketsPerInterval: Int = 1 << 16
+  ): DataFrame = {
+    require(bucket > 0, s"range_join: bucket must be > 0, got $bucket")
+    require(how == "inner" || how == "left",
+      s"range_join: how must be 'inner' or 'left', got '$how'")
+    require(maxBucketsPerInterval >= 1,
+      s"range_join: max_buckets_per_interval must be >= 1, got $maxBucketsPerInterval")
+    val pay =
+      if (payload.nonEmpty) payload
+      else intervals.columns.filterNot((Seq(loCol, hiCol) ++ on).contains).toSeq
+    require(pay.nonEmpty,
+      "range_join: interval side has no payload columns (nothing to attach)")
+    val missing = (Seq(loCol, hiCol) ++ on ++ pay)
+      .filterNot(intervals.columns.contains)
+    require(missing.isEmpty,
+      s"range_join: interval side is missing column(s) ${missing.mkString(", ")} " +
+        s"(have: ${intervals.columns.mkString(", ")})")
+    val collide = pay.filter(points.columns.contains)
+    require(collide.isEmpty,
+      s"range_join: payload column(s) ${collide.mkString(", ")} already exist " +
+        "on the point side — rename one side first")
+    val payOverlap = pay.filter((Seq(loCol, hiCol) ++ on).contains)
+    require(payOverlap.isEmpty,
+      s"range_join: payload column(s) ${payOverlap.mkString(", ")} duplicate " +
+        "the bounds/key columns")
+    val b = "__rj_bucket"
+    require(!points.columns.contains(b) && !intervals.columns.contains(b),
+      s"range_join: reserved column name '$b' already present")
+
+    val loB = floor(col(loCol) / lit(bucket)).cast("long")
+    val hiB = floor(col(hiCol) / lit(bucket)).cast("long")
+    val nB = hiB - loB + lit(1L)
+    var iv = intervals
+      .select((on ++ Seq(loCol, hiCol) ++ pay).map(col): _*)
+      .filter(col(loCol).isNotNull && col(hiCol).isNotNull &&
+        col(loCol) <= col(hiCol))
+      .withColumn(b, explode(when(nB > lit(maxBucketsPerInterval.toLong),
+        raise_error(concat(
+          lit(s"range_join: interval spans more than $maxBucketsPerInterval " +
+            s"buckets at bucket width $bucket (lo="), col(loCol).cast("string"),
+          lit(", hi="), col(hiCol).cast("string"),
+          lit(") — widen bucket or fix the interval")))
+        .cast("array<long>")).otherwise(sequence(loB, hiB))))
+    if (broadcastIntervals) iv = broadcast(iv)
+
+    val pts = points.withColumn(b, floor(col(pointCol) / lit(bucket)).cast("long"))
+    val upper =
+      if (inclusiveHi) pts(pointCol) <= iv(hiCol) else pts(pointCol) < iv(hiCol)
+    val cond = (Seq(pts(b) === iv(b), pts(pointCol) >= iv(loCol), upper) ++
+      on.map(k => pts(k) === iv(k))).reduce(_ && _)
+    pts.join(iv, cond, how)
+      .select(points.columns.map(pts(_)) ++ pay.map(iv(_)): _*)
+  }
+
   /** Ordered FUNNEL analysis — the classic event-analytics conversion
     * count ("of the users who viewed, how many then clicked, then
     * purchased?"): per key, step 1 anchors at the FIRST occurrence of

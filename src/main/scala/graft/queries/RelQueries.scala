@@ -290,6 +290,39 @@ object RelQueries extends QueryPack {
     FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
     GROUP BY band ORDER BY band ASC NULLS FIRST"""
 
+  // q234 — KEYED range join from pure config (`range_join`): orders
+  // probe an overlapping-band interval def (25 nation-derived bands,
+  // 20k wide at 12k spacing — every 8k-wide overlap strip matches TWO
+  // bands, prices ≥ 308k match none) with how=left, so multi-match,
+  // single-match, and null-padded unmatched rows all ride one hash.
+  // Scale shape: bucketed EQUI-join on floor(price/10k) — never a
+  // nested loop; the oracle is the plain inequality join DuckDB can
+  // afford at sf0.01.
+  private def q234(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"defs": [
+         {"id": "bands", "source": {"table": "nation"},
+          "derive": {"lo": "n_nationkey * 12000.0",
+                     "hi": "n_nationkey * 12000.0 + 20000.0",
+                     "band": "n_name"}}],
+       "source": {"table": "orders"},
+       "keep_columns": ["o_orderkey", "o_totalprice"],
+       "range_join": {"intervals_ref": "bands",
+                      "point_col": "o_totalprice",
+                      "lo_col": "lo", "hi_col": "hi",
+                      "bucket": 10000, "how": "left",
+                      "payload": ["band"]},
+       "order_by": ["o_orderkey asc", "band asc"]}""")
+  private val q234Sql = """
+    SELECT o_orderkey, o_totalprice, band
+    FROM orders o LEFT JOIN (
+      SELECT n_nationkey * 12000.0 AS lo,
+             n_nationkey * 12000.0 + 20000.0 AS hi,
+             n_name AS band
+      FROM nation) b
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    ORDER BY o_orderkey ASC NULLS FIRST, band ASC NULLS FIRST"""
+
   // q149/q150 — per-column profile (the per-batch data-quality monitor):
   // lineitem with a derived nullable flag column so the null-count path
   // is exercised (lineitem itself is null-free). One aggregate pass for
@@ -347,6 +380,7 @@ object RelQueries extends QueryPack {
     Q("q21_json_funcs", q21, Some(q21Sql)),
     Q("q22_asof_join", q22, Some(q22Sql)),
     Q("q23_range_join", q23, Some(q23Sql)),
+    Q("q234_config_range_join", q234, Some(q234Sql)),
     Q("q149_profile", q149, Some(q149Sql)),
     Q("q150_config_profile", q150, Some(q149Sql))
   )

@@ -630,6 +630,30 @@ object JsonCodec {
       s
     }
 
+    val rangeJoinSpec = optN("range_join", "rangeJoin").map { d =>
+      val ctx = s"node $id: range_join"
+      val s = RangeJoinSpec(
+        intervalsRef = req(d, ctx, "intervals_ref", "intervalsRef").asText,
+        pointCol = req(d, ctx, "point_col", "pointCol").asText,
+        loCol = req(d, ctx, "lo_col", "loCol").asText,
+        hiCol = req(d, ctx, "hi_col", "hiCol").asText,
+        bucket = req(d, ctx, "bucket").asDouble,
+        on = opt(d, "on").map(strSeq).getOrElse(Nil),
+        payload = opt(d, "payload").map(strSeq).getOrElse(Nil),
+        how = opt(d, "how").map(_.asText).getOrElse("inner"),
+        inclusiveHi = opt(d, "inclusive_hi", "inclusiveHi")
+          .exists(_.asBoolean(false)),
+        broadcast = opt(d, "broadcast").exists(_.asBoolean(false)),
+        maxBucketsPerInterval = opt(d, "max_buckets_per_interval",
+          "maxBucketsPerInterval").map(_.asInt).getOrElse(1 << 16))
+      require(s.bucket > 0, s"$ctx: bucket must be > 0, got ${s.bucket}")
+      require(s.how == "inner" || s.how == "left",
+        s"$ctx: how must be 'inner' or 'left', got '${s.how}'")
+      require(s.maxBucketsPerInterval >= 1,
+        s"$ctx: max_buckets_per_interval must be >= 1, got ${s.maxBucketsPerInterval}")
+      s
+    }
+
     val upsampleSpec = optN("upsample").map { d =>
       val ctx = s"node $id: upsample"
       UpsampleSpec(
@@ -937,6 +961,7 @@ object JsonCodec {
       rankingEval = rankingEvalSpec,
       upsample = upsampleSpec,
       funnel = funnelSpec,
+      rangeJoin = rangeJoinSpec,
       dsirScore = dsirScoreSpec,
       split = sp,
       temperatureSample = ts,

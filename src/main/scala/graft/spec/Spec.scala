@@ -624,6 +624,28 @@ final case class FunnelSpec(
     window: Option[String] = None
 )
 
+/** Range (point-in-interval) join (NS; Relational.rangeJoin): each frame
+  * row's `pointCol` probes the intervals def named by `intervalsRef`
+  * (loCol ≤ point < hiCol, plus equal `on` keys) and gains its `payload`
+  * columns — IP→geo blocks, calibration windows, price bands. Bucketed
+  * equi-join on floor(point / bucket) — never a nested loop; set
+  * `broadcast` for the dimension-table case (zero point-side shuffle).
+  * Overlaps multiply; `how` = "left" keeps unmatched points.
+  * Streaming-admissible on the point side (stream-static join). */
+final case class RangeJoinSpec(
+    intervalsRef: String,
+    pointCol: String,
+    loCol: String,
+    hiCol: String,
+    bucket: Double,
+    on: Seq[String] = Nil,
+    payload: Seq[String] = Nil,
+    how: String = "inner",
+    inclusiveHi: Boolean = false,
+    broadcast: Boolean = false,
+    maxBucketsPerInterval: Int = 1 << 16
+)
+
 /** Per-row upsampling (NS; Corpus.upsample): emit `factorCol` copies of
   * each row tagged 0..factor−1 in `copyCol` — the repeat-k-epochs half
   * of mixture rebalancing (derive the factor upstream: a CASE over
@@ -1119,6 +1141,7 @@ final case class NodeSpec(
     rankingEval: Option[RankingEvalSpec] = None, // after keep, before aggregate
     upsample: Option[UpsampleSpec] = None, // after keep, before aggregate
     funnel: Option[FunnelSpec] = None, // after keep, before aggregate
+    rangeJoin: Option[RangeJoinSpec] = None, // after keep, before aggregate
     dsirScore: Option[DsirScoreSpec] = None, // after keep, before aggregate
     split: Option[SplitSpec] = None, // after keep, before aggregate
     temperatureSample: Option[TemperatureSampleSpec] = None, // after split

@@ -837,6 +837,38 @@ class JsonCodecSpec extends AnyFunSuite {
       .getMessage.contains("event_col"))
   }
 
+  test("range_join node key decodes with defaults and named errors") {
+    val rj = root("""
+      {"range_join": {"intervals_ref": "bands", "point_col": "x",
+                      "lo_col": "lo", "hi_col": "hi", "bucket": 10}}""")
+      .rangeJoin.get
+    assert(rj.intervalsRef == "bands" && rj.pointCol == "x" &&
+      rj.bucket == 10.0 && rj.on.isEmpty && rj.payload.isEmpty &&
+      rj.how == "inner" && !rj.inclusiveHi && !rj.broadcast &&
+      rj.maxBucketsPerInterval == (1 << 16))
+    val rj2 = root("""
+      {"range_join": {"intervals_ref": "b", "point_col": "x",
+                      "lo_col": "l", "hi_col": "h", "bucket": 0.5,
+                      "on": ["k"], "payload": ["tag"], "how": "left",
+                      "inclusive_hi": true, "broadcast": true,
+                      "max_buckets_per_interval": 128}}""").rangeJoin.get
+    assert(rj2.on == Seq("k") && rj2.payload == Seq("tag") &&
+      rj2.how == "left" && rj2.inclusiveHi && rj2.broadcast &&
+      rj2.maxBucketsPerInterval == 128)
+    assert(intercept[IllegalArgumentException](root("""
+      {"range_join": {"intervals_ref": "b", "point_col": "x",
+                      "lo_col": "l", "hi_col": "h", "bucket": 0}}"""))
+      .getMessage.contains("bucket"))
+    assert(intercept[IllegalArgumentException](root("""
+      {"range_join": {"intervals_ref": "b", "point_col": "x",
+                      "lo_col": "l", "hi_col": "h", "bucket": 1,
+                      "how": "full"}}""")).getMessage.contains("how"))
+    assert(intercept[IllegalArgumentException](root("""
+      {"range_join": {"intervals_ref": "b", "point_col": "x",
+                      "lo_col": "l", "bucket": 1}}"""))
+      .getMessage.contains("hi_col"))
+  }
+
   test("upsample / ranking_eval node keys decode with defaults and named errors") {
     val up = root("""{"upsample": {"factor_col": "f"}}""").upsample.get
     assert(up.factorCol == "f" && up.copyCol == "copy")

@@ -2686,4 +2686,95 @@ class OpsSpec extends SparkSpec {
       graft.ops.Corpus.packSequences(withBin, "id", "n_tok", 16L, 2)
     }
   }
+
+  test("rangeJoinKeyed: keyed inner/left matches, overlaps multiply, nulls and empty intervals never match") {
+    val pts = Seq(
+      (1L, Some(5.0), "a"), (2L, Some(15.0), "a"), (3L, Some(15.0), "b"),
+      (4L, Some(25.0), "a"), (5L, None, "a"), (6L, Some(95.0), "a"))
+      .toDF("id", "x", "k")
+    val iv = Seq(
+      ("a", Some(0.0), Some(10.0), "low"),
+      ("a", Some(10.0), Some(20.0), "mid"),
+      ("a", Some(5.0), Some(16.0), "wide"),
+      ("b", Some(10.0), Some(20.0), "bmid"),
+      ("a", Some(30.0), Some(30.0), "empty"),   // lo == hi, exclusive -> never
+      ("a", Some(50.0), Some(40.0), "inverted"),// lo > hi -> never
+      ("a", None, Some(60.0), "nulllo"))        // null bound -> never
+      .toDF("k", "lo", "hi", "tag")
+    val inner = Relational.rangeJoinKeyed(pts, iv, "x", "lo", "hi",
+        bucket = 4.0, on = Seq("k"), payload = Seq("tag"))
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSet
+    assert(inner == Set((1L, "low"), (1L, "wide"), (2L, "mid"), (2L, "wide"),
+      (3L, "bmid")))
+    // the bucketed plan must stay an equi-join -- never a nested loop
+    val plan = Relational.rangeJoinKeyed(pts, iv, "x", "lo", "hi",
+      bucket = 4.0, on = Seq("k"), payload = Seq("tag"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"range join planned a nested loop:\n$plan")
+
+    val left = Relational.rangeJoinKeyed(pts, iv, "x", "lo", "hi",
+        bucket = 4.0, on = Seq("k"), payload = Seq("tag"), how = "left")
+      .collect().map(r => (r.getLong(0), Option(r.getString(3)))).toSet
+    assert(left == Set((1L, Some("low")), (1L, Some("wide")), (2L, Some("mid")),
+      (2L, Some("wide")), (3L, Some("bmid")), (4L, None), (5L, None), (6L, None)),
+      s"left join must keep unmatched points exactly once, got $left")
+
+    // inclusive_hi closes the upper bound: x=16 enters [5, 16]
+    val pt16 = Seq((7L, 16.0, "a")).toDF("id", "x", "k")
+    assert(Relational.rangeJoinKeyed(pt16, iv, "x", "lo", "hi",
+      bucket = 4.0, on = Seq("k"), payload = Seq("tag")).count() == 1) // mid only
+    assert(Relational.rangeJoinKeyed(pt16, iv, "x", "lo", "hi",
+      bucket = 4.0, on = Seq("k"), payload = Seq("tag"),
+      inclusiveHi = true).count() == 2) // mid + wide
+  }
+
+  test("rangeJoinKeyed: bucketed+broadcast paths equal the naive theta join on dense data") {
+    // 400 deterministic points, 40 overlapping keyed intervals
+    val pts = spark.range(400).select($"id",
+      (($"id" * 37 % 1000) + lit(0.25)).cast("double").as("x"),
+      ($"id" % 3).cast("string").as("k"))
+    val iv = spark.range(40).select(
+      ($"id" % 3).cast("string").as("k"),
+      ($"id" * 23 % 800).cast("double").as("lo"))
+      .withColumn("hi", $"lo" + 120.0)
+      .withColumn("tag", concat(lit("t"), $"k", $"lo"))
+    val naive = pts.join(iv, pts("k") === iv("k") &&
+        pts("x") >= iv("lo") && pts("x") < iv("hi"), "left")
+      .select(pts("id"), iv("tag"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq.sorted
+    for (bc <- Seq(false, true); bucket <- Seq(7.0, 120.0, 1000.0)) {
+      val got = Relational.rangeJoinKeyed(pts, iv, "x", "lo", "hi",
+          bucket = bucket, on = Seq("k"), payload = Seq("tag"), how = "left",
+          broadcastIntervals = bc)
+        .select("id", "tag")
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq.sorted
+      assert(got == naive, s"mismatch at bucket=$bucket broadcast=$bc")
+    }
+  }
+
+  test("rangeJoinKeyed: named guards and the per-interval explode cap") {
+    val pts = Seq((1L, 5.0)).toDF("id", "x")
+    val iv = Seq((0.0, 10.0, "t")).toDF("lo", "hi", "tag")
+    intercept[IllegalArgumentException] {
+      Relational.rangeJoinKeyed(pts, iv, "x", "lo", "hi", bucket = 0.0) }
+    intercept[IllegalArgumentException] {
+      Relational.rangeJoinKeyed(pts, iv, "x", "lo", "hi", bucket = 1.0,
+        how = "full") }
+    intercept[IllegalArgumentException] { // payload collides with point side
+      Relational.rangeJoinKeyed(pts, iv.withColumnRenamed("tag", "x"),
+        "x", "lo", "hi", bucket = 1.0) }
+    intercept[IllegalArgumentException] { // missing interval column
+      Relational.rangeJoinKeyed(pts, iv, "x", "lo", "nope", bucket = 1.0) }
+    intercept[IllegalArgumentException] { // nothing to attach
+      Relational.rangeJoinKeyed(pts, iv.select("lo", "hi"), "x", "lo", "hi",
+        bucket = 1.0) }
+    // degenerate span fails BY NAME at run time, not OOM at explode time
+    val wide = Seq((0.0, 1.0e9, "t")).toDF("lo", "hi", "tag")
+    val err = intercept[Exception] {
+      Relational.rangeJoinKeyed(pts, wide, "x", "lo", "hi", bucket = 1.0,
+        maxBucketsPerInterval = 1000).collect() }
+    assert(err.getMessage != null && err.getMessage.contains("range_join"),
+      s"expected the named explode-cap error, got: ${err.getMessage}")
+  }
 }
