@@ -107,6 +107,7 @@ object Compiler {
         node.upsample.toSeq.map(_.factorCol) ++
         node.funnel.toSeq.flatMap(fu => Seq(fu.keyCol, fu.tsCol, fu.eventCol)) ++
         node.rangeJoin.toSeq.flatMap(rj => rj.pointCol +: rj.on) ++
+        node.unpivot.toSeq.flatMap(u => u.ids ++ u.values) ++
         node.wdsSamples.toSeq.flatMap(ws => Seq(ws.nameCol, ws.dataCol)) ++
         node.winnow.toSeq.flatMap(wn => Seq(wn.idCol, wn.textCol)) ++
         node.winnowProbe.toSeq.map(_.textCol) ++
@@ -666,6 +667,12 @@ object Compiler {
       df = graft.ops.Relational.rangeJoinKeyed(df, iv, rj.pointCol, rj.loCol,
         rj.hiCol, rj.bucket, rj.on, rj.payload, rj.how, rj.inclusiveHi,
         rj.broadcast, rj.maxBucketsPerInterval)
+    }
+
+    // Unpivot (melt): wide → long via one Expand over the scan — zero
+    // shuffles, streaming-admissible; the inverse of aggregate.pivot.
+    node.unpivot.foreach { u =>
+      df = graft.ops.Relational.unpivot(df, u.ids, u.values, u.varCol, u.valCol)
     }
 
     // Per-row upsampling: scan-stage sequence explode — zero shuffles,

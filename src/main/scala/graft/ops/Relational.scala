@@ -290,6 +290,55 @@ object Relational {
       .select(points.columns.map(pts(_)) ++ pay.map(iv(_)): _*)
   }
 
+  /** UNPIVOT (melt): wide → long — each row becomes one row per value
+    * column, keyed by `ids`, with the column NAME in `varCol` and its
+    * value in `valCol`. The inverse of the `pivot` aggregate option and
+    * the reshape every per-metric pipeline needs (per-measure quality
+    * stats, one-metric-per-row sinks, sparse feature tables).
+    *
+    * Plans as a single Expand over the scan — ZERO shuffles, no join,
+    * streaming-admissible; output is |rows| × |values| and each input
+    * row is read once. NULL values are KEPT (a null measurement is a
+    * row — filter downstream to drop them; DuckDB's UNPIVOT drops them
+    * by default, which is why the oracle mirror is a UNION ALL).
+    * `values` defaults to every non-id column; value columns must share
+    * a least common type (mixed string/numeric fails by name — cast
+    * upstream). */
+  def unpivot(
+      df: DataFrame,
+      ids: Seq[String],
+      values: Seq[String] = Nil,
+      varCol: String = "variable",
+      valCol: String = "value"
+  ): DataFrame = {
+    require(ids.nonEmpty, "unpivot: need at least one id column")
+    val missing = (ids ++ values).filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"unpivot: column(s) not in the frame: ${missing.mkString(", ")} " +
+        s"(have: ${df.columns.mkString(", ")})")
+    val vals =
+      if (values.nonEmpty) values else df.columns.filterNot(ids.contains).toSeq
+    require(vals.nonEmpty,
+      "unpivot: no value columns (every column is an id)")
+    val overlap = ids.filter(vals.contains)
+    require(overlap.isEmpty,
+      s"unpivot: column(s) ${overlap.mkString(", ")} listed as both id and value")
+    Seq(varCol, valCol).foreach { c =>
+      require(!ids.contains(c) && !vals.contains(c),
+        s"unpivot: output column '$c' collides with an input column — " +
+          "pick var_col/value_col names not in the frame")
+    }
+    require(varCol != valCol,
+      s"unpivot: var_col and value_col are both '$varCol'")
+    try df.unpivot(ids.map(col).toArray, vals.map(col).toArray, varCol, valCol)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"unpivot: value columns ${vals.mkString(", ")} do not share a " +
+            s"least common type — cast them upstream (${e.getMessage})")
+    }
+  }
+
   /** Ordered FUNNEL analysis — the classic event-analytics conversion
     * count ("of the users who viewed, how many then clicked, then
     * purchased?"): per key, step 1 anchors at the FIRST occurrence of

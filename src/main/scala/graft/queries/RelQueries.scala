@@ -323,6 +323,33 @@ object RelQueries extends QueryPack {
       ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
     ORDER BY o_orderkey ASC NULLS FIRST, band ASC NULLS FIRST"""
 
+  // q235 — UNPIVOT (melt) from pure config: lineitem's four measures go
+  // wide → long (one row per measure), values defaulted to every non-id
+  // column. One Expand over the scan — zero shuffles; NULL-keeping
+  // semantics make the faithful DuckDB mirror a UNION ALL (DuckDB's
+  // UNPIVOT drops nulls).
+  private def q235(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "lineitem"},
+       "keep_columns": ["l_orderkey", "l_linenumber", "l_quantity",
+                        "l_extendedprice", "l_discount", "l_tax"],
+       "unpivot": {"ids": ["l_orderkey", "l_linenumber"],
+                   "var_col": "measure", "value_col": "value"},
+       "order_by": ["l_orderkey asc", "l_linenumber asc", "measure asc"]}""")
+  private val q235Sql = """
+    SELECT l_orderkey, l_linenumber, measure, value FROM (
+      SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+             l_quantity AS value FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+      FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+    ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST,
+             measure ASC NULLS FIRST"""
+
   // q149/q150 — per-column profile (the per-batch data-quality monitor):
   // lineitem with a derived nullable flag column so the null-count path
   // is exercised (lineitem itself is null-free). One aggregate pass for
@@ -381,6 +408,7 @@ object RelQueries extends QueryPack {
     Q("q22_asof_join", q22, Some(q22Sql)),
     Q("q23_range_join", q23, Some(q23Sql)),
     Q("q234_config_range_join", q234, Some(q234Sql)),
+    Q("q235_config_unpivot", q235, Some(q235Sql)),
     Q("q149_profile", q149, Some(q149Sql)),
     Q("q150_config_profile", q150, Some(q149Sql))
   )

@@ -654,6 +654,21 @@ object JsonCodec {
       s
     }
 
+    val unpivotSpec = optN("unpivot").map { d =>
+      val ctx = s"node $id: unpivot"
+      val idsNode = req(d, ctx, "ids", "id_cols")
+      require(idsNode.isArray && idsNode.size() > 0,
+        s"$ctx: ids must be a non-empty ARRAY of id columns")
+      val s = UnpivotSpec(
+        ids = strSeq(idsNode),
+        values = opt(d, "values", "value_cols").map(strSeq).getOrElse(Nil),
+        varCol = opt(d, "var_col", "varCol").map(_.asText).getOrElse("variable"),
+        valCol = opt(d, "value_col", "valueCol").map(_.asText).getOrElse("value"))
+      require(s.varCol != s.valCol,
+        s"$ctx: var_col and value_col are both '${s.varCol}'")
+      s
+    }
+
     val upsampleSpec = optN("upsample").map { d =>
       val ctx = s"node $id: upsample"
       UpsampleSpec(
@@ -962,6 +977,7 @@ object JsonCodec {
       upsample = upsampleSpec,
       funnel = funnelSpec,
       rangeJoin = rangeJoinSpec,
+      unpivot = unpivotSpec,
       dsirScore = dsirScoreSpec,
       split = sp,
       temperatureSample = ts,

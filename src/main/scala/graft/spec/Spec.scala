@@ -646,6 +646,19 @@ final case class RangeJoinSpec(
     maxBucketsPerInterval: Int = 1 << 16
 )
 
+/** Unpivot / melt (NS; Relational.unpivot): wide → long, one output row
+  * per value column keyed by `ids`, column name in `varCol`, value in
+  * `valCol` — the inverse of the `pivot` aggregate option. One Expand
+  * over the scan: zero shuffles, streaming-admissible; NULL values are
+  * kept. `values` defaults to every non-id column; value columns must
+  * share a least common type. */
+final case class UnpivotSpec(
+    ids: Seq[String],
+    values: Seq[String] = Nil,
+    varCol: String = "variable",
+    valCol: String = "value"
+)
+
 /** Per-row upsampling (NS; Corpus.upsample): emit `factorCol` copies of
   * each row tagged 0..factor−1 in `copyCol` — the repeat-k-epochs half
   * of mixture rebalancing (derive the factor upstream: a CASE over
@@ -1142,6 +1155,7 @@ final case class NodeSpec(
     upsample: Option[UpsampleSpec] = None, // after keep, before aggregate
     funnel: Option[FunnelSpec] = None, // after keep, before aggregate
     rangeJoin: Option[RangeJoinSpec] = None, // after keep, before aggregate
+    unpivot: Option[UnpivotSpec] = None, // after keep, before aggregate
     dsirScore: Option[DsirScoreSpec] = None, // after keep, before aggregate
     split: Option[SplitSpec] = None, // after keep, before aggregate
     temperatureSample: Option[TemperatureSampleSpec] = None, // after split

@@ -869,6 +869,22 @@ class JsonCodecSpec extends AnyFunSuite {
       .getMessage.contains("hi_col"))
   }
 
+  test("unpivot node key decodes with defaults and named errors") {
+    val u = root("""{"unpivot": {"ids": ["k"]}}""").unpivot.get
+    assert(u.ids == Seq("k") && u.values.isEmpty &&
+      u.varCol == "variable" && u.valCol == "value")
+    val u2 = root("""
+      {"unpivot": {"ids": ["k", "j"], "values": ["a", "b"],
+                   "var_col": "m", "value_col": "v"}}""").unpivot.get
+    assert(u2.ids == Seq("k", "j") && u2.values == Seq("a", "b") &&
+      u2.varCol == "m" && u2.valCol == "v")
+    assert(intercept[IllegalArgumentException](root(
+      """{"unpivot": {"ids": []}}""")).getMessage.contains("ids"))
+    assert(intercept[IllegalArgumentException](root("""
+      {"unpivot": {"ids": ["k"], "var_col": "x", "value_col": "x"}}"""))
+      .getMessage.contains("value_col"))
+  }
+
   test("upsample / ranking_eval node keys decode with defaults and named errors") {
     val up = root("""{"upsample": {"factor_col": "f"}}""").upsample.get
     assert(up.factorCol == "f" && up.copyCol == "copy")

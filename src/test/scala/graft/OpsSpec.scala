@@ -2777,4 +2777,39 @@ class OpsSpec extends SparkSpec {
     assert(err.getMessage != null && err.getMessage.contains("range_join"),
       s"expected the named explode-cap error, got: ${err.getMessage}")
   }
+
+  test("unpivot: melt keeps NULLs, defaults values, plans zero Exchange, guards by name") {
+    val df = Seq(
+      (1L, Some(1.5), Some(2.5)),
+      (2L, None, Some(4.0))).toDF("id", "a", "b")
+    val out = Relational.unpivot(df, Seq("id"), varCol = "m", valCol = "v")
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)))).toSet
+    assert(rows == Set(
+      (1L, "a", Some(1.5)), (1L, "b", Some(2.5)),
+      (2L, "a", None), (2L, "b", Some(4.0))),
+      s"NULL measurements must survive the melt, got $rows")
+    // explicit values == defaulted
+    assert(Relational.unpivot(df, Seq("id"), Seq("a", "b"), "m", "v")
+      .collect().toSet == out.collect().toSet)
+    // conservation: |out| == |in| x |values|, and one Expand, no shuffle
+    assert(out.count() == df.count() * 2)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unpivot must not shuffle:\n$plan")
+
+    intercept[IllegalArgumentException] { Relational.unpivot(df, Nil) }
+    intercept[IllegalArgumentException] { // id listed as value
+      Relational.unpivot(df, Seq("id"), Seq("id", "a")) }
+    intercept[IllegalArgumentException] { // output name collides
+      Relational.unpivot(df, Seq("id"), varCol = "a") }
+    intercept[IllegalArgumentException] { // var == value name
+      Relational.unpivot(df, Seq("id"), varCol = "x", valCol = "x") }
+    intercept[IllegalArgumentException] { // unknown column
+      Relational.unpivot(df, Seq("nope")) }
+    // mixed string/double has no common type -> named error, not Spark internals
+    val mixed = Seq((1L, 1.0, "s")).toDF("id", "a", "b")
+    val e = intercept[IllegalArgumentException] {
+      Relational.unpivot(mixed, Seq("id")) }
+    assert(e.getMessage.contains("unpivot"))
+  }
 }

@@ -1248,6 +1248,31 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("unpivot config key runs on a stream: one Expand, stream == batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-unpivot").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/lineitem.parquet"),
+      java.nio.file.Paths.get(s"$dir/in/lineitem.parquet"))
+    val nodeBody = s""""keep_columns": ["l_orderkey", "l_linenumber",
+                        "l_quantity", "l_tax"],
+       "unpivot": {"ids": ["l_orderkey", "l_linenumber"],
+                   "var_col": "measure", "value_col": "value"}"""
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getString(2)) -> r.getDouble(3)
+    val batch = graft.compile.Compiler.compileJson(spark, s"""
+      {"source": {"path": "$dir/in/lineitem.parquet"}, $nodeBody}""")
+      .collect().map(key).toMap
+    val q = graft.compile.Compiler.compileStreamJson(spark, s"""
+      {"source": {"path": "$dir/in"}, $nodeBody,
+       "save": {"format": "memory", "query_name": "unpivot_stream",
+                "trigger": "available_now", "output_mode": "append"}}""")
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("unpivot_stream").collect().map(key).toMap
+    assert(streamed == batch, "stream melt must equal batch")
+    assert(batch.nonEmpty)
+  }
+
   test("bpe_apply → chunk (ids tier) composes on a stream: stream == batch") {
     import spark.implicits._
     // the no-truncation feeder (tokenize → pre-split into ≤size-id
