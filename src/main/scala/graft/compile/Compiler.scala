@@ -108,6 +108,7 @@ object Compiler {
         node.funnel.toSeq.flatMap(fu => Seq(fu.keyCol, fu.tsCol, fu.eventCol)) ++
         node.rangeJoin.toSeq.flatMap(rj => rj.pointCol +: rj.on) ++
         node.unpivot.toSeq.flatMap(u => u.ids ++ u.values) ++
+        node.approxTopK.toSeq.map(_.keyCol) ++
         node.wdsSamples.toSeq.flatMap(ws => Seq(ws.nameCol, ws.dataCol)) ++
         node.winnow.toSeq.flatMap(wn => Seq(wn.idCol, wn.textCol)) ++
         node.winnowProbe.toSeq.map(_.textCol) ++
@@ -667,6 +668,15 @@ object Compiler {
       df = graft.ops.Relational.rangeJoinKeyed(df, iv, rj.pointCol, rj.loCol,
         rj.hiCol, rj.bucket, rj.on, rj.payload, rj.how, rj.inclusiveHi,
         rj.broadcast, rj.maxBucketsPerInterval)
+    }
+
+    // Heavy hitters: the frame becomes its top-k most frequent keys
+    // from one shuffle-free mergeable-sketch aggregate.
+    node.approxTopK.foreach { tk =>
+      requireBatch("approx_top_k", "a global sketch aggregate",
+        "sketch per window on streams, or run over the landed batch")
+      df = graft.ops.Relational.approxTopK(df, tk.keyCol, tk.k,
+        tk.maxItemsTracked)
     }
 
     // Unpivot (melt): wide → long via one Expand over the scan — zero

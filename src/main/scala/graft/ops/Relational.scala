@@ -50,6 +50,56 @@ object Relational {
       .toDF(keyCol, "est")
   }
 
+  /** HEAVY HITTERS: the top-k most frequent keys WITHOUT knowing them in
+    * advance — hot domains, hot n-grams, hot join keys — in ONE
+    * shuffle-free pass. Completes the mergeable-sketch family: HLL
+    * answers "how many distinct", CMS ([[cmsProbeCounts]]) answers "how
+    * often do THESE keys occur", this answers "WHICH keys dominate".
+    *
+    * Built on Spark 4's native `approx_top_k` aggregate (an Apache
+    * DataSketches frequent-items sketch): every partition sketches
+    * locally, sketches MERGE partial→final, so no row ever shuffles —
+    * the alternative groupBy+orderBy+limit pays a distinct-keys-shaped
+    * shuffle, which for n-gram-like domains is itself corpus-scale. The
+    * sketch tracks `maxItemsTracked` items (bounded metadata); we pull
+    * ALL tracked items and re-rank deterministically by (count DESC,
+    * key ASC) — the sketch's own top-k tie order is unspecified — then
+    * keep k. The rank window runs over ≤ maxItemsTracked rows (bounded,
+    * single partition by design).
+    *
+    * Guarantee: when `maxItemsTracked` ≥ the true distinct count, every
+    * count is EXACT (nothing is ever evicted) — the oracle-gated
+    * regime. Under eviction, counts are estimates with error ≤ ~N /
+    * maxItemsTracked and any key with true count above that bound is
+    * guaranteed present (the frequent-items contract). NULL keys are
+    * not counted. Batch-only by name (global aggregate); on streams,
+    * run per window or over the landed batch.
+    *
+    * Output: (keyCol, count, rn), rn = 1-based rank. */
+  def approxTopK(
+      df: DataFrame,
+      keyCol: String,
+      k: Int = 10,
+      maxItemsTracked: Int = 10000
+  ): DataFrame = {
+    require(k >= 1, s"approx_top_k: k must be >= 1, got $k")
+    require(maxItemsTracked >= k,
+      s"approx_top_k: max_items_tracked ($maxItemsTracked) must be >= k ($k)")
+    require(df.columns.contains(keyCol),
+      s"approx_top_k: unknown column '$keyCol' (have: ${df.columns.mkString(", ")})")
+    require(keyCol != "count" && keyCol != "rn",
+      s"approx_top_k: key column '$keyCol' collides with the output " +
+        "count/rn columns — rename it upstream")
+    val sk = df.filter(col(keyCol).isNotNull).agg(
+      expr(s"approx_top_k(`$keyCol`, $maxItemsTracked, $maxItemsTracked)")
+        .as("__tk"))
+    val w = Window.orderBy(col("count").desc, col(keyCol).asc)
+    sk.select(explode(col("__tk")).as("__e"))
+      .select(col("__e.item").as(keyCol), col("__e.count").cast("long").as("count"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
   /** Per-column data-quality profile — the monitoring pass a production
     * pipeline runs on every ingested batch: one row per profiled column
     * with (col_name, n_rows, n_nulls, n_distinct, min_value, max_value),

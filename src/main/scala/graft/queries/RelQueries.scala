@@ -350,6 +350,27 @@ object RelQueries extends QueryPack {
     ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST,
              measure ASC NULLS FIRST"""
 
+  // q236 — HEAVY HITTERS from pure config (`approx_top_k`): the top-25
+  // customers by order count from ONE shuffle-free mergeable-sketch
+  // pass. max_items_tracked 65536 ≥ the ~1000 distinct custkeys at this
+  // SF, so every count is EXACT (nothing evicted) and the sketch result
+  // hash-gates against the plain GROUP BY — the q160 CMS discipline.
+  // Ties at the boundary are safe: both sides rank (count DESC, key
+  // ASC).
+  private def q236(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "orders"},
+       "approx_top_k": {"key_col": "o_custkey", "k": 25,
+                        "max_items_tracked": 65536},
+       "order_by": ["rn asc"]}""")
+  private val q236Sql = """
+    SELECT o_custkey, count, rn FROM (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS count,
+             CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, o_custkey ASC)
+                  AS INT) AS rn
+      FROM orders GROUP BY o_custkey)
+    WHERE rn <= 25 ORDER BY rn ASC NULLS FIRST"""
+
   // q149/q150 — per-column profile (the per-batch data-quality monitor):
   // lineitem with a derived nullable flag column so the null-count path
   // is exercised (lineitem itself is null-free). One aggregate pass for
@@ -409,6 +430,7 @@ object RelQueries extends QueryPack {
     Q("q23_range_join", q23, Some(q23Sql)),
     Q("q234_config_range_join", q234, Some(q234Sql)),
     Q("q235_config_unpivot", q235, Some(q235Sql)),
+    Q("q236_approx_topk", q236, Some(q236Sql)),
     Q("q149_profile", q149, Some(q149Sql)),
     Q("q150_config_profile", q150, Some(q149Sql))
   )

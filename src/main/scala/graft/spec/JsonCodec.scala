@@ -654,6 +654,19 @@ object JsonCodec {
       s
     }
 
+    val approxTopKSpec = optN("approx_top_k", "approxTopK").map { d =>
+      val ctx = s"node $id: approx_top_k"
+      val s = ApproxTopKSpec(
+        keyCol = req(d, ctx, "key_col", "keyCol").asText,
+        k = opt(d, "k").map(_.asInt).getOrElse(10),
+        maxItemsTracked = opt(d, "max_items_tracked", "maxItemsTracked")
+          .map(_.asInt).getOrElse(10000))
+      require(s.k >= 1, s"$ctx: k must be >= 1, got ${s.k}")
+      require(s.maxItemsTracked >= s.k,
+        s"$ctx: max_items_tracked (${s.maxItemsTracked}) must be >= k (${s.k})")
+      s
+    }
+
     val unpivotSpec = optN("unpivot").map { d =>
       val ctx = s"node $id: unpivot"
       val idsNode = req(d, ctx, "ids", "id_cols")
@@ -978,6 +991,7 @@ object JsonCodec {
       funnel = funnelSpec,
       rangeJoin = rangeJoinSpec,
       unpivot = unpivotSpec,
+      approxTopK = approxTopKSpec,
       dsirScore = dsirScoreSpec,
       split = sp,
       temperatureSample = ts,

@@ -646,6 +646,19 @@ final case class RangeJoinSpec(
     maxBucketsPerInterval: Int = 1 << 16
 )
 
+/** Heavy hitters (NS; Relational.approxTopK): the frame becomes its
+  * top-`k` most frequent `keyCol` values (keyCol, count, rn) from ONE
+  * shuffle-free mergeable-sketch pass (Spark's native DataSketches
+  * frequent-items aggregate). Exact when `maxItemsTracked` ≥ the true
+  * distinct count; under eviction, error ≤ ~N/maxItemsTracked and
+  * every key above that bound is guaranteed present. Deterministic
+  * (count DESC, key ASC) tie rule. Batch-only by name. */
+final case class ApproxTopKSpec(
+    keyCol: String,
+    k: Int = 10,
+    maxItemsTracked: Int = 10000
+)
+
 /** Unpivot / melt (NS; Relational.unpivot): wide → long, one output row
   * per value column keyed by `ids`, column name in `varCol`, value in
   * `valCol` — the inverse of the `pivot` aggregate option. One Expand
@@ -1156,6 +1169,7 @@ final case class NodeSpec(
     funnel: Option[FunnelSpec] = None, // after keep, before aggregate
     rangeJoin: Option[RangeJoinSpec] = None, // after keep, before aggregate
     unpivot: Option[UnpivotSpec] = None, // after keep, before aggregate
+    approxTopK: Option[ApproxTopKSpec] = None, // after keep, before aggregate
     dsirScore: Option[DsirScoreSpec] = None, // after keep, before aggregate
     split: Option[SplitSpec] = None, // after keep, before aggregate
     temperatureSample: Option[TemperatureSampleSpec] = None, // after split

@@ -869,6 +869,24 @@ class JsonCodecSpec extends AnyFunSuite {
       .getMessage.contains("hi_col"))
   }
 
+  test("approx_top_k node key decodes with defaults and named errors") {
+    val tk = root("""{"approx_top_k": {"key_col": "domain"}}""").approxTopK.get
+    assert(tk.keyCol == "domain" && tk.k == 10 && tk.maxItemsTracked == 10000)
+    val tk2 = root("""
+      {"approx_top_k": {"key_col": "k", "k": 25,
+                        "max_items_tracked": 65536}}""").approxTopK.get
+    assert(tk2.k == 25 && tk2.maxItemsTracked == 65536)
+    assert(intercept[IllegalArgumentException](root(
+      """{"approx_top_k": {"key_col": "k", "k": 0}}"""))
+      .getMessage.contains("k"))
+    assert(intercept[IllegalArgumentException](root("""
+      {"approx_top_k": {"key_col": "k", "k": 10,
+                        "max_items_tracked": 5}}"""))
+      .getMessage.contains("max_items_tracked"))
+    assert(intercept[IllegalArgumentException](root(
+      """{"approx_top_k": {"k": 3}}""")).getMessage.contains("key_col"))
+  }
+
   test("unpivot node key decodes with defaults and named errors") {
     val u = root("""{"unpivot": {"ids": ["k"]}}""").unpivot.get
     assert(u.ids == Seq("k") && u.values.isEmpty &&

@@ -2812,4 +2812,45 @@ class OpsSpec extends SparkSpec {
       Relational.unpivot(mixed, Seq("id")) }
     assert(e.getMessage.contains("unpivot"))
   }
+
+  test("approxTopK: exact in the no-eviction regime, heavy hitters survive eviction, guards by name") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // skewed synthetic: key i has weight ~ 1/(i+1) -- ties exist (keys 40..99 all count 1)
+    val df = spark.range(100).select($"id")
+      .withColumn("w", (lit(100) / ($"id" + 1)).cast("int"))
+      .withColumn("copy", explode(sequence(lit(1), $"w")))
+      .select(concat(lit("k"), $"id").as("key"))
+    val n = df.count()
+    val exact = df.groupBy("key").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = exact.toSeq.sortBy { case (k, c) => (-c, k) }.take(15)
+
+    // capacity >= distinct -> EXACT, including the (count desc, key asc) tie rule
+    val got = Relational.approxTopK(df, "key", 15, 1024)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(got.map(x => (x._1, x._2)).toSeq == expected,
+      s"exact regime must equal groupBy+rank, got ${got.toSeq}")
+    assert(got.map(_._3).toSeq == (1 to 15), "rn must be 1-based dense")
+
+    // eviction regime: the dominant keys must survive with bounded error
+    val approx = Relational.approxTopK(df, "key", 3, 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // only keys with true count > N/capacity are guaranteed present
+    // (k0 = 100 > ~n/8; k1 = 50 is below the bound and MAY be evicted)
+    assert(approx.contains("k0"), "heavy hitter k0 must survive eviction")
+    assert(math.abs(approx("k0") - exact("k0")) <= n / 8,
+      s"k0 estimate ${approx("k0")} vs true ${exact("k0")} exceeds N/capacity")
+
+    // NULL keys are not counted
+    val withNulls = Seq(Some("a"), Some("a"), None, Some("b")).toDF("key")
+    val nn = Relational.approxTopK(withNulls, "key", 10, 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nn == Map("a" -> 2L, "b" -> 1L), s"nulls must not count, got $nn")
+
+    intercept[IllegalArgumentException] { Relational.approxTopK(df, "key", 0) }
+    intercept[IllegalArgumentException] { Relational.approxTopK(df, "key", 10, 5) }
+    intercept[IllegalArgumentException] { Relational.approxTopK(df, "nope", 1) }
+    intercept[IllegalArgumentException] {
+      Relational.approxTopK(df.withColumnRenamed("key", "count"), "count", 1) }
+  }
 }
