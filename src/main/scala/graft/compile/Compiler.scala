@@ -1502,7 +1502,13 @@ object Compiler {
         val inner = a.filter
           .map(p => s"CASE WHEN ($p) THEN ${a.col} END")
           .getOrElse(a.col)
-        expr(s"$other($inner)")
+        // `param` rides as the second argument (integral values render as
+        // INT — sketch capacities like approx_top_k_accumulate's
+        // maxItemsTracked are int-typed); silently dropping it would
+        // aggregate at the wrong precision.
+        val arg = a.param.map(p =>
+          if (p.isWhole) s", ${p.toLong}" else s", $p").getOrElse("")
+        expr(s"$other($inner$arg)")
     }
     agg.as(a.newName.getOrElse(s"${a.func}_${if (a.col == "*") "all" else a.col}"))
   }

@@ -371,6 +371,65 @@ object RelQueries extends QueryPack {
       FROM orders GROUP BY o_custkey)
     WHERE rn <= 25 ORDER BY rn ASC NULLS FIRST"""
 
+  // q237 — INCREMENTAL SKETCH TABLE flagship: per-day frequent-items
+  // sketches (the artifact a 100 TB pipeline persists per ingest batch)
+  // COMBINE across days and answer the same top-25 question WITHOUT
+  // rescanning any row — accumulate/combine/estimate from pure config
+  // (pass-through aggregates + derive), sketches parquet-safe structs.
+  // No eviction at this capacity, so the re-aggregated answer is EXACT
+  // and carries q236's oracle verbatim; estimate pulls ALL tracked
+  // items and the deterministic (count DESC, key ASC) re-rank cuts 25.
+  private def q237(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"defs": [
+         {"id": "daily_sk", "source": {"table": "orders"},
+          "derive": {"day": "CAST(date_trunc('DAY', o_orderdate) AS DATE)"},
+          "aggregate": {"group_by": ["day"], "aggregations": [
+             {"col": "o_custkey", "func": "approx_top_k_accumulate",
+              "param": 65536, "new_name": "sk"}]}},
+         {"id": "combined", "source": {"ref": "daily_sk"},
+          "aggregate": {"aggregations": [
+             {"col": "sk", "func": "approx_top_k_combine",
+              "param": 65536, "new_name": "csk"}]}}],
+       "source": {"ref": "combined"},
+       "derive": {"e": "explode(approx_top_k_estimate(csk, 65536))",
+                  "o_custkey": "e.item",
+                  "count": "CAST(e.count AS BIGINT)",
+                  "rn": "CAST(row_number() OVER (ORDER BY `count` DESC, o_custkey ASC) AS INT)"},
+       "post_filters": ["rn <= 25"],
+       "drop": ["csk", "e"],
+       "order_by": ["rn asc"]}""")
+
+  // q238 — HLL SKETCH TABLE: the distinct-count sibling of q237's
+  // frequent-items artifact — per-day hll_sketch_agg structs persistable
+  // per ingest batch, hll_union_agg re-aggregates ANY date range with
+  // zero row rescans. The estimate itself is approximate by contract,
+  // so the hash carries the 2%-bound BOOLEAN (the q233 discipline) plus
+  // the exact baseline the oracle restates; at this SF the DataSketches
+  // HLL is still in exact (coupon) mode and est == exact.
+  private def q238(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"defs": [
+         {"id": "daily_h", "source": {"table": "orders"},
+          "derive": {"day": "CAST(date_trunc('DAY', o_orderdate) AS DATE)"},
+          "aggregate": {"group_by": ["day"], "aggregations": [
+             {"col": "o_custkey", "func": "hll_sketch_agg", "param": 14,
+              "new_name": "h"}]}},
+         {"id": "unioned", "source": {"ref": "daily_h"},
+          "aggregate": {"aggregations": [
+             {"col": "h", "func": "hll_union_agg", "new_name": "hu"},
+             {"col": "*", "func": "count", "new_name": "n_sketches"}]}}],
+       "source": {"ref": "unioned"},
+       "derive": {"est": "hll_sketch_estimate(hu)",
+                  "exact_nd": "CAST((SELECT COUNT(DISTINCT o_custkey) FROM orders) AS BIGINT)",
+                  "est_ok": "abs(est - exact_nd) <= CAST(0.02 * exact_nd AS BIGINT)"},
+       "drop": ["hu", "est"]}""")
+  private val q238Sql = """
+    SELECT CAST(COUNT(DISTINCT CAST(date_trunc('day', o_orderdate) AS DATE)) AS BIGINT) AS n_sketches,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_nd,
+           TRUE AS est_ok
+    FROM orders"""
+
   // q149/q150 — per-column profile (the per-batch data-quality monitor):
   // lineitem with a derived nullable flag column so the null-count path
   // is exercised (lineitem itself is null-free). One aggregate pass for
@@ -431,6 +490,8 @@ object RelQueries extends QueryPack {
     Q("q234_config_range_join", q234, Some(q234Sql)),
     Q("q235_config_unpivot", q235, Some(q235Sql)),
     Q("q236_approx_topk", q236, Some(q236Sql)),
+    Q("q237_sketch_table", q237, Some(q236Sql)),
+    Q("q238_hll_sketch_table", q238, Some(q238Sql)),
     Q("q149_profile", q149, Some(q149Sql)),
     Q("q150_config_profile", q150, Some(q149Sql))
   )

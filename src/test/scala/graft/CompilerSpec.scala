@@ -649,4 +649,37 @@ class CompilerSpec extends SparkSpec {
         .collect()
     }
   }
+
+  test("pass-through aggregate param rides as the second argument; sketch artifacts survive parquet") {
+    import org.apache.spark.sql.functions._
+    // approx_top_k_accumulate(col, maxItemsTracked): param must reach the
+    // SQL call -- a silently-dropped capacity would sketch at the wrong
+    // precision. Verified observably: the accumulate struct records it.
+    val acc = df.groupBy("k")
+      .agg(Compiler.aggColumn(AggSpec("id", "approx_top_k_accumulate",
+        newName = Some("sk"), param = Some(64))))
+    assert(acc.select("sk.maxItemsTracked").distinct().head.getInt(0) == 64)
+
+    // the at-rest sketch-table round trip (the q237/q238 story): per-group
+    // sketches -> parquet -> read back -> combine + estimate == direct
+    val dir = java.nio.file.Files.createTempDirectory("graft-sk").toString
+    acc.write.mode("overwrite").parquet(dir)
+    val rt = spark.read.parquet(dir)
+      .agg(expr("approx_top_k_estimate(approx_top_k_combine(sk, 64), 64)").as("e"))
+      .select(explode(col("e")).as("x")).select("x.item", "x.count")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val direct = df.groupBy("id").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rt == direct,
+      s"parquet-round-tripped sketch combine must be exact under capacity, got $rt vs $direct")
+
+    // hll binary round trip: union of per-group sketches == global distinct
+    val h = df.groupBy("k")
+      .agg(Compiler.aggColumn(AggSpec("id", "hll_sketch_agg",
+        newName = Some("h"), param = Some(14))))
+    h.write.mode("overwrite").parquet(s"$dir/h")
+    val nd = spark.read.parquet(s"$dir/h")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(h))").as("nd")).head.getLong(0)
+    assert(nd == 5L, s"HLL union estimate must be exact at this cardinality, got $nd")
+  }
 }
