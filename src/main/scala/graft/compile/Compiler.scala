@@ -993,7 +993,8 @@ object Compiler {
           // including the as-of timestamp — follow it
           val rts = if (ch.prefix && !j.link.contains(rts0)) s"${ch.node.id}_$rts0" else rts0
           val payload = childDf.columns.filterNot(c => j.link.contains(c) || c == rts)
-          graft.ops.Relational.asofJoin(df, childDf, j.link, lts, rts, payload.toSeq)
+          graft.ops.Relational.asofJoin(df, childDf, j.link, lts, rts,
+            payload.toSeq, direction = j.direction, tolerance = j.tolerance)
         case j if j.how == "interval" =>
           // Lookback/interval join (config surface of Streaming.intervalJoin):
           // right rows within [left_ts − lookback, left_ts] per link key. On

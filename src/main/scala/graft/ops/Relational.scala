@@ -185,17 +185,26 @@ object Relational {
       .filter(!coalesce(isDelete, lit(false)))
       .drop("__cc_rn")
 
-  /** As-of join: for each left row, attach the payload of the most recent
-    * right row with rightTs ≤ leftTs and equal keys (inclusive; ties on the
-    * instant take the right row). Nulls when no prior right row exists
+  /** As-of join: for each left row, attach the payload of the nearest
+    * right row with equal keys in the given `direction` (both bounds
+    * INCLUSIVE — ties on the instant take the right row):
+    *  - "backward" (default): most recent right with rightTs ≤ leftTs
+    *  - "forward": earliest right with rightTs ≥ leftTs
+    *  - "nearest": whichever of the two is closer (ties → backward)
+    * `tolerance` (an expression: an `INTERVAL 'x'` literal for timestamp
+    * columns, a number for numeric ones) nulls the payload when the
+    * matched row is further than that from leftTs — the pandas
+    * merge_asof contract. Nulls when no qualifying right row exists
     * (left-join semantics).
     *
-    * Implementation is the union-and-carry-forward pattern, NOT a range
-    * cross join: union both sides tagged, one shuffle on `on` keys, window
-    * `last(payload, ignoreNulls)` over rows-unbounded-preceding carries the
-    * latest right payload forward to every left row. Cost is a single
-    * shuffle + sort of |L|+|R| — this is the only as-of formulation that
-    * survives 100 TB (a `l.ts >= r.ts` theta join is O(|L|·|R|) per key).
+    * Implementation is the union-and-carry pattern, NOT a range cross
+    * join: union both sides tagged, ONE shuffle on `on` keys, window
+    * `last/first(payload, ignoreNulls)` carries the nearest right
+    * payload to every left row. Cost is a single shuffle of |L|+|R|
+    * with one in-task sort (two for forward/nearest — the tie rule
+    * needs the opposite side order; same Exchange either way) — the
+    * only as-of formulation that survives 100 TB (a `l.ts >= r.ts`
+    * theta join is O(|L|·|R|) per key).
     *
     * Right rows must be unique per (on, rightTs) — pre-dedup if not —
     * otherwise which duplicate wins is tie-broken by `rightTieBreak`.
@@ -207,36 +216,101 @@ object Relational {
       leftTs: String,
       rightTs: String,
       rightPayload: Seq[String],
-      rightTieBreak: Option[String] = None
+      rightTieBreak: Option[String] = None,
+      direction: String = "backward",
+      tolerance: Option[String] = None
   ): DataFrame = {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"asofJoin: direction must be backward/forward/nearest, got '$direction'")
+    val tolExpr = tolerance.map { t =>
+      // expr() parses lazily (a malformed INTERVAL literal only fails at
+      // analysis) — force analysis on a 1-row frame so the typo fails
+      // HERE by name, not mid-plan
+      try {
+        val e = expr(t)
+        left.sparkSession.range(1).select(e).queryExecution.analyzed
+        e
+      } catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"asofJoin: tolerance '$t' does not parse (use an INTERVAL " +
+            s"literal for timestamps, a number for numeric axes): ${e.getMessage}")
+      }
+    }
     val side = "__asof_side"
     val ts = "__asof_ts"
     val payloadPrefixed = rightPayload.map(c => c -> s"__p_$c")
+    // the matched row's own timestamp rides as one more carried column —
+    // it decides nearest and tolerance
+    val rtsCarry = "__p___asof_rts"
 
     var l = left.withColumn(side, lit(1)).withColumn(ts, col(leftTs))
-    payloadPrefixed.foreach { case (_, p) => l = l.withColumn(p, lit(null)) }
+    (payloadPrefixed.map(_._2) :+ rtsCarry).foreach { p =>
+      l = l.withColumn(p, lit(null))
+    }
 
     val r = right.select((on.map(col) :+ col(rightTs).as(ts)) ++
-      payloadPrefixed.map { case (c, p) => col(c).as(p) }: _*)
+      (payloadPrefixed.map { case (c, p) => col(c).as(p) } :+
+        col(rightTs).as(rtsCarry)): _*)
       .withColumn(side, lit(0))
     // null out the left-only columns on the right side via unionByName
     val unioned = l.unionByName(r, allowMissingColumns = true)
 
-    val orderCols: Seq[Column] =
-      Seq(col(ts).asc, col(side).asc) ++ rightTieBreak.map(col(_).asc).toSeq
-    val w = Window
-      .partitionBy(on.map(col): _*)
-      .orderBy(orderCols: _*)
+    val tie = rightTieBreak.map(col(_).asc).toSeq
+    // backward: right-before-left at equal ts → last() ≤-inclusive
+    val wb = Window.partitionBy(on.map(col): _*)
+      .orderBy(Seq(col(ts).asc, col(side).asc) ++ tie: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // forward: right-after-left at equal ts → first() ≥-inclusive
+    val wf = Window.partitionBy(on.map(col): _*)
+      .orderBy(Seq(col(ts).asc, col(side).desc) ++ tie: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
+    val carried = payloadPrefixed.map(_._2) :+ rtsCarry
     var out = unioned
+    direction match {
+      case "backward" =>
+        carried.foreach { p =>
+          out = out.withColumn(s"__b_$p", last(col(p), ignoreNulls = true).over(wb))
+        }
+      case "forward" =>
+        carried.foreach { p =>
+          out = out.withColumn(s"__b_$p", first(col(p), ignoreNulls = true).over(wf))
+        }
+      case "nearest" =>
+        carried.foreach { p =>
+          out = out
+            .withColumn(s"__bk_$p", last(col(p), ignoreNulls = true).over(wb))
+            .withColumn(s"__fw_$p", first(col(p), ignoreNulls = true).over(wf))
+        }
+        val bTs = col(s"__bk_$rtsCarry")
+        val fTs = col(s"__fw_$rtsCarry")
+        // closer side wins; equal distance → backward; one-sided → that side
+        val useB = bTs.isNotNull &&
+          (fTs.isNull || (col(ts) - bTs) <= (fTs - col(ts)))
+        carried.foreach { p =>
+          out = out.withColumn(s"__b_$p",
+            when(useB, col(s"__bk_$p")).otherwise(col(s"__fw_$p")))
+            .drop(s"__bk_$p", s"__fw_$p")
+        }
+    }
+    // tolerance: the matched row exists but sits too far — null the payload
+    val inTol = tolExpr.map { tol =>
+      val mts = col(s"__b_$rtsCarry")
+      val dist = when(mts <= col(ts), col(ts) - mts).otherwise(mts - col(ts))
+      mts.isNotNull && dist <= tol
+    }
     payloadPrefixed.foreach { case (c, p) =>
-      out = out.withColumn(c, last(col(p), ignoreNulls = true).over(w))
+      val v = col(s"__b_$p")
+      out = out.withColumn(c, inTol match {
+        case Some(ok) => when(ok, v)
+        case None     => v
+      })
     }
     out
       .filter(col(side) === 1)
       .drop(side, ts)
-      .drop(payloadPrefixed.map(_._2): _*)
+      .drop(payloadPrefixed.map(_._2) :+ rtsCarry: _*)
+      .drop(carried.map(p => s"__b_$p"): _*)
   }
 
   /** RANGE (point-in-interval) join, the config-reachable GENERAL form

@@ -409,6 +409,84 @@ object ExtraQueries extends QueryPack {
       ON p.user_id = l.user_id AND p.ts >= l.ts
     ORDER BY p.event_id ASC NULLS FIRST"""
 
+  // q239 — FORWARD as-of with tolerance (time-to-convert): each
+  // signup/login picks up the user's NEXT purchase, but only if it lands
+  // within 2 hours — pandas merge_asof(direction="forward",
+  // tolerance=...) as two config keys on the same union-and-carry plan
+  // (ONE shuffle; the tolerance is a post-predicate on the carried
+  // match timestamp, not a second pass). DuckDB's ASOF with the
+  // flipped inequality + a CASE mirror the pair.
+  private def q239(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "events"},
+       "filters": [{"col": "event_type", "op": "isin", "value": ["signup", "login"]}],
+       "keep_columns": ["event_id", "user_id", "ts"],
+       "children": [{
+          "id": "buys",
+          "source": {"table": "events"},
+          "filters": [{"col": "event_type", "op": "==", "value": "purchase"}],
+          "aggregate": {"group_by": ["user_id", "ts"],
+            "aggregations": [{"col": "event_id", "func": "max", "new_name": "purchase_event_id"}]},
+          "join": {"how": "asof", "on": ["user_id"], "left_ts": "ts",
+                   "right_ts": "ts", "direction": "forward",
+                   "tolerance": "INTERVAL '2 hours'"}}],
+       "order_by": ["event_id asc"]}""")
+  private val q239Sql = """
+    WITH logins AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type IN ('signup', 'login')),
+    buys AS (
+      SELECT user_id, ts, MAX(event_id) AS purchase_event_id
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+    SELECT l.event_id, l.user_id, l.ts,
+           CASE WHEN b.ts - l.ts <= INTERVAL '2 hours'
+                THEN b.purchase_event_id END AS purchase_event_id
+    FROM logins l ASOF LEFT JOIN buys b
+      ON l.user_id = b.user_id AND l.ts <= b.ts
+    ORDER BY l.event_id ASC NULLS FIRST"""
+
+  // q240 — NEAREST as-of: each login matched to the temporally closest
+  // purchase on either side (ties → backward, the pandas rule). The
+  // oracle runs BOTH DuckDB ASOF directions and restates the
+  // closer-side choice as arithmetic.
+  private def q240(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "events"},
+       "filters": [{"col": "event_type", "op": "isin", "value": ["signup", "login"]}],
+       "keep_columns": ["event_id", "user_id", "ts"],
+       "children": [{
+          "id": "buys",
+          "source": {"table": "events"},
+          "filters": [{"col": "event_type", "op": "==", "value": "purchase"}],
+          "aggregate": {"group_by": ["user_id", "ts"],
+            "aggregations": [{"col": "event_id", "func": "max", "new_name": "purchase_event_id"}]},
+          "join": {"how": "asof", "on": ["user_id"], "left_ts": "ts",
+                   "right_ts": "ts", "direction": "nearest"}}],
+       "order_by": ["event_id asc"]}""")
+  private val q240Sql = """
+    WITH logins AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type IN ('signup', 'login')),
+    buys AS (
+      SELECT user_id, ts, MAX(event_id) AS purchase_event_id
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+    bk AS (
+      SELECT l.event_id, b.ts AS bts, b.purchase_event_id AS bid
+      FROM logins l ASOF LEFT JOIN buys b
+        ON l.user_id = b.user_id AND l.ts >= b.ts),
+    fw AS (
+      SELECT l.event_id, b.ts AS fts, b.purchase_event_id AS fid
+      FROM logins l ASOF LEFT JOIN buys b
+        ON l.user_id = b.user_id AND l.ts <= b.ts)
+    SELECT l.event_id, l.user_id, l.ts,
+           CASE WHEN bk.bts IS NOT NULL AND
+                     (fw.fts IS NULL OR l.ts - bk.bts <= fw.fts - l.ts)
+                THEN bk.bid ELSE fw.fid END AS purchase_event_id
+    FROM logins l
+    LEFT JOIN bk ON l.event_id = bk.event_id
+    LEFT JOIN fw ON l.event_id = fw.event_id
+    ORDER BY l.event_id ASC NULLS FIRST"""
+
   // q59 — pivot from the config language: explicit value list (an implicit
   // pivot would pay a distinct pass to discover columns), dsum cells for
   // determinism. Same shape as q39's Scala API; with a single aggregation
@@ -468,6 +546,8 @@ object ExtraQueries extends QueryPack {
     Q("q56_config_explode", q56, Some(q56Sql)),
     Q("q57_config_setops", q57, Some(q57Sql)),
     Q("q58_config_asof", q58, Some(q58Sql)),
+    Q("q239_asof_forward_tol", q239, Some(q239Sql)),
+    Q("q240_asof_nearest", q240, Some(q240Sql)),
     Q("q59_config_pivot", q59, Some(q59Sql)),
     Q("q61_portable_sample", q61, Some(q61Sql)),
     Q("q62_config_topk", q62, Some(q62Sql)),

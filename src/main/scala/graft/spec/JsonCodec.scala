@@ -927,14 +927,42 @@ object JsonCodec {
         val lookback = opt(c, "join").flatMap(j => opt(j, "lookback").map(_.asText))
         val leftDelay = opt(c, "join").flatMap(j => opt(j, "left_delay", "leftDelay").map(_.asText))
         val rightDelay = opt(c, "join").flatMap(j => opt(j, "right_delay", "rightDelay").map(_.asText))
+        // the join object's own keys get the same typo protection as node
+        // keys — "tolerence" silently no-opping is the failure mode the
+        // whole codec exists to prevent
+        opt(c, "join").foreach { j =>
+          val known = Set("on", "how", "on_expr", "onExpr", "left_ts",
+            "leftTs", "right_ts", "rightTs", "lookback", "left_delay",
+            "leftDelay", "right_delay", "rightDelay", "direction",
+            "tolerance", "hint", "join_hint")
+          val unk = fields(j).map(_._1).filterNot(known.contains)
+          require(unk.isEmpty,
+            s"node $id: unknown join key(s): ${unk.mkString(", ")} " +
+              s"(known: ${known.toSeq.sorted.mkString(", ")})")
+        }
+        val direction = opt(c, "join")
+          .flatMap(j => opt(j, "direction").map(_.asText)).getOrElse("backward")
+        require(Seq("backward", "forward", "nearest").contains(direction),
+          s"node $id: join.direction must be backward/forward/nearest, " +
+            s"got '$direction'")
+        val tolerance = opt(c, "join").flatMap(j => opt(j, "tolerance").map(_.asText))
+        require((direction == "backward" && tolerance.isEmpty) || how == "asof",
+          s"node $id: join.direction/tolerance apply only to how='asof', " +
+            s"got how='$how'")
         ChildSpec(
           node = node(c, defaultId = id + "_child",
             // the child object carries its join wiring next to node keys
             extraAllowed = Set("join", "link", "how", "on_expr", "onExpr",
               "prefix", "hint", "join_hint")),
-          join = JoinSpec(link, how, onExpr, leftTs, rightTs, lookback, leftDelay, rightDelay),
+          join = JoinSpec(link, how, onExpr, leftTs, rightTs, lookback,
+            leftDelay, rightDelay, direction, tolerance),
           prefix = opt(c, "prefix").exists(_.asBoolean(false)),
+          // hint is accepted at the child level and inside the join object
+          // (both natural spellings; the latter was silently dropped before
+          // the join-key whitelist exposed it)
           hint = opt(c, "hint", "join_hint").map(_.asText)
+            .orElse(opt(c, "join").flatMap(j =>
+              opt(j, "hint", "join_hint").map(_.asText)))
         )
     }
 

@@ -115,7 +115,9 @@ final case class JoinSpec(
     rightTs: Option[String] = None,
     lookback: Option[String] = None,
     leftDelay: Option[String] = None,
-    rightDelay: Option[String] = None
+    rightDelay: Option[String] = None,
+    direction: String = "backward", // asof only: backward | forward | nearest
+    tolerance: Option[String] = None // asof only: max |leftTs − match| else null payload
 )
 
 /** Per-group top-k (NS): keep the first `k` rows of each `partitionBy`

@@ -153,12 +153,21 @@ class CompilerSpec extends SparkSpec {
 
   test("link-less child join throws; cartesian only via explicit how=cross") {
     df.createOrReplaceTempView("t")
-    // a typo'd join key ("onn") used to plan a silent n×m cartesian
-    val err = intercept[IllegalArgumentException] {
+    // a typo'd join key ("onn") used to plan a silent n×m cartesian —
+    // now it fails at DECODE with the typo named
+    val typo = intercept[IllegalArgumentException] {
       Compiler.compileJson(spark, """
         {"source": {"table": "t"},
          "children": [{"id": "c", "source": {"table": "t"},
                        "join": {"onn": ["k"], "how": "inner"}}]}""")
+    }
+    assert(typo.getMessage.contains("onn"), typo.getMessage)
+    // a genuinely link-less non-cross join still routes to the cross guard
+    val err = intercept[IllegalArgumentException] {
+      Compiler.compileJson(spark, """
+        {"source": {"table": "t"},
+         "children": [{"id": "c", "source": {"table": "t"},
+                       "join": {"how": "inner"}}]}""")
     }
     assert(err.getMessage.contains("cross"), err.getMessage)
     // asking for the cartesian by name still works

@@ -360,7 +360,7 @@ class JsonCodecSpec extends AnyFunSuite {
 
     val ba = root("""
       {"bpe_apply": {"text_col": "t", "merges_dir": "/tmp/b"}}""").bpeApply.get
-    assert(ba.textCol == "t" && ba.mergesDir == "/tmp/b")
+    assert(ba.textCol.contains("t") && ba.mergesDir == "/tmp/b")
     assert(intercept[IllegalArgumentException](root(
       """{"bpe_apply": {"merges_dir": "/tmp/b"}}"""))
       .getMessage.contains("text_col"))
@@ -885,6 +885,38 @@ class JsonCodecSpec extends AnyFunSuite {
       .getMessage.contains("max_items_tracked"))
     assert(intercept[IllegalArgumentException](root(
       """{"approx_top_k": {"k": 3}}""")).getMessage.contains("key_col"))
+  }
+
+  test("join direction/tolerance decode; unknown join keys reject by name") {
+    val ch = root("""
+      {"children": [{"id": "c", "source": {"table": "t"},
+        "join": {"how": "asof", "on": ["k"], "left_ts": "t1",
+                 "right_ts": "t2", "direction": "forward",
+                 "tolerance": "INTERVAL '2 hours'"}}]}""").children.head
+    assert(ch.join.direction == "forward" &&
+      ch.join.tolerance.contains("INTERVAL '2 hours'"))
+    // defaults
+    val ch0 = root("""
+      {"children": [{"id": "c", "source": {"table": "t"},
+        "join": {"how": "left", "on": ["k"]}}]}""").children.head
+    assert(ch0.join.direction == "backward" && ch0.join.tolerance.isEmpty)
+    assert(intercept[IllegalArgumentException](root("""
+      {"children": [{"id": "c", "source": {"table": "t"},
+        "join": {"how": "asof", "on": ["k"], "left_ts": "a",
+                 "right_ts": "b", "direction": "sideways"}}]}"""))
+      .getMessage.contains("direction"))
+    // direction/tolerance on a non-asof join is a contradiction, not a no-op
+    assert(intercept[IllegalArgumentException](root("""
+      {"children": [{"id": "c", "source": {"table": "t"},
+        "join": {"how": "left", "on": ["k"],
+                 "tolerance": "INTERVAL '1 hour'"}}]}"""))
+      .getMessage.contains("asof"))
+    // a typo'd join key fails loudly instead of silently no-opping
+    assert(intercept[IllegalArgumentException](root("""
+      {"children": [{"id": "c", "source": {"table": "t"},
+        "join": {"how": "asof", "on": ["k"], "left_ts": "a",
+                 "right_ts": "b", "tolerence": "INTERVAL '1 hour'"}}]}"""))
+      .getMessage.contains("tolerence"))
   }
 
   test("unpivot node key decodes with defaults and named errors") {

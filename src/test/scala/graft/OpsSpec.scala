@@ -2853,4 +2853,38 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Relational.approxTopK(df.withColumnRenamed("key", "count"), "count", 1) }
   }
+
+  test("asofJoin directions: backward/forward/nearest inclusive ties, tolerance nulls far matches") {
+    val left = Seq((1L, 10.0, "a"), (2L, 20.0, "a"), (3L, 35.0, "a"),
+      (4L, 5.0, "b"), (5L, 50.0, "c"), (6L, 24.0, "a"))
+      .toDF("id", "t", "k")
+    val right = Seq(("a", 10.0, "r10"), ("a", 18.0, "r18"), ("a", 30.0, "r30"),
+      ("b", 7.0, "r7")).toDF("k", "rt", "pay")
+    def run(dir: String, tol: Option[String] = None) =
+      Relational.asofJoin(left, right, Seq("k"), "t", "rt", Seq("pay"),
+          direction = dir, tolerance = tol)
+        .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+
+    assert(run("backward") == Map(1L -> Some("r10"), 2L -> Some("r18"),
+      3L -> Some("r30"), 4L -> None, 5L -> None, 6L -> Some("r18")),
+      "backward: latest right <= left, same-instant inclusive")
+    assert(run("forward") == Map(1L -> Some("r10"), 2L -> Some("r30"),
+      3L -> None, 4L -> Some("r7"), 5L -> None, 6L -> Some("r30")),
+      "forward: earliest right >= left, same-instant inclusive")
+    assert(run("nearest") == Map(1L -> Some("r10"), 2L -> Some("r18"),
+      3L -> Some("r30"), 4L -> Some("r7"), 5L -> None, 6L -> Some("r18")),
+      "nearest: closer side wins, equal distance -> backward (id6: 18 vs 30)")
+    assert(run("backward", Some("3")) == Map(1L -> Some("r10"),
+      2L -> Some("r18"), 3L -> None, 4L -> None, 5L -> None, 6L -> None),
+      "tolerance: matches farther than 3 null out (id3 d=5, id6 d=6)")
+    assert(run("nearest", Some("3")) == Map(1L -> Some("r10"),
+      2L -> Some("r18"), 3L -> None, 4L -> Some("r7"), 5L -> None, 6L -> None))
+
+    intercept[IllegalArgumentException] {
+      Relational.asofJoin(left, right, Seq("k"), "t", "rt", Seq("pay"),
+        direction = "sideways") }
+    intercept[IllegalArgumentException] {
+      Relational.asofJoin(left, right, Seq("k"), "t", "rt", Seq("pay"),
+        tolerance = Some("INTERVAL 'not a span'")) }
+  }
 }
