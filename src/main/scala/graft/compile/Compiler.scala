@@ -109,6 +109,9 @@ object Compiler {
         node.rangeJoin.toSeq.flatMap(rj => rj.pointCol +: rj.on) ++
         node.unpivot.toSeq.flatMap(u => u.ids ++ u.values) ++
         node.approxTopK.toSeq.map(_.keyCol) ++
+        node.resample.toSeq.flatMap(rs =>
+          rs.keyCols ++ Seq(rs.tsCol) ++
+            rs.aggs.filterNot(_.col == "*").map(_.col)) ++
         node.wdsSamples.toSeq.flatMap(ws => Seq(ws.nameCol, ws.dataCol)) ++
         node.winnow.toSeq.flatMap(wn => Seq(wn.idCol, wn.textCol)) ++
         node.winnowProbe.toSeq.map(_.textCol) ++
@@ -668,6 +671,22 @@ object Compiler {
       df = graft.ops.Relational.rangeJoinKeyed(df, iv, rj.pointCol, rj.loCol,
         rj.hiCol, rj.bucket, rj.on, rj.payload, rj.how, rj.inclusiveHi,
         rj.broadcast, rj.maxBucketsPerInterval)
+    }
+
+    // Resample / gap-fill: per key, re-grid the event series onto a
+    // regular step grid; empty buckets fill per policy. Batch-only by
+    // name (per-key global bounds).
+    node.resample.foreach { rs =>
+      requireBatch("resample", "per-key global [min, max] bounds",
+        "on streams, use a windowed aggregate with watermark instead " +
+          "and gap-fill the landed batch")
+      val aggPairs = rs.aggs.map { a =>
+        (aggColumn(a): Column,
+          a.newName.getOrElse(
+            s"${a.func}_${if (a.col == "*") "all" else a.col}"))
+      }
+      df = graft.ops.Relational.resample(df, rs.keyCols, rs.tsCol, rs.step,
+        aggPairs, rs.fill, rs.maxBucketsPerKey)
     }
 
     // Heavy hitters: the frame becomes its top-k most frequent keys

@@ -414,6 +414,107 @@ object Relational {
       .select(points.columns.map(pts(_)) ++ pay.map(iv(_)): _*)
   }
 
+  /** RESAMPLE / GAP-FILL: per key, re-grid an irregular event series
+    * onto a REGULAR `step` grid covering [min(ts), max(ts)] of that key
+    * — each bucket carries its rows' aggregates, and buckets with no
+    * rows materialize per `fill`: "none" (null values), "zero"
+    * (coalesce to 0 — counts/sums), "ffill" (carry the last observed
+    * value forward — gauge/state series). The classic time-series
+    * prep every monitoring/feature pipeline needs before windowed
+    * models; the inverse concern of `session_window` (which merges,
+    * this regularizes).
+    *
+    * Bucketing is exact integer arithmetic on epoch micros
+    * (um − pmod(um, step) — true floor semantics, no float division),
+    * so Spark and any oracle agree bucket-for-bucket. `step` is an
+    * interval string; month-granularity steps reject by name (variable
+    * length). Per-key grids longer than `maxBucketsPerKey` fail by
+    * name — a single key spanning years at 1-second step is a data
+    * bug surfacing as an explode, not a plan choice.
+    *
+    * Scale: one (key, bucket) aggregate of the events (map-side
+    * combine), one key-shaped bounds aggregate whose grid explode is
+    * grid-shaped (not event-shaped), one equi-join grid←observed, and
+    * for ffill one key-partitioned window. No cross joins, nothing
+    * driver-side, grids never exceed span/step per key. Batch-only by
+    * name (per-key global bounds).
+    *
+    * `aggs` are (aggregate column, output name) pairs — build with
+    * functions (`dsum(col("v")) -> "sum_v"`); the config path feeds
+    * the same `aggregations` list as `aggregate`. Output: keys ++
+    * tsCol (the bucket start, timestamp) ++ value columns. */
+  def resample(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      step: String,
+      aggs: Seq[(Column, String)],
+      fill: String = "none",
+      maxBucketsPerKey: Long = 1L << 20
+  ): DataFrame = {
+    require(keys.nonEmpty, "resample: need at least one key column")
+    require(aggs.nonEmpty, "resample: need at least one aggregation")
+    require(Seq("none", "zero", "ffill").contains(fill),
+      s"resample: fill must be none/zero/ffill, got '$fill'")
+    val iv =
+      try org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(step))
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"resample: step '$step' is not a valid interval: ${e.getMessage}")
+      }
+    require(iv.months == 0,
+      "resample: month-granularity steps are ambiguous (variable length) — " +
+        "use days/hours/minutes/seconds")
+    val stepUs = iv.days * 86400000000L + iv.microseconds
+    require(stepUs > 0, s"resample: step '$step' must be a positive span")
+    val missing = (keys :+ tsCol).filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"resample: column(s) not in the frame: ${missing.mkString(", ")} " +
+        s"(have: ${df.columns.mkString(", ")})")
+
+    val b = "__rs_bucket"
+    // exact floor bucketing: um − pmod(um, step) (integer, sign-safe)
+    val um = unix_micros(col(tsCol))
+    val bucketed = df.withColumn(b, um - pmod(um, lit(stepUs)))
+    val valueNames = aggs.map(_._2)
+    val observed = bucketed.groupBy((keys :+ b).map(col): _*)
+      .agg(aggs.head._1.as(aggs.head._2),
+        aggs.tail.map { case (c, n) => c.as(n) }: _*)
+
+    val nB = (col("__rs_hi") - col("__rs_lo")) / lit(stepUs) + lit(1L)
+    val grid = bucketed.groupBy(keys.map(col): _*)
+      .agg(min(col(b)).as("__rs_lo"), max(col(b)).as("__rs_hi"))
+      .withColumn(b, explode(when(nB > lit(maxBucketsPerKey),
+        raise_error(concat(
+          lit(s"resample: a key's grid exceeds $maxBucketsPerKey buckets " +
+            s"at step '$step' (span "),
+          ((col("__rs_hi") - col("__rs_lo")) / lit(86400000000L)).cast("long")
+            .cast("string"),
+          lit(" days) — widen step or split the key")))
+        .cast("array<bigint>"))
+        .otherwise(sequence(col("__rs_lo"), col("__rs_hi"), lit(stepUs)))))
+      .drop("__rs_lo", "__rs_hi")
+
+    var out = grid.join(observed, keys :+ b, "left")
+    fill match {
+      case "zero" =>
+        valueNames.foreach { n =>
+          val dt = observed.schema(n).dataType
+          out = out.withColumn(n, coalesce(col(n), lit(0).cast(dt)))
+        }
+      case "ffill" =>
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(col(b).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        valueNames.foreach { n =>
+          out = out.withColumn(n, last(col(n), ignoreNulls = true).over(w))
+        }
+      case _ => ()
+    }
+    out.withColumn(tsCol, timestamp_micros(col(b))).drop(b)
+      .select(((keys :+ tsCol) ++ valueNames).map(col): _*)
+  }
+
   /** UNPIVOT (melt): wide → long — each row becomes one row per value
     * column, keyed by `ids`, with the column NAME in `varCol` and its
     * value in `valCol`. The inverse of the `pivot` aggregate option and

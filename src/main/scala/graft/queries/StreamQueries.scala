@@ -244,6 +244,79 @@ object StreamQueries extends QueryPack {
     GROUP BY cohort, day_offset
     ORDER BY cohort ASC NULLS FIRST, day_offset ASC NULLS FIRST"""
 
+  // q241 — RESAMPLE / gap-fill, zero policy: each user's event series
+  // re-gridded to a regular 6-hour axis over their own [first, last]
+  // span; empty buckets materialize with 0 counts/sums (the
+  // monitoring-series shape). Exact integer epoch-micros bucketing on
+  // both sides — Spark and DuckDB agree bucket-for-bucket by
+  // construction, with the grid restated as a correlated
+  // generate_series unnest.
+  private def q241(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "events"},
+       "resample": {"key_cols": ["user_id"], "ts_col": "ts",
+                    "step": "6 hours",
+                    "aggregations": [
+                      {"col": "*", "func": "count", "new_name": "n_events"},
+                      {"col": "value", "func": "dsum", "new_name": "sum_value"}],
+                    "fill": "zero"},
+       "order_by": ["user_id asc", "ts asc"]}""")
+  private val q241Sql = s"""
+    WITH b AS (
+      SELECT user_id,
+             epoch_us(ts) - ((epoch_us(ts) % 21600000000) + 21600000000) % 21600000000 AS bu,
+             value
+      FROM events),
+    obs AS (
+      SELECT user_id, bu, CAST(COUNT(*) AS BIGINT) AS n_events,
+             ${graft.Tables.dsumSql("value")} AS sum_value
+      FROM b GROUP BY 1, 2),
+    bounds AS (SELECT user_id, MIN(bu) AS lo, MAX(bu) AS hi FROM b GROUP BY 1),
+    grid AS (
+      SELECT user_id, lo + 21600000000 * t.g AS bu
+      FROM bounds, UNNEST(generate_series(0, CAST((hi - lo) // 21600000000 AS BIGINT))) AS t(g))
+    SELECT g.user_id, make_timestamp(g.bu) AS ts,
+           COALESCE(o.n_events, 0) AS n_events,
+           COALESCE(o.sum_value, 0.0) AS sum_value
+    FROM grid g LEFT JOIN obs o USING (user_id, bu)
+    ORDER BY user_id ASC NULLS FIRST, ts ASC NULLS FIRST"""
+
+  // q242 — RESAMPLE, forward-fill policy: the gauge/state reading —
+  // per-bucket max as the observed level, carried forward across empty
+  // buckets (IGNORE NULLS last_value is the DuckDB mirror). Leading
+  // buckets before a key's first observation cannot exist (grids start
+  // at each key's own min), so ffill is total.
+  private def q242(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "events"},
+       "resample": {"key_cols": ["user_id"], "ts_col": "ts",
+                    "step": "1 day",
+                    "aggregations": [
+                      {"col": "value", "func": "max", "new_name": "gauge"}],
+                    "fill": "ffill"},
+       "order_by": ["user_id asc", "ts asc"]}""")
+  private val q242Sql = """
+    WITH b AS (
+      SELECT user_id,
+             epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000 AS bu,
+             value
+      FROM events),
+    obs AS (
+      SELECT user_id, bu, MAX(value) AS gauge FROM b GROUP BY 1, 2),
+    bounds AS (SELECT user_id, MIN(bu) AS lo, MAX(bu) AS hi FROM b GROUP BY 1),
+    grid AS (
+      SELECT user_id, lo + 86400000000 * t.g AS bu
+      FROM bounds, UNNEST(generate_series(0, CAST((hi - lo) // 86400000000 AS BIGINT))) AS t(g)),
+    j AS (
+      SELECT g.user_id, g.bu, o.gauge
+      FROM grid g LEFT JOIN obs o USING (user_id, bu))
+    SELECT user_id, make_timestamp(bu) AS ts,
+           last_value(gauge IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bu
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gauge
+    FROM j
+    ORDER BY user_id ASC NULLS FIRST, ts ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
     Q("q34_tumbling_window", q34, Some(q34Sql)),
     Q("q35_session_window", q35, Some(q35Sql)),
@@ -253,6 +326,8 @@ object StreamQueries extends QueryPack {
     Q("q65_config_interval", q65, Some(q37bSql)),
     Q("q224_sessionize_rows", q224, Some(q224Sql)),
     Q("q230_funnel", q230, Some(q230Sql)),
-    Q("q231_cohort_retention", q231, Some(q231Sql))
+    Q("q231_cohort_retention", q231, Some(q231Sql)),
+    Q("q241_resample_zero", q241, Some(q241Sql)),
+    Q("q242_resample_ffill", q242, Some(q242Sql))
   )
 }

@@ -654,6 +654,28 @@ object JsonCodec {
       s
     }
 
+    val resampleSpec = optN("resample").map { d =>
+      val ctx = s"node $id: resample"
+      val keysNode = req(d, ctx, "key_cols", "keyCols", "keys")
+      require(keysNode.isArray && keysNode.size() > 0,
+        s"$ctx: key_cols must be a non-empty ARRAY of key columns")
+      val s = ResampleSpec(
+        keyCols = strSeq(keysNode),
+        tsCol = req(d, ctx, "ts_col", "tsCol").asText,
+        step = req(d, ctx, "step").asText,
+        aggs = aggList(req(d, ctx, "aggregations", "aggs")),
+        fill = opt(d, "fill").map(_.asText).getOrElse("none"),
+        maxBucketsPerKey = opt(d, "max_buckets_per_key", "maxBucketsPerKey")
+          .map(_.asLong).getOrElse(1L << 20))
+      require(s.aggs.nonEmpty,
+        s"$ctx: aggregations must be a non-empty list")
+      require(Seq("none", "zero", "ffill").contains(s.fill),
+        s"$ctx: fill must be none/zero/ffill, got '${s.fill}'")
+      require(s.maxBucketsPerKey >= 1,
+        s"$ctx: max_buckets_per_key must be >= 1, got ${s.maxBucketsPerKey}")
+      s
+    }
+
     val approxTopKSpec = optN("approx_top_k", "approxTopK").map { d =>
       val ctx = s"node $id: approx_top_k"
       val s = ApproxTopKSpec(
@@ -1020,6 +1042,7 @@ object JsonCodec {
       rangeJoin = rangeJoinSpec,
       unpivot = unpivotSpec,
       approxTopK = approxTopKSpec,
+      resample = resampleSpec,
       dsirScore = dsirScoreSpec,
       split = sp,
       temperatureSample = ts,

@@ -648,6 +648,21 @@ final case class RangeJoinSpec(
     maxBucketsPerInterval: Int = 1 << 16
 )
 
+/** Resample / gap-fill (NS; Relational.resample): per key, re-grid an
+  * irregular event series onto a regular `step` grid over that key's
+  * [min(ts), max(ts)] — bucket aggregates from `aggs`, empty buckets
+  * per `fill` (none | zero | ffill). Exact integer epoch-micros
+  * bucketing; month steps and over-long grids reject by name.
+  * Batch-only by name (per-key global bounds). */
+final case class ResampleSpec(
+    keyCols: Seq[String],
+    tsCol: String,
+    step: String,
+    aggs: Seq[AggSpec],
+    fill: String = "none",
+    maxBucketsPerKey: Long = 1L << 20
+)
+
 /** Heavy hitters (NS; Relational.approxTopK): the frame becomes its
   * top-`k` most frequent `keyCol` values (keyCol, count, rn) from ONE
   * shuffle-free mergeable-sketch pass (Spark's native DataSketches
@@ -1172,6 +1187,7 @@ final case class NodeSpec(
     rangeJoin: Option[RangeJoinSpec] = None, // after keep, before aggregate
     unpivot: Option[UnpivotSpec] = None, // after keep, before aggregate
     approxTopK: Option[ApproxTopKSpec] = None, // after keep, before aggregate
+    resample: Option[ResampleSpec] = None, // after keep, before aggregate
     dsirScore: Option[DsirScoreSpec] = None, // after keep, before aggregate
     split: Option[SplitSpec] = None, // after keep, before aggregate
     temperatureSample: Option[TemperatureSampleSpec] = None, // after split

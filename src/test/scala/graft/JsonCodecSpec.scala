@@ -869,6 +869,35 @@ class JsonCodecSpec extends AnyFunSuite {
       .getMessage.contains("hi_col"))
   }
 
+  test("resample node key decodes with defaults and named errors") {
+    val rs = root("""
+      {"resample": {"key_cols": ["user_id"], "ts_col": "ts",
+                    "step": "6 hours",
+                    "aggregations": [{"col": "*", "func": "count",
+                                      "new_name": "n"}]}}""").resample.get
+    assert(rs.keyCols == Seq("user_id") && rs.tsCol == "ts" &&
+      rs.step == "6 hours" && rs.fill == "none" &&
+      rs.maxBucketsPerKey == (1L << 20) && rs.aggs.head.func == "count")
+    val rs2 = root("""
+      {"resample": {"keys": ["k"], "ts_col": "t", "step": "1 day",
+                    "aggs": [{"col": "v", "func": "max"}],
+                    "fill": "ffill", "max_buckets_per_key": 100}}""").resample.get
+    assert(rs2.fill == "ffill" && rs2.maxBucketsPerKey == 100)
+    assert(intercept[IllegalArgumentException](root("""
+      {"resample": {"key_cols": [], "ts_col": "t", "step": "1 day",
+                    "aggregations": [{"col": "v"}]}}"""))
+      .getMessage.contains("key_cols"))
+    assert(intercept[IllegalArgumentException](root("""
+      {"resample": {"key_cols": ["k"], "ts_col": "t", "step": "1 day",
+                    "aggregations": [{"col": "v"}],
+                    "fill": "interpolate"}}"""))
+      .getMessage.contains("fill"))
+    assert(intercept[IllegalArgumentException](root("""
+      {"resample": {"key_cols": ["k"], "ts_col": "t",
+                    "aggregations": [{"col": "v"}]}}"""))
+      .getMessage.contains("step"))
+  }
+
   test("approx_top_k node key decodes with defaults and named errors") {
     val tk = root("""{"approx_top_k": {"key_col": "domain"}}""").approxTopK.get
     assert(tk.keyCol == "domain" && tk.k == 10 && tk.maxItemsTracked == 10000)

@@ -2887,4 +2887,57 @@ class OpsSpec extends SparkSpec {
       Relational.asofJoin(left, right, Seq("k"), "t", "rt", Seq("pay"),
         tolerance = Some("INTERVAL 'not a span'")) }
   }
+
+  test("resample: per-key grid bounds, all three fill policies, exact bucketing, named guards") {
+    import java.sql.Timestamp
+    def ts(h: Int, m: Int = 0) = Timestamp.valueOf(f"2024-03-01 $h%02d:$m%02d:00")
+    // key a: events at 01:10, 01:50, 05:30 -> hourly grid 01:00..05:00 (5 buckets)
+    // key b: single event -> single-bucket grid
+    val df = Seq(
+      ("a", ts(1, 10), 10.0), ("a", ts(1, 50), 20.0), ("a", ts(5, 30), 40.0),
+      ("b", ts(9, 15), 7.0)).toDF("k", "t", "v")
+    def run(fill: String) =
+      Relational.resample(df, Seq("k"), "t", "1 hour",
+          Seq((sum(col("v")): org.apache.spark.sql.Column) -> "sv",
+            (count(lit(1)): org.apache.spark.sql.Column) -> "n"), fill)
+        .collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).toString.substring(11, 16),
+          Option(r.get(2)).map(_.asInstanceOf[Double]), Option(r.get(3)).map(_.asInstanceOf[Long])))
+        .toSet
+
+    assert(run("none") == Set(
+      ("a", "01:00", Some(30.0), Some(2L)), ("a", "02:00", None, None),
+      ("a", "03:00", None, None), ("a", "04:00", None, None),
+      ("a", "05:00", Some(40.0), Some(1L)), ("b", "09:00", Some(7.0), Some(1L))),
+      "grid must cover each key's own [min, max] hourly, nulls in the gaps")
+    assert(run("zero") == Set(
+      ("a", "01:00", Some(30.0), Some(2L)), ("a", "02:00", Some(0.0), Some(0L)),
+      ("a", "03:00", Some(0.0), Some(0L)), ("a", "04:00", Some(0.0), Some(0L)),
+      ("a", "05:00", Some(40.0), Some(1L)), ("b", "09:00", Some(7.0), Some(1L))))
+    assert(run("ffill") == Set(
+      ("a", "01:00", Some(30.0), Some(2L)), ("a", "02:00", Some(30.0), Some(2L)),
+      ("a", "03:00", Some(30.0), Some(2L)), ("a", "04:00", Some(30.0), Some(2L)),
+      ("a", "05:00", Some(40.0), Some(1L)), ("b", "09:00", Some(7.0), Some(1L))))
+
+    intercept[IllegalArgumentException] {
+      Relational.resample(df, Nil, "t", "1 hour",
+        Seq((sum(col("v")): org.apache.spark.sql.Column) -> "sv")) }
+    intercept[IllegalArgumentException] { // month steps are variable-length
+      Relational.resample(df, Seq("k"), "t", "1 month",
+        Seq((sum(col("v")): org.apache.spark.sql.Column) -> "sv")) }
+    intercept[IllegalArgumentException] {
+      Relational.resample(df, Seq("k"), "t", "not a span",
+        Seq((sum(col("v")): org.apache.spark.sql.Column) -> "sv")) }
+    intercept[IllegalArgumentException] {
+      Relational.resample(df, Seq("k"), "t", "1 hour",
+        Seq((sum(col("v")): org.apache.spark.sql.Column) -> "sv"),
+        fill = "interpolate") }
+    // over-long grid fails BY NAME at run time (key a spans 5 buckets)
+    val err = intercept[Exception] {
+      Relational.resample(df, Seq("k"), "t", "1 hour",
+        Seq((sum(col("v")): org.apache.spark.sql.Column) -> "sv"),
+        maxBucketsPerKey = 3).collect() }
+    assert(err.getMessage != null && err.getMessage.contains("resample"),
+      s"expected the named grid-cap error, got: ${err.getMessage}")
+  }
 }
