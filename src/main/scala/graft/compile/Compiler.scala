@@ -244,6 +244,12 @@ object Compiler {
           "compile with compileStreamJson and declare it on the root node " +
           "(for the batch shape, use derive + dedup, or seen_filter " +
           "against the persisted index)")
+    if (node.sketchIngest.isDefined)
+      throw new IllegalArgumentException(
+        s"node ${node.id}: sketch_ingest is a STREAMING ROOT sink — " +
+          "compile with compileStreamJson and declare it on the root node " +
+          "(for the batch shape, aggregate approx_top_k_accumulate / " +
+          "hll_sketch_agg and save — the q237/q238 pattern)")
     var df = input.getOrElse(node.combine match {
       case Some(c) =>
         val parts = c.nodes.map(n => compileNode(spark, n, None, executeSinks, streaming, refs))
@@ -1229,15 +1235,16 @@ object Compiler {
         warnIgnored(root, isRoot = true)
         val ingestCount = Seq(root.nearDupIngest.isDefined,
           root.passageIngest.isDefined, root.tarPackIngest.isDefined,
-          root.exactIngest.isDefined)
+          root.exactIngest.isDefined, root.sketchIngest.isDefined)
           .count(identity)
         if (ingestCount > 1) throw new IllegalArgumentException(
-          "near_dup_ingest, passage_ingest, tar_pack_ingest, and " +
-            "exact_ingest are each a root sink — a stream has ONE; " +
-            "declare one per stream")
+          "near_dup_ingest, passage_ingest, tar_pack_ingest, " +
+            "exact_ingest, and sketch_ingest are each a root sink — a " +
+            "stream has ONE; declare one per stream")
         val out = compileNode(spark,
           root.copy(nearDupIngest = None, passageIngest = None,
-            tarPackIngest = None, exactIngest = None, profile = None),
+            tarPackIngest = None, exactIngest = None, sketchIngest = None,
+            profile = None),
           Some(readStreamSource(spark, src)),
           executeSinks = false, streaming = true)
         // Root profile: the per-batch drift monitor — each micro-batch's
@@ -1245,7 +1252,8 @@ object Compiler {
         if (root.profile.isDefined) {
           val pr = root.profile.get
           if (root.nearDupIngest.isDefined || root.passageIngest.isDefined ||
-              root.tarPackIngest.isDefined || root.exactIngest.isDefined)
+              root.tarPackIngest.isDefined || root.exactIngest.isDefined ||
+              root.sketchIngest.isDefined)
             throw new IllegalArgumentException(
               "profile beside an ingest sink: a stream has ONE sink — " +
                 "monitor the ingest's corpus directory with a second stream")
@@ -1297,10 +1305,19 @@ object Compiler {
                 graft.streaming.Streaming.exactIngest(
                   out, ei.idCol, ei.keyCols, ei.corpusDir, ei.indexDir,
                   ei.checkpointDir)
-              case None =>
-                val sink = root.save.getOrElse(
-                  throw new IllegalArgumentException("streaming pipeline needs a root save sink"))
-                startStreamSink(out, sink)
+              case None => root.sketchIngest match {
+                case Some(sk) =>
+                  if (root.save.isDefined)
+                    throw new IllegalArgumentException(
+                      "sketch_ingest replaces the root save sink — declare one or the other")
+                  graft.streaming.Streaming.sketchIngest(
+                    out, sk.keyCol, sk.outDir, sk.checkpointDir,
+                    sk.maxItemsTracked, sk.lgK, sk.groupCols)
+                case None =>
+                  val sink = root.save.getOrElse(
+                    throw new IllegalArgumentException("streaming pipeline needs a root save sink"))
+                  startStreamSink(out, sink)
+              }
             }
           }
         }

@@ -1125,6 +1125,24 @@ object JsonCodec {
         require(s.keyCols.nonEmpty, s"$ctx: key_cols must be non-empty")
         s
       },
+      sketchIngest = optN("sketch_ingest", "sketchIngest").map { d =>
+        val ctx = s"node $id: sketch_ingest"
+        val s = SketchIngestSpec(
+          keyCol = req(d, ctx, "key_col", "keyCol").asText,
+          outDir = req(d, ctx, "out_dir", "outDir").asText,
+          checkpointDir = req(d, ctx, "checkpoint_dir", "checkpointDir").asText,
+          maxItemsTracked = opt(d, "max_items_tracked", "maxItemsTracked")
+            .map(_.asInt).getOrElse(10000),
+          lgK = opt(d, "lg_k", "lgK").map(_.asInt).getOrElse(12),
+          groupCols = opt(d, "group_cols", "groupCols").map(strSeq).getOrElse(Nil))
+        require(s.maxItemsTracked >= 1,
+          s"$ctx: max_items_tracked must be >= 1, got ${s.maxItemsTracked}")
+        require(s.lgK >= 4 && s.lgK <= 21,
+          s"$ctx: lg_k must be in [4, 21], got ${s.lgK}")
+        require(!s.groupCols.contains(s.keyCol),
+          s"$ctx: key_col '${s.keyCol}' cannot also be a group column")
+        s
+      },
       sequencePack = optN("sequence_pack", "sequencePack").map { d =>
         val ctx = s"node $id: sequence_pack"
         val sp = SequencePackSpec(

@@ -1067,6 +1067,21 @@ final case class ExactIngestSpec(
     checkpointDir: String
 )
 
+/** Continuous sketch-table maintenance (NS; Streaming.sketchIngest):
+  * each micro-batch appends one row (per optional `groupCols` value)
+  * with its frequent-items + HLL sketches and key count to `outDir` —
+  * bounded metadata, never row data; readers combine over any batch
+  * range with zero rescans (merge is associative — batching cannot
+  * change the combined answer). Streaming-only root sink. */
+final case class SketchIngestSpec(
+    keyCol: String,
+    outDir: String,
+    checkpointDir: String,
+    maxItemsTracked: Int = 10000,
+    lgK: Int = 12,
+    groupCols: Seq[String] = Nil
+)
+
 /** Scan-stage SEEN probe against a persisted key index (NS;
   * Dedup.seenProbeBloom): adds boolean `flagCol` — true when the row's
   * `keyCol` is (possibly) already in the index at `indexDir`. A Bloom
@@ -1215,6 +1230,7 @@ final case class NodeSpec(
     nearDupIngest: Option[NearDupIngestSpec] = None, // streaming-only root sink
     passageIngest: Option[PassageIngestSpec] = None, // streaming-only root sink
     exactIngest: Option[ExactIngestSpec] = None, // streaming-only root sink
+    sketchIngest: Option[SketchIngestSpec] = None, // streaming-only root sink
     tarPackIngest: Option[TarPackIngestSpec] = None, // streaming-only root sink
     sequencePack: Option[SequencePackSpec] = None, // after bpe_apply, before with_columns
     cache: Boolean = false // defs-only: persist() the compiled stage

@@ -394,6 +394,52 @@ object Streaming {
       .start()
   }
 
+  /** Continuous SKETCH-TABLE maintenance — the streaming sibling of the
+    * batch sketch artifacts (q237/q238): each micro-batch appends ONE
+    * row (or one per `groupCols` value) carrying its frequent-items
+    * sketch, HLL distinct sketch, and non-null key count — bounded
+    * metadata per batch, never row data. Readers answer "which keys
+    * dominate / how many distinct over ANY batch range" by
+    * approx_top_k_combine / hll_union_agg over the landed rows with
+    * zero row rescans; sketch merge is associative, so HOW the stream
+    * was batched cannot change the combined answer (and under
+    * `maxItemsTracked` ≥ distinct the top-k counts are exact — the
+    * gateable regime). NULL keys are not sketched (the approxTopK
+    * contract). Per-batch overwrite sinks make replays idempotent: a
+    * crashed batch's partial write is overwritten by value on retry. */
+  def sketchIngest(
+      incoming: DataFrame,
+      keyCol: String,
+      outDir: String,
+      checkpointDir: String,
+      maxItemsTracked: Int = 10000,
+      lgK: Int = 12,
+      groupCols: Seq[String] = Nil
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(maxItemsTracked >= 1,
+      s"sketchIngest: max_items_tracked must be >= 1, got $maxItemsTracked")
+    require(lgK >= 4 && lgK <= 21,
+      s"sketchIngest: lg_k must be in [4, 21], got $lgK")
+    require(!groupCols.contains(keyCol),
+      s"sketchIngest: key_col '$keyCol' cannot also be a group column")
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val keyed = batch.filter(col(keyCol).isNotNull)
+        val aggs = Seq(
+          expr(s"approx_top_k_accumulate(`$keyCol`, $maxItemsTracked)")
+            .as("topk_sketch"),
+          expr(s"hll_sketch_agg(`$keyCol`, $lgK)").as("hll_sketch"),
+          count(col(keyCol)).as("n_rows"))
+        val rows =
+          if (groupCols.nonEmpty)
+            keyed.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+          else keyed.agg(aggs.head, aggs.tail: _*)
+        rows.write.mode("overwrite").parquet(s"$outDir/batch=b$batchId")
+      }
+      .start()
+  }
+
   /** Continuous SEMANTIC dedup ingestion — the embedding sibling of
     * [[nearDupIngest]]/[[passageIngest]], completing the incremental
     * trio across modalities: each micro-batch is deduped against the

@@ -869,6 +869,31 @@ class JsonCodecSpec extends AnyFunSuite {
       .getMessage.contains("hi_col"))
   }
 
+  test("sketch_ingest node key decodes with defaults and named errors") {
+    val sk = root("""
+      {"sketch_ingest": {"key_col": "domain", "out_dir": "/sk",
+                         "checkpoint_dir": "/ck"}}""").sketchIngest.get
+    assert(sk.keyCol == "domain" && sk.outDir == "/sk" &&
+      sk.maxItemsTracked == 10000 && sk.lgK == 12 && sk.groupCols.isEmpty)
+    val sk2 = root("""
+      {"sketch_ingest": {"key_col": "d", "out_dir": "/sk",
+                         "checkpoint_dir": "/ck", "max_items_tracked": 256,
+                         "lg_k": 14, "group_cols": ["lang"]}}""").sketchIngest.get
+    assert(sk2.maxItemsTracked == 256 && sk2.lgK == 14 &&
+      sk2.groupCols == Seq("lang"))
+    assert(intercept[IllegalArgumentException](root("""
+      {"sketch_ingest": {"key_col": "d", "out_dir": "/sk",
+                         "checkpoint_dir": "/ck", "lg_k": 30}}"""))
+      .getMessage.contains("lg_k"))
+    assert(intercept[IllegalArgumentException](root("""
+      {"sketch_ingest": {"key_col": "d", "out_dir": "/sk",
+                         "checkpoint_dir": "/ck", "group_cols": ["d"]}}"""))
+      .getMessage.contains("group"))
+    assert(intercept[IllegalArgumentException](root("""
+      {"sketch_ingest": {"key_col": "d", "out_dir": "/sk"}}"""))
+      .getMessage.contains("checkpoint_dir"))
+  }
+
   test("resample node key decodes with defaults and named errors") {
     val rs = root("""
       {"resample": {"key_cols": ["user_id"], "ts_col": "ts",

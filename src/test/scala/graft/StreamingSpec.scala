@@ -608,6 +608,93 @@ class StreamingSpec extends SparkSpec {
     assert(eBoth.getMessage.contains("one or the other"), eBoth.getMessage)
   }
 
+  test("sketchIngest: per-batch sketch rows combine to the exact answer regardless of batching") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val base = java.nio.file.Files.createTempDirectory("graft_ski").toString
+    val q = Streaming.sketchIngest(
+      mem.toDF.toDF("id", "domain"), "domain", s"$base/sk", s"$base/ckpt",
+      maxItemsTracked = 1024, lgK = 14)
+    try {
+      mem.addData((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"),
+        (6L, null))
+      q.processAllAvailable()
+      mem.addData((7L, "a"), (8L, "c"), (9L, "c"))
+      q.processAllAvailable()
+      val landed = spark.read.parquet(s"$base/sk")
+      assert(landed.count() == 2, "one sketch row per micro-batch")
+      assert(landed.select("n_rows").collect().map(_.getLong(0)).sorted.toSeq
+        == Seq(3L, 5L), "n_rows counts non-null keys per batch")
+      // combine over the landed rows == the exact single-pass answer —
+      // batching cannot change a merged sketch under capacity
+      val top = landed.agg(
+          expr("approx_top_k_estimate(approx_top_k_combine(topk_sketch, 1024), 1024)").as("e"))
+        .select(explode(col("e")).as("x")).select("x.item", "x.count")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(top == Map("a" -> 4L, "b" -> 2L, "c" -> 2L), s"combined top-k: $top")
+      val nd = landed.agg(expr("hll_sketch_estimate(hll_union_agg(hll_sketch))"))
+        .head.getLong(0)
+      assert(nd == 3L, s"combined distinct estimate: $nd")
+    } finally q.stop()
+
+    // grouped variant: one sketch row per (batch, group)
+    val mem2 = MemoryStream[(Long, String, String)]
+    val q2 = Streaming.sketchIngest(
+      mem2.toDF.toDF("id", "domain", "lang"), "domain",
+      s"$base/sk2", s"$base/ckpt2", 1024, 14, groupCols = Seq("lang"))
+    try {
+      mem2.addData((1L, "a", "en"), (2L, "b", "en"), (3L, "a", "de"))
+      q2.processAllAvailable()
+      val g = spark.read.parquet(s"$base/sk2")
+      assert(g.select("lang").collect().map(_.getString(0)).sorted.toSeq
+        == Seq("de", "en"))
+    } finally q2.stop()
+
+    intercept[IllegalArgumentException] {
+      Streaming.sketchIngest(mem.toDF.toDF("id", "domain"), "domain",
+        s"$base/x", s"$base/y", lgK = 99) }
+    intercept[IllegalArgumentException] {
+      Streaming.sketchIngest(mem2.toDF.toDF("id", "domain", "lang"),
+        "domain", s"$base/x", s"$base/y", groupCols = Seq("domain")) }
+    // batch compiles reject the streaming-only sink by name
+    val eBatch = intercept[IllegalArgumentException](
+      graft.compile.Compiler.compileJson(spark, s"""
+        {"source": {"table": "orders"},
+         "sketch_ingest": {"key_col": "o_custkey", "out_dir": "$base/z",
+                           "checkpoint_dir": "$base/zc"}}"""))
+    assert(eBatch.getMessage.contains("STREAMING"), eBatch.getMessage)
+  }
+
+  test("sketch_ingest config twin: the whole sketch pipeline from pure JSON on a stream") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_skc").toString
+    val inDir = s"$base/in"
+    Seq((1L, "x.com"), (2L, "x.com"), (3L, "y.org")).toDF("id", "url")
+      .write.parquet(inDir)
+    val q = graft.compile.Compiler.compileStreamJson(spark, s"""
+      {"source": {"path": "$inDir"},
+       "derive": {"domain": "parse_url(concat('https://', url), 'HOST')"},
+       "sketch_ingest": {"key_col": "domain", "out_dir": "$base/sk",
+                         "checkpoint_dir": "$base/ckpt",
+                         "max_items_tracked": 256, "lg_k": 12}}""")
+    q.processAllAvailable(); q.stop()
+    val top = spark.read.parquet(s"$base/sk")
+      .agg(expr("approx_top_k_estimate(approx_top_k_combine(topk_sketch, 256), 256)").as("e"))
+      .select(explode(col("e")).as("x")).select("x.item", "x.count")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(top == Map("x.com" -> 2L, "y.org" -> 1L), s"config sketch twin: $top")
+    // sketch_ingest + save is a contradiction, not a silent pick
+    val eBoth = intercept[IllegalArgumentException](
+      graft.compile.Compiler.compileStreamJson(spark, s"""
+        {"source": {"path": "$inDir"},
+         "sketch_ingest": {"key_col": "url", "out_dir": "$base/s2",
+                           "checkpoint_dir": "$base/c2"},
+         "save": {"path": "$base/out", "format": "parquet"}}"""))
+    assert(eBoth.getMessage.contains("one or the other"), eBoth.getMessage)
+  }
+
   test("exactIngest: later micro-batches dedup exactly against the persisted key index; restart carries history") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
