@@ -1041,6 +1041,20 @@ object Compiler {
                 "right_delay, or neither")
           }
           graft.streaming.Streaming.intervalJoin(df, childDf, j.link, lts, rts, lb, wm)
+        case j if j.salt.isDefined =>
+          // Skew-salted equi-join (Relational.saltedJoin): parent = the
+          // large/skewed side, child = the replicated side — the same
+          // parent-fact / child-dimension orientation every other join in
+          // the tree uses. A broadcast hint alongside salt is contradictory
+          // (a broadcastable child never needs salting; the other hints
+          // would pin the strategy Spark should pick for the salted keys),
+          // so the combination is rejected by name.
+          if (ch.hint.isDefined) throw new IllegalArgumentException(
+            s"node ${node.id}: join.salt and a join hint are mutually " +
+              "exclusive — salting rewrites the join keys; let Catalyst " +
+              "pick the strategy for the salted shuffle")
+          graft.ops.Relational.saltedJoin(
+            df, childDf, j.link, j.salt.get, j.how)
         case j =>
           j.onExpr match {
             case Some(cond)              => df.join(childDf, expr(cond), j.how)

@@ -204,6 +204,31 @@ object CorpusQueries extends QueryPack {
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY 1 ORDER BY o_orderpriority ASC NULLS FIRST"""
 
+  // q243 — the salted skew join from the CONFIG language: `join.salt` is
+  // the spec surface of Relational.saltedJoin (q76's Scala API). The
+  // oracle is the PLAIN join — the hash-match proves the 8-way fan-out is
+  // invisible to semantics, exactly as q54 does for `aggregate.salt`. The
+  // filter keeps the emitted frame row-bounded; the salt machinery runs on
+  // every surviving row.
+  private def q243(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "lineitem"},
+       "filters": ["l_orderkey <= 2000"],
+       "keep_columns": ["l_orderkey", "l_quantity"],
+       "children": [{
+          "id": "ord",
+          "source": {"table": "orders"},
+          "keep_columns": ["o_orderkey", "o_orderpriority"],
+          "rename": {"o_orderkey": "l_orderkey"},
+          "join": {"on": ["l_orderkey"], "how": "inner", "salt": 8}}],
+       "order_by": ["l_orderkey asc", "l_quantity asc", "o_orderpriority asc"]}""")
+  private val q243Sql = """
+    SELECT l_orderkey, l_quantity, o_orderpriority
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_orderkey <= 2000
+    ORDER BY l_orderkey ASC NULLS FIRST, l_quantity ASC NULLS FIRST,
+             o_orderpriority ASC NULLS FIRST"""
+
   // q77 — per-user running totals over the event stream: cumulative event
   // count and exact decimal running value sum, ordered by event time. One
   // window shuffle on user_id. Batch twin of the custom-state streaming
@@ -1219,6 +1244,7 @@ object CorpusQueries extends QueryPack {
     Q("q74_decontamination", q74, Some(q74Sql)),
     Q("q75_repetition_stats", q75, Some(q75Sql)),
     Q("q76_salted_join", q76, Some(q76Sql)),
+    Q("q243_config_salted_join", q243, Some(q243Sql)),
     Q("q77_running_totals", q77, Some(q77Sql)),
     Q("q96_config_running_totals", q96, Some(q77Sql)),
     Q("q80_stratified_sample", q80, Some(q80Sql)),

@@ -956,7 +956,7 @@ object JsonCodec {
           val known = Set("on", "how", "on_expr", "onExpr", "left_ts",
             "leftTs", "right_ts", "rightTs", "lookback", "left_delay",
             "leftDelay", "right_delay", "rightDelay", "direction",
-            "tolerance", "hint", "join_hint")
+            "tolerance", "hint", "join_hint", "salt", "skew_salt")
           val unk = fields(j).map(_._1).filterNot(known.contains)
           require(unk.isEmpty,
             s"node $id: unknown join key(s): ${unk.mkString(", ")} " +
@@ -971,13 +971,36 @@ object JsonCodec {
         require((direction == "backward" && tolerance.isEmpty) || how == "asof",
           s"node $id: join.direction/tolerance apply only to how='asof', " +
             s"got how='$how'")
+        // Skew-salted join (config surface of Relational.saltedJoin): the
+        // parent side gets a content-derived salt, the child replicates
+        // once per salt value, the join runs on (link, salt). Guards live
+        // HERE so a bad combination fails at decode, not mid-plan: the
+        // replication is only semantics-preserving for inner/left equi
+        // joins, and salt ≤ 1 means "you didn't want this".
+        val salt = opt(c, "join")
+          .flatMap(j => opt(j, "salt", "skew_salt").map(_.asInt))
+        salt.foreach { n =>
+          require(n > 1,
+            s"node $id: join.salt must be > 1 (got $n) — 1 bucket is a " +
+              "plain join; drop the key instead")
+          require(how == "inner" || how == "left",
+            s"node $id: join.salt preserves semantics only for " +
+              s"how='inner'/'left' (the child side is replicated ${n}×, " +
+              s"so an unmatched child row under '$how' would surface $n " +
+              "times)")
+          require(onExpr.isEmpty,
+            s"node $id: join.salt needs equi 'on' keys; it cannot salt an " +
+              "on_expr condition")
+          require(link.nonEmpty,
+            s"node $id: join.salt needs equi 'on' keys (none given)")
+        }
         ChildSpec(
           node = node(c, defaultId = id + "_child",
             // the child object carries its join wiring next to node keys
             extraAllowed = Set("join", "link", "how", "on_expr", "onExpr",
               "prefix", "hint", "join_hint")),
           join = JoinSpec(link, how, onExpr, leftTs, rightTs, lookback,
-            leftDelay, rightDelay, direction, tolerance),
+            leftDelay, rightDelay, direction, tolerance, salt),
           prefix = opt(c, "prefix").exists(_.asBoolean(false)),
           // hint is accepted at the child level and inside the join object
           // (both natural spellings; the latter was silently dropped before

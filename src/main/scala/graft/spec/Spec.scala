@@ -117,7 +117,8 @@ final case class JoinSpec(
     leftDelay: Option[String] = None,
     rightDelay: Option[String] = None,
     direction: String = "backward", // asof only: backward | forward | nearest
-    tolerance: Option[String] = None // asof only: max |leftTs − match| else null payload
+    tolerance: Option[String] = None, // asof only: max |leftTs − match| else null payload
+    salt: Option[Int] = None // equi-link inner/left only: skew-salted join fan-out
 )
 
 /** Per-group top-k (NS): keep the first `k` rows of each `partitionBy`

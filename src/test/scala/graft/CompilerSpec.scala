@@ -259,6 +259,76 @@ class CompilerSpec extends SparkSpec {
     }
   }
 
+  test("salted join from config equals plain join; guards enforced") {
+    // a skewed fixture: key 1 carries most rows
+    (Seq.tabulate(40)(i => (1L, i.toLong)) ++ Seq((2L, 100L), (3L, 200L)))
+      .toDF("k", "v").createOrReplaceTempView("sj_fact")
+    Seq((1L, "hot"), (2L, "warm"), (4L, "unmatched"))
+      .toDF("k", "tag").createOrReplaceTempView("sj_dim")
+    def run(saltKey: String, how: String) = Compiler.compileJson(spark, s"""
+      {"source": {"table": "sj_fact"},
+       "children": [{
+          "id": "d", "source": {"table": "sj_dim"},
+          "join": {"on": ["k"], "how": "$how"$saltKey}}],
+       "order_by": ["k asc", "v asc"]}""")
+      .collect().map(_.toSeq).toSeq
+    assert(run(", \"salt\": 4", "inner") == run("", "inner"))
+    assert(run(", \"salt\": 4", "left") == run("", "left"))
+    // the salt column never leaks into the output schema
+    assert(!run(", \"salt\": 4", "inner").exists(_.size != 3))
+    // decode-time guards, each by name
+    val e1 = intercept[IllegalArgumentException] { run(", \"salt\": 1", "inner") }
+    assert(e1.getMessage.contains("salt must be > 1"))
+    val e2 = intercept[IllegalArgumentException] { run(", \"salt\": 4", "full") }
+    assert(e2.getMessage.contains("inner"))
+    val e3 = intercept[IllegalArgumentException] {
+      Compiler.compileJson(spark, """
+        {"source": {"table": "sj_fact"},
+         "children": [{
+            "id": "d", "source": {"table": "sj_dim"},
+            "join": {"how": "inner", "on_expr": "k = k", "salt": 4}}]}""")
+    }
+    assert(e3.getMessage.contains("on_expr"))
+    val e4 = intercept[IllegalArgumentException] {
+      Compiler.compileJson(spark, """
+        {"source": {"table": "sj_fact"},
+         "children": [{
+            "id": "d", "hint": "broadcast",
+            "source": {"table": "sj_dim"},
+            "join": {"on": ["k"], "how": "inner", "salt": 4}}]}""")
+    }
+    assert(e4.getMessage.contains("mutually"))
+  }
+
+  test("salted join is stream-static admissible: stream == batch") {
+    // the salt is a deterministic column expression on the (streaming)
+    // parent plus a static explode on the child — nothing stateful, so
+    // the SAME spec compiles as a stream-static join and yields the
+    // batch rows
+    val base = java.nio.file.Files.createTempDirectory("graft-sjs").toString
+    val inDir = s"$base/in"
+    (Seq.tabulate(20)(i => (1L, i.toLong)) ++ Seq((2L, 100L), (5L, 500L)))
+      .toDF("k", "v").coalesce(1).write.parquet(inDir)
+    Seq((1L, "hot"), (2L, "warm")).toDF("k", "tag")
+      .createOrReplaceTempView("sjs_dim")
+    def json(save: String) = s"""
+      {"source": {"path": "$inDir"},
+       "children": [{
+          "id": "d", "source": {"table": "sjs_dim"},
+          "join": {"on": ["k"], "how": "left", "salt": 4}}]$save}"""
+    val batch = Compiler.compileJson(spark, json(""))
+      .collect().map(_.toSeq.toString).sorted.toSeq
+    val q = Compiler.compileStreamJson(spark, json(
+      ""","save": {"format": "memory", "query_name": "sjs_out"}"""))
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sjs_out")
+        .collect().map(_.toSeq.toString).sorted.toSeq
+      assert(streamed == batch, "stream-static salted join must equal batch")
+      assert(batch.size == 22, "left join keeps unmatched parent rows")
+    } finally q.stop()
+  }
+
   test("asof join composes with prefix namespacing") {
     Seq((1L, 10L, 1.0), (1L, 20L, 2.0), (2L, 15L, 3.0)).toDF("k", "ts", "v")
       .createOrReplaceTempView("asof_l")

@@ -592,4 +592,100 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  // ——— whole-config-tree fuzzer ———————————————————————————————————————
+  // The compiler is the engine's trust root: every oracle-gated query
+  // exercises ONE hand-picked spec, but users compose freely. This fuzzer
+  // draws random spec trees over the full relational core — filters,
+  // projection, derive, aggregate (plain + salted), child equi-join
+  // (plain + salted + prefix), order/limit — and checks the compiled plan
+  // against a SECOND interpretation built directly with DataFrame
+  // primitives in this test. Any divergence (silently dropped clause,
+  // mis-ordered pipeline stage, salt changing semantics) fails with the
+  // seed that found it.
+  test("random config trees agree with a direct DataFrame interpretation") {
+    val factRows: Gen[List[(String, Long, Long, Double)]] =
+      Gen.nonEmptyListOf(for {
+        k <- Gen.oneOf("a", "b", "c", "d", "e")
+        fk <- Gen.chooseNum(1L, 6L)
+        id <- Gen.chooseNum(-50L, 50L)
+        v <- Gen.chooseNum(-400L, 400L).map(_ / 8.0) // dyadic → exact sums
+      } yield (k, fk, id, v))
+    val dimRows: Gen[List[(Long, String)]] =
+      Gen.listOf(Gen.zip(Gen.chooseNum(1L, 8L), Gen.oneOf("x", "y", "z")))
+        .map(_.distinctBy(_._1)) // unique join key: row-multiplicity-free
+
+    final case class Shape(
+        cut: Long, opIdx: Int, join: Int, // 0 none, 1 plain, 2 salted, 3 prefixed
+        how: String, agg: Boolean, limit: Option[Int])
+    val shapeGen: Gen[Shape] = for {
+      cut <- Gen.chooseNum(-40L, 40L)
+      opIdx <- Gen.chooseNum(0, 2) // > , <= , !=
+      join <- Gen.chooseNum(0, 3)
+      how <- Gen.oneOf("inner", "left")
+      agg <- Gen.oneOf(true, false)
+      limit <- Gen.option(Gen.chooseNum(1, 20))
+    } yield Shape(cut, opIdx, join, how, agg, limit)
+
+    val caseGen = Gen.zip(factRows, dimRows, shapeGen)
+    forAll(caseGen, n = 40) { case (fact, dim, sh) =>
+      val fdf = fact.toDF("k", "fk", "id", "v")
+      val ddf = dim.toDF("fk", "tag")
+      fdf.createOrReplaceTempView("fz_fact")
+      ddf.createOrReplaceTempView("fz_dim")
+      val op = Seq(">", "<=", "!=")(sh.opIdx)
+      val joinJson = sh.join match {
+        case 0 => ""
+        case 1 => s""","children":[{"id":"d","source":{"table":"fz_dim"},
+              "join":{"on":["fk"],"how":"${sh.how}"}}]"""
+        case 2 => s""","children":[{"id":"d","source":{"table":"fz_dim"},
+              "join":{"on":["fk"],"how":"${sh.how}","salt":3}}]"""
+        case 3 => s""","children":[{"id":"d","prefix":true,"source":{"table":"fz_dim"},
+              "join":{"on":["fk"],"how":"${sh.how}"}}]"""
+      }
+      // aggregate runs BEFORE children joins (the documented node order),
+      // so group on the join key to keep the composition meaningful
+      val aggJson = if (sh.agg)
+        s""","aggregate":{"group_by":["fk"],"aggregations":[
+             {"col":"v","func":"sum","new_name":"sv"},
+             {"col":"*","func":"count","new_name":"n"}]}"""
+      else ""
+      val orderJson = if (sh.agg) s""","order_by":["fk asc","sv asc"]"""
+      else s""","order_by":["fk asc","id asc","v asc","k asc"]"""
+      val limitJson = sh.limit.map(l => s""","limit":$l""").getOrElse("")
+      val json = s"""
+        {"source":{"table":"fz_fact"},
+         "derive":{"v2":"v + 1.0"},
+         "filters":["id $op ${sh.cut}"]$aggJson$joinJson$orderJson$limitJson}"""
+      val got = Compiler.compileJson(spark, json).collect().map(_.toSeq).toSeq
+
+      // the second interpretation, straight DataFrame primitives
+      var ref = fdf.withColumn("v2", col("v") + lit(1.0))
+        .filter(op match {
+          case ">"  => col("id") > sh.cut
+          case "<=" => col("id") <= sh.cut
+          case "!=" => col("id") =!= sh.cut
+        })
+      if (sh.agg) ref = ref.groupBy("fk")
+        .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+      val refJoined = sh.join match {
+        case 0 => ref
+        case 3 => ref.join(
+          ddf.withColumnRenamed("tag", "d_tag"), Seq("fk"), sh.how)
+        case _ => ref.join(ddf, Seq("fk"), sh.how) // salt is invisible
+      }
+      val ordered = (if (sh.agg)
+        refJoined.orderBy(col("fk").asc_nulls_first, col("sv").asc_nulls_first)
+      else refJoined.orderBy(col("fk").asc_nulls_first, col("id").asc_nulls_first,
+        col("v").asc_nulls_first, col("k").asc_nulls_first))
+      val limited = sh.limit.map(ordered.limit).getOrElse(ordered)
+      val want = limited.collect().map(_.toSeq).toSeq
+
+      // positional equality is safe even under limit: every order tie is
+      // content-identical by construction (v2 is determined by v, the dim
+      // key is unique so tag is determined by fk, agg keys are distinct),
+      // so any tie-break yields the same row sequence
+      assert(got == want, s"seed shape $sh\njson: $json")
+    }
+  }
 }
