@@ -679,6 +679,23 @@ object Compiler {
         rj.broadcast, rj.maxBucketsPerInterval)
     }
 
+    // Snapshot diff against an OLD-corpus def: one full-outer equi-join
+    // on the keys. Batch-only by name — a full-outer join (and the notion
+    // of a complete "previous snapshot") has no streaming plan; diff the
+    // landed batch instead.
+    node.diff.foreach { ds =>
+      requireBatch("diff", "a full-outer join of two complete snapshots",
+        "diff landed batches instead (the old snapshot is a def — " +
+          "batch by contract)")
+      val old = refs.getOrElse(ds.otherRef, throw new IllegalArgumentException(
+        s"node ${node.id}: diff.other_ref '${ds.otherRef}' is not a def — " +
+          "declare the old snapshot under top-level defs" +
+          (if (refs.isEmpty) "" else s" (defined: ${refs.keys.mkString(", ")})")))
+      df = graft.ops.Relational.snapshotDiff(df, old, ds.on, ds.compare,
+        ds.statusCol, ds.changedCol, ds.includeUnchanged,
+        carryNew = ds.carry == "new")
+    }
+
     // Resample / gap-fill: per key, re-grid the event series onto a
     // regular step grid; empty buckets fill per policy. Batch-only by
     // name (per-key global bounds).

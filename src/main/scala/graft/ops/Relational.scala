@@ -788,6 +788,86 @@ object Relational {
     l.join(s, keys :+ "__salt", how).drop("__salt")
   }
 
+  /** Keyed diff of two corpus snapshots — the curation-iteration
+    * primitive: which rows did this pipeline change/add/remove relative
+    * to the last run? `newDf` is the current snapshot, `oldDf` the
+    * previous one; rows pair on `keys` and compare null-safely on
+    * `compare` (default: every column the two frames share, minus the
+    * keys, sorted). Output: keys, `statusCol` ∈ added|removed|changed
+    * (|unchanged with `includeUnchanged`), `changedCol` = the compared
+    * columns that differ (NULL for added/removed — no comparison
+    * happened; [] means compared-and-equal), and with
+    * `carryNew` the new-side compare columns under their original names
+    * (NULL on removed rows) so downstream nodes can act on the delta
+    * directly.
+    *
+    * Scale: ONE full-outer equi-join on the keys — shuffle-partitioned
+    * by key, no window over either corpus, no driver data. Both sides
+    * project to keys + compared columns before the join, so unselected
+    * payload never shuffles. NULL keys fail loudly (a NULL never
+    * equi-matches, so such a row would silently surface as added AND
+    * removed — the hash_split posture). */
+  def snapshotDiff(
+      newDf: DataFrame,
+      oldDf: DataFrame,
+      keys: Seq[String],
+      compare: Seq[String] = Nil,
+      statusCol: String = "diff_status",
+      changedCol: String = "changed_cols",
+      includeUnchanged: Boolean = false,
+      carryNew: Boolean = false
+  ): DataFrame = {
+    require(keys.nonEmpty, "snapshotDiff: need at least one key column")
+    keys.foreach { k =>
+      require(newDf.columns.contains(k) && oldDf.columns.contains(k),
+        s"snapshotDiff: key column '$k' must exist in both snapshots")
+    }
+    val cmp =
+      if (compare.nonEmpty) compare
+      else (newDf.columns.toSet & oldDf.columns.toSet)
+        .diff(keys.toSet).toSeq.sorted
+    require(cmp.nonEmpty,
+      "snapshotDiff: no columns to compare — the snapshots share no " +
+        "non-key columns; pass compare explicitly")
+    cmp.foreach { c =>
+      require(newDf.columns.contains(c) && oldDf.columns.contains(c),
+        s"snapshotDiff: compare column '$c' must exist in both snapshots")
+      require(!keys.contains(c),
+        s"snapshotDiff: '$c' is a key; keys are paired on, not compared")
+    }
+    Seq(statusCol, changedCol).foreach { c =>
+      require(!keys.contains(c) && !cmp.contains(c),
+        s"snapshotDiff: output column '$c' collides with an input column")
+    }
+    def guard(k: String): Column =
+      when(col(k).isNotNull, col(k)).otherwise(raise_error(lit(
+        s"snapshotDiff: NULL key in column '$k' — a NULL never " +
+          "equi-matches, so the row would diff as added AND removed")))
+    val n = newDf.select(
+      keys.map(k => guard(k).as(k)) ++
+        cmp.map(c => col(c).as(s"__n_$c")) :+ lit(true).as("__n"): _*)
+    val o = oldDf.select(
+      keys.map(k => guard(k).as(k)) ++
+        cmp.map(c => col(c).as(s"__o_$c")) :+ lit(true).as("__o"): _*)
+    val j = n.join(o, keys, "full_outer")
+    val diffs = cmp.map(c => !(col(s"__n_$c") <=> col(s"__o_$c")))
+    val status = when(col("__o").isNull, "added")
+      .when(col("__n").isNull, "removed")
+      .when(diffs.reduce(_ || _), "changed")
+      .otherwise("unchanged")
+    // NULL (not []) on added/removed — the comparison never happened
+    // there; [] is reserved for genuinely-compared-and-equal (unchanged)
+    val changed = when(col("__n").isNotNull && col("__o").isNotNull,
+      array_compact(array(cmp.zip(diffs).map { case (c, d) =>
+        when(d, lit(c)) }: _*)))
+      .otherwise(lit(null).cast("array<string>"))
+    val out = j.select(
+      keys.map(col) ++ Seq(status.as(statusCol), changed.as(changedCol)) ++
+        (if (carryNew) cmp.map(c => col(s"__n_$c").as(c)) else Nil): _*)
+    if (includeUnchanged) out
+    else out.filter(col(statusCol) =!= "unchanged")
+  }
+
   /** Windowed running sum with exact decimal accumulation — the window
     * analogue of Tables.dsum. Both Spark and DuckDB evaluate moving sums
     * with engine-specific association (segment trees vs running state), so

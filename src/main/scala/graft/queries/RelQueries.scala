@@ -473,7 +473,54 @@ object RelQueries extends QueryPack {
        "order_by": ["col_name asc"]}""")
   }
 
+  // q244 — corpus snapshot diff (`diff` node key): the root frame is the
+  // NEW snapshot (docs with id % 13 ≠ 0), the def the OLD one (id % 11 ≠
+  // 0, with a planted score change on id % 7 = 0) — so id % 11 = 0 rows
+  // diff as added, id % 13 = 0 as removed, id % 7 = 0 survivors as
+  // changed with changed_cols = [sc], and everything else drops as
+  // unchanged. carry: "new" surfaces the new-side values (NULL on
+  // removed). The oracle restates the whole thing as one FULL OUTER JOIN.
+  private def q244(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"defs": [
+         {"id": "old", "source": {"table": "documents"},
+          "filters": ["doc_id % 11 != 0"],
+          "derive": {"sc": "CAST(if(doc_id % 7 = 0, length(text) + 1, length(text)) AS BIGINT)"},
+          "keep_columns": ["doc_id", "lang", "sc"]}],
+       "source": {"table": "documents"},
+       "filters": ["doc_id % 13 != 0"],
+       "derive": {"sc": "CAST(length(text) AS BIGINT)"},
+       "keep_columns": ["doc_id", "lang", "sc"],
+       "diff": {"on": ["doc_id"], "ref": "old",
+                "compare": ["lang", "sc"], "carry": "new"},
+       "order_by": ["doc_id asc"]}""")
+  private val q244Sql = """
+    WITH newv AS (
+      SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS sc
+      FROM documents WHERE doc_id % 13 <> 0),
+    oldv AS (
+      SELECT doc_id, lang,
+             CAST(CASE WHEN doc_id % 7 = 0 THEN length(text) + 1
+                       ELSE length(text) END AS BIGINT) AS sc
+      FROM documents WHERE doc_id % 11 <> 0)
+    SELECT COALESCE(n.doc_id, o.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS diff_status,
+           CASE WHEN n.doc_id IS NOT NULL AND o.doc_id IS NOT NULL THEN
+             list_filter(
+               [CASE WHEN n.lang IS DISTINCT FROM o.lang THEN 'lang' END,
+                CASE WHEN n.sc IS DISTINCT FROM o.sc THEN 'sc' END],
+               x -> x IS NOT NULL)
+           ELSE NULL END AS changed_cols,
+           n.lang AS lang, n.sc AS sc
+    FROM newv n FULL OUTER JOIN oldv o ON n.doc_id = o.doc_id
+    WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+       OR (n.lang IS DISTINCT FROM o.lang) OR (n.sc IS DISTINCT FROM o.sc)
+    ORDER BY doc_id ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q244_snapshot_diff", q244, Some(q244Sql)),
     Q("q10_semi_join", q10, Some(q10Sql)),
     Q("q11_anti_join", q11, Some(q11Sql)),
     Q("q12_set_ops", q12, Some(q12Sql)),

@@ -654,6 +654,29 @@ object JsonCodec {
       s
     }
 
+    val diffSpec = optN("diff").map { d =>
+      val ctx = s"node $id: diff"
+      val s = DiffSpec(
+        on = strSeq(req(d, ctx, "on")),
+        otherRef = req(d, ctx, "other_ref", "otherRef", "ref").asText,
+        compare = opt(d, "compare").map(strSeq).getOrElse(Nil),
+        statusCol = opt(d, "status_col", "statusCol").map(_.asText)
+          .getOrElse("diff_status"),
+        changedCol = opt(d, "changed_col", "changedCol").map(_.asText)
+          .getOrElse("changed_cols"),
+        includeUnchanged = opt(d, "include_unchanged", "includeUnchanged")
+          .exists(_.asBoolean(false)),
+        carry = opt(d, "carry").map(_.asText).getOrElse("none"))
+      require(s.on.nonEmpty, s"$ctx: 'on' needs at least one key column")
+      require(s.carry == "none" || s.carry == "new",
+        s"""$ctx: carry must be "none" or "new", got '${s.carry}' — the """ +
+          "old side's values are reachable by diffing in the other " +
+          "direction")
+      require(s.statusCol != s.changedCol,
+        s"$ctx: status_col and changed_col must differ")
+      s
+    }
+
     val resampleSpec = optN("resample").map { d =>
       val ctx = s"node $id: resample"
       val keysNode = req(d, ctx, "key_cols", "keyCols", "keys")
@@ -1063,6 +1086,7 @@ object JsonCodec {
       upsample = upsampleSpec,
       funnel = funnelSpec,
       rangeJoin = rangeJoinSpec,
+      diff = diffSpec,
       unpivot = unpivotSpec,
       approxTopK = approxTopKSpec,
       resample = resampleSpec,

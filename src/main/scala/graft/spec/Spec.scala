@@ -649,6 +649,24 @@ final case class RangeJoinSpec(
     maxBucketsPerInterval: Int = 1 << 16
 )
 
+/** Snapshot diff (NS; Relational.snapshotDiff): the node's frame is the
+  * NEW corpus snapshot; `otherRef` names a def holding the OLD one. Rows
+  * pair on `on` keys and compare null-safely on `compare` (default: all
+  * shared non-key columns, sorted); output is keys + status
+  * (added|removed|changed, + unchanged with `includeUnchanged`) +
+  * the list of differing columns (+ the new-side values with `carry:
+  * "new"`). ONE full-outer equi-join on the keys; NULL keys fail by
+  * name. Batch-only (a full-outer join has no streaming plan). */
+final case class DiffSpec(
+    on: Seq[String],
+    otherRef: String,
+    compare: Seq[String] = Nil,
+    statusCol: String = "diff_status",
+    changedCol: String = "changed_cols",
+    includeUnchanged: Boolean = false,
+    carry: String = "none" // none | new
+)
+
 /** Resample / gap-fill (NS; Relational.resample): per key, re-grid an
   * irregular event series onto a regular `step` grid over that key's
   * [min(ts), max(ts)] — bucket aggregates from `aggs`, empty buckets
@@ -1201,6 +1219,7 @@ final case class NodeSpec(
     upsample: Option[UpsampleSpec] = None, // after keep, before aggregate
     funnel: Option[FunnelSpec] = None, // after keep, before aggregate
     rangeJoin: Option[RangeJoinSpec] = None, // after keep, before aggregate
+    diff: Option[DiffSpec] = None, // after keep, before aggregate
     unpivot: Option[UnpivotSpec] = None, // after keep, before aggregate
     approxTopK: Option[ApproxTopKSpec] = None, // after keep, before aggregate
     resample: Option[ResampleSpec] = None, // after keep, before aggregate

@@ -300,6 +300,50 @@ class CompilerSpec extends SparkSpec {
     assert(e4.getMessage.contains("mutually"))
   }
 
+  test("diff node key: added/removed/changed/unchanged, carry, guards") {
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("id", "t", "v").createOrReplaceTempView("df_new")
+    Seq((2L, "b", 20.0), (3L, "X", 30.0), (5L, "e", 50.0))
+      .toDF("id", "t", "v").createOrReplaceTempView("df_old")
+    def run(extra: String) = Compiler.compileJson(spark, s"""
+      {"defs": [{"id": "old", "source": {"table": "df_old"}}],
+       "source": {"table": "df_new"},
+       "diff": {"on": ["id"], "ref": "old"$extra},
+       "order_by": ["id asc"]}""")
+    // default compare = shared non-key columns (t, v), unchanged dropped
+    val got = run("").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getSeq[String](2)).map(_.toList))).toSeq
+    assert(got == Seq(
+      (1L, "added", None),           // in new only — NULL changed_cols
+      (3L, "changed", Some(List("t"))),
+      (4L, "added", None),
+      (5L, "removed", None)))
+    // include_unchanged surfaces 2 with an EMPTY (compared, equal) list
+    val all = run(""", "include_unchanged": true""").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getSeq[String](2)).map(_.toList)))
+    assert(all.find(_._1 == 2L).contains((2L, "unchanged", Some(Nil))))
+    // carry: "new" appends the new-side values, NULL on removed rows
+    val carried = run(""", "carry": "new"""")
+    assert(carried.columns.toSeq == Seq("id", "diff_status", "changed_cols", "t", "v"))
+    assert(carried.filter($"id" === 5L).select("t").collect().head.isNullAt(0))
+    // explicit compare narrows the verdicts: only v compared → 3 is unchanged
+    val narrowed = run(""", "compare": ["v"]""").collect().map(_.getLong(0)).toSet
+    assert(narrowed == Set(1L, 4L, 5L))
+    // guards: unknown ref and NULL key, each by name
+    val eRef = intercept[IllegalArgumentException](Compiler.compileJson(spark, """
+      {"source": {"table": "df_new"}, "diff": {"on": ["id"], "ref": "nope"}}"""))
+    assert(eRef.getMessage.contains("not a def"))
+    Seq((Option.empty[Long], "a")).toDF("id", "t")
+      .createOrReplaceTempView("df_nullkey")
+    val eNull = intercept[Exception] {
+      Compiler.compileJson(spark, """
+        {"defs": [{"id": "old", "source": {"table": "df_old"}}],
+         "source": {"table": "df_nullkey"},
+         "diff": {"on": ["id"], "ref": "old", "compare": ["t"]}}""").collect()
+    }
+    assert(eNull.getMessage.contains("NULL key"))
+  }
+
   test("salted join is stream-static admissible: stream == batch") {
     // the salt is a deterministic column expression on the (streaming)
     // parent plus a static explode on the child — nothing stateful, so

@@ -869,6 +869,33 @@ class JsonCodecSpec extends AnyFunSuite {
       .getMessage.contains("hi_col"))
   }
 
+  test("diff node key decodes with defaults and named errors") {
+    val d = root("""
+      {"diff": {"on": ["doc_id"], "ref": "old"}}""").diff.get
+    assert(d.on == Seq("doc_id") && d.otherRef == "old" &&
+      d.compare.isEmpty && d.statusCol == "diff_status" &&
+      d.changedCol == "changed_cols" && !d.includeUnchanged &&
+      d.carry == "none")
+    val d2 = root("""
+      {"diff": {"on": ["k1", "k2"], "other_ref": "prev",
+                "compare": ["text"], "status_col": "st",
+                "changed_col": "ch", "include_unchanged": true,
+                "carry": "new"}}""").diff.get
+    assert(d2.on == Seq("k1", "k2") && d2.otherRef == "prev" &&
+      d2.compare == Seq("text") && d2.statusCol == "st" &&
+      d2.changedCol == "ch" && d2.includeUnchanged && d2.carry == "new")
+    assert(intercept[IllegalArgumentException](root("""
+      {"diff": {"on": [], "ref": "old"}}""")).getMessage.contains("on"))
+    assert(intercept[IllegalArgumentException](root("""
+      {"diff": {"on": ["k"], "ref": "old", "carry": "old"}}"""))
+      .getMessage.contains("carry"))
+    assert(intercept[IllegalArgumentException](root("""
+      {"diff": {"on": ["k"], "ref": "old", "status_col": "x",
+                "changed_col": "x"}}""")).getMessage.contains("differ"))
+    assert(intercept[IllegalArgumentException](root("""
+      {"diff": {"on": ["k"]}}""")).getMessage.contains("ref"))
+  }
+
   test("sketch_ingest node key decodes with defaults and named errors") {
     val sk = root("""
       {"sketch_ingest": {"key_col": "domain", "out_dir": "/sk",
