@@ -519,8 +519,54 @@ object RelQueries extends QueryPack {
        OR (n.lang IS DISTINCT FROM o.lang) OR (n.sc IS DISTINCT FROM o.sc)
     ORDER BY doc_id ASC NULLS FIRST"""
 
+  // q245 — INCREMENTAL corpus rebuild, the flagship composition the diff
+  // key exists for: the previous snapshot (a def with a planted
+  // truncation bug on id % 7 = 0 and missing id % 11 = 0 docs) diffs
+  // against the current corpus, and ONLY the delta (added + changed) is
+  // re-tokenized — at 100 TB you re-pay tokenization for ~the delta
+  // fraction instead of the whole corpus. One config: defs → diff with
+  // carry → registered tokens() over the carried text → aggregate.
+  private def q245(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"defs": [
+         {"id": "oldsnap", "source": {"table": "documents"},
+          "filters": ["doc_id % 11 != 0"],
+          "derive": {"text2": "if(doc_id % 7 = 0, substring(text, 1, 10), text)"},
+          "keep_columns": ["doc_id", "text2"]},
+         {"id": "delta", "source": {"table": "documents"},
+          "derive": {"text2": "text"},
+          "keep_columns": ["doc_id", "text2"],
+          "diff": {"on": ["doc_id"], "ref": "oldsnap",
+                   "compare": ["text2"], "carry": "new"}}],
+       "source": {"ref": "delta"},
+       "filters": ["diff_status != 'removed'"],
+       "derive": {"n_tok": "size(tokens(text2))"},
+       "aggregate": {"group_by": ["diff_status"], "aggregations": [
+         {"col": "*", "func": "count", "new_name": "docs"},
+         {"col": "n_tok", "func": "sum", "new_name": "toks"}]},
+       "order_by": ["diff_status asc"]}""")
+  private val q245Sql = """
+    WITH oldsnap AS (
+      SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN substr(text, 1, 10)
+                          ELSE text END AS text2
+      FROM documents WHERE doc_id % 11 <> 0),
+    delta AS (
+      SELECT n.doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'added' ELSE 'changed' END
+               AS diff_status,
+             n.text2
+      FROM (SELECT doc_id, text AS text2 FROM documents) n
+      LEFT JOIN oldsnap o ON n.doc_id = o.doc_id
+      WHERE o.doc_id IS NULL OR n.text2 IS DISTINCT FROM o.text2)
+    SELECT diff_status, CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(SUM(len(list_filter(
+             string_split_regex(trim(text2), '\s+'), x -> len(x) > 0)))
+             AS BIGINT) AS toks
+    FROM delta GROUP BY 1 ORDER BY diff_status ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
     Q("q244_snapshot_diff", q244, Some(q244Sql)),
+    Q("q245_incremental_rebuild", q245, Some(q245Sql)),
     Q("q10_semi_join", q10, Some(q10Sql)),
     Q("q11_anti_join", q11, Some(q11Sql)),
     Q("q12_set_ops", q12, Some(q12Sql)),
