@@ -329,6 +329,13 @@ class CompilerSpec extends SparkSpec {
     // explicit compare narrows the verdicts: only v compared → 3 is unchanged
     val narrowed = run(""", "compare": ["v"]""").collect().map(_.getLong(0)).toSet
     assert(narrowed == Set(1L, 4L, 5L))
+    // plan shape: one co-partitioned full-outer join — at most one hash
+    // exchange per side, never a nested loop / cartesian
+    val physical = run("").queryExecution.executedPlan.toString
+    assert(!physical.contains("BroadcastNestedLoop") &&
+      !physical.contains("CartesianProduct"), physical)
+    val ex = "Exchange hashpartitioning".r.findAllIn(physical).size
+    assert(ex <= 2, s"diff must shuffle each side at most once:\n$physical")
     // guards: unknown ref and NULL key, each by name
     val eRef = intercept[IllegalArgumentException](Compiler.compileJson(spark, """
       {"source": {"table": "df_new"}, "diff": {"on": ["id"], "ref": "nope"}}"""))
