@@ -34,4 +34,18 @@ object GraftColumnBridge {
     spark.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = false)
   }
+
+  /** Apply a populated SparkSessionExtensions' injected functions into a
+    * FunctionRegistry (the `private[sql]` half of what session building
+    * does with `spark.sql.extensions`). Lets ExtensionsSpec verify
+    * graft.GraftExtensions end-to-end against a FRESH registry without
+    * tearing down the shared test session. */
+  def registerInjectedFunctions(
+      ext: SparkSessionExtensions,
+      registry: org.apache.spark.sql.catalyst.analysis.FunctionRegistry): Unit =
+    ext.registerFunctions(registry)
+
+  /** A fresh, empty FunctionRegistry (catalyst-internal constructor). */
+  def emptyFunctionRegistry: org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
+    new org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry
 }
