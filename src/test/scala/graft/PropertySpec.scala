@@ -688,4 +688,32 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"seed shape $sh\njson: $json")
     }
   }
+
+  test("random combine trees agree with direct set algebra") {
+    val caseGen = Gen.zip(rowsGen, rowsGen, Gen.chooseNum(-30L, 30L))
+    forAll(caseGen, n = 8) { case (r1, r2, cut) =>
+      val a = r1.toDF("k", "id", "v")
+      val b = r2.toDF("k", "id", "v")
+      a.createOrReplaceTempView("cz_a")
+      b.createOrReplaceTempView("cz_b")
+      val fa = a.filter(col("id") > cut)
+      val refs = Map(
+        "union"          -> fa.unionByName(b),
+        "union_distinct" -> fa.unionByName(b).distinct(),
+        "intersect"      -> fa.intersect(b),
+        "except"         -> fa.except(b))
+      refs.foreach { case (op, ref) =>
+        val got = Compiler.compileJson(spark, s"""
+          {"combine": {"op": "$op", "nodes": [
+             {"source": {"table": "cz_a"}, "filters": ["id > $cut"]},
+             {"source": {"table": "cz_b"}}]},
+           "order_by": ["k asc", "id asc", "v asc"]}""")
+          .collect().map(_.toSeq).toSeq
+        val want = ref.orderBy(col("k").asc_nulls_first,
+          col("id").asc_nulls_first, col("v").asc_nulls_first)
+          .collect().map(_.toSeq).toSeq
+        assert(got == want, s"op $op, cut $cut")
+      }
+    }
+  }
 }
