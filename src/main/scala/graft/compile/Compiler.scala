@@ -150,7 +150,8 @@ object Compiler {
         node.children.flatMap(c => walk(c.node))
     }
     val friendly = spec match {
-      case TreePipeline(root, defs) => defs.flatMap(walk) ++ walk(root)
+      case TreePipeline(root, defs, tee) =>
+        defs.flatMap(walk) ++ tee.flatMap(walk) ++ walk(root)
       case CascadePipeline(c) =>
         // only level 1 sees the raw source schema; later levels are
         // checked by the analyzer below
@@ -171,7 +172,7 @@ object Compiler {
   def compile(spark: SparkSession, spec: PipelineSpec, input: Option[DataFrame] = None,
       executeSinks: Boolean = true): DataFrame =
     spec match {
-      case TreePipeline(root, defs) =>
+      case TreePipeline(root, defs, tee) =>
         // Defs compile ONCE, in order (later defs may reference earlier
         // ones); every ref then shares the same DataFrame — one plan
         // subtree, reused exchanges, and with cache: true one
@@ -195,6 +196,13 @@ object Compiler {
         val refs = defs.foldLeft(Map.empty[String, DataFrame]) { (acc, d) =>
           val df = compileNode(spark, d, None, executeSinks = false, refs = acc)
           acc + (d.id -> (if (d.cache) { val p = df.persist(); cachedDefs += p; p } else df))
+        }
+        // side-output trees: compiled for their sinks (in declaration
+        // order, before the root result returns), discarded afterwards.
+        // With executeSinks = false this still builds every tee plan, so
+        // --validate checks them too.
+        tee.foreach { t =>
+          compileNode(spark, t, None, executeSinks, refs = refs)
         }
         val result = compileNode(spark, root, input, executeSinks, refs = refs)
         trackPersisted(result, cachedDefs.result())
@@ -1245,10 +1253,14 @@ object Compiler {
   def compileStream(spark: SparkSession,
       spec: PipelineSpec): org.apache.spark.sql.streaming.StreamingQuery =
     spec match {
-      case TreePipeline(root, defs) =>
+      case TreePipeline(root, defs, tee) =>
         if (defs.nonEmpty) throw new IllegalArgumentException(
           "defs are batch-only — a def compiles to a batch frame, which " +
             "cannot feed a stream (read the stage's sink directory instead)")
+        if (tee.nonEmpty) throw new IllegalArgumentException(
+          "tee is batch-only — a streaming query has exactly ONE sink; " +
+            "fan out with several streaming queries over the same source " +
+            "(each with its own checkpoint) instead")
         val src = root.source.getOrElse(
           throw new IllegalArgumentException("streaming pipeline needs a root source"))
         // A non-root `save` is a batch-only feature (executeSinks=false in

@@ -564,9 +564,47 @@ object RelQueries extends QueryPack {
              AS BIGINT) AS toks
     FROM delta GROUP BY 1 ORDER BY diff_status ASC NULLS FIRST"""
 
+  // q246 — tee fan-out: ONE cached corpus read writes accepted + rejected
+  // side outputs (the curation accept/audit split), and the ROOT then
+  // re-reads the accepted parquet it just wrote — the tee write itself
+  // sits under the oracle hash (the q196 reparse discipline). The oracle
+  // restates the accept filter + aggregate straight over documents.
+  private def q246(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-q246").toString
+    graft.compile.Compiler.compileJson(s, s"""
+      {"defs": [
+         {"id": "scored", "cache": true,
+          "source": {"table": "documents"},
+          "derive": {"n_tok": "token_count(text)"},
+          "keep_columns": ["doc_id", "lang", "n_tok"]}],
+       "tee": [
+         {"id": "accepted", "source": {"ref": "scored"},
+          "filters": ["n_tok >= 8"],
+          "save": {"format": "parquet", "path": "$base/accepted"}},
+         {"id": "rejected", "source": {"ref": "scored"},
+          "filters": ["n_tok < 8"],
+          "save": {"format": "parquet", "path": "$base/rejected"}}],
+       "source": {"path": "$base/accepted"},
+       "aggregate": {"group_by": ["lang"], "aggregations": [
+         {"col": "*", "func": "count", "new_name": "n_docs"},
+         {"col": "n_tok", "func": "sum", "new_name": "toks"}]},
+       "order_by": ["lang asc"]}""")
+  }
+  private val q246Sql = """
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                 x -> len(x) > 0)) AS n_tok
+      FROM documents)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS toks
+    FROM scored WHERE n_tok >= 8
+    GROUP BY 1 ORDER BY lang ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
     Q("q244_snapshot_diff", q244, Some(q244Sql)),
     Q("q245_incremental_rebuild", q245, Some(q245Sql)),
+    Q("q246_tee_fanout", q246, Some(q246Sql)),
     Q("q10_semi_join", q10, Some(q10Sql)),
     Q("q11_anti_join", q11, Some(q11Sql)),
     Q("q12_set_ops", q12, Some(q12Sql)),

@@ -39,7 +39,26 @@ object JsonCodec {
       if (dupIds.nonEmpty)
         throw new IllegalArgumentException(
           s"duplicate def ids: ${dupIds.mkString(", ")}")
-      TreePipeline(node(root, "root", extraAllowed = Set("defs")), defs)
+      val tee = opt(root, "tee").map { t =>
+        if (!t.isArray)
+          throw new IllegalArgumentException("tee must be an array of nodes")
+        elems(t).zipWithIndex.map { case (tn, i) =>
+          val nd = node(tn, s"tee$i")
+          // a tee is a side-OUTPUT: its whole purpose is the sink
+          if (nd.save.isEmpty)
+            throw new IllegalArgumentException(
+              s"tee ${nd.id}: every tee needs a 'save' sink — a tee " +
+                "without output is dead work (put shared computation in " +
+                "a cached def instead)")
+          if (nd.source.isEmpty && nd.combine.isEmpty)
+            throw new IllegalArgumentException(
+              s"tee ${nd.id}: a tee needs a source — typically " +
+                """{"ref": "<cached def>"} so the scan is paid once""")
+          nd
+        }
+      }.getOrElse(Nil)
+      TreePipeline(node(root, "root", extraAllowed = Set("defs", "tee")),
+        defs, tee)
     }
   }
 

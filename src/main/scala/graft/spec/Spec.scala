@@ -1284,6 +1284,15 @@ final case class CascadeSpec(
   * are definitions: sinks stay on the root tree, and streaming compiles
   * reject defs by name (a batch-compiled frame can't feed a stream). */
 sealed trait PipelineSpec
+
+/** `tee` entries are SIDE-OUTPUT trees: full node pipelines (typically
+  * sourcing a cached def by `ref`) compiled for their sinks and
+  * discarded — the one-read fan-out a curation pipeline needs (accepted
+  * rows → shards, rejected rows → audit, stats → metrics, ONE scan).
+  * Each tee must end in a `save`; tees execute in order, before the
+  * root result is returned. Batch-only (a stream has exactly one sink
+  * per query). */
 final case class TreePipeline(
-    root: NodeSpec, defs: Seq[NodeSpec] = Nil) extends PipelineSpec
+    root: NodeSpec, defs: Seq[NodeSpec] = Nil,
+    tee: Seq[NodeSpec] = Nil) extends PipelineSpec
 final case class CascadePipeline(cascade: CascadeSpec) extends PipelineSpec

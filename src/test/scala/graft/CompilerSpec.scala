@@ -300,6 +300,53 @@ class CompilerSpec extends SparkSpec {
     assert(e4.getMessage.contains("mutually"))
   }
 
+  test("tee: one cached read fans out to side sinks plus the root frame") {
+    val base = java.nio.file.Files.createTempDirectory("graft-tee").toString
+    Seq((1L, "good alpha", 0.9), (2L, "bad", 0.1),
+        (3L, "good beta", 0.8), (4L, "bad again", 0.2))
+      .toDF("id", "text", "q").createOrReplaceTempView("tee_src")
+    val out = Compiler.compileJson(spark, s"""
+      {"defs": [
+         {"id": "scored", "cache": true, "source": {"table": "tee_src"}}],
+       "tee": [
+         {"id": "accepted", "source": {"ref": "scored"},
+          "filters": ["q >= 0.5"],
+          "save": {"format": "parquet", "path": "$base/accepted"}},
+         {"id": "rejected", "source": {"ref": "scored"},
+          "filters": ["q < 0.5"],
+          "save": {"format": "parquet", "path": "$base/rejected"}}],
+       "source": {"ref": "scored"},
+       "aggregate": {"group_by": [], "aggregations": [
+         {"col": "*", "func": "count", "new_name": "n"},
+         {"col": "q", "func": "dsum", "new_name": "qsum"}]}}""")
+    assert(out.collect().head.getLong(0) == 4L)
+    val acc = spark.read.parquet(s"$base/accepted").select("id")
+      .collect().map(_.getLong(0)).toSet
+    val rej = spark.read.parquet(s"$base/rejected").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(acc == Set(1L, 3L) && rej == Set(2L, 4L),
+      s"tee partition wrong: acc=$acc rej=$rej")
+    Compiler.releaseCache(out)
+    // guards, each by name
+    val eNoSave = intercept[IllegalArgumentException](Compiler.compileJson(spark, """
+      {"tee": [{"id": "t", "source": {"table": "tee_src"}}],
+       "source": {"table": "tee_src"}}"""))
+    assert(eNoSave.getMessage.contains("save"))
+    val eNoSrc = intercept[IllegalArgumentException](Compiler.compileJson(spark, """
+      {"tee": [{"id": "t", "save": {"format": "parquet", "path": "/tmp/x"}}],
+       "source": {"table": "tee_src"}}"""))
+    assert(eNoSrc.getMessage.contains("source"))
+    val eStream = intercept[IllegalArgumentException] {
+      graft.spec.JsonCodec.parse(s"""
+        {"tee": [{"id": "t", "source": {"table": "tee_src"},
+                  "save": {"format": "parquet", "path": "$base/s"}}],
+         "source": {"path": "$base/accepted"}}""") match {
+        case p => Compiler.compileStream(spark, p)
+      }
+    }
+    assert(eStream.getMessage.contains("batch-only"))
+  }
+
   test("diff node key: added/removed/changed/unchanged, carry, guards") {
     Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
       .toDF("id", "t", "v").createOrReplaceTempView("df_new")

@@ -11,7 +11,7 @@ class JsonCodecSpec extends AnyFunSuite {
 
   private def root(json: String): NodeSpec =
     JsonCodec.parse(json) match {
-      case TreePipeline(r, _) => r
+      case TreePipeline(r, _, _) => r
       case other           => fail(s"expected tree, got $other")
     }
 
