@@ -1256,6 +1256,7 @@ object TextQueries extends QueryPack {
     Q("q206_pack_bounds", q206, Some(q206Sql)),
     Q("q207_pack_whole_doc", q207, Some(q207Sql)),
     Q("q208_training_batches_flagship", q208, Some(q208Sql)),
+    Q("q247_incremental_release", q247, Some(q247Sql)),
     Q("q209_pack_best_fit", q209, Some(q209Sql)),
     Q("q211_config_chunk_ids", q211, Some(q211Sql)),
     Q("q213_chunk_pack_no_truncation", q213, Some(q213Sql))
@@ -1367,24 +1368,12 @@ object TextQueries extends QueryPack {
        "drop": ["tar"],
        "order_by": ["shard asc"]}""")
   }
-  private lazy val q208Sql = s"""
-    WITH b(grp, budget) AS (VALUES ('en', 16384), ('de', 8192),
-                                   ('es', 8192), ('fr', 8192), ('zh', 8192)),
-    hh AS (
-      SELECT doc_id, lang, n_chars, text,
-             (((doc_id % 1000000 + 1000000) % 1000000) * 1103515245)
-               % 1000000 AS h
-      FROM documents),
-    cum AS (
-      SELECT doc_id, lang, text,
-             COALESCE(SUM(n_chars) OVER (
-               PARTITION BY lang ORDER BY h, doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
-      FROM hh),
-    sel AS (
-      SELECT cum.doc_id, cum.text
-      FROM cum JOIN b ON cum.lang = b.grp WHERE cum.c < b.budget),
-    ${bpeIdsCteFrom("sel")},
+  /** The pack→tar restatement tail over an `ids` CTE (doc_id, idl):
+    * eos-append, doc-ordered per-pshard concatenation, 32-token window
+    * folds, sample-key tar sharding, and the record-padded archive-size
+    * formula. Shared verbatim by q208 (budget-mixture source) and q247
+    * (diff-delta source) — one mirror, two gates. */
+  private val packTarSqlTail: String = s"""
     sh AS (
       SELECT CAST(doc_id % 4 AS INT) AS pshard, doc_id,
              list_append(idl, 0) AS idl
@@ -1419,6 +1408,82 @@ object TextQueries extends QueryPack {
                 AS BIGINT) AS tar_bytes,
            CAST(SUM(fold) AS BIGINT) AS fold_sum
     FROM m GROUP BY shard ORDER BY shard ASC NULLS FIRST"""
+
+  // q247 — INCREMENTAL RELEASE flagship: the r16 snapshot-diff key feeds
+  // the r15 training last mile. The previous corpus snapshot (a def with
+  // a planted extraction-bug truncation on id % 7 = 0 and missing
+  // id % 11 = 0 docs) diffs against the current corpus; ONLY the delta
+  // (added + changed, carry: "new") is re-tokenized, re-packed into
+  // 32-token windows, and re-shipped as WebDataset tar shards — the
+  // incremental re-release a 100 TB pipeline runs nightly instead of
+  // re-packing the world. Gate: the q208 discipline over the delta —
+  // REPARSE every shard byte, decode every member, sum in-order Horner
+  // folds; the diff verdict set, the tokenizer, the window slicing, and
+  // the archive bytes all under ONE exact oracle (shared tail mirror).
+  private def q247(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    import s.implicits._
+    val mdir = s"${System.getProperty("java.io.tmpdir")}/graft_q247_merges"
+    q164Merges.zipWithIndex
+      .map { case ((l, r), i) => (i + 1, l, r, 0L) }
+      .toDF("rank", "left", "right", "pair_count")
+      .coalesce(1).write.mode("overwrite").parquet(mdir)
+    graft.compile.Compiler.compileJson(s, s"""
+      {"defs": [
+        {"id": "oldsnap", "source": {"table": "documents"},
+         "filters": ["doc_id % 11 != 0"],
+         "derive": {"text": "if(doc_id % 7 = 0, substring(text, 1, 10), text)"},
+         "keep_columns": ["doc_id", "text"]},
+        {"id": "delta", "source": {"table": "documents"},
+         "keep_columns": ["doc_id", "text"],
+         "diff": {"on": ["doc_id"], "ref": "oldsnap",
+                  "compare": ["text"], "carry": "new"}},
+        {"id": "packed", "source": {"ref": "delta"},
+         "bpe_apply": {"text_col": "text", "merges_dir": "$mdir",
+                       "with_ids": true},
+         "sequence_pack": {"id_col": "doc_id", "ids_col": "bpe_ids",
+                           "seq_len": 32, "eos_id": 0, "shards": 4},
+         "with_columns": {"name": "concat('w', shard, '_', seq, '.ids')",
+                          "data": "ints_binary(ids)"},
+         "drop": ["shard", "seq", "ids", "n_tokens"]}],
+       "source": {"ref": "packed"},
+       "tar_pack": {"name_col": "name", "payload_col": "data", "shards": 2},
+       "with_columns": {
+         "fold_sum": "aggregate(tar_members(tar), cast(0 as bigint), (a, m) -> a + aggregate(binary_ints(m.data), cast(0 as bigint), (aa, x) -> (aa * 31 + x) % 1000000007))"},
+       "drop": ["tar"],
+       "order_by": ["shard asc"]}""")
+  }
+  private lazy val q247Sql = s"""
+    WITH oldsnap AS (
+      SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN substr(text, 1, 10)
+                          ELSE text END AS otext
+      FROM documents WHERE doc_id % 11 <> 0),
+    sel AS (
+      SELECT d.doc_id, d.text
+      FROM documents d LEFT JOIN oldsnap o ON d.doc_id = o.doc_id
+      WHERE o.doc_id IS NULL OR d.text IS DISTINCT FROM o.otext),
+    ${bpeIdsCteFrom("sel")},
+    $packTarSqlTail"""
+
+  private lazy val q208Sql = s"""
+    WITH b(grp, budget) AS (VALUES ('en', 16384), ('de', 8192),
+                                   ('es', 8192), ('fr', 8192), ('zh', 8192)),
+    hh AS (
+      SELECT doc_id, lang, n_chars, text,
+             (((doc_id % 1000000 + 1000000) % 1000000) * 1103515245)
+               % 1000000 AS h
+      FROM documents),
+    cum AS (
+      SELECT doc_id, lang, text,
+             COALESCE(SUM(n_chars) OVER (
+               PARTITION BY lang ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+      FROM hh),
+    sel AS (
+      SELECT cum.doc_id, cum.text
+      FROM cum JOIN b ON cum.lang = b.grp WHERE cum.c < b.budget),
+    ${bpeIdsCteFrom("sel")},
+    $packTarSqlTail"""
 
   // q206/q207 — the two round-15 packing extensions under exact oracles,
   // over a synthetic engine-portable id array (sequence + modular
