@@ -689,6 +689,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("snapshotDiff on random snapshots equals a brute-force verdict map") {
+    import graft.ops.Relational
+    val snapGen: Gen[Map[Long, (String, Double)]] =
+      Gen.listOf(for {
+        id <- Gen.chooseNum(1L, 40L)
+        t <- Gen.oneOf("a", "b", "c")
+        v <- Gen.chooseNum(0, 8).map(_ / 2.0)
+      } yield (id, (t, v))).map(_.toMap)
+    forAll2(snapGen, snapGen, n = 15) { (newM, oldM) =>
+      val newDf = newM.toSeq.map { case (id, (t, v)) => (id, t, v) }
+        .toDF("id", "t", "v")
+      val oldDf = oldM.toSeq.map { case (id, (t, v)) => (id, t, v) }
+        .toDF("id", "t", "v")
+      val got = Relational.snapshotDiff(newDf, oldDf, Seq("id"),
+          includeUnchanged = true)
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getString(1), Option(r.getSeq[String](2)).map(_.toList)))
+        .toMap
+      val want = (newM.keySet ++ oldM.keySet).map { id =>
+        id -> ((newM.get(id), oldM.get(id)) match {
+          case (Some(_), None) => ("added", None)
+          case (None, Some(_)) => ("removed", None)
+          case (Some(n), Some(o)) =>
+            val ch = List("t" -> (n._1 != o._1), "v" -> (n._2 != o._2))
+              .collect { case (c, true) => c }
+            (if (ch.nonEmpty) "changed" else "unchanged", Some(ch))
+          case (None, None) => sys.error("unreachable")
+        })
+      }.toMap
+      assert(got == want, s"new=$newM old=$oldM")
+      // idempotence: diffing a snapshot against itself is all-unchanged
+      if (newM.nonEmpty) {
+        val self = Relational.snapshotDiff(newDf, newDf, Seq("id"),
+          includeUnchanged = true).collect()
+        assert(self.forall(_.getString(1) == "unchanged"))
+        assert(Relational.snapshotDiff(newDf, newDf, Seq("id")).count() == 0)
+      }
+    }
+  }
+
   test("random combine trees agree with direct set algebra") {
     val caseGen = Gen.zip(rowsGen, rowsGen, Gen.chooseNum(-30L, 30L))
     forAll(caseGen, n = 8) { case (r1, r2, cut) =>
