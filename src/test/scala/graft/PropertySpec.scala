@@ -730,6 +730,52 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("asofJoin on random series equals a brute-force per-row scan") {
+    import graft.ops.Relational
+    val caseGen = for {
+      lrows <- Gen.nonEmptyListOf(
+        Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 50L)))
+      rrows <- Gen.listOf(for {
+        k <- Gen.chooseNum(1L, 3L)
+        ts <- Gen.chooseNum(0L, 50L)
+        p <- Gen.chooseNum(0, 99)
+      } yield (k, ts, p)).map(_.distinctBy(r => (r._1, r._2)))
+      dir <- Gen.oneOf("backward", "forward", "nearest")
+      tol <- Gen.option(Gen.chooseNum(0L, 10L))
+    } yield (lrows, rrows, dir, tol)
+    forAll(caseGen, n = 25) { case (lrows, rrows, dir, tol) =>
+      val got = Relational.asofJoin(
+          lrows.toDF("k", "ts"), rrows.toDF("k", "ts", "p"),
+          Seq("k"), "ts", "ts", Seq("p"),
+          direction = dir, tolerance = tol.map(_.toString))
+        .select("k", "ts", "p")
+        .collect().map(row => (row.getLong(0), row.getLong(1),
+          if (row.isNullAt(2)) -1 else row.getInt(2))).sorted.toSeq
+      // brute force straight off the documented contract: inclusive
+      // bounds, nearest ties -> backward, tolerance nulls the payload
+      def bf(k: Long, lts: Long): Int = {
+        val cands = rrows.filter(_._1 == k)
+        val pick = dir match {
+          case "backward" => cands.filter(_._2 <= lts).sortBy(_._2).lastOption
+          case "forward"  => cands.filter(_._2 >= lts).sortBy(_._2).headOption
+          case _ =>
+            val b = cands.filter(_._2 <= lts).sortBy(_._2).lastOption
+            val f = cands.filter(_._2 >= lts).sortBy(_._2).headOption
+            (b, f) match {
+              case (Some(bb), Some(ff)) =>
+                if (lts - bb._2 <= ff._2 - lts) Some(bb) else Some(ff)
+              case (x, y) => x.orElse(y)
+            }
+        }
+        pick.filter(m => tol.forall(t => math.abs(m._2 - lts) <= t))
+          .map(_._3).getOrElse(-1)
+      }
+      val want = lrows.map { case (k, lts) => (k, lts, bf(k, lts)) }
+        .sorted.toSeq
+      assert(got == want, s"dir=$dir tol=$tol\nleft=$lrows\nright=$rrows")
+    }
+  }
+
   test("random combine trees agree with direct set algebra") {
     val caseGen = Gen.zip(rowsGen, rowsGen, Gen.chooseNum(-30L, 30L))
     forAll(caseGen, n = 8) { case (r1, r2, cut) =>
