@@ -776,6 +776,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("funnel on random event streams equals a brute-force fold") {
+    import graft.ops.Relational
+    val evGen = Gen.nonEmptyListOf(for {
+      k <- Gen.chooseNum(1L, 5L)
+      t <- Gen.chooseNum(0L, 3600L)
+      e <- Gen.oneOf("view", "click", "buy", "noise")
+    } yield (k, t, e))
+    val winGen = Gen.oneOf(Option.empty[Long], Some(600L), Some(1800L))
+    forAll2(evGen, winGen, n = 15) { (rows, winSec) =>
+      val df = rows.toDF("k", "sec", "e")
+        .withColumn("ts", col("sec").cast("timestamp"))
+      val steps = Seq("view", "click", "buy")
+      val got = Relational.funnel(df, "k", "ts", "e", steps,
+          winSec.map(s => s"${s / 60} minutes"))
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      // brute force straight off the documented contract: first-anchor,
+      // strictly-after chaining, inclusive window against the anchor
+      val counts = Array.fill(3)(0L)
+      rows.groupBy(_._1).values.foreach { evs =>
+        val v = evs.filter(_._3 == "view").map(_._2)
+        if (v.nonEmpty) {
+          val t0 = v.min
+          counts(0) += 1
+          var prev = t0
+          var alive = true
+          Seq("click", "buy").zipWithIndex.foreach { case (s, i) =>
+            if (alive) {
+              val c = evs.filter(ev => ev._3 == s && ev._2 > prev &&
+                winSec.forall(w => ev._2 <= t0 + w)).map(_._2)
+              if (c.nonEmpty) { prev = c.min; counts(i + 1) += 1 }
+              else alive = false
+            }
+          }
+        }
+      }
+      val want = steps.zipWithIndex.map { case (s, i) => (i + 1, s, counts(i)) }
+      assert(got == want, s"win=$winSec rows=$rows")
+    }
+  }
+
   test("random combine trees agree with direct set algebra") {
     val caseGen = Gen.zip(rowsGen, rowsGen, Gen.chooseNum(-30L, 30L))
     forAll(caseGen, n = 8) { case (r1, r2, cut) =>
