@@ -201,6 +201,23 @@ object Compiler {
         // order, before the root result returns), discarded afterwards.
         // With executeSinks = false this still builds every tee plan, so
         // --validate checks them too.
+        if (tee.nonEmpty) {
+          // the whole point of tee is ONE read fanning out — a def that
+          // several tee/root trees consume UNCACHED re-scans per sink.
+          // Warn loudly (not an error: a cheap def may not be worth the
+          // materialization).
+          val consumed = (tee ++ Seq(root))
+            .flatMap(_.source.flatMap(_.ref))
+          val hot = consumed.groupBy(identity).collect {
+            case (r, xs) if xs.size > 1 => r
+          }
+          defs.filter(d => hot.exists(_ == d.id)).filterNot(_.cache)
+            .foreach { d =>
+              log.warn(s"tee fan-out reads def '${d.id}' " +
+                "multiple times WITHOUT cache: true — each sink re-scans " +
+                "it; set cache: true on the def to pay the read once")
+            }
+        }
         tee.foreach { t =>
           compileNode(spark, t, None, executeSinks, refs = refs)
         }
