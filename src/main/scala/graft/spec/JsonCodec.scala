@@ -57,8 +57,19 @@ object JsonCodec {
           nd
         }
       }.getOrElse(Nil)
-      TreePipeline(node(root, "root", extraAllowed = Set("defs", "tee")),
-        defs, tee)
+      val rootNode = node(root, "root", extraAllowed = Set("defs", "tee"))
+      // two tees (or a tee and the root) writing one path would silently
+      // clobber each other — overwrite mode makes the last writer win
+      val sinkPaths = (tee ++ Seq(rootNode)).flatMap(_.save)
+        .map(_.path).filter(_.nonEmpty)
+      val dupPaths = sinkPaths.groupBy(identity)
+        .collect { case (p, xs) if xs.size > 1 => p }
+      if (dupPaths.nonEmpty && tee.nonEmpty)
+        throw new IllegalArgumentException(
+          s"tee: several sinks write the same path(s): " +
+            s"${dupPaths.mkString(", ")} — overwrite mode means the last " +
+            "writer silently wins; give each side output its own path")
+      TreePipeline(rootNode, defs, tee)
     }
   }
 

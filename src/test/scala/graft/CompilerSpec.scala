@@ -345,6 +345,15 @@ class CompilerSpec extends SparkSpec {
       }
     }
     assert(eStream.getMessage.contains("batch-only"))
+    // two sinks on one path = silent last-writer-wins — rejected by name
+    val eDup = intercept[IllegalArgumentException](Compiler.compileJson(spark, s"""
+      {"tee": [
+         {"id": "a", "source": {"table": "tee_src"},
+          "save": {"format": "parquet", "path": "$base/same"}},
+         {"id": "b", "source": {"table": "tee_src"},
+          "save": {"format": "parquet", "path": "$base/same"}}],
+       "source": {"table": "tee_src"}}"""))
+    assert(eDup.getMessage.contains("same path"))
   }
 
   test("diff node key: added/removed/changed/unchanged, carry, guards") {
