@@ -727,6 +727,22 @@ class PropertySpec extends SparkSpec {
         assert(self.forall(_.getString(1) == "unchanged"))
         assert(Relational.snapshotDiff(newDf, newDf, Seq("id")).count() == 0)
       }
+      // composite key (id, t), compare v only — same brute-force contract
+      val newM2 = newM.map { case (id, (t, v)) => (id, t) -> v }
+      val oldM2 = oldM.map { case (id, (t, v)) => (id, t) -> v }
+      val got2 = Relational.snapshotDiff(newDf, oldDf, Seq("id", "t"),
+          compare = Seq("v"), includeUnchanged = true)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getString(2)).toMap
+      val want2 = (newM2.keySet ++ oldM2.keySet).map { k =>
+        k -> ((newM2.get(k), oldM2.get(k)) match {
+          case (Some(_), None) => "added"
+          case (None, Some(_)) => "removed"
+          case (Some(n), Some(o)) => if (n != o) "changed" else "unchanged"
+          case _ => sys.error("unreachable")
+        })
+      }.toMap
+      assert(got2 == want2, s"composite-key diff: new=$newM old=$oldM")
     }
   }
 
