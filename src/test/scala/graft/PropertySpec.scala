@@ -833,6 +833,51 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("resample on random series equals a brute-force grid") {
+    import graft.ops.Relational
+    val evGen = Gen.nonEmptyListOf(for {
+      k <- Gen.chooseNum(1L, 3L)
+      sec <- Gen.chooseNum(0L, 2000L)
+      v <- Gen.chooseNum(0, 16).map(_ / 4.0) // dyadic → exact sums
+    } yield (k, sec, v))
+    val fillGen = Gen.oneOf("none", "zero", "ffill")
+    val step = 300L
+    forAll2(evGen, fillGen, n = 12) { (rows, fill) =>
+      val df = rows.toDF("k", "sec", "v")
+        .withColumn("ts", col("sec").cast("timestamp"))
+      val got = Relational.resample(df, Seq("k"), "ts", "5 minutes",
+          Seq((sum(col("v")), "sv"), (count(lit(1)), "n")), fill)
+        .collect().map { r =>
+          ((r.getLong(0), r.getTimestamp(1).toInstant.getEpochSecond),
+            (if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+             if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        }.toMap
+      // brute force: epoch-aligned buckets, per-key [min, max] grid,
+      // fill policies applied bucket-by-bucket in order
+      val want = rows.groupBy(_._1).flatMap { case (k, evs) =>
+        val bucketed = evs.groupBy(e => e._2 - e._2 % step)
+        val lo = bucketed.keys.min
+        val hi = bucketed.keys.max
+        var carry: (Option[Double], Option[Long]) = (None, None)
+        (lo to hi by step).map { b =>
+          val in = bucketed.getOrElse(b, Nil)
+          val obs: (Option[Double], Option[Long]) =
+            if (in.nonEmpty) (Some(in.map(_._3).sum), Some(in.size.toLong))
+            else (None, None)
+          val filled = fill match {
+            case "zero"  => (Some(obs._1.getOrElse(0.0)),
+                             Some(obs._2.getOrElse(0L)))
+            case "ffill" =>
+              if (obs._1.isDefined) { carry = obs; obs } else carry
+            case _ => obs
+          }
+          (k, b) -> filled
+        }
+      }.toMap
+      assert(got == want, s"fill=$fill rows=$rows")
+    }
+  }
+
   test("random combine trees agree with direct set algebra") {
     val caseGen = Gen.zip(rowsGen, rowsGen, Gen.chooseNum(-30L, 30L))
     forAll(caseGen, n = 8) { case (r1, r2, cut) =>
