@@ -834,6 +834,14 @@ object Relational {
         s"snapshotDiff: compare column '$c' must exist in both snapshots")
       require(!keys.contains(c),
         s"snapshotDiff: '$c' is a key; keys are paired on, not compared")
+      // a type drift between snapshots must be an explicit decision, not
+      // an implicit cast — whether 1 (int) "changed" into 1.0 (double)
+      // depends on cast semantics the user never chose
+      val (nt, ot) = (newDf.schema(c).dataType, oldDf.schema(c).dataType)
+      require(nt == ot,
+        s"snapshotDiff: compare column '$c' changed TYPE between " +
+          s"snapshots (${ot.simpleString} -> ${nt.simpleString}) — cast " +
+          "one side explicitly to state the comparison you mean")
     }
     Seq(statusCol, changedCol).foreach { c =>
       require(!keys.contains(c) && !cmp.contains(c),

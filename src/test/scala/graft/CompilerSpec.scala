@@ -405,6 +405,15 @@ class CompilerSpec extends SparkSpec {
          "diff": {"on": ["id"], "ref": "old", "compare": ["t"]}}""").collect()
     }
     assert(eNull.getMessage.contains("NULL key"))
+    // a compare column that changed TYPE between snapshots rejects by
+    // name instead of silently comparing through an implicit cast
+    Seq((1L, 1)).toDF("id", "v").createOrReplaceTempView("df_ti")
+    Seq((1L, 1.0)).toDF("id", "v").createOrReplaceTempView("df_td")
+    val eType = intercept[IllegalArgumentException](Compiler.compileJson(spark, """
+      {"defs": [{"id": "old", "source": {"table": "df_td"}}],
+       "source": {"table": "df_ti"},
+       "diff": {"on": ["id"], "ref": "old"}}"""))
+    assert(eType.getMessage.contains("TYPE"))
   }
 
   test("salted join is stream-static admissible: stream == batch") {
