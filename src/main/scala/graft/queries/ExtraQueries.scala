@@ -531,7 +531,47 @@ object ExtraQueries extends QueryPack {
     FROM lineitem WHERE l_quantity > 45
     ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST"""
 
+  // q248 — statistical outlier screening from PURE config (zero new
+  // engine code): per-group z-scores via chained window-derive entries,
+  // filtered to the tails — the data-quality sweep that flags mis-parsed
+  // rows before they poison training statistics. The sd comes from raw
+  // SUM/COUNT moments, not stddev_samp: the quantities are
+  // integer-valued, so the window sums are EXACT in both engines and
+  // the derived z is bit-identical — a naive stddev_samp differs in the
+  // engines' streaming algorithms and flips tail-boundary rows (the
+  // deterministic-under-retries rule from SCALE.md applied to a score).
+  private def q248(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "lineitem"},
+       "derive": {
+         "s1": "sum(l_quantity) OVER (PARTITION BY l_returnflag)",
+         "s2": "sum(l_quantity * l_quantity) OVER (PARTITION BY l_returnflag)",
+         "n":  "count(1) OVER (PARTITION BY l_returnflag)",
+         "z":  "round((l_quantity - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6)"},
+       "filters": ["abs(z) > 1.6"],
+       "keep_columns": ["l_orderkey", "l_linenumber", "l_returnflag",
+                        "l_quantity", "z"],
+       "order_by": ["l_orderkey asc", "l_linenumber asc",
+                    "l_returnflag asc", "l_quantity asc"]}""")
+  private val q248Sql = """
+    WITH zs AS (
+      SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+             ROUND((l_quantity - s1 / n)
+                   / SQRT((s2 - s1 * s1 / n) / (n - 1)), 6) AS z
+      FROM (
+        SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+               SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS s1,
+               SUM(l_quantity * l_quantity)
+                 OVER (PARTITION BY l_returnflag) AS s2,
+               CAST(COUNT(*) OVER (PARTITION BY l_returnflag)
+                    AS DOUBLE) AS n
+        FROM lineitem))
+    SELECT * FROM zs WHERE ABS(z) > 1.6
+    ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST,
+             l_returnflag ASC NULLS FIRST, l_quantity ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q248_outlier_screen", q248, Some(q248Sql)),
     Q("q232_expect_contracts", q232, Some(q232Sql)),
     Q("q38_percentiles", q38, Some(q38Sql)),
     Q("q39_pivot", q39, Some(q39Sql)),
