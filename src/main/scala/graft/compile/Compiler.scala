@@ -97,7 +97,10 @@ object Compiler {
         node.pageRank.toSeq.flatMap(p => Seq(p.srcCol, p.dstCol)) ++
         node.tarPack.toSeq.flatMap(t => Seq(t.nameCol, t.payloadCol)) ++
         node.tarCompact.toSeq.flatMap(t => t.tarCol +: t.batchCol.toSeq) ++
-        node.annIndex.toSeq.flatMap(a => Seq(a.idCol, a.vecCol)) ++
+        // stats mode reads only the artifact — no frame columns to check
+        node.annIndex.toSeq.filterNot(_.mode == "stats")
+          .flatMap(a => Seq(a.idCol, a.vecCol)) ++
+        node.applyDiff.toSeq.flatMap(_.on) ++
         node.annSearch.toSeq.flatMap(a => Seq(a.idCol, a.vecCol)) ++
         node.annProbe.toSeq.map(_.vecCol) ++
         node.quantileFilter.toSeq.map(_.col) ++
@@ -688,7 +691,7 @@ object Compiler {
       requireBatch("funnel", "chained per-step global counts",
         "run the funnel as a periodic batch job over the landed events")
       df = graft.ops.Relational.funnel(df, fu.keyCol, fu.tsCol,
-        fu.eventCol, fu.steps, fu.window)
+        fu.eventCol, fu.steps, fu.window, fu.anchor)
     }
 
     // Range (point-in-interval) join against an intervals def: bucketed
@@ -719,6 +722,20 @@ object Compiler {
       df = graft.ops.Relational.snapshotDiff(df, old, ds.on, ds.compare,
         ds.statusCol, ds.changedCol, ds.includeUnchanged,
         carryNew = ds.carry == "new")
+    }
+
+    // Apply a snapshot diff: the frame (the BASE snapshot) patches with a
+    // delta def and becomes the NEW snapshot — ship the delta, never
+    // re-copy the corpus. Batch-only by name (a complete delta).
+    node.applyDiff.foreach { ad =>
+      requireBatch("apply_diff", "a key-shaped anti-join against a complete delta",
+        "apply deltas to the landed snapshot in batch")
+      val delta = refs.getOrElse(ad.deltaRef, throw new IllegalArgumentException(
+        s"node ${node.id}: apply_diff.delta_ref '${ad.deltaRef}' is not a " +
+          "def — declare the delta under top-level defs" +
+          (if (refs.isEmpty) "" else s" (defined: ${refs.keys.mkString(", ")})")))
+      df = graft.ops.Relational.applyDiff(df, delta, ad.on,
+        ad.statusCol, ad.changedCol)
     }
 
     // Resample / gap-fill: per key, re-grid the event series onto a
@@ -787,14 +804,22 @@ object Compiler {
     node.annIndex.foreach { ai =>
       requireBatch("ann_index", "centroid-fit actions and an index write",
         "build the index in batch; search streams of queries instead")
-      if (ai.mode == "append")
-        graft.ops.Similarity.appendAnnIndex(
-          df.sparkSession, df, ai.idCol, ai.vecCol, ai.dir)
-      else
-        graft.ops.Similarity.saveAnnIndex(
-          df.sparkSession, df, ai.idCol, ai.vecCol, ai.dir, ai.nlist, ai.refineRounds)
-      df = df.sparkSession.read.parquet(s"${ai.dir}/index")
-        .groupBy(col("list")).agg(count(lit(1)).as("n_vectors"))
+      if (ai.mode == "stats") {
+        // health view only — no write, the frame is discarded: the one-row
+        // (n_lists, n_empty_lists, n_vectors, max_list_n, mean_list_n,
+        // skew) gauge that decides rebuild-vs-append without reading the
+        // index parquet by hand
+        df = graft.ops.Similarity.annIndexStats(df.sparkSession, ai.dir)
+      } else {
+        if (ai.mode == "append")
+          graft.ops.Similarity.appendAnnIndex(
+            df.sparkSession, df, ai.idCol, ai.vecCol, ai.dir)
+        else
+          graft.ops.Similarity.saveAnnIndex(
+            df.sparkSession, df, ai.idCol, ai.vecCol, ai.dir, ai.nlist, ai.refineRounds)
+        df = df.sparkSession.read.parquet(s"${ai.dir}/index")
+          .groupBy(col("list")).agg(count(lit(1)).as("n_vectors"))
+      }
     }
 
     // Generic quantile-threshold selection: keep the ~keep_n best rows
@@ -1011,6 +1036,14 @@ object Compiler {
     // Catalyst may evaluate a pushed-down contract on rows a later join
     // would have dropped — express join-dependent contracts on the
     // parent node after its children.
+    //
+    // NULL semantics — STRICTER than SQL CHECK, deliberately: a rule
+    // that evaluates to NULL (e.g. `score > 0` on a NULL score) is a
+    // VIOLATION, not a pass. SQL CHECK's pass-on-UNKNOWN is the wrong
+    // default for a data contract — the rows it silently waves through
+    // are exactly the damaged ones. A contract that should tolerate
+    // NULLs says so explicitly: `score IS NULL OR score > 0`.
+    // Documented in USAGE.md's `expect` row; tested in CompilerSpec.
     node.expect.foreach { case (name, e) =>
       df = df.filter(when(expr(e), lit(true)).otherwise(raise_error(
         lit(s"expectation '$name' violated: $e"))))

@@ -199,15 +199,21 @@ object Relational {
     *
     * Implementation is the union-and-carry pattern, NOT a range cross
     * join: union both sides tagged, ONE shuffle on `on` keys, window
-    * `last/first(payload, ignoreNulls)` carries the nearest right
-    * payload to every left row. Cost is a single shuffle of |L|+|R|
-    * with one in-task sort (two for forward/nearest — the tie rule
-    * needs the opposite side order; same Exchange either way) — the
-    * only as-of formulation that survives 100 TB (a `l.ts >= r.ts`
-    * theta join is O(|L|·|R|) per key).
+    * `last/first(carry, ignoreNulls)` carries the nearest right
+    * payload to every left row. The carry is ONE struct holding the
+    * matched row's timestamp AND every payload column together — so a
+    * NULL in one payload field can never be silently back-filled from
+    * an OLDER right row (per-column carries had exactly that defect:
+    * the value came from beyond the tolerance gate while the gate
+    * validated the matched row's timestamp). Cost is a single shuffle
+    * of |L|+|R| with one in-task sort (two for forward/nearest — the
+    * tie rule needs the opposite side order; same Exchange either
+    * way) — the only as-of formulation that survives 100 TB (a
+    * `l.ts >= r.ts` theta join is O(|L|·|R|) per key).
     *
     * Right rows must be unique per (on, rightTs) — pre-dedup if not —
-    * otherwise which duplicate wins is tie-broken by `rightTieBreak`.
+    * otherwise which duplicate wins is tie-broken by `rightTieBreak`:
+    * the LARGEST tie-break value wins, in every direction.
     */
   def asofJoin(
       left: DataFrame,
@@ -238,69 +244,72 @@ object Relational {
     }
     val side = "__asof_side"
     val ts = "__asof_ts"
-    val payloadPrefixed = rightPayload.map(c => c -> s"__p_$c")
-    // the matched row's own timestamp rides as one more carried column —
-    // it decides nearest and tolerance
-    val rtsCarry = "__p___asof_rts"
+    val carry = "__asof_carry"
+    val tieC = "__asof_tie"
+    val bCol = "__asof_b"
 
-    var l = left.withColumn(side, lit(1)).withColumn(ts, col(leftTs))
-    (payloadPrefixed.map(_._2) :+ rtsCarry).foreach { p =>
-      l = l.withColumn(p, lit(null))
-    }
-
-    val r = right.select((on.map(col) :+ col(rightTs).as(ts)) ++
-      (payloadPrefixed.map { case (c, p) => col(c).as(p) } :+
-        col(rightTs).as(rtsCarry)): _*)
+    // The carry is ONE struct: the matched row's own timestamp (field
+    // __rts — it decides nearest and tolerance) plus every payload
+    // column (positional fields __f0.. so payload names can never
+    // collide with __rts). Right rows carry a NON-NULL struct even when
+    // every payload field is NULL; left rows carry NULL (unionByName
+    // back-fills the missing column) — so ignoreNulls skips exactly the
+    // left rows and nothing else.
+    val carryStruct = struct(
+      col(rightTs).as("__rts") +:
+        rightPayload.zipWithIndex.map { case (c, i) => col(c).as(s"__f$i") }: _*)
+    val l = left.withColumn(side, lit(1)).withColumn(ts, col(leftTs))
+    val r = right.select(
+      (on.map(col) :+ col(rightTs).as(ts) :+ carryStruct.as(carry)) ++
+        rightTieBreak.map(c => col(c).as(tieC)).toSeq: _*)
       .withColumn(side, lit(0))
-    // null out the left-only columns on the right side via unionByName
+    // null out the side-only columns on the other side via unionByName
     val unioned = l.unionByName(r, allowMissingColumns = true)
 
-    val tie = rightTieBreak.map(col(_).asc).toSeq
+    // Duplicate right rows at one (on, ts): the LARGEST tie-break value
+    // wins in EVERY direction — backward's last() over tie-asc and
+    // forward's first() over tie-DESC pick the same winner.
     // backward: right-before-left at equal ts → last() ≤-inclusive
     val wb = Window.partitionBy(on.map(col): _*)
-      .orderBy(Seq(col(ts).asc, col(side).asc) ++ tie: _*)
+      .orderBy(Seq(col(ts).asc, col(side).asc) ++
+        rightTieBreak.map(_ => col(tieC).asc).toSeq: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // forward: right-after-left at equal ts → first() ≥-inclusive
     val wf = Window.partitionBy(on.map(col): _*)
-      .orderBy(Seq(col(ts).asc, col(side).desc) ++ tie: _*)
+      .orderBy(Seq(col(ts).asc, col(side).desc) ++
+        rightTieBreak.map(_ => col(tieC).desc).toSeq: _*)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
-    val carried = payloadPrefixed.map(_._2) :+ rtsCarry
     var out = unioned
     direction match {
       case "backward" =>
-        carried.foreach { p =>
-          out = out.withColumn(s"__b_$p", last(col(p), ignoreNulls = true).over(wb))
-        }
+        out = out.withColumn(bCol, last(col(carry), ignoreNulls = true).over(wb))
       case "forward" =>
-        carried.foreach { p =>
-          out = out.withColumn(s"__b_$p", first(col(p), ignoreNulls = true).over(wf))
-        }
+        out = out.withColumn(bCol, first(col(carry), ignoreNulls = true).over(wf))
       case "nearest" =>
-        carried.foreach { p =>
-          out = out
-            .withColumn(s"__bk_$p", last(col(p), ignoreNulls = true).over(wb))
-            .withColumn(s"__fw_$p", first(col(p), ignoreNulls = true).over(wf))
-        }
-        val bTs = col(s"__bk_$rtsCarry")
-        val fTs = col(s"__fw_$rtsCarry")
+        out = out
+          .withColumn("__asof_bk", last(col(carry), ignoreNulls = true).over(wb))
+          .withColumn("__asof_fw", first(col(carry), ignoreNulls = true).over(wf))
+        val bTs = col("__asof_bk").getField("__rts")
+        val fTs = col("__asof_fw").getField("__rts")
         // closer side wins; equal distance → backward; one-sided → that side
         val useB = bTs.isNotNull &&
           (fTs.isNull || (col(ts) - bTs) <= (fTs - col(ts)))
-        carried.foreach { p =>
-          out = out.withColumn(s"__b_$p",
-            when(useB, col(s"__bk_$p")).otherwise(col(s"__fw_$p")))
-            .drop(s"__bk_$p", s"__fw_$p")
-        }
+        out = out.withColumn(bCol,
+          when(useB, col("__asof_bk")).otherwise(col("__asof_fw")))
+          .drop("__asof_bk", "__asof_fw")
     }
-    // tolerance: the matched row exists but sits too far — null the payload
+    // tolerance: the matched row exists but sits too far — null the
+    // payload. mts IS the matched row's timestamp: payload and gate come
+    // from the same struct, so they can never disagree about which row
+    // was matched.
+    val mts = col(bCol).getField("__rts")
     val inTol = tolExpr.map { tol =>
-      val mts = col(s"__b_$rtsCarry")
       val dist = when(mts <= col(ts), col(ts) - mts).otherwise(mts - col(ts))
       mts.isNotNull && dist <= tol
     }
-    payloadPrefixed.foreach { case (c, p) =>
-      val v = col(s"__b_$p")
+    rightPayload.zipWithIndex.foreach { case (c, i) =>
+      val v = col(bCol).getField(s"__f$i")
       out = out.withColumn(c, inTol match {
         case Some(ok) => when(ok, v)
         case None     => v
@@ -308,9 +317,7 @@ object Relational {
     }
     out
       .filter(col(side) === 1)
-      .drop(side, ts)
-      .drop(payloadPrefixed.map(_._2) :+ rtsCarry: _*)
-      .drop(carried.map(p => s"__b_$p"): _*)
+      .drop(side, ts, carry, tieC, bCol)
   }
 
   /** RANGE (point-in-interval) join, the config-reachable GENERAL form
@@ -571,20 +578,32 @@ object Relational {
     * STRICTLY after step i−1 (same-timestamp events do not chain).
     * `window` (an interval string, e.g. "2 hours") additionally requires
     * every step to land within window of the step-1 anchor — the
-    * "converted within N hours" business rule; the first-anchor
-    * convention is the standard simplification (a later step-1 event
-    * that would convert better does not re-anchor) and is what the
-    * chained-min formulation computes.
+    * "converted within N hours" business rule.
+    *
+    * `anchor` picks between the two industry conventions:
+    *  - "first" (default): a key anchors ONCE, at its first `steps(0)`
+    *    event — a later step-1 event that would convert better does not
+    *    re-anchor; n_keys counts KEYS. The chained-min formulation.
+    *  - "every": EVERY distinct (key, step-1 instant) is its own anchor
+    *    and converts independently (the "event totals" convention);
+    *    n_keys counts surviving ANCHORS, so a key appears once per
+    *    qualifying anchor. Duplicate step-1 events at one instant
+    *    collapse to one anchor (they would convert identically).
     *
     * Returns one row per step: (step 1-based, event, n_keys) — n_keys
     * monotonically non-increasing down the funnel.
     *
-    * Scale: implemented as chained per-key MIN aggregates (no per-key
-    * event arrays, no windows over history): step i's frame is the
-    * events filtered to ONE event type, joined key-shaped to the step
-    * i−1 anchors, and min-aggregated — each pass shuffles only that
-    * step's events plus key-shaped anchors, with map-side combine. The
-    * final output is a union of k single-row counts. Batch-only by name
+    * Scale: "first" is chained per-key MIN aggregates (no per-key event
+    * arrays, no windows over history): step i's frame is the events
+    * filtered to ONE event type, joined key-shaped to the step i−1
+    * anchors, and min-aggregated — each pass shuffles only that step's
+    * events plus key-shaped anchors, with map-side combine. "every"
+    * cannot join anchors to events (per-key anchors × events is
+    * quadratic on a hot key) — it uses the as-of union-and-carry shape
+    * instead: per step, ONE shuffle of |anchors| + |step events| and a
+    * per-key sort carries the next-event instant to every anchor, so a
+    * key with a million anchors costs sort, never a product. The final
+    * output is a union of k single-row counts. Batch-only by name
     * (per-step global counts). */
   def funnel(
       events: DataFrame,
@@ -592,11 +611,14 @@ object Relational {
       tsCol: String,
       eventCol: String,
       steps: Seq[String],
-      window: Option[String] = None
+      window: Option[String] = None,
+      anchor: String = "first"
   ): DataFrame = {
     require(steps.nonEmpty, "funnel: steps must be non-empty")
     require(steps.distinct.size == steps.size,
       s"funnel: steps must be distinct, got ${steps.mkString(", ")}")
+    require(anchor == "first" || anchor == "every",
+      s"funnel: anchor must be 'first' or 'every', got '$anchor'")
     // validate the interval eagerly so a typo fails at plan time by name
     val winInterval = window.map { w =>
       try org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
@@ -610,21 +632,58 @@ object Relational {
           "length) — use days/hours/minutes")
     }
     val winCol = window.map(w => expr(s"INTERVAL '$w'"))
-    // anchor: first occurrence of step 1 per key — (key, t0, t)
-    var cur = events.filter(col(eventCol) === steps.head)
-      .groupBy(col(keyCol))
-      .agg(min(col(tsCol)).as("__t"))
-      .withColumn("__t0", col("__t"))
-    val frames = scala.collection.mutable.ArrayBuffer[DataFrame](cur)
-    steps.tail.foreach { s =>
-      val prev = cur.select(col(keyCol), col("__t").as("__prev"), col("__t0"))
-      var stepEv = events.filter(col(eventCol) === s)
-        .join(prev, Seq(keyCol))
-        .filter(col(tsCol) > col("__prev"))
-      winCol.foreach(wc => stepEv = stepEv.filter(col(tsCol) <= col("__t0") + wc))
-      cur = stepEv.groupBy(col(keyCol))
-        .agg(min(col(tsCol)).as("__t"), first(col("__t0")).as("__t0"))
+    val frames = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    if (anchor == "first") {
+      // anchor: first occurrence of step 1 per key — (key, t0, t)
+      var cur = events.filter(col(eventCol) === steps.head)
+        .groupBy(col(keyCol))
+        .agg(min(col(tsCol)).as("__t"))
+        .withColumn("__t0", col("__t"))
       frames += cur
+      steps.tail.foreach { s =>
+        val prev = cur.select(col(keyCol), col("__t").as("__prev"), col("__t0"))
+        var stepEv = events.filter(col(eventCol) === s)
+          .join(prev, Seq(keyCol))
+          .filter(col(tsCol) > col("__prev"))
+        winCol.foreach(wc => stepEv = stepEv.filter(col(tsCol) <= col("__t0") + wc))
+        cur = stepEv.groupBy(col(keyCol))
+          .agg(min(col(tsCol)).as("__t"), first(col("__t0")).as("__t0"))
+        frames += cur
+      }
+    } else {
+      // anchor = "every": one anchor per DISTINCT (key, step-1 instant).
+      // Joining anchors to step events would be per-key anchors × events
+      // (quadratic on a hot key) — instead each step is the as-of
+      // union-and-carry: anchors (side 1) and that step's events (side 0)
+      // union, ONE shuffle on the key, and a per-key-sorted window
+      // carries the NEXT event instant to every anchor. At an equal
+      // instant the event sorts BEFORE the anchor (side 0 < 1) and so
+      // falls outside [currentRow, following] — which is exactly the
+      // STRICTLY-after rule. The first event past __t is also the MIN
+      // qualifying one, so filtering the window bound afterwards is
+      // equivalent (any later event is even further from __t0).
+      var cur = events.filter(col(eventCol) === steps.head)
+        .select(col(keyCol), col(tsCol).as("__t")).distinct()
+        .withColumn("__t0", col("__t"))
+      frames += cur
+      steps.tail.foreach { s =>
+        val a = cur.select(col(keyCol), col("__t").as("__ats"), col("__t0"))
+          .withColumn("__side", lit(1))
+        val e = events.filter(col(eventCol) === s)
+          .select(col(keyCol), col(tsCol).as("__ats"))
+          .withColumn("__side", lit(0))
+        val u = a.unionByName(e, allowMissingColumns = true)
+        val w = Window.partitionBy(col(keyCol))
+          .orderBy(col("__ats").asc, col("__side").asc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        var nxt = u.withColumn("__nxt",
+          first(when(col("__side") === 0, col("__ats")), ignoreNulls = true)
+            .over(w))
+          .filter(col("__side") === 1 && col("__nxt").isNotNull)
+        winCol.foreach(wc => nxt = nxt.filter(col("__nxt") <= col("__t0") + wc))
+        cur = nxt.select(col(keyCol), col("__nxt").as("__t"), col("__t0"))
+        frames += cur
+      }
     }
     frames.zip(steps).zipWithIndex.map { case ((f, s), i) =>
       f.agg(count(lit(1)).as("n_keys"))
@@ -874,6 +933,85 @@ object Relational {
         (if (carryNew) cmp.map(c => col(s"__n_$c").as(c)) else Nil): _*)
     if (includeUnchanged) out
     else out.filter(col(statusCol) =!= "unchanged")
+  }
+
+  /** APPLY a snapshot diff — the inverse of [[snapshotDiff]], closing the
+    * diff lifecycle: given the BASE (old) snapshot and a DELTA produced
+    * by `snapshotDiff(new, old, carryNew = true)`, materialize the NEW
+    * snapshot WITHOUT recomputing it — at 100 TB the nightly rebuild
+    * becomes "ship the delta, patch at the destination" instead of
+    * re-copying the corpus. Round-trip law (tested):
+    * `applyDiff(old, snapshotDiff(new, old, carry)) == new`.
+    *
+    * Contract: `delta` is key-unique (the diff contract — keys identify
+    * snapshot rows) and carries `statusCol` plus the new-side payload
+    * (`carry: "new"`); a payload-less delta rejects by name (added/
+    * changed rows would have no values to land). The base must be
+    * exactly keys + payload-shaped: a base column the delta never
+    * tracked rejects by name (changed rows could not fill it), as does
+    * a payload type drift. Unknown status values raise at run time by
+    * name. `changedCol` (if present) is bookkeeping and is dropped.
+    *
+    * Scale: ONE key-shaped left-anti join (the base shuffles once on
+    * the keys; the other side is touched-keys-shaped, i.e. delta-sized)
+    * plus a union with the delta's added/changed rows — no windows, no
+    * full-outer join, no driver data. */
+  def applyDiff(
+      base: DataFrame,
+      delta: DataFrame,
+      keys: Seq[String],
+      statusCol: String = "diff_status",
+      changedCol: String = "changed_cols"
+  ): DataFrame = {
+    require(keys.nonEmpty, "applyDiff: need at least one key column")
+    keys.foreach { k =>
+      require(base.columns.contains(k) && delta.columns.contains(k),
+        s"applyDiff: key column '$k' must exist in both base and delta")
+    }
+    require(delta.columns.contains(statusCol),
+      s"applyDiff: delta has no status column '$statusCol' — apply " +
+        "takes a snapshotDiff output (set status_col if it was renamed)")
+    val payload = delta.columns.toSeq
+      .filterNot(c => keys.contains(c) || c == statusCol || c == changedCol)
+    require(payload.nonEmpty,
+      "applyDiff: the delta carries no payload columns — run the diff " +
+        "with carry: \"new\" so added/changed rows bring their values")
+    val missing = payload.filterNot(base.columns.contains)
+    require(missing.isEmpty,
+      s"applyDiff: delta payload columns ${missing.mkString(", ")} are " +
+        "absent from the base — the delta was built against a " +
+        "different schema")
+    val extra = base.columns.toSeq
+      .filterNot(c => keys.contains(c) || payload.contains(c))
+    require(extra.isEmpty,
+      s"applyDiff: base columns ${extra.mkString(", ")} are not tracked " +
+        "by the delta — include them in the diff's compare/carry or " +
+        "drop them from the base (changed rows could not fill them)")
+    payload.foreach { c =>
+      val (bt, dt) = (base.schema(c).dataType, delta.schema(c).dataType)
+      require(bt == dt,
+        s"applyDiff: payload column '$c' changed TYPE between base and " +
+          s"delta (${bt.simpleString} -> ${dt.simpleString}) — cast one " +
+          "side explicitly")
+    }
+    val outCols = keys ++ payload
+    // unknown status = a frame that is not a diff output (or a corrupted
+    // one) — fail loudly instead of silently dropping those rows
+    val checked = when(
+      col(statusCol).isin("added", "removed", "changed", "unchanged"),
+      col(statusCol))
+      .otherwise(raise_error(concat(
+        lit(s"applyDiff: unknown $statusCol value '"),
+        col(statusCol), lit("' — apply takes a snapshotDiff output"))))
+    val affected = delta.select(
+      (keys.map(col) :+ checked.as(statusCol)) ++ payload.map(col): _*)
+    val touched = affected.filter(col(statusCol) =!= "unchanged")
+      .select(keys.map(col): _*)
+    val kept = base.select(outCols.map(col): _*)
+      .join(touched, keys, "left_anti")
+    val landed = affected.filter(col(statusCol).isin("added", "changed"))
+      .select(outCols.map(col): _*)
+    kept.unionByName(landed)
   }
 
   /** Windowed running sum with exact decimal accumulation — the window

@@ -200,8 +200,8 @@ object Retrieval {
     * scores 0). Ratios round to 9 dp (exact for these small rationals);
     * macro-average downstream with `davg` for the corpus-level number.
     *
-    * Scale: qrels dedupe on (query, doc), results filter to rank ≤ k
-    * BEFORE the join — both sides are judgment/top-k-shaped, the joins
+    * Scale: BOTH sides dedupe on (query, doc) — results additionally
+    * filter to rank ≤ k (keeping min rank per doc) — BEFORE the join — both sides are judgment/top-k-shaped, the joins
     * are equi-joins, the aggregate is query-keyed with map-side combine.
     * Corpus size never enters. Batch-only by name (metric aggregates).
     * Returns (queryCol, n_rel, hits_at_k, rr_at_k, recall_at_k,
@@ -221,9 +221,14 @@ object Retrieval {
     val rank = when(col(rankCol).isNotNull && col(rankCol) >= 1,
       col(rankCol).cast("long")).otherwise(raise_error(
       lit(s"rankingEval: NULL or < 1 rank in '$rankCol'")))
+    // one row per (query, doc): a doc listed twice inside the top k (a
+    // fused or concatenated result table) must count as ONE hit — raw
+    // duplicate rows would each match a judgment, letting hits_at_k
+    // exceed n_rel and recall_at_k exceed 1.0. min(rank) keeps rr exact.
     val topk = results.select(col(queryCol).as("__q"), col(docCol).as("__d"),
         rank.as("__r"))
       .filter(col("__r") <= k)
+      .groupBy("__q", "__d").agg(min(col("__r")).as("__r"))
     val judged = qrels.select(col(queryCol).as("__q"), col(docCol).as("__d"))
       .distinct()
     val perQ = judged.groupBy("__q").agg(count(lit(1)).as("n_rel"))

@@ -407,6 +407,41 @@ object Similarity {
       .write.mode("append").partitionBy("list").parquet(s"$dir/index")
   }
 
+  /** Index HEALTH view over a [[saveAnnIndex]] artifact — the
+    * rebuild-vs-append decision input ([[appendAnnIndex]]'s documented
+    * trade is centroid drift under heavy growth; this is the gauge that
+    * says when the trade went bad). One row:
+    * (n_lists, n_empty_lists, n_vectors, max_list_n, mean_list_n, skew)
+    * where mean is over ALL nlist lists (empty ones included) and
+    * skew = max/mean — 1.0 is perfectly balanced, n_lists is the
+    * worst case (every vector in one hot list; searches probing it
+    * degrade toward brute force). Rebuild when skew drifts well past
+    * its post-build value.
+    *
+    * Scale: centroids load as bounded metadata (n_lists without reading
+    * the corpus); the index side is ONE count-by-list aggregate whose
+    * scan prunes to the `list` PARTITION column — no vector data moves,
+    * and the per-list counts are an nlist-bounded frame. */
+  def annIndexStats(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String
+  ): DataFrame = {
+    val nl = loadCentroids(spark, dir).size
+    val counts = spark.read.parquet(s"$dir/index")
+      .groupBy(col("list")).agg(count(lit(1)).as("__n"))
+    counts.agg(
+        lit(nl).as("n_lists"),
+        (lit(nl.toLong) - count(lit(1))).cast("long").as("n_empty_lists"),
+        coalesce(sum(col("__n")), lit(0L)).cast("long").as("n_vectors"),
+        coalesce(max(col("__n")), lit(0L)).cast("long").as("max_list_n"),
+        round(coalesce(sum(col("__n")), lit(0L)) / lit(nl.toDouble), 9)
+          .as("mean_list_n"))
+      .withColumn("skew", round(
+        when(col("n_vectors") > 0,
+          col("max_list_n") * lit(nl.toDouble) / col("n_vectors"))
+          .otherwise(lit(0.0)), 9))
+  }
+
   /** SCAN-STAGE semantic probe against a [[saveAnnIndex]] artifact — the
     * embedding sibling of `near_dup_probe`/`winnow_probe` and the
     * semantic-decontamination gate: every row gains `scoreCol` = its MAX
@@ -434,14 +469,19 @@ object Similarity {
       s"annProbeIndex: output column '$c' already exists — rename it first"))
     val spark = df.sparkSession
     val idx = spark.read.parquet(s"$indexDir/index").select(col("vec"))
-    val n = idx.count()
+    // ONE action: collect with a 65537-row probe limit (the index side is
+    // watchlist-sized by contract, so an over-budget artifact costs at
+    // most one extra row before the named error) and derive n from the
+    // array — a separate count() would re-scan the index parquet.
+    val rows = idx.limit(65537).collect()
+    val n = rows.length
     require(n >= 1, s"annProbeIndex: empty index under $indexDir/index")
     require(n <= 65536,
-      s"annProbeIndex: the index holds $n vectors — the probe side must " +
-        "be a watchlist/benchmark (<= 65536 vectors; the kernel " +
+      s"annProbeIndex: the index holds >= $n vectors — the probe side " +
+        "must be a watchlist/benchmark (<= 65536 vectors; the kernel " +
         "broadcasts them as a reference object). For corpus-scale " +
         "indexes use ann_search in batch")
-    val refs = idx.collect()
+    val refs = rows
       .map(r => r.getSeq[Number](0).map(_.doubleValue()).toSeq).toSeq
     require(refs.map(_.length.toLong).sum <= (1L << 22),
       s"annProbeIndex: ${refs.map(_.length.toLong).sum} reference doubles " +

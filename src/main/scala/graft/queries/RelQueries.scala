@@ -473,26 +473,33 @@ object RelQueries extends QueryPack {
        "order_by": ["col_name asc"]}""")
   }
 
-  // q244 — corpus snapshot diff (`diff` node key): the root frame is the
-  // NEW snapshot (docs with id % 13 ≠ 0), the def the OLD one (id % 11 ≠
-  // 0, with a planted score change on id % 7 = 0) — so id % 11 = 0 rows
-  // diff as added, id % 13 = 0 as removed, id % 7 = 0 survivors as
-  // changed with changed_cols = [sc], and everything else drops as
-  // unchanged. carry: "new" surfaces the new-side values (NULL on
-  // removed). The oracle restates the whole thing as one FULL OUTER JOIN.
+  // q244 — corpus snapshot diff (`diff` node key): the "d" def's frame is
+  // the NEW snapshot (docs with id % 13 ≠ 0), the "old" def the OLD one
+  // (id % 11 ≠ 0, with a planted score change on id % 7 = 0) — so
+  // id % 11 = 0 rows diff as added, id % 13 = 0 as removed, id % 7 = 0
+  // survivors as changed with changed_cols = [sc], and everything else
+  // drops as unchanged. carry: "new" surfaces the new-side values (NULL
+  // on removed). The root node projects the array<string> changed_cols
+  // through array_join — the driver checker row-sorts with pandas and
+  // array cells are unhashable, so declared queries keep arrays out of
+  // their output schema (NULL stays NULL on added/removed). The oracle
+  // restates the whole thing as one FULL OUTER JOIN.
   private def q244(s: SparkSession, dir: String): DataFrame =
     graft.compile.Compiler.compileJson(s, """
       {"defs": [
          {"id": "old", "source": {"table": "documents"},
           "filters": ["doc_id % 11 != 0"],
           "derive": {"sc": "CAST(if(doc_id % 7 = 0, length(text) + 1, length(text)) AS BIGINT)"},
-          "keep_columns": ["doc_id", "lang", "sc"]}],
-       "source": {"table": "documents"},
-       "filters": ["doc_id % 13 != 0"],
-       "derive": {"sc": "CAST(length(text) AS BIGINT)"},
-       "keep_columns": ["doc_id", "lang", "sc"],
-       "diff": {"on": ["doc_id"], "ref": "old",
-                "compare": ["lang", "sc"], "carry": "new"},
+          "keep_columns": ["doc_id", "lang", "sc"]},
+         {"id": "d", "source": {"table": "documents"},
+          "filters": ["doc_id % 13 != 0"],
+          "derive": {"sc": "CAST(length(text) AS BIGINT)"},
+          "keep_columns": ["doc_id", "lang", "sc"],
+          "diff": {"on": ["doc_id"], "ref": "old",
+                   "compare": ["lang", "sc"], "carry": "new"}}],
+       "source": {"ref": "d"},
+       "derive": {"changed": "array_join(changed_cols, ',')"},
+       "keep_columns": ["doc_id", "diff_status", "changed", "lang", "sc"],
        "order_by": ["doc_id asc"]}""")
   private val q244Sql = """
     WITH newv AS (
@@ -508,15 +515,44 @@ object RelQueries extends QueryPack {
                 WHEN n.doc_id IS NULL THEN 'removed'
                 ELSE 'changed' END AS diff_status,
            CASE WHEN n.doc_id IS NOT NULL AND o.doc_id IS NOT NULL THEN
-             list_filter(
+             array_to_string(list_filter(
                [CASE WHEN n.lang IS DISTINCT FROM o.lang THEN 'lang' END,
                 CASE WHEN n.sc IS DISTINCT FROM o.sc THEN 'sc' END],
-               x -> x IS NOT NULL)
-           ELSE NULL END AS changed_cols,
+               x -> x IS NOT NULL), ',')
+           ELSE NULL END AS changed,
            n.lang AS lang, n.sc AS sc
     FROM newv n FULL OUTER JOIN oldv o ON n.doc_id = o.doc_id
     WHERE o.doc_id IS NULL OR n.doc_id IS NULL
        OR (n.lang IS DISTINCT FROM o.lang) OR (n.sc IS DISTINCT FROM o.sc)
+    ORDER BY doc_id ASC NULLS FIRST"""
+
+  // q251 — APPLY a snapshot diff (`apply_diff`), the inverse that closes
+  // the diff lifecycle: the q244 fixture's delta (new-vs-old with carry)
+  // patches the OLD snapshot and must reproduce the NEW snapshot
+  // EXACTLY — the round-trip law apply(old, diff(new, old)) == new as a
+  // driver-gated oracle. At 100 TB this is "ship the delta, patch at
+  // the destination" instead of re-copying the corpus. The oracle is
+  // simply the new-side SELECT — if any of the anti-join/union legs is
+  // wrong, rows go missing, duplicate, or keep stale values.
+  private def q251(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"defs": [
+         {"id": "old", "source": {"table": "documents"},
+          "filters": ["doc_id % 11 != 0"],
+          "derive": {"sc": "CAST(if(doc_id % 7 = 0, length(text) + 1, length(text)) AS BIGINT)"},
+          "keep_columns": ["doc_id", "lang", "sc"]},
+         {"id": "delta", "source": {"table": "documents"},
+          "filters": ["doc_id % 13 != 0"],
+          "derive": {"sc": "CAST(length(text) AS BIGINT)"},
+          "keep_columns": ["doc_id", "lang", "sc"],
+          "diff": {"on": ["doc_id"], "ref": "old",
+                   "compare": ["lang", "sc"], "carry": "new"}}],
+       "source": {"ref": "old"},
+       "apply_diff": {"delta_ref": "delta", "on": ["doc_id"]},
+       "order_by": ["doc_id asc"]}""")
+  private val q251Sql = """
+    SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS sc
+    FROM documents WHERE doc_id % 13 <> 0
     ORDER BY doc_id ASC NULLS FIRST"""
 
   // q245 — INCREMENTAL corpus rebuild, the flagship composition the diff
@@ -603,6 +639,7 @@ object RelQueries extends QueryPack {
 
   override def queries: Seq[Q] = Seq(
     Q("q244_snapshot_diff", q244, Some(q244Sql)),
+    Q("q251_apply_diff", q251, Some(q251Sql)),
     Q("q245_incremental_rebuild", q245, Some(q245Sql)),
     Q("q246_tee_fanout", q246, Some(q246Sql)),
     Q("q10_semi_join", q10, Some(q10Sql)),

@@ -552,6 +552,41 @@ object SimQueries extends QueryPack {
        "order_by": ["query_id asc", "rank asc"]}""")
   }
 
+  // q250 — ANN index HEALTH from pure JSON (`ann_index mode:"stats"`):
+  // the rebuild-vs-append gauge. The index builds once in Scala
+  // (nlist = 8 over the whole corpus); the config's stats view must
+  // report exact conservation (n_vectors = corpus count, n_lists = 8,
+  // empty + non-empty = 8) and internally-consistent skew
+  // (mean·n_lists = n_vectors; max within [ceil(mean), n_vectors];
+  // skew = max/mean) — invariants that hold regardless of where the
+  // deterministic centroid sample lands, so the oracle states them as
+  // constants over the corpus count.
+  private def q250(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir)
+    val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_q250_index"
+    Similarity.saveAnnIndex(
+      s, emb(s, dir).select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", idxDir, nlist = 8)
+    graft.compile.Compiler.compileJson(s, s"""
+      {"source": {"table": "embeddings"},
+       "ann_index": {"dir": "$idxDir", "mode": "stats"}}""")
+      .select(
+        col("n_lists"),
+        col("n_vectors"),
+        (col("n_empty_lists") >= 0 && col("n_empty_lists") < 8).as("empties_ok"),
+        (abs(col("mean_list_n") * col("n_lists") - col("n_vectors")) < lit(1e-6))
+          .as("mean_ok"),
+        (col("max_list_n") >= ceil(col("mean_list_n")) &&
+          col("max_list_n") <= col("n_vectors")).as("max_ok"),
+        (abs(col("skew") - col("max_list_n") / col("mean_list_n")) < lit(1e-6))
+          .as("skew_ok"))
+  }
+  private val q250Sql = """
+    SELECT 8 AS n_lists, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           TRUE AS empties_ok, TRUE AS mean_ok, TRUE AS max_ok,
+           TRUE AS skew_ok
+    FROM embeddings"""
+
   // q222 — SCAN-STAGE semantic probe (the decontamination gate): index
   // the "benchmark" (vec_id < 20) in Scala, then PURE JSON flags every
   // corpus row whose max cosine against the benchmark reaches 0.35. The
@@ -588,6 +623,7 @@ object SimQueries extends QueryPack {
     Q("q220_ann_index_append", q220, Some(bruteTopKSql(3))),
     Q("q222_ann_probe", q222, Some(q222Sql)),
     Q("q219_config_ann_index", q219, Some(q219Sql)),
+    Q("q250_ann_index_stats", q250, Some(q250Sql)),
     Q("q31_cosine_topk", q31, Some(q31Sql)),
     Q("q32_embedding_neardup", q32, Some(q32Sql)),
     Q("q46_embedding_neardup_banded", q46, Some(q46Sql)),

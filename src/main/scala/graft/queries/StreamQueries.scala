@@ -212,6 +212,44 @@ object StreamQueries extends QueryPack {
     SELECT 3 AS step, 'purchase' AS event, CAST(COUNT(*) AS BIGINT) AS n_keys FROM t3
     ORDER BY step ASC NULLS FIRST"""
 
+  // q249 — the funnel's OTHER industry convention, anchor: "every"
+  // ("event totals"): every distinct (user, view instant) is its own
+  // anchor and converts independently — n_keys counts anchors, not
+  // users. Engine-side this is the union-and-carry shape (one
+  // |anchors|+|events| shuffle per step, never an anchors × events
+  // product); the oracle restates it as literal per-anchor chained MIN
+  // joins (quadratic but exact at oracle scale).
+  private def q249(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "events"},
+       "funnel": {"key_col": "user_id", "ts_col": "ts",
+                  "event_col": "event_type",
+                  "steps": ["view", "click", "purchase"],
+                  "window": "2 hours", "anchor": "every"},
+       "order_by": ["step asc"]}""")
+  private val q249Sql = """
+    WITH a1 AS (
+      SELECT DISTINCT user_id, ts AS t0
+      FROM events WHERE event_type = 'view'),
+    t2 AS (
+      SELECT a.user_id, a.t0, MIN(e.ts) AS ts2
+      FROM a1 a JOIN events e ON e.user_id = a.user_id
+      WHERE e.event_type = 'click' AND e.ts > a.t0
+        AND e.ts <= a.t0 + INTERVAL '2 hours'
+      GROUP BY a.user_id, a.t0),
+    t3 AS (
+      SELECT t.user_id, t.t0
+      FROM t2 t JOIN events e ON e.user_id = t.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t.ts2
+        AND e.ts <= t.t0 + INTERVAL '2 hours'
+      GROUP BY t.user_id, t.t0)
+    SELECT 1 AS step, 'view' AS event, CAST(COUNT(*) AS BIGINT) AS n_keys FROM a1
+    UNION ALL
+    SELECT 2 AS step, 'click' AS event, CAST(COUNT(*) AS BIGINT) AS n_keys FROM t2
+    UNION ALL
+    SELECT 3 AS step, 'purchase' AS event, CAST(COUNT(*) AS BIGINT) AS n_keys FROM t3
+    ORDER BY step ASC NULLS FIRST"""
+
   // q231 — COHORT RETENTION from pure config (no dedicated operator —
   // q224's window-derive capability closes this whole analytics family):
   // each user's cohort is their first active day (a whole-partition MIN
@@ -326,6 +364,7 @@ object StreamQueries extends QueryPack {
     Q("q65_config_interval", q65, Some(q37bSql)),
     Q("q224_sessionize_rows", q224, Some(q224Sql)),
     Q("q230_funnel", q230, Some(q230Sql)),
+    Q("q249_funnel_every", q249, Some(q249Sql)),
     Q("q231_cohort_retention", q231, Some(q231Sql)),
     Q("q241_resample_zero", q241, Some(q241Sql)),
     Q("q242_resample_ffill", q242, Some(q242Sql))

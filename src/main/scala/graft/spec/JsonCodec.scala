@@ -654,9 +654,12 @@ object JsonCodec {
         tsCol = req(d, ctx, "ts_col", "tsCol").asText,
         eventCol = req(d, ctx, "event_col", "eventCol").asText,
         steps = strSeq(stepsNode),
-        window = opt(d, "window").map(_.asText))
+        window = opt(d, "window").map(_.asText),
+        anchor = opt(d, "anchor").map(_.asText).getOrElse("first"))
       require(s.steps.distinct.size == s.steps.size,
         s"$ctx: steps must be distinct, got ${s.steps.mkString(", ")}")
+      require(s.anchor == "first" || s.anchor == "every",
+        s"$ctx: anchor must be 'first' or 'every', got '${s.anchor}'")
       s
     }
 
@@ -702,6 +705,21 @@ object JsonCodec {
         s"""$ctx: carry must be "none" or "new", got '${s.carry}' — the """ +
           "old side's values are reachable by diffing in the other " +
           "direction")
+      require(s.statusCol != s.changedCol,
+        s"$ctx: status_col and changed_col must differ")
+      s
+    }
+
+    val applyDiffSpec = optN("apply_diff", "applyDiff").map { d =>
+      val ctx = s"node $id: apply_diff"
+      val s = ApplyDiffSpec(
+        on = strSeq(req(d, ctx, "on")),
+        deltaRef = req(d, ctx, "delta_ref", "deltaRef", "ref").asText,
+        statusCol = opt(d, "status_col", "statusCol").map(_.asText)
+          .getOrElse("diff_status"),
+        changedCol = opt(d, "changed_col", "changedCol").map(_.asText)
+          .getOrElse("changed_cols"))
+      require(s.on.nonEmpty, s"$ctx: 'on' needs at least one key column")
       require(s.statusCol != s.changedCol,
         s"$ctx: status_col and changed_col must differ")
       s
@@ -778,20 +796,31 @@ object JsonCodec {
 
     val aiSpec = optN("ann_index", "annIndex").map { d =>
       val ctx = s"node $id: ann_index"
+      val mode = opt(d, "mode").map(_.asText).getOrElse("build")
+      require(mode == "build" || mode == "append" || mode == "stats",
+        s"""$ctx: mode must be "build", "append" or "stats", got "$mode"""")
+      // stats only READS the artifact — the frame's columns never enter,
+      // so a stated id_col/vec_col is a misunderstanding; reject by name
+      if (mode == "stats")
+        Seq("id_col", "idCol", "vec_col", "vecCol").foreach { k =>
+          require(opt(d, k).isEmpty,
+            s"""$ctx: "$k" has no effect under mode "stats" (the health """ +
+              "view reads only the saved artifact) — remove it")
+        }
       val s = AnnIndexSpec(
-        idCol = req(d, ctx, "id_col", "idCol").asText,
-        vecCol = req(d, ctx, "vec_col", "vecCol").asText,
+        idCol = if (mode == "stats") ""
+          else req(d, ctx, "id_col", "idCol").asText,
+        vecCol = if (mode == "stats") ""
+          else req(d, ctx, "vec_col", "vecCol").asText,
         dir = req(d, ctx, "dir").asText,
         nlist = opt(d, "nlist").map(_.asInt).getOrElse(16),
         refineRounds = opt(d, "refine_rounds", "refineRounds").map(_.asInt).getOrElse(0),
-        mode = opt(d, "mode").map(_.asText).getOrElse("build"))
-      require(s.mode == "build" || s.mode == "append",
-        s"""$ctx: mode must be "build" or "append", got "${s.mode}"""")
+        mode = mode)
       // append assigns to the SAVED centroids — a stated fit parameter
       // would silently not refit; reject the contradiction by name
       require(s.mode == "build" ||
           (opt(d, "nlist").isEmpty && opt(d, "refine_rounds", "refineRounds").isEmpty),
-        s"""$ctx: nlist/refine_rounds have no effect under mode "append" """ +
+        s"""$ctx: nlist/refine_rounds have no effect under mode "${s.mode}" """ +
           "(the saved centroids are not refit) — remove them, or rebuild " +
           """with mode "build"""")
       require(s.nlist >= 1 && s.nlist <= 65536,
@@ -1117,6 +1146,7 @@ object JsonCodec {
       funnel = funnelSpec,
       rangeJoin = rangeJoinSpec,
       diff = diffSpec,
+      applyDiff = applyDiffSpec,
       unpivot = unpivotSpec,
       approxTopK = approxTopKSpec,
       resample = resampleSpec,

@@ -616,15 +616,20 @@ final case class RrfFuseSpec(
 /** Ordered funnel analysis (NS; Relational.funnel): per key, step 1
   * anchors at the first `steps(0)` event and step i completes at the
   * earliest `steps(i)` event strictly after step i−1 (optionally within
-  * `window` of the anchor). The frame becomes one row per step:
-  * (step, event, n_keys). Chained key-shaped MIN aggregates — no
-  * per-key event arrays. Batch-only by name. */
+  * `window` of the anchor). `anchor` = "first" (default: a key anchors
+  * once, n_keys counts keys) or "every" (every distinct step-1 instant
+  * converts independently, n_keys counts anchors — the "event totals"
+  * convention). The frame becomes one row per step:
+  * (step, event, n_keys). Chained key-shaped MIN aggregates ("first") /
+  * per-step union-and-carry ("every") — no per-key event arrays, never
+  * an anchors × events product. Batch-only by name. */
 final case class FunnelSpec(
     keyCol: String,
     tsCol: String,
     eventCol: String,
     steps: Seq[String],
-    window: Option[String] = None
+    window: Option[String] = None,
+    anchor: String = "first"
 )
 
 /** Range (point-in-interval) join (NS; Relational.rangeJoin): each frame
@@ -665,6 +670,21 @@ final case class DiffSpec(
     changedCol: String = "changed_cols",
     includeUnchanged: Boolean = false,
     carry: String = "none" // none | new
+)
+
+/** Apply a snapshot diff (NS; Relational.applyDiff) — the inverse that
+  * closes the diff lifecycle: the node's frame is the BASE (old)
+  * snapshot, `deltaRef` names a def holding a `diff ... carry: "new"`
+  * output, and the frame becomes the NEW snapshot — ship the delta,
+  * patch at the destination, never re-copy the corpus. Round-trip law:
+  * apply(old, diff(new, old)) == new. One key-shaped anti-join + a
+  * union; payload-less deltas, untracked base columns, type drifts and
+  * unknown statuses reject by name. Batch-only (a complete delta). */
+final case class ApplyDiffSpec(
+    on: Seq[String],
+    deltaRef: String,
+    statusCol: String = "diff_status",
+    changedCol: String = "changed_cols"
 )
 
 /** Resample / gap-fill (NS; Relational.resample): per key, re-grid an
@@ -739,14 +759,18 @@ final case class RankingEvalSpec(
   * metadata) and `dir/index` (id, vec, norm, list — PARTITIONED BY LIST
   * for probe-time pruning), then becomes the (list, n_vectors) balance
   * histogram — the nlist/refine_rounds tuning view. Deterministic
-  * rebuilds. Batch-only (centroid-fit actions + an index write). */
+  * rebuilds. mode "stats" reads ONLY the artifact and the frame becomes
+  * the one-row health gauge (n_lists, n_empty_lists, n_vectors,
+  * max_list_n, mean_list_n, skew) — the rebuild-vs-append decision
+  * input (id_col/vec_col rejected by name there). Batch-only
+  * (centroid-fit actions + an index write). */
 final case class AnnIndexSpec(
     idCol: String,
     vecCol: String,
     dir: String,
     nlist: Int = 16,
     refineRounds: Int = 0,
-    mode: String = "build" // "append": assign to SAVED centroids, append rows
+    mode: String = "build" // "append": assign to SAVED centroids; "stats": health view
 )
 
 /** ANN search against a saved index (NS; Similarity.annSearchIndex): the
@@ -1220,6 +1244,7 @@ final case class NodeSpec(
     funnel: Option[FunnelSpec] = None, // after keep, before aggregate
     rangeJoin: Option[RangeJoinSpec] = None, // after keep, before aggregate
     diff: Option[DiffSpec] = None, // after keep, before aggregate
+    applyDiff: Option[ApplyDiffSpec] = None, // after diff
     unpivot: Option[UnpivotSpec] = None, // after keep, before aggregate
     approxTopK: Option[ApproxTopKSpec] = None, // after keep, before aggregate
     resample: Option[ResampleSpec] = None, // after keep, before aggregate

@@ -190,4 +190,38 @@ class AnnIndexSuite extends SparkSpec {
         "qid", "emb", s"$dir/nope", k = 2).collect()
     }
   }
+
+  test("annIndexStats: exact health gauge, nlist=1 degenerate, empty lists counted; stats config guards") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-stats").toString
+    corpus.createOrReplaceTempView("ann_corpus")
+    // nlist=1: every vector in list 0 — the fully-determined case
+    Similarity.saveAnnIndex(spark, corpus, "vid", "emb", s"$dir/one", nlist = 1)
+    val one = Similarity.annIndexStats(spark, s"$dir/one").collect().head
+    assert(one.getInt(0) == 1 && one.getLong(1) == 0L && one.getLong(2) == 60L &&
+      one.getLong(3) == 60L && one.getDouble(4) == 60.0 && one.getDouble(5) == 1.0,
+      s"degenerate stats wrong: $one")
+    // nlist=16 over 60 vectors: recount against a direct per-list groupBy
+    Similarity.saveAnnIndex(spark, corpus, "vid", "emb", s"$dir/m", nlist = 16)
+    val counts = spark.read.parquet(s"$dir/m/index")
+      .groupBy("list").count().collect().map(_.getLong(1))
+    val st = Similarity.annIndexStats(spark, s"$dir/m").collect().head
+    assert(st.getInt(0) == 16)
+    assert(st.getLong(1) == 16L - counts.length, "empty lists = nlist - present")
+    assert(st.getLong(2) == 60L && st.getLong(3) == counts.max)
+    assert(math.abs(st.getDouble(4) - 60.0 / 16) < 1e-9)
+    assert(math.abs(st.getDouble(5) - counts.max / (60.0 / 16)) < 1e-6)
+    // config: mode stats needs only dir; id/vec/nlist rejected by name
+    val viaCfg = graft.compile.Compiler.compileJson(spark, s"""
+      {"source": {"table": "ann_corpus"},
+       "ann_index": {"dir": "$dir/m", "mode": "stats"}}""").collect().head
+    assert(viaCfg.toSeq == st.toSeq, "config stats view must equal the API")
+    assert(intercept[IllegalArgumentException](graft.compile.Compiler.compileJson(spark, s"""
+      {"source": {"table": "ann_corpus"},
+       "ann_index": {"dir": "$dir/m", "mode": "stats", "id_col": "vid"}}"""))
+      .getMessage.contains("id_col"))
+    assert(intercept[IllegalArgumentException](graft.compile.Compiler.compileJson(spark, s"""
+      {"source": {"table": "ann_corpus"},
+       "ann_index": {"dir": "$dir/m", "mode": "stats", "nlist": 4}}"""))
+      .getMessage.contains("nlist"))
+  }
 }

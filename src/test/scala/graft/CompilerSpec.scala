@@ -822,6 +822,25 @@ class CompilerSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("expect contracts: NULL-evaluating rule is a VIOLATION (stricter than SQL CHECK), explicit IS NULL OR passes") {
+    import spark.implicits._
+    Seq((1L, Some(10.0)), (2L, None: Option[Double])).toDF("id", "v")
+      .createOrReplaceTempView("expect_null_rows")
+    // `v > 0` on a NULL v is UNKNOWN — SQL CHECK would pass it; the
+    // contract fails loudly instead (documented in USAGE.md)
+    val e = intercept[Exception](graft.compile.Compiler.compileJson(spark, """
+      {"source": {"table": "expect_null_rows"},
+       "expect": {"v_positive": "v > 0"}}""").collect())
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("v_positive"), s"NULL rule must violate by name: $msg")
+    // the documented NULL-tolerant spelling passes every row
+    val n = graft.compile.Compiler.compileJson(spark, """
+      {"source": {"table": "expect_null_rows"},
+       "expect": {"v_ok": "v IS NULL OR v > 0"}}""").count()
+    assert(n == 2)
+  }
+
   test("zorder SQL function: literal bits enforced, matches the Scala column") {
     Tables.registerViews(spark, sf)
     val viaSql = spark.sql(

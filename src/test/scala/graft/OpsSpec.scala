@@ -148,6 +148,63 @@ class OpsSpec extends SparkSpec {
     assert(engine(None) == brute(None), "unwindowed funnel diverged from brute force")
     assert(engine(Some("15 seconds")) == brute(Some(15)),
       "windowed funnel diverged from brute force")
+
+    // anchor = "every": brute force re-runs the chained scan once per
+    // DISTINCT (key, step-1 instant) and counts surviving anchors
+    def bruteEvery(window: Option[Int]): Map[Int, Long] = {
+      val byKey = rows.groupBy(_._1)
+      val reached = byKey.values.toSeq.flatMap { es =>
+        val sorted = es.map(e => (e._2, e._3)).sorted
+        sorted.filter(_._2 == steps.head).map(_._1).distinct.map { t0 =>
+          val t = Array.fill[Option[Int]](steps.size)(None)
+          t(0) = Some(t0)
+          steps.indices.tail.foreach { i =>
+            t(i) = sorted.collect {
+              case (sec, e) if e == steps(i) && t(i - 1).exists(sec > _) &&
+                window.forall(w => sec <= t0 + w) => sec
+            }.sorted.headOption
+          }
+          t
+        }
+      }
+      steps.indices.map(i =>
+        (i + 1) -> reached.count(_(i).isDefined).toLong).toMap
+    }
+    def engineEvery(window: Option[String]): Map[Int, Long] =
+      graft.ops.Relational.funnel(df, "u", "ts", "e", steps, window,
+          anchor = "every")
+        .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(engineEvery(None) == bruteEvery(None),
+      "anchor=every funnel diverged from brute force")
+    assert(engineEvery(Some("15 seconds")) == bruteEvery(Some(15)),
+      "windowed anchor=every funnel diverged from brute force")
+    assert(intercept[IllegalArgumentException](
+      graft.ops.Relational.funnel(df, "u", "ts", "e", steps,
+        anchor = "both")).getMessage.contains("anchor"))
+  }
+
+  test("funnel anchor=every: every step-1 instant converts independently, same-instant dups collapse") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1: two views; BOTH convert through click→purchase
+      (1L, 1, "view"), (1L, 5, "view"), (1L, 3, "click"), (1L, 6, "click"),
+      (1L, 7, "purchase"),
+      // user 2: duplicate same-instant views = ONE anchor; same-ts click
+      // does not chain (strictly-after rule)
+      (2L, 10, "view"), (2L, 10, "view"), (2L, 10, "click"))
+      .toDF("u", "secs", "e")
+      .withColumn("ts", timestamp_seconds(col("secs")))
+    val out = graft.ops.Relational.funnel(
+        events, "u", "ts", "e", Seq("view", "click", "purchase"),
+        anchor = "every")
+      .collect().map(r => (r.getInt(0), r.getLong(2))).sortBy(_._1)
+    assert(out.toSeq == Seq((1, 3L), (2, 2L), (3, 2L)),
+      s"every-anchor counts wrong: ${out.toSeq}")
+    // contrast: first-anchor counts user 1 once
+    val first = graft.ops.Relational.funnel(
+        events, "u", "ts", "e", Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getInt(0), r.getLong(2))).sortBy(_._1)
+    assert(first.toSeq == Seq((1, 2L), (2, 1L), (3, 1L)))
   }
 
   test("seenFilter: drop and flag modes against a key frame; null keys never seen; named errors") {
@@ -2886,6 +2943,85 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Relational.asofJoin(left, right, Seq("k"), "t", "rt", Seq("pay"),
         tolerance = Some("INTERVAL 'not a span'")) }
+  }
+
+  test("applyDiff: hand-verified patch semantics and named guards") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "t", "v")
+    // delta: id 2 changed (v -> 21), id 3 removed, id 4 added
+    val delta = Seq(
+      (2L, "changed", "b", 21.0), (3L, "removed", null.asInstanceOf[String], 0.0),
+      (4L, "added", "d", 40.0))
+      .toDF("id", "diff_status", "t", "v")
+    val got = graft.ops.Relational.applyDiff(base, delta, Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, "a", 10.0), (2L, "b", 21.0), (4L, "d", 40.0)),
+      s"patched snapshot wrong: $got")
+    // changed_cols bookkeeping column is dropped, not treated as payload
+    val withCc = delta.withColumn("changed_cols",
+      when(col("diff_status") === "changed", array(lit("v"))))
+    assert(graft.ops.Relational.applyDiff(base, withCc, Seq("id"))
+      .columns.toSeq == Seq("id", "t", "v"))
+    // guards by name
+    assert(intercept[IllegalArgumentException](graft.ops.Relational.applyDiff(
+      base, delta.drop("diff_status"), Seq("id")))
+      .getMessage.contains("status"))
+    assert(intercept[IllegalArgumentException](graft.ops.Relational.applyDiff(
+      base, delta.select("id", "diff_status"), Seq("id")))
+      .getMessage.contains("payload"))
+    assert(intercept[IllegalArgumentException](graft.ops.Relational.applyDiff(
+      base.withColumn("extra", lit(1)), delta, Seq("id")))
+      .getMessage.contains("extra"))
+    assert(intercept[IllegalArgumentException](graft.ops.Relational.applyDiff(
+      base.withColumn("v", col("v").cast("float")), delta, Seq("id")))
+      .getMessage.contains("TYPE"))
+    // unknown status raises AT RUN TIME by name
+    val bad = Seq((9L, "mutated", "z", 1.0)).toDF("id", "diff_status", "t", "v")
+    val e = intercept[Exception](
+      graft.ops.Relational.applyDiff(base, bad, Seq("id")).collect())
+    assert((Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse(""))
+      .contains("unknown"), e.toString)
+  }
+
+  test("asofJoin: NULL payload field stays NULL (no back-fill from an older right row)") {
+    // matched row (rt=18) has p2 = NULL; an OLDER row (rt=10) has p2 set.
+    // The per-column-carry shape silently took p2 from rt=10 (beyond any
+    // narrow tolerance) — the struct carry must report the matched row's
+    // NULL and one consistent (p1, p2) pair from the SAME row.
+    val left = Seq((1L, 20.0, "a")).toDF("id", "t", "k")
+    val right = Seq(
+      ("a", 10.0, Some("old_p1"), Some("old_p2")),
+      ("a", 18.0, Some("new_p1"), None: Option[String])
+    ).toDF("k", "rt", "p1", "p2")
+    def run(dir: String, tol: Option[String] = None) =
+      Relational.asofJoin(left, right, Seq("k"), "t", "rt",
+          Seq("p1", "p2"), direction = dir, tolerance = tol)
+        .select("p1", "p2").collect().map(r =>
+          (Option(r.getString(0)), Option(r.getString(1)))).head
+    assert(run("backward") == (Some("new_p1"), None),
+      "backward: p2 must be the matched row's NULL, not rt=10's value")
+    assert(run("nearest") == (Some("new_p1"), None))
+    // tolerance 5: rt=18 is within (d=2) -> its values verbatim; the
+    // old row's p2 (d=10, beyond tolerance) must never leak through
+    assert(run("backward", Some("5")) == (Some("new_p1"), None))
+    // tolerance 1: matched row itself too far -> all payload NULL
+    assert(run("backward", Some("1")) == (None, None))
+  }
+
+  test("asofJoin: duplicate right rows at one instant — largest tie-break wins in every direction") {
+    val left = Seq((1L, 20.0, "a"), (2L, 10.0, "a")).toDF("id", "t", "k")
+    val right = Seq(("a", 15.0, 1L, "low"), ("a", 15.0, 2L, "high"))
+      .toDF("k", "rt", "seq", "pay")
+    def run(dir: String) =
+      Relational.asofJoin(left, right, Seq("k"), "t", "rt", Seq("pay"),
+          rightTieBreak = Some("seq"), direction = dir)
+        .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(run("backward") == Map(1L -> Some("high"), 2L -> None))
+    assert(run("forward") == Map(1L -> None, 2L -> Some("high")),
+      "forward must pick the SAME duplicate as backward (largest seq)")
+    assert(run("nearest") == Map(1L -> Some("high"), 2L -> Some("high")))
   }
 
   test("resample: per-key grid bounds, all three fill policies, exact bucketing, named guards") {

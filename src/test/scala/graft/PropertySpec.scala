@@ -743,6 +743,19 @@ class PropertySpec extends SparkSpec {
         })
       }.toMap
       assert(got2 == want2, s"composite-key diff: new=$newM old=$oldM")
+      // ROUND-TRIP LAW: apply(old, diff(new, old, carry)) == new —
+      // the property apply_diff exists for, under both delta shapes
+      // (changed-only and includeUnchanged)
+      val newSet = newM.toSeq.map { case (id, (t, v)) => (id, t, v) }.toSet
+      Seq(false, true).foreach { incl =>
+        val delta = Relational.snapshotDiff(newDf, oldDf, Seq("id"),
+          includeUnchanged = incl, carryNew = true)
+        val patched = Relational.applyDiff(oldDf, delta, Seq("id"))
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+          .toSet
+        assert(patched == newSet,
+          s"round-trip (includeUnchanged=$incl) broke: new=$newM old=$oldM")
+      }
     }
   }
 

@@ -190,6 +190,21 @@ class RetrievalSpec extends SparkSpec {
     assert(e.getMessage.contains("rank"), e.getMessage)
   }
 
+  test("rankingEval: duplicate (query, doc) result rows count as ONE hit (recall <= 1)") {
+    // doc 10 retrieved THREE times inside the top k (a concatenated /
+    // fused result table); judged set is just {10}. Per-row counting
+    // would report hits_at_k = 3 > n_rel = 1 and recall 3.0.
+    val results = Seq((1L, 10L, 1), (1L, 10L, 2), (1L, 10L, 4), (1L, 11L, 3))
+      .toDF("q", "d", "r")
+    val qrels = Seq((1L, 10L)).toDF("q", "d")
+    val out = Retrieval.rankingEval(results, "q", "d", "r", qrels, k = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(out(1L) == ((1L, 1L, 1.0, 1.0, 0.2)),
+      s"dedup to one hit at min rank 1: ${out(1L)}")
+  }
+
   test("ranking_eval config key: qrels def, same metrics as the API; stream rejection") {
     val results = Seq((1L, 10L, 1), (1L, 20L, 2)).toDF("q", "d", "r")
     val qrels = Seq((1L, 20L), (1L, 30L)).toDF("q", "d")
