@@ -57,6 +57,9 @@ object Registry {
     // bit-interleave expression tree at plan time)
     "scrub_pii" -> fn(TextAnalysis.scrubPii),
     "normalize_text" -> (es => NormalizeText(es.head)),
+    // compression_ratio(text) — deflate-ratio quality signal: repetition/
+    // boilerplate compresses well (low), high-entropy noise badly (>1)
+    "compression_ratio" -> (es => CompressionRatio(es.head)),
     "canonical_url" -> (es => CanonicalizeUrl(es.head)),
     // window_fingerprints(text, n) — n must be a literal (it sizes the
     // rolling-hash window at plan time)

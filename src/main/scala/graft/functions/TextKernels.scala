@@ -292,6 +292,71 @@ case class NormalizeText(child: Expression) extends UnaryExpression {
   override def prettyName: String = "normalize_text"
 }
 
+/** Compression-ratio quality signal — deflate(bytes).length / bytes.length
+  * over the UTF-8 text. The classic corpus-filtering heuristic the
+  * word/line-tier rules (gopher_quality, line_stats) cannot see:
+  * machine-generated boilerplate, keyword stuffing and long-range
+  * repetition compress far better than natural prose (ratios ~0.1-0.3 vs
+  * ~0.4-0.7), while high-entropy noise (base64 blobs, minified bundles,
+  * DNA-like strings) compresses WORSE (~1.0+). Filter both tails.
+  *
+  * Raw DEFLATE at the fixed default level, no gzip/zlib framing — the
+  * 18-byte gzip header would dominate the signal on short docs. Empty
+  * or all-NULL input → NULL (no signal, not 0). Rounded to 6 dp.
+  *
+  * Determinism: a pure function of the bytes for a given zlib build (the
+  * JDK bundles zlib); values can drift ~1% across zlib VERSIONS, so
+  * oracle gates state INVARIANTS (bounds; repetition compresses better),
+  * never absolute ratios — same posture as the media checksums. */
+object CompressionRatioOps {
+  def compute(u: UTF8String): Any = {
+    val bytes = u.getBytes
+    if (bytes.length == 0) return null
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, /* nowrap = */ true)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      java.lang.Double.valueOf(
+        math.rint(total.toDouble / bytes.length * 1e6) / 1e6)
+    } finally d.end()
+  }
+}
+
+case class CompressionRatio(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  // empty strings yield NULL even when the child is non-nullable
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"compression_ratio expects string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    CompressionRatioOps.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      Object ${ev.value}_r = graft.functions.CompressionRatioOps.compute($c);
+      if (${ev.value}_r == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = ((java.lang.Double) ${ev.value}_r).doubleValue();
+      }""")
+
+  override protected def withNewChildInternal(newChild: Expression): CompressionRatio =
+    copy(child = newChild)
+
+  override def prettyName: String = "compression_ratio"
+}
+
 /** URL canonicalization — the pre-dedup step for WEB corpora (the same
   * page is crawled as http://Example.com/a/?utm_source=feed&b=1 and
   * https://example.com/a?b=1; dedup-by-URL must see one key). The rules

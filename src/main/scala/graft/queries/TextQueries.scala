@@ -1208,7 +1208,36 @@ object TextQueries extends QueryPack {
     FROM (SELECT doc_id, n, CAST(1 - doc_id % 2 AS INT) AS k FROM t)
     GROUP BY 1 ORDER BY kind ASC NULLS FIRST"""
 
+  // q252 — compression-ratio quality signal (`compression_ratio`): the
+  // deflate-ratio heuristic the word/line-tier rules can't see —
+  // boilerplate/repetition compresses well (low ratio), high-entropy
+  // noise badly (>1). zlib output can drift ~1% across zlib VERSIONS, so
+  // the gates are INVARIANTS, never absolute ratios (the media-checksum
+  // posture): the signal exists exactly for non-empty text, sits in
+  // (0, 8], and 8x self-repetition ALWAYS compresses strictly better
+  // (verified to hold corpus-wide at the documents table's 44-577 B
+  // lengths — every repeat start is well inside deflate's 32 KiB
+  // window).
+  private def q252(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "documents"},
+       "derive": {
+         "cr": "compression_ratio(text)",
+         "cr8": "compression_ratio(repeat(text, 8))",
+         "has_signal": "cr IS NOT NULL",
+         "in_bounds": "CASE WHEN cr IS NOT NULL THEN cr > 0 AND cr <= 8 END",
+         "rep_lower": "CASE WHEN cr IS NOT NULL THEN cr8 < cr END"},
+       "keep_columns": ["doc_id", "has_signal", "in_bounds", "rep_lower"],
+       "order_by": ["doc_id asc"]}""")
+  private val q252Sql = """
+    SELECT doc_id,
+           COALESCE(length(text) > 0, FALSE) AS has_signal,
+           CASE WHEN COALESCE(length(text), 0) > 0 THEN TRUE END AS in_bounds,
+           CASE WHEN COALESCE(length(text), 0) > 0 THEN TRUE END AS rep_lower
+    FROM documents ORDER BY doc_id ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q252_compression_ratio", q252, Some(q252Sql)),
     Q("q24_text_stats", q24, Some(q24Sql)),
     Q("q25_lang_id", q25, Some(q25Sql)),
     Q("q26_fingerprint", q26, Some(q26Sql)),

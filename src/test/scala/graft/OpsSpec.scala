@@ -2945,6 +2945,43 @@ class OpsSpec extends SparkSpec {
         tolerance = Some("INTERVAL 'not a span'")) }
   }
 
+  test("compression_ratio: repetition < prose < noise ordering, null/empty -> null, codegen == direct compute") {
+    import spark.implicits._
+    graft.functions.Registry.registerAll(spark)
+    val prose = "the quick brown fox jumps over the lazy dog and then naps. "
+    val noiseRnd = new scala.util.Random(7)
+    val noise = Array.fill(600)((noiseRnd.nextInt(93) + 33).toChar).mkString
+    val docs = Seq(
+      (1L, Some(prose * 4)),
+      (2L, Some("abc " * 240)),   // heavy repetition
+      (3L, Some(noise)),          // pseudo-random — incompressible
+      (4L, Some("")),             // empty: no signal
+      (5L, None: Option[String])) // null in, null out
+      .toDF("id", "text")
+    docs.createOrReplaceTempView("cr_docs")
+    val got = spark.sql(
+        "SELECT id, compression_ratio(text) AS cr FROM cr_docs ORDER BY id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(4).isEmpty && got(5).isEmpty, s"empty/null must be null: $got")
+    val (p, rep, nz) = (got(1).get, got(2).get, got(3).get)
+    assert(rep < p && p < nz,
+      s"ordering repetition < prose < noise violated: rep=$rep prose=$p noise=$nz")
+    assert(rep > 0 && nz <= 8, s"bounds: rep=$rep noise=$nz")
+    // the codegen path must agree with the shared compute entry point
+    import org.apache.spark.unsafe.types.UTF8String
+    Seq(prose * 4, "abc " * 240, noise).foreach { t =>
+      val direct = graft.functions.CompressionRatioOps
+        .compute(UTF8String.fromString(t)).asInstanceOf[Double]
+      // a column (not a SQL literal — backslashes in the noise would be
+      // re-escaped by the parser) through the codegen'd projection
+      val viaSql = Seq(t).toDF("t")
+        .selectExpr("compression_ratio(t) AS cr")
+        .collect().head.getDouble(0)
+      assert(math.abs(direct - viaSql) < 1e-12, s"codegen drift on len ${t.length}")
+    }
+  }
+
   test("applyDiff: hand-verified patch semantics and named guards") {
     import spark.implicits._
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
