@@ -816,7 +816,8 @@ object Compiler {
             df.sparkSession, df, ai.idCol, ai.vecCol, ai.dir)
         else
           graft.ops.Similarity.saveAnnIndex(
-            df.sparkSession, df, ai.idCol, ai.vecCol, ai.dir, ai.nlist, ai.refineRounds)
+            df.sparkSession, df, ai.idCol, ai.vecCol, ai.dir, ai.nlist,
+            ai.refineRounds, ai.pqM.map(m => (m, ai.pqK)), ai.pqIters)
         df = df.sparkSession.read.parquet(s"${ai.dir}/index")
           .groupBy(col("list")).agg(count(lit(1)).as("n_vectors"))
       }

@@ -348,7 +348,9 @@ object Similarity {
       vecCol: String,
       dir: String,
       nlist: Int = 16,
-      refineRounds: Int = 0
+      refineRounds: Int = 0,
+      pq: Option[(Int, Int)] = None,
+      pqIters: Int = 5
   ): Unit = {
     require(nlist >= 1 && nlist <= 65536,
       s"saveAnnIndex: nlist must be in [1, 65536], got $nlist")
@@ -357,12 +359,67 @@ object Similarity {
     cents.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("list", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    corpus.select(
-        col(idCol).as("id"),
-        col(vecCol).as("vec"),
-        l2Norm(col(vecCol)).as("norm"),
-        element_at(nearestLists(col(vecCol), cents, 1), 1).as("list"))
-      .write.mode("overwrite").partitionBy("list").parquet(s"$dir/index")
+    pq match {
+      case None =>
+        corpus.select(
+            col(idCol).as("id"),
+            col(vecCol).as("vec"),
+            l2Norm(col(vecCol)).as("norm"),
+            element_at(nearestLists(col(vecCol), cents, 1), 1).as("list"))
+          .write.mode("overwrite").partitionBy("list").parquet(s"$dir/index")
+      case Some((m, k)) =>
+        // PQ tier — the FAISS IVF-PQ at-rest shape: rows store m small
+        // CODES (m bytes at k <= 256) instead of dim floats, a 32-64x
+        // shrink; `dir/codebooks` persists the trained sub-centroid
+        // matrix (bounded metadata: m*k*(dim/m) = k*dim doubles).
+        // Search reconstructs per candidate (asymmetric distance) —
+        // lossy by design; raise m for accuracy, lower it for size.
+        // The stored norm is the RECONSTRUCTED vector's norm, so search
+        // never recomputes it.
+        val dim = corpus
+          .select(size(col(vecCol)).as("d")).filter(col("d") > 0)
+          .limit(1).collect().headOption.map(_.getInt(0))
+          .getOrElse(throw new IllegalArgumentException(
+            "saveAnnIndex: no non-empty vectors to train PQ codebooks on"))
+        val cbs = pqTrain(corpus, idCol, vecCol, dim, m, k, pqIters)
+        cbs.zipWithIndex.flatMap { case (sub, j) =>
+            sub.zipWithIndex.map { case (cent, c) => (j, c, cent) } }
+          .toDF("j", "c", "centroid")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+        corpus.select(
+            col(idCol).as("id"),
+            graft.functions.PqKernels.pqEncode(col(vecCol), cbs).as("codes"),
+            element_at(nearestLists(col(vecCol), cents, 1), 1).as("list"))
+          .withColumn("norm", l2Norm(
+            graft.functions.PqKernels.pqDecode(col("codes"), cbs)))
+          .select("id", "codes", "norm", "list")
+          .write.mode("overwrite").partitionBy("list").parquet(s"$dir/index")
+    }
+  }
+
+  /** The saved PQ codebooks as kernel-ready metadata ((j, c)-ordered).
+    * Loud by name when the index stores codes but the codebooks are
+    * missing/damaged — a silent fallback would score garbage. */
+  private def loadCodebooks(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String): Seq[Seq[Seq[Double]]] = {
+    val rows =
+      try spark.read.parquet(s"$indexDir/codebooks").collect()
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"ann index: the index under $indexDir stores PQ codes but its " +
+          s"codebooks cannot be read from $indexDir/codebooks — rebuild " +
+          s"the index: ${e.getMessage}") }
+    require(rows.nonEmpty, s"ann index: empty codebooks under $indexDir/codebooks")
+    require(rows.length <= (1 << 16),
+      s"ann index: ${rows.length} codebook rows exceed the 65536 metadata bound")
+    val grouped = rows
+      .map(r => (r.getAs[Int]("j"), r.getAs[Int]("c"),
+        r.getSeq[Double](r.fieldIndex("centroid")).toSeq))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, sub) => sub.sortBy(_._2).map(_._3).toSeq }
+    val k = grouped.head.size
+    require(grouped.forall(_.size == k),
+      s"ann index: ragged codebooks under $indexDir/codebooks — rebuild the index")
+    grouped
   }
 
   /** The saved centroid table as kernel-ready metadata (list-ordered). */
@@ -399,12 +456,30 @@ object Similarity {
       dir: String
   ): Unit = {
     val cents = loadCentroids(spark, dir)
-    corpus.select(
-        col(idCol).as("id"),
-        col(vecCol).as("vec"),
-        l2Norm(col(vecCol)).as("norm"),
-        element_at(nearestLists(col(vecCol), cents, 1), 1).as("list"))
-      .write.mode("append").partitionBy("list").parquet(s"$dir/index")
+    // PQ indexes append PQ rows: new vectors encode against the SAVED
+    // codebooks (like the saved centroids — no refit, shipped search
+    // results never change). Detection is by the artifact's own schema,
+    // footers only.
+    val isPq = spark.read.parquet(s"$dir/index").schema
+      .fieldNames.contains("codes")
+    if (isPq) {
+      val cbs = loadCodebooks(spark, dir)
+      corpus.select(
+          col(idCol).as("id"),
+          graft.functions.PqKernels.pqEncode(col(vecCol), cbs).as("codes"),
+          element_at(nearestLists(col(vecCol), cents, 1), 1).as("list"))
+        .withColumn("norm", l2Norm(
+          graft.functions.PqKernels.pqDecode(col("codes"), cbs)))
+        .select("id", "codes", "norm", "list")
+        .write.mode("append").partitionBy("list").parquet(s"$dir/index")
+    } else {
+      corpus.select(
+          col(idCol).as("id"),
+          col(vecCol).as("vec"),
+          l2Norm(col(vecCol)).as("norm"),
+          element_at(nearestLists(col(vecCol), cents, 1), 1).as("list"))
+        .write.mode("append").partitionBy("list").parquet(s"$dir/index")
+    }
   }
 
   /** Index HEALTH view over a [[saveAnnIndex]] artifact — the
@@ -468,7 +543,12 @@ object Similarity {
     Seq(scoreCol, flagCol).foreach(c => require(!df.columns.contains(c),
       s"annProbeIndex: output column '$c' already exists — rename it first"))
     val spark = df.sparkSession
-    val idx = spark.read.parquet(s"$indexDir/index").select(col("vec"))
+    val idxDf = spark.read.parquet(s"$indexDir/index")
+    require(idxDf.columns.contains("vec"),
+      "annProbeIndex: this index stores PQ codes — the probe tier " +
+        "scores EXACT watchlist vectors (a watchlist is bounded; build " +
+        "its index without pq)")
+    val idx = idxDf.select(col("vec"))
     // ONE action: collect with a 65537-row probe limit (the index side is
     // watchlist-sized by contract, so an over-budget artifact costs at
     // most one extra row before the named error) and derive n from the
@@ -517,6 +597,14 @@ object Similarity {
     val spark = queries.sparkSession
     val cents = loadCentroids(spark, indexDir)
     val idx = spark.read.parquet(s"$indexDir/index")
+    // PQ artifact: candidates reconstruct from their codes (asymmetric
+    // distance — queries stay exact); the stored norm is already the
+    // reconstructed vector's. Same plan shape, same pruning.
+    val corpusVec =
+      if (idx.columns.contains("codes"))
+        graft.functions.PqKernels.pqDecode(col("codes"),
+          loadCodebooks(spark, indexDir))
+      else col("vec")
     val qb = queries.select(
       col(queryId).as("__qid2"), col(queryVec).as("__qv"),
       l2Norm(col(queryVec)).as("__qn"),
@@ -527,7 +615,7 @@ object Similarity {
         col("__qid2").as(queryId), col("id").as("match_id"),
         round(
           when(col("__qn") > 0 && col("norm") > 0,
-            dot(col("__qv"), col("vec")) / (col("__qn") * col("norm")))
+            dot(col("__qv"), corpusVec) / (col("__qn") * col("norm")))
             .otherwise(lit(0.0)),
           9).as("score"))
     Relational.topKPerGroup(

@@ -552,6 +552,55 @@ object SimQueries extends QueryPack {
        "order_by": ["query_id asc", "rank asc"]}""")
   }
 
+  // q253 — PQ-COMPRESSED at-rest ANN index (the FAISS IVF-PQ shape): the
+  // index builds from PURE JSON with pq {m:8, k:16} — rows store 8 codes
+  // instead of 64 floats (plus dir/codebooks), a ~16x shrink — and a
+  // full-coverage JSON search must reproduce EXACTLY what the oracle
+  // computes by READING THE ARTIFACT ITSELF: DuckDB reconstructs every
+  // corpus vector from its codes + the codebooks parquet and restates
+  // cosine top-3. This gates the whole at-rest round trip (train →
+  // encode → persist → reconstruct → score), independent of the engine:
+  // if codes, codebooks, norms or reconstruction drift, the hash breaks.
+  private val q253IdxDir =
+    s"${System.getProperty("java.io.tmpdir")}/graft_q253_index"
+  private def q253(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir)
+    graft.compile.Compiler.compileJson(s, s"""
+      {"source": {"table": "embeddings"},
+       "keep_columns": ["vec_id", "embedding"],
+       "ann_index": {"id_col": "vec_id", "vec_col": "embedding",
+                     "dir": "$q253IdxDir", "nlist": 4,
+                     "pq": {"m": 8, "k": 16}}}""")
+    graft.compile.Compiler.compileJson(s, s"""
+      {"source": {"sql": "SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10"},
+       "ann_search": {"id_col": "query_id", "vec_col": "embedding",
+                      "index_dir": "$q253IdxDir", "k": 3, "nprobe": 4},
+       "order_by": ["query_id asc", "rank asc"]}""")
+  }
+  private val q253Sql = s"""
+    WITH cb AS (
+      SELECT j, c, centroid
+      FROM read_parquet('$q253IdxDir/codebooks/*.parquet')),
+    cd AS (
+      SELECT id, UNNEST(codes) AS code, UNNEST(range(len(codes))) AS j
+      FROM read_parquet('$q253IdxDir/index/*/*.parquet')),
+    rec AS (
+      SELECT cd.id, flatten(list(cb.centroid ORDER BY cd.j)) AS vec
+      FROM cd JOIN cb ON cb.j = cd.j AND cb.c = cd.code
+      GROUP BY cd.id),
+    q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, r.id AS match_id,
+             ${duckCosine("q.qe", "r.vec")} AS score
+      FROM q, rec r WHERE r.id <> q.query_id),
+    ranked AS (
+      SELECT query_id, match_id, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, match_id ASC) AS INT) AS rank
+      FROM scored)
+    SELECT query_id, match_id, score, rank FROM ranked WHERE rank <= 3
+    ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST"""
+
   // q250 — ANN index HEALTH from pure JSON (`ann_index mode:"stats"`):
   // the rebuild-vs-append gauge. The index builds once in Scala
   // (nlist = 8 over the whole corpus); the config's stats view must
@@ -624,6 +673,7 @@ object SimQueries extends QueryPack {
     Q("q222_ann_probe", q222, Some(q222Sql)),
     Q("q219_config_ann_index", q219, Some(q219Sql)),
     Q("q250_ann_index_stats", q250, Some(q250Sql)),
+    Q("q253_ann_index_pq", q253, Some(q253Sql)),
     Q("q31_cosine_topk", q31, Some(q31Sql)),
     Q("q32_embedding_neardup", q32, Some(q32Sql)),
     Q("q46_embedding_neardup_banded", q46, Some(q46Sql)),

@@ -807,6 +807,7 @@ object JsonCodec {
             s"""$ctx: "$k" has no effect under mode "stats" (the health """ +
               "view reads only the saved artifact) — remove it")
         }
+      val pqNode = opt(d, "pq")
       val s = AnnIndexSpec(
         idCol = if (mode == "stats") ""
           else req(d, ctx, "id_col", "idCol").asText,
@@ -815,18 +816,30 @@ object JsonCodec {
         dir = req(d, ctx, "dir").asText,
         nlist = opt(d, "nlist").map(_.asInt).getOrElse(16),
         refineRounds = opt(d, "refine_rounds", "refineRounds").map(_.asInt).getOrElse(0),
-        mode = mode)
+        mode = mode,
+        pqM = pqNode.map(p => req(p, s"$ctx.pq", "m").asInt),
+        pqK = pqNode.flatMap(p => opt(p, "k")).map(_.asInt).getOrElse(256),
+        pqIters = pqNode.flatMap(p => opt(p, "iters")).map(_.asInt).getOrElse(5))
       // append assigns to the SAVED centroids — a stated fit parameter
-      // would silently not refit; reject the contradiction by name
+      // would silently not refit; reject the contradiction by name. The
+      // same applies to pq: appends encode with the SAVED codebooks.
       require(s.mode == "build" ||
-          (opt(d, "nlist").isEmpty && opt(d, "refine_rounds", "refineRounds").isEmpty),
-        s"""$ctx: nlist/refine_rounds have no effect under mode "${s.mode}" """ +
-          "(the saved centroids are not refit) — remove them, or rebuild " +
-          """with mode "build"""")
+          (opt(d, "nlist").isEmpty && opt(d, "refine_rounds", "refineRounds").isEmpty &&
+            pqNode.isEmpty),
+        s"""$ctx: nlist/refine_rounds/pq have no effect under mode "${s.mode}" """ +
+          "(the saved centroids and codebooks are not refit) — remove " +
+          """them, or rebuild with mode "build"""")
       require(s.nlist >= 1 && s.nlist <= 65536,
         s"$ctx: nlist must be in [1, 65536], got ${s.nlist}")
       require(s.refineRounds >= 0 && s.refineRounds <= 64,
         s"$ctx: refine_rounds must be in [0, 64], got ${s.refineRounds}")
+      s.pqM.foreach { m =>
+        require(m >= 1 && m <= 256, s"$ctx.pq: m must be in [1, 256], got $m")
+        require(s.pqK >= 1 && s.pqK <= 256,
+          s"$ctx.pq: k must be in [1, 256], got ${s.pqK}")
+        require(s.pqIters >= 0 && s.pqIters <= 64,
+          s"$ctx.pq: iters must be in [0, 64], got ${s.pqIters}")
+      }
       s
     }
 

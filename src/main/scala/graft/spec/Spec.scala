@@ -770,7 +770,13 @@ final case class AnnIndexSpec(
     dir: String,
     nlist: Int = 16,
     refineRounds: Int = 0,
-    mode: String = "build" // "append": assign to SAVED centroids; "stats": health view
+    mode: String = "build", // "append": assign to SAVED centroids; "stats": health view
+    // pq: {m, k?, iters?} — store m PQ codes per row instead of the
+    // vector (the FAISS IVF-PQ at-rest shape, 32-64x smaller); searches
+    // reconstruct per candidate; appends encode with the SAVED codebooks
+    pqM: Option[Int] = None,
+    pqK: Int = 256,
+    pqIters: Int = 5
 )
 
 /** ANN search against a saved index (NS; Similarity.annSearchIndex): the

@@ -191,6 +191,92 @@ class AnnIndexSuite extends SparkSpec {
     }
   }
 
+  test("PQ at-rest index: full-probe search == pqTopK bit-for-bit, append uses SAVED codebooks, probe rejects, stats reads it") {
+    val c = corpus
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-pq").toString
+    Similarity.saveAnnIndex(spark, c, "vid", "emb", s"$dir/idx",
+      nlist = 4, pq = Some((4, 16)))
+    // the at-rest shape: codes instead of the vector, codebooks next door
+    val idx = spark.read.parquet(s"$dir/idx/index")
+    assert(idx.columns.toSet == Set("id", "codes", "norm", "list"))
+    assert(spark.read.parquet(s"$dir/idx/codebooks").count() == 4L * 16)
+    // full probe == brute-force pqTopK with independently re-trained
+    // codebooks (pqTrain is deterministic, so they are the saved ones)
+    val cbs = Similarity.pqTrain(c, "vid", "emb", dim = 8, m = 4, k = 16)
+    val q = c.filter($"vid" <= 6).select($"vid".as("qid"), $"emb")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val viaIndex = asSet(Similarity.annSearchIndex(
+      q, "qid", "emb", s"$dir/idx", k = 3, nprobe = 4))
+    val inMemory = asSet(Similarity.pqTopK(
+      q, c.select($"vid".as("mid"),
+        graft.functions.PqKernels.pqEncode($"emb", cbs).as("codes")),
+      "qid", "emb", "mid", "codes", cbs, k = 3))
+    assert(viaIndex == inMemory && viaIndex.nonEmpty,
+      "PQ artifact search must equal in-memory pqTopK at full probe")
+    // append: new rows encode with the SAVED (even-trained) codebooks
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-ann-pq2").toString
+    val evens = c.filter($"vid" % 2 === 0)
+    Similarity.saveAnnIndex(spark, evens, "vid", "emb", s"$dir2/idx",
+      nlist = 4, pq = Some((4, 16)))
+    Similarity.appendAnnIndex(spark, c.filter($"vid" % 2 === 1),
+      "vid", "emb", s"$dir2/idx")
+    val cbsEven = Similarity.pqTrain(evens, "vid", "emb", dim = 8, m = 4, k = 16)
+    val viaAppended = asSet(Similarity.annSearchIndex(
+      q, "qid", "emb", s"$dir2/idx", k = 3, nprobe = 4))
+    val refUnion = asSet(Similarity.pqTopK(
+      q, c.select($"vid".as("mid"),
+        graft.functions.PqKernels.pqEncode($"emb", cbsEven).as("codes")),
+      "qid", "emb", "mid", "codes", cbsEven, k = 3))
+    assert(viaAppended == refUnion,
+      "appended PQ rows must score under the saved codebooks")
+    // the probe tier needs exact vectors — PQ indexes reject by name
+    assert(intercept[IllegalArgumentException](
+      Similarity.annProbeIndex(q, "emb", s"$dir/idx", 0.5))
+      .getMessage.contains("PQ"))
+    // the health gauge reads the PQ artifact like any other
+    val st = Similarity.annIndexStats(spark, s"$dir/idx").collect().head
+    assert(st.getInt(0) == 4 && st.getLong(2) == 60L)
+  }
+
+  test("ann_index pq config: JSON build + search round trip; pq under append/stats rejects; decode guards") {
+    corpus.createOrReplaceTempView("ann_corpus")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-pqcfg").toString
+    val hist = graft.compile.Compiler.compileJson(spark, s"""
+      {"source": {"table": "ann_corpus"},
+       "ann_index": {"id_col": "vid", "vec_col": "emb", "dir": "$dir/idx",
+                     "nlist": 4, "pq": {"m": 4, "k": 16}}}""")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(hist.values.sum == 60L)
+    val got = graft.compile.Compiler.compileJson(spark, s"""
+      {"source": {"sql": "SELECT vid AS qid, emb FROM ann_corpus WHERE vid <= 3"},
+       "ann_search": {"id_col": "qid", "vec_col": "emb",
+                      "index_dir": "$dir/idx", "k": 2, "nprobe": 4},
+       "order_by": ["qid asc", "rank asc"]}""").collect()
+    assert(got.length == 6 && got.forall(_.getInt(3) <= 2))
+    Seq(
+      s"""{"id_col": "vid", "vec_col": "emb", "dir": "$dir/idx", "mode": "append", "pq": {"m": 4}}""",
+      s"""{"dir": "$dir/idx", "mode": "stats", "pq": {"m": 4}}"""
+    ).foreach { ai =>
+      assert(intercept[IllegalArgumentException](
+        graft.compile.Compiler.compileJson(spark,
+          s"""{"source": {"table": "ann_corpus"}, "ann_index": $ai}"""))
+        .getMessage.contains("pq"))
+    }
+    assert(intercept[IllegalArgumentException](
+      graft.compile.Compiler.compileJson(spark, s"""
+        {"source": {"table": "ann_corpus"},
+         "ann_index": {"id_col": "vid", "vec_col": "emb",
+                       "dir": "$dir/x", "pq": {"m": 4, "k": 300}}}"""))
+      .getMessage.contains("k"))
+    assert(intercept[IllegalArgumentException](
+      graft.compile.Compiler.compileJson(spark, s"""
+        {"source": {"table": "ann_corpus"},
+         "ann_index": {"id_col": "vid", "vec_col": "emb",
+                       "dir": "$dir/x", "pq": {"k": 16}}}"""))
+      .getMessage.contains("m"))
+  }
+
   test("annIndexStats: exact health gauge, nlist=1 degenerate, empty lists counted; stats config guards") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ann-stats").toString
     corpus.createOrReplaceTempView("ann_corpus")
