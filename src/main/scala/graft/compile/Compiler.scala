@@ -105,6 +105,8 @@ object Compiler {
         node.annProbe.toSeq.map(_.vecCol) ++
         node.quantileFilter.toSeq.map(_.col) ++
         node.bm25.toSeq.flatMap(bq => Seq(bq.idCol, bq.textCol)) ++
+        node.bm25Index.toSeq.flatMap(bi => Seq(bi.idCol, bi.textCol)) ++
+        node.bm25Search.toSeq.flatMap(bs => Seq(bs.qidCol, bs.qtextCol)) ++
         node.rrfFuse.toSeq.flatMap(rf => Seq(rf.queryCol, rf.docCol, rf.rankCol)) ++
         node.rankingEval.toSeq.flatMap(re => Seq(re.queryCol, re.docCol, re.rankCol)) ++
         node.upsample.toSeq.map(_.factorCol) ++
@@ -683,6 +685,32 @@ object Compiler {
           (if (refs.isEmpty) "" else s" (defined: ${refs.keys.mkString(", ")})")))
       df = graft.ops.Retrieval.bm25TopK(df, bq.idCol, bq.textCol,
         queries, bq.qidCol, bq.qtextCol, bq.k1, bq.b, bq.topK, bq.proxWeight)
+    }
+
+    // At-rest BM25 index build/append: the frame (the corpus) persists
+    // bucket-partitioned postings + lengths + stats, then becomes the
+    // (bucket, n_postings) balance histogram. Batch-only (writes).
+    node.bm25Index.foreach { bi =>
+      requireBatch("bm25_index", "a postings build and an index write",
+        "build the index in batch; search query streams in batch against it")
+      if (bi.mode == "append")
+        graft.ops.Retrieval.appendBm25Index(
+          df.sparkSession, df, bi.idCol, bi.textCol, bi.dir)
+      else
+        graft.ops.Retrieval.saveBm25Index(
+          df.sparkSession, df, bi.idCol, bi.textCol, bi.dir, bi.prox, bi.buckets)
+      df = df.sparkSession.read.parquet(s"${bi.dir}/postings")
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_postings"))
+    }
+
+    // BM25 search against a saved index: the frame (the QUERY set)
+    // becomes (qid, <index id_col>, score, rn) without re-tokenizing
+    // the corpus. Batch-only by name (stats read + rank window).
+    node.bm25Search.foreach { bs =>
+      requireBatch("bm25_search", "a per-query top-k rank window",
+        "search in batch; the index itself is the at-rest artifact")
+      df = graft.ops.Retrieval.bm25SearchIndex(df, bs.qidCol, bs.qtextCol,
+        bs.indexDir, bs.k1, bs.b, bs.topK, bs.proxWeight)
     }
 
     // Funnel analysis: the frame (an event log) becomes one row per

@@ -64,7 +64,6 @@ object Retrieval {
     require(k1 >= 0 && b >= 0 && b <= 1,
       s"bm25TopK: need k1 >= 0 and b in [0, 1], got k1=$k1 b=$b")
     require(proxWeight >= 0, s"bm25TopK: prox_weight must be >= 0, got $proxWeight")
-    val dec = DecimalType(38, 12)
 
     val toks = docs.select(col(idCol).as("__doc"),
       TextAnalysis.tokens(col(textCol)).as("__t"))
@@ -73,46 +72,78 @@ object Retrieval {
     val n = stats.getLong(0)
     require(n > 0, "bm25TopK: empty corpus")
     val avgdl = round9(stats.getLong(1).toDouble / n)
+    def postingsOver(docTerms: Column): DataFrame =
+      toks.select(col("__doc"), explode(docTerms).as("__term"))
+        .groupBy("__doc", "__term").agg(count(lit(1)).as("__tf"))
+    val biP =
+      if (proxWeight == 0.0) None
+      else Some(postingsOver(bigrams(col("__t"))))
+    bm25Rank(postingsOver(col("__t")), biP, dl, n, avgdl,
+      queries, qidCol, qtextCol, k1, b, topK, proxWeight, idCol)
+  }
 
+  /** Adjacent-token bigrams of a token array (empty below 2 tokens) —
+    * the positional term granularity of [[bm25TopK]]'s proxWeight. */
+  private def bigrams(t: Column): Column = when(size(t) >= 2,
+    zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+      (a, bb) => concat(a, lit(" "), bb)))
+    .otherwise(array().cast("array<string>"))
+
+  /** The shared BM25 ranking core over prepared postings — one code path
+    * for the in-memory [[bm25TopK]] and the at-rest [[bm25SearchIndex]],
+    * so their scores are bit-identical by construction. Posting frames
+    * are (__doc, __term, __tf); document frequencies are computed over
+    * the postings RESTRICTED to the query terms (per-term doc counts are
+    * unaffected by dropping other terms — and at corpus scale this is
+    * what keeps the vocabulary aggregate query-shaped). */
+  private def bm25Rank(
+      uniP: DataFrame,
+      biP: Option[DataFrame],
+      dl: DataFrame,
+      n: Long,
+      avgdl: Double,
+      queries: DataFrame,
+      qidCol: String,
+      qtextCol: String,
+      k1: Double,
+      b: Double,
+      topK: Int,
+      proxWeight: Double,
+      idColName: String
+  ): DataFrame = {
+    val dec = DecimalType(38, 12)
     val idf = round(log(lit(1.0) +
       (lit(n) - col("__df") + lit(0.5)) / (col("__df") + lit(0.5))), 9)
     val termScore = round(idf * (col("__tf") * lit(k1 + 1.0)) /
       (col("__tf") + lit(k1) *
         (lit(1.0 - b) + lit(b) * col("__dl") / lit(avgdl))), 9)
 
-    // adjacent-token bigrams of a token array (empty below 2 tokens)
-    def bigrams(t: Column): Column = when(size(t) >= 2,
-      zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
-        (a, bb) => concat(a, lit(" "), bb)))
-      .otherwise(array().cast("array<string>"))
-
     // (qid, doc, 9-dp decimal contribution) over one term granularity:
-    // docTerms is applied to the tokenized corpus's `__t`, queryTerms to
-    // the raw query text — unigrams and bigrams share every downstream
-    // shape (postings, df, broadcast join, dl normalization)
-    def contribsOver(docTerms: Column, queryTerms: Column,
+    // unigrams and bigrams share every downstream shape (matched
+    // postings, df, broadcast join, dl normalization)
+    def contribsOver(p: DataFrame, queryTerms: Column,
         weight: Double): DataFrame = {
-      val p = toks.select(col("__doc"), explode(docTerms).as("__term"))
-        .groupBy("__doc", "__term").agg(count(lit(1)).as("__tf"))
-      val dfT = p.groupBy("__term").agg(count(lit(1)).as("__df"))
       val qt = queries.select(col(qidCol).as("__qid"),
           explode(queryTerms).as("__term"))
         .distinct()
+      val matched = p.join(
+        broadcast(qt.select(col("__term")).distinct()), Seq("__term"))
+      val dfT = matched.groupBy("__term").agg(count(lit(1)).as("__df"))
       val s =
         if (weight == 1.0) termScore
         else round(lit(weight) * termScore, 9)
       broadcast(qt)
-        .join(p, Seq("__term"))
+        .join(matched, Seq("__term"))
         .join(dfT, Seq("__term"))
         .join(dl, Seq("__doc"))
         .select(col("__qid"), col("__doc"), s.cast(dec).as("__s"))
     }
     val qToks = TextAnalysis.tokens(col(qtextCol))
-    val uni = contribsOver(col("__t"), qToks, 1.0)
-    val contribs =
-      if (proxWeight == 0.0) uni
-      else uni.unionAll(
-        contribsOver(bigrams(col("__t")), bigrams(qToks), proxWeight))
+    val uni = contribsOver(uniP, qToks, 1.0)
+    val contribs = biP match {
+      case None => uni
+      case Some(bp) => uni.unionAll(contribsOver(bp, bigrams(qToks), proxWeight))
+    }
 
     val scored = contribs
       .groupBy(col("__qid"), col("__doc"))
@@ -122,8 +153,172 @@ object Retrieval {
       .orderBy(col("score").desc, col("__doc").asc)
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= topK)
-      .select(col("__qid").as(qidCol), col("__doc").as(idCol),
+      .select(col("__qid").as(qidCol), col("__doc").as(idColName),
         col("score"), col("rn"))
+  }
+
+  /** Persist an AT-REST BM25 index — the `ann_index` artifact pattern
+    * applied to lexical retrieval (tokenize once, search many): at
+    * 100 TB the postings build is the expensive pass (a full corpus
+    * tokenize + shuffle), and re-paying it for every audit query batch
+    * is the cost this artifact amortizes. Layout under `dir`:
+    *
+    *   - `postings`  (doc, term, tf) PARTITIONED BY a stable term-hash
+    *     `bucket` (pmod(xxhash64(term), buckets)) — a search's terms
+    *     map to their buckets, so the probe equi-join prunes the scan
+    *     to the query terms' partitions (the ann_search list-pruning
+    *     posture; a handful of audit terms touch a handful of buckets)
+    *   - `postings2` the bigram postings, only with `prox = true` —
+    *     proximity search needs them at search time
+    *   - `dl`        (doc, dl) — document lengths (doc-shaped)
+    *   - `stats`     ONE row (n_docs, sum_dl, buckets, prox, id_col) —
+    *     avgdl derives from the exact sums, id_col names the output
+    *
+    * Document frequencies are NOT persisted: they are computed at
+    * search time over the postings restricted to the query terms
+    * (query-shaped, exact) — which is also what makes APPENDS exact:
+    * [[appendBm25Index]] appends postings/dl and refreshes stats, and
+    * df/idf/avgdl all reflect the union corpus with no merge step. */
+  def saveBm25Index(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dir: String,
+      prox: Boolean = false,
+      buckets: Int = 64
+  ): Unit = {
+    require(buckets >= 1 && buckets <= 65536,
+      s"saveBm25Index: buckets must be in [1, 65536], got $buckets")
+    val toks = docs.select(col(idCol).as("doc"),
+      TextAnalysis.tokens(col(textCol)).as("__t"))
+    def postingsOver(docTerms: Column): DataFrame =
+      toks.select(col("doc"), explode(docTerms).as("term"))
+        .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+        .withColumn("bucket",
+          pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int"))
+    postingsOver(col("__t"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
+    if (prox)
+      postingsOver(bigrams(col("__t")))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings2")
+    val dl = toks.select(col("doc"), size(col("__t")).cast("long").as("dl"))
+    dl.write.mode("overwrite").parquet(s"$dir/dl")
+    writeBm25Stats(spark, dir, buckets, prox, idCol)
+  }
+
+  /** Refresh `dir/stats` from the landed `dir/dl` — exact at any append
+    * count (one aggregate over the doc-shaped dl table). */
+  private def writeBm25Stats(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      buckets: Int, prox: Boolean, idCol: String): Unit = {
+    import spark.implicits._
+    val st = spark.read.parquet(s"$dir/dl")
+      .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head
+    require(st.getLong(0) > 0, "saveBm25Index: empty corpus")
+    Seq((st.getLong(0), st.getLong(1), buckets, prox, idCol))
+      .toDF("n_docs", "sum_dl", "buckets", "prox", "id_col")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  private def readBm25Stats(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String) = {
+    val st =
+      try spark.read.parquet(s"$indexDir/stats").collect()
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"bm25 index: cannot read stats under $indexDir/stats — build " +
+          s"the index first (bm25_index / saveBm25Index): ${e.getMessage}") }
+    require(st.length == 1, s"bm25 index: damaged stats under $indexDir/stats")
+    st.head
+  }
+
+  /** APPEND documents to a [[saveBm25Index]] artifact: new postings and
+    * lengths land in place (bucket partitions for postings), stats
+    * refresh exactly from the full dl table. Because df computes at
+    * search time, a search after an append reflects the UNION corpus
+    * exactly — bit-identical to a fresh [[bm25TopK]] over everything.
+    * Caller contract: doc ids should be fresh (a re-landed id keeps
+    * both copies, like tar members without a batch column). */
+  def appendBm25Index(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dir: String
+  ): Unit = {
+    val st = readBm25Stats(spark, dir)
+    val buckets = st.getAs[Int]("buckets")
+    val prox = st.getAs[Boolean]("prox")
+    val toks = docs.select(col(idCol).as("doc"),
+      TextAnalysis.tokens(col(textCol)).as("__t"))
+    def postingsOver(docTerms: Column): DataFrame =
+      toks.select(col("doc"), explode(docTerms).as("term"))
+        .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+        .withColumn("bucket",
+          pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int"))
+    postingsOver(col("__t"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$dir/postings")
+    if (prox)
+      postingsOver(bigrams(col("__t")))
+        .write.mode("append").partitionBy("bucket").parquet(s"$dir/postings2")
+    toks.select(col("doc"), size(col("__t")).cast("long").as("dl"))
+      .write.mode("append").parquet(s"$dir/dl")
+    writeBm25Stats(spark, dir, buckets, prox, st.getAs[String]("id_col"))
+  }
+
+  /** BM25 top-k against a [[saveBm25Index]] artifact — bit-identical to
+    * [[bm25TopK]] over the same corpus at the same parameters (the
+    * shared [[bm25Rank]] core; RetrievalSpec asserts it), without
+    * re-tokenizing the corpus: the query terms' buckets prune the
+    * postings scan (broadcast equi-join on the partition column), df is
+    * a query-shaped aggregate over the matched postings, avgdl derives
+    * from the stats row. `proxWeight > 0` needs an index built with
+    * `prox = true` (rejected by name otherwise). Returns
+    * (qidCol, <the index's id_col>, score, rn). Batch-shaped. */
+  def bm25SearchIndex(
+      queries: DataFrame,
+      qidCol: String,
+      qtextCol: String,
+      indexDir: String,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 10,
+      proxWeight: Double = 0.0
+  ): DataFrame = {
+    require(topK >= 1, s"bm25SearchIndex: topK must be >= 1, got $topK")
+    require(k1 >= 0 && b >= 0 && b <= 1,
+      s"bm25SearchIndex: need k1 >= 0 and b in [0, 1], got k1=$k1 b=$b")
+    require(proxWeight >= 0,
+      s"bm25SearchIndex: prox_weight must be >= 0, got $proxWeight")
+    val spark = queries.sparkSession
+    val st = readBm25Stats(spark, indexDir)
+    val n = st.getAs[Long]("n_docs")
+    val buckets = st.getAs[Int]("buckets")
+    require(proxWeight == 0.0 || st.getAs[Boolean]("prox"),
+      s"bm25SearchIndex: prox_weight > 0 but the index under $indexDir " +
+        "was built without prox postings — rebuild with prox: true")
+    val avgdl = round9(st.getAs[Long]("sum_dl").toDouble / n)
+    val dl = spark.read.parquet(s"$indexDir/dl")
+      .select(col("doc").as("__doc"), col("dl").as("__dl"))
+    // bucket-pruned postings: the query terms (with their buckets)
+    // broadcast, and the equi-join on the PARTITION column reads only
+    // the matching bucket directories
+    def matchedP(path: String, queryTerms: Column): DataFrame = {
+      val qt = queries.select(explode(queryTerms).as("term")).distinct()
+        .withColumn("bucket",
+          pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int"))
+      spark.read.parquet(path)
+        .join(broadcast(qt), Seq("bucket", "term"))
+        .select(col("doc").as("__doc"), col("term").as("__term"),
+          col("tf").as("__tf"))
+    }
+    val qToks = TextAnalysis.tokens(col(qtextCol))
+    val uniP = matchedP(s"$indexDir/postings", qToks)
+    val biP =
+      if (proxWeight == 0.0) None
+      else Some(matchedP(s"$indexDir/postings2", bigrams(qToks)))
+    bm25Rank(uniP, biP, dl, n, avgdl, queries, qidCol, qtextCol,
+      k1, b, topK, proxWeight, st.getAs[String]("id_col"))
   }
 
   /** Reciprocal-rank fusion — the standard hybrid-retrieval combiner

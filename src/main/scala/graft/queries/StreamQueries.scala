@@ -282,6 +282,34 @@ object StreamQueries extends QueryPack {
     GROUP BY cohort, day_offset
     ORDER BY cohort ASC NULLS FIRST, day_offset ASC NULLS FIRST"""
 
+  // q255 — next-event TRANSITION matrix from pure config (zero new
+  // engine code — the window-derive family closes this too): each event
+  // pairs with the SAME user's next event by time (lead over the user
+  // partition, totalized by event_id), and the aggregate counts
+  // (event_type → next) pairs — the Markov-chain view of product flows
+  // that funnel (fixed step list) and sessionize (gap cuts) don't give.
+  // One keys-shaped window Exchange + one aggregate with map-side
+  // combine; output is (#event_types)²-shaped, never event-shaped.
+  private def q255(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "events"},
+       "derive": {
+         "nxt": "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)"},
+       "filters": ["nxt IS NOT NULL"],
+       "aggregate": {"group_by": ["event_type", "nxt"], "aggregations": [
+         {"col": "*", "func": "count", "new_name": "n"}]},
+       "order_by": ["event_type asc", "nxt asc"]}""")
+  private val q255Sql = """
+    WITH nx AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events)
+    SELECT event_type, nxt, CAST(COUNT(*) AS BIGINT) AS n
+    FROM nx WHERE nxt IS NOT NULL
+    GROUP BY event_type, nxt
+    ORDER BY event_type ASC NULLS FIRST, nxt ASC NULLS FIRST"""
+
   // q241 — RESAMPLE / gap-fill, zero policy: each user's event series
   // re-gridded to a regular 6-hour axis over their own [first, last]
   // span; empty buckets materialize with 0 counts/sums (the
@@ -366,6 +394,7 @@ object StreamQueries extends QueryPack {
     Q("q230_funnel", q230, Some(q230Sql)),
     Q("q249_funnel_every", q249, Some(q249Sql)),
     Q("q231_cohort_retention", q231, Some(q231Sql)),
+    Q("q255_event_transitions", q255, Some(q255Sql)),
     Q("q241_resample_zero", q241, Some(q241Sql)),
     Q("q242_resample_ffill", q242, Some(q242Sql))
   )

@@ -1271,6 +1271,7 @@ object TextQueries extends QueryPack {
     Q("q187_config_pagerank", q187, Some(q186Sql)),
     Q("q190_bm25_topk", q190, Some(q190Sql)),
     Q("q191_config_bm25", q191, Some(q190Sql)),
+    Q("q254_bm25_index_search", q254, Some(q190Sql)),
     Q("q202_bm25_phrase", q202, Some(q202Sql)),
     Q("q226_rrf_fusion", q226, Some(q226Sql)),
     Q("q228_ranking_eval", q228, Some(q228Sql)),
@@ -2097,6 +2098,31 @@ object TextQueries extends QueryPack {
   private val q190Sql = s"""$bm25CtesSql
     SELECT qid, doc_id, score, rn FROM ranked WHERE rn <= 5
     ORDER BY qid ASC NULLS FIRST, rn ASC NULLS FIRST"""
+
+  // q254 — BM25 against the AT-REST index (`bm25_index` + `bm25_search`):
+  // the corpus tokenizes ONCE into bucket-partitioned postings from pure
+  // JSON, and a JSON search against the artifact must be BIT-IDENTICAL
+  // to q190's in-memory ranking — same oracle, verbatim. The artifact
+  // amortizes the expensive pass (at 100 TB, the full-corpus tokenize +
+  // postings shuffle) across every future audit query batch; the query
+  // terms' buckets prune the postings scan.
+  private val q254IdxDir =
+    s"${System.getProperty("java.io.tmpdir")}/graft_q254_bm25"
+  private def q254(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir)
+    graft.compile.Compiler.compileJson(s, s"""
+      {"source": {"table": "documents"},
+       "bm25_index": {"id_col": "doc_id", "text_col": "text",
+                      "dir": "$q254IdxDir", "buckets": 16}}""")
+    import s.implicits._
+    bm25Queries.toDF("qid", "qtext")
+      .createOrReplaceTempView("bm25_queries_q254")
+    graft.compile.Compiler.compileJson(s, s"""
+      {"source": {"table": "bm25_queries_q254"},
+       "bm25_search": {"qid_col": "qid", "qtext_col": "qtext",
+                       "index_dir": "$q254IdxDir", "top_k": 5},
+       "order_by": ["qid asc", "rn asc"]}""")
+  }
 
   // q226 — HYBRID retrieval via reciprocal-rank fusion: the lexical BM25
   // top-5 (q190's exact ranking) and a dense cosine top-5 (each query id

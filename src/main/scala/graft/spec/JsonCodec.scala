@@ -631,6 +631,48 @@ object JsonCodec {
           .map(_.asDouble).getOrElse(0.0))
     }
 
+    val bm25IndexSpec = optN("bm25_index", "bm25Index").map { d =>
+      val ctx = s"node $id: bm25_index"
+      val s = Bm25IndexSpec(
+        idCol = req(d, ctx, "id_col", "idCol").asText,
+        textCol = req(d, ctx, "text_col", "textCol").asText,
+        dir = req(d, ctx, "dir").asText,
+        prox = opt(d, "prox").exists(_.asBoolean(false)),
+        buckets = opt(d, "buckets").map(_.asInt).getOrElse(64),
+        mode = opt(d, "mode").map(_.asText).getOrElse("build"))
+      require(s.mode == "build" || s.mode == "append",
+        s"""$ctx: mode must be "build" or "append", got "${s.mode}"""")
+      // append lands into the SAVED layout — stated layout params would
+      // silently not re-shard/re-shape; reject the contradiction by name
+      require(s.mode == "build" ||
+          (opt(d, "prox").isEmpty && opt(d, "buckets").isEmpty),
+        s"""$ctx: prox/buckets have no effect under mode "append" (the """ +
+          "saved layout is reused) — remove them, or rebuild with " +
+          """mode "build"""")
+      require(s.buckets >= 1 && s.buckets <= 65536,
+        s"$ctx: buckets must be in [1, 65536], got ${s.buckets}")
+      s
+    }
+
+    val bm25SearchSpec = optN("bm25_search", "bm25Search").map { d =>
+      val ctx = s"node $id: bm25_search"
+      val s = Bm25SearchSpec(
+        qidCol = req(d, ctx, "qid_col", "qidCol").asText,
+        qtextCol = req(d, ctx, "qtext_col", "qtextCol").asText,
+        indexDir = req(d, ctx, "index_dir", "indexDir").asText,
+        k1 = opt(d, "k1").map(_.asDouble).getOrElse(1.2),
+        b = opt(d, "b").map(_.asDouble).getOrElse(0.75),
+        topK = opt(d, "top_k", "topK").map(_.asInt).getOrElse(10),
+        proxWeight = opt(d, "prox_weight", "proxWeight")
+          .map(_.asDouble).getOrElse(0.0))
+      require(s.topK >= 1, s"$ctx: top_k must be >= 1, got ${s.topK}")
+      require(s.k1 >= 0 && s.b >= 0 && s.b <= 1,
+        s"$ctx: need k1 >= 0 and b in [0, 1], got k1=${s.k1} b=${s.b}")
+      require(s.proxWeight >= 0,
+        s"$ctx: prox_weight must be >= 0, got ${s.proxWeight}")
+      s
+    }
+
     val rrfSpec = optN("rrf_fuse", "rrfFuse").map { d =>
       val ctx = s"node $id: rrf_fuse"
       val s = RrfFuseSpec(
@@ -1153,6 +1195,8 @@ object JsonCodec {
       winnow = winnowSpec,
       winnowProbe = winnowProbeSpec,
       bm25 = bm25Spec,
+      bm25Index = bm25IndexSpec,
+      bm25Search = bm25SearchSpec,
       rrfFuse = rrfSpec,
       rankingEval = rankingEvalSpec,
       upsample = upsampleSpec,

@@ -597,6 +597,38 @@ final case class Bm25Spec(
     proxWeight: Double = 0.0 // > 0: add bigram-adjacency (phrase) scoring
 )
 
+/** Build/maintain an at-rest BM25 index (NS; Retrieval.saveBm25Index) —
+  * the ann_index artifact pattern applied to lexical retrieval
+  * (tokenize once, search many): the frame (the corpus) persists
+  * bucket-partitioned postings (+ bigram postings with `prox`), doc
+  * lengths and exact stats under `dir`, then becomes the (bucket,
+  * n_postings) balance histogram. `mode: "append"` lands new docs and
+  * refreshes stats — searches then reflect the union corpus exactly
+  * (df computes at search time). Batch-only. */
+final case class Bm25IndexSpec(
+    idCol: String,
+    textCol: String,
+    dir: String,
+    prox: Boolean = false,
+    buckets: Int = 64,
+    mode: String = "build" // "append": land new docs, refresh stats
+)
+
+/** BM25 search against a saved index (NS; Retrieval.bm25SearchIndex):
+  * the frame (the QUERY set) becomes (qid_col, <index id_col>, score,
+  * rn) — bit-identical to `bm25` over the same corpus at the same
+  * params, without re-tokenizing it; the query terms' buckets prune the
+  * postings scan. prox_weight needs a prox-built index. Batch-only. */
+final case class Bm25SearchSpec(
+    qidCol: String,
+    qtextCol: String,
+    indexDir: String,
+    k1: Double = 1.2,
+    b: Double = 0.75,
+    topK: Int = 10,
+    proxWeight: Double = 0.0
+)
+
 /** Reciprocal-rank fusion (NS; Retrieval.rrfFuse): the frame — a UNION
   * of ranked lists as (queryCol, docCol, rankCol) rows, typically
   * `combine` of a bm25 child and an ann_search child with ranks renamed
@@ -1244,6 +1276,8 @@ final case class NodeSpec(
     winnow: Option[WinnowSpec] = None, // after keep, before aggregate
     winnowProbe: Option[WinnowProbeSpec] = None, // after keep, before aggregate
     bm25: Option[Bm25Spec] = None, // after keep, before aggregate
+    bm25Index: Option[Bm25IndexSpec] = None, // after keep, before aggregate
+    bm25Search: Option[Bm25SearchSpec] = None, // after keep, before aggregate
     rrfFuse: Option[RrfFuseSpec] = None, // after keep, before aggregate (input: a combine union of ranked lists)
     rankingEval: Option[RankingEvalSpec] = None, // after keep, before aggregate
     upsample: Option[UpsampleSpec] = None, // after keep, before aggregate

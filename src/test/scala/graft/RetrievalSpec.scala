@@ -190,6 +190,81 @@ class RetrievalSpec extends SparkSpec {
     assert(e.getMessage.contains("rank"), e.getMessage)
   }
 
+  test("bm25SearchIndex == bm25TopK bit-for-bit (plain and prox); append reflects the union corpus exactly") {
+    val qs = Seq((1L, "apple pear"), (2L, "quantum capacitor"), (3L, "banana banana pear"))
+      .toDF("qid", "qtext")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getInt(3))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    // plain build: search == in-memory over the same corpus
+    Retrieval.saveBm25Index(spark, corpus, "id", "txt", s"$dir/plain", buckets = 8)
+    assert(asSet(Retrieval.bm25SearchIndex(qs, "qid", "qtext", s"$dir/plain", topK = 3)) ==
+      asSet(Retrieval.bm25TopK(corpus, "id", "txt", qs, "qid", "qtext", topK = 3)))
+    // the output id column carries the index's id_col name
+    assert(Retrieval.bm25SearchIndex(qs, "qid", "qtext", s"$dir/plain")
+      .columns.toSeq == Seq("qid", "id", "score", "rn"))
+    // prox build: bigram contributions identical through the artifact
+    Retrieval.saveBm25Index(spark, corpus, "id", "txt", s"$dir/prox",
+      prox = true, buckets = 8)
+    assert(asSet(Retrieval.bm25SearchIndex(qs, "qid", "qtext", s"$dir/prox",
+        topK = 3, proxWeight = 0.5)) ==
+      asSet(Retrieval.bm25TopK(corpus, "id", "txt", qs, "qid", "qtext",
+        topK = 3, proxWeight = 0.5)))
+    // append: build on ids <= 2, append the rest -> search == in-memory
+    // over the UNION (df/idf/avgdl all reflect the union; no merge step)
+    Retrieval.saveBm25Index(spark, corpus.filter($"id" <= 2), "id", "txt",
+      s"$dir/inc", buckets = 8)
+    Retrieval.appendBm25Index(spark, corpus.filter($"id" > 2), "id", "txt",
+      s"$dir/inc")
+    assert(asSet(Retrieval.bm25SearchIndex(qs, "qid", "qtext", s"$dir/inc", topK = 3)) ==
+      asSet(Retrieval.bm25TopK(corpus, "id", "txt", qs, "qid", "qtext", topK = 3)))
+    // guards by name
+    assert(intercept[IllegalArgumentException](
+      Retrieval.bm25SearchIndex(qs, "qid", "qtext", s"$dir/plain",
+        proxWeight = 0.5)).getMessage.contains("prox"))
+    assert(intercept[IllegalArgumentException](
+      Retrieval.bm25SearchIndex(qs, "qid", "qtext", s"$dir/absent"))
+      .getMessage.contains("stats"))
+    assert(intercept[IllegalArgumentException](
+      Retrieval.saveBm25Index(spark, corpus.filter($"id" > 99), "id", "txt",
+        s"$dir/empty")).getMessage.contains("empty"))
+  }
+
+  test("bm25_index / bm25_search config keys: twin of the API; append layout params reject; batch-only") {
+    val qs = Seq((1L, "apple pear")).toDF("qid", "qtext")
+    corpus.createOrReplaceTempView("bm25_corpus")
+    qs.createOrReplaceTempView("bm25_qs")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25-cfg").toString
+    val hist = graft.compile.Compiler.compileJson(spark, s"""
+      {"source": {"table": "bm25_corpus"},
+       "bm25_index": {"id_col": "id", "text_col": "txt",
+                      "dir": "$dir/idx", "buckets": 8}}""")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(hist.values.sum > 0 && hist.keySet.forall(b => b >= 0 && b < 8))
+    val viaCfg = graft.compile.Compiler.compileJson(spark, s"""
+      {"source": {"table": "bm25_qs"},
+       "bm25_search": {"qid_col": "qid", "qtext_col": "qtext",
+                       "index_dir": "$dir/idx", "top_k": 3}}""")
+      .collect().map(_.toSeq).toSet
+    val viaApi = Retrieval.bm25SearchIndex(qs, "qid", "qtext", s"$dir/idx", topK = 3)
+      .collect().map(_.toSeq).toSet
+    assert(viaCfg == viaApi)
+    assert(intercept[IllegalArgumentException](graft.compile.Compiler.compileJson(spark, s"""
+      {"source": {"table": "bm25_corpus"},
+       "bm25_index": {"id_col": "id", "text_col": "txt", "dir": "$dir/idx",
+                      "mode": "append", "buckets": 8}}"""))
+      .getMessage.contains("buckets"))
+    qs.write.mode("overwrite").parquet(s"$dir/q")
+    val e = intercept[IllegalArgumentException] {
+      graft.compile.Compiler.compileStreamJson(spark, s"""
+        {"source": {"path": "$dir/q"},
+         "bm25_search": {"qid_col": "qid", "qtext_col": "qtext",
+                         "index_dir": "$dir/idx"},
+         "save": {"format": "memory", "query_name": "bm25_x"}}""")
+    }
+    assert(e.getMessage.contains("batch-only"), e.getMessage)
+  }
+
   test("rankingEval: duplicate (query, doc) result rows count as ONE hit (recall <= 1)") {
     // doc 10 retrieved THREE times inside the top k (a concatenated /
     // fused result table); judged set is just {10}. Per-row counting
