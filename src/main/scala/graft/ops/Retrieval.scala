@@ -164,10 +164,10 @@ object Retrieval {
     * is the cost this artifact amortizes. Layout under `dir`:
     *
     *   - `postings`  (doc, term, tf) PARTITIONED BY a stable term-hash
-    *     `bucket` (pmod(xxhash64(term), buckets)) — a search's terms
-    *     map to their buckets, so the probe equi-join prunes the scan
-    *     to the query terms' partitions (the ann_search list-pruning
-    *     posture; a handful of audit terms touch a handful of buckets)
+    *     `bucket` (pmod(xxhash64(term), buckets)) — a search maps its
+    *     terms to their buckets and prunes the scan to those partition
+    *     directories (the ann_search list-pruning posture; a handful of
+    *     audit terms touch a handful of buckets)
     *   - `postings2` the bigram postings, only with `prox = true` —
     *     proximity search needs them at search time
     *   - `dl`        (doc, dl) — document lengths (doc-shaped)
@@ -300,14 +300,23 @@ object Retrieval {
     val avgdl = round9(st.getAs[Long]("sum_dl").toDouble / n)
     val dl = spark.read.parquet(s"$indexDir/dl")
       .select(col("doc").as("__doc"), col("dl").as("__dl"))
-    // bucket-pruned postings: the query terms (with their buckets)
-    // broadcast, and the equi-join on the PARTITION column reads only
-    // the matching bucket directories
+    // bucket-pruned postings: the query terms' DISTINCT buckets are
+    // bounded metadata (<= `buckets` ints — never row data), so they
+    // collect once and prune the scan as a LITERAL isin on the
+    // partition column — STATIC partition pruning, planned before any
+    // file is listed. (Dynamic partition pruning does not fire for
+    // this broadcast-join shape — verified by plan audit — hence the
+    // explicit literal; the cost is one query-shaped action per term
+    // granularity.) The broadcast equi-join then matches exact terms
+    // within the surviving buckets.
     def matchedP(path: String, queryTerms: Column): DataFrame = {
       val qt = queries.select(explode(queryTerms).as("term")).distinct()
         .withColumn("bucket",
           pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int"))
+      val bucketIds = qt.select(col("bucket")).distinct()
+        .collect().map(_.getInt(0)).toSeq
       spark.read.parquet(path)
+        .filter(col("bucket").isInCollection(bucketIds))
         .join(broadcast(qt), Seq("bucket", "term"))
         .select(col("doc").as("__doc"), col("term").as("__term"),
           col("tf").as("__tf"))

@@ -203,6 +203,14 @@ class RetrievalSpec extends SparkSpec {
     // the output id column carries the index's id_col name
     assert(Retrieval.bm25SearchIndex(qs, "qid", "qtext", s"$dir/plain")
       .columns.toSeq == Seq("qid", "id", "score", "rn"))
+    // the postings scan must be STATICALLY bucket-pruned (a literal IN
+    // on the partition column — DPP does not fire for this join shape)
+    val physical = Retrieval.bm25SearchIndex(qs, "qid", "qtext",
+      s"$dir/plain", topK = 3).queryExecution.executedPlan.toString
+    assert(physical.contains("PartitionFilters") &&
+      ("""bucket#\d+ IN""".r.findFirstIn(physical).isDefined ||
+        physical.contains("INSET")),
+      s"postings scan must carry a literal bucket filter:\n$physical")
     // prox build: bigram contributions identical through the artifact
     Retrieval.saveBm25Index(spark, corpus, "id", "txt", s"$dir/prox",
       prox = true, buckets = 8)
