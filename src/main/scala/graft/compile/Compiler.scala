@@ -97,15 +97,17 @@ object Compiler {
         node.pageRank.toSeq.flatMap(p => Seq(p.srcCol, p.dstCol)) ++
         node.tarPack.toSeq.flatMap(t => Seq(t.nameCol, t.payloadCol)) ++
         node.tarCompact.toSeq.flatMap(t => t.tarCol +: t.batchCol.toSeq) ++
-        // stats mode reads only the artifact — no frame columns to check
-        node.annIndex.toSeq.filterNot(_.mode == "stats")
+        // stats/compact modes read only the artifact — no frame columns
+        node.annIndex.toSeq
+          .filterNot(a => a.mode == "stats" || a.mode == "compact")
           .flatMap(a => Seq(a.idCol, a.vecCol)) ++
         node.applyDiff.toSeq.flatMap(_.on) ++
         node.annSearch.toSeq.flatMap(a => Seq(a.idCol, a.vecCol)) ++
         node.annProbe.toSeq.map(_.vecCol) ++
         node.quantileFilter.toSeq.map(_.col) ++
         node.bm25.toSeq.flatMap(bq => Seq(bq.idCol, bq.textCol)) ++
-        node.bm25Index.toSeq.flatMap(bi => Seq(bi.idCol, bi.textCol)) ++
+        node.bm25Index.toSeq.filterNot(_.mode == "compact")
+          .flatMap(bi => Seq(bi.idCol, bi.textCol)) ++
         node.bm25Search.toSeq.flatMap(bs => Seq(bs.qidCol, bs.qtextCol)) ++
         node.rrfFuse.toSeq.flatMap(rf => Seq(rf.queryCol, rf.docCol, rf.rankCol)) ++
         node.rankingEval.toSeq.flatMap(re => Seq(re.queryCol, re.docCol, re.rankCol)) ++
@@ -693,7 +695,9 @@ object Compiler {
     node.bm25Index.foreach { bi =>
       requireBatch("bm25_index", "a postings build and an index write",
         "build the index in batch; search query streams in batch against it")
-      if (bi.mode == "append")
+      if (bi.mode == "compact")
+        graft.ops.Retrieval.compactBm25Index(df.sparkSession, bi.dir)
+      else if (bi.mode == "append")
         graft.ops.Retrieval.appendBm25Index(
           df.sparkSession, df, bi.idCol, bi.textCol, bi.dir)
       else
@@ -838,6 +842,12 @@ object Compiler {
         // skew) gauge that decides rebuild-vs-append without reading the
         // index parquet by hand
         df = graft.ops.Similarity.annIndexStats(df.sparkSession, ai.dir)
+      } else if (ai.mode == "compact") {
+        // defragment the appended artifact (one file per list); the
+        // frame is discarded and becomes the post-compact histogram
+        graft.ops.Similarity.compactAnnIndex(df.sparkSession, ai.dir)
+        df = df.sparkSession.read.parquet(s"${ai.dir}/index")
+          .groupBy(col("list")).agg(count(lit(1)).as("n_vectors"))
       } else {
         if (ai.mode == "append")
           graft.ops.Similarity.appendAnnIndex(

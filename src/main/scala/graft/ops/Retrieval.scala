@@ -266,6 +266,21 @@ object Retrieval {
     writeBm25Stats(spark, dir, buckets, prox, st.getAs[String]("id_col"))
   }
 
+  /** COMPACT a [[saveBm25Index]] artifact: every [[appendBm25Index]]
+    * lands one more file set per touched bucket (and one more dl file
+    * set) — after many appends the footer reads dominate the
+    * bucket-pruned scan. Rewrites postings (and prox postings, when
+    * present) to ONE file per bucket; dl and stats stay as-is (dl
+    * fragmentation is footer-only cost on a doc-shaped table — rebuild
+    * when it matters). Searches before/after are bit-identical
+    * (gated). */
+  def compactBm25Index(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    Artifacts.compactPartitionedDir(spark, s"$dir/postings", "bucket")
+    if (Artifacts.dirExists(spark, s"$dir/postings2"))
+      Artifacts.compactPartitionedDir(spark, s"$dir/postings2", "bucket")
+  }
+
   /** BM25 top-k against a [[saveBm25Index]] artifact — bit-identical to
     * [[bm25TopK]] over the same corpus at the same parameters (the
     * shared [[bm25Rank]] core; RetrievalSpec asserts it), without

@@ -482,6 +482,16 @@ object Similarity {
     }
   }
 
+  /** COMPACT a [[saveAnnIndex]] artifact: every [[appendAnnIndex]] lands
+    * one more file set per touched list directory — after many appends
+    * the footer reads dominate the pruned scan. Rewrites each list to
+    * ONE file; rows/values/layout unchanged (searches bit-identical —
+    * gated), centroids and codebooks untouched. Pair with
+    * [[annIndexStats]]: compact for fragmentation, rebuild for skew. */
+  def compactAnnIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    Artifacts.compactPartitionedDir(spark, s"$dir/index", "list")
+
   /** Index HEALTH view over a [[saveAnnIndex]] artifact — the
     * rebuild-vs-append decision input ([[appendAnnIndex]]'s documented
     * trade is centroid drift under heavy growth; this is the gauge that

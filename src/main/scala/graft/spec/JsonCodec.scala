@@ -633,21 +633,31 @@ object JsonCodec {
 
     val bm25IndexSpec = optN("bm25_index", "bm25Index").map { d =>
       val ctx = s"node $id: bm25_index"
+      val mode = opt(d, "mode").map(_.asText).getOrElse("build")
+      require(mode == "build" || mode == "append" || mode == "compact",
+        s"""$ctx: mode must be "build", "append" or "compact", got "$mode"""")
+      // compact only touches the artifact — frame columns never enter
+      if (mode == "compact")
+        Seq("id_col", "idCol", "text_col", "textCol").foreach { k =>
+          require(opt(d, k).isEmpty,
+            s"""$ctx: "$k" has no effect under mode "compact" (it """ +
+              "rewrites only the saved artifact) — remove it")
+        }
       val s = Bm25IndexSpec(
-        idCol = req(d, ctx, "id_col", "idCol").asText,
-        textCol = req(d, ctx, "text_col", "textCol").asText,
+        idCol = if (mode == "compact") ""
+          else req(d, ctx, "id_col", "idCol").asText,
+        textCol = if (mode == "compact") ""
+          else req(d, ctx, "text_col", "textCol").asText,
         dir = req(d, ctx, "dir").asText,
         prox = opt(d, "prox").exists(_.asBoolean(false)),
         buckets = opt(d, "buckets").map(_.asInt).getOrElse(64),
-        mode = opt(d, "mode").map(_.asText).getOrElse("build"))
-      require(s.mode == "build" || s.mode == "append",
-        s"""$ctx: mode must be "build" or "append", got "${s.mode}"""")
-      // append lands into the SAVED layout — stated layout params would
-      // silently not re-shard/re-shape; reject the contradiction by name
+        mode = mode)
+      // append/compact work against the SAVED layout — stated layout
+      // params would silently not re-shard/re-shape; reject by name
       require(s.mode == "build" ||
           (opt(d, "prox").isEmpty && opt(d, "buckets").isEmpty),
-        s"""$ctx: prox/buckets have no effect under mode "append" (the """ +
-          "saved layout is reused) — remove them, or rebuild with " +
+        s"""$ctx: prox/buckets have no effect under mode "${s.mode}" """ +
+          "(the saved layout is reused) — remove them, or rebuild with " +
           """mode "build"""")
       require(s.buckets >= 1 && s.buckets <= 65536,
         s"$ctx: buckets must be in [1, 65536], got ${s.buckets}")
@@ -839,21 +849,23 @@ object JsonCodec {
     val aiSpec = optN("ann_index", "annIndex").map { d =>
       val ctx = s"node $id: ann_index"
       val mode = opt(d, "mode").map(_.asText).getOrElse("build")
-      require(mode == "build" || mode == "append" || mode == "stats",
-        s"""$ctx: mode must be "build", "append" or "stats", got "$mode"""")
-      // stats only READS the artifact — the frame's columns never enter,
-      // so a stated id_col/vec_col is a misunderstanding; reject by name
-      if (mode == "stats")
+      require(mode == "build" || mode == "append" || mode == "stats" ||
+          mode == "compact",
+        s"""$ctx: mode must be "build", "append", "stats" or "compact", got "$mode"""")
+      // stats/compact only touch the artifact — the frame's columns never
+      // enter, so a stated id_col/vec_col is a misunderstanding; reject
+      if (mode == "stats" || mode == "compact")
         Seq("id_col", "idCol", "vec_col", "vecCol").foreach { k =>
           require(opt(d, k).isEmpty,
-            s"""$ctx: "$k" has no effect under mode "stats" (the health """ +
-              "view reads only the saved artifact) — remove it")
+            s"""$ctx: "$k" has no effect under mode "$mode" (it reads """ +
+              "only the saved artifact) — remove it")
         }
       val pqNode = opt(d, "pq")
+      val artifactOnly = mode == "stats" || mode == "compact"
       val s = AnnIndexSpec(
-        idCol = if (mode == "stats") ""
+        idCol = if (artifactOnly) ""
           else req(d, ctx, "id_col", "idCol").asText,
-        vecCol = if (mode == "stats") ""
+        vecCol = if (artifactOnly) ""
           else req(d, ctx, "vec_col", "vecCol").asText,
         dir = req(d, ctx, "dir").asText,
         nlist = opt(d, "nlist").map(_.asInt).getOrElse(16),

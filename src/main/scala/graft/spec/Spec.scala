@@ -611,7 +611,7 @@ final case class Bm25IndexSpec(
     dir: String,
     prox: Boolean = false,
     buckets: Int = 64,
-    mode: String = "build" // "append": land new docs, refresh stats
+    mode: String = "build" // append: land new docs, refresh stats; compact: defragment
 )
 
 /** BM25 search against a saved index (NS; Retrieval.bm25SearchIndex):
@@ -802,7 +802,7 @@ final case class AnnIndexSpec(
     dir: String,
     nlist: Int = 16,
     refineRounds: Int = 0,
-    mode: String = "build", // "append": assign to SAVED centroids; "stats": health view
+    mode: String = "build", // append: assign to SAVED centroids; stats: health view; compact: defragment
     // pq: {m, k?, iters?} — store m PQ codes per row instead of the
     // vector (the FAISS IVF-PQ at-rest shape, 32-64x smaller); searches
     // reconstruct per candidate; appends encode with the SAVED codebooks

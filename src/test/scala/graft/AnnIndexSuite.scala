@@ -237,6 +237,31 @@ class AnnIndexSuite extends SparkSpec {
     // the health gauge reads the PQ artifact like any other
     val st = Similarity.annIndexStats(spark, s"$dir/idx").collect().head
     assert(st.getInt(0) == 4 && st.getLong(2) == 60L)
+    // COMPACT the appended index: file count per list drops to 1,
+    // search stays bit-identical
+    def filesPerList(d: String): Map[String, Int] =
+      new java.io.File(s"$d/index").listFiles().filter(_.isDirectory)
+        .map(l => l.getName ->
+          l.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    assert(filesPerList(s"$dir2/idx").values.exists(_ > 1),
+      "the append must have fragmented at least one list")
+    Similarity.compactAnnIndex(spark, s"$dir2/idx")
+    assert(filesPerList(s"$dir2/idx").values.forall(_ == 1),
+      s"compaction must leave one file per list: ${filesPerList(s"$dir2/idx")}")
+    assert(asSet(Similarity.annSearchIndex(
+      q, "qid", "emb", s"$dir2/idx", k = 3, nprobe = 4)) == refUnion,
+      "search must be bit-identical after compaction")
+    // config: mode compact needs only dir; id/vec reject by name
+    corpus.createOrReplaceTempView("ann_corpus")
+    val hist = graft.compile.Compiler.compileJson(spark, s"""
+      {"source": {"table": "ann_corpus"},
+       "ann_index": {"dir": "$dir2/idx", "mode": "compact"}}""")
+      .agg(org.apache.spark.sql.functions.sum("n_vectors")).collect().head.getLong(0)
+    assert(hist == 60L)
+    assert(intercept[IllegalArgumentException](graft.compile.Compiler.compileJson(spark, s"""
+      {"source": {"table": "ann_corpus"},
+       "ann_index": {"dir": "$dir2/idx", "mode": "compact", "id_col": "vid"}}"""))
+      .getMessage.contains("id_col"))
   }
 
   test("ann_index pq config: JSON build + search round trip; pq under append/stats rejects; decode guards") {

@@ -226,6 +226,20 @@ class RetrievalSpec extends SparkSpec {
       s"$dir/inc")
     assert(asSet(Retrieval.bm25SearchIndex(qs, "qid", "qtext", s"$dir/inc", topK = 3)) ==
       asSet(Retrieval.bm25TopK(corpus, "id", "txt", qs, "qid", "qtext", topK = 3)))
+    // COMPACT the appended index: postings files per bucket drop to 1,
+    // search stays bit-identical
+    def filesPerBucket(p: String): Map[String, Int] =
+      new java.io.File(p).listFiles().filter(_.isDirectory)
+        .map(b => b.getName ->
+          b.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    assert(filesPerBucket(s"$dir/inc/postings").values.exists(_ > 1),
+      "the append must have fragmented at least one bucket")
+    Retrieval.compactBm25Index(spark, s"$dir/inc")
+    assert(filesPerBucket(s"$dir/inc/postings").values.forall(_ == 1),
+      s"compaction must leave one file per bucket")
+    assert(asSet(Retrieval.bm25SearchIndex(qs, "qid", "qtext", s"$dir/inc", topK = 3)) ==
+      asSet(Retrieval.bm25TopK(corpus, "id", "txt", qs, "qid", "qtext", topK = 3)),
+      "search must be bit-identical after compaction")
     // guards by name
     assert(intercept[IllegalArgumentException](
       Retrieval.bm25SearchIndex(qs, "qid", "qtext", s"$dir/plain",
@@ -262,6 +276,16 @@ class RetrievalSpec extends SparkSpec {
        "bm25_index": {"id_col": "id", "text_col": "txt", "dir": "$dir/idx",
                       "mode": "append", "buckets": 8}}"""))
       .getMessage.contains("buckets"))
+    // mode compact from config: only dir; id/text reject by name
+    val hist2 = graft.compile.Compiler.compileJson(spark, s"""
+      {"source": {"table": "bm25_corpus"},
+       "bm25_index": {"dir": "$dir/idx", "mode": "compact"}}""")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(hist2.values.sum > 0)
+    assert(intercept[IllegalArgumentException](graft.compile.Compiler.compileJson(spark, s"""
+      {"source": {"table": "bm25_corpus"},
+       "bm25_index": {"dir": "$dir/idx", "mode": "compact", "id_col": "id"}}"""))
+      .getMessage.contains("id_col"))
     qs.write.mode("overwrite").parquet(s"$dir/q")
     val e = intercept[IllegalArgumentException] {
       graft.compile.Compiler.compileStreamJson(spark, s"""
