@@ -636,6 +636,39 @@ object SimQueries extends QueryPack {
            TRUE AS skew_ok
     FROM embeddings"""
 
+  // q256 — the FULL ANN index LIFECYCLE under one driver gate: build
+  // (Scala, evens) → PURE-JSON append (odds) → PURE-JSON compact
+  // (defragment the appended lists) → PURE-JSON full-coverage search,
+  // which must STILL equal brute-force top-3 over the whole corpus —
+  // proving the maintenance chain (append then compact) is completely
+  // invisible to search results. q220 gates append; this adds the
+  // compaction leg a long-running ingest actually performs.
+  private def q256(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir)
+    val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_q256_index"
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).toSeq.flatten.foreach(rmrf)
+      p.delete(); ()
+    }
+    rmrf(new java.io.File(idxDir))
+    Similarity.saveAnnIndex(
+      s, emb(s, dir).filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("match_id"), col("embedding")),
+      "match_id", "embedding", idxDir, nlist = 16)
+    graft.compile.Compiler.compileJson(s, s"""
+      {"source": {"sql": "SELECT vec_id AS match_id, embedding FROM embeddings WHERE vec_id % 2 = 1"},
+       "ann_index": {"id_col": "match_id", "vec_col": "embedding",
+                     "dir": "$idxDir", "mode": "append"}}""")
+    graft.compile.Compiler.compileJson(s, s"""
+      {"source": {"table": "embeddings"},
+       "ann_index": {"dir": "$idxDir", "mode": "compact"}}""")
+    graft.compile.Compiler.compileJson(s, s"""
+      {"source": {"sql": "SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10"},
+       "ann_search": {"id_col": "query_id", "vec_col": "embedding",
+                      "index_dir": "$idxDir", "k": 3, "nprobe": 16},
+       "order_by": ["query_id asc", "rank asc"]}""")
+  }
+
   // q222 — SCAN-STAGE semantic probe (the decontamination gate): index
   // the "benchmark" (vec_id < 20) in Scala, then PURE JSON flags every
   // corpus row whose max cosine against the benchmark reaches 0.35. The
@@ -674,6 +707,7 @@ object SimQueries extends QueryPack {
     Q("q219_config_ann_index", q219, Some(q219Sql)),
     Q("q250_ann_index_stats", q250, Some(q250Sql)),
     Q("q253_ann_index_pq", q253, Some(q253Sql)),
+    Q("q256_ann_index_lifecycle", q256, Some(bruteTopKSql(3))),
     Q("q31_cosine_topk", q31, Some(q31Sql)),
     Q("q32_embedding_neardup", q32, Some(q32Sql)),
     Q("q46_embedding_neardup_banded", q46, Some(q46Sql)),

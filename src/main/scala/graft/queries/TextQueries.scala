@@ -1272,6 +1272,7 @@ object TextQueries extends QueryPack {
     Q("q190_bm25_topk", q190, Some(q190Sql)),
     Q("q191_config_bm25", q191, Some(q190Sql)),
     Q("q254_bm25_index_search", q254, Some(q190Sql)),
+    Q("q257_bm25_index_lifecycle", q257, Some(q190Sql)),
     Q("q202_bm25_phrase", q202, Some(q202Sql)),
     Q("q226_rrf_fusion", q226, Some(q226Sql)),
     Q("q228_ranking_eval", q228, Some(q228Sql)),
@@ -2121,6 +2122,43 @@ object TextQueries extends QueryPack {
       {"source": {"table": "bm25_queries_q254"},
        "bm25_search": {"qid_col": "qid", "qtext_col": "qtext",
                        "index_dir": "$q254IdxDir", "top_k": 5},
+       "order_by": ["qid asc", "rn asc"]}""")
+  }
+
+  // q257 — the FULL BM25 index LIFECYCLE under one driver gate, all from
+  // pure JSON: build over the even-doc half → append the odd half →
+  // compact the fragmented buckets → search — which must STILL equal
+  // q190's in-memory ranking over the WHOLE corpus (same oracle,
+  // verbatim): append is exact (df computes at search time over the
+  // union) and compaction is invisible. The maintenance chain a
+  // long-running corpus audit actually performs, end to end.
+  private val q257IdxDir =
+    s"${System.getProperty("java.io.tmpdir")}/graft_q257_bm25"
+  private def q257(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir)
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).toSeq.flatten.foreach(rmrf)
+      p.delete(); ()
+    }
+    rmrf(new java.io.File(q257IdxDir))
+    graft.compile.Compiler.compileJson(s, s"""
+      {"source": {"sql": "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0"},
+       "bm25_index": {"id_col": "doc_id", "text_col": "text",
+                      "dir": "$q257IdxDir", "buckets": 16}}""")
+    graft.compile.Compiler.compileJson(s, s"""
+      {"source": {"sql": "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1"},
+       "bm25_index": {"id_col": "doc_id", "text_col": "text",
+                      "dir": "$q257IdxDir", "mode": "append"}}""")
+    graft.compile.Compiler.compileJson(s, s"""
+      {"source": {"table": "documents"},
+       "bm25_index": {"dir": "$q257IdxDir", "mode": "compact"}}""")
+    import s.implicits._
+    bm25Queries.toDF("qid", "qtext")
+      .createOrReplaceTempView("bm25_queries_q257")
+    graft.compile.Compiler.compileJson(s, s"""
+      {"source": {"table": "bm25_queries_q257"},
+       "bm25_search": {"qid_col": "qid", "qtext_col": "qtext",
+                       "index_dir": "$q257IdxDir", "top_k": 5},
        "order_by": ["qid asc", "rn asc"]}""")
   }
 
