@@ -106,7 +106,8 @@ object Compiler {
         node.annProbe.toSeq.map(_.vecCol) ++
         node.quantileFilter.toSeq.map(_.col) ++
         node.bm25.toSeq.flatMap(bq => Seq(bq.idCol, bq.textCol)) ++
-        node.bm25Index.toSeq.filterNot(_.mode == "compact")
+        node.bm25Index.toSeq
+          .filterNot(bi => bi.mode == "compact" || bi.mode == "stats")
           .flatMap(bi => Seq(bi.idCol, bi.textCol)) ++
         node.bm25Search.toSeq.flatMap(bs => Seq(bs.qidCol, bs.qtextCol)) ++
         node.rrfFuse.toSeq.flatMap(rf => Seq(rf.queryCol, rf.docCol, rf.rankCol)) ++
@@ -695,16 +696,21 @@ object Compiler {
     node.bm25Index.foreach { bi =>
       requireBatch("bm25_index", "a postings build and an index write",
         "build the index in batch; search query streams in batch against it")
-      if (bi.mode == "compact")
-        graft.ops.Retrieval.compactBm25Index(df.sparkSession, bi.dir)
-      else if (bi.mode == "append")
-        graft.ops.Retrieval.appendBm25Index(
-          df.sparkSession, df, bi.idCol, bi.textCol, bi.dir)
-      else
-        graft.ops.Retrieval.saveBm25Index(
-          df.sparkSession, df, bi.idCol, bi.textCol, bi.dir, bi.prox, bi.buckets)
-      df = df.sparkSession.read.parquet(s"${bi.dir}/postings")
-        .groupBy(col("bucket")).agg(count(lit(1)).as("n_postings"))
+      if (bi.mode == "stats") {
+        // health view only — no write, the frame is discarded
+        df = graft.ops.Retrieval.bm25IndexStats(df.sparkSession, bi.dir)
+      } else {
+        if (bi.mode == "compact")
+          graft.ops.Retrieval.compactBm25Index(df.sparkSession, bi.dir)
+        else if (bi.mode == "append")
+          graft.ops.Retrieval.appendBm25Index(
+            df.sparkSession, df, bi.idCol, bi.textCol, bi.dir)
+        else
+          graft.ops.Retrieval.saveBm25Index(
+            df.sparkSession, df, bi.idCol, bi.textCol, bi.dir, bi.prox, bi.buckets)
+        df = df.sparkSession.read.parquet(s"${bi.dir}/postings")
+          .groupBy(col("bucket")).agg(count(lit(1)).as("n_postings"))
+      }
     }
 
     // BM25 search against a saved index: the frame (the QUERY set)

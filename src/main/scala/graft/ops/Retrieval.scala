@@ -281,6 +281,37 @@ object Retrieval {
       Artifacts.compactPartitionedDir(spark, s"$dir/postings2", "bucket")
   }
 
+  /** Health view over a [[saveBm25Index]] artifact — the
+    * [[graft.ops.Similarity.annIndexStats]] gauge for the lexical
+    * family: one row (n_docs, sum_dl, buckets, prox, n_postings,
+    * max_bucket_n, mean_bucket_n, skew) where the bucket stats are over
+    * ALL buckets (empty ones included) and skew = max/mean — the
+    * term-hash is content-addressed, so a drifting skew means a few
+    * pathological terms (boilerplate tokens) dominate their buckets and
+    * searches touching them re-read those heavy partitions. Scale: one
+    * count-by-bucket aggregate whose scan prunes to the partition
+    * column; no posting data moves. */
+  def bm25IndexStats(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String): DataFrame = {
+    val st = readBm25Stats(spark, indexDir)
+    val nb = st.getAs[Int]("buckets")
+    spark.read.parquet(s"$indexDir/postings")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("__n"))
+      .agg(
+        lit(st.getAs[Long]("n_docs")).as("n_docs"),
+        lit(st.getAs[Long]("sum_dl")).as("sum_dl"),
+        lit(nb).as("buckets"),
+        lit(st.getAs[Boolean]("prox")).as("prox"),
+        coalesce(sum(col("__n")), lit(0L)).cast("long").as("n_postings"),
+        coalesce(max(col("__n")), lit(0L)).cast("long").as("max_bucket_n"),
+        round(coalesce(sum(col("__n")), lit(0L)) / lit(nb.toDouble), 9)
+          .as("mean_bucket_n"))
+      .withColumn("skew", round(
+        when(col("n_postings") > 0,
+          col("max_bucket_n") * lit(nb.toDouble) / col("n_postings"))
+          .otherwise(lit(0.0)), 9))
+  }
+
   /** BM25 top-k against a [[saveBm25Index]] artifact — bit-identical to
     * [[bm25TopK]] over the same corpus at the same parameters (the
     * shared [[bm25Rank]] core; RetrievalSpec asserts it), without

@@ -1273,6 +1273,7 @@ object TextQueries extends QueryPack {
     Q("q191_config_bm25", q191, Some(q190Sql)),
     Q("q254_bm25_index_search", q254, Some(q190Sql)),
     Q("q257_bm25_index_lifecycle", q257, Some(q190Sql)),
+    Q("q258_bm25_index_stats", q258, Some(q258Sql)),
     Q("q202_bm25_phrase", q202, Some(q202Sql)),
     Q("q226_rrf_fusion", q226, Some(q226Sql)),
     Q("q228_ranking_eval", q228, Some(q228Sql)),
@@ -2161,6 +2162,50 @@ object TextQueries extends QueryPack {
                        "index_dir": "$q257IdxDir", "top_k": 5},
        "order_by": ["qid asc", "rn asc"]}""")
   }
+
+  // q258 — BM25 index HEALTH (`bm25_index mode:"stats"`), the lexical
+  // twin of q250: n_docs and sum_dl are EXACT mirrors of the corpus
+  // (the stored stats row), n_postings is exactly the count of DISTINCT
+  // (doc, token) pairs (the oracle recomputes it from scratch in
+  // DuckDB), and the bucket-skew gauge is gated by internal consistency
+  // (mean·buckets = n_postings; skew = max/mean; max within bounds) —
+  // the hash placement itself is engine arithmetic the oracle doesn't
+  // restate.
+  private val q258IdxDir =
+    s"${System.getProperty("java.io.tmpdir")}/graft_q258_bm25"
+  private def q258(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir)
+    graft.compile.Compiler.compileJson(s, s"""
+      {"source": {"table": "documents"},
+       "bm25_index": {"id_col": "doc_id", "text_col": "text",
+                      "dir": "$q258IdxDir", "buckets": 16}}""")
+    graft.compile.Compiler.compileJson(s, s"""
+      {"source": {"table": "documents"},
+       "bm25_index": {"dir": "$q258IdxDir", "mode": "stats"}}""")
+      .select(
+        col("n_docs"), col("sum_dl"), col("buckets"), col("prox"),
+        col("n_postings"),
+        (abs(col("mean_bucket_n") * col("buckets") - col("n_postings")) < lit(1e-6))
+          .as("mean_ok"),
+        (col("max_bucket_n") >= ceil(col("mean_bucket_n")) &&
+          col("max_bucket_n") <= col("n_postings")).as("max_ok"),
+        (abs(col("skew") - col("max_bucket_n") / col("mean_bucket_n")) < lit(1e-6))
+          .as("skew_ok"))
+  }
+  private val q258Sql = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS t
+      FROM documents),
+    post AS (
+      SELECT DISTINCT doc_id, tok
+      FROM (SELECT doc_id, unnest(t) AS tok FROM toks))
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+           (SELECT CAST(SUM(len(t)) AS BIGINT) FROM toks) AS sum_dl,
+           16 AS buckets, FALSE AS prox,
+           CAST(COUNT(*) AS BIGINT) AS n_postings,
+           TRUE AS mean_ok, TRUE AS max_ok, TRUE AS skew_ok
+    FROM post"""
 
   // q226 — HYBRID retrieval via reciprocal-rank fusion: the lexical BM25
   // top-5 (q190's exact ranking) and a dense cosine top-5 (each query id

@@ -634,19 +634,21 @@ object JsonCodec {
     val bm25IndexSpec = optN("bm25_index", "bm25Index").map { d =>
       val ctx = s"node $id: bm25_index"
       val mode = opt(d, "mode").map(_.asText).getOrElse("build")
-      require(mode == "build" || mode == "append" || mode == "compact",
-        s"""$ctx: mode must be "build", "append" or "compact", got "$mode"""")
-      // compact only touches the artifact — frame columns never enter
-      if (mode == "compact")
+      require(mode == "build" || mode == "append" || mode == "compact" ||
+          mode == "stats",
+        s"""$ctx: mode must be "build", "append", "compact" or "stats", got "$mode"""")
+      // compact/stats only touch the artifact — frame columns never enter
+      val artifactOnly = mode == "compact" || mode == "stats"
+      if (artifactOnly)
         Seq("id_col", "idCol", "text_col", "textCol").foreach { k =>
           require(opt(d, k).isEmpty,
-            s"""$ctx: "$k" has no effect under mode "compact" (it """ +
-              "rewrites only the saved artifact) — remove it")
+            s"""$ctx: "$k" has no effect under mode "$mode" (it """ +
+              "touches only the saved artifact) — remove it")
         }
       val s = Bm25IndexSpec(
-        idCol = if (mode == "compact") ""
+        idCol = if (artifactOnly) ""
           else req(d, ctx, "id_col", "idCol").asText,
-        textCol = if (mode == "compact") ""
+        textCol = if (artifactOnly) ""
           else req(d, ctx, "text_col", "textCol").asText,
         dir = req(d, ctx, "dir").asText,
         prox = opt(d, "prox").exists(_.asBoolean(false)),

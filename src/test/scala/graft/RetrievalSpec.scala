@@ -276,6 +276,22 @@ class RetrievalSpec extends SparkSpec {
        "bm25_index": {"id_col": "id", "text_col": "txt", "dir": "$dir/idx",
                       "mode": "append", "buckets": 8}}"""))
       .getMessage.contains("buckets"))
+    // mode stats: exact recount of the artifact, API == config
+    val st = Retrieval.bm25IndexStats(spark, s"$dir/idx").collect().head
+    val posted = spark.read.parquet(s"$dir/idx/postings").count()
+    assert(st.getAs[Long]("n_docs") == 5L && st.getAs[Int]("buckets") == 8 &&
+      !st.getAs[Boolean]("prox") && st.getAs[Long]("n_postings") == posted &&
+      st.getAs[Long]("max_bucket_n") >= 1L &&
+      math.abs(st.getAs[Double]("mean_bucket_n") - posted / 8.0) < 1e-9,
+      s"stats gauge wrong: $st")
+    val stCfg = graft.compile.Compiler.compileJson(spark, s"""
+      {"source": {"table": "bm25_corpus"},
+       "bm25_index": {"dir": "$dir/idx", "mode": "stats"}}""").collect().head
+    assert(stCfg.toSeq == st.toSeq)
+    assert(intercept[IllegalArgumentException](graft.compile.Compiler.compileJson(spark, s"""
+      {"source": {"table": "bm25_corpus"},
+       "bm25_index": {"dir": "$dir/idx", "mode": "stats", "text_col": "txt"}}"""))
+      .getMessage.contains("text_col"))
     // mode compact from config: only dir; id/text reject by name
     val hist2 = graft.compile.Compiler.compileJson(spark, s"""
       {"source": {"table": "bm25_corpus"},
