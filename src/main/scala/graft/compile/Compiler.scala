@@ -893,8 +893,14 @@ object Compiler {
     node.annSearch.foreach { as =>
       requireBatch("ann_search", "a per-query top-k rank window",
         "search in batch; the index itself is the at-rest artifact")
+      val allowed = as.allowRef.map(r => refs.getOrElse(r,
+        throw new IllegalArgumentException(
+          s"node ${node.id}: ann_search.allow_ref '$r' is not a def — " +
+            "declare the allow-list under top-level defs" +
+            (if (refs.isEmpty) "" else s" (defined: ${refs.keys.mkString(", ")})"))))
       df = graft.ops.Similarity.annSearchIndex(
-        df, as.idCol, as.vecCol, as.indexDir, as.k, as.nprobe)
+        df, as.idCol, as.vecCol, as.indexDir, as.k, as.nprobe,
+        allowed, as.allowIdCol)
     }
 
     // Tar sharding: the frame becomes (shard, tar, n_members,

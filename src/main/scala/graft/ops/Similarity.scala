@@ -598,7 +598,9 @@ object Similarity {
       queryVec: String,
       indexDir: String,
       k: Int,
-      nprobe: Int = 4
+      nprobe: Int = 4,
+      allowed: Option[DataFrame] = None,
+      allowedIdCol: String = "id"
   ): DataFrame = {
     require(k >= 1, s"annSearchIndex: k must be >= 1, got $k")
     require(nprobe >= 1, s"annSearchIndex: nprobe must be >= 1, got $nprobe")
@@ -606,7 +608,23 @@ object Similarity {
       "annSearchIndex: rename the query id column — 'match_id' names the index side")
     val spark = queries.sparkSession
     val cents = loadCentroids(spark, indexDir)
-    val idx = spark.read.parquet(s"$indexDir/index")
+    // FILTERED search (the vector-store "metadata filter"): restrict the
+    // candidate set to the allowed ids BEFORE scoring and top-k, so each
+    // query still gets its k best matches FROM THE ALLOWED SUBSET —
+    // post-filtering an unfiltered top-k would silently return fewer
+    // (or zero) rows for queries whose neighborhoods are disallowed.
+    // One LEFT SEMI equi-join on the index id (AQE broadcasts a small
+    // allow-list; a corpus-scale one shuffles id-shaped rows, never
+    // vectors from the disallowed side).
+    val idx = allowed match {
+      case None => spark.read.parquet(s"$indexDir/index")
+      case Some(a) =>
+        require(a.columns.contains(allowedIdCol),
+          s"annSearchIndex: the allowed frame has no id column " +
+            s"'$allowedIdCol' (has: ${a.columns.mkString(", ")})")
+        spark.read.parquet(s"$indexDir/index")
+          .join(a.select(col(allowedIdCol).as("id")), Seq("id"), "left_semi")
+    }
     // PQ artifact: candidates reconstruct from their codes (asymmetric
     // distance — queries stay exact); the stored norm is already the
     // reconstructed vector's. Same plan shape, same pruning.

@@ -669,6 +669,44 @@ object SimQueries extends QueryPack {
        "order_by": ["query_id asc", "rank asc"]}""")
   }
 
+  // q259 — FILTERED ANN search (the vector-store "metadata filter"): the
+  // allow-list def restricts candidates BEFORE scoring and top-k, so
+  // every query gets its k best matches FROM THE ALLOWED SUBSET — a
+  // post-filtered unfiltered top-k would under-return wherever a query's
+  // neighborhood is disallowed. Full coverage (nprobe = nlist) makes the
+  // gate exact: the oracle is brute force over exactly the allowed
+  // third of the corpus.
+  private def q259(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir)
+    val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_q259_index"
+    Similarity.saveAnnIndex(
+      s, emb(s, dir).select(col("vec_id").as("match_id"), col("embedding")),
+      "match_id", "embedding", idxDir, nlist = 16)
+    graft.compile.Compiler.compileJson(s, s"""
+      {"defs": [
+         {"id": "allow",
+          "source": {"sql": "SELECT vec_id AS id FROM embeddings WHERE vec_id % 3 = 0"}}],
+       "source": {"sql": "SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10"},
+       "ann_search": {"id_col": "query_id", "vec_col": "embedding",
+                      "index_dir": "$idxDir", "k": 3, "nprobe": 16,
+                      "allow_ref": "allow"},
+       "order_by": ["query_id asc", "rank asc"]}""")
+  }
+  private val q259Sql = s"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+    allowed AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0),
+    scored AS (
+      SELECT query_id, c.vec_id AS match_id,
+             ${duckCosine("qe", "c.embedding")} AS score
+      FROM q, allowed c WHERE c.vec_id <> query_id),
+    ranked AS (
+      SELECT query_id, match_id, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, match_id ASC) AS INT) AS rank
+      FROM scored)
+    SELECT query_id, match_id, score, rank FROM ranked WHERE rank <= 3
+    ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST"""
+
   // q222 — SCAN-STAGE semantic probe (the decontamination gate): index
   // the "benchmark" (vec_id < 20) in Scala, then PURE JSON flags every
   // corpus row whose max cosine against the benchmark reaches 0.35. The
@@ -708,6 +746,7 @@ object SimQueries extends QueryPack {
     Q("q250_ann_index_stats", q250, Some(q250Sql)),
     Q("q253_ann_index_pq", q253, Some(q253Sql)),
     Q("q256_ann_index_lifecycle", q256, Some(bruteTopKSql(3))),
+    Q("q259_ann_filtered_search", q259, Some(q259Sql)),
     Q("q31_cosine_topk", q31, Some(q31Sql)),
     Q("q32_embedding_neardup", q32, Some(q32Sql)),
     Q("q46_embedding_neardup_banded", q46, Some(q46Sql)),

@@ -906,11 +906,17 @@ object JsonCodec {
         vecCol = req(d, ctx, "vec_col", "vecCol").asText,
         indexDir = req(d, ctx, "index_dir", "indexDir").asText,
         k = opt(d, "k").map(_.asInt).getOrElse(10),
-        nprobe = opt(d, "nprobe").map(_.asInt).getOrElse(4))
+        nprobe = opt(d, "nprobe").map(_.asInt).getOrElse(4),
+        allowRef = opt(d, "allow_ref", "allowRef").map(_.asText),
+        allowIdCol = opt(d, "allow_id_col", "allowIdCol").map(_.asText)
+          .getOrElse("id"))
       require(s.k >= 1, s"$ctx: k must be >= 1, got ${s.k}")
       require(s.nprobe >= 1, s"$ctx: nprobe must be >= 1, got ${s.nprobe}")
       require(s.idCol != "match_id",
         s"$ctx: rename the query id column — 'match_id' names the index side")
+      require(s.allowRef.nonEmpty || opt(d, "allow_id_col", "allowIdCol").isEmpty,
+        s"$ctx: allow_id_col has no effect without allow_ref — remove it " +
+          "or name the allow-list def")
       s
     }
 

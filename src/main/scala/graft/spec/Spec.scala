@@ -822,7 +822,12 @@ final case class AnnSearchSpec(
     vecCol: String,
     indexDir: String,
     k: Int = 10,
-    nprobe: Int = 4
+    nprobe: Int = 4,
+    // filtered search: restrict candidates to the ids in this def
+    // BEFORE scoring/top-k, so every query gets k matches FROM the
+    // allowed subset (post-filtering would silently under-return)
+    allowRef: Option[String] = None,
+    allowIdCol: String = "id"
 )
 
 /** Generic quantile-threshold selection (NS; Corpus.quantileFilter):

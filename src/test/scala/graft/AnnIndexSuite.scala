@@ -302,6 +302,41 @@ class AnnIndexSuite extends SparkSpec {
       .getMessage.contains("m"))
   }
 
+  test("filtered ann search: k best from the ALLOWED subset at full probe; guards") {
+    val c = corpus
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-allow").toString
+    Similarity.saveAnnIndex(spark, c, "vid", "emb", s"$dir/idx", nlist = 4)
+    val q = c.filter($"vid" <= 6).select($"vid".as("qid"), $"emb")
+    val allow = c.filter($"vid" % 3 === 0).select($"vid".as("id"))
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val got = asSet(Similarity.annSearchIndex(
+      q, "qid", "emb", s"$dir/idx", k = 3, nprobe = 4,
+      allowed = Some(allow)))
+    val want = asSet(Similarity.cosineTopK(
+      q, c.filter($"vid" % 3 === 0).select($"vid".as("mid"), $"emb"),
+      "qid", "emb", "mid", "emb", k = 3))
+    assert(got == want && got.nonEmpty,
+      "filtered full-probe search must equal brute force over the subset")
+    // every returned match is allowed
+    assert(got.forall(_._2 % 3 == 0))
+    // guards: wrong allow column by name; allow_id_col without allow_ref
+    assert(intercept[IllegalArgumentException](
+      Similarity.annSearchIndex(q, "qid", "emb", s"$dir/idx", k = 3,
+        allowed = Some(allow.toDF("nope")))).getMessage.contains("id"))
+    corpus.createOrReplaceTempView("ann_corpus")
+    assert(intercept[IllegalArgumentException](graft.compile.Compiler.compileJson(spark, s"""
+      {"source": {"table": "ann_corpus"},
+       "ann_search": {"id_col": "vid", "vec_col": "emb",
+                      "index_dir": "$dir/idx", "allow_id_col": "id"}}"""))
+      .getMessage.contains("allow_ref"))
+    assert(intercept[IllegalArgumentException](graft.compile.Compiler.compileJson(spark, s"""
+      {"source": {"table": "ann_corpus"},
+       "ann_search": {"id_col": "vid", "vec_col": "emb",
+                      "index_dir": "$dir/idx", "allow_ref": "nodef"}}"""))
+      .getMessage.contains("nodef"))
+  }
+
   test("annIndexStats: exact health gauge, nlist=1 degenerate, empty lists counted; stats config guards") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ann-stats").toString
     corpus.createOrReplaceTempView("ann_corpus")
