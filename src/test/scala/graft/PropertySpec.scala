@@ -759,6 +759,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bm25SearchIndex over random corpora equals bm25TopK through the artifact round trip") {
+    import graft.ops.Retrieval
+    // random docs from a small vocabulary (term overlap guaranteed),
+    // including empty and single-word docs; random multi-term queries
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    def textsGen(minN: Int, maxN: Int, minLen: Int, maxLen: Int): Gen[List[String]] =
+      Gen.chooseNum(minN, maxN).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(minLen, maxLen).flatMap(len =>
+          Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" ")))))
+    val docsGen = textsGen(2, 20, 0, 8)  // empty docs included
+    val qsGen = textsGen(1, 4, 1, 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25-fuzz").toString
+    var round = 0
+    forAll2(docsGen, qsGen, n = 8) { (docTexts0, qTexts) =>
+      round += 1
+      // an all-empty corpus has no postings at all — out of contract for
+      // a retrieval index (nothing to search); keep one real doc
+      val docTexts =
+        if (docTexts0.forall(_.isEmpty)) docTexts0 :+ "alpha" else docTexts0
+      val docs = docTexts.zipWithIndex
+        .map { case (t, i) => ((i + 1).toLong, t) }.toDF("id", "txt")
+      val qs = qTexts.zipWithIndex
+        .map { case (t, i) => ((i + 1).toLong, t) }.toDF("qid", "qtext")
+      def asSet(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      val idx = s"$dir/r$round"
+      Retrieval.saveBm25Index(spark, docs, "id", "txt", idx, buckets = 4)
+      assert(
+        asSet(Retrieval.bm25SearchIndex(qs, "qid", "qtext", idx, topK = 3)) ==
+          asSet(Retrieval.bm25TopK(docs, "id", "txt", qs, "qid", "qtext", topK = 3)),
+        s"artifact round trip diverged: docs=$docTexts qs=$qTexts")
+    }
+  }
+
   test("asofJoin on random series equals a brute-force per-row scan") {
     import graft.ops.Relational
     val caseGen = for {
