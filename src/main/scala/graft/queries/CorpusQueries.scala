@@ -939,6 +939,38 @@ object CorpusQueries extends QueryPack {
     SELECT doc_id, score FROM s, c WHERE score >= cut
     ORDER BY doc_id ASC NULLS FIRST"""
 
+  // q260 — PER-GROUP quantile selection from pure config ("keep the
+  // best 25% per language"), the grouped sibling of q223's global
+  // quantile_filter: a percent_rank window over each group, totalized
+  // by doc_id so ties rank deterministically, then a plain filter.
+  // pr = (rank−1)/(n−1) is integer arithmetic both engines compute
+  // bit-identically, so the boundary compare is exact — no sketch, no
+  // approx-percentile cross-engine drift. One keys-shaped window
+  // Exchange; batch-only by nature (the window). Use quantile_filter
+  // for the GLOBAL cut at corpus scale (one sketch pass, no sort).
+  private def q260(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "documents"},
+       "derive": {
+         "score": "CAST(length(text) AS DOUBLE)",
+         "pr": "percent_rank() OVER (PARTITION BY lang ORDER BY score DESC, doc_id ASC)"},
+       "filters": ["pr <= 0.25"],
+       "keep_columns": ["doc_id", "lang", "score"],
+       "order_by": ["doc_id asc"]}""")
+  }
+  private val q260Sql = """
+    WITH s AS (
+      SELECT doc_id, lang, CAST(length(text) AS DOUBLE) AS score
+      FROM documents),
+    r AS (
+      SELECT doc_id, lang, score,
+             percent_rank() OVER (PARTITION BY lang
+                                  ORDER BY score DESC, doc_id ASC) AS pr
+      FROM s)
+    SELECT doc_id, lang, score FROM r WHERE pr <= 0.25
+    ORDER BY doc_id ASC NULLS FIRST"""
+
   private val q166Sql = """
     WITH base AS (
       SELECT doc_id,
@@ -1264,6 +1296,7 @@ object CorpusQueries extends QueryPack {
     Q("q166_c4_line_filter", q166, Some(q166Sql)),
     Q("q221_line_dedup", q221, Some(q221Sql)),
     Q("q223_quantile_filter", q223, Some(q223Sql)),
+    Q("q260_group_quantile_select", q260, Some(q260Sql)),
     Q("q170_global_shuffle", q170, Some(q170Sql)),
     Q("q171_config_global_shuffle", q171, Some(q170Sql)),
     Q("q172_gopher_quality", q172, Some(q172Sql)),
