@@ -110,7 +110,8 @@ object Compiler {
           .filterNot(bi => bi.mode == "compact" || bi.mode == "stats")
           .flatMap(bi => Seq(bi.idCol, bi.textCol)) ++
         node.bm25Search.toSeq.flatMap(bs => Seq(bs.qidCol, bs.qtextCol)) ++
-        node.rrfFuse.toSeq.flatMap(rf => Seq(rf.queryCol, rf.docCol, rf.rankCol)) ++
+        node.rrfFuse.toSeq.flatMap(rf =>
+          Seq(rf.queryCol, rf.docCol, rf.rankCol) ++ rf.weightCol) ++
         node.rankingEval.toSeq.flatMap(re => Seq(re.queryCol, re.docCol, re.rankCol)) ++
         node.upsample.toSeq.map(_.factorCol) ++
         node.funnel.toSeq.flatMap(fu => Seq(fu.keyCol, fu.tsCol, fu.eventCol)) ++
@@ -833,7 +834,7 @@ object Compiler {
       requireBatch("rrf_fuse", "a per-query top-k rank window",
         "fuse in batch over the materialized ranked lists")
       df = graft.ops.Retrieval.rrfFuse(df, rf.queryCol, rf.docCol,
-        rf.rankCol, rf.topK, rf.rrfK)
+        rf.rankCol, rf.topK, rf.rrfK, rf.weightCol)
     }
 
     // At-rest ANN index build: writes dir/centroids + dir/index

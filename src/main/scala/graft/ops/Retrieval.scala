@@ -396,7 +396,9 @@ object Retrieval {
     * DECIMAL (order-free), the fused score rounds to 9 dp, ranking ties
     * break by doc id — the exact output table has a full SQL oracle.
     * NULL or < 1 ranks raise by name (a NULL rank would silently drop
-    * the list's contribution).
+    * the list's contribution). `weightCol` makes it WEIGHTED RRF
+    * (per-list weights derived upstream; w/(k+rank), NULL/negative
+    * weights raise, 0 is a legitimate ablation).
     *
     * Scale: ONE (query, doc)-keyed aggregate + one per-query rank window
     * (WindowGroupLimit under the topK filter). The input is top-k-shaped
@@ -410,16 +412,33 @@ object Retrieval {
       docCol: String,
       rankCol: String,
       topK: Int = 10,
-      rrfK: Int = 60
+      rrfK: Int = 60,
+      weightCol: Option[String] = None
   ): DataFrame = {
     require(topK >= 1, s"rrfFuse: topK must be >= 1, got $topK")
     require(rrfK >= 0, s"rrfFuse: rrfK must be >= 0, got $rrfK")
+    weightCol.foreach(w => require(rankings.columns.contains(w),
+      s"rrfFuse: weight column '$w' is not in the frame " +
+        s"(has: ${rankings.columns.mkString(", ")})"))
     val dec = DecimalType(38, 12)
     val rank = when(col(rankCol).isNotNull && col(rankCol) >= 1,
       col(rankCol).cast("double")).otherwise(raise_error(
       lit(s"rrfFuse: NULL or < 1 rank in '$rankCol' — every ranked-list " +
         "row needs a 1-based rank")))
-    val wgt = round(lit(1.0) / (lit(rrfK.toDouble) + rank), 9)
+    // WEIGHTED RRF (the hybrid-search tuning knob every stack exposes —
+    // "dense x0.7 + lexical x0.3"): each row's reciprocal contribution
+    // scales by its list's weight, derived upstream (a CASE over the
+    // list tag). NULL/negative weights raise by name — a NULL would
+    // silently drop the list's contribution; weight 0 is a legitimate
+    // ablation (the list contributes nothing but its docs still rank).
+    val listW = weightCol match {
+      case None => lit(1.0)
+      case Some(w) => when(col(w).isNotNull && col(w) >= 0,
+        col(w).cast("double")).otherwise(raise_error(
+        lit(s"rrfFuse: NULL or negative weight in '$w' — every ranked " +
+          "row needs a weight >= 0 (or drop weight_col for plain RRF)")))
+    }
+    val wgt = round(listW / (lit(rrfK.toDouble) + rank), 9)
     val scored = rankings
       .select(col(queryCol).as("__q"), col(docCol).as("__d"), wgt.cast(dec).as("__w"))
       .groupBy("__q", "__d")

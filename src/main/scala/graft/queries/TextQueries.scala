@@ -1274,6 +1274,7 @@ object TextQueries extends QueryPack {
     Q("q254_bm25_index_search", q254, Some(q190Sql)),
     Q("q257_bm25_index_lifecycle", q257, Some(q190Sql)),
     Q("q258_bm25_index_stats", q258, Some(q258Sql)),
+    Q("q261_weighted_rrf", q261, Some(q261Sql)),
     Q("q202_bm25_phrase", q202, Some(q202Sql)),
     Q("q226_rrf_fusion", q226, Some(q226Sql)),
     Q("q228_ranking_eval", q228, Some(q228Sql)),
@@ -2236,7 +2237,10 @@ object TextQueries extends QueryPack {
         lex.unionByName(dense), "qid", "doc_id", "rank", topK = 5)
       .orderBy(col("qid").asc_nulls_first, col("rn").asc_nulls_first)
   }
-  private val q226Sql = s"""$bm25CtesSql,
+  /** The shared lexical+dense ranked-list CTEs (through `lex`/`dense`) —
+    * used verbatim by the q226 (unweighted) and q261 (weighted) fusion
+    * oracles; only the reciprocal-weight arithmetic differs. */
+  private val hybridCtesSql = s"""$bm25CtesSql,
     lex AS (SELECT qid, doc_id, rn AS rank FROM ranked WHERE rn <= 5),
     denseq AS (
       SELECT vec_id AS qid, embedding AS qe FROM embeddings
@@ -2250,13 +2254,16 @@ object TextQueries extends QueryPack {
         SELECT qid, doc_id,
                CAST(ROW_NUMBER() OVER (PARTITION BY qid
                     ORDER BY dscore DESC, doc_id ASC) AS INT) AS rank
-        FROM dscored) WHERE rank <= 5),
+        FROM dscored) WHERE rank <= 5)"""
+  /** Fusion tail over `unioned(qid, doc_id, rank, w)` — the exact RRF
+    * arithmetic (9-dp reciprocal, DECIMAL sum, 9-dp score, id ties). */
+  private def rrfTailSql(lexW: String, denseW: String) = s"""
     unioned AS (
-      SELECT qid, doc_id, rank FROM lex
-      UNION ALL SELECT qid, doc_id, rank FROM dense),
+      SELECT qid, doc_id, rank, $lexW AS w FROM lex
+      UNION ALL SELECT qid, doc_id, rank, $denseW AS w FROM dense),
     fused AS (
       SELECT qid, doc_id,
-             ROUND(CAST(SUM(CAST(ROUND(1e0 / (60 + rank), 9)
+             ROUND(CAST(SUM(CAST(ROUND(w / (60 + rank), 9)
                AS DECIMAL(38,12))) AS DOUBLE), 9) AS rrf_score
       FROM unioned GROUP BY qid, doc_id),
     franked AS (
@@ -2266,6 +2273,35 @@ object TextQueries extends QueryPack {
       FROM fused)
     SELECT qid, doc_id, rrf_score, rn FROM franked WHERE rn <= 5
     ORDER BY qid ASC NULLS FIRST, rn ASC NULLS FIRST"""
+  private val q226Sql = s"""$hybridCtesSql, ${rrfTailSql("1e0", "1e0")}"""
+
+  // q261 — WEIGHTED hybrid fusion (the tuning knob every hybrid stack
+  // exposes: "lexical x1.0 + dense x0.5"): the same two ranked lists as
+  // q226, each tagged with its list weight upstream, fused by
+  // w/(60+rank). The oracle replays both rankings AND the weighted
+  // arithmetic; q226's hash is unchanged (weight 1.0 twice == plain).
+  private def q261(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qs = bm25Queries.toDF("qid", "qtext")
+    val lex = graft.ops.Retrieval.bm25TopK(
+        docs(s, dir), "doc_id", "text", qs, "qid", "qtext", topK = 5)
+      .select(col("qid"), col("doc_id"), col("rn").as("rank"))
+      .withColumn("w", lit(1.0))
+    val e = graft.Tables.load(s, dir, "embeddings")
+    val dense = graft.ops.Similarity.cosineTopK(
+        e.filter(col("vec_id").isin(1L, 2L, 3L))
+          .select(col("vec_id").as("qid"), col("embedding")),
+        e.select(col("vec_id").as("doc_id"), col("embedding")),
+        queryId = "qid", queryVec = "embedding",
+        corpusId = "doc_id", corpusVec = "embedding", k = 5)
+      .select(col("qid"), col("doc_id"), col("rank"))
+      .withColumn("w", lit(0.5))
+    graft.ops.Retrieval.rrfFuse(
+        lex.unionByName(dense), "qid", "doc_id", "rank", topK = 5,
+        weightCol = Some("w"))
+      .orderBy(col("qid").asc_nulls_first, col("rn").asc_nulls_first)
+  }
+  private val q261Sql = s"""$hybridCtesSql, ${rrfTailSql("1e0", "0.5e0")}"""
 
   // q233 — BPE DECODE round trip (`bpe_apply decode_col` — the
   // shard-inspection path: what a landed training shard's id sequences

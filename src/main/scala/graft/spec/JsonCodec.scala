@@ -692,7 +692,8 @@ object JsonCodec {
         docCol = req(d, ctx, "doc_col", "docCol").asText,
         rankCol = req(d, ctx, "rank_col", "rankCol").asText,
         topK = opt(d, "top_k", "topK").map(_.asInt).getOrElse(10),
-        rrfK = opt(d, "rrf_k", "rrfK").map(_.asInt).getOrElse(60))
+        rrfK = opt(d, "rrf_k", "rrfK").map(_.asInt).getOrElse(60),
+        weightCol = opt(d, "weight_col", "weightCol").map(_.asText))
       require(s.topK >= 1, s"$ctx: top_k must be >= 1, got ${s.topK}")
       require(s.rrfK >= 0, s"$ctx: rrf_k must be >= 0, got ${s.rrfK}")
       s

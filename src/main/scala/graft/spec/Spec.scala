@@ -642,7 +642,8 @@ final case class RrfFuseSpec(
     docCol: String,
     rankCol: String,
     topK: Int = 10,
-    rrfK: Int = 60
+    rrfK: Int = 60,
+    weightCol: Option[String] = None // weighted RRF: w/(k+rank) per row
 )
 
 /** Ordered funnel analysis (NS; Relational.funnel): per key, step 1

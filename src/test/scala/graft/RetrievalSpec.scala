@@ -313,6 +313,49 @@ class RetrievalSpec extends SparkSpec {
     assert(e.getMessage.contains("batch-only"), e.getMessage)
   }
 
+  test("weighted rrfFuse: hand-computed scores, zero-weight ablation, named guards, config twin") {
+    // q1: list A ranks docs (10,20), list B ranks (20,30); wA=1, wB=0.5
+    val lists = Seq(
+      (1L, 10L, 1, 1.0), (1L, 20L, 2, 1.0),   // list A
+      (1L, 20L, 1, 0.5), (1L, 30L, 2, 0.5))   // list B
+      .toDF("q", "d", "r", "w")
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Retrieval.rrfFuse(lists, "q", "d", "r", topK = 5,
+        weightCol = Some("w"))
+      .collect().map(x => x.getLong(1) -> x.getDouble(2)).toMap
+    assert(got(10L) == r9(1.0 / 61))
+    assert(got(20L) == r9(r9(1.0 / 62) + r9(0.5 / 61)))
+    assert(got(30L) == r9(0.5 / 62))
+    // zero-weight list: contributes nothing; its exclusive docs score 0
+    val ablated = Retrieval.rrfFuse(
+        lists.withColumn("w", when(col("w") === 0.5, lit(0.0)).otherwise(lit(1.0))),
+        "q", "d", "r", topK = 5, weightCol = Some("w"))
+      .collect().map(x => x.getLong(1) -> x.getDouble(2)).toMap
+    assert(ablated(10L) == r9(1.0 / 61) && ablated(30L) == 0.0)
+    // guards: NULL weight raises by name; missing column; negative
+    val nullW = Seq((1L, 10L, 1, None: Option[Double])).toDF("q", "d", "r", "w")
+    val e = intercept[Exception](
+      Retrieval.rrfFuse(nullW, "q", "d", "r", weightCol = Some("w")).collect())
+    assert((Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse(""))
+      .contains("weight"), e.toString)
+    assert(intercept[IllegalArgumentException](
+      Retrieval.rrfFuse(lists, "q", "d", "r", weightCol = Some("nope")))
+      .getMessage.contains("nope"))
+    val negW = Seq((1L, 10L, 1, -1.0)).toDF("q", "d", "r", "w")
+    intercept[Exception](
+      Retrieval.rrfFuse(negW, "q", "d", "r", weightCol = Some("w")).collect())
+    // config twin
+    lists.createOrReplaceTempView("wrrf_lists")
+    val viaCfg = graft.compile.Compiler.compileJson(spark, """
+      {"source": {"table": "wrrf_lists"},
+       "rrf_fuse": {"query_col": "q", "doc_col": "d", "rank_col": "r",
+                    "weight_col": "w", "top_k": 5}}""")
+      .collect().map(_.toSeq).toSet
+    assert(viaCfg == Retrieval.rrfFuse(lists, "q", "d", "r", topK = 5,
+      weightCol = Some("w")).collect().map(_.toSeq).toSet)
+  }
+
   test("rankingEval: duplicate (query, doc) result rows count as ONE hit (recall <= 1)") {
     // doc 10 retrieved THREE times inside the top k (a concatenated /
     // fused result table); judged set is just {10}. Per-row counting
