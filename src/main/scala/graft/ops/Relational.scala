@@ -662,7 +662,12 @@ object Relational {
       // STRICTLY-after rule. The first event past __t is also the MIN
       // qualifying one, so filtering the window bound afterwards is
       // equivalent (any later event is even further from __t0).
-      var cur = events.filter(col(eventCol) === steps.head)
+      // NULL-timestamp step-1 events never anchor — parity with "first",
+      // whose min(ts) ignores NULLs (an unorderable event can't open a
+      // funnel; NULL-ts later-step events are skipped by the carry's
+      // null handling on both paths)
+      var cur = events
+        .filter(col(eventCol) === steps.head && col(tsCol).isNotNull)
         .select(col(keyCol), col(tsCol).as("__t")).distinct()
         .withColumn("__t0", col("__t"))
       frames += cur

@@ -200,6 +200,18 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(2))).sortBy(_._1)
     assert(out.toSeq == Seq((1, 3L), (2, 2L), (3, 2L)),
       s"every-anchor counts wrong: ${out.toSeq}")
+    // a NULL-timestamp step-1 event never anchors (parity with "first",
+    // whose min ignores NULLs)
+    val withNull = events.unionByName(
+      Seq((3L, "view")).toDF("u", "e")
+        .withColumn("secs", lit(null).cast("int"))
+        .withColumn("ts", lit(null).cast("timestamp"))
+        .select("u", "secs", "e", "ts"))
+    val n = graft.ops.Relational.funnel(
+        withNull, "u", "ts", "e", Seq("view", "click", "purchase"),
+        anchor = "every")
+      .collect().map(r => (r.getInt(0), r.getLong(2))).sortBy(_._1)
+    assert(n.toSeq == out.toSeq, s"NULL-ts view must not anchor: ${n.toSeq}")
     // contrast: first-anchor counts user 1 once
     val first = graft.ops.Relational.funnel(
         events, "u", "ts", "e", Seq("view", "click", "purchase"))
