@@ -309,20 +309,29 @@ case class NormalizeText(child: Expression) extends UnaryExpression {
   * oracle gates state INVARIANTS (bounds; repetition compresses better),
   * never absolute ratios — same posture as the media checksums. */
 object CompressionRatioOps {
+  // ONE native zlib state per executor thread, reset() between rows — a
+  // per-row Deflater would pay deflateInit/deflateEnd (zlib allocates
+  // its ~256 KB window/hash state) per document, rivaling the actual
+  // deflate cost of short docs on a corpus-scale scan. The retained
+  // native memory is bounded by the executor's thread count.
+  private val local = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, /* nowrap = */ true)
+  }
+
   def compute(u: UTF8String): Any = {
     val bytes = u.getBytes
     if (bytes.length == 0) return null
-    val d = new java.util.zip.Deflater(
-      java.util.zip.Deflater.DEFAULT_COMPRESSION, /* nowrap = */ true)
-    try {
-      d.setInput(bytes)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0L
-      while (!d.finished()) total += d.deflate(buf)
-      java.lang.Double.valueOf(
-        math.rint(total.toDouble / bytes.length * 1e6) / 1e6)
-    } finally d.end()
+    val d = local.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    java.lang.Double.valueOf(
+      math.rint(total.toDouble / bytes.length * 1e6) / 1e6)
   }
 }
 

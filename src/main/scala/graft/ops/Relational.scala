@@ -992,10 +992,13 @@ object Relational {
       s"applyDiff: base columns ${extra.mkString(", ")} are not tracked " +
         "by the delta — include them in the diff's compare/carry or " +
         "drop them from the base (changed rows could not fill them)")
-    payload.foreach { c =>
+    // keys get the same named drift check as payload — a silent
+    // union-type promotion on the KEY column would change the patched
+    // snapshot's schema with no warning
+    (keys ++ payload).foreach { c =>
       val (bt, dt) = (base.schema(c).dataType, delta.schema(c).dataType)
       require(bt == dt,
-        s"applyDiff: payload column '$c' changed TYPE between base and " +
+        s"applyDiff: column '$c' changed TYPE between base and " +
           s"delta (${bt.simpleString} -> ${dt.simpleString}) — cast one " +
           "side explicitly")
     }

@@ -190,21 +190,40 @@ object Retrieval {
   ): Unit = {
     require(buckets >= 1 && buckets <= 65536,
       s"saveBm25Index: buckets must be in [1, 65536], got $buckets")
+    // ONE tokenize pass: the 2-3 writes below (postings, bigram
+    // postings, dl) each trigger an action, and without the persist
+    // each would re-scan and re-tokenize the corpus — the very cost
+    // this artifact exists to amortize. Spill-safe cache for the build
+    // duration only.
     val toks = docs.select(col(idCol).as("doc"),
       TextAnalysis.tokens(col(textCol)).as("__t"))
-    def postingsOver(docTerms: Column): DataFrame =
-      toks.select(col("doc"), explode(docTerms).as("term"))
-        .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
-        .withColumn("bucket",
-          pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int"))
-    postingsOver(col("__t"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
-    if (prox)
-      postingsOver(bigrams(col("__t")))
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings2")
-    val dl = toks.select(col("doc"), size(col("__t")).cast("long").as("dl"))
-    dl.write.mode("overwrite").parquet(s"$dir/dl")
-    writeBm25Stats(spark, dir, buckets, prox, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def postingsOver(docTerms: Column): DataFrame =
+        toks.select(col("doc"), explode(docTerms).as("term"))
+          .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+          .withColumn("bucket",
+            pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int"))
+      postingsOver(col("__t"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
+      if (prox)
+        postingsOver(bigrams(col("__t")))
+          .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings2")
+      else if (Artifacts.dirExists(spark, s"$dir/postings2")) {
+        // a prox=true artifact previously lived here — a stale bigram
+        // posting set would silently persist (and compaction would keep
+        // rewriting dead data); this is a REBUILD, drop it
+        val p = new org.apache.hadoop.fs.Path(s"$dir/postings2")
+        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+        ()
+      }
+      val dl = toks.select(col("doc"), size(col("__t")).cast("long").as("dl"))
+      dl.write.mode("overwrite").parquet(s"$dir/dl")
+      writeBm25Stats(spark, dir, buckets, prox, idCol)
+    } finally {
+      toks.unpersist()
+      ()
+    }
   }
 
   /** Refresh `dir/stats` from the landed `dir/dl` — exact at any append
@@ -216,6 +235,12 @@ object Retrieval {
     val st = spark.read.parquet(s"$dir/dl")
       .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head
     require(st.getLong(0) > 0, "saveBm25Index: empty corpus")
+    // zero tokens corpus-wide = zero postings = a FILELESS postings dir
+    // that later search/stats/compact would die on with an unnamed
+    // parquet schema error — reject the contract violation by name
+    require(st.getLong(1) > 0,
+      "saveBm25Index: the corpus tokenizes to ZERO tokens (every text " +
+        "empty/whitespace) — there is nothing to index")
     Seq((st.getLong(0), st.getLong(1), buckets, prox, idCol))
       .toDF("n_docs", "sum_dl", "buckets", "prox", "id_col")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
@@ -249,21 +274,28 @@ object Retrieval {
     val st = readBm25Stats(spark, dir)
     val buckets = st.getAs[Int]("buckets")
     val prox = st.getAs[Boolean]("prox")
+    // one tokenize pass across the 2-3 appends (see saveBm25Index)
     val toks = docs.select(col(idCol).as("doc"),
       TextAnalysis.tokens(col(textCol)).as("__t"))
-    def postingsOver(docTerms: Column): DataFrame =
-      toks.select(col("doc"), explode(docTerms).as("term"))
-        .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
-        .withColumn("bucket",
-          pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int"))
-    postingsOver(col("__t"))
-      .write.mode("append").partitionBy("bucket").parquet(s"$dir/postings")
-    if (prox)
-      postingsOver(bigrams(col("__t")))
-        .write.mode("append").partitionBy("bucket").parquet(s"$dir/postings2")
-    toks.select(col("doc"), size(col("__t")).cast("long").as("dl"))
-      .write.mode("append").parquet(s"$dir/dl")
-    writeBm25Stats(spark, dir, buckets, prox, st.getAs[String]("id_col"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def postingsOver(docTerms: Column): DataFrame =
+        toks.select(col("doc"), explode(docTerms).as("term"))
+          .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+          .withColumn("bucket",
+            pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int"))
+      postingsOver(col("__t"))
+        .write.mode("append").partitionBy("bucket").parquet(s"$dir/postings")
+      if (prox)
+        postingsOver(bigrams(col("__t")))
+          .write.mode("append").partitionBy("bucket").parquet(s"$dir/postings2")
+      toks.select(col("doc"), size(col("__t")).cast("long").as("dl"))
+        .write.mode("append").parquet(s"$dir/dl")
+      writeBm25Stats(spark, dir, buckets, prox, st.getAs[String]("id_col"))
+    } finally {
+      toks.unpersist()
+      ()
+    }
   }
 
   /** COMPACT a [[saveBm25Index]] artifact: every [[appendBm25Index]]
@@ -340,6 +372,11 @@ object Retrieval {
     val st = readBm25Stats(spark, indexDir)
     val n = st.getAs[Long]("n_docs")
     val buckets = st.getAs[Int]("buckets")
+    require(qidCol != st.getAs[String]("id_col"),
+      s"bm25SearchIndex: the query id column '$qidCol' collides with " +
+        s"the index's stored id_col — the output would carry two " +
+        s"'$qidCol' columns; rename the query id (the ann_search " +
+        "'match_id' rule)")
     require(proxWeight == 0.0 || st.getAs[Boolean]("prox"),
       s"bm25SearchIndex: prox_weight > 0 but the index under $indexDir " +
         "was built without prox postings — rebuild with prox: true")

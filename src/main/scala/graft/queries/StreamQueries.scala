@@ -230,7 +230,7 @@ object StreamQueries extends QueryPack {
   private val q249Sql = """
     WITH a1 AS (
       SELECT DISTINCT user_id, ts AS t0
-      FROM events WHERE event_type = 'view'),
+      FROM events WHERE event_type = 'view' AND ts IS NOT NULL),
     t2 AS (
       SELECT a.user_id, a.t0, MIN(e.ts) AS ts2
       FROM a1 a JOIN events e ON e.user_id = a.user_id

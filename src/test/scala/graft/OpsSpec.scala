@@ -3025,6 +3025,11 @@ class OpsSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException](graft.ops.Relational.applyDiff(
       base.withColumn("v", col("v").cast("float")), delta, Seq("id")))
       .getMessage.contains("TYPE"))
+    // KEY type drift gets the same named check as payload — a silent
+    // union promotion would change the patched snapshot's key schema
+    assert(intercept[IllegalArgumentException](graft.ops.Relational.applyDiff(
+      base.withColumn("id", col("id").cast("int")), delta, Seq("id")))
+      .getMessage.contains("TYPE"))
     // unknown status raises AT RUN TIME by name
     val bad = Seq((9L, "mutated", "z", 1.0)).toDF("id", "diff_status", "t", "v")
     val e = intercept[Exception](

@@ -774,8 +774,9 @@ class PropertySpec extends SparkSpec {
     var round = 0
     forAll2(docsGen, qsGen, n = 8) { (docTexts0, qTexts) =>
       round += 1
-      // an all-empty corpus has no postings at all — out of contract for
-      // a retrieval index (nothing to search); keep one real doc
+      // an all-empty corpus has no postings — saveBm25Index rejects it
+      // BY NAME (gated in RetrievalSpec); keep one real doc here so the
+      // round-trip property stays about ranking, not the guard
       val docTexts =
         if (docTexts0.forall(_.isEmpty)) docTexts0 :+ "alpha" else docTexts0
       val docs = docTexts.zipWithIndex

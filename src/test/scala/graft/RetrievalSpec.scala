@@ -240,6 +240,12 @@ class RetrievalSpec extends SparkSpec {
     assert(asSet(Retrieval.bm25SearchIndex(qs, "qid", "qtext", s"$dir/inc", topK = 3)) ==
       asSet(Retrieval.bm25TopK(corpus, "id", "txt", qs, "qid", "qtext", topK = 3)),
       "search must be bit-identical after compaction")
+    // rebuilding prox=false over a prox=true dir drops the stale bigram
+    // postings (compaction would otherwise rewrite dead data forever)
+    assert(new java.io.File(s"$dir/prox/postings2").exists())
+    Retrieval.saveBm25Index(spark, corpus, "id", "txt", s"$dir/prox", buckets = 8)
+    assert(!new java.io.File(s"$dir/prox/postings2").exists(),
+      "rebuild without prox must delete the stale postings2")
     // guards by name
     assert(intercept[IllegalArgumentException](
       Retrieval.bm25SearchIndex(qs, "qid", "qtext", s"$dir/plain",
@@ -250,6 +256,16 @@ class RetrievalSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException](
       Retrieval.saveBm25Index(spark, corpus.filter($"id" > 99), "id", "txt",
         s"$dir/empty")).getMessage.contains("empty"))
+    // all-whitespace corpus: zero postings — a fileless dir would fail
+    // LATER with an unnamed parquet schema error; reject at build
+    val blank = Seq((1L, ""), (2L, "   ")).toDF("id", "txt")
+    assert(intercept[IllegalArgumentException](
+      Retrieval.saveBm25Index(spark, blank, "id", "txt", s"$dir/blank"))
+      .getMessage.contains("ZERO tokens"))
+    // query id colliding with the index's stored id_col rejects by name
+    assert(intercept[IllegalArgumentException](
+      Retrieval.bm25SearchIndex(qs.withColumnRenamed("qid", "id"),
+        "id", "qtext", s"$dir/plain")).getMessage.contains("collides"))
   }
 
   test("bm25_index / bm25_search config keys: twin of the API; append layout params reject; batch-only") {
