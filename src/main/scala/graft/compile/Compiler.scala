@@ -116,6 +116,9 @@ object Compiler {
         node.upsample.toSeq.map(_.factorCol) ++
         node.funnel.toSeq.flatMap(fu => Seq(fu.keyCol, fu.tsCol, fu.eventCol)) ++
         node.rangeJoin.toSeq.flatMap(rj => rj.pointCol +: rj.on) ++
+        node.overlapJoin.toSeq.flatMap(oj => Seq(oj.loCol, oj.hiCol) ++ oj.on) ++
+        node.collocations.toSeq.map(_.textCol) ++
+        node.connectedComponents.toSeq.flatMap(cc => Seq(cc.srcCol, cc.dstCol)) ++
         node.unpivot.toSeq.flatMap(u => u.ids ++ u.values) ++
         node.approxTopK.toSeq.map(_.keyCol) ++
         node.resample.toSeq.flatMap(rs =>
@@ -680,6 +683,29 @@ object Compiler {
     // BM25 retrieval: rank the frame (the corpus) against the query
     // def; the frame becomes (qid, id, score, rn). Batch-only (corpus
     // stats action).
+    // Generic connected components: the frame is an edge table and
+    // becomes (id, cluster) min-reachable-id labels — the dedup tiers'
+    // CC engine exposed for entity resolution / graph communities.
+    node.connectedComponents.foreach { cc =>
+      requireBatch("connected_components",
+        "iterative label-propagation actions",
+        "label the landed graph in batch and join the labels onto the " +
+          "stream instead")
+      df = graft.ops.Dedup.dedupClusters(
+        df.select(col(cc.srcCol).as("idA"), col(cc.dstCol).as("idB")),
+        maxIter = cc.maxIter, smallGraphEdges = cc.smallGraphEdges,
+        checkpointDir = cc.checkpointDir)
+    }
+
+    // Collocation mining: the frame becomes its top-k PMI bigram table.
+    // Batch-only (global corpus counts have no streaming plan).
+    node.collocations.foreach { cs =>
+      requireBatch("collocations", "global corpus token/pair counts",
+        "mine collocations in batch over the landed corpus instead")
+      df = graft.ops.TextAnalysis.collocations(df, cs.textCol, cs.minCount,
+        cs.topK)
+    }
+
     node.bm25.foreach { bq =>
       requireBatch("bm25", "corpus-statistics actions (N, avgdl)",
         "run retrieval in batch over the materialized corpus instead")
@@ -744,6 +770,19 @@ object Compiler {
       df = graft.ops.Relational.rangeJoinKeyed(df, iv, rj.pointCol, rj.loCol,
         rj.hiCol, rj.bucket, rj.on, rj.payload, rj.how, rj.inclusiveHi,
         rj.broadcast, rj.maxBucketsPerInterval)
+    }
+
+    // Interval-overlap join against a def: both sides explode to covering
+    // cells, plain equi-join, exactly-once pair emission (later-start-cell
+    // rule). Streaming-admissible on the frame side (stream-static join).
+    node.overlapJoin.foreach { oj =>
+      val other = refs.getOrElse(oj.otherRef, throw new IllegalArgumentException(
+        s"node ${node.id}: overlap_join.other_ref '${oj.otherRef}' is " +
+          "not a def — declare the other interval table under top-level defs" +
+          (if (refs.isEmpty) "" else s" (defined: ${refs.keys.mkString(", ")})")))
+      df = graft.ops.Relational.overlapJoin(df, other, oj.loCol, oj.hiCol,
+        oj.bucket, oj.otherLoCol.orNull, oj.otherHiCol.orNull, oj.on,
+        oj.payload, oj.inclusive, oj.broadcast, oj.maxBucketsPerInterval)
     }
 
     // Snapshot diff against an OLD-corpus def: one full-outer equi-join
@@ -1356,9 +1395,27 @@ object Compiler {
       spec: PipelineSpec): org.apache.spark.sql.streaming.StreamingQuery =
     spec match {
       case TreePipeline(root, defs, tee) =>
-        if (defs.nonEmpty) throw new IllegalArgumentException(
-          "defs are batch-only — a def compiles to a batch frame, which " +
-            "cannot feed a stream (read the stage's sink directory instead)")
+        // Defs compile as BATCH frames under a streaming compile too —
+        // static dimension tables the stream may JOIN or PROBE
+        // (stream-static: range_join/overlap_join intervals, seen-list
+        // joins, child equi-joins), never SOURCE from (readStreamSource
+        // rejects ref sources by name; a batch frame cannot feed a
+        // stream). `cache: true` is rejected by name: a stream outlives
+        // the compile and nothing would ever unpersist the pin — rely on
+        // Spark re-reading the (small, static) def per micro-batch, or
+        // materialize it to parquet first.
+        defs.foreach { d =>
+          if (d.save.isDefined) throw new IllegalArgumentException(
+            s"def ${d.id}: defs are definitions — sinks live on the root tree")
+          if (d.cache) throw new IllegalArgumentException(
+            s"def ${d.id}: cache: true is batch-only — a streaming query " +
+              "outlives the compile and the pin would never release; " +
+              "materialize the def to parquet and source it by path instead")
+        }
+        val refs = defs.foldLeft(Map.empty[String, org.apache.spark.sql.DataFrame]) {
+          (acc, d) => acc + (d.id ->
+            compileNode(spark, d, None, executeSinks = false, refs = acc))
+        }
         if (tee.nonEmpty) throw new IllegalArgumentException(
           "tee is batch-only — a streaming query has exactly ONE sink; " +
             "fan out with several streaming queries over the same source " +
@@ -1391,7 +1448,7 @@ object Compiler {
             tarPackIngest = None, exactIngest = None, sketchIngest = None,
             profile = None),
           Some(readStreamSource(spark, src)),
-          executeSinks = false, streaming = true)
+          executeSinks = false, streaming = true, refs = refs)
         // Root profile: the per-batch drift monitor — each micro-batch's
         // q149 aggregate appends (batch_id-stamped) to the save sink.
         if (root.profile.isDefined) {
@@ -1480,6 +1537,11 @@ object Compiler {
     * declare `options.schema` DDL to skip it). */
   def readStreamSource(spark: SparkSession, s: SourceSpec): DataFrame =
     (s.sql, s.table, s.path) match {
+      case _ if s.ref.isDefined =>
+        throw new IllegalArgumentException(
+          "a def is a batch frame — it cannot feed a stream; streams " +
+            "source from table or path (defs remain joinable/probeable " +
+            "as static sides)")
       case (Some(_), _, _) =>
         throw new IllegalArgumentException(
           "sql sources are batch-only; streams need table or path")

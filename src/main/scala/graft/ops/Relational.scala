@@ -421,6 +421,141 @@ object Relational {
       .select(points.columns.map(pts(_)) ++ pay.map(iv(_)): _*)
   }
 
+  /** INTERVAL-OVERLAP JOIN: all pairs of a left interval and a right
+    * interval (equal `on` keys) whose spans OVERLAP — the
+    * interval×interval sibling of [[rangeJoinKeyed]] (point-in-interval):
+    * session × outage attribution, ad exposure × browsing windows,
+    * speech segments × speaker turns. Overlap is the standard predicate
+    * over half-open `[lo, hi)` spans — `l.lo < r.hi AND r.lo < l.hi` —
+    * or over closed `[lo, hi]` spans with `inclusive` (touching
+    * endpoints count, point intervals `lo == hi` are valid).
+    *
+    * A naive inequality-pair condition has no equi-key, so Spark plans
+    * BroadcastNestedLoopJoin — O(|L|·|R|). This implementation buckets
+    * the domain by `bucket` width: BOTH sides explode to the cells their
+    * span covers (named per-row cap, like rangeJoinKeyed), the join is a
+    * plain EQUI-join on (cell, on…), and each overlapping pair is
+    * emitted EXACTLY ONCE with zero dedup shuffle: the pair only
+    * survives in the cell containing the LATER of the two interval
+    * starts — `cell == greatest(floor(l.lo/bucket), floor(r.lo/bucket))`
+    * (both spans provably cover that cell whenever they overlap, and
+    * floor is monotone, so the greatest of the floors IS the floor of
+    * the greatest). Cost: one cell-keyed shuffle of both exploded sides
+    * (or ZERO left-side shuffle with `broadcastRight` — the
+    * calendar/outage dimension-table case), never a nested loop.
+    *
+    * Pick `bucket` ~ the typical span: explode factor is span/bucket + 1
+    * per interval. Numeric bounds only (cast timestamps to epoch
+    * seconds/micros upstream; exact within 2^53). NULL bounds and empty
+    * spans (`lo > hi`, or `lo == hi` half-open) match nothing; inner
+    * pairs only — "which left intervals have NO overlap" is a
+    * downstream anti-join of this output on the left id. Self-overlap
+    * within ONE table is the same call with the frame passed as both
+    * sides and a downstream `l_id < r_id` filter. Streaming-admissible
+    * on the left side (stream-static equi-join; the generator explode is
+    * deterministic and stateless).
+    *
+    * Output: all left columns + right `payload` columns (default: every
+    * right column except bounds/keys — unlike rangeJoinKeyed, an
+    * EXPLICIT payload may name the right bounds, because overlap
+    * length/extent arithmetic needs them downstream). */
+  def overlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      loCol: String,
+      hiCol: String,
+      bucket: Double,
+      rightLoCol: String = null,
+      rightHiCol: String = null,
+      on: Seq[String] = Nil,
+      payload: Seq[String] = Nil,
+      inclusive: Boolean = false,
+      broadcastRight: Boolean = false,
+      maxBucketsPerInterval: Int = 1 << 16
+  ): DataFrame = {
+    require(bucket > 0, s"overlap_join: bucket must be > 0, got $bucket")
+    require(maxBucketsPerInterval >= 1,
+      s"overlap_join: max_buckets_per_interval must be >= 1, got $maxBucketsPerInterval")
+    val rLo = Option(rightLoCol).getOrElse(loCol)
+    val rHi = Option(rightHiCol).getOrElse(hiCol)
+    val pay =
+      if (payload.nonEmpty) payload
+      else right.columns.filterNot((Seq(rLo, rHi) ++ on).contains).toSeq
+    require(pay.nonEmpty,
+      "overlap_join: right side has no payload columns (nothing to attach) — " +
+        "name the right bounds in payload if the extent itself is the output")
+    val missingL = (Seq(loCol, hiCol) ++ on).filterNot(left.columns.contains)
+    require(missingL.isEmpty,
+      s"overlap_join: left side is missing column(s) ${missingL.mkString(", ")} " +
+        s"(have: ${left.columns.mkString(", ")})")
+    val missingR = (Seq(rLo, rHi) ++ on ++ pay).filterNot(right.columns.contains)
+    require(missingR.isEmpty,
+      s"overlap_join: right side is missing column(s) ${missingR.mkString(", ")} " +
+        s"(have: ${right.columns.mkString(", ")})")
+    val collide = pay.filter(left.columns.contains)
+    require(collide.isEmpty,
+      s"overlap_join: payload column(s) ${collide.mkString(", ")} already exist " +
+        "on the left side — rename one side first")
+    require(!pay.exists(on.contains),
+      s"overlap_join: payload column(s) ${pay.filter(on.contains).mkString(", ")} " +
+        "duplicate the 'on' keys (the left side already carries them)")
+    require(pay.distinct.size == pay.size,
+      s"overlap_join: duplicate payload column(s) " +
+        s"${pay.diff(pay.distinct).distinct.mkString(", ")}")
+    val b = "__oj_cell"
+    require(!left.columns.contains(b) && !right.columns.contains(b),
+      s"overlap_join: reserved column name '$b' already present")
+
+    // Valid-span filter + covering-cell explode for one side. Empty spans
+    // are dropped here (they overlap nothing by definition); the explode
+    // cap fails BY NAME on degenerate spans — one 0..MAX_LONG interval
+    // exploding 2^48 cells is a data bug, not a plan.
+    def cells(df: DataFrame, lo: String, hi: String, side: String): DataFrame = {
+      val loB = floor(col(lo) / lit(bucket)).cast("long")
+      val hiB = floor(col(hi) / lit(bucket)).cast("long")
+      val nB = hiB - loB + lit(1L)
+      val nonEmpty =
+        if (inclusive) col(lo) <= col(hi) else col(lo) < col(hi)
+      df.filter(col(lo).isNotNull && col(hi).isNotNull && nonEmpty)
+        .withColumn(b, explode(when(nB > lit(maxBucketsPerInterval.toLong),
+          raise_error(concat(
+            lit(s"overlap_join: $side interval spans more than " +
+              s"$maxBucketsPerInterval buckets at bucket width $bucket (lo="),
+            col(lo).cast("string"), lit(", hi="), col(hi).cast("string"),
+            lit(") — widen bucket or fix the interval")))
+          .cast("array<long>")).otherwise(sequence(loB, hiB))))
+    }
+
+    val l = cells(left, loCol, hiCol, "left")
+    // The right side's columns are renamed to a reserved prefix before the
+    // join: name-based references stay unambiguous even when BOTH sides are
+    // the same frame (the self-overlap case), where df("col") attribute
+    // disambiguation is unreliable on shared lineage.
+    def rn(c: String) = s"__oj_r_$c"
+    val rCols = (on ++ Seq(rLo, rHi) ++ pay).distinct
+    val badPrefix = left.columns.filter(_.startsWith("__oj_r_"))
+    require(badPrefix.isEmpty,
+      s"overlap_join: reserved prefix '__oj_r_' already present on the left " +
+        s"side (${badPrefix.mkString(", ")})")
+    var r = cells(
+      right.select(rCols.map(c => col(c).as(rn(c))): _*),
+      rn(rLo), rn(rHi), "right")
+      .withColumnRenamed(b, rn(b))
+    if (broadcastRight) r = broadcast(r)
+
+    val overlap =
+      if (inclusive) col(loCol) <= col(rn(rHi)) && col(rn(rLo)) <= col(hiCol)
+      else col(loCol) < col(rn(rHi)) && col(rn(rLo)) < col(hiCol)
+    // Exactly-once cell: the later-starting side's first cell.
+    val firstCell = col(b) === greatest(
+      floor(col(loCol) / lit(bucket)).cast("long"),
+      floor(col(rn(rLo)) / lit(bucket)).cast("long"))
+    val cond = (Seq(col(b) === col(rn(b)), overlap, firstCell) ++
+      on.map(k => col(k) === col(rn(k)))).reduce(_ && _)
+    l.join(r, cond, "inner")
+      .select(left.columns.map(col) ++ pay.map(c => col(rn(c)).as(c)): _*)
+  }
+
   /** RESAMPLE / GAP-FILL: per key, re-grid an irregular event series
     * onto a REGULAR `step` grid covering [min(ts), max(ts)] of that key
     * — each bucket carries its rows' aggregates, and buckets with no

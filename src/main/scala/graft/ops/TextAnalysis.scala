@@ -163,6 +163,74 @@ object TextAnalysis {
       Seq(col("tfidf").desc, col("token").asc), k, rankCol = "rank")
   }
 
+  /** COLLOCATIONS: corpus-level bigram association mining by pointwise
+    * mutual information — the vocabulary-analysis view next to
+    * [[termStats]]: which adjacent word pairs co-occur far more than
+    * chance ("new york", "machine learning") vs boilerplate glue. The
+    * classic tokenizer-audit / phrase-lexicon / template-detection tool:
+    * a high-PMI pair that BPE splits is a merge candidate, a
+    * top-frequency low-PMI pair is template glue.
+    *
+    *   pmi(x,y) = ln( p(x,y) / (p(x)·p(y)) )
+    *            = ln( (c_xy · N_tok · N_tok) / (N_pair · c_x · c_y) )
+    *
+    * with c_xy the adjacent-pair instance count, c_x/c_y token instance
+    * counts, N_tok total tokens, N_pair total adjacent pairs — one
+    * formula, spelled identically in any SQL mirror (IEEE double ops on
+    * exact integer counts are deterministic; the q68 ln() precedent).
+    * `minCount` floors c_xy first — PMI is top-heavy on hapax pairs
+    * (c_xy = 1 with rare words maximizes it), so unfloored output is
+    * noise by construction.
+    *
+    * Scale: bigram emission is a scan-stage slice/zip (no self-join);
+    * both count tables are map-side-combined aggregates shuffling
+    * VOCABULARY-shaped rows, never corpus-shaped; the two unigram joins
+    * are vocab×vocab-bounded and AQE-broadcast when small; the final
+    * top-k sorts only pairs that survived minCount. Totals ride as a
+    * broadcast 1-row scalar (crossJoin(broadcast(...)) — action-free).
+    *
+    * Output: (w1, w2, n_pair, pmi) — pmi ROUND 6, ordered pmi desc then
+    * (w1, w2), limited to `topK`. Batch-only (global corpus counts). */
+  def collocations(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      minCount: Int = 5,
+      topK: Int = 100
+  ): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1, s"collocations: min_count must be >= 1, got $minCount")
+    require(topK >= 1, s"collocations: top_k must be >= 1, got $topK")
+    require(df.columns.contains(textCol),
+      s"collocations: no column '$textCol' (have: ${df.columns.mkString(", ")})")
+    val toks = df.select(tokens(col(textCol)).as("__t"))
+    // Adjacent pairs as a scan-stage zip: w1 = t[i], w2 = t[i+1]. Docs
+    // shorter than 2 tokens contribute no pairs (zip of empty slices).
+    val pairs = toks
+      .select(explode(arrays_zip(
+        slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
+        slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0)))))
+        .as("__p"))
+      .select(col("__p").getField("0").as("w1"),
+        col("__p").getField("1").as("w2"))
+    val unigrams = toks.select(explode(col("__t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val totTok = unigrams.agg(sum("c").as("n_tok"))
+    val pairCounts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val totPair = pairs.agg(count(lit(1)).as("n_pairs_total"))
+    val scored = pairCounts
+      .join(unigrams.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(unigrams.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(totTok))
+      .crossJoin(broadcast(totPair))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        round(log((col("n_pair").cast("double") * col("n_tok") * col("n_tok")) /
+          (col("n_pairs_total").cast("double") * col("c1") * col("c2"))), 6)
+          .as("pmi"))
+    scored.orderBy(col("pmi").desc_nulls_last, col("w1").asc_nulls_first,
+        col("w2").asc_nulls_first)
+      .limit(topK)
+  }
+
   /** Gram build over an already-bound token array — shared by [[ngramsAll]]
     * and [[repetitionStats]] (which binds tokens itself and must not
     * re-tokenize). */

@@ -637,8 +637,198 @@ object RelQueries extends QueryPack {
     FROM scored WHERE n_tok >= 8
     GROUP BY 1 ORDER BY lang ASC NULLS FIRST"""
 
+  // q262 — INTERVAL-OVERLAP join (`overlap_join`): click attention spans
+  // (variable length, 30–90 min) × view windows (fixed 1 h) per user —
+  // which ad exposures overlapped a browsing window. Both sides explode
+  // to 1-hour cells and pair via a plain equi-join with the
+  // later-start-cell exactly-once rule; the oracle restates it as the
+  // plain inequality pair join DuckDB can afford at this SF. Bounds are
+  // exact epoch-micros integers end to end; the overlap extent
+  // (least(hi) − greatest(lo)) is BIGINT arithmetic both engines compute
+  // identically.
+  private def q262(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"defs": [
+         {"id": "views", "source": {"table": "events"},
+          "filters": ["event_type = 'view'"],
+          "derive": {"v_id": "event_id", "v_lo": "unix_micros(ts)",
+                     "v_hi": "unix_micros(ts) + 3600000000"},
+          "keep_columns": ["user_id", "v_id", "v_lo", "v_hi"]},
+         {"id": "pairs", "source": {"table": "events"},
+          "filters": ["event_type = 'click'"],
+          "derive": {"c_id": "event_id", "c_lo": "unix_micros(ts)",
+                     "c_hi": "unix_micros(ts) + (1800 + event_id % 3600) * 1000000"},
+          "keep_columns": ["user_id", "c_id", "c_lo", "c_hi"],
+          "overlap_join": {"other_ref": "views",
+                           "lo_col": "c_lo", "hi_col": "c_hi",
+                           "other_lo_col": "v_lo", "other_hi_col": "v_hi",
+                           "bucket": 3600000000, "on": ["user_id"],
+                           "payload": ["v_id", "v_lo", "v_hi"]}}],
+       "source": {"ref": "pairs"},
+       "derive": {"ov_us": "least(c_hi, v_hi) - greatest(c_lo, v_lo)"},
+       "keep_columns": ["user_id", "c_id", "v_id", "ov_us"],
+       "order_by": ["user_id asc", "c_id asc", "v_id asc"]}""")
+  private val q262Sql = """
+    WITH clicks AS (
+      SELECT user_id, event_id AS c_id, epoch_us(ts) AS c_lo,
+             epoch_us(ts) + (1800 + event_id % 3600) * 1000000 AS c_hi
+      FROM events WHERE event_type = 'click'),
+    views AS (
+      SELECT user_id, event_id AS v_id, epoch_us(ts) AS v_lo,
+             epoch_us(ts) + 3600000000 AS v_hi
+      FROM events WHERE event_type = 'view')
+    SELECT c.user_id, c_id, v_id,
+           least(c_hi, v_hi) - greatest(c_lo, v_lo) AS ov_us
+    FROM clicks c JOIN views v
+      ON c.user_id = v.user_id AND c_lo < v_hi AND v_lo < c_hi
+    ORDER BY c.user_id ASC NULLS FIRST, c_id ASC NULLS FIRST,
+             v_id ASC NULLS FIRST"""
+
+  // q266 — grouped Pearson CORRELATION from raw moments, pure config
+  // (zero new engine code; the q248 moment discipline extended to the
+  // bivariate case): per return flag, corr(l_quantity, l_extendedprice)
+  // derived from six sums — n, Σx, Σx² (BIGINT-exact: quantity is
+  // integral), Σy, Σxy, Σy² (DECIMAL(25,6)-exact via dsum on the same
+  // IEEE products both engines compute from the stored doubles). The
+  // final corr is ONE double formula spelled identically in both engines
+  // (IEEE mul/sub/div/sqrt on identical operands), ROUND 6 — never the
+  // engines' own corr()/stddev() aggregates, whose streaming algorithms
+  // differ in last-ulp rounding. One map-side-combined aggregate pass.
+  private def q266(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"defs": [
+         {"id": "m", "source": {"table": "lineitem"},
+          "derive": {"x": "CAST(l_quantity AS BIGINT)",
+                     "xx": "CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)",
+                     "xy": "l_quantity * l_extendedprice",
+                     "yy": "l_extendedprice * l_extendedprice"},
+          "aggregate": {"group_by": ["l_returnflag"], "aggregations": [
+            {"col": "*", "func": "count", "new_name": "n"},
+            {"col": "x", "func": "sum", "new_name": "sx"},
+            {"col": "xx", "func": "sum", "new_name": "sxx"},
+            {"col": "l_extendedprice", "func": "dsum", "new_name": "sy"},
+            {"col": "xy", "func": "dsum", "new_name": "sxy"},
+            {"col": "yy", "func": "dsum", "new_name": "syy"}]}}],
+       "source": {"ref": "m"},
+       "derive": {"corr_qp": "ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6)"},
+       "keep_columns": ["l_returnflag", "n", "corr_qp"],
+       "order_by": ["l_returnflag asc"]}""")
+  private val q266Sql = """
+    WITH m AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+               AS BIGINT) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(25,6)))
+               AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(25,6)))
+               AS DOUBLE) AS syy
+      FROM lineitem GROUP BY 1)
+    SELECT l_returnflag, n,
+           ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+                 (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+                  sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS corr_qp
+    FROM m ORDER BY l_returnflag ASC NULLS FIRST"""
+
+  // q267 — generic CONNECTED COMPONENTS (`connected_components`): the
+  // dedup tiers' CC engine exposed over an arbitrary edge table. The
+  // fixture plants chains of ten (edge id→id+1 except across decade
+  // boundaries; doc_ids are contiguous 0..N−1 at every SF), so the
+  // min-reachable-id label is pure arithmetic — cluster = id − id%10 —
+  // and the oracle needs no recursion. `small_graph_edges: 0` FORCES the
+  // distributed min-label-propagation loop (the driver union-find would
+  // otherwise absorb the whole fixture), putting the iterative engine
+  // itself — propagate, pointer-jump, convergence detection — under the
+  // driver hash for the first time (it was ScalaTest-only before).
+  private def q267(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "documents"},
+       "filters": ["doc_id % 10 < 9"],
+       "derive": {"src": "doc_id", "dst": "doc_id + 1"},
+       "keep_columns": ["src", "dst"],
+       "connected_components": {"src_col": "src", "dst_col": "dst",
+                                "small_graph_edges": 0},
+       "order_by": ["id asc"]}""")
+  private val q267Sql = """
+    WITH e AS (
+      SELECT doc_id AS src, doc_id + 1 AS dst
+      FROM documents WHERE doc_id % 10 < 9),
+    nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e)
+    SELECT id, id - id % 10 AS cluster FROM nodes
+    ORDER BY id ASC NULLS FIRST"""
+
+  // q268 — population stability index (PSI) from pure config (zero new
+  // engine code): the standard data-drift gauge between a reference and
+  // a current window — per bin, (p_cur − p_ref)·ln(p_cur/p_ref) with
+  // Laplace-smoothed proportions p = (n+1)/(N+B), so empty bins
+  // contribute finitely instead of ±∞. The monitoring sibling of
+  // `profile` (which describes ONE snapshot; PSI compares two). All
+  // inputs are integer bin counts; every double derives from them
+  // through ONE formula spelled identically in both engines (the q266
+  // discipline), ROUND 9. Two map-side-combined count aggregates + one
+  // bin-shaped full-outer join + bins-shaped windows — corpus-scale
+  // work is the two counts, everything after is ≤#bins rows.
+  private def q268(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"defs": [
+         {"id": "refc", "source": {"table": "events"},
+          "filters": ["ts < timestamp'2024-01-16 00:00:00'"],
+          "derive": {"bin": "CAST(floor(value / 50) AS BIGINT)"},
+          "aggregate": {"group_by": ["bin"], "aggregations": [
+            {"col": "*", "func": "count", "new_name": "n_ref"}]}},
+         {"id": "joined", "source": {"table": "events"},
+          "filters": ["ts >= timestamp'2024-01-16 00:00:00'"],
+          "derive": {"bin": "CAST(floor(value / 50) AS BIGINT)"},
+          "aggregate": {"group_by": ["bin"], "aggregations": [
+            {"col": "*", "func": "count", "new_name": "n_cur"}]},
+          "children": [
+            {"id": "refj", "source": {"ref": "refc"},
+             "join": {"how": "full", "on": ["bin"]}}]}],
+       "source": {"ref": "joined"},
+       "derive": {
+         "nr": "coalesce(n_ref, CAST(0 AS BIGINT))",
+         "nc": "coalesce(n_cur, CAST(0 AS BIGINT))",
+         "tr": "sum(nr) OVER ()",
+         "tc": "sum(nc) OVER ()",
+         "b": "count(*) OVER ()",
+         "p_ref": "CAST(nr + 1 AS DOUBLE) / CAST(tr + b AS DOUBLE)",
+         "p_cur": "CAST(nc + 1 AS DOUBLE) / CAST(tc + b AS DOUBLE)",
+         "psi_contrib": "ROUND((p_cur - p_ref) * ln(p_cur / p_ref), 9)"},
+       "keep_columns": ["bin", "nr", "nc", "psi_contrib"],
+       "order_by": ["bin asc"]}""")
+  private val q268Sql = """
+    WITH refc AS (
+      SELECT CAST(floor(value / 50) AS BIGINT) AS bin, COUNT(*) AS n_ref
+      FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1),
+    curc AS (
+      SELECT CAST(floor(value / 50) AS BIGINT) AS bin, COUNT(*) AS n_cur
+      FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1),
+    j AS (
+      SELECT bin, COALESCE(n_ref, CAST(0 AS BIGINT)) AS nr,
+             COALESCE(n_cur, CAST(0 AS BIGINT)) AS nc
+      FROM curc FULL OUTER JOIN refc USING (bin)),
+    w AS (
+      SELECT bin, nr, nc,
+             CAST(SUM(nr) OVER () AS BIGINT) AS tr,
+             CAST(SUM(nc) OVER () AS BIGINT) AS tc,
+             COUNT(*) OVER () AS b
+      FROM j),
+    p AS (
+      SELECT bin, nr, nc,
+             CAST(nr + 1 AS DOUBLE) / CAST(tr + b AS DOUBLE) AS p_ref,
+             CAST(nc + 1 AS DOUBLE) / CAST(tc + b AS DOUBLE) AS p_cur
+      FROM w)
+    SELECT bin, nr, nc,
+           ROUND((p_cur - p_ref) * ln(p_cur / p_ref), 9) AS psi_contrib
+    FROM p ORDER BY bin ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
     Q("q244_snapshot_diff", q244, Some(q244Sql)),
+    Q("q262_overlap_join", q262, Some(q262Sql)),
+    Q("q266_corr_moments", q266, Some(q266Sql)),
+    Q("q267_connected_components", q267, Some(q267Sql)),
+    Q("q268_psi_drift", q268, Some(q268Sql)),
     Q("q251_apply_diff", q251, Some(q251Sql)),
     Q("q245_incremental_rebuild", q245, Some(q245Sql)),
     Q("q246_tee_fanout", q246, Some(q246Sql)),

@@ -383,7 +383,81 @@ object StreamQueries extends QueryPack {
     FROM j
     ORDER BY user_id ASC NULLS FIRST, ts ASC NULLS FIRST"""
 
+  // q264 — TRAILING-WINDOW features from pure config (zero new engine
+  // code — the window-derive family again, now with a time-RANGE frame):
+  // per event, the user's activity count and exact decimal value sum
+  // over the trailing hour — the burst-detection / rate-limiting /
+  // feature-engineering view that row-frames can't express (events are
+  // irregular; "last N rows" is not "last hour"). Both engines bound the
+  // frame [ts − 1h, ts] inclusively on exact micros and include ALL ties
+  // (RANGE semantics), so the count is exact and the DECIMAL(25,6) sum
+  // is order-independent — bit-identical without any totalizing trick.
+  // One keys-shaped window Exchange; the frame is bounded by data rate,
+  // never corpus size.
+  private def q264(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "events"},
+       "derive": {
+         "trail_n": "count(*) OVER (PARTITION BY user_id ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)",
+         "trail_sum": "CAST(sum(CAST(value AS DECIMAL(25,6))) OVER (PARTITION BY user_id ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS DOUBLE)"},
+       "keep_columns": ["user_id", "event_id", "ts", "trail_n", "trail_sum"],
+       "order_by": ["user_id asc", "ts asc", "event_id asc"]}""")
+  private val q264Sql = """
+    SELECT user_id, event_id, ts,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+             AS trail_n,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS trail_sum
+    FROM events
+    ORDER BY user_id ASC NULLS FIRST, ts ASC NULLS FIRST,
+             event_id ASC NULLS FIRST"""
+
+  // q265 — RUN-LENGTH islands from pure config (zero new engine code):
+  // collapse each user's CONSECUTIVE same-type events into runs with
+  // extent and length — the state-change / gaps-and-islands view under
+  // q224's sessionization (sessions break on TIME gaps, runs break on
+  // VALUE changes). The classic two-window spelling: lag-change flag,
+  // running-sum run id, one aggregate; run ids are deterministic because
+  // the order (ts, event_id) is totalized. One keys-shaped window
+  // Exchange + one map-side-combined aggregate.
+  private def q265(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "events"},
+       "derive": {
+         "brk": "CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS DISTINCT FROM event_type THEN 1 ELSE 0 END",
+         "run_id": "sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"},
+       "aggregate": {"group_by": ["user_id", "run_id", "event_type"],
+                     "aggregations": [
+         {"col": "*", "func": "count", "new_name": "run_len"},
+         {"col": "ts", "func": "min", "new_name": "run_start"},
+         {"col": "ts", "func": "max", "new_name": "run_end"}]},
+       "order_by": ["user_id asc", "run_id asc"]}""")
+  private val q265Sql = """
+    WITH f AS (
+      SELECT user_id, event_type, ts,
+             CASE WHEN LAG(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS brk,
+             event_id
+      FROM events),
+    r AS (
+      SELECT user_id, event_type, ts,
+             CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS run_id
+      FROM f)
+    SELECT user_id, run_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS run_len,
+           MIN(ts) AS run_start, MAX(ts) AS run_end
+    FROM r GROUP BY 1, 2, 3
+    ORDER BY user_id ASC NULLS FIRST, run_id ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q264_trailing_features", q264, Some(q264Sql)),
+    Q("q265_run_length_islands", q265, Some(q265Sql)),
     Q("q34_tumbling_window", q34, Some(q34Sql)),
     Q("q35_session_window", q35, Some(q35Sql)),
     Q("q36_sliding_window", q36, Some(q36Sql)),

@@ -1236,8 +1236,46 @@ object TextQueries extends QueryPack {
            CASE WHEN COALESCE(length(text), 0) > 0 THEN TRUE END AS rep_lower
     FROM documents ORDER BY doc_id ASC NULLS FIRST"""
 
+  // q263 — COLLOCATIONS (`collocations`): the corpus's top adjacent word
+  // pairs by pointwise mutual information — phrase-lexicon building and
+  // BPE merge auditing. Exact oracle: integer token/pair counts
+  // restated in DuckDB with the shared q67 tokenizer spelling, the one
+  // PMI formula spelled identically in both engines (IEEE double ops on
+  // exact integers — the q68 ln() precedent), ROUND 6, total order.
+  private def q263(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "documents"},
+       "collocations": {"text_col": "text", "min_count": 5, "top_k": 50},
+       "order_by": ["pmi desc", "w1 asc", "w2 asc"]}""")
+  private val q263Sql = """
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(trim(text), '\s+'),
+             x -> len(x) > 0) AS t
+      FROM documents),
+    pairs AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
+    uni AS (
+      SELECT w, COUNT(*) AS c
+      FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok FROM uni),
+    ptot AS (SELECT COUNT(*) AS n_pairs_total FROM pairs),
+    pc AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair
+      FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+    SELECT w1, w2, n_pair,
+           ROUND(ln((CAST(n_pair AS DOUBLE) * n_tok * n_tok) /
+                    (CAST(n_pairs_total AS DOUBLE) * u1.c * u2.c)), 6) AS pmi
+    FROM pc
+    JOIN uni u1 ON pc.w1 = u1.w
+    JOIN uni u2 ON pc.w2 = u2.w
+    CROSS JOIN tot CROSS JOIN ptot
+    ORDER BY pmi DESC NULLS LAST, w1 ASC NULLS FIRST, w2 ASC NULLS FIRST
+    LIMIT 50"""
+
   override def queries: Seq[Q] = Seq(
     Q("q252_compression_ratio", q252, Some(q252Sql)),
+    Q("q263_collocations", q263, Some(q263Sql)),
     Q("q24_text_stats", q24, Some(q24Sql)),
     Q("q25_lang_id", q25, Some(q25Sql)),
     Q("q26_fingerprint", q26, Some(q26Sql)),

@@ -616,6 +616,17 @@ object JsonCodec {
         dataCol = req(d, s"node $id: wds_samples", "data_col", "dataCol").asText)
     }
 
+    val collocationsSpec = optN("collocations").map { d =>
+      val ctx = s"node $id: collocations"
+      val s = CollocationsSpec(
+        textCol = req(d, ctx, "text_col", "textCol").asText,
+        minCount = opt(d, "min_count", "minCount").map(_.asInt).getOrElse(5),
+        topK = opt(d, "top_k", "topK").map(_.asInt).getOrElse(100))
+      require(s.minCount >= 1, s"$ctx: min_count must be >= 1, got ${s.minCount}")
+      require(s.topK >= 1, s"$ctx: top_k must be >= 1, got ${s.topK}")
+      s
+    }
+
     val bm25Spec = optN("bm25").map { d =>
       val ctx = s"node $id: bm25"
       Bm25Spec(
@@ -737,6 +748,48 @@ object JsonCodec {
       require(s.bucket > 0, s"$ctx: bucket must be > 0, got ${s.bucket}")
       require(s.how == "inner" || s.how == "left",
         s"$ctx: how must be 'inner' or 'left', got '${s.how}'")
+      require(s.maxBucketsPerInterval >= 1,
+        s"$ctx: max_buckets_per_interval must be >= 1, got ${s.maxBucketsPerInterval}")
+      s
+    }
+
+    val connectedComponentsSpec =
+      optN("connected_components", "connectedComponents").map { d =>
+        val ctx = s"node $id: connected_components"
+        val s = ConnectedComponentsSpec(
+          srcCol = req(d, ctx, "src_col", "srcCol").asText,
+          dstCol = req(d, ctx, "dst_col", "dstCol").asText,
+          maxIter = opt(d, "max_iter", "maxIter").map(_.asInt).getOrElse(20),
+          smallGraphEdges = opt(d, "small_graph_edges", "smallGraphEdges")
+            .map(_.asLong).getOrElse(1L << 20),
+          checkpointDir = opt(d, "checkpoint_dir", "checkpointDir")
+            .map(_.asText))
+        require(s.srcCol != s.dstCol,
+          s"$ctx: src_col and dst_col must differ (self-loops are rows " +
+            "with equal VALUES, not equal columns)")
+        require(s.maxIter >= 1, s"$ctx: max_iter must be >= 1, got ${s.maxIter}")
+        require(s.smallGraphEdges >= 0 && s.smallGraphEdges <= (1L << 24),
+          s"$ctx: small_graph_edges must be in [0, 2^24], got " +
+            s"${s.smallGraphEdges} (the driver-collect safety cap)")
+        s
+      }
+
+    val overlapJoinSpec = optN("overlap_join", "overlapJoin").map { d =>
+      val ctx = s"node $id: overlap_join"
+      val s = OverlapJoinSpec(
+        otherRef = req(d, ctx, "other_ref", "otherRef", "ref").asText,
+        loCol = req(d, ctx, "lo_col", "loCol").asText,
+        hiCol = req(d, ctx, "hi_col", "hiCol").asText,
+        bucket = req(d, ctx, "bucket").asDouble,
+        otherLoCol = opt(d, "other_lo_col", "otherLoCol").map(_.asText),
+        otherHiCol = opt(d, "other_hi_col", "otherHiCol").map(_.asText),
+        on = opt(d, "on").map(strSeq).getOrElse(Nil),
+        payload = opt(d, "payload").map(strSeq).getOrElse(Nil),
+        inclusive = opt(d, "inclusive").exists(_.asBoolean(false)),
+        broadcast = opt(d, "broadcast").exists(_.asBoolean(false)),
+        maxBucketsPerInterval = opt(d, "max_buckets_per_interval",
+          "maxBucketsPerInterval").map(_.asInt).getOrElse(1 << 16))
+      require(s.bucket > 0, s"$ctx: bucket must be > 0, got ${s.bucket}")
       require(s.maxBucketsPerInterval >= 1,
         s"$ctx: max_buckets_per_interval must be >= 1, got ${s.maxBucketsPerInterval}")
       s
@@ -1223,6 +1276,9 @@ object JsonCodec {
       upsample = upsampleSpec,
       funnel = funnelSpec,
       rangeJoin = rangeJoinSpec,
+      overlapJoin = overlapJoinSpec,
+      collocations = collocationsSpec,
+      connectedComponents = connectedComponentsSpec,
       diff = diffSpec,
       applyDiff = applyDiffSpec,
       unpivot = unpivotSpec,

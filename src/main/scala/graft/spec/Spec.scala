@@ -579,6 +579,19 @@ final case class WdsSamplesSpec(
     dataCol: String
 )
 
+/** Collocation mining (NS; TextAnalysis.collocations): the frame's
+  * `textCol` corpus becomes its top-`topK` adjacent word pairs by
+  * pointwise mutual information (w1, w2, n_pair, pmi) — phrase-lexicon
+  * building, BPE merge auditing, template-glue detection. `minCount`
+  * floors the pair count first (PMI is hapax-top-heavy). Scan-stage
+  * bigram zip + vocabulary-shaped count aggregates; batch-only (global
+  * corpus counts). */
+final case class CollocationsSpec(
+    textCol: String,
+    minCount: Int = 5,
+    topK: Int = 100
+)
+
 /** BM25 top-k retrieval (NS; Retrieval.bm25TopK): rank this node's
   * frame (the corpus) against the query table named by `queriesRef` (a
   * top-level def with qid/qtext columns); the frame becomes
@@ -683,6 +696,50 @@ final case class RangeJoinSpec(
     payload: Seq[String] = Nil,
     how: String = "inner",
     inclusiveHi: Boolean = false,
+    broadcast: Boolean = false,
+    maxBucketsPerInterval: Int = 1 << 16
+)
+
+/** Connected components (NS; Dedup.dedupClusters exposed generically):
+  * the node's frame is an EDGE table — each row links `srcCol` to
+  * `dstCol` — and becomes (id, cluster) labels where every node gets the
+  * MINIMUM id reachable through the edge graph: entity resolution,
+  * host-graph communities, click-graph sessions beyond the dedup tiers
+  * that already use this engine internally. Iterative min-label
+  * propagation with pointer jumping (O(log diameter) rounds, one job per
+  * round, constant-size plans); graphs under `smallGraphEdges` cut over
+  * to a driver union-find (bounded-metadata trust model, hard-capped);
+  * `checkpointDir` switches rounds to reliable parquet checkpoints (the
+  * 100 TB deep-graph setting). Non-convergence after `maxIter` rounds
+  * fails by name. Batch-only (iterative actions). */
+final case class ConnectedComponentsSpec(
+    srcCol: String,
+    dstCol: String,
+    maxIter: Int = 20,
+    smallGraphEdges: Long = 1L << 20,
+    checkpointDir: Option[String] = None
+)
+
+/** Interval-overlap join (NS; Relational.overlapJoin): each frame row's
+  * `[loCol, hiCol)` span pairs with every OVERLAPPING span of the def
+  * named by `otherRef` (equal `on` keys) and gains its `payload` columns
+  * — session × outage, exposure × browsing window. Both sides explode to
+  * covering cells of `bucket` width and join as a plain EQUI-join; each
+  * pair is emitted exactly once (later-start-cell rule), never via a
+  * nested loop or a dedup shuffle. `inclusive` switches to closed-span
+  * overlap (touching endpoints count). Numeric bounds (epoch
+  * seconds/micros upstream). Inner pairs only; anti-screen downstream on
+  * the left id. Streaming-admissible on the frame side (stream-static). */
+final case class OverlapJoinSpec(
+    otherRef: String,
+    loCol: String,
+    hiCol: String,
+    bucket: Double,
+    otherLoCol: Option[String] = None,
+    otherHiCol: Option[String] = None,
+    on: Seq[String] = Nil,
+    payload: Seq[String] = Nil,
+    inclusive: Boolean = false,
     broadcast: Boolean = false,
     maxBucketsPerInterval: Int = 1 << 16
 )
@@ -1289,6 +1346,9 @@ final case class NodeSpec(
     upsample: Option[UpsampleSpec] = None, // after keep, before aggregate
     funnel: Option[FunnelSpec] = None, // after keep, before aggregate
     rangeJoin: Option[RangeJoinSpec] = None, // after keep, before aggregate
+    overlapJoin: Option[OverlapJoinSpec] = None, // after range_join
+    collocations: Option[CollocationsSpec] = None, // after keep, before aggregate
+    connectedComponents: Option[ConnectedComponentsSpec] = None, // after keep
     diff: Option[DiffSpec] = None, // after keep, before aggregate
     applyDiff: Option[ApplyDiffSpec] = None, // after diff
     unpivot: Option[UnpivotSpec] = None, // after keep, before aggregate

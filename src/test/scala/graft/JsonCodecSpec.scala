@@ -869,6 +869,83 @@ class JsonCodecSpec extends AnyFunSuite {
       .getMessage.contains("hi_col"))
   }
 
+  test("overlap_join node key decodes with defaults and named errors") {
+    val oj = root("""
+      {"overlap_join": {"other_ref": "outages", "lo_col": "lo",
+                        "hi_col": "hi", "bucket": 3600}}""").overlapJoin.get
+    assert(oj.otherRef == "outages" && oj.loCol == "lo" && oj.hiCol == "hi" &&
+      oj.bucket == 3600.0 && oj.otherLoCol.isEmpty && oj.otherHiCol.isEmpty &&
+      oj.on.isEmpty && oj.payload.isEmpty && !oj.inclusive && !oj.broadcast &&
+      oj.maxBucketsPerInterval == (1 << 16))
+    val oj2 = root("""
+      {"overlap_join": {"ref": "o", "lo_col": "l", "hi_col": "h",
+                        "bucket": 0.5, "other_lo_col": "ol",
+                        "other_hi_col": "oh", "on": ["k"],
+                        "payload": ["tag", "ol", "oh"], "inclusive": true,
+                        "broadcast": true,
+                        "max_buckets_per_interval": 64}}""").overlapJoin.get
+    assert(oj2.otherRef == "o" && oj2.otherLoCol.contains("ol") &&
+      oj2.otherHiCol.contains("oh") && oj2.on == Seq("k") &&
+      oj2.payload == Seq("tag", "ol", "oh") && oj2.inclusive &&
+      oj2.broadcast && oj2.maxBucketsPerInterval == 64)
+    assert(intercept[IllegalArgumentException](root("""
+      {"overlap_join": {"other_ref": "o", "lo_col": "l", "hi_col": "h",
+                        "bucket": 0}}""")).getMessage.contains("bucket"))
+    assert(intercept[IllegalArgumentException](root("""
+      {"overlap_join": {"lo_col": "l", "hi_col": "h", "bucket": 1}}"""))
+      .getMessage.contains("other_ref"))
+    assert(intercept[IllegalArgumentException](root("""
+      {"overlap_join": {"other_ref": "o", "lo_col": "l", "bucket": 1}}"""))
+      .getMessage.contains("hi_col"))
+  }
+
+  test("collocations node key decodes with defaults and named errors") {
+    val c = root("""{"collocations": {"text_col": "text"}}""").collocations.get
+    assert(c.textCol == "text" && c.minCount == 5 && c.topK == 100)
+    val c2 = root("""
+      {"collocations": {"text_col": "body", "min_count": 2,
+                        "top_k": 25}}""").collocations.get
+    assert(c2.textCol == "body" && c2.minCount == 2 && c2.topK == 25)
+    assert(intercept[IllegalArgumentException](root("""
+      {"collocations": {"text_col": "t", "min_count": 0}}"""))
+      .getMessage.contains("min_count"))
+    assert(intercept[IllegalArgumentException](root("""
+      {"collocations": {"text_col": "t", "top_k": 0}}"""))
+      .getMessage.contains("top_k"))
+    assert(intercept[IllegalArgumentException](root("""
+      {"collocations": {"min_count": 3}}"""))
+      .getMessage.contains("text_col"))
+  }
+
+  test("connected_components node key decodes with defaults and named errors") {
+    val cc = root("""
+      {"connected_components": {"src_col": "a", "dst_col": "b"}}""")
+      .connectedComponents.get
+    assert(cc.srcCol == "a" && cc.dstCol == "b" && cc.maxIter == 20 &&
+      cc.smallGraphEdges == (1L << 20) && cc.checkpointDir.isEmpty)
+    val cc2 = root("""
+      {"connected_components": {"src_col": "s", "dst_col": "d",
+                                "max_iter": 5, "small_graph_edges": 0,
+                                "checkpoint_dir": "/tmp/ck"}}""")
+      .connectedComponents.get
+    assert(cc2.maxIter == 5 && cc2.smallGraphEdges == 0L &&
+      cc2.checkpointDir.contains("/tmp/ck"))
+    assert(intercept[IllegalArgumentException](root("""
+      {"connected_components": {"src_col": "a", "dst_col": "a"}}"""))
+      .getMessage.contains("must differ"))
+    assert(intercept[IllegalArgumentException](root("""
+      {"connected_components": {"src_col": "a", "dst_col": "b",
+                                "max_iter": 0}}"""))
+      .getMessage.contains("max_iter"))
+    assert(intercept[IllegalArgumentException](root("""
+      {"connected_components": {"src_col": "a", "dst_col": "b",
+                                "small_graph_edges": 99999999}}"""))
+      .getMessage.contains("small_graph_edges"))
+    assert(intercept[IllegalArgumentException](root("""
+      {"connected_components": {"src_col": "a"}}"""))
+      .getMessage.contains("dst_col"))
+  }
+
   test("diff node key decodes with defaults and named errors") {
     val d = root("""
       {"diff": {"on": ["doc_id"], "ref": "old"}}""").diff.get

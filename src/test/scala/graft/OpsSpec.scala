@@ -2847,6 +2847,149 @@ class OpsSpec extends SparkSpec {
       s"expected the named explode-cap error, got: ${err.getMessage}")
   }
 
+  test("overlapJoin: hand fixture — overlap rules, exactly-once across cells, inclusive bounds, degenerate spans") {
+    val left = Seq(
+      (1L, "a", Some(0.0), Some(10.0)),
+      (2L, "a", Some(20.0), Some(30.0)),
+      (3L, "b", Some(5.0), Some(9.0)),
+      (4L, "a", None, Some(10.0)),          // null bound -> never
+      (5L, "a", Some(50.0), Some(40.0)),    // inverted -> never
+      (6L, "a", Some(60.0), Some(60.0)))    // empty half-open -> never
+      .toDF("lid", "k", "lo", "hi")
+    val right = Seq(
+      ("a", 11L, Some(5.0), Some(15.0)),    // overlaps L1
+      ("a", 12L, Some(10.0), Some(12.0)),   // touches L1 at 10 — half-open: no
+      ("a", 13L, Some(18.0), Some(100.0)),  // overlaps L2 across MANY shared cells
+      ("b", 14L, Some(0.0), Some(6.0)),     // overlaps L3
+      ("b", 15L, Some(5.0), Some(9.0)),     // identical span to L3
+      ("a", 16L, Some(60.0), Some(70.0)))   // vs empty L6: only inclusive
+      .toDF("k", "rid", "rlo", "rhi")
+
+    val pairs = Relational.overlapJoin(left, right, "lo", "hi", bucket = 4.0,
+        rightLoCol = "rlo", rightHiCol = "rhi", on = Seq("k"),
+        payload = Seq("rid", "rlo", "rhi"))
+      .collect().map(r => (r.getLong(0), r.getLong(4))).toSeq.sorted
+    // exactly-once is part of the assertion: Seq, not Set — L2×R13 share
+    // cells 5..7 at bucket 4 and must still emit ONE row
+    assert(pairs == Seq((1L, 11L), (2L, 13L), (3L, 14L), (3L, 15L)),
+      s"half-open overlap pairs wrong: $pairs")
+
+    // the bucketed plan must stay an equi-join — never a nested loop
+    val plan = Relational.overlapJoin(left, right, "lo", "hi", bucket = 4.0,
+        rightLoCol = "rlo", rightHiCol = "rhi", on = Seq("k"),
+        payload = Seq("rid"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"overlap join planned a nested loop:\n$plan")
+
+    // inclusive: touching endpoints count, point intervals are valid
+    val incl = Relational.overlapJoin(left, right, "lo", "hi", bucket = 4.0,
+        rightLoCol = "rlo", rightHiCol = "rhi", on = Seq("k"),
+        payload = Seq("rid"), inclusive = true)
+      .collect().map(r => (r.getLong(0), r.getLong(4))).toSeq.sorted
+    assert(incl == Seq((1L, 11L), (1L, 12L), (2L, 13L), (3L, 14L), (3L, 15L),
+      (6L, 13L), (6L, 16L)), s"inclusive overlap pairs wrong: $incl")
+  }
+
+  test("overlapJoin: bucketed+broadcast paths equal the naive theta join on dense data") {
+    val left = spark.range(300).select($"id".as("lid"),
+      ($"id" * 37 % 1000).cast("double").as("lo"),
+      ($"id" % 3).cast("string").as("k"))
+      .withColumn("hi", $"lo" + ($"lid" % 97 + 1).cast("double"))
+    val right = spark.range(200).select($"id".as("rid"),
+      ($"id" * 53 % 1000).cast("double").as("rlo"),
+      ($"id" % 3).cast("string").as("k"))
+      .withColumn("rhi", $"rlo" + ($"rid" % 61 + 1).cast("double"))
+    for (inclusive <- Seq(false, true)) {
+      val ovl =
+        if (inclusive) left("lo") <= right("rhi") && right("rlo") <= left("hi")
+        else left("lo") < right("rhi") && right("rlo") < left("hi")
+      val naive = left.join(right, left("k") === right("k") && ovl, "inner")
+        .select(left("lid"), right("rid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      for (bc <- Seq(false, true); bucket <- Seq(5.0, 100.0, 2000.0)) {
+        val got = Relational.overlapJoin(left, right, "lo", "hi",
+            bucket = bucket, rightLoCol = "rlo", rightHiCol = "rhi",
+            on = Seq("k"), payload = Seq("rid"), inclusive = inclusive,
+            broadcastRight = bc)
+          .select("lid", "rid")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+        assert(got == naive,
+          s"mismatch at bucket=$bucket broadcast=$bc inclusive=$inclusive " +
+            s"(got ${got.size} pairs, want ${naive.size})")
+      }
+    }
+  }
+
+  test("overlapJoin: self-overlap, named guards, and the per-interval explode cap") {
+    // self-overlap: the SAME frame on both sides (renamed-right plumbing
+    // keeps references unambiguous); a<b downstream filter dedups mirrors
+    val iv = Seq((1L, 0.0, 10.0), (2L, 5.0, 15.0), (3L, 20.0, 25.0))
+      .toDF("id", "lo", "hi")
+    // payload 'id' collides with the left side — named error
+    val eCollide = intercept[IllegalArgumentException] {
+      Relational.overlapJoin(iv, iv, "lo", "hi", bucket = 4.0,
+        payload = Seq("id")) }
+    assert(eCollide.getMessage.contains("overlap_join"))
+    val selfOk = Relational.overlapJoin(iv,
+        iv.withColumnRenamed("id", "rid"), "lo", "hi", bucket = 4.0,
+        payload = Seq("rid"))
+      .filter($"id" < $"rid")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq.sorted
+    assert(selfOk == Seq((1L, 2L)), s"self-overlap pairs wrong: $selfOk")
+
+    val l = Seq((1L, 0.0, 5.0)).toDF("id", "lo", "hi")
+    val r = Seq((9L, 1.0, 2.0)).toDF("rid", "lo", "hi")
+    intercept[IllegalArgumentException] {
+      Relational.overlapJoin(l, r, "lo", "hi", bucket = 0.0) }
+    intercept[IllegalArgumentException] { // missing right column
+      Relational.overlapJoin(l, r, "lo", "hi", bucket = 1.0,
+        rightHiCol = "nope") }
+    intercept[IllegalArgumentException] { // missing left column
+      Relational.overlapJoin(l.drop("hi"), r, "lo", "hi", bucket = 1.0) }
+    intercept[IllegalArgumentException] { // nothing to attach
+      Relational.overlapJoin(l, r.select("lo", "hi"), "lo", "hi", bucket = 1.0) }
+    intercept[IllegalArgumentException] { // duplicate payload names
+      Relational.overlapJoin(l, r, "lo", "hi", bucket = 1.0,
+        payload = Seq("rid", "rid")) }
+    // degenerate span fails BY NAME at run time, not OOM at explode time
+    val wide = Seq((9L, 0.0, 1.0e9)).toDF("rid", "lo", "hi")
+    val err = intercept[Exception] {
+      Relational.overlapJoin(l, wide, "lo", "hi", bucket = 1.0,
+        maxBucketsPerInterval = 1000).collect() }
+    assert(err.getMessage != null && err.getMessage.contains("overlap_join"),
+      s"expected the named explode-cap error, got: ${err.getMessage}")
+  }
+
+  test("collocations: hand-computed PMI, minCount floor, ordering, guards") {
+    val corpus = Seq("a b a b", "a b c", "", "   ").toDF("text")
+    // tokens: 4 + 3 = 7; pairs: (a,b)x3, (b,a)x1, (b,c)x1 — 5 total
+    // counts: a=3, b=3, c=1
+    val out = TextAnalysis.collocations(corpus, "text", minCount = 1, topK = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    def pmi(cxy: Long, cx: Long, cy: Long): Double =
+      BigDecimal(math.log((cxy.toDouble * 7 * 7) / (5.0 * cx * cy)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 147/45 == 49/15 exactly, so (a,b) and (b,c) TIE on pmi and order by w1
+    val expect = Seq(
+      ("a", "b", 3L, pmi(3, 3, 3)),
+      ("b", "c", 1L, pmi(1, 3, 1)),
+      ("b", "a", 1L, pmi(1, 3, 3)))
+    assert(out == expect, s"PMI table wrong: $out (want $expect)")
+    // minCount floors the PAIR count before anything else
+    val floored = TextAnalysis.collocations(corpus, "text", minCount = 2, topK = 10)
+      .collect()
+    assert(floored.length == 1 && floored.head.getLong(2) == 3L)
+    intercept[IllegalArgumentException](
+      TextAnalysis.collocations(corpus, "text", minCount = 0))
+    intercept[IllegalArgumentException](
+      TextAnalysis.collocations(corpus, "text", topK = 0))
+    intercept[IllegalArgumentException](
+      TextAnalysis.collocations(corpus, "nope"))
+  }
+
   test("unpivot: melt keeps NULLs, defaults values, plans zero Exchange, guards by name") {
     val df = Seq(
       (1L, Some(1.5), Some(2.5)),

@@ -840,6 +840,49 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("overlapJoin on random intervals equals a brute-force pair scan") {
+    import graft.ops.Relational
+    val caseGen = for {
+      lrows <- Gen.nonEmptyListOf(for {
+        k <- Gen.chooseNum(1L, 3L)
+        lo <- Gen.chooseNum(0L, 60L)
+        span <- Gen.chooseNum(-2L, 25L) // negative/zero spans: empty/inverted
+      } yield (k, lo, lo + span))
+      rrows <- Gen.listOf(for {
+        k <- Gen.chooseNum(1L, 3L)
+        lo <- Gen.chooseNum(0L, 60L)
+        span <- Gen.chooseNum(-2L, 25L)
+      } yield (k, lo, lo + span))
+      bucket <- Gen.oneOf(1.0, 3.0, 7.0, 100.0)
+      inclusive <- Gen.oneOf(false, true)
+    } yield (lrows, rrows, bucket, inclusive)
+    forAll(caseGen, n = 25) { case (lrows, rrows, bucket, inclusive) =>
+      val lids = lrows.zipWithIndex.map { case ((k, lo, hi), i) =>
+        (i.toLong, k, lo, hi) }
+      val rids = rrows.zipWithIndex.map { case ((k, lo, hi), i) =>
+        (i.toLong, k, lo, hi) }
+      val got = Relational.overlapJoin(
+          lids.toDF("lid", "k", "lo", "hi"),
+          rids.toDF("rid", "k", "rlo", "rhi"),
+          "lo", "hi", bucket, rightLoCol = "rlo", rightHiCol = "rhi",
+          on = Seq("k"), payload = Seq("rid"), inclusive = inclusive)
+        .select("lid", "rid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      // brute force straight off the documented contract: half-open
+      // l.lo < r.hi && r.lo < l.hi (or <= under inclusive); empty and
+      // inverted spans match nothing
+      def valid(lo: Long, hi: Long) = if (inclusive) lo <= hi else lo < hi
+      val want = (for {
+        (li, lk, llo, lhi) <- lids if valid(llo, lhi)
+        (ri, rk, rlo, rhi) <- rids if valid(rlo, rhi) && rk == lk
+        if (if (inclusive) llo <= rhi && rlo <= lhi
+            else llo < rhi && rlo < lhi)
+      } yield (li, ri)).sorted
+      assert(got == want,
+        s"bucket=$bucket inclusive=$inclusive\nleft=$lids\nright=$rids")
+    }
+  }
+
   test("funnel on random event streams equals a brute-force fold") {
     import graft.ops.Relational
     val evGen = Gen.nonEmptyListOf(for {

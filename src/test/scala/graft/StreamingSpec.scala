@@ -1360,6 +1360,79 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("overlap_join runs on a stream against a static def: stream == batch") {
+    // the frame side is the stream (cell explode is a deterministic
+    // stateless generator; the pair join is stream-static on the def) —
+    // the continuous "did this session overlap an outage window?" gate
+    val dir = java.nio.file.Files.createTempDirectory("graft-ovlstream").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/in/events.parquet"))
+    val body = s"""
+       "defs": [
+         {"id": "views", "source": {"path": "$dir/in/events.parquet"},
+          "filters": ["event_type = 'view'"],
+          "derive": {"v_id": "event_id",
+                     "v_lo": "unix_micros(CAST(ts AS TIMESTAMP))",
+                     "v_hi": "unix_micros(CAST(ts AS TIMESTAMP)) + 3600000000"},
+          "keep_columns": ["user_id", "v_id", "v_lo", "v_hi"]}],
+       "filters": ["event_type = 'click'"],
+       "derive": {"c_id": "event_id",
+                  "c_lo": "unix_micros(CAST(ts AS TIMESTAMP))",
+                  "c_hi": "unix_micros(CAST(ts AS TIMESTAMP)) + 1800000000"},
+       "keep_columns": ["user_id", "c_id", "c_lo", "c_hi"],
+       "overlap_join": {"other_ref": "views",
+                        "lo_col": "c_lo", "hi_col": "c_hi",
+                        "other_lo_col": "v_lo", "other_hi_col": "v_hi",
+                        "bucket": 3600000000, "on": ["user_id"],
+                        "payload": ["v_id"]}"""
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("user_id"), r.getAs[Long]("c_id"), r.getAs[Long]("v_id"))
+    val batch = graft.compile.Compiler.compileJson(spark, s"""
+      {"source": {"path": "$dir/in/events.parquet"}, $body}""")
+      .collect().map(key).toSet
+    val q = graft.compile.Compiler.compileStreamJson(spark, s"""
+      {"source": {"path": "$dir/in"}, $body,
+       "save": {"format": "memory", "query_name": "overlap_stream",
+                "trigger": "available_now", "output_mode": "append"}}""")
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("overlap_stream").collect().map(key).toSet
+    assert(streamed == batch, "streamed overlap pairs must equal batch")
+    assert(batch.nonEmpty, "fixture should produce at least one overlap pair")
+
+    // the three streaming-defs rules, each by name: a stream may not
+    // SOURCE from a def; cache: true defs are batch-only; def sinks stay
+    // illegal under streaming too
+    val eRef = intercept[IllegalArgumentException] {
+      graft.compile.Compiler.compileStreamJson(spark, s"""
+        {"defs": [{"id": "d", "source": {"path": "$dir/in/events.parquet"}}],
+         "source": {"ref": "d"},
+         "save": {"format": "memory", "query_name": "x",
+                  "trigger": "available_now", "output_mode": "append"}}""")
+    }
+    assert(eRef.getMessage.contains("cannot feed a stream"), eRef.getMessage)
+    val eCache = intercept[IllegalArgumentException] {
+      graft.compile.Compiler.compileStreamJson(spark, s"""
+        {"defs": [{"id": "d", "cache": true,
+                   "source": {"path": "$dir/in/events.parquet"}}],
+         "source": {"path": "$dir/in"},
+         "save": {"format": "memory", "query_name": "x",
+                  "trigger": "available_now", "output_mode": "append"}}""")
+    }
+    assert(eCache.getMessage.contains("cache"), eCache.getMessage)
+    val eSave = intercept[IllegalArgumentException] {
+      graft.compile.Compiler.compileStreamJson(spark, s"""
+        {"defs": [{"id": "d", "source": {"path": "$dir/in/events.parquet"},
+                   "save": {"format": "parquet", "path": "$dir/defsink"}}],
+         "source": {"path": "$dir/in"},
+         "save": {"format": "memory", "query_name": "x",
+                  "trigger": "available_now", "output_mode": "append"}}""")
+    }
+    assert(eSave.getMessage.contains("sinks live on the root tree"),
+      eSave.getMessage)
+  }
+
   test("bpe_apply → chunk (ids tier) composes on a stream: stream == batch") {
     import spark.implicits._
     // the no-truncation feeder (tokenize → pre-split into ≤size-id
@@ -1625,6 +1698,9 @@ class StreamingSpec extends SparkSpec {
                "order_col": "doc_id"}""", "batch-only")
     rejects(""""dedup": {"keys": ["text"], "id_col": "doc_id",
                "count_col": "dup_count"}""", "batch-only")
+    rejects(""""collocations": {"text_col": "text"}""", "batch-only")
+    rejects(""""connected_components": {"src_col": "doc_id",
+               "dst_col": "text"}""", "batch-only")
     // root-level profile is now the streaming drift monitor (see the
     // dedicated test); only the MID-PIPELINE placement rejects by name
     val eMid = intercept[IllegalArgumentException](
