@@ -117,7 +117,7 @@ object Compiler {
         node.funnel.toSeq.flatMap(fu => Seq(fu.keyCol, fu.tsCol, fu.eventCol)) ++
         node.rangeJoin.toSeq.flatMap(rj => rj.pointCol +: rj.on) ++
         node.overlapJoin.toSeq.flatMap(oj => Seq(oj.loCol, oj.hiCol) ++ oj.on) ++
-        node.collocations.toSeq.map(_.textCol) ++
+        node.collocations.toSeq.flatMap(cs => cs.textCol +: cs.groupCols) ++
         node.connectedComponents.toSeq.flatMap(cc => Seq(cc.srcCol, cc.dstCol)) ++
         node.unpivot.toSeq.flatMap(u => u.ids ++ u.values) ++
         node.approxTopK.toSeq.map(_.keyCol) ++
@@ -703,7 +703,7 @@ object Compiler {
       requireBatch("collocations", "global corpus token/pair counts",
         "mine collocations in batch over the landed corpus instead")
       df = graft.ops.TextAnalysis.collocations(df, cs.textCol, cs.minCount,
-        cs.topK)
+        cs.topK, cs.groupCols)
     }
 
     node.bm25.foreach { bq =>

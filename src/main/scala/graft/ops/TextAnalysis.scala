@@ -191,44 +191,70 @@ object TextAnalysis {
     *
     * Output: (w1, w2, n_pair, pmi) — pmi ROUND 6, ordered pmi desc then
     * (w1, w2), limited to `topK`. Batch-only (global corpus counts). */
+  /** `groupCols` scopes the whole statistic per group — per-LANGUAGE
+    * phrase lexicons are the common case (unigram/pair counts, totals,
+    * the PMI denominator, AND the top-k all become group-local; NULL
+    * group values form their own group, standard groupBy semantics).
+    * Empty (default) = one global table, identical to the ungrouped
+    * shape. */
   def collocations(
       df: org.apache.spark.sql.DataFrame,
       textCol: String,
       minCount: Int = 5,
-      topK: Int = 100
+      topK: Int = 100,
+      groupCols: Seq[String] = Nil
   ): org.apache.spark.sql.DataFrame = {
     require(minCount >= 1, s"collocations: min_count must be >= 1, got $minCount")
     require(topK >= 1, s"collocations: top_k must be >= 1, got $topK")
-    require(df.columns.contains(textCol),
-      s"collocations: no column '$textCol' (have: ${df.columns.mkString(", ")})")
-    val toks = df.select(tokens(col(textCol)).as("__t"))
+    val missing = (textCol +: groupCols).filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"collocations: no column(s) ${missing.mkString(", ")} " +
+        s"(have: ${df.columns.mkString(", ")})")
+    require(!groupCols.contains(textCol),
+      s"collocations: group_cols must not include text_col '$textCol'")
+    val g = groupCols.map(col)
+    val toks = df.select(g :+ tokens(col(textCol)).as("__t"): _*)
     // Adjacent pairs as a scan-stage zip: w1 = t[i], w2 = t[i+1]. Docs
     // shorter than 2 tokens contribute no pairs (zip of empty slices).
     val pairs = toks
-      .select(explode(arrays_zip(
+      .select(g :+ explode(arrays_zip(
         slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
         slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0)))))
-        .as("__p"))
-      .select(col("__p").getField("0").as("w1"),
-        col("__p").getField("1").as("w2"))
-    val unigrams = toks.select(explode(col("__t")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c"))
-    val totTok = unigrams.agg(sum("c").as("n_tok"))
-    val pairCounts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+        .as("__p"): _*)
+      .select(g ++ Seq(col("__p").getField("0").as("w1"),
+        col("__p").getField("1").as("w2")): _*)
+    val unigrams = toks.select(g :+ explode(col("__t")).as("w"): _*)
+      .groupBy(g :+ col("w"): _*).agg(count(lit(1)).as("c"))
+    // BOTH totals from ONE corpus pass: a doc with n ≥ 1 tokens emits
+    // exactly n − 1 adjacent pairs, so N_pair = Σ max(n − 1, 0) — an
+    // integer identity with counting the zip output (saves the fourth
+    // corpus scan and the second 1-row cross join).
+    val totalAggs = Seq(
+      sum(size(col("__t"))).as("n_tok"),
+      sum(greatest(size(col("__t")) - 1, lit(0))).as("n_pairs_total"))
+    val pairCounts = pairs
+      .groupBy(g ++ Seq(col("w1"), col("w2")): _*)
+      .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= minCount)
-    val totPair = pairs.agg(count(lit(1)).as("n_pairs_total"))
-    val scored = pairCounts
-      .join(unigrams.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
-      .join(unigrams.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
-      .crossJoin(broadcast(totTok))
-      .crossJoin(broadcast(totPair))
-      .select(col("w1"), col("w2"), col("n_pair"),
+    val joined = pairCounts
+      .join(unigrams.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"),
+        groupCols :+ "w1")
+      .join(unigrams.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2"),
+        groupCols :+ "w2")
+    val withTotals =
+      if (groupCols.isEmpty) joined.crossJoin(broadcast(toks.agg(totalAggs.head, totalAggs.tail: _*)))
+      else joined.join(
+        toks.groupBy(g: _*).agg(totalAggs.head, totalAggs.tail: _*), groupCols)
+    val scored = withTotals
+      .select(g ++ Seq(col("w1"), col("w2"), col("n_pair"),
         round(log((col("n_pair").cast("double") * col("n_tok") * col("n_tok")) /
           (col("n_pairs_total").cast("double") * col("c1") * col("c2"))), 6)
-          .as("pmi"))
-    scored.orderBy(col("pmi").desc_nulls_last, col("w1").asc_nulls_first,
-        col("w2").asc_nulls_first)
-      .limit(topK)
+          .as("pmi")): _*)
+    val order = Seq(col("pmi").desc_nulls_last, col("w1").asc_nulls_first,
+      col("w2").asc_nulls_first)
+    if (groupCols.isEmpty) scored.orderBy(order: _*).limit(topK)
+    else Relational.topKPerGroup(scored, groupCols, order, topK,
+      rankCol = "__rank").drop("__rank")
   }
 
   /** Gram build over an already-bound token array — shared by [[ngramsAll]]

@@ -1273,9 +1273,51 @@ object TextQueries extends QueryPack {
     ORDER BY pmi DESC NULLS LAST, w1 ASC NULLS FIRST, w2 ASC NULLS FIRST
     LIMIT 50"""
 
+  // q269 — per-GROUP collocations (`group_cols`): per-language phrase
+  // lexicons — counts, totals, the PMI denominator AND the top-k all
+  // become group-local. Mirrored with a QUALIFY row_number per lang.
+  private def q269(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "documents"},
+       "collocations": {"text_col": "text", "min_count": 3, "top_k": 10,
+                        "group_cols": ["lang"]},
+       "order_by": ["lang asc", "pmi desc", "w1 asc", "w2 asc"]}""")
+  private val q269Sql = """
+    WITH toks AS (
+      SELECT lang, list_filter(string_split_regex(trim(text), '\s+'),
+             x -> len(x) > 0) AS t
+      FROM documents),
+    pairs AS (
+      SELECT lang, t[i] AS w1, t[i + 1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
+    uni AS (
+      SELECT lang, w, COUNT(*) AS c
+      FROM (SELECT lang, unnest(t) AS w FROM toks) GROUP BY 1, 2),
+    tot AS (
+      SELECT lang, CAST(SUM(len(t)) AS BIGINT) AS n_tok,
+             CAST(SUM(greatest(len(t) - 1, 0)) AS BIGINT) AS n_pairs_total
+      FROM toks GROUP BY 1),
+    pc AS (
+      SELECT lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair
+      FROM pairs GROUP BY 1, 2, 3 HAVING COUNT(*) >= 3),
+    scored AS (
+      SELECT pc.lang, w1, w2, n_pair,
+             ROUND(ln((CAST(n_pair AS DOUBLE) * n_tok * n_tok) /
+                      (CAST(n_pairs_total AS DOUBLE) * u1.c * u2.c)), 6) AS pmi
+      FROM pc
+      JOIN uni u1 ON pc.lang = u1.lang AND pc.w1 = u1.w
+      JOIN uni u2 ON pc.lang = u2.lang AND pc.w2 = u2.w
+      JOIN tot ON pc.lang = tot.lang)
+    SELECT lang, w1, w2, n_pair, pmi FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY lang
+      ORDER BY pmi DESC, w1 ASC, w2 ASC) <= 10
+    ORDER BY lang ASC NULLS FIRST, pmi DESC NULLS LAST,
+             w1 ASC NULLS FIRST, w2 ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
     Q("q252_compression_ratio", q252, Some(q252Sql)),
     Q("q263_collocations", q263, Some(q263Sql)),
+    Q("q269_collocations_grouped", q269, Some(q269Sql)),
     Q("q24_text_stats", q24, Some(q24Sql)),
     Q("q25_lang_id", q25, Some(q25Sql)),
     Q("q26_fingerprint", q26, Some(q26Sql)),

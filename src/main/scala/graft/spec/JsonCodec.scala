@@ -621,7 +621,8 @@ object JsonCodec {
       val s = CollocationsSpec(
         textCol = req(d, ctx, "text_col", "textCol").asText,
         minCount = opt(d, "min_count", "minCount").map(_.asInt).getOrElse(5),
-        topK = opt(d, "top_k", "topK").map(_.asInt).getOrElse(100))
+        topK = opt(d, "top_k", "topK").map(_.asInt).getOrElse(100),
+        groupCols = opt(d, "group_cols", "groupCols").map(strSeq).getOrElse(Nil))
       require(s.minCount >= 1, s"$ctx: min_count must be >= 1, got ${s.minCount}")
       require(s.topK >= 1, s"$ctx: top_k must be >= 1, got ${s.topK}")
       s

@@ -589,7 +589,8 @@ final case class WdsSamplesSpec(
 final case class CollocationsSpec(
     textCol: String,
     minCount: Int = 5,
-    topK: Int = 100
+    topK: Int = 100,
+    groupCols: Seq[String] = Nil // per-group lexicons (e.g. per language)
 )
 
 /** BM25 top-k retrieval (NS; Retrieval.bm25TopK): rank this node's

@@ -904,8 +904,12 @@ class JsonCodecSpec extends AnyFunSuite {
     assert(c.textCol == "text" && c.minCount == 5 && c.topK == 100)
     val c2 = root("""
       {"collocations": {"text_col": "body", "min_count": 2,
-                        "top_k": 25}}""").collocations.get
-    assert(c2.textCol == "body" && c2.minCount == 2 && c2.topK == 25)
+                        "top_k": 25, "group_cols": ["lang"]}}""")
+      .collocations.get
+    assert(c2.textCol == "body" && c2.minCount == 2 && c2.topK == 25 &&
+      c2.groupCols == Seq("lang"))
+    assert(root("""{"collocations": {"text_col": "t"}}""")
+      .collocations.get.groupCols.isEmpty)
     assert(intercept[IllegalArgumentException](root("""
       {"collocations": {"text_col": "t", "min_count": 0}}"""))
       .getMessage.contains("min_count"))

@@ -2988,6 +2988,27 @@ class OpsSpec extends SparkSpec {
       TextAnalysis.collocations(corpus, "text", topK = 0))
     intercept[IllegalArgumentException](
       TextAnalysis.collocations(corpus, "nope"))
+
+    // grouped: counts, totals, denominator AND top-k are group-local —
+    // two groups with the SAME text yield identical per-group tables
+    val grouped = Seq(("en", "a b a b"), ("en", "a b c"),
+        ("de", "a b a b"), ("de", "a b c"))
+      .toDF("lang", "text")
+    val byLang = TextAnalysis.collocations(grouped, "text", minCount = 1,
+        topK = 10, groupCols = Seq("lang"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getDouble(4)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4, t._5)).toSet)
+      .toMap
+    assert(byLang.keySet == Set("en", "de"))
+    assert(byLang("en") == byLang("de"),
+      s"identical per-group corpora must yield identical tables: $byLang")
+    assert(byLang("en") == expect.map(t => (t._1, t._2, t._3, t._4)).toSet)
+    intercept[IllegalArgumentException]( // group col must exist
+      TextAnalysis.collocations(grouped, "text", groupCols = Seq("nope")))
+    intercept[IllegalArgumentException]( // text col can't be a group col
+      TextAnalysis.collocations(grouped, "text", groupCols = Seq("text")))
   }
 
   test("unpivot: melt keeps NULLs, defaults values, plans zero Exchange, guards by name") {

@@ -840,6 +840,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("collocations on random corpora equals a brute-force PMI fold") {
+    import graft.ops.TextAnalysis
+    val docGen = Gen.listOfN(12,
+      Gen.listOf(Gen.oneOf("aa", "bb", "cc", "dd")).map(_.mkString(" ")))
+    forAll(docGen, n = 12) { docs =>
+      val got = TextAnalysis.collocations(
+          docs.toDF("text"), "text", minCount = 1, topK = 10000)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+      // brute force straight off the documented contract
+      val tokd = docs.map(_.split("\\s+").filter(_.nonEmpty).toSeq)
+      val nTok = tokd.map(_.size).sum
+      val nPair = tokd.map(t => math.max(t.size - 1, 0)).sum
+      val uni = tokd.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val pc = tokd.flatMap(t => t.zip(t.drop(1)))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val want = pc.toSeq.map { case ((w1, w2), cxy) =>
+        val pmi = BigDecimal(math.log(
+            (cxy.toDouble * nTok * nTok) / (nPair.toDouble * uni(w1) * uni(w2))))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (w1, w2, cxy, pmi)
+      }.sortBy(t => (-t._4, t._1, t._2))
+      assert(got == want, s"docs=$docs\ngot=$got\nwant=$want")
+    }
+  }
+
   test("overlapJoin on random intervals equals a brute-force pair scan") {
     import graft.ops.Relational
     val caseGen = for {
