@@ -1140,6 +1140,34 @@ object Compiler {
         lit(s"expectation '$name' violated: $e"))))
     }
 
+    // expect_report: the AUDIT twin of `expect` — instead of failing on
+    // the first violation, the frame becomes one row per rule with its
+    // violation count: (rule, n_violations, n_rows). Same deliberate
+    // NULL-is-violation semantics (violation ⇔ NOT coalesce(rule, false)
+    // — the fail mode's contrapositive), so the two modes always agree
+    // on WHICH rows are bad. ONE map-side-combined aggregate pass over
+    // the frame, then a rules-sized in-row explode — no per-rule scans.
+    // Batch-only by name (a global aggregate has no append-mode plan).
+    if (node.expectReport.nonEmpty) {
+      requireBatch("expect_report", "a global violation-count aggregate",
+        "use expect (fail mode) on the stream, or report over the " +
+          "landed batch")
+      val rules = node.expectReport
+      val aggs = count(lit(1)).as("__er_rows") +:
+        rules.zipWithIndex.map { case ((_, e), i) =>
+          sum(when(coalesce(expr(e), lit(false)), 0L).otherwise(1L))
+            .as(s"__er_v$i")
+        }
+      val onerow = df.agg(aggs.head, aggs.tail: _*)
+      val pairs = array(rules.zipWithIndex.map { case ((name, _), i) =>
+        struct(lit(name).as("rule"), col(s"__er_v$i").as("n_violations"))
+      }: _*)
+      df = onerow
+        .select(explode(pairs).as("__er_r"), col("__er_rows").as("n_rows"))
+        .select(col("__er_r.rule").as("rule"),
+          col("__er_r.n_violations").as("n_violations"), col("n_rows"))
+    }
+
     if (node.drop.nonEmpty) {
       // DataFrame.drop silently ignores unknown names — a typo'd drop would
       // leave the column in the sink with no diagnostic; fail loud instead

@@ -823,12 +823,44 @@ object RelQueries extends QueryPack {
            ROUND((p_cur - p_ref) * ln(p_cur / p_ref), 9) AS psi_contrib
     FROM p ORDER BY bin ASC NULLS FIRST"""
 
+  // q270 — contract AUDIT (`expect_report`): the data-quality dashboard
+  // twin of q232's fail-fast `expect` — one aggregate pass, one row per
+  // rule with its violation count. The `always_null` rule evaluates to
+  // NULL on EVERY row, pinning the deliberate NULL-is-violation
+  // semantics (violation ⇔ NOT coalesce(rule, false)) under the driver
+  // hash: its count must equal n_rows.
+  private def q270(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "documents"},
+       "expect_report": {
+         "has_text": "length(text) > 0",
+         "en_or_de": "lang IN ('en', 'de')",
+         "always_null": "nullif(doc_id, doc_id) > 0"},
+       "order_by": ["rule asc"]}""")
+  private val q270Sql = """
+    WITH m AS (
+      SELECT COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN NOT COALESCE(length(text) > 0, FALSE)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_text,
+             CAST(SUM(CASE WHEN NOT COALESCE(lang IN ('en', 'de'), FALSE)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_lang,
+             CAST(SUM(CASE WHEN NOT COALESCE(nullif(doc_id, doc_id) > 0, FALSE)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_null
+      FROM documents)
+    SELECT 'always_null' AS rule, v_null AS n_violations, n_rows FROM m
+    UNION ALL
+    SELECT 'en_or_de', v_lang, n_rows FROM m
+    UNION ALL
+    SELECT 'has_text', v_text, n_rows FROM m
+    ORDER BY rule ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
     Q("q244_snapshot_diff", q244, Some(q244Sql)),
     Q("q262_overlap_join", q262, Some(q262Sql)),
     Q("q266_corr_moments", q266, Some(q266Sql)),
     Q("q267_connected_components", q267, Some(q267Sql)),
     Q("q268_psi_drift", q268, Some(q268Sql)),
+    Q("q270_expect_report", q270, Some(q270Sql)),
     Q("q251_apply_diff", q251, Some(q251Sql)),
     Q("q245_incremental_rebuild", q245, Some(q245Sql)),
     Q("q246_tee_fanout", q246, Some(q246Sql)),

@@ -1306,6 +1306,13 @@ object JsonCodec {
               "expression string")
           name -> e.asText
         }),
+      expectReport = optN("expect_report", "expectReport").toSeq.flatMap(w =>
+        fields(w).map { case (name, e) =>
+          require(e.isTextual && e.asText.nonEmpty,
+            s"node $id: expect_report rule '$name' must map to a " +
+              "non-empty expression string")
+          name -> e.asText
+        }),
       drop = optN("drop").map(strSeq).getOrElse(Nil),
       bitemporal = bt,
       children = children,

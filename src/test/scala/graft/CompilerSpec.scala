@@ -841,6 +841,33 @@ class CompilerSpec extends SparkSpec {
     assert(n == 2)
   }
 
+  test("expect_report: per-rule violation counts agree with fail-mode semantics, NULL is a violation") {
+    import spark.implicits._
+    Seq((1L, Some(10.0)), (2L, Some(-3.0)), (3L, None: Option[Double]),
+        (4L, Some(0.0)))
+      .toDF("id", "v").createOrReplaceTempView("er_rows")
+    val rows = graft.compile.Compiler.compileJson(spark, """
+      {"source": {"table": "er_rows"},
+       "expect_report": {
+         "v_positive": "v > 0",
+         "id_present": "id IS NOT NULL",
+         "v_ok_or_null": "v IS NULL OR v >= 0"},
+       "order_by": ["rule asc"]}""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // v > 0: -3 and 0 violate, NULL violates (NULL-is-violation) -> 3
+    // id IS NOT NULL: 0; v IS NULL OR v >= 0: only -3 -> 1
+    assert(rows == Seq(("id_present", 0L, 4L), ("v_ok_or_null", 1L, 4L),
+      ("v_positive", 3L, 4L)), s"report wrong: $rows")
+    // agreement law: fail mode raises exactly when the report counts > 0
+    val ok = graft.compile.Compiler.compileJson(spark, """
+      {"source": {"table": "er_rows"},
+       "expect": {"id_present": "id IS NOT NULL"}}""").count()
+    assert(ok == 4)
+    intercept[Exception](graft.compile.Compiler.compileJson(spark, """
+      {"source": {"table": "er_rows"},
+       "expect": {"v_positive": "v > 0"}}""").collect())
+  }
+
   test("zorder SQL function: literal bits enforced, matches the Scala column") {
     Tables.registerViews(spark, sf)
     val viaSql = spark.sql(

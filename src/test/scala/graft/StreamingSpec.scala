@@ -1701,6 +1701,8 @@ class StreamingSpec extends SparkSpec {
     rejects(""""collocations": {"text_col": "text"}""", "batch-only")
     rejects(""""connected_components": {"src_col": "doc_id",
                "dst_col": "text"}""", "batch-only")
+    rejects(""""expect_report": {"has_text": "length(text) > 0"}""",
+      "batch-only")
     // root-level profile is now the streaming drift monitor (see the
     // dedicated test); only the MID-PIPELINE placement rejects by name
     val eMid = intercept[IllegalArgumentException](
