@@ -840,6 +840,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connected components on random graphs equal a union-find fold, both paths") {
+    import graft.ops.Dedup
+    val edgeGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(0L, 20L), Gen.chooseNum(0L, 20L)))
+    forAll(edgeGen, n = 6) { edges =>
+      // reference: textbook union-find with min-root labels
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        .map(n => (n, find(n)))
+      val df = edges.toDF("idA", "idB")
+      for (cutover <- Seq(1L << 20, 0L)) { // driver union-find / distributed loop
+        val got = Dedup.dedupClusters(df, smallGraphEdges = cutover)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        assert(got == want, s"cutover=$cutover edges=$edges")
+      }
+    }
+  }
+
   test("collocations on random corpora equals a brute-force PMI fold") {
     import graft.ops.TextAnalysis
     val docGen = Gen.listOfN(12,
