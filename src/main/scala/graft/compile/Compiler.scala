@@ -680,9 +680,6 @@ object Compiler {
         pr.damping, pr.tol)
     }
 
-    // BM25 retrieval: rank the frame (the corpus) against the query
-    // def; the frame becomes (qid, id, score, rn). Batch-only (corpus
-    // stats action).
     // Generic connected components: the frame is an edge table and
     // becomes (id, cluster) min-reachable-id labels — the dedup tiers'
     // CC engine exposed for entity resolution / graph communities.
@@ -706,6 +703,9 @@ object Compiler {
         cs.topK, cs.groupCols)
     }
 
+    // BM25 retrieval: rank the frame (the corpus) against the query
+    // def; the frame becomes (qid, id, score, rn). Batch-only (corpus
+    // stats action).
     node.bm25.foreach { bq =>
       requireBatch("bm25", "corpus-statistics actions (N, avgdl)",
         "run retrieval in batch over the materialized corpus instead")
@@ -1153,10 +1153,12 @@ object Compiler {
         "use expect (fail mode) on the stream, or report over the " +
           "landed batch")
       val rules = node.expectReport
+      // coalesce: SUM over an EMPTY frame is NULL, but the contract is a
+      // COUNT — an empty input reports (rule, 0, 0), not (rule, NULL, 0)
       val aggs = count(lit(1)).as("__er_rows") +:
         rules.zipWithIndex.map { case ((_, e), i) =>
-          sum(when(coalesce(expr(e), lit(false)), 0L).otherwise(1L))
-            .as(s"__er_v$i")
+          coalesce(sum(when(coalesce(expr(e), lit(false)), 0L).otherwise(1L)),
+            lit(0L)).as(s"__er_v$i")
         }
       val onerow = df.agg(aggs.head, aggs.tail: _*)
       val pairs = array(rules.zipWithIndex.map { case ((name, _), i) =>
@@ -1432,10 +1434,17 @@ object Compiler {
         // the compile and nothing would ever unpersist the pin — rely on
         // Spark re-reading the (small, static) def per micro-batch, or
         // materialize it to parquet first.
+        // cache is rejected ANYWHERE in a def's tree (top-level or nested
+        // in children/combine — the batch compiler's anyCached walk): a
+        // nested cache the batch path rejects by name must not silently
+        // no-op under streaming.
+        def anyCachedS(n: NodeSpec): Boolean =
+          n.cache || n.combine.exists(_.nodes.exists(anyCachedS)) ||
+            n.children.exists(c => anyCachedS(c.node))
         defs.foreach { d =>
           if (d.save.isDefined) throw new IllegalArgumentException(
             s"def ${d.id}: defs are definitions — sinks live on the root tree")
-          if (d.cache) throw new IllegalArgumentException(
+          if (anyCachedS(d)) throw new IllegalArgumentException(
             s"def ${d.id}: cache: true is batch-only — a streaming query " +
               "outlives the compile and the pin would never release; " +
               "materialize the def to parquet and source it by path instead")

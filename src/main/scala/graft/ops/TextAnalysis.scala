@@ -193,10 +193,11 @@ object TextAnalysis {
     * (w1, w2), limited to `topK`. Batch-only (global corpus counts). */
   /** `groupCols` scopes the whole statistic per group — per-LANGUAGE
     * phrase lexicons are the common case (unigram/pair counts, totals,
-    * the PMI denominator, AND the top-k all become group-local; NULL
-    * group values form their own group, standard groupBy semantics).
-    * Empty (default) = one global table, identical to the ungrouped
-    * shape. */
+    * the PMI denominator, AND the top-k all become group-local). NULL
+    * group values raise BY NAME (the snapshotDiff NULL-key posture:
+    * they would otherwise silently vanish through the count joins,
+    * where NULL never equals NULL — coalesce upstream). Empty (default)
+    * = one global table. */
   def collocations(
       df: org.apache.spark.sql.DataFrame,
       textCol: String,
@@ -213,7 +214,16 @@ object TextAnalysis {
     require(!groupCols.contains(textCol),
       s"collocations: group_cols must not include text_col '$textCol'")
     val g = groupCols.map(col)
-    val toks = df.select(g :+ tokens(col(textCol)).as("__t"): _*)
+    // NULL group guard rides the scan (zero extra passes); NULL TEXT is
+    // legal and must contribute nothing — tokens(NULL) is a NULL array,
+    // so every size() below clamps through greatest(_, 0) (the session
+    // keeps legacy sizeOfNull, where size(NULL) = -1).
+    val gGuarded = groupCols.map(c0 =>
+      when(col(c0).isNotNull, col(c0)).otherwise(raise_error(lit(
+        s"collocations: NULL value in group column '$c0' — NULL groups " +
+          "would silently drop through the count joins; coalesce upstream")))
+        .as(c0))
+    val toks = df.select(gGuarded :+ tokens(col(textCol)).as("__t"): _*)
     // Adjacent pairs as a scan-stage zip: w1 = t[i], w2 = t[i+1]. Docs
     // shorter than 2 tokens contribute no pairs (zip of empty slices).
     val pairs = toks
@@ -230,7 +240,7 @@ object TextAnalysis {
     // integer identity with counting the zip output (saves the fourth
     // corpus scan and the second 1-row cross join).
     val totalAggs = Seq(
-      sum(size(col("__t"))).as("n_tok"),
+      sum(greatest(size(col("__t")), lit(0))).as("n_tok"),
       sum(greatest(size(col("__t")) - 1, lit(0))).as("n_pairs_total"))
     val pairCounts = pairs
       .groupBy(g ++ Seq(col("w1"), col("w2")): _*)

@@ -3009,6 +3009,30 @@ class OpsSpec extends SparkSpec {
       TextAnalysis.collocations(grouped, "text", groupCols = Seq("nope")))
     intercept[IllegalArgumentException]( // text col can't be a group col
       TextAnalysis.collocations(grouped, "text", groupCols = Seq("text")))
+
+    // NULL text contributes NOTHING — not a -1 token count (legacy
+    // sizeOfNull makes size(NULL) = -1; the totals clamp); table
+    // identical to the corpus without the NULL doc
+    val withNullText = Seq(Some("a b a b"), Some("a b c"), Some(""),
+        Some("   "), None: Option[String]).toDF("text")
+    val outNull = TextAnalysis.collocations(withNullText, "text",
+        minCount = 1, topK = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(outNull == expect,
+      s"NULL text must not skew totals: $outNull (want $expect)")
+    // NULL group values raise BY NAME (they would silently drop through
+    // the count joins)
+    val withNullGroup = Seq((Some("en"), "a b"), (None: Option[String], "a b"))
+      .toDF("lang", "text")
+    val eNull = intercept[Exception](
+      TextAnalysis.collocations(withNullGroup, "text", minCount = 1,
+        topK = 10, groupCols = Seq("lang")).collect())
+    assert(Option(eNull.getMessage).getOrElse("").contains("collocations") ||
+      Option(eNull.getCause).flatMap(c => Option(c.getMessage))
+        .getOrElse("").contains("collocations"),
+      s"expected the named NULL-group error, got: ${eNull.getMessage}")
   }
 
   test("unpivot: melt keeps NULLs, defaults values, plans zero Exchange, guards by name") {
