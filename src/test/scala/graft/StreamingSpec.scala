@@ -1433,6 +1433,44 @@ class StreamingSpec extends SparkSpec {
       eSave.getMessage)
   }
 
+  test("range_join runs on a stream against a static def: stream == batch") {
+    // the r16 point-in-interval join's documented streaming admissibility,
+    // now reachable from config via streaming defs: the stream side is
+    // points, the def side the interval dimension table
+    val dir = java.nio.file.Files.createTempDirectory("graft-rjstream").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/in/events.parquet"))
+    val body = s"""
+       "defs": [
+         {"id": "bands", "source": {"path": "$dir/in/events.parquet"},
+          "filters": ["event_type = 'signup'"],
+          "derive": {"lo": "CAST(user_id * 3 AS DOUBLE)",
+                     "hi": "CAST(user_id * 3 + 40 AS DOUBLE)",
+                     "tag": "concat('b', CAST(event_id AS STRING))"},
+          "keep_columns": ["lo", "hi", "tag"]}],
+       "filters": ["event_type = 'click'"],
+       "derive": {"x": "CAST(user_id * 2 AS DOUBLE)"},
+       "keep_columns": ["event_id", "x"],
+       "range_join": {"intervals_ref": "bands", "point_col": "x",
+                      "lo_col": "lo", "hi_col": "hi", "bucket": 20,
+                      "payload": ["tag"], "broadcast": true}"""
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("event_id"), r.getAs[String]("tag"))
+    val batch = graft.compile.Compiler.compileJson(spark, s"""
+      {"source": {"path": "$dir/in/events.parquet"}, $body}""")
+      .collect().map(key).toSet
+    val q = graft.compile.Compiler.compileStreamJson(spark, s"""
+      {"source": {"path": "$dir/in"}, $body,
+       "save": {"format": "memory", "query_name": "rj_stream",
+                "trigger": "available_now", "output_mode": "append"}}""")
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("rj_stream").collect().map(key).toSet
+    assert(streamed == batch, "streamed range join must equal batch")
+    assert(batch.nonEmpty, "fixture should produce at least one match")
+  }
+
   test("bpe_apply → chunk (ids tier) composes on a stream: stream == batch") {
     import spark.implicits._
     // the no-truncation feeder (tokenize → pre-split into ≤size-id
