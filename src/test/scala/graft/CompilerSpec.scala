@@ -748,11 +748,18 @@ class CompilerSpec extends SparkSpec {
       Compiler.compileJson(spark, s"""{"id": "r",
         "defs": [{"source": {"path": "$base/t"}}], "source": {"ref": "def0"}}"""))
       .getMessage.contains("explicit id"))
+    // r17: defs COMPILE under streaming (static join/probe sides); what
+    // stays rejected by name is sourcing a stream FROM a ref and
+    // cache: true defs (see StreamingSpec's guard tests)
+    val sq = Compiler.compileStreamJson(spark, s"""{"id": "r", "defs": [$stage],
+      "source": {"path": "$base/t"},
+      "save": {"path": "$base/out", "format": "parquet", "checkpoint": "$base/ck"}}""")
+    try sq.processAllAvailable() finally sq.stop()
     assert(intercept[IllegalArgumentException](
       Compiler.compileStreamJson(spark, s"""{"id": "r", "defs": [$stage],
-        "source": {"path": "$base/t"},
-        "save": {"path": "$base/out", "format": "parquet", "checkpoint": "$base/ck"}}"""))
-      .getMessage.contains("batch-only"))
+        "source": {"ref": "tot"},
+        "save": {"path": "$base/out2", "format": "parquet", "checkpoint": "$base/ck2"}}"""))
+      .getMessage.contains("cannot feed a stream"))
   }
 
   test("cluster-tier retention keeps each class's best copy; singletons survive") {
