@@ -1148,11 +1148,16 @@ object Compiler {
     // on WHICH rows are bad. ONE map-side-combined aggregate pass over
     // the frame, then a rules-sized in-row explode — no per-rule scans.
     // Batch-only by name (a global aggregate has no append-mode plan).
+    if (node.expectReportGroups.nonEmpty && node.expectReport.isEmpty)
+      throw new IllegalArgumentException(
+        s"node ${node.id}: expect_report has group_cols but no rules — " +
+          "declare at least one rule_name: \"expr\" entry")
     if (node.expectReport.nonEmpty) {
       requireBatch("expect_report", "a global violation-count aggregate",
         "use expect (fail mode) on the stream, or report over the " +
           "landed batch")
       val rules = node.expectReport
+      val groups = node.expectReportGroups
       // coalesce: SUM over an EMPTY frame is NULL, but the contract is a
       // COUNT — an empty input reports (rule, 0, 0), not (rule, NULL, 0)
       val aggs = count(lit(1)).as("__er_rows") +:
@@ -1160,14 +1165,19 @@ object Compiler {
           coalesce(sum(when(coalesce(expr(e), lit(false)), 0L).otherwise(1L)),
             lit(0L)).as(s"__er_v$i")
         }
-      val onerow = df.agg(aggs.head, aggs.tail: _*)
+      // group_cols → the per-slice scorecard: one aggregate row per group
+      // value, then the same rules-sized in-row explode per row
+      val agged =
+        if (groups.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+        else df.groupBy(groups.map(col): _*).agg(aggs.head, aggs.tail: _*)
       val pairs = array(rules.zipWithIndex.map { case ((name, _), i) =>
         struct(lit(name).as("rule"), col(s"__er_v$i").as("n_violations"))
       }: _*)
-      df = onerow
-        .select(explode(pairs).as("__er_r"), col("__er_rows").as("n_rows"))
-        .select(col("__er_r.rule").as("rule"),
-          col("__er_r.n_violations").as("n_violations"), col("n_rows"))
+      df = agged
+        .select(groups.map(col) ++ Seq(explode(pairs).as("__er_r"),
+          col("__er_rows").as("n_rows")): _*)
+        .select(groups.map(col) ++ Seq(col("__er_r.rule").as("rule"),
+          col("__er_r.n_violations").as("n_violations"), col("n_rows")): _*)
     }
 
     if (node.drop.nonEmpty) {

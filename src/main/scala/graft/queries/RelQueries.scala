@@ -854,6 +854,35 @@ object RelQueries extends QueryPack {
     SELECT 'has_text', v_text, n_rows FROM m
     ORDER BY rule ASC NULLS FIRST"""
 
+  // q271 — per-SLICE contract scorecard (`expect_report.group_cols`):
+  // the q270 audit broken out per language — the "which corpus slice is
+  // damaged" view that decides where remediation effort goes. Reserved
+  // key group_cols inside the rule map; one grouped aggregate pass.
+  private def q271(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "documents"},
+       "expect_report": {
+         "group_cols": ["lang"],
+         "long_enough": "n_chars >= 100",
+         "source_known": "source IS NOT NULL"},
+       "order_by": ["lang asc", "rule asc"]}""")
+  private val q271Sql = """
+    SELECT lang,
+           r.rule,
+           CASE r.rule
+             WHEN 'long_enough' THEN v_len
+             WHEN 'source_known' THEN v_src END AS n_violations,
+           n_rows
+    FROM (
+      SELECT lang, COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN NOT COALESCE(n_chars >= 100, FALSE)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_len,
+             CAST(SUM(CASE WHEN NOT COALESCE(source IS NOT NULL, FALSE)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_src
+      FROM documents GROUP BY 1)
+    CROSS JOIN (VALUES ('long_enough'), ('source_known')) AS r(rule)
+    ORDER BY lang ASC NULLS FIRST, rule ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
     Q("q244_snapshot_diff", q244, Some(q244Sql)),
     Q("q262_overlap_join", q262, Some(q262Sql)),
@@ -861,6 +890,7 @@ object RelQueries extends QueryPack {
     Q("q267_connected_components", q267, Some(q267Sql)),
     Q("q268_psi_drift", q268, Some(q268Sql)),
     Q("q270_expect_report", q270, Some(q270Sql)),
+    Q("q271_expect_report_grouped", q271, Some(q271Sql)),
     Q("q251_apply_diff", q251, Some(q251Sql)),
     Q("q245_incremental_rebuild", q245, Some(q245Sql)),
     Q("q246_tee_fanout", q246, Some(q246Sql)),

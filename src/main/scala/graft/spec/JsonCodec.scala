@@ -1307,12 +1307,20 @@ object JsonCodec {
           name -> e.asText
         }),
       expectReport = optN("expect_report", "expectReport").toSeq.flatMap(w =>
-        fields(w).map { case (name, e) =>
+        fields(w).filterNot(_._1 == "group_cols").map { case (name, e) =>
           require(e.isTextual && e.asText.nonEmpty,
             s"node $id: expect_report rule '$name' must map to a " +
               "non-empty expression string")
           name -> e.asText
         }),
+      // "group_cols" is RESERVED inside expect_report (a rule cannot take
+      // that name): per-slice scorecards — counts per group value
+      expectReportGroups = optN("expect_report", "expectReport").toSeq
+        .flatMap(w => fields(w).collect { case ("group_cols", v) =>
+          require(v.isArray,
+            s"node $id: expect_report.group_cols must be an ARRAY of columns")
+          strSeq(v)
+        }.flatten),
       drop = optN("drop").map(strSeq).getOrElse(Nil),
       bitemporal = bt,
       children = children,

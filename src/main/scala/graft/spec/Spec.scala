@@ -1371,6 +1371,7 @@ final case class NodeSpec(
     postFilters: Seq[FilterSpec] = Nil, // after with_columns: filter on operator/derived outputs (score, near_dup, n_bpe, …)
     expect: Seq[(String, String)] = Nil, // after post_filters: row-level data contracts — a violating row fails the job by rule name (scan-stage, streaming-admissible)
     expectReport: Seq[(String, String)] = Nil, // after expect: the AUDIT twin — frame becomes (rule, n_violations, n_rows), one aggregate pass, same NULL-is-violation semantics; batch-only
+    expectReportGroups: Seq[String] = Nil, // expect_report."group_cols": per-slice scorecard — output gains the group columns
     drop: Seq[String] = Nil, // post-agg column drop (e.g. a struct group key already flattened)
     bitemporal: Option[BitemporalSpec] = None,
     children: Seq[ChildSpec] = Nil,

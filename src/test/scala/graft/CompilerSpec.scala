@@ -873,6 +873,24 @@ class CompilerSpec extends SparkSpec {
     intercept[Exception](graft.compile.Compiler.compileJson(spark, """
       {"source": {"table": "er_rows"},
        "expect": {"v_positive": "v > 0"}}""").collect())
+    // group_cols (reserved key): the per-slice scorecard
+    Seq((1L, "a", Some(10.0)), (2L, "a", None: Option[Double]),
+        (3L, "b", Some(5.0)))
+      .toDF("id", "g", "v").createOrReplaceTempView("er_grp")
+    val grouped = graft.compile.Compiler.compileJson(spark, """
+      {"source": {"table": "er_grp"},
+       "expect_report": {"group_cols": ["g"], "v_present": "v IS NOT NULL"},
+       "order_by": ["g asc"]}""")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(grouped == Seq(("a", "v_present", 1L, 2L), ("b", "v_present", 0L, 1L)),
+      s"grouped scorecard wrong: $grouped")
+    // groups without rules is a named error
+    assert(intercept[IllegalArgumentException](
+      graft.compile.Compiler.compileJson(spark, """
+        {"source": {"table": "er_grp"},
+         "expect_report": {"group_cols": ["g"]}}"""))
+      .getMessage.contains("no rules"))
   }
 
   test("zorder SQL function: literal bits enforced, matches the Scala column") {
