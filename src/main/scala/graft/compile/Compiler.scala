@@ -34,6 +34,13 @@ object Compiler {
   private val allPersisted =
     java.util.Collections.newSetFromMap(new java.util.WeakHashMap[DataFrame, java.lang.Boolean]())
 
+  /** Does ANY node in this subtree (the node, its combine legs, its
+    * children) carry cache: true? Shared by the batch and streaming defs
+    * guards — a nested cache must be rejected identically in both. */
+  private def anyCached(n: NodeSpec): Boolean =
+    n.cache || n.combine.exists(_.nodes.exists(anyCached)) ||
+      n.children.exists(c => anyCached(c.node))
+
   private def trackPersisted(result: DataFrame, cached: Seq[DataFrame]): Unit =
     if (cached.nonEmpty) persistedByResult.synchronized {
       persistedByResult.put(result, cached)
@@ -190,9 +197,6 @@ object Compiler {
         // subtree, reused exchanges, and with cache: true one
         // materialization. They are definitions, not pipelines: sinks
         // stay on the root tree.
-        def anyCached(n: NodeSpec): Boolean =
-          n.cache || n.combine.exists(_.nodes.exists(anyCached)) ||
-            n.children.exists(c => anyCached(c.node))
         defs.foreach { d =>
           if (d.save.isDefined) throw new IllegalArgumentException(
             s"def ${d.id}: defs are definitions — sinks live on the root tree")
@@ -1445,16 +1449,13 @@ object Compiler {
         // Spark re-reading the (small, static) def per micro-batch, or
         // materialize it to parquet first.
         // cache is rejected ANYWHERE in a def's tree (top-level or nested
-        // in children/combine — the batch compiler's anyCached walk): a
-        // nested cache the batch path rejects by name must not silently
-        // no-op under streaming.
-        def anyCachedS(n: NodeSpec): Boolean =
-          n.cache || n.combine.exists(_.nodes.exists(anyCachedS)) ||
-            n.children.exists(c => anyCachedS(c.node))
+        // in children/combine — the shared anyCached walk): a nested
+        // cache the batch path rejects by name must not silently no-op
+        // under streaming.
         defs.foreach { d =>
           if (d.save.isDefined) throw new IllegalArgumentException(
             s"def ${d.id}: defs are definitions — sinks live on the root tree")
-          if (anyCachedS(d)) throw new IllegalArgumentException(
+          if (anyCached(d)) throw new IllegalArgumentException(
             s"def ${d.id}: cache: true is batch-only — a streaming query " +
               "outlives the compile and the pin would never release; " +
               "materialize the def to parquet and source it by path instead")

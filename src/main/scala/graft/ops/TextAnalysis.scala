@@ -190,8 +190,9 @@ object TextAnalysis {
     * broadcast 1-row scalar (crossJoin(broadcast(...)) — action-free).
     *
     * Output: (w1, w2, n_pair, pmi) — pmi ROUND 6, ordered pmi desc then
-    * (w1, w2), limited to `topK`. Batch-only (global corpus counts). */
-  /** `groupCols` scopes the whole statistic per group — per-LANGUAGE
+    * (w1, w2), limited to `topK`. Batch-only (global corpus counts).
+    *
+    * `groupCols` scopes the whole statistic per group — per-LANGUAGE
     * phrase lexicons are the common case (unigram/pair counts, totals,
     * the PMI denominator, AND the top-k all become group-local). NULL
     * group values raise BY NAME (the snapshotDiff NULL-key posture:

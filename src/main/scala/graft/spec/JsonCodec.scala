@@ -1230,6 +1230,8 @@ object JsonCodec {
           .map { case (cn, i) => node(cn, s"${id}_part$i") })
     }
 
+    val expectReportNode = optN("expect_report", "expectReport")
+
     val spec = NodeSpec(
       id = id,
       source = source,
@@ -1306,16 +1308,16 @@ object JsonCodec {
               "expression string")
           name -> e.asText
         }),
-      expectReport = optN("expect_report", "expectReport").toSeq.flatMap(w =>
+      // "group_cols" is RESERVED inside expect_report (a rule cannot take
+      // that name): per-slice scorecards — counts per group value
+      expectReport = expectReportNode.toSeq.flatMap(w =>
         fields(w).filterNot(_._1 == "group_cols").map { case (name, e) =>
           require(e.isTextual && e.asText.nonEmpty,
             s"node $id: expect_report rule '$name' must map to a " +
               "non-empty expression string")
           name -> e.asText
         }),
-      // "group_cols" is RESERVED inside expect_report (a rule cannot take
-      // that name): per-slice scorecards — counts per group value
-      expectReportGroups = optN("expect_report", "expectReport").toSeq
+      expectReportGroups = expectReportNode.toSeq
         .flatMap(w => fields(w).collect { case ("group_cols", v) =>
           require(v.isArray,
             s"node $id: expect_report.group_cols must be an ARRAY of columns")
