@@ -392,6 +392,8 @@ object Relational {
     require(payOverlap.isEmpty,
       s"range_join: payload column(s) ${payOverlap.mkString(", ")} duplicate " +
         "the bounds/key columns")
+    requireNumericBound("range_join", points, pointCol)
+    Seq(loCol, hiCol).foreach(requireNumericBound("range_join", intervals, _))
     val b = "__rj_bucket"
     require(!points.columns.contains(b) && !intervals.columns.contains(b),
       s"range_join: reserved column name '$b' already present")
@@ -420,6 +422,26 @@ object Relational {
     pts.join(iv, cond, how)
       .select(points.columns.map(pts(_)) ++ pay.map(iv(_)): _*)
   }
+
+  /** The bucketed joins' bound/point columns must be NUMERIC at plan
+    * time: a string column would otherwise cast silently to double in
+    * the floor(col/bucket) cell arithmetic (non-numeric strings become
+    * NULL cells — rows silently match nothing). Shared by
+    * [[rangeJoinKeyed]] and [[overlapJoin]]. */
+  private def requireNumericBound(op: String, df: DataFrame, c: String): Unit =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DoubleType => ()
+      case _: org.apache.spark.sql.types.DecimalType => ()
+      case t => throw new IllegalArgumentException(
+        s"$op: column '$c' has type ${t.simpleString}; the bucketed cell " +
+          "arithmetic needs numeric bounds — cast timestamps to epoch " +
+          "seconds/micros (unix_micros) upstream")
+    }
 
   /** INTERVAL-OVERLAP JOIN: all pairs of a left interval and a right
     * interval (equal `on` keys) whose spans OVERLAP — the
@@ -502,6 +524,9 @@ object Relational {
     require(pay.distinct.size == pay.size,
       s"overlap_join: duplicate payload column(s) " +
         s"${pay.diff(pay.distinct).distinct.mkString(", ")}")
+    Seq(left -> Seq(loCol, hiCol), right -> Seq(rLo, rHi)).foreach {
+      case (side, cols) => cols.foreach(requireNumericBound("overlap_join", side, _))
+    }
     val b = "__oj_cell"
     require(!left.columns.contains(b) && !right.columns.contains(b),
       s"overlap_join: reserved column name '$b' already present")

@@ -2952,6 +2952,17 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { // duplicate payload names
       Relational.overlapJoin(l, r, "lo", "hi", bucket = 1.0,
         payload = Seq("rid", "rid")) }
+    // non-numeric bounds reject at PLAN time by name (a string bound
+    // would silently cast to double and match nothing) — both joins
+    val sIv = Seq(("a", "b", 9L)).toDF("lo", "hi", "rid")
+    assert(intercept[IllegalArgumentException] {
+      Relational.overlapJoin(l, sIv, "lo", "hi", bucket = 1.0,
+        payload = Seq("rid")) }.getMessage.contains("numeric"))
+    assert(intercept[IllegalArgumentException] {
+      Relational.rangeJoinKeyed(l.select($"id", $"lo".cast("string").as("x")),
+        sIv.select($"rid".cast("double").as("lo"),
+          ($"rid" + 1).cast("double").as("hi"), lit("t").as("tag")),
+        "x", "lo", "hi", bucket = 1.0) }.getMessage.contains("numeric"))
     // degenerate span fails BY NAME at run time, not OOM at explode time
     val wide = Seq((9L, 0.0, 1.0e9)).toDF("rid", "lo", "hi")
     val err = intercept[Exception] {
