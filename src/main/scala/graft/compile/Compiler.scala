@@ -1158,30 +1158,11 @@ object Compiler {
           "declare at least one rule_name: \"expr\" entry")
     if (node.expectReport.nonEmpty) {
       requireBatch("expect_report", "a global violation-count aggregate",
-        "use expect (fail mode) on the stream, or report over the " +
-          "landed batch")
-      val rules = node.expectReport
-      val groups = node.expectReportGroups
-      // coalesce: SUM over an EMPTY frame is NULL, but the contract is a
-      // COUNT — an empty input reports (rule, 0, 0), not (rule, NULL, 0)
-      val aggs = count(lit(1)).as("__er_rows") +:
-        rules.zipWithIndex.map { case ((_, e), i) =>
-          coalesce(sum(when(coalesce(expr(e), lit(false)), 0L).otherwise(1L)),
-            lit(0L)).as(s"__er_v$i")
-        }
-      // group_cols → the per-slice scorecard: one aggregate row per group
-      // value, then the same rules-sized in-row explode per row
-      val agged =
-        if (groups.isEmpty) df.agg(aggs.head, aggs.tail: _*)
-        else df.groupBy(groups.map(col): _*).agg(aggs.head, aggs.tail: _*)
-      val pairs = array(rules.zipWithIndex.map { case ((name, _), i) =>
-        struct(lit(name).as("rule"), col(s"__er_v$i").as("n_violations"))
-      }: _*)
-      df = agged
-        .select(groups.map(col) ++ Seq(explode(pairs).as("__er_r"),
-          col("__er_rows").as("n_rows")): _*)
-        .select(groups.map(col) ++ Seq(col("__er_r.rule").as("rule"),
-          col("__er_r.n_violations").as("n_violations"), col("n_rows")): _*)
+        "declare expect_report on the streaming ROOT instead — it becomes " +
+          "the per-batch contract monitor (batch_id-stamped scorecard " +
+          "rows appended to the path sink)")
+      df = graft.ops.Relational.expectReport(df, node.expectReport,
+        node.expectReportGroups)
     }
 
     if (node.drop.nonEmpty) {
@@ -1494,28 +1475,45 @@ object Compiler {
         val out = compileNode(spark,
           root.copy(nearDupIngest = None, passageIngest = None,
             tarPackIngest = None, exactIngest = None, sketchIngest = None,
-            profile = None),
+            profile = None, expectReport = Nil, expectReportGroups = Nil),
           Some(readStreamSource(spark, src)),
           executeSinks = false, streaming = true, refs = refs)
-        // Root profile: the per-batch drift monitor — each micro-batch's
-        // q149 aggregate appends (batch_id-stamped) to the save sink.
-        if (root.profile.isDefined) {
-          val pr = root.profile.get
+        // The two per-batch MONITOR sinks (profile = drift stats,
+        // expect_report = contract scorecard) share the same plumbing:
+        // root-only, path sink, batch_id-stamped appends. A stream has
+        // ONE sink, so either beside an ingest — or both together —
+        // rejects by name.
+        def monitorSink(kind: String): graft.spec.SinkSpec = {
           if (root.nearDupIngest.isDefined || root.passageIngest.isDefined ||
               root.tarPackIngest.isDefined || root.exactIngest.isDefined ||
               root.sketchIngest.isDefined)
             throw new IllegalArgumentException(
-              "profile beside an ingest sink: a stream has ONE sink — " +
+              s"$kind beside an ingest sink: a stream has ONE sink — " +
                 "monitor the ingest's corpus directory with a second stream")
           val sink = root.save.getOrElse(throw new IllegalArgumentException(
-            "streaming profile needs a root save sink (a parquet/csv " +
-              "path the per-batch stats rows append to)"))
+            s"streaming $kind needs a root save sink (a parquet/csv " +
+              "path the per-batch rows append to)"))
           if (sink.format == "memory" || sink.format == "console")
             throw new IllegalArgumentException(
-              "streaming profile appends files per batch — use a " +
+              s"streaming $kind appends files per batch — use a " +
                 "parquet/csv path sink, not memory/console")
+          sink
+        }
+        if (root.profile.isDefined && root.expectReport.nonEmpty)
+          throw new IllegalArgumentException(
+            "profile and expect_report are both per-batch monitor sinks — " +
+              "a stream has ONE; run two streams over the same source")
+        // Root profile: the per-batch drift monitor — each micro-batch's
+        // q149 aggregate appends (batch_id-stamped) to the save sink.
+        if (root.profile.isDefined) {
+          val pr = root.profile.get
           graft.streaming.Streaming.profileStream(
-            out, pr.columns, pr.approx, sink)
+            out, pr.columns, pr.approx, monitorSink("profile"))
+        } else if (root.expectReport.nonEmpty) {
+          // Root expect_report: the per-batch contract scorecard.
+          graft.streaming.Streaming.expectReportStream(
+            out, root.expectReport, root.expectReportGroups,
+            monitorSink("expect_report"))
         } else (root.nearDupIngest, root.passageIngest) match {
           case (Some(_), Some(_)) =>
             throw new IllegalArgumentException(

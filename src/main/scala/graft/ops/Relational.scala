@@ -581,6 +581,38 @@ object Relational {
       .select(left.columns.map(col) ++ pay.map(c => col(rn(c)).as(c)): _*)
   }
 
+  /** CONTRACT AUDIT: the frame becomes one row per expect-rule —
+    * (groupCols…, rule, n_violations, n_rows) — with the `expect` key's
+    * exact NULL-is-violation semantics (violation ⇔ NOT coalesce(rule,
+    * false)), so audit and fail-fast modes always agree on which rows
+    * are bad. Empty frames report 0, never NULL. ONE map-side-combined
+    * aggregate pass (per group with `groupCols`), then a rules-sized
+    * in-row explode — no per-rule scans. Shared by the `expect_report`
+    * batch key and the per-batch streaming monitor. */
+  def expectReport(
+      df: DataFrame,
+      rules: Seq[(String, String)],
+      groupCols: Seq[String] = Nil
+  ): DataFrame = {
+    require(rules.nonEmpty, "expect_report: declare at least one rule")
+    val aggs = count(lit(1)).as("__er_rows") +:
+      rules.zipWithIndex.map { case ((_, e), i) =>
+        coalesce(sum(when(coalesce(expr(e), lit(false)), 0L).otherwise(1L)),
+          lit(0L)).as(s"__er_v$i")
+      }
+    val agged =
+      if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val pairs = array(rules.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("rule"), col(s"__er_v$i").as("n_violations"))
+    }: _*)
+    agged
+      .select(groupCols.map(col) ++ Seq(explode(pairs).as("__er_r"),
+        col("__er_rows").as("n_rows")): _*)
+      .select(groupCols.map(col) ++ Seq(col("__er_r.rule").as("rule"),
+        col("__er_r.n_violations").as("n_violations"), col("n_rows")): _*)
+  }
+
   /** RESAMPLE / GAP-FILL: per key, re-grid an irregular event series
     * onto a REGULAR `step` grid covering [min(ts), max(ts)] of that key
     * — each bucket carries its rows' aggregates, and buckets with no

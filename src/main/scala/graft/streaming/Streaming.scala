@@ -505,6 +505,39 @@ object Streaming {
     *
     * The stats frame is columns.length rows — coalesce(1) so a batch
     * lands as one file, not `shuffle.partitions` shards of 5 rows. */
+  /** Per-batch CONTRACT scorecard — `expect_report` run continuously
+    * (the [[profileStream]] posture): every micro-batch computes the
+    * same (groups…, rule, n_violations, n_rows) audit the batch key
+    * computes — over THAT batch's rows only — stamps batch_id, and
+    * appends to a path sink. The continuous data-quality monitor next
+    * to the drift profile: violation-rate spikes localize to a batch.
+    * No global state, no watermark; restarts replay-append the same
+    * batch_id rows (dedup downstream on batch_id if exactly-once reads
+    * matter). Output is rules×groups-shaped per batch — coalesce(1). */
+  def expectReportStream(
+      incoming: DataFrame,
+      rules: Seq[(String, String)],
+      groupCols: Seq[String],
+      sink: graft.spec.SinkSpec
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    var w = incoming.writeStream
+    sink.checkpoint.foreach(c => w = w.option("checkpointLocation", c))
+    sink.trigger.foreach {
+      case "available_now" | "availableNow" | "once" =>
+        w = w.trigger(Trigger.AvailableNow())
+      case interval => w = w.trigger(Trigger.ProcessingTime(interval))
+    }
+    w.foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Relational.expectReport(batch, rules, groupCols)
+          .withColumn("batch_id", lit(batchId))
+          .coalesce(1)
+          .write.mode("append").options(sink.options)
+          .format(sink.format).save(sink.path)
+      }
+      .start()
+  }
+
   def profileStream(
       incoming: DataFrame,
       columns: Seq[String],

@@ -1063,6 +1063,83 @@ class StreamingSpec extends SparkSpec {
     assert(eMem.getMessage.contains("memory/console"), eMem.getMessage)
   }
 
+  test("streaming expect_report: per-batch scorecard equals the batch audit; config twin; guard rails") {
+    val base = java.nio.file.Files.createTempDirectory("graft-sereport").toString
+    val srcDir = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$base/in")).toString
+    for (n <- Seq("a", "b"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/events.parquet"),
+        java.nio.file.Paths.get(s"$srcDir/$n.parquet"))
+    val rules = Seq(
+      "value_positive" -> "value > 0",
+      "known_type" -> "event_type IN ('view','click','purchase','signup','error')")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val want = graft.ops.Relational.expectReport(raw, rules, Seq("event_type"))
+      .collect().map(_.toSeq).toSet
+
+    // API path: two staged copies → two micro-batches of identical
+    // content; each batch's scorecard must equal the batch audit
+    val q = Streaming.expectReportStream(
+      spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir),
+      rules, Seq("event_type"),
+      graft.spec.SinkSpec(path = s"$base/outA",
+        checkpoint = Some(s"$base/ckA"), trigger = Some("available_now")))
+    q.processAllAvailable(); q.stop()
+    val got = spark.read.parquet(s"$base/outA")
+    val ids = got.select("batch_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(0L, 1L), s"two micro-batches, got $ids")
+    ids.foreach { id =>
+      val rows = got.filter(col("batch_id") === id).drop("batch_id")
+        .collect().map(_.toSeq).toSet
+      assert(rows == want, s"batch $id scorecard must equal the batch audit")
+    }
+
+    // config twin: the SAME expect_report key on the streaming ROOT
+    val q2 = graft.compile.Compiler.compileStreamJson(spark, s"""
+      {"source": {"format": "parquet", "path": "$srcDir",
+                  "options": {"maxFilesPerTrigger": "1"}},
+       "expect_report": {"group_cols": ["event_type"],
+                         "value_positive": "value > 0",
+                         "known_type": "event_type IN ('view','click','purchase','signup','error')"},
+       "save": {"format": "parquet", "path": "$base/outB",
+                "trigger": "available_now", "checkpoint": "$base/ckB"}}""")
+    q2.processAllAvailable(); q2.stop()
+    val gotB = spark.read.parquet(s"$base/outB")
+      .collect().map(_.toSeq).toSet
+    assert(gotB == got.collect().map(_.toSeq).toSet,
+      "config path must equal the API path rows")
+
+    // guard rails by name: path sink required; both monitors together
+    // reject; mid-pipeline placement stays batch-only
+    val eMem = intercept[IllegalArgumentException](
+      graft.compile.Compiler.compileStreamJson(spark, s"""
+        {"source": {"format": "parquet", "path": "$srcDir"},
+         "expect_report": {"r": "value > 0"},
+         "save": {"format": "memory", "query_name": "x",
+                  "trigger": "available_now"}}"""))
+    assert(eMem.getMessage.contains("memory/console"), eMem.getMessage)
+    val eBoth = intercept[IllegalArgumentException](
+      graft.compile.Compiler.compileStreamJson(spark, s"""
+        {"source": {"format": "parquet", "path": "$srcDir"},
+         "profile": {"columns": ["user_id"]},
+         "expect_report": {"r": "value > 0"},
+         "save": {"format": "parquet", "path": "$base/outC",
+                  "trigger": "available_now", "checkpoint": "$base/ckC"}}"""))
+    assert(eBoth.getMessage.contains("ONE"), eBoth.getMessage)
+    val eMid = intercept[IllegalArgumentException](
+      graft.compile.Compiler.compileStreamJson(spark, s"""
+        {"source": {"format": "parquet", "path": "$srcDir"},
+         "children": [{"id": "c", "source": {"path": "$srcDir/a.parquet"},
+                       "expect_report": {"r": "value > 0"},
+                       "join": {"on": ["event_id"], "how": "inner"}}],
+         "save": {"format": "parquet", "path": "$base/outD",
+                  "trigger": "available_now", "checkpoint": "$base/ckD"}}"""))
+    assert(eMid.getMessage.contains("batch-only"), eMid.getMessage)
+  }
+
   test("model-artifact streaming flagship: batch-train → save → ONE config probes/scores/tokenizes/curates a stream; stream==batch; restart-safe") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_artifact_flagship").toString
@@ -1739,8 +1816,9 @@ class StreamingSpec extends SparkSpec {
     rejects(""""collocations": {"text_col": "text"}""", "batch-only")
     rejects(""""connected_components": {"src_col": "doc_id",
                "dst_col": "text"}""", "batch-only")
-    rejects(""""expect_report": {"has_text": "length(text) > 0"}""",
-      "batch-only")
+    // expect_report on a streaming ROOT is now the per-batch contract
+    // monitor (see the dedicated test); only MID-PIPELINE placement
+    // remains batch-only — covered there too
     // root-level profile is now the streaming drift monitor (see the
     // dedicated test); only the MID-PIPELINE placement rejects by name
     val eMid = intercept[IllegalArgumentException](
