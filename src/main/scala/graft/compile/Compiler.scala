@@ -1044,7 +1044,8 @@ object Compiler {
           "the ROOT node, where foreachBatch appends one stats row set " +
           "per micro-batch (the ingest drift monitor); a mid-pipeline " +
           "streaming profile would need a global aggregate")
-      df = graft.ops.Relational.profile(df, pr.columns, pr.approx)
+      df = graft.ops.Relational.profile(df, pr.columns, pr.approx,
+        pr.groupCols)
     }
 
     // Temperature resampling: the frame becomes the sampled subset
@@ -1508,7 +1509,7 @@ object Compiler {
         if (root.profile.isDefined) {
           val pr = root.profile.get
           graft.streaming.Streaming.profileStream(
-            out, pr.columns, pr.approx, monitorSink("profile"))
+            out, pr.columns, pr.approx, monitorSink("profile"), pr.groupCols)
         } else if (root.expectReport.nonEmpty) {
           // Root expect_report: the per-batch contract scorecard.
           graft.streaming.Streaming.expectReportStream(

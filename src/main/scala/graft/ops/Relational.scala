@@ -118,13 +118,18 @@ object Relational {
   def profile(
       df: DataFrame,
       columns: Seq[String],
-      approx: Boolean = false
+      approx: Boolean = false,
+      groupCols: Seq[String] = Nil
   ): DataFrame = {
     require(columns.nonEmpty, "profile: need at least one column")
-    val missing = columns.filterNot(df.columns.contains)
+    val missing = (columns ++ groupCols).filterNot(df.columns.contains)
     require(missing.isEmpty,
       s"profile: columns not in the frame: ${missing.mkString(", ")} " +
         s"(have: ${df.columns.mkString(", ")})")
+    val overlap = columns.filter(groupCols.contains)
+    require(overlap.isEmpty,
+      s"profile: column(s) ${overlap.mkString(", ")} are also group " +
+        "columns — profiling a key against itself is a constant row")
     val aggs = count(lit(1)).as("__pr_n") +: columns.flatMap { c =>
       Seq(
         coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
@@ -134,13 +139,19 @@ object Relational {
         min(col(c)).cast("string").as(s"__pr_min_$c"),
         max(col(c)).cast("string").as(s"__pr_max_$c"))
     }
-    val row = df.agg(aggs.head, aggs.tail: _*)
+    // groupCols → the per-slice profile: one stats row set per group
+    // value (still ONE aggregate pass; NULL groups profile as their own
+    // slice — standard groupBy semantics, unlike the count-JOIN-shaped
+    // operators that must reject them)
+    val row =
+      if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
     val stackArgs = columns.map { c =>
       s"'$c', __pr_n, `__pr_nulls_$c`, `__pr_dist_$c`, `__pr_min_$c`, `__pr_max_$c`"
     }.mkString(", ")
-    row.select(expr(
+    row.select(groupCols.map(col) :+ expr(
       s"stack(${columns.size}, $stackArgs) AS " +
-        "(col_name, n_rows, n_nulls, n_distinct, min_value, max_value)"))
+        "(col_name, n_rows, n_nulls, n_distinct, min_value, max_value)"): _*)
   }
 
   /** Per-group top-k: row_number over (partition, order) then filter ≤ k.

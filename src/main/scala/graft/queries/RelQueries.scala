@@ -823,6 +823,35 @@ object RelQueries extends QueryPack {
            ROUND((p_cur - p_ref) * ln(p_cur / p_ref), 9) AS psi_contrib
     FROM p ORDER BY bin ASC NULLS FIRST"""
 
+  // q272 — per-SLICE data profile (`profile.group_cols`): q149's stats
+  // broken out per source — the "which feed is sending junk" view. One
+  // grouped aggregate pass; the oracle mirrors it as per-column UNION
+  // ALL legs each GROUPed BY source.
+  private def q272(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"source": {"table": "documents"},
+       "derive": {"flag": "nullif(lang, 'en')"},
+       "profile": {"columns": ["doc_id", "flag"], "group_cols": ["source"]},
+       "order_by": ["source asc", "col_name asc"]}""")
+  private val q272Sql = """
+    WITH d AS (SELECT source, doc_id, nullif(lang, 'en') AS flag
+               FROM documents)
+    SELECT * FROM (
+      SELECT source, 'doc_id' AS col_name, COUNT(*) AS n_rows,
+             COUNT(*) FILTER (WHERE doc_id IS NULL) AS n_nulls,
+             COUNT(DISTINCT doc_id) AS n_distinct,
+             CAST(MIN(doc_id) AS VARCHAR) AS min_value,
+             CAST(MAX(doc_id) AS VARCHAR) AS max_value
+      FROM d GROUP BY source
+      UNION ALL
+      SELECT source, 'flag', COUNT(*),
+             COUNT(*) FILTER (WHERE flag IS NULL),
+             COUNT(DISTINCT flag),
+             CAST(MIN(flag) AS VARCHAR),
+             CAST(MAX(flag) AS VARCHAR)
+      FROM d GROUP BY source)
+    ORDER BY source ASC NULLS FIRST, col_name ASC NULLS FIRST"""
+
   // q270 — contract AUDIT (`expect_report`): the data-quality dashboard
   // twin of q232's fail-fast `expect` — one aggregate pass, one row per
   // rule with its violation count. The `always_null` rule evaluates to
@@ -891,6 +920,7 @@ object RelQueries extends QueryPack {
     Q("q268_psi_drift", q268, Some(q268Sql)),
     Q("q270_expect_report", q270, Some(q270Sql)),
     Q("q271_expect_report_grouped", q271, Some(q271Sql)),
+    Q("q272_profile_grouped", q272, Some(q272Sql)),
     Q("q251_apply_diff", q251, Some(q251Sql)),
     Q("q245_incremental_rebuild", q245, Some(q245Sql)),
     Q("q246_tee_fanout", q246, Some(q246Sql)),

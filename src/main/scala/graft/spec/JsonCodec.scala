@@ -1106,7 +1106,8 @@ object JsonCodec {
         s"node $id: profile.columns must be a non-empty ARRAY of column names")
       ProfileSpec(
         columns = (0 until colsNode.size()).map(i => colsNode.get(i).asText),
-        approx = opt(d, "approx").exists(_.asBoolean(false)))
+        approx = opt(d, "approx").exists(_.asBoolean(false)),
+        groupCols = opt(d, "group_cols", "groupCols").map(strSeq).getOrElse(Nil))
     }
 
     val bp = optN("boilerplate").map { d =>

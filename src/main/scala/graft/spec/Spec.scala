@@ -972,7 +972,8 @@ final case class DsirScoreSpec(
   * HLL (the corpus-scale default). Batch-only (global aggregate). */
 final case class ProfileSpec(
     columns: Seq[String],
-    approx: Boolean = false
+    approx: Boolean = false,
+    groupCols: Seq[String] = Nil // per-slice profile (e.g. per source)
 )
 
 /** HTML text extraction (NS; TextAnalysis.htmlExtract): the frame

@@ -542,7 +542,8 @@ object Streaming {
       incoming: DataFrame,
       columns: Seq[String],
       approx: Boolean,
-      sink: graft.spec.SinkSpec
+      sink: graft.spec.SinkSpec,
+      groupCols: Seq[String] = Nil
   ): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.streaming.Trigger
     var w = incoming.writeStream
@@ -553,7 +554,7 @@ object Streaming {
       case interval => w = w.trigger(Trigger.ProcessingTime(interval))
     }
     w.foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.ops.Relational.profile(batch, columns, approx)
+        graft.ops.Relational.profile(batch, columns, approx, groupCols)
           .withColumn("batch_id", lit(batchId))
           .coalesce(1)
           .write.mode("append").options(sink.options)

@@ -891,6 +891,22 @@ class CompilerSpec extends SparkSpec {
         {"source": {"table": "er_grp"},
          "expect_report": {"group_cols": ["g"]}}"""))
       .getMessage.contains("no rules"))
+    // profile.group_cols: per-slice stats; NULL groups are a slice;
+    // profiling a group column against itself rejects by name
+    Seq((1L, Some("a")), (2L, Some("a")), (3L, None: Option[String]))
+      .toDF("id", "g").createOrReplaceTempView("pr_grp")
+    val prof = graft.compile.Compiler.compileJson(spark, """
+      {"source": {"table": "pr_grp"},
+       "profile": {"columns": ["id"], "group_cols": ["g"]},
+       "order_by": ["g asc"]}""")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(2))).toSeq
+    assert(prof == Seq((None, 1L), (Some("a"), 2L)),
+      s"per-slice profile wrong (NULL group must be a slice): $prof")
+    assert(intercept[IllegalArgumentException](
+      graft.compile.Compiler.compileJson(spark, """
+        {"source": {"table": "pr_grp"},
+         "profile": {"columns": ["g"], "group_cols": ["g"]}}"""))
+      .getMessage.contains("group"))
   }
 
   test("zorder SQL function: literal bits enforced, matches the Scala column") {
