@@ -1504,6 +1504,20 @@ object Compiler {
           throw new IllegalArgumentException(
             "profile and expect_report are both per-batch monitor sinks — " +
               "a stream has ONE; run two streams over the same source")
+        // the strip above hides the root's expect_report fields from
+        // compileNode's guards — re-assert the two that would otherwise
+        // silently no-op or die mid-stream: groups need rules, and group
+        // columns must exist on the frame the monitor will observe
+        if (root.expectReportGroups.nonEmpty && root.expectReport.isEmpty)
+          throw new IllegalArgumentException(
+            "expect_report has group_cols but no rules — declare at least " +
+              "one rule_name: \"expr\" entry")
+        root.expectReportGroups.filterNot(out.columns.contains) match {
+          case Nil => ()
+          case miss => throw new IllegalArgumentException(
+            s"expect_report: group column(s) not on the streaming frame: " +
+              s"${miss.mkString(", ")} (have: ${out.columns.mkString(", ")})")
+        }
         // Root profile: the per-batch drift monitor — each micro-batch's
         // q149 aggregate appends (batch_id-stamped) to the save sink.
         if (root.profile.isDefined) {

@@ -130,6 +130,15 @@ object Relational {
     require(overlap.isEmpty,
       s"profile: column(s) ${overlap.mkString(", ")} are also group " +
         "columns — profiling a key against itself is a constant row")
+    require(groupCols.distinct.size == groupCols.size,
+      s"profile: duplicate group column(s) " +
+        s"${groupCols.diff(groupCols.distinct).distinct.mkString(", ")}")
+    val clash = groupCols.filter(c =>
+      Seq("col_name", "n_rows", "n_nulls", "n_distinct", "min_value",
+        "max_value").contains(c) || c.startsWith("__pr_"))
+    require(clash.isEmpty,
+      s"profile: group column(s) ${clash.mkString(", ")} collide with the " +
+        "output schema — rename upstream")
     val aggs = count(lit(1)).as("__pr_n") +: columns.flatMap { c =>
       Seq(
         coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
@@ -606,6 +615,18 @@ object Relational {
       groupCols: Seq[String] = Nil
   ): DataFrame = {
     require(rules.nonEmpty, "expect_report: declare at least one rule")
+    val missing = groupCols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"expect_report: group column(s) not in the frame: " +
+        s"${missing.mkString(", ")} (have: ${df.columns.mkString(", ")})")
+    require(groupCols.distinct.size == groupCols.size,
+      s"expect_report: duplicate group column(s) " +
+        s"${groupCols.diff(groupCols.distinct).distinct.mkString(", ")}")
+    val clash = groupCols.filter(c =>
+      Seq("rule", "n_violations", "n_rows").contains(c) || c.startsWith("__er_"))
+    require(clash.isEmpty,
+      s"expect_report: group column(s) ${clash.mkString(", ")} collide with " +
+        "the output schema (rule, n_violations, n_rows) — rename upstream")
     val aggs = count(lit(1)).as("__er_rows") +:
       rules.zipWithIndex.map { case ((_, e), i) =>
         coalesce(sum(when(coalesce(expr(e), lit(false)), 0L).otherwise(1L)),

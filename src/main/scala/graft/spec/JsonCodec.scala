@@ -1312,18 +1312,25 @@ object JsonCodec {
       // "group_cols" is RESERVED inside expect_report (a rule cannot take
       // that name): per-slice scorecards — counts per group value
       expectReport = expectReportNode.toSeq.flatMap(w =>
-        fields(w).filterNot(_._1 == "group_cols").map { case (name, e) =>
+        fields(w).filterNot(f => f._1 == "group_cols" || f._1 == "groupCols")
+          .map { case (name, e) =>
           require(e.isTextual && e.asText.nonEmpty,
             s"node $id: expect_report rule '$name' must map to a " +
               "non-empty expression string")
           name -> e.asText
         }),
       expectReportGroups = expectReportNode.toSeq
-        .flatMap(w => fields(w).collect { case ("group_cols", v) =>
-          require(v.isArray,
-            s"node $id: expect_report.group_cols must be an ARRAY of columns")
-          strSeq(v)
-        }.flatten),
+        .flatMap { w =>
+          val gs = fields(w).collect {
+            case (k @ ("group_cols" | "groupCols"), v) =>
+              require(v.isArray,
+                s"node $id: expect_report.$k must be an ARRAY of columns")
+              strSeq(v)
+          }
+          require(gs.size <= 1,
+            s"node $id: expect_report: give group_cols OR groupCols, not both")
+          gs.flatten
+        },
       drop = optN("drop").map(strSeq).getOrElse(Nil),
       bitemporal = bt,
       children = children,

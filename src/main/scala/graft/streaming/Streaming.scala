@@ -519,6 +519,16 @@ object Streaming {
       rules: Seq[(String, String)],
       groupCols: Seq[String],
       sink: graft.spec.SinkSpec
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    monitorStream(incoming, sink)(
+      graft.ops.Relational.expectReport(_, rules, groupCols))
+
+  /** Shared per-batch MONITOR plumbing ([[profileStream]] /
+    * [[expectReportStream]]): each micro-batch maps through `batchFn`,
+    * gains batch_id, and appends ONE file to the path sink — the two
+    * monitors stay behaviorally identical by construction. */
+  private def monitorStream(incoming: DataFrame, sink: graft.spec.SinkSpec)(
+      batchFn: DataFrame => DataFrame
   ): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.streaming.Trigger
     var w = incoming.writeStream
@@ -529,7 +539,7 @@ object Streaming {
       case interval => w = w.trigger(Trigger.ProcessingTime(interval))
     }
     w.foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.ops.Relational.expectReport(batch, rules, groupCols)
+        batchFn(batch)
           .withColumn("batch_id", lit(batchId))
           .coalesce(1)
           .write.mode("append").options(sink.options)
@@ -544,24 +554,9 @@ object Streaming {
       approx: Boolean,
       sink: graft.spec.SinkSpec,
       groupCols: Seq[String] = Nil
-  ): org.apache.spark.sql.streaming.StreamingQuery = {
-    import org.apache.spark.sql.streaming.Trigger
-    var w = incoming.writeStream
-    sink.checkpoint.foreach(c => w = w.option("checkpointLocation", c))
-    sink.trigger.foreach {
-      case "available_now" | "availableNow" | "once" =>
-        w = w.trigger(Trigger.AvailableNow())
-      case interval => w = w.trigger(Trigger.ProcessingTime(interval))
-    }
-    w.foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.ops.Relational.profile(batch, columns, approx, groupCols)
-          .withColumn("batch_id", lit(batchId))
-          .coalesce(1)
-          .write.mode("append").options(sink.options)
-          .format(sink.format).save(sink.path)
-      }
-      .start()
-  }
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    monitorStream(incoming, sink)(
+      graft.ops.Relational.profile(_, columns, approx, groupCols))
 
   /** Per-micro-batch WebDataset shard packing — the streaming half of
     * the tokenized-shards product (the q200 batch shape): every

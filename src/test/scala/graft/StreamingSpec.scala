@@ -1138,6 +1138,24 @@ class StreamingSpec extends SparkSpec {
          "save": {"format": "parquet", "path": "$base/outD",
                   "trigger": "available_now", "checkpoint": "$base/ckD"}}"""))
     assert(eMid.getMessage.contains("batch-only"), eMid.getMessage)
+    // groups-without-rules must reject on the STREAMING root too (the
+    // strip hides the fields from compileNode's guard) ...
+    val eNoRules = intercept[IllegalArgumentException](
+      graft.compile.Compiler.compileStreamJson(spark, s"""
+        {"source": {"format": "parquet", "path": "$srcDir"},
+         "expect_report": {"group_cols": ["event_type"]},
+         "save": {"format": "parquet", "path": "$base/outE",
+                  "trigger": "available_now", "checkpoint": "$base/ckE"}}"""))
+    assert(eNoRules.getMessage.contains("no rules"), eNoRules.getMessage)
+    // ... and a typo'd group column fails AT DECLARATION, not inside the
+    // first micro-batch's foreachBatch
+    val eBadCol = intercept[IllegalArgumentException](
+      graft.compile.Compiler.compileStreamJson(spark, s"""
+        {"source": {"format": "parquet", "path": "$srcDir"},
+         "expect_report": {"group_cols": ["nope"], "r": "value > 0"},
+         "save": {"format": "parquet", "path": "$base/outF",
+                  "trigger": "available_now", "checkpoint": "$base/ckF"}}"""))
+    assert(eBadCol.getMessage.contains("nope"), eBadCol.getMessage)
   }
 
   test("model-artifact streaming flagship: batch-train → save → ONE config probes/scores/tokenizes/curates a stream; stream==batch; restart-safe") {
