@@ -840,6 +840,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("profile on random frames equals a brute-force fold, grouped and ungrouped") {
+    import graft.ops.Relational
+    val rowGen = Gen.nonEmptyListOf(for {
+      g <- Gen.oneOf("a", "b", "c")
+      v <- Gen.option(Gen.chooseNum(-50L, 50L))
+      s <- Gen.option(Gen.oneOf("x", "y", "z"))
+    } yield (g, v, s))
+    forAll(rowGen, n = 10) { rows =>
+      val df = rows.toDF("g", "v", "s")
+      def bf(sub: Seq[(String, Option[Long], Option[String])]) = Set(
+        ("v", sub.size.toLong, sub.count(_._2.isEmpty).toLong,
+          sub.flatMap(_._2).distinct.size.toLong,
+          sub.flatMap(_._2).minOption.map(_.toString),
+          sub.flatMap(_._2).maxOption.map(_.toString)),
+        ("s", sub.size.toLong, sub.count(_._3.isEmpty).toLong,
+          sub.flatMap(_._3).distinct.size.toLong,
+          sub.flatMap(_._3).minOption, sub.flatMap(_._3).maxOption))
+      def key(r: org.apache.spark.sql.Row, o: Int) =
+        (r.getString(o), r.getLong(o + 1), r.getLong(o + 2), r.getLong(o + 3),
+          Option(r.getString(o + 4)), Option(r.getString(o + 5)))
+      val got = Relational.profile(df, Seq("v", "s"))
+        .collect().map(key(_, 0)).toSet
+      assert(got == bf(rows), s"ungrouped profile wrong for $rows")
+      val gotG = Relational.profile(df, Seq("v", "s"), groupCols = Seq("g"))
+        .collect().groupBy(_.getString(0))
+        .map { case (g, rs) => g -> rs.map(key(_, 1)).toSet }
+      val wantG = rows.groupBy(_._1).map { case (g, rs) => g -> bf(rs) }
+      assert(gotG == wantG, s"grouped profile wrong for $rows")
+    }
+  }
+
   test("connected components on random graphs equal a union-find fold, both paths") {
     import graft.ops.Dedup
     val edgeGen = Gen.nonEmptyListOf(
