@@ -1219,6 +1219,22 @@ object Dedup {
     val aqeKey = "spark.sql.adaptive.enabled"
     val aqePrev = spark.conf.get(aqeKey, "true")
     spark.conf.set(aqeKey, "false")
+    // Size the loop's shuffles to the GRAPH, not the session: a small
+    // graph forced down the distributed path (cutover off, or non-long
+    // ids) otherwise pays session-partition-count empty tasks per stage
+    // per round — measured 5.1 s for a 450-edge fixture at 32 partitions,
+    // almost all scheduler overhead. ~50k edges per partition, floor 2,
+    // capped at the session value so corpus-scale graphs keep it. Labels
+    // are partitioning-invariant (min propagation); restored in finally.
+    // Skipped when the session value is non-numeric ("auto").
+    val shufKey = "spark.sql.shuffle.partitions"
+    val shufPrev = spark.conf.get(shufKey, "200")
+    val shufOverride = scala.util.Try(shufPrev.toInt).toOption.collect {
+      case sessionParts =>
+        math.min(sessionParts,
+          math.max(2, (edgeCount / 50000L).toInt + 1))
+    }.filter(_ < scala.util.Try(shufPrev.toInt).getOrElse(0))
+    shufOverride.foreach(p0 => spark.conf.set(shufKey, p0.toString))
     try {
     var (labels, labelsCache) = materialize(nodes.select(col("id"), col("id").as("cluster")))
     var iter = 0
@@ -1256,7 +1272,10 @@ object Dedup {
           "diameter exceeds 2^" + maxIter + "; raise maxIter")
     p.unpersist(blocking = false)
     CCResult(labels.select("id", "cluster"), rounds = iter, driverPath = false)
-    } finally spark.conf.set(aqeKey, aqePrev)
+    } finally {
+      spark.conf.set(aqeKey, aqePrev)
+      shufOverride.foreach(_ => spark.conf.set(shufKey, shufPrev))
+    }
   }
 
   /** Dedup a corpus given near-dup pairs: one representative per cluster —
