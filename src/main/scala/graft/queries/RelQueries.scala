@@ -852,6 +852,55 @@ object RelQueries extends QueryPack {
       FROM d GROUP BY source)
     ORDER BY source ASC NULLS FIRST, col_name ASC NULLS FIRST"""
 
+  // q273 — outage-IMPACT attribution flagship: the q262 overlap join
+  // composed with aggregation — per user, how many click-attention
+  // spans intersected an error window and the total overlapped
+  // duration ("impact time"). Overlap extents are exact BIGINT micros,
+  // so the per-user SUM needs no decimal trick; the oracle restates
+  // pair join + SUM directly.
+  private def q273(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"defs": [
+         {"id": "errors", "source": {"table": "events"},
+          "filters": ["event_type = 'error'"],
+          "derive": {"e_id": "event_id", "e_lo": "unix_micros(ts)",
+                     "e_hi": "unix_micros(ts) + 1800000000"},
+          "keep_columns": ["user_id", "e_id", "e_lo", "e_hi"]},
+         {"id": "pairs", "source": {"table": "events"},
+          "filters": ["event_type = 'click'"],
+          "derive": {"c_id": "event_id", "c_lo": "unix_micros(ts)",
+                     "c_hi": "unix_micros(ts) + (1800 + event_id % 3600) * 1000000"},
+          "keep_columns": ["user_id", "c_id", "c_lo", "c_hi"],
+          "overlap_join": {"other_ref": "errors",
+                           "lo_col": "c_lo", "hi_col": "c_hi",
+                           "other_lo_col": "e_lo", "other_hi_col": "e_hi",
+                           "bucket": 3600000000, "on": ["user_id"],
+                           "payload": ["e_id", "e_lo", "e_hi"]}}],
+       "source": {"ref": "pairs"},
+       "derive": {"ov_us": "least(c_hi, e_hi) - greatest(c_lo, e_lo)"},
+       "aggregate": {"group_by": ["user_id"], "aggregations": [
+         {"col": "*", "func": "count", "new_name": "n_impacted"},
+         {"col": "ov_us", "func": "sum", "new_name": "impact_us"}]},
+       "order_by": ["user_id asc"]}""")
+  private val q273Sql = """
+    WITH clicks AS (
+      SELECT user_id, event_id AS c_id, epoch_us(ts) AS c_lo,
+             epoch_us(ts) + (1800 + event_id % 3600) * 1000000 AS c_hi
+      FROM events WHERE event_type = 'click'),
+    errs AS (
+      SELECT user_id, event_id AS e_id, epoch_us(ts) AS e_lo,
+             epoch_us(ts) + 1800000000 AS e_hi
+      FROM events WHERE event_type = 'error'),
+    pairs AS (
+      SELECT c.user_id,
+             least(c_hi, e_hi) - greatest(c_lo, e_lo) AS ov_us
+      FROM clicks c JOIN errs e
+        ON c.user_id = e.user_id AND c_lo < e_hi AND e_lo < c_hi)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_impacted,
+           CAST(SUM(ov_us) AS BIGINT) AS impact_us
+    FROM pairs GROUP BY 1
+    ORDER BY user_id ASC NULLS FIRST"""
+
   // q270 — contract AUDIT (`expect_report`): the data-quality dashboard
   // twin of q232's fail-fast `expect` — one aggregate pass, one row per
   // rule with its violation count. The `always_null` rule evaluates to
@@ -921,6 +970,7 @@ object RelQueries extends QueryPack {
     Q("q270_expect_report", q270, Some(q270Sql)),
     Q("q271_expect_report_grouped", q271, Some(q271Sql)),
     Q("q272_profile_grouped", q272, Some(q272Sql)),
+    Q("q273_overlap_impact", q273, Some(q273Sql)),
     Q("q251_apply_diff", q251, Some(q251Sql)),
     Q("q245_incremental_rebuild", q245, Some(q245Sql)),
     Q("q246_tee_fanout", q246, Some(q246Sql)),
