@@ -20,6 +20,13 @@ object Compiler {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Detects the O(partition²) window-frame shape in a derive expression
+    * string (see the derive-site warning). Matches the frame BOUND
+    * keyword pair, not mere mentions; first/last/lead over such a frame
+    * are all the same trap. */
+  private[graft] val unboundedFollowingRe =
+    """(?is)and\s+unbounded\s+following""".r
+
   /** Persisted `cache: true` def stages, keyed by the compiled root
     * DataFrame they back (identity — DataFrame has reference equality).
     * A compile that persists defs REGISTERS them here; nothing in Spark
@@ -43,9 +50,20 @@ object Compiler {
 
   private def trackPersisted(result: DataFrame, cached: Seq[DataFrame]): Unit =
     if (cached.nonEmpty) persistedByResult.synchronized {
-      persistedByResult.put(result, cached)
+      // merge, don't replace: an operator-internal persist and the
+      // compile's own def caches may both key on the same result frame
+      persistedByResult.put(result,
+        Option(persistedByResult.get(result)).getOrElse(Nil) ++ cached)
       cached.foreach(allPersisted.add)
     }
+
+  /** OPERATOR-INTERNAL persists (e.g. collocations' vocabulary-shaped
+    * counts table) register here so the same hygiene that releases
+    * `cache: true` def stages ([[releaseCaches]] / [[releaseAllCaches]])
+    * sweeps them too — an operator returning a lazy frame has no safe
+    * point to unpersist itself. */
+  private[graft] def trackOperatorCache(result: DataFrame, cached: DataFrame): Unit =
+    trackPersisted(result, Seq(cached))
 
   /** Release the `cache: true` def stages behind a [[compile]] result —
     * call after the root sink action completes. Idempotent; a result
@@ -291,6 +309,11 @@ object Compiler {
           "compile with compileStreamJson and declare it on the root node " +
           "(for the batch shape, aggregate approx_top_k_accumulate / " +
           "hll_sketch_agg and save — the q237/q238 pattern)")
+    if (node.bm25Ingest.isDefined)
+      throw new IllegalArgumentException(
+        s"node ${node.id}: bm25_ingest is a STREAMING ROOT sink — " +
+          "compile with compileStreamJson and declare it on the root node " +
+          "(for the batch shape, use bm25_index mode: \"append\")")
     var df = input.getOrElse(node.combine match {
       case Some(c) =>
         val parts = c.nodes.map(n => compileNode(spark, n, None, executeSinks, streaming, refs))
@@ -323,7 +346,21 @@ object Compiler {
         }
     })
 
-    node.derive.foreach { case (c, e) => df = df.withColumn(c, expr(e)) }
+    node.derive.foreach { case (c, e) =>
+      // Scale audit, not a rejection: Spark's [currentRow,
+      // unboundedFollowing] aggregate frame re-scans the partition
+      // remainder per output row — O(n²) on a hot key. Every engine
+      // operator avoids it (as-of forward/nearest and funnel "every"
+      // use the reversed running frame); a config window expression can
+      // reintroduce it, so warn by name with the fix (docs/USAGE.md
+      // "Window-frame scale note").
+      if (unboundedFollowingRe.findFirstIn(e).isDefined)
+        log.warn(s"node ${node.id}: derive '$c' uses an UNBOUNDED " +
+          "FOLLOWING aggregate window frame — O(partition²) per key in " +
+          "Spark; reverse the ORDER BY and use ROWS BETWEEN UNBOUNDED " +
+          "PRECEDING AND CURRENT ROW instead (see docs/USAGE.md)")
+      df = df.withColumn(c, expr(e))
+    }
 
     // After derive (the watermark column may be derived), before any
     // stateful op. No-op on batch frames.
@@ -784,9 +821,15 @@ object Compiler {
         s"node ${node.id}: overlap_join.other_ref '${oj.otherRef}' is " +
           "not a def — declare the other interval table under top-level defs" +
           (if (refs.isEmpty) "" else s" (defined: ${refs.keys.mkString(", ")})")))
+      if (oj.how == "left")
+        requireBatch("overlap_join how:\"left\"",
+          "the NULL-payload pad side anti-joins over the matched output",
+          "run the inner overlap over the stream and anti-screen the " +
+            "landed batch instead")
       df = graft.ops.Relational.overlapJoin(df, other, oj.loCol, oj.hiCol,
         oj.bucket, oj.otherLoCol.orNull, oj.otherHiCol.orNull, oj.on,
-        oj.payload, oj.inclusive, oj.broadcast, oj.maxBucketsPerInterval)
+        oj.payload, oj.inclusive, oj.broadcast, oj.maxBucketsPerInterval,
+        oj.how)
     }
 
     // Snapshot diff against an OLD-corpus def: one full-outer equi-join
@@ -1467,15 +1510,17 @@ object Compiler {
         warnIgnored(root, isRoot = true)
         val ingestCount = Seq(root.nearDupIngest.isDefined,
           root.passageIngest.isDefined, root.tarPackIngest.isDefined,
-          root.exactIngest.isDefined, root.sketchIngest.isDefined)
+          root.exactIngest.isDefined, root.sketchIngest.isDefined,
+          root.bm25Ingest.isDefined)
           .count(identity)
         if (ingestCount > 1) throw new IllegalArgumentException(
           "near_dup_ingest, passage_ingest, tar_pack_ingest, " +
-            "exact_ingest, and sketch_ingest are each a root sink — a " +
-            "stream has ONE; declare one per stream")
+            "exact_ingest, sketch_ingest, and bm25_ingest are each a " +
+            "root sink — a stream has ONE; declare one per stream")
         val out = compileNode(spark,
           root.copy(nearDupIngest = None, passageIngest = None,
             tarPackIngest = None, exactIngest = None, sketchIngest = None,
+            bm25Ingest = None,
             profile = None, expectReport = Nil, expectReportGroups = Nil),
           Some(readStreamSource(spark, src)),
           executeSinks = false, streaming = true, refs = refs)
@@ -1487,7 +1532,7 @@ object Compiler {
         def monitorSink(kind: String): graft.spec.SinkSpec = {
           if (root.nearDupIngest.isDefined || root.passageIngest.isDefined ||
               root.tarPackIngest.isDefined || root.exactIngest.isDefined ||
-              root.sketchIngest.isDefined)
+              root.sketchIngest.isDefined || root.bm25Ingest.isDefined)
             throw new IllegalArgumentException(
               s"$kind beside an ingest sink: a stream has ONE sink — " +
                 "monitor the ingest's corpus directory with a second stream")
@@ -1522,6 +1567,14 @@ object Compiler {
         // q149 aggregate appends (batch_id-stamped) to the save sink.
         if (root.profile.isDefined) {
           val pr = root.profile.get
+          // same posture as expect_report above: a typo'd column must
+          // fail HERE by name, not inside the first micro-batch
+          (pr.columns ++ pr.groupCols).filterNot(out.columns.contains) match {
+            case Nil => ()
+            case miss => throw new IllegalArgumentException(
+              s"profile: column(s) not on the streaming frame: " +
+                s"${miss.mkString(", ")} (have: ${out.columns.mkString(", ")})")
+          }
           graft.streaming.Streaming.profileStream(
             out, pr.columns, pr.approx, monitorSink("profile"), pr.groupCols)
         } else if (root.expectReport.nonEmpty) {
@@ -1576,10 +1629,18 @@ object Compiler {
                   graft.streaming.Streaming.sketchIngest(
                     out, sk.keyCol, sk.outDir, sk.checkpointDir,
                     sk.maxItemsTracked, sk.lgK, sk.groupCols)
-                case None =>
-                  val sink = root.save.getOrElse(
-                    throw new IllegalArgumentException("streaming pipeline needs a root save sink"))
-                  startStreamSink(out, sink)
+                case None => root.bm25Ingest match {
+                  case Some(bi) =>
+                    if (root.save.isDefined)
+                      throw new IllegalArgumentException(
+                        "bm25_ingest replaces the root save sink — declare one or the other")
+                    graft.streaming.Streaming.bm25Ingest(
+                      out, bi.idCol, bi.textCol, bi.indexDir, bi.checkpointDir)
+                  case None =>
+                    val sink = root.save.getOrElse(
+                      throw new IllegalArgumentException("streaming pipeline needs a root save sink"))
+                    startStreamSink(out, sink)
+                }
               }
             }
           }

@@ -43,6 +43,89 @@ object Artifacts {
     swapDir(spark, tmp, dir)
   }
 
+  /** Rewrite an UNPARTITIONED parquet directory (the bm25 `dl` table —
+    * read by EVERY search for the doc-length attach) to size-targeted
+    * files: after thousands of micro-appends the footer reads dominate
+    * exactly like the postings case, so the compactor must cover it
+    * too. File count targets ~128 MB of on-disk bytes per file (never
+    * one giant file on a billion-doc corpus); same write-sibling +
+    * rename swap, rows and values unchanged. */
+  def compactFlatDir(spark: SparkSession, dir: String): Unit = {
+    val df =
+      try spark.read.parquet(dir)
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"compact: cannot read the artifact under $dir — build it " +
+          s"first: ${e.getMessage}") }
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val bytes = p.getFileSystem(spark.sessionState.newHadoopConf())
+      .getContentSummary(p).getLength
+    val nFiles = math.max(1L, bytes / (128L << 20) + 1L).toInt
+    val tmp = s"$dir.compact"
+    df.repartition(nFiles).write.mode("overwrite").parquet(tmp)
+    swapDir(spark, tmp, dir)
+  }
+
+  /** Fold a streaming-ingest DELTA area (`$base` sibling written as
+    * one `batch=<id>` child dir per micro-batch — the idempotent-replay
+    * layout) into the base table, then drop it: read base ∪ inc (the
+    * inc side's `batch` partition column stripped), rewrite compacted,
+    * swap, delete inc. With no delta present this is plain compaction.
+    *
+    * Crash discipline (same family as [[compactPartitionedDir]], one
+    * more window): the folded rewrite lands at `$base.compact` FIRST,
+    * then inc renames aside to `$inc.old` (readers see base-only — a
+    * briefly stale but never-duplicated view), then the base swap, then
+    * `$inc.old` drops. A leftover `$inc.old` therefore means a crashed
+    * fold and REJECTS BY NAME on the next run instead of silently
+    * compacting without the delta rows: recover by renaming it back to
+    * `$inc` (pre-swap crash — `$base.compact` may be stale, delete it)
+    * or deleting it (post-swap crash — base already contains the
+    * delta iff `$base.compact` is gone). */
+  def foldIncInto(
+      spark: SparkSession, base: String, inc: String,
+      partCol: Option[String]): Unit = {
+    val oldInc = new org.apache.hadoop.fs.Path(s"$inc.old")
+    val fs = oldInc.getFileSystem(spark.sessionState.newHadoopConf())
+    require(!fs.exists(oldInc),
+      s"compact: $inc.old exists — a prior delta fold crashed mid-swap; " +
+        s"rename it back to $inc (and delete $base.compact) if the base " +
+        "swap did not complete, or delete it if it did (base already " +
+        s"holds the delta exactly when $base.compact is gone)")
+    if (!dirExists(spark, inc)) {
+      partCol match {
+        case Some(pc) => compactPartitionedDir(spark, base, pc)
+        case None     => compactFlatDir(spark, base)
+      }
+      return
+    }
+    val baseDf =
+      try spark.read.parquet(base)
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"compact: cannot read the artifact under $base — build it " +
+          s"first: ${e.getMessage}") }
+    val df = baseDf.unionByName(spark.read.parquet(inc).drop("batch"))
+    val tmp = s"$base.compact"
+    partCol match {
+      case Some(pc) =>
+        require(baseDf.columns.contains(pc),
+          s"compact: $base is not partitioned by '$pc' " +
+            s"(columns: ${baseDf.columns.mkString(", ")})")
+        df.repartition(col(pc)).write.mode("overwrite").partitionBy(pc)
+          .parquet(tmp)
+      case None =>
+        val p = new org.apache.hadoop.fs.Path(base)
+        val bytes = fs.getContentSummary(p).getLength +
+          fs.getContentSummary(new org.apache.hadoop.fs.Path(inc)).getLength
+        df.repartition(math.max(1L, bytes / (128L << 20) + 1L).toInt)
+          .write.mode("overwrite").parquet(tmp)
+    }
+    require(fs.rename(new org.apache.hadoop.fs.Path(inc), oldInc),
+      s"compact: cannot stage the delta area aside ($inc -> $inc.old)")
+    swapDir(spark, tmp, base)
+    fs.delete(oldInc, true)
+    ()
+  }
+
   /** dest → dest.old, tmp → dest, drop dest.old (see caveat above). */
   private def swapDir(spark: SparkSession, tmp: String, dest: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()

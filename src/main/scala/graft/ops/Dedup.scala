@@ -1231,8 +1231,11 @@ object Dedup {
     val shufPrev = spark.conf.get(shufKey, "200")
     val shufOverride = scala.util.Try(shufPrev.toInt).toOption.collect {
       case sessionParts =>
-        math.min(sessionParts,
-          math.max(2, (edgeCount / 50000L).toInt + 1))
+        // arithmetic in Long BEFORE narrowing: (edgeCount/50000L).toInt
+        // wraps negative above ~1.07e14 edges and the max() would clamp
+        // a colossal graph to 2 partitions
+        math.min(sessionParts.toLong,
+          math.max(2L, edgeCount / 50000L + 1L)).toInt
     }.filter(_ < scala.util.Try(shufPrev.toInt).getOrElse(0))
     shufOverride.foreach(p0 => spark.conf.set(shufKey, p0.toString))
     try {

@@ -294,22 +294,31 @@ object Relational {
       .orderBy(Seq(col(ts).asc, col(side).asc) ++
         rightTieBreak.map(_ => col(tieC).asc).toSeq: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // forward: right-after-left at equal ts → first() ≥-inclusive
+    // forward: REVERSED running frame. Spark's [currentRow,
+    // unboundedFollowing] frame re-opens an iterator at the current row
+    // and folds the aggregate over the partition REMAINDER for every
+    // output row — O(n²) row visits on a hot key. Sorting ts DESC puts
+    // later instants first, so the O(n) running [unboundedPreceding,
+    // currentRow] frame sees exactly the rows at ts ≥ the anchor, and
+    // last(ignoreNulls) is the MIN qualifying instant. At an equal ts
+    // the right row must be IN the frame (≥-inclusive) → side ASC (0
+    // before 1); among equal-ts rights, tie ASC makes last() pick the
+    // LARGEST tie-break — the same winner as backward.
     val wf = Window.partitionBy(on.map(col): _*)
-      .orderBy(Seq(col(ts).asc, col(side).desc) ++
-        rightTieBreak.map(_ => col(tieC).desc).toSeq: _*)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(Seq(col(ts).desc, col(side).asc) ++
+        rightTieBreak.map(_ => col(tieC).asc).toSeq: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     var out = unioned
     direction match {
       case "backward" =>
         out = out.withColumn(bCol, last(col(carry), ignoreNulls = true).over(wb))
       case "forward" =>
-        out = out.withColumn(bCol, first(col(carry), ignoreNulls = true).over(wf))
+        out = out.withColumn(bCol, last(col(carry), ignoreNulls = true).over(wf))
       case "nearest" =>
         out = out
           .withColumn("__asof_bk", last(col(carry), ignoreNulls = true).over(wb))
-          .withColumn("__asof_fw", first(col(carry), ignoreNulls = true).over(wf))
+          .withColumn("__asof_fw", last(col(carry), ignoreNulls = true).over(wf))
         val bTs = col("__asof_bk").getField("__rts")
         val fTs = col("__asof_fw").getField("__rts")
         // closer side wins; equal distance → backward; one-sided → that side
@@ -489,13 +498,17 @@ object Relational {
     * Pick `bucket` ~ the typical span: explode factor is span/bucket + 1
     * per interval. Numeric bounds only (cast timestamps to epoch
     * seconds/micros upstream; exact within 2^53). NULL bounds and empty
-    * spans (`lo > hi`, or `lo == hi` half-open) match nothing; inner
-    * pairs only — "which left intervals have NO overlap" is a
-    * downstream anti-join of this output on the left id. Self-overlap
-    * within ONE table is the same call with the frame passed as both
-    * sides and a downstream `l_id < r_id` filter. Streaming-admissible
+    * spans (`lo > hi`, or `lo == hi` half-open) match nothing. `how` =
+    * "left" keeps non-overlapping left rows with NULL payload (NULL
+    * -bound/empty left spans included — the rangeJoinKeyed posture);
+    * the match set of a left row is a pure function of its VALUES, so
+    * the pad side is a null-safe anti-join keyed on every left column —
+    * multiplicity-exact without a nondeterministic row id (batch-only:
+    * the anti side re-reads the matched output). Self-overlap within
+    * ONE table is the same call with the frame passed as both sides and
+    * a downstream `l_id < r_id` filter. Streaming-admissible
     * on the left side (stream-static equi-join; the generator explode is
-    * deterministic and stateless).
+    * deterministic and stateless) for `how: "inner"` only.
     *
     * Output: all left columns + right `payload` columns (default: every
     * right column except bounds/keys — unlike rangeJoinKeyed, an
@@ -513,9 +526,12 @@ object Relational {
       payload: Seq[String] = Nil,
       inclusive: Boolean = false,
       broadcastRight: Boolean = false,
-      maxBucketsPerInterval: Int = 1 << 16
+      maxBucketsPerInterval: Int = 1 << 16,
+      how: String = "inner"
   ): DataFrame = {
     require(bucket > 0, s"overlap_join: bucket must be > 0, got $bucket")
+    require(how == "inner" || how == "left",
+      s"overlap_join: how must be 'inner' or 'left', got '$how'")
     require(maxBucketsPerInterval >= 1,
       s"overlap_join: max_buckets_per_interval must be >= 1, got $maxBucketsPerInterval")
     val rLo = Option(rightLoCol).getOrElse(loCol)
@@ -597,8 +613,35 @@ object Relational {
       floor(col(rn(rLo)) / lit(bucket)).cast("long"))
     val cond = (Seq(col(b) === col(rn(b)), overlap, firstCell) ++
       on.map(k => col(k) === col(rn(k)))).reduce(_ && _)
-    l.join(r, cond, "inner")
+    val matched = l.join(r, cond, "inner")
       .select(left.columns.map(col) ++ pay.map(c => col(rn(c)).as(c)): _*)
+    if (how == "inner") matched
+    else {
+      // LEFT: pad non-overlapping left rows with NULL payload. A left
+      // row's match set is a pure function of its column VALUES (the
+      // join condition reads nothing else), so identical left rows have
+      // identical matches — the pad side keys on ALL left columns with
+      // NULL-SAFE equality (a matched row carrying an unrelated NULL
+      // must not slip through an = key and duplicate) and left_anti
+      // preserves the multiplicity of unmatched copies exactly, without
+      // a nondeterministic row id. NULL-bound / empty left spans match
+      // nothing and so surface here with NULL payload. Cost: one
+      // distinct over the matched keys + one anti-join shuffle — output
+      // -shaped, never a nested loop.
+      val mapCols = left.schema.fields.filter(
+        _.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      require(mapCols.isEmpty,
+        "overlap_join: how \"left\" keys the pad anti-join on every left " +
+          s"column, and map-typed column(s) ${mapCols.map(_.name).mkString(", ")} " +
+          "cannot be join keys — drop or serialize them upstream")
+      val mk = matched.select(left.columns.map(c => col(c).as(rn(c))): _*)
+        .distinct()
+      val antiCond = left.columns.map(c => col(c) <=> col(rn(c))).reduce(_ && _)
+      val padded = left.join(mk, antiCond, "left_anti")
+        .select(left.columns.map(col) ++
+          pay.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+      matched.unionByName(padded)
+    }
   }
 
   /** CONTRACT AUDIT: the frame becomes one row per expect-rule —
@@ -879,12 +922,13 @@ object Relational {
       // Joining anchors to step events would be per-key anchors × events
       // (quadratic on a hot key) — instead each step is the as-of
       // union-and-carry: anchors (side 1) and that step's events (side 0)
-      // union, ONE shuffle on the key, and a per-key-sorted window
+      // union, ONE shuffle on the key, and a per-key-sorted RUNNING
+      // window (O(n), never the O(n²) unbounded-following frame)
       // carries the NEXT event instant to every anchor. At an equal
-      // instant the event sorts BEFORE the anchor (side 0 < 1) and so
-      // falls outside [currentRow, following] — which is exactly the
-      // STRICTLY-after rule. The first event past __t is also the MIN
-      // qualifying one, so filtering the window bound afterwards is
+      // instant the event sorts AFTER the anchor in the DESC order and
+      // so falls outside the anchor's running frame — which is exactly
+      // the STRICTLY-after rule. The carried event past __t is also the
+      // MIN qualifying one, so filtering the window bound afterwards is
       // equivalent (any later event is even further from __t0).
       // NULL-timestamp step-1 events never anchor — parity with "first",
       // whose min(ts) ignores NULLs (an unorderable event can't open a
@@ -902,11 +946,19 @@ object Relational {
           .select(col(keyCol), col(tsCol).as("__ats"))
           .withColumn("__side", lit(0))
         val u = a.unionByName(e, allowMissingColumns = true)
+        // REVERSED running frame: Spark's [currentRow,
+        // unboundedFollowing] frame re-scans the partition remainder
+        // per output row — O(n²) on a hot key. Sorting __ats DESC puts
+        // later instants first so the O(n) running frame from an anchor
+        // sees exactly the events strictly after it: at an equal
+        // instant the event must be OUTSIDE the frame (strictly-after
+        // rule) → side DESC (anchor 1 before event 0). last(ignoreNulls)
+        // over the DESC order IS the min strictly-after event instant.
         val w = Window.partitionBy(col(keyCol))
-          .orderBy(col("__ats").asc, col("__side").asc)
-          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+          .orderBy(col("__ats").desc, col("__side").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         var nxt = u.withColumn("__nxt",
-          first(when(col("__side") === 0, col("__ats")), ignoreNulls = true)
+          last(when(col("__side") === 0, col("__ats")), ignoreNulls = true)
             .over(w))
           .filter(col("__side") === 1 && col("__nxt").isNotNull)
         winCol.foreach(wc => nxt = nxt.filter(col("__nxt") <= col("__t0") + wc))

@@ -84,7 +84,7 @@ object Retrieval {
 
   /** Adjacent-token bigrams of a token array (empty below 2 tokens) —
     * the positional term granularity of [[bm25TopK]]'s proxWeight. */
-  private def bigrams(t: Column): Column = when(size(t) >= 2,
+  private[graft] def bigrams(t: Column): Column = when(size(t) >= 2,
     zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
       (a, bb) => concat(a, lit(" "), bb)))
     .otherwise(array().cast("array<string>"))
@@ -173,6 +173,11 @@ object Retrieval {
     *   - `dl`        (doc, dl) — document lengths (doc-shaped)
     *   - `stats`     ONE row (n_docs, sum_dl, buckets, prox, id_col) —
     *     avgdl derives from the exact sums, id_col names the output
+    *   - `postings_inc` / `postings2_inc` / `dl_inc` — OPTIONAL
+    *     streaming-ingest DELTA areas ([[graft.streaming.Streaming
+    *     .bm25Ingest]] writes one overwritten `batch=<id>` child per
+    *     micro-batch for idempotent replays); every reader unions them
+    *     with the base, [[compactBm25Index]] folds them in
     *
     * Document frequencies are NOT persisted: they are computed at
     * search time over the postings restricted to the query terms
@@ -217,6 +222,14 @@ object Retrieval {
         p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
         ()
       }
+      // a REBUILD also invalidates any streaming-ingest delta areas —
+      // leftover batch dirs would silently union stale docs into every
+      // later search
+      Seq("postings_inc", "postings2_inc", "dl_inc").foreach { sub =>
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(p)) { fs.delete(p, true); () }
+      }
       val dl = toks.select(col("doc"), size(col("__t")).cast("long").as("dl"))
       dl.write.mode("overwrite").parquet(s"$dir/dl")
       writeBm25Stats(spark, dir, buckets, prox, idCol)
@@ -226,13 +239,31 @@ object Retrieval {
     }
   }
 
-  /** Refresh `dir/stats` from the landed `dir/dl` — exact at any append
-    * count (one aggregate over the doc-shaped dl table). */
-  private def writeBm25Stats(
+  /** Read one of the index's tables as base ∪ streaming-ingest DELTA:
+    * [[graft.streaming.Streaming.bm25Ingest]] lands each micro-batch as
+    * an OVERWRITTEN `batch=<id>` child of `<sub>_inc` (idempotent
+    * replays — appending into the base layout could double-land a
+    * replayed batch), and every reader unions the two areas. The delta's
+    * `batch` partition column is bookkeeping, never data. Bucket
+    * partition pruning applies on BOTH sides of the union (bucket is a
+    * partition column in each layout). */
+  private def readIndexTable(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, sub: String): DataFrame = {
+    val base = spark.read.parquet(s"$dir/$sub")
+    val inc = s"$dir/${sub}_inc"
+    if (Artifacts.dirExists(spark, inc))
+      base.unionByName(spark.read.parquet(inc).drop("batch"))
+    else base
+  }
+
+  /** Refresh `dir/stats` from the landed `dir/dl` (∪ delta) — exact at
+    * any append count (one aggregate over the doc-shaped dl table). */
+  private[graft] def writeBm25Stats(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       buckets: Int, prox: Boolean, idCol: String): Unit = {
     import spark.implicits._
-    val st = spark.read.parquet(s"$dir/dl")
+    val st = readIndexTable(spark, dir, "dl")
       .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head
     require(st.getLong(0) > 0, "saveBm25Index: empty corpus")
     // zero tokens corpus-wide = zero postings = a FILELESS postings dir
@@ -246,7 +277,7 @@ object Retrieval {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
   }
 
-  private def readBm25Stats(
+  private[graft] def readBm25Stats(
       spark: org.apache.spark.sql.SparkSession, indexDir: String) = {
     val st =
       try spark.read.parquet(s"$indexDir/stats").collect()
@@ -302,15 +333,21 @@ object Retrieval {
     * lands one more file set per touched bucket (and one more dl file
     * set) — after many appends the footer reads dominate the
     * bucket-pruned scan. Rewrites postings (and prox postings, when
-    * present) to ONE file per bucket; dl and stats stay as-is (dl
-    * fragmentation is footer-only cost on a doc-shaped table — rebuild
-    * when it matters). Searches before/after are bit-identical
-    * (gated). */
+    * present) to ONE file per bucket, and `dl` — which EVERY search
+    * reads for the doc-length attach, so its per-append file sets
+    * dominate search-side footer reads just like postings — to
+    * size-targeted files, FOLDING IN any streaming-ingest delta areas
+    * (`*_inc` — see [[graft.streaming.Streaming.bm25Ingest]]) along the
+    * way. stats stays as-is (1 file by construction). Searches
+    * before/after are bit-identical (gated). */
   def compactBm25Index(
       spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
-    Artifacts.compactPartitionedDir(spark, s"$dir/postings", "bucket")
+    Artifacts.foldIncInto(spark, s"$dir/postings",
+      s"$dir/postings_inc", Some("bucket"))
     if (Artifacts.dirExists(spark, s"$dir/postings2"))
-      Artifacts.compactPartitionedDir(spark, s"$dir/postings2", "bucket")
+      Artifacts.foldIncInto(spark, s"$dir/postings2",
+        s"$dir/postings2_inc", Some("bucket"))
+    Artifacts.foldIncInto(spark, s"$dir/dl", s"$dir/dl_inc", None)
   }
 
   /** Health view over a [[saveBm25Index]] artifact — the
@@ -327,7 +364,7 @@ object Retrieval {
       spark: org.apache.spark.sql.SparkSession, indexDir: String): DataFrame = {
     val st = readBm25Stats(spark, indexDir)
     val nb = st.getAs[Int]("buckets")
-    spark.read.parquet(s"$indexDir/postings")
+    readIndexTable(spark, indexDir, "postings")
       .groupBy(col("bucket")).agg(count(lit(1)).as("__n"))
       .agg(
         lit(st.getAs[Long]("n_docs")).as("n_docs"),
@@ -381,7 +418,7 @@ object Retrieval {
       s"bm25SearchIndex: prox_weight > 0 but the index under $indexDir " +
         "was built without prox postings — rebuild with prox: true")
     val avgdl = round9(st.getAs[Long]("sum_dl").toDouble / n)
-    val dl = spark.read.parquet(s"$indexDir/dl")
+    val dl = readIndexTable(spark, indexDir, "dl")
       .select(col("doc").as("__doc"), col("dl").as("__dl"))
     // bucket-pruned postings: the query terms' DISTINCT buckets are
     // bounded metadata (<= `buckets` ints — never row data), so they
@@ -392,23 +429,23 @@ object Retrieval {
     // explicit literal; the cost is one query-shaped action per term
     // granularity.) The broadcast equi-join then matches exact terms
     // within the surviving buckets.
-    def matchedP(path: String, queryTerms: Column): DataFrame = {
+    def matchedP(sub: String, queryTerms: Column): DataFrame = {
       val qt = queries.select(explode(queryTerms).as("term")).distinct()
         .withColumn("bucket",
           pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int"))
       val bucketIds = qt.select(col("bucket")).distinct()
         .collect().map(_.getInt(0)).toSeq
-      spark.read.parquet(path)
+      readIndexTable(spark, indexDir, sub)
         .filter(col("bucket").isInCollection(bucketIds))
         .join(broadcast(qt), Seq("bucket", "term"))
         .select(col("doc").as("__doc"), col("term").as("__term"),
           col("tf").as("__tf"))
     }
     val qToks = TextAnalysis.tokens(col(qtextCol))
-    val uniP = matchedP(s"$indexDir/postings", qToks)
+    val uniP = matchedP("postings", qToks)
     val biP =
       if (proxWeight == 0.0) None
-      else Some(matchedP(s"$indexDir/postings2", bigrams(qToks)))
+      else Some(matchedP("postings2", bigrams(qToks)))
     bm25Rank(uniP, biP, dl, n, avgdl, queries, qidCol, qtextCol,
       k1, b, topK, proxWeight, st.getAs[String]("id_col"))
   }

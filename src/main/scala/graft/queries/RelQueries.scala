@@ -901,6 +901,52 @@ object RelQueries extends QueryPack {
     FROM pairs GROUP BY 1
     ORDER BY user_id ASC NULLS FIRST"""
 
+  // q274 — LEFT overlap join (`how: "left"`): which click spans had NO
+  // covering view window — the exposure-gap audit the inner q262 makes
+  // the user hand-roll as an anti-join. Views thinned to event_id % 7
+  // and clicks shortened to 10 min so plenty of clicks go uncovered;
+  // the engine pads them ONCE with NULL payload via the null-safe
+  // all-left-columns anti-join (match sets are value-determined, so no
+  // row id is needed). Oracle: the plain DuckDB LEFT JOIN on the same
+  // inequality pair condition.
+  private def q274(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"defs": [
+         {"id": "views", "source": {"table": "events"},
+          "filters": ["event_type = 'view'", "event_id % 7 = 0"],
+          "derive": {"v_id": "event_id", "v_lo": "unix_micros(ts)",
+                     "v_hi": "unix_micros(ts) + 3600000000"},
+          "keep_columns": ["user_id", "v_id", "v_lo", "v_hi"]},
+         {"id": "pairs", "source": {"table": "events"},
+          "filters": ["event_type = 'click'"],
+          "derive": {"c_id": "event_id", "c_lo": "unix_micros(ts)",
+                     "c_hi": "unix_micros(ts) + 600000000"},
+          "keep_columns": ["user_id", "c_id", "c_lo", "c_hi"],
+          "overlap_join": {"other_ref": "views",
+                           "lo_col": "c_lo", "hi_col": "c_hi",
+                           "other_lo_col": "v_lo", "other_hi_col": "v_hi",
+                           "bucket": 3600000000, "on": ["user_id"],
+                           "payload": ["v_id"], "how": "left"}}],
+       "source": {"ref": "pairs"},
+       "derive": {"covered": "CAST(v_id IS NOT NULL AS INT)"},
+       "keep_columns": ["user_id", "c_id", "v_id", "covered"],
+       "order_by": ["user_id asc", "c_id asc", "v_id asc"]}""")
+  private val q274Sql = """
+    WITH clicks AS (
+      SELECT user_id, event_id AS c_id, epoch_us(ts) AS c_lo,
+             epoch_us(ts) + 600000000 AS c_hi
+      FROM events WHERE event_type = 'click'),
+    views AS (
+      SELECT user_id, event_id AS v_id, epoch_us(ts) AS v_lo,
+             epoch_us(ts) + 3600000000 AS v_hi
+      FROM events WHERE event_type = 'view' AND event_id % 7 = 0)
+    SELECT c.user_id, c_id, v_id,
+           CAST(v_id IS NOT NULL AS INT) AS covered
+    FROM clicks c LEFT JOIN views v
+      ON c.user_id = v.user_id AND c_lo < v_hi AND v_lo < c_hi
+    ORDER BY c.user_id ASC NULLS FIRST, c_id ASC NULLS FIRST,
+             v_id ASC NULLS FIRST"""
+
   // q270 — contract AUDIT (`expect_report`): the data-quality dashboard
   // twin of q232's fail-fast `expect` — one aggregate pass, one row per
   // rule with its violation count. The `always_null` rule evaluates to
@@ -971,6 +1017,7 @@ object RelQueries extends QueryPack {
     Q("q271_expect_report_grouped", q271, Some(q271Sql)),
     Q("q272_profile_grouped", q272, Some(q272Sql)),
     Q("q273_overlap_impact", q273, Some(q273Sql)),
+    Q("q274_overlap_join_left", q274, Some(q274Sql)),
     Q("q251_apply_diff", q251, Some(q251Sql)),
     Q("q245_incremental_rebuild", q245, Some(q245Sql)),
     Q("q246_tee_fanout", q246, Some(q246Sql)),

@@ -1353,6 +1353,7 @@ object TextQueries extends QueryPack {
     Q("q191_config_bm25", q191, Some(q190Sql)),
     Q("q254_bm25_index_search", q254, Some(q190Sql)),
     Q("q257_bm25_index_lifecycle", q257, Some(q190Sql)),
+    Q("q275_bm25_ingest_lifecycle", q275, Some(q190Sql)),
     Q("q258_bm25_index_stats", q258, Some(q258Sql)),
     Q("q261_weighted_rrf", q261, Some(q261Sql)),
     Q("q202_bm25_phrase", q202, Some(q202Sql)),
@@ -2241,6 +2242,49 @@ object TextQueries extends QueryPack {
       {"source": {"table": "bm25_queries_q257"},
        "bm25_search": {"qid_col": "qid", "qtext_col": "qtext",
                        "index_dir": "$q257IdxDir", "top_k": 5},
+       "order_by": ["qid asc", "rn asc"]}""")
+  }
+
+  // q275 — CONTINUOUS lexical ingest (`bm25_ingest`) under the driver
+  // hash: seed the index over the even-doc half (JSON), stream the odd
+  // half through the bm25_ingest root sink (file-source stream over a
+  // staged parquet dir — each micro-batch lands as an overwritten
+  // batch=<id> delta partition, the idempotent-replay layout), compact
+  // to fold the delta into the base, then search — which must STILL
+  // equal q190's in-memory ranking over the WHOLE corpus (same oracle
+  // verbatim): streamed appends are exact because df/idf/avgdl compute
+  // query-shaped at search time, and the delta fold is bit-invisible.
+  private val q275Base =
+    s"${System.getProperty("java.io.tmpdir")}/graft_q275_bm25"
+  private def q275(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir)
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).toSeq.flatten.foreach(rmrf)
+      p.delete(); ()
+    }
+    rmrf(new java.io.File(q275Base))
+    graft.compile.Compiler.compileJson(s, s"""
+      {"source": {"sql": "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0"},
+       "bm25_index": {"id_col": "doc_id", "text_col": "text",
+                      "dir": "$q275Base/idx", "buckets": 16}}""")
+    s.sql("SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1")
+      .coalesce(2).write.mode("overwrite").parquet(s"$q275Base/in")
+    val q = graft.compile.Compiler.compileStreamJson(s, s"""
+      {"source": {"path": "$q275Base/in"},
+       "bm25_ingest": {"id_col": "doc_id", "text_col": "text",
+                       "index_dir": "$q275Base/idx",
+                       "checkpoint_dir": "$q275Base/ckpt"}}""")
+    try q.processAllAvailable() finally q.stop()
+    graft.compile.Compiler.compileJson(s, s"""
+      {"source": {"table": "documents"},
+       "bm25_index": {"dir": "$q275Base/idx", "mode": "compact"}}""")
+    import s.implicits._
+    bm25Queries.toDF("qid", "qtext")
+      .createOrReplaceTempView("bm25_queries_q275")
+    graft.compile.Compiler.compileJson(s, s"""
+      {"source": {"table": "bm25_queries_q275"},
+       "bm25_search": {"qid_col": "qid", "qtext_col": "qtext",
+                       "index_dir": "$q275Base/idx", "top_k": 5},
        "order_by": ["qid asc", "rn asc"]}""")
   }
 

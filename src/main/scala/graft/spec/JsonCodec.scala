@@ -789,10 +789,13 @@ object JsonCodec {
         inclusive = opt(d, "inclusive").exists(_.asBoolean(false)),
         broadcast = opt(d, "broadcast").exists(_.asBoolean(false)),
         maxBucketsPerInterval = opt(d, "max_buckets_per_interval",
-          "maxBucketsPerInterval").map(_.asInt).getOrElse(1 << 16))
+          "maxBucketsPerInterval").map(_.asInt).getOrElse(1 << 16),
+        how = opt(d, "how").map(_.asText).getOrElse("inner"))
       require(s.bucket > 0, s"$ctx: bucket must be > 0, got ${s.bucket}")
       require(s.maxBucketsPerInterval >= 1,
         s"$ctx: max_buckets_per_interval must be >= 1, got ${s.maxBucketsPerInterval}")
+      require(s.how == "inner" || s.how == "left",
+        s"""$ctx: how must be "inner" or "left", got '${s.how}'""")
       s
     }
 
@@ -1409,6 +1412,14 @@ object JsonCodec {
         require(!s.groupCols.contains(s.keyCol),
           s"$ctx: key_col '${s.keyCol}' cannot also be a group column")
         s
+      },
+      bm25Ingest = optN("bm25_ingest", "bm25Ingest").map { d =>
+        val ctx = s"node $id: bm25_ingest"
+        Bm25IngestSpec(
+          idCol = req(d, ctx, "id_col", "idCol").asText,
+          textCol = req(d, ctx, "text_col", "textCol").asText,
+          indexDir = req(d, ctx, "index_dir", "indexDir").asText,
+          checkpointDir = req(d, ctx, "checkpoint_dir", "checkpointDir").asText)
       },
       sequencePack = optN("sequence_pack", "sequencePack").map { d =>
         val ctx = s"node $id: sequence_pack"

@@ -729,8 +729,10 @@ final case class ConnectedComponentsSpec(
   * pair is emitted exactly once (later-start-cell rule), never via a
   * nested loop or a dedup shuffle. `inclusive` switches to closed-span
   * overlap (touching endpoints count). Numeric bounds (epoch
-  * seconds/micros upstream). Inner pairs only; anti-screen downstream on
-  * the left id. Streaming-admissible on the frame side (stream-static). */
+  * seconds/micros upstream). `how: "left"` keeps non-overlapping frame
+  * rows with NULL payload (batch-only — the pad side is a null-safe
+  * anti-join over the matched output). Streaming-admissible on the
+  * frame side (stream-static) with the default `how: "inner"`. */
 final case class OverlapJoinSpec(
     otherRef: String,
     loCol: String,
@@ -742,7 +744,8 @@ final case class OverlapJoinSpec(
     payload: Seq[String] = Nil,
     inclusive: Boolean = false,
     broadcast: Boolean = false,
-    maxBucketsPerInterval: Int = 1 << 16
+    maxBucketsPerInterval: Int = 1 << 16,
+    how: String = "inner"
 )
 
 /** Snapshot diff (NS; Relational.snapshotDiff): the node's frame is the
@@ -1296,6 +1299,27 @@ final case class TarPackIngestSpec(
     trigger: Option[String] = None
 )
 
+/** Continuous BM25-index maintenance (NS; Streaming.bm25Ingest) — the
+  * LEXICAL member of the continuous-ingest family (exact/near-dup/
+  * passage/winnow/semantic/sketch/tar_pack): each micro-batch tokenizes
+  * once and lands its postings (+ bigram postings when the index was
+  * built with prox) and doc lengths as an OVERWRITTEN `batch=<id>`
+  * delta partition beside the `bm25_index` base artifact at `indexDir`,
+  * then refreshes stats — searches read base ∪ delta and reflect the
+  * union corpus exactly (df computes query-shaped at search time; the
+  * append-exactness law). Replays overwrite their own batch dirs —
+  * idempotent, unlike an in-place append. `bm25_index mode:"compact"`
+  * folds the delta into the base. The index MUST be seeded by
+  * `bm25_index` first (layout params live in the artifact's stats row —
+  * the batch-build → stream-ingest contract semantic_ingest follows).
+  * Streaming-only root sink. */
+final case class Bm25IngestSpec(
+    idCol: String,
+    textCol: String,
+    indexDir: String,
+    checkpointDir: String
+)
+
 /** One pipeline node = the reference's per-config processing unit:
   * source → filters → keep_columns → aggregate → rename → withColumns →
   * bitemporal → join children → orderBy → save.
@@ -1387,6 +1411,7 @@ final case class NodeSpec(
     exactIngest: Option[ExactIngestSpec] = None, // streaming-only root sink
     sketchIngest: Option[SketchIngestSpec] = None, // streaming-only root sink
     tarPackIngest: Option[TarPackIngestSpec] = None, // streaming-only root sink
+    bm25Ingest: Option[Bm25IngestSpec] = None, // streaming-only root sink
     sequencePack: Option[SequencePackSpec] = None, // after bpe_apply, before with_columns
     cache: Boolean = false // defs-only: persist() the compiled stage
 )

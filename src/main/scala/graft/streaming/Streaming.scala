@@ -440,6 +440,79 @@ object Streaming {
       .start()
   }
 
+  /** Continuous BM25-INDEX maintenance — the LEXICAL member of the
+    * continuous-ingest family: each micro-batch tokenizes ONCE and lands
+    * its postings (+ bigram postings when the index has prox), doc
+    * lengths, and refreshed stats against the [[graft.ops.Retrieval
+    * .saveBm25Index]] artifact at `indexDir`, so every later
+    * `bm25_search` reflects the union corpus EXACTLY — df/idf/avgdl
+    * compute query-shaped at search time, the same law that makes batch
+    * appends exact, with no merge step.
+    *
+    * Idempotency: the batch-mode `appendBm25Index` appends file sets in
+    * place, which a foreachBatch replay would DOUBLE-land. The ingest
+    * instead writes each micro-batch as an OVERWRITTEN `batch=<id>`
+    * child of sibling DELTA areas (`postings_inc`, `postings2_inc`,
+    * `dl_inc`) that every reader unions with the base — a replayed
+    * batch overwrites exactly its own delta partitions (the ingest
+    * family's crash-consistency contract). `bm25_index mode:"compact"`
+    * folds the deltas into the base layout and drops them. Write order
+    * within a batch is dl → postings → stats, so a crash mid-batch
+    * leaves docs that are at worst length-known but unmatchable —
+    * never postings without lengths — until the replay overwrites.
+    *
+    * The index MUST be seeded by saveBm25Index first: buckets/prox/
+    * id_col live in the artifact's stats row (the batch-build →
+    * stream-ingest contract [[semanticIngest]] follows). Caller
+    * contract: doc ids should be fresh (a re-landed id keeps both
+    * copies — the appendBm25Index posture). */
+  def bm25Ingest(
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexDir: String,
+      checkpointDir: String
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    // fail at DECLARATION, not inside the first micro-batch: the stats
+    // row is the seed contract
+    val st0 =
+      try graft.ops.Retrieval.readBm25Stats(incoming.sparkSession, indexDir)
+      catch { case e: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          s"bm25_ingest: no BM25 index under $indexDir — seed it with " +
+            s"bm25_index (saveBm25Index) first: ${e.getMessage}") }
+    val buckets = st0.getAs[Int]("buckets")
+    val prox = st0.getAs[Boolean]("prox")
+    val statsIdCol = st0.getAs[String]("id_col")
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val toks = batch.select(col(idCol).as("doc"),
+          graft.ops.TextAnalysis.tokens(col(textCol)).as("__t"))
+          .persist()
+        try {
+          toks.select(col("doc"), size(col("__t")).cast("long").as("dl"))
+            .write.mode("overwrite").parquet(s"$indexDir/dl_inc/batch=$batchId")
+          def postingsOver(docTerms: org.apache.spark.sql.Column): DataFrame =
+            toks.select(col("doc"), explode(docTerms).as("term"))
+              .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+              .withColumn("bucket",
+                pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int"))
+          postingsOver(col("__t")).write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(s"$indexDir/postings_inc/batch=$batchId")
+          if (prox)
+            postingsOver(graft.ops.Retrieval.bigrams(col("__t")))
+              .write.mode("overwrite").partitionBy("bucket")
+              .parquet(s"$indexDir/postings2_inc/batch=$batchId")
+          graft.ops.Retrieval.writeBm25Stats(s, indexDir, buckets, prox,
+            statsIdCol)
+        } finally { toks.unpersist(); () }
+      }
+      .start()
+  }
+
   /** Continuous SEMANTIC dedup ingestion — the embedding sibling of
     * [[nearDupIngest]]/[[passageIngest]], completing the incremental
     * trio across modalities: each micro-batch is deduped against the

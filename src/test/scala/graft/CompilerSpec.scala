@@ -222,6 +222,28 @@ class CompilerSpec extends SparkSpec {
     assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges:\n$physical")
   }
 
+  test("derive flags the O(n²) unbounded-following window frame, compiles it anyway") {
+    // the trap detector (the as-of/funnel fix must not be reinventable
+    // through config silently): the frame-bound keyword pair matches,
+    // mere mentions and the safe running frame do not
+    assert(Compiler.unboundedFollowingRe.findFirstIn(
+      "first(v) OVER (PARTITION BY k ORDER BY ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)").isDefined)
+    assert(Compiler.unboundedFollowingRe.findFirstIn(
+      "first(v) over (order by ts range between current row and\n unbounded following)").isDefined)
+    assert(Compiler.unboundedFollowingRe.findFirstIn(
+      "sum(v) OVER (ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)").isEmpty)
+    assert(Compiler.unboundedFollowingRe.findFirstIn(
+      "concat(c, 'unbounded following text')").isEmpty) // no AND bound pair
+    // a warning, not a rejection: the expression still compiles and computes
+    Seq((1L, 1L, 10L), (1L, 2L, 20L)).toDF("k", "ts", "v")
+      .createOrReplaceTempView("uf_warn_fixture")
+    val out = Compiler.compileJson(spark, """
+      {"source": {"table": "uf_warn_fixture"},
+       "derive": {"nxt": "first(v) OVER (PARTITION BY k ORDER BY ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"},
+       "order_by": ["ts asc"]}""")
+    assert(out.select("nxt").collect().map(_.getLong(0)).toSeq == Seq(10L, 20L))
+  }
+
   test("global orderBy+limit plans TakeOrderedAndProject, not a full sort") {
     Tables.registerViews(spark, sf)
     // q67's top-20-by-df: map tasks keep 20 rows each, the driver merges —

@@ -876,18 +876,22 @@ class JsonCodecSpec extends AnyFunSuite {
     assert(oj.otherRef == "outages" && oj.loCol == "lo" && oj.hiCol == "hi" &&
       oj.bucket == 3600.0 && oj.otherLoCol.isEmpty && oj.otherHiCol.isEmpty &&
       oj.on.isEmpty && oj.payload.isEmpty && !oj.inclusive && !oj.broadcast &&
-      oj.maxBucketsPerInterval == (1 << 16))
+      oj.maxBucketsPerInterval == (1 << 16) && oj.how == "inner")
     val oj2 = root("""
       {"overlap_join": {"ref": "o", "lo_col": "l", "hi_col": "h",
                         "bucket": 0.5, "other_lo_col": "ol",
                         "other_hi_col": "oh", "on": ["k"],
                         "payload": ["tag", "ol", "oh"], "inclusive": true,
-                        "broadcast": true,
+                        "broadcast": true, "how": "left",
                         "max_buckets_per_interval": 64}}""").overlapJoin.get
     assert(oj2.otherRef == "o" && oj2.otherLoCol.contains("ol") &&
       oj2.otherHiCol.contains("oh") && oj2.on == Seq("k") &&
       oj2.payload == Seq("tag", "ol", "oh") && oj2.inclusive &&
-      oj2.broadcast && oj2.maxBucketsPerInterval == 64)
+      oj2.broadcast && oj2.maxBucketsPerInterval == 64 && oj2.how == "left")
+    assert(intercept[IllegalArgumentException](root("""
+      {"overlap_join": {"other_ref": "o", "lo_col": "l", "hi_col": "h",
+                        "bucket": 1, "how": "full"}}"""))
+      .getMessage.contains("how"))
     assert(intercept[IllegalArgumentException](root("""
       {"overlap_join": {"other_ref": "o", "lo_col": "l", "hi_col": "h",
                         "bucket": 0}}""")).getMessage.contains("bucket"))
@@ -1186,6 +1190,19 @@ class JsonCodecSpec extends AnyFunSuite {
       """{"exact_ingest": {"id_col": "d", "key_cols": ["fp"],
           "corpus_dir": "/c", "index_dir": "/i"}}"""))
       .getMessage.contains("checkpoint_dir"))
+
+    val bi = root("""
+      {"bm25_ingest": {"id_col": "doc_id", "text_col": "text",
+                       "index_dir": "/i", "checkpoint_dir": "/k"}}""")
+      .bm25Ingest.get
+    assert(bi.idCol == "doc_id" && bi.textCol == "text" &&
+      bi.indexDir == "/i" && bi.checkpointDir == "/k")
+    assert(intercept[IllegalArgumentException](root(
+      """{"bm25_ingest": {"id_col": "d", "text_col": "t",
+          "index_dir": "/i"}}""")).getMessage.contains("checkpoint_dir"))
+    assert(intercept[IllegalArgumentException](root(
+      """{"bm25_ingest": {"id_col": "d", "index_dir": "/i",
+          "checkpoint_dir": "/k"}}""")).getMessage.contains("text_col"))
   }
 
   test("sequence_pack rejects the stated drop_last: false under best_fit") {

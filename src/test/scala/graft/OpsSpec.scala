@@ -1198,6 +1198,39 @@ class OpsSpec extends SparkSpec {
       Seq(Some("a"), Some("b"), None))
   }
 
+  test("as-of forward/nearest + funnel anchor=every plan NO unbounded-following frame") {
+    // Spark's UnboundedFollowingWindowFunctionFrame re-scans the
+    // partition remainder per output row — O(n²) on a hot key. These
+    // operators must use the reversed O(n) running frame instead.
+    val left = Seq((1L, 10L), (1L, 20L)).toDF("k", "ts")
+    val right = Seq((1L, 5L, "a"), (1L, 15L, "b")).toDF("k", "ts", "p")
+    for (dir <- Seq("forward", "nearest")) {
+      val plan = Relational.asofJoin(left, right, Seq("k"), "ts", "ts", Seq("p"),
+          direction = dir, rightTieBreak = Some("p"))
+        .queryExecution.executedPlan.toString.toLowerCase
+      assert(!plan.contains("unboundedfollowing"),
+        s"asof direction=$dir plans an unbounded-following frame (O(n²) per hot key)")
+    }
+    val ev = Seq((1L, 1L, "a"), (1L, 2L, "b")).toDF("k", "ts", "e")
+    val fPlan = Relational.funnel(ev, "k", "ts", "e", Seq("a", "b"), anchor = "every")
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(!fPlan.contains("unboundedfollowing"),
+      "funnel anchor=every plans an unbounded-following frame (O(n²) per hot key)")
+  }
+
+  test("as-of forward: equal-ts inclusive, tie-break largest wins, same as backward's winner") {
+    val left = Seq((1L, 10L)).toDF("k", "ts")
+    // two right rows at the SAME instant as the anchor: inclusive ≥ must
+    // match, and the largest tie-break must win (parity with backward)
+    val right = Seq((1L, 10L, "lo", 1), (1L, 10L, "hi", 2)).toDF("k", "ts", "p", "tb")
+    for (dir <- Seq("forward", "backward", "nearest")) {
+      val out = Relational.asofJoin(left, right, Seq("k"), "ts", "ts", Seq("p"),
+        rightTieBreak = Some("tb"), direction = dir).collect()
+      assert(out.length == 1 && out.head.getAs[String]("p") == "hi",
+        s"direction=$dir picked ${out.head.getAs[String]("p")}, want hi")
+    }
+  }
+
   test("fingerprint: order-sensitive, equal for equal docs (both variants)") {
     for (fp <- Seq(TextAnalysis.fingerprint(_), TextAnalysis.fingerprintPortable(_))) {
       val d = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "alpha beta gamma"))
@@ -2891,6 +2924,36 @@ class OpsSpec extends SparkSpec {
       (6L, 13L), (6L, 16L)), s"inclusive overlap pairs wrong: $incl")
   }
 
+  test("overlapJoin how=left: NULL-payload pad, multiplicity, null-column matches, guards") {
+    val left = Seq(
+      (1L, Some("x"), Some(0.0), Some(10.0)),   // matches, carries a value
+      (2L, None, Some(5.0), Some(9.0)),         // matches, carries a NULL — the
+                                                // pad anti-join must be
+                                                // null-safe or this duplicates
+      (3L, Some("y"), Some(50.0), Some(60.0)),  // no overlap -> one NULL row
+      (3L, Some("y"), Some(50.0), Some(60.0)),  // identical copy -> TWO NULL rows
+      (4L, Some("z"), None, Some(10.0)))        // NULL bound -> padded too
+      .toDF("lid", "extra", "lo", "hi")
+    val right = Seq((11L, 5.0, 15.0)).toDF("rid", "rlo", "rhi")
+    val out = Relational.overlapJoin(left, right, "lo", "hi", bucket = 4.0,
+        rightLoCol = "rlo", rightHiCol = "rhi", payload = Seq("rid"),
+        how = "left")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSeq.sorted
+    assert(out == Seq((1L, 11L), (2L, 11L), (3L, -1L), (3L, -1L), (4L, -1L)),
+      s"left-pad output wrong: $out")
+    // guards by name
+    assert(intercept[IllegalArgumentException](
+      Relational.overlapJoin(left, right, "lo", "hi", bucket = 4.0,
+        rightLoCol = "rlo", rightHiCol = "rhi", payload = Seq("rid"),
+        how = "full")).getMessage.contains("how"))
+    val withMap = left.withColumn("m", map(lit("a"), $"lid"))
+    assert(intercept[IllegalArgumentException](
+      Relational.overlapJoin(withMap, right, "lo", "hi", bucket = 4.0,
+        rightLoCol = "rlo", rightHiCol = "rhi", payload = Seq("rid"),
+        how = "left")).getMessage.contains("map-typed"))
+  }
+
   test("overlapJoin: bucketed+broadcast paths equal the naive theta join on dense data") {
     val left = spark.range(300).select($"id".as("lid"),
       ($"id" * 37 % 1000).cast("double").as("lo"),
@@ -2989,6 +3052,15 @@ class OpsSpec extends SparkSpec {
       ("b", "c", 1L, pmi(1, 3, 1)),
       ("b", "a", 1L, pmi(1, 3, 3)))
     assert(out == expect, s"PMI table wrong: $out (want $expect)")
+    // ONE tokenize pass: every consumer of the fused counts table must
+    // read its cache, never re-derive from the corpus (exchange reuse
+    // alone was plan-audited FALSE — null-filter pushdown de-identifies
+    // the subtrees; the persist is the mechanism)
+    val colloPlan = TextAnalysis.collocations(corpus, "text", minCount = 1, topK = 10)
+    colloPlan.collect()
+    assert(colloPlan.queryExecution.executedPlan.toString
+      .contains("InMemoryTableScan"),
+      "collocations consumers must read the persisted counts cache")
     // minCount floors the PAIR count before anything else
     val floored = TextAnalysis.collocations(corpus, "text", minCount = 2, topK = 10)
       .collect()

@@ -939,8 +939,9 @@ class PropertySpec extends SparkSpec {
       } yield (k, lo, lo + span))
       bucket <- Gen.oneOf(1.0, 3.0, 7.0, 100.0)
       inclusive <- Gen.oneOf(false, true)
-    } yield (lrows, rrows, bucket, inclusive)
-    forAll(caseGen, n = 25) { case (lrows, rrows, bucket, inclusive) =>
+      how <- Gen.oneOf("inner", "left")
+    } yield (lrows, rrows, bucket, inclusive, how)
+    forAll(caseGen, n = 25) { case (lrows, rrows, bucket, inclusive, how) =>
       val lids = lrows.zipWithIndex.map { case ((k, lo, hi), i) =>
         (i.toLong, k, lo, hi) }
       val rids = rrows.zipWithIndex.map { case ((k, lo, hi), i) =>
@@ -949,21 +950,31 @@ class PropertySpec extends SparkSpec {
           lids.toDF("lid", "k", "lo", "hi"),
           rids.toDF("rid", "k", "rlo", "rhi"),
           "lo", "hi", bucket, rightLoCol = "rlo", rightHiCol = "rhi",
-          on = Seq("k"), payload = Seq("rid"), inclusive = inclusive)
+          on = Seq("k"), payload = Seq("rid"), inclusive = inclusive,
+          how = how)
         .select("lid", "rid")
-        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1))).sorted.toSeq
       // brute force straight off the documented contract: half-open
       // l.lo < r.hi && r.lo < l.hi (or <= under inclusive); empty and
-      // inverted spans match nothing
+      // inverted spans match nothing; how=left pads matchless left rows
+      // (NULL/empty spans included) once with NULL payload
       def valid(lo: Long, hi: Long) = if (inclusive) lo <= hi else lo < hi
-      val want = (for {
+      val inner = (for {
         (li, lk, llo, lhi) <- lids if valid(llo, lhi)
         (ri, rk, rlo, rhi) <- rids if valid(rlo, rhi) && rk == lk
         if (if (inclusive) llo <= rhi && rlo <= lhi
             else llo < rhi && rlo < lhi)
       } yield (li, ri)).sorted
+      val want =
+        if (how == "inner") inner
+        else {
+          val hit = inner.map(_._1).toSet
+          (inner ++ lids.collect {
+            case (li, _, _, _) if !hit(li) => (li, -1L) }).sorted
+        }
       assert(got == want,
-        s"bucket=$bucket inclusive=$inclusive\nleft=$lids\nright=$rids")
+        s"bucket=$bucket inclusive=$inclusive how=$how\nleft=$lids\nright=$rids")
     }
   }
 

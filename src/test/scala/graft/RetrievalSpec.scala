@@ -234,9 +234,16 @@ class RetrievalSpec extends SparkSpec {
           b.listFiles().count(_.getName.endsWith(".parquet"))).toMap
     assert(filesPerBucket(s"$dir/inc/postings").values.exists(_ > 1),
       "the append must have fragmented at least one bucket")
+    def dlFiles(): Int = new java.io.File(s"$dir/inc/dl")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(dlFiles() > 1, "the append must have fragmented dl")
     Retrieval.compactBm25Index(spark, s"$dir/inc")
     assert(filesPerBucket(s"$dir/inc/postings").values.forall(_ == 1),
       s"compaction must leave one file per bucket")
+    // dl is read by EVERY search (doc-length attach) — the compactor
+    // must rewrite it too (size-targeted; one file at this scale)
+    assert(dlFiles() == 1,
+      s"compaction must rewrite dl to size-targeted files, got ${dlFiles()}")
     assert(asSet(Retrieval.bm25SearchIndex(qs, "qid", "qtext", s"$dir/inc", topK = 3)) ==
       asSet(Retrieval.bm25TopK(corpus, "id", "txt", qs, "qid", "qtext", topK = 3)),
       "search must be bit-identical after compaction")

@@ -834,6 +834,112 @@ class StreamingSpec extends SparkSpec {
     assert(eBoth.getMessage.contains("one or the other"), eBoth.getMessage)
   }
 
+  test("bm25Ingest: streamed docs land as replay-safe deltas; search == in-memory BM25 over the union; compact folds") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.ops.Retrieval
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_bm25ing").toString
+    val idx = s"$base/idx"
+    val seed = Seq((1L, "alpha beta gamma"), (2L, "beta beta delta"))
+    Retrieval.saveBm25Index(spark, seed.toDF("doc_id", "text"),
+      "doc_id", "text", idx, buckets = 8)
+    val mem = MemoryStream[(Long, String)]
+    val sdf = mem.toDF.toDF("doc_id", "text")
+    // unseeded index rejects at DECLARATION, by name
+    assert(intercept[IllegalArgumentException](
+      Streaming.bm25Ingest(sdf, "doc_id", "text", s"$base/absent", s"$base/ck0"))
+      .getMessage.contains("seed"))
+    val streamed = Seq((3L, "alpha alpha epsilon"), (4L, "gamma delta"),
+      (5L, "beta epsilon zeta"))
+    val q = Streaming.bm25Ingest(sdf, "doc_id", "text", idx, s"$base/ckpt")
+    try {
+      mem.addData(streamed.take(2): _*); q.processAllAvailable()
+      mem.addData(streamed.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val all = (seed ++ streamed).toDF("doc_id", "text")
+    val qs = Seq((101L, "alpha beta"), (102L, "delta epsilon")).toDF("qid", "qtext")
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val want = asSet(Retrieval.bm25TopK(all, "doc_id", "text",
+      qs, "qid", "qtext", topK = 3))
+    assert(asSet(Retrieval.bm25SearchIndex(qs, "qid", "qtext", idx, topK = 3)) == want,
+      "search after streamed ingest must equal in-memory BM25 over the union")
+    // stats refreshed per batch: n_docs reflects the union corpus
+    assert(Retrieval.bm25IndexStats(spark, idx)
+      .select("n_docs").head.getLong(0) == 5L)
+    // the deltas are batch=<id> OVERWRITE partitions (the replay contract),
+    // and compaction folds them into the base layout and drops them
+    assert(new java.io.File(s"$idx/postings_inc").exists &&
+      new java.io.File(s"$idx/dl_inc").exists)
+    assert(new java.io.File(s"$idx/postings_inc").listFiles()
+      .exists(_.getName.startsWith("batch=")), "delta must be batch-partitioned")
+    Retrieval.compactBm25Index(spark, idx)
+    assert(!new java.io.File(s"$idx/postings_inc").exists &&
+      !new java.io.File(s"$idx/dl_inc").exists,
+      "compact must fold the delta areas in and drop them")
+    assert(asSet(Retrieval.bm25SearchIndex(qs, "qid", "qtext", idx, topK = 3)) == want,
+      "delta fold must be bit-invisible to search")
+    // a REBUILD invalidates leftover deltas (stale docs must not union in)
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = Streaming.bm25Ingest(mem2.toDF.toDF("doc_id", "text"),
+      "doc_id", "text", idx, s"$base/ckpt2")
+    try { mem2.addData((9L, "stale doc")); q2.processAllAvailable() }
+    finally q2.stop()
+    Retrieval.saveBm25Index(spark, all, "doc_id", "text", idx, buckets = 8)
+    assert(!new java.io.File(s"$idx/postings_inc").exists,
+      "rebuild must drop stale delta areas")
+    assert(asSet(Retrieval.bm25SearchIndex(qs, "qid", "qtext", idx, topK = 3)) == want)
+  }
+
+  test("bm25_ingest config: the lexical continuous-ingest sink; stream == batch search; guards") {
+    import spark.implicits._
+    import graft.ops.Retrieval
+    val base = java.nio.file.Files.createTempDirectory("graft_bm25ing_cfg").toString
+    val idx = s"$base/idx"
+    val inDir = s"$base/in"
+    Retrieval.saveBm25Index(spark,
+      Seq((1L, "alpha beta gamma")).toDF("doc_id", "text"),
+      "doc_id", "text", idx, buckets = 8)
+    Seq((2L, "alpha delta"), (3L, "beta beta zeta")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    val json = s"""
+      {"source": {"path": "$inDir"},
+       "bm25_ingest": {"id_col": "doc_id", "text_col": "text",
+                       "index_dir": "$idx",
+                       "checkpoint_dir": "$base/ckpt"}}"""
+    val q = graft.compile.Compiler.compileStreamJson(spark, json)
+    try q.processAllAvailable() finally q.stop()
+    val all = Seq((1L, "alpha beta gamma"), (2L, "alpha delta"),
+      (3L, "beta beta zeta")).toDF("doc_id", "text")
+    val qs = Seq((101L, "alpha beta")).toDF("qid", "qtext")
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(asSet(Retrieval.bm25SearchIndex(qs, "qid", "qtext", idx, topK = 3)) ==
+      asSet(Retrieval.bm25TopK(all, "doc_id", "text", qs, "qid", "qtext", topK = 3)),
+      "config-streamed ingest must equal in-memory BM25 over the union")
+    // guard rails: batch compile and save-beside-ingest reject by name
+    assert(intercept[IllegalArgumentException](
+      graft.compile.Compiler.compileJson(spark, json))
+      .getMessage.contains("STREAMING ROOT sink"))
+    val eBoth = intercept[IllegalArgumentException](
+      graft.compile.Compiler.compileStreamJson(spark, s"""
+        {"source": {"path": "$inDir"},
+         "bm25_ingest": {"id_col": "doc_id", "text_col": "text",
+                         "index_dir": "$idx", "checkpoint_dir": "$base/k2"},
+         "save": {"path": "$base/out", "format": "parquet"}}"""))
+    assert(eBoth.getMessage.contains("one or the other"), eBoth.getMessage)
+    // two ingest sinks on one stream reject by name
+    val eTwo = intercept[IllegalArgumentException](
+      graft.compile.Compiler.compileStreamJson(spark, s"""
+        {"source": {"path": "$inDir"},
+         "bm25_ingest": {"id_col": "doc_id", "text_col": "text",
+                         "index_dir": "$idx", "checkpoint_dir": "$base/k3"},
+         "sketch_ingest": {"key_col": "text", "out_dir": "$base/s3",
+                           "checkpoint_dir": "$base/k4"}}"""))
+    assert(eTwo.getMessage.contains("ONE"), eTwo.getMessage)
+  }
+
   test("passageIngest: later batches strip passages seen in earlier ones; cleaned text is what enters history") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
@@ -1495,6 +1601,19 @@ class StreamingSpec extends SparkSpec {
     val streamed = spark.table("overlap_stream").collect().map(key).toSet
     assert(streamed == batch, "streamed overlap pairs must equal batch")
     assert(batch.nonEmpty, "fixture should produce at least one overlap pair")
+
+    // how:"left" is batch-only (the NULL-pad side anti-joins over the
+    // matched output) — reject by name, with the def in scope so the
+    // guard (not the missing-ref error) is what fires
+    val bodyLeft = body.replace(""""payload": ["v_id"]}""",
+      """"payload": ["v_id"], "how": "left"}""")
+    val eLeft = intercept[IllegalArgumentException](
+      graft.compile.Compiler.compileStreamJson(spark, s"""
+        {"source": {"path": "$dir/in"}, $bodyLeft,
+         "save": {"format": "memory", "query_name": "overlap_stream_left",
+                  "trigger": "available_now", "output_mode": "append"}}"""))
+    assert(eLeft.getMessage.contains("batch-only") &&
+      eLeft.getMessage.contains("overlap_join"), eLeft.getMessage)
 
     // the three streaming-defs rules, each by name: a stream may not
     // SOURCE from a def; cache: true defs are batch-only; def sinks stay
