@@ -314,6 +314,11 @@ object Compiler {
         s"node ${node.id}: bm25_ingest is a STREAMING ROOT sink — " +
           "compile with compileStreamJson and declare it on the root node " +
           "(for the batch shape, use bm25_index mode: \"append\")")
+    if (node.annIngest.isDefined)
+      throw new IllegalArgumentException(
+        s"node ${node.id}: ann_ingest is a STREAMING ROOT sink — " +
+          "compile with compileStreamJson and declare it on the root node " +
+          "(for the batch shape, use ann_index mode: \"append\")")
     var df = input.getOrElse(node.combine match {
       case Some(c) =>
         val parts = c.nodes.map(n => compileNode(spark, n, None, executeSinks, streaming, refs))
@@ -1511,16 +1516,16 @@ object Compiler {
         val ingestCount = Seq(root.nearDupIngest.isDefined,
           root.passageIngest.isDefined, root.tarPackIngest.isDefined,
           root.exactIngest.isDefined, root.sketchIngest.isDefined,
-          root.bm25Ingest.isDefined)
+          root.bm25Ingest.isDefined, root.annIngest.isDefined)
           .count(identity)
         if (ingestCount > 1) throw new IllegalArgumentException(
           "near_dup_ingest, passage_ingest, tar_pack_ingest, " +
-            "exact_ingest, sketch_ingest, and bm25_ingest are each a " +
-            "root sink — a stream has ONE; declare one per stream")
+            "exact_ingest, sketch_ingest, bm25_ingest, and ann_ingest " +
+            "are each a root sink — a stream has ONE; declare one per stream")
         val out = compileNode(spark,
           root.copy(nearDupIngest = None, passageIngest = None,
             tarPackIngest = None, exactIngest = None, sketchIngest = None,
-            bm25Ingest = None,
+            bm25Ingest = None, annIngest = None,
             profile = None, expectReport = Nil, expectReportGroups = Nil),
           Some(readStreamSource(spark, src)),
           executeSinks = false, streaming = true, refs = refs)
@@ -1532,7 +1537,8 @@ object Compiler {
         def monitorSink(kind: String): graft.spec.SinkSpec = {
           if (root.nearDupIngest.isDefined || root.passageIngest.isDefined ||
               root.tarPackIngest.isDefined || root.exactIngest.isDefined ||
-              root.sketchIngest.isDefined || root.bm25Ingest.isDefined)
+              root.sketchIngest.isDefined || root.bm25Ingest.isDefined ||
+              root.annIngest.isDefined)
             throw new IllegalArgumentException(
               s"$kind beside an ingest sink: a stream has ONE sink — " +
                 "monitor the ingest's corpus directory with a second stream")
@@ -1629,14 +1635,20 @@ object Compiler {
                   graft.streaming.Streaming.sketchIngest(
                     out, sk.keyCol, sk.outDir, sk.checkpointDir,
                     sk.maxItemsTracked, sk.lgK, sk.groupCols)
-                case None => root.bm25Ingest match {
-                  case Some(bi) =>
+                case None => (root.bm25Ingest, root.annIngest) match {
+                  case (Some(bi), None) =>
                     if (root.save.isDefined)
                       throw new IllegalArgumentException(
                         "bm25_ingest replaces the root save sink — declare one or the other")
                     graft.streaming.Streaming.bm25Ingest(
                       out, bi.idCol, bi.textCol, bi.indexDir, bi.checkpointDir)
-                  case None =>
+                  case (None, Some(ai)) =>
+                    if (root.save.isDefined)
+                      throw new IllegalArgumentException(
+                        "ann_ingest replaces the root save sink — declare one or the other")
+                    graft.streaming.Streaming.annIngest(
+                      out, ai.idCol, ai.vecCol, ai.indexDir, ai.checkpointDir)
+                  case _ =>
                     val sink = root.save.getOrElse(
                       throw new IllegalArgumentException("streaming pipeline needs a root save sink"))
                     startStreamSink(out, sink)

@@ -356,6 +356,14 @@ object Similarity {
       s"saveAnnIndex: nlist must be in [1, 65536], got $nlist")
     val cents = ivfCentroids(corpus, idCol, vecCol, nlist, refineRounds)
     import spark.implicits._
+    // a REBUILD invalidates any streaming-ingest delta area — leftover
+    // batch dirs would silently union stale vectors (assigned against
+    // the OLD centroids) into every later search
+    locally {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/index_inc")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) { fs.delete(p, true); () }
+    }
     cents.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("list", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
@@ -400,7 +408,7 @@ object Similarity {
   /** The saved PQ codebooks as kernel-ready metadata ((j, c)-ordered).
     * Loud by name when the index stores codes but the codebooks are
     * missing/damaged — a silent fallback would score garbage. */
-  private def loadCodebooks(
+  private[graft] def loadCodebooks(
       spark: org.apache.spark.sql.SparkSession, indexDir: String): Seq[Seq[Seq[Double]]] = {
     val rows =
       try spark.read.parquet(s"$indexDir/codebooks").collect()
@@ -423,7 +431,7 @@ object Similarity {
   }
 
   /** The saved centroid table as kernel-ready metadata (list-ordered). */
-  private def loadCentroids(
+  private[graft] def loadCentroids(
       spark: org.apache.spark.sql.SparkSession, indexDir: String): Seq[Seq[Double]] = {
     val cRows =
       try spark.read.parquet(s"$indexDir/centroids").collect()
@@ -435,6 +443,22 @@ object Similarity {
       s"ann index: ${cRows.length} centroids exceed the 65536 metadata bound")
     cRows.sortBy(_.getAs[Int]("list"))
       .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toSeq).toSeq
+  }
+
+  /** Read the index rows as base ∪ streaming-ingest DELTA:
+    * [[graft.streaming.Streaming.annIngest]] lands each micro-batch as
+    * an OVERWRITTEN `batch=<id>` child of `index_inc` (idempotent
+    * replays — an in-place append would double-land a replayed batch),
+    * and every reader unions the two areas. The delta's `batch`
+    * partition column is bookkeeping, never data; `list` is a partition
+    * column in BOTH layouts, so probe pruning applies on both sides. */
+  private def readIndexRows(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val base = spark.read.parquet(s"$dir/index")
+    val inc = s"$dir/index_inc"
+    if (Artifacts.dirExists(spark, inc))
+      base.unionByName(spark.read.parquet(inc).drop("batch"))
+    else base
   }
 
   /** APPEND new vectors to a [[saveAnnIndex]] artifact: assign each row to
@@ -462,25 +486,38 @@ object Similarity {
     // footers only.
     val isPq = spark.read.parquet(s"$dir/index").schema
       .fieldNames.contains("codes")
-    if (isPq) {
-      val cbs = loadCodebooks(spark, dir)
-      corpus.select(
-          col(idCol).as("id"),
-          graft.functions.PqKernels.pqEncode(col(vecCol), cbs).as("codes"),
-          element_at(nearestLists(col(vecCol), cents, 1), 1).as("list"))
-        .withColumn("norm", l2Norm(
-          graft.functions.PqKernels.pqDecode(col("codes"), cbs)))
-        .select("id", "codes", "norm", "list")
-        .write.mode("append").partitionBy("list").parquet(s"$dir/index")
-    } else {
-      corpus.select(
-          col(idCol).as("id"),
-          col(vecCol).as("vec"),
-          l2Norm(col(vecCol)).as("norm"),
-          element_at(nearestLists(col(vecCol), cents, 1), 1).as("list"))
-        .write.mode("append").partitionBy("list").parquet(s"$dir/index")
-    }
+    encodeIndexRows(corpus, idCol, vecCol, cents,
+        if (isPq) Some(loadCodebooks(spark, dir)) else None)
+      .write.mode("append").partitionBy("list").parquet(s"$dir/index")
   }
+
+  /** The (id, vec|codes, norm, list) index-row encoding over FIXED
+    * geometry (saved centroids, and saved codebooks for a PQ index) —
+    * shared by [[appendAnnIndex]] and the streaming
+    * [[graft.streaming.Streaming.annIngest]] so the two append paths can
+    * never drift. */
+  private[graft] def encodeIndexRows(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Seq[Seq[Double]],
+      cbs: Option[Seq[Seq[Seq[Double]]]]): DataFrame =
+    cbs match {
+      case Some(cb) =>
+        corpus.select(
+            col(idCol).as("id"),
+            graft.functions.PqKernels.pqEncode(col(vecCol), cb).as("codes"),
+            element_at(nearestLists(col(vecCol), cents, 1), 1).as("list"))
+          .withColumn("norm", l2Norm(
+            graft.functions.PqKernels.pqDecode(col("codes"), cb)))
+          .select("id", "codes", "norm", "list")
+      case None =>
+        corpus.select(
+            col(idCol).as("id"),
+            col(vecCol).as("vec"),
+            l2Norm(col(vecCol)).as("norm"),
+            element_at(nearestLists(col(vecCol), cents, 1), 1).as("list"))
+    }
 
   /** COMPACT a [[saveAnnIndex]] artifact: every [[appendAnnIndex]] lands
     * one more file set per touched list directory — after many appends
@@ -490,7 +527,8 @@ object Similarity {
     * [[annIndexStats]]: compact for fragmentation, rebuild for skew. */
   def compactAnnIndex(
       spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
-    Artifacts.compactPartitionedDir(spark, s"$dir/index", "list")
+    Artifacts.foldIncInto(spark, s"$dir/index", s"$dir/index_inc",
+      Some("list"))
 
   /** Index HEALTH view over a [[saveAnnIndex]] artifact — the
     * rebuild-vs-append decision input ([[appendAnnIndex]]'s documented
@@ -512,7 +550,7 @@ object Similarity {
       dir: String
   ): DataFrame = {
     val nl = loadCentroids(spark, dir).size
-    val counts = spark.read.parquet(s"$dir/index")
+    val counts = readIndexRows(spark, dir)
       .groupBy(col("list")).agg(count(lit(1)).as("__n"))
     counts.agg(
         lit(nl).as("n_lists"),
@@ -553,7 +591,7 @@ object Similarity {
     Seq(scoreCol, flagCol).foreach(c => require(!df.columns.contains(c),
       s"annProbeIndex: output column '$c' already exists — rename it first"))
     val spark = df.sparkSession
-    val idxDf = spark.read.parquet(s"$indexDir/index")
+    val idxDf = readIndexRows(spark, indexDir)
     require(idxDf.columns.contains("vec"),
       "annProbeIndex: this index stores PQ codes — the probe tier " +
         "scores EXACT watchlist vectors (a watchlist is bounded; build " +
@@ -617,12 +655,12 @@ object Similarity {
     // allow-list; a corpus-scale one shuffles id-shaped rows, never
     // vectors from the disallowed side).
     val idx = allowed match {
-      case None => spark.read.parquet(s"$indexDir/index")
+      case None => readIndexRows(spark, indexDir)
       case Some(a) =>
         require(a.columns.contains(allowedIdCol),
           s"annSearchIndex: the allowed frame has no id column " +
             s"'$allowedIdCol' (has: ${a.columns.mkString(", ")})")
-        spark.read.parquet(s"$indexDir/index")
+        readIndexRows(spark, indexDir)
           .join(a.select(col(allowedIdCol).as("id")), Seq("id"), "left_semi")
     }
     // PQ artifact: candidates reconstruct from their codes (asymmetric

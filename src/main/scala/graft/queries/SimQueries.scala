@@ -669,6 +669,46 @@ object SimQueries extends QueryPack {
        "order_by": ["query_id asc", "rank asc"]}""")
   }
 
+  // q276 — CONTINUOUS vector ingest (`ann_ingest`) under the driver
+  // hash: q256's lifecycle with the append leg replaced by the STREAM —
+  // seed the index over the even half (saved centroids = the fixed
+  // geometry), stream the odd half through the ann_ingest root sink
+  // (each micro-batch assigns against the SAVED centroids and lands as
+  // an overwritten batch=<id> delta partition — the idempotent-replay
+  // layout), fold the delta in with mode:"compact", then a full-coverage
+  // search must STILL equal brute-force top-3 over the whole corpus.
+  private val q276Base =
+    s"${System.getProperty("java.io.tmpdir")}/graft_q276_index"
+  private def q276(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir)
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).toSeq.flatten.foreach(rmrf)
+      p.delete(); ()
+    }
+    rmrf(new java.io.File(q276Base))
+    Similarity.saveAnnIndex(
+      s, emb(s, dir).filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("match_id"), col("embedding")),
+      "match_id", "embedding", s"$q276Base/idx", nlist = 16)
+    emb(s, dir).filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("match_id"), col("embedding"))
+      .coalesce(2).write.mode("overwrite").parquet(s"$q276Base/in")
+    val q = graft.compile.Compiler.compileStreamJson(s, s"""
+      {"source": {"path": "$q276Base/in"},
+       "ann_ingest": {"id_col": "match_id", "vec_col": "embedding",
+                      "index_dir": "$q276Base/idx",
+                      "checkpoint_dir": "$q276Base/ckpt"}}""")
+    try q.processAllAvailable() finally q.stop()
+    graft.compile.Compiler.compileJson(s, s"""
+      {"source": {"table": "embeddings"},
+       "ann_index": {"dir": "$q276Base/idx", "mode": "compact"}}""")
+    graft.compile.Compiler.compileJson(s, s"""
+      {"source": {"sql": "SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10"},
+       "ann_search": {"id_col": "query_id", "vec_col": "embedding",
+                      "index_dir": "$q276Base/idx", "k": 3, "nprobe": 16},
+       "order_by": ["query_id asc", "rank asc"]}""")
+  }
+
   // q259 — FILTERED ANN search (the vector-store "metadata filter"): the
   // allow-list def restricts candidates BEFORE scoring and top-k, so
   // every query gets its k best matches FROM THE ALLOWED SUBSET — a
@@ -746,6 +786,7 @@ object SimQueries extends QueryPack {
     Q("q250_ann_index_stats", q250, Some(q250Sql)),
     Q("q253_ann_index_pq", q253, Some(q253Sql)),
     Q("q256_ann_index_lifecycle", q256, Some(bruteTopKSql(3))),
+    Q("q276_ann_ingest_lifecycle", q276, Some(bruteTopKSql(3))),
     Q("q259_ann_filtered_search", q259, Some(q259Sql)),
     Q("q31_cosine_topk", q31, Some(q31Sql)),
     Q("q32_embedding_neardup", q32, Some(q32Sql)),

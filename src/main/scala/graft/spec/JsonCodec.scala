@@ -1421,6 +1421,14 @@ object JsonCodec {
           indexDir = req(d, ctx, "index_dir", "indexDir").asText,
           checkpointDir = req(d, ctx, "checkpoint_dir", "checkpointDir").asText)
       },
+      annIngest = optN("ann_ingest", "annIngest").map { d =>
+        val ctx = s"node $id: ann_ingest"
+        AnnIngestSpec(
+          idCol = req(d, ctx, "id_col", "idCol").asText,
+          vecCol = req(d, ctx, "vec_col", "vecCol").asText,
+          indexDir = req(d, ctx, "index_dir", "indexDir").asText,
+          checkpointDir = req(d, ctx, "checkpoint_dir", "checkpointDir").asText)
+      },
       sequencePack = optN("sequence_pack", "sequencePack").map { d =>
         val ctx = s"node $id: sequence_pack"
         val sp = SequencePackSpec(

@@ -1320,6 +1320,22 @@ final case class Bm25IngestSpec(
     checkpointDir: String
 )
 
+/** Continuous ANN-index maintenance (NS; Streaming.annIngest) — the
+  * vector sibling of [[Bm25IngestSpec]], completing the
+  * retrieval-artifact pair: each micro-batch assigns its vectors to the
+  * SAVED centroids (PQ indexes encode against the SAVED codebooks — no
+  * refit, shipped results never change) and lands as an OVERWRITTEN
+  * `batch=<id>` delta partition beside the `ann_index` artifact at
+  * `indexDir` (idempotent replays); searches/probes/stats read
+  * base ∪ delta, `ann_index mode:"compact"` folds the delta in. Seed
+  * with `ann_index` first. Streaming-only root sink. */
+final case class AnnIngestSpec(
+    idCol: String,
+    vecCol: String,
+    indexDir: String,
+    checkpointDir: String
+)
+
 /** One pipeline node = the reference's per-config processing unit:
   * source → filters → keep_columns → aggregate → rename → withColumns →
   * bitemporal → join children → orderBy → save.
@@ -1412,6 +1428,7 @@ final case class NodeSpec(
     sketchIngest: Option[SketchIngestSpec] = None, // streaming-only root sink
     tarPackIngest: Option[TarPackIngestSpec] = None, // streaming-only root sink
     bm25Ingest: Option[Bm25IngestSpec] = None, // streaming-only root sink
+    annIngest: Option[AnnIngestSpec] = None, // streaming-only root sink
     sequencePack: Option[SequencePackSpec] = None, // after bpe_apply, before with_columns
     cache: Boolean = false // defs-only: persist() the compiled stage
 )

@@ -513,6 +513,54 @@ object Streaming {
       .start()
   }
 
+  /** Continuous ANN-INDEX maintenance — the VECTOR sibling of
+    * [[bm25Ingest]], completing the retrieval-artifact pair: each
+    * micro-batch assigns its vectors to the SAVED centroids (no refit —
+    * shipped search results for old vectors never change, the
+    * [[graft.ops.Similarity.appendAnnIndex]] contract) — and, for a PQ
+    * index, encodes against the SAVED codebooks — then lands as an
+    * OVERWRITTEN `batch=<id>` child of the `index_inc` delta area
+    * (idempotent replays; an in-place append would double-land).
+    * Searches, probes, and stats read base ∪ delta; `ann_index
+    * mode:"compact"` folds the delta in. There is no stats table to
+    * refresh — ANN stats aggregate live.
+    *
+    * The index MUST be seeded by saveAnnIndex first (centroids/codebooks
+    * are the fixed geometry — the batch-train → stream-ingest contract
+    * [[semanticIngest]] follows); centroid drift under heavy growth is
+    * the documented trade — watch `ann_index mode:"stats"` and rebuild
+    * when skew degrades. Fresh vector ids are the caller's contract. */
+  def annIngest(
+      incoming: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexDir: String,
+      checkpointDir: String
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.ops.Similarity
+    // fail at DECLARATION, not inside the first micro-batch
+    val spark0 = incoming.sparkSession
+    val cents =
+      try Similarity.loadCentroids(spark0, indexDir)
+      catch { case e: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          s"ann_ingest: no ANN index under $indexDir — seed it with " +
+            s"ann_index (saveAnnIndex) first: ${e.getMessage}") }
+    val isPq = spark0.read.parquet(s"$indexDir/index").schema
+      .fieldNames.contains("codes")
+    val cbs = if (isPq) Similarity.loadCodebooks(spark0, indexDir) else Nil
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Similarity.encodeIndexRows(batch, idCol, vecCol, cents,
+            if (isPq) Some(cbs) else None)
+          .write.mode("overwrite").partitionBy("list")
+          .parquet(s"$indexDir/index_inc/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** Continuous SEMANTIC dedup ingestion — the embedding sibling of
     * [[nearDupIngest]]/[[passageIngest]], completing the incremental
     * trio across modalities: each micro-batch is deduped against the

@@ -1203,6 +1203,16 @@ class JsonCodecSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](root(
       """{"bm25_ingest": {"id_col": "d", "index_dir": "/i",
           "checkpoint_dir": "/k"}}""")).getMessage.contains("text_col"))
+
+    val ai = root("""
+      {"ann_ingest": {"id_col": "vec_id", "vec_col": "embedding",
+                      "index_dir": "/i", "checkpoint_dir": "/k"}}""")
+      .annIngest.get
+    assert(ai.idCol == "vec_id" && ai.vecCol == "embedding" &&
+      ai.indexDir == "/i" && ai.checkpointDir == "/k")
+    assert(intercept[IllegalArgumentException](root(
+      """{"ann_ingest": {"id_col": "d", "index_dir": "/i",
+          "checkpoint_dir": "/k"}}""")).getMessage.contains("vec_col"))
   }
 
   test("sequence_pack rejects the stated drop_last: false under best_fit") {

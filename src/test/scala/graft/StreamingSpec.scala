@@ -940,6 +940,121 @@ class StreamingSpec extends SparkSpec {
     assert(eTwo.getMessage.contains("ONE"), eTwo.getMessage)
   }
 
+  test("annIngest: streamed vectors land as replay-safe deltas against the saved geometry; search == full rebuild") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.ops.Similarity
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_anning").toString
+    val idx = s"$base/idx"
+    def vec(seed: Int): Seq[Double] =
+      Seq.tabulate(8)(i => ((seed * 31 + i * 7) % 13 - 6).toDouble)
+    val seed = (0L until 20L).map(i => (i, vec(i.toInt)))
+    Similarity.saveAnnIndex(spark, seed.toDF("id0", "emb"),
+      "id0", "emb", idx, nlist = 4)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val sdf = mem.toDF.toDF("id0", "emb")
+    // unseeded index rejects at DECLARATION, by name
+    assert(intercept[IllegalArgumentException](
+      Streaming.annIngest(sdf, "id0", "emb", s"$base/absent", s"$base/ck0"))
+      .getMessage.contains("seed"))
+    val streamed = (20L until 30L).map(i => (i, vec(i.toInt)))
+    val q = Streaming.annIngest(sdf, "id0", "emb", idx, s"$base/ckpt")
+    try {
+      mem.addData(streamed.take(5): _*); q.processAllAvailable()
+      mem.addData(streamed.drop(5): _*); q.processAllAvailable()
+    } finally q.stop()
+    // full-coverage search over base ∪ delta == brute-force cosine top-k
+    // over the union corpus
+    val all = (seed ++ streamed).toDF("cid", "emb")
+    val qs = (0L until 5L).map(i => (i + 1000L, vec(i.toInt))).toDF("qid", "qv")
+    def asSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "match_id", "score", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val got = asSet(Similarity.annSearchIndex(qs, "qid", "qv", idx,
+      k = 3, nprobe = 4))
+    val want = asSet(Similarity.cosineTopK(qs, all, "qid", "qv", "cid", "emb", 3)
+      .withColumnRenamed("cid", "match_id"))
+    assert(got == want, s"search after streamed ingest diverged:\n$got\n$want")
+    // stats see the union; compact folds the delta; search is bit-identical
+    assert(Similarity.annIndexStats(spark, idx)
+      .select("n_vectors").head.getLong(0) == 30L)
+    assert(new java.io.File(s"$idx/index_inc").exists &&
+      new java.io.File(s"$idx/index_inc").listFiles()
+        .exists(_.getName.startsWith("batch=")))
+    Similarity.compactAnnIndex(spark, idx)
+    assert(!new java.io.File(s"$idx/index_inc").exists,
+      "compact must fold the delta area in and drop it")
+    assert(asSet(Similarity.annSearchIndex(qs, "qid", "qv", idx,
+      k = 3, nprobe = 4)) == got, "delta fold must be bit-invisible")
+    // a REBUILD drops a leftover delta (stale vectors assigned against
+    // the OLD centroids must not union into the new index)
+    val mem2 = MemoryStream[(Long, Seq[Double])]
+    val q2 = Streaming.annIngest(mem2.toDF.toDF("id0", "emb"),
+      "id0", "emb", idx, s"$base/ckpt2")
+    try { mem2.addData((99L, vec(99))); q2.processAllAvailable() }
+    finally q2.stop()
+    Similarity.saveAnnIndex(spark, all.toDF("id0", "emb"),
+      "id0", "emb", idx, nlist = 4)
+    assert(!new java.io.File(s"$idx/index_inc").exists,
+      "rebuild must drop the stale delta area")
+    assert(Similarity.annIndexStats(spark, idx)
+      .select("n_vectors").head.getLong(0) == 30L)
+  }
+
+  test("ann_ingest config: the vector continuous-ingest sink; PQ indexes encode against saved codebooks; guards") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    val base = java.nio.file.Files.createTempDirectory("graft_anning_cfg").toString
+    val idx = s"$base/idx"
+    val inDir = s"$base/in"
+    def vec(seed: Int): Seq[Double] =
+      Seq.tabulate(8)(i => ((seed * 31 + i * 7) % 13 - 6).toDouble)
+    val seed = (0L until 16L).map(i => (i, vec(i.toInt)))
+    // PQ index: the streamed rows must encode against the SAVED codebooks
+    Similarity.saveAnnIndex(spark, seed.toDF("id0", "emb"),
+      "id0", "emb", idx, nlist = 2, pq = Some((4, 8)))
+    (16L until 24L).map(i => (i, vec(i.toInt))).toDF("id0", "emb")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    val json = s"""
+      {"source": {"path": "$inDir"},
+       "ann_ingest": {"id_col": "id0", "vec_col": "emb",
+                      "index_dir": "$idx",
+                      "checkpoint_dir": "$base/ckpt"}}"""
+    val q = graft.compile.Compiler.compileStreamJson(spark, json)
+    try q.processAllAvailable() finally q.stop()
+    // the delta carries PQ codes, not raw vectors
+    val deltaSchema = spark.read.parquet(s"$idx/index_inc").schema.fieldNames.toSet
+    assert(deltaSchema.contains("codes") && !deltaSchema.contains("vec"),
+      s"PQ delta must store codes: $deltaSchema")
+    // streamed ingest == batch append (the shared encodeIndexRows law):
+    // rebuild a twin index and batch-append the same rows — searches match
+    val twin = s"$base/twin"
+    Similarity.saveAnnIndex(spark, seed.toDF("id0", "emb"),
+      "id0", "emb", twin, nlist = 2, pq = Some((4, 8)))
+    Similarity.appendAnnIndex(spark,
+      (16L until 24L).map(i => (i, vec(i.toInt))).toDF("id0", "emb"),
+      "id0", "emb", twin)
+    val qs = (0L until 4L).map(i => (i + 1000L, vec(i.toInt))).toDF("qid", "qv")
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(
+      asSet(Similarity.annSearchIndex(qs, "qid", "qv", idx, k = 3, nprobe = 2)) ==
+        asSet(Similarity.annSearchIndex(qs, "qid", "qv", twin, k = 3, nprobe = 2)),
+      "streamed PQ ingest must equal the batch append")
+    // guards: batch compile and save-beside reject by name
+    assert(intercept[IllegalArgumentException](
+      graft.compile.Compiler.compileJson(spark, json))
+      .getMessage.contains("STREAMING ROOT sink"))
+    val eBoth = intercept[IllegalArgumentException](
+      graft.compile.Compiler.compileStreamJson(spark, s"""
+        {"source": {"path": "$inDir"},
+         "ann_ingest": {"id_col": "id0", "vec_col": "emb",
+                        "index_dir": "$idx", "checkpoint_dir": "$base/k2"},
+         "save": {"path": "$base/out", "format": "parquet"}}"""))
+    assert(eBoth.getMessage.contains("one or the other"), eBoth.getMessage)
+  }
+
   test("passageIngest: later batches strip passages seen in earlier ones; cleaned text is what enters history") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
