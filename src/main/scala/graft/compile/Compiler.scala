@@ -21,11 +21,14 @@ object Compiler {
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Detects the O(partition²) window-frame shape in a derive expression
-    * string (see the derive-site warning). Matches the frame BOUND
-    * keyword pair, not mere mentions; first/last/lead over such a frame
-    * are all the same trap. */
+    * string (see the derive-site warning). Anchored on the exact
+    * quadratic bound pair CURRENT ROW AND UNBOUNDED FOLLOWING: the
+    * whole-partition [unboundedPreceding, unboundedFollowing] frame is
+    * computed ONCE per partition (UnboundedWindowFunctionFrame, O(n))
+    * and must NOT warn — rewriting it to a running frame would also
+    * change its semantics. */
   private[graft] val unboundedFollowingRe =
-    """(?is)and\s+unbounded\s+following""".r
+    """(?is)current\s+row\s+and\s+unbounded\s+following""".r
 
   /** Persisted `cache: true` def stages, keyed by the compiled root
     * DataFrame they back (identity — DataFrame has reference equality).
@@ -58,12 +61,18 @@ object Compiler {
     }
 
   /** OPERATOR-INTERNAL persists (e.g. collocations' vocabulary-shaped
-    * counts table) register here so the same hygiene that releases
-    * `cache: true` def stages ([[releaseCaches]] / [[releaseAllCaches]])
-    * sweeps them too — an operator returning a lazy frame has no safe
-    * point to unpersist itself. */
+    * counts table) — swept by [[releaseAllCaches]], the bench/test
+    * hygiene hammer. STRONG references on purpose, unlike the def-cache
+    * registry above: the operator's result is usually an intermediate
+    * frame nobody retains, so a weak entry could be collected while
+    * Spark's CacheManager still pins the cached blocks — the registry
+    * would forget a cache it can no longer release (an operator
+    * returning a lazy frame has no safe point to unpersist itself). */
+  private val operatorCaches =
+    scala.collection.mutable.ListBuffer[DataFrame]()
+
   private[graft] def trackOperatorCache(result: DataFrame, cached: DataFrame): Unit =
-    trackPersisted(result, Seq(cached))
+    operatorCaches.synchronized { operatorCaches += cached; () }
 
   /** Release the `cache: true` def stages behind a [[compile]] result —
     * call after the root sink action completes. Idempotent; a result
@@ -76,10 +85,16 @@ object Compiler {
 
   /** Release EVERY def stage any compile has persisted and not yet
     * released — the bench-loop / test-teardown hammer. */
-  def releaseAllCaches(): Unit = persistedByResult.synchronized {
-    val it = allPersisted.iterator()
-    while (it.hasNext) { it.next().unpersist(blocking = false); it.remove() }
-    persistedByResult.clear()
+  def releaseAllCaches(): Unit = {
+    persistedByResult.synchronized {
+      val it = allPersisted.iterator()
+      while (it.hasNext) { it.next().unpersist(blocking = false); it.remove() }
+      persistedByResult.clear()
+    }
+    operatorCaches.synchronized {
+      operatorCaches.foreach(_.unpersist(blocking = false))
+      operatorCaches.clear()
+    }
   }
 
   /** Optional validation: resolve referenced columns up front (the reference

@@ -65,6 +65,36 @@ object Artifacts {
     swapDir(spark, tmp, dir)
   }
 
+  /** True when the delta dir exists AND holds at least one DATA file:
+    * an all-empty micro-batch write can leave a fileless `batch=` dir
+    * (just _SUCCESS), and a bare parquet read of it dies on schema
+    * inference — readers must treat such a delta as absent. */
+  def incHasData(spark: SparkSession, inc: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(inc)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    def walk(d: org.apache.hadoop.fs.Path): Boolean = {
+      val st = fs.listStatus(d)
+      st.exists(f => f.isFile && f.getLen > 0 &&
+        !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith(".")) ||
+        st.exists(f => f.isDirectory && walk(f.getPath))
+    }
+    fs.exists(p) && walk(p)
+  }
+
+  /** Read an artifact table as base ∪ streaming-ingest DELTA — the ONE
+    * reader the bm25 and ann index artifacts share (a drifted copy of
+    * this contract is how fileless-delta and schema-mismatch bugs creep
+    * in). The delta's `batch` partition column is bookkeeping, never
+    * data; a fileless delta reads as absent. */
+  def readWithInc(spark: SparkSession, base: String, inc: String)
+      : org.apache.spark.sql.DataFrame = {
+    val b = spark.read.parquet(base)
+    if (incHasData(spark, inc))
+      b.unionByName(spark.read.parquet(inc).drop("batch"))
+    else b
+  }
+
   /** Fold a streaming-ingest DELTA area (`$base` sibling written as
     * one `batch=<id>` child dir per micro-batch — the idempotent-replay
     * layout) into the base table, then drop it: read base ∪ inc (the
@@ -87,11 +117,18 @@ object Artifacts {
     val oldInc = new org.apache.hadoop.fs.Path(s"$inc.old")
     val fs = oldInc.getFileSystem(spark.sessionState.newHadoopConf())
     require(!fs.exists(oldInc),
-      s"compact: $inc.old exists — a prior delta fold crashed mid-swap; " +
-        s"rename it back to $inc (and delete $base.compact) if the base " +
-        "swap did not complete, or delete it if it did (base already " +
-        s"holds the delta exactly when $base.compact is gone)")
-    if (!dirExists(spark, inc)) {
+      s"compact: $inc.old exists — a prior delta fold crashed mid-swap. " +
+        s"Recover: if $base itself is MISSING, first restore it from " +
+        s"$base.old (the swap died between its two renames); then, if " +
+        s"$base.compact still exists the folded rewrite completed — " +
+        s"finish by renaming $base.compact over $base and deleting " +
+        s"$inc.old; otherwise rename $inc.old back to $inc and re-run")
+    if (!incHasData(spark, inc)) {
+      // a fileless delta (all-empty micro-batches) is junk — drop it so
+      // it cannot linger past the compaction that should retire it
+      if (dirExists(spark, inc)) {
+        fs.delete(new org.apache.hadoop.fs.Path(inc), true); ()
+      }
       partCol match {
         case Some(pc) => compactPartitionedDir(spark, base, pc)
         case None     => compactFlatDir(spark, base)

@@ -287,8 +287,10 @@ object Relational {
     val unioned = l.unionByName(r, allowMissingColumns = true)
 
     // Duplicate right rows at one (on, ts): the LARGEST tie-break value
-    // wins in EVERY direction — backward's last() over tie-asc and
-    // forward's first() over tie-DESC pick the same winner.
+    // wins in EVERY direction — backward's last() over (ts ASC, tie ASC)
+    // and forward's last() over the REVERSED (ts DESC, tie ASC) order
+    // both see the largest tie value LAST among a (on, ts) duplicate
+    // group, so they pick the same winner (OpsSpec pins it).
     // backward: right-before-left at equal ts → last() ≤-inclusive
     val wb = Window.partitionBy(on.map(col): _*)
       .orderBy(Seq(col(ts).asc, col(side).asc) ++
@@ -613,10 +615,19 @@ object Relational {
       floor(col(rn(rLo)) / lit(bucket)).cast("long"))
     val cond = (Seq(col(b) === col(rn(b)), overlap, firstCell) ++
       on.map(k => col(k) === col(rn(k)))).reduce(_ && _)
-    val matched = l.join(r, cond, "inner")
+    val matchedPlain = l.join(r, cond, "inner")
       .select(left.columns.map(col) ++ pay.map(c => col(rn(c)).as(c)): _*)
-    if (how == "inner") matched
+    if (how == "inner") matchedPlain
     else {
+      // the matched frame feeds BOTH the pad-key distinct and the final
+      // union — without a persist the cell-explode join would execute
+      // twice per action (relying on exchange reuse to dedupe identical
+      // subtrees is exactly what the collocations plan audit showed NOT
+      // to hold). Output-shaped cache, registered with the compiler's
+      // hygiene registry (batch-only path — a lazily-returned frame has
+      // no safe self-unpersist point).
+      val matched = matchedPlain
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // LEFT: pad non-overlapping left rows with NULL payload. A left
       // row's match set is a pure function of its column VALUES (the
       // join condition reads nothing else), so identical left rows have
@@ -640,7 +651,9 @@ object Relational {
       val padded = left.join(mk, antiCond, "left_anti")
         .select(left.columns.map(col) ++
           pay.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
-      matched.unionByName(padded)
+      val result = matched.unionByName(padded)
+      graft.compile.Compiler.trackOperatorCache(result, matched)
+      result
     }
   }
 

@@ -222,16 +222,19 @@ object Retrieval {
         p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
         ()
       }
+      val dl = toks.select(col("doc"), size(col("__t")).cast("long").as("dl"))
+      dl.write.mode("overwrite").parquet(s"$dir/dl")
       // a REBUILD also invalidates any streaming-ingest delta areas —
       // leftover batch dirs would silently union stale docs into every
-      // later search
+      // later search. Deleted AFTER the new base landed (a crashed
+      // rebuild leaves the pre-rebuild view readable — re-run to finish)
+      // and BEFORE the stats refresh (stats must never count the stale
+      // delta against the new base).
       Seq("postings_inc", "postings2_inc", "dl_inc").foreach { sub =>
         val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
         val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
         if (fs.exists(p)) { fs.delete(p, true); () }
       }
-      val dl = toks.select(col("doc"), size(col("__t")).cast("long").as("dl"))
-      dl.write.mode("overwrite").parquet(s"$dir/dl")
       writeBm25Stats(spark, dir, buckets, prox, idCol)
     } finally {
       toks.unpersist()
@@ -249,20 +252,14 @@ object Retrieval {
     * partition column in each layout). */
   private def readIndexTable(
       spark: org.apache.spark.sql.SparkSession,
-      dir: String, sub: String): DataFrame = {
-    val base = spark.read.parquet(s"$dir/$sub")
-    val inc = s"$dir/${sub}_inc"
-    if (Artifacts.dirExists(spark, inc))
-      base.unionByName(spark.read.parquet(inc).drop("batch"))
-    else base
-  }
+      dir: String, sub: String): DataFrame =
+    Artifacts.readWithInc(spark, s"$dir/$sub", s"$dir/${sub}_inc")
 
   /** Refresh `dir/stats` from the landed `dir/dl` (∪ delta) — exact at
     * any append count (one aggregate over the doc-shaped dl table). */
   private[graft] def writeBm25Stats(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       buckets: Int, prox: Boolean, idCol: String): Unit = {
-    import spark.implicits._
     val st = readIndexTable(spark, dir, "dl")
       .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head
     require(st.getLong(0) > 0, "saveBm25Index: empty corpus")
@@ -272,7 +269,21 @@ object Retrieval {
     require(st.getLong(1) > 0,
       "saveBm25Index: the corpus tokenizes to ZERO tokens (every text " +
         "empty/whitespace) — there is nothing to index")
-    Seq((st.getLong(0), st.getLong(1), buckets, prox, idCol))
+    writeBm25StatsRow(spark, dir, st.getLong(0), st.getLong(1),
+      buckets, prox, idCol)
+  }
+
+  /** Write the one-row stats table from ALREADY-COMPUTED exact sums —
+    * the O(delta) path [[graft.streaming.Streaming.bm25Ingest]] uses
+    * (base sums cached per stream + one aggregate over the small delta;
+    * re-aggregating the full doc-shaped dl per micro-batch would make
+    * ingest cost O(corpus) per batch). */
+  private[graft] def writeBm25StatsRow(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      nDocs: Long, sumDl: Long, buckets: Int, prox: Boolean,
+      idCol: String): Unit = {
+    import spark.implicits._
+    Seq((nDocs, sumDl, buckets, prox, idCol))
       .toDF("n_docs", "sum_dl", "buckets", "prox", "id_col")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
   }

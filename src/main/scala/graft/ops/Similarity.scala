@@ -356,14 +356,6 @@ object Similarity {
       s"saveAnnIndex: nlist must be in [1, 65536], got $nlist")
     val cents = ivfCentroids(corpus, idCol, vecCol, nlist, refineRounds)
     import spark.implicits._
-    // a REBUILD invalidates any streaming-ingest delta area — leftover
-    // batch dirs would silently union stale vectors (assigned against
-    // the OLD centroids) into every later search
-    locally {
-      val p = new org.apache.hadoop.fs.Path(s"$dir/index_inc")
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(p)) { fs.delete(p, true); () }
-    }
     cents.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("list", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
@@ -402,6 +394,17 @@ object Similarity {
             graft.functions.PqKernels.pqDecode(col("codes"), cbs)))
           .select("id", "codes", "norm", "list")
           .write.mode("overwrite").partitionBy("list").parquet(s"$dir/index")
+    }
+    // a REBUILD invalidates any streaming-ingest delta area — leftover
+    // batch dirs would silently union stale vectors (assigned against
+    // the OLD centroids) into every later search. Deleted LAST, after
+    // the new index landed: a rebuild that crashes mid-write leaves the
+    // pre-rebuild view (old base ∪ delta) still readable, never a
+    // silently delta-less old index — re-run the rebuild to finish.
+    locally {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/index_inc")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) { fs.delete(p, true); () }
     }
   }
 
@@ -453,13 +456,8 @@ object Similarity {
     * partition column is bookkeeping, never data; `list` is a partition
     * column in BOTH layouts, so probe pruning applies on both sides. */
   private def readIndexRows(
-      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val base = spark.read.parquet(s"$dir/index")
-    val inc = s"$dir/index_inc"
-    if (Artifacts.dirExists(spark, inc))
-      base.unionByName(spark.read.parquet(inc).drop("batch"))
-    else base
-  }
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    Artifacts.readWithInc(spark, s"$dir/index", s"$dir/index_inc")
 
   /** APPEND new vectors to a [[saveAnnIndex]] artifact: assign each row to
     * its nearest SAVED centroid (the centroids do not refit — shipped

@@ -484,30 +484,62 @@ object Streaming {
     val buckets = st0.getAs[Int]("buckets")
     val prox = st0.getAs[Boolean]("prox")
     val statsIdCol = st0.getAs[String]("id_col")
+    // The BASE dl sums are cached across micro-batches: re-aggregating
+    // the full doc-shaped dl per batch would make ingest cost O(corpus)
+    // per micro-batch. Re-read exactly when the delta area is absent at
+    // batch start — the first batch, or a compact just folded the delta
+    // (and its docs) into the base. (Batch-mode appends beside a LIVE
+    // stream would stale this cache until the next fold — don't mix
+    // them; the batch path is `bm25_index mode:"append"` on its own.)
+    def aggDl(s: org.apache.spark.sql.SparkSession, path: String): (Long, Long) = {
+      val r = s.read.parquet(path)
+        .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    var baseStats: Option[(Long, Long)] = None
     incoming.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
+        val incWasThere =
+          graft.ops.Artifacts.incHasData(s, s"$indexDir/dl_inc")
         val toks = batch.select(col(idCol).as("doc"),
           graft.ops.TextAnalysis.tokens(col(textCol)).as("__t"))
           .persist()
         try {
-          toks.select(col("doc"), size(col("__t")).cast("long").as("dl"))
-            .write.mode("overwrite").parquet(s"$indexDir/dl_inc/batch=$batchId")
-          def postingsOver(docTerms: org.apache.spark.sql.Column): DataFrame =
-            toks.select(col("doc"), explode(docTerms).as("term"))
-              .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
-              .withColumn("bucket",
-                pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int"))
-          postingsOver(col("__t")).write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(s"$indexDir/postings_inc/batch=$batchId")
-          if (prox)
-            postingsOver(graft.ops.Retrieval.bigrams(col("__t")))
-              .write.mode("overwrite").partitionBy("bucket")
-              .parquet(s"$indexDir/postings2_inc/batch=$batchId")
-          graft.ops.Retrieval.writeBm25Stats(s, indexDir, buckets, prox,
-            statsIdCol)
+          // ONE action sizes the batch: an all-empty micro-batch must
+          // write NOTHING (an empty partitioned write leaves a fileless
+          // batch dir; readers treat those as absent, but junk dirs
+          // should not accumulate), and a zero-token batch has dl rows
+          // to land but no postings.
+          val bst = toks
+            .agg(count(lit(1)),
+              coalesce(sum(greatest(size(col("__t")), lit(0))), lit(0L))).head
+          val (nRows, nTok) = (bst.getLong(0), bst.getLong(1))
+          if (nRows > 0) {
+            toks.select(col("doc"), size(col("__t")).cast("long").as("dl"))
+              .write.mode("overwrite").parquet(s"$indexDir/dl_inc/batch=$batchId")
+            if (nTok > 0) {
+              def postingsOver(docTerms: org.apache.spark.sql.Column): DataFrame =
+                toks.select(col("doc"), explode(docTerms).as("term"))
+                  .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+                  .withColumn("bucket",
+                    pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int"))
+              postingsOver(col("__t")).write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(s"$indexDir/postings_inc/batch=$batchId")
+              if (prox)
+                postingsOver(graft.ops.Retrieval.bigrams(col("__t")))
+                  .write.mode("overwrite").partitionBy("bucket")
+                  .parquet(s"$indexDir/postings2_inc/batch=$batchId")
+            }
+            if (!incWasThere || baseStats.isEmpty)
+              baseStats = Some(aggDl(s, s"$indexDir/dl"))
+            val (bn, bsum) = baseStats.get
+            val (in_, isum) = aggDl(s, s"$indexDir/dl_inc") // delta-shaped
+            graft.ops.Retrieval.writeBm25StatsRow(s, indexDir,
+              bn + in_, bsum + isum, buckets, prox, statsIdCol)
+          }
         } finally { toks.unpersist(); () }
       }
       .start()
@@ -552,10 +584,14 @@ object Streaming {
     incoming.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        Similarity.encodeIndexRows(batch, idCol, vecCol, cents,
-            if (isPq) Some(cbs) else None)
-          .write.mode("overwrite").partitionBy("list")
-          .parquet(s"$indexDir/index_inc/batch=$batchId")
+        // an all-empty micro-batch must write NOTHING: an empty
+        // partitioned write leaves a fileless batch dir (readers treat
+        // those as absent, but junk dirs should not accumulate)
+        if (!batch.isEmpty)
+          Similarity.encodeIndexRows(batch, idCol, vecCol, cents,
+              if (isPq) Some(cbs) else None)
+            .write.mode("overwrite").partitionBy("list")
+            .parquet(s"$indexDir/index_inc/batch=$batchId")
         ()
       }
       .start()

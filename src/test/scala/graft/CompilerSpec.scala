@@ -232,6 +232,10 @@ class CompilerSpec extends SparkSpec {
       "first(v) over (order by ts range between current row and\n unbounded following)").isDefined)
     assert(Compiler.unboundedFollowingRe.findFirstIn(
       "sum(v) OVER (ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)").isEmpty)
+    // the WHOLE-PARTITION frame is O(n) (computed once per partition) —
+    // warning on it would steer users into a semantics-changing rewrite
+    assert(Compiler.unboundedFollowingRe.findFirstIn(
+      "max(v) OVER (PARTITION BY k ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)").isEmpty)
     assert(Compiler.unboundedFollowingRe.findFirstIn(
       "concat(c, 'unbounded following text')").isEmpty) // no AND bound pair
     // a warning, not a rejection: the expression still compiles and computes
