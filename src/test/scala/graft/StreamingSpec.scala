@@ -918,6 +918,26 @@ class StreamingSpec extends SparkSpec {
     assert(asSet(Retrieval.bm25SearchIndex(qs, "qid", "qtext", idx, topK = 3)) ==
       asSet(Retrieval.bm25TopK(all, "doc_id", "text", qs, "qid", "qtext", topK = 3)),
       "config-streamed ingest must equal in-memory BM25 over the union")
+    // a PROX index streams bigram postings too (postings2_inc) and the
+    // proximity-weighted search reflects the union corpus exactly
+    val idxP = s"$base/idxp"
+    Retrieval.saveBm25Index(spark,
+      Seq((1L, "alpha beta gamma")).toDF("doc_id", "text"),
+      "doc_id", "text", idxP, prox = true, buckets = 8)
+    val qp = graft.compile.Compiler.compileStreamJson(spark, s"""
+      {"source": {"path": "$inDir"},
+       "bm25_ingest": {"id_col": "doc_id", "text_col": "text",
+                       "index_dir": "$idxP",
+                       "checkpoint_dir": "$base/ckptp"}}""")
+    try qp.processAllAvailable() finally qp.stop()
+    assert(new java.io.File(s"$idxP/postings2_inc").exists,
+      "prox ingest must land bigram delta postings")
+    assert(
+      asSet(Retrieval.bm25SearchIndex(qs, "qid", "qtext", idxP,
+        topK = 3, proxWeight = 0.5)) ==
+        asSet(Retrieval.bm25TopK(all, "doc_id", "text", qs, "qid", "qtext",
+          topK = 3, proxWeight = 0.5)),
+      "prox-streamed ingest must equal in-memory prox BM25 over the union")
     // guard rails: batch compile and save-beside-ingest reject by name
     assert(intercept[IllegalArgumentException](
       graft.compile.Compiler.compileJson(spark, json))
