@@ -947,6 +947,98 @@ object RelQueries extends QueryPack {
     ORDER BY c.user_id ASC NULLS FIRST, c_id ASC NULLS FIRST,
              v_id ASC NULLS FIRST"""
 
+  // q277 — interval UNION length per key ("busy time"), pure config
+  // (zero new engine code): per user, the total length of the union of
+  // their click-attention spans — overlapping spans must not double
+  // count, the question naive SUM(hi − lo) answers wrongly. Classic
+  // sweep: in (lo, hi, id) order, each span contributes
+  // max(0, hi − max(lo, max-prev-hi)) where max-prev-hi is a running
+  // MAX over the O(n) [unboundedPreceding, 1 PRECEDING] frame — never
+  // a self-join, never an unbounded-following frame. Exact BIGINT
+  // micros end to end.
+  private def q277(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"defs": [
+         {"id": "spans", "source": {"table": "events"},
+          "filters": ["event_type = 'click'"],
+          "derive": {"c_lo": "unix_micros(ts)",
+                     "c_hi": "unix_micros(ts) + (1800 + event_id % 3600) * 1000000"},
+          "keep_columns": ["user_id", "event_id", "c_lo", "c_hi"]}],
+       "source": {"ref": "spans"},
+       "derive": {
+         "prev_hi": "max(c_hi) OVER (PARTITION BY user_id ORDER BY c_lo ASC, c_hi ASC, event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)",
+         "covered_us": "greatest(c_hi - greatest(c_lo, coalesce(prev_hi, c_lo)), 0)"},
+       "aggregate": {"group_by": ["user_id"], "aggregations": [
+         {"col": "covered_us", "func": "sum", "new_name": "busy_us"},
+         {"col": "*", "func": "count", "new_name": "n_spans"}]},
+       "order_by": ["user_id asc"]}""")
+  private val q277Sql = """
+    WITH c AS (
+      SELECT user_id, event_id, epoch_us(ts) AS c_lo,
+             epoch_us(ts) + (1800 + event_id % 3600) * 1000000 AS c_hi
+      FROM events WHERE event_type = 'click'),
+    w AS (
+      SELECT user_id, c_lo, c_hi,
+             MAX(c_hi) OVER (PARTITION BY user_id
+                             ORDER BY c_lo ASC, c_hi ASC, event_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS prev_hi
+      FROM c)
+    SELECT user_id,
+           CAST(SUM(GREATEST(c_hi - GREATEST(c_lo, COALESCE(prev_hi, c_lo)),
+                             0)) AS BIGINT) AS busy_us,
+           CAST(COUNT(*) AS BIGINT) AS n_spans
+    FROM w GROUP BY 1
+    ORDER BY user_id ASC NULLS FIRST"""
+
+  // q278 — MAX CONCURRENCY per key ("peak parallel sessions"), pure
+  // config (zero new engine code): per user, the maximum number of
+  // simultaneously-open view windows. The classic sweep-line: each span
+  // emits (+1 at lo, −1 at hi) markers through ONE scan-stage explode,
+  // a running SUM over the O(n) [unboundedPreceding, currentRow] frame
+  // is the live count, MAX per key is the answer. At an equal instant
+  // the −1 sorts first (d ASC) — half-open spans: a window ending at t
+  // does not overlap one starting at t. Prefix sums within an equal
+  // (t, d) run are order-insensitive as a multiset, so the MAX is
+  // deterministic by construction.
+  private def q278(s: SparkSession, dir: String): DataFrame =
+    graft.compile.Compiler.compileJson(s, """
+      {"defs": [
+         {"id": "markers", "source": {"table": "events"},
+          "filters": ["event_type = 'view'"],
+          "derive": {"v_lo": "unix_micros(ts)",
+                     "v_hi": "unix_micros(ts) + 3600000000",
+                     "m": "explode(array(named_struct('t', v_lo, 'd', 1), named_struct('t', v_hi, 'd', -1)))",
+                     "t": "m.t", "d": "m.d"},
+          "keep_columns": ["user_id", "event_id", "t", "d"]}],
+       "source": {"ref": "markers"},
+       "derive": {
+         "conc": "sum(d) OVER (PARTITION BY user_id ORDER BY t ASC, d ASC, event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"},
+       "aggregate": {"group_by": ["user_id"], "aggregations": [
+         {"col": "conc", "func": "max", "new_name": "max_concurrent"},
+         {"col": "*", "func": "count", "new_name": "n_markers"}]},
+       "order_by": ["user_id asc"]}""")
+  private val q278Sql = """
+    WITH v AS (
+      SELECT user_id, event_id, epoch_us(ts) AS v_lo,
+             epoch_us(ts) + 3600000000 AS v_hi
+      FROM events WHERE event_type = 'view'),
+    m AS (
+      SELECT user_id, event_id, v_lo AS t, 1 AS d FROM v
+      UNION ALL
+      SELECT user_id, event_id, v_hi AS t, -1 AS d FROM v),
+    w AS (
+      SELECT user_id,
+             SUM(d) OVER (PARTITION BY user_id
+                          ORDER BY t ASC, d ASC, event_id ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS conc
+      FROM m)
+    SELECT user_id, CAST(MAX(conc) AS BIGINT) AS max_concurrent,
+           CAST(COUNT(*) AS BIGINT) AS n_markers
+    FROM w GROUP BY 1
+    ORDER BY user_id ASC NULLS FIRST"""
+
   // q270 — contract AUDIT (`expect_report`): the data-quality dashboard
   // twin of q232's fail-fast `expect` — one aggregate pass, one row per
   // rule with its violation count. The `always_null` rule evaluates to
@@ -1018,6 +1110,8 @@ object RelQueries extends QueryPack {
     Q("q272_profile_grouped", q272, Some(q272Sql)),
     Q("q273_overlap_impact", q273, Some(q273Sql)),
     Q("q274_overlap_join_left", q274, Some(q274Sql)),
+    Q("q277_interval_union_len", q277, Some(q277Sql)),
+    Q("q278_max_concurrency", q278, Some(q278Sql)),
     Q("q251_apply_diff", q251, Some(q251Sql)),
     Q("q245_incremental_rebuild", q245, Some(q245Sql)),
     Q("q246_tee_fanout", q246, Some(q246Sql)),
