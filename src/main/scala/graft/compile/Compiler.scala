@@ -53,10 +53,7 @@ object Compiler {
 
   private def trackPersisted(result: DataFrame, cached: Seq[DataFrame]): Unit =
     if (cached.nonEmpty) persistedByResult.synchronized {
-      // merge, don't replace: an operator-internal persist and the
-      // compile's own def caches may both key on the same result frame
-      persistedByResult.put(result,
-        Option(persistedByResult.get(result)).getOrElse(Nil) ++ cached)
+      persistedByResult.put(result, cached)
       cached.foreach(allPersisted.add)
     }
 
@@ -1603,73 +1600,52 @@ object Compiler {
           graft.streaming.Streaming.expectReportStream(
             out, root.expectReport, root.expectReportGroups,
             monitorSink("expect_report"))
-        } else (root.nearDupIngest, root.passageIngest) match {
-          case (Some(_), Some(_)) =>
-            throw new IllegalArgumentException(
-              "near_dup_ingest and passage_ingest are both root sinks — " +
-                "declare one per stream (chain them as two streams over " +
-                "the first sink's corpus directory)")
-          case (Some(ing), None) =>
-            // the ingest's foreachBatch IS the sink — a root `save` beside
-            // it would silently lose one of the two; reject loudly
-            if (root.save.isDefined)
-              throw new IllegalArgumentException(
-                "near_dup_ingest replaces the root save sink — declare one or the other")
-            graft.streaming.Streaming.nearDupIngest(
-              out, ing.idCol, ing.textCol, ing.corpusDir, ing.indexDir,
-              ing.checkpointDir, ing.shingleSize, ing.numHashes, ing.bands,
-              ing.threshold)
-          case (None, Some(ing)) =>
-            if (root.save.isDefined)
-              throw new IllegalArgumentException(
-                "passage_ingest replaces the root save sink — declare one or the other")
-            graft.streaming.Streaming.passageIngest(
-              out, ing.idCol, ing.textCol, ing.corpusDir, ing.indexDir,
-              ing.checkpointDir, ing.windowTokens)
-          case (None, None) => root.tarPackIngest match {
-            case Some(tp) =>
-              if (root.save.isDefined)
-                throw new IllegalArgumentException(
-                  "tar_pack_ingest replaces the root save sink — declare one or the other")
+        } else {
+          // The ingest ROOT SINKS, name → builder. At most one is
+          // present (the ingestCount guard above rejects pairs by
+          // name); each one's foreachBatch IS the sink, so a root
+          // `save` beside it would silently lose one of the two —
+          // reject loudly.
+          val ingestSinks = Seq(
+            root.nearDupIngest.map(ing => "near_dup_ingest" -> (() =>
+              graft.streaming.Streaming.nearDupIngest(
+                out, ing.idCol, ing.textCol, ing.corpusDir, ing.indexDir,
+                ing.checkpointDir, ing.shingleSize, ing.numHashes,
+                ing.bands, ing.threshold))),
+            root.passageIngest.map(ing => "passage_ingest" -> (() =>
+              graft.streaming.Streaming.passageIngest(
+                out, ing.idCol, ing.textCol, ing.corpusDir, ing.indexDir,
+                ing.checkpointDir, ing.windowTokens))),
+            root.tarPackIngest.map(tp => "tar_pack_ingest" -> (() =>
               graft.streaming.Streaming.shardPackStream(
                 out, tp.nameCol, tp.payloadCol, tp.shards, tp.outDir,
-                tp.checkpointDir, tp.trigger)
-            case None => root.exactIngest match {
-              case Some(ei) =>
-                if (root.save.isDefined)
-                  throw new IllegalArgumentException(
-                    "exact_ingest replaces the root save sink — declare one or the other")
-                graft.streaming.Streaming.exactIngest(
-                  out, ei.idCol, ei.keyCols, ei.corpusDir, ei.indexDir,
-                  ei.checkpointDir)
-              case None => root.sketchIngest match {
-                case Some(sk) =>
-                  if (root.save.isDefined)
-                    throw new IllegalArgumentException(
-                      "sketch_ingest replaces the root save sink — declare one or the other")
-                  graft.streaming.Streaming.sketchIngest(
-                    out, sk.keyCol, sk.outDir, sk.checkpointDir,
-                    sk.maxItemsTracked, sk.lgK, sk.groupCols)
-                case None => (root.bm25Ingest, root.annIngest) match {
-                  case (Some(bi), None) =>
-                    if (root.save.isDefined)
-                      throw new IllegalArgumentException(
-                        "bm25_ingest replaces the root save sink — declare one or the other")
-                    graft.streaming.Streaming.bm25Ingest(
-                      out, bi.idCol, bi.textCol, bi.indexDir, bi.checkpointDir)
-                  case (None, Some(ai)) =>
-                    if (root.save.isDefined)
-                      throw new IllegalArgumentException(
-                        "ann_ingest replaces the root save sink — declare one or the other")
-                    graft.streaming.Streaming.annIngest(
-                      out, ai.idCol, ai.vecCol, ai.indexDir, ai.checkpointDir)
-                  case _ =>
-                    val sink = root.save.getOrElse(
-                      throw new IllegalArgumentException("streaming pipeline needs a root save sink"))
-                    startStreamSink(out, sink)
-                }
-              }
-            }
+                tp.checkpointDir, tp.trigger))),
+            root.exactIngest.map(ei => "exact_ingest" -> (() =>
+              graft.streaming.Streaming.exactIngest(
+                out, ei.idCol, ei.keyCols, ei.corpusDir, ei.indexDir,
+                ei.checkpointDir))),
+            root.sketchIngest.map(sk => "sketch_ingest" -> (() =>
+              graft.streaming.Streaming.sketchIngest(
+                out, sk.keyCol, sk.outDir, sk.checkpointDir,
+                sk.maxItemsTracked, sk.lgK, sk.groupCols))),
+            root.bm25Ingest.map(bi => "bm25_ingest" -> (() =>
+              graft.streaming.Streaming.bm25Ingest(
+                out, bi.idCol, bi.textCol, bi.indexDir, bi.checkpointDir))),
+            root.annIngest.map(ai => "ann_ingest" -> (() =>
+              graft.streaming.Streaming.annIngest(
+                out, ai.idCol, ai.vecCol, ai.indexDir, ai.checkpointDir)))
+          ).flatten
+          ingestSinks match {
+            case Seq((name, start)) =>
+              if (root.save.isDefined)
+                throw new IllegalArgumentException(
+                  s"$name replaces the root save sink — declare one or the other")
+              start()
+            case _ =>
+              val sink = root.save.getOrElse(
+                throw new IllegalArgumentException(
+                  "streaming pipeline needs a root save sink"))
+              startStreamSink(out, sink)
           }
         }
       case _: CascadePipeline =>

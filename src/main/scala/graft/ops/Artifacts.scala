@@ -180,6 +180,14 @@ object Artifacts {
     ()
   }
 
+  /** Recursive delete, no-op when absent — the rebuild paths' stale-
+    * delta cleanup. */
+  private[ops] def deleteDir(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+
   private[ops] def dirExists(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)

@@ -157,6 +157,18 @@ object Retrieval {
         col("score"), col("rn"))
   }
 
+  /** (doc, term, tf, bucket) postings over an already-tokenized
+    * (doc, __t) frame — the one posting build the batch build/append
+    * and the streaming ingest all share (term-hash bucketing must be
+    * bit-identical across the three, or searches prune to the wrong
+    * partitions). */
+  private[graft] def postingsOf(
+      toks: DataFrame, docTerms: Column, buckets: Int): DataFrame =
+    toks.select(col("doc"), explode(docTerms).as("term"))
+      .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("bucket",
+        pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int"))
+
   /** Persist an AT-REST BM25 index — the `ann_index` artifact pattern
     * applied to lexical retrieval (tokenize once, search many): at
     * 100 TB the postings build is the expensive pass (a full corpus
@@ -204,15 +216,10 @@ object Retrieval {
       TextAnalysis.tokens(col(textCol)).as("__t"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      def postingsOver(docTerms: Column): DataFrame =
-        toks.select(col("doc"), explode(docTerms).as("term"))
-          .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
-          .withColumn("bucket",
-            pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int"))
-      postingsOver(col("__t"))
+      postingsOf(toks, col("__t"), buckets)
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
       if (prox)
-        postingsOver(bigrams(col("__t")))
+        postingsOf(toks, bigrams(col("__t")), buckets)
           .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings2")
       else if (Artifacts.dirExists(spark, s"$dir/postings2")) {
         // a prox=true artifact previously lived here — a stale bigram
@@ -230,11 +237,8 @@ object Retrieval {
       // rebuild leaves the pre-rebuild view readable — re-run to finish)
       // and BEFORE the stats refresh (stats must never count the stale
       // delta against the new base).
-      Seq("postings_inc", "postings2_inc", "dl_inc").foreach { sub =>
-        val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
-        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-        if (fs.exists(p)) { fs.delete(p, true); () }
-      }
+      Seq("postings_inc", "postings2_inc", "dl_inc")
+        .foreach(sub => Artifacts.deleteDir(spark, s"$dir/$sub"))
       writeBm25Stats(spark, dir, buckets, prox, idCol)
     } finally {
       toks.unpersist()
@@ -321,15 +325,10 @@ object Retrieval {
       TextAnalysis.tokens(col(textCol)).as("__t"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      def postingsOver(docTerms: Column): DataFrame =
-        toks.select(col("doc"), explode(docTerms).as("term"))
-          .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
-          .withColumn("bucket",
-            pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int"))
-      postingsOver(col("__t"))
+      postingsOf(toks, col("__t"), buckets)
         .write.mode("append").partitionBy("bucket").parquet(s"$dir/postings")
       if (prox)
-        postingsOver(bigrams(col("__t")))
+        postingsOf(toks, bigrams(col("__t")), buckets)
           .write.mode("append").partitionBy("bucket").parquet(s"$dir/postings2")
       toks.select(col("doc"), size(col("__t")).cast("long").as("dl"))
         .write.mode("append").parquet(s"$dir/dl")

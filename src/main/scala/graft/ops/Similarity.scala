@@ -401,11 +401,7 @@ object Similarity {
     // the new index landed: a rebuild that crashes mid-write leaves the
     // pre-rebuild view (old base ∪ delta) still readable, never a
     // silently delta-less old index — re-run the rebuild to finish.
-    locally {
-      val p = new org.apache.hadoop.fs.Path(s"$dir/index_inc")
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(p)) { fs.delete(p, true); () }
-    }
+    Artifacts.deleteDir(spark, s"$dir/index_inc")
   }
 
   /** The saved PQ codebooks as kernel-ready metadata ((j, c)-ordered).

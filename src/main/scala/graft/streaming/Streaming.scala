@@ -520,16 +520,12 @@ object Streaming {
             toks.select(col("doc"), size(col("__t")).cast("long").as("dl"))
               .write.mode("overwrite").parquet(s"$indexDir/dl_inc/batch=$batchId")
             if (nTok > 0) {
-              def postingsOver(docTerms: org.apache.spark.sql.Column): DataFrame =
-                toks.select(col("doc"), explode(docTerms).as("term"))
-                  .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
-                  .withColumn("bucket",
-                    pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int"))
-              postingsOver(col("__t")).write.mode("overwrite")
-                .partitionBy("bucket")
+              graft.ops.Retrieval.postingsOf(toks, col("__t"), buckets)
+                .write.mode("overwrite").partitionBy("bucket")
                 .parquet(s"$indexDir/postings_inc/batch=$batchId")
               if (prox)
-                postingsOver(graft.ops.Retrieval.bigrams(col("__t")))
+                graft.ops.Retrieval.postingsOf(toks,
+                    graft.ops.Retrieval.bigrams(col("__t")), buckets)
                   .write.mode("overwrite").partitionBy("bucket")
                   .parquet(s"$indexDir/postings2_inc/batch=$batchId")
             }
