@@ -1358,6 +1358,7 @@ object TextQueries extends QueryPack {
     Q("q261_weighted_rrf", q261, Some(q261Sql)),
     Q("q202_bm25_phrase", q202, Some(q202Sql)),
     Q("q226_rrf_fusion", q226, Some(q226Sql)),
+    Q("q279_streamed_hybrid_search", q279, Some(q226Sql)),
     Q("q228_ranking_eval", q228, Some(q228Sql)),
     Q("q229_config_hybrid_search", q229, Some(q226Sql)),
     Q("q233_bpe_decode_roundtrip", q233, Some(q233Sql)),
@@ -2546,6 +2547,73 @@ object TextQueries extends QueryPack {
           "source": {"sql": "SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id IN (1, 2, 3)"},
           "ann_search": {"id_col": "qid", "vec_col": "embedding",
                          "index_dir": "$idxDir", "k": 5, "nprobe": 16},
+          "rename": {"match_id": "doc_id"},
+          "drop": ["score"]}]},
+       "rrf_fuse": {"query_col": "qid", "doc_col": "doc_id", "rank_col": "rank",
+                    "top_k": 5},
+       "order_by": ["qid asc", "rn asc"]}""")
+  }
+
+  // q279 — the r18 INGEST-PAIR CAPSTONE: hybrid search where BOTH
+  // retrieval artifacts are at-rest AND half of each corpus arrived by
+  // STREAM. Seed the BM25 index on even docs and the ANN index on even
+  // vectors (pure config), stream the odd halves through bm25_ingest
+  // and ann_ingest (each landing replay-safe deltas), then hybrid-search
+  // BOTH artifacts from config (bm25_search + ann_search at full probe,
+  // combine, rrf_fuse) — which must STILL equal q226's in-memory hybrid
+  // fusion over the whole corpora, same oracle verbatim: streamed BM25
+  // appends are exact (df computes query-shaped at search time), the
+  // streamed vectors assign to the saved centroids, and full-coverage
+  // ANN equals brute force. The production composition end to end:
+  // batch-build → stream-maintain → search-many → fuse.
+  private val q279Base =
+    s"${System.getProperty("java.io.tmpdir")}/graft_q279_hybrid"
+  private def q279(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).toSeq.flatten.foreach(rmrf)
+      p.delete(); ()
+    }
+    rmrf(new java.io.File(q279Base))
+    graft.compile.Compiler.compileJson(s, s"""
+      {"source": {"sql": "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0"},
+       "bm25_index": {"id_col": "doc_id", "text_col": "text",
+                      "dir": "$q279Base/bm25", "buckets": 16}}""")
+    graft.compile.Compiler.compileJson(s, s"""
+      {"source": {"sql": "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0"},
+       "ann_index": {"id_col": "vec_id", "vec_col": "embedding",
+                     "dir": "$q279Base/ann", "nlist": 16}}""")
+    s.sql("SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1")
+      .coalesce(1).write.mode("overwrite").parquet(s"$q279Base/docs_in")
+    s.sql("SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1")
+      .coalesce(1).write.mode("overwrite").parquet(s"$q279Base/vecs_in")
+    val qb = graft.compile.Compiler.compileStreamJson(s, s"""
+      {"source": {"path": "$q279Base/docs_in"},
+       "bm25_ingest": {"id_col": "doc_id", "text_col": "text",
+                       "index_dir": "$q279Base/bm25",
+                       "checkpoint_dir": "$q279Base/ck_b"}}""")
+    try qb.processAllAvailable() finally qb.stop()
+    val qa = graft.compile.Compiler.compileStreamJson(s, s"""
+      {"source": {"path": "$q279Base/vecs_in"},
+       "ann_ingest": {"id_col": "vec_id", "vec_col": "embedding",
+                      "index_dir": "$q279Base/ann",
+                      "checkpoint_dir": "$q279Base/ck_a"}}""")
+    try qa.processAllAvailable() finally qa.stop()
+    graft.compile.Compiler.compileJson(s, s"""
+      {"defs": [{"id": "hq",
+                 "source": {"sql": "SELECT * FROM VALUES ${bm25Queries
+        .map { case (i, t) => s"($i, '$t')" }.mkString(", ")} AS v(qid, qtext)"}}],
+       "combine": {"op": "union", "nodes": [
+         {"id": "lex",
+          "source": {"ref": "hq"},
+          "bm25_search": {"qid_col": "qid", "qtext_col": "qtext",
+                          "index_dir": "$q279Base/bm25", "top_k": 5},
+          "rename": {"rn": "rank"},
+          "drop": ["score"]},
+         {"id": "dense",
+          "source": {"sql": "SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id IN (1, 2, 3)"},
+          "ann_search": {"id_col": "qid", "vec_col": "embedding",
+                         "index_dir": "$q279Base/ann", "k": 5, "nprobe": 16},
           "rename": {"match_id": "doc_id"},
           "drop": ["score"]}]},
        "rrf_fuse": {"query_col": "qid", "doc_col": "doc_id", "rank_col": "rank",
