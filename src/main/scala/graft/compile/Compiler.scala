@@ -20,15 +20,23 @@ object Compiler {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  /** Detects the O(partition²) window-frame shape in a derive expression
-    * string (see the derive-site warning). Anchored on the exact
-    * quadratic bound pair CURRENT ROW AND UNBOUNDED FOLLOWING: the
-    * whole-partition [unboundedPreceding, unboundedFollowing] frame is
-    * computed ONCE per partition (UnboundedWindowFunctionFrame, O(n))
-    * and must NOT warn — rewriting it to a running frame would also
-    * change its semantics. */
-  private[graft] val unboundedFollowingRe =
-    """(?is)current\s+row\s+and\s+unbounded\s+following""".r
+  /** Detects the O(partition²) window-frame shape in a derive
+    * expression string (see the derive-site warning): ANY frame whose
+    * upper bound is UNBOUNDED FOLLOWING re-scans the partition
+    * remainder per output row (UnboundedFollowingWindowFunctionFrame) —
+    * CURRENT ROW AND ..., N PRECEDING AND ..., N FOLLOWING AND ... are
+    * all the same trap. The ONE exception is the whole-partition
+    * [unboundedPreceding, unboundedFollowing] frame, computed once per
+    * partition (UnboundedWindowFunctionFrame, O(n)) — it must NOT warn,
+    * since rewriting it to a running frame would also change its
+    * semantics. */
+  private val anyUnboundedFollowingRe =
+    """(?is)and\s+unbounded\s+following""".r
+  private val wholePartitionRe =
+    """(?is)unbounded\s+preceding\s+and\s+unbounded\s+following""".r
+  private[graft] def hasQuadraticFrame(e: String): Boolean =
+    anyUnboundedFollowingRe.findAllIn(e).size >
+      wholePartitionRe.findAllIn(e).size
 
   /** Persisted `cache: true` def stages, keyed by the compiled root
     * DataFrame they back (identity — DataFrame has reference equality).
@@ -68,7 +76,7 @@ object Compiler {
   private val operatorCaches =
     scala.collection.mutable.ListBuffer[DataFrame]()
 
-  private[graft] def trackOperatorCache(result: DataFrame, cached: DataFrame): Unit =
+  private[graft] def trackOperatorCache(cached: DataFrame): Unit =
     operatorCaches.synchronized { operatorCaches += cached; () }
 
   /** Release the `cache: true` def stages behind a [[compile]] result —
@@ -371,7 +379,7 @@ object Compiler {
       // use the reversed running frame); a config window expression can
       // reintroduce it, so warn by name with the fix (docs/USAGE.md
       // "Window-frame scale note").
-      if (unboundedFollowingRe.findFirstIn(e).isDefined)
+      if (hasQuadraticFrame(e))
         log.warn(s"node ${node.id}: derive '$c' uses an UNBOUNDED " +
           "FOLLOWING aggregate window frame — O(partition²) per key in " +
           "Spark; reverse the ORDER BY and use ROWS BETWEEN UNBOUNDED " +

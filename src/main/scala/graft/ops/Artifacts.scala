@@ -126,9 +126,7 @@ object Artifacts {
     if (!incHasData(spark, inc)) {
       // a fileless delta (all-empty micro-batches) is junk — drop it so
       // it cannot linger past the compaction that should retire it
-      if (dirExists(spark, inc)) {
-        fs.delete(new org.apache.hadoop.fs.Path(inc), true); ()
-      }
+      deleteDir(spark, inc)
       partCol match {
         case Some(pc) => compactPartitionedDir(spark, base, pc)
         case None     => compactFlatDir(spark, base)

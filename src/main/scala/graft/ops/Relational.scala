@@ -651,9 +651,8 @@ object Relational {
       val padded = left.join(mk, antiCond, "left_anti")
         .select(left.columns.map(col) ++
           pay.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
-      val result = matched.unionByName(padded)
-      graft.compile.Compiler.trackOperatorCache(result, matched)
-      result
+      graft.compile.Compiler.trackOperatorCache(matched)
+      matched.unionByName(padded)
     }
   }
 

@@ -231,12 +231,15 @@ object Retrieval {
       }
       val dl = toks.select(col("doc"), size(col("__t")).cast("long").as("dl"))
       dl.write.mode("overwrite").parquet(s"$dir/dl")
-      // a REBUILD also invalidates any streaming-ingest delta areas —
+      // A REBUILD also invalidates any streaming-ingest delta areas —
       // leftover batch dirs would silently union stale docs into every
-      // later search. Deleted AFTER the new base landed (a crashed
-      // rebuild leaves the pre-rebuild view readable — re-run to finish)
-      // and BEFORE the stats refresh (stats must never count the stale
-      // delta against the new base).
+      // later search. The rebuild is NOT crash-atomic: the overwrites
+      // above replace the base in place, and the stale deltas are swept
+      // here, after the base writes and BEFORE the stats refresh (stats
+      // must never count stale deltas against the new base) — a crash
+      // anywhere mid-rebuild can leave a part-written base and/or
+      // un-swept deltas, so a crashed rebuild must simply be RE-RUN
+      // (it is idempotent over the same input).
       Seq("postings_inc", "postings2_inc", "dl_inc")
         .foreach(sub => Artifacts.deleteDir(spark, s"$dir/$sub"))
       writeBm25Stats(spark, dir, buckets, prox, idCol)
@@ -318,6 +321,17 @@ object Retrieval {
       dir: String
   ): Unit = {
     val st = readBm25Stats(spark, dir)
+    // A batch append beside a LIVE bm25_ingest stream would corrupt the
+    // stream's cached base stats (it adds base docs the stream cannot
+    // see) — a silent idf/avgdl drift. Deltas present = a stream owns
+    // this index: reject by name; compact first (folds the deltas, and
+    // the stream re-reads the base on its next batch) or route the rows
+    // through the stream.
+    require(!Artifacts.incHasData(spark, s"$dir/dl_inc"),
+      s"appendBm25Index: $dir has live streaming deltas (dl_inc) — a " +
+        "batch append beside a bm25_ingest stream silently corrupts the " +
+        "stream's cached stats; run bm25_index mode:\"compact\" first " +
+        "or feed the rows through the stream")
     val buckets = st.getAs[Int]("buckets")
     val prox = st.getAs[Boolean]("prox")
     // one tokenize pass across the 2-3 appends (see saveBm25Index)

@@ -395,12 +395,14 @@ object Similarity {
           .select("id", "codes", "norm", "list")
           .write.mode("overwrite").partitionBy("list").parquet(s"$dir/index")
     }
-    // a REBUILD invalidates any streaming-ingest delta area — leftover
+    // A REBUILD invalidates any streaming-ingest delta area — leftover
     // batch dirs would silently union stale vectors (assigned against
-    // the OLD centroids) into every later search. Deleted LAST, after
-    // the new index landed: a rebuild that crashes mid-write leaves the
-    // pre-rebuild view (old base ∪ delta) still readable, never a
-    // silently delta-less old index — re-run the rebuild to finish.
+    // the OLD centroids) into every later search. The rebuild is NOT
+    // crash-atomic: the overwrites above replace centroids/index in
+    // place, and the stale delta is swept here, last — a crash anywhere
+    // mid-rebuild can leave a part-written index and/or an un-swept
+    // delta, so a crashed rebuild must simply be RE-RUN (idempotent
+    // over the same input).
     Artifacts.deleteDir(spark, s"$dir/index_inc")
   }
 

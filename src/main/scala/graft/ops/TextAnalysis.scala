@@ -277,7 +277,7 @@ object TextAnalysis {
       if (groupCols.isEmpty) scored.orderBy(order: _*).limit(topK)
       else Relational.topKPerGroup(scored, groupCols, order, topK,
         rankCol = "__rank").drop("__rank")
-    graft.compile.Compiler.trackOperatorCache(result, counts)
+    graft.compile.Compiler.trackOperatorCache(counts)
     result
   }
 

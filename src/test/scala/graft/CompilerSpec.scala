@@ -224,20 +224,26 @@ class CompilerSpec extends SparkSpec {
 
   test("derive flags the O(n²) unbounded-following window frame, compiles it anyway") {
     // the trap detector (the as-of/funnel fix must not be reinventable
-    // through config silently): the frame-bound keyword pair matches,
-    // mere mentions and the safe running frame do not
-    assert(Compiler.unboundedFollowingRe.findFirstIn(
-      "first(v) OVER (PARTITION BY k ORDER BY ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)").isDefined)
-    assert(Compiler.unboundedFollowingRe.findFirstIn(
-      "first(v) over (order by ts range between current row and\n unbounded following)").isDefined)
-    assert(Compiler.unboundedFollowingRe.findFirstIn(
-      "sum(v) OVER (ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)").isEmpty)
+    // through config silently): EVERY unbounded-following aggregate
+    // frame is quadratic — current-row, N-preceding, N-following lower
+    // bounds alike; mere mentions and the safe frames are not
+    assert(Compiler.hasQuadraticFrame(
+      "first(v) OVER (PARTITION BY k ORDER BY ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"))
+    assert(Compiler.hasQuadraticFrame(
+      "first(v) over (order by ts range between current row and\n unbounded following)"))
+    assert(Compiler.hasQuadraticFrame(
+      "sum(v) OVER (ORDER BY ts ROWS BETWEEN 1 PRECEDING AND UNBOUNDED FOLLOWING)"))
+    assert(!Compiler.hasQuadraticFrame(
+      "sum(v) OVER (ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"))
     // the WHOLE-PARTITION frame is O(n) (computed once per partition) —
     // warning on it would steer users into a semantics-changing rewrite
-    assert(Compiler.unboundedFollowingRe.findFirstIn(
-      "max(v) OVER (PARTITION BY k ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)").isEmpty)
-    assert(Compiler.unboundedFollowingRe.findFirstIn(
-      "concat(c, 'unbounded following text')").isEmpty) // no AND bound pair
+    assert(!Compiler.hasQuadraticFrame(
+      "max(v) OVER (PARTITION BY k ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"))
+    // one safe whole-partition frame + one quadratic frame still warns
+    assert(Compiler.hasQuadraticFrame(
+      "max(v) OVER (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) + first(v) OVER (ORDER BY ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"))
+    assert(!Compiler.hasQuadraticFrame(
+      "concat(c, 'unbounded following text')")) // no AND bound pair
     // a warning, not a rejection: the expression still compiles and computes
     Seq((1L, 1L, 10L), (1L, 2L, 20L)).toDF("k", "ts", "v")
       .createOrReplaceTempView("uf_warn_fixture")
