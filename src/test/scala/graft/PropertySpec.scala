@@ -794,6 +794,57 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bm25Ingest batching law: any batch split of the stream yields the same search results") {
+    import graft.ops.Retrieval
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // HOW the stream was batched must be unobservable: random corpora
+    // split at a random batch boundary, streamed through bm25Ingest,
+    // must search identically to one in-memory ranking over the union —
+    // df/idf/avgdl compute query-shaped at search time, and the delta
+    // layout neither drops nor doubles a doc across batches.
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    def textsGen(minN: Int, maxN: Int, minLen: Int, maxLen: Int): Gen[List[String]] =
+      Gen.chooseNum(minN, maxN).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(minLen, maxLen).flatMap(len =>
+          Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" ")))))
+    val caseGen = for {
+      seedDocs <- textsGen(1, 4, 1, 6)
+      streamed <- textsGen(1, 8, 0, 6) // empty docs ride the stream too
+      cut <- Gen.chooseNum(0, 8)
+    } yield (seedDocs, streamed, cut)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25ing-fuzz").toString
+    var round = 0
+    forAll(caseGen, n = 4) { case (seedDocs0, streamed, cut0) =>
+      round += 1
+      val seedDocs = // the build guard rejects an all-whitespace seed by name
+        if (seedDocs0.forall(_.isEmpty)) seedDocs0 :+ "alpha" else seedDocs0
+      val idx = s"$dir/r$round"
+      Retrieval.saveBm25Index(spark,
+        seedDocs.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+          .toDF("id", "txt"), "id", "txt", idx, buckets = 4)
+      val mem = MemoryStream[(Long, String)]
+      val q = graft.streaming.Streaming.bm25Ingest(mem.toDF.toDF("id", "txt"),
+        "id", "txt", idx, s"$idx-ckpt")
+      val rows = streamed.zipWithIndex
+        .map { case (t, i) => ((100 + i).toLong, t) }
+      val cut = math.min(cut0, rows.size)
+      try {
+        if (cut > 0) { mem.addData(rows.take(cut): _*); q.processAllAvailable() }
+        if (cut < rows.size) { mem.addData(rows.drop(cut): _*); q.processAllAvailable() }
+      } finally q.stop()
+      val all = (seedDocs.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+        ++ rows).toDF("id", "txt")
+      val qs = Seq((1L, "alpha beta"), (2L, "gamma zeta eps")).toDF("qid", "qtext")
+      def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(
+        asSet(Retrieval.bm25SearchIndex(qs, "qid", "qtext", idx, topK = 3)) ==
+          asSet(Retrieval.bm25TopK(all, "id", "txt", qs, "qid", "qtext", topK = 3)),
+        s"batched ingest diverged: seed=$seedDocs streamed=$streamed cut=$cut")
+    }
+  }
+
   test("asofJoin on random series equals a brute-force per-row scan") {
     import graft.ops.Relational
     val caseGen = for {
