@@ -225,47 +225,86 @@ object TextAnalysis {
           "would silently drop through the count joins; coalesce upstream")))
         .as(c0))
     val toks = df.select(gGuarded :+ tokens(col(textCol)).as("__t"): _*)
-    // ONE corpus scan for EVERYTHING. Unigrams and adjacent pairs ride
-    // the same explode — pairs as (w1 = t[i], w2 = t[i+1]) from a
-    // scan-stage zip (docs shorter than 2 tokens contribute no pairs),
-    // unigrams as (w1 = t[i], w2 = NULL) — into ONE vocabulary-shaped
-    // aggregate keyed by (g, w1, w2). Unigram counts, pair counts, and
-    // BOTH totals (N_tok = Σ unigram counts; N_pair = Σ pair counts,
-    // the Σ max(n−1,0) identity) all derive from this one table. The
-    // table is PERSISTED (vocabulary-shaped — never the corpus) because
-    // exchange reuse alone does not hold: Catalyst pushes the w2-null
-    // consumer filters BELOW the aggregate exchanges, de-identifying
-    // the subtrees (plan-audited — 7 corpus scans without the persist,
-    // 1 with). The cache registers with the Compiler's hygiene registry
-    // so bench/test sweeps release it; first action tokenizes once.
-    val pairStructs = zip_with(
-      slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
-      slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0))),
-      (a, b) => struct(a.as("w1"), b.as("w2")))
-    val unigramStructs = transform(col("__t"),
-      t => struct(t.as("w1"), lit(null).cast("string").as("w2")))
-    val counts = toks
-      .select(g :+ explode(concat(unigramStructs, pairStructs)).as("__e"): _*)
-      .select(g ++ Seq(col("__e.w1").as("w1"), col("__e.w2").as("w2")): _*)
+    // ONE corpus scan for EVERYTHING, shared through EXCHANGE REUSE
+    // rather than a persisted cache (r18 persisted a counts table and
+    // regressed the sf0.1 gate ~3×: the cache is a materialization
+    // BARRIER that serializes every downstream stage behind it, where
+    // reused exchanges let all consumers' tiny vocab-shaped stages run
+    // in parallel off one shuffle write). Three things make the four
+    // consumer legs canonically identical so Spark's exchange-reuse
+    // (plan-audited below, asserted in OpsSpec) actually fires:
+    //
+    //  1. The corpus-scale work is fully codegen and collapses through
+    //     ONE plain (g,w1,w2) aggregate: posexplode the token array
+    //     once, pairing each token with its successor (NULL at the last
+    //     position; the `when` guard keeps ANSI element_at in bounds).
+    //     The r18 transform+zip_with+concat struct build was a
+    //     HigherOrderFunction chain — interpreted per row, never
+    //     codegen'd. A GROUPING SETS pass keyed (g,w1,w2) ∪ (g,w1) then
+    //     yields pair counts AND unigram counts; its Expand runs on the
+    //     VOCABULARY-shaped first-level result, never on corpus rows.
+    //  2. Every aggregate output is packed into ONE struct (c, gid,
+    //     cw2), so consumer-specific filters reference only aggregate
+    //     outputs (nothing pushable below the exchange) and column
+    //     pruning cannot drop a partial-aggregate function from one leg
+    //     but not another (which would de-identify the subtrees).
+    //  3. The consumer joins use null-safe keys (<=>): inner-join `===`
+    //     keys make InferFiltersFromConstraints plant isnotnull()
+    //     filters below the shared aggregate on SOME legs only —
+    //     plan-audited as the reason exchange reuse failed in r18. All
+    //     keys are provably non-null here (g guarded above, tokens
+    //     non-empty strings, pair rows filtered cw2 > 0), so <=> ≡ ===.
+    //
+    // Totals never touch the hapax pair tail: n_tok = Σ unigram counts,
+    // and n_pairs_total = n_tok − (# docs with ≥1 token) — the
+    // Σ max(n−1,0) identity, the nonempty-doc count riding as the
+    // w2-NULL last-token rows of the pair set (cw2 = 0).
+    val exploded = toks
+      .select(g ++ Seq(col("__t"), posexplode(col("__t"))): _*)
+      .select(g ++ Seq(col("col").as("w1"),
+        when(col("pos") < size(col("__t")) - 1,
+          element_at(col("__t"), col("pos") + 2)).as("w2")): _*)
+    val fullCounts = exploded
       .groupBy(g ++ Seq(col("w1"), col("w2")): _*)
-      .agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val unigrams = counts.filter(col("w2").isNull)
-      .select(g ++ Seq(col("w1").as("w"), col("c")): _*)
-    val pairCounts = counts.filter(col("w2").isNotNull)
-      .select(g ++ Seq(col("w1"), col("w2"), col("c").as("n_pair")): _*)
-      .filter(col("n_pair") >= minCount)
+      .agg(count(lit(1)).as("c0"))
+    // grouping_id bit order follows the grouping columns (g…, w1, w2):
+    // the full (g,w1,w2) set is 0, the unigram (g,w1) set is 1. cw2
+    // (non-null w2 inputs per group) carries w2-nullness for set-0 rows
+    // as an aggregate output: a set-0 group holds exactly one
+    // first-level row, so cw2 is 1 for a real pair, 0 for a last-token
+    // row. (For set-1 rows cw2 is the successor-vocabulary size —
+    // unused.)
+    val counts = fullCounts
+      .groupingSets(Seq(g ++ Seq(col("w1"), col("w2")), g :+ col("w1")),
+        g ++ Seq(col("w1"), col("w2")): _*)
+      .agg(struct(
+        sum(col("c0")).as("c"),
+        max(grouping_id()).as("gid"),
+        count(col("w2")).as("cw2")).as("__s"))
+    val c = col("__s.c"); val gid = col("__s.gid"); val cw2 = col("__s.cw2")
+    val unigrams = counts.filter(gid === 1)
+      .select(g ++ Seq(col("w1").as("w"), c.as("cu")): _*)
+    val pairCounts = counts.filter(gid === 0 && cw2 > 0 && c >= minCount)
+      .select(g ++ Seq(col("w1"), col("w2"), c.as("n_pair")): _*)
     val totals = counts.groupBy(g: _*).agg(
-      sum(when(col("w2").isNull, col("c"))).as("n_tok"),
-      sum(when(col("w2").isNotNull, col("c"))).as("n_pairs_total"))
-    val joined = pairCounts
-      .join(unigrams.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"),
-        groupCols :+ "w1")
-      .join(unigrams.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2"),
-        groupCols :+ "w2")
+      sum(when(gid === 1, c)).as("n_tok"),
+      (sum(when(gid === 1, c)) -
+        coalesce(sum(when(gid === 0 && cw2 === 0, c)), lit(0L))).as("n_pairs_total"))
+    def renamed(d: org.apache.spark.sql.DataFrame, tag: String, keys: Seq[String]) =
+      keys.foldLeft(d)((acc, k) => acc.withColumnRenamed(k, s"__${tag}_$k"))
+    def nsJoin(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame,
+        tag: String, keys: Seq[String]) = {
+      val rr = renamed(r, tag, keys)
+      val cond = keys.map(k => col(k) <=> col(s"__${tag}_$k")).reduce(_ && _)
+      l.join(rr, cond).drop(keys.map(k => s"__${tag}_$k"): _*)
+    }
+    val uni1 = unigrams.withColumnRenamed("w", "w1").withColumnRenamed("cu", "c1")
+    val uni2 = unigrams.withColumnRenamed("w", "w2").withColumnRenamed("cu", "c2")
+    val joined = nsJoin(nsJoin(pairCounts, uni1, "u1", groupCols :+ "w1"),
+      uni2, "u2", groupCols :+ "w2")
     val withTotals =
       if (groupCols.isEmpty) joined.crossJoin(broadcast(totals))
-      else joined.join(totals, groupCols)
+      else nsJoin(joined, totals, "t", groupCols)
     val scored = withTotals
       .select(g ++ Seq(col("w1"), col("w2"), col("n_pair"),
         round(log((col("n_pair").cast("double") * col("n_tok") * col("n_tok")) /
@@ -273,12 +312,9 @@ object TextAnalysis {
           .as("pmi")): _*)
     val order = Seq(col("pmi").desc_nulls_last, col("w1").asc_nulls_first,
       col("w2").asc_nulls_first)
-    val result =
-      if (groupCols.isEmpty) scored.orderBy(order: _*).limit(topK)
-      else Relational.topKPerGroup(scored, groupCols, order, topK,
-        rankCol = "__rank").drop("__rank")
-    graft.compile.Compiler.trackOperatorCache(counts)
-    result
+    if (groupCols.isEmpty) scored.orderBy(order: _*).limit(topK)
+    else Relational.topKPerGroup(scored, groupCols, order, topK,
+      rankCol = "__rank").drop("__rank")
   }
 
   /** Gram build over an already-bound token array — shared by [[ngramsAll]]

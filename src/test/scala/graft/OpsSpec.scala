@@ -3052,15 +3052,21 @@ class OpsSpec extends SparkSpec {
       ("b", "c", 1L, pmi(1, 3, 1)),
       ("b", "a", 1L, pmi(1, 3, 3)))
     assert(out == expect, s"PMI table wrong: $out (want $expect)")
-    // ONE tokenize pass: every consumer of the fused counts table must
-    // read its cache, never re-derive from the corpus (exchange reuse
-    // alone was plan-audited FALSE — null-filter pushdown de-identifies
-    // the subtrees; the persist is the mechanism)
+    // ONE tokenize pass: the four consumers of the fused counts
+    // aggregate share it through EXCHANGE REUSE (struct-packed
+    // aggregate outputs + null-safe join keys keep the legs
+    // canonically identical — bare === join keys made
+    // InferFiltersFromConstraints plant isnotnull() below the shared
+    // aggregate on some legs only, de-identifying them). No persist:
+    // r18's cached counts table was a materialization barrier that
+    // serialized every downstream stage and regressed the sf0.1 gate.
     val colloPlan = TextAnalysis.collocations(corpus, "text", minCount = 1, topK = 10)
     colloPlan.collect()
-    assert(colloPlan.queryExecution.executedPlan.toString
-      .contains("InMemoryTableScan"),
-      "collocations consumers must read the persisted counts cache")
+    val colloStr = colloPlan.queryExecution.executedPlan.toString
+    assert(!colloStr.contains("InMemoryTableScan"),
+      "collocations must not persist — exchange reuse is the sharing mechanism")
+    assert("ReusedExchange".r.findAllIn(colloStr).length >= 3,
+      s"collocations consumers must reuse the shared counts exchange; plan:\n$colloStr")
     // minCount floors the PAIR count before anything else
     val floored = TextAnalysis.collocations(corpus, "text", minCount = 2, topK = 10)
       .collect()
