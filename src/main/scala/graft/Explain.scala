@@ -18,7 +18,14 @@ object Explain {
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      graft.compile.Compiler.drainCompileWarnings() // clear stale
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      // compile-time scale lints (e.g. an O(partition²) UNBOUNDED
+      // FOLLOWING frame in a derive) — surfaced where plans are
+      // actually reviewed, not just in log.warn noise
+      graft.compile.Compiler.drainCompileWarnings()
+        .foreach(w => println(s"!! COMPILE WARNING: $w"))
+      df.explain("formatted")
     }
     spark.stop()
   }

@@ -38,6 +38,40 @@ object Compiler {
     anyUnboundedFollowingRe.findAllIn(e).size >
       wholePartitionRe.findAllIn(e).size
 
+  /** Compile warnings (scale lints, ignored-key notes) accumulate per
+    * THREAD alongside log.warn, because log.warn alone is invisible to
+    * a config author running through the driver or a notebook — the
+    * O(n²) window-frame trap the engine's own operators were purged of
+    * stays silently reinventable through `derive` config otherwise.
+    * [[drainCompileWarnings]] returns-and-clears them; `graft.Explain`
+    * prints them above each plan (the place plans are reviewed), and
+    * tests assert on them. */
+  private val threadWarnings =
+    new ThreadLocal[scala.collection.mutable.ListBuffer[String]] {
+      override def initialValue() = scala.collection.mutable.ListBuffer[String]()
+    }
+
+  private def warn(msg: String): Unit = {
+    log.warn(msg)
+    val b = threadWarnings.get()
+    // bounded: a long-lived driver compiling warning-producing specs in
+    // a loop without ever draining must not grow this without limit —
+    // keep the newest 256 (Explain pre-drains, so staleness is its own
+    // concern, not capacity's)
+    if (b.size >= 256) { b.remove(0); () }
+    b += msg
+    ()
+  }
+
+  /** The compile warnings accumulated on this thread since the last
+    * drain (cleared by the call). */
+  def drainCompileWarnings(): Seq[String] = {
+    val b = threadWarnings.get()
+    val out = b.toList
+    b.clear()
+    out
+  }
+
   /** Persisted `cache: true` def stages, keyed by the compiled root
     * DataFrame they back (identity — DataFrame has reference equality).
     * A compile that persists defs REGISTERS them here; nothing in Spark
@@ -61,7 +95,10 @@ object Compiler {
 
   private def trackPersisted(result: DataFrame, cached: Seq[DataFrame]): Unit =
     if (cached.nonEmpty) persistedByResult.synchronized {
-      persistedByResult.put(result, cached)
+      // merge — a compile registers def caches and operator-internal
+      // caches separately against the same root
+      val prior = Option(persistedByResult.get(result)).getOrElse(Nil)
+      persistedByResult.put(result, prior ++ cached)
       cached.foreach(allPersisted.add)
     }
 
@@ -76,8 +113,21 @@ object Compiler {
   private val operatorCaches =
     scala.collection.mutable.ListBuffer[DataFrame]()
 
-  private[graft] def trackOperatorCache(cached: DataFrame): Unit =
+  /** Inside a [[compile]], operator-internal caches ALSO register
+    * against the compiled root (thread-local collector), so the normal
+    * per-query [[releaseCache]](result) frees them — without this, a
+    * long-lived session compiling cache-bearing operators accumulated
+    * pinned blocks until the global [[releaseAllCaches]] sweep. The
+    * strong global list stays as the backstop (double-unpersist is a
+    * no-op). */
+  private val operatorCacheCollector =
+    new scala.util.DynamicVariable[
+      Option[scala.collection.mutable.ListBuffer[DataFrame]]](None)
+
+  private[graft] def trackOperatorCache(cached: DataFrame): Unit = {
     operatorCaches.synchronized { operatorCaches += cached; () }
+    operatorCacheCollector.value.foreach(_ += cached)
+  }
 
   /** Release the `cache: true` def stages behind a [[compile]] result —
     * call after the root sink action completes. Idempotent; a result
@@ -85,6 +135,9 @@ object Compiler {
   def releaseCache(result: DataFrame): Unit = persistedByResult.synchronized {
     Option(persistedByResult.remove(result)).getOrElse(Nil).foreach { df =>
       df.unpersist(blocking = false); allPersisted.remove(df)
+      // drop the strong backstop reference too — released per-result
+      // caches must not pin DataFrames until the next global sweep
+      operatorCaches.synchronized { operatorCaches -= df; () }
     }
   }
 
@@ -227,8 +280,9 @@ object Compiler {
     * (used by tests and the streaming compiler, which passes a streaming
     * DataFrame through the same batch-authored spec). */
   def compile(spark: SparkSession, spec: PipelineSpec, input: Option[DataFrame] = None,
-      executeSinks: Boolean = true): DataFrame =
-    spec match {
+      executeSinks: Boolean = true): DataFrame = {
+    val opCaches = scala.collection.mutable.ListBuffer[DataFrame]()
+    val result = operatorCacheCollector.withValue(Some(opCaches))(spec match {
       case TreePipeline(root, defs, tee) =>
         // Defs compile ONCE, in order (later defs may reference earlier
         // ones); every ref then shares the same DataFrame — one plan
@@ -267,7 +321,7 @@ object Compiler {
           }
           defs.filter(d => hot.exists(_ == d.id)).filterNot(_.cache)
             .foreach { d =>
-              log.warn(s"tee fan-out reads def '${d.id}' " +
+              warn(s"tee fan-out reads def '${d.id}' " +
                 "multiple times WITHOUT cache: true — each sink re-scans " +
                 "it; set cache: true on the def to pay the read once")
             }
@@ -279,7 +333,10 @@ object Compiler {
         trackPersisted(result, cachedDefs.result())
         result
       case CascadePipeline(c) => compileCascade(spark, c, executeSinks)
-    }
+    })
+    trackPersisted(result, opCaches.toSeq)
+    result
+  }
 
   def compileJson(spark: SparkSession, json: String): DataFrame =
     compile(spark, JsonCodec.parse(json))
@@ -380,7 +437,7 @@ object Compiler {
       // reintroduce it, so warn by name with the fix (docs/USAGE.md
       // "Window-frame scale note").
       if (hasQuadraticFrame(e))
-        log.warn(s"node ${node.id}: derive '$c' uses an UNBOUNDED " +
+        warn(s"node ${node.id}: derive '$c' uses an UNBOUNDED " +
           "FOLLOWING aggregate window frame — O(partition²) per key in " +
           "Spark; reverse the ORDER BY and use ROWS BETWEEN UNBOUNDED " +
           "PRECEDING AND CURRENT ROW instead (see docs/USAGE.md)")
@@ -794,7 +851,11 @@ object Compiler {
         df = graft.ops.Retrieval.bm25IndexStats(df.sparkSession, bi.dir)
       } else {
         if (bi.mode == "compact")
-          graft.ops.Retrieval.compactBm25Index(df.sparkSession, bi.dir)
+          // checkpoint (when given) scopes the fold to the ingest
+          // stream's COMMITTED batches — live-stream-safe compaction
+          graft.ops.Retrieval.compactBm25Index(df.sparkSession, bi.dir,
+            graft.ops.Artifacts.committedFoldCeiling(
+              df.sparkSession, bi.checkpoint))
         else if (bi.mode == "append")
           graft.ops.Retrieval.appendBm25Index(
             df.sparkSession, df, bi.idCol, bi.textCol, bi.dir)
@@ -963,7 +1024,9 @@ object Compiler {
       } else if (ai.mode == "compact") {
         // defragment the appended artifact (one file per list); the
         // frame is discarded and becomes the post-compact histogram
-        graft.ops.Similarity.compactAnnIndex(df.sparkSession, ai.dir)
+        graft.ops.Similarity.compactAnnIndex(df.sparkSession, ai.dir,
+          graft.ops.Artifacts.committedFoldCeiling(
+            df.sparkSession, ai.checkpoint))
         df = df.sparkSession.read.parquet(s"${ai.dir}/index")
           .groupBy(col("list")).agg(count(lit(1)).as("n_vectors"))
       } else {
@@ -1526,7 +1589,7 @@ object Compiler {
         // of silently diverging from batch behavior.
         def warnIgnored(n: NodeSpec, isRoot: Boolean): Unit = {
           if (!isRoot && n.save.isDefined)
-            log.warn(s"node ${n.id}: 'save' is IGNORED under a streaming " +
+            warn(s"node ${n.id}: 'save' is IGNORED under a streaming " +
               "compile (only the root sink becomes the writeStream); drop " +
               "it or run this node as its own stream")
           (n.children.map(_.node) ++ n.combine.toSeq.flatMap(_.nodes))
@@ -1638,7 +1701,8 @@ object Compiler {
                 sk.maxItemsTracked, sk.lgK, sk.groupCols))),
             root.bm25Ingest.map(bi => "bm25_ingest" -> (() =>
               graft.streaming.Streaming.bm25Ingest(
-                out, bi.idCol, bi.textCol, bi.indexDir, bi.checkpointDir))),
+                out, bi.idCol, bi.textCol, bi.indexDir, bi.checkpointDir,
+                bi.compactEvery))),
             root.annIngest.map(ai => "ann_ingest" -> (() =>
               graft.streaming.Streaming.annIngest(
                 out, ai.idCol, ai.vecCol, ai.indexDir, ai.checkpointDir)))

@@ -72,14 +72,7 @@ object Artifacts {
   def incHasData(spark: SparkSession, inc: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(inc)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    def walk(d: org.apache.hadoop.fs.Path): Boolean = {
-      val st = fs.listStatus(d)
-      st.exists(f => f.isFile && f.getLen > 0 &&
-        !f.getPath.getName.startsWith("_") &&
-        !f.getPath.getName.startsWith(".")) ||
-        st.exists(f => f.isDirectory && walk(f.getPath))
-    }
-    fs.exists(p) && walk(p)
+    fs.exists(p) && dirHasData(fs, p)
   }
 
   /** Read an artifact table as base ∪ streaming-ingest DELTA — the ONE
@@ -95,39 +88,196 @@ object Artifacts {
     else b
   }
 
+  /** Latest batch id the Structured Streaming checkpoint at
+    * `checkpointDir` has COMMITTED — the `commits/<id>` metadata-log
+    * listing (plain numeric file names; temp/compacted entries are
+    * skipped). None when the commits log is absent or empty (a
+    * checkpoint that has not completed any batch). The checkpoint
+    * DIRECTORY itself must exist — a typo'd path would silently mean
+    * "fold nothing", so it rejects by name. */
+  def lastCommittedBatch(
+      spark: SparkSession, checkpointDir: String): Option[Long] = {
+    val root = new org.apache.hadoop.fs.Path(checkpointDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(root),
+      s"compact: checkpoint '$checkpointDir' does not exist — pass the " +
+        "ingest stream's checkpointLocation (the directory holding its " +
+        "commits/ log)")
+    val commits = new org.apache.hadoop.fs.Path(root, "commits")
+    if (!fs.exists(commits)) None
+    else fs.listStatus(commits).toSeq.map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+      .reduceOption(_ max _)
+  }
+
+  /** Fold ceiling from an optional ingest checkpoint: the last
+    * committed batch id, or -1 (fold nothing) when the checkpoint has
+    * committed no batch yet. None in → None out — fold everything,
+    * the quiesced-stream posture. The one resolution both compact
+    * dispatches (bm25/ann) share. */
+  def committedFoldCeiling(
+      spark: SparkSession, checkpoint: Option[String]): Option[Long] =
+    checkpoint.map(cp => lastCommittedBatch(spark, cp).getOrElse(-1L))
+
+  /** The `batch=<id>` child dirs of a delta area, with parsed ids —
+    * empty when the area is absent. Rejects by name on a child that is
+    * not a `batch=<id>` dir: the ingest layout writes nothing else, so
+    * a stray entry means the area is not what the caller thinks. */
+  private def batchDirs(
+      fs: org.apache.hadoop.fs.FileSystem,
+      inc: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] =
+    if (!fs.exists(inc)) Nil
+    else fs.listStatus(inc).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) None // Spark metadata
+      else {
+        require(st.isDirectory && n.startsWith("batch=") &&
+            n.drop(6).nonEmpty && n.drop(6).forall(_.isDigit),
+          s"compact: unexpected entry '$n' under $inc — a delta area " +
+            "holds only batch=<id> dirs (is this really an ingest delta?)")
+        Some((n.drop(6).toLong, st.getPath))
+      }
+    }
+
+  /** Does this dir (recursively) hold any real data file? Partitioned
+    * delta batch dirs nest their files under partition subdirs
+    * (batch=K/bucket=N/part-…); metadata files and in-flight
+    * `_temporary` dirs don't count as data. ONE walk shared by
+    * [[incHasData]] and the fold below — the reader's "is there a
+    * delta" and the fold's "is this dir foldable" must never drift. */
+  private def dirHasData(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Boolean = {
+    val st = fs.listStatus(p)
+    st.exists(f => f.isFile && f.getLen > 0 &&
+      !f.getPath.getName.startsWith("_") &&
+      !f.getPath.getName.startsWith(".")) ||
+    st.exists(f => f.isDirectory && !f.getPath.getName.startsWith("_") &&
+      !f.getPath.getName.startsWith(".") && dirHasData(fs, f.getPath))
+  }
+
+  /** Roll a crashed fold back or forward — every window of the staged
+    * protocol below is mechanically distinguishable, so a leftover
+    * `$inc.old` self-heals instead of rejecting by name (an unattended
+    * `compact_every` stream must not wedge on a transient fold crash):
+    *
+    *   - `_folding` flag present → the rewrite never finished. Roll
+    *     BACK: drop the (possibly partial) `$base.compact`, restore
+    *     `$base` from `$base.old` if an unrelated swap died mid-rename,
+    *     move the staged dirs back into `$inc` (a staged dir whose name
+    *     re-appeared in `$inc` — a replay re-landed it — is dropped
+    *     instead: the replay's copy is byte-identical by the overwrite
+    *     contract), drop `$inc.old`.
+    *   - flag absent, `$base.compact` present → the rewrite finished
+    *     but the swap didn't. Roll FORWARD: finish the swap (restoring
+    *     the mid-rename window if `$base` is missing), drop `$inc.old`.
+    *   - flag absent, `$base.compact` absent → the swap finished. Roll
+    *     FORWARD: drop `$inc.old`.
+    *
+    * Each branch is idempotent — a crash DURING recovery lands back in
+    * the same branch. */
+  private def recoverCrashedFold(
+      spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+      base: String, inc: String): Unit = {
+    val oldInc = new org.apache.hadoop.fs.Path(s"$inc.old")
+    if (!fs.exists(oldInc)) return
+    val flag = new org.apache.hadoop.fs.Path(oldInc, "_folding")
+    val compactPath = new org.apache.hadoop.fs.Path(s"$base.compact")
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val baseOld = new org.apache.hadoop.fs.Path(s"$base.old")
+    if (fs.exists(flag)) {
+      // roll back
+      if (fs.exists(compactPath)) fs.delete(compactPath, true)
+      if (!fs.exists(basePath) && fs.exists(baseOld))
+        require(fs.rename(baseOld, basePath),
+          s"compact recovery: cannot restore $base from $base.old")
+      fs.listStatus(oldInc).toSeq
+        .filter(_.getPath.getName.startsWith("batch=")).foreach { st =>
+          val dest = new org.apache.hadoop.fs.Path(inc, st.getPath.getName)
+          if (fs.exists(dest)) fs.delete(st.getPath, true)
+          else require(fs.rename(st.getPath, dest),
+            s"compact recovery: cannot move ${st.getPath} back into $inc")
+        }
+      fs.delete(oldInc, true)
+    } else {
+      // roll forward
+      if (fs.exists(compactPath)) {
+        if (!fs.exists(basePath) && fs.exists(baseOld)) {
+          // the swap died between its two renames
+          require(fs.rename(compactPath, basePath),
+            s"compact recovery: cannot land $base.compact at $base")
+          fs.delete(baseOld, true)
+        } else swapDir(spark, s"$base.compact", base)
+      }
+      fs.delete(oldInc, true)
+    }
+    ()
+  }
+
   /** Fold a streaming-ingest DELTA area (`$base` sibling written as
     * one `batch=<id>` child dir per micro-batch — the idempotent-replay
-    * layout) into the base table, then drop it: read base ∪ inc (the
-    * inc side's `batch` partition column stripped), rewrite compacted,
-    * swap, delete inc. With no delta present this is plain compaction.
+    * layout) into the base table, then drop the folded dirs: stage the
+    * SNAPSHOT of batch dirs taken at entry aside, read
+    * base ∪ staged (the inc side's `batch` partition column stripped),
+    * rewrite compacted, swap, drop the staged dirs. With no delta
+    * present this is plain compaction (skipped entirely when
+    * `defragWhenEmpty` is false — the in-stream `compact_every` path
+    * must not rewrite an O(corpus) base for nothing when one of the
+    * sibling areas happens to have no foldable dirs).
     *
-    * Crash discipline (same family as [[compactPartitionedDir]], one
-    * more window): the folded rewrite lands at `$base.compact` FIRST,
-    * then inc renames aside to `$inc.old` (readers see base-only — a
-    * briefly stale but never-duplicated view), then the base swap, then
-    * `$inc.old` drops. A leftover `$inc.old` therefore means a crashed
-    * fold and REJECTS BY NAME on the next run instead of silently
-    * compacting without the delta rows: recover by renaming it back to
-    * `$inc` (pre-swap crash — `$base.compact` may be stale, delete it)
-    * or deleting it (post-swap crash — base already contains the
-    * delta iff `$base.compact` is gone). */
+    * Live-stream coordination: only the snapshotted dirs are read,
+    * staged aside, and deleted — a micro-batch landing a NEW
+    * `batch=<id>` dir while the fold runs survives in the delta area
+    * untouched (the r18 whole-area rename swept and deleted it: silent
+    * data loss even though the stream checkpoint had committed the
+    * batch). `maxBatchId` closes the OTHER window: pass the ingest
+    * checkpoint's [[lastCommittedBatch]] and the fold skips any landed
+    * dir the checkpoint has not committed — a crash-then-replay would
+    * re-land that dir, and folding it first would duplicate its rows
+    * (base ∪ re-landed delta). Uncommitted dirs stay in the delta area
+    * for the replay to overwrite. Without `maxBatchId` every landed
+    * dir folds (exact for a quiesced stream; the config surface's
+    * `checkpoint` key supplies it for live ones).
+    *
+    * Crash discipline — SELF-HEALING (see [[recoverCrashedFold]]): the
+    * snapshot stages aside under `$inc.old/` FIRST, with a `_folding`
+    * flag held while the rewrite runs, so every crash window is
+    * distinguishable: flag present → roll back; flag absent → the
+    * rewrite finished, roll forward. Readers see base-only for the
+    * staged batches between the stage-aside and the swap — a briefly
+    * stale but NEVER-duplicated view. The r18 protocol (rewrite first,
+    * whole-area rename after) rejected by name on a leftover
+    * `$inc.old`, and its documented recovery could DUPLICATE rows: the
+    * snapshot boundary was recorded nowhere, so after a mid-stage
+    * crash the un-staged dirs were indistinguishable from freshly
+    * landed ones while `$base.compact` already contained their rows. */
   def foldIncInto(
       spark: SparkSession, base: String, inc: String,
-      partCol: Option[String]): Unit = {
+      partCol: Option[String], maxBatchId: Option[Long] = None,
+      defragWhenEmpty: Boolean = true): Unit = {
+    val incPath = new org.apache.hadoop.fs.Path(inc)
     val oldInc = new org.apache.hadoop.fs.Path(s"$inc.old")
     val fs = oldInc.getFileSystem(spark.sessionState.newHadoopConf())
-    require(!fs.exists(oldInc),
-      s"compact: $inc.old exists — a prior delta fold crashed mid-swap. " +
-        s"Recover: if $base itself is MISSING, first restore it from " +
-        s"$base.old (the swap died between its two renames); then, if " +
-        s"$base.compact still exists the folded rewrite completed — " +
-        s"finish by renaming $base.compact over $base and deleting " +
-        s"$inc.old; otherwise rename $inc.old back to $inc and re-run")
-    if (!incHasData(spark, inc)) {
-      // a fileless delta (all-empty micro-batches) is junk — drop it so
-      // it cannot linger past the compaction that should retire it
-      deleteDir(spark, inc)
-      partCol match {
+    recoverCrashedFold(spark, fs, base, inc)
+    // SNAPSHOT the foldable dirs once: everything the fold reads,
+    // stages aside, and deletes below is exactly this list.
+    val snapshot = batchDirs(fs, incPath)
+      .filter { case (id, _) => maxBatchId.forall(id <= _) }
+      .sortBy(_._1)
+    val (withData, fileless) = snapshot.partition(d => dirHasData(fs, d._2))
+    // fileless batch dirs (all-empty micro-batches) are junk — drop
+    // them now so they cannot linger past the compaction that should
+    // retire them (readers already treat them as absent)
+    fileless.foreach { case (_, p) => fs.delete(p, true) }
+    def retireIncIfEmpty(): Unit =
+      // non-recursive delete fails harmlessly if a batch dir landed
+      // concurrently — never race a live stream
+      if (fs.exists(incPath) && fs.listStatus(incPath).isEmpty) {
+        try { fs.delete(incPath, false); () } catch { case _: java.io.IOException => () }
+      }
+    if (withData.isEmpty) {
+      retireIncIfEmpty()
+      if (defragWhenEmpty) partCol match {
         case Some(pc) => compactPartitionedDir(spark, base, pc)
         case None     => compactFlatDir(spark, base)
       }
@@ -138,26 +288,40 @@ object Artifacts {
       catch { case e: Exception => throw new IllegalArgumentException(
         s"compact: cannot read the artifact under $base — build it " +
           s"first: ${e.getMessage}") }
-    val df = baseDf.unionByName(spark.read.parquet(inc).drop("batch"))
+    partCol.foreach(pc => require(baseDf.columns.contains(pc),
+      s"compact: $base is not partitioned by '$pc' " +
+        s"(columns: ${baseDf.columns.mkString(", ")})"))
+    // stage aside FIRST, under the in-progress flag — from here to the
+    // flag delete, a crash rolls back; after it, forward
+    require(fs.mkdirs(oldInc),
+      s"compact: cannot create the stage-aside area $inc.old")
+    val flag = new org.apache.hadoop.fs.Path(oldInc, "_folding")
+    fs.create(flag, true).close()
+    val staged = withData.map { case (id, p) =>
+      val dest = new org.apache.hadoop.fs.Path(oldInc, p.getName)
+      require(fs.rename(p, dest),
+        s"compact: cannot stage the delta dir aside ($p -> $inc.old)")
+      (id, dest)
+    }
+    val stagedBytes = staged.map(d => fs.getContentSummary(d._2).getLength).sum
+    val incDf = spark.read.option("basePath", s"$inc.old")
+      .parquet(staged.map(_._2.toString): _*).drop("batch")
+    val df = baseDf.unionByName(incDf)
     val tmp = s"$base.compact"
     partCol match {
       case Some(pc) =>
-        require(baseDf.columns.contains(pc),
-          s"compact: $base is not partitioned by '$pc' " +
-            s"(columns: ${baseDf.columns.mkString(", ")})")
         df.repartition(col(pc)).write.mode("overwrite").partitionBy(pc)
           .parquet(tmp)
       case None =>
-        val p = new org.apache.hadoop.fs.Path(base)
-        val bytes = fs.getContentSummary(p).getLength +
-          fs.getContentSummary(new org.apache.hadoop.fs.Path(inc)).getLength
+        val bytes = fs.getContentSummary(
+          new org.apache.hadoop.fs.Path(base)).getLength + stagedBytes
         df.repartition(math.max(1L, bytes / (128L << 20) + 1L).toInt)
           .write.mode("overwrite").parquet(tmp)
     }
-    require(fs.rename(new org.apache.hadoop.fs.Path(inc), oldInc),
-      s"compact: cannot stage the delta area aside ($inc -> $inc.old)")
+    fs.delete(flag, false) // rewrite complete: crashes now roll FORWARD
     swapDir(spark, tmp, base)
     fs.delete(oldInc, true)
+    retireIncIfEmpty()
     ()
   }
 

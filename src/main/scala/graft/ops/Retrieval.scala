@@ -365,13 +365,16 @@ object Retrieval {
     * way. stats stays as-is (1 file by construction). Searches
     * before/after are bit-identical (gated). */
   def compactBm25Index(
-      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      maxBatchId: Option[Long] = None,
+      defragWhenEmpty: Boolean = true): Unit = {
     Artifacts.foldIncInto(spark, s"$dir/postings",
-      s"$dir/postings_inc", Some("bucket"))
+      s"$dir/postings_inc", Some("bucket"), maxBatchId, defragWhenEmpty)
     if (Artifacts.dirExists(spark, s"$dir/postings2"))
       Artifacts.foldIncInto(spark, s"$dir/postings2",
-        s"$dir/postings2_inc", Some("bucket"))
-    Artifacts.foldIncInto(spark, s"$dir/dl", s"$dir/dl_inc", None)
+        s"$dir/postings2_inc", Some("bucket"), maxBatchId, defragWhenEmpty)
+    Artifacts.foldIncInto(spark, s"$dir/dl", s"$dir/dl_inc", None,
+      maxBatchId, defragWhenEmpty)
   }
 
   /** Health view over a [[saveBm25Index]] artifact — the

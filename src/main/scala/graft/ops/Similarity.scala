@@ -522,9 +522,10 @@ object Similarity {
     * gated), centroids and codebooks untouched. Pair with
     * [[annIndexStats]]: compact for fragmentation, rebuild for skew. */
   def compactAnnIndex(
-      spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      maxBatchId: Option[Long] = None): Unit =
     Artifacts.foldIncInto(spark, s"$dir/index", s"$dir/index_inc",
-      Some("list"))
+      Some("list"), maxBatchId)
 
   /** Index HEALTH view over a [[saveAnnIndex]] artifact — the
     * rebuild-vs-append decision input ([[appendAnnIndex]]'s documented

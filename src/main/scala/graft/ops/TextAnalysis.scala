@@ -259,11 +259,14 @@ object TextAnalysis {
     // and n_pairs_total = n_tok − (# docs with ≥1 token) — the
     // Σ max(n−1,0) identity, the nonempty-doc count riding as the
     // w2-NULL last-token rows of the pair set (cw2 = 0).
+    // generator outputs aliased (__pos/__w) — bare pos/col would
+    // collide with group columns of those names
     val exploded = toks
-      .select(g ++ Seq(col("__t"), posexplode(col("__t"))): _*)
-      .select(g ++ Seq(col("col").as("w1"),
-        when(col("pos") < size(col("__t")) - 1,
-          element_at(col("__t"), col("pos") + 2)).as("w2")): _*)
+      .select(g ++ Seq(col("__t"),
+        posexplode(col("__t")).as(Seq("__pos", "__w"))): _*)
+      .select(g ++ Seq(col("__w").as("w1"),
+        when(col("__pos") < size(col("__t")) - 1,
+          element_at(col("__t"), col("__pos") + 2)).as("w2")): _*)
     val fullCounts = exploded
       .groupBy(g ++ Seq(col("w1"), col("w2")): _*)
       .agg(count(lit(1)).as("c0"))

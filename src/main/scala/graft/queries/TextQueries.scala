@@ -1354,6 +1354,7 @@ object TextQueries extends QueryPack {
     Q("q254_bm25_index_search", q254, Some(q190Sql)),
     Q("q257_bm25_index_lifecycle", q257, Some(q190Sql)),
     Q("q275_bm25_ingest_lifecycle", q275, Some(q190Sql)),
+    Q("q280_bm25_ingest_inline_compact", q280, Some(q190Sql)),
     Q("q258_bm25_index_stats", q258, Some(q258Sql)),
     Q("q261_weighted_rrf", q261, Some(q261Sql)),
     Q("q202_bm25_phrase", q202, Some(q202Sql)),
@@ -2276,9 +2277,15 @@ object TextQueries extends QueryPack {
                        "index_dir": "$q275Base/idx",
                        "checkpoint_dir": "$q275Base/ckpt"}}""")
     try q.processAllAvailable() finally q.stop()
+    // compact scoped to the ingest checkpoint's COMMITTED batches (the
+    // live-stream-safe fold); the stream above is quiesced with every
+    // batch committed, so this folds everything — hash-identical to an
+    // unscoped compact, while gating lastCommittedBatch + the scoped
+    // fold under the driver hash
     graft.compile.Compiler.compileJson(s, s"""
       {"source": {"table": "documents"},
-       "bm25_index": {"dir": "$q275Base/idx", "mode": "compact"}}""")
+       "bm25_index": {"dir": "$q275Base/idx", "mode": "compact",
+                      "checkpoint": "$q275Base/ckpt"}}""")
     import s.implicits._
     bm25Queries.toDF("qid", "qtext")
       .createOrReplaceTempView("bm25_queries_q275")
@@ -2286,6 +2293,52 @@ object TextQueries extends QueryPack {
       {"source": {"table": "bm25_queries_q275"},
        "bm25_search": {"qid_col": "qid", "qtext_col": "qtext",
                        "index_dir": "$q275Base/idx", "top_k": 5},
+       "order_by": ["qid asc", "rn asc"]}""")
+  }
+
+  // q280 — UNATTENDED continuous ingest (`compact_every`) under the
+  // driver hash: q275's lifecycle with the maintenance loop CLOSED —
+  // the stream is throttled to one staged file per micro-batch
+  // (maxFilesPerTrigger) so the in-stream fold actually fires
+  // (compact_every: 2 folds the committed prior batches INSIDE
+  // foreachBatch), then the final checkpoint-scoped compact folds the
+  // tail. Search must STILL equal q190's in-memory ranking over the
+  // whole corpus (same oracle verbatim): in-stream folds move rows
+  // delta → base and are bit-invisible to the query-shaped df/idf/avgdl.
+  private val q280Base =
+    s"${System.getProperty("java.io.tmpdir")}/graft_q280_bm25"
+  private def q280(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir)
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).toSeq.flatten.foreach(rmrf)
+      p.delete(); ()
+    }
+    rmrf(new java.io.File(q280Base))
+    graft.compile.Compiler.compileJson(s, s"""
+      {"source": {"sql": "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0"},
+       "bm25_index": {"id_col": "doc_id", "text_col": "text",
+                      "dir": "$q280Base/idx", "buckets": 16}}""")
+    s.sql("SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1")
+      .repartition(3).write.mode("overwrite").parquet(s"$q280Base/in")
+    val q = graft.compile.Compiler.compileStreamJson(s, s"""
+      {"source": {"path": "$q280Base/in",
+                  "options": {"maxFilesPerTrigger": "1"}},
+       "bm25_ingest": {"id_col": "doc_id", "text_col": "text",
+                       "index_dir": "$q280Base/idx",
+                       "checkpoint_dir": "$q280Base/ckpt",
+                       "compact_every": 2}}""")
+    try q.processAllAvailable() finally q.stop()
+    graft.compile.Compiler.compileJson(s, s"""
+      {"source": {"table": "documents"},
+       "bm25_index": {"dir": "$q280Base/idx", "mode": "compact",
+                      "checkpoint": "$q280Base/ckpt"}}""")
+    import s.implicits._
+    bm25Queries.toDF("qid", "qtext")
+      .createOrReplaceTempView("bm25_queries_q280")
+    graft.compile.Compiler.compileJson(s, s"""
+      {"source": {"table": "bm25_queries_q280"},
+       "bm25_search": {"qid_col": "qid", "qtext_col": "qtext",
+                       "index_dir": "$q280Base/idx", "top_k": 5},
        "order_by": ["qid asc", "rn asc"]}""")
   }
 

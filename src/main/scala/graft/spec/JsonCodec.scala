@@ -82,6 +82,17 @@ object JsonCodec {
 
   private def elems(n: JsonNode): Seq[JsonNode] = n.elements().asScala.toSeq
 
+  /** `checkpoint` scopes a delta fold to the ingest stream's COMMITTED
+    * batches — it only means something under mode "compact"; shared by
+    * the bm25_index and ann_index decoders so the wording cannot
+    * drift. */
+  private def requireCompactOnlyCheckpoint(
+      ctx: String, mode: String, checkpoint: Option[String]): Unit =
+    require(checkpoint.isEmpty || mode == "compact",
+      s"""$ctx: "checkpoint" is a compact-only key (it scopes the """ +
+        "delta fold to the ingest stream's committed batches) — " +
+        s"""remove it, or use mode "compact"""")
+
   private def strSeq(n: JsonNode): Seq[String] =
     if (n == null) Nil
     else if (n.isTextual) Seq(n.asText)
@@ -665,7 +676,9 @@ object JsonCodec {
         dir = req(d, ctx, "dir").asText,
         prox = opt(d, "prox").exists(_.asBoolean(false)),
         buckets = opt(d, "buckets").map(_.asInt).getOrElse(64),
-        mode = mode)
+        mode = mode,
+        checkpoint = opt(d, "checkpoint").map(_.asText))
+      requireCompactOnlyCheckpoint(ctx, s.mode, s.checkpoint)
       // append/compact work against the SAVED layout — stated layout
       // params would silently not re-shard/re-shape; reject by name
       require(s.mode == "build" ||
@@ -933,7 +946,9 @@ object JsonCodec {
         mode = mode,
         pqM = pqNode.map(p => req(p, s"$ctx.pq", "m").asInt),
         pqK = pqNode.flatMap(p => opt(p, "k")).map(_.asInt).getOrElse(256),
-        pqIters = pqNode.flatMap(p => opt(p, "iters")).map(_.asInt).getOrElse(5))
+        pqIters = pqNode.flatMap(p => opt(p, "iters")).map(_.asInt).getOrElse(5),
+        checkpoint = opt(d, "checkpoint").map(_.asText))
+      requireCompactOnlyCheckpoint(ctx, s.mode, s.checkpoint)
       // append assigns to the SAVED centroids — a stated fit parameter
       // would silently not refit; reject the contradiction by name. The
       // same applies to pq: appends encode with the SAVED codebooks.
@@ -1415,11 +1430,15 @@ object JsonCodec {
       },
       bm25Ingest = optN("bm25_ingest", "bm25Ingest").map { d =>
         val ctx = s"node $id: bm25_ingest"
-        Bm25IngestSpec(
+        val s = Bm25IngestSpec(
           idCol = req(d, ctx, "id_col", "idCol").asText,
           textCol = req(d, ctx, "text_col", "textCol").asText,
           indexDir = req(d, ctx, "index_dir", "indexDir").asText,
-          checkpointDir = req(d, ctx, "checkpoint_dir", "checkpointDir").asText)
+          checkpointDir = req(d, ctx, "checkpoint_dir", "checkpointDir").asText,
+          compactEvery = opt(d, "compact_every", "compactEvery").map(_.asInt))
+        s.compactEvery.foreach(n => require(n >= 1,
+          s"$ctx: compact_every must be >= 1, got $n"))
+        s
       },
       annIngest = optN("ann_ingest", "annIngest").map { d =>
         val ctx = s"node $id: ann_ingest"

@@ -625,7 +625,14 @@ final case class Bm25IndexSpec(
     dir: String,
     prox: Boolean = false,
     buckets: Int = 64,
-    mode: String = "build" // append: land new docs, refresh stats; compact: defragment
+    mode: String = "build", // append: land new docs, refresh stats; compact: defragment
+    // compact-only: the bm25_ingest stream's checkpointLocation. When
+    // given, the fold reads the checkpoint's commits log and folds only
+    // batch dirs the stream has COMMITTED — the live-stream-safe
+    // compaction (an uncommitted dir would be re-landed by a replay and
+    // its rows duplicated if folded first). Without it, every landed
+    // dir folds: exact for a quiesced stream.
+    checkpoint: Option[String] = None
 )
 
 /** BM25 search against a saved index (NS; Retrieval.bm25SearchIndex):
@@ -870,7 +877,10 @@ final case class AnnIndexSpec(
     // reconstruct per candidate; appends encode with the SAVED codebooks
     pqM: Option[Int] = None,
     pqK: Int = 256,
-    pqIters: Int = 5
+    pqIters: Int = 5,
+    // compact-only: the ann_ingest stream's checkpointLocation — folds
+    // only COMMITTED batch dirs (see Bm25IndexSpec.checkpoint)
+    checkpoint: Option[String] = None
 )
 
 /** ANN search against a saved index (NS; Similarity.annSearchIndex): the
@@ -1317,7 +1327,14 @@ final case class Bm25IngestSpec(
     idCol: String,
     textCol: String,
     indexDir: String,
-    checkpointDir: String
+    checkpointDir: String,
+    // fold the delta areas into the base every N micro-batches, INSIDE
+    // foreachBatch (serialized with the batch, so the fold can never
+    // race a landing delta) and scoped to batches BEFORE the current
+    // one (everything earlier is committed; the in-flight batch stays
+    // in the delta for a crash replay to overwrite) — unattended
+    // streams stop needing an external mode:"compact" cadence
+    compactEvery: Option[Int] = None
 )
 
 /** Continuous ANN-index maintenance (NS; Streaming.annIngest) — the

@@ -471,8 +471,11 @@ object Streaming {
       idCol: String,
       textCol: String,
       indexDir: String,
-      checkpointDir: String
+      checkpointDir: String,
+      compactEvery: Option[Int] = None
   ): org.apache.spark.sql.streaming.StreamingQuery = {
+    compactEvery.foreach(n => require(n >= 1,
+      s"bm25_ingest: compact_every must be >= 1, got $n"))
     // fail at DECLARATION, not inside the first micro-batch: the stats
     // row is the seed contract
     val st0 =
@@ -497,6 +500,21 @@ object Streaming {
       (r.getLong(0), r.getLong(1))
     }
     var baseStats: Option[(Long, Long)] = None
+    // Running DELTA totals (n_docs, sum_dl) carried in the stream
+    // closure: the per-batch stats refresh is O(batch) — it adds only
+    // the CURRENT batch's one-action aggregate — instead of
+    // re-aggregating the whole accumulated dl_inc area every
+    // micro-batch (O(accumulated delta): a long stream between
+    // compactions paid a growing scan for a number derivable
+    // incrementally). Re-derived exactly from dl_inc when the counter
+    // is cold (restart — a replayed batch has already overwritten its
+    // own delta dir by the time stats refresh, so the one-time full
+    // aggregate is exact) or when incWasThere flips false (a compact
+    // just folded the delta; dl_inc then holds only this batch).
+    var deltaStats: Option[(Long, Long)] = None
+    // compact_every cadence: non-empty batches since the last in-stream
+    // fold (restart resets it — a fold is at most delayed, never lost)
+    var batchesSinceFold = 0
     incoming.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -511,11 +529,15 @@ object Streaming {
           // write NOTHING (an empty partitioned write leaves a fileless
           // batch dir; readers treat those as absent, but junk dirs
           // should not accumulate), and a zero-token batch has dl rows
-          // to land but no postings.
+          // to land but no postings. The third aggregate is the RAW dl
+          // sum (unclamped — exactly what the dl_inc write lands), the
+          // running-counter delta.
           val bst = toks
             .agg(count(lit(1)),
-              coalesce(sum(greatest(size(col("__t")), lit(0))), lit(0L))).head
-          val (nRows, nTok) = (bst.getLong(0), bst.getLong(1))
+              coalesce(sum(greatest(size(col("__t")), lit(0))), lit(0L)),
+              coalesce(sum(size(col("__t")).cast("long")), lit(0L))).head
+          val (nRows, nTok, dlSum) =
+            (bst.getLong(0), bst.getLong(1), bst.getLong(2))
           if (nRows > 0) {
             toks.select(col("doc"), size(col("__t")).cast("long").as("dl"))
               .write.mode("overwrite").parquet(s"$indexDir/dl_inc/batch=$batchId")
@@ -532,9 +554,39 @@ object Streaming {
             if (!incWasThere || baseStats.isEmpty)
               baseStats = Some(aggDl(s, s"$indexDir/dl"))
             val (bn, bsum) = baseStats.get
-            val (in_, isum) = aggDl(s, s"$indexDir/dl_inc") // delta-shaped
+            val (in_, isum) =
+              if (incWasThere && deltaStats.isDefined) {
+                // warm path: O(batch) — prior delta total + this batch
+                val (dn, dsum) = deltaStats.get
+                (dn + nRows, dsum + dlSum)
+              } else
+                // cold path (restart or just-compacted): one exact
+                // re-derive from the delta area, which now includes the
+                // batch written above
+                aggDl(s, s"$indexDir/dl_inc")
+            deltaStats = Some((in_, isum))
             graft.ops.Retrieval.writeBm25StatsRow(s, indexDir,
               bn + in_, bsum + isum, buckets, prox, statsIdCol)
+            // compact_every: fold the delta INSIDE foreachBatch —
+            // serialized with the batch, so the fold can never race a
+            // landing delta — scoped to batches BEFORE this one (all
+            // committed by definition of this batch running; the
+            // current batch stays in the delta for a crash replay to
+            // overwrite — folding an uncommitted batch would duplicate
+            // its rows once the replay re-lands it). Totals are
+            // invariant under the fold (rows move delta → base), so
+            // the running counters and the just-written stats row stay
+            // exact; the base dl cache re-derives lazily if the NEXT
+            // batch sees the delta area gone.
+            batchesSinceFold += 1
+            if (batchId > 0 && compactEvery.exists(batchesSinceFold >= _)) {
+              // defragWhenEmpty=false: a sibling area with nothing
+              // foldable (e.g. postings_inc after zero-token batches)
+              // must not trigger an O(corpus) base rewrite per cadence
+              graft.ops.Retrieval.compactBm25Index(s, indexDir,
+                Some(batchId - 1), defragWhenEmpty = false)
+              batchesSinceFold = 0
+            }
           }
         } finally { toks.unpersist(); () }
       }

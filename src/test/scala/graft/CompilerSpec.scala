@@ -247,11 +247,26 @@ class CompilerSpec extends SparkSpec {
     // a warning, not a rejection: the expression still compiles and computes
     Seq((1L, 1L, 10L), (1L, 2L, 20L)).toDF("k", "ts", "v")
       .createOrReplaceTempView("uf_warn_fixture")
+    Compiler.drainCompileWarnings() // clear anything earlier tests left
     val out = Compiler.compileJson(spark, """
       {"source": {"table": "uf_warn_fixture"},
        "derive": {"nxt": "first(v) OVER (PARTITION BY k ORDER BY ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"},
        "order_by": ["ts asc"]}""")
     assert(out.select("nxt").collect().map(_.getLong(0)).toSeq == Seq(10L, 20L))
+    // … and the lint is VISIBLE where plans are reviewed, not just in
+    // log.warn noise: the compile collects it for drainCompileWarnings,
+    // which graft.Explain prints above each plan
+    val warns = Compiler.drainCompileWarnings()
+    assert(warns.exists(w => w.contains("UNBOUNDED") && w.contains("nxt")),
+      s"expected the quadratic-frame lint in compile warnings, got: $warns")
+    assert(Compiler.drainCompileWarnings().isEmpty,
+      "drain must clear the warning buffer")
+    // a clean compile leaves no warnings behind
+    Compiler.compileJson(spark, """
+      {"source": {"table": "uf_warn_fixture"},
+       "derive": {"run": "sum(v) OVER (PARTITION BY k ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"}}""")
+    assert(Compiler.drainCompileWarnings().isEmpty,
+      "the safe running frame must not warn")
   }
 
   test("global orderBy+limit plans TakeOrderedAndProject, not a full sort") {
@@ -761,6 +776,30 @@ class CompilerSpec extends SparkSpec {
     Compiler.releaseAllCaches()
     assert(spark.sharedState.cacheManager.isEmpty,
       "releaseAllCaches must sweep unreleased compiles")
+    spark.catalog.clearCache()
+    // OPERATOR-INTERNAL caches (overlap_join how:"left" persists its
+    // matched-keys frame) must ALSO release per-result: before round 19
+    // only the global releaseAllCaches sweep freed them, so a
+    // long-lived session compiling such operators accumulated pinned
+    // blocks per compile
+    Seq((1L, 10L, 20L), (2L, 30L, 40L)).toDF("k", "lo", "hi")
+      .createOrReplaceTempView("opc_left")
+    Seq((1L, 12L, 14L)).toDF("k", "olo", "ohi")
+      .createOrReplaceTempView("opc_right")
+    val opOut = Compiler.compileJson(spark, """
+      {"id": "r",
+       "defs": [{"id": "other", "source": {"table": "opc_right"}}],
+       "source": {"table": "opc_left"},
+       "overlap_join": {"other_ref": "other", "lo_col": "lo", "hi_col": "hi",
+                        "other_lo_col": "olo", "other_hi_col": "ohi",
+                        "bucket": 100, "on": ["k"], "payload": ["olo"],
+                        "how": "left"}}""")
+    opOut.collect()
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "overlap_join how:left should persist an operator-internal cache")
+    Compiler.releaseCache(opOut)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "releaseCache(result) must free operator-internal caches too")
     spark.catalog.clearCache()
     // guard rails, each by name
     def err(json: String): String =

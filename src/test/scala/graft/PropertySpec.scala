@@ -812,10 +812,13 @@ class PropertySpec extends SparkSpec {
       seedDocs <- textsGen(1, 4, 1, 6)
       streamed <- textsGen(1, 8, 0, 6) // empty docs ride the stream too
       cut <- Gen.chooseNum(0, 8)
-    } yield (seedDocs, streamed, cut)
+      // in-stream compaction cadence must ALSO be unobservable (None =
+      // never; 1 = fold the prior delta on every later batch)
+      compactEvery <- Gen.option(Gen.chooseNum(1, 2))
+    } yield (seedDocs, streamed, cut, compactEvery)
     val dir = java.nio.file.Files.createTempDirectory("graft-bm25ing-fuzz").toString
     var round = 0
-    forAll(caseGen, n = 4) { case (seedDocs0, streamed, cut0) =>
+    forAll(caseGen, n = 4) { case (seedDocs0, streamed, cut0, compactEvery) =>
       round += 1
       val seedDocs = // the build guard rejects an all-whitespace seed by name
         if (seedDocs0.forall(_.isEmpty)) seedDocs0 :+ "alpha" else seedDocs0
@@ -825,7 +828,7 @@ class PropertySpec extends SparkSpec {
           .toDF("id", "txt"), "id", "txt", idx, buckets = 4)
       val mem = MemoryStream[(Long, String)]
       val q = graft.streaming.Streaming.bm25Ingest(mem.toDF.toDF("id", "txt"),
-        "id", "txt", idx, s"$idx-ckpt")
+        "id", "txt", idx, s"$idx-ckpt", compactEvery)
       val rows = streamed.zipWithIndex
         .map { case (t, i) => ((100 + i).toLong, t) }
       val cut = math.min(cut0, rows.size)
@@ -841,7 +844,8 @@ class PropertySpec extends SparkSpec {
       assert(
         asSet(Retrieval.bm25SearchIndex(qs, "qid", "qtext", idx, topK = 3)) ==
           asSet(Retrieval.bm25TopK(all, "id", "txt", qs, "qid", "qtext", topK = 3)),
-        s"batched ingest diverged: seed=$seedDocs streamed=$streamed cut=$cut")
+        s"batched ingest diverged: seed=$seedDocs streamed=$streamed " +
+          s"cut=$cut compactEvery=$compactEvery")
     }
   }
 

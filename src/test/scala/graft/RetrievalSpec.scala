@@ -429,4 +429,101 @@ class RetrievalSpec extends SparkSpec {
       Retrieval.bm25TopK(corpus.filter(lit(false)), "id", "txt", qs, "qid", "qtext")
     }
   }
+
+  test("foldIncInto self-heals every crash window: roll back under the _folding flag (replay-landed dirs win), roll forward after it") {
+    import graft.ops.Artifacts
+    val base0 = java.nio.file.Files.createTempDirectory("graft_foldrec").toString
+    def writeBatch(inc: String, id: Long, docs: (Long, Long)*): Unit =
+      docs.toSeq.toDF("doc", "dl").coalesce(1)
+        .write.mode("overwrite").parquet(s"$inc/batch=$id")
+    def docsIn(path: String): Set[Long] =
+      spark.read.parquet(path).select("doc").collect().map(_.getLong(0)).toSet
+    def touch(path: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).create(p, true).close()
+    }
+
+    // WINDOW 1 (flag present = rewrite never finished → roll BACK):
+    // batch=5 was staged aside mid-fold, a partial $base.compact was
+    // left behind; batch=0 landed after the crash. The next fold must
+    // restore batch=5, drop the stale compact, then fold BOTH batches.
+    locally {
+      val (b, inc) = (s"$base0/w1b/dl", s"$base0/w1b/dl_inc")
+      Seq((1L, 3L), (2L, 4L)).toDF("doc", "dl")
+        .coalesce(1).write.mode("overwrite").parquet(b)
+      writeBatch(inc, 0, (10L, 2L))
+      writeBatch(inc, 5, (15L, 2L))
+      val fs = new org.apache.hadoop.fs.Path(b)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      assert(fs.mkdirs(new org.apache.hadoop.fs.Path(s"$inc.old")))
+      touch(s"$inc.old/_folding")
+      assert(fs.rename(new org.apache.hadoop.fs.Path(s"$inc/batch=5"),
+        new org.apache.hadoop.fs.Path(s"$inc.old/batch=5")))
+      Seq((99L, 9L)).toDF("doc", "dl").coalesce(1)
+        .write.mode("overwrite").parquet(s"$b.compact") // stale partial
+      Artifacts.foldIncInto(spark, b, inc, None)
+      assert(docsIn(b) == Set(1L, 2L, 10L, 15L),
+        s"roll-back fold must recover the staged dir, got ${docsIn(b)}")
+      assert(!new java.io.File(s"$inc.old").exists &&
+        !new java.io.File(s"$b.compact").exists)
+    }
+
+    // WINDOW 1b (flag present AND the replay already re-landed the
+    // staged batch): the re-landed copy is authoritative — no dup.
+    locally {
+      val (b, inc) = (s"$base0/w2/dl", s"$base0/w2/dl_inc")
+      Seq((1L, 3L)).toDF("doc", "dl")
+        .coalesce(1).write.mode("overwrite").parquet(b)
+      writeBatch(inc, 5, (15L, 2L)) // the replay's copy
+      val fs = new org.apache.hadoop.fs.Path(b)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      assert(fs.mkdirs(new org.apache.hadoop.fs.Path(s"$inc.old")))
+      touch(s"$inc.old/_folding")
+      Seq((15L, 2L)).toDF("doc", "dl").coalesce(1) // the staged twin
+        .write.mode("overwrite").parquet(s"$inc.old/batch=5")
+      Artifacts.foldIncInto(spark, b, inc, None)
+      val rows = spark.read.parquet(b).collect()
+      assert(docsIn(b) == Set(1L, 15L) && rows.length == 2,
+        s"replay-landed dir must fold exactly once, got ${rows.toSeq}")
+    }
+
+    // WINDOW 2 (flag ABSENT, $base.compact present = rewrite finished,
+    // swap didn't → roll FORWARD): the compact already holds the folded
+    // rows; recovery must land it and drop inc.old WITHOUT re-folding.
+    locally {
+      val (b, inc) = (s"$base0/w3/dl", s"$base0/w3/dl_inc")
+      Seq((1L, 3L)).toDF("doc", "dl")
+        .coalesce(1).write.mode("overwrite").parquet(b)
+      val fs = new org.apache.hadoop.fs.Path(b)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      assert(fs.mkdirs(new org.apache.hadoop.fs.Path(s"$inc.old")))
+      Seq((15L, 2L)).toDF("doc", "dl").coalesce(1)
+        .write.mode("overwrite").parquet(s"$inc.old/batch=5")
+      Seq((1L, 3L), (15L, 2L)).toDF("doc", "dl").coalesce(1)
+        .write.mode("overwrite").parquet(s"$b.compact") // finished fold
+      Artifacts.foldIncInto(spark, b, inc, None)
+      assert(docsIn(b) == Set(1L, 15L) &&
+        spark.read.parquet(b).count() == 2L,
+        "roll-forward must land the finished compact exactly once")
+      assert(!new java.io.File(s"$inc.old").exists)
+    }
+
+    // WINDOW 3 (flag absent, compact absent = swap finished → drop the
+    // leftover inc.old; nothing re-folds)
+    locally {
+      val (b, inc) = (s"$base0/w4/dl", s"$base0/w4/dl_inc")
+      Seq((1L, 3L), (15L, 2L)).toDF("doc", "dl")
+        .coalesce(1).write.mode("overwrite").parquet(b) // swap landed
+      val fs = new org.apache.hadoop.fs.Path(b)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      assert(fs.mkdirs(new org.apache.hadoop.fs.Path(s"$inc.old")))
+      Seq((15L, 2L)).toDF("doc", "dl").coalesce(1)
+        .write.mode("overwrite").parquet(s"$inc.old/batch=5")
+      Artifacts.foldIncInto(spark, b, inc, None)
+      assert(docsIn(b) == Set(1L, 15L) &&
+        spark.read.parquet(b).count() == 2L,
+        "post-swap leftover must drop without re-folding")
+      assert(!new java.io.File(s"$inc.old").exists)
+    }
+  }
 }

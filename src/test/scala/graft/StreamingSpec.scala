@@ -892,6 +892,165 @@ class StreamingSpec extends SparkSpec {
     assert(asSet(Retrieval.bm25SearchIndex(qs, "qid", "qtext", idx, topK = 3)) == want)
   }
 
+  test("compact with checkpoint folds only COMMITTED ingest batches; an uncommitted landed delta survives for the replay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.ops.{Artifacts, Retrieval}
+    import org.apache.spark.sql.functions.{col, lit}
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_ckfold").toString
+    val idx = s"$base/idx"
+    val ck = s"$base/ckpt"
+    Retrieval.saveBm25Index(spark,
+      Seq((1L, "alpha beta gamma"), (2L, "beta beta delta")).toDF("doc_id", "text"),
+      "doc_id", "text", idx, buckets = 8)
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.bm25Ingest(mem.toDF.toDF("doc_id", "text"),
+      "doc_id", "text", idx, ck)
+    try {
+      mem.addData((3L, "alpha alpha epsilon"), (4L, "gamma delta"))
+      q.processAllAvailable()
+      mem.addData((5L, "beta epsilon zeta"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the commits log names the folding boundary
+    assert(Artifacts.lastCommittedBatch(spark, ck) == Some(1L))
+    assert(intercept[IllegalArgumentException](
+      Artifacts.lastCommittedBatch(spark, s"$base/nope"))
+      .getMessage.contains("checkpoint"))
+    // simulate the crash window: batch 99 LANDED its delta dirs but the
+    // checkpoint never committed it — a restart would replay it. Its
+    // terms avoid every query term below, so stale stats (which cannot
+    // include it until the replay refreshes them) do not perturb scores.
+    val ghost = Seq((99L, "omega omega")).toDF("doc_id", "text")
+      .select(col("doc_id").as("doc"),
+        graft.ops.TextAnalysis.tokens(col("text")).as("__t"))
+    ghost.select(col("doc"), org.apache.spark.sql.functions.size(col("__t"))
+        .cast("long").as("dl"))
+      .write.mode("overwrite").parquet(s"$idx/dl_inc/batch=99")
+    Retrieval.postingsOf(ghost, col("__t"), 8)
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$idx/postings_inc/batch=99")
+    // checkpoint-scoped compact: batches 0-1 fold, 99 survives
+    Retrieval.compactBm25Index(spark, idx,
+      Artifacts.lastCommittedBatch(spark, ck))
+    def batchDirsOf(d: String) = Option(new java.io.File(d).listFiles())
+      .map(_.toSeq.map(_.getName).filter(_.startsWith("batch=")))
+      .getOrElse(Nil)
+    assert(batchDirsOf(s"$idx/dl_inc") == Seq("batch=99") &&
+      batchDirsOf(s"$idx/postings_inc") == Seq("batch=99"),
+      "only committed batch dirs may fold; the uncommitted one must survive")
+    // the survivor is still READER-visible (base ∪ delta)
+    assert(Artifacts.readWithInc(spark, s"$idx/dl", s"$idx/dl_inc")
+      .filter(col("doc") === 99L).count() == 1L)
+    // and scores over the committed corpus are exact
+    val qs = Seq((101L, "alpha beta"), (102L, "delta epsilon")).toDF("qid", "qtext")
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val committed = Seq((1L, "alpha beta gamma"), (2L, "beta beta delta"),
+      (3L, "alpha alpha epsilon"), (4L, "gamma delta"),
+      (5L, "beta epsilon zeta")).toDF("doc_id", "text")
+    assert(asSet(Retrieval.bm25SearchIndex(qs, "qid", "qtext", idx, topK = 3)) ==
+      asSet(Retrieval.bm25TopK(committed, "doc_id", "text", qs, "qid", "qtext", topK = 3)),
+      "checkpoint-scoped fold must be bit-invisible to committed-corpus search")
+    // config surface: same scoping through the checkpoint key; batch 99
+    // still uncommitted, so it survives a config compact too
+    committed.limit(1).write.mode("overwrite").parquet(s"$base/dummy")
+    graft.compile.Compiler.compileJson(spark, s"""
+      {"source": {"path": "$base/dummy"},
+       "bm25_index": {"dir": "$idx", "mode": "compact", "checkpoint": "$ck"}}""")
+      .collect()
+    assert(batchDirsOf(s"$idx/dl_inc") == Seq("batch=99"),
+      "config compact with checkpoint must also skip uncommitted dirs")
+    // once the checkpoint commits 99 (the replay completed), the next
+    // scoped compact folds it and retires the delta areas
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$ck/commits/99"),
+      "v1\n{}".getBytes)
+    Retrieval.compactBm25Index(spark, idx,
+      Artifacts.lastCommittedBatch(spark, ck))
+    assert(!new java.io.File(s"$idx/dl_inc").exists &&
+      !new java.io.File(s"$idx/postings_inc").exists,
+      "a fully-committed delta folds and the areas retire")
+    assert(spark.read.parquet(s"$idx/dl").filter(col("doc") === 99L).count() == 1L)
+    // guard: checkpoint is a compact-only key
+    val eCk = intercept[IllegalArgumentException](
+      graft.spec.JsonCodec.parse(s"""
+        {"source": {"table": "documents"},
+         "bm25_index": {"id_col": "doc_id", "text_col": "text",
+                        "dir": "$idx", "checkpoint": "$ck"}}"""))
+    assert(eCk.getMessage.contains("compact-only"), eCk.getMessage)
+    val eCk2 = intercept[IllegalArgumentException](
+      graft.spec.JsonCodec.parse(s"""
+        {"source": {"table": "embeddings"},
+         "ann_index": {"id_col": "id", "vec_col": "embedding",
+                       "dir": "$idx", "checkpoint": "$ck"}}"""))
+    assert(eCk2.getMessage.contains("compact-only"), eCk2.getMessage)
+  }
+
+  test("bm25_ingest compact_every: in-stream folds keep search exact and retire committed delta dirs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.ops.Retrieval
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_ce").toString
+    val idx = s"$base/idx"
+    Retrieval.saveBm25Index(spark,
+      Seq((1L, "alpha beta gamma")).toDF("doc_id", "text"),
+      "doc_id", "text", idx, buckets = 8)
+    assert(intercept[IllegalArgumentException](
+      Streaming.bm25Ingest(MemoryStream[(Long, String)].toDF.toDF("doc_id", "text"),
+        "doc_id", "text", idx, s"$base/ck0", compactEvery = Some(0)))
+      .getMessage.contains("compact_every"))
+    val mem = MemoryStream[(Long, String)]
+    // fold on every later batch: after batch 2, batches 0-1 are folded
+    // and only batch=2 remains in the delta
+    val q = Streaming.bm25Ingest(mem.toDF.toDF("doc_id", "text"),
+      "doc_id", "text", idx, s"$base/ckpt", compactEvery = Some(1))
+    try {
+      mem.addData((2L, "alpha alpha epsilon")); q.processAllAvailable()
+      mem.addData((3L, "gamma delta")); q.processAllAvailable()
+      mem.addData((4L, "beta epsilon zeta")); q.processAllAvailable()
+    } finally q.stop()
+    def batchDirsOf(d: String) = Option(new java.io.File(d).listFiles())
+      .map(_.toSeq.map(_.getName).filter(_.startsWith("batch=")).sorted)
+      .getOrElse(Nil)
+    assert(batchDirsOf(s"$idx/dl_inc") == Seq("batch=2"),
+      s"in-stream folds must retire prior batch dirs, " +
+        s"got ${batchDirsOf(s"$idx/dl_inc")}")
+    // the folded docs live in base; the pending one in the delta;
+    // search and stats reflect the union exactly
+    val all = Seq((1L, "alpha beta gamma"), (2L, "alpha alpha epsilon"),
+      (3L, "gamma delta"), (4L, "beta epsilon zeta")).toDF("doc_id", "text")
+    val qs = Seq((101L, "alpha beta"), (102L, "delta epsilon")).toDF("qid", "qtext")
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(asSet(Retrieval.bm25SearchIndex(qs, "qid", "qtext", idx, topK = 3)) ==
+      asSet(Retrieval.bm25TopK(all, "doc_id", "text", qs, "qid", "qtext", topK = 3)),
+      "in-stream compaction must be bit-invisible to search")
+    assert(Retrieval.bm25IndexStats(spark, idx)
+      .select("n_docs").head.getLong(0) == 4L)
+    // config twin: the key reaches the stream sink, and the decode
+    // guard rejects a non-positive cadence by name
+    val inDir = s"$base/in"
+    Seq((5L, "zeta zeta")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(inDir)
+    val qc = graft.compile.Compiler.compileStreamJson(spark, s"""
+      {"source": {"path": "$inDir"},
+       "bm25_ingest": {"id_col": "doc_id", "text_col": "text",
+                       "index_dir": "$idx", "checkpoint_dir": "$base/ckpt2",
+                       "compact_every": 1}}""")
+    try qc.processAllAvailable() finally qc.stop()
+    assert(Retrieval.bm25IndexStats(spark, idx)
+      .select("n_docs").head.getLong(0) == 5L)
+    assert(intercept[IllegalArgumentException](
+      graft.spec.JsonCodec.parse(s"""
+        {"source": {"path": "$inDir"},
+         "bm25_ingest": {"id_col": "doc_id", "text_col": "text",
+                         "index_dir": "$idx", "checkpoint_dir": "$base/ck3",
+                         "compact_every": 0}}"""))
+      .getMessage.contains("compact_every"))
+  }
+
   test("bm25_ingest config: the lexical continuous-ingest sink; stream == batch search; guards") {
     import spark.implicits._
     import graft.ops.Retrieval

@@ -10,6 +10,18 @@ A query counts as regressed when it is BOTH `ratio`× slower and >0.3s
 absolutely slower (tiny queries jitter multiplicatively). Exit 1 on any
 regression. Improvements print informationally. Queries present on only
 one side (added/retired) are listed, never failed on.
+
+ROUND-CLOSE GATE (blocking): before the final bench-snapshot commit of
+a round, run this against the PREVIOUS ROUND's driver snapshot —
+`bench_r{N-1}_driver.json` (a copy of the bench_last.json the driver
+committed with the round-N-1 verdict), NEVER a mid-round snapshot: a
+mid-round baseline already contains the round's own regressions and
+masks them (round 18 shipped a 10.4× collocations regression that this
+tool catches in one command when pointed at the right baseline). A
+non-empty regression list blocks the commit: triage each row with a
+fresh-JVM `runMain graft.QBench <names>` (driver-host contention
+inflates driver numbers — fresh-JVM is the truth), fix real ones, and
+record the triage in the bench snapshot commit message.
 """
 import json
 import sys
