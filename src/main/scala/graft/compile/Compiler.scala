@@ -1705,7 +1705,8 @@ object Compiler {
                 bi.compactEvery))),
             root.annIngest.map(ai => "ann_ingest" -> (() =>
               graft.streaming.Streaming.annIngest(
-                out, ai.idCol, ai.vecCol, ai.indexDir, ai.checkpointDir)))
+                out, ai.idCol, ai.vecCol, ai.indexDir, ai.checkpointDir,
+                ai.compactEvery)))
           ).flatten
           ingestSinks match {
             case Seq((name, start)) =>

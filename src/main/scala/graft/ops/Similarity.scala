@@ -523,9 +523,10 @@ object Similarity {
     * [[annIndexStats]]: compact for fragmentation, rebuild for skew. */
   def compactAnnIndex(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      maxBatchId: Option[Long] = None): Unit =
+      maxBatchId: Option[Long] = None,
+      defragWhenEmpty: Boolean = true): Unit =
     Artifacts.foldIncInto(spark, s"$dir/index", s"$dir/index_inc",
-      Some("list"), maxBatchId)
+      Some("list"), maxBatchId, defragWhenEmpty)
 
   /** Index HEALTH view over a [[saveAnnIndex]] artifact — the
     * rebuild-vs-append decision input ([[appendAnnIndex]]'s documented

@@ -1442,11 +1442,15 @@ object JsonCodec {
       },
       annIngest = optN("ann_ingest", "annIngest").map { d =>
         val ctx = s"node $id: ann_ingest"
-        AnnIngestSpec(
+        val s = AnnIngestSpec(
           idCol = req(d, ctx, "id_col", "idCol").asText,
           vecCol = req(d, ctx, "vec_col", "vecCol").asText,
           indexDir = req(d, ctx, "index_dir", "indexDir").asText,
-          checkpointDir = req(d, ctx, "checkpoint_dir", "checkpointDir").asText)
+          checkpointDir = req(d, ctx, "checkpoint_dir", "checkpointDir").asText,
+          compactEvery = opt(d, "compact_every", "compactEvery").map(_.asInt))
+        s.compactEvery.foreach(n => require(n >= 1,
+          s"$ctx: compact_every must be >= 1, got $n"))
+        s
       },
       sequencePack = optN("sequence_pack", "sequencePack").map { d =>
         val ctx = s"node $id: sequence_pack"

@@ -1350,7 +1350,11 @@ final case class AnnIngestSpec(
     idCol: String,
     vecCol: String,
     indexDir: String,
-    checkpointDir: String
+    checkpointDir: String,
+    // fold the index delta into the base every N non-empty
+    // micro-batches, inside foreachBatch and scoped to pre-current
+    // (committed) batches — see Bm25IngestSpec.compactEvery
+    compactEvery: Option[Int] = None
 )
 
 /** One pipeline node = the reference's per-config processing unit:

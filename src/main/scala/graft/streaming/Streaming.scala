@@ -615,9 +615,12 @@ object Streaming {
       idCol: String,
       vecCol: String,
       indexDir: String,
-      checkpointDir: String
+      checkpointDir: String,
+      compactEvery: Option[Int] = None
   ): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.ops.Similarity
+    compactEvery.foreach(n => require(n >= 1,
+      s"ann_ingest: compact_every must be >= 1, got $n"))
     // fail at DECLARATION, not inside the first micro-batch
     val spark0 = incoming.sparkSession
     val cents =
@@ -629,17 +632,28 @@ object Streaming {
     val isPq = spark0.read.parquet(s"$indexDir/index").schema
       .fieldNames.contains("codes")
     val cbs = if (isPq) Similarity.loadCodebooks(spark0, indexDir) else Nil
+    // compact_every cadence — see bm25Ingest (same crash-safe scoping)
+    var batchesSinceFold = 0
     incoming.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // an all-empty micro-batch must write NOTHING: an empty
         // partitioned write leaves a fileless batch dir (readers treat
         // those as absent, but junk dirs should not accumulate)
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
           Similarity.encodeIndexRows(batch, idCol, vecCol, cents,
               if (isPq) Some(cbs) else None)
             .write.mode("overwrite").partitionBy("list")
             .parquet(s"$indexDir/index_inc/batch=$batchId")
+          // fold INSIDE foreachBatch, scoped to pre-current (committed)
+          // batches — the in-flight one stays for a crash replay
+          batchesSinceFold += 1
+          if (batchId > 0 && compactEvery.exists(batchesSinceFold >= _)) {
+            Similarity.compactAnnIndex(batch.sparkSession, indexDir,
+              Some(batchId - 1), defragWhenEmpty = false)
+            batchesSinceFold = 0
+          }
+        }
         ()
       }
       .start()

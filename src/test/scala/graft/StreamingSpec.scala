@@ -1181,6 +1181,60 @@ class StreamingSpec extends SparkSpec {
       .select("n_vectors").head.getLong(0) == 30L)
   }
 
+  test("annIngest compact_every: in-stream folds retire committed delta dirs; search == brute force") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.ops.Similarity
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_ann_ce").toString
+    val idx = s"$base/idx"
+    def vec(seed: Int): Seq[Double] =
+      Seq.tabulate(8)(i => ((seed * 31 + i * 7) % 13 - 6).toDouble)
+    val seed = (0L until 12L).map(i => (i, vec(i.toInt)))
+    Similarity.saveAnnIndex(spark, seed.toDF("id0", "emb"),
+      "id0", "emb", idx, nlist = 4)
+    assert(intercept[IllegalArgumentException](
+      Streaming.annIngest(MemoryStream[(Long, Seq[Double])].toDF
+          .toDF("id0", "emb"),
+        "id0", "emb", idx, s"$base/ck0", compactEvery = Some(0)))
+      .getMessage.contains("compact_every"))
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = Streaming.annIngest(mem.toDF.toDF("id0", "emb"),
+      "id0", "emb", idx, s"$base/ckpt", compactEvery = Some(1))
+    val streamed = (12L until 18L).map(i => (i, vec(i.toInt)))
+    try {
+      mem.addData(streamed.take(2): _*); q.processAllAvailable()
+      mem.addData(streamed.slice(2, 4): _*); q.processAllAvailable()
+      mem.addData(streamed.drop(4): _*); q.processAllAvailable()
+    } finally q.stop()
+    def batchDirsOf(d: String) = Option(new java.io.File(d).listFiles())
+      .map(_.toSeq.map(_.getName).filter(_.startsWith("batch=")).sorted)
+      .getOrElse(Nil)
+    assert(batchDirsOf(s"$idx/index_inc") == Seq("batch=2"),
+      s"in-stream folds must retire prior batch dirs, got " +
+        s"${batchDirsOf(s"$idx/index_inc")}")
+    val all = (seed ++ streamed).toDF("cid", "emb")
+    val qs = (0L until 4L).map(i => (i + 1000L, vec(i.toInt))).toDF("qid", "qv")
+    def asSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "match_id", "score", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(asSet(Similarity.annSearchIndex(qs, "qid", "qv", idx,
+        k = 3, nprobe = 4)) ==
+      asSet(Similarity.cosineTopK(qs, all, "qid", "qv", "cid", "emb", 3)
+        .withColumnRenamed("cid", "match_id")),
+      "in-stream compaction must be bit-invisible to search")
+    assert(Similarity.annIndexStats(spark, idx)
+      .select("n_vectors").head.getLong(0) == 18L)
+    // decode guard by name
+    assert(intercept[IllegalArgumentException](
+      graft.spec.JsonCodec.parse(s"""
+        {"source": {"path": "$base/in"},
+         "ann_ingest": {"id_col": "id0", "vec_col": "emb",
+                        "index_dir": "$idx", "checkpoint_dir": "$base/ck1",
+                        "compact_every": -3}}"""))
+      .getMessage.contains("compact_every"))
+  }
+
   test("ann_ingest config: the vector continuous-ingest sink; PQ indexes encode against saved codebooks; guards") {
     import spark.implicits._
     import graft.ops.Similarity
