@@ -156,6 +156,32 @@ object Artifacts {
       !f.getPath.getName.startsWith(".") && dirHasData(fs, f.getPath))
   }
 
+  /** Per-base-path fold serialization: two folds (an operator-issued
+    * `mode:"compact"` and a stream's `compact_every`) racing on the
+    * same artifact would let [[recoverCrashedFold]] mistake the live
+    * one for a crashed one and sabotage it (delete its partial
+    * rewrite, move its staged sources back). All folds in THIS JVM —
+    * the driver issues both kinds — serialize on a per-base monitor.
+    * Cross-PROCESS concurrent maintenance on one artifact dir remains
+    * the operator's contract to avoid (documented in SCALE.md), as for
+    * any rename-swapped layout without a coordinating catalog. */
+  private val foldLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def foldLock(base: String): Object =
+    foldLocks.computeIfAbsent(base, _ => new Object)
+
+  /** Heal a crashed fold (leftover `$inc.old`) for one base/inc pair —
+    * exposed for the ingest sinks, which run it at DECLARATION so a
+    * restart's first stats re-derive never reads through a half-staged
+    * delta area (staged dirs are invisible to readers; deriving totals
+    * from that state would undercount until the next fold healed it). */
+  private[graft] def healCrashedFold(
+      spark: SparkSession, base: String, inc: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(inc)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    foldLock(base).synchronized { recoverCrashedFold(spark, fs, base, inc) }
+  }
+
   /** Roll a crashed fold back or forward — every window of the staged
     * protocol below is mechanically distinguishable, so a leftover
     * `$inc.old` self-heals instead of rejecting by name (an unattended
@@ -245,7 +271,16 @@ object Artifacts {
     * distinguishable: flag present → roll back; flag absent → the
     * rewrite finished, roll forward. Readers see base-only for the
     * staged batches between the stage-aside and the swap — a briefly
-    * stale but NEVER-duplicated view. The r18 protocol (rewrite first,
+    * stale but NEVER-duplicated view. Two honest windows remain, as
+    * for any rename-swapped layout without a coordinating catalog:
+    * a read racing [[swapDir]]'s two renames can fail path-not-found
+    * (retry-shaped, microseconds), and a SEARCH served mid-fold scores
+    * against postings/dl missing the staged docs while the index's
+    * separate stats row still counts them — concurrent readers get
+    * momentarily conservative scores, never duplicates; deployments
+    * that need bit-stable reads during maintenance should gate
+    * searches off the compaction cadence. The r18 protocol (rewrite
+    * first,
     * whole-area rename after) rejected by name on a leftover
     * `$inc.old`, and its documented recovery could DUPLICATE rows: the
     * snapshot boundary was recorded nowhere, so after a mid-stage
@@ -254,7 +289,7 @@ object Artifacts {
   def foldIncInto(
       spark: SparkSession, base: String, inc: String,
       partCol: Option[String], maxBatchId: Option[Long] = None,
-      defragWhenEmpty: Boolean = true): Unit = {
+      defragWhenEmpty: Boolean = true): Unit = foldLock(base).synchronized {
     val incPath = new org.apache.hadoop.fs.Path(inc)
     val oldInc = new org.apache.hadoop.fs.Path(s"$inc.old")
     val fs = oldInc.getFileSystem(spark.sessionState.newHadoopConf())

@@ -2258,43 +2258,58 @@ object TextQueries extends QueryPack {
   // query-shaped at search time, and the delta fold is bit-invisible.
   private val q275Base =
     s"${System.getProperty("java.io.tmpdir")}/graft_q275_bm25"
-  private def q275(s: SparkSession, dir: String): DataFrame = {
+
+  /** Shared lifecycle scaffold for the streamed-ingest gates (q275,
+    * q280): seed the index over the even docs, stage the odd docs and
+    * stream them through the bm25_ingest sink, compact SCOPED TO THE
+    * INGEST CHECKPOINT's committed batches (the stream is quiesced with
+    * everything committed, so the scoped fold folds it all —
+    * hash-identical to an unscoped compact while gating
+    * lastCommittedBatch + the scoped fold under the driver hash), then
+    * search — which must equal q190's in-memory ranking over the WHOLE
+    * corpus (same oracle verbatim). */
+  private def bm25IngestLifecycle(
+      s: SparkSession, dir: String, base: String, tag: String,
+      stageFiles: Int, oneFilePerBatch: Boolean,
+      compactEvery: Option[Int]): DataFrame = {
     Tables.registerViews(s, dir)
     def rmrf(p: java.io.File): Unit = {
       if (p.isDirectory) Option(p.listFiles()).toSeq.flatten.foreach(rmrf)
       p.delete(); ()
     }
-    rmrf(new java.io.File(q275Base))
+    rmrf(new java.io.File(base))
     graft.compile.Compiler.compileJson(s, s"""
       {"source": {"sql": "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0"},
        "bm25_index": {"id_col": "doc_id", "text_col": "text",
-                      "dir": "$q275Base/idx", "buckets": 16}}""")
+                      "dir": "$base/idx", "buckets": 16}}""")
     s.sql("SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1")
-      .coalesce(2).write.mode("overwrite").parquet(s"$q275Base/in")
+      .repartition(stageFiles).write.mode("overwrite").parquet(s"$base/in")
+    val srcOpts =
+      if (oneFilePerBatch) """, "options": {"maxFilesPerTrigger": "1"}""" else ""
+    val ce = compactEvery.map(n => s""", "compact_every": $n""").getOrElse("")
     val q = graft.compile.Compiler.compileStreamJson(s, s"""
-      {"source": {"path": "$q275Base/in"},
+      {"source": {"path": "$base/in"$srcOpts},
        "bm25_ingest": {"id_col": "doc_id", "text_col": "text",
-                       "index_dir": "$q275Base/idx",
-                       "checkpoint_dir": "$q275Base/ckpt"}}""")
+                       "index_dir": "$base/idx",
+                       "checkpoint_dir": "$base/ckpt"$ce}}""")
     try q.processAllAvailable() finally q.stop()
-    // compact scoped to the ingest checkpoint's COMMITTED batches (the
-    // live-stream-safe fold); the stream above is quiesced with every
-    // batch committed, so this folds everything — hash-identical to an
-    // unscoped compact, while gating lastCommittedBatch + the scoped
-    // fold under the driver hash
     graft.compile.Compiler.compileJson(s, s"""
       {"source": {"table": "documents"},
-       "bm25_index": {"dir": "$q275Base/idx", "mode": "compact",
-                      "checkpoint": "$q275Base/ckpt"}}""")
+       "bm25_index": {"dir": "$base/idx", "mode": "compact",
+                      "checkpoint": "$base/ckpt"}}""")
     import s.implicits._
     bm25Queries.toDF("qid", "qtext")
-      .createOrReplaceTempView("bm25_queries_q275")
+      .createOrReplaceTempView(s"bm25_queries_$tag")
     graft.compile.Compiler.compileJson(s, s"""
-      {"source": {"table": "bm25_queries_q275"},
+      {"source": {"table": "bm25_queries_$tag"},
        "bm25_search": {"qid_col": "qid", "qtext_col": "qtext",
-                       "index_dir": "$q275Base/idx", "top_k": 5},
+                       "index_dir": "$base/idx", "top_k": 5},
        "order_by": ["qid asc", "rn asc"]}""")
   }
+
+  private def q275(s: SparkSession, dir: String): DataFrame =
+    bm25IngestLifecycle(s, dir, q275Base, "q275",
+      stageFiles = 2, oneFilePerBatch = false, compactEvery = None)
 
   // q280 — UNATTENDED continuous ingest (`compact_every`) under the
   // driver hash: q275's lifecycle with the maintenance loop CLOSED —
@@ -2307,40 +2322,9 @@ object TextQueries extends QueryPack {
   // delta → base and are bit-invisible to the query-shaped df/idf/avgdl.
   private val q280Base =
     s"${System.getProperty("java.io.tmpdir")}/graft_q280_bm25"
-  private def q280(s: SparkSession, dir: String): DataFrame = {
-    Tables.registerViews(s, dir)
-    def rmrf(p: java.io.File): Unit = {
-      if (p.isDirectory) Option(p.listFiles()).toSeq.flatten.foreach(rmrf)
-      p.delete(); ()
-    }
-    rmrf(new java.io.File(q280Base))
-    graft.compile.Compiler.compileJson(s, s"""
-      {"source": {"sql": "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0"},
-       "bm25_index": {"id_col": "doc_id", "text_col": "text",
-                      "dir": "$q280Base/idx", "buckets": 16}}""")
-    s.sql("SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1")
-      .repartition(3).write.mode("overwrite").parquet(s"$q280Base/in")
-    val q = graft.compile.Compiler.compileStreamJson(s, s"""
-      {"source": {"path": "$q280Base/in",
-                  "options": {"maxFilesPerTrigger": "1"}},
-       "bm25_ingest": {"id_col": "doc_id", "text_col": "text",
-                       "index_dir": "$q280Base/idx",
-                       "checkpoint_dir": "$q280Base/ckpt",
-                       "compact_every": 2}}""")
-    try q.processAllAvailable() finally q.stop()
-    graft.compile.Compiler.compileJson(s, s"""
-      {"source": {"table": "documents"},
-       "bm25_index": {"dir": "$q280Base/idx", "mode": "compact",
-                      "checkpoint": "$q280Base/ckpt"}}""")
-    import s.implicits._
-    bm25Queries.toDF("qid", "qtext")
-      .createOrReplaceTempView("bm25_queries_q280")
-    graft.compile.Compiler.compileJson(s, s"""
-      {"source": {"table": "bm25_queries_q280"},
-       "bm25_search": {"qid_col": "qid", "qtext_col": "qtext",
-                       "index_dir": "$q280Base/idx", "top_k": 5},
-       "order_by": ["qid asc", "rn asc"]}""")
-  }
+  private def q280(s: SparkSession, dir: String): DataFrame =
+    bm25IngestLifecycle(s, dir, q280Base, "q280",
+      stageFiles = 3, oneFilePerBatch = true, compactEvery = Some(2))
 
   // q258 — BM25 index HEALTH (`bm25_index mode:"stats"`), the lexical
   // twin of q250: n_docs and sum_dl are EXACT mirrors of the corpus

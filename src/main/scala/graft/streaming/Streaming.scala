@@ -487,6 +487,16 @@ object Streaming {
     val buckets = st0.getAs[Int]("buckets")
     val prox = st0.getAs[Boolean]("prox")
     val statsIdCol = st0.getAs[String]("id_col")
+    // Heal any crashed fold BEFORE the first batch: staged dirs under a
+    // leftover *_inc.old are invisible to readers, so a restart's cold
+    // stats re-derive through that state would undercount the corpus
+    // permanently (the counters never learn about docs a later fold's
+    // recovery moves into the base).
+    Seq(("dl", "dl_inc"), ("postings", "postings_inc"),
+        ("postings2", "postings2_inc")).foreach { case (b, i) =>
+      graft.ops.Artifacts.healCrashedFold(
+        incoming.sparkSession, s"$indexDir/$b", s"$indexDir/$i")
+    }
     // The BASE dl sums are cached across micro-batches: re-aggregating
     // the full doc-shaped dl per batch would make ingest cost O(corpus)
     // per micro-batch. Re-read exactly when the delta area is absent at
@@ -551,6 +561,17 @@ object Streaming {
                   .write.mode("overwrite").partitionBy("bucket")
                   .parquet(s"$indexDir/postings2_inc/batch=$batchId")
             }
+            // a TRANSIENT fold failure (exception, not process death —
+            // a crash restarts the stream and the declaration-time heal
+            // covers it) can leave a half-staged delta mid-stream; heal
+            // before any cold re-derive so the totals never read
+            // through staged-invisible dirs (no-op when no $inc.old)
+            if (!incWasThere || baseStats.isEmpty || deltaStats.isEmpty)
+              Seq(("dl", "dl_inc"), ("postings", "postings_inc"),
+                  ("postings2", "postings2_inc")).foreach { case (b, i) =>
+                graft.ops.Artifacts.healCrashedFold(
+                  s, s"$indexDir/$b", s"$indexDir/$i")
+              }
             if (!incWasThere || baseStats.isEmpty)
               baseStats = Some(aggDl(s, s"$indexDir/dl"))
             val (bn, bsum) = baseStats.get
@@ -586,6 +607,14 @@ object Streaming {
               graft.ops.Retrieval.compactBm25Index(s, indexDir,
                 Some(batchId - 1), defragWhenEmpty = false)
               batchesSinceFold = 0
+              // invalidate BOTH stats caches: a fold moves rows
+              // delta → base, and while the cumulative totals are
+              // fold-invariant on the happy path, a fold that crashes
+              // and later heals is not — re-deriving from disk at the
+              // next batch (one aggregate per fold, amortized by the
+              // cadence) keeps the stats row exact unconditionally
+              baseStats = None
+              deltaStats = None
             }
           }
         } finally { toks.unpersist(); () }
@@ -632,6 +661,9 @@ object Streaming {
     val isPq = spark0.read.parquet(s"$indexDir/index").schema
       .fieldNames.contains("codes")
     val cbs = if (isPq) Similarity.loadCodebooks(spark0, indexDir) else Nil
+    // heal any crashed fold before the first batch (see bm25Ingest)
+    graft.ops.Artifacts.healCrashedFold(spark0,
+      s"$indexDir/index", s"$indexDir/index_inc")
     // compact_every cadence — see bm25Ingest (same crash-safe scoping)
     var batchesSinceFold = 0
     incoming.writeStream

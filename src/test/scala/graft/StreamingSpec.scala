@@ -987,6 +987,56 @@ class StreamingSpec extends SparkSpec {
     assert(eCk2.getMessage.contains("compact-only"), eCk2.getMessage)
   }
 
+  test("bm25Ingest heals a crashed fold at declaration: restart stats and search count the staged-aside docs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.ops.Retrieval
+    import org.apache.spark.sql.functions.{col, size}
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_healdecl").toString
+    val idx = s"$base/idx"
+    Retrieval.saveBm25Index(spark,
+      Seq((1L, "alpha beta"), (2L, "beta delta")).toDF("doc_id", "text"),
+      "doc_id", "text", idx, buckets = 8)
+    // simulate the crash window a restart must heal: a fold staged
+    // batch=7 aside (dl + postings) under the _folding flag and died —
+    // the staged docs are reader-invisible until healed, and a cold
+    // stats re-derive through this state would undercount forever
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def stage(area: String)(write: String => Unit): Unit = {
+      assert(fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/$area.old")))
+      val p = new org.apache.hadoop.fs.Path(s"$idx/$area.old/_folding")
+      fs.create(p, true).close()
+      write(s"$idx/$area.old/batch=7")
+    }
+    val ghost = Seq((7L, "omega omega gamma")).toDF("doc_id", "text")
+      .select(col("doc_id").as("doc"),
+        graft.ops.TextAnalysis.tokens(col("text")).as("__t"))
+    stage("dl_inc")(d => ghost.select(col("doc"),
+      size(col("__t")).cast("long").as("dl"))
+      .write.mode("overwrite").parquet(d))
+    stage("postings_inc")(d => Retrieval.postingsOf(ghost, col("__t"), 8)
+      .write.mode("overwrite").partitionBy("bucket").parquet(d))
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.bm25Ingest(mem.toDF.toDF("doc_id", "text"),
+      "doc_id", "text", idx, s"$base/ckpt")
+    try { mem.addData((3L, "gamma zeta")); q.processAllAvailable() }
+    finally q.stop()
+    // the declaration-time heal rolled batch=7 back into the live delta
+    // areas BEFORE the first batch's cold re-derive: stats count it
+    assert(Retrieval.bm25IndexStats(spark, idx)
+      .select("n_docs", "sum_dl").head.toSeq == Seq(4L, 9L),
+      "restart stats must include the healed staged docs")
+    // and searches see its postings (base ∪ healed delta)
+    val qs = Seq((101L, "omega")).toDF("qid", "qtext")
+    val hits = Retrieval.bm25SearchIndex(qs, "qid", "qtext", idx, topK = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(hits == Set(7L), s"healed doc must be searchable, got $hits")
+    assert(!new java.io.File(s"$idx/dl_inc.old").exists &&
+      !new java.io.File(s"$idx/postings_inc.old").exists)
+  }
+
   test("bm25_ingest compact_every: in-stream folds keep search exact and retire committed delta dirs") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
