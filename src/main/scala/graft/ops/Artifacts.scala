@@ -15,6 +15,8 @@ import org.apache.spark.sql.functions._
   */
 object Artifacts {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Rewrite a `partitionBy(partCol)` parquet directory to one file per
     * partition value: `repartition(partCol)` puts each value wholly in
     * one task, so the partitioned write emits exactly one file per
@@ -104,7 +106,20 @@ object Artifacts {
         "ingest stream's checkpointLocation (the directory holding its " +
         "commits/ log)")
     val commits = new org.apache.hadoop.fs.Path(root, "commits")
-    if (!fs.exists(commits)) None
+    if (!fs.exists(commits)) {
+      // An existing dir WITHOUT a commits log is only "no batch
+      // committed yet" when it actually looks like a Structured
+      // Streaming checkpoint (offsets/ or metadata appear on the very
+      // first batch attempt). Anything else — the index dir itself, a
+      // typo'd sibling — would silently pin the fold ceiling at -1
+      // forever (delta grows unbounded, no signal), so reject by name.
+      require(fs.exists(new org.apache.hadoop.fs.Path(root, "offsets")) ||
+          fs.exists(new org.apache.hadoop.fs.Path(root, "metadata")),
+        s"compact: '$checkpointDir' exists but is not a Structured " +
+          "Streaming checkpoint (no commits/, offsets/ or metadata) — " +
+          "pass the ingest stream's checkpointLocation")
+      None
+    }
     else fs.listStatus(commits).toSeq.map(_.getPath.getName)
       .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
       .reduceOption(_ max _)
@@ -120,22 +135,34 @@ object Artifacts {
     checkpoint.map(cp => lastCommittedBatch(spark, cp).getOrElse(-1L))
 
   /** The `batch=<id>` child dirs of a delta area, with parsed ids —
-    * empty when the area is absent. Rejects by name on a child that is
-    * not a `batch=<id>` dir: the ingest layout writes nothing else, so
-    * a stray entry means the area is not what the caller thinks. */
+    * empty when the area is absent. `strict` (the operator-issued
+    * `mode:"compact"` posture) rejects by name on a child that is not a
+    * `batch=<id>` dir: the ingest layout writes nothing else, so a
+    * stray entry means the area is not what the caller thinks. The
+    * IN-STREAM fold path passes strict=false — there one stray file (an
+    * OS artifact, a manual touch) must log-and-skip, not throw inside
+    * foreachBatch and crash-loop the unattended stream the cadence
+    * exists to serve. */
   private def batchDirs(
       fs: org.apache.hadoop.fs.FileSystem,
-      inc: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] =
+      inc: org.apache.hadoop.fs.Path,
+      strict: Boolean = true): Seq[(Long, org.apache.hadoop.fs.Path)] =
     if (!fs.exists(inc)) Nil
     else fs.listStatus(inc).toSeq.flatMap { st =>
       val n = st.getPath.getName
       if (n.startsWith("_") || n.startsWith(".")) None // Spark metadata
       else {
-        require(st.isDirectory && n.startsWith("batch=") &&
-            n.drop(6).nonEmpty && n.drop(6).forall(_.isDigit),
-          s"compact: unexpected entry '$n' under $inc — a delta area " +
-            "holds only batch=<id> dirs (is this really an ingest delta?)")
-        Some((n.drop(6).toLong, st.getPath))
+        val ok = st.isDirectory && n.startsWith("batch=") &&
+          n.drop(6).nonEmpty && n.drop(6).forall(_.isDigit)
+        if (!ok) {
+          require(!strict,
+            s"compact: unexpected entry '$n' under $inc — a delta area " +
+              "holds only batch=<id> dirs (is this really an ingest delta?)")
+          log.warn(s"compact: skipping unrecognized entry '$n' under " +
+            s"$inc (in-stream fold tolerates strays; an operator-issued " +
+            "compact rejects them by name)")
+          None
+        } else Some((n.drop(6).toLong, st.getPath))
       }
     }
 
@@ -162,13 +189,71 @@ object Artifacts {
     * one for a crashed one and sabotage it (delete its partial
     * rewrite, move its staged sources back). All folds in THIS JVM —
     * the driver issues both kinds — serialize on a per-base monitor.
-    * Cross-PROCESS concurrent maintenance on one artifact dir remains
-    * the operator's contract to avoid (documented in SCALE.md), as for
-    * any rename-swapped layout without a coordinating catalog. */
+    * Cross-PROCESS exclusion is ENFORCED by the `$base.lease` file
+    * ([[acquireLease]]): a second driver's fold or heal finds a fresh
+    * foreign lease and rejects by name instead of sabotaging the live
+    * fold; a crashed holder's lease goes stale after
+    * [[leaseStalenessMs]] and is taken over. */
   private val foldLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def foldLock(base: String): Object =
     foldLocks.computeIfAbsent(base, _ => new Object)
+
+  /** How long a `$base.lease` file stays authoritative. Folds are
+    * expected to finish well inside this; a crashed process's leftover
+    * lease goes stale and the next fold takes over (and self-heals).
+    * Generous by default — at 100 TB a full-base rewrite is slow, and a
+    * false "stale" verdict on a LIVE foreign fold is the one failure
+    * the lease exists to prevent. */
+  private[graft] val leaseStalenessMs: Long = 60L * 60 * 1000
+
+  /** CROSS-PROCESS fold exclusion (the in-JVM [[foldLock]]'s missing
+    * half): a create-exclusive `$base.lease` file whose CONTENT is the
+    * holder's epoch-millis timestamp. A second driver running
+    * maintenance against the same artifact dir finds a FRESH foreign
+    * lease and rejects by name — without this, its heal pass would
+    * classify the first driver's live fold as crashed and sabotage it
+    * (delete the partial rewrite, move staged dirs back). A lease older
+    * than [[leaseStalenessMs]] is a crashed holder's leftover: deleted
+    * and taken over. Same-JVM folds never self-conflict — the lease is
+    * acquired under the per-base monitor. */
+  private def acquireLease(
+      fs: org.apache.hadoop.fs.FileSystem, base: String): org.apache.hadoop.fs.Path = {
+    val lease = new org.apache.hadoop.fs.Path(s"$base.lease")
+    if (fs.exists(lease)) {
+      val ts = try {
+        val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+          fs.open(lease), java.nio.charset.StandardCharsets.UTF_8))
+        val line = try in.readLine() finally in.close()
+        Option(line).map(_.trim.split("\\s+").head.toLong).getOrElse(0L)
+      } catch { case _: Exception => 0L } // unreadable = stale
+      val age = System.currentTimeMillis() - ts
+      require(age >= leaseStalenessMs,
+        s"compact: another process holds the fold lease on $base " +
+          s"($base.lease, ${age / 1000}s old, staleness " +
+          s"${leaseStalenessMs / 1000}s) — concurrent maintenance on one " +
+          "artifact dir would corrupt it; wait for the holder to finish " +
+          "or delete the lease if its process is known dead")
+      fs.delete(lease, false)
+    }
+    val out =
+      try fs.create(lease, false) // create-exclusive: losing a race = foreign holder
+      catch { case e: java.io.IOException => throw new IllegalArgumentException(
+        s"compact: cannot acquire the fold lease $base.lease — another " +
+          s"process just took it: ${e.getMessage}") }
+    try out.write(s"${System.currentTimeMillis()}\n".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    lease
+  }
+
+  /** Rows in a parquet dir, 0 when fileless/absent — the recovery
+    * branch's cross-check scale (never on a hot path). */
+  private def countRows(
+      spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Long =
+    if (!fs.exists(p) || !dirHasData(fs, p)) 0L
+    else spark.read.parquet(p.toString).count()
 
   /** Heal a crashed fold (leftover `$inc.old`) for one base/inc pair —
     * exposed for the ingest sinks, which run it at DECLARATION so a
@@ -179,7 +264,15 @@ object Artifacts {
       spark: SparkSession, base: String, inc: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(inc)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    foldLock(base).synchronized { recoverCrashedFold(spark, fs, base, inc) }
+    foldLock(base).synchronized {
+      // no crashed fold → no mutation → no lease needed (this runs on
+      // every ingest declaration/cold path — keep the no-op path cheap,
+      // and never reject a healthy stream start over a foreign fold)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$inc.old"))) return
+      val lease = acquireLease(fs, base)
+      try recoverCrashedFold(spark, fs, base, inc)
+      finally { fs.delete(lease, false); () }
+    }
   }
 
   /** Roll a crashed fold back or forward — every window of the staged
@@ -220,7 +313,21 @@ object Artifacts {
       fs.listStatus(oldInc).toSeq
         .filter(_.getPath.getName.startsWith("batch=")).foreach { st =>
           val dest = new org.apache.hadoop.fs.Path(inc, st.getPath.getName)
-          if (fs.exists(dest)) fs.delete(st.getPath, true)
+          if (fs.exists(dest)) {
+            // a replay re-landed this staged batch; its copy is
+            // byte-identical by the overwrite contract (deterministic
+            // batch content) — cross-check the row counts before
+            // trusting it, so a FOREIGN writer's dir of the same name
+            // rejects by name instead of silently winning
+            val (sRows, dRows) =
+              (countRows(spark, fs, st.getPath), countRows(spark, fs, dest))
+            require(sRows == dRows,
+              s"compact recovery: staged ${st.getPath} holds $sRows rows " +
+                s"but the re-landed $dest holds $dRows — the delta area " +
+                "was modified by something other than the ingest's replay; " +
+                "resolve manually (keep one copy, delete the other)")
+            fs.delete(st.getPath, true)
+          }
           else require(fs.rename(st.getPath, dest),
             s"compact recovery: cannot move ${st.getPath} back into $inc")
         }
@@ -289,21 +396,33 @@ object Artifacts {
   def foldIncInto(
       spark: SparkSession, base: String, inc: String,
       partCol: Option[String], maxBatchId: Option[Long] = None,
-      defragWhenEmpty: Boolean = true): Unit = foldLock(base).synchronized {
+      defragWhenEmpty: Boolean = true,
+      strict: Boolean = true): Unit = foldLock(base).synchronized {
     val incPath = new org.apache.hadoop.fs.Path(inc)
     val oldInc = new org.apache.hadoop.fs.Path(s"$inc.old")
     val fs = oldInc.getFileSystem(spark.sessionState.newHadoopConf())
+    val lease = acquireLease(fs, base)
+    try {
     recoverCrashedFold(spark, fs, base, inc)
     // SNAPSHOT the foldable dirs once: everything the fold reads,
     // stages aside, and deletes below is exactly this list.
-    val snapshot = batchDirs(fs, incPath)
+    val snapshot = batchDirs(fs, incPath, strict)
       .filter { case (id, _) => maxBatchId.forall(id <= _) }
       .sortBy(_._1)
     val (withData, fileless) = snapshot.partition(d => dirHasData(fs, d._2))
     // fileless batch dirs (all-empty micro-batches) are junk — drop
     // them now so they cannot linger past the compaction that should
-    // retire them (readers already treat them as absent)
-    fileless.foreach { case (_, p) => fs.delete(p, true) }
+    // retire them (readers already treat them as absent). EXCEPT a dir
+    // whose only content is an in-flight `_temporary` child: that is a
+    // micro-batch mid-write (an unscoped compact racing a live stream),
+    // not junk — deleting it would fail the in-flight batch. Leave it.
+    fileless.foreach { case (_, p) =>
+      if (fs.listStatus(p).exists(f =>
+          f.isDirectory && f.getPath.getName == "_temporary"))
+        log.warn(s"compact: leaving $p alone — it holds an in-flight " +
+          "_temporary write (a live micro-batch); it will fold once landed")
+      else fs.delete(p, true)
+    }
     def retireIncIfEmpty(): Unit =
       // non-recursive delete fails harmlessly if a batch dir landed
       // concurrently — never race a live stream
@@ -358,6 +477,7 @@ object Artifacts {
     fs.delete(oldInc, true)
     retireIncIfEmpty()
     ()
+    } finally { fs.delete(lease, false); () }
   }
 
   /** dest → dest.old, tmp → dest, drop dest.old (see caveat above). */

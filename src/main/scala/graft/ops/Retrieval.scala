@@ -367,14 +367,17 @@ object Retrieval {
   def compactBm25Index(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       maxBatchId: Option[Long] = None,
-      defragWhenEmpty: Boolean = true): Unit = {
+      defragWhenEmpty: Boolean = true,
+      strict: Boolean = true): Unit = {
     Artifacts.foldIncInto(spark, s"$dir/postings",
-      s"$dir/postings_inc", Some("bucket"), maxBatchId, defragWhenEmpty)
+      s"$dir/postings_inc", Some("bucket"), maxBatchId, defragWhenEmpty,
+      strict)
     if (Artifacts.dirExists(spark, s"$dir/postings2"))
       Artifacts.foldIncInto(spark, s"$dir/postings2",
-        s"$dir/postings2_inc", Some("bucket"), maxBatchId, defragWhenEmpty)
+        s"$dir/postings2_inc", Some("bucket"), maxBatchId, defragWhenEmpty,
+        strict)
     Artifacts.foldIncInto(spark, s"$dir/dl", s"$dir/dl_inc", None,
-      maxBatchId, defragWhenEmpty)
+      maxBatchId, defragWhenEmpty, strict)
   }
 
   /** Health view over a [[saveBm25Index]] artifact — the

@@ -524,9 +524,10 @@ object Similarity {
   def compactAnnIndex(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       maxBatchId: Option[Long] = None,
-      defragWhenEmpty: Boolean = true): Unit =
+      defragWhenEmpty: Boolean = true,
+      strict: Boolean = true): Unit =
     Artifacts.foldIncInto(spark, s"$dir/index", s"$dir/index_inc",
-      Some("list"), maxBatchId, defragWhenEmpty)
+      Some("list"), maxBatchId, defragWhenEmpty, strict)
 
   /** Index HEALTH view over a [[saveAnnIndex]] artifact — the
     * rebuild-vs-append decision input ([[appendAnnIndex]]'s documented

@@ -20,6 +20,8 @@ import org.apache.spark.sql.functions._
   */
 object Streaming {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private def applyAggs(
       grouped: org.apache.spark.sql.RelationalGroupedDataset,
       aggs: Seq[AggSpec]): DataFrame = {
@@ -603,16 +605,30 @@ object Streaming {
             if (batchId > 0 && compactEvery.exists(batchesSinceFold >= _)) {
               // defragWhenEmpty=false: a sibling area with nothing
               // foldable (e.g. postings_inc after zero-token batches)
-              // must not trigger an O(corpus) base rewrite per cadence
-              graft.ops.Retrieval.compactBm25Index(s, indexDir,
-                Some(batchId - 1), defragWhenEmpty = false)
-              batchesSinceFold = 0
+              // must not trigger an O(corpus) base rewrite per cadence.
+              // strict=false: one stray file in a delta area must not
+              // crash-loop the unattended stream (log-and-skip). A
+              // TRANSIENT fold failure is caught — the batch's data and
+              // stats are already durably written, so the stream
+              // continues and the fold retries at the next batch
+              // (batchesSinceFold stays >= the cadence).
+              try {
+                graft.ops.Retrieval.compactBm25Index(s, indexDir,
+                  Some(batchId - 1), defragWhenEmpty = false, strict = false)
+                batchesSinceFold = 0
+              } catch { case scala.util.control.NonFatal(e) =>
+                log.warn(s"bm25_ingest: in-stream fold at batch $batchId " +
+                  s"failed (stream continues; retrying next batch): " +
+                  s"${e.getMessage}")
+              }
               // invalidate BOTH stats caches: a fold moves rows
               // delta → base, and while the cumulative totals are
               // fold-invariant on the happy path, a fold that crashes
               // and later heals is not — re-deriving from disk at the
               // next batch (one aggregate per fold, amortized by the
-              // cadence) keeps the stats row exact unconditionally
+              // cadence) keeps the stats row exact unconditionally.
+              // (Also on a CAUGHT fold failure: a half-staged delta is
+              // healed by the cold path before the re-derive.)
               baseStats = None
               deltaStats = None
             }
@@ -678,12 +694,21 @@ object Streaming {
             .write.mode("overwrite").partitionBy("list")
             .parquet(s"$indexDir/index_inc/batch=$batchId")
           // fold INSIDE foreachBatch, scoped to pre-current (committed)
-          // batches — the in-flight one stays for a crash replay
+          // batches — the in-flight one stays for a crash replay. A
+          // transient fold failure is caught: the batch's data is
+          // already durably written, so the stream continues and the
+          // fold retries at the next batch (see bm25Ingest).
           batchesSinceFold += 1
           if (batchId > 0 && compactEvery.exists(batchesSinceFold >= _)) {
-            Similarity.compactAnnIndex(batch.sparkSession, indexDir,
-              Some(batchId - 1), defragWhenEmpty = false)
-            batchesSinceFold = 0
+            try {
+              Similarity.compactAnnIndex(batch.sparkSession, indexDir,
+                Some(batchId - 1), defragWhenEmpty = false, strict = false)
+              batchesSinceFold = 0
+            } catch { case scala.util.control.NonFatal(e) =>
+              log.warn(s"ann_ingest: in-stream fold at batch $batchId " +
+                s"failed (stream continues; retrying next batch): " +
+                s"${e.getMessage}")
+            }
           }
         }
         ()

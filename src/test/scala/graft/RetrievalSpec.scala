@@ -526,4 +526,116 @@ class RetrievalSpec extends SparkSpec {
       assert(!new java.io.File(s"$inc.old").exists)
     }
   }
+
+  test("fold lease: a fresh foreign lease rejects by name, a stale one is taken over and released") {
+    import graft.ops.Artifacts
+    val base0 = java.nio.file.Files.createTempDirectory("graft_lease").toString
+    val (b, inc) = (s"$base0/dl", s"$base0/dl_inc")
+    Seq((1L, 3L)).toDF("doc", "dl").coalesce(1)
+      .write.mode("overwrite").parquet(b)
+    Seq((2L, 4L)).toDF("doc", "dl").coalesce(1)
+      .write.mode("overwrite").parquet(s"$inc/batch=0")
+    def writeLease(ts: Long): Unit = {
+      val w = new java.io.FileWriter(s"$b.lease")
+      try w.write(s"$ts\n") finally w.close()
+    }
+    // FRESH foreign lease (another process is folding this artifact):
+    // the fold must reject by name instead of sabotaging it
+    writeLease(System.currentTimeMillis())
+    val e = intercept[IllegalArgumentException](
+      Artifacts.foldIncInto(spark, b, inc, None))
+    assert(e.getMessage.contains("lease"), e.getMessage)
+    assert(spark.read.parquet(b).count() == 1L, "rejected fold must not touch the base")
+    // STALE lease (a crashed holder's leftover): taken over, fold
+    // proceeds, and the lease is released afterwards
+    writeLease(0L)
+    Artifacts.foldIncInto(spark, b, inc, None)
+    assert(spark.read.parquet(b).select("doc").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(!new java.io.File(s"$b.lease").exists, "lease must be released")
+    // the heal path is lease-guarded too (it mutates): a fresh foreign
+    // lease over a crashed fold rejects by name
+    val fs = new org.apache.hadoop.fs.Path(b)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.mkdirs(new org.apache.hadoop.fs.Path(s"$inc.old")))
+    writeLease(System.currentTimeMillis())
+    val e2 = intercept[IllegalArgumentException](
+      Artifacts.healCrashedFold(spark, b, inc))
+    assert(e2.getMessage.contains("lease"), e2.getMessage)
+    writeLease(0L) // stale → heal proceeds (drops the empty inc.old)
+    Artifacts.healCrashedFold(spark, b, inc)
+    assert(!new java.io.File(s"$inc.old").exists)
+  }
+
+  test("roll-back recovery cross-checks a re-landed staged dir's rows; a foreign mismatch rejects by name") {
+    import graft.ops.Artifacts
+    val base0 = java.nio.file.Files.createTempDirectory("graft_foldcc").toString
+    val (b, inc) = (s"$base0/dl", s"$base0/dl_inc")
+    Seq((1L, 3L)).toDF("doc", "dl").coalesce(1)
+      .write.mode("overwrite").parquet(b)
+    // live twin holds ONE row; the staged copy holds TWO — not a replay
+    // of the same deterministic batch, so recovery must not pick either
+    Seq((15L, 2L)).toDF("doc", "dl").coalesce(1)
+      .write.mode("overwrite").parquet(s"$inc/batch=5")
+    val fs = new org.apache.hadoop.fs.Path(b)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.mkdirs(new org.apache.hadoop.fs.Path(s"$inc.old")))
+    fs.create(new org.apache.hadoop.fs.Path(s"$inc.old/_folding"), true).close()
+    Seq((15L, 2L), (16L, 1L)).toDF("doc", "dl").coalesce(1)
+      .write.mode("overwrite").parquet(s"$inc.old/batch=5")
+    val e = intercept[IllegalArgumentException](
+      Artifacts.foldIncInto(spark, b, inc, None))
+    assert(e.getMessage.contains("rows"), e.getMessage)
+  }
+
+  test("unscoped fold leaves a mid-write batch dir (only _temporary inside) alone") {
+    import graft.ops.Artifacts
+    val base0 = java.nio.file.Files.createTempDirectory("graft_foldtmp").toString
+    val (b, inc) = (s"$base0/dl", s"$base0/dl_inc")
+    Seq((1L, 3L)).toDF("doc", "dl").coalesce(1)
+      .write.mode("overwrite").parquet(b)
+    Seq((2L, 4L)).toDF("doc", "dl").coalesce(1)
+      .write.mode("overwrite").parquet(s"$inc/batch=0")
+    // batch=1 is mid-write: its dir holds only an in-flight _temporary
+    assert(new java.io.File(s"$inc/batch=1/_temporary/0").mkdirs())
+    Artifacts.foldIncInto(spark, b, inc, None)
+    assert(spark.read.parquet(b).select("doc").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L), "landed batch folds")
+    assert(new java.io.File(s"$inc/batch=1/_temporary").exists,
+      "the in-flight batch dir must survive the fold untouched")
+  }
+
+  test("stray entries in a delta area: strict folds reject by name, in-stream folds skip them") {
+    import graft.ops.Artifacts
+    val base0 = java.nio.file.Files.createTempDirectory("graft_foldstray").toString
+    val (b, inc) = (s"$base0/dl", s"$base0/dl_inc")
+    Seq((1L, 3L)).toDF("doc", "dl").coalesce(1)
+      .write.mode("overwrite").parquet(b)
+    Seq((2L, 4L)).toDF("doc", "dl").coalesce(1)
+      .write.mode("overwrite").parquet(s"$inc/batch=0")
+    val w = new java.io.FileWriter(s"$inc/stray.txt")
+    try w.write("not a batch dir") finally w.close()
+    val e = intercept[IllegalArgumentException](
+      Artifacts.foldIncInto(spark, b, inc, None)) // strict default
+    assert(e.getMessage.contains("stray.txt"), e.getMessage)
+    Artifacts.foldIncInto(spark, b, inc, None, strict = false)
+    assert(spark.read.parquet(b).select("doc").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L), "non-strict fold proceeds")
+    assert(new java.io.File(s"$inc/stray.txt").exists, "stray survives")
+  }
+
+  test("lastCommittedBatch: a dir that is not a streaming checkpoint rejects by name; a pre-commit checkpoint yields None") {
+    import graft.ops.Artifacts
+    val base0 = java.nio.file.Files.createTempDirectory("graft_ckshape").toString
+    // an existing-but-wrong dir (e.g. the index dir itself) must not
+    // silently mean "fold nothing forever"
+    assert(new java.io.File(s"$base0/index/postings").mkdirs())
+    val e = intercept[IllegalArgumentException](
+      Artifacts.lastCommittedBatch(spark, s"$base0/index"))
+    assert(e.getMessage.contains("checkpoint"), e.getMessage)
+    // a real checkpoint that has not committed a batch yet: offsets/
+    // exists, commits/ doesn't → None (fold ceiling -1, fold nothing)
+    assert(new java.io.File(s"$base0/ck/offsets").mkdirs())
+    assert(Artifacts.lastCommittedBatch(spark, s"$base0/ck").isEmpty)
+  }
 }
