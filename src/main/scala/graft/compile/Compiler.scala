@@ -867,6 +867,27 @@ object Compiler {
       }
     }
 
+    // Ingest-area compaction: fold each area's committed batch= dirs
+    // into one compacted dir (the exact/near_dup/passage/semantic
+    // small-files defense — the operator-issued half beside the
+    // ingests' compact_every). The frame becomes one row per area:
+    // (area_ix, n_dirs). Batch-only (filesystem rewrite).
+    node.ingestCompact.foreach { ic =>
+      requireBatch("ingest_compact", "a filesystem rewrite",
+        "run compaction as a periodic batch job; the ingest stream's " +
+          "compact_every key is the in-stream half")
+      val s = df.sparkSession
+      // checkpoint (when given) scopes the fold to the ingest stream's
+      // COMMITTED batches — live-stream-safe compaction
+      val ceiling = graft.ops.Artifacts.committedFoldCeiling(s, ic.checkpoint)
+      val rows = ic.dirs.zipWithIndex.map { case (dir, i) =>
+        graft.ops.Artifacts.foldBatchArea(s, dir, ceiling)
+        (i, graft.ops.Artifacts.areaBatchDirCount(s, dir))
+      }
+      import s.implicits._
+      df = rows.toDF("area_ix", "n_dirs")
+    }
+
     // BM25 search against a saved index: the frame (the QUERY set)
     // becomes (qid, <index id_col>, score, rn) without re-tokenizing
     // the corpus. Batch-only by name (stats read + rank window).
@@ -1682,11 +1703,11 @@ object Compiler {
               graft.streaming.Streaming.nearDupIngest(
                 out, ing.idCol, ing.textCol, ing.corpusDir, ing.indexDir,
                 ing.checkpointDir, ing.shingleSize, ing.numHashes,
-                ing.bands, ing.threshold))),
+                ing.bands, ing.threshold, ing.compactEvery))),
             root.passageIngest.map(ing => "passage_ingest" -> (() =>
               graft.streaming.Streaming.passageIngest(
                 out, ing.idCol, ing.textCol, ing.corpusDir, ing.indexDir,
-                ing.checkpointDir, ing.windowTokens))),
+                ing.checkpointDir, ing.windowTokens, ing.compactEvery))),
             root.tarPackIngest.map(tp => "tar_pack_ingest" -> (() =>
               graft.streaming.Streaming.shardPackStream(
                 out, tp.nameCol, tp.payloadCol, tp.shards, tp.outDir,
@@ -1694,7 +1715,7 @@ object Compiler {
             root.exactIngest.map(ei => "exact_ingest" -> (() =>
               graft.streaming.Streaming.exactIngest(
                 out, ei.idCol, ei.keyCols, ei.corpusDir, ei.indexDir,
-                ei.checkpointDir))),
+                ei.checkpointDir, ei.compactEvery))),
             root.sketchIngest.map(sk => "sketch_ingest" -> (() =>
               graft.streaming.Streaming.sketchIngest(
                 out, sk.keyCol, sk.outDir, sk.checkpointDir,

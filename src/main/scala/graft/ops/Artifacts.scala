@@ -397,7 +397,7 @@ object Artifacts {
       spark: SparkSession, base: String, inc: String,
       partCol: Option[String], maxBatchId: Option[Long] = None,
       defragWhenEmpty: Boolean = true,
-      strict: Boolean = true): Unit = foldLock(base).synchronized {
+      strict: Boolean = true): Int = foldLock(base).synchronized {
     val incPath = new org.apache.hadoop.fs.Path(inc)
     val oldInc = new org.apache.hadoop.fs.Path(s"$inc.old")
     val fs = oldInc.getFileSystem(spark.sessionState.newHadoopConf())
@@ -435,7 +435,7 @@ object Artifacts {
         case Some(pc) => compactPartitionedDir(spark, base, pc)
         case None     => compactFlatDir(spark, base)
       }
-      return
+      return 0
     }
     val baseDf =
       try spark.read.parquet(base)
@@ -476,8 +476,315 @@ object Artifacts {
     swapDir(spark, tmp, base)
     fs.delete(oldInc, true)
     retireIncIfEmpty()
-    ()
+    withData.size // folded (= retired) delta dirs, the observability count
     } finally { fs.delete(lease, false); () }
+  }
+
+  // ------------------------------------------------------------------
+  // WHOLE-AREA batch-dir folding — for the ingest tables whose layout
+  // is "one batch=<id> dir per micro-batch under ONE area" with no
+  // separate base (the exact/near_dup/passage corpus+index areas and
+  // the semantic classes area), unlike the retrieval artifacts' base +
+  // *_inc split that [[foldIncInto]] serves. Folding many batch dirs
+  // into ONE batch dir keeps every existing reader working unchanged:
+  // readers do a plain partition-discovery parquet read of the area
+  // (the `batch` column is bookkeeping), and the ingests' replay
+  // exclusion (`batch =!= currentBatchId`) stays exact because only
+  // COMMITTED ids ever fold — a committed batch is never replayed.
+  //
+  // LAYOUT CONTRACT (the one dialect table): retrieval delta areas and
+  // the exact/near_dup/passage areas write plain `batch=<id>` (numeric
+  // partition values); the semantic classes / sketch / tar areas write
+  // `batch=b<id>` plus the semantic seed's `batch=seed` (string
+  // values — the seed dir forces the string type). [[foldBatchArea]]
+  // parses BOTH dialects (a non-numeric name like `seed` counts as
+  // always-committed) and names the folded dir in the area's own
+  // dialect, so the partition column's type never changes under a
+  // fold. [[foldIncInto]] stays plain-dialect-only — its writers are.
+  // ------------------------------------------------------------------
+
+  private case class AreaDir(
+      id: Option[Long], // None = non-numeric (e.g. batch=seed)
+      bDialect: Boolean,
+      path: org.apache.hadoop.fs.Path)
+
+  /** Parse an area's `batch=` children in both dialects; strays reject
+    * by name under `strict`, log-and-skip otherwise (the [[batchDirs]]
+    * posture). */
+  private def areaDirs(
+      fs: org.apache.hadoop.fs.FileSystem,
+      area: org.apache.hadoop.fs.Path, strict: Boolean): Seq[AreaDir] =
+    if (!fs.exists(area)) Nil
+    else fs.listStatus(area).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) None // fold/Spark metadata
+      else if (!st.isDirectory || !n.startsWith("batch=")) {
+        require(!strict,
+          s"compact: unexpected entry '$n' under $area — an ingest area " +
+            "holds only batch=<id> dirs (is this really an ingest table?)")
+        log.warn(s"compact: skipping unrecognized entry '$n' under $area")
+        None
+      } else {
+        val v = n.drop(6)
+        val (digits, b) =
+          if (v.startsWith("b") && v.drop(1).nonEmpty &&
+              v.drop(1).forall(_.isDigit)) (Some(v.drop(1)), true)
+          else if (v.nonEmpty && v.forall(_.isDigit)) (Some(v), false)
+          else (None, false) // e.g. batch=seed — always committed
+        Some(AreaDir(digits.map(_.toLong), b, st.getPath))
+      }
+    }
+
+  private def areaManifest(area: String) =
+    new org.apache.hadoop.fs.Path(s"$area/_fold_manifest")
+  private def areaTmp(area: String) =
+    new org.apache.hadoop.fs.Path(s"$area/_fold_tmp")
+  private def areaOld(area: String) =
+    new org.apache.hadoop.fs.Path(s"$area/_fold_old")
+
+  /** Heal a crashed [[foldBatchArea]] — exposed for the ingest sinks
+    * (run at declaration, like [[healCrashedFold]]). The manifest file
+    * records the fold's exact snapshot, so every crash window is
+    * mechanically distinguishable (see [[foldBatchArea]]'s protocol):
+    *
+    *   - `_fold_tmp` complete (has _SUCCESS) → the rewrite finished.
+    *     Roll FORWARD: finish staging the manifest's dirs, land the
+    *     tmp as the folded `batch=` dir, drop `_fold_old` + manifest.
+    *   - `_fold_tmp` absent but `_fold_old` present → the folded dir
+    *     already landed (staging only starts after the rewrite, and
+    *     the landing rename removes the tmp). Roll FORWARD: drop
+    *     `_fold_old` + manifest.
+    *   - `_fold_tmp` absent/partial, `_fold_old` absent → the rewrite
+    *     never finished (or never started). Roll BACK: drop the
+    *     partial tmp + manifest; every source dir is still live.
+    *
+    * Each branch is idempotent — a crash during recovery lands back in
+    * the same branch. */
+  private[graft] def healCrashedAreaFold(
+      spark: SparkSession, area: String): Unit = {
+    val areaPath = new org.apache.hadoop.fs.Path(area)
+    val fs = areaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    foldLock(area).synchronized {
+      val manifestTmp = new org.apache.hadoop.fs.Path(s"$area/_fold_manifest.tmp")
+      val leftovers = fs.exists(areaManifest(area)) || fs.exists(manifestTmp) ||
+        fs.exists(areaTmp(area)) || fs.exists(areaOld(area))
+      if (!leftovers) return
+      val lease = acquireLease(fs, area)
+      try recoverAreaFold(spark, fs, area)
+      finally { fs.delete(lease, false); () }
+    }
+  }
+
+  /** The [[healCrashedAreaFold]] recovery body — callers hold the
+    * per-area lock and lease. */
+  private def recoverAreaFold(
+      spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+      area: String): Unit = {
+    val areaPath = new org.apache.hadoop.fs.Path(area)
+    val manifest = areaManifest(area)
+    val manifestTmp = new org.apache.hadoop.fs.Path(s"$area/_fold_manifest.tmp")
+    val tmp = areaTmp(area)
+    val old = areaOld(area)
+    if (fs.exists(manifestTmp)) fs.delete(manifestTmp, false)
+        if (!fs.exists(manifest)) {
+          // no manifest = no fold in flight; a leftover tmp is an
+          // aborted rewrite (underscore-invisible to readers) — drop
+          // it. A _fold_old without a manifest is unreachable through
+          // this protocol — reject by name rather than guess.
+          if (fs.exists(tmp)) fs.delete(tmp, true)
+          require(!fs.exists(old),
+            s"compact recovery: $area/_fold_old exists without a fold " +
+              "manifest — not a state this engine's folds can leave; " +
+              "resolve manually")
+          return
+        }
+        val names = {
+          val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+            fs.open(manifest), java.nio.charset.StandardCharsets.UTF_8))
+          try Iterator.continually(in.readLine()).takeWhile(_ != null)
+            .map(_.trim).filter(_.nonEmpty).toList
+          finally in.close()
+        }
+        val tmpComplete = fs.exists(
+          new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))
+        if (tmpComplete) {
+          // roll FORWARD: finish staging, land the folded dir
+          if (!fs.exists(old)) require(fs.mkdirs(old),
+            s"compact recovery: cannot create $area/_fold_old")
+          names.foreach { n =>
+            val live = new org.apache.hadoop.fs.Path(areaPath, n)
+            val staged = new org.apache.hadoop.fs.Path(old, n)
+            if (fs.exists(live)) require(fs.rename(live, staged),
+              s"compact recovery: cannot stage $live aside")
+            else require(fs.exists(staged),
+              s"compact recovery: manifest dir '$n' is neither live " +
+                s"under $area nor staged — a foreign writer removed it; " +
+                "resolve manually")
+          }
+          fs.rename(tmp, new org.apache.hadoop.fs.Path(
+            areaPath, foldedDirName(names)))
+          fs.delete(old, true)
+          fs.delete(manifest, false)
+        } else if (!fs.exists(tmp) && fs.exists(old)) {
+          // the folded dir already landed — finish the cleanup
+          fs.delete(old, true)
+          fs.delete(manifest, false)
+        } else {
+          // roll BACK: the rewrite never completed; sources are live
+          if (fs.exists(tmp)) fs.delete(tmp, true)
+          fs.delete(manifest, false)
+        }
+        ()
+  }
+
+  /** How many `batch=` dirs an ingest area currently holds (both
+    * dialects; strays skipped) — the `ingest_compact` health readout. */
+  def areaBatchDirCount(spark: SparkSession, area: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(area)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    areaDirs(fs, p, strict = false).size.toLong
+  }
+
+  /** The folded output dir's name for a manifest/snapshot of source dir
+    * names: max numeric id, in the sources' own dialect. */
+  private def foldedDirName(names: Seq[String]): String = {
+    val parsed = names.flatMap { n =>
+      val v = n.stripPrefix("batch=")
+      if (v.startsWith("b") && v.drop(1).nonEmpty && v.drop(1).forall(_.isDigit))
+        Some((v.drop(1).toLong, true))
+      else if (v.nonEmpty && v.forall(_.isDigit)) Some((v.toLong, false))
+      else None
+    }
+    require(parsed.nonEmpty,
+      "compact: a fold needs at least one numeric batch=<id> dir to name " +
+        "its output")
+    val dialects = parsed.map(_._2).distinct
+    require(dialects.size == 1,
+      "compact: mixed batch=<id> and batch=b<id> dialects in one area — " +
+        "not a layout this engine's ingests write; resolve manually")
+    val k = parsed.map(_._1).max
+    if (dialects.head) s"batch=b$k" else s"batch=$k"
+  }
+
+  /** Fold an ingest AREA's committed `batch=` dirs into ONE compacted,
+    * size-targeted `batch=` dir named after the highest folded id — the
+    * small-files defense for the ingest tables that grow one directory
+    * per micro-batch forever (exact/near_dup/passage corpus + index,
+    * semantic classes). Readers are unchanged: the area stays a plain
+    * partition-discovery parquet read, rows just move from many batch
+    * partitions into one whose id is committed (so the ingests' replay
+    * exclusion never matches it).
+    *
+    * `maxBatchId` scopes the fold to COMMITTED batches (pass the ingest
+    * checkpoint's [[lastCommittedBatch]], or `batchId - 1` from inside
+    * foreachBatch); an uncommitted landed dir stays for the crash
+    * replay to overwrite — folding it first would duplicate its rows
+    * once the replay re-lands it. Non-numeric dirs (`batch=seed`) are
+    * always committed and always fold. `minDirs` keeps the in-stream
+    * cadence from rewriting a single already-folded dir every N
+    * batches (pass 2 there; 1 = explicit defrag).
+    *
+    * Crash discipline — SELF-HEALING via a MANIFEST (the r18 lesson
+    * inverted: rewrite-first is only safe when the snapshot boundary
+    * is recorded somewhere): the fold writes `_fold_manifest` (the
+    * exact source-dir list) first, then the compacted rewrite to
+    * `_fold_tmp` (underscore = invisible to readers — the area serves
+    * reads untouched for the WHOLE O(area) rewrite), and only then the
+    * commit phase: stage sources into `_fold_old`, rename the tmp to
+    * the folded dir, drop `_fold_old` + manifest. A crash anywhere is
+    * rolled forward/back by [[healCrashedAreaFold]] — the tmp's
+    * _SUCCESS marker says whether the rewrite finished, the manifest
+    * says exactly which dirs were in the fold. Readers racing the
+    * commit phase (metadata renames only) can momentarily miss staged
+    * batches — briefly stale, never duplicated — the documented
+    * maintenance-read posture shared with [[foldIncInto]]. */
+  def foldBatchArea(
+      spark: SparkSession, area: String,
+      maxBatchId: Option[Long] = None,
+      strict: Boolean = true,
+      minDirs: Int = 1): Int = foldLock(area).synchronized {
+    val areaPath = new org.apache.hadoop.fs.Path(area)
+    val fs = areaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val lease = acquireLease(fs, area)
+    try {
+      recoverAreaFold(spark, fs, area)
+      val snapshot = areaDirs(fs, areaPath, strict)
+        .filter(d => d.id.forall(id => maxBatchId.forall(id <= _)))
+        .sortBy(_.id.getOrElse(-1L))
+      val (withData, fileless) =
+        snapshot.partition(d => dirHasData(fs, d.path))
+      fileless.foreach { d =>
+        if (fs.listStatus(d.path).exists(f =>
+            f.isDirectory && f.getPath.getName == "_temporary"))
+          log.warn(s"compact: leaving ${d.path} alone — in-flight " +
+            "_temporary write")
+        else fs.delete(d.path, true)
+      }
+      if (withData.size < math.max(minDirs, 1) ||
+          !withData.exists(_.id.isDefined)) return 0
+      val names = withData.map(_.path.getName)
+      val outName = foldedDirName(names) // validates dialect consistency
+      // manifest FIRST (atomically, via rename): from here until the
+      // manifest is deleted, recovery knows the fold's exact snapshot
+      val manifestTmp =
+        new org.apache.hadoop.fs.Path(s"$area/_fold_manifest.tmp")
+      val out = fs.create(manifestTmp, true)
+      try out.write(names.mkString("", "\n", "\n").getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      require(fs.rename(manifestTmp, areaManifest(area)),
+        s"compact: cannot land the fold manifest under $area")
+      // the O(area) rewrite — readers untouched (tmp is underscore-
+      // invisible); no `batch` column in the files, the dir name IS it
+      val bytes = withData
+        .map(d => fs.getContentSummary(d.path).getLength).sum
+      val nFiles = math.max(1L, bytes / (128L << 20) + 1L).toInt
+      spark.read.parquet(withData.map(_.path.toString): _*)
+        .repartition(nFiles)
+        .write.mode("overwrite").parquet(areaTmp(area).toString)
+      // commit phase: metadata renames only
+      val old = areaOld(area)
+      require(fs.mkdirs(old),
+        s"compact: cannot create the stage-aside area $area/_fold_old")
+      withData.foreach { d =>
+        require(fs.rename(d.path,
+            new org.apache.hadoop.fs.Path(old, d.path.getName)),
+          s"compact: cannot stage ${d.path} aside")
+      }
+      require(fs.rename(areaTmp(area),
+          new org.apache.hadoop.fs.Path(areaPath, outName)),
+        s"compact: cannot land the folded dir $outName under $area")
+      fs.delete(old, true)
+      fs.delete(areaManifest(area), false)
+      withData.size // folded source dirs, the observability count
+    } finally { fs.delete(lease, false); () }
+  }
+
+  /** One small JSON file per completed in-stream fold under
+    * `$root/_fold_log/` — the `compact_every` cadence's production
+    * signal (an operator can verify the cadence actually fires by
+    * listing it; log lines alone vanish with the driver). One FILE per
+    * fold, not an append (object stores don't append); pruned to the
+    * newest 64 so the log itself can never become a small-files
+    * problem. Underscore-prefixed = invisible to every data reader. */
+  private[graft] def appendFoldLog(
+      spark: SparkSession, root: String, batchId: Long,
+      foldedThrough: Long, dirsRetired: Int): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(s"$root/_fold_log")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(dir)
+    val f = new org.apache.hadoop.fs.Path(dir, f"fold-$batchId%012d.json")
+    val out = fs.create(f, true)
+    try out.write(
+      (s"""{"batch_id":$batchId,"folded_through":$foldedThrough,""" +
+        s""""dirs_retired":$dirsRetired,""" +
+        s""""ts_ms":${System.currentTimeMillis()}}""" + "\n").getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val files = fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("fold-")).sortBy(_.getName)
+    files.dropRight(64).foreach(fs.delete(_, false))
+    ()
   }
 
   /** dest → dest.old, tmp → dest, drop dest.old (see caveat above). */

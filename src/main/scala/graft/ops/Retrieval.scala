@@ -368,16 +368,19 @@ object Retrieval {
       spark: org.apache.spark.sql.SparkSession, dir: String,
       maxBatchId: Option[Long] = None,
       defragWhenEmpty: Boolean = true,
-      strict: Boolean = true): Unit = {
-    Artifacts.foldIncInto(spark, s"$dir/postings",
+      strict: Boolean = true): Int = {
+    val p = Artifacts.foldIncInto(spark, s"$dir/postings",
       s"$dir/postings_inc", Some("bucket"), maxBatchId, defragWhenEmpty,
       strict)
-    if (Artifacts.dirExists(spark, s"$dir/postings2"))
-      Artifacts.foldIncInto(spark, s"$dir/postings2",
-        s"$dir/postings2_inc", Some("bucket"), maxBatchId, defragWhenEmpty,
-        strict)
-    Artifacts.foldIncInto(spark, s"$dir/dl", s"$dir/dl_inc", None,
+    val p2 =
+      if (Artifacts.dirExists(spark, s"$dir/postings2"))
+        Artifacts.foldIncInto(spark, s"$dir/postings2",
+          s"$dir/postings2_inc", Some("bucket"), maxBatchId, defragWhenEmpty,
+          strict)
+      else 0
+    val dl = Artifacts.foldIncInto(spark, s"$dir/dl", s"$dir/dl_inc", None,
       maxBatchId, defragWhenEmpty, strict)
+    p + p2 + dl // retired delta dirs, the observability count
   }
 
   /** Health view over a [[saveBm25Index]] artifact — the

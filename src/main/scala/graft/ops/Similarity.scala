@@ -525,7 +525,7 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, dir: String,
       maxBatchId: Option[Long] = None,
       defragWhenEmpty: Boolean = true,
-      strict: Boolean = true): Unit =
+      strict: Boolean = true): Int =
     Artifacts.foldIncInto(spark, s"$dir/index", s"$dir/index_inc",
       Some("list"), maxBatchId, defragWhenEmpty, strict)
 

@@ -737,6 +737,73 @@ object DedupQueries extends QueryPack {
     FROM documents WHERE doc_id % 5 = 0
     ORDER BY cluster ASC NULLS FIRST"""
 
+  // q281 — CONTINUOUS exact-dedup ingest LIFECYCLE (`exact_ingest` +
+  // `compact_every` + `ingest_compact`) under the driver hash — the
+  // q275/q280 pattern for the area-layout ingests: the documents table
+  // plus a re-keyed copy of its every-third doc (guaranteed cross-batch
+  // content duplicates) streams through the fingerprint-keyed
+  // exact_ingest sink one staged file per micro-batch, with in-stream
+  // area folds every 2 batches; the final checkpoint-scoped
+  // ingest_compact folds the tail, leaving ONE batch dir per area. The
+  // gate is batching-invariant by construction — WHICH doc id wins a
+  // fingerprint depends on file splits, but each fingerprint is
+  // admitted EXACTLY ONCE — so the oracle asserts the full fp-level
+  // decision vector: one corpus row and one index row per distinct
+  // document fingerprint (a fold that duplicated rows → n=2; one that
+  // lost rows → a missing fp; both hash-fail), plus the post-compact
+  // dir count of both areas (the compaction actually completed).
+  private val q281Base =
+    s"${System.getProperty("java.io.tmpdir")}/graft_q281_ei"
+  private def q281(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(s, dir)
+    graft.functions.Registry.registerAll(s)
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).toSeq.flatten.foreach(rmrf)
+      p.delete(); ()
+    }
+    rmrf(new java.io.File(q281Base))
+    s.sql("""SELECT doc_id, text FROM documents
+             UNION ALL
+             SELECT doc_id + 1000000 AS doc_id, text FROM documents
+             WHERE doc_id % 3 = 0""")
+      .repartition(5).write.mode("overwrite").parquet(s"$q281Base/in")
+    val q = graft.compile.Compiler.compileStreamJson(s, s"""
+      {"source": {"path": "$q281Base/in",
+                  "options": {"maxFilesPerTrigger": "1"}},
+       "derive": {"fp": "doc_fingerprint_portable(text)"},
+       "exact_ingest": {"id_col": "doc_id", "key_cols": ["fp"],
+                        "corpus_dir": "$q281Base/corpus",
+                        "index_dir": "$q281Base/index",
+                        "checkpoint_dir": "$q281Base/ckpt",
+                        "compact_every": 2}}""")
+    try q.processAllAvailable() finally q.stop()
+    val report = graft.compile.Compiler.compileJson(s, s"""
+      {"source": {"sql": "SELECT 1 AS one"},
+       "ingest_compact": {"dirs": ["$q281Base/corpus", "$q281Base/index"],
+                          "checkpoint": "$q281Base/ckpt"},
+       "order_by": ["area_ix asc"]}""")
+      .collect().map(_.getLong(1))
+    val corpus = s.read.parquet(s"$q281Base/corpus")
+      .groupBy("fp").agg(count(lit(1)).as("n_corpus"))
+    val index = s.read.parquet(s"$q281Base/index")
+      .groupBy("fp").agg(count(lit(1)).as("n_index"))
+    // full join: an fp on one side only surfaces as a NULL count —
+    // hash-fails against the oracle's (1, 1) row
+    corpus.join(index, Seq("fp"), "full")
+      .withColumn("dirs_corpus", lit(report(0)))
+      .withColumn("dirs_index", lit(report(1)))
+      .orderBy(col("fp").asc_nulls_first)
+  }
+  private val q281Sql = s"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS t
+      FROM documents),
+    fps AS (SELECT DISTINCT ${TextQueries.fpSql("t")} AS fp FROM toks)
+    SELECT fp, CAST(1 AS BIGINT) AS n_corpus, CAST(1 AS BIGINT) AS n_index,
+           CAST(1 AS BIGINT) AS dirs_corpus, CAST(1 AS BIGINT) AS dirs_index
+    FROM fps ORDER BY fp ASC NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
     Q("q27_dedup_exact", q27, Some(q27Sql)),
     Q("q28_ngram_jaccard", q28, Some(q28Sql)),
@@ -761,7 +828,8 @@ object DedupQueries extends QueryPack {
     Q("q198_winnow_probe", q198, Some(q198Sql)),
     Q("q212_dedup_best_copy", q212, Some(q212Sql)),
     Q("q214_dedup_soft_count", q214, Some(q214Sql)),
-    Q("q217_neardup_retention", q217, Some(q217Sql))
+    Q("q217_neardup_retention", q217, Some(q217Sql)),
+    Q("q281_exact_ingest_lifecycle", q281, Some(q281Sql))
   )
 
   // q198 — INCREMENTAL MOSS probe: the corpus/incoming split (q88/q97/

@@ -93,6 +93,17 @@ object JsonCodec {
         "delta fold to the ingest stream's committed batches) — " +
         s"""remove it, or use mode "compact"""")
 
+  /** `compact_every: N` on an ingest sink — fold the ingest's grown
+    * areas every N batches inside foreachBatch; shared by the four
+    * area-layout ingest decoders (near_dup/passage/exact) and validated
+    * once so the wording cannot drift. */
+  private def ingestCompactEvery(d: JsonNode, ctx: String): Option[Int] = {
+    val ce = opt(d, "compact_every", "compactEvery").map(_.asInt)
+    ce.foreach(n => require(n >= 1,
+      s"$ctx: compact_every must be >= 1, got $n"))
+    ce
+  }
+
   private def strSeq(n: JsonNode): Seq[String] =
     if (n == null) Nil
     else if (n.isTextual) Seq(n.asText)
@@ -1387,7 +1398,8 @@ object JsonCodec {
           shingleSize = opt(d, "shingle_size", "shingleSize").map(_.asInt).getOrElse(3),
           numHashes = opt(d, "num_hashes", "numHashes").map(_.asInt).getOrElse(64),
           bands = opt(d, "bands").map(_.asInt).getOrElse(16),
-          threshold = opt(d, "threshold").map(_.asDouble).getOrElse(0.5))
+          threshold = opt(d, "threshold").map(_.asDouble).getOrElse(0.5),
+          compactEvery = ingestCompactEvery(d, s"node $id: near_dup_ingest"))
       },
       passageIngest = optN("passage_ingest", "passageIngest").map { d =>
         val ctx = s"node $id: passage_ingest"
@@ -1397,7 +1409,8 @@ object JsonCodec {
           corpusDir = req(d, ctx, "corpus_dir", "corpusDir").asText,
           indexDir = req(d, ctx, "index_dir", "indexDir").asText,
           checkpointDir = req(d, ctx, "checkpoint_dir", "checkpointDir").asText,
-          windowTokens = opt(d, "window_tokens", "windowTokens").map(_.asInt).getOrElse(50))
+          windowTokens = opt(d, "window_tokens", "windowTokens").map(_.asInt).getOrElse(50),
+          compactEvery = ingestCompactEvery(d, ctx))
       },
       exactIngest = optN("exact_ingest", "exactIngest").map { d =>
         val ctx = s"node $id: exact_ingest"
@@ -1406,8 +1419,17 @@ object JsonCodec {
           keyCols = strSeq(req(d, ctx, "key_cols", "keyCols")),
           corpusDir = req(d, ctx, "corpus_dir", "corpusDir").asText,
           indexDir = req(d, ctx, "index_dir", "indexDir").asText,
-          checkpointDir = req(d, ctx, "checkpoint_dir", "checkpointDir").asText)
+          checkpointDir = req(d, ctx, "checkpoint_dir", "checkpointDir").asText,
+          compactEvery = ingestCompactEvery(d, ctx))
         require(s.keyCols.nonEmpty, s"$ctx: key_cols must be non-empty")
+        s
+      },
+      ingestCompact = optN("ingest_compact", "ingestCompact").map { d =>
+        val ctx = s"node $id: ingest_compact"
+        val s = IngestCompactSpec(
+          dirs = strSeq(req(d, ctx, "dirs")),
+          checkpoint = opt(d, "checkpoint").map(_.asText))
+        require(s.dirs.nonEmpty, s"$ctx: dirs must be non-empty")
         s
       },
       sketchIngest = optN("sketch_ingest", "sketchIngest").map { d =>

@@ -1188,7 +1188,11 @@ final case class NearDupIngestSpec(
     shingleSize: Int = 3,
     numHashes: Int = 64,
     bands: Int = 16,
-    threshold: Double = 0.5
+    threshold: Double = 0.5,
+    // fold the corpus/index areas' committed batch= dirs into one
+    // compacted dir every N non-empty batches, inside foreachBatch —
+    // the unattended small-files defense (see IngestCompactSpec)
+    compactEvery: Option[Int] = None
 )
 
 /** Continuous substring-level dedup ingestion (NS;
@@ -1204,7 +1208,8 @@ final case class PassageIngestSpec(
     corpusDir: String,
     indexDir: String,
     checkpointDir: String,
-    windowTokens: Int = 50
+    windowTokens: Int = 50,
+    compactEvery: Option[Int] = None // see NearDupIngestSpec
 )
 
 /** Continuous EXACT-dedup ingestion (NS; Streaming.exactIngest): the
@@ -1223,7 +1228,28 @@ final case class ExactIngestSpec(
     keyCols: Seq[String],
     corpusDir: String,
     indexDir: String,
-    checkpointDir: String
+    checkpointDir: String,
+    compactEvery: Option[Int] = None // see NearDupIngestSpec
+)
+
+/** Fold the COMMITTED `batch=<id>` dirs of partition-grown ingest AREAS
+  * (the exact/near_dup/passage corpus + index dirs, the semantic classes
+  * dir — one directory per micro-batch FOREVER without this) into one
+  * compacted, size-targeted `batch=` dir per area (Artifacts
+  * .foldBatchArea): the operator-issued half of the ingest small-files
+  * defense, pairing with the ingests' `compact_every` the way
+  * `bm25_index mode:"compact"` pairs with `bm25_ingest`. Readers are
+  * unchanged — an area stays one partition-discovery parquet read; the
+  * folded dir's id is committed, so the ingests' replay exclusion never
+  * matches it. `checkpoint` (the ingest stream's checkpointLocation)
+  * scopes the fold to committed batches — the live-stream-safe posture;
+  * without it every landed dir folds (exact for a quiesced stream).
+  * The frame becomes one row per area: (area_ix, n_dirs) — the ordinal
+  * of the dir in `dirs` and its batch-dir count after the fold.
+  * Batch-only (filesystem rewrite). */
+final case class IngestCompactSpec(
+    dirs: Seq[String],
+    checkpoint: Option[String] = None
 )
 
 /** Continuous sketch-table maintenance (NS; Streaming.sketchIngest):
@@ -1450,6 +1476,7 @@ final case class NodeSpec(
     tarPackIngest: Option[TarPackIngestSpec] = None, // streaming-only root sink
     bm25Ingest: Option[Bm25IngestSpec] = None, // streaming-only root sink
     annIngest: Option[AnnIngestSpec] = None, // streaming-only root sink
+    ingestCompact: Option[IngestCompactSpec] = None, // batch-only artifact maintenance
     sequencePack: Option[SequencePackSpec] = None, // after bpe_apply, before with_columns
     cache: Boolean = false // defs-only: persist() the compiled stage
 )

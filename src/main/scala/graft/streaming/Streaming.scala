@@ -22,6 +22,56 @@ object Streaming {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Shared `compact_every` plumbing for the AREA-layout ingests
+    * (exact/near_dup/passage/semantic — one `batch=` dir per
+    * micro-batch under each area, no separate base): validates the
+    * cadence, heals any crashed area fold at DECLARATION (the
+    * bm25Ingest posture — a restart must never read through half-staged
+    * state), and returns the per-batch hook that counts non-empty
+    * batches and folds every `compactEvery` of them via
+    * [[graft.ops.Artifacts.foldBatchArea]], scoped to `batchId - 1`
+    * (committed by definition of the current batch running — the
+    * in-flight batch stays for a crash replay to overwrite). The fold
+    * runs INSIDE foreachBatch — serialized with the batch's own writes
+    * and probes, so it can never race them. A transient fold failure
+    * is caught (the batch's data is already durable): the stream
+    * continues and the fold retries at the next batch. minDirs=2 keeps
+    * the cadence from rewriting a single already-folded dir for
+    * nothing. */
+  private def areaFoldCadence(
+      name: String, spark: org.apache.spark.sql.SparkSession,
+      compactEvery: Option[Int], areas: Seq[String])
+      : (org.apache.spark.sql.SparkSession, Long) => Unit = {
+    compactEvery.foreach(n => require(n >= 1,
+      s"$name: compact_every must be >= 1, got $n"))
+    areas.foreach(a => graft.ops.Artifacts.healCrashedAreaFold(spark, a))
+    var batchesSinceFold = 0
+    (s: org.apache.spark.sql.SparkSession, batchId: Long) => {
+      batchesSinceFold += 1
+      if (batchId > 0 && compactEvery.exists(batchesSinceFold >= _)) {
+        try {
+          areas.foreach { a =>
+            val retired = graft.ops.Artifacts.foldBatchArea(
+              s, a, Some(batchId - 1), strict = false, minDirs = 2)
+            // the cadence's production signal: a log line AND a
+            // queryable _fold_log row per area (ops can verify the
+            // cadence fires without driver logs)
+            if (retired > 0) {
+              log.info(s"$name: in-stream fold at batch $batchId folded " +
+                s"$retired dirs (through ${batchId - 1}) under $a")
+              graft.ops.Artifacts.appendFoldLog(
+                s, a, batchId, batchId - 1, retired)
+            }
+          }
+          batchesSinceFold = 0
+        } catch { case scala.util.control.NonFatal(e) =>
+          log.warn(s"$name: in-stream fold at batch $batchId failed " +
+            s"(stream continues; retrying next batch): ${e.getMessage}")
+        }
+      }
+    }
+  }
+
   private def applyAggs(
       grouped: org.apache.spark.sql.RelationalGroupedDataset,
       aggs: Seq[AggSpec]): DataFrame = {
@@ -238,8 +288,11 @@ object Streaming {
       shingleSize: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.5
-  ): org.apache.spark.sql.streaming.StreamingQuery =
+      threshold: Double = 0.5,
+      compactEvery: Option[Int] = None
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val fold = areaFoldCadence("near_dup_ingest", incoming.sparkSession,
+      compactEvery, Seq(corpusDir, indexDir))
     incoming.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -280,8 +333,10 @@ object Streaming {
               kept, idCol, textCol, shingleSize, numHashes, bands)
             .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
         } finally kept.unpersist()
+        fold(s, batchId)
       }
       .start()
+  }
 
   /** Continuous SUBSTRING-level dedup ingestion — [[nearDupIngest]]'s
     * pattern at passage granularity: each micro-batch strips token spans
@@ -304,8 +359,11 @@ object Streaming {
       corpusDir: String,
       indexDir: String,
       checkpointDir: String,
-      windowTokens: Int = 50
-  ): org.apache.spark.sql.streaming.StreamingQuery =
+      windowTokens: Int = 50,
+      compactEvery: Option[Int] = None
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val fold = areaFoldCadence("passage_ingest", incoming.sparkSession,
+      compactEvery, Seq(corpusDir, indexDir))
     incoming.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -332,8 +390,10 @@ object Streaming {
           graft.ops.Dedup.passageWindowIndex(cleaned, idCol, textCol, windowTokens)
             .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
         } finally cleaned.unpersist()
+        fold(s, batchId)
       }
       .start()
+  }
 
   /** Continuous EXACT-dedup ingestion — [[nearDupIngest]]'s pattern at
     * the exact tier, the cheapest and most common member of the
@@ -365,9 +425,12 @@ object Streaming {
       keyCols: Seq[String],
       corpusDir: String,
       indexDir: String,
-      checkpointDir: String
+      checkpointDir: String,
+      compactEvery: Option[Int] = None
   ): org.apache.spark.sql.streaming.StreamingQuery = {
     require(keyCols.nonEmpty, "exactIngest: key_cols must be non-empty")
+    val fold = areaFoldCadence("exact_ingest", incoming.sparkSession,
+      compactEvery, Seq(corpusDir, indexDir))
     incoming.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -392,6 +455,7 @@ object Streaming {
           kept.select(keyCols.map(col): _*).distinct()
             .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
         } finally kept.unpersist()
+        fold(s, batchId)
       }
       .start()
   }
@@ -613,9 +677,15 @@ object Streaming {
               // continues and the fold retries at the next batch
               // (batchesSinceFold stays >= the cadence).
               try {
-                graft.ops.Retrieval.compactBm25Index(s, indexDir,
+                val retired = graft.ops.Retrieval.compactBm25Index(s, indexDir,
                   Some(batchId - 1), defragWhenEmpty = false, strict = false)
                 batchesSinceFold = 0
+                if (retired > 0) {
+                  log.info(s"bm25_ingest: in-stream fold at batch $batchId " +
+                    s"folded $retired delta dirs (through ${batchId - 1})")
+                  graft.ops.Artifacts.appendFoldLog(
+                    s, indexDir, batchId, batchId - 1, retired)
+                }
               } catch { case scala.util.control.NonFatal(e) =>
                 log.warn(s"bm25_ingest: in-stream fold at batch $batchId " +
                   s"failed (stream continues; retrying next batch): " +
@@ -701,9 +771,16 @@ object Streaming {
           batchesSinceFold += 1
           if (batchId > 0 && compactEvery.exists(batchesSinceFold >= _)) {
             try {
-              Similarity.compactAnnIndex(batch.sparkSession, indexDir,
-                Some(batchId - 1), defragWhenEmpty = false, strict = false)
+              val retired = Similarity.compactAnnIndex(batch.sparkSession,
+                indexDir, Some(batchId - 1), defragWhenEmpty = false,
+                strict = false)
               batchesSinceFold = 0
+              if (retired > 0) {
+                log.info(s"ann_ingest: in-stream fold at batch $batchId " +
+                  s"folded $retired delta dirs (through ${batchId - 1})")
+                graft.ops.Artifacts.appendFoldLog(batch.sparkSession,
+                  indexDir, batchId, batchId - 1, retired)
+              }
             } catch { case scala.util.control.NonFatal(e) =>
               log.warn(s"ann_ingest: in-stream fold at batch $batchId " +
                 s"failed (stream continues; retrying next batch): " +
@@ -744,8 +821,13 @@ object Streaming {
       indexDir: String,
       checkpointDir: String,
       numBits: Int = 64,
-      bands: Int = 8
-  ): org.apache.spark.sql.streaming.StreamingQuery =
+      bands: Int = 8,
+      compactEvery: Option[Int] = None
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    // the classes area is b-dialect (batch=seed + batch=b<id>); the fold
+    // parses both dialects and names its output in the area's own
+    val fold = areaFoldCadence("semantic_ingest", incoming.sparkSession,
+      compactEvery, Seq(corpusDir, s"$indexDir/classes"))
     incoming.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -766,8 +848,10 @@ object Streaming {
               cents, numBits)
             .write.mode("overwrite").parquet(s"$indexDir/classes/batch=b$batchId")
         } finally kept.unpersist()
+        fold(s, batchId)
       }
       .start()
+  }
 
   /** Per-batch data profile — the ingest-side drift monitor: every
     * micro-batch runs the SAME single-pass stats aggregate the batch

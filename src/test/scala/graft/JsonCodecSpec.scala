@@ -1182,6 +1182,7 @@ class JsonCodecSpec extends AnyFunSuite {
                         "checkpoint_dir": "/k"}}""").exactIngest.get
     assert(ei.idCol == "doc_id" && ei.keyCols == Seq("fp"))
     assert(ei.corpusDir == "/c" && ei.indexDir == "/i" && ei.checkpointDir == "/k")
+    assert(ei.compactEvery.isEmpty)
     assert(intercept[IllegalArgumentException](root(
       """{"exact_ingest": {"id_col": "d", "key_cols": [],
           "corpus_dir": "/c", "index_dir": "/i", "checkpoint_dir": "/k"}}"""))
@@ -1190,6 +1191,38 @@ class JsonCodecSpec extends AnyFunSuite {
       """{"exact_ingest": {"id_col": "d", "key_cols": ["fp"],
           "corpus_dir": "/c", "index_dir": "/i"}}"""))
       .getMessage.contains("checkpoint_dir"))
+    // compact_every decodes on the three area-layout ingests and
+    // validates >= 1 with one shared wording
+    val eic = root("""
+      {"exact_ingest": {"id_col": "d", "key_cols": ["fp"],
+        "corpus_dir": "/c", "index_dir": "/i", "checkpoint_dir": "/k",
+        "compact_every": 3}}""").exactIngest.get
+    assert(eic.compactEvery.contains(3))
+    assert(intercept[IllegalArgumentException](root(
+      """{"exact_ingest": {"id_col": "d", "key_cols": ["fp"],
+          "corpus_dir": "/c", "index_dir": "/i", "checkpoint_dir": "/k",
+          "compact_every": 0}}""")).getMessage.contains("compact_every"))
+    assert(root("""
+      {"near_dup_ingest": {"id_col": "d", "text_col": "t",
+        "corpus_dir": "/c", "index_dir": "/i", "checkpoint_dir": "/k",
+        "compact_every": 2}}""").nearDupIngest.get.compactEvery.contains(2))
+    assert(root("""
+      {"passage_ingest": {"id_col": "d", "text_col": "t",
+        "corpus_dir": "/c", "index_dir": "/i", "checkpoint_dir": "/k",
+        "compact_every": 4}}""").passageIngest.get.compactEvery.contains(4))
+
+    val ic = root("""
+      {"ingest_compact": {"dirs": ["/c", "/i"], "checkpoint": "/k"}}""")
+      .ingestCompact.get
+    assert(ic.dirs == Seq("/c", "/i") && ic.checkpoint.contains("/k"))
+    assert(root("""{"ingest_compact": {"dirs": "/c"}}""")
+      .ingestCompact.get.dirs == Seq("/c"), "a single dir may be a string")
+    assert(intercept[IllegalArgumentException](root(
+      """{"ingest_compact": {"dirs": []}}"""))
+      .getMessage.contains("dirs"))
+    assert(intercept[IllegalArgumentException](root(
+      """{"ingest_compact": {"checkpoint": "/k"}}"""))
+      .getMessage.contains("dirs"))
 
     val bi = root("""
       {"bm25_ingest": {"id_col": "doc_id", "text_col": "text",

@@ -624,6 +624,150 @@ class RetrievalSpec extends SparkSpec {
     assert(new java.io.File(s"$inc/stray.txt").exists, "stray survives")
   }
 
+  test("foldBatchArea: committed batch dirs fold into ONE dir named after the max id; readers and replay exclusion unchanged") {
+    import graft.ops.Artifacts
+    val area = s"${java.nio.file.Files.createTempDirectory("graft_area").toString}/corpus"
+    def writeBatch(id: String, docs: Long*): Unit =
+      docs.map(d => (d, s"t$d")).toDF("doc", "txt").coalesce(1)
+        .write.mode("overwrite").parquet(s"$area/batch=$id")
+    writeBatch("0", 1L); writeBatch("1", 2L, 3L); writeBatch("2", 4L)
+    writeBatch("3", 9L) // NOT committed: above the ceiling
+    Artifacts.foldBatchArea(spark, area, maxBatchId = Some(2L))
+    val dirs = new java.io.File(area).listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).sorted.toSeq
+    assert(dirs == Seq("batch=2", "batch=3"),
+      s"committed dirs fold into batch=2; uncommitted batch=3 survives: $dirs")
+    val rows = spark.read.parquet(area)
+      .select("doc", "batch").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(rows.toSet == Set((1L, 2), (2L, 2), (3L, 2), (4L, 2), (9L, 3)),
+      s"all rows survive; folded rows carry the folded dir's id: ${rows.toSeq}")
+    // folding again with nothing new below the ceiling: no-op under
+    // minDirs=2 (the cadence posture) — the single folded dir stays
+    Artifacts.foldBatchArea(spark, area, Some(2L), minDirs = 2)
+    assert(new java.io.File(s"$area/batch=2").exists)
+  }
+
+  test("foldBatchArea: b-dialect areas (batch=seed + batch=b<id>) fold in their own dialect; mixed dialects reject") {
+    import graft.ops.Artifacts
+    val base = java.nio.file.Files.createTempDirectory("graft_areab").toString
+    val area = s"$base/classes"
+    Seq((1L, 10L)).toDF("cluster", "rep").coalesce(1)
+      .write.mode("overwrite").parquet(s"$area/batch=seed")
+    Seq((2L, 20L)).toDF("cluster", "rep").coalesce(1)
+      .write.mode("overwrite").parquet(s"$area/batch=b0")
+    Seq((3L, 30L)).toDF("cluster", "rep").coalesce(1)
+      .write.mode("overwrite").parquet(s"$area/batch=b1")
+    Artifacts.foldBatchArea(spark, area, maxBatchId = Some(1L))
+    val dirs = new java.io.File(area).listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).sorted.toSeq
+    assert(dirs == Seq("batch=b1"),
+      s"seed + committed b-dirs fold into the b-dialect max: $dirs")
+    assert(spark.read.parquet(area).select("cluster").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    // mixed dialects in one area = structural corruption — reject
+    val area2 = s"$base/mixed"
+    Seq((1L, 1L)).toDF("a", "b").coalesce(1)
+      .write.mode("overwrite").parquet(s"$area2/batch=0")
+    Seq((2L, 2L)).toDF("a", "b").coalesce(1)
+      .write.mode("overwrite").parquet(s"$area2/batch=b1")
+    val e = intercept[IllegalArgumentException](
+      Artifacts.foldBatchArea(spark, area2))
+    assert(e.getMessage.contains("dialect"), e.getMessage)
+  }
+
+  test("foldBatchArea self-heals every crash window via the manifest") {
+    import graft.ops.Artifacts
+    val base = java.nio.file.Files.createTempDirectory("graft_areaheal").toString
+    def seed(area: String): Unit = {
+      Seq((1L, "a")).toDF("doc", "txt").coalesce(1)
+        .write.mode("overwrite").parquet(s"$area/batch=0")
+      Seq((2L, "b")).toDF("doc", "txt").coalesce(1)
+        .write.mode("overwrite").parquet(s"$area/batch=1")
+    }
+    def writeManifest(area: String, names: String*): Unit = {
+      val w = new java.io.FileWriter(s"$area/_fold_manifest")
+      try w.write(names.mkString("", "\n", "\n")) finally w.close()
+    }
+    def docs(area: String): Set[Long] =
+      spark.read.parquet(area).select("doc").collect().map(_.getLong(0)).toSet
+
+    // WINDOW 1: manifest + PARTIAL tmp (no _SUCCESS) → roll back; the
+    // sources are all still live, the next fold folds them
+    locally {
+      val area = s"$base/w1"
+      seed(area)
+      assert(new java.io.File(s"$area/_fold_tmp").mkdirs())
+      writeManifest(area, "batch=0", "batch=1")
+      Artifacts.healCrashedAreaFold(spark, area)
+      assert(!new java.io.File(s"$area/_fold_tmp").exists &&
+        !new java.io.File(s"$area/_fold_manifest").exists)
+      assert(docs(area) == Set(1L, 2L), "sources intact after roll-back")
+    }
+
+    // WINDOW 2: manifest + COMPLETE tmp, sources still live → roll
+    // forward (stage, land the folded dir, clean up); no duplicates
+    locally {
+      val area = s"$base/w2"
+      seed(area)
+      Seq((1L, "a"), (2L, "b")).toDF("doc", "txt").coalesce(1)
+        .write.mode("overwrite").parquet(s"$area/_fold_tmp") // has _SUCCESS
+      writeManifest(area, "batch=0", "batch=1")
+      Artifacts.healCrashedAreaFold(spark, area)
+      val dirs = new java.io.File(area).listFiles().map(_.getName)
+        .filter(_.startsWith("batch=")).sorted.toSeq
+      assert(dirs == Seq("batch=1"), s"folded dir landed: $dirs")
+      val all = spark.read.parquet(area).select("doc").collect().map(_.getLong(0))
+      assert(all.sorted.toSeq == Seq(1L, 2L), s"exactly once: ${all.toSeq}")
+    }
+
+    // WINDOW 3: manifest + staged sources + tmp already landed (the
+    // rename happened, cleanup didn't) → drop the staged copies
+    locally {
+      val area = s"$base/w3"
+      seed(area)
+      val fs = new org.apache.hadoop.fs.Path(area)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      assert(fs.mkdirs(new org.apache.hadoop.fs.Path(s"$area/_fold_old")))
+      // simulate: both sources staged, folded dir landed as batch=1
+      fs.rename(new org.apache.hadoop.fs.Path(s"$area/batch=0"),
+        new org.apache.hadoop.fs.Path(s"$area/_fold_old/batch=0"))
+      fs.rename(new org.apache.hadoop.fs.Path(s"$area/batch=1"),
+        new org.apache.hadoop.fs.Path(s"$area/_fold_old/batch=1"))
+      Seq((1L, "a"), (2L, "b")).toDF("doc", "txt").coalesce(1)
+        .write.mode("overwrite").parquet(s"$area/batch=1")
+      writeManifest(area, "batch=0", "batch=1")
+      Artifacts.healCrashedAreaFold(spark, area)
+      assert(!new java.io.File(s"$area/_fold_old").exists &&
+        !new java.io.File(s"$area/_fold_manifest").exists)
+      assert(docs(area) == Set(1L, 2L))
+      assert(spark.read.parquet(area).count() == 2L, "no duplicates")
+    }
+
+    // WINDOW 4: manifest alone (crash before the rewrite started, or
+    // after everything else finished) → just drop it
+    locally {
+      val area = s"$base/w4"
+      seed(area)
+      writeManifest(area, "batch=0", "batch=1")
+      Artifacts.healCrashedAreaFold(spark, area)
+      assert(!new java.io.File(s"$area/_fold_manifest").exists)
+      assert(docs(area) == Set(1L, 2L))
+    }
+
+    // a later fold runs recovery itself: leftover partial state heals
+    // at fold entry, then the fold proceeds
+    locally {
+      val area = s"$base/w5"
+      seed(area)
+      assert(new java.io.File(s"$area/_fold_tmp").mkdirs())
+      writeManifest(area, "batch=0", "batch=1")
+      Artifacts.foldBatchArea(spark, area)
+      val dirs = new java.io.File(area).listFiles().map(_.getName)
+        .filter(_.startsWith("batch=")).sorted.toSeq
+      assert(dirs == Seq("batch=1") && docs(area) == Set(1L, 2L))
+    }
+  }
+
   test("lastCommittedBatch: a dir that is not a streaming checkpoint rejects by name; a pre-commit checkpoint yields None") {
     import graft.ops.Artifacts
     val base0 = java.nio.file.Files.createTempDirectory("graft_ckshape").toString

@@ -549,6 +549,66 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupIngest/passageIngest compact_every: in-stream area folds keep decisions exact and areas few-dir") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def nDirs(a: String): Int = new java.io.File(a).listFiles()
+      .map(_.getName).count(_.startsWith("batch="))
+
+    // near-dup: the same decisions as the fold-free test above, under
+    // compact_every=1 (a fold after every batch past the first)
+    locally {
+      val mem = MemoryStream[(Long, String)]
+      val base = java.nio.file.Files.createTempDirectory("graft_ndice").toString
+      val q = Streaming.nearDupIngest(
+        mem.toDF.toDF("doc_id", "text"), "doc_id", "text",
+        s"$base/corpus", s"$base/index", s"$base/ckpt",
+        shingleSize = 2, threshold = 0.5, compactEvery = Some(1))
+      try {
+        val tA = "alpha beta gamma delta epsilon zeta eta theta"
+        mem.addData((1L, tA)); q.processAllAvailable()
+        mem.addData((2L, "one two three four five six seven"))
+        q.processAllAvailable()
+        mem.addData((3L, tA + " iota"), // near-dup of FOLDED doc 1
+          (4L, "completely fresh unrelated content words here"))
+        q.processAllAvailable()
+        val ids = spark.read.parquet(s"$base/corpus")
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        assert(ids == Set(1L, 2L, 4L),
+          s"3 must drop against the folded corpus/index: $ids")
+        assert(nDirs(s"$base/corpus") <= 2 && nDirs(s"$base/index") <= 2,
+          s"areas compact: ${nDirs(s"$base/corpus")}/${nDirs(s"$base/index")}")
+        // band rows survive folding intact: 16 per admitted doc
+        assert(spark.read.parquet(s"$base/index").count() == 3 * 16)
+      } finally q.stop()
+    }
+
+    // passage: span history survives the fold (the indexed corpus is
+    // the CLEANED text either way)
+    locally {
+      val mem = MemoryStream[(Long, String)]
+      val base = java.nio.file.Files.createTempDirectory("graft_pice").toString
+      val words = (1 to 50).map(i => s"w$i").mkString(" ")
+      val fresh = (1 to 50).map(i => s"x$i").mkString(" ")
+      val q = Streaming.passageIngest(
+        mem.toDF.toDF("doc_id", "text"), "doc_id", "text",
+        s"$base/corpus", s"$base/index", s"$base/ckpt",
+        windowTokens = 50, compactEvery = Some(1))
+      try {
+        mem.addData((1L, words)); q.processAllAvailable()
+        mem.addData((2L, fresh)); q.processAllAvailable() // fold fires
+        mem.addData((3L, words)) // full duplicate of FOLDED doc 1 → drops
+        q.processAllAvailable()
+        val ids = spark.read.parquet(s"$base/corpus")
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        assert(ids == Set(1L, 2L),
+          s"3 must strip to empty against folded history: $ids")
+        assert(nDirs(s"$base/corpus") <= 2 && nDirs(s"$base/index") <= 2)
+      } finally q.stop()
+    }
+  }
+
   test("near_dup_ingest config: same admit/reject decisions as the API path, restart included") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_ndi_cfg").toString
@@ -832,6 +892,177 @@ class StreamingSpec extends SparkSpec {
                           "checkpoint_dir": "$base/k2"},
          "save": {"path": "$base/out", "format": "parquet"}}"""))
     assert(eBoth.getMessage.contains("one or the other"), eBoth.getMessage)
+  }
+
+  test("exact_ingest compact_every + ingest_compact config: unattended folds and the operator compact keep the areas one-dir") {
+    import spark.implicits._
+    graft.functions.Registry.registerAll(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft_eicfg2").toString
+    val inDir = s"$base/in"
+    def push(rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(inDir)
+    push((1L, "alpha beta"), (2L, "gamma delta"))
+    val q = graft.compile.Compiler.compileStreamJson(spark, s"""
+      {"source": {"path": "$inDir", "options": {"maxFilesPerTrigger": "1"}},
+       "derive": {"fp": "doc_fingerprint_portable(text)"},
+       "exact_ingest": {"id_col": "doc_id", "key_cols": ["fp"],
+                        "corpus_dir": "$base/corpus",
+                        "index_dir": "$base/index",
+                        "checkpoint_dir": "$base/ckpt",
+                        "compact_every": 2}}""")
+    try {
+      q.processAllAvailable()
+      push((3L, "alpha beta"), (4L, "epsilon zeta")) // 3 = content dup of 1
+      q.processAllAvailable()
+      push((5L, "gamma delta"), (6L, "eta theta")) // 5 = content dup of 2
+      q.processAllAvailable()
+      val ids = spark.read.parquet(s"$base/corpus")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L, 4L, 6L), s"dedup through in-stream folds: $ids")
+    } finally q.stop()
+    // the operator-issued compact, checkpoint-scoped (stream quiesced,
+    // everything committed → folds it all): each area ends at ONE dir,
+    // and the report frame says so
+    val report = graft.compile.Compiler.compileJson(spark, s"""
+      {"source": {"sql": "SELECT 1 AS one"},
+       "ingest_compact": {"dirs": ["$base/corpus", "$base/index"],
+                          "checkpoint": "$base/ckpt"},
+       "order_by": ["area_ix asc"]}""")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(report == Seq((0, 1L), (1, 1L)), s"one dir per area: $report")
+    val ids2 = spark.read.parquet(s"$base/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids2 == Set(1L, 2L, 4L, 6L), "the compact is row-invisible")
+    // the folded index still drives seen_filter exactly
+    val unseen = graft.compile.Compiler.compileJson(spark, s"""
+      {"source": {"path": "$inDir"},
+       "derive": {"fp": "doc_fingerprint_portable(text)"},
+       "seen_filter": {"key_col": "fp", "index_dir": "$base/index"}}""")
+      .count()
+    assert(unseen == 0L, "every pushed doc's content is in the folded index")
+    // guards: streaming compile rejects the batch-only key by name; a
+    // wrong checkpoint rejects by name (not fold-nothing-forever)
+    val eStream = intercept[IllegalArgumentException](
+      graft.compile.Compiler.compileStreamJson(spark, s"""
+        {"source": {"path": "$inDir"},
+         "ingest_compact": {"dirs": ["$base/corpus"]},
+         "save": {"path": "$base/out", "format": "parquet"}}"""))
+    assert(eStream.getMessage.contains("ingest_compact"), eStream.getMessage)
+    val eCk = intercept[IllegalArgumentException](
+      graft.compile.Compiler.compileJson(spark, s"""
+        {"source": {"sql": "SELECT 1 AS one"},
+         "ingest_compact": {"dirs": ["$base/corpus"],
+                            "checkpoint": "$base/corpus"}}"""))
+    assert(eCk.getMessage.contains("checkpoint"), eCk.getMessage)
+  }
+
+  test("exactIngest compact_every: in-stream folds retire committed batch dirs; dedup decisions and corpus unchanged") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val base = java.nio.file.Files.createTempDirectory("graft_eice").toString
+    // cadence validates at declaration
+    assert(intercept[IllegalArgumentException](Streaming.exactIngest(
+        mem.toDF.toDF("doc_id", "text"), "doc_id", Seq("text"),
+        s"$base/c0", s"$base/i0", s"$base/k0", compactEvery = Some(0)))
+      .getMessage.contains("compact_every"))
+    val q = Streaming.exactIngest(
+      mem.toDF.toDF("doc_id", "text"), "doc_id", Seq("text"),
+      s"$base/corpus", s"$base/index", s"$base/ckpt",
+      compactEvery = Some(2))
+    try {
+      // 4 micro-batches; folds fire inside batches 2 and 4 (scoped to
+      // the committed prior batches), so the areas stay few-dir
+      mem.addData((1L, "aaa"), (2L, "bbb")); q.processAllAvailable()
+      mem.addData((3L, "aaa"), (4L, "ccc")); q.processAllAvailable() // 3 dups 1
+      mem.addData((5L, "bbb"), (6L, "ddd")); q.processAllAvailable() // 5 dups 2
+      mem.addData((7L, "ddd"), (8L, "eee")); q.processAllAvailable() // 7 dups 6
+      val ids = spark.read.parquet(s"$base/corpus")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L, 4L, 6L, 8L),
+        s"dedup decisions must be fold-invariant: $ids")
+      val keys = spark.read.parquet(s"$base/index")
+        .select("text").collect().map(_.getString(0)).toSet
+      assert(keys == Set("aaa", "bbb", "ccc", "ddd", "eee"))
+      // the folds actually fired: batches 0..2 folded inside batch 3's
+      // cadence (ceiling 2), so each area holds at most (folded dir +
+      // the current batch's dir) — never one dir per micro-batch
+      def nDirs(a: String): Int = new java.io.File(a).listFiles()
+        .map(_.getName).count(_.startsWith("batch="))
+      assert(nDirs(s"$base/corpus") <= 2 && nDirs(s"$base/index") <= 2,
+        s"areas must compact: corpus=${nDirs(s"$base/corpus")} " +
+          s"index=${nDirs(s"$base/index")}")
+      // the cadence's observability row: each completed fold leaves a
+      // _fold_log entry recording (batch_id, folded_through, dirs_retired)
+      val logFiles = Option(new java.io.File(s"$base/corpus/_fold_log")
+        .listFiles()).toSeq.flatten.map(_.getName).filter(_.startsWith("fold-"))
+      assert(logFiles.nonEmpty, "a fold batch must leave a _fold_log row")
+      val logLine = scala.io.Source.fromFile(
+        s"$base/corpus/_fold_log/${logFiles.max}").mkString
+      assert(logLine.contains("\"folded_through\"") &&
+        logLine.contains("\"dirs_retired\""), logLine)
+      // history still wins after a restart over the folded layout
+      q.stop()
+      val q2 = Streaming.exactIngest(
+        mem.toDF.toDF("doc_id", "text"), "doc_id", Seq("text"),
+        s"$base/corpus", s"$base/index", s"$base/ckpt",
+        compactEvery = Some(2))
+      try {
+        mem.addData((9L, "aaa"), (10L, "fff")) // 9 dups folded history
+        q2.processAllAvailable()
+        val after = spark.read.parquet(s"$base/corpus")
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        assert(after == Set(1L, 2L, 4L, 6L, 8L, 10L),
+          s"9 must dedup against FOLDED history: $after")
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
+  test("exactIngest heals a crashed area fold at declaration; a stray file never crash-loops the in-stream fold") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val base = java.nio.file.Files.createTempDirectory("graft_eiheal").toString
+    // simulate a crashed fold on the corpus area: complete _fold_tmp +
+    // manifest, sources live — declaration must roll it FORWARD before
+    // the first batch reads through the area. History ids sit HIGH
+    // (batch=7): a pre-seeded area belongs to a PRIOR stream whose ids
+    // a fresh checkpoint would collide with — production restarts reuse
+    // the checkpoint (ids continue); the high id stands in for that.
+    Seq((1L, "aaa")).toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/corpus/batch=7")
+    Seq((1L, "aaa")).toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/corpus/_fold_tmp")
+    locally {
+      val w = new java.io.FileWriter(s"$base/corpus/_fold_manifest")
+      try w.write("batch=7\n") finally w.close()
+    }
+    Seq("aaa").toDF("text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/index/batch=7")
+    // a stray file in the index area: in-stream folds must skip it
+    locally {
+      val w = new java.io.FileWriter(s"$base/index/stray.txt")
+      try w.write("os artifact") finally w.close()
+    }
+    val q = Streaming.exactIngest(
+      mem.toDF.toDF("doc_id", "text"), "doc_id", Seq("text"),
+      s"$base/corpus", s"$base/index", s"$base/ckpt",
+      compactEvery = Some(1))
+    try {
+      assert(!new java.io.File(s"$base/corpus/_fold_manifest").exists,
+        "declaration must heal the crashed fold")
+      mem.addData((2L, "aaa"), (3L, "bbb")); q.processAllAvailable()
+      mem.addData((4L, "bbb"), (5L, "ccc")); q.processAllAvailable()
+      val ids = spark.read.parquet(s"$base/corpus")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 3L, 5L),
+        s"healed history + stray-tolerant folds keep dedup exact: $ids")
+      assert(new java.io.File(s"$base/index/stray.txt").exists,
+        "the stray file survives the in-stream folds")
+    } finally q.stop()
   }
 
   test("bm25Ingest: streamed docs land as replay-safe deltas; search == in-memory BM25 over the union; compact folds") {
@@ -1864,6 +2095,47 @@ class StreamingSpec extends SparkSpec {
       // the index stays one row per DISTINCT admitted embedding + seed
       val classes = spark.read.parquet(s"$base/idx/classes")
       assert(classes.count() == 2 + 3, "seed 2 + one class per admitted vector")
+    } finally q.stop()
+  }
+
+  test("semanticIngest compact_every: b-dialect areas (batch=seed + batch=b<id>) fold in-stream; decisions unchanged") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def v(p: Int): Seq[Double] = (0 until 8).map(d => if (d == p) 1.0 else 0.0)
+    val base = java.nio.file.Files.createTempDirectory("graft_semince").toString
+    graft.ops.Similarity.saveSemanticIndex(spark,
+      Seq((0L, v(0)), (1L, v(1))).toDF("vec_id", "emb"),
+      "vec_id", "emb", dim = 8, path = s"$base/idx", nlist = 2)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = Streaming.semanticIngest(
+      mem.toDF.toDF("vec_id", "emb"), "vec_id", "emb",
+      threshold = 0.9, dim = 8, s"$base/corpus", s"$base/idx", s"$base/ckpt",
+      compactEvery = Some(2))
+    try {
+      mem.addData((10L, v(2)), (11L, v(0))); q.processAllAvailable() // 11 dups seed
+      mem.addData((20L, v(2)), (21L, v(3))); q.processAllAvailable() // 20 dups 10
+      mem.addData((30L, v(3)), (31L, v(4))); q.processAllAvailable() // 30 dups 21
+      mem.addData((40L, v(4)), (41L, v(5))); q.processAllAvailable() // 40 dups 31
+      val ids = spark.read.parquet(s"$base/corpus")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(10L, 21L, 31L, 41L),
+        s"semantic decisions must be fold-invariant: $ids")
+      // the classes area folded THROUGH the seed dir: seed + committed
+      // b-dirs merge into one b-dialect dir; history (incl. the seed
+      // classes) still wins after the fold (11/20/30/40 all dropped)
+      def dirNames(a: String): Seq[String] = new java.io.File(a).listFiles()
+        .map(_.getName).filter(_.startsWith("batch=")).sorted.toSeq
+      assert(dirNames(s"$base/idx/classes").size <= 2,
+        s"classes area must compact: ${dirNames(s"$base/idx/classes")}")
+      assert(dirNames(s"$base/idx/classes").forall(n =>
+          n.stripPrefix("batch=").startsWith("b")),
+        s"folded classes dir keeps the b dialect: ${dirNames(s"$base/idx/classes")}")
+      assert(dirNames(s"$base/corpus").size <= 2,
+        s"corpus area must compact: ${dirNames(s"$base/corpus")}")
+      // one class row per distinct admitted embedding + the seed's two,
+      // exactly as without folds
+      assert(spark.read.parquet(s"$base/idx/classes").count() == 2 + 4)
     } finally q.stop()
   }
 
