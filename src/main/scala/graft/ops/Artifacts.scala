@@ -199,26 +199,63 @@ object Artifacts {
   private def foldLock(base: String): Object =
     foldLocks.computeIfAbsent(base, _ => new Object)
 
-  /** How long a `$base.lease` file stays authoritative. Folds are
-    * expected to finish well inside this; a crashed process's leftover
-    * lease goes stale and the next fold takes over (and self-heals).
-    * Generous by default — at 100 TB a full-base rewrite is slow, and a
-    * false "stale" verdict on a LIVE foreign fold is the one failure
-    * the lease exists to prevent. */
+  /** How long a `$base.lease` file stays authoritative WITHOUT renewal.
+    * A LIVE holder's heartbeat refreshes the timestamp every
+    * [[leaseHeartbeatMs]], so staleness only ever elapses on a DEAD
+    * holder — a legitimately hours-long 100 TB fold keeps its lease
+    * fresh for its whole duration (the naive write-once lease would be
+    * "stale" mid-fold and stolen, the exact corruption it exists to
+    * prevent). */
   private[graft] val leaseStalenessMs: Long = 60L * 60 * 1000
+  /** Heartbeat period — test-overridable. */
+  @volatile private[graft] var leaseHeartbeatMs: Long = leaseStalenessMs / 4
+
+  /** A held fold lease: the file plus its heartbeat. Release in a
+    * finally — it stops the heartbeat and deletes the file. */
+  private final class FoldLease(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path) {
+    private def writeTs(): Unit = {
+      val out = fs.create(path, true)
+      try out.write(s"${System.currentTimeMillis()}\n".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    writeTs()
+    private val beat =
+      java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+        (r: Runnable) => {
+          val t = new Thread(r, s"graft-fold-lease-${path.getName}")
+          t.setDaemon(true); t
+        })
+    beat.scheduleAtFixedRate(
+      () => try writeTs() catch { case scala.util.control.NonFatal(e) =>
+        log.warn(s"fold lease heartbeat on $path failed: ${e.getMessage}") },
+      leaseHeartbeatMs, leaseHeartbeatMs,
+      java.util.concurrent.TimeUnit.MILLISECONDS)
+    def release(): Unit = {
+      beat.shutdownNow()
+      try { fs.delete(path, false); () }
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
 
   /** CROSS-PROCESS fold exclusion (the in-JVM [[foldLock]]'s missing
     * half): a create-exclusive `$base.lease` file whose CONTENT is the
-    * holder's epoch-millis timestamp. A second driver running
-    * maintenance against the same artifact dir finds a FRESH foreign
-    * lease and rejects by name — without this, its heal pass would
-    * classify the first driver's live fold as crashed and sabotage it
-    * (delete the partial rewrite, move staged dirs back). A lease older
-    * than [[leaseStalenessMs]] is a crashed holder's leftover: deleted
-    * and taken over. Same-JVM folds never self-conflict — the lease is
-    * acquired under the per-base monitor. */
+    * holder's epoch-millis timestamp, heartbeat-refreshed while held. A
+    * second driver running maintenance against the same artifact dir
+    * finds a FRESH foreign lease and rejects by name — without this,
+    * its heal pass would classify the first driver's live fold as
+    * crashed and sabotage it (delete the partial rewrite, move staged
+    * dirs back). A lease older than [[leaseStalenessMs]] is a crashed
+    * holder's leftover: taken over ATOMICALLY — the contender RENAMES
+    * the stale file aside (exactly one renamer wins; the loser rejects
+    * by name rather than deleting what is now the winner's fresh lease
+    * — the delete-then-create takeover is a TOCTOU that lets two
+    * processes both acquire). Same-JVM folds never self-conflict — the
+    * lease is acquired under the per-base monitor. */
   private def acquireLease(
-      fs: org.apache.hadoop.fs.FileSystem, base: String): org.apache.hadoop.fs.Path = {
+      fs: org.apache.hadoop.fs.FileSystem, base: String): FoldLease = {
     val lease = new org.apache.hadoop.fs.Path(s"$base.lease")
     if (fs.exists(lease)) {
       val ts = try {
@@ -234,17 +271,19 @@ object Artifacts {
           s"${leaseStalenessMs / 1000}s) — concurrent maintenance on one " +
           "artifact dir would corrupt it; wait for the holder to finish " +
           "or delete the lease if its process is known dead")
-      fs.delete(lease, false)
+      val tomb = new org.apache.hadoop.fs.Path(
+        s"$base.lease.stale${System.nanoTime()}")
+      if (!fs.rename(lease, tomb))
+        throw new IllegalArgumentException(
+          s"compact: another process just took over the stale fold " +
+            s"lease $base.lease — back off and retry later")
+      fs.delete(tomb, false)
     }
-    val out =
-      try fs.create(lease, false) // create-exclusive: losing a race = foreign holder
-      catch { case e: java.io.IOException => throw new IllegalArgumentException(
-        s"compact: cannot acquire the fold lease $base.lease — another " +
-          s"process just took it: ${e.getMessage}") }
-    try out.write(s"${System.currentTimeMillis()}\n".getBytes(
-      java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    lease
+    try fs.create(lease, false).close() // create-exclusive: losing = foreign holder
+    catch { case e: java.io.IOException => throw new IllegalArgumentException(
+      s"compact: cannot acquire the fold lease $base.lease — another " +
+        s"process just took it: ${e.getMessage}") }
+    new FoldLease(fs, lease)
   }
 
   /** Rows in a parquet dir, 0 when fileless/absent — the recovery
@@ -271,7 +310,7 @@ object Artifacts {
       if (!fs.exists(new org.apache.hadoop.fs.Path(s"$inc.old"))) return
       val lease = acquireLease(fs, base)
       try recoverCrashedFold(spark, fs, base, inc)
-      finally { fs.delete(lease, false); () }
+      finally lease.release()
     }
   }
 
@@ -477,7 +516,7 @@ object Artifacts {
     fs.delete(oldInc, true)
     retireIncIfEmpty()
     withData.size // folded (= retired) delta dirs, the observability count
-    } finally { fs.delete(lease, false); () }
+    } finally lease.release()
   }
 
   // ------------------------------------------------------------------
@@ -526,12 +565,26 @@ object Artifacts {
         None
       } else {
         val v = n.drop(6)
-        val (digits, b) =
-          if (v.startsWith("b") && v.drop(1).nonEmpty &&
-              v.drop(1).forall(_.isDigit)) (Some(v.drop(1)), true)
-          else if (v.nonEmpty && v.forall(_.isDigit)) (Some(v), false)
-          else (None, false) // e.g. batch=seed — always committed
-        Some(AreaDir(digits.map(_.toLong), b, st.getPath))
+        // the ONLY non-numeric batch value the engine ever writes is
+        // the semantic index's `batch=seed` — anything else (a manual
+        // `batch=12.bak` copy, an OS artifact) must NOT silently fold
+        // as "always committed": folding an operator's backup dir would
+        // duplicate every row in it. Reject (strict) / skip (in-stream).
+        if (v.startsWith("b") && v.drop(1).nonEmpty &&
+            v.drop(1).forall(_.isDigit))
+          Some(AreaDir(Some(v.drop(1).toLong), bDialect = true, st.getPath))
+        else if (v.nonEmpty && v.forall(_.isDigit))
+          Some(AreaDir(Some(v.toLong), bDialect = false, st.getPath))
+        else if (v == "seed")
+          Some(AreaDir(None, bDialect = false, st.getPath))
+        else {
+          require(!strict,
+            s"compact: unexpected batch dir '$n' under $area — ingest " +
+              "areas hold batch=<id>, batch=b<id> or batch=seed dirs " +
+              s"only (is '$n' a manual copy?)")
+          log.warn(s"compact: skipping unrecognized batch dir '$n' under $area")
+          None
+        }
       }
     }
 
@@ -571,7 +624,7 @@ object Artifacts {
       if (!leftovers) return
       val lease = acquireLease(fs, area)
       try recoverAreaFold(spark, fs, area)
-      finally { fs.delete(lease, false); () }
+      finally lease.release()
     }
   }
 
@@ -607,30 +660,48 @@ object Artifacts {
         }
         val tmpComplete = fs.exists(
           new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))
+        val outName = foldedDirName(names)
+        val outPath = new org.apache.hadoop.fs.Path(areaPath, outName)
+        // retire manifest sources other than the max-id one: after the
+        // folded dir lands, their rows live in it — they are duplicates
+        def retireRest(): Unit = names.filter(_ != outName).foreach { n =>
+          val live = new org.apache.hadoop.fs.Path(areaPath, n)
+          if (fs.exists(live)) { fs.delete(live, true); () }
+        }
         if (tmpComplete) {
-          // roll FORWARD: finish staging, land the folded dir
+          // roll FORWARD: the rewrite finished — the tmp holds the full
+          // union, so landing it is correct regardless of which commit
+          // steps ran. Stage the max-id source aside (its name is the
+          // landing spot), land, retire the rest, clean up.
           if (!fs.exists(old)) require(fs.mkdirs(old),
             s"compact recovery: cannot create $area/_fold_old")
-          names.foreach { n =>
-            val live = new org.apache.hadoop.fs.Path(areaPath, n)
-            val staged = new org.apache.hadoop.fs.Path(old, n)
-            if (fs.exists(live)) require(fs.rename(live, staged),
-              s"compact recovery: cannot stage $live aside")
-            else require(fs.exists(staged),
-              s"compact recovery: manifest dir '$n' is neither live " +
-                s"under $area nor staged — a foreign writer removed it; " +
-                "resolve manually")
-          }
-          fs.rename(tmp, new org.apache.hadoop.fs.Path(
-            areaPath, foldedDirName(names)))
+          if (fs.exists(outPath))
+            require(fs.rename(outPath,
+                new org.apache.hadoop.fs.Path(old, outName)),
+              s"compact recovery: cannot stage $outPath aside")
+          // the rename MUST be checked: proceeding to the deletes below
+          // on a false return would destroy sources while the folded
+          // rows sit in the underscore-invisible tmp — which the next
+          // heal's no-manifest branch would then drop (data loss)
+          require(fs.rename(tmp, outPath),
+            s"compact recovery: cannot land $area/_fold_tmp as the " +
+              s"folded dir $outName — sources kept; resolve and re-run")
+          retireRest()
           fs.delete(old, true)
           fs.delete(manifest, false)
         } else if (!fs.exists(tmp) && fs.exists(old)) {
-          // the folded dir already landed — finish the cleanup
+          // the folded dir already landed (staging precedes the land
+          // and the land consumed the tmp) — finish retiring + cleanup
+          require(fs.exists(outPath),
+            s"compact recovery: the folded dir $outName is missing " +
+              s"under $area while $area/_fold_old exists — a foreign " +
+              "writer removed it; resolve manually")
+          retireRest()
           fs.delete(old, true)
           fs.delete(manifest, false)
         } else {
-          // roll BACK: the rewrite never completed; sources are live
+          // roll BACK: the rewrite never completed (partial or absent
+          // tmp, nothing staged yet); every source is still live
           if (fs.exists(tmp)) fs.delete(tmp, true)
           fs.delete(manifest, false)
         }
@@ -742,22 +813,36 @@ object Artifacts {
       spark.read.parquet(withData.map(_.path.toString): _*)
         .repartition(nFiles)
         .write.mode("overwrite").parquet(areaTmp(area).toString)
-      // commit phase: metadata renames only
+      // COMMIT PHASE: metadata renames only, ordered so a concurrent
+      // reader (a batch job probing the index while an operator-issued
+      // ingest_compact runs beside the live stream) can at worst miss
+      // ONE batch's rows for one rename gap — the max-id source stages
+      // aside, the folded dir immediately lands under its name — and
+      // then briefly sees the REMAINING sources duplicated (their rows
+      // are in the folded dir too) until they retire. Duplication is
+      // the benign direction for every dedup-probe reader: the probes
+      // are existence-shaped (a key present twice dedups identically),
+      // whereas missing committed history admits duplicates PERMANENTLY.
+      // (foldIncInto deliberately keeps the opposite, absence-preferring
+      // order: BM25 scores double-count under duplication but only turn
+      // conservative under absence.)
       val old = areaOld(area)
       require(fs.mkdirs(old),
         s"compact: cannot create the stage-aside area $area/_fold_old")
-      withData.foreach { d =>
-        require(fs.rename(d.path,
-            new org.apache.hadoop.fs.Path(old, d.path.getName)),
-          s"compact: cannot stage ${d.path} aside")
-      }
-      require(fs.rename(areaTmp(area),
-          new org.apache.hadoop.fs.Path(areaPath, outName)),
+      val outPath = new org.apache.hadoop.fs.Path(areaPath, outName)
+      val kSrc = withData.find(_.path.getName == outName).get // max id — always present
+      require(fs.rename(kSrc.path,
+          new org.apache.hadoop.fs.Path(old, outName)),
+        s"compact: cannot stage ${kSrc.path} aside")
+      require(fs.rename(areaTmp(area), outPath),
         s"compact: cannot land the folded dir $outName under $area")
+      // the folded dir now serves every reader; retire the duplicates
+      withData.filter(_.path.getName != outName)
+        .foreach(d => fs.delete(d.path, true))
       fs.delete(old, true)
       fs.delete(areaManifest(area), false)
       withData.size // folded source dirs, the observability count
-    } finally { fs.delete(lease, false); () }
+    } finally lease.release()
   }
 
   /** One small JSON file per completed in-stream fold under

@@ -22,13 +22,30 @@ object Streaming {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** The ONE in-stream fold retry contract, shared by every
+    * `compact_every` cadence (bm25/ann/area ingests): a TRANSIENT fold
+    * failure is caught and logged — the batch's own data is already
+    * durably written, so the stream continues and the fold retries at
+    * the next batch (the caller keeps its cadence counter un-reset
+    * exactly when this returns false). */
+  private def attemptInStreamFold(
+      name: String, batchId: Long)(fold: => Unit): Boolean =
+    try { fold; true }
+    catch { case scala.util.control.NonFatal(e) =>
+      log.warn(s"$name: in-stream fold at batch $batchId failed " +
+        s"(stream continues; retrying next batch): ${e.getMessage}")
+      false
+    }
+
   /** Shared `compact_every` plumbing for the AREA-layout ingests
     * (exact/near_dup/passage/semantic — one `batch=` dir per
     * micro-batch under each area, no separate base): validates the
     * cadence, heals any crashed area fold at DECLARATION (the
     * bm25Ingest posture — a restart must never read through half-staged
-    * state), and returns the per-batch hook that counts non-empty
-    * batches and folds every `compactEvery` of them via
+    * state), and returns the per-batch hook that counts micro-batches
+    * (EVERY batch, empty or not — a no-op attempt on an all-empty run
+    * is one lease + listing, and `minDirs` skips the rewrite) and folds
+    * every `compactEvery` of them via
     * [[graft.ops.Artifacts.foldBatchArea]], scoped to `batchId - 1`
     * (committed by definition of the current batch running — the
     * in-flight batch stays for a crash replay to overwrite). The fold
@@ -49,7 +66,7 @@ object Streaming {
     (s: org.apache.spark.sql.SparkSession, batchId: Long) => {
       batchesSinceFold += 1
       if (batchId > 0 && compactEvery.exists(batchesSinceFold >= _)) {
-        try {
+        val ok = attemptInStreamFold(name, batchId) {
           areas.foreach { a =>
             val retired = graft.ops.Artifacts.foldBatchArea(
               s, a, Some(batchId - 1), strict = false, minDirs = 2)
@@ -63,11 +80,8 @@ object Streaming {
                 s, a, batchId, batchId - 1, retired)
             }
           }
-          batchesSinceFold = 0
-        } catch { case scala.util.control.NonFatal(e) =>
-          log.warn(s"$name: in-stream fold at batch $batchId failed " +
-            s"(stream continues; retrying next batch): ${e.getMessage}")
         }
+        if (ok) batchesSinceFold = 0
       }
     }
   }
@@ -671,26 +685,19 @@ object Streaming {
               // foldable (e.g. postings_inc after zero-token batches)
               // must not trigger an O(corpus) base rewrite per cadence.
               // strict=false: one stray file in a delta area must not
-              // crash-loop the unattended stream (log-and-skip). A
-              // TRANSIENT fold failure is caught — the batch's data and
-              // stats are already durably written, so the stream
-              // continues and the fold retries at the next batch
-              // (batchesSinceFold stays >= the cadence).
-              try {
+              // crash-loop the unattended stream (log-and-skip).
+              // Transient failures retry next batch (attemptInStreamFold).
+              val ok = attemptInStreamFold("bm25_ingest", batchId) {
                 val retired = graft.ops.Retrieval.compactBm25Index(s, indexDir,
                   Some(batchId - 1), defragWhenEmpty = false, strict = false)
-                batchesSinceFold = 0
                 if (retired > 0) {
                   log.info(s"bm25_ingest: in-stream fold at batch $batchId " +
                     s"folded $retired delta dirs (through ${batchId - 1})")
                   graft.ops.Artifacts.appendFoldLog(
                     s, indexDir, batchId, batchId - 1, retired)
                 }
-              } catch { case scala.util.control.NonFatal(e) =>
-                log.warn(s"bm25_ingest: in-stream fold at batch $batchId " +
-                  s"failed (stream continues; retrying next batch): " +
-                  s"${e.getMessage}")
               }
+              if (ok) batchesSinceFold = 0
               // invalidate BOTH stats caches: a fold moves rows
               // delta → base, and while the cumulative totals are
               // fold-invariant on the happy path, a fold that crashes
@@ -770,22 +777,18 @@ object Streaming {
           // fold retries at the next batch (see bm25Ingest).
           batchesSinceFold += 1
           if (batchId > 0 && compactEvery.exists(batchesSinceFold >= _)) {
-            try {
+            val ok = attemptInStreamFold("ann_ingest", batchId) {
               val retired = Similarity.compactAnnIndex(batch.sparkSession,
                 indexDir, Some(batchId - 1), defragWhenEmpty = false,
                 strict = false)
-              batchesSinceFold = 0
               if (retired > 0) {
                 log.info(s"ann_ingest: in-stream fold at batch $batchId " +
                   s"folded $retired delta dirs (through ${batchId - 1})")
                 graft.ops.Artifacts.appendFoldLog(batch.sparkSession,
                   indexDir, batchId, batchId - 1, retired)
               }
-            } catch { case scala.util.control.NonFatal(e) =>
-              log.warn(s"ann_ingest: in-stream fold at batch $batchId " +
-                s"failed (stream continues; retrying next batch): " +
-                s"${e.getMessage}")
             }
+            if (ok) batchesSinceFold = 0
           }
         }
         ()

@@ -766,6 +766,90 @@ class RetrievalSpec extends SparkSpec {
         .filter(_.startsWith("batch=")).sorted.toSeq
       assert(dirs == Seq("batch=1") && docs(area) == Set(1L, 2L))
     }
+
+    // WINDOW 5 (the duplication-preferring commit order's new window):
+    // the folded dir landed, but a non-max source was not yet retired —
+    // its rows are duplicated until heal retires it
+    locally {
+      val area = s"$base/w6"
+      seed(area)
+      val fs = new org.apache.hadoop.fs.Path(area)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      assert(fs.mkdirs(new org.apache.hadoop.fs.Path(s"$area/_fold_old")))
+      // original batch=1 staged; folded (union) landed as batch=1;
+      // batch=0 still live = transiently duplicated
+      fs.rename(new org.apache.hadoop.fs.Path(s"$area/batch=1"),
+        new org.apache.hadoop.fs.Path(s"$area/_fold_old/batch=1"))
+      Seq((1L, "a"), (2L, "b")).toDF("doc", "txt").coalesce(1)
+        .write.mode("overwrite").parquet(s"$area/batch=1")
+      writeManifest(area, "batch=0", "batch=1")
+      assert(spark.read.parquet(area).count() == 3L,
+        "pre-heal readers see the benign duplicate, never a gap")
+      Artifacts.healCrashedAreaFold(spark, area)
+      assert(docs(area) == Set(1L, 2L) &&
+        spark.read.parquet(area).count() == 2L,
+        "heal retires the duplicated source exactly once")
+      assert(!new java.io.File(s"$area/_fold_old").exists &&
+        !new java.io.File(s"$area/_fold_manifest").exists)
+    }
+  }
+
+  test("foldBatchArea strict mode rejects a non-engine batch dir (batch=12.bak); in-stream skips it") {
+    import graft.ops.Artifacts
+    val area = s"${java.nio.file.Files.createTempDirectory("graft_areabak").toString}/corpus"
+    Seq((1L, "a")).toDF("doc", "txt").coalesce(1)
+      .write.mode("overwrite").parquet(s"$area/batch=0")
+    Seq((2L, "b")).toDF("doc", "txt").coalesce(1)
+      .write.mode("overwrite").parquet(s"$area/batch=1")
+    // an operator's manual backup copy must never fold as "always
+    // committed" — that would duplicate every row in it
+    Seq((1L, "a")).toDF("doc", "txt").coalesce(1)
+      .write.mode("overwrite").parquet(s"$area/batch=0.bak")
+    val e = intercept[IllegalArgumentException](
+      Artifacts.foldBatchArea(spark, area))
+    assert(e.getMessage.contains("batch=0.bak"), e.getMessage)
+    Artifacts.foldBatchArea(spark, area, strict = false)
+    assert(new java.io.File(s"$area/batch=0.bak").exists,
+      "the backup survives a non-strict fold untouched")
+    val rows = spark.read.parquet(s"$area/batch=1")
+      .select("doc").collect().map(_.getLong(0)).toSet
+    assert(rows == Set(1L, 2L), "only engine-written dirs folded")
+  }
+
+  test("fold lease heartbeat: a held lease's timestamp refreshes during the fold, so a live fold never goes stale") {
+    import graft.ops.Artifacts
+    val base0 = java.nio.file.Files.createTempDirectory("graft_leasehb").toString
+    val (b, inc) = (s"$base0/dl", s"$base0/dl_inc")
+    Seq((1L, 3L)).toDF("doc", "dl").coalesce(1)
+      .write.mode("overwrite").parquet(b)
+    (0 until 4).foreach { i =>
+      Seq((10L + i, 2L)).toDF("doc", "dl").coalesce(1)
+        .write.mode("overwrite").parquet(s"$inc/batch=$i")
+    }
+    val prior = Artifacts.leaseHeartbeatMs
+    Artifacts.leaseHeartbeatMs = 50L
+    val seen = scala.collection.mutable.Set[String]()
+    val watcher = new Thread(() => {
+      val f = new java.io.File(s"$b.lease")
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (System.nanoTime() < deadline &&
+          !Thread.currentThread().isInterrupted) {
+        if (f.exists)
+          try seen += scala.io.Source.fromFile(f).mkString.trim
+          catch { case _: Exception => () }
+        Thread.sleep(10)
+      }
+    })
+    watcher.start()
+    try Artifacts.foldIncInto(spark, b, inc, None)
+    finally {
+      watcher.interrupt(); watcher.join(2000)
+      Artifacts.leaseHeartbeatMs = prior
+    }
+    assert(seen.size >= 2,
+      s"the heartbeat must refresh the lease timestamp mid-fold " +
+        s"(observed ${seen.size} distinct values)")
+    assert(!new java.io.File(s"$b.lease").exists, "released after the fold")
   }
 
   test("lastCommittedBatch: a dir that is not a streaming checkpoint rejects by name; a pre-commit checkpoint yields None") {
