@@ -852,6 +852,49 @@ class RetrievalSpec extends SparkSpec {
     assert(!new java.io.File(s"$b.lease").exists, "released after the fold")
   }
 
+  test("foldBatchArea fuzzer: random land/fold/ceiling sequences preserve the row multiset exactly") {
+    import graft.ops.Artifacts
+    val rnd = new scala.util.Random(20260816L)
+    (0 until 6).foreach { trial =>
+      val area = java.nio.file.Files
+        .createTempDirectory(s"graft_areafuzz$trial").toString + "/t"
+      var nextDoc = 0L
+      var written = Vector.empty[Long]
+      var batchId = 0
+      val steps = 3 + rnd.nextInt(7)
+      (0 until steps).foreach { _ =>
+        if (batchId == 0 || rnd.nextInt(3) < 2) {
+          // land a batch dir (sometimes all-empty → fileless)
+          val rows = (0 until rnd.nextInt(4)).map { _ =>
+            nextDoc += 1; nextDoc
+          }
+          rows.map(d => (d, s"t$d")).toDF("doc", "txt")
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$area/batch=$batchId")
+          written ++= rows
+          batchId += 1
+        } else {
+          // fold with a random committed ceiling and cadence posture
+          Artifacts.foldBatchArea(spark, area,
+            maxBatchId = Some(rnd.nextInt(batchId).toLong),
+            strict = rnd.nextBoolean(),
+            minDirs = 1 + rnd.nextInt(2))
+        }
+      }
+      // final unscoped fold (quiesced posture), then the law: the area
+      // reads back EXACTLY the multiset of rows ever admitted — no fold
+      // sequence may duplicate or lose a row
+      Artifacts.foldBatchArea(spark, area)
+      val got =
+        if (written.isEmpty) Seq.empty[Long]
+        else spark.read.parquet(area).select("doc")
+          .collect().map(_.getLong(0)).toSeq.sorted
+      assert(got == written.sorted,
+        s"trial $trial: folds must preserve the row multiset " +
+          s"(${got.size} vs ${written.size})")
+    }
+  }
+
   test("lastCommittedBatch: a dir that is not a streaming checkpoint rejects by name; a pre-commit checkpoint yields None") {
     import graft.ops.Artifacts
     val base0 = java.nio.file.Files.createTempDirectory("graft_ckshape").toString
