@@ -806,11 +806,17 @@ object Artifacts {
       require(fs.rename(manifestTmp, areaManifest(area)),
         s"compact: cannot land the fold manifest under $area")
       // the O(area) rewrite — readers untouched (tmp is underscore-
-      // invisible); no `batch` column in the files, the dir name IS it
+      // invisible); no `batch` column in the files, the dir name IS it.
+      // mergeSchema: a column added upstream mid-stream must survive
+      // the fold (the default single-footer inference would silently
+      // DROP columns absent from whichever file it sampled; merged,
+      // older rows read the new column as null — exactly what the
+      // area's partition-discovery readers already see)
       val bytes = withData
         .map(d => fs.getContentSummary(d.path).getLength).sum
       val nFiles = math.max(1L, bytes / (128L << 20) + 1L).toInt
-      spark.read.parquet(withData.map(_.path.toString): _*)
+      spark.read.option("mergeSchema", "true")
+        .parquet(withData.map(_.path.toString): _*)
         .repartition(nFiles)
         .write.mode("overwrite").parquet(areaTmp(area).toString)
       // COMMIT PHASE: metadata renames only, ordered so a concurrent

@@ -486,7 +486,15 @@ object Streaming {
     * `maxItemsTracked` ≥ distinct the top-k counts are exact — the
     * gateable regime). NULL keys are not sketched (the approxTopK
     * contract). Per-batch overwrite sinks make replays idempotent: a
-    * crashed batch's partial write is overwritten by value on retry. */
+    * crashed batch's partial write is overwritten by value on retry.
+    *
+    * Deliberately NO `compact_every`: the `batch=b<id>` dir NAME is the
+    * sketch rows' range key ("combine batches 100..200" filters on it)
+    * — an area fold would re-label every folded row to one id and
+    * silently break range reads. The rows are bounded metadata (one per
+    * batch/group), so the dir count grows slowly; re-shard offline by
+    * rewriting with coarser explicit ids if a deployment ever needs
+    * to. */
   def sketchIngest(
       incoming: DataFrame,
       keyCol: String,
@@ -939,7 +947,11 @@ object Streaming {
     * the shard number; history is never re-read or re-packed. Archives
     * append forever — compact small per-batch shards offline with the
     * batch tar_pack over `tar_members` when the loader wants fewer,
-    * bigger files. */
+    * bigger files. (Deliberately NO `compact_every`: the rows are tar
+    * ARCHIVES, so a dir-level fold would rewrite O(all archived bytes)
+    * per cadence while leaving the many-small-archives problem intact —
+    * the offline tar_pack re-pack both merges the archives AND retires
+    * the dirs, strictly better at every scale.) */
   def shardPackStream(
       incoming: DataFrame,
       nameCol: String,

@@ -852,6 +852,25 @@ class RetrievalSpec extends SparkSpec {
     assert(!new java.io.File(s"$b.lease").exists, "released after the fold")
   }
 
+  test("foldBatchArea survives upstream schema evolution: a column added mid-stream is preserved, older rows read it as null") {
+    import graft.ops.Artifacts
+    val area = s"${java.nio.file.Files.createTempDirectory("graft_areaevo").toString}/corpus"
+    Seq((1L, "a")).toDF("doc", "txt").coalesce(1)
+      .write.mode("overwrite").parquet(s"$area/batch=0")
+    // the stream's upstream derive gained a column at batch 1
+    Seq((2L, "b", 0.9)).toDF("doc", "txt", "score").coalesce(1)
+      .write.mode("overwrite").parquet(s"$area/batch=1")
+    Artifacts.foldBatchArea(spark, area)
+    val folded = spark.read.option("mergeSchema", "true").parquet(area)
+    assert(folded.columns.toSet == Set("doc", "txt", "score", "batch"),
+      s"the added column must survive the fold: ${folded.columns.toSeq}")
+    val rows = folded.select("doc", "score").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toSet
+    assert(rows == Set((1L, None), (2L, Some(0.9))),
+      s"older rows read the new column as null: $rows")
+  }
+
   test("foldBatchArea fuzzer: random land/fold/ceiling sequences preserve the row multiset exactly") {
     import graft.ops.Artifacts
     val rnd = new scala.util.Random(20260816L)
