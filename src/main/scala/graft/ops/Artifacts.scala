@@ -134,37 +134,17 @@ object Artifacts {
       spark: SparkSession, checkpoint: Option[String]): Option[Long] =
     checkpoint.map(cp => lastCommittedBatch(spark, cp).getOrElse(-1L))
 
-  /** The `batch=<id>` child dirs of a delta area, with parsed ids —
-    * empty when the area is absent. `strict` (the operator-issued
-    * `mode:"compact"` posture) rejects by name on a child that is not a
-    * `batch=<id>` dir: the ingest layout writes nothing else, so a
-    * stray entry means the area is not what the caller thinks. The
-    * IN-STREAM fold path passes strict=false — there one stray file (an
-    * OS artifact, a manual touch) must log-and-skip, not throw inside
-    * foreachBatch and crash-loop the unattended stream the cadence
-    * exists to serve. */
+  /** The plain `batch=<id>` child dirs of a RETRIEVAL delta area, with
+    * parsed ids — [[areaDirs]] restricted to the plain dialect (the
+    * *_inc writers emit nothing else, so a `batch=b7`/`batch=seed`
+    * there is as foreign as a stray file). Strict/skip semantics as
+    * documented on [[areaDirs]]. */
   private def batchDirs(
       fs: org.apache.hadoop.fs.FileSystem,
       inc: org.apache.hadoop.fs.Path,
       strict: Boolean = true): Seq[(Long, org.apache.hadoop.fs.Path)] =
-    if (!fs.exists(inc)) Nil
-    else fs.listStatus(inc).toSeq.flatMap { st =>
-      val n = st.getPath.getName
-      if (n.startsWith("_") || n.startsWith(".")) None // Spark metadata
-      else {
-        val ok = st.isDirectory && n.startsWith("batch=") &&
-          n.drop(6).nonEmpty && n.drop(6).forall(_.isDigit)
-        if (!ok) {
-          require(!strict,
-            s"compact: unexpected entry '$n' under $inc — a delta area " +
-              "holds only batch=<id> dirs (is this really an ingest delta?)")
-          log.warn(s"compact: skipping unrecognized entry '$n' under " +
-            s"$inc (in-stream fold tolerates strays; an operator-issued " +
-            "compact rejects them by name)")
-          None
-        } else Some((n.drop(6).toLong, st.getPath))
-      }
-    }
+    areaDirs(fs, inc, strict, plainOnly = true)
+      .flatMap(d => d.id.map(id => (id, d.path)))
 
   /** Does this dir (recursively) hold any real data file? Partitioned
     * delta batch dirs nest their files under partition subdirs
@@ -286,6 +266,14 @@ object Artifacts {
     new FoldLease(fs, lease)
   }
 
+  /** Run `body` holding the `$base.lease` — the one acquire/heartbeat/
+    * release shape every fold and heal shares. */
+  private def withLease[A](
+      fs: org.apache.hadoop.fs.FileSystem, base: String)(body: => A): A = {
+    val lease = acquireLease(fs, base)
+    try body finally lease.release()
+  }
+
   /** Rows in a parquet dir, 0 when fileless/absent — the recovery
     * branch's cross-check scale (never on a hot path). */
   private def countRows(
@@ -307,10 +295,8 @@ object Artifacts {
       // no crashed fold → no mutation → no lease needed (this runs on
       // every ingest declaration/cold path — keep the no-op path cheap,
       // and never reject a healthy stream start over a foreign fold)
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$inc.old"))) return
-      val lease = acquireLease(fs, base)
-      try recoverCrashedFold(spark, fs, base, inc)
-      finally lease.release()
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$inc.old")))
+        withLease(fs, base) { recoverCrashedFold(spark, fs, base, inc) }
     }
   }
 
@@ -440,8 +426,7 @@ object Artifacts {
     val incPath = new org.apache.hadoop.fs.Path(inc)
     val oldInc = new org.apache.hadoop.fs.Path(s"$inc.old")
     val fs = oldInc.getFileSystem(spark.sessionState.newHadoopConf())
-    val lease = acquireLease(fs, base)
-    try {
+    withLease(fs, base) {
     recoverCrashedFold(spark, fs, base, inc)
     // SNAPSHOT the foldable dirs once: everything the fold reads,
     // stages aside, and deletes below is exactly this list.
@@ -474,8 +459,8 @@ object Artifacts {
         case Some(pc) => compactPartitionedDir(spark, base, pc)
         case None     => compactFlatDir(spark, base)
       }
-      return 0
-    }
+      0
+    } else {
     val baseDf =
       try spark.read.parquet(base)
       catch { case e: Exception => throw new IllegalArgumentException(
@@ -516,7 +501,8 @@ object Artifacts {
     fs.delete(oldInc, true)
     retireIncIfEmpty()
     withData.size // folded (= retired) delta dirs, the observability count
-    } finally lease.release()
+    }
+    }
   }
 
   // ------------------------------------------------------------------
@@ -547,44 +533,49 @@ object Artifacts {
       bDialect: Boolean,
       path: org.apache.hadoop.fs.Path)
 
-  /** Parse an area's `batch=` children in both dialects; strays reject
-    * by name under `strict`, log-and-skip otherwise (the [[batchDirs]]
-    * posture). */
+  /** Parse an area's `batch=` children — the ONE listing both fold
+    * families share. `strict` (the operator-issued `mode:"compact"`
+    * posture) rejects by name on anything the engine's writers never
+    * emit; the in-stream fold path passes strict=false — there one
+    * stray file (an OS artifact, a manual touch) must log-and-skip, not
+    * throw inside foreachBatch and crash-loop the unattended stream the
+    * cadence exists to serve. `plainOnly` (the retrieval *_inc delta
+    * contract) additionally treats b-dialect/seed dirs as foreign. The
+    * only legal non-numeric value is the semantic index's `batch=seed`:
+    * anything else (a manual `batch=12.bak` copy) must NOT silently
+    * fold as "always committed" — folding an operator's backup dir
+    * would duplicate every row in it. */
   private def areaDirs(
       fs: org.apache.hadoop.fs.FileSystem,
-      area: org.apache.hadoop.fs.Path, strict: Boolean): Seq[AreaDir] =
+      area: org.apache.hadoop.fs.Path, strict: Boolean,
+      plainOnly: Boolean = false): Seq[AreaDir] =
     if (!fs.exists(area)) Nil
     else fs.listStatus(area).toSeq.flatMap { st =>
       val n = st.getPath.getName
-      if (n.startsWith("_") || n.startsWith(".")) None // fold/Spark metadata
-      else if (!st.isDirectory || !n.startsWith("batch=")) {
+      def unexpected(): Option[AreaDir] = {
         require(!strict,
-          s"compact: unexpected entry '$n' under $area — an ingest area " +
-            "holds only batch=<id> dirs (is this really an ingest table?)")
-        log.warn(s"compact: skipping unrecognized entry '$n' under $area")
+          s"compact: unexpected entry '$n' under $area — " +
+            (if (plainOnly) "a delta area holds only batch=<id> dirs"
+             else "an ingest area holds only batch=<id>, batch=b<id> " +
+               "or batch=seed dirs") +
+            " (is this a stray file or a manual copy?)")
+        log.warn(s"compact: skipping unrecognized entry '$n' under " +
+          s"$area (in-stream fold tolerates strays; an operator-issued " +
+          "compact rejects them by name)")
         None
-      } else {
+      }
+      if (n.startsWith("_") || n.startsWith(".")) None // fold/Spark metadata
+      else if (!st.isDirectory || !n.startsWith("batch=")) unexpected()
+      else {
         val v = n.drop(6)
-        // the ONLY non-numeric batch value the engine ever writes is
-        // the semantic index's `batch=seed` — anything else (a manual
-        // `batch=12.bak` copy, an OS artifact) must NOT silently fold
-        // as "always committed": folding an operator's backup dir would
-        // duplicate every row in it. Reject (strict) / skip (in-stream).
-        if (v.startsWith("b") && v.drop(1).nonEmpty &&
+        if (v.nonEmpty && v.forall(_.isDigit))
+          Some(AreaDir(Some(v.toLong), bDialect = false, st.getPath))
+        else if (!plainOnly && v.startsWith("b") && v.drop(1).nonEmpty &&
             v.drop(1).forall(_.isDigit))
           Some(AreaDir(Some(v.drop(1).toLong), bDialect = true, st.getPath))
-        else if (v.nonEmpty && v.forall(_.isDigit))
-          Some(AreaDir(Some(v.toLong), bDialect = false, st.getPath))
-        else if (v == "seed")
+        else if (!plainOnly && v == "seed")
           Some(AreaDir(None, bDialect = false, st.getPath))
-        else {
-          require(!strict,
-            s"compact: unexpected batch dir '$n' under $area — ingest " +
-              "areas hold batch=<id>, batch=b<id> or batch=seed dirs " +
-              s"only (is '$n' a manual copy?)")
-          log.warn(s"compact: skipping unrecognized batch dir '$n' under $area")
-          None
-        }
+        else unexpected()
       }
     }
 
@@ -621,10 +612,8 @@ object Artifacts {
       val manifestTmp = new org.apache.hadoop.fs.Path(s"$area/_fold_manifest.tmp")
       val leftovers = fs.exists(areaManifest(area)) || fs.exists(manifestTmp) ||
         fs.exists(areaTmp(area)) || fs.exists(areaOld(area))
-      if (!leftovers) return
-      val lease = acquireLease(fs, area)
-      try recoverAreaFold(spark, fs, area)
-      finally lease.release()
+      if (leftovers)
+        withLease(fs, area) { recoverAreaFold(spark, fs, area) }
     }
   }
 
@@ -766,9 +755,11 @@ object Artifacts {
     * rolled forward/back by [[healCrashedAreaFold]] — the tmp's
     * _SUCCESS marker says whether the rewrite finished, the manifest
     * says exactly which dirs were in the fold. Readers racing the
-    * commit phase (metadata renames only) can momentarily miss staged
-    * batches — briefly stale, never duplicated — the documented
-    * maintenance-read posture shared with [[foldIncInto]]. */
+    * commit phase (metadata renames only, DUPLICATION-PREFERRING — see
+    * the commit-phase comment below) can miss at most ONE batch for one
+    * rename gap and otherwise briefly see duplicates, which is the
+    * benign direction for dedup-probe readers — the opposite trade from
+    * [[foldIncInto]]'s absence-preferring order. */
   def foldBatchArea(
       spark: SparkSession, area: String,
       maxBatchId: Option[Long] = None,
@@ -776,8 +767,7 @@ object Artifacts {
       minDirs: Int = 1): Int = foldLock(area).synchronized {
     val areaPath = new org.apache.hadoop.fs.Path(area)
     val fs = areaPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val lease = acquireLease(fs, area)
-    try {
+    withLease(fs, area) {
       recoverAreaFold(spark, fs, area)
       val snapshot = areaDirs(fs, areaPath, strict)
         .filter(d => d.id.forall(id => maxBatchId.forall(id <= _)))
@@ -792,7 +782,8 @@ object Artifacts {
         else fs.delete(d.path, true)
       }
       if (withData.size < math.max(minDirs, 1) ||
-          !withData.exists(_.id.isDefined)) return 0
+          !withData.exists(_.id.isDefined)) 0
+      else {
       val names = withData.map(_.path.getName)
       val outName = foldedDirName(names) // validates dialect consistency
       // manifest FIRST (atomically, via rename): from here until the
@@ -848,7 +839,8 @@ object Artifacts {
       fs.delete(old, true)
       fs.delete(areaManifest(area), false)
       withData.size // folded source dirs, the observability count
-    } finally lease.release()
+      }
+    }
   }
 
   /** One small JSON file per completed in-stream fold under

@@ -757,10 +757,6 @@ object DedupQueries extends QueryPack {
   private def q281(s: SparkSession, dir: String): DataFrame = {
     graft.Tables.registerViews(s, dir)
     graft.functions.Registry.registerAll(s)
-    def rmrf(p: java.io.File): Unit = {
-      if (p.isDirectory) Option(p.listFiles()).toSeq.flatten.foreach(rmrf)
-      p.delete(); ()
-    }
     rmrf(new java.io.File(q281Base))
     s.sql("""SELECT doc_id, text FROM documents
              UNION ALL

@@ -21,4 +21,12 @@ final case class Q(
 
 trait QueryPack {
   def queries: Seq[Q]
+
+  /** Recursive delete of a query's scratch dir (the artifact-lifecycle
+    * queries re-seed their tmp trees per run) — shared so every pack
+    * stops re-defining it inline. */
+  protected def rmrf(p: java.io.File): Unit = {
+    if (p.isDirectory) Option(p.listFiles()).toSeq.flatten.foreach(rmrf)
+    p.delete(); ()
+  }
 }

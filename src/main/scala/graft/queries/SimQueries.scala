@@ -532,10 +532,6 @@ object SimQueries extends QueryPack {
     val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_q220_index"
     // a plain parquet append is not idempotent — reset the fixture dir so
     // repeated runs (bench batteries, verify reruns) stay deterministic
-    def rmrf(p: java.io.File): Unit = {
-      if (p.isDirectory) Option(p.listFiles()).toSeq.flatten.foreach(rmrf)
-      p.delete(); ()
-    }
     rmrf(new java.io.File(idxDir))
     Similarity.saveAnnIndex(
       s, emb(s, dir).filter(col("vec_id") % 2 === 0)
@@ -646,10 +642,6 @@ object SimQueries extends QueryPack {
   private def q256(s: SparkSession, dir: String): DataFrame = {
     Tables.registerViews(s, dir)
     val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_q256_index"
-    def rmrf(p: java.io.File): Unit = {
-      if (p.isDirectory) Option(p.listFiles()).toSeq.flatten.foreach(rmrf)
-      p.delete(); ()
-    }
     rmrf(new java.io.File(idxDir))
     Similarity.saveAnnIndex(
       s, emb(s, dir).filter(col("vec_id") % 2 === 0)
@@ -681,10 +673,6 @@ object SimQueries extends QueryPack {
     s"${System.getProperty("java.io.tmpdir")}/graft_q276_index"
   private def q276(s: SparkSession, dir: String): DataFrame = {
     Tables.registerViews(s, dir)
-    def rmrf(p: java.io.File): Unit = {
-      if (p.isDirectory) Option(p.listFiles()).toSeq.flatten.foreach(rmrf)
-      p.delete(); ()
-    }
     rmrf(new java.io.File(q276Base))
     Similarity.saveAnnIndex(
       s, emb(s, dir).filter(col("vec_id") % 2 === 0)

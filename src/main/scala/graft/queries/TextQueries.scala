@@ -2221,10 +2221,6 @@ object TextQueries extends QueryPack {
     s"${System.getProperty("java.io.tmpdir")}/graft_q257_bm25"
   private def q257(s: SparkSession, dir: String): DataFrame = {
     Tables.registerViews(s, dir)
-    def rmrf(p: java.io.File): Unit = {
-      if (p.isDirectory) Option(p.listFiles()).toSeq.flatten.foreach(rmrf)
-      p.delete(); ()
-    }
     rmrf(new java.io.File(q257IdxDir))
     graft.compile.Compiler.compileJson(s, s"""
       {"source": {"sql": "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0"},
@@ -2273,10 +2269,6 @@ object TextQueries extends QueryPack {
       stageFiles: Int, oneFilePerBatch: Boolean,
       compactEvery: Option[Int]): DataFrame = {
     Tables.registerViews(s, dir)
-    def rmrf(p: java.io.File): Unit = {
-      if (p.isDirectory) Option(p.listFiles()).toSeq.flatten.foreach(rmrf)
-      p.delete(); ()
-    }
     rmrf(new java.io.File(base))
     graft.compile.Compiler.compileJson(s, s"""
       {"source": {"sql": "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0"},
@@ -2607,10 +2599,6 @@ object TextQueries extends QueryPack {
     s"${System.getProperty("java.io.tmpdir")}/graft_q279_hybrid"
   private def q279(s: SparkSession, dir: String): DataFrame = {
     graft.Tables.registerViews(s, dir)
-    def rmrf(p: java.io.File): Unit = {
-      if (p.isDirectory) Option(p.listFiles()).toSeq.flatten.foreach(rmrf)
-      p.delete(); ()
-    }
     rmrf(new java.io.File(q279Base))
     graft.compile.Compiler.compileJson(s, s"""
       {"source": {"sql": "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0"},
