@@ -849,6 +849,50 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("exactIngest batching law: key-level decisions are invariant under any batch split and compaction cadence") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // HOW the stream was batched — and whether in-stream area folds ran —
+    // must be unobservable at the KEY level: each distinct key is
+    // admitted exactly once (to corpus AND index), every key appears.
+    // WHICH doc id wins a key legitimately depends on the split (the
+    // q281 rationale), so the law quantifies over keys, not ids. A tiny
+    // vocabulary plants heavy duplicate pressure within and across
+    // batches.
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    val caseGen = for {
+      n <- Gen.chooseNum(2, 12)
+      texts <- Gen.listOfN(n, Gen.oneOf(vocab))
+      cut <- Gen.chooseNum(0, 12)
+      compactEvery <- Gen.option(Gen.chooseNum(1, 2))
+    } yield (texts, cut, compactEvery)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ei-fuzz").toString
+    var round = 0
+    forAll(caseGen, n = 5) { case (texts, cut0, compactEvery) =>
+      round += 1
+      val base = s"$dir/r$round"
+      val rows = texts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+      val cut = math.min(cut0, rows.size)
+      val mem = MemoryStream[(Long, String)]
+      val q = graft.streaming.Streaming.exactIngest(
+        mem.toDF.toDF("doc_id", "text"), "doc_id", Seq("text"),
+        s"$base/corpus", s"$base/index", s"$base/ckpt", compactEvery)
+      try {
+        if (cut > 0) { mem.addData(rows.take(cut): _*); q.processAllAvailable() }
+        if (cut < rows.size) { mem.addData(rows.drop(cut): _*); q.processAllAvailable() }
+      } finally q.stop()
+      val want = texts.distinct.sorted
+      val corpus = spark.read.parquet(s"$base/corpus")
+        .select("text").collect().map(_.getString(0)).toSeq.sorted
+      val index = spark.read.parquet(s"$base/index")
+        .select("text").collect().map(_.getString(0)).toSeq.sorted
+      assert(corpus == want,
+        s"corpus keys diverged: texts=$texts cut=$cut ce=$compactEvery got=$corpus")
+      assert(index == want,
+        s"index keys diverged: texts=$texts cut=$cut ce=$compactEvery got=$index")
+    }
+  }
+
   test("asofJoin on random series equals a brute-force per-row scan") {
     import graft.ops.Relational
     val caseGen = for {
