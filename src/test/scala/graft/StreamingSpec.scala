@@ -957,6 +957,43 @@ class StreamingSpec extends SparkSpec {
     assert(eCk.getMessage.contains("checkpoint"), eCk.getMessage)
   }
 
+  test("near_dup_ingest config compact_every reaches the sink: folds fire through the JSON path") {
+    import spark.implicits._
+    // guards the Compiler pass-through specifically: JsonCodecSpec pins
+    // the decode and the API tests pin the behavior, but a dropped
+    // `ing.compactEvery` in the dispatch would be a SILENT no-op — the
+    // stream runs, nothing folds, every test stays green except this one
+    val base = java.nio.file.Files.createTempDirectory("graft_ndcfg_ce").toString
+    val inDir = s"$base/in"
+    def push(rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(inDir)
+    push((1L, "alpha beta gamma delta"))
+    val q = graft.compile.Compiler.compileStreamJson(spark, s"""
+      {"source": {"path": "$inDir", "options": {"maxFilesPerTrigger": "1"}},
+       "near_dup_ingest": {"id_col": "doc_id", "text_col": "text",
+                           "corpus_dir": "$base/corpus",
+                           "index_dir": "$base/index",
+                           "checkpoint_dir": "$base/ckpt",
+                           "shingle_size": 2, "compact_every": 1}}""")
+    try {
+      q.processAllAvailable()
+      push((2L, "one two three four five"))
+      q.processAllAvailable()
+      push((3L, "six seven eight nine ten"))
+      q.processAllAvailable()
+      val nDirs = new java.io.File(s"$base/corpus").listFiles()
+        .map(_.getName).count(_.startsWith("batch="))
+      assert(nDirs <= 2,
+        s"compact_every must reach the sink through the config: $nDirs dirs")
+      assert(new java.io.File(s"$base/corpus/_fold_log").exists,
+        "a fold fired and left its log row")
+      val ids = spark.read.parquet(s"$base/corpus")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("exactIngest compact_every: in-stream folds retire committed batch dirs; dedup decisions and corpus unchanged") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
