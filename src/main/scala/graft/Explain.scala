@@ -26,6 +26,12 @@ object Explain {
       graft.compile.Compiler.drainCompileWarnings()
         .foreach(w => println(s"!! COMPILE WARNING: $w"))
       df.explain("formatted")
+      // sweep operator/def caches per query: CacheManager fragment-matching
+      // would otherwise substitute one query's persisted subtree into the
+      // NEXT query's printed plan (bench clears caches per query, so that
+      // cross-pollution is not the shape the timed runs see)
+      graft.compile.Compiler.releaseAllCaches()
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

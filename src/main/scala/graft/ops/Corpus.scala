@@ -985,26 +985,44 @@ object Corpus {
           transform(sequence(lit(1), size(col("__t")) - 1),
             i => concat_ws(" ", slice(col("__t"), i, lit(2)))))
         .otherwise(array().cast("array<string>"))).as("__bg"))
-    val c12 = bigrams.groupBy(col("__bg")).agg(count(lit(1)).as("__c12"))
-    // left-context counts derive from the bigram stream itself (tokens
-    // contain no whitespace, so the first segment IS w1)
-    val c1 = bigrams.groupBy(substring_index(col("__bg"), " ", 1).as("__w1"))
-      .agg(count(lit(1)).as("__c1"))
+    val c12Raw = bigrams.groupBy(col("__bg")).agg(count(lit(1)).as("__c12"))
     val perOcc: DataFrame = smoothing match {
       case "addk" =>
+        // 4 corpus-scale passes (c12, c1, V, probe) — measured cheaper
+        // than persisting the type table here (r21 ABBA A/B: the persist
+        // cost the addk path ~0.15 s at sf0.1 for one saved pass; kn
+        // below saves three passes and wins)
+        val c1 = bigrams.groupBy(substring_index(col("__bg"), " ", 1).as("__w1"))
+          .agg(count(lit(1)).as("__c1"))
         val v = toks.select(explode(col("__t")).as("__w"))
           .agg(count_distinct(col("__w")).as("__v"))
         bigrams
-          .join(c12, Seq("__bg"))
+          .join(c12Raw, Seq("__bg"))
           .join(c1, substring_index(col("__bg"), " ", 1) === col("__w1"))
           .crossJoin(v)
           .select(col(idCol),
             round(log((col("__c12") + lit(k)) /
               (col("__c1") + lit(k) * col("__v"))), 6).as("__lp"))
       case "kn" =>
-        // continuation structure from the TYPE table (one row per
-        // distinct bigram): distinct continuations per w1, distinct
-        // left-contexts per w2, total bigram types — vocabulary-shaped
+        // The TYPE table (one row per distinct bigram) is the whole KN
+        // model: c1 and every continuation count derive from it, so it
+        // is built ONCE over the corpus-scale bigram stream and
+        // persisted (vocabulary-shaped — the collocations counts-table
+        // posture). Without the persist each derived table's broadcast
+        // build re-ran the full scan→tokenize→explode→aggregate
+        // subtree: 6 corpus passes, measured as 5× ~1.2 s single-task
+        // broadcast-build jobs at sf0.1 under load (r21 opt round).
+        val c12 = c12Raw
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.compile.Compiler.trackOperatorCache(c12)
+        // left-context OCCURRENCE counts: Σ over w1's bigram types of
+        // their counts — integer-identical to counting the bigram
+        // stream by w1, without a second corpus-scale aggregate
+        val c1 = c12.groupBy(substring_index(col("__bg"), " ", 1).as("__w1"))
+          .agg(sum(col("__c12")).as("__c1"))
+        // continuation structure from the cached TYPE table: distinct
+        // continuations per w1, distinct left-contexts per w2, total
+        // bigram types — all vocabulary-shaped aggregates over c12
         val n1l = c12.groupBy(substring_index(col("__bg"), " ", 1).as("__kw1"))
           .agg(count(lit(1)).as("__n1l"))
         val n1r = c12.groupBy(substring_index(col("__bg"), " ", -1).as("__kw2"))

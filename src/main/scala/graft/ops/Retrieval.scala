@@ -65,8 +65,17 @@ object Retrieval {
       s"bm25TopK: need k1 >= 0 and b in [0, 1], got k1=$k1 b=$b")
     require(proxWeight >= 0, s"bm25TopK: prox_weight must be >= 0, got $proxWeight")
 
+    // ONE tokenize pass (the saveBm25Index persist posture): stats, the
+    // postings build per term granularity, and the dl attach each walk
+    // the tokenized corpus — unpersisted, that was 3 (4 with prox)
+    // scan→tokenize passes per call, and the stats action below
+    // materializes the cache so every later pass reuses it. Released by
+    // the harness cache sweep; at 100 TB prefer the at-rest index
+    // (saveBm25Index + bm25SearchIndex) for repeated query batches.
     val toks = docs.select(col(idCol).as("__doc"),
       TextAnalysis.tokens(col(textCol)).as("__t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.compile.Compiler.trackOperatorCache(toks)
     val dl = toks.select(col("__doc"), size(col("__t")).cast("long").as("__dl"))
     val stats = dl.agg(count(lit(1)), coalesce(sum("__dl"), lit(0L))).head
     val n = stats.getLong(0)
@@ -126,8 +135,15 @@ object Retrieval {
       val qt = queries.select(col(qidCol).as("__qid"),
           explode(queryTerms).as("__term"))
         .distinct()
+      // matched postings are QUERY-shaped (only postings on query terms
+      // survive the broadcast semi-join) and feed TWO consumers — the df
+      // aggregate and the contribution join. Persist so the corpus-side
+      // postings pass (in-memory path) / pruned index scan (at-rest
+      // path) runs once, not once per consumer.
       val matched = p.join(
         broadcast(qt.select(col("__term")).distinct()), Seq("__term"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.compile.Compiler.trackOperatorCache(matched)
       val dfT = matched.groupBy("__term").agg(count(lit(1)).as("__df"))
       val s =
         if (weight == 1.0) termScore
@@ -242,7 +258,17 @@ object Retrieval {
       // (it is idempotent over the same input).
       Seq("postings_inc", "postings2_inc", "dl_inc")
         .foreach(sub => Artifacts.deleteDir(spark, s"$dir/$sub"))
-      writeBm25Stats(spark, dir, buckets, prox, idCol)
+      // stats from the cached toks, not a re-read of the dl parquet just
+      // written from them: the deltas were swept above, so the landed dl
+      // IS this frame — same exact sums, one less listing+scan job
+      val st = toks.agg(count(lit(1)),
+        coalesce(sum(size(col("__t")).cast("long")), lit(0L))).head
+      require(st.getLong(0) > 0, "saveBm25Index: empty corpus")
+      require(st.getLong(1) > 0,
+        "saveBm25Index: the corpus tokenizes to ZERO tokens (every text " +
+          "empty/whitespace) — there is nothing to index")
+      writeBm25StatsRow(spark, dir, st.getLong(0), st.getLong(1),
+        buckets, prox, idCol)
     } finally {
       toks.unpersist()
       ()
