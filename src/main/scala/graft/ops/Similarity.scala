@@ -1092,6 +1092,14 @@ object Similarity {
   /** [[semanticDedupAgainstCorpus]] with the index state already in hand
     * — the streaming-ingest entry point (each micro-batch must exclude
     * its own replayed classes before probing). */
+  /** `register` receives every frame this call persists (the class/member/
+    * candidate-pair internals, each with 3-4 consumers downstream —
+    * unpersisted they re-ran the assignment kernel and the band join per
+    * consumer, measured 15 scans in one q183 plan). The default routes
+    * them to the compiler's operator-cache sweep (batch callers); the
+    * STREAMING ingest passes its own collector and unpersists per
+    * micro-batch — an unattended stream must not grow the global cache
+    * registry one entry per batch. */
   private[graft] def semanticDedupAgainstClasses(
       batch: DataFrame,
       idCol: String,
@@ -1101,11 +1109,17 @@ object Similarity {
       cents: Seq[Seq[Double]],
       idxClasses: DataFrame,
       numBits: Int,
-      bands: Int
+      bands: Int,
+      register: DataFrame => Unit =
+        graft.compile.Compiler.trackOperatorCache
   ): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"semanticDedupAgainstCorpus: threshold must be in (0, 1], got $threshold")
     require(numBits % bands == 0, "bands must divide numBits")
+    def cached(df: DataFrame): DataFrame = {
+      val c = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      register(c); c
+    }
     val width = numBits / bands
     def bandKeys(sig: Column): Column =
       posexplode(array((0 until bands).map(c =>
@@ -1116,16 +1130,16 @@ object Similarity {
         col(vecCol), cents, 1), 1).as("__cl"))
     def score(va: Column, na: Column, vb: Column, nb: Column): Column =
       round(when(na > 0 && nb > 0, dot(va, vb) / (na * nb)).otherwise(lit(0.0)), 9)
-    val classes = assigned
+    val classes = cached(assigned
       .groupBy(col("__cl"), col("__v")).agg(min(col("__id")).as("__rep"))
       .select(col("__cl"), col("__v"), col("__rep"),
         l2Norm(col("__v")).as("__n"),
-        hyperplaneSignature(col("__v"), dim, numBits).as("__sig"))
+        hyperplaneSignature(col("__v"), dim, numBits).as("__sig")))
     val selfScore = score(col("__v"), col("__n"), col("__v"), col("__n"))
-    val members = assigned
+    val members = cached(assigned
       .join(classes.select(col("__cl"), col("__v"), col("__rep"),
         selfScore.as("__self")), Seq("__cl", "__v"))
-      .select(col("__id"), col("__cl"), col("__rep"), col("__self"))
+      .select(col("__id"), col("__cl"), col("__rep"), col("__self")))
     // ---- in-batch drops: the semanticDedup rule
     val bandedB = classes
       .select(col("__cl"), col("__rep"), col("__v"), col("__n"), col("__sig"),
@@ -1136,12 +1150,12 @@ object Similarity {
     val b = bandedB.select(col("__cl"), col("band"), col("band_key"),
       col("__rep").as("__repB"), col("__v").as("__vb"), col("__n").as("__nb"),
       col("__sig").as("__sigb"))
-    val classPairs = a.join(b, Seq("__cl", "band", "band_key"))
+    val classPairs = cached(a.join(b, Seq("__cl", "band", "band_key"))
       .filter(col("__repA") < col("__repB") &&
         firstCollision(col("__siga"), col("__sigb"), width, bands))
       .select(col("__repA"), col("__repB"),
         score(col("__va"), col("__na"), col("__vb"), col("__nb")).as("score"))
-      .filter(col("score") >= threshold)
+      .filter(col("score") >= threshold))
     val inClass = members
       .filter(col("__id") =!= col("__rep") && col("__self") >= threshold)
       .select(col("__id"))
@@ -1273,16 +1287,24 @@ object Similarity {
         //                sim ≥ τ ∧ min(C') < x).
         // Self-sim guards the null/zero-vector classes (their pair
         // score is 0 by definition, so they never drop each other).
-        val classes = assigned
+        // classes/members/classPairs each feed several consumers below —
+        // persisted (class-/id-/pair-shaped) so the assignment kernel and
+        // the band join run once, not once per consumer (r21 opt).
+        def cached(df0: DataFrame): DataFrame = {
+          val c = df0.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          graft.compile.Compiler.trackOperatorCache(c); c
+        }
+        val classes = cached(assigned
           .groupBy(col("__cl"), col("__v")).agg(min(col("__id")).as("__rep"))
           .select(col("__cl"), col("__v"), col("__rep"),
             l2Norm(col("__v")).as("__n"),
-            hyperplaneSignature(col("__v"), dim, numBits).as("__sig"))
+            hyperplaneSignature(col("__v"), dim, numBits).as("__sig")))
         val selfScore = score(col("__v"), col("__n"), col("__v"), col("__n"))
-        val members = assigned
+        val members = cached(assigned
           .join(classes.select(col("__cl"), col("__v"), col("__rep"),
             selfScore.as("__self")), Seq("__cl", "__v"))
-          .select(col("__id"), col("__cl"), col("__rep"), col("__self"))
+          .select(col("__id"), col("__cl"), col("__rep"), col("__self")))
         val banded = classes
           .select(col("__cl"), col("__rep"), col("__v"), col("__n"), col("__sig"),
             posexplode(array((0 until bands).map(c =>
@@ -1294,12 +1316,12 @@ object Similarity {
         val b = banded.select(col("__cl"), col("band"), col("band_key"),
           col("__rep").as("__repB"), col("__v").as("__vb"), col("__n").as("__nb"),
           col("__sig").as("__sigb"))
-        val classPairs = a.join(b, Seq("__cl", "band", "band_key"))
+        val classPairs = cached(a.join(b, Seq("__cl", "band", "band_key"))
           .filter(col("__repA") < col("__repB") &&
             firstCollision(col("__siga"), col("__sigb"), width, bands))
           .select(col("__cl"), col("__repA"), col("__repB"),
             score(col("__va"), col("__na"), col("__vb"), col("__nb")).as("score"))
-          .filter(col("score") >= threshold)
+          .filter(col("score") >= threshold))
         // drops: in-class non-minima; every member of the larger-rep
         // class of a verified pair; members of the smaller-rep class
         // beyond the other class's minimum

@@ -850,15 +850,22 @@ object Streaming {
         val classes = s.read.parquet(s"$indexDir/classes")
           .filter(col("batch") =!= s"b$batchId")
           .select("cluster", "vec", "rep", "sig")
+        // collect the dedup's internal persists locally and release them
+        // with the batch: routing them to the global operator-cache sweep
+        // would grow the registry one entry per micro-batch forever
+        val internals = scala.collection.mutable.ListBuffer[DataFrame]()
         val kept = graft.ops.Similarity.semanticDedupAgainstClasses(
           batch, idCol, vecCol, threshold, dim, cents, classes,
-          numBits, bands).persist()
+          numBits, bands, register = internals += _).persist()
         try {
           kept.write.mode("overwrite").parquet(s"$corpusDir/batch=b$batchId")
           graft.ops.Similarity.semanticClassesOf(kept, idCol, vecCol, dim,
               cents, numBits)
             .write.mode("overwrite").parquet(s"$indexDir/classes/batch=b$batchId")
-        } finally kept.unpersist()
+        } finally {
+          kept.unpersist()
+          internals.foreach(_.unpersist(blocking = false))
+        }
         fold(s, batchId)
       }
       .start()
