@@ -247,6 +247,35 @@ case class PortableFingerprint(child: Expression) extends UnaryExpression {
   * inside whole-stage codegen. */
 object NormalizeTextOps {
   def compute(u: UTF8String): UTF8String = {
+    // ASCII fast path (r21 opt): NFC is the identity on ASCII (every
+    // ASCII char is NFC_QC=Yes with ccc=0) and ROOT lowercase over a
+    // pure-ASCII string maps exactly A-Z → a-z, so the whole normalize
+    // collapses to one byte pass — no String round-trip, no Normalizer.
+    // Byte-identical to the general path below (PropertySpec pins
+    // equality on mixed inputs).
+    val bytes = u.getBytes
+    val nb = bytes.length
+    var a = 0
+    while (a < nb && (bytes(a) & 0x80) == 0) a += 1
+    if (a == nb) {
+      val out = new Array[Byte](nb)
+      var o = 0
+      var prevSpace = true // swallows leading spaces
+      var i = 0
+      while (i < nb) {
+        var b = bytes(i)
+        if (b >= 'A' && b <= 'Z') b = (b + 32).toByte
+        if (b < 0x20 || b == 0x7f) b = ' '
+        if (b == ' ') {
+          if (!prevSpace) { out(o) = ' '; o += 1; prevSpace = true }
+        } else {
+          out(o) = b; o += 1; prevSpace = false
+        }
+        i += 1
+      }
+      if (o > 0 && out(o - 1) == ' ') o -= 1 // trailing collapse run
+      return UTF8String.fromBytes(out, 0, o)
+    }
     val lower = java.text.Normalizer
       .normalize(u.toString, java.text.Normalizer.Form.NFC)
       .toLowerCase(java.util.Locale.ROOT)

@@ -104,6 +104,70 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("text-kernel ASCII fast paths equal the general (reference) paths") {
+    // r21 opt: PortableFingerprint / WindowFingerprints / NormalizeText
+    // gained byte-loop fast paths for all-ASCII input. This pins them
+    // against the original char/Normalizer formulations on strings
+    // mixing ASCII words, controls, space runs, and non-ASCII (é, a
+    // combining sequence NFC must compose, CJK) — the mixed cases land
+    // in both branches across the sample.
+    import org.apache.spark.unsafe.types.UTF8String
+    val M = 1000000007L
+    def isWs(c: Char) =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    def refFp(s: String): Long = { // the pre-r21 char/codePoint loop
+      var fp = 0L; var i = 0
+      while (i < s.length) {
+        if (isWs(s.charAt(i))) i += 1
+        else {
+          var h = 7L
+          while (i < s.length && !isWs(s.charAt(i))) {
+            val cp = s.codePointAt(i)
+            h = (h * 131L + cp) % M
+            i += Character.charCount(cp)
+          }
+          fp = (fp * 31L + h) % M
+        }
+      }
+      fp
+    }
+    def refNorm(s: String): String = { // the pre-r21 Normalizer path
+      val lower = java.text.Normalizer
+        .normalize(s, java.text.Normalizer.Form.NFC)
+        .toLowerCase(java.util.Locale.ROOT)
+      val sb = new StringBuilder
+      var prevSpace = true
+      lower.foreach { c0 =>
+        val c = if (c0 < ' ' || c0 == '\u007f') ' ' else c0
+        if (c == ' ') { if (!prevSpace) { sb.append(' '); prevSpace = true } }
+        else { sb.append(c); prevSpace = false }
+      }
+      var end = sb.length
+      if (end > 0 && sb.charAt(end - 1) == ' ') end -= 1
+      sb.substring(0, end)
+    }
+    val piece = Gen.oneOf("alpha", "Beta", "x\tY", "étude", "é",
+      "中文", "a  b", "\u0001ctl", "Zz\u007f", "", " ")
+    val mixedGen = Gen.listOf(piece).map(_.mkString(" "))
+    forAll(mixedGen, n = 40) { s =>
+      val u = UTF8String.fromString(s)
+      assert(graft.functions.TextKernelOps.compute(u) == refFp(s))
+      assert(graft.functions.NormalizeTextOps.compute(u).toString == refNorm(s))
+      // window fingerprints: first token-hash tier must match refFp on
+      // single tokens; full arrays compared through the rolling formula
+      val wf = graft.functions.WindowFingerprintOps.compute(u, 2)
+      // split on exactly the kernel's \s class — String.trim would also
+      // strip \u0001 etc. (everything <= 0x20) and break the tie to the
+      // kernel's tokenization on control-char-leading tokens
+      val toks = s.split("[ \\t\\n\\u000B\\f\\r]+").filter(_.nonEmpty).toSeq
+      val th = toks.map(refFp)
+      val expect =
+        if (th.length < 2) Array.emptyLongArray
+        else th.sliding(2).map(w => w.foldLeft(0L)((a, x) => (a * 31L + x) % M)).toArray
+      assert((0 until wf.numElements()).map(wf.getLong) == expect.toSeq)
+    }
+  }
+
   test("hashedNgrams size equals string-shingle set size on random texts") {
     forAll(textGen, n = 8) { t =>
       for (ng <- Seq(1, 2, 3)) {
