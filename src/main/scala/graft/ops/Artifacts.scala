@@ -190,18 +190,61 @@ object Artifacts {
   /** Heartbeat period — test-overridable. */
   @volatile private[graft] var leaseHeartbeatMs: Long = leaseStalenessMs / 4
 
+  /** First line of the lease file, None when absent/unreadable. */
+  private def readLeaseLine(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path): Option[String] =
+    try {
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        fs.open(path), java.nio.charset.StandardCharsets.UTF_8))
+      try Option(in.readLine()) finally in.close()
+    } catch { case _: Exception => None }
+
   /** A held fold lease: the file plus its heartbeat. Release in a
-    * finally — it stops the heartbeat and deletes the file. */
+    * finally — it stops the heartbeat and deletes the file (only while
+    * still the owner). Lease content is "epoch-millis holder-uuid":
+    * the uuid lets every rewrite verify ownership first, so a
+    * legitimately-taken-over holder (paused past staleness — VM
+    * migration, hour-long STW) can never stomp its successor's lease;
+    * it aborts by name instead ([[lostTo]], checked by [[withLease]]).
+    * Heartbeats replace the file via tmp + atomic rename — a concurrent
+    * reader never observes the empty/truncated lease a create(path,
+    * true) overwrite exposes (the r20 ADVICE race: empty parses as
+    * ts=0 = stale and invites a takeover mid-fold). */
   private final class FoldLease(
       fs: org.apache.hadoop.fs.FileSystem,
-      path: org.apache.hadoop.fs.Path) {
-    private def writeTs(): Unit = {
-      val out = fs.create(path, true)
-      try out.write(s"${System.currentTimeMillis()}\n".getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+      path: org.apache.hadoop.fs.Path,
+      val id: String) {
+    @volatile var lostTo: Option[String] = None
+    private def replaceOwned(): Unit = {
+      // ownership check first: a successor's uuid in the file means the
+      // lease was legitimately taken over while this holder was paused
+      val owner = readLeaseLine(fs, path)
+        .flatMap(_.trim.split("\\s+").lift(1))
+      if (owner.exists(_ != id)) {
+        lostTo = owner
+        log.error(s"fold lease $path now held by ${owner.get} — this " +
+          "holder was paused past staleness and taken over; aborting " +
+          "rather than stomping the successor's lease")
+      } else {
+        val tmp = new org.apache.hadoop.fs.Path(s"$path.hb-$id")
+        writeSmallFile(fs, tmp, leaseContent(id))
+        if (fs.getScheme == "file") {
+          // POSIX atomic replace — Hadoop's local-fs OVERWRITE rename is
+          // delete-then-rename, which exposes a lease-absent window
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(tmp.toUri.getPath),
+            java.nio.file.Paths.get(path.toUri.getPath),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          ()
+        } else {
+          org.apache.hadoop.fs.FileContext
+            .getFileContext(path.toUri, fs.getConf)
+            .rename(tmp, path, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        }
+      }
     }
-    writeTs()
     private val beat =
       java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
         (r: Runnable) => {
@@ -209,14 +252,39 @@ object Artifacts {
           t.setDaemon(true); t
         })
     beat.scheduleAtFixedRate(
-      () => try writeTs() catch { case scala.util.control.NonFatal(e) =>
+      () => try replaceOwned() catch { case scala.util.control.NonFatal(e) =>
         log.warn(s"fold lease heartbeat on $path failed: ${e.getMessage}") },
       leaseHeartbeatMs, leaseHeartbeatMs,
       java.util.concurrent.TimeUnit.MILLISECONDS)
     def release(): Unit = {
       beat.shutdownNow()
-      try { fs.delete(path, false); () }
-      catch { case scala.util.control.NonFatal(_) => () }
+      try {
+        // delete only while still the owner — after a takeover the file
+        // is the successor's to release
+        val owner = readLeaseLine(fs, path)
+          .flatMap(_.trim.split("\\s+").lift(1))
+        if (!owner.exists(_ != id)) { fs.delete(path, false); () }
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
+  private def leaseContent(id: String): String =
+    s"${System.currentTimeMillis()} $id\n"
+
+  /** Write a small lease/tmp file. On the local scheme this goes through
+    * plain NIO — `fs.create` is the ChecksumFileSystem there and would
+    * leave a `.{name}.crc` twin behind every tmp+rename cycle. */
+  private def writeSmallFile(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path, content: String): Unit = {
+    val bytes = content.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (fs.getScheme == "file") {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(path.toUri.getPath), bytes)
+      ()
+    } else {
+      val out = fs.create(path, true)
+      try out.write(bytes) finally out.close()
     }
   }
 
@@ -259,19 +327,51 @@ object Artifacts {
             s"lease $base.lease — back off and retry later")
       fs.delete(tomb, false)
     }
-    try fs.create(lease, false).close() // create-exclusive: losing = foreign holder
-    catch { case e: java.io.IOException => throw new IllegalArgumentException(
-      s"compact: cannot acquire the fold lease $base.lease — another " +
-        s"process just took it: ${e.getMessage}") }
-    new FoldLease(fs, lease)
+    val id = java.util.UUID.randomUUID().toString
+    // acquisition = write the full "ts uuid" content to a tmp file and
+    // MOVE it onto the lease path WITHOUT overwrite: the lease is never
+    // observable empty (the r20 ADVICE race — an empty lease parses as
+    // ts=0 = stale and invites a takeover of a LIVE fold), and an
+    // existing lease makes the move fail = foreign holder. Any residual
+    // lost race (two movers on a store whose no-overwrite rename is
+    // check-then-rename) is SAFE, not silent: the loser's first
+    // heartbeat sees the winner's uuid and aborts the fold by name.
+    val tmp = new org.apache.hadoop.fs.Path(s"$base.lease.acq-$id")
+    writeSmallFile(fs, tmp, leaseContent(id))
+    def foreign(detail: String): Nothing = {
+      try { fs.delete(tmp, false); () }
+      catch { case scala.util.control.NonFatal(_) => () }
+      throw new IllegalArgumentException(
+        s"compact: cannot acquire the fold lease $base.lease — another " +
+          s"process just took it$detail")
+    }
+    if (fs.getScheme == "file") {
+      try java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(lease.toUri.getPath))
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => foreign("")
+        case e: java.io.IOException => foreign(s": ${e.getMessage}")
+      }
+    } else if (!fs.rename(tmp, lease)) foreign("") // HDFS: atomic, no overwrite
+    new FoldLease(fs, lease, id)
   }
 
   /** Run `body` holding the `$base.lease` — the one acquire/heartbeat/
-    * release shape every fold and heal shares. */
+    * release shape every fold and heal shares. Aborts BY NAME when the
+    * lease was legitimately taken over mid-body (holder paused past
+    * staleness): the successor may already be rewriting the same
+    * artifact, so this holder's completed work must not be reported as
+    * a clean fold. */
   private def withLease[A](
       fs: org.apache.hadoop.fs.FileSystem, base: String)(body: => A): A = {
     val lease = acquireLease(fs, base)
-    try body finally lease.release()
+    val out = try body finally lease.release()
+    lease.lostTo.foreach(succ => throw new IllegalStateException(
+      s"compact: the fold lease on $base was taken over by $succ while " +
+        "this holder was paused past staleness — its work may conflict " +
+        "with the successor's; re-check the artifact and re-run"))
+    out
   }
 
   /** Rows in a parquet dir, 0 when fileless/absent — the recovery
@@ -568,10 +668,19 @@ object Artifacts {
       else if (!st.isDirectory || !n.startsWith("batch=")) unexpected()
       else {
         val v = n.drop(6)
-        if (v.nonEmpty && v.forall(_.isDigit))
+        // NON-CANONICAL numeric names (leading zeros: batch=007) reject/
+        // skip like any other foreign dir: this engine's ingests always
+        // write canonical ids, and a leading-zeros dir would otherwise
+        // pass validation here yet break the fold's name-keyed commit
+        // phase (foldedDirName normalizes 007 → 7, and no source dir by
+        // that name exists — an opaque NoSuchElementException every
+        // cadence instead of this named reject; r20 ADVICE).
+        def canonical(num: String): Boolean =
+          num.length <= 18 && num == num.toLong.toString // >18 digits would overflow Long
+        if (v.nonEmpty && v.forall(_.isDigit) && canonical(v))
           Some(AreaDir(Some(v.toLong), bDialect = false, st.getPath))
         else if (!plainOnly && v.startsWith("b") && v.drop(1).nonEmpty &&
-            v.drop(1).forall(_.isDigit))
+            v.drop(1).forall(_.isDigit) && canonical(v.drop(1)))
           Some(AreaDir(Some(v.drop(1).toLong), bDialect = true, st.getPath))
         else if (!plainOnly && v == "seed")
           Some(AreaDir(None, bDialect = false, st.getPath))

@@ -94,9 +94,11 @@ object JsonCodec {
         s"""remove it, or use mode "compact"""")
 
   /** `compact_every: N` on an ingest sink — fold the ingest's grown
-    * areas every N batches inside foreachBatch; shared by the four
-    * area-layout ingest decoders (near_dup/passage/exact) and validated
-    * once so the wording cannot drift. */
+    * areas every N batches inside foreachBatch; shared by the three
+    * area-layout ingest decoders wired at the config surface
+    * (near_dup/passage/exact — semantic_ingest exposes compactEvery at
+    * the Streaming API only) and validated once so the wording cannot
+    * drift. */
   private def ingestCompactEvery(d: JsonNode, ctx: String): Option[Int] = {
     val ce = opt(d, "compact_every", "compactEvery").map(_.asInt)
     ce.foreach(n => require(n >= 1,

@@ -1242,8 +1242,15 @@ final case class ExactIngestSpec(
   * unchanged — an area stays one partition-discovery parquet read; the
   * folded dir's id is committed, so the ingests' replay exclusion never
   * matches it. `checkpoint` (the ingest stream's checkpointLocation)
-  * scopes the fold to committed batches — the live-stream-safe posture;
-  * without it every landed dir folds (exact for a quiesced stream).
+  * scopes the fold to committed batches so it can never fold a dir a
+  * crash replay would re-land; note the commit phase's two-rename gap
+  * (max-id source staged aside, folded dir not yet landed) can still
+  * make a CONCURRENTLY RUNNING stream's dedup probe briefly miss
+  * committed rows — the lease excludes concurrent folds, not
+  * concurrent probe reads — so for dedup-critical areas run the
+  * operator compact quiesced, or rely on the in-stream `compact_every`
+  * (serialized with the probes by construction). Without `checkpoint`
+  * every landed dir folds (exact for a quiesced stream).
   * The frame becomes one row per area: (area_ix, n_dirs) — the ordinal
   * of the dir in `dirs` and its batch-dir count after the fold.
   * Batch-only (filesystem rewrite). */

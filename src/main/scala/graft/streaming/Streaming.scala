@@ -55,15 +55,31 @@ object Streaming {
     * continues and the fold retries at the next batch. minDirs=2 keeps
     * the cadence from rewriting a single already-folded dir for
     * nothing. */
-  private def areaFoldCadence(
-      name: String, spark: org.apache.spark.sql.SparkSession,
-      compactEvery: Option[Int], areas: Seq[String])
-      : (org.apache.spark.sql.SparkSession, Long) => Unit = {
-    compactEvery.foreach(n => require(n >= 1,
-      s"$name: compact_every must be >= 1, got $n"))
-    areas.foreach(a => graft.ops.Artifacts.healCrashedAreaFold(spark, a))
-    var batchesSinceFold = 0
-    (s: org.apache.spark.sql.SparkSession, batchId: Long) => {
+  private final class AreaFoldHooks(
+      name: String, compactEvery: Option[Int], areas: Seq[String]) {
+    private var batchesSinceFold = 0
+    private var healPending = false
+    /** Run at the START of every micro-batch, BEFORE the dedup probes:
+      * a fold failure CAUGHT mid-commit-phase (tmp→out rename failing
+      * after the max-id source staged into underscore-invisible
+      * `_fold_old`) leaves committed history unreadable, and healing it
+      * only inside the NEXT fold attempt — at the END of the next
+      * foreachBatch — would let that batch's probe read an area missing
+      * committed rows and admit duplicate keys PERMANENTLY (r21: the
+      * r20 ADVICE's non-benign failure direction). Cheap when clean:
+      * healCrashedAreaFold is a few fs.exists probes, and this runs
+      * only after a caught failure. */
+    def beforeBatch(s: org.apache.spark.sql.SparkSession): Unit =
+      if (healPending) {
+        areas.foreach(a =>
+          try graft.ops.Artifacts.healCrashedAreaFold(s, a)
+          catch { case scala.util.control.NonFatal(e) =>
+            log.warn(s"$name: pre-batch heal of $a failed (will retry " +
+              s"next batch): ${e.getMessage}") })
+        healPending = false
+      }
+    def afterBatch(
+        s: org.apache.spark.sql.SparkSession, batchId: Long): Unit = {
       batchesSinceFold += 1
       if (batchId > 0 && compactEvery.exists(batchesSinceFold >= _)) {
         val ok = attemptInStreamFold(name, batchId) {
@@ -82,8 +98,18 @@ object Streaming {
           }
         }
         if (ok) batchesSinceFold = 0
+        else healPending = true // heal BEFORE the next batch's probes
       }
     }
+  }
+
+  private def areaFoldCadence(
+      name: String, spark: org.apache.spark.sql.SparkSession,
+      compactEvery: Option[Int], areas: Seq[String]): AreaFoldHooks = {
+    compactEvery.foreach(n => require(n >= 1,
+      s"$name: compact_every must be >= 1, got $n"))
+    areas.foreach(a => graft.ops.Artifacts.healCrashedAreaFold(spark, a))
+    new AreaFoldHooks(name, compactEvery, areas)
   }
 
   private def applyAggs(
@@ -311,6 +337,7 @@ object Streaming {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
+        fold.beforeBatch(s) // heal a failed prior fold BEFORE the probe
         // each directory checked INDEPENDENTLY: the two writes below are
         // not atomic, so a crash between them must not wedge the restart
         // (replayed batch sees corpus-but-no-index and would otherwise
@@ -347,7 +374,7 @@ object Streaming {
               kept, idCol, textCol, shingleSize, numHashes, bands)
             .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
         } finally kept.unpersist()
-        fold(s, batchId)
+        fold.afterBatch(s, batchId)
       }
       .start()
   }
@@ -382,6 +409,7 @@ object Streaming {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
+        fold.beforeBatch(s) // heal a failed prior fold BEFORE the probe
         def seeded(dir: String): Boolean = {
           val fs = org.apache.hadoop.fs.FileSystem.get(
             new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
@@ -404,7 +432,7 @@ object Streaming {
           graft.ops.Dedup.passageWindowIndex(cleaned, idCol, textCol, windowTokens)
             .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
         } finally cleaned.unpersist()
-        fold(s, batchId)
+        fold.afterBatch(s, batchId)
       }
       .start()
   }
@@ -449,6 +477,7 @@ object Streaming {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
+        fold.beforeBatch(s) // heal a failed prior fold BEFORE the probe
         def seeded(dir: String): Boolean = {
           val fs = org.apache.hadoop.fs.FileSystem.get(
             new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
@@ -469,7 +498,7 @@ object Streaming {
           kept.select(keyCols.map(col): _*).distinct()
             .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
         } finally kept.unpersist()
-        fold(s, batchId)
+        fold.afterBatch(s, batchId)
       }
       .start()
   }
@@ -843,6 +872,7 @@ object Streaming {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
+        fold.beforeBatch(s) // heal a failed prior fold BEFORE the probe
         val cents = graft.ops.Similarity.loadSemanticCentroids(s, indexDir)
         // stream batches write under batch=b<N> next to batch=seed; the
         // partition column is therefore string-typed and a replayed
@@ -866,7 +896,7 @@ object Streaming {
           kept.unpersist()
           internals.foreach(_.unpersist(blocking = false))
         }
-        fold(s, batchId)
+        fold.afterBatch(s, batchId)
       }
       .start()
   }

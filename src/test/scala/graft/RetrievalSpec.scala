@@ -647,6 +647,85 @@ class RetrievalSpec extends SparkSpec {
     assert(new java.io.File(s"$area/batch=2").exists)
   }
 
+  test("foldBatchArea: a non-canonical numeric dir (batch=007) rejects by name strict, is skipped non-strict") {
+    // r21 (r20 ADVICE): batch=007 passed the all-digits validation but
+    // foldedDirName normalizes the max id to batch=7 — the commit phase
+    // then failed every cadence with an opaque NoSuchElementException.
+    // Non-canonical names are foreign by construction (the ingests
+    // always write canonical ids): named reject strict, log-and-skip
+    // in-stream.
+    import graft.ops.Artifacts
+    val area = s"${java.nio.file.Files.createTempDirectory("graft_areaz").toString}/corpus"
+    def writeBatch(id: String, docs: Long*): Unit =
+      docs.map(d => (d, s"t$d")).toDF("doc", "txt").coalesce(1)
+        .write.mode("overwrite").parquet(s"$area/batch=$id")
+    writeBatch("0", 1L); writeBatch("1", 2L); writeBatch("007", 9L)
+    val e = intercept[IllegalArgumentException](
+      Artifacts.foldBatchArea(spark, area, maxBatchId = Some(7L)))
+    assert(e.getMessage.contains("007"), e.getMessage)
+    // in-stream posture: the stray is skipped, the canonical dirs fold
+    Artifacts.foldBatchArea(spark, area, Some(7L), strict = false)
+    val dirs = new java.io.File(area).listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).sorted.toSeq
+    assert(dirs == Seq("batch=007", "batch=1"),
+      s"canonical dirs fold into batch=1, the stray survives untouched: $dirs")
+    assert(spark.read.parquet(s"$area/batch=1").count() == 2)
+  }
+
+  test("fold lease content: timestamp + holder uuid, never observed empty mid-fold") {
+    // r21 (r20 ADVICE): the lease used to be created empty and truncated
+    // on every heartbeat — a contender reading the empty file parsed
+    // ts=0 ("unreadable = stale") and could take over a LIVE fold. The
+    // timestamp now lands inside the create-exclusive stream and
+    // heartbeats replace the file atomically, so every observation of
+    // an existing lease carries "ts uuid".
+    import graft.ops.Artifacts
+    val base0 = java.nio.file.Files.createTempDirectory("graft_leasec").toString
+    val (b, inc) = (s"$base0/dl", s"$base0/dl_inc")
+    Seq((1L, 3L)).toDF("doc", "dl").coalesce(1)
+      .write.mode("overwrite").parquet(b)
+    (0 until 4).foreach { i =>
+      Seq((10L + i, 2L)).toDF("doc", "dl").coalesce(1)
+        .write.mode("overwrite").parquet(s"$inc/batch=$i")
+    }
+    val prior = Artifacts.leaseHeartbeatMs
+    Artifacts.leaseHeartbeatMs = 20L
+    val seen = scala.collection.mutable.ArrayBuffer[String]()
+    val watcher = new Thread(() => {
+      val f = new java.io.File(s"$b.lease")
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (System.nanoTime() < deadline &&
+          !Thread.currentThread().isInterrupted) {
+        if (f.exists)
+          try seen += scala.io.Source.fromFile(f).mkString
+          catch { case _: Exception => () } // mid-rename read: file gone, fine
+        Thread.sleep(2)
+      }
+    })
+    watcher.start()
+    try Artifacts.foldIncInto(spark, b, inc, None)
+    finally {
+      watcher.interrupt(); watcher.join(2000)
+      Artifacts.leaseHeartbeatMs = prior
+    }
+    // the one remaining sub-ms empty window is ACQUISITION (create-
+    // exclusive, then the ts lands in the same stream) — and a steal in
+    // that window is now safe (uuid mismatch aborts the holder by name).
+    // Heartbeats must never expose emptiness: with ~100+ samples over
+    // the fold, truncating heartbeats (the fixed bug) would show many
+    // empty reads; at most the acquisition instant may.
+    val nonEmpty = seen.filter(_.trim.nonEmpty)
+    assert(nonEmpty.nonEmpty, "watcher must observe lease content")
+    assert(seen.count(_.trim.isEmpty) <= 1,
+      s"heartbeat rewrites must never truncate the lease " +
+        s"(${seen.count(_.trim.isEmpty)} empty observations)")
+    nonEmpty.foreach { c =>
+      val parts = c.trim.split("\\s+")
+      assert(parts.length == 2 && parts(0).forall(_.isDigit),
+        s"every observed lease content is 'ts uuid', got '$c'")
+    }
+  }
+
   test("foldBatchArea: b-dialect areas (batch=seed + batch=b<id>) fold in their own dialect; mixed dialects reject") {
     import graft.ops.Artifacts
     val base = java.nio.file.Files.createTempDirectory("graft_areab").toString
