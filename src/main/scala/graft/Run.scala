@@ -33,7 +33,7 @@ object Run {
     val spec = JsonCodec.parse(json)
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = LocalConf(SparkSession.builder())
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -12,7 +12,9 @@ trait SparkSpec extends AnyFunSuite {
 
 object SparkSpec {
   lazy val session: SparkSession = {
-    val s = SparkSession.builder()
+    // LocalConf: same engine posture as the driver-contract mains (and
+    // the whole suite exercises the no-chmod local FS + cached-plan AQE)
+    val s = LocalConf(SparkSession.builder())
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
