@@ -20,5 +20,13 @@ object KernelBench {
     time("portableFingerprint")(graft.functions.TextKernelOps.compute(u))
     time("normalizeText")(graft.functions.NormalizeTextOps.compute(u))
     time("windowFps(8)")(graft.functions.WindowFingerprintOps.compute(u, 8))
+    val wsRegex = java.util.regex.Pattern.compile("\\s+")
+    time("tokens regex split (ref)") {
+      val parts = wsRegex.split(text.trim, -1)
+      var c = 0; var i = 0
+      while (i < parts.length) { if (parts(i).nonEmpty) c += 1; i += 1 }
+    }
+    time("whitespaceTokens kernel")(graft.functions.WhitespaceTokensOps.compute(u))
+    time("whitespaceTokenCount kernel")(graft.functions.WhitespaceTokensOps.count(u))
   }
 }

@@ -48,6 +48,125 @@ object TextKernelOps {
   }
 }
 
+/** Whitespace tokenization kernel — the byte-exact twin of
+  * `filter(split(trim(text), "\\s+"), t => length(t) > 0)` (the engine's
+  * canonical tokenizer): emit every maximal run of characters outside
+  * Java regex `\s` = { space, \t, \n, \x0B, \f, \r }. Equivalence
+  * argument: `trim` strips only 0x20 at the ends, `split(_, "\\s+")`
+  * with its implicit limit −1 keeps leading/trailing empty fields, and
+  * the length filter drops exactly those — so the composition reduces
+  * to "maximal non-\s runs of the raw string" (PropertySpec pins
+  * equality against the regex path on adversarial inputs). One byte
+  * pass, zero regex: the separator class is pure ASCII, and UTF-8
+  * continuation bytes are ≥ 0x80, so a byte scan can never split
+  * inside a multi-byte character. Token values are zero-copy slices of
+  * the input's byte array (`UTF8String.fromBytes(base, off, len)`).
+  * The regex formulation measured 6.6 µs/op on a ~500-char doc — the
+  * single hottest scan-stage expression in the bench (bm25 tokenize,
+  * LM, quality tiers, token-count stats all start here); this kernel
+  * measures ~0.5 µs/op.
+  *
+  * `dataType` mirrors the regex path's `ArrayType(StringType)` with
+  * containsNull = true — not because a token can be null (it cannot),
+  * but so every downstream schema stays bit-identical to the
+  * expression tree it replaces. */
+object WhitespaceTokensOps {
+  @inline private def isWsByte(b: Byte): Boolean =
+    b == 0x20 || (b >= 0x09 && b <= 0x0D)
+
+  private val EMPTY =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[AnyRef](0))
+
+  def compute(u: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val b = u.getBytes
+    val n = b.length
+    // pass 1: count tokens (exact-size output array, no growable buffer)
+    var count = 0
+    var i = 0
+    var inTok = false
+    while (i < n) {
+      if (isWsByte(b(i))) inTok = false
+      else if (!inTok) { count += 1; inTok = true }
+      i += 1
+    }
+    if (count == 0) return EMPTY
+    val out = new Array[AnyRef](count)
+    var o = 0
+    i = 0
+    while (i < n) {
+      if (isWsByte(b(i))) i += 1
+      else {
+        val start = i
+        while (i < n && !isWsByte(b(i))) i += 1
+        out(o) = UTF8String.fromBytes(b, start, i - start)
+        o += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Token COUNT without materializing the array — `size(tokens(x))`
+    * callers (token budgets, dl, stats) only need the number. */
+  def count(u: UTF8String): Int = {
+    val b = u.getBytes
+    val n = b.length
+    var count = 0
+    var i = 0
+    var inTok = false
+    while (i < n) {
+      if (isWsByte(b(i))) inTok = false
+      else if (!inTok) { count += 1; inTok = true }
+      i += 1
+    }
+    count
+  }
+}
+
+case class WhitespaceTokens(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"whitespace_tokens expects string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WhitespaceTokensOps.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WhitespaceTokensOps.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): WhitespaceTokens =
+    copy(child = newChild)
+
+  override def prettyName: String = "whitespace_tokens"
+}
+
+case class WhitespaceTokenCount(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"whitespace_token_count expects string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Integer.valueOf(
+      WhitespaceTokensOps.count(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WhitespaceTokensOps.count($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): WhitespaceTokenCount =
+    copy(child = newChild)
+
+  override def prettyName: String = "whitespace_token_count"
+}
+
 /** Sliding-window passage fingerprints — the kernel behind exact
   * substring-level dedup ("drop repeated 50-token passages", the pass
   * every serious LLM corpus pipeline runs; cf. the dedup literature in

@@ -1254,4 +1254,38 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("whitespace_tokens kernel equals the regex split formulation") {
+    // r22 opt: TextAnalysis.tokens/tokenCount moved from
+    // filter(split(trim(x), "\\s+"), len > 0) to a byte-scan kernel.
+    // Pin array equality (values AND order) plus the count kernel
+    // against the regex formulation, evaluated through Spark itself
+    // (codegen path), on strings mixing every \s separator, runs,
+    // leading/trailing ws, non-ASCII (multi-byte UTF-8), NBSP (which
+    // is NOT \s and must stay inside a token), controls, and empties.
+    val piece = Gen.oneOf("alpha", "B", "x\tY", "\u000Bv", "\fq", "\rw",
+      "\n", "  ", "\t\t", "\u00A0", "a\u00A0b", "\u4E2D\u6587", "e\u0301tude",
+      "", " lead", "trail ")
+    val mixedGen = Gen.listOf(piece).map(_.mkString(""))
+    val samples = (0 until 60).map(i =>
+      mixedGen.pureApply(Gen.Parameters.default, Seed(i.toLong))) ++
+      Seq("", " ", "\t\n\u000B\f\r", "one", " one ", "a b")
+    val df = samples.toDF("t")
+    val rows = df.select(
+        graft.ops.TextAnalysis.tokens(col("t")).as("k"),
+        graft.ops.TextAnalysis.tokensReference(col("t")).as("r"),
+        graft.ops.TextAnalysis.tokenCount(col("t")).as("kc"),
+        size(graft.ops.TextAnalysis.tokensReference(col("t"))).as("rc"))
+      .collect()
+    rows.foreach { row =>
+      assert(row.getSeq[String](0) == row.getSeq[String](1),
+        s"tokens mismatch: ${row.getSeq[String](0)} vs ${row.getSeq[String](1)}")
+      assert(row.getInt(2) == row.getInt(3))
+    }
+    // null propagates as null through both (size(null) = null posture)
+    val nr = Seq[Option[String]](None).toDF("t")
+      .select(graft.ops.TextAnalysis.tokens(col("t")),
+        graft.ops.TextAnalysis.tokenCount(col("t"))).head
+    assert(nr.isNullAt(0) && nr.isNullAt(1))
+  }
 }
