@@ -19,11 +19,17 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * config pipeline run inside an extensions-enabled cluster registers
   * nothing twice. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     graft.functions.Registry.functions.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name),
         builder))
     }
+    // r22 opt: avoid the duplicate corpus-scale pass a global sort's
+    // range-sampling makes over an expensive projection (see the rule's
+    // scaladoc). Operator-optimization batch: co-operates with
+    // ColumnPruning in the same fixed point.
+    ext.injectOptimizerRule(_ => PullExpensiveProjectAboveSort)
+  }
 }

@@ -33,4 +33,9 @@ object LocalConf {
       classOf[GraftLocalFs].getName)
     .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
       "true")
+    // The production extension entry point (functions + the
+    // sort-sampling optimizer rule) — local sessions run the same
+    // posture a `--conf spark.sql.extensions=graft.GraftExtensions`
+    // deployment does. Registry.registerAll stays idempotent with it.
+    .config("spark.sql.extensions", classOf[GraftExtensions].getName)
 }
