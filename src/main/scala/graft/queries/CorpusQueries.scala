@@ -1200,12 +1200,16 @@ object CorpusQueries extends QueryPack {
   // Any regression in the binary trainer, the OVR wrapper, the scoring
   // kernel, or the argmax tie rule hash-fails.
   private def q180(s: SparkSession, dir: String): DataFrame = {
-    // marker planted 3× — its term frequency triples the margin term,
-    // which is what lets ONE GD epoch dominate the word-soup noise
-    // weights on held-out rows
+    // marker planted 5× — its term frequency multiplies the margin
+    // term, which is what lets ONE GD epoch dominate the word-soup
+    // noise weights on held-out rows. (3× left a one-row gap on one
+    // sf0.001 data draw — a held-out 'de' doc scored 'en' by a hair;
+    // 5× is exact on every SF of the draw that exposed it, with the
+    // r22 variant sweep in the round notes.)
     val marker = concat(lit(" zzmarker"), col("lang"))
     val base = docs(s, dir)
-      .withColumn("mtext", concat(col("text"), marker, marker, marker))
+      .withColumn("mtext", concat(col("text"),
+        marker, marker, marker, marker, marker))
     // train on the id % 5 = 0 slice (5 classes × per-class aggregate
     // passes is the cost driver — the slice keeps it bounded while the
     // marker keeps every class represented), predict EVERY row: the
@@ -1250,9 +1254,11 @@ object CorpusQueries extends QueryPack {
   // ONE config predicts every row. Oracle: pred_label = lang — gates
   // save/load fidelity, the codec, and the scan-stage argmax together.
   private def q182(s: SparkSession, dir: String): DataFrame = {
+    // marker ×5 — the q180 exact-recovery margin (see q180's comment)
     val marker = concat(lit(" zzmarker"), col("lang"))
     val base = docs(s, dir)
-      .withColumn("mtext", concat(col("text"), marker, marker, marker))
+      .withColumn("mtext", concat(col("text"),
+        marker, marker, marker, marker, marker))
     val models = Corpus.trainMulticlassClassifier(
       base.filter(col("doc_id") % 5 === 0).persist(),
       "doc_id", "mtext", "lang", dim = 512, epochs = 1)
